@@ -1,0 +1,54 @@
+"""Pure-Python reference-twin extraction core (no Spark imports).
+
+Imported by both the pytest oracle and the Spark pandas-UDF bodies — one
+implementation, so the distributed output is byte-identical to the spec.
+"""
+
+from .document import FixtureOcrBackend, extract_document, finalize_result, itens_to_json
+from .html_extract import (
+    clean_url,
+    extract_date_html,
+    extract_items_sp,
+    extract_total_html,
+    flatten_html,
+    normalize_html_payload,
+    normalize_item_text,
+    parse_nfce_html,
+)
+from .sniff import TOKEN_MAGIC, sniff_format
+from .structuring import (
+    KEYWORDS_VENDA,
+    STOP_HINTS,
+    extract_items_by_columns,
+    group_by_y,
+    item_score,
+    normalize_ocr_result,
+    parse_total_from_tokens,
+    sort_tokens,
+    structure_document,
+)
+from .textnorm import (
+    COMMON_CORRECTIONS,
+    DEFAULT_REF_CLOCK,
+    clean_desc,
+    clean_item_name,
+    extract_date,
+    extract_dates,
+    extract_money_values,
+    norm_text,
+    normalize_date,
+    to_float,
+)
+
+__all__ = [
+    "FixtureOcrBackend", "extract_document", "finalize_result", "itens_to_json",
+    "clean_url", "extract_date_html", "extract_items_sp", "extract_total_html",
+    "flatten_html", "normalize_html_payload", "normalize_item_text", "parse_nfce_html",
+    "TOKEN_MAGIC", "sniff_format",
+    "KEYWORDS_VENDA", "STOP_HINTS", "extract_items_by_columns", "group_by_y",
+    "item_score", "normalize_ocr_result", "parse_total_from_tokens", "sort_tokens",
+    "structure_document",
+    "COMMON_CORRECTIONS", "DEFAULT_REF_CLOCK", "clean_desc", "clean_item_name",
+    "extract_date", "extract_dates", "extract_money_values", "norm_text",
+    "normalize_date", "to_float",
+]

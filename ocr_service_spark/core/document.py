@@ -1,0 +1,200 @@
+"""Per-document extraction dispatch: raw payload → unified result record.
+
+This is the function the Spark ``mapInPandas`` operator applies to every row
+of the pages table, and the function the pytest oracle calls directly — one
+code path, so Spark output is byte-identical to the oracle by construction.
+
+Routing (sniff → path):
+  html     → HTML DANFE extraction      (app/nfce_parser.py path, main.py:61-105)
+  tokens   → pluggable-OCR image path   (app/ocr_engine.py path, main.py:108-143)
+  png/jpeg/gif/webp → image path; with no OCR runtime in this environment the
+             backend yields no tokens → the reference's own empty-OCR error
+             envelope (app/ocr_engine.py:88-90 → :152-160)
+  pdf/unknown → rejected like the reference's content-type guard, but as an
+             in-band error row (app/main.py:115-116 → S4 errors-as-data)
+  empty    → in-band error row (app/main.py:119-120)
+
+Output JSON serialization of itens happens HERE in Python
+(``json.dumps(..., ensure_ascii=False, separators=(",", ":"))`` — the
+FastAPI/starlette JSONResponse wire format, app/main.py:88,128) so float
+formatting is Python-exact end to end (SURVEY.md §1.3.3).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from typing import Dict, List, Optional
+
+from .html_extract import normalize_html_payload, parse_nfce_html
+from .sniff import (
+    FMT_EMPTY,
+    FMT_HTML,
+    FMT_PDF,
+    FMT_TOKENS,
+    FMT_UNKNOWN,
+    IMAGE_FORMATS,
+    TOKEN_MAGIC,
+    sniff_format,
+)
+from .structuring import normalize_ocr_result, sort_tokens, structure_document
+from .textnorm import DEFAULT_REF_CLOCK
+
+ITEM_FIELDS = ("item", "quantidade", "valor_unitario", "valor_total", "data_compra", "data_venda")
+
+
+class FixtureOcrBackend:
+    """Pluggable OCR/QR backend fed by serialized token payloads.
+
+    Payload = TOKEN_MAGIC + JSON ``{"qr_variants": [[{data,type},...],...],
+    "attempts": [paddle_shaped_result|null, ...]}``. The attempt/variant
+    cascades mirror the reference's early-exit loops (QR: app/ocr_engine.py:
+    64-79 X20; OCR: :92-110 X21): first QR variant containing a QRCODE wins;
+    first OCR attempt yielding ≥1 post-filter token wins. Real decoders
+    (cv2/pyzbar/Paddle) are not installed here; a production backend plugs in
+    behind this same interface (per-executor lazy singleton, SURVEY.md S6).
+    """
+
+    def decode_payload(self, payload: bytes) -> Optional[dict]:
+        if not payload.startswith(TOKEN_MAGIC):
+            return None
+        try:
+            return json.loads(payload[len(TOKEN_MAGIC):].decode("utf-8"))
+        except Exception:
+            return None
+
+    def extract_qrcode(self, doc: Optional[dict]) -> Optional[List[Dict]]:
+        """First variant with a QRCODE-typed hit, else None (X20 cascade)."""
+        try:
+            if not doc:
+                return None
+            for variant in doc.get("qr_variants") or []:
+                if variant:
+                    for obj in variant:
+                        if obj.get("type") == "QRCODE":
+                            return [{"data": obj.get("data"), "type": obj["type"]}]
+            return None
+        except Exception:
+            return None
+
+    def extract_text(self, doc: Optional[dict]) -> List[Dict]:
+        """First attempt with ≥1 normalized token wins; else [] (X21 cascade,
+        sort parity app/ocr_engine.py:103)."""
+        if not doc:
+            return []
+        for attempt in doc.get("attempts") or []:
+            try:
+                lines = normalize_ocr_result(attempt)
+                if lines:
+                    return sort_tokens(lines)
+            except Exception:
+                continue
+        return []
+
+
+_FIXTURE_BACKEND = FixtureOcrBackend()
+
+
+def _empty_result(url: str, fmt: str, mensagem: str) -> Dict:
+    return {
+        "url": url,
+        "fmt": fmt,
+        "tipo_documento": "erro",
+        "itens": [],
+        "extracted_text": None,
+        "qrcode_url": None,
+        "confianca": 0.0,
+        "mensagem": mensagem,
+        "total_nota": None,
+        "data_compra": None,
+        "origem": None,
+    }
+
+
+def _norm_items(itens: List[Dict]) -> List[Dict]:
+    """Project every item onto the full 6-field Item schema
+    (app/models.py:12-18); HTML-path items carry no data_venda."""
+    return [{f: it.get(f) for f in ITEM_FIELDS} for it in itens]
+
+
+def extract_document(
+    url: str,
+    payload: Optional[bytes],
+    ref_clock: datetime = DEFAULT_REF_CLOCK,
+    backend: FixtureOcrBackend = _FIXTURE_BACKEND,
+) -> Dict:
+    """One page row → one unified result record (plain dict).
+
+    Never raises: every per-document failure becomes an in-band error row,
+    matching the reference's error-as-data envelopes (app/main.py:90-105,
+    132-143). Task-level exceptions would kill a 10^12-doc job; row-level
+    errors are data.
+    """
+    try:
+        fmt = sniff_format(payload)
+
+        if fmt == FMT_EMPTY:
+            return _empty_result(url, fmt, "Arquivo vazio")
+
+        if fmt == FMT_HTML:
+            html = bytes(payload).decode("utf-8", errors="replace")
+            data = parse_nfce_html(html, enable_debug=False)
+            data = normalize_html_payload(data, qrcode_url=url)
+            out = _empty_result(url, fmt, None)
+            out.update(
+                {
+                    "tipo_documento": data["tipo_documento"],
+                    "itens": _norm_items(data["itens"]),
+                    "extracted_text": data["extracted_text"],
+                    "qrcode_url": data["qrcode_url"],
+                    "confianca": data["confianca"],
+                    "mensagem": None,
+                    "total_nota": data["total_nota"],
+                    "data_compra": data["data_compra"],
+                    "origem": data["origem"],
+                }
+            )
+            return out
+
+        if fmt in IMAGE_FORMATS:
+            doc = backend.decode_payload(bytes(payload)) if fmt == FMT_TOKENS else None
+            qr_data = backend.extract_qrcode(doc)
+            ocr_lines = backend.extract_text(doc)
+            structured = structure_document(ocr_lines, qr_data, ref_clock)
+            full_text = "\n".join([l.get("text", "") for l in ocr_lines]) if ocr_lines else None
+            out = _empty_result(url, fmt, None)
+            out.update(
+                {
+                    "tipo_documento": structured["tipo_documento"],
+                    "itens": _norm_items(structured["itens"]),
+                    "extracted_text": full_text,
+                    "qrcode_url": structured["qrcode_url"],
+                    "confianca": structured["confianca"],
+                    "mensagem": structured["mensagem"],
+                    "origem": "ocr_comprovante",
+                }
+            )
+            return out
+
+        # pdf / unknown — the content-type guard as an in-band error row
+        guard_fmt = fmt if fmt in (FMT_PDF, FMT_UNKNOWN) else FMT_UNKNOWN
+        return _empty_result(url, guard_fmt, "Arquivo deve ser uma imagem")
+
+    except Exception as e:  # absolute backstop: app/main.py:132-143 envelope
+        return _empty_result(url, FMT_UNKNOWN, f"Erro interno: {str(e)}")
+
+
+def itens_to_json(itens: List[Dict]) -> str:
+    """Canonical wire serialization of the item list — Python json.dumps with
+    the starlette JSONResponse options (compact separators, ensure_ascii=False,
+    app/main.py:88,128). This string is the byte-identity surface for items."""
+    return json.dumps(itens, ensure_ascii=False, allow_nan=False, separators=(",", ":"))
+
+
+def finalize_result(rec: Dict) -> Dict:
+    """Attach derived columns (itens_json, n_itens, is_error) to a result."""
+    rec = dict(rec)
+    rec["itens_json"] = itens_to_json(rec["itens"])
+    rec["n_itens"] = len(rec["itens"])
+    rec["is_error"] = rec["tipo_documento"] == "erro"
+    return rec

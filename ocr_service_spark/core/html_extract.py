@@ -1,0 +1,245 @@
+"""HTML-path extraction core (reference-twin, pure Python, stdlib only).
+
+The reference flattens DOM text with BeautifulSoup ``get_text(" ", strip=True)``
+(app/nfce_parser.py:50,69,82,92,99) then regex-extracts items/total/date.
+bs4 is not a dependency here: ``flatten_html`` is a deterministic stdlib
+``html.parser`` tag-stripper with the same join-with-space / strip-each-node
+semantics, defined as THIS engine's spec and pinned by golden tests
+(SURVEY.md §2.8 X9). Boilerplate containers (script/style) are dropped — this
+engine is a main-content extractor (BASELINE.json north_star), and the golden
+fixtures pin that behavior.
+
+Reference parity (citations into /root/reference):
+  X9  DOM text flatten       app/nfce_parser.py:50 (get_text semantics)
+  X10 pipe strip + collapse  app/nfce_parser.py:100-101
+  X11 item regex finditer    app/nfce_parser.py:107-132
+  X12 total regex            app/nfce_parser.py:89-95
+  X13 date regex             app/nfce_parser.py:81-87
+  X14 _clean_url             app/nfce_parser.py:29-30
+      parse + debug block    app/nfce_parser.py:48-79
+      payload normalization  app/main.py:71-77
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional
+
+from .textnorm import to_float
+
+_SKIP_CONTAINERS = {"script", "style"}
+_RE_WS = re.compile(r"\s+")
+
+
+class _TextFlattener(HTMLParser):
+    """Collects stripped non-empty text nodes, skipping script/style bodies
+    and comments; entity references resolved (convert_charrefs=True)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: List[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_CONTAINERS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_CONTAINERS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if stripped:
+            self.chunks.append(stripped)
+
+
+def flatten_html(html: str) -> str:
+    """DOM text flatten: every text node stripped, empties dropped, joined
+    with a single space — the get_text(" ", strip=True) contract (X9)."""
+    p = _TextFlattener()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        # malformed markup never fails the document; fall back to tag-strip
+        return _RE_WS.sub(" ", re.sub(r"<[^>]*>", " ", html or "")).strip()
+    return " ".join(p.chunks)
+
+
+def clean_url(url: str) -> str:
+    """Keep the head of a `|`-suffixed URL. Parity: app/nfce_parser.py:29-30."""
+    return url.split("|")[0] if "|" in url else url
+
+
+_RE_DATE = re.compile(r"Emissão:\s*(\d{2}/\d{2}/\d{4})", re.IGNORECASE)
+_RE_TOTAL = re.compile(r"Valor a pagar\s*R\$\:?\s*([0-9.,]+)", re.IGNORECASE)
+
+# Lazy multi-field DANFE item pattern with optional `**` markdown artifacts.
+# Parity: app/nfce_parser.py:107-114 (X11).
+RE_ITEM_SP = re.compile(
+    r"(?P<desc>.+?)\s*\(Código:\s*(?P<codigo>[^)]+)\)\s*"
+    r".*?Qtde\.?:\*{0,2}\s*(?P<qtd>[0-9,.]+)\s*"
+    r".*?UN:\*{0,2}\s*(?P<un>[A-Z]{1,3})\s*"
+    r".*?Vl\.\s*Unit\.?:\*{0,2}\s*(?P<vu>[0-9,.]+)\s*"
+    r".*?Vl\.\s*Total\s*(?P<vt>[0-9,.]+)",
+    re.IGNORECASE,
+)
+
+# Tail of RE_ITEM_SP, anchored at a "(Código:" marker — used by the linear
+# scanner below. Must stay textually in sync with RE_ITEM_SP.
+_RE_ITEM_TAIL = re.compile(
+    r"\(Código:\s*(?P<codigo>[^)]+)\)\s*"
+    r".*?Qtde\.?:\*{0,2}\s*(?P<qtd>[0-9,.]+)\s*"
+    r".*?UN:\*{0,2}\s*(?P<un>[A-Z]{1,3})\s*"
+    r".*?Vl\.\s*Unit\.?:\*{0,2}\s*(?P<vu>[0-9,.]+)\s*"
+    r".*?Vl\.\s*Total\s*(?P<vt>[0-9,.]+)",
+    re.IGNORECASE,
+)
+_RE_TRAILING_WS = re.compile(r"\s*\Z")
+_MARKER = "(código:"
+
+
+def iter_items_sp(item_text: str):
+    """Semantics-equivalent replacement for ``RE_ITEM_SP.finditer``.
+
+    ``finditer`` with a lazy ``.+?`` head is O(n²) on text where the marker
+    never (or never again) appears — one giant boilerplate page would stall a
+    whole executor task at web scale. This scanner jumps between literal
+    "(Código:" markers (O(n) substring finds) and anchors the field tail at
+    each, which is exactly the match the backtracking engine would produce:
+    for a given scan start, the lazy desc selects the first marker whose tail
+    matches, desc = text preceding the marker's whitespace run (non-empty).
+    Equivalence to RE_ITEM_SP.finditer is pinned by tests on a case battery.
+
+    Yields dicts with desc/codigo/qtd/un/vu/vt group values.
+    Assumes newline-free input (normalize_item_text collapses whitespace);
+    falls back to the reference regex when newlines are present, since `.`
+    does not cross lines.
+    """
+    if "\n" in item_text:
+        for m in RE_ITEM_SP.finditer(item_text):
+            yield m.groupdict()
+        return
+
+    lower = item_text.lower()
+    scan_pos = 0
+    pos = 0
+    while True:
+        mk = lower.find(_MARKER, max(pos, scan_pos + 1))
+        if mk < 0:
+            return
+        tail = _RE_ITEM_TAIL.match(item_text, mk)
+        if not tail:
+            pos = mk + 1
+            continue
+        # desc = text from scan_pos to the start of the whitespace run
+        # immediately before the marker. The lazy .+? needs ≥1 char, so when
+        # the gap is pure whitespace the engine still matches with a single
+        # whitespace desc — reproduce that (desc_end ≥ scan_pos+1).
+        ws = _RE_TRAILING_WS.search(item_text, scan_pos, mk)
+        desc_end = max(ws.start() if ws else mk, scan_pos + 1)
+        d = tail.groupdict()
+        d["desc"] = item_text[scan_pos:desc_end]
+        yield d
+        scan_pos = tail.end()
+        pos = scan_pos
+
+
+def extract_date_html(page_text: str) -> Optional[str]:
+    """`Emissão: dd/mm/yyyy` or None — no now() fallback on the HTML path.
+    Parity: app/nfce_parser.py:81-87 (X13)."""
+    m = _RE_DATE.search(page_text)
+    return m.group(1) if m else None
+
+
+def extract_total_html(page_text: str) -> Optional[float]:
+    """`Valor a pagar R$: N` → float. Parity: app/nfce_parser.py:89-95 (X12)."""
+    m = _RE_TOTAL.search(page_text)
+    return to_float(m.group(1)) if m else None
+
+
+def normalize_item_text(page_text: str) -> str:
+    """Pipe→space then whitespace collapse — the item-regex input and the
+    HTML path's `extracted_text`. Parity: app/nfce_parser.py:100-101 (X10)."""
+    text = page_text.replace("|", " ")
+    return _RE_WS.sub(" ", text).strip()
+
+
+def extract_items_sp(item_text: str, data_compra: Optional[str]) -> List[Dict]:
+    """All non-overlapping DANFE item matches → item dicts; drop null totals;
+    impute unit price round(vt/qtd, 2). Parity: app/nfce_parser.py:97-134."""
+    itens: List[Dict] = []
+    for m in iter_items_sp(item_text):
+        desc = m["desc"].strip()
+        qtd = to_float(m["qtd"]) or 1.0
+        vu = to_float(m["vu"])
+        vt = to_float(m["vt"])
+        if vt is None:
+            continue
+        itens.append(
+            {
+                "item": desc,
+                "quantidade": qtd,
+                "valor_unitario": vu if vu is not None else round(vt / qtd, 2),
+                "valor_total": vt,
+                "data_compra": data_compra,
+            }
+        )
+    return itens
+
+
+def debug_block(html: str, page_text: str, itens: List[Dict]) -> Dict:
+    """Per-document counters/flags — the reference's metrics affordance, and
+    the seed of this engine's lineage sidecar. Parity: app/nfce_parser.py:68-79."""
+    return {
+        "html_len": len(html or ""),
+        "text_len": len(page_text),
+        "text_head": page_text[:250],
+        "has_doc_aux": "DOCUMENTO AUXILIAR" in page_text,
+        "has_codigo": "(Código:" in page_text,
+        "has_qtde": "Qtde" in page_text,
+        "has_vl_total": "Vl. Total" in page_text,
+        "items_found": len(itens),
+    }
+
+
+def parse_nfce_html(html: str, enable_debug: bool = False) -> Dict:
+    """HTML → structured payload (tipo/itens/total/date/origem [+debug]).
+
+    Parity: app/nfce_parser.py:48-65 with the network fetch removed — the
+    batch engine reads HTML from the pages table (SURVEY.md §2.1 S2).
+    """
+    page_text = flatten_html(html)
+    data_compra = extract_date_html(page_text)
+    item_text = normalize_item_text(page_text)
+    itens = extract_items_sp(item_text, data_compra)
+    total_nota = extract_total_html(page_text)
+
+    out = {
+        "tipo_documento": "gasto",
+        "itens": itens,
+        "total_nota": total_nota,
+        "data_compra": data_compra,
+        "origem": "nfce_sp_qrcode_static",
+        "extracted_text": item_text,
+    }
+    if enable_debug:
+        out["debug"] = debug_block(html, page_text, itens)
+    return out
+
+
+def normalize_html_payload(data: Dict, qrcode_url: str) -> Dict:
+    """Response-field stamping: qrcode_url echo, confianca = 1.0 iff itens,
+    defaulted fields. Parity: app/main.py:71-77."""
+    data["qrcode_url"] = qrcode_url
+    data["confianca"] = 1.0 if data.get("itens") else 0.0
+    data.setdefault("tipo_documento", "gasto")
+    data.setdefault("itens", [])
+    data.setdefault("total_nota", None)
+    data.setdefault("data_compra", None)
+    data.setdefault("origem", "nfce_sp_qrcode")
+    return data

@@ -1,0 +1,49 @@
+"""Byte-stream format sniffing (S1 generalization).
+
+The reference gates on the HTTP ``content_type`` header (app/main.py:115-116);
+a batch engine over stored pages has no transport metadata, so routing is by
+magic bytes (BASELINE.json north_star: "batched byte-stream sniffing (HTML vs
+PDF vs image)"). Pure function; called per document inside the pandas UDF.
+"""
+
+from __future__ import annotations
+
+# Serialized-OCR-token payload magic — the pluggable-OCR injection point
+# (FIXTURES.md §1 class 2): image documents in fixtures/bench carry their
+# OCR result inline because no OCR runtime ships in this environment.
+TOKEN_MAGIC = b"OCRTOKENSv1\n"
+
+FMT_EMPTY = "empty"
+FMT_HTML = "html"
+FMT_PDF = "pdf"
+FMT_PNG = "png"
+FMT_JPEG = "jpeg"
+FMT_GIF = "gif"
+FMT_WEBP = "webp"
+FMT_TOKENS = "tokens"
+FMT_UNKNOWN = "unknown"
+
+IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_WEBP, FMT_TOKENS})
+
+
+def sniff_format(payload) -> str:
+    """Classify a raw document payload by magic bytes."""
+    if payload is None or len(payload) == 0:
+        return FMT_EMPTY
+    b = bytes(payload)
+    if b.startswith(TOKEN_MAGIC):
+        return FMT_TOKENS
+    if b.startswith(b"%PDF"):
+        return FMT_PDF
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return FMT_PNG
+    if b.startswith(b"\xff\xd8\xff"):
+        return FMT_JPEG
+    if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
+        return FMT_GIF
+    if b.startswith(b"RIFF") and len(b) >= 12 and b[8:12] == b"WEBP":
+        return FMT_WEBP
+    head = b.lstrip(b" \t\r\n\f")
+    if head[:1] == b"<" or head[:15].lower().startswith(b"<!doctype html"):
+        return FMT_HTML
+    return FMT_UNKNOWN

@@ -1,0 +1,323 @@
+"""OCR-token structuring core (reference-twin, pure Python).
+
+Per-document deterministic pipeline: normalized OCR tokens → structured line
+items. Runs inside the Spark pandas-UDF bodies (vectorized across documents;
+per-document loops here are over a handful of tokens) and directly in the
+pytest oracle — single source of truth for byte-identity.
+
+Reference parity (citations into /root/reference):
+  F1  confidence/empty filter        app/ocr_engine.py:124-127
+  F2  y-band filter                  app/ocr_engine.py:179-193
+  F3  column bands (620/900)         app/ocr_engine.py:196-198,212,226,239
+  F4  item validity filter           app/ocr_engine.py:254-257
+  F6  qty/unit-price imputation      app/ocr_engine.py:259-262
+  J1  next-group total lookahead     app/ocr_engine.py:202-207,243-246
+  A1  greedy drifting-centroid y-grouping  app/ocr_engine.py:334-354
+  A2  dedupe-by-sq keep-best         app/ocr_engine.py:264-282,322-332
+  A3  venda/gasto classification     app/ocr_engine.py:15,162-163
+  A4  full-text join                 app/ocr_engine.py:162
+  A5  confidence scalar              app/ocr_engine.py:172
+  O1-O4 sorts                        app/ocr_engine.py:103,335,351,353,284-289
+  X5-X8 item regexes / salvage       app/ocr_engine.py:29-37,217-235,294-320
+  X22 Paddle result normalization    app/ocr_engine.py:112-149
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+from .textnorm import DEFAULT_REF_CLOCK, clean_desc, extract_date, norm_text, to_float
+
+KEYWORDS_VENDA = ["recebido", "pix recebido", "crédito em conta", "depósito", "recibo"]
+
+STOP_HINTS = [
+    "QTD. TOTAL DE ITENS",
+    "QTD TOTAL DE ITENS",
+    "VALOR TOTAL",
+    "CARTAO",
+    "CARTÃO",
+    "CONSUMIDOR",
+    "CONSULTE PELA CHAVE",
+    "CHAVE DE ACESSO",
+    "PROTOCOLO",
+]
+
+RE_ITEM_HEADER = re.compile(r"^\s*(?P<sq>\d{2})\s+(?P<code>\d{8,14})(?P<desc>.*)$")
+RE_QTD_X_UNIT = re.compile(
+    r"(?P<qtd>\d+(?:[.,]\d+)?)\s*(?P<un>[A-Z]{1,3})\s*[xX]\s*(?P<vl>\d+(?:[.,]\d{2}))",
+    re.IGNORECASE,
+)
+RE_MONEY = re.compile(r"\d+(?:[.,]\d{2})")
+
+# Column-band thresholds (pixel x), app/ocr_engine.py:196-198.
+X_LEFT_MAX = 620
+X_MID_MIN = 620
+X_RIGHT_MIN = 900
+
+_NULL_X_SENTINEL = 10**9  # app/ocr_engine.py:103,335,351
+
+
+def normalize_ocr_result(result) -> List[Dict]:
+    """Paddle-shaped nested result → filtered, normalized token dicts.
+
+    Tolerates `[[...]]` vs `[...]` page nesting, swallows malformed tokens,
+    drops conf<0.35 / empty text, rounds confidence to 3.
+    Parity: app/ocr_engine.py:112-149 (X22 + F1).
+    """
+    if not result:
+        return []
+    page = result[0] if isinstance(result, list) and result and isinstance(result[0], list) else result
+    if not page:
+        return []
+
+    out: List[Dict] = []
+    for item in page:
+        try:
+            box = item[0]
+            rec = item[1]
+            text = str(rec[0]).strip()
+            conf = float(rec[1])
+            if not text or conf < 0.35:
+                continue
+            x_pos, y_pos = _xy_from_box(box)
+            out.append(
+                {
+                    "text": norm_text(text),
+                    "confidence": round(conf, 3),
+                    "y_position": int(y_pos),
+                    "x_position": int(x_pos) if x_pos is not None else None,
+                }
+            )
+        except Exception:
+            continue
+    return out
+
+
+def _xy_from_box(box) -> Tuple[Optional[int], int]:
+    """(min x, min y) from a quad box; (None, 0) on any malformation.
+    Parity: app/ocr_engine.py:141-149."""
+    try:
+        xs = [int(p[0]) for p in box]
+        ys = [int(p[1]) for p in box]
+        if not xs or not ys:
+            return None, 0
+        return min(xs), min(ys)
+    except Exception:
+        return None, 0
+
+
+def sort_tokens(tokens: List[Dict]) -> List[Dict]:
+    """(y, x nulls-last) sort, null x → 10^9 sentinel.
+    Parity: app/ocr_engine.py:103 (O1)."""
+    return sorted(
+        tokens,
+        key=lambda t: (t["y_position"], t["x_position"] if t["x_position"] is not None else _NULL_X_SENTINEL),
+    )
+
+
+def group_by_y(tokens: List[Dict], y_tol: int = 6) -> List[Dict]:
+    """Greedy drifting-centroid 1-D clustering into visual lines.
+
+    NOT gap-sessionization: the running reference `y_ref = int((y_ref+y)/2)`
+    drifts, so adversarial spacing diverges from a lag-gap window (SURVEY.md
+    §7.4.3). Exact loop preserved. Parity: app/ocr_engine.py:334-354 (A1).
+    """
+    toks = sorted(
+        tokens,
+        key=lambda t: (t["y_position"], t["x_position"] if t["x_position"] is not None else _NULL_X_SENTINEL),
+    )
+    groups: List[Dict] = []
+    for t in toks:
+        y = int(t["y_position"])
+        placed = False
+        for g in groups:
+            if abs(y - g["y_ref"]) <= y_tol:
+                g["tokens"].append(t)
+                g["y_ref"] = int((g["y_ref"] + y) / 2)
+                placed = True
+                break
+        if not placed:
+            groups.append({"y_ref": y, "tokens": [t]})
+
+    for g in groups:
+        g["tokens"].sort(key=lambda t: t["x_position"] if t["x_position"] is not None else _NULL_X_SENTINEL)
+    groups.sort(key=lambda g: g["y_ref"])
+    return groups
+
+
+def parse_total_from_tokens(tokens: List[Dict]) -> Optional[float]:
+    """Last money match in right-column text; garbled-digit salvage fallback
+    (3 digits → d,dd; 4 digits → dd,dd). Parity: app/ocr_engine.py:294-320
+    (X7/X8/O5)."""
+    if not tokens:
+        return None
+    raw = norm_text(" ".join([t["text"] for t in tokens]))
+    monies = RE_MONEY.findall(raw)
+    if monies:
+        return to_float(monies[-1])
+    cleaned = raw.replace("'", "").replace("`", "").replace(" ", "")
+    cleaned = re.sub(r"[^0-9]", "", cleaned)
+    if len(cleaned) == 3:
+        return to_float(f"{cleaned[0]},{cleaned[1:]}")
+    if len(cleaned) == 4:
+        return to_float(f"{cleaned[:-2]},{cleaned[-2:]}")
+    return None
+
+
+def item_score(it: Dict) -> int:
+    """Count of populated {item, quantidade, valor_unitario, valor_total}.
+    Parity: app/ocr_engine.py:322-332."""
+    score = 0
+    if it.get("item"):
+        score += 1
+    if it.get("quantidade") is not None:
+        score += 1
+    if it.get("valor_unitario") is not None:
+        score += 1
+    if it.get("valor_total") is not None:
+        score += 1
+    return score
+
+
+def extract_items_by_columns(
+    ocr_lines: List[Dict],
+    tipo: str,
+    full_text: str,
+    ref_clock: datetime = DEFAULT_REF_CLOCK,
+) -> List[Dict]:
+    """Column-geometry item extraction over normalized tokens.
+
+    Parity: app/ocr_engine.py:175-292 (F2-F4, F6, J1, A1-A2, O4-O6, X4-X8).
+    """
+    data_compra = extract_date(full_text, ref_clock)
+
+    start_y = 0
+    for t in ocr_lines:
+        up = (t.get("text") or "").upper()
+        if "SQ.CODIGO" in up or "SQ. CODIGO" in up:
+            start_y = t.get("y_position", 0) + 5
+            break
+
+    end_y = 10**9
+    for t in ocr_lines:
+        up = (t.get("text") or "").upper()
+        if any(h in up for h in STOP_HINTS):
+            end_y = t.get("y_position", 10**9) - 5
+            break
+
+    tokens = [t for t in ocr_lines if start_y <= t["y_position"] <= end_y]
+    groups = group_by_y(tokens, y_tol=6)
+
+    def next_group(i: int, max_delta: int = 18) -> Optional[Dict]:
+        if i + 1 >= len(groups):
+            return None
+        if groups[i + 1]["y_ref"] - groups[i]["y_ref"] <= max_delta:
+            return groups[i + 1]
+        return None
+
+    itens_by_sq: Dict[str, Dict] = {}
+
+    for i, g in enumerate(groups):
+        left_tokens = [t for t in g["tokens"] if (t["x_position"] or 0) < X_LEFT_MAX]
+        if not left_tokens:
+            continue
+
+        left_text = norm_text(" ".join([t["text"] for t in left_tokens]))
+        m = RE_ITEM_HEADER.match(left_text)
+        if not m:
+            continue
+
+        sq = m.group("sq")
+        desc = clean_desc(m.group("desc") or "")
+
+        mid_tokens = [t for t in g["tokens"] if X_MID_MIN <= (t["x_position"] or 0) < X_RIGHT_MIN]
+        mid_text = norm_text(" ".join([t["text"] for t in mid_tokens]))
+        q = RE_QTD_X_UNIT.search(mid_text)
+        if not q:
+            q = RE_QTD_X_UNIT.search(left_text)
+
+        quantidade = to_float(q.group("qtd")) if q else None
+        valor_unitario = to_float(q.group("vl")) if q else None
+
+        right_tokens = [t for t in g["tokens"] if (t["x_position"] or 0) >= X_RIGHT_MIN]
+        valor_total = parse_total_from_tokens(right_tokens)
+
+        if valor_total is None:
+            g2 = next_group(i, max_delta=18)
+            if g2:
+                right_tokens_2 = [t for t in g2["tokens"] if (t["x_position"] or 0) >= X_RIGHT_MIN]
+                valor_total = parse_total_from_tokens(right_tokens_2)
+
+        if valor_total is None and valor_unitario is not None:
+            if quantidade is None or abs(quantidade - 1.0) < 1e-6:
+                valor_total = valor_unitario
+
+        if not desc or desc == "ITEM DESCONHECIDO":
+            continue
+        if valor_total is None:
+            continue
+
+        if quantidade is None:
+            quantidade = 1.0
+        if valor_unitario is None and quantidade and quantidade > 0:
+            valor_unitario = round(valor_total / quantidade, 2)
+
+        candidate = {
+            "item": desc,
+            "quantidade": float(quantidade) if quantidade is not None else None,
+            "valor_unitario": float(valor_unitario) if valor_unitario is not None else None,
+            "valor_total": float(valor_total),
+            "data_compra": data_compra if tipo == "gasto" else None,
+            "data_venda": data_compra if tipo == "venda" else None,
+            "_sq": sq,
+        }
+
+        prev = itens_by_sq.get(sq)
+        if not prev:
+            itens_by_sq[sq] = candidate
+        else:
+            if item_score(candidate) >= item_score(prev):
+                itens_by_sq[sq] = candidate
+
+    itens = list(itens_by_sq.values())
+    try:
+        itens.sort(key=lambda it: int(it["_sq"]))
+    except Exception:
+        pass
+    for it in itens:
+        it.pop("_sq", None)
+    return itens
+
+
+def structure_document(
+    ocr_lines: List[Dict],
+    qr_data: Optional[List[Dict]],
+    ref_clock: datetime = DEFAULT_REF_CLOCK,
+) -> Dict:
+    """Tokens + QR payload → structured document result.
+
+    Parity: app/ocr_engine.py:152-173 (A3-A5 + error envelope for empty OCR).
+    """
+    if not ocr_lines:
+        return {
+            "tipo_documento": "erro",
+            "itens": [],
+            "qrcode_url": qr_data[0]["data"] if qr_data else None,
+            "mensagem": "Nenhuma linha OCR encontrada",
+            "confianca": 0.0,
+        }
+
+    full_text = "\n".join([l.get("text", "") for l in ocr_lines])
+    tipo = "venda" if any(k in full_text.lower() for k in KEYWORDS_VENDA) else "gasto"
+
+    itens = extract_items_by_columns(ocr_lines, tipo, full_text, ref_clock)
+
+    return {
+        "tipo_documento": tipo,
+        "itens": itens,
+        "qrcode_url": qr_data[0]["data"] if qr_data else None,
+        "mensagem": None if itens else "Nenhum item detectado",
+        "confianca": 1.0 if itens else 0.0,
+    }

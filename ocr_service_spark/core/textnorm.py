@@ -1,0 +1,182 @@
+"""Text-normalization primitives (reference-twin, pure Python).
+
+Single source of truth for the per-document extraction semantics; imported
+both by the pytest oracle and by the Spark pandas-UDF bodies, so the
+distributed pipeline is byte-identical to the spec by construction.
+
+Reference parity (citations into /root/reference):
+  X1  norm_text          app/ocr_engine.py:374-379
+  X2  to_float           app/ocr_engine.py:381-392, app/nfce_parser.py:136-148
+  X3  clean_desc         app/ocr_engine.py:394-401
+  X4  extract_date       app/ocr_engine.py:403-412 (now()-fallback replaced by
+                          an injected reference clock, see SURVEY.md §1.3)
+  X15 extract_money_values  app/utils.py:9-40
+  X16 extract_dates/normalize_date  app/utils.py:43-86
+  X17 clean_item_name    app/utils.py:89-97
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import List, Optional
+
+# Ordered correction table — insertion order is semantic: "OUOS" must be
+# applied before "UOS" (app/ocr_engine.py:39-47, applied at :377-378,:398-399).
+COMMON_CORRECTIONS: List[tuple] = [
+    ("ZER0", "ZERO"),
+    ("I0G", "IOG"),
+    ("OUOS", "OVOS"),
+    ("UOS", "OVOS"),
+    ("UH", "UN"),
+    ("1Ux", "1UNx"),
+    ("SUIFT", "SWIFT"),
+]
+
+_RE_WS = re.compile(r"\s+")
+_RE_NON_DESC = re.compile(r"[^A-Z0-9À-Ü\s\.,/-]")
+
+# Default reference clock for datetime.now() fallbacks (FIXTURES.md §0:
+# fixed reference clock 2025-12-11). Callers may inject any datetime.
+DEFAULT_REF_CLOCK = datetime(2025, 12, 11)
+
+
+def norm_text(s: Optional[str]) -> str:
+    """`×`→`X`, collapse whitespace, ordered OCR-typo corrections.
+
+    Parity: app/ocr_engine.py:374-379.
+    """
+    s = (s or "").replace("×", "X")
+    s = _RE_WS.sub(" ", s).strip()
+    for wrong, right in COMMON_CORRECTIONS:
+        s = s.replace(wrong, right)
+    return s
+
+
+def to_float(s) -> Optional[float]:
+    """Brazilian-decimal string → float; None on failure.
+
+    `1.234,56` (one comma, ≥1 dot) → 1234.56; otherwise `,`→`.`.
+    Parity: app/ocr_engine.py:381-392 and the near-duplicate
+    app/nfce_parser.py:136-148 (which adds a str() cast — both accepted here,
+    and `float()` failure is caught for both, matching the wider of the two).
+    """
+    if not s:
+        return None
+    s = str(s).strip().replace(" ", "")
+    try:
+        if s.count(",") == 1 and s.count(".") >= 1:
+            s = s.replace(".", "").replace(",", ".")
+        else:
+            s = s.replace(",", ".")
+        return float(s)
+    except Exception:
+        return None
+
+
+def clean_desc(desc: Optional[str]) -> str:
+    """Upper-case, whitespace-collapse, charset whitelist, corrections,
+    strip ' -', fallback literal. Parity: app/ocr_engine.py:394-401."""
+    desc = (desc or "").upper()
+    desc = _RE_WS.sub(" ", desc).strip()
+    desc = _RE_NON_DESC.sub("", desc)
+    for wrong, right in COMMON_CORRECTIONS:
+        desc = desc.replace(wrong, right)
+    desc = desc.strip(" -")
+    return desc if desc else "ITEM DESCONHECIDO"
+
+
+_DATE_PATTERNS = [
+    re.compile(r"emiss[aã]o[:\s]*(\d{2}/\d{2}/\d{4})", re.IGNORECASE),
+    re.compile(r"(\d{2}/\d{2}/\d{4})", re.IGNORECASE),
+]
+
+
+def extract_date(text: str, ref_clock: datetime = DEFAULT_REF_CLOCK) -> str:
+    """First `Emissão: dd/mm/yyyy`, else first bare date, else the injected
+    reference clock (reference uses datetime.now(), app/ocr_engine.py:412 —
+    replaced by a deterministic clock per SURVEY.md §1.3)."""
+    for p in _DATE_PATTERNS:
+        m = p.search(text)
+        if m:
+            return m.group(1)
+    return ref_clock.strftime("%d/%m/%Y")
+
+
+# ---------------- TextProcessor twins (app/utils.py — dead code in the
+# reference but part of its declared surface; exposed as engine functions) ----
+
+_MONEY_PATTERNS = [
+    re.compile(r"R\$?\s*(\d{1,3}(?:\.\d{3})*,\d{2})", re.IGNORECASE),
+    re.compile(r"R\$?\s*(\d+,\d{2})", re.IGNORECASE),
+    re.compile(r"\b(\d+\.\d{2})\b", re.IGNORECASE),
+]
+
+
+def extract_money_values(text: str) -> List[float]:
+    """All money-shaped values normalized to float, range-filtered
+    [0.01, 999999.99], distinct+sorted. Parity: app/utils.py:9-40."""
+    valores = []
+    for pattern in _MONEY_PATTERNS:
+        for match in pattern.findall(text):
+            try:
+                if "," in match:
+                    valor_clean = match.replace(".", "").replace(",", ".")
+                else:
+                    valor_clean = match
+                valor_float = float(valor_clean)
+                if 0.01 <= valor_float <= 999999.99:
+                    valores.append(valor_float)
+            except ValueError:
+                continue
+    return sorted(set(valores))
+
+
+_DATE_LIST_PATTERNS = [
+    re.compile(r"\b(\d{2}[/-]\d{2}[/-]\d{4})\b"),
+    re.compile(r"\b(\d{2}[/-]\d{2}[/-]\d{2})\b"),
+]
+
+
+def normalize_date(date_str: str, ref_clock: datetime = DEFAULT_REF_CLOCK) -> str:
+    """dd[-/]mm[-/]yy(yy) → DD/MM/YYYY with day/month validation and 20yy
+    expansion; invalid → reference clock. Parity: app/utils.py:63-86."""
+    try:
+        date_str = date_str.replace("-", "/")
+        parts = date_str.split("/")
+        if len(parts) != 3:
+            return ref_clock.strftime("%d/%m/%Y")
+        day, month, year = parts
+        if not (1 <= int(day) <= 31 and 1 <= int(month) <= 12):
+            return ref_clock.strftime("%d/%m/%Y")
+        if len(year) == 2:
+            year = f"20{year}"
+        return f"{day.zfill(2)}/{month.zfill(2)}/{year}"
+    except Exception:
+        return ref_clock.strftime("%d/%m/%Y")
+
+
+def extract_dates(text: str, ref_clock: datetime = DEFAULT_REF_CLOCK) -> List[str]:
+    """All normalized dates in order of pattern then position.
+    Parity: app/utils.py:43-61."""
+    datas = []
+    for pattern in _DATE_LIST_PATTERNS:
+        for match in pattern.findall(text):
+            normalized = normalize_date(match, ref_clock)
+            if normalized:
+                datas.append(normalized)
+    return datas
+
+
+_RE_MONEY_TOKEN = re.compile(r"R\$?\s*[\d.,]+", re.IGNORECASE)
+_RE_TRAILING_INT = re.compile(r"\s+\d+$")
+_RE_STARS = re.compile(r"[*]{2,}")
+
+
+def clean_item_name(text: str) -> str:
+    """Strip money tokens, trailing integers, `**`-runs.
+    Parity: app/utils.py:88-97."""
+    text = _RE_MONEY_TOKEN.sub("", text)
+    text = _RE_TRAILING_INT.sub("", text)
+    text = _RE_STARS.sub("", text)
+    return text.strip()

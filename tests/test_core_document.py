@@ -1,0 +1,88 @@
+"""Unit tests for sniffing + the per-document dispatch (the UDF body)."""
+
+import json
+
+from ocr_service_spark.core import document as doc
+from ocr_service_spark.core.sniff import TOKEN_MAGIC, sniff_format
+
+
+def token_payload(attempts, qr_variants=None):
+    return TOKEN_MAGIC + json.dumps({"attempts": attempts, "qr_variants": qr_variants or []}).encode()
+
+
+def paddle_item(text, y, x, conf=0.9):
+    return [[[x, y], [x + 50, y], [x + 50, y + 10], [x, y + 10]], (text, conf)]
+
+
+class TestSniff:
+    def test_formats(self):
+        assert sniff_format(b"") == "empty"
+        assert sniff_format(None) == "empty"
+        assert sniff_format(b"%PDF-1.4") == "pdf"
+        assert sniff_format(b"\x89PNG\r\n\x1a\nxxx") == "png"
+        assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert sniff_format(b"GIF89a") == "gif"
+        assert sniff_format(b"RIFF1234WEBP") == "webp"
+        assert sniff_format(b"  <html>") == "html"
+        assert sniff_format(b"<!DOCTYPE html>") == "html"
+        assert sniff_format(TOKEN_MAGIC + b"{}") == "tokens"
+        assert sniff_format(b"\x00\x01") == "unknown"
+
+
+class TestDispatch:
+    def test_empty_payload(self):
+        out = doc.extract_document("u1", b"")
+        assert out["tipo_documento"] == "erro" and out["mensagem"] == "Arquivo vazio"
+
+    def test_pdf_rejected_in_band(self):
+        out = doc.extract_document("u2", b"%PDF-1.7 ...")
+        assert out["tipo_documento"] == "erro"
+        assert out["mensagem"] == "Arquivo deve ser uma imagem"
+
+    def test_real_image_without_backend_is_empty_ocr_error(self):
+        out = doc.extract_document("u3", b"\xff\xd8\xff\xe0 jpeg bytes")
+        assert out["tipo_documento"] == "erro"
+        assert out["mensagem"] == "Nenhuma linha OCR encontrada"
+
+    def test_html_path(self):
+        html = ("<p>CAFE (Código: 12345678901) Qtde.:1 UN: UN "
+                "Vl. Unit.: 9,99 Vl. Total 9,99</p>").encode()
+        out = doc.extract_document("u4", html)
+        assert out["tipo_documento"] == "gasto"
+        assert out["confianca"] == 1.0
+        assert out["itens"][0]["valor_total"] == 9.99
+        # html-path items have all six fields, data_venda None
+        assert set(out["itens"][0].keys()) == set(doc.ITEM_FIELDS)
+
+    def test_token_path_cascade(self):
+        # first attempt empty, second succeeds — X21 cascade shape.
+        # Each attempt is a full Paddle-shaped result: [[item, ...]] (nested
+        # page form, app/ocr_engine.py:115).
+        attempts = [
+            [],
+            [[paddle_item("SQ.CODIGO", 0, 10),
+              paddle_item("01 12345678 SUCO", 50, 10),
+              paddle_item("6,50", 50, 950)]],
+        ]
+        qr = [[], [{"data": "http://nfce?x|2", "type": "QRCODE"}]]
+        out = doc.extract_document("u5", token_payload(attempts, qr))
+        assert out["tipo_documento"] == "gasto"
+        assert out["qrcode_url"] == "http://nfce?x|2"
+        assert out["itens"][0]["item"] == "SUCO"
+        assert out["extracted_text"] == "SQ.CODIGO\n01 12345678 SUCO\n6,50"
+
+    def test_corrupt_token_payload(self):
+        out = doc.extract_document("u6", TOKEN_MAGIC + b"not json")
+        assert out["tipo_documento"] == "erro"
+        assert out["mensagem"] == "Nenhuma linha OCR encontrada"
+
+    def test_finalize_json_bytes(self):
+        out = doc.finalize_result(doc.extract_document("u4", (
+            "<p>PÃO (Código: 12345678901) Qtde.:2 UN: UN "
+            "Vl. Unit.: 0,50 Vl. Total 1,00</p>").encode()))
+        parsed = json.loads(out["itens_json"])
+        assert parsed[0]["item"] == "PÃO"
+        assert out["n_itens"] == 1 and out["is_error"] is False
+        # compact starlette-style separators, non-ascii preserved
+        assert '", "' not in out["itens_json"]
+        assert "PÃO" in out["itens_json"]

@@ -1,0 +1,79 @@
+"""Unit tests for the HTML-path core: DOM flatten spec + DANFE regexes."""
+
+from ocr_service_spark.core import html_extract as hx
+
+DANFE = """
+<html><head><title>NFC-e</title><style>body{color:red}</style>
+<script>var x = 1;</script></head>
+<body>
+<nav>menu item ignore-me-not</nav>
+<h1>DOCUMENTO AUXILIAR DA NOTA FISCAL DE CONSUMIDOR ELETR&Ocirc;NICA</h1>
+<div>
+ COCA COLA 2L (C&oacute;digo: 78912345678) **Qtde.:**2 **UN:** UN
+ **Vl. Unit.:** 3,5 | Vl. Total 7,00
+ OVOS BRANCOS (C&oacute;digo: 78955544433) **Qtde.:**0,546 **UN:** KG
+ **Vl. Unit.:** 26,90 | Vl. Total 14,69
+</div>
+<div>Valor a pagar R$:21,69</div>
+<div>Emiss&atilde;o: 11/12/2025 18:57:55</div>
+<footer>consulta via chave</footer>
+</body></html>
+"""
+
+
+class TestFlatten:
+    def test_join_strip_semantics(self):
+        assert hx.flatten_html("<p> a </p><p>b</p>") == "a b"
+
+    def test_skips_script_style_entities(self):
+        out = hx.flatten_html(DANFE)
+        assert "var x" not in out and "color:red" not in out
+        assert "ELETRÔNICA" in out
+        assert "(Código: 78912345678)" in out
+
+    def test_empty_and_malformed(self):
+        assert hx.flatten_html("") == ""
+        assert hx.flatten_html(None) == ""
+        assert "x" in hx.flatten_html("<div <bad x")
+
+
+class TestCleanUrl:
+    def test_pipe_split(self):
+        assert hx.clean_url("http://a|2|junk") == "http://a"
+        assert hx.clean_url("http://a") == "http://a"
+
+
+class TestDanfeExtraction:
+    def test_parse_full(self):
+        out = hx.parse_nfce_html(DANFE, enable_debug=True)
+        assert out["tipo_documento"] == "gasto"
+        assert out["data_compra"] == "11/12/2025"
+        assert out["total_nota"] == 21.69
+        assert len(out["itens"]) == 2
+        i1, i2 = out["itens"]
+        assert i1["quantidade"] == 2.0 and i1["valor_unitario"] == 3.5 and i1["valor_total"] == 7.0
+        assert i2["quantidade"] == 0.546 and i2["valor_total"] == 14.69
+        assert i1["data_compra"] == "11/12/2025"
+        dbg = out["debug"]
+        assert dbg["has_doc_aux"] and dbg["has_codigo"] and dbg["items_found"] == 2
+        # extracted_text is pipe-stripped and whitespace-collapsed (X10)
+        assert "|" not in out["extracted_text"]
+
+    def test_vu_imputed(self):
+        # vu group matches "," which to_float()s to None -> imputed
+        # round(vt/qtd, 2) per app/nfce_parser.py:128
+        html = "<p>ARROZ (Código: 12345678901) Qtde.:2 UN: UN Vl. Unit.: , Vl. Total 9,98</p>"
+        out = hx.parse_nfce_html(html)
+        assert len(out["itens"]) == 1
+        assert out["itens"][0]["valor_unitario"] == 4.99
+
+    def test_zero_items_confidence(self):
+        data = hx.parse_nfce_html("<p>nada</p>")
+        data = hx.normalize_html_payload(data, "http://u")
+        assert data["itens"] == [] and data["confianca"] == 0.0
+        assert data["qrcode_url"] == "http://u"
+
+    def test_thousands_total(self):
+        html = "<p>TV (Código: 11111111) Qtde.:1 UN: UN Vl. Unit.: 1.234,56 Vl. Total 1.234,56</p>"
+        out = hx.parse_nfce_html(html)
+        assert out["itens"][0]["valor_total"] == 1234.56

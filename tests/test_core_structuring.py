@@ -1,0 +1,179 @@
+"""Unit tests for the token-structuring core — geometry and literals from the
+reference (x bands 620/900, SQ.CODIGO header, STOP_HINTS footer, glued
+'0,546KGx26,90T03', garbled 66'9, duplicate sq)."""
+
+from datetime import datetime
+
+from ocr_service_spark.core import structuring as st
+
+CLOCK = datetime(2025, 12, 11)
+
+
+def tok(text, y, x, conf=0.9):
+    return {"text": text, "confidence": conf, "y_position": y, "x_position": x}
+
+
+def paddle_item(text, y, x, conf=0.9):
+    # paddle-shaped: [box, (text, conf)] with quad box
+    return [[[x, y], [x + 50, y], [x + 50, y + 10], [x, y + 10]], (text, conf)]
+
+
+class TestNormalizeOcrResult:
+    def test_filters_and_rounds(self):
+        res = [[
+            paddle_item("OK", 10, 5, 0.98765),
+            paddle_item("low", 20, 5, 0.2),     # < 0.35 dropped
+            paddle_item("  ", 30, 5, 0.9),      # empty dropped
+            "garbage",                            # malformed swallowed
+        ]]
+        out = st.normalize_ocr_result(res)
+        assert len(out) == 1
+        assert out[0]["text"] == "OK"
+        assert out[0]["confidence"] == 0.988
+        assert out[0]["x_position"] == 5 and out[0]["y_position"] == 10
+
+    def test_nesting_tolerance(self):
+        # The reference's page heuristic (app/ocr_engine.py:115) unwraps one
+        # nesting level when result[0] is a list. A flat page whose items are
+        # tuples (not lists) takes the else-branch and parses identically.
+        flat_tuple_items = [(([[1, 1], [51, 1], [51, 11], [1, 11]]), ("A", 0.9))]
+        nested = [[paddle_item("A", 1, 1)]]
+        assert st.normalize_ocr_result(tuple(flat_tuple_items)) == st.normalize_ocr_result(nested)
+
+    def test_empty(self):
+        assert st.normalize_ocr_result(None) == []
+        assert st.normalize_ocr_result([]) == []
+        assert st.normalize_ocr_result([[]]) == []
+
+
+class TestGroupByY:
+    def test_drifting_centroid(self):
+        # y=0,5,10: gap-sessionization with tol 6 chains all three into one
+        # group, but the drifting centroid does too here: ref 0 -> absorb 5
+        # (|5-0|<=6, ref=2) -> absorb 10? |10-2|=8 > 6 -> NEW group.
+        toks = [tok("a", 0, 1), tok("b", 5, 2), tok("c", 10, 3)]
+        groups = st.group_by_y(toks, y_tol=6)
+        assert [len(g["tokens"]) for g in groups] == [2, 1]
+        assert groups[0]["y_ref"] == 2
+
+    def test_x_sort_nulls_last(self):
+        toks = [tok("right", 0, None), tok("left", 1, 10)]
+        groups = st.group_by_y(toks)
+        assert [t["text"] for t in groups[0]["tokens"]] == ["left", "right"]
+
+    def test_groups_sorted_by_yref(self):
+        toks = [tok("b", 100, 1), tok("a", 0, 1)]
+        groups = st.group_by_y(toks)
+        assert [g["y_ref"] for g in groups] == [0, 100]
+
+
+class TestParseTotal:
+    def test_last_money_wins(self):
+        assert st.parse_total_from_tokens([tok("1,00 15,89", 0, 950)]) == 15.89
+
+    def test_garbled_3_digits(self):
+        # 66'9 -> digits 669 -> 6,69 (app/ocr_engine.py:309-315)
+        assert st.parse_total_from_tokens([tok("66'9", 0, 950)]) == 6.69
+
+    def test_garbled_4_digits(self):
+        assert st.parse_total_from_tokens([tok("1 2`3 4", 0, 950)]) == 12.34
+
+    def test_no_salvage(self):
+        assert st.parse_total_from_tokens([tok("ab", 0, 950)]) is None
+        assert st.parse_total_from_tokens([]) is None
+
+
+def make_receipt_tokens(venda=False):
+    """A 2-item NFC-e receipt in reference column geometry."""
+    rows = [
+        tok("SQ.CODIGO DESCRICAO", 100, 10),
+        # item 01: left header, mid qty block, right total
+        tok("01 12345678 COCA COLA", 120, 10),
+        tok("2UNx3,50", 120, 700),
+        tok("7,00", 120, 950),
+        # item 02: glued qty in left text, total on NEXT line within 18px
+        tok("02 87654321 OVOS 0,546KGx26,90T03", 140, 10),
+        tok("14,69", 150, 950),
+        tok("QTD. TOTAL DE ITENS 2", 200, 10),
+        tok("Emissão: 11/12/2025", 220, 10),
+    ]
+    if venda:
+        rows.append(tok("PIX recebido", 90, 10))
+    return rows
+
+
+class TestExtractItems:
+    def test_full_receipt(self):
+        toks = make_receipt_tokens()
+        full_text = "\n".join(t["text"] for t in toks)
+        itens = st.extract_items_by_columns(toks, "gasto", full_text, CLOCK)
+        assert len(itens) == 2
+        i1, i2 = itens
+        assert i1["item"] == "COCA COLA"
+        assert i1["quantidade"] == 2.0 and i1["valor_unitario"] == 3.5 and i1["valor_total"] == 7.0
+        assert i1["data_compra"] == "11/12/2025" and i1["data_venda"] is None
+        # glued qty parsed from left text; total picked from next y-group
+        assert i2["quantidade"] == 0.546 and i2["valor_unitario"] == 26.9
+        assert i2["valor_total"] == 14.69
+
+    def test_stop_hint_cuts_tail(self):
+        toks = make_receipt_tokens() + [tok("03 11112222 FANTASMA", 300, 10), tok("9,99", 300, 950)]
+        full_text = "\n".join(t["text"] for t in toks)
+        itens = st.extract_items_by_columns(toks, "gasto", full_text, CLOCK)
+        assert all(it["item"] != "FANTASMA" for it in itens)
+
+    def test_dedupe_keep_best(self):
+        toks = [
+            tok("SQ.CODIGO", 0, 10),
+            tok("01 12345678 LEITE", 50, 10),     # no qty, no total on row
+            tok("5,00", 50, 950),                   # score: item+qtd(imputed)+vu+vt
+            tok("01 12345678 LEITE B", 300, 10),
+            tok("1UNx4,00", 300, 700),
+            tok("4,00", 300, 950),
+        ]
+        full_text = "\n".join(t["text"] for t in toks)
+        itens = st.extract_items_by_columns(toks, "gasto", full_text, CLOCK)
+        assert len(itens) == 1
+        # both score 4; later candidate wins ties (cand >= prev)
+        assert itens[0]["item"] == "LEITE B"
+
+    def test_qty1_vu_fallback_total(self):
+        toks = [
+            tok("SQ.CODIGO", 0, 10),
+            tok("01 12345678 PAO", 50, 10),
+            tok("1UNx2,50", 50, 700),
+        ]
+        itens = st.extract_items_by_columns(toks, "gasto", "x", CLOCK)
+        assert itens[0]["valor_total"] == 2.5
+
+    def test_sq_sort_numeric(self):
+        toks = [
+            tok("SQ.CODIGO", 0, 10),
+            tok("10 11111111 DEZ", 50, 10), tok("1,00", 50, 950),
+            tok("02 22222222 DOIS", 100, 10), tok("2,00", 100, 950),
+        ]
+        itens = st.extract_items_by_columns(toks, "gasto", "x", CLOCK)
+        assert [it["item"] for it in itens] == ["DOIS", "DEZ"]
+
+
+class TestStructureDocument:
+    def test_empty_lines_error(self):
+        out = st.structure_document([], None, CLOCK)
+        assert out["tipo_documento"] == "erro"
+        assert out["mensagem"] == "Nenhuma linha OCR encontrada"
+        assert out["confianca"] == 0.0
+
+    def test_venda_classification_and_dates(self):
+        toks = make_receipt_tokens(venda=True)
+        out = st.structure_document(toks, [{"data": "http://q", "type": "QRCODE"}], CLOCK)
+        assert out["tipo_documento"] == "venda"
+        assert out["qrcode_url"] == "http://q"
+        assert out["confianca"] == 1.0
+        assert all(it["data_venda"] == "11/12/2025" and it["data_compra"] is None for it in out["itens"])
+
+    def test_no_items_message(self):
+        out = st.structure_document([tok("hello", 0, 10)], None, CLOCK)
+        assert out["tipo_documento"] == "gasto"
+        assert out["itens"] == []
+        assert out["mensagem"] == "Nenhum item detectado"
+        assert out["confianca"] == 0.0

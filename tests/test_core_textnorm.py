@@ -1,0 +1,97 @@
+"""Unit tests for the text-normalization core — cases lifted from the
+reference's own literals (SURVEY.md §5.2.1)."""
+
+from datetime import datetime
+
+from ocr_service_spark.core import textnorm as tn
+
+
+class TestNormText:
+    def test_times_sign_and_ws(self):
+        assert tn.norm_text("  1 ×  2\tUN ") == "1 X 2 UN"
+
+    def test_corrections_in_order(self):
+        # OUOS must be corrected before UOS fires (app/ocr_engine.py:42-43):
+        # "OUOS" -> "OVOS" (and must NOT become "O" + "VOS" via UOS-first)
+        assert tn.norm_text("OUOS") == "OVOS"
+        assert tn.norm_text("UOS") == "OVOS"
+        assert tn.norm_text("ZER0 I0G SUIFT") == "ZERO IOG SWIFT"
+        assert tn.norm_text("1Ux") == "1UNx"
+        assert tn.norm_text("UH") == "UN"
+
+    def test_none_and_empty(self):
+        assert tn.norm_text(None) == ""
+        assert tn.norm_text("   ") == ""
+
+
+class TestToFloat:
+    def test_thousands_brazilian(self):
+        # app/nfce_parser.py:140-141 example: 1.234,56 -> 1234.56
+        assert tn.to_float("1.234,56") == 1234.56
+
+    def test_simple_comma(self):
+        assert tn.to_float("15,9") == 15.9
+        assert tn.to_float("26,90") == 26.90
+
+    def test_plain_dot(self):
+        assert tn.to_float("50.00") == 50.0
+
+    def test_multi_dot_no_comma(self):
+        # no comma: dots survive -> float() fails -> None
+        assert tn.to_float("1.2.3") is None
+
+    def test_garbage_and_empty(self):
+        assert tn.to_float("") is None
+        assert tn.to_float(None) is None
+        assert tn.to_float("abc") is None
+
+    def test_numeric_input_cast(self):
+        # nfce variant adds str() cast (app/nfce_parser.py:139)
+        assert tn.to_float(7) == 7.0
+
+
+class TestCleanDesc:
+    def test_whitelist_and_fallback(self):
+        assert tn.clean_desc("  água c/ gás!! ") == "ÁGUA C/ GÁS"  # Á within À-Ü, '!' stripped
+        assert tn.clean_desc("@#$%") == "ITEM DESCONHECIDO"
+        assert tn.clean_desc(None) == "ITEM DESCONHECIDO"
+
+    def test_accented_range(self):
+        # À (U+00C0) .. Ü (U+00DC) survive the whitelist; ç (U+00E7 lower) is
+        # uppercased to Ç (U+00C7, inside the range) first
+        assert tn.clean_desc("pão de açúcar") == "PÃO DE AÇÚCAR"
+
+    def test_strip_dash(self):
+        assert tn.clean_desc(" - LEITE -") == "LEITE"
+
+
+class TestExtractDate:
+    def test_emissao_priority(self):
+        txt = "01/01/2020 blah Emissão: 11/12/2025 18:57"
+        assert tn.extract_date(txt) == "11/12/2025"
+
+    def test_bare_date_fallback(self):
+        assert tn.extract_date("compra em 05/06/2024 ok") == "05/06/2024"
+
+    def test_ref_clock_fallback(self):
+        assert tn.extract_date("no dates here", datetime(2025, 12, 11)) == "11/12/2025"
+
+
+class TestTextProcessorTwins:
+    def test_extract_money_values(self):
+        vals = tn.extract_money_values("R$ 1.000,50 e 50.00 e R$50,00 e 0,001")
+        assert vals == [50.0, 1000.5]
+
+    def test_money_range_filter(self):
+        assert tn.extract_money_values("9999999,99") == []
+
+    def test_normalize_date(self):
+        assert tn.normalize_date("01-02-24") == "01/02/2024"
+        assert tn.normalize_date("1/2/2024") == "01/02/2024"
+        assert tn.normalize_date("99/99/2024", datetime(2025, 12, 11)) == "11/12/2025"
+
+    def test_extract_dates(self):
+        assert tn.extract_dates("em 01/02/2024 e 03-04-23") == ["01/02/2024", "03/04/2023"]
+
+    def test_clean_item_name(self):
+        assert tn.clean_item_name("COCA COLA R$ 7,50 **** 12") == "COCA COLA"

@@ -1,0 +1,76 @@
+"""iter_items_sp must be exactly equivalent to RE_ITEM_SP.finditer — the
+reference's backtracking regex is the oracle; the marker-driven scanner is
+the scale-safe implementation (O(n) on marker-free tails)."""
+
+import itertools
+
+from ocr_service_spark.core.html_extract import RE_ITEM_SP, iter_items_sp
+
+ITEM = "COCA (Código: 789) Qtde.:2 UN: UN Vl. Unit.: 3,5 Vl. Total 7,00"
+ITEM2 = "PAO FRANCES (Código: 123) **Qtde.:**1 **UN:** UN **Vl. Unit.:** 0,5 Vl. Total 0,50"
+BROKEN_NO_QT = "X (Código: 55) UN: UN Vl. Unit.: 1,0 Vl. Total 1,00"  # Qtde missing
+BROKEN_NO_TOTAL = "Y (Código: 66) Qtde.:1 UN: UN Vl. Unit.: 1,0"
+MARKER_ONLY = "(Código: 99)"
+NOISE = "lorem ipsum dolor"
+WS = "   "
+
+CASES = [
+    "",
+    NOISE,
+    ITEM,
+    ITEM2,
+    f"{NOISE} {ITEM}",
+    f"{ITEM} {NOISE}",
+    f"{ITEM} {ITEM2}",
+    f"{ITEM}{WS}{ITEM2}",
+    f"{ITEM} (Código: 222) Qtde.:1 UN: UN Vl. Unit.: 2,0 Vl. Total 2,00",
+    # all-whitespace gap between matches -> single-whitespace desc edge case
+    ITEM + " (Código: 222) Qtde.:1 UN: UN Vl. Unit.: 2,0 Vl. Total 2,00",
+    f"{BROKEN_NO_QT} {ITEM}",
+    f"{BROKEN_NO_TOTAL} {ITEM}",
+    f"{MARKER_ONLY} {ITEM}",
+    f"{ITEM} {BROKEN_NO_TOTAL}",
+    MARKER_ONLY,
+    BROKEN_NO_QT,
+    # desc containing a failed marker
+    f"A (Código: x) B (Código: 1) Qtde.:1 UN: UN Vl. Unit.: 1,0 Vl. Total 1,00",
+    # uppercase marker, case-insensitivity
+    "TV (CÓDIGO: 1) QTDE.:1 UN: UN VL. UNIT.: 9,0 VL. TOTAL 9,00",
+    # marker at position 0 (no possible desc)
+    "(Código: 1) Qtde.:1 UN: UN Vl. Unit.: 1,0 Vl. Total 1,00",
+    # value-less vu (comma only)
+    "Z (Código: 2) Qtde.:2 UN: UN Vl. Unit.: , Vl. Total 9,98",
+    # thousands separators
+    "TV GRANDE (Código: 3) Qtde.:1 UN: UN Vl. Unit.: 1.234,56 Vl. Total 1.234,56",
+]
+
+
+def oracle(text):
+    return [m.groupdict() for m in RE_ITEM_SP.finditer(text)]
+
+
+def test_equivalence_battery():
+    for case in CASES:
+        assert list(iter_items_sp(case)) == oracle(case), f"diverged on: {case!r}"
+
+
+def test_equivalence_pairwise_concat():
+    pieces = [ITEM, NOISE, MARKER_ONLY, BROKEN_NO_QT, WS, ITEM2]
+    for a, b in itertools.product(pieces, repeat=2):
+        case = f"{a} {b}"
+        assert list(iter_items_sp(case)) == oracle(case), f"diverged on: {case!r}"
+
+
+def test_newline_fallback_uses_reference_regex():
+    case = f"{ITEM}\n{ITEM2}"
+    assert list(iter_items_sp(case)) == oracle(case)
+
+
+def test_linear_on_marker_free_tail():
+    # the motivating case: marker early, megabyte of marker-free tail
+    import time
+    case = ITEM + " y" * 500_000
+    t0 = time.time()
+    out = list(iter_items_sp(case))
+    assert len(out) == 1
+    assert time.time() - t0 < 2.0
