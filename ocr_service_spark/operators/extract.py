@@ -1,0 +1,47 @@
+"""The flagship extraction operator: pages → results via mapInPandas.
+
+One Arrow-batched pass, zero shuffles for the per-document work (SURVEY.md
+§3.1 "Spark shape"). The UDF body is the pure-Python core (`extract_document`)
+— the same function the pytest oracle calls — so distributed output is
+byte-identical to the oracle by construction. Per-document failures become
+in-band error rows, never task failures (S4 errors-as-data).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.document import extract_document, finalize_result
+from ..core.textnorm import DEFAULT_REF_CLOCK
+from ..sources.schemas import RESULT_COLUMNS, RESULT_SCHEMA
+
+
+def extract_pages(pages: DataFrame, ref_clock: Optional[datetime] = None) -> DataFrame:
+    """pages(url, html, ...) → RESULT_SCHEMA rows.
+
+    Selects only (url, html) first so Catalyst prunes the parquet scan to two
+    columns (verify: .explain shows ReadSchema without text/lang). The
+    reference clock is injected (no datetime.now() anywhere — SURVEY.md §1.3).
+    """
+    clock = ref_clock or DEFAULT_REF_CLOCK
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                payload = bytes(payload) if payload is not None else None
+                rec = finalize_result(extract_document(url, payload, clock))
+                rec["payload_bytes"] = len(payload) if payload is not None else 0
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=RESULT_COLUMNS)
+
+    return (
+        pages.select("url", "html")
+        .mapInPandas(run, RESULT_SCHEMA)
+        .withColumn("partition_id", F.spark_partition_id())
+    )

@@ -1,0 +1,35 @@
+"""Per-partition lineage + extraction metrics sidecar (north_rule).
+
+The reference's only observability is the per-request debug block
+(app/nfce_parser.py:68-79: html_len, items_found, flags); at 10^12-doc scale
+that becomes a per-partition metrics table: (run_id, partition_id, docs,
+bytes, failures, items, status). One hash aggregate over the results —
+partial (map-side) + final aggregation handled by Catalyst (A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_metrics(results: DataFrame, run_id: str) -> DataFrame:
+    """results (with partition_id) → METRICS_SCHEMA-shaped sidecar rows."""
+    return (
+        results.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("payload_bytes").alias("bytes"),
+            F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("failures"),
+            F.sum("n_itens").cast("long").alias("items"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id").cast("int"),
+            F.col("docs").cast("long"),
+            F.col("bytes").cast("long"),
+            F.col("failures").cast("long"),
+            F.col("items"),
+            F.lit("done").alias("status"),
+        )
+    )

@@ -1,0 +1,30 @@
+"""Size-bucket salted repartitioning (north_rule skew handling).
+
+Giant PDFs/HTML blobs dominate per-task wall time in a UDF stage; AQE's
+skew-join splitting does not apply there (the skew is compute, not a join —
+SURVEY.md §4). Strategy: key the exchange on (size_bucket, salt) where the
+salt cardinality scales with the target parallelism (≥4 salts per output
+partition), so even if every document landed in one size bucket the bucket
+still spreads over ≥4× the partition count. Same-size documents co-locate
+loosely, which evens byte-load per task; distinct giant docs get distinct
+salts with high probability and never pile on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_by_size(pages: DataFrame, num_partitions: int, payload_col: str = "html",
+                        key_col: str = "url") -> DataFrame:
+    """Spread documents across `num_partitions` balancing payload bytes."""
+    salts = num_partitions * 4
+    bucket = F.ceil(F.log2(F.coalesce(F.length(F.col(payload_col)), F.lit(0)) + F.lit(2)))
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salts))
+    return (
+        pages.withColumn("_size_bucket", bucket)
+        .withColumn("_salt", salt)
+        .repartition(num_partitions, F.col("_size_bucket"), F.col("_salt"))
+        .drop("_size_bucket", "_salt")
+    )

@@ -1,0 +1,81 @@
+"""Declared StructType schemas — no inference anywhere (SURVEY.md §1.2).
+
+The pages table is the exact BASELINE.json input_hint shape; ITEM/RESULT
+mirror the reference's pydantic models (app/models.py:5-27) with dates kept
+as DD/MM/AAAA strings and money as DoubleType (Python float semantics, never
+DecimalType — SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input: Iceberg/parquet table of Common-Crawl-style pages (input_hint).
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Item — app/models.py:12-18 (dates are strings, by design).
+ITEM_STRUCT = T.StructType(
+    [
+        T.StructField("item", T.StringType(), True),
+        T.StructField("quantidade", T.DoubleType(), True),
+        T.StructField("valor_unitario", T.DoubleType(), True),
+        T.StructField("valor_total", T.DoubleType(), True),
+        T.StructField("data_compra", T.StringType(), True),
+        T.StructField("data_venda", T.StringType(), True),
+    ]
+)
+
+# OCR token — app/models.py:5-9.
+TOKEN_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("y_position", T.IntegerType(), True),
+        T.StructField("x_position", T.IntegerType(), True),
+    ]
+)
+
+# Unified extraction result row (both paths + error rows; FIXTURES.md §3).
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("tipo_documento", T.StringType(), True),
+        T.StructField("itens", T.ArrayType(ITEM_STRUCT), True),
+        T.StructField("itens_json", T.StringType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("qrcode_url", T.StringType(), True),
+        T.StructField("confianca", T.DoubleType(), True),
+        T.StructField("mensagem", T.StringType(), True),
+        T.StructField("total_nota", T.DoubleType(), True),
+        T.StructField("data_compra", T.StringType(), True),
+        T.StructField("origem", T.StringType(), True),
+        T.StructField("n_itens", T.IntegerType(), True),
+        T.StructField("is_error", T.BooleanType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+    ]
+)
+
+# Per-partition lineage/metrics sidecar (north_rule; debug-block analog
+# app/nfce_parser.py:68-79).
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("failures", T.LongType(), True),
+        T.StructField("items", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+    ]
+)
+
+RESULT_COLUMNS = [f.name for f in RESULT_SCHEMA.fields]

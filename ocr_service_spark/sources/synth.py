@@ -1,0 +1,218 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
+
+``gen_page(doc_id, seed)`` is a pure function — the same (doc_id, seed)
+yields the same page bytes on every executor, every run, with no RNG state.
+The Spark generators wrap it in ``mapInPandas`` over ``spark.range``, so
+fixture/bench data is produced distributed (never collected to the driver)
+and scales to any row count.
+
+Document classes (per FIXTURES.md: DANFE HTML, token-payload "images",
+boilerplate-only, error docs, skew tail) keyed off ``doc_id % 100``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import datetime, timedelta
+from typing import Dict, Iterator
+
+from ..core.sniff import TOKEN_MAGIC
+
+BASE_TS = datetime(2025, 12, 11, 0, 0, 0)
+
+_PRODUCTS = [
+    "COCA COLA 2L", "PAO FRANCES KG", "LEITE INTEGRAL 1L", "OVOS BRANCOS DZ",
+    "ARROZ TIPO 1 5KG", "FEIJAO CARIOCA 1KG", "CAFE TORRADO 500G",
+    "ACUCAR REFINADO 1KG", "QUEIJO MUSSARELA KG", "BANANA PRATA KG",
+]
+
+
+def _h(doc_id: int, seed: int, salt: str) -> int:
+    """Deterministic 64-bit value from (seed, doc_id, salt)."""
+    d = hashlib.blake2b(f"{seed}:{doc_id}:{salt}".encode(), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+def _price(doc_id: int, seed: int, i: int) -> float:
+    return round((_h(doc_id, seed, f"p{i}") % 99999 + 1) / 100.0, 2)
+
+
+def _qty(doc_id: int, seed: int, i: int) -> float:
+    kind = _h(doc_id, seed, f"q{i}") % 3
+    if kind == 0:
+        return 1.0
+    if kind == 1:
+        return float(_h(doc_id, seed, f"qi{i}") % 9 + 1)
+    return round((_h(doc_id, seed, f"qf{i}") % 5000 + 1) / 1000.0, 3)
+
+
+def _fmt_brl(v: float) -> str:
+    s = f"{v:.2f}".replace(".", ",")
+    return s
+
+
+def _danfe_html(doc_id: int, seed: int, n_items: int, filler_words: int = 40) -> bytes:
+    """An SP DANFE-shaped page: markdown `**` artifacts, pipes, nav/footer
+    boilerplate, Emissão + Valor a pagar blocks (app/nfce_parser.py:84,92,
+    106-114 shapes)."""
+    items, total = [], 0.0
+    for i in range(n_items):
+        prod = _PRODUCTS[_h(doc_id, seed, f"prod{i}") % len(_PRODUCTS)]
+        code = 78900000000 + (_h(doc_id, seed, f"code{i}") % 99999999)
+        qtd, vu = _qty(doc_id, seed, i), _price(doc_id, seed, i)
+        vt = round(qtd * vu, 2)
+        total += vt
+        items.append(
+            f"<tr><td>{prod} (C&oacute;digo: {code})</td>"
+            f"<td>**Qtde.:**{_fmt_brl(qtd) if qtd != int(qtd) else int(qtd)}</td>"
+            f"<td>**UN:** UN</td><td>**Vl. Unit.:** {_fmt_brl(vu)}</td>"
+            f"<td>| Vl. Total {_fmt_brl(vt)}</td></tr>"
+        )
+    filler = " ".join(f"w{_h(doc_id, seed, f'f{j}') % 1000}" for j in range(filler_words))
+    day = _h(doc_id, seed, "day") % 28 + 1
+    return (
+        "<html><head><title>NFC-e</title><style>td{border:0}</style>"
+        "<script>var trk=1;</script></head><body>"
+        f"<nav>inicio | consulta | ajuda</nav><p>{filler}</p>"
+        "<h1>DOCUMENTO AUXILIAR DA NOTA FISCAL DE CONSUMIDOR ELETR&Ocirc;NICA</h1>"
+        f"<table>{''.join(items)}</table>"
+        f"<div>Valor a pagar R$:{_fmt_brl(round(total, 2))}</div>"
+        f"<div>Emiss&atilde;o: {day:02d}/12/2025 18:57:55</div>"
+        "<footer>CONSULTE PELA CHAVE DE ACESSO em nfce.fazenda.sp.gov.br</footer>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _boilerplate_html(doc_id: int, seed: int, words: int = 120) -> bytes:
+    filler = " ".join(f"lorem{_h(doc_id, seed, f'b{j}') % 997}" for j in range(words))
+    return f"<html><body><nav>menu</nav><p>{filler}</p><footer>fim</footer></body></html>".encode()
+
+
+def _paddle_item(text: str, y: int, x: int, conf: float = 0.93):
+    return [[[x, y], [x + 60, y], [x + 60, y + 12], [x, y + 12]], [text, conf]]
+
+
+def _token_doc(doc_id: int, seed: int) -> bytes:
+    """Serialized Paddle-shaped OCR payload with reference column geometry
+    and the edge cases from FIXTURES.md §1 class 2."""
+    variant = _h(doc_id, seed, "tv") % 5
+    n_items = _h(doc_id, seed, "tn") % 4 + 1
+    day = _h(doc_id, seed, "tday") % 28 + 1
+    toks = [_paddle_item("SQ.CODIGO DESCRICAO", 100, 10)]
+    if variant == 0:
+        toks.append(_paddle_item("PIX recebido", 80, 10))  # venda keyword (A3)
+    y = 130
+    for i in range(n_items):
+        sq = i + 1
+        code = 10000000 + _h(doc_id, seed, f"tc{i}") % 89999999
+        prod = _PRODUCTS[_h(doc_id, seed, f"tp{i}") % len(_PRODUCTS)]
+        qtd, vu = _qty(doc_id, seed, 100 + i), _price(doc_id, seed, 100 + i)
+        vt = round(qtd * vu, 2)
+        if variant == 1 and i == 0:
+            # glued qty block in left text (app/ocr_engine.py:230 shape)
+            toks.append(_paddle_item(
+                f"{sq:02d} {code} OUOS {_fmt_brl(qtd)}KGx{_fmt_brl(vu)}T03", y, 10))
+            toks.append(_paddle_item(_fmt_brl(vt), y + 10, 950))  # next-line total (J1)
+            y += 40
+            continue
+        toks.append(_paddle_item(f"{sq:02d} {code} {prod}", y, 10))
+        toks.append(_paddle_item(
+            f"{int(qtd) if qtd == int(qtd) else _fmt_brl(qtd)}UNx{_fmt_brl(vu)}", y, 700))
+        if variant == 2 and i == 0:
+            digits = f"{vt:.2f}".replace(".", "")
+            toks.append(_paddle_item(f"{digits[:-2]}'{digits[-2:]}", y, 950))  # garbled (X8)
+        else:
+            toks.append(_paddle_item(_fmt_brl(vt), y, 950))
+        if variant == 3 and i == 0:
+            # duplicate sq with fewer fields — dedupe keep-best (A2)
+            toks.append(_paddle_item(f"{sq:02d} {code} ZER0 {prod}", y + 200, 10))
+            toks.append(_paddle_item(_fmt_brl(vt), y + 200, 950))
+        y += 30
+    toks.append(_paddle_item("QTD. TOTAL DE ITENS", y + 20, 10))
+    toks.append(_paddle_item(f"Emissão: {day:02d}/12/2025", y + 40, 10, 0.9))
+    # low-confidence and null-x edge tokens (dropped / nulls-last, F1/O1)
+    toks.append(_paddle_item("ruido ilegivel", 50, 10, 0.21))
+    toks.append([[["bad"]], ["SOLTO", 0.8]])  # malformed box -> x=None, y=0
+
+    attempts = [[toks]]
+    if _h(doc_id, seed, "retry") % 4 == 0:
+        attempts = [[], [toks]]  # exercise the OCR attempt cascade (X21)
+    qr_variants = []
+    if _h(doc_id, seed, "qr") % 2 == 0:
+        qr_variants = [[], [{"data": f"http://nfce.fazenda.sp.gov.br/q?p={doc_id}|2|junk",
+                             "type": "QRCODE"}]]
+    payload = {"attempts": attempts, "qr_variants": qr_variants}
+    return TOKEN_MAGIC + json.dumps(payload, ensure_ascii=False).encode("utf-8")
+
+
+def gen_page(doc_id: int, seed: int = 42) -> Dict:
+    """One deterministic page row in PAGES_SCHEMA shape."""
+    cls = doc_id % 100
+    if cls < 60:
+        html = _danfe_html(doc_id, seed, n_items=_h(doc_id, seed, "n") % 8 + 1)
+    elif cls < 75:
+        html = _token_doc(doc_id, seed)
+    elif cls < 83:
+        html = _boilerplate_html(doc_id, seed)
+    elif cls < 87:
+        html = b""
+    elif cls < 91:
+        html = b"%PDF-1.7\n" + hashlib.blake2b(f"{seed}:{doc_id}:pdf".encode(), digest_size=32).digest()
+    elif cls < 95:
+        html = bytes([_h(doc_id, seed, f"u{i}") % 251 + 1 for i in range(32)])
+    elif cls < 99:
+        html = b"\xff\xd8\xff\xe0" + hashlib.blake2b(f"{seed}:{doc_id}:img".encode(), digest_size=64).digest()
+    else:
+        # skew tail: ~100x median payload (giant DANFE + heavy boilerplate)
+        html = _danfe_html(doc_id, seed, n_items=60, filler_words=8000)
+
+    return {
+        "url": f"https://pages.example/{seed}/{doc_id:012d}",
+        "warc_ts": BASE_TS + timedelta(seconds=doc_id % 86400),
+        "html": html,
+        "text": None,
+        "lang": "pt" if _h(doc_id, seed, "lang") % 10 else "en",
+    }
+
+
+def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic pages table: spark.range → mapInPandas."""
+    import pandas as pd
+
+    from .schemas import PAGES_SCHEMA
+
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gen_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def pages_from_documents(spark, sf_dir: str):
+    """Deterministic pages table derived from the driver's documents table —
+    used by the flagship entry() so it runs over /root/testdata inputs.
+    Every document becomes a DANFE page whose item descriptions embed the
+    document's own words; doc_id parity mixes in token docs."""
+    import pandas as pd
+
+    from .schemas import PAGES_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                doc_id = int(doc_id)
+                page = gen_page(doc_id, seed=7)
+                page["url"] = f"https://docs.example/{doc_id:012d}"
+                page["lang"] = lang
+                page["text"] = text
+                rows.append(page)
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)

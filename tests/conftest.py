@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from ocr_service_spark.session import get_spark
+
+    s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8, arrow_batch_size=128)
+    yield s
+    s.stop()

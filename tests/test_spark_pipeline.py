@@ -1,0 +1,121 @@
+"""End-to-end Spark pipeline tests: byte-identity vs the pure-Python oracle,
+lineage sidecar, and exact checkpoint-resume."""
+
+import pytest
+
+from ocr_service_spark.core.document import extract_document, finalize_result
+from ocr_service_spark.sources.synth import gen_page, synth_pages
+
+N_DOCS = 220  # covers all doc classes incl. the skew tail (id % 100 == 99)
+
+
+def oracle_results(n_docs, seed=42):
+    out = {}
+    for i in range(n_docs):
+        page = gen_page(i, seed)
+        rec = finalize_result(extract_document(page["url"], page["html"]))
+        out[page["url"]] = rec
+    return out
+
+
+@pytest.fixture(scope="module")
+def results_rows(spark):
+    from ocr_service_spark.plans.pipeline import run_extraction
+
+    pages = synth_pages(spark, N_DOCS, seed=42, partitions=8)
+    results = run_extraction(pages, num_partitions=8)
+    return {r["url"]: r for r in results.collect()}
+
+
+class TestByteIdentity:
+    def test_every_url_present_once(self, results_rows):
+        assert len(results_rows) == N_DOCS
+
+    def test_extracted_text_byte_identical(self, results_rows):
+        oracle = oracle_results(N_DOCS)
+        for url, rec in oracle.items():
+            got = results_rows[url]
+            assert got["extracted_text"] == rec["extracted_text"], url
+
+    def test_itens_json_byte_identical(self, results_rows):
+        oracle = oracle_results(N_DOCS)
+        for url, rec in oracle.items():
+            got = results_rows[url]
+            assert got["itens_json"] == rec["itens_json"], url
+
+    def test_scalar_fields_identical(self, results_rows):
+        oracle = oracle_results(N_DOCS)
+        for url, rec in oracle.items():
+            got = results_rows[url]
+            for f in ("tipo_documento", "qrcode_url", "confianca", "mensagem",
+                      "total_nota", "data_compra", "origem", "fmt", "n_itens"):
+                assert got[f] == rec[f], (url, f)
+
+    def test_doc_class_coverage(self, results_rows):
+        fmts = {r["fmt"] for r in results_rows.values()}
+        assert {"html", "tokens", "empty", "pdf", "unknown", "jpeg"} <= fmts
+        tipos = {r["tipo_documento"] for r in results_rows.values()}
+        assert {"gasto", "venda", "erro"} <= tipos
+        # at least one doc got items through each happy path
+        assert any(r["n_itens"] > 0 and r["fmt"] == "html" for r in results_rows.values())
+        assert any(r["n_itens"] > 0 and r["fmt"] == "tokens" for r in results_rows.values())
+
+
+class TestLineageAndResume:
+    def test_partition_metrics(self, spark, tmp_path):
+        from ocr_service_spark.plans.pipeline import run_extraction, write_results
+
+        pages = synth_pages(spark, 120, seed=1, partitions=4)
+        results = run_extraction(pages, num_partitions=4)
+        rp, mp = str(tmp_path / "res"), str(tmp_path / "metrics")
+        write_results(results, rp, metrics_path=mp, run_id="r1")
+        m = spark.read.parquet(mp).collect()
+        assert sum(r["docs"] for r in m) == 120
+        assert all(r["status"] == "done" for r in m)
+        assert sum(r["bytes"] for r in m) > 0
+        # failures counted: classes 83..98 are error docs
+        assert sum(r["failures"] for r in m) > 0
+
+    def test_exact_resume(self, spark, tmp_path):
+        from ocr_service_spark.plans.pipeline import (
+            resume_pending,
+            run_extraction,
+            run_resumable,
+            write_results,
+        )
+
+        rp = str(tmp_path / "res2")
+        all_pages = synth_pages(spark, 120, seed=2, partitions=4)
+
+        # phase 1: only the first half gets written (simulated interruption)
+        first_half = all_pages.filter("url < 'https://pages.example/2/000000000060'")
+        write_results(run_extraction(first_half, num_partitions=4), rp)
+        assert spark.read.parquet(rp).count() == 60
+
+        # resume: anti-join leaves exactly the unwritten urls
+        pending = resume_pending(all_pages, rp)
+        assert pending.count() == 60
+
+        # phase 2: resumable run completes the table, idempotently
+        final = run_resumable(spark, all_pages, rp)
+        assert final.count() == 120
+        assert final.select("url").distinct().count() == 120
+
+        # rerun on a complete sink is a no-op with identical contents
+        again = run_resumable(spark, all_pages, rp)
+        assert again.count() == 120
+
+    def test_skew_repartition_spreads_giants(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.skew import repartition_by_size
+
+        pages = synth_pages(spark, 300, seed=3, partitions=2)
+        balanced = repartition_by_size(pages, 12)
+        per_part = (
+            balanced.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").agg(F.count("*").alias("docs"))
+            .collect()
+        )
+        # giants (id%100==99, 3 docs) must not force everything into few tasks
+        assert len(per_part) >= 8
