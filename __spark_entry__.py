@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):   flagship extraction pipeline over pages derived from the
+                sf0.001 documents table (scan → salted repartition →
+                mapInPandas extraction → unified result rows).
+queries():      one entry per implemented operator from SURVEY.md §2 plus
+                training-data-pipeline ops; each (spark, sf_dir) → DataFrame.
+oracle_sql():   DuckDB-runnable ANSI SQL twins for every SQL-expressible
+                query (value-hash checked); non-SQL ops (the extraction
+                pipeline itself) are rows-only by omission.
 """
 
 from __future__ import annotations
@@ -12,27 +15,36 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_service_spark import catalog as _catalog
+from ocr_service_spark.plans.pipeline import run_extraction
+from ocr_service_spark.sources.synth import pages_from_documents
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline itself (byte-identity surface) — rows-only
+    driver check; byte-identity vs the pure-Python oracle is pinned by
+    tests/test_spark_pipeline.py."""
+    pages = pages_from_documents(spark, sf_dir)
+    results = run_extraction(pages)
+    return results.select(
+        "url", "fmt", "tipo_documento", "n_itens", "confianca",
+        "total_nota", "mensagem", "itens_json",
+        F.length("extracted_text").alias("text_len"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(_catalog.queries())
+    q["extract_pages_flagship"] = _flagship
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_catalog.oracle_sql())

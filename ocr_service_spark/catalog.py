@@ -1,0 +1,548 @@
+"""Driver-contract query catalog: every SQL-expressible operator analog from
+SURVEY.md §2 as a (Spark DataFrame builder, DuckDB oracle SQL) pair.
+
+Conventions (driver compare: row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+  - every computed column is aliased identically on both sides;
+  - money aggregates go through decimal casts (see sql_analogs.dsum) so
+    results are order-insensitive and engine-exact;
+  - timestamps are never emitted raw — formatted to strings or epoch longs;
+  - DuckDB regexp_replace always passes the 'g' flag (Spark replaces all
+    matches by default, DuckDB only the first).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import sql_analogs as A
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Window-function analogs (SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+def q_w2_sessionize(spark, sf_dir):
+    """A1/W2: gap-sessionization (30 min) of events per user."""
+    e = load(spark, sf_dir, "events")
+    new_s = A.sessionize("user_id", "ts", "event_id", 1800)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_W2 = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_w1_lead_lookahead(spark, sf_dir):
+    """J1/W1: next-row lookahead gated by a max gap (18px → 600s analog)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = A.epoch_seconds(F.col("ts"))
+    gap = F.lead(secs).over(w) - secs
+    nxt = F.when(gap <= 600, F.lead("value").over(w))
+    return e.select(
+        "event_id", "user_id", "value", nxt.alias("next_value")
+    )
+
+
+SQL_W1 = """
+SELECT event_id, user_id, value,
+       CASE WHEN date_diff('second', ts, lead(ts) OVER w) <= 600
+            THEN lead(value) OVER w END AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_w3_dedupe_keep_best(spark, sf_dir):
+    """A2/W3: keep-best-per-key with last-wins tiebreak
+    (app/ocr_engine.py:264-282 as row_number)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_W3 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Filter / projection analogs (SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+def q_f1_threshold_filter(spark, sf_dir):
+    """F1: confidence-floor analog — value >= 100 (conf >= 0.35)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") >= 100) & (F.col("event_type") != ""))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), A.dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+SQL_F1 = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE value >= 100 AND event_type <> ''
+GROUP BY event_type
+"""
+
+
+def q_f5_range_filter(spark, sf_dir):
+    """F5: money-range sanity filter (app/utils.py:35-36 analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice").between(1000.0, 50000.0)
+                  & F.col("l_discount").between(0.02, 0.08))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             A.dsum(F.col("l_extendedprice")).alias("sum_price"))
+    )
+
+
+SQL_F5 = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_extendedprice BETWEEN 1000.0 AND 50000.0
+  AND l_discount BETWEEN 0.02 AND 0.08
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function analogs (SURVEY.md §2.8)
+# --------------------------------------------------------------------------
+
+def q_x2_brl_normalize(spark, sf_dir):
+    """X2: Brazilian-decimal normalization round-trip on synthesized BRL
+    strings (app/ocr_engine.py:381-392)."""
+    li = load(spark, sf_dir, "lineitem")
+    brl = F.regexp_replace(F.format_string("%.2f", F.col("l_extendedprice")), r"\.", ",")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        brl.alias("brl"),
+        A.brl_to_double(brl).alias("parsed"),
+    )
+
+
+SQL_X2 = """
+SELECT l_orderkey, l_linenumber,
+       replace(printf('%.2f', l_extendedprice), '.', ',') AS brl,
+       CAST(replace(replace(printf('%.2f', l_extendedprice), '.', ','), ',', '.') AS DOUBLE) AS parsed
+FROM lineitem
+"""
+
+
+def q_x7_money_last(spark, sf_dir):
+    """X7/O5: last money match in text (app/ocr_engine.py:305-307)."""
+    d = load(spark, sf_dir, "documents")
+    v1 = F.format_string("%.2f", F.col("doc_id") + F.col("n_chars") / 4.0)
+    v2 = F.regexp_replace(F.format_string("%.2f", F.col("n_chars") + F.lit(0.25)), r"\.", ",")
+    s = F.concat(F.col("text"), F.lit(" R$ "), v1, F.lit(" fim "), v2)
+    return d.select(
+        "doc_id",
+        A.money_count(s).alias("n_money"),
+        A.money_last(s).alias("last_money"),
+        A.brl_to_double(A.money_last(s)).alias("last_value"),
+    )
+
+
+SQL_X7 = """
+WITH s AS (
+  SELECT doc_id,
+         text || ' R$ ' || printf('%.2f', doc_id + n_chars/4.0)
+              || ' fim ' || replace(printf('%.2f', n_chars + 0.25), '.', ',') AS txt
+  FROM documents
+), m AS (
+  SELECT doc_id, regexp_extract_all(txt, '\\d+[.,]\\d{2}') AS monies FROM s
+)
+SELECT doc_id,
+       CAST(len(monies) AS INT) AS n_money,
+       monies[len(monies)] AS last_money,
+       CAST(replace(monies[len(monies)], ',', '.') AS DOUBLE) AS last_value
+FROM m
+"""
+
+
+def q_x8_salvage_total(spark, sf_dir):
+    """X8: garbled-total digit salvage (app/ocr_engine.py:309-318)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_s = F.format_string("%.2f", F.col("l_quantity"))
+    price_s = F.format_string("%.2f", F.col("l_extendedprice"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        A.salvage_digits(qty_s).alias("salvaged_qty"),
+        A.salvage_digits(price_s).alias("salvaged_price"),
+    )
+
+
+SQL_X8 = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         regexp_replace(printf('%.2f', l_quantity), '[^0-9]', '', 'g') AS dq,
+         regexp_replace(printf('%.2f', l_extendedprice), '[^0-9]', '', 'g') AS dp
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN len(dq) = 3 THEN CAST(dq[1] || '.' || dq[2:3] AS DOUBLE)
+            WHEN len(dq) = 4 THEN CAST(dq[1:2] || '.' || dq[3:4] AS DOUBLE) END AS salvaged_qty,
+       CASE WHEN len(dp) = 3 THEN CAST(dp[1] || '.' || dp[2:3] AS DOUBLE)
+            WHEN len(dp) = 4 THEN CAST(dp[1:2] || '.' || dp[3:4] AS DOUBLE) END AS salvaged_price
+FROM d
+"""
+
+
+def q_x13_date_extract(spark, sf_dir):
+    """X13/X4: Emissão-date regex extraction (app/nfce_parser.py:81-87)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.concat(F.lit("pedido Emissão: "), F.date_format("o_orderdate", "dd/MM/yyyy"),
+                 F.lit(" 18:57:55 fim"))
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(s, r"Emissão:\s*(\d{2}/\d{2}/\d{4})", 1).alias("data_compra"),
+    )
+
+
+SQL_X13 = """
+SELECT o_orderkey,
+       regexp_extract('pedido Emissão: ' || strftime(o_orderdate, '%d/%m/%Y') || ' 18:57:55 fim',
+                      'Emissão:\\s*(\\d{2}/\\d{2}/\\d{4})', 1) AS data_compra
+FROM orders
+"""
+
+
+def q_x16_normalize_date(spark, sf_dir):
+    """X16: dd-mm-yy → DD/MM/20YY normalization (app/utils.py:63-86)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "dd-MM-yy")
+    return o.select("o_orderkey", A.normalize_date_ddmmyy(s).alias("normalized"))
+
+
+SQL_X16 = """
+SELECT o_orderkey,
+       substr(strftime(o_orderdate, '%d-%m-%y'), 1, 2) || '/' ||
+       substr(strftime(o_orderdate, '%d-%m-%y'), 4, 2) || '/20' ||
+       substr(strftime(o_orderdate, '%d-%m-%y'), 7, 2) AS normalized
+FROM orders
+"""
+
+
+def q_x17_clean_item_name(spark, sf_dir):
+    """X17: item-name cleanup (app/utils.py:89-97)."""
+    p = load(spark, sf_dir, "part")
+    s = F.concat(F.col("p_name"), F.lit(" R$ 12,34 99 **"))
+    return p.select("p_partkey", A.clean_item_name(s).alias("cleaned"))
+
+
+SQL_X17 = """
+SELECT p_partkey,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            p_name || ' R$ 12,34 99 **',
+            'R\\$?\\s*[\\d.,]+', '', 'gi'),
+            '\\s+\\d+$', '', 'g'),
+            '[*]{2,}', '', 'g')) AS cleaned
+FROM part
+"""
+
+
+def q_x14_clean_url(spark, sf_dir):
+    """X14: pipe-suffixed URL hygiene (app/nfce_parser.py:29-30)."""
+    c = load(spark, sf_dir, "customer")
+    u = F.when(F.col("c_custkey") % 2 == 1,
+               F.concat(F.col("c_name"), F.lit("|2|junk"))).otherwise(F.col("c_name"))
+    return c.select("c_custkey", A.clean_url(u).alias("url_head"))
+
+
+SQL_X14 = """
+SELECT c_custkey,
+       split_part(CASE WHEN c_custkey % 2 = 1 THEN c_name || '|2|junk' ELSE c_name END,
+                  '|', 1) AS url_head
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation analogs (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+def q_a3_keyword_classify(spark, sf_dir):
+    """A3/X18: substring keyword classification (app/ocr_engine.py:15,163)."""
+    d = load(spark, sf_dir, "documents")
+    tipo = F.when(
+        F.lower(F.col("text")).contains("merge") | F.lower(F.col("text")).contains("stream"),
+        "venda",
+    ).otherwise("gasto")
+    return d.groupBy(tipo.alias("tipo_documento")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_A3 = """
+SELECT CASE WHEN lower(text) LIKE '%merge%' OR lower(text) LIKE '%stream%'
+            THEN 'venda' ELSE 'gasto' END AS tipo_documento,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_a4_ordered_concat(spark, sf_dir):
+    """A4: order-sensitive text concatenation (app/ocr_engine.py:162)."""
+    e = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    seq = F.array_join(F.transform(arr, lambda x: x["event_type"]), ">")
+    return e.groupBy("user_id").agg(seq.alias("seq"))
+
+
+SQL_A4 = """
+SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_a5_confidence_flag(spark, sf_dir):
+    """A5: confianca = 1.0 iff any items (app/ocr_engine.py:172) — orders
+    with/without lineitems via outer join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    n_items = F.coalesce(F.col("cnt"), F.lit(0)).cast("long")
+    return j.select(
+        "o_orderkey",
+        n_items.alias("n_items"),
+        F.when(n_items > 0, 1.0).otherwise(0.0).alias("confianca"),
+    )
+
+
+SQL_A5 = """
+SELECT o_orderkey,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS n_items,
+       CASE WHEN COALESCE(cnt, 0) > 0 THEN 1.0 ELSE 0.0 END AS confianca
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+) li ON o_orderkey = l_orderkey
+"""
+
+
+def q_a6_distinct_sort(spark, sf_dir):
+    """A6: distinct + sort (app/utils.py:40) — as a canonical joined string."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+SQL_A6 = """
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational core (joins/aggregates at scale — broadcast + shuffle shapes)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate with exact decimal money math."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            A.dsum(F.col("l_quantity")).alias("sum_qty"),
+            A.dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + top-k with deterministic tiebreak."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single exact aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_join_geo_rollup(spark, sf_dir):
+    """Broadcast dimension joins: region ⋈ nation ⋈ supplier rollup."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             A.dsum(F.col("s_acctbal")).alias("sum_acctbal"))
+    )
+
+
+SQL_GEO = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_anti_no_orders(spark, sf_dir):
+    """J3 shape: LEFT ANTI join (the resume set-difference) — customers
+    without orders per segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: Dict[str, tuple] = {
+    "w2_sessionize": (q_w2_sessionize, SQL_W2),
+    "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
+    "w3_dedupe_keep_best": (q_w3_dedupe_keep_best, SQL_W3),
+    "f1_threshold_filter": (q_f1_threshold_filter, SQL_F1),
+    "f5_range_filter": (q_f5_range_filter, SQL_F5),
+    "x2_brl_normalize": (q_x2_brl_normalize, SQL_X2),
+    "x7_money_last": (q_x7_money_last, SQL_X7),
+    "x8_salvage_total": (q_x8_salvage_total, SQL_X8),
+    "x13_date_extract": (q_x13_date_extract, SQL_X13),
+    "x16_normalize_date": (q_x16_normalize_date, SQL_X16),
+    "x17_clean_item_name": (q_x17_clean_item_name, SQL_X17),
+    "x14_clean_url": (q_x14_clean_url, SQL_X14),
+    "a3_keyword_classify": (q_a3_keyword_classify, SQL_A3),
+    "a4_ordered_concat": (q_a4_ordered_concat, SQL_A4),
+    "a5_confidence_flag": (q_a5_confidence_flag, SQL_A5),
+    "a6_distinct_sort": (q_a6_distinct_sort, SQL_A6),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_top_revenue": (q_q3_top_revenue, SQL_Q3),
+    "q6_revenue_delta": (q_q6_revenue_delta, SQL_Q6),
+    "join_geo_rollup": (q_join_geo_rollup, SQL_GEO),
+    "anti_no_orders": (q_anti_no_orders, SQL_ANTI),
+}
+
+
+def queries() -> Dict[str, Callable]:
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql.strip() for name, (_, sql) in CATALOG.items() if sql is not None}

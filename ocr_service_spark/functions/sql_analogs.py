@@ -1,0 +1,90 @@
+"""Spark-native (JVM-side, codegen-friendly) analogs of the extraction
+scalar/window operators — the SQL-expressible faces of SURVEY.md §2 used by
+the driver-checked query catalog. No Python UDFs here: everything is built
+from pyspark.sql.functions so it stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+MONEY_RE = r"\d+[.,]\d{2}"
+
+
+def brl_to_double(col: Column) -> Column:
+    """X2 analog (app/ocr_engine.py:381-392): `1.234,56` → 1234.56,
+    `15,9` → 15.9; relies on cast-to-double returning NULL on garbage."""
+    s = F.regexp_replace(F.trim(col), r"\s+", "")
+    thousands = (F.length(s) - F.length(F.regexp_replace(s, ",", "")) == 1) & s.contains(".")
+    normalized = F.when(
+        thousands, F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
+    ).otherwise(F.regexp_replace(s, ",", "."))
+    return normalized.cast("double")
+
+
+def money_last(col: Column) -> Column:
+    """X7/O5 analog: LAST money-shaped match (app/ocr_engine.py:305-307)."""
+    matches = F.regexp_extract_all(col, F.lit(MONEY_RE), 0)
+    return F.element_at(matches, -1)
+
+
+def money_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(MONEY_RE), 0))
+
+
+def salvage_digits(col: Column) -> Column:
+    """X8 analog (app/ocr_engine.py:309-318): strip non-digits; 3 digits →
+    d,dd; 4 digits → dd,dd; else NULL. Returns the salvaged double."""
+    d = F.regexp_replace(col, r"[^0-9]", "")
+    guess = F.when(
+        F.length(d) == 3, F.concat(F.substring(d, 1, 1), F.lit(","), F.substring(d, 2, 2))
+    ).when(
+        F.length(d) == 4, F.concat(F.substring(d, 1, 2), F.lit(","), F.substring(d, 3, 2))
+    )
+    return brl_to_double(guess)
+
+
+def clean_item_name(col: Column) -> Column:
+    """X17 analog (app/utils.py:89-97): strip money tokens, trailing ints,
+    `**`-runs, then trim."""
+    c = F.regexp_replace(col, r"(?i)R\$?\s*[\d.,]+", "")
+    c = F.regexp_replace(c, r"\s+\d+$", "")
+    c = F.regexp_replace(c, r"[*]{2,}", "")
+    return F.trim(c)
+
+
+def normalize_date_ddmmyy(col: Column) -> Column:
+    """X16 analog (app/utils.py:63-86) for dd-mm-yy inputs: `-`→`/`,
+    2-digit year → 20yy (validation elided: inputs are well-formed dates)."""
+    return F.concat(
+        F.substring(col, 1, 2), F.lit("/"), F.substring(col, 4, 2), F.lit("/20"), F.substring(col, 7, 2)
+    )
+
+
+def clean_url(col: Column) -> Column:
+    """X14 analog (app/nfce_parser.py:29-30)."""
+    return F.substring_index(col, "|", 1)
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Epoch seconds (floor) from TIMESTAMP or TIMESTAMP_NTZ; NTZ is routed
+    through a session-tz cast (session tz pinned to UTC in session.py), which
+    matches DuckDB's epoch() on naive timestamps."""
+    return col.cast("timestamp").cast("long")
+
+
+def sessionize(user_col: str, ts_col: str, order_col: str, gap_seconds: int) -> Column:
+    """W2 analog — gap-sessionization flag (the SQL-expressible face of the
+    greedy y-grouping A1, app/ocr_engine.py:334-354; SURVEY.md §2.4)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap = epoch_seconds(F.col(ts_col)) - F.lag(epoch_seconds(F.col(ts_col))).over(w)
+    return F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-insensitive exact money sum: cast each term to decimal before
+    aggregating, return double. Raw double SUM() is non-associative — its
+    result depends on partitioning, which breaks cross-engine value-hash
+    comparison AND run-to-run reproducibility at scale."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")

