@@ -512,6 +512,275 @@ GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / similarity / text analysis / multimodal)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via md5 content fingerprint (hash groupBy)."""
+    from .operators.dedup import exact_duplicates
+    return exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs within (source, lang, n_chars)
+    blocking buckets."""
+    from .operators.dedup import token_jaccard_pairs
+    return token_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        ["source", "lang", "n_chars"], threshold=0.5,
+    )
+
+
+SQL_DEDUP_JACCARD = """
+WITH w AS (
+  SELECT doc_id, source, lang, n_chars,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.words, b.words)) AS n_inter,
+         len(list_distinct(a.words || b.words)) AS n_union
+  FROM w a JOIN w b
+    ON a.source = b.source AND a.lang = b.lang AND a.n_chars = b.n_chars
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM p
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
+"""
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin).
+    Verified structurally: every exact-duplicate pair MUST appear."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+def q_simhash_fingerprint(spark, sf_dir):
+    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    from .operators.dedup import simhash64
+    return simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    from .operators.dedup import embedding_near_dup_pairs
+    pairs = embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.9
+    )
+    return pairs.select("id_a", "id_b")  # cosine dropped: fp-exactness across engines
+
+
+SQL_EMB_NEAR_DUP = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.9
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query (first 5 vec_ids as queries);
+    emits ranks only — cosine values stay engine-internal."""
+    from .operators.similarity import cosine_topk
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter("vec_id < 5"), "vec_id", "embedding", k=5)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+SQL_ANN = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.qe, v.e), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
+            * sqrt(list_sum(list_transform(v.e, x -> x*x)))) AS cosine
+  FROM v, q WHERE v.vec_id <> q.qid
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: numpy hyperplanes are
+    Spark-side; recall is validated in tests against brute force)."""
+    from .operators.similarity import lsh_ann_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter("vec_id < 5"), "vec_id", "embedding",
+        k=5, dim=64, n_planes=6, n_tables=8,
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def q_lang_id_quality(spark, sf_dir):
+    """Language-ID heuristic + quality scoring per document."""
+    from .operators import textstats as X
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.lang_id(t).alias("guessed_lang"),
+        X.n_words(t).alias("n_words"),
+        X.n_uniq_words(t).alias("n_uniq_words"),
+        X.quality_bucket(t).alias("quality"),
+    )
+
+
+SQL_LANG_QUALITY = """
+WITH s AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p, trim(text) AS t,
+         trim(lower(text)) AS tl
+  FROM documents
+), sc AS (
+  SELECT doc_id, t, tl,
+    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS en,
+    (CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% para %' THEN 1 ELSE 0 END) AS pt,
+    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS es
+  FROM s
+), m AS (
+  SELECT doc_id,
+    CASE WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+         WHEN pt >= es AND pt > 0 THEN 'pt'
+         WHEN es > 0 THEN 'es' ELSE 'und' END AS guessed_lang,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split_regex(t, '\\s+')) END AS n_words,
+    CASE WHEN length(tl) = 0 THEN 0
+         ELSE len(list_distinct(string_split_regex(tl, '\\s+'))) END AS n_uniq_words
+  FROM sc
+)
+SELECT doc_id, guessed_lang,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_uniq_words AS INT) AS n_uniq_words,
+       CASE WHEN n_words < 5 THEN 'too_short'
+            WHEN (n_uniq_words * 2) < n_words THEN 'repetitive'
+            ELSE 'ok' END AS quality
+FROM m
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish regex token counting."""
+    from .operators import textstats as X
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (md5-16)."""
+    from .operators import textstats as X
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+FROM documents
+"""
+
+
+def q_x11_danfe_regex(spark, sf_dir):
+    """X11: the DANFE multi-field item regex, oracle-checked on synthesized
+    item strings (app/nfce_parser.py:107-114)."""
+    p = load(spark, sf_dir, "part")
+    qtd = (F.col("p_size") % 9 + 1).cast("string")
+    vu = F.regexp_replace(F.format_string("%.2f", F.col("p_retailprice")), r"\.", ",")
+    s = F.concat(
+        F.col("p_name"), F.lit(" (Código: "), F.col("p_partkey").cast("string"),
+        F.lit(") **Qtde.:**"), qtd, F.lit(" **UN:** UN **Vl. Unit.:** "), vu,
+        F.lit(" | Vl. Total "), vu,
+    )
+    pat = (r"(.+?)\s*\(Código:\s*([^)]+)\)\s*.*?Qtde\.?:\*{0,2}\s*([0-9,.]+)\s*"
+           r".*?UN:\*{0,2}\s*([A-Z]{1,3})\s*.*?Vl\.\s*Unit\.?:\*{0,2}\s*([0-9,.]+)")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(s, pat, 1).alias("desc"),
+        F.regexp_extract(s, pat, 2).alias("codigo"),
+        F.regexp_extract(s, pat, 3).alias("qtd"),
+        A.brl_to_double(F.regexp_extract(s, pat, 5)).alias("vu"),
+    )
+
+
+SQL_X11 = """
+WITH s AS (
+  SELECT p_partkey,
+         p_name || ' (Código: ' || CAST(p_partkey AS VARCHAR) || ') **Qtde.:**'
+           || CAST(p_size % 9 + 1 AS VARCHAR) || ' **UN:** UN **Vl. Unit.:** '
+           || replace(printf('%.2f', p_retailprice), '.', ',')
+           || ' | Vl. Total ' || replace(printf('%.2f', p_retailprice), '.', ',') AS txt
+  FROM part
+)
+SELECT p_partkey,
+       regexp_extract(txt, '(.+?)\\s*\\(Código:\\s*([^)]+)\\)\\s*.*?Qtde\\.?:\\*{0,2}\\s*([0-9,.]+)\\s*.*?UN:\\*{0,2}\\s*([A-Z]{1,3})\\s*.*?Vl\\.\\s*Unit\\.?:\\*{0,2}\\s*([0-9,.]+)', 1) AS desc,
+       regexp_extract(txt, '(.+?)\\s*\\(Código:\\s*([^)]+)\\)\\s*.*?Qtde\\.?:\\*{0,2}\\s*([0-9,.]+)\\s*.*?UN:\\*{0,2}\\s*([A-Z]{1,3})\\s*.*?Vl\\.\\s*Unit\\.?:\\*{0,2}\\s*([0-9,.]+)', 2) AS codigo,
+       regexp_extract(txt, '(.+?)\\s*\\(Código:\\s*([^)]+)\\)\\s*.*?Qtde\\.?:\\*{0,2}\\s*([0-9,.]+)\\s*.*?UN:\\*{0,2}\\s*([A-Z]{1,3})\\s*.*?Vl\\.\\s*Unit\\.?:\\*{0,2}\\s*([0-9,.]+)', 3) AS qtd,
+       CAST(replace(regexp_extract(txt, '(.+?)\\s*\\(Código:\\s*([^)]+)\\)\\s*.*?Qtde\\.?:\\*{0,2}\\s*([0-9,.]+)\\s*.*?UN:\\*{0,2}\\s*([A-Z]{1,3})\\s*.*?Vl\\.\\s*Unit\\.?:\\*{0,2}\\s*([0-9,.]+)', 5), ',', '.') AS DOUBLE) AS vu
+FROM s
+"""
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column → typed feature rows
+    (rows-only: the decode step is stubbed deterministically)."""
+    from .operators.multimodal import extract_image_features
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(F.lit("image/fake").alias("content_type"),
+                 F.lit(None).cast("string").alias("source_url")).alias("meta"),
+    )
+    return extract_image_features(media)
+
+
+def q_video_frames(spark, sf_dir):
+    """Multimodal frame-sampling fan-out (rows-only)."""
+    from .operators.multimodal import sample_video_frames
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.repeat(F.col("text"), 20), "utf-8").alias("payload"),
+    )
+    return sample_video_frames(media, every_n=2)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -537,6 +806,20 @@ CATALOG: Dict[str, tuple] = {
     "q6_revenue_delta": (q_q6_revenue_delta, SQL_Q6),
     "join_geo_rollup": (q_join_geo_rollup, SQL_GEO),
     "anti_no_orders": (q_anti_no_orders, SQL_ANTI),
+    # training-data pipeline ops
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
+    "simhash_fingerprint": (q_simhash_fingerprint, None),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
+    "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "lang_id_quality": (q_lang_id_quality, SQL_LANG_QUALITY),
+    "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
+    "image_features": (q_image_features, None),
+    "video_frames": (q_video_frames, None),
 }
 
 

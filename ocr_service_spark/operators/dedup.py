@@ -1,0 +1,173 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All JVM-side (pyspark.sql.functions only — no Python in the hot path):
+  - exact:        md5 content fingerprint, hash groupBy
+  - token-set jaccard: exact near-dup pairs within cheap blocking buckets
+  - MinHash+LSH:  shingle → minhash signature → banded bucket join → candidates
+  - SimHash:      64-bit sign-aggregated fingerprint, hamming-ish buckets
+
+Scale notes: the LSH paths are linear-ish (explode + groupBy + self-join on
+band buckets) — the standard shape that survives 100 TB; the exact-jaccard
+pair join is intentionally restricted to small blocking buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT_RE = r"\s+"
+
+
+def _words(text_col):
+    return F.split(F.trim(F.lower(text_col)), WORD_SPLIT_RE)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by md5 fingerprint: (fp, n_dups, keeper_id)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keeper_id"))
+        .filter("n_dups > 1")
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, bucket_cols: list, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within blocking buckets.
+
+    jaccard = |A∩B| / |A∪B| computed from distinct-word arrays; the pair join
+    is blocked on `bucket_cols` so cost is Σ bucket² not n².
+    Emits (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in bucket_cols],
+        F.array_distinct(_words(F.col(text_col))).alias("words"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in bucket_cols],
+        F.col("words").alias("words_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in bucket_cols],
+        F.col("words").alias("words_b"),
+    )
+    pairs = a.join(b, on=[F.col(f"{c}_a") == F.col(f"{c}_b") for c in bucket_cols]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    n_inter = F.size(F.array_intersect("words_a", "words_b"))
+    n_union = F.size(F.array_union("words_a", "words_b"))
+    jac = n_inter.cast("double") / n_union.cast("double")
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            n_inter.alias("n_inter"), n_union.alias("n_union"), jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side, no UDF)."""
+    w = _words(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    return F.when(F.size(w) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
+    )).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of xxhash64(seed_i,
+    shingle) for each of n_hashes seeded hash functions. One explode + one
+    groupBy — map-side partial min keeps the shuffle tiny."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = ex.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket are
+    candidate pairs. Emits distinct (id_a, id_b), id_a < id_b."""
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.lit("band"), b,
+                    F.concat_ws(",", F.transform(
+                        F.slice("sig", b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int")),
+                        lambda x: x.cast("string"),
+                    )),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per word hash, each bit votes ±1; fingerprint bit b is
+    1 iff the vote sum is positive. 64 conditional sums in one hash aggregate
+    (JVM-side; map-side partials make the shuffle one row per doc)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b).cast("long")).otherwise(0)
+        for b in range(63)  # bit 63 kept zero to stay in signed-long range
+    ]
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return agg.select("id", fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, block_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking column (e.g. a
+    coarse label or LSH bucket): exact cosine via zip_with dot product."""
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

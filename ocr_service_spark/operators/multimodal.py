@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED in this environment (no image/audio libraries are
+installed — see the module-level import gate): ``DETERMINISTIC_FAKE``
+derives stable pseudo-features from the payload bytes so the Spark-side
+plumbing (schema, partitioning, UDF signature, batch shape) is real and
+tested; a production deployment swaps ``_decode_image`` for a cv2/PIL call
+behind the same per-executor singleton pattern (SURVEY.md S6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # the real decoder path, absent in this sandbox by design
+    import cv2  # noqa: F401
+    HAVE_DECODER = True
+except Exception:
+    HAVE_DECODER = False
+
+DETERMINISTIC_FAKE = True
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),      # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("content_type", T.StringType(), True),
+            T.StructField("source_url", T.StringType(), True),
+        ]), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("phash", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def _decode_image(payload: bytes):
+    """Decode → (width, height, channels, phash). Real decoder when
+    available; deterministic fake otherwise; else NotImplementedError."""
+    if HAVE_DECODER:
+        raise NotImplementedError(
+            "real decoder wiring is deployment-specific; plug cv2.imdecode here"
+        )
+    if not DETERMINISTIC_FAKE:
+        raise NotImplementedError("no image decoder available in this environment")
+    h = hashlib.blake2b(payload, digest_size=16).digest()
+    width = 64 + h[0] * 8
+    height = 64 + h[1] * 8
+    return width, height, 3, h.hex()
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas over the media table: one Arrow batch in, one feature
+    frame out; per-row failures become decode_ok=False rows (in-band, like
+    the extraction pipeline's error envelopes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                rec = {"media_id": media_id,
+                       "n_bytes": len(payload) if payload is not None else 0,
+                       "width": None, "height": None, "channels": None,
+                       "phash": None, "decode_ok": False}
+                try:
+                    if payload is not None and len(payload) > 0:
+                        w, h, c, p = _decode_image(bytes(payload))
+                        rec.update(width=w, height=h, channels=c, phash=p, decode_ok=True)
+                except NotImplementedError:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plumbing: emits (media_id, frame_idx, frame_phash) rows
+    — 1:N UDTF shape via mapInPandas. Frame decode is the same stub; the
+    deterministic fake emits ⌈n_bytes/4096⌉ pseudo-frames so partitioning and
+    fan-out behavior are real."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_phash", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                payload = bytes(payload)
+                n_frames = max(1, len(payload) // 4096)
+                for idx in range(0, n_frames, every_n):
+                    fh = hashlib.blake2b(payload + idx.to_bytes(4, "big"), digest_size=8)
+                    rows.append({"media_id": media_id, "frame_idx": idx,
+                                 "frame_phash": fh.hexdigest()})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_phash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)

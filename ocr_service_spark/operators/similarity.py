@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - cosine_topk: exact brute-force top-k — the correctness baseline. The
+    query side is broadcast (tiny), the corpus side never shuffles; the
+    per-query ranking window partitions by query id.
+  - lsh_ann_topk: the scale path — random-hyperplane LSH buckets computed in
+    one vectorized pandas UDF (numpy matmul over the Arrow batch), candidate
+    generation by bucket equi-join, exact cosine rerank of candidates only.
+    At 100 TB the bucket join replaces the O(corpus × queries) crossJoin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _cos(va: str, vb: str):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+    Emits (query_id, rank, neighbor_id, cosine)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("vc")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("vq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", _cos("vq", "vc").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Vectorized pandas UDF: embedding → array of `n_tables` LSH bucket ids
+    (sign pattern of `n_planes` hyperplanes per table, table index mixed into
+    the bucket id). numpy matmul per Arrow batch — no per-row Python."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        signs = ((mat @ planes) > 0).reshape(len(v), n_tables, n_planes)
+        ids = signs @ weights + (np.arange(n_tables, dtype=np.int64) << 32)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int,
+    dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH → bucket equi-join →
+    distinct candidates → exact cosine rerank. Recall grows with n_tables
+    (1-(1-p^n_planes)^n_tables), candidate count shrinks with n_planes —
+    the standard knobs; at 100 TB the bucket join replaces the
+    O(corpus × queries) crossJoin and the rerank touches only candidates."""
+    buckets = hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    c_buckets = c_vecs.select("neighbor_id", F.explode(buckets("vc")).alias("bucket"))
+    q_buckets = q_vecs.select("query_id", F.explode(buckets("vq")).alias("bucket"))
+    cand_ids = (
+        c_buckets.join(F.broadcast(q_buckets), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = cand_ids.join(c_vecs, on="neighbor_id").join(F.broadcast(q_vecs), on="query_id")
+    scored = cand.select("query_id", "neighbor_id", _cos("vq", "vc").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data curation — all JVM-side column
+expressions (codegen-friendly; no UDFs): language-ID heuristic, quality
+scoring, tokenizer-ish counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "pt": [" de ", " que ", " para "],
+    "es": [" el ", " los ", " una "],
+}
+
+BPE_ISH_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-hit count for one language (substring containment votes)."""
+    p = _padded(text)
+    score = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        score = score + F.when(p.contains(m), 1).otherwise(0)
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over LANG_MARKERS scores; ties broken by fixed language order;
+    all-zero → 'und'. Deterministic CASE chain — expressible in ANSI SQL for
+    the oracle."""
+    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    en, pt, es = scores["en"], scores["pt"], scores["es"]
+    return (
+        F.when((en >= pt) & (en >= es) & (en > 0), "en")
+        .when((pt >= es) & (pt > 0), "pt")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+
+
+def n_words(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def n_uniq_words(text: Column) -> Column:
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, 0).otherwise(
+        F.size(F.array_distinct(F.split(t, r"\s+")))
+    )
+
+
+def n_punct(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def quality_bucket(text: Column) -> Column:
+    """Coarse quality tier from length/uniqueness — the F-style filter a
+    curation pipeline applies before training."""
+    nw, nu = n_words(text), n_uniq_words(text)
+    return (
+        F.when(nw < 5, "too_short")
+        .when((nu * 2) < nw, "repetitive")
+        .otherwise("ok")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_TOKEN_RE), 0))
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-
+    collapsed text (rolling-hash analog, deterministic cross-engine)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, length)

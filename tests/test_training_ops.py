@@ -1,0 +1,110 @@
+"""Structural tests for the training-data pipeline operators: LSH recall vs
+exact duplicates, ANN recall vs brute force, simhash locality, multimodal
+plumbing shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # inject exact + near duplicates with known ids
+    dup = d.filter("doc_id < 10").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    near = d.filter("doc_id < 10").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars")
+    return d.unionByName(dup).unionByName(near)
+
+
+class TestDedup:
+    def test_exact_dupes_found(self, docs_with_dups):
+        from ocr_service_spark.operators.dedup import exact_duplicates
+        out = exact_duplicates(docs_with_dups, "doc_id", "text").collect()
+        keepers = {r["keeper_id"] for r in out}
+        assert {0, 1, 2, 3, 4, 5, 6, 7, 8, 9} <= keepers
+        assert all(r["n_dups"] >= 2 for r in out)
+
+    def test_minhash_lsh_recall_on_exact_dupes(self, docs_with_dups):
+        from ocr_service_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+        sigs = minhash_signatures(docs_with_dups, "doc_id", "text", n_hashes=16)
+        pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+        # identical docs have identical signatures -> every band collides
+        for i in range(10):
+            assert (i, i + 100000) in pairs, f"exact dup pair {i} missed by LSH"
+
+    def test_simhash_locality(self, docs_with_dups):
+        from ocr_service_spark.operators.dedup import simhash64
+        fp = {r["id"]: r["simhash"] for r in
+              simhash64(docs_with_dups, "doc_id", "text").collect()}
+        for i in range(10):
+            assert fp[i] == fp[i + 100000]  # identical text -> identical simhash
+            ham = bin(fp[i] ^ fp[i + 200000]).count("1")
+            assert ham <= 16, f"near-dup {i} hamming {ham} too far"
+
+    def test_embedding_near_dup_self_consistency(self, spark):
+        from ocr_service_spark.operators.dedup import embedding_near_dup_pairs
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        dup = emb.filter("vec_id < 5").select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+        pairs = embedding_near_dup_pairs(
+            emb.unionByName(dup), "vec_id", "embedding", "label", 0.999)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        for i in range(5):
+            assert (i, i + 9000) in got
+
+
+class TestSimilarity:
+    def test_lsh_ann_recall_vs_bruteforce(self, spark):
+        from ocr_service_spark.operators.similarity import cosine_topk, lsh_ann_topk
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 10")
+        exact = cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+        approx = lsh_ann_topk(emb, q, "vec_id", "embedding", k=5, dim=64, n_planes=4, n_tables=8).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"LSH recall {recall} implausibly low"
+        # every approx hit must be a real corpus member with sane rank
+        assert all(1 <= r["rank"] <= 5 for r in approx)
+
+    def test_topk_rank_contiguous(self, spark):
+        from ocr_service_spark.operators.similarity import cosine_topk
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = cosine_topk(emb, emb.filter("vec_id = 0"), "vec_id", "embedding", k=3).collect()
+        assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, spark):
+        from ocr_service_spark.operators.multimodal import extract_image_features
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        media = d.select(
+            F.concat(F.lit("m-"), F.col("doc_id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.struct(F.lit("x").alias("content_type"),
+                     F.lit(None).cast("string").alias("source_url")).alias("meta"),
+        )
+        rows = extract_image_features(media).collect()
+        assert len(rows) == 50
+        ok = [r for r in rows if r["decode_ok"]]
+        assert ok and all(r["width"] >= 64 and r["channels"] == 3 for r in ok)
+        # deterministic fake: same payload -> same phash
+        again = {r["media_id"]: r["phash"] for r in extract_image_features(media).collect()}
+        assert all(again[r["media_id"]] == r["phash"] for r in rows)
+
+    def test_video_frame_fanout(self, spark):
+        from ocr_service_spark.operators.multimodal import sample_video_frames
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+        media = d.select(
+            F.concat(F.lit("v-"), F.col("doc_id")).alias("media_id"),
+            F.encode(F.repeat("text", 50), "utf-8").alias("payload"),
+        )
+        rows = sample_video_frames(media, every_n=2).collect()
+        assert len(rows) >= 10  # 1:N fan-out happened
+        assert all(r["frame_idx"] % 2 == 0 for r in rows)
