@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <float>, ...}
+
+Extraction throughput (the authoritative BASELINE.json metric — docs/sec and
+MB/sec over Common-Crawl-style pages) is measured over the deterministic
+synthetic pages generator (sources/synth.py): same seed => byte-identical
+input at every parallelism level, generated distributed (never collected).
+
+Scaling mode (north_rule evidence, sandbox protocol):
+    python bench.py --extract-only --cores 8  --docs 24000
+    python bench.py --extract-only --cores 32 --docs 24000
+Same job + same input at two parallelism levels; scripts/bench_scaling.py
+orchestrates both and writes BENCH/BASELINE.md with efficiency = (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cores: int, shuffle_partitions: int | None = None):
+    from ocr_service_spark.session import get_spark
+
+    # NB: 16g driver heap triggers a severe JVM pathology on this sandbox
+    # kernel (minhash query 13s -> 157s, bisected to spark.driver.memory
+    # alone); 4g is plenty for the bench payloads and behaves normally.
+    return get_spark(
+        app_name=f"ocr-service-spark-bench-{cores}",
+        cpus=cores,
+        shuffle_partitions=shuffle_partitions or cores,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+            "spark.ui.enabled": "false",
+        },
+    )
+
+
+def run_df(df) -> int:
+    """Force full execution without driver materialization cost dominating."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_extraction(spark, n_docs: int, seed: int = 42):
+    """Flagship: synth pages -> skew-balanced repartition -> extract UDF.
+
+    Returns (wall_s, docs, mb). Input bytes are measured on the same
+    deterministic generator in a separate pass (not timed)."""
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.plans.pipeline import run_extraction
+    from ocr_service_spark.sources.synth import synth_pages
+
+    # Warmup: spawn/JIT the Python workers and codegen on a small slice so
+    # the timed run measures steady-state throughput, not fixed startup.
+    run_df(run_extraction(synth_pages(spark, max(500, n_docs // 20), seed=seed + 1)))
+
+    pages = synth_pages(spark, n_docs, seed=seed)
+    t0 = time.monotonic()
+    run_df(run_extraction(pages))
+    wall = time.monotonic() - t0
+    stats = (
+        synth_pages(spark, n_docs, seed=seed)
+        .agg(F.count(F.lit(1)).alias("docs"),
+             (F.sum(F.length("html")) / 1e6).alias("mb"))
+        .collect()[0]
+    )
+    return wall, int(stats["docs"]), float(stats["mb"])
+
+
+# Headline catalog queries: relational core + windows + training-data ops.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q6_revenue_delta",
+    "join_geo_rollup",
+    "anti_no_orders",
+    "w2_sessionize",
+    "w3_dedupe_keep_best",
+    "a4_ordered_concat",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "simhash_fingerprint",
+    "ann_cosine_topk",
+    "lang_id_quality",
+    "token_count_bpe",
+    "x11_danfe_regex",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--docs", type=int, default=None,
+                    help="synthetic page count for the extraction benchmark")
+    ap.add_argument("--extract-only", action="store_true",
+                    help="run only the extraction job (scaling protocol)")
+    args = ap.parse_args()
+
+    sf = 0.1
+    tail = os.path.basename(args.sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+    n_docs = args.docs or max(2000, int(240000 * sf))
+
+    spark = build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_start = time.monotonic()
+
+    ex_wall, ex_docs, ex_mb = bench_extraction(spark, n_docs)
+    timings["extract_pages_flagship"] = round(ex_wall, 3)
+
+    if not args.extract_only:
+        from ocr_service_spark import catalog
+
+        qs = catalog.queries()
+        for name in HEADLINE:
+            # best-of-2: the sandbox host intermittently stalls single JVM
+            # tasks for tens of seconds; the minimum is the real query cost.
+            best = float("inf")
+            for _ in range(2):
+                df = qs[name](spark, args.sf_dir)
+                t0 = time.monotonic()
+                run_df(df)
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+
+    total = time.monotonic() - t_start
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": args.cores,
+        "extract_docs": ex_docs,
+        "extract_mb": round(ex_mb, 2),
+        "extract_docs_per_sec": round(ex_docs / ex_wall, 2),
+        "extract_mb_per_sec": round(ex_mb / ex_wall, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

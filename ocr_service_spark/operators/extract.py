@@ -31,14 +31,19 @@ def extract_pages(pages: DataFrame, ref_clock: Optional[datetime] = None) -> Dat
     clock = ref_clock or DEFAULT_REF_CLOCK
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = RESULT_COLUMNS
         for pdf in batches:
-            rows = []
+            # Column-wise assembly: pd.DataFrame(list_of_dicts) does per-row
+            # key alignment (~10-30µs/row) — at 10^12 docs that is pure waste.
+            data = {c: [] for c in cols}
+            appenders = [(c, data[c].append) for c in cols]
             for url, payload in zip(pdf["url"], pdf["html"]):
                 payload = bytes(payload) if payload is not None else None
                 rec = finalize_result(extract_document(url, payload, clock))
                 rec["payload_bytes"] = len(payload) if payload is not None else 0
-                rows.append(rec)
-            yield pd.DataFrame(rows, columns=RESULT_COLUMNS)
+                for c, append in appenders:
+                    append(rec[c])
+            yield pd.DataFrame(data, columns=cols)
 
     return (
         pages.select("url", "html")
