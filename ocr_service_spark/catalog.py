@@ -306,6 +306,175 @@ FROM customer
 """
 
 
+_DUCK_CORRECTIONS = (
+    "replace(replace(replace(replace(replace(replace(replace({s},"
+    "'ZER0','ZERO'),'I0G','IOG'),'OUOS','OVOS'),'UOS','OVOS'),"
+    "'UH','UN'),'1Ux','1UNx'),'SUIFT','SWIFT')"
+)
+
+
+def q_x1_norm_text(spark, sf_dir):
+    """X1: ×→X, ws collapse, ordered typo corrections
+    (app/ocr_engine.py:374-379)."""
+    p = load(spark, sf_dir, "part")
+    s = F.concat(F.lit("  "), F.col("p_name"), F.lit("  ×  ZER0\tOUOS  UH 1Ux "))
+    return p.select("p_partkey", A.norm_text(s).alias("normed"))
+
+
+_X1_INNER = _DUCK_CORRECTIONS.format(
+    s="trim(regexp_replace(replace('  ' || p_name || '  ×  ZER0' || chr(9) "
+      "|| 'OUOS  UH 1Ux ', '×', 'X'), '\\s+', ' ', 'g'))"
+)
+SQL_X1 = f"""
+SELECT p_partkey,
+       {_X1_INNER} AS normed
+FROM part
+"""
+
+
+def q_x3_clean_desc(spark, sf_dir):
+    """X3: upper, ws collapse, [A-Z0-9À-Ü\\s.,/-] whitelist, corrections,
+    strip ' -', ITEM DESCONHECIDO fallback (app/ocr_engine.py:394-401)."""
+    p = load(spark, sf_dir, "part")
+    s = F.when(F.col("p_partkey") % 17 == 0, F.lit(" *@#$% ")).otherwise(
+        F.concat(F.col("p_name"), F.lit(" açaí 2x* ZER0/uh - "))
+    )
+    return p.select("p_partkey", A.clean_desc(s).alias("desc"))
+
+
+_X3_INNER = _DUCK_CORRECTIONS.format(
+    s="regexp_replace(trim(regexp_replace(upper(raw), '\\s+', ' ', 'g')), "
+      "'[^A-Z0-9À-Ü\\s.,/-]', '', 'g')"
+)
+SQL_X3 = f"""
+WITH s AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 17 = 0 THEN ' *@#$% '
+              ELSE p_name || ' açaí 2x* ZER0/uh - ' END AS raw
+  FROM part
+), c AS (
+  SELECT p_partkey,
+         trim({_X3_INNER}, ' -') AS cleaned
+  FROM s
+)
+SELECT p_partkey,
+       CASE WHEN cleaned = '' THEN 'ITEM DESCONHECIDO' ELSE cleaned END AS desc
+FROM c
+"""
+
+
+def q_x15_money_values(spark, sf_dir):
+    """X15: multi-pattern money extraction, normalize, range-filter,
+    distinct+sort (app/utils.py:9-40 — the reference's declared-but-dead
+    TextProcessor surface, A6/F5 composed)."""
+    d = load(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" total R$ 1.234,56 e R$ 15,90 e 7.25 e R$ 0,00 e 15,90 fim"),
+        F.format_string(" R$ %d,%02d", F.col("doc_id") % 900 + 1, F.col("n_chars") % 100),
+    )
+    return d.select("doc_id", A.money_values_canonical(s).alias("money_values"))
+
+
+SQL_X15 = """
+WITH s AS (
+  SELECT doc_id,
+         text || ' total R$ 1.234,56 e R$ 15,90 e 7.25 e R$ 0,00 e 15,90 fim'
+              || printf(' R$ %d,%02d', doc_id % 900 + 1, n_chars % 100) AS txt
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         regexp_extract_all(txt, 'R\\$?\\s*(\\d{1,3}(?:\\.\\d{3})*,\\d{2})', 1, 'i')
+         || regexp_extract_all(txt, 'R\\$?\\s*(\\d+,\\d{2})', 1, 'i')
+         || regexp_extract_all(txt, '\\b(\\d+\\.\\d{2})\\b', 1, 'i') AS raw
+  FROM s
+), v AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(list_transform(raw,
+           x -> CAST(CASE WHEN contains(x, ',') AND contains(x, '.')
+                          THEN replace(replace(x, '.', ''), ',', '.')
+                          ELSE replace(x, ',', '.') END AS DOUBLE)),
+           v -> v >= 0.01 AND v <= 999999.99))) AS vals
+  FROM m
+)
+SELECT doc_id,
+       array_to_string(list_transform(vals, v -> printf('%.2f', v)), ',') AS money_values
+FROM v
+"""
+
+
+def q_o4_numeric_sq_sort(spark, sf_dir):
+    """O4: numeric (not lexical) sort of sq sequence strings
+    (app/ocr_engine.py:284-289)."""
+    li = load(spark, sf_dir, "lineitem")
+    sq = (F.col("l_linenumber") * 3 + F.col("l_orderkey") % 7).cast("int")
+    g = (
+        li.select("l_orderkey", sq.alias("sq"), "l_extendedprice")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(F.struct("l_extendedprice", "sq"))).alias("arr"))
+    )
+    raw = F.transform(F.col("arr"), lambda x: x["sq"].cast("string"))
+    return g.select(
+        "l_orderkey",
+        F.array_join(raw, ",").alias("sq_raw"),
+        F.array_join(
+            F.transform(F.array_sort(F.transform(F.col("arr"), lambda x: x["sq"])),
+                        lambda v: v.cast("string")),
+            ",",
+        ).alias("sq_sorted"),
+    )
+
+
+SQL_O4 = """
+SELECT l_orderkey,
+       array_to_string(list(CAST(l_linenumber * 3 + l_orderkey % 7 AS INT)
+                            ORDER BY l_extendedprice, l_linenumber * 3 + l_orderkey % 7), ',') AS sq_raw,
+       array_to_string(list_sort(list(CAST(l_linenumber * 3 + l_orderkey % 7 AS INT))), ',') AS sq_sorted
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_f6_null_imputation(spark, sf_dir):
+    """F6: quantidade default 1.0; valor_unitario = total/qtd rounded to
+    cents when missing (app/ocr_engine.py:259-262, app/nfce_parser.py:128)."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") + F.col("l_linenumber")
+    qtd = F.when(key % 3 != 0, F.col("l_quantity"))
+    # HALF_UP-to-cents via pure IEEE ops — double->decimal casts round ties
+    # differently across engines (Spark: exact binary; DuckDB: shortest repr).
+    cents = lambda c: F.floor(c * 100 + 0.5) / 100.0  # noqa: E731
+    vu = F.when(key % 4 != 0, cents(F.col("l_extendedprice") / F.col("l_quantity")))
+    qtd_i = F.coalesce(qtd, F.lit(1.0))
+    vu_i = F.coalesce(vu, cents(F.col("l_extendedprice") / qtd_i))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        qtd_i.alias("quantidade"), vu_i.alias("valor_unitario"),
+    )
+
+
+SQL_F6 = """
+SELECT l_orderkey, l_linenumber,
+       COALESCE(CASE WHEN (l_orderkey + l_linenumber) % 3 <> 0 THEN l_quantity END,
+                1.0) AS quantidade,
+       COALESCE(CASE WHEN (l_orderkey + l_linenumber) % 4 <> 0
+                     THEN floor(l_extendedprice / l_quantity * 100 + 0.5) / 100.0 END,
+                floor(l_extendedprice /
+                      COALESCE(CASE WHEN (l_orderkey + l_linenumber) % 3 <> 0 THEN l_quantity END, 1.0)
+                      * 100 + 0.5) / 100.0) AS valor_unitario
+FROM lineitem
+"""
+
+
+def q_a7_lineage_metrics(spark, sf_dir):
+    """A7: per-partition lineage/metrics sidecar over the flagship extraction
+    (rows-only: partition ids are an engine-physical concept)."""
+    from .operators.lineage import partition_metrics
+    from .plans.pipeline import run_extraction
+    from .sources.synth import pages_from_documents
+    results = run_extraction(pages_from_documents(spark, sf_dir))
+    return partition_metrics(results, run_id="driver-check")
+
+
 # --------------------------------------------------------------------------
 # Aggregation analogs (SURVEY.md §2.4)
 # --------------------------------------------------------------------------
@@ -818,6 +987,12 @@ CATALOG: Dict[str, tuple] = {
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
+    "x1_norm_text": (q_x1_norm_text, SQL_X1),
+    "x3_clean_desc": (q_x3_clean_desc, SQL_X3),
+    "x15_money_values": (q_x15_money_values, SQL_X15),
+    "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
+    "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
+    "a7_lineage_metrics": (q_a7_lineage_metrics, None),
     "image_features": (q_image_features, None),
     "video_frames": (q_video_frames, None),
 }

@@ -23,6 +23,71 @@ def brl_to_double(col: Column) -> Column:
     return normalized.cast("double")
 
 
+# Ordered correction table (app/ocr_engine.py:39-47) — insertion order is
+# semantic: "OUOS" must run before "UOS" (SURVEY.md §7.4.5).
+CORRECTIONS = [
+    ("ZER0", "ZERO"),
+    ("I0G", "IOG"),
+    ("OUOS", "OVOS"),
+    ("UOS", "OVOS"),
+    ("UH", "UN"),
+    ("1Ux", "1UNx"),
+    ("SUIFT", "SWIFT"),
+]
+
+
+def apply_corrections(col: Column) -> Column:
+    """Chained ordered literal replacements (X1/X3 shared tail)."""
+    for wrong, right in CORRECTIONS:
+        col = F.replace(col, F.lit(wrong), F.lit(right))
+    return col
+
+
+def norm_text(col: Column) -> Column:
+    """X1 analog (app/ocr_engine.py:374-379): `×`→`X`, whitespace collapse,
+    ordered corrections."""
+    c = F.replace(col, F.lit("×"), F.lit("X"))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return apply_corrections(c)
+
+
+def clean_desc(col: Column) -> Column:
+    """X3 analog (app/ocr_engine.py:394-401): upper, ws-collapse, charset
+    whitelist, corrections, strip ' -', fallback literal."""
+    c = F.upper(col)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.regexp_replace(c, r"[^A-Z0-9À-Ü\s.,/-]", "")
+    c = apply_corrections(c)
+    c = F.btrim(c, F.lit(" -"))
+    return F.when(c == "", F.lit("ITEM DESCONHECIDO")).otherwise(c)
+
+
+_MONEY_PATTERNS = [
+    r"(?i)R\$?\s*(\d{1,3}(?:\.\d{3})*,\d{2})",
+    r"(?i)R\$?\s*(\d+,\d{2})",
+    r"(?i)\b(\d+\.\d{2})\b",
+]
+
+
+def money_values_canonical(col: Column) -> Column:
+    """X15 analog (app/utils.py:9-40): all money-shaped matches from three
+    patterns, BRL-normalized, range-filtered [0.01, 999999.99], distinct,
+    sorted, rendered '%.2f' and comma-joined (a canonical string so the
+    cross-engine value-hash is float-format-proof)."""
+    matches = F.concat(*[F.regexp_extract_all(col, F.lit(p), 1) for p in _MONEY_PATTERNS])
+    norm = F.transform(
+        matches,
+        lambda s: F.when(
+            s.contains(",") & s.contains("."),
+            F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", "."),
+        ).otherwise(F.regexp_replace(s, ",", ".")).cast("double"),
+    )
+    vals = F.array_sort(F.array_distinct(
+        F.filter(norm, lambda v: (v >= 0.01) & (v <= 999999.99))
+    ))
+    return F.array_join(F.transform(vals, lambda v: F.format_string("%.2f", v)), ",")
+
+
 def money_last(col: Column) -> Column:
     """X7/O5 analog: LAST money-shaped match (app/ocr_engine.py:305-307)."""
     matches = F.regexp_extract_all(col, F.lit(MONEY_RE), 0)

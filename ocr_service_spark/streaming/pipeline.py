@@ -1,0 +1,75 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is strictly synchronous request/response (SURVEY.md §2.9 —
+no streaming operators exist in it), and the north_rule pipeline is batch
+with anti-join resume. But because every per-document operator is stateless,
+the same extraction plan lifts directly onto Structured Streaming: a file
+stream over the pages table → the identical mapInPandas extract UDF →
+parquet sink, with `Trigger.AvailableNow` draining everything currently in
+the table and stopping (SURVEY.md §2.9 "the trivial lift").
+
+This gives a second, engine-native checkpoint-resume mechanism: the
+streaming checkpoint records which input files are committed, so a rerun
+after a crash resumes at file granularity with exactly-once file-level
+semantics — complementary to the batch path's per-url anti-join resume
+(plans/pipeline.py). New files dropped into the source directory are
+picked up by the next run, which is the incremental-ingest model of a
+continuously crawled pages table.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extract import extract_pages
+from ..sources.schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    pages_path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-stream over a parquet pages directory with the declared schema
+    (streams never infer schemas). `maxFilesPerTrigger` bounds micro-batch
+    size — the streaming analog of the batch path's partition sizing."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_path)
+
+
+def stream_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    results_path: str,
+    checkpoint_path: str,
+    ref_clock: Optional[datetime] = None,
+    max_files_per_trigger: Optional[int] = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Drain-everything-then-stop extraction run (Trigger.AvailableNow).
+
+    Identical per-document semantics to the batch pipeline — the stream
+    plan wraps the same `extract_pages` UDF, so streamed output is
+    byte-identical to batch output per url. Resume = rerun with the same
+    checkpoint: committed input files are skipped, partial micro-batches
+    are replayed (file-level exactly-once into the parquet sink log).
+    """
+    pages = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    results = extract_pages(pages, ref_clock=ref_clock)
+    query = (
+        results.writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,62 @@
+"""Structured Streaming variant: byte-parity with batch + checkpoint resume."""
+
+import pandas as pd
+import pytest
+
+from ocr_service_spark.operators.extract import extract_pages
+from ocr_service_spark.sources.synth import synth_pages
+from ocr_service_spark.streaming.pipeline import stream_extraction
+
+COMPARE_COLS = [
+    "url", "fmt", "tipo_documento", "itens_json", "extracted_text",
+    "qrcode_url", "confianca", "mensagem", "total_nota", "data_compra",
+    "origem", "n_itens", "is_error", "payload_bytes",
+]
+
+
+def _collect(df) -> pd.DataFrame:
+    return (
+        df.select(*COMPARE_COLS).toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    return {
+        "pages": str(root / "pages"),
+        "results": str(root / "results"),
+        "ckpt": str(root / "ckpt"),
+    }
+
+
+def test_streamed_output_matches_batch(spark, paths):
+    synth_pages(spark, 300, partitions=4).write.mode("overwrite").parquet(paths["pages"])
+
+    q = stream_extraction(spark, paths["pages"], paths["results"], paths["ckpt"])
+    assert q.lastProgress is not None
+
+    streamed = _collect(spark.read.parquet(paths["results"]))
+    batch = _collect(extract_pages(spark.read.parquet(paths["pages"])))
+    assert len(streamed) == 300
+    pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, paths):
+    # Drop new files into the source dir; same checkpoint => only the new
+    # urls are extracted (committed input files are skipped).
+    from pyspark.sql import functions as F
+
+    extra = synth_pages(spark, 100, partitions=2).withColumn(
+        "url", F.concat(F.lit("batch2-"), F.col("url"))
+    )
+    extra.write.mode("append").parquet(paths["pages"])
+
+    stream_extraction(spark, paths["pages"], paths["results"], paths["ckpt"])
+
+    out = spark.read.parquet(paths["results"])
+    assert out.count() == 400
+    assert out.filter(out.url.startswith("batch2-")).count() == 100
+    # no url extracted twice
+    assert out.select("url").distinct().count() == 400
