@@ -1,0 +1,70 @@
+"""Physical-plan quality regression tests.
+
+At 100 TB the plan IS the performance: these tests pin that Catalyst keeps
+delivering predicate pushdown, column pruning, and broadcast joins for the
+catalog queries, and that the extraction pipeline scans only the two columns
+it needs (SURVEY.md §4). A regression here (e.g. an added column breaking
+pruning, a cast blocking pushdown) multiplies bytes read at scale.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from ocr_service_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = formatted_plan(catalog.queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # column pruning: only the 6 referenced columns in ReadSchema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+    assert "l_returnflag" in read and "l_shipdate" in read
+
+
+def test_q3_broadcasts_filtered_dimension(spark):
+    plan = formatted_plan(catalog.queries()["q3_top_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to customer scan
+
+
+def test_geo_rollup_broadcasts_both_dims(spark):
+    plan = formatted_plan(catalog.queries()["join_geo_rollup"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
+    from ocr_service_spark.plans.pipeline import run_extraction
+    from ocr_service_spark.sources.synth import synth_pages
+
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 50, partitions=2).write.parquet(path)
+    plan = formatted_plan(run_extraction(spark.read.parquet(path)))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # warc_ts/text/lang must be pruned from the scan — at 100 TB the text
+    # column alone would double the bytes read
+    assert "url" in read and "html" in read
+    assert "text" not in read and "lang" not in read and "warc_ts" not in read
+
+
+def test_no_cartesian_anywhere_in_catalog(spark):
+    """No catalog query may degenerate into a cartesian/nested-loop join —
+    the classic silent quadratic blowup (checked at tiny SF where AQE has
+    every temptation to pick it; pair generators are range-blocked instead)."""
+    qs = catalog.queries()
+    for name, (fn, _) in catalog.CATALOG.items():
+        df = qs[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
