@@ -101,6 +101,7 @@ def _empty_result(url: str, fmt: str, mensagem: str) -> Dict:
         "fmt": fmt,
         "tipo_documento": "erro",
         "itens": [],
+        "spans": [],
         "extracted_text": None,
         "qrcode_url": None,
         "confianca": 0.0,
@@ -145,6 +146,7 @@ def extract_document(
                 {
                     "tipo_documento": data["tipo_documento"],
                     "itens": _norm_items(data["itens"]),
+                    "spans": data["spans"],
                     "extracted_text": data["extracted_text"],
                     "qrcode_url": data["qrcode_url"],
                     "confianca": data["confianca"],
@@ -167,6 +169,7 @@ def extract_document(
                 {
                     "tipo_documento": structured["tipo_documento"],
                     "itens": _norm_items(structured["itens"]),
+                    "spans": structured["spans"],
                     "extracted_text": full_text,
                     "qrcode_url": structured["qrcode_url"],
                     "confianca": structured["confianca"],

@@ -245,7 +245,9 @@ def iter_items_sp(item_text: str):
     """
     if "\n" in item_text:
         for m in RE_ITEM_SP.finditer(item_text):
-            yield m.groupdict()
+            d = m.groupdict()
+            d["span"] = (m.start(), m.end())
+            yield d
         return
 
     lower = item_text.lower()
@@ -267,6 +269,7 @@ def iter_items_sp(item_text: str):
         desc_end = max(ws.start() if ws else mk, scan_pos + 1)
         d = tail.groupdict()
         d["desc"] = item_text[scan_pos:desc_end]
+        d["span"] = (scan_pos, tail.end())
         yield d
         scan_pos = tail.end()
         pos = scan_pos
@@ -310,6 +313,7 @@ def extract_items_sp(item_text: str, data_compra: Optional[str]) -> List[Dict]:
                 "valor_unitario": vu if vu is not None else round(vt / qtd, 2),
                 "valor_total": vt,
                 "data_compra": data_compra,
+                "_span": {"start": m["span"][0], "end": m["span"][1]},
             }
         )
     return itens
@@ -342,9 +346,11 @@ def parse_nfce_html(html: str, enable_debug: bool = False) -> Dict:
     itens = extract_items_sp(item_text, data_compra)
     total_nota = extract_total_html(page_text)
 
+    spans = [it.pop("_span", None) for it in itens]
     out = {
         "tipo_documento": "gasto",
         "itens": itens,
+        "spans": [s for s in spans if s is not None],  # offsets into extracted_text
         "total_nota": total_nota,
         "data_compra": data_compra,
         "origem": "nfce_sp_qrcode_static",

@@ -193,6 +193,16 @@ def extract_items_by_columns(
     """
     data_compra = extract_date(full_text, ref_clock)
 
+    # Character offsets of each token's text inside full_text ("\n".join of
+    # ocr_lines in order) — the provenance base for item spans (north_star:
+    # results carry (url, extracted_text, spans, confidence)).
+    offs: Dict[int, Tuple[int, int]] = {}
+    pos = 0
+    for t in ocr_lines:
+        txt = t.get("text") or ""
+        offs[id(t)] = (pos, pos + len(txt))
+        pos += len(txt) + 1
+
     start_y = 0
     for t in ocr_lines:
         up = (t.get("text") or "").upper()
@@ -244,11 +254,14 @@ def extract_items_by_columns(
         right_tokens = [t for t in g["tokens"] if (t["x_position"] or 0) >= X_RIGHT_MIN]
         valor_total = parse_total_from_tokens(right_tokens)
 
+        span_tokens = list(g["tokens"])
         if valor_total is None:
             g2 = next_group(i, max_delta=18)
             if g2:
                 right_tokens_2 = [t for t in g2["tokens"] if (t["x_position"] or 0) >= X_RIGHT_MIN]
                 valor_total = parse_total_from_tokens(right_tokens_2)
+                if valor_total is not None:
+                    span_tokens += right_tokens_2  # J1: total sourced downstream
 
         if valor_total is None and valor_unitario is not None:
             if quantidade is None or abs(quantidade - 1.0) < 1e-6:
@@ -272,6 +285,10 @@ def extract_items_by_columns(
             "data_compra": data_compra if tipo == "gasto" else None,
             "data_venda": data_compra if tipo == "venda" else None,
             "_sq": sq,
+            "_span": {
+                "start": min(offs[id(t)][0] for t in span_tokens),
+                "end": max(offs[id(t)][1] for t in span_tokens),
+            },
         }
 
         prev = itens_by_sq.get(sq)
@@ -304,6 +321,7 @@ def structure_document(
         return {
             "tipo_documento": "erro",
             "itens": [],
+            "spans": [],
             "qrcode_url": qr_data[0]["data"] if qr_data else None,
             "mensagem": "Nenhuma linha OCR encontrada",
             "confianca": 0.0,
@@ -313,10 +331,12 @@ def structure_document(
     tipo = "venda" if any(k in full_text.lower() for k in KEYWORDS_VENDA) else "gasto"
 
     itens = extract_items_by_columns(ocr_lines, tipo, full_text, ref_clock)
+    spans = [it.pop("_span", None) for it in itens]
 
     return {
         "tipo_documento": tipo,
         "itens": itens,
+        "spans": [s for s in spans if s is not None],
         "qrcode_url": qr_data[0]["data"] if qr_data else None,
         "mensagem": None if itens else "Nenhum item detectado",
         "confianca": 1.0 if itens else 0.0,

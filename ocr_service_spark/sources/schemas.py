@@ -51,6 +51,16 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("tipo_documento", T.StringType(), True),
         T.StructField("itens", T.ArrayType(ITEM_STRUCT), True),
         T.StructField("itens_json", T.StringType(), True),
+        # character-offset provenance of each item into extracted_text,
+        # aligned with itens (north_star: url/extracted_text/spans/confidence)
+        T.StructField(
+            "spans",
+            T.ArrayType(T.StructType([
+                T.StructField("start", T.IntegerType(), True),
+                T.StructField("end", T.IntegerType(), True),
+            ])),
+            True,
+        ),
         T.StructField("extracted_text", T.StringType(), True),
         T.StructField("qrcode_url", T.StringType(), True),
         T.StructField("confianca", T.DoubleType(), True),

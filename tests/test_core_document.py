@@ -86,3 +86,39 @@ class TestDispatch:
         # compact starlette-style separators, non-ascii preserved
         assert '", "' not in out["itens_json"]
         assert "PÃO" in out["itens_json"]
+
+
+class TestSpans:
+    """spans are character offsets into extracted_text, aligned with itens
+    (north_star output contract: url, extracted_text, spans, confidence)."""
+
+    def test_html_path_spans_cover_items(self):
+        from ocr_service_spark.sources.synth import _danfe_html
+
+        r = doc.extract_document("u", _danfe_html(3, 42, 4))
+        assert len(r["spans"]) == len(r["itens"]) == 4
+        text = r["extracted_text"]
+        for it, sp in zip(r["itens"], r["spans"]):
+            frag = text[sp["start"]:sp["end"]]
+            assert it["item"] in frag
+            assert "(Código:" in frag and "Vl. Total" in frag
+        # spans are ordered and non-overlapping on the HTML path
+        ends = [sp["end"] for sp in r["spans"]]
+        starts = [sp["start"] for sp in r["spans"]]
+        assert all(e <= s for e, s in zip(ends, starts[1:]))
+
+    def test_token_path_spans_cover_items(self):
+        from ocr_service_spark.sources.synth import _token_doc
+
+        r = doc.extract_document("u", _token_doc(64, 42))
+        assert len(r["spans"]) == len(r["itens"]) >= 1
+        text = r["extracted_text"]
+        for it, sp in zip(r["itens"], r["spans"]):
+            assert 0 <= sp["start"] < sp["end"] <= len(text)
+            # the item's sq+code header line lies inside its span
+            assert it["item"].split()[0] in text[sp["start"]:sp["end"]]
+
+    def test_error_paths_empty_spans(self):
+        for payload in (b"", b"%PDF-junk", None):
+            r = doc.extract_document("u", payload)
+            assert r["spans"] == []

@@ -46,7 +46,12 @@ CASES = [
 
 
 def oracle(text):
-    return [m.groupdict() for m in RE_ITEM_SP.finditer(text)]
+    out = []
+    for m in RE_ITEM_SP.finditer(text):
+        d = m.groupdict()
+        d["span"] = (m.start(), m.end())
+        out.append(d)
+    return out
 
 
 def test_equivalence_battery():
