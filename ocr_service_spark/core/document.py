@@ -26,7 +26,15 @@ import json
 from datetime import datetime
 from typing import Dict, List, Optional
 
-from .html_extract import normalize_html_payload, parse_nfce_html
+from .html_extract import (
+    extract_date_html,
+    extract_items_sp,
+    extract_total_html,
+    normalize_html_payload,
+    normalize_item_text,
+    parse_nfce_html,
+)
+from .pdf_layout import decode_layout_payload, layout_to_text
 from .sniff import (
     FMT_EMPTY,
     FMT_HTML,
@@ -179,7 +187,37 @@ def extract_document(
             )
             return out
 
-        # pdf / unknown — the content-type guard as an in-band error row
+        if fmt == FMT_PDF:
+            pages = decode_layout_payload(bytes(payload))
+            if pages is not None:
+                # pdfminer-style reading-order reconstruction, then the same
+                # text-path field extraction the HTML route uses (north_star:
+                # "page -> textbox -> line -> char reading-order
+                # reconstruction"); real PDFs without an inline layout dump
+                # stay error rows until a decoder backend is plugged in.
+                text = layout_to_text(pages)
+                data_compra = extract_date_html(text)
+                item_text = normalize_item_text(text)
+                itens = extract_items_sp(item_text, data_compra)
+                spans = [it.pop("_span", None) for it in itens]
+                out = _empty_result(url, fmt, None)
+                out.update(
+                    {
+                        "tipo_documento": "gasto",
+                        "itens": _norm_items(itens),
+                        "spans": [s for s in spans if s is not None],
+                        "extracted_text": item_text,
+                        "confianca": 1.0 if itens else 0.0,
+                        "mensagem": None,
+                        "total_nota": extract_total_html(text),
+                        "data_compra": data_compra,
+                        "origem": "pdf_layout",
+                    }
+                )
+                return out
+
+        # pdf-without-layout / unknown — the content-type guard as an
+        # in-band error row
         guard_fmt = fmt if fmt in (FMT_PDF, FMT_UNKNOWN) else FMT_UNKNOWN
         return _empty_result(url, guard_fmt, "Arquivo deve ser uma imagem")
 

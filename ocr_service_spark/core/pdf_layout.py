@@ -1,0 +1,172 @@
+"""pdfminer-style PDF layout reconstruction (reference-twin, pure Python).
+
+The north_star extends the reference's per-document extraction with
+"pdfminer-style layout parsing (page -> textbox -> line -> char
+reading-order reconstruction)". No PDF decoder ships in this environment,
+so — exactly like the OCR path's FixtureOcrBackend (core/document.py) —
+the decode step is pluggable: a layout payload is a PDF-sniffable stream
+(`%PDF-LAYOUTv1` header, so byte-stream sniffing still routes it as PDF)
+carrying the decoded char boxes as JSON. A production backend plugs
+pdfminer's char dump in behind `decode_layout_payload` without touching
+the reconstruction below, which is the real, tested operator:
+
+  chars --(baseline clustering)--> lines
+  lines --(x-overlap + vertical-gap merge)--> textboxes
+  textboxes --(column detection + top-down order)--> reading order
+  chars within a line --(gap > 0.3 x char width)--> word boundaries
+
+Coordinates are screen-style (y grows downward), matching the OCR token
+path. All thresholds are ratios of glyph geometry, not absolute pixels, so
+the reconstruction is resolution-independent.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Tuple
+
+PDF_LAYOUT_MAGIC = b"%PDF-LAYOUTv1\n"
+
+# Geometry thresholds (ratios of char height/width — pdfminer's LAParams
+# shape: line_overlap/char_margin/line_margin analogs).
+LINE_TOL_RATIO = 0.5    # baseline distance tolerance, x char height
+WORD_GAP_RATIO = 0.3    # horizontal gap that starts a new word, x char width
+CHAR_MARGIN_RATIO = 2.0  # horizontal gap that splits a line (pdfminer char_margin)
+BOX_GAP_RATIO = 1.5     # vertical gap that splits textboxes, x line height
+BOX_OVERLAP_RATIO = 0.5  # min x-range overlap for lines to share a textbox
+
+
+def decode_layout_payload(payload: bytes) -> Optional[List[List[Dict]]]:
+    """PDF_LAYOUT_MAGIC + JSON -> pages (list of char-dict lists), else None.
+    A char dict is {"c": str, "x0","y0","x1","y1": float}."""
+    if not payload.startswith(PDF_LAYOUT_MAGIC):
+        return None
+    try:
+        doc = json.loads(payload[len(PDF_LAYOUT_MAGIC):].decode("utf-8"))
+        pages = doc.get("pages")
+        return pages if isinstance(pages, list) else None
+    except Exception:
+        return None
+
+
+def chars_to_lines(chars: List[Dict]) -> List[Dict]:
+    """Greedy baseline clustering of chars into visual lines.
+
+    Same drifting-centroid shape as the OCR path's group_by_y (A1,
+    structuring.py) but with a glyph-relative tolerance. Lines come out
+    top-to-bottom, chars within a line left-to-right.
+    """
+    out: List[Dict] = []
+    for ch in sorted(chars, key=lambda c: (c["y0"], c["x0"])):
+        h = max(ch["y1"] - ch["y0"], 1e-6)
+        placed = False
+        for ln in out:
+            if abs(ch["y0"] - ln["y_ref"]) <= LINE_TOL_RATIO * h:
+                ln["chars"].append(ch)
+                ln["y_ref"] = (ln["y_ref"] + ch["y0"]) / 2.0
+                placed = True
+                break
+        if not placed:
+            out.append({"y_ref": ch["y0"], "chars": [ch]})
+    # pdfminer char_margin: a horizontal gap > CHAR_MARGIN_RATIO x char width
+    # splits a baseline cluster into separate lines (this is what keeps
+    # side-by-side columns from interleaving into one line)
+    split: List[Dict] = []
+    for ln in out:
+        ln["chars"].sort(key=lambda c: c["x0"])
+        cur = [ln["chars"][0]]
+        for ch in ln["chars"][1:]:
+            w = max(ch["x1"] - ch["x0"], 1e-6)
+            if ch["x0"] - cur[-1]["x1"] > CHAR_MARGIN_RATIO * w:
+                split.append({"y_ref": ln["y_ref"], "chars": cur})
+                cur = [ch]
+            else:
+                cur.append(ch)
+        split.append({"y_ref": ln["y_ref"], "chars": cur})
+    for ln in split:
+        ln["x0"] = min(c["x0"] for c in ln["chars"])
+        ln["x1"] = max(c["x1"] for c in ln["chars"])
+        ln["y0"] = min(c["y0"] for c in ln["chars"])
+        ln["y1"] = max(c["y1"] for c in ln["chars"])
+    split.sort(key=lambda ln: (ln["y_ref"], ln["x0"]))
+    return split
+
+
+def line_text(ln: Dict) -> str:
+    """Chars -> string; a horizontal gap > WORD_GAP_RATIO x char width
+    becomes a single space (pdfminer word-boundary heuristic)."""
+    parts: List[str] = []
+    prev_x1: Optional[float] = None
+    for ch in ln["chars"]:
+        w = max(ch["x1"] - ch["x0"], 1e-6)
+        if prev_x1 is not None and ch["x0"] - prev_x1 > WORD_GAP_RATIO * w:
+            parts.append(" ")
+        parts.append(ch["c"])
+        prev_x1 = ch["x1"]
+    return "".join(parts)
+
+
+def _x_overlap(a: Dict, b: Dict) -> float:
+    inter = min(a["x1"], b["x1"]) - max(a["x0"], b["x0"])
+    width = min(a["x1"] - a["x0"], b["x1"] - b["x0"])
+    return inter / width if width > 0 else 0.0
+
+
+def lines_to_textboxes(lines: List[Dict]) -> List[Dict]:
+    """Merge consecutive lines into textboxes when their x-ranges overlap
+    >= BOX_OVERLAP_RATIO and the vertical gap < BOX_GAP_RATIO x line height."""
+    boxes: List[Dict] = []
+    for ln in lines:
+        h = max(ln["y1"] - ln["y0"], 1e-6)
+        target = None
+        for bx in boxes:
+            gap = ln["y0"] - bx["y1"]
+            if 0 <= gap < BOX_GAP_RATIO * h and _x_overlap(bx, ln) >= BOX_OVERLAP_RATIO:
+                target = bx
+                break
+        if target is None:
+            boxes.append(
+                {"lines": [ln], "x0": ln["x0"], "x1": ln["x1"],
+                 "y0": ln["y0"], "y1": ln["y1"]}
+            )
+        else:
+            target["lines"].append(ln)
+            target["x0"] = min(target["x0"], ln["x0"])
+            target["x1"] = max(target["x1"], ln["x1"])
+            target["y1"] = max(target["y1"], ln["y1"])
+    return boxes
+
+
+def reading_order(boxes: List[Dict]) -> List[Dict]:
+    """Column-aware ordering: if the boxes split cleanly at the page's
+    horizontal midpoint (no box straddles the gutter and both sides are
+    populated), emit the full left column top-down, then the right column;
+    otherwise plain top-down, ties left-to-right."""
+    if not boxes:
+        return []
+    mid = (min(b["x0"] for b in boxes) + max(b["x1"] for b in boxes)) / 2.0
+    left = [b for b in boxes if b["x1"] <= mid]
+    right = [b for b in boxes if b["x0"] >= mid]
+    if left and right and len(left) + len(right) == len(boxes):
+        key = lambda b: (b["y0"], b["x0"])  # noqa: E731
+        return sorted(left, key=key) + sorted(right, key=key)
+    return sorted(boxes, key=lambda b: (b["y0"], b["x0"]))
+
+
+def layout_to_text(pages: List[List[Dict]]) -> str:
+    """Full reconstruction: per page, chars -> lines -> textboxes -> ordered
+    text. Lines join with "\\n" inside a textbox, textboxes with "\\n\\n",
+    pages with "\\f" (pdfminer page separator)."""
+    page_texts: List[str] = []
+    for chars in pages:
+        valid = [
+            c for c in chars
+            if isinstance(c, dict) and c.get("c")
+            and all(k in c for k in ("x0", "y0", "x1", "y1"))
+        ]
+        lines = chars_to_lines(valid)
+        boxes = reading_order(lines_to_textboxes(lines))
+        page_texts.append(
+            "\n\n".join("\n".join(line_text(ln) for ln in bx["lines"]) for bx in boxes)
+        )
+    return "\f".join(page_texts)

@@ -146,6 +146,56 @@ def _token_doc(doc_id: int, seed: int) -> bytes:
     return TOKEN_MAGIC + json.dumps(payload, ensure_ascii=False).encode("utf-8")
 
 
+def _layout_chars(text: str, x: float, y: float, w: float = 6.0, h: float = 10.0):
+    """Render a string as char boxes; literal spaces become gaps (one char
+    width), which the reading-order reconstruction re-inserts as word
+    boundaries (core/pdf_layout.py WORD_GAP_RATIO)."""
+    chars = []
+    cx = x
+    for ch in text:
+        if ch != " ":
+            chars.append({"c": ch, "x0": cx, "y0": y, "x1": cx + w, "y1": y + h})
+        cx += w
+    return chars
+
+
+def _pdf_layout_doc(doc_id: int, seed: int) -> bytes:
+    """A DANFE-shaped PDF layout payload: %PDF-sniffable, carrying decoded
+    char boxes (the pluggable-decoder injection point, mirroring the OCR
+    path's token payloads). Char order is deterministically scrambled so the
+    document only reads correctly through the layout reconstruction."""
+    from ..core.pdf_layout import PDF_LAYOUT_MAGIC
+
+    n_items = _h(doc_id, seed, "pn") % 4 + 1
+    day = _h(doc_id, seed, "pday") % 28 + 1
+    two_col = _h(doc_id, seed, "pcol") % 2 == 0
+    chars, total, y = [], 0.0, 40.0
+    chars += _layout_chars("DOCUMENTO AUXILIAR NFC-e (PDF)", 20, 10)
+    for i in range(n_items):
+        prod = _PRODUCTS[_h(doc_id, seed, f"pp{i}") % len(_PRODUCTS)]
+        code = 78900000000 + (_h(doc_id, seed, f"pc{i}") % 99999999)
+        qtd, vu = _qty(doc_id, seed, 200 + i), _price(doc_id, seed, 200 + i)
+        vt = round(qtd * vu, 2)
+        total += vt
+        qs = _fmt_brl(qtd) if qtd != int(qtd) else str(int(qtd))
+        chars += _layout_chars(
+            f"{prod} (Código: {code}) Qtde.: {qs} UN: UN "
+            f"Vl. Unit.: {_fmt_brl(vu)} Vl. Total {_fmt_brl(vt)}",
+            20, y,
+        )
+        y += 14 if _h(doc_id, seed, f"pw{i}") % 3 else 30  # textbox splits
+    foot_x = 700 if two_col else 20  # clear of item lines (<=~580px wide)
+    foot_y = 40.0 if two_col else y + 40
+    chars += _layout_chars(f"Valor a pagar R$:{_fmt_brl(round(total, 2))}", foot_x, foot_y)
+    chars += _layout_chars(f"Emissão: {day:02d}/12/2025", foot_x, foot_y + 14)
+    # scramble: reconstruction must not depend on char emission order
+    chars.sort(key=lambda c: _h(doc_id, seed, f"shuf{c['x0']}:{c['y0']}:{c['c']}"))
+    pages = [chars]
+    if _h(doc_id, seed, "pmulti") % 3 == 0:
+        pages.append(_layout_chars("CONSULTE PELA CHAVE DE ACESSO", 20, 10))
+    return PDF_LAYOUT_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False).encode("utf-8")
+
+
 def gen_page(doc_id: int, seed: int = 42) -> Dict:
     """One deterministic page row in PAGES_SCHEMA shape."""
     cls = doc_id % 100
@@ -157,8 +207,10 @@ def gen_page(doc_id: int, seed: int = 42) -> Dict:
         html = _boilerplate_html(doc_id, seed)
     elif cls < 87:
         html = b""
-    elif cls < 91:
+    elif cls < 89:
         html = b"%PDF-1.7\n" + hashlib.blake2b(f"{seed}:{doc_id}:pdf".encode(), digest_size=32).digest()
+    elif cls < 91:
+        html = _pdf_layout_doc(doc_id, seed)
     elif cls < 95:
         html = bytes([_h(doc_id, seed, f"u{i}") % 251 + 1 for i in range(32)])
     elif cls < 99:

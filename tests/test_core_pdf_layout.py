@@ -1,0 +1,93 @@
+"""PDF layout reconstruction: chars -> lines -> textboxes -> reading order
+(north_star: pdfminer-style page/textbox/line/char reconstruction)."""
+
+import json
+
+from ocr_service_spark.core import pdf_layout as pl
+from ocr_service_spark.core.document import extract_document
+
+
+def chars_for(text, x, y, w=6.0, h=10.0):
+    out, cx = [], x
+    for ch in text:
+        if ch != " ":
+            out.append({"c": ch, "x0": cx, "y0": y, "x1": cx + w, "y1": y + h})
+        cx += w
+    return out
+
+
+def payload(pages):
+    return pl.PDF_LAYOUT_MAGIC + json.dumps({"pages": pages}).encode()
+
+
+class TestReconstruction:
+    def test_scrambled_chars_reassemble(self):
+        chars = chars_for("HELLO WORLD", 0, 0)
+        chars.reverse()
+        assert pl.layout_to_text([chars]) == "HELLO WORLD"
+
+    def test_word_gaps_reinserted(self):
+        # literal spaces were never emitted; gaps must become single spaces
+        assert pl.layout_to_text([chars_for("A B  C", 0, 0)]) == "A B C"
+
+    def test_baseline_jitter_same_line(self):
+        chars = chars_for("AB", 0, 0)
+        chars[1]["y0"] += 3  # within 0.5 x height tolerance
+        chars[1]["y1"] += 3
+        assert pl.layout_to_text([chars]) == "AB"
+
+    def test_char_margin_splits_columns(self):
+        # same baseline, far apart horizontally -> separate lines, not
+        # an interleaved mess (pdfminer char_margin)
+        chars = chars_for("LEFT", 0, 0) + chars_for("RIGHT", 500, 0)
+        text = pl.layout_to_text([chars])
+        assert "LEFT" in text and "RIGHT" in text
+        assert "LRIGHT" not in text and "LEFTR" not in text
+
+    def test_two_column_reading_order(self):
+        # left column read fully before right column
+        chars = (
+            chars_for("L1", 0, 0) + chars_for("L2", 0, 14)
+            + chars_for("R1", 500, 0) + chars_for("R2", 500, 14)
+        )
+        text = pl.layout_to_text([chars])
+        assert text.index("L2") < text.index("R1")
+
+    def test_vertical_gap_splits_textboxes(self):
+        chars = chars_for("PARA1", 0, 0) + chars_for("PARA2", 0, 100)
+        assert "\n\n" in pl.layout_to_text([chars])
+
+    def test_pages_joined_with_formfeed(self):
+        text = pl.layout_to_text([chars_for("P1", 0, 0), chars_for("P2", 0, 0)])
+        assert text == "P1\fP2"
+
+    def test_malformed_chars_skipped(self):
+        chars = chars_for("OK", 0, 0) + [{"c": "x"}, {"x0": 1}, "junk", {"c": "", "x0": 0, "y0": 0, "x1": 1, "y1": 1}]
+        assert pl.layout_to_text([chars]) == "OK"
+
+
+class TestDocumentIntegration:
+    def test_layout_pdf_extracts_items(self):
+        from ocr_service_spark.sources.synth import _pdf_layout_doc
+
+        for did in (8901, 8925, 8926):
+            r = extract_document("u", _pdf_layout_doc(did, 42))
+            assert r["fmt"] == "pdf" and r["origem"] == "pdf_layout"
+            assert len(r["itens"]) >= 1 and r["total_nota"] is not None
+            assert len(r["spans"]) == len(r["itens"])
+            for it, sp in zip(r["itens"], r["spans"]):
+                assert it["item"] in r["extracted_text"][sp["start"]:sp["end"]]
+
+    def test_junk_pdf_stays_error_row(self):
+        r = extract_document("u", b"%PDF-1.7\n\x00\x01binary")
+        assert r["tipo_documento"] == "erro" and r["fmt"] == "pdf"
+        assert r["mensagem"] == "Arquivo deve ser uma imagem"
+
+    def test_corrupt_layout_json_is_error_row(self):
+        r = extract_document("u", pl.PDF_LAYOUT_MAGIC + b"{not json")
+        assert r["tipo_documento"] == "erro"
+
+    def test_empty_pages_ok(self):
+        r = extract_document("u", payload([]))
+        assert r["tipo_documento"] == "gasto" and r["itens"] == []
+        assert r["confianca"] == 0.0

@@ -59,6 +59,7 @@ class TestByteIdentity:
         # at least one doc got items through each happy path
         assert any(r["n_itens"] > 0 and r["fmt"] == "html" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "tokens" for r in results_rows.values())
+        assert any(r["n_itens"] > 0 and r["fmt"] == "pdf" for r in results_rows.values())
 
 
 class TestLineageAndResume:
