@@ -726,6 +726,50 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: exact (md5) + near-dup (Jaccard) pairs →
+    connected components; component = smallest doc_id reachable. Oracle is
+    a recursive-CTE transitive closure over the identical edge set."""
+    from .operators.dedup import duplicate_clusters
+    return duplicate_clusters(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        ["source", "lang", "n_chars"], threshold=0.5,
+    )
+
+
+SQL_CC = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, source, lang, n_chars,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words
+  FROM documents
+), jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b
+    ON a.source = b.source AND a.lang = b.lang AND a.n_chars = b.n_chars
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(a.words || b.words)) AS DOUBLE) >= 0.5
+), ep AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION SELECT id_b, id_a FROM jp
+  UNION SELECT id_a, id_b FROM ep
+  UNION SELECT id_b, id_a FROM ep
+), reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(COALESCE(MIN(reach.r), d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+GROUP BY d.doc_id
+"""
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin).
     Verified structurally: every exact-duplicate pair MUST appear."""
@@ -978,6 +1022,7 @@ CATALOG: Dict[str, tuple] = {
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_clusters_cc": (q_dedup_clusters, SQL_CC),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

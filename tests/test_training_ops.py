@@ -108,3 +108,33 @@ class TestMultimodal:
         rows = sample_video_frames(media, every_n=2).collect()
         assert len(rows) >= 10  # 1:N fan-out happened
         assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, pairs):
+        from ocr_service_spark.operators.dedup import connected_components
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        rows = connected_components(df).collect()
+        return {r.id: r.component for r in rows}
+
+    def test_chain_collapses_to_min(self, spark):
+        # path graph — the adversarial case for naive label propagation
+        comp = self._cc(spark, [(i, i + 1) for i in range(1, 20)])
+        assert set(comp.values()) == {1}
+
+    def test_two_components_and_star(self, spark):
+        comp = self._cc(spark, [(10, 11), (11, 12), (20, 21), (22, 21), (23, 21)])
+        assert comp[10] == comp[11] == comp[12] == 10
+        assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+    def test_duplicate_edges_and_reversed(self, spark):
+        comp = self._cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+        assert comp == {1: 1, 2: 1, 3: 1}
+
+    def test_duplicate_clusters_singletons(self, spark):
+        from ocr_service_spark.operators.dedup import duplicate_clusters
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = duplicate_clusters(docs, "doc_id", "text", ["source", "lang", "n_chars"], 0.5)
+        n = docs.count()
+        assert out.count() == n  # every doc labeled exactly once
+        assert out.filter("component > id").count() == 0  # keeper is min id
