@@ -88,6 +88,8 @@ HEADLINE = [
     "w3_dedupe_keep_best",
     "a4_ordered_concat",
     "dedup_exact",
+    "dedup_clusters_cc",
+    "x15_money_values",
     "minhash_lsh_candidates",
     "simhash_fingerprint",
     "ann_cosine_topk",
