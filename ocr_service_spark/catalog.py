@@ -479,6 +479,56 @@ def q_a7_lineage_metrics(spark, sf_dir):
 # Aggregation analogs (SURVEY.md §2.4)
 # --------------------------------------------------------------------------
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup via canonicalization: junk-decorated URL variants
+    (tracking params, fragments, case, default ports, trailing slash)
+    collapse onto one canonical form; groups report size + keeper."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = (
+        F.when(k % 4 == 0, F.concat(F.lit("https://WWW.Shop.example:443/p/"), F.floor(k / 4).cast("long").cast("string"), F.lit("/?utm_source=mail&utm_id=7")))
+        .when(k % 4 == 1, F.concat(F.lit("https://www.shop.example/p/"), F.floor(k / 4).cast("long").cast("string"), F.lit("/#frag")))
+        .when(k % 4 == 2, F.concat(F.lit("https://www.shop.example/p/"), F.floor(k / 4).cast("long").cast("string"), F.lit("?fbclid=abc&x=1")))
+        .otherwise(F.concat(F.lit("http://other.example:80/q?id="), k.cast("string")))
+    )
+    base = c.select("c_custkey", raw.alias("url"), A.canonical_url(raw).alias("canon"))
+    return (
+        base.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("c_custkey").alias("keeper"))
+    )
+
+
+SQL_URL_CANON = """
+WITH r AS (
+  SELECT c_custkey,
+         CASE
+           WHEN c_custkey % 4 = 0 THEN 'https://WWW.Shop.example:443/p/' || CAST(CAST(FLOOR(c_custkey / 4) AS BIGINT) AS VARCHAR) || '/?utm_source=mail&utm_id=7'
+           WHEN c_custkey % 4 = 1 THEN 'https://www.shop.example/p/' || CAST(CAST(FLOOR(c_custkey / 4) AS BIGINT) AS VARCHAR) || '/#frag'
+           WHEN c_custkey % 4 = 2 THEN 'https://www.shop.example/p/' || CAST(CAST(FLOOR(c_custkey / 4) AS BIGINT) AS VARCHAR) || '?fbclid=abc&x=1'
+           ELSE 'http://other.example:80/q?id=' || CAST(c_custkey AS VARCHAR)
+         END AS url
+  FROM customer
+), s AS (
+  SELECT c_custkey,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+           '#.*', ''),
+           '[?&](?:utm_[^&=#]*|fbclid|gclid)=[^&]*', '', 'g'),
+           '\\?&', '?'),
+           '[?&]$', '') AS u
+  FROM r
+), p AS (
+  SELECT c_custkey, u, regexp_extract(u, '^(https?://[^/?#]*)', 1) AS head
+  FROM s
+)
+SELECT regexp_replace(lower(head), ':(80|443)$', '')
+       || regexp_replace(substr(u, length(head) + 1), '/$', '') AS canon,
+       COUNT(*) AS n_variants,
+       MIN(c_custkey) AS keeper
+FROM p
+GROUP BY 1
+"""
+
+
 def q_a3_keyword_classify(spark, sf_dir):
     """A3/X18: substring keyword classification (app/ocr_engine.py:15,163)."""
     d = load(spark, sf_dir, "documents")
@@ -1010,6 +1060,7 @@ CATALOG: Dict[str, tuple] = {
     "x16_normalize_date": (q_x16_normalize_date, SQL_X16),
     "x17_clean_item_name": (q_x17_clean_item_name, SQL_X17),
     "x14_clean_url": (q_x14_clean_url, SQL_X14),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
     "a3_keyword_classify": (q_a3_keyword_classify, SQL_A3),
     "a4_ordered_concat": (q_a4_ordered_concat, SQL_A4),
     "a5_confidence_flag": (q_a5_confidence_flag, SQL_A5),

@@ -132,6 +132,22 @@ def clean_url(col: Column) -> Column:
     return F.substring_index(col, "|", 1)
 
 
+def canonical_url(col: Column) -> Column:
+    """Web-scale URL canonicalization for URL-level dedup: drop fragment,
+    strip tracking params (utm_*, fbclid, gclid), lowercase scheme+host,
+    drop default ports, drop a trailing slash. Pure regex/substring ops so
+    the DuckDB oracle applies the identical transformation."""
+    u = F.regexp_replace(col, r"#.*", "")
+    u = F.regexp_replace(u, r"[?&](?:utm_[^&=#]*|fbclid|gclid)=[^&]*", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    head = F.regexp_extract(u, r"^(https?://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(head, rest)
+
+
 def epoch_seconds(col: Column) -> Column:
     """Epoch seconds (floor) from TIMESTAMP or TIMESTAMP_NTZ; NTZ is routed
     through a session-tz cast (session tz pinned to UTC in session.py), which
