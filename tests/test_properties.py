@@ -1,0 +1,113 @@
+"""Property tests (SURVEY.md §5.2.4) — hypothesis-driven invariants of the
+extraction core: BRL parse round-trips, permutation-stable grouping, salvage
+firing rules, scanner/parser flatten equivalence on adversarial markup."""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.core import html_extract as hx
+from ocr_service_spark.core import structuring as struct
+from ocr_service_spark.core.textnorm import to_float
+
+
+class TestToFloat:
+    @given(st.integers(min_value=0, max_value=99_999_999))
+    def test_brl_two_decimal_round_trip(self, cents):
+        v = cents / 100.0
+        brl = f"{v:.2f}".replace(".", ",")
+        assert to_float(brl) == v
+
+    @given(st.integers(min_value=100_000, max_value=99_999_999))
+    def test_thousands_separator_round_trip(self, cents):
+        v = cents / 100.0
+        whole, frac = f"{v:.2f}".split(".")
+        groups = []
+        while whole:
+            groups.append(whole[-3:])
+            whole = whole[:-3]
+        brl = ".".join(reversed(groups)) + "," + frac
+        assert to_float(brl) == v
+
+    @given(st.text(alphabet="abcXYZ!@# ", max_size=12))
+    def test_garbage_returns_none_not_raise(self, s):
+        r = to_float(s)
+        assert r is None or isinstance(r, float)
+
+
+class TestGroupByY:
+    # NB: unique (y,x) only — on exact (y,x) ties the reference's stable
+    # sort (app/ocr_engine.py:335) preserves INPUT order, so tie order is
+    # input-order-sensitive by design (found by hypothesis).
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 400), st.integers(0, 1200), st.text("AB1", min_size=1, max_size=4)),
+            min_size=1, max_size=25,
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+        st.randoms(),
+    )
+    @settings(max_examples=60)
+    def test_permutation_stable(self, rows, rnd):
+        toks = [
+            {"text": t, "confidence": 0.9, "y_position": y, "x_position": x}
+            for y, x, t in rows
+        ]
+        shuffled = list(toks)
+        rnd.shuffle(shuffled)
+        a = struct.group_by_y([dict(t) for t in toks])
+        b = struct.group_by_y([dict(t) for t in shuffled])
+        strip = lambda gs: [  # noqa: E731
+            (g["y_ref"], [(t["y_position"], t["x_position"], t["text"]) for t in g["tokens"]])
+            for g in gs
+        ]
+        assert strip(a) == strip(b)
+
+    @given(st.lists(st.integers(0, 300), min_size=1, max_size=20))
+    def test_every_token_in_exactly_one_group(self, ys):
+        toks = [{"text": "t", "confidence": 0.9, "y_position": y, "x_position": 1} for y in ys]
+        groups = struct.group_by_y(toks)
+        assert sum(len(g["tokens"]) for g in groups) == len(toks)
+
+
+class TestSalvage:
+    @given(st.text(alphabet="0123456789'` abZ", max_size=10))
+    def test_fires_only_on_3_or_4_digits(self, s):
+        digits = "".join(c for c in s if c.isdigit())
+        out = struct.parse_total_from_tokens(
+            [{"text": s, "confidence": 0.9, "y_position": 0, "x_position": 950}]
+        )
+        has_money = struct.RE_MONEY.search(struct.norm_text(s) if hasattr(struct, "norm_text") else s)
+        if not has_money:
+            if len(digits) in (3, 4):
+                assert out is not None
+            else:
+                assert out is None
+
+
+class TestFlattenEquivalence:
+    @given(
+        st.text(
+            alphabet=st.sampled_from(list("<>/ab &;!-='\"pscript ")),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=300)
+    def test_fast_scanner_matches_parser(self, s):
+        assert hx.flatten_html(s) == hx.flatten_html_parser(s)
+
+
+class TestItemScore:
+    @given(
+        st.builds(
+            dict,
+            item=st.one_of(st.none(), st.just("X")),
+            quantidade=st.one_of(st.none(), st.just(1.0)),
+            valor_unitario=st.one_of(st.none(), st.just(2.0)),
+            valor_total=st.one_of(st.none(), st.just(3.0)),
+        )
+    )
+    def test_score_counts_populated_fields(self, it):
+        expect = sum(1 for v in it.values() if v)
+        assert struct.item_score(it) == expect
