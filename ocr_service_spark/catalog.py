@@ -711,10 +711,15 @@ GROUP BY r_name, n_name
 
 
 def q_anti_no_orders(spark, sf_dir):
-    """J3 shape: LEFT ANTI join (the resume set-difference) — customers
-    without orders per segment."""
+    """J3 shape: LEFT ANTI join (the resume set-difference) — customers with
+    no orders in a recent window (window keeps the anti-set non-empty, so
+    the value-hash check is substantive at every SF)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -725,7 +730,11 @@ def q_anti_no_orders(spark, sf_dir):
 SQL_ANTI = """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
 GROUP BY c_mktsegment
 """
 
@@ -735,14 +744,26 @@ GROUP BY c_mktsegment
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup via md5 content fingerprint (hash groupBy)."""
+    """Exact dedup via md5 content fingerprint (hash groupBy). The driver's
+    documents table has no byte-identical rows, so mirror-side clones of
+    every 50th doc are unioned in — the duplicate groups are then non-empty
+    and the value-hash check is substantive."""
     from .operators.dedup import exact_duplicates
-    return exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text")
+    d = load(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_duplicates(d.unionByName(clones), "doc_id", "text")
 
 
 SQL_DEDUP_EXACT = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT md5(text) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
@@ -836,18 +857,33 @@ def q_simhash_fingerprint(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within label blocks."""
+    """Embedding-cosine near-dup pairs within label blocks. Random vectors
+    never reach cosine 0.9, so scaled clones (x2 — cosine is scale-invariant,
+    and doubling is exact in fp) of every 40th vector are unioned in: their
+    pairs MUST be found, making the check substantive."""
     from .operators.dedup import embedding_near_dup_pairs
+    e = load(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "label",
+    )
     pairs = embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.9
+        e.select("vec_id", "embedding", "label").unionByName(clones),
+        "vec_id", "embedding", "label", 0.9,
     )
     return pairs.select("id_a", "id_b")  # cosine dropped: fp-exactness across engines
 
 
 SQL_EMB_NEAR_DUP = """
-WITH v AS (
+WITH base AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
+), v AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, label, list_transform(e, x -> x * 2)
+  FROM base WHERE vec_id % 40 = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
