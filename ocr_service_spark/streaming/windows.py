@@ -1,0 +1,66 @@
+"""Event-time windowed aggregation with watermarking (Structured Streaming).
+
+The reference has no streaming operators (SURVEY.md §2.9); this is the
+engine-added streaming face of the A7 metrics rollup: per event-time window
+counts/sums over an event stream, with a watermark bounding state and
+dropping late data. In append output mode a window only emits once the
+watermark passes its end — exactly-once finalized rows, the property a
+downstream lineage/metrics consumer needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: (ws, we, event_type, n,
+    sum_value). Works on both a streaming and a batch DataFrame — the batch
+    plan is the oracle for the streaming one (watermark is a no-op in
+    batch, so batch output = streaming output plus never-finalized tails
+    and any late-dropped rows)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Drain the file stream (Trigger.AvailableNow) through the windowed
+    aggregate into a parquet sink in append mode: only watermark-finalized
+    windows are written; reruns with the same checkpoint resume and never
+    rewrite an emitted window."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        windowed_event_counts(stream, window=window, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -60,3 +60,65 @@ def test_checkpoint_resume_processes_only_new_files(spark, paths):
     assert out.filter(out.url.startswith("batch2-")).count() == 100
     # no url extracted twice
     assert out.select("url").distinct().count() == 400
+
+
+class TestWatermarkedWindows:
+    """Event-time windows finalize exactly once; late data beyond the
+    watermark cannot rewrite an emitted window (the semantics batch recompute
+    does NOT have)."""
+
+    def test_late_data_dropped_after_finalization(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from ocr_service_spark.streaming.windows import (
+            run_windowed_stream,
+            windowed_event_counts,
+        )
+
+        root = tmp_path_factory.mktemp("winstream")
+        src, sink, ckpt = str(root / "src"), str(root / "sink"), str(root / "ckpt")
+
+        def events(rows):
+            return spark.createDataFrame(
+                [(i, u, t, et, float(v)) for i, (u, t, et, v) in enumerate(rows)],
+                "event_id long, user_id long, ts string, event_type string, value double",
+            ).select(
+                "event_id", "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value",
+            )
+
+        # batch 1: hours 00-06 — watermark ends at 06:30 - 2h = 04:30,
+        # so windows [00,01) ... [03,04) finalize; [05,06) stays open
+        b1 = [(1, f"2025-12-11 0{h}:15:00", "click", 10 + h) for h in range(4)]
+        b1 += [(2, "2025-12-11 05:30:00", "click", 99), (2, "2025-12-11 06:30:00", "view", 7)]
+        events(b1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        run_windowed_stream(spark, src, sink, ckpt, schema)
+        first = {(str(r.ws), r.event_type): r.n for r in spark.read.parquet(sink).collect()}
+        assert len(first) == 4  # hours 0-3 finalized, 5/6 still open
+
+        # batch 2: one LATE row into hour 01 (far below watermark) and one
+        # fresh row advancing the watermark past hours 5/6
+        b2 = [(9, "2025-12-11 01:45:00", "click", 1), (3, "2025-12-11 12:00:00", "click", 5)]
+        events(b2).write.mode("append").parquet(src)
+        run_windowed_stream(spark, src, sink, ckpt, schema)
+
+        out = spark.read.parquet(sink)
+        rows = {(str(r.ws), r.event_type): r.n for r in out.collect()}
+        # hour-01 window emitted exactly once with the ORIGINAL count — the
+        # late row was dropped, not merged, and the window was not rewritten
+        assert rows[("2025-12-11 01:00:00", "click")] == 1
+        assert out.groupBy("ws", "event_type").count().filter("count > 1").count() == 0
+        # hours 5 and 6 finalized by the watermark advance
+        assert ("2025-12-11 05:00:00", "click") in rows
+        assert ("2025-12-11 06:00:00", "view") in rows
+
+        # batch oracle agrees on every emitted window EXCEPT the late drop:
+        # batch (no watermark) counts the late hour-01 row
+        batch = windowed_event_counts(spark.read.parquet(src))
+        brow = {(str(r.ws), r.event_type): r.n for r in batch.collect()}
+        assert brow[("2025-12-11 01:00:00", "click")] == 2  # batch sees late row
+        for k, n in rows.items():
+            if k != ("2025-12-11 01:00:00", "click"):
+                assert brow[k] == n
