@@ -1,0 +1,125 @@
+"""Custom stateful streaming operator: cross-batch sessionization via
+applyInPandasWithState.
+
+The batch engine's gap-sessionization (W2, functions/sql_analogs.sessionize)
+is a window function — it needs all of a user's events in one pass. On an
+unbounded stream that state must live in the engine: this operator keeps one
+(start, last, n, sum_value) session record per user in the state store,
+extends it while events arrive within the gap, EMITS a session row when a
+later event breaks the gap, and emits via event-time timeout when the
+watermark passes last+gap (so idle sessions finalize without a closing
+event). Exactly the A1/W2 semantics, lifted to unbounded input.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType, TimestampType,
+)
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start", TimestampType()),
+    StructField("last", TimestampType()),
+    StructField("n", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+
+def _make_session_fn(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed = []
+
+        def emit(start, last, n, sv):
+            closed.append((user_id, start, last, int(n), float(sv)))
+
+        if state.hasTimedOut:
+            # watermark passed last+gap with no newer event: finalize
+            start, last, n, sv = state.get
+            emit(start, last, n, sv)
+            state.remove()
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+            if state.exists:
+                start, last, n, sv = state.get
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    if last is not None and ts - last > gap:
+                        emit(start, last, n, sv)
+                        start, n, sv = None, 0, 0.0
+                    if start is None:
+                        start = ts
+                    last = ts
+                    n += 1
+                    sv += float(v)
+            state.update((start, last, n, sv))
+            # event-time timeout: fires once the watermark passes last+gap
+            state.setTimeoutTimestamp(int((last + gap).timestamp() * 1000))
+
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events(user_id, ts, value) stream → closed-session rows
+    (SESSION_SCHEMA). Append-mode output: each session emits exactly once,
+    either broken by a later event or finalized by the event-time timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_session_stream(
+    spark, source_path: str, sink_path: str, checkpoint_path: str, schema,
+    gap_seconds: int = 1800, watermark: str = "10 minutes",
+) -> None:
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        sessionize_stream(
+            stream.select("user_id", "ts", "value"), gap_seconds, watermark
+        )
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -122,3 +122,59 @@ class TestWatermarkedWindows:
         for k, n in rows.items():
             if k != ("2025-12-11 01:00:00", "click"):
                 assert brow[k] == n
+
+
+class TestStatefulSessionizer:
+    """applyInPandasWithState sessionizer: sessions close across micro-batch
+    runs (gap break) or via event-time timeout, each emitted exactly once."""
+
+    def test_sessions_close_by_gap_and_timeout(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from ocr_service_spark.streaming.stateful import run_session_stream
+
+        root = tmp_path_factory.mktemp("sessstream")
+        src, sink, ckpt = str(root / "src"), str(root / "sink"), str(root / "ckpt")
+
+        def write(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts string, value double"
+            ).select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            ).write.mode("append").parquet(src)
+
+        # batch 1: user 1 has two events 10 min apart (one session);
+        # user 2 a single event
+        write([(1, "2025-12-11 10:00:00", 1.0), (1, "2025-12-11 10:10:00", 2.0),
+               (2, "2025-12-11 10:05:00", 5.0)])
+        schema = spark.read.parquet(src).schema
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="10 minutes")
+        assert spark.read.parquet(sink).count() == 0  # nothing closed yet
+
+        # batch 2: user 1 returns after 110 min — gap breaks the session
+        write([(1, "2025-12-11 12:00:00", 3.0)])
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="10 minutes")
+        rows = {r.user_id: r for r in spark.read.parquet(sink).collect()}
+        s1 = rows[1]
+        assert str(s1.session_start) == "2025-12-11 10:00:00"
+        assert str(s1.session_end) == "2025-12-11 10:10:00"
+        assert s1.n_events == 2 and s1.sum_value == 3.0
+
+        # batch 3: dummy future event advances the watermark far past
+        # user 2's last+gap — the idle session must finalize via timeout
+        write([(99, "2025-12-11 14:00:00", 0.0)])
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="10 minutes")
+        out = spark.read.parquet(sink)
+        rows = {r.user_id: r for r in out.collect()}
+        s2 = rows[2]
+        assert str(s2.session_start) == "2025-12-11 10:05:00"
+        assert s2.n_events == 1 and s2.sum_value == 5.0
+        # user 1's second session (12:00) also times out under the advanced
+        # watermark — exactly one row per closed session, none re-emitted
+        u1 = {str(r.session_start): r for r in out.filter("user_id = 1").collect()}
+        assert set(u1) == {"2025-12-11 10:00:00", "2025-12-11 12:00:00"}
+        assert u1["2025-12-11 12:00:00"].n_events == 1
+        assert out.groupBy("user_id", "session_start").count().filter("count > 1").count() == 0
