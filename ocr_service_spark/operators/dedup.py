@@ -70,9 +70,15 @@ def token_jaccard_pairs(
     )
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (JVM-side, no UDF)."""
-    w = _words(text_col)
+def shingles(words_col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side, no UDF).
+
+    `words_col` MUST be a bound column holding the precomputed words array,
+    never an inline `split(text)` expression: Catalyst re-evaluates
+    lambda-captured subexpressions per array element, which turns shingling
+    into O(words²) per document — measured 212s for a single 32k-word doc
+    vs 2s with the words materialized in a prior projection."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     return F.when(F.size(w) >= n, F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
@@ -82,15 +88,22 @@ def shingles(text_col, n: int = 3):
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: min over shingles of xxhash64(seed_i,
-    shingle) for each of n_hashes seeded hash functions. One explode + one
-    groupBy — map-side partial min keeps the shuffle tiny."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    """MinHash signature per document: one explode + one groupBy — map-side
+    partial min keeps the shuffle tiny.
+
+    Each shingle STRING is hashed once (xxhash64); the n_hashes seeded
+    functions are derived from that base hash by integer mixing
+    (xxhash64(seed_i, base) — a long-typed hash, ~free next to a string
+    hash). At 100 TB the shingle stream is the dominant cost: hashing each
+    variable-length string n_hashes times would multiply byte traffic
+    through the hash by 16x for zero statistical benefit."""
+    ex = (
+        df.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w"))
+        .select("id", F.explode(shingles("w", shingle_n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("h0"))
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}") for i in range(n_hashes)
     ]
     sig = ex.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))

@@ -138,3 +138,19 @@ class TestConnectedComponents:
         n = docs.count()
         assert out.count() == n  # every doc labeled exactly once
         assert out.filter("component > id").count() == 0  # keeper is min id
+
+
+def test_minhash_linear_on_large_docs(spark):
+    """Scale-hazard guard: shingling must be O(words) per doc. An inline
+    split() captured by the transform lambda re-evaluates per element
+    (O(words^2)) — one 32k-word doc took 212s that way vs ~2s precomputed."""
+    import time
+
+    from ocr_service_spark.operators.dedup import minhash_signatures
+
+    doc = " ".join(f"w{i % 997}" for i in range(32000))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    t0 = time.monotonic()
+    sig = minhash_signatures(df, "doc_id", "text").collect()
+    assert len(sig) == 1 and len(sig[0].sig) == 16
+    assert time.monotonic() - t0 < 60
