@@ -1068,6 +1068,25 @@ def q_image_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing: binary clip → windowed RMS profile
+    (rows-only: the decode step is stubbed deterministically)."""
+    from .operators.multimodal import extract_audio_features
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+    )
+    out = extract_audio_features(media)
+    # array column rendered as a canonical string: the driver compare (and
+    # its row-sort) needs hashable scalar cells
+    return out.select(
+        "media_id", "n_bytes", "sample_rate", "duration_ms", "n_windows",
+        F.array_join(F.transform("rms_q8", lambda v: v.cast("string")), ",").alias("rms_sig"),
+        "decode_ok",
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling fan-out (rows-only)."""
     from .operators.multimodal import sample_video_frames
@@ -1126,6 +1145,7 @@ CATALOG: Dict[str, tuple] = {
     "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
     "a7_lineage_metrics": (q_a7_lineage_metrics, None),
     "image_features": (q_image_features, None),
+    "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
 }
 

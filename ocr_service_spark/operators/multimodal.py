@@ -117,3 +117,68 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_phash"])
 
     return media.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("rms_q8", T.ArrayType(T.IntegerType()), True),  # per-window RMS, 0-255
+        T.StructField("decode_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def _decode_audio(payload: bytes, window_ms: int = 250):
+    """Decode → (sample_rate, duration_ms, per-window RMS levels). Real
+    decoder (soundfile/ffmpeg) when available; deterministic fake otherwise:
+    the payload bytes ARE the pseudo-waveform (1 byte = 1 sample at 8 kHz),
+    so windowing/feature math is real while decode stays stubbed."""
+    if HAVE_DECODER:
+        raise NotImplementedError(
+            "real decoder wiring is deployment-specific; plug soundfile/ffmpeg here"
+        )
+    if not DETERMINISTIC_FAKE:
+        raise NotImplementedError("no audio decoder available in this environment")
+    sample_rate = 8000
+    duration_ms = len(payload) * 1000 // sample_rate
+    win = sample_rate * window_ms // 1000
+    rms = []
+    for i in range(0, len(payload), win):
+        chunk = payload[i:i + win]
+        acc = 0
+        for b in chunk:
+            c = b - 128
+            acc += c * c
+        rms.append(int((acc / max(len(chunk), 1)) ** 0.5 * 2))
+    return sample_rate, duration_ms, rms
+
+
+def extract_audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
+    """mapInPandas audio analog of extract_image_features: fixed-window RMS
+    energy profile per clip (the plumbing a silence-trim / segment-level
+    quality filter needs), decode failures in-band as decode_ok=False."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                rec = {"media_id": media_id,
+                       "n_bytes": len(payload) if payload is not None else 0,
+                       "sample_rate": None, "duration_ms": None,
+                       "n_windows": None, "rms_q8": None, "decode_ok": False}
+                try:
+                    if payload is not None and len(payload) > 0:
+                        sr, dur, rms = _decode_audio(bytes(payload), window_ms)
+                        rec.update(sample_rate=sr, duration_ms=dur,
+                                   n_windows=len(rms),
+                                   rms_q8=[min(r, 255) for r in rms], decode_ok=True)
+                except NotImplementedError:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

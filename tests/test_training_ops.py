@@ -154,3 +154,24 @@ def test_minhash_linear_on_large_docs(spark):
     sig = minhash_signatures(df, "doc_id", "text").collect()
     assert len(sig) == 1 and len(sig[0].sig) == 16
     assert time.monotonic() - t0 < 60
+
+
+def test_audio_features_plumbing(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_service_spark.operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = docs.select(
+        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+    )
+    out = extract_audio_features(media).collect()
+    assert len(out) == 50
+    ok = [r for r in out if r.decode_ok]
+    assert ok, "deterministic fake decode should succeed on non-empty payloads"
+    for r in ok:
+        assert r.sample_rate == 8000
+        assert r.n_windows == len(r.rms_q8) >= 1
+        assert all(0 <= v <= 255 for v in r.rms_q8)
+        assert r.duration_ms == r.n_bytes * 1000 // 8000
