@@ -923,6 +923,19 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-k with nprobe = n_centroids — probing every
+    inverted list makes IVF exact, so the brute-force SQL oracle applies;
+    tests cover the approximate (nprobe < n_centroids) recall behavior."""
+    from .operators.similarity import ivf_ann_topk
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_ann_topk(
+        emb, emb.filter("vec_id < 5"), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=8,
+    )
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (rows-only: numpy hyperplanes are
     Spark-side; recall is validated in tests against brute force)."""
@@ -1134,6 +1147,7 @@ CATALOG: Dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN),
     "lang_id_quality": (q_lang_id_quality, SQL_LANG_QUALITY),
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),

@@ -102,3 +102,82 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_assign(
+    vecs: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Coarse quantization: each vector joins its nearest centroid by cosine
+    (broadcast centroids × max_by argmax). Emits (id, vec, cid)."""
+    v = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id", "v", "cid", _cos("v", "cvec").alias("cos_c")
+    )
+    best = scored.groupBy("id").agg(F.max_by("cid", F.struct("cos_c", "cid")).alias("cid"))
+    return v.join(best, on="id")
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, refine_iters: int = 1
+) -> DataFrame:
+    """Deterministic coarse quantizer: seed centroids are the n_centroids
+    lowest-id vectors, optionally refined by Lloyd iterations (assign →
+    per-cluster elementwise mean via posexplode/groupBy — no driver-side
+    k-means; everything stays a DataFrame plan)."""
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = v.orderBy("id").limit(n_centroids)
+    w = Window.orderBy("id")
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"), F.col("v").alias("cvec")
+    )
+    for _ in range(refine_iters):
+        assigned = ivf_assign(v, "id", "v", cents)
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int,
+    n_centroids: int = 16, nprobe: int = 4, refine_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic scale path
+    alongside LSH: corpus vectors are bucketed by nearest coarse centroid
+    (the inverted lists); a query scores only the vectors in its `nprobe`
+    nearest lists, then exact-cosine reranks. At 100 TB the inverted lists
+    are a partitioned table keyed by cid: a query touches nprobe/n_centroids
+    of the corpus instead of all of it, and the centroid table (n_centroids
+    x dim) is broadcast-sized by construction."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
+    lists = ivf_assign(corpus, id_col, vec_col, cents).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vc"), "cid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("vq")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "vq", "cid", _cos("vq", "cvec").alias("cos_c")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    probes = q_scored.withColumn("r", F.row_number().over(wq)).filter(
+        F.col("r") <= nprobe
+    ).select("query_id", "vq", "cid")
+    cand = lists.join(F.broadcast(probes), on="cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select("query_id", "neighbor_id", _cos("vq", "vc").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

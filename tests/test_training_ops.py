@@ -175,3 +175,24 @@ def test_audio_features_plumbing(spark):
         assert r.n_windows == len(r.rms_q8) >= 1
         assert all(0 <= v <= 255 for v in r.rms_q8)
         assert r.duration_ms == r.n_bytes * 1000 // 8000
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with nprobe=n_centroids is EXACT (probes every list); with fewer
+    probes recall degrades gracefully but stays well above chance."""
+    from ocr_service_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    full = ivf_ann_topk(emb, queries, "vec_id", "embedding", k=5,
+                        n_centroids=8, nprobe=8)
+    assert {(r.query_id, r.neighbor_id) for r in full.collect()} == truth
+
+    approx = ivf_ann_topk(emb, queries, "vec_id", "embedding", k=5,
+                          n_centroids=8, nprobe=3)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, f"recall {recall} below floor"
