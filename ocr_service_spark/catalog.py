@@ -1111,6 +1111,100 @@ def q_video_frames(spark, sf_dir):
     return sample_video_frames(media, every_n=2)
 
 
+def q_training_set_selection(spark, sf_dir):
+    """Capstone composition — the actual training-data selection pipeline:
+    keep each duplicate cluster's keeper doc (CC dedup), drop low-quality
+    and too-short/too-long docs (quality + token filters), emit the curated
+    set with its language and token count. Every stage is an
+    already-oracle-checked operator; this checks their composition."""
+    from .operators import textstats as X
+    from .operators.dedup import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents")
+    comp = duplicate_clusters(d, "doc_id", "text", ["source", "lang", "n_chars"], 0.5)
+    keepers = comp.filter(F.col("component") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    t = F.col("text")
+    feats = d.join(keepers, "doc_id").select(
+        "doc_id",
+        X.lang_id(t).alias("guessed_lang"),
+        X.quality_bucket(t).alias("quality"),
+        X.token_count(t).alias("n_tokens"),
+    )
+    return (
+        feats.filter((F.col("quality") == "ok") & F.col("n_tokens").between(20, 2000))
+        .select("doc_id", "guessed_lang", "n_tokens")
+    )
+
+
+SQL_TRAINING_SET = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, source, lang, n_chars,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words
+  FROM documents
+), jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b
+    ON a.source = b.source AND a.lang = b.lang AND a.n_chars = b.n_chars
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(a.words || b.words)) AS DOUBLE) >= 0.5
+), ep AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION SELECT id_b, id_a FROM jp
+  UNION SELECT id_a, id_b FROM ep
+  UNION SELECT id_b, id_a FROM ep
+), reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+), comp AS (
+  SELECT d.doc_id, COALESCE(MIN(reach.r), d.doc_id) AS component
+  FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+  GROUP BY d.doc_id
+), keepers AS (
+  SELECT doc_id FROM comp WHERE component = doc_id
+), s AS (
+  SELECT d.doc_id, ' ' || lower(d.text) || ' ' AS p, trim(d.text) AS t,
+         trim(lower(d.text)) AS tl, lower(d.text) AS lt
+  FROM documents d JOIN keepers USING (doc_id)
+), sc AS (
+  SELECT doc_id, t, tl, lt,
+    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS en,
+    (CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% para %' THEN 1 ELSE 0 END) AS pt,
+    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS es
+  FROM s
+), m AS (
+  SELECT doc_id,
+    CASE WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+         WHEN pt >= es AND pt > 0 THEN 'pt'
+         WHEN es > 0 THEN 'es' ELSE 'und' END AS guessed_lang,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split_regex(t, '\\s+')) END AS n_words,
+    CASE WHEN length(tl) = 0 THEN 0
+         ELSE len(list_distinct(string_split_regex(tl, '\\s+'))) END AS n_uniq_words,
+    CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens
+  FROM sc
+)
+SELECT doc_id, guessed_lang, n_tokens
+FROM m
+WHERE (CASE WHEN n_words < 5 THEN 'too_short'
+            WHEN (n_uniq_words * 2) < n_words THEN 'repetitive'
+            ELSE 'ok' END) = 'ok'
+  AND n_tokens BETWEEN 20 AND 2000
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1152,6 +1246,7 @@ CATALOG: Dict[str, tuple] = {
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
+    "training_set_selection": (q_training_set_selection, SQL_TRAINING_SET),
     "x1_norm_text": (q_x1_norm_text, SQL_X1),
     "x3_clean_desc": (q_x3_clean_desc, SQL_X3),
     "x15_money_values": (q_x15_money_values, SQL_X15),
