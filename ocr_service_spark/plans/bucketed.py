@@ -1,0 +1,42 @@
+"""Bucketed-table co-location for the resume anti-join (shuffle elimination).
+
+At 10^12 documents the checkpoint-resume anti-join (pages ⟕ done-urls,
+plans/pipeline.py J3) is the pipeline's dominant shuffle: both sides hash-
+exchange on url before the join. Persisting BOTH tables bucketed by url
+with the same bucket count makes the join a zero-exchange sort-merge: each
+task reads pages bucket i and results bucket i and joins them locally —
+the Spark analog of the Iceberg production path's `bucket(N, url)`
+partition transform. The plan-quality test pins "no Exchange above the
+join" (tests/test_plan_quality.py).
+
+Bucketed writes go through the session catalog (`saveAsTable` — Spark only
+records bucketing metadata for catalog tables, not path-based writes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, bucket_col: str = "url",
+    sort: bool = True, mode: str = "overwrite",
+) -> None:
+    """Persist as a catalog table bucketed (and optionally sorted) by
+    `bucket_col` — the layout both sides of a co-located join must share."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def resume_pending_bucketed(
+    spark: SparkSession, pages_table: str, results_table: str
+) -> DataFrame:
+    """Checkpoint-resume over bucketed tables: pages not yet extracted,
+    joined bucket-to-bucket with no shuffle on either side (the scan IS the
+    exchange). Falls back to all pages when no results table exists yet."""
+    if not spark.catalog.tableExists(results_table):
+        return spark.table(pages_table)
+    done = spark.table(results_table).select("url")
+    return spark.table(pages_table).join(done, on="url", how="left_anti")

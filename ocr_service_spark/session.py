@@ -46,6 +46,8 @@ def get_spark(
     # multi-second single-task shuffle stages. RAM-backed scratch removes it.
     if os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        # catalog-table warehouse (bucketed tables) off the repo tree too
+        builder = builder.config("spark.sql.warehouse.dir", "/dev/shm/spark-warehouse")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

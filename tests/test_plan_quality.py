@@ -68,3 +68,46 @@ def test_no_cartesian_anywhere_in_catalog(spark):
         df = qs[name](spark, SF_DIR)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_resume_anti_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed by url with the same bucket count => the resume
+    anti-join runs bucket-to-bucket with NO Exchange — the shuffle that
+    dominates resume at 10^12 docs is gone from the plan entirely."""
+    from ocr_service_spark.operators.extract import extract_pages
+    from ocr_service_spark.plans.bucketed import (
+        resume_pending_bucketed,
+        write_bucketed,
+    )
+    from ocr_service_spark.sources.synth import synth_pages
+
+    import shutil
+
+    for t in ("pages_b", "results_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + f"/{t}",
+            ignore_errors=True,
+        )
+    pages = synth_pages(spark, 120, partitions=4)
+    write_bucketed(pages, "pages_b", n_buckets=8)
+    done = extract_pages(spark.table("pages_b").limit(60)).select("url", "tipo_documento")
+    write_bucketed(done, "results_b", n_buckets=8)
+
+    # at 10^12 docs the done-set is never broadcastable — force the plan the
+    # cluster would pick, then check bucketing removed its exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        pending = resume_pending_bucketed(spark, "pages_b", "results_b")
+        plan = formatted_plan(pending)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "Exchange" not in plan, plan  # bucket-to-bucket, zero shuffle
+        assert pending.count() == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    spark.sql("DROP TABLE IF EXISTS pages_b")
+    spark.sql("DROP TABLE IF EXISTS results_b")
