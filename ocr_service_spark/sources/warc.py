@@ -1,0 +1,120 @@
+"""WARC source: Common-Crawl's native archive format → pages table.
+
+A WARC file is a sequence of records: a `WARC/1.0` header block
+(CRLF-separated `Name: value` fields, including `Content-Length`), CRLF
+CRLF, `Content-Length` payload bytes, CRLF CRLF. This reader parses
+`response` records into the pages schema (url from WARC-Target-URI,
+warc_ts from WARC-Date, payload as html bytes), skipping other record
+types (warcinfo, request, metadata) exactly as a crawl pipeline does.
+
+Parallelism model: one task per WARC file via the binaryFile source. That
+is the real Common-Crawl layout — a crawl is ~64k independent ~1 GB files,
+so file-level parallelism saturates any cluster without record-level
+splitting; gzip members per record (the CC packaging) would make
+record-level splits possible but buy nothing at that file count. Giant-
+record skew inside files is then rebalanced by the pipeline's salted
+repartition (operators/skew.py), same as any other source.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import PAGES_SCHEMA
+
+CRLF = b"\r\n"
+
+
+def parse_warc_records(blob: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (header_fields, payload) per record. Tolerant: malformed
+    records stop the scan of this file rather than raising (a truncated
+    tail is normal for in-flight crawl files)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while blob.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        if not blob.startswith(b"WARC/", pos):
+            return  # garbage tail
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            return
+        fields = {}
+        for line in blob[pos:head_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                fields[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated record
+        yield fields, blob[body_start:body_start + length]
+        pos = body_start + length
+
+
+def _parse_warc_date(s: Optional[str]) -> Optional[datetime]:
+    if not s:
+        return None
+    try:
+        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    except ValueError:
+        return None
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files at `path` → pages DataFrame (PAGES_SCHEMA). One task per
+    file (binaryFile source); only `response` records become rows."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PAGES_SCHEMA.fields]
+        for pdf in batches:
+            rows: List[dict] = []
+            for blob in pdf["content"]:
+                for fields, payload in parse_warc_records(bytes(blob)):
+                    if fields.get("warc-type") != "response":
+                        continue
+                    rows.append({
+                        "url": fields.get("warc-target-uri", ""),
+                        "warc_ts": _parse_warc_date(fields.get("warc-date")),
+                        "html": payload,
+                        "text": None,
+                        "lang": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, PAGES_SCHEMA)
+
+
+def write_warc(rows: Iterator[Tuple[str, Optional[datetime], bytes]], fh) -> int:
+    """Serialize (url, ts, payload) rows as WARC response records into a
+    binary file handle — the test/fixture inverse of read_warc."""
+    n = 0
+    for url, ts, payload in rows:
+        payload = payload or b""
+        ts_s = (ts or datetime(2025, 12, 11, tzinfo=timezone.utc)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {ts_s}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+        )
+        fh.write(head + CRLF + payload + CRLF + CRLF)
+        n += 1
+    return n

@@ -1,0 +1,62 @@
+"""WARC source round-trip: synth pages → WARC files → read_warc → the same
+extraction results as the direct path."""
+
+import pandas as pd
+
+from ocr_service_spark.operators.extract import extract_pages
+from ocr_service_spark.sources.synth import gen_page
+from ocr_service_spark.sources.warc import parse_warc_records, read_warc, write_warc
+
+
+def _write_files(tmp_path, n_docs=120, n_files=3):
+    pages = [gen_page(i) for i in range(n_docs)]
+    per = n_docs // n_files
+    for f in range(n_files):
+        with open(tmp_path / f"crawl-{f:02d}.warc", "wb") as fh:
+            chunk = pages[f * per:(f + 1) * per]
+            write_warc(((p["url"], p["warc_ts"], p["html"]) for p in chunk), fh)
+    return pages[: per * n_files]
+
+
+def test_roundtrip_and_record_parsing(tmp_path):
+    pages = _write_files(tmp_path, n_docs=9, n_files=3)
+    blob = open(tmp_path / "crawl-00.warc", "rb").read()
+    recs = list(parse_warc_records(blob))
+    assert len(recs) == 3
+    for (fields, payload), p in zip(recs, pages):
+        assert fields["warc-type"] == "response"
+        assert fields["warc-target-uri"] == p["url"]
+        assert payload == p["html"]
+
+
+def test_truncated_and_garbage_tails_tolerated(tmp_path):
+    pages = _write_files(tmp_path, n_docs=6, n_files=1)
+    blob = open(tmp_path / "crawl-00.warc", "rb").read()
+    assert len(list(parse_warc_records(blob[: len(blob) // 2]))) < 6  # truncation stops scan
+    assert list(parse_warc_records(b"not a warc")) == []
+    assert list(parse_warc_records(b"")) == []
+    # interleaved non-response records are skipped by the reader, not fatal
+    extra = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    recs = list(parse_warc_records(extra + blob))
+    assert len(recs) == 7 and recs[0][0]["warc-type"] == "warcinfo"
+
+
+def test_warc_extraction_matches_direct(spark, tmp_path):
+    pages = _write_files(tmp_path, n_docs=120, n_files=3)
+
+    from_warc = read_warc(spark, str(tmp_path))
+    assert from_warc.count() == len(pages)
+
+    direct = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    cols = ["url", "fmt", "tipo_documento", "itens_json", "extracted_text", "confianca"]
+
+    def norm(df):
+        return (
+            df.select(*cols).toPandas().sort_values("url").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(extract_pages(from_warc)), norm(extract_pages(direct))
+    )
