@@ -710,6 +710,32 @@ GROUP BY r_name, n_name
 """
 
 
+def q_geo_rollup_levels(spark, sf_dir):
+    """ROLLUP multi-level aggregation: supplier counts at (region, nation),
+    (region), and grand-total levels in one pass — the hierarchical rollup
+    a hypertable-style summary needs; subtotal rows carry NULL group keys."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             A.dsum(F.col("s_acctbal")).alias("sum_acctbal"))
+    )
+
+
+SQL_GEO_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_anti_no_orders(spark, sf_dir):
     """J3 shape: LEFT ANTI join (the resume set-difference) — customers with
     no orders in a recent window (window keeps the anti-set non-empty, so
@@ -1231,6 +1257,7 @@ CATALOG: Dict[str, tuple] = {
     "q3_top_revenue": (q_q3_top_revenue, SQL_Q3),
     "q6_revenue_delta": (q_q6_revenue_delta, SQL_Q6),
     "join_geo_rollup": (q_join_geo_rollup, SQL_GEO),
+    "geo_rollup_levels": (q_geo_rollup_levels, SQL_GEO_ROLLUP),
     "anti_no_orders": (q_anti_no_orders, SQL_ANTI),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
