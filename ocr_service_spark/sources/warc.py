@@ -31,7 +31,15 @@ CRLF = b"\r\n"
 def parse_warc_records(blob: bytes) -> Iterator[Tuple[dict, bytes]]:
     """Yield (header_fields, payload) per record. Tolerant: malformed
     records stop the scan of this file rather than raising (a truncated
-    tail is normal for in-flight crawl files)."""
+    tail is normal for in-flight crawl files). Gzipped archives (.warc.gz —
+    Common-Crawl packages one gzip member per record; Python's gzip module
+    decompresses multi-member streams in one call) are detected by magic."""
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+        try:
+            blob = gzip.decompress(blob)
+        except Exception:
+            return
     pos = 0
     n = len(blob)
     while pos < n:

@@ -111,3 +111,19 @@ def test_bucketed_resume_anti_join_has_no_shuffle(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS pages_b")
     spark.sql("DROP TABLE IF EXISTS results_b")
+
+
+def test_extraction_pipeline_has_exactly_one_exchange(spark, tmp_path):
+    """The whole extraction plan must shuffle exactly once — the salted
+    repartition. A second Exchange appearing here means someone added an
+    accidental wide dependency to the hot path (at 100 TB that doubles the
+    most expensive stage)."""
+    from ocr_service_spark.plans.pipeline import run_extraction
+    from ocr_service_spark.sources.synth import synth_pages
+
+    path = str(tmp_path / "pages1x")
+    synth_pages(spark, 50, partitions=2).write.parquet(path)
+    plan = formatted_plan(run_extraction(spark.read.parquet(path)))
+    # formatted explain lists each node twice (tree + details): count the
+    # tree form "Exchange (n)" only
+    assert plan.count("Exchange (") == 1, plan

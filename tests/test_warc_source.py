@@ -60,3 +60,22 @@ def test_warc_extraction_matches_direct(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(extract_pages(from_warc)), norm(extract_pages(direct))
     )
+
+
+def test_gzipped_warc_member_per_record(tmp_path, spark):
+    """Common-Crawl packaging: one gzip member per record, concatenated."""
+    import gzip
+    import io
+
+    pages = [gen_page(i) for i in range(6)]
+    raw_records = []
+    for p in pages:
+        buf = io.BytesIO()
+        write_warc([(p["url"], p["warc_ts"], p["html"])], buf)
+        raw_records.append(gzip.compress(buf.getvalue()))
+    with open(tmp_path / "crawl-00.warc.gz", "wb") as fh:
+        fh.write(b"".join(raw_records))
+
+    recs = list(parse_warc_records(open(tmp_path / "crawl-00.warc.gz", "rb").read()))
+    assert [f["warc-target-uri"] for f, _ in recs] == [p["url"] for p in pages]
+    assert read_warc(spark, str(tmp_path)).count() == 6
