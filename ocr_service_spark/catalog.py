@@ -510,9 +510,10 @@ WITH r AS (
   FROM customer
 ), s AS (
   SELECT c_custkey,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
            '#.*', ''),
-           '[?&](?:utm_[^&=#]*|fbclid|gclid)=[^&]*', '', 'g'),
+           '([?&])(?:utm_[^&=#]*|fbclid|gclid)=[^&]*', '\\1', 'g'),
+           '&{2,}', '&', 'g'),
            '\\?&', '?'),
            '[?&]$', '') AS u
   FROM r

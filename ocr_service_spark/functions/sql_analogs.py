@@ -138,7 +138,11 @@ def canonical_url(col: Column) -> Column:
     drop default ports, drop a trailing slash. Pure regex/substring ops so
     the DuckDB oracle applies the identical transformation."""
     u = F.regexp_replace(col, r"#.*", "")
-    u = F.regexp_replace(u, r"[?&](?:utm_[^&=#]*|fbclid|gclid)=[^&]*", "")
+    # Keep the captured separator so 'p?utm_a=1&b=2' -> 'p?&b=2' -> 'p?b=2'
+    # and the reordered 'p?b=2&utm_a=1' -> 'p?b=2&' -> 'p?b=2' canonicalize
+    # to the SAME form (order-insensitive tracking-param strip).
+    u = F.regexp_replace(u, r"([?&])(?:utm_[^&=#]*|fbclid|gclid)=[^&]*", "$1")
+    u = F.regexp_replace(u, r"&{2,}", "&")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
     head = F.regexp_extract(u, r"^(https?://[^/?#]*)", 1)

@@ -18,11 +18,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-try:  # the real decoder path, absent in this sandbox by design
+try:  # the real image-decoder path, absent in this sandbox by design
     import cv2  # noqa: F401
     HAVE_DECODER = True
 except Exception:
     HAVE_DECODER = False
+
+try:  # the real audio-decoder path — gated separately from the image one so
+    # a host with cv2 but no audio lib still takes the audio fake/stub path
+    import soundfile  # noqa: F401
+    HAVE_AUDIO_DECODER = True
+except Exception:
+    HAVE_AUDIO_DECODER = False
 
 DETERMINISTIC_FAKE = True
 
@@ -137,22 +144,26 @@ def _decode_audio(payload: bytes, window_ms: int = 250):
     decoder (soundfile/ffmpeg) when available; deterministic fake otherwise:
     the payload bytes ARE the pseudo-waveform (1 byte = 1 sample at 8 kHz),
     so windowing/feature math is real while decode stays stubbed."""
-    if HAVE_DECODER:
+    if HAVE_AUDIO_DECODER:
         raise NotImplementedError(
             "real decoder wiring is deployment-specific; plug soundfile/ffmpeg here"
         )
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("no audio decoder available in this environment")
+    import numpy as np
+
     sample_rate = 8000
     duration_ms = len(payload) * 1000 // sample_rate
     win = sample_rate * window_ms // 1000
+    # Vectorized: a multi-MB clip must not mean millions of Python-level
+    # iterations inside the UDF. int32 squares can't overflow (max 128^2 per
+    # sample; the per-window mean is taken in float64 below).
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    sq = a * a
     rms = []
     for i in range(0, len(payload), win):
-        chunk = payload[i:i + win]
-        acc = 0
-        for b in chunk:
-            c = b - 128
-            acc += c * c
+        chunk = sq[i:i + win]
+        acc = int(chunk.sum())
         rms.append(int((acc / max(len(chunk), 1)) ** 0.5 * 2))
     return sample_rate, duration_ms, rms
 

@@ -71,6 +71,24 @@ def parse_warc_records(blob: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def http_response_body(payload: bytes) -> bytes:
+    """Per WARC/ISO-28500 (and all real Common-Crawl files) a `response`
+    record's block is the full HTTP message — status line + headers + body.
+    Strip the HTTP envelope so downstream format sniffing sees the actual
+    document bytes; payloads that don't start with `HTTP/` (e.g. fixture
+    archives carrying bare documents) pass through unchanged. A headers
+    block with no terminating CRLF CRLF (truncated record) yields b""
+    rather than leaking header text into the document."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(CRLF + CRLF)
+    if sep < 0:
+        # tolerate bare-LF header blocks from sloppy writers
+        sep_lf = payload.find(b"\n\n")
+        return payload[sep_lf + 2:] if sep_lf >= 0 else b""
+    return payload[sep + 4:]
+
+
 def _parse_warc_date(s: Optional[str]) -> Optional[datetime]:
     if not s:
         return None
@@ -98,7 +116,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     rows.append({
                         "url": fields.get("warc-target-uri", ""),
                         "warc_ts": _parse_warc_date(fields.get("warc-date")),
-                        "html": payload,
+                        "html": http_response_body(payload),
                         "text": None,
                         "lang": None,
                     })

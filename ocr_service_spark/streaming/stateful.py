@@ -66,10 +66,20 @@ def _make_session_fn(gap_seconds: int):
                 for ts, v in zip(pdf["ts"], pdf["value"]):
                     if last is not None and ts - last > gap:
                         emit(start, last, n, sv)
-                        start, n, sv = None, 0, 0.0
+                        start, last, n, sv = None, None, 0, 0.0
                     if start is None:
-                        start = ts
-                    last = ts
+                        start = last = ts
+                    else:
+                        # State extends monotonically: a legal cross-batch
+                        # out-of-order event (within the watermark but older
+                        # than the stored `last`) must not move `last`
+                        # backwards — that would shrink session_end, re-arm
+                        # the event-time timeout at old_ts+gap, and let a
+                        # later in-order event falsely break the session.
+                        if ts < start:
+                            start = ts
+                        if ts > last:
+                            last = ts
                     n += 1
                     sv += float(v)
             state.update((start, last, n, sv))

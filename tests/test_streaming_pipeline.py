@@ -178,3 +178,44 @@ class TestStatefulSessionizer:
         assert set(u1) == {"2025-12-11 10:00:00", "2025-12-11 12:00:00"}
         assert u1["2025-12-11 12:00:00"].n_events == 1
         assert out.groupBy("user_id", "session_start").count().filter("count > 1").count() == 0
+
+    def test_cross_batch_out_of_order_event_extends_monotonically(
+        self, spark, tmp_path_factory
+    ):
+        """A legal late arrival (within the watermark but older than the
+        stored `last`) must widen the session backwards, not shrink
+        session_end or re-arm the timeout at the old timestamp."""
+        import pyspark.sql.functions as F
+
+        from ocr_service_spark.streaming.stateful import run_session_stream
+
+        root = tmp_path_factory.mktemp("sessooo")
+        src, sink, ckpt = str(root / "src"), str(root / "sink"), str(root / "ckpt")
+
+        def write(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts string, value double"
+            ).select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            ).write.mode("append").parquet(src)
+
+        # batch 1: in-order event at 10:10 -> state last=10:10
+        write([(1, "2025-12-11 10:10:00", 2.0)])
+        schema = spark.read.parquet(src).schema
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="30 minutes")
+        # batch 2: OUT-OF-ORDER event at 10:00 (within the 30-min watermark)
+        write([(1, "2025-12-11 10:00:00", 1.0)])
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="30 minutes")
+        # batch 3: 13:00 breaks the gap measured from the TRUE last (10:10)
+        write([(1, "2025-12-11 13:00:00", 7.0)])
+        run_session_stream(spark, src, sink, ckpt, schema,
+                           gap_seconds=1800, watermark="30 minutes")
+
+        rows = spark.read.parquet(sink).collect()
+        assert len(rows) == 1
+        s = rows[0]
+        assert str(s.session_start) == "2025-12-11 10:00:00"  # widened back
+        assert str(s.session_end) == "2025-12-11 10:10:00"    # NOT shrunk
+        assert s.n_events == 2 and s.sum_value == 3.0

@@ -46,6 +46,21 @@ class TestDedup:
             ham = bin(fp[i] ^ fp[i + 200000]).count("1")
             assert ham <= 16, f"near-dup {i} hamming {ham} too far"
 
+    def test_canonical_url_param_order_insensitive(self, spark):
+        """Tracking-param strip must keep the separator of the FOLLOWING
+        param: 'p?utm_a=1&b=2' and 'p?b=2&utm_a=1' are the same URL and
+        must share one canonical form (else URL-level dedup misses)."""
+        from ocr_service_spark.functions.sql_analogs import canonical_url
+        rows = spark.createDataFrame(
+            [("https://s.example/p?utm_source=1&b=2",),
+             ("https://s.example/p?b=2&utm_source=1",),
+             ("https://s.example/p?utm_a=1&utm_b=2&b=2",),
+             ("https://s.example/p?b=2&fbclid=x&gclid=y",),
+             ("https://s.example/p?b=2",)],
+            "url string",
+        ).select(canonical_url(F.col("url")).alias("canon")).collect()
+        assert {r["canon"] for r in rows} == {"https://s.example/p?b=2"}
+
     def test_embedding_near_dup_self_consistency(self, spark):
         from ocr_service_spark.operators.dedup import embedding_near_dup_pairs
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")

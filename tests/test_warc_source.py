@@ -62,6 +62,33 @@ def test_warc_extraction_matches_direct(spark, tmp_path):
     )
 
 
+def test_http_wrapped_response_records(tmp_path, spark):
+    """Real Common-Crawl response records carry the full HTTP message
+    (status line + headers + body); read_warc must strip the envelope so
+    format sniffing sees the document bytes."""
+    from ocr_service_spark.sources.warc import http_response_body
+
+    body = b"<html><body><p>actual document</p></body></html>"
+    http_msg = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body
+    )
+    # unit: envelope stripped; bare payloads pass through; truncated headers
+    # yield empty rather than leaking header text into the document
+    assert http_response_body(http_msg) == body
+    assert http_response_body(body) == body
+    assert http_response_body(b"HTTP/1.1 200 OK\r\nContent-Type: x") == b""
+    assert http_response_body(b"HTTP/1.1 200 OK\nX: y\n\n" + body) == body
+
+    with open(tmp_path / "cc.warc", "wb") as fh:
+        write_warc([("https://cc.example/page", None, http_msg)], fh)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["html"]) == body
+
+
 def test_gzipped_warc_member_per_record(tmp_path, spark):
     """Common-Crawl packaging: one gzip member per record, concatenated."""
     import gzip
