@@ -868,13 +868,100 @@ GROUP BY d.doc_id
 """
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """PRODUCTION dedup clustering path: MinHash-LSH candidates → exact
+    shingle-Jaccard verification → connected components. Length-CHANGING
+    near-dup clones (one appended word, so n_chars differs) are injected:
+    the exact-blocked variant (dedup_clusters_cc) can never pair them —
+    this path must. The oracle is the UNBLOCKED ground truth: all-pairs
+    shingle-Jaccard >= t plus md5-exact pairs, recursive-CTE transitive
+    closure — exact cluster equality proves the LSH candidate stage lost
+    no true pair on this data (P(miss) = (1-j)^16 <= 1e-15 at the observed
+    near-dup j >= 0.89; verification, which IS oracle-expressible, decides
+    membership)."""
+    from .operators.dedup import duplicate_clusters
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return duplicate_clusters(d.unionByName(clones), "doc_id", "text", threshold=0.5)
+
+
+SQL_CC_LSH = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zq' FROM documents WHERE doc_id % 40 = 0
+), w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM d
+), sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM w
+), jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+), ep AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION SELECT id_b, id_a FROM jp
+  UNION SELECT id_a, id_b FROM ep
+  UNION SELECT id_b, id_a FROM ep
+), reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(COALESCE(MIN(reach.r), d.doc_id) AS BIGINT) AS component
+FROM d LEFT JOIN reach ON d.doc_id = reach.id
+GROUP BY d.doc_id
+"""
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
-    """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin).
-    Verified structurally: every exact-duplicate pair MUST appear."""
+    """MinHash+LSH candidate generation, driver-checked via its recall
+    property (candidate hashes themselves have no DuckDB twin — xxhash64):
+    byte-identical clones of every 50th doc are unioned in, and the entry
+    emits exactly the md5-exact-duplicate pairs that appear among the LSH
+    candidates. Identical docs have identical signatures, so every band
+    collides and every exact pair MUST surface as a candidate; the oracle
+    enumerates ALL md5-dup pairs in SQL, so any LSH recall miss makes the
+    row sets differ and the driver gate fails."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures
-    docs = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = d.unionByName(clones)
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_n=3)
-    return lsh_candidate_pairs(sigs, bands=4)
+    cands = lsh_candidate_pairs(sigs, bands=4)
+    fp = docs.select(F.col("doc_id").alias("id"), F.md5("text").alias("fp"))
+    exact = (
+        fp.alias("a").join(fp.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+SQL_LSH_RECALL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+"""
 
 
 def q_simhash_fingerprint(spark, sf_dir):
@@ -964,14 +1051,54 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: numpy hyperplanes are
-    Spark-side; recall is validated in tests against brute force)."""
-    from .operators.similarity import lsh_ann_topk
-    emb = load(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(
-        emb, emb.filter("vec_id < 5"), "vec_id", "embedding",
-        k=5, dim=64, n_planes=6, n_tables=8,
-    ).select("query_id", "rank", "neighbor_id")
+    """LSH-bucketed approximate top-k, driver-checked via its recall
+    property (the numpy hyperplanes have no DuckDB twin, but the property
+    does). Random vectors have near-uniform pairwise cosines — "nearest"
+    is noise no ANN index can rank — so 5 genuinely-close neighbors per
+    query are planted (one coordinate nudged; cosine ≈ 0.9999): brute-force
+    top-5 is then exactly the planted set, and the entry emits per query
+    recall_floor_met = (LSH recovered >= 4 of 5). The oracle states the
+    property over the query set — every query row TRUE — so an LSH recall
+    regression fails the driver gate. Seeded hyperplanes: deterministic."""
+    from .operators.similarity import cosine_topk, lsh_ann_topk
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 5")
+
+    def _nudge(j):  # closure: F.transform lambdas take exactly (x, i)
+        return lambda x, i: F.when(i == j, x + F.lit(0.1)).otherwise(x)
+
+    planted = None
+    for j in range(5):
+        pj = queries.select(
+            (F.col("vec_id") * 10 + 100000 + j).alias("vec_id"),
+            F.transform("embedding", _nudge(j)).alias("embedding"),
+        )
+        planted = pj if planted is None else planted.unionByName(pj)
+    corpus = emb.unionByName(planted)
+    lsh = lsh_ann_topk(
+        corpus, queries, "vec_id", "embedding", k=5, dim=64, n_planes=6, n_tables=8,
+    ).select("query_id", "neighbor_id")
+    brute = cosine_topk(corpus, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hits", F.lit(0)) >= 4).alias("recall_floor_met"),
+        )
+    )
+
+
+SQL_LSH_ANN_RECALL = """
+SELECT vec_id AS query_id, TRUE AS recall_floor_met
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def q_lang_id_quality(spark, sf_dir):
@@ -1148,7 +1275,7 @@ def q_training_set_selection(spark, sf_dir):
     from .operators.dedup import duplicate_clusters
 
     d = load(spark, sf_dir, "documents")
-    comp = duplicate_clusters(d, "doc_id", "text", ["source", "lang", "n_chars"], 0.5)
+    comp = duplicate_clusters(d, "doc_id", "text", threshold=0.5)
     keepers = comp.filter(F.col("component") == F.col("id")).select(
         F.col("id").alias("doc_id")
     )
@@ -1167,16 +1294,19 @@ def q_training_set_selection(spark, sf_dir):
 
 SQL_TRAINING_SET = """
 WITH RECURSIVE w AS (
-  SELECT doc_id, source, lang, n_chars,
-         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words
-  FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM w
 ), jp AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM w a JOIN w b
-    ON a.source = b.source AND a.lang = b.lang AND a.n_chars = b.n_chars
-   AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-        / CAST(len(list_distinct(a.words || b.words)) AS DOUBLE) >= 0.5
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
 ), ep AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM documents a JOIN documents b
@@ -1264,11 +1394,12 @@ CATALOG: Dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
     "dedup_clusters_cc": (q_dedup_clusters, SQL_CC),
-    "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
+    "dedup_clusters_lsh": (q_dedup_clusters_lsh, SQL_CC_LSH),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
-    "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_RECALL),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN),
     "lang_id_quality": (q_lang_id_quality, SQL_LANG_QUALITY),
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),

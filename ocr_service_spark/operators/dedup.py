@@ -138,6 +138,48 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Production near-dup pair path: MinHash-LSH candidate generation →
+    exact shingle-set Jaccard verification of ONLY the candidates.
+
+    Cost shape at scale: O(docs) signature aggregation + band-bucket
+    equi-joins + |candidates| exact comparisons — never an all-pairs or
+    length-blocked join. Recall for a pair with true shingle Jaccard j is
+    1-(1-j^r)^bands with r = n_hashes/bands rows per band; the default
+    (r=1, 16 bands) gives P(miss) = (1-j)^16 — ~1e-15 at the j≥0.89 of
+    real near-dups, so verification (not candidate generation) decides
+    membership. Verification uses the SAME shingle universe the signatures
+    hash, so the LSH collision probability IS the verified quantity.
+
+    Emits (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, n_hashes, shingle_n), bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w")
+    ).select("id", F.array_distinct(shingles("w", shingle_n)).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per word hash, each bit votes ±1; fingerprint bit b is
     1 iff the vote sum is positive. 64 conditional sums in one hash aggregate
@@ -235,20 +277,41 @@ def connected_components(
 
 
 def duplicate_clusters(
-    df: DataFrame, id_col: str, text_col: str, bucket_cols: list, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cols: list = None,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end dedup clustering: exact-duplicate pairs (same md5) union
-    near-dup Jaccard pairs, then connected components -> per-doc cluster id
-    (component = keeper doc id). Docs in no pair cluster alone."""
+    near-dup pairs, then connected components -> per-doc cluster id
+    (component = keeper doc id). Docs in no pair cluster alone.
+
+    The DEFAULT near-dup path (bucket_cols=None) is LSH → exact-Jaccard
+    verification (lsh_verified_pairs): it finds near-dups regardless of
+    document length, at linear-ish cost. Passing `bucket_cols` selects the
+    exact-blocked pair join instead — that variant is the DuckDB-oracle
+    twin (every pair is enumerable in SQL), but blocking on exact `n_chars`
+    means a single inserted word hides a true near-dup, so its recall on
+    length-changing edits is ~0; it exists for oracle parity, not
+    production use."""
     fp = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
     exact_pairs = (
         fp.alias("a").join(fp.alias("b"), "fp")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    near_pairs = token_jaccard_pairs(df, id_col, text_col, bucket_cols, threshold).select(
-        "id_a", "id_b"
-    )
+    if bucket_cols:
+        near_pairs = token_jaccard_pairs(
+            df, id_col, text_col, bucket_cols, threshold
+        ).select("id_a", "id_b")
+    else:
+        near_pairs = lsh_verified_pairs(
+            df, id_col, text_col, threshold, n_hashes, bands, shingle_n
+        ).select("id_a", "id_b")
     comp = connected_components(exact_pairs.union(near_pairs))
     all_ids = df.select(F.col(id_col).cast("long").alias("id"))
     return (

@@ -46,6 +46,36 @@ class TestDedup:
             ham = bin(fp[i] ^ fp[i + 200000]).count("1")
             assert ham <= 16, f"near-dup {i} hamming {ham} too far"
 
+    def test_lsh_verified_pairs_finds_length_changing_near_dups(self, spark):
+        """The production LSH->verify path must recover near-dups whose
+        edit CHANGES the document length — exactly the pairs the exact
+        n_chars-blocked join can never see."""
+        from ocr_service_spark.operators.dedup import (
+            duplicate_clusters, lsh_verified_pairs, token_jaccard_pairs,
+        )
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        near = d.filter("doc_id < 10").select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        docs = d.unionByName(near.select(*d.columns))
+
+        found = {(r["id_a"], r["id_b"]) for r in
+                 lsh_verified_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+        blocked = {(r["id_a"], r["id_b"]) for r in
+                   token_jaccard_pairs(docs, "doc_id", "text",
+                                       ["source", "lang", "n_chars"], 0.5).collect()}
+        for i in range(10):
+            assert (i, i + 300000) in found, f"LSH path missed length-changing pair {i}"
+            assert (i, i + 300000) not in blocked  # the recall gap being closed
+
+        # and the default clustering path (no bucket_cols) merges them
+        comp = {r["id"]: r["component"] for r in
+                duplicate_clusters(docs, "doc_id", "text", threshold=0.5).collect()}
+        for i in range(10):
+            assert comp[i + 300000] == comp[i]
+
     def test_canonical_url_param_order_insensitive(self, spark):
         """Tracking-param strip must keep the separator of the FOLLOWING
         param: 'p?utm_a=1&b=2' and 'p?b=2&utm_a=1' are the same URL and
