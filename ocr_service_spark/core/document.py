@@ -35,6 +35,7 @@ from .html_extract import (
     parse_nfce_html,
 )
 from .pdf_layout import decode_layout_payload, layout_to_text
+from .pdf_text import pdf_to_char_pages
 from .sniff import (
     FMT_EMPTY,
     FMT_HTML,
@@ -189,12 +190,17 @@ def extract_document(
 
         if fmt == FMT_PDF:
             pages = decode_layout_payload(bytes(payload))
+            if pages is None:
+                # genuine %PDF bytes: the minimal stdlib text-operator
+                # parser (core/pdf_text.py — BT/Tj/TJ/Td subset, raw or
+                # FlateDecode streams) recovers char boxes; image-only /
+                # exotic-filter PDFs yield None and stay error rows.
+                pages = pdf_to_char_pages(bytes(payload))
             if pages is not None:
                 # pdfminer-style reading-order reconstruction, then the same
                 # text-path field extraction the HTML route uses (north_star:
                 # "page -> textbox -> line -> char reading-order
-                # reconstruction"); real PDFs without an inline layout dump
-                # stay error rows until a decoder backend is plugged in.
+                # reconstruction").
                 text = layout_to_text(pages)
                 data_compra = extract_date_html(text)
                 item_text = normalize_item_text(text)

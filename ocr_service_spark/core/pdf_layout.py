@@ -56,18 +56,34 @@ def chars_to_lines(chars: List[Dict]) -> List[Dict]:
     structuring.py) but with a glyph-relative tolerance. Lines come out
     top-to-bottom, chars within a line left-to-right.
     """
-    out: List[Dict] = []
+    # Chars are processed in (y0, x0) order, so y0 is non-decreasing and a
+    # line's y_ref (a convex combination of its members' y0s) only moves
+    # when the line matches a new char. A line whose y_ref has fallen more
+    # than LINE_TOL_RATIO * h_max below the current char's y0 can therefore
+    # never match this or any later char — retire it from the scan. This is
+    # an EXACT optimization (first-match order among live lines is
+    # preserved), and it is what keeps a 10^4-line page O(n · live) instead
+    # of O(n · lines): giant text PDFs are normal at web scale and
+    # per-document cost must stay ~linear for the skew model to hold.
+    h_max = max((c["y1"] - c["y0"] for c in chars), default=0.0)
+    done: List[Dict] = []
+    active: List[Dict] = []
     for ch in sorted(chars, key=lambda c: (c["y0"], c["x0"])):
         h = max(ch["y1"] - ch["y0"], 1e-6)
+        cutoff = ch["y0"] - LINE_TOL_RATIO * h_max
+        if any(ln["y_ref"] < cutoff for ln in active):
+            done.extend(ln for ln in active if ln["y_ref"] < cutoff)
+            active = [ln for ln in active if ln["y_ref"] >= cutoff]
         placed = False
-        for ln in out:
+        for ln in active:
             if abs(ch["y0"] - ln["y_ref"]) <= LINE_TOL_RATIO * h:
                 ln["chars"].append(ch)
                 ln["y_ref"] = (ln["y_ref"] + ch["y0"]) / 2.0
                 placed = True
                 break
         if not placed:
-            out.append({"y_ref": ch["y0"], "chars": [ch]})
+            active.append({"y_ref": ch["y0"], "chars": [ch]})
+    out = done + active
     # pdfminer char_margin: a horizontal gap > CHAR_MARGIN_RATIO x char width
     # splits a baseline cluster into separate lines (this is what keeps
     # side-by-side columns from interleaving into one line)
@@ -114,18 +130,36 @@ def _x_overlap(a: Dict, b: Dict) -> float:
 
 def lines_to_textboxes(lines: List[Dict]) -> List[Dict]:
     """Merge consecutive lines into textboxes when their x-ranges overlap
-    >= BOX_OVERLAP_RATIO and the vertical gap < BOX_GAP_RATIO x line height."""
+    >= BOX_OVERLAP_RATIO and the vertical gap < BOX_GAP_RATIO x line height.
+
+    Lines arrive in ascending y_ref order (chars_to_lines sorts them), and
+    any later line's top satisfies y0 >= y_ref - slack, where slack is the
+    page-wide max of (y_ref - y0). A box whose bottom has fallen more than
+    slack + BOX_GAP_RATIO * h_max below the current y_ref can therefore
+    never absorb this or any later line — retire it. EXACT (first-match
+    order among live boxes is preserved) and keeps a page with n
+    non-merging lines O(n · live) instead of O(n²) — the pattern that
+    makes giant text PDFs safe for the linear-per-doc skew model."""
+    if not lines:
+        return []
+    slack = max(ln["y_ref"] - ln["y0"] for ln in lines)
+    h_max = max(ln["y1"] - ln["y0"] for ln in lines)
     boxes: List[Dict] = []
+    active: List[Dict] = []
     for ln in lines:
         h = max(ln["y1"] - ln["y0"], 1e-6)
+        cutoff = ln["y_ref"] - slack - BOX_GAP_RATIO * h_max
+        if any(bx["y1"] < cutoff for bx in active):
+            boxes.extend(bx for bx in active if bx["y1"] < cutoff)
+            active = [bx for bx in active if bx["y1"] >= cutoff]
         target = None
-        for bx in boxes:
+        for bx in active:
             gap = ln["y0"] - bx["y1"]
             if 0 <= gap < BOX_GAP_RATIO * h and _x_overlap(bx, ln) >= BOX_OVERLAP_RATIO:
                 target = bx
                 break
         if target is None:
-            boxes.append(
+            active.append(
                 {"lines": [ln], "x0": ln["x0"], "x1": ln["x1"],
                  "y0": ln["y0"], "y1": ln["y1"]}
             )
@@ -134,7 +168,7 @@ def lines_to_textboxes(lines: List[Dict]) -> List[Dict]:
             target["x0"] = min(target["x0"], ln["x0"])
             target["x1"] = max(target["x1"], ln["x1"])
             target["y1"] = max(target["y1"], ln["y1"])
-    return boxes
+    return boxes + active
 
 
 def reading_order(boxes: List[Dict]) -> List[Dict]:

@@ -1,0 +1,369 @@
+"""Minimal stdlib real-PDF text extraction: genuine ``%PDF`` bytes →
+char boxes for the pdfminer-style layout reconstruction (pdf_layout.py).
+
+The reference service has no PDF path at all (app/main.py:115-116 rejects
+non-image content types); the north_star adds "pdfminer-style layout
+parsing" to the batch engine. ``decode_layout_payload`` already accepts
+pre-decoded char dumps (the pluggable-decoder seam); this module closes
+the gap for REAL small PDFs so they flow through the same reconstruction
+instead of becoming error rows.
+
+Scope (a deliberate, documented subset — stdlib only, no pdfminer):
+  - content streams: raw or FlateDecode (zlib IS stdlib); any other
+    filter (DCT/LZW/...) is skipped — those streams are images/fonts,
+    not text operators, in virtually all receipt-sized documents.
+  - text operators: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ, ' and ";
+    literal strings incl. escapes/octal/nested parens, and hex strings.
+  - geometry: glyph advance approximated as 0.6 x font size (real widths
+    need per-font metrics). The layout reconstruction only consumes
+    RELATIVE geometry (line clustering, word gaps), so the approximation
+    preserves reading order and word boundaries; it does not reproduce
+    exact kerning.
+  - one output page: all content streams concatenate (page-tree walking
+    is out of scope for the minimal parser).
+  - byte→char decoding is Latin-1 (superset-compatible with WinAnsi /
+    PDFDocEncoding for the character classes the extractors consume).
+
+Coordinates are flipped to the screen-style (y grows downward) system the
+reconstruction expects, using the first /MediaBox height (default A4 842).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+CHAR_WIDTH_RATIO = 0.6     # glyph advance ≈ 0.6 x size (Helvetica-ish)
+DEFAULT_PAGE_HEIGHT = 842.0  # A4 points, used when /MediaBox is absent
+
+_STREAM_HEAD_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", re.S)
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+([\d.+-]+)\s*\]"
+)
+
+_WS = b"\x00\t\n\x0c\r "
+_NUM_START = b"+-.0123456789"
+_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+def _content_streams(data: bytes) -> List[bytes]:
+    """Every decodable stream body in the file. Raw bodies pass through;
+    FlateDecode bodies are zlib-inflated; other filters are skipped. A
+    non-text stream that happens to decode is harmless — the tokenizer
+    finds no text operators in it."""
+    out: List[bytes] = []
+    pos = 0
+    while True:
+        m = _STREAM_HEAD_RE.search(data, pos)
+        if not m:
+            break
+        head = m.group(1)
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            break
+        raw = data[start:end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+            raw = raw[:-1]
+        if b"/Filter" in head:
+            if b"/FlateDecode" in head:
+                try:
+                    raw = zlib.decompress(raw)
+                except Exception:
+                    raw = b""
+            else:
+                raw = b""  # unsupported filter: not a text stream we can read
+        if raw:
+            out.append(raw)
+        pos = end + len(b"endstream")
+    return out
+
+
+def _parse_literal_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    """Parse a ``(...)`` literal at buf[i] == '(' — escapes, octal, balanced
+    nested parentheses. Returns (bytes, next_index)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(buf)
+    while i < n and depth:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 1
+            elif e in (0x28, 0x29, 0x5C):
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                o = 0
+                k = 0
+                while i < n and 0x30 <= buf[i] <= 0x37 and k < 3:
+                    o = o * 8 + (buf[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(o & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    """Parse a ``<...>`` hex string at buf[i] == '<'."""
+    j = buf.find(b">", i + 1)
+    if j < 0:
+        return b"", len(buf)
+    hx = bytes(ch for ch in buf[i + 1:j] if ch not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    except ValueError:
+        return b"", j + 1
+
+
+def _tokenize(buf: bytes):
+    """Content-stream tokens: ('num', float) | ('str', bytes) |
+    ('name', bytes) | ('op', bytes) | ('[',) | (']',). Dict markers and
+    comments are skipped."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:  # (
+            s, i = _parse_literal_string(buf, i)
+            yield ("str", s)
+        elif c == 0x3C:  # <
+            if buf[i:i + 2] == b"<<":
+                i += 2
+            else:
+                s, i = _parse_hex_string(buf, i)
+                yield ("str", s)
+        elif c == 0x3E:  # >
+            i += 2 if buf[i:i + 2] == b">>" else 1
+        elif c == 0x5B:  # [
+            yield ("[", None)
+            i += 1
+        elif c == 0x5D:  # ]
+            yield ("]", None)
+            i += 1
+        elif c == 0x2F:  # /name
+            j = i + 1
+            while j < n and buf[j] not in _WS and buf[j] not in b"()<>[]{}/%":
+                j += 1
+            yield ("name", buf[i + 1:j])
+            i = j
+        elif c in _NUM_START:
+            j = i + 1
+            while j < n and buf[j] in b"+-.0123456789eE":
+                j += 1
+            try:
+                yield ("num", float(buf[i:j]))
+            except ValueError:
+                pass
+            i = j
+        else:  # operator keyword
+            j = i
+            while j < n and buf[j] not in _WS and buf[j] not in b"()<>[]{}/%":
+                j += 1
+            if j > i:
+                yield ("op", buf[i:j])
+                i = j
+            else:
+                i += 1
+
+
+class _TextState:
+    """The subset of the PDF text state the operators below touch."""
+
+    def __init__(self) -> None:
+        self.size = 12.0
+        self.scale = 1.0      # |d| of the last Tm — vertical glyph scale
+        self.leading = 0.0
+        self.line_x = 0.0
+        self.line_y = 0.0
+        self.cx = 0.0
+
+    @property
+    def eff_size(self) -> float:
+        return self.size * (self.scale or 1.0)
+
+
+def _run_streams(streams: List[bytes]) -> List[Dict]:
+    """Execute the text operators of every content stream; emit char boxes
+    in PDF coordinates (y grows UP; flipped by the caller)."""
+    chars: List[Dict] = []
+    for buf in streams:
+        st = _TextState()
+        stack: list = []
+        arr: Optional[list] = None
+
+        def show(s: bytes) -> None:
+            w = CHAR_WIDTH_RATIO * st.eff_size
+            for ch in s.decode("latin-1"):
+                if ch in ("\n", "\r"):
+                    continue
+                chars.append(
+                    {"c": ch, "x": st.cx, "y": st.line_y, "h": st.eff_size, "w": w}
+                )
+                st.cx += w
+
+        def newline() -> None:
+            st.line_y -= st.leading
+            st.cx = st.line_x
+
+        for kind, val in _tokenize(buf):
+            if kind == "[":
+                arr = []
+            elif kind == "]":
+                stack.append(arr)
+                arr = None
+            elif kind in ("num", "str", "name"):
+                (arr if arr is not None else stack).append((kind, val))
+            elif kind == "op":
+                op = val
+                try:
+                    if op == b"BT":
+                        st.line_x = st.line_y = st.cx = 0.0
+                        st.scale = 1.0
+                    elif op == b"Tf" and stack and stack[-1][0] == "num":
+                        st.size = float(stack[-1][1])
+                    elif op == b"TL" and stack and stack[-1][0] == "num":
+                        st.leading = float(stack[-1][1])
+                    elif op in (b"Td", b"TD") and len(stack) >= 2:
+                        tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                        if op == b"TD":
+                            st.leading = -ty
+                        st.line_x += tx
+                        st.line_y += ty
+                        st.cx = st.line_x
+                    elif op == b"Tm" and len(stack) >= 6:
+                        d = float(stack[-3][1])
+                        st.scale = abs(d) or 1.0
+                        st.line_x = float(stack[-2][1])
+                        st.line_y = float(stack[-1][1])
+                        st.cx = st.line_x
+                    elif op == b"T*":
+                        newline()
+                    elif op == b"Tj" and stack and stack[-1][0] == "str":
+                        show(stack[-1][1])
+                    elif op == b"'" and stack and stack[-1][0] == "str":
+                        newline()
+                        show(stack[-1][1])
+                    elif op == b'"' and stack and stack[-1][0] == "str":
+                        newline()
+                        show(stack[-1][1])
+                    elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                        for kind2, el in stack[-1]:
+                            if kind2 == "str":
+                                show(el)
+                            elif kind2 == "num":
+                                st.cx -= el / 1000.0 * st.eff_size
+                except (TypeError, ValueError, IndexError):
+                    pass
+                stack = []
+    return chars
+
+
+def pdf_to_char_pages(payload: bytes) -> Optional[List[List[Dict]]]:
+    """Genuine %PDF bytes → pages-of-char-boxes in the decode_layout_payload
+    shape (screen-style coordinates), or None when no text-showing operator
+    produced a visible glyph (scanned/image-only PDFs stay error rows)."""
+    if not payload.startswith(b"%PDF"):
+        return None
+    raw = _run_streams(_content_streams(payload))
+    visible = [c for c in raw if c["c"].strip()]
+    if not visible:
+        return None
+    m = _MEDIABOX_RE.search(payload)
+    try:
+        page_h = float(m.group(1)) if m else DEFAULT_PAGE_HEIGHT
+    except ValueError:
+        page_h = DEFAULT_PAGE_HEIGHT
+    page: List[Dict] = [
+        {
+            "c": c["c"],
+            "x0": c["x"],
+            "x1": c["x"] + c["w"],
+            "y0": page_h - (c["y"] + c["h"]),
+            "y1": page_h - c["y"],
+        }
+        for c in raw
+        if c["c"].strip()  # spaces are re-derived from gaps by line_text
+    ]
+    return [page]
+
+
+def build_single_page_pdf(
+    lines: List[Tuple[float, float, float, str]], compress: bool = False
+) -> bytes:
+    """Test/fixture inverse of pdf_to_char_pages (the write_warc pattern):
+    (x, y_from_top, size, text) rows → a well-formed one-page PDF whose
+    content stream uses Tf/Td/Tj. y is given from the TOP of the page and
+    converted to PDF (bottom-up) coordinates here."""
+    page_h = DEFAULT_PAGE_HEIGHT
+    ops = []
+    for x, y_top, size, text in lines:
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ops.append(
+            f"BT /F1 {size:g} Tf {x:g} {page_h - y_top - size:g} Td ({esc}) Tj ET"
+        )
+    content = "\n".join(ops).encode("latin-1", "replace")
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)

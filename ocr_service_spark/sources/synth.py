@@ -196,6 +196,32 @@ def _pdf_layout_doc(doc_id: int, seed: int) -> bytes:
     return PDF_LAYOUT_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False).encode("utf-8")
 
 
+def _real_pdf_doc(doc_id: int, seed: int) -> bytes:
+    """A GENUINE one-page %PDF (xref, page tree, Tf/Td/Tj content stream —
+    FlateDecode for half the docs) carrying DANFE-shaped item lines. Flows
+    through core/pdf_text.py's stdlib text-operator parser into the same
+    layout reconstruction as the sidecar class, with no decoder backend."""
+    from ..core.pdf_text import build_single_page_pdf
+
+    n_items = _h(doc_id, seed, "rn") % 4 + 1
+    day = _h(doc_id, seed, "rday") % 28 + 1
+    lines, total, y = [(50.0, 30.0, 12.0, "DOCUMENTO AUXILIAR NFC-e (PDF)")], 0.0, 60.0
+    for i in range(n_items):
+        prod = _PRODUCTS[_h(doc_id, seed, f"rp{i}") % len(_PRODUCTS)]
+        code = 78900000000 + (_h(doc_id, seed, f"rc{i}") % 99999999)
+        qtd, vu = _qty(doc_id, seed, 300 + i), _price(doc_id, seed, 300 + i)
+        vt = round(qtd * vu, 2)
+        total += vt
+        qs = _fmt_brl(qtd) if qtd != int(qtd) else str(int(qtd))
+        lines.append((50.0, y, 10.0,
+                      f"{prod} (Código: {code}) Qtde.: {qs} UN: UN "
+                      f"Vl. Unit.: {_fmt_brl(vu)} Vl. Total {_fmt_brl(vt)}"))
+        y += 14.0
+    lines.append((50.0, y + 30.0, 10.0, f"Valor a pagar R$:{_fmt_brl(round(total, 2))}"))
+    lines.append((50.0, y + 44.0, 10.0, f"Emissão: {day:02d}/12/2025"))
+    return build_single_page_pdf(lines, compress=_h(doc_id, seed, "rz") % 2 == 0)
+
+
 def gen_page(doc_id: int, seed: int = 42) -> Dict:
     """One deterministic page row in PAGES_SCHEMA shape."""
     cls = doc_id % 100
@@ -207,8 +233,11 @@ def gen_page(doc_id: int, seed: int = 42) -> Dict:
         html = _boilerplate_html(doc_id, seed)
     elif cls < 87:
         html = b""
-    elif cls < 89:
+    elif cls < 88:
+        # image-only / undecodable PDF: stays an error row by design
         html = b"%PDF-1.7\n" + hashlib.blake2b(f"{seed}:{doc_id}:pdf".encode(), digest_size=32).digest()
+    elif cls < 89:
+        html = _real_pdf_doc(doc_id, seed)
     elif cls < 91:
         html = _pdf_layout_doc(doc_id, seed)
     elif cls < 95:

@@ -91,3 +91,93 @@ class TestDocumentIntegration:
         r = extract_document("u", payload([]))
         assert r["tipo_documento"] == "gasto" and r["itens"] == []
         assert r["confianca"] == 0.0
+
+
+class TestRealPdfTextPath:
+    """core/pdf_text.py: genuine %PDF bytes (stdlib BT/Tj/TJ/Td subset,
+    raw + FlateDecode streams) -> char boxes -> the SAME reconstruction."""
+
+    LINES = [
+        (50.0, 30.0, 12.0, "DOCUMENTO AUXILIAR NFC-e (PDF REAL)"),
+        (50.0, 60.0, 10.0, "PAO FRANCES (Código: 78900001234) Qtde.: 2 UN: UN "
+                           "Vl. Unit.: 3,50 Vl. Total 7,00"),
+        (50.0, 74.0, 10.0, "LEITE UHT (Código: 78900005678) Qtde.: 1 UN: UN "
+                           "Vl. Unit.: 4,99 Vl. Total 4,99"),
+        (50.0, 120.0, 10.0, "Valor a pagar R$:11,99"),
+        (50.0, 134.0, 10.0, "Emissão: 05/12/2025"),
+    ]
+
+    def test_roundtrip_byte_identity_raw_and_flate(self):
+        """The reconstructed text is byte-identical between an uncompressed
+        and a FlateDecode build of the same document."""
+        from ocr_service_spark.core.pdf_text import (
+            build_single_page_pdf, pdf_to_char_pages,
+        )
+        texts = []
+        for compress in (False, True):
+            pdf = build_single_page_pdf(self.LINES, compress=compress)
+            assert pdf.startswith(b"%PDF") and b"%%EOF" in pdf
+            texts.append(pl.layout_to_text(pdf_to_char_pages(pdf)))
+        assert texts[0] == texts[1]
+        assert "PAO FRANCES (Código: 78900001234)" in texts[0]
+        assert "Valor a pagar R$:11,99" in texts[0]
+
+    def test_real_pdf_flows_through_extraction(self):
+        from ocr_service_spark.core.pdf_text import build_single_page_pdf
+        for compress in (False, True):
+            r = extract_document("u", build_single_page_pdf(self.LINES, compress))
+            assert r["tipo_documento"] == "gasto" and r["origem"] == "pdf_layout"
+            assert len(r["itens"]) == 2
+            assert r["itens"][1]["valor_unitario"] == 4.99
+            assert r["total_nota"] == 11.99
+            assert r["data_compra"] == "05/12/2025"
+
+    def test_string_escapes_octal_nested_parens_hex(self):
+        from ocr_service_spark.core import pdf_text as pt
+        content = (
+            b"BT /F1 12 Tf 50 800 Td "
+            b"(par\\(en\\) (nested) o\\164al \\\\slash) Tj ET\n"
+            b"BT /F1 12 Tf 50 780 Td <48455821> Tj ET\n"
+        )
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+        text = pl.layout_to_text(pt.pdf_to_char_pages(pdf))
+        assert "par(en) (nested) otal \\slash" in text
+        assert "HEX!" in text
+
+    def test_tj_array_kerning_and_tstar_leading(self):
+        from ocr_service_spark.core import pdf_text as pt
+        content = (
+            b"BT /F1 10 Tf 14 TL 50 700 Td "
+            b"[(AB) -500 (CD)] TJ T* (NEXT LINE) Tj ET"
+        )
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+        text = pl.layout_to_text(pt.pdf_to_char_pages(pdf))
+        # -500/1000 * 10pt = 5pt gap > WORD_GAP_RATIO * 6pt char -> a space
+        assert "AB CD" in text
+        assert "NEXT LINE" in text
+        assert text.index("AB CD") < text.index("NEXT LINE")
+
+    def test_image_only_pdf_stays_error_row(self):
+        """A PDF whose only stream has an unsupported filter yields None ->
+        the content-type-guard error envelope."""
+        from ocr_service_spark.core import pdf_text as pt
+        pdf = (b"%PDF-1.4\n1 0 obj << /Filter /DCTDecode /Length 4 >>\n"
+               b"stream\n\xff\xd8\xff\xe0\nendstream\nendobj\n%%EOF")
+        assert pt.pdf_to_char_pages(pdf) is None
+        r = extract_document("u", pdf)
+        assert r["tipo_documento"] == "erro" and r["fmt"] == "pdf"
+
+    def test_synth_real_pdf_class_extracts(self):
+        """gen_page class 88 (real %PDF) produces items via the stdlib
+        parser — previously these ids were error rows."""
+        from ocr_service_spark.sources.synth import gen_page
+        seen = 0
+        for doc_id in (88, 188, 288, 388):
+            p = gen_page(doc_id)
+            assert bytes(p["html"]).startswith(b"%PDF-1.4")
+            r = extract_document(p["url"], p["html"])
+            assert r["tipo_documento"] == "gasto", doc_id
+            seen += len(r["itens"])
+        assert seen >= 4

@@ -60,6 +60,10 @@ class TestByteIdentity:
         assert any(r["n_itens"] > 0 and r["fmt"] == "html" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "tokens" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "pdf" for r in results_rows.values())
+        # both PDF happy paths: the sidecar layout class (id%100 in 89,90)
+        # AND genuine %PDF bytes through the stdlib text parser (id%100==88)
+        real_pdf = [r for u, r in results_rows.items() if int(u[-12:]) % 100 == 88]
+        assert real_pdf and all(r["n_itens"] > 0 for r in real_pdf)
 
 
 class TestLineageAndResume:
