@@ -89,6 +89,7 @@ HEADLINE = [
     "a4_ordered_concat",
     "dedup_exact",
     "dedup_clusters_cc",
+    "dedup_clusters_lsh",  # the production LSH->verify->CC clustering path
     "x15_money_values",
     "minhash_lsh_candidates",
     "simhash_fingerprint",
@@ -96,6 +97,7 @@ HEADLINE = [
     "lang_id_quality",
     "token_count_bpe",
     "x11_danfe_regex",
+    "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
 
@@ -158,6 +160,23 @@ def main() -> None:
         "extract_mb_per_sec": round(ex_mb / ex_wall, 3),
     }
     spark.stop()
+
+    # North-rule evidence embedded in every round's BENCH_r{N}.json: the
+    # N-vs-4N interleaved-pair scaling measurement (fresh JVMs, run after
+    # this session stops so nothing competes for cores). Input size must
+    # amortize the ~2s fixed plumbing below the noise floor — see
+    # BENCH/BASELINE.md for the full 5-pair evidence run + hw ceiling.
+    if not args.extract_only and not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        from ocr_service_spark.scalingbench import measure_pairs
+
+        # one 384k-doc pair (min-of-2 per level) keeps the round bench
+        # bounded (~5 min); BENCH/BASELINE.md carries the multi-pair
+        # evidence run with the hardware-ceiling baseline.
+        out["scaling"] = measure_pairs(
+            docs=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "384000")),
+            repeats=int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1")),
+        )
+
     print(json.dumps(out))
 
 

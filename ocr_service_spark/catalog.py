@@ -13,6 +13,7 @@ value-hash, columns sorted by name):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1265,6 +1266,65 @@ def q_video_frames(spark, sf_dir):
     return sample_video_frames(media, every_n=2)
 
 
+def q_resume_exactly_once(spark, sf_dir):
+    """Checkpoint-resume exactly-once semantics, driver-checked END TO END:
+    phase 1 extracts and writes only even-doc_id pages (a simulated mid-job
+    kill), then run_resumable completes the table, then a rerun on the
+    complete sink must be a no-op. The emitted counters are all statable by
+    the oracle from the documents table alone — any lost url, duplicate
+    extraction, or resume leak changes a counter and fails the value-hash
+    gate. Exercises the real sink (bucketed dynamic-partition-overwrite
+    parquet, the Iceberg-MERGE stand-in) on /dev/shm scratch."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import (
+        resume_pending, run_extraction, run_resumable, write_results,
+    )
+    from .sources.synth import pages_from_documents
+
+    tmp = tempfile.mkdtemp(prefix="resume_gate_", dir="/dev/shm")
+    rp = os.path.join(tmp, "res")
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        doc_id = F.substring_index("url", "/", -1).cast("long")
+        write_results(run_extraction(pages.filter(doc_id % 2 == 0)), rp)
+        n_phase1 = spark.read.parquet(rp).count()
+
+        pending = resume_pending(pages, rp)
+        n_pending = pending.count()
+        n_pending_even = pending.filter(
+            F.substring_index("url", "/", -1).cast("long") % 2 == 0
+        ).count()
+
+        final = run_resumable(spark, pages, rp)
+        n_final = final.count()
+        n_distinct = final.select("url").distinct().count()
+        n_again = run_resumable(spark, pages, rp).count()
+
+        rows = [
+            ("phase1_written", n_phase1),
+            ("pending_after_phase1", n_pending),
+            ("pending_even_ids", n_pending_even),
+            ("final_rows", n_final),
+            ("final_distinct_urls", n_distinct),
+            ("rerun_rows", n_again),
+        ]
+        return spark.createDataFrame(rows, "metric string, n long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_RESUME = """
+SELECT 'phase1_written' AS metric, COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0
+UNION ALL SELECT 'pending_after_phase1', COUNT(*) FROM documents WHERE doc_id % 2 = 1
+UNION ALL SELECT 'pending_even_ids', 0
+UNION ALL SELECT 'final_rows', COUNT(*) FROM documents
+UNION ALL SELECT 'final_distinct_urls', COUNT(*) FROM documents
+UNION ALL SELECT 'rerun_rows', COUNT(*) FROM documents
+"""
+
+
 def q_training_set_selection(spark, sf_dir):
     """Capstone composition — the actual training-data selection pipeline:
     keep each duplicate cluster's keeper doc (CC dedup), drop low-quality
@@ -1405,6 +1465,7 @@ CATALOG: Dict[str, tuple] = {
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
+    "resume_exactly_once": (q_resume_exactly_once, SQL_RESUME),
     "training_set_selection": (q_training_set_selection, SQL_TRAINING_SET),
     "x1_norm_text": (q_x1_norm_text, SQL_X1),
     "x3_clean_desc": (q_x3_clean_desc, SQL_X3),

@@ -1,0 +1,196 @@
+"""Shared N-vs-4N scaling measurement (north_rule sandbox protocol).
+
+The north rule requires throughput scaling efficiency >= 0.8 going from N
+to 4N executors. No real cluster exists in this sandbox, so the evidence
+is the same extraction job on the same materialized parquet input at two
+parallelism levels (default N=2, 4N=8 cores — see BENCH/BASELINE.md for
+why not 8/32 on this host). Used by BOTH scripts/bench_scaling.py (the
+full evidence run that writes BENCH/BASELINE.md) and bench.py (which
+embeds a pair measurement in every round's BENCH_r{N}.json).
+
+Protocol:
+  1. The input (deterministic synth pages, seed 42) is materialized to
+     parquet ONCE — both levels read identical bytes.
+  2. Each level runs in a fresh JVM (subprocess): one warmup pass, then
+     timed runs; the minimum wall is kept (host vCPU stalls are outliers,
+     filtered identically at both levels).
+  3. Levels are INTERLEAVED in adjacent pairs so both sample the same
+     host window; the MEDIAN pair efficiency is reported.
+  4. Job = parquet scan -> size-bucket salted repartition -> Arrow-batched
+     extraction UDF -> noop sink. The full pipeline, no shortcuts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+cores, pages_path, repeats = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+sys.path.insert(0, {repo!r})
+from ocr_service_spark.session import get_spark
+from ocr_service_spark.operators.skew import repartition_by_size
+from ocr_service_spark.operators.extract import extract_pages
+
+spark = get_spark(app_name=f"scaling-{{cores}}", cpus=cores,
+                  shuffle_partitions=cores * 2,
+                  extra_conf={{"spark.driver.memory": "4g",
+                              "spark.ui.enabled": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+
+def job():
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    out = extract_pages(repartition_by_size(pages, cores * 2))
+    out.write.format("noop").mode("overwrite").save()
+
+t0 = time.monotonic()
+pages = spark.read.parquet(pages_path).select("url", "html").limit(4000)
+extract_pages(repartition_by_size(pages, cores * 2)).write.format("noop").mode("overwrite").save()
+warm = time.monotonic() - t0
+
+walls = []
+for _ in range(repeats):
+    t0 = time.monotonic()
+    job()
+    walls.append(time.monotonic() - t0)
+spark.stop()
+print("RESULT " + json.dumps({{"cores": cores, "warmup_s": round(warm, 2),
+                              "walls": [round(w, 2) for w in walls],
+                              "best_s": round(min(walls), 3)}}))
+"""
+
+MP_RUNNER = """
+import multiprocessing as mp, sys, time, json
+sys.path.insert(0, {repo!r})
+from ocr_service_spark.sources.synth import gen_page
+from ocr_service_spark.core import extract_document
+
+def work(rng):
+    lo, hi = rng
+    for i in range(lo, hi):
+        p = gen_page(i)
+        extract_document(p["url"], p["html"])
+    return hi - lo
+
+procs, docs, repeats = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+chunks = [(i * docs // procs, (i + 1) * docs // procs) for i in range(procs)]
+best = 1e18
+for _ in range(repeats):
+    t0 = time.monotonic()
+    with mp.Pool(procs) as pool:
+        pool.map(work, chunks)
+    best = min(best, time.monotonic() - t0)
+print("RESULT " + json.dumps({{"procs": procs, "best_s": round(best, 3)}}))
+"""
+
+
+def run_level(cores: int, pages_path: str, repeats: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER.format(repo=REPO),
+         str(cores), pages_path, str(repeats)],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line from cores={cores}:\n{out.stdout}\n{out.stderr}")
+
+
+def run_mp_baseline(procs: int, docs: int, repeats: int) -> float:
+    """Hardware-ceiling baseline: the IDENTICAL per-document work (same
+    seed, same docs, same extraction core) with plain multiprocessing — no
+    Spark, no Arrow, no shuffle. Whatever scaling the VM delivers here is
+    the ceiling any framework can reach on it."""
+    out = subprocess.run(
+        [sys.executable, "-c", MP_RUNNER.format(repo=REPO),
+         str(procs), str(docs), str(repeats)],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])["best_s"]
+    raise RuntimeError(f"no RESULT from mp baseline:\n{out.stdout}\n{out.stderr}")
+
+
+def materialize(pages_path: str, docs: int) -> float:
+    """Write the deterministic pages table once; returns input MB."""
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from ocr_service_spark.session import get_spark
+from ocr_service_spark.sources.synth import synth_pages
+import pyspark.sql.functions as F
+spark = get_spark(app_name="mat", cpus=32, extra_conf={{"spark.driver.memory": "4g", "spark.ui.enabled": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+synth_pages(spark, {docs}).write.mode("overwrite").parquet({pages_path!r})
+mb = spark.read.parquet({pages_path!r}).agg((F.sum(F.length("html"))/1e6).alias("mb")).collect()[0]["mb"]
+print("MB " + str(round(mb, 2)))
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd=REPO, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("MB "):
+            return float(line[3:])
+    raise RuntimeError(f"materialize failed:\n{out.stdout}\n{out.stderr}")
+
+
+def measure_pairs(
+    docs: int,
+    small: int = 2,
+    large: int = 8,
+    repeats: int = 3,
+    pages_path: str = "/dev/shm/scaling_pages",
+    reuse_input: bool = False,
+    inner_repeats: int = 2,
+) -> dict:
+    """Interleaved fresh-JVM pairs at `small` and `large` cores; returns the
+    raw scaling summary (no hardware-ceiling runs — callers add those when
+    wanted). Median pair efficiency is the headline number.
+
+    `inner_repeats` timed runs per level per pair, minimum kept — the
+    repo-wide best-of-N convention (CLAUDE.md): this host's stall noise is
+    ONE-SIDED (a stall only ever adds wall time), so the minimum is the
+    consistent estimator of true job cost and a single stalled run cannot
+    poison a pair. `best_pair_efficiency` (best small wall / best large
+    wall across ALL runs) is reported alongside the median for the same
+    reason."""
+    if reuse_input and os.path.isdir(pages_path):
+        mb = None
+    else:
+        mb = materialize(pages_path, docs)
+    ratio = large // small
+    pairs: List[float] = []
+    small_runs: List[float] = []
+    large_runs: List[float] = []
+    for _ in range(repeats):
+        rs = run_level(small, pages_path, inner_repeats)
+        rl = run_level(large, pages_path, inner_repeats)
+        small_runs.append(rs["best_s"])
+        large_runs.append(rl["best_s"])
+        pairs.append((rs["best_s"] / rl["best_s"]) / ratio)
+    efficiency = sorted(pairs)[len(pairs) // 2]
+    t_small, t_large = min(small_runs), min(large_runs)
+    summary = {
+        "docs": docs,
+        "cores_small": small, "cores_large": large,
+        "wall_s_small": t_small, "wall_s_large": t_large,
+        "walls_small": small_runs, "walls_large": large_runs,
+        "docs_per_sec_small": round(docs / t_small, 1),
+        "docs_per_sec_large": round(docs / t_large, 1),
+        "scaling_efficiency": round(efficiency, 3),
+        "pair_efficiencies": [round(p, 3) for p in pairs],
+        "best_pair_efficiency": round((t_small / t_large) / ratio, 3),
+        "inner_repeats": inner_repeats,
+        "target": 0.8,
+    }
+    if mb is not None:
+        summary["mb"] = mb
+        summary["mb_per_sec_small"] = round(mb / t_small, 2)
+        summary["mb_per_sec_large"] = round(mb / t_large, 2)
+    return summary

@@ -71,6 +71,30 @@ def parse_warc_records(blob: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer encoding (size-hex CRLF data CRLF …
+    0 CRLF). Malformed chunk framing returns the bytes decoded so far plus
+    nothing — never raises (truncated crawl records are normal)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out += body[start:start + size]
+        pos = start + size + 2  # skip chunk-data CRLF
+    return bytes(out)
+
+
 def http_response_body(payload: bytes) -> bytes:
     """Per WARC/ISO-28500 (and all real Common-Crawl files) a `response`
     record's block is the full HTTP message — status line + headers + body.
@@ -78,7 +102,13 @@ def http_response_body(payload: bytes) -> bytes:
     document bytes; payloads that don't start with `HTTP/` (e.g. fixture
     archives carrying bare documents) pass through unchanged. A headers
     block with no terminating CRLF CRLF (truncated record) yields b""
-    rather than leaking header text into the document."""
+    rather than leaking header text into the document.
+
+    Real stored HTTP additionally needs two stdlib-decodable layers, both
+    common in Common-Crawl captures: `Transfer-Encoding: chunked` framing
+    and `Content-Encoding: gzip|deflate` compression. Decode failures fall
+    back to the raw body (sniffing then routes it as unknown → error row,
+    the errors-as-data contract)."""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(CRLF + CRLF)
@@ -86,7 +116,24 @@ def http_response_body(payload: bytes) -> bytes:
         # tolerate bare-LF header blocks from sloppy writers
         sep_lf = payload.find(b"\n\n")
         return payload[sep_lf + 2:] if sep_lf >= 0 else b""
-    return payload[sep + 4:]
+    headers = payload[:sep].lower()
+    body = payload[sep + 4:]
+    if b"transfer-encoding:" in headers and b"chunked" in headers:
+        body = _dechunk(body)
+    if b"content-encoding:" in headers:
+        import gzip
+        import zlib
+        try:
+            if b"content-encoding: gzip" in headers or b"content-encoding:gzip" in headers:
+                body = gzip.decompress(body)
+            elif b"deflate" in headers.split(b"content-encoding", 1)[1][:30]:
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+        except Exception:
+            pass  # keep raw body; sniffing will classify it
+    return body
 
 
 def _parse_warc_date(s: Optional[str]) -> Optional[datetime]:

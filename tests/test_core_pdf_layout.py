@@ -181,3 +181,48 @@ class TestRealPdfTextPath:
             assert r["tipo_documento"] == "gasto", doc_id
             seen += len(r["itens"])
         assert seen >= 4
+
+
+class TestRealPdfProperty:
+    """Property: ANY latin-1 text rows (including parens/backslashes, which
+    exercise the string-literal escaping) survive the build -> parse ->
+    reconstruct round trip with content and top-to-bottom order intact."""
+
+    def test_roundtrip_preserves_rows_and_order(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ocr_service_spark.core.pdf_text import (
+            build_single_page_pdf, pdf_to_char_pages,
+        )
+
+        # latin-1 printable, no C0/C1 controls (writer emits them raw into
+        # the literal; the parser's show() only skips \n\r — keep the
+        # property crisp by generating none)
+        # plain space only — other Zs (e.g. NBSP) renders as a glyph in the
+        # parser but normalizes to " " in str.split(), a false mismatch
+        chars = st.characters(
+            codec="latin-1",
+            categories=("L", "N", "P", "S"),
+            include_characters=" ",
+        )
+        rows = st.lists(
+            st.text(alphabet=chars, min_size=1, max_size=40).filter(str.strip),
+            min_size=1, max_size=8,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(rows)
+        def check(texts):
+            lines = [(50.0, 30.0 + 24.0 * i, 10.0, t) for i, t in enumerate(texts)]
+            for compress in (False, True):
+                pdf = build_single_page_pdf(lines, compress=compress)
+                text = pl.layout_to_text(pdf_to_char_pages(pdf))
+                pos = -1
+                for t in texts:
+                    want = " ".join(t.split())
+                    at = text.find(want, pos + 1)
+                    assert at > pos, (t, text)
+                    pos = at
+
+        check()

@@ -79,3 +79,98 @@ def test_linear_on_marker_free_tail():
     out = list(iter_items_sp(case))
     assert len(out) == 1
     assert time.time() - t0 < 2.0
+
+
+class TestJavaPythonRegexDifferential:
+    """The catalog's Spark twin (x11_danfe_regex) evaluates the X11 pattern
+    with JAVA regex while the core path and the DuckDB oracle use Python re
+    / RE2. These cases pin that the engines agree on the lazy-quantifier
+    pathologies the pattern can meet — and document the ONE known divergence
+    (non-ASCII case folding) the catalog must never rely on."""
+
+    # the exact pattern string q_x11_danfe_regex passes to regexp_extract
+    PAT = (r"(.+?)\s*\(Código:\s*([^)]+)\)\s*.*?Qtde\.?:\*{0,2}\s*([0-9,.]+)\s*"
+           r".*?UN:\*{0,2}\s*([A-Z]{1,3})\s*.*?Vl\.\s*Unit\.?:\*{0,2}\s*([0-9,.]+)")
+
+    PATHOLOGICAL = [
+        # plain item
+        "COCA (Código: 789) Qtde.:2 UN: UN Vl. Unit.: 3,5 Vl. Total 7,00",
+        # lazy desc must expand PAST a marker whose tail fails
+        "A (Código: x) B (Código: 1) Qtde.:1 UN: UN Vl. Unit.: 1,0 Vl. Total 1,00",
+        # 0, 1, 2 and 3 markdown stars after each field label (\*{0,2}:
+        # three stars leaves '*' before the number and must fail the match)
+        "P (Código: 2) Qtde.:*1 UN:** UN Vl. Unit.:** 2,0 Vl. Total 2,00",
+        "P (Código: 2) Qtde.:***1 UN: UN Vl. Unit.: 2,0 Vl. Total 2,00",
+        # repeated field labels: the lazy .*? stops at the FIRST occurrence
+        "R (Código: 3) Qtde.:9 x Qtde.:1 UN: UN Vl. Unit.: 3,0 Vl. Total 3,00",
+        "R (Código: 3) Qtde.:1 UN: AB UN: CD Vl. Unit.: 5,5 Vl. Total 5,50",
+        # number charset greediness: thousands separators, bare comma
+        "TV (Código: 4) Qtde.:1 UN: UN Vl. Unit.: 1.234,56 Vl. Total 1.234,56",
+        "Z (Código: 5) Qtde.:2 UN: UN Vl. Unit.: , Vl. Total 9,98",
+        # dot-doesn't-cross-newline agreement: desc restarts after \n
+        "IGNORED\nB (Código: 6) Qtde.:1 UN: UN Vl. Unit.: 1,0 Vl. Total 1,00",
+        # marker inside the desc-candidate with ')' missing -> [^)]+ overrun
+        "A (Código: no close Qtde.:1 UN: UN Vl. Unit.: 1,0) (Código: 7) "
+        "Qtde.:2 UN: UN Vl. Unit.: 2,0 Vl. Total 4,00",
+        # nothing matches at all
+        "lorem ipsum dolor sit amet",
+        # near-miss tail repeated (backtracking pressure, small n)
+        "X (Código: 8) " + "Qtde.: x " * 50 + "Qtde.:1 UN: UN Vl. Unit.: 1,0 Vl. Total 1,00",
+    ]
+
+    @staticmethod
+    def _py_groups(pat, text):
+        import re as _re
+        m = _re.search(pat, text)
+        return tuple((m.group(g) or "") if m else "" for g in range(1, 6))
+
+    @staticmethod
+    def _java_groups(spark, pat, texts):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(t,) for t in texts], "txt string")
+        out = df.select(
+            "txt", *[F.regexp_extract("txt", pat, g).alias(f"g{g}") for g in range(1, 6)]
+        ).collect()
+        return {r["txt"]: tuple(r[f"g{g}"] for g in range(1, 6)) for r in out}
+
+    def test_java_matches_python_on_pathological_inputs(self, spark):
+        got = self._java_groups(spark, self.PAT, self.PATHOLOGICAL)
+        for text in self.PATHOLOGICAL:
+            assert got[text] == self._py_groups(self.PAT, text), f"diverged on {text!r}"
+
+    def test_java_matches_python_on_synth_item_lines(self, spark):
+        """The real fixture corpus: the flattened item text of every
+        synthetic DANFE page (the exact strings RE_ITEM_SP consumes in
+        production — entities decoded, pipes stripped, multi-item) must
+        extract identically in both engines."""
+        from ocr_service_spark.core.html_extract import (
+            flatten_html, normalize_item_text,
+        )
+        from ocr_service_spark.sources.synth import gen_page
+        lines = []
+        for doc_id in range(0, 300):
+            page = gen_page(doc_id)
+            raw = bytes(page["html"])
+            if not raw.lstrip()[:1] == b"<":
+                continue
+            item_text = normalize_item_text(flatten_html(raw.decode("utf-8", "replace")))
+            if "Código" in item_text:
+                lines.append(item_text)
+        lines = sorted(set(lines))[:200]
+        assert len(lines) >= 50
+        got = self._java_groups(spark, self.PAT, lines)
+        for text in lines:
+            assert got[text] == self._py_groups(self.PAT, text), f"diverged on {text!r}"
+
+    def test_known_divergence_nonascii_case_folding(self, spark):
+        """DOCUMENTED divergence: Python re.IGNORECASE folds non-ASCII by
+        default, Java (?i) does NOT (needs (?iu)). The catalog twin
+        therefore uses the exact-case literal 'Código' — this test is the
+        tripwire that keeps anyone from adding (?i) and assuming parity."""
+        import re as _re
+        text = "TV (CÓDIGO: 1) Qtde.:1 UN: UN Vl. Unit.: 9,0 Vl. Total 9,00"
+        assert _re.search(self.PAT, text, _re.IGNORECASE) is not None
+        ci = self._java_groups(spark, "(?i)" + self.PAT, [text])[text]
+        ciu = self._java_groups(spark, "(?iu)" + self.PAT, [text])[text]
+        assert ci[1] == ""          # Java (?i): ASCII-only folding -> no match
+        assert ciu[1] == "1"        # Java (?iu): Unicode folding -> matches

@@ -99,12 +99,24 @@ class TestLineageAndResume:
 
         # resume: anti-join leaves exactly the unwritten urls
         pending = resume_pending(all_pages, rp)
-        assert pending.count() == 60
+        pending_urls = {r["url"] for r in pending.select("url").collect()}
+        assert len(pending_urls) == 60
+
+        # phase-1 rows as written (content snapshot, to prove the resume
+        # pass rewrites buckets without changing already-extracted rows)
+        before = {r["url"]: r["itens_json"] for r in
+                  spark.read.parquet(rp).select("url", "itens_json").collect()}
 
         # phase 2: resumable run completes the table, idempotently
         final = run_resumable(spark, all_pages, rp)
         assert final.count() == 120
         assert final.select("url").distinct().count() == 120
+        # the second run extracted EXACTLY the pending set: every phase-1
+        # row survives byte-identical, every pending url is now present
+        after = {r["url"]: r["itens_json"] for r in
+                 final.select("url", "itens_json").collect()}
+        assert all(after[u] == j for u, j in before.items())
+        assert set(after) - set(before) == pending_urls
 
         # rerun on a complete sink is a no-op with identical contents
         again = run_resumable(spark, all_pages, rp)

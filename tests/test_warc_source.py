@@ -89,6 +89,40 @@ def test_http_wrapped_response_records(tmp_path, spark):
     assert bytes(rows[0]["html"]) == body
 
 
+def test_http_chunked_and_content_encoding():
+    """Stored HTTP commonly carries chunked framing and gzip/deflate
+    content-encoding — both stdlib-decodable; failures keep the raw body."""
+    import gzip
+    import zlib
+
+    from ocr_service_spark.sources.warc import http_response_body
+
+    body = b"<html><body>" + b"x" * 100 + b"</body></html>"
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + b"a\r\n" + body[:10] + b"\r\n"
+               + format(len(body) - 10, "x").encode() + b"\r\n" + body[10:]
+               + b"\r\n0\r\n\r\n")
+    assert http_response_body(chunked) == body
+
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+          + gzip.compress(body))
+    assert http_response_body(gz) == body
+
+    defl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compress(body))
+    assert http_response_body(defl) == body
+
+    both = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n")
+    gzb = gzip.compress(body)
+    both += format(len(gzb), "x").encode() + b"\r\n" + gzb + b"\r\n0\r\n\r\n"
+    assert http_response_body(both) == body
+
+    # corrupt gzip -> raw body kept (errors-as-data downstream)
+    bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    assert http_response_body(bad) == b"not-gzip"
+
+
 def test_gzipped_warc_member_per_record(tmp_path, spark):
     """Common-Crawl packaging: one gzip member per record, concatenated."""
     import gzip
