@@ -21,14 +21,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     arrow_batch_size: int = 256,
     extra_conf: dict | None = None,
+    cluster_mode: bool = False,
 ) -> SparkSession:
+    """`cluster_mode=True` leaves the master/resource settings to the
+    launcher (spark-submit --master/--num-executors — the north-rule
+    production path); the default pins local[cpus] for tests/bench."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS))
     )
+    builder = SparkSession.builder
+    if not cluster_mode:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

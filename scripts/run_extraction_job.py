@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""spark-submit job driver for the extraction pipeline (north-rule path).
+
+Cluster launch (the production shape — master/resources come from submit):
+
+    cd repo && zip -r /tmp/ocr_service_spark.zip ocr_service_spark
+    spark-submit --master <cluster> --num-executors N \
+        --py-files /tmp/ocr_service_spark.zip \
+        scripts/run_extraction_job.py \
+        --input  /data/pages/   --input-format parquet \
+        --output /data/results/ --metrics /data/metrics/ --run-id crawl-42
+
+Local smoke (no submit; pins local[N]):
+
+    python scripts/run_extraction_job.py --local-cores 8 \
+        --input /dev/shm/pages --output /tmp/out --no-resume
+
+Behavior:
+  - input: a parquet pages table (url, warc_ts, html, text, lang) or a
+    directory/glob of WARC / .warc.gz archives (--input-format warc).
+  - resume is ON by default: urls already present in --output are
+    anti-joined away, so re-submitting after a failure extracts exactly
+    the pending set (exactly-once-per-url; plans/pipeline.py). --no-resume
+    forces a full overwrite run.
+  - every partition writes (docs, bytes, failures) lineage rows to
+    --metrics (sidecar table) tagged with --run-id.
+  - prints one JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet dir or WARC path/glob")
+    ap.add_argument("--input-format", choices=("parquet", "warc"), default="parquet")
+    ap.add_argument("--output", required=True, help="results sink (bucketed parquet)")
+    ap.add_argument("--metrics", default=None, help="lineage sidecar table path")
+    ap.add_argument("--run-id", default="run")
+    ap.add_argument("--num-partitions", type=int, default=None,
+                    help="extraction parallelism (default: cluster default parallelism)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="full overwrite instead of resume-from-checkpoint")
+    ap.add_argument("--local-cores", type=int, default=None,
+                    help="run without spark-submit on local[N] (smoke/testing)")
+    args = ap.parse_args()
+
+    from ocr_service_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"ocr-extraction-{args.run_id}",
+        cpus=args.local_cores,
+        cluster_mode=args.local_cores is None,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ocr_service_spark.plans.pipeline import (
+        run_extraction, run_resumable, write_results,
+    )
+
+    if args.input_format == "warc":
+        from ocr_service_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.monotonic()
+    if args.no_resume:
+        write_results(
+            run_extraction(pages, num_partitions=args.num_partitions),
+            args.output, metrics_path=args.metrics, run_id=args.run_id,
+        )
+        final = spark.read.parquet(args.output)
+    else:
+        final = run_resumable(
+            spark, pages, args.output,
+            metrics_path=args.metrics, run_id=args.run_id,
+            num_partitions=args.num_partitions,
+        )
+    n_rows = final.count()
+    n_err = final.filter("is_error").count()
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "run_id": args.run_id,
+        "rows": n_rows,
+        "errors": n_err,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "output": args.output,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
