@@ -137,8 +137,11 @@ def main() -> None:
         for name in HEADLINE:
             # best-of-2: the sandbox host intermittently stalls single JVM
             # tasks for tens of seconds; the minimum is the real query cost.
+            # The resume gate is an end-to-end correctness exercise (writes
+            # a sink, resumes, reruns) — once is the measurement.
+            runs = 1 if name == "resume_exactly_once" else 2
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 # construction inside the timer: iterative operators (e.g.
                 # connected components) run jobs eagerly while building
                 t0 = time.monotonic()

@@ -877,9 +877,9 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     this path must. The oracle is the UNBLOCKED ground truth: all-pairs
     shingle-Jaccard >= t plus md5-exact pairs, recursive-CTE transitive
     closure — exact cluster equality proves the LSH candidate stage lost
-    no true pair on this data (P(miss) = (1-j)^16 <= 1e-15 at the observed
-    near-dup j >= 0.89; verification, which IS oracle-expressible, decides
-    membership)."""
+    no true pair on this data (P(miss) = (1-j^2)^8 <= 4e-6 at the observed
+    near-dup j >= 0.89 under the r=2 banding; verification, which IS
+    oracle-expressible, decides membership)."""
     from .operators.dedup import duplicate_clusters
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     clones = d.filter(F.col("doc_id") % 40 == 0).select(
