@@ -120,7 +120,11 @@ def main() -> None:
             sf = float(tail[2:])
         except ValueError:
             pass
-    n_docs = args.docs or max(2000, int(240000 * sf))
+    # 96k docs at sf0.1: the extraction job's ~4s fixed plumbing (scan +
+    # shuffle + Arrow spin-up, measured in BENCH/BASELINE.md) must amortize
+    # below the per-doc work or the docs/sec number measures host weather,
+    # not throughput (per-doc cost is ~0.4 CPU-ms).
+    n_docs = args.docs or max(2000, int(960000 * sf))
 
     spark = build_spark(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
