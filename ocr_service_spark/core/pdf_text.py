@@ -47,39 +47,85 @@ _NUM_START = b"+-.0123456789"
 _ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 
 
+def _decode_stream(head: bytes, raw: bytes) -> bytes:
+    """Stream body → decoded bytes. Raw passes through; FlateDecode is
+    zlib-inflated (stdlib); other filters yield b"" (images/fonts, not
+    text operators)."""
+    if raw.endswith(b"\r\n"):
+        raw = raw[:-2]
+    elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+        raw = raw[:-1]
+    if b"/Filter" in head:
+        if b"/FlateDecode" in head:
+            try:
+                return zlib.decompress(raw)
+            except Exception:
+                return b""
+        return b""  # unsupported filter: not a text stream we can read
+    return raw
+
+
 def _content_streams(data: bytes) -> List[bytes]:
-    """Every decodable stream body in the file. Raw bodies pass through;
-    FlateDecode bodies are zlib-inflated; other filters are skipped. A
-    non-text stream that happens to decode is harmless — the tokenizer
-    finds no text operators in it."""
+    """Every decodable stream body in the file (page-structure-blind
+    fallback). A non-text stream that happens to decode is harmless — the
+    tokenizer finds no text operators in it."""
     out: List[bytes] = []
     pos = 0
     while True:
         m = _STREAM_HEAD_RE.search(data, pos)
         if not m:
             break
-        head = m.group(1)
         start = m.end()
         end = data.find(b"endstream", start)
         if end < 0:
             break
-        raw = data[start:end]
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
-            raw = raw[:-1]
-        if b"/Filter" in head:
-            if b"/FlateDecode" in head:
-                try:
-                    raw = zlib.decompress(raw)
-                except Exception:
-                    raw = b""
-            else:
-                raw = b""  # unsupported filter: not a text stream we can read
+        raw = _decode_stream(m.group(1), data[start:end])
         if raw:
             out.append(raw)
         pos = end + len(b"endstream")
     return out
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _page_stream_groups(data: bytes) -> List[Tuple[List[bytes], Optional[float]]]:
+    """Walk the page objects: for each /Type /Page, resolve its /Contents
+    refs to decoded stream bodies (single ref or array). Returns
+    [(streams, page_height_or_None), ...] in document order — the minimal
+    page-tree walk that gives real multi-page PDFs their \\f-separated
+    pages. Empty when the file has no parseable page objects (the caller
+    falls back to the structure-blind all-streams single page)."""
+    streams_by_obj: dict = {}
+    pages: List[Tuple[List[bytes], Optional[float]]] = []
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body = m.group(2)
+        sm = re.search(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", body, re.S)
+        if sm:
+            end = body.find(b"endstream", sm.end())
+            if end >= 0:
+                decoded = _decode_stream(sm.group(1), body[sm.end():end])
+                if decoded:
+                    streams_by_obj[num] = decoded
+            continue
+        if _PAGE_TYPE_RE.search(body):
+            cm = _CONTENTS_RE.search(body)
+            refs = [int(r) for r in _REF_RE.findall(cm.group(1))] if cm else []
+            hm = _MEDIABOX_RE.search(body)
+            try:
+                h = float(hm.group(1)) if hm else None
+            except ValueError:
+                h = None
+            pages.append((refs, h))
+    out: List[Tuple[List[bytes], Optional[float]]] = []
+    for refs, h in pages:
+        streams = [streams_by_obj[r] for r in refs if r in streams_by_obj]
+        out.append((streams, h))
+    return out if any(s for s, _ in out) else []
 
 
 def _parse_literal_string(buf: bytes, i: int) -> Tuple[bytes, int]:
@@ -294,22 +340,8 @@ def _run_streams(streams: List[bytes]) -> List[Dict]:
     return chars
 
 
-def pdf_to_char_pages(payload: bytes) -> Optional[List[List[Dict]]]:
-    """Genuine %PDF bytes → pages-of-char-boxes in the decode_layout_payload
-    shape (screen-style coordinates), or None when no text-showing operator
-    produced a visible glyph (scanned/image-only PDFs stay error rows)."""
-    if not payload.startswith(b"%PDF"):
-        return None
-    raw = _run_streams(_content_streams(payload))
-    visible = [c for c in raw if c["c"].strip()]
-    if not visible:
-        return None
-    m = _MEDIABOX_RE.search(payload)
-    try:
-        page_h = float(m.group(1)) if m else DEFAULT_PAGE_HEIGHT
-    except ValueError:
-        page_h = DEFAULT_PAGE_HEIGHT
-    page: List[Dict] = [
+def _flip(raw_chars: List[Dict], page_h: float) -> List[Dict]:
+    return [
         {
             "c": c["c"],
             "x0": c["x"],
@@ -317,40 +349,84 @@ def pdf_to_char_pages(payload: bytes) -> Optional[List[List[Dict]]]:
             "y0": page_h - (c["y"] + c["h"]),
             "y1": page_h - c["y"],
         }
-        for c in raw
+        for c in raw_chars
         if c["c"].strip()  # spaces are re-derived from gaps by line_text
     ]
-    return [page]
 
 
-def build_single_page_pdf(
-    lines: List[Tuple[float, float, float, str]], compress: bool = False
+def pdf_to_char_pages(payload: bytes) -> Optional[List[List[Dict]]]:
+    """Genuine %PDF bytes → pages-of-char-boxes in the decode_layout_payload
+    shape (screen-style coordinates), or None when no text-showing operator
+    produced a visible glyph (scanned/image-only PDFs stay error rows).
+
+    Page structure comes from the /Type /Page objects' /Contents refs
+    (multi-page documents reconstruct per page, \\f-joined downstream);
+    files without parseable page objects fall back to all-streams-as-one-
+    page, which is correct for the single-page receipts this engine
+    mostly sees."""
+    if not payload.startswith(b"%PDF"):
+        return None
+    m = _MEDIABOX_RE.search(payload)
+    try:
+        default_h = float(m.group(1)) if m else DEFAULT_PAGE_HEIGHT
+    except ValueError:
+        default_h = DEFAULT_PAGE_HEIGHT
+
+    groups = _page_stream_groups(payload)
+    if groups:
+        pages = [
+            _flip(_run_streams(streams), h or default_h) for streams, h in groups
+        ]
+        if any(pages):
+            return pages
+        return None
+    raw = _run_streams(_content_streams(payload))
+    page = _flip(raw, default_h)
+    return [page] if page else None
+
+
+def build_multi_page_pdf(
+    pages: List[List[Tuple[float, float, float, str]]], compress: bool = False
 ) -> bytes:
     """Test/fixture inverse of pdf_to_char_pages (the write_warc pattern):
-    (x, y_from_top, size, text) rows → a well-formed one-page PDF whose
-    content stream uses Tf/Td/Tj. y is given from the TOP of the page and
-    converted to PDF (bottom-up) coordinates here."""
+    per page, (x, y_from_top, size, text) rows → a well-formed PDF with a
+    real page tree (Catalog → Pages → Page×N → Contents×N), Tf/Td/Tj
+    content streams, optional FlateDecode. y is given from the TOP of the
+    page and converted to PDF (bottom-up) coordinates here."""
     page_h = DEFAULT_PAGE_HEIGHT
-    ops = []
-    for x, y_top, size, text in lines:
-        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-        ops.append(
-            f"BT /F1 {size:g} Tf {x:g} {page_h - y_top - size:g} Td ({esc}) Tj ET"
-        )
-    content = "\n".join(ops).encode("latin-1", "replace")
-    filt = b""
-    if compress:
-        content = zlib.compress(content)
-        filt = b" /Filter /FlateDecode"
-    objs = [
+    n = len(pages)
+    font_obj = 3 + 2 * n
+    objs: List[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
-        + content + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(f"{3 + 2 * i} 0 R".encode() for i in range(n))
+        + b"] /Count " + str(n).encode() + b" >>",
     ]
+    for i, lines in enumerate(pages):
+        page_obj = 3 + 2 * i
+        content_obj = page_obj + 1
+        ops = []
+        for x, y_top, size, text in lines:
+            esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ops.append(
+                f"BT /F1 {size:g} Tf {x:g} {page_h - y_top - size:g} Td ({esc}) Tj ET"
+            )
+        content = "\n".join(ops).encode("latin-1", "replace")
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] /Contents "
+            + f"{content_obj} 0 R".encode()
+            + b" /Resources << /Font << /F1 "
+            + f"{font_obj} 0 R".encode() + b" >> >> >>"
+        )
+        objs.append(
+            b"<< /Length " + str(len(content)).encode() + filt
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -367,3 +443,10 @@ def build_single_page_pdf(
         + b"\n%%EOF\n"
     )
     return bytes(out)
+
+
+def build_single_page_pdf(
+    lines: List[Tuple[float, float, float, str]], compress: bool = False
+) -> bytes:
+    """One-page convenience wrapper over build_multi_page_pdf."""
+    return build_multi_page_pdf([lines], compress=compress)

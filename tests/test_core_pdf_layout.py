@@ -226,3 +226,38 @@ class TestRealPdfProperty:
                     pos = at
 
         check()
+
+
+class TestMultiPagePdf:
+    """Real multi-page PDFs: the /Type /Page objects' /Contents refs define
+    page boundaries; pages join with \\f like the sidecar layout path."""
+
+    PAGES = [
+        [(50.0, 30.0, 12.0, "PAGE ONE HEADER"), (50.0, 60.0, 10.0, "item one")],
+        [(50.0, 30.0, 12.0, "PAGE TWO HEADER"), (50.0, 60.0, 10.0, "item two")],
+        [(50.0, 30.0, 12.0, "PAGE THREE")],
+    ]
+
+    def test_pages_reconstruct_separately_and_in_order(self):
+        from ocr_service_spark.core.pdf_text import (
+            build_multi_page_pdf, pdf_to_char_pages,
+        )
+        for compress in (False, True):
+            got = pdf_to_char_pages(build_multi_page_pdf(self.PAGES, compress))
+            assert len(got) == 3
+            text = pl.layout_to_text(got)
+            parts = text.split("\f")
+            assert len(parts) == 3
+            assert "PAGE ONE HEADER" in parts[0] and "item one" in parts[0]
+            assert "item one" not in parts[1]
+            assert "PAGE TWO HEADER" in parts[1] and "PAGE THREE" in parts[2]
+
+    def test_structure_blind_fallback_without_page_objects(self):
+        """A bare stream with no page tree still extracts (one page)."""
+        from ocr_service_spark.core import pdf_text as pt
+        content = b"BT /F1 12 Tf 50 800 Td (NO PAGE TREE) Tj ET"
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+        got = pt.pdf_to_char_pages(pdf)
+        assert len(got) == 1
+        assert "NO PAGE TREE" in pl.layout_to_text(got)
