@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from typing import Callable, Dict, Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -971,6 +973,46 @@ def q_simhash_fingerprint(spark, sf_dir):
     return simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_simhash_dup_invariance(spark, sf_dir):
+    """SimHash property oracle (the xxhash64 values themselves have no
+    DuckDB twin): byte-identical clones of every 50th doc are unioned in and
+    the entry emits, per md5-exact-duplicate group, the group size and the
+    number of DISTINCT simhash values in it. Identical text MUST hash to the
+    identical 64-bit fingerprint, so the distinct count is provably 1; the
+    oracle enumerates the same groups in SQL with the literal invariant, so
+    any determinism/sensitivity bug in simhash64 fails the driver gate."""
+    from .operators.dedup import simhash64
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = d.unionByName(clones)
+    sh = simhash64(docs, "doc_id", "text")
+    fp = docs.select(F.col("doc_id").alias("id"), F.md5("text").alias("fp"))
+    return (
+        fp.join(sh, "id")
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("simhash").cast("int").alias("n_simhash"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("gid", "n_docs", "n_simhash")
+    )
+
+
+SQL_SIMHASH_INVARIANCE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT min(doc_id) AS gid, count(*) AS n_docs, CAST(1 AS INT) AS n_simhash
+FROM d GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks. Random vectors
     never reach cosine 0.9, so scaled clones (x2 — cosine is scale-invariant,
@@ -1422,6 +1464,185 @@ WHERE (CASE WHEN n_words < 5 THEN 'too_short'
 """
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """jusText-style main-content extraction over the real HTML path
+    (rows-only: DOM segmentation has no SQL twin; core semantics are pinned
+    by tests/test_core_boilerplate.py goldens and the Spark/core equivalence
+    test). Input is half receipts (DANFE pages: correctly NO prose main
+    content → everything stripped) and half prose articles wrapped in
+    nav/ads/footer boilerplate (main paragraphs survive, chrome dropped);
+    emits per-page keep/drop density stats."""
+    from .operators.boilerplate import extract_main_content
+    from .sources.synth import article_html, pages_from_documents
+
+    receipts = pages_from_documents(spark, sf_dir).filter(
+        F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8")
+    )
+
+    @F.pandas_udf("binary")
+    def _article(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [article_html(int(i), t or "") for i, t in zip(doc_id, text)]
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    articles = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.format_string("https://articles.example/%012d", "doc_id").alias("url"),
+        _article("doc_id", "text").alias("html"),
+    )
+    pages = receipts.select("url", "html").unionByName(articles)
+    return extract_main_content(pages).select(
+        "url", "n_blocks", "n_good", "content_chars", "total_chars",
+        F.length("main_text").alias("main_len"),
+    )
+
+
+# jusText classification twin constants, tuned to the synthetic documents
+# vocabulary (word-soup: 'the'/'a' are its function words; ~4.6 chars/word →
+# a full 20-word block is ~110 chars). The SHAPE is jusText's: length gate →
+# stopword-density gate → neighbour smoothing; the published prose defaults
+# live in core/boilerplate.py.
+_JT_BLOCK_WORDS = 20
+_JT_STOPLIST = ("the", "a")
+_JT_LEN_LOW = 60
+_JT_LEN_HIGH = 100
+_JT_STOP_LOW = 0.05
+_JT_STOP_HIGH = 0.10
+
+
+def q_justext_density_classify(spark, sf_dir):
+    """SQL-expressible jusText twin: fixed 20-word pseudo-blocks over
+    documents.text, context-free density classification, then the
+    context-sensitive revision via nearest-decided-neighbour windows
+    (last/first IGNORE NULLS) — the same CASE + smoothing the DuckDB oracle
+    runs. Words are materialized in a projection BEFORE the lambda ops
+    (CLAUDE.md: Catalyst re-evaluates captured subexpressions per element)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("words"))
+    nblk = F.greatest(
+        F.ceil(F.size("words") / F.lit(float(_JT_BLOCK_WORDS))).cast("int"),
+        F.lit(1),
+    )
+    b = words.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), nblk - 1)).alias("block_id"),
+    ).select(
+        "doc_id",
+        "block_id",
+        F.slice(
+            F.col("words"), F.col("block_id") * _JT_BLOCK_WORDS + 1, _JT_BLOCK_WORDS
+        ).alias("bw"),
+    )
+    feats = b.select(
+        "doc_id",
+        "block_id",
+        F.size("bw").alias("n_words"),
+        F.size(
+            F.filter(F.col("bw"), lambda w: F.lower(w).isin(*_JT_STOPLIST))
+        ).alias("n_stop"),
+        F.length(F.array_join("bw", " ")).alias("n_chars"),
+    )
+    sd = F.col("n_stop") / F.col("n_words")
+    cf = (
+        F.when(F.col("n_chars") < _JT_LEN_LOW, "short")
+        .when((sd >= _JT_STOP_HIGH) & (F.col("n_chars") > _JT_LEN_HIGH), "good")
+        .when(sd >= _JT_STOP_HIGH, "neargood")
+        .when(sd >= _JT_STOP_LOW, "neargood")
+        .otherwise("bad")
+    )
+    labeled = feats.withColumn("cf_label", cf).withColumn(
+        "decided",
+        F.when(F.col("cf_label").isin("good", "bad"), F.col("cf_label")),
+    )
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    prev = F.last("decided", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first("decided", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    final = (
+        F.when(
+            F.col("cf_label") == "short",
+            F.when(
+                (F.coalesce(prev, F.lit("bad")) == "good")
+                & (F.coalesce(nxt, F.lit("bad")) == "good"),
+                "good",
+            ).otherwise("bad"),
+        )
+        .when(
+            F.col("cf_label") == "neargood",
+            F.when(
+                (F.coalesce(prev, F.lit("bad")) == "bad")
+                & (F.coalesce(nxt, F.lit("bad")) == "bad"),
+                "bad",
+            ).otherwise("good"),
+        )
+        .otherwise(F.col("cf_label"))
+    )
+    return labeled.select(
+        "doc_id", "block_id", "n_words", "n_stop", "n_chars", "cf_label",
+        final.alias("label"),
+    )
+
+
+SQL_JUSTEXT = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+), ix AS (
+  SELECT doc_id, words,
+         CAST(unnest(range(greatest(CAST(ceil(len(words) / 20.0) AS BIGINT), 1)))
+              AS INT) AS block_id
+  FROM w
+), b AS (
+  SELECT doc_id, block_id,
+         words[block_id * 20 + 1 : block_id * 20 + 20] AS bw
+  FROM ix
+), feats AS (
+  SELECT doc_id, block_id,
+         CAST(len(bw) AS INT) AS n_words,
+         CAST(len(list_filter(bw, x -> list_contains(['the', 'a'], lower(x))))
+              AS INT) AS n_stop,
+         CAST(length(array_to_string(bw, ' ')) AS INT) AS n_chars
+  FROM b
+), cf AS (
+  SELECT *,
+    CASE WHEN n_chars < 60 THEN 'short'
+         WHEN n_stop / CAST(n_words AS DOUBLE) >= 0.10 AND n_chars > 100
+              THEN 'good'
+         WHEN n_stop / CAST(n_words AS DOUBLE) >= 0.10 THEN 'neargood'
+         WHEN n_stop / CAST(n_words AS DOUBLE) >= 0.05 THEN 'neargood'
+         ELSE 'bad' END AS cf_label
+  FROM feats
+), ctx AS (
+  SELECT *,
+    CASE WHEN cf_label IN ('good', 'bad') THEN cf_label END AS decided
+  FROM cf
+), nb AS (
+  SELECT *,
+    last_value(decided IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY block_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_d,
+    first_value(decided IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY block_id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_d
+  FROM ctx
+)
+SELECT doc_id, block_id, n_words, n_stop, n_chars, cf_label,
+  CASE WHEN cf_label = 'short' THEN
+         CASE WHEN coalesce(prev_d, 'bad') = 'good'
+                   AND coalesce(next_d, 'bad') = 'good'
+              THEN 'good' ELSE 'bad' END
+       WHEN cf_label = 'neargood' THEN
+         CASE WHEN coalesce(prev_d, 'bad') = 'bad'
+                   AND coalesce(next_d, 'bad') = 'bad'
+              THEN 'bad' ELSE 'good' END
+       ELSE cf_label END AS label
+FROM nb
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1457,6 +1678,7 @@ CATALOG: Dict[str, tuple] = {
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, SQL_CC_LSH),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
+    "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_RECALL),
@@ -1473,6 +1695,8 @@ CATALOG: Dict[str, tuple] = {
     "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
     "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
     "a7_lineage_metrics": (q_a7_lineage_metrics, None),
+    "boilerplate_strip": (q_boilerplate_strip, None),
+    "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),

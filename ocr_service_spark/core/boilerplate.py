@@ -1,0 +1,281 @@
+"""jusText-style text-density main-content extraction (pure Python, stdlib).
+
+The reference's entire boilerplate handling is BeautifulSoup
+``get_text(" ", strip=True)`` (app/nfce_parser.py:50 — everything including
+nav/footer text survives). That is kept byte-identical in
+``html_extract.flatten_html`` for the parity flagship. THIS module is the
+engine-added main-content extractor the north star names
+("trafilatura/jusText-style DOM text-density boilerplate stripping"):
+the published jusText block-classification algorithm (Pomikálek 2011,
+"Removing boilerplate and duplicate content from web corpora") —
+segment the DOM into block-level paragraphs, score each by length,
+stopword density and link density, classify good/near-good/short/bad
+context-free, then revise short/near-good blocks by their nearest
+good/bad neighbours.
+
+Pure Python so the pytest oracle and the Spark UDF body import the SAME
+functions (repo convention — see CLAUDE.md). The Spark operator lives in
+``operators/boilerplate.py``; the SQL-expressible classification twin
+(fixed-word-window blocks over the ``documents`` table, same CASE +
+neighbour-smoothing shape) is catalog entry ``justext_density_classify``
+with a DuckDB oracle.
+
+Thresholds are jusText's published defaults. The stoplist is a compact
+embedded pt+en list defined as this engine's spec (jusText ships per-language
+lists; shipping megabytes of wordlists adds nothing to the algorithm).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List
+
+# jusText published defaults (justext/core.py upstream; public).
+LENGTH_LOW = 70
+LENGTH_HIGH = 200
+STOPWORDS_LOW = 0.30
+STOPWORDS_HIGH = 0.32
+MAX_LINK_DENSITY = 0.2
+MAX_HEADING_DISTANCE = 200  # chars of bad blocks a heading may precede good by
+
+# Compact pt+en stoplist — top function words of both languages. Spec'd here;
+# density math only needs the high-frequency head of the distribution.
+STOPWORDS = frozenset(
+    """a o os as um uma de do da dos das em no na nos nas por para com sem
+    sob que quem qual se nao não sim e ou mas como mais menos muito ja já
+    ser estar ter haver foi era são sao é eh ao à aos às este esta isto
+    esse essa isso aquele aquela aquilo seu sua meu minha nosso nossa
+    the a an of to in on at by for with from as is are was were be been
+    being and or but not no yes it its this that these those he she they
+    we you i his her their our your my me him them us if then else when
+    while than so such there here what which who whom whose how why all
+    any some none both each few many much more most other another""".split()
+)
+
+_WORD_RE = re.compile(r"\S+")
+_WS_RE = re.compile(r"\s+")
+
+# Tags that delimit paragraphs (jusText's blocktags + HTML5 sectioning).
+BLOCK_TAGS = frozenset(
+    """blockquote caption center col colgroup dd div dl dt fieldset form
+    h1 h2 h3 h4 h5 h6 legend li optgroup option p pre table td textarea
+    tfoot th thead tr ul ol article section header footer aside nav main
+    figure figcaption address body""".split()
+)
+_SKIP_CONTAINERS = frozenset(("script", "style", "noscript", "template"))
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+GOOD, NEARGOOD, SHORT, BAD = "good", "neargood", "short", "bad"
+
+
+class _BlockSegmenter(HTMLParser):
+    """Splits the document into paragraph blocks at block-tag boundaries,
+    tracking per block: text chunks, chars inside <a>, and heading-ness."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Dict] = []
+        self._chunks: List[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._a_depth = 0
+        self._heading_depth = 0
+
+    def _flush(self) -> None:
+        text = _WS_RE.sub(" ", " ".join(self._chunks)).strip()
+        if text:
+            self.blocks.append(
+                {
+                    "text": text,
+                    "link_chars": min(self._link_chars, len(text)),
+                    "heading": self._heading_depth > 0,
+                }
+            )
+        self._chunks = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_CONTAINERS:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag == "br" or tag in BLOCK_TAGS:
+            self._flush()
+        if tag in _HEADING_TAGS:
+            self._heading_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br" or tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_CONTAINERS:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._a_depth > 0:
+            self._a_depth -= 1
+        if tag in _HEADING_TAGS and self._heading_depth > 0:
+            self._heading_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if not stripped:
+            return
+        self._chunks.append(stripped)
+        if self._a_depth:
+            self._link_chars += len(stripped)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def segment_blocks(html: str) -> List[Dict]:
+    """HTML → ordered paragraph blocks with density features.
+
+    Each block: text, n_chars, n_words, n_stopwords, link_chars,
+    stopword_density, link_density, heading.
+    """
+    seg = _BlockSegmenter()
+    try:
+        seg.feed(html or "")
+        seg.close()
+    except Exception:
+        # Malformed markup never fails the document (errors-as-data repo
+        # rule): degrade to one tag-stripped block.
+        text = _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", html or "")).strip()
+        seg.blocks = (
+            [{"text": text, "link_chars": 0, "heading": False}] if text else []
+        )
+    out: List[Dict] = []
+    for b in seg.blocks:
+        words = _WORD_RE.findall(b["text"])
+        n_stop = sum(1 for w in words if w.lower().strip(".,;:!?()\"'") in STOPWORDS)
+        n_chars = len(b["text"])
+        out.append(
+            {
+                "text": b["text"],
+                "n_chars": n_chars,
+                "n_words": len(words),
+                "n_stopwords": n_stop,
+                "link_chars": b["link_chars"],
+                "stopword_density": (n_stop / len(words)) if words else 0.0,
+                "link_density": (b["link_chars"] / n_chars) if n_chars else 0.0,
+                "heading": b["heading"],
+            }
+        )
+    return out
+
+
+def classify_context_free(block: Dict) -> str:
+    """jusText context-free paragraph classification (published defaults)."""
+    if block["link_density"] > MAX_LINK_DENSITY:
+        return BAD
+    if "\xa9" in block["text"] or "&copy" in block["text"]:
+        return BAD
+    if block["n_chars"] < LENGTH_LOW:
+        return BAD if block["link_chars"] > 0 else SHORT
+    if block["stopword_density"] >= STOPWORDS_HIGH:
+        return GOOD if block["n_chars"] > LENGTH_HIGH else NEARGOOD
+    if block["stopword_density"] >= STOPWORDS_LOW:
+        return NEARGOOD
+    return BAD
+
+def _neighbour_sweeps(labels: List[str], undecided: frozenset):
+    """Per-position nearest non-undecided label to the left/right, edges BAD.
+    Two linear passes — a naive per-block scan is O(n²) on a page whose
+    blocks are all short (measured: 35k-block page, 119 s → <1 s)."""
+    n = len(labels)
+    prev = [BAD] * n
+    cur = BAD
+    for i, lab in enumerate(labels):
+        prev[i] = cur
+        if lab not in undecided:
+            cur = lab
+    nxt = [BAD] * n
+    cur = BAD
+    for i in range(n - 1, -1, -1):
+        nxt[i] = cur
+        if labels[i] not in undecided:
+            cur = labels[i]
+    return prev, nxt
+
+
+def classify_blocks(blocks: List[Dict]) -> List[str]:
+    """Full jusText classification: context-free pass, then the
+    context-sensitive revision of short/near-good blocks by their nearest
+    decided neighbours, then heading promotion."""
+    labels = [classify_context_free(b) for b in blocks]
+
+    # Heading pre-pass: a short heading within MAX_HEADING_DISTANCE chars
+    # of a following good block becomes near-good (jusText's heading rule).
+    for i, b in enumerate(blocks):
+        if not b["heading"] or labels[i] != SHORT:
+            continue
+        dist = 0
+        for j in range(i + 1, len(blocks)):
+            if labels[j] == GOOD:
+                labels[i] = NEARGOOD
+                break
+            dist += blocks[j]["n_chars"]
+            if dist > MAX_HEADING_DISTANCE:
+                break
+
+    prev_d, next_d = _neighbour_sweeps(labels, frozenset((SHORT, NEARGOOD)))
+    prev_ns, next_ns = _neighbour_sweeps(labels, frozenset((SHORT,)))
+
+    # Revise SHORT: (good, good) → good; (bad, bad) → bad; mixed → good
+    # iff the path to the good side is bridged by near-good (jusText rule).
+    revised = list(labels)
+    for i, lab in enumerate(labels):
+        if lab != SHORT:
+            continue
+        prev, nxt = prev_d[i], next_d[i]
+        if prev == GOOD and nxt == GOOD:
+            revised[i] = GOOD
+        elif prev == BAD and nxt == BAD:
+            revised[i] = BAD
+        else:
+            # one good side: good iff adjacent (through shorts) to a
+            # near-good block on that side
+            revised[i] = (
+                GOOD
+                if (prev == GOOD and prev_ns[i] == NEARGOOD)
+                or (nxt == GOOD and next_ns[i] == NEARGOOD)
+                else BAD
+            )
+
+    # Revise NEARGOOD: (bad, bad) → bad, else good.
+    for i, lab in enumerate(labels):
+        if lab != NEARGOOD:
+            continue
+        revised[i] = BAD if (prev_d[i] == BAD and next_d[i] == BAD) else GOOD
+
+    return revised
+
+
+def main_content(html: str) -> Dict:
+    """html → {main_text, n_blocks, n_good, content_chars, total_chars}.
+
+    main_text joins good blocks with '\\n' in document order — the
+    trafilatura-style contract (main content only, boilerplate dropped).
+    """
+    blocks = segment_blocks(html)
+    labels = classify_blocks(blocks)
+    good = [b["text"] for b, lab in zip(blocks, labels) if lab == GOOD]
+    total = sum(b["n_chars"] for b in blocks)
+    kept = sum(len(t) for t in good)
+    return {
+        "main_text": "\n".join(good),
+        "n_blocks": len(blocks),
+        "n_good": len(good),
+        "content_chars": kept,
+        "total_chars": total,
+    }

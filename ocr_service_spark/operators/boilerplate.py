@@ -1,0 +1,84 @@
+"""Main-content extraction operator: pages → (url, main_text, density stats).
+
+Spark shape: one Arrow-batched mapInPandas pass over (url, html) — identical
+to the flagship extraction operator (operators/extract.py): zero shuffles for
+the per-document work, scan pruned to two columns, per-document failures
+degrade in-band (segment_blocks never raises). The UDF body is the pure-Python
+core (core/boilerplate.py) — the same functions the pytest goldens pin — so
+distributed output equals the oracle by construction.
+
+At 100 TB this is embarrassingly parallel: no state crosses documents, the
+only exchange is the upstream size-bucket salting shared with the flagship
+(operators/skew.py) when payload skew warrants it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.boilerplate import classify_blocks, main_content, segment_blocks
+
+MAIN_CONTENT_SCHEMA = (
+    "url string, main_text string, n_blocks int, n_good int, "
+    "content_chars int, total_chars int"
+)
+
+BLOCKS_SCHEMA = (
+    "url string, block_id int, block_text string, n_chars int, n_words int, "
+    "n_stopwords int, link_chars int, label string"
+)
+
+
+def _to_text(payload) -> str:
+    if payload is None:
+        return ""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload).decode("utf-8", "replace")
+    return str(payload)
+
+
+def extract_main_content(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per page with boilerplate stripped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "main_text", "n_blocks", "n_good", "content_chars",
+                "total_chars"]
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                rec = main_content(_to_text(payload))
+                data["url"].append(url)
+                for c in cols[1:]:
+                    data[c].append(rec[c])
+            yield pd.DataFrame(data, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, MAIN_CONTENT_SCHEMA)
+
+
+def classify_page_blocks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per paragraph block with its jusText
+    label — the inspection/debugging surface (what got kept and why)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "block_id", "block_text", "n_chars", "n_words",
+                "n_stopwords", "link_chars", "label"]
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                blocks = segment_blocks(_to_text(payload))
+                labels = classify_blocks(blocks)
+                for i, (b, lab) in enumerate(zip(blocks, labels)):
+                    data["url"].append(url)
+                    data["block_id"].append(i)
+                    data["block_text"].append(b["text"])
+                    data["n_chars"].append(b["n_chars"])
+                    data["n_words"].append(b["n_words"])
+                    data["n_stopwords"].append(b["n_stopwords"])
+                    data["link_chars"].append(b["link_chars"])
+                    data["label"].append(lab)
+            yield pd.DataFrame(data, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, BLOCKS_SCHEMA)

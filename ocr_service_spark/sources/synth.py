@@ -257,6 +257,38 @@ def gen_page(doc_id: int, seed: int = 42) -> Dict:
     }
 
 
+_FUNCTION_WORDS = ["the", "of the", "and the", "is on the", "with a", "for the"]
+
+
+def article_html(doc_id: int, text: str) -> bytes:
+    """Deterministic prose article page: nav/ads/footer boilerplate around
+    two stopword-rich paragraphs built from the document's own words —
+    input for the jusText main-content entry (receipts have no prose main
+    content by design; these pages do)."""
+    words = (text or "empty").split()
+    def para(ws):
+        # cycle words until the paragraph clears jusText's LENGTH_HIGH so
+        # even short documents produce good-classifiable prose (>200 chars)
+        parts, i, n = [], 0, 0
+        while n <= 210:
+            w = ws[i % len(ws)]
+            parts.append(f"{_FUNCTION_WORDS[i % len(_FUNCTION_WORDS)]} {w}")
+            n += len(parts[-1]) + 1
+            i += 1
+        return " ".join(parts)
+    half = max(len(words) // 2, 1)
+    return (
+        "<html><body>"
+        "<nav><a href=/>Home</a> <a href=/a>Archive</a> <a href=/c>Contact</a></nav>"
+        f"<h1>Report {doc_id} on the data</h1>"
+        f"<p>{para(words[:half])}</p>"
+        f"<p>{para(words[half:])}</p>"
+        "<div><a href=/buy>Buy now</a> <a href=/deal>Deals</a></div>"
+        "<footer>\xa9 2026 docs.example — <a href=/tos>Terms</a></footer>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
 def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Distributed deterministic pages table: spark.range → mapInPandas."""
     import pandas as pd

@@ -1,0 +1,238 @@
+"""jusText-style main-content extraction: core goldens + Spark equivalence.
+
+The core (core/boilerplate.py) is this engine's spec for the north star's
+"trafilatura/jusText-style DOM text-density boilerplate stripping" — the
+reference itself keeps ALL text (get_text, app/nfce_parser.py:50), which
+remains the byte-identity flagship; this operator is the engine-added
+main-content path, so ITS goldens are pinned here.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.core.boilerplate import (
+    BAD,
+    GOOD,
+    NEARGOOD,
+    SHORT,
+    classify_blocks,
+    classify_context_free,
+    main_content,
+    segment_blocks,
+)
+
+ARTICLE = """
+<html><body>
+<nav><a href=/>Home</a> <a href=/about>About</a> <a href=/contact>Contact</a></nav>
+<h1>The quality of the data</h1>
+<p>This is the main article text and it talks at length about the data and the
+methods that were used in the study, with many of the usual function words that
+a natural sentence in English would have, so that the stopword density is high
+and the block is long enough to be classified as good content by the algorithm.</p>
+<p>A second paragraph of the article continues the discussion and it is also
+written in natural language with the usual density of the most common words in
+the English language so it should also be kept by the extractor as content.</p>
+<div class=ads><a href=x>Buy now</a> <a href=y>Cheap deals</a></div>
+<footer>&copy; 2026 Example Corp. All rights reserved. <a href=/tos>Terms</a></footer>
+</body></html>
+"""
+
+
+class TestSegmentation:
+    def test_blocks_split_at_block_tags(self):
+        blocks = segment_blocks("<p>one two</p><div>three</div><p>four</p>")
+        assert [b["text"] for b in blocks] == ["one two", "three", "four"]
+
+    def test_inline_tags_do_not_split(self):
+        blocks = segment_blocks("<p>one <b>two</b> <i>three</i></p>")
+        assert [b["text"] for b in blocks] == ["one two three"]
+
+    def test_br_splits(self):
+        blocks = segment_blocks("<p>one<br>two</p>")
+        assert [b["text"] for b in blocks] == ["one", "two"]
+
+    def test_link_chars_counted(self):
+        (b,) = segment_blocks("<p>keep <a href=x>click here</a> end</p>")
+        assert b["link_chars"] == len("click here")
+        assert 0 < b["link_density"] < 1
+
+    def test_script_style_dropped(self):
+        blocks = segment_blocks(
+            "<p>text</p><script>var x=1;</script><style>p{}</style>"
+        )
+        assert [b["text"] for b in blocks] == ["text"]
+
+    def test_heading_flag(self):
+        blocks = segment_blocks("<h2>Title</h2><p>body</p>")
+        assert blocks[0]["heading"] and not blocks[1]["heading"]
+
+    def test_malformed_never_raises(self):
+        assert segment_blocks("<p <a junk <<>> &#x; </") is not None
+        assert segment_blocks("") == []
+        assert segment_blocks(None) == []
+
+
+class TestContextFree:
+    def _block(self, text, link_chars=0):
+        (b,) = segment_blocks(f"<p>{text}</p>")
+        b["link_chars"] = link_chars
+        b["link_density"] = link_chars / b["n_chars"] if b["n_chars"] else 0.0
+        return b
+
+    def test_high_link_density_is_bad(self):
+        long_text = "the " * 40
+        assert classify_context_free(self._block(long_text, link_chars=100)) == BAD
+
+    def test_copyright_is_bad(self):
+        b = self._block("\xa9 2026 Example Corp, " + "the usual words " * 10)
+        assert classify_context_free(b) == BAD
+
+    def test_short_no_links_is_short(self):
+        assert classify_context_free(self._block("tiny")) == SHORT
+
+    def test_short_with_links_is_bad(self):
+        assert classify_context_free(self._block("tiny", link_chars=2)) == BAD
+
+    def test_long_stopword_rich_is_good(self):
+        b = self._block("the of and to in is for on with " * 30)
+        assert classify_context_free(b) == GOOD
+
+    def test_medium_stopword_rich_is_neargood(self):
+        b = self._block("the of and to in is stuff more")  # 70..200 chars
+        b["n_chars"] = 150  # force into the medium band
+        assert classify_context_free(b) == NEARGOOD
+
+    def test_long_stopword_poor_is_bad(self):
+        b = self._block("lorem1 lorem2 lorem3 lorem4 lorem5 " * 10)
+        assert classify_context_free(b) == BAD
+
+
+class TestContextSensitive:
+    def test_article_golden(self):
+        r = main_content(ARTICLE)
+        parts = r["main_text"].split("\n")
+        assert parts[0] == "The quality of the data"  # heading promoted
+        assert parts[1].startswith("This is the main article text")
+        assert parts[2].startswith("A second paragraph")
+        assert len(parts) == 3
+        assert "Buy now" not in r["main_text"]
+        assert "Home" not in r["main_text"]
+        assert "Example Corp" not in r["main_text"]
+        assert r["n_blocks"] == 6 and r["n_good"] == 3
+        assert r["content_chars"] < r["total_chars"]
+
+    def test_short_between_goods_kept(self):
+        good = "<p>" + "the of and to in is for on with words " * 8 + "</p>"
+        html = good + "<p>A short aside.</p>" + good
+        labels = classify_blocks(segment_blocks(html))
+        assert labels == [GOOD, GOOD, GOOD]
+
+    def test_short_between_bads_dropped(self):
+        bad = "<p>" + "lorem1 lorem2 lorem3 lorem4 " * 10 + "</p>"
+        html = bad + "<p>A short aside.</p>" + bad
+        labels = classify_blocks(segment_blocks(html))
+        assert labels == [BAD, BAD, BAD]
+
+    def test_neargood_next_to_good_kept_and_isolated_dropped(self):
+        good = "<p>" + "the of and to in is for on with words " * 8 + "</p>"
+        near = "<p>" + "the of and stuff1 stuff2 stuff3 stuff4 " * 3 + "</p>"
+        bad = "<p>" + "lorem1 lorem2 lorem3 lorem4 " * 10 + "</p>"
+        assert classify_blocks(segment_blocks(good + near))[-1] == GOOD
+        assert classify_blocks(segment_blocks(bad + near + bad))[1] == BAD
+
+    def test_empty_page(self):
+        r = main_content("")
+        assert r == {
+            "main_text": "", "n_blocks": 0, "n_good": 0,
+            "content_chars": 0, "total_chars": 0,
+        }
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " <>/=&#;\"'\n.-",
+        max_size=400,
+    )
+)
+def test_fuzz_never_raises_and_is_consistent(html):
+    blocks = segment_blocks(html)
+    labels = classify_blocks(blocks)
+    assert len(labels) == len(blocks)
+    r = main_content(html)
+    assert r["n_good"] <= r["n_blocks"]
+    assert r["content_chars"] <= r["total_chars"] or r["n_blocks"] == 0
+    # every good block's text appears in main_text
+    for b, lab in zip(blocks, labels):
+        if lab == GOOD:
+            assert b["text"] in r["main_text"]
+
+
+class TestLinearity:
+    def test_pathological_pages_stay_linear(self):
+        """35k all-short blocks (quadratic trap: every block scans for a
+        decided neighbour) and 20k all-neargood blocks must classify in
+        linear time — regression for the O(n²) _neighbour scan."""
+        import time
+
+        for blob, budget in [
+            (("<div>" + "w" * 50 + "</div>") * 35000, 5.0),
+            ("<p>the of and to in is words here now then</p>" * 20000, 5.0),
+        ]:
+            t0 = time.time()
+            r = main_content(blob)
+            assert time.time() - t0 < budget
+            assert r["n_blocks"] > 0
+
+
+class TestArticlePages:
+    def test_article_main_survives_chrome_dropped(self):
+        from ocr_service_spark.sources.synth import article_html
+
+        html = article_html(7, "alpha beta gamma delta epsilon zeta").decode()
+        r = main_content(html)
+        assert r["n_good"] >= 2
+        assert "alpha" in r["main_text"] and "zeta" in r["main_text"]
+        for chrome in ("Home", "Buy now", "Terms"):
+            assert chrome not in r["main_text"]
+
+
+class TestSparkEquivalence:
+    def test_operator_matches_core(self, spark):
+        """extract_main_content over a tiny pages frame == per-row core calls
+        (same functions by construction; this pins the plumbing: decode,
+        column order, batch assembly)."""
+        import pandas as pd
+
+        from ocr_service_spark.operators.boilerplate import (
+            classify_page_blocks,
+            extract_main_content,
+        )
+
+        rows = [
+            ("u1", ARTICLE.encode()),
+            ("u2", b"<p>tiny</p>"),
+            ("u3", None),
+            ("u4", "acentuação <p>the of and to in is ok</p>".encode()),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            r["url"]: r.asDict()
+            for r in extract_main_content(pages).collect()
+        }
+        for url, payload in rows:
+            exp = main_content(
+                bytes(payload).decode("utf-8", "replace") if payload else ""
+            )
+            assert got[url]["main_text"] == exp["main_text"], url
+            assert got[url]["n_blocks"] == exp["n_blocks"], url
+            assert got[url]["n_good"] == exp["n_good"], url
+
+        blocks = classify_page_blocks(pages)
+        pdf = blocks.toPandas()
+        assert set(pdf["label"]) <= {GOOD, NEARGOOD, SHORT, BAD}
+        u1 = pdf[pdf["url"] == "u1"].sort_values("block_id")
+        exp_labels = classify_blocks(segment_blocks(ARTICLE))
+        assert list(u1["label"]) == exp_labels
