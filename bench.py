@@ -97,6 +97,8 @@ HEADLINE = [
     "lang_id_quality",
     "token_count_bpe",
     "x11_danfe_regex",
+    "boilerplate_strip",  # jusText main-content extraction (HTML path)
+    "justext_density_classify",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
@@ -125,6 +127,23 @@ def main() -> None:
     # below the per-doc work or the docs/sec number measures host weather,
     # not throughput (per-doc cost is ~0.4 CPU-ms).
     n_docs = args.docs or max(2000, int(960000 * sf))
+
+    # North-rule evidence embedded in every round's BENCH_r{N}.json: the
+    # N-vs-4N interleaved-pair scaling measurement. Runs FIRST, before any
+    # other JVM exists — a stopped SparkSession's driver JVM lingers at
+    # ~1.5 cores and was measured skewing the pair to 0.38; see
+    # BENCH/BASELINE.md for the full 5-pair evidence run + hw ceiling.
+    scaling = None
+    if not args.extract_only and not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        from ocr_service_spark.scalingbench import measure_pairs
+
+        # one 384k-doc pair (min-of-2 per level) keeps the round bench
+        # bounded (~6 min); BENCH/BASELINE.md carries the multi-pair
+        # evidence run with the hardware-ceiling baseline.
+        scaling = measure_pairs(
+            docs=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "384000")),
+            repeats=int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1")),
+        )
 
     spark = build_spark(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,21 +187,8 @@ def main() -> None:
     }
     spark.stop()
 
-    # North-rule evidence embedded in every round's BENCH_r{N}.json: the
-    # N-vs-4N interleaved-pair scaling measurement (fresh JVMs, run after
-    # this session stops so nothing competes for cores). Input size must
-    # amortize the ~2s fixed plumbing below the noise floor — see
-    # BENCH/BASELINE.md for the full 5-pair evidence run + hw ceiling.
-    if not args.extract_only and not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        from ocr_service_spark.scalingbench import measure_pairs
-
-        # one 384k-doc pair (min-of-2 per level) keeps the round bench
-        # bounded (~5 min); BENCH/BASELINE.md carries the multi-pair
-        # evidence run with the hardware-ceiling baseline.
-        out["scaling"] = measure_pairs(
-            docs=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "384000")),
-            repeats=int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1")),
-        )
+    if scaling is not None:
+        out["scaling"] = scaling
 
     print(json.dumps(out))
 

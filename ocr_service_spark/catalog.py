@@ -1002,6 +1002,28 @@ def q_simhash_dup_invariance(spark, sf_dir):
     )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming near-dup pairs, driver-checked via the same recall
+    property as the MinHash entry (fingerprints have no DuckDB twin):
+    byte-identical clones are hamming-0, bands > max_hamming gives the
+    pigeonhole recall guarantee, so every md5-exact pair MUST surface; the
+    oracle enumerates those pairs in SQL."""
+    from .operators.dedup import simhash_near_dup_pairs
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = d.unionByName(clones)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    fp = docs.select(F.col("doc_id").alias("id"), F.md5("text").alias("fp"))
+    exact = (
+        fp.alias("a").join(fp.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return exact.join(pairs, ["id_a", "id_b"], "left_semi")
+
+
 SQL_SIMHASH_INVARIANCE = """
 WITH d AS (
   SELECT doc_id, text FROM documents
@@ -1328,8 +1350,11 @@ def q_resume_exactly_once(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="resume_gate_", dir="/dev/shm")
     rp = os.path.join(tmp, "res")
     try:
-        pages = pages_from_documents(spark, sf_dir)
         doc_id = F.substring_index("url", "/", -1).cast("long")
+        # deterministic 40% subsample: the gate is an exactly-once
+        # correctness exercise, not a throughput probe — at bench sf it was
+        # paying ~6 full extraction passes over every page
+        pages = pages_from_documents(spark, sf_dir).filter(doc_id % 5 < 2)
         write_results(run_extraction(pages.filter(doc_id % 2 == 0)), rp)
         n_phase1 = spark.read.parquet(rp).count()
 
@@ -1358,12 +1383,13 @@ def q_resume_exactly_once(spark, sf_dir):
 
 
 SQL_RESUME = """
-SELECT 'phase1_written' AS metric, COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0
-UNION ALL SELECT 'pending_after_phase1', COUNT(*) FROM documents WHERE doc_id % 2 = 1
+WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 2)
+SELECT 'phase1_written' AS metric, COUNT(*) AS n FROM s WHERE doc_id % 2 = 0
+UNION ALL SELECT 'pending_after_phase1', COUNT(*) FROM s WHERE doc_id % 2 = 1
 UNION ALL SELECT 'pending_even_ids', 0
-UNION ALL SELECT 'final_rows', COUNT(*) FROM documents
-UNION ALL SELECT 'final_distinct_urls', COUNT(*) FROM documents
-UNION ALL SELECT 'rerun_rows', COUNT(*) FROM documents
+UNION ALL SELECT 'final_rows', COUNT(*) FROM s
+UNION ALL SELECT 'final_distinct_urls', COUNT(*) FROM s
+UNION ALL SELECT 'rerun_rows', COUNT(*) FROM s
 """
 
 
@@ -1679,6 +1705,7 @@ CATALOG: Dict[str, tuple] = {
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_LSH_RECALL),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_RECALL),

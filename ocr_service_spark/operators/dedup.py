@@ -207,6 +207,61 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band-bucket candidate join + exact
+    hamming verification.
+
+    Pigeonhole: two 64-bit fingerprints within hamming distance d must agree
+    on at least one of (d+1) disjoint bit bands, so with bands > max_hamming
+    the band-bucket equi-join has perfect recall for the verified predicate.
+    Scale shape is the standard linear LSH one: explode `bands` rows per doc,
+    shuffle on (band_id, band_key) — cost Σ bucket², never all-pairs — then
+    verify candidates JVM-side with bit_count(xor) ≤ max_hamming (one
+    codegen'd expression, no Python). Emits (id_a, id_b, hamming).
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for pigeonhole recall")
+    width = 64 // bands
+    sigs = simhash64(df, id_col, text_col)
+    keys = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band_id", "bk.band_key")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -46,6 +46,26 @@ class TestDedup:
             ham = bin(fp[i] ^ fp[i + 200000]).count("1")
             assert ham <= 16, f"near-dup {i} hamming {ham} too far"
 
+    def test_simhash_near_dup_pairs(self, docs_with_dups):
+        """Band-bucket + bit_count verify: hamming-0 exact clones always
+        pair (pigeonhole, bands > max_hamming); pairs beyond the hamming
+        cutoff never appear; hamming column equals python popcount."""
+        from ocr_service_spark.operators.dedup import (
+            simhash64,
+            simhash_near_dup_pairs,
+        )
+        out = simhash_near_dup_pairs(
+            docs_with_dups, "doc_id", "text", max_hamming=3
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+        for i in range(10):
+            assert pairs.get((i, i + 100000)) == 0, f"exact clone {i} missed"
+        fp = {r["id"]: r["simhash"] for r in
+              simhash64(docs_with_dups, "doc_id", "text").collect()}
+        for (a, b), ham in pairs.items():
+            assert ham == bin(fp[a] ^ fp[b]).count("1")
+            assert ham <= 3
+
     def test_lsh_verified_pairs_finds_length_changing_near_dups(self, spark):
         """The production LSH->verify path must recover near-dups whose
         edit CHANGES the document length — exactly the pairs the exact
