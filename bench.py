@@ -99,6 +99,7 @@ HEADLINE = [
     "x11_danfe_regex",
     "boilerplate_strip",  # jusText main-content extraction (HTML path)
     "justext_density_classify",
+    "page_metadata",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

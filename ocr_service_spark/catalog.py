@@ -1523,6 +1523,74 @@ def q_boilerplate_strip(spark, sf_dir):
     )
 
 
+_META_TEMPLATE = (
+    '<html lang="%s"><head><title>Report %d — docs.example</title>'
+    '<meta name="description" content="%s">'
+    '<meta property="og:title" content="Report %d">'
+    '<meta property="og:description" content="%s">'
+    '<meta property="article:published_time" content="2026-01-%02dT00:00:00Z">'
+    '<link rel="canonical" href="https://docs.example/%012d">'
+    "</head><body><p>%s</p></body></html>"
+)
+
+
+def q_page_metadata(spark, sf_dir):
+    """Page-metadata extraction with a DIFFERENTIAL oracle: both engines
+    construct byte-identical pages from the documents table (Spark
+    format_string vs DuckDB printf — same java/C format specs), Spark
+    parses them with the tolerant HTMLParser core while the oracle
+    regex-extracts each field; any parser/regex disagreement fails the
+    value-hash gate."""
+    from .operators.metadata import extract_page_metadata
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    html = F.format_string(
+        _META_TEMPLATE,
+        F.col("lang"),
+        F.col("doc_id"),
+        F.substring("text", 1, 60),
+        F.col("doc_id"),
+        F.substring("text", 1, 40),
+        F.col("doc_id") % 27 + 1,
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    pages = d.select(
+        F.format_string("https://docs.example/%012d", "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_page_metadata(pages)
+
+
+SQL_PAGE_METADATA = """
+WITH p AS (
+  SELECT
+    printf('https://docs.example/%012d', doc_id) AS url,
+    printf('<html lang="%s"><head><title>Report %d — docs.example</title>'
+           || '<meta name="description" content="%s">'
+           || '<meta property="og:title" content="Report %d">'
+           || '<meta property="og:description" content="%s">'
+           || '<meta property="article:published_time" content="2026-01-%02dT00:00:00Z">'
+           || '<link rel="canonical" href="https://docs.example/%012d">'
+           || '</head><body><p>%s</p></body></html>',
+           lang, doc_id, substr(text, 1, 60), doc_id, substr(text, 1, 40),
+           doc_id % 27 + 1, doc_id, text) AS html
+  FROM documents
+)
+SELECT url,
+  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+  regexp_extract(html, 'name="description" content="([^"]*)"', 1) AS description,
+  regexp_extract(html, 'rel="canonical" href="([^"]*)"', 1) AS canonical,
+  regexp_extract(html, 'property="og:title" content="([^"]*)"', 1) AS og_title,
+  regexp_extract(html, 'property="og:description" content="([^"]*)"', 1)
+    AS og_description,
+  regexp_extract(html, 'property="article:published_time" content="([^"]*)"', 1)
+    AS published_time,
+  regexp_extract(html, '<html lang="([^"]*)"', 1) AS lang
+FROM p
+"""
+
+
 # jusText classification twin constants, tuned to the synthetic documents
 # vocabulary (word-soup: 'the'/'a' are its function words; ~4.6 chars/word →
 # a full 20-word block is ~110 chars). The SHAPE is jusText's: length gate →
@@ -1724,6 +1792,7 @@ CATALOG: Dict[str, tuple] = {
     "a7_lineage_metrics": (q_a7_lineage_metrics, None),
     "boilerplate_strip": (q_boilerplate_strip, None),
     "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),
+    "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),

@@ -1,0 +1,95 @@
+"""HTML page-metadata extraction (pure Python, stdlib).
+
+Engine-added (trafilatura-scope: alongside main-content extraction a
+crawler pipeline needs the page's metadata): first <title>, <meta
+name=...>/<meta property=...> content, <link rel=canonical>, the <html>
+lang attribute. Parsed with the tolerant stdlib HTMLParser — attribute
+order, quoting style, and self-closing forms don't matter, entities are
+resolved — NOT with regexes; the catalog entry `page_metadata` runs a
+regex DuckDB twin over identically-constructed pages as a differential
+oracle for exactly that property.
+
+Same repo convention as every core module: the pytest oracle and the
+Spark UDF body import THESE functions.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, Optional
+
+_WS_RE = re.compile(r"\s+")
+
+# meta keys surfaced as columns (name= or property= spelling both accepted)
+FIELDS = (
+    "title",
+    "description",
+    "canonical",
+    "og_title",
+    "og_description",
+    "published_time",
+    "lang",
+)
+
+_META_KEYS = {
+    "description": "description",
+    "og:title": "og_title",
+    "og:description": "og_description",
+    "article:published_time": "published_time",
+}
+
+
+class _MetaCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: Dict[str, Optional[str]] = {k: None for k in FIELDS}
+        self._in_title = False
+        self._title_chunks = []
+        self._done_title = False
+
+    def handle_starttag(self, tag, attrs):
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html" and self.out["lang"] is None and "lang" in a:
+            self.out["lang"] = a["lang"] or None
+        elif tag == "title" and not self._done_title:
+            self._in_title = True
+        elif tag == "meta":
+            key = (a.get("name") or a.get("property") or "").lower()
+            field = _META_KEYS.get(key)
+            if field and self.out[field] is None and a.get("content"):
+                self.out[field] = a["content"]
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.out["canonical"] is None:
+                self.out["canonical"] = a.get("href") or None
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._done_title = True
+            text = _WS_RE.sub(" ", "".join(self._title_chunks)).strip()
+            self.out["title"] = text or None
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_chunks.append(data)
+
+
+def page_metadata(html: str) -> Dict[str, Optional[str]]:
+    """html → {title, description, canonical, og_title, og_description,
+    published_time, lang} (None where absent). Malformed markup never
+    raises — whatever parsed before the failure is returned."""
+    p = _MetaCollector()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    if p._in_title and not p._done_title:  # unclosed <title>
+        text = _WS_RE.sub(" ", "".join(p._title_chunks)).strip()
+        p.out["title"] = p.out["title"] or (text or None)
+    return dict(p.out)

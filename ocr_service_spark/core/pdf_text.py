@@ -47,14 +47,39 @@ _NUM_START = b"+-.0123456789"
 _ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 
 
-def _decode_stream(head: bytes, raw: bytes) -> bytes:
-    """Stream body → decoded bytes. Raw passes through; FlateDecode is
-    zlib-inflated (stdlib); other filters yield b"" (images/fonts, not
-    text operators)."""
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _stream_span(data: bytes, head: bytes, start: int) -> Tuple[bytes, int]:
+    """Exact stream body starting at `start`, honoring /Length when the
+    dict carries one (the spec's delimiter). The endstream-scan fallback
+    strips at most one trailing EOL — but when the stream's LAST DATA BYTE
+    is itself 0x0A/0x0D (a ~1/64 event for zlib output, found by the
+    round-trip property test) only /Length disambiguates, so it wins
+    whenever `endstream` follows at the declared offset. Returns
+    (body, end_offset) or (b"", -1) when no endstream exists."""
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        end = start + int(lm.group(1))
+        if end <= len(data):
+            tail = data[end:end + 11]
+            if tail.lstrip(b"\r\n").startswith(b"endstream"):
+                return data[start:end], end
+    end = data.find(b"endstream", start)
+    if end < 0:
+        return b"", -1
+    raw = data[start:end]
     if raw.endswith(b"\r\n"):
         raw = raw[:-2]
     elif raw.endswith(b"\n") or raw.endswith(b"\r"):
         raw = raw[:-1]
+    return raw, end
+
+
+def _decode_stream(head: bytes, raw: bytes) -> bytes:
+    """Stream body → decoded bytes. Raw passes through; FlateDecode is
+    zlib-inflated (stdlib); other filters yield b"" (images/fonts, not
+    text operators)."""
     if b"/Filter" in head:
         if b"/FlateDecode" in head:
             try:
@@ -76,13 +101,13 @@ def _content_streams(data: bytes) -> List[bytes]:
         if not m:
             break
         start = m.end()
-        end = data.find(b"endstream", start)
+        body, end = _stream_span(data, m.group(1), start)
         if end < 0:
             break
-        raw = _decode_stream(m.group(1), data[start:end])
+        raw = _decode_stream(m.group(1), body)
         if raw:
             out.append(raw)
-        pos = end + len(b"endstream")
+        pos = end
     return out
 
 
@@ -106,9 +131,9 @@ def _page_stream_groups(data: bytes) -> List[Tuple[List[bytes], Optional[float]]
         body = m.group(2)
         sm = re.search(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", body, re.S)
         if sm:
-            end = body.find(b"endstream", sm.end())
+            raw, end = _stream_span(body, sm.group(1), sm.end())
             if end >= 0:
-                decoded = _decode_stream(sm.group(1), body[sm.end():end])
+                decoded = _decode_stream(sm.group(1), raw)
                 if decoded:
                     streams_by_obj[num] = decoded
             continue

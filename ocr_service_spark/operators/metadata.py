@@ -1,0 +1,41 @@
+"""Page-metadata extraction operator: pages → (url, title, meta..., lang).
+
+Same Spark shape as the flagship and the boilerplate operator: one
+Arrow-batched mapInPandas pass over (url, html), scan pruned to two
+columns, per-document tolerance in the core parser (never a task
+failure). Embarrassingly parallel — no state crosses documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.metadata import FIELDS, page_metadata
+
+METADATA_SCHEMA = "url string, " + ", ".join(f"{f} string" for f in FIELDS)
+
+
+def extract_page_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one metadata row per page."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", *FIELDS]
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    text = ""
+                elif isinstance(payload, (bytes, bytearray, memoryview)):
+                    text = bytes(payload).decode("utf-8", "replace")
+                else:
+                    text = str(payload)
+                rec = page_metadata(text)
+                data["url"].append(url)
+                for f in FIELDS:
+                    data[f].append(rec[f])
+            yield pd.DataFrame(data, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, METADATA_SCHEMA)

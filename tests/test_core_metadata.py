@@ -1,0 +1,71 @@
+"""Page-metadata parser: tolerant-parse properties the regex oracle can't
+check (attribute order, quoting style, entities, malformed markup)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.core.metadata import FIELDS, page_metadata
+
+
+class TestPageMetadata:
+    def test_full_page(self):
+        r = page_metadata(
+            '<html lang="pt-BR"><head><title>A &amp; B</title>'
+            '<meta name="description" content="desc here">'
+            '<meta property="og:title" content="OG A">'
+            '<meta property="article:published_time" content="2026-01-02T00:00:00Z">'
+            '<link rel="canonical" href="https://x/y"></head><body></body></html>'
+        )
+        assert r["title"] == "A & B"  # entity resolved
+        assert r["description"] == "desc here"
+        assert r["og_title"] == "OG A"
+        assert r["published_time"] == "2026-01-02T00:00:00Z"
+        assert r["canonical"] == "https://x/y"
+        assert r["lang"] == "pt-BR"
+
+    def test_attribute_order_and_quoting_insensitive(self):
+        r = page_metadata(
+            "<meta content='swapped' name=description>"
+            "<link href=/c rel='canonical stylesheet'>"
+        )
+        assert r["description"] == "swapped"
+        assert r["canonical"] == "/c"
+
+    def test_first_occurrence_wins(self):
+        r = page_metadata(
+            "<title>first</title><title>second</title>"
+            '<meta name="description" content="d1">'
+            '<meta name="description" content="d2">'
+        )
+        assert r["title"] == "first"
+        assert r["description"] == "d1"
+
+    def test_title_whitespace_collapsed(self):
+        assert page_metadata("<title>  a \n  b  </title>")["title"] == "a b"
+
+    def test_unclosed_title(self):
+        assert page_metadata("<head><title>dangling")["title"] == "dangling"
+
+    def test_empty_and_missing(self):
+        assert page_metadata("") == {k: None for k in FIELDS}
+        assert page_metadata("<p>no metadata</p>") == {k: None for k in FIELDS}
+        assert page_metadata('<meta name="description" content="">')[
+            "description"
+        ] is None  # empty content treated as absent
+
+    def test_self_closing_meta(self):
+        r = page_metadata('<meta name="description" content="sc" />')
+        assert r["description"] == "sc"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + " <>/=&#;\"'-:.\n", max_size=300
+    )
+)
+def test_fuzz_never_raises(html):
+    r = page_metadata(html)
+    assert set(r) == set(FIELDS)
