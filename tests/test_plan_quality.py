@@ -59,6 +59,21 @@ def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
     assert "text" not in read and "lang" not in read and "warc_ts" not in read
 
 
+def test_justext_single_shuffle_single_window(spark):
+    """The jusText SQL twin must shuffle ONCE (on doc_id) and compute both
+    neighbour frames (last-preceding, first-following) in ONE Window node —
+    a second Exchange or Window here doubles the operator's scale cost."""
+    plan = formatted_plan(
+        catalog.queries()["justext_density_classify"](spark, SF_DIR)
+    )
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum("Exchange" in l for l in nodes) == 1, plan
+    assert sum(") Window" in l for l in nodes) == 1, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
 def test_no_cartesian_anywhere_in_catalog(spark):
     """No catalog query may degenerate into a cartesian/nested-loop join —
     the classic silent quadratic blowup (checked at tiny SF where AQE has
