@@ -1737,6 +1737,101 @@ FROM nb
 """
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Training-sample prep: split each document into overlapping
+    fixed-word windows (size 32, stride 24 — the standard LLM chunking
+    shape). Same explode-sequence + slice pattern as the jusText twin:
+    words materialized in a projection, chunk count from the stride
+    formula, per-chunk text + bounds. Linear, shuffle-free (narrow ops
+    only), codegen-friendly."""
+    size, stride = 32, 24
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("words"))
+    # chunks = 1 + max(0, ceil((n_words - size) / stride))
+    nchunk = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.size("words") - size) / F.lit(float(stride))).cast("int"),
+    )
+    b = words.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), nchunk - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(F.col("words"), F.col("chunk_id") * stride + 1, size).alias("cw"),
+    )
+    return b.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("word_offset"),
+        F.size("cw").alias("n_words"),
+        F.array_join("cw", " ").alias("chunk_text"),
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+), ix AS (
+  SELECT doc_id, words,
+         CAST(unnest(range(1 + greatest(0,
+              CAST(ceil((len(words) - 32) / 24.0) AS BIGINT)))) AS INT)
+           AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 24 AS word_offset,
+       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+         AS n_words,
+       array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM ix
+"""
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary with document frequency and IDF — the classic
+    corpus-statistics aggregate. Two hash aggregates (term×doc distinct,
+    then term), map-side partials both; top-k via orderBy+limit →
+    TakeOrderedAndProject (never a full sort at scale). IDF floored to 4
+    decimals so the cross-engine double comparison is exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()  # scalar, one job; literal below keeps plan static
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_.select(
+            "term",
+            "df",
+            (F.floor(F.log(F.lit(float(n_docs)) / F.col("df")) * 10000) / 10000)
+            .alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
+SQL_VOCAB = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT DISTINCT doc_id, term FROM t WHERE term <> ''
+), d AS (
+  SELECT term, count(*) AS df FROM td GROUP BY term
+)
+SELECT term, df,
+       floor(ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)) * 10000)
+         / 10000 AS idf
+FROM d
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1793,6 +1888,8 @@ CATALOG: Dict[str, tuple] = {
     "boilerplate_strip": (q_boilerplate_strip, None),
     "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),
     "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB),
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
