@@ -100,6 +100,8 @@ HEADLINE = [
     "boilerplate_strip",  # jusText main-content extraction (HTML path)
     "justext_density_classify",
     "page_metadata",
+    "doc_chunking",
+    "vocab_top_terms",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
