@@ -1330,6 +1330,113 @@ def q_video_frames(spark, sf_dir):
     return sample_video_frames(media, every_n=2)
 
 
+def q_multimodal_gate(spark, sf_dir):
+    """Multimodal plumbing gate with a FULL DuckDB oracle: the stubbed
+    decoders' SQL-computable outputs — byte counts, audio windowing math
+    (8 kHz pseudo-waveform: duration, window count, rms-vector length),
+    video frame-sampling fan-out (count and max sampled index), image
+    feature envelope (phash length, dimension bounds, channels) — are all
+    derivable from the documents table, so the driver hash-verifies that
+    the Arrow plumbing ran every row, decoded it, and produced the exact
+    documented shapes. Slots per kind: image k1=phash_len k2=dims_in_bounds
+    k3=channels; audio k1=sample_rate k2=duration_ms k3=n_windows; video
+    k1=n_frames_sampled k2=max_frame_idx k3=0. k4 = per-row invariant
+    (decode_ok; for audio also len(rms)==n_windows)."""
+    from .operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    img_media = d.select(
+        F.concat(F.lit("img-"), sid).alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    img = extract_image_features(img_media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.length("phash").cast("long").alias("k1"),
+        (
+            (F.col("width") >= 64) & (F.col("width") <= 2104)
+            & (F.col("height") >= 64) & (F.col("height") <= 2104)
+        ).cast("long").alias("k2"),
+        F.col("channels").cast("long").alias("k3"),
+        F.col("decode_ok").cast("long").alias("k4"),
+    )
+
+    aud_media = d.select(
+        F.concat(F.lit("aud-"), sid).alias("media_id"),
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+    )
+    aud = extract_audio_features(aud_media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("sample_rate").cast("long").alias("k1"),
+        F.col("duration_ms").cast("long").alias("k2"),
+        F.col("n_windows").cast("long").alias("k3"),
+        (F.col("decode_ok") & (F.size("rms_q8") == F.col("n_windows")))
+        .cast("long").alias("k4"),
+    )
+
+    vid_media = d.select(
+        F.concat(F.lit("vid-"), sid).alias("media_id"),
+        F.encode(F.repeat(F.col("text"), 20), "utf-8").alias("payload"),
+    )
+    vid = (
+        sample_video_frames(vid_media, every_n=30)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("k1"),
+            F.max("frame_idx").cast("long").alias("k2"),
+        )
+        .join(
+            vid_media.select(
+                "media_id", F.length("payload").cast("long").alias("n_bytes")
+            ),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "n_bytes",
+            "k1",
+            "k2",
+            F.lit(0).cast("long").alias("k3"),
+            F.lit(1).cast("long").alias("k4"),
+        )
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+SQL_MULTIMODAL_GATE = """
+WITH b AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents
+)
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+       nb AS n_bytes, CAST(32 AS BIGINT) AS k1, CAST(1 AS BIGINT) AS k2,
+       CAST(3 AS BIGINT) AS k3, CAST(1 AS BIGINT) AS k4
+FROM b
+UNION ALL
+SELECT 'aud-' || CAST(doc_id AS VARCHAR), 'audio',
+       nb * 3, 8000, (nb * 3 * 1000) // 8000,
+       CAST(ceil(nb * 3 / 2000.0) AS BIGINT), 1
+FROM b
+UNION ALL
+SELECT 'vid-' || CAST(doc_id AS VARCHAR), 'video',
+       nb * 20,
+       CAST(ceil(greatest(nb * 20 // 4096, 1) / 30.0) AS BIGINT),
+       30 * (CAST(ceil(greatest(nb * 20 // 4096, 1) / 30.0) AS BIGINT) - 1),
+       0, 1
+FROM b
+"""
+
+
 def q_resume_exactly_once(spark, sf_dir):
     """Checkpoint-resume exactly-once semantics, driver-checked END TO END:
     phase 1 extracts and writes only even-doc_id pages (a simulated mid-job
@@ -1893,6 +2000,7 @@ CATALOG: Dict[str, tuple] = {
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
+    "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
 }
 
 
