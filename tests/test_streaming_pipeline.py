@@ -219,3 +219,39 @@ class TestStatefulSessionizer:
         assert str(s.session_start) == "2025-12-11 10:00:00"  # widened back
         assert str(s.session_end) == "2025-12-11 10:10:00"    # NOT shrunk
         assert s.n_events == 2 and s.sum_value == 3.0
+
+
+def test_streamed_enrichment_ops_match_batch(spark, tmp_path_factory):
+    """The engine-added enrichment operators (jusText main-content strip,
+    page metadata) are stateless mapInPandas passes, so they lift onto
+    Structured Streaming unchanged — streamed output must equal batch
+    output row-for-row."""
+    from ocr_service_spark.operators.boilerplate import extract_main_content
+    from ocr_service_spark.operators.metadata import extract_page_metadata
+    from ocr_service_spark.streaming.pipeline import read_pages_stream
+
+    root = tmp_path_factory.mktemp("stream_enrich")
+    pages_path = str(root / "pages")
+    synth_pages(spark, 200, partitions=4).write.mode("overwrite").parquet(pages_path)
+
+    for name, op in [("mc", extract_main_content), ("meta", extract_page_metadata)]:
+        q = (
+            op(read_pages_stream(spark, pages_path))
+            .writeStream.format("memory")
+            .queryName(f"enrich_{name}")
+            .option("checkpointLocation", str(root / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        streamed = (
+            spark.table(f"enrich_{name}").toPandas()
+            .sort_values("url").reset_index(drop=True)
+        )
+        batch = (
+            op(spark.read.parquet(pages_path)).toPandas()
+            .sort_values("url").reset_index(drop=True)
+        )
+        assert len(streamed) == 200, name
+        pd.testing.assert_frame_equal(streamed, batch, obj=name)
