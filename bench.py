@@ -102,6 +102,7 @@ HEADLINE = [
     "page_metadata",
     "doc_chunking",
     "vocab_top_terms",
+    "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -1939,6 +1939,77 @@ LIMIT 100
 """
 
 
+def q_web_training_pipeline(spark, sf_dir):
+    """The north-star composition end-to-end over HTML: Common-Crawl-style
+    pages → jusText main-content extraction → quality gate (length +
+    lang-ID on the EXTRACTED text) → overlapping chunking into LLM training
+    samples with provenance. Rows-only (main_content has no SQL twin);
+    every stage is individually oracle-gated elsewhere (boilerplate_strip /
+    lang_id_quality / doc_chunking) and the composition is pinned by
+    tests/test_core_boilerplate.py::TestWebTrainingPipeline. One Arrow
+    pass + narrow chunking — no shuffle anywhere."""
+    from .functions import sql_analogs  # noqa: F401  (session consistency)
+    from .operators import textstats as ts
+    from .operators.boilerplate import extract_main_content
+    from .sources.synth import article_html, pages_from_documents
+
+    receipts = pages_from_documents(spark, sf_dir).filter(
+        F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8")
+    )
+
+    @F.pandas_udf("binary")
+    def _article(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [article_html(int(i), t or "") for i, t in zip(doc_id, text)]
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    articles = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.format_string("https://articles.example/%012d", "doc_id").alias("url"),
+        _article("doc_id", "text").alias("html"),
+    )
+    pages = receipts.select("url", "html").unionByName(articles)
+
+    mc = extract_main_content(pages)
+    kept = mc.filter(
+        (F.col("n_good") > 0) & (F.col("content_chars") >= 100)
+    ).select(
+        "url",
+        F.col("main_text").alias("text"),
+        ts.lang_id(F.col("main_text")).alias("guessed_lang"),
+    )
+
+    size, stride = 32, 24
+    words = kept.select(
+        "url", "guessed_lang", F.split(F.col("text"), r"\s+").alias("words")
+    )
+    nchunk = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.size("words") - size) / F.lit(float(stride))).cast("int"),
+    )
+    return (
+        words.select(
+            "url",
+            "guessed_lang",
+            "words",
+            F.explode(F.sequence(F.lit(0), nchunk - 1)).alias("chunk_id"),
+        )
+        .select(
+            "url",
+            "guessed_lang",
+            "chunk_id",
+            F.slice(F.col("words"), F.col("chunk_id") * stride + 1, size).alias("cw"),
+        )
+        .select(
+            "url",
+            "guessed_lang",
+            "chunk_id",
+            F.size("cw").alias("n_words"),
+            F.array_join("cw", " ").alias("sample_text"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2001,6 +2072,7 @@ CATALOG: Dict[str, tuple] = {
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
+    "web_training_pipeline": (q_web_training_pipeline, None),
 }
 
 

@@ -199,6 +199,27 @@ class TestArticlePages:
             assert chrome not in r["main_text"]
 
 
+class TestWebTrainingPipeline:
+    def test_composition_end_to_end(self, spark):
+        """pages → main-content → quality gate → chunks: every article
+        yields ≥1 chunk whose words come from its own main text; receipts
+        (no prose) yield none; chunk windows tile with stride 24."""
+        from ocr_service_spark.catalog import q_web_training_pipeline
+
+        out = q_web_training_pipeline(spark, "/root/testdata/sf0.001").toPandas()
+        assert len(out) > 0
+        assert out["url"].str.startswith("https://articles.example/").all()
+        assert (out["n_words"] > 0).all()
+        assert set(out["guessed_lang"]) <= {"en", "pt", "es", "und"}
+        one = out[out["url"] == out["url"].iloc[0]].sort_values("chunk_id")
+        assert list(one["chunk_id"]) == list(range(len(one)))
+        # stride tiling: consecutive chunks overlap by size-stride=8 words
+        if len(one) > 1:
+            w0 = one.iloc[0]["sample_text"].split()
+            w1 = one.iloc[1]["sample_text"].split()
+            assert w0[24:] == w1[: len(w0) - 24]
+
+
 class TestSparkEquivalence:
     def test_operator_matches_core(self, spark):
         """extract_main_content over a tiny pages frame == per-row core calls
