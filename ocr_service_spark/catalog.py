@@ -1460,20 +1460,29 @@ def q_resume_exactly_once(spark, sf_dir):
         doc_id = F.substring_index("url", "/", -1).cast("long")
         # deterministic 40% subsample: the gate is an exactly-once
         # correctness exercise, not a throughput probe — at bench sf it was
-        # paying ~6 full extraction passes over every page
-        pages = pages_from_documents(spark, sf_dir).filter(doc_id % 5 < 2)
+        # paying ~6 full extraction passes over every page. localCheckpoint
+        # materializes the synthesized pages once; the six downstream
+        # actions (writes, counts, resumes) reread instead of regenerating.
+        pages = (
+            pages_from_documents(spark, sf_dir)
+            .filter(doc_id % 5 < 2)
+            .localCheckpoint()
+        )
         write_results(run_extraction(pages.filter(doc_id % 2 == 0)), rp)
         n_phase1 = spark.read.parquet(rp).count()
 
-        pending = resume_pending(pages, rp)
-        n_pending = pending.count()
-        n_pending_even = pending.filter(
-            F.substring_index("url", "/", -1).cast("long") % 2 == 0
-        ).count()
+        # one job per phase: paired counters share a single aggregate
+        pend_row = resume_pending(pages, rp).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((doc_id % 2 == 0).cast("long")).alias("n_even"),
+        ).collect()[0]
+        n_pending, n_pending_even = pend_row["n"], int(pend_row["n_even"] or 0)
 
-        final = run_resumable(spark, pages, rp)
-        n_final = final.count()
-        n_distinct = final.select("url").distinct().count()
+        fin_row = run_resumable(spark, pages, rp).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("url").alias("nd"),
+        ).collect()[0]
+        n_final, n_distinct = fin_row["n"], fin_row["nd"]
         n_again = run_resumable(spark, pages, rp).count()
 
         rows = [
