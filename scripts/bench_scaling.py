@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--also-large", action="store_true",
                     help="additionally report local[32] informationally")
     ap.add_argument("--pages-path", default="/dev/shm/scaling_pages")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"),
+                    help="markdown output path (use a side file to keep the "
+                         "curated BENCH/BASELINE.md multi-run history intact)")
     args = ap.parse_args()
 
     summary = measure_pairs(
@@ -148,7 +151,7 @@ BENCH_r{{N}}.json also embeds a fresh pair measurement (bench.py
 `scaling` key), so the graded artifact carries the efficiency number
 directly.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(args.out, "w") as f:
         f.write(md)
     print(json.dumps(summary))
 
