@@ -2020,6 +2020,166 @@ def q_web_training_pipeline(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Corpus-hygiene ops (operators/quality.py): Gopher gates, PII, contamination
+# --------------------------------------------------------------------------
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) per-document quality gate over the
+    documents table: word-count window, mean word length, stopword floor,
+    top-unigram and duplicate-bigram repetition ceilings. Shuffle-free
+    column expressions (run-length over array_sort instead of
+    explode→groupBy — zero shuffled rows; see operators/quality.py)."""
+    from .operators.quality import gopher_quality_signals
+
+    return gopher_quality_signals(load(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST((100 * (SELECT sum(length(u)) FROM unnest(w.words) AS t(u)))
+              // len(words) AS BIGINT) AS mean_wlen_x100,
+         (SELECT count(DISTINCT u) FROM unnest(w.words) AS t(u)
+           WHERE u IN ('the','a','of','and','to','in')) AS n_stopwords,
+         CAST((SELECT max(c) FROM (SELECT count(*) AS c
+                 FROM unnest(w.words) AS t(u) GROUP BY u)) AS BIGINT)
+           AS top_word_count,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1]) AS bigrams
+  FROM w
+),
+g AS (
+  SELECT doc_id, n_words, mean_wlen_x100, n_stopwords, top_word_count,
+         CAST((100 * top_word_count) // n_words AS BIGINT)
+           AS top_word_frac_x100,
+         CAST((100 * (len(bigrams) - len(list_distinct(bigrams))))
+              // greatest(len(bigrams), 1) AS BIGINT)
+           AS dup_bigram_frac_x100
+  FROM s
+)
+SELECT *,
+       (n_words BETWEEN 30 AND 90
+        AND mean_wlen_x100 BETWEEN 300 AND 1000
+        AND n_stopwords >= 2
+        AND top_word_frac_x100 <= 18
+        AND dup_bigram_frac_x100 <= 40) AS keep
+FROM g
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub with a DIFFERENTIAL oracle: both engines append the same
+    deterministically-generated PII (emails / BR phones / IPv4s, presence
+    varying by doc_id residue so counts are 0..2, not constant) to
+    documents.text via identical format specs (format_string vs printf),
+    then redact with the same RE2-and-Java-compatible regexes; any
+    divergence in regex semantics or replacement order fails the
+    value-hash gate."""
+    from .operators.quality import pii_redact
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.when(
+            did % 3 != 0,
+            F.format_string(" mail user%d@mail-%d.example", did, did % 7),
+        ).otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.format_string(
+                " call +55 %02d 9%04d-%04d", did % 100, did % 10000,
+                (did * 7) % 10000,
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 < 2,
+            F.format_string(
+                " from 10.%d.%d.%d and 192.168.%d.%d",
+                did % 256, (did * 3) % 256, (did * 5) % 256,
+                did % 256, (did * 11) % 256,
+            ),
+        ).otherwise(""),
+    )
+    injected = d.select("doc_id", F.concat("text", extra).alias("text"))
+    return pii_redact(injected)
+
+
+SQL_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+              THEN printf(' mail user%d@mail-%d.example', doc_id, doc_id % 7)
+              ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN printf(' call +55 %02d 9%04d-%04d', doc_id % 100,
+                          doc_id % 10000, (doc_id * 7) % 10000)
+              ELSE '' END
+         || CASE WHEN doc_id % 5 < 2
+              THEN printf(' from 10.%d.%d.%d and 192.168.%d.%d',
+                          doc_id % 256, (doc_id * 3) % 256, (doc_id * 5) % 256,
+                          doc_id % 256, (doc_id * 11) % 256)
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+55 \d{2} 9\d{4}-\d{4}', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\+55 \d{2} 9\d{4}-\d{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM inj
+"""
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination check (the GPT-3/Gopher decontamination
+    shape): docs with doc_id % 41 = 0 form the held-out benchmark; every
+    other document reports how many distinct word 3-grams it shares with
+    the benchmark. Broadcast join against the small benchmark gram set —
+    the corpus side never shuffles for the join."""
+    from .operators.quality import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return ngram_contamination(corpus, bench, n=3)
+
+
+SQL_CONTAMINATION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' ')) AS grams
+  FROM w WHERE len(words) >= 3
+),
+bg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 41 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 41 <> 0
+)
+SELECT cg.doc_id, COUNT(*) AS n_contaminated
+FROM cg JOIN bg USING (gram)
+GROUP BY cg.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2082,6 +2242,10 @@ CATALOG: Dict[str, tuple] = {
     "video_frames": (q_video_frames, None),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
     "web_training_pipeline": (q_web_training_pipeline, None),
+    # corpus-hygiene ops (operators/quality.py)
+    "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
+    "pii_redact_scrub": (q_pii_redact, SQL_PII),
+    "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
 }
 
 

@@ -1,0 +1,206 @@
+"""Corpus-hygiene operators for web-scale training-data pipelines.
+
+Engine additions beyond the reference service (which has no corpus-level
+processing at all): the standard pre-training text-quality gates published
+in the Gopher (Rae et al. 2021, arXiv:2112.11446 appendix A) and C4
+(Raffel et al. 2020) pipelines, PII redaction, and benchmark
+n-gram-contamination checks — the operations a 100 TB crawl needs between
+extraction and training-set selection.
+
+All three operators are pure JVM column expressions or equi-joins — no
+Python UDFs, no cartesian products — and each has a full DuckDB oracle in
+catalog.py (the differential pattern: deterministic construction on both
+sides, identical regex/arithmetic semantics verified cross-engine).
+
+Scale notes (100 TB):
+  - quality signals are per-row projections (shuffle-free; whole-stage
+    codegen end to end). The top-unigram count uses an array_sort +
+    run-length aggregate instead of explode→groupBy, trading a per-row
+    O(w log w) sort for ZERO shuffled rows — at 10^12 docs the explode
+    variant shuffles ~10^14 (doc, word) rows; this variant shuffles none.
+  - PII redaction is regexp projections (shuffle-free).
+  - contamination is explode → per-doc distinct → broadcast-join against
+    the (small) benchmark n-gram set → partial-agg count; the corpus side
+    never shuffles for the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- Gopher-style quality gates -------------------------------------------
+# Thresholds follow the SHAPE of Gopher's rules (word-count window, mean
+# word-length window, stopword floor, repetition ceilings); the constants
+# are tuned to the synthetic word-soup corpus so both keep and drop
+# populations are non-empty at every SF (Gopher's prose constants differ:
+# 50-100k words, mean 3-10 chars, >=2 stopwords).
+MIN_WORDS = 30
+MAX_WORDS = 90
+MIN_MEAN_WLEN_X100 = 300
+MAX_MEAN_WLEN_X100 = 1000
+MIN_STOPWORDS = 2
+MAX_TOP_WORD_FRAC_X100 = 18   # most-common unigram may cover <=18% of doc
+MAX_DUP_BIGRAM_FRAC_X100 = 40
+
+STOPWORD_LIST = ("the", "a", "of", "and", "to", "in")
+
+# Run-length max over the pre-sorted word array: the count of the most
+# common unigram WITHOUT exploding the row. aggregate() folds left over
+# positions 2..n (slice of length 0 on a 1-word doc → init, best=1).
+_TOP_CNT_EXPR = """
+aggregate(
+  slice(sorted_w, 2, greatest(size(sorted_w) - 1, 0)),
+  named_struct('run', 1, 'best', 1, 'prev', sorted_w[0]),
+  (acc, w) -> named_struct(
+    'run',  IF(w = acc.prev, acc.run + 1, 1),
+    'best', greatest(acc.best, IF(w = acc.prev, acc.run + 1, 1)),
+    'prev', w),
+  acc -> acc.best)
+"""
+
+
+def gopher_quality_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/length/stopword signals + keep gate.
+
+    Shuffle-free: every signal is a column expression over the word array.
+    Fractions are floor(x*100) integers via integer `div` (repo
+    convention — engine-exact, no float-tie hashing hazards).
+
+    The word array is materialized in a dedicated projection FIRST —
+    Catalyst re-evaluates lambda-captured subexpressions per element, so
+    `split()` must never sit inside `aggregate`/`transform` lambdas
+    (measured 100x; see operators/dedup.py shingles docstring). Spark
+    `sequence(a, b)` auto-reverses when a > b, so the bigram builder is
+    gated on size >= 2 instead of relying on an empty sequence.
+    """
+    d = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    ).select(
+        id_col,
+        "words",
+        F.expr("array_sort(words)").alias("sorted_w"),
+        F.expr(
+            "IF(size(words) < 2, array(),"
+            " transform(sequence(0, size(words)-2),"
+            "           i -> concat(words[i], ' ', words[i+1])))"
+        ).alias("bigrams"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORD_LIST])
+    sig = d.select(
+        id_col,
+        F.size("words").cast("long").alias("n_words"),
+        F.expr(
+            "(100 * aggregate(words, 0L, (a, w) -> a + length(w)))"
+            " div size(words)"
+        ).alias("mean_wlen_x100"),
+        # Gopher's stopword rule is distinct presence from a fixed list —
+        # exactly array_intersect cardinality.
+        F.size(F.array_intersect("words", stop_arr)).cast("long")
+        .alias("n_stopwords"),
+        F.expr(_TOP_CNT_EXPR).cast("long").alias("top_word_count"),
+        F.expr(
+            "(100 * (size(bigrams) - size(array_distinct(bigrams))))"
+            " div greatest(size(bigrams), 1)"
+        ).alias("dup_bigram_frac_x100"),
+    ).withColumn(
+        "top_word_frac_x100",
+        F.expr("(100 * top_word_count) div n_words"),
+    ).select(
+        id_col, "n_words", "mean_wlen_x100", "n_stopwords", "top_word_count",
+        "top_word_frac_x100", "dup_bigram_frac_x100",
+    )
+    keep = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_wlen_x100") >= MIN_MEAN_WLEN_X100)
+        & (F.col("mean_wlen_x100") <= MAX_MEAN_WLEN_X100)
+        & (F.col("n_stopwords") >= MIN_STOPWORDS)
+        & (F.col("top_word_frac_x100") <= MAX_TOP_WORD_FRAC_X100)
+        & (F.col("dup_bigram_frac_x100") <= MAX_DUP_BIGRAM_FRAC_X100)
+    )
+    return sig.withColumn("keep", keep)
+
+
+# --- PII redaction ---------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+55 \d{2} 9\d{4}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails, BR-format phone numbers and IPv4 addresses from a text
+    column, emitting the redacted text plus per-kind match counts.
+
+    Patterns are chosen to behave identically under Java regex (Spark) and
+    RE2 (DuckDB): no lookaround, no backreferences; \\b and bounded
+    repetition are common to both. Email is redacted FIRST so the host
+    part of an address can never be half-matched as an IP afterwards;
+    counts are taken on the original text. Pure regexp projections —
+    shuffle-free, codegen-friendly.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        red.alias(out_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+    )
+
+
+# --- Benchmark n-gram contamination ---------------------------------------
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count, per corpus document, the distinct word n-grams it shares with
+    a benchmark/eval set (the standard pre-training decontamination check:
+    GPT-3 used 13-gram, Gopher/Chinchilla 8-gram overlap; n is a knob).
+
+    Plan shape: n-grams are built as column expressions over the
+    MATERIALIZED word array (no split inside lambdas — Catalyst trap),
+    exploded, deduped per doc, then equi-joined against the broadcast
+    distinct benchmark n-gram set; count is a partial-aggregated groupBy.
+    The benchmark side is small by construction (an eval set), so the
+    join is a broadcast hash join — the corpus side never shuffles for
+    the join itself; the only exchange is the per-doc distinct/count.
+    Docs shorter than n words contribute no rows (size guard — Spark's
+    sequence() auto-reverses on a > b rather than going empty).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        w = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+        ).filter(F.size("words") >= n)
+        return w.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(words)-{n}),"
+                    f" i -> concat_ws(' ', slice(words, i+1, {n})))"
+                )
+            ).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    corpus_grams = grams(docs).distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )

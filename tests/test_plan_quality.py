@@ -74,6 +74,26 @@ def test_justext_single_shuffle_single_window(spark):
     assert "lang" not in read and "source" not in read
 
 
+def test_gopher_signals_shuffle_free_and_pruned(spark):
+    """The Gopher quality gate must stay a pure projection: ZERO Exchange
+    nodes (the run-length top-unigram replaces explode→groupBy — at 10^12
+    docs the explode variant shuffles ~10^14 (doc, word) rows), and the
+    scan pruned to (doc_id, text)."""
+    plan = formatted_plan(catalog.queries()["gopher_quality_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The corpus side of the decontamination join must never shuffle for
+    the join: the benchmark gram set is the broadcast build side."""
+    plan = formatted_plan(catalog.queries()["ngram_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_cartesian_anywhere_in_catalog(spark):
     """No catalog query may degenerate into a cartesian/nested-loop join —
     the classic silent quadratic blowup (checked at tiny SF where AQE has

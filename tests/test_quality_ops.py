@@ -1,0 +1,107 @@
+"""Unit tests for operators/quality.py (corpus-hygiene ops) on crafted
+inputs — edge cases the sf-table differential harness can't reach
+(single-word docs, docs shorter than n, PII-free rows). The cross-engine
+oracle equivalence itself is covered by test_driver_contract.py via the
+gopher_quality_filter / pii_redact_scrub / ngram_contamination entries."""
+
+import pytest
+
+from ocr_service_spark.operators.quality import (
+    gopher_quality_signals, ngram_contamination, pii_redact,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestGopherSignals:
+    def test_signals_on_crafted_doc(self, spark):
+        # 10 words, 'x' appears 3 times, one bigram dup ('x y' twice)
+        text = "x y z the a of x y q x"
+        out = gopher_quality_signals(_docs(spark, [(1, text)])).collect()[0]
+        assert out.n_words == 10
+        # chars: 1+1+1+3+1+2+1+1+1+1 = 13 -> floor(1300/10) = 130
+        assert out.mean_wlen_x100 == 130
+        assert out.n_stopwords == 3  # the, a, of (distinct presence)
+        assert out.top_word_count == 3  # 'x'
+        assert out.top_word_frac_x100 == 30
+        # 9 bigrams, 'x y' twice -> 1 dup -> floor(100/9) = 11
+        assert out.dup_bigram_frac_x100 == 11
+        assert not out.keep  # n_words < 30
+
+    def test_single_word_doc(self, spark):
+        out = gopher_quality_signals(_docs(spark, [(1, "hello")])).collect()[0]
+        assert out.n_words == 1
+        assert out.top_word_count == 1
+        assert out.dup_bigram_frac_x100 == 0
+        assert not out.keep
+
+    def test_keep_gate_passes_typical_soup(self, spark):
+        # 40 mid-length words, varied, with stopwords: should pass all gates
+        words = [f"tok{i:02d}" for i in range(36)] + ["the", "a", "of", "to"]
+        out = gopher_quality_signals(
+            _docs(spark, [(1, " ".join(words))])
+        ).collect()[0]
+        assert out.n_words == 40
+        assert out.keep
+
+    def test_repetitive_doc_dropped(self, spark):
+        words = ["spam"] * 35 + ["the", "a", "of", "to", "in"]
+        out = gopher_quality_signals(
+            _docs(spark, [(1, " ".join(words))])
+        ).collect()[0]
+        assert out.top_word_count == 35
+        assert not out.keep
+
+
+class TestPiiRedact:
+    def test_redacts_and_counts(self, spark):
+        text = ("write to ana.silva+x@sub.example.org or +55 11 99876-5432 "
+                "from 192.168.0.1 twice 10.0.0.255")
+        out = pii_redact(_docs(spark, [(1, text)])).collect()[0]
+        assert out.redacted == (
+            "write to <EMAIL> or <PHONE> from <IP> twice <IP>"
+        )
+        assert (out.n_emails, out.n_phones, out.n_ips) == (1, 1, 2)
+
+    def test_no_pii_passthrough(self, spark):
+        out = pii_redact(_docs(spark, [(1, "nothing to see v1.2 here")])).collect()[0]
+        assert out.redacted == "nothing to see v1.2 here"
+        assert (out.n_emails, out.n_phones, out.n_ips) == (0, 0, 0)
+
+    def test_alpha_tld_email_redacted_before_ip_pass(self, spark):
+        # an email with an alphabetic TLD is eaten whole by the email pass —
+        # its dotted host can never be half-matched as an IP afterwards
+        out = pii_redact(_docs(spark, [(1, "x bob@h1.example y")])).collect()[0]
+        assert out.redacted == "x <EMAIL> y"
+        assert (out.n_emails, out.n_ips) == (1, 0)
+
+    def test_numeric_host_email_still_scrubbed_as_ip(self, spark):
+        # bob@10.1.2.3 has no alphabetic TLD, so it is not an email match;
+        # the IP pass still removes the sensitive part
+        out = pii_redact(_docs(spark, [(1, "x bob@10.1.2.3 y")])).collect()[0]
+        assert out.redacted == "x bob@<IP> y"
+        assert (out.n_emails, out.n_ips) == (0, 1)
+
+
+class TestNgramContamination:
+    def test_shared_trigram_counted(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta")])
+        corpus = _docs(spark, [
+            (1, "zz alpha beta gamma yy"),       # shares 'alpha beta gamma'
+            (2, "beta gamma delta alpha beta gamma"),  # shares 2 distinct
+            (3, "totally unrelated words here"),  # no overlap -> absent
+            (4, "too short"),                     # < n words -> absent
+        ])
+        got = {
+            r.doc_id: r.n_contaminated
+            for r in ngram_contamination(corpus, bench, n=3).collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+    def test_counts_are_distinct_grams(self, spark):
+        bench = _docs(spark, [(100, "a b c")])
+        corpus = _docs(spark, [(1, "a b c a b c a b c")])
+        got = ngram_contamination(corpus, bench, n=3).collect()
+        assert len(got) == 1 and got[0].n_contaminated == 1
