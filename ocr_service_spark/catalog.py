@@ -1950,13 +1950,16 @@ LIMIT 100
 
 def q_web_training_pipeline(spark, sf_dir):
     """The north-star composition end-to-end over HTML: Common-Crawl-style
-    pages → jusText main-content extraction → quality gate (length +
-    lang-ID on the EXTRACTED text) → overlapping chunking into LLM training
-    samples with provenance. Rows-only (main_content has no SQL twin);
-    every stage is individually oracle-gated elsewhere (boilerplate_strip /
-    lang_id_quality / doc_chunking) and the composition is pinned by
+    pages → jusText main-content extraction → PII redaction → Gopher
+    quality gate (repetition/length/stopword signals on the EXTRACTED,
+    scrubbed text, carried via passthrough so no join is needed) →
+    lang-ID → overlapping chunking into LLM training samples with
+    provenance. Rows-only (main_content has no SQL twin); every stage is
+    individually oracle-gated elsewhere (boilerplate_strip /
+    pii_redact_scrub / gopher_quality_filter / lang_id_quality /
+    doc_chunking) and the composition is pinned by
     tests/test_core_boilerplate.py::TestWebTrainingPipeline. One Arrow
-    pass + narrow chunking — no shuffle anywhere."""
+    pass + narrow projections + chunking — no shuffle anywhere."""
     from .functions import sql_analogs  # noqa: F401  (session consistency)
     from .operators import textstats as ts
     from .operators.boilerplate import extract_main_content
@@ -1979,18 +1982,34 @@ def q_web_training_pipeline(spark, sf_dir):
     )
     pages = receipts.select("url", "html").unionByName(articles)
 
+    from .operators.quality import gopher_quality_signals, pii_redact
+
     mc = extract_main_content(pages)
     kept = mc.filter(
         (F.col("n_good") > 0) & (F.col("content_chars") >= 100)
     ).select(
         "url",
-        F.col("main_text").alias("text"),
+        # single-space-normalize: main_text joins blocks with \n, the
+        # word-level gates below split on ' '
+        F.regexp_replace(F.col("main_text"), r"\s+", " ").alias("text"),
         ts.lang_id(F.col("main_text")).alias("guessed_lang"),
     )
+    scrubbed = pii_redact(kept, text_col="text", out_col="text").drop(
+        "n_emails", "n_phones", "n_ips"
+    )
+    # thresholds tuned to the ARTICLE corpus (main_text carries the page's
+    # repeated template phrases: ~107 words, top-unigram ~28%, dup-bigram
+    # 33-69%): the dup-bigram ceiling is the discriminating gate here,
+    # dropping the most template-heavy ~quarter of pages.
+    gated = gopher_quality_signals(
+        scrubbed, id_col="url", text_col="text",
+        passthrough=("text", "guessed_lang"),
+        max_words=200, max_top_word_frac_x100=40, max_dup_bigram_frac_x100=50,
+    ).filter("keep").select("url", "text", "guessed_lang")
 
     size, stride = 32, 24
-    words = kept.select(
-        "url", "guessed_lang", F.split(F.col("text"), r"\s+").alias("words")
+    words = gated.select(
+        "url", "guessed_lang", F.split(F.col("text"), " ").alias("words")
     )
     nchunk = F.lit(1) + F.greatest(
         F.lit(0),

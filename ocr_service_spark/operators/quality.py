@@ -61,13 +61,26 @@ aggregate(
 
 
 def gopher_quality_signals(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple = (),
+    **thresholds: int,
 ) -> DataFrame:
     """Per-document repetition/length/stopword signals + keep gate.
 
     Shuffle-free: every signal is a column expression over the word array.
     Fractions are floor(x*100) integers via integer `div` (repo
     convention — engine-exact, no float-tie hashing hazards).
+    `passthrough` columns ride along through the projections (free), so a
+    pipeline can gate on `keep` without a join back to the text.
+
+    Gate thresholds are corpus-dependent in every real pipeline (Gopher
+    tuned its constants to MassiveWeb); override any of min_words,
+    max_words, min_mean_wlen_x100, max_mean_wlen_x100, min_stopwords,
+    max_top_word_frac_x100, max_dup_bigram_frac_x100 per corpus — the
+    module defaults fit the raw synthetic word-soup documents table (the
+    oracle-checked configuration).
 
     The word array is materialized in a dedicated projection FIRST —
     Catalyst re-evaluates lambda-captured subexpressions per element, so
@@ -76,10 +89,12 @@ def gopher_quality_signals(
     `sequence(a, b)` auto-reverses when a > b, so the bigram builder is
     gated on size >= 2 instead of relying on an empty sequence.
     """
+    pt = [c for c in passthrough if c not in (id_col,)]
     d = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+        F.col(id_col), *pt, F.split(F.col(text_col), " ").alias("words")
     ).select(
         id_col,
+        *pt,
         "words",
         F.expr("array_sort(words)").alias("sorted_w"),
         F.expr(
@@ -91,6 +106,7 @@ def gopher_quality_signals(
     stop_arr = F.array(*[F.lit(s) for s in STOPWORD_LIST])
     sig = d.select(
         id_col,
+        *pt,
         F.size("words").cast("long").alias("n_words"),
         F.expr(
             "(100 * aggregate(words, 0L, (a, w) -> a + length(w)))"
@@ -109,17 +125,30 @@ def gopher_quality_signals(
         "top_word_frac_x100",
         F.expr("(100 * top_word_count) div n_words"),
     ).select(
-        id_col, "n_words", "mean_wlen_x100", "n_stopwords", "top_word_count",
-        "top_word_frac_x100", "dup_bigram_frac_x100",
+        id_col, *pt, "n_words", "mean_wlen_x100", "n_stopwords",
+        "top_word_count", "top_word_frac_x100", "dup_bigram_frac_x100",
     )
+    th = {
+        "min_words": MIN_WORDS,
+        "max_words": MAX_WORDS,
+        "min_mean_wlen_x100": MIN_MEAN_WLEN_X100,
+        "max_mean_wlen_x100": MAX_MEAN_WLEN_X100,
+        "min_stopwords": MIN_STOPWORDS,
+        "max_top_word_frac_x100": MAX_TOP_WORD_FRAC_X100,
+        "max_dup_bigram_frac_x100": MAX_DUP_BIGRAM_FRAC_X100,
+    }
+    unknown = set(thresholds) - set(th)
+    if unknown:
+        raise TypeError(f"unknown gopher threshold(s): {sorted(unknown)}")
+    th.update(thresholds)
     keep = (
-        (F.col("n_words") >= MIN_WORDS)
-        & (F.col("n_words") <= MAX_WORDS)
-        & (F.col("mean_wlen_x100") >= MIN_MEAN_WLEN_X100)
-        & (F.col("mean_wlen_x100") <= MAX_MEAN_WLEN_X100)
-        & (F.col("n_stopwords") >= MIN_STOPWORDS)
-        & (F.col("top_word_frac_x100") <= MAX_TOP_WORD_FRAC_X100)
-        & (F.col("dup_bigram_frac_x100") <= MAX_DUP_BIGRAM_FRAC_X100)
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_wlen_x100") >= th["min_mean_wlen_x100"])
+        & (F.col("mean_wlen_x100") <= th["max_mean_wlen_x100"])
+        & (F.col("n_stopwords") >= th["min_stopwords"])
+        & (F.col("top_word_frac_x100") <= th["max_top_word_frac_x100"])
+        & (F.col("dup_bigram_frac_x100") <= th["max_dup_bigram_frac_x100"])
     )
     return sig.withColumn("keep", keep)
 

@@ -46,6 +46,24 @@ class TestGopherSignals:
         assert out.n_words == 40
         assert out.keep
 
+    def test_threshold_overrides(self, spark):
+        # corpus-tuned override flips the verdict; unknown names fail fast
+        words = ["spam"] * 35 + ["the", "a", "of", "to", "in"]
+        df = _docs(spark, [(1, " ".join(words))])
+        out = gopher_quality_signals(
+            df, max_top_word_frac_x100=100, max_dup_bigram_frac_x100=100
+        ).collect()[0]
+        assert out.keep
+        with pytest.raises(TypeError, match="unknown gopher threshold"):
+            gopher_quality_signals(df, max_topword=5)
+
+    def test_passthrough_columns_ride_along(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z", "en")], "doc_id long, text string, lang string"
+        )
+        out = gopher_quality_signals(df, passthrough=("lang",)).collect()[0]
+        assert out.lang == "en" and out.n_words == 3
+
     def test_repetitive_doc_dropped(self, spark):
         words = ["spam"] * 35 + ["the", "a", "of", "to", "in"]
         out = gopher_quality_signals(

@@ -255,3 +255,46 @@ def test_streamed_enrichment_ops_match_batch(spark, tmp_path_factory):
         )
         assert len(streamed) == 200, name
         pd.testing.assert_frame_equal(streamed, batch, obj=name)
+
+
+def test_streamed_quality_gate_matches_batch(spark, tmp_path_factory):
+    """The corpus-hygiene gates (Gopher signals, PII redaction) are pure
+    column projections — no state, no window — so they lift onto
+    Structured Streaming unchanged; streamed output must equal batch."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ocr_service_spark.operators.quality import (
+        gopher_quality_signals, pii_redact,
+    )
+
+    root = tmp_path_factory.mktemp("stream_quality")
+    docs_path = str(root / "docs")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs_path)
+
+    for name, op in [("gopher", gopher_quality_signals), ("pii", pii_redact)]:
+        q = (
+            op(spark.readStream.schema(schema).parquet(docs_path))
+            .writeStream.format("memory")
+            .queryName(f"quality_{name}")
+            .option("checkpointLocation", str(root / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        streamed = (
+            spark.table(f"quality_{name}").toPandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        batch = (
+            op(spark.read.parquet(docs_path).select("doc_id", "text"))
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(streamed) == len(batch) > 0, name
+        pd.testing.assert_frame_equal(streamed, batch, obj=name)
