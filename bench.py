@@ -102,6 +102,9 @@ HEADLINE = [
     "page_metadata",
     "doc_chunking",
     "vocab_top_terms",
+    "gopher_quality_filter",   # shuffle-free repetition/stopword gates
+    "pii_redact_scrub",
+    "ngram_contamination",     # broadcast benchmark-gram decontamination
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
