@@ -103,6 +103,78 @@ class TestPiiRedact:
         assert (out.n_emails, out.n_ips) == (0, 1)
 
 
+class TestCrossEngineAdversarial:
+    """One-batch Spark-vs-DuckDB differential over adversarial strings the
+    sf tables never contain: empty text, repeated separators, unicode
+    (incl. astral-plane emoji — code-point length semantics must agree),
+    regex metacharacters, embedded newlines/tabs. Any split()/length()/
+    regex divergence between the engines surfaces here before it could
+    bite a driver gate."""
+
+    CASES = [
+        "", " ", "  ", "one", "a  b", "the the the", "x " * 50,
+        "café açaí coração", "emoji 😀😀 here", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 words",
+        "dot.dot a.b@c 1.2.3.4", "meta (a) [b] {c} * + ? | ^ $ \\d",
+        "tab\there new\nline", "trailing space ", " leading",
+        "a@b.co +55 11 91234-5678 10.0.0.1",
+        "nested@sub.dom.example.org end",
+    ]
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(42)
+        alpha = "ab cd. the a of 😀é\n\t@+-0123456789"
+        rand = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 80)))
+            for _ in range(200)
+        ]
+        return [(i, t) for i, t in enumerate(self.CASES + rand)]
+
+    def _diff(self, spark, rows, spark_df, sql):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        got = spark_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+        exp = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        con.close()
+
+    def test_gopher_signals_match_duckdb(self, spark):
+        from ocr_service_spark.catalog import SQL_GOPHER
+
+        rows = self._corpus()
+        self._diff(
+            spark, rows, gopher_quality_signals(_docs(spark, rows)), SQL_GOPHER
+        )
+
+    def test_pii_redact_matches_duckdb(self, spark):
+        rows = self._corpus()
+        sql = r"""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+55 \d{2} 9\d{4}-\d{4}', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\+55 \d{2} 9\d{4}-\d{4}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        FROM documents
+        """
+        self._diff(spark, rows, pii_redact(_docs(spark, rows)), sql)
+
+
 class TestNgramContamination:
     def test_shared_trigram_counted(self, spark):
         bench = _docs(spark, [(100, "alpha beta gamma delta")])
