@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 from typing import List, Optional
@@ -184,9 +185,11 @@ def measure_pairs(
         small_runs.append(rs["best_s"])
         large_runs.append(rl["best_s"])
         pairs.append((rs["best_s"] / rl["best_s"]) / ratio)
-        if early_stop_at is not None and sorted(pairs)[len(pairs) // 2] >= early_stop_at:
+        # true median (averages the middle two on even counts): the upper
+        # median would bias an even-count early stop optimistically.
+        if early_stop_at is not None and statistics.median(pairs) >= early_stop_at:
             break
-    efficiency = sorted(pairs)[len(pairs) // 2]
+    efficiency = statistics.median(pairs)
     t_small, t_large = min(small_runs), min(large_runs)
     summary = {
         "docs": docs,

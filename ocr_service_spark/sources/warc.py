@@ -116,17 +116,31 @@ def http_response_body(payload: bytes) -> bytes:
         # tolerate bare-LF header blocks from sloppy writers
         sep_lf = payload.find(b"\n\n")
         return payload[sep_lf + 2:] if sep_lf >= 0 else b""
-    headers = payload[:sep].lower()
     body = payload[sep + 4:]
-    if b"transfer-encoding:" in headers and b"chunked" in headers:
+    # parse header FIELDS rather than substring-matching the block: real
+    # captures carry arbitrary value whitespace ("Content-Encoding:\tgzip")
+    # and the x-gzip alias, and a substring probe can false-match inside
+    # an unrelated header value.
+    chunked = False
+    encoding = b""
+    for line in payload[:sep].split(CRLF)[1:]:
+        k, colon, v = line.partition(b":")
+        if not colon:
+            continue
+        lk = k.strip().lower()
+        if lk == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+        elif lk == b"content-encoding":
+            encoding = v.strip().lower()
+    if chunked:
         body = _dechunk(body)
-    if b"content-encoding:" in headers:
+    if encoding:
         import gzip
         import zlib
         try:
-            if b"content-encoding: gzip" in headers or b"content-encoding:gzip" in headers:
+            if encoding in (b"gzip", b"x-gzip"):
                 body = gzip.decompress(body)
-            elif b"deflate" in headers.split(b"content-encoding", 1)[1][:30]:
+            elif encoding == b"deflate":
                 try:
                     body = zlib.decompress(body)
                 except zlib.error:

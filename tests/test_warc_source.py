@@ -122,6 +122,17 @@ def test_http_chunked_and_content_encoding():
     bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
     assert http_response_body(bad) == b"not-gzip"
 
+    # header FIELD parsing, not block substring-matching:
+    # x-gzip alias and tab-padded values decode...
+    xgz = (b"HTTP/1.1 200 OK\r\nContent-Encoding:\tx-gzip\r\n\r\n"
+           + gzip.compress(body))
+    assert http_response_body(xgz) == body
+    # ...while 'gzip'/'chunked' inside an UNRELATED header value must not
+    # trigger decoding of a plain body
+    plain = (b"HTTP/1.1 200 OK\r\nX-Backend: gzip chunked pool\r\n"
+             b"Content-Type: text/html\r\n\r\n" + body)
+    assert http_response_body(plain) == body
+
 
 def test_gzipped_warc_member_per_record(tmp_path, spark):
     """Common-Crawl packaging: one gzip member per record, concatenated."""
