@@ -105,6 +105,7 @@ HEADLINE = [
     "gopher_quality_filter",   # shuffle-free repetition/stopword gates
     "pii_redact_scrub",
     "ngram_contamination",     # broadcast benchmark-gram decontamination
+    "token_budget_selection",  # distributed prefix-sum budget curation
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

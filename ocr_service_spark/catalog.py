@@ -2162,6 +2162,72 @@ FROM inj
 """
 
 
+def q_token_budget_selection(spark, sf_dir):
+    """Greedy token-budget curation: order docs least-repetitive-first
+    (dup-bigram frac, then top-unigram frac, then doc_id — a total order)
+    and keep the prefix whose cumulative BPE-ish token count fits a 15k
+    budget (about half the sf0.01 corpus, so the cut is exercised). The cumulative sum is the DISTRIBUTED prefix-sum shape
+    (repartitionByRange + partition-local window + broadcast offsets —
+    see operators/quality.py global_budget_select), never a
+    single-partition global window."""
+    from .operators import textstats as ts
+    from .operators.quality import global_budget_select, gopher_quality_signals
+
+    d = load(spark, sf_dir, "documents")
+    scored = gopher_quality_signals(d, passthrough=("text",)).select(
+        "doc_id",
+        "dup_bigram_frac_x100",
+        "top_word_frac_x100",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return global_budget_select(
+        scored,
+        ["dup_bigram_frac_x100", "top_word_frac_x100", "doc_id"],
+        "n_tokens",
+        budget=15_000,
+    ).select(
+        "doc_id", "dup_bigram_frac_x100", "top_word_frac_x100",
+        "n_tokens", "cum_tokens",
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST((SELECT max(c) FROM (SELECT count(*) AS c
+                 FROM unnest(w.words) AS t(u) GROUP BY u)) AS BIGINT)
+           AS top_word_count,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1]) AS bigrams,
+         CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM w
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         CAST((100 * top_word_count) // n_words AS BIGINT)
+           AS top_word_frac_x100,
+         CAST((100 * (len(bigrams) - len(list_distinct(bigrams))))
+              // greatest(len(bigrams), 1) AS BIGINT)
+           AS dup_bigram_frac_x100
+  FROM s
+),
+c AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY dup_bigram_frac_x100, top_word_frac_x100, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM g
+)
+SELECT doc_id, dup_bigram_frac_x100, top_word_frac_x100, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 15000
+"""
+
+
 def q_ngram_contamination(spark, sf_dir):
     """Benchmark-contamination check (the GPT-3/Gopher decontamination
     shape): docs with doc_id % 41 = 0 form the held-out benchmark; every
@@ -2265,6 +2331,7 @@ CATALOG: Dict[str, tuple] = {
     "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
     "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
+    "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),
 }
 
 

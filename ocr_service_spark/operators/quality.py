@@ -189,6 +189,60 @@ def pii_redact(
     )
 
 
+# --- Token-budget selection (distributed prefix sum) ----------------------
+
+def global_budget_select(
+    df: DataFrame,
+    order_cols: list,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy token-budget selection: order the corpus by `order_cols`
+    (must be a TOTAL order — include the id as final tiebreak) and keep
+    the prefix whose cumulative `token_col` stays within `budget` — the
+    "fill the training budget with the best documents" stage of a
+    curation pipeline.
+
+    Scale shape — a distributed prefix sum, NOT a global window: a bare
+    `Window.orderBy(...)` with no partitionBy funnels the entire dataset
+    through ONE task (Spark even warns), which is a non-starter at 10^12
+    rows. Instead: `repartitionByRange` on the order key (range partition
+    p holds keys strictly below partition p+1 — the same machinery behind
+    a distributed ORDER BY), a partition-LOCAL running sum via a window
+    keyed on `spark_partition_id()`, per-partition totals collected to
+    the driver (ONE row per partition — bounded by cluster size, not data
+    size), exclusive prefix offsets broadcast-joined back, and
+    global cumulative = local running + partition offset. Two narrow
+    passes over the data, one tiny driver aggregate.
+    """
+    spark = df.sparkSession
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = d.withColumn("_run", F.sum(token_col).over(w))
+    totals = part.groupBy("_pid").agg(F.max("_run").alias("_tot")).orderBy(
+        "_pid"
+    ).collect()
+    offs, acc = [], 0
+    for r in totals:
+        offs.append((int(r["_pid"]), acc))
+        acc += int(r["_tot"])
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn("cum_tokens", (F.col("_run") + F.col("_off")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_run", "_off")
+    )
+
+
 # --- Benchmark n-gram contamination ---------------------------------------
 
 def ngram_contamination(

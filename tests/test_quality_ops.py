@@ -103,6 +103,49 @@ class TestPiiRedact:
         assert (out.n_emails, out.n_ips) == (0, 1)
 
 
+class TestGlobalBudgetSelect:
+    def _frame(self, spark, n):
+        # tokens = id+1 so cumulative sums are easy to state exactly
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_id long, n_tokens long"
+        )
+
+    def test_prefix_matches_serial_cumsum(self, spark):
+        from ocr_service_spark.operators.quality import global_budget_select
+
+        # 40 rows across many range partitions; budget cuts mid-stream
+        out = global_budget_select(
+            self._frame(spark, 40), ["doc_id"], "n_tokens", budget=100
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        # serial: cum(i) = (i+1)(i+2)/2; keep while <= 100 -> ids 0..12 (91)
+        assert list(out["doc_id"]) == list(range(13))
+        assert list(out["cum_tokens"]) == [
+            (i + 1) * (i + 2) // 2 for i in range(13)
+        ]
+
+    def test_overshooting_row_excluded_and_order_respected(self, spark):
+        from ocr_service_spark.operators.quality import global_budget_select
+
+        df = spark.createDataFrame(
+            [(1, 50, 9), (2, 10, 1), (3, 60, 5)],
+            "doc_id long, n_tokens long, score long",
+        )
+        out = global_budget_select(
+            df, ["score", "doc_id"], "n_tokens", budget=70
+        ).toPandas().sort_values("cum_tokens")
+        # order by score: doc2(10) -> doc3(70) -> doc1(120, over budget)
+        assert list(out["doc_id"]) == [2, 3]
+        assert list(out["cum_tokens"]) == [10, 70]
+
+    def test_empty_input(self, spark):
+        from ocr_service_spark.operators.quality import global_budget_select
+
+        out = global_budget_select(
+            self._frame(spark, 0), ["doc_id"], "n_tokens", budget=10
+        )
+        assert out.count() == 0
+
+
 class TestCrossEngineAdversarial:
     """One-batch Spark-vs-DuckDB differential over adversarial strings the
     sf tables never contain: empty text, repeated separators, unicode
