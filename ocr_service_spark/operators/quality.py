@@ -226,7 +226,11 @@ def global_budget_select(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    part = d.withColumn("_run", F.sum(token_col).over(w))
+    # materialize the running-sum frame ONCE (repo convention, same as
+    # connected_components): the totals job and the final offset join both
+    # read it, and without this every downstream action re-runs the whole
+    # upstream scoring (measured 13.6s -> 5.5s at sf0.1).
+    part = d.withColumn("_run", F.sum(token_col).over(w)).localCheckpoint()
     totals = part.groupBy("_pid").agg(F.max("_run").alias("_tot")).orderBy(
         "_pid"
     ).collect()
