@@ -2265,6 +2265,183 @@ GROUP BY cg.doc_id
 
 
 # --------------------------------------------------------------------------
+# As-of (temporal) join — union+window formulation vs DuckDB's native ASOF
+# --------------------------------------------------------------------------
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: each purchase event picks up the latest prior click
+    (same user, click.ts <= purchase.ts) — operators/asof.py union+window
+    plan (ONE shuffle, no join node). Oracle: DuckDB native ASOF LEFT JOIN,
+    an independent implementation of the same semantics."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    build = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id")
+    out = asof_join(probe, build, keys=["user_id"], ts_col="ts",
+                    payload_cols=["value", "event_id"], tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        "prior_event_id", "prior_value",
+        F.col("prior_ts").cast("string").alias("prior_ts_s"),
+    )
+
+
+SQL_ASOF = """
+WITH probe AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+     build AS (SELECT user_id, ts, value, event_id FROM events
+               WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts_s,
+       b.event_id AS prior_event_id, b.value AS prior_value,
+       CAST(b.ts AS VARCHAR) AS prior_ts_s
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / splitting (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+_SAMPLE_FRACS = {"en": 0.5, "zh": 1.0, "fr": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.05)]  # 5% excluded
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic md5-range sampling of documents — keep 50%
+    of en, all of zh, 25% of fr, 10% of the rest. Pure map-side filter (no
+    shuffle, no seed, append-safe); oracle replays the identical md5 range
+    test in DuckDB."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", "doc_id", _SAMPLE_FRACS,
+                            default_frac=_SAMPLE_DEFAULT)
+    return out.select("doc_id", "lang")
+
+
+def q_hash_split_counts(spark, sf_dir):
+    """Leak-free train/valid/test assignment by disjoint md5 ranges of
+    doc_id (80/10/5, 5% held out as null), aggregated to per-split per-lang
+    counts. The assignment is a pure row-local function of the key — the
+    property that keeps splits stable when a 100 TB corpus is appended to."""
+    from .operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", _SPLITS)
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sample_case_sql() -> str:
+    from .operators.sampling import sql_hex_threshold
+
+    arms = " ".join(
+        f"WHEN '{v}' THEN '{sql_hex_threshold(f)}'"
+        for v, f in sorted(_SAMPLE_FRACS.items())
+    )
+    return f"CASE lang {arms} ELSE '{sql_hex_threshold(_SAMPLE_DEFAULT)}' END"
+
+
+def _split_case_sql() -> str:
+    from .operators.sampling import sql_hex_threshold
+
+    arms, acc = [], 0.0
+    for label, w in _SPLITS:
+        acc += w
+        arms.append(
+            f"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <"
+            f" '{sql_hex_threshold(acc)}' THEN '{label}'"
+        )
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_sample_case_sql()}
+"""
+
+SQL_HASH_SPLIT = f"""
+SELECT {_split_case_sql()} AS split, lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact group quantiles (operators/stats.py)
+# --------------------------------------------------------------------------
+
+def q_group_quantiles(spark, sf_dir):
+    """Per-language exact discrete p50/p90 of document length — rank
+    selection with integer index arithmetic (operators/stats.py), never
+    percentile_approx/quantile_cont whose interpolation is engine-specific."""
+    from .operators.stats import group_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    return group_quantiles(docs, ["lang"], "n_chars", [50, 90], "doc_id")
+
+
+SQL_GROUP_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90,
+       MAX(n) AS n_rows
+FROM ranked GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash md5 twin — full-value oracle for the vote-aggregate structure
+# --------------------------------------------------------------------------
+
+def q_simhash_md5(spark, sf_dir):
+    """60-bit SimHash with md5-derived word hashes (operators/dedup.py
+    simhash_md5_60): the full fingerprint is engine-exact, so this entry
+    value-hash-validates the vote-aggregate structure that the xxhash64
+    fast path (`simhash_fingerprint`, oracle-less) shares."""
+    from .operators.dedup import simhash_md5_60
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_md5_60(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash60")
+
+
+def _simhash_md5_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END"
+                    for b in range(60))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok
+),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash60 FROM v
+"""
+
+
+SQL_SIMHASH_MD5 = _simhash_md5_sql()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2292,6 +2469,7 @@ CATALOG: Dict[str, tuple] = {
     "join_geo_rollup": (q_join_geo_rollup, SQL_GEO),
     "geo_rollup_levels": (q_geo_rollup_levels, SQL_GEO_ROLLUP),
     "anti_no_orders": (q_anti_no_orders, SQL_ANTI),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
@@ -2300,6 +2478,7 @@ CATALOG: Dict[str, tuple] = {
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),
+    "simhash_md5_oracle": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_near_dup": (q_simhash_near_dup, SQL_LSH_RECALL),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
@@ -2332,6 +2511,10 @@ CATALOG: Dict[str, tuple] = {
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
     "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
     "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),
+    # deterministic sampling / splitting (operators/sampling.py)
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
 }
 
 

@@ -1,0 +1,114 @@
+"""Distributed as-of (temporal) join — Spark-native union+window formulation.
+
+Spark has no ASOF JOIN operator (DuckDB/Polars/pandas `merge_asof` do). The
+naive formulations all fail at scale:
+
+  - inequality join ``probe.ts >= build.ts`` + keep-max: Catalyst plans a
+    broadcast-nested-loop or cartesian per key group — O(|probe|·|build|)
+    per key and a candidate blow-up before the keep-max prune;
+  - per-key ``collect_list`` + binary-search UDF: materializes every key's
+    full history in one row (OOM on hot keys) and leaves the JVM.
+
+The scalable shape is the classic union trick (the same idea as Flink's
+temporal join and KDB's ``aj``): tag probe and build rows, union them into
+ONE stream, hash-partition by key, sort by (ts, is_probe, tiebreak) within
+the partition, and carry the build payload forward with
+``last(payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT.
+Probe rows then read the carried value — the most recent build row with
+``build.ts <= probe.ts`` (build sorts before probe at equal ts, giving the
+inclusive `>=` semantics DuckDB ASOF uses).
+
+Cost at scale: exactly ONE shuffle (hash by key, same as any keyed join)
+plus a sort — no join node, no candidate pairs, no per-key materialization.
+Skewed keys degrade to a big sorted partition, never to a quadratic pair
+explosion; state per task is O(1) beyond the sort (the running "last seen"
+value). This is the plan a 100 TB event log needs.
+
+Oracle: DuckDB's native ``ASOF LEFT JOIN`` — an independent implementation
+of the same semantics (catalog entry ``asof_join_events``). Deterministic
+because the synthetic events table has no duplicate (user_id, ts) pairs;
+for duplicated build timestamps the tiebreak column pins OUR output while
+DuckDB's pick is unspecified, so the oracle query deduplicates first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tiebreak: str | None = None,
+    prefix: str = "prior_",
+) -> DataFrame:
+    """For each probe row, attach the latest build row with build.ts <= probe.ts.
+
+    Left-join semantics: probe rows with no prior build row keep null
+    payloads. Output = all probe columns + ``{prefix}{ts_col}`` +
+    ``{prefix}{col}`` for each payload col.
+
+    `tiebreak`: build-side column ordering concurrent build rows (the last
+    one under (ts, tiebreak) wins). Required for determinism when build may
+    contain duplicate (keys, ts) pairs.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    probe_cols = [c for c in probe.columns]
+
+    # Align schemas: probe rows carry their own columns, null build payload;
+    # build rows carry null probe-only columns, real payload.
+    build_sel = (
+        [F.col(k) for k in keys]
+        + [F.col(ts_col)]
+        + [F.lit(None).cast(probe.schema[c].dataType).alias(c)
+           for c in probe_cols if c not in keys and c != ts_col]
+        + [F.col(c).alias(f"__b_{c}") for c in payload_cols]
+        + [F.col(ts_col).alias(f"__b_{ts_col}")]
+    )
+    probe_sel = (
+        [F.col(k) for k in keys]
+        + [F.col(ts_col)]
+        + [F.col(c) for c in probe_cols if c not in keys and c != ts_col]
+        + [F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}")
+           for c in payload_cols]
+        + [F.lit(None).cast(build.schema[ts_col].dataType).alias(f"__b_{ts_col}")]
+    )
+    # Tiebreak travels in its own column: build rows keep their value, probe
+    # rows ride null (probe-vs-probe order at equal ts is immaterial — each
+    # probe row only READS the carried build payload, never supplies it).
+    has_tb = tiebreak is not None and tiebreak in build.columns
+    tb_build = F.col(tiebreak) if has_tb else F.lit(None).cast("long")
+    tb_null = F.lit(None).cast(build.schema[tiebreak].dataType if has_tb else "long")
+    tagged = (
+        build.select(*build_sel, F.lit(0).alias("__is_probe"),
+                     tb_build.alias("__tb"))
+        .unionByName(
+            probe.select(*probe_sel, F.lit(1).alias("__is_probe"),
+                         tb_null.alias("__tb")),
+            allowMissingColumns=True,
+        )
+    )
+    order = [F.col(ts_col).asc(), F.col("__is_probe").asc(),
+             F.col("__tb").asc_nulls_first()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "*",
+        *[
+            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+        F.last(F.col(f"__b_{ts_col}"), ignorenulls=True).over(w).alias(f"{prefix}{ts_col}"),
+    )
+    drop = [f"__b_{c}" for c in payload_cols] + [f"__b_{ts_col}", "__is_probe", "__tb"]
+    return carried.where(F.col("__is_probe") == 1).drop(*drop)

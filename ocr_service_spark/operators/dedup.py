@@ -207,6 +207,38 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", fp.alias("simhash"))
 
 
+def simhash_md5_60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over md5-derived word hashes — the cross-engine-oracle
+    twin of `simhash64`.
+
+    xxhash64 (the fast path) has no DuckDB builtin, so `simhash64` can only
+    be property-checked. This variant derives each word's hash from the
+    first 15 hex chars of md5 (60 bits, signed-long safe) — md5 is
+    bit-identical in Spark and DuckDB, so the WHOLE fingerprint is
+    value-hash checkable by the driver (catalog `simhash_md5_oracle`),
+    which transitively validates the shared vote-aggregate structure that
+    `simhash64` uses. Same scale shape: explode words, 60 conditional sums
+    in one map-side-partial hash aggregate, one row per doc shuffled.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).select(
+        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(0)
+    return agg.select("id", fp.alias("simhash60"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,90 @@
+"""Deterministic hash-based sampling and splitting for training-data curation.
+
+`df.sample()` is seed-dependent per-partition RDD sampling: it is NOT stable
+under repartitioning, adding/removing rows, or engine changes — rerunning a
+100 TB curation job after appending one shard would resample everything,
+destroying train/eval hygiene. The curation-grade primitive is a pure
+function of each row's KEY: keep a row iff md5(key) falls in a fixed range.
+Properties that matter at scale:
+
+  - reproducible across runs, partitionings, engines (md5 is bit-identical
+    in Spark and DuckDB — the catalog oracle checks exact row sets);
+  - streaming/append-safe: a row's fate never depends on other rows;
+  - fully map-side: no shuffle, no state, whole-stage-codegen'd JVM
+    expressions — the filter rides the scan at any scale;
+  - disjoint ranges give leak-free splits: train/valid/test are provably
+    non-overlapping, and a stratum's sample is a subset of any larger
+    fraction's sample (nested samples for ablations).
+
+The [0,1) uniform is the first 8 hex chars of md5(key) compared LEXICALLY
+against a precomputed hex threshold — string comparison, no float, no
+rounding disagreement between engines.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_SPAN = 16 ** 8  # 8 hex chars = 32 bits of the md5
+
+
+def _hex_threshold(frac: float) -> str:
+    """Fraction -> 8-hex-char threshold ('28f5c28f' for 0.16...)."""
+    t = min(max(int(frac * HEX_SPAN), 0), HEX_SPAN)
+    return format(t, "08x") if t < HEX_SPAN else "g" * 8  # 'g' > 'f' lexically
+
+
+def _bucket(key_col: Column) -> Column:
+    return F.substring(F.md5(key_col.cast("string")), 1, 8)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: Dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff md5-bucket(key) < threshold(its stratum's fraction).
+
+    Per-stratum rates (e.g. downsample boilerplate-heavy languages, keep all
+    of a rare one) without a shuffle or a count pass: the row's stratum value
+    selects the threshold via a CASE chain (broadcast-free — the rate table
+    lives in the plan as literals).
+    """
+    thr = F.lit(_hex_threshold(default_frac))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.where(_bucket(F.col(key_col)) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by consecutive md5-bucket ranges.
+
+    `splits` = [(label, weight), ...]; weights need not sum to 1 — any
+    remainder is labeled null (excluded), which is how a 100 TB corpus takes
+    a 1% eval slice without materializing the other 99%.
+    """
+    edges = []
+    acc = 0.0
+    for label, w in splits:
+        acc += w
+        edges.append((label, _hex_threshold(acc)))
+    b = _bucket(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    for label, edge in reversed(edges):
+        expr = F.when(b < F.lit(edge), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sql_hex_threshold(frac: float) -> str:
+    """Expose the threshold computation for oracle-SQL generation."""
+    return _hex_threshold(frac)

@@ -1,0 +1,58 @@
+"""Exact distributed group-wise quantiles.
+
+`percentile_approx` (Spark) and `quantile_cont` (DuckDB) disagree on
+interpolation and approximation, so corpus reports built on them are not
+reproducible across engines. For curation thresholds ("trim everything
+below the per-language p10 quality score") the operator that matters is the
+EXACT discrete quantile: the value at 1-indexed position ceil(q·n) of the
+group's sorted values — a pure rank selection, engine-exact by definition.
+
+Scale shape: ONE hash shuffle on the group key feeds both the row_number
+window and the per-group count (window aggregate over the same partition
+spec — Catalyst reuses the clustering, no second Exchange), then the final
+group-by collapses the selected rows. No driver-side work, no
+collect_list: a group with 10^9 rows costs a sort, never memory.
+
+Index arithmetic stays in integers (ceil(q·n) = (pct·n + 99) div 100) —
+float ceil(0.9 * 500) is 451 under IEEE doubles, a silent off-by-one the
+DuckDB oracle would catch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    pcts: Sequence[int],
+    tiebreak: str,
+) -> DataFrame:
+    """Per-group exact discrete quantiles of `value_col`.
+
+    `pcts` are integer percents (e.g. [50, 90]); output columns are
+    ``p{pct}`` plus ``n_rows``. `tiebreak` pins a total order so the
+    selected ROW is deterministic (the selected VALUE already is).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc(),
+                                          F.col(tiebreak).asc())
+    wall = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("_rn") == F.expr(f"({p} * _n + 99) div 100"), F.col("_v"))
+        ).alias(f"p{p}")
+        for p in pcts
+    ] + [F.max("_n").alias("n_rows")]
+    return ranked.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,93 @@
+"""Semantics tests for the union+window as-of join (operators/asof.py).
+
+The catalog entry (`asof_join_events`) differentials against DuckDB's native
+ASOF LEFT JOIN on tie-free data; these fixtures pin the edge semantics the
+differential can't reach: inclusive equal-ts matches, no-prior nulls, and
+deterministic tiebreak on duplicate build timestamps.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:10"), 9.9),   # equal-ts build row
+            (2, 10, _ts("2024-01-01T00:00:05"), 1.0),   # before any build
+            (3, 11, _ts("2024-01-01T00:01:00"), 2.0),   # after dup-ts builds
+            (4, 12, _ts("2024-01-01T00:00:30"), 3.0),   # key with no build
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    build = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:10"), 7.0),
+            (101, 11, _ts("2024-01-01T00:00:20"), 5.0),  # dup ts, lower id
+            (102, 11, _ts("2024-01-01T00:00:20"), 6.0),  # dup ts, higher id
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    return probe, build
+
+
+def test_asof_edge_semantics(spark):
+    probe, build = _frames(spark)
+    out = asof_join(probe, build, keys=["user_id"], ts_col="ts",
+                    payload_cols=["value", "event_id"], tiebreak="event_id")
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # inclusive: build at exactly probe.ts matches
+    assert rows[1]["prior_event_id"] == 100 and rows[1]["prior_value"] == 7.0
+    # probe before any build -> null payload, probe row kept (left semantics)
+    assert rows[2]["prior_event_id"] is None and rows[2]["prior_value"] is None
+    # duplicate build ts -> highest tiebreak (event_id) wins, deterministically
+    assert rows[3]["prior_event_id"] == 102 and rows[3]["prior_value"] == 6.0
+    # key with no build rows at all -> null payload
+    assert rows[4]["prior_event_id"] is None
+    # probe's own columns survive untouched
+    assert rows[1]["value"] == 9.9
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential vs pandas.merge_asof (a third independent
+    implementation) on a random-ish but deterministic interleaving."""
+    import pandas as pd
+
+    probe_pd = pd.DataFrame({
+        "event_id": range(50),
+        "user_id": [i % 5 for i in range(50)],
+        "ts": pd.to_datetime(1_700_000_000 + (pd.Series(range(50)) * 37) % 997,
+                             unit="s"),
+        "value": [float(i) for i in range(50)],
+    })
+    build_pd = pd.DataFrame({
+        "event_id": range(100, 140),
+        "user_id": [i % 5 for i in range(40)],
+        "ts": pd.to_datetime(1_700_000_000 + (pd.Series(range(40)) * 61) % 997,
+                             unit="s"),
+        "value": [float(i) * 0.5 for i in range(40)],
+    })
+    out = asof_join(
+        spark.createDataFrame(probe_pd), spark.createDataFrame(build_pd),
+        keys=["user_id"], ts_col="ts", payload_cols=["value"],
+        tiebreak="event_id",
+    ).select("event_id", "prior_value").toPandas().sort_values("event_id")
+
+    exp = pd.merge_asof(
+        probe_pd.sort_values("ts"),
+        build_pd[["user_id", "ts", "value"]].rename(columns={"value": "prior_value"})
+            .sort_values("ts"),
+        on="ts", by="user_id", direction="backward", allow_exact_matches=True,
+    )[["event_id", "prior_value"]].sort_values("event_id")
+
+    got = out.reset_index(drop=True)
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

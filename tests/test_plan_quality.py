@@ -59,6 +59,42 @@ def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
     assert "text" not in read and "lang" not in read and "warc_ts" not in read
 
 
+def test_asof_single_shuffle_no_join(spark):
+    """The as-of join must plan as union -> ONE Exchange (hash by key) ->
+    sort/Window — never a join node. A BroadcastNestedLoopJoin or extra
+    Exchange here turns the 100 TB event-log case quadratic."""
+    plan = formatted_plan(catalog.queries()["asof_join_events"](spark, SF_DIR))
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum("Exchange" in l for l in nodes) == 1, plan
+    assert not any("Join" in l for l in nodes), plan
+    # both branch scans push their event_type filter down
+    assert plan.count("EqualTo(event_type,click)") >= 1
+    assert plan.count("EqualTo(event_type,purchase)") >= 1
+
+
+def test_stratified_sample_shuffle_free(spark):
+    """Deterministic sampling must stay a pure map-side filter — any
+    Exchange/Window/Aggregate here means the sample stopped being a
+    row-local function and lost its append-stability guarantee."""
+    plan = formatted_plan(catalog.queries()["stratified_sample"](spark, SF_DIR))
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert not any("Exchange" in l for l in nodes), plan
+    assert not any("Aggregate" in l or ") Window" in l for l in nodes), plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read  # only doc_id + lang needed
+
+
+def test_group_quantiles_single_shuffle(spark):
+    """row_number window, per-group count, and the final aggregate must all
+    ride ONE hash Exchange on the group key — a second shuffle doubles the
+    operator's cost on a 10^12-row corpus."""
+    plan = formatted_plan(catalog.queries()["group_quantiles"](spark, SF_DIR))
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum("Exchange" in l for l in nodes) == 1, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read and "source" not in read
+
+
 def test_justext_single_shuffle_single_window(spark):
     """The jusText SQL twin must shuffle ONCE (on doc_id) and compute both
     neighbour frames (last-preceding, first-following) in ONE Window node —

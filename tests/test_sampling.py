@@ -1,0 +1,75 @@
+"""Properties of deterministic md5-range sampling (operators/sampling.py):
+nestedness, split disjointness, append-stability, and rate accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.sampling import (
+    _hex_threshold,
+    hash_split,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hex_threshold_edges():
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(1.0) == "gggggggg"  # lexically above any hex
+    assert _hex_threshold(0.5) == "80000000"
+    # monotone
+    ts = [_hex_threshold(f / 20) for f in range(21)]
+    assert ts == sorted(ts)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_sample_nested_and_stable(docs):
+    """A 20% sample is a strict subset of the 50% sample of the same key
+    space (nested), and resampling after dropping rows never changes the
+    fate of surviving rows (append/delete-stable)."""
+    s20 = set(r[0] for r in
+              stratified_sample(docs, "lang", "doc_id", {}, 0.2)
+              .select("doc_id").collect())
+    s50 = set(r[0] for r in
+              stratified_sample(docs, "lang", "doc_id", {}, 0.5)
+              .select("doc_id").collect())
+    assert s20 <= s50
+    assert len(s20) < len(s50)
+    # drop half the corpus; the survivors' membership is unchanged
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    s20_half = set(r[0] for r in
+                   stratified_sample(half, "lang", "doc_id", {}, 0.2)
+                   .select("doc_id").collect())
+    assert s20_half == {d for d in s20 if d % 2 == 0}
+
+
+def test_sample_rate_accuracy(docs):
+    n = docs.count()
+    k = stratified_sample(docs, "lang", "doc_id", {}, 0.5).count()
+    assert abs(k / n - 0.5) < 0.15  # md5 uniformity at small n
+
+
+def test_split_disjoint_and_exhaustive(docs):
+    out = hash_split(docs, "doc_id", [("train", 0.6), ("valid", 0.2),
+                                      ("test", 0.2)])
+    # one label per row, no overlap possible by construction; labels cover
+    # everything when weights sum to 1
+    assert out.where(F.col("split").isNull()).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    n = docs.count()
+    assert abs(counts["train"] / n - 0.6) < 0.2
+
+
+def test_split_holdout_null(docs):
+    out = hash_split(docs, "doc_id", [("train", 0.5)])
+    n_null = out.where(F.col("split").isNull()).count()
+    n = docs.count()
+    assert 0 < n_null < n
+    # null set is exactly the complement of the train range
+    assert n_null == n - out.where(F.col("split") == "train").count()
