@@ -1468,7 +1468,17 @@ def q_resume_exactly_once(spark, sf_dir):
             .filter(doc_id % 5 < 2)
             .localCheckpoint()
         )
-        write_results(run_extraction(pages.filter(doc_id % 2 == 0)), rp)
+        # Size the physical knobs to the gate's data, exactly as a real job
+        # would: 8 extraction partitions / 8 sink buckets for the few
+        # hundred pages here. The default 32x64 layout writes ~2000 tiny
+        # files per phase at this scale — pure listing/commit overhead that
+        # measured ~2.5x the gate's whole wall.
+        gate_parts, gate_buckets = 8, 8
+        write_results(
+            run_extraction(pages.filter(doc_id % 2 == 0),
+                           num_partitions=gate_parts),
+            rp, n_buckets=gate_buckets,
+        )
         n_phase1 = spark.read.parquet(rp).count()
 
         # one job per phase: paired counters share a single aggregate
@@ -1478,12 +1488,14 @@ def q_resume_exactly_once(spark, sf_dir):
         ).collect()[0]
         n_pending, n_pending_even = pend_row["n"], int(pend_row["n_even"] or 0)
 
-        fin_row = run_resumable(spark, pages, rp).agg(
+        fin_row = run_resumable(spark, pages, rp, num_partitions=gate_parts,
+                                n_buckets=gate_buckets).agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("url").alias("nd"),
         ).collect()[0]
         n_final, n_distinct = fin_row["n"], fin_row["nd"]
-        n_again = run_resumable(spark, pages, rp).count()
+        n_again = run_resumable(spark, pages, rp, num_partitions=gate_parts,
+                                n_buckets=gate_buckets).count()
 
         rows = [
             ("phase1_written", n_phase1),

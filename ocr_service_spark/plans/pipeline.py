@@ -85,9 +85,14 @@ def run_resumable(
     run_id: Optional[str] = None,
     num_partitions: Optional[int] = None,
     ref_clock: Optional[datetime] = None,
+    n_buckets: int = DEFAULT_WRITE_BUCKETS,
 ) -> DataFrame:
     """Full resumable job: extract only pending urls, append-by-overwrite
-    into the sink, record lineage; returns the full results table reader."""
+    into the sink, record lineage; returns the full results table reader.
+
+    `n_buckets` must match the value the sink was first written with —
+    bucket_id is part of the sink's physical layout and the MERGE branch
+    overwrites whole buckets."""
     pending = resume_pending(pages, results_path)
     results = run_extraction(pending, num_partitions=num_partitions, ref_clock=ref_clock)
 
@@ -99,7 +104,7 @@ def run_resumable(
         # overwritten-path cycle; with Iceberg this whole branch is a single
         # MERGE INTO keyed on url (north_rule production path).
         new_rows = results.withColumn(
-            "bucket_id", F.pmod(F.xxhash64("url"), F.lit(DEFAULT_WRITE_BUCKETS)).cast("int")
+            "bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
         ).localCheckpoint()
         affected = new_rows.select("bucket_id").distinct()
         existing = spark.read.parquet(results_path).withColumn(
@@ -115,5 +120,5 @@ def run_resumable(
                 spark.read.parquet(results_path), run_id or "resume"
             ).write.mode("append").parquet(metrics_path)
     else:
-        write_results(results, results_path, metrics_path, run_id)
+        write_results(results, results_path, metrics_path, run_id, n_buckets)
     return spark.read.parquet(results_path)
