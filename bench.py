@@ -106,6 +106,10 @@ HEADLINE = [
     "pii_redact_scrub",
     "ngram_contamination",     # broadcast benchmark-gram decontamination
     "token_budget_selection",  # distributed prefix-sum budget curation
+    "asof_join_events",        # union+window temporal join (one shuffle)
+    "stratified_sample",       # deterministic md5-range sampling (map-side)
+    "hash_split_counts",       # leak-free train/valid/test assignment
+    "group_quantiles",         # exact per-group rank-selected quantiles
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
