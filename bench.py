@@ -110,6 +110,8 @@ HEADLINE = [
     "stratified_sample",       # deterministic md5-range sampling (map-side)
     "hash_split_counts",       # leak-free train/valid/test assignment
     "group_quantiles",         # exact per-group rank-selected quantiles
+    "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
+    "span_dedup_global",       # C4 corpus-global span dedup + rebuild
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

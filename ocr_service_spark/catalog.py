@@ -2414,6 +2414,66 @@ FROM ranked GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Repetition removal (operators/linedup.py) — C4/RefinedWeb curation steps
+# --------------------------------------------------------------------------
+
+_LINE_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     l AS (SELECT doc_id, i AS pos,
+                  array_to_string(ws[(8*i+1):(8*i+8)], ' ') AS line
+           FROM w, LATERAL unnest(
+             generate_series(0, CAST(ceil(len(ws)/8.0) AS INT)-1)) AS t(i))
+"""
+
+
+def q_line_dedup_within_doc(spark, sf_dir):
+    """RefinedWeb-style within-document repetition removal: every document
+    rebuilt with only the first occurrence of each 8-word line, original
+    order preserved (operators/linedup.py — two partial-agg shuffles)."""
+    from .operators.linedup import dedup_lines_within_doc
+
+    docs = load(spark, sf_dir, "documents")
+    out = dedup_lines_within_doc(docs, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_lines", "n_kept",
+                      "dedup_text")
+
+
+SQL_LINE_DEDUP = _LINE_CTE + """
+, f AS (SELECT doc_id, line, MIN(pos) AS p, COUNT(*) AS occ
+        FROM l GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_lines, COUNT(*) AS n_kept,
+       string_agg(line, chr(10) ORDER BY p) AS dedup_text
+FROM f GROUP BY doc_id
+"""
+
+
+def q_span_dedup_global(spark, sf_dir):
+    """C4-style corpus-global span dedup: each 8-word span survives exactly
+    once in the whole corpus at its first (doc_id, pos) occurrence; docs
+    rebuilt from their surviving spans, fully-duplicated docs kept with
+    n_kept = 0 (operators/linedup.py — one shuffle keyed by span content,
+    AQE-split on hot spans, then one grouped rebuild keyed by doc)."""
+    from .operators.linedup import dedup_spans_global
+
+    docs = load(spark, sf_dir, "documents")
+    out = dedup_spans_global(docs, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_spans", "n_kept",
+                      "dedup_text")
+
+
+SQL_SPAN_DEDUP = _LINE_CTE + """
+, k AS (SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM l)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                           chr(10) ORDER BY pos), '') AS dedup_text
+FROM k GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash md5 twin — full-value oracle for the vote-aggregate structure
 # --------------------------------------------------------------------------
 
@@ -2527,6 +2587,9 @@ CATALOG: Dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    # repetition removal (operators/linedup.py)
+    "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
+    "span_dedup_global": (q_span_dedup_global, SQL_SPAN_DEDUP),
 }
 
 

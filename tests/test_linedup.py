@@ -1,0 +1,67 @@
+"""Semantics of repetition removal (operators/linedup.py): the DuckDB
+differential (test_driver_contract) pins exact values; these pin the
+invariants that make the operators correct curation steps."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.linedup import (
+    dedup_lines_within_doc,
+    dedup_spans_global,
+    doc_lines,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_doc_lines_covers_every_word(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x")], "doc_id long, text string")
+    rows = doc_lines(df, "doc_id", "text", words_per_line=4).collect()
+    got = {(r["id"], r["pos"]): r["line"] for r in rows}
+    assert got == {(1, 0): "a b c d", (1, 1): "e f g h", (1, 2): "i j",
+                   (2, 0): "x"}
+
+
+def test_within_doc_kept_lines_are_distinct_and_ordered(docs):
+    out = dedup_lines_within_doc(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()  # every doc survives within-doc dedup
+    for r in out:
+        lines = r["dedup_text"].split("\n")
+        assert len(lines) == r["n_kept"]
+        assert len(set(lines)) == r["n_kept"]  # no repeats remain
+        assert r["n_kept"] <= r["n_lines"]
+
+
+def test_within_doc_duplicate_line_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d e f")], "doc_id long, text string")
+    r = dedup_lines_within_doc(df, "doc_id", "text", words_per_line=4).collect()[0]
+    assert r["dedup_text"] == "a b c d\ne f"
+    assert (r["n_lines"], r["n_kept"]) == (3, 2)
+
+
+def test_global_each_span_survives_exactly_once(docs):
+    out = dedup_spans_global(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()  # fully-duped docs stay, with n_kept=0
+    all_kept = [l for r in out if r["n_kept"] > 0
+                for l in r["dedup_text"].split("\n")]
+    assert len(all_kept) == len(set(all_kept))  # corpus-wide uniqueness
+    n_distinct = (doc_lines(docs, "doc_id", "text")
+                  .select("line").distinct().count())
+    assert len(all_kept) == n_distinct  # nothing lost, nothing duplicated
+
+
+def test_global_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h")], "doc_id long, text string")
+    rows = {r["id"]: r for r in
+            dedup_spans_global(df, "doc_id", "text", words_per_line=4).collect()}
+    assert rows[1]["dedup_text"] == "a b c d"      # doc 1 keeps the span
+    assert rows[2]["dedup_text"] == "e f g h"      # doc 2 loses it
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_kept"] == 1

@@ -95,6 +95,19 @@ def test_group_quantiles_single_shuffle(spark):
     assert "text" not in read and "source" not in read
 
 
+def test_span_dedup_two_shuffles_one_window(spark):
+    """Global span dedup = one Exchange keyed by span content (the
+    row_number window) + one keyed by doc (the rebuild aggregate). The
+    join-free single-aggregate rebuild is what keeps it at two — the
+    naive rebuild+count+join shape re-shuffles the lines subtree twice
+    more (measured 4 Exchanges / 3 Windows)."""
+    plan = formatted_plan(catalog.queries()["span_dedup_global"](spark, SF_DIR))
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum("Exchange" in l for l in nodes) == 2, plan
+    assert sum(") Window" in l for l in nodes) == 1, plan
+    assert not any("Join" in l for l in nodes), plan
+
+
 def test_justext_single_shuffle_single_window(spark):
     """The jusText SQL twin must shuffle ONCE (on doc_id) and compute both
     neighbour frames (last-preceding, first-following) in ONE Window node —
