@@ -1,0 +1,191 @@
+"""Streaming as-of join: watermark-correct temporal enrichment via
+applyInPandasWithState.
+
+The batch operator (operators/asof.py) attaches to each probe row the
+latest build row with build.ts <= probe.ts per key. On an unbounded stream
+that lookup cannot be answered at arrival time: a build event OLDER than an
+already-seen probe may still arrive (legally, while it is newer than the
+watermark). The naive "carry last seen build" stream is wrong exactly
+there. Correct shape — the same one Flink's temporal join uses:
+
+  - buffer BUILD rows per key; rows at or before the watermark can never
+    be superseded for future probes, so they compact to just the latest
+    one (state stays bounded by event density within the watermark
+    horizon, not by stream length);
+  - buffer PROBE rows per key until the watermark passes their event time
+    — only then is the set of candidate builds complete — then resolve
+    against the buffered builds and emit exactly once;
+  - an event-time timeout at the earliest pending probe's timestamp makes
+    resolution happen even if the key never sees another event; keys with
+    no pending probes GC their build buffer after `gc_horizon_seconds` of
+    watermark progress without activity.
+
+Emitted rows match the batch operator's output columns, so the batch plan
+is the oracle (tests/test_streaming_pipeline.py runs both on the same
+data). Inclusive semantics and ties follow batch: build.ts == probe.ts
+matches; duplicate build timestamps resolve to the highest event_id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    TimestampType,
+)
+
+ASOF_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("prior_event_id", LongType()),
+    StructField("prior_value", DoubleType()),
+    StructField("prior_ts", TimestampType()),
+])
+
+# Parallel arrays of epoch-micros/ids/values — arrays of primitives
+# serialize robustly through the state store.
+STATE_SCHEMA = StructType([
+    StructField("b_ts", ArrayType(LongType())),
+    StructField("b_id", ArrayType(LongType())),
+    StructField("b_val", ArrayType(DoubleType())),
+    StructField("p_ts", ArrayType(LongType())),
+    StructField("p_id", ArrayType(LongType())),
+    StructField("p_val", ArrayType(DoubleType())),
+])
+
+_US = 1_000_000
+
+
+def _make_asof_fn(gc_horizon_seconds: int):
+    gc_us = gc_horizon_seconds * _US
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        builds, probes = [], []
+        if state.exists:
+            b_ts, b_id, b_val, p_ts, p_id, p_val = state.get
+            builds = list(zip(b_ts, b_id, b_val))
+            probes = list(zip(p_ts, p_id, p_val))
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, is_probe, eid, val in zip(
+                    pdf["ts"], pdf["is_probe"], pdf["event_id"], pdf["value"]
+                ):
+                    row = (int(ts.value // 1000), int(eid), float(val))
+                    (probes if int(is_probe) == 1 else builds).append(row)
+
+        # Resolve every probe the watermark has passed: its candidate build
+        # set is complete. Sort order (ts, id) makes the duplicate-build-ts
+        # tiebreak (highest id wins) match the batch operator.
+        builds.sort()
+        out = []
+        still_pending = []
+        for ts, eid, val in sorted(probes):
+            if ts <= wm_us:
+                best = None
+                for b in builds:  # builds is small: horizon-bounded
+                    if b[0] <= ts:
+                        best = b
+                    else:
+                        break
+                out.append((
+                    user_id, eid, pd.Timestamp(ts, unit="us"), val,
+                    None if best is None else best[1],
+                    None if best is None else best[2],
+                    None if best is None else pd.Timestamp(best[0], unit="us"),
+                ))
+            else:
+                still_pending.append((ts, eid, val))
+
+        # Compact builds: everything at/below the watermark collapses to
+        # the single latest one (nothing older can matter again).
+        older = [b for b in builds if b[0] <= wm_us]
+        newer = [b for b in builds if b[0] > wm_us]
+        builds = ([max(older)] if older else []) + newer
+
+        if still_pending:
+            state.update((
+                [b[0] for b in builds], [b[1] for b in builds],
+                [b[2] for b in builds],
+                [p[0] for p in still_pending], [p[1] for p in still_pending],
+                [p[2] for p in still_pending],
+            ))
+            # fire once the watermark passes the earliest pending probe
+            state.setTimeoutTimestamp(
+                max(still_pending[0][0] // 1000, state.getCurrentWatermarkMs() + 1))
+        elif builds and not state.hasTimedOut:
+            state.update((
+                [b[0] for b in builds], [b[1] for b in builds],
+                [b[2] for b in builds], [], [], [],
+            ))
+            # no pending work: keep the build buffer around for late-ish
+            # probes, GC it after a horizon of watermark progress
+            state.setTimeoutTimestamp(
+                max((wm_us + gc_us) // 1000, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASOF_SCHEMA.fields])
+
+    return fn
+
+
+def asof_stream(
+    events: DataFrame,
+    probe_type: str,
+    build_type: str,
+    watermark: str = "10 minutes",
+    gc_horizon_seconds: int = 86400,
+) -> DataFrame:
+    """events(user_id, ts, event_type, event_id, value) stream → enriched
+    probe rows (ASOF_SCHEMA), each emitted exactly once when the watermark
+    passes its event time."""
+    tagged = events.where(
+        F.col("event_type").isin([probe_type, build_type])
+    ).select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("event_type") == probe_type).cast("int").alias("is_probe"),
+    )
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_asof_fn(gc_horizon_seconds),
+            outputStructType=ASOF_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_asof_stream(
+    spark, source_path: str, sink_path: str, checkpoint_path: str, schema,
+    probe_type: str = "purchase", build_type: str = "click",
+    watermark: str = "10 minutes",
+) -> None:
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        asof_stream(stream, probe_type, build_type, watermark)
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -298,3 +298,75 @@ def test_streamed_quality_gate_matches_batch(spark, tmp_path_factory):
         )
         assert len(streamed) == len(batch) > 0, name
         pd.testing.assert_frame_equal(streamed, batch, obj=name)
+
+
+class TestStreamingAsof:
+    """Watermark-correct streaming as-of join: probes buffer until the
+    watermark passes their event time, so a LATE build (newer than the
+    watermark but older than an already-seen probe) still wins — the case
+    every carry-forward formulation gets wrong. Batch operator = oracle."""
+
+    def test_late_build_wins_and_batch_parity(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from ocr_service_spark.operators.asof import asof_join
+        from ocr_service_spark.streaming.asof import run_asof_stream
+
+        root = tmp_path_factory.mktemp("asofstream")
+        src, sink, ckpt = str(root / "src"), str(root / "sink"), str(root / "ckpt")
+
+        def write(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts string, event_type string, "
+                      "event_id long, value double"
+            ).select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "event_id", "value",
+            ).write.mode("append").parquet(src)
+
+        schema = None
+
+        def run():
+            run_asof_stream(spark, src, sink, ckpt, schema,
+                            probe_type="purchase", build_type="click",
+                            watermark="10 minutes")
+
+        # batch 1: a click then a purchase 5 min later; watermark hasn't
+        # passed the purchase yet -> nothing may emit
+        write([(1, "2025-12-11 10:00:00", "click", 100, 1.0),
+               (1, "2025-12-11 10:05:00", "purchase", 1, 9.9),
+               (2, "2025-12-11 10:06:00", "purchase", 2, 3.0)])
+        schema = spark.read.parquet(src).schema
+        run()
+        assert spark.read.parquet(sink).count() == 0
+
+        # batch 2: a LATE click at 10:03 (legal: watermark is ~9:56) plus a
+        # click at 11:00 that advances the watermark to 10:50
+        write([(1, "2025-12-11 10:03:00", "click", 101, 2.0),
+               (1, "2025-12-11 11:00:00", "click", 102, 7.0)])
+        run()
+        # batch 3: watermark (10:50) has passed both probes -> they resolve
+        write([(3, "2025-12-11 12:00:00", "click", 103, 0.0)])
+        run()
+        rows = {r.event_id: r for r in spark.read.parquet(sink).collect()}
+        assert set(rows) == {1, 2}
+        # the late 10:03 click supersedes the 10:00 one
+        assert rows[1].prior_event_id == 101 and rows[1].prior_value == 2.0
+        # user 2 has no clicks at all -> null payload, row still emitted
+        assert rows[2].prior_event_id is None
+
+        # batch parity: the batch operator over the full static data must
+        # agree on every resolved probe
+        ev = spark.read.parquet(src)
+        probe = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        build = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value", "event_id")
+        batch = {r.event_id: r for r in asof_join(
+            probe, build, keys=["user_id"], ts_col="ts",
+            payload_cols=["value", "event_id"], tiebreak="event_id",
+        ).collect()}
+        for eid, sr in rows.items():
+            br = batch[eid]
+            assert sr.prior_event_id == br.prior_event_id, eid
+            assert sr.prior_value == br.prior_value, eid
