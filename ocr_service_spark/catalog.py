@@ -2009,6 +2009,14 @@ def q_web_training_pipeline(spark, sf_dir):
     scrubbed = pii_redact(kept, text_col="text", out_col="text").drop(
         "n_emails", "n_phones", "n_ips"
     )
+    # Materialization barrier: CollapseProject re-inlines the whole
+    # regex chain (whitespace-normalize + 3 PII regexes) into EVERY
+    # text reference inside the Gopher gate's array lambdas, where
+    # Catalyst re-evaluates it per element (the documented 100x trap —
+    # measured 62.6s -> 3s on this stage at sf0.1). At production scale
+    # this boundary is where a pipeline writes its intermediate table
+    # anyway; localCheckpoint is the in-session equivalent.
+    scrubbed = scrubbed.localCheckpoint()
     # thresholds tuned to the ARTICLE corpus (main_text carries the page's
     # repeated template phrases: ~107 words, top-unigram ~28%, dup-bigram
     # 33-69%): the dup-bigram ceiling is the discriminating gate here,
@@ -2414,6 +2422,102 @@ FROM ranked GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Group top-k / corpus-relative scoring / quantile-threshold curation
+# --------------------------------------------------------------------------
+
+def q_top_k_per_group(spark, sf_dir):
+    """Top-3 longest documents per language with rank — rank-limit window
+    (operators/stats.py top_k_per_group); the WindowGroupLimit pre-filter
+    keeps the shuffle at O(groups*k) rows."""
+    from .operators.stats import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    out = top_k_per_group(docs, ["lang"], "n_chars", 3, "doc_id")
+    return out.select("lang", "rank", "doc_id", "n_chars")
+
+
+SQL_TOP_K = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS "rank"
+  FROM documents
+)
+SELECT lang, "rank", doc_id, n_chars FROM r WHERE "rank" <= 3
+"""
+
+
+def q_word_rarity(spark, sf_dir):
+    """Corpus-relative word-frequency profile per doc (integer-exact
+    statistical quality core — operators/stats.py word_rarity_stats)."""
+    from .operators.stats import word_rarity_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return word_rarity_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_words", "sum_freq", "min_freq")
+
+
+SQL_WORD_RARITY = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY w) AS freq FROM t)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq, MIN(freq) AS min_freq
+FROM f GROUP BY doc_id
+"""
+
+
+def q_quantile_threshold_filter(spark, sf_dir):
+    """Dynamic per-language curation threshold: keep documents at or above
+    their language's exact median length. The 5-row quantile table is
+    broadcast — the canonical tiny-dimension join a 10^12-row filter pass
+    needs (no shuffle of the fact side beyond the quantile computation)."""
+    from .operators.stats import group_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    q = group_quantiles(docs, ["lang"], "n_chars", [50], "doc_id").select(
+        "lang", "p50")
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .where(F.col("n_chars") >= F.col("p50"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_QUANTILE_FILTER = """
+WITH ranked AS (
+  SELECT lang, n_chars AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+q AS (
+  SELECT lang, MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50
+  FROM ranked GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars >= q.p50
+"""
+
+
+def q_compression_ratio(spark, sf_dir):
+    """DEFLATE compressibility profile + band per document
+    (operators/compress.py — Arrow-batched map stage; zlib has no SQL
+    builtin so the driver check is rows-only BY NECESSITY; exactness is
+    pinned by the pytest differential against the shared pure-Python core
+    spec, tests/test_compress.py)."""
+    from .operators.compress import compression_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_bytes", "n_compressed", "band")
+
+
+# --------------------------------------------------------------------------
 # Repetition removal (operators/linedup.py) — C4/RefinedWeb curation steps
 # --------------------------------------------------------------------------
 
@@ -2587,6 +2691,10 @@ CATALOG: Dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "top_k_per_group": (q_top_k_per_group, SQL_TOP_K),
+    "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
+    "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
+    "compression_ratio_stats": (q_compression_ratio, None),
     # repetition removal (operators/linedup.py)
     "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
     "span_dedup_global": (q_span_dedup_global, SQL_SPAN_DEDUP),

@@ -1,0 +1,37 @@
+"""Compression-ratio text profile — pure-Python spec (no Spark imports).
+
+DEFLATE length is a cheap, tokenizer-free proxy for redundancy: templated
+or repeated text compresses far below natural prose, and high-entropy noise
+(base64 blobs, minified JS) barely compresses at all. Web-scale curation
+pipelines gate on this ratio from both sides. Level is pinned so the
+Spark operator (operators/compress.py) and the pytest oracle — which both
+import THIS function — stay byte-identical.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+ZLIB_LEVEL = 6
+
+
+def compression_profile(text: str, level: int = ZLIB_LEVEL) -> tuple:
+    """(n_bytes, n_compressed) of the utf-8 encoding under DEFLATE."""
+    raw = text.encode("utf-8")
+    if not raw:
+        return 0, 0
+    return len(raw), len(zlib.compress(raw, level))
+
+
+def compression_band(n_bytes: int, n_compressed: int,
+                     low: float = 0.25, high: float = 0.95) -> str:
+    """'repetitive' (over-compressible), 'noise' (incompressible), or
+    'normal'. Float thresholds compare against an integer cross-multiplied
+    form so banding is exact: ratio < low  <=>  100*n_c < 100*low*n_b."""
+    if n_bytes == 0:
+        return "empty"
+    if 100 * n_compressed < int(low * 100) * n_bytes:
+        return "repetitive"
+    if 100 * n_compressed > int(high * 100) * n_bytes:
+        return "noise"
+    return "normal"

@@ -1,0 +1,40 @@
+"""Compression-ratio quality gate — Arrow-batched, importing the pure-Python
+spec (core/compressstats.py) per the byte-identity convention.
+
+zlib has no Spark SQL builtin, so this is a legitimate Python stage — but
+Arrow-batched via mapInPandas (one Python roundtrip per batch, zlib itself
+is C), never a row-at-a-time F.udf. Scale shape: pure map-side (no shuffle,
+no state); the narrow projection keeps every non-payload column out of the
+Arrow transfer. No DuckDB oracle exists (no SQL zlib) — the driver records
+rows-only; exactness is pinned by the pytest differential against the SAME
+core function the UDF body calls (tests/test_compress.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.compressstats import compression_band, compression_profile
+
+OUT_SCHEMA = ("id long, n_bytes long, n_compressed long, band string")
+
+
+def compression_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bytes, n_compressed, band) per document."""
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            profiles = [compression_profile(t) for t in pdf["t"]]
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "n_bytes": [p[0] for p in profiles],
+                "n_compressed": [p[1] for p in profiles],
+                "band": [compression_band(*p) for p in profiles],
+            })
+
+    return narrow.mapInPandas(gen, OUT_SCHEMA)

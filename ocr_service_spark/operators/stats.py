@@ -56,3 +56,58 @@ def group_quantiles(
         for p in pcts
     ] + [F.max("_n").alias("n_rows")]
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Largest-k rows of each group by `order_col` (desc), rank attached.
+
+    row_number over the group window, then `rank <= k` — Spark collapses
+    this to one Exchange + one Window and, because the predicate is a
+    rank limit, a WindowGroupLimit pre-filter runs map-side BEFORE the
+    shuffle: each input partition forwards at most k rows per group, so
+    the shuffle carries O(groups·k) rows, not the whole table. That (not
+    the window itself) is what makes per-group top-k viable at 10^12 rows.
+    `tiebreak` (asc) pins a total order for engine-exact results.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def word_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-relative word-frequency profile per document — the exact
+    (integer-only) core of statistical quality scoring.
+
+    For every word occurrence, its corpus frequency comes from a count
+    window keyed by the word (ONE shuffle — no vocabulary join, no
+    broadcast of a 10^9-term vocab); per-document integer aggregates
+    follow on a second shuffle keyed by doc. Emitting integer sums
+    (n_words, sum_freq, min_freq) instead of a floating score keeps the
+    operator engine-exact: downstream can form mean frequency or log
+    scores however it likes, but the distributed part never touches
+    floats. Low mean frequency ≈ rare-word-heavy (noisy/misspelled);
+    high ≈ templated boilerplate.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    wfreq = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    return (
+        words.withColumn("freq", wfreq)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+    )

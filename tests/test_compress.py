@@ -1,0 +1,37 @@
+"""Byte-identity differential for the compression-ratio gate: the Spark
+operator and this oracle import the SAME core function — any fork between
+them is the bug this test exists to catch."""
+
+from ocr_service_spark.core.compressstats import (
+    compression_band,
+    compression_profile,
+)
+from ocr_service_spark.operators.compress import compression_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_band_edges():
+    assert compression_band(0, 0) == "empty"
+    assert compression_band(100, 24) == "repetitive"
+    assert compression_band(100, 25) == "normal"   # boundary is exclusive
+    assert compression_band(100, 95) == "normal"
+    assert compression_band(100, 96) == "noise"
+
+
+def test_profile_shape():
+    nb, nc = compression_profile("abc " * 500)
+    assert nb == 2000 and 0 < nc < 100  # heavy repetition compresses hard
+    nb2, nc2 = compression_profile("")
+    assert (nb2, nc2) == (0, 0)
+
+
+def test_spark_matches_core_exactly(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["id"]: (r["n_bytes"], r["n_compressed"], r["band"])
+           for r in compression_stats(docs, "doc_id", "text").collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(src)
+    for doc_id, text in src.items():
+        nb, nc = compression_profile(text)
+        assert got[doc_id] == (nb, nc, compression_band(nb, nc)), doc_id

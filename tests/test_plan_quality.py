@@ -108,6 +108,25 @@ def test_span_dedup_two_shuffles_one_window(spark):
     assert not any("Join" in l for l in nodes), plan
 
 
+def test_top_k_per_group_window_group_limit(spark):
+    """The rank<=k predicate must trigger Spark's WindowGroupLimit
+    pre-filter (each map task forwards at most k rows per group BEFORE the
+    shuffle) — without it, per-group top-k shuffles the whole table."""
+    plan = formatted_plan(catalog.queries()["top_k_per_group"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum("Exchange" in l for l in nodes) == 1, plan
+
+
+def test_quantile_filter_broadcasts_threshold_table(spark):
+    """The per-language quantile table (5 rows) must broadcast — the fact
+    side of the curation filter is never reshuffled for the join."""
+    plan = formatted_plan(
+        catalog.queries()["quantile_threshold_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_justext_single_shuffle_single_window(spark):
     """The jusText SQL twin must shuffle ONCE (on doc_id) and compute both
     neighbour frames (last-preceding, first-following) in ONE Window node —
