@@ -2504,6 +2504,33 @@ WHERE d.n_chars >= q.p50
 """
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Greedy sequential sequence packing into 4096-char bins over the
+    doc_id-ordered corpus — integer arithmetic on the distributed prefix
+    sum (operators/quality.py pack_sequences; same machinery as
+    token_budget_selection, never a bare global window)."""
+    from .operators.quality import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, ["doc_id"], "n_chars", 4096)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT CAST((cum - n_chars) // 4096 AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+       CAST(MIN((cum - n_chars) % 4096) AS BIGINT) AS first_offset
+FROM c GROUP BY 1
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compressibility profile + band per document
     (operators/compress.py — Arrow-batched map stage; zlib has no SQL
@@ -2695,6 +2722,7 @@ CATALOG: Dict[str, tuple] = {
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
     "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
     "compression_ratio_stats": (q_compression_ratio, None),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     # repetition removal (operators/linedup.py)
     "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
     "span_dedup_global": (q_span_dedup_global, SQL_SPAN_DEDUP),

@@ -215,6 +215,21 @@ def global_budget_select(
     global cumulative = local running + partition offset. Two narrow
     passes over the data, one tiny driver aggregate.
     """
+    return global_prefix_sum(df, order_cols, token_col).filter(
+        F.col("cum_tokens") <= budget
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    token_col: str,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Inclusive global running sum of `token_col` under the TOTAL order
+    `order_cols` — the distributed prefix sum described in
+    global_budget_select's docstring, shared by budget selection and
+    sequence packing."""
     spark = df.sparkSession
     d = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -241,9 +256,42 @@ def global_budget_select(
     off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
     return (
         part.join(F.broadcast(off_df), "_pid")
-        .withColumn("cum_tokens", (F.col("_run") + F.col("_off")).cast("long"))
-        .filter(F.col("cum_tokens") <= budget)
+        .withColumn(out_col, (F.col("_run") + F.col("_off")).cast("long"))
         .drop("_pid", "_run", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: list,
+    token_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Greedy sequential sequence packing — the "concatenate the corpus and
+    cut every seq_len tokens" step that turns curated documents into
+    fixed-length pretraining rows.
+
+    Each document is assigned to the bin where its first token lands:
+    bin_id = exclusive_cumulative div seq_len, offset_in_bin = exclusive
+    mod seq_len (documents may straddle a boundary, exactly as real
+    packing splits them across sequences). Pure integer arithmetic over
+    the distributed prefix sum — no float, engine-exact; the only
+    additional cost over the prefix sum is one hash aggregate keyed by
+    bin_id.
+
+    Emits one row per bin: (bin_id, n_docs, n_tokens, first-doc offset).
+    """
+    c = global_prefix_sum(df, order_cols, token_col)
+    excl = F.expr(f"cum_tokens - {token_col}")
+    binned = c.select(
+        "*",
+        F.expr(f"(cum_tokens - {token_col}) div {seq_len}").alias("bin_id"),
+        (excl % seq_len).cast("long").alias("offset_in_bin"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("n_tokens"),
+        F.min("offset_in_bin").alias("first_offset"),
     )
 
 

@@ -146,6 +146,47 @@ class TestGlobalBudgetSelect:
         assert out.count() == 0
 
 
+class TestPackSequences:
+    def test_bins_match_serial_packing(self, spark):
+        from ocr_service_spark.operators.quality import pack_sequences
+
+        # tokens = 3,4,5,... over 30 docs; serial greedy concat into 16-wide
+        # bins gives an exact expected assignment
+        rows = [(i, i + 3) for i in range(30)]
+        out = (
+            pack_sequences(
+                spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+                ["doc_id"], "n_tokens", 16,
+            )
+            .toPandas().sort_values("bin_id").reset_index(drop=True)
+        )
+        # serial reference: doc i starts at excl = sum of previous tokens
+        excl, expect = 0, {}
+        for _, tok in rows:
+            b, off = divmod(excl, 16)
+            n, t, fo = expect.get(b, (0, 0, 16))
+            expect[b] = (n + 1, t + tok, min(fo, off))
+            excl += tok
+        got = {
+            int(r.bin_id): (int(r.n_docs), int(r.n_tokens), int(r.first_offset))
+            for r in out.itertuples()
+        }
+        assert got == expect
+
+    def test_straddling_doc_assigned_to_start_bin(self, spark):
+        from ocr_service_spark.operators.quality import pack_sequences
+
+        # doc1 fills 0..9, doc2 (8 tokens) starts at offset 9 in bin 0 and
+        # straddles into bin 1 -> it belongs to bin 0 (where it starts)
+        df = spark.createDataFrame(
+            [(1, 9), (2, 8)], "doc_id long, n_tokens long"
+        )
+        out = pack_sequences(df, ["doc_id"], "n_tokens", 10).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.bin_id, r.n_docs, r.n_tokens, r.first_offset) == (0, 2, 17, 0)
+
+
 class TestCrossEngineAdversarial:
     """One-batch Spark-vs-DuckDB differential over adversarial strings the
     sf tables never contain: empty text, repeated separators, unicode
