@@ -2392,6 +2392,34 @@ GROUP BY 1, 2
 """
 
 
+def q_deterministic_shuffle(spark, sf_dir):
+    """Epoch-0 global training-order shuffle: every document ranked by
+    md5('epoch0:' || doc_id) via the distributed prefix sum, sharded into
+    1024-doc output shards (operators/sampling.py deterministic_shuffle).
+    Changing the salt re-shuffles for the next epoch; the md5 order key
+    makes the range partitioning skew-free by construction."""
+    from .operators.sampling import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", salt="epoch0:",
+                                 shard_size=1024)
+
+
+SQL_DETERMINISTIC_SHUFFLE = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS shuffle_pos,
+       CAST((pos - 1) // 1024 AS BIGINT) AS shard_id
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact group quantiles (operators/stats.py)
 # --------------------------------------------------------------------------
@@ -2717,6 +2745,7 @@ CATALOG: Dict[str, tuple] = {
     # deterministic sampling / splitting (operators/sampling.py)
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
+    "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "top_k_per_group": (q_top_k_per_group, SQL_TOP_K),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),

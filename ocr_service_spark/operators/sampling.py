@@ -85,6 +85,45 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    shard_size: int = None,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Global deterministic pseudo-random training order: rank every row by
+    md5(salt || key) — the "shuffle the corpus before packing it into
+    sequences" step of a pretraining pipeline, with the same curation-grade
+    properties as the samplers above (reproducible across runs/engines,
+    re-runnable after a failure, epoch-varied by changing `salt`).
+
+    Scale shape: ranking under a total order is the distributed prefix sum
+    of 1s (quality.global_prefix_sum), never a bare global window. Because
+    the order key is an md5 hex digest, `repartitionByRange` inside the
+    prefix sum gets a perfectly uniform key space — no skew regardless of
+    the input's key distribution (this is also why real shuffle-shards come
+    out balanced). With `shard_size`, rows additionally get
+    `shard_id = (pos-1) div shard_size` — contiguous, equal-sized output
+    shards suitable for `write.partitionBy` or per-epoch streaming order.
+    """
+    from .quality import global_prefix_sum
+
+    keyed = df.withColumn(
+        "_skey", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ).withColumn("_one", F.lit(1).cast("long"))
+    # tiebreak on the key itself: md5 collisions are no-shows in practice,
+    # but a total order must be total by construction
+    out = global_prefix_sum(
+        keyed, ["_skey", key_col], "_one", out_col=pos_col
+    ).drop("_one", "_skey")
+    if shard_size:
+        out = out.withColumn(
+            "shard_id", F.expr(f"({pos_col} - 1) div {shard_size}")
+        )
+    return out
+
+
 def sql_hex_threshold(frac: float) -> str:
     """Expose the threshold computation for oracle-SQL generation."""
     return _hex_threshold(frac)

@@ -73,3 +73,32 @@ def test_split_holdout_null(docs):
     assert 0 < n_null < n
     # null set is exactly the complement of the train range
     assert n_null == n - out.where(F.col("split") == "train").count()
+
+
+class TestDeterministicShuffle:
+    def test_rank_is_a_permutation_matching_serial_order(self, spark):
+        import hashlib
+
+        from ocr_service_spark.operators.sampling import deterministic_shuffle
+
+        ids = list(range(200))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = deterministic_shuffle(df, "doc_id", salt="s:").toPandas()
+        got = list(out.sort_values("shuffle_pos")["doc_id"])
+        want = sorted(ids, key=lambda i: hashlib.md5(f"s:{i}".encode()).hexdigest())
+        assert got == want
+        assert sorted(out["shuffle_pos"]) == list(range(1, 201))
+
+    def test_salt_changes_order_sharding_contiguous(self, spark):
+        from ocr_service_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        a = deterministic_shuffle(df, "doc_id", salt="e0:", shard_size=100)
+        b = deterministic_shuffle(df, "doc_id", salt="e1:", shard_size=100)
+        pa = a.toPandas().sort_values("shuffle_pos")
+        pb = b.toPandas().sort_values("shuffle_pos")
+        assert list(pa["doc_id"]) != list(pb["doc_id"])  # epochs differ
+        # shards are contiguous rank ranges of exactly shard_size
+        counts = pa.groupby("shard_id").size()
+        assert dict(counts) == {0: 100, 1: 100, 2: 100}
+        assert set(pa[pa.shard_id == 1]["shuffle_pos"]) == set(range(101, 201))
