@@ -797,6 +797,54 @@ FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot ingestion: docs hash-split 50/50 into a base corpus and an
+    incoming delta (sampling.hash_split md5 ranges, so membership is
+    deterministic and engine-checkable); clones of every 25th delta doc are
+    planted both in the base and inside the delta, and only first-seen
+    content survives (operators/dedup.py incremental_dedup)."""
+    from .operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    base = d.filter(half < "80000000")
+    delta = d.filter(half >= "80000000")
+    # plant dups: every 25th base doc re-arrives in the delta (stale
+    # recrawl), and every 25th delta doc arrives twice (intra-delta dup)
+    recrawl = base.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    twice = delta.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 300000
+    )
+    return incremental_dedup(
+        delta.unionByName(recrawl).unionByName(twice), base, "doc_id", "text"
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+), delta0 AS (
+  SELECT doc_id, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '80000000'
+), delta AS (
+  SELECT * FROM delta0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM base WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM delta0 WHERE doc_id % 25 = 0
+)
+SELECT md5(d.text) AS fp,
+       MIN(d.doc_id) AS id,
+       COUNT(*) AS n_delta_dups
+FROM delta d
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE md5(b.text) = md5(d.text))
+GROUP BY md5(d.text)
+"""
+
+
 def q_dedup_token_jaccard(spark, sf_dir):
     """Exact token-set Jaccard near-dup pairs within (source, lang, n_chars)
     blocking buckets."""
@@ -2703,6 +2751,7 @@ CATALOG: Dict[str, tuple] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
     "dedup_clusters_cc": (q_dedup_clusters, SQL_CC),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, SQL_CC_LSH),

@@ -409,6 +409,36 @@ def duplicate_clusters(
     )
 
 
+def incremental_dedup(
+    delta: DataFrame, base: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Delta-vs-corpus exact dedup — the snapshot-ingestion pattern: a new
+    crawl lands as `delta` and only content never seen before (in the base
+    corpus OR earlier in the delta itself) survives. Emits one row per
+    novel fingerprint: (fp, id = first delta doc carrying it, n_delta_dups).
+
+    Scale shape: the base side is projected to ONE md5 column before the
+    join, so a 100 TB corpus ships ~32 bytes/doc; the anti-join shuffles
+    both sides on the fingerprint, which is uniform by construction (no
+    skew). In production the base fingerprints live as a bucketed table on
+    fp, making every subsequent snapshot's probe shuffle-free on the big
+    side; re-running a failed ingest is idempotent because the survivor set
+    is a pure function of (base, delta) content.
+    """
+    dfp = delta.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    bfp = base.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    return (
+        dfp.join(bfp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("id"),
+            F.count(F.lit(1)).alias("n_delta_dups"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, block_col: str, threshold: float
 ) -> DataFrame:

@@ -46,6 +46,27 @@ class TestDedup:
             ham = bin(fp[i] ^ fp[i + 200000]).count("1")
             assert ham <= 16, f"near-dup {i} hamming {ham} too far"
 
+    def test_incremental_dedup_survivors(self, spark):
+        from ocr_service_spark.operators.dedup import incremental_dedup
+
+        base = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+        )
+        delta = spark.createDataFrame(
+            [
+                (10, "alpha"),   # stale recrawl of base content -> dropped
+                (11, "delta"),   # novel -> kept
+                (12, "delta"),   # intra-delta dup -> folded into 11
+                (13, "epsilon"),  # novel -> kept
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r["n_delta_dups"]
+            for r in incremental_dedup(delta, base, "doc_id", "text").collect()
+        }
+        assert out == {11: 2, 13: 1}
+
     def test_simhash_near_dup_pairs(self, docs_with_dups):
         """Band-bucket + bit_count verify: hamming-0 exact clones always
         pair (pigeonhole, bands > max_hamming); pairs beyond the hamming
