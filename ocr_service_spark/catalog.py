@@ -2440,6 +2440,51 @@ GROUP BY 1, 2
 """
 
 
+_MIX_WEIGHTS = {"en": 2.3, "zh": 1.0, "fr": 0.5}
+_MIX_DEFAULT = 0.25
+
+
+def q_mixture_repeat(spark, sf_dir):
+    """Epoch data mixing: upsample en 2.3x, keep zh, half fr, quarter the
+    rest — fractional repeat factors materialized map-side as (doc, copy)
+    rows (operators/sampling.py mixture_repeat; no shuffle, nested md5
+    sample for the fractional part)."""
+    from .operators.sampling import mixture_repeat
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mixture_repeat(docs, "lang", "doc_id", _MIX_WEIGHTS, _MIX_DEFAULT)
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("long"))
+
+
+def _mix_sql() -> str:
+    from .operators.sampling import sql_hex_threshold
+
+    int_arms = " ".join(
+        f"WHEN '{v}' THEN {int(w)}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    thr_arms = " ".join(
+        f"WHEN '{v}' THEN '{sql_hex_threshold(w - int(w))}'"
+        for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    d = _MIX_DEFAULT
+    return (
+        f"CASE lang {int_arms} ELSE {int(d)} END + CASE WHEN "
+        f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+        f"(CASE lang {thr_arms} ELSE '{sql_hex_threshold(d - int(d))}' END) "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+SQL_MIXTURE_REPEAT = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_mix_sql()} AS n_copies FROM documents
+), e AS (
+  SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx FROM d
+)
+SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx FROM e
+"""
+
+
 def q_deterministic_shuffle(spark, sf_dir):
     """Epoch-0 global training-order shuffle: every document ranked by
     md5('epoch0:' || doc_id) via the distributed prefix sum, sharded into
@@ -2795,6 +2840,7 @@ CATALOG: Dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
+    "mixture_repeat": (q_mixture_repeat, SQL_MIXTURE_REPEAT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "top_k_per_group": (q_top_k_per_group, SQL_TOP_K),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),

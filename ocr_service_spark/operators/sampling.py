@@ -124,6 +124,43 @@ def deterministic_shuffle(
     return out
 
 
+def mixture_repeat(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weights: Dict[str, float],
+    default_weight: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch data mixing: replicate each stratum by a possibly fractional
+    factor — weight 2.3 repeats every doc twice and a deterministic 30%
+    md5-sample a third time; weight 0.3 keeps a 30% sample. This is how a
+    target source mixture (e.g. upsample books 2.3x, downsample crawl to
+    0.6x) is materialized into one flat epoch stream.
+
+    Fully map-side: n_copies = floor(w) + (md5-bucket(key) < frac(w)), then
+    explode a 1..n_copies sequence — no shuffle, no state, append-safe, and
+    the fractional sample nests exactly like stratified_sample (raising a
+    weight never drops a previously kept copy). Rows with n_copies = 0
+    vanish in the explode.
+    """
+    int_part = F.lit(int(default_weight))
+    thr = F.lit(_hex_threshold(default_weight - int(default_weight)))
+    for value, w in sorted(weights.items()):
+        cond = F.col(stratum_col) == value
+        int_part = F.when(cond, F.lit(int(w))).otherwise(int_part)
+        thr = F.when(cond, F.lit(_hex_threshold(w - int(w)))).otherwise(thr)
+    n = int_part + F.when(_bucket(F.col(key_col)) < thr, 1).otherwise(0)
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — null out
+    # zero-copy rows instead; a plain (non-outer) explode then drops them
+    seq = F.when(F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n")))
+    return (
+        df.withColumn("_n", n)
+        .withColumn(copy_col, F.explode(seq))
+        .drop("_n")
+    )
+
+
 def sql_hex_threshold(frac: float) -> str:
     """Expose the threshold computation for oracle-SQL generation."""
     return _hex_threshold(frac)

@@ -75,6 +75,42 @@ def test_split_holdout_null(docs):
     assert n_null == n - out.where(F.col("split") == "train").count()
 
 
+class TestMixtureRepeat:
+    def _frame(self, spark):
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_copy_counts_match_serial(self, spark):
+        import hashlib
+
+        from ocr_service_spark.operators.sampling import mixture_repeat
+
+        df = self._frame(spark)
+        out = mixture_repeat(
+            df, "lang", "doc_id", {"a": 2.5, "b": 1.0, "c": 0.0}, 0.0
+        ).toPandas()
+        got = out.groupby("doc_id").size().to_dict()
+        for i in range(300):
+            lang = ["a", "b", "c"][i % 3]
+            bucket = hashlib.md5(str(i).encode()).hexdigest()[:8]
+            want = {"a": 2 + (bucket < "80000000"), "b": 1, "c": 0}[lang]
+            assert got.get(i, 0) == want, f"doc {i} ({lang})"
+        # copy indices are 1..n
+        assert set(out[out.doc_id == out.doc_id].copy_idx) <= {1, 2, 3}
+
+    def test_fractional_sample_nests(self, spark):
+        from ocr_service_spark.operators.sampling import mixture_repeat
+
+        df = self._frame(spark)
+        lo = mixture_repeat(df, "lang", "doc_id", {}, 1.2).toPandas()
+        hi = mixture_repeat(df, "lang", "doc_id", {}, 1.7).toPandas()
+        # every (doc, copy) kept at weight 1.2 survives at 1.7
+        lo_set = set(map(tuple, lo[["doc_id", "copy_idx"]].values))
+        hi_set = set(map(tuple, hi[["doc_id", "copy_idx"]].values))
+        assert lo_set <= hi_set
+        assert len(lo) < len(hi)
+
+
 class TestDeterministicShuffle:
     def test_rank_is_a_permutation_matching_serial_order(self, spark):
         import hashlib
