@@ -110,6 +110,12 @@ HEADLINE = [
     "stratified_sample",       # deterministic md5-range sampling (map-side)
     "hash_split_counts",       # leak-free train/valid/test assignment
     "group_quantiles",         # exact per-group rank-selected quantiles
+    "top_k_per_group",         # per-domain caps via windowed group top-k
+    "compression_ratio_stats",  # zlib compressibility gate (Arrow map stage)
+    "sequence_packing",        # prefix-sum packing into fixed-length bins
+    "deterministic_shuffle",   # epoch-salted md5 global training order
+    "incremental_dedup",       # delta-vs-corpus snapshot ingestion dedup
+    "mixture_repeat",          # fractional source-mixture materialization
     "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
     "web_training_pipeline",

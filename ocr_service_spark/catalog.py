@@ -2014,12 +2014,14 @@ def q_web_training_pipeline(spark, sf_dir):
     quality gate (repetition/length/stopword signals on the EXTRACTED,
     scrubbed text, carried via passthrough so no join is needed) →
     lang-ID → overlapping chunking into LLM training samples with
-    provenance. Rows-only (main_content has no SQL twin); every stage is
+    provenance → epoch-0 deterministic shuffle into contiguous 256-sample
+    shards. Rows-only (main_content has no SQL twin); every stage is
     individually oracle-gated elsewhere (boilerplate_strip /
     pii_redact_scrub / gopher_quality_filter / lang_id_quality /
-    doc_chunking) and the composition is pinned by
+    doc_chunking / deterministic_shuffle) and the composition is pinned by
     tests/test_core_boilerplate.py::TestWebTrainingPipeline. One Arrow
-    pass + narrow projections + chunking — no shuffle anywhere."""
+    pass + narrow projections all the way to chunks; the only exchange is
+    the final epoch-shuffle's skew-free range partition."""
     from .functions import sql_analogs  # noqa: F401  (session consistency)
     from .operators import textstats as ts
     from .operators.boilerplate import extract_main_content
@@ -2083,7 +2085,7 @@ def q_web_training_pipeline(spark, sf_dir):
         F.lit(0),
         F.ceil((F.size("words") - size) / F.lit(float(stride))).cast("int"),
     )
-    return (
+    chunks = (
         words.select(
             "url",
             "guessed_lang",
@@ -2104,6 +2106,17 @@ def q_web_training_pipeline(spark, sf_dir):
             F.array_join("cw", " ").alias("sample_text"),
         )
     )
+    # final stage: epoch-0 global shuffle into contiguous 256-sample output
+    # shards — the form a trainer actually reads. The md5 rank key makes the
+    # range partition inside the prefix sum skew-free.
+    from .operators.sampling import deterministic_shuffle
+
+    samples = chunks.withColumn(
+        "sample_id", F.concat_ws("#", "url", F.col("chunk_id").cast("string"))
+    )
+    return deterministic_shuffle(
+        samples, "sample_id", salt="epoch0:", shard_size=256
+    ).drop("sample_id")
 
 
 # --------------------------------------------------------------------------

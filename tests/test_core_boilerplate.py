@@ -218,6 +218,10 @@ class TestWebTrainingPipeline:
             w0 = one.iloc[0]["sample_text"].split()
             w1 = one.iloc[1]["sample_text"].split()
             assert w0[24:] == w1[: len(w0) - 24]
+        # epoch shuffle tail: positions are a permutation 1..N and shards
+        # are contiguous 256-sample ranges (last one ragged)
+        assert sorted(out["shuffle_pos"]) == list(range(1, len(out) + 1))
+        assert (out["shard_id"] == (out["shuffle_pos"] - 1) // 256).all()
 
 
 class TestSparkEquivalence:
