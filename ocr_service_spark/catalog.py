@@ -2559,6 +2559,85 @@ FROM ranked GROUP BY lang
 # Group top-k / corpus-relative scoring / quantile-threshold curation
 # --------------------------------------------------------------------------
 
+def _synthetic_page_urls(spark, sf_dir):
+    """Documents dressed as multi-host web pages: 97 deterministic hosts,
+    and every 7th page carrying an identical boilerplate body so hosts have
+    real internal duplicate mass. Both derivations are replayed verbatim in
+    the DuckDB oracle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("TEMPLATE BOILERPLATE PAGE")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+_SQL_PAGE_URLS = """
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN 'TEMPLATE BOILERPLATE PAGE'
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_domain_reputation(spark, sf_dir):
+    """Per-host reputation profile over the synthetic multi-host pages:
+    page count, distinct-content count (the gap is the host's internal
+    duplicate mass) and exact total chars (operators/domains.py)."""
+    from .operators.domains import domain_reputation
+
+    return domain_reputation(_synthetic_page_urls(spark, sf_dir), "url", "text")
+
+
+SQL_DOMAIN_REPUTATION = f"""
+WITH p AS ({_SQL_PAGE_URLS})
+SELECT lower(regexp_extract(url,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM p GROUP BY 1
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-site influence cap: keep the 2 longest pages per host
+    (operators/domains.py domain_cap — WindowGroupLimit pre-filter keeps
+    the shuffle at O(hosts*k) rows)."""
+    from .operators.domains import domain_cap
+
+    pages = _synthetic_page_urls(spark, sf_dir).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = domain_cap(pages, "url", "n_chars", 2, "doc_id")
+    return out.select("host", "rank", "doc_id", "n_chars")
+
+
+SQL_DOMAIN_CAP = f"""
+WITH p AS ({_SQL_PAGE_URLS}), r AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+         doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+           ORDER BY length(text) DESC, doc_id ASC
+         ) AS rank
+  FROM p
+)
+SELECT host, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+FROM r WHERE rank <= 2
+"""
+
+
 def q_top_k_per_group(spark, sf_dir):
     """Top-3 longest documents per language with rank — rank-limit window
     (operators/stats.py top_k_per_group); the WindowGroupLimit pre-filter
@@ -2856,6 +2935,8 @@ CATALOG: Dict[str, tuple] = {
     "mixture_repeat": (q_mixture_repeat, SQL_MIXTURE_REPEAT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "top_k_per_group": (q_top_k_per_group, SQL_TOP_K),
+    "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
     "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
     "compression_ratio_stats": (q_compression_ratio, None),

@@ -1,0 +1,66 @@
+"""Per-domain (URL host) curation operators for web corpora.
+
+Domain-level signals are the first thing a Common-Crawl curation pipeline
+computes after extraction: a handful of hosts contribute most of the spam
+and near-duplicate mass, and per-host caps are how corpora bound any one
+site's influence on the training mixture. Everything here is JVM-side
+column expressions + one hash aggregate keyed by host — the host key is
+far coarser than the row key, so the shuffle carries one row per
+(host, page) and aggregates map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .stats import top_k_per_group
+
+# scheme://[user@]HOST[:port]/...  — capture group 1 is the host. Kept to a
+# conservative character class shared verbatim with the DuckDB oracle twin
+# (catalog.SQL_DOMAIN_* embed the same pattern) so both engines extract
+# byte-identical hosts.
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(url_col: Column) -> Column:
+    """Lower-cased registered host of a URL ('' when unparseable)."""
+    return F.lower(F.regexp_extract(url_col, HOST_RE, 1))
+
+
+def domain_reputation(
+    df: DataFrame, url_col: str, text_col: str
+) -> DataFrame:
+    """Per-host corpus profile: page count, distinct-content count (md5
+    fingerprints — n_pages minus this is the host's internal duplicate
+    mass), and exact total extracted chars. One projection + one hash
+    aggregate; counts are integers so the result is engine-exact.
+
+    COUNT(DISTINCT fp) inside a hash aggregate is Spark's two-phase
+    distinct-aggregate expansion — still linear, no extra pass over the
+    pages themselves.
+    """
+    pages = df.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct(F.col("fp")).alias("n_distinct_texts"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def domain_cap(
+    df: DataFrame, url_col: str, quality_col: str, k: int, tiebreak: str
+) -> DataFrame:
+    """Keep at most k pages per host, best `quality_col` first — the
+    per-site influence cap. Inherits top_k_per_group's WindowGroupLimit
+    shape: each input partition forwards at most k rows per host before
+    the shuffle, so the exchange is O(hosts*k) regardless of corpus size.
+    """
+    return top_k_per_group(
+        df.withColumn("host", url_host(F.col(url_col))),
+        ["host"], quality_col, k, tiebreak,
+    )

@@ -1,0 +1,56 @@
+"""Per-domain curation operators (operators/domains.py): host parsing,
+reputation aggregates, and the per-site influence cap."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.domains import (
+    domain_cap,
+    domain_reputation,
+    url_host,
+)
+
+
+def test_url_host_parsing(spark):
+    cases = [
+        ("https://EN.Wikipedia.org/wiki/X", "en.wikipedia.org"),
+        ("http://user:pw@site.example:8080/p?q=1", "site.example"),
+        ("ftp://files.example/x", "files.example"),
+        ("https://host.example", "host.example"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
+    assert got == [h for _, h in cases]
+
+
+def test_domain_reputation_counts(spark):
+    rows = [
+        (1, "https://a.example/1", "unique one"),
+        (2, "https://a.example/2", "template"),
+        (3, "https://a.example/3", "template"),
+        (4, "https://b.example/1", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["host"]: (r["n_pages"], r["n_distinct_texts"], r["total_chars"])
+        for r in domain_reputation(df, "url", "text").collect()
+    }
+    assert out == {
+        "a.example": (3, 2, len("unique one") + 2 * len("template")),
+        "b.example": (1, 1, len("solo")),
+    }
+
+
+def test_domain_cap_keeps_best_k(spark):
+    rows = [
+        (1, "https://a.example/1", 100),
+        (2, "https://a.example/2", 300),
+        (3, "https://a.example/3", 200),
+        (4, "https://b.example/1", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q long")
+    out = domain_cap(df, "url", "q", 2, "doc_id")
+    kept = {(r["host"], r["rank"], r["doc_id"]) for r in out.collect()}
+    assert kept == {
+        ("a.example", 1, 2), ("a.example", 2, 3), ("b.example", 1, 4),
+    }
