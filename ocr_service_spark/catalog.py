@@ -2171,6 +2171,45 @@ FROM g
 """
 
 
+# the planted artifact is BY CONSTRUCTION what a cp1252 mis-decode produces
+# (no ” char: its UTF-8 tail byte 0x9D is undefined in cp1252, so that
+# artifact cannot arise from a cp1252 mis-decode and is left out)
+_MOJIBAKE_FIXED = ' don’t café “naïve cost… 5–6°'
+_MOJIBAKE_PLANT = _MOJIBAKE_FIXED.encode("utf-8").decode("cp1252")
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """ftfy-style double-encoding repair over the corpus: a fixed
+    artifact-laden suffix (cp1252-mojibake of curly quotes, accents,
+    dashes, degree sign) is planted on every 3rd ASCII-only document, and
+    the REAL codec round-trip repair (core/mojibake.py via the Arrow UDF in
+    operators/quality.py) must reproduce exactly the known clean form —
+    while leaving every unplanted document byte-identical (accented and CJK
+    text must NOT round-trip). The oracle states the expected output
+    directly; any false positive or missed repair breaks the value hash."""
+    from .operators.quality import fix_mojibake_text
+
+    d = load(spark, sf_dir, "documents")
+    is_ascii = F.col("text").rlike(r"^[\x00-\x7F]*$")
+    plant = (F.col("doc_id") % 3 == 0) & is_ascii
+    planted = d.select(
+        "doc_id",
+        F.when(plant, F.concat(F.col("text"), F.lit(_MOJIBAKE_PLANT)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return fix_mojibake_text(planted, "text")
+
+
+SQL_MOJIBAKE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$')
+            THEN text || '{_MOJIBAKE_FIXED}' ELSE text END AS fixed_text,
+       (doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$'))
+         AS was_fixed
+FROM documents
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub with a DIFFERENTIAL oracle: both engines append the same
     deterministically-generated PII (emails / BR phones / IPv4s, presence
@@ -2926,6 +2965,7 @@ CATALOG: Dict[str, tuple] = {
     # corpus-hygiene ops (operators/quality.py)
     "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
+    "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE),
     "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
     "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),
     # deterministic sampling / splitting (operators/sampling.py)

@@ -1,0 +1,40 @@
+"""Mojibake repair: undo UTF-8 text that was mis-decoded as cp1252/latin-1.
+
+The classic web-corpus corruption ("cafÃ©", "donâ€™t") happens when UTF-8
+bytes are read back under a single-byte codec. The principled repair (the
+same core move as the ftfy library's fix_encoding) is the reverse
+round-trip: re-encode the text under the suspected single-byte codec and
+strictly re-decode as UTF-8 — it only succeeds when the byte stream really
+is valid UTF-8, which is vanishingly unlikely for text that was never
+double-encoded, so false positives are structurally rare.
+
+cp1252 is tried before latin-1 because real-world mis-decodes are almost
+always Windows-1252 (it maps 0x80-0x9F to printable chars like € ™ ’, which
+appear in the artifacts); latin-1 catches streams whose artifact chars fall
+in the 0x80-0x9F control range that cp1252 cannot encode. Single pass by
+design: repairing twice-double-encoded text would need a loop, and a
+deterministic one-shot is what the byte-identity oracle pins.
+
+Pure Python, no deps — imported by both the pytest oracle and the Spark
+Arrow UDF body (repo convention: core/ is the spec).
+"""
+
+from __future__ import annotations
+
+
+def fix_mojibake(s: str) -> str:
+    """Repair one string; returns the input unchanged when no repair
+    applies (non-latin text, already-clean accents, or mixed content that
+    the single-byte codecs cannot re-encode)."""
+    if s is None:
+        return None
+    for enc in ("cp1252", "latin-1"):
+        try:
+            b = s.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+    return s

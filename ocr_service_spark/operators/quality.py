@@ -26,6 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,6 +187,35 @@ def pii_redact(
         .cast("long").alias("n_phones"),
         F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
         .cast("long").alias("n_ips"),
+    )
+
+
+# --- Mojibake repair -------------------------------------------------------
+
+def fix_mojibake_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed_text"
+) -> DataFrame:
+    """ftfy-style double-encoding repair (core/mojibake.py is the spec the
+    pytest oracle also imports): re-encode under cp1252/latin-1 and strictly
+    re-decode as UTF-8 — only genuinely double-encoded text round-trips.
+
+    Python is required (codec round-trips have no JVM column expression),
+    so this is an Arrow-batched pandas UDF projection — shuffle-free,
+    map-side, one struct column out (repaired text + was_fixed flag)."""
+    from ..core.mojibake import fix_mojibake
+
+    @F.pandas_udf("struct<fixed:string, was_fixed:boolean>")
+    def _fix(t: pd.Series) -> pd.DataFrame:
+        fixed = t.map(fix_mojibake)
+        return pd.DataFrame(
+            {"fixed": fixed, "was_fixed": t.notna() & (fixed != t)}
+        )
+
+    keep = [c for c in df.columns if c != text_col]
+    return df.withColumn("_m", _fix(F.col(text_col))).select(
+        *keep,
+        F.col("_m.fixed").alias(out_col),
+        F.col("_m.was_fixed").alias("was_fixed"),
     )
 
 

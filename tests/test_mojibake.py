@@ -1,0 +1,55 @@
+"""Mojibake repair (core/mojibake.py spec + the Arrow UDF plumbing in
+operators/quality.py): genuine double-encodings round-trip, everything
+else is byte-identical."""
+
+from ocr_service_spark.core.mojibake import fix_mojibake
+
+
+class TestCore:
+    def test_cp1252_artifacts_repair(self):
+        for clean in ["don’t", "café", "“naïve”"[:-1], "…", "–", "5°",
+                      "coração", "açaí Último"]:
+            planted = clean.encode("utf-8").decode("cp1252", errors="ignore")
+            if planted.encode("cp1252", errors="ignore") != clean.encode("utf-8"):
+                continue  # artifact not representable in cp1252 — skip
+            assert fix_mojibake(planted) == clean, clean
+
+    def test_latin1_control_range_artifacts_repair(self):
+        # ” (E2 80 9D): 0x9D undefined in cp1252, so its artifact only
+        # exists as a latin-1 mis-decode (with a C1 control char inside)
+        planted = "”".encode("utf-8").decode("latin-1")
+        assert fix_mojibake(planted) == "”"
+
+    def test_clean_text_untouched(self):
+        for s in ["plain ascii", "café déjà vu", "中文文本", "русский",
+                  "emoji 😀 stays", "", " ", "a\nb\tc"]:
+            assert fix_mojibake(s) == s, repr(s)
+
+    def test_none_passthrough(self):
+        assert fix_mojibake(None) is None
+
+    def test_single_pass_on_double_double_encoding(self):
+        twice = ("é".encode("utf-8").decode("cp1252")
+                 .encode("utf-8").decode("cp1252"))
+        once = "é".encode("utf-8").decode("cp1252")
+        assert fix_mojibake(twice) == once  # one layer per pass, by design
+
+
+class TestSparkPlumbing:
+    def test_operator_matches_core(self, spark):
+        from ocr_service_spark.operators.quality import fix_mojibake_text
+
+        rows = [
+            (1, "donâ€™t cafÃ©"),
+            (2, "already clean café"),
+            (3, "plain"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: (r["fixed_text"], r["was_fixed"])
+               for r in fix_mojibake_text(df, "text").collect()}
+        assert out[1] == (fix_mojibake("donâ€™t cafÃ©"), True)
+        assert out[1][0] == "don’t café"
+        assert out[2] == ("already clean café", False)
+        assert out[3] == ("plain", False)
+        assert out[4] == (None, False)
