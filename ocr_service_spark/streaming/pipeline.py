@@ -43,6 +43,27 @@ def read_pages_stream(
     return reader.parquet(pages_path)
 
 
+def dedup_pages_stream(
+    pages: DataFrame,
+    keys=("url",),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup of a continuously crawled pages stream: the
+    upstream crawler re-delivers urls (recrawls, at-least-once transport),
+    and only each key's FIRST arrival should reach extraction — the
+    streaming twin of the batch incremental_dedup operator.
+
+    dropDuplicatesWithinWatermark is the engine-native shape: per-key
+    state is retained only within the event-time watermark horizon, so
+    state is bounded by (arrival rate x delay) instead of growing with the
+    whole corpus — a plain dropDuplicates on an unbounded stream keeps
+    every key forever and OOMs at crawl scale. Re-deliveries farther apart
+    than the horizon fall through to the batch anti-join resume layer,
+    which is exactly the tiered design real ingest pipelines use."""
+    return pages.withWatermark("warc_ts", watermark_delay) \
+        .dropDuplicatesWithinWatermark(list(keys))
+
+
 def stream_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -51,6 +72,7 @@ def stream_extraction(
     ref_clock: Optional[datetime] = None,
     max_files_per_trigger: Optional[int] = None,
     await_termination: bool = True,
+    dedup_watermark_delay: Optional[str] = None,
 ) -> StreamingQuery:
     """Drain-everything-then-stop extraction run (Trigger.AvailableNow).
 
@@ -59,8 +81,12 @@ def stream_extraction(
     byte-identical to batch output per url. Resume = rerun with the same
     checkpoint: committed input files are skipped, partial micro-batches
     are replayed (file-level exactly-once into the parquet sink log).
+    With `dedup_watermark_delay`, re-delivered urls within the watermark
+    horizon are dropped before extraction (dedup_pages_stream).
     """
     pages = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    if dedup_watermark_delay is not None:
+        pages = dedup_pages_stream(pages, watermark_delay=dedup_watermark_delay)
     results = extract_pages(pages, ref_clock=ref_clock)
     query = (
         results.writeStream.format("parquet")

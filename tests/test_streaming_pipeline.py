@@ -62,6 +62,34 @@ def test_checkpoint_resume_processes_only_new_files(spark, paths):
     assert out.select("url").distinct().count() == 400
 
 
+def test_stream_dedup_drops_redelivered_urls(spark, tmp_path_factory):
+    """Recrawled urls within the watermark horizon are extracted once:
+    the second delivery (same url, later warc_ts, different html) is
+    dropped by dropDuplicatesWithinWatermark before the extract UDF."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("stream_dedup")
+    pages, results, ckpt = (
+        str(root / "pages"), str(root / "results"), str(root / "ckpt"),
+    )
+    first = synth_pages(spark, 120, partitions=2)
+    first.write.mode("overwrite").parquet(pages)
+    # re-deliver 40 of the same urls 5 minutes later (inside the horizon)
+    redeliver = first.filter(F.xxhash64("url") % 3 == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    n_redelivered = redeliver.count()
+    assert n_redelivered > 0
+    redeliver.write.mode("append").parquet(pages)
+
+    stream_extraction(
+        spark, pages, results, ckpt, dedup_watermark_delay="30 minutes"
+    )
+    out = spark.read.parquet(results)
+    assert out.count() == 120  # every url exactly once despite redelivery
+    assert out.select("url").distinct().count() == 120
+
+
 class TestWatermarkedWindows:
     """Event-time windows finalize exactly once; late data beyond the
     watermark cannot rewrite an emitted window (the semantics batch recompute
