@@ -2348,6 +2348,53 @@ FROM c WHERE cum_tokens <= 15000
 """
 
 
+def q_substring_contamination(spark, sf_dir):
+    """Exact-substring decontamination (GPT-3 appendix-C shape): docs with
+    doc_id % 53 = 0 are the held-out benchmark, their chars 11-60 the span
+    set; every 7th corpus doc gets benchmark doc 0's span planted so the
+    contaminated population is non-empty and the value hash substantive.
+    The span set is broadcast; the corpus never shuffles for the probe
+    (operators/quality.py substring_contamination)."""
+    from .operators.quality import substring_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    spans = bench.select(F.substring("text", 11, 50).alias("span"))
+    span0 = bench.filter(F.col("doc_id") == 0).select(
+        F.substring("text", 11, 50).alias("_plant")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 53 != 0)
+        .crossJoin(F.broadcast(span0))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("_plant")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = substring_contamination(corpus, spans)
+    return out.select(F.col("id").alias("doc_id"), "n_bench_spans")
+
+
+SQL_SUBSTRING_CONTAMINATION = """
+WITH spans AS (
+  SELECT DISTINCT substring(text, 11, 50) AS span FROM documents
+  WHERE doc_id % 53 = 0 AND length(substring(text, 11, 50)) >= 20
+), corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+              (SELECT substring(text, 11, 50) FROM documents WHERE doc_id = 0)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 53 <> 0
+)
+SELECT c.doc_id, COUNT(*) AS n_bench_spans
+FROM corpus c JOIN spans s ON position(s.span IN c.text) > 0
+GROUP BY c.doc_id
+"""
+
+
 def q_ngram_contamination(spark, sf_dir):
     """Benchmark-contamination check (the GPT-3/Gopher decontamination
     shape): docs with doc_id % 41 = 0 form the held-out benchmark; every
@@ -2967,6 +3014,7 @@ CATALOG: Dict[str, tuple] = {
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
     "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE),
     "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
+    "substring_contamination": (q_substring_contamination, SQL_SUBSTRING_CONTAMINATION),
     "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),
     # deterministic sampling / splitting (operators/sampling.py)
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

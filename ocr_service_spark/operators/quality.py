@@ -325,6 +325,40 @@ def pack_sequences(
     )
 
 
+def substring_contamination(
+    corpus: DataFrame,
+    bench_spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_col: str = "span",
+    min_span_len: int = 20,
+) -> DataFrame:
+    """Exact-substring benchmark decontamination (the GPT-3 appendix-C
+    shape, complementing the n-gram overlap check): a document is
+    contaminated when it contains any held-out benchmark span verbatim.
+    Emits (id, n_bench_spans) for contaminated docs only.
+
+    Shape: the span set is broadcast and the corpus side is scanned once —
+    a broadcast nested-loop join, which is the right plan here because the
+    predicate is `instr > 0` (no equi-key exists) and the span set is
+    small. Cost is O(rows x spans) substring probes with zero shuffle of
+    the corpus; for span sets too big to broadcast, the production tiering
+    is ngram_contamination as the cheap prefilter, this operator over the
+    survivors. Spans shorter than `min_span_len` are dropped on BOTH
+    engines — sub-minimum spans (worst case '') would mark everything."""
+    spans = (
+        bench_spans.select(F.col(span_col).alias("span"))
+        .filter(F.length("span") >= min_span_len)
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .join(F.broadcast(spans), F.expr("instr(t, span) > 0"), "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bench_spans"))
+    )
+
+
 # --- Benchmark n-gram contamination ---------------------------------------
 
 def ngram_contamination(

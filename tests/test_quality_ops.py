@@ -146,6 +146,31 @@ class TestGlobalBudgetSelect:
         assert out.count() == 0
 
 
+class TestSubstringContamination:
+    def test_hits_and_min_len_guard(self, spark):
+        from ocr_service_spark.operators.quality import substring_contamination
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "clean document with ordinary words here"),
+                (2, "prefix THE HELD OUT BENCHMARK SPAN VERBATIM suffix"),
+                (3, "two spans: THE HELD OUT BENCHMARK SPAN VERBATIM and "
+                    "ANOTHER LONG BENCHMARK SPAN APPEARS"),
+                (4, "short span x should not count"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = spark.createDataFrame(
+            [("THE HELD OUT BENCHMARK SPAN VERBATIM",),
+             ("ANOTHER LONG BENCHMARK SPAN APPEARS",),
+             ("x",)],  # below min_span_len — must be ignored
+            "span string",
+        )
+        out = {r["id"]: r["n_bench_spans"]
+               for r in substring_contamination(corpus, spans).collect()}
+        assert out == {2: 1, 3: 2}
+
+
 class TestPackSequences:
     def test_bins_match_serial_packing(self, spark):
         from ocr_service_spark.operators.quality import pack_sequences
