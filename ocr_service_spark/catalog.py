@@ -1120,6 +1120,65 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDedup-style semantic deduplication (Abbas et al. 2023 shape):
+    embedding-cosine near-dup pairs within label blocks (same planted
+    scaled clones as embedding_near_dup) → connected components → one
+    keeper per semantic cluster (min id). Emits every vector with its
+    cluster and keep flag; the oracle re-derives the clusters with a
+    recursive-CTE transitive closure over the identical pair predicate."""
+    from .operators.dedup import connected_components, embedding_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "label",
+    )
+    allv = e.select("vec_id", "embedding", "label").unionByName(clones)
+    pairs = embedding_near_dup_pairs(
+        allv, "vec_id", "embedding", "label", 0.9
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    ids = allv.select(F.col("vec_id").cast("long").alias("id"))
+    cluster = F.coalesce("component", "id")
+    return ids.join(comp, "id", "left").select(
+        "id",
+        cluster.alias("cluster"),
+        (cluster == F.col("id")).alias("keep"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), v AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, label, list_transform(e, x -> x * 2)
+  FROM base WHERE vec_id % 40 = 0
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+           * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.9
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+), reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT CAST(allv.vec_id AS BIGINT) AS id,
+       CAST(COALESCE(MIN(reach.r), allv.vec_id) AS BIGINT) AS cluster,
+       COALESCE(MIN(reach.r), allv.vec_id) = allv.vec_id AS keep
+FROM v allv LEFT JOIN reach ON allv.vec_id = reach.id
+GROUP BY allv.vec_id
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query (first 5 vec_ids as queries);
     emits ranks only — cosine values stay engine-internal."""
@@ -2984,6 +3043,7 @@ CATALOG: Dict[str, tuple] = {
     "simhash_md5_oracle": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_near_dup": (q_simhash_near_dup, SQL_LSH_RECALL),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_RECALL),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN),

@@ -46,6 +46,21 @@ class TestDedup:
             ham = bin(fp[i] ^ fp[i + 200000]).count("1")
             assert ham <= 16, f"near-dup {i} hamming {ham} too far"
 
+    def test_semantic_dedup_clusters_clones(self, spark):
+        from ocr_service_spark.catalog import q_semantic_dedup
+
+        out = q_semantic_dedup(spark, "/root/testdata/sf0.001").toPandas()
+        by_id = out.set_index("id")
+        # every planted clone (id+100000) shares its original's cluster
+        clones = [i for i in by_id.index if i >= 100000]
+        assert clones
+        for c in clones:
+            assert by_id.loc[c, "cluster"] == by_id.loc[c - 100000, "cluster"]
+        # exactly one keeper per cluster, and it is the min id
+        g = out.groupby("cluster")
+        assert (g["keep"].sum() == 1).all()
+        assert (g.apply(lambda d: d.loc[d.keep.idxmax(), "id"] == d.id.min())).all()
+
     def test_incremental_dedup_survivors(self, spark):
         from ocr_service_spark.operators.dedup import incremental_dedup
 
