@@ -162,6 +162,40 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mixture_repeat_is_shuffle_free(spark):
+    """Epoch mixing must stay a map-side projection + explode — any
+    Exchange here would shuffle the whole corpus just to replicate rows."""
+    plan = formatted_plan(catalog.queries()["mixture_repeat"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the sequence-explode
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """The per-site cap must plan with the WindowGroupLimit pre-filter so
+    each input partition forwards at most k rows per host pre-shuffle."""
+    plan = formatted_plan(catalog.queries()["domain_cap"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_substring_contamination_broadcasts_spans(spark):
+    """The span probe must broadcast the benchmark side (the corpus never
+    shuffles); nested-loop is expected (no equi-key), cartesian is not."""
+    plan = formatted_plan(
+        catalog.queries()["substring_contamination"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_prunes_base_to_fingerprint(spark):
+    """The base-corpus side of the ingestion anti-join must scan only the
+    text column it fingerprints — shipping more of a 100 TB base table
+    into the join would dominate the job."""
+    plan = formatted_plan(
+        catalog.queries()["incremental_dedup"](spark, SF_DIR))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("lang" not in l and "source" not in l for l in reads)
+
+
 def test_no_cartesian_anywhere_in_catalog(spark):
     """No catalog query may degenerate into a cartesian/nested-loop join —
     the classic silent quadratic blowup (checked at tiny SF where AQE has
