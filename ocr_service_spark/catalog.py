@@ -2732,6 +2732,37 @@ _SQL_PAGE_URLS = """
 """
 
 
+def q_approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ distinct-content counting per language — the
+    mergeable constant-size sketch that replaces exact COUNT(DISTINCT) at
+    10^12 rows (partials merge map-side; no shuffle of raw fingerprints;
+    the same sketch unions across corpus snapshots). The raw estimate is
+    engine-internal, so the emitted row carries the exact count plus a
+    within-tolerance flag at 2.5x the configured rsd — the property the
+    oracle can state exactly. A wrong-by-more-than-tolerance sketch (or a
+    broken fingerprint projection) flips the flag and fails the hash."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.md5(F.col("text")).alias("fp")
+    )
+    agg = d.groupBy("lang").agg(
+        F.count_distinct("fp").alias("exact_distinct"),
+        F.approx_count_distinct("fp", 0.02).alias("_approx"),
+    )
+    tol = (
+        F.abs(F.col("_approx") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    ) <= 0.05
+    return agg.select("lang", "exact_distinct", tol.alias("within_tolerance"))
+
+
+SQL_APPROX_DISTINCT = """
+SELECT lang,
+       COUNT(DISTINCT md5(text)) AS exact_distinct,
+       true AS within_tolerance
+FROM documents GROUP BY lang
+"""
+
+
 def q_domain_reputation(spark, sf_dir):
     """Per-host reputation profile over the synthetic multi-host pages:
     page count, distinct-content count (the gap is the host's internal
@@ -3084,6 +3115,7 @@ CATALOG: Dict[str, tuple] = {
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "top_k_per_group": (q_top_k_per_group, SQL_TOP_K),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
+    "approx_distinct_sketch": (q_approx_distinct_sketch, SQL_APPROX_DISTINCT),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
     "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
