@@ -111,3 +111,25 @@ class TestItemScore:
     def test_score_counts_populated_fields(self, it):
         expect = sum(1 for v in it.values() if v)
         assert struct.item_score(it) == expect
+
+
+class TestMojibake:
+    # chars whose UTF-8 bytes are all cp1252-decodable (no 81/8D/8F/90/9D
+    # bytes), so the plant -> repair round-trip is total on this alphabet
+    SAFE = ("abcdefghijklmnopqrstuvwxyz ABC 0123456789 .,!?-"
+            "éèêáàâãçíóôõúüñ")
+
+    @given(st.text(alphabet=SAFE, max_size=60))
+    @settings(max_examples=300)
+    def test_plant_then_fix_round_trips(self, s):
+        from ocr_service_spark.core.mojibake import fix_mojibake
+
+        planted = s.encode("utf-8").decode("cp1252")
+        assert fix_mojibake(planted) == s
+
+    @given(st.text(alphabet="abcdefgh XYZ.,!?-0123456789", max_size=60))
+    @settings(max_examples=200)
+    def test_pure_ascii_is_fixed_point(self, s):
+        from ocr_service_spark.core.mojibake import fix_mojibake
+
+        assert fix_mojibake(s) == s
