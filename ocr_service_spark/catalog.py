@@ -2237,6 +2237,46 @@ _MOJIBAKE_FIXED = ' don’t café “naïve cost… 5–6°'
 _MOJIBAKE_PLANT = _MOJIBAKE_FIXED.encode("utf-8").decode("cp1252")
 
 
+# fullwidth Wide123, ideographic space, fi-ligature, SQUARE-MHZ, ZWSP, BEL —
+# NFKC+strip maps this suffix to exactly _UNINORM_FIXED (pinned by
+# tests/test_unicodenorm.py); the corpus itself is a fixed point of the
+# normalization at every SF, so unplanted docs must come back byte-identical
+_UNINORM_PLANT = (
+    " Ｗｉｄｅ１２３　"
+    "ﬁle ㎒​end"
+)
+_UNINORM_FIXED = " Wide123 file MHzend"
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """C4-style NFKC + control-strip cleaning over the corpus: a suffix of
+    fullwidth forms, a ligature, a unit glyph, a zero-width space and a BEL
+    is planted on every 4th document, and the REAL unicodedata round
+    (core/unicodenorm.py via the Arrow UDF in operators/quality.py) must
+    produce exactly the stated clean form while leaving every other
+    document byte-identical (idempotence on already-clean text)."""
+    from .operators.quality import normalize_unicode_text
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(_UNINORM_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_unicode_text(planted, "text")
+
+
+SQL_UNICODE_NORMALIZE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN text || '{_UNINORM_FIXED}'
+            ELSE text END AS norm_text,
+       (doc_id % 4 = 0) AS was_changed
+FROM documents
+"""
+
+
 def q_mojibake_fix(spark, sf_dir):
     """ftfy-style double-encoding repair over the corpus: a fixed
     artifact-laden suffix (cp1252-mojibake of curly quotes, accents,
@@ -3104,6 +3144,7 @@ CATALOG: Dict[str, tuple] = {
     "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
     "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE),
+    "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
     "ngram_contamination": (q_ngram_contamination, SQL_CONTAMINATION),
     "substring_contamination": (q_substring_contamination, SQL_SUBSTRING_CONTAMINATION),
     "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),

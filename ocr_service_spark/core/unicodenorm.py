@@ -1,0 +1,31 @@
+"""Unicode normalization for web-corpus text: NFKC + control-char strip.
+
+The standard C4/mC4-style cleaning step: compatibility-normalize (fold
+fullwidth forms, ligatures, unit glyphs — 'Ｗｉｄｅ'→'Wide', 'ﬁ'→'fi',
+'㎒'→'MHz') and drop control/format characters (category C*: BEL, zero-width
+spaces, BOM, direction marks) that break tokenizers and dedup — keeping only
+\\n and \\t, the two controls with layout meaning.
+
+Pure Python (stdlib unicodedata), no deps — imported by both the pytest
+oracle and the Spark Arrow UDF body (repo convention: core/ is the spec).
+NFKC is idempotent and this strip composes with it idempotently, so the
+operator is safe to re-run over an already-clean corpus (a fixed point —
+pinned by the catalog oracle on unplanted documents).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_KEEP_CONTROLS = ("\n", "\t")
+
+
+def normalize_text(s: str) -> str:
+    """NFKC-normalize then strip category-C characters (except \\n, \\t)."""
+    if s is None:
+        return None
+    n = unicodedata.normalize("NFKC", s)
+    return "".join(
+        ch for ch in n
+        if ch in _KEEP_CONTROLS or not unicodedata.category(ch).startswith("C")
+    )

@@ -325,6 +325,31 @@ def pack_sequences(
     )
 
 
+def normalize_unicode_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """NFKC + control-strip cleaning (core/unicodenorm.py is the spec the
+    pytest oracle also imports) as an Arrow-batched projection — Python is
+    required (no JVM NFKC expression), shuffle-free, map-side, one struct
+    column out (normalized text + was_changed flag). Idempotent: safe to
+    re-run over an already-clean corpus."""
+    from ..core.unicodenorm import normalize_text
+
+    @F.pandas_udf("struct<norm:string, was_changed:boolean>")
+    def _norm(t: pd.Series) -> pd.DataFrame:
+        norm = t.map(lambda s: normalize_text(s) if s is not None else None)
+        return pd.DataFrame(
+            {"norm": norm, "was_changed": t.notna() & (norm != t)}
+        )
+
+    keep = [c for c in df.columns if c != text_col]
+    return df.withColumn("_n", _norm(F.col(text_col))).select(
+        *keep,
+        F.col("_n.norm").alias(out_col),
+        F.col("_n.was_changed").alias("was_changed"),
+    )
+
+
 def substring_contamination(
     corpus: DataFrame,
     bench_spans: DataFrame,

@@ -94,6 +94,12 @@ def run_resumable(
     bucket_id is part of the sink's physical layout and the MERGE branch
     overwrites whole buckets."""
     pending = resume_pending(pages, results_path)
+    if os.path.exists(results_path) and pending.isEmpty():
+        # no-op resume: nothing pending, so skip the extraction job and the
+        # bucket rewrite entirely — a rerun on a complete sink must not
+        # touch it (and pays one cheap anti-join probe instead of an empty
+        # extraction + checkpoint + zero-bucket overwrite)
+        return spark.read.parquet(results_path)
     results = run_extraction(pending, num_partitions=num_partitions, ref_clock=ref_clock)
 
     if os.path.exists(results_path):

@@ -1,0 +1,53 @@
+"""NFKC + control-strip cleaning (core/unicodenorm.py spec + the Arrow UDF
+plumbing): compatibility folds apply, controls vanish, layout whitespace
+survives, clean text is a fixed point."""
+
+from ocr_service_spark.core.unicodenorm import normalize_text
+
+
+class TestCore:
+    def test_compatibility_folds(self):
+        cases = {
+            "Ｗｉｄｅ": "Wide",       # fullwidth letters
+            "１２３": "123",               # fullwidth digits
+            "ﬁle": "file",                        # fi ligature
+            "㎒": "MHz",                           # SQUARE MHZ
+            "a　b": "a b",                         # ideographic space
+        }
+        for src, want in cases.items():
+            assert normalize_text(src) == want, repr(src)
+
+    def test_controls_stripped_layout_kept(self):
+        assert normalize_text("a​bc﻿d") == "abcd"
+        assert normalize_text("a\nb\tc") == "a\nb\tc"
+
+    def test_catalog_plant_maps_to_stated_fixed_form(self):
+        from ocr_service_spark.catalog import _UNINORM_FIXED, _UNINORM_PLANT
+
+        assert normalize_text(_UNINORM_PLANT) == _UNINORM_FIXED
+
+    def test_idempotent_fixed_point(self):
+        for s in ["plain", "café déjà", "中文文本", "a\nb\tc",
+                  normalize_text("Ｗ㎒​")]:
+            assert normalize_text(s) == s or normalize_text(
+                normalize_text(s)) == normalize_text(s)
+
+    def test_none_passthrough(self):
+        assert normalize_text(None) is None
+
+
+class TestSparkPlumbing:
+    def test_operator_matches_core(self, spark):
+        from ocr_service_spark.operators.quality import normalize_unicode_text
+
+        rows = [
+            (1, "Ｗｉｄｅ ﬁle​"),
+            (2, "already clean"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: (r["norm_text"], r["was_changed"])
+               for r in normalize_unicode_text(df, "text").collect()}
+        assert out[1] == ("Wide file", True)
+        assert out[2] == ("already clean", False)
+        assert out[3] == (None, False)
