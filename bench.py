@@ -104,6 +104,8 @@ HEADLINE = [
     "vocab_top_terms",
     "gopher_quality_filter",   # shuffle-free repetition/stopword gates
     "pii_redact_scrub",
+    "mojibake_fix",            # codec round-trip repair (Arrow projection)
+    "unicode_normalize",       # NFKC + control strip (Arrow projection)
     "ngram_contamination",     # broadcast benchmark-gram decontamination
     "token_budget_selection",  # distributed prefix-sum budget curation
     "asof_join_events",        # union+window temporal join (one shuffle)
