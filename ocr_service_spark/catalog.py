@@ -2858,6 +2858,67 @@ FROM r WHERE rank <= 2
 """
 
 
+def q_url_spam_filter(spark, sf_dir):
+    """URL-level spam gate over deterministic multi-host urls with planted
+    spam variants (deep paths, tracking-param swarms, hyphen stuffing) —
+    every feature integer/boolean so the oracle replays the exact values
+    (operators/domains.py url_spam_features; shuffle-free)."""
+    from .operators.domains import url_spam_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    variant = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit("/a/b/c/d/e/f/g"))
+        .when(F.col("doc_id") % 9 == 1,
+              F.concat(F.lit("/p/"), sid,
+                       F.lit("?utm_a=1&utm_b=2&utm_c=3&utm_d=4")))
+        .when(F.col("doc_id") % 9 == 2,
+              F.concat(F.lit("/p-cheap-pills-free-win-"), sid))
+        .otherwise(F.concat(F.lit("/p/"), sid))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example"), variant).alias("url"),
+    )
+    return url_spam_features(urls).drop("url")
+
+
+SQL_URL_SPAM = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example' ||
+         CASE
+           WHEN doc_id % 9 = 0 THEN '/a/b/c/d/e/f/g'
+           WHEN doc_id % 9 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                || '?utm_a=1&utm_b=2&utm_c=3&utm_d=4'
+           WHEN doc_id % 9 = 2 THEN '/p-cheap-pills-free-win-'
+                || CAST(doc_id AS VARCHAR)
+           ELSE '/p/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(regexp_replace(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '', 'g'),
+           '[?#].*$', '', 'g'), '/')) - 1 AS INTEGER) AS path_depth,
+         CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS INTEGER)
+           AS n_digits,
+         CAST(length(regexp_replace(url, '[^-]', '', 'g')) AS INTEGER)
+           AS n_hyphens,
+         CAST(CASE WHEN length(regexp_extract(url, '^[^#]*\?([^#]*)', 1)) > 0
+              THEN len(string_split(regexp_extract(url, '^[^#]*\?([^#]*)', 1), '&'))
+              ELSE 0 END AS INTEGER) AS n_params,
+         CAST(length(url) AS INTEGER) AS url_len
+  FROM u
+)
+SELECT doc_id, path_depth, n_digits, n_hyphens, n_params, url_len,
+       (path_depth >= 6 OR n_hyphens >= 4 OR n_params >= 4
+        OR url_len >= 120) AS spammy
+FROM f
+"""
+
+
 def q_top_k_per_group(spark, sf_dir):
     """Top-3 longest documents per language with rank — rank-limit window
     (operators/stats.py top_k_per_group); the WindowGroupLimit pre-filter
@@ -3162,6 +3223,7 @@ CATALOG: Dict[str, tuple] = {
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "approx_distinct_sketch": (q_approx_distinct_sketch, SQL_APPROX_DISTINCT),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "url_spam_filter": (q_url_spam_filter, SQL_URL_SPAM),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
     "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
     "compression_ratio_stats": (q_compression_ratio, None),

@@ -52,6 +52,42 @@ def domain_reputation(
     )
 
 
+def url_spam_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """RefinedWeb-style URL-level spam features + gate, as pure JVM column
+    expressions (shuffle-free, codegen end to end; all outputs integer or
+    boolean so the cross-engine oracle is exact).
+
+    Features: path depth, digit count, hyphen count, query-param count,
+    total length. The `spammy` gate fires on any of the classic signals —
+    very deep paths, keyword-stuffed hyphen runs, tracking-param swarms,
+    or enormous URLs. Thresholds are the operator's defaults; real
+    pipelines tune them per corpus exactly like the Gopher gates."""
+    u = F.col(url_col)
+    path = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    path_nq = F.regexp_replace(path, r"[?#].*$", "")
+    depth = (F.size(F.split(path_nq, "/")) - 1).cast("int")
+    n_digits = F.length(F.regexp_replace(u, r"[^0-9]", "")).cast("int")
+    n_hyphens = F.length(F.regexp_replace(u, r"[^-]", "")).cast("int")
+    # anchor to the pre-fragment part: a '?' inside '#frag' is not a query
+    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
+    n_params = F.when(
+        F.length(query) > 0, F.size(F.split(query, "&"))
+    ).otherwise(F.lit(0)).cast("int")
+    url_len = F.length(u).cast("int")
+    return df.select(
+        *df.columns,
+        depth.alias("path_depth"),
+        n_digits.alias("n_digits"),
+        n_hyphens.alias("n_hyphens"),
+        n_params.alias("n_params"),
+        url_len.alias("url_len"),
+        (
+            (depth >= 6) | (n_hyphens >= 4) | (n_params >= 4)
+            | (url_len >= 120)
+        ).alias("spammy"),
+    )
+
+
 def domain_cap(
     df: DataFrame, url_col: str, quality_col: str, k: int, tiebreak: str
 ) -> DataFrame:

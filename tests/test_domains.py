@@ -41,6 +41,25 @@ def test_domain_reputation_counts(spark):
     }
 
 
+def test_url_spam_features_values(spark):
+    from ocr_service_spark.operators.domains import url_spam_features
+
+    cases = {
+        "https://a.example/p/1": (2, 1, 0, 0, False),
+        "https://a.example/a/b/c/d/e/f/g": (7, 0, 0, 0, True),
+        "https://a.example/p?x=1&y=2&z=3&w=4": (1, 4, 0, 4, True),
+        "https://a.example/buy-cheap-pills-now-free": (1, 0, 4, 0, True),
+        "https://a.example/page#frag?notquery=1": (1, 1, 0, 0, False),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {
+        r["url"]: (r["path_depth"], r["n_digits"], r["n_hyphens"],
+                   r["n_params"], r["spammy"])
+        for r in url_spam_features(df).collect()
+    }
+    assert out == cases
+
+
 def test_domain_cap_keeps_best_k(spark):
     rows = [
         (1, "https://a.example/1", 100),
