@@ -2186,6 +2186,73 @@ def q_web_training_pipeline(spark, sf_dir):
 # Corpus-hygiene ops (operators/quality.py): Gopher gates, PII, contamination
 # --------------------------------------------------------------------------
 
+def q_c4_line_filters(spark, sf_dir):
+    """C4 line-level cleaning over multi-line pages built deterministically
+    from the documents table: two keeper sentences on every page, a
+    too-short line, plus keyed variants (a third keeper, a javascript
+    line, a lorem-ipsum page poison, a curly-brace page poison). The
+    oracle replays the identical construction and filter rules
+    (operators/quality.py c4_line_filters; shuffle-free)."""
+    from .operators.quality import c4_line_filters
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+
+    def arm(mod, line):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.concat(nl, F.lit(line))
+        ).otherwise(F.lit(""))
+
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nThis is a good long sentence line."
+                  "\nAnother proper sentence with enough words here."
+                  "\nshort line."),
+            arm(4, "A third proper sentence with plenty of words."),
+            arm(5, "Please enable javascript to continue reading now."),
+            arm(11, "lorem ipsum dolor sit amet paragraph."),
+            arm(13, "config { x } block."),
+        ).alias("text"),
+    )
+    return c4_line_filters(pages)
+
+
+SQL_C4_LINE_FILTERS = """
+WITH p AS (
+  SELECT doc_id,
+         text || chr(10) || 'This is a good long sentence line.'
+              || chr(10) || 'Another proper sentence with enough words here.'
+              || chr(10) || 'short line.'
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10)
+              || 'A third proper sentence with plenty of words.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              || 'Please enable javascript to continue reading now.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+              || 'lorem ipsum dolor sit amet paragraph.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+              || 'config { x } block.' ELSE '' END AS text
+  FROM documents
+), k AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     x -> regexp_matches(x, '[.!?"]$')
+                          AND len(string_split(x, ' ')) >= 5
+                          AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep_page
+FROM k
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style (Rae et al. 2021) per-document quality gate over the
     documents table: word-count window, mean word length, stopword floor,
@@ -3207,6 +3274,7 @@ CATALOG: Dict[str, tuple] = {
     "web_training_pipeline": (q_web_training_pipeline, None),
     # corpus-hygiene ops (operators/quality.py)
     "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
+    "c4_line_filters": (q_c4_line_filters, SQL_C4_LINE_FILTERS),
     "pii_redact_scrub": (q_pii_redact, SQL_PII),
     "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE),
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),

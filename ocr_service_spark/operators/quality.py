@@ -325,6 +325,48 @@ def pack_sequences(
     )
 
 
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, carry at least 5 words, and do
+    not mention javascript; drop whole pages that contain 'lorem ipsum' or
+    '{' or retain fewer than 3 clean lines. Emits per-doc counts, the
+    rebuilt clean text, and the page-keep flag.
+
+    Pure JVM column expressions: the line array is materialized in its own
+    projection BEFORE the filter lambda (the documented Catalyst trap —
+    split() captured from outside a lambda re-evaluates per element), and
+    the kept array likewise before the three consumers read it. Zero
+    shuffle; the whole operator rides the scan."""
+    t = F.col(text_col)
+    d = df.select(
+        F.col(id_col), t.alias("_t"), F.split(t, "\n").alias("_lines")
+    )
+    good = (
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.lower(l).contains("javascript")
+    )
+    d = d.select(
+        id_col, "_t", "_lines", F.filter("_lines", good).alias("_kept")
+    )
+    return d.select(
+        id_col,
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+        (
+            (F.size("_kept") >= 3)
+            & ~F.lower(F.col("_t")).contains("lorem ipsum")
+            & ~F.col("_t").contains("{")
+        ).alias("keep_page"),
+    )
+
+
 def normalize_unicode_text(
     df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
 ) -> DataFrame:

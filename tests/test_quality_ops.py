@@ -146,6 +146,33 @@ class TestGlobalBudgetSelect:
         assert out.count() == 0
 
 
+class TestC4LineFilters:
+    def test_rules_and_rebuild(self, spark):
+        from ocr_service_spark.operators.quality import c4_line_filters
+
+        text = "\n".join([
+            "This line has enough words and ends properly.",   # kept
+            "no terminal punctuation so it is dropped",        # dropped
+            "short one.",                                      # dropped <5 words
+            "Enable JavaScript to view this page today.",      # dropped
+            'He said "stop right there my friend."',           # kept (quote end)
+            "Another fine closing sentence with many words!",  # kept
+        ])
+        df = spark.createDataFrame([(1, text), (2, "lorem ipsum " + text),
+                                    (3, text + "\nvar x = { a: 1 };")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
+        assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+        assert out[1]["keep_page"] is True
+        assert out[1]["clean_text"].splitlines() == [
+            "This line has enough words and ends properly.",
+            'He said "stop right there my friend."',
+            "Another fine closing sentence with many words!",
+        ]
+        assert out[2]["keep_page"] is False   # lorem ipsum poison
+        assert out[3]["keep_page"] is False   # curly brace poison
+
+
 class TestSubstringContamination:
     def test_hits_and_min_len_guard(self, spark):
         from ocr_service_spark.operators.quality import substring_contamination
