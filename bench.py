@@ -106,6 +106,8 @@ HEADLINE = [
     "pii_redact_scrub",
     "mojibake_fix",            # codec round-trip repair (Arrow projection)
     "unicode_normalize",       # NFKC + control strip (Arrow projection)
+    "c4_line_filters",         # C4 line cleaning + page poison rules
+    "url_spam_filter",         # URL-level spam gate (map-side)
     "ngram_contamination",     # broadcast benchmark-gram decontamination
     "token_budget_selection",  # distributed prefix-sum budget curation
     "asof_join_events",        # union+window temporal join (one shuffle)
