@@ -122,6 +122,9 @@ HEADLINE = [
     "mixture_repeat",          # fractional source-mixture materialization
     "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
+    "lm_unigram_nll",          # CCNet-style LM quality scoring
+    "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
+    "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

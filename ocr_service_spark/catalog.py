@@ -3205,6 +3205,125 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash60 FROM v
 SQL_SIMHASH_MD5 = _simhash_md5_sql()
 
 
+def q_lm_unigram_nll(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): per-language
+    add-one unigram LM trained on a deterministic reference slice
+    (doc_id % 7 == 0 stands in for CCNet's curated Wikipedia corpus),
+    every document scored by quantized negative log-likelihood. The only
+    float op (ln of a rational count ratio) is quantized to an integer
+    grid PER TOKEN before summation, so the DuckDB twin is exact."""
+    from .operators.lm import lm_unigram_nll
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    out = lm_unigram_nll(docs, ref, "doc_id", "text", "lang")
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "n_tokens", "nll_q", "avg_nll_q"
+    )
+
+
+SQL_LM_NLL = """
+WITH rt AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE doc_id % 7 = 0
+),
+lm AS (SELECT lang, w, COUNT(*) AS cnt FROM rt GROUP BY lang, w),
+tot AS (SELECT lang, SUM(cnt) AS t_tokens, COUNT(*) AS v_vocab
+        FROM lm GROUP BY lang),
+dt AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+s AS (
+  SELECT dt.doc_id, dt.lang,
+         CAST(FLOOR(-ln((COALESCE(lm.cnt, 0) + 1)
+                        / CAST(tot.t_tokens + tot.v_vocab AS DOUBLE))
+                    * 10000) AS BIGINT) AS logq
+  FROM dt
+  LEFT JOIN lm ON dt.lang = lm.lang AND dt.w = lm.w
+  JOIN tot ON dt.lang = tot.lang
+)
+SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(logq) AS BIGINT) AS nll_q,
+       CAST(SUM(logq) // COUNT(*) AS BIGINT) AS avg_nll_q
+FROM s GROUP BY doc_id, lang
+"""
+
+
+def q_ccnet_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: per-language EXACT discrete
+    p33/p67 thresholds on the LM score (rank selection, broadcast
+    threshold table — no second corpus shuffle). The curation decision a
+    10^12-doc pipeline makes with this operator is 'keep head+middle'."""
+    from .operators.lm import ccnet_buckets, lm_unigram_nll
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    nll = lm_unigram_nll(docs, ref, "doc_id", "text", "lang")
+    return ccnet_buckets(nll).select(
+        F.col("id").alias("doc_id"), "lang", "avg_nll_q", "bucket"
+    )
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH s AS ({SQL_LM_NLL}),
+r AS (
+  SELECT doc_id, lang, avg_nll_q,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY avg_nll_q ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM s
+),
+th AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = (33 * n + 99) // 100 THEN avg_nll_q END) AS p_head,
+         MAX(CASE WHEN rn = (67 * n + 99) // 100 THEN avg_nll_q END) AS p_mid
+  FROM r GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_nll_q,
+       CASE WHEN s.avg_nll_q <= th.p_head THEN 'head'
+            WHEN s.avg_nll_q <= th.p_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN th ON s.lang = th.lang
+"""
+
+
+def q_crawl_latest_snapshot(spark, sf_dir):
+    """CDX/WARC-revisit consolidation (operators/snapshots.py): the events
+    table stands in for a multi-dump crawl log (user_id = url key, ts =
+    fetch time, md5(event_type|props) = content digest). One row per key:
+    latest fetch + how many re-fetches actually changed content — the
+    pre-extraction dedup a recurring 10^12-page crawl needs."""
+    from .operators.snapshots import latest_snapshot
+
+    ev = load(spark, sf_dir, "events")
+    dg = F.md5(F.concat_ws("|", F.col("event_type"), F.col("props")))
+    return latest_snapshot(ev, "user_id", "ts", dg, "event_id")
+
+
+SQL_CRAWL_SNAPSHOT = """
+WITH rows_ AS (
+  SELECT user_id, ts, md5(concat(event_type, '|', props)) AS dg, event_id
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, dg,
+         CASE WHEN LAG(dg) OVER w IS NULL OR dg <> LAG(dg) OVER w
+              THEN 1 ELSE 0 END AS chg,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM rows_
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_crawls,
+       CAST(SUM(chg) AS BIGINT) AS n_changes,
+       MAX(CASE WHEN rn = 1 THEN ts END) AS latest_ts,
+       MAX(CASE WHEN rn = 1 THEN dg END) AS latest_digest
+FROM m GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3299,6 +3418,11 @@ CATALOG: Dict[str, tuple] = {
     # repetition removal (operators/linedup.py)
     "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
     "span_dedup_global": (q_span_dedup_global, SQL_SPAN_DEDUP),
+    # CCNet-style LM quality scoring (operators/lm.py)
+    "lm_unigram_nll": (q_lm_unigram_nll, SQL_LM_NLL),
+    "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_BUCKETS),
+    # crawl-snapshot consolidation (operators/snapshots.py)
+    "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),
 }
 
 

@@ -1,0 +1,135 @@
+"""CCNet-style statistical language-model quality scoring.
+
+CCNet (Wenzek et al., 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks Common-Crawl documents by the
+perplexity of a language model trained on a curated reference corpus and
+keeps the low-perplexity ("head") fraction. The reference implementation
+scores with KenLM on a single node; this module re-expresses the idea as
+pure relational algebra so the SAME pass runs over 10^12 documents:
+
+  1. TRAIN — one hash aggregate over the reference slice's tokens keyed by
+     (lang, word) produces the per-language unigram table. The vocabulary
+     is web-scale (10^8+ terms per language), so it stays a distributed
+     table — never collected, never broadcast.
+  2. TOTALS — per-language token/vocab totals are n_langs rows: broadcast.
+  3. SCORE — document tokens LEFT-join the unigram table on (lang, word)
+     (shuffle hash join; stopword keys are heavily skewed on the document
+     side, which is exactly the shape AQE's skew-join splitting handles),
+     then one hash aggregate back to doc_id.
+
+Engine-exactness (the DuckDB-oracle contract): the only float operation is
+ln() of a rational count ratio, and it is QUANTIZED PER TOKEN to an integer
+grid (floor(ln(p) * -Q), Q=10^4) before any summation, so cross-engine sums
+are integer adds in any order. A grid flip needs the true ln value within
+one double ulp (~1e-16 relative) of a 1e-4 grid point — negligible, and a
+1e-4 NLL grid is far finer than any curation threshold. Integer division
+(`div`) forms the per-token average; callers that want true perplexity can
+exp(avg_nll_q / Q) downstream without touching the distributed part.
+
+Add-one (Laplace) smoothing gives unseen words probability 1/(T+V) — the
+LEFT join's null count coalesces to 0, so out-of-vocabulary tokens are
+scored, not dropped (gibberish MUST raise NLL, which is the whole point).
+
+Tokenization matches the repo convention (split(trim(lower(text)), '\\s+'),
+identical to word_rarity_stats) so the DuckDB twin is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Q = 10000  # NLL quantization grid (1e-4 nats per token)
+
+
+def _tokens(df: DataFrame, text_col: str, *keep) -> DataFrame:
+    return df.select(
+        *keep,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+
+
+def lm_unigram_nll(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Per-document quantized negative-log-likelihood under a per-language
+    add-one unigram LM trained on `ref`.
+
+    Output: (id, lang, n_tokens, nll_q, avg_nll_q) — all integers.
+    nll_q = sum over tokens of floor(-ln((cnt+1)/(T+V)) * Q);
+    avg_nll_q = nll_q div n_tokens. Low avg ≈ reference-like ("head"),
+    high ≈ rare/garbled/spam ("tail").
+    """
+    lang = F.col(lang_col).alias("lang")
+    lm = (
+        _tokens(ref, text_col, lang)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = lm.groupBy("lang").agg(
+        F.sum("cnt").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    doc_tok = _tokens(docs, text_col, F.col(id_col).alias("id"), lang)
+    scored = (
+        doc_tok.join(lm, ["lang", "w"], "left")
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "id",
+            "lang",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    / (F.col("t_tokens") + F.col("v_vocab"))
+                )
+                * F.lit(Q)
+            ).alias("logq"),
+        )
+    )
+    return scored.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("logq").cast("long").alias("nll_q"),
+        F.expr("sum(logq) div count(1)").cast("long").alias("avg_nll_q"),
+    )
+
+
+def ccnet_buckets(
+    nll: DataFrame,
+    head_pct: int = 33,
+    middle_pct: int = 67,
+) -> DataFrame:
+    """CCNet's head/middle/tail split per language by EXACT discrete
+    quantiles of avg_nll_q (rank selection — engine-exact, unlike
+    percentile_approx; same integer index arithmetic as
+    stats.group_quantiles). The two-threshold table is n_langs rows and is
+    broadcast; the document side is filtered map-side — no second shuffle
+    of the corpus. head = avg_nll_q <= p{head} (most reference-like).
+    """
+    w = Window.partitionBy("lang").orderBy(F.col("avg_nll_q").asc(), F.col("id").asc())
+    wall = Window.partitionBy("lang")
+    ranked = nll.select(
+        "lang",
+        F.col("avg_nll_q").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    th = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("_rn") == F.expr(f"({head_pct} * _n + 99) div 100"), F.col("_v"))
+        ).alias("p_head"),
+        F.max(
+            F.when(F.col("_rn") == F.expr(f"({middle_pct} * _n + 99) div 100"), F.col("_v"))
+        ).alias("p_mid"),
+    )
+    return nll.join(F.broadcast(th), "lang").select(
+        "id",
+        "lang",
+        "avg_nll_q",
+        F.when(F.col("avg_nll_q") <= F.col("p_head"), F.lit("head"))
+        .when(F.col("avg_nll_q") <= F.col("p_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -1,0 +1,72 @@
+"""Cross-dump crawl-snapshot consolidation (CDX / WARC-revisit semantics).
+
+A Common-Crawl-style corpus accumulates one row per (url, fetch): monthly
+dumps re-crawl the same urls, and most re-fetches return byte-identical
+content (what WARC records as a `revisit` and the CDX index marks with an
+unchanged digest). Before extraction runs at 10^12 scale, the corpus must
+be consolidated to one CURRENT row per url plus change statistics — both
+to avoid re-extracting unchanged pages and to drive re-crawl scheduling
+(pages that never change get demoted).
+
+Relational shape: ONE hash Exchange keyed by url feeds both windows (the
+ascending lag() that detects content changes and the descending row_number
+that selects the latest fetch share the same partitioning — Catalyst plans
+a single Exchange, pinned by test_plan_quality), then the final group-by
+collapses on the same clustering. No self-join, no driver state: a url
+with 10^6 fetches costs a sort within its partition, never memory.
+
+Determinism: `tiebreak_col` pins a total order among same-timestamp
+fetches so "latest" is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    digest: Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per key: the latest fetch plus revisit/change statistics.
+
+    Output: (key, n_crawls, n_changes, latest_ts, latest_digest) where
+    n_changes counts fetches whose content digest differs from the
+    previous fetch's (the first fetch always counts as a change) — so
+    n_crawls - n_changes is the number of WARC-revisit-equivalent rows
+    the extraction pass can skip.
+    """
+    w_asc = Window.partitionBy(key_col).orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    w_desc = Window.partitionBy(key_col).orderBy(
+        F.col("_ts").desc(), F.col("_tb").desc()
+    )
+    rows = df.select(
+        key_col,
+        F.col(ts_col).alias("_ts"),
+        digest.alias("_dg"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(
+        key_col,
+        "_ts",
+        "_dg",
+        F.when(
+            F.lag("_dg").over(w_asc).isNull()
+            | (F.col("_dg") != F.lag("_dg").over(w_asc)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+        F.row_number().over(w_desc).alias("_rn"),
+    )
+    return rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_crawls"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_ts"))).alias("latest_ts"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_dg"))).alias("latest_digest"),
+    )

@@ -1,0 +1,158 @@
+"""CCNet-style LM quality scoring (operators/lm.py) and crawl-snapshot
+consolidation (operators/snapshots.py): semantics on handcrafted corpora
+plus physical-plan pins. DuckDB parity for both runs in
+test_driver_contract.py via the catalog entries."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.lm import Q, ccnet_buckets, lm_unigram_nll
+from ocr_service_spark.operators.snapshots import latest_snapshot
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# LM semantics
+# ---------------------------------------------------------------------------
+
+
+def test_lm_gibberish_scores_above_reference_like(spark):
+    """The whole point of the CCNet filter: a doc made of reference-corpus
+    words must get a LOWER avg NLL than a doc of never-seen tokens."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en") for i in range(4)],
+        ["doc_id", "text", "lang"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat", "en"),
+            (101, "zxqv bnmtr qqqp wvxzk lkjh pmnb", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["id"]: r["avg_nll_q"]
+        for r in lm_unigram_nll(docs, ref, "doc_id", "text", "lang").collect()
+    }
+    assert out[100] < out[101]
+    # every in-vocab token of doc 100 has cnt=4 (4 ref copies), smoothing +1,
+    # T = 4 docs * 6 tokens = 24, V = 5 distinct words. 'the' appears twice
+    # per doc: cnt=8. NLL per token = -ln((cnt+1)/29), quantized.
+    import math
+
+    expect = sum(
+        int(-math.log((c + 1) / 29.0) * Q // 1)
+        for c in [8, 4, 4, 4, 8, 4]  # the cat sat on the mat
+    ) // 6
+    assert out[100] == expect
+
+
+def test_lm_oov_gets_smoothed_floor_probability(spark):
+    """Out-of-vocabulary tokens must be scored at 1/(T+V), not dropped:
+    the all-OOV doc's avg equals exactly floor(-ln(1/(T+V))*Q)."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(0, "a b c", "en")], ["doc_id", "text", "lang"]
+    )  # T=3, V=3
+    docs = spark.createDataFrame(
+        [(1, "zz yy", "en")], ["doc_id", "text", "lang"]
+    )
+    row = lm_unigram_nll(docs, ref, "doc_id", "text", "lang").collect()[0]
+    per_tok = math.floor(-math.log(1.0 / 6.0) * Q)
+    assert row["n_tokens"] == 2
+    assert row["nll_q"] == 2 * per_tok
+    assert row["avg_nll_q"] == per_tok
+
+
+def test_ccnet_buckets_cover_and_order(spark):
+    """head/middle/tail partition the corpus per language; every head doc
+    scores <= every middle doc <= every tail doc within its language."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    nll = lm_unigram_nll(docs, ref, "doc_id", "text", "lang")
+    rows = ccnet_buckets(nll).collect()
+    assert len(rows) == docs.count()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((order[r["bucket"]], r["avg_nll_q"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores), lang  # bucket order == score order
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot semantics
+# ---------------------------------------------------------------------------
+
+
+def test_latest_snapshot_revisit_counting(spark):
+    """Handcrafted crawl log: url A fetched 4x with content A1,A1,A2,A2
+    (2 changes, latest=A2); url B fetched once. Same-ts ties broken by id."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, s)
+    df = spark.createDataFrame(
+        [
+            ("a", t(1), "A1", 1),
+            ("a", t(2), "A1", 2),
+            ("a", t(3), "A2", 3),
+            ("a", t(4), "A2", 4),
+            ("b", t(1), "B1", 5),
+            # same-timestamp tie on c: id 7 wins latest
+            ("c", t(1), "C1", 6),
+            ("c", t(1), "C2", 7),
+        ],
+        ["url", "ts", "body", "fetch_id"],
+    )
+    out = {
+        r["url"]: r
+        for r in latest_snapshot(
+            df, "url", "ts", F.md5("body"), "fetch_id"
+        ).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out["a"]["n_crawls"] == 4
+    assert out["a"]["n_changes"] == 2
+    assert out["a"]["latest_digest"] == md5("A2")
+    assert out["b"]["n_crawls"] == 1 and out["b"]["n_changes"] == 1
+    assert out["c"]["latest_digest"] == md5("C2")
+    assert out["c"]["n_changes"] == 2  # C1 -> C2 changed
+
+
+# ---------------------------------------------------------------------------
+# plan pins (the 100 TB shape)
+# ---------------------------------------------------------------------------
+
+
+def test_latest_snapshot_single_shuffle(spark):
+    """Both windows and the final aggregate must ride ONE hash Exchange on
+    the url key — a second corpus shuffle doubles the consolidation cost."""
+    from ocr_service_spark.catalog import CATALOG
+
+    plan = _plan(CATALOG["crawl_latest_snapshot"][0](spark, SF_DIR))
+    nodes = plan.split("\n\n")[0].splitlines()
+    assert sum("Exchange" in l for l in nodes) == 1, plan
+
+
+def test_ccnet_buckets_broadcast_thresholds(spark):
+    """The per-language threshold table (n_langs rows) must broadcast —
+    re-shuffling the corpus against a 5-row table is the classic miss."""
+    from ocr_service_spark.catalog import CATALOG
+
+    plan = _plan(CATALOG["ccnet_quality_buckets"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
