@@ -125,6 +125,8 @@ HEADLINE = [
     "lm_unigram_nll",          # CCNet-style LM quality scoring
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
+    "host_pagerank",           # fixed-point host-authority iterations
+    "extract_outlinks",        # link+anchor extraction (Arrow map pass)
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

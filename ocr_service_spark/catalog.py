@@ -3324,6 +3324,79 @@ FROM m GROUP BY user_id
 """
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-authority PageRank (operators/graph.py): a 20-node host link
+    graph derived deterministically from events (src = user_id % 20,
+    dst = floor(value) % 20), 10 fixed-point iterations. All arithmetic is
+    64-bit integer (Q = 10^6), so the unrolled DuckDB recurrence matches
+    bit-for-bit — an ITERATIVE operator with a full value-hash oracle."""
+    from .operators.graph import pagerank
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 20).alias("src"),
+        (F.floor("value").cast("long") % 20).alias("dst"),
+    )
+    return pagerank(edges, iters=10)
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled fixed-point PageRank recurrence (recursive CTEs cannot
+    aggregate in the recursive term, so each round is its own CTE)."""
+    parts = [
+        """WITH edges AS (
+  SELECT DISTINCT user_id % 20 AS src, CAST(FLOOR(value) AS BIGINT) % 20 AS dst
+  FROM events WHERE value IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT n.node,
+         CAST(150000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.score // d.outdeg) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(f"\nSELECT node, score FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+def q_extract_outlinks(spark, sf_dir):
+    """Outlink + anchor extraction (operators/links.py; one Arrow-batched
+    mapInPandas pass, spec = core/links.py) over synthetic article pages —
+    the same nav/ads/footer template the boilerplate entries use, 6
+    template links per page resolved against per-doc urls. Rows-only BY
+    NECESSITY — HTML parsing has no DuckDB twin and the pages table is
+    Spark-generated; byte-identity vs the pure-Python spec and the
+    pages → host-edges → pagerank composition are pinned in
+    tests/test_links.py."""
+    from .operators.links import extract_outlinks
+    from .sources.synth import article_html
+
+    @F.pandas_udf("binary")
+    def _article(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [article_html(int(i), t or "") for i, t in zip(doc_id, text)]
+        )
+
+    pages = load(spark, sf_dir, "documents").select(
+        F.format_string("https://articles.example/%012d", "doc_id").alias("url"),
+        _article("doc_id", "text").alias("html"),
+    )
+    return extract_outlinks(pages)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3423,6 +3496,10 @@ CATALOG: Dict[str, tuple] = {
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_BUCKETS),
     # crawl-snapshot consolidation (operators/snapshots.py)
     "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),
+    # host-authority PageRank (operators/graph.py)
+    "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
+    # outlink/anchor extraction (operators/links.py; spec core/links.py)
+    "extract_outlinks": (q_extract_outlinks, None),
 }
 
 

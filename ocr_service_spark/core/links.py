@@ -1,0 +1,94 @@
+"""Outlink + anchor-text extraction spec (pure Python, stdlib only).
+
+The link graph is the other half of a web corpus: outlinks feed host-level
+authority ranking (operators/graph.py pagerank), anchor text is a classic
+relevance/label signal, and link density per page is a boilerplate cue.
+This module is the byte-identity SPEC — the Spark operator
+(operators/links.py) imports these same functions, the pytest oracle calls
+them directly, so distributed output equals the spec by construction (the
+same convention as core/document.py for the extraction pipeline).
+
+Implementation is a single-pass regex tokenizer, NOT html.parser:
+the stdlib parser goes QUADRATIC on unterminated start tags (measured
+0.34s/244KB → 22.5s/1.9MB on `'x'*997 + '<a '` repeats — a hostile-page
+DoS on a per-document UDF), while one finditer over
+anchor-start / anchor-end / comment / script tokens is O(n) by
+construction. Same convention as the fast item scanner (X11).
+
+Anchor semantics follow HTML5 practice: any new <a> implicitly closes an
+open anchor (anchors never nest); an anchor still open at EOF is flushed.
+Anchor text is the raw segment with tags/comments stripped,
+entity-decoded, whitespace-collapsed; hrefs are entity-decoded (matching
+html.parser's convert_charrefs). <a> tags inside comments/script/style
+are ignored, as a DOM parser would.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import List, Optional, Tuple
+from urllib.parse import urldefrag, urljoin
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+# one linear pass: comments and script/style blocks consume their span so
+# anchors inside them never open; <a ...> tolerates a missing '>' at EOF
+_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<script\b.*?(?:</script\s*>|$)"
+    r"|<style\b.*?(?:</style\s*>|$)"
+    r"|<a\b([^>]*)(?:>|$)"
+    r"|</a\s*>"
+)
+_HREF_RE = re.compile(r"""(?is)\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+# comment alternative first so '>' inside comments doesn't split them
+_STRIP_RE = re.compile(r"(?s)<!--.*?(?:-->|$)|<[^>]*>")
+
+
+def extract_links(html: str) -> List[Tuple[str, str]]:
+    """All (raw_href, anchor_text) pairs in document order."""
+    links: List[Tuple[str, str]] = []
+    open_href: Optional[str] = None
+    anchor_start = 0
+
+    def finish(end: int) -> None:
+        nonlocal open_href
+        raw = html[anchor_start:end]
+        anchor = " ".join(_html.unescape(_STRIP_RE.sub(" ", raw)).split())
+        links.append((open_href, anchor))
+        open_href = None
+
+    for m in _TOKEN_RE.finditer(html):
+        tok = m.group(0)
+        if m.group(1) is not None:  # <a ...> start tag (attrs may be empty)
+            if open_href is not None:
+                finish(m.start())
+            hm = _HREF_RE.search(m.group(1))
+            if hm is not None:
+                open_href = _html.unescape(
+                    hm.group(1) or hm.group(2) or hm.group(3) or ""
+                )
+                anchor_start = m.end()
+        elif tok.startswith("</") and open_href is not None:
+            finish(m.start())
+        # comments / script / style: span consumed, no state change
+    if open_href is not None:
+        finish(len(html))
+    return links
+
+
+def resolve_outlink(base_url: str, href: str) -> Optional[str]:
+    """Absolute, fragment-free target url — or None for non-navigational
+    hrefs (empty, fragment-only, javascript:/mailto:/tel:/data:)."""
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    if href.lower().startswith(_SKIP_SCHEMES):
+        return None
+    try:
+        absolute = urljoin(base_url, href)
+    except ValueError:
+        return None
+    url, _frag = urldefrag(absolute)
+    return url or None

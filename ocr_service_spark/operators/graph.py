@@ -1,0 +1,88 @@
+"""Host-graph authority ranking: integer-quantized PageRank.
+
+Web-curation pipelines weight documents by the authority of their host
+(link-graph PageRank is the classic signal — low-authority link farms get
+demoted even when their text passes quality gates). At 10^9 hosts the
+computation is iterative join+aggregate; this module keeps it exact across
+engines by doing ALL arithmetic in 64-bit fixed point (Q = 10^6):
+
+    score_0(n)   = Q                      (unnormalized uniform start)
+    contrib(d)   = Σ_{(s,d) ∈ E} score_i(s) div outdeg(s)
+    score_{i+1}  = (Q - Q·d_num div d_den) + d_num·contrib div d_den
+
+Integer division everywhere — no float accumulation order to disagree on,
+so a DuckDB twin that unrolls the same recurrence matches bit-for-bit.
+Dangling-node mass (hosts with no out-links) is dropped, the standard
+simplification; scores are therefore relative ranks, not a distribution.
+
+Scale shape per iteration: one shuffle join of scores against the
+(src-keyed) edge list and one hash aggregate keyed by dst. In-degree hubs
+(every crawl's power-law reality) are absorbed by map-side partial sums;
+out-degree hubs are fact-side join skew, AQE's skew-split case.
+`localCheckpoint` after every round truncates lineage — without it the
+plan doubles per iteration and the driver, not the data, becomes the
+bottleneck (same fix as operators/dedup.py connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_Q = 1_000_000  # fixed-point scale
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    Returns (node, score) for every node appearing as src or dst; score is
+    the Q-scaled fixed-point rank after `iters` rounds. Duplicate edges
+    are collapsed first so out-degree (and thus the recurrence) is
+    well-defined regardless of upstream multiplicity.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static per-run relation: materialize once, reused every round
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+
+    base = PR_Q - PR_Q * damping_num // damping_den
+    scores = nodes.withColumn("score", F.lit(PR_Q).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(scores, e_deg["src"] == scores["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_num} * coalesce(contrib, 0L) div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

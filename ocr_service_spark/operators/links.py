@@ -1,0 +1,66 @@
+"""Outlink extraction + host-graph assembly (the link half of the corpus).
+
+pages(url, html) → one row per navigational outlink, then host-level
+edges that feed operators/graph.py pagerank. Same execution shape as the
+flagship extraction (operators/extract.py): ONE Arrow-batched mapInPandas
+pass, scan pruned to (url, html), zero shuffles for the per-page work; the
+UDF body is the pure-Python spec in core/links.py, so distributed output
+is byte-identical to the pytest oracle by construction.
+
+host_edges() then derives the (src_host, dst_host) graph with the SAME
+host regex the domain operators share (operators/domains.py url_host), so
+authority scores join back onto domain-reputation features without a
+normalization seam. Self-loops (intra-site navigation — the vast majority
+of links on real pages) are dropped before ranking.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.links import extract_links, resolve_outlink
+from .domains import url_host
+
+OUTLINK_SCHEMA = "url string, href string, anchor string"
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, href, anchor) rows, href absolute and
+    fragment-free; non-navigational hrefs (#, javascript:, mailto:, ...)
+    are dropped in the UDF, before anything is shuffled or materialized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hrefs, anchors = [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for raw, anchor in extract_links(html):
+                    target = resolve_outlink(url, raw)
+                    if target is None:
+                        continue
+                    urls.append(url)
+                    hrefs.append(target)
+                    anchors.append(anchor)
+            yield pd.DataFrame({"url": urls, "href": hrefs, "anchor": anchors})
+
+    return pages.select("url", "html").mapInPandas(run, OUTLINK_SCHEMA)
+
+
+def host_edges(outlinks: DataFrame) -> DataFrame:
+    """(url, href) rows → distinct cross-host (src, dst) edges, ready for
+    pagerank(). JVM-side regex projections + one distinct — no Python."""
+    return (
+        outlinks.select(
+            url_host(F.col("url")).alias("src"),
+            url_host(F.col("href")).alias("dst"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -1,0 +1,61 @@
+"""Integer-quantized PageRank (operators/graph.py): rank semantics on
+handcrafted graphs plus the fixed-point recurrence's exact values. DuckDB
+parity for the catalog entry runs in test_driver_contract.py."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.graph import PR_Q, pagerank
+
+
+def _scores(spark, edges, iters=10):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["score"] for r in pagerank(df, iters=iters).collect()}
+
+
+def test_hub_outranks_leaves(spark):
+    """Star graph: every leaf links to the hub — the hub must outrank all
+    leaves, and the leaves (symmetric) must tie exactly. The 0<->1 2-cycle
+    makes power iteration oscillate around the fixed point with amplitude
+    ~0.85^k, so enough rounds must run for the ranking to be the converged
+    one (40 rounds: residual ~0.2% of Q, far under the 14% rank gap)."""
+    s = _scores(spark, [(1, 0), (2, 0), (3, 0), (0, 1)], iters=40)
+    assert s[0] > s[1]
+    assert s[2] == s[3]  # both dangling leaves, identical by symmetry
+
+
+def test_cycle_is_uniform_and_exact(spark):
+    """A directed cycle is symmetric: every node keeps exactly the initial
+    fixed-point mass through every round (base + 85% of Q div 1)."""
+    s = _scores(spark, [(0, 1), (1, 2), (2, 0)])
+    assert len(set(s.values())) == 1
+    # closed-form: score stays at the fixed point Q of s = 150000 + 85*s//100
+    expect = PR_Q
+    for _ in range(10):
+        expect = 150000 + 85 * expect // 100
+    assert s[0] == expect
+
+
+def test_two_iter_chain_matches_hand_recurrence(spark):
+    """1 -> 2 chain, 2 rounds, computed by hand with the integer
+    recurrence — pins div/truncation semantics against drift."""
+    s = _scores(spark, [(1, 2)], iters=2)
+    # outdeg(1)=1. round1: s1 = 150000, s2 = 150000 + 85*1000000//100
+    # round2: s2 = 150000 + 85*150000//100
+    assert s[1] == 150000
+    assert s[2] == 150000 + 85 * 150000 // 100
+
+
+def test_duplicate_edges_collapse(spark):
+    """Multi-edges must not double-count: (1,2) twice == once."""
+    a = _scores(spark, [(1, 2), (1, 2)], iters=3)
+    b = _scores(spark, [(1, 2)], iters=3)
+    assert a == b
+
+
+def test_plan_depth_constant_across_iterations(spark):
+    """localCheckpoint must truncate lineage: the 10-iteration result's
+    plan is one join off a checkpoint, not a 10-deep join tree."""
+    df = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
+    out = pagerank(df, iters=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 1, plan
