@@ -41,7 +41,11 @@ _TOKEN_RE = re.compile(
     r"|<a\b([^>]*)(?:>|$)"
     r"|</a\s*>"
 )
-_HREF_RE = re.compile(r"""(?is)\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+# (?<![\w-]) keeps data-href etc. out; =+ and an empty-able unquoted value
+# match html.parser's tolerant attrfind (href== and href= give value '')
+_HREF_RE = re.compile(
+    r"""(?is)(?<![\w-])href\s*=+\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
+)
 # comment alternative first so '>' inside comments doesn't split them
 _STRIP_RE = re.compile(r"(?s)<!--.*?(?:-->|$)|<[^>]*>")
 

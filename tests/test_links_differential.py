@@ -1,0 +1,105 @@
+"""Differential test: the O(n) link scanner (core/links.py) vs an
+html.parser-based reference on WELL-FORMED markup (same convention as the
+X9/X11 fast scanners — the stdlib implementation is the semantic oracle
+where it behaves, i.e. everywhere except the quadratic hostile cases the
+scanner exists to survive)."""
+
+from html.parser import HTMLParser
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.core.links import extract_links
+
+
+class _RefParser(HTMLParser):
+    """The semantics the scanner must match: anchors never nest (a new <a>
+    implicitly closes an open one), anchor text is whitespace-collapsed,
+    href attr entity-decoded (convert_charrefs)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links, self._href, self._buf = [], None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            if self._href is not None:
+                self._finish()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._href = href
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._href is not None:
+            self._finish()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    def _finish(self):
+        self.links.append((self._href, " ".join("".join(self._buf).split())))
+        self._href, self._buf = None, []
+
+
+def ref_extract(html: str):
+    p = _RefParser()
+    p.feed(html)
+    p.close()
+    if p._href is not None:
+        p._finish()
+    return p.links
+
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters='<>&"\x00'
+    ),
+    max_size=20,
+)
+_href = st.text(
+    alphabet=st.sampled_from("abc/:.?=%-_123"), min_size=0, max_size=15
+)
+
+
+@st.composite
+def _well_formed(draw):
+    """Random well-formed soup: closed anchors (quoted + unquoted hrefs,
+    href-less anchors, entities), inline tags inside anchor text, comments
+    and text between anchors."""
+    parts = []
+    for _ in range(draw(st.integers(0, 8))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(_text))
+        elif kind == 1:
+            parts.append(
+                f'<a href="{draw(_href)}">{draw(_text)}</a>'
+            )
+        elif kind == 2:
+            h = draw(_href.filter(lambda s: s and ">" not in s))
+            parts.append(f"<a href={h}>{draw(_text)} &amp; more</a>")
+        elif kind == 3:
+            parts.append(f"<a name=x>{draw(_text)}</a>")  # no href
+        elif kind == 4:
+            parts.append(
+                f'<a href="{draw(_href)}"><b>{draw(_text)}</b> tail</a>'
+            )
+        else:
+            parts.append(f"<!-- {draw(_text)} -->")
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_well_formed())
+def test_scanner_matches_htmlparser_on_well_formed(doc):
+    assert extract_links(doc) == ref_extract(doc)
+
+
+def test_scanner_matches_on_template_page():
+    from ocr_service_spark.sources.synth import article_html
+
+    html = article_html(7, "alpha beta gamma delta").decode("utf-8")
+    got = extract_links(html)
+    assert got == ref_extract(html)
+    assert len(got) == 6
