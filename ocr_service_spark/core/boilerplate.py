@@ -145,7 +145,11 @@ def segment_blocks(html: str) -> List[Dict]:
     """
     seg = _BlockSegmenter()
     try:
-        seg.feed(html or "")
+        # hostile-input guard: html.parser is quadratic on never-closing
+        # tags; blanking '<'s with no '>' in reach keeps this linear
+        from .html_extract import bound_tag_spans
+
+        seg.feed(bound_tag_spans(html or ""))
         seg.close()
     except Exception:
         # Malformed markup never fails the document (errors-as-data repo

@@ -32,6 +32,43 @@ _SKIP_CONTAINERS = {"script", "style"}
 _RE_WS = re.compile(r"\s+")
 
 
+def bound_tag_spans(s: str, window: int = 65536) -> str:
+    """Blank every '<' that has no '>' within `window` chars — a hostile-
+    input guard shared by all stdlib-HTMLParser entry points.
+
+    CPython's html.parser goes QUADRATIC on repeated incomplete start tags
+    (measured ~5s per MB, x4 per x2 size, on `'x'*997 + '<a '` repeats —
+    a per-document DoS inside an Arrow UDF at crawl scale). A '<' with no
+    '>' for 64KB can never close as a real tag (even data-URI attribute
+    monsters close far sooner), so it is data, and blanking it keeps the
+    parser linear. Single O(n) pass: both cursors only move forward;
+    returns the original string (no copy) for every well-formed page."""
+    i = s.find("<")
+    if i < 0:
+        return s
+    n = len(s)
+    next_gt = s.find(">", i)
+    out: List[str] = []
+    last = 0
+    while i >= 0:
+        # only markup-opening '<' (alpha / ! / / / ?) can enter the
+        # parser's tag machinery; a bare '<' is emitted as data verbatim
+        # and costs nothing — leave it byte-identical
+        nxt = s[i + 1] if i + 1 < n else ""
+        if nxt.isalpha() or nxt in "!/?":
+            if 0 <= next_gt < i:
+                next_gt = s.find(">", i)
+            if next_gt < 0 or next_gt - i > window:
+                out.append(s[last:i])
+                out.append(" ")
+                last = i + 1
+        i = s.find("<", i + 1)
+    if not out:
+        return s
+    out.append(s[last:])
+    return "".join(out)
+
+
 class _TextFlattener(HTMLParser):
     """Collects stripped non-empty text nodes, skipping script/style bodies
     and comments; entity references resolved (convert_charrefs=True)."""
@@ -61,10 +98,11 @@ def flatten_html_parser(html: str) -> str:
     """Reference implementation of the X9 flatten via stdlib HTMLParser —
     the semantic spec that `flatten_html` (the fast scanner) must match;
     kept as the delegation target for exotic markup and as the differential
-    oracle in tests."""
+    oracle in tests. Input goes through bound_tag_spans first so hostile
+    never-closing tags cannot trigger html.parser's quadratic path."""
     p = _TextFlattener()
     try:
-        p.feed(html or "")
+        p.feed(bound_tag_spans(html or ""))
         p.close()
     except Exception:
         # malformed markup never fails the document; fall back to tag-strip
@@ -86,6 +124,11 @@ _CDATA_CLOSE = {
     "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
 _ENDTAG_NAME = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+# any construct whose closing token sits further than this is hostile —
+# the scanner delegates and bound_tag_spans() makes the parser linear on
+# it; both paths therefore agree by construction (see bound_tag_spans)
+_TAG_WINDOW = 65536
 
 
 def flatten_html(html: str) -> str:
@@ -124,24 +167,24 @@ def flatten_html(html: str) -> str:
         if c == "!":
             if s.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                if end < 0:
-                    return flatten_html_parser(html)  # unterminated comment
+                if end < 0 or end - lt > _TAG_WINDOW:
+                    return flatten_html_parser(html)  # unterminated/hostile
                 i = end + 3
             elif s.startswith("<![", lt):
                 return flatten_html_parser(html)  # marked section — delegate
             else:
                 end = find(">", j)
-                if end < 0:
+                if end < 0 or end - lt > _TAG_WINDOW:
                     return flatten_html_parser(html)
                 i = end + 1
         elif c == "?":
             end = find(">", j)
-            if end < 0:
+            if end < 0 or end - lt > _TAG_WINDOW:
                 return flatten_html_parser(html)
             i = end + 1
         elif c == "/":
             end = find(">", j)
-            if end < 0:
+            if end < 0 or end - lt > _TAG_WINDOW:
                 return flatten_html_parser(html)
             i = end + 1
         elif c.isalpha():
@@ -149,8 +192,8 @@ def flatten_html(html: str) -> str:
             # quoted attribute values, so with no quote before the next '>'
             # that '>' closes the tag — no regex needed.
             gtpos = find(">", j)
-            if gtpos < 0:
-                return flatten_html_parser(html)  # unterminated start tag
+            if gtpos < 0 or gtpos - lt > _TAG_WINDOW:
+                return flatten_html_parser(html)  # unterminated/hostile tag
             head = s[j:gtpos]
             if '"' not in head and "'" not in head:
                 i = gtpos + 1

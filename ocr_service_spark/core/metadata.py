@@ -85,7 +85,11 @@ def page_metadata(html: str) -> Dict[str, Optional[str]]:
     raises — whatever parsed before the failure is returned."""
     p = _MetaCollector()
     try:
-        p.feed(html or "")
+        # hostile-input guard: html.parser is quadratic on never-closing
+        # tags; blanking '<'s with no '>' in reach keeps this linear
+        from .html_extract import bound_tag_spans
+
+        p.feed(bound_tag_spans(html or ""))
         p.close()
     except Exception:
         pass

@@ -130,3 +130,43 @@ class TestFlattenDifferential:
         assert len(corpus) > 800
         for s in corpus:
             assert hx.flatten_html(s) == hx.flatten_html_parser(s), repr(s[:120])
+
+
+class TestHostileMarkupLinear:
+    """html.parser is quadratic on repeated never-closing start tags
+    (measured 22s on 2MB) — bound_tag_spans must keep every stdlib-parser
+    entry point linear without changing well-formed output."""
+
+    BLOB = ("x" * 997 + "<a ") * 2000  # ~2MB, no '>' anywhere
+
+    def _under(self, fn, budget=2.0):
+        import time
+
+        t0 = time.monotonic()
+        fn(self.BLOB)
+        assert time.monotonic() - t0 < budget
+
+    def test_flatten_linear(self):
+        self._under(hx.flatten_html)
+
+    def test_metadata_linear(self):
+        from ocr_service_spark.core.metadata import page_metadata
+
+        self._under(page_metadata)
+
+    def test_boilerplate_linear(self):
+        from ocr_service_spark.core.boilerplate import main_content
+
+        self._under(main_content)
+
+    def test_bound_tag_spans_identity_on_well_formed(self):
+        from ocr_service_spark.sources.synth import gen_page
+
+        for i in range(50):
+            d = gen_page(i)["html"].decode("utf-8")
+            assert hx.bound_tag_spans(d) is d  # untouched, zero-copy
+
+    def test_bound_tag_spans_keeps_bare_lt(self):
+        # bare '<' is data to html.parser and must stay byte-identical
+        s = "a < b and 1<2 <3"
+        assert hx.bound_tag_spans(s) == s
