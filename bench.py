@@ -127,6 +127,7 @@ HEADLINE = [
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "host_pagerank",           # fixed-point host-authority iterations
     "extract_outlinks",        # link+anchor extraction (Arrow map pass)
+    "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -1764,8 +1764,22 @@ _META_TEMPLATE = (
     '<meta property="og:title" content="Report %d">'
     '<meta property="og:description" content="%s">'
     '<meta property="article:published_time" content="2026-01-%02dT00:00:00Z">'
+    '<meta name="robots" content="%s">'
     '<link rel="canonical" href="https://docs.example/%012d">'
     "</head><body><p>%s</p></body></html>"
+)
+
+# planted crawl-compliance rule: every 4th page opts out of indexing
+# (a function: Column construction needs an active SparkContext)
+def _robots_value():
+    return F.when(
+        F.col("doc_id") % 4 == 0, F.lit("noindex,nofollow")
+    ).otherwise(F.lit("index,follow"))
+
+
+_SQL_ROBOTS_VALUE = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'noindex,nofollow' "
+    "ELSE 'index,follow' END"
 )
 
 
@@ -1787,6 +1801,7 @@ def q_page_metadata(spark, sf_dir):
         F.col("doc_id"),
         F.substring("text", 1, 40),
         F.col("doc_id") % 27 + 1,
+        _robots_value(),
         F.col("doc_id"),
         F.col("text"),
     )
@@ -1806,10 +1821,11 @@ WITH p AS (
            || '<meta property="og:title" content="Report %d">'
            || '<meta property="og:description" content="%s">'
            || '<meta property="article:published_time" content="2026-01-%02dT00:00:00Z">'
+           || '<meta name="robots" content="%s">'
            || '<link rel="canonical" href="https://docs.example/%012d">'
            || '</head><body><p>%s</p></body></html>',
            lang, doc_id, substr(text, 1, 60), doc_id, substr(text, 1, 40),
-           doc_id % 27 + 1, doc_id, text) AS html
+           doc_id % 27 + 1, {robots}, doc_id, text) AS html
   FROM documents
 )
 SELECT url,
@@ -1821,8 +1837,48 @@ SELECT url,
     AS og_description,
   regexp_extract(html, 'property="article:published_time" content="([^"]*)"', 1)
     AS published_time,
-  regexp_extract(html, '<html lang="([^"]*)"', 1) AS lang
+  regexp_extract(html, '<html lang="([^"]*)"', 1) AS lang,
+  regexp_extract(html, 'name="robots" content="([^"]*)"', 1) AS robots
 FROM p
+""".format(robots=_SQL_ROBOTS_VALUE)
+
+
+def q_robots_noindex_filter(spark, sf_dir):
+    """Crawl-compliance gate: pages whose <meta name=robots> opts out of
+    indexing (noindex) are excluded from the corpus BEFORE extraction. The
+    decision comes from actually PARSING the page (core/metadata.py); the
+    oracle recomputes the kept set from the planted doc_id rule, so any
+    parser miss on the robots field fails the value-hash gate end-to-end
+    (same planted-variant pattern as url_spam_filter)."""
+    from .operators.metadata import extract_page_metadata
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    html = F.format_string(
+        _META_TEMPLATE,
+        F.col("lang"),
+        F.col("doc_id"),
+        F.substring("text", 1, 60),
+        F.col("doc_id"),
+        F.substring("text", 1, 40),
+        F.col("doc_id") % 27 + 1,
+        _robots_value(),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    pages = d.select(
+        F.format_string("https://docs.example/%012d", "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    meta = extract_page_metadata(pages)
+    return meta.filter(~F.col("robots").contains("noindex")).select(
+        "url", "robots"
+    )
+
+
+SQL_ROBOTS_FILTER = """
+SELECT printf('https://docs.example/%012d', doc_id) AS url,
+       'index,follow' AS robots
+FROM documents WHERE doc_id % 4 <> 0
 """
 
 
@@ -3500,6 +3556,8 @@ CATALOG: Dict[str, tuple] = {
     "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),
+    # robots/noindex crawl-compliance gate (core/metadata.py robots field)
+    "robots_noindex_filter": (q_robots_noindex_filter, SQL_ROBOTS_FILTER),
 }
 
 

@@ -30,6 +30,7 @@ FIELDS = (
     "og_description",
     "published_time",
     "lang",
+    "robots",
 )
 
 _META_KEYS = {
@@ -37,6 +38,7 @@ _META_KEYS = {
     "og:title": "og_title",
     "og:description": "og_description",
     "article:published_time": "published_time",
+    "robots": "robots",
 }
 
 
