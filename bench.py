@@ -128,6 +128,8 @@ HEADLINE = [
     "host_pagerank",           # fixed-point host-authority iterations
     "extract_outlinks",        # link+anchor extraction (Arrow map pass)
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)
+    "host_link_graph",         # planted-rule end-to-end link graph
+    "lang_mismatch_gate",      # declared-vs-detected language gate
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -1882,6 +1882,136 @@ FROM documents WHERE doc_id % 4 <> 0
 """
 
 
+def q_host_link_graph(spark, sf_dir):
+    """The link path END-TO-END under the value-hash gate: pages carry
+    planted cross-host citation links (every doc cites host{doc_id % 7}
+    twice and host{doc_id % 3} once, plus same-host template nav links),
+    the REAL parser chain runs (core/links.py scan → href resolution →
+    operators/links.py host_edges → edge aggregation), and the oracle
+    recomputes the weighted host graph from the planting rule alone — any
+    scanner/resolution/host-parse miss breaks the hash."""
+    from .operators.domains import url_host
+    from .operators.links import extract_outlinks
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    html = F.format_string(
+        '<html><body><nav><a href=/home>Home</a></nav>'
+        '<p>see <a href="https://host%d.example/ref/%d">primary source</a>'
+        ' and <a href="https://host%d.example/alt/%d#sec">appendix</a>,'
+        ' also <a href="https://host%d.example/x?q=%d">related</a>.</p>'
+        "</body></html>",
+        F.col("doc_id") % 7,
+        F.col("doc_id"),
+        F.col("doc_id") % 7,
+        F.col("doc_id"),
+        F.col("doc_id") % 3,
+        F.col("doc_id"),
+    )
+    pages = d.select(
+        F.format_string("https://src%d.example/%012d", F.col("doc_id") % 5,
+                        F.col("doc_id")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    links = extract_outlinks(pages)
+    return (
+        links.select(
+            url_host(F.col("url")).alias("src"),
+            url_host(F.col("href")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+SQL_HOST_LINK_GRAPH = """
+WITH planted AS (
+  SELECT printf('src%d.example', doc_id % 5) AS src,
+         printf('host%d.example', doc_id % 7) AS dst, 2 AS w
+  FROM documents
+  UNION ALL
+  SELECT printf('src%d.example', doc_id % 5),
+         printf('host%d.example', doc_id % 3), 1
+  FROM documents
+)
+SELECT src, dst, CAST(SUM(w) AS BIGINT) AS n_links
+FROM planted GROUP BY src, dst
+"""
+
+
+def q_lang_mismatch_gate(spark, sf_dir):
+    """Declared-vs-detected language gate: every 5th page declares a bogus
+    <html lang=zz> (mislabeled pages are a classic crawl-quality failure);
+    the declared side comes from PARSING the page (core/metadata.py), the
+    detected side from the lang_id marker heuristic on the text, and a
+    page is flagged when they disagree. Oracle recomputes declared from
+    the planting rule and detected from lang_id's CASE-chain twin."""
+    from .operators import textstats as ts
+    from .operators.metadata import extract_page_metadata
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    declared = F.when(F.col("doc_id") % 5 == 0, F.lit("zz")).otherwise(
+        F.col("lang")
+    )
+    html = F.format_string(
+        _META_TEMPLATE,
+        declared,
+        F.col("doc_id"),
+        F.substring("text", 1, 60),
+        F.col("doc_id"),
+        F.substring("text", 1, 40),
+        F.col("doc_id") % 27 + 1,
+        _robots_value(),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    url = F.format_string("https://docs.example/%012d", "doc_id")
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    meta = extract_page_metadata(pages).select(
+        "url", F.col("lang").alias("declared_lang")
+    )
+    detected = d.select(
+        url.alias("url"), ts.lang_id(F.col("text")).alias("detected_lang")
+    )
+    return meta.join(detected, "url").select(
+        "url",
+        "declared_lang",
+        "detected_lang",
+        (F.col("declared_lang") != F.col("detected_lang")).alias("mismatch"),
+    )
+
+
+SQL_LANG_MISMATCH = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'zz' ELSE lang END AS declared_lang,
+         ' ' || lower(text) || ' ' AS p
+  FROM documents
+), sc AS (
+  SELECT doc_id, declared_lang,
+    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS en,
+    (CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% para %' THEN 1 ELSE 0 END) AS pt,
+    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
+     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS es
+  FROM s
+)
+SELECT printf('https://docs.example/%012d', doc_id) AS url,
+       declared_lang,
+       CASE WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+            WHEN pt >= es AND pt > 0 THEN 'pt'
+            WHEN es > 0 THEN 'es' ELSE 'und' END AS detected_lang,
+       declared_lang <> (CASE WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+            WHEN pt >= es AND pt > 0 THEN 'pt'
+            WHEN es > 0 THEN 'es' ELSE 'und' END) AS mismatch
+FROM sc
+"""
+
+
 # jusText classification twin constants, tuned to the synthetic documents
 # vocabulary (word-soup: 'the'/'a' are its function words; ~4.6 chars/word →
 # a full 20-word block is ~110 chars). The SHAPE is jusText's: length gate →
@@ -3558,6 +3688,10 @@ CATALOG: Dict[str, tuple] = {
     "extract_outlinks": (q_extract_outlinks, None),
     # robots/noindex crawl-compliance gate (core/metadata.py robots field)
     "robots_noindex_filter": (q_robots_noindex_filter, SQL_ROBOTS_FILTER),
+    # planted-rule end-to-end link graph (core/links.py -> host edges)
+    "host_link_graph": (q_host_link_graph, SQL_HOST_LINK_GRAPH),
+    # declared-vs-detected language gate (metadata parse x lang_id)
+    "lang_mismatch_gate": (q_lang_mismatch_gate, SQL_LANG_MISMATCH),
 }
 
 
