@@ -1,0 +1,110 @@
+"""Streaming crawl-change monitor: the unbounded twin of
+operators/snapshots.latest_snapshot (CDX/WARC-revisit consolidation).
+
+A recurring crawl delivers fetches continuously; the batch operator's
+question — "did this fetch change the page, and what is the current
+content?" — becomes per-url state in the engine: one
+(last_ts, latest_digest, n_crawls, n_changes) record per url in the state
+store. Each arriving fetch increments the crawl count; a fetch whose
+digest differs from the stored latest CONTENT EMITS a change event
+(append mode — revisits emit nothing, which is the point: downstream
+extraction subscribes to changes only and skips the ~90% revisit traffic).
+
+Ordering rules mirror the batch operator and the sessionizer's
+monotonic-state convention: fetches are processed in ts order within each
+micro-batch, and a cross-batch late arrival (older than the stored
+last_ts) counts as a crawl but can neither become "latest" nor emit a
+change — state only extends forward in event time.
+
+State lives per url with no timeout: a crawl index IS persistent state
+(the batch CDX table plays the same role); bound it operationally by
+sharding the url universe, not by TTL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+CHANGE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("digest", StringType()),
+    StructField("n_crawls", LongType()),
+    StructField("change_seq", LongType()),
+])
+
+CRAWL_STATE_SCHEMA = StructType([
+    StructField("last_ts", TimestampType()),
+    StructField("latest_digest", StringType()),
+    StructField("n_crawls", LongType()),
+    StructField("n_changes", LongType()),
+])
+
+
+def _change_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (url,) = key
+    last_ts, latest, n_crawls, n_changes = None, None, 0, 0
+    if state.exists:
+        last_ts, latest, n_crawls, n_changes = state.get
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, dg in zip(pdf["ts"], pdf["digest"]):
+            n_crawls += 1
+            if last_ts is not None and ts < last_ts:
+                continue  # late arrival: counted, never "latest"
+            if dg != latest:
+                n_changes += 1
+                out.append((url, ts, dg, n_crawls, n_changes))
+            last_ts, latest = ts, dg
+    state.update((last_ts, latest, n_crawls, n_changes))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["url", "ts", "digest", "n_crawls", "change_seq"]
+        )
+
+
+def crawl_changes_stream(
+    fetches: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """fetches(url, ts, digest) stream → change events (CHANGE_SCHEMA).
+    Append mode: one row per content CHANGE, revisits are absorbed."""
+    return (
+        fetches.withWatermark("ts", watermark)
+        .groupBy("url")
+        .applyInPandasWithState(
+            _change_fn,
+            outputStructType=CHANGE_SCHEMA,
+            stateStructType=CRAWL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_crawl_change_stream(
+    spark, source_path: str, sink_path: str, checkpoint_path: str, schema,
+    watermark: str = "10 minutes",
+) -> None:
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        crawl_changes_stream(
+            stream.select("url", "ts", "digest"), watermark
+        )
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

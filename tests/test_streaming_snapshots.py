@@ -1,0 +1,98 @@
+"""Streaming crawl-change monitor (streaming/snapshots.py): change events
+across micro-batches, revisit absorption, late-arrival rules, and final
+state agreeing with the batch operator (batch-plan-as-oracle, the module's
+standard convention)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from ocr_service_spark.streaming.snapshots import run_crawl_change_stream
+
+
+@pytest.fixture()
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawlstream")
+    return str(root / "src"), str(root / "sink"), str(root / "ckpt")
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, "url string, ts string, digest string").select(
+        "url", F.col("ts").cast("timestamp").alias("ts"), "digest"
+    ).write.mode("append").parquet(src)
+
+
+def test_changes_emitted_revisits_absorbed_batch_parity(spark, paths):
+    src, sink, ckpt = paths
+    # batch 1: page a fetched twice same content, page b once
+    _write(spark, src, [
+        ("a", "2025-12-11 10:00:00", "A1"),
+        ("a", "2025-12-11 11:00:00", "A1"),
+        ("b", "2025-12-11 10:30:00", "B1"),
+    ])
+    schema = spark.read.parquet(src).schema
+    run_crawl_change_stream(spark, src, sink, ckpt, schema)
+    out = spark.read.parquet(sink)
+    assert out.count() == 2  # first fetch of a and b; the revisit silent
+    assert out.filter("url = 'a'").count() == 1
+
+    # batch 2: a changes content; b revisits unchanged
+    _write(spark, src, [
+        ("a", "2025-12-11 12:00:00", "A2"),
+        ("b", "2025-12-11 12:00:00", "B1"),
+    ])
+    run_crawl_change_stream(spark, src, sink, ckpt, schema)
+    out = spark.read.parquet(sink)
+    rows = {(r.url, r.change_seq): r for r in out.collect()}
+    assert out.count() == 3
+    a2 = rows[("a", 2)]
+    assert a2.digest == "A2" and a2.n_crawls == 3
+
+    # batch-plan-as-oracle: final stream state == batch latest_snapshot
+    from ocr_service_spark.operators.snapshots import latest_snapshot
+
+    all_fetches = spark.read.parquet(src).withColumn(
+        "fid", F.monotonically_increasing_id()
+    )
+    batch = {
+        r["url"]: r
+        for r in latest_snapshot(
+            all_fetches, "url", "ts", F.col("digest"), "fid"
+        ).collect()
+    }
+    stream_last = {
+        r["url"]: r
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.col("change_seq").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    for url, b in batch.items():
+        s = stream_last[url]
+        assert s["digest"] == b["latest_digest"], url
+        assert s["change_seq"] == b["n_changes"], url
+
+
+def test_late_arrival_counts_but_never_becomes_latest(spark, paths):
+    src, sink, ckpt = paths
+    _write(spark, src, [("a", "2025-12-11 10:00:00", "A1")])
+    schema = spark.read.parquet(src).schema
+    run_crawl_change_stream(spark, src, sink, ckpt, schema)
+
+    # cross-batch late fetch, older ts, different digest: counted as a
+    # crawl but must not emit a change nor replace the latest digest
+    _write(spark, src, [("a", "2025-12-11 09:00:00", "A0")])
+    run_crawl_change_stream(spark, src, sink, ckpt, schema)
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1 and out[0].digest == "A1"
+
+    # a genuinely new fetch sees the A1 state and n_crawls includes the
+    # late one
+    _write(spark, src, [("a", "2025-12-11 12:00:00", "A2")])
+    run_crawl_change_stream(spark, src, sink, ckpt, schema)
+    rows = {r.change_seq: r for r in spark.read.parquet(sink).collect()}
+    assert rows[2].digest == "A2" and rows[2].n_crawls == 3
