@@ -264,3 +264,20 @@ def test_extraction_pipeline_has_exactly_one_exchange(spark, tmp_path):
     # formatted explain lists each node twice (tree + details): count the
     # tree form "Exchange (n)" only
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_host_link_graph_single_shuffle(spark):
+    """Link extraction is a map pass (mapInPandas + host-regex projection);
+    only the final (src, dst) aggregation may shuffle — one Exchange, with
+    a map-side partial aggregate ahead of it."""
+    plan = formatted_plan(catalog.CATALOG["host_link_graph"][0](spark, SF_DIR))
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_lm_unigram_totals_join_broadcasts(spark):
+    """The per-language totals table (n_langs rows) must broadcast into the
+    scoring join; the unigram table itself must NOT be forced broadcast
+    (it is vocabulary-sized at web scale — the planner may adapt at tiny
+    SF, but the explicit hint only exists on totals)."""
+    plan = formatted_plan(catalog.CATALOG["lm_unigram_nll"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
