@@ -3583,6 +3583,201 @@ def q_extract_outlinks(spark, sf_dir):
     return extract_outlinks(pages)
 
 
+_CLS_BUCKETS = 4096
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (operators/classifier.py): tokens hash into 4096 buckets via the
+    md5-60bit hash, score = sum of broadcast integer bucket weights,
+    gate on the length-normalized score. The planted Knuth-multiplicative
+    weight table stands in for a trained model; the oracle rebuilds the
+    SAME model from range(4096) in pure SQL, so the whole dataflow —
+    hashing, broadcast join, map-side-partial sum, truncating-div
+    normalization, gate — is value-hash checked."""
+    from .operators.classifier import linear_quality_score, planted_weights
+
+    docs = load(spark, sf_dir, "documents")
+    w = planted_weights(spark, _CLS_BUCKETS)
+    out = linear_quality_score(
+        docs, w, "doc_id", "text", _CLS_BUCKETS, threshold_q=0
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "score_q", "avg_score_q", "keep"
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w AS (
+  SELECT range AS bucket,
+         (range * 2654435761) % 2001 - 1000 AS weight_q
+  FROM range({_CLS_BUCKETS})
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tw
+  FROM documents
+),
+tb AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tw), 1, 15))::BIGINT % {_CLS_BUCKETS} AS bucket
+  FROM tok
+),
+s AS (
+  SELECT tb.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(COALESCE(w.weight_q, 0)) AS BIGINT) AS score_q
+  FROM tb LEFT JOIN w USING (bucket)
+  GROUP BY tb.doc_id
+)
+SELECT doc_id, n_tokens, score_q,
+       score_q // n_tokens AS avg_score_q,
+       (score_q // n_tokens) >= 0 AS keep
+FROM s
+"""
+
+
+_DSIR_BUCKETS = 10000
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (operators/lm.py dsir_importance): two
+    hashed-unigram LMs — target = the doc_id % 7 == 0 slice (the same
+    deterministic stand-in for a curated corpus that lm_unigram_nll
+    uses), raw = everything — and per-document integer importance weight
+    sum(nll_raw_q - nll_target_q). Both models are <= 10000 rows
+    (the fixed hashed feature space is DSIR's point) and broadcast; one
+    shuffle end-to-end."""
+    from .operators.lm import dsir_importance
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dsir_importance(docs, target, docs, "doc_id", "text", _DSIR_BUCKETS)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "dsir_q", "avg_dsir_q"
+    )
+
+
+SQL_DSIR = f"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))), 1, 15))::BIGINT
+           % {_DSIR_BUCKETS} AS bucket
+  FROM documents
+),
+tgt AS (
+  SELECT bucket, COUNT(*) AS tc FROM tok WHERE doc_id % 7 = 0 GROUP BY bucket
+),
+raw AS (
+  SELECT bucket, COUNT(*) AS rc FROM tok GROUP BY bucket
+),
+tt AS (SELECT SUM(tc) AS t_tot FROM tgt),
+rt AS (SELECT SUM(rc) AS r_tot FROM raw),
+pt AS (
+  SELECT tok.doc_id,
+         FLOOR(-ln((COALESCE(tgt.tc, 0) + 1) * 1.0 / (tt.t_tot + {_DSIR_BUCKETS})) * 10000) AS nll_t_q,
+         FLOOR(-ln((COALESCE(raw.rc, 0) + 1) * 1.0 / (rt.r_tot + {_DSIR_BUCKETS})) * 10000) AS nll_r_q
+  FROM tok
+  LEFT JOIN tgt USING (bucket)
+  LEFT JOIN raw USING (bucket)
+  CROSS JOIN tt CROSS JOIN rt
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(nll_r_q - nll_t_q) AS BIGINT) AS dsir_q,
+       CAST(SUM(nll_r_q - nll_t_q) AS BIGINT) // COUNT(*) AS avg_dsir_q
+FROM pt GROUP BY doc_id
+"""
+
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step (operators/clustering.py kmeans_assign):
+    every embedding to its nearest of the 4 deterministic lowest-vec_id
+    seed centroids, integer fixed-point squared-Euclidean, ties to the
+    lowest cid. The oracle recomputes the argmin from the same seeds —
+    full value-hash check of the distance kernel and tie rule."""
+    from .operators.clustering import kmeans_assign, quantize_embeddings, seed_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    cents = seed_centroids(pts, _KM_K)
+    return kmeans_assign(pts, cents).select(
+        F.col("id").alias("vec_id"), "cid", "dist_q"
+    )
+
+
+def _km_sql(iters: int) -> str:
+    """Unrolled Lloyd recurrence (the pagerank-oracle strategy): cx{r} is
+    round r's exploded centroid table, a{r} the assignment under it."""
+    pre = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM pts
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv
+  FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {_KM_K})
+),
+cx0 AS (
+  SELECT cid, unnest(qv) AS cx, generate_subscripts(qv, 1) AS i FROM c0
+)"""
+    parts = [pre]
+    for r in range(iters):
+        parts.append(f""",
+a{r} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT p.vec_id, c.cid, SUM((p.x - c.cx) * (p.x - c.cx)) AS dist,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)), c.cid) AS rn
+    FROM px p JOIN cx{r} c USING (i) GROUP BY p.vec_id, c.cid
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT a.cid, p.i, SUM(p.x) // COUNT(*) AS cx
+  FROM px p JOIN a{r} a USING (vec_id) GROUP BY a.cid, p.i
+),
+cx{r + 1} AS (
+  SELECT c.cid, c.i, COALESCE(m.cx, c.cx) AS cx
+  FROM cx{r} c LEFT JOIN m{r} m ON m.cid = c.cid AND m.i = c.i
+)""")
+    parts.append(f"""
+SELECT p.vec_id, c.cid, SUM((p.x - c.cx) * (p.x - c.cx)) AS dist_q
+FROM px p JOIN cx{iters} c USING (i)
+GROUP BY p.vec_id, c.cid
+QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)), c.cid) = 1
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS_ASSIGN = _km_sql(0)
+SQL_KMEANS_LLOYD = _km_sql(_KM_ITERS)
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    """Full k-means trainer (operators/clustering.py kmeans): 2 Lloyd
+    rounds from the deterministic seeds, final assignment under the
+    trained centroids. Integer fixed point end-to-end (quantize → integer
+    distances → truncating-div means → COALESCE empty-cluster rule), so
+    the DuckDB twin unrolls the identical recurrence and the driver
+    value-hashes the result — the graph.py pagerank strategy applied to
+    clustering."""
+    from .operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans(emb, "vec_id", "embedding", _KM_K, iters=_KM_ITERS)
+    return assign.select(F.col("id").alias("vec_id"), "cid", "dist_q")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3618,6 +3813,10 @@ CATALOG: Dict[str, tuple] = {
     "dedup_token_jaccard": (q_dedup_token_jaccard, SQL_DEDUP_JACCARD),
     "dedup_clusters_cc": (q_dedup_clusters, SQL_CC),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, SQL_CC_LSH),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "kmeans_lloyd": (q_kmeans_lloyd, SQL_KMEANS_LLOYD),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -1,0 +1,113 @@
+"""fastText-style hashed linear quality classifier.
+
+Every production web-curation pipeline (CCNet, LLaMA, RefinedWeb,
+FineWeb-Edu) gates documents with a cheap linear classifier over hashed
+bag-of-words features: each token hashes into one of B buckets, the
+document score is the sum of the bucket weights, and the gate keeps
+documents whose length-normalized score clears a threshold. fastText
+(Joulin et al., 2016, "Bag of Tricks for Efficient Text Classification")
+is the canonical implementation; the model IS a B-row weight table, which
+is exactly the shape Spark broadcasts.
+
+Scale shape (the reason this works at 10^12 documents):
+  - the feature space is FIXED at B buckets regardless of corpus size, so
+    the weight table is always broadcastable (B = 2^21 floats ≈ 8 MB for
+    real fastText models; the planted catalog model uses B = 4096);
+  - tokens explode linearly, join the broadcast weight table map-side
+    (no shuffle), and the per-document sum partial-aggregates map-side to
+    one row per document per partition — the ONLY shuffle is the final
+    hash aggregate keyed by document id.
+
+Engine-exactness (DuckDB-oracle contract): weights are integer
+fixed-point (`weight_q`, grid 1e-3), token bucketing uses the md5-derived
+60-bit hash shared with `operators/dedup.py simhash_md5_60` (md5 is
+bit-identical in Spark and DuckDB), and the score is a sum of integers —
+order-insensitive in any engine. Tokenization matches the repo convention
+(split(trim(lower(text)), '\\s+'), identical to operators/lm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WQ = 1000  # weight fixed-point grid (1e-3 per unit)
+
+
+def token_buckets(df: DataFrame, text_col: str, n_buckets: int, *keep) -> DataFrame:
+    """Explode text into (keep..., bucket) rows: bucket = md5-60bit(w) % B.
+
+    The hash is the first 15 hex chars of md5 parsed as an integer —
+    nonnegative, signed-long safe, and byte-identical in DuckDB via
+    ('0x' || substring(md5(w), 1, 15))::BIGINT.
+    """
+    exploded = df.select(
+        *keep,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    kept = [c for c in exploded.columns if c != "w"]
+    return exploded.select(
+        *kept,
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            % F.lit(int(n_buckets))
+        ).alias("bucket"),
+    )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    threshold_q: int = 0,
+    bias_q: int = 0,
+) -> DataFrame:
+    """Score every document under a hashed linear model and gate it.
+
+    `weights` is the model: (bucket: long, weight_q: long) with at most
+    `n_buckets` rows — broadcast. Buckets absent from the table score 0
+    (a sparse model is a dense one with zero rows elided).
+
+    Output (all integers / booleans):
+      (id, n_tokens, score_q, avg_score_q, keep)
+      score_q     = bias_q + sum over tokens of weight_q[bucket(token)]
+      avg_score_q = score_q div n_tokens   (truncating integer div — the
+                    length normalization fastText applies via mean pooling)
+      keep        = avg_score_q >= threshold_q
+    """
+    tok = token_buckets(docs, text_col, n_buckets, F.col(id_col).alias("id"))
+    scored = (
+        tok.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.lit(int(bias_q)).cast("long")
+                + F.sum(F.coalesce(F.col("weight_q"), F.lit(0))).cast("long")
+            ).alias("score_q"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        "score_q",
+        F.expr("score_q div n_tokens").alias("avg_score_q"),
+        (F.expr("score_q div n_tokens") >= F.lit(int(threshold_q))).alias("keep"),
+    )
+
+
+def planted_weights(spark, n_buckets: int) -> DataFrame:
+    """Deterministic stand-in model for the oracle-checked catalog entry:
+    weight_q(bucket) = (bucket * 2654435761) % 2001 - 1000, i.e. a
+    Knuth-multiplicative pseudo-random integer in [-1000, 1000]. A real
+    pipeline loads trained weights from a table; the planted rule is
+    re-derivable in pure SQL so the DuckDB oracle can rebuild the SAME
+    model from `range(n_buckets)` (max product 2^43 — no overflow)."""
+    return spark.range(int(n_buckets)).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(2001) - F.lit(1000)).alias(
+            "weight_q"
+        ),
+    )

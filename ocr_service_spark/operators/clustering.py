@@ -1,0 +1,164 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+Embedding clustering is the backbone of several curation stages this
+engine already ships piecemeal: SemDedup prunes within k-means clusters,
+IVF ANN partitions by coarse centroids (operators/similarity.py trains its
+quantizer with float cosine Lloyd steps), and topic-balanced sampling
+stratifies by cluster. This module is the first-class, ORACLE-CHECKED
+version: squared-Euclidean Lloyd's in integer fixed point, so every round
+is engine-exact and the whole trainer can be value-hash-verified against
+an unrolled DuckDB recurrence (the same strategy as
+operators/graph.py pagerank).
+
+Scale shape:
+  - ASSIGN: centroids are k×d integers — always broadcast; the distance
+    argmin is one JVM-codegen'd zip_with/aggregate expression per
+    (point, centroid), reduced by a map-side-partial min(struct) hash
+    aggregate keyed by point id. No shuffle of the points beyond that
+    one aggregate.
+  - UPDATE: posexplode the d dimensions and hash-aggregate by
+    (cluster, dim) — map-side partials collapse each partition to at most
+    k×d rows before the shuffle, so the exchange is O(k·d·partitions)
+    regardless of corpus size.
+  - the k×d centroid table round-trips through the driver between
+    iterations (like every Lloyd implementation: centroids ARE
+    driver-sized state, ranks are not) — `localCheckpoint` is unnecessary
+    because each iteration's plan is rebuilt from materialized centroids.
+
+Engine-exactness: embeddings quantize per element to a 1e-3 integer grid
+BEFORE any arithmetic (floor(e * 1000) — the repo convention for float
+columns under the value-hash gate, see operators/lm.py / CLAUDE.md).
+Distances are integer sums (d=64 dims × (2·1000)^2 ≈ 2.6e8 « 2^63); ties
+break to the LOWEST cluster id via min(struct(dist, cid)); centroid means
+use truncating integer division (Spark `div` ≡ DuckDB `//`, both
+round toward zero — verified); a cluster that loses all members keeps its
+previous centroid (both engines apply the same COALESCE rule).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EQ = 1000  # embedding fixed-point grid (1e-3 per unit)
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, q: int = EQ
+) -> DataFrame:
+    """(id, qv): per-element floor(e * q) as array<long> — materialized in
+    its own projection so no lambda downstream re-derives it per element
+    (the Catalyst re-evaluation trap, see operators/dedup.py)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, e -> CAST(FLOOR(CAST(e AS DOUBLE) * {int(q)}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _sqdist(pv: str, cv: str):
+    # integer squared euclidean distance between two array<long> columns;
+    # both arrays are pre-materialized columns, so the lambda only does
+    # integer adds/multiplies per element.
+    return F.expr(
+        f"aggregate(zip_with({pv}, {cv}, (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per point.
+
+    points: (id, qv array<long>); centroids: (cid long, qv array<long>),
+    broadcast (k×d integers). Output: (id, cid, dist_q); ties on distance
+    go to the lowest cid (min over struct(dist, cid) — lexicographic).
+    """
+    c = F.broadcast(centroids.select(F.col("cid"), F.col("qv").alias("cqv")))
+    scored = points.crossJoin(c).select(
+        "id", "cid", _sqdist("qv", "cqv").alias("dist")
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
+    return best.select("id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist_q"))
+
+
+def seed_centroids(points: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeds: the k lowest-id points, cid = rank-1 in id
+    order (the same rule similarity.ivf_centroids uses — no RNG, so the
+    DuckDB twin derives the identical seeds)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")
+    return (
+        points.orderBy("id")
+        .limit(int(k))
+        .select((F.row_number().over(w) - 1).cast("long").alias("cid"), "qv")
+    )
+
+
+def _update_centroids(
+    points: DataFrame, assign: DataFrame, prev: DataFrame
+) -> DataFrame:
+    """Per-cluster elementwise integer mean; empty clusters keep their
+    previous centroid. The (cid, pos) aggregate partial-combines map-side
+    to k×d rows per partition before the one small shuffle."""
+    means = (
+        points.join(assign.select("id", "cid"), "id")
+        .select("cid", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("sum(x) div count(1)").alias("x"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+            ).alias("new_qv")
+        )
+    )
+    return prev.join(means, "cid", "left").select(
+        "cid", F.coalesce("new_qv", "qv").alias("qv")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    q: int = EQ,
+) -> Tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means: `iters` rounds of assign → update from the
+    deterministic lowest-id seeds, then one final assignment against the
+    trained centroids.
+
+    Returns (assignments, centroids):
+      assignments: (id, cid, dist_q) under the FINAL centroids;
+      centroids:   (cid, qv array<long>) — the trained model.
+
+    Centroid tables are k×d integers and are materialized (collected and
+    re-parallelized) between rounds so each round's plan starts from data,
+    not from an ever-deepening lineage — the pagerank/connected_components
+    convention for iterative operators, except here the state is
+    driver-sized by definition.
+    """
+    pts = quantize_embeddings(df, id_col, vec_col, q)
+    spark = df.sparkSession
+    cents = seed_centroids(pts, k)
+    schema = "cid long, qv array<bigint>"
+    for _ in range(int(iters)):
+        cents = _materialize(spark, cents, schema)
+        assign = kmeans_assign(pts, cents)
+        cents = _update_centroids(pts, assign, cents)
+    cents = _materialize(spark, cents, schema)
+    return kmeans_assign(pts, cents), cents
+
+
+def _materialize(spark, cents: DataFrame, schema: str) -> DataFrame:
+    rows: List = cents.collect()
+    return spark.createDataFrame(
+        [(int(r["cid"]), [int(x) for x in r["qv"]]) for r in rows], schema
+    )

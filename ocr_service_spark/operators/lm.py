@@ -133,3 +133,83 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_ref: DataFrame,
+    raw_ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al., 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank raw web documents by
+    log(p_target(x) / p_raw(x)) under two hashed-unigram bag-of-words
+    models — one trained on a curated target slice, one on the raw pool —
+    and keep the highest-weight documents.
+
+    Scale shape: DSIR's trick is that the feature space is FIXED at
+    `n_buckets` hashed buckets, so BOTH trained models are <= n_buckets
+    rows no matter how large the corpus — each model trains in one hash
+    aggregate and then broadcasts. Scoring is: explode document tokens
+    (linear), two broadcast left joins (map-side, no shuffle), one hash
+    aggregate back to the document id (map-side partials). Exactly ONE
+    shuffle of one row per document end-to-end.
+
+    Engine-exactness: per-token log-probabilities under each model are
+    quantized to the 1e-4 integer grid exactly as lm_unigram_nll does
+    (floor(-ln((cnt+1)/(T+B)) * Q), add-one smoothing over the bucket
+    space), and the importance weight is the integer difference
+    nll_raw_q - nll_target_q summed per document — integer adds, any
+    order, any engine.  dsir_q > 0 means the document is more plausible
+    under the target model than under the raw pool (keep-worthy).
+
+    Output: (id, n_tokens, dsir_q, avg_dsir_q) — all integers.
+    """
+    from .classifier import token_buckets
+
+    def _model(ref: DataFrame) -> DataFrame:
+        return (
+            token_buckets(ref, text_col, n_buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def _tot(model: DataFrame, name: str) -> DataFrame:
+        return model.agg(F.sum("cnt").alias(name))
+
+    tgt = _model(target_ref)
+    raw = _model(raw_ref)
+    doc_tok = token_buckets(docs, text_col, n_buckets, F.col(id_col).alias("id"))
+    b = F.lit(int(n_buckets)).cast("double")
+    per_token = (
+        doc_tok.join(F.broadcast(tgt.withColumnRenamed("cnt", "tc")), "bucket", "left")
+        .join(F.broadcast(raw.withColumnRenamed("cnt", "rc")), "bucket", "left")
+        .crossJoin(F.broadcast(_tot(tgt, "t_tot")))
+        .crossJoin(F.broadcast(_tot(raw, "r_tot")))
+        .select(
+            "id",
+            F.floor(
+                -F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) / (F.col("t_tot") + b))
+                * Q
+            ).alias("nll_t_q"),
+            F.floor(
+                -F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("r_tot") + b))
+                * Q
+            ).alias("nll_r_q"),
+        )
+    )
+    return (
+        per_token.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("nll_r_q") - F.col("nll_t_q")).alias("dsir_q"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "dsir_q",
+            F.expr("dsir_q div n_tokens").alias("avg_dsir_q"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Hashed linear quality classifier + DSIR importance weighting: exact
+integer semantics vs hand-computed expectations."""
+
+import hashlib
+import math
+
+import pytest
+
+from ocr_service_spark.operators.classifier import (
+    linear_quality_score,
+    planted_weights,
+    token_buckets,
+)
+from ocr_service_spark.operators.lm import Q, dsir_importance
+
+
+def bucket_of(word: str, n_buckets: int) -> int:
+    return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def planted_weight(bucket: int) -> int:
+    return (bucket * 2654435761) % 2001 - 1000
+
+
+class TestLinearClassifier:
+    def test_token_buckets_match_md5_rule(self, spark):
+        df = spark.createDataFrame([(1, "Alpha beta  GAMMA")], "id long, text string")
+        got = sorted(
+            r["bucket"] for r in token_buckets(df, "text", 4096, "id").collect()
+        )
+        exp = sorted(bucket_of(w, 4096) for w in ["alpha", "beta", "gamma"])
+        assert got == exp
+
+    def test_score_is_exact_integer_sum(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, "zz")], "doc_id long, text string"
+        )
+        w = planted_weights(spark, 4096)
+        out = {
+            r["id"]: r
+            for r in linear_quality_score(
+                docs, w, "doc_id", "text", 4096, threshold_q=0
+            ).collect()
+        }
+        exp1 = 2 * planted_weight(bucket_of("aa", 4096)) + planted_weight(
+            bucket_of("bb", 4096)
+        )
+        assert out[1]["score_q"] == exp1
+        assert out[1]["n_tokens"] == 3
+        # truncating div, matches DuckDB //
+        t = -((-exp1) // 3) if exp1 < 0 else exp1 // 3
+        assert out[1]["avg_score_q"] == t
+        assert out[1]["keep"] == (t >= 0)
+        assert out[2]["score_q"] == planted_weight(bucket_of("zz", 4096))
+
+    def test_missing_bucket_scores_zero_and_bias_applies(self, spark):
+        docs = spark.createDataFrame([(1, "aa aa")], "doc_id long, text string")
+        # model with NO rows: every token scores 0, bias carries the doc
+        w = planted_weights(spark, 4096).filter("bucket < 0")
+        out = linear_quality_score(
+            docs, w, "doc_id", "text", 4096, threshold_q=3, bias_q=7
+        ).collect()[0]
+        assert out["score_q"] == 7 and out["avg_score_q"] == 3 and out["keep"]
+
+    def test_planted_weights_bounded(self, spark):
+        rows = planted_weights(spark, 512).collect()
+        assert len(rows) == 512
+        assert all(-1000 <= r["weight_q"] <= 1000 for r in rows)
+
+
+class TestDsirImportance:
+    def test_target_like_doc_outranks_offtarget(self, spark):
+        target = spark.createDataFrame(
+            [(100 + i, "clean prose sentence") for i in range(5)],
+            "doc_id long, text string",
+        )
+        raw = target.unionByName(
+            spark.createDataFrame(
+                [(200 + i, "spam casino pills") for i in range(5)],
+                "doc_id long, text string",
+            )
+        )
+        docs = spark.createDataFrame(
+            [(1, "clean prose"), (2, "casino pills")], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: r["avg_dsir_q"]
+            for r in dsir_importance(docs, target, raw, "doc_id", "text", 64).collect()
+        }
+        assert out[1] > out[2]
+
+    def test_exact_integer_weights_vs_python(self, spark):
+        n_b = 64
+        t_words = ["good", "good", "fine"]
+        r_words = ["good", "fine", "bad", "bad"]
+        target = spark.createDataFrame([(1, " ".join(t_words))], "doc_id long, text string")
+        raw = spark.createDataFrame([(2, " ".join(r_words))], "doc_id long, text string")
+        docs = spark.createDataFrame([(9, "good bad")], "doc_id long, text string")
+
+        def counts(ws):
+            c = {}
+            for w in ws:
+                b = bucket_of(w, n_b)
+                c[b] = c.get(b, 0) + 1
+            return c
+
+        tc, rc = counts(t_words), counts(r_words)
+
+        def nll_q(c, tot, b):
+            return math.floor(-math.log((c + 1) / (tot + n_b)) * Q)
+
+        exp = sum(
+            nll_q(rc.get(bucket_of(w, n_b), 0), len(r_words), n_b)
+            - nll_q(tc.get(bucket_of(w, n_b), 0), len(t_words), n_b)
+            for w in ["good", "bad"]
+        )
+        out = dsir_importance(docs, target, raw, "doc_id", "text", n_b).collect()[0]
+        assert out["n_tokens"] == 2
+        assert out["dsir_q"] == exp

@@ -1,0 +1,140 @@
+"""Integer-exact k-means (operators/clustering.py): numpy-twin parity,
+tie/empty-cluster rules, and the quantization grid."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.clustering import (
+    EQ,
+    kmeans,
+    kmeans_assign,
+    quantize_embeddings,
+    seed_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def tdiv(s: int, c: int) -> int:
+    """Truncating integer division (Spark `div` / DuckDB `//`), c > 0."""
+    return -((-s) // c) if s < 0 else s // c
+
+
+def numpy_kmeans(vecs: dict, k: int, iters: int):
+    """Pure-Python twin of the operator's integer Lloyd recurrence."""
+    ids = sorted(vecs)
+    cents = {cid: list(vecs[ids[cid]]) for cid in range(k)}
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = None
+            for cid in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(vecs[i], cents[cid]))
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        members = {}
+        for i, (_, cid) in a.items():
+            members.setdefault(cid, []).append(i)
+        for cid in cents:
+            if cid in members:
+                n = len(members[cid])
+                cents[cid] = [
+                    tdiv(sum(vecs[i][p] for i in members[cid]), n)
+                    for p in range(len(cents[cid]))
+                ]
+    return assign(), cents
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestKmeans:
+    def test_matches_numpy_twin_on_real_embeddings(self, spark, emb):
+        small = emb.filter("vec_id < 60")
+        got, cents = kmeans(small, "vec_id", "embedding", k=4, iters=2)
+        got = {r["id"]: (r["dist_q"], r["cid"]) for r in got.collect()}
+
+        pdf = small.toPandas()
+        vecs = {
+            int(r.vec_id): [int(math.floor(float(e) * EQ)) for e in r.embedding]
+            for r in pdf.itertuples()
+        }
+        exp, exp_cents = numpy_kmeans(vecs, k=4, iters=2)
+        assert got == exp
+        got_cents = {r["cid"]: list(r["qv"]) for r in cents.collect()}
+        assert got_cents == exp_cents
+
+    def test_distance_ties_break_to_lowest_cid(self, spark):
+        # two identical centroids: every point must land on cid 0
+        pts = spark.createDataFrame(
+            [(1, [3, 4]), (2, [-1, 0])], "id long, qv array<bigint>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [0, 0]), (1, [0, 0])], "cid long, qv array<bigint>"
+        )
+        rows = kmeans_assign(pts, cents).collect()
+        assert {r["id"]: r["cid"] for r in rows} == {1: 0, 2: 0}
+        assert {r["id"]: r["dist_q"] for r in rows} == {1: 25, 2: 1}
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # seeds are the 3 points themselves; after one update, cluster 2's
+        # only member moves to cluster 0's neighbourhood in iteration 2 —
+        # construct directly: assignment that leaves cid 2 memberless.
+        from ocr_service_spark.operators.clustering import _update_centroids
+
+        pts = spark.createDataFrame(
+            [(1, [0, 0]), (2, [2, 2]), (3, [4, 4])], "id long, qv array<bigint>"
+        )
+        prev = spark.createDataFrame(
+            [(0, [0, 0]), (1, [3, 3]), (2, [99, 99])], "cid long, qv array<bigint>"
+        )
+        assign = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 1)], "id long, cid long"
+        )
+        got = {r["cid"]: list(r["qv"]) for r in _update_centroids(pts, assign, prev).collect()}
+        assert got[0] == [0, 0]
+        assert got[1] == [3, 3]  # (2+4) div 2
+        assert got[2] == [99, 99]  # memberless: unchanged
+
+    def test_truncating_mean_on_negative_sums(self, spark):
+        from ocr_service_spark.operators.clustering import _update_centroids
+
+        pts = spark.createDataFrame(
+            [(1, [-3]), (2, [-4])], "id long, qv array<bigint>"
+        )
+        prev = spark.createDataFrame([(0, [0])], "cid long, qv array<bigint>")
+        assign = spark.createDataFrame([(1, 0), (2, 0)], "id long, cid long")
+        got = _update_centroids(pts, assign, prev).collect()[0]["qv"]
+        # (-7) div 2 truncates toward zero in BOTH engines: -3, not -4
+        assert list(got) == [-3]
+
+    def test_quantization_floors_toward_minus_inf(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0015, -0.0015])], "vec_id long, embedding array<double>"
+        )
+        got = quantize_embeddings(df, "vec_id", "embedding").collect()[0]["qv"]
+        assert list(got) == [1, -2]
+
+    def test_seed_centroids_are_lowest_ids_in_order(self, spark, emb):
+        pts = quantize_embeddings(emb, "vec_id", "embedding")
+        seeds = {r["cid"]: r for r in seed_centroids(pts, 3).collect()}
+        assert sorted(seeds) == [0, 1, 2]
+        first = {
+            int(r["id"]): list(r["qv"])
+            for r in pts.filter("id < 3").collect()
+        }
+        for cid in range(3):
+            assert list(seeds[cid]["qv"]) == first[cid]

@@ -281,3 +281,44 @@ def test_lm_unigram_totals_join_broadcasts(spark):
     SF, but the explicit hint only exists on totals)."""
     plan = formatted_plan(catalog.CATALOG["lm_unigram_nll"][0](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_classifier_broadcasts_model_single_shuffle(spark):
+    """The fastText-style weight table must broadcast (a fixed-B model is
+    always driver-sized — that's the hashed-feature trick) and the whole
+    score must ride ONE Exchange: the per-document aggregate. A
+    SortMergeJoin here would reshuffle every exploded token at 100 TB."""
+    plan = formatted_plan(catalog.queries()["quality_classifier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    shuffles = [l for l in nodes if "Exchange" in l and "BroadcastExchange" not in l]
+    assert len(shuffles) == 1, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_dsir_broadcasts_both_models_no_smj(spark):
+    """DSIR's two hashed-unigram models are <= n_buckets rows by
+    construction — both score-side joins must be broadcast; the corpus
+    token stream is never reshuffled for a join."""
+    plan = formatted_plan(catalog.queries()["dsir_importance"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assign_single_shuffle_pruned(spark):
+    """Lloyd assignment = broadcast centroids x codegen'd integer distance,
+    reduced by ONE hash aggregate keyed by point id — the points shuffle
+    once (one row each), never per-centroid."""
+    plan = formatted_plan(catalog.queries()["kmeans_assign"](spark, SF_DIR))
+    nodes = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    shuffles = [
+        l for l in nodes if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    # the per-point argmin aggregate, plus the k-row seed-ranking window's
+    # own single-partition exchange (k rows — constant, not data-sized)
+    assert len(shuffles) <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "label" not in read, read
