@@ -3710,9 +3710,11 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
 
-def _km_sql(iters: int) -> str:
+def _km_sql(iters: int, tail: str = "") -> str:
     """Unrolled Lloyd recurrence (the pagerank-oracle strategy): cx{r} is
-    round r's exploded centroid table, a{r} the assignment under it."""
+    round r's exploded centroid table, a{r} the assignment under it.
+    With `tail`, the final assignment becomes a CTE named `km` and `tail`
+    is the outer query composed over it (cluster_balanced_sample)."""
     pre = f"""
 WITH pts AS (
   SELECT vec_id,
@@ -3749,13 +3751,17 @@ cx{r + 1} AS (
   SELECT c.cid, c.i, COALESCE(m.cx, c.cx) AS cx
   FROM cx{r} c LEFT JOIN m{r} m ON m.cid = c.cid AND m.i = c.i
 )""")
-    parts.append(f"""
+    final = f"""
 SELECT p.vec_id, c.cid, SUM((p.x - c.cx) * (p.x - c.cx)) AS dist_q
 FROM px p JOIN cx{iters} c USING (i)
 GROUP BY p.vec_id, c.cid
 QUALIFY row_number() OVER (PARTITION BY p.vec_id
                            ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)), c.cid) = 1
-""")
+"""
+    if tail:
+        parts.append(f",\nkm AS ({final})\n{tail}")
+    else:
+        parts.append(final)
     return "".join(parts)
 
 
@@ -3776,6 +3782,39 @@ def q_kmeans_lloyd(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     assign, _cents = kmeans(emb, "vec_id", "embedding", _KM_K, iters=_KM_ITERS)
     return assign.select(F.col("id").alias("vec_id"), "cid", "dist_q")
+
+
+_KM_SAMPLE_M = 40
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Topic-balanced curation subset: train k-means (2 Lloyd rounds, the
+    oracle-checked integer recurrence), then keep at most 40 vectors per
+    cluster by deterministic md5 order — the cluster-balancing selection
+    SemDedup/DoReMi-style pipelines run so no topic dominates the mix.
+    The oracle composes the full unrolled k-means recurrence with the
+    identical md5 rank rule; Spark-side the rank<=m predicate rides
+    WindowGroupLimit (map tasks forward at most m rows per cluster)."""
+    from .operators.clustering import cluster_balanced_sample, kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans(emb, "vec_id", "embedding", _KM_K, iters=_KM_ITERS)
+    out = cluster_balanced_sample(assign, _KM_SAMPLE_M, id_col="id")
+    return out.select(F.col("id").alias("vec_id"), "cid", "pick_rank")
+
+
+SQL_CLUSTER_SAMPLE = _km_sql(
+    _KM_ITERS,
+    tail=f"""
+SELECT vec_id, cid, pick_rank FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick_rank
+  FROM km
+) WHERE pick_rank <= {_KM_SAMPLE_M}
+""",
+)
 
 
 # --------------------------------------------------------------------------
@@ -3817,6 +3856,7 @@ CATALOG: Dict[str, tuple] = {
     "dsir_importance": (q_dsir_importance, SQL_DSIR),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_lloyd": (q_kmeans_lloyd, SQL_KMEANS_LLOYD),
+    "cluster_balanced_sample": (q_cluster_balanced_sample, SQL_CLUSTER_SAMPLE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

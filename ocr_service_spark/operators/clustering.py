@@ -162,3 +162,29 @@ def _materialize(spark, cents: DataFrame, schema: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(r["cid"]), [int(x) for x in r["qv"]]) for r in rows], schema
     )
+
+
+def cluster_balanced_sample(
+    assign: DataFrame, per_cluster: int, id_col: str = "id"
+) -> DataFrame:
+    """Topic-balanced subset selection: at most `per_cluster` points from
+    every k-means cluster, chosen by deterministic md5 order of the id —
+    the cluster-balancing step SemDedup/DoReMi-style curation applies so
+    no topic dominates the training mix.
+
+    Deterministic (md5 of the id string — append-stable like
+    operators/sampling.py), engine-exact, and scale-safe: the rank<=m
+    predicate rides Spark's WindowGroupLimit, so each map task forwards at
+    most m rows per cluster BEFORE the shuffle — the exchange is
+    O(clusters·m·partitions), not the corpus.
+
+    Output: (id, cid, pick_rank).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cid").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assign.select(id_col, "cid", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= int(per_cluster))
+    )

@@ -138,3 +138,45 @@ class TestKmeans:
         }
         for cid in range(3):
             assert list(seeds[cid]["qv"]) == first[cid]
+
+
+class TestClusterBalancedSample:
+    def test_cap_and_determinism(self, spark):
+        from ocr_service_spark.operators.clustering import cluster_balanced_sample
+
+        assign = spark.createDataFrame(
+            [(i, i % 3) for i in range(100)], "id long, cid long"
+        )
+        out = cluster_balanced_sample(assign, 5).collect()
+        by_cid = {}
+        for r in out:
+            by_cid.setdefault(r["cid"], []).append(r)
+        assert set(by_cid) == {0, 1, 2}
+        for cid, rows in by_cid.items():
+            assert len(rows) == 5
+            assert sorted(r["pick_rank"] for r in rows) == [1, 2, 3, 4, 5]
+        # md5-order determinism: same input -> same picks
+        again = {(r["id"], r["cid"], r["pick_rank"])
+                 for r in cluster_balanced_sample(assign, 5).collect()}
+        assert again == {(r["id"], r["cid"], r["pick_rank"]) for r in out}
+
+    def test_small_cluster_kept_whole(self, spark):
+        from ocr_service_spark.operators.clustering import cluster_balanced_sample
+
+        assign = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "id long, cid long"
+        )
+        out = cluster_balanced_sample(assign, 10).collect()
+        assert len(out) == 3
+
+    def test_uses_window_group_limit(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.clustering import cluster_balanced_sample
+
+        assign = spark.createDataFrame(
+            [(i, i % 3) for i in range(100)], "id long, cid long"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cluster_balanced_sample(assign, 5).explain("formatted")
+        assert "WindowGroupLimit" in buf.getvalue()
