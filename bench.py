@@ -130,6 +130,10 @@ HEADLINE = [
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)
     "host_link_graph",         # planted-rule end-to-end link graph
     "lang_mismatch_gate",      # declared-vs-detected language gate
+    "quality_classifier",      # fastText-style hashed linear gate
+    "dsir_importance",         # DSIR log-ratio importance weights
+    "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
+    "cluster_balanced_sample",  # <=m per cluster, WindowGroupLimit
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

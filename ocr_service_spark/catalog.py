@@ -3817,6 +3817,94 @@ SELECT vec_id, cid, pick_rank FROM (
 )
 
 
+_REP_PLANT_A = (
+    " buy cheap pills online now buy cheap pills online now"
+    " buy cheap pills online now buy cheap pills online now"
+)
+_REP_PLANT_B = " very very very very very very very very"
+
+
+def q_dup_ngram_gate(spark, sf_dir):
+    """Full Gopher repetition suite (operators/quality.py
+    dup_ngram_signals): top-{2,3,4}-gram and duplicated-{5..10}-gram char
+    coverage + gate, shuffle-free run-length folds. Every 6th document is
+    planted with a repeated 5-gram phrase (trips the dup gates) and every
+    9th with a repeated unigram (trips the top gates); the oracle applies
+    the identical plant and recomputes every fraction from scratch."""
+    from .operators.quality import dup_ngram_signals
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(_REP_PLANT_A)))
+        .when(F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(_REP_PLANT_B)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_ngram_signals(planted, "doc_id", "text")
+
+
+def _dup_ngram_sql() -> str:
+    from .operators.quality import DUP_NGRAM_MAX_X100, TOP_NGRAM_MAX_X100
+
+    def ng(n: int) -> str:
+        joined = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+        return (
+            f"list_transform(generate_series(1, len(words) - {n - 1}),"
+            f" i -> {joined}) AS ng{n}"
+        )
+
+    ngrams = ",\n         ".join(
+        ng(n) for n in list(TOP_NGRAM_MAX_X100) + list(DUP_NGRAM_MAX_X100)
+    )
+    tops = ",\n         ".join(
+        f"CAST((100 * COALESCE((SELECT CAST(count(*) AS BIGINT) * length(g)"
+        f" FROM unnest(n.ng{n}) AS t(g) GROUP BY g"
+        f" ORDER BY count(*) DESC, g DESC LIMIT 1), 0))"
+        f" // greatest(total_chars, 1) AS BIGINT) AS top{n}_frac_x100"
+        for n in TOP_NGRAM_MAX_X100
+    )
+    dups = ",\n         ".join(
+        f"CAST((100 * COALESCE((SELECT SUM(CAST(c AS BIGINT) * length(g))"
+        f" FROM (SELECT g, count(*) AS c FROM unnest(n.ng{n}) AS t(g)"
+        f" GROUP BY g) WHERE c >= 2), 0))"
+        f" // greatest(total_chars, 1) AS BIGINT) AS dup{n}_frac_x100"
+        for n in DUP_NGRAM_MAX_X100
+    )
+    gates = " AND ".join(
+        [f"top{n}_frac_x100 <= {v}" for n, v in TOP_NGRAM_MAX_X100.items()]
+        + [f"dup{n}_frac_x100 <= {v}" for n, v in DUP_NGRAM_MAX_X100.items()]
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text || '{_REP_PLANT_A}'
+              WHEN doc_id % 9 = 0 THEN text || '{_REP_PLANT_B}'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
+n AS (
+  SELECT doc_id, words,
+         CAST((SELECT COALESCE(sum(length(u)), 0)
+               FROM unnest(w.words) AS t(u))
+              + greatest(len(words) - 1, 0) AS BIGINT) AS total_chars,
+         {ngrams}
+  FROM w
+),
+s AS (
+  SELECT doc_id, total_chars,
+         {tops},
+         {dups}
+  FROM n
+)
+SELECT *, ({gates}) AS keep FROM s
+"""
+
+
+SQL_DUP_NGRAM = _dup_ngram_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3857,6 +3945,7 @@ CATALOG: Dict[str, tuple] = {
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_lloyd": (q_kmeans_lloyd, SQL_KMEANS_LLOYD),
     "cluster_balanced_sample": (q_cluster_balanced_sample, SQL_CLUSTER_SAMPLE),
+    "dup_ngram_gate": (q_dup_ngram_gate, SQL_DUP_NGRAM),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

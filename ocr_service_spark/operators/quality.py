@@ -470,3 +470,137 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+# --- Gopher dup-n-gram repetition suite -------------------------------------
+
+# Gopher (Rae et al. 2021, Table A1) repetition thresholds: fraction of
+# characters in the most frequent {2,3,4}-gram, and fraction of characters
+# inside duplicated {5..10}-grams. x100 integer grids, repo convention.
+TOP_NGRAM_MAX_X100 = {2: 20, 3: 18, 4: 16}
+DUP_NGRAM_MAX_X100 = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _ngram_build_expr(n: int) -> str:
+    """n-gram array over the materialized `words` column (built ONCE in a
+    dedicated projection — never inside a downstream lambda; Catalyst
+    re-evaluates captured subexpressions per element)."""
+    joined = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    return (
+        f"IF(size(words) < {n}, array(),"
+        f" transform(sequence(0, size(words) - {n}), i -> {joined}))"
+    )
+
+
+def _top_chars_expr(arr: str) -> str:
+    """Characters covered by the most frequent n-gram in the SORTED array
+    `arr`: run-length fold (shuffle-free); ties on count go to the
+    lexicographically LARGEST gram (the sorted fold's >= update — the
+    DuckDB twin orders by (cnt DESC, gram DESC))."""
+    return f"""
+IF(size({arr}) = 0, 0L, aggregate(
+  slice({arr}, 2, greatest(size({arr}) - 1, 0)),
+  named_struct('prev', {arr}[0], 'run', 1,
+               'best_cnt', 1, 'best_g', {arr}[0]),
+  (acc, g) -> named_struct(
+    'prev', g,
+    'run',  IF(g = acc.prev, acc.run + 1, 1),
+    'best_cnt', IF(IF(g = acc.prev, acc.run + 1, 1) >= acc.best_cnt,
+                   IF(g = acc.prev, acc.run + 1, 1), acc.best_cnt),
+    'best_g', IF(IF(g = acc.prev, acc.run + 1, 1) >= acc.best_cnt,
+                 g, acc.best_g)),
+  acc -> CAST(acc.best_cnt AS BIGINT) * length(acc.best_g)))
+"""
+
+
+def _dup_chars_expr(arr: str) -> str:
+    """Characters inside n-grams occurring >= 2 times in the SORTED array
+    `arr` (the distinct-duplicate approximation used by public Gopher
+    reimplementations — occurrences x gram chars, overlaps not deduped):
+    run-length fold, adding run*length(gram) when a run of >= 2 closes."""
+    return f"""
+IF(size({arr}) = 0, 0L, aggregate(
+  slice({arr}, 2, greatest(size({arr}) - 1, 0)),
+  named_struct('prev', {arr}[0], 'run', 1, 'acc', CAST(0 AS BIGINT)),
+  (acc, g) -> named_struct(
+    'prev', g,
+    'run',  IF(g = acc.prev, acc.run + 1, 1),
+    'acc',  acc.acc + IF(g = acc.prev, CAST(0 AS BIGINT),
+                         IF(acc.run >= 2,
+                            CAST(acc.run AS BIGINT) * length(acc.prev),
+                            CAST(0 AS BIGINT)))),
+  acc -> acc.acc + IF(acc.run >= 2,
+                      CAST(acc.run AS BIGINT) * length(acc.prev),
+                      CAST(0 AS BIGINT))))
+"""
+
+
+def dup_ngram_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: int,
+) -> DataFrame:
+    """The full Gopher repetition-removal suite: per-document char-coverage
+    fractions of the top {2,3,4}-gram and of duplicated {5..10}-grams,
+    plus the keep gate.
+
+    Shuffle-free: ZERO Exchange nodes — every n-gram array is materialized
+    once per row (linear in doc length), sorted, and reduced by a
+    run-length fold; at 10^12 documents the explode→groupBy alternative
+    shuffles ~10^14 (doc, ngram) rows PER n. Fractions are
+    floor(100 * covered_chars / total_chars) integers (total chars =
+    sum(word lens) + separators, i.e. the single-space-joined length), so
+    the DuckDB twin is exact.
+
+    Duplicate-char coverage uses the distinct-duplicate approximation
+    (sum of occurrences x gram chars over grams seen >= 2 times) rather
+    than Gopher's position-deduped original — the convention of the
+    public reimplementations; overlapping occurrences may double-count.
+    Thresholds (Gopher Table A1 defaults) are per-corpus keyword
+    overrides: max_top{2,3,4}_x100, max_dup{5..10}_x100.
+    """
+    th = {f"max_top{n}_x100": v for n, v in TOP_NGRAM_MAX_X100.items()}
+    th.update({f"max_dup{n}_x100": v for n, v in DUP_NGRAM_MAX_X100.items()})
+    unknown = set(thresholds) - set(th)
+    if unknown:
+        raise TypeError(f"unknown dup-ngram threshold(s): {sorted(unknown)}")
+    th.update(thresholds)
+
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    ng = base.select(
+        id_col,
+        "words",
+        *[
+            F.expr(f"array_sort({_ngram_build_expr(n)})").alias(f"ng{n}")
+            for n in list(TOP_NGRAM_MAX_X100) + list(DUP_NGRAM_MAX_X100)
+        ],
+    )
+    total = (
+        "(aggregate(words, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
+        " + greatest(size(words) - 1, 0))"
+    )
+    sig = ng.select(
+        id_col,
+        F.expr(f"CAST({total} AS BIGINT)").alias("total_chars"),
+        *[
+            F.expr(f"(100 * ({_top_chars_expr(f'ng{n}')})) div greatest({total}, 1)")
+            .cast("long")
+            .alias(f"top{n}_frac_x100")
+            for n in TOP_NGRAM_MAX_X100
+        ],
+        *[
+            F.expr(f"(100 * ({_dup_chars_expr(f'ng{n}')})) div greatest({total}, 1)")
+            .cast("long")
+            .alias(f"dup{n}_frac_x100")
+            for n in DUP_NGRAM_MAX_X100
+        ],
+    )
+    keep = F.lit(True)
+    for n in TOP_NGRAM_MAX_X100:
+        keep = keep & (F.col(f"top{n}_frac_x100") <= th[f"max_top{n}_x100"])
+    for n in DUP_NGRAM_MAX_X100:
+        keep = keep & (F.col(f"dup{n}_frac_x100") <= th[f"max_dup{n}_x100"])
+    return sig.withColumn("keep", keep)

@@ -331,3 +331,102 @@ class TestNgramContamination:
         corpus = _docs(spark, [(1, "a b c a b c a b c")])
         got = ngram_contamination(corpus, bench, n=3).collect()
         assert len(got) == 1 and got[0].n_contaminated == 1
+
+
+class TestDupNgramSignals:
+    def _run(self, spark, text):
+        from ocr_service_spark.operators.quality import dup_ngram_signals
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return dup_ngram_signals(df).collect()[0]
+
+    def test_clean_text_all_zero(self, spark):
+        words = [chr(ord("a") + i) for i in range(26)]
+        r = self._run(spark, " ".join(words))
+        assert r["total_chars"] == 51
+        for n in (5, 6, 7, 8, 9, 10):
+            assert r[f"dup{n}_frac_x100"] == 0
+        # top n-gram of an all-distinct doc covers exactly one n-gram's chars
+        assert r["top2_frac_x100"] == (100 * 3) // 51
+        assert r["keep"]
+
+    def test_repeated_phrase_trips_dup_gates(self, spark):
+        phrase = "buy cheap pills online now"
+        r = self._run(spark, " ".join([phrase] * 4))
+        # all 16 5-grams are cyclic rotations of the phrase (each 26 chars,
+        # each occurring >= 2 times), so dup5 covers all 16 occurrences
+        assert r["total_chars"] == 107
+        assert r["dup5_frac_x100"] == (100 * 16 * 26) // 107
+        assert not r["keep"]
+
+    def test_top_tie_breaks_to_lex_largest(self, spark):
+        # bigrams 'a a' and 'b b' both occur once... construct counts:
+        # 'z z z z' -> bigram 'z z' x3; vs mixed equal-count case:
+        r = self._run(spark, "a a b b a a b b")
+        # bigrams: [a a, a b, b b, b a, a a, a b, b b] sorted ->
+        # 'a a'x2, 'a b'x2, 'b a'x1, 'b b'x2 ; tie on 2 -> lex largest 'b b'
+        # chars = 2 * 3 = 6 of 15
+        assert r["top2_frac_x100"] == (100 * 6) // 15
+        assert r["total_chars"] == 15
+
+    def test_single_word_doc(self, spark):
+        r = self._run(spark, "hello")
+        assert r["total_chars"] == 5
+        for n in (2, 3, 4):
+            assert r[f"top{n}_frac_x100"] == 0
+        for n in (5, 6, 7, 8, 9, 10):
+            assert r[f"dup{n}_frac_x100"] == 0
+        assert r["keep"]
+
+    def test_shuffle_free_plan(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.quality import dup_ngram_signals
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            dup_ngram_signals(df).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+    def test_differential_vs_python_spec_random_docs(self, spark):
+        """One Spark job over 120 random word-soup docs (seeded), every
+        signal compared field-by-field against the pure-Python spec."""
+        import random
+        from collections import Counter
+        from ocr_service_spark.operators.quality import (
+            DUP_NGRAM_MAX_X100,
+            TOP_NGRAM_MAX_X100,
+            dup_ngram_signals,
+        )
+
+        rng = random.Random(42)
+        vocab = ["spark", "row", "agg", "x", "the", "pills", "buy", "now"]
+        docs = []
+        for i in range(120):
+            n = rng.randint(1, 40)
+            words = [rng.choice(vocab) for _ in range(n)]
+            if i % 3 == 0:  # plant phrase repetition
+                words += ["buy", "now", "pills"] * rng.randint(2, 5)
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in dup_ngram_signals(df).collect()}
+
+        for i, text in docs:
+            words = text.split(" ")
+            total = sum(len(w) for w in words) + max(len(words) - 1, 0)
+            assert got[i]["total_chars"] == total
+            for n in list(TOP_NGRAM_MAX_X100) + list(DUP_NGRAM_MAX_X100):
+                grams = (
+                    [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+                    if len(words) >= n else []
+                )
+                c = Counter(grams)
+                if n in TOP_NGRAM_MAX_X100:
+                    exp = 0
+                    if c:
+                        cnt, g = max((v, g) for g, v in c.items())
+                        exp = (100 * cnt * len(g)) // max(total, 1)
+                    assert got[i][f"top{n}_frac_x100"] == exp, (i, n)
+                else:
+                    dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+                    assert got[i][f"dup{n}_frac_x100"] == (100 * dup) // max(total, 1), (i, n)
