@@ -130,6 +130,8 @@ HEADLINE = [
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)
     "host_link_graph",         # planted-rule end-to-end link graph
     "lang_mismatch_gate",      # declared-vs-detected language gate
+    "dup_ngram_gate",          # Gopher repetition suite, shuffle-free folds
+    "bloom_dedup",             # Bloom snapshot membership, one-row broadcast map
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

@@ -3905,6 +3905,85 @@ SELECT *, ({gates}) AS keep FROM s
 SQL_DUP_NGRAM = _dup_ngram_sql()
 
 
+_BLOOM_PLANT = "previously ingested snapshot body shared across dumps"
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter snapshot-ingest dedup (operators/dedup.py
+    bloom_dedup_flags): base corpus = even doc_ids, delta crawl = odd.
+    Every base doc with doc_id % 10 == 0 and every delta doc with
+    doc_id % 10 == 1 get a planted shared body, so the possibly_dup=true
+    polarity is guaranteed (Bloom filters have no false negatives on exact
+    content matches). The DuckDB oracle rebuilds the IDENTICAL filter from
+    the same md5-derived bit positions — an exact check, not a property."""
+    from .operators.dedup import bloom_dedup_flags
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_BLOOM_PLANT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    delta = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 1, F.lit(_BLOOM_PLANT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bloom_dedup_flags(delta, base, "doc_id", "text")
+
+
+def _bloom_sql() -> str:
+    from .operators.dedup import BLOOM_K, BLOOM_M_BITS
+
+    def p(j: int, src: str = "text") -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5({src}), {1 + 8 * j}, 8)) AS UBIGINT)"
+            f" % {BLOOM_M_BITS} AS BIGINT)"
+        )
+
+    probe_pos = ",\n         ".join(f"{p(j)} AS p{j}" for j in range(BLOOM_K))
+    joins = "\n".join(
+        f"LEFT JOIN filt f{j} ON f{j}.word_idx = probe.p{j} // 32"
+        for j in range(BLOOM_K)
+    )
+    hit = " AND ".join(
+        f"(COALESCE(f{j}.word, 0) & (CAST(1 AS BIGINT) << CAST(probe.p{j} % 32 AS INTEGER))) <> 0"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN '{_BLOOM_PLANT}' ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+delta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN '{_BLOOM_PLANT}' ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+pos AS (
+  SELECT unnest([{", ".join(p(j) for j in range(BLOOM_K))}]) AS p FROM base
+),
+filt AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id AS id, md5(text) AS fp,
+         {probe_pos}
+  FROM delta
+)
+SELECT probe.id, probe.fp, ({hit}) AS possibly_dup
+FROM probe
+{joins}
+"""
+
+
+SQL_BLOOM_DEDUP = _bloom_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3946,6 +4025,7 @@ CATALOG: Dict[str, tuple] = {
     "kmeans_lloyd": (q_kmeans_lloyd, SQL_KMEANS_LLOYD),
     "cluster_balanced_sample": (q_cluster_balanced_sample, SQL_CLUSTER_SAMPLE),
     "dup_ngram_gate": (q_dup_ngram_gate, SQL_DUP_NGRAM),
+    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

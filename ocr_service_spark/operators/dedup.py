@@ -467,3 +467,98 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+# --- Bloom-filter membership dedup ------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # filter size in bits (power of two)
+BLOOM_K = 4             # hash functions (disjoint md5 32-bit substrings)
+_BLOOM_WORD = 32        # bits per filter word (32 keeps shifts sign-safe)
+
+
+def _bloom_positions(text_col, m_bits: int, k: int):
+    """k bit positions for a document: disjoint 8-hex-char (32-bit) slices
+    of md5(text), mod m_bits. Engine-exact: DuckDB recomputes the identical
+    positions via CAST('0x' || substr(md5(text), ...) AS UBIGINT)."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (md5 has four 32-bit slices)")
+    fp = F.md5(text_col)
+    return fp, [
+        (F.conv(F.substring(fp, 1 + 8 * j, 8), 16, 10).cast("long") % m_bits)
+        for j in range(k)
+    ]
+
+
+def bloom_filter_build(
+    base: DataFrame, text_col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter over the base corpus's content fingerprints as a
+    (word_idx, word) table of 32-bit words — the Dolma-deduper membership
+    structure, here as a first-class DataFrame.
+
+    Scale shape: ONE shuffle, and it carries at most m_bits/32 distinct
+    groups regardless of corpus size (map-side bit_or partials collapse each
+    partition to <= m_bits/32 rows before the exchange). The result is tiny
+    (m_bits/32 rows ~ 12 bytes each) and broadcast to probes, so membership
+    tests against a 100 TB corpus cost the delta a few broadcast hash joins
+    instead of shuffling base fingerprints per snapshot (cf.
+    incremental_dedup, the exact anti-join twin).
+    """
+    _, pos = _bloom_positions(F.col(text_col), m_bits, k)
+    stacked = base.select(
+        F.explode(F.array(*pos)).alias("p")
+    ).select(
+        (F.col("p") / _BLOOM_WORD).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))"
+        ).alias("m"),
+    )
+    return stacked.groupBy("word_idx").agg(F.expr("bit_or(m)").alias("word"))
+
+
+def bloom_dedup_flags(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Flag each delta document against a Bloom filter of the base corpus:
+    (id, fp, possibly_dup). possibly_dup=false is a PROOF of novelty (Bloom
+    filters have no false negatives); possibly_dup=true sends the doc to the
+    exact path (incremental_dedup) — the standard two-tier snapshot-ingest
+    design at trillion-doc scale, where the filter absorbs the ~99% novel
+    mass and the exact join only sees the candidate sliver.
+
+    Scale shape: the base corpus is scanned ONCE (k separate filter joins
+    would re-run the build per join — measured 4 Exchanges / 5 scans); the
+    sparse (word_idx, word) table is collapsed to a single-row map column
+    (<= m_bits/32 entries, ~0.3 MB at the default sizing) and broadcast, so
+    the delta side never shuffles — one BroadcastNestedLoopJoin against one
+    row, then a pure projection with element_at lookups. Fully deterministic
+    (md5-derived positions), so the DuckDB oracle rebuilds the identical
+    filter and flags — an exact cross-engine check, not a property.
+    """
+    fmap = bloom_filter_build(base, text_col, m_bits, k).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("fmap")
+    )
+    fp, pos = _bloom_positions(F.col(text_col), m_bits, k)
+    probe = delta.select(
+        F.col(id_col).alias("id"),
+        fp.alias("fp"),
+        *[p.alias(f"p{j}") for j, p in enumerate(pos)],
+    ).crossJoin(F.broadcast(fmap))
+    hit = None
+    for j in range(k):
+        word = F.coalesce(
+            F.element_at("fmap", (F.col(f"p{j}") / _BLOOM_WORD).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % {_BLOOM_WORD} AS INT))"
+        )
+        bit = word.bitwiseAND(mask) != 0
+        hit = bit if hit is None else (hit & bit)
+    return probe.select("id", "fp", hit.alias("possibly_dup"))

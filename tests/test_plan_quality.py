@@ -322,3 +322,18 @@ def test_kmeans_assign_single_shuffle_pruned(spark):
     assert "SortMergeJoin" not in plan, plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "label" not in read, read
+
+
+def test_bloom_dedup_single_base_scan_no_delta_shuffle(spark):
+    """Bloom probe must scan base ONCE and never shuffle the delta: the
+    filter collapses to a one-row broadcast map, so the only Exchanges are
+    the two bounded filter-side aggregations (<= m/32 rows each). A
+    per-hash-function filter join re-runs the build per join (measured 4
+    Exchanges / 5 scans before the map-collapse)."""
+    df = catalog.q_bloom_dedup(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count(") Scan parquet") == 2, plan  # base once + delta once
+    # detail headers "(n) Exchange" count each physical node exactly once
+    assert plan.count(") Exchange") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan

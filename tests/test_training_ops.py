@@ -297,3 +297,66 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4, f"recall {recall} below floor"
+
+
+class TestBloomDedup:
+    def _flags(self, spark, base_rows, delta_rows, **kw):
+        from ocr_service_spark.operators.dedup import bloom_dedup_flags
+
+        base = spark.createDataFrame(base_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+        return {
+            r["id"]: r["possibly_dup"]
+            for r in bloom_dedup_flags(delta, base, "doc_id", "text").collect()
+        }
+
+    def test_no_false_negatives_on_exact_content(self, spark):
+        """Bloom invariant: content present in the base can NEVER flag
+        novel — possibly_dup=false is a proof of novelty."""
+        base = [(i, f"base page body number {i}") for i in range(50)]
+        delta = [(100 + i, f"base page body number {i}") for i in range(50)]
+        flags = self._flags(spark, base, delta)
+        assert all(flags.values()), flags
+
+    def test_novel_content_passes(self, spark):
+        # 2^20-bit filter, 3*4 set bits: false-positive odds ~ (12/2^20)^4;
+        # deterministic positions make this a stable assertion, not a flake
+        base = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+        delta = [(10, "delta"), (11, "epsilon"), (12, "zeta")]
+        assert self._flags(spark, base, delta) == {10: False, 11: False, 12: False}
+
+    def test_differential_vs_python_bloom_spec(self, spark):
+        """120 random docs, flags compared against a from-scratch Python
+        Bloom filter built from the same md5 32-bit slices."""
+        import hashlib
+        import random
+
+        from ocr_service_spark.operators.dedup import BLOOM_K, BLOOM_M_BITS
+
+        rng = random.Random(7)
+        vocab = ["crawl", "page", "body", "dump", "host", "snapshot"]
+        mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+        base = [(i, mk()) for i in range(60)]
+        delta = [(1000 + i, mk()) for i in range(60)]
+
+        def positions(text):
+            h = hashlib.md5(text.encode()).hexdigest()
+            return [int(h[8 * j:8 * j + 8], 16) % BLOOM_M_BITS for j in range(BLOOM_K)]
+
+        bits = {p for _, t in base for p in positions(t)}
+        expected = {
+            i: all(p in bits for p in positions(t)) for i, t in delta
+        }
+        assert self._flags(spark, base, delta) == expected
+
+    def test_filter_build_bounded_and_nonzero(self, spark):
+        from ocr_service_spark.operators.dedup import BLOOM_M_BITS, bloom_filter_build
+
+        base = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+        )
+        words = bloom_filter_build(base, "text").collect()
+        assert len(words) <= BLOOM_M_BITS // 32
+        assert all(r["word"] != 0 for r in words)
+        assert all(0 <= r["word_idx"] < BLOOM_M_BITS // 32 for r in words)
+        assert all(0 <= r["word"] < (1 << 32) for r in words)
