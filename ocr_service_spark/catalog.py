@@ -3984,6 +3984,74 @@ FROM probe
 SQL_BLOOM_DEDUP = _bloom_sql()
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index END-TO-END under the value-hash gate: pages carry
+    planted citation links with varying anchors (two links per doc to the
+    same shared target — anchors keyed by doc_id % 4 and % 3 — plus a
+    same-host nav link), the REAL parser chain runs (core/links.py scan →
+    href resolution → anchor_text_index aggregation), and the oracle
+    recomputes (n_refs, n_src_hosts, top-k sorted anchors) from the
+    planting rule alone. Any anchor normalization, resolution, or
+    rank-limit miss breaks the hash."""
+    from .operators.links import anchor_text_index, extract_outlinks
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    html = F.format_string(
+        '<html><body><nav><a href=/home>Home</a></nav>'
+        '<p><a href="https://topic%d.example/t/%d">guide vol %d</a> and'
+        ' <a href="https://topic%d.example/t/%d#frag">see also section %d</a>'
+        "</p></body></html>",
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 10,
+        F.col("doc_id") % 4,
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 10,
+        F.col("doc_id") % 3,
+    )
+    pages = d.select(
+        F.format_string(
+            "https://src%d.example/%012d", F.col("doc_id") % 5, F.col("doc_id")
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return anchor_text_index(extract_outlinks(pages))
+
+
+SQL_ANCHOR_INDEX = """
+WITH links AS (
+  SELECT printf('src%d.example', doc_id % 5) AS src_host,
+         printf('https://topic%d.example/t/%d', doc_id % 7, doc_id % 10) AS href,
+         printf('guide vol %d', doc_id % 4) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT printf('src%d.example', doc_id % 5),
+         printf('https://topic%d.example/t/%d', doc_id % 7, doc_id % 10),
+         printf('see also section %d', doc_id % 3)
+  FROM documents
+  UNION ALL
+  SELECT printf('src%d.example', doc_id % 5),
+         printf('https://src%d.example/home', doc_id % 5),
+         'Home'
+  FROM documents
+),
+counts AS (
+  SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM links GROUP BY href
+),
+topk AS (
+  SELECT href, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+  FROM (
+    SELECT href, anchor,
+           row_number() OVER (PARTITION BY href ORDER BY anchor) AS rk
+    FROM (SELECT DISTINCT href, anchor FROM links WHERE anchor <> '')
+  ) WHERE rk <= 8 GROUP BY href
+)
+SELECT c.href, c.n_refs, c.n_src_hosts, COALESCE(t.anchors, '') AS anchors
+FROM counts c LEFT JOIN topk t USING (href)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4026,6 +4094,7 @@ CATALOG: Dict[str, tuple] = {
     "cluster_balanced_sample": (q_cluster_balanced_sample, SQL_CLUSTER_SAMPLE),
     "dup_ngram_gate": (q_dup_ngram_gate, SQL_DUP_NGRAM),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
+    "anchor_text_index": (q_anchor_text_index, SQL_ANCHOR_INDEX),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -64,3 +64,49 @@ def host_edges(outlinks: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def anchor_text_index(outlinks: DataFrame, k: int = 8) -> DataFrame:
+    """Per-target incoming-anchor index: (href, n_refs, n_src_hosts,
+    anchors) — anchor text describes the TARGET page (the classic
+    search-relevance signal) and in-degree/anchor diversity is a quality
+    prior for curation.
+
+    anchors = the k lexicographically-smallest distinct non-empty anchor
+    texts, '|'-joined ('' when a target has none). Scale shape: counts ride
+    one hash aggregate keyed by href; the anchor list is bounded BEFORE
+    collection — distinct (href, anchor) pairs are rank-limited by a
+    row_number window (WindowGroupLimit pushes the k-cap into the sort), so
+    per-group state is O(k), never O(in-degree): a google.com-scale target
+    cannot OOM an executor the way a bare collect_set would. Both branches
+    shuffle on the same key (href) and meet in a co-partitioned join.
+    """
+    from pyspark.sql import Window
+
+    base = outlinks.select(
+        url_host(F.col("url")).alias("src_host"), "href", "anchor"
+    )
+    counts = base.groupBy("href").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("href").orderBy("anchor")
+    topk = (
+        base.filter(F.col("anchor") != "")
+        .select("href", "anchor")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy("href")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias(
+                "anchors"
+            )
+        )
+    )
+    return counts.join(topk, "href", "left").select(
+        "href",
+        "n_refs",
+        "n_src_hosts",
+        F.coalesce(F.col("anchors"), F.lit("")).alias("anchors"),
+    )

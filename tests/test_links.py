@@ -146,3 +146,51 @@ def test_outlinks_catalog_entry(spark):
     assert bad == 0
     anchors = {r["anchor"] for r in out.select("anchor").distinct().collect()}
     assert anchors == {"Home", "Archive", "Contact", "Buy now", "Deals", "Terms"}
+
+
+class TestAnchorTextIndex:
+    def _idx(self, spark, rows, k=8):
+        from ocr_service_spark.operators.links import anchor_text_index
+
+        df = spark.createDataFrame(rows, "url string, href string, anchor string")
+        return {r["href"]: r for r in anchor_text_index(df, k=k).collect()}
+
+    def test_counts_distinct_hosts_and_sorted_anchors(self, spark):
+        rows = [
+            ("https://a.example/1", "https://t.example/p", "zeta guide"),
+            ("https://a.example/2", "https://t.example/p", "alpha guide"),
+            ("https://b.example/1", "https://t.example/p", "alpha guide"),
+            ("https://b.example/2", "https://other.example/q", ""),
+        ]
+        idx = self._idx(spark, rows)
+        t = idx["https://t.example/p"]
+        assert (t["n_refs"], t["n_src_hosts"]) == (3, 2)
+        assert t["anchors"] == "alpha guide|zeta guide"  # distinct + sorted
+        o = idx["https://other.example/q"]
+        assert (o["n_refs"], o["n_src_hosts"], o["anchors"]) == (1, 1, "")
+
+    def test_k_cap_keeps_lex_smallest(self, spark):
+        rows = [
+            ("https://s.example/%d" % i, "https://t.example/p", "anchor %02d" % i)
+            for i in range(10)
+        ]
+        idx = self._idx(spark, rows, k=3)
+        assert idx["https://t.example/p"]["anchors"] == "anchor 00|anchor 01|anchor 02"
+        assert idx["https://t.example/p"]["n_refs"] == 10
+
+    def test_plan_bounds_anchor_state_with_window_group_limit(self, spark):
+        import contextlib, io
+
+        from ocr_service_spark.operators.links import anchor_text_index
+
+        df = spark.createDataFrame(
+            [("https://a.example/1", "https://t.example/p", "x")],
+            "url string, href string, anchor string",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            anchor_text_index(df).explain("formatted")
+        plan = buf.getvalue()
+        # the k-cap must push into the sort: per-group state O(k), not O(in-degree)
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan
