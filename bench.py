@@ -133,6 +133,7 @@ HEADLINE = [
     "dup_ngram_gate",          # Gopher repetition suite, shuffle-free folds
     "bloom_dedup",             # Bloom snapshot membership, one-row broadcast map
     "anchor_text_index",       # per-target anchor index, bounded top-k
+    "tfidf_top_terms",         # integer-exact tf/df characteristic terms
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

@@ -4052,6 +4052,45 @@ FROM counts c LEFT JOIN topk t USING (href)
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by the integer-exact tf/df
+    score (operators/textstats.py tfidf_top_terms). Shuffle-free per-doc
+    term frequencies (sorted-run index arithmetic), one vocab aggregate,
+    one term join, one WindowGroupLimit."""
+    from .operators.textstats import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
+SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(ws) AS term FROM w)
+  GROUP BY id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, df.df,
+         (tf.tf * 1000000) // df.df AS score_x1e6
+  FROM tf JOIN df USING (term)
+)
+SELECT id, term, tf, df, score_x1e6, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY score_x1e6 DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4095,6 +4134,7 @@ CATALOG: Dict[str, tuple] = {
     "dup_ngram_gate": (q_dup_ngram_gate, SQL_DUP_NGRAM),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "anchor_text_index": (q_anchor_text_index, SQL_ANCHOR_INDEX),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

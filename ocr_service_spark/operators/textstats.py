@@ -82,3 +82,76 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     collapsed text (rolling-hash analog, deterministic cross-engine)."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.substring(F.md5(norm), 1, length)
+
+
+def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, min_df: int = 1):
+    """Top-k characteristic terms per document by an integer-exact
+    tf/df score: (id, term, tf, df, score_x1e6, rk).
+
+    score_x1e6 = (tf * 1_000_000) // df — a log-free inverse-document-
+    frequency ratio. The corpus-size factor N is a constant across terms,
+    so dropping it preserves per-document ranking; the log is dropped
+    because floor(log(x)) disagrees between engines at power boundaries
+    (JVM computes log2 as ln/ln — Math.log(8)/Math.log(2) =
+    2.9999999999999996 — while libm log2(8) is exact), and engine-exact
+    integers beat idf flavor. tf and df are emitted so any downstream
+    weighting can be recomputed.
+
+    Scale shape, in corpus passes: per-doc term frequencies are
+    SHUFFLE-FREE — words are sorted per row and runs found by index
+    arithmetic over run-start boundaries (every element access O(1); no
+    array-append fold, which is quadratic per doc in Catalyst, and no
+    regex/split inside a lambda — the arrays are materialized in prior
+    projections). Then: one vocab-bounded aggregate for df (map-side
+    partials), one term-keyed join to attach df, one id-keyed
+    WindowGroupLimit for the top-k — the minimal three-exchange plan for a
+    corpus-relative statistic.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("ws"),
+    )
+    starts = base.select(
+        "id",
+        "ws",
+        F.expr(
+            "filter(sequence(0, size(ws) - 1), i -> i = 0 OR ws[i] != ws[i - 1])"
+        ).alias("st"),
+    )
+    tf = starts.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(st) - 1), j -> named_struct("
+                "'term', ws[st[j]],"
+                "'tf', CAST((IF(j = size(st) - 1, size(ws), st[j + 1]) - st[j])"
+                " AS BIGINT)))"
+            )
+        ).alias("e"),
+    ).select("id", "e.term", "e.tf")
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if min_df > 1:
+        df = df.filter(F.col("df") >= min_df)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_x1e6").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        # integer `div`, NOT float `/`+floor: double rounding near exact
+        # quotients would diverge from the oracle's BIGINT `//`
+        .withColumn(
+            "score_x1e6",
+            F.expr("CAST((tf * 1000000) div df AS BIGINT)"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tf", "df", "score_x1e6", "rk")
+    )

@@ -430,3 +430,88 @@ class TestDupNgramSignals:
                 else:
                     dup = sum(v * len(g) for g, v in c.items() if v >= 2)
                     assert got[i][f"dup{n}_frac_x100"] == (100 * dup) // max(total, 1), (i, n)
+
+
+class TestTfidfTopTerms:
+    def _run(self, spark, rows, k=5, min_df=1):
+        from ocr_service_spark.operators.textstats import tfidf_top_terms
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return tfidf_top_terms(df, k=k, min_df=min_df).collect()
+
+    def test_rare_term_outranks_common(self, spark):
+        rows = [
+            (1, "the the the quark"),
+            (2, "the cat"),
+            (3, "the dog"),
+        ]
+        out = {(r["id"], r["rk"]): r for r in self._run(spark, rows)}
+        # doc 1: 'quark' df=1 score 1e6; 'the' tf=3 df=3 score 1e6 — tie at
+        # 1_000_000 broken by term asc -> 'quark' first
+        assert out[(1, 1)]["term"] == "quark"
+        assert out[(1, 1)]["score_x1e6"] == 1_000_000
+        assert out[(1, 2)]["term"] == "the"
+        assert out[(1, 2)]["tf"] == 3 and out[(1, 2)]["df"] == 3
+        # doc 2: 'cat' (df=1) beats 'the' (tf=1, df=3 -> 333333)
+        assert out[(2, 1)]["term"] == "cat"
+        assert out[(2, 2)]["score_x1e6"] == 333_333
+
+    def test_k_cap_and_min_df(self, spark):
+        rows = [(1, "a b c d e f g h"), (2, "a b")]
+        out = self._run(spark, rows, k=3, min_df=2)
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r["term"])
+        # min_df=2 keeps only a,b; k caps at 3
+        assert sorted(by_doc[1]) == ["a", "b"]
+        assert all(len(v) <= 3 for v in by_doc.values())
+
+    def test_whitespace_and_case_normalization(self, spark):
+        out = self._run(spark, [(1, "  Word   WORD word  ")])
+        assert len(out) == 1
+        r = out[0]
+        assert (r["term"], r["tf"], r["df"]) == ("word", 3, 1)
+
+    def test_differential_vs_python_spec(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(60)
+        ]
+        tfs = {i: Counter(t.split()) for i, t in rows}
+        dfc = Counter(t for c in tfs.values() for t in c)
+        expected = {}
+        for i, c in tfs.items():
+            scored = sorted(
+                ((tf * 1_000_000) // dfc[t], t, tf) for t, tf in c.items()
+            )
+            scored = sorted(scored, key=lambda x: (-x[0], x[1]))[:5]
+            expected[i] = [
+                (t, tf, dfc[t], s, j + 1) for j, (s, t, tf) in enumerate(scored)
+            ]
+        got = {}
+        for r in self._run(spark, rows):
+            got.setdefault(r["id"], []).append(
+                (r["term"], r["tf"], r["df"], r["score_x1e6"], r["rk"])
+            )
+        for i in got:
+            got[i].sort(key=lambda x: x[4])
+        assert got == expected
+
+    def test_tf_stage_is_shuffle_free(self, spark):
+        import contextlib, io
+
+        from ocr_service_spark.operators.textstats import tfidf_top_terms
+
+        df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tfidf_top_terms(df).explain("formatted")
+        plan = buf.getvalue()
+        # df-aggregate + term join + id window = exactly 3 exchanges; the
+        # per-doc tf computation itself must not add a fourth
+        assert plan.count(") Exchange") == 3, plan
