@@ -134,6 +134,7 @@ HEADLINE = [
     "bloom_dedup",             # Bloom snapshot membership, one-row broadcast map
     "anchor_text_index",       # per-target anchor index, bounded top-k
     "tfidf_top_terms",         # integer-exact tf/df characteristic terms
+    "gopher_line_gate",        # Gopher line-shape suite, shuffle-free
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

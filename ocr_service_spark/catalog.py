@@ -4091,6 +4091,99 @@ SELECT id, term, tf, df, score_x1e6, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+_LINE_PLANT_BULLETS = "\n".join(f"- bullet item {i}" for i in range(10))
+_LINE_PLANT_ELLIPSIS = "\n".join(f"teaser line {i}..." for i in range(10))
+_LINE_PLANT_SYMBOLS = " ".join("###" for _ in range(12))
+
+
+def q_gopher_line_gate(spark, sf_dir):
+    """Gopher line/word-shape gate (operators/quality.py
+    gopher_line_signals): every 7th doc is replaced by a bullet list
+    (trips the bullet-line rule), every 11th gets ellipsis-ended teaser
+    lines appended (trips the ellipsis rule), every 13th gets '#' spam
+    (trips the symbol ratio); the oracle applies the identical plants and
+    recomputes all four fractions from scratch."""
+    from .operators.quality import gopher_line_signals
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_LINE_PLANT_BULLETS))
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _LINE_PLANT_ELLIPSIS)),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" " + _LINE_PLANT_SYMBOLS)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_line_signals(planted, "doc_id", "text")
+
+
+def _gopher_line_sql() -> str:
+    from .operators.quality import (
+        BULLET_PREFIXES,
+        ELLIPSIS_SUFFIXES,
+        MAX_BULLET_LINE_FRAC_X100,
+        MAX_ELLIPSIS_LINE_FRAC_X100,
+        MAX_SYMBOL_WORD_RATIO_X100,
+        MIN_ALPHA_WORD_FRAC_X100,
+    )
+
+    bullet = " OR ".join(f"starts_with(t, '{b}')" for b in BULLET_PREFIXES)
+    ellipsis = " OR ".join(f"ends_with(t, '{e}')" for e in ELLIPSIS_SUFFIXES)
+    b = _LINE_PLANT_BULLETS.replace("\n", "' || chr(10) || '")
+    e = _LINE_PLANT_ELLIPSIS.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{b}'
+              WHEN doc_id % 11 = 0 THEN text || chr(10) || '{e}'
+              WHEN doc_id % 13 = 0 THEN text || ' {_LINE_PLANT_SYMBOLS}'
+              ELSE text END AS t
+  FROM documents
+),
+arr AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     x -> x <> '') AS lines,
+         list_filter(string_split(t, ' '), w -> w <> '') AS words
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST((100 * len(list_filter(lines, t -> {bullet})))
+            // greatest(len(lines), 1) AS BIGINT) AS bullet_line_frac_x100,
+       CAST((100 * len(list_filter(lines, t -> {ellipsis})))
+            // greatest(len(lines), 1) AS BIGINT) AS ellipsis_line_frac_x100,
+       CAST((100 * len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))))
+            // greatest(len(words), 1) AS BIGINT) AS alpha_word_frac_x100,
+       CAST((100 * ((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) // 3
+                    + (length(t) - length(replace(t, '…', '')))))
+            // greatest(len(words), 1) AS BIGINT) AS symbol_word_ratio_x100,
+       (CAST((100 * len(list_filter(lines, t -> {bullet})))
+             // greatest(len(lines), 1) AS BIGINT) <= {MAX_BULLET_LINE_FRAC_X100}
+        AND CAST((100 * len(list_filter(lines, t -> {ellipsis})))
+             // greatest(len(lines), 1) AS BIGINT) <= {MAX_ELLIPSIS_LINE_FRAC_X100}
+        AND CAST((100 * len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))))
+             // greatest(len(words), 1) AS BIGINT) >= {MIN_ALPHA_WORD_FRAC_X100}
+        AND CAST((100 * ((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) // 3
+                    + (length(t) - length(replace(t, '…', '')))))
+             // greatest(len(words), 1) AS BIGINT) <= {MAX_SYMBOL_WORD_RATIO_X100}
+       ) AS keep
+FROM arr
+"""
+
+
+SQL_GOPHER_LINE = _gopher_line_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4135,6 +4228,7 @@ CATALOG: Dict[str, tuple] = {
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "anchor_text_index": (q_anchor_text_index, SQL_ANCHOR_INDEX),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "gopher_line_gate": (q_gopher_line_gate, SQL_GOPHER_LINE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -604,3 +604,94 @@ def dup_ngram_signals(
     for n in DUP_NGRAM_MAX_X100:
         keep = keep & (F.col(f"dup{n}_frac_x100") <= th[f"max_dup{n}_x100"])
     return sig.withColumn("keep", keep)
+
+
+# --- Gopher line-shape suite -------------------------------------------------
+
+# Gopher (Rae et al. 2021, Table A1) line/word-shape thresholds, x100 grid:
+# <=90% of lines bullet-started, <=30% ellipsis-ended, >=80% of words with
+# an alphabetic char, symbol-to-word ratio <= 0.10.
+BULLET_PREFIXES = ("•", "‣", "▪", "-", "*")
+ELLIPSIS_SUFFIXES = ("...", "…")
+MAX_BULLET_LINE_FRAC_X100 = 90
+MAX_ELLIPSIS_LINE_FRAC_X100 = 30
+MIN_ALPHA_WORD_FRAC_X100 = 80
+MAX_SYMBOL_WORD_RATIO_X100 = 10
+
+
+def gopher_line_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: int,
+) -> DataFrame:
+    """The line/word-shape half of the Gopher gate (the n-gram repetition
+    half is dup_ngram_signals): per-document bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and
+    '#'/'...'-symbol-to-word ratio, plus the keep gate.
+
+    Shuffle-free: lines and words are materialized ONCE in a dedicated
+    projection (never split inside a lambda — the Catalyst per-element
+    re-evaluation trap), and every signal is a filter/size expression over
+    those arrays. Fractions are floor(x*100) integers via integer `div`,
+    so the DuckDB oracle is exact. Lines are the non-blank '\\n' segments;
+    prefix/suffix tests run on the space-trimmed line. Thresholds are
+    per-corpus keyword overrides (max_bullet_x100, max_ellipsis_x100,
+    min_alpha_x100, max_symbol_x100).
+    """
+    th = {
+        "max_bullet_x100": MAX_BULLET_LINE_FRAC_X100,
+        "max_ellipsis_x100": MAX_ELLIPSIS_LINE_FRAC_X100,
+        "min_alpha_x100": MIN_ALPHA_WORD_FRAC_X100,
+        "max_symbol_x100": MAX_SYMBOL_WORD_RATIO_X100,
+    }
+    unknown = set(thresholds) - set(th)
+    if unknown:
+        raise TypeError(f"unknown line-signal threshold(s): {sorted(unknown)}")
+    th.update(thresholds)
+
+    bullet = " OR ".join(
+        f"startswith(t, '{b}')" for b in BULLET_PREFIXES
+    )
+    ellipsis = " OR ".join(
+        f"endswith(t, '{e}')" for e in ELLIPSIS_SUFFIXES
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.expr(
+            f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
+            " t -> t != '')"
+        ).alias("lines"),
+        F.expr(f"filter(split({text_col}, ' '), w -> w != '')").alias("words"),
+    )
+    sig = base.select(
+        id_col,
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("words").cast("long").alias("n_words"),
+        F.expr(
+            f"(100 * size(filter(lines, t -> {bullet})))"
+            " div greatest(size(lines), 1)"
+        ).cast("long").alias("bullet_line_frac_x100"),
+        F.expr(
+            f"(100 * size(filter(lines, t -> {ellipsis})))"
+            " div greatest(size(lines), 1)"
+        ).cast("long").alias("ellipsis_line_frac_x100"),
+        F.expr(
+            "(100 * size(filter(words, w -> w rlike '[A-Za-z]')))"
+            " div greatest(size(words), 1)"
+        ).cast("long").alias("alpha_word_frac_x100"),
+        F.expr(
+            "(100 * ((length(_t) - length(replace(_t, '#', '')))"
+            " + (length(_t) - length(replace(_t, '...', ''))) div 3"
+            " + (length(_t) - length(replace(_t, '…', '')))))"
+            " div greatest(size(words), 1)"
+        ).cast("long").alias("symbol_word_ratio_x100"),
+    )
+    keep = (
+        (F.col("bullet_line_frac_x100") <= th["max_bullet_x100"])
+        & (F.col("ellipsis_line_frac_x100") <= th["max_ellipsis_x100"])
+        & (F.col("alpha_word_frac_x100") >= th["min_alpha_x100"])
+        & (F.col("symbol_word_ratio_x100") <= th["max_symbol_x100"])
+    )
+    return sig.withColumn("keep", keep)

@@ -515,3 +515,96 @@ class TestTfidfTopTerms:
         # df-aggregate + term join + id window = exactly 3 exchanges; the
         # per-doc tf computation itself must not add a fourth
         assert plan.count(") Exchange") == 3, plan
+
+
+class TestGopherLineSignals:
+    def _run(self, spark, text, **th):
+        from ocr_service_spark.operators.quality import gopher_line_signals
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_line_signals(df, **th).collect()[0]
+
+    def test_bullet_list_trips_gate(self, spark):
+        text = "\n".join(f"- item {i}" for i in range(10))
+        r = self._run(spark, text)
+        assert r["bullet_line_frac_x100"] == 100
+        assert r["n_lines"] == 10
+        assert not r["keep"]
+
+    def test_ellipsis_lines_counted(self, spark):
+        text = "plain prose line\nteaser one...\nteaser two…\nmore prose"
+        r = self._run(spark, text)
+        assert r["n_lines"] == 4
+        assert r["ellipsis_line_frac_x100"] == 50
+        assert not r["keep"]  # 50 > 30
+
+    def test_alpha_and_symbol_rules(self, spark):
+        # abc yes, 123 no, x9 yes, 456 no -> 2/4 = 50% alpha (< 80 floor)
+        r = self._run(spark, "abc 123 x9 456")
+        assert r["alpha_word_frac_x100"] == 50
+        assert not r["keep"]
+        # '###' = 3 symbols over 3 words -> ratio 1.0 -> x100 = 100 > 10
+        r2 = self._run(spark, "one ### two")
+        assert r2["symbol_word_ratio_x100"] == 100
+        assert not r2["keep"]
+        # '....' (4 dots) counts one non-overlapping '...' -> 1/3 words
+        r3 = self._run(spark, "watch this ....")
+        assert r3["symbol_word_ratio_x100"] == 33
+
+    def test_blank_lines_ignored(self, spark):
+        text = "a line\n\n   \nanother line"
+        r = self._run(spark, text)
+        assert r["n_lines"] == 2
+        assert r["keep"]
+
+    def test_threshold_overrides(self, spark):
+        text = "- the quick brown fox jumps"  # alpha 5/6 = 83 stays >= 80
+        r = self._run(spark, text)
+        assert not r["keep"]  # bullet 100 > default 90
+        r2 = self._run(spark, text, max_bullet_x100=100)
+        assert r2["keep"]
+
+    def test_differential_vs_python_spec(self, spark):
+        import random
+        import re as _re
+        from ocr_service_spark.operators.quality import (
+            BULLET_PREFIXES,
+            ELLIPSIS_SUFFIXES,
+            gopher_line_signals,
+        )
+
+        rng = random.Random(5)
+        pieces = ["plain text words", "- bullet line", "trailing dots...",
+                  "hash ### tags", "numbers 123 456", "mixed x9 line…"]
+        docs = []
+        for i in range(80):
+            n = rng.randint(1, 8)
+            docs.append((i, "\n".join(rng.choice(pieces) for _ in range(n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in gopher_line_signals(df).collect()}
+        for i, t in docs:
+            lines = [l.strip() for l in t.split("\n")]
+            lines = [l for l in lines if l]
+            words = [w for w in t.split(" ") if w]
+            nb = sum(any(l.startswith(b) for b in BULLET_PREFIXES) for l in lines)
+            ne = sum(any(l.endswith(e) for e in ELLIPSIS_SUFFIXES) for l in lines)
+            na = sum(bool(_re.search("[A-Za-z]", w)) for w in words)
+            sym = t.count("#") + t.count("...") + t.count("…")
+            g = got[i]
+            assert g["n_lines"] == len(lines)
+            assert g["n_words"] == len(words)
+            assert g["bullet_line_frac_x100"] == (100 * nb) // max(len(lines), 1)
+            assert g["ellipsis_line_frac_x100"] == (100 * ne) // max(len(lines), 1)
+            assert g["alpha_word_frac_x100"] == (100 * na) // max(len(words), 1)
+            assert g["symbol_word_ratio_x100"] == (100 * sym) // max(len(words), 1)
+
+    def test_shuffle_free_plan(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.quality import gopher_line_signals
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            gopher_line_signals(df).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
