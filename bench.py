@@ -135,6 +135,7 @@ HEADLINE = [
     "anchor_text_index",       # per-target anchor index, bounded top-k
     "tfidf_top_terms",         # integer-exact tf/df characteristic terms
     "gopher_line_gate",        # Gopher line-shape suite, shuffle-free
+    "dup_line_gate",           # Gopher dup line/paragraph suite
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

@@ -4184,6 +4184,104 @@ FROM arr
 SQL_GOPHER_LINE = _gopher_line_sql()
 
 
+_DUPLINE_PLANT = "\n".join(["breaking update follows"] * 4 + ["unique closer"])
+_DUPPARA_PLANT = "\n\n".join(["quoted boilerplate paragraph body"] * 3 + ["fresh para"])
+
+
+def q_dup_line_gate(spark, sf_dir):
+    """Gopher duplicate-line/paragraph gate (operators/quality.py
+    dup_line_signals): every 6th doc gets a block of repeated lines
+    appended (trips the line rules), every 10th a repeated paragraph block
+    (trips the paragraph rules); the oracle applies the identical plants
+    and recomputes all four fractions via correlated unnest subqueries."""
+    from .operators.quality import dup_line_signals
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _DUPLINE_PLANT)),
+        )
+        .when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit("\n\n" + _DUPPARA_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_line_signals(planted, "doc_id", "text")
+
+
+def _dup_line_sql() -> str:
+    from .operators.quality import (
+        MAX_DUP_LINE_CHAR_FRAC_X100,
+        MAX_DUP_LINE_FRAC_X100,
+        MAX_DUP_PARA_CHAR_FRAC_X100,
+        MAX_DUP_PARA_FRAC_X100,
+    )
+
+    lp = _DUPLINE_PLANT.replace("\n", "' || chr(10) || '")
+    pp = _DUPPARA_PLANT.replace("\n\n", "' || chr(10) || chr(10) || '")
+
+    def seg(sep: str) -> str:
+        return (
+            f"list_filter(list_transform(string_split(t, {sep}),"
+            " x -> trim(x)), x -> x <> '')"
+        )
+
+    def extra(a: str) -> str:
+        return (
+            f"COALESCE((SELECT SUM((c - 1) * length(g)) FROM"
+            f" (SELECT g, CAST(count(*) AS BIGINT) AS c FROM unnest({a}) AS t(g)"
+            f" GROUP BY g) WHERE c >= 2), 0)"
+        )
+
+    def total(a: str) -> str:
+        return f"COALESCE((SELECT SUM(length(u)) FROM unnest({a}) AS t(u)), 0)"
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text || chr(10) || '{lp}'
+              WHEN doc_id % 10 = 0 THEN text || chr(10) || chr(10) || '{pp}'
+              ELSE text END AS t
+  FROM documents
+),
+arr AS (
+  SELECT doc_id,
+         list_sort({seg("chr(10)")}) AS lines,
+         list_sort({seg("chr(10) || chr(10)")}) AS paras
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(paras) AS BIGINT) AS n_paras,
+         CAST((100 * (len(lines) - len(list_distinct(lines))))
+              // greatest(len(lines), 1) AS BIGINT) AS dup_line_frac_x100,
+         CAST((100 * (len(paras) - len(list_distinct(paras))))
+              // greatest(len(paras), 1) AS BIGINT) AS dup_para_frac_x100,
+         CAST((100 * {extra("arr.lines")})
+              // greatest({total("arr.lines")}, 1) AS BIGINT)
+           AS dup_line_char_frac_x100,
+         CAST((100 * {extra("arr.paras")})
+              // greatest({total("arr.paras")}, 1) AS BIGINT)
+           AS dup_para_char_frac_x100
+  FROM arr
+)
+SELECT *,
+       (dup_line_frac_x100 <= {MAX_DUP_LINE_FRAC_X100}
+        AND dup_para_frac_x100 <= {MAX_DUP_PARA_FRAC_X100}
+        AND dup_line_char_frac_x100 <= {MAX_DUP_LINE_CHAR_FRAC_X100}
+        AND dup_para_char_frac_x100 <= {MAX_DUP_PARA_CHAR_FRAC_X100}) AS keep
+FROM s
+"""
+
+
+SQL_DUP_LINE = _dup_line_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4229,6 +4327,7 @@ CATALOG: Dict[str, tuple] = {
     "anchor_text_index": (q_anchor_text_index, SQL_ANCHOR_INDEX),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "gopher_line_gate": (q_gopher_line_gate, SQL_GOPHER_LINE),
+    "dup_line_gate": (q_dup_line_gate, SQL_DUP_LINE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -695,3 +695,112 @@ def gopher_line_signals(
         & (F.col("symbol_word_ratio_x100") <= th["max_symbol_x100"])
     )
     return sig.withColumn("keep", keep)
+
+
+# --- Gopher duplicate line / paragraph suite ---------------------------------
+
+# Gopher Table A1: duplicate line fraction <= 0.30, duplicate paragraph
+# fraction <= 0.30, duplicate line CHARACTER fraction <= 0.20, duplicate
+# paragraph character fraction <= 0.20. x100 integer grids.
+MAX_DUP_LINE_FRAC_X100 = 30
+MAX_DUP_PARA_FRAC_X100 = 30
+MAX_DUP_LINE_CHAR_FRAC_X100 = 20
+MAX_DUP_PARA_CHAR_FRAC_X100 = 20
+
+
+def _extra_chars_expr(arr: str) -> str:
+    """Characters inside occurrences BEYOND THE FIRST of each element in
+    the SORTED array `arr`: run-length fold adding (run-1)*length(elem)
+    when a run of >= 2 closes — the duplicate-character numerator of
+    Gopher's dup-line/paragraph rules (first occurrence is not a dup)."""
+    return f"""
+IF(size({arr}) = 0, 0L, aggregate(
+  slice({arr}, 2, greatest(size({arr}) - 1, 0)),
+  named_struct('prev', {arr}[0], 'run', 1, 'acc', CAST(0 AS BIGINT)),
+  (acc, g) -> named_struct(
+    'prev', g,
+    'run',  IF(g = acc.prev, acc.run + 1, 1),
+    'acc',  acc.acc + IF(g = acc.prev, CAST(0 AS BIGINT),
+                         IF(acc.run >= 2,
+                            CAST(acc.run - 1 AS BIGINT) * length(acc.prev),
+                            CAST(0 AS BIGINT)))),
+  acc -> acc.acc + IF(acc.run >= 2,
+                      CAST(acc.run - 1 AS BIGINT) * length(acc.prev),
+                      CAST(0 AS BIGINT))))
+"""
+
+
+def dup_line_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: int,
+) -> DataFrame:
+    """Gopher duplicate-line/paragraph rules: per-document fractions of
+    repeated lines and paragraphs, by count and by character coverage,
+    plus the keep gate. With dup_ngram_signals, gopher_quality_signals
+    and gopher_line_signals this completes the Gopher Table A1 gate set.
+
+    Semantics (the DataTrove/public-reimplementation convention): an
+    element's occurrences beyond the first are duplicates, so
+    dup_frac = (n - n_distinct) / n and char_frac = chars inside those
+    extra occurrences / total element chars. Lines are the non-blank
+    space-trimmed '\\n' segments; paragraphs the non-blank segments
+    between blank lines ('\\n\\n' boundaries).
+
+    Shuffle-free (zero Exchanges): arrays materialize once per row,
+    count fractions are size() - array_distinct() arithmetic, char
+    fractions a run-length fold over the sorted array. x100 integer
+    grids keep the DuckDB oracle exact. Threshold overrides:
+    max_dup_line_x100, max_dup_para_x100, max_dup_line_chars_x100,
+    max_dup_para_chars_x100.
+    """
+    th = {
+        "max_dup_line_x100": MAX_DUP_LINE_FRAC_X100,
+        "max_dup_para_x100": MAX_DUP_PARA_FRAC_X100,
+        "max_dup_line_chars_x100": MAX_DUP_LINE_CHAR_FRAC_X100,
+        "max_dup_para_chars_x100": MAX_DUP_PARA_CHAR_FRAC_X100,
+    }
+    unknown = set(thresholds) - set(th)
+    if unknown:
+        raise TypeError(f"unknown dup-line threshold(s): {sorted(unknown)}")
+    th.update(thresholds)
+
+    seg = (
+        "array_sort(filter(transform(split({src}, '{sep}'), x -> trim(x)),"
+        " x -> x != ''))"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.expr(seg.format(src=text_col, sep="\\n")).alias("lines"),
+        F.expr(seg.format(src=text_col, sep="\\n\\n")).alias("paras"),
+    )
+    total = "aggregate({a}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+
+    def frac(num: str, den: str) -> str:
+        return f"(100 * ({num})) div greatest({den}, 1)"
+
+    sig = base.select(
+        id_col,
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("paras").cast("long").alias("n_paras"),
+        F.expr(
+            frac("size(lines) - size(array_distinct(lines))", "size(lines)")
+        ).cast("long").alias("dup_line_frac_x100"),
+        F.expr(
+            frac("size(paras) - size(array_distinct(paras))", "size(paras)")
+        ).cast("long").alias("dup_para_frac_x100"),
+        F.expr(
+            frac(_extra_chars_expr("lines"), total.format(a="lines"))
+        ).cast("long").alias("dup_line_char_frac_x100"),
+        F.expr(
+            frac(_extra_chars_expr("paras"), total.format(a="paras"))
+        ).cast("long").alias("dup_para_char_frac_x100"),
+    )
+    keep = (
+        (F.col("dup_line_frac_x100") <= th["max_dup_line_x100"])
+        & (F.col("dup_para_frac_x100") <= th["max_dup_para_x100"])
+        & (F.col("dup_line_char_frac_x100") <= th["max_dup_line_chars_x100"])
+        & (F.col("dup_para_char_frac_x100") <= th["max_dup_para_chars_x100"])
+    )
+    return sig.withColumn("keep", keep)

@@ -608,3 +608,97 @@ class TestGopherLineSignals:
         with contextlib.redirect_stdout(buf):
             gopher_line_signals(df).explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestDupLineSignals:
+    def _run(self, spark, text, **th):
+        from ocr_service_spark.operators.quality import dup_line_signals
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return dup_line_signals(df, **th).collect()[0]
+
+    def test_repeated_lines(self, spark):
+        text = "same line\nsame line\nsame line\nother"
+        r = self._run(spark, text)
+        assert r["n_lines"] == 4
+        assert r["dup_line_frac_x100"] == 50  # 2 extras of 4
+        # extras chars = 2*9 = 18 of total 9*3+5 = 32 -> 56
+        assert r["dup_line_char_frac_x100"] == (100 * 18) // 32
+        assert not r["keep"]
+
+    def test_repeated_paragraphs(self, spark):
+        text = "para one body\n\npara one body\n\nfresh ending"
+        r = self._run(spark, text)
+        assert r["n_paras"] == 3
+        assert r["dup_para_frac_x100"] == 33
+        assert r["dup_para_char_frac_x100"] == (100 * 13) // 38
+        # line rules see the same strings as 3 lines, 1 extra dup
+        assert r["dup_line_frac_x100"] == 33
+
+    def test_clean_doc_keeps(self, spark):
+        r = self._run(spark, "alpha\nbeta\n\ngamma delta")
+        assert r["dup_line_frac_x100"] == 0
+        assert r["dup_para_frac_x100"] == 0
+        assert r["keep"]
+
+    def test_threshold_override(self, spark):
+        text = "x\nx\ny"
+        assert not self._run(spark, text)["keep"]  # 33 > 30, chars 33 > 20
+        r = self._run(
+            spark, text, max_dup_line_x100=50, max_dup_line_chars_x100=50
+        )
+        assert r["keep"]
+
+    def test_differential_vs_python_spec(self, spark):
+        import random
+        from collections import Counter
+        from ocr_service_spark.operators.quality import dup_line_signals
+
+        rng = random.Random(13)
+        frags = ["alpha beta", "breaking news", "copyright footer",
+                 "x", "longer unique sentence here"]
+        docs = []
+        for i in range(80):
+            n = rng.randint(1, 10)
+            seps = [rng.choice(["\n", "\n\n"]) for _ in range(n - 1)]
+            parts = [rng.choice(frags) for _ in range(n)]
+            t = parts[0]
+            for s, p in zip(seps, parts[1:]):
+                t += s + p
+            docs.append((i, t))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in dup_line_signals(df).collect()}
+
+        def frac(elems):
+            c = Counter(elems)
+            n = len(elems)
+            extra = n - len(c)
+            extra_ch = sum((v - 1) * len(g) for g, v in c.items() if v >= 2)
+            tot = sum(len(g) for g in elems)
+            return (
+                (100 * extra) // max(n, 1),
+                (100 * extra_ch) // max(tot, 1),
+                n,
+            )
+
+        for i, t in docs:
+            lines = [x for x in (l.strip() for l in t.split("\n")) if x]
+            paras = [x for x in (p.strip() for p in t.split("\n\n")) if x]
+            lf, lcf, nl = frac(lines)
+            pf, pcf, np_ = frac(paras)
+            g = got[i]
+            assert (g["n_lines"], g["n_paras"]) == (nl, np_), (i, t)
+            assert g["dup_line_frac_x100"] == lf, (i, t)
+            assert g["dup_line_char_frac_x100"] == lcf, (i, t)
+            assert g["dup_para_frac_x100"] == pf, (i, t)
+            assert g["dup_para_char_frac_x100"] == pcf, (i, t)
+
+    def test_shuffle_free_plan(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.quality import dup_line_signals
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            dup_line_signals(df).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
