@@ -136,6 +136,7 @@ HEADLINE = [
     "tfidf_top_terms",         # integer-exact tf/df characteristic terms
     "gopher_line_gate",        # Gopher line-shape suite, shuffle-free
     "dup_line_gate",           # Gopher dup line/paragraph suite
+    "shard_manifest",          # per-shard publish manifest + checksums
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

@@ -4282,6 +4282,40 @@ FROM s
 SQL_DUP_LINE = _dup_line_sql()
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Publishing manifest over the epoch-0 shuffle shards
+    (operators/sampling.py shard_manifest): per-shard doc count, position
+    range, total chars, and the order-insensitive md5-slice checksum. The
+    oracle recomputes the shuffle recurrence AND the manifest from
+    scratch — a wrong position, a lost doc, or a checksum drift all break
+    the hash."""
+    from .operators.sampling import deterministic_shuffle, shard_manifest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    sharded = deterministic_shuffle(docs, "doc_id", salt="epoch0:", shard_size=64)
+    return shard_manifest(sharded, weight_col="n_chars")
+
+
+SQL_SHARD_MANIFEST = """
+WITH r AS (
+  SELECT doc_id, text, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents
+)
+SELECT CAST((pos - 1) // 64 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       CAST(sum(n_chars) AS BIGINT) AS n_weight,
+       CAST(sum(CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)
+                     AS BIGINT)) AS BIGINT) AS checksum
+FROM r
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4328,6 +4362,7 @@ CATALOG: Dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "gopher_line_gate": (q_gopher_line_gate, SQL_GOPHER_LINE),
     "dup_line_gate": (q_dup_line_gate, SQL_DUP_LINE),
+    "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

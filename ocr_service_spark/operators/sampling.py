@@ -164,3 +164,40 @@ def mixture_repeat(
 def sql_hex_threshold(frac: float) -> str:
     """Expose the threshold computation for oracle-SQL generation."""
     return _hex_threshold(frac)
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    pos_col: str = "shuffle_pos",
+    content_col: str = "text",
+    weight_col: str = None,
+) -> DataFrame:
+    """Per-shard publishing manifest for a sharded training set:
+    (shard_id, n_docs, first_pos, last_pos, n_weight, checksum) — the
+    metadata a consumer needs to verify a delivered shard without
+    re-reading the corpus (HF-dataset/WebDataset-style manifests).
+
+    checksum is ORDER-INSENSITIVE and engine-exact: the per-row 32-bit
+    integer slice of md5(content) summed per shard (a sum of < 2^32 terms
+    stays inside BIGINT up to ~2^31 docs/shard — far beyond any real shard
+    size). A dropped, duplicated, or substituted document changes the sum;
+    re-partitioning or re-ordering the shard does not, which is exactly
+    the invariant an idempotent re-publish needs. first/last_pos make
+    contiguity auditable (last - first + 1 == n_docs for shuffle shards).
+
+    Scale shape: ONE hash aggregate keyed by shard_id with map-side
+    partials — the exchange carries n_shards rows, not the corpus.
+    """
+    checksum = F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(pos_col).cast("long").alias("first_pos"),
+        F.max(pos_col).cast("long").alias("last_pos"),
+        F.sum(checksum).cast("long").alias("checksum"),
+    ]
+    if weight_col:
+        aggs.insert(3, F.sum(weight_col).cast("long").alias("n_weight"))
+    return df.groupBy(F.col(shard_col)).agg(*aggs)

@@ -138,3 +138,54 @@ class TestDeterministicShuffle:
         counts = pa.groupby("shard_id").size()
         assert dict(counts) == {0: 100, 1: 100, 2: 100}
         assert set(pa[pa.shard_id == 1]["shuffle_pos"]) == set(range(101, 201))
+
+
+class TestShardManifest:
+    def test_manifest_counts_and_checksum_invariance(self, spark):
+        from ocr_service_spark.operators.sampling import (
+            deterministic_shuffle,
+            shard_manifest,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc body {i}", 10 + i) for i in range(20)],
+            "doc_id long, text string, n_chars long",
+        )
+        sharded = deterministic_shuffle(docs, "doc_id", salt="e0:", shard_size=8)
+        m = {r["shard_id"]: r for r in shard_manifest(sharded, weight_col="n_chars").collect()}
+        assert sorted(m) == [0, 1, 2]
+        assert [m[i]["n_docs"] for i in (0, 1, 2)] == [8, 8, 4]
+        # contiguity: last - first + 1 == n_docs
+        for r in m.values():
+            assert r["last_pos"] - r["first_pos"] + 1 == r["n_docs"]
+        # checksum is order-insensitive: reshuffling docs doesn't change the
+        # per-shard sums when shard membership is identical
+        re_sharded = sharded.orderBy(F.col("doc_id").desc())
+        m2 = {r["shard_id"]: r["checksum"]
+              for r in shard_manifest(re_sharded, weight_col="n_chars").collect()}
+        assert m2 == {k: v["checksum"] for k, v in m.items()}
+
+    def test_checksum_detects_substitution(self, spark):
+        from ocr_service_spark.operators.sampling import shard_manifest
+
+        rows = [(0, i, f"body {i}") for i in range(5)]
+        df = spark.createDataFrame(rows, "shard_id long, shuffle_pos long, text string")
+        base = shard_manifest(df).collect()[0]["checksum"]
+        swapped = spark.createDataFrame(
+            rows[:4] + [(0, 4, "tampered body")],
+            "shard_id long, shuffle_pos long, text string",
+        )
+        assert shard_manifest(swapped).collect()[0]["checksum"] != base
+
+    def test_single_bounded_exchange(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.sampling import shard_manifest
+
+        df = spark.createDataFrame(
+            [(0, 1, "x")], "shard_id long, shuffle_pos long, text string"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            shard_manifest(df).explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count(") Exchange") == 1, plan
