@@ -137,6 +137,7 @@ HEADLINE = [
     "gopher_line_gate",        # Gopher line-shape suite, shuffle-free
     "dup_line_gate",           # Gopher dup line/paragraph suite
     "shard_manifest",          # per-shard publish manifest + checksums
+    "compaction_plan",         # lakehouse binpack compaction planning
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

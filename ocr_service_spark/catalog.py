@@ -4316,6 +4316,47 @@ GROUP BY 1
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/maintenance.py): a
+    synthetic manifest listing derived from the documents table (one
+    parquet file per doc, bytes scaled from n_chars, one planted
+    10 MB giant to prove oversize files get boundary-aligned groups of
+    their own), binned into ~1 MB groups by contiguous fill in path
+    order. Oracle recomputes the identical cumulative-bytes recurrence."""
+    from .operators.maintenance import compaction_plan
+
+    d = load(spark, sf_dir, "documents")
+    files = d.select(
+        F.format_string(
+            "s3://lake/docs/%s/part-%012d.parquet", "source", "doc_id"
+        ).alias("path"),
+        F.when(F.col("doc_id") == 17, F.lit(10_000_000))
+        .otherwise(F.col("n_chars") * 977)
+        .cast("long")
+        .alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=1_000_000)
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT printf('s3://lake/docs/%s/part-%012d.parquet', source, doc_id) AS path,
+         CASE WHEN doc_id = 17 THEN 10000000
+              ELSE n_chars * 977 END AS bytes
+  FROM documents
+),
+c AS (
+  SELECT path, CAST(bytes AS BIGINT) AS bytes,
+         CAST(SUM(bytes) OVER (ORDER BY path
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+  FROM f
+)
+SELECT path, bytes, cum_bytes,
+       CAST((cum_bytes - bytes) // 1000000 AS BIGINT) AS group_id
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4363,6 +4404,7 @@ CATALOG: Dict[str, tuple] = {
     "gopher_line_gate": (q_gopher_line_gate, SQL_GOPHER_LINE),
     "dup_line_gate": (q_dup_line_gate, SQL_DUP_LINE),
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -1,0 +1,61 @@
+"""Lakehouse table-maintenance operators.
+
+The north-star deployment writes extraction output to Iceberg-style
+bucketed tables (plans/pipeline.py); a 10^12-document table accretes
+small files with every incremental crawl and needs periodic compaction —
+the `rewrite_data_files` maintenance pass of every table format. This
+module plans that pass as a DataFrame op: deterministic, engine-exact,
+and itself scale-safe (the planner must not choke on a billion-file
+manifest listing).
+
+No Iceberg jar ships in this sandbox (SURVEY §7.1), so the EXECUTION of a
+plan stays behind the same writer interface as the bucketed sink; the
+PLANNING below is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the usual parquet target size
+
+
+def compaction_plan(
+    files: DataFrame,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> DataFrame:
+    """Assign every data file to a compaction group of ~target_bytes:
+    (path, bytes, cum_bytes, group_id) — contiguous fill in path order,
+    group_id = floor(start_offset / target). A group's size is
+    target ± one file (the streaming bin-fill bound); a file larger than
+    the target gets its own group(s) boundary-aligned, exactly like
+    Iceberg's binpack rewrite.
+
+    Scale shape: ordering + cumulative bytes ride the distributed prefix
+    sum (quality.global_prefix_sum — range partition, per-partition fold,
+    broadcast offsets), NEVER a bare global window that funnels a
+    billion-file manifest through one task. Deterministic in the file
+    listing alone, so a failed compaction job can re-plan and get the
+    identical grouping — the property that makes the subsequent rewrite
+    idempotent.
+    """
+    from .quality import global_prefix_sum
+
+    c = global_prefix_sum(
+        files.select(F.col(path_col).alias("path"),
+                     F.col(bytes_col).cast("long").alias("bytes")),
+        ["path"],
+        "bytes",
+        out_col="cum_bytes",
+    )
+    return c.select(
+        "path",
+        "bytes",
+        "cum_bytes",
+        F.expr(f"(cum_bytes - bytes) div {int(target_bytes)}")
+        .cast("long")
+        .alias("group_id"),
+    )

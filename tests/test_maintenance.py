@@ -1,0 +1,78 @@
+"""Tests for operators/maintenance.py — compaction planning."""
+
+import contextlib
+import io
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "path string, bytes long")
+
+
+class TestCompactionPlan:
+    def test_contiguous_fill_and_boundaries(self, spark):
+        from ocr_service_spark.operators.maintenance import compaction_plan
+
+        rows = [(f"f{i:02d}", 40) for i in range(6)]  # 240 bytes total
+        out = {
+            r["path"]: r
+            for r in compaction_plan(
+                _files(spark, rows), target_bytes=100
+            ).collect()
+        }
+        # starts: 0,40,80,120,160,200 -> groups 0,0,0,1,1,2
+        assert [out[f"f{i:02d}"]["group_id"] for i in range(6)] == [
+            0, 0, 0, 1, 1, 2,
+        ]
+        assert out["f05"]["cum_bytes"] == 240
+
+    def test_giant_file_gets_boundary_aligned_group(self, spark):
+        from ocr_service_spark.operators.maintenance import compaction_plan
+
+        rows = [("a", 10), ("b", 1000), ("c", 10)]
+        out = {
+            r["path"]: r["group_id"]
+            for r in compaction_plan(
+                _files(spark, rows), target_bytes=100
+            ).collect()
+        }
+        # starts: a=0 -> g0; b=10 -> g0 (starts inside g0, spans past it);
+        # c=1010 -> g10 — the giant pushes the next file past 10 targets
+        assert out == {"a": 0, "b": 0, "c": 10}
+
+    def test_differential_vs_python_recurrence(self, spark):
+        import random
+
+        from ocr_service_spark.operators.maintenance import compaction_plan
+
+        rng = random.Random(3)
+        rows = [(f"p{i:04d}", rng.randint(1, 500)) for i in range(300)]
+        got = {
+            r["path"]: (r["cum_bytes"], r["group_id"])
+            for r in compaction_plan(
+                _files(spark, rows), target_bytes=777
+            ).collect()
+        }
+        cum = 0
+        for p, b in rows:  # already in path order
+            start = cum
+            cum += b
+            assert got[p] == (cum, start // 777), p
+
+    def test_replan_is_deterministic(self, spark):
+        from ocr_service_spark.operators.maintenance import compaction_plan
+
+        rows = [(f"x{i}", 30 + i) for i in range(50)]
+        a = sorted(map(tuple, compaction_plan(_files(spark, rows), target_bytes=200).collect()))
+        b = sorted(map(tuple, compaction_plan(_files(spark, rows), target_bytes=200).collect()))
+        assert a == b
+
+    def test_no_global_window_in_plan(self, spark):
+        from ocr_service_spark.operators.maintenance import compaction_plan
+
+        df = _files(spark, [("a", 1)])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            compaction_plan(df).explain("formatted")
+        plan = buf.getvalue()
+        # the prefix sum must never plan as a single-partition Window
+        assert ") Window" not in plan, plan
