@@ -138,6 +138,7 @@ HEADLINE = [
     "dup_line_gate",           # Gopher dup line/paragraph suite
     "shard_manifest",          # per-shard publish manifest + checksums
     "compaction_plan",         # lakehouse binpack compaction planning
+    "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

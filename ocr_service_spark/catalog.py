@@ -4357,6 +4357,50 @@ FROM c
 """
 
 
+def q_two_tier_dedup(spark, sf_dir):
+    """Two-tier snapshot-ingest dedup (operators/dedup.py
+    two_tier_incremental_dedup): Bloom prefilter routes proven-novel docs
+    around the exact anti-join, the suspect sliver resolves exactly. Same
+    planted base/delta split as bloom_dedup. The oracle is the PLAIN
+    exact-join twin — the tiering must be invisible in the output, which
+    is precisely what the hash check proves."""
+    from .operators.dedup import two_tier_incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_BLOOM_PLANT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    delta = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 1, F.lit(_BLOOM_PLANT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return two_tier_incremental_dedup(delta, base, "doc_id", "text")
+
+
+SQL_TWO_TIER_DEDUP = f"""
+WITH base AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN '{_BLOOM_PLANT}' ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+delta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN '{_BLOOM_PLANT}' ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+bfp AS (SELECT DISTINCT md5(text) AS fp FROM base),
+dfp AS (SELECT doc_id AS id, md5(text) AS fp FROM delta)
+SELECT fp, MIN(id) AS id, CAST(count(*) AS BIGINT) AS n_delta_dups
+FROM dfp
+WHERE fp NOT IN (SELECT fp FROM bfp)
+GROUP BY fp
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4405,6 +4449,7 @@ CATALOG: Dict[str, tuple] = {
     "dup_line_gate": (q_dup_line_gate, SQL_DUP_LINE),
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "two_tier_dedup": (q_two_tier_dedup, SQL_TWO_TIER_DEDUP),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -562,3 +562,48 @@ def bloom_dedup_flags(
         bit = word.bitwiseAND(mask) != 0
         hit = bit if hit is None else (hit & bit)
     return probe.select("id", "fp", hit.alias("possibly_dup"))
+
+
+def two_tier_incremental_dedup(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Snapshot-ingest dedup with a Bloom prefilter in front of the exact
+    anti-join — the two-tier design at trillion-doc scale, composed so the
+    OUTPUT IS PROVABLY IDENTICAL to incremental_dedup(delta, base):
+
+      tier 1: bloom_dedup_flags — possibly_dup=false is a proof of novelty
+              (no false negatives), those docs skip the join entirely;
+      tier 2: only the possibly_dup sliver (true dups + the ~(set_bits/m)^k
+              false positives) anti-joins the base fingerprints, which
+              resolves every false positive exactly.
+
+    Both tiers are pure functions of md5(text), so tier-1 routing can never
+    change the result set — only how much data reaches the join. At the
+    default sizing the exact join's probe side shrinks from the whole delta
+    to the true-dup fraction; the base side ships once as the 0.3 MB filter
+    plus once as bare fingerprints for the sliver. Emits incremental_dedup's
+    exact schema: one row per novel fp, (fp, id = first carrier,
+    n_delta_dups) — and the DuckDB oracle is the plain exact-join twin,
+    which IS the point: the optimization is invisible in the output.
+    """
+    flags = bloom_dedup_flags(delta, base, id_col, text_col, m_bits, k)
+    base_fps = base.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    proven_novel = flags.filter(~F.col("possibly_dup")).select("id", "fp")
+    resolved = (
+        flags.filter(F.col("possibly_dup"))
+        .select("id", "fp")
+        .join(base_fps, "fp", "left_anti")
+    )
+    return (
+        proven_novel.unionByName(resolved)
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("id"),
+            F.count(F.lit(1)).alias("n_delta_dups"),
+        )
+    )

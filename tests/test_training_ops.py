@@ -360,3 +360,44 @@ class TestBloomDedup:
         assert all(r["word"] != 0 for r in words)
         assert all(0 <= r["word_idx"] < BLOOM_M_BITS // 32 for r in words)
         assert all(0 <= r["word"] < (1 << 32) for r in words)
+
+
+class TestTwoTierIncrementalDedup:
+    def test_equals_exact_path_with_planted_dups(self, spark):
+        """The whole point: routing through the Bloom tier must be
+        invisible — two-tier output == incremental_dedup output."""
+        from ocr_service_spark.operators.dedup import (
+            incremental_dedup,
+            two_tier_incremental_dedup,
+        )
+
+        base = spark.createDataFrame(
+            [(i, f"base body {i % 7}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [(100 + i, f"base body {i % 7}") for i in range(10)]  # stale
+            + [(200 + i, f"fresh body {i}") for i in range(10)]   # novel
+            + [(300, "fresh body 0"), (301, "fresh body 0")],     # intra dups
+            "doc_id long, text string",
+        )
+        exact = sorted(map(tuple, incremental_dedup(delta, base, "doc_id", "text").collect()))
+        tiered = sorted(map(tuple, two_tier_incremental_dedup(delta, base, "doc_id", "text").collect()))
+        assert tiered == exact
+        assert len(exact) == 10  # 10 novel fps (fresh 0..9; 300/301 fold into 200)
+
+    def test_bloom_tier_shrinks_join_probe(self, spark):
+        """Structural: the proven-novel branch must bypass the anti-join —
+        count rows entering each branch."""
+        from ocr_service_spark.operators.dedup import bloom_dedup_flags
+
+        base = spark.createDataFrame(
+            [(i, f"seen {i}") for i in range(20)], "doc_id long, text string"
+        )
+        delta = spark.createDataFrame(
+            [(100, "seen 3"), (101, "novel a"), (102, "novel b"), (103, "novel c")],
+            "doc_id long, text string",
+        )
+        flags = bloom_dedup_flags(delta, base, "doc_id", "text")
+        n_suspect = flags.filter("possibly_dup").count()
+        assert n_suspect == 1  # only the true dup reaches the exact join
