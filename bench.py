@@ -139,6 +139,7 @@ HEADLINE = [
     "shard_manifest",          # per-shard publish manifest + checksums
     "compaction_plan",         # lakehouse binpack compaction planning
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
+    "url_template_profile",    # per-host template mining + trap flags
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

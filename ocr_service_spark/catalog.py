@@ -4401,6 +4401,72 @@ GROUP BY fp
 """
 
 
+def q_url_template_profile(spark, sf_dir):
+    """URL-template mining (operators/domains.py url_template_profile):
+    planted URL population — product pages (numeric ids collapse into one
+    template per shop), a faceted-nav trap (every doc mints a distinct
+    filter combination under one template), and static about pages. The
+    trap template must dominate and flag; the oracle recomputes host,
+    template and counts from the same planting rule."""
+    from .operators.domains import url_template_profile
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(
+                "https://catalog.example/search/f%d/p%d/s%d",
+                F.col("doc_id") % 9, F.col("doc_id") % 11, F.col("doc_id"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string(
+                "https://shop%d.example/product/%d/view?ref=%d",
+                F.col("doc_id") % 4, F.col("doc_id"), F.col("doc_id") % 7,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "https://shop%d.example/about", F.col("doc_id") % 4
+            )
+        )
+    )
+    return url_template_profile(d.select(url.alias("url")), trap_threshold=100)
+
+
+SQL_URL_TEMPLATE = """
+WITH u AS (
+  SELECT CASE
+    WHEN doc_id % 3 = 0 THEN printf('https://catalog.example/search/f%d/p%d/s%d',
+                                    doc_id % 9, doc_id % 11, doc_id)
+    WHEN doc_id % 3 = 1 THEN printf('https://shop%d.example/product/%d/view?ref=%d',
+                                    doc_id % 4, doc_id, doc_id % 7)
+    ELSE printf('https://shop%d.example/about', doc_id % 4)
+  END AS url
+  FROM documents
+),
+t AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+         regexp_replace(
+           CASE WHEN regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1) = ''
+                THEN '/'
+                ELSE regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1) END,
+           '[0-9]+', '{n}', 'g') AS template,
+         url
+  FROM u
+)
+SELECT host, template,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       min(url) AS first_url,
+       (count(*) >= 100) AS is_trap
+FROM t GROUP BY host, template
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4450,6 +4516,7 @@ CATALOG: Dict[str, tuple] = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "two_tier_dedup": (q_two_tier_dedup, SQL_TWO_TIER_DEDUP),
+    "url_template_profile": (q_url_template_profile, SQL_URL_TEMPLATE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -100,3 +100,41 @@ def domain_cap(
         df.withColumn("host", url_host(F.col(url_col))),
         ["host"], quality_col, k, tiebreak,
     )
+
+
+def url_template_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_threshold: int = 10_000,
+) -> DataFrame:
+    """Per-host URL-template profile: collapse numeric path segments and
+    group — (host, template, n_urls, first_url, is_trap). Template mining
+    is how a crawl operation spots faceted-navigation traps and infinite
+    calendars (one template generating millions of URLs) and how URL-level
+    dedup generalizes beyond exact strings.
+
+    template = the path (query/fragment stripped) with every digit run
+    replaced by '{n}' — deliberately the simplest cross-engine-exact rule
+    (Java regex and RE2 agree on '[0-9]+'); richer rules (hex ids, uuids)
+    slot into the same regexp_replace chain. first_url = min(url) keeps a
+    deterministic exemplar. ONE hash aggregate keyed by (host, template),
+    map-side partials; is_trap flags templates expanding past
+    trap_threshold URLs.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        df.select(
+            url_host(u).alias("host"),
+            template.alias("template"),
+            u.alias("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("url").alias("first_url"),
+        )
+        .withColumn("is_trap", F.col("n_urls") >= trap_threshold)
+    )

@@ -73,3 +73,56 @@ def test_domain_cap_keeps_best_k(spark):
     assert kept == {
         ("a.example", 1, 2), ("a.example", 2, 3), ("b.example", 1, 4),
     }
+
+
+class TestUrlTemplateProfile:
+    def _profile(self, spark, urls, threshold=3):
+        from ocr_service_spark.operators.domains import url_template_profile
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            (r["host"], r["template"]): r
+            for r in url_template_profile(df, trap_threshold=threshold).collect()
+        }
+
+    def test_numeric_segments_collapse(self, spark):
+        p = self._profile(spark, [
+            "https://s.example/product/1/view",
+            "https://s.example/product/23/view",
+            "https://s.example/product/456/view?ref=9",
+        ])
+        key = ("s.example", "/product/{n}/view")
+        assert list(p) == [key]
+        assert p[key]["n_urls"] == 3
+        assert p[key]["first_url"] == "https://s.example/product/1/view"
+        assert p[key]["is_trap"]  # 3 >= threshold 3
+
+    def test_query_and_fragment_stripped_and_root_path(self, spark):
+        p = self._profile(spark, [
+            "https://a.example?tracking=1",
+            "https://a.example/#frag",
+            "https://a.example/about",
+        ])
+        assert p[("a.example", "/")]["n_urls"] == 2
+        assert p[("a.example", "/about")]["n_urls"] == 1
+        assert not p[("a.example", "/about")]["is_trap"]
+
+    def test_hosts_partition_templates(self, spark):
+        p = self._profile(spark, [
+            "https://x.example/item/7",
+            "https://y.example/item/7",
+        ])
+        assert set(p) == {
+            ("x.example", "/item/{n}"),
+            ("y.example", "/item/{n}"),
+        }
+
+    def test_single_bounded_exchange(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.domains import url_template_profile
+
+        df = spark.createDataFrame([("https://a.example/1",)], "url string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            url_template_profile(df).explain("formatted")
+        assert buf.getvalue().count(") Exchange") == 1
