@@ -4467,6 +4467,36 @@ FROM t GROUP BY host, template
 """
 
 
+def q_dsir_resample(spark, sf_dir):
+    """The selection half of DSIR composed onto the weighting half
+    (operators/sampling.py importance_resample over lm.dsir_importance):
+    per-document acceptance probability linear in the integer weight grid
+    (weight_x = max(avg_dsir_q + 9000, 0) of scale 500 — tuned to the
+    corpus's observed avg_dsir_q range of about [-9400, -8500] so both
+    accept and reject populations are non-empty), drawn
+    deterministically from md5('resample:' || doc_id) in pure integer
+    arithmetic. The oracle recomputes the two LMs, the weights, AND the
+    draw — one hash off anywhere breaks the value hash."""
+    from .operators.sampling import importance_resample
+
+    scored = q_dsir_importance(spark, sf_dir).withColumn(
+        "weight_x", F.greatest(F.col("avg_dsir_q") + 9000, F.lit(0)).cast("long")
+    )
+    return importance_resample(scored, "doc_id", "weight_x", scale_x=500)
+
+
+SQL_DSIR_RESAMPLE = f"""
+SELECT doc_id, n_tokens, dsir_q, avg_dsir_q,
+       CAST(greatest(avg_dsir_q + 9000, 0) AS BIGINT) AS weight_x,
+       CAST(CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) AS BIGINT) AS accept_x32,
+       (CAST(CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS BIGINT) * 500
+        < CAST(greatest(avg_dsir_q + 9000, 0) AS BIGINT) * 4294967296) AS accept
+FROM ({{dsir}}) d
+""".format(dsir=SQL_DSIR)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4517,6 +4547,7 @@ CATALOG: Dict[str, tuple] = {
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "two_tier_dedup": (q_two_tier_dedup, SQL_TWO_TIER_DEDUP),
     "url_template_profile": (q_url_template_profile, SQL_URL_TEMPLATE),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

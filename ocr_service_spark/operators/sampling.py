@@ -201,3 +201,43 @@ def shard_manifest(
     if weight_col:
         aggs.insert(3, F.sum(weight_col).cast("long").alias("n_weight"))
     return df.groupBy(F.col(shard_col)).agg(*aggs)
+
+
+def importance_resample(
+    scored: DataFrame,
+    id_col: str,
+    weight_x_col: str,
+    scale_x: int = 10_000,
+    salt: str = "resample:",
+) -> DataFrame:
+    """Deterministic importance resampling: accept each row with
+    probability weight_x / scale_x (clamped to [0, 1]) — the selection
+    half of DSIR (Xie et al. 2023) after dsir_importance produces the
+    weights, in the same curation-grade form as every sampler here.
+
+    The Bernoulli draw is a pure function of (salt, id): the row's 32-bit
+    md5 slice is compared against the weight entirely in integer space —
+    accept iff hash32 * scale_x < weight_x * 2^32 — so the sample is
+    reproducible across runs, partitionings, and engines; re-running after
+    a failure or appending new rows never flips prior decisions
+    (append-stable); and changing `salt` redraws independently. No exp(),
+    no float: a linear acceptance in the weight grid by design — engine
+    exactness beats matching the paper's Gumbel trick, and any monotone
+    reweighting can be applied to weight_x upstream. Shuffle-free: one
+    projection.
+
+    Emits the input plus (accept_x32 = hash32, accept boolean).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col(weight_x_col).cast("long"), F.lit(0))
+    return scored.withColumn("accept_x32", h).withColumn(
+        "accept",
+        F.col("accept_x32") * F.lit(int(scale_x))
+        < w * F.lit(1 << 32),
+    )

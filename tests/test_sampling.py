@@ -189,3 +189,60 @@ class TestShardManifest:
             shard_manifest(df).explain("formatted")
         plan = buf.getvalue()
         assert plan.count(") Exchange") == 1, plan
+
+
+class TestImportanceResample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, weight_x long")
+
+    def test_certain_and_impossible_weights(self, spark):
+        from ocr_service_spark.operators.sampling import importance_resample
+
+        rows = [(i, 10_000) for i in range(20)] + [(100 + i, 0) for i in range(20)] \
+            + [(200 + i, -5) for i in range(5)]
+        out = {r["doc_id"]: r["accept"]
+               for r in importance_resample(self._df(spark, rows), "doc_id", "weight_x").collect()}
+        assert all(out[i] for i in range(20))            # p = 1
+        assert not any(out[100 + i] for i in range(20))  # p = 0
+        assert not any(out[200 + i] for i in range(5))   # negative clamps to 0
+
+    def test_differential_vs_python_md5(self, spark):
+        import hashlib
+
+        from ocr_service_spark.operators.sampling import importance_resample
+
+        rows = [(i, (i * 137) % 12_000) for i in range(300)]
+        got = {r["doc_id"]: (r["accept_x32"], r["accept"])
+               for r in importance_resample(self._df(spark, rows), "doc_id", "weight_x").collect()}
+        for i, w in rows:
+            h = int(hashlib.md5(f"resample:{i}".encode()).hexdigest()[:8], 16)
+            assert got[i] == (h, h * 10_000 < max(w, 0) * (1 << 32)), i
+
+    def test_append_stable_and_salt_redraws(self, spark):
+        from ocr_service_spark.operators.sampling import importance_resample
+
+        base = [(i, 5_000) for i in range(200)]
+        a = {r["doc_id"]: r["accept"]
+             for r in importance_resample(self._df(spark, base), "doc_id", "weight_x").collect()}
+        bigger = base + [(1_000 + i, 5_000) for i in range(50)]
+        b = {r["doc_id"]: r["accept"]
+             for r in importance_resample(self._df(spark, bigger), "doc_id", "weight_x").collect()}
+        assert all(b[i] == a[i] for i, _ in base)  # appending never flips
+        # p=0.5 over 200 ids: the md5 draw should land broadly near half
+        n = sum(a.values())
+        assert 60 <= n <= 140
+        c = {r["doc_id"]: r["accept"]
+             for r in importance_resample(self._df(spark, base), "doc_id", "weight_x", salt="epoch1:").collect()}
+        assert any(c[i] != a[i] for i, _ in base)  # a new salt redraws
+
+    def test_shuffle_free(self, spark):
+        import contextlib, io
+
+        from ocr_service_spark.operators.sampling import importance_resample
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            importance_resample(
+                self._df(spark, [(1, 5)]), "doc_id", "weight_x"
+            ).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
