@@ -292,7 +292,11 @@ def test_streamed_quality_gate_matches_batch(spark, tmp_path_factory):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ocr_service_spark.operators.quality import (
-        gopher_quality_signals, pii_redact,
+        dup_line_signals,
+        dup_ngram_signals,
+        gopher_line_signals,
+        gopher_quality_signals,
+        pii_redact,
     )
 
     root = tmp_path_factory.mktemp("stream_quality")
@@ -305,7 +309,13 @@ def test_streamed_quality_gate_matches_batch(spark, tmp_path_factory):
         "doc_id", "text"
     ).write.mode("overwrite").parquet(docs_path)
 
-    for name, op in [("gopher", gopher_quality_signals), ("pii", pii_redact)]:
+    for name, op in [
+        ("gopher", gopher_quality_signals),
+        ("pii", pii_redact),
+        ("dup_ngram", dup_ngram_signals),
+        ("line_shape", gopher_line_signals),
+        ("dup_line", dup_line_signals),
+    ]:
         q = (
             op(spark.readStream.schema(schema).parquet(docs_path))
             .writeStream.format("memory")
