@@ -141,6 +141,7 @@ HEADLINE = [
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "url_template_profile",    # per-host template mining + trap flags
     "dsir_resample",           # DSIR selection half, integer Bernoulli
+    "snapshot_drift",          # recrawl change classes via simhash hamming
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

@@ -4497,6 +4497,91 @@ FROM ({{dsir}}) d
 """.format(dsir=SQL_DSIR)
 
 
+_DRIFT_BASE = "alpha beta gamma delta epsilon zeta eta theta ref%d tag%d"
+_DRIFT_OTHER = "lorem ipsum dolor sit amet consectetur adipiscing elit node%d rev%d"
+
+
+def q_snapshot_drift(spark, sf_dir):
+    """Recrawl change detection (operators/snapshots.py snapshot_drift):
+    planted 5-fetch history per url — v1 is a byte-identical revisit, v2
+    appends a phrase (minor churn), v3 swaps the whole body (major), v4
+    patches the new body (minor) — classified by md5 equality then
+    simhash60 hamming. The oracle recomputes fingerprints, lags, hamming
+    and the classification from the planting rule."""
+    from .operators.snapshots import snapshot_drift
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    key, v = F.col("doc_id") % 100, (F.col("doc_id") / 100).cast("long")
+    base = F.format_string(_DRIFT_BASE, key, key % 7)
+    other = F.format_string(_DRIFT_OTHER, key, key % 5)
+    text = (
+        F.when(v <= 1, base)
+        .when(v == 2, F.concat(base, F.format_string(" updated item k%d", key % 3)))
+        .when(v == 3, other)
+        .otherwise(F.concat(other, F.lit(" hotfix applied")))
+    )
+    fetches = d.select(
+        key.alias("url"), F.col("doc_id").alias("warc_ts"), text.alias("text")
+    )
+    return snapshot_drift(fetches, "url", "warc_ts", "text")
+
+
+def _snapshot_drift_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id % 100 AS url, doc_id AS warc_ts,
+         CASE
+           WHEN doc_id // 100 <= 1 THEN
+             printf('{_DRIFT_BASE}', doc_id % 100, (doc_id % 100) % 7)
+           WHEN doc_id // 100 = 2 THEN
+             printf('{_DRIFT_BASE}', doc_id % 100, (doc_id % 100) % 7)
+               || printf(' updated item k%d', (doc_id % 100) % 3)
+           WHEN doc_id // 100 = 3 THEN
+             printf('{_DRIFT_OTHER}', doc_id % 100, (doc_id % 100) % 5)
+           ELSE
+             printf('{_DRIFT_OTHER}', doc_id % 100, (doc_id % 100) % 5)
+               || ' hotfix applied'
+         END AS text
+  FROM documents
+),
+tok AS (
+  SELECT url, warc_ts, md5(text) AS dg,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM f
+),
+h AS (
+  SELECT url, warc_ts, dg,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+  FROM tok
+),
+v AS (SELECT url, warc_ts, max(dg) AS dg, {votes} FROM h GROUP BY url, warc_ts),
+s AS (SELECT url, warc_ts, dg, CAST({fp} AS BIGINT) AS fp FROM v),
+p AS (
+  SELECT url, warc_ts, fp, dg,
+         lag(warc_ts) OVER w AS prev_ts,
+         lag(fp) OVER w AS prev_fp,
+         lag(dg) OVER w AS prev_dg
+  FROM s WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+)
+SELECT url, warc_ts, prev_ts,
+       CAST(bit_count(xor(fp, prev_fp)) AS BIGINT) AS hamming,
+       CASE WHEN dg = prev_dg THEN 'identical'
+            WHEN bit_count(xor(fp, prev_fp)) <= 20 THEN 'minor'
+            ELSE 'major' END AS change
+FROM p WHERE prev_ts IS NOT NULL
+"""
+
+
+SQL_SNAPSHOT_DRIFT = _snapshot_drift_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4548,6 +4633,7 @@ CATALOG: Dict[str, tuple] = {
     "two_tier_dedup": (q_two_tier_dedup, SQL_TWO_TIER_DEDUP),
     "url_template_profile": (q_url_template_profile, SQL_URL_TEMPLATE),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "snapshot_drift": (q_snapshot_drift, SQL_SNAPSHOT_DRIFT),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -207,7 +207,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash_md5_60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_md5_60(
+    df: DataFrame, id_col, text_col: str, digest: bool = False
+) -> DataFrame:
     """60-bit SimHash over md5-derived word hashes — the cross-engine-oracle
     twin of `simhash64`.
 
@@ -219,12 +221,21 @@ def simhash_md5_60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     which transitively validates the shared vote-aggregate structure that
     `simhash64` uses. Same scale shape: explode words, 60 conditional sums
     in one map-side-partial hash aggregate, one row per doc shuffled.
+
+    `id_col` may be a single name (output keyed as `id`, the original
+    form) or a list of names (kept verbatim — e.g. (url, ts) fetch keys
+    for snapshot_drift). With digest=True an exact md5(text) rides along
+    in the same aggregate (zero extra shuffles) so callers can tell
+    identical from merely simhash-close.
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
+    single = isinstance(id_col, str)
+    ids = [id_col] if single else list(id_col)
+    pre = df.select(
+        *[F.col(c) for c in ids],
+        *([F.md5(F.col(text_col)).alias("_dg")] if digest else []),
         F.explode(_words(F.col(text_col))).alias("w"),
-    ).select(
-        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     )
     votes = [
         F.sum(
@@ -232,11 +243,17 @@ def simhash_md5_60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias(f"b{b}")
         for b in range(60)
     ]
-    agg = ex.groupBy("id").agg(*votes)
+    if digest:
+        votes.append(F.max("_dg").alias("digest"))
+    agg = pre.groupBy(*ids).agg(*votes)
     fp = F.lit(0).cast("long")
     for b in range(60):
         fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(0)
-    return agg.select("id", fp.alias("simhash60"))
+    out_ids = [F.col(ids[0]).alias("id")] if single else [F.col(c) for c in ids]
+    return agg.select(
+        *out_ids, fp.alias("simhash60"),
+        *([F.col("digest")] if digest else []),
+    )
 
 
 def simhash_near_dup_pairs(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import simhash_md5_60
+
 
 def latest_snapshot(
     df: DataFrame,
@@ -69,4 +71,57 @@ def latest_snapshot(
         F.sum("_chg").cast("long").alias("n_changes"),
         F.max(F.when(F.col("_rn") == 1, F.col("_ts"))).alias("latest_ts"),
         F.max(F.when(F.col("_rn") == 1, F.col("_dg"))).alias("latest_digest"),
+    )
+
+
+def snapshot_drift(
+    fetches: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    minor_bits: int = 20,
+) -> DataFrame:
+    """Per consecutive recrawl pair of a key: how much did the page
+    actually change? (key, ts, prev_ts, hamming, change) where change is
+      'identical' — byte-equal content (md5 match; WARC-revisit semantics),
+      'minor'     — simhash60 hamming <= minor_bits (template churn,
+                    timestamps, counters — re-extraction is skippable),
+      'major'     — real content drift worth re-processing.
+    The signal a recrawl scheduler uses to spend extraction budget on
+    pages that changed meaningfully, not on boilerplate noise.
+
+    Scale shape: one fingerprint aggregate keyed (key, ts) — the
+    simhash_md5_60 vote structure with the exact digest riding along, zero
+    extra shuffles — then one window keyed by key whose groups are bounded
+    by the dump count per url (dozens), never corpus-sized. Engine-exact
+    end-to-end: md5-derived hashes, integer votes, bit_count on xor.
+    """
+    fp = simhash_md5_60(
+        fetches.select(key_col, ts_col, text_col),
+        [key_col, ts_col],
+        text_col,
+        digest=True,
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    paired = fp.select(
+        key_col,
+        ts_col,
+        "simhash60",
+        "digest",
+        F.lag(ts_col).over(w).alias("prev_ts"),
+        F.lag("simhash60").over(w).alias("prev_fp"),
+        F.lag("digest").over(w).alias("prev_digest"),
+    ).filter(F.col("prev_ts").isNotNull())
+    ham = F.bit_count(F.expr("simhash60 ^ prev_fp")).cast("long")
+    change = (
+        F.when(F.col("digest") == F.col("prev_digest"), "identical")
+        .when(ham <= minor_bits, "minor")
+        .otherwise("major")
+    )
+    return paired.select(
+        key_col,
+        ts_col,
+        "prev_ts",
+        ham.alias("hamming"),
+        change.alias("change"),
     )

@@ -156,3 +156,58 @@ def test_ccnet_buckets_broadcast_thresholds(spark):
 
     plan = _plan(CATALOG["ccnet_quality_buckets"][0](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+class TestSnapshotDrift:
+    def _drift(self, spark, rows, **kw):
+        from ocr_service_spark.operators.snapshots import snapshot_drift
+
+        df = spark.createDataFrame(rows, "url long, warc_ts long, text string")
+        return {
+            (r["url"], r["warc_ts"]): r
+            for r in snapshot_drift(df, "url", "warc_ts", "text", **kw).collect()
+        }
+
+    def test_revisit_minor_major_classification(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, 10, base),
+            (1, 20, base),                      # identical revisit
+            (1, 30, base + " one extra token"),  # minor
+            (1, 40, "completely different words lorem ipsum dolor sit amet"),
+        ]
+        d = self._drift(spark, rows)
+        assert d[(1, 20)]["change"] == "identical" and d[(1, 20)]["hamming"] == 0
+        assert d[(1, 30)]["change"] == "minor" and 0 < d[(1, 30)]["hamming"] <= 20
+        assert d[(1, 40)]["change"] == "major" and d[(1, 40)]["hamming"] > 20
+        assert d[(1, 30)]["prev_ts"] == 20
+
+    def test_first_fetch_emits_nothing(self, spark):
+        d = self._drift(spark, [(1, 10, "only fetch"), (2, 11, "also only")])
+        assert d == {}
+
+    def test_keys_isolated(self, spark):
+        rows = [(1, 10, "aaa bbb"), (2, 20, "aaa bbb"), (2, 30, "aaa bbb")]
+        d = self._drift(spark, rows)
+        assert list(d) == [(2, 30)]  # no cross-url pair for url 1
+
+    def test_threshold_override(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, 10, base), (1, 20, base + " tweak")]
+        strict = self._drift(spark, rows, minor_bits=0)
+        assert strict[(1, 20)]["change"] == "major"
+
+    def test_two_bounded_exchanges(self, spark):
+        import contextlib, io
+
+        from ocr_service_spark.operators.snapshots import snapshot_drift
+
+        df = spark.createDataFrame(
+            [(1, 10, "x y")], "url long, warc_ts long, text string"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            snapshot_drift(df).explain("formatted")
+        plan = buf.getvalue()
+        # fingerprint aggregate keyed (url, ts) + per-url window: 2 shuffles
+        assert plan.count(") Exchange") == 2, plan
