@@ -142,6 +142,7 @@ HEADLINE = [
     "url_template_profile",    # per-host template mining + trap flags
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
+    "corpus_diff",             # dataset version changelog, digests-only join
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

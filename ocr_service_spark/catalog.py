@@ -4582,6 +4582,55 @@ FROM p WHERE prev_ts IS NOT NULL
 SQL_SNAPSHOT_DRIFT = _snapshot_drift_sql()
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (operators/snapshots.py corpus_diff), planted
+    so all four statuses occur: v_old = the documents table; v_new drops
+    doc_id % 7 == 0 (removed), adds synthetic keys above 10^6 (added),
+    rewrites text for doc_id % 4 == 0 (changed), and keeps the rest
+    byte-identical (unchanged)."""
+    from .operators.snapshots import corpus_diff
+
+    d = load(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit(" [revised edition]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id AS key, md5(text) AS old_digest FROM documents),
+new_v AS (
+  SELECT doc_id AS key,
+         md5(CASE WHEN doc_id % 4 = 0 THEN text || ' [revised edition]'
+                  ELSE text END) AS new_digest
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 9 = 0
+)
+SELECT COALESCE(old.key, new_v.key) AS key, old_digest, new_digest,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new_v ON old.key = new_v.key
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4634,6 +4683,7 @@ CATALOG: Dict[str, tuple] = {
     "url_template_profile": (q_url_template_profile, SQL_URL_TEMPLATE),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "snapshot_drift": (q_snapshot_drift, SQL_SNAPSHOT_DRIFT),
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -211,3 +211,40 @@ class TestSnapshotDrift:
         plan = buf.getvalue()
         # fingerprint aggregate keyed (url, ts) + per-url window: 2 shuffles
         assert plan.count(") Exchange") == 2, plan
+
+
+class TestCorpusDiff:
+    def test_all_statuses(self, spark):
+        from ocr_service_spark.operators.snapshots import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "url long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "d")], "url long, text string"
+        )
+        out = {r["key"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_projects_before_join(self, spark):
+        """The join must ship digests, not documents: the plan's join keys
+        feed from md5 projections and no text column survives."""
+        import contextlib, io
+
+        from ocr_service_spark.operators.snapshots import corpus_diff
+
+        old = spark.createDataFrame([(1, "x")], "url long, text string")
+        new = spark.createDataFrame([(1, "x")], "url long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            corpus_diff(old, new).explain("formatted")
+        plan = buf.getvalue()
+        # both sides hash in a projection BEFORE the join...
+        assert plan.count("md5(cast(text") >= 2, plan
+        # ...and what actually ships (Exchange/Sort outputs: attribute
+        # lists, no md5 expression) carries digests only, never the text
+        shipped = [
+            l for l in plan.splitlines()
+            if "Output" in l and "digest#" in l and "md5" not in l
+        ]
+        assert shipped and not any("text#" in l for l in shipped), plan
