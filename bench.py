@@ -143,6 +143,7 @@ HEADLINE = [
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
     "corpus_diff",             # dataset version changelog, digests-only join
+    "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

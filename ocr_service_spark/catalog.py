@@ -3844,7 +3844,7 @@ def q_dup_ngram_gate(spark, sf_dir):
     return dup_ngram_signals(planted, "doc_id", "text")
 
 
-def _dup_ngram_sql() -> str:
+def _dup_ngram_sql(planted: bool = True) -> str:
     from .operators.quality import DUP_NGRAM_MAX_X100, TOP_NGRAM_MAX_X100
 
     def ng(n: int) -> str:
@@ -3875,12 +3875,15 @@ def _dup_ngram_sql() -> str:
         [f"top{n}_frac_x100 <= {v}" for n, v in TOP_NGRAM_MAX_X100.items()]
         + [f"dup{n}_frac_x100 <= {v}" for n, v in DUP_NGRAM_MAX_X100.items()]
     )
+    plant = (
+        f"""CASE WHEN doc_id % 6 = 0 THEN text || '{_REP_PLANT_A}'
+              WHEN doc_id % 9 = 0 THEN text || '{_REP_PLANT_B}'
+              ELSE text END"""
+        if planted else "text"
+    )
     return f"""
 WITH d AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 6 = 0 THEN text || '{_REP_PLANT_A}'
-              WHEN doc_id % 9 = 0 THEN text || '{_REP_PLANT_B}'
-              ELSE text END AS text
+  SELECT doc_id, {plant} AS text
   FROM documents
 ),
 w AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
@@ -4123,7 +4126,7 @@ def q_gopher_line_gate(spark, sf_dir):
     return gopher_line_signals(planted, "doc_id", "text")
 
 
-def _gopher_line_sql() -> str:
+def _gopher_line_sql(planted: bool = True) -> str:
     from .operators.quality import (
         BULLET_PREFIXES,
         ELLIPSIS_SUFFIXES,
@@ -4137,13 +4140,16 @@ def _gopher_line_sql() -> str:
     ellipsis = " OR ".join(f"ends_with(t, '{e}')" for e in ELLIPSIS_SUFFIXES)
     b = _LINE_PLANT_BULLETS.replace("\n", "' || chr(10) || '")
     e = _LINE_PLANT_ELLIPSIS.replace("\n", "' || chr(10) || '")
-    return f"""
-WITH d AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN '{b}'
+    plant = (
+        f"""CASE WHEN doc_id % 7 = 0 THEN '{b}'
               WHEN doc_id % 11 = 0 THEN text || chr(10) || '{e}'
               WHEN doc_id % 13 = 0 THEN text || ' {_LINE_PLANT_SYMBOLS}'
-              ELSE text END AS t
+              ELSE text END"""
+        if planted else "text"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {plant} AS t
   FROM documents
 ),
 arr AS (
@@ -4213,7 +4219,7 @@ def q_dup_line_gate(spark, sf_dir):
     return dup_line_signals(planted, "doc_id", "text")
 
 
-def _dup_line_sql() -> str:
+def _dup_line_sql(planted: bool = True) -> str:
     from .operators.quality import (
         MAX_DUP_LINE_CHAR_FRAC_X100,
         MAX_DUP_LINE_FRAC_X100,
@@ -4240,12 +4246,15 @@ def _dup_line_sql() -> str:
     def total(a: str) -> str:
         return f"COALESCE((SELECT SUM(length(u)) FROM unnest({a}) AS t(u)), 0)"
 
+    plant = (
+        f"""CASE WHEN doc_id % 6 = 0 THEN text || chr(10) || '{lp}'
+              WHEN doc_id % 10 = 0 THEN text || chr(10) || chr(10) || '{pp}'
+              ELSE text END"""
+        if planted else "text"
+    )
     return f"""
 WITH d AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 6 = 0 THEN text || chr(10) || '{lp}'
-              WHEN doc_id % 10 = 0 THEN text || chr(10) || chr(10) || '{pp}'
-              ELSE text END AS t
+  SELECT doc_id, {plant} AS t
   FROM documents
 ),
 arr AS (
@@ -4631,6 +4640,73 @@ FROM old FULL OUTER JOIN new_v ON old.key = new_v.key
 """
 
 
+def q_full_quality_gate(spark, sf_dir):
+    """The COMPLETE Gopher Table A1 gate as one operator chain: length/
+    stopword signals ∘ line-shape ∘ duplicate-line/paragraph ∘ n-gram
+    repetition, each suite's verdict carried by passthrough so the whole
+    composition is projections over ONE scan — zero Exchanges. Emits the
+    four per-suite verdicts plus the combined keep, so a pipeline can
+    attribute every drop to its rule family. On this corpus the signal
+    and n-gram suites both fire (248 and 68 drops at sf0.01); the line
+    suites are trivially true on newline-free word-soup — their drop
+    polarities are exercised by their own planted entries
+    (gopher_line_gate, dup_line_gate)."""
+    from .operators.quality import (
+        dup_line_signals,
+        dup_ngram_signals,
+        gopher_line_signals,
+        gopher_quality_signals,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = gopher_quality_signals(d, passthrough=("text",)).select(
+        "doc_id", "text", F.col("keep").alias("keep_sig")
+    )
+    s2 = gopher_line_signals(s1, passthrough=("text", "keep_sig")).select(
+        "doc_id", "text", "keep_sig", F.col("keep").alias("keep_line")
+    )
+    s3 = dup_line_signals(
+        s2, passthrough=("text", "keep_sig", "keep_line")
+    ).select(
+        "doc_id", "text", "keep_sig", "keep_line",
+        F.col("keep").alias("keep_dupline"),
+    )
+    s4 = dup_ngram_signals(
+        s3, passthrough=("keep_sig", "keep_line", "keep_dupline")
+    ).select(
+        "doc_id", "keep_sig", "keep_line", "keep_dupline",
+        F.col("keep").alias("keep_ngram"),
+    )
+    return s4.select(
+        "doc_id",
+        "keep_sig",
+        "keep_line",
+        "keep_dupline",
+        "keep_ngram",
+        (
+            F.col("keep_sig")
+            & F.col("keep_line")
+            & F.col("keep_dupline")
+            & F.col("keep_ngram")
+        ).alias("keep"),
+    )
+
+
+def _full_gate_sql() -> str:
+    return f"""
+WITH g1 AS (SELECT doc_id, keep AS keep_sig FROM ({SQL_GOPHER})),
+g2 AS (SELECT doc_id, keep AS keep_line FROM ({_gopher_line_sql(planted=False)})),
+g3 AS (SELECT doc_id, keep AS keep_dupline FROM ({_dup_line_sql(planted=False)})),
+g4 AS (SELECT doc_id, keep AS keep_ngram FROM ({_dup_ngram_sql(planted=False)}))
+SELECT doc_id, keep_sig, keep_line, keep_dupline, keep_ngram,
+       (keep_sig AND keep_line AND keep_dupline AND keep_ngram) AS keep
+FROM g1 JOIN g2 USING (doc_id) JOIN g3 USING (doc_id) JOIN g4 USING (doc_id)
+"""
+
+
+SQL_FULL_GATE = _full_gate_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4684,6 +4760,7 @@ CATALOG: Dict[str, tuple] = {
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "snapshot_drift": (q_snapshot_drift, SQL_SNAPSHOT_DRIFT),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    "full_quality_gate": (q_full_quality_gate, SQL_FULL_GATE),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

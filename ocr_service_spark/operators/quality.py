@@ -539,6 +539,7 @@ def dup_ngram_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple = (),
     **thresholds: int,
 ) -> DataFrame:
     """The full Gopher repetition-removal suite: per-document char-coverage
@@ -567,11 +568,13 @@ def dup_ngram_signals(
         raise TypeError(f"unknown dup-ngram threshold(s): {sorted(unknown)}")
     th.update(thresholds)
 
+    pt = [c for c in passthrough if c not in (id_col,)]
     base = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+        F.col(id_col), *pt, F.split(F.col(text_col), " ").alias("words")
     )
     ng = base.select(
         id_col,
+        *pt,
         "words",
         *[
             F.expr(f"array_sort({_ngram_build_expr(n)})").alias(f"ng{n}")
@@ -584,6 +587,7 @@ def dup_ngram_signals(
     )
     sig = ng.select(
         id_col,
+        *pt,
         F.expr(f"CAST({total} AS BIGINT)").alias("total_chars"),
         *[
             F.expr(f"(100 * ({_top_chars_expr(f'ng{n}')})) div greatest({total}, 1)")
@@ -623,6 +627,7 @@ def gopher_line_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple = (),
     **thresholds: int,
 ) -> DataFrame:
     """The line/word-shape half of the Gopher gate (the n-gram repetition
@@ -656,8 +661,10 @@ def gopher_line_signals(
     ellipsis = " OR ".join(
         f"endswith(t, '{e}')" for e in ELLIPSIS_SUFFIXES
     )
+    _pt = [c for c in passthrough if c not in (id_col,)]
     base = docs.select(
         F.col(id_col),
+        *_pt,
         F.col(text_col).alias("_t"),
         F.expr(
             f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
@@ -667,6 +674,7 @@ def gopher_line_signals(
     )
     sig = base.select(
         id_col,
+        *_pt,
         F.size("lines").cast("long").alias("n_lines"),
         F.size("words").cast("long").alias("n_words"),
         F.expr(
@@ -734,6 +742,7 @@ def dup_line_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple = (),
     **thresholds: int,
 ) -> DataFrame:
     """Gopher duplicate-line/paragraph rules: per-document fractions of
@@ -770,8 +779,10 @@ def dup_line_signals(
         "array_sort(filter(transform(split({src}, '{sep}'), x -> trim(x)),"
         " x -> x != ''))"
     )
+    _pt = [c for c in passthrough if c not in (id_col,)]
     base = docs.select(
         F.col(id_col),
+        *_pt,
         F.expr(seg.format(src=text_col, sep="\\n")).alias("lines"),
         F.expr(seg.format(src=text_col, sep="\\n\\n")).alias("paras"),
     )
@@ -782,6 +793,7 @@ def dup_line_signals(
 
     sig = base.select(
         id_col,
+        *_pt,
         F.size("lines").cast("long").alias("n_lines"),
         F.size("paras").cast("long").alias("n_paras"),
         F.expr(

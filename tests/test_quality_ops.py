@@ -702,3 +702,36 @@ class TestDupLineSignals:
         with contextlib.redirect_stdout(buf):
             dup_line_signals(df).explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestFullQualityGate:
+    def test_zero_exchange_composition_and_attribution(self, spark):
+        import contextlib, io
+        from ocr_service_spark.catalog import q_full_quality_gate
+
+        df = q_full_quality_gate(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert buf.getvalue().count(") Exchange") == 0
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r["keep"] == (
+                r["keep_sig"] and r["keep_line"]
+                and r["keep_dupline"] and r["keep_ngram"]
+            )
+
+    def test_passthrough_columns_ride_all_three_suites(self, spark):
+        from ocr_service_spark.operators.quality import (
+            dup_line_signals,
+            dup_ngram_signals,
+            gopher_line_signals,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "en")], "doc_id long, text string, lang string"
+        )
+        for op in (dup_ngram_signals, gopher_line_signals, dup_line_signals):
+            out = op(df, passthrough=("lang",)).collect()[0]
+            assert out["lang"] == "en", op.__name__
