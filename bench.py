@@ -144,6 +144,7 @@ HEADLINE = [
     "snapshot_drift",          # recrawl change classes via simhash hamming
     "corpus_diff",             # dataset version changelog, digests-only join
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
+    "mirror_detection",        # same content across hosts, bounded host list
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)

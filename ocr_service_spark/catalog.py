@@ -4707,6 +4707,73 @@ FROM g1 JOIN g2 USING (doc_id) JOIN g3 USING (doc_id) JOIN g4 USING (doc_id)
 SQL_FULL_GATE = _full_gate_sql()
 
 
+def q_mirror_detection(spark, sf_dir):
+    """Cross-host mirror detection (operators/domains.py mirror_detection):
+    every doc_id % 4 == 0 page is re-served by two mirror hosts (planted
+    clones with distinct urls, identical text), everything else is
+    single-host. Only mirrored fingerprints may appear; the host list is
+    rank-limited and sorted so the value hash pins the exact host sets."""
+    from .operators.domains import mirror_detection
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    origin = d.select(
+        F.format_string(
+            "https://origin%d.example/%012d", F.col("doc_id") % 6, F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    mirrors = d.filter(F.col("doc_id") % 4 == 0)
+    m1 = mirrors.select(
+        F.format_string(
+            "https://mirror-a%d.example/copy/%d", F.col("doc_id") % 3, F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    m2 = mirrors.select(
+        F.format_string(
+            "https://cdn%d.example/cache/%d", F.col("doc_id") % 2, F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    return mirror_detection(origin.unionByName(m1).unionByName(m2))
+
+
+SQL_MIRROR_DETECTION = """
+WITH pages AS (
+  SELECT printf('https://origin%d.example/%012d', doc_id % 6, doc_id) AS url,
+         text FROM documents
+  UNION ALL
+  SELECT printf('https://mirror-a%d.example/copy/%d', doc_id % 3, doc_id),
+         text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT printf('https://cdn%d.example/cache/%d', doc_id % 2, doc_id),
+         text FROM documents WHERE doc_id % 4 = 0
+),
+base AS (
+  SELECT md5(text) AS fp,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+  FROM pages
+),
+counts AS (
+  SELECT fp, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM base GROUP BY fp
+),
+hosts AS (
+  SELECT fp, string_agg(host, '|' ORDER BY host) AS hosts
+  FROM (
+    SELECT fp, host,
+           row_number() OVER (PARTITION BY fp ORDER BY host) AS rk
+    FROM (SELECT DISTINCT fp, host FROM base)
+  ) WHERE rk <= 8 GROUP BY fp
+)
+SELECT counts.fp, n_hosts, n_pages, hosts
+FROM counts JOIN hosts USING (fp)
+WHERE n_hosts >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4761,6 +4828,7 @@ CATALOG: Dict[str, tuple] = {
     "snapshot_drift": (q_snapshot_drift, SQL_SNAPSHOT_DRIFT),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "full_quality_gate": (q_full_quality_gate, SQL_FULL_GATE),
+    "mirror_detection": (q_mirror_detection, SQL_MIRROR_DETECTION),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
     "simhash_fingerprint": (q_simhash_fingerprint, None),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),

@@ -138,3 +138,46 @@ def url_template_profile(
         )
         .withColumn("is_trap", F.col("n_urls") >= trap_threshold)
     )
+
+
+def mirror_detection(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k_hosts: int = 8,
+) -> DataFrame:
+    """Content mirrored across hosts: (fp, n_hosts, n_pages, hosts) for
+    every content fingerprint served by >= 2 DISTINCT hosts — the
+    aggregator/mirror/CDN-vanity-domain signal a curation pipeline uses to
+    pick one canonical host per content family and to discount
+    reputation-farming (dedup_exact keys on documents; this keys on the
+    HOST SPREAD of identical content).
+
+    hosts carries the k lexicographically-smallest distinct hosts,
+    '|'-joined, rank-limited BEFORE collection (WindowGroupLimit) so a
+    fingerprint mirrored by thousands of spam domains cannot blow up
+    per-group state. Counts and the host list shuffle on the same key.
+    """
+    from pyspark.sql import Window
+
+    base = pages.select(
+        F.md5(F.col(text_col)).alias("fp"),
+        url_host(F.col(url_col)).alias("host"),
+    )
+    counts = base.groupBy("fp").agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+    )
+    w = Window.partitionBy("fp").orderBy("host")
+    hosts = (
+        base.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_hosts)
+        .groupBy("fp")
+        .agg(F.array_join(F.array_sort(F.collect_list("host")), "|").alias("hosts"))
+    )
+    return (
+        counts.filter(F.col("n_hosts") >= 2)
+        .join(hosts, "fp")
+        .select("fp", "n_hosts", "n_pages", "hosts")
+    )

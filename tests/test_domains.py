@@ -126,3 +126,50 @@ class TestUrlTemplateProfile:
         with contextlib.redirect_stdout(buf):
             url_template_profile(df).explain("formatted")
         assert buf.getvalue().count(") Exchange") == 1
+
+
+class TestMirrorDetection:
+    def _mirrors(self, spark, rows, **kw):
+        from ocr_service_spark.operators.domains import mirror_detection
+
+        df = spark.createDataFrame(rows, "url string, text string")
+        return {r["fp"]: r for r in mirror_detection(df, **kw).collect()}
+
+    def test_only_multi_host_content_emitted(self, spark):
+        import hashlib
+
+        rows = [
+            ("https://a.example/1", "shared body"),
+            ("https://b.example/1", "shared body"),
+            ("https://a.example/2", "shared body"),   # same host, extra page
+            ("https://c.example/x", "unique body"),
+        ]
+        out = self._mirrors(spark, rows)
+        fp = hashlib.md5(b"shared body").hexdigest()
+        assert list(out) == [fp]
+        r = out[fp]
+        assert (r["n_hosts"], r["n_pages"]) == (2, 3)
+        assert r["hosts"] == "a.example|b.example"
+
+    def test_host_list_capped_lex_smallest(self, spark):
+        rows = [
+            (f"https://h{i:02d}.example/p", "viral body") for i in range(12)
+        ]
+        out = list(self._mirrors(spark, rows, k_hosts=3).values())[0]
+        assert out["n_hosts"] == 12
+        assert out["hosts"] == "h00.example|h01.example|h02.example"
+
+    def test_bounded_state_plan(self, spark):
+        import contextlib, io
+
+        from ocr_service_spark.operators.domains import mirror_detection
+
+        df = spark.createDataFrame(
+            [("https://a.example/1", "x")], "url string, text string"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mirror_detection(df).explain("formatted")
+        plan = buf.getvalue()
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
