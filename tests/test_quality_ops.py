@@ -735,3 +735,102 @@ class TestFullQualityGate:
         for op in (dup_ngram_signals, gopher_line_signals, dup_line_signals):
             out = op(df, passthrough=("lang",)).collect()[0]
             assert out["lang"] == "en", op.__name__
+
+
+class TestGateSuitesAdversarialInputs:
+    """One job per suite over a corpus of hostile strings — empty text,
+    unicode whitespace (NBSP must NOT split), emoji, combining marks,
+    CRLF, tabs, lone separators — each field differential-checked against
+    the same pure-Python rules the seeded tests use."""
+
+    CORPUS = [
+        (0, ""),
+        (1, " "),
+        (2, "   "),
+        (3, "\n\n\n"),
+        (4, "a b c"),              # NBSP inside a "word"
+        (5, "café café café"),  # composed vs combining
+        (6, "\U0001f600 \U0001f600 x"),  # emoji words
+        (7, "line one\r\nline one\r\nother"),   # CRLF (\r survives trim)
+        (8, "tab\tseparated words here"),
+        (9, "- • mixed bullets\n• unicode bullet line"),
+        (10, "ellipsis…\nellipsis…\nplain"),
+    ]
+
+    def test_dup_ngram_signals(self, spark):
+        from collections import Counter
+        from ocr_service_spark.operators.quality import (
+            DUP_NGRAM_MAX_X100, TOP_NGRAM_MAX_X100, dup_ngram_signals,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in dup_ngram_signals(df).collect()}
+        for i, t in self.CORPUS:
+            words = t.split(" ")  # exact split semantics incl. empties
+            total = sum(len(w) for w in words) + max(len(words) - 1, 0)
+            assert got[i]["total_chars"] == total, (i, t)
+            for n in list(TOP_NGRAM_MAX_X100) + list(DUP_NGRAM_MAX_X100):
+                grams = (
+                    [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+                    if len(words) >= n else []
+                )
+                c = Counter(grams)
+                if n in TOP_NGRAM_MAX_X100:
+                    exp = 0
+                    if c:
+                        cnt, g = max((v, g) for g, v in c.items())
+                        exp = (100 * cnt * len(g)) // max(total, 1)
+                    assert got[i][f"top{n}_frac_x100"] == exp, (i, n, t)
+                else:
+                    dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+                    assert got[i][f"dup{n}_frac_x100"] == (100 * dup) // max(total, 1), (i, n, t)
+
+    def test_gopher_line_signals(self, spark):
+        import re as _re
+        from ocr_service_spark.operators.quality import (
+            BULLET_PREFIXES, ELLIPSIS_SUFFIXES, gopher_line_signals,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in gopher_line_signals(df).collect()}
+        for i, t in self.CORPUS:
+            # spec: trim strips ASCII space only; NBSP/\r/\t are content
+            lines = [l for l in (x.strip(" ") for x in t.split("\n")) if l]
+            words = [w for w in t.split(" ") if w]
+            nb = sum(any(l.startswith(b) for b in BULLET_PREFIXES) for l in lines)
+            ne = sum(any(l.endswith(e) for e in ELLIPSIS_SUFFIXES) for l in lines)
+            na = sum(bool(_re.search("[A-Za-z]", w)) for w in words)
+            sym = t.count("#") + t.count("...") + t.count("…")
+            g = got[i]
+            assert g["n_lines"] == len(lines), (i, t)
+            assert g["n_words"] == len(words), (i, t)
+            assert g["bullet_line_frac_x100"] == (100 * nb) // max(len(lines), 1), (i, t)
+            assert g["ellipsis_line_frac_x100"] == (100 * ne) // max(len(lines), 1), (i, t)
+            assert g["alpha_word_frac_x100"] == (100 * na) // max(len(words), 1), (i, t)
+            assert g["symbol_word_ratio_x100"] == (100 * sym) // max(len(words), 1), (i, t)
+
+    def test_dup_line_signals(self, spark):
+        from collections import Counter
+        from ocr_service_spark.operators.quality import dup_line_signals
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in dup_line_signals(df).collect()}
+
+        def frac(elems):
+            c = Counter(elems)
+            n = len(elems)
+            extra = n - len(c)
+            extra_ch = sum((v - 1) * len(g) for g, v in c.items() if v >= 2)
+            tot = sum(len(g) for g in elems)
+            return (100 * extra) // max(n, 1), (100 * extra_ch) // max(tot, 1), n
+
+        for i, t in self.CORPUS:
+            lines = [x for x in (l.strip(" ") for l in t.split("\n")) if x]
+            paras = [x for x in (p.strip(" ") for p in t.split("\n\n")) if x]
+            lf, lcf, nl = frac(lines)
+            pf, pcf, np_ = frac(paras)
+            g = got[i]
+            assert (g["n_lines"], g["n_paras"]) == (nl, np_), (i, t)
+            assert (g["dup_line_frac_x100"], g["dup_line_char_frac_x100"]) == (lf, lcf), (i, t)
+            assert (g["dup_para_frac_x100"], g["dup_para_char_frac_x100"]) == (pf, pcf), (i, t)
