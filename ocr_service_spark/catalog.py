@@ -2012,6 +2012,99 @@ FROM sc
 """
 
 
+def q_web_table_cells(spark, sf_dir):
+    """Web-table mining (WDC-corpus-style): deterministic product-listing
+    pages built from doc_id (sources/synth.py table_html — one header
+    table whose every cell is arithmetic in doc_id, plus a header-less
+    second table with a NESTED layout table for doc_id % 3 == 0, plus
+    commented-out / script-written decoy tables) are scanned by the
+    linear tokenizer spec (core/tables.py) lifted into one mapInPandas
+    pass (operators/tables.py). The oracle recomputes the ENTIRE
+    relational cell output from the planting arithmetic — so implicit
+    </td>/</tr> closes, nested-table suspension, entity decoding, and
+    comment/script invisibility are all value-hash-gated end-to-end."""
+    from .operators.tables import extract_table_cells
+    from .sources.synth import table_html
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _page(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([table_html(int(i)) for i in doc_id])
+
+    pages = d.select(
+        F.format_string("https://tables.example/%012d", "doc_id").alias("url"),
+        _page("doc_id").alias("html"),
+    )
+    return extract_table_cells(pages)
+
+
+def q_web_table_profile(spark, sf_dir):
+    """Per-table shape summary over the mined cells (n_rows / n_cols /
+    n_cells / has_header — the WDC corpus-statistics aggregate): one hash
+    aggregate keyed (url, table_idx); the exchange carries one row per
+    table, never per cell. Oracle aggregates the same recomputed cells."""
+    from .operators.tables import table_profile
+
+    return table_profile(q_web_table_cells(spark, sf_dir))
+
+
+# Planting twin of sources/synth.py table_html: table 0 = header row
+# (item/qty/price, all <th>) + (1 + doc_id % 4) data rows of arithmetic
+# cells; table 1 (doc_id % 3 == 0 only) = 2x2 header-less rows a/b/c/d.
+# The decoy tables (comment / document.write) and the nested layout
+# table's own cell are absent here BECAUSE the spec must not emit them.
+_SQL_TABLE_CELLS_CTE = """
+WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+cells AS (
+  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, h.col_idx, TRUE AS is_header,
+         h.cell
+  FROM d, (VALUES (0, 'item'), (1, 'qty'), (2, 'price')) AS h(col_idx, cell)
+  UNION ALL
+  SELECT doc_id, 0, CAST(u.i + 1 AS INT), 0, FALSE,
+         'prod & co ' || CAST(doc_id AS VARCHAR) || '-' || CAST(u.i AS VARCHAR)
+  FROM d, unnest(generate_series(0, CAST(d.n - 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 0, CAST(u.i + 1 AS INT), 1, FALSE,
+         CAST((doc_id * 7 + u.i) % 50 AS VARCHAR)
+  FROM d, unnest(generate_series(0, CAST(d.n - 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 0, CAST(u.i + 1 AS INT), 2, FALSE,
+         CAST((doc_id * 13 + u.i * 3) % 997 AS VARCHAR)
+  FROM d, unnest(generate_series(0, CAST(d.n - 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 1, v.row_idx, v.col_idx, FALSE,
+         v.p || CAST(doc_id AS VARCHAR)
+  FROM d, (VALUES (0, 0, 'a'), (0, 1, 'b'), (1, 0, 'c'), (1, 1, 'd'))
+         AS v(row_idx, col_idx, p)
+  WHERE doc_id % 3 = 0
+)
+"""
+
+SQL_WEB_TABLE_CELLS = (
+    _SQL_TABLE_CELLS_CTE
+    + """
+SELECT printf('https://tables.example/%012d', doc_id) AS url,
+       table_idx, row_idx, col_idx, is_header, cell
+FROM cells
+"""
+)
+
+SQL_WEB_TABLE_PROFILE = (
+    _SQL_TABLE_CELLS_CTE
+    + """
+SELECT printf('https://tables.example/%012d', doc_id) AS url,
+       table_idx,
+       CAST(MAX(row_idx) + 1 AS INT) AS n_rows,
+       CAST(MAX(col_idx) + 1 AS INT) AS n_cols,
+       COUNT(*) AS n_cells,
+       CAST(MAX(CAST(is_header AS INT)) AS BOOLEAN) AS has_header
+FROM cells
+GROUP BY doc_id, table_idx
+"""
+)
+
+
 # jusText classification twin constants, tuned to the synthetic documents
 # vocabulary (word-soup: 'the'/'a' are its function words; ~4.6 chars/word →
 # a full 20-word block is ~110 chars). The SHAPE is jusText's: length gate →
@@ -4903,6 +4996,9 @@ CATALOG: Dict[str, tuple] = {
     "host_link_graph": (q_host_link_graph, SQL_HOST_LINK_GRAPH),
     # declared-vs-detected language gate (metadata parse x lang_id)
     "lang_mismatch_gate": (q_lang_mismatch_gate, SQL_LANG_MISMATCH),
+    # web-table mining (core/tables.py spec -> operators/tables.py)
+    "web_table_cells": (q_web_table_cells, SQL_WEB_TABLE_CELLS),
+    "web_table_profile": (q_web_table_profile, SQL_WEB_TABLE_PROFILE),
 }
 
 

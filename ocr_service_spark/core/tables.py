@@ -1,0 +1,170 @@
+"""HTML table extraction spec (pure Python, stdlib only).
+
+Web tables are the densest structured data on the open web — product
+listings, statistics, schedules — and a web-scale training pipeline mines
+them for (semi-)structured corpora (WDC Web Table Corpus, TURL, TaPas all
+start from exactly this extraction). This module is the byte-identity
+SPEC: the Spark operator (operators/tables.py) imports these functions,
+the pytest oracle calls them directly, so distributed output equals the
+spec by construction (same convention as core/links.py).
+
+Like the link scanner, this is a single-pass regex tokenizer, NOT
+html.parser: the stdlib parser goes quadratic on unterminated start tags
+(core/html_extract.py docstring has the measurements), while one finditer
+over table/tr/td/th/comment/script tokens is O(n) by construction.
+
+Semantics (HTML5 practice, simplified to what a linear scanner can
+guarantee):
+- Only TOP-LEVEL tables are emitted. A nested <table> suspends cell
+  collection until its matching </table>; its text belongs to no cell
+  (the overwhelmingly common real-world nested table is layout scaffold,
+  and cell-text contamination is worse than omission for corpus mining).
+- <td>/<th> opens a cell, implicitly closing any open cell; <tr> opens a
+  row, implicitly closing any open row/cell (parsers insert these closes;
+  real pages omit </td>/</tr> constantly).
+- Cell text = the segment between the cell's start tag and the token that
+  closes it, with comments/tags stripped, entities decoded, whitespace
+  collapsed — identical post-processing to anchor text in core/links.py.
+- A cell opened by <th> is a header cell. A table's `header` is its first
+  row when every cell in it is a <th> cell, else None.
+- Tables/rows/cells still open at EOF are flushed (truncated pages).
+- <table>/<tr>/<td> inside comments or <script>/<style> never open
+  anything, as in a DOM parser.
+
+Reference scope note: the reference service (app/nfce_parser.py) parses
+receipt tables only via its item regexes; generic table extraction is an
+engine-added capability for the web-corpus tier (SURVEY.md §2 "beyond the
+reference" block).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Dict, List, Optional
+
+# One linear pass. Comments and script/style consume their whole span so
+# structural tags inside them are invisible. Group map:
+#   1 -> <table>   2 -> </table>   3 -> <tr>   4 -> </tr>
+#   5 -> <td>/<th> tag name        6 -> </td>/</th> tag name
+_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<script\b.*?(?:</script\s*>|$)"
+    r"|<style\b.*?(?:</style\s*>|$)"
+    r"|<(table)\b[^>]*(?:>|$)"
+    r"|</(table)\s*>"
+    r"|<(tr)\b[^>]*(?:>|$)"
+    r"|</(tr)\s*>"
+    r"|<(t[dh])\b[^>]*(?:>|$)"
+    r"|</(t[dh])\s*>"
+)
+# comment alternative first so '>' inside comments doesn't split them
+_STRIP_RE = re.compile(r"(?s)<!--.*?(?:-->|$)|<[^>]*>")
+
+
+def _clean(segment: str) -> str:
+    """Tag-strip + entity-decode + whitespace-collapse (links.py rules)."""
+    return " ".join(_html.unescape(_STRIP_RE.sub(" ", segment)).split())
+
+
+def extract_tables(html: str) -> List[Dict]:
+    """All top-level tables in document order.
+
+    Returns [{"rows": [[cell, ...], ...], "header": [cell, ...] | None,
+    "n_rows": int, "n_cols": int}]; n_cols is the widest row. Tables with
+    zero completed cells are dropped (pure layout scaffolding).
+    """
+    tables: List[Dict] = []
+    depth = 0                     # <table> nesting depth; collect at 1 only
+    rows: List[List[str]] = []
+    row_header: List[List[bool]] = []
+    cur_row: Optional[List[str]] = None
+    cur_hdr: Optional[List[bool]] = None
+    cell_start: Optional[int] = None
+    cell_is_th = False
+
+    def close_cell(end: int) -> None:
+        nonlocal cell_start
+        if cell_start is None or cur_row is None:
+            cell_start = None
+            return
+        cur_row.append(_clean(html[cell_start:end]))
+        cur_hdr.append(cell_is_th)
+        cell_start = None
+
+    def close_row() -> None:
+        nonlocal cur_row, cur_hdr
+        if cur_row is not None and cur_row:
+            rows.append(cur_row)
+            row_header.append(cur_hdr)
+        cur_row, cur_hdr = None, None
+
+    def close_table() -> None:
+        nonlocal rows, row_header
+        if rows:
+            header = rows[0] if all(row_header[0]) else None
+            tables.append(
+                {
+                    "rows": rows,
+                    "header": header,
+                    "n_rows": len(rows),
+                    "n_cols": max(len(r) for r in rows),
+                }
+            )
+        rows, row_header = [], []
+
+    for m in _TOKEN_RE.finditer(html):
+        if m.group(1) is not None:          # <table>
+            if depth == 1:
+                close_cell(m.start())       # nested table: suspend cell
+            depth += 1
+        elif m.group(2) is not None:        # </table>
+            if depth == 1:
+                close_cell(m.start())
+                close_row()
+                close_table()
+            depth = max(depth - 1, 0)
+        elif depth != 1:
+            continue                        # tr/td outside a top-level table
+        elif m.group(3) is not None:        # <tr>
+            close_cell(m.start())
+            close_row()
+            cur_row, cur_hdr = [], []
+        elif m.group(4) is not None:        # </tr>
+            close_cell(m.start())
+            close_row()
+        elif m.group(5) is not None:        # <td>/<th>
+            close_cell(m.start())
+            if cur_row is None:             # row-less cell: implicit <tr>
+                cur_row, cur_hdr = [], []
+            cell_is_th = m.group(5).lower() == "th"
+            cell_start = m.end()
+        elif m.group(6) is not None:        # </td>/</th>
+            close_cell(m.start())
+    if depth >= 1:                          # EOF with table still open
+        close_cell(len(html))
+        close_row()
+        close_table()
+    return tables
+
+
+def table_cells(html: str) -> List[Dict]:
+    """Flat per-cell view: [{"table_idx", "row_idx", "col_idx",
+    "is_header", "cell"}] — the shape the Spark operator emits (fully
+    relational, so the driver's value-hash and a DuckDB oracle can check
+    it; the nested view above is for Python callers)."""
+    out: List[Dict] = []
+    for t_idx, t in enumerate(extract_tables(html)):
+        hdr = t["header"]
+        for r_idx, row in enumerate(t["rows"]):
+            for c_idx, cell in enumerate(row):
+                out.append(
+                    {
+                        "table_idx": t_idx,
+                        "row_idx": r_idx,
+                        "col_idx": c_idx,
+                        "is_header": hdr is not None and r_idx == 0,
+                        "cell": cell,
+                    }
+                )
+    return out

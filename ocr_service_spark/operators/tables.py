@@ -1,0 +1,77 @@
+"""Web-table mining: pages(url, html) → relational cell rows.
+
+Same execution shape as the flagship extraction and the link scanner:
+ONE Arrow-batched mapInPandas pass, scan pruned to (url, html), zero
+shuffles for the per-page work. The UDF body is the pure-Python spec in
+core/tables.py, so distributed output is byte-identical to the pytest
+oracle by construction.
+
+The operator emits the FLAT per-cell view (url, table_idx, row_idx,
+col_idx, is_header, cell) rather than nested array<array<string>>:
+relational cells join/aggregate directly (schema inference over tables,
+column-type profiling, entity matching all start from cells), every
+engine can hash-check it, and the nested view is one groupBy away.
+
+table_profile() then derives the per-table shape summary — the WDC-style
+corpus statistics (how many tables, how wide, header or not) — as plain
+JVM aggregates over the cell rows: count + max + a first-row conjunction,
+one hash aggregate keyed (url, table_idx).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.tables import table_cells
+
+CELL_SCHEMA = (
+    "url string, table_idx int, row_idx int, col_idx int, "
+    "is_header boolean, cell string"
+)
+
+
+def extract_table_cells(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per table cell (top-level tables
+    only; comments/script/style invisible — core/tables.py semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("url", "table_idx", "row_idx", "col_idx",
+                     "is_header", "cell")}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for c in table_cells(html):
+                    rows["url"].append(url)
+                    rows["table_idx"].append(c["table_idx"])
+                    rows["row_idx"].append(c["row_idx"])
+                    rows["col_idx"].append(c["col_idx"])
+                    rows["is_header"].append(c["is_header"])
+                    rows["cell"].append(c["cell"])
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, CELL_SCHEMA)
+
+
+def table_profile(cells: DataFrame) -> DataFrame:
+    """(url, table_idx) shape summary: n_rows, n_cols, n_cells,
+    has_header. One hash aggregate (map-side partials; the exchange
+    carries one row per table, never per cell)."""
+    return (
+        cells.groupBy("url", "table_idx")
+        .agg(
+            (F.max("row_idx") + 1).alias("n_rows"),
+            (F.max("col_idx") + 1).alias("n_cols"),
+            F.count(F.lit(1)).alias("n_cells"),
+            # is_header is uniform over row 0 by construction (spec sets it
+            # per table), so any() over the table equals "has a header row"
+            F.max(F.col("is_header").cast("int")).cast("boolean")
+            .alias("has_header"),
+        )
+    )

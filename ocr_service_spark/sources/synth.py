@@ -289,6 +289,47 @@ def article_html(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def table_html(doc_id: int) -> bytes:
+    """Deterministic product-listing page for the web-table entries: one
+    header table whose every cell is an arithmetic function of doc_id (so
+    a SQL oracle recomputes the full relational output end-to-end), plus,
+    for doc_id % 3 == 0, a second header-less table whose first cell
+    contains a NESTED layout table. Decoys a real page would have:
+    commented-out markup, a document.write'd table in script, boilerplate
+    links, entity-encoded text, and data rows that never close their
+    </td>/</tr> (implicit closes — the dominant real-world form).
+    """
+    n_rows = 1 + doc_id % 4
+    rows = "".join(
+        f"<tr><td>prod &amp; co {doc_id}-{i}"
+        f"<td>{(doc_id * 7 + i) % 50}"
+        f"<td>{(doc_id * 13 + i * 3) % 997}"
+        for i in range(n_rows)
+    )
+    second = ""
+    if doc_id % 3 == 0:
+        second = (
+            "<table><tr>"
+            f"<td>a{doc_id}<table><tr><td>NESTED-{doc_id}</td></tr></table>"
+            f"<td>b{doc_id}</tr>"
+            f"<tr><td>c{doc_id}<td>d{doc_id}</tr></table>"
+        )
+    return (
+        "<html><body>"
+        "<nav><a href=/>Home</a> <a href=/cat>Catalog</a></nav>"
+        "<!-- <table><tr><td>ghost</td></tr></table> -->"
+        "<script>document.write(\"<table><tr><td>js</td></tr></table>\")"
+        "</script>"
+        f"<h1>Listing {doc_id}</h1>"
+        "<table class=products>"
+        "<tr><th>item</th><th>qty</th><th>price</th></tr>"
+        f"{rows}</table>"
+        f"{second}"
+        "<footer>\xa9 2026 tables.example</footer>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
 def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Distributed deterministic pages table: spark.range → mapInPandas."""
     import pandas as pd

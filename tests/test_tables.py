@@ -1,0 +1,189 @@
+"""Web-table extraction (core/tables.py spec + operators/tables.py lift):
+spec semantics on real-world-shaped markup (implicit closes, nesting,
+decoys), Spark-vs-spec byte identity, and the profile aggregate."""
+
+from ocr_service_spark.core.tables import extract_tables, table_cells
+from ocr_service_spark.operators.tables import extract_table_cells, table_profile
+from ocr_service_spark.sources.synth import table_html
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_basic_table_with_explicit_closes():
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    (t,) = extract_tables(html)
+    assert t["rows"] == [["h1", "h2"], ["a", "b"]]
+    assert t["header"] == ["h1", "h2"]
+    assert (t["n_rows"], t["n_cols"]) == (2, 2)
+
+
+def test_implicit_td_tr_closes():
+    # the dominant real-world form: no </td>, no </tr>
+    html = "<table><tr><td>a<td>b<tr><td>c<td>d</table>"
+    (t,) = extract_tables(html)
+    assert t["rows"] == [["a", "b"], ["c", "d"]]
+    assert t["header"] is None
+
+
+def test_mixed_header_row_is_not_a_header():
+    html = "<table><tr><th>h</th><td>x</td></tr><tr><td>a<td>b</table>"
+    (t,) = extract_tables(html)
+    assert t["header"] is None
+    assert t["rows"][0] == ["h", "x"]
+
+
+def test_nested_table_suspends_cell_collection():
+    html = (
+        "<table><tr><td>outer-pre"
+        "<table><tr><td>INNER</td></tr></table>"
+        "<td>after</tr></table>"
+    )
+    (t,) = extract_tables(html)
+    # nested table's text belongs to NO cell; outer cell text stops at it
+    assert t["rows"] == [["outer-pre", "after"]]
+    assert all("INNER" not in c for row in t["rows"] for c in row)
+
+
+def test_comment_script_style_tables_invisible():
+    html = (
+        "<!-- <table><tr><td>ghost</td></tr></table> -->"
+        "<script>document.write('<table><tr><td>js</td></tr></table>')</script>"
+        "<style>td { content: '<table>' }</style>"
+        "<table><tr><td>real</table>"
+    )
+    (t,) = extract_tables(html)
+    assert t["rows"] == [["real"]]
+
+
+def test_eof_flush_and_entity_decode():
+    html = "<table><tr><td>A &amp; B<td>  two\n words "
+    (t,) = extract_tables(html)
+    assert t["rows"] == [["A & B", "two words"]]
+
+
+def test_stray_cells_and_empty_tables_dropped():
+    # tr/td outside any table never open anything; cell-less table dropped
+    assert extract_tables("<tr><td>stray</td></tr>") == []
+    assert extract_tables("<table></table><table><tr></tr></table>") == []
+
+
+def test_rowless_cell_gets_implicit_row():
+    (t,) = extract_tables("<table><td>lone</table>")
+    assert t["rows"] == [["lone"]]
+
+
+def test_ragged_rows_ncols_is_widest():
+    html = "<table><tr><td>a<tr><td>b<td>c<td>d</table>"
+    (t,) = extract_tables(html)
+    assert (t["n_rows"], t["n_cols"]) == (2, 3)
+
+
+def test_linear_on_hostile_markup():
+    """O(n) guard: unterminated start tags (the stdlib-parser quadratic
+    trap — core/html_extract.py docstring) must stay fast."""
+    import time
+
+    blob = ("x" * 997 + "<table ") * 2000  # ~2MB
+    t0 = time.monotonic()
+    extract_tables(blob)
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_flat_cells_match_nested_view():
+    html = bytes(table_html(6)).decode("utf-8")
+    flat = table_cells(html)
+    nested = extract_tables(html)
+    rebuilt = {}
+    for c in flat:
+        rebuilt.setdefault(c["table_idx"], {}).setdefault(
+            c["row_idx"], {}
+        )[c["col_idx"]] = c["cell"]
+    for t_idx, t in enumerate(nested):
+        for r_idx, row in enumerate(t["rows"]):
+            assert [
+                rebuilt[t_idx][r_idx][i] for i in range(len(row))
+            ] == row
+    # is_header true exactly on row 0 of header tables
+    for c in flat:
+        assert c["is_header"] == (
+            nested[c["table_idx"]]["header"] is not None and c["row_idx"] == 0
+        )
+
+
+def test_synth_page_planting_rule():
+    """table_html(d) must satisfy the arithmetic the catalog oracle
+    recomputes (catalog.py _SQL_TABLE_CELLS_CTE)."""
+    for d in (0, 1, 5, 6, 17):
+        tables = extract_tables(bytes(table_html(d)).decode("utf-8"))
+        assert len(tables) == (2 if d % 3 == 0 else 1)
+        main = tables[0]
+        assert main["header"] == ["item", "qty", "price"]
+        n = 1 + d % 4
+        assert main["n_rows"] == 1 + n
+        for i in range(n):
+            assert main["rows"][1 + i] == [
+                f"prod & co {d}-{i}",
+                str((d * 7 + i) % 50),
+                str((d * 13 + i * 3) % 997),
+            ]
+        if d % 3 == 0:
+            assert tables[1]["header"] is None
+            assert tables[1]["rows"] == [
+                [f"a{d}", f"b{d}"],
+                [f"c{d}", f"d{d}"],
+            ]
+
+
+# ---------------------------------------------------------------------------
+# Spark lift: byte identity with the spec
+# ---------------------------------------------------------------------------
+
+
+def _pages():
+    return [
+        (f"https://tables.example/{d:012d}", bytes(table_html(d)))
+        for d in range(8)
+    ] + [("https://tables.example/null", None)]
+
+
+def test_extract_table_cells_matches_spec(spark):
+    pages = _pages()
+    df = spark.createDataFrame(pages, "url string, html binary")
+    got = sorted(
+        tuple(r[c] for c in ("url", "table_idx", "row_idx", "col_idx",
+                             "is_header", "cell"))
+        for r in extract_table_cells(df).collect()
+    )
+    expect = sorted(
+        (url, c["table_idx"], c["row_idx"], c["col_idx"], c["is_header"],
+         c["cell"])
+        for url, payload in pages
+        if payload is not None
+        for c in table_cells(payload.decode("utf-8"))
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_table_profile_shapes(spark):
+    df = spark.createDataFrame(_pages(), "url string, html binary")
+    prof = {
+        (r["url"], r["table_idx"]): r
+        for r in table_profile(extract_table_cells(df)).collect()
+    }
+    for d in range(8):
+        url = f"https://tables.example/{d:012d}"
+        main = prof[(url, 0)]
+        assert (main["n_rows"], main["n_cols"]) == (2 + d % 4, 3)
+        assert main["n_cells"] == 3 * (2 + d % 4)
+        assert bool(main["has_header"])
+        if d % 3 == 0:
+            second = prof[(url, 1)]
+            assert (second["n_rows"], second["n_cols"]) == (2, 2)
+            assert not bool(second["has_header"])
+        else:
+            assert (url, 1) not in prof
