@@ -122,6 +122,7 @@ HEADLINE = [
     "mixture_repeat",          # fractional source-mixture materialization
     "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
+    "host_template_strip",     # CC-Net host-level boilerplate paragraphs
     "lm_unigram_nll",          # CCNet-style LM quality scoring
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation

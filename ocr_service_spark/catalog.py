@@ -3444,6 +3444,75 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_host_template_strip(spark, sf_dir):
+    """Inter-document boilerplate removal (CC-Net's largest observed
+    boilerplate source): paragraphs appearing on >= half a host's pages
+    get stripped from every page of that host. Pages are planted from
+    documents: host = doc_id % 7; every host page carries the same NAV
+    and COPYRIGHT chrome paragraphs (df = 100% -> stripped), every 5th
+    page a PROMO paragraph (df ~ 20% -> kept: repeated but under
+    threshold), and the document's own text (df = 1 -> kept). The oracle
+    recomputes the whole df-threshold-rebuild pipeline in SQL."""
+    from .operators.linedup import strip_host_templates
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.col("doc_id") % 7
+    pages = d.select(
+        "doc_id",
+        F.format_string("h%d.example", h).alias("host"),
+        F.concat(
+            F.format_string("NAV h%d HOME ABOUT CONTACT\n", h),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string("PROMO h%d SUBSCRIBE NOW\n", h),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.format_string("\nCOPYRIGHT h%d all rights reserved", h),
+        ).alias("text"),
+    )
+    out = strip_host_templates(pages, "host", "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "host", "n_paras",
+                      "n_kept", "clean_text")
+
+
+SQL_HOST_TEMPLATE = """
+WITH p AS (
+  SELECT doc_id,
+         printf('h%d.example', doc_id % 7) AS host,
+         printf('NAV h%d HOME ABOUT CONTACT', doc_id % 7) || chr(10)
+           || CASE WHEN doc_id % 5 = 0
+                   THEN printf('PROMO h%d SUBSCRIBE NOW', doc_id % 7) || chr(10)
+                   ELSE '' END
+           || text || chr(10)
+           || printf('COPYRIGHT h%d all rights reserved', doc_id % 7) AS text
+  FROM documents
+),
+s AS (SELECT doc_id, host, string_split(text, chr(10)) AS parts FROM p),
+paras AS (
+  SELECT doc_id, host, CAST(t.i - 1 AS INT) AS pos, parts[t.i] AS para
+  FROM s, LATERAL unnest(generate_series(1, CAST(len(parts) AS BIGINT)))
+       AS t(i)
+  WHERE parts[t.i] <> ''
+),
+hostpages AS (SELECT host, COUNT(*) AS host_pages FROM p GROUP BY 1),
+dfreq AS (SELECT host, para, COUNT(DISTINCT doc_id) AS n_pages
+          FROM paras GROUP BY 1, 2),
+verdict AS (
+  SELECT d.host, d.para,
+         d.n_pages >= 3 AND d.n_pages * 2 >= h.host_pages AS is_template
+  FROM dfreq d JOIN hostpages h USING (host)
+)
+SELECT pa.doc_id, pa.host,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN NOT is_template THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_template THEN pa.para END,
+                           chr(10) ORDER BY pa.pos), '') AS clean_text
+FROM paras pa JOIN verdict v ON pa.host = v.host AND pa.para = v.para
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # SimHash md5 twin — full-value oracle for the vote-aggregate structure
 # --------------------------------------------------------------------------
@@ -4981,6 +5050,7 @@ CATALOG: Dict[str, tuple] = {
     # repetition removal (operators/linedup.py)
     "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
     "span_dedup_global": (q_span_dedup_global, SQL_SPAN_DEDUP),
+    "host_template_strip": (q_host_template_strip, SQL_HOST_TEMPLATE),
     # CCNet-style LM quality scoring (operators/lm.py)
     "lm_unigram_nll": (q_lm_unigram_nll, SQL_LM_NLL),
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_BUCKETS),

@@ -102,3 +102,91 @@ def dedup_spans_global(df: DataFrame, id_col: str, text_col: str,
             ),
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-document repetition: host-template paragraph removal
+# --------------------------------------------------------------------------
+
+def _host_paragraphs(df: DataFrame, host_col: str, id_col: str,
+                     text_col: str) -> DataFrame:
+    """(host, id, pos, para): newline-split paragraphs, empties dropped.
+    pos indexes the raw split (before the empty filter) so rebuild order
+    is stable however many blank lines the page had."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+
+
+def host_template_paragraphs(df: DataFrame, host_col: str, id_col: str,
+                             text_col: str, num: int = 1, denom: int = 2,
+                             min_pages: int = 3) -> DataFrame:
+    """Per-host paragraph document-frequency verdicts — the CC-Net /
+    trafilatura inter-document boilerplate signal: a paragraph appearing
+    on >= num/denom of a host's pages (and on >= min_pages pages) is that
+    host's template chrome (nav, footer, cookie banner), not content.
+
+    The threshold compares in INTEGER arithmetic (n_pages * denom >=
+    host_pages * num) so Spark and any SQL oracle agree exactly — no
+    float fraction ever materializes.
+
+    Emits (host, para, n_pages, host_pages, is_template). Scale shape:
+    paragraph df is one hash aggregate keyed (host, para) with map-side
+    partials (countDistinct(id) expands to the standard two-phase
+    partial_count_distinct); the per-host page count is one row per host
+    joined on the ALREADY-AGGREGATED distinct-paragraph table, so the
+    join input is bounded by distinct paragraphs, never page count. A
+    pathologically common paragraph stays keyed under its own host —
+    per-key volume is bounded by that host's page count.
+    """
+    paras = _host_paragraphs(df, host_col, id_col, text_col)
+    host_pages = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("host_pages"))
+    dfreq = paras.groupBy("host", "para").agg(
+        F.countDistinct("id").alias("n_pages"))
+    return dfreq.join(host_pages, "host").select(
+        "host", "para", "n_pages", "host_pages",
+        (
+            (F.col("n_pages") >= min_pages)
+            & (F.col("n_pages") * denom >= F.col("host_pages") * num)
+        ).alias("is_template"),
+    )
+
+
+def strip_host_templates(df: DataFrame, host_col: str, id_col: str,
+                         text_col: str, num: int = 1, denom: int = 2,
+                         min_pages: int = 3) -> DataFrame:
+    """Rebuild every page without its host's template paragraphs (the
+    inter-document half of repetition removal: dedup_lines_within_doc
+    handles repeats inside one page, this handles the nav/footer/banner
+    text repeated ACROSS a host's pages — CC-Net's observed largest
+    boilerplate source). Emits (id, host, n_paras, n_kept, clean_text);
+    a page whose every paragraph is template stays in the output with
+    n_kept = 0 and clean_text = '' so downstream length gates decide its
+    fate, never a silent drop.
+
+    Scale shape: verdicts join back to paragraph rows keyed (host, para)
+    — both sides already partitioned by that key from the df aggregate,
+    and the verdict side carries one row per DISTINCT paragraph. The
+    rebuild is the same single grouped aggregate as dedup_spans_global
+    (collect_list drops the `when` nulls; one shuffle keyed by page id).
+    """
+    paras = _host_paragraphs(df, host_col, id_col, text_col)
+    verdict = host_template_paragraphs(
+        df, host_col, id_col, text_col, num, denom, min_pages
+    ).select("host", "para", "is_template")
+    keep = ~F.col("is_template")
+    return paras.join(verdict, ["host", "para"]).groupBy("id", "host").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("pos", "para")))),
+                lambda s: s.getField("para"),
+            ),
+        ).alias("clean_text"),
+    )

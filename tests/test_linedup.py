@@ -65,3 +65,66 @@ def test_global_first_occurrence_wins(spark):
     assert rows[1]["dedup_text"] == "a b c d"      # doc 1 keeps the span
     assert rows[2]["dedup_text"] == "e f g h"      # doc 2 loses it
     assert rows[2]["n_spans"] == 2 and rows[2]["n_kept"] == 1
+
+
+# ---------------------------------------------------------------------------
+# host-template paragraph removal (inter-document repetition)
+# ---------------------------------------------------------------------------
+
+def _host_pages(spark):
+    """Host A: 4 pages sharing NAV+FOOT chrome, one PROMO on 2 of 4 pages
+    (50% -> template at num/denom=1/2 but under min_pages=3 -> kept).
+    Host B: 2 pages sharing chrome (under min_pages -> kept)."""
+    rows = []
+    for i in range(4):
+        promo = "PROMO A\n" if i < 2 else ""
+        rows.append(("a.example", i, f"NAV A\n{promo}unique a{i}\nFOOT A"))
+    for i in range(2):
+        rows.append(("b.example", 10 + i, f"NAV B\nunique b{i}\nFOOT B"))
+    return spark.createDataFrame(rows, "host string, id long, text string")
+
+
+def test_host_template_verdicts(spark):
+    from ocr_service_spark.operators.linedup import host_template_paragraphs
+
+    v = {
+        (r["host"], r["para"]): r
+        for r in host_template_paragraphs(
+            _host_pages(spark), "host", "id", "text"
+        ).collect()
+    }
+    assert v[("a.example", "NAV A")]["is_template"]
+    assert v[("a.example", "FOOT A")]["is_template"]
+    # 2 of 4 pages: fraction met (2*2 >= 4) but min_pages=3 not met
+    promo = v[("a.example", "PROMO A")]
+    assert promo["n_pages"] == 2 and not promo["is_template"]
+    # host B has only 2 pages: chrome survives the min_pages floor
+    assert not v[("b.example", "NAV B")]["is_template"]
+    assert v[("a.example", "unique a0")]["n_pages"] == 1
+
+
+def test_strip_host_templates_rebuild(spark):
+    from ocr_service_spark.operators.linedup import strip_host_templates
+
+    out = {
+        r["id"]: r
+        for r in strip_host_templates(
+            _host_pages(spark), "host", "id", "text"
+        ).collect()
+    }
+    # host A chrome stripped, promo + unique kept, original order
+    assert out[0]["clean_text"] == "PROMO A\nunique a0"
+    assert out[3]["clean_text"] == "unique a3"
+    assert out[0]["n_paras"] == 4 and out[0]["n_kept"] == 2
+    # host B untouched (min_pages floor)
+    assert out[10]["clean_text"] == "NAV B\nunique b0\nFOOT B"
+
+
+def test_strip_all_template_page_kept_empty(spark):
+    from ocr_service_spark.operators.linedup import strip_host_templates
+
+    rows = [("h", i, "SAME\nCHROME") for i in range(5)]
+    df = spark.createDataFrame(rows, "host string, id long, text string")
+    out = strip_host_templates(df, "host", "id", "text").collect()
+    assert len(out) == 5
+    assert all(r["n_kept"] == 0 and r["clean_text"] == "" for r in out)
