@@ -151,6 +151,7 @@ HEADLINE = [
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
     "cluster_balanced_sample",  # <=m per cluster, WindowGroupLimit
     "web_table_cells",         # WDC-style web-table mining (one Arrow pass)
+    "jsonld_extract",          # schema.org JSON-LD items (one Arrow pass)
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -2012,6 +2012,72 @@ FROM sc
 """
 
 
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD mining (core/structured_data.py spec, one Arrow
+    pass): every doc plants a Product block (every 4th instead an @graph
+    with Article+Person — the multi-entity form), every 7th adds a BROKEN
+    block (trailing-comma JSON → parse_ok=False errors-as-data row, in a
+    single-quoted type attr to exercise quote tolerance), plus decoys a
+    real page has: a plain <script> with JSON-looking text and a
+    commented-out ld+json block — both invisible. Oracle recomputes every
+    item row from the planting arithmetic."""
+    from .operators.structured import extract_structured_items
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    product = F.format_string(
+        '<script type="application/ld+json">{"@context":"https://schema.org",'
+        '"@type":"Product","name":"Prod %d",'
+        '"url":"https://shop.example/p/%d"}</script>',
+        "doc_id", "doc_id",
+    )
+    graph = F.format_string(
+        '<script type="application/ld+json">{"@graph":['
+        '{"@type":"Article","name":"Art %d"},'
+        '{"@type":"Person","name":"Author %d"}]}</script>',
+        "doc_id", "doc_id",
+    )
+    broken = F.lit(
+        "<script type='application/ld+json'>{\"@type\":\"Broken\",\"name\":"
+        "</script>"
+    )
+    html = F.concat(
+        F.lit('<script>var x = {"@type":"Decoy","name":"no"};</script>'),
+        F.lit('<!-- <script type="application/ld+json">'
+              '{"@type":"Ghost"}</script> -->'),
+        F.when(F.col("doc_id") % 4 == 0, graph).otherwise(product),
+        F.when(F.col("doc_id") % 7 == 0, broken).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.format_string("https://docs.example/%012d", "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_structured_items(pages)
+
+
+SQL_JSONLD = """
+WITH d AS (
+  SELECT doc_id, printf('https://docs.example/%012d', doc_id) AS url
+  FROM documents
+)
+SELECT url, 0 AS block_idx, 0 AS item_idx, 'Product' AS item_type,
+       'Prod ' || CAST(doc_id AS VARCHAR) AS name,
+       'https://shop.example/p/' || CAST(doc_id AS VARCHAR) AS item_url,
+       TRUE AS parse_ok
+FROM d WHERE doc_id % 4 <> 0
+UNION ALL
+SELECT url, 0, 0, 'Article', 'Art ' || CAST(doc_id AS VARCHAR),
+       NULL, TRUE
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, 0, 1, 'Person', 'Author ' || CAST(doc_id AS VARCHAR),
+       NULL, TRUE
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, 1, NULL, NULL, NULL, NULL, FALSE
+FROM d WHERE doc_id % 7 = 0
+"""
+
+
 def q_web_table_cells(spark, sf_dir):
     """Web-table mining (WDC-corpus-style): deterministic product-listing
     pages built from doc_id (sources/synth.py table_html — one header
@@ -5069,6 +5135,8 @@ CATALOG: Dict[str, tuple] = {
     # web-table mining (core/tables.py spec -> operators/tables.py)
     "web_table_cells": (q_web_table_cells, SQL_WEB_TABLE_CELLS),
     "web_table_profile": (q_web_table_profile, SQL_WEB_TABLE_PROFILE),
+    # schema.org JSON-LD mining (core/structured_data.py spec)
+    "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
 }
 
 

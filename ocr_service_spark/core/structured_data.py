@@ -1,0 +1,121 @@
+"""JSON-LD structured-data extraction spec (pure Python, stdlib only).
+
+schema.org JSON-LD (`<script type="application/ld+json">`) is the
+dominant machine-readable annotation on the open web — products,
+articles, recipes, events — and structured-data mining over a crawl
+starts exactly here (Common Crawl's own WAT extraction, the WDC
+schema.org corpus). This module is the byte-identity SPEC: the Spark
+operator (operators/structured.py) imports these functions and the
+pytest oracle calls them directly (same convention as core/tables.py).
+
+Scanner semantics (one linear finditer — O(n) on hostile markup, like
+every HTML path in this repo; see core/html_extract.py for why the
+stdlib parser is banned):
+- A block is a `<script ...>`…`</script>` span whose start tag carries
+  type=application/ld+json (quoted or bare, case-insensitive, any
+  attribute order). Per the HTML spec script text cannot contain the
+  literal `</script`, so the first close tag ends the block; an
+  unterminated block runs to EOF (truncated pages).
+- Blocks inside comments are invisible (comment spans are consumed by
+  the same pass).
+- Each block is json.loads'd. Failures are ERRORS-AS-DATA: the block
+  still emits one row with parse_ok=False (real crawls are full of
+  trailing-comma JSON-LD; silently dropping it would hide the signal).
+
+Item flattening (the part every consumer re-implements):
+- top-level dict with an `@graph` list → that list's dict members
+  (the common "several entities in one block" form);
+- top-level dict → itself; top-level list → its dict members;
+- anything else (string/number root) → no items, but parse_ok=True.
+- Per item: item_type = `@type` (a list joins with ','), name = `name`,
+  item_url = `url`. Non-string scalars stringify via compact
+  json.dumps so output is deterministic and relational.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional
+
+# The open tag accepts EOF as its end (`(?:>...|$)`) for the same reason
+# every scanner in this repo does: a half-open `<script ` with no later
+# '>' must consume to EOF in ONE match, or each occurrence re-scans the
+# tail and the pass goes quadratic (the stdlib-parser trap, measured in
+# core/html_extract.py). A tag truncated at EOF has no body (group 2
+# None) and emits nothing.
+_BLOCK_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<script\b([^>]*)(?:>(.*?)(?:</script\s*>|$)|$)"
+)
+_LDJSON_TYPE_RE = re.compile(
+    r"(?i)\btype\s*=\s*"
+    r"(?:\"\s*application/ld\+json\s*\"|'\s*application/ld\+json\s*'"
+    r"|application/ld\+json(?=[\s>/]|$))"
+)
+
+
+def _as_str(v) -> Optional[str]:
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        parts = [x if isinstance(x, str) else
+                 json.dumps(x, separators=(",", ":"), ensure_ascii=False)
+                 for x in v]
+        return ",".join(parts)
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _items(doc) -> List[dict]:
+    if isinstance(doc, dict):
+        g = doc.get("@graph")
+        if isinstance(g, list):
+            return [x for x in g if isinstance(x, dict)]
+        return [doc]
+    if isinstance(doc, list):
+        return [x for x in doc if isinstance(x, dict)]
+    return []
+
+
+def extract_jsonld(html: str) -> List[Dict]:
+    """All JSON-LD items in document order. Returns one dict per item —
+    {"block_idx", "item_idx", "item_type", "name", "item_url",
+    "parse_ok": True} — plus, per unparseable block, a single
+    {"block_idx", None fields, "parse_ok": False} row."""
+    out: List[Dict] = []
+    block_idx = 0
+    for m in _BLOCK_RE.finditer(html):
+        if m.group(1) is None:  # comment span
+            continue
+        if m.group(2) is None:  # open tag truncated at EOF: no body
+            continue
+        if not _LDJSON_TYPE_RE.search(m.group(1)):
+            continue
+        try:
+            doc = json.loads(m.group(2))
+        except ValueError:
+            out.append(
+                {
+                    "block_idx": block_idx,
+                    "item_idx": None,
+                    "item_type": None,
+                    "name": None,
+                    "item_url": None,
+                    "parse_ok": False,
+                }
+            )
+            block_idx += 1
+            continue
+        for item_idx, item in enumerate(_items(doc)):
+            out.append(
+                {
+                    "block_idx": block_idx,
+                    "item_idx": item_idx,
+                    "item_type": _as_str(item.get("@type")),
+                    "name": _as_str(item.get("name")),
+                    "item_url": _as_str(item.get("url")),
+                    "parse_ok": True,
+                }
+            )
+        block_idx += 1
+    return out

@@ -1,0 +1,53 @@
+"""schema.org JSON-LD mining: pages(url, html) → relational item rows.
+
+Same execution shape as the flagship extraction, the link scanner, and
+the web-table miner: ONE Arrow-batched mapInPandas pass, scan pruned to
+(url, html), zero shuffles for the per-page work. The UDF body is the
+pure-Python spec in core/structured_data.py, so distributed output is
+byte-identical to the pytest oracle by construction.
+
+Emits the flat per-item view (url, block_idx, item_idx, item_type,
+name, item_url, parse_ok): relational items aggregate directly (type
+histograms, per-host product counts, entity joins), every engine can
+hash-check it, and broken blocks ride along as parse_ok=False rows —
+errors-as-data, never a silent drop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.structured_data import extract_jsonld
+
+ITEM_SCHEMA = (
+    "url string, block_idx int, item_idx int, item_type string, "
+    "name string, item_url string, parse_ok boolean"
+)
+
+_COLS = ("block_idx", "item_idx", "item_type", "name", "item_url",
+         "parse_ok")
+
+
+def extract_structured_items(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per JSON-LD item (+ one per
+    unparseable block) — core/structured_data.py semantics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url",) + _COLS}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for it in extract_jsonld(html):
+                    rows["url"].append(url)
+                    for c in _COLS:
+                        rows[c].append(it[c])
+            pdf_out = pd.DataFrame(rows)
+            # all-None object columns must not infer as float64
+            yield pdf_out.astype({"parse_ok": "bool"}, errors="ignore")
+
+    return pages.select("url", "html").mapInPandas(run, ITEM_SCHEMA)

@@ -1,0 +1,127 @@
+"""JSON-LD extraction (core/structured_data.py spec +
+operators/structured.py lift): scanner tolerance, item flattening,
+errors-as-data, and Spark-vs-spec byte identity."""
+
+from ocr_service_spark.core.structured_data import extract_jsonld
+from ocr_service_spark.operators.structured import extract_structured_items
+
+LD = '<script type="application/ld+json">'
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_single_product_block():
+    html = LD + '{"@type":"Product","name":"X","url":"https://s/p"}</script>'
+    (it,) = extract_jsonld(html)
+    assert it == {
+        "block_idx": 0, "item_idx": 0, "item_type": "Product",
+        "name": "X", "item_url": "https://s/p", "parse_ok": True,
+    }
+
+
+def test_graph_and_list_roots_flatten():
+    html = (
+        LD + '{"@graph":[{"@type":"A","name":"a"},{"@type":"B"}]}</script>'
+        + LD + '[{"@type":"C"},"not-a-dict",{"@type":"D"}]</script>'
+    )
+    got = extract_jsonld(html)
+    assert [(i["block_idx"], i["item_idx"], i["item_type"]) for i in got] == [
+        (0, 0, "A"), (0, 1, "B"), (1, 0, "C"), (1, 1, "D"),
+    ]
+
+
+def test_attr_quote_and_case_tolerance():
+    for tag in (
+        "<script type='application/ld+json'>",
+        "<SCRIPT TYPE=\"APPLICATION/LD+JSON\">",
+        "<script async type=application/ld+json>",
+        '<script type = "application/ld+json" id=x>',
+    ):
+        html = tag + '{"@type":"T"}</script>'
+        assert len(extract_jsonld(html)) == 1, tag
+
+
+def test_non_ld_scripts_and_comments_invisible():
+    html = (
+        '<script>var x = {"@type":"Decoy"};</script>'
+        '<script type="text/javascript">{"@type":"Nope"}</script>'
+        "<!-- " + LD + '{"@type":"Ghost"}</script> -->'
+        + LD + '{"@type":"Real"}</script>'
+    )
+    got = extract_jsonld(html)
+    assert [i["item_type"] for i in got] == ["Real"]
+    assert got[0]["block_idx"] == 0  # invisible blocks don't count
+
+
+def test_broken_json_is_error_row_and_counts_a_block():
+    html = LD + '{"@type":"Broken","name":</script>' + LD + '{"@type":"OK"}</script>'
+    got = extract_jsonld(html)
+    assert got[0] == {
+        "block_idx": 0, "item_idx": None, "item_type": None,
+        "name": None, "item_url": None, "parse_ok": False,
+    }
+    assert got[1]["block_idx"] == 1 and got[1]["item_type"] == "OK"
+
+
+def test_scalar_root_parses_to_zero_items_but_counts_a_block():
+    html = LD + '"just a string"</script>' + LD + '{"@type":"T"}</script>'
+    got = extract_jsonld(html)
+    assert len(got) == 1 and got[0]["block_idx"] == 1
+
+
+def test_unterminated_block_runs_to_eof():
+    (it,) = extract_jsonld(LD + '{"@type":"Cut","name":"n"}')
+    assert it["item_type"] == "Cut" and it["parse_ok"]
+
+
+def test_type_list_joins_and_nonstring_values_stringify():
+    html = LD + '{"@type":["Product","Offer"],"name":42,"url":null}</script>'
+    (it,) = extract_jsonld(html)
+    assert it["item_type"] == "Product,Offer"
+    assert it["name"] == "42"
+    assert it["item_url"] is None
+
+
+def test_linear_on_hostile_markup():
+    import time
+
+    blob = ("x" * 997 + "<script ") * 2000  # ~2MB of half-open scripts
+    t0 = time.monotonic()
+    extract_jsonld(blob)
+    assert time.monotonic() - t0 < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Spark lift: byte identity with the spec
+# ---------------------------------------------------------------------------
+
+PAGES = [
+    ("https://a/p1",
+     (LD + '{"@type":"Product","name":"P1","url":"u1"}</script>').encode()),
+    ("https://a/p2",
+     (LD + '{"@graph":[{"@type":"A","name":"x"},{"@type":"B"}]}</script>'
+      + LD + "{broken</script>").encode()),
+    ("https://a/p3", b"<p>nothing structured</p>"),
+    ("https://a/p4", None),
+]
+
+
+def test_extract_structured_items_matches_spec(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    cols = ("url", "block_idx", "item_idx", "item_type", "name",
+            "item_url", "parse_ok")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in extract_structured_items(df).collect()
+    )
+    expect = sorted(
+        (url,) + tuple(
+            it[c] for c in cols[1:]
+        )
+        for url, payload in PAGES
+        if payload is not None
+        for it in extract_jsonld(payload.decode())
+    )
+    assert got == expect and len(got) == 4
