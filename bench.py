@@ -152,6 +152,7 @@ HEADLINE = [
     "cluster_balanced_sample",  # <=m per cluster, WindowGroupLimit
     "web_table_cells",         # WDC-style web-table mining (one Arrow pass)
     "jsonld_extract",          # schema.org JSON-LD items (one Arrow pass)
+    "charset_decode",          # WHATWG charset cascade + UTF-8 transcode
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

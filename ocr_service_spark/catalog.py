@@ -2012,6 +2012,65 @@ FROM sc
 """
 
 
+def q_charset_decode(spark, sf_dir):
+    """Crawl-payload charset normalization (core/charset.py WHATWG-shaped
+    cascade, one Arrow pass): five planted payload classes per doc_id —
+    UTF-8/UTF-16LE BOMs, <meta charset> declarations (canonical and
+    alias labels, both normalizing to windows-1252), valid multi-byte
+    UTF-8, a clean cp1252 fallback, and a dirty fallback whose
+    cp1252-undefined byte yields U+FFFD (clean=False, errors-as-data).
+    The oracle recomputes charset/source/clean and the byte/char lengths
+    arithmetically (documents text is ASCII — verified at all SFs)."""
+    from .operators.charset import decode_pages
+    from .sources.synth import charset_page
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def _page(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [charset_page(int(i), t or "") for i, t in zip(doc_id, text)]
+        )
+
+    pages = d.select(
+        F.format_string("https://cc.example/%012d", "doc_id").alias("url"),
+        _page("doc_id", "text").alias("html"),
+    )
+    return decode_pages(pages).select(
+        "url", "charset", "source", "clean", "n_bytes", "n_chars"
+    )
+
+
+SQL_CHARSET_DECODE = """
+WITH d AS (
+  SELECT doc_id, printf('https://cc.example/%012d', doc_id) AS url,
+         length(text) AS L, length(CAST(doc_id AS VARCHAR)) AS dg,
+         doc_id % 5 AS k5, doc_id % 10 AS k10
+  FROM documents
+)
+SELECT url,
+  CASE WHEN k10 = 0 THEN 'utf-8' WHEN k10 = 5 THEN 'utf-16-le'
+       WHEN k5 = 2 THEN 'utf-8'
+       ELSE 'windows-1252' END AS charset,
+  CASE WHEN k5 = 0 THEN 'bom' WHEN k5 = 1 THEN 'meta'
+       WHEN k5 = 2 THEN 'utf8-valid' ELSE 'fallback' END AS source,
+  k5 <> 4 AS clean,
+  CAST(CASE WHEN k10 = 0 THEN 3 + L WHEN k10 = 5 THEN 2 + 2 * L
+       WHEN k5 = 1 THEN 33 + (CASE WHEN k10 = 1 THEN 12 ELSE 10 END) + L
+       WHEN k10 = 2 THEN 7 + dg + L
+       WHEN k10 = 7 THEN L
+       WHEN k5 = 3 THEN 9 + L
+       ELSE 6 + L END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN k5 = 0 THEN L
+       WHEN k5 = 1 THEN 33 + (CASE WHEN k10 = 1 THEN 12 ELSE 10 END) + L
+       WHEN k10 = 2 THEN 6 + dg + L
+       WHEN k10 = 7 THEN L
+       WHEN k5 = 3 THEN 9 + L
+       ELSE 6 + L END AS BIGINT) AS n_chars
+FROM d
+"""
+
+
 def q_jsonld_extract(spark, sf_dir):
     """schema.org JSON-LD mining (core/structured_data.py spec, one Arrow
     pass): every doc plants a Product block (every 4th instead an @graph
@@ -5137,6 +5196,8 @@ CATALOG: Dict[str, tuple] = {
     "web_table_profile": (q_web_table_profile, SQL_WEB_TABLE_PROFILE),
     # schema.org JSON-LD mining (core/structured_data.py spec)
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
+    # crawl-payload charset normalization (core/charset.py cascade)
+    "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
 }
 
 

@@ -1,0 +1,104 @@
+"""Charset sniffing + transcode spec (pure Python, stdlib only).
+
+Real crawl payloads arrive in whatever encoding the origin server chose;
+a Common-Crawl-scale ingest must normalize every page to UTF-8 before
+any text operator runs (CC's own WET files do exactly this). This module
+is the byte-identity SPEC: the Spark operator (operators/charset.py)
+imports these functions, the pytest oracle calls them directly.
+
+Detection cascade — deterministic, WHATWG-Encoding-Standard-shaped:
+1. BOM: UTF-8 (EF BB BF), UTF-16 LE (FF FE), UTF-16 BE (FE FF).
+   Highest priority, as in every browser.
+2. Declared: `<meta charset=...>` or `<meta http-equiv=content-type
+   content="...charset=...">` found by ASCII-case-insensitive scan over
+   the first 1024 BYTES only (the HTML-spec prescan window — a charset
+   declared later is too late for a streaming parser and is ignored).
+   Labels normalize per the WHATWG alias table: notably iso-8859-1 /
+   latin1 / ascii are all windows-1252 on the web (the standard's
+   deliberate superset mapping).
+3. Validation: payload that strict-decodes as UTF-8 IS UTF-8 (UTF-8 is
+   self-validating; random single-byte text virtually never passes).
+4. Fallback: windows-1252 — the WHATWG default for the no-information
+   case; every byte maps, so nothing is ever dropped.
+
+Transcode decodes with errors='replace' and reports `clean` (no
+U+FFFD emitted) — errors-as-data, the caller's gate decides. Unknown
+declared labels fall through to validation/fallback rather than
+erroring (label junk is endemic in real meta tags).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Optional, Tuple
+
+_PRESCAN = 1024
+
+# WHATWG alias table, reduced to labels that appear on the real web.
+# Everything maps to a python codec name; windows-1252 deliberately
+# absorbs the latin/ascii family (the standard's superset rule).
+_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "latin1": "windows-1252", "latin-1": "windows-1252",
+    "ascii": "windows-1252", "us-ascii": "windows-1252",
+    "l1": "windows-1252", "x-user-defined": "windows-1252",
+    "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "koi8-r": "koi8-r", "koi8": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc-jp", "euc-kr": "euc-kr",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
+    "big5": "big5", "utf-16": "utf-16-le",
+    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    "iso-8859-2": "iso-8859-2", "windows-1250": "windows-1250",
+    "windows-1254": "windows-1254", "iso-8859-9": "windows-1254",
+}
+
+_META_RE = re.compile(
+    rb"(?is)<meta\s[^>]*?charset\s*=\s*[\"']?\s*([a-z0-9_.:-]+)"
+)
+
+
+def normalize_label(label: str) -> Optional[str]:
+    """WHATWG-style label → python codec name; None for junk labels."""
+    name = _ALIASES.get(label.strip().lower())
+    if name is None:
+        return None
+    try:
+        codecs.lookup(name)
+    except LookupError:  # pragma: no cover — table entries all resolve
+        return None
+    return name
+
+
+def sniff_charset(payload: bytes) -> Tuple[str, str]:
+    """(charset, source) with source in bom|meta|utf8-valid|fallback."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8", "bom"
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16-le", "bom"
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16-be", "bom"
+    m = _META_RE.search(payload[:_PRESCAN])
+    if m:
+        declared = normalize_label(m.group(1).decode("ascii", "replace"))
+        if declared is not None:
+            return declared, "meta"
+    try:
+        payload.decode("utf-8", "strict")
+        return "utf-8", "utf8-valid"
+    except UnicodeDecodeError:
+        return "windows-1252", "fallback"
+
+
+def decode_payload(payload: bytes) -> Tuple[str, str, str, bool]:
+    """(text, charset, source, clean): BOM bytes are consumed, replacement
+    chars flip clean=False but never drop the page."""
+    charset, source = sniff_charset(payload)
+    if source == "bom":
+        payload = payload[3:] if charset == "utf-8" else payload[2:]
+    text = payload.decode(charset, "replace")
+    return text, charset, source, "�" not in text

@@ -1,0 +1,65 @@
+"""Crawl-payload charset normalization: pages(url, html:binary) →
+UTF-8 text + detection provenance.
+
+The ingest-side twin of the text operators: everything downstream
+(extraction, quality gates, dedup) assumes UTF-8 strings, and this is
+the single pass that makes that true for arbitrary-encoding crawl
+bytes. One Arrow-batched mapInPandas stage, scan pruned to (url, html),
+zero shuffles; the UDF body is the pure-Python spec in core/charset.py
+so distributed output is byte-identical to the pytest oracle.
+
+Emits (url, charset, source, clean, n_bytes, n_chars, text):
+- charset/source: the detection verdict (bom | meta | utf8-valid |
+  fallback) — the provenance a corpus audit groups by;
+- clean: decoded without any U+FFFD replacement (errors-as-data: dirty
+  pages stay in the table for a downstream gate, never silently drop);
+- n_bytes/n_chars: payload vs decoded length — the multi-byte-share
+  statistic, and the cheap sanity check that UTF-16 halved its length.
+select_clean_text() is the narrow projection most pipelines chain on.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.charset import decode_payload
+
+DECODE_SCHEMA = (
+    "url string, charset string, source string, clean boolean, "
+    "n_bytes long, n_chars long, text string"
+)
+
+
+def decode_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → UTF-8 text + (charset, source, clean)
+    provenance — core/charset.py cascade semantics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "charset", "source", "clean",
+                                    "n_bytes", "n_chars", "text")}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                text, charset, source, clean = decode_payload(payload)
+                rows["url"].append(url)
+                rows["charset"].append(charset)
+                rows["source"].append(source)
+                rows["clean"].append(clean)
+                rows["n_bytes"].append(len(payload))
+                rows["n_chars"].append(len(text))
+                rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, DECODE_SCHEMA)
+
+
+def select_clean_text(decoded: DataFrame) -> DataFrame:
+    """(url, text) for cleanly-decoded pages — the projection the rest
+    of the pipeline chains on (column pruning drops the provenance
+    fields at the scan of any materialized copy)."""
+    return decoded.filter("clean").select("url", "text")

@@ -370,3 +370,30 @@ def pages_from_documents(spark, sf_dir: str):
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def charset_page(doc_id: int, text: str) -> bytes:
+    """Deterministic mixed-encoding payload for the charset entries: five
+    planted classes by doc_id — UTF-8/UTF-16LE BOMs, a <meta charset>
+    declaration (alternating a canonical and an alias label to exercise
+    WHATWG normalization), valid multi-byte UTF-8, a clean windows-1252
+    fallback (invalid-UTF-8 accent byte), and a DIRTY fallback (a
+    cp1252-undefined byte -> U+FFFD, clean=False). `text` must be ASCII
+    (the documents table is — pinned by the oracle arithmetic)."""
+    k = doc_id % 5
+    if k == 0:
+        if doc_id % 10 == 0:
+            return b"\xef\xbb\xbf" + text.encode("utf-8")
+        return b"\xff\xfe" + text.encode("utf-16-le")
+    if k == 1:
+        label = "windows-1252" if doc_id % 10 == 1 else "iso-8859-1"
+        return (f'<meta charset="{label}"><p>caf\xe9 page</p>' + text).encode(
+            "cp1252"
+        )
+    if k == 2:
+        if doc_id % 10 == 7:
+            return text.encode("ascii")
+        return f"caf\xe9 {doc_id} ".encode("utf-8") + text.encode("utf-8")
+    if k == 3:
+        return b"\xe9 accent " + text.encode("ascii")
+    return b"\x81 bad " + text.encode("ascii")

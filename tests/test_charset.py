@@ -1,0 +1,107 @@
+"""Charset sniffing/transcode (core/charset.py spec +
+operators/charset.py lift): cascade priorities, WHATWG alias
+normalization, prescan window, errors-as-data, Spark-vs-spec identity."""
+
+from ocr_service_spark.core.charset import (
+    decode_payload,
+    normalize_label,
+    sniff_charset,
+)
+from ocr_service_spark.operators.charset import decode_pages, select_clean_text
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_bom_beats_meta_and_content():
+    payload = b"\xef\xbb\xbf" + b'<meta charset="shift_jis">hi'
+    assert sniff_charset(payload) == ("utf-8", "bom")
+    assert sniff_charset(b"\xff\xfe" + "hi".encode("utf-16-le")) == (
+        "utf-16-le", "bom")
+    assert sniff_charset(b"\xfe\xff" + "hi".encode("utf-16-be")) == (
+        "utf-16-be", "bom")
+
+
+def test_meta_declared_and_http_equiv_forms():
+    assert sniff_charset(b'<meta charset="koi8-r">x') == ("koi8-r", "meta")
+    assert sniff_charset(b"<meta charset=KOI8-R >x") == ("koi8-r", "meta")
+    http_equiv = (
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift_JIS">x'
+    )
+    assert sniff_charset(http_equiv) == ("shift_jis", "meta")
+
+
+def test_whatwg_alias_superset_rule():
+    # the latin/ascii family all label windows-1252 on the web
+    for label in ("iso-8859-1", "latin1", "ascii", "US-ASCII", "cp1252"):
+        assert normalize_label(label) == "windows-1252", label
+    assert normalize_label("gb2312") == "gbk"
+    assert normalize_label("total-junk") is None
+
+
+def test_meta_prescan_window_is_1024_bytes():
+    late = b" " * 1024 + b'<meta charset="koi8-r">'
+    assert sniff_charset(late + b"x")[1] != "meta"
+    early = b" " * 990 + b'<meta charset="koi8-r">'
+    assert sniff_charset(early) == ("koi8-r", "meta")
+
+
+def test_junk_label_falls_through_to_validation():
+    payload = b'<meta charset="not-a-charset">plain ascii'
+    assert sniff_charset(payload) == ("utf-8", "utf8-valid")
+
+
+def test_utf8_validation_and_cp1252_fallback():
+    assert sniff_charset("café".encode("utf-8")) == ("utf-8", "utf8-valid")
+    text, cs, src, clean = decode_payload(b"caf\xe9")
+    assert (cs, src, clean, text) == ("windows-1252", "fallback", True, "café")
+
+
+def test_dirty_fallback_flags_not_drops():
+    text, cs, src, clean = decode_payload(b"\x81 bad")
+    assert cs == "windows-1252" and src == "fallback" and not clean
+    assert text == "� bad"  # page survives, gate decides
+
+
+def test_bom_bytes_consumed():
+    text, *_ = decode_payload(b"\xef\xbb\xbfhi")
+    assert text == "hi"
+    text, *_ = decode_payload(b"\xff\xfe" + "hi".encode("utf-16-le"))
+    assert text == "hi"
+
+
+# ---------------------------------------------------------------------------
+# Spark lift
+# ---------------------------------------------------------------------------
+
+PAGES = [
+    ("u1", b"\xef\xbb\xbfutf8 bom"),
+    ("u2", b'<meta charset="iso-8859-1">caf\xe9'),
+    ("u3", "plain café".encode("utf-8")),
+    ("u4", b"\x81 dirty"),
+    ("u5", None),
+]
+
+
+def test_decode_pages_matches_spec(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    got = {r["url"]: r for r in decode_pages(df).collect()}
+    assert len(got) == 4
+    for url, payload in PAGES:
+        if payload is None:
+            continue
+        text, cs, src, clean = decode_payload(payload)
+        r = got[url]
+        assert (r["charset"], r["source"], r["clean"]) == (cs, src, clean)
+        assert r["text"] == text
+        assert (r["n_bytes"], r["n_chars"]) == (len(payload), len(text))
+
+
+def test_select_clean_text_filters_dirty(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    rows = {r["url"]: r["text"] for r in
+            select_clean_text(decode_pages(df)).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"] == '<meta charset="iso-8859-1">café'
