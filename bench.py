@@ -153,6 +153,7 @@ HEADLINE = [
     "web_table_cells",         # WDC-style web-table mining (one Arrow pass)
     "jsonld_extract",          # schema.org JSON-LD items (one Arrow pass)
     "charset_decode",          # WHATWG charset cascade + UTF-8 transcode
+    "robots_txt_gate",         # RFC 9309 URL gate (host join + memo parse)
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -2012,6 +2012,65 @@ FROM sc
 """
 
 
+def q_robots_txt_gate(spark, sf_dir):
+    """RFC 9309 robots.txt compliance gate (core/robots.py spec): five
+    planted hosts exercise the interpreter's load-bearing semantics —
+    longest-path-match with Allow winning the /private/ vs /private/ok/
+    fight, agent-specific group selection (host 1 blocks '*' entirely
+    but grants trainbot), wildcard+anchor patterns (/*.pdf$), the empty
+    Disallow no-op, and a host with NO robots.txt at all (left-join
+    null → allowed). The REAL parser/matcher runs on every row; the
+    oracle recomputes verdicts from the planting rule alone."""
+    from .operators.robots import robots_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 5
+    path = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.format_string("/private/x%d", "doc_id"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.format_string("/private/ok/x%d", "doc_id"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.format_string("/doc%d.pdf", "doc_id"))
+        .otherwise(F.format_string("/page%d", "doc_id"))
+    )
+    urls = d.select(
+        F.concat(F.format_string("https://h%d.example", k), path).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"),
+            ("h1.example",
+             "User-agent: trainbot\nDisallow: /nope/\n\n"
+             "User-agent: *\nDisallow: /"),
+            ("h2.example", "User-agent: *\nDisallow: /*.pdf$"),
+            ("h3.example", "User-agent: *\nDisallow:"),
+            # h4.example deliberately absent: no robots.txt -> allowed
+        ],
+        "host string, robots_txt string",
+    )
+    return robots_gate(urls, robots, agent="trainbot")
+
+
+SQL_ROBOTS_TXT_GATE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k, doc_id % 4 AS j,
+         CASE doc_id % 4
+           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/private/ok/x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+           ELSE '/page' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+)
+SELECT 'https://h' || CAST(k AS VARCHAR) || '.example' || path AS url,
+       'h' || CAST(k AS VARCHAR) || '.example' AS host,
+       path,
+       NOT ((k = 0 AND j = 0) OR (k = 2 AND j = 2)) AS allowed
+FROM d
+"""
+
+
 def q_charset_decode(spark, sf_dir):
     """Crawl-payload charset normalization (core/charset.py WHATWG-shaped
     cascade, one Arrow pass): five planted payload classes per doc_id —
@@ -5198,6 +5257,8 @@ CATALOG: Dict[str, tuple] = {
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
     # crawl-payload charset normalization (core/charset.py cascade)
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
+    # RFC 9309 robots.txt URL gate (core/robots.py interpreter)
+    "robots_txt_gate": (q_robots_txt_gate, SQL_ROBOTS_TXT_GATE),
 }
 
 

@@ -1,0 +1,103 @@
+"""robots.txt interpreter spec (RFC 9309, pure Python, stdlib only).
+
+The crawl-compliance twin of the <meta robots> gate
+(core/metadata.py): a responsible training-data pipeline re-checks
+fetched URLs against each host's robots.txt before keeping them (CC
+itself honors robots at fetch time; downstream users re-filter when
+policies tighten). This module is the byte-identity SPEC imported by
+the Spark operator (operators/robots.py) and the pytest oracle.
+
+RFC 9309 semantics implemented:
+- Groups: one or more consecutive User-agent lines start a group; the
+  rules that follow belong to it. A User-agent line AFTER rules starts
+  a new group. `#` comments strip anywhere; unknown fields ignored.
+- Group selection: the group(s) whose user-agent token is the LONGEST
+  case-insensitive prefix of our product token win; `*` matches any
+  agent with length zero (the fallback group). ALL groups carrying the
+  winning token merge (the RFC's explicit merge rule).
+- Rule matching: the rule whose path pattern is the longest (in
+  pattern octets) match for the URL path wins; on a tie or an
+  equal-length allow/disallow pair, Allow wins. No matching rule →
+  allowed. Empty Disallow value is a no-op rule (classic allow-all).
+- Patterns: `*` matches any run of characters, a trailing `$` anchors
+  the end; matching starts at the path's first byte.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+Rule = Tuple[bool, str]  # (is_allow, pattern)
+
+
+def _pattern_re(pattern: str) -> "re.Pattern":
+    parts = []
+    body, anchored = (pattern[:-1], True) if pattern.endswith("$") else (
+        pattern, False)
+    for chunk in body.split("*"):
+        parts.append(re.escape(chunk))
+    return re.compile(".*".join(parts) + ("$" if anchored else ""))
+
+
+def parse_robots(txt: str, agent: str) -> List[Rule]:
+    """The merged rule list of the best-matching group(s) for `agent`."""
+    agent = agent.lower()
+    groups: List[Tuple[List[str], List[Rule]]] = []
+    cur_agents: List[str] = []
+    in_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if in_rules:  # UA after rules: new group starts
+                cur_agents = []
+                in_rules = False
+            token = value.lower()
+            cur_agents.append(token)
+            if not groups or groups[-1][0] is not cur_agents:
+                groups.append((cur_agents, []))
+        elif field in ("allow", "disallow"):
+            if not cur_agents:
+                continue  # rules before any UA line: RFC says ignore
+            in_rules = True
+            if value:
+                groups[-1][1].append((field == "allow", value))
+            elif field == "disallow":
+                pass  # empty Disallow = allow-all no-op
+    best_len = -1
+    for agents, _ in groups:
+        for token in agents:
+            if token == "*":
+                best_len = max(best_len, 0)
+            elif agent.startswith(token):
+                best_len = max(best_len, len(token))
+    if best_len < 0:
+        return []
+    winners: List[Rule] = []
+    for agents, rules in groups:
+        for token in agents:
+            n = 0 if token == "*" else (
+                len(token) if agent.startswith(token) else -1)
+            if n == best_len:
+                winners.extend(rules)
+                break
+    return winners
+
+
+def robots_allowed(rules: List[Rule], path: str) -> bool:
+    """Longest-pattern-match verdict; Allow wins ties; default allow."""
+    best_len, best_allow = -1, True
+    for is_allow, pattern in rules:
+        if _pattern_re(pattern).match(path):
+            n = len(pattern)
+            if n > best_len or (n == best_len and is_allow):
+                best_len, best_allow = n, is_allow
+    return best_allow
+
+
+def check_url_path(robots_txt: str, agent: str, path: str) -> bool:
+    return robots_allowed(parse_robots(robots_txt, agent), path)

@@ -1,0 +1,72 @@
+"""robots.txt compliance gate: urls × per-host robots.txt → allow/deny.
+
+The fetch-policy half of crawl compliance (the <meta robots> page-level
+half lives in operators/metadata.py): re-check every candidate URL
+against its host's robots.txt under RFC 9309 semantics before keeping
+it in the corpus. The rule engine is the pure-Python spec in
+core/robots.py — imported by this operator's UDF body and the pytest
+oracle, byte-identical by construction.
+
+Scale shape: the robots side is ONE ROW PER HOST (it's the fetched
+robots.txt table a crawler already maintains), so the equi-join on
+host is the standard skew-tolerant shuffle join — at 10^12 URLs the
+URL side dominates and nothing about a host's rule set crosses the
+exchange more than once per URL. The verdict stage is one Arrow
+mapInPandas pass; within each batch the (robots_txt, agent) parse is
+memoized so a host's rules compile once per batch, not once per URL —
+a giant host's million URLs in a partition parse its robots exactly
+once. Missing robots.txt → allowed (RFC: no rules means no
+restrictions), via the left join's null.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.robots import parse_robots, robots_allowed
+from .domains import url_host
+
+VERDICT_SCHEMA = "url string, host string, path string, allowed boolean"
+
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^#]*)?"
+
+
+def robots_gate(urls: DataFrame, robots: DataFrame,
+                agent: str = "trainbot") -> DataFrame:
+    """urls(url, ...) × robots(host, robots_txt) → (url, host, path,
+    allowed) under RFC 9309 longest-match semantics for `agent`."""
+    u = urls.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        F.when(
+            F.regexp_extract("url", _PATH_RE, 1) == "", F.lit("/")
+        ).otherwise(F.regexp_extract("url", _PATH_RE, 1)).alias("path"),
+    )
+    joined = u.join(robots.select("host", "robots_txt"), "host", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = {}
+        for pdf in batches:
+            verdicts = []
+            for txt, path in zip(pdf["robots_txt"], pdf["path"]):
+                if txt is None:
+                    verdicts.append(True)
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = cache[txt] = parse_robots(txt, agent)
+                verdicts.append(robots_allowed(rules, path))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "host": pdf["host"],
+                    "path": pdf["path"],
+                    "allowed": verdicts,
+                }
+            )
+
+    return joined.mapInPandas(run, VERDICT_SCHEMA)

@@ -1,0 +1,108 @@
+"""robots.txt interpreter (core/robots.py RFC 9309 spec +
+operators/robots.py gate): group selection, longest-match, wildcards,
+merge rule, and the Spark join/verdict surface."""
+
+from ocr_service_spark.core.robots import (
+    check_url_path,
+    parse_robots,
+    robots_allowed,
+)
+from ocr_service_spark.operators.robots import robots_gate
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+BASIC = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"
+
+
+def test_longest_match_allow_wins():
+    assert not check_url_path(BASIC, "bot", "/private/x")
+    assert check_url_path(BASIC, "bot", "/private/ok/x")  # 12 > 9
+    assert check_url_path(BASIC, "bot", "/public")
+
+
+def test_equal_length_tie_goes_to_allow():
+    txt = "User-agent: *\nDisallow: /dir/\nAllow: /dir/"
+    assert check_url_path(txt, "bot", "/dir/page")
+
+
+def test_agent_specific_group_beats_star():
+    txt = (
+        "User-agent: trainbot\nDisallow: /nope/\n\n"
+        "User-agent: *\nDisallow: /"
+    )
+    assert check_url_path(txt, "trainbot", "/anything")
+    assert not check_url_path(txt, "trainbot", "/nope/x")
+    assert not check_url_path(txt, "otherbot", "/anything")
+
+
+def test_agent_prefix_match_and_case():
+    txt = "User-agent: Train\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/"
+    # 'train' is a prefix of 'trainbot-v2' -> specific group wins
+    assert not check_url_path(txt, "trainbot-v2", "/a/x")
+    assert check_url_path(txt, "trainbot-v2", "/b/x")
+
+
+def test_groups_with_same_token_merge():
+    txt = (
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: *\nDisallow: /b/"
+    )
+    assert not check_url_path(txt, "bot", "/a/x")
+    assert not check_url_path(txt, "bot", "/b/x")
+
+
+def test_shared_rule_block_for_stacked_agents():
+    txt = "User-agent: alpha\nUser-agent: beta\nDisallow: /x/"
+    assert not check_url_path(txt, "alpha", "/x/1")
+    assert not check_url_path(txt, "beta", "/x/1")
+    assert check_url_path(txt, "gamma", "/x/1")  # no group at all
+
+
+def test_wildcard_and_anchor_patterns():
+    txt = "User-agent: *\nDisallow: /*.pdf$"
+    assert not check_url_path(txt, "bot", "/docs/file.pdf")
+    assert check_url_path(txt, "bot", "/docs/file.pdf.html")  # $ anchors
+    txt2 = "User-agent: *\nDisallow: /a*b/"
+    assert not check_url_path(txt2, "bot", "/a-xyz-b/c")
+
+
+def test_empty_disallow_comments_junk():
+    txt = (
+        "# top comment\nUser-agent: *  # inline\n"
+        "Disallow:\nCrawl-delay: 5\nnot a field line\n"
+    )
+    assert parse_robots(txt, "bot") == []
+    assert check_url_path(txt, "bot", "/anything")
+
+
+def test_no_matching_rules_default_allow():
+    assert robots_allowed([], "/x")
+    assert check_url_path("", "bot", "/x")
+
+
+# ---------------------------------------------------------------------------
+# Spark gate
+# ---------------------------------------------------------------------------
+
+
+def test_robots_gate_join_and_missing_host(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/private/p",),
+            ("https://a.example/private/ok/p",),
+            ("https://norobots.example/x",),
+            ("https://a.example",),  # no path -> '/'
+        ],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", BASIC)], "host string, robots_txt string"
+    )
+    got = {r["url"]: r for r in robots_gate(urls, robots, "bot").collect()}
+    assert not got["https://a.example/private/p"]["allowed"]
+    assert got["https://a.example/private/ok/p"]["allowed"]
+    assert got["https://norobots.example/x"]["allowed"]  # null robots
+    assert got["https://a.example"]["path"] == "/"
+    assert got["https://a.example"]["allowed"]
