@@ -5120,6 +5120,126 @@ WHERE n_hosts >= 2
 """
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap/sitemapindex ingestion (core/sitemap.py spec, one Arrow
+    pass): six planted XML classes per doc_id — plain urlset fields,
+    CDATA loc + W3C datetime lastmod + case-normalizing changefreq,
+    entity-escaped loc with junk lastmod/changefreq/priority (all
+    nulled), a TWO-entry sitemapindex (is_index rows, entry ordering),
+    a loc-less error entry (errors-as-data), and namespace-prefixed
+    tags with a comment-hidden decoy entry that must NOT appear. The
+    REAL scanner runs on every row; the oracle recomputes the flat
+    entry rows arithmetically from the planting rule."""
+    from .operators.sitemap import parse_sitemaps
+    from .sources.synth import sitemap_doc
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("string")
+    def _xml(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([sitemap_doc(int(i)) for i in doc_id])
+
+    sm = d.select(
+        F.format_string("h%d.example", "doc_id").alias("host"),
+        _xml("doc_id").alias("sitemap_xml"),
+    )
+    return parse_sitemaps(sm)
+
+
+SQL_SITEMAP_PARSE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k,
+         'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+         CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+),
+single AS (
+  SELECT host, 0 AS entry_idx, FALSE AS is_index,
+    CASE k WHEN 0 THEN 'https://' || host || '/p' || ds
+           WHEN 1 THEN 'https://' || host || '/p?a=' || ds || '&b=2'
+           WHEN 2 THEN 'https://' || host || '/p?a=' || ds || '&b=2'
+           WHEN 4 THEN NULL
+           ELSE 'https://' || host || '/ns' END AS loc,
+    CASE k WHEN 0 THEN '2024-03-15' WHEN 1 THEN '2024-01-02T03:04:05Z'
+           WHEN 2 THEN 'recently' WHEN 4 THEN '2024-05-05' END AS lastmod,
+    CASE k WHEN 0 THEN '2024-03-15' WHEN 1 THEN '2024-01-02'
+           WHEN 4 THEN '2024-05-05' END AS lastmod_date,
+    CASE k WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' END AS changefreq,
+    CASE k WHEN 0 THEN 800 WHEN 1 THEN 1000 WHEN 5 THEN 250
+         END AS priority_permille
+  FROM d WHERE k <> 3
+),
+idx AS (
+  SELECT host, t.i AS entry_idx, TRUE AS is_index,
+    'https://' || host || '/sm' || CAST(t.i AS VARCHAR) || '.xml' AS loc,
+    CASE WHEN t.i = 1 THEN '2024-06-01' END AS lastmod,
+    CASE WHEN t.i = 1 THEN '2024-06-01' END AS lastmod_date,
+    CAST(NULL AS VARCHAR) AS changefreq,
+    CAST(NULL AS INTEGER) AS priority_permille
+  FROM d CROSS JOIN (VALUES (0), (1)) AS t(i) WHERE k = 3
+)
+SELECT * FROM single UNION ALL SELECT * FROM idx
+"""
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Declared-vs-crawled coverage audit (operators/sitemap.py
+    full-outer join): sitemap declares doc_id%3!=0, crawl fetched
+    doc_id%2==0, lastmod alternates around the fixed fetch date by
+    doc_id%4 — so all three statuses and both staleness polarities are
+    populated and the oracle recomputes the audit with its own
+    full-outer join. Index rows and loc-less error rows are planted on
+    the entries side and must be invisible."""
+    from .operators.sitemap import sitemap_coverage
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    entries = d.where(F.col("doc_id") % 3 != 0).select(
+        F.lit(False).alias("is_index"),
+        F.format_string("https://cov.example/p%d", "doc_id").alias("loc"),
+        F.when(F.col("doc_id") % 4 < 2, F.lit("2024-02-01"))
+        .otherwise(F.lit("2024-01-01"))
+        .alias("lastmod_date"),
+    )
+    decoys = d.where(F.col("doc_id") % 3 == 1).select(
+        F.lit(True).alias("is_index"),
+        F.format_string("https://cov.example/sm%d.xml", "doc_id").alias("loc"),
+        F.lit(None).cast("string").alias("lastmod_date"),
+    )
+    errors = d.where(F.col("doc_id") % 3 == 2).select(
+        F.lit(False).alias("is_index"),
+        F.lit(None).cast("string").alias("loc"),
+        F.lit("2024-02-01").alias("lastmod_date"),
+    )
+    crawled = d.where(F.col("doc_id") % 2 == 0).select(
+        F.format_string("https://cov.example/p%d", "doc_id").alias("url"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("warc_ts"),
+    )
+    return sitemap_coverage(entries.unionAll(decoys).unionAll(errors),
+                            crawled)
+
+
+SQL_SITEMAP_COVERAGE = """
+WITH d AS (SELECT doc_id FROM documents),
+s AS (
+  SELECT 'https://cov.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 < 2 THEN DATE '2024-02-01'
+              ELSE DATE '2024-01-01' END AS lastmod
+  FROM d WHERE doc_id % 3 <> 0
+),
+c AS (
+  SELECT 'https://cov.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         DATE '2024-01-15' AS fetch
+  FROM d WHERE doc_id % 2 = 0
+)
+SELECT COALESCE(s.url, c.url) AS url,
+  CASE WHEN s.url IS NOT NULL AND c.url IS NOT NULL THEN 'both'
+       WHEN s.url IS NOT NULL THEN 'sitemap_only'
+       ELSE 'crawled_only' END AS status,
+  COALESCE(s.lastmod > c.fetch, FALSE) AS stale
+FROM s FULL OUTER JOIN c ON s.url = c.url
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5259,6 +5379,9 @@ CATALOG: Dict[str, tuple] = {
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
     # RFC 9309 robots.txt URL gate (core/robots.py interpreter)
     "robots_txt_gate": (q_robots_txt_gate, SQL_ROBOTS_TXT_GATE),
+    # sitemap ingestion + coverage audit (core/sitemap.py spec)
+    "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
+    "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
 }
 
 

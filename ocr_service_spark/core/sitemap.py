@@ -1,0 +1,126 @@
+"""XML sitemap parsing spec (pure Python, stdlib only).
+
+Sitemaps (sitemaps.org protocol, referenced from robots.txt `Sitemap:`
+lines) are the crawl-frontier's seed list: `<urlset>` documents carry
+per-URL freshness hints (lastmod/changefreq/priority), `<sitemapindex>`
+documents point at child sitemaps. A crawl pipeline needs them twice —
+to seed fetching, and afterwards to audit coverage (what did the site
+declare vs what did we actually crawl, and is our copy stale?). This
+module is the byte-identity SPEC: the Spark operator
+(operators/sitemap.py) imports these functions and the pytest oracle
+calls them directly (same convention as core/structured_data.py).
+
+Scanner semantics (one linear finditer — O(n) on hostile markup, like
+every markup path in this repo; the stdlib XML parser is rejected for
+the same reason html.parser is: real sitemaps are full of namespace
+noise, stray bytes, and truncation, and a strict parser turns each into
+a lost host):
+- An entry is a `<url>`…`</url>` or `<sitemap>`…`</sitemap>` span
+  (case-insensitive, optional namespace prefix, attributes tolerated).
+  An unterminated entry runs to EOF in ONE match (truncated fetches),
+  keeping the pass linear — the half-open-tag rule from
+  core/structured_data.py.
+- Entries inside XML comments are invisible (comment spans are consumed
+  by the same pass).
+- Within an entry, the first `<loc>`/`<lastmod>`/`<changefreq>`/
+  `<priority>` child wins. `<loc>` accepts CDATA; text is
+  entity-decoded (the protocol REQUIRES &amp;-escaping in loc) and
+  whitespace-trimmed.
+- ERRORS-AS-DATA: an entry with no/empty loc still emits a row with
+  loc=None (real sitemaps contain them; dropping hides the signal).
+
+Field normalization (relational, cross-engine-hashable):
+- is_index: True for `<sitemap>` entries, False for `<url>` entries —
+  per-entry, not per-root, so a malformed root never hides entries.
+- lastmod: raw trimmed string, plus lastmod_date = its leading
+  YYYY-MM-DD when W3C-datetime-shaped (else None) — the comparable form
+  coverage auditing needs.
+- changefreq: lowercased trimmed, nulled unless one of the protocol's
+  seven values.
+- priority: integer PERMILLE (0.8 → 800) parsed from the decimal
+  string, nulled outside [0,1] or unparseable — integer grid so Spark
+  and DuckDB hash identically (repo float convention, see operators/lm.py).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Dict, List, Optional
+
+# One pass: comments are consumed by the first alternative; entry spans
+# by the second. `(?:</...>|$)` lets a truncated entry consume to EOF in
+# one match (linearity on hostile/truncated input).
+_ENTRY_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<(?:\w+:)?(url|sitemap)\b[^>]*>(.*?)(?:</(?:\w+:)?\1\s*>|$)"
+)
+
+_FIELD_RES = {
+    name: re.compile(
+        r"(?is)<(?:\w+:)?" + name + r"\b[^>]*>\s*"
+        r"(?:<!\[CDATA\[(.*?)\]\]>|(.*?))\s*</(?:\w+:)?" + name + r"\s*>"
+    )
+    for name in ("loc", "lastmod", "changefreq", "priority")
+}
+
+_DATE_RE = re.compile(r"^(\d{4}-\d{2}-\d{2})(?:[T\s]|$)")
+_PRIORITY_RE = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)$")
+
+CHANGEFREQS = frozenset(
+    ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+)
+
+
+def _field(body: str, name: str) -> Optional[str]:
+    m = _FIELD_RES[name].search(body)
+    if not m:
+        return None
+    raw = m.group(1) if m.group(1) is not None else m.group(2)
+    text = _html.unescape(raw).strip() if m.group(1) is None else raw.strip()
+    return text or None
+
+
+def _lastmod_date(lastmod: Optional[str]) -> Optional[str]:
+    if not lastmod:
+        return None
+    m = _DATE_RE.match(lastmod)
+    return m.group(1) if m else None
+
+
+def _priority_permille(raw: Optional[str]) -> Optional[int]:
+    if raw is None or not _PRIORITY_RE.match(raw):
+        return None
+    v = float(raw)
+    if not (0.0 <= v <= 1.0):
+        return None
+    return int(round(v * 1000))
+
+
+def parse_sitemap(xml: str) -> List[Dict]:
+    """Sitemap/sitemapindex XML → one dict per entry in document order:
+    {"entry_idx", "is_index", "loc", "lastmod", "lastmod_date",
+    "changefreq", "priority_permille"}. Malformed markup never raises —
+    whatever entries scan out are returned."""
+    out: List[Dict] = []
+    for m in _ENTRY_RE.finditer(xml or ""):
+        if m.group(1) is None:  # comment span
+            continue
+        body = m.group(2) or ""
+        lastmod = _field(body, "lastmod")
+        cf = _field(body, "changefreq")
+        cf = cf.lower() if cf else None
+        out.append(
+            {
+                "entry_idx": len(out),
+                "is_index": m.group(1).lower() == "sitemap",
+                "loc": _field(body, "loc"),
+                "lastmod": lastmod,
+                "lastmod_date": _lastmod_date(lastmod),
+                "changefreq": cf if cf in CHANGEFREQS else None,
+                "priority_permille": _priority_permille(
+                    _field(body, "priority")
+                ),
+            }
+        )
+    return out

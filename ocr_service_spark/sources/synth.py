@@ -397,3 +397,53 @@ def charset_page(doc_id: int, text: str) -> bytes:
     if k == 3:
         return b"\xe9 accent " + text.encode("ascii")
     return b"\x81 bad " + text.encode("ascii")
+
+
+def sitemap_doc(doc_id: int) -> str:
+    """Deterministic sitemap XML for the sitemap_parse entry: six planted
+    classes by doc_id exercising the core/sitemap.py scanner's
+    load-bearing semantics — plain urlset fields, CDATA loc + W3C
+    datetime + case-normalizing changefreq, entity-escaped loc + junk
+    fields, a two-entry sitemapindex, a loc-less error entry, and
+    namespace-prefixed tags with a comment-hidden decoy entry. Every
+    output field is pure arithmetic in doc_id so DuckDB recomputes the
+    flat rows without a parser."""
+    k = doc_id % 6
+    h = f"h{doc_id}.example"
+    if k == 0:
+        return (
+            '<?xml version="1.0"?><urlset><url>'
+            f"<loc>https://{h}/p{doc_id}</loc>"
+            "<lastmod>2024-03-15</lastmod><changefreq>daily</changefreq>"
+            "<priority>0.8</priority></url></urlset>"
+        )
+    if k == 1:
+        return (
+            "<urlset><url>"
+            f"<loc><![CDATA[https://{h}/p?a={doc_id}&b=2]]></loc>"
+            "<lastmod>2024-01-02T03:04:05Z</lastmod>"
+            "<changefreq>Weekly</changefreq><priority>1</priority>"
+            "</url></urlset>"
+        )
+    if k == 2:
+        return (
+            "<urlset><url>"
+            f"<loc>https://{h}/p?a={doc_id}&amp;b=2</loc>"
+            "<lastmod>recently</lastmod><changefreq>sometimes</changefreq>"
+            "<priority>high</priority></url></urlset>"
+        )
+    if k == 3:
+        return (
+            "<sitemapindex>"
+            f"<sitemap><loc>https://{h}/sm0.xml</loc></sitemap>"
+            f"<sitemap><loc>https://{h}/sm1.xml</loc>"
+            "<lastmod>2024-06-01</lastmod></sitemap></sitemapindex>"
+        )
+    if k == 4:
+        return "<urlset><url><lastmod>2024-05-05</lastmod></url></urlset>"
+    return (
+        "<sm:urlset>"
+        f"<!-- <url><loc>https://{h}/ghost</loc></url> -->"
+        f"<sm:url><sm:loc> https://{h}/ns </sm:loc>"
+        "<sm:priority>0.25</sm:priority></sm:url></sm:urlset>"
+    )

@@ -1,0 +1,202 @@
+"""Sitemap parsing + coverage audit (core/sitemap.py spec +
+operators/sitemap.py lift): scanner tolerance, field normalization,
+errors-as-data, Spark-vs-spec byte identity, coverage statuses."""
+
+import contextlib
+import io
+
+from ocr_service_spark.core.sitemap import parse_sitemap
+from ocr_service_spark.operators.sitemap import (
+    parse_sitemaps,
+    sitemap_coverage,
+)
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_plain_urlset_entry():
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc>https://s/p1</loc>'
+        "<lastmod>2024-03-15</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url></urlset>"
+    )
+    (e,) = parse_sitemap(xml)
+    assert e == {
+        "entry_idx": 0, "is_index": False, "loc": "https://s/p1",
+        "lastmod": "2024-03-15", "lastmod_date": "2024-03-15",
+        "changefreq": "daily", "priority_permille": 800,
+    }
+
+
+def test_cdata_loc_is_literal_and_entity_loc_decodes():
+    xml = (
+        "<urlset><url><loc><![CDATA[https://s/p?a=1&b=2]]></loc></url>"
+        "<url><loc>https://s/p?a=1&amp;b=2</loc></url></urlset>"
+    )
+    a, b = parse_sitemap(xml)
+    assert a["loc"] == b["loc"] == "https://s/p?a=1&b=2"
+
+
+def test_sitemapindex_entries_flag_is_index():
+    xml = (
+        "<sitemapindex><sitemap><loc>https://s/sm1.xml</loc>"
+        "<lastmod>2024-01-02T03:04:05+00:00</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    (e,) = parse_sitemap(xml)
+    assert e["is_index"] is True
+    assert e["loc"] == "https://s/sm1.xml"
+    assert e["lastmod"] == "2024-01-02T03:04:05+00:00"
+    assert e["lastmod_date"] == "2024-01-02"  # W3C datetime → date prefix
+
+
+def test_namespace_prefixes_and_case_tolerated():
+    xml = (
+        "<sm:urlset><SM:URL><sm:loc> https://s/x </sm:loc>"
+        "<sm:priority>1</sm:priority></SM:URL></sm:urlset>"
+    )
+    (e,) = parse_sitemap(xml)
+    assert (e["loc"], e["priority_permille"]) == ("https://s/x", 1000)
+
+
+def test_missing_loc_is_error_row_not_a_drop():
+    xml = "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"
+    (e,) = parse_sitemap(xml)
+    assert e["loc"] is None and e["lastmod"] == "2024-01-01"
+
+
+def test_field_normalization_rejects_junk():
+    xml = (
+        "<urlset><url><loc>https://s/a</loc>"
+        "<lastmod>last tuesday</lastmod>"
+        "<changefreq>SOMETIMES</changefreq>"
+        "<priority>high</priority></url>"
+        "<url><loc>https://s/b</loc><priority>3.5</priority>"
+        "<changefreq>Weekly</changefreq></url></urlset>"
+    )
+    a, b = parse_sitemap(xml)
+    assert a["lastmod"] == "last tuesday" and a["lastmod_date"] is None
+    assert a["changefreq"] is None and a["priority_permille"] is None
+    assert b["priority_permille"] is None  # out of [0,1]
+    assert b["changefreq"] == "weekly"
+
+
+def test_comments_invisible_and_truncated_entry_runs_to_eof():
+    xml = (
+        "<urlset><!-- <url><loc>https://s/ghost</loc></url> -->"
+        "<url><loc>https://s/real</loc></url>"
+        "<url><loc>https://s/tail</loc>"  # never closed: truncated fetch
+    )
+    got = parse_sitemap(xml)
+    assert [e["loc"] for e in got] == ["https://s/real", "https://s/tail"]
+
+
+def test_first_child_wins():
+    xml = (
+        "<urlset><url><loc>https://s/one</loc><loc>https://s/two</loc>"
+        "</url></urlset>"
+    )
+    (e,) = parse_sitemap(xml)
+    assert e["loc"] == "https://s/one"
+
+
+def test_none_and_empty_input():
+    assert parse_sitemap(None) == []
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<html><body>not a sitemap</body></html>") == []
+
+
+def test_linear_on_hostile_markup():
+    import time
+
+    blob = ("x" * 997 + "<url>") * 2000  # ~2MB of half-open entries
+    t0 = time.monotonic()
+    parse_sitemap(blob)
+    assert time.monotonic() - t0 < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Spark lift: byte identity with the spec
+# ---------------------------------------------------------------------------
+
+SITEMAPS = [
+    ("a.example",
+     "<urlset><url><loc>https://a.example/p1</loc>"
+     "<lastmod>2024-03-15T10:00:00Z</lastmod><priority>0.5</priority>"
+     "</url><url><lastmod>2024-01-01</lastmod></url></urlset>"),
+    ("b.example",
+     "<sitemapindex><sitemap><loc>https://b.example/sm1.xml</loc>"
+     "</sitemap></sitemapindex>"),
+    ("c.example", "<p>junk, zero entries</p>"),
+    ("d.example", None),
+]
+
+_COLS = ("host", "entry_idx", "is_index", "loc", "lastmod",
+         "lastmod_date", "changefreq", "priority_permille")
+
+
+def test_parse_sitemaps_matches_spec(spark):
+    df = spark.createDataFrame(SITEMAPS, "host string, sitemap_xml string")
+    got = sorted(
+        tuple(r[c] for c in _COLS) for r in parse_sitemaps(df).collect()
+    )
+    expect = sorted(
+        (host,) + tuple(e[c] for c in _COLS[1:])
+        for host, xml in SITEMAPS
+        if xml is not None
+        for e in parse_sitemap(xml)
+    )
+    assert got == expect and len(got) == 3
+
+
+def test_parse_sitemaps_zero_exchanges(spark):
+    df = spark.createDataFrame(SITEMAPS, "host string, sitemap_xml string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        parse_sitemaps(df).explain("formatted")
+    assert buf.getvalue().count(") Exchange") == 0
+
+
+# ---------------------------------------------------------------------------
+# coverage audit
+# ---------------------------------------------------------------------------
+
+
+def _coverage(spark):
+    entries = spark.createDataFrame(
+        [
+            # declared + crawled, site updated after our fetch → stale
+            ("s.example", False, "https://s/p1", "2024-02-01"),
+            # declared + crawled, fetch is fresh
+            ("s.example", False, "https://s/p2", "2024-01-01"),
+            # declared, never crawled
+            ("s.example", False, "https://s/p3", None),
+            # index rows and loc-less error rows must not leak in
+            ("s.example", True, "https://s/sm.xml", None),
+            ("s.example", False, None, "2024-01-01"),
+        ],
+        "host string, is_index boolean, loc string, lastmod_date string",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("https://s/p1", "2024-01-15 08:00:00"),
+            ("https://s/p2", "2024-01-15 08:00:00"),
+            ("https://s/p9", "2024-01-15 08:00:00"),  # orphan
+        ],
+        "url string, warc_ts string",
+    )
+    rows = sitemap_coverage(entries, crawled).collect()
+    return {r["url"]: (r["status"], r["stale"]) for r in rows}
+
+
+def test_coverage_statuses_and_staleness(spark):
+    got = _coverage(spark)
+    assert got == {
+        "https://s/p1": ("both", True),
+        "https://s/p2": ("both", False),
+        "https://s/p3": ("sitemap_only", False),
+        "https://s/p9": ("crawled_only", False),
+    }
