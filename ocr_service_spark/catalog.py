@@ -5240,6 +5240,99 @@ FROM s FULL OUTER JOIN c ON s.url = c.url
 """
 
 
+def _canonical_pages(spark, sf_dir):
+    """Planted canonical graph over documents: eight classes by doc_id —
+    no declaration (k=0), chains of length 1/2/3 ending at the k=0
+    terminal (k=1..3), self-canonical (k=4), off-corpus target (k=5),
+    and a 2-cycle pair (k=6⇄7; at the corpus boundary a k=6 with no
+    partner resolves off-corpus instead)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 8
+    u = lambda c: F.format_string("https://c.example/u%d", c)  # noqa: E731
+    return d.select(
+        u(F.col("doc_id")).alias("url"),
+        F.when(k.isin(1, 2, 3, 7), u(F.col("doc_id") - 1))
+        .when(k == 4, u(F.col("doc_id")))
+        .when(k == 5, F.format_string("https://ext.example/x%d", "doc_id"))
+        .when(k == 6, u(F.col("doc_id") + 1))
+        .alias("canonical"),
+    )
+
+
+def q_canonical_resolve(spark, sf_dir):
+    """rel=canonical chain resolution (operators/canonical.py pointer
+    doubling): planted chains of length 0-3, self-canonicals, off-corpus
+    terminals, and 2-cycles — the cycles must come back unresolved
+    (errors-as-data), everything else with exact final URL and hop
+    count. The oracle recomputes all of it arithmetically from the
+    planting rule, including the corpus-boundary cycle-partner case."""
+    from .operators.canonical import canonical_resolve
+
+    return canonical_resolve(_canonical_pages(spark, sf_dir))
+
+
+SQL_CANONICAL_RESOLVE = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+d AS (
+  SELECT doc_id, doc_id % 8 AS k,
+         doc_id % 8 = 6 AND doc_id = (SELECT m FROM mx) AS boundary
+  FROM documents
+)
+SELECT 'https://c.example/u' || CAST(doc_id AS VARCHAR) AS url,
+  CASE WHEN k IN (0, 4) THEN 'https://c.example/u' || CAST(doc_id AS VARCHAR)
+       WHEN k = 1 THEN 'https://c.example/u' || CAST(doc_id - 1 AS VARCHAR)
+       WHEN k = 2 THEN 'https://c.example/u' || CAST(doc_id - 2 AS VARCHAR)
+       WHEN k = 3 THEN 'https://c.example/u' || CAST(doc_id - 3 AS VARCHAR)
+       WHEN k = 5 THEN 'https://ext.example/x' || CAST(doc_id AS VARCHAR)
+       WHEN boundary THEN 'https://c.example/u' || CAST(doc_id + 1 AS VARCHAR)
+  END AS final_url,
+  CAST(CASE WHEN k IN (0, 4) THEN 0 WHEN k IN (1, 5) THEN 1
+            WHEN k = 2 THEN 2 WHEN k = 3 THEN 3
+            WHEN boundary THEN 1 END AS INTEGER) AS hops,
+  (k NOT IN (6, 7) OR boundary) AS resolved
+FROM d
+"""
+
+
+def q_canonical_clusters(spark, sf_dir):
+    """Canonical URL groups over the same planted graph: each k=0
+    terminal gathers itself plus its length-1/2/3 chain members (4-URL
+    clusters away from the corpus edge), self-canonicals and off-corpus
+    targets form singletons, cycle members vanish. The oracle re-derives
+    per-URL finals arithmetically and re-aggregates them."""
+    from .operators.canonical import canonical_clusters
+
+    c = canonical_clusters(_canonical_pages(spark, sf_dir))
+    return c.select(
+        "final_url", "n_urls", F.concat_ws("|", "urls").alias("urls")
+    )
+
+
+SQL_CANONICAL_CLUSTERS = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+d AS (
+  SELECT doc_id, doc_id % 8 AS k,
+         doc_id % 8 = 6 AND doc_id = (SELECT m FROM mx) AS boundary
+  FROM documents
+),
+r AS (
+  SELECT 'https://c.example/u' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN k IN (0, 4) THEN 'https://c.example/u' || CAST(doc_id AS VARCHAR)
+         WHEN k = 1 THEN 'https://c.example/u' || CAST(doc_id - 1 AS VARCHAR)
+         WHEN k = 2 THEN 'https://c.example/u' || CAST(doc_id - 2 AS VARCHAR)
+         WHEN k = 3 THEN 'https://c.example/u' || CAST(doc_id - 3 AS VARCHAR)
+         WHEN k = 5 THEN 'https://ext.example/x' || CAST(doc_id AS VARCHAR)
+         WHEN boundary THEN 'https://c.example/u' || CAST(doc_id + 1 AS VARCHAR)
+    END AS final_url,
+    (k NOT IN (6, 7) OR boundary) AS resolved
+  FROM d
+)
+SELECT final_url, CAST(count(*) AS BIGINT) AS n_urls,
+       string_agg(url, '|' ORDER BY url) AS urls
+FROM r WHERE resolved GROUP BY final_url
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5382,6 +5475,9 @@ CATALOG: Dict[str, tuple] = {
     # sitemap ingestion + coverage audit (core/sitemap.py spec)
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
+    # rel=canonical chain resolution (operators/canonical.py)
+    "canonical_resolve": (q_canonical_resolve, SQL_CANONICAL_RESOLVE),
+    "canonical_clusters": (q_canonical_clusters, SQL_CANONICAL_CLUSTERS),
 }
 
 

@@ -1,0 +1,119 @@
+"""rel=canonical chain resolution — the declared-duplicate primitive.
+
+Pages declare their canonical URL via `<link rel=canonical>` (surfaced
+by core/metadata.py's `canonical` field). On a real crawl those
+declarations form a functional graph: every URL has at most one
+outgoing pointer, chains occur (page → www-variant → https-variant),
+targets are often OFF-CORPUS (declared but never crawled), and SEO
+misconfiguration produces cycles (a ⇄ b). A curation pipeline wants the
+FINAL canonical per URL: group the corpus by it and one representative
+per group survives — the cheapest, highest-precision dedup signal
+before any content hashing runs.
+
+Semantics (cap mirrors what production crawlers do with redirect
+chains):
+- next(u) = canonical when non-null and != u, else u is TERMINAL
+  (self-canonical and no-declaration are the same fixpoint).
+- final(u) = the terminal reached by following next*; a pointer to a
+  URL outside the corpus is terminal (we can't follow what we didn't
+  crawl — final is the off-corpus URL itself).
+- Chains longer than `max_hops`, and cycles (which never terminate),
+  are ERRORS-AS-DATA: resolved=false, final_url/hops null — never a
+  silent self-fallback, a crawl auditor needs to see them.
+
+Scale shape: pointer DOUBLING, not one-hop propagation — each round
+composes the (url → ptr, hops, done) map with itself (equi-join on the
+moving pointer), so a chain of length L resolves in ⌈log₂ L⌉+1 rounds:
+5 shuffle joins for the default cap of 16, vs 16 for naive iteration,
+and each join ships three small columns per row. `localCheckpoint` per
+round truncates the iterative lineage (repo convention, see
+connected_components in operators/dedup.py:314). Rounds are fixed by
+`max_hops` — no convergence probes, no driver-side data.
+
+The driver-contract oracle (catalog `canonical_resolve`) recomputes the
+planted chain classes arithmetically in DuckDB — chains of length 0-3,
+self-canonicals, off-corpus targets, a 2-cycle, and the corpus-boundary
+case where the cycle partner doesn't exist.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RESULT_SCHEMA = ("url", "final_url", "hops", "resolved")
+
+
+def canonical_resolve(pages: DataFrame, max_hops: int = 16) -> DataFrame:
+    """pages(url, canonical, ...) → (url, final_url, hops, resolved).
+
+    Runs ⌈log₂ max_hops⌉ pointer-doubling rounds eagerly (localCheckpoint
+    per round) — time construction together with execution.
+    """
+    state = pages.select(
+        "url",
+        F.when(
+            F.col("canonical").isNotNull()
+            & (F.col("canonical") != F.col("url")),
+            F.col("canonical"),
+        ).alias("nxt"),
+    ).select(
+        "url",
+        F.coalesce("nxt", F.col("url")).alias("ptr"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("hops"),
+        F.col("nxt").isNull().alias("done"),
+    ).localCheckpoint()
+
+    # +1: the init state can't know whether its target is terminal, so the
+    # done flag propagates one composition behind the pointer position —
+    # a chain of length L needs ⌈log₂ L⌉ + 1 rounds to both REACH the
+    # terminal and LEARN it is one.
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops)))) + 1
+    for _ in range(rounds):
+        t = state.select(
+            F.col("url").alias("t_url"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("hops").alias("t_hops"),
+            F.col("done").alias("t_done"),
+        )
+        state = (
+            state.join(t, state.ptr == t.t_url, "left")
+            .select(
+                "url",
+                # done rows keep their endpoint; a pointer with no row in
+                # the corpus is terminal (off-corpus canonical target)
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.coalesce("t_ptr", "ptr"))
+                .alias("ptr"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.coalesce("t_hops", F.lit(0)))
+                .alias("hops"),
+                (
+                    F.col("done")
+                    | F.col("t_url").isNull()
+                    | F.col("t_done")
+                ).alias("done"),
+            )
+            .localCheckpoint()
+        )
+
+    ok = F.col("done") & (F.col("hops") <= max_hops)
+    return state.select(
+        "url",
+        F.when(ok, F.col("ptr")).alias("final_url"),
+        F.when(ok, F.col("hops")).cast("int").alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
+def canonical_clusters(pages: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Resolved canonical groups: (final_url, n_urls, urls⊆sorted-top-8).
+    One hash aggregate over canonical_resolve's output; unresolved rows
+    are excluded (they have no meaningful group key)."""
+    r = canonical_resolve(pages, max_hops).where(F.col("resolved"))
+    return r.groupBy("final_url").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.slice(F.array_sort(F.collect_set("url")), 1, 8).alias("urls"),
+    )

@@ -1,0 +1,75 @@
+"""rel=canonical chain resolution (operators/canonical.py): chain
+lengths, off-corpus terminals, cycles, the max_hops cap, clusters."""
+
+from ocr_service_spark.operators.canonical import (
+    canonical_clusters,
+    canonical_resolve,
+)
+
+
+def _resolve(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "url string, canonical string")
+    out = canonical_resolve(df, **kw).collect()
+    return {r["url"]: (r["final_url"], r["hops"], r["resolved"]) for r in out}
+
+
+def test_chains_self_and_null_terminals(spark):
+    got = _resolve(spark, [
+        ("u0", None),          # no declaration: terminal
+        ("u1", "u0"),          # chain length 1
+        ("u2", "u1"),          # chain length 2
+        ("u3", "u3"),          # self-canonical: terminal
+    ])
+    assert got == {
+        "u0": ("u0", 0, True),
+        "u1": ("u0", 1, True),
+        "u2": ("u0", 2, True),
+        "u3": ("u3", 0, True),
+    }
+
+
+def test_off_corpus_target_is_terminal(spark):
+    got = _resolve(spark, [("u1", "https://elsewhere/x")])
+    assert got == {"u1": ("https://elsewhere/x", 1, True)}
+
+
+def test_cycle_is_unresolved_not_silent(spark):
+    got = _resolve(spark, [("a", "b"), ("b", "a"), ("c", "a")])
+    # c enters the cycle and can never terminate either
+    assert got == {
+        "a": (None, None, False),
+        "b": (None, None, False),
+        "c": (None, None, False),
+    }
+
+
+def test_max_hops_cap(spark):
+    chain = [("u0", None)] + [(f"u{i}", f"u{i-1}") for i in range(1, 6)]
+    got = _resolve(spark, chain, max_hops=4)
+    assert got["u4"] == ("u0", 4, True)   # exactly at the cap: resolved
+    assert got["u5"] == (None, None, False)  # one past the cap
+    # default cap resolves it
+    assert _resolve(spark, chain)["u5"] == ("u0", 5, True)
+
+
+def test_long_chain_log_rounds(spark):
+    # length-16 chain resolves with the default 4 doubling rounds
+    chain = [("u0", None)] + [(f"u{i}", f"u{i-1}") for i in range(1, 17)]
+    got = _resolve(spark, chain)
+    assert got["u16"] == ("u0", 16, True)
+
+
+def test_canonical_clusters(spark):
+    df = spark.createDataFrame(
+        [("u0", None), ("u1", "u0"), ("u2", "u1"), ("a", "b"), ("b", "a"),
+         ("solo", "https://ext/x")],
+        "url string, canonical string",
+    )
+    got = {
+        r["final_url"]: (r["n_urls"], list(r["urls"]))
+        for r in canonical_clusters(df).collect()
+    }
+    assert got == {
+        "u0": (3, ["u0", "u1", "u2"]),
+        "https://ext/x": (1, ["solo"]),
+    }  # cycle rows excluded
