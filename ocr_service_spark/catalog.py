@@ -5333,6 +5333,70 @@ FROM r WHERE resolved GROUP BY final_url
 """
 
 
+def q_feed_extract(spark, sf_dir):
+    """RSS/Atom feed mining (core/feeds.py spec, one Arrow pass): five
+    planted feed classes per doc_id — RSS item with entity title + RFC
+    822 pubDate, Atom entry with CDATA title, enclosure-vs-alternate
+    link preference and a +01:00 RFC 3339 offset landing on the SAME
+    epoch second, an errors-as-data item (junk date → null epoch), an
+    updated-only Atom entry, and a two-item document pinning entry
+    ordering. The REAL scanner+date parser run on every row; the oracle
+    recomputes the flat rows (including epochs) arithmetically."""
+    from .operators.feeds import extract_feed_items
+    from .sources.synth import feed_doc
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("string")
+    def _xml(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([feed_doc(int(i)) for i in doc_id])
+
+    feeds = d.select(
+        F.format_string("https://f%d.example/feed", "doc_id").alias("url"),
+        _xml("doc_id").alias("feed_xml"),
+    )
+    return extract_feed_items(feeds)
+
+
+SQL_FEED_EXTRACT = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k, doc_id % 60 AS s,
+         CAST(doc_id AS VARCHAR) AS ds,
+         'https://f' || CAST(doc_id AS VARCHAR) || '.example' AS h
+  FROM documents
+),
+single AS (
+  SELECT 'https://f' || ds || '.example/feed' AS url,
+    0 AS entry_idx,
+    CASE WHEN k IN (1, 3) THEN 'entry' ELSE 'item' END AS kind,
+    CASE k WHEN 0 THEN 'Post ' || ds || ' & more'
+           WHEN 1 THEN 'Entry ' || ds
+           WHEN 2 THEN 'Broken ' || ds
+           ELSE 'Up ' || ds END AS title,
+    CASE k WHEN 0 THEN h || '/p' WHEN 1 THEN h || '/e'
+           WHEN 3 THEN h || '/u' END AS link,
+    CASE k WHEN 0 THEN 'tag:' || ds WHEN 1 THEN 'urn:' || ds
+         END AS entry_id,
+    CASE k WHEN 0 THEN 'Tue, 02 Jan 2024 03:04:' || lpad(CAST(s AS VARCHAR), 2, '0') || ' GMT'
+           WHEN 1 THEN '2024-01-02T04:04:' || lpad(CAST(s AS VARCHAR), 2, '0') || '+01:00'
+           WHEN 2 THEN 'whenever'
+           ELSE '2024-06-01T00:00:00Z' END AS pub_raw,
+    CAST(CASE WHEN k IN (0, 1) THEN 1704164640 + s
+              WHEN k = 3 THEN 1717200000 END AS BIGINT) AS pub_epoch
+  FROM d WHERE k <> 4
+),
+pair AS (
+  SELECT 'https://f' || ds || '.example/feed' AS url,
+    t.i AS entry_idx, 'item' AS kind,
+    CASE WHEN t.i = 0 THEN 'First ' || ds ELSE 'Second ' || ds END AS title,
+    CAST(NULL AS VARCHAR) AS link, CAST(NULL AS VARCHAR) AS entry_id,
+    CAST(NULL AS VARCHAR) AS pub_raw, CAST(NULL AS BIGINT) AS pub_epoch
+  FROM d CROSS JOIN (VALUES (0), (1)) AS t(i) WHERE k = 4
+)
+SELECT * FROM single UNION ALL SELECT * FROM pair
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5478,6 +5542,8 @@ CATALOG: Dict[str, tuple] = {
     # rel=canonical chain resolution (operators/canonical.py)
     "canonical_resolve": (q_canonical_resolve, SQL_CANONICAL_RESOLVE),
     "canonical_clusters": (q_canonical_clusters, SQL_CANONICAL_CLUSTERS),
+    # RSS/Atom feed mining (core/feeds.py spec)
+    "feed_extract": (q_feed_extract, SQL_FEED_EXTRACT),
 }
 
 

@@ -1,0 +1,150 @@
+"""RSS 2.0 / Atom feed item extraction spec (pure Python, stdlib only).
+
+Feeds are the third machine-readable document family on a crawl next to
+sitemaps (core/sitemap.py) and JSON-LD (core/structured_data.py): they
+carry fresh-content pointers (title, link, id, publication time) that a
+recrawl scheduler and a news-corpus builder both mine. This module is
+the byte-identity SPEC: the Spark operator (operators/feeds.py) imports
+these functions and the pytest oracle calls them directly.
+
+Scanner semantics (one linear finditer — O(n) on hostile markup, the
+repo's half-open-tag rule: truncated entries consume to EOF in ONE
+match; comment spans are invisible):
+- An item is an `<item>`…`</item>` (RSS 2.0) or `<entry>`…`</entry>`
+  (Atom) span — case-insensitive, attributes tolerated, kind recorded
+  per item so mixed/malformed roots never hide items.
+- Within an item the FIRST matching child wins:
+  - title: `<title>` text — CDATA accepted, entities decoded, trimmed.
+  - link: Atom form first (`<link ... href="…">`, rel="alternate" or
+    rel-less preferred over enclosure/self links), else RSS element
+    text `<link>…</link>`.
+  - entry_id: `<guid>` (RSS) else `<id>` (Atom).
+  - timestamp: `<pubDate>` (RSS, RFC 822) else `<published>` else
+    `<updated>` (Atom, RFC 3339).
+- pub_epoch: the timestamp normalized to integer UTC epoch seconds —
+  the repo's integer-grid convention (operators/lm.py) so engines hash
+  identically; unparseable dates keep pub_raw and a null epoch
+  (errors-as-data, a gate can filter on it).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from datetime import datetime, timezone
+from email.utils import parsedate_to_datetime
+from typing import Dict, List, Optional
+
+_ITEM_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<(?:\w+:)?(item|entry)\b[^>]*>(.*?)(?:</(?:\w+:)?\1\s*>|$)"
+)
+
+_TEXT_FIELD_RES = {
+    name: re.compile(
+        r"(?is)<(?:\w+:)?" + name + r"\b[^>]*>\s*"
+        r"(?:<!\[CDATA\[(.*?)\]\]>|(.*?))\s*</(?:\w+:)?" + name + r"\s*>"
+    )
+    for name in ("title", "link", "guid", "id", "pubdate", "published",
+                 "updated")
+}
+
+# Atom <link href=...> — self-closing or not; href/rel in any order
+_ATOM_LINK_RE = re.compile(r"(?is)<(?:\w+:)?link\b([^>]*?)/?>")
+_HREF_RE = re.compile(r"""(?is)\bhref\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+)""")
+_REL_RE = re.compile(r"""(?is)\brel\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+)""")
+
+_RFC3339_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})[Tt ](\d{2}:\d{2}:\d{2})(?:\.\d+)?"
+    r"(Z|z|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def _text_field(body: str, name: str) -> Optional[str]:
+    m = _TEXT_FIELD_RES[name].search(body)
+    if not m:
+        return None
+    if m.group(1) is not None:  # CDATA is literal
+        text = m.group(1).strip()
+    else:
+        text = _html.unescape(m.group(2)).strip()
+    return text or None
+
+
+def _attr(attrs: str, rx: re.Pattern) -> Optional[str]:
+    m = rx.search(attrs)
+    if not m:
+        return None
+    return m.group(2) or m.group(3) or m.group(1)
+
+
+def _link(body: str) -> Optional[str]:
+    """Atom href links first (rel-less/alternate beats enclosure/self),
+    else the RSS element-text form."""
+    best = None
+    for m in _ATOM_LINK_RE.finditer(body):
+        href = _attr(m.group(1), _HREF_RE)
+        if not href:
+            continue
+        rel = (_attr(m.group(1), _REL_RE) or "alternate").lower()
+        if rel == "alternate":
+            return _html.unescape(href).strip() or None
+        if best is None:
+            best = _html.unescape(href).strip() or None
+    return best or _text_field(body, "link")
+
+
+def parse_pub_epoch(raw: Optional[str]) -> Optional[int]:
+    """RFC 822 (RSS pubDate) or RFC 3339 (Atom published/updated) →
+    integer UTC epoch seconds; None when unparseable. Missing timezone
+    means UTC (the conservative reading both formats allow)."""
+    if not raw:
+        return None
+    s = raw.strip()
+    m = _RFC3339_RE.match(s)
+    if m:
+        tz = m.group(3)
+        iso = f"{m.group(1)}T{m.group(2)}"
+        if tz and tz not in ("Z", "z"):
+            iso += tz if ":" in tz else tz[:3] + ":" + tz[3:]
+            dt = datetime.fromisoformat(iso)
+        else:
+            dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
+    try:
+        dt = parsedate_to_datetime(s)
+    except (TypeError, ValueError):
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
+
+
+def parse_feed(xml: str) -> List[Dict]:
+    """Feed XML → one dict per item in document order: {"entry_idx",
+    "kind" ('item'|'entry'), "title", "link", "entry_id", "pub_raw",
+    "pub_epoch"}. Malformed markup never raises."""
+    out: List[Dict] = []
+    for m in _ITEM_RE.finditer(xml or ""):
+        if m.group(1) is None:  # comment span
+            continue
+        kind = m.group(1).lower()
+        body = m.group(2) or ""
+        pub_raw = (
+            _text_field(body, "pubdate")
+            or _text_field(body, "published")
+            or _text_field(body, "updated")
+        )
+        out.append(
+            {
+                "entry_idx": len(out),
+                "kind": kind,
+                "title": _text_field(body, "title"),
+                "link": _link(body),
+                "entry_id": _text_field(body, "guid")
+                or _text_field(body, "id"),
+                "pub_raw": pub_raw,
+                "pub_epoch": parse_pub_epoch(pub_raw),
+            }
+        )
+    return out

@@ -1,0 +1,61 @@
+"""RSS/Atom feed mining: feeds(url, feed_xml) → relational item rows.
+
+Same execution shape as the sitemap/JSON-LD/web-table miners: ONE
+Arrow-batched mapInPandas pass, scan pruned to (url, feed_xml), zero
+shuffles. The UDF body is the pure-Python spec in core/feeds.py, so
+distributed output is byte-identical to the pytest oracle by
+construction. Feed files are small and one-row-per-feed, so per-row
+work is bounded and parallelism is the row count — the same
+one-file-one-unit model as the WARC source.
+
+`fresh_items` is the recrawl-scheduler view: items with a parsed
+timestamp at or after a cutoff epoch — the pointer set a scheduler
+feeds back into the fetch frontier. Pure column filter, codegen-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.feeds import parse_feed
+
+ITEM_SCHEMA = (
+    "url string, entry_idx int, kind string, title string, link string, "
+    "entry_id string, pub_raw string, pub_epoch long"
+)
+
+_COLS = ("entry_idx", "kind", "title", "link", "entry_id", "pub_raw",
+         "pub_epoch")
+
+
+def extract_feed_items(feeds: DataFrame) -> DataFrame:
+    """feeds(url, feed_xml, ...) → one row per <item>/<entry> —
+    core/feeds.py semantics, unparseable dates kept with null epoch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url",) + _COLS}
+            for url, xml in zip(pdf["url"], pdf["feed_xml"]):
+                if xml is None:
+                    continue
+                for it in parse_feed(xml):
+                    rows["url"].append(url)
+                    for c in _COLS:
+                        rows[c].append(it[c])
+            out = pd.DataFrame(rows)
+            yield out.astype({"entry_idx": "int32"}, errors="ignore")
+
+    return feeds.select("url", "feed_xml").mapInPandas(run, ITEM_SCHEMA)
+
+
+def fresh_items(items: DataFrame, cutoff_epoch: int) -> DataFrame:
+    """Items published at/after the cutoff, newest first per feed —
+    the fetch-frontier feedback set."""
+    return items.where(
+        F.col("pub_epoch").isNotNull()
+        & (F.col("pub_epoch") >= F.lit(int(cutoff_epoch)))
+    ).select("url", "link", "entry_id", "pub_epoch")

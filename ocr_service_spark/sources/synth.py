@@ -447,3 +447,47 @@ def sitemap_doc(doc_id: int) -> str:
         f"<sm:url><sm:loc> https://{h}/ns </sm:loc>"
         "<sm:priority>0.25</sm:priority></sm:url></sm:urlset>"
     )
+
+
+def feed_doc(doc_id: int) -> str:
+    """Deterministic RSS/Atom XML for the feed_extract entry: five
+    planted classes by doc_id — an RSS item with entity title + RFC 822
+    pubDate (seconds vary by doc_id%60), an Atom entry with CDATA title,
+    enclosure-vs-alternate link preference and a +01:00 RFC 3339 offset
+    landing on the SAME epoch, an errors-as-data item (junk date, no
+    link), an updated-only Atom entry, and a two-item document pinning
+    entry ordering. Every output field is arithmetic in doc_id."""
+    k = doc_id % 5
+    s = doc_id % 60
+    if k == 0:
+        return (
+            f"<rss><channel><item><title>Post {doc_id} &amp; more</title>"
+            f"<link>https://f{doc_id}.example/p</link>"
+            f"<guid>tag:{doc_id}</guid>"
+            f"<pubDate>Tue, 02 Jan 2024 03:04:{s:02d} GMT</pubDate>"
+            "</item></channel></rss>"
+        )
+    if k == 1:
+        return (
+            f"<feed><entry><title><![CDATA[Entry {doc_id}]]></title>"
+            f'<link rel="enclosure" href="https://f{doc_id}.example/a.mp3"/>'
+            f'<link href="https://f{doc_id}.example/e"/>'
+            f"<id>urn:{doc_id}</id>"
+            f"<published>2024-01-02T04:04:{s:02d}+01:00</published>"
+            "</entry></feed>"
+        )
+    if k == 2:
+        return (
+            f"<rss><item><title>Broken {doc_id}</title>"
+            "<pubDate>whenever</pubDate></item></rss>"
+        )
+    if k == 3:
+        return (
+            f"<feed><entry><title>Up {doc_id}</title>"
+            f'<link href="https://f{doc_id}.example/u"/>'
+            "<updated>2024-06-01T00:00:00Z</updated></entry></feed>"
+        )
+    return (
+        f"<rss><item><title>First {doc_id}</title></item>"
+        f"<item><title>Second {doc_id}</title></item></rss>"
+    )

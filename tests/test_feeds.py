@@ -1,0 +1,129 @@
+"""RSS/Atom feed mining (core/feeds.py spec + operators/feeds.py lift):
+scanner tolerance, link preference, date normalization, Spark identity."""
+
+from ocr_service_spark.core.feeds import parse_feed, parse_pub_epoch
+from ocr_service_spark.operators.feeds import extract_feed_items, fresh_items
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_rss_item():
+    xml = (
+        "<rss><channel><item><title>Hello &amp; welcome</title>"
+        "<link>https://s/post1</link>"
+        "<guid isPermaLink=\"false\">tag:1</guid>"
+        "<pubDate>Tue, 02 Jan 2024 03:04:05 GMT</pubDate>"
+        "</item></channel></rss>"
+    )
+    (it,) = parse_feed(xml)
+    assert it == {
+        "entry_idx": 0, "kind": "item", "title": "Hello & welcome",
+        "link": "https://s/post1", "entry_id": "tag:1",
+        "pub_raw": "Tue, 02 Jan 2024 03:04:05 GMT",
+        "pub_epoch": 1704164645,
+    }
+
+
+def test_atom_entry_href_link_and_rfc3339():
+    xml = (
+        "<feed><entry><title><![CDATA[A < title]]></title>"
+        '<link rel="enclosure" href="https://s/audio.mp3"/>'
+        '<link href="https://s/post2"/>'
+        "<id>urn:uuid:2</id>"
+        "<published>2024-01-02T03:04:05Z</published>"
+        "<updated>2024-06-01T00:00:00Z</updated>"
+        "</entry></feed>"
+    )
+    (it,) = parse_feed(xml)
+    assert it["kind"] == "entry"
+    assert it["title"] == "A < title"  # CDATA literal
+    assert it["link"] == "https://s/post2"  # rel-less beats enclosure
+    assert it["entry_id"] == "urn:uuid:2"
+    assert it["pub_epoch"] == 1704164645  # published beats updated
+
+
+def test_enclosure_only_link_still_used():
+    xml = ('<feed><entry><link rel="self" href="https://s/feed.xml"/>'
+           "</entry></feed>")
+    (it,) = parse_feed(xml)
+    assert it["link"] == "https://s/feed.xml"
+
+
+def test_tz_offset_and_junk_dates():
+    assert parse_pub_epoch("2024-01-02T04:04:05+01:00") == 1704164645
+    assert parse_pub_epoch("2024-01-02T03:04:05") == 1704164645  # naive=UTC
+    assert parse_pub_epoch("Tue, 02 Jan 2024 04:04:05 +0100") == 1704164645
+    assert parse_pub_epoch("yesterday-ish") is None
+    assert parse_pub_epoch(None) is None
+    xml = "<rss><item><pubDate>whenever</pubDate></item></rss>"
+    (it,) = parse_feed(xml)
+    assert it["pub_raw"] == "whenever" and it["pub_epoch"] is None
+
+
+def test_comments_invisible_and_truncation():
+    xml = (
+        "<rss><!-- <item><title>ghost</title></item> -->"
+        "<item><title>real</title></item>"
+        "<item><title>tail</title>"  # truncated fetch
+    )
+    got = parse_feed(xml)
+    assert [i["title"] for i in got] == ["real", "tail"]
+
+
+def test_linear_on_hostile_markup():
+    import time
+
+    blob = ("x" * 997 + "<item>") * 2000
+    t0 = time.monotonic()
+    parse_feed(blob)
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_empty_and_none():
+    assert parse_feed(None) == []
+    assert parse_feed("<html>no feed here</html>") == []
+
+
+# ---------------------------------------------------------------------------
+# Spark lift
+# ---------------------------------------------------------------------------
+
+FEEDS = [
+    ("https://a/feed.xml",
+     "<rss><item><title>T1</title><link>https://a/1</link>"
+     "<pubDate>Tue, 02 Jan 2024 03:04:05 GMT</pubDate></item>"
+     "<item><title>T2</title><pubDate>junk</pubDate></item></rss>"),
+    ("https://b/atom.xml",
+     '<feed><entry><title>T3</title><link href="https://b/3"/>'
+     "<updated>2024-06-01T00:00:00Z</updated></entry></feed>"),
+    ("https://c/none.xml", "<p>not a feed</p>"),
+    ("https://d/null.xml", None),
+]
+
+_COLS = ("url", "entry_idx", "kind", "title", "link", "entry_id",
+         "pub_raw", "pub_epoch")
+
+
+def test_extract_feed_items_matches_spec(spark):
+    df = spark.createDataFrame(FEEDS, "url string, feed_xml string")
+    got = sorted(
+        tuple(r[c] for c in _COLS) for r in extract_feed_items(df).collect()
+    )
+    expect = sorted(
+        (url,) + tuple(it[c] for c in _COLS[1:])
+        for url, xml in FEEDS
+        if xml is not None
+        for it in parse_feed(xml)
+    )
+    assert got == expect and len(got) == 3
+
+
+def test_fresh_items_cutoff(spark):
+    df = spark.createDataFrame(FEEDS, "url string, feed_xml string")
+    items = extract_feed_items(df)
+    got = {r["link"] for r in fresh_items(items, 1704164645).collect()}
+    assert got == {"https://a/1", "https://b/3"}
+    got = {r["link"] for r in fresh_items(items, 1704164646).collect()}
+    assert got == {"https://b/3"}  # null-epoch junk never passes
