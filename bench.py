@@ -154,6 +154,9 @@ HEADLINE = [
     "jsonld_extract",          # schema.org JSON-LD items (one Arrow pass)
     "charset_decode",          # WHATWG charset cascade + UTF-8 transcode
     "robots_txt_gate",         # RFC 9309 URL gate (host join + memo parse)
+    "sitemap_parse",           # sitemaps.org ingest (one Arrow pass)
+    "canonical_resolve",       # rel=canonical pointer-doubling resolution
+    "feed_extract",            # RSS/Atom item mining (one Arrow pass)
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

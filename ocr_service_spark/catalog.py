@@ -5397,6 +5397,92 @@ SELECT * FROM single UNION ALL SELECT * FROM pair
 """
 
 
+def _frontier(spark, sf_dir):
+    """Planted fetch frontier: seven hosts by doc_id%7, delays declared
+    for hosts 0-4 (2+k seconds), hosts 5-6 fall back to the default."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        F.format_string(
+            "https://s%d.example/p%d", F.col("doc_id") % 7, F.col("doc_id")
+        ).alias("url")
+    )
+    delays = spark.createDataFrame(
+        [(f"s{k}.example", 2 + k) for k in range(5)],
+        "host string, crawl_delay_s int",
+    )
+    return urls, delays
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness fetch plan (operators/scheduler.py): per-host url-order
+    sequencing, integer spacing by the host's declared crawl delay
+    (hosts 5-6 exercise the default fallback), md5-pinned worker
+    assignment. The oracle recomputes the entire plan — row_number over
+    the same (host, url) order and the same md5 slice — exactly."""
+    from .operators.scheduler import fetch_schedule
+
+    urls, delays = _frontier(spark, sf_dir)
+    return fetch_schedule(urls, delays, n_workers=8)
+
+
+SQL_FETCH_SCHEDULE = """
+WITH f AS (
+  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+         'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 <= 4 THEN 2 + doc_id % 7 ELSE 1 END AS delay
+  FROM documents
+),
+r AS (
+  SELECT url, host, CAST(delay AS BIGINT) AS delay_s,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+              AS BIGINT) AS seq
+  FROM f
+)
+SELECT url, host, seq, delay_s, seq * delay_s AS fetch_offset_s,
+  CAST(CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS UBIGINT) AS BIGINT)
+       % 8 AS INTEGER) AS worker
+FROM r
+"""
+
+
+def q_schedule_stats(spark, sf_dir):
+    """Per-worker load-balance audit over the same planted plan: URL and
+    host counts plus makespan (largest politeness offset a worker must
+    wait out). The oracle rebuilds the plan and re-aggregates."""
+    from .operators.scheduler import fetch_schedule, schedule_stats
+
+    urls, delays = _frontier(spark, sf_dir)
+    return schedule_stats(fetch_schedule(urls, delays, n_workers=8))
+
+
+SQL_SCHEDULE_STATS = """
+WITH f AS (
+  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+         'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 <= 4 THEN 2 + doc_id % 7 ELSE 1 END AS delay
+  FROM documents
+),
+r AS (
+  SELECT url, host, CAST(delay AS BIGINT) AS delay_s,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+              AS BIGINT) AS seq
+  FROM f
+),
+p AS (
+  SELECT host, seq * delay_s AS fetch_offset_s,
+    CAST(CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS UBIGINT) AS BIGINT)
+         % 8 AS INTEGER) AS worker
+  FROM r
+)
+SELECT worker, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       max(fetch_offset_s) AS makespan_s
+FROM p GROUP BY worker
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5544,6 +5630,9 @@ CATALOG: Dict[str, tuple] = {
     "canonical_clusters": (q_canonical_clusters, SQL_CANONICAL_CLUSTERS),
     # RSS/Atom feed mining (core/feeds.py spec)
     "feed_extract": (q_feed_extract, SQL_FEED_EXTRACT),
+    # politeness fetch scheduling (operators/scheduler.py)
+    "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
+    "schedule_stats": (q_schedule_stats, SQL_SCHEDULE_STATS),
 }
 
 

@@ -1,0 +1,82 @@
+"""Politeness-aware fetch scheduling — crawl-frontier planning.
+
+The planning half of a polite crawler (the policy halves live in
+operators/robots.py — what MAY be fetched — and operators/domains.py
+domain_cap — how MUCH): given a frontier of candidate URLs and the
+per-host crawl delays a crawler honors (robots.txt Crawl-delay or its
+own rate policy), emit a deterministic fetch plan where
+
+- every host's URLs are SEQUENCED (seq 0,1,2,… in url order — unique
+  keys, so the plan is reproducible run-to-run),
+- fetch_offset_s = seq × delay spaces same-host fetches by the host's
+  delay (integer seconds — the repo's integer-grid convention),
+- worker = md5(host) mod n_workers pins ALL of a host's URLs to one
+  worker, which is what makes the spacing enforceable — two workers
+  holding the same host could not coordinate politeness.
+
+Scale shape: one equi-join against the one-row-per-host delay table
+(URL side dominates, same as the robots join), one window rank
+partitioned by host (per-host state is bounded by host size, and a
+giant host is precisely the one whose schedule is serialized by
+politeness anyway — the crawl, not the sort, is its bottleneck), and a
+pure md5 projection for worker assignment. Everything is
+engine-exact, so the DuckDB oracle recomputes the whole plan.
+
+`schedule_stats` is the load-balance audit: per-worker makespan (the
+largest fetch offset it must wait out), URL and host counts — one hash
+aggregate, n_workers rows out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .domains import url_host
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    n_workers: int = 64,
+    default_delay_s: int = 1,
+) -> DataFrame:
+    """frontier(url, ...) × delays(host, crawl_delay_s) →
+    (url, host, seq, delay_s, fetch_offset_s, worker)."""
+    u = frontier.select("url", url_host(F.col("url")).alias("host"))
+    d = delays.select(
+        "host", F.col("crawl_delay_s").cast("long").alias("crawl_delay_s")
+    )
+    j = u.join(d, "host", "left").select(
+        "url",
+        "host",
+        F.coalesce("crawl_delay_s", F.lit(int(default_delay_s)))
+        .alias("delay_s"),
+    )
+    seq = (
+        F.row_number().over(Window.partitionBy("host").orderBy("url")) - 1
+    ).cast("long")
+    worker = (
+        F.conv(F.substring(F.md5("host"), 1, 8), 16, 10).cast("long")
+        % n_workers
+    ).cast("int")
+    return j.select(
+        "url",
+        "host",
+        seq.alias("seq"),
+        "delay_s",
+        (seq * F.col("delay_s")).alias("fetch_offset_s"),
+        worker.alias("worker"),
+    )
+
+
+def schedule_stats(plan: DataFrame) -> DataFrame:
+    """fetch plan → per-worker (n_urls, n_hosts, makespan_s). The skew
+    audit: a worker whose makespan dwarfs the rest means its hosts'
+    politeness serializes the wall clock — rebalance n_workers or split
+    the frontier before launching the fetch wave."""
+    return plan.groupBy("worker").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.max("fetch_offset_s").alias("makespan_s"),
+    )

@@ -1,0 +1,66 @@
+"""Politeness fetch scheduling (operators/scheduler.py): per-host
+sequencing/spacing, default delay, worker pinning, makespan stats."""
+
+import contextlib
+import io
+
+from ocr_service_spark.operators.scheduler import (
+    fetch_schedule,
+    schedule_stats,
+)
+
+
+def _plan(spark, urls, delays, **kw):
+    f = spark.createDataFrame([(u,) for u in urls], "url string")
+    d = spark.createDataFrame(delays, "host string, crawl_delay_s int")
+    return fetch_schedule(f, d, **kw)
+
+
+URLS = [
+    "https://a.example/p1", "https://a.example/p2", "https://a.example/p3",
+    "https://b.example/x", "https://b.example/y",
+    "https://c.example/only",
+]
+DELAYS = [("a.example", 5), ("b.example", 2)]  # c.example: default
+
+
+def test_sequencing_and_spacing(spark):
+    rows = _plan(spark, URLS, DELAYS, n_workers=8).collect()
+    got = {r["url"]: (r["seq"], r["delay_s"], r["fetch_offset_s"])
+           for r in rows}
+    assert got == {
+        "https://a.example/p1": (0, 5, 0),
+        "https://a.example/p2": (1, 5, 5),
+        "https://a.example/p3": (2, 5, 10),
+        "https://b.example/x": (0, 2, 0),
+        "https://b.example/y": (1, 2, 2),
+        "https://c.example/only": (0, 1, 0),  # missing host: default 1s
+    }
+
+
+def test_worker_pins_whole_host(spark):
+    rows = _plan(spark, URLS, DELAYS, n_workers=4).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["worker"])
+        assert 0 <= r["worker"] < 4
+    assert all(len(ws) == 1 for ws in by_host.values())
+
+
+def test_schedule_stats_makespan(spark):
+    plan = _plan(spark, URLS, DELAYS, n_workers=1)
+    (s,) = schedule_stats(plan).collect()
+    # one worker holds everything: makespan = slowest host chain (a: 10s)
+    assert (s["worker"], s["n_urls"], s["n_hosts"], s["makespan_s"]) == (
+        0, 6, 3, 10,
+    )
+
+
+def test_no_cartesian_and_bounded_exchanges(spark):
+    plan = _plan(spark, URLS, DELAYS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    txt = buf.getvalue()
+    assert "CartesianProduct" not in txt
+    assert txt.count(") Exchange") <= 2
