@@ -157,6 +157,7 @@ HEADLINE = [
     "sitemap_parse",           # sitemaps.org ingest (one Arrow pass)
     "canonical_resolve",       # rel=canonical pointer-doubling resolution
     "feed_extract",            # RSS/Atom item mining (one Arrow pass)
+    "html_to_markdown",        # structure-preserving Markdown extraction
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

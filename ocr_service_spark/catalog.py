@@ -5483,6 +5483,68 @@ FROM p GROUP BY worker
 """
 
 
+def q_html_to_markdown(spark, sf_dir):
+    """HTML→Markdown extraction (core/markdown.py dialect, one Arrow
+    pass): seven planted page classes per doc_id — headings+paragraphs,
+    a nested tight list, link+bold inline marks, a whitespace-preserving
+    pre fence, ordered list + blockquote, a header table with its
+    separator row, and a decoy class (script/comment invisibility,
+    entity decode, hr). The REAL parser runs on every row; the oracle
+    reassembles the exact markdown STRING (chr(10) line joins) and the
+    structural profile arithmetically."""
+    from .operators.markdown import pages_to_markdown
+    from .sources.synth import markdown_page
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("string")
+    def _html(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([markdown_page(int(i)) for i in doc_id])
+
+    pages = d.select(
+        F.format_string("https://md.example/%012d", "doc_id").alias("url"),
+        _html("doc_id").alias("html"),
+    )
+    return pages_to_markdown(pages)
+
+
+SQL_HTML_TO_MARKDOWN = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k, CAST(doc_id AS VARCHAR) AS ds,
+         printf('https://md.example/%012d', doc_id) AS url
+  FROM documents
+),
+m AS (
+  SELECT url, k,
+    CASE k
+      WHEN 0 THEN '# Title ' || ds || chr(10) || chr(10) || 'Para ' || ds
+        || ' one' || chr(10) || chr(10) || 'Para ' || ds || ' two'
+      WHEN 1 THEN '- A' || ds || chr(10) || '- B' || ds || chr(10)
+        || '  - C' || ds
+      WHEN 2 THEN 'See [link ' || ds || '](https://x.example/' || ds
+        || ') and **bold ' || ds || '**'
+      WHEN 3 THEN '```' || chr(10) || 'code ' || ds || chr(10)
+        || '  indent' || chr(10) || '```'
+      WHEN 4 THEN '1. One ' || ds || chr(10) || '2. Two ' || ds
+        || chr(10) || chr(10) || '> Quote ' || ds
+      WHEN 5 THEN '| H | I |' || chr(10) || '| --- | --- |' || chr(10)
+        || '| a' || ds || ' | b' || ds || ' |'
+      ELSE 'x & y ' || ds || chr(10) || chr(10) || '---' || chr(10)
+        || chr(10) || 'after ' || ds
+    END AS markdown
+  FROM d
+)
+SELECT url, markdown, CAST(length(markdown) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN k = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_headings,
+  CAST(CASE WHEN k = 1 THEN 3 WHEN k = 4 THEN 2 ELSE 0
+       END AS INTEGER) AS n_list_items,
+  CAST(CASE WHEN k = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_links,
+  CAST(CASE WHEN k = 3 THEN 1 ELSE 0 END AS INTEGER) AS n_fences,
+  CAST(CASE WHEN k = 5 THEN 3 ELSE 0 END AS INTEGER) AS n_table_rows
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5633,6 +5695,8 @@ CATALOG: Dict[str, tuple] = {
     # politeness fetch scheduling (operators/scheduler.py)
     "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
     "schedule_stats": (q_schedule_stats, SQL_SCHEDULE_STATS),
+    # HTML→Markdown structured extraction (core/markdown.py dialect)
+    "html_to_markdown": (q_html_to_markdown, SQL_HTML_TO_MARKDOWN),
 }
 
 

@@ -1,0 +1,278 @@
+"""HTML → Markdown conversion spec (pure Python, stdlib only).
+
+Plain-text flattening (core/html_extract.py) loses the document
+structure an LLM training corpus increasingly wants kept: headings,
+lists, links, emphasis, code blocks, tables. This module converts the
+structural subset of HTML to deterministic Markdown — the
+markdownify/Resiliparse-style extraction target — as the byte-identity
+SPEC: the Spark operator (operators/markdown.py) imports `to_markdown`
+and the pytest oracle calls it directly.
+
+Dialect (deterministic by construction, documented not configurable):
+- h1..h6 → `#`×n prefix; p/div/section/… boundaries → blank-line
+  separated blocks; `<br>` → newline INSIDE the block; `<hr>` → `---`.
+- ul/ol → `- ` / `1. ` items, nested lists indented two spaces per
+  level, ordered counters per level; consecutive items join TIGHT
+  (single newline), everything else with a blank line.
+- `<a href>` → `[text](href)` (anchor without href = plain text),
+  `<img>` → `![alt](src)`, b/strong → `**`, i/em → `*`,
+  inline `<code>` → backticks. Markers are emitted adjacently to the
+  tag position; emphasis-edge whitespace tightening is out of scope.
+- `<pre>` → fenced block, inner whitespace preserved verbatim.
+- blockquote → every line of every enclosed block prefixed `> `
+  (stacked when nested).
+- `<table>` → pipe rows `| a | b |`; when the first row is all-<th> a
+  `| --- |` separator follows it. Nested tables are not re-entered
+  structurally (their text flows into the enclosing cell).
+- script/style/noscript/template subtrees and comments are invisible;
+  entities are decoded by the parser.
+- Whitespace: runs collapse to one space inside blocks (except inside
+  <pre>); blocks are trimmed; empty blocks vanish; blocks join with
+  one blank line.
+
+Every HTMLParser feed goes through `bound_tag_spans` first (repo rule:
+the stdlib parser is quadratic on never-closing tags — see
+core/html_extract.py:35).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List
+
+from .html_extract import bound_tag_spans
+
+_WS_RE = re.compile(r"\s+")
+_SKIP = frozenset(("script", "style", "noscript", "template"))
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCK_BOUNDARY = frozenset(
+    """p div article section header footer aside nav main figure
+    figcaption address dd dt dl fieldset form""".split()
+)
+
+
+class _MarkdownBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[tuple] = []  # (kind: "li"|"block", text)
+        self._buf: List[str] = []
+        self._prefix = ""          # current block's line prefix (#, -, 1.)
+        self._kind = "block"       # list items join tight at emit
+        self._bq = 0               # blockquote nesting depth
+        self._skip = 0
+        self._pre = 0
+        self._lists: List[Dict] = []   # {"t": "ul"|"ol", "i": int}
+        self._list_seq = 0             # outermost-list instance counter
+        self._a_href: List[str] = []
+        self._mark = {"b": 0, "i": 0, "c": 0}  # unbalanced-close guards
+        # table state
+        self._table = 0            # depth; structure only at depth 1
+        self._rows: List[List[str]] = []
+        self._row_is_th: List[bool] = []
+        self._cell_open = False
+
+    # -- block assembly ----------------------------------------------------
+
+    def _flush(self) -> None:
+        if self._table == 1 and self._cell_open:
+            return  # inside a cell: cell text flushes at cell/row close
+        text = "".join(self._buf)
+        if not self._pre:
+            text = "\n".join(
+                _WS_RE.sub(" ", ln).strip() for ln in text.split("\n")
+            ).strip("\n")
+            text = text.strip()
+        self._buf = []
+        if not text:
+            self._prefix, self._kind = "", "block"
+            return
+        prefix = "> " * self._bq
+        first = prefix + self._prefix
+        cont = prefix + (" " * len(self._prefix))
+        lines = text.split("\n")
+        out = [first + lines[0]] + [cont + ln for ln in lines[1:]]
+        self.blocks.append((self._kind, "\n".join(out)))
+        self._prefix, self._kind = "", "block"
+
+    def _close_cell(self) -> None:
+        if self._cell_open:
+            text = _WS_RE.sub(" ", "".join(self._buf)).strip()
+            self._rows[-1].append(text)
+            self._buf = []
+            self._cell_open = False
+
+    # -- parser events -----------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "blockquote":
+            self._flush()
+            self._bq += 1
+        elif tag in _HEADINGS:
+            self._flush()
+            self._prefix = "#" * _HEADINGS[tag] + " "
+        elif tag in _BLOCK_BOUNDARY:
+            self._flush()
+        elif tag == "br":
+            self._buf.append("\n")
+        elif tag == "hr":
+            self._flush()
+            self._buf.append("---")
+            self._flush()
+        elif tag in ("ul", "ol"):
+            self._flush()
+            if not self._lists:
+                self._list_seq += 1
+            self._lists.append({"t": tag, "i": 0})
+        elif tag == "li":
+            self._flush()
+            if self._lists:
+                top = self._lists[-1]
+                top["i"] += 1
+                indent = "  " * (len(self._lists) - 1)
+                marker = "- " if top["t"] == "ul" else f"{top['i']}. "
+                self._prefix = indent + marker
+            else:
+                self._prefix = "- "
+            # items of the same outermost list (incl. nested sublists)
+            # join tight; a NEW list gets its own blank-line-separated run
+            self._kind = f"li{self._list_seq}"
+        elif tag == "a":
+            self._a_href.append(a.get("href", ""))
+            if self._a_href[-1]:
+                self._buf.append("[")
+        elif tag == "img":
+            self._buf.append(f"![{a.get('alt', '')}]({a.get('src', '')})")
+        elif tag in ("b", "strong"):
+            self._mark["b"] += 1
+            self._buf.append("**")
+        elif tag in ("i", "em"):
+            self._mark["i"] += 1
+            self._buf.append("*")
+        elif tag == "code" and not self._pre:
+            self._mark["c"] += 1
+            self._buf.append("`")
+        elif tag == "pre":
+            self._flush()
+            self._pre += 1
+        elif tag == "table":
+            self._table += 1
+            if self._table == 1:
+                self._flush()
+                self._rows, self._row_is_th = [], []
+        elif self._table == 1 and tag == "tr":
+            self._close_cell()
+            self._rows.append([])
+            self._row_is_th.append(True)
+        elif self._table == 1 and tag in ("td", "th"):
+            self._close_cell()
+            if not self._rows:
+                self._rows.append([])
+                self._row_is_th.append(True)
+            if tag == "td":
+                self._row_is_th[-1] = False
+            self._cell_open = True
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in ("br", "hr", "img"):  # void forms of container tags
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP:
+            if self._skip:
+                self._skip -= 1
+            return
+        if self._skip:
+            return
+        if tag in _HEADINGS or tag in _BLOCK_BOUNDARY or tag == "li":
+            self._flush()
+        elif tag in ("ul", "ol"):
+            self._flush()
+            if self._lists:
+                self._lists.pop()
+        elif tag == "a" and self._a_href:
+            href = self._a_href.pop()
+            if href:
+                self._buf.append(f"]({href})")
+        elif tag in ("b", "strong"):
+            if self._mark["b"]:
+                self._mark["b"] -= 1
+                self._buf.append("**")
+        elif tag in ("i", "em"):
+            if self._mark["i"]:
+                self._mark["i"] -= 1
+                self._buf.append("*")
+        elif tag == "code" and not self._pre:
+            if self._mark["c"]:
+                self._mark["c"] -= 1
+                self._buf.append("`")
+        elif tag == "pre":
+            if self._pre:
+                self._pre -= 1
+                body = "".join(self._buf).strip("\n")
+                self._buf = []
+                prefix = "> " * self._bq
+                lines = ["```"] + body.split("\n") + ["```"]
+                self.blocks.append(
+                    ("block", "\n".join(prefix + ln for ln in lines))
+                )
+        elif tag == "table":
+            if self._table == 1:
+                self._close_cell()
+                prefix = "> " * self._bq
+                lines = []
+                for i, row in enumerate(r for r in self._rows if r):
+                    lines.append(prefix + "| " + " | ".join(row) + " |")
+                    if i == 0 and self._row_is_th and self._row_is_th[0]:
+                        lines.append(
+                            prefix + "|" + " --- |" * len(row)
+                        )
+                if lines:
+                    self.blocks.append(("block", "\n".join(lines)))
+                self._rows, self._row_is_th = [], []
+            if self._table:
+                self._table -= 1
+        elif tag == "blockquote":
+            self._flush()
+            if self._bq:
+                self._bq -= 1
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._pre:
+            self._buf.append(data)
+            return
+        self._buf.append(_WS_RE.sub(" ", data))
+
+    def close(self):
+        super().close()
+        self._close_cell()
+        self._flush()
+
+
+def to_markdown(html: str) -> str:
+    """HTML → Markdown per the module dialect. Malformed markup never
+    raises — whatever parsed before a failure is returned."""
+    b = _MarkdownBuilder()
+    try:
+        b.feed(bound_tag_spans(html or ""))
+        b.close()
+    except Exception:
+        pass
+    parts: List[str] = []
+    prev_kind = None
+    for kind, text in b.blocks:
+        if parts:
+            tight = kind == prev_kind and kind != "block"
+            parts.append("\n" if tight else "\n\n")
+        parts.append(text)
+        prev_kind = kind
+    return "".join(parts)

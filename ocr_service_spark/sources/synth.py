@@ -491,3 +491,33 @@ def feed_doc(doc_id: int) -> str:
         f"<rss><item><title>First {doc_id}</title></item>"
         f"<item><title>Second {doc_id}</title></item></rss>"
     )
+
+
+def markdown_page(doc_id: int) -> str:
+    """Deterministic HTML for the html_to_markdown entry: seven planted
+    classes by doc_id — heading+paragraphs, nested list, link+bold
+    inline marks, pre fence, ordered list + blockquote, header table,
+    and a decoy class (script/comment invisibility, entity decode, hr).
+    The resulting MARKDOWN STRING is arithmetic in doc_id, so DuckDB
+    reassembles it (and the structural profile) without a parser."""
+    k = doc_id % 7
+    d = doc_id
+    if k == 0:
+        return (f"<h1>Title {d}</h1><p>Para {d} one</p>"
+                f"<p>Para {d} two</p>")
+    if k == 1:
+        return (f"<ul><li>A{d}</li><li>B{d}<ul><li>C{d}</li></ul>"
+                "</li></ul>")
+    if k == 2:
+        return (f'<p>See <a href="https://x.example/{d}">link {d}</a> '
+                f"and <b>bold {d}</b></p>")
+    if k == 3:
+        return f"<pre>code {d}\n  indent</pre>"
+    if k == 4:
+        return (f"<ol><li>One {d}</li><li>Two {d}</li></ol>"
+                f"<blockquote><p>Quote {d}</p></blockquote>")
+    if k == 5:
+        return (f"<table><tr><th>H</th><th>I</th></tr>"
+                f"<tr><td>a{d}</td><td>b{d}</td></tr></table>")
+    return (f"<p>x &amp; y {d}</p><script>junk</script><!-- ghost -->"
+            f"<hr><p>after {d}</p>")

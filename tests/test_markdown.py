@@ -1,0 +1,114 @@
+"""HTML→Markdown (core/markdown.py dialect + operators/markdown.py
+lift): structure mapping, tight lists, nesting, invisibility rules,
+hostile-markup linearity, Spark-vs-spec byte identity."""
+
+from ocr_service_spark.core.markdown import to_markdown
+from ocr_service_spark.operators.markdown import pages_to_markdown
+
+# ---------------------------------------------------------------------------
+# spec
+# ---------------------------------------------------------------------------
+
+
+def test_headings_and_paragraphs():
+    got = to_markdown("<h1>Title</h1><p>One</p><h3>Sub</h3><p>Two</p>")
+    assert got == "# Title\n\nOne\n\n### Sub\n\nTwo"
+
+
+def test_lists_tight_and_nested():
+    got = to_markdown(
+        "<ul><li>A</li><li>B<ul><li>B1</li></ul></li></ul>"
+        "<ol><li>One</li><li>Two</li></ol>"
+    )
+    assert got == "- A\n- B\n  - B1\n\n1. One\n2. Two"
+
+
+def test_inline_marks():
+    got = to_markdown(
+        '<p>See <a href="https://x/1">link</a>, <b>bold</b>, <em>it</em>, '
+        "<code>c()</code> and <a>no-href</a></p>"
+    )
+    assert got == (
+        "See [link](https://x/1), **bold**, *it*, `c()` and no-href"
+    )
+
+
+def test_pre_fence_preserves_whitespace():
+    got = to_markdown("<pre>def f():\n    return 1</pre>")
+    assert got == "```\ndef f():\n    return 1\n```"
+
+
+def test_blockquote_nesting():
+    got = to_markdown(
+        "<blockquote><p>Quoted</p><blockquote><p>Deep</p></blockquote>"
+        "</blockquote>"
+    )
+    assert got == "> Quoted\n\n> > Deep"
+
+
+def test_table_with_header_separator():
+    got = to_markdown(
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    assert got == "| H1 | H2 |\n| --- | --- |\n| a | b |"
+
+
+def test_headerless_table_no_separator():
+    got = to_markdown("<table><tr><td>a</td><td>b</td></tr></table>")
+    assert got == "| a | b |"
+
+
+def test_invisible_subtrees_entities_hr_br_img():
+    got = to_markdown(
+        "<p>x &amp; y</p><script>var junk;</script><!-- ghost --><hr>"
+        '<p>l1<br>l2 <img alt="pic" src="i.png"></p>'
+    )
+    assert got == "x & y\n\n---\n\nl1\nl2 ![pic](i.png)"
+
+
+def test_malformed_never_raises():
+    assert to_markdown("<ul><li>open") == "- open"
+    assert to_markdown("</b></ul></blockquote>broken") == "broken"
+    assert to_markdown(None) == ""
+    assert to_markdown("") == ""
+
+
+def test_linear_on_hostile_markup():
+    import time
+
+    blob = ("x" * 997 + "<p ") * 2000  # ~2MB of never-closing tags
+    t0 = time.monotonic()
+    to_markdown(blob)
+    assert time.monotonic() - t0 < 3.0
+
+
+# ---------------------------------------------------------------------------
+# Spark lift
+# ---------------------------------------------------------------------------
+
+PAGES = [
+    ("https://a/1",
+     b"<h1>Doc</h1><ul><li>i1</li><li>i2</li></ul>"
+     b'<p><a href="https://a/2">next</a></p>'),
+    ("https://a/2", b"<pre>x = 1</pre><table><tr><th>H</th></tr>"
+                    b"<tr><td>v</td></tr></table>"),
+    ("https://a/3", b"plain words only"),
+    ("https://a/4", None),
+]
+
+
+def test_pages_to_markdown_matches_spec(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    got = {r["url"]: r for r in pages_to_markdown(df).collect()}
+    assert len(got) == 3
+    for url, payload in PAGES:
+        if payload is None:
+            continue
+        assert got[url]["markdown"] == to_markdown(payload.decode())
+        assert got[url]["n_chars"] == len(got[url]["markdown"])
+    assert (got["https://a/1"]["n_headings"],
+            got["https://a/1"]["n_list_items"],
+            got["https://a/1"]["n_links"]) == (1, 2, 1)
+    assert (got["https://a/2"]["n_fences"],
+            got["https://a/2"]["n_table_rows"]) == (1, 3)
