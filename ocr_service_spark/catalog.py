@@ -5545,6 +5545,89 @@ FROM m
 """
 
 
+def _dhash_media(spark, sf_dir):
+    from .sources.synth import image_payload
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _img(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([image_payload(int(i)) for i in doc_id])
+
+    return d.select(
+        F.format_string("m%06d", "doc_id").alias("media_id"),
+        _img("doc_id").alias("payload"),
+    )
+
+
+# dHash recompute shared by both image entries: 63 gradient bits over the
+# planted pixel formula pixel(n) = (base*31 + n*17 [+128 at n=99 when
+# bumped]) mod 256, sampled at stride 3 onto the 8x9 grid.
+_SQL_DHASH_CTE = """
+WITH d AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base, doc_id % 2 AS bumped,
+         'm' || printf('%06d', doc_id) AS media_id
+  FROM documents
+),
+pos AS (
+  SELECT i.i AS i, j.j AS j, i.i * 8 + j.j AS p
+  FROM generate_series(0, 7) i(i) CROSS JOIN generate_series(0, 7) j(j)
+  WHERE i.i * 8 + j.j < 63
+),
+h AS (
+  SELECT doc_id, media_id,
+    CAST(SUM(CASE WHEN
+      (base * 31 + ((i * 9 + j + 1) * 3) * 17
+        + CASE WHEN bumped = 1 AND (i * 9 + j + 1) * 3 = 99
+               THEN 128 ELSE 0 END) % 256
+      >
+      (base * 31 + ((i * 9 + j) * 3) * 17
+        + CASE WHEN bumped = 1 AND (i * 9 + j) * 3 = 99
+               THEN 128 ELSE 0 END) % 256
+      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS dhash
+  FROM d CROSS JOIN pos
+  GROUP BY doc_id, media_id
+)
+"""
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprints (operators/imagedup.py): the REAL
+    strided-sampling + gradient-sign + 63-bit-packing math runs over
+    planted pseudo-planes whose pixels are arithmetic in doc_id (the
+    decode seam is the stub, the hash is not). The oracle recomputes
+    every bit with a 63-term conditional sum."""
+    from .operators.imagedup import image_dhash
+
+    return image_dhash(_dhash_media(spark, sf_dir))
+
+
+SQL_IMAGE_DHASH = _SQL_DHASH_CTE + """
+SELECT media_id, dhash, TRUE AS decode_ok FROM h
+"""
+
+
+def q_image_dhash_pairs(spark, sf_dir):
+    """Banded hamming near-dup pairs over the planted planes: each odd
+    doc is its even predecessor with one sampled pixel bumped (hamming
+    1), and bases 256 apart alias to identical planes (hamming 0) — so
+    the pair set has both polarities plus transitive cross pairs. The
+    oracle recomputes the fingerprints AND the verified self-join."""
+    from .operators.imagedup import dhash_dup_pairs, image_dhash
+
+    return dhash_dup_pairs(
+        image_dhash(_dhash_media(spark, sf_dir)), max_hamming=6
+    )
+
+
+SQL_IMAGE_DHASH_PAIRS = _SQL_DHASH_CTE + """
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5697,6 +5780,9 @@ CATALOG: Dict[str, tuple] = {
     "schedule_stats": (q_schedule_stats, SQL_SCHEDULE_STATS),
     # HTML→Markdown structured extraction (core/markdown.py dialect)
     "html_to_markdown": (q_html_to_markdown, SQL_HTML_TO_MARKDOWN),
+    # perceptual image dedup (operators/imagedup.py)
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
+    "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
 }
 
 

@@ -1,0 +1,133 @@
+"""Perceptual image dedup: dHash fingerprints + hamming near-dup pairs.
+
+Web-scale multimodal corpora dedup images the same way text dedups with
+SimHash: a tiny perceptual fingerprint per image, then a banded hamming
+join. This module implements the classic difference hash (dHash):
+downsample to an 8×9 grayscale grid, emit one bit per horizontal
+neighbour pair (right > left), pack to an integer. dHash is invariant
+to uniform brightness shifts and JPEG re-encodes — exactly the
+near-duplicate classes a crawl sees from thumbnails and re-hosted
+images.
+
+Decode seam (same contract as operators/multimodal.py): the
+byte-to-pixel DECODE is environment-stubbed — in this sandbox the
+payload bytes themselves stand in for the decoded grayscale plane, in
+production `_pixels` swaps to cv2.imdecode + cv2.resize behind the same
+signature. Everything downstream of the seam is REAL and engine-exact:
+the strided 8×9 sampling, the gradient-sign bits, the 63-bit packing
+(top bit kept zero for signed-long safety, the simhash64 precedent),
+the pigeonhole band join and the bit_count(xor) verification — which is
+why the driver can value-hash the whole operator against a DuckDB
+oracle that recomputes every bit arithmetically.
+
+Scale shape: fingerprinting is one Arrow mapInPandas pass (vectorized
+numpy per batch, zero shuffles). Pairing is the standard linear LSH
+shape: explode `bands` band keys per image, equi-join on
+(band_id, band_key) — cost Σ bucket², never all-pairs — then verify
+candidates JVM-side with one codegen'd bit_count(xor) expression.
+Pigeonhole: hamming ≤ d fingerprints agree on ≥1 of d+1 disjoint bands,
+so bands > max_hamming gives the verified predicate perfect recall.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID_H, GRID_W = 8, 9  # 8 rows × 9 columns → 8×8 neighbour-pair bits
+
+DHASH_SCHEMA = "media_id string, dhash long, decode_ok boolean"
+
+
+def _pixels(payload: bytes) -> np.ndarray:
+    """Decode seam: payload → grayscale plane (1-D uint8). STUB: the
+    payload bytes are the plane; production plugs cv2.imdecode here."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def dhash63(payload: bytes) -> int:
+    """dHash over the decoded plane: strided sampling onto an 8×9 grid,
+    bit (i*8+j) = grid[i, j+1] > grid[i, j], bit 63 kept zero."""
+    plane = _pixels(payload)
+    n = len(plane)
+    stride = max(1, n // (GRID_H * GRID_W))
+    idx = (np.arange(GRID_H * GRID_W) * stride) % n
+    grid = plane[idx].astype(np.int16).reshape(GRID_H, GRID_W)
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)  # row-major, 64 bits
+    bits[63] = False  # signed-long safety (simhash64 precedent)
+    return int(bits @ (1 << np.arange(64, dtype=object)))
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) → (media_id, dhash, decode_ok);
+    empty/null payloads come back decode_ok=False (errors-as-data)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(media_id)
+                if payload is None or len(payload) == 0:
+                    hashes.append(None)
+                    oks.append(False)
+                else:
+                    hashes.append(dhash63(bytes(payload)))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(hashes, dtype="Int64"),
+                 "decode_ok": oks}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, DHASH_SCHEMA
+    )
+
+
+def dhash_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """(media_id, dhash) → near-dup pairs (id_a, id_b, hamming ≤
+    max_hamming). Banded candidate join + exact bit_count verification;
+    needs bands > max_hamming for pigeonhole recall."""
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for pigeonhole recall")
+    width = 64 // bands
+    sigs = hashes.where(F.col("dhash").isNotNull()).select(
+        F.col("media_id").alias("id"), "dhash"
+    )
+    keys = sigs.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "dhash", "bk.band_id", "bk.band_key")
+    a, b = keys.alias("a"), keys.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    ).cast("int")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
+    )

@@ -521,3 +521,17 @@ def markdown_page(doc_id: int) -> str:
                 f"<tr><td>a{d}</td><td>b{d}</td></tr></table>")
     return (f"<p>x &amp; y {d}</p><script>junk</script><!-- ghost -->"
             f"<hr><p>after {d}</p>")
+
+
+def image_payload(doc_id: int) -> bytes:
+    """Deterministic 256-byte pseudo-image for the image dHash entries:
+    even docs get a base plane P(base) with pixel(n) = (base*31 + n*17)
+    mod 256; odd docs reuse the previous doc's plane with ONE sampled
+    pixel (index 99 = grid cell (3,6) at stride 3) bumped by +128 — a
+    near-duplicate flipping exactly one gradient bit. Both the hash and
+    the pair set are therefore pure arithmetic in doc_id."""
+    base = doc_id - (doc_id % 2)
+    b = bytearray((base * 31 + n * 17) % 256 for n in range(256))
+    if doc_id % 2:
+        b[99] = (b[99] + 128) % 256
+    return bytes(b)

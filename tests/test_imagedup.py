@@ -1,0 +1,81 @@
+"""Perceptual image dedup (operators/imagedup.py): dHash invariances,
+operator identity with the spec function, banded near-dup pairing."""
+
+import contextlib
+import io
+
+import pytest
+
+from ocr_service_spark.operators.imagedup import (
+    dhash63,
+    dhash_dup_pairs,
+    image_dhash,
+)
+
+# a ramp plane that never wraps under +100 brightness
+RAMP = bytes((n * 113) % 150 for n in range(300))
+BRIGHT = bytes(v + 100 for v in RAMP)
+
+
+def test_deterministic_and_brightness_invariant():
+    assert dhash63(RAMP) == dhash63(RAMP)
+    # uniform brightness shift preserves every gradient sign
+    assert dhash63(RAMP) == dhash63(BRIGHT)
+    assert dhash63(RAMP) >= 0  # bit 63 kept zero
+
+
+def test_single_pixel_edit_flips_few_bits():
+    edited = bytearray(RAMP)
+    edited[100] = (edited[100] + 128) % 256
+    ham = bin(dhash63(RAMP) ^ dhash63(bytes(edited))).count("1")
+    assert 1 <= ham <= 2
+
+
+def test_tiny_payload_wraps_not_raises():
+    assert dhash63(b"ab") >= 0
+
+
+def test_image_dhash_operator_matches_spec(spark):
+    rows = [("a", RAMP), ("b", None), ("c", b"")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: (r["dhash"], r["decode_ok"])
+           for r in image_dhash(df).collect()}
+    assert got == {
+        "a": (dhash63(RAMP), True),
+        "b": (None, False),
+        "c": (None, False),
+    }
+
+
+def test_dup_pairs_banded_join(spark):
+    edited = bytearray(RAMP)
+    edited[100] = (edited[100] + 128) % 256
+    far = bytes((n * 37 + 91) % 256 for n in range(300))
+    df = spark.createDataFrame(
+        [("a1", RAMP), ("a2", BRIGHT), ("a3", bytes(edited)), ("zz", far)],
+        "media_id string, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_dup_pairs(image_dhash(df), max_hamming=6).collect()
+    }
+    assert pairs[("a1", "a2")] == 0
+    assert 1 <= pairs[("a1", "a3")] <= 2
+    assert pairs[("a1", "a3")] == pairs[("a2", "a3")]
+    assert all("zz" not in p for p in pairs)
+
+
+def test_pigeonhole_parameter_guard(spark):
+    df = spark.createDataFrame([("a", RAMP)], "media_id string, payload binary")
+    with pytest.raises(ValueError):
+        dhash_dup_pairs(image_dhash(df), max_hamming=8, bands=8)
+
+
+def test_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [("a", RAMP), ("b", BRIGHT)], "media_id string, payload binary"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dhash_dup_pairs(image_dhash(df)).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
