@@ -158,6 +158,7 @@ HEADLINE = [
     "canonical_resolve",       # rel=canonical pointer-doubling resolution
     "feed_extract",            # RSS/Atom item mining (one Arrow pass)
     "html_to_markdown",        # structure-preserving Markdown extraction
+    "lang_segments",           # per-line LID run-length segmentation
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

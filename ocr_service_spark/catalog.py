@@ -5628,6 +5628,53 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 """
 
 
+def q_lang_segments(spark, sf_dir):
+    """Per-line language segmentation (operators/langseg.py): planted
+    multilingual pages — a (1 + doc_id%2)-line English run, a
+    (1 + doc_id%3)-line Portuguese run, one more English line (a NEW
+    segment: same language non-adjacent), and an und number line — so
+    every doc yields exactly four segments with arithmetic sizes,
+    offsets and char counts. The REAL per-line lang_id + sessionize
+    window runs on every row; the oracle recomputes all four rows per
+    doc from the planting rule."""
+    from .operators.langseg import lang_segments
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    en, pt = "the cat and the dog", "de que para nada"
+    a = (F.col("doc_id") % 2 + 1).cast("int")
+    b = (F.col("doc_id") % 3 + 1).cast("int")
+    text = F.concat_ws(
+        "\n",
+        F.flatten(F.array(
+            F.array_repeat(F.lit(en), a),
+            F.array_repeat(F.lit(pt), b),
+            F.array(F.lit("the end of story"), F.lit("12345")),
+        )),
+    )
+    return lang_segments(d.select("doc_id", text.alias("text")))
+
+
+SQL_LANG_SEGMENTS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 + 1 AS INTEGER) AS a,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS b
+  FROM documents
+)
+SELECT doc_id AS id, s.i AS seg_idx,
+  CASE s.i WHEN 0 THEN 'en' WHEN 1 THEN 'pt' WHEN 2 THEN 'en'
+       ELSE 'und' END AS lang,
+  CAST(CASE s.i WHEN 0 THEN 0 WHEN 1 THEN a WHEN 2 THEN a + b
+       ELSE a + b + 1 END AS INTEGER) AS start_line,
+  CAST(CASE s.i WHEN 0 THEN a - 1 WHEN 1 THEN a + b - 1
+       WHEN 2 THEN a + b ELSE a + b + 1 END AS INTEGER) AS end_line,
+  CAST(CASE s.i WHEN 0 THEN a WHEN 1 THEN b ELSE 1
+       END AS INTEGER) AS n_lines,
+  CAST(CASE s.i WHEN 0 THEN 19 * a WHEN 1 THEN 16 * b WHEN 2 THEN 16
+       ELSE 5 END AS BIGINT) AS n_chars
+FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5783,6 +5830,8 @@ CATALOG: Dict[str, tuple] = {
     # perceptual image dedup (operators/imagedup.py)
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
+    # per-line language segmentation (operators/langseg.py)
+    "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
 }
 
 

@@ -1,0 +1,66 @@
+"""Per-line language segmentation — the multilingual-document primitive.
+
+Web documents are routinely multilingual (boilerplate in one language,
+content in another; parallel snippets; quoted passages), and per-LINE
+language ID with run-length segmentation is how mC4/CCNet-style
+pipelines slice them: each maximal run of same-language consecutive
+lines becomes a segment a curation step can keep, drop, or route to a
+per-language corpus independently.
+
+The line-level classifier is the repo's oracle-checked marker heuristic
+(operators/textstats.py lang_id — a deterministic CASE chain, no UDF),
+applied to each line INSIDE one projection; segmentation is the
+standard sessionize shape: posexplode lines, lag-change flags over the
+(doc, line) window, running sum → segment ids, then one grouped
+aggregate per (doc, segment). Per-doc window state is bounded by the
+document's line count, and the groupBy rides the window's doc-keyed
+partitioning with map-side partials — two bounded exchanges total,
+exactly the w2_sessionize shape that scales to 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import lang_id
+
+
+def lang_segments(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs(id, text) → one row per same-language run of consecutive
+    lines: (id, seg_idx, lang, start_line, end_line, n_lines, n_chars).
+    Empty documents produce a single empty 'und' segment row."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("line_no", "line"),
+    ).select("id", "line_no", "line", lang_id(F.col("line")).alias("lang"))
+
+    w = Window.partitionBy("id").orderBy("line_no")
+    flagged = lines.select(
+        "id",
+        "line_no",
+        "lang",
+        F.length("line").alias("n_chars"),
+        F.when(
+            F.lag("lang").over(w).isNull()
+            | (F.lag("lang").over(w) != F.col("lang")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    ).select(
+        "id", "line_no", "lang", "n_chars",
+        (F.sum("new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1).cast("int").alias("seg_idx"),
+    )
+    return flagged.groupBy("id", "seg_idx").agg(
+        F.first("lang").alias("lang"),
+        F.min("line_no").cast("int").alias("start_line"),
+        F.max("line_no").cast("int").alias("end_line"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )

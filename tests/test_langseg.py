@@ -1,0 +1,50 @@
+"""Per-line language segmentation (operators/langseg.py): run-length
+semantics over the oracle-checked lang_id heuristic."""
+
+from ocr_service_spark.operators.langseg import lang_segments
+
+EN = "the cat and the dog"      # en markers: ' the ', ' and '
+PT = "de que para nada"         # pt markers all three
+UND = "12345"
+
+
+def _segs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lang_segments(df).collect()
+    return sorted(
+        (r["id"], r["seg_idx"], r["lang"], r["start_line"], r["end_line"],
+         r["n_lines"], r["n_chars"])
+        for r in out
+    )
+
+
+def test_run_length_segmentation(spark):
+    text = "\n".join([EN, EN, PT, EN, UND, UND])
+    assert _segs(spark, [(1, text)]) == [
+        (1, 0, "en", 0, 1, 2, 2 * len(EN)),
+        (1, 1, "pt", 2, 2, 1, len(PT)),
+        (1, 2, "en", 3, 3, 1, len(EN)),
+        (1, 3, "und", 4, 5, 2, 2 * len(UND)),
+    ]
+
+
+def test_single_language_single_segment(spark):
+    assert _segs(spark, [(1, "\n".join([PT, PT, PT]))]) == [
+        (1, 0, "pt", 0, 2, 3, 3 * len(PT)),
+    ]
+
+
+def test_empty_and_null_docs(spark):
+    assert _segs(spark, [(1, ""), (2, None)]) == [
+        (1, 0, "und", 0, 0, 1, 0),
+        (2, 0, "und", 0, 0, 1, 0),
+    ]
+
+
+def test_multiple_docs_isolated(spark):
+    got = _segs(spark, [(1, EN + "\n" + PT), (2, PT)])
+    assert got == [
+        (1, 0, "en", 0, 0, 1, len(EN)),
+        (1, 1, "pt", 1, 1, 1, len(PT)),
+        (2, 0, "pt", 0, 0, 1, len(PT)),
+    ]
