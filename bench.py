@@ -159,6 +159,7 @@ HEADLINE = [
     "feed_extract",            # RSS/Atom item mining (one Arrow pass)
     "html_to_markdown",        # structure-preserving Markdown extraction
     "lang_segments",           # per-line LID run-length segmentation
+    "int8_ann_topk",           # int8-quantized similarity, integer dots
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

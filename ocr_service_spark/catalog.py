@@ -5675,6 +5675,52 @@ FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
 """
 
 
+def q_int8_ann_topk(spark, sf_dir):
+    """Int8-quantized exact top-k (operators/similarity.py): vectors
+    snap to the fixed 127-grid (floor(x*127+0.5), clamped), dot products
+    are exact integers, ranking is by quantized cosine — identical
+    doubles from identical integers on both engines, so unlike the float
+    brute entry the DOT VALUES themselves are value-hashed, not just the
+    ranks."""
+    from .operators.similarity import int8_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return int8_ann_topk(
+        emb, emb.filter("vec_id < 5"), "vec_id", "embedding", k=5
+    )
+
+
+SQL_INT8_ANN = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+      CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)))) AS q
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2
+  FROM v
+),
+qs AS (SELECT vec_id AS qid, q AS qq, l2 AS l2q FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT qs.qid AS query_id, n.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(list_zip(qs.qq, n.q),
+      x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS dot,
+    CAST(n.l2 AS DOUBLE) * CAST(qs.l2q AS DOUBLE) AS nn
+  FROM n, qs WHERE n.vec_id <> qs.qid
+)
+SELECT query_id, rank, neighbor_id, dot FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / sqrt(nn) DESC, neighbor_id)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5832,6 +5878,8 @@ CATALOG: Dict[str, tuple] = {
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
     # per-line language segmentation (operators/langseg.py)
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
+    # int8-quantized similarity (operators/similarity.py)
+    "int8_ann_topk": (q_int8_ann_topk, SQL_INT8_ANN),
 }
 
 

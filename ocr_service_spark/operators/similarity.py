@@ -181,3 +181,82 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def int8_quantize(
+    vecs: DataFrame, id_col: str, vec_col: str, scale: int = 127
+) -> DataFrame:
+    """Int8 embedding quantization — the memory/bandwidth path for
+    100 TB-scale similarity: q[i] = clamp(floor(v[i]*scale + 0.5)) on the
+    fixed [-1, 1] grid (valid for normalized/bounded embeddings), plus the
+    squared norm Σq² precomputed once. 4× smaller than float32 (16× vs
+    float64) per vector CROSSING EVERY SHUFFLE, and every downstream dot
+    product becomes exact integer arithmetic — which is also why the
+    driver can value-hash the whole operator against DuckDB (repo float
+    convention: integer grid before any aggregation, operators/lm.py).
+    Emits (id, qvec, l2q). Pure JVM column expressions, codegen-side."""
+    v = F.col(vec_col).cast("array<double>")
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-scale),
+            F.least(F.lit(scale), F.floor(x * scale + 0.5).cast("int")),
+        ),
+    )
+    out = vecs.select(F.col(id_col).alias("id"), q.alias("qvec"))
+    l2 = F.aggregate(
+        "qvec", F.lit(0).cast("long"), lambda a, x: a + (x * x).cast("long")
+    )
+    return out.select("id", "qvec", l2.alias("l2q"))
+
+
+def int8_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int, scale: int = 127,
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors: integer dot products
+    (engine-exact longs), ranking by quantized cosine dot/√(l2q·l2n) —
+    identical doubles from identical integers, so ordering is
+    cross-engine deterministic. Same broadcast-query correctness-baseline
+    shape as cosine_topk; the quantization composes orthogonally with the
+    IVF/LSH bucketing for the full scale path (quantized inverted lists =
+    PQ-lite). Emits (query_id, rank, neighbor_id, dot)."""
+    c = int8_quantize(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qvec").alias("qc"),
+        F.col("l2q").alias("l2c"),
+    )
+    q = int8_quantize(queries, id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("l2q").alias("l2qq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot.alias("dot"),
+            (
+                F.col("l2c").cast("double") * F.col("l2qq").cast("double")
+            ).alias("nn"),
+        )
+        .select(
+            "query_id", "neighbor_id", "dot",
+            (F.col("dot") / F.sqrt(F.col("nn"))).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

@@ -401,3 +401,35 @@ class TestTwoTierIncrementalDedup:
         flags = bloom_dedup_flags(delta, base, "doc_id", "text")
         n_suspect = flags.filter("possibly_dup").count()
         assert n_suspect == 1  # only the true dup reaches the exact join
+
+class TestInt8Ann:
+    def test_quantize_grid_and_clamp(self, spark):
+        from ocr_service_spark.operators.similarity import int8_quantize
+        df = spark.createDataFrame(
+            [(1, [0.5, -0.5, 1.5, -1.5, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        (r,) = int8_quantize(df, "vec_id", "embedding").collect()
+        # floor(x*127+0.5): 0.5->64, -0.5->-63 (symmetric floor grid),
+        # out-of-range clamps to +/-127
+        assert list(r["qvec"]) == [64, -63, 127, -127, 0]
+        assert r["l2q"] == 64*64 + 63*63 + 127*127 + 127*127
+
+    def test_int8_topk_matches_float_ranks_on_real_embeddings(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            cosine_topk,
+            int8_ann_topk,
+        )
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 10")
+        exact = cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+        quant = int8_ann_topk(emb, q, "vec_id", "embedding", k=5).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        quant_set = {(r["query_id"], r["neighbor_id"]) for r in quant}
+        # int8 on 64-dim vectors keeps neighbor sets nearly intact
+        recall = len(exact_set & quant_set) / len(exact_set)
+        assert recall >= 0.8, f"int8 recall {recall} implausibly low"
+        assert all(1 <= r["rank"] <= 5 for r in quant)
+        # integer dots are exact and deterministic across runs
+        again = int8_ann_topk(emb, q, "vec_id", "embedding", k=5).collect()
+        assert sorted(map(tuple, quant)) == sorted(map(tuple, again))
