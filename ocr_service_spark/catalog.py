@@ -5721,6 +5721,68 @@ SELECT query_id, rank, neighbor_id, dot FROM (
 """
 
 
+def q_registrable_domain(spark, sf_dir):
+    """eTLD+1 extraction (operators/domains.py registrable_domains):
+    seven planted URL classes per doc_id — one-label TLD, listed
+    two-label suffix (b.co.uk must NOT group under co.uk), a private
+    user-content suffix (foo.blogspot.com is its own unit), a bare
+    suffix with no registrable (null), an unknown-TLD fallback, an IPv4
+    host, and a deep com.br subdomain. The REAL broadcast-join matcher
+    runs on every row; the oracle recomputes all outputs from the
+    planting rule."""
+    from .operators.domains import registrable_domains
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 7
+    url = (
+        F.when(k == 0, F.format_string("https://www.ex%d.com/a", "doc_id"))
+        .when(k == 1, F.format_string("https://a.b%d.co.uk/x", "doc_id"))
+        .when(k == 2, F.format_string("https://u%d.blogspot.com/p", "doc_id"))
+        .when(k == 3, F.format_string("https://co.uk/%d", "doc_id"))
+        .when(k == 4, F.format_string("https://x.y%d.zz/q", "doc_id"))
+        .when(k == 5,
+              F.format_string("http://10.0.%d.9/", F.col("doc_id") % 200))
+        .otherwise(F.format_string("https://s.t.ex%d.com.br/", "doc_id"))
+    )
+    return registrable_domains(d.select(url.alias("url")))
+
+
+SQL_REGISTRABLE_DOMAIN = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k, CAST(doc_id AS VARCHAR) AS ds,
+         CAST(doc_id % 200 AS VARCHAR) AS ip3
+  FROM documents
+)
+SELECT
+  CASE k WHEN 0 THEN 'https://www.ex' || ds || '.com/a'
+         WHEN 1 THEN 'https://a.b' || ds || '.co.uk/x'
+         WHEN 2 THEN 'https://u' || ds || '.blogspot.com/p'
+         WHEN 3 THEN 'https://co.uk/' || ds
+         WHEN 4 THEN 'https://x.y' || ds || '.zz/q'
+         WHEN 5 THEN 'http://10.0.' || ip3 || '.9/'
+         ELSE 'https://s.t.ex' || ds || '.com.br/' END AS url,
+  CASE k WHEN 0 THEN 'www.ex' || ds || '.com'
+         WHEN 1 THEN 'a.b' || ds || '.co.uk'
+         WHEN 2 THEN 'u' || ds || '.blogspot.com'
+         WHEN 3 THEN 'co.uk'
+         WHEN 4 THEN 'x.y' || ds || '.zz'
+         WHEN 5 THEN '10.0.' || ip3 || '.9'
+         ELSE 's.t.ex' || ds || '.com.br' END AS host,
+  CASE k WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'blogspot.com'
+         WHEN 3 THEN 'co.uk' WHEN 4 THEN 'zz'
+         WHEN 5 THEN '10.0.' || ip3 || '.9'
+         ELSE 'com.br' END AS suffix,
+  CASE k WHEN 0 THEN 'ex' || ds || '.com'
+         WHEN 1 THEN 'b' || ds || '.co.uk'
+         WHEN 2 THEN 'u' || ds || '.blogspot.com'
+         WHEN 3 THEN NULL
+         WHEN 4 THEN 'y' || ds || '.zz'
+         WHEN 5 THEN '10.0.' || ip3 || '.9'
+         ELSE 'ex' || ds || '.com.br' END AS registrable
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5880,6 +5942,8 @@ CATALOG: Dict[str, tuple] = {
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
     # int8-quantized similarity (operators/similarity.py)
     "int8_ann_topk": (q_int8_ann_topk, SQL_INT8_ANN),
+    # eTLD+1 registrable-domain extraction (operators/domains.py)
+    "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
 }
 
 

@@ -181,3 +181,99 @@ def mirror_detection(
         .join(hosts, "fp")
         .select("fp", "n_hosts", "n_pages", "hosts")
     )
+
+
+# Embedded public-suffix snapshot (publicsuffix.org shape): ICANN second-
+# level suffixes where the registrable boundary is NOT the TLD, a few
+# high-traffic private-section suffixes (user-content platforms a crawl
+# must cap per-USER, not per-platform), and the common one-label TLDs.
+# Production swaps in the full PSL data file behind the same table; the
+# MATCHING semantics (longest listed suffix wins, unknown TLD falls back
+# to one label, bare suffix has no registrable domain) are the real ones.
+PUBLIC_SUFFIXES = frozenset(
+    """com org net edu gov mil int io dev app info biz xyz uk br jp au de
+    fr it nl es pl ru cn in mx ca ch se no fi dk cz at be pt gr
+    co.uk org.uk ac.uk gov.uk me.uk net.uk
+    com.br net.br org.br gov.br edu.br
+    co.jp or.jp ne.jp ac.jp go.jp
+    com.au net.au org.au edu.au gov.au
+    com.mx org.mx com.cn net.cn org.cn co.in net.in org.in
+    com.ar com.tr com.tw co.kr co.za com.sg com.hk
+    blogspot.com github.io gitlab.io herokuapp.com netlify.app
+    vercel.app pages.dev web.app s3.amazonaws.com wordpress.com
+    """.split()
+)
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def registrable_domains(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, …) → (url, host, suffix, registrable) with eTLD+1 semantics:
+    the LONGEST listed public suffix of the host wins, the registrable
+    domain is one label more; a host that IS a bare suffix has no
+    registrable domain (null); an unlisted TLD falls back to one label;
+    IPv4 hosts are their own registrable unit.
+
+    Why it exists: every per-"domain" operator in this repo (domain_cap,
+    domain_reputation, host_template_strip, mirror_detection) is only as
+    good as its grouping key — keyed on raw host, ten million
+    *.blogspot.com blogs collapse into one cap bucket on 'blogspot.com'
+    only if eTLD+1 is computed with the PRIVATE suffix section, and
+    b.co.uk must not group with c.co.uk under 'co.uk'.
+
+    Scale shape: three broadcast hash joins against the tiny suffix
+    table (longest candidate first), pure projections otherwise — ZERO
+    exchanges, codegen end-to-end."""
+    spark = df.sparkSession
+    suf = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in sorted(PUBLIC_SUFFIXES)], "sfx string"
+        )
+    )
+    base = df.select(
+        url_col, url_host(F.col(url_col)).alias("host")
+    ).withColumn("labels", F.split("host", r"\.")).withColumn(
+        "n_labels", F.size("labels")
+    )
+    # candidate suffixes: last 1..3 labels (null when the host is shorter)
+    for n in (1, 2, 3):
+        base = base.withColumn(
+            f"s{n}",
+            F.when(
+                F.col("n_labels") >= n,
+                F.concat_ws(
+                    ".", F.slice("labels", F.col("n_labels") - n + 1, n)
+                ),
+            ),
+        )
+    j = base
+    for n in (1, 2, 3):
+        j = j.join(
+            suf.select(F.col("sfx").alias(f"m{n}")),
+            F.col(f"s{n}") == F.col(f"m{n}"),
+            "left",
+        )
+    n_sfx = (
+        F.when(F.col("m3").isNotNull(), 3)
+        .when(F.col("m2").isNotNull(), 2)
+        .otherwise(1)  # listed one-label TLD and unknown-TLD fallback alike
+    )
+    suffix = F.element_at(
+        F.array("s1", "s2", "s3"), n_sfx
+    )
+    registrable = F.when(
+        F.col("host").rlike(_IPV4_RE), F.col("host")
+    ).when(
+        F.col("n_labels") > n_sfx,
+        F.concat_ws(
+            ".", F.slice("labels", F.col("n_labels") - n_sfx, n_sfx + 1)
+        ),
+    )
+    return j.select(
+        url_col,
+        "host",
+        F.when(F.col("host").rlike(_IPV4_RE), F.col("host"))
+        .otherwise(suffix)
+        .alias("suffix"),
+        registrable.alias("registrable"),
+    )

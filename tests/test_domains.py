@@ -173,3 +173,46 @@ class TestMirrorDetection:
         plan = buf.getvalue()
         assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRegistrableDomains:
+    def _rd(self, spark, urls):
+        from ocr_service_spark.operators.domains import registrable_domains
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            r["url"]: (r["suffix"], r["registrable"])
+            for r in registrable_domains(df).collect()
+        }
+
+    def test_etld1_semantics(self, spark):
+        got = self._rd(spark, [
+            "https://www.example.com/a",      # one-label TLD
+            "https://a.b.co.uk/x",            # listed 2-label suffix
+            "https://foo.blogspot.com/p",     # PRIVATE suffix: per-user unit
+            "https://co.uk/",                 # bare suffix: no registrable
+            "https://x.y.zz/q",               # unknown TLD: one-label fallback
+            "http://192.168.3.1/admin",       # IPv4: its own unit
+            "https://sub.sub2.example.com.br/",
+        ])
+        assert got == {
+            "https://www.example.com/a": ("com", "example.com"),
+            "https://a.b.co.uk/x": ("co.uk", "b.co.uk"),
+            "https://foo.blogspot.com/p": ("blogspot.com", "foo.blogspot.com"),
+            "https://co.uk/": ("co.uk", None),
+            "https://x.y.zz/q": ("zz", "y.zz"),
+            "http://192.168.3.1/admin": ("192.168.3.1", "192.168.3.1"),
+            "https://sub.sub2.example.com.br/": ("com.br", "example.com.br"),
+        }
+
+    def test_zero_exchanges(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.domains import registrable_domains
+
+        df = spark.createDataFrame([("https://a.example.com/x",)],
+                                   "url string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            registrable_domains(df).explain("formatted")
+        assert buf.getvalue().count(") Exchange") == 0
+        assert "CartesianProduct" not in buf.getvalue()
