@@ -5783,6 +5783,51 @@ FROM d
 """
 
 
+def q_rendezvous_shard(spark, sf_dir):
+    """Minimal-churn rendezvous sharding (operators/sampling.py): every
+    doc assigned under 8 AND 9 shards in one projection, plus the moved
+    flag — the oracle recomputes both argmax assignments from the same
+    md5 weights and re-derives the HRW churn law (moved ⇒ new shard is
+    the added one) as data the driver value-hashes."""
+    from .operators.sampling import rendezvous_shard
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out = rendezvous_shard(d, "doc_id", 8, out_col="shard8")
+    out = rendezvous_shard(out, "doc_id", 9, out_col="shard9")
+    return out.select(
+        "doc_id", "shard8", "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+    )
+
+
+SQL_RENDEZVOUS_SHARD = """
+WITH w AS (
+  SELECT d.doc_id, s.s,
+    CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+      || CAST(s.s AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS wt
+  FROM documents d CROSS JOIN generate_series(0, 8) s(s)
+),
+a8 AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS shard8 FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s DESC)
+             AS rk
+    FROM w WHERE s < 8
+  ) WHERE rk = 1
+),
+a9 AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS shard9 FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s DESC)
+             AS rk
+    FROM w
+  ) WHERE rk = 1
+)
+SELECT a8.doc_id, shard8, shard9, shard8 <> shard9 AS moved
+FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5944,6 +5989,8 @@ CATALOG: Dict[str, tuple] = {
     "int8_ann_topk": (q_int8_ann_topk, SQL_INT8_ANN),
     # eTLD+1 registrable-domain extraction (operators/domains.py)
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
+    # rendezvous minimal-churn sharding (operators/sampling.py)
+    "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
 }
 
 

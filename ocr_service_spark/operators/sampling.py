@@ -241,3 +241,37 @@ def importance_resample(
         F.col("accept_x32") * F.lit(int(scale_x))
         < w * F.lit(1 << 32),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame, id_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: shard =
+    argmax over s of md5(id '#' s) — the minimal-churn alternative to
+    hash-mod for PUBLISHED datasets. When a corpus re-publishes with one
+    more shard, hash-mod reassigns (m-1)/m of all keys (invalidating
+    every downstream cache/diff); rendezvous moves EXACTLY the keys the
+    new shard wins — an expected 1/m fraction — and every moved key
+    moves TO the new shard, never between old ones. md5-derived weights
+    keep the whole assignment engine-exact (repo convention), ties break
+    to the higher shard id on both engines.
+
+    Pure projection (zero shuffles, codegen); n_shards is bounded by
+    expression size — fine for the tens-of-shards publishing layouts
+    this targets, and re-sharding THROUGH rendezvous stays cheap because
+    only the winning shard is ever recomputed."""
+    def w(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(f"#{s}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+
+    arr = F.array(
+        *[F.struct(w(s).alias("w"), F.lit(s).alias("s"))
+          for s in range(n_shards)]
+    )
+    return df.withColumn(out_col, F.array_max(arr)["s"].cast("int"))

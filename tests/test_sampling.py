@@ -246,3 +246,39 @@ class TestImportanceResample:
                 self._df(spark, [(1, 5)]), "doc_id", "weight_x"
             ).explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestRendezvousShard:
+    def _shards(self, spark, n, ids=400):
+        from ocr_service_spark.operators.sampling import rendezvous_shard
+
+        df = spark.range(ids).withColumnRenamed("id", "doc_id")
+        return {
+            r["doc_id"]: r["shard"]
+            for r in rendezvous_shard(df, "doc_id", n).collect()
+        }
+
+    def test_all_shards_used_and_deterministic(self, spark):
+        a = self._shards(spark, 8)
+        b = self._shards(spark, 8)
+        assert a == b
+        assert set(a.values()) == set(range(8))
+
+    def test_minimal_churn_on_grow(self, spark):
+        a = self._shards(spark, 8)
+        b = self._shards(spark, 9)
+        moved = {k for k in a if a[k] != b[k]}
+        # HRW law: every moved key moves TO the new shard...
+        assert all(b[k] == 8 for k in moved)
+        # ...and only ~1/9 of keys move (vs 8/9 under hash-mod)
+        assert len(moved) / len(a) < 0.25
+
+    def test_zero_exchanges(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.sampling import rendezvous_shard
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rendezvous_shard(df, "doc_id", 8).explain("formatted")
+        assert buf.getvalue().count(") Exchange") == 0
