@@ -5828,6 +5828,58 @@ FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
 """
 
 
+def q_host_anomaly_gate(spark, sf_dir):
+    """Median/MAD robust outlier gate (operators/stats.py
+    robust_anomaly_gate): planted per-host page counts 10..14 with a
+    1000-page burst on every 97th host — mean/stddev would be dragged by
+    the bursts, the median/MAD gate flags exactly them. Integer
+    statistics end-to-end; the oracle recomputes both medians with the
+    same rank-(n//2+1) selection and re-evaluates the rational-k gate."""
+    from .operators.stats import robust_anomaly_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    hosts = d.select(
+        F.format_string("h%d", "doc_id").alias("host"),
+        F.when(F.col("doc_id") % 97 == 0, 1000)
+        .otherwise(10 + F.col("doc_id") % 5)
+        .cast("long")
+        .alias("n_pages"),
+    )
+    return robust_anomaly_gate(hosts, "n_pages", k_num=5, k_den=1).select(
+        "host", "n_pages", "median", "abs_dev", "mad", "anomalous"
+    )
+
+
+SQL_HOST_ANOMALY = """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN 1000
+              ELSE 10 + doc_id % 5 END AS BIGINT) AS n_pages
+  FROM documents
+),
+r1 AS (
+  SELECT n_pages AS v, row_number() OVER (ORDER BY n_pages) AS rk,
+         count(*) OVER () AS n
+  FROM d
+),
+med AS (SELECT v AS median FROM r1 WHERE rk = n // 2 + 1),
+dev AS (
+  SELECT host, n_pages, (SELECT median FROM med) AS median,
+         abs(n_pages - (SELECT median FROM med)) AS abs_dev
+  FROM d
+),
+r2 AS (
+  SELECT abs_dev AS v, row_number() OVER (ORDER BY abs_dev) AS rk,
+         count(*) OVER () AS n
+  FROM dev
+),
+mad AS (SELECT v AS mad FROM r2 WHERE rk = n // 2 + 1)
+SELECT host, n_pages, median, abs_dev, (SELECT mad FROM mad) AS mad,
+       abs_dev > 5 * (SELECT mad FROM mad) AS anomalous
+FROM dev
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5991,6 +6043,8 @@ CATALOG: Dict[str, tuple] = {
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     # rendezvous minimal-churn sharding (operators/sampling.py)
     "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
+    # median/MAD robust host anomaly gate (operators/stats.py)
+    "host_anomaly_gate": (q_host_anomaly_gate, SQL_HOST_ANOMALY),
 }
 
 

@@ -111,3 +111,59 @@ def word_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min("freq").alias("min_freq"),
         )
     )
+
+
+def _hist_median(vals: DataFrame, col: str) -> DataFrame:
+    """Exact LOWER median of an integer column as a 1-row frame, via the
+    histogram trick: hash-aggregate to (value, count), prefix-sum over
+    the DISTINCT VALUES (the single-partition window is over the tiny
+    histogram — bounded by value cardinality, never by row count; repo
+    rule on global windows), pick the value covering rank ⌈n/2⌉."""
+    hist = vals.groupBy(F.col(col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    total = hist.agg(F.sum("_c").alias("_n"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    return cum.where(
+        F.col("_cum") >= (F.col("_n") + 1) / 2
+    ).agg(F.min("_v").alias("median"))
+
+
+def robust_anomaly_gate(
+    df: DataFrame,
+    value_col: str,
+    k_num: int = 5,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD outlier gate over an integer metric — the robust
+    statistic a curation pipeline uses to flag anomalous HOSTS (page
+    bursts, duplicate storms, spam swarms) without letting the outliers
+    themselves drag the threshold the way mean/stddev would.
+
+    anomalous ⇔ |x − median| · k_den > k_num · MAD, every term an exact
+    integer (k as a rational keeps the repo's no-float-compare rule), so
+    both engines agree bit-for-bit. MAD = median(|x − median|), each
+    median computed by the histogram prefix-sum above; the two 1-row
+    statistics re-enter via broadcast joins. Degenerate corpora
+    (MAD = 0: over half the hosts identical) flag any deviation — the
+    conventional MAD-gate reading — which the planted oracle exercises.
+
+    Scale: two hash aggregates over distinct metric VALUES plus two
+    broadcast joins; nothing row-ordered ever funnels."""
+    med = _hist_median(df.select(value_col), value_col)
+    with_med = df.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("median")).cast("long")
+    )
+    mad = _hist_median(
+        with_med.select(F.col("abs_dev").alias("_d")), "_d"
+    ).withColumnRenamed("median", "mad")
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .withColumn(
+            "anomalous",
+            F.col("abs_dev") * k_den > F.lit(k_num) * F.col("mad"),
+        )
+    )

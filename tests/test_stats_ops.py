@@ -1,0 +1,34 @@
+
+
+class TestRobustAnomalyGate:
+    def _gate(self, spark, values, **kw):
+        from ocr_service_spark.operators.stats import robust_anomaly_gate
+
+        df = spark.createDataFrame(
+            [(f"h{i}", v) for i, v in enumerate(values)],
+            "host string, n_pages long",
+        )
+        rows = robust_anomaly_gate(df, "n_pages", **kw).collect()
+        return rows
+
+    def test_median_mad_and_flags(self, spark):
+        # values 10..14 repeated + two wild outliers
+        vals = [10, 11, 12, 13, 14] * 4 + [1000, 0]
+        rows = self._gate(spark, vals)
+        med = rows[0]["median"]
+        mad = rows[0]["mad"]
+        assert med == 12  # lower median of the 22 values
+        assert mad == 1   # median |x-12| over {2,1,0,1,2}*4 + {988,12}
+        flagged = {r["n_pages"] for r in rows if r["anomalous"]}
+        assert flagged == {1000, 0}  # |dev| > 5*1 only for the plants
+
+    def test_rational_threshold(self, spark):
+        vals = [10, 11, 12, 13, 14] * 4 + [1000, 0]
+        rows = self._gate(spark, vals, k_num=3, k_den=2)  # 1.5 MADs
+        flagged = {r["n_pages"] for r in rows if r["anomalous"]}
+        assert flagged == {10, 14, 1000, 0}  # dev 2 > 1.5 now fires
+
+    def test_degenerate_mad_zero(self, spark):
+        rows = self._gate(spark, [7, 7, 7, 7, 9])
+        assert rows[0]["mad"] == 0
+        assert {r["n_pages"] for r in rows if r["anomalous"]} == {9}
