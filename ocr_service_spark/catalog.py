@@ -5880,6 +5880,47 @@ FROM dev
 """
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease in integer milli-points over the REAL
+    documents text (operators/textstats.py readability_scores): the
+    oracle recomputes sentence/word/vowel-group counts and the
+    integer-division formula from scratch in DuckDB — no planted rule,
+    the corpus itself is the fixture (same pattern as lang_id_quality)."""
+    from .operators.textstats import readability_scores
+
+    return readability_scores(load(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+),
+n AS (
+  SELECT doc_id,
+    GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+    CASE WHEN length(trim(t)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(t), '\\s+')) END AS w,
+    len(regexp_extract_all(lower(t), '[aeiouy]+')) AS y
+  FROM c
+),
+m AS (
+  SELECT doc_id, s, CAST(w AS BIGINT) AS w, CAST(y AS BIGINT) AS y,
+    (CAST(w AS BIGINT) * 1000) // s AS wps,
+    (CAST(y AS BIGINT) * 1000) // GREATEST(CAST(w AS BIGINT), 1) AS spw
+  FROM n
+)
+SELECT doc_id, CAST(s AS INTEGER) AS n_sents, w AS n_words, y AS n_syll,
+  CAST(206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+       AS BIGINT) AS flesch_milli,
+  CASE WHEN 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000 >= 70000
+         THEN 'easy'
+       WHEN 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000 >= 30000
+         THEN 'standard'
+       ELSE 'hard' END AS band
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6045,6 +6086,8 @@ CATALOG: Dict[str, tuple] = {
     "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
     # median/MAD robust host anomaly gate (operators/stats.py)
     "host_anomaly_gate": (q_host_anomaly_gate, SQL_HOST_ANOMALY),
+    # Flesch readability in integer milli-points (operators/textstats.py)
+    "readability_scores": (q_readability, SQL_READABILITY),
 }
 
 

@@ -155,3 +155,49 @@ def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("rk") <= k)
         .select("id", "term", "tf", "df", "score_x1e6", "rk")
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease in integer MILLI-points — the classic
+    educational-quality signal (FineWeb-Edu-style curation buckets
+    documents by readability before any model scoring).
+
+    Counting rules (deterministic, regex classes both engines agree on):
+    sentences = runs of [.!?] (min 1 — headline-ish fragments count as
+    one sentence); words = whitespace tokens; syllables = [aeiouy]+
+    vowel groups in the lowercased text (the standard cheap
+    approximation). Score stays on the integer grid end-to-end:
+    wps_milli = 1000·W div S, spw_milli = 1000·Y div W,
+    flesch_milli = 206835 − 1015·wps_milli div 1000
+                          − 84600·spw_milli div 1000
+    (repo float convention — div is integer division on both engines).
+    band: 'easy' ≥ 70000, 'standard' ≥ 30000, else 'hard'.
+    Shuffle-free projection, codegen end-to-end."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    words = n_words(t).cast("long")
+    syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    w_safe = F.greatest(words, F.lit(1).cast("long"))
+    # floor-division on non-negative longs: numerators stay < 2^53 so the
+    # double quotient is exact and floor == integer division on both
+    # engines (DuckDB twin uses //)
+    wps = F.floor((words * 1000) / sents).cast("long")
+    spw = F.floor((syll * 1000) / w_safe).cast("long")
+    flesch = (
+        F.lit(206835).cast("long")
+        - F.floor(F.lit(1015).cast("long") * wps / 1000).cast("long")
+        - F.floor(F.lit(84600).cast("long") * spw / 1000).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        sents.cast("int").alias("n_sents"),
+        words.alias("n_words"),
+        syll.alias("n_syll"),
+        flesch.alias("flesch_milli"),
+        F.when(flesch >= 70000, "easy")
+        .when(flesch >= 30000, "standard")
+        .otherwise("hard")
+        .alias("band"),
+    )

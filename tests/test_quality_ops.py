@@ -834,3 +834,38 @@ class TestGateSuitesAdversarialInputs:
             assert (g["n_lines"], g["n_paras"]) == (nl, np_), (i, t)
             assert (g["dup_line_frac_x100"], g["dup_line_char_frac_x100"]) == (lf, lcf), (i, t)
             assert (g["dup_para_frac_x100"], g["dup_para_char_frac_x100"]) == (pf, pcf), (i, t)
+
+
+class TestReadabilityScores:
+    def _scores(self, spark, texts):
+        from ocr_service_spark.operators.textstats import readability_scores
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return {r["doc_id"]: r for r in readability_scores(df).collect()}
+
+    def test_counts_and_formula(self, spark):
+        got = self._scores(spark, ["The cat sat. The dog ran!"])
+        r = got[0]
+        assert (r["n_sents"], r["n_words"], r["n_syll"]) == (2, 6, 6)
+        # wps=3000, spw=1000: 206835 - 1015*3 - 84600 = 119190
+        assert r["flesch_milli"] == 119190 and r["band"] == "easy"
+
+    def test_fragment_counts_one_sentence(self, spark):
+        got = self._scores(spark, ["no terminal punctuation here"])
+        assert got[0]["n_sents"] == 1
+
+    def test_hard_band_on_polysyllabic_prose(self, spark):
+        text = ("Organizational heterogeneity necessitates "
+                "interdisciplinary epistemological reevaluation.")
+        got = self._scores(spark, [text])
+        assert got[0]["band"] == "hard"
+        assert got[0]["flesch_milli"] < 30000
+
+    def test_empty_and_null(self, spark):
+        got = self._scores(spark, ["", None])
+        for i in (0, 1):
+            assert (got[i]["n_words"], got[i]["n_syll"]) == (0, 0)
+            assert got[i]["n_sents"] == 1
