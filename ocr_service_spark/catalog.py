@@ -5921,6 +5921,63 @@ FROM m
 """
 
 
+def q_robots_fetch_schedule(spark, sf_dir):
+    """Robots-to-plan composition: planted robots.txt per host (hosts
+    0-2 declare Crawl-delay — agent-specific 2.5s→ceil 3, wildcard 4,
+    merged-groups max(1,6)=6 — host 3 declares none, host 4 has no
+    robots at all), REAL parse_crawl_delay extraction feeding the REAL
+    fetch_schedule; the oracle recomputes delays from the planting rule
+    and replays the row_number/md5 plan."""
+    from .operators.robots import robots_crawl_delays
+    from .operators.scheduler import fetch_schedule
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        F.format_string(
+            "https://r%d.example/p%d", F.col("doc_id") % 5, F.col("doc_id")
+        ).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [
+            ("r0.example",
+             "User-agent: trainbot\nCrawl-delay: 2.5\n\n"
+             "User-agent: *\nCrawl-delay: 9"),
+            ("r1.example", "User-agent: *\nCrawl-delay: 4\nDisallow: /x"),
+            ("r2.example",
+             "User-agent: *\nCrawl-delay: 1\n\n"
+             "User-agent: *\nCrawl-delay: 6"),
+            ("r3.example", "User-agent: *\nDisallow: /private/"),
+            # r4.example deliberately absent
+        ],
+        "host string, robots_txt string",
+    )
+    return fetch_schedule(
+        urls, robots_crawl_delays(robots, agent="trainbot"), n_workers=8
+    )
+
+
+SQL_ROBOTS_FETCH_SCHEDULE = """
+WITH f AS (
+  SELECT 'r' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         'https://r' || CAST(doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 6
+              ELSE 1 END AS delay
+  FROM documents
+),
+r AS (
+  SELECT url, host, CAST(delay AS BIGINT) AS delay_s,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+              AS BIGINT) AS seq
+  FROM f
+)
+SELECT url, host, seq, delay_s, seq * delay_s AS fetch_offset_s,
+  CAST(CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS UBIGINT) AS BIGINT)
+       % 8 AS INTEGER) AS worker
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6088,6 +6145,9 @@ CATALOG: Dict[str, tuple] = {
     "host_anomaly_gate": (q_host_anomaly_gate, SQL_HOST_ANOMALY),
     # Flesch readability in integer milli-points (operators/textstats.py)
     "readability_scores": (q_readability, SQL_READABILITY),
+    # robots Crawl-delay -> politeness plan composition
+    "robots_fetch_schedule": (q_robots_fetch_schedule,
+                              SQL_ROBOTS_FETCH_SCHEDULE),
 }
 
 

@@ -40,10 +40,13 @@ def _pattern_re(pattern: str) -> "re.Pattern":
     return re.compile(".*".join(parts) + ("$" if anchored else ""))
 
 
-def parse_robots(txt: str, agent: str) -> List[Rule]:
-    """The merged rule list of the best-matching group(s) for `agent`."""
-    agent = agent.lower()
-    groups: List[Tuple[List[str], List[Rule]]] = []
+def _groups(txt: str) -> List[Tuple[List[str], List[Rule], List[str]]]:
+    """Group structure shared by rule and crawl-delay extraction:
+    (agent tokens, rules, crawl-delay values) per group. Crawl-delay —
+    non-standard but universally honored — is group-scoped and, like
+    allow/disallow, ends the user-agent accumulation (the protego/reppy
+    reading: a UA line after it starts a NEW group)."""
+    groups: List[Tuple[List[str], List[Rule], List[str]]] = []
     cur_agents: List[str] = []
     in_rules = False
     for raw in txt.splitlines():
@@ -59,17 +62,24 @@ def parse_robots(txt: str, agent: str) -> List[Rule]:
             token = value.lower()
             cur_agents.append(token)
             if not groups or groups[-1][0] is not cur_agents:
-                groups.append((cur_agents, []))
-        elif field in ("allow", "disallow"):
+                groups.append((cur_agents, [], []))
+        elif field in ("allow", "disallow", "crawl-delay"):
             if not cur_agents:
                 continue  # rules before any UA line: RFC says ignore
             in_rules = True
-            if value:
+            if field == "crawl-delay":
+                if value:
+                    groups[-1][2].append(value)
+            elif value:
                 groups[-1][1].append((field == "allow", value))
             elif field == "disallow":
                 pass  # empty Disallow = allow-all no-op
+    return groups
+
+
+def _winning_groups(groups, agent: str):
     best_len = -1
-    for agents, _ in groups:
+    for agents, _, _ in groups:
         for token in agents:
             if token == "*":
                 best_len = max(best_len, 0)
@@ -77,15 +87,40 @@ def parse_robots(txt: str, agent: str) -> List[Rule]:
                 best_len = max(best_len, len(token))
     if best_len < 0:
         return []
-    winners: List[Rule] = []
-    for agents, rules in groups:
+    winners = []
+    for agents, rules, delays in groups:
         for token in agents:
             n = 0 if token == "*" else (
                 len(token) if agent.startswith(token) else -1)
             if n == best_len:
-                winners.extend(rules)
+                winners.append((rules, delays))
                 break
     return winners
+
+
+def parse_robots(txt: str, agent: str) -> List[Rule]:
+    """The merged rule list of the best-matching group(s) for `agent`."""
+    out: List[Rule] = []
+    for rules, _ in _winning_groups(_groups(txt), agent.lower()):
+        out.extend(rules)
+    return out
+
+
+def parse_crawl_delay(txt: str, agent: str):
+    """Crawl-delay (integer seconds, rounded UP — politeness never
+    rounds toward faster) of the best-matching group(s); when merged
+    groups disagree the LARGEST wins (conservative). None when absent
+    or unparseable."""
+    best = None
+    for _, delays in _winning_groups(_groups(txt), agent.lower()):
+        for v in delays:
+            try:
+                secs = -(-float(v) // 1)  # ceil without math import
+            except ValueError:
+                continue
+            if secs >= 0 and (best is None or secs > best):
+                best = secs
+    return int(best) if best is not None else None
 
 
 def robots_allowed(rules: List[Rule], path: str) -> bool:

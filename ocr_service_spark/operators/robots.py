@@ -70,3 +70,42 @@ def robots_gate(urls: DataFrame, robots: DataFrame,
             )
 
     return joined.mapInPandas(run, VERDICT_SCHEMA)
+
+
+DELAY_SCHEMA = "host string, crawl_delay_s int"
+
+
+def robots_crawl_delays(robots: DataFrame,
+                        agent: str = "trainbot") -> DataFrame:
+    """robots(host, robots_txt) → (host, crawl_delay_s) for every host
+    whose best-matching group declares a Crawl-delay (core/robots.py
+    parse_crawl_delay semantics: group-scoped, ceil seconds, largest of
+    merged groups). Hosts without one emit NO row — exactly the shape
+    operators/scheduler.py fetch_schedule's left join + default expects,
+    so `fetch_schedule(urls, robots_crawl_delays(robots))` closes the
+    loop from fetched robots.txt to a politeness-correct fetch plan.
+    One Arrow pass over the one-row-per-host table; per-batch
+    (robots_txt, agent) memoization as in robots_gate."""
+    from ..core.robots import parse_crawl_delay
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = {}
+        for pdf in batches:
+            hosts, delays = [], []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                if txt is None:
+                    continue
+                if txt not in cache:
+                    cache[txt] = parse_crawl_delay(txt, agent)
+                d = cache[txt]
+                if d is not None:
+                    hosts.append(host)
+                    delays.append(d)
+            yield pd.DataFrame({
+                "host": hosts,
+                "crawl_delay_s": pd.array(delays, dtype="int32"),
+            })
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        run, DELAY_SCHEMA
+    )

@@ -106,3 +106,42 @@ def test_robots_gate_join_and_missing_host(spark):
     assert got["https://norobots.example/x"]["allowed"]  # null robots
     assert got["https://a.example"]["path"] == "/"
     assert got["https://a.example"]["allowed"]
+
+
+class TestCrawlDelay:
+    def test_group_scoped_ceil_and_merge(self):
+        from ocr_service_spark.core.robots import parse_crawl_delay
+
+        txt = ("User-agent: trainbot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+               "User-agent: *\nCrawl-delay: 10")
+        assert parse_crawl_delay(txt, "trainbot") == 3   # ceil(2.5)
+        assert parse_crawl_delay(txt, "otherbot") == 10  # fallback group
+        # merged same-token groups: largest declared delay wins
+        merged = ("User-agent: a\nCrawl-delay: 4\n\n"
+                  "User-agent: a\nCrawl-delay: 7")
+        assert parse_crawl_delay(merged, "a") == 7
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon", "x") is None
+        assert parse_crawl_delay("User-agent: *\nDisallow: /", "x") is None
+
+    def test_crawl_delay_ends_agent_accumulation(self):
+        from ocr_service_spark.core.robots import parse_crawl_delay
+
+        # UA after a crawl-delay starts a NEW group (protego reading)
+        txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nCrawl-delay: 9"
+        assert parse_crawl_delay(txt, "a") == 5
+        assert parse_crawl_delay(txt, "b") == 9
+
+    def test_operator_emits_only_declaring_hosts(self, spark):
+        from ocr_service_spark.operators.robots import robots_crawl_delays
+
+        robots = spark.createDataFrame(
+            [
+                ("a.example", "User-agent: *\nCrawl-delay: 2"),
+                ("b.example", "User-agent: *\nDisallow: /private/"),
+                ("c.example", None),
+            ],
+            "host string, robots_txt string",
+        )
+        got = {r["host"]: r["crawl_delay_s"]
+               for r in robots_crawl_delays(robots).collect()}
+        assert got == {"a.example": 2}
