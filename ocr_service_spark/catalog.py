@@ -5978,6 +5978,38 @@ FROM r
 """
 
 
+def q_paginated_stitch(spark, sf_dir):
+    """Pagination reassembly (operators/canonical.py paginated_stitch):
+    docs form rel=prev chains of four (doc_id groups of 4, part i
+    pointing at part i-1), REAL pointer-doubling resolution orders the
+    parts by hop count and one aggregate stitches them. The oracle
+    rebuilds every article with an ORDER BY string_agg from the
+    planting rule — order, part counts and the exact joined text all
+    value-hash."""
+    from .operators.canonical import paginated_stitch
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        F.format_string("p%d", "doc_id").alias("url"),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.format_string("p%d", F.col("doc_id") - 1),
+        ).alias("prev_url"),
+        F.format_string("text %d", "doc_id").alias("text"),
+    )
+    return paginated_stitch(pages)
+
+
+SQL_PAGINATED_STITCH = """
+WITH d AS (SELECT doc_id, doc_id - (doc_id % 4) AS g FROM documents)
+SELECT 'p' || CAST(g AS VARCHAR) AS head_url,
+       CAST(count(*) AS INTEGER) AS n_parts,
+       string_agg('text ' || CAST(doc_id AS VARCHAR),
+                  chr(10) || chr(10) ORDER BY doc_id) AS stitched
+FROM d GROUP BY g
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6148,6 +6180,8 @@ CATALOG: Dict[str, tuple] = {
     # robots Crawl-delay -> politeness plan composition
     "robots_fetch_schedule": (q_robots_fetch_schedule,
                               SQL_ROBOTS_FETCH_SCHEDULE),
+    # rel=prev pagination reassembly (operators/canonical.py)
+    "paginated_stitch": (q_paginated_stitch, SQL_PAGINATED_STITCH),
 }
 
 

@@ -117,3 +117,50 @@ def canonical_clusters(pages: DataFrame, max_hops: int = 16) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.slice(F.array_sort(F.collect_set("url")), 1, 8).alias("urls"),
     )
+
+
+def paginated_stitch(
+    pages: DataFrame,
+    url_col: str = "url",
+    prev_col: str = "prev_url",
+    text_col: str = "text",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Reassemble paginated articles: pages carrying rel=prev pointers
+    (page 3 → page 2 → page 1) stitch into one document, IN ORDER —
+    multi-page articles are mangled by per-page extraction and stitched
+    documents are what an LLM corpus actually wants.
+
+    Reuses canonical_resolve verbatim on the prev-pointer graph: every
+    page resolves to its chain HEAD with an exact hop count, which IS
+    the page's position — so ordering costs nothing extra. Then one
+    grouped aggregate per head: parts sorted by (hops, url) and joined
+    with blank lines. Standalone pages (null prev) are their own heads
+    (n_parts 1); a chain whose head was never crawled stitches from its
+    first crawled page (the off-corpus head is the group key, its text
+    simply absent); cycles come back unresolved from the resolver and
+    are EXCLUDED here — errors-as-data upstream, never a mangled loop
+    document.
+
+    Scale shape: the resolver's log-round joins + ONE hash aggregate
+    keyed by head; per-group state is the article's page count."""
+    r = canonical_resolve(
+        pages.select(
+            F.col(url_col).alias("url"), F.col(prev_col).alias("canonical")
+        ),
+        max_hops,
+    )
+    parts = r.where(F.col("resolved")).join(
+        pages.select(
+            F.col(url_col).alias("url"), F.col(text_col).alias("text")
+        ),
+        "url",
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("hops", "url", "text"))),
+        lambda s: s["text"],
+    )
+    return parts.groupBy(F.col("final_url").alias("head_url")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.concat_ws("\n\n", ordered).alias("stitched"),
+    )

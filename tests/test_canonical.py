@@ -73,3 +73,26 @@ def test_canonical_clusters(spark):
         "u0": (3, ["u0", "u1", "u2"]),
         "https://ext/x": (1, ["solo"]),
     }  # cycle rows excluded
+
+
+def test_paginated_stitch(spark):
+    df = spark.createDataFrame(
+        [
+            ("a1", None, "part one"),
+            ("a2", "a1", "part two"),
+            ("a3", "a2", "part three"),
+            ("solo", None, "alone"),
+            ("b2", "b1", "orphan tail"),   # head b1 never crawled
+            ("c1", "c2", "loop"), ("c2", "c1", "loop"),  # cycle: excluded
+        ],
+        "url string, prev_url string, text string",
+    )
+    from ocr_service_spark.operators.canonical import paginated_stitch
+
+    got = {r["head_url"]: (r["n_parts"], r["stitched"])
+           for r in paginated_stitch(df).collect()}
+    assert got == {
+        "a1": (3, "part one\n\npart two\n\npart three"),
+        "solo": (1, "alone"),
+        "b1": (1, "orphan tail"),
+    }
