@@ -1,0 +1,117 @@
+"""Streaming feed-freshness monitor: the unbounded twin of
+operators/feeds.fresh_items.
+
+A crawler polls feeds continuously and re-sees the same items on every
+poll (a feed is a sliding window over a site's history — ~all of each
+fetch is items already processed). The monitor keeps the seen item keys
+per feed in the state store and emits each item exactly ONCE, on first
+sight — downstream fetch/extract subscribes to genuinely-new pointers
+and skips the revisit mass, the same append-only economics as the
+crawl-change monitor (streaming/snapshots.py).
+
+Determinism: within a micro-batch a feed's items process in
+(pub_epoch, item_key) order, so item_seq — the per-feed monotone
+first-seen counter — is reproducible batch layout notwithstanding.
+State is the seen-key list, BOUNDED at max_state keys with
+oldest-first eviction: real feeds expose the most recent items, so once
+a key ages past max_state newer polls no longer carry it; if a feed
+somehow re-surfaces an evicted ancient key it re-emits — the bounded
+trade every streaming dedup makes (the exact variant is the batch
+incremental_dedup against the full corpus index).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+NEW_ITEM_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("item_key", StringType()),
+    StructField("pub_epoch", LongType()),
+    StructField("item_seq", LongType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("seen", ArrayType(StringType())),
+    StructField("n_seen", LongType()),
+])
+
+
+def _make_fn(max_state: int):
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (url,) = key
+        if state.exists:
+            seen_list, n_seen = state.get
+            seen_list = list(seen_list)
+        else:
+            seen_list, n_seen = [], 0
+        seen = set(seen_list)
+        rows = []
+        items = []
+        for pdf in pdfs:
+            for ik, ep in zip(pdf["item_key"], pdf["pub_epoch"]):
+                if ik is None:
+                    continue  # no identity: cannot dedup, skip
+                items.append((int(ep) if pd.notna(ep) else -1, str(ik)))
+        items.sort()
+        for ep, ik in items:
+            if ik in seen:
+                continue
+            seen.add(ik)
+            seen_list.append(ik)
+            n_seen += 1
+            rows.append((url, ik, ep if ep >= 0 else None, int(n_seen)))
+        if len(seen_list) > max_state:
+            seen_list = seen_list[-max_state:]  # oldest-first eviction
+        state.update((seen_list, int(n_seen)))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["url", "item_key", "pub_epoch", "item_seq"]
+            )
+
+    return fn
+
+
+def feed_new_items_stream(
+    items: DataFrame, max_state: int = 1024
+) -> DataFrame:
+    """items stream (url, item_key, pub_epoch) → first-sight rows only,
+    with a per-feed monotone item_seq."""
+    return (
+        items.groupBy("url")
+        .applyInPandasWithState(
+            _make_fn(max_state),
+            outputStructType=NEW_ITEM_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_feed_monitor_stream(
+    spark, source_path: str, sink_path: str, checkpoint_path: str, schema,
+    max_state: int = 1024,
+) -> None:
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        feed_new_items_stream(
+            stream.select("url", "item_key", "pub_epoch"), max_state
+        )
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
