@@ -160,6 +160,7 @@ HEADLINE = [
     "html_to_markdown",        # structure-preserving Markdown extraction
     "lang_segments",           # per-line LID run-length segmentation
     "int8_ann_topk",           # int8-quantized similarity, integer dots
+    "bm25_topk",               # quantized-BM25 corpus retrieval
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

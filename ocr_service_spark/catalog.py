@@ -6010,6 +6010,74 @@ FROM d GROUP BY g
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Quantized-BM25 retrieval over the REAL documents text
+    (operators/search.py): Lucene idf on the 10⁴ grid, all-integer tf
+    saturation, deterministic id tiebreak — the oracle recomputes the
+    full ranking (df, avgdl, every per-term contribution) from scratch
+    in DuckDB and must produce the same top-20 ids AND scores."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"),
+        ["spark", "vector", "window"],
+        k=20,
+    )
+
+
+SQL_BM25 = """
+WITH c AS (
+  SELECT doc_id, trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(t, '\\s+') END AS words
+  FROM c
+),
+d AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS dl FROM b),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(dl) AS BIGINT) AS total_len,
+    CAST(sum(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END)
+         AS BIGINT) AS df0,
+    CAST(sum(CASE WHEN list_contains(words, 'vector') THEN 1 ELSE 0 END)
+         AS BIGINT) AS df1,
+    CAST(sum(CASE WHEN list_contains(words, 'window') THEN 1 ELSE 0 END)
+         AS BIGINT) AS df2
+  FROM d
+),
+s2 AS (
+  SELECT *, GREATEST(total_len * 1000 // n_docs, 1) AS avgdl_m FROM s
+),
+scored AS (
+  SELECT d.doc_id AS id, d.dl,
+    CAST(FLOOR(ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * 10000)
+         AS BIGINT)
+      * ((1000 * 22 * CAST(len(list_filter(words, x -> x = 'spark'))
+           AS BIGINT) * avgdl_m)
+         // (10 * CAST(len(list_filter(words, x -> x = 'spark'))
+              AS BIGINT) * avgdl_m + 3 * avgdl_m + 9000 * d.dl))
+    + CAST(FLOOR(ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * 10000)
+           AS BIGINT)
+      * ((1000 * 22 * CAST(len(list_filter(words, x -> x = 'vector'))
+           AS BIGINT) * avgdl_m)
+         // (10 * CAST(len(list_filter(words, x -> x = 'vector'))
+              AS BIGINT) * avgdl_m + 3 * avgdl_m + 9000 * d.dl))
+    + CAST(FLOOR(ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * 10000)
+           AS BIGINT)
+      * ((1000 * 22 * CAST(len(list_filter(words, x -> x = 'window'))
+           AS BIGINT) * avgdl_m)
+         // (10 * CAST(len(list_filter(words, x -> x = 'window'))
+              AS BIGINT) * avgdl_m + 3 * avgdl_m + 9000 * d.dl))
+    AS score_q
+  FROM d CROSS JOIN s2
+)
+SELECT id, score_q, dl FROM scored
+ORDER BY score_q DESC, id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6182,6 +6250,8 @@ CATALOG: Dict[str, tuple] = {
                               SQL_ROBOTS_FETCH_SCHEDULE),
     # rel=prev pagination reassembly (operators/canonical.py)
     "paginated_stitch": (q_paginated_stitch, SQL_PAGINATED_STITCH),
+    # quantized-BM25 retrieval (operators/search.py)
+    "bm25_topk": (q_bm25_topk, SQL_BM25),
 }
 
 

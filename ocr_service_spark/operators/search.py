@@ -1,0 +1,103 @@
+"""BM25 scored retrieval over the corpus — targeted-curation search.
+
+A training-data operation constantly asks "find the documents about X"
+(to boost a topic, to audit contamination, to build eval slices). BM25
+is the standard lexical ranker; this is the one-query-set batch shape:
+score every document against a small term set, return top-k.
+
+Engine-exactness (the repo's float discipline):
+- idf is the only transcendental: the LUCENE variant
+  ln(1 + (N−df+0.5)/(df+0.5)) — always positive, so a common term can
+  never rank matching documents BELOW non-matching ones (the classic
+  negative-idf trap of the original formula) — quantized PER TERM to an
+  integer grid (·10⁴, floored) before anything sums; the
+  operators/lm.py precedent, value-hash-proven cross-engine.
+- the tf saturation term is computed ENTIRELY in integer arithmetic:
+  with k1=1.2, b=0.75 and milli-scaled average doc length avgdl_m,
+    tf_norm_q = ⌊1000·22·tf·avgdl_m /
+                 (10·tf·avgdl_m + 3·avgdl_m + 9000·dl)⌋
+  (both sides of the fraction pre-multiplied by 10·avgdl_m — no float
+  ever enters), and score_q = Σ idf_q·tf_norm_q is an exact long.
+
+Scale shape: ONE corpus scan (words array materialized once — the
+Catalyst lambda-capture rule), a 1-row corpus-stats aggregate and a
+1-row per-term df aggregate both broadcast back, then a pure projection
+and TakeOrderedAndProject for top-k. No shuffle ever carries more than
+one row of statistics; the corpus side never repartitions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_IDF = 10_000
+Q_TF = 1_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) × query terms → top-k (id, score_q, dl) by quantized
+    BM25, ties broken by id. Terms match whole lowercase whitespace
+    tokens."""
+    terms: List[str] = [t.lower() for t in query_terms]
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    base = docs.select(
+        F.col(id_col).alias("id"), words.alias("words")
+    ).withColumn("dl", F.size("words").cast("long"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+        *[
+            F.sum(
+                F.when(F.array_contains("words", term), 1).otherwise(0)
+            ).cast("long").alias(f"df_{i}")
+            for i, term in enumerate(terms)
+        ],
+    ).withColumn(
+        "avgdl_m",
+        F.greatest(
+            F.floor(F.col("total_len") * 1000 / F.col("n_docs"))
+            .cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0).cast("long")
+    for i, term in enumerate(terms):
+        tf = F.size(
+            F.filter("words", lambda w: w == F.lit(term))
+        ).cast("long")
+        idf_q = F.floor(
+            F.log(
+                1
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            * Q_IDF
+        ).cast("long")
+        tf_norm_q = F.floor(
+            (F.lit(Q_TF) * 22 * tf * F.col("avgdl_m"))
+            / (
+                10 * tf * F.col("avgdl_m")
+                + 3 * F.col("avgdl_m")
+                + 9000 * F.col("dl")
+            )
+        ).cast("long")
+        score = score + idf_q * tf_norm_q
+    return (
+        scored.select("id", score.alias("score_q"), "dl")
+        .orderBy(F.col("score_q").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -869,3 +869,54 @@ class TestReadabilityScores:
         for i in (0, 1):
             assert (got[i]["n_words"], got[i]["n_syll"]) == (0, 0)
             assert got[i]["n_sents"] == 1
+
+class TestBm25:
+    def test_hand_case(self, spark):
+        from ocr_service_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark spark joins"),      # tf=2, dl=3
+                (2, "spark alone here today"), # tf=1, dl=4
+                (3, "nothing relevant at all"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(df, ["spark"], k=4).collect()
+        # tf=2/dl=3 beats tf=1/dl=4; non-matching docs score exactly 0
+        assert [r["id"] for r in rows] == [1, 2, 3, 4]
+        assert rows[0]["score_q"] > rows[1]["score_q"] > 0
+        assert rows[2]["score_q"] == rows[3]["score_q"] == 0
+        # Lucene idf is always positive: matching docs never rank below
+        # non-matching even for a term in most documents
+        rows = bm25_topk(df, ["joins"], k=2).collect()
+        assert rows[0]["id"] == 1 and rows[0]["score_q"] > 0
+
+    def test_tf_saturation_and_length_norm(self, spark):
+        from ocr_service_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "cat " * 1 + "x " * 9),
+                (2, "cat " * 5 + "x " * 5),
+                (3, "cat " * 5 + "x " * 95),   # same tf, much longer doc
+                (4, "y"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(df, ["cat"], k=3).collect()
+        ids = [r["id"] for r in rows]
+        assert ids[0] == 2          # more tf wins at equal length
+        assert ids.index(3) > ids.index(2)  # length norm demotes doc 3
+
+    def test_multi_term_sum(self, spark):
+        from ocr_service_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha alpha"), (3, "gamma beta"),
+             (4, "delta")],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(df, ["alpha", "beta"], k=1).collect()
+        assert rows[0]["id"] == 1  # covering both terms beats repeating one
