@@ -6126,6 +6126,76 @@ FROM tagged a JOIN tagged b
 """
 
 
+def q_frontier_discovery(spark, sf_dir):
+    """The crawl-loop capstone: pages → REAL link extraction
+    (core/links.py scan + resolution) → distinct targets → anti-join
+    against the crawled set (every page also links to itself — those
+    must vanish) → REAL RFC 9309 robots gate (host0 forbids /ref/) →
+    REAL politeness schedule over what survives. Four of the engine's
+    crawl operators composed end-to-end under one value hash; the
+    oracle recomputes the surviving frontier and the plan from the
+    planting rule alone."""
+    from .operators.links import extract_outlinks
+    from .operators.robots import robots_gate
+    from .operators.scheduler import fetch_schedule
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    html = F.format_string(
+        '<p><a href="https://host%d.example/ref/%d">new</a> '
+        '<a href="https://src%d.example/%012d">self</a></p>',
+        F.col("doc_id") % 7,
+        F.col("doc_id"),
+        F.col("doc_id") % 5,
+        F.col("doc_id"),
+    )
+    pages = d.select(
+        F.format_string(
+            "https://src%d.example/%012d", F.col("doc_id") % 5,
+            F.col("doc_id")
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    discovered = (
+        extract_outlinks(pages)
+        .select(F.col("href").alias("url"))
+        .distinct()
+        .join(pages.select("url"), "url", "left_anti")
+    )
+    robots = spark.createDataFrame(
+        [("host0.example", "User-agent: *\nDisallow: /ref/")],
+        "host string, robots_txt string",
+    )
+    allowed = robots_gate(discovered, robots, agent="trainbot").where(
+        F.col("allowed")
+    ).select("url")
+    empty_delays = spark.createDataFrame(
+        [], "host string, crawl_delay_s int"
+    )
+    return fetch_schedule(allowed, empty_delays, n_workers=8)
+
+
+SQL_FRONTIER_DISCOVERY = """
+WITH d AS (SELECT doc_id, doc_id % 7 AS k7 FROM documents),
+f AS (
+  SELECT DISTINCT
+    'host' || CAST(k7 AS VARCHAR) || '.example' AS host,
+    'https://host' || CAST(k7 AS VARCHAR) || '.example/ref/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM d WHERE k7 <> 0
+),
+r AS (
+  SELECT url, host, CAST(1 AS BIGINT) AS delay_s,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+              AS BIGINT) AS seq
+  FROM f
+)
+SELECT url, host, seq, delay_s, seq * delay_s AS fetch_offset_s,
+  CAST(CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS UBIGINT) AS BIGINT)
+       % 8 AS INTEGER) AS worker
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6302,6 +6372,8 @@ CATALOG: Dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     # URL-pattern bitext pairing (operators/bitext.py)
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
+    # crawl-loop capstone: links -> anti-join -> robots -> schedule
+    "frontier_discovery": (q_frontier_discovery, SQL_FRONTIER_DISCOVERY),
 }
 
 
