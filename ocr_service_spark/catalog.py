@@ -6196,6 +6196,41 @@ FROM r
 """
 
 
+def q_quality_funnel(spark, sf_dir):
+    """Gate-funnel attribution over the full Gopher chain: every doc is
+    attributed to its FIRST failing suite (in pipeline order — signals,
+    line shape, dup lines, n-gram repetition) or 'kept', and the funnel
+    aggregates to one row per stage with drop counts and the surviving
+    population. This is the ops view a curation run actually reads —
+    'where did my corpus go' — and it rides the same single scan as
+    full_quality_gate (the aggregate is the only exchange)."""
+    gates = q_full_quality_gate(spark, sf_dir)
+    first_failed = (
+        F.when(~F.col("keep_sig"), "1_signals")
+        .when(~F.col("keep_line"), "2_line_shape")
+        .when(~F.col("keep_dupline"), "3_dup_lines")
+        .when(~F.col("keep_ngram"), "4_ngram_rep")
+        .otherwise("5_kept")
+    )
+    return (
+        gates.select(first_failed.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+SQL_QUALITY_FUNNEL = f"""
+WITH gates AS ({SQL_FULL_GATE})
+SELECT CASE WHEN NOT keep_sig THEN '1_signals'
+            WHEN NOT keep_line THEN '2_line_shape'
+            WHEN NOT keep_dupline THEN '3_dup_lines'
+            WHEN NOT keep_ngram THEN '4_ngram_rep'
+            ELSE '5_kept' END AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM gates GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6374,6 +6409,8 @@ CATALOG: Dict[str, tuple] = {
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
     # crawl-loop capstone: links -> anti-join -> robots -> schedule
     "frontier_discovery": (q_frontier_discovery, SQL_FRONTIER_DISCOVERY),
+    # gate-funnel attribution over the full Gopher chain
+    "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
 }
 
 
