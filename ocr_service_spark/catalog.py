@@ -6231,6 +6231,33 @@ FROM gates GROUP BY 1
 """
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WET interchange round trip (sources/wet.py): the REAL record
+    framing serializes the corpus to partition-per-file WET blobs and
+    the REAL tolerant parser reads them back; the entry emits the
+    recovered (url, n_chars) rows, which must equal the input projection
+    — the oracle is simply the corpus itself (ASCII text, so char and
+    byte lengths agree; verified at all SFs by the charset entry)."""
+    from .sources.wet import read_wet_blobs, to_wet_files
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.format_string("https://wet.example/%012d", "doc_id").alias("url"),
+        "text",
+    )
+    wet = to_wet_files(docs, ts_col=None)
+    back = read_wet_blobs(wet)
+    return back.select(
+        "url", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+SQL_WET_ROUNDTRIP = """
+SELECT printf('https://wet.example/%012d', doc_id) AS url,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6411,6 +6438,8 @@ CATALOG: Dict[str, tuple] = {
     "frontier_discovery": (q_frontier_discovery, SQL_FRONTIER_DISCOVERY),
     # gate-funnel attribution over the full Gopher chain
     "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
+    # WET interchange round trip (sources/wet.py)
+    "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
 }
 
 

@@ -1,0 +1,131 @@
+"""WET sink/source: Common-Crawl's extracted-text interchange format.
+
+WET files are WARC containers whose records are `conversion` type with
+a plain-UTF-8 text payload — the format every CC-derived corpus
+(C4, CCNet, RefinedWeb, FineWeb) starts from. The engine reads WARC
+(sources/warc.py) on the way in; this module closes the loop on the way
+OUT: extraction results serialize to WET so any downstream CC tooling
+consumes them unchanged, and read_wet round-trips them back for
+verification.
+
+Scale shape mirrors the WARC reader in reverse: one WET FILE PER
+PARTITION, built inside mapPartitions-style Arrow batches and written
+as (file_name, wet_blob) rows the caller persists with its object-store
+writer of choice — record framing is pure per-row byte math, nothing
+shuffles, and file count = partition count (controlled upstream by
+repartition, exactly how CC's own ~64k-file layout is produced).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+
+CRLF = b"\r\n"
+
+
+def wet_record(url: str, ts: Optional[datetime], text: str) -> bytes:
+    """One WARC `conversion` record: header block, blank line, UTF-8
+    payload, record separator. Content-Length counts payload BYTES."""
+    payload = (text or "").encode("utf-8")
+    ts_s = (ts or datetime(2025, 12, 11, tzinfo=timezone.utc)).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    head = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: conversion" + CRLF
+        + f"WARC-Target-URI: {url}".encode() + CRLF
+        + f"WARC-Date: {ts_s}".encode() + CRLF
+        + b"Content-Type: text/plain" + CRLF
+        + f"Content-Length: {len(payload)}".encode() + CRLF
+    )
+    return head + CRLF + payload + CRLF + CRLF
+
+
+def to_wet_files(docs: DataFrame, url_col: str = "url",
+                 ts_col: Optional[str] = "warc_ts",
+                 text_col: str = "text") -> DataFrame:
+    """docs → (n_records, n_bytes, wet) one row per partition: the WET
+    blob for that partition's documents in partition order. Callers
+    persist the blobs; tests and the oracle read them back."""
+    import pandas as pd
+
+    cols = [url_col, text_col] + ([ts_col] if ts_col else [])
+    src = docs.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = []
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ts = row[ts_col] if ts_col else None
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                chunks.append(
+                    wet_record(row[url_col], ts, row[text_col])
+                )
+                n += 1
+        blob = b"".join(chunks)
+        yield pd.DataFrame(
+            {"n_records": [n], "n_bytes": [len(blob)], "wet": [blob]}
+        )
+
+    return src.mapInPandas(
+        run, "n_records long, n_bytes long, wet binary"
+    )
+
+
+def parse_wet(blob: bytes):
+    """WET blob → (url, ts_str, text) per conversion record — the
+    verification inverse of wet_record; framing follows the WARC reader's
+    tolerant scan (truncated tail ends the file)."""
+    out = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        while blob.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n or not blob.startswith(b"WARC/", pos):
+            break
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            break
+        fields = {}
+        for line in blob[pos:head_end].split(CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            break
+        body = blob[head_end + 4: head_end + 4 + length]
+        if fields.get("warc-type") == "conversion":
+            out.append(
+                (
+                    fields.get("warc-target-uri"),
+                    fields.get("warc-date"),
+                    body.decode("utf-8", "replace"),
+                )
+            )
+        pos = head_end + 4 + length
+    return out
+
+
+def read_wet_blobs(wet: DataFrame) -> DataFrame:
+    """(…, wet binary) → (url, ts, text) rows — the distributed inverse
+    of to_wet_files, one Arrow pass; used by the round-trip gate."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, texts = [], [], []
+            for blob in pdf["wet"]:
+                if blob is None:
+                    continue
+                for url, ts_s, text in parse_wet(bytes(blob)):
+                    urls.append(url)
+                    tss.append(ts_s)
+                    texts.append(text)
+            yield pd.DataFrame({"url": urls, "ts": tss, "text": texts})
+
+    return wet.select("wet").mapInPandas(run, "url string, ts string, text string")

@@ -1,0 +1,41 @@
+"""WET interchange sink (sources/wet.py): record framing, byte-exact
+round trip, partition-per-file layout, unicode payload lengths."""
+
+from datetime import datetime, timezone
+
+from ocr_service_spark.sources.wet import parse_wet, to_wet_files, wet_record
+
+
+def test_record_framing_and_roundtrip():
+    ts = datetime(2024, 3, 15, 10, 0, 0, tzinfo=timezone.utc)
+    rec = wet_record("https://s/p", ts, "héllo\nworld")
+    assert rec.startswith(b"WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert b"Content-Length: 12\r\n" in rec  # UTF-8 bytes, not chars
+    ((url, ts_s, text),) = parse_wet(rec)
+    assert (url, ts_s, text) == (
+        "https://s/p", "2024-03-15T10:00:00Z", "héllo\nworld",
+    )
+
+
+def test_multi_record_and_truncated_tail():
+    blob = (
+        wet_record("https://a", None, "one")
+        + wet_record("https://b", None, "two")
+        + b"WARC/1.0\r\nWARC-Type: conversion\r\nbroken..."
+    )
+    got = parse_wet(blob)
+    assert [(u, t) for u, _, t in got] == [
+        ("https://a", "one"), ("https://b", "two"),
+    ]
+
+
+def test_to_wet_files_partition_layout(spark):
+    rows = [(f"https://s/p{i}", f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string").repartition(4)
+    out = to_wet_files(df, ts_col=None).collect()
+    assert len(out) == 4  # one WET blob per partition
+    assert sum(r["n_records"] for r in out) == 20
+    parsed = [rec for r in out for rec in parse_wet(bytes(r["wet"]))]
+    assert {u for u, _, _ in parsed} == {u for u, _ in rows}
+    assert {t for _, _, t in parsed} == {t for _, t in rows}
+    assert all(r["n_bytes"] == len(bytes(r["wet"])) for r in out)
