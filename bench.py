@@ -161,6 +161,14 @@ HEADLINE = [
     "lang_segments",           # per-line LID run-length segmentation
     "int8_ann_topk",           # int8-quantized similarity, integer dots
     "bm25_topk",               # quantized-BM25 corpus retrieval
+    "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
+    "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
+    "rendezvous_shard",        # HRW minimal-churn shard assignment
+    "readability_scores",      # integer Flesch milli-points + bands
+    "paginated_stitch",        # rel=prev article reassembly
+    "frontier_discovery",      # links -> anti-join -> robots -> schedule
+    "quality_funnel",          # first-failing-gate drop attribution
+    "wet_roundtrip",           # WET serialize + parse round trip
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
