@@ -6258,6 +6258,53 @@ FROM documents
 """
 
 
+def q_refresh_policy(spark, sf_dir):
+    """Change-rate recrawl policy (operators/snapshots.py
+    refresh_policy): planted per-url fetch histories — never-changing
+    (8× backoff), always-changing (observed cadence), half-changing
+    (2× cadence), and a single-fetch url (no evidence → max interval) —
+    the REAL window+aggregate runs, the oracle recomputes every policy
+    row arithmetically from the planting rule."""
+    from .operators.snapshots import refresh_policy
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 4
+    fetches = d.select(
+        "doc_id", k.alias("k"),
+        F.explode(
+            F.sequence(F.lit(0), F.when(k == 3, 0).otherwise(4))
+        ).alias("i"),
+    ).select(
+        F.format_string("u%d", "doc_id").alias("url"),
+        F.expr(
+            "timestampadd(DAY, i, timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+        F.when(F.col("k") == 0, F.lit("S"))
+        .when(F.col("k") == 1, F.format_string("D%d", "i"))
+        .when(F.col("i") < 2, F.lit("A"))
+        .when(F.col("i") < 4, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("digest"),
+    )
+    return refresh_policy(fetches)
+
+
+SQL_REFRESH_POLICY = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS k FROM documents)
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+  CAST(CASE WHEN k = 3 THEN 1 ELSE 5 END AS BIGINT) AS n_fetches,
+  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 2
+       ELSE 0 END AS BIGINT) AS n_changes,
+  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 1000 WHEN 2 THEN 500
+       END AS BIGINT) AS change_permille,
+  CAST(CASE WHEN k = 3 THEN NULL ELSE 86400 END AS BIGINT)
+    AS mean_interval_s,
+  CAST(CASE k WHEN 0 THEN 691200 WHEN 1 THEN 86400 WHEN 2 THEN 172800
+       ELSE 2592000 END AS BIGINT) AS next_interval_s
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6440,6 +6487,8 @@ CATALOG: Dict[str, tuple] = {
     "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
     # WET interchange round trip (sources/wet.py)
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
+    # change-rate recrawl policy (operators/snapshots.py)
+    "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
 }
 
 

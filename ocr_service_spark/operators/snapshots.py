@@ -160,3 +160,80 @@ def corpus_diff(
     return o.join(n, "key", "full_outer").select(
         "key", "old_digest", "new_digest", status.alias("status")
     )
+
+
+def refresh_policy(
+    fetches: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 86400,
+) -> DataFrame:
+    """Change-rate-driven recrawl intervals — the Cho/Garcia-Molina
+    refresh policy over observed fetch history: pages that changed on
+    every visit are re-fetched at their observed cadence, pages that
+    never changed back off (capped 8×), everything clamps into
+    [min_interval_s, max_interval_s].
+
+    Per key over its ts-ordered history (window groups bounded by the
+    dump count, never corpus-sized — the snapshot_drift shape):
+      intervals        = n_fetches − 1
+      n_changes        = consecutive pairs whose digest differs
+      change_permille  = 1000·n_changes div intervals
+      mean_interval_s  = (last_ts − first_ts) div intervals
+      next_interval_s  = clamp(mean_interval_s · 1000
+                               div max(change_permille, 125))
+    — every term integer, engine-exact (the 125 floor = the 8× backoff
+    cap for never-changing pages). Single-fetch keys have no evidence:
+    intervals 0, change_permille null, next = max_interval_s."""
+    w = Window.partitionBy("k").orderBy("ts")
+    base = fetches.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(digest_col).alias("dg"),
+    )
+    flagged = base.select(
+        "k",
+        "ts",
+        F.when(
+            F.lag("dg").over(w).isNotNull()
+            & (F.lag("dg").over(w) != F.col("dg")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = flagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("chg").cast("long").alias("n_changes"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("span_s"),
+    )
+    intervals = F.col("n_fetches") - 1
+    permille = F.when(
+        intervals > 0,
+        F.floor(F.col("n_changes") * 1000 / intervals).cast("long"),
+    )
+    mean_int = F.when(
+        intervals > 0, F.floor(F.col("span_s") / intervals).cast("long")
+    )
+    raw_next = F.floor(
+        mean_int * 1000 / F.greatest(permille, F.lit(125))
+    ).cast("long")
+    next_s = F.when(
+        intervals > 0,
+        F.greatest(
+            F.lit(min_interval_s).cast("long"),
+            F.least(F.lit(max_interval_s).cast("long"), raw_next),
+        ),
+    ).otherwise(F.lit(max_interval_s).cast("long"))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_fetches",
+        "n_changes",
+        permille.alias("change_permille"),
+        mean_int.alias("mean_interval_s"),
+        next_s.alias("next_interval_s"),
+    )

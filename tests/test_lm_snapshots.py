@@ -248,3 +248,50 @@ class TestCorpusDiff:
             if "Output" in l and "digest#" in l and "md5" not in l
         ]
         assert shipped and not any("text#" in l for l in shipped), plan
+
+
+class TestRefreshPolicy:
+    def _policy(self, spark, rows, **kw):
+        from ocr_service_spark.operators.snapshots import refresh_policy
+
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, digest string"
+        )
+        return {r["url"]: r for r in refresh_policy(df, **kw).collect()}
+
+    def test_rates_and_intervals(self, spark):
+        hot = [("h", f"2024-01-0{i} 00:00:00", f"D{i}") for i in range(1, 6)]
+        cold = [("c", f"2024-01-0{i} 00:00:00", "SAME") for i in range(1, 6)]
+        got = self._policy(spark, hot + cold)
+        h, c = got["h"], got["c"]
+        # hot: changes every daily fetch -> re-fetch at observed cadence
+        assert (h["n_changes"], h["change_permille"]) == (4, 1000)
+        assert h["mean_interval_s"] == 86400
+        assert h["next_interval_s"] == 86400
+        # cold: never changed -> 8x backoff off the same cadence
+        assert (c["n_changes"], c["change_permille"]) == (0, 0)
+        assert c["next_interval_s"] == 8 * 86400
+
+    def test_clamps_and_single_fetch(self, spark):
+        rows = [
+            ("fast", "2024-01-01 00:00:00", "A"),
+            ("fast", "2024-01-01 00:10:00", "B"),   # 600s cadence, changing
+            ("once", "2024-01-01 00:00:00", "X"),   # no evidence
+        ]
+        got = self._policy(spark, rows)
+        assert got["fast"]["next_interval_s"] == 3600   # min clamp
+        o = got["once"]
+        assert o["change_permille"] is None
+        assert o["next_interval_s"] == 30 * 86400       # max default
+
+    def test_partial_change_rate(self, spark):
+        rows = [
+            ("p", "2024-01-01 00:00:00", "A"),
+            ("p", "2024-01-02 00:00:00", "A"),
+            ("p", "2024-01-03 00:00:00", "B"),
+            ("p", "2024-01-04 00:00:00", "B"),
+            ("p", "2024-01-05 00:00:00", "C"),
+        ]
+        (r,) = self._policy(spark, rows).values()
+        assert r["change_permille"] == 500  # 2 changes / 4 intervals
+        assert r["next_interval_s"] == 86400 * 2  # 1000/500 x cadence
