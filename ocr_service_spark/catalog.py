@@ -6305,6 +6305,48 @@ FROM d
 """
 
 
+def q_retention_plan(spark, sf_dir):
+    """Version-retention planning (operators/maintenance.py
+    retention_plan): planted per-url version histories of length
+    1 + doc_id%4 with keep_latest=1 and a protected window from
+    2024-01-03 — all three verdicts (latest / window / expire) fire and
+    every (rank, keep, reason) row is arithmetic in doc_id for the
+    oracle."""
+    from .operators.maintenance import retention_plan
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    versions = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)).alias("i"),
+    ).select(
+        F.format_string("u%d", "doc_id").alias("url"),
+        F.expr(
+            "timestampadd(DAY, i, timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    return retention_plan(
+        versions, keep_latest=1, keep_after_ts="2024-01-03 00:00:00"
+    )
+
+
+SQL_RETENTION_PLAN = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+v AS (
+  SELECT doc_id, m, s.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (s.i) DAY AS ts,
+         m - s.i + 1 AS rk
+  FROM d CROSS JOIN generate_series(0, 3) s(i) WHERE s.i <= m
+)
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, ts,
+  CAST(rk AS INTEGER) AS rank,
+  (rk <= 1 OR i >= 2) AS keep,
+  CASE WHEN rk <= 1 THEN 'latest'
+       WHEN i >= 2 THEN 'window'
+       ELSE 'expire' END AS reason
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6489,6 +6531,8 @@ CATALOG: Dict[str, tuple] = {
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
+    # version-retention planning (operators/maintenance.py)
+    "retention_plan": (q_retention_plan, SQL_RETENTION_PLAN),
 }
 
 

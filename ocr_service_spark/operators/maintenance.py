@@ -15,7 +15,7 @@ PLANNING below is real and oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the usual parquet target size
@@ -58,4 +58,55 @@ def compaction_plan(
         F.expr(f"(cum_bytes - bytes) div {int(target_bytes)}")
         .cast("long")
         .alias("group_id"),
+    )
+
+
+def retention_plan(
+    versions: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    keep_latest: int = 2,
+    keep_after_ts: str | None = None,
+) -> DataFrame:
+    """Version-retention planning — Iceberg expire_snapshots' decision
+    phase for a versioned corpus: per key, KEEP the newest `keep_latest`
+    versions plus anything fetched at/after `keep_after_ts` (the
+    time-travel window an auditor is promised); everything else is
+    marked expire. Emits every version with (rank, keep, reason) so the
+    expiry job is a filter, the audit is a groupBy, and a re-run plans
+    identically from the listing alone.
+
+    reason ∈ 'latest' (inside the per-key count), 'window' (older rank
+    but inside the protected time window), 'expire'.
+
+    Scale shape: one window rank per key — descending ts with a
+    deterministic ts tiebreak — bounded by versions-per-key (dozens),
+    exactly the domain_cap/top_k_per_group WindowGroupLimit family; no
+    global ordering anywhere."""
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("rowkey").desc()
+    )
+    base = versions.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.concat_ws("|", F.col(key_col), F.col(ts_col).cast("string"))
+        .alias("rowkey"),
+    )
+    ranked = base.withColumn("rank", F.row_number().over(w))
+    in_window = (
+        F.col("ts") >= F.lit(keep_after_ts).cast("timestamp")
+        if keep_after_ts is not None
+        else F.lit(False)
+    )
+    reason = (
+        F.when(F.col("rank") <= keep_latest, "latest")
+        .when(in_window, "window")
+        .otherwise("expire")
+    )
+    return ranked.select(
+        F.col("k").alias(key_col),
+        "ts",
+        F.col("rank").cast("int").alias("rank"),
+        (reason != "expire").alias("keep"),
+        reason.alias("reason"),
     )

@@ -76,3 +76,36 @@ class TestCompactionPlan:
         plan = buf.getvalue()
         # the prefix sum must never plan as a single-partition Window
         assert ") Window" not in plan, plan
+
+
+class TestRetentionPlan:
+    def _plan(self, spark, rows, **kw):
+        from ocr_service_spark.operators.maintenance import retention_plan
+
+        df = spark.createDataFrame(rows, "url string, ts string")
+        return {(r["url"], str(r["ts"])): (r["rank"], r["keep"], r["reason"])
+                for r in retention_plan(df, **kw).collect()}
+
+    def test_latest_window_expire(self, spark):
+        rows = [("u", f"2024-01-0{i} 00:00:00") for i in range(1, 6)]
+        got = self._plan(spark, rows, keep_latest=2,
+                         keep_after_ts="2024-01-03 00:00:00")
+        by_day = {k[1][8:10]: v for k, v in got.items()}
+        assert by_day["05"] == (1, True, "latest")
+        assert by_day["04"] == (2, True, "latest")
+        assert by_day["03"] == (3, True, "window")
+        assert by_day["02"] == (4, False, "expire")
+        assert by_day["01"] == (5, False, "expire")
+
+    def test_no_window_and_small_history(self, spark):
+        rows = [("a", "2024-01-01 00:00:00"),
+                ("b", "2024-01-01 00:00:00"), ("b", "2024-01-02 00:00:00")]
+        got = self._plan(spark, rows, keep_latest=2)
+        assert all(v[1] for v in got.values())  # nothing exceeds the count
+        assert got[("b", "2024-01-02 00:00:00")][0] == 1
+
+    def test_deterministic_replan(self, spark):
+        rows = [("u", f"2024-01-0{i} 00:00:00") for i in range(1, 6)]
+        a = self._plan(spark, rows, keep_latest=1)
+        b = self._plan(spark, rows, keep_latest=1)
+        assert a == b
