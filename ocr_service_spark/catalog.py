@@ -6347,6 +6347,44 @@ FROM v
 """
 
 
+def q_oov_rate_gate(spark, sf_dir):
+    """Corpus-derived OOV-rate gate (operators/textstats.py
+    oov_rate_gate): planted docs mix corpus-wide words (df ≫ min_df)
+    with doc-unique gibberish tokens (df = 1) in three ratios — 0‰,
+    333‰, 750‰ OOV — so the vocabulary derivation, the broadcast
+    membership join, and the permille gate are all exercised and every
+    output row is arithmetic in doc_id."""
+    from .operators.textstats import oov_rate_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 3
+    text = (
+        F.when(k == 0, F.lit("alpha beta gamma"))
+        .when(k == 1, F.format_string("alpha beta rare%d", "doc_id"))
+        .otherwise(
+            F.format_string("alpha rare%d rare%d zz%d", "doc_id",
+                            "doc_id", "doc_id")
+        )
+    )
+    return oov_rate_gate(
+        d.select("doc_id", text.alias("text")),
+        min_df=2,
+        max_oov_permille=400,
+    )
+
+
+SQL_OOV_RATE = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents)
+SELECT doc_id,
+  CAST(CASE k WHEN 2 THEN 4 ELSE 3 END AS BIGINT) AS n_tokens,
+  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END AS BIGINT) AS n_oov,
+  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 333 ELSE 750
+       END AS BIGINT) AS oov_permille,
+  k <> 2 AS keep
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6533,6 +6571,8 @@ CATALOG: Dict[str, tuple] = {
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
     # version-retention planning (operators/maintenance.py)
     "retention_plan": (q_retention_plan, SQL_RETENTION_PLAN),
+    # corpus-derived OOV-rate gate (operators/textstats.py)
+    "oov_rate_gate": (q_oov_rate_gate, SQL_OOV_RATE),
 }
 
 

@@ -201,3 +201,60 @@ def readability_scores(
         .otherwise("hard")
         .alias("band"),
     )
+
+
+def oov_rate_gate(
+    docs: DataFrame,
+    min_df: int = 50,
+    max_oov_permille: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary-rate gate: how much of each document is made of
+    words the corpus itself barely knows? High OOV mass flags garbled
+    extraction, codec damage, and gibberish spam that per-word shape
+    heuristics miss — the vocabulary is DERIVED from the corpus (words
+    whose document frequency ≥ min_df), so the gate needs no external
+    word list and re-derives identically on any snapshot.
+
+    Scale shape: tokens explode once; the vocabulary is a document-
+    frequency aggregate (distinct (doc, word) → per-word df — map-side
+    partials, one row per distinct word) that re-enters BROADCAST, so
+    the membership test never shuffles the token stream; the per-doc
+    rollup is the only token-keyed exchange. All outputs integer
+    (permille grid) — engine-exact."""
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    toks = docs.select(F.col(id_col).alias("id"), words.alias("ws")).select(
+        "id", F.explode_outer("ws").alias("w")
+    )
+    vocab = (
+        toks.where(F.col("w").isNotNull())
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "w", "left")
+    agg = joined.groupBy("id").agg(
+        F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("w").isNotNull() & F.col("in_vocab").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    permille = F.floor(
+        F.col("n_oov") * 1000 / F.greatest(F.col("n_tokens"), F.lit(1))
+    ).cast("long")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        permille.alias("oov_permille"),
+        (permille <= max_oov_permille).alias("keep"),
+    )

@@ -920,3 +920,26 @@ class TestBm25:
         )
         rows = bm25_topk(df, ["alpha", "beta"], k=1).collect()
         assert rows[0]["id"] == 1  # covering both terms beats repeating one
+
+
+class TestOovRateGate:
+    def test_vocab_derivation_and_gate(self, spark):
+        from ocr_service_spark.operators.textstats import oov_rate_gate
+
+        # 'common' appears in 3 docs (df>=3); the rest are df-1 rarities
+        rows = [
+            (1, "common common rare1"),
+            (2, "common rare2"),
+            (3, "common rare3 rare4 rare5"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in oov_rate_gate(df, min_df=3,
+                                      max_oov_permille=400).collect()}
+        assert (got[1]["n_tokens"], got[1]["n_oov"]) == (3, 1)
+        assert got[1]["oov_permille"] == 333 and got[1]["keep"]
+        assert got[2]["oov_permille"] == 500 and not got[2]["keep"]
+        assert got[3]["oov_permille"] == 750 and not got[3]["keep"]
+        assert (got[4]["n_tokens"], got[4]["oov_permille"]) == (0, 0)
+        assert got[4]["keep"]  # empty docs carry no OOV evidence
