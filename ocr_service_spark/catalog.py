@@ -6385,6 +6385,70 @@ FROM d
 """
 
 
+def q_host_link_clusters(spark, sf_dir):
+    """Weakly-connected host clusters (operators/graph.py
+    host_components): each doc_id quartet plants a 4-host link chain
+    (a→b→c→d) plus a separate 2-host pair (x→y) — REAL md5 node-id
+    mapping + pointer-doubling CC + representative mapping run; the
+    oracle recomputes the closure over host strings and the same md5
+    min-id representative."""
+    from .operators.graph import host_components
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") - (F.col("doc_id") % 4)
+    r = F.col("doc_id") % 4
+    letter = lambda col, a, b, c, x: (  # noqa: E731
+        F.when(r == 0, a).when(r == 1, b).when(r == 2, c).otherwise(x)
+    )
+    edges = d.select(
+        F.concat(letter(r, F.lit("a"), F.lit("b"), F.lit("c"), F.lit("x")),
+                 g.cast("string"), F.lit(".example")).alias("src"),
+        F.concat(letter(r, F.lit("b"), F.lit("c"), F.lit("d"), F.lit("y")),
+                 g.cast("string"), F.lit(".example")).alias("dst"),
+    )
+    return host_components(edges)
+
+
+SQL_HOST_LINK_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id - (doc_id % 4) AS VARCHAR) AS g,
+         doc_id % 4 AS r
+  FROM documents
+),
+e AS (
+  SELECT CASE r WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+          ELSE 'x' END || g || '.example' AS src,
+         CASE r WHEN 0 THEN 'b' WHEN 1 THEN 'c' WHEN 2 THEN 'd'
+          ELSE 'y' END || g || '.example' AS dst
+  FROM d
+),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM e UNION ALL SELECT dst FROM e
+  )
+),
+ids AS (
+  SELECT host,
+    CAST(CAST(('0x' || substr(md5(host), 1, 15)) AS UBIGINT) AS BIGINT)
+      AS id
+  FROM hosts
+),
+sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+reach(h, rr) AS (
+  SELECT host, host FROM hosts
+  UNION
+  SELECT reach.h, sym.v FROM reach JOIN sym ON reach.rr = sym.u
+),
+comp AS (
+  SELECT reach.h AS host, MIN(ids.id) AS cid
+  FROM reach JOIN ids ON reach.rr = ids.host
+  GROUP BY reach.h
+)
+SELECT comp.host, i2.host AS canonical_host
+FROM comp JOIN ids i2 ON comp.cid = i2.id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6573,6 +6637,8 @@ CATALOG: Dict[str, tuple] = {
     "retention_plan": (q_retention_plan, SQL_RETENTION_PLAN),
     # corpus-derived OOV-rate gate (operators/textstats.py)
     "oov_rate_gate": (q_oov_rate_gate, SQL_OOV_RATE),
+    # weakly-connected host clusters (operators/graph.py)
+    "host_link_clusters": (q_host_link_clusters, SQL_HOST_LINK_CLUSTERS),
 }
 
 

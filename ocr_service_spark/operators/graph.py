@@ -86,3 +86,48 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def host_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Weakly-connected host clusters from the link graph — the
+    site-network view (mirror farms, link rings, multi-domain
+    properties) that per-host reputation can't see: a spam network's
+    hosts form one component and get judged TOGETHER.
+
+    Hosts map to 60-bit md5-derived node ids (engine-exact, the
+    simhash_md5_60 convention; collisions are 2⁻⁶⁰-scale and would only
+    merge two clusters, never split one), run through the pointer-
+    doubling connected_components (operators/dedup.py — O(log n)
+    rounds), then map back: (host, canonical_host) where the canonical
+    is the member with the SMALLEST node id — a deterministic
+    representative both engines derive identically."""
+    from .dedup import connected_components
+
+    def hid(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    hosts = (
+        edges.select(F.col(src).alias("host"))
+        .union(edges.select(F.col(dst).alias("host")))
+        .distinct()
+        .select("host", hid(F.col("host")).alias("id"))
+    )
+    e = edges.select(
+        hid(F.col(src)).alias("id_a"), hid(F.col(dst)).alias("id_b")
+    )
+    comp = connected_components(e)  # (id, component)
+    reps = hosts.select(
+        F.col("id").alias("component"),
+        F.col("host").alias("canonical_host"),
+    )
+    return (
+        hosts.join(comp, "id", "left")
+        .select(
+            "host",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .join(reps, "component")
+        .select("host", "canonical_host")
+    )

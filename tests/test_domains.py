@@ -216,3 +216,24 @@ class TestRegistrableDomains:
             registrable_domains(df).explain("formatted")
         assert buf.getvalue().count(") Exchange") == 0
         assert "CartesianProduct" not in buf.getvalue()
+
+
+class TestHostComponents:
+    def test_clusters_and_representatives(self, spark):
+        from ocr_service_spark.operators.graph import host_components
+
+        edges = spark.createDataFrame(
+            [("a.com", "b.com"), ("b.com", "c.com"),   # one triangle-ish
+             ("x.org", "y.org"),                        # separate pair
+             ("solo1.net", "solo2.net")],
+            "src string, dst string",
+        )
+        got = {r["host"]: r["canonical_host"]
+               for r in host_components(edges).collect()}
+        # abc cluster shares one canonical; xy another; solos their own
+        assert got["a.com"] == got["b.com"] == got["c.com"]
+        assert got["x.org"] == got["y.org"]
+        assert got["solo1.net"] == got["solo2.net"]
+        assert len({got["a.com"], got["x.org"], got["solo1.net"]}) == 3
+        # canonical is a member of its own cluster
+        assert got["a.com"] in {"a.com", "b.com", "c.com"}
