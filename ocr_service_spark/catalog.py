@@ -6449,6 +6449,20 @@ FROM comp JOIN ids i2 ON comp.cid = i2.id
 """
 
 
+def q_int8_ivf_topk(spark, sf_dir):
+    """Composed scale path: IVF inverted lists × int8 scoring, probed at
+    nprobe = n_centroids — every list scanned makes IVF exact, so the
+    int8 brute-force oracle (SQL_INT8_ANN) applies verbatim; the
+    partial-probe recall behavior is pinned by tests."""
+    from .operators.similarity import int8_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return int8_ivf_topk(
+        emb, emb.filter("vec_id < 5"), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=8,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6639,6 +6653,8 @@ CATALOG: Dict[str, tuple] = {
     "oov_rate_gate": (q_oov_rate_gate, SQL_OOV_RATE),
     # weakly-connected host clusters (operators/graph.py)
     "host_link_clusters": (q_host_link_clusters, SQL_HOST_LINK_CLUSTERS),
+    # IVF x int8 composed scale path (operators/similarity.py)
+    "int8_ivf_topk": (q_int8_ivf_topk, SQL_INT8_ANN),
 }
 
 

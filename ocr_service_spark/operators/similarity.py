@@ -260,3 +260,77 @@ def int8_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def int8_ivf_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int, n_centroids: int = 16, nprobe: int = 4, refine_iters: int = 1,
+    scale: int = 127,
+) -> DataFrame:
+    """IVF bucketing × int8 scoring — the composed scale path
+    (PQ-lite): inverted lists bound WHAT a query scans
+    (nprobe/n_centroids of the corpus), int8 quantization bounds what
+    each scanned row COSTS (4× less memory/shuffle than float32,
+    integer dots). Coarse assignment stays float (centroids are
+    broadcast-sized; quantizing them buys nothing), candidate scoring is
+    exactly int8_ann_topk's integer arithmetic. At nprobe = n_centroids
+    this equals the int8 brute force — which is the driver oracle —
+    while tests pin the partial-probe recall floor."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids,
+                          refine_iters)
+    lists = ivf_assign(corpus, id_col, vec_col, cents).select(
+        F.col("id").alias("neighbor_id"), "cid"
+    )
+    cq = int8_quantize(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qvec").alias("qc"),
+        F.col("l2q").alias("l2c"),
+    )
+    lists_q = lists.join(cq, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "vq", "cid", _cos("vq", "cvec").alias("cos_c")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cid")
+    )
+    qq = int8_quantize(queries, id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("l2q").alias("l2qq"),
+    )
+    probes_q = probes.join(qq, "query_id")
+    cand = lists_q.join(F.broadcast(probes_q), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        dot.alias("dot"),
+        (F.col("l2c").cast("double") * F.col("l2qq").cast("double"))
+        .alias("nn"),
+    ).select(
+        "query_id", "neighbor_id", "dot",
+        (F.col("dot") / F.sqrt(F.col("nn"))).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

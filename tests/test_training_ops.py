@@ -433,3 +433,34 @@ class TestInt8Ann:
         # integer dots are exact and deterministic across runs
         again = int8_ann_topk(emb, q, "vec_id", "embedding", k=5).collect()
         assert sorted(map(tuple, quant)) == sorted(map(tuple, again))
+
+
+class TestInt8Ivf:
+    def test_full_probe_equals_int8_brute(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            int8_ann_topk,
+            int8_ivf_topk,
+        )
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 5")
+        brute = sorted(map(tuple, int8_ann_topk(
+            emb, q, "vec_id", "embedding", k=5).collect()))
+        ivf = sorted(map(tuple, int8_ivf_topk(
+            emb, q, "vec_id", "embedding", k=5,
+            n_centroids=8, nprobe=8).collect()))
+        assert ivf == brute
+
+    def test_partial_probe_recall_floor(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            int8_ann_topk,
+            int8_ivf_topk,
+        )
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 10")
+        exact = {(r["query_id"], r["neighbor_id"]) for r in int8_ann_topk(
+            emb, q, "vec_id", "embedding", k=5).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in int8_ivf_topk(
+            emb, q, "vec_id", "embedding", k=5,
+            n_centroids=8, nprobe=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"int8-IVF recall {recall} implausibly low"
