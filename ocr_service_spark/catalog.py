@@ -6463,6 +6463,63 @@ def q_int8_ivf_topk(spark, sf_dir):
     )
 
 
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """`Sitemap:` discovery (core/robots.py parse_sitemap_urls —
+    group-independent per RFC 9309): planted robots per host declare
+    zero/one/two sitemap URLs with a duplicate and a relative decoy that
+    must be ignored; the oracle recomputes (host, sitemap_url, pos)
+    arithmetically."""
+    from .operators.robots import robots_sitemap_urls
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 3
+    txt = (
+        F.when(k == 0, F.format_string(
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h%d.example/s1.xml  # main\n"
+            "Sitemap: https://h%d.example/s1.xml\n"  # dup ignored
+            "Sitemap: /relative.xml",                # relative ignored
+            "doc_id", "doc_id",
+        ))
+        .when(k == 1, F.format_string(
+            "Sitemap: https://h%d.example/a.xml\n"
+            "User-agent: bot\nDisallow: /\n"
+            "sitemap: https://h%d.example/b.xml",
+            "doc_id", "doc_id",
+        ))
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+    )
+    robots = d.select(
+        F.format_string("h%d.example", "doc_id").alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return robots_sitemap_urls(robots)
+
+
+SQL_ROBOTS_SITEMAP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k, CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+),
+one AS (
+  SELECT 'h' || ds || '.example' AS host,
+         'https://h' || ds || '.example/s1.xml' AS sitemap_url,
+         0 AS pos
+  FROM d WHERE k = 0
+),
+two AS (
+  SELECT 'h' || ds || '.example' AS host,
+         CASE t.i WHEN 0 THEN 'https://h' || ds || '.example/a.xml'
+              ELSE 'https://h' || ds || '.example/b.xml' END AS sitemap_url,
+         t.i AS pos
+  FROM d CROSS JOIN (VALUES (0), (1)) t(i) WHERE k = 1
+)
+SELECT host, sitemap_url, CAST(pos AS INTEGER) AS pos FROM one
+UNION ALL
+SELECT host, sitemap_url, CAST(pos AS INTEGER) AS pos FROM two
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6655,6 +6712,9 @@ CATALOG: Dict[str, tuple] = {
     "host_link_clusters": (q_host_link_clusters, SQL_HOST_LINK_CLUSTERS),
     # IVF x int8 composed scale path (operators/similarity.py)
     "int8_ivf_topk": (q_int8_ivf_topk, SQL_INT8_ANN),
+    # robots Sitemap: discovery (core/robots.py)
+    "robots_sitemap_discovery": (q_robots_sitemap_discovery,
+                                 SQL_ROBOTS_SITEMAP),
 }
 
 

@@ -136,3 +136,24 @@ def robots_allowed(rules: List[Rule], path: str) -> bool:
 
 def check_url_path(robots_txt: str, agent: str, path: str) -> bool:
     return robots_allowed(parse_robots(robots_txt, agent), path)
+
+
+def parse_sitemap_urls(txt: str) -> List[str]:
+    """`Sitemap:` lines — RFC 9309 treats them as GROUP-INDEPENDENT
+    (valid anywhere in the file, apply to all agents): absolute sitemap
+    URLs in file order, deduplicated preserving first occurrence.
+    Comments strip as usual; relative values are ignored (the protocol
+    requires absolute URLs)."""
+    out: List[str] = []
+    seen = set()
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if "://" not in value or value in seen:
+            continue
+        seen.add(value)
+        out.append(value)
+    return out

@@ -109,3 +109,34 @@ def robots_crawl_delays(robots: DataFrame,
     return robots.select("host", "robots_txt").mapInPandas(
         run, DELAY_SCHEMA
     )
+
+
+SITEMAP_SCHEMA = "host string, sitemap_url string, pos int"
+
+
+def robots_sitemap_urls(robots: DataFrame) -> DataFrame:
+    """robots(host, robots_txt) → one row per declared `Sitemap:` URL
+    (host, sitemap_url, pos) — the discovery edge feeding
+    operators/sitemap.py parse_sitemaps, closing robots → sitemap →
+    coverage. Group-independent per RFC 9309; same one-Arrow-pass,
+    one-row-per-host shape as the other robots operators."""
+    from ..core.robots import parse_sitemap_urls
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls, poss = [], [], []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                if txt is None:
+                    continue
+                for i, u in enumerate(parse_sitemap_urls(txt)):
+                    hosts.append(host)
+                    urls.append(u)
+                    poss.append(i)
+            yield pd.DataFrame(
+                {"host": hosts, "sitemap_url": urls,
+                 "pos": pd.array(poss, dtype="int32")}
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        run, SITEMAP_SCHEMA
+    )

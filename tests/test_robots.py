@@ -145,3 +145,40 @@ class TestCrawlDelay:
         got = {r["host"]: r["crawl_delay_s"]
                for r in robots_crawl_delays(robots).collect()}
         assert got == {"a.example": 2}
+
+
+class TestSitemapDiscovery:
+    def test_parse_sitemap_urls(self):
+        from ocr_service_spark.core.robots import parse_sitemap_urls
+
+        txt = ("User-agent: *\nDisallow: /x\n"
+               "Sitemap: https://h/sm1.xml  # main\n"
+               "User-agent: bot\n"
+               "sitemap: https://h/sm2.xml\n"
+               "Sitemap: https://h/sm1.xml\n"   # dup: first wins
+               "Sitemap: /relative.xml\n")      # relative: ignored
+        assert parse_sitemap_urls(txt) == [
+            "https://h/sm1.xml", "https://h/sm2.xml",
+        ]
+        assert parse_sitemap_urls("") == []
+        assert parse_sitemap_urls(None) == []
+
+    def test_operator_rows(self, spark):
+        from ocr_service_spark.operators.robots import robots_sitemap_urls
+
+        robots = spark.createDataFrame(
+            [("a.example",
+              "Sitemap: https://a.example/s1.xml\n"
+              "Sitemap: https://a.example/s2.xml"),
+             ("b.example", "User-agent: *\nDisallow:"),
+             ("c.example", None)],
+            "host string, robots_txt string",
+        )
+        got = sorted(
+            (r["host"], r["pos"], r["sitemap_url"])
+            for r in robots_sitemap_urls(robots).collect()
+        )
+        assert got == [
+            ("a.example", 0, "https://a.example/s1.xml"),
+            ("a.example", 1, "https://a.example/s2.xml"),
+        ]
