@@ -6520,6 +6520,55 @@ SELECT host, sitemap_url, CAST(pos AS INTEGER) AS pos FROM two
 """
 
 
+def q_http_metadata(spark, sf_dir):
+    """HTTP envelope mining (sources/warc.py http_response_meta): four
+    planted stored-response classes — 200 with media-type params +
+    revalidation tokens, 301 with Location, 404 with bare headers, and
+    a non-HTTP fixture payload (all-null row) — the REAL field parser
+    runs; the oracle recomputes every column arithmetically."""
+    from .sources.warc import http_metadata
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 4
+    payload = (
+        F.when(k == 0, F.format_string(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/HTML; charset=utf-8\r\n"
+            "ETag: \"e%d\"\r\n"
+            "Last-Modified: Tue, 02 Jan 2024 03:04:05 GMT\r\n\r\n<html>",
+            "doc_id",
+        ))
+        .when(k == 1, F.format_string(
+            "HTTP/1.1 301 Moved Permanently\r\n"
+            "Location: https://h%d.example/new\r\n\r\n", "doc_id",
+        ))
+        .when(k == 2, F.lit("HTTP/1.1 404 Not Found\r\n\r\ngone"))
+        .otherwise(F.lit("<html>bare fixture</html>"))
+    )
+    pages = d.select(
+        F.format_string("https://h%d.example/p", "doc_id").alias("url"),
+        F.encode(payload, "utf-8").alias("html"),
+    )
+    return http_metadata(pages)
+
+
+SQL_HTTP_METADATA = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS k, CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+)
+SELECT 'https://h' || ds || '.example/p' AS url,
+  CAST(CASE k WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+       END AS INTEGER) AS status,
+  CASE WHEN k = 0 THEN 'text/html' END AS content_type,
+  CASE WHEN k = 0 THEN '"e' || ds || '"' END AS etag,
+  CASE WHEN k = 0 THEN 'Tue, 02 Jan 2024 03:04:05 GMT'
+       END AS last_modified,
+  CASE WHEN k = 1 THEN 'https://h' || ds || '.example/new'
+       END AS location
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6715,6 +6764,8 @@ CATALOG: Dict[str, tuple] = {
     # robots Sitemap: discovery (core/robots.py)
     "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                  SQL_ROBOTS_SITEMAP),
+    # HTTP envelope mining (sources/warc.py)
+    "http_metadata": (q_http_metadata, SQL_HTTP_METADATA),
 }
 
 

@@ -205,3 +205,70 @@ def write_warc(rows: Iterator[Tuple[str, Optional[datetime], bytes]], fh) -> int
         fh.write(head + CRLF + payload + CRLF + CRLF)
         n += 1
     return n
+
+
+def http_response_meta(payload: bytes) -> dict:
+    """HTTP envelope metadata from a stored response message: status
+    code, media type (lowercased, parameters stripped), and the
+    revalidation tokens a conditional re-fetch needs (ETag,
+    Last-Modified) plus Location for redirect mining. Non-HTTP payloads
+    (bare fixture documents) return status None. Field parsing follows
+    http_response_body's rules: real header fields, not substring
+    probes."""
+    out = {"status": None, "content_type": None, "etag": None,
+           "last_modified": None, "location": None}
+    if not payload.startswith(b"HTTP/"):
+        return out
+    sep = payload.find(CRLF + CRLF)
+    head = payload[:sep] if sep >= 0 else payload
+    lines = head.split(CRLF)
+    parts = lines[0].split(None, 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        out["status"] = int(parts[1])
+    for line in lines[1:]:
+        k, colon, v = line.partition(b":")
+        if not colon:
+            continue
+        lk = k.strip().lower()
+        v = v.strip()
+        if lk == b"content-type":
+            out["content_type"] = (
+                v.split(b";", 1)[0].strip().lower().decode("latin-1")
+                or None
+            )
+        elif lk == b"etag":
+            out["etag"] = v.decode("latin-1") or None
+        elif lk == b"last-modified":
+            out["last_modified"] = v.decode("latin-1") or None
+        elif lk == b"location":
+            out["location"] = v.decode("latin-1") or None
+    return out
+
+
+def http_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html binary) → (url, status, content_type, etag,
+    last_modified, location) — the crawl-analytics and conditional-GET
+    planning surface (send If-None-Match/If-Modified-Since next fetch,
+    follow Location chains). One Arrow pass, zero shuffles."""
+    import pandas as pd
+
+    def run(batches):
+        cols = ("status", "content_type", "etag", "last_modified",
+                "location")
+        for pdf in batches:
+            rows = {k: [] for k in ("url",) + cols}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                m = http_response_meta(
+                    bytes(payload) if payload is not None else b""
+                )
+                rows["url"].append(url)
+                for c in cols:
+                    rows[c].append(m[c])
+            out = pd.DataFrame(rows)
+            yield out.astype({"status": "Int32"}, errors="ignore")
+
+    return pages.select("url", "html").mapInPandas(
+        run,
+        "url string, status int, content_type string, etag string, "
+        "last_modified string, location string",
+    )

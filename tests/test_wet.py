@@ -39,3 +39,40 @@ def test_to_wet_files_partition_layout(spark):
     assert {u for u, _, _ in parsed} == {u for u, _ in rows}
     assert {t for _, _, t in parsed} == {t for _, t in rows}
     assert all(r["n_bytes"] == len(bytes(r["wet"])) for r in out)
+
+
+class TestHttpMetadata:
+    def test_meta_extraction(self):
+        from ocr_service_spark.sources.warc import http_response_meta
+
+        msg = (b"HTTP/1.1 301 Moved Permanently\r\n"
+               b"Content-Type: text/HTML; charset=utf-8\r\n"
+               b"ETag: \"abc123\"\r\n"
+               b"Last-Modified: Tue, 02 Jan 2024 03:04:05 GMT\r\n"
+               b"Location: https://s/new\r\n\r\nbody")
+        m = http_response_meta(msg)
+        assert m == {
+            "status": 301, "content_type": "text/html",
+            "etag": '"abc123"',
+            "last_modified": "Tue, 02 Jan 2024 03:04:05 GMT",
+            "location": "https://s/new",
+        }
+        assert http_response_meta(b"<html>bare</html>")["status"] is None
+        assert http_response_meta(b"HTTP/1.1 200 OK\r\nno-end")["status"] == 200
+
+    def test_operator(self, spark):
+        from ocr_service_spark.sources.warc import http_metadata
+
+        rows = [
+            ("a", b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx"),
+            ("b", b"HTTP/1.1 404 Not Found\r\n\r\n"),
+            ("c", b"<html>bare</html>"),
+            ("d", None),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {r["url"]: (r["status"], r["content_type"])
+               for r in http_metadata(df).collect()}
+        assert got == {
+            "a": (200, "text/html"), "b": (404, None),
+            "c": (None, None), "d": (None, None),
+        }
