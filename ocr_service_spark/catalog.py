@@ -6569,6 +6569,49 @@ FROM d
 """
 
 
+def q_page_pathology(spark, sf_dir):
+    """Soft-error gate (operators/quality.py page_pathology): five
+    planted classes — soft 404, login wall, cookie interstitial, clean
+    short page, and a LONG page containing a cookie phrase that must
+    stay ok (the length-guard polarity) — plus the priority case is
+    covered by the class ordering. The oracle replays the LIKE/CASE
+    heuristic."""
+    from .operators.quality import page_pathology
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 5
+    title = (
+        F.when(k == 0, F.lit("404 Not Found")).otherwise(F.lit("Page"))
+    )
+    text = (
+        F.when(k == 0, F.lit("sorry, the page does not exist"))
+        .when(k == 1, F.lit("please sign in to view this content"))
+        .when(k == 2, F.lit("we use cookies to improve your experience"))
+        .when(k == 3, F.lit("a perfectly fine short document"))
+        .otherwise(
+            F.concat(
+                F.lit("we use cookies in this recipe. "),
+                F.repeat(F.lit("flour butter sugar "), 120),
+            )
+        )
+    )
+    return page_pathology(
+        d.select("doc_id", title.alias("title"), text.alias("text"))
+    ).select("doc_id", "n_words", "pathology", "keep")
+
+
+SQL_PAGE_PATHOLOGY = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents)
+SELECT doc_id,
+  CAST(CASE k WHEN 0 THEN 6 WHEN 1 THEN 7 WHEN 2 THEN 7 WHEN 3 THEN 5
+       ELSE 6 + 120 * 3 END AS INTEGER) AS n_words,
+  CASE k WHEN 0 THEN 'soft404' WHEN 1 THEN 'login_wall'
+       WHEN 2 THEN 'cookie_wall' ELSE 'ok' END AS pathology,
+  k >= 3 AS keep
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6766,6 +6809,8 @@ CATALOG: Dict[str, tuple] = {
                                  SQL_ROBOTS_SITEMAP),
     # HTTP envelope mining (sources/warc.py)
     "http_metadata": (q_http_metadata, SQL_HTTP_METADATA),
+    # soft-error page gate (operators/quality.py)
+    "page_pathology": (q_page_pathology, SQL_PAGE_PATHOLOGY),
 }
 
 

@@ -816,3 +816,57 @@ def dup_line_signals(
         & (F.col("dup_para_char_frac_x100") <= th["max_dup_para_chars_x100"])
     )
     return sig.withColumn("keep", keep)
+
+
+def page_pathology(
+    df: DataFrame,
+    title_col: str = "title",
+    text_col: str = "text",
+    max_words: int = 300,
+) -> DataFrame:
+    """Soft-error page gate: crawls are full of HTTP-200 pages whose
+    CONTENT is an error — soft 404s, login walls, cookie-consent
+    interstitials — and none of the statistical quality gates catch
+    them (they're fluent English). Classic phrase heuristics with a
+    length guard (a real article that merely MENTIONS cookies is long;
+    the interstitial replacing it is short):
+
+      pathology ∈ soft404 > login_wall > cookie_wall > ok
+      (first match wins, only when n_words < max_words)
+
+    Pure JVM contains/CASE expressions (codegen, shuffle-free) — the
+    same oracle-expressible shape as the lang-ID heuristic."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ti = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    from .textstats import n_words as _nw
+
+    nw = _nw(t)
+    short = nw < max_words
+    soft404 = short & (
+        ti.contains("404")
+        | ti.contains("not found")
+        | t.contains("page not found")
+        | t.contains("does not exist")
+    )
+    login = short & (
+        t.contains("log in to continue")
+        | t.contains("sign in to view")
+        | t.contains("create an account to")
+    )
+    cookie = short & (
+        t.contains("we use cookies")
+        | t.contains("accept cookies")
+        | t.contains("cookie policy")
+    )
+    pathology = (
+        F.when(soft404, "soft404")
+        .when(login, "login_wall")
+        .when(cookie, "cookie_wall")
+        .otherwise("ok")
+    )
+    return df.select(
+        *df.columns,
+        nw.cast("int").alias("n_words"),
+        pathology.alias("pathology"),
+        (pathology == "ok").alias("keep"),
+    )

@@ -943,3 +943,37 @@ class TestOovRateGate:
         assert got[3]["oov_permille"] == 750 and not got[3]["keep"]
         assert (got[4]["n_tokens"], got[4]["oov_permille"]) == (0, 0)
         assert got[4]["keep"]  # empty docs carry no OOV evidence
+
+
+class TestPagePathology:
+    def _gate(self, spark, rows, **kw):
+        from ocr_service_spark.operators.quality import page_pathology
+
+        df = spark.createDataFrame(rows, "doc_id long, title string, text string")
+        return {r["doc_id"]: (r["pathology"], r["keep"])
+                for r in page_pathology(df, **kw).collect()}
+
+    def test_classes_and_priority(self, spark):
+        got = self._gate(spark, [
+            (1, "404 Not Found", "the page does not exist here"),
+            (2, "Members", "please sign in to view this content"),
+            (3, "Welcome", "we use cookies to improve your experience"),
+            (4, "Article", "a perfectly fine short document"),
+            # soft404 phrase beats the cookie phrase (priority)
+            (5, "Oops", "page not found. also we use cookies."),
+        ])
+        assert got[1] == ("soft404", False)
+        assert got[2] == ("login_wall", False)
+        assert got[3] == ("cookie_wall", False)
+        assert got[4] == ("ok", True)
+        assert got[5] == ("soft404", False)
+
+    def test_length_guard(self, spark):
+        long_text = ("we use cookies in this recipe. " +
+                     "flour butter sugar " * 120)
+        got = self._gate(spark, [(1, "Baking", long_text)])
+        assert got[1] == ("ok", True)  # long real content never flags
+
+    def test_null_title_and_text(self, spark):
+        got = self._gate(spark, [(1, None, None)])
+        assert got[1] == ("ok", True)
