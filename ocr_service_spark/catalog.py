@@ -6612,6 +6612,45 @@ FROM d
 """
 
 
+def q_corpus_rollup_profile(spark, sf_dir):
+    """Dataset-card accounting in one pass: ROLLUP over (source, lang)
+    gives per-cell, per-source and grand-total doc/char/word counts —
+    the multi-level profile a corpus release publishes. Spark's rollup
+    and DuckDB's ROLLUP produce identical null-marker rows, so the whole
+    cube value-hashes; counts are exact integers. One aggregate, cube
+    rows ≪ input rows cross the exchange (map-side partials)."""
+    d = load(spark, sf_dir, "documents")
+    from .operators.textstats import n_words as _nw
+
+    base = d.select(
+        "source", "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("n_chars"),
+        _nw(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("nw"),
+    )
+    return base.rollup("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("nw").alias("total_words"),
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+WITH b AS (
+  SELECT source, lang,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(COALESCE(text, '')),
+                                          '\\s+')) END AS BIGINT) AS nw
+  FROM documents
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       SUM(n_chars) AS total_chars, SUM(nw) AS total_words
+FROM b GROUP BY ROLLUP (source, lang)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6811,6 +6850,8 @@ CATALOG: Dict[str, tuple] = {
     "http_metadata": (q_http_metadata, SQL_HTTP_METADATA),
     # soft-error page gate (operators/quality.py)
     "page_pathology": (q_page_pathology, SQL_PAGE_PATHOLOGY),
+    # dataset-card rollup accounting (one ROLLUP aggregate)
+    "corpus_rollup_profile": (q_corpus_rollup_profile, SQL_CORPUS_ROLLUP),
 }
 
 
