@@ -6651,6 +6651,50 @@ FROM b GROUP BY ROLLUP (source, lang)
 """
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution: REAL http envelope parsing pulls
+    Location edges from planted 301 messages (chains of length 0-2 per
+    doc_id triple, plus an off-corpus hop), and the REAL pointer-
+    doubling resolver (operators/canonical.py — redirects are the same
+    functional graph as rel=canonical) collapses them. The oracle
+    recomputes finals/hops arithmetically."""
+    from .operators.canonical import canonical_resolve
+    from .sources.warc import http_metadata
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 3
+    # r{g} <- r{g+1} <- r{g+2}: k=0 lands (200), k>0 redirects down-chain
+    payload = (
+        F.when(k == 0, F.lit("HTTP/1.1 200 OK\r\n\r\n<html>ok</html>"))
+        .otherwise(F.format_string(
+            "HTTP/1.1 301 Moved Permanently\r\n"
+            "Location: https://r%d.example/\r\n\r\n",
+            F.col("doc_id") - 1,
+        ))
+    )
+    pages = d.select(
+        F.format_string("https://r%d.example/", "doc_id").alias("url"),
+        F.encode(payload, "utf-8").alias("html"),
+    )
+    edges = http_metadata(pages).select(
+        "url", F.col("location").alias("canonical")
+    )
+    return canonical_resolve(edges)
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents)
+SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.example/' AS url,
+  CASE WHEN k = 0
+         THEN 'https://r' || CAST(doc_id AS VARCHAR) || '.example/'
+       ELSE 'https://r' || CAST(doc_id - k AS VARCHAR) || '.example/'
+  END AS final_url,
+  CAST(k AS INTEGER) AS hops,
+  TRUE AS resolved
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6852,6 +6896,8 @@ CATALOG: Dict[str, tuple] = {
     "page_pathology": (q_page_pathology, SQL_PAGE_PATHOLOGY),
     # dataset-card rollup accounting (one ROLLUP aggregate)
     "corpus_rollup_profile": (q_corpus_rollup_profile, SQL_CORPUS_ROLLUP),
+    # redirect-chain resolution (http envelope -> pointer doubling)
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
 }
 
 
