@@ -977,3 +977,36 @@ class TestPagePathology:
     def test_null_title_and_text(self, spark):
         got = self._gate(spark, [(1, None, None)])
         assert got[1] == ("ok", True)
+
+
+def test_bm25_minimal_plan(spark):
+    """bm25 is one corpus-stats Exchange + TakeOrderedAndProject — the
+    corpus side never repartitions and top-k never globally sorts."""
+    import contextlib, io
+    from ocr_service_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")],
+                               "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(df, ["a"], k=2).explain("formatted")
+    t = buf.getvalue()
+    assert t.count(") Exchange") == 1
+    assert "TakeOrderedAndProject" in t
+    assert "CartesianProduct" not in t
+
+
+def test_oov_membership_is_broadcast(spark):
+    """The vocabulary re-enters broadcast: the token stream must never
+    shuffle for the membership test."""
+    import contextlib, io
+    from ocr_service_spark.operators.textstats import oov_rate_gate
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")],
+                               "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        oov_rate_gate(df, min_df=2).explain("formatted")
+    t = buf.getvalue()
+    assert "BroadcastHashJoin" in t
+    assert t.count(") Exchange") <= 3
