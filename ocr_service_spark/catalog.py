@@ -6695,6 +6695,53 @@ FROM d
 """
 
 
+def q_corpus_tv_drift(spark, sf_dir):
+    """Dataset-regression alarm (operators/snapshots.py
+    length_histogram_drift): 'new' is the corpus with every 5th doc's
+    length doubled — a planted parser regression — and the REAL
+    binary-string-bucket histogram + cross-multiplied TV distance must
+    measure exactly the shift the oracle recomputes from scratch."""
+    from .operators.snapshots import length_histogram_drift
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    old = d.select(nl.alias("n_chars"))
+    new = d.select(
+        F.when(F.col("doc_id") % 5 == 0, nl * 2).otherwise(nl)
+        .alias("n_chars")
+    )
+    return length_histogram_drift(old, new)
+
+
+SQL_CORPUS_TV_DRIFT = """
+WITH base AS (
+  SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS L
+  FROM documents
+),
+o AS (
+  SELECT length(printf('%b', L + 1)) - 1 AS bucket FROM base
+),
+n AS (
+  SELECT length(printf('%b',
+           (CASE WHEN doc_id % 5 = 0 THEN 2 * L ELSE L END) + 1)) - 1
+         AS bucket
+  FROM base
+),
+ho AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_old FROM o GROUP BY 1),
+hn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_new FROM n GROUP BY 1),
+h AS (
+  SELECT COALESCE(ho.bucket, hn.bucket) AS bucket,
+         COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+  FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket
+),
+t AS (SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM h)
+SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+  CAST(FLOOR(500.0 * (SELECT SUM(abs(c_old * t.n_new - c_new * t.n_old))
+                      FROM h) / (n_old * n_new)) AS BIGINT) AS tv_permille
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6898,6 +6945,8 @@ CATALOG: Dict[str, tuple] = {
     "corpus_rollup_profile": (q_corpus_rollup_profile, SQL_CORPUS_ROLLUP),
     # redirect-chain resolution (http envelope -> pointer doubling)
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    # dataset-regression TV-distance alarm (operators/snapshots.py)
+    "corpus_tv_drift": (q_corpus_tv_drift, SQL_CORPUS_TV_DRIFT),
 }
 
 

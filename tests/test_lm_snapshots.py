@@ -295,3 +295,33 @@ class TestRefreshPolicy:
         (r,) = self._policy(spark, rows).values()
         assert r["change_permille"] == 500  # 2 changes / 4 intervals
         assert r["next_interval_s"] == 86400 * 2  # 1000/500 x cadence
+
+
+class TestLengthHistogramDrift:
+    def _drift(self, spark, old_vals, new_vals):
+        from ocr_service_spark.operators.snapshots import (
+            length_histogram_drift,
+        )
+        o = spark.createDataFrame([(v,) for v in old_vals], "n_chars long")
+        n = spark.createDataFrame([(v,) for v in new_vals], "n_chars long")
+        (r,) = length_histogram_drift(o, n).collect()
+        return r
+
+    def test_identical_distributions_zero(self, spark):
+        vals = [10, 20, 100, 1000] * 5
+        r = self._drift(spark, vals, vals)
+        assert (r["n_old"], r["n_new"], r["tv_permille"]) == (20, 20, 0)
+
+    def test_disjoint_distributions_full(self, spark):
+        r = self._drift(spark, [1] * 10, [10_000] * 10)
+        assert r["tv_permille"] == 1000
+
+    def test_partial_shift(self, spark):
+        # half the mass moves one bucket: TV = 0.5 -> 500 permille
+        r = self._drift(spark, [8] * 10, [8] * 5 + [16] * 5)
+        assert r["tv_permille"] == 500
+
+    def test_scale_invariance_of_counts(self, spark):
+        # same distributions at different corpus sizes: drift 0
+        r = self._drift(spark, [8, 16], [8] * 7 + [16] * 7)
+        assert r["tv_permille"] == 0
