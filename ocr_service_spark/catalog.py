@@ -6742,6 +6742,47 @@ FROM t
 """
 
 
+def q_luhn_card_scrub(spark, sf_dir):
+    """Checksum-verified card scrubbing (operators/quality.py
+    luhn_card_scrub): planted classes mix a valid Visa test number
+    (spaced), a one-digit-off INVALID twin that must stay untouched, a
+    valid Amex, a 14-digit timestamp (regex candidate, Luhn reject), and
+    digit-free text. The REAL Catalyst Luhn runs; the oracle is the
+    planting CASE — a validation miss in either direction breaks it."""
+    from .operators.quality import luhn_card_scrub
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 5
+    text = (
+        F.when(k == 0, F.format_string(
+            "doc %d pay 4111 1111 1111 1111 now", "doc_id"))
+        .when(k == 1, F.format_string(
+            "doc %d order 4111111111111112 shipped", "doc_id"))
+        .when(k == 2, F.format_string(
+            "doc %d amex 378282246310005 ok", "doc_id"))
+        .when(k == 3, F.format_string(
+            "doc %d build 20240102030405 ts", "doc_id"))
+        .otherwise(F.format_string("doc %d no digits here", "doc_id"))
+    )
+    return luhn_card_scrub(d.select("doc_id", text.alias("text")))
+
+
+SQL_LUHN_SCRUB = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k, CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'doc ' || ds || ' pay <CARD> now'
+         WHEN 1 THEN 'doc ' || ds || ' order 4111111111111112 shipped'
+         WHEN 2 THEN 'doc ' || ds || ' amex <CARD> ok'
+         WHEN 3 THEN 'doc ' || ds || ' build 20240102030405 ts'
+         ELSE 'doc ' || ds || ' no digits here' END AS redacted,
+  CAST(CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END AS INTEGER) AS n_cards
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6947,6 +6988,8 @@ CATALOG: Dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     # dataset-regression TV-distance alarm (operators/snapshots.py)
     "corpus_tv_drift": (q_corpus_tv_drift, SQL_CORPUS_TV_DRIFT),
+    # Luhn-verified card scrubbing (operators/quality.py)
+    "luhn_card_scrub": (q_luhn_card_scrub, SQL_LUHN_SCRUB),
 }
 
 

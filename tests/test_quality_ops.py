@@ -1010,3 +1010,44 @@ def test_oov_membership_is_broadcast(spark):
     t = buf.getvalue()
     assert "BroadcastHashJoin" in t
     assert t.count(") Exchange") <= 3
+
+
+class TestLuhnCardScrub:
+    def _scrub(self, spark, texts):
+        from ocr_service_spark.operators.quality import luhn_card_scrub
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: (r["redacted"], r["n_cards"])
+                for r in luhn_card_scrub(df).collect()}
+
+    def test_valid_cards_redacted_invalid_kept(self, spark):
+        got = self._scrub(spark, [
+            "pay 4111 1111 1111 1111 now",        # valid Visa test number
+            "order 4111111111111112 shipped",      # fails Luhn: untouched
+            "call 5500-0000-0000-0004 support",    # valid MC test number
+            "build 20240102030405 timestamp",      # 14 digits, fails Luhn
+            "no digits at all",
+            None,
+        ])
+        assert got[0] == ("pay <CARD> now", 1)
+        assert got[1] == ("order 4111111111111112 shipped", 0)
+        assert got[2] == ("call <CARD> support", 1)
+        assert got[3][1] == 0
+        assert got[4] == ("no digits at all", 0)
+        assert got[5] == ("", 0)
+
+    def test_multiple_cards_one_doc(self, spark):
+        got = self._scrub(spark, [
+            "a 4111111111111111 b 5500 0000 0000 0004 c",
+        ])
+        assert got[0] == ("a <CARD> b <CARD> c", 2)
+
+    def test_amex_and_short_runs(self, spark):
+        got = self._scrub(spark, [
+            "amex 378282246310005 ok",   # 15 digits, valid
+            "short 4111 1111 111",       # too short: no candidate
+        ])
+        assert got[0] == ("amex <CARD> ok", 1)
+        assert got[1][1] == 0
