@@ -6783,6 +6783,41 @@ FROM d
 """
 
 
+def q_heading_chunks(spark, sf_dir):
+    """Structure-aware chunking (operators/chunking.py heading_chunks):
+    planted markdown with a preamble, an h1 section, an h2 subsection
+    (h1 breadcrumb carried), and a second h1 that resets the h2 — four
+    chunks per doc, every field arithmetic in doc_id. The REAL
+    window/breadcrumb/sessionize machinery runs on every row."""
+    from .operators.chunking import heading_chunks
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    md = F.format_string(
+        "intro %d\n# Alpha %d\nbody a %d\n## Sub %d\nbody s %d\n"
+        "# Beta %d\nbody b %d",
+        *(["doc_id"] * 7),
+    )
+    return heading_chunks(d.select("doc_id", md.alias("markdown"))).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "h1", "h2", "text",
+        "n_lines",
+    )
+
+
+SQL_HEADING_CHUNKS = """
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+SELECT doc_id, t.i AS chunk_idx,
+  CASE t.i WHEN 0 THEN NULL WHEN 3 THEN 'Beta ' || ds
+       ELSE 'Alpha ' || ds END AS h1,
+  CASE t.i WHEN 2 THEN 'Sub ' || ds END AS h2,
+  CASE t.i WHEN 0 THEN 'intro ' || ds
+       WHEN 1 THEN '# Alpha ' || ds || chr(10) || 'body a ' || ds
+       WHEN 2 THEN '## Sub ' || ds || chr(10) || 'body s ' || ds
+       ELSE '# Beta ' || ds || chr(10) || 'body b ' || ds END AS text,
+  CAST(CASE t.i WHEN 0 THEN 1 ELSE 2 END AS INTEGER) AS n_lines
+FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6990,6 +7025,8 @@ CATALOG: Dict[str, tuple] = {
     "corpus_tv_drift": (q_corpus_tv_drift, SQL_CORPUS_TV_DRIFT),
     # Luhn-verified card scrubbing (operators/quality.py)
     "luhn_card_scrub": (q_luhn_card_scrub, SQL_LUHN_SCRUB),
+    # heading-aware structure chunking (operators/chunking.py)
+    "heading_chunks": (q_heading_chunks, SQL_HEADING_CHUNKS),
 }
 
 

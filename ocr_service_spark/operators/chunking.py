@@ -1,0 +1,100 @@
+"""Heading-aware document chunking — structure-preserving splits.
+
+Fixed-size chunking (operators/lm.py doc_chunking) cuts mid-section;
+RAG pipelines and long-context training both prefer chunks that follow
+the document's OWN structure: split at headings, and carry the heading
+breadcrumb (h1 › h2) with every chunk so a retrieved fragment still
+knows where it came from. Input is the markdown surface produced by
+operators/markdown.py — headings are `#`-prefixed lines, so structure
+detection is line arithmetic, not re-parsing.
+
+Semantics:
+- a new chunk starts at every heading of level ≤ split_level (default
+  2) and at document start;
+- every line is annotated with the most recent h1 and h2 ABOVE it
+  (the breadcrumb), heading lines included in their own chunk;
+- chunk text joins its lines with newlines; empty chunks (consecutive
+  headings produce heading-only chunks) are kept — they carry the
+  breadcrumb and are a downstream filter's choice, not ours.
+
+Scale shape: posexplode lines, one (doc, line) window for the running
+breadcrumb (`last(..., ignorenulls)` over unbounded-preceding — per-doc
+state bounded by line count) and a running boundary sum for chunk ids
+(the sessionize shape), then one grouped aggregate per (doc, chunk).
+Exactly two bounded exchanges, the lang_segments plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def heading_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    md_col: str = "markdown",
+    split_level: int = 2,
+) -> DataFrame:
+    """(id, markdown) → (id, chunk_idx, h1, h2, text, n_lines)."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(md_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    )
+    lvl = F.length(F.regexp_extract("line", r"^(#{1,6}) ", 1)).cast("int")
+    htext = F.regexp_extract("line", r"^#{1,6} (.*)$", 1)
+    tagged = lines.select(
+        "id", "line_no", "line", lvl.alias("lvl"),
+        F.when(lvl == 1, htext).alias("h1_here"),
+        F.when(lvl == 2, htext).alias("h2_here"),
+        ((lvl >= 1) & (lvl <= split_level)).cast("int").alias("boundary"),
+    )
+    w = Window.partitionBy("id").orderBy("line_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    crumbed = tagged.select(
+        "id", "line_no", "line",
+        F.last("h1_here", ignorenulls=True).over(w).alias("h1"),
+        # an h1 resets the h2 context: take the h2 only if it came after
+        # the current h1 (tracked by comparing last-seen line numbers)
+        F.last(
+            F.when(F.col("h1_here").isNotNull(), F.col("line_no")),
+            ignorenulls=True,
+        ).over(w).alias("h1_at"),
+        F.last(
+            F.when(F.col("h2_here").isNotNull(), F.col("line_no")),
+            ignorenulls=True,
+        ).over(w).alias("h2_at"),
+        F.last("h2_here", ignorenulls=True).over(w).alias("h2_raw"),
+        (F.sum("boundary").over(w)).alias("chunk1"),
+    )
+    chunked = crumbed.select(
+        "id", "line_no", "line", "h1",
+        F.when(
+            F.col("h2_at").isNotNull()
+            & (F.col("h1_at").isNull() | (F.col("h2_at") > F.col("h1_at"))),
+            F.col("h2_raw"),
+        ).alias("h2"),
+        # normalize ids per doc: a preamble (boundary count 0) is chunk 0
+        # and the first heading becomes chunk 1; a doc starting with a
+        # heading puts that heading at chunk 0
+        (
+            F.col("chunk1")
+            - F.min("chunk1").over(Window.partitionBy("id"))
+        ).cast("int").alias("chunk_idx"),
+    )
+    return chunked.groupBy("id", "chunk_idx").agg(
+        # the chunk's breadcrumb is its FIRST line's context (min_by is
+        # deterministic even when split_level leaves h2 changes inside)
+        F.min_by("h1", "line_no").alias("h1"),
+        F.min_by("h2", "line_no").alias("h2"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+    )

@@ -1,0 +1,58 @@
+"""Heading-aware chunking (operators/chunking.py): boundaries,
+breadcrumbs, h1-resets-h2, preamble chunk, ordering."""
+
+from ocr_service_spark.operators.chunking import heading_chunks
+
+MD = "\n".join([
+    "intro line one",          # chunk 0: preamble, no breadcrumb
+    "intro line two",
+    "# Alpha",                 # chunk 1
+    "alpha body",
+    "## A-sub",                # chunk 2 (h1 Alpha, h2 A-sub)
+    "sub body",
+    "### deep",                # h3: NOT a boundary, stays in chunk 2
+    "deep body",
+    "# Beta",                  # chunk 3: h1 resets h2 to null
+    "beta body",
+])
+
+
+def _chunks(spark, md, **kw):
+    df = spark.createDataFrame([(1, md)], "doc_id long, markdown string")
+    rows = heading_chunks(df, **kw).collect()
+    return sorted(
+        (r["chunk_idx"], r["h1"], r["h2"], r["text"], r["n_lines"])
+        for r in rows
+    )
+
+
+def test_boundaries_and_breadcrumbs(spark):
+    got = _chunks(spark, MD)
+    assert got == [
+        (0, None, None, "intro line one\nintro line two", 2),
+        (1, "Alpha", None, "# Alpha\nalpha body", 2),
+        (2, "Alpha", "A-sub", "## A-sub\nsub body\n### deep\ndeep body", 4),
+        (3, "Beta", None, "# Beta\nbeta body", 2),
+    ]
+
+
+def test_split_level_one(spark):
+    got = _chunks(spark, MD, split_level=1)
+    # only h1 lines split: the A-sub section stays inside Alpha's chunk
+    assert [c[0] for c in got] == [0, 1, 2]
+    assert got[1][3].startswith("# Alpha")
+    assert "## A-sub" in got[1][3]
+    assert (got[1][1], got[1][2]) == ("Alpha", None)  # first-line context
+
+
+def test_heading_only_chunks_kept(spark):
+    got = _chunks(spark, "# A\n# B\nbody")
+    assert got == [
+        (0, "A", None, "# A", 1),
+        (1, "B", None, "# B\nbody", 2),
+    ]
+
+
+def test_empty_doc(spark):
+    got = _chunks(spark, "")
+    assert got == [(0, None, None, "", 1)]
