@@ -169,6 +169,18 @@ HEADLINE = [
     "frontier_discovery",      # links -> anti-join -> robots -> schedule
     "quality_funnel",          # first-failing-gate drop attribution
     "wet_roundtrip",           # WET serialize + parse round trip
+    "redirect_resolve",        # Location chains via pointer doubling
+    "corpus_tv_drift",         # TV-distance dataset-regression alarm
+    "luhn_card_scrub",         # checksum-verified card redaction
+    "heading_chunks",          # breadcrumbed structure-aware chunking
+    "oov_rate_gate",           # corpus-derived OOV permille gate
+    "refresh_policy",          # change-rate recrawl intervals
+    "retention_plan",          # version-retention planning
+    "host_link_clusters",      # md5-id CC over the host graph
+    "int8_ivf_topk",           # IVF x int8 composed ANN
+    "http_metadata",           # HTTP envelope mining
+    "page_pathology",          # soft-404/login/cookie-wall gate
+    "corpus_rollup_profile",   # dataset-card ROLLUP accounting
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

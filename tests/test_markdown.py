@@ -112,3 +112,23 @@ def test_pages_to_markdown_matches_spec(spark):
             got["https://a/1"]["n_links"]) == (1, 2, 1)
     assert (got["https://a/2"]["n_fences"],
             got["https://a/2"]["n_table_rows"]) == (1, 3)
+
+
+def test_fuzz_never_raises_and_linear():
+    """Differential robustness: arbitrary tag soup must neither raise nor
+    go quadratic (the bound_tag_spans guarantee end-to-end)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    frags = ["<p>", "</p>", "<b>", "</i>", "<li>", "<table>", "<tr>",
+             "<td>", "</table>", "<blockquote>", "<pre>", "</pre>",
+             "<a href='x'>", "</a>", "text ", "&amp;", "<h2>", "</h2>",
+             "<img src=y>", "<!--", "-->", "<script>", "</script>",
+             "<ul>", "</ul>", "<hr>", "<br>", "<", ">", '"']
+    t0 = time.monotonic()
+    for _ in range(200):
+        html = "".join(rng.choice(frags) for _ in range(rng.randint(0, 400)))
+        md = to_markdown(html)
+        assert isinstance(md, str)
+    assert time.monotonic() - t0 < 10.0
