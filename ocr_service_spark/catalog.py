@@ -6818,6 +6818,76 @@ FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
 """
 
 
+def q_video_near_dup(spark, sf_dir):
+    """Video near-dup by frame-hash overlap (operators/imagedup.py):
+    planted four-frame pseudo-videos where doc pairs share three frame
+    seeds (a re-cut), and seed-space aliasing mod 256 plants additional
+    exact re-uploads 128 docs apart — the REAL per-frame dHash fan-out
+    and the distinct-hash overlap join run; the oracle recomputes every
+    frame hash (63-term sums) AND replays the join from scratch."""
+    from .operators.imagedup import video_frame_dhashes, video_near_dup_pairs
+    from .sources.synth import video_payload
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _vid(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([video_payload(int(i)) for i in doc_id])
+
+    media = d.select(
+        F.format_string("v%d", "doc_id").alias("media_id"),
+        _vid("doc_id").alias("payload"),
+    )
+    frames = video_frame_dhashes(media, frame_bytes=64)
+    return video_near_dup_pairs(frames, min_overlap_permille=500)
+
+
+SQL_VIDEO_NEAR_DUP = """
+WITH d AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS g, doc_id % 2 AS odd
+  FROM documents
+),
+fr AS (
+  SELECT 'v' || CAST(doc_id AS VARCHAR) AS media_id,
+         4 * g + t.j + odd AS seed
+  FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)
+),
+pos AS (
+  SELECT i.i AS i, j.j AS j, i.i * 8 + j.j AS p
+  FROM generate_series(0, 7) i(i) CROSS JOIN generate_series(0, 7) j(j)
+  WHERE i.i * 8 + j.j < 63
+),
+h AS (
+  SELECT media_id, seed,
+    CAST(SUM(CASE WHEN
+        (seed * 31 + ((i * 9 + j + 1) % 64) * 17) % 256
+        > (seed * 31 + ((i * 9 + j) % 64) * 17) % 256
+      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS fh
+  FROM fr CROSS JOIN pos GROUP BY media_id, seed
+),
+fhd AS (SELECT DISTINCT media_id, fh FROM h),
+tot AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM fhd GROUP BY 1
+),
+sh AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fhd a JOIN fhd b ON a.fh = b.fh AND a.media_id < b.media_id
+  GROUP BY 1, 2
+),
+jj AS (
+  SELECT sh.id_a, sh.id_b, sh.n_shared, ta.n AS na, tb.n AS nb
+  FROM sh JOIN tot ta ON sh.id_a = ta.media_id
+          JOIN tot tb ON sh.id_b = tb.media_id
+)
+SELECT id_a, id_b, n_shared,
+  CAST(FLOOR(n_shared * 1000.0 / (na + nb - n_shared)) AS BIGINT)
+    AS overlap_permille
+FROM jj
+WHERE FLOOR(n_shared * 1000.0 / (na + nb - n_shared)) >= 500
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7027,6 +7097,8 @@ CATALOG: Dict[str, tuple] = {
     "luhn_card_scrub": (q_luhn_card_scrub, SQL_LUHN_SCRUB),
     # heading-aware structure chunking (operators/chunking.py)
     "heading_chunks": (q_heading_chunks, SQL_HEADING_CHUNKS),
+    # video near-dup by frame-hash overlap (operators/imagedup.py)
+    "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
 }
 
 

@@ -131,3 +131,85 @@ def dhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can agree on several bands
     )
+
+
+FRAME_SCHEMA = "media_id string, frame_idx int, frame_dhash long"
+
+
+def video_frame_dhashes(
+    media: DataFrame, frame_bytes: int = 4096, every_n: int = 1
+) -> DataFrame:
+    """Video payload → per-sampled-frame dHash rows. The decode seam is
+    the multimodal stub (payload bytes stand in for the decoded frame
+    planes, frame_bytes per frame — production plugs a real keyframe
+    decoder behind the same signature); the per-frame STRIDED-SAMPLING
+    dHash is the real dhash63 math, so frame fingerprints are
+    engine-recomputable. 1:N fan-out via one Arrow pass, the
+    sample_video_frames shape."""
+    import numpy as np  # noqa: F401  (dhash63 vectorizes per frame)
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                payload = bytes(payload)
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    frame = payload[i * frame_bytes:(i + 1) * frame_bytes]
+                    if not frame:
+                        continue
+                    ids.append(media_id)
+                    idxs.append(i)
+                    hashes.append(dhash63(frame))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_dhash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, FRAME_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    frames: DataFrame, min_overlap_permille: int = 500
+) -> DataFrame:
+    """Videos sharing frames: (id_a, id_b, n_shared, overlap_permille)
+    for pairs whose DISTINCT-frame-hash Jaccard ≥ the threshold — the
+    re-encode/re-cut duplicate signal (a clipped re-upload shares most
+    keyframes; unrelated videos share none).
+
+    Scale shape: distinct (video, hash) → equi-join on the hash (cost
+    Σ bucket² over videos sharing a frame, never all-pairs), pair-count
+    aggregate, per-video totals joined back, integer Jaccard permille
+    via cross-multiplication."""
+    fh = frames.select("media_id", "frame_dhash").distinct()
+    totals = fh.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    a = fh.select(F.col("media_id").alias("id_a"),
+                  F.col("frame_dhash").alias("h"))
+    b = fh.select(F.col("media_id").alias("id_b"),
+                  F.col("frame_dhash").alias("h"))
+    shared = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("media_id").alias("id_a"),
+                       F.col("n_frames").alias("na"))
+    tb = totals.select(F.col("media_id").alias("id_b"),
+                       F.col("n_frames").alias("nb"))
+    j = shared.join(ta, "id_a").join(tb, "id_b")
+    union = F.col("na") + F.col("nb") - F.col("n_shared")
+    permille = F.floor(F.col("n_shared") * 1000 / union).cast("long")
+    return (
+        j.select("id_a", "id_b", "n_shared",
+                 permille.alias("overlap_permille"))
+        .where(F.col("overlap_permille") >= min_overlap_permille)
+    )

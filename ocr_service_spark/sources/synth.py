@@ -535,3 +535,18 @@ def image_payload(doc_id: int) -> bytes:
     if doc_id % 2:
         b[99] = (b[99] + 128) % 256
     return bytes(b)
+
+
+def video_payload(doc_id: int) -> bytes:
+    """Deterministic pseudo-video for the video near-dup entry: four
+    64-byte frame planes with pixel(n) = (seed*31 + n*17) mod 256; doc
+    pairs share three frame seeds (odd doc = even partner's seeds
+    shifted by one) so every pair is a planted re-cut near-duplicate.
+    Frame hashes and the overlap join are recomputable in SQL."""
+    g = doc_id - (doc_id % 2)
+    odd = doc_id % 2
+    out = bytearray()
+    for j in range(4):
+        seed = 4 * g + j + odd
+        out += bytes((seed * 31 + n * 17) % 256 for n in range(64))
+    return bytes(out)

@@ -79,3 +79,50 @@ def test_no_cartesian(spark):
     with contextlib.redirect_stdout(buf):
         dhash_dup_pairs(image_dhash(df)).explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+class TestVideoNearDup:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id string, payload binary")
+
+    def test_frame_fanout_and_overlap(self, spark):
+        from ocr_service_spark.operators.imagedup import (
+            video_frame_dhashes,
+            video_near_dup_pairs,
+        )
+        # frame planes, 64 bytes each (frame_bytes=64 for the test)
+        f = lambda seed: bytes((seed * 31 + n * 17) % 256  # noqa: E731
+                               for n in range(64))
+        va = f(1) + f(2) + f(3) + f(4)
+        vb = f(2) + f(3) + f(4) + f(5)       # re-cut: shares 3 of 5 distinct
+        vc = f(70) + f(71)                    # unrelated
+        frames = video_frame_dhashes(
+            self._media(spark, [("a", va), ("b", vb), ("c", vc), ("z", None)]),
+            frame_bytes=64,
+        )
+        got = frames.groupBy("media_id").count().collect()
+        assert {(r["media_id"], r["count"]) for r in got} == {
+            ("a", 4), ("b", 4), ("c", 2),
+        }
+        pairs = video_near_dup_pairs(frames, min_overlap_permille=500)
+        rows = pairs.collect()
+        assert [(r["id_a"], r["id_b"], r["n_shared"]) for r in rows] == [
+            ("a", "b", 3)
+        ]
+        # jaccard = 3 shared / 5 distinct union = 600 permille
+        assert rows[0]["overlap_permille"] == 600
+
+    def test_threshold_excludes_weak_overlap(self, spark):
+        from ocr_service_spark.operators.imagedup import (
+            video_frame_dhashes,
+            video_near_dup_pairs,
+        )
+        f = lambda seed: bytes((seed * 31 + n * 17) % 256  # noqa: E731
+                               for n in range(64))
+        frames = video_frame_dhashes(
+            self._media(spark, [("a", f(1) + f(2) + f(3) + f(4)),
+                                ("b", f(4) + f(8) + f(9) + f(10))]),
+            frame_bytes=64,
+        )
+        assert video_near_dup_pairs(frames, 500).count() == 0
+        assert video_near_dup_pairs(frames, 100).count() == 1
