@@ -146,8 +146,6 @@ def video_frame_dhashes(
     dHash is the real dhash63 math, so frame fingerprints are
     engine-recomputable. 1:N fan-out via one Arrow pass, the
     sample_video_frames shape."""
-    import numpy as np  # noqa: F401  (dhash63 vectorizes per frame)
-    import pandas as pd
 
     def run(batches):
         for pdf in batches:
