@@ -181,6 +181,11 @@ HEADLINE = [
     "http_metadata",           # HTTP envelope mining
     "page_pathology",          # soft-404/login/cookie-wall gate
     "corpus_rollup_profile",   # dataset-card ROLLUP accounting
+    "video_near_dup",          # keyframe-hash overlap re-cut detection
+    "robots_fetch_schedule",   # Crawl-delay -> politeness plan
+    "bitext_candidates",       # URL-pattern translation pairs
+    "sitemap_coverage",        # declared-vs-crawled audit
+    "host_anomaly_gate",       # median/MAD burst detection
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
