@@ -6888,6 +6888,68 @@ WHERE FLOOR(n_shared * 1000.0 / (na + nb - n_shared)) >= 500
 """
 
 
+def q_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary token chunking (operators/chunking.py
+    sentence_chunks) over the REAL documents text: the '[.!?]+ '
+    splitter evaluates identically under Java regex and RE2, so the
+    oracle re-splits the corpus, replays the cumulative-budget window
+    and rebuilds every chunk string from scratch — order, counts and
+    joined text all value-hash (the corpus is the fixture). The raw
+    corpus is punctuation-free word soup, so a period is injected after
+    every five words (same regexp_replace on both engines) — documents
+    then split into real multi-sentence, multi-chunk structures."""
+    from .operators.chunking import sentence_chunks
+
+    d = load(spark, sf_dir, "documents")
+    sentenced = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"(\S+ \S+ \S+ \S+ \S+) ",
+            r"$1. ",
+        ).alias("text"),
+    )
+    return sentence_chunks(sentenced, target_tokens=24)
+
+
+SQL_SENTENCE_CHUNKS = """
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''),
+                        '(\\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1. ',
+                        'g') AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, u.r.sno AS sno, trim(u.r.sent) AS sent
+  FROM (
+    SELECT doc_id, list_transform(
+      string_split_regex(COALESCE(text, ''), '[.!?]+ '),
+      (x, i) -> struct_pack(sno := i, sent := x)) AS lr
+    FROM p
+  ) t, unnest(t.lr) AS u(r)
+  WHERE length(trim(u.r.sent)) > 0
+),
+n AS (
+  SELECT doc_id, sno, sent,
+    CAST(CASE WHEN length(sent) = 0 THEN 0
+         ELSE len(string_split_regex(sent, '\\s+')) END AS BIGINT) AS ntok
+  FROM s
+),
+c AS (
+  SELECT doc_id, sno, sent, ntok,
+    COALESCE(SUM(ntok) OVER (PARTITION BY doc_id ORDER BY sno
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM n
+)
+SELECT doc_id AS id, CAST(before // 24 AS INTEGER) AS chunk_idx,
+  CAST(count(*) AS INTEGER) AS n_sents,
+  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+  string_agg(sent, ' ' ORDER BY sno) AS text
+FROM c GROUP BY doc_id, before // 24
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7099,6 +7161,8 @@ CATALOG: Dict[str, tuple] = {
     "heading_chunks": (q_heading_chunks, SQL_HEADING_CHUNKS),
     # video near-dup by frame-hash overlap (operators/imagedup.py)
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
+    # sentence-boundary token chunking (operators/chunking.py)
+    "sentence_chunks": (q_sentence_chunks, SQL_SENTENCE_CHUNKS),
 }
 
 

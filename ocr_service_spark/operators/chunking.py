@@ -98,3 +98,59 @@ def heading_chunks(
         ).alias("text"),
         F.count(F.lit(1)).cast("int").alias("n_lines"),
     )
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    target_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary token chunking: fixed-budget chunks that NEVER
+    cut mid-sentence — the training-data upgrade over character/token
+    slicing (a chunk ending "the capital of Fr" teaches less than one
+    ending at the period).
+
+    Splitter: '[.!?]+ ' consumed as the delimiter — deliberately the
+    simplest rule BOTH regex engines (Java, RE2) evaluate identically,
+    so the oracle re-splits the real corpus byte-for-byte (terminal
+    punctuation is spent as the delimiter; document order carries the
+    meaning). Assignment: chunk_idx = ⌊(tokens before this sentence) /
+    target⌋ — the cumulative-budget rule, a pure per-doc running sum, so
+    every chunk holds ≥ target tokens except the last and no sentence
+    splits. Exactly the lang_segments plan: posexplode, one bounded
+    per-doc window, one grouped aggregate."""
+    sents = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+ ")
+        ).alias("sno", "sent"),
+    ).where(F.length(F.trim("sent")) > 0)
+    ntok = F.when(
+        F.length(F.trim("sent")) == 0, 0
+    ).otherwise(F.size(F.split(F.trim("sent"), r"\s+"))).cast("long")
+    w = Window.partitionBy("id").orderBy("sno")
+    cum = sents.select(
+        "id", "sno", F.trim("sent").alias("sent"), ntok.alias("ntok")
+    ).withColumn(
+        "before",
+        F.coalesce(
+            F.sum("ntok").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "chunk_idx", F.floor(F.col("before") / target_tokens).cast("int")
+    )
+    return cum.groupBy("id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sents"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sno", "sent"))),
+                lambda s: s["sent"],
+            ),
+        ).alias("text"),
+    )

@@ -56,3 +56,38 @@ def test_heading_only_chunks_kept(spark):
 def test_empty_doc(spark):
     got = _chunks(spark, "")
     assert got == [(0, None, None, "", 1)]
+
+
+class TestSentenceChunks:
+    def _chunks(self, spark, text, target):
+        from ocr_service_spark.operators.chunking import sentence_chunks
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sentence_chunks(df, target_tokens=target).collect()
+        return sorted(
+            (r["chunk_idx"], r["n_sents"], r["n_tokens"], r["text"])
+            for r in rows
+        )
+
+    def test_budget_buckets_never_split_sentences(self, spark):
+        text = ("one two three. four five six! seven eight nine? "
+                "ten eleven twelve. thirteen")
+        got = self._chunks(spark, text, target=6)
+        # cumulative budget: chunk = floor(tokens_before / 6) — sentence
+        # starts at cum 0,3,6,9,12 → chunks 0,0,1,1,2
+        assert got == [
+            (0, 2, 6, "one two three four five six"),
+            (1, 2, 6, "seven eight nine ten eleven twelve"),
+            (2, 1, 1, "thirteen"),
+        ]
+
+    def test_giant_sentence_is_one_chunk(self, spark):
+        text = " ".join(f"w{i}" for i in range(20)) + "."
+        got = self._chunks(spark, text, target=5)
+        assert got == [(0, 1, 20, " ".join(f"w{i}" for i in range(20)) + ".")]
+        # the final sentence keeps its terminal punctuation (no
+        # trailing space to consume) - identical on both engines
+
+    def test_empty_doc_yields_nothing(self, spark):
+        assert self._chunks(spark, "", 5) == []
+        assert self._chunks(spark, "   ", 5) == []
