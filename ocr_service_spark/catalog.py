@@ -6950,6 +6950,52 @@ FROM c GROUP BY doc_id, before // 24
 """
 
 
+def q_content_type_audit(spark, sf_dir):
+    """Declared-vs-sniffed content audit (sources/warc.py): four planted
+    response classes — honest HTML, a lying text/html serving PDF bytes,
+    a cloaked image/png serving HTML, and an unknown declared type that
+    can never mismatch. REAL envelope parse + REAL magic-byte sniffing
+    run; the oracle recomputes all verdicts from the planting rule."""
+    from .sources.warc import content_type_audit
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 4
+    payload = (
+        F.when(k == 0, F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "<html><p>hi</p></html>"))
+        .when(k == 1, F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "%PDF-1.7 not html at all"))
+        .when(k == 2, F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+            "<html>cloaked spam</html>"))
+        .otherwise(F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: application/x-thing\r\n\r\n"
+            "<html>fine</html>"))
+    )
+    pages = d.select(
+        F.format_string("https://h%d.example/p", "doc_id").alias("url"),
+        F.encode(payload, "utf-8").alias("html"),
+    )
+    return content_type_audit(pages)
+
+
+SQL_CONTENT_TYPE_AUDIT = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS k, CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+)
+SELECT 'https://h' || ds || '.example/p' AS url,
+  CAST(200 AS INTEGER) AS status,
+  CASE k WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+       WHEN 2 THEN 'image/png' ELSE 'application/x-thing' END AS declared,
+  CASE k WHEN 1 THEN 'pdf' ELSE 'html' END AS sniffed,
+  k IN (1, 2) AS mismatch
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7163,6 +7209,8 @@ CATALOG: Dict[str, tuple] = {
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     # sentence-boundary token chunking (operators/chunking.py)
     "sentence_chunks": (q_sentence_chunks, SQL_SENTENCE_CHUNKS),
+    # declared-vs-sniffed content audit (sources/warc.py)
+    "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
 }
 
 

@@ -272,3 +272,54 @@ def http_metadata(pages: DataFrame) -> DataFrame:
         "url string, status int, content_type string, etag string, "
         "last_modified string, location string",
     )
+
+
+# declared media type → the sniffed format family it promises
+_DECLARED_TO_FMT = {
+    "text/html": "html", "application/xhtml+xml": "html",
+    "application/pdf": "pdf", "image/png": "png", "image/jpeg": "jpeg",
+    "image/gif": "gif", "image/webp": "webp",
+}
+
+
+def content_type_audit(pages: DataFrame) -> DataFrame:
+    """Declared-vs-sniffed content audit: for every stored response,
+    parse the HTTP envelope (status + Content-Type), strip it, sniff the
+    BODY's real format by magic bytes (core/sniff.py — the S1 surface),
+    and flag the mismatches. Lying Content-Type headers are a classic
+    crawl-hygiene signal: a 'text/html' that is really a PDF crashed
+    someone's parser once, and a 'image/png' serving HTML is cloaking.
+    Emits (url, status, declared, sniffed, mismatch) — mismatch only
+    when BOTH sides are known and disagree (unknown/missing stays
+    null-safe false, errors-as-data not errors-as-guesses). One Arrow
+    pass, zero shuffles."""
+    import pandas as pd
+
+    from ..core.sniff import sniff_format
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "status", "declared",
+                                    "sniffed", "mismatch")}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = http_response_meta(payload)
+                body = http_response_body(payload)
+                sniffed = sniff_format(body)
+                declared = meta["content_type"]
+                promised = _DECLARED_TO_FMT.get(declared)
+                rows["url"].append(url)
+                rows["status"].append(meta["status"])
+                rows["declared"].append(declared)
+                rows["sniffed"].append(sniffed)
+                rows["mismatch"].append(
+                    promised is not None and sniffed != promised
+                )
+            out = pd.DataFrame(rows)
+            yield out.astype({"status": "Int32"}, errors="ignore")
+
+    return pages.select("url", "html").mapInPandas(
+        run,
+        "url string, status int, declared string, sniffed string, "
+        "mismatch boolean",
+    )

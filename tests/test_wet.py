@@ -76,3 +76,28 @@ class TestHttpMetadata:
             "a": (200, "text/html"), "b": (404, None),
             "c": (None, None), "d": (None, None),
         }
+
+
+class TestContentTypeAudit:
+    def test_mismatch_classes(self, spark):
+        from ocr_service_spark.sources.warc import content_type_audit
+
+        mk = lambda ct, body: (  # noqa: E731
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n".encode() + body
+        )
+        rows = [
+            ("ok_html", mk("text/html", b"<html><p>hi</p></html>")),
+            ("lying_pdf", mk("text/html", b"%PDF-1.7 stuff")),
+            ("cloaked", mk("image/png", b"<html>spam</html>")),
+            ("unknown_ct", mk("application/x-thing", b"<html></html>")),
+            ("bare", b"<html>no envelope</html>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {r["url"]: (r["declared"], r["sniffed"], r["mismatch"])
+               for r in content_type_audit(df).collect()}
+        assert got["ok_html"] == ("text/html", "html", False)
+        assert got["lying_pdf"] == ("text/html", "pdf", True)
+        assert got["cloaked"] == ("image/png", "html", True)
+        # unknown declared type: no promise, never a mismatch
+        assert got["unknown_ct"][2] is False
+        assert got["bare"] == (None, "html", False)
