@@ -186,6 +186,8 @@ HEADLINE = [
     "bitext_candidates",       # URL-pattern translation pairs
     "sitemap_coverage",        # declared-vs-crawled audit
     "host_anomaly_gate",       # median/MAD burst detection
+    "sentence_chunks",         # sentence-boundary budget chunking
+    "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
