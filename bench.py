@@ -143,6 +143,7 @@ HEADLINE = [
     "url_template_profile",    # per-host template mining + trap flags
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
+    "winnow_fingerprint",      # MOSS winnowing selection, narrow-only plan
     "corpus_diff",             # dataset version changelog, digests-only join
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
     "mirror_detection",        # same content across hosts, bounded host list

@@ -6996,6 +6996,61 @@ FROM d
 """
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing fingerprint (operators/winnow.py): per-window minimum
+    k-gram md5 (rightmost on ties), reported as a per-doc count + digest of
+    the ordered (pos:hash) selection so the oracle pins the EXACT selected
+    set, not just its size. Narrow plan: no shuffle until the final groupBy.
+    """
+    from .operators.winnow import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    ph = F.concat_ws(":", F.col("pos").cast("string"), F.col("gram_hash"))
+    return (
+        fps.select(F.col("id").alias("doc_id"), ph.alias("ph"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fp"),
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("ph")))).alias(
+                "fp_digest"
+            ),
+        )
+    )
+
+
+SQL_WINNOW = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1), i ->
+             struct_pack(pos := i - 1,
+                         gh := md5(array_to_string(ws[i:i+2], ' '))))) AS g
+  FROM words WHERE len(ws) >= 3
+), flat AS (
+  SELECT doc_id, g.pos AS pos, g.gh AS gh FROM grams
+), ng AS (
+  SELECT doc_id, count(*) AS n FROM flat GROUP BY doc_id
+), sel AS (
+  SELECT g1.doc_id, g2.pos, g2.gh,
+         row_number() OVER (PARTITION BY g1.doc_id, g1.pos
+                            ORDER BY g2.gh, g2.pos DESC) AS rn
+  FROM flat g1
+  JOIN ng ON ng.doc_id = g1.doc_id
+  JOIN flat g2 ON g2.doc_id = g1.doc_id
+             AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+  WHERE g1.pos <= greatest(ng.n - 4, 0)
+), fp AS (
+  SELECT DISTINCT doc_id, CAST(pos AS VARCHAR) || ':' || gh AS ph FROM sel WHERE rn = 1
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_fp,
+       md5(string_agg(ph, '|' ORDER BY ph)) AS fp_digest
+FROM fp GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7211,6 +7266,8 @@ CATALOG: Dict[str, tuple] = {
     "sentence_chunks": (q_sentence_chunks, SQL_SENTENCE_CHUNKS),
     # declared-vs-sniffed content audit (sources/warc.py)
     "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
+    # MOSS winnowing fingerprint (operators/winnow.py)
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
 }
 
 

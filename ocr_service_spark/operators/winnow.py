@@ -1,0 +1,95 @@
+"""Winnowing document fingerprints (MOSS local fingerprinting).
+
+Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting" (SIGMOD 2003): hash every word k-gram, slide a window of
+w consecutive k-gram hashes, and from each window select the minimum hash
+(rightmost occurrence on ties). The selected (position, hash) set is the
+fingerprint, with the guarantee that any shared run of >= w + k - 1 words
+between two documents produces at least one shared selected hash — unlike
+plain "every j-th hash" sampling, which an adversary (or an unlucky
+alignment) can miss entirely.
+
+Spark shape: entirely narrow — words, grams and the per-window minima are
+higher-order-function transforms over arrays inside one task; the only
+wide operation a consumer adds is whatever join/groupBy it runs on the
+emitted (doc_id, pos, gram_hash) rows. No UDF, no shuffle, no window
+function: at 100 TB this is a pure map stage.
+
+The gram hash is the md5 hex string (total order = lexicographic): both
+Spark and DuckDB compute identical md5, which makes the whole selection
+oracle-expressible cross-engine — a numeric xxhash64 would be faster per
+byte but has no DuckDB twin. Window minima over array slices cost
+O(n_grams * w) comparisons per doc; w is small (4-8) and the work stays
+inside whole-stage codegen.
+
+Words materialize in a PRIOR projection before any lambda captures them
+(Catalyst re-evaluates lambda-captured subexpressions per element — see
+operators/dedup.py shingles docstring; measured 100x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowed fingerprint rows (id, pos, gram_hash).
+
+    pos is the 0-based word index where the selected k-gram starts;
+    gram_hash is md5 of the space-joined lowercased k-gram. Documents with
+    fewer than k words emit nothing (no gram exists). Documents with fewer
+    than w grams emit the single minimum over all their grams (one window).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    base = df.select(F.col(id_col).alias("id"), words.alias("ws"))
+    base = base.where(F.size("ws") >= k)
+
+    # (gh, negpos) structs: min() = smallest hash, then LARGEST pos (MOSS
+    # tie rule: rightmost minimum), because negpos sorts reversed.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, k))).alias("gh"),
+            (-i).alias("negpos"),
+        ),
+    )
+    g = base.select("id", grams.alias("grams"))
+
+    n_win = F.greatest(F.size("grams") - w, F.lit(0))
+    picks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_win),
+            lambda p: F.array_min(F.slice(F.col("grams"), p + 1, w)),
+        )
+    )
+    sel = g.select("id", F.explode(picks).alias("s"))
+    return sel.select(
+        F.col("id"),
+        (-F.col("s.negpos")).cast("int").alias("pos"),
+        F.col("s.gh").alias("gram_hash"),
+    )
+
+
+def winnow_match_pairs(
+    fps_a: DataFrame, fps_b: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Join two fingerprint sets on gram_hash and count shared selected
+    grams per document pair — the MOSS plagiarism-candidate report.
+
+    Equi-join on the hash: docs sharing no selected gram never meet, so
+    cost is sum over hash buckets (near-linear on real corpora), not n².
+    """
+    a = fps_a.select(F.col("id").alias("id_a"), "gram_hash")
+    b = fps_b.select(F.col("id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("gram_hash").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,91 @@
+"""Winnowing fingerprints (operators/winnow.py): Spark output vs a direct
+pure-Python implementation of the MOSS algorithm, tie rule, edge sizes,
+and the w+k-1 shared-run detection guarantee."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.winnow import winnow_fingerprints, winnow_match_pairs
+
+
+def ref_winnow(text, k=3, w=4):
+    """Direct transcription of Schleimer et al. §4 (robust winnowing:
+    rightmost minimum per window), over lowercase [a-z0-9]+ words."""
+    ws = re.findall(r"[a-z0-9]+", text.lower())
+    if len(ws) < k:
+        return set()
+    grams = [
+        hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+        for i in range(len(ws) - k + 1)
+    ]
+    out = set()
+    for p in range(max(len(grams) - w, 0) + 1):
+        win = grams[p : p + w]
+        m = min(win)
+        j = max(i for i, h in enumerate(win) if h == m)
+        out.add((p + j, m))
+    return out
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "tiny doc"),                                  # < k words -> empty
+    (3, "one two three"),                             # exactly k words, 1 gram
+    (4, "a b c d e f"),                               # n_grams = 4 = w, 1 window
+    (5, "spam spam spam spam spam spam spam spam"),   # all grams identical: tie rule
+    (6, "Numbers 42 and 7 mix with words; punctuation, too! 42 and 7 again and again"),
+]
+
+
+def _spark_fps(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnow_fingerprints(df, "doc_id", "text", **kw).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], set()).add((r["pos"], r["gram_hash"]))
+    return got
+
+
+def test_matches_reference_implementation(spark):
+    got = _spark_fps(spark, DOCS)
+    for doc_id, text in DOCS:
+        assert got.get(doc_id, set()) == ref_winnow(text), f"doc {doc_id}"
+
+
+def test_tie_rule_rightmost(spark):
+    # every gram hash identical -> each window's min is its LAST slot; the
+    # distinct selected positions are exactly w-1 .. n_grams-1
+    got = _spark_fps(spark, [DOCS[4]])
+    poss = sorted(p for p, _ in got[5])
+    assert poss == [3, 4, 5]  # 8 words, 6 grams, windows at 0..2 pick 3..5
+
+
+def test_shared_run_guarantee(spark):
+    # two docs sharing a run of w + k - 1 = 6 words MUST share a fingerprint
+    run = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (10, "left filler words before " + run + " unrelated tail one"),
+        (11, "completely different start text " + run + " other ending words"),
+    ]
+    got = _spark_fps(spark, docs)
+    shared = {h for _, h in got[10]} & {h for _, h in got[11]}
+    assert shared, "winnowing guarantee violated: shared 6-word run undetected"
+
+    fps = winnow_fingerprints(
+        spark.createDataFrame(docs, "doc_id long, text string"), "doc_id", "text"
+    )
+    pairs = winnow_match_pairs(fps, fps).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(10, 11)]
+    assert pairs[0]["n_shared"] == len(shared)
+
+
+def test_density_bound(spark):
+    # expected selection density is 2/(w+1); assert the loose upper bound
+    # that selections never exceed the window-start count
+    text = " ".join(f"w{i % 97}x{(i * 31) % 89}" for i in range(400))
+    got = _spark_fps(spark, [(20, text)])
+    n_grams = 400 - 3 + 1
+    assert len(got[20]) <= n_grams - 4 + 1
+    assert len(got[20]) >= n_grams // 5  # and is not degenerate
