@@ -7051,6 +7051,64 @@ FROM fp GROUP BY doc_id
 """
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index (operators/cdxindex.py): SURT reorder (reverse
+    host, strip www, sort params) + md5 shard bucket + shard-local
+    (surt, ts, url) rank — the cc-index layout. URL variants planted so
+    param order collapses, multi-capture urls exercise the ts tie-break,
+    and repeated bodies exercise the revisit digest."""
+    from .operators.cdxindex import cdx_index
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    host = F.concat(
+        F.when(k % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (k % 40).cast("string"),
+        F.when(k % 2 == 0, F.lit(".shop")).otherwise(F.lit("")),
+        F.lit(".example"),
+    )
+    query = (
+        F.when(k % 3 == 0, F.concat(F.lit("?b=2&a="), (k % 7).cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("?a="), (k % 7).cast("string"), F.lit("&b=2")))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), (k % 97).cast("string"), query)
+    crawl = c.select(
+        url.alias("url"),
+        (F.lit(1700000000) + k % 1000).alias("ts"),
+        F.concat(F.lit("body-"), (k % 50).cast("string")).alias("content"),
+    )
+    return cdx_index(crawl)
+
+
+from .operators.cdxindex import SQL_SURT as _SQL_SURT  # noqa: E402
+
+SQL_CDX_INDEX = """
+WITH crawl AS (
+  SELECT 'https://'
+         || CASE WHEN c_custkey % 5 = 0 THEN 'www.' ELSE '' END
+         || 'h' || CAST(c_custkey % 40 AS VARCHAR)
+         || CASE WHEN c_custkey % 2 = 0 THEN '.shop' ELSE '' END
+         || '.example/p/' || CAST(c_custkey % 97 AS VARCHAR)
+         || CASE WHEN c_custkey % 3 = 0 THEN '?b=2&a=' || CAST(c_custkey % 7 AS VARCHAR)
+                 WHEN c_custkey % 3 = 1 THEN '?a=' || CAST(c_custkey % 7 AS VARCHAR) || '&b=2'
+                 ELSE '' END AS url,
+         1700000000 + c_custkey % 1000 AS ts,
+         'body-' || CAST(c_custkey % 50 AS VARCHAR) AS content
+  FROM customer
+), keyed AS (
+  SELECT url, ts, {surt} AS surt, substr(md5(content), 1, 12) AS digest
+  FROM crawl
+)
+SELECT substr(md5(surt), 1, 1) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(md5(surt), 1, 1)
+                               ORDER BY surt, ts, url) AS INT) AS rank,
+       surt, ts, url, digest
+FROM keyed
+""".format(surt=_SQL_SURT.replace("{u}", "url"))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7268,6 +7326,8 @@ CATALOG: Dict[str, tuple] = {
     "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
     # MOSS winnowing fingerprint (operators/winnow.py)
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
+    # SURT + sharded CDX capture index (operators/cdxindex.py)
+    "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
 }
 
 

@@ -1,0 +1,89 @@
+"""SURT keys and a CDX-style capture index (the Common Crawl URL index shape).
+
+SURT ("Sort-friendly URI Reordering Transform", Heritrix/pywb/cc-index):
+`https://www.shop.example.com/p?b=2&a=1` -> `com,example,shop)/p?a=1&b=2`.
+Reversing the host onto a comma-joined key makes one registrable domain —
+and one host's whole subtree — a contiguous key range, so "give me every
+capture under *.example.com/products" becomes a sorted-range scan instead
+of a full-index filter. Query params sort so param order never splits a
+URL across keys; a leading `www.` is dropped (pywb canon).
+
+The CDX index itself is the crawl's lookup artifact: one row per capture,
+(surt, timestamp) -> (url, content digest), laid out as a set of shard
+files each sorted by key, plus a tiny secondary index of shard boundaries
+(cc-index's `cluster.idx`). Here the shard is an md5 prefix bucket —
+balanced by construction, immune to the `com,`-prefix skew that raw
+range-sharding must solve with sampled boundaries (Spark's
+repartitionByRange does exactly that sampling at scale; the hash-bucket
+variant keeps the operator deterministic for the cross-engine oracle, at
+the cost of one local probe per shard on prefix lookups). Within a shard
+the rank is a window row_number — each shard sorts independently, no
+global single-partition funnel.
+
+Inputs are assumed canonicalized (compose with
+functions/sql_analogs.canonical_url); every transform is regex/array ops
+with an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def surt_key(url: Column) -> Column:
+    """SURT key for a canonical `scheme://host[/path][?query]` URL."""
+    host = F.regexp_extract(url, r"^https?://([^/?#]*)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.regexp_replace(url, r"^https?://[^/?#]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev, F.lit(")"), path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+SQL_SURT = """
+array_to_string(list_reverse(string_split(
+    regexp_replace(regexp_extract({u}, '^https?://([^/?#]*)', 1), '^www\\.', ''),
+    '.')), ',')
+|| ')'
+|| regexp_extract(regexp_replace({u}, '^https?://[^/?#]*', ''), '^([^?]*)', 1)
+|| CASE WHEN regexp_extract(regexp_replace({u}, '^https?://[^/?#]*', ''), '\\?(.*)$', 1) = ''
+        THEN ''
+        ELSE '?' || array_to_string(list_sort(string_split(
+             regexp_extract(regexp_replace({u}, '^https?://[^/?#]*', ''), '\\?(.*)$', 1),
+             '&')), '&') END
+""".strip()
+
+
+def cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "content",
+    n_hex: int = 1,
+) -> DataFrame:
+    """CDX capture index rows: (shard, rank, surt, ts, url, digest).
+
+    shard = first `n_hex` hex chars of md5(surt) (16**n_hex buckets);
+    rank = position in the shard's (surt, ts, url) sort order — the offset
+    a reader seeks to. digest = md5-12 of the capture body (the CDX
+    revisit-detection field).
+    """
+    rows = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        surt_key(F.col(url_col)).alias("surt"),
+        F.substring(F.md5(F.col(content_col)), 1, 12).alias("digest"),
+    )
+    rows = rows.withColumn("shard", F.substring(F.md5("surt"), 1, n_hex))
+    w = Window.partitionBy("shard").orderBy("surt", "ts", "url")
+    return rows.select(
+        "shard", F.row_number().over(w).alias("rank"),
+        "surt", "ts", "url", "digest",
+    )

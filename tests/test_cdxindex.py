@@ -1,0 +1,81 @@
+"""SURT keys + CDX index (operators/cdxindex.py): known transforms,
+prefix-contiguity of a host subtree, shard-local rank order."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.functions.sql_analogs import canonical_url
+from ocr_service_spark.operators.cdxindex import cdx_index, surt_key
+
+
+def _surts(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", surt_key(canonical_url(F.col("url"))).alias("s")).collect()
+    return {r["url"]: r["s"] for r in rows}
+
+
+def test_known_surts(spark):
+    got = _surts(spark, [
+        "https://www.Example.COM:443/a/b?z=1&a=2#frag",
+        "http://sub.shop.example/p",
+        "https://example.com/",
+        "http://example.com:80/q?only=1",
+        "https://one.two.three.example.org/x/y/z",
+    ])
+    assert got["https://www.Example.COM:443/a/b?z=1&a=2#frag"] == "com,example)/a/b?a=2&z=1"
+    assert got["http://sub.shop.example/p"] == "example,shop,sub)/p"
+    assert got["https://example.com/"] == "com,example)"
+    assert got["http://example.com:80/q?only=1"] == "com,example)/q?only=1"
+    assert got["https://one.two.three.example.org/x/y/z"] == "org,example,three,two,one)/x/y/z"
+
+
+def test_param_order_never_splits_a_url(spark):
+    got = _surts(spark, [
+        "https://h.example/p?b=2&a=1",
+        "https://h.example/p?a=1&b=2",
+    ])
+    assert len(set(got.values())) == 1
+
+
+def test_host_subtree_is_contiguous(spark):
+    # every capture under *.corp.example sorts inside one key range
+    inside = ["http://corp.example/a", "http://www.corp.example/z",
+              "http://mail.corp.example/m"]
+    outside = ["http://corpx.example/a", "http://corp.examplez/a",
+               "http://other.example/corp"]
+    got = _surts(spark, inside + outside)
+    # subtree keys continue with ')' (the host itself) or ',' (subhosts);
+    # '-' is the next codepoint after ',' so [lo, hi) brackets exactly them
+    lo, hi = "example,corp)", "example,corp-"
+    assert all(lo <= got[u] < hi for u in inside)
+    assert all(not (lo <= got[u] < hi) for u in outside)
+
+
+def test_cdx_ranks_follow_sort_order(spark):
+    rows = [
+        ("http://a.example/1", 20, "body1"),
+        ("http://a.example/1", 10, "body0"),   # same url, earlier capture
+        ("http://b.example/2", 5, "body2"),
+        ("http://a.example/3", 7, "body3"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, content string")
+    out = cdx_index(df, n_hex=0).collect()  # n_hex=0 -> single shard
+    ordered = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ordered] == [1, 2, 3, 4]
+    keys = [(r["surt"], r["ts"]) for r in ordered]
+    assert keys == sorted(keys)
+    # the two captures of /1 share a surt, ts breaks the tie
+    assert ordered[0]["surt"] == ordered[1]["surt"]
+    assert ordered[0]["ts"] < ordered[1]["ts"]
+    digests = {r["digest"] for r in out}
+    assert len(digests) == 4 and all(len(d) == 12 for d in digests)
+
+
+def test_shards_are_hash_buckets(spark):
+    rows = [(f"http://h{i}.example/p{i}", i, f"c{i}") for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, ts long, content string")
+    out = cdx_index(df).collect()
+    assert {len(r["shard"]) for r in out} == {1}
+    assert len({r["shard"] for r in out}) > 4  # spreads across buckets
+    for shard in {r["shard"] for r in out}:
+        ranks = sorted(r["rank"] for r in out if r["shard"] == shard)
+        assert ranks == list(range(1, len(ranks) + 1))
