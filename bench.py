@@ -145,6 +145,7 @@ HEADLINE = [
     "snapshot_drift",          # recrawl change classes via simhash hamming
     "winnow_fingerprint",      # MOSS winnowing selection, narrow-only plan
     "cdx_index",               # SURT + sharded capture index (one Exchange)
+    "bpe_train_merges",        # iterative tokenizer training on the dict
     "corpus_diff",             # dataset version changelog, digests-only join
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
     "mirror_detection",        # same content across hosts, bounded host list

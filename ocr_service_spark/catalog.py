@@ -7109,6 +7109,65 @@ FROM keyed
 """.format(surt=_SQL_SURT.replace("{u}", "url"))
 
 
+_BPE_ROUNDS = 6
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE merge training (operators/bpe.py): the first 6 learned merge
+    rules (step, pair, n) over the documents corpus. Iterative argmax —
+    the oracle unrolls the identical recurrence as chained CTEs (the
+    kmeans_lloyd strategy applied to tokenizer training); counts are
+    integer so the value-hash is exact."""
+    from .operators.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(d, "text", _BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(s, p, n) for s, p, n in merges], "step int, pair string, n bigint"
+    )
+
+
+def _bpe_round_cte(r: int) -> str:
+    best = f"(SELECT pair FROM b{r})"
+    return f"""
+, p{r} AS (
+  SELECT t.s AS pair, sum(cnt) AS n
+  FROM v{r - 1}, unnest(list_transform(range(1, len(syms)),
+                        i -> syms[i] || ' ' || syms[i + 1])) AS t(s)
+  WHERE len(syms) >= 2
+  GROUP BY 1
+), b{r} AS (
+  SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1
+), v{r} AS (
+  SELECT word, cnt,
+         list_filter(string_split(
+           replace(
+             replace(' ' || array_to_string(syms, ' ') || ' ', ' ', '  '),
+             ' ' || replace({best}, ' ', '  ') || ' ',
+             ' ' || replace({best}, ' ', '') || ' '
+           ), ' '), x -> x <> '') AS syms
+  FROM v{r - 1}
+)"""
+
+
+SQL_BPE_MERGES = (
+    """
+WITH wf AS (
+  SELECT t.w AS word, count(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  GROUP BY 1
+), v0 AS (
+  SELECT word, cnt, regexp_extract_all(word || '_', '.') AS syms FROM wf
+)"""
+    + "".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, pair, n FROM b{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n)"
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7328,6 +7387,8 @@ CATALOG: Dict[str, tuple] = {
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
     # SURT + sharded CDX capture index (operators/cdxindex.py)
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
+    # BPE merge training, iterative argmax (operators/bpe.py)
+    "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
 }
 
 

@@ -1,0 +1,103 @@
+"""Byte-pair-encoding merge training (Sennrich/Haddow/Birch, ACL 2016).
+
+The tokenizer-prep half of a training-data pipeline: learn the first R
+merge rules from a corpus by repeatedly (1) counting adjacent symbol
+pairs weighted by word frequency, (2) taking the most frequent pair
+(count desc, pair asc on ties — deterministic), (3) fusing that pair
+everywhere it occurs, greedy left-to-right.
+
+Scale shape: the expensive corpus-wide pass happens ONCE — explode words,
+groupBy word — producing the word-frequency dict BPE actually trains on
+(vocab-sized: ~10^6-10^7 rows regardless of corpus bytes; this is why
+real BPE trainers survive 100 TB). Each round then runs one explode +
+hash aggregate over the dict plus a 1-row argmax collect, and one narrow
+projection applying the merge. R rounds = R tiny jobs over the dict, like
+operators/clustering.py kmeans.
+
+The merge application is a LITERAL string replace (both engines scan
+leftmost, non-overlapping — exactly BPE's greedy-left rule) on the
+space-joined symbol string. Plain single-space joins are wrong:
+replacing " a b " in " a b a b " consumes the shared boundary space and
+misses the second pair. Doubling every space first gives each symbol a
+private boundary on both sides (" a  b " -> " ab " leaves one space from
+each doubled pair), so consecutive and adjacent occurrences all merge in
+one pass; spacing renormalizes next round. Regex is deliberately avoided:
+RE2 (DuckDB) has no lookbehind, and merged symbols would need escaping.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "_"  # appended marker so word-final symbols differ from inner
+
+
+def word_freq_dict(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus pass: (word, cnt) over lowercase [a-z]+ words."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    return (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    syms = F.col("syms")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(syms, i), F.element_at(syms, i + 1)),
+    )
+    return (
+        vocab.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, pair: str) -> DataFrame:
+    spaced = F.concat(F.lit(" "), F.array_join("syms", " "), F.lit(" "))
+    doubled = F.replace(spaced, F.lit(" "), F.lit("  "))
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = " " + pair.replace(" ", "") + " "
+    merged = F.replace(doubled, F.lit(pat), F.lit(rep))
+    resplit = F.filter(F.split(merged, " "), lambda x: x != "")
+    return vocab.select("word", "cnt", resplit.alias("syms"))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> Tuple[List[Tuple[int, str, int]], DataFrame]:
+    """Learn `n_merges` BPE merges. Returns ([(step, pair, count)], vocab
+    DataFrame with the post-merge symbol arrays)."""
+    wf = word_freq_dict(df, text_col)
+    chars = F.regexp_extract_all(
+        F.concat(F.col("word"), F.lit(END_OF_WORD)), F.lit("."), 0
+    )
+    vocab = wf.select("word", "cnt", chars.alias("syms"))
+    merges: List[Tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        merges.append((step, pair, n))
+        vocab = _apply_merge(vocab, pair)
+        # R chained narrow projections stay cheap; checkpointing is not
+        # needed at kmeans-like round counts (R <= a few dozen)
+    return merges, vocab
+
+
+def encode_token_counts(vocab: DataFrame) -> DataFrame:
+    """Per-word token count under the trained merges (the dict is the
+    corpus encoding: corpus tokens = sum(cnt * n_toks))."""
+    return vocab.select("word", "cnt", F.size("syms").cast("int").alias("n_toks"))

@@ -1,0 +1,91 @@
+"""BPE merge training (operators/bpe.py) vs a direct pure-Python
+implementation: learned merges, greedy-left application (consecutive and
+adjacent occurrences), tie determinism, token counts."""
+
+import re
+from collections import Counter
+
+from ocr_service_spark.operators.bpe import bpe_train, encode_token_counts
+
+
+def ref_bpe(texts, n_merges):
+    wf = Counter(w for t in texts for w in re.findall(r"[a-z]+", t.lower()))
+    vocab = {w: [c for c in w + "_"] for w in wf}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in wf.items():
+            s = vocab[w]
+            for a, b in zip(s, s[1:]):
+                pc[a + " " + b] += c
+        if not pc:
+            break
+        pair, n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, pair, n))
+        a, b = pair.split(" ")
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+TEXTS = [
+    "the cat sat on the mat with the other cat",
+    "that hat is the hattest hat that matters",
+    "banana bandana ananas",          # overlapping/consecutive pair runs
+    "zzzz zzz zz z",                  # same-symbol adjacency (aa-style)
+    "the the the thethe",
+]
+
+
+def _train(spark, texts, r):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, vocab = bpe_train(df, "text", r)
+    got_vocab = {row["word"]: list(row["syms"]) for row in vocab.collect()}
+    return merges, got_vocab
+
+
+def test_merges_match_reference(spark):
+    got_m, got_v = _train(spark, TEXTS, 8)
+    exp_m, exp_v = ref_bpe(TEXTS, 8)
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+
+def test_greedy_left_on_symbol_runs(spark):
+    # "zzzz_" under merge (z,z): greedy left pairs -> [zz, zz, _]
+    got_m, got_v = _train(spark, ["zz zzz zzzz"], 1)
+    assert got_m[0][1] == "z z"
+    assert got_v["zzzz"] == ["zz", "zz", "_"]
+    assert got_v["zzz"] == ["zz", "z", "_"]
+    assert got_v["zz"] == ["zz", "_"]
+
+
+def test_merged_symbols_merge_further(spark):
+    # enough rounds collapse a frequent word to a single token
+    texts = ["aaab aaab aaab aaab aaab"] * 3
+    got_m, got_v = _train(spark, texts, 4)
+    exp_m, exp_v = ref_bpe(texts, 4)
+    assert got_m == exp_m
+    assert got_v["aaab"] == exp_v["aaab"]
+    assert got_v["aaab"] == ["aaab_"]
+
+
+def test_token_counts(spark):
+    df_texts = TEXTS
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from ocr_service_spark.session import get_spark  # session fixture exists
+
+    spark_df = spark.createDataFrame([(t,) for t in df_texts], "text string")
+    _, vocab = bpe_train(spark_df, "text", 5)
+    toks = {r["word"]: r["n_toks"] for r in encode_token_counts(vocab).collect()}
+    _, exp_v = ref_bpe(df_texts, 5)
+    assert toks == {w: len(s) for w, s in exp_v.items()}
