@@ -7168,6 +7168,42 @@ WITH wf AS (
 )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order file layout (operators/layout.py): Morton-interleave two
+    quantized lineitem dims, bucket the curve into 16 files, report each
+    file's pruning stats (the min/max the scan planner consults)."""
+    from .operators.layout import zorder_layout
+
+    li = load(spark, sf_dir, "lineitem")
+    # prime-scatter the keys so the quantized domain is fully populated at
+    # every SF (raw small-SF keys would cluster in the low buckets)
+    pts = li.select(
+        (F.col("l_partkey") * 7919 % 1024).alias("x"),
+        (F.col("l_suppkey") * 104729 % 1024).alias("y"),
+    )
+    out = zorder_layout(pts, "x", "y", bits=10, file_bits=4)
+    return out.select(
+        "file_id", F.col("n_rows").cast("long").alias("n_rows"),
+        "min_x", "max_x", "min_y", "max_y",
+    )
+
+
+from .operators.layout import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+SQL_ZORDER = """
+WITH pts AS (
+  SELECT l_partkey * 7919 % 1024 AS x, l_suppkey * 104729 % 1024 AS y
+  FROM lineitem
+), keyed AS (
+  SELECT x, y, ({z}) >> 16 AS file_id FROM pts
+)
+SELECT file_id, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM keyed GROUP BY file_id
+""".format(z=_zorder_key_sql("x", "y", 10))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7389,6 +7425,8 @@ CATALOG: Dict[str, tuple] = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     # BPE merge training, iterative argmax (operators/bpe.py)
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
+    # Z-order curve layout + pruning stats (operators/layout.py)
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }
 
 

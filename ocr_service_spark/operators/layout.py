@@ -1,0 +1,69 @@
+"""Z-order (Morton curve) data layout for multi-dimensional file pruning.
+
+The lakehouse OPTIMIZE ZORDER primitive: interleave the bits of two
+quantized clustering columns so rows close in BOTH dimensions land close
+on the curve; range-bucketing the curve key then yields files whose
+per-column min/max stats cover small rectangles (quadtree cells), so a
+scan filtered on EITHER column prunes most files — a single-column sort
+gives perfect pruning on one column and none on the other.
+
+Everything is integer bit arithmetic (shift/and/add over disjoint bit
+positions), generated once per bit at plan-build time — whole-stage
+codegen keeps it one projection; the DuckDB twin is the same expression
+printed as SQL. At scale the physical act is repartitionByRange(zkey) +
+sortWithinPartitions + write; the checkable artifact here is the per-file
+stats table (file id, row count, per-dimension min/max) that the pruning
+planner would consult.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton-interleave two `bits`-bit non-negative ints (x gets the odd,
+    higher positions; y the even) into a 2*bits-bit key."""
+    terms = []
+    for b in range(bits):
+        xb = F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(xb, 2 * b + 1))
+        terms.append(F.shiftleft(yb, 2 * b))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 10) -> str:
+    """DuckDB twin of zorder_key — identical arithmetic as SQL text."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 10, file_bits: int = 4
+) -> DataFrame:
+    """Assign rows to 2**file_bits curve-range files and report the
+    pruning stats each file would publish: (file_id, n_rows, min/max per
+    dimension). file_id = top file_bits bits of the z-key, i.e. quadtree
+    cells — with uniform inputs every file's bounding box is an exact
+    power-of-2 rectangle of the domain."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    z = zorder_key(x, y, bits)
+    fid = F.shiftright(z, 2 * bits - file_bits)
+    return (
+        df.select(fid.alias("file_id"), x.alias("x"), y.alias("y"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+    )

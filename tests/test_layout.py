@@ -1,0 +1,48 @@
+"""Z-order layout (operators/layout.py): Morton keys vs a pure-Python
+reference, quadtree file bounds, pruning-selectivity advantage over a
+single-column sort."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.layout import zorder_key, zorder_layout
+
+
+def ref_z(x, y, bits):
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+def test_keys_match_reference(spark):
+    pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 6).alias("z")).collect()
+    for r in rows:
+        assert r["z"] == ref_z(r["x"], r["y"], 6), (r["x"], r["y"])
+
+
+def test_files_are_quadtree_cells(spark):
+    # full 32x32 grid, bits=5, file_bits=4 -> 16 files, each an 8x8 cell
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = zorder_layout(df, "x", "y", bits=5, file_bits=4).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["n_rows"] == 64
+        assert r["max_x"] - r["min_x"] == 7
+        assert r["max_y"] - r["min_y"] == 7
+        assert r["min_x"] % 8 == 0 and r["min_y"] % 8 == 0
+
+
+def test_prunes_on_both_dimensions(spark):
+    # point filter x=3: z-order touches only files whose x-range covers 3;
+    # a y-sorted layout would touch EVERY file. 16 files over 32x32:
+    # x in [0,8) -> 4 of 16 files.
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    stats = zorder_layout(df, "x", "y", bits=5, file_bits=4).collect()
+    touched_x = [r for r in stats if r["min_x"] <= 3 <= r["max_x"]]
+    touched_y = [r for r in stats if r["min_y"] <= 3 <= r["max_y"]]
+    assert len(touched_x) == 4 and len(touched_y) == 4
