@@ -165,6 +165,7 @@ HEADLINE = [
     "lang_segments",           # per-line LID run-length segmentation
     "int8_ann_topk",           # int8-quantized similarity, integer dots
     "bm25_topk",               # quantized-BM25 corpus retrieval
+    "phrase_search",           # positional phrase match, anchored postings
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
     "rendezvous_shard",        # HRW minimal-churn shard assignment

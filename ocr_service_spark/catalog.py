@@ -6078,6 +6078,44 @@ ORDER BY score_q DESC, id LIMIT 20
 """
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/search.py phrase_search):
+    exact consecutive-token match over the REAL documents text via the
+    anchored-postings shape (posexplode → vocabulary filter → anchor
+    p−i → one groupBy counts filled slots). The oracle recomputes every
+    document's occurrence count by sliding the 3-token window in
+    DuckDB lambda land and must reproduce the same top-20 (id, hits)."""
+    from .operators.search import phrase_search
+
+    return phrase_search(
+        load(spark, sf_dir, "documents"),
+        ["slow", "hash", "batch"],
+        k=20,
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH c AS (
+  SELECT doc_id, trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(t, '\\s+') END AS ws
+  FROM c
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(range(1, len(ws) - 1),
+         p -> ws[p] = 'slow' AND ws[p+1] = 'hash' AND ws[p+2] = 'batch'))
+         AS BIGINT) AS hits
+  FROM b WHERE len(ws) >= 3
+)
+SELECT doc_id AS id, hits FROM m WHERE hits >= 1
+ORDER BY hits DESC, id LIMIT 20
+"""
+
+
 def q_bitext_candidates(spark, sf_dir):
     """URL-pattern bitext pairing (operators/bitext.py): doc_id groups
     of five plant a three-language path-prefix family (en/fr/de on one
@@ -7378,6 +7416,7 @@ CATALOG: Dict[str, tuple] = {
     "paginated_stitch": (q_paginated_stitch, SQL_PAGINATED_STITCH),
     # quantized-BM25 retrieval (operators/search.py)
     "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     # URL-pattern bitext pairing (operators/bitext.py)
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
     # crawl-loop capstone: links -> anti-join -> robots -> schedule

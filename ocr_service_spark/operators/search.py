@@ -101,3 +101,73 @@ def bm25_topk(
         .orderBy(F.col("score_q").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search: top-k (id, hits) documents containing
+    the exact consecutive token sequence `phrase`, ranked by occurrence
+    count (ties broken by id). Tokens match whole lowercase whitespace
+    words — the bm25_topk tokenizer, so the two retrieval operators
+    compose over one corpus representation.
+
+    Scale shape — the positional-inverted-index join collapsed to ONE
+    shuffle: posexplode the words array to postings (id, pos, word),
+    filter postings to the phrase vocabulary BEFORE any exchange (for a
+    real corpus this discards ~99% of postings at the scan — the whole
+    point of an inverted index), then map each posting of phrase term i
+    at position p to anchor p−i. A full match at anchor a contributes
+    exactly one posting per i (the position a+i and required word are
+    both fixed), so groupBy(id, anchor) + count(*) == len(phrase) IS
+    the phrase test — no n-way self-join, no iterative probing, and
+    repeated terms in the phrase are handled by exploding one anchor
+    row per slot a posting can fill (a constant word→slot-list lookup
+    compiled into the plan, so the corpus is scanned ONCE — not the
+    union-of-filtered-branches shape, which would duplicate the scan
+    subtree per term). Map-side partial counts shrink the exchange; the
+    final ranking is TakeOrderedAndProject. The words array is
+    materialized in its own projection before any lambda touches it
+    (the Catalyst lambda-capture rule, see operators/dedup.py).
+    """
+    terms: List[str] = [t.lower() for t in phrase]
+    n = len(terms)
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    postings = (
+        docs.select(F.col(id_col).alias("id"), words.alias("words"))
+        .select("id", F.posexplode("words").alias("pos", "word"))
+        .where(F.col("word").isin(terms))
+    )
+    # constant word -> [slot indices] lookup, one explode per posting
+    by_word: dict = {}
+    for i, term in enumerate(terms):
+        by_word.setdefault(term, []).append(i)
+    slot_arr = None
+    for term, idxs in by_word.items():
+        arm = F.array(*[F.lit(i) for i in idxs])
+        slot_arr = (
+            F.when(F.col("word") == term, arm)
+            if slot_arr is None
+            else slot_arr.when(F.col("word") == term, arm)
+        )
+    slots = postings.select(
+        "id", "pos", F.explode(slot_arr).alias("slot")
+    ).select("id", (F.col("pos") - F.col("slot")).alias("anchor"))
+    matches = (
+        slots.where(F.col("anchor") >= 0)
+        .groupBy("id", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where(F.col("n_slots") == n)
+    )
+    return (
+        matches.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .orderBy(F.col("hits").desc(), F.col("id"))
+        .limit(k)
+    )

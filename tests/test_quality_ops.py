@@ -1051,3 +1051,61 @@ class TestLuhnCardScrub:
         ])
         assert got[0] == ("amex <CARD> ok", 1)
         assert got[1][1] == 0
+
+
+class TestPhraseSearch:
+    def _run(self, spark, rows, phrase, k=10):
+        from ocr_service_spark.operators.search import phrase_search
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return phrase_search(df, phrase, k=k).collect()
+
+    def test_exact_consecutive_only(self, spark):
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "quick brown dog quick brown fox"),
+            (3, "brown quick fox"),        # right words, wrong order
+            (4, "quick fox"),              # gap breaks the phrase
+            (5, None),
+        ]
+        got = self._run(spark, rows, ["quick", "brown", "fox"])
+        assert [(r["id"], r["hits"]) for r in got] == [(1, 1), (2, 1)]
+
+    def test_ranked_by_occurrences_tie_by_id(self, spark):
+        rows = [
+            (1, "x y . x y"),
+            (2, "x y"),
+            (3, "x y x y x y"),
+        ]
+        got = self._run(spark, rows, ["x", "y"])
+        assert [(r["id"], r["hits"]) for r in got] == \
+            [(3, 3), (1, 2), (2, 1)]
+
+    def test_repeated_terms_overlapping(self, spark):
+        # 'a a a' holds TWO overlapping 'a a' anchors; 'a b a' none
+        got = self._run(spark, [(1, "a a a"), (2, "a b a")], ["a", "a"])
+        assert [(r["id"], r["hits"]) for r in got] == [(1, 2)]
+
+    def test_case_fold_and_single_term(self, spark):
+        got = self._run(spark, [(1, "Hello WORLD"), (2, "hello")],
+                        ["HELLO"])
+        assert [(r["id"], r["hits"]) for r in got] == [(1, 1), (2, 1)]
+
+
+def test_phrase_search_plan(spark):
+    """Single corpus scan (no union-duplicated subtree), aggregation
+    exchanges only, top-k via TakeOrderedAndProject."""
+    import contextlib, io
+    from ocr_service_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b a b")],
+                               "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        phrase_search(df, ["a", "b", "a"], k=2).explain("formatted")
+    t = buf.getvalue()
+    # each node appears twice in formatted output (tree + detail)
+    assert t.count("Scan ExistingRDD") <= 2
+    assert t.count(") Exchange") <= 2
+    assert "TakeOrderedAndProject" in t
+    assert "CartesianProduct" not in t
