@@ -7206,6 +7206,66 @@ WITH wf AS (
 )
 
 
+# literal merge list for the encode entry: chained so "table" fuses all
+# the way to one token (a b -> t ab -> l e -> le _ -> tab le_) while a
+# final unrelated rule ("s t") exercises order independence
+_ENC_MERGES = ["a b", "t ab", "l e", "le _", "tab le_", "s t"]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding (operators/bpe.py bpe_encode): apply a fixed 6-rule
+    merge list to the documents corpus via the encode-the-dictionary
+    shape. The oracle replays the identical boundary-doubled replace
+    chain per distinct word in DuckDB and rebuilds each document's
+    ordered token stream — n_words, n_tokens AND the md5 of the full
+    stream must all hash-match, so every token of every word agrees."""
+    from .operators.bpe import bpe_encode
+
+    return bpe_encode(load(spark, sf_dir, "documents"), _ENC_MERGES)
+
+
+def _enc_merge_cte(r: int, pair: str) -> str:
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = " " + pair.replace(" ", "") + " "
+    return f"""
+, s{r} AS (
+  SELECT word, list_filter(string_split(
+    replace(replace(' ' || array_to_string(syms, ' ') || ' ', ' ', '  '),
+            '{pat}', '{rep}'), ' '), x -> x <> '') AS syms
+  FROM s{r - 1}
+)"""
+
+
+SQL_BPE_ENCODE = (
+    """
+WITH posting AS (
+  SELECT id, u.r.i AS idx, u.r.w AS word
+  FROM (
+    SELECT doc_id AS id, list_transform(
+      regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'),
+      (x, i) -> struct_pack(i := i, w := x)) AS lr
+    FROM documents
+  ) t, unnest(t.lr) AS u(r)
+), s0 AS (
+  SELECT word, regexp_extract_all(word || '_', '.') AS syms
+  FROM (SELECT DISTINCT word FROM posting)
+)"""
+    + "".join(_enc_merge_cte(r, p) for r, p in enumerate(_ENC_MERGES, 1))
+    + f"""
+, enc AS (
+  SELECT word, array_to_string(syms, ' ') AS toks,
+         CAST(len(syms) AS BIGINT) AS n_toks
+  FROM s{len(_ENC_MERGES)}
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       md5(string_agg(toks, ' ' ORDER BY idx)) AS enc_md5
+FROM posting JOIN enc USING (word)
+GROUP BY id
+"""
+)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order file layout (operators/layout.py): Morton-interleave two
     quantized lineitem dims, bucket the curve into 16 files, report each
@@ -7464,6 +7524,7 @@ CATALOG: Dict[str, tuple] = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     # BPE merge training, iterative argmax (operators/bpe.py)
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

@@ -66,7 +66,7 @@ def _apply_merge(vocab: DataFrame, pair: str) -> DataFrame:
     rep = " " + pair.replace(" ", "") + " "
     merged = F.replace(doubled, F.lit(pat), F.lit(rep))
     resplit = F.filter(F.split(merged, " "), lambda x: x != "")
-    return vocab.select("word", "cnt", resplit.alias("syms"))
+    return vocab.withColumn("syms", resplit)
 
 
 def bpe_train(
@@ -101,3 +101,65 @@ def encode_token_counts(vocab: DataFrame) -> DataFrame:
     """Per-word token count under the trained merges (the dict is the
     corpus encoding: corpus tokens = sum(cnt * n_toks))."""
     return vocab.select("word", "cnt", F.size("syms").cast("int").alias("n_toks"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: List[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge list to encode the corpus — the tokenizer's
+    serving half (bpe_train learns the rules; this runs them over new
+    text). Per document with ≥1 word emits (id, n_words, n_tokens,
+    enc_md5): total word and BPE-token counts plus an md5 fingerprint of
+    the full token stream in document order, so two engines agreeing on
+    enc_md5 agree on every token of every word.
+
+    Scale shape — encode the DICTIONARY, not the corpus (the memoized
+    trick every real tokenizer uses): explode words once keeping
+    positions, distinct them to a vocab-sized dict (~10⁶ rows however
+    many TB the corpus is), run the R merges as R narrow projections
+    over the dict only, then one equi-join stamps each word occurrence
+    with its precomputed encoding (AQE broadcasts the dict when it fits)
+    and one hash aggregate per doc rebuilds the ordered stream via
+    array_sort(collect_list(struct(idx, toks))) — no global sort, no
+    per-occurrence merge work. Merge application is the boundary-doubled
+    literal replace shared with bpe_train (see module docstring for why
+    regex and single-space joins are both wrong).
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit("[a-z]+"), 0
+    )
+    posting = docs.select(
+        F.col(id_col).alias("id"), words.alias("ws")
+    ).select("id", F.posexplode("ws").alias("idx", "word"))
+    chars = F.regexp_extract_all(
+        F.concat(F.col("word"), F.lit(END_OF_WORD)), F.lit("."), 0
+    )
+    vocab = posting.select("word").distinct().select(
+        "word", chars.alias("syms")
+    )
+    for pair in merges:
+        vocab = _apply_merge(vocab, pair)
+    enc = vocab.select(
+        "word",
+        F.array_join("syms", " ").alias("toks"),
+        F.size("syms").cast("long").alias("n_toks"),
+    )
+    stream = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "toks"))),
+            lambda s: s["toks"],
+        ),
+        " ",
+    )
+    return (
+        posting.join(enc, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.md5(stream).alias("enc_md5"),
+        )
+    )

@@ -89,3 +89,48 @@ def test_token_counts(spark):
     toks = {r["word"]: r["n_toks"] for r in encode_token_counts(vocab).collect()}
     _, exp_v = ref_bpe(df_texts, 5)
     assert toks == {w: len(s) for w, s in exp_v.items()}
+
+
+def _encode(spark, rows, merges):
+    from ocr_service_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["id"]: (r["n_words"], r["n_tokens"], r["enc_md5"])
+            for r in bpe_encode(df, merges).collect()}
+
+
+MERGES = ["a b", "t ab", "l e", "le _", "tab le_", "s t"]
+
+
+def test_encode_chained_merges(spark):
+    import hashlib
+
+    got = _encode(spark, [(1, "ab table stream")], MERGES)
+    # ab -> [ab, _]; table -> [table_]; stream -> [st, r, e, a, m, _]
+    stream = "ab _ table_ st r e a m _"
+    md5 = hashlib.md5(stream.encode()).hexdigest()
+    assert got[1] == (3, 9, md5)
+
+
+def test_encode_repeats_and_empty_docs(spark):
+    import hashlib
+
+    got = _encode(spark, [(1, "table table"), (2, ""), (3, None)], MERGES)
+    assert set(got) == {1}  # wordless docs emit nothing
+    md5 = hashlib.md5(b"table_ table_").hexdigest()
+    assert got[1] == (2, 2, md5)
+
+
+def test_encode_matches_train_vocab(spark):
+    # encoding with the merges bpe_train just learned reproduces the
+    # trained vocab's per-word token counts, summed per document
+    texts = ["aaab aaab banana", "banana aaab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, vocab = bpe_train(df, "text", 3)
+    enc = _encode(spark, [(i, t) for i, t in enumerate(texts)],
+                  [p for _, p, _ in merges])
+    toks = {r["word"]: r["n_toks"]
+            for r in encode_token_counts(vocab).collect()}
+    assert enc[0][1] == 2 * toks["aaab"] + toks["banana"]
+    assert enc[1][1] == toks["aaab"] + toks["banana"]
