@@ -126,6 +126,7 @@ HEADLINE = [
     "lm_unigram_nll",          # CCNet-style LM quality scoring
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
+    "scd2_history",            # SCD2 interval history, one url Exchange
     "host_pagerank",           # fixed-point host-authority iterations
     "extract_outlinks",        # link+anchor extraction (Arrow map pass)
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)

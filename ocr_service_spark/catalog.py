@@ -7206,6 +7206,63 @@ WITH wf AS (
 )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 page-version history (operators/snapshots.py scd2_history):
+    doc_ids plant a capture stream per url (97 urls, content version
+    rolls every 3 captures) and the interval collapse emits one row per
+    version with half-open [valid_from, valid_to) bounds. The oracle
+    replays the same windows in DuckDB — every interval bound, capture
+    count and current flag value-hashes."""
+    from .operators.snapshots import scd2_history
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    caps = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 97).cast("string")).alias(
+            "url"
+        ),
+        (F.expr("doc_id DIV 97") * 1000 + F.col("doc_id") % 97)
+        .cast("long")
+        .alias("ts"),
+        F.concat(
+            F.lit("v"), F.expr("doc_id DIV 97 DIV 3").cast("string")
+        ).alias("dg"),
+        F.col("doc_id").cast("long").alias("tb"),
+    )
+    return scd2_history(caps, "url", "ts", F.col("dg"), "tb")
+
+
+SQL_SCD2 = """
+WITH caps AS (
+  SELECT 'u' || CAST(doc_id % 97 AS VARCHAR) AS url,
+         CAST((doc_id // 97) * 1000 + doc_id % 97 AS BIGINT) AS ts,
+         'v' || CAST(doc_id // 97 // 3 AS VARCHAR) AS dg,
+         CAST(doc_id AS BIGINT) AS tb
+  FROM documents
+),
+flg AS (
+  SELECT url, ts, dg, tb,
+         CASE WHEN lag(dg) OVER w IS NULL OR dg <> lag(dg) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts, tb)
+),
+ver AS (
+  SELECT url, ts, dg,
+         CAST(sum(chg) OVER (PARTITION BY url ORDER BY ts, tb
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version_no
+  FROM flg
+),
+v2 AS (
+  SELECT url, version_no, min(dg) AS digest, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_captures
+  FROM ver GROUP BY url, version_no
+)
+SELECT url, version_no, digest, valid_from,
+       lead(valid_from) OVER w2 AS valid_to, n_captures,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM v2 WINDOW w2 AS (PARTITION BY url ORDER BY version_no)
+"""
+
+
 # literal merge list for the encode entry: chained so "table" fuses all
 # the way to one token (a b -> t ab -> l e -> le _ -> tab le_) while a
 # final unrelated rule ("s t") exercises order independence
@@ -7525,6 +7582,7 @@ CATALOG: Dict[str, tuple] = {
     # BPE merge training, iterative argmax (operators/bpe.py)
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "scd2_history": (q_scd2_history, SQL_SCD2),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

@@ -288,3 +288,72 @@ def length_histogram_drift(
             / (F.max("n_old") * F.max("n_new"))
         ).cast("long").alias("tv_permille"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    digest: Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse a key's capture
+    stream into one row per CONTENT VERSION with its validity interval —
+    the warehouse-standard page-history table that lets a query ask
+    "what did this url serve at time T" with a plain range predicate.
+
+    Per key, ordered by (ts, tiebreak): a new version starts at every
+    digest change (first capture included); revisit captures inside a
+    version only bump n_captures. Output one row per (key, version_no):
+    (key, version_no, digest, valid_from, valid_to, n_captures,
+    is_current) where valid_to is the NEXT version's valid_from (null on
+    the current version — the half-open [from, to) convention, so
+    point-in-time lookups never double-match a boundary).
+
+    Scale shape: everything is keyed by `key_col` — the change-flag lag,
+    the running version number, the per-version collapse, and the
+    valid_to lead all share one hash partitioning, so Catalyst plans a
+    single Exchange (same argument as latest_snapshot, pinned by plan
+    test). No self-join; a url's whole history sorts within its
+    partition.
+    """
+    w_asc = Window.partitionBy(key_col).orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = df.select(
+        key_col,
+        F.col(ts_col).alias("_ts"),
+        digest.alias("_dg"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(
+        key_col,
+        "_ts",
+        "_dg",
+        F.sum(
+            F.when(
+                F.lag("_dg").over(w_asc).isNull()
+                | (F.col("_dg") != F.lag("_dg").over(w_asc)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(run).cast("int").alias("version_no"),
+    )
+    versions = rows.groupBy(key_col, "version_no").agg(
+        F.min(F.struct("_ts", "_dg"))["_dg"].alias("digest"),
+        F.min("_ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+    )
+    w_next = Window.partitionBy(key_col).orderBy("version_no")
+    return versions.select(
+        key_col,
+        "version_no",
+        "digest",
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        "n_captures",
+        F.lead("valid_from").over(w_next).isNull().alias("is_current"),
+    )

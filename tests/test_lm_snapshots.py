@@ -325,3 +325,57 @@ class TestLengthHistogramDrift:
         # same distributions at different corpus sizes: drift 0
         r = self._drift(spark, [8, 16], [8] * 7 + [16] * 7)
         assert r["tv_permille"] == 0
+
+
+class TestScd2History:
+    def _hist(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.snapshots import scd2_history
+
+        df = spark.createDataFrame(
+            rows, "url string, ts long, dg string, id long"
+        )
+        out = scd2_history(df, "url", "ts", F.col("dg"), "id")
+        return {(r["url"], r["version_no"]): r for r in out.collect()}
+
+    def test_versions_and_intervals(self, spark):
+        got = self._hist(spark, [
+            ("a", 10, "A1", 1),
+            ("a", 20, "A1", 2),   # revisit — same version
+            ("a", 30, "A2", 3),   # change
+            ("a", 40, "A1", 4),   # change BACK — still a new version
+            ("b", 10, "B1", 5),
+        ])
+        v1, v2, v3 = got[("a", 1)], got[("a", 2)], got[("a", 3)]
+        assert (v1["digest"], v1["valid_from"], v1["valid_to"],
+                v1["n_captures"], v1["is_current"]) == ("A1", 10, 30, 2, False)
+        assert (v2["digest"], v2["valid_from"], v2["valid_to"]) == \
+            ("A2", 30, 40)
+        assert (v3["digest"], v3["valid_to"], v3["is_current"]) == \
+            ("A1", None, True)
+        # half-open [from, to): boundaries never double-match
+        assert v1["valid_to"] == v2["valid_from"]
+        b = got[("b", 1)]
+        assert (b["valid_to"], b["is_current"], b["n_captures"]) == \
+            (None, True, 1)
+
+    def test_same_ts_tiebreak(self, spark):
+        got = self._hist(spark, [
+            ("a", 10, "X", 2),
+            ("a", 10, "Y", 1),   # id orders: Y then X
+        ])
+        assert got[("a", 1)]["digest"] == "Y"
+        assert got[("a", 2)]["digest"] == "X"
+        assert got[("a", 2)]["is_current"]
+
+    def test_single_exchange(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.snapshots import scd2_history
+
+        df = spark.createDataFrame(
+            [("a", 1, "d", 1)], "url string, ts long, dg string, id long"
+        )
+        t = _plan(scd2_history(df, "url", "ts", F.col("dg"), "id"))
+        assert t.count(") Exchange") == 1
