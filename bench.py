@@ -132,6 +132,7 @@ HEADLINE = [
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)
     "host_link_graph",         # planted-rule end-to-end link graph
     "lang_mismatch_gate",      # declared-vs-detected language gate
+    "code_detect_gate",        # code-vs-prose voting gate, shuffle-free
     "dup_ngram_gate",          # Gopher repetition suite, shuffle-free folds
     "bloom_dedup",             # Bloom snapshot membership, one-row broadcast map
     "anchor_text_index",       # per-target anchor index, bounded top-k

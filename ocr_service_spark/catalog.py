@@ -7206,6 +7206,80 @@ WITH wf AS (
 )
 
 
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose gate (operators/textstats.py code_detect_gate):
+    every 7th doc is replanted as a pseudo-source snippet (indentation,
+    line-final ; { }, keywords, symbol soup) that must fire ≥2 of the
+    four voting signals; the untouched word-soup prose must fire none.
+    The oracle recomputes all four permille features and the vote in
+    DuckDB — every feature value hashes, not just the flag."""
+    from .operators.textstats import code_detect_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def f"), sid, F.lit("(x):\n    return x + "), sid,
+        F.lit(";\n    const y = {};\n\tstatic int z = 4;"),
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, code)
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return code_detect_gate(planted)
+
+
+SQL_CODE_DETECT = r"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      'def f' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+      '    return x + ' || CAST(doc_id AS VARCHAR) || ';' || chr(10) ||
+      '    const y = {};' || chr(10) || chr(9) || 'static int z = 4;'
+    ELSE COALESCE(text, '') END AS t
+  FROM documents
+),
+f AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM planted),
+g AS (
+  SELECT doc_id,
+    CAST(len(list_filter(lines, x -> trim(x) <> '')) AS BIGINT) AS n_lines,
+    GREATEST(CAST(length(t) AS BIGINT), 1) AS c_safe,
+    GREATEST(CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+                                  x -> x <> '')) AS BIGINT), 1) AS w_safe,
+    CAST(len(regexp_extract_all(t, '[{}\[\]();=<>]')) AS BIGINT) AS sym,
+    CAST(len(list_filter(lines, x -> substr(x, 1, 2) = '  '
+                                  OR substr(x, 1, 1) = chr(9)))
+         AS BIGINT) AS ind,
+    CAST(len(list_filter(lines, x -> trim(x) <> ''
+               AND right(rtrim(x), 1) IN (';', '{', '}'))) AS BIGINT) AS eol,
+    CAST(len(regexp_extract_all(lower(t),
+      '\b(def|class|import|return|function|const|var|void|public|static)\b'))
+         AS BIGINT) AS kw
+  FROM f
+),
+h AS (
+  SELECT doc_id, n_lines,
+    sym * 1000 // c_safe AS sym_permille,
+    ind * 1000 // GREATEST(n_lines, 1) AS indent_permille,
+    eol * 1000 // GREATEST(n_lines, 1) AS eol_permille,
+    kw * 1000 // w_safe AS kw_per_k
+  FROM g
+)
+SELECT doc_id, n_lines, sym_permille, indent_permille, eol_permille,
+  kw_per_k,
+  CAST((CASE WHEN sym_permille >= 30 THEN 1 ELSE 0 END)
+     + (CASE WHEN indent_permille >= 150 THEN 1 ELSE 0 END)
+     + (CASE WHEN eol_permille >= 150 THEN 1 ELSE 0 END)
+     + (CASE WHEN kw_per_k >= 20 THEN 1 ELSE 0 END) AS INTEGER) AS votes,
+  (CASE WHEN sym_permille >= 30 THEN 1 ELSE 0 END)
+    + (CASE WHEN indent_permille >= 150 THEN 1 ELSE 0 END)
+    + (CASE WHEN eol_permille >= 150 THEN 1 ELSE 0 END)
+    + (CASE WHEN kw_per_k >= 20 THEN 1 ELSE 0 END) >= 2 AS is_code
+FROM h
+"""
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 page-version history (operators/snapshots.py scd2_history):
     doc_ids plant a capture stream per url (97 urls, content version
@@ -7583,6 +7657,7 @@ CATALOG: Dict[str, tuple] = {
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "scd2_history": (q_scd2_history, SQL_SCD2),
+    "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

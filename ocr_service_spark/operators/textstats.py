@@ -258,3 +258,88 @@ def oov_rate_gate(
         permille.alias("oov_permille"),
         (permille <= max_oov_permille).alias("keep"),
     )
+
+
+def code_detect_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_votes: int = 2,
+) -> DataFrame:
+    """Code-vs-prose page detector — the curation gate that routes
+    source-code pages out of the natural-language corpus (or into a
+    code corpus): The-Stack-style pipelines need this split before any
+    language-specific filtering.
+
+    Four independent integer signals, each voting on its own permille
+    grid (regex classes both engines agree on; no float ever):
+      - sym_permille:    {}[]();=<> chars per 1000 text chars   (≥30)
+      - indent_permille: lines opening with 2+ spaces or a tab
+                         per 1000 nonempty lines                (≥150)
+      - eol_permille:    nonempty lines ending in ; { or }      (≥150)
+      - kw_per_k:        code keywords (def/class/import/return/
+                         function/const/var/void/public/static)
+                         per 1000 whitespace words              (≥20)
+    is_code = at least `min_votes` signals fire — a vote beats any
+    single weighted sum because each signal alone has a cheap false
+    positive (legalese semicolons, poem indentation, the word
+    "return" in prose).
+
+    Shuffle-free single projection, codegen end-to-end. The lines
+    array is materialized in its own projection BEFORE the lambda
+    filters touch it (the Catalyst lambda-capture rule — split inside
+    F.filter re-splits per element, see operators/dedup.py).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.split(t, "\n").alias("_lines"),
+    )
+    nonempty = F.filter("_lines", lambda x: F.trim(x) != "")
+    n_lines = F.size(nonempty).cast("long")
+    l_safe = F.greatest(n_lines, F.lit(1).cast("long"))
+    n_chars = F.length("_t").cast("long")
+    c_safe = F.greatest(n_chars, F.lit(1).cast("long"))
+    words = F.size(
+        F.filter(F.split(F.trim(F.col("_t")), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    w_safe = F.greatest(words, F.lit(1).cast("long"))
+    sym = F.regexp_count("_t", F.lit(r"[{}\[\]();=<>]")).cast("long")
+    indented = F.size(
+        F.filter(
+            "_lines",
+            lambda x: (F.substring(x, 1, 2) == "  ")
+            | (F.substring(x, 1, 1) == "\t"),
+        )
+    ).cast("long")
+    eol = F.size(
+        F.filter(
+            nonempty,
+            lambda x: F.substring(F.rtrim(x), -1, 1).isin(";", "{", "}"),
+        )
+    ).cast("long")
+    kw = F.regexp_count(
+        F.lower("_t"),
+        F.lit(r"\b(def|class|import|return|function|const|var|void|public|static)\b"),
+    ).cast("long")
+    sym_pm = F.floor(sym * 1000 / c_safe).cast("long")
+    ind_pm = F.floor(indented * 1000 / l_safe).cast("long")
+    eol_pm = F.floor(eol * 1000 / l_safe).cast("long")
+    kw_pk = F.floor(kw * 1000 / w_safe).cast("long")
+    votes = (
+        (sym_pm >= 30).cast("int")
+        + (ind_pm >= 150).cast("int")
+        + (eol_pm >= 150).cast("int")
+        + (kw_pk >= 20).cast("int")
+    )
+    return staged.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        sym_pm.alias("sym_permille"),
+        ind_pm.alias("indent_permille"),
+        eol_pm.alias("eol_permille"),
+        kw_pk.alias("kw_per_k"),
+        votes.alias("votes"),
+        (votes >= min_votes).alias("is_code"),
+    )

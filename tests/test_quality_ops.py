@@ -1109,3 +1109,64 @@ def test_phrase_search_plan(spark):
     assert t.count(") Exchange") <= 2
     assert "TakeOrderedAndProject" in t
     assert "CartesianProduct" not in t
+
+
+class TestCodeDetectGate:
+    def _gate(self, spark, rows):
+        from ocr_service_spark.operators.textstats import code_detect_gate
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in code_detect_gate(df).collect()}
+
+    def test_source_code_detected(self, spark):
+        code = (
+            "import os\n"
+            "def walk(root):\n"
+            "    for f in os.listdir(root):\n"
+            "        print(f);\n"
+            "    return root\n"
+        )
+        got = self._gate(spark, [(1, code)])
+        assert got[1]["is_code"] and got[1]["votes"] >= 3
+
+    def test_prose_with_semicolons_not_code(self, spark):
+        # legalese: every clause line ends in a semicolon, nothing else
+        # fires — one vote is not enough
+        text = ("whereas the party of the first part agrees;\n"
+                "whereas the party of the second part accepts;\n"
+                "now therefore the parties covenant as follows;\n")
+        got = self._gate(spark, [(1, text)])
+        assert got[1]["eol_permille"] == 1000
+        assert not got[1]["is_code"] and got[1]["votes"] == 1
+
+    def test_indented_poem_not_code(self, spark):
+        text = ("  roses are red\n"
+                "  violets are blue\n"
+                "  this poem is indented\n"
+                "  but it is not code\n")
+        got = self._gate(spark, [(1, text)])
+        assert got[1]["indent_permille"] == 1000
+        assert not got[1]["is_code"] and got[1]["votes"] == 1
+
+    def test_keyword_prose_alone_insufficient(self, spark):
+        got = self._gate(
+            spark, [(1, "please return the class import to the public")]
+        )
+        assert got[1]["kw_per_k"] >= 20
+        assert not got[1]["is_code"]
+
+    def test_empty_and_null(self, spark):
+        got = self._gate(spark, [(1, ""), (2, None)])
+        for i in (1, 2):
+            assert not got[i]["is_code"] and got[i]["votes"] == 0
+            assert got[i]["n_lines"] == 0
+
+    def test_shuffle_free(self, spark):
+        import contextlib, io
+        from ocr_service_spark.operators.textstats import code_detect_gate
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            code_detect_gate(df).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
