@@ -124,6 +124,7 @@ HEADLINE = [
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
     "host_template_strip",     # CC-Net host-level boilerplate paragraphs
     "lm_unigram_nll",          # CCNet-style LM quality scoring
+    "lm_bigram_nll",           # stupid-backoff bigram LM scoring
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "scd2_history",            # SCD2 interval history, one url Exchange

@@ -3783,6 +3783,81 @@ FROM s GROUP BY doc_id, lang
 """
 
 
+def q_lm_bigram_nll(spark, sf_dir):
+    """Stupid-backoff bigram LM scoring (operators/lm.py lm_bigram_nll):
+    same reference slice as the unigram entry, but scored against the
+    (lang, w1, w2) bigram table with α=4/10 rational backoff through the
+    add-one unigram. Every per-token path's ln() argument is one exact
+    rational quantized to the 10⁴ grid before summation, so the DuckDB
+    replay (three left joins + the same CASE ladder) is value-exact."""
+    from .operators.lm import lm_bigram_nll
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    out = lm_bigram_nll(docs, ref, "doc_id", "text", "lang")
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "n_tokens", "n_backoff",
+        "nll_q", "avg_nll_q",
+    )
+
+
+SQL_LM_BIGRAM = r"""
+WITH rt AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+uni AS (
+  SELECT lang, u.w AS w, COUNT(*) AS cnt
+  FROM rt, unnest(ws) AS u(w) GROUP BY 1, 2
+),
+bi AS (
+  SELECT lang, t.s.w1 AS w1, t.s.w2 AS w2, COUNT(*) AS c2
+  FROM (SELECT lang, list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])) AS prs
+        FROM rt WHERE len(ws) >= 2) q,
+       unnest(q.prs) AS t(s)
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT lang, SUM(cnt) AS t_tokens, COUNT(*) AS v_vocab
+        FROM uni GROUP BY lang),
+dt AS (
+  SELECT doc_id, lang, u.t.prev AS prev, u.t.cur AS cur
+  FROM (SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents) d,
+       unnest(list_transform(range(1, len(ws) + 1),
+              i -> struct_pack(prev := CASE WHEN i > 1 THEN ws[i - 1] END,
+                               cur := ws[i]))) AS u(t)
+),
+s AS (
+  SELECT dt.doc_id, dt.lang,
+    CASE
+      WHEN dt.prev IS NULL THEN
+        CAST(FLOOR(-ln((COALESCE(uc.cnt, 0) + 1)
+             / CAST(tot.t_tokens + tot.v_vocab AS DOUBLE)) * 10000)
+             AS BIGINT)
+      WHEN bi.c2 IS NOT NULL THEN
+        CAST(FLOOR(-ln(bi.c2 / CAST(up.cnt AS DOUBLE)) * 10000) AS BIGINT)
+      ELSE
+        CAST(FLOOR(-ln((4 * (COALESCE(uc.cnt, 0) + 1))
+             / CAST(10 * (tot.t_tokens + tot.v_vocab) AS DOUBLE)) * 10000)
+             AS BIGINT)
+    END AS logq,
+    CASE WHEN dt.prev IS NOT NULL AND bi.c2 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM dt
+  LEFT JOIN bi ON dt.lang = bi.lang AND dt.prev = bi.w1 AND dt.cur = bi.w2
+  LEFT JOIN uni uc ON dt.lang = uc.lang AND dt.cur = uc.w
+  LEFT JOIN uni up ON dt.lang = up.lang AND dt.prev = up.w
+  JOIN tot ON dt.lang = tot.lang
+)
+SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bo) AS BIGINT) AS n_backoff,
+       CAST(SUM(logq) AS BIGINT) AS nll_q,
+       CAST(SUM(logq) // COUNT(*) AS BIGINT) AS avg_nll_q
+FROM s GROUP BY doc_id, lang
+"""
+
+
 def q_ccnet_quality_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split: per-language EXACT discrete
     p33/p67 thresholds on the LM score (rank selection, broadcast
@@ -7550,6 +7625,7 @@ CATALOG: Dict[str, tuple] = {
     "host_template_strip": (q_host_template_strip, SQL_HOST_TEMPLATE),
     # CCNet-style LM quality scoring (operators/lm.py)
     "lm_unigram_nll": (q_lm_unigram_nll, SQL_LM_NLL),
+    "lm_bigram_nll": (q_lm_bigram_nll, SQL_LM_BIGRAM),
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_BUCKETS),
     # crawl-snapshot consolidation (operators/snapshots.py)
     "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),

@@ -213,3 +213,113 @@ def dsir_importance(
             F.expr("dsir_q div n_tokens").alias("avg_dsir_q"),
         )
     )
+
+
+def lm_bigram_nll(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Per-document quantized NLL under a per-language BIGRAM LM with
+    stupid backoff (Brants et al., EMNLP 2007 — the scheme built for
+    distributed counts: no discounting state, just two count tables),
+    trained on `ref`. A far sharper CCNet-style quality signal than the
+    unigram model: word-salad spam has reference-like unigrams but
+    near-zero reference bigrams.
+
+    Per token probability (α = 0.4, kept rational as 4/10):
+      - bigram path:   p = c(prev,cur) / c(prev)        when c2 exists
+      - backoff path:  p = 4·(c(cur)+1) / (10·(T+V))    otherwise
+      - first token:   p = (c(cur)+1) / (T+V)           (no predecessor)
+    Each path's ln() argument is ONE rational of exact integers and the
+    result is floor-quantized PER TOKEN to the Q grid before summation
+    (the module's engine-exactness contract; see header).
+
+    Scale shape: the bigram table is trained with one explode + hash
+    aggregate over the reference slice and STAYS a distributed table
+    keyed (lang, w1, w2) — at web scale it is 10x the vocabulary and can
+    never be broadcast. Scoring is three left equi-joins (bigram on
+    (lang, prev, cur); unigram twice, for cur and prev) + the n_langs-row
+    totals broadcast, then one hash aggregate back to doc id. Skewed
+    stopword keys on the probe side are the AQE skew-join shape. The
+    token/pair structs are built from a words array materialized in its
+    own projection (Catalyst lambda-capture rule).
+
+    Output: (id, lang, n_tokens, n_backoff, nll_q, avg_nll_q) — all
+    integers; n_backoff counts tokens that missed the bigram table (a
+    quality signal by itself: reference-like text has few).
+    """
+    lang = F.col(lang_col).alias("lang")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    ref_w = ref.select(lang, words.alias("ws"))
+    uni = (
+        ref_w.select("lang", F.explode("ws").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi_pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        ref_w.where(F.size("ws") >= 2)
+        .select("lang", F.explode(bi_pairs).alias("p"))
+        .select("lang", "p.w1", "p.w2")
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    totals = uni.groupBy("lang").agg(
+        F.sum("cnt").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
+    )
+
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at("ws", i - 1)).alias("prev"),
+            F.element_at("ws", i).alias("cur"),
+        ),
+    )
+    tok = (
+        docs.select(F.col(id_col).alias("id"), lang, words.alias("ws"))
+        .select("id", "lang", F.explode(items).alias("t"))
+        .select("id", "lang", "t.prev", "t.cur")
+    )
+    uni_cur = uni.select(
+        "lang", F.col("w").alias("cur"), F.col("cnt").alias("cu")
+    )
+    uni_prev = uni.select(
+        "lang", F.col("w").alias("prev"), F.col("cnt").alias("cp")
+    )
+    j = (
+        tok.join(bi.withColumnsRenamed({"w1": "prev", "w2": "cur"}),
+                 ["lang", "prev", "cur"], "left")
+        .join(uni_cur, ["lang", "cur"], "left")
+        .join(uni_prev, ["lang", "prev"], "left")
+        .join(F.broadcast(totals), "lang")
+    )
+    cu0 = F.coalesce(F.col("cu"), F.lit(0))
+    denom = F.col("t_tokens") + F.col("v_vocab")
+    logq = F.when(
+        F.col("prev").isNull(),
+        F.floor(-F.log((cu0 + 1) / denom) * F.lit(Q)),
+    ).when(
+        F.col("c2").isNotNull(),
+        F.floor(-F.log(F.col("c2") / F.col("cp")) * F.lit(Q)),
+    ).otherwise(
+        F.floor(-F.log((4 * (cu0 + 1)) / (10 * denom)) * F.lit(Q))
+    )
+    backoff = (F.col("prev").isNotNull() & F.col("c2").isNull()).cast("int")
+    scored = j.select("id", "lang", logq.alias("logq"),
+                      backoff.alias("bo"))
+    return scored.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bo").cast("long").alias("n_backoff"),
+        F.sum("logq").cast("long").alias("nll_q"),
+        F.expr("sum(logq) div count(1)").cast("long").alias("avg_nll_q"),
+    )

@@ -379,3 +379,57 @@ class TestScd2History:
         )
         t = _plan(scd2_history(df, "url", "ts", F.col("dg"), "id"))
         assert t.count(") Exchange") == 1
+
+
+class TestLmBigramNll:
+    def _score(self, spark, docs_rows, ref_rows):
+        from ocr_service_spark.operators.lm import lm_bigram_nll
+
+        docs = spark.createDataFrame(
+            docs_rows, "doc_id long, text string, lang string"
+        )
+        ref = spark.createDataFrame(
+            ref_rows, "doc_id long, text string, lang string"
+        )
+        return {r["id"]: r
+                for r in lm_bigram_nll(docs, ref, "doc_id", "text",
+                                       "lang").collect()}
+
+    def test_paths_and_exact_values(self, spark):
+        import math
+
+        # ref: "a b a b" -> uni a:2 b:2 (T=4, V=2); bi: (a,b):2 (b,a):1
+        ref = [(100, "a b a b", "en")]
+        got = self._score(spark, [(1, "a b", "en"), (2, "b b", "en")], ref)
+        q = 10000
+        # doc1: first 'a' unigram path (2+1)/6; then bigram (a,b): 2/2
+        exp1 = math.floor(-math.log(3 / 6) * q) + math.floor(
+            -math.log(2 / 2) * q)
+        assert got[1]["nll_q"] == exp1 and got[1]["n_backoff"] == 0
+        # doc2: first 'b' (2+1)/6; then (b,b) unseen -> backoff
+        # 4*(2+1)/(10*6)
+        exp2 = math.floor(-math.log(3 / 6) * q) + math.floor(
+            -math.log(12 / 60) * q)
+        assert got[2]["nll_q"] == exp2 and got[2]["n_backoff"] == 1
+
+    def test_word_salad_scores_worse_than_fluent(self, spark):
+        ref = [(100, "the cat sat on the mat " * 20, "en")]
+        got = self._score(
+            spark,
+            [(1, "the cat sat on the mat", "en"),
+             (2, "mat the on sat cat the", "en")],  # same unigrams
+            ref,
+        )
+        assert got[2]["avg_nll_q"] > got[1]["avg_nll_q"]
+        assert got[2]["n_backoff"] > got[1]["n_backoff"]
+
+    def test_oov_and_cross_lang_isolation(self, spark):
+        ref = [(100, "a b a b", "en"), (101, "x y x y", "fr")]
+        got = self._score(spark, [(1, "zz", "en"), (2, "a b", "fr")], ref)
+        import math
+        q = 10000
+        # zz is OOV in en: (0+1)/(4+2)
+        assert got[1]["nll_q"] == math.floor(-math.log(1 / 6) * q)
+        # 'a b' under the FR model is all-OOV + backoff, not the EN model
+        assert got[2]["n_backoff"] == 1
+        assert got[2]["avg_nll_q"] > got[1]["avg_nll_q"] // 2
