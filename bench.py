@@ -105,6 +105,7 @@ HEADLINE = [
     "gopher_quality_filter",   # shuffle-free repetition/stopword gates
     "pii_redact_scrub",
     "mojibake_fix",            # codec round-trip repair (Arrow projection)
+    "dehyphenate_unwrap",      # PDF/OCR line-wrap repair, pure regex
     "unicode_normalize",       # NFKC + control strip (Arrow projection)
     "c4_line_filters",         # C4 line cleaning + page poison rules
     "url_spam_filter",         # URL-level spam gate (map-side)

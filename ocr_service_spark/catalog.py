@@ -7281,6 +7281,59 @@ WITH wf AS (
 )
 
 
+def q_dehyphenate_unwrap(spark, sf_dir):
+    """Line-wrap repair (functions/sql_analogs.py dehyphenate_unwrap):
+    real text is re-wrapped every 5 words plus a literal tail covering
+    the hyphen cases (lowercase fuse, uppercase compound preserved,
+    sentence-final breaks preserved). Oracle applies the same two regex
+    passes with DuckDB's \\1 group syntax — counts and the full repaired
+    string hash."""
+    from .functions.sql_analogs import (
+        dehyphenate_unwrap, hyphen_wrap_count, soft_wrap_count,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)
+    wrapped = F.regexp_replace(base, r"((?:\S+ ){4}\S+) ", "$1\n")
+    planted = F.concat(
+        wrapped,
+        F.lit("\nfoo exam-\nple bar.\nnew wrap-\nline here.\nnext-"
+              "\nGeneration stays.\nEnd."),
+    )
+    dehy = F.regexp_replace(planted, r"([a-z])-\n([a-z])", r"$1$2")
+    return d.select(
+        "doc_id",
+        hyphen_wrap_count(planted).alias("n_hyphen_joins"),
+        soft_wrap_count(dehy).alias("n_soft_wraps"),
+        dehyphenate_unwrap(planted).alias("repaired"),
+    )
+
+
+SQL_DEHYPHENATE = r"""
+WITH p AS (
+  SELECT doc_id,
+    regexp_replace(substr(COALESCE(text, ''), 1, 120),
+                   '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')
+    || chr(10) || 'foo exam-' || chr(10) || 'ple bar.' || chr(10)
+    || 'new wrap-' || chr(10) || 'line here.' || chr(10) || 'next-'
+    || chr(10) || 'Generation stays.' || chr(10) || 'End.' AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '([a-z])-\n([a-z])', '\1\2', 'g') AS t1
+  FROM p
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '([a-z])-\n([a-z])')) AS BIGINT)
+    AS n_hyphen_joins,
+  CAST(len(regexp_extract_all(t1, '([^.!?:;\n])\n([a-z])')) AS BIGINT)
+    AS n_soft_wraps,
+  regexp_replace(t1, '([^.!?:;\n])\n([a-z])', '\1 \2', 'g') AS repaired
+FROM d
+"""
+
+
 def q_code_detect(spark, sf_dir):
     """Code-vs-prose gate (operators/textstats.py code_detect_gate):
     every 7th doc is replanted as a pseudo-source snippet (indentation,
@@ -7734,6 +7787,7 @@ CATALOG: Dict[str, tuple] = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "scd2_history": (q_scd2_history, SQL_SCD2),
     "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),
+    "dehyphenate_unwrap": (q_dehyphenate_unwrap, SQL_DEHYPHENATE),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

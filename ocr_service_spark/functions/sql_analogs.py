@@ -173,3 +173,34 @@ def dsum(col: Column, scale: int = 2) -> Column:
     result depends on partitioning, which breaks cross-engine value-hash
     comparison AND run-to-run reproducibility at scale."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dehyphenate_unwrap(col: Column) -> Column:
+    """Repair PDF/OCR hard line wraps — the cleaning step between layout
+    extraction and any token-level scoring (line-wrapped text wrecks
+    token counts, n-gram stats and LM scores):
+      1. de-hyphenate: lowercase letter + '-' + newline + lowercase
+         letter fuses back into one word ('exam-\\nple' -> 'example');
+         an uppercase continuation is left alone ('next-\\nGeneration'
+         is a real compound, not a wrap).
+      2. soft unwrap: a newline NOT preceded by sentence-final
+         punctuation (.!?:;) whose next line starts lowercase becomes a
+         space — paragraph breaks after sentences survive.
+    Single left-to-right pass each (Java and RE2 share non-overlapping
+    scan semantics, so an 'a\\nb\\nc' chain joins the first break per
+    pass on BOTH engines — deterministic; callers wanting full chain
+    collapse run it twice). Group refs differ per engine (Spark $1,
+    DuckDB \\1) — the SQL twin is written separately, per repo
+    convention."""
+    d = F.regexp_replace(col, r"([a-z])-\n([a-z])", r"$1$2")
+    return F.regexp_replace(d, r"([^.!?:;\n])\n([a-z])", r"$1 $2")
+
+
+def hyphen_wrap_count(col: Column) -> Column:
+    """Matches rule 1 of dehyphenate_unwrap (same non-overlap scan)."""
+    return F.regexp_count(col, F.lit(r"([a-z])-\n([a-z])")).cast("long")
+
+
+def soft_wrap_count(col: Column) -> Column:
+    """Matches rule 2 of dehyphenate_unwrap AFTER de-hyphenation."""
+    return F.regexp_count(col, F.lit(r"([^.!?:;\n])\n([a-z])")).cast("long")

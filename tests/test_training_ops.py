@@ -464,3 +464,47 @@ class TestInt8Ivf:
             n_centroids=8, nprobe=4).collect()}
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"int8-IVF recall {recall} implausibly low"
+
+
+class TestDehyphenateUnwrap:
+    def _fix(self, spark, texts):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.functions.sql_analogs import (
+            dehyphenate_unwrap, hyphen_wrap_count,
+        )
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i long, t string")
+        rows = df.select(
+            "i",
+            dehyphenate_unwrap(F.col("t")).alias("out"),
+            hyphen_wrap_count(F.col("t")).alias("nh"),
+        ).collect()
+        return {r["i"]: (r["out"], r["nh"]) for r in rows}
+
+    def test_hyphen_fuse_and_compound_preserved(self, spark):
+        got = self._fix(spark, [
+            "the exam-\nple works",
+            "the next-\nGeneration engine",   # uppercase: real compound
+            "ends in 5-\n6 range",            # digits: not a word wrap
+        ])
+        assert got[0] == ("the exam-ple works".replace("exam-ple",
+                                                       "example"), 1)
+        assert got[1][0] == "the next-\nGeneration engine"
+        assert got[1][1] == 0
+        assert got[2][0] == "ends in 5-\n6 range"
+
+    def test_soft_unwrap_keeps_sentence_breaks(self, spark):
+        got = self._fix(spark, [
+            "first line wraps\nsoftly here.\nnew sentence stays",
+        ])
+        assert got[0][0] == (
+            "first line wraps softly here.\nnew sentence stays"
+        )
+
+    def test_uppercase_next_line_is_paragraphish(self, spark):
+        # next line starting uppercase is likely a heading/paragraph:
+        # the break survives
+        got = self._fix(spark, ["broken line\nNext Paragraph"])
+        assert got[0][0] == "broken line\nNext Paragraph"
