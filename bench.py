@@ -126,6 +126,7 @@ HEADLINE = [
     "host_template_strip",     # CC-Net host-level boilerplate paragraphs
     "lm_unigram_nll",          # CCNet-style LM quality scoring
     "lm_bigram_nll",           # stupid-backoff bigram LM scoring
+    "collocations_pmi",        # quantized-PMI multiword mining
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "scd2_history",            # SCD2 interval history, one url Exchange

@@ -3858,6 +3858,51 @@ FROM s GROUP BY doc_id, lang
 """
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """PMI collocation mining (operators/lm.py collocations_pmi): top-40
+    bigrams by quantized pointwise mutual information with min_count=5
+    over the documents text. The oracle recomputes both count tables,
+    the totals and the single-rational ln in DuckDB — ids, counts and
+    integer PMI values all hash."""
+    from .operators.lm import collocations_pmi
+
+    return collocations_pmi(
+        load(spark, sf_dir, "documents"), "text", min_count=5, k=40
+    )
+
+
+SQL_COLLOCATIONS = r"""
+WITH b AS (
+  SELECT string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT u.w AS w, COUNT(*) AS c1 FROM b, unnest(ws) AS u(w) GROUP BY 1
+),
+bi AS (
+  SELECT t.s.w1 AS w1, t.s.w2 AS w2, COUNT(*) AS c2
+  FROM (SELECT list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])) AS prs
+        FROM b WHERE len(ws) >= 2) q,
+       unnest(q.prs) AS t(s)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+tot AS (
+  SELECT (SELECT SUM(c1) FROM uni) AS t_tokens,
+         (SELECT SUM(GREATEST(len(ws) - 1, 0)) FROM b) AS b_pairs
+)
+SELECT bi.w1, bi.w2, CAST(bi.c2 AS BIGINT) AS c2,
+  CAST(FLOOR(ln((bi.c2 * tot.t_tokens * tot.t_tokens)
+       / CAST(tot.b_pairs * ua.c1 * ub.c1 AS DOUBLE)) * 10000) AS BIGINT)
+    AS pmi_q
+FROM bi
+JOIN uni ua ON bi.w1 = ua.w
+JOIN uni ub ON bi.w2 = ub.w
+CROSS JOIN tot
+ORDER BY pmi_q DESC, w1, w2 LIMIT 40
+"""
+
+
 def q_ccnet_quality_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split: per-language EXACT discrete
     p33/p67 thresholds on the LM score (rank selection, broadcast
@@ -7679,6 +7724,7 @@ CATALOG: Dict[str, tuple] = {
     # CCNet-style LM quality scoring (operators/lm.py)
     "lm_unigram_nll": (q_lm_unigram_nll, SQL_LM_NLL),
     "lm_bigram_nll": (q_lm_bigram_nll, SQL_LM_BIGRAM),
+    "collocations_pmi": (q_collocations_pmi, SQL_COLLOCATIONS),
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_BUCKETS),
     # crawl-snapshot consolidation (operators/snapshots.py)
     "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),

@@ -323,3 +323,81 @@ def lm_bigram_nll(
         F.sum("logq").cast("long").alias("nll_q"),
         F.expr("sum(logq) div count(1)").cast("long").alias("avg_nll_q"),
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-linguistics signal (Church & Hanks 1990) a curation pipeline
+    uses to mine multiword expressions, spot template-spam phrases (PMI
+    ≈ max when a pair ONLY occurs together), and build phrase lists for
+    tokenizer pretraining.
+
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with ML estimates. The ln()
+    argument is kept as ONE exact integer rational before the single
+    float op (module engine-exactness contract):
+        pmi_q = floor( ln( (c2·T·T) / (B·c1·c1') ) · Q )
+    where T = total tokens, B = total bigram occurrences. min_count
+    prunes the low-count noise PMI is notorious for (hapax pairs always
+    top raw PMI). Products stay < 2^63 up to ~10^9-token corpora per
+    the catalog scale; at larger T the same rational evaluates in
+    double-land with one engine-shared rounding, documented here.
+
+    Scale shape: one explode + hash aggregate each for unigram and
+    bigram tables (map-side partial), 1-row totals broadcast back, the
+    two c1 lookups are equi-joins against the (already distributed)
+    unigram table, TakeOrderedAndProject for top-k. Ties break (pmi_q,
+    w1, w2) — fully deterministic. Words arrays materialize before any
+    lambda (Catalyst rule).
+    """
+    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")
+    base = docs.select(words.alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        base.where(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    tot = uni.agg(F.sum("c1").alias("t_tokens")).crossJoin(
+        base.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("b_pairs"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    j = (
+        bi.join(u1, "w1").join(u2, "w2")
+        .join(F.broadcast(tot), how="cross")
+    )
+    pmi_q = F.floor(
+        F.log(
+            (F.col("c2") * F.col("t_tokens") * F.col("t_tokens"))
+            / (F.col("b_pairs") * F.col("ca") * F.col("cb"))
+        )
+        * F.lit(Q)
+    ).cast("long")
+    return (
+        j.select("w1", "w2", F.col("c2").cast("long").alias("c2"),
+                 pmi_q.alias("pmi_q"))
+        .orderBy(F.col("pmi_q").desc(), "w1", "w2")
+        .limit(k)
+    )

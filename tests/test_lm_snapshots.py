@@ -433,3 +433,37 @@ class TestLmBigramNll:
         # 'a b' under the FR model is all-OOV + backoff, not the EN model
         assert got[2]["n_backoff"] == 1
         assert got[2]["avg_nll_q"] > got[1]["avg_nll_q"] // 2
+
+
+class TestCollocationsPmi:
+    def test_exclusive_pair_tops_and_exact_value(self, spark):
+        import math
+
+        from ocr_service_spark.operators.lm import collocations_pmi
+
+        # 'hong kong' only ever co-occur; 'the end' shares 'the' with
+        # many other contexts -> lower PMI
+        rows = [(i, "hong kong is the end of the day the lot") for i in
+                range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = collocations_pmi(df, "text", min_count=5, k=10).collect()
+        by_pair = {(r["w1"], r["w2"]): r["pmi_q"] for r in got}
+        # T = 50 tokens, B = 45 pairs, c2 = 5, c(hong)=c(kong)=5
+        exp = math.floor(math.log((5 * 50 * 50) / (45 * 5 * 5)) * 10000)
+        assert by_pair[("hong", "kong")] == exp
+        assert max(by_pair.values()) == exp  # exclusive pairs share top
+        # 'the day' shares 'the' (c1=15) with other contexts: lower PMI
+        assert by_pair[("the", "day")] < exp
+
+    def test_min_count_prunes_hapax(self, spark):
+        from ocr_service_spark.operators.lm import collocations_pmi
+
+        df = spark.createDataFrame(
+            [(1, "rare pair once"), (2, "common duo common duo common duo "
+                                        "common duo common duo")],
+            "doc_id long, text string",
+        )
+        got = collocations_pmi(df, "text", min_count=5, k=10).collect()
+        pairs = {(r["w1"], r["w2"]) for r in got}
+        assert ("rare", "pair") not in pairs  # hapax pruned
+        assert ("common", "duo") in pairs
