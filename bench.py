@@ -146,6 +146,7 @@ HEADLINE = [
     "compaction_plan",         # lakehouse binpack compaction planning
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "url_template_profile",    # per-host template mining + trap flags
+    "path_prefix_rollup",      # site-section rollup, bounded explode
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
     "winnow_fingerprint",      # MOSS winnowing selection, narrow-only plan

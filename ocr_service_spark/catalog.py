@@ -7326,6 +7326,75 @@ WITH wf AS (
 )
 
 
+def q_path_prefix_rollup(spark, sf_dir):
+    """Site-structure rollup (operators/domains.py path_prefix_rollup):
+    planted URL population covers a deep tree truncated at max_depth
+    (dir depth 5 > 4), direct-at-dir pages, a fanned forum section and
+    bare roots across 5 hosts. Oracle replays segmentation, prefix
+    explosion and the aggregate — every (host, depth, prefix) row's
+    counts hash."""
+    from .operators.domains import path_prefix_rollup
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example"))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(host, F.lit("/a/b/c/d/e/p"), sid, F.lit(".html")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(host, F.lit("/a/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(host, F.lit("/forum/t"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit("/m"), sid))
+        .otherwise(F.concat(host, F.lit("/")))
+    )
+    return path_prefix_rollup(d.select(url.alias("url")), max_depth=4)
+
+
+SQL_PATH_ROLLUP = r"""
+WITH urls AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example/a/b/c/d/e/p' || CAST(doc_id AS VARCHAR) || '.html'
+    WHEN 1 THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/'
+    WHEN 2 THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example/forum/t' || CAST(doc_id % 7 AS VARCHAR) || '/m'
+         || CAST(doc_id AS VARCHAR)
+    ELSE 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example/'
+  END AS url
+  FROM documents
+),
+p AS (
+  SELECT
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+    list_filter(string_split(regexp_replace(
+      CASE WHEN regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1) = '' THEN '/'
+           ELSE regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1) END,
+      '[^/]*$', ''), '/'), x -> x <> '') AS segs
+  FROM urls
+),
+e AS (
+  SELECT host, u.l.depth AS depth, u.l.prefix AS prefix, u.l.dir AS dir
+  FROM (SELECT host, segs,
+          list_transform(range(0, LEAST(len(segs), 4) + 1),
+            i -> struct_pack(
+              depth := i,
+              prefix := CASE WHEN i = 0 THEN '/'
+                ELSE '/' || array_to_string(segs[1:i], '/') || '/' END,
+              dir := CASE WHEN i = len(segs) THEN 1 ELSE 0 END)) AS lv
+        FROM p) t, unnest(t.lv) AS u(l)
+)
+SELECT host, CAST(depth AS INTEGER) AS depth, prefix,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(dir) AS BIGINT) AS n_direct
+FROM e GROUP BY 1, 2, 3
+"""
+
+
 def q_dehyphenate_unwrap(spark, sf_dir):
     """Line-wrap repair (functions/sql_analogs.py dehyphenate_unwrap):
     real text is re-wrapped every 5 words plus a literal tail covering
@@ -7834,6 +7903,7 @@ CATALOG: Dict[str, tuple] = {
     "scd2_history": (q_scd2_history, SQL_SCD2),
     "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),
     "dehyphenate_unwrap": (q_dehyphenate_unwrap, SQL_DEHYPHENATE),
+    "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_ROLLUP),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

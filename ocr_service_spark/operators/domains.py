@@ -277,3 +277,61 @@ def registrable_domains(df: DataFrame, url_col: str = "url") -> DataFrame:
         .alias("suffix"),
         registrable.alias("registrable"),
     )
+
+
+def path_prefix_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Site-structure rollup: aggregate the corpus at every directory
+    level of every host — (host, depth, prefix, n_pages, n_direct).
+    n_pages counts all pages in the prefix's subtree, n_direct only the
+    pages whose directory IS the prefix. This is the table a crawl
+    operation budgets with ("/forum/ is 92% of the host's pages"), and
+    the per-section selector quality reports group by.
+
+    Per URL: query/fragment stripped, the file segment dropped (the
+    directory is the unit), directory segments exploded into one row
+    per ancestor prefix — depth 0 ('/') through min(page depth,
+    max_depth), so a URL yields ≤ max_depth+1 rows: linear blow-up,
+    bounded, then ONE hash aggregate keyed (host, depth, prefix) with
+    map-side partials. The segment array is materialized in its own
+    projection before the lambda builds prefixes (Catalyst
+    lambda-capture rule).
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    dirpath = F.regexp_replace(path, r"[^/]*$", "")
+    staged = df.select(
+        url_host(u).alias("host"),
+        F.filter(F.split(dirpath, "/"), lambda x: x != "").alias("segs"),
+    )
+    levels = F.transform(
+        F.sequence(F.lit(0), F.least(F.size("segs"), F.lit(max_depth))),
+        lambda i: F.struct(
+            i.cast("int").alias("depth"),
+            F.when(i == 0, F.lit("/"))
+            .otherwise(
+                F.concat(
+                    F.lit("/"),
+                    F.array_join(F.slice("segs", F.lit(1), i), "/"),
+                    F.lit("/"),
+                )
+            )
+            .alias("prefix"),
+            (i == F.size("segs")).alias("is_direct"),
+        ),
+    )
+    return (
+        staged.select("host", F.size("segs").alias("page_depth"),
+                      F.explode(levels).alias("l"))
+        .groupBy("host", F.col("l.depth").alias("depth"),
+                 F.col("l.prefix").alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col("l.is_direct").cast("int")).cast("long")
+            .alias("n_direct"),
+        )
+    )

@@ -508,3 +508,39 @@ class TestDehyphenateUnwrap:
         # the break survives
         got = self._fix(spark, ["broken line\nNext Paragraph"])
         assert got[0][0] == "broken line\nNext Paragraph"
+
+
+class TestPathPrefixRollup:
+    def _roll(self, spark, urls, **kw):
+        from ocr_service_spark.operators.domains import path_prefix_rollup
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = path_prefix_rollup(df, **kw)
+        return {(r["host"], r["depth"], r["prefix"]):
+                (r["n_pages"], r["n_direct"]) for r in out.collect()}
+
+    def test_subtree_and_direct_counts(self, spark):
+        got = self._roll(spark, [
+            "https://a.example/",
+            "https://a.example/docs/intro.html",
+            "https://a.example/docs/guide/part1.html",
+            "https://a.example/blog/post.html",
+        ])
+        assert got[("a.example", 0, "/")] == (4, 1)        # root: all 4
+        assert got[("a.example", 1, "/docs/")] == (2, 1)
+        assert got[("a.example", 2, "/docs/guide/")] == (1, 1)
+        assert got[("a.example", 1, "/blog/")] == (1, 1)
+
+    def test_max_depth_truncation(self, spark):
+        got = self._roll(spark, ["https://a.example/1/2/3/4/p.html"],
+                         max_depth=2)
+        assert got[("a.example", 2, "/1/2/")] == (1, 0)    # truncated
+        assert ("a.example", 3, "/1/2/3/") not in got
+
+    def test_query_and_file_segment_stripped(self, spark):
+        got = self._roll(spark, [
+            "https://a.example/shop/item?id=4#frag",
+            "https://a.example/shop/",
+        ])
+        # 'item' is a file segment; both pages roll up to /shop/
+        assert got[("a.example", 1, "/shop/")] == (2, 2)
