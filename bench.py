@@ -102,6 +102,7 @@ HEADLINE = [
     "page_metadata",
     "doc_chunking",
     "vocab_top_terms",
+    "vocab_coverage_curve",    # Zipf coverage via dict prefix sums
     "gopher_quality_filter",   # shuffle-free repetition/stopword gates
     "pii_redact_scrub",
     "mojibake_fix",            # codec round-trip repair (Arrow projection)

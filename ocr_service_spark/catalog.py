@@ -7326,6 +7326,48 @@ WITH wf AS (
 )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf coverage curve (operators/textstats.py vocab_coverage_curve)
+    at N ∈ {10, 100, 1000} over the documents text. The oracle ranks the
+    dict with a window in DuckDB (fine there — the distributed-prefix-sum
+    constraint is a Spark-side scale rule) and reads off the same three
+    coverage rows — every count and permille value hashes."""
+    from .operators.textstats import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        load(spark, sf_dir, "documents"), "text", tops=(10, 100, 1000)
+    )
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH wf AS (
+  SELECT u.w AS w, COUNT(*) AS cnt
+  FROM (SELECT string_split_regex(trim(lower(COALESCE(text, ''))),
+               '\s+') AS ws FROM documents) b,
+       unnest(ws) AS u(w)
+  GROUP BY 1
+),
+r AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, w ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM wf
+),
+t AS (SELECT MAX(cum) AS tt FROM r)
+SELECT n.top_n,
+  CAST(MAX(CASE WHEN r.rank <= n.top_n THEN r.rank END) AS BIGINT)
+    AS n_vocab,
+  CAST(MAX(CASE WHEN r.rank <= n.top_n THEN r.cum END) AS BIGINT)
+    AS covered_tokens,
+  CAST(MAX(CASE WHEN r.rank <= n.top_n THEN r.cum END) * 1000
+       // MAX(t.tt) AS BIGINT) AS coverage_permille
+FROM r CROSS JOIN t
+CROSS JOIN (SELECT CAST(unnest([10, 100, 1000]) AS INTEGER) AS top_n) n
+GROUP BY n.top_n
+"""
+
+
 def q_path_prefix_rollup(spark, sf_dir):
     """Site-structure rollup (operators/domains.py path_prefix_rollup):
     planted URL population covers a deep tree truncated at max_depth
@@ -7904,6 +7946,7 @@ CATALOG: Dict[str, tuple] = {
     "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),
     "dehyphenate_unwrap": (q_dehyphenate_unwrap, SQL_DEHYPHENATE),
     "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_ROLLUP),
+    "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
 }

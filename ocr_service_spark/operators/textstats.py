@@ -343,3 +343,63 @@ def code_detect_gate(
         votes.alias("votes"),
         (votes >= min_votes).alias("is_code"),
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    tops: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """Zipf coverage curve: what fraction of all corpus TOKENS the top-N
+    vocabulary entries cover, for each N — the number that sizes a
+    tokenizer vocabulary ("32k words cover 97.4% of tokens") and flags
+    template corpora (coverage near 1000‰ at tiny N means the corpus is
+    a few pages stamped many times).
+
+    Output one row per N: (top_n, n_vocab, covered_tokens,
+    coverage_permille) with n_vocab = min(N, V) and permille on the
+    integer grid (floor(1000·covered/T)).
+
+    Scale shape: one corpus pass builds the (word, cnt) dict; ranking
+    and cumulation run over the DICT (vocab-sized however large the
+    corpus) via the distributed prefix sum of operators/quality.py —
+    never a bare Window.orderBy single-partition funnel (repo
+    convention): rank is the prefix sum of ones and coverage the prefix
+    sum of counts under the same (cnt desc, word) total order, then ONE
+    1-row aggregate reads off every N's coverage — the curve costs two
+    narrow passes over the dict regardless of corpus bytes.
+    """
+    from .quality import global_prefix_sum
+
+    words = F.explode(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+")
+    ).alias("w")
+    wf = df.select(words).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn("_one", F.lit(1))
+    order = [F.col("cnt").desc(), F.col("w").asc()]
+    ranked = global_prefix_sum(wf, order, "_one", out_col="rank")
+    ranked = global_prefix_sum(ranked, order, "cnt", out_col="cum")
+    aggs = [F.max("cum").alias("t")]
+    for i, n in enumerate(tops):
+        aggs.append(
+            F.max(F.when(F.col("rank") <= n, F.col("cum"))).alias(f"c{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rank") <= n, F.col("rank"))).alias(f"v{i}")
+        )
+    one = ranked.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(int(n)).cast("int").alias("top_n"),
+            F.col(f"v{i}").cast("long").alias("n_vocab"),
+            F.col(f"c{i}").cast("long").alias("covered_tokens"),
+            F.floor(F.col(f"c{i}") * 1000 / F.col("t")).cast("long")
+            .alias("coverage_permille"),
+        )
+        for i, n in enumerate(tops)
+    ])
+    # one explode of the 1-row aggregate: the curve is a single job, not
+    # one re-aggregation per N
+    return one.select(F.explode(entries).alias("e")).select("e.*")

@@ -1170,3 +1170,39 @@ class TestCodeDetectGate:
         with contextlib.redirect_stdout(buf):
             code_detect_gate(df).explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestVocabCoverageCurve:
+    def test_exact_curve(self, spark):
+        from ocr_service_spark.operators.textstats import (
+            vocab_coverage_curve,
+        )
+
+        # counts: the=4, a=3, b=2, c=1  (T=10)
+        df = spark.createDataFrame(
+            [(1, "the the a b"), (2, "the the a a b c")],
+            "doc_id long, text string",
+        )
+        got = {r["top_n"]: r for r in
+               vocab_coverage_curve(df, tops=(1, 2, 10)).collect()}
+        assert (got[1]["n_vocab"], got[1]["covered_tokens"],
+                got[1]["coverage_permille"]) == (1, 4, 400)
+        assert (got[2]["covered_tokens"],
+                got[2]["coverage_permille"]) == (7, 700)
+        # N beyond V: whole vocab, full coverage
+        assert (got[10]["n_vocab"], got[10]["covered_tokens"],
+                got[10]["coverage_permille"]) == (4, 10, 1000)
+
+    def test_rank_ties_break_by_word(self, spark):
+        from ocr_service_spark.operators.textstats import (
+            vocab_coverage_curve,
+        )
+
+        # all counts equal: rank order is alphabetical, coverage is
+        # rank/V of tokens
+        df = spark.createDataFrame([(1, "b a c")],
+                                   "doc_id long, text string")
+        got = {r["top_n"]: r for r in
+               vocab_coverage_curve(df, tops=(1, 2)).collect()}
+        assert got[1]["covered_tokens"] == 1
+        assert got[2]["covered_tokens"] == 2
