@@ -3992,6 +3992,75 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges, iters=10)
 
 
+def q_hits_scores(spark, sf_dir):
+    """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
+    15-node host graph derived from events, 5 rounds of the L1-rescaled
+    fixed-point recurrence. All arithmetic is 64-bit integer, so the
+    unrolled DuckDB twin matches bit-for-bit — the second ITERATIVE
+    operator with a full value-hash oracle (pagerank is the first)."""
+    from .operators.graph import hits_scores
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 15).alias("src"),
+        (F.floor("value").cast("long") % 15).alias("dst"),
+    )
+    return hits_scores(edges, iters=5)
+
+
+def _hits_sql(iters: int = 5) -> str:
+    # every CTE is MATERIALIZED: DuckDB otherwise INLINES each reference,
+    # and the per-round rescale references the previous round several
+    # times — the expression tree (and the parquet open count) would grow
+    # exponentially with the iteration count ("Too many open files")
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % 15 AS src,
+         CAST(FLOOR(value) AS BIGINT) % 15 AS dst
+  FROM events WHERE value IS NOT NULL
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+h0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.a, 0) AS auth FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS a
+             FROM edges e JOIN h{k - 1} h ON e.src = h.node
+             GROUP BY e.dst) s ON n.node = s.node
+),
+a{k} AS MATERIALIZED (
+  SELECT node, CAST(auth * 1000000 * t.n // t.tot AS BIGINT) AS auth
+  FROM ar{k} CROSS JOIN
+       (SELECT SUM(auth) AS tot, COUNT(*) AS n FROM ar{k}) t
+),
+hr{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.h, 0) AS hub FROM nodes n
+  LEFT JOIN (SELECT e.src AS node, SUM(a.auth) AS h
+             FROM edges e JOIN a{k} a ON e.dst = a.node
+             GROUP BY e.src) s ON n.node = s.node
+),
+h{k} AS MATERIALIZED (
+  SELECT node, CAST(hub * 1000000 * t.n // t.tot AS BIGINT) AS hub
+  FROM hr{k} CROSS JOIN
+       (SELECT SUM(hub) AS tot, COUNT(*) AS n FROM hr{k}) t
+)""")
+    parts.append(f"""
+SELECT n.node, h{iters}.hub AS hub_q, a{iters}.auth AS auth_q
+FROM nodes n
+JOIN h{iters} ON n.node = h{iters}.node
+JOIN a{iters} ON n.node = a{iters}.node""")
+    return "".join(parts)
+
+
+SQL_HITS = _hits_sql()
+
+
 def _pagerank_sql(iters: int = 10) -> str:
     """Unrolled fixed-point PageRank recurrence (recursive CTEs cannot
     aggregate in the recursive term, so each round is its own CTE)."""
@@ -7841,6 +7910,7 @@ CATALOG: Dict[str, tuple] = {
     "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),
     # host-authority PageRank (operators/graph.py)
     "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
+    "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),
     # robots/noindex crawl-compliance gate (core/metadata.py robots field)

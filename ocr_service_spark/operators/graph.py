@@ -131,3 +131,80 @@ def host_components(
         .join(reps, "component")
         .select("host", "canonical_host")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999): hubs point at good
+    authorities, authorities are pointed at by good hubs. The complement
+    to pagerank for crawl curation — a directory/aggregator page is a
+    strong HUB (worth crawling for frontier discovery) while scoring low
+    as an authority, a distinction one-score PageRank cannot make.
+
+    Engine-exactness: the classic L2 normalization is replaced by L1 on
+    the fixed-point grid — after each half-step the scores are rescaled
+    to sum ≈ Q·|side| via x' = x·Q·n div Σx, all 64-bit integer ops, so
+    the DuckDB unrolled recurrence matches bit-for-bit (module
+    convention). Relative order per side is what curation consumes;
+    norm choice does not change it on a fixed iteration count.
+
+    Per round: two shuffle joins (scores against the edge list, once per
+    direction) + two dst/src-keyed hash aggregates + two 1-row sums
+    broadcast back. `localCheckpoint` per round truncates lineage (the
+    connected_components fix). Returns (node, hub_q, auth_q) for every
+    node appearing in the edge list.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.withColumn("hub", F.lit(PR_Q).cast("long"))
+
+    def _l1_rescale(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(
+            F.sum(col).alias("_tot"), F.count(F.lit(1)).alias("_n")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"{col} * {PR_Q} * _n div _tot").cast("long").alias(col),
+        )
+
+    auths = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        auths = _l1_rescale(
+            nodes.join(raw_a, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0)).alias("auth")),
+            "auth",
+        ).localCheckpoint(eager=True)
+        raw_h = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+        hubs = _l1_rescale(
+            nodes.join(raw_h, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(hubs, "node")
+        .join(auths, "node")
+        .select("node", F.col("hub").alias("hub_q"),
+                F.col("auth").alias("auth_q"))
+    )

@@ -59,3 +59,32 @@ def test_plan_depth_constant_across_iterations(spark):
     out = pagerank(df, iters=10)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 1, plan
+
+
+class TestHitsScores:
+    def _run(self, spark, edges, iters=5):
+        from ocr_service_spark.operators.graph import hits_scores
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: (r["hub_q"], r["auth_q"])
+                for r in hits_scores(df, iters=iters).collect()}
+
+    def test_hub_authority_separation(self, spark):
+        # 1,2 are pure hubs pointing at authorities 3,4; 5 is fringe
+        got = self._run(spark, [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3)])
+        assert got[1] == got[2]            # symmetric hubs tie exactly
+        assert got[3][1] > got[4][1]       # 3 has the extra in-link
+        assert got[1][0] > got[5][0]       # two-link hub beats one-link
+        assert got[3][0] == 0 and got[4][0] == 0   # sinks: no hub mass
+        assert got[1][1] == 0 and got[2][1] == 0   # sources: no auth
+
+    def test_directory_page_is_hub_not_authority(self, spark):
+        # directory 10 links to everyone; 3 also receives a link
+        got = self._run(spark, [(10, 1), (10, 2), (10, 3), (1, 3)])
+        assert got[10][0] > got[1][0]      # strongest hub
+        assert got[10][1] == 0             # nobody links the directory
+        assert got[3][1] > got[1][1]       # 3 out-ranks as authority
+
+    def test_deterministic_across_runs(self, spark):
+        edges = [(i % 7, (i * 3) % 7) for i in range(20)]
+        assert self._run(spark, edges) == self._run(spark, edges)
