@@ -152,6 +152,7 @@ HEADLINE = [
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
     "winnow_fingerprint",      # MOSS winnowing selection, narrow-only plan
+    "containment_pairs",       # excerpt/quote containment on winnow fps
     "cdx_index",               # SURT + sharded capture index (one Exchange)
     "bpe_train_merges",        # iterative tokenizer training on the dict
     "bpe_encode",              # merge-list application, dict-memoized

@@ -7278,6 +7278,83 @@ FROM fp GROUP BY doc_id
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Excerpt-containment detection (operators/winnow.py
+    containment_pairs): every 10th doc spawns a 25-word excerpt twin
+    (id+10⁶) — a syndicated-lead stand-in whose symmetric overlap with
+    its source is tiny but whose containment must read ≈1000‰. Pairs
+    with ≥2 shared winnowed hashes and max containment ≥800‰ survive;
+    the oracle replays fingerprinting + the pair algebra in DuckDB."""
+    from .operators.winnow import containment_pairs, winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("[a-z0-9]+"), 0,
+    )
+    exc = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, 25), " ").alias("text"),
+    )
+    corpus = d.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).unionByName(exc)
+    fps = winnow_fingerprints(corpus, "doc_id", "text", k=3, w=4)
+    return containment_pairs(fps, min_shared=2, min_permille=800)
+
+
+SQL_CONTAINMENT = """
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           regexp_extract_all(lower(COALESCE(text, '')),
+                              '[a-z0-9]+')[1:25], ' ') AS t
+  FROM documents WHERE doc_id % 10 = 0
+), words AS (
+  SELECT doc_id, regexp_extract_all(t, '[a-z0-9]+') AS ws FROM corpus
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1), i ->
+             struct_pack(pos := i - 1,
+                         gh := md5(array_to_string(ws[i:i+2], ' '))))) AS g
+  FROM words WHERE len(ws) >= 3
+), flat AS (
+  SELECT doc_id, g.pos AS pos, g.gh AS gh FROM grams
+), ng AS (
+  SELECT doc_id, count(*) AS n FROM flat GROUP BY doc_id
+), sel AS (
+  SELECT g1.doc_id, g2.gh,
+         row_number() OVER (PARTITION BY g1.doc_id, g1.pos
+                            ORDER BY g2.gh, g2.pos DESC) AS rn
+  FROM flat g1
+  JOIN ng ON ng.doc_id = g1.doc_id
+  JOIN flat g2 ON g2.doc_id = g1.doc_id
+             AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+  WHERE g1.pos <= greatest(ng.n - 4, 0)
+), fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1
+), tot AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, n_shared,
+  CAST(ta.n_fp AS BIGINT) AS n_a, CAST(tb.n_fp AS BIGINT) AS n_b,
+  CAST(n_shared * 1000 // ta.n_fp AS BIGINT) AS containment_a_permille,
+  CAST(n_shared * 1000 // tb.n_fp AS BIGINT) AS containment_b_permille
+FROM p
+JOIN tot ta ON p.id_a = ta.doc_id
+JOIN tot tb ON p.id_b = tb.doc_id
+WHERE GREATEST(n_shared * 1000 // ta.n_fp,
+               n_shared * 1000 // tb.n_fp) >= 800
+"""
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index (operators/cdxindex.py): SURT reorder (reverse
     host, strip www, sort params) + md5 shard bucket + shard-local
@@ -8007,6 +8084,7 @@ CATALOG: Dict[str, tuple] = {
     "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
     # MOSS winnowing fingerprint (operators/winnow.py)
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
     # SURT + sharded CDX capture index (operators/cdxindex.py)
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     # BPE merge training, iterative argmax (operators/bpe.py)

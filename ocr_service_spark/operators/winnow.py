@@ -93,3 +93,63 @@ def winnow_match_pairs(
         .agg(F.countDistinct("gram_hash").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    fps: DataFrame,
+    min_shared: int = 1,
+    min_permille: int = 0,
+) -> DataFrame:
+    """Asymmetric containment report over one fingerprint set — the
+    quote/excerpt/partial-mirror detector. Jaccard-style near-dup ops
+    miss the case a curation pipeline cares about most: a short page
+    fully CONTAINED in a long one (syndicated excerpt, quoted post,
+    scraped lead paragraph) has tiny symmetric overlap but containment
+    ≈ 1000‰ on the short side.
+
+    Per unordered pair emits (id_a, id_b, n_shared, n_a, n_b,
+    containment_a_permille, containment_b_permille) where n_* are the
+    docs' DISTINCT selected-hash counts and containment_x =
+    floor(1000·shared/n_x) — winnowing's guarantee (any shared run of
+    ≥ w+k−1 words yields a shared selected hash) makes the permille a
+    calibrated span-coverage estimate, not a heuristic. Kept when
+    n_shared ≥ min_shared AND max(containment) ≥ min_permille.
+
+    Scale shape: dedupe (id, hash), equi-join on the hash (docs sharing
+    no selected gram never meet — Σ bucket², near-linear on real
+    corpora, the winnow_match_pairs argument), one pair aggregate, then
+    two joins against the doc-count table (vocab-of-docs-sized,
+    distributed). No crossJoin anywhere.
+    """
+    dfp = fps.select("id", "gram_hash").distinct()
+    totals = dfp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = dfp.select(F.col("id").alias("id_a"), "gram_hash")
+    b = dfp.select(F.col("id").alias("id_b"), "gram_hash")
+    pairs = (
+        a.join(b, "gram_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    n_a = totals.select(F.col("id").alias("id_a"),
+                        F.col("n_fp").alias("n_a"))
+    n_b = totals.select(F.col("id").alias("id_b"),
+                        F.col("n_fp").alias("n_b"))
+    out = (
+        pairs.join(n_a, "id_a").join(n_b, "id_b")
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(F.col("n_shared") * 1000 / F.col("n_a")).cast("long")
+            .alias("containment_a_permille"),
+            F.floor(F.col("n_shared") * 1000 / F.col("n_b")).cast("long")
+            .alias("containment_b_permille"),
+        )
+    )
+    return out.where(
+        F.greatest(
+            F.col("containment_a_permille"), F.col("containment_b_permille")
+        ) >= min_permille
+    )

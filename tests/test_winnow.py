@@ -89,3 +89,42 @@ def test_density_bound(spark):
     n_grams = 400 - 3 + 1
     assert len(got[20]) <= n_grams - 4 + 1
     assert len(got[20]) >= n_grams // 5  # and is not degenerate
+
+
+class TestContainmentPairs:
+    def _pairs(self, spark, rows, **kw):
+        from ocr_service_spark.operators.winnow import (
+            containment_pairs, winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+        return {(r["id_a"], r["id_b"]): r
+                for r in containment_pairs(fps, **kw).collect()}
+
+    def test_excerpt_is_contained_not_jaccard_similar(self, spark):
+        big = " ".join(f"w{i}" for i in range(120))
+        excerpt = " ".join(f"w{i}" for i in range(20))  # big's lead
+        got = self._pairs(spark, [(1, big), (2, excerpt)])
+        r = got[(1, 2)]
+        # every excerpt fingerprint appears in the source
+        assert r["containment_b_permille"] == 1000
+        # ...while the source is barely covered by the excerpt
+        assert r["containment_a_permille"] < 300
+        assert r["n_shared"] == r["n_b"]
+
+    def test_unrelated_docs_never_pair(self, spark):
+        a = " ".join(f"a{i}" for i in range(40))
+        b = " ".join(f"b{i}" for i in range(40))
+        assert self._pairs(spark, [(1, a), (2, b)]) == {}
+
+    def test_min_permille_gate(self, spark):
+        # half-overlapping docs: shared span covers ~half of each
+        left = " ".join(f"c{i}" for i in range(40))
+        right = " ".join(f"c{i}" for i in range(20, 60))
+        got = self._pairs(spark, [(1, left), (2, right)],
+                          min_permille=800)
+        assert got == {}  # neither side reaches 800 permille
+        got = self._pairs(spark, [(1, left), (2, right)],
+                          min_permille=300)
+        assert (1, 2) in got
