@@ -285,6 +285,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
+        # the headline set GROWS round over round (18 queries in r1) —
+        # total wall is not comparable across rounds; compare per-query
+        # timings and the normalized mean below
+        "n_queries": len(timings),
+        "sec_per_query_mean": round(total / max(len(timings), 1), 3),
         "queries": timings,
         "sf": sf,
         "cores": args.cores,
