@@ -163,6 +163,7 @@ HEADLINE = [
     "quality_classifier",      # fastText-style hashed linear gate
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
+    "kcenter_select",          # greedy k-center coreset (k narrow scans)
     "cluster_balanced_sample",  # <=m per cluster, WindowGroupLimit
     "web_table_cells",         # WDC-style web-table mining (one Arrow pass)
     "jsonld_extract",          # schema.org JSON-LD items (one Arrow pass)

@@ -5879,6 +5879,61 @@ def q_int8_ann_topk(spark, sf_dir):
     )
 
 
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/clustering.py
+    kcenter_select): 6 maximally-diverse exemplars over the int8-
+    quantized embeddings, all-integer squared-Euclidean arithmetic. The
+    oracle unrolls the same greedy recurrence as MATERIALIZED CTE
+    rounds — pick ids AND the decreasing distance sequence hash."""
+    from .operators.clustering import kcenter_select
+
+    return kcenter_select(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=6
+    )
+
+
+def _kcenter_sql(k: int = 6) -> str:
+    dot = ("list_sum(list_transform(range(1, len(a.qvec) + 1), "
+           "i -> CAST(a.qvec[i] AS BIGINT) * c.qvec[i]))")
+    parts = [
+        """WITH q2 AS MATERIALIZED (
+  SELECT id, qvec,
+    CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2q
+  FROM (
+    SELECT vec_id AS id,
+      list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)))) AS qvec
+    FROM embeddings
+  )
+),
+c1 AS MATERIALIZED (SELECT id, qvec, l2q FROM q2 ORDER BY id LIMIT 1),
+m1 AS MATERIALIZED (
+  SELECT a.id, a.qvec, a.l2q,
+         CAST(a.l2q + c.l2q - 2 * {dot} AS BIGINT) AS mind
+  FROM q2 a CROSS JOIN c1 c
+)""".format(dot=dot)
+    ]
+    for r in range(2, k + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT id, qvec, l2q, mind FROM m{r - 1}
+  ORDER BY mind DESC, id LIMIT 1
+),
+m{r} AS MATERIALIZED (
+  SELECT a.id, a.qvec, a.l2q,
+         LEAST(a.mind, CAST(a.l2q + c.l2q - 2 * {dot} AS BIGINT)) AS mind
+  FROM m{r - 1} a CROSS JOIN c{r} c
+)""")
+    sel = ["\nSELECT 1 AS sel_order, id, CAST(0 AS BIGINT) AS dist_q FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"UNION ALL SELECT {r}, id, mind FROM c{r}")
+    return "".join(parts) + "\n".join(sel)
+
+
+SQL_KCENTER = _kcenter_sql()
+
+
 SQL_INT8_ANN = """
 WITH v AS (
   SELECT vec_id,
@@ -8025,6 +8080,7 @@ CATALOG: Dict[str, tuple] = {
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
     # int8-quantized similarity (operators/similarity.py)
     "int8_ann_topk": (q_int8_ann_topk, SQL_INT8_ANN),
+    "kcenter_select": (q_kcenter_select, SQL_KCENTER),
     # eTLD+1 registrable-domain extraction (operators/domains.py)
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     # rendezvous minimal-churn sharding (operators/sampling.py)

@@ -188,3 +188,75 @@ def cluster_balanced_sample(
         assign.select(id_col, "cid", F.row_number().over(w).alias("pick_rank"))
         .filter(F.col("pick_rank") <= int(per_cluster))
     )
+
+
+def kcenter_select(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int = 127,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) diversity selection —
+    the coreset sampler: pick k exemplars such that every vector is
+    close to some pick. Curation uses it to build maximally-DIVERSE
+    eval/annotation slices and dedup seed sets; it is the opposite
+    failure mode of random sampling, which oversamples dense template
+    clusters and never sees the tails. Greedy is the classic 2-approx
+    of the NP-hard optimum.
+
+    Engine-exactness: vectors go through similarity.int8_quantize, so
+    squared Euclidean distance d(a,b) = l2a + l2b − 2·(a·b) is exact
+    64-bit integer arithmetic; ties (equal farthest distance) break by
+    id asc. Seed = min id (deterministic). Output one row per pick:
+    (sel_order, id, dist_q) where dist_q is the pick's min squared
+    distance to all PREVIOUS picks (0 for the seed) — a decreasing
+    sequence whose last value is the corpus coverage radius.
+
+    Scale shape: k rounds, each ONE narrow scan computing min(current
+    mind, distance-to-newest-center) — the center is a k×1 driver-sized
+    literal, never a join — plus a TakeOrdered(1) argmax. The running
+    (id, qvec, mind) relation is localCheckpointed per round
+    (connected_components lineage fix). k is tens; total cost k scans.
+    """
+    from .similarity import int8_quantize
+
+    q = int8_quantize(vecs, id_col, vec_col, scale).localCheckpoint(
+        eager=True
+    )
+
+    def dist_to(center_vec, center_l2) -> "F.Column":
+        dot = F.aggregate(
+            F.zip_with(
+                "qvec",
+                F.array(*[F.lit(int(x)) for x in center_vec]),
+                lambda a, b: (a * b).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.col("l2q") + F.lit(int(center_l2)) - 2 * dot
+
+    seed = q.orderBy("id").limit(1).collect()[0]
+    picks = [(1, seed["id"], 0)]
+    cur = q.select(
+        "id", "qvec", "l2q",
+        dist_to(seed["qvec"], seed["l2q"]).alias("mind"),
+    ).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        far = cur.orderBy(F.col("mind").desc(), F.col("id").asc()) \
+            .limit(1).collect()
+        if not far:
+            break
+        c = far[0]
+        picks.append((r, c["id"], int(c["mind"])))
+        cur = cur.select(
+            "id", "qvec", "l2q",
+            F.least(
+                F.col("mind"), dist_to(c["qvec"], c["l2q"])
+            ).alias("mind"),
+        ).localCheckpoint(eager=True)
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        picks, "sel_order int, id long, dist_q long"
+    )

@@ -180,3 +180,35 @@ class TestClusterBalancedSample:
         with contextlib.redirect_stdout(buf):
             cluster_balanced_sample(assign, 5).explain("formatted")
         assert "WindowGroupLimit" in buf.getvalue()
+
+
+class TestKCenterSelect:
+    def _sel(self, spark, vecs, k):
+        from ocr_service_spark.operators.clustering import kcenter_select
+
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        return kcenter_select(df, "vec_id", "embedding", k=k).collect()
+
+    def test_greedy_picks_corners_before_cluster_interior(self, spark):
+        # a dense cluster near the origin plus two far corners: k=3 must
+        # take the seed + both corners, never a second cluster member
+        cluster = [(i, [0.01 * i, 0.0]) for i in range(5)]
+        corners = [(100, [1.0, 1.0]), (101, [-1.0, -1.0])]
+        got = self._sel(spark, cluster + corners, k=3)
+        ids = [r["id"] for r in got]
+        assert ids[0] == 0          # deterministic seed: min id
+        assert set(ids[1:]) == {100, 101}
+        # dist sequence decreases (coverage radius shrinks)
+        d = [r["dist_q"] for r in got[1:]]
+        assert d == sorted(d, reverse=True)
+
+    def test_exact_integer_distances(self, spark):
+        # [1,0] vs [0,1]: q=(127,0)/(0,127) -> d = 127^2*2
+        got = self._sel(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])], k=2)
+        assert got[1]["dist_q"] == 2 * 127 * 127
+
+    def test_k_exceeding_points_stops(self, spark):
+        got = self._sel(spark, [(1, [1.0]), (2, [0.5])], k=5)
+        # after every point is a center, the farthest distance is 0 —
+        # greedy still emits k rows only while points exist
+        assert len(got) <= 5 and {r["id"] for r in got[:2]} == {1, 2}
