@@ -151,6 +151,7 @@ HEADLINE = [
     "path_prefix_rollup",      # site-section rollup, bounded explode
     "dsir_resample",           # DSIR selection half, integer Bernoulli
     "snapshot_drift",          # recrawl change classes via simhash hamming
+    "version_line_diff",       # multiset line algebra per recrawl pair
     "winnow_fingerprint",      # MOSS winnowing selection, narrow-only plan
     "containment_pairs",       # excerpt/quote containment on winnow fps
     "cdx_index",               # SURT + sharded capture index (one Exchange)

@@ -7822,6 +7822,78 @@ FROM v2 WINDOW w2 AS (PARTITION BY url ORDER BY version_no)
 """
 
 
+def q_version_line_diff(spark, sf_dir):
+    """Line-granular recrawl diff (operators/snapshots.py
+    version_line_diff): 31 urls × capture streams whose text is the
+    first 6 words of each underlying doc as lines plus a stable footer
+    line — consecutive captures therefore share the footer (n_common ≥
+    1) and churn the word lines. Oracle replays ranking, the multiset
+    line algebra and the permille — every count hashes."""
+    from .operators.snapshots import version_line_diff
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    caps = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 31).cast("string"))
+        .alias("url"),
+        F.expr("doc_id DIV 31").cast("long").alias("ts"),
+        F.col("doc_id").cast("long").alias("tb"),
+        F.concat(
+            F.array_join(F.slice(words, 1, 6), "\n"), F.lit("\nfooter")
+        ).alias("text"),
+    )
+    return version_line_diff(caps, "url", "ts", "text", "tb")
+
+
+SQL_LINE_DIFF = r"""
+WITH caps AS (
+  SELECT 'u' || CAST(doc_id % 31 AS VARCHAR) AS key,
+         CAST(doc_id // 31 AS BIGINT) AS ts, CAST(doc_id AS BIGINT) AS tb,
+         array_to_string(string_split_regex(trim(lower(COALESCE(text,
+           ''))), '\s+')[1:6], chr(10)) || chr(10) || 'footer' AS t
+  FROM documents
+),
+r AS (
+  SELECT key, row_number() OVER (PARTITION BY key ORDER BY ts, tb) AS rn,
+         t
+  FROM caps
+),
+l AS (
+  SELECT key, rn, u.line AS line, count(*) AS c
+  FROM r, unnest(string_split(t, chr(10))) AS u(line)
+  WHERE trim(u.line) <> ''
+  GROUP BY 1, 2, 3
+),
+nc AS (SELECT key, max(rn) AS n_caps FROM r GROUP BY key),
+j AS (
+  SELECT COALESCE(a.key, b.key) AS key, COALESCE(a.rn, b.rn) AS rn,
+         COALESCE(a.c, 0) AS cn, COALESCE(b.c, 0) AS co
+  FROM l a
+  FULL OUTER JOIN (SELECT key, rn + 1 AS rn, line, c FROM l) b
+    ON a.key = b.key AND a.rn = b.rn AND a.line = b.line
+),
+g AS (
+  SELECT j.key, j.rn,
+         SUM(GREATEST(cn - co, 0)) AS n_added,
+         SUM(GREATEST(co - cn, 0)) AS n_removed,
+         SUM(LEAST(cn, co)) AS n_common,
+         SUM(cn) AS tn, SUM(co) AS tld
+  FROM j JOIN nc ON j.key = nc.key
+  WHERE j.rn >= 2 AND j.rn <= nc.n_caps
+  GROUP BY 1, 2
+)
+SELECT key, CAST(rn AS INTEGER) AS pair_no,
+       CAST(n_added AS BIGINT) AS n_added,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST((n_added + n_removed) * 1000 // GREATEST(tn + tld, 1)
+            AS BIGINT) AS churn_permille
+FROM g
+"""
+
+
 # literal merge list for the encode entry: chained so "table" fuses all
 # the way to one token (a b -> t ab -> l e -> le _ -> tab le_) while a
 # final unrelated rule ("s t") exercises order independence
@@ -8147,6 +8219,7 @@ CATALOG: Dict[str, tuple] = {
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "scd2_history": (q_scd2_history, SQL_SCD2),
+    "version_line_diff": (q_version_line_diff, SQL_LINE_DIFF),
     "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),
     "dehyphenate_unwrap": (q_dehyphenate_unwrap, SQL_DEHYPHENATE),
     "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_ROLLUP),

@@ -357,3 +357,79 @@ def scd2_history(
         "n_captures",
         F.lead("valid_from").over(w_next).isNull().alias("is_current"),
     )
+
+
+def version_line_diff(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    text_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Line-granular change statistics between CONSECUTIVE captures of
+    each key — what actually changed when a recrawl's digest changed:
+    comments appended (adds, low churn), article rewritten (high
+    churn), boilerplate reshuffled (adds ≈ removes). snapshot_drift
+    classifies change magnitude from simhash distance; this operator
+    reports the exact line algebra, the input a template-strip or
+    incremental-extraction decision needs.
+
+    Per (key, pair n) — capture n diffed against capture n−1 as line
+    MULTISETS (set diff undercounts repeated lines):
+      n_added   = Σ max(c_new − c_old, 0)
+      n_removed = Σ max(c_old − c_new, 0)
+      n_common  = Σ min(c_new, c_old)
+      churn_permille = floor(1000·(added+removed) / (new_total+old_total))
+    Empty/whitespace lines are not lines.
+
+    Scale shape: one window ranks captures per key (url-keyed Exchange),
+    lines explode to (key, rn, line, cnt) with a hash aggregate, the
+    previous capture re-enters as the SAME relation shifted rn+1 — a
+    self equi-join on (key, rn, line), never a theta join — and one
+    final (key, rn) aggregate. A url's history never leaves its hash
+    bucket.
+    """
+    caps = df.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+            )
+        ).alias("rn"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_ls"),
+    )
+    lines = (
+        caps.select("key", "rn", F.explode("_ls").alias("line"))
+        .where(F.trim("line") != "")
+        .groupBy("key", "rn", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_caps = caps.groupBy("key").agg(F.max("rn").alias("n_caps"))
+    cur = lines.select("key", "rn", "line", F.col("c").alias("c_new"))
+    prev = lines.select(
+        "key", (F.col("rn") + 1).alias("rn"), "line",
+        F.col("c").alias("c_old"),
+    )
+    joined = (
+        cur.join(prev, ["key", "rn", "line"], "full_outer")
+        .join(n_caps, "key")
+        .where((F.col("rn") >= 2) & (F.col("rn") <= F.col("n_caps")))
+    )
+    cn = F.coalesce("c_new", F.lit(0))
+    co = F.coalesce("c_old", F.lit(0))
+    out = joined.groupBy("key", "rn").agg(
+        F.sum(F.greatest(cn - co, F.lit(0))).cast("long").alias("n_added"),
+        F.sum(F.greatest(co - cn, F.lit(0))).cast("long").alias("n_removed"),
+        F.sum(F.least(cn, co)).cast("long").alias("n_common"),
+        F.sum(cn).cast("long").alias("_tn"),
+        F.sum(co).cast("long").alias("_to"),
+    )
+    return out.select(
+        "key",
+        F.col("rn").cast("int").alias("pair_no"),
+        "n_added", "n_removed", "n_common",
+        F.floor(
+            (F.col("n_added") + F.col("n_removed")) * 1000
+            / F.greatest(F.col("_tn") + F.col("_to"), F.lit(1))
+        ).cast("long").alias("churn_permille"),
+    )

@@ -467,3 +467,45 @@ class TestCollocationsPmi:
         pairs = {(r["w1"], r["w2"]) for r in got}
         assert ("rare", "pair") not in pairs  # hapax pruned
         assert ("common", "duo") in pairs
+
+
+class TestVersionLineDiff:
+    def _diff(self, spark, rows):
+        from ocr_service_spark.operators.snapshots import version_line_diff
+
+        df = spark.createDataFrame(
+            rows, "url string, ts long, text string, id long"
+        )
+        out = version_line_diff(df, "url", "ts", "text", "id")
+        return {(r["key"], r["pair_no"]): r for r in out.collect()}
+
+    def test_multiset_algebra(self, spark):
+        got = self._diff(spark, [
+            ("a", 1, "x\ny\ny\nz", 1),
+            ("a", 2, "x\ny\nw\nw", 2),   # -1 y, -1 z, +2 w
+            ("b", 1, "only", 3),          # single capture: no pair
+        ])
+        r = got[("a", 2)]
+        assert (r["n_added"], r["n_removed"], r["n_common"]) == (2, 2, 2)
+        # churn = 1000*4 // (4+4)
+        assert r["churn_permille"] == 500
+        assert ("b", 2) not in got and ("a", 1) not in got
+
+    def test_identical_capture_zero_churn(self, spark):
+        got = self._diff(spark, [
+            ("a", 1, "x\ny", 1),
+            ("a", 2, "x\ny", 2),
+        ])
+        r = got[("a", 2)]
+        assert (r["n_added"], r["n_removed"], r["churn_permille"]) == \
+            (0, 0, 0)
+        assert r["n_common"] == 2
+
+    def test_blank_lines_ignored_and_rewrite(self, spark):
+        got = self._diff(spark, [
+            ("a", 1, "x\n\n  \ny", 1),
+            ("a", 2, "p\nq", 2),          # total rewrite
+        ])
+        r = got[("a", 2)]
+        assert (r["n_added"], r["n_removed"], r["n_common"]) == (2, 2, 0)
+        assert r["churn_permille"] == 1000
