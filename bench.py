@@ -186,6 +186,7 @@ HEADLINE = [
     "frontier_discovery",      # links -> anti-join -> robots -> schedule
     "quality_funnel",          # first-failing-gate drop attribution
     "wet_roundtrip",           # WET serialize + parse round trip
+    "wat_roundtrip",           # WAT metadata serialize + parse round trip
     "redirect_resolve",        # Location chains via pointer doubling
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
     "luhn_card_scrub",         # checksum-verified card redaction

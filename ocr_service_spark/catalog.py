@@ -6540,6 +6540,55 @@ FROM documents
 """
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """WAT interchange round trip (sources/wat.py): page titles + link
+    lists serialize to partition-per-file WAT metadata records (sorted-
+    key JSON envelopes) and the tolerant parser reads them back; the
+    recovered (url, title, n_links, links_joined) must equal the planted
+    projection — serialize∘parse = id, so the oracle is the planting
+    rule itself."""
+    from .sources.wat import read_wat_blobs, to_wat_files
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    links = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.array(
+            F.concat(F.lit("https://l.example/"),
+                     (F.col("doc_id") * 2).cast("string")),
+            F.concat(F.lit("https://l.example/"),
+                     (F.col("doc_id") * 2 + 1).cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pages = d.select(
+        F.format_string("https://wat.example/%012d", "doc_id").alias("url"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("title"),
+        links.alias("links"),
+    )
+    wat = to_wat_files(pages.repartition(8, "url"))
+    back = read_wat_blobs(wat)
+    return back.select(
+        "url", "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join("links", "|").alias("links_joined"),
+    )
+
+
+SQL_WAT_ROUNDTRIP = r"""
+SELECT printf('https://wat.example/%012d', doc_id) AS url,
+  array_to_string(string_split_regex(trim(lower(COALESCE(text, ''))),
+                  '\s+')[1:3], ' ') AS title,
+  CAST(CASE WHEN doc_id % 3 <> 0 THEN 2 ELSE 0 END AS BIGINT) AS n_links,
+  CASE WHEN doc_id % 3 <> 0 THEN
+    'https://l.example/' || CAST(doc_id * 2 AS VARCHAR) || '|'
+      || 'https://l.example/' || CAST(doc_id * 2 + 1 AS VARCHAR)
+  ELSE '' END AS links_joined
+FROM documents
+"""
+
+
 def q_refresh_policy(spark, sf_dir):
     """Change-rate recrawl policy (operators/snapshots.py
     refresh_policy): planted per-url fetch histories — never-changing
@@ -8177,6 +8226,7 @@ CATALOG: Dict[str, tuple] = {
     "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
     # WET interchange round trip (sources/wet.py)
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
+    "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
     # version-retention planning (operators/maintenance.py)

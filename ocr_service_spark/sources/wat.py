@@ -1,0 +1,188 @@
+"""WAT sink/source: Common-Crawl's per-page metadata interchange format.
+
+WAT files are WARC containers whose records are `metadata` type with a
+JSON payload describing the corresponding crawl record — target URI,
+fetch date, page title and the outgoing link list. Together with
+sources/warc.py (raw captures in) and sources/wet.py (extracted text
+out) this closes the CC triplet: link-graph and anchor-text consumers
+read WAT without ever touching page bodies, which is exactly why the
+format exists — the metadata is ~1/20th the bytes of the crawl.
+
+Scale shape mirrors wet.py: one WAT FILE PER PARTITION built inside a
+single Arrow pass (record framing is per-row byte math, nothing
+shuffles; file count = partition count, controlled upstream). The JSON
+envelope is serialized with sorted keys and no whitespace so the bytes
+are deterministic — the round-trip gate value-hashes them.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from typing import Iterator, List, Optional
+
+from pyspark.sql import DataFrame
+
+CRLF = b"\r\n"
+
+
+def build_wat_payload(url: str, title: Optional[str],
+                      links: Optional[List[str]]) -> str:
+    """Canonical (sorted-keys, no-whitespace) WAT JSON envelope with the
+    subset of the CC schema link consumers read: Head.Title and the
+    Links array of {path, url} objects."""
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": url},
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title or ""},
+                        "Links": [
+                            {"path": "A@/href", "url": u}
+                            for u in (links or [])
+                        ],
+                    }
+                }
+            },
+        }
+    }
+    return json.dumps(env, separators=(",", ":"), sort_keys=True)
+
+
+def wat_record(url: str, ts: Optional[datetime], payload_json: str) -> bytes:
+    """One WARC `metadata` record: header block, blank line, UTF-8 JSON
+    payload, record separator. Content-Length counts payload BYTES."""
+    payload = payload_json.encode("utf-8")
+    ts_s = (ts or datetime(2025, 12, 11, tzinfo=timezone.utc)).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    head = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: metadata" + CRLF
+        + f"WARC-Target-URI: {url}".encode() + CRLF
+        + f"WARC-Date: {ts_s}".encode() + CRLF
+        + b"Content-Type: application/json" + CRLF
+        + f"Content-Length: {len(payload)}".encode() + CRLF
+    )
+    return head + CRLF + payload + CRLF + CRLF
+
+
+def to_wat_files(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: Optional[str] = None,
+    title_col: str = "title",
+    links_col: str = "links",
+) -> DataFrame:
+    """docs → (n_records, n_bytes, wat) one row per partition — the WAT
+    blob for that partition's pages in partition order (wet.py shape)."""
+    import pandas as pd
+
+    cols = [url_col, title_col, links_col] + ([ts_col] if ts_col else [])
+    src = docs.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = []
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ts = row[ts_col] if ts_col else None
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                links = row[links_col]
+                links = list(links) if links is not None else []
+                payload = build_wat_payload(
+                    row[url_col], row[title_col], links
+                )
+                chunks.append(wat_record(row[url_col], ts, payload))
+                n += 1
+        blob = b"".join(chunks)
+        yield pd.DataFrame(
+            {"n_records": [n], "n_bytes": [len(blob)], "wat": [blob]}
+        )
+
+    return src.mapInPandas(run, "n_records long, n_bytes long, wat binary")
+
+
+def parse_wat(blob: bytes):
+    """WAT blob → (url, ts_str, title, links) per metadata record — the
+    verification inverse of wat_record; framing follows the WARC
+    reader's tolerant scan (truncated tail ends the file, non-JSON
+    payloads yield empty metadata rather than a task failure —
+    errors-as-data, the repo's S4 convention)."""
+    out = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        while blob.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n or not blob.startswith(b"WARC/", pos):
+            break
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            break
+        fields = {}
+        for line in blob[pos:head_end].split(CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            break
+        body = blob[head_end + 4: head_end + 4 + length]
+        if fields.get("warc-type") == "metadata":
+            title, links = "", []
+            try:
+                env = json.loads(body.decode("utf-8", "replace"))
+                html = (
+                    env.get("Envelope", {})
+                    .get("Payload-Metadata", {})
+                    .get("HTTP-Response-Metadata", {})
+                    .get("HTML-Metadata", {})
+                )
+                title = html.get("Head", {}).get("Title", "") or ""
+                links = [
+                    l.get("url") for l in html.get("Links", [])
+                    if isinstance(l, dict) and l.get("url")
+                ]
+            except (ValueError, AttributeError):
+                pass
+            out.append(
+                (
+                    fields.get("warc-target-uri"),
+                    fields.get("warc-date"),
+                    title,
+                    links,
+                )
+            )
+        pos = head_end + 4 + length
+    return out
+
+
+def read_wat_blobs(wat: DataFrame) -> DataFrame:
+    """(…, wat binary) → (url, ts, title, links) rows — the distributed
+    inverse of to_wat_files, one Arrow pass; the round-trip gate."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, titles, links_col = [], [], [], []
+            for blob in pdf["wat"]:
+                if blob is None:
+                    continue
+                for url, ts_s, title, links in parse_wat(bytes(blob)):
+                    urls.append(url)
+                    tss.append(ts_s)
+                    titles.append(title)
+                    links_col.append(links)
+            if not urls:
+                # an empty pandas frame types `links` float64 and Arrow
+                # refuses the cast to list<string> — yield nothing instead
+                continue
+            yield pd.DataFrame(
+                {"url": urls, "ts": tss, "title": titles,
+                 "links": links_col}
+            )
+
+    return wat.select("wat").mapInPandas(
+        run, "url string, ts string, title string, links array<string>"
+    )

@@ -101,3 +101,52 @@ class TestContentTypeAudit:
         # unknown declared type: no promise, never a mismatch
         assert got["unknown_ct"][2] is False
         assert got["bare"] == (None, "html", False)
+
+
+class TestWatRoundTrip:
+    def test_record_framing_and_parse(self):
+        from ocr_service_spark.sources.wat import (
+            build_wat_payload, parse_wat, wat_record,
+        )
+
+        p1 = build_wat_payload("https://a.example/x", "A Title",
+                               ["https://b.example/", "https://c.example/"])
+        p2 = build_wat_payload("https://a.example/y", None, None)
+        blob = (wat_record("https://a.example/x", None, p1)
+                + wat_record("https://a.example/y", None, p2))
+        got = parse_wat(blob)
+        assert got[0][0] == "https://a.example/x"
+        assert got[0][2] == "A Title"
+        assert got[0][3] == ["https://b.example/", "https://c.example/"]
+        assert got[1][2] == "" and got[1][3] == []
+
+    def test_malformed_json_is_data_not_failure(self):
+        from ocr_service_spark.sources.wat import parse_wat, wat_record
+
+        blob = wat_record("https://a.example/bad", None, "{not json")
+        got = parse_wat(blob)
+        assert got == [("https://a.example/bad",
+                        "2025-12-11T00:00:00Z", "", [])]
+
+    def test_distributed_round_trip(self, spark):
+        from ocr_service_spark.sources.wat import (
+            read_wat_blobs, to_wat_files,
+        )
+
+        pages = spark.createDataFrame(
+            [("https://h/%d" % i, "t%d" % i,
+              ["https://l/%d" % (i * 2)]) for i in range(50)],
+            "url string, title string, links array<string>",
+        )
+        wat = to_wat_files(pages.repartition(4, "url"))
+        back = read_wat_blobs(wat).collect()
+        got = {r["url"]: (r["title"], list(r["links"])) for r in back}
+        assert len(got) == 50
+        assert got["https://h/7"] == ("t7", ["https://l/14"])
+        # unicode title survives the byte-length framing
+        uni = spark.createDataFrame(
+            [("https://h/u", "café — ❤", [])],
+            "url string, title string, links array<string>",
+        )
+        r = read_wat_blobs(to_wat_files(uni)).collect()[0]
+        assert r["title"] == "café — ❤"
