@@ -178,6 +178,7 @@ HEADLINE = [
     "int8_ann_topk",           # int8-quantized similarity, integer dots
     "bm25_topk",               # quantized-BM25 corpus retrieval
     "phrase_search",           # positional phrase match, anchored postings
+    "gazetteer_tag",           # dictionary-as-data phrase tagging
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
     "rendezvous_shard",        # HRW minimal-churn shard assignment

@@ -6360,6 +6360,65 @@ ORDER BY hits DESC, id LIMIT 20
 """
 
 
+def q_gazetteer_tag(spark, sf_dir):
+    """Dictionary tagging (operators/search.py gazetteer_tag): a 5-entry
+    phrase table (multi-word, single-word, repeated-word) scanned over
+    the documents text via the anchored-postings join. The oracle
+    replays the slot construction + join + anchor algebra in DuckDB —
+    every (doc, phrase) hit count and first position hashes."""
+    from .operators.search import gazetteer_tag
+
+    phrases = spark.createDataFrame(
+        [(1, "slow hash batch"), (2, "window fast query"), (3, "spark"),
+         (4, "value spark vector"), (5, "the the")],
+        "phrase_id long, phrase string",
+    )
+    return gazetteer_tag(load(spark, sf_dir, "documents"), phrases)
+
+
+SQL_GAZETTEER = r"""
+WITH dict(pid, phrase) AS (
+  VALUES (1, 'slow hash batch'), (2, 'window fast query'), (3, 'spark'),
+         (4, 'value spark vector'), (5, 'the the')
+),
+pw AS (
+  SELECT pid, string_split_regex(trim(lower(phrase)), '\s+') AS w
+  FROM dict
+),
+slots AS (
+  SELECT pid, n, u.s.i - 1 AS i, u.s.t AS word
+  FROM (SELECT pid, len(w) AS n,
+               list_transform(w, (x, j) -> struct_pack(i := j, t := x))
+               AS lt
+        FROM pw) q, unnest(lt) AS u(s)
+),
+posting AS (
+  SELECT id, u.r.i - 1 AS pos, u.r.t AS word
+  FROM (SELECT doc_id AS id,
+          list_transform(
+            CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(COALESCE(text, ''))),
+                                         '\s+') END,
+            (x, j) -> struct_pack(i := j, t := x)) AS lr
+        FROM documents) d, unnest(d.lr) AS u(r)
+),
+m AS (
+  SELECT p.id, s.pid, p.pos - s.i AS anchor, s.n
+  FROM posting p JOIN slots s ON p.word = s.word
+  WHERE p.pos - s.i >= 0
+),
+full_m AS (
+  SELECT id, pid, anchor FROM m
+  GROUP BY id, pid, anchor, n HAVING count(*) = n
+)
+SELECT id, CAST(pid AS BIGINT) AS pid,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM full_m GROUP BY id, pid
+"""
+
+
 def q_bitext_candidates(spark, sf_dir):
     """URL-pattern bitext pairing (operators/bitext.py): doc_id groups
     of five plant a three-language path-prefix family (en/fr/de on one
@@ -8218,6 +8277,7 @@ CATALOG: Dict[str, tuple] = {
     # quantized-BM25 retrieval (operators/search.py)
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "gazetteer_tag": (q_gazetteer_tag, SQL_GAZETTEER),
     # URL-pattern bitext pairing (operators/bitext.py)
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
     # crawl-loop capstone: links -> anti-join -> robots -> schedule

@@ -171,3 +171,67 @@ def phrase_search(
         .orderBy(F.col("hits").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def gazetteer_tag(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Dictionary (gazetteer) tagging: find every occurrence of every
+    phrase of a DICTIONARY TABLE in every document — the blocklist /
+    entity-list / benchmark-phrase scanner. phrase_search compiles ONE
+    phrase into plan literals; this is the same anchored-postings
+    algebra with the dictionary as data, so a 10⁶-entry list costs one
+    equi-join, not 10⁶ plan nodes or a giant regex.
+
+    Emits (id, phrase_id, hits, first_pos) per document × matched
+    phrase: hits = occurrence count (overlaps included), first_pos =
+    word index of the earliest match.
+
+    Scale shape: dictionary → slot table (phrase_id, slot i, word,
+    phrase length) via one posexplode; corpus → postings (id, pos,
+    word); ONE shuffle equi-join on the word (the join IS the
+    vocabulary filter — postings for words in no phrase never survive;
+    broadcast when the dictionary is small, AQE decides), then
+    groupBy(id, phrase_id, anchor=pos−i) counting filled slots == n, and
+    a final per-(id, phrase) aggregate. Repeated words inside a phrase
+    fill distinct slots at distinct anchors — same argument as
+    phrase_search. Words arrays materialize before lambdas (Catalyst
+    rule).
+    """
+    pw = phrases.select(
+        F.col(phrase_id_col).alias("pid"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(phrase_col), F.lit("")))),
+            r"\s+",
+        ).alias("pw"),
+    ).where(F.size("pw") >= 1)
+    slots = pw.select(
+        "pid", F.size("pw").alias("n"),
+        F.posexplode("pw").alias("i", "word"),
+    )
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    postings = (
+        docs.select(F.col(id_col).alias("id"), words.alias("ws"))
+        .select("id", F.posexplode("ws").alias("pos", "word"))
+    )
+    anchored = (
+        postings.join(slots, "word")
+        .select("id", "pid", "n", (F.col("pos") - F.col("i")).alias("anchor"))
+        .where(F.col("anchor") >= 0)
+    )
+    matches = (
+        anchored.groupBy("id", "pid", "n", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where(F.col("n_slots") == F.col("n"))
+    )
+    return matches.groupBy("id", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

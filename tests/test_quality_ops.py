@@ -1206,3 +1206,37 @@ class TestVocabCoverageCurve:
                vocab_coverage_curve(df, tops=(1, 2)).collect()}
         assert got[1]["covered_tokens"] == 1
         assert got[2]["covered_tokens"] == 2
+
+
+class TestGazetteerTag:
+    def _tag(self, spark, docs, phrases):
+        from ocr_service_spark.operators.search import gazetteer_tag
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        p = spark.createDataFrame(phrases, "phrase_id long, phrase string")
+        return {(r["id"], r["pid"]): (r["hits"], r["first_pos"])
+                for r in gazetteer_tag(d, p).collect()}
+
+    def test_multi_phrase_tagging(self, spark):
+        got = self._tag(
+            spark,
+            [(1, "new york is not york new"), (2, "york boston york")],
+            [(10, "new york"), (11, "york"), (12, "boston harbor")],
+        )
+        assert got[(1, 10)] == (1, 0)
+        assert got[(1, 11)] == (2, 1)     # positions 1 and 4
+        assert got[(2, 11)] == (2, 0)
+        assert (2, 12) not in got          # partial phrase never matches
+        assert (2, 10) not in got
+
+    def test_repeated_word_phrase_overlap(self, spark):
+        got = self._tag(spark, [(1, "go go go")], [(1, "go go")])
+        assert got[(1, 1)] == (2, 0)       # overlapping anchors 0,1
+
+    def test_case_fold_both_sides(self, spark):
+        got = self._tag(spark, [(1, "Hong KONG")], [(1, "hONg kong")])
+        assert got[(1, 1)] == (1, 0)
+
+    def test_empty_doc_and_unmatched_dict(self, spark):
+        got = self._tag(spark, [(1, ""), (2, None)], [(1, "anything")])
+        assert got == {}
