@@ -179,6 +179,7 @@ HEADLINE = [
     "bm25_topk",               # quantized-BM25 corpus retrieval
     "phrase_search",           # positional phrase match, anchored postings
     "gazetteer_tag",           # dictionary-as-data phrase tagging
+    "inverted_index_build",    # sharded positional index materialization
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
     "rendezvous_shard",        # HRW minimal-churn shard assignment

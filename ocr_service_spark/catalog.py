@@ -6419,6 +6419,50 @@ FROM full_m GROUP BY id, pid
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Sharded positional inverted-index build (operators/search.py
+    build_inverted_index) over the documents text. The oracle rebuilds
+    every posting list with ordered string_aggs in DuckDB — per-term df,
+    Σtf, the md5 shard AND the digest of the full ordered posting list
+    (every doc id and position) hash."""
+    from .operators.search import build_inverted_index
+
+    return build_inverted_index(
+        load(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH posting AS (
+  SELECT id, u.r.i - 1 AS pos, u.r.t AS word
+  FROM (SELECT doc_id AS id,
+          list_transform(
+            CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(COALESCE(text, ''))),
+                                         '\s+') END,
+            (x, j) -> struct_pack(i := j, t := x)) AS lr
+        FROM documents) d, unnest(d.lr) AS u(r)
+),
+pd AS (
+  SELECT word, id, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS plist
+  FROM posting GROUP BY word, id
+),
+pt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         md5(string_agg(CAST(id AS VARCHAR) || ':' || plist,
+                        '|' ORDER BY id)) AS postings_digest
+  FROM pd GROUP BY word
+)
+SELECT CAST(CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS UBIGINT)
+       AS BIGINT) % 8 AS INTEGER) AS shard,
+       word AS term, df, total_tf, postings_digest
+FROM pt
+"""
+
+
 def q_bitext_candidates(spark, sf_dir):
     """URL-pattern bitext pairing (operators/bitext.py): doc_id groups
     of five plant a three-language path-prefix family (en/fr/de on one
@@ -8278,6 +8322,7 @@ CATALOG: Dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "gazetteer_tag": (q_gazetteer_tag, SQL_GAZETTEER),
+    "inverted_index_build": (q_inverted_index, SQL_INVERTED_INDEX),
     # URL-pattern bitext pairing (operators/bitext.py)
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT),
     # crawl-loop capstone: links -> anti-join -> robots -> schedule

@@ -235,3 +235,70 @@ def gazetteer_tag(
         F.count(F.lit(1)).cast("long").alias("hits"),
         F.min("anchor").cast("long").alias("first_pos"),
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted-index BUILD — the sink side of the retrieval
+    family (bm25/phrase/gazetteer are scan-time consumers; a serving
+    search system materializes the index once instead). Emits one row
+    per term: (shard, term, df, total_tf, postings_digest) where shard
+    is the md5-bucketed index partition the posting list would publish
+    to (the cdx_index layout rule) and postings_digest is md5 over the
+    FULL ordered posting list "doc:pos,pos|doc:pos" — so two engines
+    agreeing on the digest agree on every document id, every position,
+    in order.
+
+    Scale shape: postings explode once; aggregate 1 keys (term, doc) —
+    tf + the sorted position list; aggregate 2 keys (term) — df, Σtf and
+    the ordered digest via array_sort(collect_list(struct)). Both
+    aggregates hash-partition on prefixes of the same key, map-side
+    partials apply, and nothing is ever collected: posting lists stay
+    distributed rows, exactly how a sharded index build lays out its
+    publish manifest. Position lists are bounded by document length;
+    the digest keeps the driver-side value small regardless.
+    """
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    postings = (
+        docs.select(F.col(id_col).alias("id"), words.alias("ws"))
+        .select("id", F.posexplode("ws").alias("pos", "word"))
+    )
+    per_doc = postings.groupBy("word", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")),
+                        lambda p: p.cast("string")),
+            ",",
+        ).alias("plist"),
+    )
+    entry = F.concat(F.col("id").cast("string"), F.lit(":"),
+                     F.col("plist"))
+    per_term = per_doc.select(
+        "word", "id", "tf", entry.alias("entry")
+    ).groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "|",
+            )
+        ).alias("postings_digest"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    return per_term.select(
+        shard.alias("shard"), F.col("word").alias("term"),
+        "df", "total_tf", "postings_digest",
+    )

@@ -1240,3 +1240,29 @@ class TestGazetteerTag:
     def test_empty_doc_and_unmatched_dict(self, spark):
         got = self._tag(spark, [(1, ""), (2, None)], [(1, "anything")])
         assert got == {}
+
+
+class TestInvertedIndexBuild:
+    def test_postings_and_digest(self, spark):
+        import hashlib
+
+        from ocr_service_spark.operators.search import build_inverted_index
+
+        df = spark.createDataFrame(
+            [(1, "b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        got = {r["term"]: r
+               for r in build_inverted_index(df, n_shards=4).collect()}
+        a, b = got["a"], got["b"]
+        assert (a["df"], a["total_tf"]) == (2, 2)
+        assert (b["df"], b["total_tf"]) == (2, 3)
+        assert a["postings_digest"] == hashlib.md5(b"1:1|2:0").hexdigest()
+        assert b["postings_digest"] == hashlib.md5(b"1:0,2|2:1").hexdigest()
+        assert 0 <= a["shard"] < 4
+
+    def test_empty_docs_index_nothing(self, spark):
+        from ocr_service_spark.operators.search import build_inverted_index
+
+        df = spark.createDataFrame([(1, ""), (2, None)],
+                                   "doc_id long, text string")
+        assert build_inverted_index(df).count() == 0
