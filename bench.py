@@ -146,6 +146,7 @@ HEADLINE = [
     "dup_line_gate",           # Gopher dup line/paragraph suite
     "shard_manifest",          # per-shard publish manifest + checksums
     "compaction_plan",         # lakehouse binpack compaction planning
+    "incremental_agg_refresh", # MV merge == full recompute, delta-only scan
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "url_template_profile",    # per-host template mining + trap flags
     "path_prefix_rollup",      # site-section rollup, bounded explode

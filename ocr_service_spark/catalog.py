@@ -6692,6 +6692,40 @@ FROM documents
 """
 
 
+def q_incremental_agg_refresh(spark, sf_dir):
+    """Incremental MV maintenance (operators/maintenance.py
+    incremental_agg_refresh): the (lang, source) rollup built from the
+    80% "yesterday" slice merges with the 20% delta — and must equal a
+    FULL recompute over all documents, which is literally the oracle
+    SQL. The corpus is never rescanned: one delta aggregate + one
+    rollup-sized full-outer merge."""
+    from .operators.maintenance import incremental_agg_refresh
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base_rows = d.where(F.col("doc_id") % 5 != 0)
+    delta = d.where(F.col("doc_id") % 5 == 0)
+    base_agg = base_rows.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    return incremental_agg_refresh(
+        base_agg, delta, ["lang", "source"],
+        sum_cols={"sum_chars": "n_chars"},
+        max_cols={"max_chars": "n_chars"},
+    )
+
+
+SQL_MV_REFRESH = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_refresh_policy(spark, sf_dir):
     """Change-rate recrawl policy (operators/snapshots.py
     refresh_policy): planted per-url fetch histories — never-changing
@@ -8332,6 +8366,7 @@ CATALOG: Dict[str, tuple] = {
     # WET interchange round trip (sources/wet.py)
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
+    "incremental_agg_refresh": (q_incremental_agg_refresh, SQL_MV_REFRESH),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
     # version-retention planning (operators/maintenance.py)

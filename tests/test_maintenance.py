@@ -109,3 +109,53 @@ class TestRetentionPlan:
         a = self._plan(spark, rows, keep_latest=1)
         b = self._plan(spark, rows, keep_latest=1)
         assert a == b
+
+
+class TestIncrementalAggRefresh:
+    def test_merge_equals_full_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.maintenance import (
+            incremental_agg_refresh,
+        )
+
+        rows = [(i, "l%d" % (i % 3), i * 10) for i in range(30)]
+        full = spark.createDataFrame(rows, "id long, k string, v long")
+        base_rows = full.where(F.col("id") % 4 != 0)
+        delta = full.where(F.col("id") % 4 == 0)
+        base = base_rows.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+            F.max("v").cast("long").alias("mv"),
+        )
+        got = incremental_agg_refresh(
+            base, delta, ["k"], sum_cols={"sv": "v"}, max_cols={"mv": "v"}
+        )
+        exp = full.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+            F.max("v").cast("long").alias("mv"),
+        )
+        g = {r["k"]: (r["n"], r["sv"], r["mv"]) for r in got.collect()}
+        e = {r["k"]: (r["n"], r["sv"], r["mv"]) for r in exp.collect()}
+        assert g == e
+
+    def test_new_key_and_untouched_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.maintenance import (
+            incremental_agg_refresh,
+        )
+
+        base = spark.createDataFrame(
+            [("old", 5, 100, 40)], "k string, n long, sv long, mv long"
+        )
+        delta = spark.createDataFrame(
+            [("new", 7)], "k string, v long"
+        )
+        got = {r["k"]: (r["n"], r["sv"], r["mv"])
+               for r in incremental_agg_refresh(
+                   base, delta, ["k"], sum_cols={"sv": "v"},
+                   max_cols={"mv": "v"}).collect()}
+        assert got["old"] == (5, 100, 40)   # untouched key passes through
+        assert got["new"] == (1, 7, 7)      # delta-only key appears
