@@ -158,6 +158,7 @@ HEADLINE = [
     "cdx_index",               # SURT + sharded capture index (one Exchange)
     "bpe_train_merges",        # iterative tokenizer training on the dict
     "bpe_encode",              # merge-list application, dict-memoized
+    "tokenizer_fertility",     # per-lang chars/token + tokens/word report
     "zorder_layout",           # Morton-curve clustering + pruning stats
     "corpus_diff",             # dataset version changelog, digests-only join
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles

@@ -8140,6 +8140,42 @@ GROUP BY id
 )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (operators/bpe.py
+    tokenizer_fertility) under the fixed 6-rule merge list: docs whose
+    language the merges fit compress to fewer tokens per word. Oracle
+    wraps the bpe_encode replay in a CTE and rolls up by lang — all
+    counts and milli ratios hash."""
+    from .operators.bpe import tokenizer_fertility
+
+    return tokenizer_fertility(
+        load(spark, sf_dir, "documents"), _ENC_MERGES
+    )
+
+
+SQL_FERTILITY = (
+    "WITH enc AS MATERIALIZED (" + SQL_BPE_ENCODE + """),
+chars AS (
+  SELECT doc_id AS id, lang,
+    CAST(COALESCE(list_sum(list_transform(
+      regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'),
+      w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(c.n_chars) AS BIGINT) AS n_chars,
+  CAST(sum(e.n_tokens) * 1000 // GREATEST(sum(e.n_words), 1) AS BIGINT)
+    AS tokens_per_word_milli,
+  CAST(sum(c.n_chars) * 1000 // GREATEST(sum(e.n_tokens), 1) AS BIGINT)
+    AS chars_per_token_milli
+FROM enc e JOIN chars c ON e.id = c.id
+GROUP BY c.lang
+"""
+)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order file layout (operators/layout.py): Morton-interleave two
     quantized lineitem dims, bucket the curve into 16 files, report each
@@ -8408,6 +8444,7 @@ CATALOG: Dict[str, tuple] = {
     # BPE merge training, iterative argmax (operators/bpe.py)
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_FERTILITY),
     "scd2_history": (q_scd2_history, SQL_SCD2),
     "version_line_diff": (q_version_line_diff, SQL_LINE_DIFF),
     "code_detect_gate": (q_code_detect, SQL_CODE_DETECT),

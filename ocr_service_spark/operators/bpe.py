@@ -163,3 +163,59 @@ def bpe_encode(
             F.md5(stream).alias("enc_md5"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: List[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility report — the number that decides
+    whether a tokenizer is fair to a language: chars-per-token and
+    tokens-per-word under a given merge list. Languages the merges were
+    not trained on fragment into near-character tokens (fertility ≈
+    chars), inflating their effective sequence length and training cost;
+    this table is how a multilingual pipeline catches that before
+    training.
+
+    Composes bpe_encode (dict-memoized merge application) with one
+    roll-up keyed by language: (lang, n_docs, n_words, n_tokens,
+    n_chars, tokens_per_word_milli, chars_per_token_milli) — ratios on
+    the integer milli grid (floor(1000·a/b), engine-exact). n_chars
+    counts [a-z]+ word characters (the encoder's alphabet), not raw
+    bytes, so the ratio is about segmentation, not whitespace.
+    """
+    enc = bpe_encode(docs, merges, id_col=id_col, text_col=text_col)
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.aggregate(
+            F.transform(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    F.lit("[a-z]+"), 0,
+                ),
+                lambda w: F.length(w).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_chars"),
+    )
+    j = enc.join(chars, "id")
+    out = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return out.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.floor(F.col("n_tokens") * 1000 / F.greatest(F.col("n_words"),
+                                                      F.lit(1)))
+        .cast("long").alias("tokens_per_word_milli"),
+        F.floor(F.col("n_chars") * 1000 / F.greatest(F.col("n_tokens"),
+                                                     F.lit(1)))
+        .cast("long").alias("chars_per_token_milli"),
+    )

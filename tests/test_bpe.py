@@ -134,3 +134,21 @@ def test_encode_matches_train_vocab(spark):
             for r in encode_token_counts(vocab).collect()}
     assert enc[0][1] == 2 * toks["aaab"] + toks["banana"]
     assert enc[1][1] == toks["aaab"] + toks["banana"]
+
+
+def test_tokenizer_fertility_separates_fit_from_unfit(spark):
+    from ocr_service_spark.operators.bpe import tokenizer_fertility
+
+    # merges fit 'aaab' (collapses far); 'zzzz' stays character-level
+    rows = [(1, "aaab aaab", "fit"), (2, "zzzz zzzz", "unfit")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = ["a a", "aa a", "aaa b", "aaab _"]
+    got = {r["lang"]: r
+           for r in tokenizer_fertility(df, merges).collect()}
+    # fit: each 'aaab_' is ONE token (4 chars) -> 1000 tokens/word
+    assert got["fit"]["tokens_per_word_milli"] == 1000
+    assert got["fit"]["chars_per_token_milli"] == 4000
+    # unfit: 'zzzz_' stays 5 symbols -> 5000 tokens/word, <1 char/token
+    assert got["unfit"]["tokens_per_word_milli"] == 5000
+    assert got["unfit"]["chars_per_token_milli"] == 800
+    assert got["fit"]["n_chars"] == got["unfit"]["n_chars"] == 8
