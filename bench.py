@@ -147,6 +147,7 @@ HEADLINE = [
     "shard_manifest",          # per-shard publish manifest + checksums
     "compaction_plan",         # lakehouse binpack compaction planning
     "incremental_agg_refresh", # MV merge == full recompute, delta-only scan
+    "scd1_upsert",             # MERGE-INTO emulation: dedupe + anti-join
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "url_template_profile",    # per-host template mining + trap flags
     "path_prefix_rollup",      # site-section rollup, bounded explode

@@ -6692,6 +6692,73 @@ FROM documents
 """
 
 
+def q_scd1_upsert(spark, sf_dir):
+    """SCD1 MERGE-INTO emulation (operators/maintenance.py scd1_upsert):
+    base = 'yesterday' rows (even doc_ids, version 1), delta = updates
+    for doc_id % 4 == 0 (two competing versions — the dedupe must keep
+    the later one) plus brand-new odd ids. The oracle replays
+    latest-wins with a priority window over the union."""
+    from .operators.maintenance import scd1_upsert
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("k"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("n_chars").cast("long").alias("val"),
+    )
+    upd = d.where(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("k"),
+        F.lit(2).cast("long").alias("ts"),
+        F.lit(1).cast("long").alias("seq"),
+        (F.col("n_chars") + 10).cast("long").alias("val"),
+    )
+    upd2 = d.where(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("k"),
+        F.lit(2).cast("long").alias("ts"),
+        F.lit(2).cast("long").alias("seq"),      # same ts: seq wins
+        (F.col("n_chars") + 20).cast("long").alias("val"),
+    )
+    ins = d.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("k"),
+        F.lit(2).cast("long").alias("ts"),
+        F.lit(0).cast("long").alias("seq"),
+        (F.col("n_chars") + 5).cast("long").alias("val"),
+    )
+    delta = upd.unionByName(upd2).unionByName(ins)
+    return scd1_upsert(base, delta, ["k"], "ts", "seq")
+
+
+SQL_SCD1 = """
+WITH base AS (
+  SELECT doc_id AS k, CAST(1 AS BIGINT) AS ts, CAST(0 AS BIGINT) AS seq,
+         CAST(n_chars AS BIGINT) AS val, 0 AS pri
+  FROM documents WHERE doc_id % 2 = 0
+),
+delta AS (
+  SELECT doc_id AS k, CAST(2 AS BIGINT) AS ts, CAST(1 AS BIGINT) AS seq,
+         CAST(n_chars + 10 AS BIGINT) AS val, 1 AS pri
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(n_chars + 20 AS BIGINT), 1
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(n_chars + 5 AS BIGINT), 1
+  FROM documents WHERE doc_id % 2 = 1
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (
+  SELECT k, ts, seq, val,
+         ROW_NUMBER() OVER (PARTITION BY k
+                            ORDER BY pri DESC, ts DESC, seq DESC) AS rn
+  FROM u
+)
+SELECT k, ts, seq, val FROM r WHERE rn = 1
+"""
+
+
 def q_incremental_agg_refresh(spark, sf_dir):
     """Incremental MV maintenance (operators/maintenance.py
     incremental_agg_refresh): the (lang, source) rollup built from the
@@ -8403,6 +8470,7 @@ CATALOG: Dict[str, tuple] = {
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     "incremental_agg_refresh": (q_incremental_agg_refresh, SQL_MV_REFRESH),
+    "scd1_upsert": (q_scd1_upsert, SQL_SCD1),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
     # version-retention planning (operators/maintenance.py)

@@ -175,3 +175,44 @@ def incremental_agg_refresh(
             ).cast("long").alias(c)
         )
     return j.select(*out_cols)
+
+
+def scd1_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD type-1 upsert — the relational core of Iceberg/Delta
+    `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`
+    (latest-wins, no history), runnable on plain parquet: the
+    idempotent-rewrite fallback this engine uses where no table format
+    ships (plans/pipeline.py's bucketed overwrite is the flagship
+    instance; this is the general operator).
+
+    Delta rows first dedupe per key to the single latest (ts desc,
+    tiebreak desc — the w3_dedupe_keep_best pattern, total order so
+    engine-exact); the result is that latest delta row per key, plus
+    every base row whose key the delta does not touch (LEFT ANTI join).
+    Same-key base rows are replaced — never merged per column: SCD1
+    semantics, documented.
+
+    Scale shape: one key-hash aggregate window over the DELTA (delta-
+    sized), one anti-join of base against the delta's key set (broadcast
+    when the delta is small — AQE decides; the base is never shuffled by
+    more than that join), one union. Columns must match between base
+    and delta.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    latest = (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = base.join(
+        latest.select(*keys).distinct(), list(keys), "left_anti"
+    )
+    return untouched.unionByName(latest)

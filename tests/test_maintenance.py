@@ -159,3 +159,44 @@ class TestIncrementalAggRefresh:
                    max_cols={"mv": "v"}).collect()}
         assert got["old"] == (5, 100, 40)   # untouched key passes through
         assert got["new"] == (1, 7, 7)      # delta-only key appears
+
+
+class TestScd1Upsert:
+    def _run(self, spark, base, delta):
+        from ocr_service_spark.operators.maintenance import scd1_upsert
+
+        b = spark.createDataFrame(base, "k long, ts long, seq long, v string")
+        d = spark.createDataFrame(delta, "k long, ts long, seq long, v string")
+        out = scd1_upsert(b, d, ["k"], "ts", "seq")
+        return {r["k"]: (r["ts"], r["seq"], r["v"]) for r in out.collect()}
+
+    def test_update_insert_untouched(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1, 0, "old1"), (2, 1, 0, "old2")],
+            [(1, 2, 0, "new1"), (3, 2, 0, "ins3")],
+        )
+        assert got[1] == (2, 0, "new1")    # matched: replaced
+        assert got[2] == (1, 0, "old2")    # untouched: passes through
+        assert got[3] == (2, 0, "ins3")    # not matched: inserted
+        assert len(got) == 3
+
+    def test_delta_dedupes_latest_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1, 0, "old")],
+            [(1, 2, 1, "mid"), (1, 2, 2, "last"), (1, 1, 9, "stale")],
+        )
+        assert got[1] == (2, 2, "last")    # max (ts, seq) among delta
+
+    def test_idempotent_reapply(self, spark):
+        from ocr_service_spark.operators.maintenance import scd1_upsert
+
+        b = spark.createDataFrame([(1, 1, 0, "old")],
+                                  "k long, ts long, seq long, v string")
+        d = spark.createDataFrame([(1, 2, 0, "new")],
+                                  "k long, ts long, seq long, v string")
+        once = scd1_upsert(b, d, ["k"], "ts", "seq")
+        twice = scd1_upsert(once, d, ["k"], "ts", "seq")
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
