@@ -161,6 +161,7 @@ HEADLINE = [
     "bpe_encode",              # merge-list application, dict-memoized
     "tokenizer_fertility",     # per-lang chars/token + tokens/word report
     "zorder_layout",           # Morton-curve clustering + pruning stats
+    "pruning_audit",           # zone-map scan-planner simulation
     "corpus_diff",             # dataset version changelog, digests-only join
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
     "mirror_detection",        # same content across hosts, bounded host list

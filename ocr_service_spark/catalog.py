@@ -8279,6 +8279,46 @@ FROM keyed GROUP BY file_id
 """.format(z=_zorder_key_sql("x", "y", 10))
 
 
+def q_pruning_audit(spark, sf_dir):
+    """Zone-map pruning audit (operators/layout.py pruning_audit): the
+    zorder entry's 16-file layout probed with a quarter-domain box
+    predicate — a Z-order layout must prune most files (each file is a
+    power-of-2 quadtree cell). Oracle wraps the zorder stats replay in
+    a CTE and recomputes the intersection test + permille."""
+    from .operators.layout import pruning_audit, zorder_layout
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") * 7919 % 1024).alias("x"),
+        (F.col("l_suppkey") * 104729 % 1024).alias("y"),
+    )
+    stats = zorder_layout(pts, "x", "y", bits=10, file_bits=4)
+    return pruning_audit(stats, 0, 255, 0, 255)
+
+
+SQL_PRUNING_AUDIT = """
+WITH stats AS MATERIALIZED ({zorder}),
+h AS (
+  SELECT *, CASE WHEN max_x >= 0 AND min_x <= 255
+                  AND max_y >= 0 AND min_y <= 255
+            THEN 1 ELSE 0 END AS hit
+  FROM stats
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+         CAST(sum(hit) AS BIGINT) AS files_scanned,
+         CAST(sum(hit * n_rows) AS BIGINT) AS rows_scanned
+  FROM h
+)
+SELECT n_files, n_rows_total, files_scanned, rows_scanned,
+       CAST(n_files - files_scanned AS BIGINT) AS files_pruned,
+       CAST(rows_scanned * 1000 // GREATEST(n_rows_total, 1) AS BIGINT)
+         AS scan_permille
+FROM a
+""".format(zorder=SQL_ZORDER)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8521,6 +8561,7 @@ CATALOG: Dict[str, tuple] = {
     "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
+    "pruning_audit": (q_pruning_audit, SQL_PRUNING_AUDIT),
 }
 
 

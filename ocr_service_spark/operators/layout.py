@@ -67,3 +67,42 @@ def zorder_layout(
             F.min("y").alias("min_y"), F.max("y").alias("max_y"),
         )
     )
+
+
+def pruning_audit(
+    file_stats: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+) -> DataFrame:
+    """Scan-planner simulation over a layout's published file stats —
+    the number a layout decision is actually judged by: given the
+    min/max zone map each file publishes (zorder_layout's output shape,
+    identical to parquet row-group / Iceberg manifest stats), how many
+    files does a box predicate x∈[x_lo,x_hi] ∧ y∈[y_lo,y_hi] touch?
+
+    One row out: (n_files, n_rows_total, files_scanned, rows_scanned,
+    files_pruned, scan_permille). A file is SCANNED iff its bounding
+    box intersects the predicate box on both dimensions (the standard
+    zone-map test — false positives possible, false negatives never).
+    This is a 1-row aggregate over a cluster-sized stats table —
+    driver-cheap, corpus never touched; pairing it with two layouts
+    (z-order vs naive range) quantifies the clustering win.
+    """
+    hit = (
+        (F.col("max_x") >= x_lo) & (F.col("min_x") <= x_hi)
+        & (F.col("max_y") >= y_lo) & (F.col("min_y") <= y_hi)
+    ).cast("long")
+    agg = file_stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows_total"),
+        F.sum(hit).cast("long").alias("files_scanned"),
+        F.sum(hit * F.col("n_rows")).cast("long").alias("rows_scanned"),
+    )
+    return agg.select(
+        "n_files", "n_rows_total", "files_scanned", "rows_scanned",
+        (F.col("n_files") - F.col("files_scanned")).cast("long")
+        .alias("files_pruned"),
+        F.floor(
+            F.col("rows_scanned") * 1000
+            / F.greatest(F.col("n_rows_total"), F.lit(1))
+        ).cast("long").alias("scan_permille"),
+    )

@@ -46,3 +46,36 @@ def test_prunes_on_both_dimensions(spark):
     touched_x = [r for r in stats if r["min_x"] <= 3 <= r["max_x"]]
     touched_y = [r for r in stats if r["min_y"] <= 3 <= r["max_y"]]
     assert len(touched_x) == 4 and len(touched_y) == 4
+
+
+class TestPruningAudit:
+    def test_zorder_prunes_quadrant_probe(self, spark):
+        from ocr_service_spark.operators.layout import (
+            pruning_audit, zorder_layout,
+        )
+
+        # uniform 64x64 grid, 16 files = a 4x4 grid of 16x16 quadtree
+        # cells: a one-cell box touches exactly 1 file, a quarter-domain
+        # box exactly 4
+        pts = spark.createDataFrame(
+            [(x, y) for x in range(0, 64) for y in range(0, 64)],
+            "x long, y long",
+        )
+        stats = zorder_layout(pts, "x", "y", bits=6, file_bits=4)
+        r = pruning_audit(stats, 0, 15, 0, 15).collect()[0]
+        assert r["n_files"] == 16 and r["n_rows_total"] == 4096
+        assert r["files_scanned"] == 1 and r["files_pruned"] == 15
+        assert r["rows_scanned"] == 256 and r["scan_permille"] == 62
+        r2 = pruning_audit(stats, 0, 31, 0, 31).collect()[0]
+        assert r2["files_scanned"] == 4 and r2["scan_permille"] == 250
+
+    def test_full_box_scans_everything(self, spark):
+        from ocr_service_spark.operators.layout import (
+            pruning_audit, zorder_layout,
+        )
+
+        pts = spark.createDataFrame([(i % 8, i // 8) for i in range(64)],
+                                    "x long, y long")
+        stats = zorder_layout(pts, "x", "y", bits=3, file_bits=2)
+        r = pruning_audit(stats, 0, 7, 0, 7).collect()[0]
+        assert r["files_pruned"] == 0 and r["scan_permille"] == 1000
