@@ -122,6 +122,7 @@ HEADLINE = [
     "deterministic_shuffle",   # epoch-salted md5 global training order
     "incremental_dedup",       # delta-vs-corpus snapshot ingestion dedup
     "mixture_repeat",          # fractional source-mixture materialization
+    "mixture_waterfill",       # capped budget allocation, closed form
     "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
     "host_template_strip",     # CC-Net host-level boilerplate paragraphs

@@ -6692,6 +6692,61 @@ FROM documents
 """
 
 
+def q_mixture_waterfill(spark, sf_dir):
+    """Water-filling mixture planning (operators/sampling.py
+    mixture_waterfill): 20 real sources, availability = their n_chars
+    totals, weights planted from the source-name length, budget = 60%
+    of the corpus — small/high-weight sources must cap and re-flow
+    surplus. The oracle replays the closed-form prefix algebra with
+    exact cross-multiplications — every cap flag and allocation
+    hashes."""
+    from .operators.sampling import mixture_waterfill
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail_tokens")
+    ).select(
+        "source",
+        (1 + F.length("source") % 4).cast("long").alias("weight"),
+        "avail_tokens",
+    )
+    total = int(d.agg(F.sum("n_chars")).collect()[0][0])
+    return mixture_waterfill(src, budget=total * 6 // 10)
+
+
+SQL_WATERFILL = """
+WITH src AS (
+  SELECT source, CAST(1 + length(source) % 4 AS BIGINT) AS w,
+         CAST(sum(n_chars) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(sum(n_chars) * 6 // 10 AS BIGINT) AS budget
+      FROM documents),
+r AS (SELECT source, w, avail, avail * 1000000 // w AS rq FROM src),
+c AS (
+  SELECT *, SUM(avail) OVER o AS cum_avail, SUM(w) OVER o AS cum_w,
+         SUM(avail) OVER () AS t_avail, SUM(w) OVER () AS t_w
+  FROM r WINDOW o AS (ORDER BY rq, source ROWS UNBOUNDED PRECEDING)
+),
+f AS (
+  SELECT c.*, b.budget,
+    avail * (t_w - (cum_w - w)) <= w * (budget - (cum_avail - avail))
+      AS capped
+  FROM c CROSS JOIN b
+),
+p AS (
+  SELECT SUM(CASE WHEN capped THEN avail ELSE 0 END) AS capped_avail,
+         SUM(CASE WHEN NOT capped THEN w ELSE 0 END) AS uncapped_w
+  FROM f
+)
+SELECT source, w AS weight, avail AS avail_tokens, capped,
+  CAST(CASE WHEN capped THEN avail
+       ELSE w * (budget - capped_avail) // GREATEST(uncapped_w, 1)
+       END AS BIGINT) AS alloc_tokens
+FROM f CROSS JOIN p
+"""
+
+
 def q_scd1_upsert(spark, sf_dir):
     """SCD1 MERGE-INTO emulation (operators/maintenance.py scd1_upsert):
     base = 'yesterday' rows (even doc_ids, version 1), delta = updates
@@ -8511,6 +8566,7 @@ CATALOG: Dict[str, tuple] = {
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     "incremental_agg_refresh": (q_incremental_agg_refresh, SQL_MV_REFRESH),
     "scd1_upsert": (q_scd1_upsert, SQL_SCD1),
+    "mixture_waterfill": (q_mixture_waterfill, SQL_WATERFILL),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),
     # version-retention planning (operators/maintenance.py)

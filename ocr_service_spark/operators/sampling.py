@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_SPAN = 16 ** 8  # 8 hex chars = 32 bits of the md5
@@ -275,3 +275,80 @@ def rendezvous_shard(
           for s in range(n_shards)]
     )
     return df.withColumn(out_col, F.array_max(arr)["s"].cast("int"))
+
+
+def mixture_waterfill(
+    sources: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    weight_col: str = "weight",
+    avail_col: str = "avail_tokens",
+) -> DataFrame:
+    """Water-filling budget allocation across sources with caps — the
+    planning half of mixture materialization (mixture_repeat then
+    executes the plan): give each source budget·wᵢ/Σw tokens, except a
+    source can't contribute more than it has; its surplus re-flows to
+    the others by weight. The standard fair-allocation recurrence,
+    solved in CLOSED FORM so it is one relational pass, not a loop:
+    sort sources by capacity ratio availᵢ/wᵢ ascending — cap decisions
+    are prefix-monotone — and source i is capped iff
+        availᵢ·denᵢ ≤ wᵢ·numᵢ   (exact integer cross-multiplication)
+    where numᵢ = B − Σ_{j<i} availⱼ and denᵢ = Σw − Σ_{j<i} wⱼ are the
+    budget/weight remaining if every earlier (smaller-ratio) source is
+    capped. Uncapped sources share the common threshold num_K/den_K
+    (B minus all capped avail, over uncapped weight): allocᵢ =
+    floor(wᵢ·num_K / den_K) — flooring may strand < n_sources tokens,
+    documented. Ratio ORDER uses the 10⁶-quantized availᵢ·10⁶ div wᵢ
+    with the source name as tiebreak (deterministic both engines); cap
+    DECISIONS always use the exact cross-multiplication.
+
+    Scale note: sources are a dimension table (tens of rows — a 100 TB
+    corpus has dozens of sources, not millions), so the single-
+    partition prefix window here is bounded by design, like the
+    centroid tables in clustering.py — NOT the corpus-window
+    anti-pattern global_budget_select exists to avoid.
+
+    Output: (source, weight, avail_tokens, capped, alloc_tokens).
+    """
+    src = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.col(avail_col).cast("long").alias("avail"),
+    ).where(F.col("w") > 0)
+    rq = F.floor(F.col("avail") * 1000000 / F.col("w")).cast("long")
+    w_ord = Window.orderBy("rq", "source")
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        src.withColumn("rq", rq)
+        .withColumn("cum_avail", F.sum("avail").over(run))
+        .withColumn("cum_w", F.sum("w").over(run))
+    )
+    tot = ranked.agg(
+        F.sum("avail").alias("t_avail"), F.sum("w").alias("t_w")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    num_i = F.lit(budget) - (F.col("cum_avail") - F.col("avail"))
+    den_i = F.col("t_w") - (F.col("cum_w") - F.col("w"))
+    flagged = j.withColumn(
+        "capped", F.col("avail") * den_i <= F.col("w") * num_i
+    )
+    pool = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("avail")).otherwise(0))
+        .alias("capped_avail"),
+        F.sum(F.when(~F.col("capped"), F.col("w")).otherwise(0))
+        .alias("uncapped_w"),
+    )
+    out = flagged.crossJoin(F.broadcast(pool))
+    alloc = F.when(F.col("capped"), F.col("avail")).otherwise(
+        F.floor(
+            F.col("w") * (F.lit(budget) - F.col("capped_avail"))
+            / F.greatest(F.col("uncapped_w"), F.lit(1))
+        ).cast("long")
+    )
+    return out.select(
+        "source",
+        F.col("w").alias("weight"),
+        F.col("avail").alias("avail_tokens"),
+        "capped",
+        alloc.cast("long").alias("alloc_tokens"),
+    )

@@ -282,3 +282,40 @@ class TestRendezvousShard:
         with contextlib.redirect_stdout(buf):
             rendezvous_shard(df, "doc_id", 8).explain("formatted")
         assert buf.getvalue().count(") Exchange") == 0
+
+
+class TestMixtureWaterfill:
+    def _fill(self, spark, rows, budget):
+        from ocr_service_spark.operators.sampling import mixture_waterfill
+
+        df = spark.createDataFrame(
+            rows, "source string, weight long, avail_tokens long"
+        )
+        out = mixture_waterfill(df, budget)
+        return {r["source"]: (r["capped"], r["alloc_tokens"])
+                for r in out.collect()}
+
+    def test_surplus_reflows_by_weight(self, spark):
+        # equal weights, budget 90: fair share 30 each, but 'tiny' has
+        # only 10 -> its 20 surplus re-flows: others get 40 each
+        got = self._fill(spark, [
+            ("tiny", 1, 10), ("big1", 1, 1000), ("big2", 1, 1000),
+        ], budget=90)
+        assert got["tiny"] == (True, 10)
+        assert got["big1"] == (False, 40)
+        assert got["big2"] == (False, 40)
+
+    def test_budget_exceeds_supply_all_capped(self, spark):
+        got = self._fill(spark, [("a", 2, 50), ("b", 1, 30)], budget=1000)
+        assert got["a"] == (True, 50) and got["b"] == (True, 30)
+
+    def test_weighted_split_no_caps(self, spark):
+        got = self._fill(spark, [("a", 3, 10**9), ("b", 1, 10**9)],
+                         budget=400)
+        assert got["a"] == (False, 300) and got["b"] == (False, 100)
+
+    def test_total_never_exceeds_budget(self, spark):
+        got = self._fill(spark, [
+            ("a", 3, 100), ("b", 2, 7), ("c", 5, 333), ("d", 1, 9),
+        ], budget=250)
+        assert sum(a for _, a in got.values()) <= 250
