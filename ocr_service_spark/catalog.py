@@ -8378,6 +8378,48 @@ FROM a
 # Registry
 # --------------------------------------------------------------------------
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters: fixed-memory (4×512-cell) frequency
+    grid built from ONE corpus scan; top-20 words emitted with exact count,
+    min-over-rows sketch estimate, and the non-negative collision
+    overcount. Cells, estimates and overcounts all value-hash — the oracle
+    replays every 60-bit md5 bucket and every min, so a single collision
+    accounted differently on either engine breaks the gate."""
+    from .operators.sketches import cms_heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, text_col="text", k=20, depth=4, width=512)
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH dict AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  GROUP BY w
+),
+cells AS (
+  SELECT r AS hrow,
+         ('0x' || substring(md5(word || '#' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 512 AS bucket,
+         CAST(SUM(cnt) AS BIGINT) AS cell
+  FROM dict, (SELECT unnest([0, 1, 2, 3]) AS r)
+  GROUP BY 1, 2
+),
+topk AS (SELECT word, cnt FROM dict ORDER BY cnt DESC, word LIMIT 20),
+probes AS (
+  SELECT word, cnt AS exact_cnt, r AS hrow,
+         ('0x' || substring(md5(word || '#' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 512 AS bucket
+  FROM topk, (SELECT unnest([0, 1, 2, 3]) AS r)
+)
+SELECT p.word,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cell) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p
+JOIN cells c ON p.hrow = c.hrow AND p.bucket = c.bucket
+GROUP BY p.word, p.exact_cnt
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -8618,6 +8660,8 @@ CATALOG: Dict[str, tuple] = {
     # Z-order curve layout + pruning stats (operators/layout.py)
     "zorder_layout": (q_zorder_layout, SQL_ZORDER),
     "pruning_audit": (q_pruning_audit, SQL_PRUNING_AUDIT),
+    # Count-Min sketch heavy hitters (operators/sketches.py)
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }
 
 

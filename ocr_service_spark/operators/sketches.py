@@ -1,0 +1,109 @@
+"""Count-Min sketch heavy hitters (Cormode & Muthukrishnan, J.Alg 2005).
+
+The fixed-memory frequency summary a 100 TB corpus pass can actually
+afford: a depth×width grid of 64-bit counters where every word occurrence
+increments one cell per hash row, and a point estimate is the MIN over
+its depth cells. Estimates NEVER undercount (each cell is exact count
+plus non-negative collision mass) and overcount by at most ~N/width with
+probability 1-2^-depth — the one-sided guarantee that makes the sketch
+usable for threshold gates.
+
+Why this shape scales:
+  - the corpus is scanned ONCE into the (word, cnt) dict — the same
+    hash aggregate as bpe.word_freq_dict, map-side partials absorb the
+    per-partition repetition before any shuffle;
+  - the depth-way fan-out happens on the DISTINCT-word dict, not the
+    token stream, so sketch construction shuffles vocab-sized data;
+  - the sketch itself is depth×width rows (2 k cells at the defaults) —
+    per-partition partial grids merge by ADDITION, which is exactly the
+    map-side-combine Spark already does for a sum aggregate, and exactly
+    how multi-day / multi-corpus sketches merge downstream;
+  - point queries join the fixed-size grid broadcast, never reshuffling
+    the corpus.
+
+Engine-exact: buckets come from the repo's 60-bit md5 convention
+(graph.py `_md5_60`) so the DuckDB oracle replays every cell and every
+min-estimate bit-for-bit; all arithmetic is 64-bit integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _hrow_fanout(depth: int):
+    """One row per hash row index 0..depth-1 (literal array, no join)."""
+    return F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("hrow")
+
+
+def _bucket(word_col, hrow_col, width: int):
+    """60-bit md5 of 'word#row' mod width — the engine-exact bucket."""
+    salted = F.concat_ws("#", word_col, hrow_col.cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return h % width
+
+
+def cms_cells(
+    word_counts: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(word, cnt) dict -> the sketch grid (hrow, bucket, cell).
+
+    At most depth×width rows regardless of corpus size; cell = sum of
+    exact counts of all words hashing there (collision mass included,
+    which is what the min-estimate later subtracts out probabilistically).
+    """
+    fanned = word_counts.select("word", "cnt", _hrow_fanout(depth))
+    return (
+        fanned.select(
+            "hrow",
+            _bucket(F.col("word"), F.col("hrow"), width).alias("bucket"),
+            "cnt",
+        )
+        .groupBy("hrow", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k corpus words with their CMS point estimates and overcounts.
+
+    Emits (word, exact_cnt, cms_est, overcount): the exact dict count
+    (available here because the sketch is built FROM the dict — in a
+    stream you'd only have cms_est), the min-over-depth-rows estimate,
+    and the non-negative collision overcount. overcount >= 0 for every
+    word is the sketch's one-sided guarantee, checkable row by row.
+
+    Top-k selection is orderBy+limit -> TakeOrderedAndProject (no global
+    sort); the probe side is k×depth rows joining the broadcast grid.
+    """
+    from .bpe import word_freq_dict
+
+    words = word_freq_dict(df, text_col)
+    cells = cms_cells(words, depth, width)
+    topk = words.orderBy(F.col("cnt").desc(), "word").limit(k)
+    probes = topk.select(
+        "word", F.col("cnt").alias("exact_cnt"), _hrow_fanout(depth)
+    ).withColumn("bucket", _bucket(F.col("word"), F.col("hrow"), width))
+    est = (
+        probes.join(F.broadcast(cells), ["hrow", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("cell").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

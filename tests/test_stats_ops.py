@@ -32,3 +32,48 @@ class TestRobustAnomalyGate:
         rows = self._gate(spark, [7, 7, 7, 7, 9])
         assert rows[0]["mad"] == 0
         assert {r["n_pages"] for r in rows if r["anomalous"]} == {9}
+
+
+class TestCmsHeavyHitters:
+    def _hh(self, spark, texts, **kw):
+        from ocr_service_spark.operators.sketches import cms_heavy_hitters
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return {r["word"]: r for r in cms_heavy_hitters(df, **kw).collect()}
+
+    def test_exact_when_no_collisions(self, spark):
+        # 3 distinct words, width 4096 -> collision probability negligible
+        # per hash row, and the MIN over 4 independent rows kills any
+        # residual one; every estimate must equal the exact count.
+        texts = ["alpha alpha beta", "alpha gamma", "beta alpha"]
+        got = self._hh(spark, texts, k=10, depth=4, width=4096)
+        assert {w: r["exact_cnt"] for w, r in got.items()} == {
+            "alpha": 4, "beta": 2, "gamma": 1,
+        }
+        assert all(r["cms_est"] == r["exact_cnt"] for r in got.values())
+        assert all(r["overcount"] == 0 for r in got.values())
+
+    def test_width_one_saturates_to_total(self, spark):
+        # width=1 forces every word into the same cell on every row:
+        # the estimate is the total token count, overcount = total - exact.
+        texts = ["a a b", "c a"]
+        got = self._hh(spark, texts, k=10, depth=4, width=1)
+        assert all(r["cms_est"] == 5 for r in got.values())
+        assert got["a"]["overcount"] == 2
+        assert got["b"]["overcount"] == 4
+
+    def test_one_sided_guarantee_and_topk(self, spark):
+        # narrow width (16) on a 60-word vocab guarantees collisions;
+        # the estimate may overcount but NEVER undercounts, and only the
+        # k most frequent words are emitted (count desc, word asc ties).
+        words = [
+            "w" + chr(97 + i // 5) + chr(97 + i % 5) for i in range(60)
+        ]  # waa..wle, letter-only so [a-z]+ keeps them whole
+        texts = [" ".join(w for i, w in enumerate(words) for _ in range(i % 5 + 1))]
+        got = self._hh(spark, texts, k=5, depth=4, width=16)
+        assert len(got) == 5
+        assert all(r["overcount"] >= 0 for r in got.values())
+        # the i%5==4 tier (second letter 'e') has exact count 5; the five
+        # alphabetically-first of them win the word-asc tiebreak
+        assert sorted(got) == ["wae", "wbe", "wce", "wde", "wee"]
+        assert all(r["exact_cnt"] == 5 for r in got.values())
