@@ -8378,6 +8378,82 @@ FROM a
 # Registry
 # --------------------------------------------------------------------------
 
+def q_crawl_depth_bfs(spark, sf_dir):
+    """Crawl depth from the seed list, END-TO-END under the value hash:
+    pages plant two cross-host citation links per doc (host s=doc_id%30
+    cites hosts (2s+1)%30 and (s+7)%30), the REAL chain runs (core link
+    scanner → href resolution → host_edges) and multi-source BFS
+    (operators/graph.py bfs_depths) walks from the three seed hosts
+    {host0,host10,host20} — the planted graph reaches all 30 hosts at
+    depths 0..4 (computed offline), so every wave of the iterative join
+    is exercised. The oracle replays the planting rule and unrolls six
+    BFS rounds as MATERIALIZED CTEs (rounds 5-6 settle nothing — the
+    early-exit equivalence); any scanner/resolution/wave miss breaks the
+    hash."""
+    from .operators.domains import url_host
+    from .operators.graph import bfs_depths
+    from .operators.links import extract_outlinks, host_edges
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 30
+    html = F.format_string(
+        '<html><body><p>see <a href="https://host%d.example/a/%d">one</a>'
+        ' and <a href="https://host%d.example/b/%d">two</a>.</p>'
+        "</body></html>",
+        (s * 2 + 1) % 30,
+        F.col("doc_id"),
+        (s + 7) % 30,
+        F.col("doc_id"),
+    )
+    pages = d.select(
+        F.format_string("https://host%d.example/%012d", s, "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    edges = host_edges(extract_outlinks(pages))
+    seeds = spark.createDataFrame(
+        [("host0.example",), ("host10.example",), ("host20.example",)],
+        "node string",
+    )
+    return bfs_depths(edges, seeds, max_rounds=6).select(
+        F.col("node").alias("host"), "depth"
+    )
+
+
+def _bfs_sql(rounds: int = 6) -> str:
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 30 AS src, (2 * (doc_id % 30) + 1) % 30 AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % 30, ((doc_id % 30) + 7) % 30 FROM documents
+),
+x_edges AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+d0 AS MATERIALIZED (
+  SELECT n AS node, 0 AS depth FROM (SELECT unnest([0, 10, 20]) AS n)
+),
+f0 AS MATERIALIZED (SELECT node FROM d0)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+n{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM x_edges e JOIN f{k - 1} f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM d{k - 1})
+),
+d{k} AS MATERIALIZED (
+  SELECT node, depth FROM d{k - 1}
+  UNION ALL SELECT node, {k} FROM n{k}
+),
+f{k} AS MATERIALIZED (SELECT node FROM n{k})""")
+    parts.append(f"""
+SELECT printf('host%d.example', node) AS host, CAST(depth AS BIGINT) AS depth
+FROM d{rounds}""")
+    return "".join(parts)
+
+
+SQL_CRAWL_DEPTH_BFS = _bfs_sql(6)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch heavy hitters: fixed-memory (4×512-cell) frequency
     grid built from ONE corpus scan; top-20 words emitted with exact count,
@@ -8662,6 +8738,8 @@ CATALOG: Dict[str, tuple] = {
     "pruning_audit": (q_pruning_audit, SQL_PRUNING_AUDIT),
     # Count-Min sketch heavy hitters (operators/sketches.py)
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    # multi-source BFS crawl depth (operators/graph.py bfs_depths)
+    "crawl_depth_bfs": (q_crawl_depth_bfs, SQL_CRAWL_DEPTH_BFS),
 }
 
 

@@ -208,3 +208,50 @@ def hits_scores(
         .select("node", F.col("hub").alias("hub_q"),
                 F.col("auth").alias("auth_q"))
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Multi-source BFS over the link graph: crawl depth from the seed
+    list — the "how many clicks from a trusted seed" signal crawl
+    frontier policies and quality priors (TrustRank-style) key on, and
+    the number a crawl operator reads to see where the frontier stopped.
+
+    seeds(node) are depth 0; each round is ONE equi-join of the edge
+    table against the current frontier plus an anti-join against the
+    settled set — the Pregel BFS shape. The frontier only ever SHRINKS
+    after the expansion wave peaks, rounds are bounded by the graph
+    diameter (not the node count), and `localCheckpoint` truncates the
+    lineage each round exactly like connected_components — at 10^9 edges
+    each round is a partitioned hash join, never a driver-side walk.
+    Early-exits when a wave settles nothing new. Unreached nodes are
+    simply absent (a crawl never sees them).
+
+    Returns (node, depth) with depth in 0..max_rounds.
+    """
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", src), src)
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(r).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

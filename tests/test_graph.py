@@ -88,3 +88,35 @@ class TestHitsScores:
     def test_deterministic_across_runs(self, spark):
         edges = [(i % 7, (i * 3) % 7) for i in range(20)]
         assert self._run(spark, edges) == self._run(spark, edges)
+
+
+class TestBfsDepths:
+    def _bfs(self, spark, edges, seeds, **kw):
+        from ocr_service_spark.operators.graph import bfs_depths
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([(x,) for x in seeds], "node string")
+        return {r["node"]: r["depth"] for r in bfs_depths(e, s, **kw).collect()}
+
+    def test_chain_depths_and_unreached(self, spark):
+        # a -> b -> c -> d, plus an island x -> y never reached
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+        got = self._bfs(spark, edges, ["a"])
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_takes_min_depth(self, spark):
+        # d is 3 hops from a but 1 hop from z: multi-source BFS keeps 1
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("z", "d")]
+        got = self._bfs(spark, edges, ["a", "z"])
+        assert got == {"a": 0, "z": 0, "b": 1, "d": 1, "c": 2}
+
+    def test_cycle_terminates_early(self, spark):
+        # 3-cycle: settles in 2 waves, early-exit before max_rounds
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        got = self._bfs(spark, edges, ["a"], max_rounds=10)
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_max_rounds_truncates(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._bfs(spark, edges, ["a"], max_rounds=1)
+        assert got == {"a": 0, "b": 1}
