@@ -8454,6 +8454,42 @@ FROM d{rounds}""")
 SQL_CRAWL_DEPTH_BFS = _bfs_sql(6)
 
 
+def q_priority_sample(spark, sf_dir):
+    """Weighted audit-slice selection (operators/sampling.py
+    priority_sample): k=50 documents drawn by char-mass priority
+    q = n_chars/u with u the md5-derived uniform, plus the DLT unbiased
+    estimator ŵ = max(w, τ). The oracle replays the draw, the ordering,
+    the (k+1)-th-priority threshold and the estimator in DuckDB — the
+    single IEEE division (h+1)/w is correctly rounded in both engines,
+    which is why this scheme (and not ln-based A-ES) is the one an
+    engine-exact catalog can carry."""
+    from .operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, "doc_id", "n_chars", k=50)
+
+
+SQL_PRIORITY_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         (CAST(CAST(('0x' || substr(md5('psamp:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS UBIGINT) AS BIGINT) + 1)
+           / CAST(n_chars AS DOUBLE) AS qinv
+  FROM documents WHERE n_chars > 0
+),
+ord AS (
+  SELECT doc_id, weight, qinv,
+         ROW_NUMBER() OVER (ORDER BY qinv, doc_id) AS rn
+  FROM ranked
+)
+SELECT o.doc_id, o.weight,
+       GREATEST(o.weight,
+                COALESCE((SELECT CAST(FLOOR(4294967296.0 / qinv) AS BIGINT)
+                          FROM ord WHERE rn = 51), 0)) AS w_est
+FROM ord o WHERE o.rn <= 50
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch heavy hitters: fixed-memory (4×512-cell) frequency
     grid built from ONE corpus scan; top-20 words emitted with exact count,
@@ -8740,6 +8776,8 @@ CATALOG: Dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     # multi-source BFS crawl depth (operators/graph.py bfs_depths)
     "crawl_depth_bfs": (q_crawl_depth_bfs, SQL_CRAWL_DEPTH_BFS),
+    # DLT weighted sampling without replacement (operators/sampling.py)
+    "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
 }
 
 

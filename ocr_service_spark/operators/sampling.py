@@ -277,6 +277,74 @@ def rendezvous_shard(
     return df.withColumn(out_col, F.array_max(arr)["s"].cast("int"))
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "psamp:",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    sampling WITHOUT replacement of exactly k rows, plus the unbiased
+    per-row weight estimator that makes any subset-sum over the sample
+    estimate the corpus truth — the principled way to build a small
+    weighted audit/eval slice of a 100 TB corpus (sample hosts by token
+    mass, estimate any per-host statistic from k rows).
+
+    Each row draws priority q = w / u with u uniform in (0,1]; the k
+    highest-priority rows are kept and every kept row gets
+    ŵ = max(w, τ) where τ is the (k+1)-th priority — E[Σ ŵ·f] over the
+    sample equals Σ w·f over the population, with near-optimal variance
+    (no other k-sample scheme beats it by more than one sample's worth).
+
+    Engine-exactness: u = (h+1)/2^32 from the 32-bit md5(salt||id)
+    slice, so ordering by q descending is ordering by
+    qinv = (h+1)/w ASCENDING — one IEEE-754 division, which (unlike
+    ln/exp in the classic A-ES exponential race) is CORRECTLY ROUNDED
+    and therefore bit-identical in Spark and DuckDB; ties (md5
+    collisions) break on the id in both engines. τ is emitted in the
+    integer weight grid as tau_x = floor(2^32 / qinv_(k+1)) and
+    w_est = max(w, tau_x), so the output is all-integer. When the
+    population has ≤ k rows the sample is exhaustive and τ = 0 (ŵ = w),
+    per the estimator's definition.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps its local top-(k+1) and the driver merges n_part·k
+    rows, no global sort shuffle; everything upstream is one map-side
+    projection. Rows with w ≤ 0 carry no mass and are dropped.
+
+    Output: (id, weight, w_est) — k rows (fewer iff the input is).
+    """
+    idc = F.col(id_col)
+    w = F.col(weight_col).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    ranked = (
+        df.where(w > 0)
+        .select(idc.alias("id"), w.alias("weight"),
+                ((h + 1).cast("double") / w.cast("double")).alias("_qinv"))
+    )
+    top = ranked.orderBy("_qinv", "id").limit(k + 1)
+    stats = top.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_qinv").alias("_max_qinv")
+    )
+    tau_x = F.when(
+        F.col("_n") == k + 1,
+        F.floor(F.lit(4294967296.0) / F.col("_max_qinv")),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        top.orderBy("_qinv", "id").limit(k)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id").alias(id_col),
+            "weight",
+            F.greatest(F.col("weight"), tau_x).alias("w_est"),
+        )
+    )
+
+
 def mixture_waterfill(
     sources: DataFrame,
     budget: int,

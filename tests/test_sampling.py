@@ -319,3 +319,51 @@ class TestMixtureWaterfill:
             ("a", 3, 100), ("b", 2, 7), ("c", 5, 333), ("d", 1, 9),
         ], budget=250)
         assert sum(a for _, a in got.values()) <= 250
+
+
+class TestPrioritySample:
+    """DLT priority sampling: exact-k, weight-monotone membership,
+    exhaustive-input τ=0, and estimator total ≈ population total."""
+
+    def _sample(self, spark, rows, k, salt="psamp:"):
+        from ocr_service_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame(rows, "id long, w long")
+        return {
+            r["id"]: (r["weight"], r["w_est"])
+            for r in priority_sample(df, "id", "w", k, salt=salt).collect()
+        }
+
+    def test_exact_k_and_positive_weights_only(self, spark):
+        rows = [(i, (i % 7) + 1) for i in range(200)] + [(999, 0), (998, -3)]
+        got = self._sample(spark, rows, 25)
+        assert len(got) == 25
+        assert 999 not in got and 998 not in got
+        # every estimate is >= the row's own weight (ŵ = max(w, τ))
+        assert all(est >= w for w, est in got.values())
+
+    def test_exhaustive_when_n_le_k(self, spark):
+        rows = [(i, 10 * (i + 1)) for i in range(8)]
+        got = self._sample(spark, rows, 20)
+        # all rows kept, τ = 0 so ŵ = w exactly
+        assert got == {i: (10 * (i + 1), 10 * (i + 1)) for i in range(8)}
+
+    def test_weight_monotone_membership(self, spark):
+        """Raising one row's weight can only raise its priority: a selected
+        row stays selected when its weight doubles (same salt)."""
+        rows = [(i, (i % 13) + 1) for i in range(300)]
+        before = self._sample(spark, rows, 30)
+        pick = sorted(before)[0]
+        bumped = [(i, w * 2 if i == pick else w) for i, w in rows]
+        after = self._sample(spark, bumped, 30)
+        assert pick in after
+
+    def test_estimator_total_tracks_population(self, spark):
+        """Σ ŵ over the sample is an unbiased estimator of Σ w; at k=64 of
+        400 uniform-ish weights one draw lands well within 3σ (loose band
+        — this guards gross bias, not the variance constant)."""
+        rows = [(i, (i * 37) % 100 + 1) for i in range(400)]
+        total = sum(w for _, w in rows)
+        got = self._sample(spark, rows, 64)
+        est = sum(e for _, e in got.values())
+        assert 0.5 * total < est < 1.5 * total
