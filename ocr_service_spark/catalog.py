@@ -3992,6 +3992,66 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges, iters=10)
 
 
+def q_host_trustrank(spark, sf_dir):
+    """Seed-biased PageRank = TrustRank (operators/graph.py
+    pagerank(seeds=...)): a 24-node host graph from events with trust
+    teleporting ONLY to the three seed hosts {0,1,2}; 8 fixed-point
+    rounds, all arithmetic 64-bit integer, so the unrolled DuckDB
+    recurrence (seed-gated base term, zero-init off-seed) matches
+    bit-for-bit. Hosts unreachable from the seeds score exactly 0 — the
+    spam-demotion property the operator exists for, verified under the
+    value hash."""
+    from .operators.graph import trustrank
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 24).alias("src"),
+        (F.floor("value").cast("long") % 24).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    return trustrank(edges, seeds, iters=8)
+
+
+def _trustrank_sql(iters: int = 8) -> str:
+    """Unrolled seed-gated PageRank recurrence (TrustRank twin)."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % 24 AS src, CAST(FLOOR(value) AS BIGINT) % 24 AS dst
+  FROM events WHERE value IS NOT NULL
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+seeds AS MATERIALIZED (SELECT unnest([0, 1, 2]) AS node),
+it0 AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+              + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n
+  LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.score // d.outdeg) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(f"\nSELECT node, score FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_TRUSTRANK = _trustrank_sql()
+
+
 def q_hits_scores(spark, sf_dir):
     """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
     15-node host graph derived from events, 5 rounds of the L1-rescaled
@@ -8652,6 +8712,7 @@ CATALOG: Dict[str, tuple] = {
     "crawl_latest_snapshot": (q_crawl_latest_snapshot, SQL_CRAWL_SNAPSHOT),
     # host-authority PageRank (operators/graph.py)
     "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
+    "host_trustrank": (q_host_trustrank, SQL_TRUSTRANK),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),

@@ -39,6 +39,7 @@ def pagerank(
     iters: int = 10,
     damping_num: int = 85,
     damping_den: int = 100,
+    seeds: DataFrame = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -46,6 +47,15 @@ def pagerank(
     the Q-scaled fixed-point rank after `iters` rounds. Duplicate edges
     are collapsed first so out-degree (and thus the recurrence) is
     well-defined regardless of upstream multiplicity.
+
+    With `seeds` (a (node) DataFrame) the teleport term lands ONLY on the
+    seed set — biased/personalized PageRank: score_0 = Q on seeds else 0,
+    and the per-round base term is seed-gated. Trust then flows outward
+    along links and decays with distance, which is TrustRank
+    (Gyöngyi–Garcia-Molina–Pedersen, VLDB 2004): spam farms far from any
+    trusted seed score ~0 no matter how densely they interlink. The seed
+    join is a broadcast against the node table (seed lists are small by
+    construction); everything else is the same loop.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -56,10 +66,20 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # static per-run relation: materialize once, reused every round
     e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    if seeds is not None:
+        nodes = nodes.join(
+            F.broadcast(seeds.select("node").distinct().withColumn(
+                "is_seed", F.lit(True))),
+            "node", "left",
+        ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    else:
+        nodes = nodes.withColumn("is_seed", F.lit(True))
     nodes = nodes.localCheckpoint(eager=True)
 
     base = PR_Q - PR_Q * damping_num // damping_den
-    scores = nodes.withColumn("score", F.lit(PR_Q).cast("long"))
+    init = F.when(F.col("is_seed"), F.lit(PR_Q)).otherwise(F.lit(0))
+    scores = nodes.select("node", init.cast("long").alias("score"))
+    base_term = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
     for _ in range(iters):
         contrib = (
             e_deg.join(scores, e_deg["src"] == scores["node"])
@@ -75,7 +95,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_term
                     + F.expr(
                         f"{damping_num} * coalesce(contrib, 0L) div {damping_den}"
                     )
@@ -86,6 +106,21 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Seed-biased PageRank (TrustRank): see `pagerank(seeds=...)`."""
+    return pagerank(edges, src=src, dst=dst, iters=iters,
+                    damping_num=damping_num, damping_den=damping_den,
+                    seeds=seeds)
 
 
 def host_components(

@@ -120,3 +120,37 @@ class TestBfsDepths:
         edges = [("a", "b"), ("b", "c"), ("c", "d")]
         got = self._bfs(spark, edges, ["a"], max_rounds=1)
         assert got == {"a": 0, "b": 1}
+
+
+class TestTrustRank:
+    def _run(self, spark, edges, seeds, iters=6):
+        from ocr_service_spark.operators.graph import trustrank
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r["node"]: r["score"]
+                for r in trustrank(e, s, iters=iters).collect()}
+
+    def test_unreachable_scores_zero(self, spark):
+        # seed component 0->1->2; spam ring 10<->11 unreachable from seeds
+        edges = [(0, 1), (1, 2), (10, 11), (11, 10)]
+        got = self._run(spark, edges, [0])
+        assert got[10] == 0 and got[11] == 0
+        assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+    def test_trust_decays_with_distance(self, spark):
+        # pure chain from the seed: monotone decay along hops
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        got = self._run(spark, edges, [0])
+        assert got[0] > got[1] > got[2] > got[3] > got[4] > 0
+
+    def test_all_seeds_equals_plain_pagerank(self, spark):
+        from ocr_service_spark.operators.graph import pagerank
+
+        edges = [(i % 6, (i * 5 + 1) % 6) for i in range(18)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(n,) for n in range(6)], "node long")
+        plain = {r["node"]: r["score"]
+                 for r in pagerank(e, iters=5).collect()}
+        seeded = self._run(spark, edges, list(range(6)), iters=5)
+        assert seeded == plain
