@@ -4052,6 +4052,72 @@ it{k} AS MATERIALIZED (
 SQL_TRUSTRANK = _trustrank_sql()
 
 
+def q_host_label_prop(spark, sf_dir):
+    """Semi-supervised host categorization (operators/graph.py
+    label_propagation): a SPARSE planted 60-node graph — ring edges
+    (s, s+1 mod 60) plus one chord (s, 7s+3 mod 60) per node, so every
+    node has degree ~4 and labels genuinely compete (a dense graph
+    degenerates to all-ties, which the hash can't distinguish from a
+    broken vote count). Three clamped seeds (news/shop/spam) at 0/20/40,
+    5 synchronous rounds of labeled-neighbor majority with lexical
+    tie-break. The oracle replays the planting rule and unrolls every
+    round (votes → per-node argmax → clamp) as MATERIALIZED CTEs; one
+    flipped vote or tie anywhere breaks the value hash."""
+    from .operators.graph import label_propagation
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 60
+    ring = d.select(s.alias("src"), ((s + 1) % 60).alias("dst"))
+    chord = d.select(s.alias("src"), ((s * 7 + 3) % 60).alias("dst"))
+    seeds = spark.createDataFrame(
+        [(0, "news"), (20, "shop"), (40, "spam")], "node long, label string"
+    )
+    return label_propagation(ring.unionByName(chord), seeds, iters=5)
+
+
+def _label_prop_sql(iters: int = 5) -> str:
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 60 AS a, (doc_id % 60 + 1) % 60 AS b
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % 60, ((doc_id % 60) * 7 + 3) % 60 FROM documents
+),
+und AS MATERIALIZED (
+  SELECT a, b FROM (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)
+  WHERE a <> b
+),
+l0 AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS node, label
+  FROM (VALUES (0, 'news'), (20, 'shop'), (40, 'spam')) AS t(node, label)
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+v{k} AS MATERIALIZED (
+  SELECT u.a AS node, l.label, COUNT(*) AS cnt
+  FROM und u JOIN l{k - 1} l ON u.b = l.node
+  GROUP BY u.a, l.label
+),
+w{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM w{k} WHERE node NOT IN (SELECT node FROM l0)
+  UNION ALL SELECT node, label FROM l0
+)""")
+    parts.append(f"\nSELECT node, label FROM l{iters}")
+    return "".join(parts)
+
+
+SQL_LABEL_PROP = _label_prop_sql()
+
+
 def q_hits_scores(spark, sf_dir):
     """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
     15-node host graph derived from events, 5 rounds of the L1-rescaled
@@ -8713,6 +8779,7 @@ CATALOG: Dict[str, tuple] = {
     # host-authority PageRank (operators/graph.py)
     "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
     "host_trustrank": (q_host_trustrank, SQL_TRUSTRANK),
+    "host_label_prop": (q_host_label_prop, SQL_LABEL_PROP),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),

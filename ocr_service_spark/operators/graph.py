@@ -290,3 +290,67 @@ def bfs_depths(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    seed_labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Semi-supervised host categorization by synchronous label
+    propagation: a small hand-labeled seed set (seed_labels: node, label)
+    spreads over the UNDIRECTED link graph — each round every non-seed
+    node adopts the majority label of its labeled neighbors (Zhu &
+    Ghahramani 2002 / Raghavan et al. 2007 shape). This is how a corpus
+    gets per-host topic/spam priors from a few hundred human labels
+    without a trained classifier.
+
+    Determinism (the oracle-exactness contract of this module): updates
+    are SYNCHRONOUS (round k+1 reads only round k — asynchronous LPA is
+    order-dependent), seeds are CLAMPED (a seed never changes label, the
+    Zhu-Ghahramani variant), majority ties break to the LEXICALLY
+    SMALLEST label, and a node with no labeled neighbor stays unlabeled
+    (absent) that round. A fixed `iters` replaces a convergence test so
+    the unrolled DuckDB twin is exact round-for-round.
+
+    Scale shape per round: one shuffle join of the current labels against
+    the symmetrized edge list, one (node,label) count aggregate, and one
+    per-node argmax window — all partitioned by node, no global funnel;
+    `localCheckpoint` truncates lineage exactly like pagerank's loop.
+
+    Returns (node, label) for every node labeled after `iters` rounds.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = seed_labels.select(
+        F.col("node"), F.col("label")
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = seeds
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            winners.join(seeds.select("node"), "node", "left_anti")
+            .unionByName(seeds)
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -154,3 +154,38 @@ class TestTrustRank:
                  for r in pagerank(e, iters=5).collect()}
         seeded = self._run(spark, edges, list(range(6)), iters=5)
         assert seeded == plain
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, seeds, iters=4):
+        from ocr_service_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame(seeds, "node long, label string")
+        return {r["node"]: r["label"]
+                for r in label_propagation(e, s, iters=iters).collect()}
+
+    def test_spreads_and_clamps(self, spark):
+        # star around seed 0: all leaves adopt 'news'; seed 5 keeps 'shop'
+        # even though its only neighbor is news-labeled
+        edges = [(0, 1), (0, 2), (0, 3), (1, 5)]
+        got = self._run(spark, edges, [(0, "news"), (5, "shop")])
+        assert got[1] == got[2] == got[3] == "news"
+        assert got[0] == "news" and got[5] == "shop"
+
+    def test_majority_and_lexical_tiebreak(self, spark):
+        # node 9 hears one 'shop' and one 'news' every round: tie -> 'news'
+        edges = [(0, 9), (5, 9)]
+        got = self._run(spark, edges, [(0, "shop"), (5, "news")])
+        assert got[9] == "news"
+
+    def test_unreached_absent(self, spark):
+        edges = [(0, 1), (7, 8)]  # island 7-8 has no labeled neighbor
+        got = self._run(spark, edges, [(0, "news")])
+        assert 7 not in got and 8 not in got
+
+    def test_synchronous_rounds_bound_spread(self, spark):
+        # chain 0-1-2-3-4: after 2 rounds the label reaches node 2 only
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        got = self._run(spark, edges, [(0, "news")], iters=2)
+        assert set(got) == {0, 1, 2}
