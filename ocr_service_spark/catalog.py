@@ -4118,6 +4118,51 @@ l{k} AS MATERIALIZED (
 SQL_LABEL_PROP = _label_prop_sql()
 
 
+def q_link_spam_signals(spark, sf_dir):
+    """Nepotistic-link detection (operators/graph.py link_spam_signals)
+    over a planted 40-host graph with a KNOWN link-exchange ring: every
+    host cites (s+1)%40 (never reciprocated — a chain of honest
+    citations) and hosts 30..39 additionally trade links pairwise
+    (30↔31, 32↔33, …), so exactly those ten hosts carry recip > 0. The
+    oracle replays the planting and the reversed-pair self-join."""
+    from .operators.graph import link_spam_signals
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 40
+    chain = d.select(s.alias("src"), ((s + 1) % 40).alias("dst"))
+    # pairwise exchange inside 30..39: s <-> s xor 1
+    ring = d.where(s >= 30).select(
+        s.alias("src"),
+        (F.lit(30) + ((s - 30).bitwiseXOR(F.lit(1)))).alias("dst"),
+    )
+    return link_spam_signals(chain.unionByName(ring))
+
+
+SQL_LINK_SPAM = """
+WITH raw AS (
+  SELECT doc_id % 40 AS a, (doc_id % 40 + 1) % 40 AS b FROM documents
+  UNION ALL
+  SELECT doc_id % 40, 30 + xor(doc_id % 40 - 30, 1) FROM documents
+  WHERE doc_id % 40 >= 30
+),
+e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+recip AS (
+  SELECT e.a AS host, COUNT(*) AS recip
+  FROM e JOIN e r ON e.a = r.b AND e.b = r.a
+  GROUP BY e.a
+),
+outd AS (SELECT a AS host, COUNT(*) AS outdeg FROM e GROUP BY a),
+ind AS (SELECT b AS host, COUNT(*) AS indeg FROM e GROUP BY b)
+SELECT o.host, o.outdeg,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg,
+       CAST(COALESCE(r.recip, 0) AS BIGINT) AS recip,
+       COALESCE(r.recip, 0) * 1000 // o.outdeg AS recip_pm
+FROM outd o
+LEFT JOIN ind i ON o.host = i.host
+LEFT JOIN recip r ON o.host = r.host
+"""
+
+
 def q_hits_scores(spark, sf_dir):
     """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
     15-node host graph derived from events, 5 rounds of the L1-rescaled
@@ -8780,6 +8825,7 @@ CATALOG: Dict[str, tuple] = {
     "host_pagerank": (q_host_pagerank, SQL_PAGERANK),
     "host_trustrank": (q_host_trustrank, SQL_TRUSTRANK),
     "host_label_prop": (q_host_label_prop, SQL_LABEL_PROP),
+    "link_spam_signals": (q_link_spam_signals, SQL_LINK_SPAM),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),

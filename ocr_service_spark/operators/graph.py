@@ -354,3 +354,49 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def link_spam_signals(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-host nepotistic-link signals (Davison 2000; the cheap
+    complement to trustrank): link exchanges are the oldest ranking
+    manipulation, and a host whose out-links are mostly RECIPROCATED
+    (A→B and B→A) is trading links, not citing. Emitted per host with
+    out-links: out-degree, in-degree, reciprocated-out-edge count, and
+    recip_pm (per-mille reciprocation, integer — engine-exact).
+
+    Scale shape: edges are deduped, then ONE self-equi-join on the
+    reversed key pair finds reciprocal edges (a partitioned hash join —
+    never a cross product; both sides shuffle on (a,b) keys), and ONE
+    hash aggregate per host builds the signals. In-degree comes from a
+    second aggregate unioned in, not a window. All linear in |E|.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = (
+        e.join(rev, ["a", "b"])  # edge (a,b) whose reverse also exists
+        .groupBy(F.col("a").alias("host"))
+        .agg(F.count(F.lit(1)).alias("recip"))
+    )
+    outd = e.groupBy(F.col("a").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ind = e.groupBy(F.col("b").alias("host")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    return (
+        outd.join(ind, "host", "left")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            "outdeg",
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce("recip", F.lit(0)).cast("long").alias("recip"),
+            F.expr("coalesce(recip, 0L) * 1000 div outdeg").alias("recip_pm"),
+        )
+    )

@@ -189,3 +189,27 @@ class TestLabelPropagation:
         edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
         got = self._run(spark, edges, [(0, "news")], iters=2)
         assert set(got) == {0, 1, 2}
+
+
+class TestLinkSpamSignals:
+    def _run(self, spark, edges):
+        from ocr_service_spark.operators.graph import link_spam_signals
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        return {r["host"]: (r["outdeg"], r["indeg"], r["recip"], r["recip_pm"])
+                for r in link_spam_signals(e).collect()}
+
+    def test_exchange_vs_honest_citation(self, spark):
+        # a<->b trade links; c cites both honestly; d only receives
+        edges = [("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"), ("c", "d")]
+        got = self._run(spark, edges)
+        assert got["a"] == (1, 2, 1, 1000)   # fully reciprocated
+        assert got["b"] == (1, 2, 1, 1000)
+        assert got["c"] == (3, 0, 0, 0)      # honest: zero reciprocation
+        assert "d" not in got                # no out-links -> no row
+
+    def test_dedup_and_self_loops_ignored(self, spark):
+        edges = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")]
+        got = self._run(spark, edges)
+        assert got["a"] == (1, 1, 1, 1000)
+        assert got["b"] == (1, 1, 1, 1000)
