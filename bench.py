@@ -214,6 +214,11 @@ HEADLINE = [
     "sentence_chunks",         # sentence-boundary budget chunking
     "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
+    "crawl_depth_bfs",         # multi-source BFS over the link graph
+    "host_trustrank",          # seed-biased PageRank spam demotion
+    "host_label_prop",         # clamped synchronous label propagation
+    "link_spam_signals",       # reciprocal-link exchange detection
+    "priority_sample",         # DLT weighted audit-slice sampling
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -269,6 +269,10 @@ def bfs_depths(
 
     Returns (node, depth) with depth in 0..max_rounds.
     """
+    # materialize the edge table ONCE: every round joins against it, and
+    # without this the edge lineage (often an extraction UDF over the
+    # corpus) would re-execute per wave — same fix as pagerank's e_deg
+    e = edges.select(src, dst).localCheckpoint(eager=True)
     dist = (
         seeds.select("node")
         .distinct()
@@ -278,7 +282,7 @@ def bfs_depths(
     frontier = dist.select("node")
     for r in range(1, max_rounds + 1):
         nxt = (
-            edges.join(frontier.withColumnRenamed("node", src), src)
+            e.join(frontier.withColumnRenamed("node", src), src)
             .select(F.col(dst).alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
