@@ -214,6 +214,7 @@ HEADLINE = [
     "sentence_chunks",         # sentence-boundary budget chunking
     "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
+    "microdata_extract",       # schema.org microdata element scoping
     "crawl_depth_bfs",         # multi-source BFS over the link graph
     "host_trustrank",          # seed-biased PageRank spam demotion
     "host_label_prop",         # clamped synchronous label propagation

@@ -2196,6 +2196,87 @@ FROM d WHERE doc_id % 7 = 0
 """
 
 
+def q_microdata_extract(spark, sf_dir):
+    """schema.org microdata mining (core/structured_data.py
+    extract_microdata, one Arrow pass): every doc plants a Product whose
+    name wraps a nested <b> (text-collapse check), a meta sku, and a
+    NESTED Offer item (parent gets the '#item1' reference row; the
+    Offer's own price/url rows attach to item 1, not 0 — the scoping
+    rule under test). Every 3rd doc adds a property-less Thing (the
+    bare-item row), every 5th an Article with a MULTI-TOKEN itemprop on
+    a <time> (one row per token, datetime-valued). Decoys a real page
+    has: a commented-out item and an itemscope inside a <script> body —
+    both invisible. The oracle recomputes every row (item indices,
+    per-item prop ordinals, values) from the planting arithmetic."""
+    from .operators.structured import extract_microdata_items
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 97
+    product = F.format_string(
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Item %d <b>deluxe</b></span>'
+        '<meta itemprop="sku" content="SKU-%d">'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        '<meta itemprop="price" content="%d.99">'
+        '<a itemprop="url" href="/buy/%d">buy</a></div></div>',
+        k, k, k % 50, F.col("doc_id"),
+    )
+    thing = F.lit('<p itemscope itemtype="https://schema.org/Thing"></p>')
+    article = F.format_string(
+        '<div itemscope itemtype="https://schema.org/Article">'
+        '<time itemprop="datePublished dateModified" datetime="2026-01-%02d">'
+        "jan</time></div>",
+        F.col("doc_id") % 28 + 1,
+    )
+    html = F.concat(
+        F.lit('<!-- <div itemscope itemtype="Ghost">'
+              '<span itemprop="no">x</span></div> -->'),
+        F.lit("<script>document.write('<div itemscope itemprop=fake>')"
+              "</script>"),
+        product,
+        F.when(F.col("doc_id") % 3 == 0, thing).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, article).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.format_string("https://md.example/%012d", "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_microdata_items(pages)
+
+
+SQL_MICRODATA = """
+WITH d AS (
+  SELECT doc_id, doc_id % 97 AS k,
+         printf('https://md.example/%012d', doc_id) AS url,
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS art_idx
+  FROM documents
+)
+SELECT url, 0 AS item_idx, 'https://schema.org/Product' AS item_type,
+       'name' AS prop, 0 AS prop_idx,
+       printf('Item %d deluxe', k) AS value FROM d
+UNION ALL
+SELECT url, 0, 'https://schema.org/Product', 'sku', 1,
+       printf('SKU-%d', k) FROM d
+UNION ALL
+SELECT url, 0, 'https://schema.org/Product', 'offers', 2, '#item1' FROM d
+UNION ALL
+SELECT url, 1, 'https://schema.org/Offer', 'price', 0,
+       printf('%d.99', k % 50) FROM d
+UNION ALL
+SELECT url, 1, 'https://schema.org/Offer', 'url', 1,
+       printf('/buy/%d', doc_id) FROM d
+UNION ALL
+SELECT url, 2, 'https://schema.org/Thing', NULL, NULL, NULL
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, art_idx, 'https://schema.org/Article', 'datePublished', 0,
+       printf('2026-01-%02d', doc_id % 28 + 1) FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT url, art_idx, 'https://schema.org/Article', 'dateModified', 1,
+       printf('2026-01-%02d', doc_id % 28 + 1) FROM d WHERE doc_id % 5 = 0
+"""
+
+
 def q_web_table_cells(spark, sf_dir):
     """Web-table mining (WDC-corpus-style): deterministic product-listing
     pages built from doc_id (sources/synth.py table_html — one header
@@ -8840,6 +8921,7 @@ CATALOG: Dict[str, tuple] = {
     "web_table_profile": (q_web_table_profile, SQL_WEB_TABLE_PROFILE),
     # schema.org JSON-LD mining (core/structured_data.py spec)
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
+    "microdata_extract": (q_microdata_extract, SQL_MICRODATA),
     # crawl-payload charset normalization (core/charset.py cascade)
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
     # RFC 9309 robots.txt URL gate (core/robots.py interpreter)

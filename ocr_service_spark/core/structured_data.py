@@ -119,3 +119,210 @@ def extract_jsonld(html: str) -> List[Dict]:
             )
         block_idx += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# schema.org microdata (itemscope/itemprop/itemtype HTML attributes)
+# ---------------------------------------------------------------------------
+#
+# The OTHER half of on-page structured data (WDC's schema.org corpus is
+# roughly half microdata, half JSON-LD): annotations live on the HTML
+# elements themselves, so extraction needs element scoping, not a JSON
+# parser. Bounded WHATWG subset, deterministic by construction:
+#
+# - An element with `itemscope` starts an item (document-order item_idx);
+#   `itemtype` is kept verbatim (multiple types join with ',').
+# - `itemprop` on an element assigns a property to the NEAREST ANCESTOR
+#   item; a space-separated itemprop emits one row per token (spec token
+#   list). An element carrying BOTH itemscope and itemprop is a nested
+#   item whose reference ("#item<idx>") is the parent's property value.
+# - Property value by element kind (the spec's table, common subset):
+#   meta→content, a/link/area→href, img/audio/video/source/iframe/
+#   embed→src, time→datetime else text, data/meter→value else text,
+#   anything else→subtree text, whitespace-collapsed.
+# - Subtree text per property is CAPPED at _TEXT_CAP chars, and at most
+#   _ACTIVE_CAP text-valued properties collect SIMULTANEOUSLY (deeper
+#   simultaneous nesting yields '' — real pages nest 2-4 itemprops deep;
+#   the cap is an anti-adversarial linearity bound): per text chunk the
+#   scanner touches ≤ _ACTIVE_CAP collectors and closes are O(1)
+#   flag-sets with periodic compaction, so hostile nesting (every div an
+#   itemprop, measured: 40k-deep never-closing scopes) stays linear —
+#   the same contract as every scanner in this module.
+# - script/style bodies are consumed whole (invisible to scoping and
+#   text); comments likewise. Mis-nested close tags pop to the nearest
+#   matching open tag and are otherwise ignored; EOF closes everything.
+# - prop_idx is the per-item ordinal by property START offset, making
+#   (item_idx, prop_idx) a stable relational key; an item with no
+#   properties still emits one row with prop=None so item counts survive
+#   the flattening.
+
+_TEXT_CAP = 4096
+_ACTIVE_CAP = 64
+
+_MD_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<(script|style)\b[^>]*(?:>.*?(?:</\1\s*>|$)|$)"
+    r"|</([a-zA-Z][a-zA-Z0-9]*)\s*[^>]*(?:>|$)"
+    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(?:>|$)"
+    r"|<[!?][^>]*(?:>|$)"
+)
+_MD_ATTR_RE = re.compile(
+    r"(?i)([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?"
+)
+_VOID = frozenset(
+    "meta img br hr link input area base col embed source track wbr".split()
+)
+_URL_ATTR = {
+    "a": "href", "link": "href", "area": "href",
+    "img": "src", "audio": "src", "video": "src",
+    "source": "src", "iframe": "src", "embed": "src",
+}
+
+
+def _md_attrs(raw: str) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for m in _MD_ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name not in out:
+            v = m.group(2)
+            if v is None:
+                v = m.group(3)
+            if v is None:
+                v = m.group(4)
+            out[name] = v if v is not None else ""
+    return out
+
+
+def extract_microdata(html: str) -> List[Dict]:
+    """All microdata properties in document order. One dict per
+    (item, property): {"item_idx", "item_type", "prop", "prop_idx",
+    "value"}; an item with no properties emits a single row with
+    prop/prop_idx/value None."""
+    items: List[Dict] = []       # {"idx", "type", "nprops"}
+    rows: List[Dict] = []
+    # open-element stack entries:
+    #   {"tag", "scope": int|None (item IN SCOPE at this depth — this
+    #    element's own item if itemscope, else inherited from the parent;
+    #    O(1) nearest-ancestor-item lookup instead of a stack walk, which
+    #    measured quadratic on 30k-deep hostile nests),
+    #    "pending": [row, buf_list, remaining] for text-valued props}
+    stack: List[Dict] = []
+    # [row, buf, remaining] triples; remaining == -1 marks a CLOSED slot
+    # (O(1) close; compacted when mostly dead). n_active counts open
+    # text collectors and enforces _ACTIVE_CAP.
+    collectors: List[list] = []
+    state = {"n_active": 0, "n_dead": 0}
+
+    def emit(item_i: int, prop: str, prop_idx: int, value) -> Dict:
+        row = {
+            "item_idx": item_i,
+            "item_type": items[item_i]["type"],
+            "prop": prop,
+            "prop_idx": prop_idx,
+            "value": value,
+        }
+        rows.append(row)
+        return row
+
+    def feed_text(chunk: str) -> None:
+        if not chunk:
+            return
+        for c in collectors:
+            if c[2] > 0:
+                take = chunk[: c[2]]
+                c[1].append(take)
+                c[2] -= len(take)
+
+    def close_entry(e: Dict) -> None:
+        for c in e["pending"]:
+            if c[2] != -1:
+                c[2] = -1
+                state["n_active"] -= 1
+                state["n_dead"] += 1
+            c[0]["value"] = " ".join("".join(c[1]).split())
+        if state["n_dead"] > 32 and state["n_dead"] > len(collectors) // 2:
+            collectors[:] = [c for c in collectors if c[2] != -1]
+            state["n_dead"] = 0
+
+    pos = 0
+    for m in _MD_TOKEN_RE.finditer(html):
+        feed_text(html[pos: m.start()])
+        pos = m.end()
+        if m.group(1) is not None or (
+            m.group(2) is None and m.group(3) is None
+        ):
+            continue  # script/style span, comment, or <! / <? decl
+        if m.group(2) is not None:  # close tag
+            tag = m.group(2).lower()
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i]["tag"] == tag:
+                    while len(stack) > i:
+                        close_entry(stack.pop())
+                    break
+            continue
+        tag = m.group(3).lower()
+        attrs = _md_attrs(m.group(4) or "")
+        is_scope = "itemscope" in attrs
+        this_item = None
+        if is_scope:
+            this_item = len(items)
+            t = attrs.get("itemtype")
+            if t:
+                t = ",".join(t.split())
+            items.append({"type": t or None, "nprops": 0})
+        itemprop = attrs.get("itemprop")
+        pending: List[list] = []
+        # owner = nearest ancestor item (NOT the one this tag opened)
+        owner = stack[-1]["scope"] if stack else None
+        if itemprop:
+            if owner is not None:
+                for token in itemprop.split():
+                    pi = items[owner]["nprops"]
+                    items[owner]["nprops"] += 1
+                    if is_scope:
+                        emit(owner, token, pi, f"#item{this_item}")
+                    elif tag == "meta":
+                        emit(owner, token, pi, attrs.get("content", ""))
+                    elif tag in _URL_ATTR:
+                        emit(owner, token, pi, attrs.get(_URL_ATTR[tag], ""))
+                    elif tag == "time" and attrs.get("datetime") is not None:
+                        emit(owner, token, pi, attrs["datetime"])
+                    elif tag in ("data", "meter") and attrs.get("value") is not None:
+                        emit(owner, token, pi, attrs["value"])
+                    elif state["n_active"] < _ACTIVE_CAP:
+                        row = emit(owner, token, pi, None)
+                        c = [row, [], _TEXT_CAP]
+                        pending.append(c)
+                        collectors.append(c)
+                        state["n_active"] += 1
+                    else:  # linearity cap: deeper simultaneous nests -> ''
+                        emit(owner, token, pi, "")
+        if tag not in _VOID:
+            stack.append({
+                "tag": tag,
+                "scope": this_item if is_scope else owner,
+                "pending": pending,
+            })
+        else:
+            # void elements can still OPEN an item (rare but legal for
+            # meta/link); the item simply owns no element body
+            for c in pending:
+                c[2] = -1
+                state["n_active"] -= 1
+                state["n_dead"] += 1
+                c[0]["value"] = ""
+    feed_text(html[pos:])
+    while stack:
+        close_entry(stack.pop())
+
+    out: List[Dict] = []
+    seen = [False] * len(items)
+    for r in rows:
+        seen[r["item_idx"]] = True
+        out.append(r)
+    for i, s in enumerate(seen):
+        if not s:
+            out.append({"item_idx": i, "item_type": items[i]["type"],
+                        "prop": None, "prop_idx": None, "value": None})
+    return out

@@ -51,3 +51,33 @@ def extract_structured_items(pages: DataFrame) -> DataFrame:
             yield pdf_out.astype({"parse_ok": "bool"}, errors="ignore")
 
     return pages.select("url", "html").mapInPandas(run, ITEM_SCHEMA)
+
+
+MICRO_SCHEMA = (
+    "url string, item_idx int, item_type string, prop string, "
+    "prop_idx int, value string"
+)
+
+_MCOLS = ("item_idx", "item_type", "prop", "prop_idx", "value")
+
+
+def extract_microdata_items(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per microdata (item, property) —
+    core/structured_data.py extract_microdata semantics, same one-pass
+    Arrow-batched shape as extract_structured_items."""
+    from ..core.structured_data import extract_microdata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url",) + _MCOLS}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for it in extract_microdata(html):
+                    rows["url"].append(url)
+                    for c in _MCOLS:
+                        rows[c].append(it[c])
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, MICRO_SCHEMA)

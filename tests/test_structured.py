@@ -125,3 +125,124 @@ def test_extract_structured_items_matches_spec(spark):
         for it in extract_jsonld(payload.decode())
     )
     assert got == expect and len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# microdata spec
+# ---------------------------------------------------------------------------
+
+from ocr_service_spark.core.structured_data import extract_microdata
+from ocr_service_spark.operators.structured import extract_microdata_items
+
+
+def _vals(html):
+    return [(r["item_idx"], r["prop"], r["prop_idx"], r["value"])
+            for r in extract_microdata(html)]
+
+
+def test_micro_nested_item_scoping_and_reference():
+    html = (
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Widget <b>Pro</b></span>'
+        '<meta itemprop="sku" content="SKU-7">'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        '<meta itemprop="price" content="9.99">'
+        '<a itemprop="url" href="/buy/7">buy</a></div></div>'
+    )
+    assert _vals(html) == [
+        (0, "name", 0, "Widget Pro"),
+        (0, "sku", 1, "SKU-7"),
+        (0, "offers", 2, "#item1"),
+        (1, "price", 0, "9.99"),
+        (1, "url", 1, "/buy/7"),
+    ]
+
+
+def test_micro_value_table_per_element_kind():
+    html = (
+        "<div itemscope>"
+        '<a itemprop="u" href="/a">t</a>'
+        '<img itemprop="i" src="/im.png">'
+        '<time itemprop="d" datetime="2026-02-01">feb</time>'
+        '<time itemprop="d2">March 3</time>'
+        '<data itemprop="v" value="42">forty-two</data>'
+        '<meta itemprop="m" content="c">'
+        "</div>"
+    )
+    assert [(r["prop"], r["value"]) for r in extract_microdata(html)] == [
+        ("u", "/a"), ("i", "/im.png"), ("d", "2026-02-01"),
+        ("d2", "March 3"), ("v", "42"), ("m", "c"),
+    ]
+
+
+def test_micro_multitoken_itemprop_and_bare_item():
+    html = (
+        '<div itemscope itemtype="T">'
+        '<time itemprop="a b" datetime="x">t</time></div>'
+        "<p itemscope></p>"
+    )
+    assert _vals(html) == [
+        (0, "a", 0, "x"), (0, "b", 1, "x"), (1, None, None, None),
+    ]
+
+
+def test_micro_orphan_prop_and_decoys_ignored():
+    html = (
+        '<span itemprop="orphan">no ancestor item</span>'
+        '<!-- <div itemscope><span itemprop="no">x</span></div> -->'
+        "<script>var s = '<div itemscope itemprop=f>';</script>"
+        "<style>.x{content:'<div itemscope>'}</style>"
+    )
+    assert extract_microdata(html) == []
+
+
+def test_micro_misnesting_and_eof_close():
+    # </em> never opened: ignored; unclosed elements close at EOF; tag
+    # boundaries inject NO whitespace (pure text-node concatenation,
+    # collapse only of source whitespace)
+    html = ('<div itemscope><span itemprop="a">one</em> two'
+            '<p itemprop="b">three')
+    got = {r["prop"]: r["value"] for r in extract_microdata(html)}
+    assert got == {"a": "one twothree", "b": "three"}
+
+
+def test_micro_itemtype_multitype_and_text_collapse():
+    html = ('<div itemscope itemtype=" A   B ">'
+            '<span itemprop="n">  a\n\t b  </span></div>')
+    (r,) = extract_microdata(html)
+    assert r["item_type"] == "A,B" and r["value"] == "a b"
+
+
+def test_micro_linear_on_hostile_markup():
+    import time
+
+    cases = [
+        "<div itemscope><span itemprop=a>" * 40000,
+        "<div itemscope>" + "<div itemprop=t>w " * 30000,
+        "<div " + "x" * 2_000_000,
+        "<!--" + "y" * 2_000_000,
+        '<div itemscope itemtype=T><span itemprop=n>x</span></div>' * 20000,
+    ]
+    for h in cases:
+        t0 = time.monotonic()
+        extract_microdata(h)
+        assert time.monotonic() - t0 < 5.0
+
+
+def test_extract_microdata_items_matches_spec(spark):
+    html = (
+        '<div itemscope itemtype="P"><span itemprop="n">x</span>'
+        '<div itemprop="o" itemscope itemtype="Q">'
+        '<meta itemprop="p" content="1"></div></div>'
+    )
+    pages = spark.createDataFrame(
+        [("u1", html.encode()), ("u2", b"<p>plain</p>"), ("u3", None)],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r["url"], r["item_idx"], r["prop"], r["value"])
+        for r in extract_microdata_items(pages).collect()
+    )
+    assert got == [
+        ("u1", 0, "n", "x"), ("u1", 0, "o", "#item1"), ("u1", 1, "p", "1"),
+    ]
