@@ -4571,6 +4571,39 @@ def q_kmeans_lloyd(spark, sf_dir):
     return assign.select(F.col("id").alias("vec_id"), "cid", "dist_q")
 
 
+def q_prototype_prune(spark, sf_dir):
+    """Difficulty-based data pruning (operators/clustering.py
+    prototype_prune over the oracle-checked k-means): keep the 70%
+    per-mille-exact FARTHEST-from-prototype members of every cluster
+    (Sorscher et al.'s abundant-data rule), ranks and keep decisions
+    emitted for audit. The oracle composes the full unrolled Lloyd
+    recurrence with the identical per-cluster rank + truncating keep_n
+    arithmetic — one distance or tie off anywhere flips a kept flag and
+    breaks the hash."""
+    from .operators.clustering import kmeans, prototype_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans(emb, "vec_id", "embedding", _KM_K, iters=_KM_ITERS)
+    return prototype_prune(assign, keep_pm=700).select(
+        F.col("id").alias("vec_id"), "cid", "dist_q", "drank", "kept"
+    )
+
+
+SQL_PROTOTYPE_PRUNE = _km_sql(
+    _KM_ITERS,
+    tail="""
+SELECT vec_id, cid, dist_q, drank,
+       (drank <= n * 700 // 1000) AS kept
+FROM (
+  SELECT vec_id, cid, dist_q,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY dist_q DESC, vec_id) AS drank,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM km
+)""",
+)
+
+
 _KM_SAMPLE_M = 40
 
 
@@ -8820,6 +8853,7 @@ CATALOG: Dict[str, tuple] = {
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_lloyd": (q_kmeans_lloyd, SQL_KMEANS_LLOYD),
     "cluster_balanced_sample": (q_cluster_balanced_sample, SQL_CLUSTER_SAMPLE),
+    "prototype_prune": (q_prototype_prune, SQL_PROTOTYPE_PRUNE),
     "dup_ngram_gate": (q_dup_ngram_gate, SQL_DUP_NGRAM),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "anchor_text_index": (q_anchor_text_index, SQL_ANCHOR_INDEX),

@@ -260,3 +260,52 @@ def kcenter_select(
     return spark.createDataFrame(
         picks, "sel_order int, id long, dist_q long"
     )
+
+
+def prototype_prune(
+    assign: DataFrame,
+    keep_pm: int = 700,
+    hardest_first: bool = True,
+    id_col: str = "id",
+) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): within each cluster, rank points by distance
+    to their prototype and keep an exact per-mille of the cluster —
+    FARTHEST first by default (prune the easy/redundant core, the
+    abundant-data regime the paper recommends), `hardest_first=False`
+    keeps the closest (scarce-data regime). SemDedup prunes near-dup
+    points; this prunes by example DIFFICULTY — the two compose.
+
+    Determinism: rank = (dist_q ordered per flag, id ascending) — exact
+    ties cannot diverge across engines because dist_q is already the
+    integer fixed-point distance from kmeans_assign. keep_n =
+    cluster_n · keep_pm div 1000 (truncating) per cluster, so the kept
+    fraction is exact, not probabilistic. Every row is emitted with its
+    rank and a kept flag (audit view — the caller filters), which is
+    also what keeps the oracle composable.
+
+    Scale shape: both window functions share ONE partitioning (cid) —
+    a single shuffle keyed by cluster, never a global funnel; clusters
+    are the unit of parallelism, and k-means clusters are size-bounded
+    by construction (k chosen so corpus/k fits a task).
+
+    Output: (id, cid, dist_q, drank, kept).
+    """
+    from pyspark.sql import Window
+
+    order = (F.col("dist_q").desc() if hardest_first
+             else F.col("dist_q").asc())
+    w = Window.partitionBy("cid").orderBy(order, F.col(id_col).asc())
+    n = Window.partitionBy("cid")
+    return (
+        assign.select(
+            id_col, "cid", "dist_q",
+            F.row_number().over(w).alias("drank"),
+            F.count(F.lit(1)).over(n).alias("_n"),
+        )
+        .select(
+            id_col, "cid", "dist_q", "drank",
+            (F.col("drank") <= F.expr(f"_n * {int(keep_pm)} div 1000"))
+            .alias("kept"),
+        )
+    )

@@ -212,3 +212,38 @@ class TestKCenterSelect:
         # after every point is a center, the farthest distance is 0 —
         # greedy still emits k rows only while points exist
         assert len(got) <= 5 and {r["id"] for r in got[:2]} == {1, 2}
+
+
+class TestPrototypePrune:
+    def _run(self, spark, rows, keep_pm, hardest=True):
+        from ocr_service_spark.operators.clustering import prototype_prune
+
+        df = spark.createDataFrame(rows, "id long, cid long, dist_q long")
+        out = prototype_prune(df, keep_pm=keep_pm, hardest_first=hardest)
+        return {r["id"]: (r["drank"], r["kept"]) for r in out.collect()}
+
+    def test_exact_per_mille_keep_per_cluster(self, spark):
+        # cluster 0: 10 points dist 0..9 -> keep_n = 10*700//1000 = 7
+        rows = [(i, 0, i) for i in range(10)]
+        got = self._run(spark, rows, 700)
+        kept = {i for i, (_, k) in got.items() if k}
+        assert kept == {3, 4, 5, 6, 7, 8, 9}  # the 7 farthest
+
+    def test_easiest_first_flag(self, spark):
+        rows = [(i, 0, i) for i in range(10)]
+        got = self._run(spark, rows, 300, hardest=False)
+        kept = {i for i, (_, k) in got.items() if k}
+        assert kept == {0, 1, 2}  # the 3 closest
+
+    def test_ties_break_on_id_and_clusters_independent(self, spark):
+        # cluster 1: all-equal distances; keep 1 of 2 -> lowest id wins
+        rows = [(10, 1, 5), (11, 1, 5), (20, 2, 1), (21, 2, 2), (22, 2, 3)]
+        got = self._run(spark, rows, 500)
+        assert got[10] == (1, True) and got[11] == (2, False)
+        # cluster 2: keep 3*500//1000 = 1 -> only the farthest (22)
+        assert {i for i in (20, 21, 22) if got[i][1]} == {22}
+
+    def test_tiny_cluster_keeps_nothing_below_grid(self, spark):
+        # 1 point at 700pm: keep_n = 1*700//1000 = 0 -> pruned entirely
+        got = self._run(spark, [(1, 0, 4)], 700)
+        assert got[1] == (1, False)
