@@ -215,6 +215,7 @@ HEADLINE = [
     "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
     "microdata_extract",       # schema.org microdata element scoping
+    "rdfa_extract",            # RDFa Lite typeof/property mining
     "prototype_prune",         # difficulty-ranked cluster pruning
     "crawl_depth_bfs",         # multi-source BFS over the link graph
     "host_trustrank",          # seed-biased PageRank spam demotion

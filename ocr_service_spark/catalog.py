@@ -2277,6 +2277,68 @@ SELECT url, art_idx, 'https://schema.org/Article', 'dateModified', 1,
 """
 
 
+def q_rdfa_extract(spark, sf_dir):
+    """RDFa Lite mining (core/structured_data.py extract_rdfa — the
+    third WDC dialect, closing the JSON-LD + microdata triad): every doc
+    plants a typeof=Product with a content-attr property on a SPAN (the
+    RDFa content-wins-anywhere rule microdata doesn't have), an href
+    property, a text property, and a NESTED typeof=Offer chained through
+    a property (reference row on the parent). Every 4th doc adds a
+    multi-type `typeof="Book CreativeWork"` item (','-joined). The
+    commented-out and script-body decoys stay invisible. The oracle
+    recomputes all rows from the planting arithmetic."""
+    from .operators.structured import extract_rdfa_items
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 89
+    product = F.format_string(
+        '<div vocab="https://schema.org/" typeof="Product">'
+        '<span property="name">Gadget %d</span>'
+        '<span property="sku" content="R-%d">visible decoy text</span>'
+        '<a property="url" href="/r/%d">go</a>'
+        '<div property="offers" typeof="Offer">'
+        '<span property="price" content="%d.49"></span></div></div>',
+        k, k, F.col("doc_id"), k % 40,
+    )
+    book = F.format_string(
+        '<p typeof="Book CreativeWork"><span property="name">B %d</span></p>',
+        k,
+    )
+    html = F.concat(
+        F.lit('<!-- <div typeof="Ghost"><span property="no">x</span></div> -->'),
+        F.lit("<script>var t = '<div typeof=Fake property=f>';</script>"),
+        product,
+        F.when(F.col("doc_id") % 4 == 0, book).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.format_string("https://rdfa.example/%012d", "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_rdfa_items(pages)
+
+
+SQL_RDFA = """
+WITH d AS (
+  SELECT doc_id, doc_id % 89 AS k,
+         printf('https://rdfa.example/%012d', doc_id) AS url
+  FROM documents
+)
+SELECT url, 0 AS item_idx, 'Product' AS item_type, 'name' AS prop,
+       0 AS prop_idx, printf('Gadget %d', k) AS value FROM d
+UNION ALL
+SELECT url, 0, 'Product', 'sku', 1, printf('R-%d', k) FROM d
+UNION ALL
+SELECT url, 0, 'Product', 'url', 2, printf('/r/%d', doc_id) FROM d
+UNION ALL
+SELECT url, 0, 'Product', 'offers', 3, '#item1' FROM d
+UNION ALL
+SELECT url, 1, 'Offer', 'price', 0, printf('%d.49', k % 40) FROM d
+UNION ALL
+SELECT url, 2, 'Book,CreativeWork', 'name', 0, printf('B %d', k)
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
 def q_web_table_cells(spark, sf_dir):
     """Web-table mining (WDC-corpus-style): deterministic product-listing
     pages built from doc_id (sources/synth.py table_html — one header
@@ -8956,6 +9018,7 @@ CATALOG: Dict[str, tuple] = {
     # schema.org JSON-LD mining (core/structured_data.py spec)
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
     "microdata_extract": (q_microdata_extract, SQL_MICRODATA),
+    "rdfa_extract": (q_rdfa_extract, SQL_RDFA),
     # crawl-payload charset normalization (core/charset.py cascade)
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
     # RFC 9309 robots.txt URL gate (core/robots.py interpreter)

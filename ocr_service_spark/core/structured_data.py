@@ -194,11 +194,17 @@ def _md_attrs(raw: str) -> Dict[str, str]:
     return out
 
 
-def extract_microdata(html: str) -> List[Dict]:
-    """All microdata properties in document order. One dict per
-    (item, property): {"item_idx", "item_type", "prop", "prop_idx",
-    "value"}; an item with no properties emits a single row with
-    prop/prop_idx/value None."""
+def _extract_annotated(html: str, dialect: str) -> List[Dict]:
+    """Shared element-annotation scanner for both on-page structured-data
+    dialects — microdata (itemscope/itemtype/itemprop) and RDFa Lite
+    (typeof/property, where `content` wins on ANY element and the typeof
+    token list IS the type). One dict per (item, property):
+    {"item_idx", "item_type", "prop", "prop_idx", "value"}; an item with
+    no properties emits a single row with prop/prop_idx/value None."""
+    rdfa = dialect == "rdfa"
+    scope_attr = "typeof" if rdfa else "itemscope"
+    type_attr = "typeof" if rdfa else "itemtype"
+    prop_attr = "property" if rdfa else "itemprop"
     items: List[Dict] = []       # {"idx", "type", "nprops"}
     rows: List[Dict] = []
     # open-element stack entries:
@@ -263,15 +269,15 @@ def extract_microdata(html: str) -> List[Dict]:
             continue
         tag = m.group(3).lower()
         attrs = _md_attrs(m.group(4) or "")
-        is_scope = "itemscope" in attrs
+        is_scope = scope_attr in attrs
         this_item = None
         if is_scope:
             this_item = len(items)
-            t = attrs.get("itemtype")
+            t = attrs.get(type_attr)
             if t:
                 t = ",".join(t.split())
             items.append({"type": t or None, "nprops": 0})
-        itemprop = attrs.get("itemprop")
+        itemprop = attrs.get(prop_attr)
         pending: List[list] = []
         # owner = nearest ancestor item (NOT the one this tag opened)
         owner = stack[-1]["scope"] if stack else None
@@ -282,13 +288,15 @@ def extract_microdata(html: str) -> List[Dict]:
                     items[owner]["nprops"] += 1
                     if is_scope:
                         emit(owner, token, pi, f"#item{this_item}")
-                    elif tag == "meta":
+                    elif (("content" in attrs) if rdfa else tag == "meta"):
                         emit(owner, token, pi, attrs.get("content", ""))
                     elif tag in _URL_ATTR:
                         emit(owner, token, pi, attrs.get(_URL_ATTR[tag], ""))
-                    elif tag == "time" and attrs.get("datetime") is not None:
+                    elif not rdfa and tag == "time" \
+                            and attrs.get("datetime") is not None:
                         emit(owner, token, pi, attrs["datetime"])
-                    elif tag in ("data", "meter") and attrs.get("value") is not None:
+                    elif not rdfa and tag in ("data", "meter") \
+                            and attrs.get("value") is not None:
                         emit(owner, token, pi, attrs["value"])
                     elif state["n_active"] < _ACTIVE_CAP:
                         row = emit(owner, token, pi, None)
@@ -326,3 +334,21 @@ def extract_microdata(html: str) -> List[Dict]:
             out.append({"item_idx": i, "item_type": items[i]["type"],
                         "prop": None, "prop_idx": None, "value": None})
     return out
+
+
+def extract_microdata(html: str) -> List[Dict]:
+    """schema.org microdata (itemscope/itemtype/itemprop) — see
+    _extract_annotated."""
+    return _extract_annotated(html, "micro")
+
+
+def extract_rdfa(html: str) -> List[Dict]:
+    """RDFa Lite (typeof/property) — the third WDC structured-data
+    dialect beside JSON-LD and microdata. Documented subset: `typeof`
+    starts an item (its token list, ','-joined, is the type — vocab/
+    prefix CURIEs are kept verbatim, not resolved); `property` assigns
+    to the nearest ancestor item with the same scoping, nesting,
+    multi-token, text-cap and linearity rules as microdata; `content`
+    beats href/src beats subtree text on ANY element (the RDFa rule —
+    microdata only honors content on <meta>)."""
+    return _extract_annotated(html, "rdfa")

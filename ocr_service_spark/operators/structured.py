@@ -81,3 +81,25 @@ def extract_microdata_items(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.select("url", "html").mapInPandas(run, MICRO_SCHEMA)
+
+
+def extract_rdfa_items(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per RDFa-Lite (item, property) —
+    core/structured_data.py extract_rdfa semantics, same shape as the
+    microdata/JSON-LD lifts (the WDC structured-data triad, closed)."""
+    from ..core.structured_data import extract_rdfa
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url",) + _MCOLS}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for it in extract_rdfa(html):
+                    rows["url"].append(url)
+                    for c in _MCOLS:
+                        rows[c].append(it[c])
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, MICRO_SCHEMA)

@@ -246,3 +246,43 @@ def test_extract_microdata_items_matches_spec(spark):
     assert got == [
         ("u1", 0, "n", "x"), ("u1", 0, "o", "#item1"), ("u1", 1, "p", "1"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# RDFa Lite spec
+# ---------------------------------------------------------------------------
+
+from ocr_service_spark.core.structured_data import extract_rdfa
+
+
+def test_rdfa_content_wins_on_any_element():
+    html = ('<div typeof="T"><span property="p" content="c">text</span>'
+            '<span property="q">text2</span></div>')
+    got = [(r["prop"], r["value"]) for r in extract_rdfa(html)]
+    assert got == [("p", "c"), ("q", "text2")]
+
+
+def test_rdfa_chaining_and_multitype():
+    html = ('<div typeof="A B"><div property="child" typeof="C">'
+            '<span property="x">v</span></div></div>')
+    got = [(r["item_idx"], r["item_type"], r["prop"], r["value"])
+           for r in extract_rdfa(html)]
+    assert got == [
+        (0, "A,B", "child", "#item1"),
+        (1, "C", "x", "v"),
+    ]
+
+
+def test_rdfa_href_and_orphan_property():
+    html = ('<a property="lonely" href="/x">no typeof ancestor</a>'
+            '<div typeof="T"><a property="u" href="/y">y</a></div>')
+    got = [(r["prop"], r["value"]) for r in extract_rdfa(html)]
+    assert got == [("u", "/y")]
+
+
+def test_rdfa_microdata_attrs_do_not_cross_dialects():
+    # itemprop is invisible to RDFa; property invisible to microdata
+    html = ('<div typeof="T" itemscope itemtype="M">'
+            '<span property="a">1</span><span itemprop="b">2</span></div>')
+    assert [(r["prop"], r["value"]) for r in extract_rdfa(html)] == [("a", "1")]
+    assert [(r["prop"], r["value"]) for r in extract_microdata(html)] == [("b", "2")]
