@@ -221,6 +221,7 @@ HEADLINE = [
     "host_trustrank",          # seed-biased PageRank spam demotion
     "host_label_prop",         # clamped synchronous label propagation
     "link_spam_signals",       # reciprocal-link exchange detection
+    "host_curation_prior",     # trustrank x labels x spam capstone
     "priority_sample",         # DLT weighted audit-slice sampling
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -4306,6 +4306,154 @@ LEFT JOIN recip r ON o.host = r.host
 """
 
 
+def q_host_curation_prior(spark, sf_dir):
+    """Crawl-curation capstone: the three host-graph signals composed
+    into one per-host prior on ONE planted 60-host graph — ring
+    (s→s+1), chord (s→11s+3; multiplier chosen so NO chord ever
+    reciprocates — verified offline, so recip>0 is EXACTLY the planted
+    50..59 exchange ring), and xor-paired link exchanges among 50..59.
+    TrustRank (8 rounds, seeds {0,20} — every host is ≤7 directed hops
+    away, so all trust > 0), label propagation (4 rounds, news/shop/spam
+    seeds at 0/20/40 — 4 undirected hops cover the graph), and
+    reciprocal-link spam signals. Rule: a host is zeroed iff it
+    reciprocates links or carries the spam label; otherwise
+    prior_pm = min(1000, trust div 200). The oracle replays all three
+    unrolled recurrences over the SAME edge CTE and the final join —
+    a wave, vote, or reciprocal off anywhere breaks the hash."""
+    from .operators.graph import (label_propagation, link_spam_signals,
+                                  trustrank)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 60
+    ring = d.select(s.alias("src"), ((s + 1) % 60).alias("dst"))
+    chord = d.select(s.alias("src"), ((s * 11 + 3) % 60).alias("dst"))
+    exch = d.where(s >= 50).select(
+        s.alias("src"),
+        (F.lit(50) + ((s - 50).bitwiseXOR(F.lit(1)))).alias("dst"),
+    )
+    edges = ring.unionByName(chord).unionByName(exch)
+    trust = trustrank(
+        edges, spark.createDataFrame([(0,), (20,)], "node long"), iters=8
+    )
+    labels = label_propagation(
+        edges,
+        spark.createDataFrame(
+            [(0, "news"), (20, "shop"), (40, "spam")], "node long, label string"
+        ),
+        iters=4,
+    )
+    spam = link_spam_signals(edges).withColumnRenamed("host", "node")
+    j = (
+        trust.join(labels, "node", "left")
+        .join(spam.select("node", "recip_pm"), "node", "left")
+    )
+    spammy = (F.coalesce("recip_pm", F.lit(0)) > 0) | (
+        F.coalesce("label", F.lit("")) == "spam"
+    )
+    prior = F.when(spammy, F.lit(0)).otherwise(
+        F.least(F.lit(1000), F.expr("score div 200"))
+    ).cast("long")
+    return j.select(
+        F.col("node").alias("host"),
+        F.col("score").alias("trust_q"),
+        F.coalesce("recip_pm", F.lit(0)).cast("long").alias("recip_pm"),
+        "label",
+        prior.alias("prior_pm"),
+        (prior > 0).alias("kept"),
+    )
+
+
+def _curation_sql(tr_iters: int = 8, lp_iters: int = 4) -> str:
+    parts = [
+        """WITH dd AS MATERIALIZED (SELECT DISTINCT doc_id % 60 AS s FROM documents),
+e0 AS MATERIALIZED (
+  SELECT s AS src, (s + 1) % 60 AS dst FROM dd
+  UNION SELECT s, (11 * s + 3) % 60 FROM dd
+  UNION SELECT s, 50 + xor(s - 50, 1) FROM dd WHERE s >= 50
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+tseeds AS MATERIALIZED (SELECT unnest([0, 20]) AS node),
+it0 AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN tseeds s ON n.node = s.node
+)"""
+    ]
+    for k in range(1, tr_iters + 1):
+        parts.append(f""",
+it{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+              + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n
+  LEFT JOIN tseeds s ON n.node = s.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.score // d.outdeg) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)""")
+    parts.append(""",
+und AS MATERIALIZED (
+  SELECT a, b FROM (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges) WHERE a <> b
+),
+l0 AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS node, label
+  FROM (VALUES (0, 'news'), (20, 'shop'), (40, 'spam')) AS t(node, label)
+)""")
+    for k in range(1, lp_iters + 1):
+        parts.append(f""",
+v{k} AS MATERIALIZED (
+  SELECT u.a AS node, l.label, COUNT(*) AS cnt
+  FROM und u JOIN l{k - 1} l ON u.b = l.node
+  GROUP BY u.a, l.label
+),
+w{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM w{k} WHERE node NOT IN (SELECT node FROM l0)
+  UNION ALL SELECT node, label FROM l0
+)""")
+    parts.append(f""",
+recip AS MATERIALIZED (
+  SELECT e.src AS node, COUNT(*) AS recip
+  FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+  GROUP BY e.src
+),
+spam AS MATERIALIZED (
+  SELECT d.src AS node,
+         COALESCE(r.recip, 0) * 1000 // d.outdeg AS recip_pm
+  FROM deg d LEFT JOIN recip r ON d.src = r.node
+)
+SELECT n.node AS host, t.score AS trust_q,
+       CAST(COALESCE(sp.recip_pm, 0) AS BIGINT) AS recip_pm,
+       l.label,
+       CAST(CASE WHEN COALESCE(sp.recip_pm, 0) > 0
+                   OR COALESCE(l.label, '') = 'spam' THEN 0
+                 ELSE least(1000, t.score // 200) END AS BIGINT) AS prior_pm,
+       (CASE WHEN COALESCE(sp.recip_pm, 0) > 0
+               OR COALESCE(l.label, '') = 'spam' THEN 0
+             ELSE least(1000, t.score // 200) END > 0) AS kept
+FROM nodes n
+JOIN it{tr_iters} t ON n.node = t.node
+LEFT JOIN l{lp_iters} l ON n.node = l.node
+LEFT JOIN spam sp ON n.node = sp.node""")
+    return "".join(parts)
+
+
+SQL_HOST_CURATION = _curation_sql()
+
+
 def q_hits_scores(spark, sf_dir):
     """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
     15-node host graph derived from events, 5 rounds of the L1-rescaled
@@ -9003,6 +9151,8 @@ CATALOG: Dict[str, tuple] = {
     "host_trustrank": (q_host_trustrank, SQL_TRUSTRANK),
     "host_label_prop": (q_host_label_prop, SQL_LABEL_PROP),
     "link_spam_signals": (q_link_spam_signals, SQL_LINK_SPAM),
+    # crawl-curation capstone: trustrank x label-prop x link-spam
+    "host_curation_prior": (q_host_curation_prior, SQL_HOST_CURATION),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),
