@@ -209,6 +209,8 @@ HEADLINE = [
     "video_near_dup",          # keyframe-hash overlap re-cut detection
     "robots_fetch_schedule",   # Crawl-delay -> politeness plan
     "bitext_candidates",       # URL-pattern translation pairs
+    "hreflang_extract",        # declared-alternate link mining
+    "hreflang_clusters",       # language-variant CC clustering
     "sitemap_coverage",        # declared-vs-crawled audit
     "host_anomaly_gate",       # median/MAD burst detection
     "sentence_chunks",         # sentence-boundary budget chunking

@@ -2277,6 +2277,101 @@ SELECT url, art_idx, 'https://schema.org/Article', 'dateModified', 1,
 """
 
 
+_HREFLANG_LANG = ("CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+                  "ELSE 'fr' END")
+
+
+def _hreflang_pages(spark, sf_dir):
+    """Planted multilingual sites: group g = doc_id div 3 publishes three
+    language variants /g/{en,de,fr}; every crawled page declares ALL
+    three alternates (self included — the hreflang spec's rule), plus
+    the decoys a real head has (RSS alternate without hreflang, a
+    stylesheet link with one, a commented-out link, a script-built
+    fake). The final group may be partially crawled (g·3+2 past the
+    corpus end) — the declared-but-uncrawled variant still appears as a
+    cluster node with NULL lang, exactly like a real crawl gap."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id div 3")
+    lang = F.expr(_HREFLANG_LANG)
+    alts = F.format_string(
+        '<link rel="alternate" hreflang="en" href="/%d/en">'
+        "<link href='/%d/de' hreflang=\"DE\" rel=alternate>"
+        '<link rel="alternate" hreflang="fr" href="/%d/fr">',
+        g, g, g,
+    )
+    html = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">'
+              '<link rel="stylesheet" hreflang="xx" href="/s.css">'
+              '<!-- <link rel="alternate" hreflang="zz" href="/ghost"> -->'
+              "<script>var l='<link rel=alternate hreflang=qq href=/f>';"
+              "</script>"),
+        alts,
+    )
+    return d.select(
+        F.format_string("https://ml.example/%d/%s", g, lang).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def q_hreflang_extract(spark, sf_dir):
+    """Declared-alternate mining (core/links.py extract_hreflang lifted
+    by operators/links.py hreflang_edges): rel token-list matching,
+    case-folded BCP 47 tags, href resolution against the page url, and
+    decoy invisibility — all replayed arithmetically by the oracle."""
+    from .operators.links import hreflang_edges
+
+    return hreflang_edges(_hreflang_pages(spark, sf_dir))
+
+
+SQL_HREFLANG_EXTRACT = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS g, {_HREFLANG_LANG} AS lang
+  FROM documents
+),
+u AS (
+  SELECT g, printf('https://ml.example/%d/%s', g, lang) AS url FROM d
+)
+SELECT u.url, t.l AS hreflang,
+       printf('https://ml.example/%d/%s', u.g, t.l) AS target
+FROM u CROSS JOIN (SELECT unnest(['en', 'de', 'fr']) AS l) t
+"""
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """Language-variant clustering (operators/links.py
+    hreflang_clusters): declared-alternate edges through pointer-
+    doubling connected components, canonical = md5-minimal member,
+    per-url lang from its self-reference row, cluster sizes counted.
+    Partially-crawled final groups leave a NULL-lang node — the crawl-
+    gap case — and the oracle recomputes canonicals via the identical
+    15-hex-md5 arg-min."""
+    from .operators.links import hreflang_clusters
+
+    return hreflang_clusters(_hreflang_pages(spark, sf_dir))
+
+
+SQL_HREFLANG_CLUSTERS = f"""
+WITH gs AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
+urls AS (
+  SELECT g, t.l, printf('https://ml.example/%d/%s', g, t.l) AS url
+  FROM gs CROSS JOIN (SELECT unnest(['en', 'de', 'fr']) AS l) t
+),
+crawled AS (
+  SELECT DISTINCT doc_id // 3 AS g, {_HREFLANG_LANG} AS l FROM documents
+),
+canon AS (
+  SELECT g, arg_min(url,
+           CAST(('0x' || substr(md5(url), 1, 15)) AS UBIGINT)) AS curl
+  FROM urls GROUP BY g
+)
+SELECT u.url, c.l AS lang, canon.curl AS canonical_url,
+       CAST(3 AS BIGINT) AS n_members
+FROM urls u
+LEFT JOIN crawled c ON u.g = c.g AND u.l = c.l
+JOIN canon ON u.g = canon.g
+"""
+
+
 def q_rdfa_extract(spark, sf_dir):
     """RDFa Lite mining (core/structured_data.py extract_rdfa — the
     third WDC dialect, closing the JSON-LD + microdata triad): every doc
@@ -9169,6 +9264,9 @@ CATALOG: Dict[str, tuple] = {
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD),
     "microdata_extract": (q_microdata_extract, SQL_MICRODATA),
     "rdfa_extract": (q_rdfa_extract, SQL_RDFA),
+    # hreflang declared-alternate mining (operators/links.py)
+    "hreflang_extract": (q_hreflang_extract, SQL_HREFLANG_EXTRACT),
+    "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
     # crawl-payload charset normalization (core/charset.py cascade)
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
     # RFC 9309 robots.txt URL gate (core/robots.py interpreter)

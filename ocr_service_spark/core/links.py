@@ -96,3 +96,49 @@ def resolve_outlink(base_url: str, href: str) -> Optional[str]:
         return None
     url, _frag = urldefrag(absolute)
     return url or None
+
+
+# <link> tags only matter in a few rel flavors; hreflang alternates are
+# the one that mines multilingual site structure (Google's hreflang
+# annotation — the highest-precision bitext pairing signal a crawl has,
+# cf. ParaCrawl's use of declared alternates before URL-pattern matching).
+_LINK_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<script\b.*?(?:</script\s*>|$)"
+    r"|<style\b.*?(?:</style\s*>|$)"
+    r"|<link\b([^>]*)(?:>|$)"
+)
+_LINK_ATTR_RE = re.compile(
+    r"""(?is)(?<![\w-])(rel|hreflang|href)\s*=\s*"""
+    r"""(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
+)
+
+
+def extract_hreflang(html: str) -> List[Tuple[str, str]]:
+    """All (hreflang, raw_href) pairs from `<link rel=alternate
+    hreflang=... href=...>` tags, document order. One linear pass with
+    the module's comment/script/style consumption; rel is matched as a
+    whitespace token list (rel="alternate stylesheet" qualifies,
+    rel="alternates" does not); hreflang values lowercase (BCP 47 tags
+    are case-insensitive); first occurrence of a duplicated attribute
+    wins (html.parser convention)."""
+    out: List[Tuple[str, str]] = []
+    for m in _LINK_TOKEN_RE.finditer(html):
+        if m.group(1) is None:
+            continue
+        attrs = {}
+        for am in _LINK_ATTR_RE.finditer(m.group(1)):
+            k = am.group(1).lower()
+            if k not in attrs:
+                v = am.group(2)
+                if v is None:
+                    v = am.group(3)
+                if v is None:
+                    v = am.group(4) or ""
+                attrs[k] = _html.unescape(v)
+        if "alternate" not in attrs.get("rel", "").lower().split():
+            continue
+        lang, href = attrs.get("hreflang"), attrs.get("href")
+        if lang and href:
+            out.append((lang.strip().lower(), href))
+    return out

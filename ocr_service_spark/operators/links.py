@@ -110,3 +110,79 @@ def anchor_text_index(outlinks: DataFrame, k: int = 8) -> DataFrame:
         "n_src_hosts",
         F.coalesce(F.col("anchors"), F.lit("")).alias("anchors"),
     )
+
+
+HREFLANG_SCHEMA = "url string, hreflang string, target string"
+
+
+def hreflang_edges(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, hreflang, target) rows from
+    `<link rel=alternate hreflang>` annotations, targets absolute and
+    fragment-free — the declared multilingual site structure, the
+    highest-precision bitext pairing signal a crawl carries (ParaCrawl
+    mines these before falling back to URL patterns). Same one-pass
+    Arrow shape as extract_outlinks; spec in core/links.py
+    extract_hreflang."""
+    from ..core.links import extract_hreflang
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, langs, targets = [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for lang, raw in extract_hreflang(html):
+                    target = resolve_outlink(url, raw)
+                    if target is None:
+                        continue
+                    urls.append(url)
+                    langs.append(lang)
+                    targets.append(target)
+            yield pd.DataFrame(
+                {"url": urls, "hreflang": langs, "target": targets}
+            )
+
+    return pages.select("url", "html").mapInPandas(run, HREFLANG_SCHEMA)
+
+
+def hreflang_clusters(pages: DataFrame) -> DataFrame:
+    """Language-variant clusters from declared hreflang alternates:
+    the (url → target) edges run through the pointer-doubling connected
+    components (via graph.host_components — urls are just string nodes
+    to it), every member keyed to a deterministic canonical url (the
+    md5-minimal member), and each url carries its own language = the
+    hreflang token its cluster declares FOR it (self-reference row).
+    Output (url, lang, canonical_url, n_members) — aligned translation
+    tuples fall straight out of a self-join on canonical_url.
+
+    Scale shape: the scanner pass is linear; CC is O(log n) rounds; the
+    lang attach and member count are one partitioned join + one hash
+    aggregate each. hreflang clusters are size-bounded (a site declares
+    tens of language variants, not millions), so no skew handling is
+    needed beyond what CC already does."""
+    from .graph import host_components
+
+    edges = hreflang_edges(pages)
+    e = (
+        edges.select("url", "target")
+        .where(F.col("url") != F.col("target"))
+        .distinct()
+    )
+    comp = host_components(e, src="url", dst="target").select(
+        F.col("host").alias("url"),
+        F.col("canonical_host").alias("canonical_url"),
+    )
+    self_lang = (
+        edges.where(F.col("url") == F.col("target"))
+        .groupBy("url")
+        .agg(F.min("hreflang").alias("lang"))
+    )
+    sizes = comp.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        comp.join(self_lang, "url", "left")
+        .join(sizes, "canonical_url")
+        .select("url", "lang", "canonical_url", "n_members")
+    )

@@ -194,3 +194,75 @@ class TestAnchorTextIndex:
         # the k-cap must push into the sort: per-group state O(k), not O(in-degree)
         assert "WindowGroupLimit" in plan, plan
         assert "CartesianProduct" not in plan
+
+
+class TestHreflang:
+    def test_scanner_tokens_case_quotes_decoys(self):
+        from ocr_service_spark.core.links import extract_hreflang
+
+        html = (
+            '<link rel="alternate" hreflang="en" href="/0/en">'
+            "<link href='/0/de' hreflang=\"DE\" rel=alternate>"
+            '<link rel="alternate stylesheet" hreflang="fr" href="/0/fr">'
+            '<link rel="alternate" type="application/rss+xml" href="/feed">'
+            '<link rel="stylesheet" hreflang="xx" href="/s.css">'
+            '<link rel="alternates" hreflang="yy" href="/no">'
+            '<!-- <link rel="alternate" hreflang="zz" href="/ghost"> -->'
+            "<script>var s='<link rel=alternate hreflang=qq href=/f>';"
+            "</script>"
+        )
+        assert extract_hreflang(html) == [
+            ("en", "/0/en"), ("de", "/0/de"), ("fr", "/0/fr")
+        ]
+
+    def test_scanner_linear_on_hostile_markup(self):
+        import time
+
+        from ocr_service_spark.core.links import extract_hreflang
+
+        for blob in ("<link " + "x" * 2_000_000,
+                     '<link rel=alternate hreflang=en href=/a>' * 30000):
+            t0 = time.monotonic()
+            extract_hreflang(blob)
+            assert time.monotonic() - t0 < 3.0
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, html binary")
+
+    def test_edges_resolve_against_page_url(self, spark):
+        from ocr_service_spark.operators.links import hreflang_edges
+
+        html = ('<link rel="alternate" hreflang="de" href="/de">'
+                '<link rel="alternate" hreflang="en" '
+                'href="https://other.example/en#frag">').encode()
+        got = {(r["hreflang"], r["target"])
+               for r in hreflang_edges(
+                   self._pages(spark, [("https://a.example/x/en", html)])
+               ).collect()}
+        assert got == {("de", "https://a.example/de"),
+                       ("en", "https://other.example/en")}
+
+    def test_clusters_canonical_lang_and_gap(self, spark):
+        from ocr_service_spark.operators.links import hreflang_clusters
+
+        def page(g, lang):
+            alts = "".join(
+                f'<link rel="alternate" hreflang="{l}" href="/{g}/{l}">'
+                for l in ("en", "de", "fr"))
+            return (f"https://s.example/{g}/{lang}", alts.encode())
+
+        # group 0 fully crawled; group 1 missing its fr page (crawl gap)
+        pages = self._pages(spark, [page(0, "en"), page(0, "de"),
+                                    page(0, "fr"), page(1, "en"),
+                                    page(1, "de")])
+        rows = hreflang_clusters(pages).collect()
+        by_url = {r["url"]: r for r in rows}
+        assert len(rows) == 6  # 3 + 3 nodes (fr of group 1 declared-only)
+        for g in (0, 1):
+            members = {u for u in by_url if f"/{g}/" in u}
+            assert len(members) == 3
+            canons = {by_url[u]["canonical_url"] for u in members}
+            assert len(canons) == 1 and canons.pop() in members
+            assert all(by_url[u]["n_members"] == 3 for u in members)
+        assert by_url["https://s.example/1/fr"]["lang"] is None
+        assert by_url["https://s.example/0/fr"]["lang"] == "fr"
