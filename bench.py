@@ -225,6 +225,7 @@ HEADLINE = [
     "link_spam_signals",       # reciprocal-link exchange detection
     "host_curation_prior",     # trustrank x labels x spam capstone
     "priority_sample",         # DLT weighted audit-slice sampling
+    "split_leakage_audit",     # cross-split duplicate contamination
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

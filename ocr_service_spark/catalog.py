@@ -3410,6 +3410,39 @@ GROUP BY 1, 2
 """
 
 
+def q_split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit (operators/sampling.py
+    split_leakage_audit): planted duplicate content (groups of 5
+    consecutive doc_ids share one text) split 80/10/5 by doc_id md5 —
+    members of a content group land in different splits by construction
+    (~2/3 of groups straddle; ~1/3 happen to stay inside train), and
+    the 5% holdout's null split never counts as leakage. The oracle
+    replays the split CASE chain, the content grouping, the distinct-
+    split count, and the sorted splits_csv."""
+    from .operators.sampling import split_leakage_audit
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    docs = d.withColumn(
+        "text", F.format_string("corpus doc %d", F.expr("doc_id div 5"))
+    )
+    return split_leakage_audit(docs, "doc_id", "text", _SPLITS)
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH labeled AS (
+  SELECT {_split_case_sql()} AS split,
+         md5(printf('corpus doc %d', doc_id // 5)) AS ckey
+  FROM documents
+)
+SELECT ckey, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       COALESCE(string_agg(DISTINCT split, ',' ORDER BY split), '')
+         AS splits_csv,
+       COUNT(DISTINCT split) > 1 AS leaked
+FROM labeled GROUP BY ckey
+"""
+
+
 _MIX_WEIGHTS = {"en": 2.3, "zh": 1.0, "fr": 0.5}
 _MIX_DEFAULT = 0.25
 
@@ -9218,6 +9251,7 @@ CATALOG: Dict[str, tuple] = {
     # deterministic sampling / splitting (operators/sampling.py)
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
+    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "mixture_repeat": (q_mixture_repeat, SQL_MIXTURE_REPEAT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

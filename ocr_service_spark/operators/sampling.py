@@ -420,3 +420,48 @@ def mixture_waterfill(
         "capped",
         alloc.cast("long").alias("alloc_tokens"),
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    splits,
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split contamination audit: hash_split assigns splits by KEY,
+    but identical CONTENT can live under many keys (mirrors, reposts,
+    boilerplate) — and a duplicate straddling train/test silently
+    inflates eval. This groups rows by exact content hash, counts
+    members and distinct splits per group, and flags the straddlers —
+    the audit every published split should ship with (the reason
+    GPT-3-era papers report n-gram overlap between train and their
+    benchmarks).
+
+    Holdout rows (null split) never count as leakage — withheld content
+    isn't evaluated against. Near-dup leakage is the same audit run on
+    a canonicalized/fingerprinted content column (minhash cluster id,
+    simhash band, canonical_url) instead of raw text — the grouping is
+    the caller's choice of content key.
+
+    Scale shape: ONE hash aggregate keyed by the content hash with
+    map-side partials; the split assignment is the row-local md5-range
+    function, so nothing shuffles except the group rows.
+
+    Output: (ckey, n_docs, n_splits, splits_csv, leaked).
+    """
+    labeled = hash_split(df, key_col, splits, split_col=split_col)
+    return (
+        labeled.select(
+            F.md5(F.col(content_col)).alias("ckey"), F.col(split_col)
+        )
+        .groupBy("ckey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(split_col).cast("long").alias("n_splits"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(split_col))
+            ).alias("splits_csv"),
+        )
+        .withColumn("leaked", F.col("n_splits") > 1)
+    )

@@ -367,3 +367,41 @@ class TestPrioritySample:
         got = self._sample(spark, rows, 64)
         est = sum(e for _, e in got.values())
         assert 0.5 * total < est < 1.5 * total
+
+
+class TestSplitLeakageAudit:
+    def _run(self, spark, rows, splits):
+        from ocr_service_spark.operators.sampling import split_leakage_audit
+
+        df = spark.createDataFrame(rows, "k long, text string")
+        out = split_leakage_audit(df, "k", "text", splits)
+        return {r["ckey"]: r.asDict() for r in out.collect()}
+
+    def test_straddler_flagged_single_split_not(self, spark):
+        # find two keys landing in different splits and two in the same
+        from ocr_service_spark.operators.sampling import hash_split
+
+        probe = spark.createDataFrame([(i,) for i in range(40)], "k long")
+        splits = [("train", 0.5), ("test", 0.5)]
+        lab = {r["k"]: r["split"]
+               for r in hash_split(probe, "k", splits).collect()}
+        tr = [k for k, s in lab.items() if s == "train"]
+        te = [k for k, s in lab.items() if s == "test"]
+        rows = [(tr[0], "dup"), (te[0], "dup"),        # straddles
+                (tr[1], "safe"), (tr[2], "safe"),      # same split
+                (tr[3], "solo")]                       # singleton
+        got = self._run(spark, rows, splits)
+        by_docs = {v["n_docs"]: v for v in got.values()}
+        dup = [v for v in got.values() if v["splits_csv"] == "test,train"]
+        assert len(dup) == 1 and dup[0]["leaked"] and dup[0]["n_docs"] == 2
+        safe = [v for v in got.values()
+                if v["n_docs"] == 2 and not v["leaked"]]
+        assert len(safe) == 1 and safe[0]["splits_csv"] == "train"
+        solo = by_docs[1]
+        assert not solo["leaked"] and solo["n_splits"] == 1
+
+    def test_holdout_null_never_leaks(self, spark):
+        # 0% assigned: every row is holdout -> n_splits 0, empty csv
+        got = self._run(spark, [(1, "x"), (2, "x")], [("train", 0.0)])
+        (v,) = got.values()
+        assert v["n_splits"] == 0 and v["splits_csv"] == "" and not v["leaked"]
