@@ -3443,6 +3443,35 @@ FROM labeled GROUP BY ckey
 """
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum epoch ordering (operators/sampling.py
+    curriculum_order): documents stream in length-tier buckets
+    (min(n_chars div 200, 4) — the cheap difficulty proxy) with a
+    deterministic md5 shuffle inside each tier; position comes from the
+    distributed prefix sum, never a global window. The oracle is one
+    ROW_NUMBER over the identical composite order — any partition-
+    boundary off-by-one in the prefix sum breaks every later position."""
+    from .operators.sampling import curriculum_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiered = docs.withColumn(
+        "bucket", F.least(F.expr("n_chars div 200"), F.lit(4)).cast("long")
+    )
+    return curriculum_order(tiered, "doc_id", "bucket", salt="ep0:").select(
+        "doc_id", "bucket", "curriculum_pos"
+    )
+
+
+SQL_CURRICULUM = """
+SELECT doc_id, least(n_chars // 200, 4) AS bucket,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY least(n_chars // 200, 4),
+                  md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS curriculum_pos
+FROM documents
+"""
+
+
 _MIX_WEIGHTS = {"en": 2.3, "zh": 1.0, "fr": 0.5}
 _MIX_DEFAULT = 0.25
 
@@ -9252,6 +9281,7 @@ CATALOG: Dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
     "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE),
+    "curriculum_order": (q_curriculum_order, SQL_CURRICULUM),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "mixture_repeat": (q_mixture_repeat, SQL_MIXTURE_REPEAT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

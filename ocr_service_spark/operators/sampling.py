@@ -465,3 +465,33 @@ def split_leakage_audit(
         )
         .withColumn("leaked", F.col("n_splits") > 1)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    salt: str = "",
+    pos_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Curriculum training order: a global 1-based position under
+    (bucket ASC, md5(salt||key)) — documents stream bucket-by-bucket
+    (e.g. cleanest/easiest quality tier first, the curriculum-learning
+    schedule), deterministically shuffled WITHIN each bucket exactly
+    like deterministic_shuffle (same salt semantics: change it per
+    epoch, membership never changes, only order).
+
+    Scale shape: same as deterministic_shuffle — ranking under a total
+    order is the distributed prefix sum of 1s (quality.
+    global_prefix_sum), never a bare global window; repartitionByRange
+    on (bucket, md5) keeps the range partitioner balanced because the
+    md5 minor key is uniform within every bucket.
+    """
+    keyed = df.withColumn(
+        "_skey", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ).withColumn("_one", F.lit(1).cast("long"))
+    from .quality import global_prefix_sum
+
+    return global_prefix_sum(
+        keyed, [bucket_col, "_skey", key_col], "_one", out_col=pos_col
+    ).drop("_one", "_skey")

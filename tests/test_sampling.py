@@ -405,3 +405,24 @@ class TestSplitLeakageAudit:
         got = self._run(spark, [(1, "x"), (2, "x")], [("train", 0.0)])
         (v,) = got.values()
         assert v["n_splits"] == 0 and v["splits_csv"] == "" and not v["leaked"]
+
+
+class TestCurriculumOrder:
+    def test_bucket_major_md5_minor_matches_serial(self, spark):
+        import hashlib
+
+        from ocr_service_spark.operators.sampling import curriculum_order
+
+        rows = [(i, i % 3) for i in range(150)]
+        df = spark.createDataFrame(rows, "doc_id long, bucket long")
+        out = curriculum_order(df, "doc_id", "bucket", salt="s:").toPandas()
+        got = list(out.sort_values("curriculum_pos")["doc_id"])
+        want = [i for i, _ in sorted(
+            rows, key=lambda r: (r[1],
+                                 hashlib.md5(f"s:{r[0]}".encode()).hexdigest(),
+                                 r[0]))]
+        assert got == want
+        assert sorted(out["curriculum_pos"]) == list(range(1, 151))
+        # bucket boundaries are contiguous position ranges
+        b0 = out[out.bucket == 0]["curriculum_pos"]
+        assert set(b0) == set(range(1, len(b0) + 1))
