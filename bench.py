@@ -226,6 +226,7 @@ HEADLINE = [
     "host_curation_prior",     # trustrank x labels x spam capstone
     "priority_sample",         # DLT weighted audit-slice sampling
     "split_leakage_audit",     # cross-split duplicate contamination
+    "iban_scrub",              # mod-97-verified IBAN redaction
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

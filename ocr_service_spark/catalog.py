@@ -3410,6 +3410,93 @@ GROUP BY 1, 2
 """
 
 
+_IBANS = ["GB82WEST12345698765432", "DE89370400440532013000",
+          "FR1420041010050500013M02606", "NL91ABNA0417164300",
+          "ES9121000418450200051332"]  # all mod-97 valid (ISO examples)
+
+
+def q_iban_scrub(spark, sf_dir):
+    """mod-97-verified IBAN scrubbing (operators/quality.py iban_scrub):
+    every doc embeds one VALID IBAN (rotating through five real ISO
+    examples); every 3rd doc adds the same IBAN with its last digit
+    bumped (structurally perfect, checksum-dead — must survive), and
+    every doc carries a 16-digit decoy. The oracle replays candidate
+    extraction, the list_reduce mod-97 fold, and the redaction — a
+    validator that accepted everything or nothing breaks the hash both
+    ways."""
+    from .operators.quality import iban_scrub
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    arms = F.when(F.col("doc_id") % 5 == 0, _IBANS[0])
+    for i, v in enumerate(_IBANS[1:], 1):
+        arms = arms.when(F.col("doc_id") % 5 == i, v)
+    d = d.withColumn("good", arms)
+    # checksum-dead twin: bump the final digit (all five examples end in
+    # a digit) — structure stays perfect, mod-97 dies
+    bad = F.concat(
+        F.expr("substr(good, 1, length(good) - 1)"),
+        ((F.expr("substr(good, length(good), 1)").cast("int") + 1) % 10)
+        .cast("string"),
+    )
+    text = F.concat(
+        F.lit("wire to "), F.col("good"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" or maybe "), bad)).otherwise(F.lit("")),
+        F.format_string(" ref 1234567890123456 case %d", "doc_id"),
+    )
+    return iban_scrub(d.withColumn("text", text))
+
+
+def _iban_sql() -> str:
+    good = ("CASE doc_id % 5 " + " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(_IBANS)) + " END")
+    # validity replay: list_reduce over the rearranged char array with
+    # struct state {m: multiplier, v: running mod} — first element seeds
+    # the fold (0*m + v ≡ the acc=0 start Spark's aggregate uses)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {good} AS good FROM documents
+),
+t AS (
+  SELECT doc_id,
+         'wire to ' || good ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' or maybe ' || substr(good, 1, length(good) - 1) ||
+                   CAST((CAST(substr(good, length(good), 1) AS INT) + 1)
+                        % 10 AS VARCHAR)
+              ELSE '' END ||
+         printf(' ref 1234567890123456 case %d', doc_id) AS text
+  FROM d
+),
+c AS (
+  SELECT doc_id, text,
+         list_filter(
+           regexp_extract_all(text,
+             '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}\\b'),
+           cand -> list_reduce(
+             list_transform(
+               string_split(substr(cand, 5) || substr(cand, 1, 4), ''),
+               ch -> {{'m': CASE WHEN ch BETWEEN '0' AND '9'
+                                 THEN 10 ELSE 100 END,
+                      'v': CASE WHEN ch BETWEEN '0' AND '9'
+                                 THEN CAST(ch AS INT)
+                                 ELSE ascii(ch) - 55 END}}),
+             (acc, x) -> {{'m': 0, 'v': (acc.v * x.m + x.v) % 97}}
+           ).v = 1
+         ) AS valid
+  FROM t
+)
+SELECT doc_id,
+       list_reduce(list_prepend(text, valid),
+                   (acc, x) -> replace(acc, x, '<IBAN>')) AS redacted,
+       CAST(len(valid) AS INT) AS n_ibans
+FROM c
+"""
+
+
+SQL_IBAN_SCRUB = _iban_sql()
+
+
 def q_split_leakage_audit(spark, sf_dir):
     """Cross-split contamination audit (operators/sampling.py
     split_leakage_audit): planted duplicate content (groups of 5
@@ -9411,6 +9498,7 @@ CATALOG: Dict[str, tuple] = {
     "corpus_tv_drift": (q_corpus_tv_drift, SQL_CORPUS_TV_DRIFT),
     # Luhn-verified card scrubbing (operators/quality.py)
     "luhn_card_scrub": (q_luhn_card_scrub, SQL_LUHN_SCRUB),
+    "iban_scrub": (q_iban_scrub, SQL_IBAN_SCRUB),
     # heading-aware structure chunking (operators/chunking.py)
     "heading_chunks": (q_heading_chunks, SQL_HEADING_CHUNKS),
     # video near-dup by frame-hash overlap (operators/imagedup.py)

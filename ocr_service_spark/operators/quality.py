@@ -920,3 +920,51 @@ def luhn_card_scrub(
         redacted.alias("redacted"),
         F.size(valid).cast("int").alias("n_cards"),
     )
+
+
+def iban_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Checksum-verified IBAN scrubbing — luhn_card_scrub's sibling for
+    international bank account numbers (ISO 13616): compact-form
+    candidates (CC + 2 check digits + 11-30 alphanumerics) are VALIDATED
+    with the mod-97 rule (move the first four chars to the end, map
+    A..Z to 10..35, the resulting number ≡ 1 mod 97) before redaction.
+    A random candidate passes mod-97 only 1/97 of the time, which is
+    what keeps invoice ids and tracking codes out of the shredder.
+
+    All Catalyst expressions, no UDF: the mod-97 fold runs as one
+    F.aggregate over the candidate's char array with the modulus taken
+    every step (acc stays < 97·100 — no bignum needed, which is the
+    point of the streaming form); redaction folds literal replaces over
+    the VALID candidates. The DuckDB twin runs the identical fold via
+    list_reduce with struct state."""
+    cand_re = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(t, F.lit(cand_re), 0)
+
+    def mod97_valid(c):
+        rearranged = F.concat(F.substring(c, 5, 34), F.substring(c, 1, 4))
+        chars = F.filter(F.split(rearranged, ""), lambda ch: ch != "")
+        is_digit = lambda ch: (ch >= "0") & (ch <= "9")  # noqa: E731
+        val = lambda ch: F.when(  # noqa: E731
+            is_digit(ch), F.ascii(ch) - 48
+        ).otherwise(F.ascii(ch) - 55)
+        total = F.aggregate(
+            chars,
+            F.lit(0),
+            lambda acc, ch: F.when(
+                is_digit(ch), (acc * 10 + val(ch)) % 97
+            ).otherwise((acc * 100 + val(ch)) % 97),
+        )
+        return total == 1
+
+    valid = F.filter(cands, mod97_valid)
+    redacted = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit("<IBAN>"))
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(valid).cast("int").alias("n_ibans"),
+    )

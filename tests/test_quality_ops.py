@@ -1266,3 +1266,36 @@ class TestInvertedIndexBuild:
         df = spark.createDataFrame([(1, ""), (2, None)],
                                    "doc_id long, text string")
         assert build_inverted_index(df).count() == 0
+
+
+class TestIbanScrub:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.quality import iban_scrub
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: (r["n_ibans"], r["redacted"])
+                for r in iban_scrub(df).collect()}
+
+    def test_mod97_separates_valid_from_structural(self, spark):
+        got = self._run(spark, [
+            (1, "pay GB82WEST12345698765432 today"),      # valid (ISO ex.)
+            (2, "pay GB82WEST12345698765433 today"),      # checksum-dead
+            (3, "DE89370400440532013000 & FR1420041010050500013M02606"),
+            (4, "ref AB12CDEF345678901 and 1234567890123456"),  # decoys
+            (5, None),
+        ])
+        assert got[1] == (1, "pay <IBAN> today")
+        assert got[2] == (0, "pay GB82WEST12345698765433 today")
+        assert got[3] == (2, "<IBAN> & <IBAN>")
+        assert got[4][0] == 0
+        assert got[5] == (0, "")
+
+    def test_short_and_long_bounds(self, spark):
+        # NL (18 chars) and ES (24) both validate; a 14-char string is
+        # below the structural floor and never even a candidate
+        got = self._run(spark, [
+            (1, "NL91ABNA0417164300"),
+            (2, "ES9121000418450200051332"),
+            (3, "NL91ABNA04171"),
+        ])
+        assert got[1][0] == 1 and got[2][0] == 1 and got[3][0] == 0
