@@ -211,6 +211,8 @@ HEADLINE = [
     "bitext_candidates",       # URL-pattern translation pairs
     "hreflang_extract",        # declared-alternate link mining
     "hreflang_clusters",       # language-variant CC clustering
+    "feed_discovery",          # RSS/Atom autodiscovery inventory
+    "meta_refresh_edges",      # client-side redirect mining
     "sitemap_coverage",        # declared-vs-crawled audit
     "host_anomaly_gate",       # median/MAD burst detection
     "sentence_chunks",         # sentence-boundary budget chunking

@@ -2372,6 +2372,106 @@ JOIN canon ON u.g = canon.g
 """
 
 
+def q_feed_discovery(spark, sf_dir):
+    """RSS/Atom autodiscovery (core/links.py extract_feed_links): every
+    doc declares an RSS feed (titled), every 2nd also an Atom one, amid
+    the decoys a real head carries (stylesheet with a feed MIME type,
+    alternate with text/html, commented-out feed link). Targets resolve
+    against the page url. Oracle replays the planting."""
+    from .operators.links import feed_discovery
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 25
+    html = F.concat(
+        F.lit('<link rel="stylesheet" type="application/rss+xml" href="/d1">'
+              '<link rel="alternate" type="text/html" href="/d2">'
+              '<!-- <link rel="alternate" type="application/rss+xml"'
+              ' href="/ghost"> -->'),
+        F.format_string(
+            '<link rel="alternate" type="application/rss+xml"'
+            ' title="Site %d" href="/feed-%d.xml">', h, h),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("<link rel=alternate type='application/atom+xml'"
+                  " href=/atom>"),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.format_string("https://h%d.example/p/%d", h, "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return feed_discovery(pages)
+
+
+SQL_FEED_DISCOVERY = """
+WITH d AS (
+  SELECT doc_id, doc_id % 25 AS h,
+         printf('https://h%d.example/p/%d', doc_id % 25, doc_id) AS url
+  FROM documents
+)
+SELECT url, 'rss' AS kind,
+       printf('https://h%d.example/feed-%d.xml', h, h) AS feed_url,
+       printf('Site %d', h) AS title
+FROM d
+UNION ALL
+SELECT url, 'atom', printf('https://h%d.example/atom', h), ''
+FROM d WHERE doc_id % 2 = 0
+"""
+
+
+def q_meta_refresh(spark, sf_dir):
+    """Client-side redirect mining (core/links.py extract_meta_refresh):
+    every 3rd doc carries a '3; url=/next/<id>' refresh, every 9th
+    instead a bare '5' reload (NULL target), one arm uses the quoted
+    URL='...' form; commented-out directives and name=refresh metas are
+    invisible; only refresh-bearing pages emit. Oracle replays delays,
+    resolution, and the NULL-target reload arm."""
+    from .operators.links import meta_refresh_edges
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 25
+    refresh = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.lit('<meta http-equiv="refresh" content="5">'),
+    ).otherwise(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.format_string(
+                "<meta http-equiv=refresh content=\"3;URL='/next/%d'\">",
+                "doc_id"),
+        ).otherwise(
+            F.format_string(
+                '<meta http-equiv="Refresh" content="3; url=/next/%d">',
+                "doc_id")
+        )
+    )
+    html = F.concat(
+        F.lit('<meta name="refresh" content="1; url=/decoy">'
+              '<!-- <meta http-equiv=refresh content="1;url=/ghost"> -->'),
+        F.when(F.col("doc_id") % 3 == 0, refresh).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.format_string("https://h%d.example/p/%d", h, "doc_id").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return meta_refresh_edges(pages)
+
+
+SQL_META_REFRESH = """
+WITH d AS (
+  SELECT doc_id, doc_id % 25 AS h,
+         printf('https://h%d.example/p/%d', doc_id % 25, doc_id) AS url
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT url,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 5 ELSE 3 END AS INT) AS delay_s,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE printf('https://h%d.example/next/%d', h, doc_id) END
+         AS target
+FROM d
+"""
+
+
 def q_rdfa_extract(spark, sf_dir):
     """RDFa Lite mining (core/structured_data.py extract_rdfa — the
     third WDC dialect, closing the JSON-LD + microdata triad): every doc
@@ -9418,6 +9518,8 @@ CATALOG: Dict[str, tuple] = {
     # hreflang declared-alternate mining (operators/links.py)
     "hreflang_extract": (q_hreflang_extract, SQL_HREFLANG_EXTRACT),
     "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
+    "feed_discovery": (q_feed_discovery, SQL_FEED_DISCOVERY),
+    "meta_refresh_edges": (q_meta_refresh, SQL_META_REFRESH),
     # crawl-payload charset normalization (core/charset.py cascade)
     "charset_decode": (q_charset_decode, SQL_CHARSET_DECODE),
     # RFC 9309 robots.txt URL gate (core/robots.py interpreter)

@@ -142,3 +142,78 @@ def extract_hreflang(html: str) -> List[Tuple[str, str]]:
         if lang and href:
             out.append((lang.strip().lower(), href))
     return out
+
+
+_HEAD_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<script\b.*?(?:</script\s*>|$)"
+    r"|<style\b.*?(?:</style\s*>|$)"
+    r"|<(link|meta)\b([^>]*)(?:>|$)"
+)
+_HEAD_ATTR_RE = re.compile(
+    r"""(?is)(?<![\w-])([a-zA-Z][\w-]*)\s*=\s*"""
+    r"""(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
+)
+_FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+# "3; url=/x", "0;URL='/x'", bare "5" (reload) — the WHATWG refresh grammar
+_REFRESH_RE = re.compile(
+    r"""(?is)^\s*(\d+)\s*(?:[;,]\s*(?:url\s*=\s*)?['"]?([^'"]*?)['"]?\s*)?$"""
+)
+
+
+def _head_attrs(raw: str) -> dict:
+    out = {}
+    for m in _HEAD_ATTR_RE.finditer(raw):
+        k = m.group(1).lower()
+        if k not in out:
+            v = m.group(2)
+            if v is None:
+                v = m.group(3)
+            if v is None:
+                v = m.group(4) or ""
+            out[k] = _html.unescape(v)
+    return out
+
+
+def extract_feed_links(html: str) -> List[Tuple[str, str, str]]:
+    """Feed autodiscovery (the RSS/Atom convention every reader
+    implements): (kind, raw_href, title) triples from `<link
+    rel=alternate type=application/rss+xml|atom+xml href=...>` tags,
+    document order; kind is 'rss' or 'atom', title '' when absent.
+    Same linearity contract as extract_hreflang."""
+    out: List[Tuple[str, str, str]] = []
+    for m in _HEAD_TOKEN_RE.finditer(html):
+        if m.group(1) is None or m.group(1).lower() != "link":
+            continue
+        attrs = _head_attrs(m.group(2))
+        if "alternate" not in attrs.get("rel", "").lower().split():
+            continue
+        kind = _FEED_TYPES.get(attrs.get("type", "").strip().lower())
+        href = attrs.get("href")
+        if kind and href:
+            out.append((kind, href, attrs.get("title", "")))
+    return out
+
+
+def extract_meta_refresh(html: str) -> Optional[Tuple[int, Optional[str]]]:
+    """First `<meta http-equiv=refresh>` directive: (delay_seconds,
+    raw_target_url_or_None). Meta refresh is the redirect class the HTTP
+    envelope can't see — doorway/cloaking spam's favorite — and a crawl
+    that ignores it misattributes the content of every such page.
+    Bare-delay reloads return (n, None); a missing/garbled content attr
+    returns None."""
+    for m in _HEAD_TOKEN_RE.finditer(html):
+        if m.group(1) is None or m.group(1).lower() != "meta":
+            continue
+        attrs = _head_attrs(m.group(2))
+        if attrs.get("http-equiv", "").strip().lower() != "refresh":
+            continue
+        cm = _REFRESH_RE.match(attrs.get("content", ""))
+        if cm is None:
+            return None
+        url = cm.group(2)
+        return (int(cm.group(1)), url if url else None)
+    return None

@@ -186,3 +186,67 @@ def hreflang_clusters(pages: DataFrame) -> DataFrame:
         .join(sizes, "canonical_url")
         .select("url", "lang", "canonical_url", "n_members")
     )
+
+
+FEED_DISCOVERY_SCHEMA = "url string, kind string, feed_url string, title string"
+
+
+def feed_discovery(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, kind, feed_url, title) rows from
+    RSS/Atom autodiscovery links, feed targets absolute — the inventory
+    a feed-based recrawl scheduler (streaming/feedmon.py) subscribes
+    from. Spec: core/links.py extract_feed_links."""
+    from ..core.links import extract_feed_links
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "kind": [], "feed_url": [], "title": []}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for kind, raw, title in extract_feed_links(html):
+                    target = resolve_outlink(url, raw)
+                    if target is None:
+                        continue
+                    rows["url"].append(url)
+                    rows["kind"].append(kind)
+                    rows["feed_url"].append(target)
+                    rows["title"].append(title)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, FEED_DISCOVERY_SCHEMA)
+
+
+META_REFRESH_SCHEMA = "url string, delay_s int, target string"
+
+
+def meta_refresh_edges(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, delay_s, target) for pages carrying
+    a `<meta http-equiv=refresh>` directive — the client-side redirect
+    class the HTTP envelope can't see (doorway/cloaking spam's favorite
+    move; operators/canonical.py redirect_resolve accepts these edges
+    exactly like 3xx ones). Bare reloads emit target NULL. Spec:
+    core/links.py extract_meta_refresh."""
+    from ..core.links import extract_meta_refresh
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "delay_s": [], "target": []}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                hit = extract_meta_refresh(html)
+                if hit is None:
+                    continue
+                delay, raw = hit
+                rows["url"].append(url)
+                rows["delay_s"].append(delay)
+                rows["target"].append(
+                    resolve_outlink(url, raw) if raw else None
+                )
+            yield pd.DataFrame(rows).astype({"delay_s": "int32"},
+                                            errors="ignore")
+
+    return pages.select("url", "html").mapInPandas(run, META_REFRESH_SCHEMA)

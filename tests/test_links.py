@@ -266,3 +266,57 @@ class TestHreflang:
             assert all(by_url[u]["n_members"] == 3 for u in members)
         assert by_url["https://s.example/1/fr"]["lang"] is None
         assert by_url["https://s.example/0/fr"]["lang"] == "fr"
+
+
+class TestFeedDiscoveryAndMetaRefresh:
+    def test_feed_scanner_kinds_title_decoys(self):
+        from ocr_service_spark.core.links import extract_feed_links
+
+        html = (
+            '<link rel="alternate" type="application/rss+xml" title="P"'
+            ' href="/feed.xml">'
+            "<link rel=alternate type='APPLICATION/ATOM+XML' href=/atom>"
+            '<link rel="stylesheet" type="application/rss+xml" href="/d1">'
+            '<link rel="alternate" type="text/html" href="/d2">'
+            '<!-- <link rel="alternate" type="application/rss+xml"'
+            ' href="/ghost"> -->'
+        )
+        assert extract_feed_links(html) == [
+            ("rss", "/feed.xml", "P"), ("atom", "/atom", "")
+        ]
+
+    def test_refresh_grammar(self):
+        from ocr_service_spark.core.links import extract_meta_refresh
+
+        assert extract_meta_refresh(
+            '<meta http-equiv="Refresh" content="3; url=/next">'
+        ) == (3, "/next")
+        assert extract_meta_refresh(
+            "<meta http-equiv=refresh content=\"0;URL='/q?a=1'\">"
+        ) == (0, "/q?a=1")
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="5">') == (5, None)
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="garbled">') is None
+        assert extract_meta_refresh(
+            '<meta name="refresh" content="3; url=/no">') is None
+        assert extract_meta_refresh(
+            '<!-- <meta http-equiv=refresh content="1;url=/g"> -->') is None
+
+    def test_operators_resolve_targets(self, spark):
+        from ocr_service_spark.operators.links import (feed_discovery,
+                                                       meta_refresh_edges)
+
+        pages = spark.createDataFrame(
+            [("https://a.example/x/",
+              b'<link rel="alternate" type="application/rss+xml"'
+              b' href="feed.xml">'
+              b'<meta http-equiv=refresh content="2;url=../y">'),
+             ("https://b.example/", b"<p>none</p>")],
+            "url string, html binary",
+        )
+        (f,) = feed_discovery(pages).collect()
+        assert (f["kind"], f["feed_url"], f["title"]) == (
+            "rss", "https://a.example/x/feed.xml", "")
+        (m,) = meta_refresh_edges(pages).collect()
+        assert (m["delay_s"], m["target"]) == (2, "https://a.example/y")
