@@ -9229,7 +9229,6 @@ def q_crawl_depth_bfs(spark, sf_dir):
     BFS rounds as MATERIALIZED CTEs (rounds 5-6 settle nothing — the
     early-exit equivalence); any scanner/resolution/wave miss breaks the
     hash."""
-    from .operators.domains import url_host
     from .operators.graph import bfs_depths
     from .operators.links import extract_outlinks, host_edges
 

@@ -102,18 +102,6 @@ def resolve_outlink(base_url: str, href: str) -> Optional[str]:
 # the one that mines multilingual site structure (Google's hreflang
 # annotation — the highest-precision bitext pairing signal a crawl has,
 # cf. ParaCrawl's use of declared alternates before URL-pattern matching).
-_LINK_TOKEN_RE = re.compile(
-    r"(?is)<!--.*?(?:-->|$)"
-    r"|<script\b.*?(?:</script\s*>|$)"
-    r"|<style\b.*?(?:</style\s*>|$)"
-    r"|<link\b([^>]*)(?:>|$)"
-)
-_LINK_ATTR_RE = re.compile(
-    r"""(?is)(?<![\w-])(rel|hreflang|href)\s*=\s*"""
-    r"""(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
-)
-
-
 def extract_hreflang(html: str) -> List[Tuple[str, str]]:
     """All (hreflang, raw_href) pairs from `<link rel=alternate
     hreflang=... href=...>` tags, document order. One linear pass with
@@ -121,21 +109,15 @@ def extract_hreflang(html: str) -> List[Tuple[str, str]]:
     whitespace token list (rel="alternate stylesheet" qualifies,
     rel="alternates" does not); hreflang values lowercase (BCP 47 tags
     are case-insensitive); first occurrence of a duplicated attribute
-    wins (html.parser convention)."""
+    wins (html.parser convention). Attribute parsing consumes EVERY
+    attribute (via _head_attrs), so `rel=` text inside an unrelated
+    quoted value — title="see href=/spam" — can never shadow the real
+    attributes."""
     out: List[Tuple[str, str]] = []
-    for m in _LINK_TOKEN_RE.finditer(html):
-        if m.group(1) is None:
+    for m in _HEAD_TOKEN_RE.finditer(html):
+        if m.group(1) is None or m.group(1).lower() != "link":
             continue
-        attrs = {}
-        for am in _LINK_ATTR_RE.finditer(m.group(1)):
-            k = am.group(1).lower()
-            if k not in attrs:
-                v = am.group(2)
-                if v is None:
-                    v = am.group(3)
-                if v is None:
-                    v = am.group(4) or ""
-                attrs[k] = _html.unescape(v)
+        attrs = _head_attrs(m.group(2))
         if "alternate" not in attrs.get("rel", "").lower().split():
             continue
         lang, href = attrs.get("hreflang"), attrs.get("href")
@@ -215,5 +197,8 @@ def extract_meta_refresh(html: str) -> Optional[Tuple[int, Optional[str]]]:
         if cm is None:
             return None
         url = cm.group(2)
-        return (int(cm.group(1)), url if url else None)
+        # clamp: doorway pages write absurd delays; unclamped they wrap
+        # int32 downstream into arbitrary (even negative) values
+        delay = min(int(cm.group(1)), 2 ** 31 - 1)
+        return (delay, url if url else None)
     return None

@@ -219,6 +219,7 @@ def _extract_annotated(html: str, dialect: str) -> List[Dict]:
     # text collectors and enforces _ACTIVE_CAP.
     collectors: List[list] = []
     state = {"n_active": 0, "n_dead": 0}
+    open_counts: Dict[str, int] = {}
 
     def emit(item_i: int, prop: str, prop_idx: int, value) -> Dict:
         row = {
@@ -261,11 +262,18 @@ def _extract_annotated(html: str, dialect: str) -> List[Dict]:
             continue  # script/style span, comment, or <! / <? decl
         if m.group(2) is not None:  # close tag
             tag = m.group(2).lower()
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i]["tag"] == tag:
-                    while len(stack) > i:
-                        close_entry(stack.pop())
-                    break
+            # O(1) guard: an unmatched close tag must not scan the stack
+            # (measured quadratic at 16k strays before this counter); a
+            # MATCHED close pays only for the elements it pops, so total
+            # close-tag work is bounded by total pushes — linear.
+            if open_counts.get(tag, 0) > 0:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i]["tag"] == tag:
+                        while len(stack) > i:
+                            e = stack.pop()
+                            open_counts[e["tag"]] -= 1
+                            close_entry(e)
+                        break
             continue
         tag = m.group(3).lower()
         attrs = _md_attrs(m.group(4) or "")
@@ -312,6 +320,7 @@ def _extract_annotated(html: str, dialect: str) -> List[Dict]:
                 "scope": this_item if is_scope else owner,
                 "pending": pending,
             })
+            open_counts[tag] = open_counts.get(tag, 0) + 1
         else:
             # void elements can still OPEN an item (rare but legal for
             # meta/link); the item simply owns no element body

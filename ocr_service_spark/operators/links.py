@@ -163,7 +163,10 @@ def hreflang_clusters(pages: DataFrame) -> DataFrame:
     needed beyond what CC already does."""
     from .graph import host_components
 
-    edges = hreflang_edges(pages)
+    # materialize the scan ONCE: four downstream consumers (CC's host
+    # relation twice, the CC input, self_lang) would otherwise each
+    # re-run the per-page Python pass — the bfs_depths/pagerank fix
+    edges = hreflang_edges(pages).localCheckpoint(eager=True)
     e = (
         edges.select("url", "target")
         .where(F.col("url") != F.col("target"))

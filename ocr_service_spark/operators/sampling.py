@@ -326,7 +326,11 @@ def priority_sample(
         .select(idc.alias("id"), w.alias("weight"),
                 ((h + 1).cast("double") / w.cast("double")).alias("_qinv"))
     )
-    top = ranked.orderBy("_qinv", "id").limit(k + 1)
+    # materialize the top-(k+1) once: the stats aggregate and the final
+    # limit(k) both consume it, and Catalyst does not CSE the two
+    # TakeOrdered subtrees — unmaterialized, the corpus is scanned twice
+    top = ranked.orderBy("_qinv", "id").limit(k + 1).localCheckpoint(
+        eager=True)
     stats = top.agg(
         F.count(F.lit(1)).alias("_n"), F.max("_qinv").alias("_max_qinv")
     )

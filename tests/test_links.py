@@ -320,3 +320,35 @@ class TestFeedDiscoveryAndMetaRefresh:
             "rss", "https://a.example/x/feed.xml", "")
         (m,) = meta_refresh_edges(pages).collect()
         assert (m["delay_s"], m["target"]) == (2, "https://a.example/y")
+
+
+class TestHeadScannerHardening:
+    def test_hreflang_attr_values_cannot_shadow(self):
+        """rel=/href= text inside an unrelated quoted attribute value must
+        not be parsed as attributes (regression: the old scanner matched
+        only rel/hreflang/href names and let title text win)."""
+        from ocr_service_spark.core.links import extract_hreflang
+
+        assert extract_hreflang(
+            '<link rel="alternate" hreflang="en"'
+            ' title="see href=/spam here" href="/real">'
+        ) == [("en", "/real")]
+        assert extract_hreflang(
+            '<link title="rel=stylesheet" rel="alternate" hreflang="de"'
+            ' href="/ok">'
+        ) == [("de", "/ok")]
+
+    def test_meta_refresh_delay_clamped(self, spark):
+        from ocr_service_spark.core.links import extract_meta_refresh
+        from ocr_service_spark.operators.links import meta_refresh_edges
+
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="99999999999;url=/x">'
+        ) == (2 ** 31 - 1, "/x")
+        pages = spark.createDataFrame(
+            [("https://a.example/",
+              b'<meta http-equiv="refresh" content="99999999999;url=/x">')],
+            "url string, html binary",
+        )
+        (r,) = meta_refresh_edges(pages).collect()
+        assert r["delay_s"] == 2 ** 31 - 1  # no int32 wraparound
