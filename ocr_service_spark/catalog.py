@@ -3510,6 +3510,71 @@ GROUP BY 1, 2
 """
 
 
+_IDN_CASES = [
+    # (planted host, unicode, is_idn, decode_ok, scripts, mixed)
+    ("xn--mnchen-3ya.de", "münchen.de", True, True, "latin", False),
+    ("xn--80ak6aa92e.com", "аррӏе.com", True, True, "cyrillic,latin", False),
+    ("xn--pple-43d.com", "аpple.com", True, True, "cyrillic,latin", True),
+    ("shop.example", "shop.example", False, True, "latin", False),
+    ("xn--a-ecp.bad", None, True, False, None, None),
+]
+
+
+def q_idn_host_audit(spark, sf_dir):
+    """IDN homograph audit (operators/domains.py idn_host_audit): five
+    planted host classes — a benign Latin IDN (münchen), an ALL-Cyrillic
+    lookalike (not mixed: the per-LABEL script check is the UTS-39
+    nuance under test), a genuinely mixed-script spoof (аpple with
+    Cyrillic а), plain ASCII, and an undecodable punycode label
+    (errors-as-data: NULL decode). The oracle replays the expected
+    decode/classification as literals — the decode itself has no SQL
+    twin, but every branch of the classifier is value-hash-gated."""
+    from .operators.domains import idn_host_audit
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    arms = F.when(F.col("doc_id") % 5 == 0, _IDN_CASES[0][0])
+    for i, c in enumerate(_IDN_CASES[1:], 1):
+        arms = arms.when(F.col("doc_id") % 5 == i, c[0])
+    hosts = d.select(F.col("doc_id"), arms.alias("host"))
+    # audit DISTINCT hosts (the audit is per-host, not per-page — the
+    # scale shape: a 10^12-page corpus has ~10^8 hosts), then annotate
+    # the page table with a broadcast join
+    audit = idn_host_audit(hosts.select("host").distinct())
+    return hosts.join(F.broadcast(audit), "host").select(
+        "doc_id", "host", "unicode_host", "is_idn", "decode_ok",
+        "scripts_csv", "mixed_script")
+
+
+def _idn_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return "'" + v + "'"
+
+    arms = []
+    for i, (h, u, isi, ok, sc, mx) in enumerate(_IDN_CASES):
+        arms.append(
+            f"WHEN {i} THEN struct_pack(host := {lit(h)},"
+            f" unicode_host := {lit(u)}, is_idn := {lit(isi)},"
+            f" decode_ok := {lit(ok)}, scripts_csv := {lit(sc)},"
+            f" mixed_script := {lit(mx)})"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, CASE doc_id % 5 {' '.join(arms)} END AS r FROM documents
+)
+SELECT doc_id, r.host AS host, r.unicode_host AS unicode_host,
+       r.is_idn AS is_idn, r.decode_ok AS decode_ok,
+       r.scripts_csv AS scripts_csv, r.mixed_script AS mixed_script
+FROM d
+"""
+
+
+SQL_IDN_AUDIT = _idn_sql()
+
+
 _IBANS = ["GB82WEST12345698765432", "DE89370400440532013000",
           "FR1420041010050500013M02606", "NL91ABNA0417164300",
           "ES9121000418450200051332"]  # all mod-97 valid (ISO examples)
@@ -9546,6 +9611,7 @@ CATALOG: Dict[str, tuple] = {
     "kcenter_select": (q_kcenter_select, SQL_KCENTER),
     # eTLD+1 registrable-domain extraction (operators/domains.py)
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
+    "idn_host_audit": (q_idn_host_audit, SQL_IDN_AUDIT),
     # rendezvous minimal-churn sharding (operators/sampling.py)
     "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
     # median/MAD robust host anomaly gate (operators/stats.py)

@@ -335,3 +335,89 @@ def path_prefix_rollup(
             .alias("n_direct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IDN / punycode homograph audit
+# --------------------------------------------------------------------------
+
+# script classes that matter for homograph detection: a single label
+# mixing Latin with Cyrillic/Greek lookalikes is the classic spoof
+# (IDN homograph attack — 'аpple.com' with a Cyrillic а). Ranges are the
+# coarse Unicode blocks; everything else (digits, hyphen, CJK, ...) is
+# neutral for the mixed-script flag, per UTS 39's highly-restrictive gist.
+_SCRIPT_RANGES = (
+    ("latin", 0x0041, 0x024F),
+    ("greek", 0x0370, 0x03FF),
+    ("cyrillic", 0x0400, 0x04FF),
+)
+
+
+def idn_host_info(host: str) -> dict:
+    """Pure spec for one host: decode xn-- labels (stdlib idna codec),
+    classify scripts per label, flag mixed-script labels. Errors are
+    data: an undecodable punycode label yields decode_ok=False and a
+    NULL unicode_host (real crawls carry plenty of mangled xn--).
+
+    Returns {"host", "unicode_host", "is_idn", "decode_ok",
+    "scripts_csv", "mixed_script"}."""
+    labels = host.split(".")
+    is_idn = any(l.lower().startswith("xn--") for l in labels)
+    out_labels, scripts, mixed, ok = [], set(), False, True
+    for l in labels:
+        u = l
+        if l.lower().startswith("xn--"):
+            try:
+                u = l.encode("ascii").decode("idna")
+            except UnicodeError:
+                ok = False
+                out_labels = None
+                break
+        out_labels.append(u)
+        label_scripts = set()
+        for ch in u:
+            cp = ord(ch)
+            for name, lo, hi in _SCRIPT_RANGES:
+                if lo <= cp <= hi:
+                    label_scripts.add(name)
+                    break
+        scripts |= label_scripts
+        if len(label_scripts) > 1:
+            mixed = True
+    return {
+        "host": host,
+        "unicode_host": ".".join(out_labels) if ok else None,
+        "is_idn": is_idn,
+        "decode_ok": ok,
+        "scripts_csv": ",".join(sorted(scripts)) if ok else None,
+        "mixed_script": mixed if ok else None,
+    }
+
+
+IDN_SCHEMA = ("host string, unicode_host string, is_idn boolean, "
+              "decode_ok boolean, scripts_csv string, mixed_script boolean")
+
+_IDN_COLS = ("host", "unicode_host", "is_idn", "decode_ok",
+             "scripts_csv", "mixed_script")
+
+
+def idn_host_audit(hosts) -> "DataFrame":
+    """hosts(host, ...) → one audit row per input row (idn_host_info
+    semantics). Python is unavoidable here (the idna codec), so the pass
+    is one Arrow-batched mapInPandas — per-row work is a few hundred
+    nanoseconds of label decoding, and hosts tables are already tiny
+    relative to the corpus (one row per host, not per page)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in _IDN_COLS}
+            for h in pdf["host"]:
+                if h is None:
+                    continue
+                info = idn_host_info(str(h))
+                for c in _IDN_COLS:
+                    rows[c].append(info[c])
+            yield pd.DataFrame(rows)
+
+    return hosts.select("host").mapInPandas(run, IDN_SCHEMA)

@@ -237,3 +237,35 @@ class TestHostComponents:
         assert len({got["a.com"], got["x.org"], got["solo1.net"]}) == 3
         # canonical is a member of its own cluster
         assert got["a.com"] in {"a.com", "b.com", "c.com"}
+
+
+class TestIdnHostAudit:
+    def test_spec_branches(self):
+        from ocr_service_spark.operators.domains import idn_host_info
+
+        mixed = idn_host_info("xn--pple-43d.com")
+        assert mixed["unicode_host"] == "аpple.com"
+        assert mixed["mixed_script"] is True
+        pure_cyr = idn_host_info("xn--80ak6aa92e.com")
+        assert pure_cyr["mixed_script"] is False  # per-LABEL check
+        assert pure_cyr["scripts_csv"] == "cyrillic,latin"  # .com is latin
+        bad = idn_host_info("xn--a-ecp.bad")
+        assert bad == {"host": "xn--a-ecp.bad", "unicode_host": None,
+                       "is_idn": True, "decode_ok": False,
+                       "scripts_csv": None, "mixed_script": None}
+        plain = idn_host_info("shop.example")
+        assert plain["is_idn"] is False and plain["decode_ok"] is True
+
+    def test_operator_matches_spec(self, spark):
+        from ocr_service_spark.operators.domains import (idn_host_audit,
+                                                         idn_host_info)
+
+        hosts = ["xn--mnchen-3ya.de", "xn--pple-43d.com", "a.example"]
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = sorted(
+            tuple(r[c] for c in ("host", "unicode_host", "mixed_script"))
+            for r in idn_host_audit(df).collect())
+        want = sorted(
+            (i["host"], i["unicode_host"], i["mixed_script"])
+            for i in map(idn_host_info, hosts))
+        assert got == want
