@@ -187,6 +187,7 @@ HEADLINE = [
     "inverted_index_build",    # sharded positional index materialization
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
+    "idn_host_audit",          # punycode decode + homograph flags
     "rendezvous_shard",        # HRW minimal-churn shard assignment
     "readability_scores",      # integer Flesch milli-points + bands
     "paginated_stitch",        # rel=prev article reassembly
