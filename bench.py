@@ -217,6 +217,7 @@ HEADLINE = [
     "sitemap_coverage",        # declared-vs-crawled audit
     "host_anomaly_gate",       # median/MAD burst detection
     "sentence_chunks",         # sentence-boundary budget chunking
+    "cdc_chunks",              # content-defined storage-dedup chunking
     "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
     "microdata_extract",       # schema.org microdata element scoping

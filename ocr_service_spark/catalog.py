@@ -3510,6 +3510,63 @@ GROUP BY 1, 2
 """
 
 
+_CDC_SHARED = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+               "sed do eiusmod tempor incididunt ut labore ") * 4
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/chunking.py cdc_chunks):
+    planted pages = a per-doc header, a 400-char SHARED body, a per-doc
+    tail — so interior chunk hashes repeat across the whole corpus (the
+    storage-dedup payoff CDC exists for) while header/tail chunks stay
+    unique. The oracle replays every boundary decision (the md5-gram
+    cut rule position by position), the segment arithmetic, and the
+    chunk hashes in DuckDB."""
+    from .operators.chunking import cdc_chunks
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.format_string("doc %d header | ", "doc_id"),
+        F.lit(_CDC_SHARED),
+        F.format_string("| tail %d", F.col("doc_id") % 7),
+    )
+    return cdc_chunks(d.withColumn("text", text))
+
+
+SQL_CDC_CHUNKS = f"""
+WITH docs AS (
+  SELECT doc_id,
+         printf('doc %d header | ', doc_id) || '{_CDC_SHARED}' ||
+           printf('| tail %d', doc_id % 7) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+  FROM docs
+),
+cuts AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8))
+             AS UBIGINT) % 64 = 0
+  UNION SELECT doc_id, 1 FROM docs
+),
+seg AS (
+  SELECT doc_id, s AS start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+         LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+  FROM cuts
+)
+SELECT g.doc_id AS id, CAST(chunk_idx AS INT) AS chunk_idx, start,
+       COALESCE(nxt, length(d.t) + 1) - start AS length,
+       md5(substr(d.t, CAST(start AS INT),
+                  CAST(COALESCE(nxt, length(d.t) + 1) - start AS INT)))
+         AS chunk_md5
+FROM seg g JOIN docs d USING (doc_id)
+WHERE COALESCE(nxt, length(d.t) + 1) > start
+"""
+
+
 _IDN_CASES = [
     # (planted host, unicode, is_idn, decode_ok, scripts, mixed)
     ("xn--mnchen-3ya.de", "münchen.de", True, True, "latin", False),
@@ -9672,6 +9729,7 @@ CATALOG: Dict[str, tuple] = {
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     # sentence-boundary token chunking (operators/chunking.py)
     "sentence_chunks": (q_sentence_chunks, SQL_SENTENCE_CHUNKS),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     # declared-vs-sniffed content audit (sources/warc.py)
     "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
     # MOSS winnowing fingerprint (operators/winnow.py)

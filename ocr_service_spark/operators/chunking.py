@@ -154,3 +154,64 @@ def sentence_chunks(
             ),
         ).alias("text"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea): a chunk
+    boundary opens wherever the k-gram AT that position hashes to
+    0 mod `divisor`, so boundaries depend only on LOCAL content —
+    inserting a sentence reshuffles at most the chunk it lands in, and
+    every later chunk keeps its hash. That shift-resistance is what
+    fixed-size blocking lacks and why CDC is the storage-dedup
+    primitive (chunk-level dedup across near-identical page revisions,
+    the snapshot-consolidation companion). Expected chunk length ≈
+    `divisor` chars; no min/max clamp (documented probabilistic form —
+    the clamped variant changes only the cut predicate).
+
+    Engine-exactness: the gear hash is md5 of the k-gram's 32-bit
+    slice — not a rolling multiply — precisely so DuckDB can replay
+    every boundary; at k=8 the md5-per-position cost is linear with a
+    small constant and stays entirely JVM-side (one transform/filter
+    per doc, no Python). Each position's substring is distinct work,
+    not a re-evaluated shared subexpression, so the Catalyst
+    lambda-re-evaluation trap does not apply.
+
+    Output: (id, chunk_idx, start, length, chunk_md5), start 1-based.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cuts = F.expr(
+        f"filter(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), "
+        f"i -> CASE WHEN CAST(conv(substring(md5(substring(_t, i, {k})), 1, 8), 16, 10) AS BIGINT) % {divisor} = 0 THEN CAST(i AS BIGINT) END), "
+        "x -> x IS NOT NULL)"
+    )
+    d = df.select(
+        F.col(id_col).alias("id"), t.alias("_t")
+    ).withColumn(
+        "_starts",
+        F.array_distinct(F.concat(F.array(F.lit(1).cast("long")),
+                                  cuts.alias("_c"))),
+    )
+    # pair each start with the next one (doc end sentinel closes the last)
+    d = d.withColumn(
+        "_ends",
+        F.concat(F.expr("slice(_starts, 2, size(_starts))"),
+                 F.array(F.length("_t").cast("long") + 1)),
+    )
+    out = d.select(
+        "id", "_t",
+        F.posexplode(F.arrays_zip("_starts", "_ends")).alias("chunk_idx", "_z"),
+    ).where(F.col("_z._ends") > F.col("_z._starts"))
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_z._starts").alias("start"),
+        (F.col("_z._ends") - F.col("_z._starts")).alias("length"),
+        F.md5(F.expr("substring(_t, _z._starts, _z._ends - _z._starts)"))
+        .alias("chunk_md5"),
+    )

@@ -91,3 +91,42 @@ class TestSentenceChunks:
     def test_empty_doc_yields_nothing(self, spark):
         assert self._chunks(spark, "", 5) == []
         assert self._chunks(spark, "   ", 5) == []
+
+
+class TestCdcChunks:
+    def _chunks(self, spark, rows):
+        from ocr_service_spark.operators.chunking import cdc_chunks
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return cdc_chunks(df).orderBy("id", "chunk_idx").collect()
+
+    def test_chunks_tile_the_document(self, spark):
+        text = "the quick brown fox jumps over the lazy dog " * 10
+        rows = self._chunks(spark, [(1, text)])
+        assert rows[0]["start"] == 1
+        pos = 1
+        for r in rows:
+            assert r["start"] == pos and r["length"] > 0
+            pos += r["length"]
+        assert pos == len(text) + 1  # exact tiling, no gaps or overlap
+
+    def test_shift_resistance_shares_suffix_chunks(self, spark):
+        import hashlib
+
+        body = "".join(f"word{i % 13} sentence piece " for i in range(40))
+        rows = self._chunks(spark, [(1, body), (2, "PREFIX>> " + body)])
+        h1 = {r["chunk_md5"] for r in rows if r["id"] == 1}
+        h2 = {r["chunk_md5"] for r in rows if r["id"] == 2}
+        assert h1 & h2  # content-defined: later chunks survive the insert
+        # chunk hashes are honest md5 of the emitted segments
+        r0 = [r for r in rows if r["id"] == 1][0]
+        seg = body[r0["start"] - 1: r0["start"] - 1 + r0["length"]]
+        assert r0["chunk_md5"] == hashlib.md5(seg.encode()).hexdigest()
+
+    def test_short_and_null_texts(self, spark):
+        rows = self._chunks(spark, [(1, "tiny"), (2, None), (3, "")])
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["id"], []).append(r)
+        assert [(r["start"], r["length"]) for r in by_id.get(1, [])] == [(1, 4)]
+        assert 2 not in by_id and 3 not in by_id  # empty -> no chunks
