@@ -3567,6 +3567,56 @@ WHERE COALESCE(nxt, length(d.t) + 1) > start
 """
 
 
+def q_cdc_dedup_stats(spark, sf_dir):
+    """Storage-dedup accounting over the CDC chunks: per chunk-size
+    DECILE of the planted corpus — total chunks, distinct chunks, total
+    vs distinct bytes, and the per-mille savings a chunk store would
+    realize. ONE hash aggregate over the chunk table keyed by the size
+    bucket; distinct bytes come from a distinct-on-hash pre-aggregate
+    (two map-side-partial aggregates, no window). The oracle composes
+    the full boundary-replay SQL with the same bucketing."""
+    chunks = q_cdc_chunks(spark, sf_dir)
+    # length is functionally dependent on chunk_md5 (same hash = same
+    # bytes), so min() is just the deterministic pick of a constant
+    per_hash = chunks.groupBy("chunk_md5").agg(
+        F.min("length").alias("length"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(F.least(F.col("length") % 10, F.lit(9)).alias("bucket"),
+             "length", "n_copies")
+    agg = per_hash.groupBy("bucket").agg(
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("length") * F.col("n_copies")).cast("long")
+        .alias("bytes_total"),
+        F.sum("length").cast("long").alias("bytes_distinct"),
+    )
+    return agg.withColumn(
+        "savings_pm",
+        F.expr("(bytes_total - bytes_distinct) * 1000 div bytes_total"),
+    )
+
+
+SQL_CDC_DEDUP_STATS = f"""
+WITH chunks AS ({SQL_CDC_CHUNKS.replace('SELECT g.doc_id AS id',
+                                        'SELECT g.doc_id AS id')}),
+per_hash AS (
+  SELECT chunk_md5, MIN(length) AS length, COUNT(*) AS n_copies
+  FROM chunks GROUP BY chunk_md5
+),
+b AS (
+  SELECT least(length % 10, 9) AS bucket, length, n_copies FROM per_hash
+)
+SELECT bucket,
+       CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(length * n_copies) AS BIGINT) AS bytes_total,
+       CAST(SUM(length) AS BIGINT) AS bytes_distinct,
+       (SUM(length * n_copies) - SUM(length)) * 1000
+         // SUM(length * n_copies) AS savings_pm
+FROM b GROUP BY bucket
+"""
+
+
 _IDN_CASES = [
     # (planted host, unicode, is_idn, decode_ok, scripts, mixed)
     ("xn--mnchen-3ya.de", "münchen.de", True, True, "latin", False),
@@ -9730,6 +9780,7 @@ CATALOG: Dict[str, tuple] = {
     # sentence-boundary token chunking (operators/chunking.py)
     "sentence_chunks": (q_sentence_chunks, SQL_SENTENCE_CHUNKS),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "cdc_dedup_stats": (q_cdc_dedup_stats, SQL_CDC_DEDUP_STATS),
     # declared-vs-sniffed content audit (sources/warc.py)
     "content_type_audit": (q_content_type_audit, SQL_CONTENT_TYPE_AUDIT),
     # MOSS winnowing fingerprint (operators/winnow.py)
