@@ -188,6 +188,7 @@ HEADLINE = [
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges
     "idn_host_audit",          # punycode decode + homograph flags
+    "rfc3986_normalize",       # full syntax-based URL normalization
     "rendezvous_shard",        # HRW minimal-churn shard assignment
     "readability_scores",      # integer Flesch milli-points + bands
     "paginated_stitch",        # rel=prev article reassembly

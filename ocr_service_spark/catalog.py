@@ -3617,6 +3617,57 @@ FROM b GROUP BY bucket
 """
 
 
+_RFC3986_CASES = [
+    # (planted url, expected normalization)
+    ("HTTP://Example.COM:80/a/./b/../c?x=%7e%41", "http://example.com/a/c?x=~A"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com:8443/%7Euser/%2fpath",
+     "https://example.com:8443/~user/%2Fpath"),
+    ("https://example.com/a/b/../../../up", "https://example.com/up"),
+    ("https://example.com/p?q=%3d#frag", "https://example.com/p?q=%3D"),
+    ("ftp://example.com/x", None),
+    ("not a url at all", None),
+]
+
+
+def q_rfc3986_normalize(spark, sf_dir):
+    """RFC 3986 syntax normalization (core/links.py rfc3986_normalize
+    via operators/canonical.py): seven planted classes — mixed-case
+    scheme/host + default port + dot segments + unreserved decode in one
+    url, empty path, non-default port with %2F kept encoded (uppercased),
+    triple-dot-segment underflow, query escape casing with fragment
+    drop, and two errors-as-data arms (non-http scheme, garbage). The
+    oracle replays expected outputs as literals — every §6.2.2 rule is
+    value-hash-gated."""
+    from .operators.canonical import rfc3986_normalize_urls
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    arms = F.when(F.col("doc_id") % 7 == 0, _RFC3986_CASES[0][0])
+    for i, c in enumerate(_RFC3986_CASES[1:], 1):
+        arms = arms.when(F.col("doc_id") % 7 == i, c[0])
+    urls = d.select(F.col("doc_id"), arms.alias("url"))
+    return urls.join(
+        F.broadcast(rfc3986_normalize_urls(urls.select("url").distinct())),
+        "url",
+    ).select("doc_id", "url", "normalized")
+
+
+def _rfc3986_sql() -> str:
+    arms_u, arms_n = [], []
+    for i, (u, n) in enumerate(_RFC3986_CASES):
+        arms_u.append(f"WHEN {i} THEN '{u}'")
+        arms_n.append(f"WHEN {i} THEN " + ("NULL" if n is None else f"'{n}'"))
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 7 {' '.join(arms_u)} END AS url,
+       CASE doc_id % 7 {' '.join(arms_n)} END AS normalized
+FROM documents
+"""
+
+
+SQL_RFC3986 = _rfc3986_sql()
+
+
 _IDN_CASES = [
     # (planted host, unicode, is_idn, decode_ok, scripts, mixed)
     ("xn--mnchen-3ya.de", "münchen.de", True, True, "latin", False),
@@ -9719,6 +9770,7 @@ CATALOG: Dict[str, tuple] = {
     # eTLD+1 registrable-domain extraction (operators/domains.py)
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "idn_host_audit": (q_idn_host_audit, SQL_IDN_AUDIT),
+    "rfc3986_normalize": (q_rfc3986_normalize, SQL_RFC3986),
     # rendezvous minimal-churn sharding (operators/sampling.py)
     "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
     # median/MAD robust host anomaly gate (operators/stats.py)

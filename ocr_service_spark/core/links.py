@@ -202,3 +202,76 @@ def extract_meta_refresh(html: str) -> Optional[Tuple[int, Optional[str]]]:
         delay = min(int(cm.group(1)), 2 ** 31 - 1)
         return (delay, url if url else None)
     return None
+
+
+_UNRESERVED = ("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-._~")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _norm_pct(seg: str) -> str:
+    """RFC 3986 §6.2.2.1-2: decode percent-escapes of UNRESERVED chars,
+    uppercase the hex of every escape that must stay encoded."""
+    def fix(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+    return _PCT_RE.sub(fix, seg)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim."""
+    out: List[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1)
+            seg, buf = (buf[:i], buf[i:]) if i > 0 else (buf, "")
+            out.append(seg)
+    return "".join(out)
+
+
+def rfc3986_normalize(url: str) -> Optional[str]:
+    """Full RFC 3986 syntax-based normalization (§6.2.2): lowercase
+    scheme+host, drop the default port, uppercase retained
+    percent-escapes and decode unreserved ones (%7E→~, %41→A — the
+    biggest silent URL-dedup recall loss after tracking params),
+    remove dot segments, empty path → '/'. Semantics-preserving by the
+    RFC's own argument, so it belongs BEFORE content fetch in the
+    frontier, not just at dedup time. Returns None for non-http(s) or
+    unparseable input (errors-as-data at the operator layer)."""
+    m = re.match(r"(?s)^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+                 r"(\?[^#]*)?(#.*)?$", url.strip())
+    if m is None:
+        return None
+    scheme = m.group(1).lower()
+    if scheme not in ("http", "https"):
+        return None
+    authority = _norm_pct(m.group(2))
+    host, port = authority, ""
+    if ":" in authority.rsplit("@", 1)[-1]:
+        host, port = authority.rsplit(":", 1)
+        if not port.isdigit():  # e.g. IPv6 literal without port
+            host, port = authority, ""
+    default = {"http": "80", "https": "443"}[scheme]
+    hostpart = host.lower() + ("" if port in ("", default) else ":" + port)
+    path = _remove_dot_segments(_norm_pct(m.group(3))) or "/"
+    query = _norm_pct(m.group(4)) if m.group(4) else ""
+    return f"{scheme}://{hostpart}{path}{query}"

@@ -164,3 +164,32 @@ def paginated_stitch(
         F.count(F.lit(1)).cast("int").alias("n_parts"),
         F.concat_ws("\n\n", ordered).alias("stitched"),
     )
+
+
+RFC3986_SCHEMA = "url string, normalized string"
+
+
+def rfc3986_normalize_urls(urls: DataFrame) -> DataFrame:
+    """urls(url, ...) → (url, normalized) under full RFC 3986 §6.2.2
+    syntax normalization (core/links.py rfc3986_normalize) — the
+    semantics-preserving half of URL dedup that canonical_url's regex
+    form can't express (computed percent-escape rewrites and the
+    stateful dot-segment algorithm need real code). Non-http(s) and
+    unparseable inputs emit normalized NULL — errors-as-data. One
+    Arrow-batched pass; URL tables are rows-per-url, not per-page, so
+    the Python cost is off the hot path by construction."""
+    import pandas as pd
+
+    from ..core.links import rfc3986_normalize
+
+    def run(batches):
+        for pdf in batches:
+            out_u, out_n = [], []
+            for u in pdf["url"]:
+                if u is None:
+                    continue
+                out_u.append(u)
+                out_n.append(rfc3986_normalize(str(u)))
+            yield pd.DataFrame({"url": out_u, "normalized": out_n})
+
+    return urls.select("url").mapInPandas(run, RFC3986_SCHEMA)

@@ -96,3 +96,33 @@ def test_paginated_stitch(spark):
         "solo": (1, "alone"),
         "b1": (1, "orphan tail"),
     }
+
+
+class TestRfc3986Normalize:
+    def test_spec_rules(self):
+        from ocr_service_spark.core.links import rfc3986_normalize as n
+
+        assert n("HTTP://Ex.COM:80/a/./b/../c?x=%7e%41") == \
+            "http://ex.com/a/c?x=~A"
+        assert n("https://ex.com") == "https://ex.com/"
+        assert n("https://ex.com:8443/%2fkeep") == "https://ex.com:8443/%2Fkeep"
+        assert n("https://ex.com/a/../../up") == "https://ex.com/up"
+        assert n("https://ex.com/p#frag") == "https://ex.com/p"
+        assert n("ftp://ex.com/x") is None and n("garbage") is None
+        # idempotent: normalizing twice is a fixpoint
+        for u in ("HTTP://Ex.COM:80/a/./b/../c?x=%7e%41",
+                  "https://ex.com/%2f%7E"):
+            once = n(u)
+            assert n(once) == once
+
+    def test_operator_errors_as_data(self, spark):
+        from ocr_service_spark.operators.canonical import \
+            rfc3986_normalize_urls
+
+        df = spark.createDataFrame(
+            [("HTTPS://A.example/%41",), ("mailto:x@y",), (None,)],
+            "url string")
+        got = {r["url"]: r["normalized"]
+               for r in rfc3986_normalize_urls(df).collect()}
+        assert got == {"HTTPS://A.example/%41": "https://a.example/A",
+                       "mailto:x@y": None}
