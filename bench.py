@@ -229,6 +229,7 @@ HEADLINE = [
     "host_label_prop",         # clamped synchronous label propagation
     "link_spam_signals",       # reciprocal-link exchange detection
     "host_curation_prior",     # trustrank x labels x spam capstone
+    "cocitation_pairs",        # related-host co-citation counts
     "priority_sample",         # DLT weighted audit-slice sampling
     "split_leakage_audit",     # cross-split duplicate contamination
     "iban_scrub",              # mod-97-verified IBAN redaction

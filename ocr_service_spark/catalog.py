@@ -5021,6 +5021,46 @@ LEFT JOIN spam sp ON n.node = sp.node""")
 SQL_HOST_CURATION = _curation_sql()
 
 
+def q_cocitation_pairs(spark, sf_dir):
+    """Co-citation host similarity (operators/graph.py
+    cocitation_pairs): planted page→host citations — every page cites
+    hosts k and k+1 (adjacent ring pairs co-cited by ~n/20 pages each),
+    even pages additionally cite k+5 (so (k,k+5) and (k+1,k+5) pairs
+    accumulate at half rate) — aggregated to unordered host pairs with
+    min_count=2. The oracle replays the planting and the s-keyed
+    self-join; zero-padded host names make the a<b order identical
+    lexicographically in both engines."""
+    from .operators.graph import cocitation_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    p = F.format_string("p%d", "doc_id")
+    k = F.col("doc_id") % 20
+    e1 = d.select(p.alias("src"), F.format_string("h%02d", k).alias("dst"))
+    e2 = d.select(p.alias("src"),
+                  F.format_string("h%02d", (k + 1) % 20).alias("dst"))
+    e3 = d.where(F.col("doc_id") % 2 == 0).select(
+        p.alias("src"), F.format_string("h%02d", (k + 5) % 20).alias("dst"))
+    return cocitation_pairs(e1.unionByName(e2).unionByName(e3))
+
+
+SQL_COCITATION = """
+WITH e AS (
+  SELECT DISTINCT printf('p%d', doc_id) AS s,
+         printf('h%02d', doc_id % 20) AS d
+  FROM documents
+  UNION
+  SELECT DISTINCT printf('p%d', doc_id), printf('h%02d', (doc_id % 20 + 1) % 20)
+  FROM documents
+  UNION
+  SELECT DISTINCT printf('p%d', doc_id), printf('h%02d', (doc_id % 20 + 5) % 20)
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT a.d AS host_a, b.d AS host_b, CAST(COUNT(*) AS BIGINT) AS n_cocite
+FROM e a JOIN e b ON a.s = b.s AND a.d < b.d
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_hits_scores(spark, sf_dir):
     """Integer HITS hubs/authorities (operators/graph.py hits_scores): a
     15-node host graph derived from events, 5 rounds of the L1-rescaled
@@ -9721,6 +9761,7 @@ CATALOG: Dict[str, tuple] = {
     "link_spam_signals": (q_link_spam_signals, SQL_LINK_SPAM),
     # crawl-curation capstone: trustrank x label-prop x link-spam
     "host_curation_prior": (q_host_curation_prior, SQL_HOST_CURATION),
+    "cocitation_pairs": (q_cocitation_pairs, SQL_COCITATION),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),

@@ -404,3 +404,37 @@ def link_spam_signals(
             F.expr("coalesce(recip, 0L) * 1000 div outdeg").alias("recip_pm"),
         )
     )
+
+
+def cocitation_pairs(
+    outlinks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 2,
+) -> DataFrame:
+    """Co-citation host similarity (Small 1973; the related-sites
+    primitive): two hosts are similar when the SAME source pages cite
+    both — a content-free relatedness signal that works before any text
+    model exists, and the classic seed-expansion step (grow a topic's
+    host list from a few known-good sites).
+
+    Shape: dedup to distinct (src, dst) edges, self-join on src, count
+    per unordered (a, b) pair with a < b. The join key is the CITING
+    side, so cost is Σ outdeg² over sources — bounded in practice by
+    per-page outlink caps (a page cites tens of hosts, not millions);
+    a mega-hub source page is the AQE skew-join case, same as every
+    pair-join in dedup.py. min_count prunes the singleton-pair tail
+    BEFORE it leaves the aggregate (map-side partials absorb it).
+
+    Returns (host_a, host_b, n_cocite) with host_a < host_b.
+    """
+    e = outlinks.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.where(F.col("s") != F.col("d")).distinct()
+    pairs = (
+        e.join(e.withColumnRenamed("d", "d2"), "s")
+        .where(F.col("d") < F.col("d2"))
+        .groupBy(F.col("d").alias("host_a"), F.col("d2").alias("host_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocite"))
+        .where(F.col("n_cocite") >= int(min_count))
+    )
+    return pairs

@@ -213,3 +213,26 @@ class TestLinkSpamSignals:
         got = self._run(spark, edges)
         assert got["a"] == (1, 1, 1, 1000)
         assert got["b"] == (1, 1, 1, 1000)
+
+
+class TestCocitationPairs:
+    def _run(self, spark, edges, min_count=2):
+        from ocr_service_spark.operators.graph import cocitation_pairs
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        return {(r["host_a"], r["host_b"]): r["n_cocite"]
+                for r in cocitation_pairs(e, min_count=min_count).collect()}
+
+    def test_counts_unordered_pairs_and_threshold(self, spark):
+        # p1,p2 cite both a & b; p3 cites a & c (pair below min_count)
+        edges = [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"),
+                 ("p3", "a"), ("p3", "c")]
+        got = self._run(spark, edges)
+        assert got == {("a", "b"): 2}
+        got_all = self._run(spark, edges, min_count=1)
+        assert got_all == {("a", "b"): 2, ("a", "c"): 1}
+
+    def test_duplicate_citations_count_once_per_page(self, spark):
+        edges = [("p1", "a"), ("p1", "a"), ("p1", "b"), ("p1", "p1")]
+        got = self._run(spark, edges, min_count=1)
+        assert got == {("a", "b"): 1}  # dedup + self-cite dropped
