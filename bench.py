@@ -123,6 +123,7 @@ HEADLINE = [
     "incremental_dedup",       # delta-vs-corpus snapshot ingestion dedup
     "mixture_repeat",          # fractional source-mixture materialization
     "mixture_waterfill",       # capped budget allocation, closed form
+    "neyman_allocation",       # minimum-variance audit budgets
     "line_dedup_within_doc",   # RefinedWeb within-page repetition removal
     "span_dedup_global",       # C4 corpus-global span dedup + rebuild
     "host_template_strip",     # CC-Net host-level boilerplate paragraphs

@@ -3617,6 +3617,49 @@ FROM b GROUP BY bucket
 """
 
 
+def q_neyman_allocation(spark, sf_dir):
+    """Minimum-variance audit-budget allocation (operators/sampling.py
+    neyman_allocation): strata = languages, N_h = doc count, S_h = the
+    integer char-length spread (max-min) as the variability proxy,
+    budget 200. Exact integer quotas (cross-multiplied floor + mod),
+    largest-remainder apportionment with lexical tie-break, per-stratum
+    cap. The oracle replays quota, remainder ranking, and the cap —
+    Σ alloc = 200 is itself hash-gated."""
+    from .operators.sampling import neyman_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    strata = docs.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("n_chars") - F.min("n_chars")).alias("sd_x"),
+    )
+    return neyman_allocation(strata, budget=200)
+
+
+SQL_NEYMAN = """
+WITH s AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS sd_x
+  FROM documents GROUP BY lang
+  HAVING COUNT(*) > 0 AND MAX(n_chars) - MIN(n_chars) > 0
+),
+w AS (SELECT *, n_rows * sd_x AS weight FROM s),
+t AS (SELECT SUM(weight) AS t_w FROM w),
+j AS (
+  SELECT w.*, 200 * weight // t_w AS base, 200 * weight % t_w AS rem
+  FROM w, t
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk,
+         (SELECT 200 - SUM(base) FROM j) AS short
+  FROM j
+)
+SELECT stratum, n_rows, sd_x, weight,
+       CAST(least(base + CASE WHEN rk <= short THEN 1 ELSE 0 END, n_rows)
+            AS BIGINT) AS alloc
+FROM r
+"""
+
+
 _RFC3986_CASES = [
     # (planted url, expected normalization)
     ("HTTP://Example.COM:80/a/./b/../c?x=%7e%41", "http://example.com/a/c?x=~A"),
@@ -9731,6 +9774,7 @@ CATALOG: Dict[str, tuple] = {
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT),
     "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE),
     "curriculum_order": (q_curriculum_order, SQL_CURRICULUM),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "mixture_repeat": (q_mixture_repeat, SQL_MIXTURE_REPEAT),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

@@ -426,3 +426,32 @@ class TestCurriculumOrder:
         # bucket boundaries are contiguous position ranges
         b0 = out[out.bucket == 0]["curriculum_pos"]
         assert set(b0) == set(range(1, len(b0) + 1))
+
+
+class TestNeymanAllocation:
+    def _run(self, spark, rows, budget):
+        from ocr_service_spark.operators.sampling import neyman_allocation
+
+        df = spark.createDataFrame(rows, "stratum string, n_rows long, sd_x long")
+        return {r["stratum"]: r["alloc"]
+                for r in neyman_allocation(df, budget).collect()}
+
+    def test_exact_budget_and_proportionality(self, spark):
+        rows = [("a", 1000, 10), ("b", 1000, 30), ("c", 500, 2)]
+        got = self._run(spark, rows, 100)
+        assert sum(got.values()) == 100
+        # Neyman: weights 10000/30000/1000 -> ~24/73/2 (+remainders)
+        assert got["b"] > got["a"] > got["c"]
+        assert abs(got["b"] - 73) <= 1 and abs(got["a"] - 24) <= 1
+
+    def test_cap_and_degenerate_strata_dropped(self, spark):
+        rows = [("a", 3, 1000), ("b", 100, 1), ("z", 0, 5), ("u", 10, 0)]
+        got = self._run(spark, rows, 50)
+        assert got["a"] <= 3          # capped at the population
+        assert "z" not in got and "u" not in got
+
+    def test_largest_remainder_ties_lexical(self, spark):
+        # identical strata: remainders tie; budget 5 over 2 -> 3/2 with
+        # the extra unit to the lexically first
+        got = self._run(spark, [("a", 10, 1), ("b", 10, 1)], 5)
+        assert got == {"a": 3, "b": 2}
