@@ -100,6 +100,7 @@ HEADLINE = [
     "boilerplate_strip",  # jusText main-content extraction (HTML path)
     "justext_density_classify",
     "page_metadata",
+    "published_dates",         # htmldate-class dating consensus
     "doc_chunking",
     "vocab_top_terms",
     "vocab_coverage_curve",    # Zipf coverage via dict prefix sums

@@ -3660,6 +3660,74 @@ FROM r
 """
 
 
+def q_published_dates(spark, sf_dir):
+    """Document dating consensus (core/dates.py via
+    operators/metadata.py published_dates): six planted page classes —
+    meta article:published_time (with time-of-day suffix), a GARBAGE
+    meta falling through to a <time> tag, a dateless page whose URL
+    carries /YYYY/MM/DD/, a body-ISO-only page, a no-signal page
+    (NULLs), and an out-of-window meta (1850) falling through to the
+    body — plus script/comment decoys on every page. The oracle replays
+    class → (date, source) arithmetically; precedence, sanity window,
+    and fall-through are all value-hash-gated."""
+    from .operators.metadata import published_dates
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    day = F.col("doc_id") % 28 + 1
+    meta = F.format_string(
+        '<meta property="article:published_time"'
+        ' content="2026-01-%02dT09:30:00Z">', day)
+    badmeta_time = F.format_string(
+        '<meta name="date" content="yesterday-ish">'
+        '<time datetime="2025-11-%02d">nov</time>', day)
+    body = F.format_string("<p>released 2023-06-%02d worldwide</p>", day)
+    oldmeta_body = F.format_string(
+        '<meta name="date" content="1850-01-01">'
+        "<p>archive scan of 2019-03-%02d</p>", day)
+    arms = (
+        F.when(F.col("doc_id") % 6 == 0, meta)
+        .when(F.col("doc_id") % 6 == 1, badmeta_time)
+        .when(F.col("doc_id") % 6 == 2, F.lit("<p>dated by url only</p>"))
+        .when(F.col("doc_id") % 6 == 3, body)
+        .when(F.col("doc_id") % 6 == 4, F.lit("<p>undated</p>"))
+        .otherwise(oldmeta_body)
+    )
+    html = F.concat(
+        F.lit("<script>var d='2020-01-01';</script>"
+              '<!-- <meta name="date" content="2020-02-02"> -->'),
+        arms,
+    )
+    url = F.when(
+        F.col("doc_id") % 6 == 2,
+        F.format_string("https://n.example/2024/07/%02d/p%d", day, "doc_id"),
+    ).otherwise(F.format_string("https://n.example/p%d", "doc_id"))
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return published_dates(pages)
+
+
+SQL_PUBLISHED_DATES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS c, doc_id % 28 + 1 AS day,
+         CASE WHEN doc_id % 6 = 2
+              THEN printf('https://n.example/2024/07/%02d/p%d',
+                          doc_id % 28 + 1, doc_id)
+              ELSE printf('https://n.example/p%d', doc_id) END AS url
+  FROM documents
+)
+SELECT url,
+       CASE c WHEN 0 THEN printf('2026-01-%02d', day)
+              WHEN 1 THEN printf('2025-11-%02d', day)
+              WHEN 2 THEN printf('2024-07-%02d', day)
+              WHEN 3 THEN printf('2023-06-%02d', day)
+              WHEN 4 THEN NULL
+              ELSE printf('2019-03-%02d', day) END AS pub_date,
+       CASE c WHEN 0 THEN 'meta' WHEN 1 THEN 'time_tag' WHEN 2 THEN 'url'
+              WHEN 3 THEN 'body' WHEN 4 THEN NULL ELSE 'body' END
+         AS date_source
+FROM d
+"""
+
+
 _RFC3986_CASES = [
     # (planted url, expected normalization)
     ("HTTP://Example.COM:80/a/./b/../c?x=%7e%41", "http://example.com/a/c?x=~A"),
@@ -9856,6 +9924,7 @@ CATALOG: Dict[str, tuple] = {
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "idn_host_audit": (q_idn_host_audit, SQL_IDN_AUDIT),
     "rfc3986_normalize": (q_rfc3986_normalize, SQL_RFC3986),
+    "published_dates": (q_published_dates, SQL_PUBLISHED_DATES),
     # rendezvous minimal-churn sharding (operators/sampling.py)
     "rendezvous_shard": (q_rendezvous_shard, SQL_RENDEZVOUS_SHARD),
     # median/MAD robust host anomaly gate (operators/stats.py)

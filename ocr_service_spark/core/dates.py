@@ -1,0 +1,114 @@
+"""Published-date extraction spec (pure Python, stdlib only).
+
+Document dating is a first-class extraction output (trafilatura ships a
+whole sibling library, htmldate, for it): freshness feeds recrawl
+scheduling, temporal dedup, and train-data recency mixes. This module is
+the byte-identity SPEC (operators/metadata.py lifts it; pytest calls it
+directly) for a bounded, deterministic consensus over the four signal
+classes real pages carry, in PRECEDENCE order:
+
+  1. meta      — <meta property|name|itemprop ∈ DATE_META content=...>
+                 (article:published_time, datePublished, date, pubdate,
+                  publishdate, dc.date.issued — case-insensitive)
+  2. time_tag  — first <time datetime=...>
+  3. url       — /YYYY/MM/DD/ (or -MM-DD) path segments
+  4. body      — first ISO date (YYYY-MM-DD) in visible-ish text
+
+A candidate must parse to a calendar-valid YYYY-MM-DD inside the sanity
+window 1995-01-01..2030-12-31 (web pages do not predate the web; far
+futures are clock bugs) — an invalid higher-precedence candidate is
+SKIPPED, not fatal, and the next class is consulted (the htmldate
+behavior). Values may carry times ('2026-01-03T12:00:00Z') — only the
+leading date is taken. One linear scan with the repo's comment/script
+consumption; no date may be conjured from inside either.
+
+Returns (date_str 'YYYY-MM-DD', source) or None.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+_DATE_META = frozenset([
+    "article:published_time", "datepublished", "date", "pubdate",
+    "publishdate", "dc.date.issued", "og:published_time",
+])
+
+_TOKEN_RE = re.compile(
+    r"(?is)<!--.*?(?:-->|$)"
+    r"|<(script|style)\b[^>]*(?:>.*?(?:</\1\s*>|$)|$)"
+    r"|<(meta|time)\b((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(?:>|$)"
+)
+_ATTR_RE = re.compile(
+    r"""(?is)(?<![\w-])([a-zA-Z][\w:.-]*)\s*=\s*"""
+    r"""(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
+)
+_ISO_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
+_URL_RE = re.compile(r"/((?:19|20)\d{2})[/-](\d{2})[/-](\d{2})(?:[/-]|$)")
+
+_MDAYS = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid(y: int, m: int, d: int) -> bool:
+    if not (1995 <= y <= 2030 and 1 <= m <= 12):
+        return False
+    cap = _MDAYS[m - 1]
+    if m == 2 and not (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)):
+        cap = 28
+    return 1 <= d <= cap
+
+
+def _parse_date(raw: str) -> Optional[str]:
+    m = _ISO_RE.search(raw or "")
+    if m is None:
+        return None
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    return f"{y:04d}-{mo:02d}-{d:02d}" if _valid(y, mo, d) else None
+
+
+def extract_published_date(url: str, html: str) -> Optional[Tuple[str, str]]:
+    """Highest-precedence valid published date, or None."""
+    meta_hit: Optional[str] = None
+    time_hit: Optional[str] = None
+    for m in _TOKEN_RE.finditer(html):
+        if m.group(2) is None:
+            continue  # comment or script/style span
+        attrs = {}
+        for am in _ATTR_RE.finditer(m.group(3)):
+            k = am.group(1).lower()
+            if k not in attrs:
+                v = am.group(2)
+                if v is None:
+                    v = am.group(3)
+                if v is None:
+                    v = am.group(4) or ""
+                attrs[k] = v
+        tag = m.group(2).lower()
+        if tag == "meta":
+            key = (attrs.get("property") or attrs.get("name")
+                   or attrs.get("itemprop") or "").strip().lower()
+            if key in _DATE_META and meta_hit is None:
+                meta_hit = _parse_date(attrs.get("content", ""))
+                if meta_hit:
+                    return (meta_hit, "meta")
+                meta_hit = None  # invalid: keep looking
+        elif tag == "time" and time_hit is None:
+            time_hit = _parse_date(attrs.get("datetime", ""))
+    if time_hit:
+        return (time_hit, "time_tag")
+    um = _URL_RE.search(url or "")
+    if um:
+        y, mo, d = int(um.group(1)), int(um.group(2)), int(um.group(3))
+        if _valid(y, mo, d):
+            return (f"{y:04d}-{mo:02d}-{d:02d}", "url")
+    # body: strip tags/comments/scripts cheaply via the same token pass
+    pos, parts = 0, []
+    for m in _TOKEN_RE.finditer(html):
+        parts.append(html[pos: m.start()])
+        pos = m.end()
+    parts.append(html[pos:])
+    body_hit = _parse_date(re.sub(r"<[^>]*>", " ", "".join(parts)))
+    if body_hit:
+        return (body_hit, "body")
+    return None

@@ -39,3 +39,34 @@ def extract_page_metadata(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(data, columns=cols)
 
     return pages.select("url", "html").mapInPandas(run, METADATA_SCHEMA)
+
+
+PUBDATE_SCHEMA = "url string, pub_date string, date_source string"
+
+
+def published_dates(pages):
+    """pages(url, html, ...) → (url, pub_date, date_source) under the
+    core/dates.py precedence consensus (meta > time tag > URL path >
+    body ISO date, sanity-windowed); pages with no valid candidate emit
+    NULLs — absence is data for the freshness pipeline. One Arrow pass,
+    same shape as the page-metadata lift."""
+    import pandas as pd
+
+    from ..core.dates import extract_published_date
+
+    def run(batches):
+        for pdf in batches:
+            urls, dates, srcs = [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                html = bytes(payload).decode("utf-8", errors="replace")
+                hit = extract_published_date(url, html)
+                urls.append(url)
+                dates.append(hit[0] if hit else None)
+                srcs.append(hit[1] if hit else None)
+            yield pd.DataFrame(
+                {"url": urls, "pub_date": dates, "date_source": srcs}
+            )
+
+    return pages.select("url", "html").mapInPandas(run, PUBDATE_SCHEMA)

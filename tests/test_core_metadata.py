@@ -69,3 +69,48 @@ class TestPageMetadata:
 def test_fuzz_never_raises(html):
     r = page_metadata(html)
     assert set(r) == set(FIELDS)
+
+
+class TestPublishedDates:
+    def test_precedence_and_window(self):
+        from ocr_service_spark.core.dates import extract_published_date as e
+
+        assert e("u", '<meta property="article:published_time"'
+                      ' content="2026-01-03T12:00:00Z">'
+                      '<time datetime="2020-01-01">x</time>') == \
+            ("2026-01-03", "meta")
+        assert e("u", '<meta name="DATE" content="junk">'
+                      '<time datetime="2025-12-31">x</time>') == \
+            ("2025-12-31", "time_tag")
+        assert e("https://a/2024/07/15/post", "<p>n</p>") == \
+            ("2024-07-15", "url")
+        assert e("u", "<p>ship 2023-06-30 ok</p>") == ("2023-06-30", "body")
+        assert e("u", "<p>none here</p>") is None
+
+    def test_invalid_dates_fall_through(self):
+        from ocr_service_spark.core.dates import extract_published_date as e
+
+        # out of window, bad calendar day, future URL year
+        assert e("u", '<meta name="date" content="1850-01-01">'
+                      "<p>scan of 2019-03-08</p>") == ("2019-03-08", "body")
+        assert e("u", '<meta name="date" content="2025-02-29">') is None
+        assert e("u", '<meta name="date" content="2024-02-29">') == \
+            ("2024-02-29", "meta")  # leap year valid
+        assert e("https://a/2031/01/01/x", "<p>n</p>") is None
+
+    def test_decoys_invisible(self):
+        from ocr_service_spark.core.dates import extract_published_date as e
+
+        assert e("u", "<script>var d='2020-01-01';</script>") is None
+        assert e("u", '<!-- <meta name="date" content="2020-02-02"> -->') is None
+
+    def test_spark_lift_matches_spec(self, spark):
+        from ocr_service_spark.operators.metadata import published_dates
+
+        pages = spark.createDataFrame(
+            [("u1", b'<time datetime="2024-05-06">x</time>'),
+             ("u2", b"<p>plain</p>"), ("u3", None)],
+            "url string, html binary")
+        got = {r["url"]: (r["pub_date"], r["date_source"])
+               for r in published_dates(pages).collect()}
+        assert got == {"u1": ("2024-05-06", "time_tag"), "u2": (None, None)}
