@@ -221,6 +221,7 @@ HEADLINE = [
     "host_anomaly_gate",       # median/MAD burst detection
     "sentence_chunks",         # sentence-boundary budget chunking
     "cdc_chunks",              # content-defined storage-dedup chunking
+    "cdc_dedup_stats",         # chunk-store savings accounting
     "content_type_audit",      # lying Content-Type / cloaking audit
     "web_training_pipeline",
     "microdata_extract",       # schema.org microdata element scoping
@@ -234,6 +235,7 @@ HEADLINE = [
     "cocitation_pairs",        # related-host co-citation counts
     "priority_sample",         # DLT weighted audit-slice sampling
     "split_leakage_audit",     # cross-split duplicate contamination
+    "curriculum_order",        # bucket-major epoch ordering
     "iban_scrub",              # mod-97-verified IBAN redaction
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]

@@ -3568,8 +3568,9 @@ WHERE COALESCE(nxt, length(d.t) + 1) > start
 
 
 def q_cdc_dedup_stats(spark, sf_dir):
-    """Storage-dedup accounting over the CDC chunks: per chunk-size
-    DECILE of the planted corpus — total chunks, distinct chunks, total
+    """Storage-dedup accounting over the CDC chunks: per 10-char
+    chunk-size bucket (capped at 9 — 90+-char chunks share a tail
+    bucket) of the planted corpus — total chunks, distinct chunks, total
     vs distinct bytes, and the per-mille savings a chunk store would
     realize. ONE hash aggregate over the chunk table keyed by the size
     bucket; distinct bytes come from a distinct-on-hash pre-aggregate
@@ -3581,7 +3582,7 @@ def q_cdc_dedup_stats(spark, sf_dir):
     per_hash = chunks.groupBy("chunk_md5").agg(
         F.min("length").alias("length"),
         F.count(F.lit(1)).alias("n_copies"),
-    ).select(F.least(F.col("length") % 10, F.lit(9)).alias("bucket"),
+    ).select(F.least(F.expr("length div 10"), F.lit(9)).alias("bucket"),
              "length", "n_copies")
     agg = per_hash.groupBy("bucket").agg(
         F.sum("n_copies").cast("long").alias("n_chunks"),
@@ -3597,14 +3598,13 @@ def q_cdc_dedup_stats(spark, sf_dir):
 
 
 SQL_CDC_DEDUP_STATS = f"""
-WITH chunks AS ({SQL_CDC_CHUNKS.replace('SELECT g.doc_id AS id',
-                                        'SELECT g.doc_id AS id')}),
+WITH chunks AS ({SQL_CDC_CHUNKS}),
 per_hash AS (
   SELECT chunk_md5, MIN(length) AS length, COUNT(*) AS n_copies
   FROM chunks GROUP BY chunk_md5
 ),
 b AS (
-  SELECT least(length % 10, 9) AS bucket, length, n_copies FROM per_hash
+  SELECT least(length // 10, 9) AS bucket, length, n_copies FROM per_hash
 )
 SELECT bucket,
        CAST(SUM(n_copies) AS BIGINT) AS n_chunks,

@@ -102,13 +102,20 @@ def extract_published_date(url: str, html: str) -> Optional[Tuple[str, str]]:
         y, mo, d = int(um.group(1)), int(um.group(2)), int(um.group(3))
         if _valid(y, mo, d):
             return (f"{y:04d}-{mo:02d}-{d:02d}", "url")
-    # body: strip tags/comments/scripts cheaply via the same token pass
+    # body: strip tags/comments/scripts cheaply via the same token pass;
+    # removed spans are replaced by a SPACE so digits on either side can
+    # never concatenate into a date that was not on the page
     pos, parts = 0, []
     for m in _TOKEN_RE.finditer(html):
         parts.append(html[pos: m.start()])
         pos = m.end()
     parts.append(html[pos:])
-    body_hit = _parse_date(re.sub(r"<[^>]*>", " ", "".join(parts)))
-    if body_hit:
-        return (body_hit, "body")
+    body = re.sub(r"<[^>]*>", " ", " ".join(parts))
+    # first VALID date wins — an out-of-window year earlier in the text
+    # (archive banner, copyright 1850) must not abort the class, matching
+    # the skip-and-continue rule the meta class applies
+    for bm in _ISO_RE.finditer(body):
+        y, mo, d = int(bm.group(1)), int(bm.group(2)), int(bm.group(3))
+        if _valid(y, mo, d):
+            return (f"{y:04d}-{mo:02d}-{d:02d}", "body")
     return None

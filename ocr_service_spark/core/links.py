@@ -265,13 +265,23 @@ def rfc3986_normalize(url: str) -> Optional[str]:
     if scheme not in ("http", "https"):
         return None
     authority = _norm_pct(m.group(2))
-    host, port = authority, ""
-    if ":" in authority.rsplit("@", 1)[-1]:
-        host, port = authority.rsplit(":", 1)
-        if not port.isdigit():  # e.g. IPv6 literal without port
-            host, port = authority, ""
+    # split userinfo off FIRST: it is case-SENSITIVE (RFC 3986 §6.2.2.1
+    # case-normalizes only scheme and host) and must never be lowercased
+    userinfo = ""
+    hostport = authority
+    if "@" in authority:
+        userinfo, hostport = authority.rsplit("@", 1)
+        userinfo += "@"
+    host, port = hostport, ""
+    if ":" in hostport:
+        h, p = hostport.rsplit(":", 1)
+        if p == "" or p.isdigit():
+            # an EMPTY port drops with its ':' delimiter (§3.2.3);
+            # non-digit tails (IPv6 literals) keep the raw hostport
+            host, port = h, p
     default = {"http": "80", "https": "443"}[scheme]
-    hostpart = host.lower() + ("" if port in ("", default) else ":" + port)
+    hostpart = userinfo + host.lower() + (
+        "" if port in ("", default) else ":" + port)
     path = _remove_dot_segments(_norm_pct(m.group(3))) or "/"
     query = _norm_pct(m.group(4)) if m.group(4) else ""
     return f"{scheme}://{hostpart}{path}{query}"

@@ -368,7 +368,11 @@ def idn_host_info(host: str) -> dict:
         u = l
         if l.lower().startswith("xn--"):
             try:
-                u = l.encode("ascii").decode("idna")
+                # decode the LOWERCASED label: hostnames are
+                # case-insensitive and Python's idna codec returns an
+                # uppercase-prefixed 'XN--' label UNCHANGED instead of
+                # raising — an uppercase spoof would bypass the audit
+                u = l.lower().encode("ascii").decode("idna")
             except UnicodeError:
                 ok = False
                 out_labels = None

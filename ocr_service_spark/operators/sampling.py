@@ -516,10 +516,12 @@ def neyman_allocation(
     exact quotas B·w_h/Σw, then give the leftover units to the largest
     fractional remainders (remainder = B·w_h mod Σw — exact integer
     cross-multiplication, no float quota), ties to the lexically first
-    stratum. Σ alloc == budget EXACTLY, allocations never exceed N_h —
-    the capped surplus re-flows by the same remainder rule (a second
-    pass is unnecessary at the audit scales this targets: cap hits are
-    re-apportioned once, documented).
+    stratum. Allocations never exceed N_h; surplus stranded by a
+    binding cap RE-FLOWS ONCE to the strata with headroom under the
+    same weight-proportional largest-remainder rule, so Σ alloc equals
+    the budget whenever one pass can place it (caps binding AGAIN in
+    the re-flow — budget approaching the whole population — leave the
+    residue unallocated; documented, never silent).
 
     Scale note: strata are a dimension table (tens of rows), so the
     single-partition remainder window is bounded by design — the
@@ -543,13 +545,42 @@ def neyman_allocation(
         Window.rowsBetween(Window.unboundedPreceding,
                            Window.unboundedFollowing))
     w_rank = Window.orderBy(F.desc("_rem"), F.asc("stratum"))
-    alloc = F.col("_base") + F.when(
-        F.row_number().over(w_rank) <= short, 1).otherwise(0)
-    return (
-        j.withColumn("_alloc", alloc)
-        .select(
-            "stratum", "n_rows", "sd_x", "weight",
-            F.least(F.col("_alloc"), F.col("n_rows")).cast("long")
-            .alias("alloc"),
-        )
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    alloc0 = F.least(
+        F.col("_base")
+        + F.when(F.row_number().over(w_rank) <= short, 1).otherwise(0),
+        F.col("n_rows"),
+    )
+    j = j.withColumn("_alloc0", alloc0)
+    # ONE re-flow pass: apportion the cap-stranded surplus over strata
+    # with headroom by the same weight/largest-remainder rule
+    surplus = F.lit(int(budget)) - F.sum("_alloc0").over(w_all)
+    headroom = F.col("n_rows") - F.col("_alloc0")
+    pool_w = F.greatest(
+        F.sum(F.when(headroom > 0, F.col("weight")).otherwise(0)).over(w_all),
+        F.lit(1),
+    )
+    j = (
+        j.withColumn("_pool_w", pool_w)
+        .withColumn("_surplus", surplus)
+    )
+    j = j.withColumn(
+        "_base2",
+        F.when(headroom > 0,
+               F.expr("_surplus * weight div _pool_w")).otherwise(F.lit(0)),
+    ).withColumn(
+        "_rem2",
+        F.when(headroom > 0,
+               F.expr("_surplus * weight % _pool_w")).otherwise(F.lit(-1)),
+    )
+    short2 = F.col("_surplus") - F.sum("_base2").over(w_all)
+    w_rank2 = Window.orderBy(F.desc("_rem2"), F.asc("stratum"))
+    add = F.col("_base2") + F.when(
+        (F.col("_rem2") >= 0) & (F.row_number().over(w_rank2) <= short2), 1
+    ).otherwise(0)
+    return j.select(
+        "stratum", "n_rows", "sd_x", "weight",
+        F.least(F.col("_alloc0") + add, F.col("n_rows")).cast("long")
+        .alias("alloc"),
     )

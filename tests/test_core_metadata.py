@@ -114,3 +114,13 @@ class TestPublishedDates:
         got = {r["url"]: (r["pub_date"], r["date_source"])
                for r in published_dates(pages).collect()}
         assert got == {"u1": ("2024-05-06", "time_tag"), "u2": (None, None)}
+
+
+def test_dates_body_skips_invalid_and_no_conjuring():
+    from ocr_service_spark.core.dates import extract_published_date as e
+
+    # invalid body date earlier in text must not abort the class
+    assert e("u", "<p>from 1850-01-01 then 2019-03-08</p>") == \
+        ("2019-03-08", "body")
+    # removed comment spans must not concatenate digits into a date
+    assert e("u", "<p>room 20<!-- x -->23-05-17 items</p>") is None

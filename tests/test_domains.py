@@ -269,3 +269,15 @@ class TestIdnHostAudit:
             (i["host"], i["unicode_host"], i["mixed_script"])
             for i in map(idn_host_info, hosts))
         assert got == want
+
+
+def test_idn_uppercase_ace_prefix_decodes():
+    """'XN--' (uppercase ACE) must decode like 'xn--' — Python's idna
+    codec returns uppercase-prefixed labels unchanged, which let a spoof
+    evade the audit (review regression)."""
+    from ocr_service_spark.operators.domains import idn_host_info
+
+    up = idn_host_info("XN--PPLE-43D.com")
+    lo = idn_host_info("xn--pple-43d.com")
+    assert up["unicode_host"] == lo["unicode_host"] == "аpple.com"
+    assert up["mixed_script"] is True

@@ -455,3 +455,17 @@ class TestNeymanAllocation:
         # the extra unit to the lexically first
         got = self._run(spark, [("a", 10, 1), ("b", 10, 1)], 5)
         assert got == {"a": 3, "b": 2}
+
+
+def test_neyman_cap_surplus_reflows(spark):
+    """A binding cap must not strand audit budget: weights 3000/100 give
+    a 49/1 first pass, the cap cuts a to 3, and the 46 stranded units
+    re-flow to b (review regression: Σ alloc was 5 of 50)."""
+    from ocr_service_spark.operators.sampling import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("a", 3, 1000), ("b", 100, 1)], "stratum string, n_rows long, sd_x long")
+    got = {r["stratum"]: r["alloc"]
+           for r in neyman_allocation(df, 50).collect()}
+    assert got["a"] == 3 and got["b"] == 47
+    assert sum(got.values()) == 50
