@@ -233,6 +233,7 @@ HEADLINE = [
     "link_spam_signals",       # reciprocal-link exchange detection
     "host_curation_prior",     # trustrank x labels x spam capstone
     "cocitation_pairs",        # related-host co-citation counts
+    "triangle_counts",         # link-farm clustering coefficients
     "priority_sample",         # DLT weighted audit-slice sampling
     "split_leakage_audit",     # cross-split duplicate contamination
     "curriculum_order",        # bucket-major epoch ordering

@@ -5132,6 +5132,64 @@ LEFT JOIN spam sp ON n.node = sp.node""")
 SQL_HOST_CURATION = _curation_sql()
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Link-farm density (operators/graph.py triangle_counts): planted
+    60-host graph = a triangle-free ring (s → s+2, step-2 so no
+    consecutive closure) plus ten COMPLETE 3-cliques on (3k, 3k+1,
+    3k+2) for k < 10 — exactly hosts 0..29 close one triangle each and
+    carry the max cc; ring-only hosts count zero. The oracle replays the
+    planting, the ordered a<b<c enumeration, corner crediting, and the
+    per-mille coefficient."""
+    from .operators.graph import triangle_counts
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 60
+    ring = d.select(s.alias("src"), ((s + 2) % 60).alias("dst"))
+    k = F.col("doc_id") % 10
+    cl1 = d.select((k * 3).alias("src"), (k * 3 + 1).alias("dst"))
+    cl2 = d.select((k * 3 + 1).alias("src"), (k * 3 + 2).alias("dst"))
+    cl3 = d.select((k * 3).alias("src"), (k * 3 + 2).alias("dst"))
+    return triangle_counts(
+        ring.unionByName(cl1).unionByName(cl2).unionByName(cl3))
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT doc_id % 60 AS x, (doc_id % 60 + 2) % 60 AS y FROM documents
+  UNION ALL SELECT (doc_id % 10) * 3, (doc_id % 10) * 3 + 1 FROM documents
+  UNION ALL SELECT (doc_id % 10) * 3 + 1, (doc_id % 10) * 3 + 2 FROM documents
+  UNION ALL SELECT (doc_id % 10) * 3, (doc_id % 10) * 3 + 2 FROM documents
+),
+e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM raw WHERE x <> y
+),
+deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS host FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY host
+),
+tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab JOIN e bc ON ab.b = bc.a JOIN e ac
+    ON ab.a = ac.a AND bc.b = ac.b
+),
+per_node AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY host
+)
+SELECT d.host, d.degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN COALESCE(p.n_triangles, 0) * 2000
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_pm
+FROM deg d LEFT JOIN per_node p ON d.host = p.host
+"""
+
+
 def q_cocitation_pairs(spark, sf_dir):
     """Co-citation host similarity (operators/graph.py
     cocitation_pairs): planted page→host citations — every page cites
@@ -9874,6 +9932,7 @@ CATALOG: Dict[str, tuple] = {
     # crawl-curation capstone: trustrank x label-prop x link-spam
     "host_curation_prior": (q_host_curation_prior, SQL_HOST_CURATION),
     "cocitation_pairs": (q_cocitation_pairs, SQL_COCITATION),
+    "triangle_counts": (q_triangle_counts, SQL_TRIANGLES),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
     "extract_outlinks": (q_extract_outlinks, None),

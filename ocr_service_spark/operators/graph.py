@@ -438,3 +438,64 @@ def cocitation_pairs(
         .where(F.col("n_cocite") >= int(min_count))
     )
     return pairs
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-host triangle counts and integer clustering coefficient — the
+    local link-density signal reciprocity can't see: a link farm's hosts
+    close triangles among themselves far above the web's background rate
+    (high clustering + low authority = farm), while genuine hub pages
+    have star neighborhoods that close almost none.
+
+    Shape: canonicalize to undirected a<b edges, then the standard
+    two-join triangle enumeration on ORDERED vertices a<b<c — each
+    triangle is produced exactly once, so no dedup pass, and the join
+    keys are single vertices (partitioned hash joins; the degree-skew
+    hub case is AQE's skew-join, same as every pair join here). Each
+    triangle credits its three corners via one explode + hash
+    aggregate. cc_pm = 2000·T div (d·(d-1)) — the clustering
+    coefficient on the per-mille integer grid (0 for degree < 2).
+
+    Returns (host, degree, n_triangles, cc_pm).
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("host"))
+        .unionByName(e.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "host", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN coalesce(n_triangles, 0L) * 2000"
+                " div (degree * (degree - 1)) ELSE 0 END"
+            ).cast("long").alias("cc_pm"),
+        )
+    )

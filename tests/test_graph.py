@@ -236,3 +236,26 @@ class TestCocitationPairs:
         edges = [("p1", "a"), ("p1", "a"), ("p1", "b"), ("p1", "p1")]
         got = self._run(spark, edges, min_count=1)
         assert got == {("a", "b"): 1}  # dedup + self-cite dropped
+
+
+class TestTriangleCounts:
+    def _run(self, spark, edges):
+        from ocr_service_spark.operators.graph import triangle_counts
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r["host"]: (r["degree"], r["n_triangles"], r["cc_pm"])
+                for r in triangle_counts(e).collect()}
+
+    def test_clique_chain_and_directionless(self, spark):
+        # 4-clique (every node in 3 triangles) + a chain with none; edge
+        # direction and duplicates must not matter
+        clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = self._run(spark, clique + [(10, 11), (12, 11), (10, 11)])
+        for n in range(4):
+            assert got[n] == (3, 3, 1000)  # cc = 2*3/(3*2) = 1.0
+        assert got[11] == (2, 0, 0)
+        assert got[10] == (1, 0, 0)
+
+    def test_open_triangle_counts_zero(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3)])  # path, not closed
+        assert got[2] == (2, 0, 0)
