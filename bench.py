@@ -151,6 +151,7 @@ HEADLINE = [
     "compaction_plan",         # lakehouse binpack compaction planning
     "incremental_agg_refresh", # MV merge == full recompute, delta-only scan
     "scd1_upsert",             # MERGE-INTO emulation: dedupe + anti-join
+    "txlog_merge_state",       # tx-log table: merge + idempotent rerun
     "two_tier_dedup",          # bloom prefilter + exact sliver anti-join
     "url_template_profile",    # per-host template mining + trap flags
     "path_prefix_rollup",      # site-section rollup, bounded explode

@@ -3510,6 +3510,55 @@ GROUP BY 1, 2
 """
 
 
+def q_txlog_merge_state(spark, sf_dir):
+    """Transaction-log table semantics end-to-end (ocr_service_spark/
+    txlog.py): create a table in scratch space, commit 1 = append the
+    full planted keyset (k=doc_id, val=doc_id), commit 2 = MERGE
+    upserting every even key to val=10·doc_id, then RETRY commit 2 with
+    the same writer_id (the rerun case — must be a no-op). Emits the
+    final table state plus n_versions, so the oracle hash-gates BOTH
+    the merge semantics (odd keys untouched, even keys updated) AND the
+    idempotency (a third version would break the hash). The table dir
+    is materialized away after a localCheckpoint — the state, not the
+    storage, is under test."""
+    import shutil
+    import tempfile
+
+    from .txlog import TxLogTable
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("doc_id").cast("long").alias("val"),
+    )
+    upsert = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("k"),
+        (F.col("doc_id") * 10).cast("long").alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cat_", dir="/dev/shm")
+    try:
+        t = TxLogTable.create(os.path.join(root, "t"))
+        t.commit_append(base, key_col="k", writer_id="load-1")
+        t.commit_merge(upsert, "k", writer_id="merge-1")
+        t.commit_merge(upsert, "k", writer_id="merge-1")  # rerun: no-op
+        n_versions = t.latest() + 1
+        out = t.read(spark).withColumn(
+            "n_versions", F.lit(n_versions).cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+SQL_TXLOG_MERGE = """
+SELECT CAST(doc_id AS VARCHAR) AS k,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id * 10 ELSE doc_id END
+            AS BIGINT) AS val,
+       CAST(2 AS BIGINT) AS n_versions
+FROM documents
+"""
+
+
 _CDC_SHARED = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
                "sed do eiusmod tempor incididunt ut labore ") * 4
 
@@ -10011,6 +10060,8 @@ CATALOG: Dict[str, tuple] = {
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     "incremental_agg_refresh": (q_incremental_agg_refresh, SQL_MV_REFRESH),
     "scd1_upsert": (q_scd1_upsert, SQL_SCD1),
+    # transaction-log table format (ocr_service_spark/txlog.py)
+    "txlog_merge_state": (q_txlog_merge_state, SQL_TXLOG_MERGE),
     "mixture_waterfill": (q_mixture_waterfill, SQL_WATERFILL),
     # change-rate recrawl policy (operators/snapshots.py)
     "refresh_policy": (q_refresh_policy, SQL_REFRESH_POLICY),

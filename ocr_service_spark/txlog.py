@@ -1,0 +1,290 @@
+"""Minimal transaction-log table format on plain parquet (Delta/Iceberg
+shape) — snapshot isolation, time travel, idempotent commits, MERGE.
+
+The north rule wants "Iceberg MERGE-based idempotent writes so reruns are
+safe". No Iceberg jar ships in this sandbox, so plans/pipeline.py carries a
+bucketed-overwrite stand-in; THIS module supplies the missing table-format
+semantics themselves, from scratch, in the way the real formats do it:
+
+  - A table is a directory: data files under `data/`, plus an append-only
+    log `_txlog/{version:06d}.json`. Each entry lists the data dirs it ADDS
+    and REMOVES relative to its parent — the table state at version V is
+    the replay of entries 0..V (exactly Delta's protocol shape).
+  - COMMITS are atomic create-if-absent of the next log entry:
+    content is written to a temp file and `os.link()`ed to the final name —
+    on POSIX link(2) fails with EEXIST if the version was taken, so two
+    concurrent writers can never both win a version (optimistic
+    concurrency; the loser re-reads the log and retries onto the next
+    version). On an object store the same protocol runs on conditional
+    PUT (S3 If-None-Match) or a log catalog — the seam is _publish().
+  - SNAPSHOT ISOLATION for free: readers resolve a version's FILE LIST
+    once; later commits only add new log entries and new data dirs, never
+    mutate old ones, so a long batch job reads a frozen table while
+    writers land. TIME TRAVEL is reading an old version's list.
+  - IDEMPOTENT RERUNS: a commit carries the caller's `writer_id`; if any
+    committed entry already bears it, the commit is a NO-OP returning that
+    version. A retried/re-scheduled job (the spark-submit rerun case) can
+    therefore call commit unconditionally — exactly-once table effects
+    without external locking.
+  - MERGE (upsert-by-key): new rows replace same-key rows. Only data dirs
+    whose logged (min_key, max_key) ZONE MAP intersects the incoming key
+    range are rewritten (anti-join + union into one new dir); disjoint
+    dirs survive untouched — the file-pruned MERGE INTO shape. Worst case
+    (overlapping ranges everywhere) degrades to a full rewrite, exactly
+    like Iceberg's copy-on-write MERGE.
+  - VACUUM deletes data dirs that are live in NO retained snapshot —
+    physical-only, never touches the log prefix it keeps.
+
+Scale notes: the log is O(commits) tiny JSON; file lists are driver-side
+metadata exactly as in the real formats (Iceberg manifests at extreme
+scale — out of scope); data-path reads/writes are ordinary distributed
+parquet jobs. Keys are compared as strings (zone maps included) so any
+orderable key column works without type plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Raised when max_retries optimistic attempts all lost the race."""
+
+
+class TxLogTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+
+    # ----------------------------------------------------------------- log
+    @staticmethod
+    def create(path: str) -> "TxLogTable":
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        return TxLogTable(path)
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:06d}.json")
+
+    def _read_entry(self, version: int) -> dict:
+        with open(self._entry_path(version)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> List[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def latest(self) -> int:
+        s = self.snapshots()
+        return s[-1] if s else -1
+
+    def files(self, version: Optional[int] = None) -> List[dict]:
+        """Live data-dir records ({'path', 'min_key', 'max_key', 'rows'})
+        at `version` (default latest), by log replay."""
+        v = self.latest() if version is None else version
+        live: dict = {}
+        for i in range(v + 1):
+            e = self._read_entry(i)
+            for rm in e.get("remove", []):
+                live.pop(rm, None)
+            for add in e.get("add", []):
+                live[add["path"]] = add
+        return [live[k] for k in sorted(live)]
+
+    def writer_version(self, writer_id: str) -> Optional[int]:
+        """Version committed under `writer_id`, if any (idempotency probe)."""
+        for v in self.snapshots():
+            if self._read_entry(v).get("writer_id") == writer_id:
+                return v
+        return None
+
+    def _publish(self, version: int, entry: dict) -> bool:
+        """Atomically claim `version` with `entry`. True iff this writer
+        won. POSIX link(2) is the create-if-absent primitive; the object-
+        store analog is a conditional PUT."""
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(entry, f)
+            try:
+                os.link(tmp, self._entry_path(version))
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    # ---------------------------------------------------------------- data
+    def _write_data(self, df: DataFrame, key_col: Optional[str]) -> dict:
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        full = os.path.join(self.path, rel)
+        df.write.parquet(full)
+        add = {"path": rel, "rows": None, "min_key": None, "max_key": None}
+        if key_col is not None:
+            spark = df.sparkSession
+            stats = (
+                spark.read.parquet(full)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(F.col(key_col).cast("string")).alias("lo"),
+                    F.max(F.col(key_col).cast("string")).alias("hi"),
+                )
+                .collect()[0]
+            )
+            add.update(
+                {"rows": stats["n"], "min_key": stats["lo"],
+                 "max_key": stats["hi"]}
+            )
+        return add
+
+    def _commit(
+        self,
+        adds: List[dict],
+        removes: List[str],
+        action: str,
+        writer_id: Optional[str],
+        schema_json: Optional[str],
+        max_retries: int = 20,
+    ) -> int:
+        for _ in range(max_retries):
+            if writer_id is not None:
+                prior = self.writer_version(writer_id)
+                if prior is not None:
+                    return prior  # idempotent rerun: already landed
+            version = self.latest() + 1
+            entry = {
+                "version": version,
+                "action": action,
+                "writer_id": writer_id,
+                "add": adds,
+                "remove": removes,
+                "schema": schema_json,
+            }
+            if self._publish(version, entry):
+                return version
+            # lost the race: another writer took this version — re-read
+            # and retry on top of their commit (optimistic concurrency)
+        raise CommitConflict(f"lost {max_retries} commit races at {self.path}")
+
+    # ----------------------------------------------------------------- api
+    def commit_append(
+        self, df: DataFrame, key_col: Optional[str] = None,
+        writer_id: Optional[str] = None,
+    ) -> int:
+        if writer_id is not None:
+            prior = self.writer_version(writer_id)
+            if prior is not None:
+                return prior  # don't even write data for a known rerun
+        add = self._write_data(df, key_col)
+        return self._commit([add], [], "append", writer_id, df.schema.json())
+
+    def commit_overwrite(
+        self, df: DataFrame, key_col: Optional[str] = None,
+        writer_id: Optional[str] = None,
+    ) -> int:
+        if writer_id is not None:
+            prior = self.writer_version(writer_id)
+            if prior is not None:
+                return prior
+        removes = [f["path"] for f in self.files()]
+        add = self._write_data(df, key_col)
+        return self._commit([add], removes, "overwrite", writer_id,
+                            df.schema.json())
+
+    def commit_merge(
+        self, df: DataFrame, key_col: str, writer_id: Optional[str] = None
+    ) -> int:
+        """MERGE INTO ... WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT:
+        same-key rows are replaced by `df`'s, others kept. Rewrites ONLY
+        the data dirs whose zone map intersects the incoming key range."""
+        if writer_id is not None:
+            prior = self.writer_version(writer_id)
+            if prior is not None:
+                return prior
+        spark = df.sparkSession
+        rng = df.agg(
+            F.min(F.col(key_col).cast("string")).alias("lo"),
+            F.max(F.col(key_col).cast("string")).alias("hi"),
+        ).collect()[0]
+        lo, hi = rng["lo"], rng["hi"]
+        live = self.files()
+        # a dir with no zone map (key-less commit) must be treated as
+        # overlapping — correctness before pruning
+        affected = [
+            f for f in live
+            if f["min_key"] is None or lo is None
+            or not (f["max_key"] < lo or f["min_key"] > hi)
+        ]
+        if affected:
+            old = spark.read.parquet(
+                *[os.path.join(self.path, f["path"]) for f in affected]
+            )
+            kept = old.join(
+                df.select(F.col(key_col)).distinct(), key_col, "left_anti"
+            )
+            merged = kept.unionByName(df.select(old.columns))
+        else:
+            merged = df
+        add = self._write_data(merged, key_col)
+        return self._commit(
+            [add], [f["path"] for f in affected], "merge", writer_id,
+            df.schema.json(),
+        )
+
+    def read(
+        self, spark: SparkSession, version: Optional[int] = None
+    ) -> DataFrame:
+        files = self.files(version)
+        if not files:
+            v = self.latest() if version is None else version
+            schema = None
+            for i in range(v, -1, -1):
+                schema = self._read_entry(i).get("schema")
+                if schema:
+                    break
+            if schema is None:
+                raise ValueError(f"{self.path}: empty table with no schema")
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(
+                json.loads(schema)))
+        return spark.read.parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
+        )
+
+    def vacuum(self, keep_last: int = 1) -> List[str]:
+        """Delete data dirs live in NONE of the `keep_last` most recent
+        snapshots (older time travel breaks — the standard trade)."""
+        import shutil
+
+        snaps = self.snapshots()
+        kept = snaps[-keep_last:] if keep_last > 0 else []
+        keep_paths = set()
+        for v in kept:
+            keep_paths |= {f["path"] for f in self.files(v)}
+        removed = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in keep_paths:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+        return removed

@@ -1,0 +1,106 @@
+"""Transaction-log table format (ocr_service_spark/txlog.py): snapshot
+isolation, time travel, idempotent reruns, pruned MERGE, conflicts,
+vacuum."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.txlog import CommitConflict, TxLogTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return TxLogTable.create(str(tmp_path / "t"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, val long")
+
+
+def _state(spark, table, version=None):
+    return {r["k"]: r["val"]
+            for r in table.read(spark, version=version).collect()}
+
+
+def test_append_read_and_time_travel(spark, table):
+    v0 = table.commit_append(_df(spark, [("a", 1), ("b", 2)]), key_col="k")
+    v1 = table.commit_append(_df(spark, [("c", 3)]), key_col="k")
+    assert (v0, v1) == (0, 1)
+    assert _state(spark, table) == {"a": 1, "b": 2, "c": 3}
+    assert _state(spark, table, version=0) == {"a": 1, "b": 2}
+
+
+def test_snapshot_isolation_file_list_frozen(spark, table):
+    table.commit_append(_df(spark, [("a", 1)]), key_col="k")
+    frozen = table.files(0)
+    table.commit_overwrite(_df(spark, [("z", 9)]), key_col="k")
+    assert table.files(0) == frozen  # later commits never mutate history
+    assert _state(spark, table, version=0) == {"a": 1}
+    assert _state(spark, table) == {"z": 9}
+
+
+def test_idempotent_rerun_same_writer(spark, table):
+    df = _df(spark, [("a", 1)])
+    v1 = table.commit_append(df, key_col="k", writer_id="job-42")
+    v2 = table.commit_append(df, key_col="k", writer_id="job-42")  # retry
+    assert v1 == v2 and _state(spark, table) == {"a": 1}
+    # and a retried MERGE is a no-op too
+    m = _df(spark, [("a", 5)])
+    mv1 = table.commit_merge(m, "k", writer_id="merge-7")
+    mv2 = table.commit_merge(m, "k", writer_id="merge-7")
+    assert mv1 == mv2 and _state(spark, table) == {"a": 5}
+
+
+def test_merge_upserts_and_prunes_disjoint_files(spark, table):
+    # two appends with DISJOINT key ranges -> two data dirs with zone maps
+    table.commit_append(_df(spark, [("a", 1), ("b", 2)]), key_col="k")
+    table.commit_append(_df(spark, [("x", 10), ("y", 11)]), key_col="k")
+    before = {f["path"]: f for f in table.files()}
+    table.commit_merge(_df(spark, [("b", 20), ("c", 21)]), "k")
+    after = {f["path"] for f in table.files()}
+    # the x..y dir is out of the b..c key range: it must SURVIVE untouched
+    xy_dir = [p for p, f in before.items() if f["min_key"] == "x"][0]
+    ab_dir = [p for p, f in before.items() if f["min_key"] == "a"][0]
+    assert xy_dir in after and ab_dir not in after
+    assert _state(spark, table) == {
+        "a": 1, "b": 20, "c": 21, "x": 10, "y": 11}
+
+
+def test_commit_conflict_retries_onto_next_version(spark, table):
+    table.commit_append(_df(spark, [("a", 1)]), key_col="k")
+    # simulate a rival writer landing version 1 first
+    rival = {"version": 1, "action": "append", "writer_id": "rival",
+             "add": [], "remove": [], "schema": None}
+    with open(table._entry_path(1), "w") as f:
+        json.dump(rival, f)
+    v = table.commit_append(_df(spark, [("b", 2)]), key_col="k")
+    assert v == 2  # lost the race at 1, won at 2
+    assert _state(spark, table) == {"a": 1, "b": 2}
+
+
+def test_conflict_exhaustion_raises(spark, table, monkeypatch):
+    table.commit_append(_df(spark, [("a", 1)]), key_col="k")
+    monkeypatch.setattr(TxLogTable, "_publish", lambda self, v, e: False)
+    with pytest.raises(CommitConflict):
+        table._commit([], [], "append", None, None, max_retries=3)
+
+
+def test_vacuum_deletes_only_dead_dirs(spark, table):
+    table.commit_append(_df(spark, [("a", 1)]), key_col="k")
+    table.commit_overwrite(_df(spark, [("b", 2)]), key_col="k")
+    dead = table.files(0)[0]["path"]
+    live = table.files(1)[0]["path"]
+    removed = table.vacuum(keep_last=1)
+    assert removed == [dead]
+    assert os.path.isdir(os.path.join(table.path, live))
+    assert _state(spark, table) == {"b": 2}
+
+
+def test_empty_overwrite_reads_back_empty_with_schema(spark, table):
+    table.commit_append(_df(spark, [("a", 1)]), key_col="k")
+    table.commit_overwrite(_df(spark, []), key_col="k")
+    out = table.read(spark)
+    assert out.count() == 0 and set(out.columns) == {"k", "val"}
