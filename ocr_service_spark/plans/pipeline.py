@@ -128,3 +128,53 @@ def run_resumable(
     else:
         write_results(results, results_path, metrics_path, run_id, n_buckets)
     return spark.read.parquet(results_path)
+
+
+def run_resumable_txlog(
+    spark: SparkSession,
+    pages: DataFrame,
+    table_path: str,
+    writer_id: str,
+    metrics_path: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+    ref_clock: Optional[datetime] = None,
+) -> DataFrame:
+    """run_resumable on the transaction-log table format
+    (ocr_service_spark/txlog.py) — the north-rule write path with REAL
+    table-format semantics instead of the bucketed-parquet fallback:
+
+      - resume = anti-join against the CURRENT SNAPSHOT's urls (readers
+        of older snapshots are unaffected — snapshot isolation);
+      - the batch lands as ONE MERGE commit keyed on url, so re-running
+        after a partial failure upserts rather than duplicates;
+      - `writer_id` makes the whole batch EXACTLY-ONCE: a retried
+        spark-submit of the same attempt finds its own committed entry
+        and returns without writing a byte — the Iceberg/Delta
+        idempotent-commit contract, enforced by the log's atomic
+        create-if-absent, not by caller discipline.
+
+    Returns the table's latest state (post-commit read).
+    """
+    from ..txlog import TxLogTable
+
+    t = (TxLogTable(table_path) if os.path.isdir(
+            os.path.join(table_path, "_txlog"))
+         else TxLogTable.create(table_path))
+    if t.writer_version(writer_id) is not None:
+        return t.read(spark)  # retried attempt: already committed
+    if t.latest() >= 0:
+        done = t.read(spark).select("url")
+        pending = pages.join(done, "url", "left_anti")
+    else:
+        pending = pages
+    if pending.isEmpty():
+        return t.read(spark) if t.latest() >= 0 else pending
+    results = run_extraction(
+        pending, num_partitions=num_partitions, ref_clock=ref_clock
+    ).localCheckpoint()
+    t.commit_merge(results, "url", writer_id=writer_id)
+    out = t.read(spark)
+    if metrics_path:
+        partition_metrics(out, writer_id).write.mode("append").parquet(
+            metrics_path)
+    return out

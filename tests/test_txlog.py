@@ -104,3 +104,40 @@ def test_empty_overwrite_reads_back_empty_with_schema(spark, table):
     table.commit_overwrite(_df(spark, []), key_col="k")
     out = table.read(spark)
     assert out.count() == 0 and set(out.columns) == {"k", "val"}
+
+
+class TestResumableTxlog:
+    def _pages(self, spark, n):
+        from ocr_service_spark.sources.synth import synth_pages
+
+        return synth_pages(spark, n)
+
+    def test_kill_half_resume_and_idempotent_retry(self, spark, tmp_path):
+        from ocr_service_spark.plans.pipeline import run_resumable_txlog
+        from ocr_service_spark.txlog import TxLogTable
+
+        table = str(tmp_path / "t")
+        pages = self._pages(spark, 60)
+        # attempt 1 extracts only half the corpus (simulated partial run)
+        half = pages.limit(30)
+        out1 = run_resumable_txlog(spark, half, table, writer_id="a1")
+        assert out1.select("url").distinct().count() == 30
+        # attempt 2 over the FULL corpus extracts exactly the pending half
+        out2 = run_resumable_txlog(spark, pages, table, writer_id="a2")
+        assert out2.select("url").distinct().count() == 60
+        assert out2.count() == 60  # merge, never duplicate
+        # retrying attempt 2 is a committed no-op: version count frozen
+        t = TxLogTable(table)
+        v = t.latest()
+        out3 = run_resumable_txlog(spark, pages, table, writer_id="a2")
+        assert t.latest() == v and out3.count() == 60
+        # a THIRD attempt with nothing pending commits nothing either
+        out4 = run_resumable_txlog(spark, pages, table, writer_id="a3")
+        assert t.latest() == v and out4.count() == 60
+        # extracted text matches the direct pipeline byte-for-byte
+        from ocr_service_spark.plans.pipeline import run_extraction
+
+        direct = {r["url"]: r["extracted_text"]
+                  for r in run_extraction(pages).collect()}
+        via_table = {r["url"]: r["extracted_text"] for r in out4.collect()}
+        assert via_table == direct
