@@ -9851,6 +9851,127 @@ GROUP BY p.word, p.exact_cnt
 """
 
 
+def _kmv_shard_words(spark, sf_dir):
+    """8 corpus shards (doc_id mod 8) × lowercase [a-z]+ words — the same
+    tokenizer as the CMS dict so the sketch family shares one element
+    space."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("shard"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-cardinality sketch (operators/sketches.py
+    kmv_distinct): per corpus shard, the k=32 smallest distinct 60-bit
+    md5 word hashes give est ≈ 31·2^60/h_32 distinct words — the
+    mergeable cardinality summary that answers 'distinct URLs per host'
+    on a 100 TB corpus with k rows per group. The oracle replays every
+    kept hash, the k-th order statistic, the HUGEINT/DECIMAL(38,0)
+    floor-division estimator and the per-mille error — a single drifted
+    hash or off-by-one rank breaks the gate."""
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(_kmv_shard_words(spark, sf_dir), "shard", "word", k=32)
+
+
+SQL_KMV_DISTINCT = """
+WITH elems AS (
+  SELECT DISTINCT printf('s%d', doc_id % 8) AS grp,
+         ('0x' || substr(md5('kmv:' || w), 1, 15))::BIGINT AS h
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+),
+ranked AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n_exact
+  FROM elems
+),
+agg AS (
+  SELECT grp, MAX(n_exact) AS n_exact, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM ranked WHERE rn <= 32 GROUP BY grp
+),
+est AS (
+  SELECT grp, n_exact, kth,
+         CASE WHEN n_kept < 32 THEN n_kept
+              ELSE CAST((31::HUGEINT * 1152921504606846976::HUGEINT)
+                        // kth::HUGEINT AS BIGINT)
+         END AS est_distinct
+  FROM agg
+)
+SELECT grp, CAST(n_exact AS BIGINT) AS n_exact, kth, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 1000 // n_exact AS BIGINT) AS err_pm
+FROM est
+"""
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise shard-vocabulary overlap computed from KMV sketches ALONE
+    (operators/sketches.py kmv_overlap — Beyer et al. SIGMOD'07 §5): the
+    bottom-k of each pair's merged sketch yields the union-cardinality
+    estimate, the members present in BOTH input sketches yield the
+    Jaccard, their product the intersection — 'how much does crawl B add
+    over crawl A' on G·k sketch rows, no corpus rescan. All 28 shard
+    pairs emitted; integer permille/HUGEINT arithmetic end-to-end."""
+    from .operators.sketches import kmv_overlap
+
+    return kmv_overlap(_kmv_shard_words(spark, sf_dir), "shard", "word", k=32)
+
+
+SQL_KMV_OVERLAP = """
+WITH elems AS (
+  SELECT DISTINCT printf('s%d', doc_id % 8) AS grp,
+         ('0x' || substr(md5('kmv:' || w), 1, 15))::BIGINT AS h
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM elems
+  ) WHERE rn <= 32
+),
+gs AS (SELECT DISTINCT grp FROM sk),
+gp AS (
+  SELECT a.grp AS ga, b.grp AS gb FROM gs a JOIN gs b ON a.grp < b.grp
+),
+memb AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM gp p JOIN sk s ON s.grp IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.h
+),
+u AS (
+  SELECT ga, gb, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM memb
+),
+agg AS (
+  SELECT ga, gb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_int,
+         COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM u WHERE rn <= 32 GROUP BY ga, gb
+),
+est AS (
+  SELECT ga, gb, k_int, n_kept,
+         CASE WHEN n_kept < 32 THEN n_kept
+              ELSE CAST((31::HUGEINT * 1152921504606846976::HUGEINT)
+                        // kth::HUGEINT AS BIGINT)
+         END AS union_est
+  FROM agg
+)
+SELECT ga, gb, k_int, union_est,
+       CAST(k_int * 1000 // least(32, n_kept) AS BIGINT) AS jaccard_pm,
+       CAST(k_int * union_est // least(32, n_kept) AS BIGINT) AS inter_est
+FROM est
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10123,6 +10244,9 @@ CATALOG: Dict[str, tuple] = {
     "crawl_depth_bfs": (q_crawl_depth_bfs, SQL_CRAWL_DEPTH_BFS),
     # DLT weighted sampling without replacement (operators/sampling.py)
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
+    # KMV bottom-k distinct sketch + sketch-only overlap (operators/sketches.py)
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
 }
 
 

@@ -28,10 +28,13 @@ min-estimate bit-for-bit; all arithmetic is 64-bit integer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
+
+KMV_K = 32
+M60 = 1 << 60  # size of the 60-bit md5 hash space the repo convention uses
 
 
 def _hrow_fanout(depth: int):
@@ -106,4 +109,161 @@ def cms_heavy_hitters(
         "exact_cnt",
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct-value sketch (Bar-Yossef et al. RANDOM'02;
+# Beyer et al. SIGMOD'07 estimator).  The mergeable cardinality summary:
+# per group keep the k SMALLEST distinct 60-bit hashes of the elements;
+# if the k-th smallest is h_k, the group holds ≈ (k-1)·M/h_k distinct
+# values (the k-th order statistic of n uniforms on [0,M) sits near
+# k·M/n).  Sketches of two groups merge by taking the bottom-k of the
+# union — no rescan — which is what makes "distinct URLs per host over
+# 100 TB, then union across days" a k-row-per-group problem instead of a
+# full re-aggregation.
+#
+# Engine-exact: hashes are the repo's 60-bit md5 ints, the estimator is
+# one DECIMAL(38,0) floor-division — both engines agree bit-for-bit, so
+# the DuckDB oracle replays every kept hash, every k-th value and every
+# estimate.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_hash(elem_col):
+    """60-bit md5 of 'kmv:elem' — salted on the ELEMENT only, so the same
+    element hashes identically in every group (sketches stay mergeable
+    and intersectable across groups)."""
+    salted = F.concat(F.lit("kmv:"), elem_col)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    pairs: DataFrame, group_col: str, elem_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group, elem) long form -> bottom-k sketch rows
+    (grp, h, rn, n_exact) with rn = 1..min(k, distinct count).
+
+    Shape: one DISTINCT hash aggregate (map-side combine absorbs the
+    per-partition repetition — the only corpus-sized shuffle), then a
+    per-group window whose partition is the group's DISTINCT-element
+    set, never the raw stream.  At extreme per-group cardinality the
+    standard refinement is a pre-filter `h < c·k·M/lower_bound(n)` from
+    a first-pass approximate bound so the window only ever sorts O(k)
+    survivors; at catalog scale the direct window is the honest shape.
+    n_exact rides along (count over the same window partition — no
+    second shuffle) so callers can report estimator error.
+    """
+    d = (
+        pairs.select(
+            F.col(group_col).alias("grp"),
+            _kmv_hash(F.col(elem_col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_exact", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+        .where(F.col("rn") <= k)
+    )
+
+
+def _kmv_estimate(kth_col: str, n_kept_col: str, k: int):
+    """(k-1)·2^60 div h_k as one DECIMAL(38,0) floor-division (the
+    product is ~2^65, past int64), exact on both engines; groups with
+    fewer than k distinct values are counted exactly (their sketch IS
+    the value set)."""
+    return F.when(
+        F.col(n_kept_col) < F.lit(k), F.col(n_kept_col).cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * CAST({M60} AS DECIMAL(38,0)))"
+            f" div {kth_col} AS BIGINT)"
+        )
+    )
+
+
+def kmv_distinct(
+    pairs: DataFrame, group_col: str, elem_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group distinct-cardinality estimates with audit columns:
+    (grp, n_exact, kth, est_distinct, err_pm).
+
+    err_pm = |est - exact|·1000 div exact is the per-mille estimator
+    error — visible in the result so a drifting hash or a broken order
+    statistic shows up as a number, not a vibe.  Expected relative error
+    is ~1/sqrt(k-1) (≈18% at k=32); the estimate is exact below k.
+    """
+    sk = kmv_sketch(pairs, group_col, elem_col, k)
+    per = sk.groupBy("grp").agg(
+        F.max("n_exact").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    est = per.withColumn("est_distinct", _kmv_estimate("kth", "n_kept", k))
+    return est.select(
+        "grp",
+        "n_exact",
+        "kth",
+        "est_distinct",
+        # integer div end-to-end — double division + cast truncates while
+        # DuckDB // floors, and rounds differently at representability edges
+        F.expr(
+            "CAST(abs(est_distinct - n_exact) * 1000 div n_exact AS BIGINT)"
+        ).alias("err_pm"),
+    )
+
+
+def kmv_overlap(
+    pairs: DataFrame, group_col: str, elem_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise distinct-set overlap between ALL group pairs, computed
+    from the sketches alone — the 'how much does crawl B add over crawl
+    A' question answered on G·k rows instead of a corpus re-scan.
+
+    Per unordered pair (ga < gb): merge the two bottom-k sketches, keep
+    the bottom-k of the union; K∩ = how many of those survivors appear
+    in BOTH input sketches.  Then (Beyer et al. §5):
+      jaccard ≈ K∩ / k'          (k' = min(k, |union sketch|))
+      |A∪B|   ≈ (k-1)·M/h_k'     (the union sketch's own KMV estimate)
+      |A∩B|   ≈ jaccard · |A∪B|
+    emitted as (ga, gb, k_int, union_est, jaccard_pm, inter_est) in
+    engine-exact integer arithmetic.  The pair fan-out joins group pairs
+    to sketch rows by EXPLODING each pair into its two members — a plain
+    equi-join on grp, no OR-condition nested-loop.
+    """
+    sk = kmv_sketch(pairs, group_col, elem_col, k).select("grp", "h")
+    groups = sk.select("grp").distinct()
+    gpairs = (
+        groups.select(F.col("grp").alias("ga"))
+        .join(groups.select(F.col("grp").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    fan = gpairs.select(
+        "ga", "gb", F.explode(F.array("ga", "gb")).alias("grp")
+    )
+    memb = (
+        fan.join(sk, "grp")
+        .groupBy("ga", "gb", "h")
+        .agg(
+            F.max((F.col("grp") == F.col("ga")).cast("int")).alias("in_a"),
+            F.max((F.col("grp") == F.col("gb")).cast("int")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    u = memb.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    per = u.groupBy("ga", "gb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_int"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    est = per.withColumn("union_est", _kmv_estimate("kth", "n_kept", k))
+    kp = f"least(CAST({k} AS BIGINT), n_kept)"
+    return est.select(
+        "ga",
+        "gb",
+        "k_int",
+        "union_est",
+        F.expr(f"CAST(k_int * 1000 div {kp} AS BIGINT)").alias("jaccard_pm"),
+        F.expr(f"CAST(k_int * union_est div {kp} AS BIGINT)").alias("inter_est"),
     )

