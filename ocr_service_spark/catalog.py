@@ -9972,6 +9972,86 @@ FROM est
 """
 
 
+def q_perceptron_train(spark, sf_dir):
+    """Batch perceptron trained ON the cluster (operators/classifier.py
+    perceptron_train): labels come from the SQL-replayable planted linear
+    rule (so the data is separable by construction), then four batch
+    rounds w += Σ_mistakes y·x run as broadcast-join + aggregate jobs.
+    The emitted training trajectory (round, n_mistakes, w_l1_q, w_chk_q)
+    pins every round's mistake set AND the exact post-update weight
+    vector — the oracle unrolls all four rounds as materialized CTEs and
+    replays each margin, each gradient and each update integer-for-
+    integer."""
+    from .operators.classifier import perceptron_train, planted_weights, token_buckets
+
+    B = 16
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = planted_weights(spark, B)
+    tok = token_buckets(d, "text", B, F.col("doc_id").alias("id"))
+    lab = (
+        tok.join(F.broadcast(w), "bucket", "left")
+        .groupBy("id")
+        .agg(F.sum(F.coalesce(F.col("weight_q"), F.lit(0))).alias("s"))
+    )
+    labeled = d.join(lab, d.doc_id == lab.id).select(
+        "doc_id",
+        "text",
+        F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    mdf, _ = perceptron_train(labeled, "doc_id", "text", "y", n_buckets=B, rounds=4)
+    return mdf
+
+
+def _perceptron_sql(rounds: int = 4, B: int = 16) -> str:
+    parts = [f"""WITH pw AS MATERIALIZED (
+  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS wq
+  FROM range({B})
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substring(md5(tw), 1, 15))::BIGINT % {B} AS bucket
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tw
+        FROM documents)
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+lab AS MATERIALIZED (
+  SELECT f.doc_id,
+         CASE WHEN SUM(f.cnt * COALESCE(pw.wq, 0)) > 0 THEN 1 ELSE -1 END AS y
+  FROM feats f LEFT JOIN pw USING (bucket) GROUP BY f.doc_id
+),
+w0 AS MATERIALIZED (SELECT range AS bucket, CAST(0 AS BIGINT) AS q FROM range({B}))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+m{r} AS MATERIALIZED (
+  SELECT l.doc_id, l.y
+  FROM feats f JOIN lab l USING (doc_id) JOIN w{r - 1} w ON f.bucket = w.bucket
+  GROUP BY l.doc_id, l.y HAVING l.y * SUM(f.cnt * w.q) <= 0
+),
+g{r} AS MATERIALIZED (
+  SELECT f.bucket, SUM(m.y * f.cnt) AS g
+  FROM m{r} m JOIN feats f USING (doc_id) GROUP BY f.bucket
+),
+w{r} AS MATERIALIZED (
+  SELECT w.bucket, w.q + COALESCE(g.g, 0) AS q
+  FROM w{r - 1} w LEFT JOIN g{r} g USING (bucket)
+)""")
+    rows = [
+        f"""SELECT {r} AS round,
+       (SELECT COUNT(*) FROM m{r}) AS n_mistakes,
+       (SELECT SUM(abs(q)) FROM w{r}) AS w_l1_q,
+       (SELECT SUM((bucket + 1) * q) FROM w{r}) AS w_chk_q"""
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(rows))
+    return "".join(parts)
+
+
+SQL_PERCEPTRON_TRAIN = _perceptron_sql(4, 16)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10247,6 +10327,8 @@ CATALOG: Dict[str, tuple] = {
     # KMV bottom-k distinct sketch + sketch-only overlap (operators/sketches.py)
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
+    # batch perceptron trained on the cluster (operators/classifier.py)
+    "perceptron_train": (q_perceptron_train, SQL_PERCEPTRON_TRAIN),
 }
 
 

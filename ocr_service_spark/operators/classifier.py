@@ -111,3 +111,99 @@ def planted_weights(spark, n_buckets: int) -> DataFrame:
             "weight_q"
         ),
     )
+
+
+def doc_features(
+    docs: DataFrame, id_col: str, text_col: str, label_col: str, n_buckets: int
+) -> DataFrame:
+    """Long-form integer feature matrix (id, y, bucket, cnt): hashed
+    bag-of-words counts with the label riding along. Computed ONCE and
+    localCheckpointed by the trainer — the corpus-sized tokenize/explode
+    must not rerun every round."""
+    tok = token_buckets(
+        docs,
+        text_col,
+        n_buckets,
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("y"),
+    )
+    return tok.groupBy("id", "y", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def perceptron_train(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 16,
+    rounds: int = 4,
+):
+    """Batch perceptron training ON the cluster (Rosenblatt '58, batch
+    variant): per round, every document with margin y·(w·x) <= 0 is
+    misclassified and contributes y·x to the weight update
+    w += Σ_mistakes y·x. The existing catalog scores documents under a
+    GIVEN linear model (linear_quality_score); this is the other half —
+    fitting the model — as the same broadcast-join/aggregate shape.
+
+    Why it scales: features are the fixed-B hashed bag-of-words (computed
+    once, checkpointed), the model is B integers collected to the driver
+    per round and re-broadcast — exactly the Lloyd-iteration pattern in
+    operators/clustering.py (model-sized driver state, corpus-sized data
+    never moves). Each round = one broadcast join + two hash aggregates;
+    R rounds = O(R) jobs, no growing lineage.
+
+    Engine-exact: labels and counts are integers, weights start at zero
+    and stay integers (batch perceptron needs no learning rate — scaling
+    w scales every margin by the same positive factor), so every round's
+    mistake set is exactly replayable as unrolled SQL CTEs.
+
+    Returns (metrics_df, weights): metrics rows
+    (round, n_mistakes, w_l1_q, w_chk_q) for rounds 1..R, where w_l1_q =
+    Σ|w| and w_chk_q = Σ (bucket+1)·w pin the post-update weight vector
+    (sign- and position-sensitive), and `weights` is the final
+    (bucket, weight_q) model DataFrame ready for linear_quality_score.
+    """
+    spark = docs.sparkSession
+    feats = doc_features(docs, id_col, text_col, label_col, n_buckets)
+    feats = feats.localCheckpoint(eager=True)
+
+    w = {b: 0 for b in range(int(n_buckets))}
+    metrics = []
+    for r in range(1, int(rounds) + 1):
+        wdf = spark.createDataFrame(
+            [(b, q) for b, q in w.items()], "bucket long, weight_q long"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id", "y")
+            .agg(
+                F.sum(
+                    F.col("cnt") * F.coalesce(F.col("weight_q"), F.lit(0))
+                ).alias("score")
+            )
+            .where(F.col("y") * F.col("score") <= 0)
+        )
+        grad = (
+            margins.select("id", "y")
+            .join(feats, ["id", "y"])
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+        )
+        n_mistakes = margins.count()
+        for row in grad.collect():
+            w[row["bucket"]] += row["g"]
+        metrics.append(
+            (
+                r,
+                n_mistakes,
+                sum(abs(q) for q in w.values()),
+                sum((b + 1) * q for b, q in w.items()),
+            )
+        )
+    mdf = spark.createDataFrame(
+        metrics, "round long, n_mistakes long, w_l1_q long, w_chk_q long"
+    )
+    wdf = spark.createDataFrame(
+        [(b, q) for b, q in sorted(w.items())], "bucket long, weight_q long"
+    )
+    return mdf, wdf

@@ -117,3 +117,59 @@ class TestDsirImportance:
         out = dsir_importance(docs, target, raw, "doc_id", "text", n_b).collect()[0]
         assert out["n_tokens"] == 2
         assert out["dsir_q"] == exp
+
+
+class TestPerceptronTrain:
+    def _train(self, spark, rows, **kw):
+        from ocr_service_spark.operators.classifier import perceptron_train
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        mdf, wdf = perceptron_train(docs, "doc_id", "text", "y", **kw)
+        return (
+            {r["round"]: r for r in mdf.collect()},
+            {r["bucket"]: r["weight_q"] for r in wdf.collect()},
+        )
+
+    def test_round_one_updates_on_every_doc(self, spark):
+        # w0 = 0 gives every document margin exactly 0 — all misclassified,
+        # so round 1's mistake count is the corpus size and the first
+        # update is the full class-difference vector.
+        rows = [(1, "aa bb", 1), (2, "cc dd", -1), (3, "aa", 1)]
+        metrics, _ = self._train(spark, rows, n_buckets=8, rounds=1)
+        assert metrics[1]["n_mistakes"] == 3
+
+    def test_converges_on_separable_data(self, spark):
+        # Two vocabularies that cannot collide into the same buckets is
+        # not guaranteed at B=8, so build labels FROM the hashed feature
+        # space: y = +1 iff the doc contains 'pos' (a single token whose
+        # bucket differs from 'neg' at B=64 — verified by the assertion
+        # that training reaches zero mistakes, which is impossible if the
+        # two classes were not separable in feature space).
+        rows = [(i, "pos filler%d" % (i % 3), 1) for i in range(20)] + [
+            (100 + i, "neg filler%d" % (i % 3), -1) for i in range(20)
+        ]
+        metrics, w = self._train(spark, rows, n_buckets=64, rounds=6)
+        assert metrics[6]["n_mistakes"] == 0
+        # and the L1/checksum metrics must agree with the final weights
+        assert metrics[6]["w_l1_q"] == sum(abs(q) for q in w.values())
+        assert metrics[6]["w_chk_q"] == sum((b + 1) * q for b, q in w.items())
+
+    def test_final_weights_classify_training_set(self, spark):
+        # The trained model, fed back through the SCORING operator, must
+        # reproduce the training labels once mistakes hit zero (the two
+        # halves of the classifier module agree on features and scores).
+        from ocr_service_spark.operators.classifier import (
+            linear_quality_score,
+            perceptron_train,
+        )
+
+        rows = [(i, "pos filler%d" % (i % 3), 1) for i in range(20)] + [
+            (100 + i, "neg filler%d" % (i % 3), -1) for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        mdf, wdf = perceptron_train(docs, "doc_id", "text", "y", n_buckets=64, rounds=6)
+        assert {r["round"]: r["n_mistakes"] for r in mdf.collect()}[6] == 0
+        scored = linear_quality_score(docs, wdf, "doc_id", "text", 64)
+        got = {r["id"]: r["score_q"] > 0 for r in scored.collect()}
+        want = {i: y > 0 for i, _, y in rows}
+        assert got == want
