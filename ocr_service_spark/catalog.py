@@ -10052,6 +10052,89 @@ w{r} AS MATERIALIZED (
 SQL_PERCEPTRON_TRAIN = _perceptron_sql(4, 16)
 
 
+def q_expectations_suite(spark, sf_dir):
+    """Deequ-style release-gate verification suite
+    (operators/expectations.py): six row-level checks over documents
+    compiled into ONE scan (completeness, key uniqueness, range, a
+    row-consistency predicate, accepted values, pattern conformity) plus
+    two cross-table containment checks as distinct-key anti-joins.
+    The lang check is deliberately under-specified (zh missing from the
+    accepted list) so a FAILING verdict's polarity is part of the gate;
+    both engines must agree on every n_pass, per-mille metric and
+    boolean verdict."""
+    from .operators.expectations import expectations_report, referential_check
+
+    d = load(spark, sf_dir, "documents")
+    checks = [
+        {"id": "text_not_null", "kind": "not_null", "col": "text", "min_pm": 1000},
+        {"id": "doc_id_unique", "kind": "unique", "col": "doc_id"},
+        {"id": "n_chars_range", "kind": "in_range", "col": "n_chars",
+         "lo": 0, "hi": 1000000000, "min_pm": 1000},
+        {"id": "n_chars_consistent", "kind": "expr", "col": "n_chars",
+         "sql": "n_chars = length(text)", "min_pm": 1000},
+        {"id": "lang_accepted", "kind": "accepted", "col": "lang",
+         "values": ["en", "fr", "es", "de"], "min_pm": 1000},
+        {"id": "source_pattern", "kind": "matches", "col": "source",
+         "regex": "^src[0-9]+$", "min_pm": 1000},
+    ]
+    suite = expectations_report(d, checks)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ev = load(spark, sf_dir, "events").select("user_id")
+    fk1 = referential_check(li, o, "l_orderkey", "o_orderkey", "li_orders_fk")
+    fk2 = referential_check(ev, o, "user_id", "o_custkey", "events_buyers_fk")
+    return suite.unionByName(fk1).unionByName(fk2)
+
+
+SQL_EXPECTATIONS_SUITE = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM((text IS NOT NULL)::INT) AS BIGINT) AS p_text_not_null,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS p_doc_id_unique,
+         CAST(SUM((n_chars IS NOT NULL AND n_chars BETWEEN 0 AND 1000000000)::INT)
+              AS BIGINT) AS p_n_chars_range,
+         CAST(SUM((n_chars = length(text))::INT) AS BIGINT) AS p_n_chars_consistent,
+         CAST(SUM((lang IN ('en','fr','es','de'))::INT) AS BIGINT) AS p_lang_accepted,
+         CAST(SUM((source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$'))::INT)
+              AS BIGINT) AS p_source_pattern
+  FROM documents
+),
+u AS (
+  SELECT 'text_not_null' AS check_id, 'not_null' AS kind, 'text' AS col_name,
+         n_rows, p_text_not_null AS n_pass, 1000 AS threshold_pm FROM agg
+  UNION ALL
+  SELECT 'doc_id_unique', 'unique', 'doc_id', n_rows, p_doc_id_unique, 1000 FROM agg
+  UNION ALL
+  SELECT 'n_chars_range', 'in_range', 'n_chars', n_rows, p_n_chars_range, 1000 FROM agg
+  UNION ALL
+  SELECT 'n_chars_consistent', 'expr', 'n_chars', n_rows, p_n_chars_consistent, 1000 FROM agg
+  UNION ALL
+  SELECT 'lang_accepted', 'accepted', 'lang', n_rows, p_lang_accepted, 1000 FROM agg
+  UNION ALL
+  SELECT 'source_pattern', 'matches', 'source', n_rows, p_source_pattern, 1000 FROM agg
+  UNION ALL
+  SELECT 'li_orders_fk', 'fk', 'l_orderkey->o_orderkey',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)), 1000
+  UNION ALL
+  SELECT 'events_buyers_fk', 'fk', 'user_id->o_custkey',
+         (SELECT COUNT(*) FROM events),
+         (SELECT COUNT(*) FROM events
+          WHERE user_id IN (SELECT o_custkey FROM orders)), 1000
+)
+SELECT check_id, kind, col_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(CASE WHEN n_rows = 0 THEN 1000
+                 ELSE n_pass * 1000 // n_rows END AS BIGINT) AS metric_pm,
+       CAST(threshold_pm AS BIGINT) AS threshold_pm,
+       (CASE WHEN n_rows = 0 THEN 1000
+             ELSE n_pass * 1000 // n_rows END) >= threshold_pm AS passed
+FROM u
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10329,6 +10412,8 @@ CATALOG: Dict[str, tuple] = {
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     # batch perceptron trained on the cluster (operators/classifier.py)
     "perceptron_train": (q_perceptron_train, SQL_PERCEPTRON_TRAIN),
+    # Deequ-style expectation suite + referential checks (operators/expectations.py)
+    "expectations_suite": (q_expectations_suite, SQL_EXPECTATIONS_SUITE),
 }
 
 

@@ -1,0 +1,159 @@
+"""Declarative data-quality expectations, Deequ-style (Schelter et al.,
+VLDB'18 "Automating Large-Scale Data Quality Verification").
+
+A corpus release ships with a verification suite: completeness
+(not-null rates), key uniqueness, value ranges, pattern/accepted-value
+conformity, arbitrary row-level consistency predicates, and referential
+containment between tables.  The engine-shaped insight from Deequ is
+that every row-level check compiles into ONE shared aggregation pass —
+a conditional count per check over a single scan — so a 40-check suite
+on a 100 TB table costs the same scan as one check.  Only uniqueness
+(a distinct aggregate) and cross-table containment (an anti-join)
+need their own shapes.
+
+Output is one verdict row per check:
+  (check_id, kind, col_name, n_rows, n_pass, metric_pm, threshold_pm, passed)
+with metric_pm = n_pass·1000 div n_rows (integer per-mille — engine-
+exact, no float rates) and passed = metric_pm >= threshold_pm.  Failures
+are DATA, not exceptions: the suite always returns, and downstream
+gating (block the release, quarantine the partition) consumes the rows.
+
+Check specs are plain dicts (the JSON a config file would hold):
+  {"id": ..., "kind": "not_null",  "col": c, "min_pm": 1000}
+  {"id": ..., "kind": "unique",    "col": c}
+  {"id": ..., "kind": "in_range",  "col": c, "lo": x, "hi": y, "min_pm": p}
+  {"id": ..., "kind": "matches",   "col": c, "regex": r, "min_pm": p}
+  {"id": ..., "kind": "accepted",  "col": c, "values": [...], "min_pm": p}
+  {"id": ..., "kind": "expr",      "col": label, "sql": bool_sql, "min_pm": p}
+`expr` predicates must be engine-portable SQL (the catalog oracle runs
+the same string under DuckDB) — keep them to comparisons/arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _pass_expr(check: Dict) -> F.Column:
+    kind = check["kind"]
+    if kind == "not_null":
+        cond = F.col(check["col"]).isNotNull()
+    elif kind == "in_range":
+        c = F.col(check["col"])
+        cond = c.isNotNull() & (c >= F.lit(check["lo"])) & (c <= F.lit(check["hi"]))
+    elif kind == "matches":
+        c = F.col(check["col"])
+        cond = c.isNotNull() & (F.regexp_count(c, F.lit(check["regex"])) > 0)
+    elif kind == "accepted":
+        cond = F.col(check["col"]).isin(list(check["values"]))
+    elif kind == "expr":
+        cond = F.expr(check["sql"])
+    else:
+        raise ValueError(f"unknown row-level check kind: {kind}")
+    return F.sum(cond.cast("long")).alias(f"p_{check['id']}")
+
+
+def expectations_report(df: DataFrame, checks: Sequence[Dict]) -> DataFrame:
+    """Run the whole suite in one scan and return verdict rows.
+
+    Row-level kinds share a single aggregate (one conditional count
+    each); each `unique` check adds a count(DISTINCT) to the SAME
+    aggregate — Spark plans multi-distinct with an expand, still one
+    pass over the data.  The stacked per-check rows come off the single
+    aggregated row (constant-size), never a second scan.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in checks:
+        if c["kind"] == "unique":
+            aggs.append(
+                F.countDistinct(F.col(c["col"])).alias(f"p_{c['id']}")
+            )
+        else:
+            aggs.append(_pass_expr(c))
+    one = df.agg(*aggs)
+
+    parts = []
+    for c in checks:
+        thr = 1000 if c["kind"] == "unique" else int(c["min_pm"])
+        col_name = c.get("col", c["id"])
+        parts.extend(
+            [
+                f"'{c['id']}'",
+                f"'{c['kind']}'",
+                f"'{col_name}'",
+                "n_rows",
+                f"p_{c['id']}",
+                f"CAST({thr} AS BIGINT)",
+            ]
+        )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(checks)}, {', '.join(parts)}) AS "
+            "(check_id, kind, col_name, n_rows, n_pass, threshold_pm)"
+        )
+    )
+    return stacked.select(
+        "check_id",
+        "kind",
+        "col_name",
+        "n_rows",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN 1000 "
+            "ELSE n_pass * 1000 div n_rows END"
+        ).alias("metric_pm"),
+        "threshold_pm",
+        F.expr(
+            "(CASE WHEN n_rows = 0 THEN 1000 ELSE n_pass * 1000 div n_rows END)"
+            " >= threshold_pm"
+        ).alias("passed"),
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    check_id: str,
+) -> DataFrame:
+    """Containment check child.key ⊆ parent.key as one verdict row
+    (same schema as expectations_report — union them into one suite).
+
+    Shape: the child side reduces to DISTINCT keys FIRST (map-side
+    combine collapses the fan-in before any join traffic), then a
+    left-anti join against the parent's key projection counts orphans.
+    n_pass counts child ROWS whose key resolves, so the per-mille metric
+    weights violations by how much data they orphan, not by key count.
+    """
+    ckeys = child.groupBy(F.col(child_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    orphans = ckeys.join(
+        parent.select(F.col(parent_key).alias("k")).distinct(), "k", "left_anti"
+    )
+    tot = ckeys.agg(F.sum("cnt").alias("n_rows")).withColumn("j", F.lit(1))
+    bad = orphans.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orphan")
+    ).withColumn("j", F.lit(1))
+    # literal-key equi-join of the two 1-row aggregates (a crossJoin here
+    # would plan as CartesianProduct, which the plan-quality suite bans)
+    one = tot.join(F.broadcast(bad), "j")
+    return one.select(
+        F.lit(check_id).alias("check_id"),
+        F.lit("fk").alias("kind"),
+        F.lit(f"{child_key}->{parent_key}").alias("col_name"),
+        "n_rows",
+        (F.col("n_rows") - F.col("n_orphan")).alias("n_pass"),
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN 1000 "
+            "ELSE (n_rows - n_orphan) * 1000 div n_rows END"
+        ).alias("metric_pm"),
+        F.lit(1000).cast("long").alias("threshold_pm"),
+        F.expr(
+            "(CASE WHEN n_rows = 0 THEN 1000 "
+            "ELSE (n_rows - n_orphan) * 1000 div n_rows END) >= 1000"
+        ).alias("passed"),
+    )

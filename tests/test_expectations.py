@@ -1,0 +1,107 @@
+"""Deequ-style expectation suite (operators/expectations.py)."""
+
+import pytest
+
+
+def _report(spark, rows, schema, checks):
+    from ocr_service_spark.operators.expectations import expectations_report
+
+    df = spark.createDataFrame(rows, schema)
+    return {r["check_id"]: r for r in expectations_report(df, checks).collect()}
+
+
+class TestExpectationsReport:
+    def test_not_null_rate_and_verdict(self, spark):
+        rows = [(1, "a"), (2, None), (3, "c"), (4, "d")]
+        got = _report(
+            spark, rows, "id long, t string",
+            [{"id": "t_nn", "kind": "not_null", "col": "t", "min_pm": 800}],
+        )
+        r = got["t_nn"]
+        assert (r["n_rows"], r["n_pass"], r["metric_pm"]) == (4, 3, 750)
+        assert not r["passed"]  # 750 < 800
+
+    def test_unique_detects_duplicate_key(self, spark):
+        rows = [(1, "a"), (2, "b"), (2, "c")]
+        got = _report(
+            spark, rows, "id long, t string",
+            [{"id": "id_uq", "kind": "unique", "col": "id"}],
+        )
+        assert got["id_uq"]["n_pass"] == 2
+        assert not got["id_uq"]["passed"]
+
+    def test_in_range_bounds_inclusive_null_fails(self, spark):
+        rows = [(0,), (5,), (10,), (11,), (None,)]
+        got = _report(
+            spark, rows, "v long",
+            [{"id": "v_rng", "kind": "in_range", "col": "v",
+              "lo": 0, "hi": 10, "min_pm": 600}],
+        )
+        r = got["v_rng"]
+        assert (r["n_pass"], r["metric_pm"], r["passed"]) == (3, 600, True)
+
+    def test_expr_and_matches_and_accepted(self, spark):
+        rows = [(1, 1, "src1", "en"), (2, 99, "SRC2", "zz")]
+        got = _report(
+            spark, rows, "a long, b long, s string, l string",
+            [
+                {"id": "ab_eq", "kind": "expr", "col": "a",
+                 "sql": "a = b", "min_pm": 1000},
+                {"id": "s_pat", "kind": "matches", "col": "s",
+                 "regex": "^src[0-9]+$", "min_pm": 500},
+                {"id": "l_acc", "kind": "accepted", "col": "l",
+                 "values": ["en", "fr"], "min_pm": 500},
+            ],
+        )
+        assert got["ab_eq"]["n_pass"] == 1 and not got["ab_eq"]["passed"]
+        assert got["s_pat"]["n_pass"] == 1 and got["s_pat"]["passed"]
+        assert got["l_acc"]["n_pass"] == 1 and got["l_acc"]["passed"]
+
+    def test_empty_table_vacuously_passes(self, spark):
+        got = _report(
+            spark, [], "t string",
+            [{"id": "t_nn", "kind": "not_null", "col": "t", "min_pm": 1000}],
+        )
+        r = got["t_nn"]
+        assert (r["n_rows"], r["metric_pm"], r["passed"]) == (0, 1000, True)
+
+    def test_unknown_kind_raises(self, spark):
+        with pytest.raises(ValueError):
+            _report(
+                spark, [("x",)], "t string",
+                [{"id": "bad", "kind": "nope", "col": "t", "min_pm": 1}],
+            )
+
+
+class TestReferentialCheck:
+    def _fk(self, spark, child_rows, parent_rows):
+        from ocr_service_spark.operators.expectations import referential_check
+
+        c = spark.createDataFrame(child_rows, "k long")
+        p = spark.createDataFrame(parent_rows, "pk long")
+        return referential_check(c, p, "k", "pk", "fk").collect()[0]
+
+    def test_orphans_weighted_by_row_count(self, spark):
+        # key 9 is orphaned and occurs twice: violations count rows, not
+        # distinct keys — 3 of 5 child rows resolve.
+        r = self._fk(spark, [(1,), (1,), (2,), (9,), (9,)], [(1,), (2,), (3,)])
+        assert (r["n_rows"], r["n_pass"], r["metric_pm"]) == (5, 3, 600)
+        assert not r["passed"]
+
+    def test_full_containment_passes(self, spark):
+        r = self._fk(spark, [(1,), (2,), (2,)], [(1,), (2,), (3,)])
+        assert (r["n_pass"], r["metric_pm"], r["passed"]) == (3, 1000, True)
+
+    def test_no_cartesian_in_plan(self, spark):
+        import contextlib
+        import io
+
+        from ocr_service_spark.operators.expectations import referential_check
+
+        c = spark.createDataFrame([(1,)], "k long")
+        p = spark.createDataFrame([(1,)], "pk long")
+        df = referential_check(c, p, "k", "pk", "fk")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue()
