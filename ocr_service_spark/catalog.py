@@ -10135,6 +10135,51 @@ FROM u
 """
 
 
+def q_range_layout(spark, sf_dir):
+    """Deterministic range-partition planning (operators/layout.py
+    range_layout): the terasort/repartitionByRange shape with the
+    reservoir sample replaced by the md5 convention (1-in-16 of doc_ids)
+    so split bounds are engine-exact. Cuts 7 equi-depth splits of
+    n_chars from the sample, buckets every document as #splits <= key,
+    and emits the per-bucket balance audit (counts, key ranges, share
+    per-mille) a layout job inspects before committing the sorted
+    write. The oracle replays the sample membership, every sample rank,
+    every split value and every bucket assignment."""
+    from .operators.layout import range_layout
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return range_layout(d, "doc_id", "n_chars", n_buckets=8, sample_mod=16)
+
+
+SQL_RANGE_LAYOUT = """
+WITH s AS (
+  SELECT n_chars AS k FROM documents
+  WHERE ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 16 = 0
+),
+rs AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM s),
+n AS (SELECT COUNT(*) AS ns FROM s),
+ranks AS (
+  SELECT (i * ns) // 8 AS r FROM (SELECT unnest(range(1, 8)) AS i), n
+  WHERE (i * ns) // 8 >= 1
+),
+sp AS (SELECT rs.k AS split FROM rs JOIN ranks ON rs.rn = ranks.r),
+b AS (
+  SELECT d.n_chars AS k,
+         (SELECT COUNT(*) FROM sp WHERE split <= d.n_chars) AS bucket
+  FROM documents d
+),
+per AS (
+  SELECT bucket, COUNT(*) AS n_rows, MIN(k) AS min_key, MAX(k) AS max_key
+  FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(min_key AS BIGINT) AS min_key, CAST(max_key AS BIGINT) AS max_key,
+       CAST(n_rows * 1000 // (SELECT SUM(n_rows) FROM per) AS BIGINT) AS share_pm
+FROM per
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10414,6 +10459,8 @@ CATALOG: Dict[str, tuple] = {
     "perceptron_train": (q_perceptron_train, SQL_PERCEPTRON_TRAIN),
     # Deequ-style expectation suite + referential checks (operators/expectations.py)
     "expectations_suite": (q_expectations_suite, SQL_EXPECTATIONS_SUITE),
+    # deterministic sampled range-partition planning (operators/layout.py)
+    "range_layout": (q_range_layout, SQL_RANGE_LAYOUT),
 }
 
 

@@ -106,3 +106,80 @@ def pruning_audit(
             / F.greatest(F.col("n_rows_total"), F.lit(1))
         ).cast("long").alias("scan_permille"),
     )
+
+
+def range_layout(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    n_buckets: int = 8,
+    sample_mod: int = 16,
+) -> DataFrame:
+    """Range-partitioned file layout from a DETERMINISTIC sampled
+    partitioner — the terasort / repartitionByRange primitive, which is
+    how a 100 TB globally-sorted export actually runs: never one giant
+    sort, but (1) sample the key distribution, (2) cut R-1 split points
+    at equi-depth sample ranks, (3) hash every row to its range bucket
+    with a broadcast bounds array, (4) sort only WITHIN buckets.
+
+    Spark's own RangePartitioner does exactly this with reservoir
+    sampling; reservoirs are seed-dependent, so this operator samples by
+    the md5 convention instead (rows where h60('rs:'||id) ≡ 0 mod
+    sample_mod) — the bounds, bucket of every row, and all stats become
+    engine-exact and DuckDB-replayable.
+
+    The sample (n/sample_mod keys) is collected to the driver to cut the
+    split points — the same driver-sized-metadata contract as Spark's
+    RangePartitioner and the kmeans/perceptron model collects; at 100 TB
+    you'd raise sample_mod so the sample stays bounded. Split values sit
+    at sample ranks i·n_s div R (i=1..R-1, rank 0 skipped); duplicate
+    split VALUES are kept — both engines count the same multiset, so
+    heavy ties produce the same (possibly empty) buckets.
+
+    Emits the partition-plan audit table, one row per non-empty bucket:
+      (bucket, n_rows, min_key, max_key, share_pm)
+    adjacent buckets may share a boundary value (ties split on the
+    boundary stay deterministic: bucket = #splits <= key); share_pm =
+    n_rows·1000 div total exposes balance — the number a layout job
+    checks before committing the write.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rs:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = df.where(h % F.lit(int(sample_mod)) == 0).select(
+        F.col(key_col).alias("k")
+    )
+    keys = sorted(r["k"] for r in sample.collect())
+    ns, R = len(keys), int(n_buckets)
+    splits = [keys[(i * ns) // R - 1] for i in range(1, R) if (i * ns) // R >= 1]
+
+    if splits:
+        arr = F.array(*[F.lit(s) for s in splits])
+        bucket = F.size(F.filter(arr, lambda x: x <= F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    per = (
+        df.select(F.col(key_col).alias("k"), bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+    tot = per.agg(F.sum("n_rows").alias("total")).withColumn("j", F.lit(1))
+    return (
+        per.withColumn("j", F.lit(1))
+        .join(F.broadcast(tot), "j")
+        .select(
+            "bucket",
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.expr("CAST(n_rows * 1000 div total AS BIGINT)").alias("share_pm"),
+        )
+    )

@@ -79,3 +79,64 @@ class TestPruningAudit:
         stats = zorder_layout(pts, "x", "y", bits=3, file_bits=2)
         r = pruning_audit(stats, 0, 7, 0, 7).collect()[0]
         assert r["files_pruned"] == 0 and r["scan_permille"] == 1000
+
+
+class TestRangeLayout:
+    def _layout(self, spark, keys, **kw):
+        from ocr_service_spark.operators.layout import range_layout
+
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "id long, k long"
+        )
+        rows = range_layout(df, "id", "k", **kw).collect()
+        return sorted(rows, key=lambda r: r["bucket"])
+
+    def test_buckets_are_disjoint_ordered_ranges_covering_all_rows(self, spark):
+        keys = [i * 7 % 1000 for i in range(1000)]
+        rows = self._layout(spark, keys, n_buckets=8, sample_mod=4)
+        assert sum(r["n_rows"] for r in rows) == 1000
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_key"] <= b["min_key"]  # ranges ordered; boundary
+            # values may be shared only when the split value itself ties
+        total = sum(r["n_rows"] for r in rows)
+        for r in rows:
+            assert r["share_pm"] == r["n_rows"] * 1000 // total
+
+    def test_empty_sample_degenerates_to_single_bucket(self, spark):
+        # sample_mod so large nothing samples: no splits, everything in
+        # bucket 0 — the safe degenerate plan, not an error.
+        keys = list(range(50))
+        rows = self._layout(spark, keys, n_buckets=8, sample_mod=10**6)
+        assert len(rows) == 1
+        assert rows[0]["bucket"] == 0
+        assert rows[0]["n_rows"] == 50
+        assert rows[0]["share_pm"] == 1000
+
+    def test_all_tied_keys_single_bucket(self, spark):
+        # every key identical: all 7 split values equal it, every row
+        # counts all of them — one bucket numbered n_splits, never a
+        # nondeterministic tie split.
+        rows = self._layout(spark, [42] * 200, n_buckets=8, sample_mod=2)
+        assert len(rows) == 1
+        assert rows[0]["bucket"] == 7
+        assert rows[0]["min_key"] == rows[0]["max_key"] == 42
+
+    def test_split_points_match_python_replay(self, spark):
+        # Recompute the sample and equi-depth splits in pure Python
+        # (hashlib md5 == Spark md5) and check the bucket boundaries the
+        # operator produced are exactly the replayed split values.
+        import hashlib
+
+        keys = [(i * 37) % 500 for i in range(600)]
+        mod, R = 4, 8
+        sample = sorted(
+            k for i, k in enumerate(keys)
+            if int(hashlib.md5(f"rs:{i}".encode()).hexdigest()[:15], 16) % mod == 0
+        )
+        ns = len(sample)
+        splits = [sample[(i * ns) // R - 1] for i in range(1, R) if (i * ns) // R >= 1]
+        rows = self._layout(spark, keys, n_buckets=R, sample_mod=mod)
+        got_buckets = {r["bucket"]: r for r in rows}
+        for k in set(keys):
+            b = sum(1 for s in splits if s <= k)
+            assert got_buckets[b]["min_key"] <= k <= got_buckets[b]["max_key"]
