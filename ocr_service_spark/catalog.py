@@ -9851,38 +9851,39 @@ GROUP BY p.word, p.exact_cnt
 """
 
 
-def _kmv_shard_words(spark, sf_dir):
-    """8 corpus shards (doc_id mod 8) × lowercase [a-z]+ words — the same
-    tokenizer as the CMS dict so the sketch family shares one element
-    space."""
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("shard"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
-        ).alias("word"),
+def _kmv_priority_customers(spark, sf_dir):
+    """(order priority, customer key) long form — ~1300 distinct
+    customers per priority at sf0.01 and ~130 at sf0.001, so the DRIVER
+    GATE exercises the (k-1)·M/h_k estimator arm and the local contract
+    run exercises the exact-below-k arm. (The documents table's 31-word
+    synthetic vocabulary never leaves the exact arm — wrong fixture for
+    a cardinality sketch.)"""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").cast("string").alias("cust"),
     )
 
 
 def q_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct-cardinality sketch (operators/sketches.py
-    kmv_distinct): per corpus shard, the k=32 smallest distinct 60-bit
-    md5 word hashes give est ≈ 31·2^60/h_32 distinct words — the
-    mergeable cardinality summary that answers 'distinct URLs per host'
-    on a 100 TB corpus with k rows per group. The oracle replays every
-    kept hash, the k-th order statistic, the HUGEINT/DECIMAL(38,0)
+    kmv_distinct): per order priority, the k=32 smallest distinct 60-bit
+    md5 customer-key hashes give est ≈ 31·2^60/h_32 distinct customers —
+    the mergeable cardinality summary that answers 'distinct URLs per
+    host' on a 100 TB corpus with k rows per group. The oracle replays
+    every kept hash, the k-th order statistic, the HUGEINT/DECIMAL(38,0)
     floor-division estimator and the per-mille error — a single drifted
     hash or off-by-one rank breaks the gate."""
     from .operators.sketches import kmv_distinct
 
-    return kmv_distinct(_kmv_shard_words(spark, sf_dir), "shard", "word", k=32)
+    return kmv_distinct(_kmv_priority_customers(spark, sf_dir), "prio", "cust", k=32)
 
 
 SQL_KMV_DISTINCT = """
 WITH elems AS (
-  SELECT DISTINCT printf('s%d', doc_id % 8) AS grp,
-         ('0x' || substr(md5('kmv:' || w), 1, 15))::BIGINT AS h
-  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  SELECT DISTINCT o_orderpriority AS grp,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
 ),
 ranked AS (
   SELECT grp, h,
@@ -9910,23 +9911,24 @@ FROM est
 
 
 def q_kmv_overlap(spark, sf_dir):
-    """Pairwise shard-vocabulary overlap computed from KMV sketches ALONE
-    (operators/sketches.py kmv_overlap — Beyer et al. SIGMOD'07 §5): the
-    bottom-k of each pair's merged sketch yields the union-cardinality
-    estimate, the members present in BOTH input sketches yield the
-    Jaccard, their product the intersection — 'how much does crawl B add
-    over crawl A' on G·k sketch rows, no corpus rescan. All 28 shard
-    pairs emitted; integer permille/HUGEINT arithmetic end-to-end."""
+    """Pairwise customer-set overlap between order priorities computed
+    from KMV sketches ALONE (operators/sketches.py kmv_overlap — Beyer
+    et al. SIGMOD'07 §5): the bottom-k of each pair's merged sketch
+    yields the union-cardinality estimate, the members present in BOTH
+    input sketches yield the Jaccard, their product the intersection —
+    'how much does crawl B add over crawl A' on G·k sketch rows, no
+    corpus rescan. All 10 priority pairs emitted; integer
+    permille/HUGEINT arithmetic end-to-end."""
     from .operators.sketches import kmv_overlap
 
-    return kmv_overlap(_kmv_shard_words(spark, sf_dir), "shard", "word", k=32)
+    return kmv_overlap(_kmv_priority_customers(spark, sf_dir), "prio", "cust", k=32)
 
 
 SQL_KMV_OVERLAP = """
 WITH elems AS (
-  SELECT DISTINCT printf('s%d', doc_id % 8) AS grp,
-         ('0x' || substr(md5('kmv:' || w), 1, 15))::BIGINT AS h
-  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  SELECT DISTINCT o_orderpriority AS grp,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
 ),
 sk AS (
   SELECT grp, h FROM (
@@ -10178,6 +10180,86 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_rows * 1000 // (SELECT SUM(n_rows) FROM per) AS BIGINT) AS share_pm
 FROM per
 """
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-orders-per-returnflag
+    (operators/sketches.py hll_distinct): 64 max-leading-zero registers
+    per flag over ~11k distinct order keys at sf0.01 — the
+    byte-per-register mergeable summary, with the estimator made
+    integer-exact: rho from binary-string length, the harmonic
+    denominator as Σ 2^(55-reg) int64, α as a ppm constant in one
+    HUGEINT/DECIMAL floor-division, and the linear-counting branch as a
+    generated 64-entry lookup shared verbatim by both engines. denom_q
+    pins every register value, so one flipped register breaks the
+    gate."""
+    from .operators.sketches import hll_distinct
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").cast("string").alias("okey"),
+    )
+    return hll_distinct(pairs, "flag", "okey")
+
+
+def _hll_sql() -> str:
+    from .operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_RMAX,
+        _hll_lc_case,
+    )
+
+    pow67 = HLL_ALPHA_PPM << 67
+    lc = _hll_lc_case("v_zero")
+    lim = 5 * HLL_M // 2
+    return f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS grp,
+         ('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+regs AS (
+  SELECT grp, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RMAX}
+                  ELSE {HLL_RMAX} - length(bin(h // {HLL_M})) END) AS reg
+  FROM d GROUP BY 1, 2
+),
+per AS (
+  SELECT grp,
+         CAST(SUM(1::BIGINT << ({HLL_RMAX} - reg)) AS BIGINT) AS denom_present,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY grp
+),
+exact AS (SELECT grp, COUNT(*) AS n_exact FROM d GROUP BY grp),
+est AS (
+  SELECT p.grp, e.n_exact,
+         denom_present + ({HLL_M} - n_present) * (1::BIGINT << {HLL_RMAX})
+           AS denom_q,
+         {HLL_M} - n_present AS v_zero
+  FROM per p JOIN exact e ON p.grp = e.grp
+),
+est2 AS (
+  SELECT grp, n_exact, denom_q, v_zero,
+         CAST({pow67}::HUGEINT // (denom_q::HUGEINT * 1000000) AS BIGINT)
+           AS raw_est
+  FROM est
+),
+fin AS (
+  SELECT grp, n_exact, denom_q, v_zero,
+         CASE WHEN v_zero > 0 AND raw_est <= {lim} THEN {lc}
+              ELSE raw_est END AS est_distinct
+  FROM est2
+)
+SELECT grp, CAST(n_exact AS BIGINT) AS n_exact, denom_q,
+       CAST(v_zero AS BIGINT) AS v_zero, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 1000 // n_exact AS BIGINT) AS err_pm
+FROM fin
+"""
+
+
+SQL_HLL_DISTINCT = _hll_sql()
 
 
 CATALOG: Dict[str, tuple] = {
@@ -10461,6 +10543,8 @@ CATALOG: Dict[str, tuple] = {
     "expectations_suite": (q_expectations_suite, SQL_EXPECTATIONS_SUITE),
     # deterministic sampled range-partition planning (operators/layout.py)
     "range_layout": (q_range_layout, SQL_RANGE_LAYOUT),
+    # HyperLogLog registers, integer-exact estimator (operators/sketches.py)
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
 }
 
 

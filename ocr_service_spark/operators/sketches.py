@@ -267,3 +267,134 @@ def kmv_overlap(
         F.expr(f"CAST(k_int * 1000 div {kp} AS BIGINT)").alias("jaccard_pm"),
         F.expr(f"CAST(k_int * union_est div {kp} AS BIGINT)").alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (Flajolet/Fusy/Gandouet/Meunier, AofA'07) with an
+# integer-exact estimator.  KMV above keeps k hash VALUES; HLL keeps only
+# m=64 max-leading-zero registers (one byte each) — the fixed-64-cell
+# summary that merges by per-register MAX, which is why it is the
+# industry default for streaming/mergeable distinct counts.
+#
+# Engine-exactness is the interesting part: the classical estimator is
+# α·m²/Σ2^-reg with a float harmonic sum and a log-based small-range
+# correction.  Here every piece is integer: rho comes from BINARY-STRING
+# length (the snapshots.py convention — never float log2), the harmonic
+# denominator is Σ 2^(55-reg) (≤ 2^61, int64-safe), the raw estimate is
+# one DECIMAL/HUGEINT floor-division with α as a parts-per-million
+# integer constant, and the linear-counting branch reads a PRECOMPUTED
+# 64-entry integer table generated once in Python and printed into BOTH
+# engines' expressions — no runtime transcendental can disagree.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+HLL_M = 64          # registers (p = 6 bucket bits of the 60-bit hash)
+HLL_RMAX = 55       # max rho: 54 remaining bits all zero -> 54 zeros + 1
+HLL_ALPHA_PPM = 709396  # alpha_64 = 0.7213/(1 + 1.079/64), in ppm
+# linear-counting lookup: LC[V] = floor(m * ln(m / V)), V = 1..64
+HLL_LC = [int(_math.floor(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M + 1)]
+
+
+def _hll_lc_case(v_col: str) -> str:
+    """CASE expression mapping zero-register count -> linear-counting
+    estimate — same generated string on both engines, so the ln() lives
+    only in Python at build time."""
+    whens = " ".join(
+        f"WHEN {v} THEN CAST({HLL_LC[v - 1]} AS BIGINT)"
+        for v in range(1, HLL_M + 1)
+    )
+    return f"CASE {v_col} {whens} END"
+
+
+def hll_registers(
+    pairs: DataFrame, group_col: str, elem_col: str
+) -> DataFrame:
+    """(group, elem) -> per-group register table (grp, bucket, reg).
+
+    bucket = low 6 hash bits; reg = max over the group's elements of
+    rho = leading zeros of the remaining 54 bits + 1.  Shape: the same
+    DISTINCT aggregate as KMV, then ONE hash aggregate to at most
+    64 rows per group (map-side partial MAX — register merge is how
+    multi-day sketches combine too, so this aggregate IS the merge
+    operator)."""
+    salted = F.concat(F.lit("hll:"), F.col(elem_col))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    d = pairs.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).distinct()
+    rho = F.expr(
+        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
+        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
+    )
+    return (
+        d.select("grp", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    pairs: DataFrame, group_col: str, elem_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality with audit columns:
+    (grp, n_exact, denom_q, v_zero, est_distinct, err_pm).
+
+    denom_q = Σ_buckets 2^(55-reg) (absent registers count reg=0, i.e.
+    2^55 each) pins every register value; v_zero = empty registers;
+    raw = α_ppm·m²·2^55 div (denom_q·10^6) with DECIMAL(38,0)/HUGEINT
+    math; when v_zero > 0 and raw <= 5m/2 the linear-counting table
+    takes over (the standard small-range correction).  n_exact rides
+    along so err_pm makes estimator drift visible; expected error is
+    ~1.04/sqrt(64) ≈ 13%."""
+    regs = hll_registers(pairs, group_col, elem_col)
+    per = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")).alias(
+            "denom_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    salted = F.concat(F.lit("hll:"), F.col(elem_col))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    exact = (
+        pairs.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    pow67 = (HLL_ALPHA_PPM << 67)  # alpha_ppm * m^2 * 2^55, exact int
+    est = (
+        per.join(exact, "grp")
+        .withColumn(
+            "denom_q",
+            F.expr(
+                f"denom_present + ({HLL_M} - n_present) * "
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX})"
+            ),
+        )
+        .withColumn("v_zero", F.expr(f"{HLL_M} - n_present"))
+        .withColumn(
+            "raw_est",
+            F.expr(
+                f"CAST(CAST({pow67} AS DECIMAL(38,0)) div "
+                f"(CAST(denom_q AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"CASE WHEN v_zero > 0 AND raw_est <= {5 * HLL_M // 2} "
+                f"THEN {_hll_lc_case('v_zero')} ELSE raw_est END"
+            ),
+        )
+    )
+    return est.select(
+        "grp",
+        "n_exact",
+        "denom_q",
+        "v_zero",
+        "est_distinct",
+        F.expr(
+            "CAST(abs(est_distinct - n_exact) * 1000 div n_exact AS BIGINT)"
+        ).alias("err_pm"),
+    )

@@ -165,3 +165,83 @@ class TestKmvSketch:
         r = got[("a", "b")]
         assert 100 <= r["jaccard_pm"] <= 600  # true 333 pm, k=32 noise band
         assert 300 <= r["union_est"] <= 1600  # true 900
+
+
+class TestHllSketch:
+    @staticmethod
+    def _py_hll(elems):
+        # pure-Python replay of the register/estimator pipeline
+        import hashlib
+
+        from ocr_service_spark.operators.sketches import (
+            HLL_ALPHA_PPM,
+            HLL_LC,
+            HLL_M,
+            HLL_RMAX,
+        )
+
+        regs = {}
+        for e in set(elems):
+            h = int(hashlib.md5(f"hll:{e}".encode()).hexdigest()[:15], 16)
+            b, rem = h % HLL_M, h // HLL_M
+            rho = HLL_RMAX if rem == 0 else HLL_RMAX - rem.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        denom = sum(1 << (HLL_RMAX - r) for r in regs.values())
+        denom += (HLL_M - len(regs)) * (1 << HLL_RMAX)
+        v = HLL_M - len(regs)
+        raw = (HLL_ALPHA_PPM << 67) // (denom * 1000000)
+        est = HLL_LC[v - 1] if (v > 0 and raw <= 5 * HLL_M // 2) else raw
+        return denom, v, est
+
+    def _hll(self, spark, rows):
+        from ocr_service_spark.operators.sketches import hll_distinct
+
+        df = spark.createDataFrame(rows, "grp string, elem string")
+        return {r["grp"]: r for r in hll_distinct(df, "grp", "elem").collect()}
+
+    def test_matches_pure_python_replay_small_and_large(self, spark):
+        small = [f"s{i}" for i in range(40)]        # linear-counting branch
+        large = [f"x{i}" for i in range(5000)]      # raw harmonic branch
+        rows = [("a", e) for e in small] + [("b", e) for e in large]
+        got = self._hll(spark, rows)
+        for grp, elems in (("a", small), ("b", large)):
+            denom, v, est = self._py_hll(elems)
+            r = got[grp]
+            assert (r["denom_q"], r["v_zero"], r["est_distinct"]) == (denom, v, est)
+            assert r["n_exact"] == len(elems)
+
+    def test_raw_branch_error_within_band(self, spark):
+        # 5000 distinct at m=64: stderr ≈ 1.04/8 = 13%; the deterministic
+        # draw must land within ~3 sigma.
+        rows = [("b", f"x{i}") for i in range(5000)]
+        got = self._hll(spark, rows)["b"]
+        assert got["v_zero"] == 0
+        assert abs(got["est_distinct"] - 5000) <= 2000
+        assert got["err_pm"] == abs(got["est_distinct"] - 5000) * 1000 // 5000
+
+    def test_registers_merge_by_max(self, spark):
+        # The union group's registers must equal the per-bucket MAX of
+        # the two halves' registers — the sketch-merge law that makes
+        # HLL distributable and re-aggregable.
+        from ocr_service_spark.operators.sketches import hll_registers
+
+        half1 = [("u", f"p{i}") for i in range(200)]
+        half2 = [("u", f"q{i}") for i in range(200)]
+        both = [("a", e) for _, e in half1] + [("b", e) for _, e in half2]
+        dfu = spark.createDataFrame(half1 + half2, "grp string, elem string")
+        dfh = spark.createDataFrame(both, "grp string, elem string")
+        union_regs = {
+            r["bucket"]: r["reg"]
+            for r in hll_registers(dfu, "grp", "elem").collect()
+        }
+        merged = {}
+        for r in hll_registers(dfh, "grp", "elem").collect():
+            merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["reg"])
+        assert union_regs == merged
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        rows = [("a", f"e{i}") for i in range(100)]
+        got1 = self._hll(spark, rows)
+        got2 = self._hll(spark, rows * 5)
+        assert got1["a"]["denom_q"] == got2["a"]["denom_q"]
+        assert got1["a"]["est_distinct"] == got2["a"]["est_distinct"]
