@@ -239,6 +239,12 @@ HEADLINE = [
     "split_leakage_audit",     # cross-split duplicate contamination
     "curriculum_order",        # bucket-major epoch ordering
     "iban_scrub",              # mod-97-verified IBAN redaction
+    "kmv_distinct",            # bottom-k distinct-cardinality sketch
+    "kmv_overlap",             # sketch-only pairwise set overlap
+    "hll_distinct",            # HyperLogLog registers, integer estimator
+    "perceptron_train",        # batch perceptron trained on-cluster
+    "expectations_suite",      # single-scan data-quality verification
+    "range_layout",            # sampled range-partition planning
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
