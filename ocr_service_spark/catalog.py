@@ -10262,6 +10262,52 @@ FROM fin
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+def q_cpf_scrub(spark, sf_dir):
+    """Mod-11-verified CPF scrubbing (operators/quality.py cpf_scrub):
+    planted classes mix a valid formatted CPF, its one-digit-off invalid
+    twin (untouched), the same CPF bare (redacted), the checksum-PASSING
+    repeated-digit 111.111.111-11 (rejected by register rule — the
+    subtlety a naive mod-11 gate misses), an 11-digit timestamp
+    (candidate, checksum reject), and digit-free text. The REAL Catalyst
+    validation runs; the oracle is the planting CASE, so a miss in
+    either direction breaks it."""
+    from .operators.quality import cpf_scrub
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 6
+    text = (
+        F.when(k == 0, F.format_string(
+            "doc %d cliente cpf 529.982.247-25 ok", "doc_id"))
+        .when(k == 1, F.format_string(
+            "doc %d cliente cpf 529.982.247-26 err", "doc_id"))
+        .when(k == 2, F.format_string(
+            "doc %d consumidor 52998224725 fim", "doc_id"))
+        .when(k == 3, F.format_string(
+            "doc %d teste 111.111.111-11 rep", "doc_id"))
+        .when(k == 4, F.format_string(
+            "doc %d build 20240102030 ts", "doc_id"))
+        .otherwise(F.format_string("doc %d sem digitos", "doc_id"))
+    )
+    return cpf_scrub(d.select("doc_id", text.alias("text")))
+
+
+SQL_CPF_SCRUB = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k, CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'doc ' || ds || ' cliente cpf <CPF> ok'
+         WHEN 1 THEN 'doc ' || ds || ' cliente cpf 529.982.247-26 err'
+         WHEN 2 THEN 'doc ' || ds || ' consumidor <CPF> fim'
+         WHEN 3 THEN 'doc ' || ds || ' teste 111.111.111-11 rep'
+         WHEN 4 THEN 'doc ' || ds || ' build 20240102030 ts'
+         ELSE 'doc ' || ds || ' sem digitos' END AS redacted,
+  CAST(CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END AS INTEGER) AS n_cpfs
+FROM d
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10545,6 +10591,8 @@ CATALOG: Dict[str, tuple] = {
     "range_layout": (q_range_layout, SQL_RANGE_LAYOUT),
     # HyperLogLog registers, integer-exact estimator (operators/sketches.py)
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    # mod-11-verified CPF scrubbing (operators/quality.py)
+    "cpf_scrub": (q_cpf_scrub, SQL_CPF_SCRUB),
 }
 
 

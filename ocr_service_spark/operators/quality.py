@@ -968,3 +968,61 @@ def iban_scrub(
         redacted.alias("redacted"),
         F.size(valid).cast("int").alias("n_ibans"),
     )
+
+
+def cpf_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Checksum-verified CPF scrubbing — the Brazilian tax id (the
+    reference service's home jurisdiction: NFC-e receipts embed consumer
+    CPFs), completing the validated-PII triad with luhn_card_scrub
+    (mod-10) and iban_scrub (mod-97): candidates in formatted
+    (000.000.000-00) or bare 11-digit form are VALIDATED with the mod-11
+    double check digit before redaction, and the repeated-digit numbers
+    (111.111.111-11 ...) that PASS the checksum but are invalid by
+    register rule are rejected explicitly — both rejections are what
+    keep timestamps and order ids out of the shredder.
+
+    All Catalyst expressions, no UDF, same shape as its siblings:
+    per-candidate digit-array aggregates for the two weighted sums
+    (check digit k = ((sum·10) mod 11) mod 10), literal-replace fold
+    over VALID candidates only. Candidates are <= 14 chars so the
+    re-evaluated split inside the lambdas is bounded-tiny (the
+    documented Catalyst lambda caveat does not bite at this size,
+    exactly as in luhn_card_scrub)."""
+    cand_re = r"\b(?:[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}|[0-9]{11})\b"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(t, F.lit(cand_re), 0)
+
+    def cpf_valid(c):
+        digits = F.filter(
+            F.split(c, ""), lambda ch: (ch >= "0") & (ch <= "9")
+        )
+        n = F.size(digits)
+        d = lambda i: F.element_at(digits, i).cast("int")  # noqa: E731
+
+        def wsum(upto, base):
+            return F.aggregate(
+                F.sequence(F.lit(1), F.lit(upto)),
+                F.lit(0),
+                lambda acc, i: acc
+                + F.element_at(digits, i).cast("int") * (F.lit(base) - i),
+            )
+
+        dv1 = (wsum(9, 11) * 10) % 11 % 10
+        dv2 = (wsum(10, 12) * 10) % 11 % 10
+        all_same = (
+            F.size(F.filter(digits, lambda ch: ch == F.element_at(digits, 1)))
+            == n
+        )
+        return (n == 11) & ~all_same & (d(10) == dv1) & (d(11) == dv2)
+
+    valid = F.filter(cands, cpf_valid)
+    redacted = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit("<CPF>"))
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(valid).cast("int").alias("n_cpfs"),
+    )

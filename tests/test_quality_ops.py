@@ -1299,3 +1299,47 @@ class TestIbanScrub:
             (3, "NL91ABNA04171"),
         ])
         assert got[1][0] == 1 and got[2][0] == 1 and got[3][0] == 0
+
+
+class TestCpfScrub:
+    def _scrub(self, spark, texts):
+        from ocr_service_spark.operators.quality import cpf_scrub
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in cpf_scrub(df).collect()}
+
+    def test_valid_formatted_and_bare_redacted(self, spark):
+        got = self._scrub(spark, [
+            "cpf 529.982.247-25 ok",
+            "bare 52998224725 ok",
+        ])
+        assert got[0]["redacted"] == "cpf <CPF> ok" and got[0]["n_cpfs"] == 1
+        assert got[1]["redacted"] == "bare <CPF> ok" and got[1]["n_cpfs"] == 1
+
+    def test_checksum_reject_one_digit_off(self, spark):
+        got = self._scrub(spark, ["cpf 529.982.247-26 err", "x 52998224726 y"])
+        assert got[0]["n_cpfs"] == 0 and "529.982.247-26" in got[0]["redacted"]
+        assert got[1]["n_cpfs"] == 0
+
+    def test_repeated_digits_pass_checksum_but_rejected(self, spark):
+        # 111.111.111-11 satisfies both mod-11 check digits; the register
+        # rule still voids it — the case a naive validator redacts.
+        got = self._scrub(spark, [
+            "a 111.111.111-11 b", "c 00000000000 d", "e 999.999.999-99 f",
+        ])
+        assert all(r["n_cpfs"] == 0 for r in got.values())
+
+    def test_timestampish_digit_run_untouched(self, spark):
+        got = self._scrub(spark, ["build 20240102030 ts", "id 12345678901 x"])
+        assert got[0]["n_cpfs"] == 0
+        assert got[1]["n_cpfs"] == 0  # fails both check digits
+
+    def test_multiple_and_null_text(self, spark):
+        got = self._scrub(spark, [
+            "a 529.982.247-25 e tambem 52998224725 fim", None,
+        ])
+        assert got[0]["n_cpfs"] == 2
+        assert got[0]["redacted"] == "a <CPF> e tambem <CPF> fim"
+        assert got[1]["n_cpfs"] == 0 and got[1]["redacted"] == ""
