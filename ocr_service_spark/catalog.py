@@ -10308,6 +10308,63 @@ FROM d
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-balanced multilingual token-budget allocation
+    (operators/sampling.py temperature_mixture): per-language word
+    masses from one corpus aggregate, weights n^(1/2) as FLOOR(SQRT(n))
+    — IEEE sqrt is correctly rounded so the isqrt is engine-exact,
+    unlike the ln/pow float traps — then a 100k-token budget flows by
+    exact-integer largest-remainder apportionment. repeat_pm exposes
+    each language's up/down-sampling factor; the oracle replays masses,
+    isqrt weights, quotas, remainder ranking and every allocation."""
+    from .operators.sampling import temperature_mixture
+
+    d = load(spark, sf_dir, "documents")
+    masses = (
+        d.select(
+            "lang",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("nw"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nw").alias("n_tokens"))
+    )
+    return temperature_mixture(
+        masses, budget=100000, sqrt_steps=1, group_col="lang", n_col="n_tokens"
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH masses AS (
+  SELECT lang AS grp,
+         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT grp, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM masses WHERE n_tokens > 0
+),
+t AS (SELECT SUM(weight) AS t_w FROM w),
+q AS (
+  SELECT grp, n_tokens, weight,
+         100000 * weight // t_w AS base,
+         100000 * weight % t_w AS rem
+  FROM w, t
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, grp ASC) AS rk,
+         (SELECT 100000 - SUM(base) FROM q) AS short
+  FROM q
+)
+SELECT grp, n_tokens, weight,
+       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       CAST((base + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000 // n_tokens
+            AS BIGINT) AS repeat_pm
+FROM r
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10593,6 +10650,8 @@ CATALOG: Dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     # mod-11-verified CPF scrubbing (operators/quality.py)
     "cpf_scrub": (q_cpf_scrub, SQL_CPF_SCRUB),
+    # temperature-balanced multilingual budget (operators/sampling.py)
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
 }
 
 

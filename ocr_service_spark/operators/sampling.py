@@ -584,3 +584,70 @@ def neyman_allocation(
         F.least(F.col("_alloc0") + add, F.col("n_rows")).cast("long")
         .alias("alloc"),
     )
+
+
+def temperature_mixture(
+    groups: DataFrame,
+    budget: int,
+    sqrt_steps: int = 1,
+    group_col: str = "grp",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-balanced mixture allocation — the multilingual
+    sampling rule (mBERT/XLM-R style): sample group g with probability
+    ∝ n_g^alpha, alpha < 1, so high-resource languages stop drowning the
+    tail while tiny ones still rank by size. Head groups get LESS than
+    proportional share, tail groups get MORE — possibly more than they
+    hold (repeat_pm > 1000 = the up-sampling/epoch-repeat factor, which
+    is the intended behavior, unlike the capped neyman_allocation /
+    mixture_waterfill siblings).
+
+    Engine-exactness is why alpha is expressed as 1/2^sqrt_steps
+    (T = 2^sqrt_steps): n^(1/2) is FLOOR(SQRT(n)) — IEEE sqrt is
+    CORRECTLY ROUNDED (unlike ln/pow, the documented float traps), and
+    n < 2^53 is exactly representable, so floor(sqrt) is bit-identical
+    on both engines; alpha = 1/4 is two nested isqrts, and so on.
+    Integer budget units then flow by the same largest-remainder
+    (Hamilton) apportionment as neyman_allocation: floor the exact
+    cross-multiplied quotas, hand the shortfall to the largest
+    remainders, ties to the lexically first group.
+
+    Groups are a dimension table (languages/sources — tens of rows), so
+    the single-partition rank window is bounded by design.
+
+    Output: (grp, n_tokens, weight, alloc, repeat_pm) with
+    Σ alloc = budget and repeat_pm = alloc·1000 div n_tokens.
+    """
+    s = groups.select(
+        F.col(group_col).alias("grp"),
+        F.col(n_col).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(int(sqrt_steps)):
+        w = f"FLOOR(SQRT({w}))"
+    s = s.withColumn("weight", F.expr(f"CAST({w} AS BIGINT)"))
+    tot = s.agg(F.sum("weight").alias("t_w")).withColumn("j", F.lit(1))
+    j = s.withColumn("j", F.lit(1)).join(F.broadcast(tot), "j")
+    j = j.withColumn(
+        "_base", F.expr(f"{int(budget)} * weight div t_w")
+    ).withColumn("_rem", F.expr(f"{int(budget)} * weight % t_w"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    short = F.lit(int(budget)) - F.sum("_base").over(w_all)
+    w_rank = Window.orderBy(F.desc("_rem"), F.asc("grp"))
+    alloc = F.col("_base") + F.when(
+        F.row_number().over(w_rank) <= short, 1
+    ).otherwise(0)
+    return (
+        j.withColumn("alloc", alloc.cast("long"))
+        .select(
+            "grp",
+            "n_tokens",
+            "weight",
+            "alloc",
+            F.expr("CAST(alloc * 1000 div n_tokens AS BIGINT)").alias(
+                "repeat_pm"
+            ),
+        )
+    )

@@ -469,3 +469,48 @@ def test_neyman_cap_surplus_reflows(spark):
            for r in neyman_allocation(df, 50).collect()}
     assert got["a"] == 3 and got["b"] == 47
     assert sum(got.values()) == 50
+
+
+class TestTemperatureMixture:
+    def _mix(self, spark, masses, budget, steps=1):
+        from ocr_service_spark.operators.sampling import temperature_mixture
+
+        df = spark.createDataFrame(masses, "grp string, n_tokens long")
+        rows = temperature_mixture(
+            df, budget=budget, sqrt_steps=steps
+        ).collect()
+        return {r["grp"]: r for r in rows}
+
+    def test_budget_exactly_apportioned(self, spark):
+        got = self._mix(spark, [("a", 100), ("b", 900), ("c", 7)], 1000)
+        assert sum(r["alloc"] for r in got.values()) == 1000
+
+    def test_sqrt_weights_and_tail_boost(self, spark):
+        # masses 100 vs 900 (1:9): proportional gives 10%, temperature
+        # T=2 gives sqrt ratio 10:30 -> 25% — the tail more than doubles.
+        got = self._mix(spark, [("a", 100), ("b", 900)], 1000)
+        assert got["a"]["weight"] == 10 and got["b"]["weight"] == 30
+        assert got["a"]["alloc"] == 250 and got["b"]["alloc"] == 750
+
+    def test_zero_steps_is_proportional(self, spark):
+        got = self._mix(spark, [("a", 100), ("b", 900)], 1000, steps=0)
+        assert got["a"]["alloc"] == 100 and got["b"]["alloc"] == 900
+        assert got["a"]["repeat_pm"] == 1000  # exact parity, no repeat
+
+    def test_upsampling_exceeds_population(self, spark):
+        # tiny group under a big budget: alloc > n_tokens is intended
+        # (epoch repetition), flagged by repeat_pm > 1000.
+        got = self._mix(spark, [("tiny", 4), ("big", 10000)], 5000)
+        assert got["tiny"]["alloc"] > 4
+        assert got["tiny"]["repeat_pm"] > 1000
+
+    def test_largest_remainder_tiebreak_lexical(self, spark):
+        # equal masses -> equal quotas; an odd budget leaves one unit,
+        # which must go to the lexically first group.
+        got = self._mix(spark, [("x", 100), ("y", 100)], 101)
+        assert got["x"]["alloc"] == 51 and got["y"]["alloc"] == 50
+
+    def test_nonpositive_groups_dropped(self, spark):
+        got = self._mix(spark, [("a", 100), ("z", 0)], 100)
+        assert set(got) == {"a"}
+        assert got["a"]["alloc"] == 100
