@@ -10365,6 +10365,93 @@ FROM r
 """
 
 
+def q_embedding_hygiene(spark, sf_dir):
+    """Pre-index embedding hygiene gate (operators/similarity.py
+    embedding_hygiene) over the embeddings table with every pathology
+    class planted: bitwise duplicates (each vec_id % 50 == 0 copied to
+    id+1e6 — survivor = lowest id), an all-zero vector, a doubled
+    (denormalized) vector, a 32-dim truncation, and a NaN-poisoned row.
+    All verdicts are integer arithmetic on the 1e-3 quantized grid; the
+    oracle replays the planting, every quantized element, every md5
+    fingerprint, the duplicate groups and every keep verdict."""
+    from .operators.similarity import embedding_hygiene
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = F.col("embedding")
+    dups = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    zero = spark.range(1).select(
+        F.lit(2000001).cast("long").alias("vec_id"),
+        F.array_repeat(F.lit(0.0).cast("float"), 64).alias("embedding"),
+    )
+    doubled = e.where(F.col("vec_id") == 1).select(
+        F.lit(2000002).cast("long").alias("vec_id"),
+        F.transform(emb, lambda x: x * 2).alias("embedding"),
+    )
+    short = e.where(F.col("vec_id") == 2).select(
+        F.lit(2000003).cast("long").alias("vec_id"),
+        F.slice(emb, 1, 32).alias("embedding"),
+    )
+    poisoned = e.where(F.col("vec_id") == 3).select(
+        F.lit(2000004).cast("long").alias("vec_id"),
+        F.concat(
+            F.array(F.lit(float("nan")).cast("float")), F.slice(emb, 2, 63)
+        ).alias("embedding"),
+    )
+    planted = e.unionByName(dups).unionByName(zero).unionByName(
+        doubled
+    ).unionByName(short).unionByName(poisoned)
+    return embedding_hygiene(planted, "vec_id", "embedding", expected_dims=64)
+
+
+SQL_EMBEDDING_HYGIENE = """
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT 2000001, list_transform(generate_series(1, 64), x -> 0.0::FLOAT)
+  UNION ALL
+  SELECT 2000002, list_transform(embedding, x -> x * 2)
+  FROM embeddings WHERE vec_id = 1
+  UNION ALL
+  SELECT 2000003, embedding[1:32] FROM embeddings WHERE vec_id = 2
+  UNION ALL
+  SELECT 2000004, list_concat(['NaN'::FLOAT], embedding[2:64])
+  FROM embeddings WHERE vec_id = 3
+),
+q AS (
+  SELECT vec_id AS id, len(embedding) AS n_dims,
+         list_transform(embedding,
+           x -> CASE WHEN isnan(x) OR abs(x) > 1e30 THEN 0::BIGINT
+                     ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                END) AS qv,
+         COALESCE(list_max(list_transform(embedding,
+           x -> (isnan(x) OR abs(x) > 1e30)::INT)), 0) = 1 AS has_bad_elem
+  FROM planted
+),
+b AS (
+  SELECT id, n_dims, has_bad_elem,
+         CAST(COALESCE(list_sum(list_transform(qv, v -> v * v)), 0) AS BIGINT)
+           AS norm2_q,
+         md5(array_to_string(qv, ',')) AS fp
+  FROM q
+),
+g AS (SELECT fp, COUNT(*) AS n_same_fp, MIN(id) AS surv FROM b GROUP BY fp)
+SELECT b.id, CAST(b.n_dims AS BIGINT) AS n_dims, b.norm2_q, b.has_bad_elem,
+       b.norm2_q = 0 AS is_zero,
+       b.norm2_q <> 0 AND (b.norm2_q < 640000 OR b.norm2_q > 1440000)
+         AS is_denorm,
+       b.n_dims <> 64 AS wrong_dims,
+       CAST(g.n_same_fp AS BIGINT) AS n_same_fp,
+       (NOT b.has_bad_elem) AND b.norm2_q <> 0
+         AND NOT (b.norm2_q < 640000 OR b.norm2_q > 1440000)
+         AND b.n_dims = 64 AND b.id = g.surv AS keep
+FROM b JOIN g USING (fp)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10652,6 +10739,8 @@ CATALOG: Dict[str, tuple] = {
     "cpf_scrub": (q_cpf_scrub, SQL_CPF_SCRUB),
     # temperature-balanced multilingual budget (operators/sampling.py)
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    # pre-index embedding hygiene gate (operators/similarity.py)
+    "embedding_hygiene": (q_embedding_hygiene, SQL_EMBEDDING_HYGIENE),
 }
 
 

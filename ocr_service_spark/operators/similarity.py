@@ -334,3 +334,93 @@ def int8_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def embedding_hygiene(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dims: int = 64,
+    lo_norm2_q: int = 640_000,
+    hi_norm2_q: int = 1_440_000,
+) -> DataFrame:
+    """Pre-index hygiene gate for an embedding column — the checks an
+    ANN build runs BEFORE spending cluster-hours on it: zero vectors
+    (cosine undefined — they poison every similarity), non-finite
+    elements (one NaN silently NaN-ifies a whole dot product),
+    denormalized rows (a double-normalized or raw-logit vector in a
+    unit-norm corpus distorts every distance), wrong dimensionality
+    (model-version mixups), and bitwise-duplicate vectors (re-embedded
+    copies that waste index space and skew kNN votes).
+
+    Engine-exactness: every element is quantized to the 1e-3 integer
+    grid FIRST (floor(x·1000 + 0.5) — the documented repo convention;
+    IEEE double mult/floor are exact cross-engine), with non-finite
+    elements contributing 0 to the quantized view and flagged
+    separately, so norm² sums, fingerprints and verdicts are integer
+    arithmetic end-to-end.  The default norm² band [0.64, 1.44]·10⁶
+    accepts unit-norm ±20%.
+
+    Duplicate detection fingerprints the QUANTIZED vector (md5 of the
+    joined grid values): one hash aggregate keyed by fingerprint, then
+    an equi-join back — vectors whose rounded coordinates all agree
+    count as copies even across float jitter below the grid.
+
+    Output per vector:
+      (id, n_dims, norm2_q, has_bad_elem, is_zero, is_denorm,
+       wrong_dims, n_same_fp, keep)
+    keep = no flag fired and the vector is fingerprint-unique OR the
+    lowest-id member of its duplicate group (deterministic survivor,
+    the dedup convention).
+    """
+    v = F.col(vec_col)
+    bad = lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e30))  # noqa: E731
+    qvec = F.transform(
+        v,
+        lambda x: F.when(bad(x), F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+        ),
+    )
+    base = vecs.select(
+        F.col(id_col).alias("id"),
+        F.size(v).alias("n_dims"),
+        F.exists(v, bad).alias("has_bad_elem"),
+        qvec.alias("qv"),
+    ).select(
+        "id",
+        "n_dims",
+        "has_bad_elem",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda q: q * q),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm2_q"),
+        F.md5(F.array_join(F.col("qv"), ",")).alias("fp"),
+    )
+    groups = base.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_same_fp"), F.min("id").alias("fp_survivor")
+    )
+    out = base.join(groups, "fp")
+    is_zero = F.col("norm2_q") == 0
+    is_denorm = (~is_zero) & (
+        (F.col("norm2_q") < F.lit(int(lo_norm2_q)))
+        | (F.col("norm2_q") > F.lit(int(hi_norm2_q)))
+    )
+    wrong_dims = F.col("n_dims") != F.lit(int(expected_dims))
+    return out.select(
+        "id",
+        "n_dims",
+        "norm2_q",
+        "has_bad_elem",
+        is_zero.alias("is_zero"),
+        is_denorm.alias("is_denorm"),
+        wrong_dims.alias("wrong_dims"),
+        "n_same_fp",
+        (
+            ~F.col("has_bad_elem")
+            & ~is_zero
+            & ~is_denorm
+            & ~wrong_dims
+            & (F.col("id") == F.col("fp_survivor"))
+        ).alias("keep"),
+    )

@@ -544,3 +544,53 @@ class TestPathPrefixRollup:
         ])
         # 'item' is a file segment; both pages roll up to /shop/
         assert got[("a.example", 1, "/shop/")] == (2, 2)
+
+
+class TestEmbeddingHygiene:
+    def _gate(self, spark, rows, dims=4):
+        from ocr_service_spark.operators.similarity import embedding_hygiene
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = embedding_hygiene(
+            df, "vec_id", "embedding", expected_dims=dims
+        ).collect()
+        return {r["id"]: r for r in out}
+
+    def test_healthy_unit_vector_kept(self, spark):
+        got = self._gate(spark, [(1, [1.0, 0.0, 0.0, 0.0])])
+        r = got[1]
+        assert r["norm2_q"] == 1000000 and r["keep"]
+        assert not (r["is_zero"] or r["is_denorm"] or r["has_bad_elem"])
+
+    def test_zero_and_denormalized_flagged(self, spark):
+        got = self._gate(spark, [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),       # norm2_q = 4e6 > band
+            (3, [0.5, 0.0, 0.0, 0.0]),       # norm2_q = 25e4 < band
+        ])
+        assert got[1]["is_zero"] and not got[1]["keep"]
+        assert got[2]["is_denorm"] and not got[2]["keep"]
+        assert got[3]["is_denorm"] and not got[3]["keep"]
+
+    def test_nan_poisoned_flagged_not_propagated(self, spark):
+        got = self._gate(spark, [(1, [float("nan"), 1.0, 0.0, 0.0])])
+        r = got[1]
+        assert r["has_bad_elem"] and not r["keep"]
+        # NaN contributes 0 on the grid: norm2 stays finite and integer
+        assert r["norm2_q"] == 1000000
+
+    def test_wrong_dims_flagged(self, spark):
+        got = self._gate(spark, [(1, [1.0, 0.0])])
+        assert got[1]["wrong_dims"] and not got[1]["keep"]
+
+    def test_duplicates_lowest_id_survives_with_subgrid_jitter(self, spark):
+        # 5e-5 jitter is below the 1e-3 grid: both quantize identically,
+        # share a fingerprint, and only the lowest id keeps.
+        got = self._gate(spark, [
+            (7, [1.0, 0.0, 0.0, 0.0]),
+            (9, [1.00005, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ])
+        assert got[7]["n_same_fp"] == 2 and got[7]["keep"]
+        assert got[9]["n_same_fp"] == 2 and not got[9]["keep"]
+        assert got[3]["n_same_fp"] == 1 and got[3]["keep"]
