@@ -10452,6 +10452,52 @@ FROM b JOIN g USING (fp)
 """
 
 
+def q_cross_doc_dup_rate(spark, sf_dir):
+    """Corpus exact-substring duplication diagnostic (operators/dedup.py
+    cross_doc_dup_rate): per document, the per-mille of 8-token windows
+    whose 60-bit hash occurs more than once corpus-wide — the Lee et al.
+    number that motivates substring-level dedup, computed as one global
+    window-hash aggregate plus a join back. The oracle replays every
+    token split, every window slice, every hash and every count."""
+    from .operators.dedup import cross_doc_dup_rate
+
+    d = load(spark, sf_dir, "documents")
+    return cross_doc_dup_rate(d, "doc_id", "text", n=8)
+
+
+SQL_CROSS_DOC_DUP = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT id, t, GREATEST(0, len(t) - 7) AS n_windows FROM toks
+),
+wins AS (
+  SELECT id, n_windows,
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS whash
+  FROM base, unnest(generate_series(1, n_windows)) AS s(i)
+  WHERE n_windows > 0
+),
+counts AS (SELECT whash, COUNT(*) AS cnt FROM wins GROUP BY whash),
+per AS (
+  SELECT w.id, MAX(w.n_windows) AS n_windows,
+         SUM((c.cnt > 1)::INT) AS n_dup
+  FROM wins w JOIN counts c USING (whash) GROUP BY w.id
+),
+shorts AS (
+  SELECT id, n_windows, 0 AS n_dup FROM base WHERE n_windows = 0
+),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM shorts)
+SELECT id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(CASE WHEN n_windows = 0 THEN 0
+                 ELSE n_dup * 1000 // n_windows END AS BIGINT) AS dup_pm
+FROM u
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10741,6 +10787,8 @@ CATALOG: Dict[str, tuple] = {
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     # pre-index embedding hygiene gate (operators/similarity.py)
     "embedding_hygiene": (q_embedding_hygiene, SQL_EMBEDDING_HYGIENE),
+    # corpus exact-substring duplication diagnostic (operators/dedup.py)
+    "cross_doc_dup_rate": (q_cross_doc_dup_rate, SQL_CROSS_DOC_DUP),
 }
 
 

@@ -624,3 +624,85 @@ def two_tier_incremental_dedup(
             F.count(F.lit(1)).alias("n_delta_dups"),
         )
     )
+
+
+def cross_doc_dup_rate(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Corpus-level exact-substring duplication rate (the Lee et al.
+    ACL'22 'Deduplicating Training Data' diagnostic): per document, the
+    fraction of n-token windows whose hash occurs MORE THAN ONCE in the
+    whole corpus — the number that motivated suffix-array dedup (C4: 3%+
+    of tokens in 50+-token duplicated substrings). Within-doc repeats
+    count too (a second occurrence anywhere makes a window duplicated),
+    which matches the paper's any-second-occurrence notion.
+
+    Shape: tokens are materialized in a projection FIRST (the documented
+    Catalyst lambda trap — split() inside a transform lambda re-evaluates
+    per element, a measured 100x); windows then slice that array column,
+    hash to the 60-bit md5 grid, and the rest is one global hash
+    aggregate on window hashes (map-side combine collapses per-partition
+    repeats) plus one equi-join back — linear in corpus tokens, the same
+    traffic class as minhash signatures. At 100 TB the hash aggregate IS
+    the suffix-array substitute: collisions at 2^-60 overcount one
+    window pair per ~10^18.
+
+    Output: (id, n_windows, n_dup, dup_pm) with dup_pm = n_dup·1000 div
+    n_windows (0 for docs shorter than n tokens).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id",
+        "toks",
+        F.greatest(
+            F.lit(0), F.size(F.col("toks")) - F.lit(int(n) - 1)
+        ).alias("n_windows"),
+    )
+    wins = base.select(
+        "id",
+        "n_windows",
+        F.explode_outer(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.col("n_windows")),
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(F.col("toks"), i, int(n))
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("whash"),
+    ).where(F.col("n_windows") > 0)
+    counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        wins.join(counts, "whash")
+        .groupBy("id")
+        .agg(
+            F.max("n_windows").alias("n_windows"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    short = base.where(F.col("n_windows") == 0).select(
+        "id",
+        "n_windows",
+        F.lit(0).cast("long").alias("n_dup"),
+    )
+    return per.unionByName(short).select(
+        "id",
+        "n_windows",
+        "n_dup",
+        F.expr(
+            "CAST(CASE WHEN n_windows = 0 THEN 0 "
+            "ELSE n_dup * 1000 div n_windows END AS BIGINT)"
+        ).alias("dup_pm"),
+    )

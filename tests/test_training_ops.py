@@ -594,3 +594,44 @@ class TestEmbeddingHygiene:
         assert got[7]["n_same_fp"] == 2 and got[7]["keep"]
         assert got[9]["n_same_fp"] == 2 and not got[9]["keep"]
         assert got[3]["n_same_fp"] == 1 and got[3]["keep"]
+
+
+class TestCrossDocDupRate:
+    def _rate(self, spark, texts, n=3):
+        from ocr_service_spark.operators.dedup import cross_doc_dup_rate
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = cross_doc_dup_rate(df, "doc_id", "text", n=n).collect()
+        return {r["id"]: r for r in out}
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        got = self._rate(spark, ["a b c d e", "a b c d e", "v w x y z"])
+        assert got[0]["dup_pm"] == 1000 and got[1]["dup_pm"] == 1000
+        assert got[2]["dup_pm"] == 0
+        assert got[0]["n_windows"] == 3  # 5 tokens, n=3
+
+    def test_partial_overlap_counts_exact_windows(self, spark):
+        # doc1 = p q r s t, doc2 = x y p q r: exactly one shared 3-window
+        # ('p q r') -> 1 of 3 windows duplicated in each.
+        got = self._rate(spark, ["p q r s t", "x y p q r"])
+        assert got[0]["n_dup"] == 1 and got[0]["dup_pm"] == 333
+        assert got[1]["n_dup"] == 1 and got[1]["dup_pm"] == 333
+
+    def test_within_doc_repeat_counts(self, spark):
+        # 'a b c' occurs twice inside one doc: any-second-occurrence rule
+        # marks both windows even with no other document involved.
+        got = self._rate(spark, ["a b c z a b c"])
+        r = got[0]
+        assert r["n_windows"] == 5
+        assert r["n_dup"] == 2
+
+    def test_short_docs_emit_zero_window_rows(self, spark):
+        got = self._rate(spark, ["one two", "a b c d"])
+        assert got[0]["n_windows"] == 0 and got[0]["dup_pm"] == 0
+        assert got[1]["n_windows"] == 2
+
+    def test_case_and_whitespace_normalized(self, spark):
+        got = self._rate(spark, ["A  B   C", "a b c"])
+        assert got[0]["dup_pm"] == 1000 and got[1]["dup_pm"] == 1000
