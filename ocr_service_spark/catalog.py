@@ -10498,6 +10498,45 @@ FROM u
 """
 
 
+def q_posting_compression(spark, sf_dir):
+    """Delta+varint posting-list sizing (operators/search.py
+    posting_compression_report): per term, VByte bytes of the gap-encoded
+    sorted posting list vs fixed 8-byte ids — the Lucene-style index
+    capacity number. Varint widths come from binary-string length (never
+    float log2); the oracle replays every posting, every gap and every
+    byte count."""
+    from .operators.search import posting_compression_report
+
+    d = load(spark, sf_dir, "documents")
+    return posting_compression_report(d, "doc_id", "text")
+
+
+SQL_POSTING_COMPRESSION = """
+WITH postings AS (
+  SELECT DISTINCT doc_id AS doc, w AS term
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(w)
+),
+deltas AS (
+  SELECT term,
+         COALESCE(doc - LAG(doc) OVER (PARTITION BY term ORDER BY doc), doc)
+           AS gap
+  FROM postings
+),
+per AS (
+  SELECT term, COUNT(*) AS df,
+         CAST(SUM(CASE WHEN gap = 0 THEN 1
+                       ELSE (length(bin(gap)) + 6) // 7 END) AS BIGINT)
+           AS varint_bytes
+  FROM deltas GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(df * 8 AS BIGINT) AS raw_bytes, varint_bytes,
+       CAST((df * 8 - varint_bytes) * 1000 // (df * 8) AS BIGINT) AS savings_pm
+FROM per
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10789,6 +10828,8 @@ CATALOG: Dict[str, tuple] = {
     "embedding_hygiene": (q_embedding_hygiene, SQL_EMBEDDING_HYGIENE),
     # corpus exact-substring duplication diagnostic (operators/dedup.py)
     "cross_doc_dup_rate": (q_cross_doc_dup_rate, SQL_CROSS_DOC_DUP),
+    # delta+varint posting-list sizing (operators/search.py)
+    "posting_compression": (q_posting_compression, SQL_POSTING_COMPRESSION),
 }
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Q_IDF = 10_000
@@ -301,4 +301,56 @@ def build_inverted_index(
     return per_term.select(
         shard.alias("shard"), F.col("word").alias("term"),
         "df", "total_tf", "postings_digest",
+    )
+
+
+def posting_compression_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Index sizing report: how many bytes each term's posting list
+    costs under the standard delta + varint (VByte) encoding versus
+    fixed 8-byte ids — the number an index-capacity plan is built from
+    (Lucene/ES store postings exactly this way: sorted doc ids, gap
+    deltas, 7-bit-per-byte varints; rare terms have big gaps and
+    compress poorly per posting, dense terms have tiny gaps and approach
+    1 byte per posting).
+
+    Engine-exact accounting, no float: varint width of x is 1 for 0 else
+    ceil(bitlen(x)/7), with bitlen computed as BINARY-STRING length (the
+    snapshots.py convention — never float log2). The first posting
+    encodes the absolute doc id, subsequent ones their gap (lag over the
+    per-term window, bounded by document frequency — never a global
+    window).
+
+    Output per term: (term, df, raw_bytes, varint_bytes, savings_pm)
+    with raw_bytes = 8·df and savings_pm = (raw-varint)·1000 div raw.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    postings = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc")
+    deltas = postings.withColumn(
+        "gap",
+        F.when(F.lag("doc").over(w).isNull(), F.col("doc")).otherwise(
+            F.col("doc") - F.lag("doc").over(w)
+        ),
+    )
+    vbytes = F.expr(
+        "CASE WHEN gap = 0 THEN 1 "
+        "ELSE (length(conv(gap, 10, 2)) + 6) div 7 END"
+    )
+    per = deltas.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(vbytes).cast("long").alias("varint_bytes"),
+    )
+    return per.select(
+        "term",
+        "df",
+        (F.col("df") * 8).alias("raw_bytes"),
+        "varint_bytes",
+        F.expr(
+            "CAST((df * 8 - varint_bytes) * 1000 div (df * 8) AS BIGINT)"
+        ).alias("savings_pm"),
     )

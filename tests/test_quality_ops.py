@@ -1343,3 +1343,37 @@ class TestCpfScrub:
         assert got[0]["n_cpfs"] == 2
         assert got[0]["redacted"] == "a <CPF> e tambem <CPF> fim"
         assert got[1]["n_cpfs"] == 0 and got[1]["redacted"] == ""
+
+
+class TestPostingCompression:
+    def _report(self, spark, rows):
+        from ocr_service_spark.operators.search import posting_compression_report
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["term"]: r for r in posting_compression_report(df).collect()}
+
+    def test_dense_term_one_byte_per_gap(self, spark):
+        # term in consecutive docs 0..9: first posting encodes doc 0
+        # (gap 0 -> 1 byte), the rest gap 1 -> 1 byte each; 10 bytes vs
+        # 80 raw.
+        got = self._report(spark, [(i, "common") for i in range(10)])
+        r = got["common"]
+        assert (r["df"], r["raw_bytes"], r["varint_bytes"]) == (10, 80, 10)
+        assert r["savings_pm"] == 875
+
+    def test_sparse_term_wide_gaps_cost_more(self, spark):
+        # docs 0 and 2^20: the second gap needs ceil(21/7) = 3 bytes.
+        got = self._report(spark, [(0, "rare"), (1 << 20, "rare")])
+        r = got["rare"]
+        assert r["varint_bytes"] == 1 + 3
+
+    def test_seven_bit_boundaries(self, spark):
+        # gaps 127 (7 bits -> 1 byte) and 128 (8 bits -> 2 bytes)
+        got = self._report(spark, [(0, "x y"), (127, "x"), (128, "y")])
+        assert got["x"]["varint_bytes"] == 1 + 1   # doc0 + gap 127
+        assert got["y"]["varint_bytes"] == 1 + 2   # doc0 + gap 128
+
+    def test_duplicate_tokens_count_once_per_doc(self, spark):
+        got = self._report(spark, [(5, "w w w w")])
+        assert got["w"]["df"] == 1
+        assert got["w"]["varint_bytes"] == 1  # absolute id 5 -> 1 byte
