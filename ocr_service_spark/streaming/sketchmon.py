@@ -1,0 +1,139 @@
+"""Streaming distinct-cardinality monitor on HyperLogLog registers.
+
+The ops question a crawl stream poses continuously — "how many distinct
+URLs/users/hosts have we seen so far, per group?" — cannot be answered
+by exact distinct aggregation on an unbounded stream (state grows with
+cardinality). The HLL register table is the standard answer: per group a
+FIXED 64 bytes of state, updated by per-register MAX — an operation that
+is associative, commutative and idempotent, so replayed micro-batches
+(at-least-once sources) cannot corrupt it. This module maintains that
+table with foreachBatch merge-into-store, the production shape for
+streaming sketch maintenance:
+
+  per micro-batch:
+    batch_regs = hll_registers(batch rows)            # bounded: G×64 rows
+    store      = max-merge(store, batch_regs)         # the sketch-union law
+    overwrite store atomically (write tmp, swap dir)  # restart-safe
+
+The emitted estimates reuse the batch operator's integer-exact estimator
+(operators/sketches.py hll_distinct arithmetic) over the CURRENT store,
+so streaming numbers are bit-identical to what the batch pipeline would
+report on the same prefix — pinned by the batch-parity test
+(tests/test_streaming_sketchmon.py), which is the merge-by-max law from
+the unit suite promoted to cross-batch.
+
+State cost: G groups × 64 registers × one byte of information each —
+the whole store is a broadcast-sized parquet dir regardless of stream
+length, which is exactly why HLL (and not dropDuplicates state) is the
+unbounded-cardinality monitor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.sketches import HLL_M, HLL_RMAX, _hll_lc_case, HLL_ALPHA_PPM
+
+
+def merge_registers(store: DataFrame, batch_regs: DataFrame) -> DataFrame:
+    """Sketch-union: per (grp, bucket) MAX over both register tables."""
+    return (
+        store.unionByName(batch_regs)
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def register_estimates(regs: DataFrame) -> DataFrame:
+    """Current (grp, est_distinct) from a register table — the same
+    integer arithmetic as operators/sketches.py hll_distinct, minus the
+    n_exact audit column (an unbounded stream has no exact count; that
+    is the point)."""
+    per = regs.groupBy("grp").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")
+        ).alias("denom_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    pow67 = HLL_ALPHA_PPM << 67
+    est = (
+        per.withColumn(
+            "denom_q",
+            F.expr(
+                f"denom_present + ({HLL_M} - n_present) * "
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX})"
+            ),
+        )
+        .withColumn("v_zero", F.expr(f"{HLL_M} - n_present"))
+        .withColumn(
+            "raw_est",
+            F.expr(
+                f"CAST(CAST({pow67} AS DECIMAL(38,0)) div "
+                f"(CAST(denom_q AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"CASE WHEN v_zero > 0 AND raw_est <= {5 * HLL_M // 2} "
+                f"THEN {_hll_lc_case('v_zero')} ELSE raw_est END"
+            ),
+        )
+    )
+    return est.select("grp", "denom_q", "v_zero", "est_distinct")
+
+
+def run_distinct_monitor_stream(
+    spark,
+    source_path: str,
+    store_path: str,
+    estimates_path: str,
+    checkpoint_path: str,
+    schema,
+    group_col: str = "grp",
+    elem_col: str = "elem",
+) -> None:
+    """Drain the parquet source with availableNow, folding every
+    micro-batch into the register store and republishing estimates.
+
+    The store overwrite is write-new-then-swap (parquet to a versioned
+    subdir named by the micro-batch id, then the `current` pointer file
+    is rewritten) so a crash between batches leaves the previous store
+    intact; replaying the batch after restart max-merges the same
+    registers in — idempotent by the sketch-union law."""
+    from ..operators.sketches import hll_registers
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        regs = hll_registers(batch, group_col, elem_col)
+        cur = _read_store(sp, store_path)
+        merged = merge_registers(cur, regs) if cur is not None else regs
+        vdir = os.path.join(store_path, f"v{batch_id:06d}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(store_path, "current.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id:06d}")
+        os.replace(tmp, os.path.join(store_path, "current"))
+        register_estimates(sp.read.parquet(vdir)).write.mode(
+            "overwrite"
+        ).parquet(estimates_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _read_store(spark, store_path: str):
+    ptr = os.path.join(store_path, "current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(store_path, v))

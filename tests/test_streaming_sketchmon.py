@@ -1,0 +1,97 @@
+"""Streaming HLL distinct monitor (streaming/sketchmon.py): cross-batch
+register folding, batch parity (streaming estimates == batch hll_distinct
+on the same prefix), replay idempotence, and bounded store size."""
+
+import os
+
+import pytest
+
+from ocr_service_spark.streaming.sketchmon import run_distinct_monitor_stream
+
+SCHEMA = "grp string, elem string"
+
+
+@pytest.fixture()
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sketchmon")
+    return (
+        str(root / "src"),
+        str(root / "store"),
+        str(root / "est"),
+        str(root / "ckpt"),
+    )
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+
+def _run(spark, paths):
+    src, store, est, ckpt = paths
+    os.makedirs(store, exist_ok=True)
+    schema = spark.read.parquet(src).schema
+    run_distinct_monitor_stream(spark, src, store, est, ckpt, schema)
+
+
+def _estimates(spark, est):
+    return {r["grp"]: r for r in spark.read.parquet(est).collect()}
+
+
+def _batch_est(spark, all_rows):
+    from ocr_service_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    return {r["grp"]: r for r in hll_distinct(df, "grp", "elem").collect()}
+
+
+def test_streaming_matches_batch_on_same_prefix(spark, paths):
+    src = paths[0]
+    poll1 = [("a", f"u{i}") for i in range(300)] + [("b", f"v{i}") for i in range(20)]
+    _write(spark, src, poll1)
+    _run(spark, paths)
+    got = _estimates(spark, paths[2])
+    exp = _batch_est(spark, poll1)
+    for g in exp:
+        assert got[g]["denom_q"] == exp[g]["denom_q"]
+        assert got[g]["est_distinct"] == exp[g]["est_distinct"]
+
+    # poll 2: overlap with poll 1 plus fresh elements — the streaming
+    # store must equal batch HLL over the CONCATENATED prefix
+    poll2 = [("a", f"u{i}") for i in range(200, 600)] + [("c", "w0")]
+    _write(spark, src, poll2)
+    _run(spark, paths)
+    got = _estimates(spark, paths[2])
+    exp = _batch_est(spark, poll1 + poll2)
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g]["denom_q"] == exp[g]["denom_q"]
+        assert got[g]["est_distinct"] == exp[g]["est_distinct"]
+
+
+def test_replay_is_idempotent(spark, paths):
+    # Re-appending the SAME rows (at-least-once delivery) must not move
+    # any register: max-merge of an identical sketch is a no-op.
+    src = paths[0]
+    rows = [("a", f"u{i}") for i in range(100)]
+    _write(spark, src, rows)
+    _run(spark, paths)
+    before = _estimates(spark, paths[2])["a"]
+    _write(spark, src, rows)
+    _run(spark, paths)
+    after = _estimates(spark, paths[2])["a"]
+    assert (before["denom_q"], before["est_distinct"]) == (
+        after["denom_q"], after["est_distinct"],
+    )
+
+
+def test_store_stays_register_sized(spark, paths):
+    # 5000 distinct elements, one group: the store holds at most 64
+    # register rows — cardinality-independent state, the reason HLL (not
+    # dropDuplicates) is the unbounded monitor.
+    src, store, est, ckpt = paths
+    _write(spark, src, [("a", f"u{i}") for i in range(5000)])
+    _run(spark, paths)
+    with open(os.path.join(store, "current")) as f:
+        v = f.read().strip()
+    n = spark.read.parquet(os.path.join(store, v)).count()
+    assert n <= 64
