@@ -245,6 +245,11 @@ HEADLINE = [
     "perceptron_train",        # batch perceptron trained on-cluster
     "expectations_suite",      # single-scan data-quality verification
     "range_layout",            # sampled range-partition planning
+    "cpf_scrub",               # mod-11-verified CPF redaction
+    "temperature_mixture",     # multilingual sqrt-temperature budget
+    "embedding_hygiene",       # pre-index vector hygiene gate
+    "cross_doc_dup_rate",      # corpus exact-substring duplication
+    "posting_compression",     # delta+varint index sizing
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
