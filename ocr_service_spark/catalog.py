@@ -10537,6 +10537,46 @@ FROM per
 """
 
 
+def q_join_skew_report(spark, sf_dir):
+    """Pre-join skew diagnosis (operators/skew.py join_skew_report) on a
+    planted 30%-hot key distribution: per heavy key, row count, table
+    share per-mille, and the deterministic salt factor that spreads it
+    over 32 target partitions — the hot-key-only salting plan. The
+    oracle replays counts, ranking, shares and the ceil-division salt
+    arithmetic."""
+    from .operators.skew import join_skew_report
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.when(F.col("doc_id") % 10 < 3, F.lit("hot")).otherwise(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string"))
+    )
+    return join_skew_report(
+        d.select(key.alias("k")), "k", n_top=5, target_partitions=32
+    )
+
+
+SQL_JOIN_SKEW = """
+WITH keyed AS (
+  SELECT CASE WHEN doc_id % 10 < 3 THEN 'hot'
+              ELSE 'k' || CAST(doc_id AS VARCHAR) END AS key
+  FROM documents
+),
+counts AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY key),
+t AS (SELECT SUM(cnt) AS total FROM counts),
+ranked AS (
+  SELECT key, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM counts
+)
+SELECT rank, key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000 // total AS BIGINT) AS share_pm,
+       CAST(CASE WHEN total // 32 = 0 THEN 1
+                 ELSE (cnt + (total // 32) - 1) // (total // 32)
+            END AS BIGINT) AS salt_factor
+FROM ranked, t WHERE rank <= 5
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10830,6 +10870,8 @@ CATALOG: Dict[str, tuple] = {
     "cross_doc_dup_rate": (q_cross_doc_dup_rate, SQL_CROSS_DOC_DUP),
     # delta+varint posting-list sizing (operators/search.py)
     "posting_compression": (q_posting_compression, SQL_POSTING_COMPRESSION),
+    # pre-join skew diagnosis with hot-key salt plan (operators/skew.py)
+    "join_skew_report": (q_join_skew_report, SQL_JOIN_SKEW),
 }
 
 

@@ -12,7 +12,7 @@ salts with high probability and never pile on one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -27,4 +27,65 @@ def repartition_by_size(pages: DataFrame, num_partitions: int, payload_col: str 
         .withColumn("_salt", salt)
         .repartition(num_partitions, F.col("_size_bucket"), F.col("_salt"))
         .drop("_size_bucket", "_salt")
+    )
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_col: str,
+    n_top: int = 5,
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Pre-join skew diagnosis — the report you read BEFORE a big join
+    melts one task: per-key row counts, each heavy hitter's share of the
+    table, and the deterministic salt factor that would spread it across
+    `target_partitions` evenly-loaded tasks.  AQE's skew-join split
+    fixes sort-merge joins at runtime, but broadcast-hash probes, UDF
+    stages keyed on the column, and stateful-streaming keys all skew
+    silently — this is the planning-time view for those.
+
+    salt_factor for a key with c rows = ceil(c / (total div P)): the
+    number of salt shards needed so no shard exceeds the average
+    per-partition row load.  1 means the key needs no salting; the
+    report emits it per heavy key so a pipeline can salt ONLY the hot
+    keys (the two-phase aggregate pattern) instead of paying salt
+    shuffle width on the whole table.
+
+    Shape: one hash aggregate keyed by the join key (map-side combine),
+    then top-k by orderBy+limit (TakeOrderedAndProject — no global
+    sort) against the single-row total (broadcast literal-key join).
+    Output: (rank, key, cnt, share_pm, salt_factor), rank 1 = heaviest,
+    count-desc / key-asc ties.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(F.sum("cnt").alias("total")).withColumn("j", F.lit(1))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(int(n_top))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(tot), "j")
+    )
+    P = int(target_partitions)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("key"))
+            ),
+        )
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 1000 div total AS BIGINT)").alias("share_pm"),
+            F.expr(
+                f"CAST(CASE WHEN total div {P} = 0 THEN 1 "
+                f"ELSE (cnt + (total div {P}) - 1) div (total div {P}) END "
+                "AS BIGINT)"
+            ).alias("salt_factor"),
+        )
     )

@@ -245,3 +245,32 @@ class TestHllSketch:
         got2 = self._hll(spark, rows * 5)
         assert got1["a"]["denom_q"] == got2["a"]["denom_q"]
         assert got1["a"]["est_distinct"] == got2["a"]["est_distinct"]
+
+
+class TestJoinSkewReport:
+    def _report(self, spark, keys, **kw):
+        from ocr_service_spark.operators.skew import join_skew_report
+
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        return {r["rank"]: r for r in join_skew_report(df, "k", **kw).collect()}
+
+    def test_heavy_key_share_and_salt(self, spark):
+        # 64 'hot' rows + 64 distinct singleton keys, P=32: total 128,
+        # per-partition target 4, hot needs ceil(64/4) = 16 salt shards.
+        keys = ["hot"] * 64 + [f"k{i}" for i in range(64)]
+        got = self._report(spark, keys, n_top=3, target_partitions=32)
+        assert got[1]["key"] == "hot" and got[1]["cnt"] == 64
+        assert got[1]["share_pm"] == 500
+        assert got[1]["salt_factor"] == 16
+        assert got[2]["salt_factor"] == 1  # singletons need no salting
+
+    def test_rank_ties_break_lexically(self, spark):
+        got = self._report(spark, ["b", "a", "c"], n_top=3)
+        assert [got[r]["key"] for r in (1, 2, 3)] == ["a", "b", "c"]
+
+    def test_tiny_table_salt_floor_is_one(self, spark):
+        # total < P makes the per-partition target 0 rows: the guard
+        # pins salt_factor to 1 instead of dividing by zero.
+        got = self._report(spark, ["x", "x", "y"], n_top=2,
+                           target_partitions=32)
+        assert got[1]["salt_factor"] == 1 and got[2]["salt_factor"] == 1
