@@ -10577,6 +10577,76 @@ FROM ranked, t WHERE rank <= 5
 """
 
 
+def q_analyze_table(spark, sf_dir):
+    """ANALYZE TABLE statistics pass (operators/stats.py analyze_table)
+    over six lineitem columns: one stack() melt scan feeding per-column
+    null counts, lexicographic min/max (the txlog zone-map convention)
+    and KMV-sketched NDV with exact-count audit. The oracle replays the
+    melt, every base stat, every kept hash and the estimator."""
+    from .operators.stats import analyze_table
+
+    li = load(spark, sf_dir, "lineitem")
+    return analyze_table(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+
+
+SQL_ANALYZE_TABLE = """
+WITH melted AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+),
+base AS (
+  SELECT col_name, COUNT(*) AS n_rows,
+         CAST(SUM((v IS NULL)::INT) AS BIGINT) AS n_null,
+         MIN(v) AS min_s, MAX(v) AS max_s
+  FROM melted GROUP BY col_name
+),
+elems AS (
+  SELECT DISTINCT col_name AS grp,
+         ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+  FROM melted WHERE v IS NOT NULL
+),
+ranked AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n_exact
+  FROM elems
+),
+agg AS (
+  SELECT grp, MAX(n_exact) AS n_exact, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM ranked WHERE rn <= 32 GROUP BY grp
+),
+est AS (
+  SELECT grp, n_exact,
+         CASE WHEN n_kept < 32 THEN n_kept
+              ELSE CAST((31::HUGEINT * 1152921504606846976::HUGEINT)
+                        // kth::HUGEINT AS BIGINT)
+         END AS est_distinct
+  FROM agg
+)
+SELECT b.col_name, CAST(b.n_rows AS BIGINT) AS n_rows, b.n_null,
+       b.min_s, b.max_s,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(e.est_distinct, 0) AS BIGINT) AS est_distinct,
+       CAST(COALESCE(abs(e.est_distinct - e.n_exact) * 1000 // e.n_exact, 0)
+            AS BIGINT) AS err_pm
+FROM base b LEFT JOIN est e ON b.col_name = e.grp
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10872,6 +10942,8 @@ CATALOG: Dict[str, tuple] = {
     "posting_compression": (q_posting_compression, SQL_POSTING_COMPRESSION),
     # pre-join skew diagnosis with hot-key salt plan (operators/skew.py)
     "join_skew_report": (q_join_skew_report, SQL_JOIN_SKEW),
+    # single-scan ANALYZE TABLE stats with sketched NDV (operators/stats.py)
+    "analyze_table": (q_analyze_table, SQL_ANALYZE_TABLE),
 }
 
 

@@ -274,3 +274,50 @@ class TestJoinSkewReport:
         got = self._report(spark, ["x", "x", "y"], n_top=2,
                            target_partitions=32)
         assert got[1]["salt_factor"] == 1 and got[2]["salt_factor"] == 1
+
+
+class TestAnalyzeTable:
+    def _stats(self, spark, rows, schema, cols):
+        from ocr_service_spark.operators.stats import analyze_table
+
+        df = spark.createDataFrame(rows, schema)
+        return {r["col_name"]: r for r in analyze_table(df, cols).collect()}
+
+    def test_null_counts_and_exact_ndv_below_k(self, spark):
+        rows = [(1, "a"), (2, None), (2, "b"), (None, "b")]
+        got = self._stats(spark, rows, "x long, s string", ["x", "s"])
+        assert (got["x"]["n_rows"], got["x"]["n_null"]) == (4, 1)
+        assert got["x"]["n_distinct"] == 2 and got["x"]["est_distinct"] == 2
+        assert got["s"]["n_distinct"] == 2 and got["s"]["err_pm"] == 0
+
+    def test_all_null_column_zero_ndv(self, spark):
+        rows = [(1, None), (2, None)]
+        got = self._stats(spark, rows, "x long, s string", ["x", "s"])
+        assert got["s"]["n_null"] == 2
+        assert got["s"]["n_distinct"] == 0 and got["s"]["est_distinct"] == 0
+        assert got["s"]["min_s"] is None and got["s"]["max_s"] is None
+
+    def test_minmax_is_lexicographic_by_contract(self, spark):
+        # '10' < '9' as strings: the documented zone-map convention —
+        # typed numeric bounds are a typed aggregate's job.
+        rows = [(9,), (10,)]
+        got = self._stats(spark, rows, "x long", ["x"])
+        assert got["x"]["min_s"] == "10" and got["x"]["max_s"] == "9"
+
+    def test_single_melt_plan(self, spark):
+        # the melt is one stack projection, consumed by exactly two
+        # aggregates (base stats + NDV sketch): the source appears twice
+        # in the plan — per CONSUMER, never per column (3 columns here,
+        # 6 scans would mean the melt degenerated to per-column reads).
+        import contextlib
+        import io
+        import re
+
+        from ocr_service_spark.operators.stats import analyze_table
+
+        df = spark.range(100).selectExpr("id AS a", "id % 7 AS b", "id % 3 AS c")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            analyze_table(df, ["a", "b", "c"]).explain("formatted")
+        n_scans = len(re.findall(r"^\(\d+\) Range\b", buf.getvalue(), re.M))
+        assert n_scans == 2
