@@ -250,6 +250,8 @@ HEADLINE = [
     "embedding_hygiene",       # pre-index vector hygiene gate
     "cross_doc_dup_rate",      # corpus exact-substring duplication
     "posting_compression",     # delta+varint index sizing
+    "join_skew_report",        # hot-key salt-factor planning
+    "analyze_table",           # CBO stats with sketched NDV
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
