@@ -10647,6 +10647,82 @@ FROM base b LEFT JOIN est e ON b.col_name = e.grp
 """
 
 
+_KCORE_LIT = [
+    # K5 clique 0..4 — the 3-core that must survive
+    (0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4), (2, 3),
+    (2, 4), (3, 4),
+    # pendant structure engineering a one-node-per-round cascade at k=3:
+    # ring peels r1 -> 7 drops to deg 2 and peels r2 -> 6 drops and
+    # peels r3 -> 5 keeps deg 3 and stays; fixpoint at r4
+    (5, 0), (5, 1), (5, 2), (5, 6),
+    (6, 7), (6, 3),
+    (7, 0), (7, 10),
+]
+
+
+def q_kcore_membership(spark, sf_dir):
+    """k-core peeling (operators/graph.py kcore_membership) on a planted
+    graph built to need MULTI-ROUND cascade: a K5 clique (+node 5) is
+    the true 3-core, a degree-2 ring peels in round 1, and a pendant
+    chain loses one node per round (7, then 6) as its support vanishes —
+    the behavior that distinguishes k-core from a one-shot degree
+    filter. The oracle unrolls five peeling rounds as materialized CTEs
+    and replays every degree, every removal, the final-degree table and
+    the convergence flag."""
+    from .operators.graph import kcore_membership
+
+    lit = spark.createDataFrame(_KCORE_LIT, "src long, dst long")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 20
+    ring = d.select(
+        (s + 10).alias("src"), (((s + 1) % 20) + 10).alias("dst")
+    ).distinct()
+    return kcore_membership(lit.unionByName(ring), k=3, rounds=5)
+
+
+def _kcore_sql(rounds: int = 5, k: int = 3) -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in _KCORE_LIT)
+    parts = [f"""WITH lit(x, y) AS (VALUES {vals}),
+ring AS (
+  SELECT DISTINCT (doc_id % 20 + 10) AS x, ((doc_id % 20 + 1) % 20) + 10 AS y
+  FROM documents
+),
+e0 AS (SELECT x, y FROM lit UNION SELECT x, y FROM ring),
+sym AS MATERIALIZED (
+  SELECT DISTINCT x, y FROM (
+    SELECT x, y FROM e0 WHERE x <> y
+    UNION ALL SELECT y, x FROM e0 WHERE x <> y
+  )
+),
+orig AS (SELECT x AS node, COUNT(*) AS orig_deg FROM sym GROUP BY x),
+c0 AS MATERIALIZED (SELECT x, y FROM sym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+k{r} AS MATERIALIZED (
+  SELECT x FROM c{r - 1} GROUP BY x HAVING COUNT(*) >= {k}
+),
+c{r} AS MATERIALIZED (
+  SELECT c.x, c.y FROM c{r - 1} c
+  JOIN k{r} a ON c.x = a.x JOIN k{r} b ON c.y = b.x
+)""")
+    parts.append(f""",
+fd AS (SELECT x AS node, COUNT(*) AS fd FROM c{rounds} GROUP BY x),
+surv AS (SELECT node, fd FROM fd WHERE fd >= {k}),
+conv AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT x FROM c{rounds - 1}))
+         - (SELECT COUNT(*) FROM k{rounds}) AS removed
+)
+SELECT o.node, CAST(o.orig_deg AS BIGINT) AS orig_deg,
+       s.node IS NOT NULL AS in_core,
+       CAST(COALESCE(s.fd, 0) AS BIGINT) AS final_deg,
+       (SELECT removed FROM conv) = 0 AS converged
+FROM orig o LEFT JOIN surv s USING (node)""")
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql(5, 3)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -10944,6 +11020,8 @@ CATALOG: Dict[str, tuple] = {
     "join_skew_report": (q_join_skew_report, SQL_JOIN_SKEW),
     # single-scan ANALYZE TABLE stats with sketched NDV (operators/stats.py)
     "analyze_table": (q_analyze_table, SQL_ANALYZE_TABLE),
+    # k-core cascade peeling (operators/graph.py)
+    "kcore_membership": (q_kcore_membership, SQL_KCORE),
 }
 
 

@@ -499,3 +499,78 @@ def triangle_counts(
             ).cast("long").alias("cc_pm"),
         )
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by iterative peeling (Seidman '83) — the
+    cohesion signal degree and triangles both miss: a node is in the
+    k-core iff it keeps >= k neighbors AFTER everyone weaker is removed,
+    so spam-farm cores survive while high-degree hubs whose neighbors
+    are all pendant pages peel away. TrustRank demotes by distance from
+    seeds; k-core exposes the densely self-supporting cluster itself.
+
+    Shape per round: per-node degree over the surviving symmetric edge
+    set (one hash aggregate), then two semi-joins drop edges touching
+    peeled nodes; `localCheckpoint` truncates lineage each round (the
+    connected-components convention). Peeling needs at most
+    O(max-degeneracy-ordering) rounds in theory; in practice web graphs
+    settle in a handful, and this operator runs a FIXED `rounds` budget
+    and reports whether the fixpoint was reached: `converged` rides on
+    every row, so a False is data (schedule more rounds), never a wrong
+    silent answer.
+
+    Returns one row per original node:
+      (node, orig_deg, in_core, final_deg, converged)
+    final_deg = surviving-subgraph degree for members, 0 for peeled.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+    )
+    sym = (
+        und.unionByName(und.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    orig = sym.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("orig_deg")
+    ).localCheckpoint(eager=True)
+
+    cur = sym
+    removed_last = -1
+    for _ in range(int(rounds)):
+        deg = cur.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= int(k)).select("x", "d")
+        n_before = deg.count()
+        n_after = keep.count()
+        removed_last = n_before - n_after
+        cur = (
+            cur.join(keep.select("x"), "x", "left_semi")
+            .join(
+                keep.select(F.col("x").alias("y")), "y", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if removed_last == 0:
+            break
+    final_deg = cur.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("fd")
+    )
+    survivors = final_deg.where(F.col("fd") >= int(k))
+    converged = removed_last == 0
+    return (
+        orig.join(survivors, "node", "left")
+        .select(
+            "node",
+            "orig_deg",
+            F.col("fd").isNotNull().alias("in_core"),
+            F.coalesce("fd", F.lit(0)).cast("long").alias("final_deg"),
+            F.lit(bool(converged)).alias("converged"),
+        )
+    )

@@ -259,3 +259,49 @@ class TestTriangleCounts:
     def test_open_triangle_counts_zero(self, spark):
         got = self._run(spark, [(1, 2), (2, 3)])  # path, not closed
         assert got[2] == (2, 0, 0)
+
+
+class TestKcoreMembership:
+    def _core(self, spark, edges, k, rounds=6):
+        from ocr_service_spark.operators.graph import kcore_membership
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = kcore_membership(df, k=k, rounds=rounds).collect()
+        return {r["node"]: r for r in rows}
+
+    def test_clique_survives_ring_peels(self, spark):
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]  # K4
+        ring = [(10 + i, 10 + (i + 1) % 6) for i in range(6)]
+        got = self._core(spark, clique + ring, k=3)
+        assert all(got[n]["in_core"] for n in range(4))
+        assert all(not got[10 + i]["in_core"] for i in range(6))
+        assert got[0]["converged"]
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        # path a-b-c-d hanging off K4: each round peels only the current
+        # endpoint (degree 1 < 2), so the whole chain takes several
+        # rounds to vanish at k=2 while the K4 stays.
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        chain = [(0, 5), (5, 6), (6, 7)]
+        got = self._core(spark, k4 + chain, k=2)
+        assert all(got[n]["in_core"] for n in range(4))
+        assert not any(got[n]["in_core"] for n in (5, 6, 7))
+        assert got[0]["converged"]
+
+    def test_high_degree_hub_with_pendant_neighbors_peels(self, spark):
+        # hub 0 has degree 5, but every neighbor is degree-1: a one-shot
+        # degree>=2 filter would KEEP the hub; true 2-core peeling
+        # removes the pendants, then the hub — nothing survives.
+        star = [(0, i) for i in range(1, 6)]
+        got = self._core(spark, star, k=2)
+        assert not any(r["in_core"] for r in got.values())
+        assert got[0]["orig_deg"] == 5
+
+    def test_round_budget_exhaustion_reports_unconverged(self, spark):
+        # same cascade but rounds=1: the chain has not finished peeling,
+        # so converged must be False — approximation is visible, never
+        # silent.
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        chain = [(0, 5), (5, 6), (6, 7)]
+        got = self._core(spark, k4 + chain, k=2, rounds=1)
+        assert not got[0]["converged"]
