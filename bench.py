@@ -252,6 +252,7 @@ HEADLINE = [
     "posting_compression",     # delta+varint index sizing
     "join_skew_report",        # hot-key salt-factor planning
     "analyze_table",           # CBO stats with sketched NDV
+    "kcore_membership",        # cascade k-core peeling
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
