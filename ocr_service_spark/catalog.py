@@ -10723,6 +10723,56 @@ FROM orig o LEFT JOIN surv s USING (node)""")
 SQL_KCORE = _kcore_sql(5, 3)
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel conversion (operators/asof.py funnel_conversion)
+    over the events table: signup → view → purchase, each step strictly
+    after the previous and within 7 days of the user's FIRST signup;
+    earliest-event semantics per step. One filtered min-aggregate per
+    step — never a per-user event-list. The oracle replays every step
+    time, every window bound and the per-mille conversions."""
+    from .operators.asof import funnel_conversion
+
+    e = load(spark, sf_dir, "events")
+    return funnel_conversion(
+        e, "user_id", "event_type", "ts",
+        ["signup", "view", "purchase"], window="7 DAY",
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.u, s1.t1, MIN(e.ts) AS t2
+  FROM s1 JOIN events e ON e.user_id = s1.u
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY s1.u, s1.t1
+),
+s3 AS (
+  SELECT s2.u, s2.t1, MIN(e.ts) AS t3
+  FROM s2 JOIN events e ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+  GROUP BY s2.u, s2.t1
+),
+c AS (
+  SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+),
+b AS (SELECT n_users AS base FROM c WHERE step = 1)
+SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+       CAST(CASE WHEN base = 0 THEN 0
+                 ELSE n_users * 1000 // base END AS BIGINT) AS conv_pm
+FROM c, b
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11022,6 +11072,8 @@ CATALOG: Dict[str, tuple] = {
     "analyze_table": (q_analyze_table, SQL_ANALYZE_TABLE),
     # k-core cascade peeling (operators/graph.py)
     "kcore_membership": (q_kcore_membership, SQL_KCORE),
+    # ordered-funnel conversion (operators/asof.py)
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
 }
 
 

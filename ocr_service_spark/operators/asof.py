@@ -112,3 +112,87 @@ def asof_join(
     )
     drop = [f"__b_{c}" for c in payload_cols] + [f"__b_{ts_col}", "__is_probe", "__tb"]
     return carried.where(F.col("__is_probe") == 1).drop(*drop)
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps,
+    window: str = "7 DAY",
+) -> DataFrame:
+    """Ordered-funnel conversion — the event-analytics staple (signup →
+    view → purchase): a user converts step i when their EARLIEST
+    qualifying step-i event lies strictly after their step-(i-1) time
+    and within `window` of their FIRST step-1 event. Earliest-event
+    semantics make the result replay-stable: late-arriving duplicates of
+    an already-counted event can never change a user's funnel times.
+
+    Shape: one filtered min-aggregate per step (S aggregates for an
+    S-step funnel, each a hash aggregate keyed by user with map-side
+    partials), joined user-to-user — never a per-user event-list
+    materialization, never a window over the whole event stream. Time
+    arithmetic stays in TIMESTAMP + INTERVAL (microsecond-exact on both
+    engines); `window` must be a literal like '7 DAY'.
+
+    Output one row per step: (step, step_name, n_users, conv_pm) with
+    conv_pm = n_users·1000 div step-1 users (1000 for step 1 itself).
+    """
+    import re as _re
+
+    if not _re.fullmatch(r"\d+ (SECOND|MINUTE|HOUR|DAY)", str(window)):
+        raise ValueError(f"window must be '<n> SECOND|MINUTE|HOUR|DAY': {window}")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("ts"),
+    )
+    frames = []
+    cur = (
+        e.where(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t_step"))
+        .withColumn("t1", F.col("t_step"))
+    )
+    frames.append(cur)
+    for st in steps[1:]:
+        nxt = (
+            e.where(F.col("et") == st)
+            .join(cur.select("u", "t_step", "t1"), "u")
+            .where(
+                (F.col("ts") > F.col("t_step"))
+                & (F.col("ts") <= F.expr(f"t1 + INTERVAL {window}"))
+            )
+            .groupBy("u", "t1")
+            .agg(F.min("ts").alias("t_step"))
+            .select("u", "t_step", "t1")
+        )
+        frames.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (st, fr) in enumerate(zip(steps, frames), start=1):
+        c = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(st).alias("step_name"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = (
+        counts.where(F.col("step") == 1)
+        .select(F.col("n_users").alias("base"))
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        counts.withColumn("j", F.lit(1))
+        .join(F.broadcast(base), "j")
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.expr(
+                "CAST(CASE WHEN base = 0 THEN 0 "
+                "ELSE n_users * 1000 div base END AS BIGINT)"
+            ).alias("conv_pm"),
+        )
+    )

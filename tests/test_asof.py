@@ -91,3 +91,66 @@ def test_asof_matches_pandas_merge_asof(spark):
     got = out.reset_index(drop=True)
     exp = exp.reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestFunnelConversion:
+    def _funnel(self, spark, rows, steps, window="1 DAY"):
+        from ocr_service_spark.operators.asof import funnel_conversion
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = funnel_conversion(
+            df, "user_id", "event_type", "ts", steps, window=window
+        ).collect()
+        return {r["step"]: r for r in out}
+
+    @staticmethod
+    def _ts(h, m=0):
+        from datetime import datetime
+
+        return datetime(2024, 1, 1, h, m)
+
+    def test_ordered_within_window_converts(self, spark):
+        t = self._ts
+        rows = [
+            (1, "a", t(1)), (1, "b", t(2)), (1, "c", t(3)),
+            (2, "a", t(1)), (2, "b", t(2)),          # no c: stops at 2
+            (3, "b", t(1)), (3, "a", t(2)),          # b BEFORE a: no step 2
+        ]
+        got = self._funnel(spark, rows, ["a", "b", "c"])
+        assert got[1]["n_users"] == 3
+        assert got[2]["n_users"] == 2 and got[2]["conv_pm"] == 666
+        assert got[3]["n_users"] == 1 and got[3]["conv_pm"] == 333
+
+    def test_window_measured_from_first_step(self, spark):
+        t = self._ts
+        # b at +2h is inside a 1-HOUR window? no — window anchors at the
+        # FIRST a (01:00), so 03:00 is out even though it follows b...
+        rows = [(1, "a", t(1)), (1, "b", t(3))]
+        got = self._funnel(spark, rows, ["a", "b"], window="1 HOUR")
+        assert got[2]["n_users"] == 0
+        got = self._funnel(spark, rows, ["a", "b"], window="3 HOUR")
+        assert got[2]["n_users"] == 1
+
+    def test_earliest_event_semantics_replay_stable(self, spark):
+        t = self._ts
+        # duplicate later 'a' events cannot move the anchor once the
+        # earliest is present
+        rows = [(1, "a", t(1)), (1, "a", t(5)), (1, "b", t(2))]
+        got = self._funnel(spark, rows, ["a", "b"])
+        assert got[2]["n_users"] == 1
+
+    def test_strictly_after_previous_step(self, spark):
+        t = self._ts
+        # b at the exact same instant as a does NOT count (strict >)
+        rows = [(1, "a", t(1)), (1, "b", t(1))]
+        got = self._funnel(spark, rows, ["a", "b"])
+        assert got[2]["n_users"] == 0
+
+    def test_bad_window_literal_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._funnel(spark, [(1, "a", self._ts(1))], ["a"],
+                         window="7; DROP TABLE")
