@@ -253,6 +253,7 @@ HEADLINE = [
     "join_skew_report",        # hot-key salt-factor planning
     "analyze_table",           # CBO stats with sketched NDV
     "kcore_membership",        # cascade k-core peeling
+    "funnel_conversion",       # ordered event-funnel conversion
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
