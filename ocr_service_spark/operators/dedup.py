@@ -13,7 +13,7 @@ pair join is intentionally restricted to small blocking buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT_RE = r"\s+"
@@ -683,9 +683,13 @@ def cross_doc_dup_rate(
             )
         ).alias("whash"),
     ).where(F.col("n_windows") > 0)
-    counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("cnt"))
+    # count-over-window keyed by whash instead of a counts self-join: one
+    # hash exchange and ONE computation of the window fan-out (the join
+    # formulation re-derived the exploded windows on both sides — at
+    # 100 TB that doubles the dominant explode+hash stage)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("whash"))
     per = (
-        wins.join(counts, "whash")
+        wins.withColumn("cnt", cnt)
         .groupBy("id")
         .agg(
             F.max("n_windows").alias("n_windows"),

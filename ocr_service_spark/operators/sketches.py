@@ -347,24 +347,34 @@ def hll_distinct(
     takes over (the standard small-range correction).  n_exact rides
     along so err_pm makes estimator drift visible; expected error is
     ~1.04/sqrt(64) ≈ 13%."""
-    regs = hll_registers(pairs, group_col, elem_col)
+    # ONE pass over the distinct set: registers carry per-bucket distinct
+    # counts too, and Σ bucket counts IS n_exact — recomputing a second
+    # corpus-wide DISTINCT for the audit column would double the job's
+    # dominant aggregate (a measured 10-exchange plan collapsed to 4)
+    salted = F.concat(F.lit("hll:"), F.col(elem_col))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    d = pairs.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).distinct()
+    rho = F.expr(
+        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
+        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
+    )
+    regs = (
+        d.select("grp", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("nb"))
+    )
     per = regs.groupBy("grp").agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")).alias(
             "denom_present"
         ),
         F.count(F.lit(1)).alias("n_present"),
-    )
-    salted = F.concat(F.lit("hll:"), F.col(elem_col))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    exact = (
-        pairs.select(F.col(group_col).alias("grp"), h.alias("h"))
-        .distinct()
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        F.sum("nb").alias("n_exact"),
     )
     pow67 = (HLL_ALPHA_PPM << 67)  # alpha_ppm * m^2 * 2^55, exact int
     est = (
-        per.join(exact, "grp")
+        per
         .withColumn(
             "denom_q",
             F.expr(
