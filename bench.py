@@ -254,6 +254,7 @@ HEADLINE = [
     "analyze_table",           # CBO stats with sketched NDV
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
+    "cusum_changepoints",      # CUSUM drift alarms on daily metrics
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

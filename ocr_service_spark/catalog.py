@@ -10773,6 +10773,68 @@ FROM c, b
 """
 
 
+def q_cusum_changepoints(spark, sf_dir):
+    """CUSUM drift alarms (operators/snapshots.py cusum_changepoints)
+    over a planted two-series daily metric: mA is stationary (never
+    alarms), mB carries a +15 level shift from day 20 — against its own
+    overall mean the HIGH side ramps over the shifted tail and the LOW
+    side over the pre-shift head, both genuine CUSUM behavior the
+    oracle replays via the same prefix-sum-minus-running-min windows."""
+    from .operators.snapshots import cusum_changepoints
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    day_i = F.col("doc_id") % 30
+    par = F.expr("(doc_id div 30) % 2")  # decoupled from day_i parity
+    grp = F.when(par == 0, F.lit("mA")).otherwise(F.lit("mB"))
+    x = (
+        F.lit(100)
+        + day_i % 5
+        + F.when((par == 1) & (day_i >= 20), F.lit(15)).otherwise(F.lit(0))
+    )
+    daily = d.select(
+        grp.alias("grp"),
+        F.format_string("d%02d", day_i).alias("day"),
+        x.alias("x"),
+    ).distinct()
+    return cusum_changepoints(daily, "grp", "day", "x", k_slack=2, h_thresh=30)
+
+
+SQL_CUSUM = """
+WITH daily AS (
+  SELECT DISTINCT
+    CASE WHEN (doc_id // 30) % 2 = 0 THEN 'mA' ELSE 'mB' END AS grp,
+    printf('d%02d', doc_id % 30) AS day,
+    100 + (doc_id % 30) % 5
+      + CASE WHEN (doc_id // 30) % 2 = 1 AND doc_id % 30 >= 20
+             THEN 15 ELSE 0 END AS x
+  FROM documents
+),
+m AS (
+  SELECT grp, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu FROM daily GROUP BY grp
+),
+j AS (
+  SELECT d.grp, d.day, CAST(d.x AS BIGINT) AS x, m.mu
+  FROM daily d JOIN m USING (grp)
+),
+p AS (
+  SELECT grp, day, x, mu,
+         SUM(x - mu - 2) OVER w AS p_hi,
+         SUM(-(x - mu) - 2) OVER w AS p_lo
+  FROM j WINDOW w AS (PARTITION BY grp ORDER BY day ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT grp, day, x, mu,
+         p_hi - LEAST(MIN(p_hi) OVER w, 0) AS s_hi,
+         p_lo - LEAST(MIN(p_lo) OVER w, 0) AS s_lo
+  FROM p WINDOW w AS (PARTITION BY grp ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT grp, day, x, mu, CAST(s_hi AS BIGINT) AS s_hi,
+       CAST(s_lo AS BIGINT) AS s_lo,
+       (s_hi > 30 OR s_lo > 30) AS alarm
+FROM s
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11074,6 +11136,8 @@ CATALOG: Dict[str, tuple] = {
     "kcore_membership": (q_kcore_membership, SQL_KCORE),
     # ordered-funnel conversion (operators/asof.py)
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    # CUSUM drift alarms over daily metrics (operators/snapshots.py)
+    "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
 }
 
 

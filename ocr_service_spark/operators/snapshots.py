@@ -433,3 +433,59 @@ def version_line_diff(
             / F.greatest(F.col("_tn") + F.col("_to"), F.lit(1))
         ).cast("long").alias("churn_permille"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    x_col: str,
+    k_slack: int = 0,
+    h_thresh: int = 0,
+) -> DataFrame:
+    """Tabular CUSUM change detection (Page 1954) over a per-group daily
+    metric — the monitor that catches a crawl-volume regression DAYS
+    before a per-day threshold would: the one-sided cumulative sums
+        s_hi(t) = max(0, s_hi(t-1) + (x_t - mu - k))
+        s_lo(t) = max(0, s_lo(t-1) - (x_t - mu) - k)
+    accumulate small persistent drifts, alarming when either exceeds h.
+    mu is the group's own mean daily value (truncating integer div), k
+    the per-day slack, h the decision threshold.
+
+    The recursion looks beyond SQL, but against a CONSTANT reference mu
+    it collapses to the prefix identity
+        s(t) = P(t) - min(0, min_{j<=t} P(j)),   P(t) = Σ_{i<=t} d_i
+    so both engines run it as two stacked window functions (running sum,
+    then running min) over the per-group day-ordered series — integer
+    end-to-end, and the window partition is a group's day count (a time
+    dimension), never corpus-sized.
+
+    Output one row per (grp, day): (grp, day, x, mu, s_hi, s_lo, alarm).
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).alias("day"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    mu = d.groupBy("grp").agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu")
+    )
+    j = d.join(F.broadcast(mu), "grp")
+    k, h = int(k_slack), int(h_thresh)
+    w = Window.partitionBy("grp").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p_hi = F.sum(F.col("x") - F.col("mu") - F.lit(k)).over(w)
+    p_lo = F.sum(-(F.col("x") - F.col("mu")) - F.lit(k)).over(w)
+    j = j.withColumn("p_hi", p_hi).withColumn("p_lo", p_lo)
+    s_hi = F.col("p_hi") - F.least(F.min("p_hi").over(w), F.lit(0))
+    s_lo = F.col("p_lo") - F.least(F.min("p_lo").over(w), F.lit(0))
+    return j.select(
+        "grp",
+        "day",
+        "x",
+        "mu",
+        s_hi.cast("long").alias("s_hi"),
+        s_lo.cast("long").alias("s_lo"),
+        ((s_hi > h) | (s_lo > h)).alias("alarm"),
+    )

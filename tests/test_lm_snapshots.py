@@ -509,3 +509,63 @@ class TestVersionLineDiff:
         r = got[("a", 2)]
         assert (r["n_added"], r["n_removed"], r["n_common"]) == (2, 2, 0)
         assert r["churn_permille"] == 1000
+
+
+class TestCusumChangepoints:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.snapshots import cusum_changepoints
+
+        df = spark.createDataFrame(rows, "grp string, day string, x long")
+        out = cusum_changepoints(df, "grp", "day", "x", **kw).collect()
+        return {(r["grp"], r["day"]): r for r in out}
+
+    def test_stationary_series_never_alarms(self, spark):
+        rows = [("a", f"d{i:02d}", 100 + i % 3) for i in range(20)]
+        got = self._run(spark, rows, k_slack=2, h_thresh=10)
+        assert not any(r["alarm"] for r in got.values())
+        # sum = 20·100 + 19, truncating div -> 100
+        assert all(r["mu"] == 100 for r in got.values())
+
+    def test_level_shift_accumulates_and_alarms(self, spark):
+        # flat 100 for 10 days then 110: against the OVERALL mu=105 the
+        # high side ramps +3/day (110-105-2) over the shifted tail and
+        # the low side +3/day (-(100-105)-2) over the head — a level
+        # shift alarms BOTH one-sided sums relative to a straddling
+        # reference, each on its own segment.
+        rows = [("a", f"d{i:02d}", 100 if i < 10 else 110) for i in range(20)]
+        got = self._run(spark, rows, k_slack=2, h_thresh=10)
+        d09, d13 = got[("a", "d09")], got[("a", "d13")]
+        assert (d09["s_hi"], d09["s_lo"]) == (0, 30)   # head: low side only
+        assert d09["alarm"]                            # via s_lo
+        assert d13["s_hi"] == 12 and d13["alarm"]      # tail: high side
+        assert got[("a", "d10")]["s_hi"] == 3          # first shifted day
+
+    def test_drop_detected_on_low_side(self, spark):
+        rows = [("a", f"d{i:02d}", 100 if i < 15 else 60) for i in range(20)]
+        got = self._run(spark, rows, k_slack=5, h_thresh=20)
+        assert got[("a", "d19")]["s_lo"] > 20
+        assert got[("a", "d19")]["alarm"]
+
+    def test_prefix_identity_matches_naive_recursion(self, spark):
+        # pin the window formulation against the direct max(0, ...)
+        # recursion in Python on an arbitrary deterministic series
+        series = [100 + ((i * 37) % 23) - 11 for i in range(40)]
+        rows = [("a", f"d{i:02d}", v) for i, v in enumerate(series)]
+        k, h = 3, 25
+        got = self._run(spark, rows, k_slack=k, h_thresh=h)
+        mu = sum(series) // len(series)
+        s_hi = s_lo = 0
+        for i, v in enumerate(series):
+            s_hi = max(0, s_hi + (v - mu - k))
+            s_lo = max(0, s_lo - (v - mu) - k)
+            r = got[("a", f"d{i:02d}")]
+            assert (r["s_hi"], r["s_lo"]) == (s_hi, s_lo)
+            assert r["alarm"] == (s_hi > h or s_lo > h)
+
+    def test_groups_independent(self, spark):
+        rows = [("a", f"d{i:02d}", 100) for i in range(10)] + [
+            ("b", f"d{i:02d}", 100 if i < 5 else 200) for i in range(10)
+        ]
+        got = self._run(spark, rows, k_slack=0, h_thresh=50)
+        assert not any(r["alarm"] for (g, _), r in got.items() if g == "a")
+        assert any(r["alarm"] for (g, _), r in got.items() if g == "b")
