@@ -1,0 +1,105 @@
+"""Expectation-gated corpus publishing — the blue-green release pattern.
+
+A corpus version must never become visible to consumers before its
+verification suite passes: the classic failure is a half-broken parser
+silently shipping a release whose documents are 40% empty, discovered
+only by the training run that consumed it. This module composes two
+engine pieces into the production shape:
+
+  1. stage:    write the candidate DataFrame to parquet under the
+               table's data/ dir (invisible — txlog readers resolve
+               file lists from the log, never by listing);
+  2. validate: run the Deequ-style expectation suite
+               (operators/expectations.py) against the STAGED files —
+               the exact bytes consumers would read, not the input
+               lineage, so a nondeterministic upstream or a write-path
+               bug cannot sneak a divergent copy past the gate;
+  3. publish:  only if every check passed, commit the staged dir to the
+               transaction log (txlog.py) — an atomic, idempotent
+               overwrite/append: readers flip from the old snapshot to
+               the new one in one log entry, and time travel keeps the
+               old version for rollback.
+
+A failed validation publishes NOTHING; the verdict rows come back as
+data (errors-as-data, the repo-wide convention) plus the staged path so
+an operator can inspect the quarantined files. Reruns with the same
+writer_id are no-ops after a successful publish (txlog idempotence),
+and a crash between stage and publish leaves only an unreferenced data
+dir that `TxLogTable.vacuum` collects — never a visible broken table.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from ..operators.expectations import expectations_report
+from ..txlog import TxLogTable, _DATA_DIR
+
+
+def publish_validated(
+    df: DataFrame,
+    table: TxLogTable,
+    checks: Sequence[Dict],
+    key_col: Optional[str] = None,
+    writer_id: Optional[str] = None,
+    mode: str = "overwrite",
+):
+    """Stage -> validate -> atomically publish (or quarantine).
+
+    Returns (published: bool, version: Optional[int], verdicts: list of
+    Row, staged_path: str). `mode` is 'overwrite' (blue-green swap) or
+    'append'.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append: {mode}")
+    spark = df.sparkSession
+    if writer_id is not None:
+        prior = table.writer_version(writer_id)
+        if prior is not None:
+            # idempotent rerun: already published, nothing staged
+            return True, prior, [], ""
+
+    rel = os.path.join(_DATA_DIR, "staged-" + uuid.uuid4().hex)
+    staged = os.path.join(table.path, rel)
+    df.write.parquet(staged)
+
+    verdicts = expectations_report(spark.read.parquet(staged), checks).collect()
+    if not all(r["passed"] for r in verdicts):
+        return False, None, verdicts, staged
+
+    add = table._stats_for(staged, rel, key_col) if hasattr(
+        table, "_stats_for"
+    ) else _stats_for(table, spark, staged, rel, key_col)
+    removes = (
+        [f["path"] for f in table.files()] if mode == "overwrite" else []
+    )
+    version = table._commit(
+        [add], removes, f"publish_{mode}", writer_id, df.schema.json()
+    )
+    return True, version, verdicts, staged
+
+
+def _stats_for(table, spark, full, rel, key_col) -> dict:
+    """Zone-map/rows stats for a staged dir (same fields txlog's own
+    writer records, computed from the staged bytes)."""
+    from pyspark.sql import functions as F
+
+    add = {"path": rel, "rows": None, "min_key": None, "max_key": None}
+    if key_col is not None:
+        stats = (
+            spark.read.parquet(full)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.col(key_col).cast("string")).alias("lo"),
+                F.max(F.col(key_col).cast("string")).alias("hi"),
+            )
+            .collect()[0]
+        )
+        add.update(
+            {"rows": stats["n"], "min_key": stats["lo"], "max_key": stats["hi"]}
+        )
+    return add

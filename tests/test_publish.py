@@ -1,0 +1,88 @@
+"""Expectation-gated publishing (plans/publish.py): passing suites
+commit atomically, failing suites quarantine without any visible change,
+reruns are idempotent, and rollback via time travel survives a publish."""
+
+import pytest
+
+from ocr_service_spark.plans.publish import publish_validated
+from ocr_service_spark.txlog import TxLogTable
+
+CHECKS = [
+    {"id": "id_nn", "kind": "not_null", "col": "doc_id", "min_pm": 1000},
+    {"id": "id_uq", "kind": "unique", "col": "doc_id"},
+    {"id": "txt_nn", "kind": "not_null", "col": "text", "min_pm": 1000},
+]
+
+
+@pytest.fixture()
+def table(tmp_path_factory):
+    return TxLogTable.create(str(tmp_path_factory.mktemp("pub") / "t"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_valid_data_publishes_and_reads_back(spark, table):
+    ok, v, verdicts, _ = publish_validated(
+        _df(spark, [(1, "a"), (2, "b")]), table, CHECKS, key_col="doc_id"
+    )
+    assert ok and v == 0
+    assert all(r["passed"] for r in verdicts)
+    got = {r.doc_id for r in table.read(spark).collect()}
+    assert got == {1, 2}
+
+
+def test_failing_suite_quarantines_nothing_visible(spark, table):
+    publish_validated(_df(spark, [(1, "a")]), table, CHECKS, key_col="doc_id")
+    ok, v, verdicts, staged = publish_validated(
+        _df(spark, [(2, None), (2, "dup")]), table, CHECKS, key_col="doc_id"
+    )
+    assert not ok and v is None
+    failed = {r["check_id"] for r in verdicts if not r["passed"]}
+    assert failed == {"id_uq", "txt_nn"}
+    # consumers still see ONLY the old version
+    assert {r.doc_id for r in table.read(spark).collect()} == {1}
+    # the staged dir exists for inspection but is unreferenced
+    assert staged and "staged-" in staged
+    live = {f["path"] for f in table.files()}
+    assert not any("staged-" in p and p in staged for p in live)
+
+
+def test_blue_green_swap_keeps_time_travel(spark, table):
+    publish_validated(_df(spark, [(1, "a")]), table, CHECKS, key_col="doc_id")
+    ok, v2, _, _ = publish_validated(
+        _df(spark, [(9, "z")]), table, CHECKS, key_col="doc_id"
+    )
+    assert ok
+    assert {r.doc_id for r in table.read(spark).collect()} == {9}
+    assert {r.doc_id for r in table.read(spark, version=0).collect()} == {1}
+
+
+def test_rerun_same_writer_id_is_noop(spark, table):
+    ok1, v1, _, _ = publish_validated(
+        _df(spark, [(1, "a")]), table, CHECKS,
+        key_col="doc_id", writer_id="job-42",
+    )
+    ok2, v2, verdicts2, staged2 = publish_validated(
+        _df(spark, [(777, "should not land")]), table, CHECKS,
+        key_col="doc_id", writer_id="job-42",
+    )
+    assert ok1 and ok2 and v1 == v2
+    assert staged2 == ""  # nothing staged on the rerun
+    assert {r.doc_id for r in table.read(spark).collect()} == {1}
+
+
+def test_append_mode_accumulates(spark, table):
+    publish_validated(
+        _df(spark, [(1, "a")]), table, CHECKS, key_col="doc_id", mode="append"
+    )
+    publish_validated(
+        _df(spark, [(2, "b")]), table, CHECKS, key_col="doc_id", mode="append"
+    )
+    assert {r.doc_id for r in table.read(spark).collect()} == {1, 2}
+
+
+def test_bad_mode_rejected(spark, table):
+    with pytest.raises(ValueError):
+        publish_validated(_df(spark, [(1, "a")]), table, CHECKS, mode="merge")
