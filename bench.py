@@ -255,6 +255,7 @@ HEADLINE = [
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
+    "prefix_filter_pairs",     # exact prefix-filtered similarity join
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

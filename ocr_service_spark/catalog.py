@@ -10835,6 +10835,79 @@ FROM s
 """
 
 
+def q_prefix_filter_pairs(spark, sf_dir):
+    """EXACT set-similarity join via prefix filtering (operators/dedup.py
+    prefix_filter_pairs, PPJoin family): planted 10-token documents in
+    100 groups — the base variant shares 9/11 Jaccard with every
+    same-group edit (kept at t=7/10), while two different-position edits
+    sit at 8/12 (correctly dropped) and cross-group pairs share nothing.
+    The raw documents text is the WRONG fixture here (a 31-word global
+    vocabulary makes every token-set pair similar — all-pairs blowup).
+    The oracle replays the frequency ranking, every prefix, the
+    candidate join and the integer-rational verification."""
+    from .operators.dedup import prefix_filter_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % 100
+    v = F.expr("doc_id div 100")
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.when(
+            (v > 0) & (j == (v % 10)),
+            F.format_string("x%d_%d", g, v),
+        ).otherwise(F.format_string("w%d_%d", g, j)),
+    )
+    docs = d.select("doc_id", F.array_join(tokens, " ").alias("text"))
+    return prefix_filter_pairs(docs, "doc_id", "text", t_num=7, t_den=10)
+
+
+SQL_PREFIX_FILTER = """
+WITH docs AS (
+  SELECT doc_id AS id, doc_id % 100 AS g, doc_id // 100 AS v FROM documents
+),
+toks AS (
+  SELECT id,
+         CASE WHEN v > 0 AND j = v % 10 THEN printf('x%d_%d', g, v)
+              ELSE printf('w%d_%d', g, j) END AS tok
+  FROM docs, unnest(generate_series(0, 9)) AS t(j)
+),
+vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+ranked AS (SELECT t.id, v.freq, t.tok FROM toks t JOIN vocab v USING (tok)),
+d2 AS (
+  SELECT id,
+         list(struct_pack(freq := freq, tok := tok)
+              ORDER BY freq, tok) AS ordered
+  FROM ranked GROUP BY id
+),
+pre AS (
+  SELECT id, ordered, unnest(list_transform(
+           ordered[1:greatest(len(ordered)
+             - CAST((7 * len(ordered) + 9) // 10 AS INT) + 1, 1)],
+           s -> s.tok)) AS ptok
+  FROM d2
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b ON a.ptok = b.ptok AND a.id < b.id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(list_transform(da.ordered, s -> s.tok),
+                            list_transform(db.ordered, s -> s.tok)))
+           AS n_inter,
+         len(da.ordered) + len(db.ordered)
+           - len(list_intersect(list_transform(da.ordered, s -> s.tok),
+                                list_transform(db.ordered, s -> s.tok)))
+           AS n_union
+  FROM cands c JOIN d2 da ON c.id_a = da.id JOIN d2 db ON c.id_b = db.id
+)
+SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+       CAST(n_union AS INT) AS n_union,
+       CAST(n_inter * 1000 // n_union AS BIGINT) AS jaccard_pm
+FROM ver WHERE n_inter * 10 >= 7 * n_union
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11138,6 +11211,8 @@ CATALOG: Dict[str, tuple] = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     # CUSUM drift alarms over daily metrics (operators/snapshots.py)
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
+    # exact prefix-filtered set-similarity join (operators/dedup.py)
+    "prefix_filter_pairs": (q_prefix_filter_pairs, SQL_PREFIX_FILTER),
 }
 
 

@@ -710,3 +710,95 @@ def cross_doc_dup_rate(
             "ELSE n_dup * 1000 div n_windows END AS BIGINT)"
         ).alias("dup_pm"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (PPJoin family,
+    Xiao et al. WWW'08) — the third candidate-generation strategy beside
+    the length-blocked join and MinHash-LSH, with the property the other
+    two lack in opposite directions: ZERO false negatives (unlike LSH's
+    probabilistic recall) at far below all-pairs cost (unlike blocking's
+    recall/cost trade). Two token sets with Jaccard >= t MUST share at
+    least one token among each one's first |x| - ceil(t·|x|) + 1 tokens
+    under ANY common global ordering; ordering by ascending corpus
+    frequency makes those prefix tokens the RAREST, so the candidate
+    join fans out on tokens that almost never collide.
+
+    Threshold is the exact rational t_num/t_den — prefix lengths use
+    ceil(t·n) = (t_num·n + t_den - 1) div t_den and verification uses
+    inter·t_den >= t_num·union: integer end-to-end, no float Jaccard in
+    any decision (jaccard_pm emitted for reporting only).
+
+    Shape at scale: one token-frequency aggregate (vocab-sized), a rank
+    window over the VOCAB (never the corpus), per-doc sort of its own
+    distinct tokens (bounded by doc length), prefix explode (at most
+    (1-t)·|doc|+1 rows per doc), an equi-join on single rare tokens, and
+    exact verification only of candidate pairs.
+
+    Emits (id_a, id_b, n_inter, n_union, jaccard_pm), id_a < id_b,
+    Jaccard >= t. Parity note: verified against lsh_verified_pairs'
+    shingle-free token-set semantics (tokens, not shingles).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_words(F.col(text_col)))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    # the global ordering IS the (freq, tok) pair — no dense integer rank
+    # is needed, so there is no single-partition ranking window over the
+    # vocabulary (which is NOT dimension-sized on a web corpus)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = toks.join(vocab, "tok")
+    docs = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("ordered")
+    )
+    n = F.size("ordered")
+    plen = n - F.expr(f"CAST(({t_num} * size(ordered) + {t_den} - 1) div {t_den} AS INT)") + F.lit(1)
+    pre = docs.select(
+        "id",
+        F.col("ordered").alias("ordered"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", 1, F.greatest(plen, F.lit(1))),
+                lambda s: s["tok"],
+            )
+        ).alias("ptok"),
+    )
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("ordered").alias("ord_a"), "ptok"
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("ordered").alias("ord_b"), "ptok"
+    )
+    cands = (
+        a.join(b, "ptok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ord_a", "ord_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = F.expr("transform(ord_a, s -> s.tok)")
+    tb = F.expr("transform(ord_b, s -> s.tok)")
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    out = cands.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+    ).where(F.expr(f"n_inter * {t_den} >= {t_num} * n_union"))
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.expr("CAST(n_inter * 1000 div n_union AS BIGINT)").alias("jaccard_pm"),
+    )

@@ -635,3 +635,61 @@ class TestCrossDocDupRate:
     def test_case_and_whitespace_normalized(self, spark):
         got = self._rate(spark, ["A  B   C", "a b c"])
         assert got[0]["dup_pm"] == 1000 and got[1]["dup_pm"] == 1000
+
+
+class TestPrefixFilterPairs:
+    def _pairs(self, spark, docs, t_num=7, t_den=10):
+        from ocr_service_spark.operators.dedup import prefix_filter_pairs
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        rows = prefix_filter_pairs(df, "doc_id", "text", t_num, t_den).collect()
+        return {(r["id_a"], r["id_b"]): r for r in rows}
+
+    @staticmethod
+    def _brute(docs, t_num, t_den):
+        out = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                sa, sb = set(docs[a]), set(docs[b])
+                inter, union = len(sa & sb), len(sa | sb)
+                if union and inter * t_den >= t_num * union:
+                    out[(a, b)] = (inter, union)
+        return out
+
+    def test_no_false_negatives_vs_brute_force(self, spark):
+        # deterministic corpus with graded overlaps: exact join must
+        # emit EXACTLY the brute-force >= t set (prefix filtering is
+        # lossless — the property LSH does not have).
+        docs = [
+            [f"g{i % 6}tok{j}" for j in range(8)]
+            + ([f"extra{i}"] if i % 3 else [])
+            for i in range(18)
+        ]
+        got = self._pairs(spark, docs, 6, 10)
+        want = self._brute(docs, 6, 10)
+        assert set(got) == set(want)
+        for k, (inter, union) in want.items():
+            assert (got[k]["n_inter"], got[k]["n_union"]) == (inter, union)
+
+    def test_threshold_boundary_inclusive(self, spark):
+        # J exactly 3/4 at t=3/4 must be kept (>=, integer rational —
+        # no float epsilon at the boundary)
+        docs = [["a", "b", "c"], ["a", "b", "c", "d"]]
+        got = self._pairs(spark, docs, 3, 4)
+        assert got[(0, 1)]["jaccard_pm"] == 750
+        got2 = self._pairs(spark, docs, 76, 100)
+        assert (0, 1) not in got2
+
+    def test_identical_docs_and_rare_prefix(self, spark):
+        docs = [["x", "y"], ["x", "y"], ["z", "w"]]
+        got = self._pairs(spark, docs, 9, 10)
+        assert set(got) == {(0, 1)}
+        assert got[(0, 1)]["jaccard_pm"] == 1000
+
+    def test_duplicate_tokens_in_text_count_once(self, spark):
+        docs = [["a", "a", "a", "b"], ["a", "b", "b"]]
+        got = self._pairs(spark, docs, 9, 10)
+        assert got[(0, 1)]["n_inter"] == 2 and got[(0, 1)]["n_union"] == 2
