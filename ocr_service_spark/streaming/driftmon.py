@@ -1,0 +1,107 @@
+"""Streaming drift monitor: daily metric store + CUSUM alarms.
+
+The batch CUSUM operator (operators/snapshots.py cusum_changepoints)
+answers "has this metric drifted?" over a finished table; a crawl emits
+the metric CONTINUOUSLY. This module keeps the per-(group, day) count
+store up to date from a stream and republishes the alarm table after
+every micro-batch — the shape a crawl-health dashboard actually reads.
+
+Exactly-once counting is the interesting part. Unlike sketchmon's HLL
+registers (max-merge, naturally idempotent), COUNTS merge by SUM — an
+at-least-once replay would silently double-count a day and fake a
+drift alarm. The store therefore applies micro-batches transactionally:
+the atomic pointer file carries BOTH the current data dir and the set
+of applied batch ids in one os.replace, so
+
+  - a replayed batch id is detected and skipped (no double count);
+  - a crash after writing a data dir but before the pointer swap leaves
+    the previous pointer intact — the half-applied dir is unreferenced
+    garbage, never a visible half-state (the txlog commit discipline).
+
+Alarms are recomputed from the WHOLE store each batch — the store is
+(groups × days) rows, a dimension table, so full recompute is cheaper
+and simpler than incremental alarm maintenance and inherits the batch
+operator's oracle-checked semantics verbatim (batch-parity pinned in
+tests/test_streaming_driftmon.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.snapshots import cusum_changepoints
+
+
+def _read_state(store_path: str):
+    ptr = os.path.join(store_path, "current")
+    if not os.path.exists(ptr):
+        return None, set()
+    with open(ptr) as f:
+        st = json.load(f)
+    return st["v"], set(st["applied"])
+
+
+def _write_state(store_path: str, vdir: str, applied) -> None:
+    tmp = os.path.join(store_path, "current.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"v": vdir, "applied": sorted(applied)}, f)
+    os.replace(tmp, os.path.join(store_path, "current"))
+
+
+def run_drift_monitor_stream(
+    spark,
+    source_path: str,
+    store_path: str,
+    alarms_path: str,
+    checkpoint_path: str,
+    schema,
+    group_col: str = "grp",
+    day_col: str = "day",
+    k_slack: int = 0,
+    h_thresh: int = 0,
+) -> None:
+    """Drain the parquet source with availableNow, folding each
+    micro-batch's (group, day) counts into the store exactly once and
+    republishing the CUSUM alarm table."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        vdir, applied = _read_state(store_path)
+        if batch_id in applied:
+            return  # at-least-once replay: already counted
+        bcounts = (
+            batch.select(
+                F.col(group_col).alias("grp"), F.col(day_col).alias("day")
+            )
+            .groupBy("grp", "day")
+            .agg(F.count(F.lit(1)).alias("x"))
+        )
+        if vdir is not None:
+            cur = sp.read.parquet(os.path.join(store_path, vdir))
+            merged = (
+                cur.unionByName(bcounts)
+                .groupBy("grp", "day")
+                .agg(F.sum("x").alias("x"))
+            )
+        else:
+            merged = bcounts
+        new_v = f"v{batch_id:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(store_path, new_v))
+        _write_state(store_path, new_v, applied | {batch_id})
+        cusum_changepoints(
+            sp.read.parquet(os.path.join(store_path, new_v)),
+            "grp", "day", "x", k_slack=k_slack, h_thresh=h_thresh,
+        ).write.mode("overwrite").parquet(alarms_path)
+
+    os.makedirs(store_path, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,113 @@
+"""Streaming CUSUM drift monitor (streaming/driftmon.py): cross-batch
+count folding, batch parity with the oracle-checked CUSUM operator,
+exactly-once application under full source replay."""
+
+import os
+
+import pytest
+
+from ocr_service_spark.streaming.driftmon import run_drift_monitor_stream
+
+SCHEMA = "grp string, day string"
+
+
+@pytest.fixture()
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("driftmon")
+    return (
+        str(root / "src"),
+        str(root / "store"),
+        str(root / "alarms"),
+        str(root / "ckpt"),
+    )
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+
+def _run(spark, paths, ckpt=None, **kw):
+    src, store, alarms, ckpt0 = paths
+    schema = spark.read.parquet(src).schema
+    run_drift_monitor_stream(
+        spark, src, store, alarms, ckpt or ckpt0, schema,
+        k_slack=kw.get("k_slack", 1), h_thresh=kw.get("h_thresh", 5),
+    )
+
+
+def _alarms(spark, alarms):
+    return {(r["grp"], r["day"]): r for r in spark.read.parquet(alarms).collect()}
+
+
+def _batch_expected(spark, all_rows, k=1, h=5):
+    import pyspark.sql.functions as F
+
+    from ocr_service_spark.operators.snapshots import cusum_changepoints
+
+    daily = (
+        spark.createDataFrame(all_rows, SCHEMA)
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return {
+        (r["grp"], r["day"]): r
+        for r in cusum_changepoints(
+            daily, "grp", "day", "x", k_slack=k, h_thresh=h
+        ).collect()
+    }
+
+
+def test_streaming_alarms_match_batch_operator(spark, paths):
+    src = paths[0]
+    poll1 = [("a", f"d{i:02d}") for i in range(5) for _ in range(10)]
+    _write(spark, src, poll1)
+    _run(spark, paths)
+    got = _alarms(spark, paths[2])
+    assert got == got  # readable
+    exp = _batch_expected(spark, poll1)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert (got[k]["x"], got[k]["s_hi"], got[k]["alarm"]) == (
+            exp[k]["x"], exp[k]["s_hi"], exp[k]["alarm"],
+        )
+
+    # poll 2: day d02 volume doubles and new days arrive — streaming
+    # alarms must equal the batch operator over ALL delivered rows
+    poll2 = [("a", "d02")] * 25 + [("a", f"d{i:02d}") for i in range(5, 8) for _ in range(10)]
+    _write(spark, src, poll2)
+    _run(spark, paths)
+    got = _alarms(spark, paths[2])
+    exp = _batch_expected(spark, poll1 + poll2)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert (got[k]["x"], got[k]["s_hi"], got[k]["s_lo"], got[k]["alarm"]) == (
+            exp[k]["x"], exp[k]["s_hi"], exp[k]["s_lo"], exp[k]["alarm"],
+        )
+
+
+def test_full_source_replay_does_not_double_count(spark, paths):
+    # Re-running the stream with a FRESH checkpoint re-delivers every
+    # file as the same batch ids; the applied-set in the store pointer
+    # must skip them all — counts unchanged, no fake drift alarm.
+    src, store, alarms, ckpt = paths
+    rows = [("a", f"d{i:02d}") for i in range(6) for _ in range(7)]
+    _write(spark, src, rows)
+    _run(spark, paths)
+    before = _alarms(spark, alarms)
+    _run(spark, paths, ckpt=ckpt + "-replay")
+    after = _alarms(spark, alarms)
+    assert set(before) == set(after)
+    for k in before:
+        assert before[k]["x"] == after[k]["x"]
+
+
+def test_crash_safe_pointer_only_references_complete_dirs(spark, paths):
+    src, store, alarms, _ = paths
+    _write(spark, src, [("a", "d00")] * 5)
+    _run(spark, paths)
+    import json
+
+    with open(os.path.join(store, "current")) as f:
+        st = json.load(f)
+    assert os.path.isdir(os.path.join(store, st["v"]))
+    assert st["applied"] == [0]
