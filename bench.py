@@ -256,6 +256,7 @@ HEADLINE = [
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
     "prefix_filter_pairs",     # exact prefix-filtered similarity join
+    "encoding_advisor",        # dictionary-vs-plain byte modeling
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -10908,6 +10908,69 @@ FROM ver WHERE n_inter * 10 >= 7 * n_union
 """
 
 
+def q_encoding_advisor(spark, sf_dir):
+    """Columnar encoding recommendations (operators/layout.py
+    encoding_advisor) over six lineitem columns: integer byte models for
+    dictionary-vs-plain (distinct lengths + bitlen(ndv-1) code widths
+    from binary-string length), CONSTANT/DICTIONARY/PLAIN verdicts and
+    modeled savings. The oracle replays the melt, both byte models and
+    every verdict."""
+    from .operators.layout import encoding_advisor
+
+    li = load(spark, sf_dir, "lineitem")
+    return encoding_advisor(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+
+
+SQL_ENCODING_ADVISOR = """
+WITH melted AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+),
+nn AS (SELECT col_name, v FROM melted WHERE v IS NOT NULL),
+plain AS (
+  SELECT col_name, COUNT(*) AS n_values,
+         CAST(SUM(length(v)) AS BIGINT) AS plain_bytes
+  FROM nn GROUP BY col_name
+),
+dct AS (
+  SELECT col_name, COUNT(*) AS ndv,
+         CAST(SUM(length(v)) AS BIGINT) AS dict_len
+  FROM (SELECT DISTINCT col_name, v FROM nn) GROUP BY col_name
+),
+j AS (
+  SELECT p.col_name, p.n_values, d.ndv, p.plain_bytes,
+         d.dict_len + CAST((p.n_values *
+           (CASE WHEN d.ndv <= 1 THEN 0
+                 ELSE length(bin(d.ndv - 1)) END) + 7) // 8 AS BIGINT)
+           AS dict_bytes
+  FROM plain p JOIN dct d USING (col_name)
+)
+SELECT col_name, CAST(n_values AS BIGINT) AS n_values,
+       CAST(ndv AS BIGINT) AS ndv, plain_bytes, dict_bytes,
+       CASE WHEN ndv <= 1 THEN 'CONSTANT'
+            WHEN dict_bytes < plain_bytes THEN 'DICTIONARY'
+            ELSE 'PLAIN' END AS recommended,
+       CAST(CASE WHEN plain_bytes = 0 THEN 0
+                 WHEN dict_bytes < plain_bytes
+                 THEN (plain_bytes - dict_bytes) * 1000 // plain_bytes
+                 ELSE 0 END AS BIGINT) AS savings_pm
+FROM j
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11213,6 +11276,8 @@ CATALOG: Dict[str, tuple] = {
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
     # exact prefix-filtered set-similarity join (operators/dedup.py)
     "prefix_filter_pairs": (q_prefix_filter_pairs, SQL_PREFIX_FILTER),
+    # dictionary-vs-plain encoding advisor (operators/layout.py)
+    "encoding_advisor": (q_encoding_advisor, SQL_ENCODING_ADVISOR),
 }
 
 

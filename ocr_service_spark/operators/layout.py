@@ -183,3 +183,78 @@ def range_layout(
             F.expr("CAST(n_rows * 1000 div total AS BIGINT)").alias("share_pm"),
         )
     )
+
+
+def encoding_advisor(df: DataFrame, cols) -> DataFrame:
+    """Columnar encoding recommendation — the write-path twin of the
+    zone-map/Z-order read-path planners: for each column, model the
+    bytes a dictionary encoding would cost against plain encoding and
+    recommend accordingly (what Parquet writers decide per column chunk;
+    at 100 TB a wrong default on one wide string column is tens of TB).
+
+    Integer byte models from one melted pass (the analyze_table stack
+    convention — table read per consumer, never per column):
+      plain_bytes = Σ value lengths (string bytes of the value)
+      dict_bytes  = Σ DISTINCT value lengths            (the dictionary)
+                  + (n_values · bitlen(ndv - 1) + 7) div 8   (the codes)
+    with bitlen from binary-string length, never float log2.
+    Recommendation: CONSTANT when one distinct value, DICTIONARY when
+    dict_bytes < plain_bytes, else PLAIN. savings_pm is the modeled
+    reduction for the recommended encoding.
+
+    Emits (col_name, n_values, ndv, plain_bytes, dict_bytes,
+    recommended, savings_pm). NULLs are excluded from both models (both
+    encodings carry them in the definition levels, not the data).
+    """
+    parts = []
+    for c in cols:
+        parts += [f"'{c}'", f"CAST({c} AS STRING)"]
+    melted = df.select(
+        F.expr(
+            f"stack({len(list(cols))}, {', '.join(parts)}) AS (col_name, v)"
+        )
+    ).where(F.col("v").isNotNull())
+    plain = melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.length("v")).alias("plain_bytes"),
+    )
+    dct = (
+        melted.select("col_name", "v")
+        .distinct()
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum(F.length("v")).alias("dict_len"),
+        )
+    )
+    j = plain.join(dct, "col_name")
+    bits = F.expr(
+        "CASE WHEN ndv <= 1 THEN 0 ELSE length(conv(ndv - 1, 10, 2)) END"
+    )
+    j = j.withColumn(
+        "dict_bytes",
+        F.expr(
+            "dict_len + CAST((n_values * "
+            "(CASE WHEN ndv <= 1 THEN 0 "
+            " ELSE length(conv(ndv - 1, 10, 2)) END) + 7) div 8 AS BIGINT)"
+        ),
+    )
+    rec = (
+        F.when(F.col("ndv") <= 1, F.lit("CONSTANT"))
+        .when(F.col("dict_bytes") < F.col("plain_bytes"), F.lit("DICTIONARY"))
+        .otherwise(F.lit("PLAIN"))
+    )
+    return j.select(
+        "col_name",
+        "n_values",
+        "ndv",
+        "plain_bytes",
+        "dict_bytes",
+        rec.alias("recommended"),
+        F.expr(
+            "CAST(CASE WHEN plain_bytes = 0 THEN 0 "
+            "WHEN dict_bytes < plain_bytes "
+            "THEN (plain_bytes - dict_bytes) * 1000 div plain_bytes "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("savings_pm"),
+    )

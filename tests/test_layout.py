@@ -140,3 +140,43 @@ class TestRangeLayout:
         for k in set(keys):
             b = sum(1 for s in splits if s <= k)
             assert got_buckets[b]["min_key"] <= k <= got_buckets[b]["max_key"]
+
+
+class TestEncodingAdvisor:
+    def _adv(self, spark, rows, schema, cols):
+        from ocr_service_spark.operators.layout import encoding_advisor
+
+        df = spark.createDataFrame(rows, schema)
+        return {r["col_name"]: r for r in encoding_advisor(df, cols).collect()}
+
+    def test_constant_column(self, spark):
+        got = self._adv(spark, [("x",)] * 10, "c string", ["c"])
+        r = got["c"]
+        assert r["recommended"] == "CONSTANT"
+        # dictionary = one 1-byte entry, zero-bit codes
+        assert r["dict_bytes"] == 1 and r["plain_bytes"] == 10
+
+    def test_low_cardinality_prefers_dictionary(self, spark):
+        # 1000 rows, 2 distinct 8-char values: dict = 16 + 1000*1/8 = 141
+        # vs plain 8000 -> DICTIONARY at 982 pm savings
+        rows = [("aaaaaaaa" if i % 2 else "bbbbbbbb",) for i in range(1000)]
+        got = self._adv(spark, rows, "c string", ["c"])
+        r = got["c"]
+        assert r["recommended"] == "DICTIONARY"
+        assert r["dict_bytes"] == 16 + (1000 * 1 + 7) // 8
+        assert r["savings_pm"] == (8000 - r["dict_bytes"]) * 1000 // 8000
+
+    def test_all_unique_prefers_plain(self, spark):
+        # every value distinct: dictionary stores everything PLUS codes
+        rows = [(f"{i:08d}",) for i in range(256)]
+        got = self._adv(spark, rows, "c string", ["c"])
+        r = got["c"]
+        assert r["recommended"] == "PLAIN"
+        assert r["savings_pm"] == 0
+        assert r["dict_bytes"] == r["plain_bytes"] + (256 * 8 + 7) // 8
+
+    def test_nulls_excluded_from_both_models(self, spark):
+        rows = [("aa",), (None,), ("aa",), (None,)]
+        got = self._adv(spark, rows, "c string", ["c"])
+        r = got["c"]
+        assert r["n_values"] == 2 and r["plain_bytes"] == 4
