@@ -257,6 +257,7 @@ HEADLINE = [
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
     "prefix_filter_pairs",     # exact prefix-filtered similarity join
     "encoding_advisor",        # dictionary-vs-plain byte modeling
+    "cohort_retention",        # first-activity cohort matrix
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

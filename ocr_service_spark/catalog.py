@@ -10971,6 +10971,40 @@ FROM j
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/asof.py cohort_retention) over
+    the events table: users bucketed by first-activity week, per-offset
+    comeback counts and per-mille retention — integer day-bucket
+    arithmetic end-to-end. The oracle replays cohort assignment, every
+    (cohort, offset) count and every rate."""
+    from .operators.asof import cohort_retention
+
+    e = load(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", n_periods=8, period_days=7)
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS p
+  FROM events
+),
+first AS (SELECT u, MIN(p) AS p0 FROM e GROUP BY u),
+sizes AS (SELECT p0, COUNT(*) AS cohort_size FROM first GROUP BY p0),
+act AS (
+  SELECT f.p0, e.p - f.p0 AS off, COUNT(*) AS n_active
+  FROM e JOIN first f USING (u)
+  WHERE e.p - f.p0 < 8
+  GROUP BY f.p0, e.p - f.p0
+)
+SELECT a.p0 AS cohort_period, a.off AS offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active * 1000 // s.cohort_size AS BIGINT) AS retained_pm
+FROM act a JOIN sizes s USING (p0)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11278,6 +11312,8 @@ CATALOG: Dict[str, tuple] = {
     "prefix_filter_pairs": (q_prefix_filter_pairs, SQL_PREFIX_FILTER),
     # dictionary-vs-plain encoding advisor (operators/layout.py)
     "encoding_advisor": (q_encoding_advisor, SQL_ENCODING_ADVISOR),
+    # cohort retention matrix (operators/asof.py)
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }
 
 

@@ -196,3 +196,55 @@ def funnel_conversion(
             ).alias("conv_pm"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    n_periods: int = 8,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the second event-analytics staple next
+    to funnel_conversion: users grouped by their FIRST-activity period
+    (the cohort), then for each later period offset, how many of them
+    came back. The classic triangular table growth teams read.
+
+    Periods are day-integer buckets (epoch_days div period_days) — no
+    timestamp arithmetic in the matrix itself, so offsets and rates are
+    engine-exact integers. Shape: one min-aggregate keyed by user (the
+    cohort assignment), one distinct (user, period) projection, an
+    equi-join on user (broadcast-sized right after the distinct at
+    dimension scale, hash join at corpus scale), and one count
+    aggregate keyed by (cohort_period, offset) — never a per-user
+    matrix pivot.
+
+    Emits (cohort_period, offset, n_active, cohort_size, retained_pm)
+    for 0 <= offset < n_periods; offset 0 is the cohort itself
+    (retained_pm = 1000 by construction).
+    """
+    per = F.expr(
+        f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div 86400 div {int(period_days)}"
+    )
+    e = events.select(F.col(user_col).alias("u"), per.alias("p")).distinct()
+    first = e.groupBy("u").agg(F.min("p").alias("p0"))
+    sizes = first.groupBy("p0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        e.join(first, "u")
+        .select("u", "p0", (F.col("p") - F.col("p0")).alias("off"))
+        .where(F.col("off") < int(n_periods))
+        .groupBy("p0", "off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(sizes, "p0")
+        .select(
+            F.col("p0").alias("cohort_period"),
+            F.col("off").alias("offset"),
+            "n_active",
+            "cohort_size",
+            F.expr(
+                "CAST(n_active * 1000 div cohort_size AS BIGINT)"
+            ).alias("retained_pm"),
+        )
+    )

@@ -154,3 +154,45 @@ class TestFunnelConversion:
         with _pytest.raises(ValueError):
             self._funnel(spark, [(1, "a", self._ts(1))], ["a"],
                          window="7; DROP TABLE")
+
+
+class TestCohortRetention:
+    def _ret(self, spark, rows, **kw):
+        from datetime import datetime, timedelta
+
+        from ocr_service_spark.operators.asof import cohort_retention
+
+        base = datetime(2024, 1, 4)  # epoch day 19726, div 7 = 2818
+        data = [(u, base + timedelta(days=d)) for u, d in rows]
+        df = spark.createDataFrame(data, "user_id long, ts timestamp")
+        out = cohort_retention(df, "user_id", "ts", **kw).collect()
+        return {(r["cohort_period"], r["offset"]): r for r in out}
+
+    def test_triangular_matrix_and_rates(self, spark):
+        # cohort A (users 1,2 start week 0): u1 returns weeks 1 and 2,
+        # u2 only week 1. cohort B (user 3 starts week 1): never returns.
+        rows = [
+            (1, 0), (1, 7), (1, 14),
+            (2, 1), (2, 8),
+            (3, 7),
+        ]
+        got = self._ret(spark, rows, n_periods=4, period_days=7)
+        w0 = min(c for c, _ in got)
+        assert got[(w0, 0)]["cohort_size"] == 2
+        assert got[(w0, 0)]["retained_pm"] == 1000
+        assert got[(w0, 1)]["n_active"] == 2 and got[(w0, 1)]["retained_pm"] == 1000
+        assert got[(w0, 2)]["n_active"] == 1 and got[(w0, 2)]["retained_pm"] == 500
+        assert got[(w0 + 1, 0)]["cohort_size"] == 1
+        assert (w0 + 1, 1) not in got  # user 3 never came back
+
+    def test_multiple_events_in_period_count_once(self, spark):
+        rows = [(1, 0), (1, 1), (1, 2), (1, 7), (1, 7)]
+        got = self._ret(spark, rows, n_periods=4)
+        c = min(c for c, _ in got)
+        assert got[(c, 0)]["n_active"] == 1
+        assert got[(c, 1)]["n_active"] == 1
+
+    def test_horizon_truncates(self, spark):
+        rows = [(1, 0), (1, 70)]  # comeback at offset 10 weeks
+        got = self._ret(spark, rows, n_periods=4)
+        assert all(off < 4 for _, off in got)
