@@ -258,6 +258,7 @@ HEADLINE = [
     "prefix_filter_pairs",     # exact prefix-filtered similarity join
     "encoding_advisor",        # dictionary-vs-plain byte modeling
     "cohort_retention",        # first-activity cohort matrix
+    "sliding_hll_distinct",    # trailing-window distinct via register merge
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -11005,6 +11005,87 @@ FROM act a JOIN sizes s USING (p0)
 """
 
 
+def q_sliding_hll_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per event type
+    (operators/sketches.py sliding_hll_distinct): daily HLL registers
+    merged per window by bucket-MAX — the union law — so no day is ever
+    rescanned; integer-exact estimator per (type, window-end). The
+    oracle replays the daily registers, the window fan-out, every merged
+    register and every estimate."""
+    from .operators.sketches import sliding_hll_distinct
+
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        F.col("event_type").alias("et"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("d"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return sliding_hll_distinct(pairs, "et", "d", "uid", window=7)
+
+
+def _sliding_hll_sql() -> str:
+    from .operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_RMAX,
+        _hll_lc_case,
+    )
+
+    pow67 = HLL_ALPHA_PPM << 67
+    lc = _hll_lc_case("v_zero")
+    lim = 5 * HLL_M // 2
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT grp, day, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RMAX}
+                  ELSE {HLL_RMAX} - length(bin(h // {HLL_M})) END) AS reg
+  FROM d GROUP BY 1, 2, 3
+),
+fan AS (
+  SELECT grp, bucket, reg, wend
+  FROM regs, unnest(generate_series(day, day + 6)) AS t(wend)
+),
+days AS (SELECT DISTINCT grp, day AS wend FROM d),
+win AS (
+  SELECT f.grp, f.wend, f.bucket, MAX(f.reg) AS reg
+  FROM fan f SEMI JOIN days USING (grp, wend)
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT grp, wend,
+         CAST(SUM(1::BIGINT << ({HLL_RMAX} - reg)) AS BIGINT) AS denom_present,
+         COUNT(*) AS n_present
+  FROM win GROUP BY grp, wend
+),
+est AS (
+  SELECT grp, wend,
+         denom_present + ({HLL_M} - n_present) * (1::BIGINT << {HLL_RMAX})
+           AS denom_q,
+         {HLL_M} - n_present AS v_zero
+  FROM per
+),
+est2 AS (
+  SELECT grp, wend, denom_q, v_zero,
+         CAST({pow67}::HUGEINT // (denom_q::HUGEINT * 1000000) AS BIGINT)
+           AS raw_est
+  FROM est
+)
+SELECT grp, wend, denom_q, CAST(v_zero AS BIGINT) AS v_zero,
+       CASE WHEN v_zero > 0 AND raw_est <= {lim} THEN {lc}
+            ELSE raw_est END AS est_distinct
+FROM est2
+"""
+
+
+SQL_SLIDING_HLL = _sliding_hll_sql()
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11314,6 +11395,8 @@ CATALOG: Dict[str, tuple] = {
     "encoding_advisor": (q_encoding_advisor, SQL_ENCODING_ADVISOR),
     # cohort retention matrix (operators/asof.py)
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    # trailing-window distinct via daily HLL register merge (operators/sketches.py)
+    "sliding_hll_distinct": (q_sliding_hll_distinct, SQL_SLIDING_HLL),
 }
 
 

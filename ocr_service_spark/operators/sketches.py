@@ -408,3 +408,103 @@ def hll_distinct(
             "CAST(abs(est_distinct - n_exact) * 1000 div n_exact AS BIGINT)"
         ).alias("err_pm"),
     )
+
+
+def hll_day_registers(
+    pairs: DataFrame, group_col: str, day_col: str, elem_col: str
+) -> DataFrame:
+    """(group, day, elem) -> per-(group, day) register table
+    (grp, day, bucket, reg) — the daily sketch a sliding window merges."""
+    salted = F.concat(F.lit("hll:"), F.col(elem_col))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    d = pairs.select(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).cast("long").alias("day"),
+        h.alias("h"),
+    ).distinct()
+    rho = F.expr(
+        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
+        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
+    )
+    return (
+        d.select(
+            "grp", "day", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("grp", "day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def sliding_hll_distinct(
+    pairs: DataFrame,
+    group_col: str,
+    day_col: str,
+    elem_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Distinct count per TRAILING window (grp, last `window` days
+    ending at each observed day) — the 'weekly active users' /
+    'distinct URLs this week per host' query, answered from daily HLL
+    registers WITHOUT rescanning any day: a window's sketch is the
+    per-bucket MAX of its member days' sketches (the union law), so the
+    corpus is summarized once into (grp, day, 64) register rows and
+    every window is a dimension-sized merge.
+
+    Shape: daily registers (one corpus aggregate) → each register row
+    fans out to the `window` window-ends it contributes to (a literal
+    sequence explode, ×window on G·days·64 DIMENSION rows, not corpus
+    rows) → semi-join against observed (grp, day) pairs so only real
+    window-ends emit → per-(grp, wend, bucket) MAX → the integer-exact
+    estimator (same arithmetic as hll_distinct, including the generated
+    linear-counting lookup).
+
+    Emits (grp, wend, denom_q, v_zero, est_distinct); no exact-count
+    audit column — avoiding the per-window exact distinct IS the point.
+    """
+    regs = hll_day_registers(pairs, group_col, day_col, elem_col)
+    fan = regs.select(
+        "grp",
+        "bucket",
+        "reg",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(int(window) - 1))
+        ).alias("wend"),
+    )
+    days = pairs.select(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).cast("long").alias("wend"),
+    ).distinct()
+    win = fan.join(days, ["grp", "wend"], "left_semi")
+    wr = win.groupBy("grp", "wend", "bucket").agg(F.max("reg").alias("reg"))
+    per = wr.groupBy("grp", "wend").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")).alias(
+            "denom_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    pow67 = HLL_ALPHA_PPM << 67
+    est = (
+        per.withColumn(
+            "denom_q",
+            F.expr(
+                f"denom_present + ({HLL_M} - n_present) * "
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX})"
+            ),
+        )
+        .withColumn("v_zero", F.expr(f"{HLL_M} - n_present"))
+        .withColumn(
+            "raw_est",
+            F.expr(
+                f"CAST(CAST({pow67} AS DECIMAL(38,0)) div "
+                f"(CAST(denom_q AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"CASE WHEN v_zero > 0 AND raw_est <= {5 * HLL_M // 2} "
+                f"THEN {_hll_lc_case('v_zero')} ELSE raw_est END"
+            ),
+        )
+    )
+    return est.select("grp", "wend", "denom_q", "v_zero", "est_distinct")

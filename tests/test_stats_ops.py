@@ -321,3 +321,53 @@ class TestAnalyzeTable:
             analyze_table(df, ["a", "b", "c"]).explain("formatted")
         n_scans = len(re.findall(r"^\(\d+\) Range\b", buf.getvalue(), re.M))
         assert n_scans == 2
+
+
+class TestSlidingHllDistinct:
+    def _sliding(self, spark, rows, window=3):
+        from ocr_service_spark.operators.sketches import sliding_hll_distinct
+
+        df = spark.createDataFrame(rows, "grp string, day long, elem string")
+        out = sliding_hll_distinct(df, "grp", "day", "elem", window=window)
+        return {(r["grp"], r["wend"]): r for r in out.collect()}
+
+    def test_each_window_equals_batch_hll_over_its_days(self, spark):
+        # the merged-register estimate for a window must be bit-identical
+        # to running hll_distinct over exactly that window's elements —
+        # the union law, pinned per window end.
+        from ocr_service_spark.operators.sketches import hll_distinct
+
+        rows = [
+            ("a", d, f"u{d}_{i}") for d in range(6) for i in range(20 + d)
+        ] + [("a", d, "shared") for d in range(6)]
+        got = self._sliding(spark, rows, window=3)
+        for wend in range(6):
+            members = [
+                ("a", e) for g, d, e in rows if wend - 2 <= d <= wend
+            ]
+            bdf = spark.createDataFrame(members, "grp string, elem string")
+            exp = hll_distinct(bdf, "grp", "elem").collect()[0]
+            r = got[("a", wend)]
+            assert (r["denom_q"], r["est_distinct"]) == (
+                exp["denom_q"], exp["est_distinct"],
+            ), wend
+
+    def test_element_leaves_window_after_w_days(self, spark):
+        # one element on day 0 only: windows ending 0..2 see it (w=3),
+        # the window ending day 3 does not.
+        rows = [("a", 0, "x")] + [("a", d, f"f{d}") for d in range(4)]
+        got = self._sliding(spark, rows, window=3)
+        from ocr_service_spark.operators.sketches import hll_distinct
+
+        def exp_for(elems):
+            df = spark.createDataFrame([("a", e) for e in elems],
+                                       "grp string, elem string")
+            return hll_distinct(df, "grp", "elem").collect()[0]["denom_q"]
+
+        assert got[("a", 2)]["denom_q"] == exp_for(["x", "f0", "f1", "f2"])
+        assert got[("a", 3)]["denom_q"] == exp_for(["f1", "f2", "f3"])
+
+    def test_only_observed_days_emit(self, spark):
+        rows = [("a", 0, "x"), ("a", 5, "y")]  # gap days 1-4 absent
+        got = self._sliding(spark, rows, window=3)
+        assert set(got) == {("a", 0), ("a", 5)}
