@@ -288,3 +288,46 @@ class TxLogTable:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(rel)
         return removed
+
+
+def optimize_table(
+    table: TxLogTable,
+    spark: SparkSession,
+    key_col: Optional[str] = None,
+    min_rows: int = 1000,
+    writer_id: Optional[str] = None,
+) -> Optional[int]:
+    """OPTIMIZE: coalesce the table's small data dirs into one — the
+    lakehouse bin-packing compaction (Delta OPTIMIZE / Iceberg
+    rewrite_data_files) executed through the SAME commit protocol as
+    every other write, so readers never see a half-compacted table and
+    time travel to pre-compaction versions still resolves the old dirs
+    (vacuum, not optimize, is what eventually deletes them).
+
+    Candidates are live dirs whose logged row count is below `min_rows`
+    (dirs with no recorded count — key-less commits — are conservatively
+    included: unknown size must not dodge compaction forever). Fewer
+    than two candidates means nothing to do (returns None, no empty
+    commit). The rewrite reads ONLY the candidate dirs; big dirs are
+    never touched — the file-pruned shape, same discipline as MERGE's
+    zone-map pruning.
+
+    Idempotent reruns via writer_id, like every commit. Returns the new
+    version, or the prior version for a known rerun.
+    """
+    if writer_id is not None:
+        prior = table.writer_version(writer_id)
+        if prior is not None:
+            return prior
+    live = table.files()
+    small = [f for f in live if f["rows"] is None or f["rows"] < int(min_rows)]
+    if len(small) < 2:
+        return None
+    merged = spark.read.parquet(
+        *[os.path.join(table.path, f["path"]) for f in small]
+    )
+    add = table._write_data(merged, key_col)
+    return table._commit(
+        [add], [f["path"] for f in small], "optimize", writer_id,
+        merged.schema.json(),
+    )

@@ -141,3 +141,81 @@ class TestResumableTxlog:
                   for r in run_extraction(pages).collect()}
         via_table = {r["url"]: r["extracted_text"] for r in out4.collect()}
         assert via_table == direct
+
+
+class TestOptimizeTable:
+    def _table(self, tmp_path_factory):
+        from ocr_service_spark.txlog import TxLogTable
+
+        return TxLogTable.create(
+            str(tmp_path_factory.mktemp("opt") / "t")
+        )
+
+    def test_coalesces_small_dirs_preserving_data_and_history(
+        self, spark, tmp_path_factory
+    ):
+        from ocr_service_spark.txlog import optimize_table
+
+        t = self._table(tmp_path_factory)
+        for i in range(4):
+            t.commit_append(
+                spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+                key_col="k",
+            )
+        assert len(t.files()) == 4
+        pre_version = t.latest()
+        v = optimize_table(t, spark, key_col="k", min_rows=1000)
+        assert v == pre_version + 1
+        # one dir now, same rows, zone map spans all keys
+        live = t.files()
+        assert len(live) == 1
+        assert live[0]["rows"] == 4
+        assert (live[0]["min_key"], live[0]["max_key"]) == ("0", "3")
+        got = {(r.k, r.v) for r in t.read(spark).collect()}
+        assert got == {(i, f"v{i}") for i in range(4)}
+        # time travel to the pre-compaction version still works
+        old = {r.k for r in t.read(spark, version=pre_version).collect()}
+        assert old == {0, 1, 2, 3}
+
+    def test_big_dirs_left_untouched(self, spark, tmp_path_factory):
+        from ocr_service_spark.txlog import optimize_table
+
+        t = self._table(tmp_path_factory)
+        big = spark.createDataFrame(
+            [(i, "big") for i in range(50)], "k long, v string"
+        )
+        t.commit_append(big, key_col="k")
+        for i in range(2):
+            t.commit_append(
+                spark.createDataFrame([(100 + i, "s")], "k long, v string"),
+                key_col="k",
+            )
+        optimize_table(t, spark, key_col="k", min_rows=10)
+        live = t.files()
+        assert len(live) == 2  # big dir + one coalesced dir
+        assert {f["rows"] for f in live} == {50, 2}
+
+    def test_nothing_to_do_returns_none(self, spark, tmp_path_factory):
+        from ocr_service_spark.txlog import optimize_table
+
+        t = self._table(tmp_path_factory)
+        t.commit_append(
+            spark.createDataFrame([(1, "a")], "k long, v string"), key_col="k"
+        )
+        before = t.latest()
+        assert optimize_table(t, spark, key_col="k", min_rows=10) is None
+        assert t.latest() == before  # no empty commit
+
+    def test_rerun_same_writer_id_noop(self, spark, tmp_path_factory):
+        from ocr_service_spark.txlog import optimize_table
+
+        t = self._table(tmp_path_factory)
+        for i in range(3):
+            t.commit_append(
+                spark.createDataFrame([(i, "x")], "k long, v string"),
+                key_col="k",
+            )
+        v1 = optimize_table(t, spark, key_col="k", writer_id="opt-1")
+        v2 = optimize_table(t, spark, key_col="k", writer_id="opt-1")
+        assert v1 == v2
+        assert len(t.files()) == 1
