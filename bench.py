@@ -259,6 +259,7 @@ HEADLINE = [
     "encoding_advisor",        # dictionary-vs-plain byte modeling
     "cohort_retention",        # first-activity cohort matrix
     "sliding_hll_distinct",    # trailing-window distinct via register merge
+    "bowtie_decomposition",    # Broder SCC/IN/OUT web structure
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -11086,6 +11086,82 @@ FROM est2
 SQL_SLIDING_HLL = _sliding_hll_sql()
 
 
+_BOWTIE_LIT = [
+    # core SCC: 4-cycle 0->1->2->3->0 (pivot = min node = 0 sits in it)
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    # IN: 10 -> 11 -> 0 reaches the core, never reached from it
+    (10, 11), (11, 0),
+    # OUT: 3 -> 20 -> 21 reachable from the core, no way back
+    (3, 20), (20, 21),
+    # tendril off IN (reaches neither direction of the core): 11 -> 40
+    (11, 40),
+    # disconnected island
+    (30, 31),
+]
+
+
+def q_bowtie_decomposition(spark, sf_dir):
+    """Web bow-tie structure (operators/graph.py bowtie_decomposition)
+    on a planted graph containing every Broder class: a 4-cycle core, an
+    IN chain, an OUT chain, a tendril hanging off IN (OTHER — forward-
+    reachable from IN only), and a disconnected island. The literal
+    edges union a documents-derived self-ring on the SAME core nodes
+    (exercising dedup). The oracle unrolls both BFS directions as
+    materialized frontier CTEs and replays every flag and class."""
+    from .operators.graph import bowtie_decomposition
+
+    lit = spark.createDataFrame(_BOWTIE_LIT, "src long, dst long")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    ring = d.select(
+        (F.col("doc_id") % 4).alias("src"),
+        ((F.col("doc_id") % 4 + 1) % 4).alias("dst"),
+    ).distinct()
+    return bowtie_decomposition(lit.unionByName(ring), rounds=8)
+
+
+def _bowtie_sql(rounds: int = 8) -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in _BOWTIE_LIT)
+    parts = [f"""WITH lit(s, d) AS (VALUES {vals}),
+ring AS (
+  SELECT DISTINCT doc_id % 4 AS s, (doc_id % 4 + 1) % 4 AS d FROM documents
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (SELECT s, d FROM lit UNION SELECT s, d FROM ring)
+  WHERE s <> d
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e)
+),
+f0 AS MATERIALIZED (SELECT MIN(n) AS node FROM nodes),
+b0 AS MATERIALIZED (SELECT node FROM f0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+f{r} AS MATERIALIZED (
+  SELECT DISTINCT node FROM f{r - 1}
+  UNION SELECT e.d FROM e JOIN f{r - 1} x ON e.s = x.node
+),
+b{r} AS MATERIALIZED (
+  SELECT DISTINCT node FROM b{r - 1}
+  UNION SELECT e.s FROM e JOIN b{r - 1} x ON e.d = x.node
+)""")
+    parts.append(f"""
+SELECT n.n AS node,
+       fw.node IS NOT NULL AS in_forward,
+       bw.node IS NOT NULL AS in_backward,
+       CASE WHEN fw.node IS NOT NULL AND bw.node IS NOT NULL THEN 'SCC'
+            WHEN bw.node IS NOT NULL THEN 'IN'
+            WHEN fw.node IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS component,
+       TRUE AS converged
+FROM nodes n
+LEFT JOIN f{rounds} fw ON n.n = fw.node
+LEFT JOIN b{rounds} bw ON n.n = bw.node""")
+    return "".join(parts)
+
+
+SQL_BOWTIE = _bowtie_sql(8)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11397,6 +11473,8 @@ CATALOG: Dict[str, tuple] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     # trailing-window distinct via daily HLL register merge (operators/sketches.py)
     "sliding_hll_distinct": (q_sliding_hll_distinct, SQL_SLIDING_HLL),
+    # Broder bow-tie decomposition of the link graph (operators/graph.py)
+    "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE),
 }
 
 

@@ -305,3 +305,45 @@ class TestKcoreMembership:
         chain = [(0, 5), (5, 6), (6, 7)]
         got = self._core(spark, k4 + chain, k=2, rounds=1)
         assert not got[0]["converged"]
+
+
+class TestBowtieDecomposition:
+    def _bt(self, spark, edges, rounds=8):
+        from ocr_service_spark.operators.graph import bowtie_decomposition
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = bowtie_decomposition(df, rounds=rounds).collect()
+        return {r["node"]: r for r in rows}
+
+    def test_all_broder_classes(self, spark):
+        edges = [
+            (0, 1), (1, 2), (2, 0),        # SCC triangle (pivot 0 inside)
+            (10, 0),                        # IN
+            (2, 20),                        # OUT
+            (10, 40),                       # tendril off IN -> OTHER
+            (30, 31),                       # island -> OTHER
+        ]
+        got = self._bt(spark, edges)
+        comp = {n: r["component"] for n, r in got.items()}
+        assert comp == {
+            0: "SCC", 1: "SCC", 2: "SCC",
+            10: "IN", 20: "OUT", 40: "OTHER", 30: "OTHER", 31: "OTHER",
+        }
+        assert all(r["converged"] for r in got.values())
+
+    def test_trivial_pivot_scc(self, spark):
+        # pivot 0 is a pure source: its SCC is just itself, the rest of
+        # the chain is OUT — the decomposition is always relative to the
+        # pivot's SCC, degenerate pivots degenerate visibly.
+        got = self._bt(spark, [(0, 1), (1, 2)])
+        assert got[0]["component"] == "SCC"
+        assert got[1]["component"] == "OUT"
+        assert got[2]["component"] == "OUT"
+
+    def test_round_budget_reported(self, spark):
+        chain = [(i, i + 1) for i in range(10)]
+        got = self._bt(spark, chain, rounds=3)
+        assert not got[0]["converged"]
+        got_full = self._bt(spark, chain, rounds=12)
+        assert got_full[0]["converged"]
+        assert got_full[9]["component"] == "OUT"
