@@ -260,6 +260,7 @@ HEADLINE = [
     "cohort_retention",        # first-activity cohort matrix
     "sliding_hll_distinct",    # trailing-window distinct via register merge
     "bowtie_decomposition",    # Broder SCC/IN/OUT web structure
+    "k_anonymity",             # quasi-identifier release audit
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -11162,6 +11162,69 @@ LEFT JOIN b{rounds} bw ON n.n = bw.node""")
 SQL_BOWTIE = _bowtie_sql(8)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit (operators/quality.py
+    k_anonymity_report) over a planted quasi-identifier projection of
+    customers: (nation, age-band, segment-mod) classes where most rows
+    share large classes but a planted sliver (c_custkey < 3) lands in
+    singleton classes — the re-identifiable rows a k=5 gate must count.
+    The oracle replays every class size, the violation per-mille and
+    the ranked worst offenders."""
+    from .operators.quality import k_anonymity_report
+
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        (F.col("c_nationkey") % 5).alias("nation_band"),
+        F.when(F.col("c_custkey") < 3, F.col("c_custkey") + 1000)
+        .otherwise(F.col("c_custkey") % 7)
+        .alias("age_band"),
+        (F.col("c_custkey") % 3).alias("seg"),
+    )
+    return k_anonymity_report(qi, ["nation_band", "age_band", "seg"], k=5)
+
+
+SQL_K_ANONYMITY = """
+WITH qi AS (
+  SELECT c_nationkey % 5 AS nation_band,
+         CASE WHEN c_custkey < 3 THEN c_custkey + 1000
+              ELSE c_custkey % 7 END AS age_band,
+         c_custkey % 3 AS seg
+  FROM customer
+),
+classes AS (
+  SELECT nation_band || '|' || age_band || '|' || seg AS qi_csv,
+         COUNT(*) AS cls_n
+  FROM qi GROUP BY nation_band, age_band, seg
+),
+total AS (
+  SELECT CAST(0 AS BIGINT) AS class_rank,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN cls_n < 5 THEN cls_n END), 0) AS BIGINT)
+           AS n_violating_rows,
+         CAST(CASE WHEN SUM(cls_n) = 0 THEN 0
+              ELSE COALESCE(SUM(CASE WHEN cls_n < 5 THEN cls_n END), 0)
+                   * 1000 // SUM(cls_n) END AS BIGINT) AS violation_pm,
+         CAST(MIN(cls_n) AS BIGINT) AS min_class_size,
+         CAST(NULL AS VARCHAR) AS qi_csv
+  FROM classes
+),
+worst AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cls_n ASC, qi_csv ASC) AS BIGINT)
+           AS class_rank,
+         CAST(NULL AS BIGINT) AS n_classes,
+         CAST(NULL AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS n_violating_rows,
+         CAST(NULL AS BIGINT) AS violation_pm,
+         CAST(cls_n AS BIGINT) AS min_class_size,
+         qi_csv
+  FROM classes WHERE cls_n < 5
+  ORDER BY cls_n ASC, qi_csv ASC LIMIT 5
+)
+SELECT * FROM total UNION ALL SELECT * FROM worst
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11475,6 +11538,8 @@ CATALOG: Dict[str, tuple] = {
     "sliding_hll_distinct": (q_sliding_hll_distinct, SQL_SLIDING_HLL),
     # Broder bow-tie decomposition of the link graph (operators/graph.py)
     "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE),
+    # k-anonymity release audit (operators/quality.py)
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
 }
 
 

@@ -1026,3 +1026,77 @@ def cpf_scrub(
         redacted.alias("redacted"),
         F.size(valid).cast("int").alias("n_cpfs"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    the release gate for any dataset carrying user-adjacent attributes:
+    a row is k-anonymous when at least k rows share its full
+    quasi-identifier combination; smaller equivalence classes
+    re-identify people by joining public records. Scrubbing direct PII
+    (the Luhn/IBAN/CPF triad) is necessary but NOT sufficient — this is
+    the structural check.
+
+    One hash aggregate keyed by the QI tuple (map-side combine), then a
+    constant-size summary — the per-class detail never leaves the
+    executors except for the k worst offenders (TakeOrderedAndProject).
+
+    Emits one row per smallest-k offending class plus one TOTAL row:
+      (class_rank, n_classes, n_rows, n_violating_rows, violation_pm,
+       min_class_size, qi_csv)
+    where per-class rows carry their own size in min_class_size and
+    their QI values in qi_csv; the TOTAL row (class_rank 0) aggregates
+    the table-level verdict with qi_csv = NULL.
+    """
+    classes = (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(F.count(F.lit(1)).alias("cls_n"))
+        .select(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in qi_cols]).alias(
+                "qi_csv"
+            ),
+            "cls_n",
+        )
+    )
+    total = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cls_n").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("cls_n") < int(k), F.col("cls_n"))), F.lit(0)
+        ).alias("n_violating_rows"),
+        F.min("cls_n").alias("min_class_size"),
+    ).select(
+        F.lit(0).cast("long").alias("class_rank"),
+        "n_classes",
+        "n_rows",
+        "n_violating_rows",
+        F.expr(
+            "CAST(CASE WHEN n_rows = 0 THEN 0 "
+            "ELSE n_violating_rows * 1000 div n_rows END AS BIGINT)"
+        ).alias("violation_pm"),
+        "min_class_size",
+        F.lit(None).cast("string").alias("qi_csv"),
+    )
+    from pyspark.sql import Window
+
+    worst = (
+        classes.where(F.col("cls_n") < int(k))
+        .orderBy(F.asc("cls_n"), F.asc("qi_csv"))
+        .limit(int(k))
+        .withColumn(
+            "class_rank",
+            F.row_number().over(Window.orderBy(F.asc("cls_n"), F.asc("qi_csv"))),
+        )
+        .select(
+            F.col("class_rank").cast("long"),
+            F.lit(None).cast("long").alias("n_classes"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_violating_rows"),
+            F.lit(None).cast("long").alias("violation_pm"),
+            F.col("cls_n").alias("min_class_size"),
+            "qi_csv",
+        )
+    )
+    return total.unionByName(worst)

@@ -1377,3 +1377,38 @@ class TestPostingCompression:
         got = self._report(spark, [(5, "w w w w")])
         assert got["w"]["df"] == 1
         assert got["w"]["varint_bytes"] == 1  # absolute id 5 -> 1 byte
+
+
+class TestKAnonymityReport:
+    def _report(self, spark, rows, k=3):
+        from ocr_service_spark.operators.quality import k_anonymity_report
+
+        df = spark.createDataFrame(rows, "zip string, age long")
+        out = k_anonymity_report(df, ["zip", "age"], k=k).collect()
+        total = [r for r in out if r["class_rank"] == 0][0]
+        worst = {r["class_rank"]: r for r in out if r["class_rank"] > 0}
+        return total, worst
+
+    def test_violations_counted_by_rows_not_classes(self, spark):
+        rows = [("10001", 30)] * 5 + [("10002", 40)] * 2 + [("10003", 50)]
+        total, worst = self._report(spark, rows, k=3)
+        assert total["n_classes"] == 3
+        assert total["n_violating_rows"] == 3  # 2 + 1, not "2 classes"
+        assert total["violation_pm"] == 375   # 3 of 8 rows
+        assert total["min_class_size"] == 1
+        # worst offenders ranked smallest class first
+        assert worst[1]["min_class_size"] == 1 and "10003" in worst[1]["qi_csv"]
+        assert worst[2]["min_class_size"] == 2
+
+    def test_fully_anonymous_table_clean(self, spark):
+        rows = [("10001", 30)] * 4 + [("10002", 40)] * 3
+        total, worst = self._report(spark, rows, k=3)
+        assert total["n_violating_rows"] == 0
+        assert total["violation_pm"] == 0
+        assert worst == {}
+
+    def test_null_qi_values_form_their_own_class(self, spark):
+        rows = [(None, 30)] * 3 + [("10001", None)] * 3
+        total, worst = self._report(spark, rows, k=3)
+        assert total["n_classes"] == 2
+        assert total["n_violating_rows"] == 0
