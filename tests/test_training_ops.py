@@ -693,3 +693,45 @@ class TestPrefixFilterPairs:
         docs = [["a", "a", "a", "b"], ["a", "b", "b"]]
         got = self._pairs(spark, docs, 9, 10)
         assert got[(0, 1)]["n_inter"] == 2 and got[(0, 1)]["n_union"] == 2
+
+
+class TestLshVsPrefixFilterDifferential:
+    def test_lsh_subset_of_exact_truth_with_recall_floor(self, spark):
+        """Two INDEPENDENT near-dup pipelines over the same mathematical
+        object: with unigram shingles, lsh_verified_pairs computes exactly
+        the token-set Jaccard that prefix_filter_pairs joins on. The exact
+        join is ground truth (zero false negatives); LSH must (a) emit a
+        SUBSET (its verification step kills false positives), (b) agree on
+        every emitted jaccard value, and (c) reach a recall floor on real
+        near-dup pairs."""
+        from ocr_service_spark.operators.dedup import (
+            lsh_verified_pairs,
+            prefix_filter_pairs,
+        )
+
+        docs = []
+        for g in range(30):
+            base = [f"tok{g}_{j}" for j in range(12)]
+            docs.append((2 * g, " ".join(base)))
+            edited = base[:11] + [f"edit{g}"]  # 11/13 ≈ 0.846 token J
+            docs.append((2 * g + 1, " ".join(edited)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        truth = {
+            (r["id_a"], r["id_b"]): r["jaccard_pm"]
+            for r in prefix_filter_pairs(df, "doc_id", "text", 7, 10).collect()
+        }
+        assert len(truth) == 30  # each (base, edited) pair and nothing else
+
+        lsh = {
+            (r["id_a"], r["id_b"]): int(r["jaccard"] * 1000)
+            for r in lsh_verified_pairs(
+                df, "doc_id", "text", threshold=0.7, n_hashes=16,
+                bands=8, shingle_n=1,
+            ).collect()
+        }
+        assert set(lsh) <= set(truth)          # no false positives
+        recall_pm = len(lsh) * 1000 // len(truth)
+        assert recall_pm >= 900                # banded (r=2, b=8) at J=.846
+        for pair, jq in lsh.items():
+            assert abs(jq - truth[pair]) <= 1  # same Jaccard, float vs grid
