@@ -261,6 +261,7 @@ HEADLINE = [
     "sliding_hll_distinct",    # trailing-window distinct via register merge
     "bowtie_decomposition",    # Broder SCC/IN/OUT web structure
     "k_anonymity",             # quasi-identifier release audit
+    "weighted_shortest_paths", # Bellman-Ford latency distances
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

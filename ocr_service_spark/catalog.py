@@ -11225,6 +11225,72 @@ SELECT * FROM total UNION ALL SELECT * FROM worst
 """
 
 
+_WSP_LIT = [
+    # direct expensive edge 0->9 (cost 100) vs cheap 3-hop detour
+    # 0->1->2->9 (10+10+10): weighted SP must pick 30, hop-BFS picks 1 hop
+    (0, 9, 100), (0, 1, 10), (1, 2, 10), (2, 9, 10),
+    # second source 50 with its own branch; meeting node 9 keeps the min
+    (50, 9, 5),
+    # chain needing several relaxation rounds
+    (9, 20, 1), (20, 21, 1), (21, 22, 1),
+]
+
+
+def q_weighted_shortest_paths(spark, sf_dir):
+    """Latency-weighted host distance (operators/graph.py
+    weighted_shortest_paths) on a planted graph where the cheap 3-hop
+    detour (cost 30) beats the direct edge (cost 100) — the case
+    hop-count BFS gets wrong — plus a second source that wins node 9
+    outright (cost 5) and a relaxation chain behind it. Edges union a
+    documents-derived constant-weight ring on the detour nodes
+    (exercising min over duplicates). The oracle unrolls the
+    synchronous relaxation rounds and replays every distance."""
+    from .operators.graph import weighted_shortest_paths
+
+    lit = spark.createDataFrame(_WSP_LIT, "src long, dst long, w long")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    ring = d.select(
+        (F.col("doc_id") % 3).alias("src"),
+        ((F.col("doc_id") % 3 + 1) % 3).alias("dst"),
+        F.lit(10).alias("w"),
+    ).distinct()
+    return weighted_shortest_paths(
+        lit.unionByName(ring), sources=[0, 50], rounds=8
+    )
+
+
+def _wsp_sql(rounds: int = 8) -> str:
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in _WSP_LIT)
+    parts = [f"""WITH lit(s, d, w) AS (VALUES {vals}),
+ring AS (
+  SELECT DISTINCT doc_id % 3 AS s, (doc_id % 3 + 1) % 3 AS d, 10 AS w
+  FROM documents
+),
+e AS MATERIALIZED (
+  SELECT s, d, w FROM lit WHERE s <> d
+  UNION SELECT s, d, w FROM ring WHERE s <> d
+),
+d0 AS MATERIALIZED (
+  SELECT unnest([0, 50]) AS node, CAST(0 AS BIGINT) AS dist
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.d AS node, x.dist + e.w AS dist
+    FROM e JOIN d{r - 1} x ON e.s = x.node
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS BIGINT) AS dist, TRUE AS converged FROM d{rounds}""")
+    return "".join(parts)
+
+
+SQL_WSP = _wsp_sql(8)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11540,6 +11606,8 @@ CATALOG: Dict[str, tuple] = {
     "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE),
     # k-anonymity release audit (operators/quality.py)
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    # Bellman-Ford latency-weighted distances (operators/graph.py)
+    "weighted_shortest_paths": (q_weighted_shortest_paths, SQL_WSP),
 }
 
 

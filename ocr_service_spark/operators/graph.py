@@ -669,3 +669,74 @@ def bowtie_decomposition(
         comp.alias("component"),
         F.lit(conv).alias("converged"),
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Multi-source weighted shortest paths by synchronous Bellman-Ford
+    relaxation — what bfs_depths cannot express: with integer edge costs
+    (fetch latency, hop toll, link penalty) the cheapest route is not
+    the fewest-hops route, and a crawl scheduler budgeting by cost needs
+    the weighted distance. Negative weights are rejected (web costs are
+    nonnegative; it also makes distances monotone non-increasing per
+    round, which the convergence fingerprint below relies on).
+
+    Per round: current distances join edges on the tail (one hash join),
+    candidates = dist + w, then union with the standing distances and
+    ONE min-aggregate per node — the textbook synchronous relaxation,
+    O(rounds) jobs with `localCheckpoint` lineage truncation. Distances
+    only ever decrease, so (node count, Σ dist) is a convergence
+    fingerprint: a round that changes nothing reproduces it exactly, and
+    the loop early-exits; exhausting the budget sets converged=False on
+    every row (visible approximation, the kcore/bowtie convention).
+    Bellman-Ford needs at most |V|-1 rounds; real host graphs settle in
+    a handful.
+
+    Returns (node, dist, converged) for every node reached within the
+    budget; unreached nodes are absent (their distance is unknown, not
+    infinite-as-a-sentinel).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .localCheckpoint(eager=True)
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("negative edge weights are not supported")
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    prev_fp = None
+    converged = False
+    for _ in range(int(rounds)):
+        cand = (
+            e.join(dist.select(F.col("node").alias("s"), "dist"), "s")
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        fp = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        fp = (fp["n"], fp["s"])
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    return dist.select(
+        "node", "dist", F.lit(bool(converged)).alias("converged")
+    )

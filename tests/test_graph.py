@@ -347,3 +347,60 @@ class TestBowtieDecomposition:
         got_full = self._bt(spark, chain, rounds=12)
         assert got_full[0]["converged"]
         assert got_full[9]["component"] == "OUT"
+
+
+class TestWeightedShortestPaths:
+    def _wsp(self, spark, edges, sources, rounds=8):
+        from ocr_service_spark.operators.graph import weighted_shortest_paths
+
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        rows = weighted_shortest_paths(df, sources, rounds=rounds).collect()
+        return {r["node"]: r for r in rows}
+
+    def test_cheap_detour_beats_direct_edge(self, spark):
+        edges = [(0, 9, 100), (0, 1, 10), (1, 2, 10), (2, 9, 10)]
+        got = self._wsp(spark, edges, [0])
+        assert got[9]["dist"] == 30  # not 100 — the hop-BFS answer
+        assert got[0]["dist"] == 0 and got[0]["converged"]
+
+    def test_multi_source_takes_minimum(self, spark):
+        edges = [(0, 5, 50), (7, 5, 3)]
+        got = self._wsp(spark, edges, [0, 7])
+        assert got[5]["dist"] == 3
+
+    def test_unreached_nodes_absent_and_budget_reported(self, spark):
+        chain = [(i, i + 1, 1) for i in range(10)]
+        got = self._wsp(spark, chain, [0], rounds=3)
+        assert not got[0]["converged"]
+        assert 9 not in got or got.get(9) is None or 9 not in got
+        full = self._wsp(spark, chain, [0], rounds=12)
+        assert full[10]["dist"] == 10 and full[0]["converged"]
+
+    def test_negative_weights_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._wsp(spark, [(0, 1, -5)], [0])
+
+    def test_matches_python_dijkstra(self, spark):
+        import heapq
+
+        edges = [
+            (a, b, ((a * 7 + b * 13) % 9) + 1)
+            for a in range(8) for b in range(8) if a != b and (a + b) % 3 == 0
+        ]
+        got = self._wsp(spark, edges, [0], rounds=10)
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+        dist, pq = {0: 0}, [(0, 0)]
+        while pq:
+            dd, u = heapq.heappop(pq)
+            if dd > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                nd = dd + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        assert {n: r["dist"] for n, r in got.items()} == dist
