@@ -262,6 +262,7 @@ HEADLINE = [
     "bowtie_decomposition",    # Broder SCC/IN/OUT web structure
     "k_anonymity",             # quasi-identifier release audit
     "weighted_shortest_paths", # Bellman-Ford latency distances
+    "rrf_fuse",                # reciprocal-rank hybrid fusion
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

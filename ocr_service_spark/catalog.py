@@ -11291,6 +11291,56 @@ SELECT node, CAST(dist AS BIGINT) AS dist, TRUE AS converged FROM d{rounds}""")
 SQL_WSP = _wsp_sql(8)
 
 
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/search.py rrf_fuse) over two
+    planted rank lists with every fusion regime: ids found by BOTH
+    rankers (reciprocals sum — agreement wins), ids exclusive to each,
+    and rank ties broken by id. The ppm-grid reciprocal 1000000 div
+    (60 + rank), the source counts and the fused ordering are all
+    replayed by the oracle. The real-ranker composition (BM25 ⊕ ANN over
+    the same corpus) is pinned separately in tests/test_quality_ops.py
+    TestRrfFuse.test_fuses_real_bm25_and_ann — rank lists there come
+    from the two oracle-checked retrieval entries themselves."""
+    from .operators.search import rrf_fuse
+
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 30
+    )
+    text = d.where(F.col("doc_id") < 20).select(
+        F.lit("text").alias("source"),
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") + 1).alias("rank"),
+    )
+    vec = d.where(F.col("doc_id") >= 10).select(
+        F.lit("vector").alias("source"),
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - 9).alias("rank"),
+    )
+    return rrf_fuse(text.unionByName(vec), k_const=60)
+
+
+SQL_RRF_FUSE = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+r AS (
+  SELECT 'text' AS source, doc_id AS id, doc_id + 1 AS rank
+  FROM ids WHERE doc_id < 20
+  UNION ALL
+  SELECT 'vector', doc_id, doc_id - 9 FROM ids WHERE doc_id >= 10
+),
+per AS (
+  SELECT id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(MIN(rank) AS BIGINT) AS best_rank
+  FROM r GROUP BY id
+)
+SELECT id, rrf_q, n_sources, best_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, id ASC) AS BIGINT)
+         AS fused_rank
+FROM per
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11608,6 +11658,8 @@ CATALOG: Dict[str, tuple] = {
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     # Bellman-Ford latency-weighted distances (operators/graph.py)
     "weighted_shortest_paths": (q_weighted_shortest_paths, SQL_WSP),
+    # reciprocal-rank hybrid fusion (operators/search.py)
+    "rrf_fuse": (q_rrf_fuse, SQL_RRF_FUSE),
 }
 
 

@@ -354,3 +354,44 @@ def posting_compression_report(
             "CAST((df * 8 - varint_bytes) * 1000 div (df * 8) AS BIGINT)"
         ).alias("savings_pm"),
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k_const: int = 60,
+    id_col: str = "id",
+    source_col: str = "source",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) — the hybrid-
+    search combiner: candidates from heterogeneous rankers (BM25 text,
+    ANN vectors, freshness...) merge by summing 1/(k + rank) per
+    appearance, which rewards agreement without ever comparing the
+    rankers' incomparable raw scores. The industry-default hybrid
+    (Elasticsearch/Vespa RRF) because it needs NO score calibration.
+
+    Integer grid: each appearance contributes 1000000 div (k + rank) —
+    the reciprocal on a ppm grid, engine-exact, order-insensitive sum.
+    Input is rank lists (source, id, rank>=1); output one row per
+    candidate: (id, rrf_q, n_sources, best_rank, fused_rank), fused_rank
+    by rrf_q desc / id asc. The candidate set is at most Σ per-ranker k
+    — dimension-sized by construction, so the fused-rank window is
+    bounded (the TakeOrdered regime, not a corpus sort).
+    """
+    contrib = rankings.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).withColumn(
+        "c", F.expr(f"CAST(1000000 div ({int(k_const)} + rank) AS BIGINT)")
+    )
+    per = contrib.groupBy("id").agg(
+        F.sum("c").alias("rrf_q"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("rank").alias("best_rank"),
+    )
+    w = Window.orderBy(F.desc("rrf_q"), F.asc("id"))
+    return per.select(
+        "id", "rrf_q", "n_sources", "best_rank",
+        F.row_number().over(w).cast("long").alias("fused_rank"),
+    )

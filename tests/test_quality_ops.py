@@ -1412,3 +1412,73 @@ class TestKAnonymityReport:
         total, worst = self._report(spark, rows, k=3)
         assert total["n_classes"] == 2
         assert total["n_violating_rows"] == 0
+
+
+class TestRrfFuse:
+    def _fuse(self, spark, rows, k=60):
+        from ocr_service_spark.operators.search import rrf_fuse
+
+        df = spark.createDataFrame(rows, "source string, id long, rank long")
+        return {r["id"]: r for r in rrf_fuse(df, k_const=k).collect()}
+
+    def test_agreement_beats_single_top_rank(self, spark):
+        # doc 5 is rank 3 in BOTH rankers: 2/63 ≈ 31746 ppm beats doc 1's
+        # single rank-1 16393 ppm — the RRF property.
+        rows = [("a", 1, 1), ("a", 5, 3), ("b", 9, 1), ("b", 5, 3)]
+        got = self._fuse(spark, rows)
+        assert got[5]["fused_rank"] == 1
+        assert got[5]["rrf_q"] == 2 * (1000000 // 63)
+        assert got[5]["n_sources"] == 2
+        assert got[1]["rrf_q"] == 1000000 // 61
+
+    def test_ties_break_by_id(self, spark):
+        rows = [("a", 7, 2), ("b", 3, 2)]
+        got = self._fuse(spark, rows)
+        assert got[3]["fused_rank"] == 1 and got[7]["fused_rank"] == 2
+
+    def test_fuses_real_bm25_and_ann(self, spark):
+        """Composition with the two real oracle-checked rankers: BM25
+        text ranks and int8 brute cosine ranks over the same sf0.001
+        corpus fuse into a well-formed hybrid list."""
+        import pyspark.sql.functions as F
+
+        from ocr_service_spark.catalog import load
+        from ocr_service_spark.operators.search import bm25_topk, rrf_fuse
+        from ocr_service_spark.operators.similarity import cosine_topk
+
+        SF = "/root/testdata/sf0.001"
+        docs = load(spark, SF, "documents")
+        emb = load(spark, SF, "embeddings")
+        bm = bm25_topk(docs, ["spark", "vector", "window"], k=10)
+        bm_rows = bm.collect()  # already ordered score desc, id asc
+        text_rank = spark.createDataFrame(
+            [("text", r["id"], i + 1) for i, r in enumerate(bm_rows)],
+            "source string, id long, rank long",
+        )
+        q = emb.where(F.col("vec_id") == 0)
+        ann = cosine_topk(emb, q, "vec_id", "embedding", k=10)
+        vec_rank = spark.createDataFrame(
+            [("vector", r["neighbor_id"], r["rank"]) for r in ann.collect()],
+            "source string, id long, rank long",
+        )
+        fused = rrf_fuse(text_rank.unionByName(vec_rank))
+        rows = fused.collect()
+        assert len(rows) == len({r["id"] for r in rows})  # unique candidates
+        assert sorted(r["fused_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        both = [r for r in rows if r["n_sources"] == 2]
+        single_best = min(
+            (r["fused_rank"] for r in rows if r["n_sources"] == 1),
+            default=None,
+        )
+        for r in both:
+            if r["best_rank"] >= 5 and single_best == 1:
+                break  # agreement doesn't ALWAYS win; ordering is by rrf_q
+        assert all(
+            a["rrf_q"] >= b["rrf_q"]
+            for a, b in zip(
+                sorted(rows, key=lambda r: r["fused_rank"]),
+                sorted(rows, key=lambda r: r["fused_rank"])[1:],
+            )
+        )
