@@ -11341,6 +11341,72 @@ FROM per
 """
 
 
+def q_session_table(spark, sf_dir):
+    """Materialized session entities (operators/asof.py session_table)
+    over events at a 30-minute inactivity gap: deterministic (user, seq)
+    session ids from the prefix-sum-of-flags trick, epoch-second bounds
+    and durations. The oracle replays the flag, the running sum and
+    every aggregate."""
+    from .operators.asof import session_table
+
+    e = load(spark, sf_dir, "events")
+    return session_table(e, "user_id", "ts", gap_seconds=1800)
+
+
+SQL_SESSION_TABLE = """
+WITH e AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+f AS (
+  SELECT u, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY s)
+),
+g AS (
+  SELECT u, s,
+         SUM(new_s) OVER (PARTITION BY u ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+SELECT u AS user, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(s) AS session_start, MAX(s) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(s) - MIN(s) AS duration_s
+FROM g GROUP BY u, session_seq
+"""
+
+
+def q_transition_matrix(spark, sf_dir):
+    """First-order event-path transition matrix (operators/asof.py
+    transition_matrix): consecutive event-type pairs per user ordered by
+    (ts, event_id), counts and per-mille row probabilities. The oracle
+    replays the lead window, every pair count and rate."""
+    from .operators.asof import transition_matrix
+
+    e = load(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "event_type", "ts", "event_id")
+
+
+SQL_TRANSITION_MATRIX = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       CAST(t.row_total AS BIGINT) AS row_total,
+       CAST(p.n * 1000 // t.row_total AS BIGINT) AS p_pm
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11660,6 +11726,9 @@ CATALOG: Dict[str, tuple] = {
     "weighted_shortest_paths": (q_weighted_shortest_paths, SQL_WSP),
     # reciprocal-rank hybrid fusion (operators/search.py)
     "rrf_fuse": (q_rrf_fuse, SQL_RRF_FUSE),
+    # materialized session entities + event-path Markov matrix (operators/asof.py)
+    "session_table": (q_session_table, SQL_SESSION_TABLE),
+    "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
 }
 
 

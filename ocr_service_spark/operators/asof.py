@@ -248,3 +248,94 @@ def cohort_retention(
             ).alias("retained_pm"),
         )
     )
+
+
+def session_table(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Materialized session table — the entity the W2 sessionize FLAG
+    only counts: one row per (user, session) with identity, bounds and
+    size, the join target for downstream attribution/funnel work.
+
+    Shape: per-user window (bounded by a user's history, never global):
+    new-session flag on gap > threshold, running SUM of flags = the
+    session ordinal (the standard prefix-sum trick), then one aggregate
+    keyed by (user, session_seq). Session ids are deterministic
+    (user, seq) pairs, not uuids, so reruns and engines agree.
+
+    Emits (user, session_seq, session_start, session_end, n_events,
+    duration_s) with timestamps as epoch-second longs (the repo's
+    no-raw-timestamp output rule) and duration in whole seconds.
+    """
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    e = events.select(
+        F.col(user_col).alias("u"), secs.alias("s")
+    )
+    w = Window.partitionBy("u").orderBy("s")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.col("s") - F.lag("s").over(w) > int(gap_seconds)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("u", "session_seq").agg(
+        F.min("s").alias("session_start"),
+        F.max("s").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("s") - F.min("s")).alias("duration_s"),
+    ).select(
+        F.col("u").alias("user"),
+        F.col("session_seq").cast("long"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_s",
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-order event transition matrix (the Markov view of user
+    paths): for every consecutive (event, next event) within a user's
+    ordered stream, counts and row-normalized probabilities — where do
+    users go after a signup, what precedes an error.
+
+    One per-user lead window (bounded), one pair-count aggregate, one
+    per-source total join. Probabilities are integer per-mille of the
+    SOURCE row (rows sum to ~1000 up to truncation — the integer-grid
+    convention), ties and order pinned by (ts, order_col).
+
+    Emits (from_type, to_type, n, row_total, p_pm).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.withColumn("_nxt", F.lead(F.col(type_col)).over(w))
+        .where(F.col("_nxt").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("_nxt").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.expr("CAST(n * 1000 div row_total AS BIGINT)").alias("p_pm"),
+    )

@@ -196,3 +196,77 @@ class TestCohortRetention:
         rows = [(1, 0), (1, 70)]  # comeback at offset 10 weeks
         got = self._ret(spark, rows, n_periods=4)
         assert all(off < 4 for _, off in got)
+
+
+class TestSessionTable:
+    def _sess(self, spark, rows, gap=100):
+        from datetime import datetime, timedelta
+
+        from ocr_service_spark.operators.asof import session_table
+
+        base = datetime(2024, 1, 1)
+        data = [(u, base + timedelta(seconds=s)) for u, s in rows]
+        df = spark.createDataFrame(data, "user_id long, ts timestamp")
+        out = session_table(df, "user_id", "ts", gap_seconds=gap).collect()
+        return {(r["user"], r["session_seq"]): r for r in out}
+
+    def test_gap_splits_sessions_with_bounds(self, spark):
+        rows = [(1, 0), (1, 50), (1, 90), (1, 300), (1, 350)]
+        got = self._sess(spark, rows, gap=100)
+        assert set(got) == {(1, 1), (1, 2)}
+        s1, s2 = got[(1, 1)], got[(1, 2)]
+        assert (s1["n_events"], s1["duration_s"]) == (3, 90)
+        assert (s2["n_events"], s2["duration_s"]) == (2, 50)
+        assert s2["session_start"] - s1["session_end"] == 210
+
+    def test_gap_boundary_exactly_gap_stays_same_session(self, spark):
+        rows = [(1, 0), (1, 100)]  # gap == threshold: NOT a new session
+        got = self._sess(spark, rows, gap=100)
+        assert set(got) == {(1, 1)}
+
+    def test_users_independent(self, spark):
+        rows = [(1, 0), (2, 0), (1, 500), (2, 10)]
+        got = self._sess(spark, rows, gap=100)
+        assert set(got) == {(1, 1), (1, 2), (2, 1)}
+
+
+class TestTransitionMatrix:
+    def _tm(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        from ocr_service_spark.operators.asof import transition_matrix
+
+        base = datetime(2024, 1, 1)
+        data = [
+            (i, u, t, base + timedelta(seconds=s))
+            for i, (u, t, s) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        out = transition_matrix(df, "user_id", "event_type", "ts", "event_id")
+        return {(r["from_type"], r["to_type"]): r for r in out.collect()}
+
+    def test_counts_and_row_normalization(self, spark):
+        rows = [
+            (1, "a", 0), (1, "b", 1), (1, "a", 2), (1, "b", 3),
+            (2, "a", 0), (2, "c", 1),
+        ]
+        got = self._tm(spark, rows)
+        assert got[("a", "b")]["n"] == 2
+        assert got[("a", "c")]["n"] == 1
+        assert got[("a", "b")]["row_total"] == 3
+        assert got[("a", "b")]["p_pm"] == 666
+        assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["p_pm"] == 1000
+
+    def test_no_cross_user_transitions(self, spark):
+        rows = [(1, "a", 0), (2, "b", 1)]
+        got = self._tm(spark, rows)
+        assert got == {}
+
+    def test_tie_order_pinned_by_event_id(self, spark):
+        # two events at the SAME second: order must follow event_id
+        rows = [(1, "x", 0), (1, "y", 0), (1, "z", 1)]
+        got = self._tm(spark, rows)
+        assert ("x", "y") in got and ("y", "z") in got
+        assert ("y", "x") not in got
