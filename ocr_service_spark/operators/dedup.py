@@ -763,9 +763,17 @@ def prefix_filter_pairs(
     )
     n = F.size("ordered")
     plen = n - F.expr(f"CAST(({t_num} * size(ordered) + {t_den} - 1) div {t_den} AS INT)") + F.lit(1)
+    # the prefix join carries ONLY (id, ptok): shipping the full ordered
+    # array with every exploded prefix row would put O(|doc|) structs on
+    # each of O(|doc|) rows — quadratic shuffle bytes per document. The
+    # token arrays rejoin by id AFTER the candidate pairs are deduped,
+    # so each doc's array crosses the wire once per SIDE of a candidate,
+    # not once per shared prefix token.
+    toksets = docs.select(
+        "id", F.expr("transform(ordered, s -> s.tok)").alias("toks")
+    )
     pre = docs.select(
         "id",
-        F.col("ordered").alias("ordered"),
         F.explode(
             F.transform(
                 F.slice("ordered", 1, F.greatest(plen, F.lit(1))),
@@ -773,23 +781,24 @@ def prefix_filter_pairs(
             )
         ).alias("ptok"),
     )
-    a = pre.select(
-        F.col("id").alias("id_a"), F.col("ordered").alias("ord_a"), "ptok"
-    )
-    b = pre.select(
-        F.col("id").alias("id_b"), F.col("ordered").alias("ord_b"), "ptok"
-    )
+    a = pre.select(F.col("id").alias("id_a"), "ptok")
+    b = pre.select(F.col("id").alias("id_b"), "ptok")
     cands = (
         a.join(b, "ptok")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ord_a", "ord_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ta = F.expr("transform(ord_a, s -> s.tok)")
-    tb = F.expr("transform(ord_b, s -> s.tok)")
-    inter = F.size(F.array_intersect(ta, tb))
-    union = F.size(F.array_union(ta, tb))
-    out = cands.select(
+    withsets = cands.join(
+        toksets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+        "id_a",
+    ).join(
+        toksets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    out = withsets.select(
         "id_a",
         "id_b",
         inter.alias("n_inter"),

@@ -64,6 +64,14 @@ def expectations_report(df: DataFrame, checks: Sequence[Dict]) -> DataFrame:
     pass over the data.  The stacked per-check rows come off the single
     aggregated row (constant-size), never a second scan.
     """
+    import re as _re
+
+    for c in checks:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(c["id"])):
+            raise ValueError(
+                f"check id must be a bare identifier (it is interpolated "
+                f"into generated SQL): {c['id']!r}"
+            )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in checks:
         if c["kind"] == "unique":

@@ -143,6 +143,12 @@ def range_layout(
     n_rows·1000 div total exposes balance — the number a layout job
     checks before committing the write.
     """
+    # NULL keys have no place on a sort axis: they are excluded from
+    # BOTH the sample (where a None would crash the driver-side sort)
+    # and the bucketed rows (where the filter predicate would silently
+    # lump them into bucket 0) — a layout for NULLs is a separate file,
+    # exactly as parquet writers segregate them via definition levels
+    df = df.where(F.col(key_col).isNotNull())
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("rs:"), F.col(id_col).cast("string"))), 1, 15

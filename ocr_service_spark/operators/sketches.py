@@ -307,75 +307,30 @@ def _hll_lc_case(v_col: str) -> str:
     return f"CASE {v_col} {whens} END"
 
 
-def hll_registers(
-    pairs: DataFrame, group_col: str, elem_col: str
-) -> DataFrame:
-    """(group, elem) -> per-group register table (grp, bucket, reg).
-
-    bucket = low 6 hash bits; reg = max over the group's elements of
-    rho = leading zeros of the remaining 54 bits + 1.  Shape: the same
-    DISTINCT aggregate as KMV, then ONE hash aggregate to at most
-    64 rows per group (map-side partial MAX — register merge is how
-    multi-day sketches combine too, so this aggregate IS the merge
-    operator)."""
+def _hll_hashed(pairs: DataFrame, elem_col: str, *key_cols) -> DataFrame:
+    """DISTINCT (key..., h) rows with the 60-bit salted element hash —
+    the shared first stage of every register builder."""
     salted = F.concat(F.lit("hll:"), F.col(elem_col))
     h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    d = pairs.select(
-        F.col(group_col).alias("grp"), h.alias("h")
-    ).distinct()
-    rho = F.expr(
-        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
-        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
-    )
+    return pairs.select(*key_cols, h.alias("h")).distinct()
+
+
+_HLL_RHO = (
+    f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
+    f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
+)
+
+
+def _hll_estimate(per: DataFrame) -> DataFrame:
+    """Attach (denom_q, v_zero, est_distinct) to a per-group aggregate
+    carrying (denom_present, n_present); every other column passes
+    through untouched.  THE one implementation of the estimator — the
+    batch, sliding-window and streaming paths all call it, which is what
+    keeps their bit-parity a structural fact rather than three copies
+    that must be edited in lockstep."""
+    pow67 = HLL_ALPHA_PPM << 67  # alpha_ppm * m^2 * 2^55, exact int
     return (
-        d.select("grp", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
-
-
-def hll_distinct(
-    pairs: DataFrame, group_col: str, elem_col: str
-) -> DataFrame:
-    """Per-group HLL cardinality with audit columns:
-    (grp, n_exact, denom_q, v_zero, est_distinct, err_pm).
-
-    denom_q = Σ_buckets 2^(55-reg) (absent registers count reg=0, i.e.
-    2^55 each) pins every register value; v_zero = empty registers;
-    raw = α_ppm·m²·2^55 div (denom_q·10^6) with DECIMAL(38,0)/HUGEINT
-    math; when v_zero > 0 and raw <= 5m/2 the linear-counting table
-    takes over (the standard small-range correction).  n_exact rides
-    along so err_pm makes estimator drift visible; expected error is
-    ~1.04/sqrt(64) ≈ 13%."""
-    # ONE pass over the distinct set: registers carry per-bucket distinct
-    # counts too, and Σ bucket counts IS n_exact — recomputing a second
-    # corpus-wide DISTINCT for the audit column would double the job's
-    # dominant aggregate (a measured 10-exchange plan collapsed to 4)
-    salted = F.concat(F.lit("hll:"), F.col(elem_col))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    d = pairs.select(
-        F.col(group_col).alias("grp"), h.alias("h")
-    ).distinct()
-    rho = F.expr(
-        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
-        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
-    )
-    regs = (
-        d.select("grp", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("nb"))
-    )
-    per = regs.groupBy("grp").agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")).alias(
-            "denom_present"
-        ),
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum("nb").alias("n_exact"),
-    )
-    pow67 = (HLL_ALPHA_PPM << 67)  # alpha_ppm * m^2 * 2^55, exact int
-    est = (
-        per
-        .withColumn(
+        per.withColumn(
             "denom_q",
             F.expr(
                 f"denom_present + ({HLL_M} - n_present) * "
@@ -398,6 +353,71 @@ def hll_distinct(
             ),
         )
     )
+
+
+def _hll_denom_aggs():
+    """The two aggregate columns _hll_estimate consumes."""
+    return [
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")
+        ).alias("denom_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ]
+
+
+def hll_registers(
+    pairs: DataFrame, group_col: str, elem_col: str
+) -> DataFrame:
+    """(group, elem) -> per-group register table (grp, bucket, reg).
+
+    bucket = low 6 hash bits; reg = max over the group's elements of
+    rho = leading zeros of the remaining 54 bits + 1.  Shape: the same
+    DISTINCT aggregate as KMV, then ONE hash aggregate to at most
+    64 rows per group (map-side partial MAX — register merge is how
+    multi-day sketches combine too, so this aggregate IS the merge
+    operator)."""
+    d = _hll_hashed(pairs, elem_col, F.col(group_col).alias("grp"))
+    return (
+        d.select(
+            "grp", (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_HLL_RHO).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    pairs: DataFrame, group_col: str, elem_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality with audit columns:
+    (grp, n_exact, denom_q, v_zero, est_distinct, err_pm).
+
+    denom_q = Σ_buckets 2^(55-reg) (absent registers count reg=0, i.e.
+    2^55 each) pins every register value; v_zero = empty registers;
+    raw = α_ppm·m²·2^55 div (denom_q·10^6) with DECIMAL(38,0)/HUGEINT
+    math; when v_zero > 0 and raw <= 5m/2 the linear-counting table
+    takes over (the standard small-range correction).  n_exact rides
+    along so err_pm makes estimator drift visible; expected error is
+    ~1.04/sqrt(64) ≈ 13%.
+
+    ONE pass over the distinct set: registers carry per-bucket distinct
+    counts too, and Σ bucket counts IS n_exact — recomputing a second
+    corpus-wide DISTINCT for the audit column would double the job's
+    dominant aggregate (a measured 10-exchange plan collapsed to 4)."""
+    d = _hll_hashed(pairs, elem_col, F.col(group_col).alias("grp"))
+    regs = (
+        d.select(
+            "grp", (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_HLL_RHO).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("nb"))
+    )
+    per = regs.groupBy("grp").agg(
+        *_hll_denom_aggs(), F.sum("nb").alias("n_exact")
+    )
+    est = _hll_estimate(per)
     return est.select(
         "grp",
         "n_exact",
@@ -415,20 +435,16 @@ def hll_day_registers(
 ) -> DataFrame:
     """(group, day, elem) -> per-(group, day) register table
     (grp, day, bucket, reg) — the daily sketch a sliding window merges."""
-    salted = F.concat(F.lit("hll:"), F.col(elem_col))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    d = pairs.select(
+    d = _hll_hashed(
+        pairs,
+        elem_col,
         F.col(group_col).alias("grp"),
         F.col(day_col).cast("long").alias("day"),
-        h.alias("h"),
-    ).distinct()
-    rho = F.expr(
-        f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_RMAX} "
-        f"ELSE {HLL_RMAX} - length(conv(h div {HLL_M}, 10, 2)) END"
     )
     return (
         d.select(
-            "grp", "day", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho")
+            "grp", "day", (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_HLL_RHO).alias("rho"),
         )
         .groupBy("grp", "day", "bucket")
         .agg(F.max("rho").alias("reg"))
@@ -454,9 +470,8 @@ def sliding_hll_distinct(
     fans out to the `window` window-ends it contributes to (a literal
     sequence explode, ×window on G·days·64 DIMENSION rows, not corpus
     rows) → semi-join against observed (grp, day) pairs so only real
-    window-ends emit → per-(grp, wend, bucket) MAX → the integer-exact
-    estimator (same arithmetic as hll_distinct, including the generated
-    linear-counting lookup).
+    window-ends emit → per-(grp, wend, bucket) MAX → _hll_estimate (the
+    single shared estimator implementation).
 
     Emits (grp, wend, denom_q, v_zero, est_distinct); no exact-count
     audit column — avoiding the per-window exact distinct IS the point.
@@ -476,35 +491,6 @@ def sliding_hll_distinct(
     ).distinct()
     win = fan.join(days, ["grp", "wend"], "left_semi")
     wr = win.groupBy("grp", "wend", "bucket").agg(F.max("reg").alias("reg"))
-    per = wr.groupBy("grp", "wend").agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")).alias(
-            "denom_present"
-        ),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    pow67 = HLL_ALPHA_PPM << 67
-    est = (
-        per.withColumn(
-            "denom_q",
-            F.expr(
-                f"denom_present + ({HLL_M} - n_present) * "
-                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX})"
-            ),
-        )
-        .withColumn("v_zero", F.expr(f"{HLL_M} - n_present"))
-        .withColumn(
-            "raw_est",
-            F.expr(
-                f"CAST(CAST({pow67} AS DECIMAL(38,0)) div "
-                f"(CAST(denom_q AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "est_distinct",
-            F.expr(
-                f"CASE WHEN v_zero > 0 AND raw_est <= {5 * HLL_M // 2} "
-                f"THEN {_hll_lc_case('v_zero')} ELSE raw_est END"
-            ),
-        )
-    )
+    per = wr.groupBy("grp", "wend").agg(*_hll_denom_aggs())
+    est = _hll_estimate(per)
     return est.select("grp", "wend", "denom_q", "v_zero", "est_distinct")

@@ -47,15 +47,26 @@ def publish_validated(
     key_col: Optional[str] = None,
     writer_id: Optional[str] = None,
     mode: str = "overwrite",
+    allow_empty: bool = False,
 ):
     """Stage -> validate -> atomically publish (or quarantine).
 
     Returns (published: bool, version: Optional[int], verdicts: list of
     Row, staged_path: str). `mode` is 'overwrite' (blue-green swap) or
     'append'.
+
+    An EMPTY staged table is refused by default even when every check
+    passes: expectations over zero rows pass vacuously (a rate over
+    nothing violates nothing), and the canonical broken-parser failure
+    yields exactly zero rows — without this guard a blue-green
+    overwrite would atomically replace the good corpus with an empty
+    one under an all-green verdict. `allow_empty=True` opts a genuinely
+    empty release in (e.g. a tombstone publish), recorded explicitly.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append: {mode}")
+    if not checks:
+        raise ValueError("publish_validated requires at least one check")
     spark = df.sparkSession
     if writer_id is not None:
         prior = table.writer_version(writer_id)
@@ -68,12 +79,13 @@ def publish_validated(
     df.write.parquet(staged)
 
     verdicts = expectations_report(spark.read.parquet(staged), checks).collect()
+    n_rows = verdicts[0]["n_rows"]
     if not all(r["passed"] for r in verdicts):
         return False, None, verdicts, staged
+    if n_rows == 0 and not allow_empty:
+        return False, None, verdicts, staged
 
-    add = table._stats_for(staged, rel, key_col) if hasattr(
-        table, "_stats_for"
-    ) else _stats_for(table, spark, staged, rel, key_col)
+    add = _stats_for(table, spark, staged, rel, key_col)
     removes = (
         [f["path"] for f in table.files()] if mode == "overwrite" else []
     )

@@ -71,7 +71,14 @@ def run_drift_monitor_stream(
         sp = batch.sparkSession
         vdir, applied = _read_state(store_path)
         if batch_id in applied:
-            return  # at-least-once replay: already counted
+            # at-least-once replay: already counted — but a crash between
+            # the pointer swap and the alarm write leaves the sink stale,
+            # so republish alarms from the current store before skipping
+            cusum_changepoints(
+                sp.read.parquet(os.path.join(store_path, vdir)),
+                "grp", "day", "x", k_slack=k_slack, h_thresh=h_thresh,
+            ).write.mode("overwrite").parquet(alarms_path)
+            return
         bcounts = (
             batch.select(
                 F.col(group_col).alias("grp"), F.col(day_col).alias("day")

@@ -34,7 +34,6 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.sketches import HLL_M, HLL_RMAX, _hll_lc_case, HLL_ALPHA_PPM
 
 
 def merge_registers(store: DataFrame, batch_regs: DataFrame) -> DataFrame:
@@ -47,42 +46,17 @@ def merge_registers(store: DataFrame, batch_regs: DataFrame) -> DataFrame:
 
 
 def register_estimates(regs: DataFrame) -> DataFrame:
-    """Current (grp, est_distinct) from a register table — the same
-    integer arithmetic as operators/sketches.py hll_distinct, minus the
-    n_exact audit column (an unbounded stream has no exact count; that
-    is the point)."""
-    per = regs.groupBy("grp").agg(
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - reg)")
-        ).alias("denom_present"),
-        F.count(F.lit(1)).alias("n_present"),
+    """Current (grp, est_distinct) from a register table — delegates to
+    the SAME _hll_estimate implementation the batch and sliding-window
+    operators use, minus the n_exact audit column (an unbounded stream
+    has no exact count; that is the point). One estimator body = the
+    streaming/batch bit-parity is structural."""
+    from ..operators.sketches import _hll_denom_aggs, _hll_estimate
+
+    per = regs.groupBy("grp").agg(*_hll_denom_aggs())
+    return _hll_estimate(per).select(
+        "grp", "denom_q", "v_zero", "est_distinct"
     )
-    pow67 = HLL_ALPHA_PPM << 67
-    est = (
-        per.withColumn(
-            "denom_q",
-            F.expr(
-                f"denom_present + ({HLL_M} - n_present) * "
-                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX})"
-            ),
-        )
-        .withColumn("v_zero", F.expr(f"{HLL_M} - n_present"))
-        .withColumn(
-            "raw_est",
-            F.expr(
-                f"CAST(CAST({pow67} AS DECIMAL(38,0)) div "
-                f"(CAST(denom_q AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "est_distinct",
-            F.expr(
-                f"CASE WHEN v_zero > 0 AND raw_est <= {5 * HLL_M // 2} "
-                f"THEN {_hll_lc_case('v_zero')} ELSE raw_est END"
-            ),
-        )
-    )
-    return est.select("grp", "denom_q", "v_zero", "est_distinct")
 
 
 def run_distinct_monitor_stream(
@@ -98,28 +72,59 @@ def run_distinct_monitor_stream(
     """Drain the parquet source with availableNow, folding every
     micro-batch into the register store and republishing estimates.
 
-    The store overwrite is write-new-then-swap (parquet to a versioned
-    subdir named by the micro-batch id, then the `current` pointer file
-    is rewritten) so a crash between batches leaves the previous store
-    intact; replaying the batch after restart max-merges the same
-    registers in — idempotent by the sketch-union law."""
+    Exactly-once application: the atomic pointer file carries BOTH the
+    current store dir and the set of applied batch ids in one
+    os.replace (the driftmon discipline). A replayed batch id — crash
+    between the pointer swap and Spark's checkpoint commit, or a fresh
+    checkpoint redelivering the whole source — is detected and skipped
+    instead of re-merged; register max-merge would tolerate a re-merge
+    mathematically, but a replay under the SAME batch id would
+    otherwise try to overwrite the very v{batch_id} dir the merge is
+    lazily reading (Spark refuses: 'cannot overwrite a path that is
+    also being read from'), wedging the monitor. On a skipped replay
+    the ESTIMATES are still republished from the current store, so a
+    crash after the pointer swap but before the estimates write cannot
+    leave the dashboard stale."""
+    import json
+
     from ..operators.sketches import hll_registers
+
+    def _read_state(sp):
+        ptr = os.path.join(store_path, "current")
+        if not os.path.exists(ptr):
+            return None, set()
+        with open(ptr) as f:
+            st = json.load(f)
+        return st["v"], set(st["applied"])
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
+        vdir, applied = _read_state(sp)
+        if batch_id in applied:
+            # replay: store already holds this batch; heal the sink only
+            register_estimates(
+                sp.read.parquet(os.path.join(store_path, vdir))
+            ).write.mode("overwrite").parquet(estimates_path)
+            return
         regs = hll_registers(batch, group_col, elem_col)
-        cur = _read_store(sp, store_path)
-        merged = merge_registers(cur, regs) if cur is not None else regs
-        vdir = os.path.join(store_path, f"v{batch_id:06d}")
-        merged.write.mode("overwrite").parquet(vdir)
+        if vdir is not None:
+            cur = sp.read.parquet(os.path.join(store_path, vdir))
+            merged = merge_registers(cur, regs)
+        else:
+            merged = regs
+        new_v = f"v{batch_id:06d}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_path, new_v)
+        )
         tmp = os.path.join(store_path, "current.tmp")
         with open(tmp, "w") as f:
-            f.write(f"v{batch_id:06d}")
+            json.dump({"v": new_v, "applied": sorted(applied | {batch_id})}, f)
         os.replace(tmp, os.path.join(store_path, "current"))
-        register_estimates(sp.read.parquet(vdir)).write.mode(
-            "overwrite"
-        ).parquet(estimates_path)
+        register_estimates(
+            sp.read.parquet(os.path.join(store_path, new_v))
+        ).write.mode("overwrite").parquet(estimates_path)
 
+    os.makedirs(store_path, exist_ok=True)
     stream = spark.readStream.schema(schema).parquet(source_path)
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -128,12 +133,3 @@ def run_distinct_monitor_stream(
         .start()
     )
     q.awaitTermination()
-
-
-def _read_store(spark, store_path: str):
-    ptr = os.path.join(store_path, "current")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        v = f.read().strip()
-    return spark.read.parquet(os.path.join(store_path, v))

@@ -296,6 +296,7 @@ def optimize_table(
     key_col: Optional[str] = None,
     min_rows: int = 1000,
     writer_id: Optional[str] = None,
+    max_retries: int = 5,
 ) -> Optional[int]:
     """OPTIMIZE: coalesce the table's small data dirs into one — the
     lakehouse bin-packing compaction (Delta OPTIMIZE / Iceberg
@@ -308,26 +309,56 @@ def optimize_table(
     (dirs with no recorded count — key-less commits — are conservatively
     included: unknown size must not dodge compaction forever). Fewer
     than two candidates means nothing to do (returns None, no empty
-    commit). The rewrite reads ONLY the candidate dirs; big dirs are
-    never touched — the file-pruned shape, same discipline as MERGE's
-    zone-map pruning.
+    commit).
+
+    Concurrency: unlike data writes, a compaction's validity depends on
+    its INPUTS still being live — if a concurrent MERGE wins the version
+    race and replaces one of the candidate dirs, blindly retrying the
+    same add/remove set would resurrect the superseded rows (the remove
+    of an already-dead dir is a no-op in log replay, the stale copy in
+    the compacted dir is not). So each attempt re-reads the log,
+    RE-PLANS against the current live set, rewrites if the plan changed,
+    and claims the next version directly; losing the race loops back to
+    re-validation instead of re-submitting stale state. Abandoned
+    rewrite dirs are unreferenced garbage for vacuum.
 
     Idempotent reruns via writer_id, like every commit. Returns the new
-    version, or the prior version for a known rerun.
+    version, or the prior version for a known rerun, or None when there
+    is nothing to compact.
     """
-    if writer_id is not None:
-        prior = table.writer_version(writer_id)
-        if prior is not None:
-            return prior
-    live = table.files()
-    small = [f for f in live if f["rows"] is None or f["rows"] < int(min_rows)]
-    if len(small) < 2:
-        return None
-    merged = spark.read.parquet(
-        *[os.path.join(table.path, f["path"]) for f in small]
-    )
-    add = table._write_data(merged, key_col)
-    return table._commit(
-        [add], [f["path"] for f in small], "optimize", writer_id,
-        merged.schema.json(),
-    )
+    last_small: Optional[list] = None
+    add = None
+    for _ in range(int(max_retries)):
+        if writer_id is not None:
+            prior = table.writer_version(writer_id)
+            if prior is not None:
+                return prior
+        live = table.files()
+        small = [
+            f for f in live if f["rows"] is None or f["rows"] < int(min_rows)
+        ]
+        if len(small) < 2:
+            return None
+        paths = [f["path"] for f in small]
+        if add is None or paths != last_small:
+            # first attempt, or the candidate set changed under us:
+            # (re)write the compacted dir from the CURRENT candidates
+            merged = spark.read.parquet(
+                *[os.path.join(table.path, p) for p in paths]
+            )
+            add = table._write_data(merged, key_col)
+            schema_json = merged.schema.json()
+            last_small = paths
+        version = table.latest() + 1
+        entry = {
+            "version": version,
+            "action": "optimize",
+            "writer_id": writer_id,
+            "add": [add],
+            "remove": paths,
+            "schema": schema_json,
+        }
+        if table._publish(version, entry):
+            return version
+        # lost the race: loop re-reads the log and re-validates the plan
+    raise CommitConflict(f"lost {max_retries} optimize races at {table.path}")

@@ -105,3 +105,14 @@ class TestReferentialCheck:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_non_identifier_check_id_rejected(spark):
+    from ocr_service_spark.operators.expectations import expectations_report
+
+    df = spark.createDataFrame([("x",)], "t string")
+    with pytest.raises(ValueError):
+        expectations_report(
+            df, [{"id": "null-rate", "kind": "not_null", "col": "t",
+                  "min_pm": 1}]
+        )

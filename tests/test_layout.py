@@ -180,3 +180,14 @@ class TestEncodingAdvisor:
         got = self._adv(spark, rows, "c string", ["c"])
         r = got["c"]
         assert r["n_values"] == 2 and r["plain_bytes"] == 4
+
+
+class TestRangeLayoutNulls:
+    def test_null_keys_excluded_not_crashing(self, spark):
+        from ocr_service_spark.operators.layout import range_layout
+
+        rows = [(i, i if i % 4 else None) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, k long")
+        out = range_layout(df, "id", "k", n_buckets=4, sample_mod=2).collect()
+        assert sum(r["n_rows"] for r in out) == 150  # 50 NULLs excluded
+        assert all(r["min_key"] is not None for r in out)

@@ -86,3 +86,25 @@ def test_append_mode_accumulates(spark, table):
 def test_bad_mode_rejected(spark, table):
     with pytest.raises(ValueError):
         publish_validated(_df(spark, [(1, "a")]), table, CHECKS, mode="merge")
+
+
+def test_empty_table_refused_despite_green_suite(spark, table):
+    # zero rows pass every rate check vacuously; the publish gate must
+    # still refuse the blue-green swap (the broken-parser failure mode)
+    publish_validated(_df(spark, [(1, "a")]), table, CHECKS, key_col="doc_id")
+    ok, v, verdicts, staged = publish_validated(
+        _df(spark, []), table, CHECKS, key_col="doc_id"
+    )
+    assert not ok and v is None
+    assert all(r["passed"] for r in verdicts)  # vacuous green, still refused
+    assert {r.doc_id for r in table.read(spark).collect()} == {1}
+    # explicit opt-in publishes the empty release
+    ok2, v2, _, _ = publish_validated(
+        _df(spark, []), table, CHECKS, key_col="doc_id", allow_empty=True
+    )
+    assert ok2 and table.read(spark).count() == 0
+
+
+def test_no_checks_rejected(spark, table):
+    with pytest.raises(ValueError):
+        publish_validated(_df(spark, [(1, "a")]), table, [])

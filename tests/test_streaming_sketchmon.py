@@ -91,7 +91,31 @@ def test_store_stays_register_sized(spark, paths):
     src, store, est, ckpt = paths
     _write(spark, src, [("a", f"u{i}") for i in range(5000)])
     _run(spark, paths)
+    import json
+
     with open(os.path.join(store, "current")) as f:
-        v = f.read().strip()
+        v = json.load(f)["v"]
     n = spark.read.parquet(os.path.join(store, v)).count()
     assert n <= 64
+
+
+def test_fresh_checkpoint_full_replay_is_skipped_not_wedged(spark, paths):
+    # The crash-recovery case: a fresh checkpoint redelivers every file
+    # under the SAME batch ids. The applied-set must skip them (re-merge
+    # would overwrite the dir being read) and still republish estimates.
+    src, store, est, ckpt = paths
+    rows = [("a", f"u{i}") for i in range(500)]
+    _write(spark, src, rows)
+    _run(spark, paths)
+    before = _estimates(spark, est)["a"]
+    import shutil
+
+    shutil.rmtree(est)
+    schema = spark.read.parquet(src).schema
+    run_distinct_monitor_stream(
+        spark, src, store, est, ckpt + "-replay", schema
+    )
+    after = _estimates(spark, est)["a"]
+    assert (before["denom_q"], before["est_distinct"]) == (
+        after["denom_q"], after["est_distinct"],
+    )

@@ -219,3 +219,49 @@ class TestOptimizeTable:
         v2 = optimize_table(t, spark, key_col="k", writer_id="opt-1")
         assert v1 == v2
         assert len(t.files()) == 1
+
+    def test_concurrent_merge_invalidates_stale_plan(
+        self, spark, tmp_path_factory
+    ):
+        """A commit that lands between optimize's planning and its
+        version claim must force a RE-PLAN: the compacted dir may not
+        carry superseded rows (the resurrect-on-blind-retry race)."""
+        from ocr_service_spark.txlog import TxLogTable, optimize_table
+
+        t = self._table(tmp_path_factory)
+        for i in range(3):
+            t.commit_append(
+                spark.createDataFrame([(i, f"old{i}")], "k long, v string"),
+                key_col="k",
+            )
+        # simulate the interleaving: another writer MERGEs key 1 to a new
+        # value after optimize would have planned, by wrapping _publish to
+        # inject the competing commit exactly once before the first claim
+        orig_publish = t._publish
+        injected = {"done": False}
+
+        def racing_publish(version, entry):
+            if not injected["done"] and entry.get("action") == "optimize":
+                injected["done"] = True
+                # the competing writer lands FIRST (its _publish recurses
+                # here but takes the orig path via the action check) ...
+                t.commit_merge(
+                    spark.createDataFrame([(1, "NEW")], "k long, v string"),
+                    key_col="k",
+                )
+                return False  # ... so our claim on `version` loses
+            return orig_publish(version, entry)
+
+        t._publish = racing_publish  # type: ignore[assignment]
+        try:
+            # force the losing path deterministically: first optimize claim
+            # fails (returns False), second attempt re-plans on the post-
+            # merge log
+            optimize_table(t, spark, key_col="k", min_rows=10)
+        finally:
+            t._publish = orig_publish  # type: ignore[assignment]
+        collected = t.read(spark).collect()
+        assert len(collected) == 3  # no duplicate keys from resurrection
+        rows = {r.k: r.v for r in collected}
+        assert rows[1] == "NEW"  # superseded row NOT resurrected
+        assert rows[0] == "old0" and rows[2] == "old2"
