@@ -263,6 +263,7 @@ HEADLINE = [
     "k_anonymity",             # quasi-identifier release audit
     "weighted_shortest_paths", # Bellman-Ford latency distances
     "rrf_fuse",                # reciprocal-rank hybrid fusion
+    "harmonic_centrality",     # pivot-sampled closeness ranking
     "session_table",           # materialized session entities
     "transition_matrix",       # event-path Markov counts
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale

@@ -11407,6 +11407,87 @@ FROM pairs p JOIN tot t USING (from_type)
 """
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Pivot-sampled harmonic centrality (operators/graph.py
+    harmonic_centrality_approx) on a planted ring-plus-hub host graph:
+    the hub touching four ring points collects the largest Σ 1000/d and
+    must outrank every ring node. Pivots are the 3 md5-smallest nodes
+    (deterministic bottom-k sampling); the oracle replays pivot
+    selection, six labeled BFS rounds per pivot and every reciprocal
+    contribution."""
+    from .operators.graph import harmonic_centrality_approx
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    ring = d.select(
+        (F.col("doc_id") % 20).alias("src"),
+        ((F.col("doc_id") % 20 + 1) % 20).alias("dst"),
+    ).distinct()
+    hub = spark.createDataFrame(
+        [(99, 0), (99, 5), (99, 10), (99, 15)], "src long, dst long"
+    )
+    return harmonic_centrality_approx(
+        ring.unionByName(hub), n_pivots=3, rounds=6
+    )
+
+
+def _harmonic_sql(rounds: int = 6, n_pivots: int = 3) -> str:
+    parts = [f"""WITH ring AS (
+  SELECT DISTINCT doc_id % 20 AS x, (doc_id % 20 + 1) % 20 AS y FROM documents
+),
+hub(x, y) AS (VALUES (99, 0), (99, 5), (99, 10), (99, 15)),
+e0 AS (SELECT x, y FROM ring UNION SELECT x, y FROM hub),
+sym AS MATERIALIZED (
+  SELECT DISTINCT x, y FROM (
+    SELECT x, y FROM e0 WHERE x <> y
+    UNION ALL SELECT y, x FROM e0 WHERE x <> y
+  )
+),
+nodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM sym),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+piv AS MATERIALIZED (
+  SELECT node AS pv FROM (
+    SELECT node,
+           ('0x' || substr(md5('hc:' || CAST(node AS VARCHAR)), 1, 15))::BIGINT
+             AS hh
+    FROM nodes
+  ) ORDER BY hh, node LIMIT {n_pivots}
+),
+v0 AS MATERIALIZED (SELECT pv AS node, pv, 0 AS depth FROM piv),
+f0 AS MATERIALIZED (SELECT node, pv FROM v0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+n{r} AS MATERIALIZED (
+  SELECT DISTINCT e.y AS node, f.pv
+  FROM sym e JOIN f{r - 1} f ON e.x = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} v
+                    WHERE v.node = e.y AND v.pv = f.pv)
+),
+v{r} AS MATERIALIZED (
+  SELECT node, pv, depth FROM v{r - 1}
+  UNION ALL SELECT node, pv, {r} FROM n{r}
+),
+f{r} AS MATERIALIZED (SELECT node, pv FROM n{r})""")
+    parts.append(f""",
+contrib AS (
+  SELECT node, CAST(1000 // depth AS BIGINT) AS c
+  FROM v{rounds} WHERE depth > 0
+),
+per AS (
+  SELECT node, COUNT(*) AS n_reached, SUM(c) AS h_q FROM contrib GROUP BY node
+)
+SELECT n.node,
+       CAST(COALESCE(p.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(p.h_q, 0) AS BIGINT) AS h_q,
+       CAST(COALESCE(p.h_q, 0) * (SELECT n_nodes FROM nn) // {n_pivots}
+            AS BIGINT) AS scale_q,
+       TRUE AS converged
+FROM nodes n LEFT JOIN per p USING (node)""")
+    return "".join(parts)
+
+
+SQL_HARMONIC = _harmonic_sql(6, 3)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11729,6 +11810,8 @@ CATALOG: Dict[str, tuple] = {
     # materialized session entities + event-path Markov matrix (operators/asof.py)
     "session_table": (q_session_table, SQL_SESSION_TABLE),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
+    # pivot-sampled harmonic centrality (operators/graph.py)
+    "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
 }
 
 

@@ -740,3 +740,95 @@ def weighted_shortest_paths(
     return dist.select(
         "node", "dist", F.lit(bool(converged)).alias("converged")
     )
+
+
+def harmonic_centrality_approx(
+    edges: DataFrame,
+    n_pivots: int = 4,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate harmonic centrality by pivot sampling (Eppstein &
+    Wang, SODA'01) — the who-is-structurally-central ranking PageRank's
+    endorsement flow does not measure: H(v) = Σ_{u≠v} 1/d(u,v), which
+    exact computation prices at all-pairs BFS. The estimator runs BFS
+    from a SAMPLE of pivots and scales up — standard for web-graph
+    centrality at scale.
+
+    Determinism: pivots are the n_pivots nodes with the SMALLEST 60-bit
+    md5 of 'hc:'||node — the KMV bottom-k idea applied to node sampling,
+    so both engines pick identical pivots (TakeOrderedAndProject, never
+    a random seed). The labeled multi-source BFS keeps (node, pivot,
+    depth) state — O(nodes × n_pivots) rows, the Eppstein-Wang cost —
+    with per-round anti-join dedup and localCheckpoint.
+
+    All integer: each reached pivot contributes 1000 div d; h_q sums
+    them; est_q = h_q · (n_nodes - 1) div (n_pivots · ...) is left to
+    the caller's normalization of choice — the emitted columns are the
+    raw (node, n_reached, h_q) plus scale_q = h_q · n_nodes div
+    n_pivots (the plain sample scale-up). `converged` reports frontier
+    drain within the round budget.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+    )
+    sym = (
+        und.unionByName(und.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("x").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hc:"), F.col("node").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pivots = (
+        nodes.withColumn("hh", h)
+        .orderBy("hh", "node")
+        .limit(int(n_pivots))
+        .select(F.col("node").alias("pivot"))
+        .localCheckpoint(eager=True)
+    )
+    visited = pivots.select(
+        F.col("pivot").alias("node"), "pivot", F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    converged = False
+    for r in range(1, int(rounds) + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("x"), "pivot"), "x")
+            .select(F.col("y").alias("node"), "pivot")
+            .distinct()
+            .join(visited.select("node", "pivot"), ["node", "pivot"], "left_anti")
+            .withColumn("depth", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            converged = True
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    contrib = visited.where(F.col("depth") > 0).select(
+        "node", F.expr("CAST(1000 div depth AS BIGINT)").alias("c")
+    )
+    per = contrib.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_reached"), F.sum("c").alias("h_q")
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        F.coalesce("h_q", F.lit(0)).cast("long").alias("h_q"),
+        F.expr(
+            f"CAST(COALESCE(h_q, 0) * {int(n_nodes)} div {int(n_pivots)} "
+            "AS BIGINT)"
+        ).alias("scale_q"),
+        F.lit(bool(converged)).alias("converged"),
+    )

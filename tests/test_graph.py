@@ -404,3 +404,63 @@ class TestWeightedShortestPaths:
                     dist[v] = nd
                     heapq.heappush(pq, (nd, v))
         assert {n: r["dist"] for n, r in got.items()} == dist
+
+
+class TestHarmonicCentrality:
+    def _hc(self, spark, edges, n_pivots=3, rounds=6):
+        from ocr_service_spark.operators.graph import harmonic_centrality_approx
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = harmonic_centrality_approx(
+            df, n_pivots=n_pivots, rounds=rounds
+        ).collect()
+        return {r["node"]: r for r in rows}
+
+    def test_all_pivots_exact_matches_python(self, spark):
+        # n_pivots >= n_nodes: the estimator degenerates to the EXACT
+        # harmonic centrality (integer 1000/d grid) — pin against a
+        # Python all-pairs BFS.
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+        got = self._hc(spark, edges, n_pivots=10)
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for v in adj:
+            dist = {v: 0}
+            q = [v]
+            while q:
+                u = q.pop(0)
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            h = sum(1000 // d for u, d in dist.items() if d > 0)
+            assert got[v]["h_q"] == h, v
+            assert got[v]["n_reached"] == len(dist) - 1
+
+    def test_hub_outranks_periphery(self, spark):
+        star = [(0, i) for i in range(1, 8)]
+        got = self._hc(spark, star, n_pivots=8)
+        assert got[0]["h_q"] == max(r["h_q"] for r in got.values())
+        # leaves: 1000 (hub) + 6 * 500 (others at d=2) = 4000
+        assert got[1]["h_q"] == 4000
+        assert got[0]["h_q"] == 7000
+
+    def test_pivot_subset_is_partial_sum(self, spark):
+        # with fewer pivots than nodes, every h_q must be <= the exact
+        # value and count only pivot contributions
+        edges = [(i, i + 1) for i in range(10)]
+        full = self._hc(spark, edges, n_pivots=20)
+        part = self._hc(spark, edges, n_pivots=3)
+        for n in full:
+            assert part[n]["h_q"] <= full[n]["h_q"]
+            assert part[n]["n_reached"] <= 3
+
+    def test_disconnected_components_isolated(self, spark):
+        edges = [(0, 1), (10, 11)]
+        got = self._hc(spark, edges, n_pivots=10)
+        assert got[0]["n_reached"] == 1  # only its own component's peer
+        assert got[0]["converged"]
