@@ -11488,6 +11488,82 @@ FROM nodes n LEFT JOIN per p USING (node)""")
 SQL_HARMONIC = _harmonic_sql(6, 3)
 
 
+def q_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter record linkage (operators/linkage.py link_records):
+    a clean registry (customer keys with md5-derived names) linked to a
+    planted dirty registry — per custkey%5 class: exact duplicate, one-
+    typo name (inside the levenshtein tolerance), two-typo name (outside
+    it), segment-only change (POSSIBLE band), and a both-fields-wrecked
+    non-match. Candidates come from ONE blocking-key equi-join
+    (custkey%40 — Σ bucket², never n²); every field comparison is a JVM
+    levenshtein/equality expression; integer centiban weights sum to the
+    match score and sub-possible pairs die inside the join stage. The
+    oracle replays the planting CASEs, the blocked join, every per-field
+    agreement and both thresholds."""
+    from .operators.linkage import link_records
+
+    c = load(spark, sf_dir, "customer")
+    base = F.md5(F.col("c_custkey").cast("string"))
+    blk = (F.col("c_custkey") % 40).alias("blk")
+    left = c.select(
+        F.col("c_custkey").alias("rec_id"), blk,
+        base.alias("name"), F.col("c_mktsegment").alias("segment"),
+    )
+    k = F.col("c_custkey") % 5
+    dirty_name = (
+        F.when(k == 1, F.concat(F.substring(base, 1, 31), F.lit("z")))
+        .when(k == 2, F.concat(F.substring(base, 1, 30), F.lit("zz")))
+        .when(k == 4, F.concat(F.lit("zzz"), F.substring(base, 4, 29)))
+        .otherwise(base)
+    )
+    dirty_seg = (
+        F.when(k.isin(3, 4), F.lit("DIRTY")).otherwise(F.col("c_mktsegment"))
+    )
+    right = c.select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"), blk,
+        dirty_name.alias("name"), dirty_seg.alias("segment"),
+    )
+    return link_records(left, right)
+
+
+SQL_RECORD_LINKAGE = """
+WITH L AS (
+  SELECT c_custkey AS left_id, c_custkey % 40 AS blk,
+         md5(CAST(c_custkey AS VARCHAR)) AS name, c_mktsegment AS seg
+  FROM customer
+),
+R AS (
+  SELECT c_custkey + 1000000 AS right_id, c_custkey % 40 AS blk,
+         CASE c_custkey % 5
+           WHEN 1 THEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 31) || 'z'
+           WHEN 2 THEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 30) || 'zz'
+           WHEN 4 THEN 'zzz' || substring(md5(CAST(c_custkey AS VARCHAR)), 4, 29)
+           ELSE md5(CAST(c_custkey AS VARCHAR)) END AS name,
+         CASE WHEN c_custkey % 5 IN (3, 4) THEN 'DIRTY'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+),
+scored AS (
+  SELECT L.left_id, R.right_id,
+         (L.name IS NOT NULL AND R.name IS NOT NULL
+          AND levenshtein(L.name, R.name) <= 1) AS name_agree,
+         (L.seg IS NOT NULL AND R.seg IS NOT NULL AND L.seg = R.seg)
+           AS segment_agree
+  FROM L JOIN R ON L.blk = R.blk
+),
+w AS (
+  SELECT left_id, right_id, name_agree, segment_agree,
+         CAST((CASE WHEN name_agree THEN 24 ELSE -18 END)
+              + (CASE WHEN segment_agree THEN 8 ELSE -10 END) AS BIGINT)
+           AS score
+  FROM scored
+)
+SELECT left_id, right_id, name_agree, segment_agree, score,
+       CASE WHEN score >= 30 THEN 'MATCH' ELSE 'POSSIBLE' END AS verdict
+FROM w WHERE score >= 0
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11812,6 +11888,7 @@ CATALOG: Dict[str, tuple] = {
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     # pivot-sampled harmonic centrality (operators/graph.py)
     "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
+    "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
 }
 
 

@@ -1,0 +1,69 @@
+"""Replicate the driver's CORRECTNESS comparison for named catalog
+entries at a given SF: row count + schema + exact values vs the DuckDB
+oracle.  Usage:
+
+    python scripts/gate_check.py [--sf /root/testdata/sf0.01] name [name ...]
+"""
+
+import argparse
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from ocr_service_spark.catalog import CATALOG, TABLES  # noqa: E402
+from ocr_service_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+        else:
+            df[c] = df[c].astype("object").where(df[c].notna(), None)
+    return df.sort_values(
+        by=list(df.columns), na_position="last", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    spark = get_spark(app_name="gate_check", cpus=8, shuffle_partitions=8)
+    failed = 0
+    for name in args.names:
+        fn, sql = CATALOG[name]
+        got = canon(fn(spark, args.sf).toPandas())
+        if sql is None:
+            print(f"{name}: rows-only ({len(got)} rows)")
+            continue
+        exp = canon(con.sql(sql).df())
+        try:
+            assert list(got.columns) == list(exp.columns), (
+                f"schema {list(got.columns)} != {list(exp.columns)}")
+            assert len(got) == len(exp), f"rows {len(got)} != {len(exp)}"
+            pd.testing.assert_frame_equal(
+                got, exp, check_exact=True, check_dtype=False, obj=name)
+            print(f"{name}: OK ({len(got)} rows)")
+        except AssertionError as e:
+            failed += 1
+            print(f"{name}: FAIL {e}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""Fellegi–Sunter record linkage (operators/linkage.py)."""
+
+import pytest
+
+from ocr_service_spark.operators.linkage import link_records
+
+COLS = ["rec_id", "blk", "name", "segment"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+@pytest.fixture(scope="module")
+def linked(spark):
+    left = _df(spark, [
+        (1, 0, "abcdefgh", "AUTO"),     # exact dup on the right
+        (2, 0, "qrstuvwx", "AUTO"),     # one-typo twin on the right
+        (3, 1, "mnopqrst", "BLDG"),     # two-typo twin (outside tolerance)
+        (4, 1, "wxyzabcd", "BLDG"),     # segment-only change -> POSSIBLE
+        (5, 2, "11112222", "FURN"),     # both fields wrecked -> filtered
+        (6, 3, "33334444", "FURN"),     # right twin in a DIFFERENT block
+        (7, 4, None, "MACH"),           # NULL name -> disagree
+    ])
+    right = _df(spark, [
+        (101, 0, "abcdefgh", "AUTO"),
+        (102, 0, "qrstuvwz", "AUTO"),
+        (103, 1, "mnopqrzz", "BLDG"),
+        (104, 1, "wxyzabcd", "HOUS"),
+        (105, 2, "zzzzzzzz", "ZZZZ"),
+        (106, 5, "33334444", "FURN"),
+        (107, 4, None, "MACH"),
+    ])
+    rows = link_records(left, right).collect()
+    return {(r["left_id"], r["right_id"]): r for r in rows}
+
+
+class TestLinkRecords:
+    def test_exact_duplicate_is_match(self, linked):
+        r = linked[(1, 101)]
+        assert r["verdict"] == "MATCH" and r["score"] == 32
+        assert r["name_agree"] and r["segment_agree"]
+
+    def test_one_typo_inside_tolerance_matches(self, linked):
+        r = linked[(2, 102)]
+        assert r["verdict"] == "MATCH" and r["score"] == 32
+        assert r["name_agree"]
+
+    def test_two_typos_outside_tolerance_filtered(self, linked):
+        # score = -18 + 8 = -10 < possible_threshold -> never emitted
+        assert (3, 103) not in linked
+
+    def test_segment_change_lands_in_possible_band(self, linked):
+        r = linked[(4, 104)]
+        assert r["verdict"] == "POSSIBLE" and r["score"] == 14
+        assert r["name_agree"] and not r["segment_agree"]
+
+    def test_wrecked_pair_filtered(self, linked):
+        assert (5, 105) not in linked
+
+    def test_blocking_isolates_identical_records(self, linked):
+        # identical fields but different blocking keys: never a candidate
+        assert (6, 106) not in linked
+
+    def test_null_field_is_disagreement(self, linked):
+        # NULL name on both sides -> name disagrees (-18), segment agrees
+        # (+8) -> -10 -> filtered; NULL never counts as agreement.
+        assert (7, 107) not in linked
+
+    def test_cross_block_pairs_scored_but_filtered(self, linked):
+        # in-block cross pairs (1,102)/(2,101) disagree on name:
+        # -18 + 8 = -10 -> filtered
+        assert (1, 102) not in linked and (2, 101) not in linked
+
+    def test_match_threshold_boundary(self, spark):
+        # agree on segment only with custom weights: score == match
+        # threshold exactly -> MATCH (inclusive bound)
+        left = _df(spark, [(1, 0, "aaaa", "X")])
+        right = _df(spark, [(2, 0, "bbbb", "X")])
+        rows = link_records(
+            left, right,
+            fields=[("name", 1, 5, -3), ("segment", 0, 9, -2)],
+            match_threshold=6, possible_threshold=0,
+        ).collect()
+        assert len(rows) == 1 and rows[0]["verdict"] == "MATCH"
+        assert rows[0]["score"] == 6
