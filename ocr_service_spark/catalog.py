@@ -11564,6 +11564,106 @@ FROM w WHERE score >= 0
 """
 
 
+def q_margin_bitext(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py margin_mine —
+    Artetxe & Schwenk ratio margin): source = even-vec_id embeddings,
+    target = the same vectors re-idd (+10000) with every vec_id%4==2
+    vector REVERSED (a planted decoy whose true twin is absent). The
+    real miner runs end-to-end — int8 quantization, integer dot/isqrt
+    cosine in ppm, per-side top-k sums, mutual-best join, ratio-margin
+    threshold. The oracle replays every quantized element, both k-NN
+    windows, the denominators and the margin filter."""
+    from .operators.bitext import margin_mine
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    src = e.select("vec_id", "embedding")
+    tgt = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(F.col("vec_id") % 4 == 2, F.reverse("embedding"))
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    return margin_mine(src, tgt, k=4, margin_pm_threshold=1200)
+
+
+SQL_MARGIN_BITEXT = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+),
+srcq AS (
+  SELECT vec_id AS src_id,
+    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+      CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)))) AS q
+  FROM base
+),
+tgt0 AS (
+  SELECT vec_id + 10000 AS tgt_id,
+    CASE WHEN vec_id % 4 = 2 THEN list_reverse(embedding)
+         ELSE embedding END AS embedding
+  FROM base
+),
+tgtq AS (
+  SELECT tgt_id,
+    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+      CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)))) AS q
+  FROM tgt0
+),
+sn AS (
+  SELECT src_id, q,
+    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2
+  FROM srcq
+),
+tn AS (
+  SELECT tgt_id, q,
+    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2
+  FROM tgtq
+),
+s2 AS (
+  SELECT src_id, q,
+    CAST(FLOOR(SQRT(CAST(l2 AS DOUBLE))) AS BIGINT) AS ns
+  FROM sn WHERE l2 > 0
+),
+t2 AS (
+  SELECT tgt_id, q,
+    CAST(FLOOR(SQRT(CAST(l2 AS DOUBLE))) AS BIGINT) AS nt
+  FROM tn WHERE l2 > 0
+),
+scored AS (
+  SELECT s2.src_id, t2.tgt_id,
+    CAST(GREATEST(CAST(list_sum(list_transform(list_zip(s2.q, t2.q),
+           x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT), 0)
+         * 1000000 // (s2.ns * t2.nt) AS BIGINT) AS sim_ppm
+  FROM s2, t2
+),
+ranked AS (
+  SELECT src_id, tgt_id, sim_ppm,
+    row_number() OVER (PARTITION BY src_id
+                       ORDER BY sim_ppm DESC, tgt_id) AS rs,
+    row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY sim_ppm DESC, src_id) AS rt
+  FROM scored
+),
+sums AS (
+  SELECT src_id, tgt_id, sim_ppm, rs, rt,
+    SUM(CASE WHEN rs <= 4 THEN sim_ppm ELSE 0 END)
+      OVER (PARTITION BY src_id) AS s_sum,
+    SUM(CASE WHEN rt <= 4 THEN sim_ppm ELSE 0 END)
+      OVER (PARTITION BY tgt_id) AS t_sum
+  FROM ranked
+),
+mut AS (
+  SELECT src_id, tgt_id, sim_ppm,
+    CAST((s_sum + t_sum) // 8 AS BIGINT) AS denom_ppm
+  FROM sums WHERE rs = 1 AND rt = 1
+)
+SELECT src_id, tgt_id, sim_ppm, denom_ppm,
+       CAST(sim_ppm * 1000 // denom_ppm AS BIGINT) AS margin_pm
+FROM mut WHERE denom_ppm > 0
+  AND CAST(sim_ppm * 1000 // denom_ppm AS BIGINT) >= 1200
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11889,6 +11989,7 @@ CATALOG: Dict[str, tuple] = {
     # pivot-sampled harmonic centrality (operators/graph.py)
     "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
+    "margin_bitext": (q_margin_bitext, SQL_MARGIN_BITEXT),
 }
 
 

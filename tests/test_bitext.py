@@ -3,6 +3,7 @@ key construction, cross-language-only pairing."""
 
 from ocr_service_spark.operators.bitext import (
     bitext_candidates,
+    margin_mine,
     tag_language_urls,
 )
 
@@ -57,3 +58,72 @@ def test_path_and_subdomain_keys_line_up(spark):
     )
     rows = bitext_candidates(df).collect()
     assert len(rows) == 1 and rows[0]["pair_key"] == "h.com|/x"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+class TestMarginMine:
+    def test_identical_pair_mined_with_exact_sim(self, spark):
+        # [1,0] quantizes to [127,0]: l2 = 127² exactly, isqrt = 127,
+        # so the identical pair's sim_ppm is exactly 1_000_000.
+        src = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        tgt = _vecs(spark, [(11, [1.0, 0.0]), (12, [0.0, 1.0])])
+        rows = {(r["src_id"], r["tgt_id"]): r
+                for r in margin_mine(src, tgt, k=2,
+                                     margin_pm_threshold=0).collect()}
+        assert set(rows) == {(1, 11), (2, 12)}
+        r = rows[(1, 11)]
+        assert r["sim_ppm"] == 1_000_000
+        # denom = (1e6 + 0 + 1e6 + 0) / 4 = 500_000 -> margin 2000
+        assert r["denom_ppm"] == 500_000 and r["margin_pm"] == 2000
+
+    def test_zero_norm_vectors_dropped(self, spark):
+        src = _vecs(spark, [(1, [0.0, 0.0]), (2, [1.0, 0.0])])
+        tgt = _vecs(spark, [(11, [1.0, 0.0]), (12, [0.0, 0.0])])
+        rows = margin_mine(src, tgt, k=1, margin_pm_threshold=0).collect()
+        ids = {(r["src_id"], r["tgt_id"]) for r in rows}
+        assert ids == {(2, 11)}
+
+    def test_negative_similarity_clamps_to_zero(self, spark):
+        # opposite vectors: dot < 0 -> sim_ppm 0 on every pair ->
+        # denom 0 -> nothing emitted (div-by-zero guarded)
+        src = _vecs(spark, [(1, [1.0, 0.0])])
+        tgt = _vecs(spark, [(11, [-1.0, 0.0])])
+        assert margin_mine(src, tgt, k=1,
+                           margin_pm_threshold=0).count() == 0
+
+    def test_mutual_best_required(self, spark):
+        # t3 ranks s2 as its best, but s2's best is t2 (higher sim):
+        # (s2, t3) must NOT be mined even though t3's rank-1 is s2.
+        src = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        tgt = _vecs(spark, [
+            (11, [1.0, 0.0]),
+            (12, [0.0, 1.0]),       # s2's mutual best
+            (13, [0.05, 0.9]),      # close to s2 but never mutual-best
+        ])
+        pairs = {(r["src_id"], r["tgt_id"])
+                 for r in margin_mine(src, tgt, k=2,
+                                      margin_pm_threshold=0).collect()}
+        assert (2, 13) not in pairs
+        assert (2, 12) in pairs and (1, 11) in pairs
+
+    def test_margin_threshold_filters_flat_neighborhoods(self, spark):
+        # two near-parallel targets: the best pair's margin is barely
+        # above 1000 (its runner-up is almost as close), so a 1500
+        # threshold kills it while the isolated pair survives.
+        src = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        tgt = _vecs(spark, [
+            (11, [1.0, 0.0]),
+            (12, [0.999, 0.04]),    # hub twin of 11
+            (13, [0.0, 1.0]),       # isolated true pair of s2
+        ])
+        got = {(r["src_id"], r["tgt_id"])
+               for r in margin_mine(src, tgt, k=2,
+                                    margin_pm_threshold=1500).collect()}
+        assert (2, 13) in got
+        assert (1, 11) not in got
