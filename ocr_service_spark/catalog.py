@@ -11664,6 +11664,75 @@ FROM mut WHERE denom_ppm > 0
 """
 
 
+def q_mmr_select(spark, sf_dir):
+    """MMR relevance+diversity selection (operators/clustering.py
+    mmr_select): candidates = every third embedding with a planted
+    integer relevance 500000 + (vec_id·37) mod 500000; 6 greedy rounds
+    at λ=0.7. The real driver-state loop runs (argmax pick, literal-
+    vector sim update, pick removal, localCheckpoint); the oracle
+    unrolls all six rounds as MATERIALIZED CTEs replaying every
+    quantized similarity, running max and objective value."""
+    from .operators.clustering import mmr_select
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0)
+    cands = e.select(
+        "vec_id", "embedding",
+        (F.lit(500000) + (F.col("vec_id") * 37) % 500000).alias("rel_ppm"),
+    )
+    return mmr_select(cands, "vec_id", "embedding", "rel_ppm",
+                      n=6, lam_pm=700)
+
+
+def _mmr_sql(n: int = 6, lam: int = 700) -> str:
+    dot = ("CAST(list_sum(list_transform(range(1, len(a.qvec) + 1), "
+           "i -> CAST(a.qvec[i] AS BIGINT) * c.qvec[i])) AS BIGINT)")
+    sim = (f"CAST(GREATEST({dot}, 0) * 1000000 "
+           "// (a.nrm * c.nrm) AS BIGINT)")
+    mmr = f"CAST({lam} * rel_ppm - {1000 - lam} * ms AS BIGINT)"
+    parts = [f"""WITH cand AS MATERIALIZED (
+  SELECT id, qvec,
+    CAST(FLOOR(SQRT(CAST(l2 AS DOUBLE))) AS BIGINT) AS nrm,
+    CAST(500000 + (id * 37) % 500000 AS BIGINT) AS rel_ppm
+  FROM (
+    SELECT id, qvec,
+      CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
+           AS BIGINT) AS l2
+    FROM (
+      SELECT vec_id AS id,
+        list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+          CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)))) AS qvec
+      FROM embeddings WHERE vec_id % 3 = 0
+    )
+  ) WHERE l2 > 0
+),
+p1 AS MATERIALIZED (
+  SELECT id, qvec, nrm, rel_ppm, CAST(0 AS BIGINT) AS ms FROM cand
+),
+c1 AS MATERIALIZED (
+  SELECT id, qvec, nrm, rel_ppm, ms, {mmr} AS mmr_q
+  FROM p1 ORDER BY mmr_q DESC, id LIMIT 1
+)"""]
+    for r in range(2, n + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT a.id, a.qvec, a.nrm, a.rel_ppm,
+         GREATEST(a.ms, {sim}) AS ms
+  FROM p{r - 1} a CROSS JOIN c{r - 1} c WHERE a.id <> c.id
+),
+c{r} AS MATERIALIZED (
+  SELECT id, qvec, nrm, rel_ppm, ms, {mmr} AS mmr_q
+  FROM p{r} ORDER BY mmr_q DESC, id LIMIT 1
+)""")
+    sel = ["\nSELECT CAST(1 AS INTEGER) AS sel_order, id, rel_ppm, "
+           "ms AS max_sim_ppm, mmr_q FROM c1"]
+    for r in range(2, n + 1):
+        sel.append(f"UNION ALL SELECT {r}, id, rel_ppm, ms, mmr_q FROM c{r}")
+    return "".join(parts) + "\n".join(sel)
+
+
+SQL_MMR_SELECT = _mmr_sql()
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -11990,6 +12059,7 @@ CATALOG: Dict[str, tuple] = {
     "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "margin_bitext": (q_margin_bitext, SQL_MARGIN_BITEXT),
+    "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
 }
 
 

@@ -309,3 +309,106 @@ def prototype_prune(
             .alias("kept"),
         )
     )
+
+
+def mmr_select(
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    n: int,
+    lam_pm: int = 700,
+    scale: int = 127,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    SIGIR'98): greedily pick n items maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    relevance-AND-diversity selector. Curation uses it where
+    kcenter_select (pure diversity) and top-k-by-score (pure relevance)
+    both fail: building few-shot exemplar sets, eval slices, and
+    per-cluster training quotas that must be GOOD and non-redundant at
+    the same time.
+
+    Engine-exactness: vectors go through similarity.int8_quantize;
+    pairwise similarity is the quantized integer cosine in ppm
+    (max(dot,0)·10⁶ div (isqrt(l2a)·isqrt(l2b)) — clamped non-negative
+    so div truncation equals floor on both engines); relevance arrives
+    as an integer (`rel_col`, ppm scale by convention). The MMR
+    objective stays UNDIVIDED: mmr_q = lam_pm·rel − (1000−lam_pm)·ms in
+    milli-units — no final division, so no negative-floor/trunc
+    cross-engine hazard. Ties break by id asc. Zero-norm vectors are
+    dropped (similarity.embedding_hygiene upstream).
+
+    Scale shape: exactly the kcenter_select loop — n rounds, each ONE
+    narrow scan updating the running max-sim against the newest pick (a
+    driver-sized literal vector, never a join) plus a TakeOrdered(1)
+    argmax; the (id, qvec, nrm, rel, ms) relation is localCheckpointed
+    per round. The picked row is removed each round (its self-sim would
+    otherwise merely *usually* bury it). n is tens; total cost n scans
+    of the candidate pool — the pool itself comes from an upstream
+    ANN/cluster/quality stage, not the raw corpus.
+
+    Output one row per pick: (sel_order, id, rel_ppm, max_sim_ppm,
+    mmr_q) — state AT selection time (seed pick has max_sim_ppm 0).
+    """
+    from .similarity import int8_quantize
+
+    lam = int(lam_pm)
+    q = int8_quantize(cands, id_col, vec_col, scale)
+    rel = cands.select(
+        F.col(id_col).alias("id"), F.col(rel_col).alias("rel_ppm")
+    )
+    cur = (
+        q.join(rel, "id")
+        .where(F.col("l2q") > 0)
+        .select(
+            "id", "qvec",
+            F.floor(F.sqrt(F.col("l2q").cast("double")))
+            .cast("long").alias("nrm"),
+            F.col("rel_ppm").cast("long").alias("rel_ppm"),
+            F.lit(0).cast("long").alias("ms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    score = F.expr(f"{lam} * rel_ppm - {1000 - lam} * ms")
+    picks: List[Tuple[int, int, int, int, int]] = []
+    for r in range(1, int(n) + 1):
+        top = (
+            cur.withColumn("mmr_q", score)
+            .orderBy(F.col("mmr_q").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        c = top[0]
+        picks.append(
+            (r, c["id"], int(c["rel_ppm"]), int(c["ms"]), int(c["mmr_q"]))
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                "qvec",
+                F.array(*[F.lit(int(x)) for x in c["qvec"]]),
+                lambda a, b: (a * b).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cur = (
+            cur.where(F.col("id") != F.lit(int(c["id"])))
+            .withColumn("_dot", dot)
+            .withColumn(
+                "ms",
+                F.expr(
+                    "GREATEST(ms, CAST(GREATEST(_dot, CAST(0 AS BIGINT))"
+                    f" * 1000000 div (nrm * {int(c['nrm'])}) AS BIGINT))"
+                ),
+            )
+            .drop("_dot")
+            .localCheckpoint(eager=True)
+        )
+    spark = cands.sparkSession
+    return spark.createDataFrame(
+        picks,
+        "sel_order int, id long, rel_ppm long, max_sim_ppm long, mmr_q long",
+    )

@@ -247,3 +247,59 @@ class TestPrototypePrune:
         # 1 point at 700pm: keep_n = 1*700//1000 = 0 -> pruned entirely
         got = self._run(spark, [(1, 0, 4)], 700)
         assert got[1] == (1, False)
+
+
+class TestMmrSelect:
+    def _cands(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v], r) for i, v, r in rows],
+            "vec_id long, embedding array<float>, rel_ppm long",
+        )
+
+    def _run(self, spark, rows, n, lam_pm):
+        from ocr_service_spark.operators.clustering import mmr_select
+        df = self._cands(spark, rows)
+        return mmr_select(df, "vec_id", "embedding", "rel_ppm",
+                          n=n, lam_pm=lam_pm).collect()
+
+    def test_pure_relevance_at_lambda_1000(self, spark):
+        rows = [(1, [1.0, 0.0], 100), (2, [1.0, 0.0], 300),
+                (3, [0.0, 1.0], 200)]
+        got = self._run(spark, rows, n=3, lam_pm=1000)
+        assert [r["id"] for r in got] == [2, 3, 1]
+        assert got[0]["max_sim_ppm"] == 0 and got[0]["mmr_q"] == 300000
+
+    def test_diversity_beats_redundant_twin(self, spark):
+        # 1 and 2 are identical vectors with top relevance; 3 is
+        # orthogonal with lower relevance. After picking 1, the twin's
+        # max-sim penalty (1e6) buries it: pick 2 must be vector 3.
+        # lam 500: twin scores 500*890000 - 500*1e6 < 0 while the
+        # orthogonal vector scores 500*400000 -> diversity wins.
+        rows = [(1, [1.0, 0.0], 900000), (2, [1.0, 0.0], 890000),
+                (3, [0.0, 1.0], 400000)]
+        got = self._run(spark, rows, n=2, lam_pm=500)
+        assert [r["id"] for r in got] == [1, 3]
+        r2 = got[1]
+        assert r2["max_sim_ppm"] == 0  # orthogonal to pick 1
+        assert r2["mmr_q"] == 500 * 400000
+
+    def test_twin_state_recorded_when_eventually_picked(self, spark):
+        rows = [(1, [1.0, 0.0], 900000), (2, [1.0, 0.0], 890000),
+                (3, [0.0, 1.0], 400000)]
+        got = self._run(spark, rows, n=3, lam_pm=500)
+        assert [r["id"] for r in got] == [1, 3, 2]
+        r3 = got[2]
+        assert r3["max_sim_ppm"] == 1_000_000  # identical to pick 1
+        assert r3["mmr_q"] == 500 * 890000 - 500 * 1_000_000
+
+    def test_pool_exhaustion_stops_early(self, spark):
+        rows = [(1, [1.0, 0.0], 10), (2, [0.0, 1.0], 20)]
+        got = self._run(spark, rows, n=5, lam_pm=700)
+        assert len(got) == 2
+
+    def test_zero_norm_dropped_and_id_tiebreak(self, spark):
+        rows = [(5, [1.0, 0.0], 100), (3, [0.0, 1.0], 100),
+                (9, [0.0, 0.0], 999999)]
+        got = self._run(spark, rows, n=3, lam_pm=1000)
+        # zero-norm id 9 never appears; equal scores break by id asc
+        assert [r["id"] for r in got] == [3, 5]
