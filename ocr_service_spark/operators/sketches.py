@@ -70,6 +70,25 @@ def cms_cells(
     )
 
 
+def cms_probe(
+    cells: DataFrame, words: DataFrame,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate a set of candidate words against a sketch grid:
+    (word) probes → (word, cms_est) via min-over-depth-rows. The probe
+    side is |words|×depth rows joining the broadcast grid — the shared
+    read path of the batch heavy-hitter report and the streaming
+    monitor (one probe body = structural batch/stream parity)."""
+    probes = words.select("word", _hrow_fanout(depth)).withColumn(
+        "bucket", _bucket(F.col("word"), F.col("hrow"), width)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["hrow", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,138 @@
+"""Streaming heavy-hitters monitor: Count-Min cells + bounded candidate
+set (the classic CMS-plus-heap stream algorithm, Cormode & Muthukrishnan
+2005) maintained by foreachBatch with exactly-once folding.
+
+The ops question: "which tokens/hosts/URL templates dominate the crawl
+stream so far?" — exact per-word counting state grows with vocabulary
+(unbounded on web text). The bounded answer is a Count-Min grid (FIXED
+depth×width cells, merge by per-cell SUM) plus a candidate set of at
+most m words re-estimated against the merged grid every batch and
+trimmed back to m — total state depth×width + m rows regardless of
+stream length.
+
+Exactly-once: CMS cells merge by SUM, so an at-least-once replay would
+inflate every estimate (unlike sketchmon's idempotent MAX registers).
+The store uses the driftmon commit discipline — one atomic pointer file
+carries the current data dir AND the applied batch-id set in a single
+os.replace; replayed ids are skipped (with a sink republish so a crash
+between swap and publish still heals), and a crash before the swap
+leaves only unreferenced garbage.
+
+Approximation contract (inherent to bounded-space top-k): a word's
+estimate only ever grows, and any word surfacing in a batch is
+re-probed against the FULL merged grid — but a word trimmed from the
+candidate set is only rediscovered when it reappears in a later batch.
+With m comfortably above the working top-k (the standard 4×k sizing)
+the published top-k matches the batch report on every fixture; the
+parity test pins this with an untruncating m, and a separate test pins
+the m-bound itself.
+
+Publish: top-k candidates by (cms_est desc, word) — estimates
+bit-identical to the batch cms_probe over the same prefix because both
+run the SAME probe body (operators/sketches.py cms_probe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_cells, cms_probe
+
+
+def _read_state(store_path: str):
+    ptr = os.path.join(store_path, "current")
+    if not os.path.exists(ptr):
+        return None, set()
+    with open(ptr) as f:
+        st = json.load(f)
+    return st["v"], set(st["applied"])
+
+
+def _write_state(store_path: str, vdir: str, applied) -> None:
+    tmp = os.path.join(store_path, "current.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"v": vdir, "applied": sorted(applied)}, f)
+    os.replace(tmp, os.path.join(store_path, "current"))
+
+
+def _publish(sp, store_path: str, vdir: str, sink_path: str, k: int) -> None:
+    cands = sp.read.parquet(os.path.join(store_path, vdir, "cands"))
+    (
+        cands.orderBy(F.col("cms_est").desc(), "word")
+        .limit(k)
+        .write.mode("overwrite")
+        .parquet(sink_path)
+    )
+
+
+def run_heavy_hitter_stream(
+    spark,
+    source_path: str,
+    store_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema,
+    text_col: str = "text",
+    k: int = 10,
+    m: int = 40,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> None:
+    """Drain the parquet source with availableNow, folding each
+    micro-batch's word counts into the CMS cell store exactly once,
+    re-estimating the bounded candidate set, and republishing the
+    top-k heavy-hitter table."""
+    from ..operators.bpe import word_freq_dict
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        vdir, applied = _read_state(store_path)
+        if batch_id in applied:
+            _publish(sp, store_path, vdir, sink_path, k)
+            return
+        words = word_freq_dict(batch, text_col)
+        bcells = cms_cells(words, depth, width)
+        if vdir is not None:
+            cur = sp.read.parquet(os.path.join(store_path, vdir, "cells"))
+            merged = (
+                cur.unionByName(bcells)
+                .groupBy("hrow", "bucket")
+                .agg(F.sum("cell").alias("cell"))
+            )
+            prev_words = sp.read.parquet(
+                os.path.join(store_path, vdir, "cands")
+            ).select("word")
+        else:
+            merged = bcells
+            prev_words = None
+        cand_words = words.select("word")
+        if prev_words is not None:
+            cand_words = cand_words.unionByName(prev_words).distinct()
+        # cells are consumed twice below (probe + persist): materialize
+        # once so the merge aggregate doesn't re-execute per consumer
+        merged = merged.localCheckpoint(eager=True)
+        cands = (
+            cms_probe(merged, cand_words, depth, width)
+            .orderBy(F.col("cms_est").desc(), "word")
+            .limit(m)
+        )
+        new_v = f"v{batch_id:06d}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_path, new_v, "cells"))
+        cands.write.mode("overwrite").parquet(
+            os.path.join(store_path, new_v, "cands"))
+        _write_state(store_path, new_v, applied | {batch_id})
+        _publish(sp, store_path, new_v, sink_path, k)
+
+    os.makedirs(store_path, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

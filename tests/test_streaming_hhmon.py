@@ -1,0 +1,107 @@
+"""Streaming CMS heavy-hitters monitor (streaming/hhmon.py): cross-batch
+cell folding, batch parity through the shared cms_probe body,
+exactly-once application under full source replay, bounded state."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.streaming.hhmon import run_heavy_hitter_stream
+
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture()
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hhmon")
+    return (
+        str(root / "src"),
+        str(root / "store"),
+        str(root / "sink"),
+        str(root / "ckpt"),
+    )
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+
+def _run(spark, paths, ckpt=None, k=5, m=100):
+    src, store, sink, ckpt0 = paths
+    schema = spark.read.parquet(src).schema
+    run_heavy_hitter_stream(
+        spark, src, store, sink, ckpt or ckpt0, schema, k=k, m=m,
+    )
+
+
+def _sink(spark, sink):
+    return [(r["word"], r["cms_est"])
+            for r in spark.read.parquet(sink)
+            .orderBy(F.col("cms_est").desc(), "word").collect()]
+
+
+def _batch_expected(spark, all_rows, k=5):
+    from ocr_service_spark.operators.bpe import word_freq_dict
+    from ocr_service_spark.operators.sketches import cms_cells, cms_probe
+
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    words = word_freq_dict(df, "text")
+    est = cms_probe(cms_cells(words), words.select("word"))
+    return [(r["word"], r["cms_est"])
+            for r in est.orderBy(F.col("cms_est").desc(), "word")
+            .limit(k).collect()]
+
+
+def test_streaming_topk_matches_batch_probe(spark, paths):
+    src = paths[0]
+    poll1 = [(i, "alpha beta gamma") for i in range(8)] + \
+            [(100 + i, "alpha delta") for i in range(5)]
+    _write(spark, src, poll1)
+    _run(spark, paths)
+    assert _sink(spark, paths[2]) == _batch_expected(spark, poll1)
+
+    # poll 2: a previously-light word surges past the old leaders —
+    # streaming estimates must track the batch probe over ALL rows
+    poll2 = [(200 + i, "delta delta epsilon") for i in range(20)]
+    _write(spark, src, poll2)
+    _run(spark, paths)
+    assert _sink(spark, paths[2]) == _batch_expected(spark, poll1 + poll2)
+
+
+def test_full_source_replay_does_not_inflate_estimates(spark, paths):
+    src, store, sink, ckpt = paths
+    rows = [(i, "alpha beta") for i in range(9)]
+    _write(spark, src, rows)
+    _run(spark, paths)
+    before = _sink(spark, sink)
+    # fresh checkpoint redelivers every file as the same batch ids
+    _run(spark, paths, ckpt=ckpt + "-replay")
+    assert _sink(spark, sink) == before
+
+
+def test_candidate_state_bounded_by_m(spark, paths):
+    src, store, sink, _ = paths
+    letters = "abcdefghij"
+    rows = [(i, f"x{letters[i // 10]}{letters[i % 10]} common common")
+            for i in range(30)]
+    _write(spark, src, rows)
+    _run(spark, paths, k=3, m=7)
+    with open(os.path.join(store, "current")) as f:
+        st = json.load(f)
+    cands = spark.read.parquet(os.path.join(store, st["v"], "cands"))
+    assert cands.count() <= 7
+    top = _sink(spark, sink)
+    assert len(top) == 3 and top[0][0] == "common"
+
+
+def test_crash_safe_pointer_only_references_complete_dirs(spark, paths):
+    src, store, sink, _ = paths
+    _write(spark, src, [(0, "alpha")])
+    _run(spark, paths)
+    with open(os.path.join(store, "current")) as f:
+        st = json.load(f)
+    assert os.path.isdir(os.path.join(store, st["v"], "cells"))
+    assert os.path.isdir(os.path.join(store, st["v"], "cands"))
+    assert st["applied"] == [0]
