@@ -11733,6 +11733,85 @@ c{r} AS MATERIALIZED (
 SQL_MMR_SELECT = _mmr_sql()
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-naive robust anomaly detection (operators/snapshots.py
+    seasonal_anomaly): daily event counts per type plus a planted
+    35-day group that is phase-stable except one 25× surge day. The
+    real window/median/MAD pipeline runs; the oracle replays the
+    trailing same-phase list window, both lower medians, the MAD floor
+    and the alarm inequality."""
+    from .operators.snapshots import seasonal_anomaly
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 35).alias("off"))
+        .distinct()
+    )
+    planted = off.select(
+        F.lit("planted").alias("grp"),
+        (F.lit(19000) + F.col("off")).alias("day"),
+        F.when(F.col("off") == 30, F.lit(500))
+        .otherwise(F.lit(20) + F.col("off") % 3).alias("x"),
+    )
+    return seasonal_anomaly(daily.unionByName(planted))
+
+
+SQL_SEASONAL_ANOMALY = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+planted AS (
+  SELECT 'planted' AS grp, 19000 + off AS day,
+         CAST(CASE WHEN off = 30 THEN 500
+              ELSE 20 + off % 3 END AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 35 AS off FROM documents)
+),
+allrows AS (
+  SELECT * FROM daily UNION ALL SELECT * FROM planted
+),
+arr AS (
+  SELECT grp, day, x,
+    list_sort(list(x) OVER (PARTITION BY grp, day % 7 ORDER BY day
+              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)) AS base
+  FROM allrows
+),
+sc AS (
+  SELECT grp, day, x,
+    CAST(COALESCE(len(base), 0) AS INTEGER) AS base_n,
+    base[(len(base) + 1) // 2] AS med,
+    base
+  FROM arr
+),
+sc2 AS (
+  SELECT grp, day, x, base_n, med,
+    list_sort(list_transform(base, v -> abs(v - med)))
+      [(len(base) + 1) // 2] AS mad
+  FROM sc
+)
+SELECT grp, day, x, base_n,
+       CAST(COALESCE(med, 0) AS BIGINT) AS med,
+       CAST(COALESCE(mad, 0) AS BIGINT) AS mad,
+       CAST(COALESCE(abs(x - med), 0) AS BIGINT) AS dev,
+       (base_n >= 2) AS scored,
+       (base_n >= 2 AND abs(x - med) * 1000
+          > 3000 * GREATEST(COALESCE(mad, 0), 1)) AS alarm
+FROM sc2
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12060,6 +12139,7 @@ CATALOG: Dict[str, tuple] = {
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "margin_bitext": (q_margin_bitext, SQL_MARGIN_BITEXT),
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
+    "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
 }
 
 

@@ -489,3 +489,89 @@ def cusum_changepoints(
         s_lo.cast("long").alias("s_lo"),
         ((s_hi > h) | (s_lo > h)).alias("alarm"),
     )
+
+
+def seasonal_anomaly(
+    daily: DataFrame,
+    group_col: str = "grp",
+    day_col: str = "day",
+    x_col: str = "x",
+    period: int = 7,
+    lookback: int = 4,
+    mult_pm: int = 3000,
+    min_n: int = 2,
+) -> DataFrame:
+    """Seasonal-naive robust anomaly detection over per-(group, day)
+    metrics — the crawl-volume alarm CUSUM deliberately is not: CUSUM
+    (cusum_changepoints) catches slow persistent LEVEL drifts; this
+    catches single-day spikes/outages against the metric's own WEEKLY
+    rhythm (weekend dips, Monday surges), which a flat per-day bound
+    either false-alarms on or misses.
+
+    Per observation x(g, d): the baseline set is the trailing `lookback`
+    SAME-PHASE observations (same day-of-period: phase = d mod period —
+    pure integer arithmetic, no calendar), baseline = their LOWER MEDIAN
+    (rank ⌈n/2⌉ — an actual observed integer, never an averaged
+    midpoint, so both engines agree exactly), spread = lower-median of
+    absolute deviations from that baseline (MAD, the robust σ: one
+    historical outlier in the window cannot poison the estimate the way
+    it poisons a mean/stddev). Alarm iff
+        |x − med| · 1000  >  mult_pm · max(MAD, 1)
+    — all integers; the MAD floor of 1 keeps perfectly-flat histories
+    (MAD 0) from alarming on ±1 noise. Rows with fewer than `min_n`
+    trailing same-phase observations emit scored=false (cold start is
+    data, not an alarm).
+
+    Scale shape: ONE window over (group, phase) ordered by day with a
+    ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING frame — the
+    collected baseline array is ≤ lookback elements (bounded by
+    construction, never a per-group history explode); median/MAD are
+    array expressions inside the projection. One shuffle on
+    (group, phase). Missing days simply contribute nothing (observed-
+    days-only, the sliding-HLL convention); a zero-filled calendar is a
+    caller-side choice.
+
+    Emits (grp, day, x, base_n, med, mad, dev, scored, alarm).
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).cast("long").alias("day"),
+        F.col(x_col).cast("long").alias("x"),
+        (F.col(day_col).cast("long") % period).alias("_phase"),
+    )
+    w = (
+        Window.partitionBy("grp", "_phase")
+        .orderBy("day")
+        .rowsBetween(-int(lookback), -1)
+    )
+    arr = d.withColumn("_base", F.sort_array(F.collect_list("x").over(w)))
+    scored = arr.select(
+        "grp", "day", "x",
+        F.size("_base").alias("base_n"),
+        F.expr(
+            "CASE WHEN size(_base) > 0 THEN element_at(_base, "
+            "CAST((size(_base) + 1) div 2 AS INT)) END"
+        ).alias("med"),
+        "_base",
+    ).select(
+        "grp", "day", "x", "base_n", "med",
+        F.expr(
+            "CASE WHEN size(_base) > 0 THEN "
+            "element_at(sort_array(transform(_base, v -> abs(v - med))), "
+            "CAST((size(_base) + 1) div 2 AS INT)) END"
+        ).alias("mad"),
+    )
+    return scored.select(
+        "grp", "day", "x", "base_n",
+        F.coalesce("med", F.lit(0)).alias("med"),
+        F.coalesce("mad", F.lit(0)).alias("mad"),
+        F.coalesce(F.abs(F.col("x") - F.col("med")), F.lit(0)).alias("dev"),
+        (F.col("base_n") >= int(min_n)).alias("scored"),
+        (
+            (F.col("base_n") >= int(min_n))
+            & (
+                F.abs(F.col("x") - F.col("med")) * 1000
+                > int(mult_pm) * F.greatest(F.col("mad"), F.lit(1))
+            )
+        ).alias("alarm"),
+    )

@@ -569,3 +569,65 @@ class TestCusumChangepoints:
         got = self._run(spark, rows, k_slack=0, h_thresh=50)
         assert not any(r["alarm"] for (g, _), r in got.items() if g == "a")
         assert any(r["alarm"] for (g, _), r in got.items() if g == "b")
+
+
+class TestSeasonalAnomaly:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.snapshots import seasonal_anomaly
+
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {(r["grp"], r["day"]): r
+                for r in seasonal_anomaly(df, **kw).collect()}
+
+    def test_weekly_rhythm_never_alarms(self, spark):
+        # weekend dip: phase 5/6 run at 5, weekdays at 50 — a flat
+        # per-day bound would alarm every weekend; same-phase baselines
+        # never do.
+        rows = [("g", d, 5 if d % 7 in (5, 6) else 50) for d in range(35)]
+        got = self._run(spark, rows)
+        assert not any(r["alarm"] for r in got.values())
+        # day 32 is phase 4 (weekday baseline), day 34 is phase 6 (weekend)
+        assert got[("g", 32)]["med"] == 50 and got[("g", 32)]["mad"] == 0
+        assert got[("g", 34)]["med"] == 5
+
+    def test_surge_day_alarms_with_recorded_state(self, spark):
+        rows = [("g", d, 20) for d in (0, 7, 14, 21)] + [("g", 28, 500)]
+        got = self._run(spark, rows)
+        r = got[("g", 28)]
+        assert r["alarm"] and r["scored"]
+        assert (r["med"], r["mad"], r["dev"], r["base_n"]) == (20, 0, 480, 4)
+
+    def test_cold_start_is_not_an_alarm(self, spark):
+        rows = [("g", 0, 10), ("g", 7, 9999)]
+        got = self._run(spark, rows)
+        assert not got[("g", 0)]["scored"] and not got[("g", 0)]["alarm"]
+        # second row has only ONE trailing observation: below min_n
+        assert not got[("g", 7)]["scored"] and not got[("g", 7)]["alarm"]
+
+    def test_mad_floor_boundary(self, spark):
+        # flat history (MAD 0 -> floored to 1): dev 3 gives 3000 which
+        # is NOT > 3000; dev 4 alarms.
+        base = [("g", d, 20) for d in (0, 7, 14, 21)]
+        got3 = self._run(spark, base + [("g", 28, 23)])
+        got4 = self._run(spark, base + [("g", 28, 24)])
+        assert not got3[("g", 28)]["alarm"]
+        assert got4[("g", 28)]["alarm"]
+
+    def test_median_robust_to_history_outlier(self, spark):
+        # one poisoned day in the window must not drag the baseline:
+        # lower median of [10,10,10,500] is 10, so a normal day stays
+        # quiet (a mean-based baseline would alarm).
+        rows = [("g", 0, 10), ("g", 7, 10), ("g", 14, 10),
+                ("g", 21, 500), ("g", 28, 10)]
+        got = self._run(spark, rows)
+        r = got[("g", 28)]
+        assert r["med"] == 10 and not r["alarm"]
+
+    def test_phase_isolation(self, spark):
+        # a surge on phase 3 must not enter phase 0 baselines
+        rows = [("g", d, 20) for d in (0, 7, 14, 21, 28)] + \
+               [("g", d, 900) for d in (3, 10, 17, 24, 31)]
+        got = self._run(spark, rows)
+        assert got[("g", 28)]["med"] == 20
+        assert got[("g", 31)]["med"] == 900
+        assert not any(r["alarm"] for r in got.values())
