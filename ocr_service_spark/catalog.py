@@ -11812,6 +11812,63 @@ FROM sc2
 """
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable HDR-histogram quantiles (operators/stats.py
+    histogram_quantiles): floor-quantized lineitem prices per
+    returnflag at p50/p90/p99/p100. The real bucket/cumulate/target
+    pipeline runs; the oracle replays every bucket id (binary-string
+    bitlen), the cumulative window, each ceil-target and the
+    lower-bound reconstruction."""
+    from .operators.stats import histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").alias("x"),
+    )
+    return histogram_quantiles(li, "g", "x")
+
+
+SQL_HISTOGRAM_QUANTILES = """
+WITH src AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+  FROM lineitem
+),
+b AS (
+  SELECT grp,
+    CASE WHEN x <= 0 THEN CAST(0 AS BIGINT) ELSE
+      CAST(length(bin(x)) * 16 +
+        ((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1))) * 16) //
+         (CAST(1 AS BIGINT) << (length(bin(x)) - 1)) AS BIGINT)
+    END AS bucket
+  FROM src WHERE x >= 0
+),
+counts AS (SELECT grp, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bucket,
+    SUM(c) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+    SUM(c) OVER (PARTITION BY grp) AS n
+  FROM counts
+),
+hit AS (
+  SELECT grp, q_pm, bucket, cum, n
+  FROM cum CROSS JOIN (SELECT unnest([500, 900, 990, 1000]) AS q_pm)
+  WHERE cum >= (n * q_pm + 999) // 1000
+),
+best AS (
+  SELECT grp, q_pm, MAX(n) AS n, MIN(bucket) AS bucket
+  FROM hit GROUP BY 1, 2
+)
+SELECT grp, q_pm, CAST(n AS BIGINT) AS n, bucket,
+  CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+  ELSE CAST((CAST(1 AS BIGINT) << CAST(bucket // 16 - 1 AS INTEGER)) +
+            ((bucket % 16) *
+             (CAST(1 AS BIGINT) << CAST(bucket // 16 - 1 AS INTEGER)))
+            // 16 AS BIGINT) END AS est_lo
+FROM best
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12140,6 +12197,7 @@ CATALOG: Dict[str, tuple] = {
     "margin_bitext": (q_margin_bitext, SQL_MARGIN_BITEXT),
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
     "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
+    "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
 }
 
 

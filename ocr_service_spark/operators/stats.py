@@ -229,3 +229,91 @@ def analyze_table(df: DataFrame, cols) -> DataFrame:
             F.coalesce("err_pm", F.lit(0)).alias("err_pm"),
         )
     )
+
+
+def hdr_bucket_expr(x: str, sub: int = 16) -> str:
+    """Spark SQL text mapping a non-negative BIGINT `x` to its HDR
+    log-linear bucket: 0 for x=0, else (e+1)·sub + ((x − 2^e)·sub div
+    2^e) with e = bitlen(x) − 1 — integer end-to-end (bitlen from
+    binary-string length, never float log2)."""
+    e = f"(length(conv({x}, 10, 2)) - 1)"
+    return (
+        f"CASE WHEN {x} <= 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(({e} + 1) * {sub} + "
+        f"(({x} - shiftleft(CAST(1 AS BIGINT), {e})) * {sub}) div "
+        f"shiftleft(CAST(1 AS BIGINT), {e}) AS BIGINT) END"
+    )
+
+
+def hdr_lower_expr(bucket: str, sub: int = 16) -> str:
+    """Spark SQL text reconstructing a bucket's lower bound: 0 for
+    bucket 0, else 2^e + (s·2^e) div sub with e = bucket div sub − 1,
+    s = bucket mod sub."""
+    e = f"({bucket} div {sub} - 1)"
+    s = f"({bucket} % {sub})"
+    p = f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    return (
+        f"CASE WHEN {bucket} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({p} + ({s} * {p}) div {sub} AS BIGINT) END"
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    qs_pm: Sequence[int] = (500, 900, 990, 1000),
+    sub: int = 16,
+) -> DataFrame:
+    """Mergeable approximate quantiles on an HDR log-linear histogram —
+    the 100 TB path beside the exact rank-selection group_quantiles:
+    exact quantiles shuffle EVERY row on the group key (a full sort of
+    the corpus); this summarizes each group into at most 64·sub integer
+    buckets (one map-side-combined aggregate), after which any quantile
+    is a dimension-table lookup. The histogram merges by bucket-count
+    ADDITION across partitions/days/corpora — the same union law as the
+    HLL/KMV sketches — so daily summaries roll up without rescans.
+
+    Bucketing (HdrHistogram / DDSketch-style, integer-exact): x = 0 →
+    bucket 0; x ≥ 1 → e = bitlen(x)−1 (binary-string length, no float
+    log), sub-bucket = (x − 2^e)·sub div 2^e. Bucket width is 2^e/sub,
+    so every estimate carries a ≤ 1/sub (6.25% at sub=16) RELATIVE
+    error bound by construction — the quantile estimate is its bucket's
+    LOWER bound, hence est ≤ true < est·(1 + 1/sub) + 1. Negative x is
+    out of domain and filtered.
+
+    Per (group, q_pm): target rank = ceil(n·q/1000) (integer formula),
+    answer = the smallest bucket whose cumulative count reaches it.
+    Cumulation is a window over the bucket-count table — bounded at
+    64·sub rows per group, a dimension table, never the corpus.
+
+    Emits (grp, q_pm, n, bucket, est_lo).
+    """
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("x"),
+    ).where(F.col("x") >= 0).select(
+        "grp", F.expr(hdr_bucket_expr("x", sub)).alias("bucket")
+    )
+    counts = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in qs_pm])
+    ).alias("q_pm")
+    hit = cum.select("grp", "bucket", "cum", "n", qs).where(
+        F.col("cum") >= F.expr("CAST((n * q_pm + 999) div 1000 AS BIGINT)")
+    )
+    best = hit.groupBy("grp", "q_pm").agg(
+        F.max("n").alias("n"), F.min("bucket").alias("bucket")
+    )
+    return best.select(
+        "grp", "q_pm", "n", "bucket",
+        F.expr(hdr_lower_expr("bucket", sub)).alias("est_lo"),
+    )

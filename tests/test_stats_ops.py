@@ -371,3 +371,61 @@ class TestSlidingHllDistinct:
         rows = [("a", 0, "x"), ("a", 5, "y")]  # gap days 1-4 absent
         got = self._sliding(spark, rows, window=3)
         assert set(got) == {("a", 0), ("a", 5)}
+
+
+class TestHistogramQuantiles:
+    def _run(self, spark, vals, **kw):
+        from ocr_service_spark.operators.stats import histogram_quantiles
+
+        df = spark.createDataFrame([("g", v) for v in vals],
+                                   "grp string, x long")
+        return {r["q_pm"]: r
+                for r in histogram_quantiles(df, "grp", "x", **kw).collect()}
+
+    def test_small_values_are_exact(self, spark):
+        # for x < 32 at sub=16 the bucket width is <= 1: estimates are
+        # the exact order statistics
+        vals = list(range(1, 21))  # 1..20
+        got = self._run(spark, vals, qs_pm=(500, 1000))
+        assert got[500]["est_lo"] == 10   # ceil(20*0.5)=10th value
+        assert got[1000]["est_lo"] == 20  # max
+        assert got[1000]["n"] == 20
+
+    def test_zero_bucket(self, spark):
+        got = self._run(spark, [0, 0, 0, 5], qs_pm=(500, 1000))
+        assert got[500]["est_lo"] == 0 and got[500]["bucket"] == 0
+        assert got[1000]["est_lo"] == 5
+
+    def test_relative_error_bound_on_large_values(self, spark):
+        import math
+        vals = [(i * 7919) % 100000 + 1 for i in range(500)]
+        got = self._run(spark, vals, qs_pm=(500, 900, 990))
+        s = sorted(vals)
+        for q in (500, 900, 990):
+            exact = s[math.ceil(len(s) * q / 1000) - 1]
+            est = got[q]["est_lo"]
+            assert est <= exact, (q, est, exact)
+            assert exact < est + est // 16 + est % 16 + 1, (q, est, exact)
+
+    def test_bucket_counts_merge_additively(self, spark):
+        # the documented union law: bucket counts of A∪B are the sum of
+        # the halves' bucket counts (what makes daily rollups rescan-free)
+        from pyspark.sql import functions as F
+        from ocr_service_spark.operators.stats import hdr_bucket_expr
+
+        a = [3, 17, 900, 4096, 4097]
+        bvals = [3, 900, 65535]
+
+        def counts(vals):
+            df = spark.createDataFrame([(v,) for v in vals], "x long")
+            rows = df.select(F.expr(hdr_bucket_expr("x")).alias("b")) \
+                     .groupBy("b").count().collect()
+            return {r["b"]: r["count"] for r in rows}
+
+        ca, cb, cu = counts(a), counts(bvals), counts(a + bvals)
+        keys = set(ca) | set(cb)
+        assert cu == {k: ca.get(k, 0) + cb.get(k, 0) for k in keys}
+
+    def test_negative_values_filtered(self, spark):
+        got = self._run(spark, [-5, -1, 10], qs_pm=(1000,))
+        assert got[1000]["n"] == 1 and got[1000]["est_lo"] == 10
