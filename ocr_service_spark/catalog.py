@@ -11869,6 +11869,41 @@ FROM best
 """
 
 
+def q_boruvka_mst(spark, sf_dir):
+    """Distributed Borůvka spanning forest (operators/graph.py
+    boruvka_mst): planted 40-ring with ascending distinct weights plus
+    heavy chords (i, i+7 mod 40). By the cycle property the MST is
+    exactly the ring minus its heaviest edge and no chord ever enters —
+    so the oracle is the planting rule itself, while the REAL
+    multi-round pick/merge/CC machinery produces the rows (a wrong pick
+    or a bad merge emits a chord or drops a ring edge and breaks the
+    hash). Exercises ≥3 halving rounds at both gate SFs."""
+    from .operators.graph import boruvka_mst
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 40).alias("dst"),
+        (F.lit(10) + F.col("i")).alias("w"),
+    )
+    chords = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % 40).alias("dst"),
+        (F.lit(1000) + F.col("i")).alias("w"),
+    )
+    return boruvka_mst(ring.unionByName(chords))
+
+
+SQL_BORUVKA_MST = """
+WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents)
+SELECT i AS u, i + 1 AS v, CAST(10 + i AS BIGINT) AS w,
+       TRUE AS converged
+FROM ids WHERE i < 39
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12198,6 +12233,7 @@ CATALOG: Dict[str, tuple] = {
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
     "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
+    "boruvka_mst": (q_boruvka_mst, SQL_BORUVKA_MST),
 }
 
 

@@ -832,3 +832,110 @@ def harmonic_centrality_approx(
         ).alias("scale_q"),
         F.lit(bool(converged)).alias("converged"),
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w_col: str = "w",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka (1926; the
+    parallel MST algorithm — Kruskal needs a global sorted sweep, Prim
+    a sequential frontier, Borůvka is embarrassingly parallel per
+    round): every component picks its minimum outgoing edge, all picks
+    join the forest at once, components merge, repeat. Component count
+    at least halves per round → ≤ log₂(n) rounds. The crawl-pipeline
+    use is single-linkage clustering at corpus scale: an MST over
+    near-dup/embedding-similarity edges contains every single-linkage
+    dendrogram (cut it at a threshold to get the clusters) — one MST
+    run replaces a clustering per threshold.
+
+    Determinism: edges canonicalize to (u=min, v=max), parallel edges
+    keep the minimum weight, self-loops drop; each component's pick
+    orders by (w, u, v) — the unique lexicographic-perturbation MST,
+    identical across engines even with weight ties.
+
+    Scale shape per round: ONE join of the (localCheckpointed) edge set
+    onto current labels, per-component argmin via a WindowGroupLimit
+    rank-1 window over components (bounded: one row per component
+    survives), then the component-graph merge delegates to the
+    oracle-checked pointer-doubling connected_components — the merge
+    graph has one edge per component, a DIMENSION table, so the inner
+    CC runs on component counts, never corpus rows. Fixed `max_rounds`
+    budget with `converged` as data on every row (the k-core/bow-tie
+    convention); at 10^12 edges the specialized star-contraction merge
+    replaces the generic CC without changing this contract.
+
+    Emits one row per forest edge: (u, v, w, converged). Disconnected
+    inputs yield the spanning forest (no cross-component edges exist to
+    pick, each tree finishes independently).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+            F.col(w_col).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select("v")).distinct()
+    comp = nodes.select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    mst = spark.createDataFrame([], "u long, v long, w long")
+    converged = False
+    for _ in range(int(max_rounds)):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        ec = (
+            e.join(cu, "u").join(cv, "v")
+            .where(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if ec.isEmpty():
+            converged = True
+            break
+        cand = ec.select(F.col("cu").alias("owner"), "u", "v", "w").union(
+            ec.select(F.col("cv").alias("owner"), "u", "v", "w")
+        )
+        win = Window.partitionBy("owner").orderBy("w", "u", "v")
+        sel = (
+            cand.withColumn("_r", F.row_number().over(win))
+            .where(F.col("_r") == 1)
+            .select("u", "v", "w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = mst.unionByName(sel).localCheckpoint(eager=True)
+        # merge: CC over the picked component-graph (dimension-sized)
+        cgraph = (
+            ec.join(sel, ["u", "v", "w"]).select("cu", "cv").distinct()
+        )
+        # NOTE: connected_components emits (id, component); alias BEFORE
+        # reuse — selecting F.col("comp") next to .alias("comp") would
+        # resolve LATERALLY to the new alias (a silent identity map)
+        ccmap = connected_components(cgraph, "cu", "cv").select(
+            F.col("id").alias("_old"), F.col("component").alias("_new")
+        )
+        comp = (
+            comp.join(ccmap, comp["comp"] == ccmap["_old"], "left")
+            .select(
+                "node", F.coalesce("_new", F.col("comp")).alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return mst.select(
+        "u", "v", "w", F.lit(bool(converged)).alias("converged")
+    )

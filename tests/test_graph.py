@@ -464,3 +464,73 @@ class TestHarmonicCentrality:
         got = self._hc(spark, edges, n_pivots=10)
         assert got[0]["n_reached"] == 1  # only its own component's peer
         assert got[0]["converged"]
+
+
+class TestBoruvkaMst:
+    def _mst(self, spark, edges, **kw):
+        from ocr_service_spark.operators.graph import boruvka_mst
+
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        return boruvka_mst(df, **kw).collect()
+
+    @staticmethod
+    def _kruskal(edges):
+        """Reference MST under the same (w, u, v) lexicographic order."""
+        canon = {}
+        for a, b, w in edges:
+            if a == b:
+                continue
+            u, v = min(a, b), max(a, b)
+            if (u, v) not in canon or w < canon[(u, v)]:
+                canon[(u, v)] = w
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    def test_differential_vs_kruskal(self, spark):
+        m = 30
+        edges = [(i, (i + 1) % m, 10 + (i * 13) % 50) for i in range(m)]
+        edges += [(i, (i * 7 + 3) % m, 5 + (i * 29) % 90) for i in range(m)]
+        rows = self._mst(spark, edges)
+        got = sorted((r["u"], r["v"], r["w"]) for r in rows)
+        assert got == self._kruskal(edges)
+        assert all(r["converged"] for r in rows)
+
+    def test_forest_on_disconnected_graph(self, spark):
+        edges = [(0, 1, 5), (1, 2, 3), (10, 11, 7)]
+        got = sorted((r["u"], r["v"], r["w"]) for r in self._mst(spark, edges))
+        assert got == [(0, 1, 5), (1, 2, 3), (10, 11, 7)]
+
+    def test_parallel_edges_keep_min_and_self_loops_drop(self, spark):
+        edges = [(0, 1, 9), (1, 0, 4), (0, 0, 1), (1, 2, 6)]
+        got = sorted((r["u"], r["v"], r["w"]) for r in self._mst(spark, edges))
+        assert got == [(0, 1, 4), (1, 2, 6)]
+
+    def test_weight_tie_determinism(self, spark):
+        # all weights equal: the (w, u, v) order picks the lexicographic
+        # spanning tree of K4 — the star at node 0
+        edges = [(a, b, 7) for a in range(4) for b in range(a + 1, 4)]
+        got = sorted((r["u"], r["v"], r["w"]) for r in self._mst(spark, edges))
+        assert got == [(0, 1, 7), (0, 2, 7), (0, 3, 7)]
+
+    def test_round_budget_reported(self, spark):
+        # a 9-path needs several halving rounds; budget 1 must emit
+        # converged=false with a partial forest
+        edges = [(i, i + 1, 10 + i) for i in range(9)]
+        rows = self._mst(spark, edges, max_rounds=1)
+        assert rows and all(not r["converged"] for r in rows)
+        full = self._mst(spark, edges)
+        assert len(full) == 9 and all(r["converged"] for r in full)
