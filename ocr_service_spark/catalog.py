@@ -11904,6 +11904,62 @@ FROM ids WHERE i < 39
 """
 
 
+def q_touch_attribution(spark, sf_dir):
+    """Multi-model touch attribution (operators/asof.py
+    touch_attribution): purchase conversions credited to prior-touch
+    channels under first/last/linear simultaneously, 30-day window,
+    no-touch conversions to 'direct'. The oracle replays the range-
+    bounded left join, both windows, the cent quantization, the
+    remainder-to-last linear split and the per-model rollup — the
+    conservation invariant (Σ attributed ≡ Σ conversion cents per
+    model) is pinned by the unit tests."""
+    from .operators.asof import touch_attribution
+
+    return touch_attribution(load(spark, sf_dir, "events"))
+
+
+SQL_TOUCH_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS tu, ts AS tts, event_id AS tid,
+         event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT c.u, c.cid, c.vq, t.tts, t.tid, t.channel
+  FROM conv c LEFT JOIN touch t
+    ON c.u = t.tu AND t.tts < c.cts
+   AND t.tts >= c.cts - INTERVAL 30 DAY
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY u, cid ORDER BY tts, tid) AS rk,
+    COUNT(tid) OVER (PARTITION BY u, cid) AS n
+  FROM pairs
+),
+credits AS (
+  SELECT 'first' AS model, COALESCE(channel, 'direct') AS channel,
+         vq AS attr_q
+  FROM ranked WHERE n = 0 OR rk = 1
+  UNION ALL
+  SELECT 'last', COALESCE(channel, 'direct'), vq
+  FROM ranked WHERE n = 0 OR rk = n
+  UNION ALL
+  SELECT 'linear', 'direct', vq FROM ranked WHERE n = 0
+  UNION ALL
+  SELECT 'linear', channel,
+         vq // n + CASE WHEN rk = n THEN vq % n ELSE 0 END
+  FROM ranked WHERE n > 0
+)
+SELECT model, channel, CAST(SUM(attr_q) AS BIGINT) AS attr_q
+FROM credits GROUP BY 1, 2
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12234,6 +12290,7 @@ CATALOG: Dict[str, tuple] = {
     "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
     "boruvka_mst": (q_boruvka_mst, SQL_BORUVKA_MST),
+    "touch_attribution": (q_touch_attribution, SQL_TOUCH_ATTRIBUTION),
 }
 
 

@@ -339,3 +339,109 @@ def transition_matrix(
         "row_total",
         F.expr("CAST(n * 1000 div row_total AS BIGINT)").alias("p_pm"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_col: str = "event_type",
+    value_col: str = "value",
+    conv_type: str = "purchase",
+    window: str = "30 DAY",
+) -> DataFrame:
+    """Multi-model touch attribution (the marketing/event-analytics
+    staple): each conversion's value is credited back to the user's
+    touch channels under FIRST-touch, LAST-touch and LINEAR models
+    simultaneously — the three standard baselines every attribution
+    system reports side by side. Conversions with no in-window touch
+    credit the reserved 'direct' channel (industry convention).
+
+    Semantics: a touch is any non-conversion event of the same user
+    STRICTLY before the conversion and within `window` of it
+    (TIMESTAMP + INTERVAL arithmetic, microsecond-exact on both
+    engines; `window` must be a literal '<n> SECOND|MINUTE|HOUR|DAY').
+    Touch order is (ts, event_id) — total and engine-stable. Values
+    quantize to integer cents (floor(v·100+0.5)) BEFORE any split;
+    linear gives each touch vq div n with the remainder to the LAST
+    touch, so every model conserves the conversion total exactly:
+    Σ attributed ≡ Σ conversion cents, model by model (the invariant
+    the tests and the oracle both pin).
+
+    Shape: ONE range-bounded equi-join on the user key (conversions ⋈
+    touches — both sides shuffle once on user; the window predicate
+    prunes inside the join), one rank/count window per conversion
+    (bounded by the user's in-window touch count), one final hash
+    aggregate. No per-user event-list materialization.
+
+    Emits (model, channel, attr_q) — total attributed cents per model
+    per channel.
+    """
+    import re as _re
+
+    if not _re.fullmatch(r"\d+ (SECOND|MINUTE|HOUR|DAY)", str(window)):
+        raise ValueError(
+            f"window must be '<n> SECOND|MINUTE|HOUR|DAY': {window}")
+    conv = events.where(F.col(channel_col) == conv_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(id_col).alias("cid"),
+        F.expr(f"CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)")
+        .alias("vq"),
+    )
+    touch = events.where(F.col(channel_col) != conv_type).select(
+        F.col(user_col).alias("tu"),
+        F.col(ts_col).alias("tts"),
+        F.col(id_col).alias("tid"),
+        F.col(channel_col).alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("u") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.expr(f"cts - INTERVAL {window}")),
+        "left",
+    )
+    w = Window.partitionBy("u", "cid").orderBy("tts", "tid")
+    wn = Window.partitionBy("u", "cid")
+    ranked = pairs.withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn("n", F.count("tid").over(wn))
+    # all three models in ONE pass: each ranked row explodes into its
+    # (model, channel, credit) structs — a branch-union formulation
+    # re-executes the join+windows per model (measured 18 exchanges vs
+    # 6 here)
+    ch = F.coalesce("channel", F.lit("direct"))
+    s_first = F.when(
+        (F.col("n") == 0) | (F.col("rk") == 1),
+        F.struct(F.lit("first").alias("model"), ch.alias("channel"),
+                 F.col("vq").alias("attr_q")),
+    )
+    s_last = F.when(
+        (F.col("n") == 0) | (F.col("rk") == F.col("n")),
+        F.struct(F.lit("last").alias("model"), ch.alias("channel"),
+                 F.col("vq").alias("attr_q")),
+    )
+    lin_q = F.when(F.col("n") == 0, F.col("vq")).otherwise(
+        F.expr("CAST(vq div n AS BIGINT)")
+        + F.when(F.col("rk") == F.col("n"), F.expr("vq % n"))
+        .otherwise(F.lit(0))
+    )
+    s_linear = F.struct(
+        F.lit("linear").alias("model"), ch.alias("channel"),
+        lin_q.alias("attr_q"),
+    )
+    credits = ranked.select(
+        F.explode(
+            F.filter(
+                F.array(s_first, s_last, s_linear),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("c")
+    )
+    return (
+        credits.select("c.model", "c.channel", "c.attr_q")
+        .groupBy("model", "channel")
+        .agg(F.sum("attr_q").alias("attr_q"))
+    )

@@ -270,3 +270,88 @@ class TestTransitionMatrix:
         got = self._tm(spark, rows)
         assert ("x", "y") in got and ("y", "z") in got
         assert ("y", "x") not in got
+
+
+class TestTouchAttribution:
+    BASE = "2024-01-10 12:00:00"
+
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.asof import touch_attribution
+
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double",
+        )
+        return {(r["model"], r["channel"]): r["attr_q"]
+                for r in touch_attribution(df, **kw).collect()}
+
+    @staticmethod
+    def _ts(s):
+        import datetime as dt
+        return dt.datetime.fromisoformat(s)
+
+    def test_first_last_linear_split(self, spark):
+        t = self._ts
+        rows = [
+            (1, t("2024-01-01 10:00:00"), 1, "click", 0.0),
+            (1, t("2024-01-02 10:00:00"), 2, "view", 0.0),
+            (1, t("2024-01-03 10:00:00"), 3, "signup", 0.0),
+            (1, t("2024-01-04 10:00:00"), 4, "purchase", 1.00),  # 100c
+        ]
+        got = self._run(spark, rows)
+        assert got[("first", "click")] == 100
+        assert got[("last", "signup")] == 100
+        # linear: 100 div 3 = 33 each, remainder 1 to the LAST touch
+        assert got[("linear", "click")] == 33
+        assert got[("linear", "view")] == 33
+        assert got[("linear", "signup")] == 34
+
+    def test_no_touch_goes_direct_in_all_models(self, spark):
+        t = self._ts
+        rows = [(1, t("2024-01-04 10:00:00"), 1, "purchase", 2.50)]
+        got = self._run(spark, rows)
+        for m in ("first", "last", "linear"):
+            assert got[(m, "direct")] == 250
+
+    def test_window_excludes_stale_touches(self, spark):
+        t = self._ts
+        rows = [
+            (1, t("2023-11-01 10:00:00"), 1, "click", 0.0),  # > 30d before
+            (1, t("2024-01-04 10:00:00"), 2, "purchase", 1.00),
+        ]
+        got = self._run(spark, rows)
+        assert got[("first", "direct")] == 100
+        assert ("first", "click") not in got
+
+    def test_same_instant_touch_excluded(self, spark):
+        t = self._ts
+        rows = [
+            (1, t("2024-01-04 10:00:00"), 1, "click", 0.0),
+            (1, t("2024-01-04 10:00:00"), 2, "purchase", 1.00),
+        ]
+        got = self._run(spark, rows)
+        assert got[("last", "direct")] == 100
+
+    def test_conservation_across_users_and_models(self, spark):
+        t = self._ts
+        rows = []
+        eid = 0
+        for u in range(6):
+            for k in range(u % 4):
+                eid += 1
+                rows.append((u, t(f"2024-01-0{k + 1} 09:00:00"), eid,
+                             ["click", "view", "signup"][k % 3], 0.0))
+            eid += 1
+            rows.append((u, t("2024-01-09 09:00:00"), eid,
+                         "purchase", 1.37 + u))
+        got = self._run(spark, rows)
+        total = sum(int((1.37 + u) * 100 + 0.5) for u in range(6))
+        for m in ("first", "last", "linear"):
+            s = sum(v for (mm, _), v in got.items() if mm == m)
+            assert s == total, (m, s, total)
+
+    def test_window_literal_validated(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            self._run(spark, [], window="30 DAY; DROP TABLE x")
