@@ -11960,6 +11960,59 @@ FROM credits GROUP BY 1, 2
 """
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py degree_assortativity):
+    planted ring (all degree 2) ∪ 40-leaf star (hub-and-spoke) — the
+    star injects the disassortative structure so r < 0, the ring adds
+    degree mass without correlation. The oracle replays symmetrization,
+    degrees, all three sums and the sign-safe ppm division."""
+    from .operators.graph import degree_assortativity
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 40).alias("dst"))
+    star = ids.select(
+        F.lit(100).alias("src"), (F.lit(200) + F.col("i")).alias("dst"))
+    return degree_assortativity(ring.unionByName(star))
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+e0 AS (
+  SELECT LEAST(i, (i + 1) % 40) AS u, GREATEST(i, (i + 1) % 40) AS v
+  FROM ids
+  UNION ALL
+  SELECT LEAST(100, 200 + i), GREATEST(100, 200 + i) FROM ids
+),
+e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v),
+sym2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM sym2 GROUP BY u),
+pairs AS (
+  SELECT dj.d AS j, dk.d AS k
+  FROM sym2 b JOIN deg dj ON b.u = dj.u JOIN deg dk ON b.v = dk.u
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(j) AS BIGINT) AS s_j,
+         CAST(SUM(j * j) AS BIGINT) AS s_jj,
+         CAST(SUM(j * k) AS BIGINT) AS s_jk
+  FROM pairs
+)
+SELECT m2, s_j, s_jj, s_jk,
+  m2 * s_jk - s_j * s_j AS num,
+  m2 * s_jj - s_j * s_j AS den,
+  CASE WHEN m2 * s_jj - s_j * s_j = 0 THEN NULL
+       ELSE CAST((CASE WHEN m2 * s_jk - s_j * s_j < 0 THEN -1 ELSE 1 END)
+            * (abs(m2 * s_jk - s_j * s_j) * 1000000
+               // (m2 * s_jj - s_j * s_j)) AS BIGINT) END AS r_ppm
+FROM agg
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12291,6 +12344,7 @@ CATALOG: Dict[str, tuple] = {
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
     "boruvka_mst": (q_boruvka_mst, SQL_BORUVKA_MST),
     "touch_attribution": (q_touch_attribution, SQL_TOUCH_ATTRIBUTION),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
 }
 
 

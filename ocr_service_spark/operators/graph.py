@@ -939,3 +939,68 @@ def boruvka_mst(
     return mst.select(
         "u", "v", "w", F.lit(bool(converged)).alias("converged")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman PRL 2002): the Pearson
+    correlation of endpoint degrees over edges — the one-number summary
+    of whether hubs link to hubs (social graphs, r>0) or to leaves
+    (the web's hub-and-spoke crawl graphs, r<0). Curation reads it as a
+    structure fingerprint: a scraped 'organic' link graph with strongly
+    positive r is usually a link farm (mutually-linking hub rings).
+
+    Over the symmetrized ordered-pair list (each undirected edge both
+    ways, so Σj = Σk by construction):
+        r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    — numerator and denominator are EXACT integers (degrees are
+    counts). r is emitted in signed ppm as sign(num)·(|num|·10⁶ div
+    den): keeping the div operands non-negative sidesteps the
+    truncate-vs-floor negative-division divergence between engines.
+    den = 0 (all degrees equal, correlation undefined) emits NULL
+    r_ppm — data, not an error. Self-loops drop, parallel edges count
+    once. At 10^12 edges the three sums need DECIMAL(38,0) widening
+    (the dsum convention); the integer-long form here is exact through
+    ~10^9·maxdeg².
+
+    Shape: one distinct, one degree aggregate (map-side partials), two
+    broadcast-sized joins of edges onto degrees, one global aggregate →
+    a single row (m2, s_j, s_jj, s_jk, num, den, r_ppm).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        both.join(deg.select(F.col("u"), F.col("d").alias("j")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("k")), "v"
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("j").alias("s_j"),
+        F.sum(F.col("j") * F.col("j")).alias("s_jj"),
+        F.sum(F.col("j") * F.col("k")).alias("s_jk"),
+    )
+    return agg.select(
+        "m2", "s_j", "s_jj", "s_jk",
+        F.expr("m2 * s_jk - s_j * s_j").alias("num"),
+        F.expr("m2 * s_jj - s_j * s_j").alias("den"),
+    ).select(
+        "m2", "s_j", "s_jj", "s_jk", "num", "den",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL ELSE "
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END "
+            "* (abs(num) * 1000000 div den) AS BIGINT) END"
+        ).alias("r_ppm"),
+    )

@@ -534,3 +534,43 @@ class TestBoruvkaMst:
         assert rows and all(not r["converged"] for r in rows)
         full = self._mst(spark, edges)
         assert len(full) == 9 and all(r["converged"] for r in full)
+
+
+class TestDegreeAssortativity:
+    def _run(self, spark, edges):
+        from ocr_service_spark.operators.graph import degree_assortativity
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return degree_assortativity(df).collect()[0]
+
+    def test_star_is_perfectly_disassortative(self, spark):
+        r = self._run(spark, [(0, i) for i in range(1, 8)])
+        assert r["r_ppm"] == -1_000_000
+
+    def test_regular_graph_undefined(self, spark):
+        # ring: every degree 2 -> zero degree variance -> r undefined
+        r = self._run(spark, [(i, (i + 1) % 6) for i in range(6)])
+        assert r["den"] == 0 and r["r_ppm"] is None
+
+    def test_three_node_path_exact(self, spark):
+        # degrees 1,2,1: M=4, Σj=6, Σj²=10, Σjk=8 -> r = -1
+        r = self._run(spark, [(0, 1), (1, 2)])
+        assert (r["m2"], r["s_j"], r["s_jj"], r["s_jk"]) == (4, 6, 10, 8)
+        assert r["num"] == -4 and r["den"] == 4
+        assert r["r_ppm"] == -1_000_000
+
+    def test_self_loops_and_parallel_edges_ignored(self, spark):
+        base = self._run(spark, [(0, 1), (1, 2)])
+        noisy = self._run(
+            spark, [(0, 1), (1, 0), (1, 1), (1, 2), (2, 1)])
+        assert base == noisy
+
+    def test_assortative_sign(self, spark):
+        # two K3 cliques joined nowhere + one pendant edge: the pendant
+        # (deg1-deg1... actually deg1-deg3) drags r negative; pure
+        # cliques alone are regular. Use cliques + matching instead:
+        # K3 (degrees 2) plus separate edge (degrees 1): high-degree
+        # nodes pair with high, low with low -> r = +1.
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11)]
+        r = self._run(spark, edges)
+        assert r["r_ppm"] == 1_000_000
