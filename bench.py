@@ -79,6 +79,16 @@ def bench_extraction(spark, n_docs: int, seed: int = 42):
 
 # Headline catalog queries: relational core + windows + training-data ops.
 HEADLINE = [
+    # session-6 additions
+    "record_linkage",
+    "margin_bitext",
+    "mmr_select",
+    "seasonal_anomaly",
+    "histogram_quantiles",
+    "boruvka_mst",
+    "touch_attribution",
+    "degree_assortativity",
+    "contrastive_pairs",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -10861,7 +10861,7 @@ def q_prefix_filter_pairs(spark, sf_dir):
     return prefix_filter_pairs(docs, "doc_id", "text", t_num=7, t_den=10)
 
 
-SQL_PREFIX_FILTER = """
+_SQL_PPJOIN_CORE = """
 WITH docs AS (
   SELECT doc_id AS id, doc_id % 100 AS g, doc_id // 100 AS v FROM documents
 ),
@@ -10901,10 +10901,42 @@ ver AS (
            AS n_union
   FROM cands c JOIN d2 da ON c.id_a = da.id JOIN d2 db ON c.id_b = db.id
 )
+"""
+
+SQL_PREFIX_FILTER = _SQL_PPJOIN_CORE + """
 SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
        CAST(n_union AS INT) AS n_union,
        CAST(n_inter * 1000 // n_union AS BIGINT) AS jaccard_pm
 FROM ver WHERE n_inter * 10 >= 7 * n_union
+"""
+
+SQL_CONTRASTIVE_PAIRS = _SQL_PPJOIN_CORE + """,
+directed AS (
+  SELECT id_a AS anchor, id_b AS other, n_inter, n_union,
+         CAST(n_inter * 1000 // n_union AS BIGINT) AS jaccard_pm,
+         (n_inter * 10 >= 7 * n_union) AS is_pos
+  FROM ver
+  UNION ALL
+  SELECT id_b, id_a, n_inter, n_union,
+         CAST(n_inter * 1000 // n_union AS BIGINT),
+         (n_inter * 10 >= 7 * n_union)
+  FROM ver
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor, is_pos
+                               ORDER BY jaccard_pm DESC, other) AS rk
+  FROM directed
+),
+agg AS (
+  SELECT anchor,
+    MAX(CASE WHEN is_pos THEN other END) AS pos_id,
+    MAX(CASE WHEN is_pos THEN jaccard_pm END) AS pos_jpm,
+    MAX(CASE WHEN NOT is_pos THEN other END) AS neg_id,
+    MAX(CASE WHEN NOT is_pos THEN jaccard_pm END) AS neg_jpm
+  FROM best WHERE rk = 1 GROUP BY anchor
+)
+SELECT anchor, pos_id, pos_jpm, neg_id, neg_jpm FROM agg
+WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
 """
 
 
@@ -12013,6 +12045,29 @@ FROM agg
 """
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive triplet mining (operators/dedup.py contrastive_pairs)
+    over the SAME planted PPJoin corpus as prefix_filter_pairs: same-
+    group single-edit variants are passing positives (9/11), different-
+    position double-edits are failing-but-candidate hard negatives
+    (8/12). The oracle replays the whole PPJoin core (shared SQL text)
+    plus the directed window and the pivot."""
+    from .operators.dedup import contrastive_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % 100
+    v = F.expr("doc_id div 100")
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.when(
+            (v > 0) & (j == (v % 10)),
+            F.format_string("x%d_%d", g, v),
+        ).otherwise(F.format_string("w%d_%d", g, j)),
+    )
+    docs = d.select("doc_id", F.array_join(tokens, " ").alias("text"))
+    return contrastive_pairs(docs, "doc_id", "text", t_num=7, t_den=10)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12345,6 +12400,7 @@ CATALOG: Dict[str, tuple] = {
     "boruvka_mst": (q_boruvka_mst, SQL_BORUVKA_MST),
     "touch_attribution": (q_touch_attribution, SQL_TOUCH_ATTRIBUTION),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
 }
 
 

@@ -735,3 +735,54 @@ class TestLshVsPrefixFilterDifferential:
         assert recall_pm >= 900                # banded (r=2, b=8) at J=.846
         for pair, jq in lsh.items():
             assert abs(jq - truth[pair]) <= 1  # same Jaccard, float vs grid
+
+
+class TestContrastivePairs:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.dedup import contrastive_pairs
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["anchor"]: r
+                for r in contrastive_pairs(df, "doc_id", "text",
+                                           **kw).collect()}
+
+    def test_triplets_require_both_sides(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i X"),   # 9/11 vs 1 -> positive
+            (3, "a b c d e f g h Y Z"),   # 8/12 vs 1 -> hard negative
+        ]
+        got = self._run(spark, rows)
+        # anchor 3 has candidates but no passing positive -> no triplet
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        assert (r1["pos_id"], r1["pos_jpm"]) == (2, 818)
+        assert (r1["neg_id"], r1["neg_jpm"]) == (3, 666)
+        r2 = got[2]
+        assert r2["pos_id"] == 1 and r2["neg_id"] == 3
+
+    def test_hardest_negative_and_tie_break(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i X"),
+            (3, "a b c d e f g h Y Z"),    # 666 vs 1
+            (4, "a b c d e f Y2 Z2 i j"),  # 666 vs 1 (tie, higher id)
+        ]
+        got = self._run(spark, rows)
+        assert got[1]["neg_id"] == 3  # tie -> lower id
+
+    def test_threshold_boundary_inclusive(self, spark):
+        # d1-d2: inter 7, union 10 -> exactly 0.7 -> POSITIVE at t=7/10
+        # (prefixes by hand: d1 -> {i,j,h,a}, d2 -> {a,b,c},
+        #  d3 -> {Y,Z,h,a}; every pair shares a prefix token)
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g"),
+            (3, "a b c d e f g h Y Z"),
+        ]
+        got = self._run(spark, rows)
+        # anchor 2 sees BOTH neighbors at exactly 700 -> no negative
+        assert set(got) == {1, 3}
+        assert (got[1]["pos_id"], got[1]["pos_jpm"]) == (2, 700)
+        assert (got[1]["neg_id"], got[1]["neg_jpm"]) == (3, 666)
+        assert (got[3]["pos_id"], got[3]["neg_id"]) == (2, 1)
