@@ -89,6 +89,7 @@ HEADLINE = [
     "touch_attribution",
     "degree_assortativity",
     "contrastive_pairs",
+    "image_dup_clusters",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -12068,6 +12068,51 @@ def q_contrastive_pairs(spark, sf_dir):
     return contrastive_pairs(docs, "doc_id", "text", t_num=7, t_den=10)
 
 
+def q_image_dup_clusters(spark, sf_dir):
+    """Image near-dup clusters (operators/imagedup.py
+    dhash_dup_clusters): the planted plane pairs (odd = even
+    predecessor pixel-bumped, +256 bases aliasing) chain transitively;
+    clusters collapse them with a min-md5-id canonical. The oracle
+    recomputes fingerprints, the verified pair join, a recursive-CTE
+    closure and the canonical selection."""
+    from .operators.imagedup import dhash_dup_clusters, image_dhash
+
+    return dhash_dup_clusters(
+        image_dhash(_dhash_media(spark, sf_dir)), max_hamming=6
+    )
+
+
+SQL_IMAGE_DUP_CLUSTERS = _SQL_DHASH_CTE.replace(
+    "WITH d AS (", "WITH RECURSIVE d AS (", 1
+) + """,
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM h a JOIN h b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+hid AS (
+  SELECT m, ('0x' || substr(md5(m), 1, 15))::BIGINT AS nid
+  FROM (SELECT DISTINCT u AS m FROM sym)
+),
+reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+comp AS (
+  SELECT reach.id AS media_id, MIN(h2.nid) AS comp_nid
+  FROM reach JOIN hid h2 ON h2.m = reach.r
+  GROUP BY reach.id
+)
+SELECT c.media_id, h3.m AS canonical_id
+FROM comp c JOIN hid h3 ON h3.nid = c.comp_nid
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12401,6 +12446,7 @@ CATALOG: Dict[str, tuple] = {
     "touch_attribution": (q_touch_attribution, SQL_TOUCH_ATTRIBUTION),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
+    "image_dup_clusters": (q_image_dup_clusters, SQL_IMAGE_DUP_CLUSTERS),
 }
 
 

@@ -211,3 +211,24 @@ def video_near_dup_pairs(
                  permille.alias("overlap_permille"))
         .where(F.col("overlap_permille") >= min_overlap_permille)
     )
+
+
+def dhash_dup_clusters(
+    hashes: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Image near-dup CLUSTERS — the keep-one-per-cluster view curation
+    actually consumes (pairs alone can't answer "which images do I
+    drop": transitive chains A~B~C must collapse together even when
+    A-C exceeds the hamming budget). Banded dhash pairs →
+    pointer-doubling connected components on 60-bit md5 node ids (the
+    host_components machinery verbatim — same scale shape, same
+    determinism argument) → (media_id, canonical_id) with the canonical
+    the member of smallest node id. Only clustered media emit
+    (singletons need no decision)."""
+    from .graph import host_components
+
+    pairs = dhash_dup_pairs(hashes, max_hamming, bands)
+    return host_components(pairs, "id_a", "id_b").select(
+        F.col("host").alias("media_id"),
+        F.col("canonical_host").alias("canonical_id"),
+    )

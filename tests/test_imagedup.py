@@ -126,3 +126,26 @@ class TestVideoNearDup:
         )
         assert video_near_dup_pairs(frames, 500).count() == 0
         assert video_near_dup_pairs(frames, 100).count() == 1
+
+
+class TestDhashDupClusters:
+    def test_transitive_chain_collapses(self, spark):
+        from ocr_service_spark.operators.imagedup import dhash_dup_clusters
+
+        # a ~ b (1 bit), b ~ c (1 bit), a-c = 2 bits > budget 1:
+        # pairs give a-b and b-c only; the CLUSTER must still unite all
+        # three. d is far from everything -> singleton, not emitted.
+        rows = [
+            ("a", 0b0000),
+            ("b", 0b0001),
+            ("c", 0b0011),
+            ("d", 0xFFFFFFFF),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, dhash long")
+        got = {r["media_id"]: r["canonical_id"]
+               for r in dhash_dup_clusters(df, max_hamming=1).collect()}
+        assert set(got) == {"a", "b", "c"}
+        assert len(set(got.values())) == 1
+        assert got["a"] == got["b"] == got["c"]
+        # canonical is a member of its own cluster
+        assert got["a"] in {"a", "b", "c"}
