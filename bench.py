@@ -90,6 +90,7 @@ HEADLINE = [
     "degree_assortativity",
     "contrastive_pairs",
     "image_dup_clusters",
+    "sorted_neighborhood",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

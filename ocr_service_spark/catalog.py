@@ -12113,6 +12113,41 @@ FROM comp c JOIN hid h3 ON h3.nid = c.comp_nid
 """
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/linkage.py
+    sorted_neighborhood_pairs): customers sorted by balance cents
+    (custkey tiebreak), window 3 → each record pairs with its next two
+    neighbors — exactly 2n−3 candidates. The oracle replays the global
+    rank, the gap explode and the rank+δ join."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("bal_key"),
+    )
+    return sorted_neighborhood_pairs(c, "bal_key", "rec_id", window=3)
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey AS id,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS key
+  FROM customer
+),
+ranked AS (
+  SELECT id, key, row_number() OVER (ORDER BY key, id) AS rnk FROM r
+),
+probes AS (
+  SELECT a.id AS id_a, a.key AS key_a, a.rnk + d.gap AS rnk_b, d.gap
+  FROM ranked a CROSS JOIN (SELECT unnest([1, 2]) AS gap) d
+)
+SELECT p.id_a, b.id AS id_b, p.key_a, b.key AS key_b,
+       CAST(p.gap AS INTEGER) AS gap
+FROM probes p JOIN ranked b ON b.rnk = p.rnk_b
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12447,6 +12482,7 @@ CATALOG: Dict[str, tuple] = {
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
     "image_dup_clusters": (q_image_dup_clusters, SQL_IMAGE_DUP_CLUSTERS),
+    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
 }
 
 

@@ -84,3 +84,44 @@ class TestLinkRecords:
         ).collect()
         assert len(rows) == 1 and rows[0]["verdict"] == "MATCH"
         assert rows[0]["score"] == 6
+
+
+class TestSortedNeighborhoodPairs:
+    def _run(self, spark, rows, window=3):
+        from ocr_service_spark.operators.linkage import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(rows, "rec_id long, key long")
+        return sorted((r["id_a"], r["id_b"], r["gap"])
+                      for r in sorted_neighborhood_pairs(
+                          df, "key", "rec_id", window=window).collect())
+
+    def test_window3_exact_pairs(self, spark):
+        rows = [(1, 10), (2, 20), (3, 30), (4, 40)]
+        got = self._run(spark, rows)
+        assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2),
+                       (3, 4, 1)]
+
+    def test_window1_empty(self, spark):
+        assert self._run(spark, [(1, 10), (2, 20)], window=1) == []
+
+    def test_key_ties_order_by_id(self, spark):
+        rows = [(9, 10), (2, 10), (5, 10)]
+        got = self._run(spark, rows, window=2)
+        assert got == [(2, 5, 1), (5, 9, 1)]
+
+    def test_linear_count_and_partition_boundaries(self, spark):
+        # 100 rows across several range partitions: pairs must be the
+        # same as a single-node computation — 2n-3 of them, each
+        # linking rank r to r+gap
+        rows = [(i, (i * 37) % 1000) for i in range(100)]
+        got = self._run(spark, rows)
+        order = sorted(rows, key=lambda t: (t[1], t[0]))
+        exp = []
+        for i in range(len(order)):
+            for g in (1, 2):
+                if i + g < len(order):
+                    exp.append((order[i][0], order[i + g][0], g))
+        assert got == sorted(exp)
+        assert len(got) == 2 * 100 - 3
