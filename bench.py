@@ -91,6 +91,7 @@ HEADLINE = [
     "contrastive_pairs",
     "image_dup_clusters",
     "sorted_neighborhood",
+    "texttile_boundaries",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -12148,6 +12148,78 @@ FROM probes p JOIN ranked b ON b.rnk = p.rnk_b
 """
 
 
+def q_texttile_boundaries(spark, sf_dir):
+    """TextTiling topic segmentation (operators/chunking.py
+    texttile_boundaries): planted 8-sentence docs — four topic-A
+    sentences (alpha/beta vocabulary) then four topic-B (zeta/eta) —
+    so cohesion collapses at the central gap. The oracle replays the
+    sentence split, both k-window token gathers, the Jaccard series and
+    the lag/lead valley depth."""
+    from .operators.chunking import texttile_boundaries
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % 50
+    sents = [
+        F.format_string(f"alpha%d beta%d mid{j}", g, g) for j in range(4)
+    ] + [
+        F.format_string(f"zeta%d eta%d mid{j}", g, g) for j in range(4, 8)
+    ]
+    docs = d.select("doc_id", F.concat_ws(". ", *sents).alias("text"))
+    return texttile_boundaries(docs, k=2, depth_threshold_pm=400)
+
+
+SQL_TEXTTILE = """
+WITH docs AS (
+  SELECT doc_id,
+    printf('alpha%d beta%d mid0. alpha%d beta%d mid1. '
+           'alpha%d beta%d mid2. alpha%d beta%d mid3. '
+           'zeta%d eta%d mid4. zeta%d eta%d mid5. '
+           'zeta%d eta%d mid6. zeta%d eta%d mid7',
+           g, g, g, g, g, g, g, g, g, g, g, g, g, g, g, g) AS text
+  FROM (SELECT doc_id, doc_id % 50 AS g FROM documents)
+),
+sents AS (
+  SELECT doc_id AS id, u.r.sno - 1 AS sno,
+         list_distinct(string_split_regex(
+           trim(lower(u.r.sent)), '\\s+')) AS toks
+  FROM (
+    SELECT doc_id, list_transform(
+      string_split_regex(text, '[.!?]+ '),
+      (x, i) -> struct_pack(sno := i, sent := x)) AS lr
+    FROM docs
+  ) t, unnest(t.lr) AS u(r)
+  WHERE length(trim(u.r.sent)) > 0
+),
+gaps AS (
+  SELECT id, sno,
+    list_distinct(flatten(list(toks) OVER (
+      PARTITION BY id ORDER BY sno
+      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW))) AS a,
+    list_distinct(flatten(list(toks) OVER (
+      PARTITION BY id ORDER BY sno
+      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))) AS b
+  FROM sents
+),
+sim AS (
+  SELECT id, sno AS gap_after,
+    CAST(len(list_intersect(a, b)) * 1000
+         // len(list_distinct(a || b)) AS BIGINT) AS sim_pm
+  FROM gaps WHERE len(b) > 0
+),
+d2 AS (
+  SELECT id, gap_after, sim_pm,
+    GREATEST(0, COALESCE(lag(sim_pm) OVER w, sim_pm) - sim_pm)
+    + GREATEST(0, COALESCE(lead(sim_pm) OVER w, sim_pm) - sim_pm)
+      AS depth_pm
+  FROM sim
+  WINDOW w AS (PARTITION BY id ORDER BY gap_after)
+)
+SELECT id AS doc_id, gap_after, sim_pm, CAST(depth_pm AS BIGINT) AS depth_pm,
+       (depth_pm >= 400) AS boundary
+FROM d2
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12483,6 +12555,7 @@ CATALOG: Dict[str, tuple] = {
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
     "image_dup_clusters": (q_image_dup_clusters, SQL_IMAGE_DUP_CLUSTERS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+    "texttile_boundaries": (q_texttile_boundaries, SQL_TEXTTILE),
 }
 
 

@@ -215,3 +215,81 @@ def cdc_chunks(
         F.md5(F.expr("substring(_t, _z._starts, _z._ends - _z._starts)"))
         .alias("chunk_md5"),
     )
+
+
+def texttile_boundaries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    depth_threshold_pm: int = 400,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst CL'97): place chunk
+    boundaries where lexical cohesion DIPS — the upgrade over
+    fixed-budget chunking (sentence_chunks) for RAG/embedding corpora,
+    where a chunk straddling a topic shift embeds as neither topic. At
+    each sentence gap the two k-sentence windows around it are compared
+    (token-set Jaccard in pm — integer, not the float cosine of the
+    paper); a gap is a boundary when its cohesion sits in a valley:
+    depth = max(0, sim_prev − sim) + max(0, sim_next − sim) ≥ threshold
+    (the immediate-neighbor depth variant — one lag + one lead instead
+    of the paper's outward peak scan, same valley semantics on the
+    k-smoothed series).
+
+    Sentence split is the repo convention '[.!?]+ ' (identical in Java
+    and RE2 regex engines, so the oracle re-splits byte-for-byte).
+
+    Scale shape: posexplode to sentences, THREE bounded windows per doc
+    (two k-row frame gathers + one lag/lead pass) sharing one exchange
+    on the doc key — window frames are ROWS BETWEEN with k ≤ a few, so
+    state per row is bounded by construction; no doc-length blowup.
+
+    Emits (doc_id, gap_after, sim_pm, depth_pm, boundary) for every gap
+    with a non-empty following window (gaps 0..n_sentences−2).
+    """
+    sents = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+ ")
+        ).alias("sno", "sent"),
+    ).where(F.length(F.trim("sent")) > 0).select(
+        "id", "sno",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col("sent"))), r"\s+")
+        ).alias("toks"),
+    )
+    wa = (
+        Window.partitionBy("id").orderBy("sno")
+        .rowsBetween(-(int(k) - 1), 0)
+    )
+    wb = Window.partitionBy("id").orderBy("sno").rowsBetween(1, int(k))
+    gaps = sents.withColumn(
+        "a", F.array_distinct(F.flatten(F.collect_list("toks").over(wa)))
+    ).withColumn(
+        "b", F.array_distinct(F.flatten(F.collect_list("toks").over(wb)))
+    ).where(F.size("b") > 0)
+    sim = gaps.select(
+        "id", F.col("sno").alias("gap_after"),
+        F.expr(
+            "CAST(size(array_intersect(a, b)) * 1000 "
+            "div size(array_union(a, b)) AS BIGINT)"
+        ).alias("sim_pm"),
+    )
+    wlag = Window.partitionBy("id").orderBy("gap_after")
+    out = sim.withColumn(
+        "depth_pm",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.lag("sim_pm").over(wlag), F.col("sim_pm"))
+            - F.col("sim_pm"),
+        )
+        + F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.lead("sim_pm").over(wlag), F.col("sim_pm"))
+            - F.col("sim_pm"),
+        ),
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "gap_after", "sim_pm", "depth_pm",
+        (F.col("depth_pm") >= int(depth_threshold_pm)).alias("boundary"),
+    )

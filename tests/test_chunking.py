@@ -130,3 +130,47 @@ class TestCdcChunks:
             by_id.setdefault(r["id"], []).append(r)
         assert [(r["start"], r["length"]) for r in by_id.get(1, [])] == [(1, 4)]
         assert 2 not in by_id and 3 not in by_id  # empty -> no chunks
+
+
+class TestTexttileBoundaries:
+    def _run(self, spark, texts, **kw):
+        from ocr_service_spark.operators.chunking import texttile_boundaries
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        rows = texttile_boundaries(df, **kw).collect()
+        return {(r["doc_id"], r["gap_after"]): r for r in rows}
+
+    def test_topic_shift_is_the_boundary(self, spark):
+        text = ("cats purr softly. cats nap often. cats chase mice. "
+                "stocks fell hard. stocks rallied late. stocks pay dividends")
+        got = self._run(spark, [text], k=2, depth_threshold_pm=150)
+        # gap 2 separates the cat window from the stock window:
+        # zero lexical overlap -> deepest valley -> boundary
+        boundaries = [g for (_, g), r in got.items() if r["boundary"]]
+        assert boundaries == [2]
+        assert got[(0, 2)]["sim_pm"] == 0
+
+    def test_uniform_topic_never_splits(self, spark):
+        text = ("cats purr softly. cats nap often. cats chase mice. "
+                "cats drink milk. cats like boxes")
+        got = self._run(spark, [text], k=2, depth_threshold_pm=300)
+        assert not any(r["boundary"] for r in got.values())
+
+    def test_last_gap_excluded_and_counts(self, spark):
+        # n sentences -> gaps 0..n-2 (the window after the last
+        # sentence is empty)
+        text = "a b. c d. e f. g h"
+        got = self._run(spark, [text], k=2, depth_threshold_pm=300)
+        assert sorted(g for (_, g) in got) == [0, 1, 2]
+
+    def test_doc_isolation(self, spark):
+        texts = ["cats purr. cats nap. stocks fell. stocks rose",
+                 "dogs bark. dogs run. dogs dig. dogs nap"]
+        got = self._run(spark, texts, k=1, depth_threshold_pm=500)
+        assert all(doc in (0, 1) for (doc, _) in got)
+        b0 = [g for (d, g), r in got.items() if d == 0 and r["boundary"]]
+        b1 = [g for (d, g), r in got.items() if d == 1 and r["boundary"]]
+        assert b0 == [1] and b1 == []
