@@ -92,6 +92,7 @@ HEADLINE = [
     "image_dup_clusters",
     "sorted_neighborhood",
     "texttile_boundaries",
+    "shadow_diff",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -12220,6 +12220,58 @@ FROM d2
 """
 
 
+def q_shadow_diff(spark, sf_dir):
+    """Shadow-deploy regression diff (plans/regress.py shadow_diff):
+    run A = documents (text, lang) minus the only-in-B class; run B
+    plants one class per doc_id%5 — identical, text edit, missing from
+    B, lang change, extra in B. The oracle replays the full-outer join,
+    the null-safe comparisons and the classification."""
+    from .plans.regress import shadow_diff
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    k = F.col("doc_id") % 5
+    a = base.where(k != 4)
+    b = base.where(k != 2).select(
+        "doc_id",
+        F.when(k == 1, F.concat(F.col("text"), F.lit("x")))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(k == 3, F.lit("zz")).otherwise(F.col("lang")).alias("lang"),
+    )
+    return shadow_diff(a, b, "doc_id", ["text", "lang"])
+
+
+SQL_SHADOW_DIFF = """
+WITH a AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 4
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || 'x' ELSE text END AS text,
+         CASE WHEN doc_id % 5 = 3 THEN 'zz' ELSE lang END AS lang
+  FROM documents WHERE doc_id % 5 <> 2
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.doc_id IS NOT NULL AS in_a, b.doc_id IS NOT NULL AS in_b,
+         (a.text IS NOT DISTINCT FROM b.text) AS eq_text,
+         (a.lang IS NOT DISTINCT FROM b.lang) AS eq_lang
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+  CASE WHEN NOT in_a THEN 'only_b'
+       WHEN NOT in_b THEN 'only_a'
+       WHEN eq_text AND eq_lang THEN 'identical'
+       ELSE 'differs' END AS status,
+  CASE WHEN in_a AND in_b THEN
+    COALESCE(array_to_string(list_filter(
+      [CASE WHEN NOT eq_text THEN 'text' END,
+       CASE WHEN NOT eq_lang THEN 'lang' END], x -> x IS NOT NULL), ','), '')
+  ELSE '' END AS diff_cols
+FROM j
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12556,6 +12608,7 @@ CATALOG: Dict[str, tuple] = {
     "image_dup_clusters": (q_image_dup_clusters, SQL_IMAGE_DUP_CLUSTERS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "texttile_boundaries": (q_texttile_boundaries, SQL_TEXTTILE),
+    "shadow_diff": (q_shadow_diff, SQL_SHADOW_DIFF),
 }
 
 

@@ -1,0 +1,77 @@
+"""Shadow-deploy regression diff: compare two extraction runs key by key.
+
+The operational question every extractor change raises: "run the new
+version in shadow over the same pages — which urls changed, which
+disappeared, which broke?" A full-corpus byte-diff is the only honest
+answer at this repo's byte-identity bar (aggregate counts hide
+compensating errors: 100 urls fixed + 100 broken looks like zero drift).
+
+shadow_diff is the generic engine: full-outer join the two result
+tables on the key, null-safe-compare the chosen columns, classify each
+key as identical / differs (with the differing column list as data) /
+only_a / only_b. One shuffle per side on the key; comparison columns
+are JVM expressions; the per-key verdict table is then trivially
+rolled up (groupBy status) or filtered (WHERE status <> 'identical')
+by the caller — the gate reads "0 non-identical rows" before the new
+version promotes (plans/publish.py expectation-gate composes: an
+expectations_suite over the diff table IS the promotion check).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shadow_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Per-key diff of two runs: (key, status, diff_cols).
+
+    status ∈ {identical, differs, only_a, only_b}; diff_cols is the
+    comma-joined list of differing columns (deterministic order =
+    caller's compare_cols order), '' when none. NULL-safe equality: a
+    NULL field equals NULL (the eqNullSafe / IS NOT DISTINCT FROM
+    semantics), so an error row with NULL text diffs against a
+    success row, not against another identical error row.
+    """
+    cols = list(compare_cols)
+    an = a.select(
+        F.col(key_col).alias("k"),
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+        F.lit(True).alias("_in_a"),
+    )
+    bn = b.select(
+        F.col(key_col).alias("k"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+        F.lit(True).alias("_in_b"),
+    )
+    j = an.join(bn, "k", "full_outer")
+    diff_arr = F.filter(
+        F.array(*[
+            F.when(
+                ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")), F.lit(c)
+            )
+            for c in cols
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("only_b"))
+        .when(F.col("_in_b").isNull(), F.lit("only_a"))
+        .when(F.size(diff_arr) == 0, F.lit("identical"))
+        .otherwise(F.lit("differs"))
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        status.alias("status"),
+        F.when(
+            F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(),
+            F.array_join(diff_arr, ","),
+        ).otherwise(F.lit("")).alias("diff_cols"),
+    )

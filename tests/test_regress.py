@@ -1,0 +1,55 @@
+"""Shadow-deploy regression diff (plans/regress.py shadow_diff)."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.plans.regress import shadow_diff
+
+
+def _runs(spark):
+    a = spark.createDataFrame(
+        [(1, "t1", "ok"), (2, "t2", "ok"), (3, "t3", "err"),
+         (4, None, "err"), (5, "t5", "ok")],
+        "url long, text string, status string",
+    )
+    b = spark.createDataFrame(
+        [(1, "t1", "ok"), (2, "t2x", "ok"), (3, "t3", "ok"),
+         (4, None, "err"), (6, "t6", "ok")],
+        "url long, text string, status string",
+    )
+    return a, b
+
+
+def test_classification_and_diff_cols(spark):
+    a, b = _runs(spark)
+    got = {r["url"]: (r["status"], r["diff_cols"])
+           for r in shadow_diff(a, b, "url", ["text", "status"]).collect()}
+    assert got[1] == ("identical", "")
+    assert got[2] == ("differs", "text")
+    assert got[3] == ("differs", "status")
+    # NULL == NULL under null-safe equality: row 4 is identical
+    assert got[4] == ("identical", "")
+    assert got[5] == ("only_a", "")
+    assert got[6] == ("only_b", "")
+
+
+def test_multi_column_diff_order_follows_caller(spark):
+    a = spark.createDataFrame([(1, "x", "p")], "url long, t string, s string")
+    b = spark.createDataFrame([(1, "y", "q")], "url long, t string, s string")
+    r = shadow_diff(a, b, "url", ["s", "t"]).collect()[0]
+    assert r["diff_cols"] == "s,t"
+
+
+def test_flagship_self_diff_is_all_identical(spark):
+    # the byte-identity bar end-to-end: two runs of the REAL extraction
+    # pipeline over the same pages diff as 100% identical
+    from ocr_service_spark.plans.pipeline import run_extraction
+    from ocr_service_spark.sources.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(60)
+    cols = ["fmt", "tipo_documento", "n_itens", "total_nota",
+            "extracted_text"]
+    ra = run_extraction(pages).select("url", *cols)
+    rb = run_extraction(pages).select("url", *cols)
+    d = shadow_diff(ra, rb, "url", cols)
+    bad = d.where(F.col("status") != "identical").count()
+    assert bad == 0 and d.count() == 60
