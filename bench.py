@@ -93,6 +93,7 @@ HEADLINE = [
     "sorted_neighborhood",
     "texttile_boundaries",
     "shadow_diff",
+    "single_linkage_cut",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -12272,6 +12272,40 @@ FROM j
 """
 
 
+def q_single_linkage_cut(spark, sf_dir):
+    """Single-linkage threshold cut (operators/graph.py
+    mst_cut_clusters) over the REAL Borůvka forest of the planted
+    ring+chords graph, cut at w ≤ 30: kept chain edges unite nodes
+    0..21 under cluster 0 (the min-id canonical), every heavier-edged
+    node becomes its own singleton. A wrong MST, a bad cut or a broken
+    CC all change the partition; the oracle is the planting rule."""
+    from .operators.graph import boruvka_mst, mst_cut_clusters
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 40).alias("dst"),
+        (F.lit(10) + F.col("i")).alias("w"),
+    )
+    chords = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % 40).alias("dst"),
+        (F.lit(1000) + F.col("i")).alias("w"),
+    )
+    mst = boruvka_mst(ring.unionByName(chords))
+    return mst_cut_clusters(mst, 30)
+
+
+SQL_SINGLE_LINKAGE_CUT = """
+WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents)
+SELECT i AS node,
+       CAST(CASE WHEN i <= 21 THEN 0 ELSE i END AS BIGINT) AS cluster
+FROM ids
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12609,6 +12643,7 @@ CATALOG: Dict[str, tuple] = {
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "texttile_boundaries": (q_texttile_boundaries, SQL_TEXTTILE),
     "shadow_diff": (q_shadow_diff, SQL_SHADOW_DIFF),
+    "single_linkage_cut": (q_single_linkage_cut, SQL_SINGLE_LINKAGE_CUT),
 }
 
 

@@ -1004,3 +1004,46 @@ def degree_assortativity(
             "* (abs(num) * 1000000 div den) AS BIGINT) END"
         ).alias("r_ppm"),
     )
+
+
+def mst_cut_clusters(
+    mst: DataFrame,
+    threshold: int,
+    src: str = "u",
+    dst: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Single-linkage clusters by cutting a spanning forest at a
+    distance threshold — the dendrogram theorem that makes boruvka_mst
+    pay for itself: the MST contains every single-linkage clustering,
+    so CC over the MST edges with w ≤ t equals CC over ALL corpus edges
+    with w ≤ t (pinned by the equivalence test), but the cut runs on
+    n−1 edges instead of the full similarity graph. Compute the forest
+    once, sweep thresholds for free — the multi-resolution dedup/
+    clustering view (tight near-dup clusters at small t, topical
+    families at large t) from ONE expensive pass.
+
+    Shape: one filter on the (tiny) forest, pointer-doubling CC on the
+    kept edges, a left join back so nodes whose forest edges were all
+    cut emit as their own singleton cluster. Cluster id = the minimum
+    node id in the cluster (connected_components' canonical).
+
+    Emits (node, cluster) for every node of the forest.
+    """
+    from .dedup import connected_components
+
+    kept = mst.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+    ).where(F.col(w_col) <= int(threshold))
+    nodes = (
+        mst.select(F.col(src).cast("long").alias("node"))
+        .union(mst.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    cc = connected_components(kept, "u", "v").select(
+        F.col("id").alias("node"), F.col("component").alias("_c")
+    )
+    return nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("_c", F.col("node")).alias("cluster")
+    )

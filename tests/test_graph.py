@@ -574,3 +574,39 @@ class TestDegreeAssortativity:
         edges = [(0, 1), (1, 2), (0, 2), (10, 11)]
         r = self._run(spark, edges)
         assert r["r_ppm"] == 1_000_000
+
+
+class TestMstCutClusters:
+    def test_dendrogram_cut_equals_threshold_graph_cc(self, spark):
+        # the single-linkage theorem, differentially: clusters from the
+        # MST cut at t must equal CC over ALL edges with w <= t
+        from ocr_service_spark.operators.dedup import connected_components
+        from ocr_service_spark.operators.graph import (
+            boruvka_mst, mst_cut_clusters,
+        )
+
+        m = 24
+        edges = [(i, (i + 1) % m, 10 + (i * 13) % 50) for i in range(m)]
+        edges += [(i, (i * 7 + 3) % m, 5 + (i * 29) % 90) for i in range(m)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        mst = boruvka_mst(df).localCheckpoint(eager=True)
+        for t in (20, 45):
+            got = {r["node"]: r["cluster"]
+                   for r in mst_cut_clusters(mst, t).collect()}
+            sub = df.where(f"w <= {t}")
+            cc = {r["id"]: r["component"] for r in
+                  connected_components(sub, "src", "dst").collect()}
+            for node, cl in got.items():
+                assert cl == cc.get(node, node), (t, node)
+
+    def test_singletons_survive_full_cut(self, spark):
+        from ocr_service_spark.operators.graph import (
+            boruvka_mst, mst_cut_clusters,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1, 50), (1, 2, 60)], "src long, dst long, w long")
+        mst = boruvka_mst(df)
+        got = {r["node"]: r["cluster"]
+               for r in mst_cut_clusters(mst, 10).collect()}
+        assert got == {0: 0, 1: 1, 2: 2}
