@@ -94,6 +94,7 @@ HEADLINE = [
     "texttile_boundaries",
     "shadow_diff",
     "single_linkage_cut",
+    "phonetic_blocks",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

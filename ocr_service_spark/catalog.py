@@ -12306,6 +12306,65 @@ FROM ids
 """
 
 
+def q_phonetic_blocks(spark, sf_dir):
+    """Phonetic blocking keys (operators/linkage.py phonetic_key):
+    seven planted name classes per custkey — Robert/Rupert (same
+    R163), Smith/Smyth (same S530), O'Brien (punctuation strip),
+    lowercase ashcraft, and a digits-only name keying NULL. The oracle
+    replays strip, translate, run collapse, zero deletion and padding
+    (regexp backref syntax written per engine)."""
+    from .operators.linkage import phonetic_blocks
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey") % 7
+    name = (
+        F.when(k == 0, F.lit("Robert"))
+        .when(k == 1, F.lit("Rupert"))
+        .when(k == 2, F.lit("Smith"))
+        .when(k == 3, F.lit("Smyth"))
+        .when(k == 4, F.lit("O'Brien"))
+        .when(k == 5, F.lit("ashcraft"))
+        .otherwise(F.lit("42!"))
+    )
+    return phonetic_blocks(
+        c.select(F.col("c_custkey").alias("rec_id"), name.alias("name")),
+        "name",
+    )
+
+
+SQL_PHONETIC_BLOCKS = """
+WITH r AS (
+  SELECT c_custkey AS rec_id,
+         CASE c_custkey % 7
+           WHEN 0 THEN 'Robert' WHEN 1 THEN 'Rupert'
+           WHEN 2 THEN 'Smith' WHEN 3 THEN 'Smyth'
+           WHEN 4 THEN 'O''Brien' WHEN 5 THEN 'ashcraft'
+           ELSE '42!' END AS name
+  FROM customer
+),
+s AS (
+  SELECT rec_id,
+         upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS s
+  FROM r
+),
+c AS (
+  SELECT rec_id, s,
+    regexp_replace(
+      translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                '01230120022455012623010202'),
+      '([0-9])\\1+', '\\1', 'g') AS collapsed
+  FROM s
+)
+SELECT rec_id,
+  CASE WHEN length(s) > 0 THEN
+    substr(s, 1, 1) ||
+    substr(regexp_replace(substr(collapsed, 2), '0', '', 'g')
+           || '000', 1, 3)
+  END AS pkey
+FROM c
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12644,6 +12703,7 @@ CATALOG: Dict[str, tuple] = {
     "texttile_boundaries": (q_texttile_boundaries, SQL_TEXTTILE),
     "shadow_diff": (q_shadow_diff, SQL_SHADOW_DIFF),
     "single_linkage_cut": (q_single_linkage_cut, SQL_SINGLE_LINKAGE_CUT),
+    "phonetic_blocks": (q_phonetic_blocks, SQL_PHONETIC_BLOCKS),
 }
 
 

@@ -161,3 +161,49 @@ def sorted_neighborhood_pairs(
     return probes.join(right, "rnk_b").select(
         "id_a", "id_b", "key_a", "key_b", "gap"
     )
+
+
+# letter → Soundex digit map over A..Z (vowels/H/W/Y → 0)
+_SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def phonetic_key(name_col) -> "F.Column":
+    """Simplified Soundex key as a pure Catalyst expression — the third
+    ER blocking strategy beside hash blocks and sorted neighborhoods:
+    names that SOUND alike land in one block no matter how they are
+    spelled (Robert/Rupert → R163, Smith/Smyth → S530), which is the
+    miss-class levenshtein tolerance can't reach (SMITH↔SMYTHE is edit
+    distance 2 across a 5-char name).
+
+    Variant note: this is the classic Russell rule set WITHOUT the
+    American-Soundex H/W bridging subtlety (adjacent same-code letters
+    separated by H/W collapsing too) — deliberately, because the
+    simplified form is expressible as translate + one backreference
+    regexp on BOTH engines and is what most database soundex()
+    implementations ship anyway. Pipeline: strip non-letters, uppercase,
+    translate all letters to digits, collapse adjacent duplicate digits,
+    drop the first letter's own code, delete zeros (vowels only
+    separate), keep first letter + 3 digits zero-padded. Empty/
+    letter-free names key as NULL (no block).
+    """
+    s = F.upper(F.regexp_replace(name_col, "[^A-Za-z]", ""))
+    full = F.translate(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", _SOUNDEX_CODES)
+    collapsed = F.regexp_replace(full, r"([0-9])\1+", "$1")
+    tail = F.regexp_replace(F.substring(collapsed, 2, 1000), "0", "")
+    key = F.concat(
+        F.substring(s, 1, 1),
+        F.substring(F.concat(tail, F.lit("000")), 1, 3),
+    )
+    return F.when(F.length(s) > 0, key)
+
+
+def phonetic_blocks(
+    records: DataFrame, name_col: str, id_col: str = "rec_id"
+) -> DataFrame:
+    """(id, name) → (rec_id, pkey): the phonetic blocking table, fed to
+    link_records as its block_col (or unioned with hash/SNM candidate
+    sets — production ER runs all three and dedups the pairs)."""
+    return records.select(
+        F.col(id_col).alias("rec_id"),
+        phonetic_key(F.col(name_col)).alias("pkey"),
+    )

@@ -125,3 +125,34 @@ class TestSortedNeighborhoodPairs:
                     exp.append((order[i][0], order[i + g][0], g))
         assert got == sorted(exp)
         assert len(got) == 2 * 100 - 3
+
+
+class TestPhoneticKey:
+    def _keys(self, spark, names):
+        from ocr_service_spark.operators.linkage import phonetic_blocks
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)],
+            "rec_id long, name string",
+        )
+        rows = phonetic_blocks(df, "name").collect()
+        return [r["pkey"] for r in sorted(rows, key=lambda r: r["rec_id"])]
+
+    def test_classic_values(self, spark):
+        got = self._keys(spark, ["Robert", "Rupert", "Smith", "Smyth",
+                                 "O'Brien", "Pfister", "Bob"])
+        assert got == ["R163", "R163", "S530", "S530",
+                       "O165", "P236", "B100"]
+
+    def test_case_and_punctuation_insensitive(self, spark):
+        a, b, c = self._keys(spark, ["ashcraft", "ASHCRAFT", "Ash-Craft"])
+        assert a == b == c == "A226"
+
+    def test_letter_free_names_key_null(self, spark):
+        got = self._keys(spark, ["42!", "", "  "])
+        assert got == [None, None, None]
+
+    def test_vowels_separate_duplicate_codes(self, spark):
+        # BOB: the two B codes are separated by a vowel -> both survive
+        # collapsing (B100, not B000)
+        assert self._keys(spark, ["Bob"]) == ["B100"]
