@@ -95,6 +95,9 @@ HEADLINE = [
     "shadow_diff",
     "single_linkage_cut",
     "phonetic_blocks",
+    "group_trend",
+    "classifier_agreement",
+    "score_calibration",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

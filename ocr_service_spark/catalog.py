@@ -12365,6 +12365,164 @@ FROM c
 """
 
 
+def q_group_trend(spark, sf_dir):
+    """Per-group OLS drift slope (operators/stats.py group_trend):
+    daily event counts per type plus a planted exact-line group
+    (y = 100 + 7·day → slope exactly 7,000,000 ppm) and a planted
+    single-point group (den 0 → NULL slope). The oracle replays the
+    five sums and the sign-safe ppm division."""
+    from .operators.stats import group_trend
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    line = off.select(
+        F.lit("line").alias("grp"), F.col("o").alias("day"),
+        (F.lit(100) + 7 * F.col("o")).alias("x"),
+    )
+    point = off.where(F.col("o") == 0).select(
+        F.lit("point").alias("grp"), F.lit(5).alias("day"),
+        F.lit(42).alias("x"),
+    )
+    return group_trend(daily.unionByName(line).unionByName(point))
+
+
+SQL_GROUP_TREND = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+line AS (
+  SELECT 'line' AS grp, o AS day, CAST(100 + 7 * o AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+pt AS (SELECT 'point' AS grp, 5 AS day, CAST(42 AS BIGINT) AS x),
+allrows AS (
+  SELECT * FROM daily UNION ALL SELECT * FROM line
+  UNION ALL SELECT * FROM pt
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(day) AS BIGINT) AS s_x,
+         CAST(SUM(x) AS BIGINT) AS s_y,
+         CAST(SUM(day * x) AS BIGINT) AS s_xy,
+         CAST(SUM(day * day) AS BIGINT) AS s_xx
+  FROM allrows GROUP BY grp
+)
+SELECT grp, n, s_x, s_y, s_xy, s_xx,
+  n * s_xy - s_x * s_y AS num,
+  n * s_xx - s_x * s_x AS den,
+  CASE WHEN n * s_xx - s_x * s_x = 0 THEN NULL
+       ELSE CAST((CASE WHEN n * s_xy - s_x * s_y < 0 THEN -1 ELSE 1 END)
+            * (abs(n * s_xy - s_x * s_y) * 1000000
+               // (n * s_xx - s_x * s_x)) AS BIGINT) END AS slope_ppm
+FROM agg
+"""
+
+
+def q_classifier_agreement(spark, sf_dir):
+    """Cohen's κ (operators/classifier.py classifier_agreement) between
+    two REAL document gates — length ≥ 300 chars vs ≥ 55 whitespace
+    tokens — correlated but not identical, so all four confusion cells
+    are live. The oracle replays both gates, the confusion counts and
+    the sign-safe ppm κ."""
+    from .operators.classifier import classifier_agreement
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.length("text") >= 300).alias("ga"),
+        (F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 55)
+        .alias("gb"),
+    )
+    return classifier_agreement(d, "ga", "gb")
+
+
+SQL_CLASSIFIER_AGREEMENT = """
+WITH d AS (
+  SELECT (length(text) >= 300) AS a,
+         (len(string_split_regex(trim(lower(text)), '\\s+')) >= 55) AS b
+  FROM documents
+  WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00
+  FROM d
+)
+SELECT n, n11, n10, n01, n00,
+  n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) AS num,
+  n * n - ((n11 + n10) * (n11 + n01)
+           + (n01 + n00) * (n10 + n00)) AS den,
+  CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) = 0 THEN NULL
+       ELSE CAST((CASE WHEN n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) < 0
+                  THEN -1 ELSE 1 END)
+            * (abs(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00))) * 1000000
+               // (n * n - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)))) AS BIGINT) END
+    AS kappa_ppm
+FROM agg
+"""
+
+
+def q_score_calibration(spark, sf_dir):
+    """Reliability bins (operators/classifier.py score_calibration):
+    planted score = (doc_id·37) mod 1000 with label = score ≥ 500
+    except a flipped doc_id%10<2 noise sliver — the rate_pm staircase
+    tracks the bins with a visible noise floor. The oracle replays
+    binning, counts and rates."""
+    from .operators.classifier import score_calibration
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    score = (F.col("doc_id") * 37) % 1000
+    label = F.when(
+        F.col("doc_id") % 10 < 2, ~(score >= 500)
+    ).otherwise(score >= 500)
+    return score_calibration(
+        d.select(score.alias("score_pm"), label.alias("label"))
+    )
+
+
+SQL_SCORE_CALIBRATION = """
+WITH d AS (
+  SELECT (doc_id * 37) % 1000 AS score_pm,
+         CASE WHEN doc_id % 10 < 2 THEN NOT ((doc_id * 37) % 1000 >= 500)
+              ELSE ((doc_id * 37) % 1000 >= 500) END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(score_pm * 10 // 1000 AS INTEGER), 9) AS bin, y
+  FROM d
+)
+SELECT bin, CAST(bin * 100 AS BIGINT) AS lo_pm,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+            AS BIGINT) AS rate_pm
+FROM b GROUP BY bin
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12704,6 +12862,9 @@ CATALOG: Dict[str, tuple] = {
     "shadow_diff": (q_shadow_diff, SQL_SHADOW_DIFF),
     "single_linkage_cut": (q_single_linkage_cut, SQL_SINGLE_LINKAGE_CUT),
     "phonetic_blocks": (q_phonetic_blocks, SQL_PHONETIC_BLOCKS),
+    "group_trend": (q_group_trend, SQL_GROUP_TREND),
+    "classifier_agreement": (q_classifier_agreement, SQL_CLASSIFIER_AGREEMENT),
+    "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
 }
 
 

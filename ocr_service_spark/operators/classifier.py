@@ -207,3 +207,99 @@ def perceptron_train(
         [(b, q) for b, q in sorted(w.items())], "bucket long, weight_q long"
     )
     return mdf, wdf
+
+
+def classifier_agreement(
+    labeled: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's κ between two boolean gates (Cohen 1960) — the honest
+    agreement number when comparing quality classifiers: raw percent
+    agreement is inflated by chance (two gates that both pass 90% of
+    the web agree 82% by luck alone); κ subtracts exactly that chance
+    floor. Curation reads it before swapping gates: high κ → the new
+    gate is a drop-in, low κ with similar pass rates → it keeps
+    DIFFERENT documents and the corpus will shift.
+
+    κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and p_e
+    the marginal-product chance agreement; clearing denominators:
+        num = n·(n11 + n00) − (a1·b1 + a0·b0)
+        den = n² − (a1·b1 + a0·b0)
+    — exact integers from the confusion counts, emitted in signed ppm
+    via the sign-safe division convention. den = 0 (both gates
+    constant) → NULL κ. NULL labels are excluded (scored rows only).
+
+    ONE hash aggregate over the joined label table → a single row
+    (n, n11, n10, n01, n00, num, den, kappa_ppm).
+    """
+    d = labeled.select(
+        F.col(a_col).cast("boolean").alias("a"),
+        F.col(b_col).cast("boolean").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .alias("n00"),
+    )
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr(
+            "n * (n11 + n00) - ((n11 + n10) * (n11 + n01) "
+            "+ (n01 + n00) * (n10 + n00))"
+        ).alias("num"),
+        F.expr(
+            "n * n - ((n11 + n10) * (n11 + n01) "
+            "+ (n01 + n00) * (n10 + n00))"
+        ).alias("den"),
+    ).select(
+        "n", "n11", "n10", "n01", "n00", "num", "den",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL ELSE "
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END "
+            "* (abs(num) * 1000000 div den) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )
+
+
+def score_calibration(
+    scored: DataFrame,
+    score_col: str = "score_pm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram bins for a [0,1000]-pm classifier score: per
+    equal-width score bin, how often is the label actually positive? A
+    calibrated gate's rate_pm tracks the bin midpoint; a gate that is
+    confident-and-wrong shows up as a flat or inverted tail — the
+    standard pre-deployment check before thresholding a quality score
+    into keep/drop. Integer end-to-end: bin = min(score·n_bins div
+    1000, n_bins−1), rate in pm by truncating division.
+
+    ONE hash aggregate. Emits (bin, lo_pm, n, n_pos, rate_pm), observed
+    bins only.
+    """
+    nb = int(n_bins)
+    d = scored.select(
+        F.expr(
+            f"LEAST(CAST({score_col} * {nb} div 1000 AS INT), {nb - 1})"
+        ).alias("bin"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).where(F.col("y").isNotNull())
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            F.expr(f"CAST(bin * (1000 div {nb}) AS BIGINT)").alias("lo_pm"),
+            "n", "n_pos",
+            F.expr("CAST(n_pos * 1000 div n AS BIGINT)").alias("rate_pm"),
+        )
+    )

@@ -317,3 +317,52 @@ def histogram_quantiles(
         "grp", "q_pm", "n", "bucket",
         F.expr(hdr_lower_expr("bucket", sub)).alias("est_lo"),
     )
+
+
+def group_trend(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Per-group OLS trend slope — the third leg of the metric-health
+    triad: CUSUM catches persistent level SHIFTS, seasonal_anomaly
+    catches single-day spikes, this catches steady DRIFT (a host whose
+    crawl volume decays 2%/day alarms neither, but its slope says so).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — numerator and
+    denominator are EXACT integers over integer (x, y); the slope is
+    emitted in signed ppm as sign(num)·(|num|·10⁶ div den), the
+    assortativity convention that keeps div operands non-negative (no
+    truncate-vs-floor divergence). den = 0 (fewer than two distinct x)
+    emits NULL slope — data, not an error. At 10^12 rows the five sums
+    need DECIMAL(38,0) widening (dsum convention); long is exact
+    through ~10^9·max(x)·max(y).
+
+    ONE hash aggregate with map-side partials — no window, no join.
+    Emits (grp, n, s_x, s_y, s_xy, s_xx, num, den, slope_ppm).
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    )
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("s_x"),
+        F.sum("yv").alias("s_y"),
+        F.sum(F.col("xv") * F.col("yv")).alias("s_xy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("s_xx"),
+    )
+    return agg.select(
+        "grp", "n", "s_x", "s_y", "s_xy", "s_xx",
+        F.expr("n * s_xy - s_x * s_y").alias("num"),
+        F.expr("n * s_xx - s_x * s_x").alias("den"),
+    ).select(
+        "grp", "n", "s_x", "s_y", "s_xy", "s_xx", "num", "den",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL ELSE "
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END "
+            "* (abs(num) * 1000000 div den) AS BIGINT) END"
+        ).alias("slope_ppm"),
+    )

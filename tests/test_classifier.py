@@ -173,3 +173,68 @@ class TestPerceptronTrain:
         got = {r["id"]: r["score_q"] > 0 for r in scored.collect()}
         want = {i: y > 0 for i, _, y in rows}
         assert got == want
+
+
+class TestClassifierAgreement:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.classifier import (
+            classifier_agreement,
+        )
+
+        df = spark.createDataFrame(pairs, "a boolean, b boolean")
+        return classifier_agreement(df, "a", "b").collect()[0]
+
+    def test_perfect_agreement(self, spark):
+        r = self._run(spark, [(True, True)] * 3 + [(False, False)] * 7)
+        assert r["kappa_ppm"] == 1_000_000
+
+    def test_chance_level_is_zero(self, spark):
+        # independent 50/50 gates: every cell 1 -> p_o = p_e -> kappa 0
+        r = self._run(spark, [(True, True), (True, False),
+                              (False, True), (False, False)])
+        assert r["kappa_ppm"] == 0
+
+    def test_perfect_disagreement(self, spark):
+        r = self._run(spark, [(True, False), (False, True)] * 2)
+        assert r["kappa_ppm"] == -1_000_000
+
+    def test_constant_gates_undefined(self, spark):
+        r = self._run(spark, [(True, True)] * 5)
+        assert r["den"] == 0 and r["kappa_ppm"] is None
+
+    def test_null_labels_excluded(self, spark):
+        r = self._run(spark, [(True, True), (None, True), (False, None),
+                              (False, False)])
+        assert r["n"] == 2 and r["kappa_ppm"] == 1_000_000
+
+    def test_known_value(self, spark):
+        # classic textbook table: n=100, n11=20, n10=5, n01=10, n00=65
+        pairs = ([(True, True)] * 20 + [(True, False)] * 5
+                 + [(False, True)] * 10 + [(False, False)] * 65)
+        r = self._run(spark, pairs)
+        # p_o=.85, p_e=(25*30+75*70)/10000=.6 -> kappa=.25/.4=.625
+        assert r["kappa_ppm"] == 625_000
+
+
+class TestScoreCalibration:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.classifier import score_calibration
+
+        df = spark.createDataFrame(rows, "score_pm long, label boolean")
+        return {r["bin"]: r
+                for r in score_calibration(df, **kw).collect()}
+
+    def test_bin_edges_and_rates(self, spark):
+        rows = [(50, False)] * 4 + [(50, True)] + \
+               [(950, True)] * 9 + [(950, False)]
+        got = self._run(spark, rows)
+        assert got[0]["rate_pm"] == 200 and got[0]["n"] == 5
+        assert got[9]["rate_pm"] == 900 and got[9]["lo_pm"] == 900
+
+    def test_score_1000_clamps_to_last_bin(self, spark):
+        got = self._run(spark, [(1000, True)])
+        assert list(got) == [9]
+
+    def test_observed_bins_only_and_null_labels_dropped(self, spark):
+        got = self._run(spark, [(250, True), (250, None)])
+        assert list(got) == [2] and got[2]["n"] == 1

@@ -429,3 +429,37 @@ class TestHistogramQuantiles:
     def test_negative_values_filtered(self, spark):
         got = self._run(spark, [-5, -1, 10], qs_pm=(1000,))
         assert got[1000]["n"] == 1 and got[1000]["est_lo"] == 10
+
+
+class TestGroupTrend:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import group_trend
+
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {r["grp"]: r for r in group_trend(df).collect()}
+
+    def test_exact_line_slope(self, spark):
+        rows = [("g", d, 100 + 7 * d) for d in range(10)]
+        r = self._run(spark, rows)["g"]
+        assert r["slope_ppm"] == 7_000_000
+        assert r["num"] == 7 * r["den"]
+
+    def test_negative_drift(self, spark):
+        rows = [("g", d, 1000 - 3 * d) for d in range(10)]
+        assert self._run(spark, rows)["g"]["slope_ppm"] == -3_000_000
+
+    def test_flat_series_zero_slope(self, spark):
+        rows = [("g", d, 5) for d in range(8)]
+        r = self._run(spark, rows)["g"]
+        assert r["slope_ppm"] == 0 and r["num"] == 0
+
+    def test_single_point_undefined(self, spark):
+        r = self._run(spark, [("g", 5, 42)])["g"]
+        assert r["den"] == 0 and r["slope_ppm"] is None
+
+    def test_group_isolation(self, spark):
+        rows = [("up", d, d) for d in range(5)] + \
+               [("down", d, 100 - d) for d in range(5)]
+        got = self._run(spark, rows)
+        assert got["up"]["slope_ppm"] == 1_000_000
+        assert got["down"]["slope_ppm"] == -1_000_000
