@@ -98,6 +98,7 @@ HEADLINE = [
     "group_trend",
     "classifier_agreement",
     "score_calibration",
+    "gate_eval",
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",

@@ -12523,6 +12523,50 @@ FROM b GROUP BY bin
 """
 
 
+def q_gate_eval(spark, sf_dir):
+    """Gate P/R/F1 (operators/classifier.py gate_eval): the token-count
+    gate (≥55 tokens) evaluated against the char-length gate (≥300
+    chars) treated as gold — real correlated signals, all four
+    confusion cells live at the gate SFs. The oracle replays both
+    gates, the cells and the from-counts metric arithmetic."""
+    from .operators.classifier import gate_eval
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 55)
+        .alias("pred"),
+        (F.length("text") >= 300).alias("gold"),
+    )
+    return gate_eval(d, "pred", "gold")
+
+
+SQL_GATE_EVAL = """
+WITH d AS (
+  SELECT (len(string_split_regex(trim(lower(text)), '\\s+')) >= 55) AS p,
+         (length(text) >= 300) AS g
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN p AND g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN p AND NOT g THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT p AND g THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT p AND NOT g THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
+  FROM d
+)
+SELECT n, tp, fp, fn, tn,
+  CASE WHEN tp + fp = 0 THEN NULL
+       ELSE CAST(tp * 1000 // (tp + fp) AS BIGINT) END AS precision_pm,
+  CASE WHEN tp + fn = 0 THEN NULL
+       ELSE CAST(tp * 1000 // (tp + fn) AS BIGINT) END AS recall_pm,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       ELSE CAST(2 * tp * 1000 // (2 * tp + fp + fn) AS BIGINT) END
+    AS f1_pm,
+  CAST((tp + tn) * 1000 // n AS BIGINT) AS accuracy_pm
+FROM agg
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12865,6 +12909,7 @@ CATALOG: Dict[str, tuple] = {
     "group_trend": (q_group_trend, SQL_GROUP_TREND),
     "classifier_agreement": (q_classifier_agreement, SQL_CLASSIFIER_AGREEMENT),
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
+    "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
 }
 
 

@@ -303,3 +303,49 @@ def score_calibration(
             F.expr("CAST(n_pos * 1000 div n AS BIGINT)").alias("rate_pm"),
         )
     )
+
+
+def gate_eval(
+    labeled: DataFrame, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Precision / recall / F1 of a boolean gate against gold labels —
+    the third evaluation view beside κ (agreement between two gates)
+    and calibration (score reliability): when a labeled sample exists,
+    these are the numbers a gate swap is actually approved on.
+
+    Integer end-to-end: precision_pm = tp·1000 div (tp+fp),
+    recall_pm = tp·1000 div (tp+fn), and F1 directly from counts —
+    f1_pm = 2·tp·1000 div (2·tp + fp + fn) — never from the rounded
+    precision/recall (compounded truncation). Zero denominators (no
+    positive predictions / no positive gold) emit NULL — data, not a
+    division error. NULL rows excluded (scored rows only).
+
+    ONE hash aggregate → a single row
+    (n, tp, fp, fn, tn, precision_pm, recall_pm, f1_pm, accuracy_pm).
+    """
+    d = labeled.select(
+        F.col(pred_col).cast("boolean").alias("p"),
+        F.col(gold_col).cast("boolean").alias("g"),
+    ).where(F.col("p").isNotNull() & F.col("g").isNotNull())
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("p") & F.col("g"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("g"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("p") & F.col("g"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("p") & ~F.col("g"), 1).otherwise(0))
+        .alias("tn"),
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp = 0 THEN NULL ELSE "
+               "CAST(tp * 1000 div (tp + fp) AS BIGINT) END")
+        .alias("precision_pm"),
+        F.expr("CASE WHEN tp + fn = 0 THEN NULL ELSE "
+               "CAST(tp * 1000 div (tp + fn) AS BIGINT) END")
+        .alias("recall_pm"),
+        F.expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE "
+               "CAST(2 * tp * 1000 div (2 * tp + fp + fn) AS BIGINT) END")
+        .alias("f1_pm"),
+        F.expr("CAST((tp + tn) * 1000 div n AS BIGINT)")
+        .alias("accuracy_pm"),
+    )

@@ -238,3 +238,34 @@ class TestScoreCalibration:
     def test_observed_bins_only_and_null_labels_dropped(self, spark):
         got = self._run(spark, [(250, True), (250, None)])
         assert list(got) == [2] and got[2]["n"] == 1
+
+
+class TestGateEval:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.classifier import gate_eval
+
+        df = spark.createDataFrame(pairs, "p boolean, g boolean")
+        return gate_eval(df, "p", "g").collect()[0]
+
+    def test_known_confusion_values(self, spark):
+        # tp=6 fp=2 fn=3 tn=9: P=750, R=666, F1=2*6/(12+2+3)=705, acc=750
+        pairs = ([(True, True)] * 6 + [(True, False)] * 2
+                 + [(False, True)] * 3 + [(False, False)] * 9)
+        r = self._run(spark, pairs)
+        assert (r["precision_pm"], r["recall_pm"]) == (750, 666)
+        assert r["f1_pm"] == 705 and r["accuracy_pm"] == 750
+
+    def test_f1_from_counts_not_rounded_pr(self, spark):
+        # tp=1 fp=1 fn=0: P=500, R=1000; harmonic of rounded pm would
+        # drift — from-counts F1 = 2000//3 = 666
+        r = self._run(spark, [(True, True), (True, False)])
+        assert r["f1_pm"] == 666
+
+    def test_zero_denominators_null(self, spark):
+        r = self._run(spark, [(False, False)] * 3)
+        assert r["precision_pm"] is None and r["recall_pm"] is None
+        assert r["f1_pm"] is None and r["accuracy_pm"] == 1000
+
+    def test_null_rows_excluded(self, spark):
+        r = self._run(spark, [(True, True), (None, False), (True, None)])
+        assert r["n"] == 1 and r["accuracy_pm"] == 1000
