@@ -12567,6 +12567,70 @@ FROM agg
 """
 
 
+def q_deepwalk_corpus(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators/graph.py
+    deepwalk_corpus) over the symmetrized ring+chords graph (every node
+    degree 4): 2 walks per node, 4 steps, md5-indexed neighbor picks.
+    The oracle unrolls all four steps replaying the sorted adjacency,
+    every hash, modulus and list index."""
+    from .operators.graph import deepwalk_corpus
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 40).alias("dst"))
+    chords = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % 40).alias("dst"))
+    e = ring.unionByName(chords)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return deepwalk_corpus(sym, walks_per_node=2, walk_len=4)
+
+
+def _deepwalk_sql(walk_len: int = 4) -> str:
+    def pick(r: int) -> str:
+        h = (f"('0x' || substr(md5('dw:' || start || ':' || walk_no "
+             f"|| ':' || {r}), 1, 15))::BIGINT")
+        return (f"a.nbrs[CAST({h} % len(a.nbrs) + 1 AS INTEGER)]")
+
+    parts = ["""WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+e0 AS (
+  SELECT i AS u, (i + 1) % 40 AS v FROM ids
+  UNION ALL SELECT i, (i + 7) % 40 FROM ids
+),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e0 WHERE u <> v
+    UNION ALL SELECT v, u FROM e0 WHERE u <> v
+  )
+),
+adj AS (
+  SELECT u, list(v ORDER BY v) AS nbrs FROM sym GROUP BY u
+),
+s0 AS (
+  SELECT u AS start, CAST(wn.w AS INTEGER) AS walk_no,
+         CAST(0 AS INTEGER) AS step, u AS node
+  FROM adj CROSS JOIN (SELECT unnest([0, 1]) AS w) wn
+)"""]
+    for r in range(1, walk_len + 1):
+        parts.append(f""",
+s{r} AS (
+  SELECT start, walk_no, CAST({r} AS INTEGER) AS step,
+         {pick(r)} AS node
+  FROM s{r - 1} w JOIN adj a ON a.u = w.node
+)""")
+    sel = ["\nSELECT start, walk_no, step, node FROM s0"]
+    for r in range(1, walk_len + 1):
+        sel.append(f"UNION ALL SELECT start, walk_no, step, node FROM s{r}")
+    return "".join(parts) + "\n".join(sel)
+
+
+SQL_DEEPWALK = _deepwalk_sql(4)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12910,6 +12974,7 @@ CATALOG: Dict[str, tuple] = {
     "classifier_agreement": (q_classifier_agreement, SQL_CLASSIFIER_AGREEMENT),
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
+    "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
 }
 
 

@@ -1047,3 +1047,70 @@ def mst_cut_clusters(
     return nodes.join(cc, "node", "left").select(
         "node", F.coalesce("_c", F.col("node")).alias("cluster")
     )
+
+
+def deepwalk_corpus(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walks_per_node: int = 2,
+    walk_len: int = 4,
+    seed: str = "dw",
+) -> DataFrame:
+    """Deterministic DeepWalk corpus (Perozzi KDD'14): fixed-length
+    md5-derived "random" walks from every node — the training corpus a
+    skip-gram graph-embedding run consumes (walks are to node
+    embeddings what documents are to word embeddings). True RNG walks
+    are unreproducible across engines/retries; here step r of walk
+    (start, w) picks neighbor index md5(seed:start:w:r) mod degree over
+    the SORTED adjacency list — replayable bit-for-bit, restart-safe,
+    and still uniform per step (the md5-as-randomness convention used
+    by every sampler in this repo).
+
+    Scale shape: adjacency built once (one aggregate into per-node
+    sorted neighbor arrays, bounded by max degree — supernode arrays
+    are the caller's cap-or-salt decision, domain_cap composes), then
+    `walk_len` rounds of ONE equi-join each (walk frontier × adjacency)
+    with localCheckpoint lineage truncation. Dead-end nodes end their
+    walks early (directed graphs); walk count is nodes·walks_per_node.
+
+    Emits (start, walk_no, step, node) — step 0 is the start itself.
+    """
+    adj = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = adj.select(F.col("u").alias("node"))
+    walks = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.array(*[F.lit(w) for w in range(int(walks_per_node))])
+        ).alias("walk_no"),
+    ).select("start", "walk_no", F.lit(0).alias("step"),
+             F.col("start").alias("node"))
+    out = walks.localCheckpoint(eager=True)
+    cur = out
+    for r in range(1, int(walk_len) + 1):
+        nxt = (
+            cur.join(adj, cur["node"] == adj["u"])
+            .select(
+                "start", "walk_no", F.lit(r).alias("step"),
+                F.expr(
+                    "element_at(nbrs, CAST("
+                    "CAST(conv(substring(md5(concat_ws("
+                    f"':', '{seed}', start, walk_no, {r})), 1, 15), "
+                    "16, 10) AS BIGINT) % size(nbrs) + 1 AS INT))"
+                ).alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        cur = nxt
+    return out

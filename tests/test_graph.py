@@ -610,3 +610,54 @@ class TestMstCutClusters:
         got = {r["node"]: r["cluster"]
                for r in mst_cut_clusters(mst, 10).collect()}
         assert got == {0: 0, 1: 1, 2: 2}
+
+
+class TestDeepwalkCorpus:
+    def _run(self, spark, edges, **kw):
+        from ocr_service_spark.operators.graph import deepwalk_corpus
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return deepwalk_corpus(df, **kw).collect()
+
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        edges = [(i, (i + 1) % 6) for i in range(6)]
+        edges += [(b, a) for a, b in edges]
+        rows = self._run(spark, edges, walks_per_node=2, walk_len=3)
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        byw = {}
+        for r in rows:
+            byw.setdefault((r["start"], r["walk_no"]), {})[r["step"]] = r["node"]
+        assert len(byw) == 12  # 6 nodes x 2 walks
+        for (s, w), steps in byw.items():
+            assert steps[0] == s and len(steps) == 4
+            for t in range(1, 4):
+                assert steps[t] in adj[steps[t - 1]], (s, w, steps)
+        again = self._run(spark, edges, walks_per_node=2, walk_len=3)
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_dead_ends_truncate_walks(self, spark):
+        # directed chain 0->1->2: walks from 0 reach at most step 2,
+        # node 2 has no out-edges so its walks stop at step 0
+        rows = self._run(spark, [(0, 1), (1, 2)],
+                         walks_per_node=1, walk_len=5)
+        steps = {}
+        for r in rows:
+            steps.setdefault(r["start"], []).append((r["step"], r["node"]))
+        assert sorted(steps[0]) == [(0, 0), (1, 1), (2, 2)]
+        assert sorted(steps[1]) == [(0, 1), (1, 2)]
+        assert 2 not in steps  # no adjacency row -> no walks emitted
+
+    def test_walk_indices_cover_neighbors(self, spark):
+        # star center with 4 leaves, symmetric: center walks alternate
+        # center->leaf->center...; leaf picks from the center's 4-list
+        # must stay within the leaf set
+        edges = [(0, i) for i in (1, 2, 3, 4)]
+        edges += [(i, 0) for i in (1, 2, 3, 4)]
+        rows = self._run(spark, edges, walks_per_node=4, walk_len=2)
+        for r in rows:
+            if r["step"] == 1 and r["start"] == 0:
+                assert r["node"] in (1, 2, 3, 4)
+            if r["step"] == 2 and r["start"] == 0:
+                assert r["node"] == 0
