@@ -12631,6 +12631,110 @@ s{r} AS (
 SQL_DEEPWALK = _deepwalk_sql(4)
 
 
+def q_interval_point_join(spark, sf_dir):
+    """Point-in-interval join on the bucketized equi-join plan
+    (operators/intervals.py): ~50 campaign windows derived from every
+    199th event (1-7 day spans) matched against all 10k event
+    timestamps, aggregated per campaign. The bare BETWEEN join would
+    plan as BroadcastNestedLoopJoin; the operator shape is one shuffle
+    keyed by day bucket. Oracle: DuckDB brute inequality join (exact at
+    this scale). Value sums on the cents integer grid per convention."""
+    from .operators.intervals import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    camps = ev.where(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("campaign_id"),
+        F.col("s").alias("start_s"),
+        (F.col("s") + (F.col("event_id") % 7 + 1) * 86400).alias("end_s"),
+    )
+    pts = ev.select(F.col("event_id").alias("pid"),
+                    F.col("s").alias("ts_s"), "cents")
+    joined = point_in_interval_join(pts, camps, ts="ts_s",
+                                    bucket_width=86400)
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+SQL_INTERVAL_POINT = """
+WITH ev AS (
+  SELECT event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+camp AS (
+  SELECT event_id AS campaign_id, s AS start_s,
+         s + (event_id % 7 + 1) * 86400 AS end_s
+  FROM ev WHERE event_id % 199 = 0
+)
+SELECT campaign_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(p.cents) AS BIGINT) AS cents_sum
+FROM camp c JOIN ev p ON p.s BETWEEN c.start_s AND c.end_s
+GROUP BY campaign_id
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join, exactly-once by the first-live-bucket
+    filter (operators/intervals.py): click-derived windows (1-5 h) ×
+    view-derived windows (2-6 h), per-left-id overlap count and
+    right-id checksum. Oracle: DuckDB brute overlap inequality join."""
+    from .operators.intervals import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+    )
+    left = ev.where((F.col("event_type") == "click")
+                    & (F.col("event_id") % 11 == 0)).select(
+        F.col("event_id").alias("lid"),
+        F.col("s").alias("l_start"),
+        (F.col("s") + (F.col("event_id") % 5 + 1) * 3600).alias("l_end"),
+    )
+    right = ev.where((F.col("event_type") == "view")
+                     & (F.col("event_id") % 7 == 0)).select(
+        F.col("event_id").alias("rid"),
+        F.col("s").alias("r_start"),
+        (F.col("s") + (F.col("event_id") % 3 + 1) * 7200).alias("r_end"),
+    )
+    pairs = interval_overlap_join(left, right, bucket_width=4 * 3600)
+    return pairs.groupBy("lid").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum("rid").alias("rid_sum"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+l AS (
+  SELECT event_id AS lid, s AS l_start,
+         s + (event_id % 5 + 1) * 3600 AS l_end
+  FROM ev WHERE event_type = 'click' AND event_id % 11 = 0
+),
+r AS (
+  SELECT event_id AS rid, s AS r_start,
+         s + (event_id % 3 + 1) * 7200 AS r_end
+  FROM ev WHERE event_type = 'view' AND event_id % 7 = 0
+)
+SELECT lid,
+       COUNT(*) AS n_overlap,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum
+FROM l JOIN r ON l.l_start <= r.r_end AND r.r_start <= l.l_end
+GROUP BY lid
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -12975,6 +13079,8 @@ CATALOG: Dict[str, tuple] = {
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
+    "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),
+    "interval_overlap_join": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
 }
 
 

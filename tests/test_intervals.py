@@ -1,0 +1,110 @@
+"""Bucketized interval joins vs brute-force truth (operators/intervals.py)."""
+
+import pytest
+
+from ocr_service_spark.operators.intervals import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ocr_service_spark.session import get_spark
+
+    return get_spark()
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pid long, ts_s long")
+
+
+def _ivs(spark, rows):
+    return spark.createDataFrame(rows, "iid long, start_s long, end_s long")
+
+
+class TestPointInInterval:
+    def test_matches_brute_force_inclusive_bounds(self, spark):
+        # deterministic pseudo-random layout crossing many buckets
+        pts = [(i, (i * 7919) % 1000) for i in range(80)]
+        ivs = [(j, (j * 104729) % 900, (j * 104729) % 900 + (j % 5) * 37)
+               for j in range(25)]
+        truth = sorted(
+            (p, i)
+            for p, t in pts
+            for i, s, e in ivs
+            if s <= t <= e
+        )
+        for width in (1, 7, 100, 10_000):
+            got = sorted(
+                (r["pid"], r["iid"])
+                for r in point_in_interval_join(
+                    _pts(spark, pts), _ivs(spark, ivs),
+                    ts="ts_s", bucket_width=width,
+                ).collect()
+            )
+            assert got == truth, width
+
+    def test_boundaries_and_degenerate_intervals(self, spark):
+        pts = _pts(spark, [(1, 10), (2, 20), (3, 15)])
+        ivs = _ivs(spark, [(100, 10, 20),   # both endpoints inclusive
+                           (200, 16, 14),   # start > end: matches nothing
+                           (300, 15, 15)])  # zero-length: exact hit only
+        got = sorted((r["pid"], r["iid"]) for r in point_in_interval_join(
+            pts, ivs, bucket_width=4).collect())
+        assert got == [(1, 100), (2, 100), (3, 100), (3, 300)]
+
+    def test_column_clash_rejected(self, spark):
+        df = _pts(spark, [(1, 1)])
+        with pytest.raises(ValueError, match="disjoint"):
+            point_in_interval_join(df, df)
+
+    def test_no_nested_loop_in_plan(self, spark):
+        plan = point_in_interval_join(
+            _pts(spark, [(1, 1)]), _ivs(spark, [(1, 0, 2)])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalOverlap:
+    def _lr(self, spark, lrows, rrows):
+        l = spark.createDataFrame(lrows, "lid long, l_start long, l_end long")
+        r = spark.createDataFrame(rrows, "rid long, r_start long, r_end long")
+        return l, r
+
+    def test_matches_brute_force_exactly_once(self, spark):
+        lrows = [(i, (i * 7919) % 500, (i * 7919) % 500 + (i % 7) * 40)
+                 for i in range(40)]
+        rrows = [(j, (j * 104729) % 500, (j * 104729) % 500 + (j % 4) * 60)
+                 for j in range(30)]
+        truth = sorted(
+            (a, b)
+            for a, ls, le in lrows
+            for b, rs, re in rrows
+            if ls <= re and rs <= le
+        )
+        for width in (13, 50, 1000):
+            rows = interval_overlap_join(
+                *self._lr(spark, lrows, rrows), bucket_width=width
+            ).collect()
+            got = sorted((r["lid"], r["rid"]) for r in rows)
+            assert got == truth, width  # exactly-once: no multiset dupes
+
+    def test_pair_spanning_many_buckets_emitted_once(self, spark):
+        # both intervals cover buckets 0..99 with width 10
+        l, r = self._lr(spark, [(1, 0, 999)], [(2, 5, 998)])
+        rows = interval_overlap_join(l, r, bucket_width=10).collect()
+        assert [(rw["lid"], rw["rid"]) for rw in rows] == [(1, 2)]
+
+    def test_touching_endpoints_count_as_overlap(self, spark):
+        l, r = self._lr(spark, [(1, 0, 10)], [(2, 10, 20), (3, 11, 20)])
+        rows = interval_overlap_join(l, r, bucket_width=8).collect()
+        assert sorted((rw["lid"], rw["rid"]) for rw in rows) == [(1, 2)]
+
+    def test_no_nested_loop_in_plan(self, spark):
+        l, r = self._lr(spark, [(1, 0, 1)], [(2, 0, 1)])
+        plan = interval_overlap_join(l, r)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
