@@ -12735,6 +12735,65 @@ GROUP BY lid
 """
 
 
+def q_link_prediction(spark, sf_dir):
+    """Structural link prediction (operators/graph.py
+    link_prediction_scores) over the planted ring+two-chords graph
+    (40 nodes, degree 6): common-neighbor / Resource-Allocation /
+    Jaccard scores for every non-adjacent 2-hop pair, all on integer
+    ppm grids. Oracle replays the wedge join, the per-wedge
+    1000000 div deg quantization and the anti-join."""
+    from .operators.graph import link_prediction_scores
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    e = None
+    for k in (1, 7, 11):
+        part = ids.select(F.col("i").alias("src"),
+                          ((F.col("i") + k) % 40).alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    return link_prediction_scores(e)
+
+
+SQL_LINK_PREDICTION = """
+WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+e0 AS (
+  SELECT i AS u, (i + 1) % 40 AS v FROM ids
+  UNION ALL SELECT i, (i + 7) % 40 FROM ids
+  UNION ALL SELECT i, (i + 11) % 40 FROM ids
+),
+e AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM e0 WHERE u <> v
+),
+sym AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT w, COUNT(*) AS degree FROM sym GROUP BY w),
+centered AS (
+  SELECT s.w, s.n, 1000000 // d.degree AS ra_unit
+  FROM sym s JOIN deg d USING (w)
+),
+cand AS (
+  SELECT l.n AS u, r.n AS v, COUNT(*) AS cn, SUM(l.ra_unit) AS ra
+  FROM centered l JOIN centered r ON l.w = r.w AND l.n < r.n
+  GROUP BY 1, 2
+),
+newpairs AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v)
+)
+SELECT np.u, np.v,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       CAST(ra AS BIGINT) AS ra_ppm,
+       CAST(1000000 * cn // (du.degree + dv.degree - cn) AS BIGINT)
+         AS jaccard_ppm
+FROM newpairs np
+JOIN deg du ON du.w = np.u
+JOIN deg dv ON dv.w = np.v
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13081,6 +13140,7 @@ CATALOG: Dict[str, tuple] = {
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),
     "interval_overlap_join": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
 }
 
 

@@ -1114,3 +1114,81 @@ def deepwalk_corpus(
         out = out.unionByName(nxt).localCheckpoint(eager=True)
         cur = nxt
     return out
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """Structural link prediction over an undirected graph: for every
+    non-adjacent 2-hop pair emit the three classic neighborhood scores
+    (Liben-Nowell & Kleinberg CIKM'03) — common-neighbor count,
+    Resource Allocation (Zhou et al. EPJ-B'09: Σ 1/deg(w), the
+    integer-safe cousin of Adamic–Adar), and neighborhood Jaccard —
+    the candidate-edge ranking a crawl frontier or entity-linkage
+    pass consumes ("these two hosts/records share enough neighbors
+    that an edge is likely missing").
+
+    All scores live on integer grids (ra_ppm = Σ 1000000 div deg(w),
+    quantized PER WEDGE before the sum; jaccard_ppm = 1000000·cn div
+    (deg u + deg v − cn)) so a DuckDB twin replays them bit-for-bit —
+    no float accumulation order to disagree on (CLAUDE.md convention).
+
+    Shape: symmetrize once, attach center degrees, then ONE self
+    equi-join on the wedge center w with u < v ordering — each
+    candidate pair is produced from each shared neighbor exactly once
+    and scored in one hash aggregate; existing edges leave via a
+    single anti-join against the canonical a<b edge list. Cost is
+    Σ deg(w)² over wedge centers — the same bound as triangle
+    enumeration; `hub_cap` drops centers with deg > cap (a power-law
+    hub contributes ~0 RA weight per wedge yet deg² candidate rows —
+    capping is the standard recall/cost dial and is replayed by the
+    oracle, so capped runs stay oracle-exact).
+
+    Returns (u, v, common_neighbors, ra_ppm, jaccard_ppm) with u < v.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    centered = sym.join(deg, "w")
+    if hub_cap is not None:
+        centered = centered.where(F.col("degree") <= int(hub_cap))
+    lhs = centered.select(
+        "w", F.col("n").alias("u"),
+        F.expr("1000000 div degree").alias("ra_unit"),
+    )
+    rhs = centered.select("w", F.col("n").alias("v"))
+    cand = (
+        lhs.join(rhs, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("ra_unit").cast("long").alias("ra_ppm"),
+        )
+        .join(e, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+              "left_anti")
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("w").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common_neighbors", "ra_ppm",
+            F.expr(
+                "1000000 * common_neighbors div"
+                " (deg_u + deg_v - common_neighbors)"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

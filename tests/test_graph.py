@@ -661,3 +661,41 @@ class TestDeepwalkCorpus:
                 assert r["node"] in (1, 2, 3, 4)
             if r["step"] == 2 and r["start"] == 0:
                 assert r["node"] == 0
+
+
+class TestLinkPrediction:
+    def _run(self, spark, edges, **kw):
+        from ocr_service_spark.operators.graph import link_prediction_scores
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            (r["u"], r["v"]): (r["common_neighbors"], r["ra_ppm"],
+                               r["jaccard_ppm"])
+            for r in link_prediction_scores(df, **kw).collect()
+        }
+
+    def test_path_scores_by_hand(self, spark):
+        # 0-1-2: only candidate (0,2) via center 1 (deg 2)
+        got = self._run(spark, [(0, 1), (1, 2)])
+        assert got == {(0, 2): (1, 500000, 1000000)}
+
+    def test_square_two_common_neighbors(self, spark):
+        got = self._run(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert got == {(0, 2): (2, 1000000, 1000000),
+                       (1, 3): (2, 1000000, 1000000)}
+
+    def test_existing_edges_excluded(self, spark):
+        # triangle 0-1-2 + pendant 2-3: adjacent (0,1) never emitted
+        got = self._run(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert got == {(0, 3): (1, 333333, 500000),
+                       (1, 3): (1, 333333, 500000)}
+
+    def test_hub_cap_drops_star_center_wedges(self, spark):
+        edges = [(0, i) for i in (1, 2, 3, 4)] + [(1, 2)]
+        full = self._run(spark, edges)
+        assert (3, 4) in full and full[(3, 4)][0] == 1
+        assert self._run(spark, edges, hub_cap=3) == {}
+
+    def test_directed_input_symmetrized(self, spark):
+        assert self._run(spark, [(1, 0), (1, 2)]) == \
+            self._run(spark, [(0, 1), (2, 1)])
