@@ -12794,6 +12794,108 @@ JOIN deg dv ON dv.w = np.v
 """
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.py
+    pq_ann_topk): m=8 subspaces x ksub=8 codes over the 64-dim
+    embeddings, one Lloyd round, 10 queries (vec_id % 50 == 0), k=5.
+    Integer grid end-to-end; the oracle replays quantization, the
+    per-subspace Lloyd round (truncating-div means, empty-code
+    COALESCE), encoding argmins and every ADC table sum."""
+    from .operators.similarity import pq_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_ann_topk(emb, queries, "vec_id", "embedding",
+                       k=5, m=8, dim=64, ksub=8, iters=1)
+
+
+def _pq_sql(iters: int, ksub: int = 8, sublen: int = 8, k: int = 5) -> str:
+    """Unrolled PQ recurrence (the kmeans-oracle strategy, per-subspace).
+    Round CTEs are MATERIALIZED: DuckDB inlines a CTE at every reference
+    site and cx{r} is referenced twice per round (CLAUDE.md)."""
+    pre = f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+spx AS MATERIALIZED (
+  SELECT vec_id, CAST((gs - 1) // {sublen} AS BIGINT) AS s,
+         CAST((gs - 1) % {sublen} AS BIGINT) AS i, x
+  FROM (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS gs
+        FROM pts)
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+  FROM (SELECT vec_id FROM pts ORDER BY vec_id LIMIT {ksub})
+),
+cx0 AS MATERIALIZED (
+  SELECT p.s, sd.code, p.i, p.x AS cx
+  FROM seeds sd JOIN spx p ON p.vec_id = sd.vec_id
+)"""
+    parts = [pre]
+    for r in range(iters):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, c.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.s
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)),
+                                       c.code) AS rn
+    FROM spx p JOIN cx{r} c ON c.s = p.s AND c.i = p.i
+    GROUP BY p.vec_id, p.s, c.code
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT a.s, a.code, p.i,
+         CAST(SUM(p.x) AS BIGINT) // COUNT(*) AS cx
+  FROM spx p JOIN a{r} a ON a.vec_id = p.vec_id AND a.s = p.s
+  GROUP BY a.s, a.code, p.i
+),
+cx{r + 1} AS MATERIALIZED (
+  SELECT c.s, c.code, c.i, COALESCE(m.cx, c.cx) AS cx
+  FROM cx{r} c LEFT JOIN m{r} m
+    ON m.s = c.s AND m.code = c.code AND m.i = c.i
+)""")
+    parts.append(f""",
+enc AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, c.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.s
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)),
+                                       c.code) AS rn
+    FROM spx p JOIN cx{iters} c ON c.s = p.s AND c.i = p.i
+    GROUP BY p.vec_id, p.s, c.code
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT p.vec_id AS query_id, p.s, c.code,
+         SUM((p.x - c.cx) * (p.x - c.cx)) AS d
+  FROM spx p JOIN cx{iters} c ON c.s = p.s AND c.i = p.i
+  WHERE p.vec_id % 50 = 0
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS INTEGER)
+           AS rank
+  FROM adc
+) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+SQL_PQ_ANN = _pq_sql(1)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13141,6 +13243,7 @@ CATALOG: Dict[str, tuple] = {
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),
     "interval_overlap_join": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
+    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN),
 }
 
 

@@ -424,3 +424,137 @@ def embedding_hygiene(
             & (F.col("id") == F.col("fp_survivor"))
         ).alias("keep"),
     )
+
+
+def _pq_subpoints(
+    vecs: DataFrame, id_col: str, vec_col: str, m: int, dim: int,
+    q: int = 1000,
+) -> DataFrame:
+    """(id, s, sv): vectors quantized to the floor(x*q) integer grid and
+    split into m contiguous subvectors of dim/m elements. The quantized
+    array and its slices are materialized in their own projections so no
+    downstream lambda re-derives them per element (the Catalyst
+    re-evaluation trap, operators/dedup.py)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sublen = dim // m
+    qv = vecs.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, e ->"
+            f" CAST(FLOOR(CAST(e AS DOUBLE) * {int(q)}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    slices = F.array(
+        *[F.slice("qv", s * sublen + 1, sublen) for s in range(m)]
+    )
+    return qv.select("id", F.posexplode(slices).alias("s", "sv"))
+
+
+def _pq_sqdist(pv: str, cv: str):
+    return F.expr(
+        f"aggregate(zip_with({pv}, {cv}, (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def pq_codebooks(
+    subpts: DataFrame, ksub: int, iters: int
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. TPAMI'11): an
+    independent ksub-centroid k-means per subspace, trained on the
+    integer grid with deterministic seeds (the ksub lowest-id vectors'
+    subvectors, the clustering.py seed rule) and truncating-div means —
+    the unrolled recurrence a DuckDB twin replays exactly. All m
+    trainings run in ONE DataFrame plan (subspace travels as a key
+    column), so the Lloyd join/aggregate cost is paid once, not m times.
+    Codebooks are m·ksub rows — broadcast-sized by construction.
+    Emits (s, code, cv array<long>)."""
+    w = Window.partitionBy("s").orderBy("id")
+    cents = (
+        subpts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(ksub))
+        .select("s", (F.col("rn") - 1).cast("long").alias("code"),
+                F.col("sv").alias("cv"))
+    )
+    for _ in range(int(iters)):
+        assign = pq_assign_codes(subpts, cents)
+        means = (
+            subpts.join(assign, ["id", "s"])
+            .select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.expr("sum(x) div count(1)").alias("x"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda t: t["x"],
+                ).alias("new_cv")
+            )
+        )
+        cents = cents.join(means, ["s", "code"], "left").select(
+            "s", "code", F.coalesce("new_cv", "cv").alias("cv")
+        ).localCheckpoint(eager=True)
+    return cents
+
+
+def pq_assign_codes(subpts: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): broadcast the
+    m·ksub codebook, integer squared L2, ties to the lowest code.
+    Emits (id, s, code)."""
+    scored = subpts.join(
+        F.broadcast(codebooks), "s"
+    ).select("id", "s", "code", _pq_sqdist("sv", "cv").alias("d"))
+    return (
+        scored.groupBy("id", "s")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select("id", "s", F.col("b.code").alias("code"))
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int, m: int = 8, dim: int = 64, ksub: int = 8, iters: int = 1,
+    q: int = 1000,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k — the
+    memory-bound scale path: each corpus vector is stored as m small
+    codes (m bytes at ksub<=256 vs dim·4 float bytes — 32x smaller for
+    64-dim float32 at m=8, and that compressed form is what crosses
+    every shuffle), while queries stay full precision. Per query a
+    lookup table of m·ksub integer subspace distances is built against
+    the broadcast codebooks; a corpus vector's ADC distance is the sum
+    of m table lookups — one broadcast equi-join on (s, code) + one
+    hash aggregate, never a full-precision scan of the corpus.
+
+    Integer grid end-to-end (quantize → Lloyd with truncating means →
+    ADC sums), so ranking ties and every distance are cross-engine
+    exact (CLAUDE.md float convention) and the DuckDB oracle replays
+    training, encoding and lookup bit-for-bit.
+
+    Emits (query_id, rank, neighbor_id, adc_dist), rank by (adc_dist,
+    neighbor_id) — self-matches excluded.
+    """
+    sub_c = _pq_subpoints(corpus, id_col, vec_col, m, dim, q)
+    books = pq_codebooks(sub_c, ksub, iters)
+    enc = pq_assign_codes(sub_c, books).select(
+        F.col("id").alias("neighbor_id"), "s", "code"
+    )
+    sub_q = _pq_subpoints(queries, id_col, vec_col, m, dim, q).select(
+        F.col("id").alias("query_id"), "s", "sv"
+    )
+    lut = sub_q.join(F.broadcast(books), "s").select(
+        "query_id", "s", "code", _pq_sqdist("sv", "cv").alias("d")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )

@@ -786,3 +786,144 @@ class TestContrastivePairs:
         assert (got[1]["pos_id"], got[1]["pos_jpm"]) == (2, 700)
         assert (got[1]["neg_id"], got[1]["neg_jpm"]) == (3, 666)
         assert (got[3]["pos_id"], got[3]["neg_id"]) == (2, 1)
+
+
+class TestPqAnnTopk:
+    """PQ/ADC top-k vs a pure-python replay of the identical integer
+    recurrence (quantize -> per-subspace Lloyd with truncating-div means
+    -> encode -> ADC table sums)."""
+
+    @staticmethod
+    def _vecs(n, dim):
+        # deterministic, includes negatives
+        return [
+            (i, [(((i * 31 + j * 17) % 13) - 6) / 7.0 for j in range(dim)])
+            for i in range(n)
+        ]
+
+    @staticmethod
+    def _py_pq(rows, queries, k, m, dim, ksub, iters, q=1000):
+        import math
+
+        def quant(v):
+            return [math.floor(x * q) for x in v]
+
+        def tdiv(a, b):  # truncating integer division (Spark `div`)
+            return -((-a) // b) if a < 0 else a // b
+
+        sublen = dim // m
+        sub = {
+            (i, s): quant(v)[s * sublen:(s + 1) * sublen]
+            for i, v in rows for s in range(m)
+        }
+        ids = sorted({i for i, _ in rows})
+        books = {(s, c): list(sub[(ids[c], s)])
+                 for s in range(m) for c in range(min(ksub, len(ids)))}
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        for _ in range(iters):
+            assign = {}
+            for i in ids:
+                for s in range(m):
+                    assign[(i, s)] = min(
+                        (c for (s2, c) in books if s2 == s),
+                        key=lambda c: (d2(sub[(i, s)], books[(s, c)]), c),
+                    )
+            for (s, c) in list(books):
+                members = [i for i in ids if assign[(i, s)] == c]
+                if members:
+                    books[(s, c)] = [
+                        tdiv(sum(sub[(i, s)][p] for i in members),
+                             len(members))
+                        for p in range(sublen)
+                    ]
+        enc = {
+            (i, s): min((c for (s2, c) in books if s2 == s),
+                        key=lambda c: (d2(sub[(i, s)], books[(s, c)]), c))
+            for i in ids for s in range(m)
+        }
+        out = []
+        for qi, qv in queries:
+            qq = quant(qv)
+            lut = {
+                (s, c): d2(qq[s * sublen:(s + 1) * sublen], books[(s, c)])
+                for (s, c) in books
+            }
+            scored = sorted(
+                (sum(lut[(s, enc[(i, s)])] for s in range(m)), i)
+                for i in ids if i != qi
+            )
+            for r, (d, i) in enumerate(scored[:k], 1):
+                out.append((qi, r, i, d))
+        return sorted(out)
+
+    def test_matches_python_replay(self, spark):
+        from ocr_service_spark.operators.similarity import pq_ann_topk
+
+        rows = self._vecs(24, 8)
+        queries = [rows[3], rows[11], rows[20]]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        qdf = spark.createDataFrame(
+            queries, "vec_id long, embedding array<double>")
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+            for r in pq_ann_topk(corpus, qdf, "vec_id", "embedding",
+                                 k=3, m=2, dim=8, ksub=4, iters=2).collect()
+        )
+        assert got == self._py_pq(rows, queries, 3, 2, 8, 4, 2)
+
+    def test_full_codebook_is_exact(self, spark):
+        # ksub >= n, iters=0: every corpus subvector is a centroid, so
+        # ADC degenerates to the exact integer-grid squared L2 top-k.
+        import math
+
+        from ocr_service_spark.operators.similarity import pq_ann_topk
+
+        rows = self._vecs(12, 8)
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        qdf = spark.createDataFrame(
+            [rows[0], rows[7]], "vec_id long, embedding array<double>")
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+            for r in pq_ann_topk(corpus, qdf, "vec_id", "embedding",
+                                 k=4, m=4, dim=8, ksub=12, iters=0).collect()
+        )
+        quant = {i: [math.floor(x * 1000) for x in v] for i, v in rows}
+        truth = []
+        for qi in (0, 7):
+            scored = sorted(
+                (sum((a - b) ** 2 for a, b in zip(quant[qi], quant[i])), i)
+                for i, _ in rows if i != qi
+            )
+            truth += [(qi, r, i, d) for r, (d, i) in enumerate(scored[:4], 1)]
+        assert got == sorted(truth)
+
+    def test_planted_clusters_top1_stays_in_cluster(self, spark):
+        base_a = [1.0] * 8 + [0.0] * 8
+        base_b = [0.0] * 8 + [1.0] * 8
+        rows = []
+        for i in range(20):
+            base = base_a if i % 2 == 0 else base_b
+            rows.append((i, [x + ((i * 7 + j) % 5) * 0.01
+                             for j, x in enumerate(base)]))
+        from ocr_service_spark.operators.similarity import pq_ann_topk
+
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        top1 = pq_ann_topk(corpus, corpus, "vec_id", "embedding",
+                           k=1, m=4, dim=16, ksub=4, iters=2).collect()
+        assert len(top1) == 20
+        for r in top1:
+            assert r["query_id"] % 2 == r["neighbor_id"] % 2
+
+    def test_dim_not_divisible_rejected(self, spark):
+        from ocr_service_spark.operators.similarity import pq_ann_topk
+
+        df = spark.createDataFrame([(1, [0.0] * 10)],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_ann_topk(df, df, "vec_id", "embedding", k=1, m=3, dim=10)
