@@ -12896,6 +12896,63 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
 SQL_PQ_ANN = _pq_sql(1)
 
 
+def q_golden_records(spark, sf_dir):
+    """Survivorship golden records (operators/linkage.py golden_records)
+    over 50 user clusters of the events table: mode(event_type) with
+    smallest-value ties, latest(props) by event time with greatest-value
+    ties, max(cents), min(event_id). Oracle replays every argmax rank
+    and tie-break."""
+    from .operators.linkage import golden_records
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("cluster"),
+        "event_type", "props", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return golden_records(
+        ev, "cluster",
+        {"event_type": "mode", "props": "latest",
+         "cents": "max", "event_id": "min"},
+        ts_col="ts",
+    )
+
+
+SQL_GOLDEN_RECORDS = """
+WITH ev AS (
+  SELECT user_id % 50 AS cluster, event_type, props, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+base AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MAX(cents) AS cents, MIN(event_id) AS event_id
+  FROM ev GROUP BY cluster
+),
+latestv AS (
+  SELECT cluster, props FROM (
+    SELECT cluster, props,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY ts DESC, props DESC) AS rn
+    FROM ev WHERE props IS NOT NULL
+  ) WHERE rn = 1
+),
+md AS (
+  SELECT cluster, event_type FROM (
+    SELECT cluster, event_type,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+    FROM ev WHERE event_type IS NOT NULL
+    GROUP BY cluster, event_type
+  ) WHERE rn = 1
+)
+SELECT b.cluster, b.n_members, md.event_type, latestv.props,
+       b.cents, b.event_id
+FROM base b
+LEFT JOIN latestv USING (cluster)
+LEFT JOIN md USING (cluster)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13244,6 +13301,7 @@ CATALOG: Dict[str, tuple] = {
     "interval_overlap_join": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN),
+    "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
 }
 
 

@@ -207,3 +207,93 @@ def phonetic_blocks(
         F.col(id_col).alias("rec_id"),
         phonetic_key(F.col(name_col)).alias("pkey"),
     )
+
+
+def golden_records(
+    records: DataFrame,
+    cluster_col: str,
+    rules: "dict[str, str]",
+    ts_col: "str | None" = None,
+) -> DataFrame:
+    """Survivorship: collapse each matched-entity cluster (the output of
+    link_records + connected components) into ONE golden record by
+    per-field rules — the step after linkage that master-data pipelines
+    actually publish. Rules per column:
+
+      mode    — most frequent non-null value, ties to the smallest value
+      latest  — value of the non-null row with the greatest ts_col
+                (ties to the greatest value)
+      min/max — extreme non-null value
+      longest — greatest (length, value) non-null string
+
+    All tie-breaks are total orders, so the survivor set is
+    deterministic and a DuckDB twin replays it (no first()/any_value()
+    nondeterminism).
+
+    Shape: one hash aggregate keyed by cluster for every rule except
+    mode; ALL mode columns share one melt → (cluster, field, value)
+    count → argmax → map pivot pass (two aggregates total regardless of
+    how many mode fields), then one broadcast-friendly equi-join back.
+    Everything partial-combines map-side; no window over the full
+    record set, no collect_list of cluster members. Mode values travel
+    as strings through the melt and are cast back to their source
+    column type on the way out (atomic types only).
+
+    Emits (cluster_col, n_members, <one column per rule key>).
+    """
+    agg_exprs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    mode_cols = []
+    for c, rule in rules.items():
+        col = F.col(c)
+        if rule == "mode":
+            mode_cols.append(c)
+        elif rule == "latest":
+            if ts_col is None:
+                raise ValueError("latest rule requires ts_col")
+            agg_exprs.append(
+                F.max(F.when(col.isNotNull(),
+                             F.struct(F.col(ts_col).alias("_t"),
+                                      col.alias("_v"))))["_v"].alias(c)
+            )
+        elif rule == "min":
+            agg_exprs.append(F.min(col).alias(c))
+        elif rule == "max":
+            agg_exprs.append(F.max(col).alias(c))
+        elif rule == "longest":
+            agg_exprs.append(
+                F.max(F.when(col.isNotNull(),
+                             F.struct(F.length(col).alias("_l"),
+                                      col.alias("_v"))))["_v"].alias(c)
+            )
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {c!r}")
+    out = records.groupBy(F.col(cluster_col)).agg(*agg_exprs)
+    if not mode_cols:
+        return out
+    kvs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("f"), F.col(c).cast("string").alias("v"))
+        for c in mode_cols
+    ])).alias("kv")
+    long = (
+        records.select(F.col(cluster_col), kvs)
+        .select(cluster_col, "kv.f", "kv.v")
+        .where(F.col("v").isNotNull())
+    )
+    best = (
+        long.groupBy(cluster_col, "f", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy(cluster_col, "f")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("_nc"),
+                            F.col("v").alias("_v"))).alias("b"))
+        .select(cluster_col, "f", F.col("b._v").alias("v"))
+        .groupBy(cluster_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("f", "v"))).alias("_m"))
+    )
+    out = out.join(best, cluster_col, "left")
+    casts = [
+        F.col("_m").getItem(c).cast(records.schema[c].dataType).alias(c)
+        for c in mode_cols
+    ]
+    keep = [x for x in out.columns if x != "_m"]
+    return out.select(*keep, *casts)

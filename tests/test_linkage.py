@@ -156,3 +156,62 @@ class TestPhoneticKey:
         # BOB: the two B codes are separated by a vowel -> both survive
         # collapsing (B100, not B000)
         assert self._keys(spark, ["Bob"]) == ["B100"]
+
+
+class TestGoldenRecords:
+    def _df(self, spark):
+        rows = [
+            # cluster 1: name mode 'ann' (2 vs 1), latest city by ts,
+            # max score, longest note
+            (1, "ann", "nyc", 10, 100, "aa"),
+            (1, "ann", "sf", 20, 300, "bbbb"),
+            (1, "anne", None, 30, 200, "cc"),
+            # cluster 2: mode tie 'bob'/'rob' -> smallest wins; city all
+            # null -> null survivor
+            (2, "bob", None, 5, 50, None),
+            (2, "rob", None, 6, 40, "x"),
+        ]
+        return spark.createDataFrame(
+            rows, "cluster long, name string, city string, ts long,"
+                  " score long, note string")
+
+    def test_rules_by_hand(self, spark):
+        from ocr_service_spark.operators.linkage import golden_records
+
+        got = {r["cluster"]: r.asDict() for r in golden_records(
+            self._df(spark), "cluster",
+            {"name": "mode", "city": "latest", "score": "max",
+             "note": "longest"},
+            ts_col="ts",
+        ).collect()}
+        assert got[1] == {"cluster": 1, "n_members": 3, "name": "ann",
+                          "city": "sf", "score": 300, "note": "bbbb"}
+        assert got[2] == {"cluster": 2, "n_members": 2, "name": "bob",
+                          "city": None, "score": 50, "note": "x"}
+
+    def test_latest_skips_nulls_and_ties_to_greatest(self, spark):
+        from ocr_service_spark.operators.linkage import golden_records
+
+        df = spark.createDataFrame(
+            [(1, None, 99), (1, "a", 5), (1, "b", 5)],
+            "cluster long, v string, ts long")
+        got = golden_records(df, "cluster", {"v": "latest"},
+                             ts_col="ts").collect()
+        assert got[0]["v"] == "b"  # null at ts=99 skipped; tie -> max
+
+    def test_mode_cast_back_to_long(self, spark):
+        from ocr_service_spark.operators.linkage import golden_records
+
+        df = spark.createDataFrame(
+            [(1, 7), (1, 7), (1, 9)], "cluster long, v long")
+        row = golden_records(df, "cluster", {"v": "mode"}).collect()[0]
+        assert row["v"] == 7 and isinstance(row["v"], int)
+
+    def test_unknown_rule_and_missing_ts_rejected(self, spark):
+        from ocr_service_spark.operators.linkage import golden_records
+
+        df = spark.createDataFrame([(1, "a")], "cluster long, v string")
+        with pytest.raises(ValueError, match="unknown survivorship"):
+            golden_records(df, "cluster", {"v": "best"})
+        with pytest.raises(ValueError, match="requires ts_col"):
+            golden_records(df, "cluster", {"v": "latest"})
