@@ -12953,6 +12953,53 @@ LEFT JOIN md USING (cluster)
 """
 
 
+def q_edit_distance_join(spark, sf_dir):
+    """Deletion-neighborhood edit-distance join (operators/linkage.py
+    edit_distance_pairs): customers keyed as variable-length strings
+    'cust-<n>' so the exact ed≤1 pair set mixes substitutions
+    (cust-104↔cust-134), deletions (cust-100↔cust-10) and insertions.
+    The oracle regenerates every single-deletion variant, replays the
+    variant equi-join (on the raw variant — the Spark side joins on
+    xxhash64, which the levenshtein verify makes equivalent) and the
+    exact-distance filter."""
+    from .operators.linkage import edit_distance_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.format_string("cust-%d", F.col("c_custkey")).alias("txt"),
+    )
+    return edit_distance_pairs(c, "txt", "rec_id")
+
+
+SQL_EDIT_DISTANCE_JOIN = """
+WITH base AS (
+  SELECT c_custkey AS id, printf('cust-%d', c_custkey) AS txt
+  FROM customer
+),
+vars AS (
+  SELECT id, u.v
+  FROM (
+    SELECT id,
+      list_distinct(list_append(
+        list_transform(range(1, length(txt) + 1),
+          i -> substr(txt, 1, i - 1) || substr(txt, i + 1)),
+        txt)) AS vs
+    FROM base
+  ) t, unnest(t.vs) AS u(v)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, ba.txt AS text_a, bb.txt AS text_b,
+       CAST(levenshtein(ba.txt, bb.txt) AS INTEGER) AS dist
+FROM cand c
+JOIN base ba ON ba.id = c.id_a
+JOIN base bb ON bb.id = c.id_b
+WHERE levenshtein(ba.txt, bb.txt) <= 1
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13302,6 +13349,7 @@ CATALOG: Dict[str, tuple] = {
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN),
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+    "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
 }
 
 

@@ -215,3 +215,67 @@ class TestGoldenRecords:
             golden_records(df, "cluster", {"v": "best"})
         with pytest.raises(ValueError, match="requires ts_col"):
             golden_records(df, "cluster", {"v": "latest"})
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference DP Levenshtein for the differential."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistancePairs:
+    STRINGS = [
+        "kitten", "sitten",      # substitution
+        "kitte",                 # deletion of kitten
+        "kittens",               # insertion on kitten
+        "ktiten",                # transposition -> ed 2, must be absent
+        "kitten",                # exact duplicate text -> dist 0 pair
+        "", "",                  # two empties -> dist 0 pair
+        "a",                     # ed 1 from "" (insertion)
+        "xyzzy", "plugh",        # unrelated
+        "cust-100", "cust-10", "cust-104", "cust-134",
+    ]
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        from ocr_service_spark.operators.linkage import edit_distance_pairs
+
+        rows = [(i, s) for i, s in enumerate(self.STRINGS)]
+        df = spark.createDataFrame(rows, "rec_id long, txt string")
+        got = edit_distance_pairs(df, "txt", "rec_id").collect()
+        return {(r["id_a"], r["id_b"]): r["dist"] for r in got}
+
+    def test_matches_bruteforce_exactly(self, pairs):
+        want = {}
+        for i, a in enumerate(self.STRINGS):
+            for j in range(i + 1, len(self.STRINGS)):
+                d = _lev(a, self.STRINGS[j])
+                if d <= 1:
+                    want[(i, j)] = d
+        assert pairs == want
+
+    def test_transposition_excluded(self, pairs):
+        i, j = self.STRINGS.index("kitten"), self.STRINGS.index("ktiten")
+        assert (min(i, j), max(i, j)) not in pairs
+
+    def test_exact_duplicate_distance_zero(self, pairs):
+        assert pairs[(0, 5)] == 0 and pairs[(6, 7)] == 0
+
+    def test_texts_carried_back(self, spark):
+        from ocr_service_spark.operators.linkage import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "abd"), (3, None)],
+            "rec_id long, txt string")
+        got = edit_distance_pairs(df, "txt", "rec_id").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["text_a"], r["text_b"], r["dist"]) == ("abc", "abd", 1)
