@@ -13000,6 +13000,71 @@ WHERE levenshtein(ba.txt, bb.txt) <= 1
 """
 
 
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes lang classifier (operators/classifier.py
+    naive_bayes_classify): fit add-one-smoothed hashed-BoW likelihoods
+    + priors on the documents table (label = lang), argmax-score every
+    document. The oracle replays the md5-bucket hashing, both count
+    aggregates, the per-cell 1e-4 ln grid, and the score-DESC/label-ASC
+    argmax rank."""
+    from .operators.classifier import naive_bayes_classify
+
+    docs = load(spark, sf_dir, "documents")
+    out = naive_bayes_classify(docs, "doc_id", "text", "lang", n_buckets=64)
+    return out.select(F.col("id").alias("doc_id"), "pred", "score_q")
+
+
+SQL_NAIVE_BAYES = """
+WITH base AS (
+  SELECT doc_id AS id, text, lang AS y FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+tok AS (
+  SELECT id, y,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM (
+    SELECT id, y,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM base
+  )
+),
+cls AS (SELECT y, COUNT(*) AS n_docs FROM base GROUP BY y),
+tot AS (SELECT COUNT(*) AS n FROM base),
+prior AS (
+  SELECT y, CAST(FLOOR(ln(n_docs / CAST(n AS DOUBLE)) * 10000) AS BIGINT)
+            AS prior_q
+  FROM cls, tot
+),
+ccnt AS (SELECT y, bucket, COUNT(*) AS c FROM tok GROUP BY y, bucket),
+ctot AS (SELECT y, COUNT(*) AS t FROM tok GROUP BY y),
+dense AS (
+  SELECT ct.y, b.bucket,
+         CAST(FLOOR(ln((COALESCE(cc.c, 0) + 1)
+                       / CAST(ct.t + 64 AS DOUBLE)) * 10000) AS BIGINT)
+           AS w_q
+  FROM ctot ct
+  CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+  LEFT JOIN ccnt cc ON cc.y = ct.y AND cc.bucket = b.bucket
+),
+feats AS (SELECT id, bucket, COUNT(*) AS cnt FROM tok GROUP BY id, bucket),
+scores AS (
+  SELECT f.id, d.y, p.prior_q + SUM(f.cnt * d.w_q) AS score_q
+  FROM feats f
+  JOIN dense d USING (bucket)
+  JOIN prior p ON p.y = d.y
+  GROUP BY f.id, d.y, p.prior_q
+),
+best AS (
+  SELECT id, y, score_q,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score_q DESC, y ASC) AS rn
+  FROM scores
+)
+SELECT id AS doc_id, y AS pred, CAST(score_q AS BIGINT) AS score_q
+FROM best WHERE rn = 1
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13350,6 +13415,7 @@ CATALOG: Dict[str, tuple] = {
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN),
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
+    "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
 }
 
 

@@ -349,3 +349,130 @@ def gate_eval(
         F.expr("CAST((tp + tn) * 1000 div n AS BIGINT)")
         .alias("accuracy_pm"),
     )
+
+
+def naive_bayes_model(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+    q: int = 10000,
+):
+    """Multinomial Naive Bayes fit as TWO hash aggregates (McCallum &
+    Nigam AAAI'98 workshop; the fastText-era baseline every corpus-
+    curation stack still ships): add-one-smoothed per-class token
+    likelihoods over the hashed bag-of-words feature space, plus class
+    priors. Complements perceptron_train: NB is closed-form — no
+    rounds, no driver-side weight state, the model never leaves the
+    cluster (perceptron collects B integers per round; NB collects
+    nothing).
+
+    Engine-exact: the only float op, ln of one exact rational
+    (cnt+1)/(class_tokens+B) resp. n_docs_y/n_docs, is floor-quantized
+    to the 1e-4 integer grid PER CELL before any aggregation — the
+    lm.py convention, same grid-flip argument.
+
+    Returns (priors, likelihoods):
+      priors      (y, prior_q)        prior_q = floor(ln(n_y/n)·q)
+      likelihoods (y, bucket, w_q)    DENSE: every class × every bucket,
+                                      absent counts smoothed to α=1 —
+                                      C·B rows, broadcastable for any
+                                      hashed-feature C·B that fits a
+                                      broadcast (the point of hashing).
+    """
+    base = docs.where(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    spark = base.sparkSession
+    tok = token_buckets(
+        base, text_col, n_buckets, F.col(label_col).alias("y")
+    )
+    cls = base.groupBy(F.col(label_col).alias("y")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = base.agg(F.count(F.lit(1)).alias("n"))
+    priors = cls.crossJoin(F.broadcast(total)).select(
+        "y",
+        F.floor(F.log(F.col("n_docs") / F.col("n")) * F.lit(int(q)))
+        .cast("long")
+        .alias("prior_q"),
+    )
+    ccnt = tok.groupBy("y", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ctot = tok.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+    buckets = spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
+    dense = (
+        ctot.crossJoin(F.broadcast(buckets))
+        .join(ccnt, ["y", "bucket"], "left")
+        .select(
+            "y",
+            "bucket",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("t") + F.lit(int(n_buckets)))
+                )
+                * F.lit(int(q))
+            )
+            .cast("long")
+            .alias("w_q"),
+        )
+    )
+    return priors, dense
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+    q: int = 10000,
+) -> DataFrame:
+    """Train-and-score Naive Bayes over one corpus: fit on (text, label),
+    then argmax-classify every document under the fitted model.
+
+    Scale shape: scoring is ONE broadcast join (the dense C·B model)
+    into the (id, bucket, cnt) feature aggregate, one (id, y) hash
+    aggregate for the class scores, and one (id) struct-min aggregate
+    for the argmax — tie on score breaks to the smallest label, a total
+    order, so predictions are engine-deterministic. No window over the
+    corpus, nothing collected to the driver.
+
+    Emits (id, pred, score_q): the winning class and its quantized
+    joint log-score prior_q + Σ_tokens w_q.
+    """
+    priors, dense = naive_bayes_model(
+        docs, text_col, label_col, n_buckets=n_buckets, q=q
+    )
+    base = docs.where(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    feats = (
+        token_buckets(base, text_col, n_buckets, F.col(id_col).alias("id"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scores = (
+        feats.join(F.broadcast(dense), "bucket")
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("cnt") * F.col("w_q")).alias("s"))
+        .join(F.broadcast(priors), "y")
+        .select(
+            "id", "y", (F.col("prior_q") + F.col("s")).alias("score_q")
+        )
+    )
+    return (
+        scores.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_q")).alias("_n"), F.col("y").alias("_y")
+                )
+            ).alias("b")
+        )
+        .select(
+            "id",
+            F.col("b._y").alias("pred"),
+            (-F.col("b._n")).alias("score_q"),
+        )
+    )

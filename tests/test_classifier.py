@@ -269,3 +269,87 @@ class TestGateEval:
     def test_null_rows_excluded(self, spark):
         r = self._run(spark, [(True, True), (None, False), (True, None)])
         assert r["n"] == 1 and r["accuracy_pm"] == 1000
+
+
+class TestNaiveBayes:
+    DOCS = [
+        (1, "spam spam offer", "bad"),
+        (2, "offer spam click", "bad"),
+        (3, "hello meeting notes", "good"),
+        (4, "meeting agenda notes hello", "good"),
+        (5, "spam offer click click", "bad"),
+        (6, "notes from the meeting", "good"),
+    ]
+
+    @staticmethod
+    def _python_nb(docs, n_buckets=16, q=10000):
+        counts, ctot, cls = {}, {}, {}
+        for _, text, y in docs:
+            cls[y] = cls.get(y, 0) + 1
+            for w in text.strip().lower().split():
+                b = bucket_of(w, n_buckets)
+                counts[(y, b)] = counts.get((y, b), 0) + 1
+                ctot[y] = ctot.get(y, 0) + 1
+        n = len(docs)
+        prior = {y: math.floor(math.log(c / n) * q) for y, c in cls.items()}
+        w_q = {
+            (y, b): math.floor(
+                math.log((counts.get((y, b), 0) + 1) / (ctot[y] + n_buckets))
+                * q
+            )
+            for y in cls
+            for b in range(n_buckets)
+        }
+        out = {}
+        for i, text, _ in docs:
+            feats = {}
+            for w in text.strip().lower().split():
+                b = bucket_of(w, n_buckets)
+                feats[b] = feats.get(b, 0) + 1
+            scored = sorted(
+                (
+                    (-(prior[y] + sum(c * w_q[(y, b)] for b, c in feats.items())), y)
+                    for y in cls
+                ),
+            )
+            out[i] = (scored[0][1], -scored[0][0])
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from ocr_service_spark.operators.classifier import naive_bayes_classify
+
+        df = spark.createDataFrame(self.DOCS, "id long, text string, y string")
+        got = {
+            r["id"]: (r["pred"], r["score_q"])
+            for r in naive_bayes_classify(
+                df, "id", "text", "y", n_buckets=16
+            ).collect()
+        }
+        assert got == self._python_nb(self.DOCS)
+
+    def test_separable_corpus_classified_correctly(self, spark):
+        from ocr_service_spark.operators.classifier import naive_bayes_classify
+
+        df = spark.createDataFrame(self.DOCS, "id long, text string, y string")
+        got = {
+            r["id"]: r["pred"]
+            for r in naive_bayes_classify(
+                df, "id", "text", "y", n_buckets=64
+            ).collect()
+        }
+        want = {i: y for i, _, y in self.DOCS}
+        assert got == want
+
+    def test_model_is_dense_and_null_rows_dropped(self, spark):
+        from ocr_service_spark.operators.classifier import naive_bayes_model
+
+        df = spark.createDataFrame(
+            self.DOCS + [(7, None, "bad"), (8, "x", None)],
+            "id long, text string, y string",
+        )
+        priors, dense = naive_bayes_model(df, "text", "y", n_buckets=16)
+        assert dense.count() == 2 * 16  # two classes x all buckets
+        p = {r["y"]: r["prior_q"] for r in priors.collect()}
+        assert set(p) == {"bad", "good"}
+        # 3 docs each of 6 -> ln(1/2)*1e4 floor = -6932 for both classes
+        assert p["bad"] == p["good"] == math.floor(math.log(0.5) * 10000)
