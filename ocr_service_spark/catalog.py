@@ -13065,6 +13065,56 @@ FROM best WHERE rn = 1
 """
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-exponent corpus fingerprint (operators/stats.py zipf_fit):
+    top-50 word frequencies per language, OLS slope of the quantized
+    ln(freq)-vs-ln(rank) head. Oracle replays the count aggregate, the
+    cnt-DESC/word-ASC head ranks, both 1e-4 ln grids and the sign-safe
+    ppm slope."""
+    from .operators.stats import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", "lang", k=50)
+
+
+SQL_ZIPF_FIT = """
+WITH words AS (
+  SELECT lang AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+wc AS (SELECT grp, w, COUNT(*) AS cnt FROM words GROUP BY grp, w),
+head AS (
+  SELECT grp, cnt,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cnt DESC, w ASC) AS rank
+  FROM wc
+),
+pts AS (
+  SELECT grp,
+         CAST(FLOOR(ln(rank) * 10000) AS BIGINT) AS xq,
+         CAST(FLOOR(ln(cnt) * 10000) AS BIGINT) AS yq
+  FROM head WHERE rank <= 50
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS BIGINT) AS s_x,
+         CAST(SUM(yq) AS BIGINT) AS s_y,
+         CAST(SUM(xq * yq) AS BIGINT) AS s_xy,
+         CAST(SUM(xq * xq) AS BIGINT) AS s_xx
+  FROM pts GROUP BY grp
+)
+SELECT grp, n, s_x, s_y, s_xy, s_xx,
+  n * s_xy - s_x * s_y AS num,
+  n * s_xx - s_x * s_x AS den,
+  CASE WHEN n * s_xx - s_x * s_x = 0 THEN NULL
+       ELSE CAST((CASE WHEN n * s_xy - s_x * s_y < 0 THEN -1 ELSE 1 END)
+            * (abs(n * s_xy - s_x * s_y) * 1000000
+               // (n * s_xx - s_x * s_x)) AS BIGINT) END AS slope_ppm
+FROM agg
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13416,6 +13466,7 @@ CATALOG: Dict[str, tuple] = {
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
 }
 
 

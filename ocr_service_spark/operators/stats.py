@@ -366,3 +366,52 @@ def group_trend(
             "* (abs(num) * 1000000 div den) AS BIGINT) END"
         ).alias("slope_ppm"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 50,
+    q: int = 10000,
+) -> DataFrame:
+    """Zipf-exponent fit per corpus slice: OLS slope of ln(freq) vs
+    ln(rank) over the top-k word frequencies — the classic corpus-health
+    fingerprint (Zipf 1949; natural language sits near slope −1).
+    Template-farm hosts flatten the head (slope → 0), OCR noise and
+    mojibake fatten the tail — both show up as an exponent drifting off
+    −1 long before any per-document gate fires, which makes this the
+    corpus-level companion to word_rarity_stats (per-document) and the
+    gopher gates (per-row).
+
+    Scale shape: word counts are ONE hash aggregate keyed (grp, word);
+    the top-k head rides the WindowGroupLimit pre-filter in
+    top_k_per_group (each input partition forwards ≤ k rows per group
+    BEFORE the shuffle — the vocab never funnels into one task); the
+    fit is group_trend's single (grp)-keyed aggregate over k points.
+    Both ln() inputs are exact integers (rank, count), floor-quantized
+    to the 1e-4 grid per point before the sums — slope is invariant to
+    the shared grid scale, so slope_ppm IS the fitted exponent ·10⁶.
+    Ties in the head rank alphabetically (total order, engine-exact).
+
+    Emits group_trend's schema: (grp, n, s_x, s_y, s_xy, s_xx, num,
+    den, slope_ppm) with n ≤ k points per group.
+    """
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    wc = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    head = top_k_per_group(wc, ["grp"], "cnt", int(k), tiebreak="w")
+    pts = head.select(
+        "grp",
+        F.floor(F.log(F.col("rank")) * F.lit(int(q)))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("cnt")) * F.lit(int(q)))
+        .cast("long")
+        .alias("yq"),
+    )
+    return group_trend(pts, "grp", "xq", "yq")

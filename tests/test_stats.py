@@ -1,0 +1,56 @@
+
+
+class TestZipfFit:
+    @staticmethod
+    def _corpus(spark):
+        # exact power-law head: word w_r appears floor(1024 / r) times
+        rows = []
+        for r in range(1, 11):
+            rows.extend((1, f"w{r:02d}") for _ in range(1024 // r))
+        text = " ".join(w for _, w in rows)
+        return spark.createDataFrame(
+            [(1, text, "zz")], "doc_id long, text string, lang string")
+
+    def test_powerlaw_head_slope_near_minus_one(self, spark):
+        from ocr_service_spark.operators.stats import zipf_fit
+
+        out = zipf_fit(self._corpus(spark), "text", "lang", k=10).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["n"] == 10
+        # exact -1 power law sampled to integer counts: slope within 2%
+        assert -1_020_000 <= row["slope_ppm"] <= -980_000
+
+    def test_matches_python_reference_exactly(self, spark):
+        import math
+
+        from ocr_service_spark.operators.stats import zipf_fit
+
+        docs = [
+            (1, "a a a a b b b c c d", "x"),
+            (2, "b b a c e e e e", "x"),
+            (3, "q r r", "y"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        got = {r["grp"]: r for r in zipf_fit(df, "text", "lang", k=3).collect()}
+
+        from collections import Counter
+        want = {}
+        for g in ("x", "y"):
+            c = Counter(w for _, t, l in docs if l == g for w in t.split())
+            head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            pts = [
+                (math.floor(math.log(r) * 10000),
+                 math.floor(math.log(cnt) * 10000))
+                for r, (_, cnt) in enumerate(head, 1)
+            ]
+            n = len(pts)
+            sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            slope = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+            want[g] = (n, num, den, slope)
+        for g, (n, num, den, slope) in want.items():
+            r = got[g]
+            assert (r["n"], r["num"], r["den"], r["slope_ppm"]) == \
+                (n, num, den, slope)
