@@ -13115,6 +13115,71 @@ FROM agg
 """
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/quality.py l_diversity_report):
+    customer quasi-identifier classes (nation, segment) against the
+    balance-cents mod-7 residue as the sensitive attribute — class
+    sizes ~12 against 13 possible residues leave a deterministic mix of
+    diverse and homogeneous classes at l=10. Oracle replays both
+    stacked aggregates, the violating-row sum and the worst-5 rank."""
+    from .operators.quality import l_diversity_report
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long") % 7).alias(
+            "sv"
+        ),
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "sv", l=10, n_worst=5
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 7 AS sv
+  FROM customer
+),
+pv AS (
+  SELECT c_nationkey, c_mktsegment, sv, COUNT(*) AS vn
+  FROM base GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi_csv,
+         CAST(SUM(vn) AS BIGINT) AS cls_n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM pv GROUP BY c_nationkey, c_mktsegment
+),
+total AS (
+  SELECT CAST(0 AS BIGINT) AS class_rank,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN n_distinct < 10 THEN cls_n END), 0)
+              AS BIGINT) AS n_violating_rows,
+         CAST(CASE WHEN SUM(cls_n) = 0 THEN 0
+              ELSE COALESCE(SUM(CASE WHEN n_distinct < 10 THEN cls_n END), 0)
+                   * 1000 // SUM(cls_n) END AS BIGINT) AS violation_pm,
+         CAST(MIN(n_distinct) AS BIGINT) AS min_diversity,
+         CAST(NULL AS VARCHAR) AS qi_csv
+  FROM cls
+),
+worst AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_distinct ASC, qi_csv ASC)
+              AS BIGINT) AS class_rank,
+         CAST(NULL AS BIGINT) AS n_classes,
+         cls_n AS n_rows,
+         CAST(NULL AS BIGINT) AS n_violating_rows,
+         CAST(NULL AS BIGINT) AS violation_pm,
+         n_distinct AS min_diversity,
+         qi_csv
+  FROM cls ORDER BY n_distinct ASC, qi_csv ASC LIMIT 5
+)
+SELECT * FROM total UNION ALL SELECT * FROM worst
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13467,6 +13532,7 @@ CATALOG: Dict[str, tuple] = {
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
 }
 
 

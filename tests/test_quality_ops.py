@@ -1482,3 +1482,44 @@ class TestRrfFuse:
                 sorted(rows, key=lambda r: r["fused_rank"])[1:],
             )
         )
+
+
+class TestLDiversity:
+    ROWS = [
+        # class A: 3 rows, all same sensitive value -> homogeneity leak
+        ("A", "x", 1), ("A", "x", 1), ("A", "x", 1),
+        # class B: 3 rows, 3 distinct -> diverse
+        ("B", "x", 1), ("B", "x", 2), ("B", "x", 3),
+        # class C: 4 rows, 2 distinct -> violates l=3
+        ("C", "y", 5), ("C", "y", 5), ("C", "y", 6), ("C", "y", 6),
+    ]
+
+    @pytest.fixture(scope="class")
+    def report(self, spark):
+        from ocr_service_spark.operators.quality import l_diversity_report
+
+        df = spark.createDataFrame(self.ROWS, "qa string, qb string, sv long")
+        rows = l_diversity_report(
+            df, ["qa", "qb"], "sv", l=3, n_worst=2).collect()
+        return {r["class_rank"]: r for r in rows}
+
+    def test_total_row(self, report):
+        t = report[0]
+        assert t["n_classes"] == 3 and t["n_rows"] == 10
+        assert t["n_violating_rows"] == 7       # classes A (3) + C (4)
+        assert t["violation_pm"] == 700
+        assert t["min_diversity"] == 1
+        assert t["qi_csv"] is None
+
+    def test_worst_classes_ranked_by_diversity(self, report):
+        assert report[1]["qi_csv"] == "A|x"
+        assert report[1]["min_diversity"] == 1
+        assert report[1]["n_rows"] == 3
+        assert report[2]["qi_csv"] == "C|y"
+        assert report[2]["min_diversity"] == 2
+        assert 3 not in report  # n_worst=2 truncates
+
+    def test_k_anonymous_but_homogeneous_class_flagged(self, report):
+        # class A is 3-anonymous yet 1-diverse: the attack k-anonymity
+        # misses is exactly what rank 1 reports
+        assert report[1]["min_diversity"] < 3 <= report[1]["n_rows"]
