@@ -13180,6 +13180,47 @@ SELECT * FROM total UNION ALL SELECT * FROM worst
 """
 
 
+def q_frequent_pairs(spark, sf_dir):
+    """Apriori frequent brand pairs (operators/stats.py frequent_pairs):
+    orders are baskets, distinct part brands the items; support floor =
+    40 orders. Oracle replays the distinct, the item counts, the
+    downward-closure prune, the basket self-join and the integer ppm
+    lift."""
+    from .operators.stats import frequent_pairs
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+    return frequent_pairs(baskets, "bid", "item", min_support=40)
+
+
+SQL_FREQUENT_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+),
+nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_baskets FROM items),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY item),
+freq AS (SELECT * FROM ic WHERE n_i >= 40),
+pruned AS (SELECT i.bid, i.item, f.n_i FROM items i JOIN freq f USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         a.n_i AS n_a, b.n_i AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM pruned a JOIN pruned b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 40
+)
+SELECT item_a, item_b, n_ab, n_a, n_b, nb.n_baskets,
+       CAST(n_ab * nb.n_baskets * 1000000 // (n_a * n_b) AS BIGINT)
+         AS lift_ppm
+FROM pairs, nb
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13533,6 +13574,7 @@ CATALOG: Dict[str, tuple] = {
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
 }
 
 

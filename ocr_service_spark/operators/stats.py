@@ -415,3 +415,69 @@ def zipf_fit(
         .alias("yq"),
     )
     return group_trend(pts, "grp", "xq", "yq")
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent-itemset mining at k=2 with the Apriori pruning step
+    (Agrawal & Srikant, VLDB'94) — co-occurrence structure over
+    *baskets* (order→parts, page→outlink-hosts, doc→entities), where
+    collocations_pmi covers token ADJACENCY inside text. The downward-
+    closure property is the whole scale story: a pair can only be
+    frequent if both items are, so infrequent items are dropped BEFORE
+    any pair materializes.
+
+    Shape for 10^12 baskets: distinct (basket, item) + item counts are
+    two hash aggregates; the frequent-item filter is a broadcast semi
+    join (the frequent-item table is support-bounded: ≤ total_rows /
+    min_support entries); candidate pairs come from ONE self-equi-join
+    on basket_id — Σ (pruned basket size)² pairs, never n² across
+    baskets — and the final support filter sits directly on the pair
+    aggregate. No window, nothing on the driver.
+
+    Emits (item_a, item_b, n_ab, n_a, n_b, n_baskets, lift_ppm) for
+    pairs with n_ab ≥ min_support, item_a < item_b, where lift_ppm =
+    n_ab·n_baskets·10⁶ div (n_a·n_b) — >10⁶ means positively
+    associated. Exact integers end-to-end.
+    """
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        )
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    n_baskets = items.select("bid").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    ic = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    freq = ic.where(F.col("n_i") >= int(min_support))
+    pruned = items.join(F.broadcast(freq), "item")
+    a = pruned.select(
+        "bid", F.col("item").alias("item_a"), F.col("n_i").alias("n_a")
+    )
+    b = pruned.select(
+        "bid", F.col("item").alias("item_b"), F.col("n_i").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "bid")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_support))
+    )
+    return pairs.crossJoin(F.broadcast(n_baskets)).select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        F.expr("n_ab * n_baskets * 1000000 div (n_a * n_b)").alias(
+            "lift_ppm"
+        ),
+    )

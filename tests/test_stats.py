@@ -1,3 +1,6 @@
+"""Zipf fit + frequent-pairs mining (operators/stats.py)."""
+
+import pytest
 
 
 class TestZipfFit:
@@ -54,3 +57,46 @@ class TestZipfFit:
             r = got[g]
             assert (r["n"], r["num"], r["den"], r["slope_ppm"]) == \
                 (n, num, den, slope)
+
+
+class TestFrequentPairs:
+    # baskets: milk+bread co-occur 3x, milk+eggs 1x, rare item 'saffron'
+    # appears once (pruned before pairs ever form)
+    ROWS = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"), (3, "saffron"),
+        (4, "eggs"), (4, "bread"),
+        (5, "milk"), (5, "milk"),          # dup item in basket -> 1
+    ]
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        from ocr_service_spark.operators.stats import frequent_pairs
+
+        df = spark.createDataFrame(self.ROWS, "bid long, item string")
+        rows = frequent_pairs(df, "bid", "item", min_support=2).collect()
+        return {(r["item_a"], r["item_b"]): r for r in rows}
+
+    def test_pair_counts_and_lift(self, pairs):
+        r = pairs[("bread", "milk")]
+        assert r["n_ab"] == 3 and r["n_a"] == 4 and r["n_b"] == 4
+        assert r["n_baskets"] == 5
+        # lift = 3*5/(4*4) = 0.9375
+        assert r["lift_ppm"] == 937500
+
+    def test_infrequent_pairs_filtered(self, pairs):
+        assert ("eggs", "milk") not in pairs       # support 1 < 2
+        assert ("bread", "eggs") in pairs          # support 2
+
+    def test_rare_item_pruned(self, pairs):
+        assert not any("saffron" in k for k in pairs)
+
+    def test_duplicate_items_in_basket_count_once(self, spark):
+        from ocr_service_spark.operators.stats import frequent_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")],
+            "bid long, item string")
+        r = frequent_pairs(df, "bid", "item", min_support=2).collect()
+        assert len(r) == 1 and r[0]["n_ab"] == 2 and r[0]["n_a"] == 2
