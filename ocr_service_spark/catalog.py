@@ -13221,6 +13221,90 @@ FROM pairs, nb
 """
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity (operators/graph.py modularity): planted
+    40-node ring partitioned into four 10-node arcs (each arc keeps 9
+    of its 10 edges internal) plus a 40-leaf star labeled as one
+    community — strong block structure, Q well above 0. The oracle
+    replays canonicalization, both label joins, e_c/d_c folds and the
+    exact rational Q in ppm."""
+    from .operators.graph import modularity
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 40).alias("dst"))
+    star = ids.select(
+        F.lit(100).alias("src"), (F.lit(200) + F.col("i")).alias("dst"))
+    edges = ring.unionByName(star)
+    ring_comm = ids.select(
+        F.col("i").alias("node"), F.expr("i div 10").alias("comm"))
+    star_comm = (
+        ids.select((F.lit(200) + F.col("i")).alias("node"))
+        .unionByName(ids.select(F.lit(100).alias("node")).limit(1))
+        .select("node", F.lit(5).alias("comm"))
+    )
+    return modularity(edges, ring_comm.unionByName(star_comm))
+
+
+SQL_MODULARITY = """
+WITH ids AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+e0 AS (
+  SELECT LEAST(i, (i + 1) % 40) AS u, GREATEST(i, (i + 1) % 40) AS v
+  FROM ids
+  UNION ALL
+  SELECT LEAST(100, 200 + i), GREATEST(100, 200 + i) FROM ids
+),
+comm AS (
+  SELECT i AS n, i // 10 AS comm FROM ids
+  UNION ALL SELECT 200 + i, 5 FROM ids
+  UNION ALL SELECT 100, 5
+),
+e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v),
+lab AS (
+  SELECT e.u, e.v, cu.comm AS cu, cv.comm AS cv
+  FROM e JOIN comm cu ON e.u = cu.n JOIN comm cv ON e.v = cv.n
+),
+m_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+ec AS (SELECT cu AS comm, CAST(COUNT(*) AS BIGINT) AS e_c
+       FROM lab WHERE cu = cv GROUP BY cu),
+dc AS (
+  SELECT comm, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT cu AS comm FROM lab UNION ALL SELECT cv FROM lab
+  ) GROUP BY comm
+),
+percomm AS (
+  SELECT COALESCE(dc.comm, ec.comm) AS comm,
+         COALESCE(ec.e_c, 0) AS e_c,
+         COALESCE(dc.d_c, 0) AS d_c,
+         4 * m.m * COALESCE(ec.e_c, 0)
+           - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0) AS num_c,
+         m.m AS m
+  FROM dc FULL OUTER JOIN ec ON dc.comm = ec.comm, m_row m
+),
+total AS (
+  SELECT CAST(NULL AS BIGINT) AS comm, CAST(NULL AS BIGINT) AS e_c,
+         CAST(NULL AS BIGINT) AS d_c,
+         CAST(SUM(num_c) AS BIGINT) AS num_c,
+         MAX(m) AS m,
+         CAST(4 * MAX(m) * MAX(m) AS BIGINT) AS den,
+         CASE WHEN MAX(m) = 0 THEN NULL
+              ELSE CAST((CASE WHEN SUM(num_c) < 0 THEN -1 ELSE 1 END)
+                   * (abs(SUM(num_c)) * 1000000
+                      // (4 * MAX(m) * MAX(m))) AS BIGINT) END AS q_ppm
+  FROM percomm
+)
+SELECT * FROM total
+UNION ALL
+SELECT comm, e_c, d_c, num_c, m,
+       CAST(NULL AS BIGINT) AS den, CAST(NULL AS BIGINT) AS q_ppm
+FROM percomm
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13575,6 +13659,7 @@ CATALOG: Dict[str, tuple] = {
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
+    "modularity": (q_modularity, SQL_MODULARITY),
 }
 
 

@@ -1192,3 +1192,100 @@ def link_prediction_scores(
             ).cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "comm",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment (Newman & Girvan
+    PRE 2004) — the acceptance test for every partition the engine
+    already produces (label_propagation communities, mst_cut_clusters,
+    host link clusters): Q compares within-community edge mass against
+    the degree-preserving random expectation, so a "clustering" that
+    scores ≈0 is structure-free no matter how pretty its sizes look.
+
+    Exact rational form over the canonical undirected edge set
+    (self-loops dropped, parallel edges once, m = |edges|):
+        Q = Σ_c (4·m·e_c − d_c²) / (4·m²)
+    with e_c = edges inside c and d_c = Σ degrees in c — every term an
+    exact integer, emitted as sign-safe ppm (|num|·10⁶ div den), the
+    assortativity convention. Nodes absent from `communities` drop with
+    their edges (inner join — score the labeled subgraph, don't invent
+    singletons).
+
+    Shape: one distinct + one degree aggregate, two node-keyed joins to
+    attach labels, two community-keyed hash aggregates folded by a full
+    outer join (communities can have degree mass but zero internal
+    edges), one broadcast single-row m. Emits one row per community
+    (comm, e_c, d_c, num_c) + a TOTAL row (comm NULL) carrying
+    (m, num, den, q_ppm).
+    """
+    c = communities.select(
+        F.col(node_col).cast("long").alias("n"),
+        F.col(comm_col).cast("long").alias("comm"),
+    )
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = (
+        e.join(c.select(F.col("n").alias("u"), F.col("comm").alias("cu")), "u")
+        .join(c.select(F.col("n").alias("v"), F.col("comm").alias("cv")), "v")
+    )
+    m_row = lab.agg(F.count(F.lit(1)).alias("m"))
+    e_c = (
+        lab.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    both = lab.select(
+        F.col("u").alias("n"), F.col("cu").alias("comm")
+    ).union(lab.select(F.col("v").alias("n"), F.col("cv").alias("comm")))
+    d_c = both.groupBy("comm").agg(F.count(F.lit(1)).alias("d_c"))
+    percomm = (
+        d_c.join(e_c, "comm", "full_outer")
+        .select(
+            "comm",
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+            F.coalesce(F.col("d_c"), F.lit(0)).alias("d_c"),
+        )
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "comm",
+            "e_c",
+            "d_c",
+            (4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c"))
+            .alias("num_c"),
+            "m",
+        )
+    )
+    total = percomm.agg(
+        F.max("m").alias("m"), F.sum("num_c").alias("num")
+    ).select(
+        F.lit(None).cast("long").alias("comm"),
+        F.lit(None).cast("long").alias("e_c"),
+        F.lit(None).cast("long").alias("d_c"),
+        F.col("num").alias("num_c"),
+        "m",
+        (4 * F.col("m") * F.col("m")).alias("den"),
+        F.expr(
+            "CASE WHEN m = 0 THEN NULL ELSE "
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END "
+            "* (abs(num) * 1000000 div (4 * m * m)) AS BIGINT) END"
+        ).alias("q_ppm"),
+    )
+    percomm_out = percomm.select(
+        "comm", "e_c", "d_c", "num_c", "m",
+        F.lit(None).cast("long").alias("den"),
+        F.lit(None).cast("long").alias("q_ppm"),
+    )
+    return total.unionByName(percomm_out)

@@ -699,3 +699,51 @@ class TestLinkPrediction:
     def test_directed_input_symmetrized(self, spark):
         assert self._run(spark, [(1, 0), (1, 2)]) == \
             self._run(spark, [(0, 1), (2, 1)])
+
+
+class TestModularity:
+    def _run(self, spark, edges, comms):
+        from ocr_service_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        c = spark.createDataFrame(comms, "node long, comm long")
+        rows = modularity(e, c).collect()
+        total = next(r for r in rows if r["comm"] is None)
+        per = {r["comm"]: r for r in rows if r["comm"] is not None}
+        return total, per
+
+    def test_two_cliques_with_bridge(self, spark):
+        # K4 {0..3} + K4 {4..7} + one bridge (3,4): m = 13
+        k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        k4b = [(i + 4, j + 4) for i, j in k4a]
+        edges = k4a + k4b + [(3, 4)]
+        comms = [(i, 0 if i < 4 else 1) for i in range(8)]
+        total, per = self._run(spark, edges, comms)
+        m = 13
+        # community 0: e_c=6, d_c=13 -> num = 4*13*6 - 169 = 143 (same for 1)
+        assert per[0]["e_c"] == 6 and per[0]["d_c"] == 13
+        assert per[0]["num_c"] == 143 and per[1]["num_c"] == 143
+        assert total["num_c"] == 286 and total["den"] == 4 * m * m
+        # Q = 286/676 ~ 0.4231
+        assert total["q_ppm"] == 286 * 1_000_000 // 676
+
+    def test_random_like_partition_scores_zero_ish(self, spark):
+        # same graph, but communities split across the cliques
+        k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        k4b = [(i + 4, j + 4) for i, j in k4a]
+        edges = k4a + k4b + [(3, 4)]
+        comms = [(i, i % 2) for i in range(8)]
+        total, _ = self._run(spark, edges, comms)
+        good, _ = self._run(
+            spark, edges, [(i, 0 if i < 4 else 1) for i in range(8)])
+        assert total["q_ppm"] < good["q_ppm"]
+        # hand-computed: num = -130, den = 676 -> anti-community score
+        assert total["q_ppm"] == -(130 * 1_000_000 // 676)
+
+    def test_unlabeled_nodes_dropped_and_python_reference(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (3, 9)]   # node 9 unlabeled
+        comms = [(1, 7), (2, 7), (3, 7)]
+        total, per = self._run(spark, edges, comms)
+        # labeled subgraph = triangle: m=3, e_c=3, d_c=6 -> Q = (36-36)/36=0
+        assert total["m"] == 3 and total["q_ppm"] == 0
+        assert per[7]["e_c"] == 3 and per[7]["d_c"] == 6
