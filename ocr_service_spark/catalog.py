@@ -13305,6 +13305,43 @@ FROM percomm
 """
 
 
+def q_good_turing(spark, sf_dir):
+    """Good–Turing missing mass + Chao1 (operators/stats.py
+    good_turing_mass) per language over the documents corpus. Oracle
+    replays the type counts, the singleton/doubleton fold and both
+    integer estimators."""
+    from .operators.stats import good_turing_mass
+
+    return good_turing_mass(
+        load(spark, sf_dir, "documents"), "text", "lang"
+    )
+
+
+SQL_GOOD_TURING = """
+WITH words AS (
+  SELECT lang AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+types AS (SELECT grp, w, COUNT(*) AS c FROM words GROUP BY grp, w)
+SELECT grp,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS f1,
+       CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) AS f2,
+       CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) * 1000000
+            // SUM(c) AS BIGINT) AS missing_mass_ppm,
+       CAST(CASE WHEN COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) = 0
+            THEN NULL
+            ELSE COUNT(*)
+                 + COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0)
+                   * COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0)
+                   // (2 * SUM(CASE WHEN c = 2 THEN 1 END)) END
+            AS BIGINT) AS chao1
+FROM types GROUP BY grp
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13660,6 +13697,7 @@ CATALOG: Dict[str, tuple] = {
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
     "modularity": (q_modularity, SQL_MODULARITY),
+    "good_turing_mass": (q_good_turing, SQL_GOOD_TURING),
 }
 
 

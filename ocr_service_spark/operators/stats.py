@@ -481,3 +481,56 @@ def frequent_pairs(
             "lift_ppm"
         ),
     )
+
+
+def good_turing_mass(
+    docs: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Good–Turing unseen-mass + Chao1 vocabulary-richness estimate per
+    corpus slice (Good 1953; Chao 1984; the Gale & Sampson '95 reading)
+    — the planning numbers behind tokenizer/vocab decisions: the
+    missing mass P₀ ≈ f₁/N says how much probability the NEXT crawl
+    batch will spend on never-seen words (high → corpus far from
+    lexical saturation, keep crawling; low → diminishing returns), and
+    Chao1 = V + f₁²/(2f₂) lower-bounds the true vocabulary a BPE budget
+    must cover. Complements zipf_fit (head shape) with tail mass.
+
+    Two stacked hash aggregates — (grp, word) type counts, then one
+    (grp) fold counting singletons/doubletons — both map-side-
+    combining; nothing vocabulary-sized ever funnels or broadcasts.
+    Integer-exact: missing_mass_ppm = f₁·10⁶ div N; chao1 = V +
+    f₁² div (2f₂), NULL when f₂ = 0 (the estimator is undefined —
+    data, not an error).
+
+    Emits (grp, n_tokens, n_types, f1, f2, missing_mass_ppm, chao1).
+    """
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    types = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    return types.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("c") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("c") == 2, 1)), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+    ).select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.expr("f1 * 1000000 div n_tokens").alias("missing_mass_ppm"),
+        F.expr(
+            "CASE WHEN f2 = 0 THEN NULL "
+            "ELSE n_types + f1 * f1 div (2 * f2) END"
+        )
+        .cast("long")
+        .alias("chao1"),
+    )

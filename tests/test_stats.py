@@ -100,3 +100,23 @@ class TestFrequentPairs:
             "bid long, item string")
         r = frequent_pairs(df, "bid", "item", min_support=2).collect()
         assert len(r) == 1 and r[0]["n_ab"] == 2 and r[0]["n_a"] == 2
+
+
+class TestGoodTuringMass:
+    def test_exact_counts_and_estimators(self, spark):
+        from ocr_service_spark.operators.stats import good_turing_mass
+
+        # grp x: tokens = a a a b b c d e -> N=8 V=5 f1=3 (c,d,e) f2=1 (b)
+        # grp y: all singletons -> f2=0 -> chao1 NULL
+        df = spark.createDataFrame(
+            [(1, "a a a b b c", "x"), (2, "d e", "x"), (3, "p q r", "y")],
+            "doc_id long, text string, lang string")
+        got = {r["grp"]: r for r in
+               good_turing_mass(df, "text", "lang").collect()}
+        x = got["x"]
+        assert (x["n_tokens"], x["n_types"], x["f1"], x["f2"]) == (8, 5, 3, 1)
+        assert x["missing_mass_ppm"] == 3 * 1_000_000 // 8
+        assert x["chao1"] == 5 + 9 // 2
+        y = got["y"]
+        assert y["f1"] == 3 and y["f2"] == 0 and y["chao1"] is None
+        assert y["missing_mass_ppm"] == 1_000_000  # whole corpus singleton
