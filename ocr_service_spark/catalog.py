@@ -13342,6 +13342,91 @@ FROM types GROUP BY grp
 """
 
 
+def q_spell_correct(spark, sf_dir):
+    """SymSpell correction map (operators/textstats.py
+    spell_correct_map): part-name words form the dictionary head and
+    sparsely-planted single-deletion typos (sall, gzmo, lrge, …) the
+    rare tail; rare tokens (cnt < 8, len ≥ 4) map to their most
+    frequent edit-distance-1 dictionary neighbor (cnt ≥ 8). Oracle
+    regenerates both deletion-variant sides, the candidate join, the
+    exact-distance verify and the count-DESC/word-ASC argmax."""
+    from .operators.textstats import spell_correct_map
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.trim(F.lower(F.col("p_name"))).alias("nm")
+    )
+    typo1 = p.where(F.col("p_partkey") % 101 == 3).select(
+        F.regexp_extract("nm", r"^\S+", 0).alias("w")
+    )
+    typo2 = p.where(F.col("p_partkey") % 89 == 7).select(
+        F.regexp_extract("nm", r"^\S+\s+(\S+)", 1).alias("w")
+    )
+    typos = typo1.unionByName(typo2).select(
+        F.concat(
+            F.substring("w", 1, 1), F.substring("w", 3, 2147483647)
+        ).alias("text")
+    )
+    corpus = p.select(F.col("nm").alias("text")).unionByName(typos)
+    return spell_correct_map(corpus, "text", dict_min=8, min_len=4)
+
+
+SQL_SPELL_CORRECT = """
+WITH corpus AS (
+  SELECT trim(lower(p_name)) AS text FROM part
+  UNION ALL
+  SELECT substr(W, 1, 1) || substr(W, 3) FROM (
+    SELECT regexp_extract(trim(lower(p_name)), '^\\S+') AS W FROM part
+    WHERE p_partkey % 101 = 3)
+  UNION ALL
+  SELECT substr(W, 1, 1) || substr(W, 3) FROM (
+    SELECT regexp_extract(trim(lower(p_name)), '^\\S+\\s+(\\S+)', 1) AS W
+    FROM part WHERE p_partkey % 89 = 7)
+),
+wc AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM corpus
+  ) GROUP BY w
+),
+dic AS (SELECT w AS d, cnt AS d_cnt FROM wc WHERE cnt >= 8),
+rare AS (SELECT w, cnt AS w_cnt FROM wc
+         WHERE cnt < 8 AND length(w) >= 4),
+rv AS (
+  SELECT w, w_cnt, u.v FROM (
+    SELECT w, w_cnt,
+      list_distinct(list_append(
+        list_transform(range(1, length(w) + 1),
+          i -> substr(w, 1, i - 1) || substr(w, i + 1)), w)) AS vs
+    FROM rare
+  ) t, unnest(t.vs) AS u(v)
+),
+dv AS (
+  SELECT d, d_cnt, u.v FROM (
+    SELECT d, d_cnt,
+      list_distinct(list_append(
+        list_transform(range(1, length(d) + 1),
+          i -> substr(d, 1, i - 1) || substr(d, i + 1)), d)) AS vs
+    FROM dic
+  ) t, unnest(t.vs) AS u(v)
+),
+cand AS (
+  SELECT DISTINCT rv.w, rv.w_cnt, dv.d, dv.d_cnt
+  FROM rv JOIN dv USING (v)
+  WHERE rv.w <> dv.d AND levenshtein(rv.w, dv.d) <= 1
+),
+best AS (
+  SELECT w, w_cnt, d, d_cnt,
+         row_number() OVER (PARTITION BY w
+                            ORDER BY d_cnt DESC, d ASC) AS rn
+  FROM cand
+)
+SELECT w AS word, d AS correction,
+       CAST(w_cnt AS BIGINT) AS word_count,
+       CAST(d_cnt AS BIGINT) AS correction_count
+FROM best WHERE rn = 1
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13698,6 +13783,7 @@ CATALOG: Dict[str, tuple] = {
     "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
     "modularity": (q_modularity, SQL_MODULARITY),
     "good_turing_mass": (q_good_turing, SQL_GOOD_TURING),
+    "spell_correct_map": (q_spell_correct, SQL_SPELL_CORRECT),
 }
 
 

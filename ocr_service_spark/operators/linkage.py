@@ -299,6 +299,25 @@ def golden_records(
     return out.select(*keep, *casts)
 
 
+def deletion_variants(col_name: str) -> "F.Column":
+    """D(s): the string itself plus every single-character deletion, as
+    one array-typed Catalyst expression (duplicates collapsed).  The
+    FastSS radius-1 index key set — ed(a,b) ≤ 1 ⟺ D(a) ∩ D(b) ≠ ∅.
+    Per-element substring work inside the transform() lambda is
+    inherent (each element IS a different substring), not the Catalyst
+    re-evaluation trap."""
+    return F.array_distinct(
+        F.concat(
+            F.array(F.col(col_name)),
+            F.expr(
+                f"transform(sequence(1, length({col_name})), i -> "
+                f"concat(substring({col_name}, 1, i-1), "
+                f"substring({col_name}, i+1, 2147483647)))"
+            ),
+        )
+    )
+
+
 def edit_distance_pairs(
     records: DataFrame,
     text_col: str = "txt",
@@ -346,16 +365,7 @@ def edit_distance_pairs(
     base = records.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).where(F.col("txt").isNotNull())
-    variants = F.array_distinct(
-        F.concat(
-            F.array(F.col("txt")),
-            F.expr(
-                "transform(sequence(1, length(txt)), i -> "
-                "concat(substring(txt, 1, i-1), "
-                "substring(txt, i+1, 2147483647)))"
-            ),
-        )
-    )
+    variants = deletion_variants("txt")
     ex = base.select("id", F.explode(variants).alias("v")).select(
         "id", F.xxhash64("v").alias("vh")
     )

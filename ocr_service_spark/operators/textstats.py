@@ -403,3 +403,81 @@ def vocab_coverage_curve(
     # one explode of the 1-row aggregate: the curve is a single job, not
     # one re-aggregation per N
     return one.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def spell_correct_map(
+    docs,
+    text_col: str,
+    dict_min: int = 5,
+    min_len: int = 4,
+):
+    """Corpus-derived SymSpell correction map (Garbe's symspell; FastSS
+    deletion index, Bocek et al. 2007): every RARE token (count <
+    dict_min, length ≥ min_len) maps to the most frequent dictionary
+    token (count ≥ dict_min) within edit distance 1 — the OCR/typo
+    normalization pass that runs between tokenization and dedup (typo
+    variants otherwise defeat exact-hash dedup and inflate vocabulary
+    estimates; the dictionary IS the corpus head, no external lexicon).
+
+    Scale shape: both sides of the candidate join explode to deletion
+    variants (linear in corpus-vocabulary bytes) and meet in ONE
+    equi-join keyed on xxhash64(variant) — Σ bucket², never
+    rare×dict; hash collisions are killed by the exact JVM levenshtein
+    verify, misses are impossible (the FastSS completeness theorem, see
+    linkage.deletion_variants). The argmax is one struct-min hash
+    aggregate with (count DESC, word ASC) total-order ties.
+
+    Emits (word, correction, word_count, correction_count) — one row
+    per correctable rare word. Apply downstream as a broadcast map
+    (the output is rare-word-bounded).
+    """
+    from .linkage import deletion_variants
+
+    wc = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dic = wc.where(F.col("cnt") >= int(dict_min))
+    rare = wc.where(
+        (F.col("cnt") < int(dict_min)) & (F.length("w") >= int(min_len))
+    )
+    rare_v = rare.select(
+        "w",
+        F.col("cnt").alias("w_cnt"),
+        F.explode(deletion_variants("w")).alias("v"),
+    ).select("w", "w_cnt", F.xxhash64("v").alias("vh"))
+    dic_v = dic.select(
+        F.col("w").alias("d"),
+        F.col("cnt").alias("d_cnt"),
+        F.explode(deletion_variants("w")).alias("v"),
+    ).select("d", "d_cnt", F.xxhash64("v").alias("vh"))
+    cand = (
+        rare_v.join(dic_v, "vh")
+        .select("w", "w_cnt", "d", "d_cnt")
+        .distinct()
+        .where(
+            (F.col("w") != F.col("d"))
+            & (F.levenshtein("w", "d") <= 1)
+        )
+    )
+    return (
+        cand.groupBy("w", "w_cnt")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("d_cnt")).alias("_nc"), F.col("d").alias("_d")
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("w").alias("word"),
+            F.col("b._d").alias("correction"),
+            F.col("w_cnt").alias("word_count"),
+            (-F.col("b._nc")).alias("correction_count"),
+        )
+    )

@@ -1,0 +1,35 @@
+
+
+class TestSpellCorrectMap:
+    def test_corrections_argmax_and_guards(self, spark):
+        from ocr_service_spark.operators.textstats import spell_correct_map
+
+        rows = (
+            [(f"d{i}", "hello world") for i in range(10)]   # dictionary
+            + [(f"e{i}", "helli") for i in range(2)]        # typo of hello
+            + [(f"f{i}", "helly") for i in range(9)]        # frequent -> dict
+            + [("g0", "wrld"), ("g1", "xyz")]               # del-typo; short
+        )
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = {r["word"]: r for r in
+               spell_correct_map(df, "text", dict_min=8, min_len=4).collect()}
+        # helli -> hello (10) wins over helly (9) by count
+        assert got["helli"]["correction"] == "hello"
+        assert got["helli"]["correction_count"] == 10
+        assert got["helli"]["word_count"] == 2
+        # wrld -> world (deletion typo, len 4 passes the guard)
+        assert got["wrld"]["correction"] == "world"
+        # xyz: below min_len, never emitted; helly: frequent, not rare
+        assert "xyz" not in got and "helly" not in got
+
+    def test_tie_breaks_to_smaller_word(self, spark):
+        from ocr_service_spark.operators.textstats import spell_correct_map
+
+        rows = (
+            [(f"a{i}", "cat car") for i in range(8)]  # both cnt 8
+            + [("t0", "caxt")]                        # hmm ed2 from both
+        )
+        # 'caxt' is ed 1 from... cat (delete x) -> yes; car no (ed 2).
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = spell_correct_map(df, "text", dict_min=8, min_len=4).collect()
+        assert len(got) == 1 and got[0]["correction"] == "cat"
