@@ -13427,6 +13427,84 @@ FROM best WHERE rn = 1
 """
 
 
+def q_bot_detection(spark, sf_dir):
+    """Timer-bot detection (operators/asof.py bot_detection): the
+    events table's organic users (bursty gaps, cv² ≈ 10⁶ ppm) plus one
+    planted metronome user (150 events exactly 60 s apart → cv² = 0,
+    flagged). The oracle replays the gap window, every integer sum and
+    both verdict rules."""
+    from .operators.asof import bot_detection
+    from .functions import sql_analogs as A
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        A.epoch_seconds(F.col("ts")).alias("secs"),
+        "event_type",
+        "event_id",
+    )
+    bot = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < 150)
+        .select(
+            F.lit(9001).cast("long").alias("user_id"),
+            (F.lit(1704067200) + F.col("event_id") * 60).alias("secs"),
+            F.lit("view").alias("event_type"),
+            (F.lit(10_000_000) + F.col("event_id")).alias("event_id"),
+        )
+    )
+    return bot_detection(
+        ev.unionByName(bot), "user_id", "secs", "event_type", "event_id"
+    )
+
+
+SQL_BOT_DETECTION = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+         event_type, event_id
+  FROM events
+  UNION ALL
+  SELECT 9001, 1704067200 + event_id * 60, 'view', 10000000 + event_id
+  FROM events WHERE event_id < 150
+),
+g AS (
+  SELECT user_id, secs, event_type,
+         secs - lag(secs) OVER (PARTITION BY user_id
+                                ORDER BY secs, event_id) AS gap
+  FROM ev
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(MAX(secs) - MIN(secs) AS BIGINT) AS span_s,
+         CAST(COUNT(gap) AS BIGINT) AS n_g,
+         CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS s_g,
+         CAST(COALESCE(SUM(gap * gap), 0) AS BIGINT) AS s_gg
+  FROM g GROUP BY user_id
+),
+feat AS (
+  SELECT user_id, n_events, n_types, span_s, s_g, s_gg,
+         CASE WHEN s_g > 0 THEN
+           (CAST(n_g AS HUGEINT) * s_gg
+            - CAST(s_g AS HUGEINT) * s_g) * 1000000
+           // (CAST(s_g AS HUGEINT) * s_g)
+         ELSE NULL END AS cv2_ppm,
+         CASE WHEN span_s > 0 THEN
+           n_events * 3600 * 1000 // span_s
+         ELSE NULL END AS rate_x1000
+  FROM agg
+)
+SELECT user_id, n_events, n_types, span_s, s_g, s_gg,
+       CAST(cv2_ppm AS BIGINT) AS cv2_ppm,
+       CAST(rate_x1000 AS BIGINT) AS rate_x1000,
+       (n_events >= 20 AND (
+          (cv2_ppm IS NOT NULL AND cv2_ppm < 50000)
+          OR (rate_x1000 IS NOT NULL AND rate_x1000 >= 3600000000)))
+         AS is_bot
+FROM feat
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -13784,6 +13862,7 @@ CATALOG: Dict[str, tuple] = {
     "modularity": (q_modularity, SQL_MODULARITY),
     "good_turing_mass": (q_good_turing, SQL_GOOD_TURING),
     "spell_correct_map": (q_spell_correct, SQL_SPELL_CORRECT),
+    "bot_detection": (q_bot_detection, SQL_BOT_DETECTION),
 }
 
 

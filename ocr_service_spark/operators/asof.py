@@ -445,3 +445,100 @@ def touch_attribution(
         .groupBy("model", "channel")
         .agg(F.sum("attr_q").alias("attr_q"))
     )
+
+
+def bot_detection(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    min_events: int = 20,
+    cv2_max_ppm: int = 50_000,
+    rate_x1000_min: int = 3_600_000_000,
+) -> DataFrame:
+    """Timer-bot / scraper detection over an event log — the traffic-
+    hygiene gate a crawl-derived corpus needs before any engagement
+    signal (dwell, clicks, retention) is trusted: automated clients
+    fire on FIXED TIMERS, so their inter-arrival coefficient of
+    variation collapses toward 0, while human traffic is bursty
+    (cv² ≈ 1 for Poisson arrivals). The squared CV is exact-integer:
+        cv²·10⁶ = (n_g·Σg² − (Σg)²)·10⁶ div (Σg)²
+    over per-user consecutive gaps in epoch seconds. A volume rule
+    (events/hour) catches floods whose jitter defeats the CV rule.
+
+    Flag: is_bot = n_events ≥ min_events AND (cv²_ppm < cv2_max_ppm
+    OR rate_x1000 ≥ rate_x1000_min), with rate_x1000 =
+    n·3600·1000 div span_s (events/hour ×1000).
+
+    Shape: one window (partitioned by user — per-user event counts are
+    bounded, no global funnel) ordered by (ts, order_col) for a total
+    order under duplicate timestamps, then ONE user-keyed hash
+    aggregate folding gap sums, the distinct-type count, span and the
+    verdict. Users with < 2 events have no gaps: cv² NULL, never
+    flagged by the CV rule.
+
+    Emits (user_id, n_events, n_types, span_s, s_g, s_gg, cv2_ppm,
+    rate_x1000, is_bot).
+    """
+    from ..functions.sql_analogs import epoch_seconds
+
+    w = Window.partitionBy("u").orderBy("secs", "ord")
+    g = (
+        events.select(
+            F.col(user_col).alias("u"),
+            epoch_seconds(F.col(ts_col)).alias("secs"),
+            F.col(type_col).alias("et"),
+            F.col(order_col).alias("ord"),
+        )
+        .withColumn("gap", F.col("secs") - F.lag("secs").over(w))
+    )
+    agg = g.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("et").alias("n_types"),
+        (F.max("secs") - F.min("secs")).alias("span_s"),
+        F.count("gap").alias("n_g"),
+        F.coalesce(F.sum("gap"), F.lit(0)).alias("s_g"),
+        F.coalesce(F.sum(F.col("gap") * F.col("gap")), F.lit(0)).alias(
+            "s_gg"
+        ),
+    )
+    feat = agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "span_s",
+        "s_g",
+        "s_gg",
+        F.expr(
+            # DECIMAL(38,0) widening: n_g*s_gg*1e6 can pass 2^63 for
+            # month-span users (the dsum convention)
+            "CASE WHEN s_g > 0 THEN "
+            "(CAST(n_g AS DECIMAL(38,0)) * s_gg "
+            " - CAST(s_g AS DECIMAL(38,0)) * s_g) * 1000000 "
+            "div (CAST(s_g AS DECIMAL(38,0)) * s_g) "
+            "ELSE NULL END"
+        )
+        .cast("long")
+        .alias("cv2_ppm"),
+        F.expr(
+            "CASE WHEN span_s > 0 THEN "
+            "n_events * 3600 * 1000 div span_s ELSE NULL END"
+        )
+        .cast("long")
+        .alias("rate_x1000"),
+    )
+    return feat.withColumn(
+        "is_bot",
+        (F.col("n_events") >= int(min_events))
+        & (
+            (
+                F.col("cv2_ppm").isNotNull()
+                & (F.col("cv2_ppm") < int(cv2_max_ppm))
+            )
+            | (
+                F.col("rate_x1000").isNotNull()
+                & (F.col("rate_x1000") >= int(rate_x1000_min))
+            )
+        ),
+    )

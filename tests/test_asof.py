@@ -355,3 +355,54 @@ class TestTouchAttribution:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             self._run(spark, [], window="30 DAY; DROP TABLE x")
+
+
+class TestBotDetection:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.asof import bot_detection
+
+        df = spark.createDataFrame(
+            rows, "user_id long, secs long, event_type string, event_id long")
+        out = bot_detection(df, "user_id", "secs", "event_type",
+                            "event_id", **kw).collect()
+        return {r["user_id"]: r for r in out}
+
+    def test_metronome_flagged_bursty_not(self, spark):
+        rows = [(1, i * 60, "view", i) for i in range(30)]         # bot
+        bursty = [0, 7, 9, 45, 46, 300, 302, 350, 1000, 1004, 1900,
+                  2000, 2300, 2301, 2302, 4000, 4100, 4105, 5000,
+                  5500, 5501, 6000, 6666, 7000, 8000, 8001, 9000,
+                  9500, 9800, 10000]
+        rows += [(2, s, "click", 100 + i) for i, s in enumerate(bursty)]
+        got = self._run(spark, rows)
+        assert got[1]["is_bot"] and got[1]["cv2_ppm"] == 0
+        assert got[1]["n_types"] == 1
+        assert not got[2]["is_bot"] and got[2]["cv2_ppm"] > 50_000
+
+    def test_exact_integer_cv2(self, spark):
+        # gaps 10, 20: n_g=2, s_g=30, s_gg=500 -> cv2 = (1000-900)*1e6/900
+        got = self._run(spark, [(5, 0, "a", 0), (5, 10, "a", 1),
+                                (5, 30, "a", 2)], min_events=3)
+        r = got[5]
+        assert (r["s_g"], r["s_gg"]) == (30, 500)
+        assert r["cv2_ppm"] == 100 * 1_000_000 // 900
+        assert r["rate_x1000"] == 3 * 3600 * 1000 // 30
+
+    def test_volume_rule_catches_jittered_flood(self, spark):
+        # irregular gaps but >1000 events/hour -> flood rule fires
+        secs = [0, 1, 3, 4, 7, 8, 9, 13, 14, 15, 17, 18, 22, 23, 25,
+                26, 29, 30, 31, 35]
+        rows = [(7, s, "hit", i) for i, s in enumerate(secs)]
+        got = self._run(spark, rows, min_events=20,
+                        rate_x1000_min=1_000_000)
+        r = got[7]
+        assert r["cv2_ppm"] > 50_000 and r["is_bot"]
+
+    def test_under_min_events_and_single_event(self, spark):
+        rows = [(1, i * 60, "view", i) for i in range(5)]   # regular, few
+        rows += [(2, 100, "view", 99)]                      # single event
+        got = self._run(spark, rows)
+        assert not got[1]["is_bot"]
+        r = got[2]
+        assert r["cv2_ppm"] is None and r["rate_x1000"] is None
+        assert not r["is_bot"]
