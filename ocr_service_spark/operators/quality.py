@@ -1183,3 +1183,81 @@ def l_diversity_report(
         )
     )
     return total.unionByName(worst)
+
+
+# secret-candidate patterns (RE2-compatible: no lookbehind/backrefs, so
+# the DuckDB twin matches byte-for-byte)
+SECRET_RE_AWS = r"\bAKIA[0-9A-Z]{16}\b"
+SECRET_RE_GHP = r"\bghp_[A-Za-z0-9]{36}\b"
+SECRET_RE_JWT = (
+    r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b"
+)
+SECRET_RE_PEM = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+SECRET_RE_HEX = r"\b[0-9a-f]{32,64}\b"
+SECRET_HEX_MIN_DISTINCT = 12
+
+
+def secret_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Credential/secret detection gate (the trufflehog/detect-secrets
+    rule family) — the leak class the PII triad (Luhn/IBAN/CPF) does
+    NOT cover: crawled pastebins, misconfigured repos and debug pages
+    carry live AWS keys, GitHub tokens, JWTs, PEM blocks and raw hex
+    secrets, and a corpus that trains on them both leaks real
+    credentials and teaches models to emit them.
+
+    Five rule classes, all Catalyst-side, no UDF:
+      aws / ghp / jwt / pem — structural prefixes so distinctive the
+      regex alone is the verdict (RE2-safe patterns shared with the
+      DuckDB twin).
+      hex — 32-64 char lowercase hex runs are AMBIGUOUS (content
+      hashes look identical), so candidates pass a poor-man's entropy
+      gate: at least SECRET_HEX_MIN_DISTINCT of the 16 possible
+      symbols must occur (a fixed 16-term CASE sum — integer-exact in
+      any engine, no float entropy). 'aaaa…' padding and repeated-
+      pattern fillers fail it; real digest-like secrets pass.
+
+    One projection over the corpus — embarrassingly parallel, no
+    shuffle, no per-row Python. Emits (id, n_aws, n_ghp, n_jwt, n_pem,
+    n_hex, has_secret).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def n_matches(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+
+    hex_cands = F.regexp_extract_all(t, F.lit(SECRET_RE_HEX), 0)
+    hexsyms = "0123456789abcdef"
+    distinct_syms = lambda c: sum(  # noqa: E731
+        (
+            F.when(F.instr(c, ch) > 0, F.lit(1)).otherwise(F.lit(0))
+            for ch in hexsyms
+        ),
+        start=F.lit(0),
+    )
+    n_hex = F.size(
+        F.filter(
+            hex_cands,
+            lambda c: distinct_syms(c) >= F.lit(SECRET_HEX_MIN_DISTINCT),
+        )
+    ).cast("long")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_matches(SECRET_RE_AWS).alias("n_aws"),
+        n_matches(SECRET_RE_GHP).alias("n_ghp"),
+        n_matches(SECRET_RE_JWT).alias("n_jwt"),
+        n_matches(SECRET_RE_PEM).alias("n_pem"),
+        n_hex.alias("n_hex"),
+    )
+    return out.withColumn(
+        "has_secret",
+        (
+            F.col("n_aws")
+            + F.col("n_ghp")
+            + F.col("n_jwt")
+            + F.col("n_pem")
+            + F.col("n_hex")
+        )
+        > 0,
+    )
