@@ -1,0 +1,119 @@
+"""Stream-stream attribution join (impression ⋈ click) with bounded state.
+
+The reference has no streaming operators (SURVEY.md §2.9); this is the
+engine-added streaming face of the batch interval/touch-attribution
+operators (operators/intervals.py, operators/asof.py `touch_attribution`).
+
+Shape: Spark's NATIVE stream-stream join — the idiomatic Structured
+Streaming answer, not a hand-rolled state store. Both sides carry an
+event-time watermark and the join predicate carries an explicit time
+range (click within [impression, impression + horizon]), which is what
+lets the engine compute, per side, the exact point past which a buffered
+row can never match again and evict it. Without the range the state grows
+with the stream; with it, state is bounded by (event density × horizon +
+watermark delay) regardless of stream length — the property that makes
+this run forever on an unbounded clickstream.
+
+Left-outer semantics are watermark-correct: an impression with no click
+emits (with null click columns) only once the watermark passes
+imp_ts + horizon + delay — i.e. once no in-order click could still
+attribute to it. Matches, by contrast, emit as soon as both rows have
+arrived. The batch plan of the same function is the oracle for the
+matched rows (a watermark on a batch frame is a no-op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def impressions_from_events(events: DataFrame) -> DataFrame:
+    """Project the events table's 'view' rows into the impression stream
+    schema (imp_id, user_id, imp_ts, imp_value)."""
+    return events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("imp_id"),
+        "user_id",
+        # parquet timestamps infer as TIMESTAMP_NTZ, which watermarks reject
+        F.col("ts").cast("timestamp").alias("imp_ts"),
+        F.col("value").alias("imp_value"),
+    )
+
+
+def clicks_from_events(events: DataFrame) -> DataFrame:
+    """Project the events table's 'click' rows into the click stream
+    schema (clk_id, clk_user_id, clk_ts, clk_value). The user key is
+    renamed so the joined frame needs no disambiguation."""
+    return events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("clk_id"),
+        F.col("user_id").alias("clk_user_id"),
+        F.col("ts").cast("timestamp").alias("clk_ts"),
+        F.col("value").alias("clk_value"),
+    )
+
+
+def attribution_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Attribute each click to every impression it falls within `horizon`
+    after, per user. Works on both streaming and batch frames — the batch
+    plan is the correctness oracle for the streaming one.
+
+    join_type 'inner': attributed (impression, click) pairs only.
+    join_type 'leftOuter': additionally emits never-clicked impressions
+    with null click columns once the watermark proves no click can come.
+    """
+    imp, clk = impressions, clicks
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", watermark)
+    if clk.isStreaming:
+        clk = clk.withWatermark("clk_ts", watermark)
+    cond = (
+        (imp["user_id"] == clk["clk_user_id"])
+        & (clk["clk_ts"] >= imp["imp_ts"])
+        & (clk["clk_ts"] <= imp["imp_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return imp.join(clk, cond, join_type).select(
+        "imp_id", "user_id", "imp_ts", "imp_value",
+        "clk_id", "clk_ts", "clk_value",
+    )
+
+
+def run_attribution_stream(
+    spark,
+    events_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    join_type: str = "inner",
+):
+    """Drain the events file stream (Trigger.AvailableNow) through the
+    attribution join into a parquet sink in append mode. Rerunning with
+    the same checkpoint resumes: committed input files are skipped and
+    the join state (buffered unmatched rows, watermark) is restored, so
+    a click arriving in a later file still attributes to an impression
+    from an earlier run — exactly-once per (imp_id, clk_id) pair."""
+    schema = spark.read.parquet(events_path).schema
+    events = spark.readStream.schema(schema).parquet(events_path)
+    joined = attribution_join(
+        impressions_from_events(events),
+        clicks_from_events(events),
+        horizon=horizon,
+        watermark=watermark,
+        join_type=join_type,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

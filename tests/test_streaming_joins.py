@@ -1,0 +1,147 @@
+"""Stream-stream attribution join: batch-parity, cross-run state, outer nulls."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.streaming.joins import (
+    attribution_join,
+    clicks_from_events,
+    impressions_from_events,
+    run_attribution_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["imp_id", "clk_id"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_streamed_inner_join_matches_batch(spark, events, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ssjoin")
+    src, sink, ckpt = str(root / "ev"), str(root / "out"), str(root / "ckpt")
+    events.write.mode("overwrite").parquet(src)
+
+    run_attribution_stream(spark, src, sink, ckpt, horizon="30 minutes")
+
+    streamed = _collect(spark.read.parquet(sink))
+    batch = _collect(
+        attribution_join(
+            impressions_from_events(events),
+            clicks_from_events(events),
+            horizon="30 minutes",
+        )
+    )
+    assert len(batch) > 0  # the fixture data must exercise the join
+    pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_click_in_later_run_attributes_to_buffered_impression(
+    spark, tmp_path_factory
+):
+    """A click delivered in a SECOND stream run (same checkpoint) must
+    still join an impression from the first run: the join state survives
+    the restart, and no pair is emitted twice."""
+    root = tmp_path_factory.mktemp("ssjoin_resume")
+    src, sink, ckpt = str(root / "ev"), str(root / "out"), str(root / "ckpt")
+
+    base = "CAST('2024-01-01 12:00:00' AS TIMESTAMP)"
+    imp = spark.range(1).select(
+        F.lit(1001).cast("long").alias("event_id"),
+        F.expr(base).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    imp.write.mode("overwrite").parquet(src)
+    run_attribution_stream(spark, src, sink, ckpt, horizon="30 minutes")
+    assert spark.read.parquet(sink).count() == 0  # no click yet
+
+    clk = spark.range(1).select(
+        F.lit(2002).cast("long").alias("event_id"),
+        F.expr(f"{base} + INTERVAL 10 MINUTES").alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(2.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    clk.write.mode("append").parquet(src)
+    run_attribution_stream(spark, src, sink, ckpt, horizon="30 minutes")
+
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) == 1
+    assert int(out.loc[0, "imp_id"]) == 1001
+    assert int(out.loc[0, "clk_id"]) == 2002
+
+    # idempotent rerun: committed files are skipped, nothing re-emits
+    run_attribution_stream(spark, src, sink, ckpt, horizon="30 minutes")
+    assert spark.read.parquet(sink).count() == 1
+
+
+def test_left_outer_emits_unclicked_after_watermark(spark, tmp_path_factory):
+    """leftOuter: a never-clicked impression emits with null click columns
+    once the watermark (advanced by a later file in a later run) passes
+    imp_ts + horizon + delay — and not before."""
+    root = tmp_path_factory.mktemp("ssjoin_outer")
+    src, sink, ckpt = str(root / "ev"), str(root / "out"), str(root / "ckpt")
+
+    base = "CAST('2024-01-01 12:00:00' AS TIMESTAMP)"
+    imp = spark.range(1).select(
+        F.lit(1001).cast("long").alias("event_id"),
+        F.expr(base).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    imp.write.mode("overwrite").parquet(src)
+    run_attribution_stream(
+        spark, src, sink, ckpt,
+        horizon="30 minutes", watermark="10 minutes", join_type="leftOuter",
+    )
+    # watermark has not passed imp_ts + horizon + delay: nothing emitted yet
+    assert spark.read.parquet(sink).count() == 0
+
+    # the GLOBAL watermark is the min over both sides' watermarks, so the
+    # advancer must carry a far-future event on EACH side (distinct users,
+    # >horizon apart, so they don't join each other)
+    advancer = spark.createDataFrame(
+        [(9009, 98, "view"), (9010, 99, "click")],
+        "event_id long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.expr(f"{base} + INTERVAL 6 HOURS").alias("ts"),
+        "user_id", "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    advancer.write.mode("append").parquet(src)
+    run_attribution_stream(
+        spark, src, sink, ckpt,
+        horizon="30 minutes", watermark="10 minutes", join_type="leftOuter",
+    )
+    # outer-null eviction happens in the microbatch AFTER the watermark
+    # advance lands in the checkpoint; a further file drives that batch
+    advancer2 = advancer.withColumn(
+        "event_id", F.col("event_id") + F.lit(100)
+    ).withColumn("ts", F.expr("ts + INTERVAL 1 HOUR"))
+    advancer2.write.mode("append").parquet(src)
+    run_attribution_stream(
+        spark, src, sink, ckpt,
+        horizon="30 minutes", watermark="10 minutes", join_type="leftOuter",
+    )
+    out = spark.read.parquet(sink).toPandas()
+    emitted = out[out.imp_id == 1001]
+    assert len(emitted) == 1
+    assert pd.isna(emitted.iloc[0]["clk_id"])
