@@ -281,6 +281,7 @@ HEADLINE = [
     "sliding_hll_distinct",    # trailing-window distinct via register merge
     "bowtie_decomposition",    # Broder SCC/IN/OUT web structure
     "k_anonymity",             # quasi-identifier release audit
+    "t_closeness",             # EMD sensitive-skew release audit
     "weighted_shortest_paths", # Bellman-Ford latency distances
     "rrf_fuse",                # reciprocal-rank hybrid fusion
     "harmonic_centrality",     # pivot-sampled closeness ranking

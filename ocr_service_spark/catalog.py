@@ -13180,6 +13180,97 @@ SELECT * FROM total UNION ALL SELECT * FROM worst
 """
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/quality.py t_closeness_report):
+    same customer quasi-identifier classes and mod-7 sensitive residue
+    as the l-diversity entry, so the triad's three verdicts are
+    directly comparable on one release. Distances are integer-exact
+    scaled EMD (see the operator docstring); threshold 150000 ppm
+    (t=0.15) splits the ~12-row classes into violating and close.
+    Oracle replays the histograms, the class-partitioned cumulative,
+    the HUGEINT EMD and the worst-5 rank."""
+    from .operators.quality import t_closeness_report
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long") % 7).alias(
+            "sv"
+        ),
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "sv", t_ppm=150_000, n_worst=5
+    )
+
+
+SQL_T_CLOSENESS = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 7 AS sv
+  FROM customer
+),
+pv AS (
+  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi_csv,
+         sv, CAST(COUNT(*) AS HUGEINT) AS vn
+  FROM base GROUP BY 1, 2
+),
+cls AS (SELECT qi_csv, SUM(vn) AS cls_n FROM pv GROUP BY 1),
+dom AS (
+  SELECT sv, SUM(gn) OVER (ORDER BY sv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+  FROM (SELECT sv, SUM(vn) AS gn FROM pv GROUP BY 1)
+),
+tot AS (
+  SELECT SUM(vn) AS n_total, CAST(COUNT(DISTINCT sv) AS HUGEINT) AS m
+  FROM pv
+),
+grid AS (
+  SELECT c.qi_csv, c.cls_n, d.sv, d.cum_g,
+         SUM(COALESCE(p.vn, 0)) OVER (
+             PARTITION BY c.qi_csv ORDER BY d.sv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM cls c CROSS JOIN dom d
+  LEFT JOIN pv p ON p.qi_csv = c.qi_csv AND p.sv = d.sv
+),
+per_cls AS (
+  SELECT g.qi_csv, g.cls_n,
+         CASE WHEN ANY_VALUE(t.m) > 1 AND g.cls_n > 0 THEN
+           CAST(SUM(ABS(g.cum_c * t.n_total - g.cls_n * g.cum_g)) * 1000000
+                // ((ANY_VALUE(t.m) - 1) * g.cls_n * ANY_VALUE(t.n_total))
+                AS BIGINT)
+         ELSE 0 END AS t_ppm_cls
+  FROM grid g CROSS JOIN tot t
+  GROUP BY g.qi_csv, g.cls_n
+),
+total AS (
+  SELECT CAST(0 AS BIGINT) AS class_rank,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN t_ppm_cls > 150000 THEN cls_n END), 0)
+              AS BIGINT) AS n_violating_rows,
+         CAST(CASE WHEN SUM(cls_n) = 0 THEN 0
+              ELSE COALESCE(SUM(CASE WHEN t_ppm_cls > 150000 THEN cls_n END),
+                            0) * 1000 // SUM(cls_n) END
+              AS BIGINT) AS violation_pm,
+         CAST(MAX(t_ppm_cls) AS BIGINT) AS t_ppm_max,
+         CAST(NULL AS VARCHAR) AS qi_csv
+  FROM per_cls
+),
+worst AS (
+  SELECT CAST(row_number() OVER (ORDER BY t_ppm_cls DESC, qi_csv ASC)
+              AS BIGINT) AS class_rank,
+         CAST(NULL AS BIGINT) AS n_classes,
+         CAST(cls_n AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS n_violating_rows,
+         CAST(NULL AS BIGINT) AS violation_pm,
+         t_ppm_cls AS t_ppm_max,
+         qi_csv
+  FROM per_cls ORDER BY t_ppm_cls DESC, qi_csv ASC LIMIT 5
+)
+SELECT * FROM total UNION ALL SELECT * FROM worst
+"""
+
+
 def q_frequent_pairs(spark, sf_dir):
     """Apriori frequent brand pairs (operators/stats.py frequent_pairs):
     orders are baskets, distinct part brands the items; support floor =
@@ -13961,6 +14052,7 @@ CATALOG: Dict[str, tuple] = {
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
     "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
     "modularity": (q_modularity, SQL_MODULARITY),
     "good_turing_mass": (q_good_turing, SQL_GOOD_TURING),

@@ -1185,6 +1185,153 @@ def l_diversity_report(
     return total.unionByName(worst)
 
 
+def t_closeness_report(
+    df: DataFrame, qi_cols, sensitive_col: str,
+    t_ppm: int = 150_000, n_worst: int = 5,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    check l-diversity provably cannot make: a class whose rows carry l
+    DIFFERENT sensitive values still leaks when its value DISTRIBUTION
+    is skewed far from the table's (the skewness/similarity attacks).
+    A class is t-close when the Earth Mover's Distance between its
+    sensitive-value distribution and the global one is <= t; for an
+    ordered domain of m values, EMD = (1/(m-1)) * sum_i |cum_i(P) -
+    cum_i(Q)|.
+
+    Integer-exact across engines: with class counts c_iv, class size
+    n_c, global counts g_v, table size N, the per-class scaled distance
+        emd_scaled = sum_i | cum_i(c) * N  -  n_c * cum_i(g) |
+    is a pure integer (products in decimal(38,0) so 10^12-row tables
+    don't overflow), and t in parts-per-million is
+        emd_scaled * 1e6 div ((m-1) * n_c * N)
+    — no floating point anywhere, so the DuckDB oracle (HUGEINT
+    arithmetic) hash-matches bit-for-bit.
+
+    Shape (100 TB): two map-side-combining hash aggregates build the
+    (class, value) and global histograms; the ordered domain (m rows)
+    and the single global-total row are broadcast; the per-class
+    cumulative runs in a window PARTITIONED by class over exactly m
+    rows each — no global ordering, no funnel. Worst offenders leave
+    the executors via TakeOrderedAndProject only.
+
+    Emits one TOTAL row (class_rank 0: n_classes, n_rows,
+    n_violating_rows, violation_pm, worst class distance in t_ppm_max,
+    qi_csv NULL) plus one row per n_worst farthest class (its distance
+    in t_ppm_max, its size in n_rows; ties break on qi_csv).
+    """
+    from pyspark.sql import Window
+
+    pv = (
+        df.groupBy(*[F.col(c) for c in qi_cols],
+                   F.col(sensitive_col).alias("_sv"))
+        .agg(F.count(F.lit(1)).alias("vn"))
+        .select(
+            F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in qi_cols]
+            ).alias("qi_csv"),
+            "_sv", "vn",
+        )
+    )
+    cls = pv.groupBy("qi_csv").agg(F.sum("vn").alias("cls_n"))
+    # ordered sensitive domain with global cumulative counts: m rows
+    dom = (
+        pv.groupBy("_sv").agg(F.sum("vn").alias("gn"))
+        .select(
+            "_sv",
+            F.sum("gn").over(
+                Window.orderBy("_sv")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_g"),
+        )
+    )
+    tot = pv.agg(F.sum("vn").alias("n_total"),
+                 F.count_distinct("_sv").alias("m"))
+    grid = (
+        cls.join(F.broadcast(dom), how="cross")
+        .join(pv, ["qi_csv", "_sv"], "left")
+        .na.fill({"vn": 0})
+        .select(
+            "qi_csv", "cls_n", "_sv", "cum_g",
+            F.sum("vn").over(
+                Window.partitionBy("qi_csv").orderBy("_sv")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_c"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    per_cls = (
+        grid.join(F.broadcast(tot), how="cross")
+        .groupBy("qi_csv", "cls_n", "n_total", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c").cast(d38) * F.col("n_total").cast(d38)
+                    - F.col("cls_n").cast(d38) * F.col("cum_g").cast(d38)
+                )
+            ).alias("emd_scaled")
+        )
+        .withColumn(
+            "_num", (F.col("emd_scaled") * F.lit(1_000_000)).cast(d38)
+        )
+        .withColumn(
+            "_den",
+            (F.col("m") - 1).cast(d38)
+            * F.col("cls_n").cast(d38)
+            * F.col("n_total").cast(d38),
+        )
+        .select(
+            "qi_csv", "cls_n",
+            # integral `div` (not decimal `/`): decimal division rounds
+            # HALF_UP at the result scale, which can differ from the
+            # oracle's floor by one ppm at exact boundaries
+            F.when(
+                (F.col("m") > 1) & (F.col("cls_n") > 0),
+                F.expr("_num div _den").cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("t_ppm_cls"),
+        )
+    )
+    total = per_cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cls_n").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("t_ppm_cls") > int(t_ppm), F.col("cls_n"))),
+            F.lit(0),
+        ).alias("n_violating_rows"),
+        F.max("t_ppm_cls").alias("t_ppm_max"),
+    ).select(
+        F.lit(0).cast("long").alias("class_rank"),
+        "n_classes",
+        "n_rows",
+        "n_violating_rows",
+        F.expr(
+            "CAST(CASE WHEN n_rows = 0 THEN 0 "
+            "ELSE n_violating_rows * 1000 div n_rows END AS BIGINT)"
+        ).alias("violation_pm"),
+        "t_ppm_max",
+        F.lit(None).cast("string").alias("qi_csv"),
+    )
+    worst = (
+        per_cls.orderBy(F.desc("t_ppm_cls"), F.asc("qi_csv"))
+        .limit(int(n_worst))
+        .withColumn(
+            "class_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("t_ppm_cls"), F.asc("qi_csv"))
+            ),
+        )
+        .select(
+            F.col("class_rank").cast("long"),
+            F.lit(None).cast("long").alias("n_classes"),
+            F.col("cls_n").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_violating_rows"),
+            F.lit(None).cast("long").alias("violation_pm"),
+            F.col("t_ppm_cls").alias("t_ppm_max"),
+            "qi_csv",
+        )
+    )
+    return total.unionByName(worst)
+
+
 # secret-candidate patterns (RE2-compatible: no lookbehind/backrefs, so
 # the DuckDB twin matches byte-for-byte)
 SECRET_RE_AWS = r"\bAKIA[0-9A-Z]{16}\b"
