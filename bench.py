@@ -190,6 +190,7 @@ HEADLINE = [
     "full_quality_gate",       # all four Gopher suites, one scan, 0 shuffles
     "mirror_detection",        # same content across hosts, bounded host list
     "quality_classifier",      # fastText-style hashed linear gate
+    "chi2_terms",              # supervised characteristic-term selection
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
     "kcenter_select",          # greedy k-center coreset (k narrow scans)

@@ -13065,6 +13065,66 @@ FROM best WHERE rn = 1
 """
 
 
+def q_chi2_terms(spark, sf_dir):
+    """Chi-square per-class characteristic terms (operators/classifier.py
+    chi2_feature_selection): which vocabulary terms are statistically
+    dependent on the document's lang label — the supervised counterpart
+    of tfidf_top_terms and the standard feature selector feeding the
+    fastText-style gate. Oracle replays the per-doc distinct, both
+    margins, the HUGEINT micro-unit chi-square and the per-label rank."""
+    from .operators.classifier import chi2_feature_selection
+
+    docs = load(spark, sf_dir, "documents")
+    return chi2_feature_selection(
+        docs, "lang", text_col="text", id_col="doc_id", min_df=3, top_k=8
+    )
+
+
+SQL_CHI2_TERMS = """
+WITH d AS (
+  SELECT lang AS label, doc_id AS did,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+lab AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n_label FROM d GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_total FROM d),
+t AS (SELECT label, did, unnest(toks) AS term FROM d),
+td AS (SELECT DISTINCT label, did, term FROM t WHERE term <> ''),
+tl0 AS (
+  SELECT term, label, CAST(COUNT(*) AS HUGEINT) AS n11
+  FROM td GROUP BY 1, 2
+),
+tl AS (
+  SELECT *, SUM(n11) OVER (PARTITION BY term) AS df_t FROM tl0
+),
+sc AS (
+  SELECT x.label, x.term, x.n11, x.df_t, l.n_label, o.n_total,
+         (x.n11 * (o.n_total - l.n_label - (x.df_t - x.n11))
+          - (x.df_t - x.n11) * (l.n_label - x.n11)) AS det
+  FROM tl x JOIN lab l USING (label) CROSS JOIN tot o
+  WHERE x.df_t >= 3
+),
+chi AS (
+  SELECT label, term, n11, df_t,
+         CASE WHEN n_label * df_t * (n_total - n_label) * (n_total - df_t) > 0
+              THEN CAST(n_total * det * det * 1000000
+                   // (n_label * df_t * (n_total - n_label) * (n_total - df_t))
+                   AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS chi2_u,
+         CAST(CASE WHEN det > 0 THEN 1 WHEN det < 0 THEN -1
+              ELSE 0 END AS INTEGER) AS corr_sign
+  FROM sc
+)
+SELECT label,
+       CAST(row_number() OVER (PARTITION BY label
+            ORDER BY chi2_u DESC, term ASC) AS BIGINT) AS rnk,
+       term, CAST(n11 AS BIGINT) AS n11, CAST(df_t AS BIGINT) AS df_t,
+       chi2_u, corr_sign
+FROM chi
+QUALIFY rnk <= 8
+"""
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf-exponent corpus fingerprint (operators/stats.py zipf_fit):
     top-50 word frequencies per language, OLS slope of the quantized
@@ -14050,6 +14110,7 @@ CATALOG: Dict[str, tuple] = {
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
+    "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -476,3 +476,111 @@ def naive_bayes_classify(
             (-F.col("b._n")).alias("score_q"),
         )
     )
+
+
+def chi2_feature_selection(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-class characteristic terms via the chi-square statistic
+    (Manning/Schütze/Raghavan IR ch.13 feature selection) — the
+    supervised counterpart of tfidf_top_terms: which terms are
+    DEPENDENT on a class label, measured against the independence
+    null. For the 2x2 presence table (n11 docs of the class with the
+    term, n10 other docs with it, n01 class docs without it, n00 the
+    rest):
+
+        chi2 = N * (n11*n00 - n10*n01)^2
+               / ((n11+n01) * (n11+n10) * (n01+n00) * (n10+n00))
+
+    Integer-exact across engines: every margin is a count, so chi2 is
+    emitted in micro-units, chi2_u = (N * det^2 * 1e6) div (Nl * df_t *
+    (N-Nl) * (N-df_t)), all in decimal(38,0) / HUGEINT. Exact while
+    N^5 * 1e6 < 10^38, i.e. labeled sets up to ~1.5M docs — beyond any
+    real feature-selection corpus (selection runs on the labeled
+    sample, not the 10^12-doc crawl). corr_sign = sign(det) separates
+    characteristic (+1) from anti-correlated (-1) dependence.
+
+    Plan shape: explode -> per-doc distinct -> ONE hash aggregate keyed
+    (term,label); the per-term document frequency is a window over the
+    term partition (one exchange), the per-label doc totals and N are a
+    broadcast 1-row-per-label dim. Only (term,label) pairs with n11 > 0
+    are scored (a term absent from the class can also be dependent, but
+    materializing the full term x label grid shuffles |V| x |L| rows
+    for candidates no selector keeps). Top-k per label via a
+    rank-bounded window (WindowGroupLimit), ties on term.
+
+    Emits (label, rnk, term, n11, df_t, chi2_u, corr_sign).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_did"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    lab = d.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    td = (
+        d.select("label", "_did", F.explode("_toks").alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    tl = td.groupBy("term", "label").agg(F.count(F.lit(1)).alias("n11"))
+    tl = tl.withColumn(
+        "df_t", F.sum("n11").over(Window.partitionBy("term"))
+    ).filter(F.col("df_t") >= int(min_df))
+    d38 = "decimal(38,0)"
+    scored = (
+        tl.join(F.broadcast(lab), "label")
+        .join(F.broadcast(tot), how="cross")
+        .withColumn("n10", F.col("df_t") - F.col("n11"))
+        .withColumn("n01", F.col("n_label") - F.col("n11"))
+        .withColumn(
+            "n00",
+            F.col("n_total") - F.col("n_label") - F.col("n10"),
+        )
+        .withColumn(
+            "_det",
+            F.col("n11").cast(d38) * F.col("n00").cast(d38)
+            - F.col("n10").cast(d38) * F.col("n01").cast(d38),
+        )
+        .withColumn(
+            "_num",
+            (
+                F.col("n_total").cast(d38)
+                * F.col("_det") * F.col("_det")
+                * F.lit(1_000_000)
+            ).cast(d38),
+        )
+        .withColumn(
+            "_den",
+            F.col("n_label").cast(d38)
+            * F.col("df_t").cast(d38)
+            * (F.col("n_total") - F.col("n_label")).cast(d38)
+            * (F.col("n_total") - F.col("df_t")).cast(d38),
+        )
+        .withColumn(
+            "chi2_u",
+            F.when(F.col("_den") > 0, F.expr("_num div _den"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("corr_sign", F.signum("_det").cast("int"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("chi2_u"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(top_k))
+        .select(
+            "label",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term", "n11", "df_t", "chi2_u", "corr_sign",
+        )
+    )

@@ -353,3 +353,53 @@ class TestNaiveBayes:
         assert set(p) == {"bad", "good"}
         # 3 docs each of 6 -> ln(1/2)*1e4 floor = -6932 for both classes
         assert p["bad"] == p["good"] == math.floor(math.log(0.5) * 10000)
+
+
+class TestChi2FeatureSelection:
+    # N=4 docs, two labels. Hand-computed 2x2 tables:
+    #   cat: en-only (n11=2,n00=2,det=4)  -> chi2 = 4*16/(2*2*2*2) = 4.0
+    #   the: in 3 docs -> en det=+2, fr det=-2, chi2 = 4*4/(2*3*2*1) = 1.333…
+    #   dog: one doc each side, det=0 -> chi2 = 0
+    #   fish/chat: df=1 < min_df=2 -> dropped
+    DOCS = [
+        (1, "en", "cat cat dog the"),
+        (2, "en", "cat fish the"),
+        (3, "fr", "chien chat the"),
+        (4, "fr", "chien dog"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from ocr_service_spark.operators.classifier import (
+            chi2_feature_selection,
+        )
+
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, lang string, text string")
+        out = chi2_feature_selection(
+            df, "lang", text_col="text", id_col="doc_id",
+            min_df=2, top_k=3,
+        ).collect()
+        return {(r["label"], r["rnk"]): r for r in out}
+
+    def test_class_exclusive_term_tops_each_label(self, rows):
+        en1, fr1 = rows[("en", 1)], rows[("fr", 1)]
+        assert en1["term"] == "cat" and en1["chi2_u"] == 4_000_000
+        assert en1["n11"] == 2 and en1["df_t"] == 2 and en1["corr_sign"] == 1
+        assert fr1["term"] == "chien" and fr1["chi2_u"] == 4_000_000
+
+    def test_shared_term_is_anticorrelated_where_rarer(self, rows):
+        en2, fr2 = rows[("en", 2)], rows[("fr", 2)]
+        assert en2["term"] == "the" and en2["chi2_u"] == 1_333_333
+        assert en2["corr_sign"] == 1
+        assert fr2["term"] == "the" and fr2["chi2_u"] == 1_333_333
+        assert fr2["corr_sign"] == -1  # dependence by relative ABSENCE
+
+    def test_independent_term_scores_zero(self, rows):
+        assert rows[("en", 3)]["term"] == "dog"
+        assert rows[("en", 3)]["chi2_u"] == 0
+        assert rows[("en", 3)]["corr_sign"] == 0
+
+    def test_min_df_prunes_singletons(self, rows):
+        terms = {r["term"] for r in rows.values()}
+        assert "fish" not in terms and "chat" not in terms
