@@ -191,6 +191,7 @@ HEADLINE = [
     "mirror_detection",        # same content across hosts, bounded host list
     "quality_classifier",      # fastText-style hashed linear gate
     "chi2_terms",              # supervised characteristic-term selection
+    "textrank_keywords",       # co-occurrence-graph PageRank keywords
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
     "kcenter_select",          # greedy k-center coreset (k narrow scans)

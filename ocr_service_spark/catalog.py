@@ -5380,6 +5380,77 @@ it{k} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords (operators/textstats.py
+    textrank_keywords): PageRank over the adjacent-candidate-pair word
+    graph, 6 integer fixed-point rounds, top-25. The oracle rebuilds
+    the same graph with list ops (slice-zip pairs, the regex filter)
+    and unrolls the identical Q=10^6 recurrence — an iterative
+    text+graph operator under a full value hash."""
+    from .operators.textstats import textrank_keywords
+
+    return textrank_keywords(
+        load(spark, sf_dir, "documents"), top_k=25, iters=6, min_len=4
+    )
+
+
+def _textrank_sql(iters: int = 6, top_k: int = 25, min_len: int = 4) -> str:
+    """Unrolled TextRank: co-occurrence edges (MATERIALIZED — every round
+    references them, and DuckDB inlines plain CTEs at each site) + the
+    same fixed-point recurrence as _pagerank_sql."""
+    parts = [
+        f"""WITH raw AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+kept AS (
+  SELECT list_filter(t, x -> regexp_matches(x, '^[a-z]{{{min_len},}}$')) AS k
+  FROM raw
+),
+pz AS (
+  SELECT unnest(list_zip(k[:-1], k[2:])) AS z FROM kept WHERE len(k) >= 2
+),
+pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2 FROM pz WHERE z[1] <> z[2]
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT w1 AS src, w2 AS dst FROM pairs
+    UNION ALL
+    SELECT w2, w1 FROM pairs
+  )
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT n.node,
+         CAST(150000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.score // d.outdeg) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS BIGINT)
+         AS rnk,
+       node AS term, score
+FROM it{iters} ORDER BY score DESC, node ASC LIMIT {top_k}"""
+    )
+    return "".join(parts)
+
+
+SQL_TEXTRANK = _textrank_sql()
+
+
 def q_extract_outlinks(spark, sf_dir):
     """Outlink + anchor extraction (operators/links.py; one Arrow-batched
     mapInPandas pass, spec = core/links.py) over synthetic article pages —
@@ -14111,6 +14182,7 @@ CATALOG: Dict[str, tuple] = {
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

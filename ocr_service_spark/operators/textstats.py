@@ -481,3 +481,69 @@ def spell_correct_map(
             (-F.col("b._nc")).alias("correction_count"),
         )
     )
+
+
+def textrank_keywords(
+    docs,
+    text_col: str = "text",
+    top_k: int = 25,
+    iters: int = 6,
+    min_len: int = 4,
+):
+    """Corpus keywords via TextRank (Mihalcea & Tarau, EMNLP'04):
+    PageRank over the word co-occurrence graph. Candidate terms are
+    lowercase alphabetic tokens of >= min_len chars; an undirected edge
+    links every ADJACENT candidate pair (window w=2, the paper's
+    default); rank is the shared integer fixed-point PageRank
+    (operators/graph.py, Q = 10^6), so the unrolled DuckDB recurrence
+    value-hash matches. A term's score rises when it co-occurs with
+    other high-scoring terms — frequency alone doesn't win, which is
+    exactly what separates this from vocab_top_terms.
+
+    Plan shape (100 TB): tokenization, the candidate filter, and pair
+    building are all array ops in ONE projection chain — the token
+    array is materialized before any lambda touches it (the Catalyst
+    lambda-re-eval trap, see operators/dedup.py), pairs come from
+    zipping the array with its own shift (slice+arrays_zip, no
+    posexplode self-join), so nothing shuffles until PageRank's
+    edge-distinct. Graph size is the candidate vocabulary, not the
+    corpus: the iterative loop joins |V|-row score tables, the same
+    scale class as the host-graph entries.
+
+    Emits (rnk, term, score) for the top_k terms; ties break on term.
+    """
+    from pyspark.sql import Window
+
+    from .graph import pagerank
+
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t")
+    )
+    kept = toks.select(
+        F.filter(
+            "_t", lambda x: x.rlike("^[a-z]{%d,}$" % int(min_len))
+        ).alias("_k")
+    )
+    pairs = (
+        kept.filter(F.size("_k") >= 2)
+        .select(
+            F.slice("_k", 1, F.size("_k") - 1).alias("_a"),
+            F.slice("_k", 2, F.size("_k") - 1).alias("_b"),
+        )
+        .select(F.explode(F.arrays_zip("_a", "_b")).alias("_z"))
+        .select(
+            F.col("_z._a").alias("w1"), F.col("_z._b").alias("w2")
+        )
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    ).select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    scores = pagerank(edges, iters=iters)
+    w = Window.orderBy(F.desc("score"), F.asc("node"))
+    return (
+        scores.orderBy(F.desc("score"), F.asc("node"))
+        .limit(int(top_k))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("rnk", F.col("node").alias("term"), "score")
+    )

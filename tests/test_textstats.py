@@ -33,3 +33,37 @@ class TestSpellCorrectMap:
         df = spark.createDataFrame(rows, "id string, text string")
         got = spell_correct_map(df, "text", dict_min=8, min_len=4).collect()
         assert len(got) == 1 and got[0]["correction"] == "cat"
+
+
+class TestTextrankKeywords:
+    def _ranks(self, spark, texts, **kw):
+        from ocr_service_spark.operators.textstats import textrank_keywords
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return textrank_keywords(df, **kw).collect()
+
+    def test_hub_word_outranks_leaves(self, spark):
+        rows = self._ranks(
+            spark, ["alpha beta alpha gamma alpha delta"], top_k=10)
+        assert rows[0]["term"] == "alpha" and rows[0]["rnk"] == 1
+        # the three leaves tie on score; ties break on term
+        assert [r["term"] for r in rows[1:]] == ["beta", "delta", "gamma"]
+        assert rows[1]["score"] == rows[2]["score"] == rows[3]["score"]
+
+    def test_pure_self_repetition_contributes_nothing(self, spark):
+        # "spam spam spam" has only self-pairs -> no edges -> absent
+        rows = self._ranks(
+            spark, ["spam spam spam spam", "alpha beta"], top_k=10)
+        assert {r["term"] for r in rows} == {"alpha", "beta"}
+
+    def test_filtered_tokens_bridge_adjacency(self, spark):
+        # candidates are filtered BEFORE windowing: the short token "xx"
+        # drops out and alpha-beta become adjacent across it
+        rows = self._ranks(spark, ["alpha xx beta"], top_k=10, min_len=4)
+        assert {r["term"] for r in rows} == {"alpha", "beta"}
+
+    def test_non_alphabetic_and_case(self, spark):
+        rows = self._ranks(
+            spark, ["Alpha BETA alpha2 42beta _under gamma-x"], top_k=10)
+        # alpha2/42beta/_under/gamma-x fail ^[a-z]{4,}$ after lowering
+        assert {r["term"] for r in rows} == {"alpha", "beta"}
