@@ -192,6 +192,7 @@ HEADLINE = [
     "quality_classifier",      # fastText-style hashed linear gate
     "chi2_terms",              # supervised characteristic-term selection
     "textrank_keywords",       # co-occurrence-graph PageRank keywords
+    "textrank_summary",        # per-doc sentence-graph extractive summary
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
     "kcenter_select",          # greedy k-center coreset (k narrow scans)

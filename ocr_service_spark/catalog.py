@@ -5451,6 +5451,118 @@ FROM it{iters} ORDER BY score DESC, node ASC LIMIT {top_k}"""
 SQL_TEXTRANK = _textrank_sql()
 
 
+def q_textrank_summary(spark, sf_dir):
+    """Extractive summaries via sentence-graph TextRank
+    (operators/textstats.py textrank_summary): the corpus gets the
+    same injected-period sentence structure as sentence_chunks, every
+    document's sentence graph (>=2 shared candidate words) ranks in
+    ONE shared PageRank loop keyed doc_id#sno, top-2 sentences per
+    doc. The oracle rebuilds the postings self-join, the composite
+    node key, 4 unrolled integer rounds and the per-doc rank."""
+    from .operators.textstats import textrank_summary
+
+    d = load(spark, sf_dir, "documents")
+    sentenced = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"(\S+ \S+ \S+ \S+ \S+) ",
+            r"$1. ",
+        ).alias("text"),
+    )
+    return textrank_summary(sentenced, top_s=2, iters=4, min_overlap=2)
+
+
+def _textrank_summary_sql(
+    iters: int = 4, top_s: int = 2, min_overlap: int = 2, min_len: int = 4
+) -> str:
+    """Unrolled per-doc sentence TextRank; same recurrence constants as
+    _pagerank_sql, node keys are doc_id#sno strings on both engines."""
+    parts = [
+        f"""WITH p AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''),
+                        '(\\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1. ',
+                        'g') AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, u.r.sno AS sno, trim(u.r.sent) AS sent
+  FROM (
+    SELECT doc_id, list_transform(
+      string_split_regex(COALESCE(text, ''), '[.!?]+ '),
+      (x, i) -> struct_pack(sno := i - 1, sent := x)) AS lr
+    FROM p
+  ) t, unnest(t.lr) AS u(r)
+  WHERE length(trim(u.r.sent)) > 0
+),
+posts AS (
+  SELECT DISTINCT doc_id, sno, w FROM (
+    SELECT doc_id, sno,
+           unnest(list_filter(string_split_regex(lower(sent), '\\s+'),
+                  x -> regexp_matches(x, '^[a-z]{{{min_len},}}$'))) AS w
+    FROM s
+  )
+),
+ov AS (
+  SELECT a.doc_id, a.sno AS s1, b.sno AS s2
+  FROM posts a JOIN posts b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND a.sno < b.sno
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_overlap}
+),
+edges AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(s1 AS VARCHAR) AS src,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(s2 AS VARCHAR) AS dst
+  FROM ov
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(s2 AS VARCHAR),
+         CAST(doc_id AS VARCHAR) || '#' || CAST(s1 AS VARCHAR)
+  FROM ov
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT n.node,
+         CAST(150000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.score // d.outdeg) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f""",
+parsed AS (
+  SELECT CAST(string_split(node, '#')[1] AS BIGINT) AS doc_id,
+         CAST(string_split(node, '#')[2] AS BIGINT) AS sno,
+         score
+  FROM it{iters}
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, sno ASC) AS BIGINT) AS rnk,
+         sno, score
+  FROM parsed
+)
+SELECT r.doc_id, r.rnk, r.sno, r.score, s.sent
+FROM ranked r JOIN s ON s.doc_id = r.doc_id AND s.sno = r.sno
+WHERE r.rnk <= {top_s}"""
+    )
+    return "".join(parts)
+
+
+SQL_TEXTRANK_SUMMARY = _textrank_summary_sql()
+
+
 def q_extract_outlinks(spark, sf_dir):
     """Outlink + anchor extraction (operators/links.py; one Arrow-batched
     mapInPandas pass, spec = core/links.py) over synthetic article pages —
@@ -14183,6 +14295,7 @@ CATALOG: Dict[str, tuple] = {
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
+    "textrank_summary": (q_textrank_summary, SQL_TEXTRANK_SUMMARY),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

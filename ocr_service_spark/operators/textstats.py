@@ -547,3 +547,98 @@ def textrank_keywords(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("rnk", F.col("node").alias("term"), "score")
     )
+
+
+def textrank_summary(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_s: int = 2,
+    iters: int = 4,
+    min_overlap: int = 2,
+    min_len: int = 4,
+):
+    """Extractive summarization via sentence-graph TextRank (Mihalcea &
+    Tarau, EMNLP'04 §4): within each document, sentences sharing >=
+    min_overlap candidate words are linked, PageRank runs on the union
+    of all per-doc graphs at once (node key = doc_id '#' sentence_no,
+    so ONE iterative loop ranks every document's sentences in the same
+    jobs — never a per-doc driver loop), and the top_s most central
+    sentences per document are the summary. Sentence splitting is the
+    repo's cross-engine '[.!?]+ ' rule (operators/chunking.py).
+
+    Scale shape: the sentence-pair overlap join is a postings
+    self-join on (doc, word) — linear in postings with bounded
+    per-key fanout (sentences containing a given word within ONE
+    doc), never an s^2 cross join; candidate-word filtering keeps the
+    posting list sparse. Sentences with no qualifying edge are
+    unrankable (a one-sentence doc has no graph) and emit nothing.
+
+    Emits (doc_id, rnk, sno, score, sent); sno is the 0-based sentence
+    position, ties break on sno.
+    """
+    from pyspark.sql import Window
+
+    from .graph import pagerank
+
+    sents = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+ ")
+        ).alias("sno", "sent"),
+    ).select(
+        "id", "sno", F.trim("sent").alias("sent")
+    ).where(F.length("sent") > 0)
+    toks = sents.select(
+        "id", "sno", F.split(F.lower("sent"), r"\s+").alias("_t")
+    )
+    posts = (
+        toks.select(
+            "id", "sno",
+            F.explode(
+                F.filter(
+                    "_t", lambda x: x.rlike("^[a-z]{%d,}$" % int(min_len))
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.id") == F.col("b.id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.sno") < F.col("b.sno")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id"),
+            F.col("a.sno").alias("s1"),
+            F.col("b.sno").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .filter(F.col("ov") >= int(min_overlap))
+    )
+    key = lambda i, s: F.concat_ws("#", F.col(i).cast("string"),
+                                   F.col(s).cast("string"))  # noqa: E731
+    edges = ov.select(
+        key("id", "s1").alias("src"), key("id", "s2").alias("dst")
+    ).unionByName(
+        ov.select(key("id", "s2").alias("src"), key("id", "s1").alias("dst"))
+    )
+    scores = pagerank(edges, iters=iters)
+    parsed = scores.select(
+        F.split("node", "#")[0].cast("long").alias("id"),
+        F.split("node", "#")[1].cast("int").alias("sno"),
+        "score",
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("sno"))
+    return (
+        parsed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= int(top_s))
+        .join(sents, ["id", "sno"])
+        .select(
+            F.col("id").alias("doc_id"), "rnk",
+            F.col("sno").cast("long").alias("sno"), "score", "sent",
+        )
+    )

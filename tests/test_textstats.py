@@ -67,3 +67,41 @@ class TestTextrankKeywords:
             spark, ["Alpha BETA alpha2 42beta _under gamma-x"], top_k=10)
         # alpha2/42beta/_under/gamma-x fail ^[a-z]{4,}$ after lowering
         assert {r["term"] for r in rows} == {"alpha", "beta"}
+
+
+class TestTextrankSummary:
+    def _summ(self, spark, rows, **kw):
+        from ocr_service_spark.operators.textstats import textrank_summary
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return textrank_summary(df, **kw).collect()
+
+    def test_central_sentence_wins(self, spark):
+        # s0 shares {alpha,beta} with s1 AND {alpha,gamma} with s2;
+        # s1 and s2 share only "alpha" (< min_overlap) -> star around s0
+        text = ("alpha beta gamma words here. "
+                "alpha beta other thing aside. "
+                "alpha gamma third item there")
+        out = self._summ(spark, [(1, text)], top_s=3, min_overlap=2)
+        assert out[0]["rnk"] == 1 and out[0]["sno"] == 0
+        assert out[0]["sent"].startswith("alpha beta gamma")
+        # leaves tie; sno breaks the tie
+        assert [r["sno"] for r in out] == [0, 1, 2]
+        assert out[1]["score"] == out[2]["score"]
+
+    def test_isolated_sentences_emit_nothing(self, spark):
+        out = self._summ(
+            spark, [(1, "alpha beta here. gamma delta there")],
+            min_overlap=2)
+        assert out == []
+
+    def test_graphs_do_not_leak_across_docs(self, spark):
+        # identical sentences in DIFFERENT docs must not form edges
+        rows = [(1, "alpha beta one thing"), (2, "alpha beta one thing")]
+        assert self._summ(spark, rows, min_overlap=2) == []
+
+    def test_top_s_bounds_output(self, spark):
+        text = ("alpha beta one. alpha beta two. "
+                "alpha beta three. alpha beta four")
+        out = self._summ(spark, [(7, text)], top_s=2, min_overlap=2)
+        assert len(out) == 2 and {r["rnk"] for r in out} == {1, 2}
