@@ -5563,6 +5563,43 @@ WHERE r.rnk <= {top_s}"""
 SQL_TEXTRANK_SUMMARY = _textrank_summary_sql()
 
 
+def q_native_session_window(spark, sf_dir):
+    """Spark's native session_window (streaming/windows.py
+    session_window_agg) on the events table, 30-minute gap — the
+    declarative twin of w2_sessionize (lag-gap flag) and the stateful
+    streaming sessionizer; one entry pins the ENGINE's session
+    semantics (merge at diff <= gap, end = last_ts + gap) against an
+    independent lag/running-sum reconstruction in DuckDB."""
+    from .streaming.windows import session_window_agg
+
+    return session_window_agg(
+        load(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+SQL_NATIVE_SESSION_WINDOW = """
+WITH f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q_extract_outlinks(spark, sf_dir):
     """Outlink + anchor extraction (operators/links.py; one Arrow-batched
     mapInPandas pass, spec = core/links.py) over synthetic article pages —
@@ -14296,6 +14333,8 @@ CATALOG: Dict[str, tuple] = {
     "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
     "textrank_summary": (q_textrank_summary, SQL_TEXTRANK_SUMMARY),
+    "native_session_window": (q_native_session_window,
+                              SQL_NATIVE_SESSION_WINDOW),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

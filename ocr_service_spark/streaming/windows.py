@@ -64,3 +64,46 @@ def run_windowed_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap sessions via Spark's NATIVE session_window — the engine
+    feature the hand-rolled variants shadow: functions/sql_analogs.py
+    sessionize is the SQL-expressible batch analog and
+    streaming/stateful.py the explicit-state streaming one; this is the
+    declarative form that runs identically on a batch frame (oracle)
+    and an unbounded stream (watermark bounds state; in append mode a
+    session emits exactly once, when the watermark passes its end).
+
+    Semantics (pinned by tests + the DuckDB twin): an event MERGES into
+    the open session when ts - prev_ts <= gap (boundary inclusive), the
+    session's end is last_ts + gap, start is the first event. Arithmetic
+    mirrors the repo's decimal-sum convention so the value hash is
+    order-insensitive.
+    """
+    src = events
+    if events.isStreaming:
+        # session_window itself accepts TIMESTAMP_NTZ, but watermarks
+        # demand TIMESTAMP (parquet timestamps infer as NTZ)
+        src = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n", "sum_value",
+        )
+    )

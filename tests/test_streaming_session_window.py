@@ -1,0 +1,68 @@
+"""Native session_window: batch/stream parity + watermark-gated emission."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_service_spark.streaming.windows import session_window_agg
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+    )
+
+
+def _run(spark, src, sink, ckpt):
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sessions_emit_once_watermark_passes_end(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_sw")
+    src, sink, ckpt = str(root / "ev"), str(root / "out"), str(root / "ckpt")
+
+    first = _events(spark, [
+        (1, 7, "2024-01-01 12:00:00", 1.0),
+        (2, 7, "2024-01-01 12:10:00", 2.0),   # merges: one session 12:00-12:40
+        (3, 7, "2024-01-01 13:30:00", 4.0),   # gap > 30m: second session
+        (4, 8, "2024-01-01 12:05:00", 8.0),
+    ])
+    first.write.mode("overwrite").parquet(src)
+    _run(spark, src, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 0  # nothing closed yet
+
+    # two advancer files drive the watermark past every session end
+    # (emission lags the watermark advance by one microbatch)
+    for eid, ts in ((100, "2024-01-01 18:00:00"), (101, "2024-01-01 19:00:00")):
+        _events(spark, [(eid, 99, ts, 0.0)]).write.mode("append").parquet(src)
+        _run(spark, src, sink, ckpt)
+
+    streamed = (
+        spark.read.parquet(sink).filter(F.col("user_id").isin(7, 8))
+        .toPandas().sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        session_window_agg(first, gap="30 minutes")
+        .toPandas().sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch)
+    # semantics pinned: merge within gap, end = last_ts + gap
+    u7 = batch[batch.user_id == 7]
+    assert len(u7) == 2
+    assert u7.iloc[0]["n"] == 2 and u7.iloc[0]["sum_value"] == 3.0
+    assert u7.iloc[0]["session_end"] == pd.Timestamp("2024-01-01 12:40:00")
