@@ -193,6 +193,7 @@ HEADLINE = [
     "chi2_terms",              # supervised characteristic-term selection
     "textrank_keywords",       # co-occurrence-graph PageRank keywords
     "textrank_summary",        # per-doc sentence-graph extractive summary
+    "native_session_window",   # engine session_window vs lag-gap oracle
     "dsir_importance",         # DSIR log-ratio importance weights
     "kmeans_lloyd",            # integer-exact Lloyd k-means (2 rounds)
     "kcenter_select",          # greedy k-center coreset (k narrow scans)

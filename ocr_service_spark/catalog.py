@@ -5577,6 +5577,67 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov dataset-regression test
+    (operators/stats.py ks_drift): 'new' is the corpus with every 3rd
+    document's length shifted +50 chars — a planted subset location
+    drift that a category histogram smears but the CDF supremum pins.
+    Oracle recomputes the merged CDFs, the HUGEINT ppm supremum and the
+    squared-threshold alpha=0.05 verdict."""
+    from .operators.stats import ks_drift
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    old = d.select(nl.alias("v"))
+    new = d.select(
+        F.when(F.col("doc_id") % 3 == 0, nl + 50).otherwise(nl).alias("v")
+    )
+    return ks_drift(old, new, "v")
+
+
+SQL_KS_DRIFT = """
+WITH olds AS (
+  SELECT CAST(length(COALESCE(text, '')) AS BIGINT) AS v FROM documents
+),
+news AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN CAST(length(COALESCE(text, '')) AS BIGINT) + 50
+              ELSE CAST(length(COALESCE(text, '')) AS BIGINT) END AS v
+  FROM documents
+),
+m AS (
+  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT v, CAST(COUNT(*) AS HUGEINT) AS ca, CAST(0 AS HUGEINT) AS cb
+    FROM olds GROUP BY v
+    UNION ALL
+    SELECT v, CAST(0 AS HUGEINT), CAST(COUNT(*) AS HUGEINT)
+    FROM news GROUP BY v
+  ) GROUP BY v
+),
+c AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM m
+),
+t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM m),
+d AS (
+  SELECT c.v,
+         CAST(ABS(c.cum_a * t.n_b - c.cum_b * t.n_a) * 1000000
+              // (t.n_a * t.n_b) AS BIGINT) AS d_ppm,
+         t.n_a, t.n_b
+  FROM c CROSS JOIN t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       v AS ks_at, d_ppm,
+       (CAST(d_ppm AS HUGEINT) * d_ppm * n_a * n_b
+          > CAST(1844164 AS HUGEINT) * 1000000 * (n_a + n_b)) AS reject_05
+FROM d ORDER BY d_ppm DESC, v ASC LIMIT 1
+"""
+
+
 SQL_NATIVE_SESSION_WINDOW = """
 WITH f AS (
   SELECT user_id, event_id, ts, value,
@@ -14335,6 +14396,7 @@ CATALOG: Dict[str, tuple] = {
     "textrank_summary": (q_textrank_summary, SQL_TEXTRANK_SUMMARY),
     "native_session_window": (q_native_session_window,
                               SQL_NATIVE_SESSION_WINDOW),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

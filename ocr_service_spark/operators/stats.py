@@ -534,3 +534,101 @@ def good_turing_mass(
         .cast("long")
         .alias("chao1"),
     )
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str = "v",
+    crit_num: int = 1_844_164,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test between two corpus
+    versions over a numeric per-document statistic — the
+    continuous-score counterpart of the categorical TV-distance alarm
+    (operators/snapshots.py length_histogram_drift): D = sup_v
+    |F_old(v) - F_new(v)|, sensitive to location/scale shifts a
+    category histogram smears away.
+
+    Integer-exact: with cumulative counts cum_a/cum_b and sample sizes
+    n_a/n_b, D in ppm is max |cum_a*n_b - cum_b*n_a| * 1e6 div
+    (n_a*n_b) — counts only, decimal(38,0)/HUGEINT on the two engines.
+    The alpha=0.05 verdict is the classic c(alpha)*sqrt((n_a+n_b)/
+    (n_a*n_b)) threshold squared into integers: reject iff
+    d_ppm^2 * n_a * n_b > crit_num * 1e6 * (n_a+n_b), crit_num =
+    1.358^2 * 1e6 (pass e.g. 2_474_329 for alpha=0.001).
+
+    Scale shape: one hash aggregate per version collapses to distinct
+    score values, one union+re-aggregate merges them, and the global
+    CDF is a distributed prefix sum (repartitionByRange + partition-
+    local window + per-partition offsets collected as ONE row each and
+    broadcast back — never a bare global Window, see
+    global_budget_select). The supremum leaves via
+    TakeOrderedAndProject.
+
+    Emits ONE row: (n_a, n_b, ks_at, d_ppm, reject_05) where ks_at is
+    the smallest value attaining the supremum.
+    """
+    a = old.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca"), F.lit(0).cast("long").alias("cb")
+    )
+    b = new.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.lit(0).cast("long").alias("ca"), F.count(F.lit(1)).alias("cb")
+    )
+    m = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    # distributed prefix sum of BOTH counts under the value order
+    d = m.repartitionByRange("v").withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = d.withColumn("_ra", F.sum("ca").over(w)).withColumn(
+        "_rb", F.sum("cb").over(w)
+    ).localCheckpoint()
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.max("_ra").alias("_ta"), F.max("_rb").alias("_tb"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for r in totals:
+        offs.append((int(r["_pid"]), acc_a, acc_b))
+        acc_a += int(r["_ta"] or 0)
+        acc_b += int(r["_tb"] or 0)
+    n_a, n_b = acc_a, acc_b
+    spark = m.sparkSession
+    off = spark.createDataFrame(offs, "_pid int, _oa long, _ob long")
+    d38 = "decimal(38,0)"
+    scored = (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn("_cum_a", F.col("_ra") + F.col("_oa"))
+        .withColumn("_cum_b", F.col("_rb") + F.col("_ob"))
+        .withColumn(
+            "_num",
+            F.abs(
+                F.col("_cum_a").cast(d38) * F.lit(n_b).cast(d38)
+                - F.col("_cum_b").cast(d38) * F.lit(n_a).cast(d38)
+            ) * F.lit(1_000_000),
+        )
+        .withColumn("_den", F.lit(n_a).cast(d38) * F.lit(n_b).cast(d38))
+        .withColumn("d_ppm", F.expr("_num div _den").cast("long"))
+    )
+    top = scored.orderBy(F.desc("d_ppm"), F.asc("v")).limit(1)
+    reject = (
+        F.col("d_ppm").cast(d38) * F.col("d_ppm").cast(d38)
+        * F.lit(n_a).cast(d38) * F.lit(n_b).cast(d38)
+        > F.lit(int(crit_num)).cast(d38) * F.lit(1_000_000).cast(d38)
+        * F.lit(n_a + n_b).cast(d38)
+    )
+    return top.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("v").alias("ks_at"),
+        "d_ppm",
+        reject.alias("reject_05"),
+    )

@@ -463,3 +463,37 @@ class TestGroupTrend:
         got = self._run(spark, rows)
         assert got["up"]["slope_ppm"] == 1_000_000
         assert got["down"]["slope_ppm"] == -1_000_000
+
+
+class TestKsDrift:
+    def _ks(self, spark, old_vals, new_vals, **kw):
+        from ocr_service_spark.operators.stats import ks_drift
+
+        o = spark.createDataFrame([(v,) for v in old_vals], "v long")
+        n = spark.createDataFrame([(v,) for v in new_vals], "v long")
+        return ks_drift(o, n, "v", **kw).collect()[0]
+
+    def test_hand_computed_supremum(self, spark):
+        # D = 0.5 over v in {2,3,4}; smallest attaining value reported
+        r = self._ks(spark, [1, 2, 3, 4], [3, 4, 5, 6])
+        assert r["n_a"] == 4 and r["n_b"] == 4
+        assert r["d_ppm"] == 500_000 and r["ks_at"] == 2
+        assert not r["reject_05"]  # n=4 vs 4 lacks power at D=0.5
+
+    def test_identical_samples_zero_distance(self, spark):
+        r = self._ks(spark, [5, 6, 7, 7], [7, 5, 7, 6])
+        assert r["d_ppm"] == 0 and not r["reject_05"]
+
+    def test_large_shift_rejects(self, spark):
+        r = self._ks(spark, range(100), range(50, 150))
+        assert r["d_ppm"] == 500_000
+        assert r["ks_at"] == 49
+        assert r["reject_05"]
+
+    def test_tighter_alpha_via_crit_num(self, spark):
+        # alpha=0.05 rejects a borderline shift that alpha~1e-9 keeps
+        # D = 0.28 vs critical 1.358*sqrt(100/2500) = 0.2716
+        old, new = list(range(50)), list(range(14, 64))
+        r05 = self._ks(spark, old, new)
+        rtight = self._ks(spark, old, new, crit_num=36_000_000)  # c=6.0
+        assert r05["reject_05"] and not rtight["reject_05"]
