@@ -5577,6 +5577,72 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival over right-censored content lifetimes
+    (operators/stats.py km_survival): planted lifetimes duration =
+    n_chars % 20 + 1 with doc_id % 4 == 0 right-censored — the
+    URL-longevity estimator behind refresh/retention planning. Oracle
+    replays the risk-table depletion, the per-step floor(ln)*1e4
+    quantization (lm.py grid convention) and the zero-crossing mask."""
+    from .operators.stats import km_survival
+
+    d = load(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 20) + 1).alias("duration"),
+        F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0).alias("event"),
+    )
+    return km_survival(d, "duration", "event")
+
+
+SQL_KM_SURVIVAL = """
+WITH subj AS (
+  SELECT (n_chars % 20) + 1 AS t_dur,
+         CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+  FROM documents
+),
+per_t AS (
+  SELECT CAST(t_dur AS BIGINT) AS t,
+         CAST(SUM(ev) AS BIGINT) AS deaths,
+         CAST(SUM(1 - ev) AS BIGINT) AS censored,
+         CAST(COUNT(*) AS BIGINT) AS gone
+  FROM subj GROUP BY 1
+),
+c AS (
+  SELECT *,
+         SUM(gone) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gone,
+         (SELECT SUM(gone) FROM per_t) AS n_total
+  FROM per_t
+),
+risk AS (
+  SELECT t, deaths, censored, n_total - cum_gone + gone AS n_risk FROM c
+),
+step AS (
+  SELECT *,
+         CASE WHEN deaths = 0 THEN 0
+              WHEN deaths < n_risk THEN
+                CAST(FLOOR(ln((n_risk - deaths) / CAST(n_risk AS DOUBLE))
+                     * 10000) AS BIGINT)
+              ELSE 0 END AS step_logq
+  FROM risk
+),
+z AS (
+  SELECT MIN(CASE WHEN deaths > 0 AND deaths = n_risk THEN t END) AS _t0
+  FROM step
+),
+o AS (
+  SELECT s.t, s.n_risk, s.deaths, s.censored, z._t0,
+         SUM(s.step_logq) OVER (ORDER BY s.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv_raw
+  FROM step s CROSS JOIN z
+)
+SELECT t, n_risk, deaths, censored,
+       CASE WHEN _t0 IS NOT NULL AND t >= _t0 THEN NULL
+            ELSE surv_raw END AS surv_logq,
+       (_t0 IS NOT NULL AND t >= _t0) AS dead
+FROM o
+"""
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov-Smirnov dataset-regression test
     (operators/stats.py ks_drift): 'new' is the corpus with every 3rd
@@ -14397,6 +14463,7 @@ CATALOG: Dict[str, tuple] = {
     "native_session_window": (q_native_session_window,
                               SQL_NATIVE_SESSION_WINDOW),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -632,3 +632,93 @@ def ks_drift(
         "d_ppm",
         reject.alias("reject_05"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (JASA 1958) over
+    right-censored lifetimes — for a web corpus, "how long does a URL
+    stay alive across recrawls", the estimator behind refresh_policy /
+    retention_plan-style decisions when observation windows truncate
+    lifetimes (naive mean lifetime is biased low exactly because the
+    still-alive pages are the long-lived ones).
+
+    Input: one row per subject, `duration_col` (integer time units) and
+    `event_col` (1 = death observed, 0 = right-censored at duration).
+    At each distinct death time t: n_t = subjects with duration >= t,
+    d_t = deaths at t, and S(t) = prod_{s<=t} (1 - d_s/n_s).
+
+    Engine-exactness (the lm.py convention): the product becomes a sum
+    of per-STEP quantized logs, step_logq = floor(ln((n_t-d_t)/n_t) *
+    1e4) — each term quantized to the integer grid BEFORE aggregation,
+    so cross-engine cumulative sums are exact. When n_t == d_t the
+    survival hits exactly zero: surv_logq is NULL and dead = true from
+    that time on.
+
+    Scale shape: ONE hash aggregate collapses subjects to the distinct-
+    time risk table (bounded by time granularity, not corpus size);
+    both cumulative passes (at-risk depletion, log-survival) are the
+    repo's distributed prefix sum — never a bare global Window.
+
+    Emits one row per distinct time with ANY observation:
+    (t, n_risk, deaths, censored, surv_logq, dead).
+    """
+    from .quality import global_prefix_sum
+
+    per_t = (
+        df.groupBy(F.col(duration_col).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+            ).cast("long").alias("deaths"),
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 0).otherwise(1)
+            ).cast("long").alias("censored"),
+        )
+        .withColumn("gone", F.col("deaths") + F.col("censored"))
+    )
+    cum = global_prefix_sum(per_t, ["t"], "gone", out_col="cum_gone")
+    total = per_t.agg(F.sum("gone").alias("n_total"))
+    risk = cum.join(F.broadcast(total), how="cross").select(
+        "t", "deaths", "censored",
+        (F.col("n_total") - F.col("cum_gone") + F.col("gone"))
+        .alias("n_risk"),
+    )
+    step = risk.withColumn(
+        "step_logq",
+        F.when(F.col("deaths") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("deaths") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("deaths"))
+                    / F.col("n_risk").cast("double")
+                ) * 10000
+            ).cast("long"),
+        )  # deaths == n_risk: survival is exactly zero; 0 placeholder
+        .otherwise(F.lit(0).cast("long")),  # (masked to NULL below)
+    )
+    # from the first time where deaths == n_risk the curve IS zero; the
+    # log-grid sum can't represent that, so those rows mask to NULL
+    dead_from = risk.agg(
+        F.min(
+            F.when(
+                (F.col("deaths") > 0) & (F.col("deaths") == F.col("n_risk")),
+                F.col("t"),
+            )
+        ).alias("_t0")
+    )
+    out = global_prefix_sum(step, ["t"], "step_logq", out_col="surv_logq")
+    return out.join(F.broadcast(dead_from), how="cross").select(
+        "t", "n_risk", "deaths", "censored",
+        F.when(
+            F.col("_t0").isNotNull() & (F.col("t") >= F.col("_t0")),
+            F.lit(None).cast("long"),
+        ).otherwise(F.col("surv_logq").cast("long")).alias("surv_logq"),
+        (
+            F.col("_t0").isNotNull() & (F.col("t") >= F.col("_t0"))
+        ).alias("dead"),
+    )

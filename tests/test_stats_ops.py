@@ -497,3 +497,44 @@ class TestKsDrift:
         r05 = self._ks(spark, old, new)
         rtight = self._ks(spark, old, new, crit_num=36_000_000)  # c=6.0
         assert r05["reject_05"] and not rtight["reject_05"]
+
+
+class TestKmSurvival:
+    def _km(self, spark, rows):
+        from ocr_service_spark.operators.stats import km_survival
+
+        df = spark.createDataFrame(rows, "duration long, event int")
+        out = km_survival(df, "duration", "event").collect()
+        return {r["t"]: r for r in out}
+
+    def test_hand_computed_curve(self, spark):
+        # classic textbook table: deaths at 1,2,3; censor at 2 and 4
+        km = self._km(spark, [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)])
+        assert km[1]["n_risk"] == 5 and km[1]["deaths"] == 1
+        assert km[1]["surv_logq"] == -2232          # floor(ln(4/5)*1e4)
+        assert km[2]["n_risk"] == 4 and km[2]["censored"] == 1
+        assert km[2]["surv_logq"] == -2232 - 2877   # * ln(3/4)
+        assert km[3]["n_risk"] == 2
+        assert km[3]["surv_logq"] == -2232 - 2877 - 6932  # * ln(1/2)
+        assert km[4]["n_risk"] == 1 and km[4]["deaths"] == 0
+        assert km[4]["surv_logq"] == km[3]["surv_logq"]  # censor: flat
+        assert not any(r["dead"] for r in km.values())
+
+    def test_curve_hits_zero_when_last_at_risk_dies(self, spark):
+        km = self._km(spark, [(1, 1), (2, 1)])
+        assert km[1]["surv_logq"] == -6932 and not km[1]["dead"]
+        assert km[2]["surv_logq"] is None and km[2]["dead"]
+
+    def test_censoring_only_keeps_survival_at_one(self, spark):
+        km = self._km(spark, [(3, 0), (5, 0)])
+        assert all(r["surv_logq"] == 0 for r in km.values())
+        assert all(not r["dead"] for r in km.values())
+
+    def test_censored_longevity_not_biased_low(self, spark):
+        # the estimator's reason to exist: censored long-lived subjects
+        # hold survival up vs treating censoring as death
+        alive = [(10, 0)] * 8 + [(2, 1)] * 2
+        km = self._km(spark, alive)
+        # S(2) = 8/10 and never drops after (no more deaths)
+        assert km[2]["surv_logq"] == -2232
+        assert km[10]["surv_logq"] == -2232
