@@ -225,6 +225,8 @@ HEADLINE = [
     "wat_roundtrip",           # WAT metadata serialize + parse round trip
     "redirect_resolve",        # Location chains via pointer doubling
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
+    "ks_drift",                # exact two-sample KS CDF drift test
+    "km_survival",             # Kaplan-Meier content-lifetime curves
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate
