@@ -227,6 +227,7 @@ HEADLINE = [
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
     "ks_drift",                # exact two-sample KS CDF drift test
     "km_survival",             # Kaplan-Meier content-lifetime curves
+    "interval_union",          # per-key interval merge + coverage sweep
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

@@ -5577,6 +5577,58 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_interval_union(spark, sf_dir):
+    """Per-key interval-set union (operators/intervals.py
+    interval_union): sessions-as-intervals from events (duration 5-49
+    minutes from the value column), merged per user wherever they
+    overlap or touch. Oracle replays the running-max sweep, the group
+    numbering and the coverage arithmetic in epoch seconds."""
+    from .operators.intervals import interval_union
+
+    iv = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("start"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                mins=(F.floor("value").cast("long") % 45 + 5).cast("int")
+            )
+        ).alias("end"),
+    )
+    return interval_union(iv, "key", "start", "end")
+
+
+SQL_INTERVAL_UNION = """
+WITH base AS (
+  -- FLOOR before the BIGINT cast: epoch() returns a fractional-second
+  -- DOUBLE and DuckDB's double->BIGINT cast ROUNDS while Spark's
+  -- timestamp->long truncates (repo-convention gotcha)
+  SELECT user_id AS key, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           + (CAST(FLOOR(value) AS BIGINT) % 45 + 5) * 60 AS e
+  FROM events
+),
+f AS (
+  SELECT key, s, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+              THEN 1 ELSE 0 END AS new_g
+  FROM base
+  WINDOW w AS (PARTITION BY key ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+g AS (
+  SELECT *, SUM(new_g) OVER (PARTITION BY key ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM f
+)
+SELECT key, CAST(MIN(s) AS BIGINT) AS ivl_start,
+       CAST(MAX(e) AS BIGINT) AS ivl_end,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS covered
+FROM g GROUP BY key, grp
+"""
+
+
 def q_km_survival(spark, sf_dir):
     """Kaplan-Meier survival over right-censored content lifetimes
     (operators/stats.py km_survival): planted lifetimes duration =
@@ -14464,6 +14516,7 @@ CATALOG: Dict[str, tuple] = {
                               SQL_NATIVE_SESSION_WINDOW),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
+    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

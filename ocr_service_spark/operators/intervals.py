@@ -42,7 +42,7 @@ fetch events, campaign attribution, snapshot validity ranges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,4 +140,61 @@ def interval_overlap_join(
             & (first_live == F.col("__bkt"))
         )
         .drop("__bkt")
+    )
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into their union —
+    the coverage primitive behind "total active time per user", "crawl
+    window coverage per host", and interval-set algebra generally. A
+    touching pair (next.start == prev.end) merges; a gap of any size
+    splits.
+
+    Shape: the classic sweep as ONE per-key window pass — running
+    max(end) over preceding rows detects "this interval starts beyond
+    everything seen so far" (start > prev running max, NOT start >
+    lag(end): an earlier long interval can swallow its immediate
+    predecessor), a running sum of that flag numbers the merged groups,
+    and one grouped aggregate emits each union interval. One Exchange
+    keyed by `key_col`, bounded windows, no joins.
+
+    Emits (key, ivl_start, ivl_end, n_merged, covered) where covered =
+    ivl_end - ivl_start in the column's native units (epoch seconds for
+    timestamps).
+    """
+    is_ts = dict(df.dtypes).get(start_col, "").startswith("timestamp")
+    s = (
+        F.col(start_col).cast("timestamp").cast("long")
+        if is_ts else F.col(start_col).cast("long")
+    )
+    e = (
+        F.col(end_col).cast("timestamp").cast("long")
+        if is_ts else F.col(end_col).cast("long")
+    )
+    base = df.select(F.col(key_col).alias("key"), s.alias("s"), e.alias("e"))
+    w = Window.partitionBy("key").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "new_g",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_g").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("key", "grp").agg(
+        F.min("s").alias("ivl_start"),
+        F.max("e").alias("ivl_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).select(
+        "key", "ivl_start", "ivl_end", "n_merged",
+        (F.col("ivl_end") - F.col("ivl_start")).cast("long").alias("covered"),
     )

@@ -108,3 +108,55 @@ class TestIntervalOverlap:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalUnion:
+    def _union(self, spark, rows):
+        from ocr_service_spark.operators.intervals import interval_union
+
+        df = spark.createDataFrame(rows, "key long, start long, end long")
+        out = interval_union(df, "key", "start", "end").collect()
+        return sorted(
+            [(r["key"], r["ivl_start"], r["ivl_end"], r["n_merged"],
+              r["covered"]) for r in out]
+        )
+
+    def test_overlap_touch_and_gap(self, spark):
+        rows = [
+            (1, 0, 10), (1, 5, 20),    # overlap -> merge
+            (1, 20, 30),               # touching -> merge
+            (1, 31, 40),               # gap of 1 -> split
+        ]
+        assert self._union(spark, rows) == [
+            (1, 0, 30, 3, 30), (1, 31, 40, 1, 9),
+        ]
+
+    def test_swallowed_by_earlier_long_interval(self, spark):
+        # the running-max trap: [0,100] swallows [10,20]; [30,40] must
+        # STILL merge (start 30 < running max 100) even though it is
+        # beyond its immediate predecessor's end (20)
+        rows = [(1, 0, 100), (1, 10, 20), (1, 30, 40)]
+        assert self._union(spark, rows) == [(1, 0, 100, 3, 100)]
+
+    def test_keys_independent(self, spark):
+        rows = [(1, 0, 10), (2, 5, 15)]
+        assert self._union(spark, rows) == [
+            (1, 0, 10, 1, 10), (2, 5, 15, 1, 10),
+        ]
+
+    def test_timestamp_columns_covered_in_seconds(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.intervals import interval_union
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 12:00:00", "2024-01-01 12:10:00"),
+             (1, "2024-01-01 12:05:00", "2024-01-01 12:30:00")],
+            "key long, start string, end string",
+        ).select(
+            "key",
+            F.col("start").cast("timestamp_ntz").alias("start"),
+            F.col("end").cast("timestamp_ntz").alias("end"),
+        )
+        r = interval_union(df, "key", "start", "end").collect()[0]
+        assert r["n_merged"] == 2 and r["covered"] == 1800
