@@ -228,6 +228,7 @@ HEADLINE = [
     "ks_drift",                # exact two-sample KS CDF drift test
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
+    "feature_correlations",    # integer-exact Pearson sign + r^2 audit
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

@@ -5577,6 +5577,81 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_feature_correlations(spark, sf_dir):
+    """Pairwise Pearson audit over per-document statistics
+    (operators/stats.py feature_correlations): chars, tokens, distinct
+    tokens and a doc_id residue control — is a signal just length in
+    disguise? Sign + r^2 in ppm, all integer, so the oracle's HUGEINT
+    replay of every sum and both variance terms hash-matches."""
+    from .operators.stats import feature_correlations
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("_t"),
+        F.length(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("_len"),
+    )
+    feats = d.select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(F.col("_len") == 0, 0)
+        .otherwise(F.size("_t")).cast("long").alias("n_tokens"),
+        F.when(F.col("_len") == 0, 0)
+        .otherwise(F.size(F.array_distinct("_t")))
+        .cast("long").alias("n_uniq"),
+        (F.col("doc_id") % 97).cast("long").alias("idmod"),
+    )
+    return feature_correlations(
+        feats, ["n_chars", "n_tokens", "n_uniq", "idmod"]
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["n_chars", "n_tokens", "n_uniq", "idmod"]
+    toks = "string_split_regex(trim(lower(coalesce(text,''))), '\\s+')"
+    zlen = "length(trim(lower(coalesce(text,'')))) = 0"
+    feat_exprs = {
+        "n_chars": "CAST(n_chars AS HUGEINT)",
+        "n_tokens": f"CAST(CASE WHEN {zlen} THEN 0 ELSE len({toks}) END"
+                    " AS HUGEINT)",
+        "n_uniq": f"CAST(CASE WHEN {zlen} THEN 0"
+                  f" ELSE len(list_distinct({toks})) END AS HUGEINT)",
+        "idmod": "CAST(doc_id % 97 AS HUGEINT)",
+    }
+    sel = ",\n         ".join(
+        f"{e} AS {c}" for c, e in feat_exprs.items()
+    )
+    sums = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        sums.append(f"SUM({c}) AS s_{c}")
+        sums.append(f"SUM({c} * {c}) AS ss_{c}")
+    pair_rows = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            sums.append(f"SUM({x} * {y}) AS sp_{x}_{y}")
+            num = f"(n * sp_{x}_{y} - s_{x} * s_{y})"
+            den = (f"((n * ss_{x} - s_{x} * s_{x})"
+                   f" * (n * ss_{y} - s_{y} * s_{y}))")
+            pair_rows.append(
+                f"SELECT '{x}' AS fx, '{y}' AS fy, CAST(n AS BIGINT) AS n,\n"
+                f"  CAST(CASE WHEN {den} > 0 THEN\n"
+                f"    ({num} * {num} * 1000000) // {den}\n"
+                f"    ELSE 0 END AS BIGINT) AS r2_ppm,\n"
+                f"  CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1\n"
+                f"    ELSE 0 END AS INTEGER) AS corr_sign\nFROM a"
+            )
+    return (
+        f"WITH feats AS (\n  SELECT {sel}\n  FROM documents\n),\n"
+        f"a AS MATERIALIZED (\n  SELECT {', '.join(sums)}\n  FROM feats\n)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+SQL_FEATURE_CORR = _corr_sql()
+
+
 def q_interval_union(spark, sf_dir):
     """Per-key interval-set union (operators/intervals.py
     interval_union): sessions-as-intervals from events (duration 5-49
@@ -14517,6 +14592,7 @@ CATALOG: Dict[str, tuple] = {
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+    "feature_correlations": (q_feature_correlations, SQL_FEATURE_CORR),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -722,3 +722,66 @@ def km_survival(
             F.col("_t0").isNotNull() & (F.col("t") >= F.col("_t0"))
         ).alias("dead"),
     )
+
+
+def feature_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation audit over integer feature columns —
+    the pre-training sanity pass over per-document statistics (is the
+    quality score just length in disguise? did two gate signals
+    collapse into one?). Emitted without a square root so both engines
+    agree exactly: for each pair,
+        r_num = n*Sxy - Sx*Sy,  den = (n*Sxx - Sx^2) * (n*Syy - Sy^2),
+        r2_ppm = r_num^2 * 1e6 div den,  sign = signum(r_num)
+    i.e. sign(r) and r^2 in parts-per-million, all decimal(38,0)/
+    HUGEINT integer arithmetic (exact while n*|Sxy| < ~10^19 — any
+    real feature-audit sample; at 10^12 rows pre-aggregate a sample).
+
+    Scale shape: ONE map-side-combining aggregate computes every sum
+    for every pair in a single scan (k features -> k(k-1)/2 pairs of
+    literal column names over the same 1-row frame, localCheckpointed
+    so the scan runs once); constant-size output.
+
+    Emits (fx, fy, n, r2_ppm, corr_sign) for fx < fy.
+    """
+    d38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(d38)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(d38) * F.col(c).cast(d38)).alias(f"ss_{c}")
+        )
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(x).cast(d38) * F.col(y).cast(d38))
+                .alias(f"sp_{x}_{y}")
+            )
+    row = df.agg(*aggs).localCheckpoint(eager=True)
+    outs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            num = F.col("n") * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den_x = F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+            den_y = F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+            outs.append(
+                row.select(
+                    F.lit(x).alias("fx"),
+                    F.lit(y).alias("fy"),
+                    F.col("n").cast("long").alias("n"),
+                    num.alias("_num"),
+                    (den_x * den_y).alias("_den"),
+                ).select(
+                    "fx", "fy", "n",
+                    F.when(
+                        F.col("_den") > 0,
+                        F.expr(
+                            "(_num * _num * 1000000) div _den"
+                        ),
+                    ).otherwise(F.lit(0)).cast("long").alias("r2_ppm"),
+                    F.signum("_num").cast("int").alias("corr_sign"),
+                )
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

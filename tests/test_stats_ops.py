@@ -538,3 +538,42 @@ class TestKmSurvival:
         # S(2) = 8/10 and never drops after (no more deaths)
         assert km[2]["surv_logq"] == -2232
         assert km[10]["surv_logq"] == -2232
+
+
+class TestFeatureCorrelations:
+    def _corr(self, spark, rows, cols):
+        from ocr_service_spark.operators.stats import feature_correlations
+
+        schema = ", ".join(f"{c} long" for c in cols)
+        df = spark.createDataFrame(rows, schema)
+        return {
+            (r["fx"], r["fy"]): r
+            for r in feature_correlations(df, cols).collect()
+        }
+
+    def test_perfect_positive_and_negative(self, spark):
+        rows = [(i, 2 * i + 3, 10 - i) for i in range(8)]
+        got = self._corr(spark, rows, ["x", "y", "z"])
+        assert got[("x", "y")]["r2_ppm"] == 1_000_000
+        assert got[("x", "y")]["corr_sign"] == 1
+        assert got[("x", "z")]["r2_ppm"] == 1_000_000
+        assert got[("x", "z")]["corr_sign"] == -1
+
+    def test_hand_computed_partial_correlation(self, spark):
+        # x=[0,1,2,3], y=[0,1,1,2]: num=12, den=20*8 -> r^2 = 144/160 = 0.9
+        rows = [(0, 0), (1, 1), (2, 1), (3, 2)]
+        got = self._corr(spark, rows, ["x", "y"])
+        r = got[("x", "y")]
+        assert r["n"] == 4 and r["r2_ppm"] == 900_000 and r["corr_sign"] == 1
+
+    def test_constant_column_zero_by_convention(self, spark):
+        rows = [(i, 7) for i in range(5)]
+        got = self._corr(spark, rows, ["x", "c"])
+        assert got[("x", "c")]["r2_ppm"] == 0
+        assert got[("x", "c")]["corr_sign"] == 0
+
+    def test_all_pairs_emitted_once(self, spark):
+        rows = [(i, i, i, i) for i in range(4)]
+        got = self._corr(spark, rows, ["a", "b", "c", "d"])
+        assert set(got) == {("a", "b"), ("a", "c"), ("a", "d"),
+                            ("b", "c"), ("b", "d"), ("c", "d")}
