@@ -229,6 +229,7 @@ HEADLINE = [
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit
+    "benford_audit",           # first-digit plausibility screen
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

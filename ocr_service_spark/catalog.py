@@ -5577,6 +5577,60 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit plausibility audit (operators/stats.py
+    benford_audit) over order totals in exact cents — the forensic
+    screen for fabricated magnitudes. First digit via the integer's
+    decimal string (never float log10), expectations from the shared
+    ppm constant table; oracle replays counts, integral-div obs_ppm
+    and the per-digit chi-square contributions."""
+    from .operators.stats import benford_audit
+
+    d = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents")
+    )
+    return benford_audit(d, "cents")
+
+
+def _benford_sql() -> str:
+    from .operators.stats import BENFORD_PPM
+
+    dom = ", ".join(f"({d}, {p})" for d, p in sorted(BENFORD_PPM.items()))
+    return f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+),
+digits AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents
+),
+dd AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+dom(digit, exp_ppm) AS (VALUES {dom}),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM dd GROUP BY 1),
+t AS (SELECT SUM(cnt) AS n_total FROM counts),
+per AS (
+  SELECT d.digit, COALESCE(c.cnt, 0) AS cnt,
+         CAST(COALESCE(c.cnt, 0) * 1000000 // t.n_total AS BIGINT)
+           AS obs_ppm,
+         CAST(d.exp_ppm AS BIGINT) AS exp_ppm
+  FROM dom d LEFT JOIN counts c USING (digit) CROSS JOIN t
+),
+per2 AS (
+  SELECT *, CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm
+                 AS BIGINT) AS chi2_u
+  FROM per
+)
+SELECT CAST(digit AS INTEGER) AS digit, cnt, obs_ppm, exp_ppm, chi2_u
+FROM per2
+UNION ALL
+SELECT 0, SUM(cnt), SUM(obs_ppm), SUM(exp_ppm), SUM(chi2_u) FROM per2
+"""
+
+
+SQL_BENFORD = _benford_sql()
+
+
 def q_feature_correlations(spark, sf_dir):
     """Pairwise Pearson audit over per-document statistics
     (operators/stats.py feature_correlations): chars, tokens, distinct
@@ -14593,6 +14647,7 @@ CATALOG: Dict[str, tuple] = {
     "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "feature_correlations": (q_feature_correlations, SQL_FEATURE_CORR),
+    "benford_audit": (q_benford_audit, SQL_BENFORD),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -785,3 +785,71 @@ def feature_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# Benford first-digit expectation, floor(log10(1+1/d) * 1e6) — a SPEC
+# constant table (never computed in-engine: libm log10 ulps differ), so
+# both engines share the exact same integers.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over a positive
+    integer column — the classic fabricated-numbers screen (Nigrini's
+    forensic-accounting test), useful on a crawl as a price/metric
+    plausibility gate: organically-grown magnitudes follow
+    P(d) = log10(1+1/d); templated or synthetic ones don't.
+
+    Engine-exactness: the first digit comes from the DECIMAL STRING of
+    the integer (never floor(x/10^floor(log10 x)) — float log at power-
+    of-ten boundaries differs by an ulp per engine); expectations are
+    the shared integer constant table; obs_ppm = cnt*1e6 div n and the
+    per-digit chi-square contribution (obs-exp)^2 div exp are integral
+    divs. One hash aggregate over 9 keys; the digit domain joins
+    broadcast so zero-count digits still report.
+
+    Emits 9 digit rows (digit, cnt, obs_ppm, exp_ppm, chi2_u) plus a
+    TOTAL row (digit 0) carrying n and the summed statistic.
+    """
+    spark = df.sparkSession
+    dom = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, exp_ppm long"
+    )
+    digits = df.select(
+        F.substring(F.col(col).cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit")
+    ).filter(F.col("digit").between(1, 9))
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    per = (
+        F.broadcast(dom).join(counts, "digit", "left")
+        .na.fill({"cnt": 0})
+        .join(F.broadcast(total), how="cross")
+        .select(
+            "digit", "cnt",
+            F.expr("cnt * 1000000 div n_total").cast("long")
+            .alias("obs_ppm"),
+            "exp_ppm",
+        )
+        .withColumn(
+            "chi2_u",
+            F.expr(
+                "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"
+            ).cast("long"),
+        )
+    )
+    tot_row = per.agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("obs_ppm").cast("long").alias("obs_ppm"),
+        F.sum("exp_ppm").cast("long").alias("exp_ppm"),
+        F.sum("chi2_u").cast("long").alias("chi2_u"),
+    ).select(
+        F.lit(0).cast("int").alias("digit"),
+        "cnt", "obs_ppm", "exp_ppm", "chi2_u",
+    )
+    return per.unionByName(tot_row)

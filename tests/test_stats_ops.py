@@ -577,3 +577,41 @@ class TestFeatureCorrelations:
         got = self._corr(spark, rows, ["a", "b", "c", "d"])
         assert set(got) == {("a", "b"), ("a", "c"), ("a", "d"),
                             ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+class TestBenfordAudit:
+    def _audit(self, spark, vals):
+        from ocr_service_spark.operators.stats import benford_audit
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        return {r["digit"]: r for r in benford_audit(df, "v").collect()}
+
+    def test_counts_and_total_row(self, spark):
+        # first digits: 1,1,2,9 (145->1, 19->1, 2000->2, 9->9)
+        got = self._audit(spark, [145, 19, 2000, 9])
+        assert got[1]["cnt"] == 2 and got[1]["obs_ppm"] == 500_000
+        assert got[2]["cnt"] == 1 and got[9]["cnt"] == 1
+        assert got[3]["cnt"] == 0  # zero-count digits still report
+        assert got[0]["cnt"] == 4  # total row
+        assert got[0]["chi2_u"] == sum(
+            got[d]["chi2_u"] for d in range(1, 10))
+
+    def test_perfect_benford_sample_scores_near_zero(self, spark):
+        # counts proportional to the expectation table itself
+        from ocr_service_spark.operators.stats import BENFORD_PPM
+
+        vals = []
+        for d, ppm in BENFORD_PPM.items():
+            vals += [d * 10] * (ppm // 1000)  # ~1000 rows, exact shares
+        uniform = [d * 10 for d in range(1, 10)] * 111
+        got_b = self._audit(spark, vals)
+        got_u = self._audit(spark, uniform)
+        assert got_b[0]["chi2_u"] < 100        # ppm-rounding residue only
+        assert got_u[0]["chi2_u"] > 100_000    # uniform digits scream
+
+    def test_chi2_contribution_hand_case(self, spark):
+        # all values start with 1: obs_ppm(1)=1e6, exp=301029
+        got = self._audit(spark, [1, 10, 199])
+        d1 = got[1]
+        assert d1["obs_ppm"] == 1_000_000
+        assert d1["chi2_u"] == ((1_000_000 - 301_029) ** 2) // 301_029
