@@ -1,0 +1,72 @@
+"""Exactly-once streaming MERGE sink: foreachBatch + txlog idempotent
+commits — the streaming face of the north rule's "Iceberg MERGE-based
+idempotent writes so reruns are safe".
+
+Structured Streaming guarantees foreachBatch runs AT LEAST once per
+microbatch (a crash between the sink effect and the checkpoint commit
+replays the batch). Plain parquet appends would duplicate rows there;
+the txlog table (ocr_service_spark/txlog.py) turns the replay into a
+no-op because every commit carries writer_id = f"{prefix}-{batch_id}"
+and a committed writer_id short-circuits. at-least-once invocation x
+idempotent effect = exactly-once table state, the same argument Delta's
+txnAppId/txnVersion and Iceberg's WAP snapshots make.
+
+Within a microbatch, upsert semantics need one row per key: when
+`order_col` is given, the highest (order_col, then stable key order)
+row wins — deterministic regardless of partitioning; without it the
+batch is trusted to be key-unique (commit_merge would otherwise insert
+duplicates, since the anti-join removes only PRE-EXISTING rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..txlog import TxLogTable
+
+
+def stream_merge_into_table(
+    spark,
+    source_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    order_col: Optional[str] = None,
+    writer_prefix: str = "txsink",
+):
+    """Drain the file stream (Trigger.AvailableNow) MERGE-ing each
+    microbatch into the txlog table keyed on `key_col`. Rerunning with
+    the same checkpoint resumes (committed input files skipped);
+    rerunning with a FRESH checkpoint replays the input but the
+    writer_id no-op leaves the table state untouched — both rerun
+    shapes are exactly-once."""
+    tbl = TxLogTable.create(table_path)
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def merge(batch_df, batch_id: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key_col).orderBy(
+                F.desc(order_col), F.asc(key_col)
+            )
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        tbl.commit_merge(
+            b, key_col=key_col, writer_id=f"{writer_prefix}-{batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tbl

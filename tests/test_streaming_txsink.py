@@ -1,0 +1,73 @@
+"""Exactly-once streaming MERGE into the txlog table format."""
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.streaming.txsink import stream_merge_into_table
+from ocr_service_spark.txlog import TxLogTable
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "url string, rev long, text string")
+
+
+def _state(spark, table):
+    return {
+        r["url"]: (r["rev"], r["text"])
+        for r in table.read(spark).collect()
+    }
+
+
+def test_merge_updates_resume_and_replay(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("txsink")
+    src, tbl_path, ckpt = str(root / "src"), str(root / "tbl"), str(root / "ckpt")
+
+    _rows(spark, [("a", 1, "A1"), ("b", 1, "B1")]).write.mode(
+        "overwrite").parquet(src)
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, ckpt, key_col="url", order_col="rev")
+    assert _state(spark, tbl) == {"a": (1, "A1"), "b": (1, "B1")}
+    v1 = tbl.latest()
+
+    # resume with the same checkpoint: only the new file lands; same-key
+    # rows are REPLACED (merge), new keys inserted; within-batch dup of
+    # key 'c' resolves to the highest rev
+    _rows(spark, [("a", 2, "A2"), ("c", 1, "C1"), ("c", 2, "C2")]).write.mode(
+        "append").parquet(src)
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, ckpt, key_col="url", order_col="rev")
+    assert _state(spark, tbl) == {
+        "a": (2, "A2"), "b": (1, "B1"), "c": (2, "C2")}
+    v2 = tbl.latest()
+    assert v2 > v1
+
+    # replayed-batch shape: a FRESH checkpoint reprocesses everything as
+    # batch 0 again — the writer_id no-op must leave the table untouched
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, str(root / "ckpt2"), key_col="url",
+        order_col="rev")
+    assert tbl.latest() == v2
+    assert _state(spark, tbl) == {
+        "a": (2, "A2"), "b": (1, "B1"), "c": (2, "C2")}
+
+    # idle rerun on the original checkpoint: no new input, no new version
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, ckpt, key_col="url", order_col="rev")
+    assert tbl.latest() == v2
+
+
+def test_time_travel_preserves_pre_merge_snapshot(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("txsink_tt")
+    src, tbl_path, ckpt = str(root / "src"), str(root / "tbl"), str(root / "ckpt")
+
+    _rows(spark, [("a", 1, "A1")]).write.mode("overwrite").parquet(src)
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, ckpt, key_col="url", order_col="rev")
+    v1 = tbl.latest()
+
+    _rows(spark, [("a", 2, "A2")]).write.mode("append").parquet(src)
+    tbl = stream_merge_into_table(
+        spark, src, tbl_path, ckpt, key_col="url", order_col="rev")
+
+    assert _state(spark, tbl) == {"a": (2, "A2")}
+    old = {r["url"]: r["text"] for r in tbl.read(spark, version=v1).collect()}
+    assert old == {"a": "A1"}  # snapshot isolation across the merge
