@@ -230,6 +230,7 @@ HEADLINE = [
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit
     "benford_audit",           # first-digit plausibility screen
+    "gini_concentration",      # corpus/load inequality coefficient
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

@@ -5577,6 +5577,39 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_gini_concentration(spark, sf_dir):
+    """Gini inequality of per-customer order counts (operators/stats.py
+    gini_concentration) — the load-concentration audit (host dominance,
+    queue hogging). Oracle replays the ascending rank formula with
+    HUGEINT products and the ppm integral div."""
+    from .operators.stats import gini_concentration
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.lit(1).cast("long").alias("w")
+    )
+    return gini_concentration(o, "o_custkey", "w")
+
+
+SQL_GINI = """
+WITH per_key AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS HUGEINT) AS i
+  FROM per_key
+),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+             SUM(i * x) AS six
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total_weight,
+       CAST(CASE WHEN n > 0 AND sx > 0
+            THEN ((2 * six - (n + 1) * sx) * 1000000) // (n * sx)
+            ELSE 0 END AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+
 def q_benford_audit(spark, sf_dir):
     """Benford first-digit plausibility audit (operators/stats.py
     benford_audit) over order totals in exact cents — the forensic
@@ -14648,6 +14681,7 @@ CATALOG: Dict[str, tuple] = {
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "feature_correlations": (q_feature_correlations, SQL_FEATURE_CORR),
     "benford_audit": (q_benford_audit, SQL_BENFORD),
+    "gini_concentration": (q_gini_concentration, SQL_GINI),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -853,3 +853,45 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
         "cnt", "obs_ppm", "exp_ppm", "chi2_u",
     )
     return per.unionByName(tot_row)
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, weight_col: str
+) -> DataFrame:
+    """Gini coefficient of a weight's concentration across keys — the
+    crawl-ops inequality audit ("is the corpus 80% three hosts?", "does
+    one customer dominate the queue?"). 0 = perfectly even, ->1 = one
+    key holds everything.
+
+    Rank formula on the ascending sort: G = (2*sum(i*x_i) - (n+1)*
+    sum(x)) / (n*sum(x)), emitted in ppm with integral div — every term
+    a count product in decimal(38,0)/HUGEINT, engine-exact. The global
+    rank i is the repo's distributed prefix sum over the total order
+    (weight, key) — one hash aggregate to per-key weights, two narrow
+    passes, never a bare global Window.
+
+    Emits ONE row: (n_keys, total_weight, gini_ppm).
+    """
+    from .quality import global_prefix_sum
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("x")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(per_key, ["x", "k"], "_one", out_col="i")
+    d38 = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("i").cast(d38) * F.col("x").cast(d38)).alias("six"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.col("sx").cast("long").alias("total_weight"),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") > 0),
+            F.expr(
+                "((2 * six - (n + 1) * sx) * 1000000)"
+                " div (n * sx)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("gini_ppm"),
+    )

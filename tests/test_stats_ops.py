@@ -615,3 +615,37 @@ class TestBenfordAudit:
         d1 = got[1]
         assert d1["obs_ppm"] == 1_000_000
         assert d1["chi2_u"] == ((1_000_000 - 301_029) ** 2) // 301_029
+
+
+class TestGiniConcentration:
+    def _gini(self, spark, weights):
+        from ocr_service_spark.operators.stats import gini_concentration
+
+        df = spark.createDataFrame(
+            [(f"k{i}", w) for i, w in enumerate(weights)],
+            "key string, w long",
+        )
+        return gini_concentration(df, "key", "w").collect()[0]
+
+    def test_perfect_equality_is_zero(self, spark):
+        r = self._gini(spark, [5, 5, 5, 5])
+        assert r["gini_ppm"] == 0 and r["n_keys"] == 4
+
+    def test_total_concentration_approaches_one(self, spark):
+        # one key holds everything: G = (n-1)/n = 0.75 for n=4
+        r = self._gini(spark, [0, 0, 0, 12])
+        assert r["gini_ppm"] == 750_000
+
+    def test_hand_computed_mixed(self, spark):
+        # x = [1,2,3,4]: six = 1+4+9+16 = 30, sx = 10, n = 4
+        # G = (60 - 50) / 40 = 0.25
+        r = self._gini(spark, [1, 2, 3, 4])
+        assert r["gini_ppm"] == 250_000 and r["total_weight"] == 10
+
+    def test_weights_aggregate_per_key(self, spark):
+        from ocr_service_spark.operators.stats import gini_concentration
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 4), ("b", 5)], "key string, w long")
+        r = gini_concentration(df, "key", "w").collect()[0]
+        assert r["n_keys"] == 2 and r["gini_ppm"] == 0  # 5 vs 5
