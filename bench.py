@@ -231,6 +231,7 @@ HEADLINE = [
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit
     "benford_audit",           # first-digit plausibility screen
     "gini_concentration",      # corpus/load inequality coefficient
+    "term_dispersion",         # Gries DP burstiness for top terms
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

@@ -5577,6 +5577,53 @@ def q_native_session_window(spark, sf_dir):
     )
 
 
+def q_term_dispersion(spark, sf_dir):
+    """Gries' DP dispersion for the top-30 corpus terms
+    (operators/textstats.py term_dispersion) across the documents
+    table's source parts — burstiness vs even spread, the signal raw
+    frequency can't carry. Oracle replays the (term,part) histogram,
+    the broadcast k x parts grid with absent combos, and the ppm
+    integral div."""
+    from .operators.textstats import term_dispersion
+
+    return term_dispersion(
+        load(spark, sf_dir, "documents"), part_col="source", top_k=30
+    )
+
+
+SQL_TERM_DISPERSION = """
+WITH toks AS (
+  SELECT source AS part,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                '\\s+')) AS term
+  FROM documents
+),
+tl AS (
+  SELECT term, part, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+tt AS (SELECT term, SUM(c) AS tf FROM tl GROUP BY 1),
+top AS (SELECT term, tf FROM tt ORDER BY tf DESC, term ASC LIMIT 30),
+st AS (SELECT part, SUM(c) AS sz FROM tl GROUP BY 1),
+sa AS (SELECT SUM(sz) AS sz_all FROM st),
+grid AS (
+  SELECT t.term, t.tf, s.part, s.sz, COALESCE(l.c, 0) AS c, a.sz_all
+  FROM top t CROSS JOIN st s
+  LEFT JOIN tl l ON l.term = t.term AND l.part = s.part
+  CROSS JOIN sa a
+),
+agg AS (
+  SELECT term, tf, sz_all, SUM(ABS(c * sz_all - sz * tf)) AS sdev
+  FROM grid GROUP BY term, tf, sz_all
+)
+SELECT term, CAST(tf AS BIGINT) AS tf,
+       CAST(CASE WHEN 2 * tf * sz_all > 0
+            THEN (sdev * 1000000) // (2 * tf * sz_all)
+            ELSE 0 END AS BIGINT) AS dp_ppm
+FROM agg
+"""
+
+
 def q_gini_concentration(spark, sf_dir):
     """Gini inequality of per-customer order counts (operators/stats.py
     gini_concentration) — the load-concentration audit (host dominance,
@@ -14682,6 +14729,7 @@ CATALOG: Dict[str, tuple] = {
     "feature_correlations": (q_feature_correlations, SQL_FEATURE_CORR),
     "benford_audit": (q_benford_audit, SQL_BENFORD),
     "gini_concentration": (q_gini_concentration, SQL_GINI),
+    "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -642,3 +642,72 @@ def textrank_summary(
             F.col("sno").cast("long").alias("sno"), "score", "sent",
         )
     )
+
+
+def term_dispersion(
+    docs,
+    part_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 30,
+):
+    """Corpus-linguistics dispersion (Gries' DP, "deviation of
+    proportions") for the top-k terms: is a frequent term spread evenly
+    across corpus parts or clumped in a few (burstiness)? Raw frequency
+    can't tell a function word from a template artifact; DP can:
+        DP = 0.5 * sum_s |tf(t,s)/tf(t) - sz(s)/SZ|
+    0 = distributed exactly like the part sizes, ->1 = one part holds
+    everything. Emitted in ppm with pure count arithmetic —
+    |tf(t,s)*SZ - sz(s)*tf(t)| summed, then one integral div by
+    2*tf(t)*SZ — decimal(38,0)/HUGEINT exact on both engines.
+
+    Plan shape: one (term, part) hash aggregate off the token explode;
+    top-k terms leave via TakeOrderedAndProject and come BACK as a
+    broadcast, as does the per-part size table, so the absent (term,
+    part) combos — which still contribute |0 - sz*tf| — materialize as
+    a broadcast k x parts grid, never a big-side shuffle.
+
+    Emits (term, tf, dp_ppm), ties on term.
+    """
+    toks = docs.select(
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tl = toks.groupBy("term", "part").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t_tot = tl.groupBy("term").agg(F.sum("c").alias("tf"))
+    top = t_tot.orderBy(F.desc("tf"), F.asc("term")).limit(int(top_k))
+    s_tot = tl.groupBy("part").agg(F.sum("c").alias("sz"))
+    sz_all = s_tot.agg(F.sum("sz").alias("sz_all"))
+    d38 = "decimal(38,0)"
+    grid = (
+        F.broadcast(top)
+        .join(F.broadcast(s_tot), how="cross")
+        .join(tl, ["term", "part"], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(sz_all), how="cross")
+        .withColumn(
+            "_dev",
+            F.abs(
+                F.col("c").cast(d38) * F.col("sz_all").cast(d38)
+                - F.col("sz").cast(d38) * F.col("tf").cast(d38)
+            ),
+        )
+    )
+    return (
+        grid.groupBy("term", "tf", "sz_all")
+        .agg(F.sum("_dev").alias("_sdev"))
+        .withColumn(
+            "_den", F.lit(2).cast(d38) * F.col("tf").cast(d38)
+            * F.col("sz_all").cast(d38)
+        )
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.when(F.col("_den") > 0, F.expr("(_sdev * 1000000) div _den"))
+            .otherwise(F.lit(0)).cast("long").alias("dp_ppm"),
+        )
+    )

@@ -105,3 +105,39 @@ class TestTextrankSummary:
                 "alpha beta three. alpha beta four")
         out = self._summ(spark, [(7, text)], top_s=2, min_overlap=2)
         assert len(out) == 2 and {r["rnk"] for r in out} == {1, 2}
+
+
+class TestTermDispersion:
+    def _dp(self, spark, rows, **kw):
+        from ocr_service_spark.operators.textstats import term_dispersion
+
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = term_dispersion(df, part_col="source", **kw).collect()
+        return {r["term"]: r for r in out}
+
+    def test_even_vs_clumped(self, spark):
+        # equal part sizes (4 tokens each); "even" spreads 1-per-part,
+        # "clump" concentrates in part a
+        rows = [
+            ("a", "even clump clump clump"),
+            ("b", "even x1 x2 x3"),
+            ("c", "even y1 y2 y3"),
+            ("d", "even z1 z2 z3"),
+        ]
+        got = self._dp(spark, rows, top_k=2)
+        assert set(got) == {"even", "clump"}   # tf 4 and 3 top the list
+        assert got["even"]["dp_ppm"] == 0      # matches part shares exactly
+        # clump: parts hold 3/3,0,0,0 of tf vs size shares 1/4 each:
+        # DP = 0.5*(|1-0.25| + 3*0.25) = 0.75
+        assert got["clump"]["dp_ppm"] == 750_000
+
+    def test_proportional_to_part_sizes_is_zero(self, spark):
+        # part a is twice the size of b AND holds twice the term: DP = 0
+        rows = [("a", "t t u1 u2 v1 v2"), ("b", "t w1 w2")]
+        got = self._dp(spark, rows, top_k=1)
+        assert got["t"]["dp_ppm"] == 0
+
+    def test_top_k_bounds_terms(self, spark):
+        rows = [("a", "p p p q q r")]
+        got = self._dp(spark, rows, top_k=2)
+        assert set(got) == {"p", "q"}
