@@ -155,6 +155,7 @@ HEADLINE = [
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "scd2_history",            # SCD2 interval history, one url Exchange
     "host_pagerank",           # fixed-point host-authority iterations
+    "pagerank_weighted",       # multiplicity-weighted authority split
     "hits_scores",             # integer HITS hubs/authorities (5 rounds)
     "extract_outlinks",        # link+anchor extraction (Arrow map pass)
     "robots_noindex_filter",   # crawl-compliance gate (parsed robots meta)

@@ -5380,6 +5380,61 @@ it{k} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank (operators/graph.py pagerank_weighted):
+    the same 20-node host graph as host_pagerank but with link
+    MULTIPLICITY as edge weight — a host splits rank in proportion to
+    how often it links each target, the model that separates one
+    editorial link from a nav-bar farm. 8 integer rounds on the shared
+    Q grid; the oracle unrolls the weighted recurrence."""
+    from .operators.graph import pagerank_weighted
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 20).alias("src"),
+        (F.floor("value").cast("long") % 20).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    return pagerank_weighted(edges, iters=8)
+
+
+def _pagerank_weighted_sql(iters: int = 8) -> str:
+    parts = [
+        """WITH e0 AS (
+  SELECT user_id % 20 AS src, CAST(FLOOR(value) AS BIGINT) % 20 AS dst,
+         CAST(1 AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM e0 WHERE w > 0 GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS MATERIALIZED (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT n.node,
+         CAST(150000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((p.score * e.w) // d.sw) AS contrib
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(f"\nSELECT node, score FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK_WEIGHTED = _pagerank_weighted_sql()
+
+
 def q_textrank_keywords(spark, sf_dir):
     """TextRank corpus keywords (operators/textstats.py
     textrank_keywords): PageRank over the adjacent-candidate-pair word
@@ -14720,6 +14775,7 @@ CATALOG: Dict[str, tuple] = {
     "naive_bayes_classify": (q_naive_bayes, SQL_NAIVE_BAYES),
     "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
+    "pagerank_weighted": (q_pagerank_weighted, SQL_PAGERANK_WEIGHTED),
     "textrank_summary": (q_textrank_summary, SQL_TEXTRANK_SUMMARY),
     "native_session_window": (q_native_session_window,
                               SQL_NATIVE_SESSION_WINDOW),

@@ -1289,3 +1289,77 @@ def modularity(
         F.lit(None).cast("long").alias("q_ppm"),
     )
     return total.unionByName(percomm_out)
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Edge-weighted PageRank: a node splits its rank across out-edges
+    in PROPORTION to edge weight instead of uniformly — the right model
+    when the link graph carries multiplicities (how many times host A
+    links host B, anchor counts, click volumes). Unweighted PageRank
+    treats a nav-bar link farm and a single editorial link identically;
+    this doesn't.
+
+    contrib(u->v) = score(u) * w(u,v) div sw(u), all 64-bit integer on
+    the shared Q = 10^6 grid, so the unrolled DuckDB recurrence
+    value-hash matches exactly like the unweighted twin. Duplicate
+    (src,dst) rows pre-sum their weights so the recurrence is
+    well-defined; zero/negative weights are dropped.
+
+    Same loop shape as `pagerank`: static weighted-degree relation
+    localCheckpointed once, O(iters) join+aggregate rounds.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sw = e.groupBy("src").agg(F.sum("w").alias("sw"))
+    e_deg = e.join(sw, "src").localCheckpoint(eager=True)
+
+    base = PR_Q - PR_Q * damping_num // damping_den
+    scores = nodes.select("node", F.lit(PR_Q).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(scores, e_deg["src"] == scores["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(score * w) div sw").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_num} * coalesce(contrib, 0L)"
+                        f" div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

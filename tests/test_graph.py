@@ -747,3 +747,39 @@ class TestModularity:
         # labeled subgraph = triangle: m=3, e_c=3, d_c=6 -> Q = (36-36)/36=0
         assert total["m"] == 3 and total["q_ppm"] == 0
         assert per[7]["e_c"] == 3 and per[7]["d_c"] == 6
+
+
+class TestPagerankWeighted:
+    def _pr(self, spark, edges, **kw):
+        from ocr_service_spark.operators.graph import pagerank_weighted
+
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        return {r["node"]: r["score"]
+                for r in pagerank_weighted(df, **kw).collect()}
+
+    def test_weight_proportional_split(self, spark):
+        # node 0 sends 3/4 of its rank to 1 and 1/4 to 2
+        got = self._pr(spark, [(0, 1, 3), (0, 2, 1)], iters=1)
+        q, base = 1_000_000, 150_000
+        assert got[1] == base + 85 * (q * 3 // 4) // 100
+        assert got[2] == base + 85 * (q * 1 // 4) // 100
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        from ocr_service_spark.operators.graph import pagerank
+
+        edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+        df_u = spark.createDataFrame(edges, "src long, dst long")
+        un = {r["node"]: r["score"]
+              for r in pagerank(df_u, iters=5).collect()}
+        wt = self._pr(spark, [(s, d, 7) for s, d in edges], iters=5)
+        assert wt == un  # equal weights reduce to the uniform split
+
+    def test_duplicate_edges_pre_sum(self, spark):
+        # (0,1) listed twice with w=1 == once with w=2
+        a = self._pr(spark, [(0, 1, 1), (0, 1, 1), (0, 2, 2)], iters=2)
+        b = self._pr(spark, [(0, 1, 2), (0, 2, 2)], iters=2)
+        assert a == b
+
+    def test_nonpositive_weights_dropped(self, spark):
+        a = self._pr(spark, [(0, 1, 5), (0, 2, 0), (0, 3, -4)], iters=1)
+        assert set(a) == {0, 1}  # 2 and 3 never enter the graph
