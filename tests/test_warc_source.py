@@ -151,3 +151,38 @@ def test_gzipped_warc_member_per_record(tmp_path, spark):
     recs = list(parse_warc_records(open(tmp_path / "crawl-00.warc.gz", "rb").read()))
     assert [f["warc-target-uri"] for f, _ in recs] == [p["url"] for p in pages]
     assert read_warc(spark, str(tmp_path)).count() == 6
+
+
+def test_python_datasource_matches_read_warc(spark, tmp_path):
+    """spark.read.format('warc') — the Spark 4 Python DataSource — must
+    produce byte-identical rows to the binaryFile-based read_warc."""
+    from ocr_service_spark.sources.warc import WarcDataSource
+
+    _write_files(tmp_path, n_docs=30, n_files=3)
+    spark.dataSource.register(WarcDataSource)
+
+    via_ds = (
+        spark.read.format("warc").load(str(tmp_path))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    via_map = (
+        read_warc(spark, str(tmp_path))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert len(via_ds) == 30
+    pd.testing.assert_frame_equal(via_ds, via_map)
+    # parallelism unit: one partition per file
+    assert (
+        spark.read.format("warc").load(str(tmp_path)).rdd.getNumPartitions()
+        == 3
+    )
+
+
+def test_python_datasource_missing_path_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from ocr_service_spark.sources.warc import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    with _pytest.raises(Exception, match="no WARC files"):
+        spark.read.format("warc").load(str(tmp_path / "empty")).collect()
