@@ -43,8 +43,11 @@ class TestTextrankKeywords:
         return textrank_keywords(df, **kw).collect()
 
     def test_hub_word_outranks_leaves(self, spark):
-        rows = self._ranks(
-            spark, ["alpha beta alpha gamma alpha delta"], top_k=10)
+        rows = sorted(
+            self._ranks(
+                spark, ["alpha beta alpha gamma alpha delta"], top_k=10),
+            key=lambda r: r["rnk"],
+        )  # collect order is partitioning-dependent
         assert rows[0]["term"] == "alpha" and rows[0]["rnk"] == 1
         # the three leaves tie on score; ties break on term
         assert [r["term"] for r in rows[1:]] == ["beta", "delta", "gamma"]
