@@ -102,6 +102,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q6_revenue_delta",
+    "q4_priority_semi",
+    "q14_promo_share",
     "join_geo_rollup",
     "anti_no_orders",
     "w2_sessionize",

@@ -5679,6 +5679,105 @@ FROM agg
 """
 
 
+def q_q4_priority_semi(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a
+    LEFT SEMI join — orders in a quarter with at least one late-shipped
+    line (shipdate > orderdate + 60 days), counted per priority. The
+    semi join's compound condition spans both tables; Catalyst plans
+    one shuffle pair and never materializes the match multiplicity."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4_SEMI = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): join lineitem to part,
+    conditional aggregate over one month, share in ppm via the
+    decimal-cast revenue sums (order-insensitive; integral div on the
+    cents grid keeps the ratio engine-exact)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    sums = j.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev)
+            .otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).alias("promo"),
+        F.sum(rev).alias("total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    # shift BOTH sums onto the integral 1e-4 grid before the div — a bare
+    # decimal(38,4)->(38,0) cast would round (Spark HALF_UP, DuckDB
+    # half-even) and the engines disagree at .5 boundaries
+    return sums.select(
+        (F.col("promo") * 10000).cast("decimal(38,0)").alias("_p"),
+        (F.col("total") * 10000).cast("decimal(38,0)").alias("_t"),
+        "n_lines",
+    ).select(
+        F.expr("case when _t > 0 then (_p * 1000000) div _t else 0 end")
+        .cast("long").alias("promo_ppm"),
+        "n_lines",
+    )
+
+
+SQL_Q14_PROMO = """
+WITH j AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+),
+s AS (
+  SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+         SUM(rev) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM j
+)
+SELECT CAST(CASE WHEN total > 0 THEN
+         (CAST(promo * 10000 AS HUGEINT) * 1000000)
+           // CAST(total * 10000 AS HUGEINT)
+       ELSE 0 END AS BIGINT) AS promo_ppm,
+       n_lines
+FROM s
+"""
+
+
 def q_gini_concentration(spark, sf_dir):
     """Gini inequality of per-customer order counts (operators/stats.py
     gini_concentration) — the load-concentration audit (host dominance,
@@ -14786,6 +14885,8 @@ CATALOG: Dict[str, tuple] = {
     "benford_audit": (q_benford_audit, SQL_BENFORD),
     "gini_concentration": (q_gini_concentration, SQL_GINI),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
+    "q4_priority_semi": (q_q4_priority_semi, SQL_Q4_SEMI),
+    "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
