@@ -235,6 +235,7 @@ HEADLINE = [
     "benford_audit",           # first-digit plausibility screen
     "gini_concentration",      # corpus/load inequality coefficient
     "term_dispersion",         # Gries DP burstiness for top terms
+    "user_event_entropy",      # behavioral-diversity entropy per slice
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

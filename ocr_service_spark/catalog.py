@@ -5679,6 +5679,37 @@ FROM agg
 """
 
 
+def q_user_event_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy (operators/stats.py
+    slice_entropy) — behavioral diversity in 1e-4 nats on the lm.py
+    quantized-log grid; the WHAT counterpart of the inter-arrival bot
+    gate's WHEN. Oracle replays both aggregates and the per-category
+    floor(-ln) quantization."""
+    from .operators.stats import slice_entropy
+
+    return slice_entropy(
+        load(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH per_cat AS (
+  SELECT user_id AS key, event_type AS cat, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT *, SUM(c) OVER (PARTITION BY key) AS tt,
+         CAST(FLOOR(-ln(c / CAST(SUM(c) OVER (PARTITION BY key) AS DOUBLE))
+              * 10000) AS BIGINT) AS surprise_q
+  FROM per_cat
+)
+SELECT key, CAST(MAX(tt) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cats,
+       CAST(SUM(c * surprise_q) // MAX(tt) AS BIGINT) AS h_q
+FROM t GROUP BY key
+"""
+
+
 def q_q4_priority_semi(spark, sf_dir):
     """TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a
     LEFT SEMI join — orders in a quarter with at least one late-shipped
@@ -14887,6 +14918,7 @@ CATALOG: Dict[str, tuple] = {
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "q4_priority_semi": (q_q4_priority_semi, SQL_Q4_SEMI),
     "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
+    "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -895,3 +895,38 @@ def gini_concentration(
             ),
         ).otherwise(F.lit(0)).cast("long").alias("gini_ppm"),
     )
+
+
+def slice_entropy(
+    df: DataFrame, key_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per slice — the
+    behavioral-diversity signal: a user whose events are one type, a
+    host whose pages are one template, score near zero; organic mixes
+    score high. Complements the inter-arrival bot gate (operators/
+    asof.py), which sees WHEN events happen; this sees WHAT.
+
+    lm.py grid convention: per category, surprise = floor(-ln(c/T) *
+    1e4) is quantized BEFORE aggregation, then H_q = sum(c * surprise)
+    div T — average surprise in 1e-4 nats, integer end-to-end, so
+    cross-engine sums are exact. Two stacked map-side hash aggregates
+    ((key, cat) then key); nothing else.
+
+    Emits (key, n_events, n_cats, h_q).
+    """
+    per_cat = df.groupBy(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_tot = Window.partitionBy("key")
+    scored = per_cat.withColumn(
+        "t", F.sum("c").over(w_tot)
+    ).withColumn(
+        "surprise_q",
+        F.floor(-F.log(F.col("c") / F.col("t").cast("double")) * 10000)
+        .cast("long"),
+    )
+    return scored.groupBy("key").agg(
+        F.max("t").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.expr("sum(c * surprise_q) div max(t)").cast("long").alias("h_q"),
+    )

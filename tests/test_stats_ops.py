@@ -649,3 +649,33 @@ class TestGiniConcentration:
             [("a", 1), ("a", 4), ("b", 5)], "key string, w long")
         r = gini_concentration(df, "key", "w").collect()[0]
         assert r["n_keys"] == 2 and r["gini_ppm"] == 0  # 5 vs 5
+
+
+class TestSliceEntropy:
+    def _h(self, spark, rows):
+        from ocr_service_spark.operators.stats import slice_entropy
+
+        df = spark.createDataFrame(rows, "key string, cat string")
+        return {r["key"]: r for r in slice_entropy(df, "key", "cat").collect()}
+
+    def test_uniform_vs_degenerate(self, spark):
+        import math
+
+        rows = (
+            [("mix", c) for c in "abcd"]        # uniform over 4: H = ln 4
+            + [("bot", "x")] * 6                # one category: H = 0
+        )
+        got = self._h(spark, rows)
+        assert got["bot"]["h_q"] == 0 and got["bot"]["n_cats"] == 1
+        assert got["mix"]["h_q"] == math.floor(math.log(4) * 10000)
+
+    def test_hand_computed_skewed(self, spark):
+        import math
+
+        # 3x a, 1x b: H_q = (3*floor(-ln(3/4)*1e4) + 1*floor(-ln(1/4)*1e4)) div 4
+        rows = [("k", "a")] * 3 + [("k", "b")]
+        got = self._h(spark, rows)
+        sa = math.floor(-math.log(3 / 4) * 10000)
+        sb = math.floor(-math.log(1 / 4) * 10000)
+        assert got["k"]["h_q"] == (3 * sa + sb) // 4
+        assert got["k"]["n_events"] == 4 and got["k"]["n_cats"] == 2
