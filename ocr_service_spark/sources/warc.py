@@ -401,3 +401,77 @@ if HAVE_DATASOURCE_API:
 
         def reader(self, schema):
             return WarcReader(self.options)
+
+if HAVE_DATASOURCE_API:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class WarcStreamReader(SimpleDataSourceStreamReader):
+        """Watch-folder WARC stream: each microbatch picks up WARC files
+        not yet in the offset and parses them with the same core
+        functions as the batch reader. The offset IS the sorted list of
+        consumed file names — files are immutable once dropped (the
+        crawl-delivery contract), so (start, end) offset pairs replay
+        deterministically via readBetweenOffsets, which is what makes
+        checkpoint recovery exactly-once. Offset size is O(files seen);
+        a production drop-folder at 10^6+ files should use the Hadoop
+        file-stream source instead (read_warc's listing machinery) —
+        this reader exists for the DataSource-API surface and tests.
+        """
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc datasource requires a path")
+
+        def _list(self):
+            import os as _os
+
+            if not _os.path.isdir(self.path):
+                return []
+            return sorted(
+                n for n in _os.listdir(self.path)
+                if n.endswith((".warc", ".warc.gz"))
+            )
+
+        def initialOffset(self):
+            return {"seen": []}
+
+        def _rows_for(self, names):
+            import os as _os
+
+            for name in names:
+                with open(_os.path.join(self.path, name), "rb") as fh:
+                    blob = fh.read()
+                for fields, payload in parse_warc_records(blob):
+                    if fields.get("warc-type") != "response":
+                        continue
+                    yield (
+                        fields.get("warc-target-uri", ""),
+                        _parse_warc_date(fields.get("warc-date")),
+                        http_response_body(payload),
+                        None,
+                        None,
+                    )
+
+        def read(self, start):
+            seen = set(start.get("seen", []))
+            new = [n for n in self._list() if n not in seen]
+            end = {"seen": sorted(seen | set(new))}
+            # the simple reader driver-prefetches and PICKLES the rows:
+            # it calls next() (needs an iterator) and pickles the rest
+            # (generators can't) -> a list_iterator satisfies both
+            return iter(list(self._rows_for(new))), end
+
+        def readBetweenOffsets(self, start, end):
+            new = sorted(
+                set(end.get("seen", [])) - set(start.get("seen", []))
+            )
+            return iter(list(self._rows_for(new)))
+
+        def commit(self, end):
+            pass  # files are immutable; nothing to release
+
+    def _warc_stream_reader(self, schema):
+        return WarcStreamReader(self.options)
+
+    WarcDataSource.simpleStreamReader = _warc_stream_reader

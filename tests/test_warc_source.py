@@ -186,3 +186,49 @@ def test_python_datasource_missing_path_errors(spark, tmp_path):
     spark.dataSource.register(WarcDataSource)
     with _pytest.raises(Exception, match="no WARC files"):
         spark.read.format("warc").load(str(tmp_path / "empty")).collect()
+
+
+def test_python_datasource_streaming_watch_folder(spark, tmp_path):
+    """readStream.format('warc'): new WARC files picked up exactly once
+    across runs; rows byte-identical to the batch reader."""
+    from ocr_service_spark.sources.warc import WarcDataSource, write_warc
+
+    spark.dataSource.register(WarcDataSource)
+    src = tmp_path / "drop"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drop(name, lo, hi):
+        pages = [gen_page(i) for i in range(lo, hi)]
+        with open(src / name, "wb") as fh:
+            write_warc(
+                ((p["url"], p["warc_ts"], p["html"]) for p in pages), fh)
+
+    def run():
+        q = (
+            spark.readStream.format("warc").load(str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop("crawl-00.warc", 0, 10)
+    drop("crawl-01.warc", 10, 20)
+    run()
+    assert spark.read.parquet(sink).count() == 20
+
+    drop("crawl-02.warc", 20, 30)  # a NEW immutable file lands
+    run()
+    out = spark.read.parquet(sink).toPandas().sort_values("url")
+    assert len(out) == 30
+    assert out["url"].is_unique  # exactly once across both runs
+
+    batch = read_warc(spark, str(src)).toPandas().sort_values("url")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), batch.reset_index(drop=True))
+
+    run()  # idle rerun: nothing new, nothing duplicated
+    assert spark.read.parquet(sink).count() == 30
