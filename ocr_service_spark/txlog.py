@@ -61,6 +61,15 @@ class CommitConflict(RuntimeError):
     """Raised when max_retries optimistic attempts all lost the race."""
 
 
+class SchemaEvolutionError(ValueError):
+    """Raised when a commit would CHANGE an existing column's type.
+
+    The table format supports ADDITIVE evolution only (Delta/Iceberg's
+    default): new columns may appear in any commit and read back as
+    NULL on older data; renames and type changes are rejected at commit
+    time — they would silently corrupt the mergeSchema union."""
+
+
 class TxLogTable:
     def __init__(self, path: str):
         self.path = path
@@ -133,6 +142,28 @@ class TxLogTable:
             os.unlink(tmp)
 
     # ---------------------------------------------------------------- data
+    def _current_field_types(self) -> dict:
+        """name -> dataType of the newest committed schema ({} if none)."""
+        from pyspark.sql.types import StructType
+
+        for v in range(self.latest(), -1, -1):
+            sj = self._read_entry(v).get("schema")
+            if sj:
+                st = StructType.fromJson(json.loads(sj))
+                return {f.name: f.dataType for f in st.fields}
+        return {}
+
+    def _validate_evolution(self, df: DataFrame) -> None:
+        cur = self._current_field_types()
+        for f in df.schema.fields:
+            have = cur.get(f.name)
+            if have is not None and have != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: committed type {have} != "
+                    f"incoming {f.dataType} (only additive evolution "
+                    "is supported)"
+                )
+
     def _write_data(self, df: DataFrame, key_col: Optional[str]) -> dict:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         full = os.path.join(self.path, rel)
@@ -193,6 +224,7 @@ class TxLogTable:
             prior = self.writer_version(writer_id)
             if prior is not None:
                 return prior  # don't even write data for a known rerun
+        self._validate_evolution(df)
         add = self._write_data(df, key_col)
         return self._commit([add], [], "append", writer_id, df.schema.json())
 
@@ -204,6 +236,7 @@ class TxLogTable:
             prior = self.writer_version(writer_id)
             if prior is not None:
                 return prior
+        self._validate_evolution(df)
         removes = [f["path"] for f in self.files()]
         add = self._write_data(df, key_col)
         return self._commit([add], removes, "overwrite", writer_id,
@@ -219,6 +252,7 @@ class TxLogTable:
             prior = self.writer_version(writer_id)
             if prior is not None:
                 return prior
+        self._validate_evolution(df)
         spark = df.sparkSession
         rng = df.agg(
             F.min(F.col(key_col).cast("string")).alias("lo"),
@@ -240,7 +274,9 @@ class TxLogTable:
             kept = old.join(
                 df.select(F.col(key_col)).distinct(), key_col, "left_anti"
             )
-            merged = kept.unionByName(df.select(old.columns))
+            # additive evolution: either side may carry columns the other
+            # lacks (new rows with a new field; old rows after one)
+            merged = kept.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
         add = self._write_data(merged, key_col)
@@ -266,7 +302,7 @@ class TxLogTable:
 
             return spark.createDataFrame([], StructType.fromJson(
                 json.loads(schema)))
-        return spark.read.parquet(
+        return spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f["path"]) for f in files]
         )
 

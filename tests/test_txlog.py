@@ -265,3 +265,45 @@ class TestOptimizeTable:
         rows = {r.k: r.v for r in collected}
         assert rows[1] == "NEW"  # superseded row NOT resurrected
         assert rows[0] == "old0" and rows[2] == "old2"
+
+
+class TestSchemaEvolution:
+    def test_additive_column_appends_and_reads_null(self, spark, tmp_path):
+        from ocr_service_spark.txlog import TxLogTable
+
+        t = TxLogTable.create(str(tmp_path / "t"))
+        t.commit_append(
+            spark.createDataFrame([("a", 1)], "k string, v long"), "k")
+        t.commit_append(
+            spark.createDataFrame(
+                [("b", 2, "en")], "k string, v long, lang string"), "k")
+        got = {r["k"]: (r["v"], r["lang"]) for r in t.read(spark).collect()}
+        assert got == {"a": (1, None), "b": (2, "en")}
+
+    def test_merge_keeps_new_column_and_old_rows(self, spark, tmp_path):
+        from ocr_service_spark.txlog import TxLogTable
+
+        t = TxLogTable.create(str(tmp_path / "t"))
+        t.commit_append(
+            spark.createDataFrame([("a", 1), ("b", 1)], "k string, v long"),
+            "k")
+        t.commit_merge(
+            spark.createDataFrame(
+                [("b", 2, "en")], "k string, v long, lang string"), "k")
+        got = {r["k"]: (r["v"], r["lang"]) for r in t.read(spark).collect()}
+        assert got == {"a": (1, None), "b": (2, "en")}
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ocr_service_spark.txlog import SchemaEvolutionError, TxLogTable
+
+        t = TxLogTable.create(str(tmp_path / "t"))
+        t.commit_append(
+            spark.createDataFrame([("a", 1)], "k string, v long"), "k")
+        with _pytest.raises(SchemaEvolutionError, match="'v'"):
+            t.commit_append(
+                spark.createDataFrame([("b", "two")], "k string, v string"),
+                "k")
+        # the failed commit must not have landed a version or data
+        assert t.latest() == 0
