@@ -236,6 +236,8 @@ HEADLINE = [
     "gini_concentration",      # corpus/load inequality coefficient
     "term_dispersion",         # Gries DP burstiness for top terms
     "user_event_entropy",      # behavioral-diversity entropy per slice
+    "pivot_report",            # explicit-values pivot activity matrix
+    "proportion_drift",        # two-proportion z gate-rate test
     "luhn_card_scrub",         # checksum-verified card redaction
     "heading_chunks",          # breadcrumbed structure-aware chunking
     "oov_rate_gate",           # corpus-derived OOV permille gate

@@ -5679,6 +5679,116 @@ FROM agg
 """
 
 
+def q_proportion_drift(spark, sf_dir):
+    """Two-proportion z-test (operators/stats.py proportion_drift) on a
+    length gate (n_chars >= 300) between the corpus and a planted
+    regression that halves every 4th document — a ~12-point pass-rate
+    drop the pooled test must flag. Oracle replays both count pairs,
+    the cross-multiplied d, the micro z^2 and the exact 1.96^2
+    inequality."""
+    from .operators.stats import proportion_drift
+
+    d = load(spark, sf_dir, "documents")
+    old = d.select((F.col("n_chars") >= 300).alias("flag"))
+    new = d.select(
+        (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.expr("n_chars div 2")).otherwise(F.col("n_chars"))
+            >= 300
+        ).alias("flag")
+    )
+    return proportion_drift(old, new, "flag")
+
+
+SQL_PROPORTION_DRIFT = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END), 0)
+              AS HUGEINT) AS x_a
+  FROM documents
+),
+b AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_b,
+         CAST(COALESCE(SUM(CASE WHEN
+              (CASE WHEN doc_id % 4 = 0 THEN n_chars // 2
+                    ELSE n_chars END) >= 300
+              THEN 1 ELSE 0 END), 0) AS HUGEINT) AS x_b
+  FROM documents
+),
+s AS (
+  SELECT *, (x_a * n_b - x_b * n_a) AS d, (x_a + x_b) AS x,
+         (n_a + n_b) AS n,
+         n_a * n_b * (x_a + x_b) * ((n_a + n_b) - (x_a + x_b)) AS den
+  FROM a CROSS JOIN b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       CAST(CASE WHEN n_a > 0 THEN (x_a * 1000000) // n_a ELSE 0 END
+            AS BIGINT) AS rate_a_ppm,
+       CAST(CASE WHEN n_b > 0 THEN (x_b * 1000000) // n_b ELSE 0 END
+            AS BIGINT) AS rate_b_ppm,
+       CAST(CASE WHEN den > 0 THEN (d * d * n * 1000000) // den
+            ELSE 0 END AS BIGINT) AS z2_u,
+       (den > 0 AND d * d * n * 10000 > 38416 * den) AS reject_05
+FROM s
+"""
+
+
+def q_pivot_report(spark, sf_dir):
+    """Wide activity report via groupBy().pivot(): per user cohort, one
+    column pair (count, decimal-sum value) per event type. The pivot
+    value list is EXPLICIT — an implicit pivot runs an extra distinct
+    job and bakes data-dependent columns into the plan, which breaks
+    schema stability (the driver gate hashes the schema). Oracle is the
+    portable conditional-aggregation spelling of the same matrix."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("cohort")
+        .pivot("event_type", kinds)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("sv"),
+        )
+    )
+    # pivot leaves NULL for absent (cohort, kind) cells; report zeros
+    fills = {f"{k}_n": 0 for k in kinds}
+    fills.update({f"{k}_sv": 0.0 for k in kinds})
+    return out.na.fill(fills)
+
+
+SQL_PIVOT_REPORT = """
+SELECT user_id % 10 AS cohort,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click_sv,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS error_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = 'error'), 0) AS DOUBLE) AS error_sv,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+         AS purchase_sv,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS signup_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = 'signup'), 0) AS DOUBLE) AS signup_sv,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS view_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = 'view'), 0) AS DOUBLE) AS view_sv
+FROM events
+GROUP BY 1
+"""
+
+
 def q_user_event_entropy(spark, sf_dir):
     """Per-user event-type Shannon entropy (operators/stats.py
     slice_entropy) — behavioral diversity in 1e-4 nats on the lm.py
@@ -14919,6 +15029,8 @@ CATALOG: Dict[str, tuple] = {
     "q4_priority_semi": (q_q4_priority_semi, SQL_Q4_SEMI),
     "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
+    "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
+    "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),

@@ -930,3 +930,75 @@ def slice_entropy(
         F.count(F.lit(1)).cast("long").alias("n_cats"),
         F.expr("sum(c * surprise_q) div max(t)").cast("long").alias("h_q"),
     )
+
+
+def proportion_drift(
+    old: DataFrame,
+    new: DataFrame,
+    flag_col: str = "flag",
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Two-proportion z-test between corpus versions on a boolean
+    per-document flag (gate pass-rate, dedup hit-rate, error share) —
+    the binary-metric sibling of ks_drift: did the RATE move more than
+    sampling noise explains?
+
+    Pooled z^2 entirely in integers: with d = x1*n2 - x2*n1, X = x1+x2,
+    N = n1+n2,  z^2 = d^2 * N / (n1*n2*X*(N-X)), and the alpha=0.05
+    verdict is the exact cross-multiplied inequality d^2*N*10000 >
+    crit_x10k * n1*n2*X*(N-X) with crit_x10k = 1.96^2 * 1e4 (pass
+    2_706_ for 0.1, 66358 for 0.01 / 2.576^2). decimal(38,0)/HUGEINT
+    keeps it exact through audit-sample sizes (~1e7 rows; at crawl
+    scale the test runs on a sample anyway — power saturates long
+    before that).
+
+    Plan: one 1-row aggregate per side, a literal-free broadcast
+    combine — constant cost at any input size.
+
+    Emits ONE row: (n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z2_u,
+    reject_05).
+    """
+    def side(df, nn, xx):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(nn),
+            F.coalesce(
+                F.sum(F.when(F.col(flag_col).cast("boolean"), 1)
+                      .otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias(xx),
+        )
+
+    d38 = "decimal(38,0)"
+    both = side(old, "n_a", "x_a").join(
+        F.broadcast(side(new, "n_b", "x_b")), how="cross"
+    )
+    scored = (
+        both.withColumn(
+            "_d",
+            F.col("x_a").cast(d38) * F.col("n_b").cast(d38)
+            - F.col("x_b").cast(d38) * F.col("n_a").cast(d38),
+        )
+        .withColumn("_x", (F.col("x_a") + F.col("x_b")).cast(d38))
+        .withColumn("_n", (F.col("n_a") + F.col("n_b")).cast(d38))
+        .withColumn(
+            "_den",
+            F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+            * F.col("_x") * (F.col("_n") - F.col("_x")),
+        )
+    )
+    return scored.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.expr("case when n_a > 0 then (x_a * 1000000) div n_a"
+               " else 0 end").cast("long").alias("rate_a_ppm"),
+        F.expr("case when n_b > 0 then (x_b * 1000000) div n_b"
+               " else 0 end").cast("long").alias("rate_b_ppm"),
+        F.when(
+            F.col("_den") > 0,
+            F.expr("(_d * _d * _n * 1000000) div _den"),
+        ).otherwise(F.lit(0)).cast("long").alias("z2_u"),
+        F.when(
+            F.col("_den") > 0,
+            F.col("_d") * F.col("_d") * F.col("_n") * F.lit(10_000)
+            > F.lit(int(crit_x10k)) * F.col("_den"),
+        ).otherwise(F.lit(False)).alias("reject_05"),
+    )

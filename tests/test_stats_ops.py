@@ -679,3 +679,38 @@ class TestSliceEntropy:
         sb = math.floor(-math.log(1 / 4) * 10000)
         assert got["k"]["h_q"] == (3 * sa + sb) // 4
         assert got["k"]["n_events"] == 4 and got["k"]["n_cats"] == 2
+
+
+class TestProportionDrift:
+    def _z(self, spark, a, b, **kw):
+        from ocr_service_spark.operators.stats import proportion_drift
+
+        da = spark.createDataFrame([(bool(v),) for v in a], "flag boolean")
+        db = spark.createDataFrame([(bool(v),) for v in b], "flag boolean")
+        return proportion_drift(da, db, "flag", **kw).collect()[0]
+
+    def test_identical_rates_never_reject(self, spark):
+        r = self._z(spark, [1, 0] * 50, [1, 0] * 50)
+        assert r["z2_u"] == 0 and not r["reject_05"]
+        assert r["rate_a_ppm"] == r["rate_b_ppm"] == 500_000
+
+    def test_hand_computed_z2(self, spark):
+        # x1=30/n1=50 vs x2=10/n2=50: d=1000, X=40, N=100
+        # z^2 = 1e6*100 / (2500*40*60) = 16.666 -> 16666666 micro
+        r = self._z(spark, [1] * 30 + [0] * 20, [1] * 10 + [0] * 40)
+        assert r["z2_u"] == 16_666_666
+        assert r["reject_05"]  # 16.67 >> 3.8416
+
+    def test_borderline_at_crit(self, spark):
+        # small drift on small n: 12/20 vs 8/20 -> d=80, X=20, N=40
+        # z^2 = 6400*40/(400*20*20) = 1.6 < 3.8416 -> keep
+        r = self._z(spark, [1] * 12 + [0] * 8, [1] * 8 + [0] * 12)
+        assert r["z2_u"] == 1_600_000 and not r["reject_05"]
+        # a looser criterion flips it (crit 1.0 at x10k scale)
+        r2 = self._z(spark, [1] * 12 + [0] * 8, [1] * 8 + [0] * 12,
+                     crit_x10k=10_000)
+        assert r2["reject_05"]
+
+    def test_degenerate_all_same_flag(self, spark):
+        r = self._z(spark, [1] * 10, [1] * 10)
+        assert r["z2_u"] == 0 and not r["reject_05"]  # den = 0 path
