@@ -153,6 +153,7 @@ HEADLINE = [
     "lm_unigram_nll",          # CCNet-style LM quality scoring
     "lm_bigram_nll",           # stupid-backoff bigram LM scoring
     "collocations_pmi",        # quantized-PMI multiword mining
+    "collocations_g2",         # Dunning LLR evidence-mass collocations
     "ccnet_quality_buckets",   # head/middle/tail split by exact quantiles
     "crawl_latest_snapshot",   # CDX/WARC-revisit cross-dump consolidation
     "scd2_history",            # SCD2 interval history, one url Exchange

@@ -4773,6 +4773,60 @@ ORDER BY pmi_q DESC, w1, w2 LIMIT 40
 """
 
 
+def q_collocations_g2(spark, sf_dir):
+    """Dunning G^2 collocations (operators/lm.py collocations_g2) —
+    evidence-mass multiword mining beside the PMI entry; same bigram
+    machinery, exact slot margins, per-cell quantized logs. Oracle
+    replays all four contingency cells on the 1e-4 grid."""
+    from .operators.lm import collocations_g2
+
+    return collocations_g2(
+        load(spark, sf_dir, "documents"), "text", min_count=5, k=40
+    )
+
+
+SQL_COLLOCATIONS_G2 = r"""
+WITH b AS (
+  SELECT string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS ws
+  FROM documents
+),
+bi_all AS (
+  SELECT t.s.w1 AS w1, t.s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (SELECT list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])) AS prs
+        FROM b WHERE len(ws) >= 2) q,
+       unnest(q.prs) AS t(s)
+  GROUP BY 1, 2
+),
+lft AS (SELECT w1, SUM(c2) AS cl FROM bi_all GROUP BY 1),
+rgt AS (SELECT w2, SUM(c2) AS cr FROM bi_all GROUP BY 1),
+tot AS (SELECT SUM(c2) AS bb FROM bi_all),
+cand AS (
+  SELECT a.w1, a.w2, a.c2, l.cl, r.cr, t.bb
+  FROM bi_all a JOIN lft l USING (w1) JOIN rgt r USING (w2)
+  CROSS JOIN tot t
+  WHERE a.c2 >= 5
+),
+cells AS (
+  SELECT w1, w2, c2,
+    (CASE WHEN c2 > 0 THEN c2 * CAST(FLOOR(ln((c2 * bb)
+        / CAST(cl * cr AS DOUBLE)) * 10000) AS BIGINT) ELSE 0 END)
+  + (CASE WHEN cl - c2 > 0 THEN (cl - c2) * CAST(FLOOR(ln(((cl - c2) * bb)
+        / CAST(cl * (bb - cr) AS DOUBLE)) * 10000) AS BIGINT) ELSE 0 END)
+  + (CASE WHEN cr - c2 > 0 THEN (cr - c2) * CAST(FLOOR(ln(((cr - c2) * bb)
+        / CAST((bb - cl) * cr AS DOUBLE)) * 10000) AS BIGINT) ELSE 0 END)
+  + (CASE WHEN bb - cl - cr + c2 > 0 THEN (bb - cl - cr + c2)
+        * CAST(FLOOR(ln(((bb - cl - cr + c2) * bb)
+        / CAST((bb - cl) * (bb - cr) AS DOUBLE)) * 10000) AS BIGINT)
+        ELSE 0 END) AS half_g2
+  FROM cand
+)
+SELECT w1, w2, c2, CAST(2 * half_g2 AS BIGINT) AS g2_q
+FROM cells
+ORDER BY g2_q DESC, w1, w2 LIMIT 40
+"""
+
+
 def q_ccnet_quality_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split: per-language EXACT discrete
     p33/p67 thresholds on the LM score (rank selection, broadcast
@@ -15030,6 +15084,7 @@ CATALOG: Dict[str, tuple] = {
     "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
+    "collocations_g2": (q_collocations_g2, SQL_COLLOCATIONS_G2),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

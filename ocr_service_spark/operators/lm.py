@@ -401,3 +401,86 @@ def collocations_pmi(
         .orderBy(F.col("pmi_q").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def collocations_g2(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by Dunning's log-likelihood ratio (G^2,
+    Dunning 1993) — the statistically sound companion to PMI: PMI
+    saturates on hapax pairs (max when a pair ONLY co-occurs, however
+    rarely), G^2 weighs the evidence MASS, so high-frequency true
+    multiword expressions beat rare flukes without PMI's min_count
+    crutch (kept anyway to bound the candidate set).
+
+    Over bigram slots (B total): the 2x2 table for (w1 first, w2
+    second) uses EXACT slot margins cl(w1), cr(w2) — not unigram
+    counts, which double-count document-edge words —
+        G^2 = 2 * sum_cells k * ln(k*B / (row*col)),  k > 0 cells.
+    Module engine-exactness contract: each cell's ln argument is ONE
+    integer rational, quantized floor(ln(...)*1e4) BEFORE the k-weighted
+    sum, so cross-engine totals match exactly.
+
+    Same plan as collocations_pmi: two hash aggregates (bigrams +
+    margins), broadcast totals, TakeOrderedAndProject. Ties (g2_q
+    desc, w1, w2).
+    """
+    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")
+    base = docs.select(words.alias("ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    bi_all = (
+        base.where(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    left = bi_all.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    right = bi_all.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    tot = bi_all.agg(F.sum("c2").alias("B"))
+    cand = (
+        bi_all.where(F.col("c2") >= int(min_count))
+        .join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(tot), how="cross")
+    )
+
+    def cell(kc, row, col):
+        # k * floor(ln(k*B/(row*col)) * 1e4); zero-count cells contribute 0
+        return F.when(
+            kc > 0,
+            kc.cast("long")
+            * F.floor(
+                F.log(
+                    (kc.cast("double") * F.col("B").cast("double"))
+                    / (row.cast("double") * col.cast("double"))
+                ) * 10000
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    k11 = F.col("c2")
+    k12 = F.col("cl") - F.col("c2")
+    k21 = F.col("cr") - F.col("c2")
+    k22 = F.col("B") - F.col("cl") - F.col("cr") + F.col("c2")
+    r1, r2 = F.col("cl"), F.col("B") - F.col("cl")
+    c1, c2c = F.col("cr"), F.col("B") - F.col("cr")
+    g2 = 2 * (
+        cell(k11, r1, c1) + cell(k12, r1, c2c)
+        + cell(k21, r2, c1) + cell(k22, r2, c2c)
+    )
+    return (
+        cand.select("w1", "w2", F.col("c2").cast("long").alias("c2"),
+                    g2.cast("long").alias("g2_q"))
+        .orderBy(F.desc("g2_q"), F.asc("w1"), F.asc("w2"))
+        .limit(int(k))
+    )

@@ -631,3 +631,39 @@ class TestSeasonalAnomaly:
         assert got[("g", 28)]["med"] == 20
         assert got[("g", 31)]["med"] == 900
         assert not any(r["alarm"] for r in got.values())
+
+
+class TestCollocationsG2:
+    def _corpus(self, spark):
+        rows = [("a b",)] * 10 + [(f"f{i} g{i}",) for i in range(10)]
+        return spark.createDataFrame(rows, "text string")
+
+    def test_hand_computed_g2(self, spark):
+        from ocr_service_spark.operators.lm import collocations_g2
+
+        out = collocations_g2(
+            self._corpus(spark), "text", min_count=1, k=20).collect()
+        byp = {(r["w1"], r["w2"]): r["g2_q"] for r in out}
+        # (a,b): k11=k22=10, all margins 10/10 over B=20:
+        #   2 * 2 * 10*floor(ln(2)*1e4) = 277240
+        assert byp[("a", "b")] == 277_240
+        # hapax (f0,g0): 2*(floor(ln 20 *1e4) + 19*floor(ln(380/361)*1e4))
+        assert byp[("f0", "g0")] == 2 * (29_957 + 19 * 512)
+
+    def test_evidence_mass_beats_hapax_unlike_pmi(self, spark):
+        from ocr_service_spark.operators.lm import (
+            collocations_g2, collocations_pmi,
+        )
+
+        corpus = self._corpus(spark)
+        g2 = collocations_g2(corpus, "text", min_count=1, k=1).collect()
+        assert (g2[0]["w1"], g2[0]["w2"]) == ("a", "b")  # frequency wins
+        pmi = collocations_pmi(corpus, "text", min_count=1, k=1).collect()
+        assert (pmi[0]["w1"], pmi[0]["w2"]) != ("a", "b")  # hapax tops PMI
+
+    def test_min_count_prunes(self, spark):
+        from ocr_service_spark.operators.lm import collocations_g2
+
+        out = collocations_g2(
+            self._corpus(spark), "text", min_count=2, k=20).collect()
+        assert [(r["w1"], r["w2"]) for r in out] == [("a", "b")]
