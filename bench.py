@@ -230,6 +230,7 @@ HEADLINE = [
     "redirect_resolve",        # Location chains via pointer doubling
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
     "ks_drift",                # exact two-sample KS CDF drift test
+    "mannwhitney_drift",       # tie-corrected rank-sum drift + Cliff delta
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit

@@ -5788,6 +5788,72 @@ FROM s
 """
 
 
+def q_mannwhitney_drift(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U drift test (operators/stats.py
+    mannwhitney_drift) between the corpus lengths and a +25-char shift
+    planted on every 3rd document — the rank-based companion of
+    ks_drift, with Cliff's delta as effect size. Oracle replays the
+    merged histogram, doubled average ranks, the tie term and both
+    cross-multiplied verdicts."""
+    from .operators.stats import mannwhitney_drift
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.col("n_chars").cast("long")
+    old = d.select(nl.alias("v"))
+    new = d.select(
+        F.when(F.col("doc_id") % 3 == 0, nl + 25).otherwise(nl).alias("v")
+    )
+    return mannwhitney_drift(old, new, "v")
+
+
+SQL_MANNWHITNEY = """
+WITH olds AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+news AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS BIGINT) + 25
+         ELSE CAST(n_chars AS BIGINT) END AS v
+  FROM documents
+),
+m AS (
+  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb, SUM(ca) + SUM(cb) AS t FROM (
+    SELECT v, CAST(COUNT(*) AS HUGEINT) AS ca, CAST(0 AS HUGEINT) AS cb
+    FROM olds GROUP BY v
+    UNION ALL
+    SELECT v, CAST(0 AS HUGEINT), CAST(COUNT(*) AS HUGEINT)
+    FROM news GROUP BY v
+  ) GROUP BY v
+),
+c AS (
+  SELECT *, SUM(t) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+  FROM m
+),
+pv AS (SELECT ca, cb, t, 2 * (cum_t - t) + t + 1 AS rank2x FROM c),
+s AS (
+  SELECT SUM(ca) AS n1, SUM(cb) AS n2, SUM(ca * rank2x) AS r1x,
+         SUM(t * t * t - t) AS tie_t
+  FROM pv
+),
+sc AS (
+  SELECT *,
+    r1x - n1 * (n1 + 1) - n1 * n2 AS c_,
+    n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie_t) AS den,
+    (r1x - n1 * (n1 + 1) - n1 * n2) * (r1x - n1 * (n1 + 1) - n1 * n2)
+      * 3 * (n1 + n2) * (n1 + n2 - 1) AS num
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST(r1x - n1 * (n1 + 1) AS BIGINT) AS u2x,
+       CAST(CASE WHEN n1 * n2 > 0 THEN
+         (CASE WHEN c_ < 0 THEN -1 WHEN c_ > 0 THEN 1 ELSE 0 END)
+           * ((ABS(c_) * 1000000) // (n1 * n2))
+         ELSE 0 END AS BIGINT) AS delta_ppm,
+       CAST(CASE WHEN den > 0 THEN (num * 1000000) // den ELSE 0 END
+            AS BIGINT) AS z2_u,
+       (den > 0 AND num * 10000 > 38416 * den) AS reject_05
+FROM sc
+"""
+
+
 def q_pivot_report(spark, sf_dir):
     """Wide activity report via groupBy().pivot(): per user cohort, one
     column pair (count, decimal-sum value) per event type. The pivot
@@ -15085,6 +15151,7 @@ CATALOG: Dict[str, tuple] = {
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
     "collocations_g2": (q_collocations_g2, SQL_COLLOCATIONS_G2),
+    "mannwhitney_drift": (q_mannwhitney_drift, SQL_MANNWHITNEY),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

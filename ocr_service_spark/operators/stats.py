@@ -1002,3 +1002,101 @@ def proportion_drift(
             > F.lit(int(crit_x10k)) * F.col("_den"),
         ).otherwise(F.lit(False)).alias("reject_05"),
     )
+
+
+def mannwhitney_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str = "v",
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with tie
+    correction — the rank-based companion to ks_drift: KS sees the
+    worst CDF gap, U sees a stochastic shift of the whole mass, and on
+    heavy-tied integer metrics (scores, counts) its tie-corrected z is
+    the standard test. Cliff's delta = (2U - n1*n2)/(n1*n2) rides along
+    as the effect size.
+
+    Exact integer arithmetic throughout: average ranks in DOUBLED units
+    (rank2x = 2*cum_before + t + 1, t = tie size) keep .5 ranks
+    integral; with C = 2U1 - n1*n2 and T = sum(t^3 - t),
+        z^2 = C^2 * 3 * N(N-1) / (n1*n2 * ((N+1)N(N-1) - T))
+    and the alpha verdict is the exact cross-multiplied inequality
+    (crit_x10k = z_crit^2 * 1e4). decimal(38,0)/HUGEINT — exact through
+    audit-sample sizes.
+
+    Scale: one hash aggregate to the merged value histogram, one
+    distributed-prefix-sum pass for cum_before, constant-size output:
+    (n_a, n_b, u2x, delta_ppm, z2_u, reject_05).
+    """
+    from .quality import global_prefix_sum
+
+    a = old.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca"), F.lit(0).cast("long").alias("cb")
+    )
+    b = new.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.lit(0).cast("long").alias("ca"), F.count(F.lit(1)).alias("cb")
+    )
+    m = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        .withColumn("t", F.col("ca") + F.col("cb"))
+    )
+    cum = global_prefix_sum(m, ["v"], "t", out_col="cum_t")
+    d38 = "decimal(38,0)"
+    per_v = cum.select(
+        "ca", "cb", "t",
+        # rank2x of every member of the tie group at v
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        .cast(d38).alias("rank2x"),
+    )
+    sums = per_v.agg(
+        F.sum("ca").cast(d38).alias("n1"),
+        F.sum("cb").cast(d38).alias("n2"),
+        F.sum(F.col("ca").cast(d38) * F.col("rank2x")).alias("r1_2x"),
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38)
+            * F.col("t").cast(d38) - F.col("t").cast(d38)
+        ).alias("tie_t"),
+    )
+    scored = (
+        sums.withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn(
+            "c_", F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+            - F.col("n1") * F.col("n2")
+        )
+        .withColumn(
+            "_den",
+            F.col("n1") * F.col("n2")
+            * ((F.col("n") + 1) * F.col("n") * (F.col("n") - 1)
+               - F.col("tie_t")),
+        )
+        .withColumn(
+            "_num",
+            F.col("c_") * F.col("c_") * F.lit(3)
+            * F.col("n") * (F.col("n") - 1),
+        )
+    )
+    return scored.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        # 2*U1 (doubled so tie half-ranks stay integral)
+        (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long").alias("u2x"),
+        # magnitude-then-sign: Spark's `div` truncates toward zero while
+        # DuckDB's // floors, and C is signed — split the sign out so
+        # both engines divide a nonnegative value
+        F.when(
+            F.col("n1") * F.col("n2") > 0,
+            F.signum("c_").cast("long")
+            * F.expr("(abs(c_) * 1000000) div (n1 * n2)").cast("long"),
+        ).otherwise(F.lit(0)).cast("long").alias("delta_ppm"),
+        F.when(F.col("_den") > 0, F.expr("(_num * 1000000) div _den"))
+        .otherwise(F.lit(0)).cast("long").alias("z2_u"),
+        F.when(
+            F.col("_den") > 0,
+            F.col("_num") * F.lit(10_000)
+            > F.lit(int(crit_x10k)) * F.col("_den"),
+        ).otherwise(F.lit(False)).alias("reject_05"),
+    )

@@ -714,3 +714,34 @@ class TestProportionDrift:
     def test_degenerate_all_same_flag(self, spark):
         r = self._z(spark, [1] * 10, [1] * 10)
         assert r["z2_u"] == 0 and not r["reject_05"]  # den = 0 path
+
+
+class TestMannwhitneyDrift:
+    def _mw(self, spark, a, b, **kw):
+        from ocr_service_spark.operators.stats import mannwhitney_drift
+
+        da = spark.createDataFrame([(int(v),) for v in a], "v long")
+        db = spark.createDataFrame([(int(v),) for v in b], "v long")
+        return mannwhitney_drift(da, db, "v", **kw).collect()[0]
+
+    def test_hand_computed_with_ties(self, spark):
+        # old=[1,2,3] new=[2,3,4]: avg ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+        # U1=2 -> u2x=4; C=-5 -> delta=-5/9; T=12; z^2=2250/1782
+        r = self._mw(spark, [1, 2, 3], [2, 3, 4])
+        assert r["u2x"] == 4
+        assert r["delta_ppm"] == -555_555
+        assert r["z2_u"] == 2250 * 1_000_000 // 1782
+        assert not r["reject_05"]
+
+    def test_identical_samples(self, spark):
+        r = self._mw(spark, [5, 6, 7, 8], [8, 7, 6, 5])
+        assert r["delta_ppm"] == 0 and r["z2_u"] == 0
+        assert not r["reject_05"]
+
+    def test_strong_shift_rejects_with_negative_delta(self, spark):
+        r = self._mw(spark, range(50), range(30, 80))
+        assert r["reject_05"] and r["delta_ppm"] < 0
+
+    def test_direction_of_delta(self, spark):
+        r = self._mw(spark, range(30, 80), range(50))
+        assert r["delta_ppm"] > 0  # sample A stochastically larger
