@@ -231,6 +231,7 @@ HEADLINE = [
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
     "ks_drift",                # exact two-sample KS CDF drift test
     "mannwhitney_drift",       # tie-corrected rank-sum drift + Cliff delta
+    "sql_correlated_max",      # spark.sql face: correlated scalar subquery
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit

@@ -5788,6 +5788,29 @@ FROM s
 """
 
 
+def q_sql_correlated_max(spark, sf_dir):
+    """The engine's SQL face: the same Catalyst plans are reachable via
+    `spark.sql` over registered views — this entry runs a correlated
+    scalar subquery (each customer's maximal order), a surface the
+    DataFrame API has no direct spelling for (Catalyst decorrelates it
+    into an aggregate + join). The oracle is the IDENTICAL SQL text on
+    DuckDB, so the entry also pins cross-engine ANSI semantics of
+    correlated subqueries."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_CORRELATED_MAX)
+
+
+SQL_CORRELATED_MAX = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice = (
+  SELECT MAX(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
 def q_mannwhitney_drift(spark, sf_dir):
     """Tie-corrected Mann-Whitney U drift test (operators/stats.py
     mannwhitney_drift) between the corpus lengths and a +25-char shift
@@ -15152,6 +15175,7 @@ CATALOG: Dict[str, tuple] = {
     "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
     "collocations_g2": (q_collocations_g2, SQL_COLLOCATIONS_G2),
     "mannwhitney_drift": (q_mannwhitney_drift, SQL_MANNWHITNEY),
+    "sql_correlated_max": (q_sql_correlated_max, SQL_CORRELATED_MAX),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
