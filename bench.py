@@ -232,6 +232,7 @@ HEADLINE = [
     "ks_drift",                # exact two-sample KS CDF drift test
     "mannwhitney_drift",       # tie-corrected rank-sum drift + Cliff delta
     "sql_correlated_max",      # spark.sql face: correlated scalar subquery
+    "theilsen_trend",          # robust median-of-slopes trend
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit

@@ -5788,6 +5788,89 @@ FROM s
 """
 
 
+def q_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust trend (operators/stats.py theilsen_trend) on
+    the same daily series as group_trend, plus a clean planted line
+    (slope exactly 7 -> 7000 milli) and a poisoned one (y = 50 + 3*day
+    with every 5th day spiked to 5000): 63% of pairs are clean so the
+    median slope is EXACTLY 3000 where OLS is dragged far off — the
+    robustness the operator exists for, verified under the value hash.
+    Oracle replays the pair join, the sign-safe milli grid and the
+    lower-median rank selection."""
+    from .operators.stats import theilsen_trend
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    line = off.select(
+        F.lit("line").alias("grp"), F.col("o").alias("day"),
+        (F.lit(100) + 7 * F.col("o")).alias("x"),
+    )
+    poisoned = off.select(
+        F.lit("poisoned").alias("grp"), F.col("o").alias("day"),
+        F.when(F.col("o") % 5 == 0, F.lit(5000))
+        .otherwise(F.lit(50) + 3 * F.col("o")).alias("x"),
+    )
+    return theilsen_trend(
+        daily.unionByName(line).unionByName(poisoned)
+    )
+
+
+SQL_THEILSEN = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+line AS (
+  SELECT 'line' AS grp, o AS day, CAST(100 + 7 * o AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+poisoned AS (
+  SELECT 'poisoned' AS grp, o AS day,
+         CAST(CASE WHEN o % 5 = 0 THEN 5000 ELSE 50 + 3 * o END AS BIGINT)
+           AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+allrows AS (
+  SELECT * FROM daily UNION ALL SELECT * FROM line
+  UNION ALL SELECT * FROM poisoned
+),
+pairs AS (
+  SELECT a.grp,
+         a.day * 1000000 + b.day AS pid,
+         CAST((CASE WHEN b.x - a.x < 0 THEN -1
+               WHEN b.x - a.x > 0 THEN 1 ELSE 0 END)
+           * ((ABS(b.x - a.x) * 1000) // (b.day - a.day)) AS BIGINT)
+           AS slope_milli
+  FROM allrows a JOIN allrows b
+    ON a.grp = b.grp AND a.day < b.day
+),
+ranked AS (
+  SELECT grp, slope_milli,
+         row_number() OVER (PARTITION BY grp
+           ORDER BY slope_milli ASC, pid ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM pairs
+)
+SELECT grp, CAST(n AS BIGINT) AS n_pairs, slope_milli
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
 def q_sql_correlated_max(spark, sf_dir):
     """The engine's SQL face: the same Catalyst plans are reachable via
     `spark.sql` over registered views — this entry runs a correlated
@@ -15176,6 +15259,7 @@ CATALOG: Dict[str, tuple] = {
     "collocations_g2": (q_collocations_g2, SQL_COLLOCATIONS_G2),
     "mannwhitney_drift": (q_mannwhitney_drift, SQL_MANNWHITNEY),
     "sql_correlated_max": (q_sql_correlated_max, SQL_CORRELATED_MAX),
+    "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

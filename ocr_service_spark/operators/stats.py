@@ -1100,3 +1100,67 @@ def mannwhitney_drift(
             > F.lit(int(crit_x10k)) * F.col("_den"),
         ).otherwise(F.lit(False)).alias("reject_05"),
     )
+
+
+def theilsen_trend(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Per-group Theil-Sen trend — the ROBUST counterpart of
+    group_trend's OLS slope: the median of all pairwise slopes has a
+    29% breakdown point, so a minority of wild days (crawler outage,
+    bot storm) cannot drag the trend the way least squares lets them
+    (pinned by a poisoned-line test where OLS is off by >2x and
+    Theil-Sen is exact).
+
+    Engine-exactness: each pairwise slope lands on the integer milli
+    grid sign-safely — sign(dy) * (|dy|*1000 div dx) — and the group
+    median is the exact LOWER median by rank selection, so both
+    engines agree bit-for-bit (ordering ties on the (x1,x2) pair id).
+
+    Scale shape: the pair join is per-group over the OBSERVATION
+    WINDOW (d days -> d(d-1)/2 pairs, bounded by calendar length, not
+    corpus size); one shuffle keyed by group for the join, one window
+    for the rank selection. Emits (grp, n_pairs, slope_milli).
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.xv") < F.col("b.xv")),
+    ).select(
+        F.col("a.grp").alias("grp"),
+        ((F.col("b.yv") - F.col("a.yv"))).alias("dy"),
+        ((F.col("b.xv") - F.col("a.xv"))).alias("dx"),
+        (F.col("a.xv") * 1_000_000 + F.col("b.xv")).alias("pid"),
+    ).select(
+        "grp", "pid",
+        (
+            F.signum("dy").cast("long")
+            * F.expr("(abs(dy) * 1000) div dx")
+        ).cast("long").alias("slope_milli"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.asc("slope_milli"), F.asc("pid")
+    )
+    wall = Window.partitionBy("grp")
+    ranked = pairs.select(
+        "grp", "slope_milli",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    return (
+        ranked.where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(
+            "grp",
+            F.col("_n").cast("long").alias("n_pairs"),
+            "slope_milli",
+        )
+    )

@@ -745,3 +745,37 @@ class TestMannwhitneyDrift:
     def test_direction_of_delta(self, spark):
         r = self._mw(spark, range(30, 80), range(50))
         assert r["delta_ppm"] > 0  # sample A stochastically larger
+
+
+class TestTheilsenTrend:
+    def _ts(self, spark, rows):
+        from ocr_service_spark.operators.stats import theilsen_trend
+
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {r["grp"]: r for r in theilsen_trend(df).collect()}
+
+    def test_exact_line(self, spark):
+        rows = [("l", d, 10 + 7 * d) for d in range(10)]
+        r = self._ts(spark, rows)["l"]
+        assert r["slope_milli"] == 7000 and r["n_pairs"] == 45
+
+    def test_outliers_cannot_drag_the_median(self, spark):
+        from ocr_service_spark.operators.stats import group_trend
+
+        # y = 3*day except every 5th day spiked to 5000
+        rows = [
+            ("p", d, 5000 if d % 5 == 0 else 50 + 3 * d)
+            for d in range(30)
+        ]
+        r = self._ts(spark, rows)["p"]
+        assert r["slope_milli"] == 3000  # 63% clean pairs -> exact median
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        ols = group_trend(df).collect()[0]
+        assert abs(ols["slope_ppm"] - 3_000_000) > 1_000_000  # OLS dragged
+
+    def test_lower_median_and_negative_slopes(self, spark):
+        # days 0,1,2 with y 10,9,0: slopes -1000, -5000, -9000
+        # lower median (n=3 -> rank 2) = -5000
+        rows = [("n", 0, 10), ("n", 1, 9), ("n", 2, 0)]
+        r = self._ts(spark, rows)["n"]
+        assert r["slope_milli"] == -5000 and r["n_pairs"] == 3
