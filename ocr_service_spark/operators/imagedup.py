@@ -219,16 +219,52 @@ def dhash_dup_clusters(
     """Image near-dup CLUSTERS — the keep-one-per-cluster view curation
     actually consumes (pairs alone can't answer "which images do I
     drop": transitive chains A~B~C must collapse together even when
-    A-C exceeds the hamming budget). Banded dhash pairs →
-    pointer-doubling connected components on 60-bit md5 node ids (the
-    host_components machinery verbatim — same scale shape, same
-    determinism argument) → (media_id, canonical_id) with the canonical
-    the member of smallest node id. Only clustered media emit
+    A-C exceeds the hamming budget). Banded pairs over DISTINCT
+    fingerprints → pointer-doubling connected components on 60-bit md5
+    node ids → media fan back in via one dhash join; the canonical is
+    the member of smallest md5 node id, and only clustered media emit
     (singletons need no decision)."""
-    from .graph import host_components
+    from pyspark.sql import Window
 
-    pairs = dhash_dup_pairs(hashes, max_hamming, bands)
-    return host_components(pairs, "id_a", "id_b").select(
-        F.col("host").alias("media_id"),
-        F.col("canonical_host").alias("canonical_id"),
+    from .dedup import connected_components
+
+    def mid(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    sigs = hashes.where(F.col("dhash").isNotNull()).select(
+        "media_id", "dhash"
+    )
+    # Collapse to DISTINCT fingerprints before pairing: a real corpus
+    # carries heavy exact-duplicate mass (thumbnails, logos, re-posts),
+    # and every same-hash group is a hamming-0 clique the banded join
+    # would otherwise materialize pairwise — measured 75s -> ~3s at
+    # sf0.1, where 5000 media share 77 hashes. Pairing + CC now scale
+    # with the fingerprint VOCABULARY; media fan back in afterwards
+    # via one dhash join, and same-hash media are same-cluster by
+    # construction (hamming 0 <= max_hamming).
+    dh = (
+        sigs.select("dhash").distinct()
+        .select(F.col("dhash").cast("string").alias("media_id"), "dhash")
+    )
+    pairs = dhash_dup_pairs(dh, max_hamming, bands)
+    e = pairs.select(
+        mid(F.col("id_a")).alias("id_a"), mid(F.col("id_b")).alias("id_b")
+    )
+    hnodes = dh.select("dhash", mid(F.col("media_id")).alias("hid"))
+    comp = connected_components(e)  # (id, component)
+    hcomp = hnodes.join(comp, hnodes["hid"] == comp["id"], "left").select(
+        "dhash", F.coalesce("component", F.col("hid")).alias("comp")
+    )
+    med = sigs.join(hcomp, "dhash").select(
+        "media_id", "comp", mid(F.col("media_id")).alias("m_id")
+    )
+    wcomp = Window.partitionBy("comp")
+    return (
+        med.withColumn("n", F.count(F.lit(1)).over(wcomp))
+        .withColumn(
+            "canonical_id",
+            F.min(F.struct("m_id", "media_id")).over(wcomp)["media_id"],
+        )
+        .filter(F.col("n") > 1)
+        .select("media_id", "canonical_id")
     )
