@@ -233,6 +233,7 @@ HEADLINE = [
     "mannwhitney_drift",       # tie-corrected rank-sum drift + Cliff delta
     "sql_correlated_max",      # spark.sql face: correlated scalar subquery
     "theilsen_trend",          # robust median-of-slopes trend
+    "spearman_corr",           # monotonicity audit on tie-averaged ranks
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit

@@ -5788,6 +5788,68 @@ FROM s
 """
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (operators/stats.py
+    spearman_correlation) between document length and a monotone-but-
+    nonlinear planted metric (n_chars^2 + id-residue wobble) — the
+    monotonicity audit Pearson understates on curved relationships.
+    Oracle replays both tie-averaged doubled-rank histograms, the join
+    back and the integer Pearson of the ranks."""
+    from .operators.stats import spearman_correlation
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("x"),
+        (
+            F.col("n_chars").cast("long") * F.col("n_chars").cast("long")
+            + F.col("doc_id") % 97
+        ).alias("y"),
+    )
+    return spearman_correlation(d, "x", "y")
+
+
+SQL_SPEARMAN = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)
+           + doc_id % 97 AS y
+  FROM documents
+),
+hx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+cx AS (
+  SELECT v, 2 * (SUM(c) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1
+         AS rx2
+  FROM hx
+),
+hy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+cy AS (
+  SELECT v, 2 * (SUM(c) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1
+         AS ry2
+  FROM hy
+),
+r AS (
+  SELECT CAST(cx.rx2 AS HUGEINT) AS rx2, CAST(cy.ry2 AS HUGEINT) AS ry2
+  FROM d JOIN cx ON d.x = cx.v JOIN cy ON d.y = cy.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * ry2) AS sxy, SUM(rx2 * rx2) AS sxx,
+         SUM(ry2 * ry2) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+         ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+           // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+         ELSE 0 END AS BIGINT) AS rho2_ppm,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1
+            ELSE 0 END AS INTEGER) AS corr_sign
+FROM s
+"""
+
+
 def q_theilsen_trend(spark, sf_dir):
     """Theil-Sen robust trend (operators/stats.py theilsen_trend) on
     the same daily series as group_trend, plus a clean planted line
@@ -15260,6 +15322,7 @@ CATALOG: Dict[str, tuple] = {
     "mannwhitney_drift": (q_mannwhitney_drift, SQL_MANNWHITNEY),
     "sql_correlated_max": (q_sql_correlated_max, SQL_CORRELATED_MAX),
     "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN),
+    "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

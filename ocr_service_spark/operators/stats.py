@@ -1164,3 +1164,50 @@ def theilsen_trend(
             "slope_milli",
         )
     )
+
+
+def _with_avg_rank2x(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Attach the DOUBLED average rank of `col` (ties share the mean
+    rank; doubling keeps the .5 integral — the mannwhitney convention)
+    via the value histogram + distributed prefix sum + a join back on
+    the value. One hash aggregate, one prefix pass, one shuffle join."""
+    from .quality import global_prefix_sum
+
+    h = df.groupBy(F.col(col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum = global_prefix_sum(h, ["_v"], "_c", out_col="_cum")
+    r = cum.select(
+        F.col("_v").alias(col),
+        (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1)
+        .cast("long").alias(out),
+    )
+    return df.join(r, col)
+
+
+def spearman_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation between two per-document metrics — the
+    robust companion of the Pearson audit (feature_correlations):
+    Pearson answers "linear?", Spearman answers "monotone?", and a
+    single wild outlier that wrecks Pearson moves a rank by one step.
+    Emitted without the square root as sign + rho^2 in ppm, exactly:
+    ranks are doubled tie-averaged integers, and Pearson OF the doubled
+    ranks equals Pearson of the ranks as an exact rational (the
+    common factor 4 cancels in num^2/den), so the integer machinery is
+    reused verbatim.
+
+    Scale shape: one value-histogram + prefix-sum + join-back per
+    column, then the single-scan correlation aggregate. Emits ONE row
+    (n, rho2_ppm, corr_sign).
+    """
+    d = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    d = _with_avg_rank2x(d, "_x", "rx2")
+    d = _with_avg_rank2x(d, "_y", "ry2")
+    out = feature_correlations(d.select("rx2", "ry2"), ["rx2", "ry2"])
+    return out.select(
+        "n",
+        F.col("r2_ppm").alias("rho2_ppm"),
+        "corr_sign",
+    )

@@ -779,3 +779,34 @@ class TestTheilsenTrend:
         rows = [("n", 0, 10), ("n", 1, 9), ("n", 2, 0)]
         r = self._ts(spark, rows)["n"]
         assert r["slope_milli"] == -5000 and r["n_pairs"] == 3
+
+
+class TestSpearmanCorrelation:
+    def _rho(self, spark, pairs):
+        from ocr_service_spark.operators.stats import spearman_correlation
+
+        df = spark.createDataFrame(pairs, "x long, y long")
+        return spearman_correlation(df, "x", "y").collect()[0]
+
+    def test_monotone_nonlinear_is_perfect(self, spark):
+        # y = x^3 wrecks Pearson linearity but ranks are identical
+        r = self._rho(spark, [(i, i ** 3) for i in range(1, 9)])
+        assert r["rho2_ppm"] == 1_000_000 and r["corr_sign"] == 1
+
+    def test_reversed_order_is_perfect_negative(self, spark):
+        r = self._rho(spark, [(i, 100 - i) for i in range(10)])
+        assert r["rho2_ppm"] == 1_000_000 and r["corr_sign"] == -1
+
+    def test_pearson_understates_where_spearman_does_not(self, spark):
+        from ocr_service_spark.operators.stats import feature_correlations
+
+        pairs = [(i, i ** 3) for i in range(1, 9)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        pear = feature_correlations(df, ["x", "y"]).collect()[0]
+        rho = self._rho(spark, pairs)
+        assert pear["r2_ppm"] < 900_000 < rho["rho2_ppm"]
+
+    def test_hand_computed_with_ties(self, spark):
+        # x=[1,2,2,3], y=[10,20,20,30]: identical tie structure -> rho=1
+        r = self._rho(spark, [(1, 10), (2, 20), (2, 20), (3, 30)])
+        assert r["rho2_ppm"] == 1_000_000 and r["corr_sign"] == 1
