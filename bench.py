@@ -234,6 +234,7 @@ HEADLINE = [
     "sql_correlated_max",      # spark.sql face: correlated scalar subquery
     "theilsen_trend",          # robust median-of-slopes trend
     "spearman_corr",           # monotonicity audit on tie-averaged ranks
+    "cramers_v",               # categorical association (r x c chi-square)
     "km_survival",             # Kaplan-Meier content-lifetime curves
     "interval_union",          # per-key interval merge + coverage sweep
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit

@@ -5788,6 +5788,66 @@ FROM s
 """
 
 
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association audit (operators/stats.py cramers_v):
+    lang against a planted partially-dependent category (3 in 10 docs
+    copy the lang, the rest take the source) — V lands strictly
+    between 0 and 1 so the micro-grid arithmetic is exercised off the
+    trivial endpoints. Oracle replays margins, the full r x c grid
+    with zero-observed cells, per-cell micro quantization and the
+    final ppm div."""
+    from .operators.stats import cramers_v
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("doc_id") % 10 < 3, F.col("lang"))
+        .otherwise(F.col("source")).alias("mix"),
+    )
+    return cramers_v(d, "lang", "mix")
+
+
+SQL_CRAMERS_V = """
+WITH d AS (
+  SELECT lang AS a,
+         CASE WHEN doc_id % 10 < 3 THEN lang ELSE source END AS b
+  FROM documents
+),
+obs AS (
+  SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS o FROM d GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(o) AS r_tot FROM obs GROUP BY 1),
+cb AS (SELECT b, SUM(o) AS c_tot FROM obs GROUP BY 1),
+tot AS (
+  SELECT SUM(o) AS n, CAST(COUNT(DISTINCT a) AS HUGEINT) AS nr,
+         CAST(COUNT(DISTINCT b) AS HUGEINT) AS nc
+  FROM obs
+),
+grid AS (
+  SELECT r.r_tot, c.c_tot, COALESCE(o.o, 0) AS o, t.n, t.nr, t.nc,
+         (COALESCE(o.o, 0) * t.n - r.r_tot * c.c_tot) AS dev
+  FROM ra r CROSS JOIN cb c
+  LEFT JOIN obs o ON o.a = r.a AND o.b = c.b
+  CROSS JOIN tot t
+),
+cells AS (
+  SELECT n, nr, nc,
+         CAST((dev * dev * 1000000) // (r_tot * c_tot * n) AS BIGINT)
+           AS cell_u
+  FROM grid
+),
+agg AS (
+  SELECT n, nr, nc, CAST(SUM(cell_u) AS BIGINT) AS chi2_u
+  FROM cells GROUP BY n, nr, nc
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_dim,
+       CAST(nc AS BIGINT) AS n_cols_dim, chi2_u,
+       CAST(CASE WHEN n > 0 AND LEAST(nr, nc) > 1
+            THEN chi2_u // (n * (LEAST(nr, nc) - 1))
+            ELSE 0 END AS BIGINT) AS v2_ppm
+FROM agg
+"""
+
+
 def q_spearman_corr(spark, sf_dir):
     """Spearman rank correlation (operators/stats.py
     spearman_correlation) between document length and a monotone-but-
@@ -15323,6 +15383,7 @@ CATALOG: Dict[str, tuple] = {
     "sql_correlated_max": (q_sql_correlated_max, SQL_CORRELATED_MAX),
     "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN),
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

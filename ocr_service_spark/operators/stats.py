@@ -1211,3 +1211,67 @@ def spearman_correlation(
         F.col("r2_ppm").alias("rho2_ppm"),
         "corr_sign",
     )
+
+
+def cramers_v(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    contingency-table generalization of the chi2 term selector: does
+    the language depend on the source? does the gate verdict depend on
+    the shard? V^2 = chi^2 / (N * (min(r,c) - 1)) in [0,1].
+
+    Integer-exact: each cell contributes ((O*N - R*C)^2 * 1e6) div
+    (R*C*N) — quantized to micro-units BEFORE the sum (the repo rule:
+    never compare engine-summed rationals) — and V^2 lands in ppm via
+    one more integral div. Zero-observed cells still contribute
+    (R*C*1e6 div N at O=0), so the full r x c grid materializes from
+    the two broadcast margin tables, never from the data.
+
+    Scale: one (a,b) hash aggregate, two margin aggregates (broadcast),
+    constant-size output (n, n_rows_dim, n_cols_dim, chi2_u, v2_ppm).
+    """
+    d38 = "decimal(38,0)"
+    obs = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("r_tot"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("c_tot"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("nr"),
+        F.count_distinct("b").alias("nc"),
+    )
+    grid = (
+        F.broadcast(ra).join(F.broadcast(cb), how="cross")
+        .join(obs, ["a", "b"], "left")
+        .na.fill({"o": 0})
+        .join(F.broadcast(tot), how="cross")
+        .withColumn(
+            "_dev",
+            F.col("o").cast(d38) * F.col("n").cast(d38)
+            - F.col("r_tot").cast(d38) * F.col("c_tot").cast(d38),
+        )
+        .withColumn(
+            "cell_u",
+            F.expr(
+                "(_dev * _dev * 1000000)"
+                " div (cast(r_tot as decimal(38,0))"
+                " * cast(c_tot as decimal(38,0))"
+                " * cast(n as decimal(38,0)))"
+            ).cast("long"),
+        )
+    )
+    agg = grid.groupBy("n", "nr", "nc").agg(
+        F.sum("cell_u").cast("long").alias("chi2_u")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows_dim"),
+        F.col("nc").cast("long").alias("n_cols_dim"),
+        "chi2_u",
+        F.expr(
+            "case when n > 0 and least(nr, nc) > 1 then"
+            " chi2_u div (n * (least(nr, nc) - 1)) else 0 end"
+        ).cast("long").alias("v2_ppm"),
+    )

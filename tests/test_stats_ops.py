@@ -810,3 +810,29 @@ class TestSpearmanCorrelation:
         # x=[1,2,2,3], y=[10,20,20,30]: identical tie structure -> rho=1
         r = self._rho(spark, [(1, 10), (2, 20), (2, 20), (3, 30)])
         assert r["rho2_ppm"] == 1_000_000 and r["corr_sign"] == 1
+
+
+class TestCramersV:
+    def _v(self, spark, pairs):
+        from ocr_service_spark.operators.stats import cramers_v
+
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return cramers_v(df, "a", "b").collect()[0]
+
+    def test_perfect_dependence(self, spark):
+        # b == a over 3 categories x 2 each: V^2 = 1 up to the per-cell
+        # micro floors (hand-summed: 3*2666666 + 6*666666 -> 999999)
+        pairs = [(c, c) for c in "xyz" for _ in range(2)]
+        r = self._v(spark, pairs)
+        assert r["v2_ppm"] == 999_999
+        assert r["n_rows_dim"] == 3 and r["n_cols_dim"] == 3
+
+    def test_exact_independence(self, spark):
+        # the full k x k cross with equal counts: every cell dev == 0
+        pairs = [(a, b) for a in "xy" for b in "pq"]
+        r = self._v(spark, pairs)
+        assert r["chi2_u"] == 0 and r["v2_ppm"] == 0
+
+    def test_degenerate_single_category(self, spark):
+        r = self._v(spark, [("x", "p"), ("x", "q")])
+        assert r["v2_ppm"] == 0  # min(r,c) == 1: association undefined
