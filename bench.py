@@ -97,6 +97,7 @@ HEADLINE = [
     "phonetic_blocks",
     "group_trend",
     "classifier_agreement",
+    "fleiss_kappa",            # n-rater chance-corrected gate agreement
     "score_calibration",
     "gate_eval",
     "q1_pricing_summary",

@@ -5788,6 +5788,84 @@ FROM s
 """
 
 
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (operators/classifier.py fleiss_kappa) over three
+    deterministic raters per document — a length gate, a noisy copy of
+    it, and an independent doc_id coin — so agreement sits well above
+    chance but far from 1 (the regime the chance correction exists
+    for). Oracle replays the (item,category) counts, both margins and
+    the cross-multiplied sign-split kappa."""
+    from .operators.classifier import fleiss_kappa
+
+    d = load(spark, sf_dir, "documents")
+    gate = F.when(F.col("n_chars") >= 300, "pass").otherwise("fail")
+    noisy = F.when(
+        (F.col("n_chars") + F.col("doc_id") % 7) >= 300, "pass"
+    ).otherwise("fail")
+    coin = F.when(F.col("doc_id") % 2 == 0, "pass").otherwise("fail")
+    ratings = (
+        d.select(F.col("doc_id").alias("item_id"), gate.alias("category"))
+        .unionByName(d.select(F.col("doc_id").alias("item_id"),
+                              noisy.alias("category")))
+        .unionByName(d.select(F.col("doc_id").alias("item_id"),
+                              coin.alias("category")))
+    )
+    return fleiss_kappa(ratings)
+
+
+SQL_FLEISS_KAPPA = """
+WITH ratings AS (
+  SELECT doc_id AS i,
+         CASE WHEN n_chars >= 300 THEN 'pass' ELSE 'fail' END AS j
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN n_chars + doc_id % 7 >= 300 THEN 'pass' ELSE 'fail' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'pass' ELSE 'fail' END
+  FROM documents
+),
+nij AS (
+  SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS c FROM ratings GROUP BY 1, 2
+),
+per_item AS (
+  SELECT i, SUM(c) AS n_r, SUM(c * (c - 1)) AS s_i FROM nij GROUP BY 1
+),
+chk AS (
+  SELECT CAST(COUNT(DISTINCT n_r) AS HUGEINT) AS k, MAX(n_r) AS n_raters,
+         CAST(COUNT(*) AS HUGEINT) AS n_items, SUM(s_i) AS s_tot
+  FROM per_item
+),
+marg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_categories,
+         SUM(s_j * s_j) AS sj2
+  FROM (SELECT j, SUM(c) AS s_j FROM nij GROUP BY 1)
+),
+sc AS (
+  SELECT *,
+         n_items * n_raters AS nn,
+         n_items * n_raters * (n_raters - 1) AS po_den,
+         s_tot * (n_items * n_raters) * (n_items * n_raters)
+           - n_items * n_raters * (n_raters - 1) * sj2 AS num,
+         n_items * n_raters * (n_raters - 1)
+           * ((n_items * n_raters) * (n_items * n_raters) - sj2) AS den
+  FROM chk CROSS JOIN marg
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_raters AS BIGINT) AS n_raters,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       CAST(CASE WHEN po_den > 0 THEN (s_tot * 1000000) // po_den
+            ELSE 0 END AS BIGINT) AS po_ppm,
+       CAST((sj2 * 1000000) // (nn * nn) AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN den > 0 THEN
+         (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+           * ((ABS(num) * 1000000) // den)
+         ELSE NULL END AS BIGINT) AS kappa_ppm
+FROM sc
+"""
+
+
 def q_cramers_v(spark, sf_dir):
     """Cramér's V association audit (operators/stats.py cramers_v):
     lang against a planted partially-dependent category (3 in 10 docs
@@ -15384,6 +15462,7 @@ CATALOG: Dict[str, tuple] = {
     "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN),
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

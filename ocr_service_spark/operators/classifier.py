@@ -584,3 +584,97 @@ def chi2_feature_selection(
             "term", "n11", "df_t", "chi2_u", "corr_sign",
         )
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among n raters per
+    item (Psych. Bull. 1971), the multi-rater generalization of the
+    Cohen's-kappa entry (classifier_agreement handles exactly two):
+    when three quality gates vote on every document, raw percent
+    agreement flatters them wherever one category dominates; kappa
+    subtracts the chance floor.
+
+    Input: one row per (item, rater assignment); every item must carry
+    the same rater count n (the Fleiss design; enforced). With counts
+    n_ij, S = sum n_ij(n_ij-1), category totals s_j:
+        Po = S / (N n (n-1)),   Pe = sum s_j^2 / (Nn)^2,
+        kappa = (Po - Pe) / (1 - Pe)
+    — evaluated as ONE integer fraction by cross-multiplication and
+    emitted sign-then-magnitude in ppm (div truncation convention);
+    Pe = 1 (a single category everywhere) yields NULL kappa, the
+    undefined case, not a crash.
+
+    Scale: two stacked hash aggregates ((item, cat), then the two
+    1-row margins) — no windows, no joins beyond broadcast combines.
+    Emits ONE row: (n_items, n_raters, n_categories, po_ppm, pe_ppm,
+    kappa_ppm).
+    """
+    d38 = "decimal(38,0)"
+    nij = ratings.groupBy(
+        F.col(item_col).alias("i"), F.col(cat_col).alias("j")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_item = nij.groupBy("i").agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("s_i"),
+    )
+    chk = per_item.agg(
+        F.count_distinct("n_r").alias("k"),
+        F.max("n_r").alias("n_raters"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("s_i").alias("s_tot"),
+    )
+    cats = nij.groupBy("j").agg(F.sum("c").alias("s_j"))
+    marg = cats.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("s_j").cast(d38) * F.col("s_j").cast(d38))
+        .alias("sj2"),
+    )
+    both = chk.join(F.broadcast(marg), how="cross")
+    scored = (
+        both.withColumn(
+            # woven into n_items below — a free-standing check column
+            # would be pruned as unused and never evaluate
+            "n_items",
+            F.when(F.col("k") != 1, F.raise_error(F.lit(
+                "fleiss_kappa: items carry unequal rater counts"
+            )).cast("long")).otherwise(F.col("n_items")),
+        )
+        .withColumn("_nn", (F.col("n_items") * F.col("n_raters")).cast(d38))
+        .withColumn(
+            "_po_den",
+            (F.col("n_items") * F.col("n_raters")
+             * (F.col("n_raters") - 1)).cast(d38),
+        )
+        .withColumn("_s", F.col("s_tot").cast(d38))
+        # kappa num/den by cross-multiplication:
+        #   num = S*(Nn)^2 - Po_den*sum(s_j^2),  den = Po_den*((Nn)^2 - sum(s_j^2))
+        .withColumn(
+            "_num",
+            F.col("_s") * F.col("_nn") * F.col("_nn")
+            - F.col("_po_den") * F.col("sj2"),
+        )
+        .withColumn(
+            "_den",
+            F.col("_po_den")
+            * (F.col("_nn") * F.col("_nn") - F.col("sj2")),
+        )
+    )
+    return scored.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_raters").cast("long").alias("n_raters"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.expr("case when _po_den > 0 then (s_tot * 1000000)"
+               " div cast(_po_den as decimal(38,0)) else 0 end")
+        .cast("long").alias("po_ppm"),
+        F.expr("(sj2 * 1000000) div (_nn * _nn)")
+        .cast("long").alias("pe_ppm"),
+        F.when(
+            F.col("_den") > 0,
+            F.signum("_num").cast("long")
+            * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+        ).otherwise(F.lit(None).cast("long")).alias("kappa_ppm"),
+    )

@@ -403,3 +403,37 @@ class TestChi2FeatureSelection:
     def test_min_df_prunes_singletons(self, rows):
         terms = {r["term"] for r in rows.values()}
         assert "fish" not in terms and "chat" not in terms
+
+
+class TestFleissKappa:
+    def _k(self, spark, rows):
+        from ocr_service_spark.operators.classifier import fleiss_kappa
+
+        df = spark.createDataFrame(rows, "item_id long, category string")
+        return fleiss_kappa(df).collect()[0]
+
+    def test_perfect_agreement(self, spark):
+        rows = [(1, "p")] * 3 + [(2, "f")] * 3
+        r = self._k(spark, rows)
+        assert r["kappa_ppm"] == 1_000_000
+        assert r["po_ppm"] == 1_000_000 and r["pe_ppm"] == 500_000
+
+    def test_hand_computed_below_chance(self, spark):
+        # item1 p,p,f; item2 p,f,f: Po=1/3, Pe=1/2 -> kappa = -1/3
+        rows = [(1, "p"), (1, "p"), (1, "f"),
+                (2, "p"), (2, "f"), (2, "f")]
+        r = self._k(spark, rows)
+        assert r["po_ppm"] == 333_333 and r["pe_ppm"] == 500_000
+        assert r["kappa_ppm"] == -333_333
+
+    def test_single_category_everywhere_is_undefined(self, spark):
+        rows = [(1, "p")] * 2 + [(2, "p")] * 2
+        r = self._k(spark, rows)
+        assert r["kappa_ppm"] is None  # Pe = 1: chance correction void
+
+    def test_unequal_rater_counts_raise(self, spark):
+        import pytest as _pytest
+
+        rows = [(1, "p"), (1, "p"), (2, "p")]
+        with _pytest.raises(Exception, match="unequal rater counts"):
+            self._k(spark, rows)
