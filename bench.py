@@ -280,6 +280,7 @@ HEADLINE = [
     "cocitation_pairs",        # related-host co-citation counts
     "triangle_counts",         # link-farm clustering coefficients
     "priority_sample",         # DLT weighted audit-slice sampling
+    "pps_systematic",          # grid-mark size-proportional audit sample
     "split_leakage_audit",     # cross-split duplicate contamination
     "curriculum_order",        # bucket-major epoch ordering
     "iban_scrub",              # mod-97-verified IBAN redaction

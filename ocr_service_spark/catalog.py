@@ -5788,6 +5788,37 @@ FROM s
 """
 
 
+def q_pps_systematic(spark, sf_dir):
+    """Systematic PPS audit sample (operators/sampling.py
+    pps_systematic): 64 grid marks on the cumulative n_chars axis
+    under the doc_id order — size-proportional inclusion with exact
+    budget, no randomness. Oracle replays the prefix sum, the grid
+    arithmetic and the multiplicity."""
+    from .operators.sampling import pps_systematic
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_systematic(d, ["doc_id"], "n_chars", n_points=64)
+
+
+SQL_PPS_SYSTEMATIC = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM documents
+),
+t AS (SELECT MAX(hi) // 64 AS tt FROM c),
+s AS (
+  SELECT doc_id, n_chars, hi, hi - n_chars AS lo, t.tt
+  FROM c CROSS JOIN t WHERE t.tt > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+       CAST(hi // tt - lo // tt AS BIGINT) AS hits,
+       CAST((hi // tt - lo // tt) * tt AS BIGINT) AS represented
+FROM s WHERE hi // tt - lo // tt > 0
+"""
+
+
 def q_fleiss_kappa(spark, sf_dir):
     """Fleiss' kappa (operators/classifier.py fleiss_kappa) over three
     deterministic raters per document — a length gate, a noisy copy of
@@ -15463,6 +15494,7 @@ CATALOG: Dict[str, tuple] = {
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

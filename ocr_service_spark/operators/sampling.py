@@ -651,3 +651,51 @@ def temperature_mixture(
             ),
         )
     )
+
+
+def pps_systematic(
+    df,
+    order_cols,
+    size_col: str,
+    n_points: int,
+):
+    """Systematic probability-proportional-to-size sampling WITHOUT
+    randomness: lay the corpus out on its cumulative size axis (the
+    distributed prefix sum under a total order), drop a fixed grid of
+    T = total div n_points marks, and select every document whose size
+    interval covers a mark. Inclusion probability is proportional to
+    size by construction; a document larger than T is selected with
+    multiplicity (hits > 1), and hits * T is its Horvitz-Thompson-style
+    represented mass — the audit-sampling companion to the md5-range
+    samplers (those are per-row uniform; this one is size-weighted and
+    exactly budget-bounded: Σ hits is n_points ± 1 at any scale).
+
+    Deterministic and engine-exact: a document covering (lo, hi] on the
+    cumulative axis scores hits = hi div T - lo div T (grid marks at
+    multiples of T), all integer — the same rerun selects the same
+    sample, the append-stability argument the module is built on
+    (appends under the total order shift ONLY the suffix).
+
+    Emits selected rows: (order_cols..., size, hits, represented).
+    """
+    from .quality import global_prefix_sum
+
+    cum = global_prefix_sum(df, list(order_cols), size_col, out_col="_hi")
+    tot = cum.agg(F.max("_hi").alias("_tot"))
+    sel = (
+        cum.join(F.broadcast(tot), how="cross")
+        .withColumn("_t", F.expr(f"_tot div {int(n_points)}"))
+        .where(F.col("_t") > 0)
+        .withColumn("_lo", F.col("_hi") - F.col(size_col))
+        .withColumn(
+            "hits",
+            (F.expr("_hi div _t") - F.expr("_lo div _t")).cast("long"),
+        )
+        .where(F.col("hits") > 0)
+    )
+    return sel.select(
+        *order_cols,
+        F.col(size_col).alias("size"),
+        "hits",
+        (F.col("hits") * F.col("_t")).cast("long").alias("represented"),
+    )

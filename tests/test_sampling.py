@@ -514,3 +514,32 @@ class TestTemperatureMixture:
         got = self._mix(spark, [("a", 100), ("z", 0)], 100)
         assert set(got) == {"a"}
         assert got["a"]["alloc"] == 100
+
+
+class TestPpsSystematic:
+    def _pps(self, spark, sizes, k):
+        from ocr_service_spark.operators.sampling import pps_systematic
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id long, sz long")
+        return {r["doc_id"]: r
+                for r in pps_systematic(df, ["doc_id"], "sz", k).collect()}
+
+    def test_budget_and_multiplicity(self, spark):
+        # total 100, k=10 -> T=10; a size-35 doc covers 3-4 marks
+        sizes = [35, 5, 5, 5, 35, 5, 5, 5]  # total 100
+        got = self._pps(spark, sizes, 10)
+        assert sum(r["hits"] for r in got.values()) == 10  # exact budget
+        assert got[0]["hits"] >= 3 and got[4]["hits"] >= 3
+        assert all(r["represented"] == r["hits"] * 10 for r in got.values())
+
+    def test_size_zero_docs_never_selected(self, spark):
+        got = self._pps(spark, [0, 50, 0, 50], 4)
+        assert set(got) == {1, 3}
+
+    def test_deterministic_rerun(self, spark):
+        sizes = [7, 13, 29, 3, 48]
+        a = self._pps(spark, sizes, 5)
+        b = self._pps(spark, sizes, 5)
+        assert a.keys() == b.keys()
+        assert all(a[k]["hits"] == b[k]["hits"] for k in a)
