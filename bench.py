@@ -140,6 +140,7 @@ HEADLINE = [
     "stratified_sample",       # deterministic md5-range sampling (map-side)
     "hash_split_counts",       # leak-free train/valid/test assignment
     "group_quantiles",         # exact per-group rank-selected quantiles
+    "trimmed_mean",            # robust per-group core average
     "top_k_per_group",         # per-domain caps via windowed group top-k
     "compression_ratio_stats",  # zlib compressibility gate (Arrow map stage)
     "sequence_packing",        # prefix-sum packing into fixed-length bins

@@ -5788,6 +5788,38 @@ FROM s
 """
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """Per-language 10%-trimmed mean document length (operators/stats.py
+    trimmed_mean) — the robust average for burst-prone crawl metrics.
+    Oracle replays the rank trim bounds (integer ceil arithmetic) and
+    the milli-unit core mean."""
+    from .operators.stats import trimmed_mean
+
+    d = load(spark, sf_dir, "documents")
+    return trimmed_mean(d, ["lang"], "n_chars", "doc_id", trim_pct=10)
+
+
+SQL_TRIMMED_MEAN = """
+WITH r AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+core AS (
+  SELECT * FROM r
+  WHERE rn > (10 * n + 99) // 100 AND rn <= n - (10 * n + 99) // 100
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN SUM(v) < 0 THEN -1 ELSE 1 END
+            * ((ABS(CAST(SUM(v) AS HUGEINT)) * 1000) // COUNT(*))
+            AS BIGINT) AS mean_milli
+FROM core GROUP BY lang
+"""
+
+
 def q_pps_systematic(spark, sf_dir):
     """Systematic PPS audit sample (operators/sampling.py
     pps_systematic): 64 grid marks on the cumulative n_chars axis
@@ -15495,6 +15527,7 @@ CATALOG: Dict[str, tuple] = {
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -1275,3 +1275,56 @@ def cramers_v(
             " chi2_u div (n * (least(nr, nc) - 1)) else 0 end"
         ).cast("long").alias("v2_ppm"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group trimmed mean of an integer metric — the robust average
+    for burst-prone crawl metrics: drop the lowest and highest trim_pct
+    percent of rows (by rank, ties broken deterministically) and
+    average the core. Where median throws away magnitude and the raw
+    mean chases outliers, the trimmed mean keeps both properties the
+    report wants.
+
+    Integer-exact: the trim bounds are rank positions (ceil arithmetic
+    in integers, the group_quantiles convention), the core sum is a
+    decimal cast, and the mean is emitted in milli-units via integral
+    div (values are integers, so sign-split is unnecessary only when
+    nonneg — the sum CAN be negative, so magnitude-then-sign applies).
+
+    One hash shuffle on the group key (rank window + count share the
+    clustering), one grouped aggregate. Emits (keys..., n_rows,
+    n_kept, mean_milli).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak).asc()
+    )
+    wall = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    lo = F.expr(f"({int(trim_pct)} * _n + 99) div 100")
+    hi = F.col("_n") - lo
+    core = ranked.where((F.col("_rn") > lo) & (F.col("_rn") <= hi))
+    agg = core.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+    )
+    return agg.select(
+        *keys, "n_rows", "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.signum("_s").cast("long")
+            * F.expr("(abs(_s) * 1000) div n_kept").cast("long"),
+        ).otherwise(F.lit(None).cast("long")).alias("mean_milli"),
+    )

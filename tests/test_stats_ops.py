@@ -836,3 +836,31 @@ class TestCramersV:
     def test_degenerate_single_category(self, spark):
         r = self._v(spark, [("x", "p"), ("x", "q")])
         assert r["v2_ppm"] == 0  # min(r,c) == 1: association undefined
+
+
+class TestTrimmedMean:
+    def _tm(self, spark, vals, pct=10):
+        from ocr_service_spark.operators.stats import trimmed_mean
+
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "grp string, tb long, v long")
+        rows = trimmed_mean(df, ["grp"], "v", "tb", trim_pct=pct).collect()
+        return rows[0] if rows else None
+
+    def test_outliers_trimmed(self, spark):
+        # 10 values: trim 1 from each end -> mean of the middle 8 (= 5.5)
+        vals = [-1000, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+        r = self._tm(spark, vals)
+        assert r["n_rows"] == 10 and r["n_kept"] == 8
+        assert r["mean_milli"] == 5500
+
+    def test_negative_core_mean(self, spark):
+        vals = [-100, -9, -8, -7, 50]  # pct 20 on 5 -> trim 1 each end
+        r = self._tm(spark, vals, pct=20)
+        assert r["n_kept"] == 3
+        assert r["mean_milli"] == -8000
+
+    def test_overtrim_emits_nothing(self, spark):
+        r = self._tm(spark, [1, 2], pct=50)  # bounds cross: no core rows
+        assert r is None
