@@ -301,6 +301,7 @@ HEADLINE = [
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
+    "acf_lags",                # lag-k periodicity autocorrelation
     "prefix_filter_pairs",     # exact prefix-filtered similarity join
     "encoding_advisor",        # dictionary-vs-plain byte modeling
     "cohort_retention",        # first-activity cohort matrix

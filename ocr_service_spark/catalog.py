@@ -5788,6 +5788,74 @@ FROM s
 """
 
 
+def q_acf_lags(spark, sf_dir):
+    """Lag-1/7 autocorrelation (operators/stats.py acf_lags) over daily
+    event counts per type plus a planted weekly-templated group
+    (y = 100 + 400 on day%7==0): lag-7 correlation near 1, lag-1 near
+    the weak end — the periodicity signature. Oracle replays the
+    calendar joins and the integer Pearson per (group, lag)."""
+    from .operators.stats import acf_lags
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    weekly = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 28).alias("o"))
+        .distinct()
+        .select(
+            F.lit("weekly").alias("grp"), F.col("o").alias("day"),
+            (F.lit(100)
+             + F.when(F.col("o") % 7 == 0, 400).otherwise(0)).alias("x"),
+        )
+    )
+    return acf_lags(daily.unionByName(weekly), lags=[1, 7])
+
+
+SQL_ACF = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+weekly AS (
+  SELECT 'weekly' AS grp, o AS day,
+         CAST(100 + CASE WHEN o % 7 = 0 THEN 400 ELSE 0 END AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 28 AS o FROM documents)
+),
+allrows AS (SELECT * FROM daily UNION ALL SELECT * FROM weekly),
+pairs AS (
+  SELECT a.grp, l.lag, CAST(a.x AS HUGEINT) AS y, CAST(b.x AS HUGEINT) AS y2
+  FROM (VALUES (1), (7)) l(lag)
+  CROSS JOIN allrows a
+  JOIN allrows b ON b.grp = a.grp AND b.day = a.day + l.lag
+),
+agg AS (
+  SELECT grp, CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(y) AS sx, SUM(y2) AS sy, SUM(y * y2) AS sxy,
+         SUM(y * y) AS sxx, SUM(y2 * y2) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT grp, lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+         ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+           // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+         ELSE 0 END AS BIGINT) AS r2_ppm,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INTEGER)
+         AS corr_sign
+FROM agg
+"""
+
+
 def q_trimmed_mean(spark, sf_dir):
     """Per-language 10%-trimmed mean document length (operators/stats.py
     trimmed_mean) — the robust average for burst-prone crawl metrics.
@@ -15528,6 +15596,7 @@ CATALOG: Dict[str, tuple] = {
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "acf_lags": (q_acf_lags, SQL_ACF),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -1328,3 +1328,76 @@ def trimmed_mean(
             * F.expr("(abs(_s) * 1000) div n_kept").cast("long"),
         ).otherwise(F.lit(None).cast("long")).alias("mean_milli"),
     )
+
+
+def acf_lags(
+    daily: DataFrame,
+    lags: Sequence[int],
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Lag-k autocorrelation of per-group daily series — the
+    periodicity diagnostic: a weekly-templated metric shows high
+    lag-7 and low lag-1 correlation, the signature seasonal_anomaly
+    assumes and this measures. Pairs come from a CALENDAR join on
+    (group, day + k) — gap-safe, unlike lead(k) over row order, which
+    silently misaligns across missing days.
+
+    Per (group, lag), Pearson of (y_t, y_{t+k}) in the repo's integer
+    form: sign + r^2 in ppm from the five count sums, decimal(38,0) /
+    HUGEINT exact. One self-join per lag (equi-join on the shifted
+    key), one grouped aggregate over the union.
+
+    Emits (grp, lag, n_pairs, r2_ppm, corr_sign); groups with < 2
+    pairs or zero variance emit r2_ppm 0 / sign 0.
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("d"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    parts = []
+    for k in lags:
+        a = d.alias("a")
+        b = d.select(
+            F.col("grp"), (F.col("d") - int(k)).alias("d"),
+            F.col("y").alias("y2"),
+        ).alias("b")
+        parts.append(
+            a.join(b, ["grp", "d"]).select(
+                "grp", F.lit(int(k)).cast("long").alias("lag"),
+                F.col("y"), F.col("y2"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("sx"),
+        F.sum(F.col("y2").cast(d38)).alias("sy"),
+        F.sum(F.col("y").cast(d38) * F.col("y2").cast(d38)).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("sxx"),
+        F.sum(F.col("y2").cast(d38) * F.col("y2").cast(d38)).alias("syy"),
+    )
+    return (
+        agg.withColumn(
+            "_num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        )
+        .withColumn(
+            "_den",
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+        )
+        .select(
+            "grp", "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.when(
+                F.col("_den") > 0,
+                F.expr("(_num * _num * 1000000) div _den"),
+            ).otherwise(F.lit(0)).cast("long").alias("r2_ppm"),
+            F.signum("_num").cast("int").alias("corr_sign"),
+        )
+    )

@@ -864,3 +864,38 @@ class TestTrimmedMean:
     def test_overtrim_emits_nothing(self, spark):
         r = self._tm(spark, [1, 2], pct=50)  # bounds cross: no core rows
         assert r is None
+
+
+class TestAcfLags:
+    def _acf(self, spark, rows, lags):
+        from ocr_service_spark.operators.stats import acf_lags
+
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {(r["grp"], r["lag"]): r
+                for r in acf_lags(df, lags).collect()}
+
+    def test_weekly_template_signature(self, spark):
+        rows = [("w", d, 100 + (400 if d % 7 == 0 else 0))
+                for d in range(28)]
+        got = self._acf(spark, rows, [1, 7])
+        assert got[("w", 7)]["r2_ppm"] == 1_000_000   # exact periodicity
+        assert got[("w", 7)]["corr_sign"] == 1
+        assert got[("w", 1)]["r2_ppm"] < 200_000      # adjacent days differ
+
+    def test_linear_series_lag_invariant(self, spark):
+        rows = [("l", d, 5 * d) for d in range(12)]
+        got = self._acf(spark, rows, [1, 3])
+        assert got[("l", 1)]["r2_ppm"] == 1_000_000
+        assert got[("l", 3)]["r2_ppm"] == 1_000_000
+
+    def test_calendar_gaps_do_not_misalign(self, spark):
+        # days 0,1,3,4 (2 missing): lag-1 pairs are (0,1) and (3,4) ONLY
+        rows = [("g", 0, 1), ("g", 1, 2), ("g", 3, 30), ("g", 4, 40)]
+        got = self._acf(spark, rows, [1])
+        assert got[("g", 1)]["n_pairs"] == 2
+
+    def test_alternating_is_negative(self, spark):
+        rows = [("a", d, 100 if d % 2 == 0 else 0) for d in range(10)]
+        got = self._acf(spark, rows, [1])
+        assert got[("a", 1)]["corr_sign"] == -1
+        assert got[("a", 1)]["r2_ppm"] > 900_000
