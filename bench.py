@@ -242,6 +242,8 @@ HEADLINE = [
     "feature_correlations",    # integer-exact Pearson sign + r^2 audit
     "benford_audit",           # first-digit plausibility screen
     "gini_concentration",      # corpus/load inequality coefficient
+    "lorenz_curve",            # decile concentration points behind Gini
+    "cube_profile",            # CUBE multi-level profile with grouping ids
     "term_dispersion",         # Gries DP burstiness for top terms
     "user_event_entropy",      # behavioral-diversity entropy per slice
     "pivot_report",            # explicit-values pivot activity matrix

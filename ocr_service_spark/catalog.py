@@ -5788,6 +5788,78 @@ FROM s
 """
 
 
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz decile points (operators/stats.py lorenz_curve) for the
+    per-customer order-count concentration the Gini entry summarizes —
+    the curve an audit reads. Oracle replays both prefix passes, the
+    cutoff ranks and the ppm shares."""
+    from .operators.stats import lorenz_curve
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.lit(1).cast("long").alias("w")
+    )
+    return lorenz_curve(o, "o_custkey", "w", n_points=10)
+
+
+SQL_LORENZ = """
+WITH per_key AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT x, k,
+         SUM(x) OVER (ORDER BY x, k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_x,
+         row_number() OVER (ORDER BY x, k) AS i
+  FROM per_key
+),
+t AS (SELECT MAX(i) AS n, MAX(cum_x) AS total FROM r),
+pts AS (SELECT CAST(p AS BIGINT) AS point FROM generate_series(1, 10) g(p)),
+cuts AS (
+  SELECT point, (t.n * point) // 10 AS cutoff_rank, t.total
+  FROM pts CROSS JOIN t
+)
+SELECT c.point, CAST(c.cutoff_rank AS BIGINT) AS cutoff_rank,
+       CAST(COALESCE(r.cum_x, 0) AS BIGINT) AS cum_weight,
+       CAST(CASE WHEN c.total > 0
+            THEN (COALESCE(r.cum_x, 0) * 1000000) // c.total
+            ELSE 0 END AS BIGINT) AS share_ppm
+FROM cuts c LEFT JOIN r ON r.i = c.cutoff_rank
+"""
+
+
+def q_cube_profile(spark, sf_dir):
+    """CUBE aggregation over (lang, source): all four grouping levels —
+    cell, per-lang, per-source, grand total — in one pass, with
+    grouping_id() disambiguating NULL-as-subtotal from NULL-as-value
+    (the classic reporting-cube trap). Completes the multi-level
+    aggregation surface beside geo_rollup_levels' ROLLUP. The oracle
+    is DuckDB's CUBE with the same GROUPING() arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            # grouping_id must live in the agg — it is unresolvable in a
+            # later projection (no grouping context)
+            F.grouping_id("lang", "source").cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)"))
+            .cast("long").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+SQL_CUBE_PROFILE = """
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 def q_acf_lags(spark, sf_dir):
     """Lag-1/7 autocorrelation (operators/stats.py acf_lags) over daily
     event counts per type plus a planted weekly-templated group
@@ -15597,6 +15669,8 @@ CATALOG: Dict[str, tuple] = {
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),
+    "cube_profile": (q_cube_profile, SQL_CUBE_PROFILE),
+    "lorenz_curve": (q_lorenz_curve, SQL_LORENZ),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

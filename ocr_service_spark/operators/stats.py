@@ -1401,3 +1401,54 @@ def acf_lags(
             F.signum("_num").cast("int").alias("corr_sign"),
         )
     )
+
+
+def lorenz_curve(
+    df: DataFrame, key_col: str, weight_col: str, n_points: int = 10
+) -> DataFrame:
+    """Lorenz curve points behind the Gini coefficient — the curve a
+    capacity audit actually reads ("the bottom 80% of hosts hold 30%
+    of pages"): cumulative weight share held by the bottom d/n_points
+    fraction of keys under the ascending weight order.
+
+    Same machinery as gini_concentration: per-key weights, the
+    distributed prefix sum for both the rank and the cumulative
+    weight, then one broadcast join of the n_points cutoff ranks
+    (cutoff_d = n*d div n_points) against the ranked table — shares in
+    ppm via integral div. Keys tie-break on the key for a total order.
+
+    Emits n_points rows: (point, cutoff_rank, cum_weight, share_ppm);
+    point n_points is always (n, total, 1e6).
+    """
+    from .quality import global_prefix_sum
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("x")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    cumw = global_prefix_sum(per_key, ["x", "k"], "x", out_col="cum_x")
+    ranked = global_prefix_sum(cumw, ["x", "k"], "_one", out_col="i")
+    tot = ranked.agg(
+        F.max("i").alias("n"), F.max("cum_x").alias("total")
+    )
+    spark = df.sparkSession
+    pts = spark.range(1, int(n_points) + 1).select(
+        F.col("id").cast("long").alias("point")
+    )
+    cuts = (
+        F.broadcast(pts).join(F.broadcast(tot), how="cross")
+        .withColumn(
+            "cutoff_rank",
+            F.expr(f"(n * point) div {int(n_points)}").cast("long"),
+        )
+    )
+    return (
+        cuts.join(ranked, cuts["cutoff_rank"] == ranked["i"], "left")
+        .select(
+            "point", "cutoff_rank",
+            F.coalesce("cum_x", F.lit(0)).cast("long").alias("cum_weight"),
+            F.when(
+                F.col("total") > 0,
+                F.expr("(coalesce(cum_x, 0) * 1000000) div total"),
+            ).otherwise(F.lit(0)).cast("long").alias("share_ppm"),
+        )
+    )

@@ -899,3 +899,30 @@ class TestAcfLags:
         got = self._acf(spark, rows, [1])
         assert got[("a", 1)]["corr_sign"] == -1
         assert got[("a", 1)]["r2_ppm"] > 900_000
+
+
+class TestLorenzCurve:
+    def _lz(self, spark, weights, n_points=10):
+        from ocr_service_spark.operators.stats import lorenz_curve
+
+        df = spark.createDataFrame(
+            [(f"k{i}", w) for i, w in enumerate(weights)],
+            "key string, w long")
+        return {r["point"]: r
+                for r in lorenz_curve(df, "key", "w", n_points).collect()}
+
+    def test_equality_is_diagonal(self, spark):
+        got = self._lz(spark, [10] * 10)
+        for d in range(1, 11):
+            assert got[d]["share_ppm"] == d * 100_000
+
+    def test_concentrated_curve_hugs_zero(self, spark):
+        got = self._lz(spark, [0] * 9 + [100])
+        assert all(got[d]["share_ppm"] == 0 for d in range(1, 10))
+        assert got[10]["share_ppm"] == 1_000_000
+
+    def test_hand_computed_points(self, spark):
+        # sorted weights [1,2,3,4], 4 points: shares 10%, 30%, 60%, 100%
+        got = self._lz(spark, [3, 1, 4, 2], n_points=4)
+        assert [got[d]["share_ppm"] for d in (1, 2, 3, 4)] == [
+            100_000, 300_000, 600_000, 1_000_000]
