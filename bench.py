@@ -93,6 +93,7 @@ HEADLINE = [
     "sorted_neighborhood",
     "texttile_boundaries",
     "shadow_diff",
+    "extraction_cer",          # CER magnitude behind the identity diff
     "single_linkage_cut",
     "phonetic_blocks",
     "group_trend",

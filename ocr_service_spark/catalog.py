@@ -5788,6 +5788,51 @@ FROM s
 """
 
 
+def q_extraction_cer(spark, sf_dir):
+    """Extraction CER audit (operators/textstats.py extraction_cer):
+    'new' deterministically replaces every 'e' with '3' in every 6th
+    document, so the edit distance is EXACTLY the 'e' count (pure
+    substitutions) and both engines' levenshtein agree. Only changed
+    docs pay the quadratic; oracle replays the join, the distance and
+    the ppm."""
+    from .operators.textstats import extraction_cer
+
+    d = load(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "e", "3"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return extraction_cer(old, new)
+
+
+SQL_EXTRACTION_CER = """
+WITH a AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS ta FROM documents
+),
+b AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 6 = 0
+              THEN replace(COALESCE(text, ''), 'e', '3')
+              ELSE COALESCE(text, '') END AS tb
+  FROM documents
+),
+ch AS (
+  SELECT a.id, ta, tb FROM a JOIN b ON a.id = b.id WHERE ta <> tb
+)
+SELECT id, CAST(length(ta) AS BIGINT) AS len_old,
+       CAST(length(tb) AS BIGINT) AS len_new,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+       CAST((levenshtein(ta, tb) * 1000000)
+            // GREATEST(length(ta), 1) AS BIGINT) AS cer_ppm
+FROM ch
+"""
+
+
 def q_lorenz_curve(spark, sf_dir):
     """Lorenz decile points (operators/stats.py lorenz_curve) for the
     per-customer order-count concentration the Gini entry summarizes —
@@ -15671,6 +15716,7 @@ CATALOG: Dict[str, tuple] = {
     "acf_lags": (q_acf_lags, SQL_ACF),
     "cube_profile": (q_cube_profile, SQL_CUBE_PROFILE),
     "lorenz_curve": (q_lorenz_curve, SQL_LORENZ),
+    "extraction_cer": (q_extraction_cer, SQL_EXTRACTION_CER),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -711,3 +711,48 @@ def term_dispersion(
             .otherwise(F.lit(0)).cast("long").alias("dp_ppm"),
         )
     )
+
+
+def extraction_cer(
+    old,
+    new,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Character-error-rate audit between two extraction versions — the
+    magnitude counterpart of the shadow-deploy identity diff
+    (operators/… shadow_diff pins WHETHER outputs changed; this says
+    HOW MUCH): per changed document, edit distance over the old length
+    in ppm — the OCR-evaluation CER convention.
+
+    Cost control: the equality filter runs first (cheap, whole-stage
+    codegen), so the O(len^2) levenshtein evaluates ONLY on changed
+    documents — at a healthy deploy that is a sliver of the corpus; a
+    blown deploy pays the quadratic exactly where the answer matters.
+
+    Emits changed docs only: (id, len_old, len_new, dist, cer_ppm).
+    """
+    a = old.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_a"),
+    )
+    b = new.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_b"),
+    )
+    return (
+        a.join(b, "id")
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            "id",
+            F.length("_a").cast("long").alias("len_old"),
+            F.length("_b").cast("long").alias("len_new"),
+            F.levenshtein("_a", "_b").cast("long").alias("dist"),
+        )
+        .withColumn(
+            "cer_ppm",
+            F.expr(
+                "(dist * 1000000) div greatest(len_old, 1)"
+            ).cast("long"),
+        )
+    )

@@ -147,3 +147,39 @@ class TestTermDispersion:
         rows = [("a", "p p p q q r")]
         got = self._dp(spark, rows, top_k=2)
         assert set(got) == {"p", "q"}
+
+
+class TestExtractionCer:
+    def _cer(self, spark, old_new):
+        from ocr_service_spark.operators.textstats import extraction_cer
+
+        old = spark.createDataFrame(
+            [(i, a) for i, (a, _) in enumerate(old_new)],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(i, b) for i, (_, b) in enumerate(old_new)],
+            "doc_id long, text string")
+        return {r["id"]: r for r in extraction_cer(old, new).collect()}
+
+    def test_identical_docs_emit_nothing(self, spark):
+        got = self._cer(spark, [("same", "same"), ("x", "x")])
+        assert got == {}
+
+    def test_substitution_insertion_deletion(self, spark):
+        got = self._cer(spark, [
+            ("kitten", "sitten"),     # 1 substitution over 6 chars
+            ("hello", "helllo"),      # 1 insertion
+            ("abcd", "abd"),          # 1 deletion
+        ])
+        assert got[0]["dist"] == 1 and got[0]["cer_ppm"] == 166_666
+        assert got[1]["dist"] == 1 and got[1]["len_new"] == 6
+        assert got[2]["dist"] == 1 and got[2]["cer_ppm"] == 250_000
+
+    def test_total_rewrite_and_empty_old(self, spark):
+        got = self._cer(spark, [("abc", "xyz"), ("", "new")])
+        assert got[0]["cer_ppm"] == 1_000_000
+        assert got[1]["dist"] == 3 and got[1]["cer_ppm"] == 3_000_000
+
+    def test_null_text_treated_as_empty(self, spark):
+        got = self._cer(spark, [(None, "ab")])
+        assert got[0]["len_old"] == 0 and got[0]["dist"] == 2
