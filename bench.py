@@ -216,6 +216,7 @@ HEADLINE = [
     "lang_segments",           # per-line LID run-length segmentation
     "int8_ann_topk",           # int8-quantized similarity, integer dots
     "bm25_topk",               # quantized-BM25 corpus retrieval
+    "retrieval_eval",          # MRR/P@k/recall@k integer IR metrics
     "phrase_search",           # positional phrase match, anchored postings
     "gazetteer_tag",           # dictionary-as-data phrase tagging
     "inverted_index_build",    # sharded positional index materialization

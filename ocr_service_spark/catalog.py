@@ -5788,6 +5788,77 @@ FROM s
 """
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """IR metric harness (operators/search.py retrieval_eval): five
+    planted queries rank documents by md5(qid:doc) and qrels mark a
+    deterministic sparse slice relevant — MRR / P@10 / recall@10 in
+    exact ppm with integral-mean totals. Oracle replays the md5
+    ranking, the top-k membership and every div."""
+    from .operators.search import retrieval_eval
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    qids = spark.range(5).select(F.col("id").alias("qid"))
+    scored = qids.join(d, how="cross").select(
+        "qid", "doc_id",
+        F.md5(F.concat_ws(":", F.col("qid"), F.col("doc_id"))).alias("_h"),
+    )
+    w = Window.partitionBy("qid").orderBy("_h", "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 20
+    ).select("qid", "doc_id", "rnk")
+    qrels = qids.join(d, how="cross").where(
+        F.col("doc_id") % 37 == F.col("qid") * 3
+    ).select("qid", "doc_id")
+    return retrieval_eval(ranked, qrels, k=10)
+
+
+SQL_RETRIEVAL_EVAL = """
+WITH qids AS (SELECT CAST(q AS BIGINT) AS qid FROM generate_series(0, 4) g(q)),
+scored AS (
+  SELECT qid, doc_id,
+         md5(CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM qids CROSS JOIN documents
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY h, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 20
+),
+qrels AS (
+  SELECT qid, doc_id FROM qids CROSS JOIN documents
+  WHERE doc_id % 37 = qid * 3
+),
+rel_n AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1
+),
+hits AS (
+  SELECT r.qid, MIN(r.rnk) AS first_rel,
+         CAST(SUM(CASE WHEN r.rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_k
+  FROM ranked r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  GROUP BY 1
+),
+per_q AS (
+  SELECT n.qid, n.n_rel,
+         CAST(COALESCE(1000000 // h.first_rel, 0) AS BIGINT) AS rr_ppm,
+         CAST((COALESCE(h.hits_k, 0) * 1000000) // 10 AS BIGINT)
+           AS p_at_k_ppm,
+         CAST(CASE WHEN n.n_rel > 0
+              THEN (COALESCE(h.hits_k, 0) * 1000000) // n.n_rel
+              ELSE 0 END AS BIGINT) AS rec_at_k_ppm
+  FROM rel_n n LEFT JOIN hits h ON n.qid = h.qid
+)
+SELECT * FROM per_q
+UNION ALL
+SELECT NULL, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT),
+       CAST(SUM(p_at_k_ppm) // COUNT(*) AS BIGINT),
+       CAST(SUM(rec_at_k_ppm) // COUNT(*) AS BIGINT)
+FROM per_q
+"""
+
+
 def q_extraction_cer(spark, sf_dir):
     """Extraction CER audit (operators/textstats.py extraction_cer):
     'new' deterministically replaces every 'e' with '3' in every 6th
@@ -15717,6 +15788,7 @@ CATALOG: Dict[str, tuple] = {
     "cube_profile": (q_cube_profile, SQL_CUBE_PROFILE),
     "lorenz_curve": (q_lorenz_curve, SQL_LORENZ),
     "extraction_cer": (q_extraction_cer, SQL_EXTRACTION_CER),
+    "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -395,3 +395,67 @@ def rrf_fuse(
         "id", "rrf_q", "n_sources", "best_rank",
         F.row_number().over(w).cast("long").alias("fused_rank"),
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """IR evaluation harness: score ranked lists against relevance
+    judgments with the exact integer metrics — MRR, precision@k,
+    recall@k, all in ppm — the eval loop behind tuning bm25_topk /
+    rrf_fuse / ANN retrieval entries.
+
+    `ranked` carries (qid, doc_id, rnk) with rnk 1-based per query;
+    `qrels` carries the relevant (qid, doc_id) pairs. Per query:
+      rr_ppm      = 1e6 div (first relevant rank), 0 when none ranked;
+      p_at_k_ppm  = |relevant in top-k| * 1e6 div k;
+      rec_at_k_ppm= |relevant in top-k| * 1e6 div |relevant|.
+    A TOTAL row (qid NULL) carries the integral means — sum div n, so
+    cross-engine exact. Queries with judgments but NO ranked rows
+    still count (all-zero metrics): evaluating only answered queries
+    inflates every mean, the classic eval leak.
+
+    Shape: one join of ranked×qrels on (qid, doc), two grouped
+    aggregates, a broadcast of the per-query relevant counts.
+    """
+    r = ranked.select(
+        F.col("qid"), F.col("doc_id"), F.col("rnk").cast("long").alias("rnk")
+    )
+    q = qrels.select("qid", "doc_id").distinct()
+    rel_n = q.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = r.join(q, ["qid", "doc_id"]).groupBy("qid").agg(
+        F.min("rnk").alias("first_rel"),
+        F.sum(F.when(F.col("rnk") <= int(k), 1).otherwise(0))
+        .cast("long").alias("hits_k"),
+    )
+    per_q = (
+        rel_n.join(hits, "qid", "left")
+        .na.fill({"hits_k": 0})
+        .select(
+            "qid", "n_rel",
+            F.coalesce(
+                F.expr("1000000 div first_rel"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+            F.expr(f"(hits_k * 1000000) div {int(k)}")
+            .cast("long").alias("p_at_k_ppm"),
+            F.expr("case when n_rel > 0 then (hits_k * 1000000) div n_rel"
+                   " else 0 end").cast("long").alias("rec_at_k_ppm"),
+        )
+    )
+    total = per_q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("rr_ppm").alias("_rr"),
+        F.sum("p_at_k_ppm").alias("_p"),
+        F.sum("rec_at_k_ppm").alias("_r"),
+    ).select(
+        F.lit(None).cast(per_q.schema["qid"].dataType).alias("qid"),
+        F.col("_n").cast("long").alias("n_rel"),
+        F.expr("_rr div _n").cast("long").alias("rr_ppm"),
+        F.expr("_p div _n").cast("long").alias("p_at_k_ppm"),
+        F.expr("_r div _n").cast("long").alias("rec_at_k_ppm"),
+    )
+    return per_q.unionByName(total)

@@ -1619,3 +1619,43 @@ class TestSecretScan:
         assert all(r[c] == 0 for c in
                    ("n_aws", "n_ghp", "n_jwt", "n_pem", "n_hex"))
         assert not scanned[8]["has_secret"]
+
+
+class TestRetrievalEval:
+    def _ev(self, spark, ranked, qrels, k=3):
+        from ocr_service_spark.operators.search import retrieval_eval
+
+        r = spark.createDataFrame(ranked, "qid long, doc_id long, rnk long")
+        q = spark.createDataFrame(qrels, "qid long, doc_id long")
+        rows = retrieval_eval(r, q, k=k).collect()
+        return {r_["qid"]: r_ for r_ in rows}
+
+    def test_hand_metrics(self, spark):
+        ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                  (2, 20, 1), (2, 21, 2), (2, 22, 3)]
+        qrels = [(1, 11), (1, 99),      # first rel at rank 2; 1 of 2 in top-3
+                 (2, 20)]               # perfect first hit
+        got = self._ev(spark, ranked, qrels)
+        q1, q2 = got[1], got[2]
+        assert q1["rr_ppm"] == 500_000
+        assert q1["p_at_k_ppm"] == 333_333
+        assert q1["rec_at_k_ppm"] == 500_000
+        assert q2["rr_ppm"] == 1_000_000 and q2["rec_at_k_ppm"] == 1_000_000
+
+    def test_unanswered_judged_query_counts_as_zero(self, spark):
+        # qid 3 has judgments but NO ranked rows: all-zero metrics must
+        # drag the mean (the classic eval leak this guards against)
+        ranked = [(1, 10, 1)]
+        qrels = [(1, 10), (3, 30)]
+        got = self._ev(spark, ranked, qrels, k=1)
+        assert got[3]["rr_ppm"] == 0 and got[3]["p_at_k_ppm"] == 0
+        total = got[None]
+        assert total["rr_ppm"] == 500_000  # mean(1e6, 0)
+
+    def test_total_row_integral_means(self, spark):
+        ranked = [(1, 10, 1), (2, 20, 2)]
+        qrels = [(1, 10), (2, 20)]
+        got = self._ev(spark, ranked, qrels, k=1)
+        # rr: 1e6 and 5e5 -> mean 750000; p@1: 1e6 and 0 -> 500000
+        assert got[None]["rr_ppm"] == 750_000
+        assert got[None]["p_at_k_ppm"] == 500_000
