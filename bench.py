@@ -235,6 +235,7 @@ HEADLINE = [
     "corpus_tv_drift",         # TV-distance dataset-regression alarm
     "ks_drift",                # exact two-sample KS CDF drift test
     "mannwhitney_drift",       # tie-corrected rank-sum drift + Cliff delta
+    "wasserstein_drift",       # earth-mover drift in metric units
     "sql_correlated_max",      # spark.sql face: correlated scalar subquery
     "theilsen_trend",          # robust median-of-slopes trend
     "spearman_corr",           # monotonicity audit on tie-averaged ranks

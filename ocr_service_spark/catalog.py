@@ -5788,6 +5788,65 @@ FROM s
 """
 
 
+def q_wasserstein_drift(spark, sf_dir):
+    """Wasserstein-1 drift with units (operators/stats.py
+    wasserstein_drift): the same every-3rd-doc +50-char shift the KS
+    entry plants reads here as ~16.7 chars of transported mass —
+    magnitude, not just significance. Oracle replays the merged
+    histogram, both cumulatives, the next-value gaps and the milli
+    div."""
+    from .operators.stats import wasserstein_drift
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    old = d.select(nl.alias("v"))
+    new = d.select(
+        F.when(F.col("doc_id") % 3 == 0, nl + 50).otherwise(nl).alias("v")
+    )
+    return wasserstein_drift(old, new, "v")
+
+
+SQL_WASSERSTEIN = """
+WITH olds AS (
+  SELECT CAST(length(COALESCE(text, '')) AS BIGINT) AS v FROM documents
+),
+news AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN CAST(length(COALESCE(text, '')) AS BIGINT) + 50
+              ELSE CAST(length(COALESCE(text, '')) AS BIGINT) END AS v
+  FROM documents
+),
+m AS (
+  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT v, CAST(COUNT(*) AS HUGEINT) AS ca, CAST(0 AS HUGEINT) AS cb
+    FROM olds GROUP BY v
+    UNION ALL
+    SELECT v, CAST(0 AS HUGEINT), CAST(COUNT(*) AS HUGEINT)
+    FROM news GROUP BY v
+  ) GROUP BY v
+),
+c AS (
+  SELECT v,
+         SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM m
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM m),
+seg AS (
+  SELECT ABS(c.cum_a * t.n_b - c.cum_b * t.n_a)
+           * (c.v_next - c.v) AS s, t.n_a, t.n_b
+  FROM c CROSS JOIN t WHERE c.v_next IS NOT NULL
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(SUM(s) AS BIGINT) AS w1_scaled,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0
+            THEN (SUM(s) * 1000) // (n_a * n_b) ELSE 0 END AS BIGINT)
+         AS w1_milli
+FROM seg GROUP BY n_a, n_b
+"""
+
+
 def q_retrieval_eval(spark, sf_dir):
     """IR metric harness (operators/search.py retrieval_eval): five
     planted queries rank documents by md5(qid:doc) and qrels mark a
@@ -15789,6 +15848,7 @@ CATALOG: Dict[str, tuple] = {
     "lorenz_curve": (q_lorenz_curve, SQL_LORENZ),
     "extraction_cer": (q_extraction_cer, SQL_EXTRACTION_CER),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
+    "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

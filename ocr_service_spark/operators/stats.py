@@ -1452,3 +1452,76 @@ def lorenz_curve(
             ).otherwise(F.lit(0)).cast("long").alias("share_ppm"),
         )
     )
+
+
+def wasserstein_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str = "v",
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth mover's) distance — the
+    drift measure with UNITS: KS says whether the distributions differ,
+    W1 says how far the mass moved in the metric's own scale (a +50-
+    char shift on a third of documents reads as ~16.7 chars of
+    transport). W1 = integral |F_a - F_b| dv, which on the merged
+    distinct values v_1<...<v_m is
+        sum_i |cumA_i * n_b - cumB_i * n_a| * (v_{i+1} - v_i)
+    scaled by n_a*n_b — counts and value gaps only, decimal(38,0) /
+    HUGEINT exact; emitted as w1_milli (metric units x1000, integral
+    div).
+
+    Shape: the ks_drift histogram machinery plus one rank self-join
+    (i against i+1) to attach the next distinct value — ranks from the
+    same distributed prefix sum, so nothing global ever funnels.
+
+    Emits ONE row: (n_a, n_b, w1_scaled, w1_milli).
+    """
+    from .quality import global_prefix_sum
+
+    a = old.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca"), F.lit(0).cast("long").alias("cb")
+    )
+    b = new.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.lit(0).cast("long").alias("ca"), F.count(F.lit(1)).alias("cb")
+    )
+    m = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    cum = global_prefix_sum(m, ["v"], "ca", out_col="cum_a")
+    cum = global_prefix_sum(cum, ["v"], "cb", out_col="cum_b")
+    cum = global_prefix_sum(cum, ["v"], "_one", out_col="i")
+    nxt = cum.select(
+        (F.col("i") - 1).alias("i"), F.col("v").alias("v_next")
+    )
+    d38 = "decimal(38,0)"
+    tot = m.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    scored = (
+        cum.join(nxt, "i")  # inner: the last value has no gap term
+        .join(F.broadcast(tot), how="cross")
+        .withColumn(
+            "_seg",
+            F.abs(
+                F.col("cum_a").cast(d38) * F.col("n_b").cast(d38)
+                - F.col("cum_b").cast(d38) * F.col("n_a").cast(d38)
+            ) * (F.col("v_next") - F.col("v")).cast(d38),
+        )
+    )
+    return (
+        scored.groupBy("n_a", "n_b")
+        .agg(F.sum("_seg").alias("_w"))
+        .select(
+            "n_a", "n_b",
+            F.col("_w").cast("long").alias("w1_scaled"),
+            F.expr(
+                "case when n_a > 0 and n_b > 0 then"
+                " (_w * 1000) div (cast(n_a as decimal(38,0))"
+                " * cast(n_b as decimal(38,0))) else 0 end"
+            ).cast("long").alias("w1_milli"),
+        )
+    )

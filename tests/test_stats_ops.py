@@ -926,3 +926,31 @@ class TestLorenzCurve:
         got = self._lz(spark, [3, 1, 4, 2], n_points=4)
         assert [got[d]["share_ppm"] for d in (1, 2, 3, 4)] == [
             100_000, 300_000, 600_000, 1_000_000]
+
+
+class TestWassersteinDrift:
+    def _w1(self, spark, a, b):
+        from ocr_service_spark.operators.stats import wasserstein_drift
+
+        da = spark.createDataFrame([(int(v),) for v in a], "v long")
+        db = spark.createDataFrame([(int(v),) for v in b], "v long")
+        return wasserstein_drift(da, db, "v").collect()[0]
+
+    def test_pure_shift_reads_in_units(self, spark):
+        # every value moved +5: W1 is exactly 5 units
+        r = self._w1(spark, range(10), range(5, 15))
+        assert r["w1_milli"] == 5_000
+
+    def test_partial_shift_averages(self, spark):
+        # one of two values moves +6: transport = 3 units on average
+        r = self._w1(spark, [0, 10], [0, 16])
+        assert r["w1_milli"] == 3_000
+
+    def test_identical_is_zero(self, spark):
+        r = self._w1(spark, [1, 2, 3], [3, 2, 1])
+        assert r["w1_scaled"] == 0 and r["w1_milli"] == 0
+
+    def test_symmetry(self, spark):
+        a, b = [0, 1, 7, 9], [2, 2, 5, 11]
+        assert (self._w1(spark, a, b)["w1_milli"]
+                == self._w1(spark, b, a)["w1_milli"])
