@@ -307,6 +307,7 @@ HEADLINE = [
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
     "acf_lags",                # lag-k periodicity autocorrelation
+    "max_drawdown",            # deepest peak-to-trough metric fall
     "prefix_filter_pairs",     # exact prefix-filtered similarity join
     "encoding_advisor",        # dictionary-vs-plain byte modeling
     "cohort_retention",        # first-activity cohort matrix

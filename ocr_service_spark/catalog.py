@@ -5788,6 +5788,72 @@ FROM s
 """
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Per-type maximum drawdown of daily event counts plus a planted
+    crash-and-recover series (level 100 rising to 140, crashing to 20
+    on days 12-15, fully recovered by the window end — slope and
+    endpoint metrics both read ~flat, drawdown reads the 102-deep
+    fall from the day-11 peak of 122; operators/stats.py max_drawdown). Oracle replays the running
+    max, the per-day drawdown and the earliest-deepest tiebreak."""
+    from .operators.stats import max_drawdown
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    crash = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+        .select(
+            F.lit("crash").alias("grp"), F.col("o").alias("day"),
+            F.when(F.col("o").between(12, 15), F.lit(20))
+            .otherwise(F.lit(100) + 2 * F.col("o")).alias("x"),
+        )
+    )
+    return max_drawdown(daily.unionByName(crash))
+
+
+SQL_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+crash AS (
+  SELECT 'crash' AS grp, o AS day,
+         CAST(CASE WHEN o BETWEEN 12 AND 15 THEN 20
+              ELSE 100 + 2 * o END AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+allrows AS (SELECT * FROM daily UNION ALL SELECT * FROM crash),
+s AS (
+  SELECT grp, day, x,
+         MAX(x) OVER (PARTITION BY grp ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM allrows
+),
+r AS (
+  SELECT grp, day, x, peak, peak - x AS dd,
+         row_number() OVER (PARTITION BY grp
+           ORDER BY peak - x DESC, day ASC) AS rn
+  FROM s
+)
+SELECT grp, day AS trough_day, peak AS peak_level, x AS trough_level,
+       CAST(dd AS BIGINT) AS drawdown,
+       CAST(CASE WHEN peak > 0 THEN (dd * 1000) // peak ELSE 0 END
+            AS BIGINT) AS depth_permille
+FROM r WHERE rn = 1
+"""
+
+
 def q_wasserstein_drift(spark, sf_dir):
     """Wasserstein-1 drift with units (operators/stats.py
     wasserstein_drift): the same every-3rd-doc +50-char shift the KS
@@ -15849,6 +15915,7 @@ CATALOG: Dict[str, tuple] = {
     "extraction_cer": (q_extraction_cer, SQL_EXTRACTION_CER),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN),
+    "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -1525,3 +1525,57 @@ def wasserstein_drift(
             ).cast("long").alias("w1_milli"),
         )
     )
+
+
+def max_drawdown(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Per-group maximum drawdown of a daily level series — the ops
+    reading of metric health: the deepest peak-to-trough fall (crawl
+    volume after an outage, index freshness after a stall), which
+    neither a slope nor a changepoint expresses (a metric can end the
+    window fully recovered and still have been down 80% mid-way).
+
+    One per-group window pass: running max, per-day drawdown =
+    runmax - y, then the group aggregate takes the deepest day with
+    the EARLIEST day as tiebreak (struct min over (-dd, day)). Permille
+    depth divides by the peak at the trough. All integers.
+
+    Emits (grp, trough_day, peak_level, trough_level, drawdown,
+    depth_permille).
+    """
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("d"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("grp").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = d.withColumn("peak", F.max("y").over(w)).withColumn(
+        "dd", F.col("peak") - F.col("y")
+    )
+    best = scored.groupBy("grp").agg(
+        F.min(
+            F.struct(
+                (-F.col("dd")).alias("_neg"),
+                F.col("d").alias("_d"),
+                F.col("peak").alias("_p"),
+                F.col("y").alias("_y"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "grp",
+        F.col("b._d").alias("trough_day"),
+        F.col("b._p").alias("peak_level"),
+        F.col("b._y").alias("trough_level"),
+        (-F.col("b._neg")).cast("long").alias("drawdown"),
+        F.expr(
+            "case when b._p > 0 then ((-b._neg) * 1000) div b._p"
+            " else 0 end"
+        ).cast("long").alias("depth_permille"),
+    )

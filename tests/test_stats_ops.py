@@ -954,3 +954,28 @@ class TestWassersteinDrift:
         a, b = [0, 1, 7, 9], [2, 2, 5, 11]
         assert (self._w1(spark, a, b)["w1_milli"]
                 == self._w1(spark, b, a)["w1_milli"])
+
+
+class TestMaxDrawdown:
+    def _dd(self, spark, series):
+        from ocr_service_spark.operators.stats import max_drawdown
+
+        df = spark.createDataFrame(
+            [("g", d, v) for d, v in enumerate(series)],
+            "grp string, day long, x long")
+        return max_drawdown(df).collect()[0]
+
+    def test_crash_and_full_recovery(self, spark):
+        # ends ABOVE the start yet was down 80 mid-window
+        r = self._dd(spark, [100, 110, 120, 40, 60, 130, 140])
+        assert r["drawdown"] == 80 and r["peak_level"] == 120
+        assert r["trough_day"] == 3 and r["trough_level"] == 40
+        assert r["depth_permille"] == 666
+
+    def test_monotone_rise_has_zero_drawdown(self, spark):
+        r = self._dd(spark, [1, 2, 3, 4])
+        assert r["drawdown"] == 0 and r["depth_permille"] == 0
+
+    def test_tie_takes_earliest_day(self, spark):
+        r = self._dd(spark, [100, 50, 50, 100])
+        assert r["drawdown"] == 50 and r["trough_day"] == 1
