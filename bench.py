@@ -219,6 +219,7 @@ HEADLINE = [
     "retrieval_eval",          # MRR/P@k/recall@k integer IR metrics
     "phrase_search",           # positional phrase match, anchored postings
     "gazetteer_tag",           # dictionary-as-data phrase tagging
+    "kwic_concordance",        # keyword-in-context curation probe
     "inverted_index_build",    # sharded positional index materialization
     "image_dhash_pairs",       # perceptual-hash banded near-dup pairs
     "registrable_domain",      # eTLD+1 grouping keys, zero exchanges

@@ -5788,6 +5788,51 @@ FROM s
 """
 
 
+def q_kwic_concordance(spark, sf_dir):
+    """Keyword-in-context concordance for 'spark' over the documents
+    corpus (operators/textstats.py kwic), window 3, capped at 5 hits
+    per doc. Oracle replays the positional explode, the per-doc cap
+    and both context slices (1-based list indexing shifted to the
+    0-based pos convention)."""
+    from .operators.textstats import kwic
+
+    return kwic(
+        load(spark, sf_dir, "documents"), "spark",
+        window=3, limit_per_doc=5,
+    )
+
+
+SQL_KWIC = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+') AS t
+  FROM documents
+),
+hits AS (
+  SELECT id, u.r.i - 1 AS pos
+  FROM (
+    SELECT id, t, list_transform(range(1, len(t) + 1),
+           i -> struct_pack(i := i, w := t[i])) AS lr
+    FROM toks
+  ) q, unnest(q.lr) AS u(r)
+  WHERE u.r.w = 'spark'
+),
+capped AS (
+  SELECT id, pos,
+         row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+  FROM hits QUALIFY rn <= 5
+)
+SELECT c.id, CAST(c.pos AS INTEGER) AS pos,
+       -- degenerate slices (keyword at an edge) are NULL in DuckDB but
+       -- '' under Spark's concat_ws: normalize
+       COALESCE(array_to_string(
+         k.t[GREATEST(c.pos - 3 + 1, 1):c.pos], ' '), '') AS left_ctx,
+       COALESCE(array_to_string(
+         k.t[c.pos + 2:c.pos + 4], ' '), '') AS right_ctx
+FROM capped c JOIN toks k ON k.id = c.id
+"""
+
+
 def q_max_drawdown(spark, sf_dir):
     """Per-type maximum drawdown of daily event counts plus a planted
     crash-and-recover series (level 100 rising to 140, crashing to 20
@@ -15916,6 +15961,7 @@ CATALOG: Dict[str, tuple] = {
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
+    "kwic_concordance": (q_kwic_concordance, SQL_KWIC),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -756,3 +756,66 @@ def extraction_cer(
             ).cast("long"),
         )
     )
+
+
+def kwic(
+    docs,
+    term: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    limit_per_doc: int = 5,
+):
+    """Keyword-in-context concordance — the corpus-linguistics probe a
+    curator reaches for before writing a filter rule ("how is this
+    spam phrase actually used?"): every occurrence of `term` with
+    `window` tokens of left and right context, capped per document so
+    one keyword-stuffed page can't flood the report.
+
+    Plan: tokenize once (array materialized before any lambda),
+    posexplode to (doc, pos, token), filter the term (codegen'd
+    equality — the corpus collapses to occurrences immediately), join
+    back to the per-doc array ONCE and slice the context windows from
+    it; the per-doc cap is a rank-bounded window (WindowGroupLimit).
+
+    Emits (id, pos, left_ctx, right_ctx), pos 0-based token position.
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.lit(term))
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+",
+        ).alias("_t"),
+    )
+    hits = (
+        toks.select("id", F.posexplode("_t").alias("pos", "w"))
+        .where(F.col("w") == t)
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    capped = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(limit_per_doc))
+        .drop("_rn")
+    )
+    return (
+        capped.join(toks, "id")
+        .select(
+            "id", "pos",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_t",
+                    F.greatest(F.col("pos") - int(window) + 1, F.lit(1)),
+                    F.least(F.col("pos"), F.lit(int(window))),
+                ),
+            ).alias("left_ctx"),
+            F.concat_ws(
+                " ",
+                F.slice("_t", F.col("pos") + 2, F.lit(int(window))),
+            ).alias("right_ctx"),
+        )
+    )

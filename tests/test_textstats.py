@@ -183,3 +183,37 @@ class TestExtractionCer:
     def test_null_text_treated_as_empty(self, spark):
         got = self._cer(spark, [(None, "ab")])
         assert got[0]["len_old"] == 0 and got[0]["dist"] == 2
+
+
+class TestKwic:
+    def _kw(self, spark, texts, term, **kw):
+        from ocr_service_spark.operators.textstats import kwic
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        return sorted(
+            [(r["id"], r["pos"], r["left_ctx"], r["right_ctx"])
+             for r in kwic(df, term, **kw).collect()]
+        )
+
+    def test_contexts_and_edges(self, spark):
+        got = self._kw(
+            spark, ["hit b c", "a b hit", "a b hit c d e f"],
+            "hit", window=3)
+        assert got == [
+            (0, 0, "", "b c"),           # keyword first: empty left
+            (1, 2, "a b", ""),           # keyword last: empty right
+            (2, 2, "a b", "c d e"),      # window caps the right context
+        ]
+
+    def test_per_doc_cap(self, spark):
+        got = self._kw(
+            spark, ["x " + "hit y " * 8], "hit",
+            window=1, limit_per_doc=3)
+        assert len(got) == 3
+        assert [p for (_, p, _, _) in got] == [1, 3, 5]  # earliest kept
+
+    def test_case_insensitive_match(self, spark):
+        got = self._kw(spark, ["A HIT b"], "Hit", window=1)
+        assert got == [(0, 1, "a", "b")]
