@@ -321,6 +321,7 @@ HEADLINE = [
     "harmonic_centrality",     # pivot-sampled closeness ranking
     "session_table",           # materialized session entities
     "transition_matrix",       # event-path Markov counts
+    "event_trigrams",          # three-step journey paths
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 

@@ -5788,6 +5788,34 @@ FROM s
 """
 
 
+def q_event_trigrams(spark, sf_dir):
+    """Top-25 three-step event paths (operators/asof.py
+    event_trigrams) — one hop deeper than the memoryless transition
+    matrix. Oracle replays both leads, the counts and the total-order
+    top-k."""
+    from .operators.asof import event_trigrams
+
+    return event_trigrams(load(spark, sf_dir, "events"), k=25)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH t AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, n FROM tri
+ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 25
+"""
+
+
 def q_kwic_concordance(spark, sf_dir):
     """Keyword-in-context concordance for 'spark' over the documents
     corpus (operators/textstats.py kwic), window 3, capped at 5 hits
@@ -15962,6 +15990,7 @@ CATALOG: Dict[str, tuple] = {
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "kwic_concordance": (q_kwic_concordance, SQL_KWIC),
+    "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
     "proportion_drift": (q_proportion_drift, SQL_PROPORTION_DRIFT),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -542,3 +542,41 @@ def bot_detection(
             )
         ),
     )
+
+
+def event_trigrams(
+    events: DataFrame,
+    k: int = 25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k three-step event paths — the journey view one hop deeper
+    than the Markov transition matrix (which, being memoryless, cannot
+    distinguish view->click->purchase from view->click->error even
+    when their frequencies differ wildly): consecutive per-user event
+    triples counted corpus-wide.
+
+    One user-keyed window pass (two leads over the same spec — one
+    Exchange), a hash aggregate, TakeOrderedAndProject for the top-k
+    (count desc, path asc — total order). Emits (e1, e2, e3, n).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    tri = (
+        events.select(
+            F.col(type_col).alias("e1"),
+            F.lead(type_col, 1).over(w).alias("e2"),
+            F.lead(type_col, 2).over(w).alias("e3"),
+        )
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tri.orderBy(
+        F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(int(k))

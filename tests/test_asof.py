@@ -406,3 +406,40 @@ class TestBotDetection:
         r = got[2]
         assert r["cv2_ppm"] is None and r["rate_x1000"] is None
         assert not r["is_bot"]
+
+
+class TestEventTrigrams:
+    def _tri(self, spark, rows, k=10):
+        from ocr_service_spark.operators.asof import event_trigrams
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string")
+        return [(r["e1"], r["e2"], r["e3"], r["n"])
+                for r in event_trigrams(df, k=k).collect()]
+
+    def _rows(self, user, seq, t0=0):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return [
+            (user, t0 + i, base + dt.timedelta(minutes=t0 + i), e)
+            for i, e in enumerate(seq)
+        ]
+
+    def test_sliding_triples_and_ranking(self, spark):
+        rows = self._rows(1, ["v", "c", "p", "v", "c", "p"])
+        # triples: vcp, cpv, pvc, vcp -> vcp twice
+        got = self._tri(spark, rows)
+        assert got[0] == ("v", "c", "p", 2)
+        assert ("c", "p", "v", 1) in got and ("p", "v", "c", 1) in got
+
+    def test_paths_do_not_cross_users(self, spark):
+        rows = self._rows(1, ["a", "b"]) + self._rows(2, ["c", "d"], t0=10)
+        assert self._tri(spark, rows) == []  # no user has 3 events
+
+    def test_memoryless_matrix_cannot_distinguish(self, spark):
+        # same bigram stats, different triples: the reason this exists
+        rows = (self._rows(1, ["v", "c", "p"])
+                + self._rows(2, ["v", "c", "e"], t0=10))
+        got = self._tri(spark, rows)
+        assert ("v", "c", "p", 1) in got and ("v", "c", "e", 1) in got
