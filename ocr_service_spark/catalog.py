@@ -15605,6 +15605,61 @@ FROM scans
 """
 
 
+def q_roc_auc(spark, sf_dir):
+    """Threshold-free ROC AUC (operators/classifier.py roc_auc) of a
+    planted quality score against a planted relevance label: the score
+    is coarse length buckets (div 50 — real ties exercise the
+    tie-averaged ranks) plus a +5 boost on the positive class, so
+    positives rank higher on average and AUC lands strictly between
+    0.5 and 1. Oracle replays the score histogram, the doubled
+    tie-averaged ranks from the cumulative counts and the single
+    integral div to ppm."""
+    from .operators.classifier import roc_auc
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(n_chars AS BIGINT) div 50"
+            " + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END"
+        ).alias("score"),
+        F.expr("doc_id % 5 = 0").alias("label"),
+    )
+    return roc_auc(d, "score", "label")
+
+
+SQL_ROC_AUC = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) // 50
+           + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS s,
+         doc_id % 5 = 0 AS y
+  FROM documents
+),
+h AS (
+  SELECT s, CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS cpos
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT s, c, cpos,
+         SUM(c) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+),
+a AS (
+  SELECT SUM(c) AS n, SUM(cpos) AS npos,
+         SUM(cpos * (2 * (cum - c) + c + 1)) AS sr2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(npos AS BIGINT) AS n_pos,
+       CAST(n - npos AS BIGINT) AS n_neg,
+       CAST(sr2 - npos * (npos + 1) AS BIGINT) AS u2,
+       CAST(CASE WHEN npos > 0 AND n - npos > 0 THEN
+         (sr2 - npos * (npos + 1)) * 1000000 // (2 * npos * (n - npos))
+         ELSE NULL END AS BIGINT) AS auc_ppm
+FROM a
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16001,6 +16056,7 @@ CATALOG: Dict[str, tuple] = {
     "spell_correct_map": (q_spell_correct, SQL_SPELL_CORRECT),
     "bot_detection": (q_bot_detection, SQL_BOT_DETECTION),
     "secret_scan": (q_secret_scan, SQL_SECRET_SCAN),
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
 }
 
 

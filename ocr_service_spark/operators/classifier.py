@@ -678,3 +678,60 @@ def fleiss_kappa(
             * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
         ).otherwise(F.lit(None).cast("long")).alias("kappa_ppm"),
     )
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC of a ranking score against boolean labels via the
+    rank (Mann-Whitney) formula — the threshold-free fourth evaluation
+    view beside gate_eval (one threshold's confusion), fleiss_kappa
+    (inter-gate agreement) and score_calibration (per-bin reliability):
+    AUC = P(score_pos > score_neg) + P(tie)/2, i.e. how often the
+    classifier ranks a random positive above a random negative — the
+    number a quality-score swap is compared on BEFORE anyone picks a
+    threshold.
+
+    Integer end-to-end: ties share the doubled tie-averaged rank
+    (stats._with_avg_rank2x — the mannwhitney_drift machinery
+    verbatim), the doubled U statistic u2 = Σr2_pos − n_pos·(n_pos+1)
+    is an exact integer (tie-averaged .5 ranks stay integral when
+    doubled), and auc_ppm = u2·1e6 div (2·n_pos·n_neg) is ONE integral
+    div of a nonnegative numerator (Σr2_pos ≥ n_pos·(n_pos+1) always) —
+    no engine-summed doubles, no sign-split needed. A class with zero
+    members emits NULL auc — data, not a division error. NULL scores
+    and labels are excluded (scored rows only).
+
+    Scale: one score-histogram hash aggregate + distributed prefix sum
+    + join-back (never a global Window.orderBy funnel), then a single
+    hash aggregate → ONE row (n, n_pos, n_neg, u2, auc_ppm).
+    """
+    from .stats import _with_avg_rank2x
+
+    d38 = "decimal(38,0)"
+    d = scored.select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    d = _with_avg_rank2x(d, "_s", "_r2")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when(F.col("_y"), F.col("_r2")).otherwise(F.lit(0))
+        ).cast(d38).alias("_sr2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("CAST(n - n_pos AS BIGINT)").alias("n_neg"),
+        F.expr(
+            f"CAST(_sr2 - CAST(n_pos AS {d38}) * (n_pos + 1) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            f"CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN "
+            f"CAST((_sr2 - CAST(n_pos AS {d38}) * (n_pos + 1)) * 1000000 "
+            f"div (CAST(2 AS {d38}) * n_pos * (n - n_pos)) AS BIGINT) "
+            f"ELSE NULL END"
+        ).alias("auc_ppm"),
+    )

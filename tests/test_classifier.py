@@ -437,3 +437,47 @@ class TestFleissKappa:
         rows = [(1, "p"), (1, "p"), (2, "p")]
         with _pytest.raises(Exception, match="unequal rater counts"):
             self._k(spark, rows)
+
+
+class TestRocAuc:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.classifier import roc_auc
+
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        return roc_auc(df, "s", "y").collect()[0]
+
+    def test_perfect_separation_is_one(self, spark):
+        r = self._run(
+            spark, [(3, True), (4, True), (1, False), (2, False)]
+        )
+        assert r["auc_ppm"] == 1_000_000 and r["u2"] == 8
+
+    def test_all_tied_is_half(self, spark):
+        r = self._run(spark, [(7, True), (7, True), (7, False), (7, False)])
+        assert r["auc_ppm"] == 500_000
+
+    def test_hand_case_with_tie(self, spark):
+        # pos [4,2], neg [2,1]: ranks 1,(2.5,2.5),4 -> sum_r2_pos=13,
+        # u2 = 13 - 2*3 = 7, auc = 7/8 = 875000 ppm
+        r = self._run(
+            spark, [(4, True), (2, True), (2, False), (1, False)]
+        )
+        assert (r["n_pos"], r["n_neg"], r["u2"]) == (2, 2, 7)
+        assert r["auc_ppm"] == 875_000
+
+    def test_reversed_ranking_is_zero(self, spark):
+        r = self._run(
+            spark, [(1, True), (2, True), (3, False), (4, False)]
+        )
+        assert r["auc_ppm"] == 0 and r["u2"] == 0
+
+    def test_single_class_null(self, spark):
+        r = self._run(spark, [(1, True), (2, True)])
+        assert r["auc_ppm"] is None and r["n_neg"] == 0
+
+    def test_null_rows_excluded(self, spark):
+        r = self._run(
+            spark,
+            [(3, True), (None, True), (1, None), (1, False)],
+        )
+        assert r["n"] == 2 and r["auc_ppm"] == 1_000_000
