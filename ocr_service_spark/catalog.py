@@ -15660,6 +15660,83 @@ FROM a
 """
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 (operators/search.py ndcg_eval) on the same planted
+    retrieval setup as retrieval_eval (md5 ranking, sparse modular
+    qrels): position-weighted gain with the log2 discount quantized
+    ONCE at plan-build time to an integer weight per rank — the oracle
+    carries the identical literal weight/prefix tables, so no engine
+    evaluates log2 at runtime."""
+    from .operators.search import ndcg_eval
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    qids = spark.range(5).select(F.col("id").alias("qid"))
+    scored = qids.join(d, how="cross").select(
+        "qid", "doc_id",
+        F.md5(F.concat_ws(":", F.col("qid"), F.col("doc_id"))).alias("_h"),
+    )
+    w = Window.partitionBy("qid").orderBy("_h", "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 20
+    ).select("qid", "doc_id", "rnk")
+    qrels = qids.join(d, how="cross").where(
+        F.col("doc_id") % 37 == F.col("qid") * 3
+    ).select("qid", "doc_id")
+    return ndcg_eval(ranked, qrels, k=10)
+
+
+SQL_NDCG_EVAL = """
+WITH qids AS (SELECT CAST(q AS BIGINT) AS qid FROM generate_series(0, 4) g(q)),
+scored AS (
+  SELECT qid, doc_id,
+         md5(CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM qids CROSS JOIN documents
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY h, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 20
+),
+qrels AS (
+  SELECT qid, doc_id FROM qids CROSS JOIN documents
+  WHERE doc_id % 37 = qid * 3
+),
+rel_n AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1
+),
+wt(rnk, w) AS (VALUES
+  (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852),
+  (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+pw(m, idcg) AS (VALUES
+  (1, 1000000), (2, 1630929), (3, 2130929), (4, 2561605), (5, 2948457),
+  (6, 3304664), (7, 3637997), (8, 3953461), (9, 4254490), (10, 4543554)),
+dcg AS (
+  SELECT r.qid, CAST(SUM(w.w) AS BIGINT) AS dcg_u
+  FROM ranked r
+  JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  JOIN wt w ON r.rnk = w.rnk
+  WHERE r.rnk <= 10
+  GROUP BY 1
+),
+per_q AS (
+  SELECT n.qid, n.n_rel,
+         CAST(COALESCE(d.dcg_u, 0) AS BIGINT) AS dcg_u,
+         CAST(p.idcg AS BIGINT) AS idcg_u,
+         CAST((COALESCE(d.dcg_u, 0) * 1000000) // p.idcg AS BIGINT)
+           AS ndcg_ppm
+  FROM rel_n n
+  LEFT JOIN dcg d ON n.qid = d.qid
+  JOIN pw p ON p.m = LEAST(n.n_rel, 10)
+)
+SELECT * FROM per_q
+UNION ALL
+SELECT NULL, CAST(COUNT(*) AS BIGINT), NULL, NULL,
+       CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT)
+FROM per_q
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16057,6 +16134,7 @@ CATALOG: Dict[str, tuple] = {
     "bot_detection": (q_bot_detection, SQL_BOT_DETECTION),
     "secret_scan": (q_secret_scan, SQL_SECRET_SCAN),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
 }
 
 

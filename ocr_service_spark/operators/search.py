@@ -459,3 +459,76 @@ def retrieval_eval(
         F.expr("_r div _n").cast("long").alias("rec_at_k_ppm"),
     )
     return per_q.unionByName(total)
+
+
+def ndcg_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k for binary relevance — the position-weighted fourth IR
+    metric beside retrieval_eval's MRR/P@k/recall@k: a relevant doc at
+    rank 1 is worth more than one at rank 10, which P@k cannot see.
+
+    Engine-exact under the repo float rule: the log2 discount is
+    IRRATIONAL, so each rank's weight is quantized ONCE at plan-build
+    time in driver Python — w[r] = floor(1e6 / log2(r+1)) — and both
+    DCG (sum of hit weights) and IDCG (prefix sum of the first
+    min(n_rel, k) weights) are integer sums of those literals; the
+    final ndcg_ppm is one integral div. No engine evaluates log2 at
+    runtime, so libm last-ulp differences cannot split Spark from the
+    DuckDB oracle. Queries with judgments but NO ranked hits score 0
+    (the retrieval_eval eval-leak rule); the TOTAL row (qid NULL)
+    carries n and the integral-mean ndcg.
+
+    Shape: ranked×qrels join, one grouped aggregate, a broadcast
+    k-row weight table and a broadcast per-query relevant count.
+    """
+    import math
+
+    kk = int(k)
+    w = [math.floor(10**6 / math.log2(r + 1)) for r in range(1, kk + 1)]
+    pref = [sum(w[: m + 1]) for m in range(kk)]
+    spark = ranked.sparkSession
+    wt = spark.createDataFrame(
+        [(r + 1, w[r]) for r in range(kk)], "rnk long, w long"
+    )
+    pw = spark.createDataFrame(
+        [(m + 1, pref[m]) for m in range(kk)], "m long, idcg long"
+    )
+    r = ranked.select(
+        "qid", "doc_id", F.col("rnk").cast("long").alias("rnk")
+    ).where(F.col("rnk") <= kk)
+    q = qrels.select("qid", "doc_id").distinct()
+    rel_n = q.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    dcg = (
+        r.join(q, ["qid", "doc_id"])
+        .join(F.broadcast(wt), "rnk")
+        .groupBy("qid")
+        .agg(F.sum("w").cast("long").alias("dcg_u"))
+    )
+    per_q = (
+        rel_n.join(dcg, "qid", "left")
+        .na.fill({"dcg_u": 0})
+        .withColumn("m", F.expr(f"least(n_rel, {kk})"))
+        .join(F.broadcast(pw), "m")
+        .select(
+            "qid", "n_rel", "dcg_u",
+            F.col("idcg").alias("idcg_u"),
+            F.expr("(dcg_u * 1000000) div idcg_u")
+            .cast("long").alias("ndcg_ppm"),
+        )
+    )
+    total = per_q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("ndcg_ppm").alias("_s"),
+    ).select(
+        F.lit(None).cast(per_q.schema["qid"].dataType).alias("qid"),
+        F.col("_n").cast("long").alias("n_rel"),
+        F.lit(None).cast("long").alias("dcg_u"),
+        F.lit(None).cast("long").alias("idcg_u"),
+        F.expr("_s div _n").cast("long").alias("ndcg_ppm"),
+    )
+    return per_q.unionByName(total)

@@ -1659,3 +1659,55 @@ class TestRetrievalEval:
         # rr: 1e6 and 5e5 -> mean 750000; p@1: 1e6 and 0 -> 500000
         assert got[None]["rr_ppm"] == 750_000
         assert got[None]["p_at_k_ppm"] == 500_000
+
+
+class TestNdcgEval:
+    W = [1_000_000, 630_929, 500_000, 430_676, 386_852,
+         356_207, 333_333, 315_464, 301_029, 289_064]
+
+    def _ev(self, spark, ranked, qrels, k=10):
+        from ocr_service_spark.operators.search import ndcg_eval
+
+        r = spark.createDataFrame(ranked, "qid long, doc_id long, rnk long")
+        q = spark.createDataFrame(qrels, "qid long, doc_id long")
+        rows = ndcg_eval(r, q, k=k).collect()
+        return {r_["qid"]: r_ for r_ in rows}
+
+    def test_ideal_ranking_is_one(self, spark):
+        ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+        qrels = [(1, 10), (1, 11)]
+        got = self._ev(spark, ranked, qrels)
+        assert got[1]["ndcg_ppm"] == 1_000_000
+        assert got[1]["dcg_u"] == got[1]["idcg_u"] == sum(self.W[:2])
+
+    def test_hand_case_ranks_one_and_three(self, spark):
+        # hits at ranks 1 and 3 of 2 relevant: dcg = w1 + w3,
+        # idcg = w1 + w2
+        ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+        qrels = [(1, 10), (1, 12)]
+        got = self._ev(spark, ranked, qrels)
+        dcg = self.W[0] + self.W[2]
+        idcg = self.W[0] + self.W[1]
+        assert got[1]["dcg_u"] == dcg and got[1]["idcg_u"] == idcg
+        assert got[1]["ndcg_ppm"] == dcg * 1_000_000 // idcg
+
+    def test_no_hits_is_zero_and_counts_in_total(self, spark):
+        ranked = [(1, 10, 1)]
+        qrels = [(1, 10), (3, 30)]
+        got = self._ev(spark, ranked, qrels)
+        assert got[3]["ndcg_ppm"] == 0
+        assert got[None]["ndcg_ppm"] == 500_000  # mean(1e6, 0)
+
+    def test_n_rel_capped_at_k(self, spark):
+        # 12 relevant but k=10: idcg is the full 10-weight prefix
+        ranked = [(1, d, r) for r, d in enumerate(range(10, 22), 1)]
+        qrels = [(1, d) for d in range(10, 22)]
+        got = self._ev(spark, ranked, qrels, k=10)
+        assert got[1]["idcg_u"] == sum(self.W)
+        assert got[1]["ndcg_ppm"] == 1_000_000  # top-10 all relevant
+
+    def test_beyond_k_hits_ignored(self, spark):
+        ranked = [(1, 10, 11)]
+        qrels = [(1, 10)]
+        got = self._ev(spark, ranked, qrels, k=10)
+        assert got[1]["dcg_u"] == 0 and got[1]["ndcg_ppm"] == 0
