@@ -15737,6 +15737,88 @@ FROM per_q
 """
 
 
+def q_rbo_overlap(spark, sf_dir):
+    """Rank-biased overlap (operators/search.py rbo_overlap) between
+    the planted md5 ranking and a deterministically perturbed twin:
+    even qids swap adjacent rank pairs (RBO drops to the even-rank
+    suffix sums), odd qids keep the identical list (truncated-RBO
+    ceiling 651321539 ppb). Oracle carries the same literal suffix
+    table and replays the max-rank lookup."""
+    from .operators.search import rbo_overlap
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    qids = spark.range(5).select(F.col("id").alias("qid"))
+    scored = qids.join(d, how="cross").select(
+        "qid", "doc_id",
+        F.md5(F.concat_ws(":", F.col("qid"), F.col("doc_id"))).alias("_h"),
+    )
+    w = Window.partitionBy("qid").orderBy("_h", "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 20
+    ).select("qid", "doc_id", "rnk")
+    ranked_b = ranked.select(
+        "qid", "doc_id",
+        F.expr(
+            "CASE WHEN qid % 2 = 0 THEN"
+            " CASE WHEN rnk % 2 = 1 THEN rnk + 1 ELSE rnk - 1 END"
+            " ELSE rnk END"
+        ).alias("rnk"),
+    )
+    return rbo_overlap(ranked, ranked_b, depth=10, p=0.9)
+
+
+SQL_RBO_OVERLAP = """
+WITH qids AS (SELECT CAST(q AS BIGINT) AS qid FROM generate_series(0, 4) g(q)),
+scored AS (
+  SELECT qid, doc_id,
+         md5(CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM qids CROSS JOIN documents
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY h, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 20
+),
+ranked_b AS (
+  SELECT qid, doc_id,
+         CASE WHEN qid % 2 = 0 THEN
+           CASE WHEN rnk % 2 = 1 THEN rnk + 1 ELSE rnk - 1 END
+         ELSE rnk END AS rnk
+  FROM ranked
+),
+st(m, t_u) AS (VALUES
+  (1, 235416395), (2, 135416396), (3, 90416397), (4, 63416397),
+  (5, 45191397), (6, 32069398), (7, 22227898), (8, 14635884),
+  (9, 8657173), (10, 3874204)),
+matched AS (
+  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(s.t_u) AS BIGINT) AS rbo_ppb
+  FROM ranked a
+  JOIN ranked_b b ON a.qid = b.qid AND a.doc_id = b.doc_id
+  JOIN st s ON s.m = GREATEST(a.rnk, b.rnk)
+  WHERE a.rnk <= 10 AND b.rnk <= 10
+  GROUP BY 1
+),
+uq AS (
+  SELECT DISTINCT qid FROM (
+    SELECT qid FROM ranked WHERE rnk <= 10
+    UNION ALL SELECT qid FROM ranked_b WHERE rnk <= 10
+  )
+),
+per_q AS (
+  SELECT u.qid, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         CAST(COALESCE(m.rbo_ppb, 0) AS BIGINT) AS rbo_ppb
+  FROM uq u LEFT JOIN matched m ON u.qid = m.qid
+)
+SELECT * FROM per_q
+UNION ALL
+SELECT NULL, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(rbo_ppb) // COUNT(*) AS BIGINT)
+FROM per_q
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16135,6 +16217,7 @@ CATALOG: Dict[str, tuple] = {
     "secret_scan": (q_secret_scan, SQL_SECRET_SCAN),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
 }
 
 

@@ -532,3 +532,76 @@ def ndcg_eval(
         F.expr("_s div _n").cast("long").alias("ndcg_ppm"),
     )
     return per_q.unionByName(total)
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    depth: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    rankings of the same queries — "how much did the ranking change?"
+    for a retriever swap (bm25_topk vs rrf_fuse, yesterday's index vs
+    today's), weighting agreement at rank 1 far above agreement at
+    rank 10, which plain top-k set overlap cannot see.
+
+    Engine-exact by the ndcg_eval rule: the geometric weights are
+    irrational in aggregate, so each depth's term u_d =
+    floor(1e9·(1−p)·p^(d−1)/d) is quantized ONCE at plan-build time,
+    and the per-match algebra makes the sum ONE table lookup: a doc
+    matched at ranks (ra, rb) joins the overlap set X_d for every
+    d ≥ max(ra, rb), so its total contribution is the SUFFIX sum
+    T[max(ra, rb)] of the quantized terms — RBO@D = Σ_matched T[m]
+    exactly, no per-depth loop. Truncation reports the lower bound
+    (identical lists score Σ d·u_d ≈ 0.651e9 at D=10, p=0.9, not 1e9
+    — the tail beyond D carries the rest of the geometric mass and is
+    deliberately not extrapolated). TOTAL row (qid NULL) carries the
+    integral mean over the qid universe of BOTH sides, so a query that
+    one system dropped entirely still drags the mean down.
+
+    Shape: one equi-join of the two depth-filtered lists on
+    (qid, doc_id), a broadcast D-row suffix table, one hash aggregate.
+    """
+    import math
+
+    dd = int(depth)
+    u = [
+        math.floor(10**9 * (1.0 - p) * p ** (d - 1) / d)
+        for d in range(1, dd + 1)
+    ]
+    suf = [sum(u[m - 1:]) for m in range(1, dd + 1)]
+    spark = a.sparkSession
+    st = spark.createDataFrame(
+        [(m, suf[m - 1]) for m in range(1, dd + 1)], "m long, t_u long"
+    )
+    am = a.select(
+        "qid", "doc_id", F.col("rnk").cast("long").alias("_ra")
+    ).where(F.col("_ra") <= dd)
+    bm = b.select(
+        "qid", "doc_id", F.col("rnk").cast("long").alias("_rb")
+    ).where(F.col("_rb") <= dd)
+    matched = (
+        am.join(bm, ["qid", "doc_id"])
+        .select("qid", F.greatest("_ra", "_rb").alias("m"))
+        .join(F.broadcast(st), "m")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("t_u").cast("long").alias("rbo_ppb"),
+        )
+    )
+    qids = am.select("qid").union(bm.select("qid")).distinct()
+    per_q = (
+        qids.join(matched, "qid", "left")
+        .na.fill({"n_matched": 0, "rbo_ppb": 0})
+    )
+    total = per_q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("rbo_ppb").alias("_s"),
+    ).select(
+        F.lit(None).cast(per_q.schema["qid"].dataType).alias("qid"),
+        F.col("_n").cast("long").alias("n_matched"),
+        F.expr("_s div _n").cast("long").alias("rbo_ppb"),
+    )
+    return per_q.unionByName(total)

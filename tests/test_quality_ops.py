@@ -1711,3 +1711,58 @@ class TestNdcgEval:
         qrels = [(1, 10)]
         got = self._ev(spark, ranked, qrels, k=10)
         assert got[1]["dcg_u"] == 0 and got[1]["ndcg_ppm"] == 0
+
+
+class TestRboOverlap:
+    U = [99_999_999, 44_999_999, 27_000_000, 18_225_000, 13_121_999,
+         9_841_500, 7_592_014, 5_978_711, 4_782_969, 3_874_204]
+
+    @classmethod
+    def suf(cls, m):
+        return sum(cls.U[m - 1:])
+
+    def _ev(self, spark, a, b, depth=10):
+        from ocr_service_spark.operators.search import rbo_overlap
+
+        da = spark.createDataFrame(a, "qid long, doc_id long, rnk long")
+        db = spark.createDataFrame(b, "qid long, doc_id long, rnk long")
+        rows = rbo_overlap(da, db, depth=depth, p=0.9).collect()
+        return {r_["qid"]: r_ for r_ in rows}
+
+    def test_identical_lists_hit_truncated_ceiling(self, spark):
+        a = [(1, d, r) for r, d in enumerate(range(10), 1)]
+        got = self._ev(spark, a, a)
+        # sum of d*u_d: every doc matched at m = its own rank
+        assert got[1]["rbo_ppb"] == sum(self.suf(m) for m in range(1, 11))
+        assert got[1]["rbo_ppb"] == 651_321_539
+
+    def test_adjacent_pair_swap(self, spark):
+        a = [(1, d, r) for r, d in enumerate(range(10), 1)]
+        b = [(1, d, r + 1 if r % 2 == 1 else r - 1)
+             for r, d in enumerate(range(10), 1)]
+        got = self._ev(spark, a, b)
+        # each swapped pair's two docs both land at the even rank
+        exp = 2 * sum(self.suf(m) for m in (2, 4, 6, 8, 10))
+        assert got[1]["rbo_ppb"] == exp == 498_824_558
+
+    def test_disjoint_lists_zero(self, spark):
+        a = [(1, 1, 1), (1, 2, 2)]
+        b = [(1, 8, 1), (1, 9, 2)]
+        got = self._ev(spark, a, b)
+        assert got[1]["rbo_ppb"] == 0 and got[1]["n_matched"] == 0
+
+    def test_top_heavy_beats_bottom_heavy(self, spark):
+        # one shared doc at rank 1 vs one shared doc at rank 10
+        a = [(1, 5, 1), (2, 5, 10)]
+        b = [(1, 5, 1), (2, 5, 10)]
+        got = self._ev(spark, a, b)
+        assert got[1]["rbo_ppb"] == self.suf(1)
+        assert got[2]["rbo_ppb"] == self.suf(10)
+        assert got[1]["rbo_ppb"] > got[2]["rbo_ppb"]
+
+    def test_dropped_query_drags_total_mean(self, spark):
+        a = [(1, 7, 1), (2, 7, 1)]
+        b = [(1, 7, 1)]  # system b returned nothing for qid 2
+        got = self._ev(spark, a, b)
+        assert got[2]["rbo_ppb"] == 0
+        assert got[None]["rbo_ppb"] == self.suf(1) // 2
