@@ -15819,6 +15819,79 @@ FROM per_q
 """
 
 
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon vocabulary drift (operators/stats.py js_drift)
+    between even and odd documents' token distributions — the bounded
+    symmetric companion of corpus_tv_drift on the same split. Oracle
+    replays the full-outer vocabulary merge, the per-word quantized
+    mixture-log surprise and every sign-split div."""
+    from .operators.stats import js_drift
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    old = toks.where(F.col("doc_id") % 2 == 0).select("w")
+    new = toks.where(F.col("doc_id") % 2 == 1).select("w")
+    return js_drift(old, new, "w")
+
+
+SQL_JS_DRIFT = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS w
+  FROM documents
+),
+a AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM toks WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM toks WHERE doc_id % 2 = 1 GROUP BY 1),
+m AS (
+  SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.w = b.w
+),
+t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS ta,
+             CAST(SUM(cb) AS HUGEINT) AS tb FROM m),
+s AS (
+  SELECT ca, cb, ta, tb,
+    CASE WHEN ca > 0 THEN CAST(FLOOR(ln(
+      CAST(2 * ca * tb AS DOUBLE) / CAST(ca * tb + cb * ta AS DOUBLE))
+      * 10000) AS BIGINT) ELSE 0 END AS s_a,
+    CASE WHEN cb > 0 THEN CAST(FLOOR(ln(
+      CAST(2 * cb * ta AS DOUBLE) / CAST(ca * tb + cb * ta AS DOUBLE))
+      * 10000) AS BIGINT) ELSE 0 END AS s_b
+  FROM m CROSS JOIN t
+),
+g AS (
+  SELECT MAX(ta) AS ta, MAX(tb) AS tb,
+         SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS va,
+         SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vb,
+         COUNT(*) AS vu,
+         SUM(CAST(ca AS HUGEINT) * s_a) AS na_,
+         SUM(CAST(cb AS HUGEINT) * s_b) AS nb_
+  FROM s
+),
+k AS (
+  SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+         CAST(va AS BIGINT) AS vocab_a, CAST(vb AS BIGINT) AS vocab_b,
+         CAST(vu AS BIGINT) AS vocab_union,
+         CAST(SIGN(na_) AS BIGINT) * CAST(ABS(na_) // ta AS BIGINT)
+           AS kl_a_q,
+         CAST(SIGN(nb_) AS BIGINT) * CAST(ABS(nb_) // tb AS BIGINT)
+           AS kl_b_q
+  FROM g
+)
+SELECT *, CAST(SIGN(kl_a_q + kl_b_q) AS BIGINT)
+            * CAST(ABS(kl_a_q + kl_b_q) // 2 AS BIGINT) AS jsd_q
+FROM k
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16218,6 +16291,7 @@ CATALOG: Dict[str, tuple] = {
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
+    "js_drift": (q_js_drift, SQL_JS_DRIFT),
 }
 
 

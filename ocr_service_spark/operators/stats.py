@@ -1579,3 +1579,100 @@ def max_drawdown(
             " else 0 end"
         ).cast("long").alias("depth_permille"),
     )
+
+
+def js_drift(
+    old: DataFrame, new: DataFrame, cat_col: str = "cat"
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus versions' category
+    (or vocabulary) distributions — the bounded, symmetric drift score
+    completing the family: TV (corpus_tv_drift) counts mass moved,
+    KS/Wasserstein see numeric shape, this weighs distributional
+    surprise — 0 for identical mixes, ln 2 (6931 on the grid) for
+    disjoint supports, and unlike raw KL it never blows up on words
+    the other side has zero of (the mixture M = (P+Q)/2 is the
+    reference, so p/m ≤ 2 always).
+
+    lm.py grid convention: per category, s_a = floor(ln(2·a·B /
+    (a·B + b·A)) · 1e4) is quantized BEFORE aggregation — the ln
+    argument is the same exact rational of bigints in both engines —
+    then KL(P||M) = Σ a·s_a div A in 1e-4 nats, same for Q, and
+    JSD = (KL_a + KL_b) div 2. Every div is SIGN-SPLIT (quantized
+    near-zero KLs can dip negative, and Spark div truncates where
+    DuckDB // floors).
+
+    Shape: two category hash aggregates, one full-outer merge on the
+    category, a broadcast 1-row totals join, one final aggregate →
+    ONE row (n_a, n_b, vocab_a, vocab_b, vocab_union, kl_a_q, kl_b_q,
+    jsd_q).
+    """
+    d38 = "decimal(38,0)"
+    a = old.groupBy(F.col(cat_col).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    b = new.groupBy(F.col(cat_col).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    m = (
+        a.join(b, "w", "full_outer")
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    tot = m.agg(
+        F.sum("ca").cast(d38).alias("ta"),
+        F.sum("cb").cast(d38).alias("tb"),
+    )
+    scored = m.join(F.broadcast(tot), how="cross").select(
+        "ca", "cb", "ta", "tb",
+        F.when(
+            F.col("ca") > 0,
+            F.floor(
+                F.log(
+                    F.expr(f"CAST(2 * ca * tb AS {d38})").cast("double")
+                    / F.expr(f"CAST(ca * tb + cb * ta AS {d38})")
+                    .cast("double")
+                )
+                * 10000
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("s_a"),
+        F.when(
+            F.col("cb") > 0,
+            F.floor(
+                F.log(
+                    F.expr(f"CAST(2 * cb * ta AS {d38})").cast("double")
+                    / F.expr(f"CAST(ca * tb + cb * ta AS {d38})")
+                    .cast("double")
+                )
+                * 10000
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("s_b"),
+    )
+    agg = scored.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).alias("va"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).alias("vb"),
+        F.count(F.lit(1)).alias("vu"),
+        F.sum(F.expr(f"CAST(ca AS {d38}) * s_a")).alias("na_"),
+        F.sum(F.expr(f"CAST(cb AS {d38}) * s_b")).alias("nb_"),
+    )
+    return agg.select(
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+        F.col("va").cast("long").alias("vocab_a"),
+        F.col("vb").cast("long").alias("vocab_b"),
+        F.col("vu").cast("long").alias("vocab_union"),
+        F.expr("CAST(sign(na_) AS BIGINT)"
+               " * CAST(abs(na_) div ta AS BIGINT)").alias("kl_a_q"),
+        F.expr("CAST(sign(nb_) AS BIGINT)"
+               " * CAST(abs(nb_) div tb AS BIGINT)").alias("kl_b_q"),
+        F.expr(
+            "CAST(sign(CAST(sign(na_) AS BIGINT)"
+            " * CAST(abs(na_) div ta AS BIGINT)"
+            " + CAST(sign(nb_) AS BIGINT)"
+            " * CAST(abs(nb_) div tb AS BIGINT)) AS BIGINT)"
+            " * CAST(abs(CAST(sign(na_) AS BIGINT)"
+            " * CAST(abs(na_) div ta AS BIGINT)"
+            " + CAST(sign(nb_) AS BIGINT)"
+            " * CAST(abs(nb_) div tb AS BIGINT)) div 2 AS BIGINT)"
+        ).alias("jsd_q"),
+    )

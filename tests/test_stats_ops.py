@@ -979,3 +979,49 @@ class TestMaxDrawdown:
     def test_tie_takes_earliest_day(self, spark):
         r = self._dd(spark, [100, 50, 50, 100])
         assert r["drawdown"] == 50 and r["trough_day"] == 1
+
+
+class TestJsDrift:
+    def _run(self, spark, a_words, b_words):
+        from ocr_service_spark.operators.stats import js_drift
+
+        a = spark.createDataFrame([(w,) for w in a_words], "w string")
+        b = spark.createDataFrame([(w,) for w in b_words], "w string")
+        return js_drift(a, b, "w").collect()[0]
+
+    def test_identical_distributions_zero(self, spark):
+        r = self._run(spark, ["x", "y", "y"], ["x", "y", "y"])
+        assert r["jsd_q"] == 0 and r["kl_a_q"] == 0 and r["kl_b_q"] == 0
+
+    def test_disjoint_supports_ln2(self, spark):
+        # p/m = 2 for every word on its own side: floor(ln2 * 1e4) = 6931
+        r = self._run(spark, ["a", "a", "b"], ["c", "d", "d"])
+        assert r["jsd_q"] == 6931
+        assert r["vocab_a"] == 2 and r["vocab_b"] == 2
+        assert r["vocab_union"] == 4
+
+    def test_hand_mixture(self, spark):
+        import math
+
+        # A = {x:3, y:1}, B = {x:1, y:3}: exact rationals through the grid
+        a, b = ["x"] * 3 + ["y"], ["x"] + ["y"] * 3
+        r = self._run(spark, a, b)
+
+        def s(c_own, c_other):
+            return math.floor(
+                math.log((2 * c_own * 4) / (c_own * 4 + c_other * 4)) * 10000
+            )
+
+        na = 3 * s(3, 1) + 1 * s(1, 3)
+        kl = int(math.copysign(abs(na) // 4, na))
+        assert r["kl_a_q"] == kl and r["kl_b_q"] == kl
+        assert r["jsd_q"] == (kl + kl) // 2 and r["jsd_q"] > 0
+
+    def test_bounded_by_ln2(self, spark):
+        r = self._run(spark, ["p"] * 9 + ["q"], ["q"] * 9 + ["p"])
+        assert 0 < r["jsd_q"] <= 6931
+
+    def test_counts(self, spark):
+        r = self._run(spark, ["a", "b"], ["b", "c", "c"])
+        assert (r["n_a"], r["n_b"]) == (2, 3)
+        assert (r["vocab_a"], r["vocab_b"], r["vocab_union"]) == (2, 2, 3)
