@@ -15892,6 +15892,56 @@ FROM k
 """
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Per-source robust MAD outlier flags (operators/stats.py
+    mad_outliers) on document length: the median/MAD pair with 50%
+    breakdown flags giant blobs a stddev gate would mask. Oracle
+    replays both doubled-median rank selections and the
+    cross-multiplied 3-sigma-consistent cut."""
+    from .operators.stats import mad_outliers
+
+    d = load(spark, sf_dir, "documents")
+    return mad_outliers(d, ["source"], "n_chars", "doc_id")
+
+
+SQL_MAD_OUTLIERS = """
+WITH r AS (
+  SELECT source, doc_id AS _id, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS BIGINT), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+med AS (
+  SELECT source,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+            + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS BIGINT) AS m2
+  FROM r GROUP BY 1
+),
+dev AS (
+  SELECT r.source, r._id, r.v, med.m2,
+         CAST(ABS(2 * r.v - med.m2) AS BIGINT) AS dev2
+  FROM r JOIN med USING (source)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY dev2, _id) AS rn2,
+         COUNT(*) OVER (PARTITION BY source) AS n2
+  FROM dev
+),
+mad AS (
+  SELECT source,
+         CAST(MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev2 END)
+            + MAX(CASE WHEN rn2 = (n2 + 2) // 2 THEN dev2 END)
+           AS BIGINT) AS d4
+  FROM r2 GROUP BY 1
+)
+SELECT d.source, d._id AS doc_id, d.v AS n_chars, d.m2, d.dev2, m.d4,
+       2 * d.dev2 * 10000 > 44478 * m.d4 AS is_outlier
+FROM dev d JOIN mad m USING (source)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16292,6 +16342,7 @@ CATALOG: Dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
     "js_drift": (q_js_drift, SQL_JS_DRIFT),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
 }
 
 

@@ -1676,3 +1676,80 @@ def js_drift(
             " * CAST(abs(nb_) div tb AS BIGINT)) div 2 AS BIGINT)"
         ).alias("jsd_q"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak: str,
+    crit_x10k: int = 44_478,
+) -> DataFrame:
+    """Per-group robust outlier flags via median absolute deviation —
+    the anomaly gate that survives what breaks z-scores: ONE wild value
+    inflates a group's stddev enough to hide itself (masking), while
+    the median and MAD have a 50% breakdown point, so a crawler host
+    whose page sizes are tight around 4 KB still flags the single
+    400 KB blob even when that blob dominates the variance.
+
+    Integer-exact on the doubled grid: m2 = lower+upper middle value
+    (the doubled tie-true median), dev2 = |2x − m2| = 2|x − med|, and
+    d4 = doubled median of dev2 = 4·MAD — all integers, no halving
+    ever happens. The flag |x − med| > c·MAD cross-multiplies to
+    2·dev2·10000 > crit_x10k·d4 with crit_x10k = 44478 ≈ 3·1.4826·1e4
+    (the Gaussian-consistent 3-sigma cut). d4 = 0 (over half the group
+    identical) degrades to "any deviation flags" — the standard MAD
+    failure mode, surfaced not hidden.
+
+    Shape: two per-group sort windows (value, then deviation) — the
+    exact-median shape shared with group_quantiles; group cardinality
+    is the partition key, so skewed giant groups are the caller's
+    repartition concern. Emits every row scored:
+    (keys…, tiebreak, value, m2, dev2, d4, is_outlier).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak).asc()
+    )
+    ranked = df.select(
+        *keys,
+        F.col(tiebreak).alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    med = ranked.groupBy(*keys).agg(
+        (
+            F.max(F.when(F.col("_rn") == F.expr("(_n + 1) div 2"),
+                         F.col("_v")))
+            + F.max(F.when(F.col("_rn") == F.expr("(_n + 2) div 2"),
+                           F.col("_v")))
+        ).cast("long").alias("m2")
+    )
+    dev = ranked.join(med, keys).select(
+        *keys, "_id", "_v", "m2",
+        F.abs(2 * F.col("_v") - F.col("m2")).cast("long").alias("dev2"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("dev2").asc(), F.col("_id").asc()
+    )
+    ranked2 = dev.withColumn("_rn2", F.row_number().over(w2)).withColumn(
+        "_n2", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    mad = ranked2.groupBy(*keys).agg(
+        (
+            F.max(F.when(F.col("_rn2") == F.expr("(_n2 + 1) div 2"),
+                         F.col("dev2")))
+            + F.max(F.when(F.col("_rn2") == F.expr("(_n2 + 2) div 2"),
+                           F.col("dev2")))
+        ).cast("long").alias("d4")
+    )
+    return dev.join(mad, keys).select(
+        *keys,
+        F.col("_id").alias(tiebreak),
+        F.col("_v").alias(value_col),
+        "m2", "dev2", "d4",
+        (
+            2 * F.col("dev2") * 10000 > int(crit_x10k) * F.col("d4")
+        ).alias("is_outlier"),
+    )

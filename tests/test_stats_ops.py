@@ -1025,3 +1025,42 @@ class TestJsDrift:
         r = self._run(spark, ["a", "b"], ["b", "c", "c"])
         assert (r["n_a"], r["n_b"]) == (2, 3)
         assert (r["vocab_a"], r["vocab_b"], r["vocab_union"]) == (2, 2, 3)
+
+
+class TestMadOutliers:
+    def _run(self, spark, vals):
+        from ocr_service_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "grp string, id long, v long",
+        )
+        rows = mad_outliers(df, ["grp"], "v", "id").collect()
+        return {r["id"]: r for r in rows}
+
+    def test_single_wild_value_flags_itself_not_others(self, spark):
+        # median 10, MAD 1: the 400 flags, the core does not — the
+        # masking case a z-score gate fails (stddev ~ 123)
+        got = self._run(spark, [9, 10, 10, 11, 400])
+        assert got[4]["is_outlier"] is True
+        assert all(not got[i]["is_outlier"] for i in range(4))
+
+    def test_doubled_median_even_group(self, spark):
+        # values 1,3: m2 = 1+3 = 4 (true median 2, kept integral)
+        got = self._run(spark, [1, 3])
+        assert got[0]["m2"] == 4 and got[0]["dev2"] == 2
+
+    def test_cut_is_exact_cross_multiplied(self, spark):
+        # median 0 (5 zeros), MAD=0 -> d4=0: any deviation flags
+        got = self._run(spark, [0, 0, 0, 0, 0, 7])
+        assert got[5]["is_outlier"] is True and got[5]["d4"] == 0
+        assert got[0]["is_outlier"] is False
+
+    def test_boundary_value_not_flagged(self, spark):
+        # m2=20(med 10), d4: devs 0,0,2,2,12 doubled-med d4=4 (MAD 1);
+        # cut: dev2*20000 > 44478*4=177912 -> dev2 > 8.89: value 14
+        # (dev2=8) stays, value 15 (dev2=10) flags
+        got = self._run(spark, [9, 10, 10, 11, 14])
+        assert got[4]["is_outlier"] is False
+        got2 = self._run(spark, [9, 10, 10, 11, 15])
+        assert got2[4]["is_outlier"] is True
