@@ -15942,6 +15942,66 @@ FROM dev d JOIN mad m USING (source)
 """
 
 
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve file layout (operators/layout.py hilbert_layout):
+    the same prime-scattered lineitem dims as the zorder entry on a
+    256x256 grid, 16 curve-range files. The Spark key is the
+    Arrow-vectorized numpy loop; the oracle replays the identical
+    rotate/flip recurrence as a generated unrolled CTE chain with
+    per-level FRESH column names (lateral-alias trap: an `AS hx`
+    beside a read of `hx` is engine-ambiguous)."""
+    from .operators.layout import hilbert_layout
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") * 7919 % 256).alias("x"),
+        (F.col("l_suppkey") * 104729 % 256).alias("y"),
+    )
+    out = hilbert_layout(pts, "x", "y", bits=8, file_bits=4)
+    return out.select(
+        "file_id", F.col("n_rows").cast("long").alias("n_rows"),
+        "min_x", "max_x", "min_y", "max_y",
+    )
+
+
+def _hilbert_sql_levels(bits: int) -> str:
+    lines = [
+        "l0 AS (SELECT x, y, CAST(x AS BIGINT) AS hx0,"
+        " CAST(y AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS d0 FROM pts)"
+    ]
+    for i in range(1, bits + 1):
+        s = 1 << (bits - i)
+        p = i - 1
+        rx = f"CASE WHEN (hx{p} & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (hy{p} & {s}) > 0 THEN 1 ELSE 0 END"
+        lines.append(
+            f"l{i} AS (SELECT x, y,\n"
+            f"  d{p} + {s * s} * xor(3 * {rx}, {ry}) AS d{i},\n"
+            f"  CASE WHEN (hy{p} & {s}) > 0 THEN hx{p}"
+            f" WHEN (hx{p} & {s}) > 0 THEN {s} - 1 - hy{p}"
+            f" ELSE hy{p} END AS hx{i},\n"
+            f"  CASE WHEN (hy{p} & {s}) > 0 THEN hy{p}"
+            f" WHEN (hx{p} & {s}) > 0 THEN {s} - 1 - hx{p}"
+            f" ELSE hx{p} END AS hy{i}\n"
+            f"  FROM l{p})"
+        )
+    return ",\n".join(lines)
+
+
+SQL_HILBERT = """
+WITH pts AS (
+  SELECT l_partkey * 7919 % 256 AS x, l_suppkey * 104729 % 256 AS y
+  FROM lineitem
+),
+{levels},
+keyed AS (SELECT x, y, d8 >> 12 AS file_id FROM l8)
+SELECT file_id, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM keyed GROUP BY file_id
+""".format(levels=_hilbert_sql_levels(8))
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16343,6 +16403,7 @@ CATALOG: Dict[str, tuple] = {
     "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
     "js_drift": (q_js_drift, SQL_JS_DRIFT),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "hilbert_layout": (q_hilbert_layout, SQL_HILBERT),
 }
 
 

@@ -264,3 +264,94 @@ def encoding_advisor(df: DataFrame, cols) -> DataFrame:
             "ELSE 0 END AS BIGINT)"
         ).alias("savings_pm"),
     )
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Scalar spec of the Hilbert-curve distance (the classic xy2d
+    loop): per level s = 2^(bits-1)..1, add s²·((3·rx) XOR ry) and
+    rotate/flip the quadrant frame. This pure-Python form IS the
+    byte-identity contract the vectorized UDF and the DuckDB oracle
+    are both held to."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _hilbert_np(x, y, bits: int):
+    """numpy-vectorized twin of hilbert_xy2d (same loop, arrays)."""
+    import numpy as np
+
+    x = x.astype("int64").copy()
+    y = y.astype("int64").copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype("int64")
+        ry = ((y & s) > 0).astype("int64")
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def hilbert_layout(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 8, file_bits: int = 4
+) -> DataFrame:
+    """Hilbert-curve file layout — the locality upgrade over
+    zorder_layout (what Delta liquid clustering moved to): the Hilbert
+    curve has no Morton "seams" (consecutive Z-order keys can jump
+    across half the domain; consecutive Hilbert cells are always
+    edge-adjacent), so curve-range files cover tighter rectangles and
+    zone-map pruning touches fewer files for the same box predicate.
+
+    The curve index needs a prefix-dependent rotation state per level,
+    which an unrolled Column expression cannot carry without Catalyst's
+    CollapseProject inlining each level's x/y into the next — an
+    EXPONENTIAL expression blowup at 8 levels — so the key is computed
+    in ONE Arrow-vectorized pandas UDF over numpy bit ops (integer
+    in/out, engine-exact; the per-level loop is O(bits) array passes).
+    The DuckDB oracle replays the identical loop as a generated
+    unrolled CTE chain (each level referenced once — linear, the
+    _hits_sql materialization rule). hilbert_xy2d above is the scalar
+    spec both are tested against.
+
+    Same audit shape as zorder_layout: file_id = top file_bits of the
+    2·bits-bit key → (file_id, n_rows, min/max per dimension), ready
+    for pruning_audit."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    b = int(bits)
+
+    # no parameter annotations: this module's `from __future__ import
+    # annotations` stringifies them, which pandas_udf cannot infer from
+    def _hkey(xs, ys):
+        return pd.Series(_hilbert_np(xs.to_numpy(), ys.to_numpy(), b))
+
+    hkey = pandas_udf(_hkey, "long")
+
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    fid = F.shiftright(hkey(x, y), 2 * b - int(file_bits))
+    return (
+        df.select(fid.alias("file_id"), x.alias("x"), y.alias("y"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+    )

@@ -191,3 +191,71 @@ class TestRangeLayoutNulls:
         out = range_layout(df, "id", "k", n_buckets=4, sample_mod=2).collect()
         assert sum(r["n_rows"] for r in out) == 150  # 50 NULLs excluded
         assert all(r["min_key"] is not None for r in out)
+
+
+class TestHilbertLayout:
+    # the classic 4x4 Hilbert walk (bits=2)
+    GRID4 = {
+        (0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3,
+        (0, 2): 4, (0, 3): 5, (1, 3): 6, (1, 2): 7,
+        (2, 2): 8, (2, 3): 9, (3, 3): 10, (3, 2): 11,
+        (3, 1): 12, (2, 1): 13, (2, 0): 14, (3, 0): 15,
+    }
+
+    def test_scalar_spec_matches_classic_4x4(self):
+        from ocr_service_spark.operators.layout import hilbert_xy2d
+
+        for (x, y), d in self.GRID4.items():
+            assert hilbert_xy2d(2, x, y) == d, (x, y)
+
+    def test_numpy_twin_matches_scalar_full_grid(self):
+        import numpy as np
+
+        from ocr_service_spark.operators.layout import (
+            _hilbert_np, hilbert_xy2d,
+        )
+
+        n = 64
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        xs, ys = xs.ravel(), ys.ravel()
+        got = _hilbert_np(xs, ys, 6)
+        for i in range(0, len(xs), 97):  # stride-sampled differential
+            assert got[i] == hilbert_xy2d(6, int(xs[i]), int(ys[i]))
+        # and the key is a permutation of the full range
+        assert sorted(got.tolist()) == list(range(n * n))
+
+    def test_consecutive_cells_edge_adjacent(self):
+        # the locality property Morton lacks: every curve step moves
+        # exactly one unit in exactly one dimension
+        from ocr_service_spark.operators.layout import hilbert_xy2d
+
+        n = 16
+        pos = {hilbert_xy2d(4, x, y): (x, y)
+               for x in range(n) for y in range(n)}
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    def test_spark_layout_files_are_contiguous_curve_ranges(self, spark):
+        from ocr_service_spark.operators.layout import (
+            hilbert_layout, hilbert_xy2d,
+        )
+
+        n = 16
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        rows = hilbert_layout(df, "x", "y", bits=4, file_bits=2).collect()
+        got = {r["file_id"]: r["n_rows"] for r in rows}
+        # 4 files x 64 cells each on the full grid
+        assert got == {0: 64, 1: 64, 2: 64, 3: 64}
+        # every file's box agrees with the spec-computed cell set
+        for r in rows:
+            cells = [
+                (x, y) for x in range(n) for y in range(n)
+                if hilbert_xy2d(4, x, y) >> 6 == r["file_id"]
+            ]
+            assert r["min_x"] == min(c[0] for c in cells)
+            assert r["max_x"] == max(c[0] for c in cells)
+            assert r["min_y"] == min(c[1] for c in cells)
+            assert r["max_y"] == max(c[1] for c in cells)
