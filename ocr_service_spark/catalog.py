@@ -16002,6 +16002,93 @@ FROM keyed GROUP BY file_id
 """.format(levels=_hilbert_sql_levels(8))
 
 
+def q_lm_kn_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py
+    lm_kneser_ney_nll): same doc_id%7 reference slice as the
+    stupid-backoff entry, but unseen bigrams back off to CONTINUATION
+    counts (distinct-predecessor mass), the d=3/4 discount kept
+    rational by multiplying through by 4. Oracle replays the bigram /
+    context / predecessor tables and both single-rational CASE paths
+    on the 10^4 grid."""
+    from .operators.lm import lm_kneser_ney_nll
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    out = lm_kneser_ney_nll(docs, ref, "doc_id", "text", "lang")
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "n_tokens", "n_bigram_hits",
+        "nll_q", "avg_nll_q",
+    )
+
+
+SQL_LM_KN = r"""
+WITH rt AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+uni AS (
+  SELECT lang, u.w AS w, COUNT(*) AS cnt
+  FROM rt, unnest(ws) AS u(w) GROUP BY 1, 2
+),
+bi AS (
+  SELECT lang, t.s.w1 AS w1, t.s.w2 AS w2, COUNT(*) AS c2
+  FROM (SELECT lang, list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])) AS prs
+        FROM rt WHERE len(ws) >= 2) q,
+       unnest(q.prs) AS t(s)
+  GROUP BY 1, 2, 3
+),
+ctx AS (
+  SELECT lang, w1 AS prev, SUM(c2) AS ctx_tot, COUNT(*) AS n_cont
+  FROM bi GROUP BY 1, 2
+),
+pred AS (
+  SELECT lang, w2 AS cur, COUNT(*) AS n_pred FROM bi GROUP BY 1, 2
+),
+btot AS (
+  SELECT b.lang, b.b_types, v.v_vocab
+  FROM (SELECT lang, COUNT(*) AS b_types FROM bi GROUP BY 1) b
+  JOIN (SELECT lang, COUNT(*) AS v_vocab FROM uni GROUP BY 1) v
+    ON b.lang = v.lang
+),
+dt AS (
+  SELECT doc_id, lang, u.t.prev AS prev, u.t.cur AS cur
+  FROM (SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents) d,
+       unnest(list_transform(range(1, len(ws) + 1),
+              i -> struct_pack(prev := CASE WHEN i > 1 THEN ws[i - 1] END,
+                               cur := ws[i]))) AS u(t)
+),
+s AS (
+  SELECT dt.doc_id, dt.lang,
+    CASE
+      WHEN dt.prev IS NOT NULL AND ctx.ctx_tot IS NOT NULL THEN
+        CAST(FLOOR(-ln(
+          (GREATEST(4 * COALESCE(bi.c2, 0) - 3, 0)
+             * (bt.b_types + bt.v_vocab)
+           + 3 * ctx.n_cont * (COALESCE(pred.n_pred, 0) + 1))
+          / CAST(4 * ctx.ctx_tot * (bt.b_types + bt.v_vocab) AS DOUBLE))
+          * 10000) AS BIGINT)
+      ELSE
+        CAST(FLOOR(-ln((COALESCE(pred.n_pred, 0) + 1)
+             / CAST(bt.b_types + bt.v_vocab AS DOUBLE)) * 10000) AS BIGINT)
+    END AS logq,
+    CASE WHEN bi.c2 IS NOT NULL THEN 1 ELSE 0 END AS h
+  FROM dt
+  LEFT JOIN bi ON dt.lang = bi.lang AND dt.prev = bi.w1 AND dt.cur = bi.w2
+  LEFT JOIN ctx ON dt.lang = ctx.lang AND dt.prev = ctx.prev
+  LEFT JOIN pred ON dt.lang = pred.lang AND dt.cur = pred.cur
+  JOIN btot bt ON dt.lang = bt.lang
+)
+SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(h) AS BIGINT) AS n_bigram_hits,
+       CAST(SUM(logq) AS BIGINT) AS nll_q,
+       CAST(SUM(logq) // COUNT(*) AS BIGINT) AS avg_nll_q
+FROM s GROUP BY doc_id, lang
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16404,6 +16491,7 @@ CATALOG: Dict[str, tuple] = {
     "js_drift": (q_js_drift, SQL_JS_DRIFT),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "hilbert_layout": (q_hilbert_layout, SQL_HILBERT),
+    "lm_kn_nll": (q_lm_kn_nll, SQL_LM_KN),
 }
 
 

@@ -484,3 +484,119 @@ def collocations_g2(
         .orderBy(F.desc("g2_q"), F.asc("w1"), F.asc("w2"))
         .limit(int(k))
     )
+
+
+def lm_kneser_ney_nll(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Per-document quantized NLL under an interpolated KNESER-NEY
+    bigram LM (Kneser & Ney 1995; the smoothing KenLM — CCNet's actual
+    scorer — implements): where stupid backoff falls back to raw
+    unigram frequency, KN falls back to the CONTINUATION count — how
+    many distinct contexts a word completes. "francisco" is frequent
+    but only ever follows "san"; KN scores it near-zero in fresh
+    contexts where stupid backoff overpays. That asymmetry is a real
+    curation signal on boilerplate-heavy web text.
+
+    Discount d = 3/4 stays RATIONAL by multiplying the interpolation
+    through by 4; with Pc(w) = (N1+(·,w)+1)/(B+V) (add-one on the
+    continuation distribution so unseen words stay scoreable):
+
+      context seen (ctx_tot(w1) > 0):
+        p = [max(4·c2−3, 0)·(B+V) + 3·N1+(w1,·)·(N1+(·,cur)+1)]
+            / [4·ctx_tot(w1)·(B+V)]
+      no context (first token / unseen w1):
+        p = (N1+(·,cur)+1) / (B+V)
+
+    — each path ONE exact integer rational, floor-quantized per token
+    to the Q grid before summation (the module contract). ctx_tot(w1)
+    = Σ_w2 c(w1,w2) (true bigram-start mass, not the unigram count —
+    the last token of a doc opens no context), N1+ counts are row
+    counts of the distinct-pair table, B = bigram types, V = vocab.
+
+    Scale shape: identical to lm_bigram_nll — the (lang,w1,w2) table
+    stays distributed; ctx/pred tables are one aggregate each over it;
+    scoring is three left equi-joins + an n_langs-row broadcast, one
+    hash aggregate back to doc id. Output (id, lang, n_tokens,
+    n_bigram_hits, nll_q, avg_nll_q).
+    """
+    lang = F.col(lang_col).alias("lang")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    ref_w = ref.select(lang, words.alias("ws"))
+    uni = (
+        ref_w.select("lang", F.explode("ws").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi_pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        ref_w.where(F.size("ws") >= 2)
+        .select("lang", F.explode(bi_pairs).alias("p"))
+        .select("lang", "p.w1", "p.w2")
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = bi.groupBy("lang", F.col("w1").alias("prev")).agg(
+        F.sum("c2").alias("ctx_tot"),
+        F.count(F.lit(1)).alias("n_cont"),
+    )
+    pred = bi.groupBy("lang", F.col("w2").alias("cur")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    btot = bi.groupBy("lang").agg(F.count(F.lit(1)).alias("b_types")).join(
+        uni.groupBy("lang").agg(F.count(F.lit(1)).alias("v_vocab")),
+        "lang",
+    )
+
+    items = F.transform(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at("ws", i - 1)).alias("prev"),
+            F.element_at("ws", i).alias("cur"),
+        ),
+    )
+    tok = (
+        docs.select(F.col(id_col).alias("id"), lang, words.alias("ws"))
+        .select("id", "lang", F.explode(items).alias("t"))
+        .select("id", "lang", "t.prev", "t.cur")
+    )
+    j = (
+        tok.join(bi.withColumnsRenamed({"w1": "prev", "w2": "cur"}),
+                 ["lang", "prev", "cur"], "left")
+        .join(ctx, ["lang", "prev"], "left")
+        .join(pred, ["lang", "cur"], "left")
+        .join(F.broadcast(btot), "lang")
+    )
+    c2_0 = F.coalesce(F.col("c2"), F.lit(0))
+    np1 = F.coalesce(F.col("n_pred"), F.lit(0)) + 1
+    bv = F.col("b_types") + F.col("v_vocab")
+    num_bi = (
+        F.greatest(4 * c2_0 - 3, F.lit(0)) * bv
+        + 3 * F.col("n_cont") * np1
+    )
+    den_bi = 4 * F.col("ctx_tot") * bv
+    logq = F.when(
+        F.col("prev").isNotNull() & F.col("ctx_tot").isNotNull(),
+        F.floor(-F.log(num_bi / den_bi) * F.lit(Q)),
+    ).otherwise(
+        F.floor(-F.log(np1 / bv) * F.lit(Q))
+    )
+    hit = (F.col("c2").isNotNull()).cast("int")
+    scored = j.select("id", "lang", logq.alias("logq"), hit.alias("h"))
+    return scored.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("h").cast("long").alias("n_bigram_hits"),
+        F.sum("logq").cast("long").alias("nll_q"),
+        F.expr("sum(logq) div count(1)").cast("long").alias("avg_nll_q"),
+    )

@@ -667,3 +667,67 @@ class TestCollocationsG2:
         out = collocations_g2(
             self._corpus(spark), "text", min_count=2, k=20).collect()
         assert [(r["w1"], r["w2"]) for r in out] == [("a", "b")]
+
+
+class TestLmKneserNeyNll:
+    def _score(self, spark, docs_rows, ref_rows):
+        from ocr_service_spark.operators.lm import lm_kneser_ney_nll
+
+        docs = spark.createDataFrame(
+            docs_rows, "doc_id long, text string, lang string"
+        )
+        ref = spark.createDataFrame(
+            ref_rows, "doc_id long, text string, lang string"
+        )
+        return {r["id"]: r
+                for r in lm_kneser_ney_nll(docs, ref, "doc_id", "text",
+                                           "lang").collect()}
+
+    def test_paths_and_exact_values(self, spark):
+        import math
+
+        # ref "a b a b": bi (a,b):2 (b,a):1 -> B=2; V=2; B+V=4
+        # ctx a:(tot 2, cont 1), b:(tot 1, cont 1); pred a:1, b:1
+        ref = [(100, "a b a b", "en")]
+        got = self._score(spark, [(1, "a b", "en"), (2, "b b", "en")], ref)
+        q = 10000
+        pc = math.floor(-math.log(2 / 4) * q)  # first tokens: (1+1)/4
+        # (a,b): [max(8-3,0)*4 + 3*1*2] / [4*2*4] = 26/32
+        exp1 = pc + math.floor(-math.log(26 / 32) * q)
+        assert got[1]["nll_q"] == exp1 and got[1]["n_bigram_hits"] == 1
+        # (b,b) unseen, ctx b exists: [0 + 3*1*2] / [4*1*4] = 6/16
+        exp2 = pc + math.floor(-math.log(6 / 16) * q)
+        assert got[2]["nll_q"] == exp2 and got[2]["n_bigram_hits"] == 0
+
+    def test_oov_context_falls_to_continuation(self, spark):
+        import math
+
+        ref = [(100, "a b a b", "en")]
+        got = self._score(spark, [(1, "zz zz", "en")], ref)
+        q = 10000
+        # both tokens: continuation add-one (0+1)/4; prev 'zz' opens
+        # no context so token 2 takes the same path
+        assert got[1]["nll_q"] == 2 * math.floor(-math.log(1 / 4) * q)
+
+    def test_continuation_beats_raw_frequency(self, spark):
+        # 'francisco' and 'x' are equally frequent, but francisco only
+        # ever follows 'san' while x completes five contexts: in a
+        # fresh context KN must charge francisco more
+        ref = [(200, "san francisco san francisco san francisco"
+                     " san francisco san francisco", "en"),
+               (201, "a x b x c x d x e x", "en")]
+        got = self._score(
+            spark, [(1, "q francisco", "en"), (2, "q x", "en")], ref
+        )
+        assert got[1]["nll_q"] > got[2]["nll_q"]
+
+    def test_word_salad_scores_worse_than_fluent(self, spark):
+        ref = [(100, "the cat sat on the mat " * 20, "en")]
+        got = self._score(
+            spark,
+            [(1, "the cat sat on the mat", "en"),
+             (2, "mat the on sat cat the", "en")],
+            ref,
+        )
+        assert got[2]["avg_nll_q"] > got[1]["avg_nll_q"]
+        assert got[2]["n_bigram_hits"] < got[1]["n_bigram_hits"]
