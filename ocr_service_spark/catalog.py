@@ -16089,6 +16089,84 @@ FROM s GROUP BY doc_id, lang
 """
 
 
+def q_blocking_eval(spark, sf_dir):
+    """ER blocking-scheme evaluation (operators/linkage.py
+    blocking_eval): length-bucket blocking (n_chars div 20) of the
+    documents table, judged against planted consecutive-id ground
+    truth (doc_id % 10 = 0 pairs with doc_id+1). Oracle replays block
+    sizes, C(sz,2) candidate mass, the co-block join and every
+    permille."""
+    from .operators.linkage import blocking_eval
+
+    d = load(spark, sf_dir, "documents")
+    blocks = d.select(
+        F.col("doc_id").alias("rec_id"),
+        F.expr("CAST(n_chars AS BIGINT) div 20").alias("key"),
+    )
+    truth = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    return blocking_eval(blocks, truth)
+
+
+SQL_BLOCKING_EVAL = """
+WITH b AS (
+  SELECT DISTINCT doc_id AS rid, CAST(n_chars AS BIGINT) // 20 AS k
+  FROM documents
+),
+t AS (
+  SELECT DISTINCT doc_id AS ia, doc_id + 1 AS ib
+  FROM documents WHERE doc_id % 10 = 0
+),
+sizes AS (SELECT k, CAST(COUNT(*) AS HUGEINT) AS sz FROM b GROUP BY k),
+cand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         SUM(sz * (sz - 1) // 2) AS n_candidates
+  FROM sizes
+),
+nrec AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n_records
+  FROM documents
+),
+cob AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_coblocked
+  FROM (
+    SELECT DISTINCT t.ia, t.ib
+    FROM t
+    JOIN b ba ON t.ia = ba.rid
+    JOIN b bb ON t.ib = bb.rid AND ba.k = bb.k
+  )
+),
+tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM t),
+g AS (
+  SELECT CAST(n_records AS BIGINT) AS n_records, n_blocks,
+         CAST(n_candidates AS BIGINT) AS n_candidates,
+         CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+           AS n_total_pairs,
+         n_true_pairs, n_true_coblocked,
+         n_candidates AS cand_h,
+         n_records * (n_records - 1) // 2 AS tot_h
+  FROM cand, nrec, cob, tru
+)
+SELECT n_records, n_blocks, n_candidates, n_total_pairs,
+       n_true_pairs, n_true_coblocked,
+       CAST(CASE WHEN tot_h > 0
+            THEN (tot_h - cand_h) * 1000 // tot_h END AS BIGINT)
+         AS reduction_ratio_pm,
+       CAST(CASE WHEN n_true_pairs > 0
+            THEN n_true_coblocked * 1000 // n_true_pairs END AS BIGINT)
+         AS completeness_pm,
+       CAST(CASE WHEN cand_h > 0
+            THEN n_true_coblocked * 1000 // cand_h END AS BIGINT)
+         AS quality_pm
+FROM g
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16492,6 +16570,7 @@ CATALOG: Dict[str, tuple] = {
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "hilbert_layout": (q_hilbert_layout, SQL_HILBERT),
     "lm_kn_nll": (q_lm_kn_nll, SQL_LM_KN),
+    "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
 }
 
 

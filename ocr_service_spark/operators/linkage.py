@@ -389,3 +389,95 @@ def edit_distance_pairs(
         .where(F.col("dist") <= 1)
         .select("id_a", "id_b", "text_a", "text_b", "dist")
     )
+
+
+def blocking_eval(
+    blocks: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "rec_id",
+    key_col: str = "key",
+) -> DataFrame:
+    """Blocking-scheme evaluation — the numbers an ER blocking choice
+    (hash blocks vs soundex vs sorted neighborhood vs their union) is
+    actually made on, BEFORE anyone pays for pairwise scoring:
+
+      reduction ratio     1 − candidates / C(n,2): how much of the
+                          quadratic comparison space the scheme kills;
+      pairs completeness  share of ground-truth duplicate pairs that
+                          are co-blocked (blocking RECALL — a pair the
+                          blocker separates can never be linked later);
+      pair quality        true pairs per candidate (blocking PRECISION).
+
+    Candidate volume is Σ_b C(sz_b, 2) computed from block SIZES — the
+    pair set is never materialized (the whole point at 10^12 records;
+    the multiset convention double-counts pairs sharing two keys under
+    multi-key blocking, the standard RR definition). Completeness DOES
+    materialize — but only |truth| rows join twice against the block
+    table (ground truth is sample-sized by construction). Records with
+    NULL keys block nothing; a record may carry several keys (union
+    schemes) — co-blocked means ANY shared key.
+
+    ONE row out: (n_records, n_blocks, n_candidates, n_total_pairs,
+    n_true_pairs, n_true_coblocked, reduction_ratio_pm,
+    completeness_pm, quality_pm) — every ratio an integral-div
+    permille of exact integer counts.
+    """
+    d38 = "decimal(38,0)"
+    b = blocks.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("k")
+    ).where(F.col(key_col).isNotNull()).distinct()
+    nrec = (
+        blocks.select(F.col(id_col)).distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    )
+    sizes = b.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    cand = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(
+            F.expr(f"CAST(sz AS {d38}) * (sz - 1) div 2")
+        ).cast(d38).alias("n_candidates"),
+    )
+    t = truth_pairs.select(
+        F.col(truth_pairs.columns[0]).alias("ia"),
+        F.col(truth_pairs.columns[1]).alias("ib"),
+    ).distinct()
+    co = (
+        t.join(b.withColumnsRenamed({"rid": "ia", "k": "ka"}), "ia")
+        .join(b.withColumnsRenamed({"rid": "ib", "k": "kb"}), "ib")
+        .where(F.col("ka") == F.col("kb"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    tru = t.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    cob = co.agg(F.count(F.lit(1)).cast("long").alias("n_true_coblocked"))
+    out = (
+        cand.join(F.broadcast(tru), how="cross")
+        .join(F.broadcast(cob), how="cross")
+        .join(F.broadcast(nrec), how="cross")
+        .withColumn(
+            "n_total_pairs",
+            F.expr(
+                f"CAST(CAST(n_records AS {d38}) * (n_records - 1)"
+                f" div 2 AS {d38})"
+            ),
+        )
+    )
+    return out.select(
+        "n_records", "n_blocks",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_total_pairs").cast("long").alias("n_total_pairs"),
+        "n_true_pairs", "n_true_coblocked",
+        F.expr(
+            "CASE WHEN n_total_pairs > 0 THEN CAST((n_total_pairs"
+            " - n_candidates) * 1000 div n_total_pairs AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("reduction_ratio_pm"),
+        F.expr(
+            "CASE WHEN n_true_pairs > 0 THEN CAST(n_true_coblocked"
+            " * 1000 div n_true_pairs AS BIGINT) ELSE NULL END"
+        ).alias("completeness_pm"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN CAST(n_true_coblocked"
+            " * 1000 div n_candidates AS BIGINT) ELSE NULL END"
+        ).alias("quality_pm"),
+    )

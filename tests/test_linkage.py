@@ -279,3 +279,47 @@ class TestEditDistancePairs:
         assert len(got) == 1
         r = got[0]
         assert (r["text_a"], r["text_b"], r["dist"]) == ("abc", "abd", 1)
+
+
+class TestBlockingEval:
+    def _run(self, spark, blocks, truth):
+        from ocr_service_spark.operators.linkage import blocking_eval
+
+        b = spark.createDataFrame(blocks, "rec_id long, key string")
+        t = spark.createDataFrame(truth, "id_a long, id_b long")
+        return blocking_eval(b, t).collect()[0]
+
+    def test_hand_counts(self, spark):
+        # blocks: A={1,2,3} B={4,5} -> candidates 3+1=4; n=5 -> C(5,2)=10
+        blocks = [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")]
+        truth = [(1, 2), (1, 4)]  # one co-blocked, one split
+        r = self._run(spark, blocks, truth)
+        assert (r["n_records"], r["n_blocks"]) == (5, 2)
+        assert (r["n_candidates"], r["n_total_pairs"]) == (4, 10)
+        assert r["n_true_coblocked"] == 1
+        assert r["reduction_ratio_pm"] == 600   # (10-4)/10
+        assert r["completeness_pm"] == 500      # 1 of 2
+        assert r["quality_pm"] == 250           # 1 of 4
+
+    def test_null_keys_block_nothing(self, spark):
+        blocks = [(1, "A"), (2, "A"), (3, None)]
+        truth = [(1, 3)]
+        r = self._run(spark, blocks, truth)
+        assert r["n_records"] == 3          # record 3 still counted
+        assert r["n_candidates"] == 1       # only the A pair
+        assert r["completeness_pm"] == 0    # (1,3) not co-blocked
+
+    def test_multikey_union_coblocks_once(self, spark):
+        # record 1 and 2 share TWO keys; candidate multiset counts both,
+        # completeness counts the pair once
+        blocks = [(1, "A"), (1, "B"), (2, "A"), (2, "B")]
+        truth = [(1, 2)]
+        r = self._run(spark, blocks, truth)
+        assert r["n_candidates"] == 2
+        assert r["n_true_coblocked"] == 1 and r["completeness_pm"] == 1000
+
+    def test_perfect_blocking(self, spark):
+        blocks = [(1, "X"), (2, "X"), (3, "Y"), (4, "Y")]
+        truth = [(1, 2), (3, 4)]
+        r = self._run(spark, blocks, truth)
+        assert r["completeness_pm"] == 1000 and r["quality_pm"] == 1000
