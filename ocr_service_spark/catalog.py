@@ -16167,6 +16167,72 @@ FROM g
 """
 
 
+def q_erasure_audit(spark, sf_dir):
+    """Right-to-erasure end-to-end (txlog.py commit_delete_where +
+    operators/maintenance.py erasure_audit): commit the planted
+    subject table, a second dir of non-matching subjects (must survive
+    the rewrite untouched), DELETE WHERE subject IN the u0..u9 set,
+    retry the delete with the same writer_id (rerun no-op), then audit
+    every retained snapshot — versions 0/1 still expose the erased
+    subjects (time travel is GDPR's bug), version 2 is clean. Oracle
+    recomputes each snapshot's exposure from documents arithmetic."""
+    import shutil
+    import tempfile
+
+    from .operators.maintenance import erasure_audit
+    from .txlog import TxLogTable
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string"))
+        .alias("subject"),
+        F.col("doc_id").cast("long").alias("val"),
+    )
+    extra = d.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("x"), F.col("doc_id").cast("string")).alias("k"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 7).cast("string"))
+        .alias("subject"),
+        (F.col("doc_id") * 2).cast("long").alias("val"),
+    )
+    subjects = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("subject")
+    )
+    root = tempfile.mkdtemp(prefix="erasure_cat_", dir="/dev/shm")
+    try:
+        t = TxLogTable.create(os.path.join(root, "t"))
+        t.commit_append(base, key_col="k", writer_id="load-1")
+        t.commit_append(extra, key_col="k", writer_id="load-2")
+        t.commit_delete_where(spark, "subject", subjects,
+                              writer_id="erase-1")
+        t.commit_delete_where(spark, "subject", subjects,
+                              writer_id="erase-1")  # rerun: no-op
+        out = erasure_audit(
+            t, spark, "subject", subjects
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+SQL_ERASURE_AUDIT = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS e,
+             CAST(COUNT(DISTINCT doc_id % 50) AS BIGINT) AS s
+      FROM documents WHERE doc_id % 50 < 10),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS x
+      FROM documents WHERE doc_id % 4 = 0)
+SELECT CAST(0 AS BIGINT) AS version, n.n AS n_rows,
+       e.e AS n_exposed_rows, e.s AS n_exposed_subjects,
+       e.e = 0 AS clean
+FROM n, e
+UNION ALL
+SELECT 1, n.n + x.x, e.e, e.s, e.e = 0 FROM n, e, x
+UNION ALL
+SELECT 2, n.n + x.x - e.e, 0, 0, true FROM n, e, x
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16571,6 +16637,7 @@ CATALOG: Dict[str, tuple] = {
     "hilbert_layout": (q_hilbert_layout, SQL_HILBERT),
     "lm_kn_nll": (q_lm_kn_nll, SQL_LM_KN),
     "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
+    "erasure_audit": (q_erasure_audit, SQL_ERASURE_AUDIT),
 }
 
 

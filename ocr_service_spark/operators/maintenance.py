@@ -216,3 +216,53 @@ def scd1_upsert(
         latest.select(*keys).distinct(), list(keys), "left_anti"
     )
     return untouched.unionByName(latest)
+
+
+def erasure_audit(
+    table, spark, subject_col: str, subjects: DataFrame
+) -> DataFrame:
+    """Right-to-erasure verification across EVERY retained snapshot of
+    a txlog table — the compliance half of commit_delete_where: a
+    delete commit scrubs only the latest version, while time travel
+    (the format's feature, GDPR's bug) keeps erased rows readable in
+    every older snapshot until vacuum drops their data dirs. An
+    erasure job is not DONE until this audit shows the latest snapshot
+    clean AND names which historical versions still expose subjects —
+    the exact list vacuum(keep_last=...) must cover.
+
+    One row per retained snapshot: (version, n_rows, n_exposed_rows,
+    n_exposed_subjects, clean). The snapshot list is O(commits) driver
+    metadata; each version contributes one aggregate over its frozen
+    file list, all unioned into a single plan — versions scan in
+    parallel, nothing is collected per row.
+    """
+    from functools import reduce
+
+    subj = subjects.select(
+        F.col(subjects.columns[0]).alias(subject_col)
+    ).distinct()
+    per_version = []
+    for v in table.snapshots():
+        d = table.read(spark, v)
+        exposed = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+        agg = (
+            d.join(
+                subj.withColumn("_hit", F.lit(1)),
+                subject_col, "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(exposed).cast("long").alias("n_exposed_rows"),
+                F.count_distinct(
+                    F.when(F.col("_hit").isNotNull(),
+                           F.col(subject_col))
+                ).cast("long").alias("n_exposed_subjects"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows", "n_exposed_rows", "n_exposed_subjects",
+                (F.col("n_exposed_rows") == 0).alias("clean"),
+            )
+        )
+        per_version.append(agg)
+    return reduce(lambda a, b: a.unionByName(b), per_version)

@@ -285,6 +285,71 @@ class TxLogTable:
             df.schema.json(),
         )
 
+    def commit_delete_where(
+        self,
+        spark: SparkSession,
+        subject_col: str,
+        subjects: DataFrame,
+        writer_id: Optional[str] = None,
+    ) -> int:
+        """DELETE every row whose `subject_col` value appears in
+        `subjects` — the right-to-erasure primitive (GDPR Art. 17 /
+        CCPA delete): the predicate column is a SUBJECT id, not the
+        table key, so key zone maps cannot prune. Instead ONE scan
+        with input_file_name() semi-joined against the subject set
+        discovers which data dirs contain matches (file-level skipping
+        from data, the stats Delta would keep per file); only those
+        dirs are rewritten (anti-join), disjoint dirs survive
+        untouched. Idempotent via writer_id like every commit; a
+        delete matching nothing still commits an empty entry so the
+        rerun contract holds.
+
+        NOTE this erases the LATEST snapshot only — time travel keeps
+        erased rows readable in older versions by design; full legal
+        erasure = this commit + vacuum(keep_last=1), which
+        erasure_audit (operators/maintenance.py) verifies across every
+        retained snapshot."""
+        if writer_id is not None:
+            prior = self.writer_version(writer_id)
+            if prior is not None:
+                return prior
+        live = self.files()
+        subj = subjects.select(
+            F.col(subjects.columns[0]).alias(subject_col)
+        ).distinct()
+        affected: List[str] = []
+        if live:
+            full = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f["path"]) for f in live]
+            )
+            hit_rows = (
+                full.withColumn(
+                    "_dir",
+                    F.regexp_extract(
+                        F.input_file_name(), r"(data/[^/]+)/", 1
+                    ),
+                )
+                .join(subj, subject_col, "left_semi")
+                .select("_dir")
+                .distinct()
+                .collect()
+            )
+            affected = sorted(r["_dir"] for r in hit_rows)
+        if not affected:
+            return self._commit([], [], "delete", writer_id, None)
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, p) for p in affected]
+        )
+        kept = old.join(subj, subject_col, "left_anti")
+        # the rewritten dir carries no key zone map (the delete
+        # predicate is not the table key); commit_merge already treats
+        # map-less dirs as always-overlapping, so correctness holds and
+        # only merge pruning quality degrades until the next keyed write
+        add = self._write_data(kept, None)
+        return self._commit(
+            [add], affected, "delete", writer_id, old.schema.json()
+        )
+
     def read(
         self, spark: SparkSession, version: Optional[int] = None
     ) -> DataFrame:

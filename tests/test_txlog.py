@@ -307,3 +307,76 @@ class TestSchemaEvolution:
                 "k")
         # the failed commit must not have landed a version or data
         assert t.latest() == 0
+
+
+class TestErasure:
+    def _sdf(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, subject string, val long")
+
+    def _subjects(self, spark, names):
+        return spark.createDataFrame([(s,) for s in names], "subject string")
+
+    def test_delete_where_scrubs_latest_only(self, spark, table):
+        from ocr_service_spark.operators.maintenance import erasure_audit
+
+        table.commit_append(
+            self._sdf(spark, [("a", "u1", 1), ("b", "u2", 2), ("c", "u1", 3)]),
+            key_col="k",
+        )
+        table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["u1"]), writer_id="e1"
+        )
+        state = {r["k"] for r in table.read(spark).collect()}
+        assert state == {"b"}
+        audit = {r["version"]: r for r in erasure_audit(
+            table, spark, "subject", self._subjects(spark, ["u1"])
+        ).collect()}
+        assert audit[0]["n_exposed_rows"] == 2 and not audit[0]["clean"]
+        assert audit[1]["n_exposed_rows"] == 0 and audit[1]["clean"]
+        assert audit[1]["n_rows"] == 1
+
+    def test_untouched_dirs_survive(self, spark, table):
+        table.commit_append(self._sdf(spark, [("a", "u1", 1)]), key_col="k")
+        table.commit_append(self._sdf(spark, [("b", "v9", 2)]), key_col="k")
+        before = {f["path"] for f in table.files()}
+        table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["u1"])
+        )
+        after = {f["path"] for f in table.files()}
+        # the v9 dir is byte-identical live in both versions
+        assert len(before & after) == 1
+
+    def test_rerun_same_writer_id_noop(self, spark, table):
+        table.commit_append(self._sdf(spark, [("a", "u1", 1)]), key_col="k")
+        v = table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["u1"]), writer_id="e1"
+        )
+        v2 = table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["u1"]), writer_id="e1"
+        )
+        assert v == v2 and table.latest() == v
+
+    def test_no_match_commits_empty_entry(self, spark, table):
+        table.commit_append(self._sdf(spark, [("a", "u1", 1)]), key_col="k")
+        files_before = {f["path"] for f in table.files()}
+        v = table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["zz"]), writer_id="e0"
+        )
+        assert {f["path"] for f in table.files()} == files_before
+        assert table.latest() == v  # the writer_id still landed
+
+    def test_vacuum_completes_legal_erasure(self, spark, table):
+        table.commit_append(
+            self._sdf(spark, [("a", "u1", 1), ("b", "u2", 2)]), key_col="k"
+        )
+        table.commit_delete_where(
+            spark, "subject", self._subjects(spark, ["u1"])
+        )
+        # time travel still exposes u1 before vacuum
+        old = {r["subject"] for r in table.read(spark, version=0).collect()}
+        assert "u1" in old
+        table.vacuum(keep_last=1)
+        with pytest.raises(Exception):
+            table.read(spark, version=0).collect()
+        latest = {r["subject"] for r in table.read(spark).collect()}
+        assert latest == {"u2"}
