@@ -16233,6 +16233,47 @@ SELECT 2, n.n + x.x - e.e, 0, 0, true FROM n, e, x
 """
 
 
+def q_ewma_anomaly(spark, sf_dir):
+    """EWMA trajectory-break flags (operators/stats.py ewma_anomaly)
+    over per-user event values in integer cents, α=1/2 truncated at
+    depth 8 so the smoother is exact integers. Oracle replays the
+    eight lags, the 2^(8−j) weights and the cross-multiplied 50%
+    deviation cut."""
+    from .operators.stats import ewma_anomaly
+
+    d = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ewma_anomaly(d, ["user_id"], "event_id", "cents",
+                        depth=8, pct=50)
+
+
+SQL_EWMA_ANOMALY = """
+WITH d AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, cents,
+         LAG(cents, 1) OVER w * 128 + LAG(cents, 2) OVER w * 64
+         + LAG(cents, 3) OVER w * 32 + LAG(cents, 4) OVER w * 16
+         + LAG(cents, 5) OVER w * 8 + LAG(cents, 6) OVER w * 4
+         + LAG(cents, 7) OVER w * 2 + LAG(cents, 8) OVER w
+           AS pred_num,
+         row_number() OVER w AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id, cents, CAST(pred_num AS BIGINT) AS pred_num,
+       CASE WHEN rn > 8 THEN
+         100 * ABS(cents * 255 - pred_num) > 50 * pred_num
+       END AS flag
+FROM lagged
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16638,6 +16679,7 @@ CATALOG: Dict[str, tuple] = {
     "lm_kn_nll": (q_lm_kn_nll, SQL_LM_KN),
     "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
     "erasure_audit": (q_erasure_audit, SQL_ERASURE_AUDIT),
+    "ewma_anomaly": (q_ewma_anomaly, SQL_EWMA_ANOMALY),
 }
 
 

@@ -1753,3 +1753,57 @@ def mad_outliers(
             2 * F.col("dev2") * 10000 > int(crit_x10k) * F.col("d4")
         ).alias("is_outlier"),
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    depth: int = 8,
+    pct: int = 50,
+) -> DataFrame:
+    """Recency-weighted anomaly flags via an exact EWMA with α = 1/2 —
+    the forecasting member of the anomaly family: cusum_changepoints
+    sees sustained mean SHIFTS, seasonal_anomaly sees calendar
+    deviation, MAD sees distribution-free outliers; this flags a value
+    that breaks from its own recent trajectory, weighting yesterday
+    twice as much as the day before.
+
+    α = 1/2 truncated at `depth` makes the smoother EXACT integers:
+    pred_num = Σ_{j=1..D} lag(x, j)·2^(D−j) over total weight
+    2^D − 1, so the deviation test |x − pred| > pct% · pred
+    cross-multiplies to 100·|x·(2^D−1) − pred_num| > pct·pred_num —
+    no floats, no engine-summed rationals. The D lags share ONE window
+    spec (one Exchange + sort per key); rows in the warmup (fewer than
+    D predecessors) emit flag NULL — no prediction, not "no anomaly".
+
+    Emits every row: (keys…, order, value, pred_num, flag).
+    """
+    keys = list(key_cols)
+    dd, p = int(depth), int(pct)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    x = F.col(value_col).cast("long")
+    pred = None
+    for j in range(1, dd + 1):
+        term = F.lag(x, j).over(w) * F.lit(1 << (dd - j))
+        pred = term if pred is None else pred + term
+    d = df.select(
+        *keys,
+        F.col(order_col).alias("_ord"),
+        x.alias("_v"),
+        pred.alias("pred_num"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    tw = (1 << dd) - 1
+    return d.select(
+        *keys,
+        F.col("_ord").alias(order_col),
+        F.col("_v").alias(value_col),
+        F.col("pred_num").cast("long").alias("pred_num"),
+        F.when(
+            F.col("_rn") > dd,
+            100 * F.abs(F.col("_v") * tw - F.col("pred_num"))
+            > p * F.col("pred_num"),
+        ).alias("flag"),
+    )

@@ -1064,3 +1064,44 @@ class TestMadOutliers:
         assert got[4]["is_outlier"] is False
         got2 = self._run(spark, [9, 10, 10, 11, 15])
         assert got2[4]["is_outlier"] is True
+
+
+class TestEwmaAnomaly:
+    def _run(self, spark, vals, depth=3, pct=50):
+        from ocr_service_spark.operators.stats import ewma_anomaly
+
+        df = spark.createDataFrame(
+            [("u", i, v) for i, v in enumerate(vals)],
+            "grp string, i long, v long",
+        )
+        rows = ewma_anomaly(df, ["grp"], "i", "v", depth=depth,
+                            pct=pct).collect()
+        return {r["i"]: r for r in rows}
+
+    def test_exact_weights_depth3(self, spark):
+        # depth 3: pred_num = 4*lag1 + 2*lag2 + 1*lag3, weight 7
+        got = self._run(spark, [1, 2, 3, 10])
+        assert got[3]["pred_num"] == 4 * 3 + 2 * 2 + 1 * 1  # 17
+        # |10*7 - 17| = 53 -> 5300 > 50*17=850: flagged
+        assert got[3]["flag"] is True
+
+    def test_steady_series_never_flags(self, spark):
+        got = self._run(spark, [5] * 10)
+        assert all(got[i]["flag"] is False for i in range(3, 10))
+
+    def test_warmup_rows_null(self, spark):
+        got = self._run(spark, [1, 2, 3, 4])
+        assert got[0]["flag"] is None and got[2]["flag"] is None
+        assert got[3]["flag"] is not None
+
+    def test_recency_weighting_forgives_old_spike(self, spark):
+        # the spike is 3 steps old by the last row: prediction has
+        # recovered enough that a normal value passes
+        got = self._run(spark, [5, 5, 5, 40, 5, 5, 5])
+        assert got[4]["flag"] is True      # right after the spike
+        # pred at i=5: 4*5 + 2*40 + 1*5 = 105 vs 5*7=35: 7000 > 5250
+        # still flagged; by i=6 the spike has decayed to the lowest
+        # weight: pred 4*5 + 2*5 + 1*40 = 70, |35-70|*100 = 3500 is
+        # exactly 50*70 -> NOT flagged (strict cut)
+        assert got[5]["flag"] is True
+        assert got[6]["flag"] is False
