@@ -16274,6 +16274,65 @@ FROM lagged
 """
 
 
+def q_logodds_terms(spark, sf_dir):
+    """Dirichlet log-odds characteristic terms (operators/lm.py
+    logodds_terms) between even and odd documents — the evidence-scaled
+    corpus comparison beside chi2_terms/G2. Oracle replays both token
+    tables, the per-side quantized smoothed log-odds, the HUGEINT z²
+    and the top-40 order."""
+    from .operators.lm import logodds_terms
+
+    d = load(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0).select("text")
+    new = d.where(F.col("doc_id") % 2 == 1).select("text")
+    return logodds_terms(old, new, "text", min_count=5, k=40)
+
+
+SQL_LOGODDS_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, u.w AS w
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents) d, unnest(ws) AS u(w)
+),
+a AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS y1
+      FROM toks WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS y2
+      FROM toks WHERE doc_id % 2 = 1 GROUP BY 1),
+m AS (
+  SELECT COALESCE(a.w, b.w) AS w, COALESCE(a.y1, 0) AS y1,
+         COALESCE(b.y2, 0) AS y2
+  FROM a FULL OUTER JOIN b ON a.w = b.w
+),
+t AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS v FROM m),
+s AS (
+  SELECT w, y1, y2,
+         CAST(FLOOR(ln((y1 + 1)
+              / CAST(t.n1 + t.v - y1 - 1 AS DOUBLE)) * 10000) AS BIGINT)
+         - CAST(FLOOR(ln((y2 + 1)
+              / CAST(t.n2 + t.v - y2 - 1 AS DOUBLE)) * 10000) AS BIGINT)
+           AS delta_q
+  FROM m CROSS JOIN t
+  WHERE y1 + y2 >= 5
+),
+z AS (
+  SELECT w, y1, y2, delta_q,
+         CAST(CAST(delta_q AS HUGEINT) * delta_q * (y1 + 1) * (y2 + 1)
+              // (CAST(y1 + y2 + 2 AS HUGEINT) * 100) AS BIGINT)
+           AS z2_ppm,
+         CASE WHEN delta_q > 0 THEN 'old'
+              WHEN delta_q < 0 THEN 'new' ELSE 'tie' END AS side
+  FROM s
+)
+SELECT w, y1, y2, delta_q, z2_ppm, side, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY z2_ppm DESC, w ASC) AS rk
+  FROM z
+) WHERE rk <= 40
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16680,6 +16739,7 @@ CATALOG: Dict[str, tuple] = {
     "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
     "erasure_audit": (q_erasure_audit, SQL_ERASURE_AUDIT),
     "ewma_anomaly": (q_ewma_anomaly, SQL_EWMA_ANOMALY),
+    "logodds_terms": (q_logodds_terms, SQL_LOGODDS_TERMS),
 }
 
 

@@ -600,3 +600,87 @@ def lm_kneser_ney_nll(
         F.sum("logq").cast("long").alias("nll_q"),
         F.expr("sum(logq) div count(1)").cast("long").alias("avg_nll_q"),
     )
+
+
+def logodds_terms(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 40,
+) -> DataFrame:
+    """Characteristic vocabulary by Dirichlet-smoothed log-odds z-score
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the corpus
+    comparison that fixes what both neighbors get wrong: chi2_terms
+    over-ranks stopwords (huge counts, tiny effect), raw log-odds and
+    PMI over-rank hapaxes (tiny counts, huge noise); dividing the
+    smoothed log-odds difference by its estimated variance
+    (1/(y1+α) + 1/(y2+α)) ranks words by EVIDENCE-scaled effect.
+
+    With the uninformative α=1 prior and a0 = |V ∪|:
+      δ_w  = ln((y1+1)/(n1+V−y1−1)) − ln((y2+1)/(n2+V−y2−1))
+      z²_w = δ² / (1/(y1+1) + 1/(y2+1))
+    Module grid contract: each side's ln is ONE rational of integers
+    floor-quantized to the Q grid; δ_q is their integer difference;
+    z²_ppm = δ_q²·(y1+1)(y2+1) div ((y1+y2+2)·100) — decimal(38,0)
+    (the square times the count product overflows bigint at corpus
+    scale). side says which corpus the term characterizes (sign of δ).
+
+    Shape: two token hash aggregates, a full-outer vocab merge, one
+    broadcast totals row, one top-k WindowGroupLimit. Emits
+    (term, y1, y2, delta_q, z2_ppm, side, rk) — the k highest-|z|
+    terms overall.
+    """
+    d38 = "decimal(38,0)"
+    a = _tokens(old, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("y1")
+    )
+    b = _tokens(new, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("y2")
+    )
+    m = (
+        a.join(b, "w", "full_outer")
+        .na.fill({"y1": 0, "y2": 0})
+    )
+    tot = m.agg(
+        F.sum("y1").cast("long").alias("n1"),
+        F.sum("y2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    s = m.join(F.broadcast(tot), how="cross").where(
+        F.col("y1") + F.col("y2") >= int(min_count)
+    )
+    d1 = F.floor(
+        F.log((F.col("y1") + 1)
+              / (F.col("n1") + F.col("v") - F.col("y1") - 1)
+              .cast("double")) * F.lit(Q)
+    ).cast("long")
+    d2 = F.floor(
+        F.log((F.col("y2") + 1)
+              / (F.col("n2") + F.col("v") - F.col("y2") - 1)
+              .cast("double")) * F.lit(Q)
+    ).cast("long")
+    scored = s.select(
+        "w", "y1", "y2", (d1 - d2).alias("delta_q")
+    ).select(
+        "w", "y1", "y2", "delta_q",
+        F.expr(
+            f"CAST(CAST(delta_q AS {d38}) * delta_q"
+            f" * (y1 + 1) * (y2 + 1)"
+            f" div (CAST(y1 + y2 + 2 AS {d38}) * 100) AS BIGINT)"
+        ).alias("z2_ppm"),
+        F.when(F.col("delta_q") > 0, F.lit("old"))
+        .when(F.col("delta_q") < 0, F.lit("new"))
+        .otherwise(F.lit("tie")).alias("side"),
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject — each task
+    # forwards at most k rows; never a bare global-Window funnel), then
+    # rank the k-row result
+    top = scored.orderBy(F.col("z2_ppm").desc(), F.col("w").asc()).limit(
+        int(k)
+    )
+    win = Window.orderBy(F.col("z2_ppm").desc(), F.col("w").asc())
+    return top.select(
+        "w", "y1", "y2", "delta_q", "z2_ppm", "side",
+        F.row_number().over(win).cast("int").alias("rk"),
+    )

@@ -731,3 +731,55 @@ class TestLmKneserNeyNll:
         )
         assert got[2]["avg_nll_q"] > got[1]["avg_nll_q"]
         assert got[2]["n_bigram_hits"] < got[1]["n_bigram_hits"]
+
+
+class TestLogoddsTerms:
+    def _run(self, spark, old_texts, new_texts, min_count=1, k=10):
+        from ocr_service_spark.operators.lm import logodds_terms
+
+        old = spark.createDataFrame([(t,) for t in old_texts], "text string")
+        new = spark.createDataFrame([(t,) for t in new_texts], "text string")
+        return logodds_terms(old, new, "text", min_count=min_count,
+                             k=k).collect()
+
+    def test_exclusive_term_tops_with_exact_z2(self, spark):
+        import math
+
+        # 'alpha' only in old (y1=6, y2=0); 'common' everywhere
+        rows = self._run(
+            spark,
+            ["alpha common"] * 6,
+            ["beta common"] * 6,
+        )
+        by_w = {r["w"]: r for r in rows}
+        assert rows[0]["w"] in ("alpha", "beta")
+        a = by_w["alpha"]
+        # replicate: n1=n2=12, V=3
+        q = 10000
+        d1 = math.floor(math.log(7 / (12 + 3 - 6 - 1)) * q)
+        d2 = math.floor(math.log(1 / (12 + 3 - 0 - 1)) * q)
+        delta = d1 - d2
+        assert a["delta_q"] == delta and a["side"] == "old"
+        assert a["z2_ppm"] == delta * delta * 7 * 1 // (8 * 100)
+
+    def test_evidence_scaling_beats_hapax(self, spark):
+        # 'rare' appears once in old only; 'solid' 20 times in old only:
+        # same direction, but solid carries evidence -> higher z2
+        rows = self._run(
+            spark,
+            ["solid"] * 20 + ["rare"] + ["fill pad"] * 30,
+            ["fill pad"] * 30,
+        )
+        by_w = {r["w"]: r for r in rows}
+        assert by_w["solid"]["z2_ppm"] > by_w["rare"]["z2_ppm"]
+
+    def test_balanced_term_near_zero(self, spark):
+        rows = self._run(spark, ["same same x"] * 5, ["same same y"] * 5)
+        by_w = {r["w"]: r for r in rows}
+        assert by_w["same"]["z2_ppm"] < by_w["x"]["z2_ppm"]
+
+    def test_min_count_filters(self, spark):
+        rows = self._run(
+            spark, ["once seen seen seen"], ["seen seen"], min_count=3
+        )
+        assert all(r["w"] != "once" for r in rows)
