@@ -16333,6 +16333,94 @@ FROM (
 """
 
 
+_DBSCAN_PTS_SPARK = (
+    "CASE WHEN doc_id % 10 = 0 THEN 100 + (doc_id div 10) % 40"
+    " WHEN doc_id % 10 = 1 THEN 300 + (3 * (doc_id div 10)) % 40"
+    " ELSE (doc_id * 7919) % 1000 END",
+    "CASE WHEN doc_id % 10 = 0 THEN 200 + (7 * (doc_id div 10)) % 40"
+    " WHEN doc_id % 10 = 1 THEN 700 + (doc_id div 10) % 40"
+    " ELSE (doc_id * 104729) % 1000 END",
+)
+
+
+def q_dbscan_grid(spark, sf_dir):
+    """Grid-blocked DBSCAN (operators/clustering.py dbscan_grid) over
+    two planted 40-lattice blobs plus modular scatter noise, eps=8,
+    min_pts=8: blob lattice points stack enough documents to go core,
+    the scatter stays noise, borders are whatever lands within eps of
+    a blob. Oracle replays the 3x3-cell candidate join, squared
+    distances, core cut, a recursive-CTE closure over core edges and
+    the min-adjacent-core border rule."""
+    from .operators.clustering import dbscan_grid
+
+    d = load(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id",
+        F.expr(_DBSCAN_PTS_SPARK[0]).cast("long").alias("x"),
+        F.expr(_DBSCAN_PTS_SPARK[1]).cast("long").alias("y"),
+    )
+    return dbscan_grid(pts, "doc_id", "x", "y", eps=8, min_pts=8)
+
+
+SQL_DBSCAN = """
+WITH RECURSIVE pts AS (
+  SELECT doc_id AS pid,
+         CAST(CASE WHEN doc_id % 10 = 0 THEN 100 + (doc_id // 10) % 40
+              WHEN doc_id % 10 = 1 THEN 300 + (3 * (doc_id // 10)) % 40
+              ELSE (doc_id * 7919) % 1000 END AS BIGINT) AS px,
+         CAST(CASE WHEN doc_id % 10 = 0 THEN 200 + (7 * (doc_id // 10)) % 40
+              WHEN doc_id % 10 = 1 THEN 700 + (doc_id // 10) % 40
+              ELSE (doc_id * 104729) % 1000 END AS BIGINT) AS py
+  FROM documents
+),
+nb AS (
+  SELECT a.pid AS pid, b.pid AS qid
+  FROM pts a JOIN pts b
+    ON (a.px // 8) - (b.px // 8) BETWEEN -1 AND 1
+   AND (a.py // 8) - (b.py // 8) BETWEEN -1 AND 1
+  WHERE (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= 64
+),
+counts AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_nb FROM nb GROUP BY pid
+),
+cores AS (SELECT pid FROM counts WHERE n_nb >= 8),
+ce AS (
+  SELECT nb.pid AS u, nb.qid AS v FROM nb
+  JOIN cores c1 ON nb.pid = c1.pid
+  JOIN cores c2 ON nb.qid = c2.pid
+  WHERE nb.pid <> nb.qid
+),
+reach(id, r) AS (
+  SELECT u, u FROM ce
+  UNION
+  SELECT reach.id, ce.v FROM reach JOIN ce ON reach.r = ce.u
+),
+core_lbl AS (
+  SELECT c.pid, CAST(COALESCE(MIN(reach.r), c.pid) AS BIGINT) AS cluster
+  FROM cores c LEFT JOIN reach ON c.pid = reach.id
+  GROUP BY c.pid
+),
+border_lbl AS (
+  SELECT nb.pid, MIN(cl.cluster) AS cluster
+  FROM nb
+  JOIN core_lbl cl ON nb.qid = cl.pid
+  WHERE nb.pid NOT IN (SELECT pid FROM cores)
+  GROUP BY nb.pid
+),
+lbl AS (
+  SELECT pid, cluster, 'core' AS role FROM core_lbl
+  UNION ALL
+  SELECT pid, cluster, 'border' FROM border_lbl
+)
+SELECT p.pid AS doc_id, p.px AS x, p.py AS y, c.n_nb,
+       COALESCE(l.role, 'noise') AS role, l.cluster
+FROM pts p
+JOIN counts c ON p.pid = c.pid
+LEFT JOIN lbl l ON p.pid = l.pid
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16740,6 +16828,7 @@ CATALOG: Dict[str, tuple] = {
     "erasure_audit": (q_erasure_audit, SQL_ERASURE_AUDIT),
     "ewma_anomaly": (q_ewma_anomaly, SQL_EWMA_ANOMALY),
     "logodds_terms": (q_logodds_terms, SQL_LOGODDS_TERMS),
+    "dbscan_grid": (q_dbscan_grid, SQL_DBSCAN),
 }
 
 

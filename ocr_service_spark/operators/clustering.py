@@ -412,3 +412,112 @@ def mmr_select(
         picks,
         "sel_order int, id long, rel_ppm long, max_sim_ppm long, mmr_q long",
     )
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN density clustering on an integer 2-D plane — the
+    cluster-shape complement of the centroid family: k-means needs k
+    and carves convex cells, k-center chases coverage, single-linkage
+    chains through noise; DBSCAN finds arbitrarily-shaped dense
+    regions and — uniquely here — says NOISE out loud, which for
+    corpus curation is the point (the scatter between embedding blobs
+    is exactly the content a density cut should drop).
+
+    Grid-blocked exactly like the dedup pair joins: cell side = eps,
+    so every true ε-neighbor pair shares a 3×3 cell neighborhood —
+    the explode(9 offsets) + equi-join shape, Σ cell-density² work,
+    never all-pairs. Distances stay squared integers (dist² ≤ eps² —
+    no sqrt, no floats). Core = ≥ min_pts neighbors INCLUDING self
+    (the DBSCAN convention); clusters = connected components over
+    core–core ε-edges (the pointer-doubling CC, O(log n) rounds);
+    border points adopt the MINIMUM adjacent core's component —
+    deterministic where the textbook's "first reached" is
+    scan-order-dependent; everything else is noise with cluster NULL.
+
+    Emits (id, x, y, n_nb, role, cluster).
+    """
+    from .dedup import connected_components
+
+    e, mp = int(eps), int(min_pts)
+    p = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    ).withColumn(
+        "cx", F.floor(F.col("px") / e).cast("long")
+    ).withColumn(
+        "cy", F.floor(F.col("py") / e).cast("long")
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = p.select(
+        "pid", "px", "py", "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        "pid", "px", "py",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    base = p.select(
+        F.col("pid").alias("qid"), F.col("px").alias("qx"),
+        F.col("py").alias("qy"), F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    nb = probe.join(base, ["jx", "jy"]).where(
+        (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+        + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+        <= e * e
+    ).select("pid", "qid")
+    counts = nb.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nb")
+    )
+    cores = counts.where(F.col("n_nb") >= mp).select("pid")
+    core_edges = (
+        nb.where(F.col("pid") < F.col("qid"))
+        .join(cores, "pid", "left_semi")
+        .join(cores.withColumnsRenamed({"pid": "qid"}), "qid", "left_semi")
+    )
+    comp = connected_components(core_edges, src="pid", dst="qid")
+    core_lbl = (
+        cores.join(comp.withColumnsRenamed({"id": "pid"}), "pid", "left")
+        .select(
+            "pid",
+            F.coalesce(F.col("component"), F.col("pid")).alias("cluster"),
+        )
+    )
+    # border: non-core with >=1 core neighbor -> min adjacent core label
+    border_lbl = (
+        nb.join(cores, "pid", "left_anti")
+        .join(
+            core_lbl.withColumnsRenamed(
+                {"pid": "qid", "cluster": "qcluster"}
+            ),
+            "qid",
+        )
+        .groupBy("pid")
+        .agg(F.min("qcluster").alias("cluster"))
+    )
+    lbl = core_lbl.withColumn("role", F.lit("core")).unionByName(
+        border_lbl.withColumn("role", F.lit("border"))
+    )
+    return (
+        p.select("pid", "px", "py")
+        .join(counts, "pid")
+        .join(lbl, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.col("px").alias(x_col),
+            F.col("py").alias(y_col),
+            "n_nb",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            "cluster",
+        )
+    )

@@ -303,3 +303,62 @@ class TestMmrSelect:
         got = self._run(spark, rows, n=3, lam_pm=1000)
         # zero-norm id 9 never appears; equal scores break by id asc
         assert [r["id"] for r in got] == [3, 5]
+
+
+class TestDbscanGrid:
+    def _run(self, spark, pts, eps=2, min_pts=4):
+        from ocr_service_spark.operators.clustering import dbscan_grid
+
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        rows = dbscan_grid(df, "id", "x", "y", eps, min_pts).collect()
+        return {r["id"]: r for r in rows}
+
+    def test_two_blobs_and_noise(self, spark):
+        blob_a = [(i, x, y) for i, (x, y) in enumerate(
+            [(0, 0), (1, 0), (0, 1), (1, 1)])]
+        blob_b = [(10 + i, 100 + x, 100 + y) for i, (x, y) in enumerate(
+            [(0, 0), (1, 0), (0, 1), (1, 1)])]
+        noise = [(99, 50, 50)]
+        got = self._run(spark, blob_a + blob_b + noise)
+        assert all(got[i]["role"] == "core" for i in range(4))
+        assert {got[i]["cluster"] for i in range(4)} == {0}
+        assert {got[10 + i]["cluster"] for i in range(4)} == {10}
+        assert got[99]["role"] == "noise" and got[99]["cluster"] is None
+        assert got[0]["n_nb"] == 4  # includes self
+
+    def test_border_attaches_to_core(self, spark):
+        pts = [(0, 0, 0), (1, 1, 0), (2, 0, 1), (3, -1, 0)]
+        got = self._run(spark, pts, eps=1, min_pts=4)
+        assert got[0]["role"] == "core" and got[0]["cluster"] == 0
+        for i in (1, 2, 3):
+            assert got[i]["role"] == "border" and got[i]["cluster"] == 0
+
+    def test_chain_of_cores_merges(self, spark):
+        # three dense stations 2 apart with eps=2: cores chain into one
+        pts = []
+        pid = 0
+        for cx in (0, 2, 4):
+            for (dx, dy) in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+                pts.append((pid, cx + dx, dy))
+                pid += 1
+        got = self._run(spark, pts, eps=2, min_pts=4)
+        assert {r["cluster"] for r in got.values()} == {0}
+        assert all(r["role"] == "core" for r in got.values())
+
+    def test_border_tie_takes_min_cluster(self, spark):
+        # two separated blobs; a sparse point within eps of exactly one
+        # core on each side (n_nb=3 < min_pts, so it stays border)
+        left = [(0, 0, 0), (1, 1, 0), (2, 0, 1), (3, 1, 1)]
+        right = [(10, 5, 0), (11, 6, 0), (12, 5, 1), (13, 6, 1)]
+        tie = [(20, 3, 0)]  # dist^2=4 to (1,0) and to (5,0) at eps=2
+        got = self._run(spark, left + right + tie, eps=2, min_pts=4)
+        assert got[1]["role"] == "core" and got[10]["role"] == "core"
+        assert got[1]["cluster"] == 0 and got[10]["cluster"] == 10
+        assert got[20]["role"] == "border" and got[20]["cluster"] == 0
+
+    def test_negative_coordinates_cells(self, spark):
+        # floor-division cells: a pair straddling zero still pairs
+        pts = [(0, -1, 0), (1, 0, 0), (2, -1, 1), (3, 0, 1)]
+        got = self._run(spark, pts, eps=2, min_pts=4)
+        assert all(r["role"] == "core" for r in got.values())
+        assert {r["cluster"] for r in got.values()} == {0}
