@@ -16421,6 +16421,75 @@ LEFT JOIN lbl l ON p.pid = l.pid
 """
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """Gate-threshold sweep (operators/classifier.py threshold_sweep):
+    a planted score that concentrates positives high, every distinct
+    score a candidate cut, confusion + utility from suffix sums over
+    ONE histogram. Oracle replays the histogram, the windowed prefix
+    sums, each permille and the min-threshold-on-tie argmax."""
+    from .operators.classifier import threshold_sweep
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("(doc_id * 37) % 500"
+               " + CASE WHEN doc_id % 4 = 0 THEN 400 ELSE 0 END")
+        .alias("score"),
+        F.expr("doc_id % 4 = 0").alias("label"),
+    )
+    return threshold_sweep(d, "score", "label",
+                           benefit_tp=100, cost_fp=100)
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH d AS (
+  SELECT (doc_id * 37) % 500
+           + CASE WHEN doc_id % 4 = 0 THEN 400 ELSE 0 END AS s,
+         doc_id % 4 = 0 AS y
+  FROM documents
+),
+h AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp
+  FROM d GROUP BY 1
+),
+t AS (SELECT SUM(c) AS n, SUM(cp) AS npos FROM h),
+c AS (
+  SELECT s, c, cp,
+         SUM(c) OVER w AS cum_c, SUM(cp) OVER w AS cum_p
+  FROM h
+  WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+j AS (
+  SELECT s AS threshold,
+         CAST(t.n - cum_c + c AS BIGINT) AS n_kept,
+         CAST(t.npos - cum_p + cp AS BIGINT) AS tp,
+         t.n, t.npos
+  FROM c, t
+),
+u AS (
+  SELECT threshold, n_kept, tp,
+         CAST(n_kept - tp AS BIGINT) AS fp,
+         CAST(npos - tp AS BIGINT) AS fn,
+         CAST(n - npos - n_kept + tp AS BIGINT) AS tn,
+         CAST(CASE WHEN n_kept > 0 THEN tp * 1000 // n_kept END
+           AS BIGINT) AS precision_pm,
+         CAST(CASE WHEN npos > 0 THEN tp * 1000 // npos END
+           AS BIGINT) AS recall_pm,
+         CAST(100 * tp - 100 * (n_kept - tp) AS BIGINT) AS utility
+  FROM j
+),
+b AS (
+  SELECT MAX(utility) AS bu FROM u
+),
+b2 AS (
+  SELECT MIN(threshold) AS bt FROM u JOIN b ON u.utility = b.bu
+)
+SELECT threshold, n_kept, tp, fp, fn, tn, precision_pm, recall_pm,
+       utility, (utility = b.bu AND threshold = b2.bt) AS is_best
+FROM u, b, b2
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16829,6 +16898,7 @@ CATALOG: Dict[str, tuple] = {
     "ewma_anomaly": (q_ewma_anomaly, SQL_EWMA_ANOMALY),
     "logodds_terms": (q_logodds_terms, SQL_LOGODDS_TERMS),
     "dbscan_grid": (q_dbscan_grid, SQL_DBSCAN),
+    "threshold_sweep": (q_threshold_sweep, SQL_THRESHOLD_SWEEP),
 }
 
 

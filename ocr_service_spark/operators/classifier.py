@@ -735,3 +735,92 @@ def roc_auc(
             f"ELSE NULL END"
         ).alias("auc_ppm"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    benefit_tp: int = 100,
+    cost_fp: int = 100,
+) -> DataFrame:
+    """Utility-maximizing gate threshold from ONE score histogram —
+    the operational question the AUC doesn't answer: WHERE do we cut?
+    Every distinct score is a candidate threshold (keep rows with
+    score ≥ t); tp/fp at every candidate come from suffix sums over
+    the per-score (count, positives) histogram, so the full confusion
+    sweep costs one hash aggregate + one distributed prefix pass —
+    never a per-threshold scan, never a collect.
+
+    Utility is integer micro-units: u(t) = benefit_tp·tp − cost_fp·fp
+    (asymmetric costs are the point — letting spam into a training
+    corpus usually costs more than dropping a good page). Emits every
+    candidate threshold's row (threshold, n_kept, tp, fp, fn, tn,
+    precision_pm, recall_pm, utility) plus is_best on the argmax
+    (max utility, LOWEST threshold on ties — keep more data when
+    indifferent; the tie rule is part of the contract).
+    """
+    from .quality import global_prefix_sum
+
+    d = scored.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    h = d.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cp"),
+    )
+    tot = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cp").cast("long").alias("npos"),
+    )
+    # ascending prefix sums; suffix = total - (prefix - self)
+    cum = global_prefix_sum(h.select("s", "c"), ["s"], "c",
+                            out_col="cum_c")
+    cump = global_prefix_sum(
+        h.select("s", F.col("cp").alias("c")), ["s"], "c", out_col="cum_p"
+    ).select("s", F.col("c").alias("cp"), "cum_p")
+    j = (
+        cum.join(cump, "s")
+        .join(F.broadcast(tot), how="cross")
+        .select(
+            F.col("s").alias("threshold"),
+            (F.col("n") - F.col("cum_c") + F.col("c")).cast("long")
+            .alias("n_kept"),
+            (F.col("npos") - F.col("cum_p") + F.col("cp")).cast("long")
+            .alias("tp"),
+            "n", "npos",
+        )
+        .select(
+            "threshold", "n_kept", "tp",
+            (F.col("n_kept") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("npos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("n") - F.col("npos") - F.col("n_kept") + F.col("tp"))
+            .cast("long").alias("tn"),
+        )
+    )
+    u = j.withColumn(
+        "precision_pm",
+        F.expr("CASE WHEN n_kept > 0 THEN CAST(tp * 1000 div n_kept"
+               " AS BIGINT) END"),
+    ).withColumn(
+        "recall_pm",
+        F.expr("CASE WHEN tp + fn > 0 THEN CAST(tp * 1000 div (tp + fn)"
+               " AS BIGINT) END"),
+    ).withColumn(
+        "utility",
+        (F.lit(int(benefit_tp)) * F.col("tp")
+         - F.lit(int(cost_fp)) * F.col("fp")).cast("long"),
+    )
+    best = u.agg(
+        F.max(F.struct(F.col("utility"), (-F.col("threshold")).alias("nt")))
+        .alias("b")
+    ).select(
+        F.col("b.utility").alias("bu"), (-F.col("b.nt")).alias("bt")
+    )
+    return u.join(F.broadcast(best), how="cross").select(
+        "threshold", "n_kept", "tp", "fp", "fn", "tn",
+        "precision_pm", "recall_pm", "utility",
+        ((F.col("utility") == F.col("bu"))
+         & (F.col("threshold") == F.col("bt"))).alias("is_best"),
+    )

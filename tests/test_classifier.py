@@ -481,3 +481,47 @@ class TestRocAuc:
             [(3, True), (None, True), (1, None), (1, False)],
         )
         assert r["n"] == 2 and r["auc_ppm"] == 1_000_000
+
+
+class TestThresholdSweep:
+    def _run(self, spark, rows, benefit=100, cost=100):
+        from ocr_service_spark.operators.classifier import threshold_sweep
+
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        out = threshold_sweep(df, "s", "y", benefit_tp=benefit,
+                              cost_fp=cost).collect()
+        return {r["threshold"]: r for r in out}
+
+    def test_confusion_at_each_threshold(self, spark):
+        # scores: neg 1,2; pos 2,3
+        got = self._run(
+            spark, [(1, False), (2, False), (2, True), (3, True)]
+        )
+        t2 = got[2]
+        assert (t2["tp"], t2["fp"], t2["fn"], t2["tn"]) == (2, 1, 0, 1)
+        t3 = got[3]
+        assert (t3["tp"], t3["fp"]) == (1, 0)
+        assert t3["precision_pm"] == 1000 and t3["recall_pm"] == 500
+
+    def test_argmax_utility(self, spark):
+        got = self._run(
+            spark, [(1, False), (2, False), (2, True), (3, True)]
+        )
+        # u(1)=100*(2-2)=0, u(2)=100*(2-1)=100, u(3)=100*(1-0)=100:
+        # tie between t=2 and t=3 -> LOWEST threshold wins
+        assert got[2]["utility"] == got[3]["utility"] == 100
+        assert got[2]["is_best"] is True and got[3]["is_best"] is False
+
+    def test_asymmetric_costs_move_the_cut(self, spark):
+        rows = [(1, False), (2, False), (2, True), (3, True)]
+        cheap_fp = self._run(spark, rows, benefit=100, cost=10)
+        # u(1) = 100*2 - 10*2 = 180 beats u(2)=190? no: 100*2-10*1=190,
+        # u(3)=100. best still 2; with cost 300: u(1)=-400, u(2)=-100,
+        # u(3)=100 -> cut moves UP to 3
+        dear_fp = self._run(spark, rows, benefit=100, cost=300)
+        assert cheap_fp[2]["is_best"] is True
+        assert dear_fp[3]["is_best"] is True
+
+    def test_kept_counts(self, spark):
+        got = self._run(spark, [(5, True), (7, False), (9, True)])
+        assert got[5]["n_kept"] == 3 and got[9]["n_kept"] == 1
