@@ -16490,6 +16490,60 @@ FROM u, b, b2
 """
 
 
+def q_brier_murphy(spark, sf_dir):
+    """Brier score + Murphy decomposition (operators/classifier.py
+    brier_murphy) of a planted near-calibrated gate: score_pm =
+    (doc_id·37)%1000 and the label fires when an independent modular
+    hash lands under the score — so observed rates track the forecast
+    and reliability stays small while resolution is large. Oracle
+    replays the bins, every per-bin quantized term and the three
+    integral divs."""
+    from .operators.classifier import brier_murphy
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("(doc_id * 37) % 1000").alias("score_pm"),
+        F.expr("(doc_id * 7919) % 1000 < (doc_id * 37) % 1000")
+        .alias("label"),
+    )
+    return brier_murphy(d, "score_pm", "label", n_bins=10)
+
+
+SQL_BRIER_MURPHY = """
+WITH d AS (
+  SELECT (doc_id * 37) % 1000 AS p,
+         CASE WHEN (doc_id * 7919) % 1000 < (doc_id * 37) % 1000
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(p * 10 // 1000, 9) AS bin,
+         CAST(COUNT(*) AS HUGEINT) AS nk,
+         CAST(SUM(p) AS HUGEINT) AS sp,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST((p - 1000 * y) AS HUGEINT) * (p - 1000 * y))
+           AS HUGEINT) AS sb
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT SUM(nk) AS n, SUM(sy) AS syt, SUM(sb) AS sbt FROM b
+),
+pb AS (
+  SELECT (sp - 1000 * sy) * (sp - 1000 * sy) // nk AS rel_k,
+         (sy * t.n - t.syt * nk) * (sy * t.n - t.syt * nk) * 1000000
+           // (nk * t.n * t.n) AS res_k
+  FROM b, t
+),
+s AS (SELECT SUM(rel_k) AS srel, SUM(res_k) AS sres FROM pb)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.syt AS BIGINT) AS n_pos,
+       CAST(t.sbt // t.n AS BIGINT) AS brier_u,
+       CAST(s.srel // t.n AS BIGINT) AS rel_u,
+       CAST(s.sres // t.n AS BIGINT) AS res_u,
+       CAST(t.syt * (t.n - t.syt) * 1000000 // (t.n * t.n) AS BIGINT)
+         AS unc_u
+FROM t, s
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -16899,6 +16953,7 @@ CATALOG: Dict[str, tuple] = {
     "logodds_terms": (q_logodds_terms, SQL_LOGODDS_TERMS),
     "dbscan_grid": (q_dbscan_grid, SQL_DBSCAN),
     "threshold_sweep": (q_threshold_sweep, SQL_THRESHOLD_SWEEP),
+    "brier_murphy": (q_brier_murphy, SQL_BRIER_MURPHY),
 }
 
 

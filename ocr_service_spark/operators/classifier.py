@@ -824,3 +824,83 @@ def threshold_sweep(
         ((F.col("utility") == F.col("bu"))
          & (F.col("threshold") == F.col("bt"))).alias("is_best"),
     )
+
+
+def brier_murphy(
+    scored: DataFrame,
+    score_col: str = "score_pm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the single
+    number score_calibration's reliability diagram only draws:
+    Brier = REL − RES + UNC, where RELiability is calibration error
+    (p̄_bin vs observed rate — lower is better), RESolution is how far
+    the bins pull away from the base rate (HIGHER is better: a gate
+    that says 500pm for everything is perfectly calibrated and
+    perfectly useless), and UNCertainty ȳ(1−ȳ) is the task's floor.
+    Two gates with equal Brier can differ exactly here: one is
+    miscalibrated but sharp, the other calibrated but flat.
+
+    All pm² (1e-6) integer units, quantized per element / per bin
+    BEFORE any cross-engine sum (the repo float rule):
+      brier_u = Σ (p_pm − 1000·y)² div n            (terms integers)
+      rel_u   = Σ_k (Sp_k − 1000·Sy_k)² div n_k, div n
+      res_u   = Σ_k (Sy_k·n − Sy·n_k)²·1e6 div (n_k·n²), div n
+      unc_u   = Sy·(n − Sy)·1e6 div n²
+    The decomposition identity holds exactly only for bin-constant
+    forecasts; with real scores the within-bin variance sits in the
+    gap — reported, not hidden, via the four separate terms. ONE hash
+    aggregate over bins plus one global; a single row out.
+    """
+    d38 = "decimal(38,0)"
+    nb = int(n_bins)
+    d = scored.select(
+        F.col(score_col).cast("long").alias("p"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    d = d.withColumn(
+        "bin", F.expr(f"LEAST(CAST(p * {nb} div 1000 AS INT), {nb - 1})")
+    ).withColumn(
+        "b_term",
+        F.expr(f"CAST((p - 1000 * y) AS {d38}) * (p - 1000 * y)"),
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum("b_term").alias("sb"),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast(d38).alias("n"),
+        F.sum("sy").cast(d38).alias("syt"),
+        F.sum("sb").cast(d38).alias("sbt"),
+    )
+    per_bin = bins.join(F.broadcast(tot), how="cross").select(
+        F.expr(
+            f"CAST((CAST(sp AS {d38}) - 1000 * sy)"
+            f" * (CAST(sp AS {d38}) - 1000 * sy) div nk AS {d38})"
+        ).alias("rel_k"),
+        F.expr(
+            f"CAST((CAST(sy AS {d38}) * n - syt * nk)"
+            f" * (CAST(sy AS {d38}) * n - syt * nk) * 1000000"
+            f" div (CAST(nk AS {d38}) * n * n) AS {d38})"
+        ).alias("res_k"),
+    )
+    sums = per_bin.agg(
+        F.sum("rel_k").alias("srel"), F.sum("res_k").alias("sres")
+    )
+    return (
+        tot.join(F.broadcast(sums), how="cross")
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("syt").cast("long").alias("n_pos"),
+            F.expr("CAST(sbt div n AS BIGINT)").alias("brier_u"),
+            F.expr("CAST(srel div n AS BIGINT)").alias("rel_u"),
+            F.expr("CAST(sres div n AS BIGINT)").alias("res_u"),
+            F.expr(
+                f"CAST(CAST(syt AS {d38}) * (n - syt) * 1000000"
+                f" div (n * n) AS BIGINT)"
+            ).alias("unc_u"),
+        )
+    )

@@ -525,3 +525,44 @@ class TestThresholdSweep:
     def test_kept_counts(self, spark):
         got = self._run(spark, [(5, True), (7, False), (9, True)])
         assert got[5]["n_kept"] == 3 and got[9]["n_kept"] == 1
+
+
+class TestBrierMurphy:
+    def _run(self, spark, rows, n_bins=10):
+        from ocr_service_spark.operators.classifier import brier_murphy
+
+        df = spark.createDataFrame(rows, "score_pm long, label boolean")
+        return brier_murphy(df, "score_pm", "label",
+                            n_bins=n_bins).collect()[0]
+
+    def test_perfect_confident_forecasts(self, spark):
+        r = self._run(spark, [(1000, True)] * 3 + [(0, False)] * 3)
+        assert r["brier_u"] == 0 and r["rel_u"] == 0
+        # base rate 1/2: unc = 0.25e6; resolution equals it exactly
+        assert r["unc_u"] == 250_000 and r["res_u"] == 250_000
+
+    def test_flat_base_rate_forecast(self, spark):
+        # everyone gets 500pm, half positive: calibrated (rel=0) but
+        # useless (res=0); brier = unc = 0.25e6
+        r = self._run(spark, [(500, True), (500, False)] * 4)
+        assert r["rel_u"] == 0 and r["res_u"] == 0
+        assert r["brier_u"] == 250_000 == r["unc_u"]
+
+    def test_confident_and_wrong(self, spark):
+        # maximal miscalibration: says 1000, never happens
+        r = self._run(spark, [(1000, False)] * 4)
+        assert r["brier_u"] == 1_000_000 and r["rel_u"] == 1_000_000
+        assert r["res_u"] == 0 and r["unc_u"] == 0
+
+    def test_hand_mixed_bins(self, spark):
+        # bin 9: two rows p=900, one positive; bin 0: two rows p=100,
+        # none positive. n=4, sy=1
+        r = self._run(spark, [(900, True), (900, False),
+                              (100, False), (100, False)])
+        # brier terms: (900-1000)^2 + 900^2 + 100^2 + 100^2
+        assert r["brier_u"] == (10000 + 810000 + 10000 + 10000) // 4
+        # rel bin9: (1800-1000)^2/2 = 320000; bin0: (200)^2/2 = 20000
+        assert r["rel_u"] == (320_000 + 20_000) // 4
+        # res bin9: (1*4-1*2)^2*1e6/(2*16)=125000; bin0 same deviation
+        assert r["res_u"] == (125_000 + 125_000) // 4
+        assert r["unc_u"] == 1 * 3 * 1_000_000 // 16
