@@ -6862,6 +6862,219 @@ FROM s
 """
 
 
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where
+    the CUSTOMER and the SUPPLIER share a nation, one region, two years.
+    supplier/nation/region are broadcast dims; only customer⋈orders⋈
+    lineitem shuffles. The co-nation predicate rides INSIDE the supplier
+    join condition so non-local lines never survive the probe."""
+    from .functions.sql_analogs import dsum
+
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        dsum(rev, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q5_LOCAL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): cross-border line volume from
+    supplier nations in one region to customer nations in another, per
+    year. nation joins twice under DIFFERENT aliased column names (the
+    classic self-join-dim trap — Spark's case-insensitive resolver
+    would silently bind both sides to one copy otherwise). Region pair
+    instead of the reference's two-nation literal pair because the
+    synthetic sf0.001 slice has no populated single-nation pair."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation")
+    rg = load(spark, sf_dir, "region")
+    sn = (
+        na.join(rg, na.n_regionkey == rg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cn = (
+        na.join(rg, na.n_regionkey == rg.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+SQL_Q7_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+WHERE sr.r_name = 'ASIA' AND cr.r_name = 'AMERICA'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Revenue lands on the exact
+    1e-4 integer grid BEFORE the ordering — double revenue near-ties
+    would make the top-20 cut engine-dependent. orderBy+limit plans
+    TakeOrderedAndProject (per-partition heaps, no global sort);
+    (revenue, custkey) composite breaks remaining ties."""
+    cu = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    j = (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(rev) * 10000).cast("decimal(38,0)").cast("long")
+        .alias("revenue_e4")
+    )
+    return agg.orderBy(
+        F.col("revenue_e4").desc(), F.col("c_custkey")
+    ).limit(20)
+
+
+SQL_Q10_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority checking), adapted: the
+    synthetic lineitem has no commitdate/receiptdate/shipmode, so 'late'
+    is shipdate > orderdate + 90 days and the split is the Q12 priority
+    bucketing (URGENT/HIGH vs rest) per order year. One conditional
+    count beside the total — no second scan, no join back."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        prio.alias("prio_class"),
+    ).agg(
+        F.count(F.when(late, 1)).alias("late_lines"),
+        F.count(F.lit(1)).alias("total_lines"),
+    )
+
+
+SQL_Q12_LATE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS prio_class,
+       CAST(COUNT(*) FILTER (
+         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+       ) AS BIGINT) AS late_lines,
+       CAST(COUNT(*) AS BIGINT) AS total_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q_gini_concentration(spark, sf_dir):
     """Gini inequality of per-customer order counts (operators/stats.py
     gini_concentration) — the load-concentration audit (host dominance,
@@ -16909,6 +17122,10 @@ CATALOG: Dict[str, tuple] = {
     "gini_concentration": (q_gini_concentration, SQL_GINI),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "q4_priority_semi": (q_q4_priority_semi, SQL_Q4_SEMI),
+    "q5_local_supplier": (q_q5_local_supplier, SQL_Q5_LOCAL),
+    "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7_VOLUME),
+    "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED),
+    "q12_late_priority": (q_q12_late_priority, SQL_Q12_LATE),
     "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
