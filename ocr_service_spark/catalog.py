@@ -7075,6 +7075,171 @@ GROUP BY 1, 2
 """
 
 
+def q_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers survive, count the NON-NULL side (count("*")
+    would bump every null-extended row to 1), then histogram the counts.
+    Two hash aggregates, no window — the second groupBy's input is one
+    row per customer, already tiny."""
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_Q13_DIST = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    return every supplier tied at the max. The scalar-max subquery is a
+    one-row broadcast crossJoin against the per-supplier aggregate —
+    NEVER a bare Window.orderBy (that funnels every supplier through one
+    partition). Revenue compared on the exact 1e-4 grid so 'tied at max'
+    is engine-deterministic."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (F.sum(rev) * 10000).cast("decimal(38,0)").cast("long")
+        .alias("total_e4")
+    )
+    mx = per_supp.agg(F.max("total_e4").alias("_mx"))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_e4") == F.col("_mx"))
+        .join(F.broadcast(su), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+SQL_Q15_TOP_SUPP = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_e4
+FROM supplier JOIN rev ON s_suppkey = suppkey
+WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+"""
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity clears a threshold, with the buying customer attached. The
+    HAVING filter runs on the exact cents grid (sum of decimal(18,2)
+    quantities ×100) — a double SUM would make boundary orders flip
+    between engines. The groupBy output is orders-of-interest only, so
+    the join back to orders/customer moves a filtered set."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)").cast("long").alias("sum_qty_e2")
+        )
+        .filter(F.col("sum_qty_e2") > 15000)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty_e2")
+    )
+
+
+SQL_Q18_LARGE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS sum_qty_e2
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+         > 15000
+)
+SELECT c_custkey, c_name, o_orderkey, sum_qty_e2
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): per-segment count and
+    balance of above-average-balance customers with NO recent orders.
+    The average cut is an exact integer: decimal-sum of balances ×100,
+    integral-div by the count — a double AVG differs in the last ulp
+    across engines and FLOOR can straddle it. NOT EXISTS is a left_anti
+    join against the date-filtered orders; the one-row cut broadcasts."""
+    cu = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long").alias("bal_e2"),
+    )
+    pos = cu.filter(F.col("bal_e2") > 0)
+    cut = pos.agg(
+        F.expr("sum(bal_e2) div count(1)").cast("long").alias("cut_e2")
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    idle = (
+        cu.crossJoin(F.broadcast(cut))
+        .filter(F.col("bal_e2") > F.col("cut_e2"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_e2").alias("totacctbal_e2"),
+    )
+
+
+SQL_Q22_IDLE = """
+WITH bal AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_e2
+  FROM customer
+),
+cut AS (
+  SELECT CAST(SUM(bal_e2) // COUNT(*) AS BIGINT) AS cut_e2
+  FROM bal WHERE bal_e2 > 0
+)
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+FROM bal, cut
+WHERE bal_e2 > cut_e2
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
+
+
 def q_gini_concentration(spark, sf_dir):
     """Gini inequality of per-customer order counts (operators/stats.py
     gini_concentration) — the load-concentration audit (host dominance,
@@ -17126,6 +17291,10 @@ CATALOG: Dict[str, tuple] = {
     "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7_VOLUME),
     "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED),
     "q12_late_priority": (q_q12_late_priority, SQL_Q12_LATE),
+    "q13_order_distribution": (q_q13_order_distribution, SQL_Q13_DIST),
+    "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPP),
+    "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE),
+    "q22_idle_rich": (q_q22_idle_rich, SQL_Q22_IDLE),
     "q14_promo_share": (q_q14_promo_share, SQL_Q14_PROMO),
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "pivot_report": (q_pivot_report, SQL_PIVOT_REPORT),
