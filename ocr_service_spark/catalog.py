@@ -6383,6 +6383,91 @@ FROM sc
 """
 
 
+def q_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's α (operators/classifier.py krippendorff_alpha)
+    over a RAGGED rater panel: the length gate rates everything, the
+    noisy copy skips every 5th doc, the coin skips every 3rd — so unit
+    rating counts vary 1..3 and doc_id%15 units collapse to excluded
+    singletons. Oracle replays the 2520-scaled per-unit weights, the
+    kept-unit margins and the sign-split ppm fraction."""
+    from .operators.classifier import krippendorff_alpha
+
+    d = load(spark, sf_dir, "documents")
+    gate = F.when(F.col("n_chars") >= 300, "pass").otherwise("fail")
+    noisy = F.when(
+        (F.col("n_chars") + F.col("doc_id") % 7) >= 300, "pass"
+    ).otherwise("fail")
+    coin = F.when(F.col("doc_id") % 2 == 0, "pass").otherwise("fail")
+    ratings = (
+        d.select(F.col("doc_id").alias("item_id"), gate.alias("category"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 != 0).select(
+                F.col("doc_id").alias("item_id"), noisy.alias("category")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 != 0).select(
+                F.col("doc_id").alias("item_id"), coin.alias("category")
+            )
+        )
+    )
+    return krippendorff_alpha(ratings)
+
+
+SQL_KRIPPENDORFF = """
+WITH ratings AS (
+  SELECT doc_id AS i,
+         CASE WHEN n_chars >= 300 THEN 'pass' ELSE 'fail' END AS j
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN n_chars + doc_id % 7 >= 300 THEN 'pass' ELSE 'fail' END
+  FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'pass' ELSE 'fail' END
+  FROM documents WHERE doc_id % 3 != 0
+),
+nij AS (
+  SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS c FROM ratings GROUP BY 1, 2
+),
+per_item AS (
+  SELECT i, SUM(c) AS n_u, SUM(c * (c - 1)) AS a_u FROM nij GROUP BY 1
+),
+kept AS (SELECT * FROM per_item WHERE n_u >= 2),
+chk AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_units, SUM(n_u) AS n,
+         SUM(a_u * (2520 // (n_u - 1))) AS s_scaled
+  FROM kept
+),
+excl AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_excluded
+  FROM per_item WHERE n_u < 2
+),
+marg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_categories,
+         SUM(n_c * n_c) AS nc2
+  FROM (SELECT j, SUM(c) AS n_c FROM nij
+        WHERE i IN (SELECT i FROM kept) GROUP BY 1)
+),
+sc AS (
+  SELECT *,
+         2520 * (n * n - nc2)
+           - (n - 1) * (n * 2520 - s_scaled) AS num,
+         2520 * (n * n - nc2) AS den
+  FROM chk CROSS JOIN excl CROSS JOIN marg
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_excluded AS BIGINT) AS n_excluded,
+       CAST(n AS BIGINT) AS n_ratings,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       CAST(CASE WHEN den > 0 THEN
+         (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+           * ((ABS(num) * 1000000) // den)
+         ELSE NULL END AS BIGINT) AS alpha_ppm
+FROM sc
+"""
+
+
 def q_cramers_v(spark, sf_dir):
     """Cramér's V association audit (operators/stats.py cramers_v):
     lang against a planted partially-dependent category (3 in 10 docs
@@ -17305,6 +17390,7 @@ CATALOG: Dict[str, tuple] = {
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

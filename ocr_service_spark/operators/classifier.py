@@ -737,6 +737,101 @@ def roc_auc(
     )
 
 
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+) -> DataFrame:
+    """Krippendorff's α (nominal) — chance-corrected agreement that,
+    unlike fleiss_kappa, tolerates MISSING ratings: raters may skip
+    units, so per-unit rating counts n_u vary. Real annotation runs are
+    always ragged (timeouts, opt-outs, later-added raters); forcing
+    them through Fleiss means dropping every incomplete unit, which
+    biases agreement toward the easy documents everyone got to.
+
+    Nominal-metric α = 1 − D_o/D_e with per-unit pair weights
+    1/(n_u − 1). Those weights are the exactness hazard: engine-summed
+    doubles of 1/2 + 1/3 + … diverge in the last ulp. Every (n_u − 1)
+    for n_u ≤ 10 divides M = 2520 = lcm(1..9), so each unit contributes
+    the INTEGER A_u · (M div (n_u − 1)) (A_u = Σ_c c(c−1), the agreeing
+    pair count) and
+        α = 1 − (n−1)(nM − S) / (M(n² − Σ_c n_c²)),  S = Σ_u scaled A_u
+    is ONE integer fraction, emitted sign-then-magnitude in ppm.
+    Units with n_u < 2 carry no pair evidence and are excluded (their
+    count is reported, not silently eaten); n_u > 10 raises — woven
+    into an output column because a free-standing check is pruned.
+
+    Scale: two stacked hash aggregates ((item,cat) then per-item) plus
+    two 1-row margins broadcast-crossed — no windows, no driver math.
+    Emits ONE row: (n_units, n_excluded, n_ratings, n_categories,
+    alpha_ppm)."""
+    d38 = "decimal(38,0)"
+    m = 2520  # lcm(1..9): exact per-unit weight M div (n_u-1) for n_u <= 10
+    nij = ratings.groupBy(
+        F.col(item_col).alias("i"), F.col(cat_col).alias("j")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_item = nij.groupBy("i").agg(
+        F.sum("c").alias("n_u"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("a_u"),
+    )
+    kept = per_item.filter(F.col("n_u") >= 2)
+    chk = kept.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_u").cast(d38).alias("n"),
+        F.sum(
+            F.col("a_u").cast(d38)
+            * F.expr(f"{m} div (n_u - 1)").cast(d38)
+        ).alias("s_scaled"),
+        F.max("n_u").alias("_max_nu"),
+    )
+    excl = per_item.filter(F.col("n_u") < 2).agg(
+        F.count(F.lit(1)).alias("n_excluded")
+    )
+    # category totals over KEPT units only — an excluded singleton's
+    # rating must not inflate the chance distribution either
+    cats = (
+        nij.join(kept.select("i"), "i", "left_semi")
+        .groupBy("j")
+        .agg(F.sum("c").alias("n_c"))
+    )
+    marg = cats.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("n_c").cast(d38) * F.col("n_c").cast(d38))
+        .alias("nc2"),
+    )
+    both = chk.crossJoin(F.broadcast(excl)).crossJoin(F.broadcast(marg))
+    scored = (
+        both.withColumn(
+            "n_units",
+            F.when(F.col("_max_nu") > 10, F.raise_error(F.lit(
+                "krippendorff_alpha: a unit carries more than 10 ratings"
+            )).cast("long")).otherwise(F.col("n_units")),
+        )
+        .withColumn("_m", F.lit(m).cast(d38))
+        .withColumn(
+            "_num",
+            F.col("_m") * (F.col("n") * F.col("n") - F.col("nc2"))
+            - (F.col("n") - 1)
+            * (F.col("n") * F.col("_m") - F.col("s_scaled")),
+        )
+        .withColumn(
+            "_den",
+            F.col("_m") * (F.col("n") * F.col("n") - F.col("nc2")),
+        )
+    )
+    return scored.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+        F.col("n").cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.when(
+            F.col("_den") > 0,
+            F.signum("_num").cast("long")
+            * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+        ).otherwise(F.lit(None).cast("long")).alias("alpha_ppm"),
+    )
+
+
 def threshold_sweep(
     scored: DataFrame,
     score_col: str,

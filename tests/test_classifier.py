@@ -439,6 +439,59 @@ class TestFleissKappa:
             self._k(spark, rows)
 
 
+class TestKrippendorffAlpha:
+    def _a(self, spark, rows):
+        from ocr_service_spark.operators.classifier import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(rows, "item_id long, category string")
+        return krippendorff_alpha(df).collect()[0]
+
+    def test_perfect_agreement_ragged(self, spark):
+        # ragged rater counts (3 and 2) — the case Fleiss rejects
+        rows = [(1, "a")] * 3 + [(2, "b")] * 2
+        r = self._a(spark, rows)
+        assert r["alpha_ppm"] == 1_000_000
+        assert r["n_units"] == 2 and r["n_ratings"] == 5
+
+    def test_hand_zero_alpha(self, spark):
+        # u1 (a,a), u2 (a,b): D_o = 2, D_e = (16-10)/3 = 2 -> alpha 0
+        rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b")]
+        r = self._a(spark, rows)
+        assert r["alpha_ppm"] == 0
+
+    def test_hand_mixed_4_9(self, spark):
+        # (a,a), (a,b), (b,b): n=6, nc2=18, S=4M
+        # alpha = (18M - 5*2M) / 18M = 8/18 -> 444444 ppm
+        rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"),
+                (3, "b"), (3, "b")]
+        r = self._a(spark, rows)
+        assert r["alpha_ppm"] == 444_444
+
+    def test_singleton_units_excluded_not_counted(self, spark):
+        base = [(1, "a"), (1, "a"), (2, "a"), (2, "b")]
+        with_singleton = base + [(9, "b")]
+        r0 = self._a(spark, base)
+        r1 = self._a(spark, with_singleton)
+        assert r1["alpha_ppm"] == r0["alpha_ppm"]
+        assert r1["n_excluded"] == 1 and r0["n_excluded"] == 0
+        # the singleton's category must not leak into the margins
+        assert r1["n_ratings"] == r0["n_ratings"]
+
+    def test_single_category_undefined(self, spark):
+        rows = [(1, "a")] * 2 + [(2, "a")] * 3
+        r = self._a(spark, rows)
+        assert r["alpha_ppm"] is None
+
+    def test_more_than_ten_ratings_raise(self, spark):
+        import pytest as _pytest
+
+        rows = [(1, "a")] * 11 + [(2, "b")] * 2
+        with _pytest.raises(Exception, match="more than 10 ratings"):
+            self._a(spark, rows)
+
+
 class TestRocAuc:
     def _run(self, spark, rows):
         from ocr_service_spark.operators.classifier import roc_auc
