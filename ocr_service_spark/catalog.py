@@ -6383,6 +6383,85 @@ FROM sc
 """
 
 
+def q_welch_t2_drift(spark, sf_dir):
+    """Welch's t² drift per language (operators/stats.py
+    welch_t2_drift): split = even/odd doc_id, with a +200-char shift
+    planted on the even-zh branch so exactly one slice drifts and the
+    rest exercise the near-zero regime. Oracle replays the conditional
+    sums, the Cauchy–Schwarz-nonnegative variance terms, both grids and
+    the Welch–Satterthwaite df."""
+    from .operators.stats import welch_t2_drift
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("side"),
+        (
+            F.col("n_chars")
+            + F.when(
+                (F.col("doc_id") % 2 == 0) & (F.col("lang") == "zh"), 200
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    return welch_t2_drift(d, ["lang"], "v", "side")
+
+
+SQL_WELCH_T2 = """
+WITH d AS (
+  SELECT lang, doc_id % 2 = 0 AS side,
+         CAST(n_chars + CASE WHEN doc_id % 2 = 0 AND lang = 'zh'
+                        THEN 200 ELSE 0 END AS HUGEINT) AS v
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) FILTER (WHERE side) AS HUGEINT) AS na,
+         CAST(COUNT(*) FILTER (WHERE NOT side) AS HUGEINT) AS nb,
+         COALESCE(SUM(v) FILTER (WHERE side), 0) AS s1a,
+         COALESCE(SUM(v) FILTER (WHERE NOT side), 0) AS s1b,
+         COALESCE(SUM(v * v) FILTER (WHERE side), 0) AS s2a,
+         COALESCE(SUM(v * v) FILTER (WHERE NOT side), 0) AS s2b
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT *,
+         na * s2a - s1a * s1a AS va,
+         nb * s2b - s1b * s1b AS vb,
+         na >= 2 AND nb >= 2 AS ok,
+         CASE WHEN na > 0 THEN
+           (CASE WHEN s1a < 0 THEN -1 ELSE 1 END)
+             * ((ABS(s1a) * 1000) // na) END AS ma_e3,
+         CASE WHEN nb > 0 THEN
+           (CASE WHEN s1b < 0 THEN -1 ELSE 1 END)
+             * ((ABS(s1b) * 1000) // nb) END AS mb_e3
+  FROM agg
+),
+u AS (
+  SELECT *,
+         CASE WHEN ok THEN (va * 1000000) // (na * na * (na - 1)) END
+           AS sea_e6,
+         CASE WHEN ok THEN (vb * 1000000) // (nb * nb * (nb - 1)) END
+           AS seb_e6
+  FROM t
+),
+w AS (
+  SELECT *, sea_e6 + seb_e6 AS den_e6, ma_e3 - mb_e3 AS d_e3 FROM u
+)
+SELECT lang,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ma_e3 AS BIGINT) AS mean_a_e3,
+       CAST(mb_e3 AS BIGINT) AS mean_b_e3,
+       CAST(CASE WHEN ok AND den_e6 > 0 THEN
+         (d_e3 * d_e3 * 1000000) // den_e6 END AS BIGINT) AS t2_ppm,
+       CAST(CASE WHEN ok AND den_e6 > 0 THEN
+         (den_e6 * den_e6 * 1000 * (na - 1) * (nb - 1))
+           // (sea_e6 * sea_e6 * (nb - 1) + seb_e6 * seb_e6 * (na - 1))
+       END AS BIGINT) AS df_milli,
+       CASE WHEN ok AND den_e6 > 0 THEN
+         (d_e3 * d_e3 * 1000000) // den_e6 > 3841600 END AS reject_05
+FROM w
+"""
+
+
 def q_krippendorff_alpha(spark, sf_dir):
     """Krippendorff's α (operators/classifier.py krippendorff_alpha)
     over a RAGGED rater panel: the length gate rates everything, the
@@ -17391,6 +17470,7 @@ CATALOG: Dict[str, tuple] = {
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF),
+    "welch_t2_drift": (q_welch_t2_drift, SQL_WELCH_T2),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

@@ -1807,3 +1807,125 @@ def ewma_anomaly(
             > p * F.col("pred_num"),
         ).alias("flag"),
     )
+
+
+def welch_t2_drift(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    side_col: str,
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Welch's unequal-variance t test, squared, per slice — the
+    parametric companion to mannwhitney_drift (rank shift) and ks_drift
+    (worst CDF gap): when the metric is roughly symmetric, the
+    mean-difference test has the sharpest power, and Welch's form does
+    not assume the two sides share a variance (a new crawl source is
+    usually both shifted AND differently spread).
+
+    Exactness: t itself needs a sqrt, so the statistic emitted is t² as
+    a chain of integer-exact steps on fixed grids — identical in both
+    engines, so hash-comparable:
+        VA = nA·ΣvA² − (ΣvA)²                (= nA(nA−1)·sA², integer)
+        se²A(e6) = VA·10⁶ div nA²(nA−1)      (variance of the mean)
+        d(e3)  = sign-split milli means gap  (div truncates toward zero
+                                              / // floors — they agree
+                                              only on non-negatives)
+        t²(ppm) = d² ·10⁶ div (se²A + se²B)
+    Welch–Satterthwaite df rides along on the milli grid from the same
+    quantized se² terms. The α=0.05 verdict is the cross-multiplied
+    inequality t²_ppm > crit_x10k·100 (crit = z²·10⁴, the same
+    convention as mannwhitney_drift; exact t quantiles drift toward z
+    past df≈30 and every corpus slice is far beyond that — documented
+    normal approximation, not a hidden one).
+
+    Scale: ONE conditional hash aggregate per slice (map-side partial),
+    constant columns out — no window, no join, no second scan. A
+    side with fewer than 2 rows or zero spread emits NULL, not false.
+    Emits (groups…, n_a, n_b, mean_a_e3, mean_b_e3, t2_ppm, df_milli,
+    reject_05)."""
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    is_a = F.col(side_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.when(is_a, 1)).cast(d38).alias("na"),
+        F.count(F.when(~is_a, 1)).cast(d38).alias("nb"),
+        F.coalesce(F.sum(F.when(is_a, v)), F.lit(0).cast(d38))
+        .alias("s1a"),
+        F.coalesce(F.sum(F.when(~is_a, v)), F.lit(0).cast(d38))
+        .alias("s1b"),
+        F.coalesce(F.sum(F.when(is_a, v * v)), F.lit(0).cast(d38))
+        .alias("s2a"),
+        F.coalesce(F.sum(F.when(~is_a, v * v)), F.lit(0).cast(d38))
+        .alias("s2b"),
+    )
+    t = (
+        agg.withColumn("va", F.col("na") * F.col("s2a")
+                       - F.col("s1a") * F.col("s1a"))
+        .withColumn("vb", F.col("nb") * F.col("s2b")
+                    - F.col("s1b") * F.col("s1b"))
+        .withColumn("ok", (F.col("na") >= 2) & (F.col("nb") >= 2))
+        .withColumn(
+            "ma_e3",
+            F.when(F.col("na") > 0,
+                   F.signum("s1a").cast("long")
+                   * F.expr("(abs(s1a) * 1000) div na").cast("long")),
+        )
+        .withColumn(
+            "mb_e3",
+            F.when(F.col("nb") > 0,
+                   F.signum("s1b").cast("long")
+                   * F.expr("(abs(s1b) * 1000) div nb").cast("long")),
+        )
+        .withColumn(
+            "sea_e6",
+            F.when(F.col("ok"), F.expr(
+                "(va * 1000000) div (na * na * (na - 1))")),
+        )
+        .withColumn(
+            "seb_e6",
+            F.when(F.col("ok"), F.expr(
+                "(vb * 1000000) div (nb * nb * (nb - 1))")),
+        )
+        .withColumn("den_e6", F.col("sea_e6") + F.col("seb_e6"))
+        .withColumn(
+            "d_e3",
+            (F.col("ma_e3") - F.col("mb_e3")).cast(d38),
+        )
+        .withColumn(
+            "t2_ppm",
+            F.when(
+                F.col("ok") & (F.col("den_e6") > 0),
+                F.expr("(d_e3 * d_e3 * 1000000) div den_e6"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "df_milli",
+            # `div` yields LONG: lead each product with a decimal cast
+            # or den² * 1000 overflows at den ~ 3e9 (ANSI raises)
+            F.when(
+                F.col("ok") & (F.col("den_e6") > 0),
+                F.expr(
+                    "(cast(den_e6 as decimal(38,0)) * den_e6 * 1000"
+                    " * (na - 1) * (nb - 1)) div"
+                    " (cast(sea_e6 as decimal(38,0)) * sea_e6 * (nb - 1)"
+                    "  + cast(seb_e6 as decimal(38,0)) * seb_e6"
+                    "    * (na - 1))"
+                ),
+            ).cast("long"),
+        )
+    )
+    return t.select(
+        *keys,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ma_e3").alias("mean_a_e3"),
+        F.col("mb_e3").alias("mean_b_e3"),
+        "t2_ppm",
+        "df_milli",
+        F.when(
+            F.col("t2_ppm").isNotNull(),
+            F.col("t2_ppm") > F.lit(int(crit_x10k) * 100),
+        ).alias("reject_05"),
+    )

@@ -1105,3 +1105,57 @@ class TestEwmaAnomaly:
         # exactly 50*70 -> NOT flagged (strict cut)
         assert got[5]["flag"] is True
         assert got[6]["flag"] is False
+
+
+class TestWelchT2Drift:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import welch_t2_drift
+
+        df = spark.createDataFrame(rows, "g string, side boolean, v long")
+        return {
+            r["g"]: r
+            for r in welch_t2_drift(df, ["g"], "v", "side").collect()
+        }
+
+    def test_identical_sides_zero(self, spark):
+        rows = [("g", True, v) for v in (10, 20, 30)] + [
+            ("g", False, v) for v in (10, 20, 30)
+        ]
+        r = self._run(spark, rows)["g"]
+        assert r["t2_ppm"] == 0 and r["reject_05"] is False
+        assert r["mean_a_e3"] == r["mean_b_e3"] == 20_000
+
+    def test_hand_case_equal_spread(self, spark):
+        # A=[10,10,14,14], B=[20,20,24,24]: se2_e6 = 64e6//48 = 1333333
+        # each; t2_ppm = 1e14 // 2666666 = 37500009; equal-variance df
+        # collapses to 2(n-1) = 6.000
+        rows = [("g", True, v) for v in (10, 10, 14, 14)] + [
+            ("g", False, v) for v in (20, 20, 24, 24)
+        ]
+        r = self._run(spark, rows)["g"]
+        assert r["mean_a_e3"] == 12_000 and r["mean_b_e3"] == 22_000
+        assert r["t2_ppm"] == 37_500_009
+        assert r["df_milli"] == 6_000
+        assert r["reject_05"] is True
+
+    def test_tiny_side_is_null_not_false(self, spark):
+        rows = [("g", True, 10), ("g", False, 20), ("g", False, 30)]
+        r = self._run(spark, rows)["g"]
+        assert r["t2_ppm"] is None and r["reject_05"] is None
+        assert r["n_a"] == 1 and r["n_b"] == 2
+
+    def test_zero_spread_both_sides_null(self, spark):
+        # means differ but neither side has variance: se2 sum is 0 and
+        # the statistic is undefined -> NULL, loudly not "no drift"
+        rows = [("g", True, 5)] * 3 + [("g", False, 9)] * 3
+        r = self._run(spark, rows)["g"]
+        assert r["t2_ppm"] is None
+
+    def test_unequal_variance_welch_df(self, spark):
+        # A spread, B nearly flat: Satterthwaite df must sit below
+        # the pooled 2(n-1) and above min(n)-1
+        rows = [("g", True, v) for v in (0, 100, 0, 100)] + [
+            ("g", False, v) for v in (50, 51, 50, 51)
+        ]
+        r = self._run(spark, rows)["g"]
+        assert 3_000 <= r["df_milli"] < 6_000
