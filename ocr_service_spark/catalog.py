@@ -1209,6 +1209,98 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 projection (operators/similarity.py
+    jl_project), 64 → 16 dims: every coordinate an exact integer dot
+    product on the 1e-6 element grid against a plan-build-time literal
+    sign table. The oracle carries the SAME 1024 literal signs as a
+    VALUES table and replays the ordinal unnest + join — different
+    plan, identical integers."""
+    from .operators.similarity import jl_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    return jl_project(emb, "vec_id", "embedding", d_out=16, d_in=64)
+
+
+def _jl_sql_signs(d_out: int, d_in: int) -> str:
+    from .operators.similarity import jl_sign_table
+
+    t = jl_sign_table(d_out, d_in)
+    return ", ".join(
+        f"({k}, {j}, {t[k][j]})"
+        for k in range(d_out)
+        for j in range(d_in)
+    )
+
+
+_JL_SQL_COMMON = """
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS a
+  FROM embeddings
+),
+e AS (
+  SELECT id, u.r.j AS j, u.r.xq AS xq
+  FROM (
+    SELECT id, list_transform(
+      a, (x, i) -> struct_pack(j := i - 1, xq := x)) AS lr
+    FROM q
+  ) t, unnest(t.lr) AS u(r)
+),
+signs(k, j, s) AS (VALUES {signs})
+"""
+
+SQL_JL_PROJECTION = (
+    "WITH " + _JL_SQL_COMMON + """
+SELECT id, CAST(k AS BIGINT) AS k, CAST(SUM(xq * s) AS BIGINT) AS y_q6
+FROM e JOIN signs USING (j)
+GROUP BY 1, 2
+"""
+).format(signs=_jl_sql_signs(16, 64))
+
+
+def q_jl_norm_preservation(spark, sf_dir):
+    """JL distortion audit (operators/similarity.py
+    jl_norm_preservation): per-vector ‖y‖²/(16·‖x‖²) in ppm, corpus
+    min/mean/max — expectation exactly 1e6 for ±1 rows; a corrupted
+    sign table or truncated arrays drags the mean before ANN recall
+    quietly decays. Oracle replays the grids and the integral divs."""
+    from .operators.similarity import jl_norm_preservation
+
+    emb = load(spark, sf_dir, "embeddings")
+    return jl_norm_preservation(
+        emb, "vec_id", "embedding", d_out=16, d_in=64
+    )
+
+
+SQL_JL_NORM = (
+    "WITH " + _JL_SQL_COMMON + """,
+y AS (
+  SELECT id, k, SUM(xq * s) AS yk
+  FROM e JOIN signs USING (j) GROUP BY 1, 2
+),
+y2 AS (SELECT id, SUM(yk * yk) AS y2 FROM y GROUP BY 1),
+x2 AS (SELECT id, SUM(xq * xq) AS x2 FROM e GROUP BY 1),
+r AS (
+  SELECT id, CASE WHEN x2 > 0 THEN
+    (CAST(y2 AS HUGEINT) * 1000000) // (CAST(x2 AS HUGEINT) * 16)
+  END AS ratio_ppm
+  FROM y2 JOIN x2 USING (id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) FILTER (WHERE ratio_ppm IS NULL) AS BIGINT)
+         AS n_zero,
+       CAST(CASE WHEN COUNT(ratio_ppm) > 0 THEN
+         SUM(ratio_ppm) // COUNT(ratio_ppm) END AS BIGINT)
+         AS mean_ratio_ppm,
+       CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+FROM r
+"""
+).format(signs=_jl_sql_signs(16, 64))
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF approximate top-k with nprobe = n_centroids — probing every
     inverted list makes IVF exact, so the brute-force SQL oracle applies;
@@ -17148,6 +17240,8 @@ CATALOG: Dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_RECALL),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN),
+    "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "jl_norm_preservation": (q_jl_norm_preservation, SQL_JL_NORM),
     "lang_id_quality": (q_lang_id_quality, SQL_LANG_QUALITY),
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),

@@ -558,3 +558,150 @@ def pq_ann_topk(
         .where(F.col("rank") <= int(k))
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+# --- Johnson-Lindenstrauss ±1 projection -------------------------------------
+
+JL_MULT = 2654435761  # Knuth's multiplicative hash constant (2^32 / phi)
+
+
+def jl_sign(k: int, j: int, d_in: int) -> int:
+    """Deterministic ±1 for projection row k, input dim j: the TOP bit of
+    the 32-bit multiplicative hash of the flat index. Low bits of a
+    multiplicative hash are weak and any LINEAR function mod 2 collapses
+    to parity of (k+j) — both were rejected; the top bit mixes every
+    input bit. Computed at PLAN BUILD TIME in Python and embedded as
+    literals on both engines, so neither engine evaluates a hash at
+    runtime and the oracle needs no hash twin."""
+    h = ((k * d_in + j) * JL_MULT) & 0xFFFFFFFF
+    return 1 if (h >> 31) == 0 else -1
+
+
+def jl_sign_table(d_out: int, d_in: int) -> list:
+    """d_out × d_in literal sign matrix (Achlioptas 2003: ±1 entries
+    satisfy the JL lemma with the same distortion bound as Gaussians —
+    and integer ±1 keeps every dot product exact)."""
+    return [[jl_sign(k, j, d_in) for j in range(d_in)] for k in range(d_out)]
+
+
+def jl_project(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_out: int = 16,
+    d_in: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection — the dimensionality
+    cut in front of every ANN stage: brute cosine at d=64 costs 4× the
+    FLOPs of d=16, and LSH bucket hashes get cheaper the same way, with
+    the JL lemma bounding the pairwise-distance distortion.
+
+    Exactness across engines: each element is quantized ONCE onto the
+    1e-6 grid (float32→double is bit-exact, ×1e6 and floor are
+    IEEE-identical in both engines) and every projected coordinate is
+    an INTEGER dot product with a ±1 literal row — no float
+    accumulation anywhere, so the driver hash-compares verbatim.
+
+    Scale: map-only — quantize once, then d_out zip_with/aggregate
+    expressions over the SAME materialized array (never re-quantize
+    inside a lambda: Catalyst re-evaluates captured subexpressions per
+    element), posexplode to long form. No shuffle, no join, no UDF;
+    whole-stage codegen end to end. A vector of the wrong length
+    nulls its zip_with and raises through the output column.
+
+    Emits (id, k, y_q6): projection row k's coordinate on the e6 grid.
+    """
+    signs = jl_sign_table(d_out, d_in)
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+        ).alias("a"),
+    )
+    projected = []
+    for k in range(d_out):
+        srow = F.array(*[F.lit(s) for s in signs[k]])
+        y = F.aggregate(
+            F.zip_with(F.col("a"), srow, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        projected.append(
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.when(F.size("a") == d_in, y)
+                .otherwise(F.raise_error(F.lit(
+                    "jl_project: embedding length != d_in"
+                )).cast("long")).alias("y_q6"),
+            )
+        )
+    return q.select(
+        "id", F.explode(F.array(*projected)).alias("p")
+    ).select(F.col("id"), F.col("p.k").alias("k"), F.col("p.y_q6"))
+
+
+def jl_norm_preservation(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_out: int = 16,
+    d_in: int = 64,
+) -> DataFrame:
+    """The JL honesty check that should ship WITH every projection: per
+    vector, the ratio ‖y‖²/(d_out·‖x‖²) in ppm (expectation exactly 1
+    for ±1 rows), aggregated to (n_vecs, mean/min/max ratio). A buggy
+    sign table or a silently-truncated array shows up here as a mean
+    far off 1e6 — before any downstream ANN recall quietly degrades.
+
+    Same integer grids as jl_project; per-vector ratio is ONE integral
+    div, the corpus report ONE hash aggregate."""
+    signs = jl_sign_table(d_out, d_in)
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+        ).alias("a"),
+    )
+    x2 = F.aggregate(
+        F.transform(F.col("a"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    y2_terms = []
+    for k in range(d_out):
+        srow = F.array(*[F.lit(s) for s in signs[k]])
+        y = F.aggregate(
+            F.zip_with(F.col("a"), srow, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        y2_terms.append(y * y)
+    y2 = y2_terms[0]
+    for t in y2_terms[1:]:
+        y2 = y2 + t
+    per_vec = q.select(
+        "id",
+        x2.alias("x2"),
+        y2.alias("y2"),
+    ).select(
+        "id",
+        F.when(
+            F.col("x2") > 0,
+            F.expr(
+                f"(cast(y2 as decimal(38,0)) * 1000000)"
+                f" div (cast(x2 as decimal(38,0)) * {int(d_out)})"
+            ).cast("long"),
+        ).alias("ratio_ppm"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.when(F.col("ratio_ppm").isNull(), 1)).alias("n_zero"),
+        F.expr(
+            "case when count(ratio_ppm) > 0 then"
+            " sum(ratio_ppm) div count(ratio_ppm) end"
+        ).cast("long").alias("mean_ratio_ppm"),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+    )

@@ -180,6 +180,75 @@ class TestSimilarity:
         assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
 
 
+class TestJlProjection:
+    def _frame(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_sign_table_balanced_and_deterministic(self):
+        from ocr_service_spark.operators.similarity import jl_sign_table
+
+        t = jl_sign_table(16, 64)
+        assert t == jl_sign_table(16, 64)
+        flat = [s for row in t for s in row]
+        assert set(flat) == {-1, 1}
+        # top-bit multiplicative hash: roughly balanced, and no
+        # (k+j)-parity collapse (adjacent diagonal not constant)
+        plus = sum(1 for s in flat if s == 1)
+        assert 0.35 * len(flat) < plus < 0.65 * len(flat)
+        diag = {t[k][k + 1] for k in range(15)}
+        assert len(diag) == 2
+
+    def test_single_axis_vector_projects_to_sign_column(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            jl_project,
+            jl_sign,
+        )
+
+        v = [0.0] * 64
+        v[7] = 0.5  # quantizes to exactly 500000
+        out = jl_project(
+            self._frame(spark, [v]), "vec_id", "embedding"
+        ).collect()
+        assert len(out) == 16
+        for r in out:
+            assert r["y_q6"] == jl_sign(r["k"], 7, 64) * 500_000
+
+    def test_norm_preservation_mean_near_unity(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            jl_norm_preservation,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        r = jl_norm_preservation(emb, "vec_id", "embedding").collect()[0]
+        assert r["n_zero"] == 0
+        assert 700_000 < r["mean_ratio_ppm"] < 1_300_000
+        assert r["min_ratio_ppm"] > 0
+
+    def test_zero_vector_counted_not_crashed(self, spark):
+        from ocr_service_spark.operators.similarity import (
+            jl_norm_preservation,
+        )
+
+        vecs = [[0.0] * 64, [0.25] * 64]
+        r = jl_norm_preservation(
+            self._frame(spark, vecs), "vec_id", "embedding"
+        ).collect()[0]
+        assert r["n_vecs"] == 2 and r["n_zero"] == 1
+        assert r["mean_ratio_ppm"] is not None
+
+    def test_wrong_length_raises(self, spark):
+        import pytest as _pytest
+
+        from ocr_service_spark.operators.similarity import jl_project
+
+        df = self._frame(spark, [[0.1] * 32])
+        with _pytest.raises(Exception, match="length"):
+            jl_project(df, "vec_id", "embedding").collect()
+
+
 class TestMultimodal:
     def test_image_features_plumbing(self, spark):
         from ocr_service_spark.operators.multimodal import extract_image_features
