@@ -6475,6 +6475,155 @@ FROM sc
 """
 
 
+def q_holt_anomaly(spark, sf_dir):
+    """Holt level+trend anomaly flags (operators/stats.py holt_anomaly)
+    over per-type daily event counts DENSIFIED on a calendar spine
+    (a missing day would silently misalign every lag), with a planted
+    ramp (+5/day — the regime a level-only smoother false-flags) and a
+    planted +200 spike at day 20 (what must flag). Oracle replays the
+    spine join, the 8 dyadic weight literals and the cross-multiplied
+    band."""
+    from .operators.stats import holt_anomaly
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+        .alias("d"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = ev.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = (
+        daily.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+            "d0",
+        )
+    )
+    dense = (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + (F.col("d") - F.col("d0")) * 5
+                + F.when(F.col("d") - F.col("d0") == 20, 200).otherwise(0)
+            ).alias("v"),
+        )
+    )
+    return holt_anomaly(
+        dense, ["event_type"], "d", "v", depth=8, pct=50
+    ).withColumnRenamed("d", "day")
+
+
+def _holt_sql_pred(depth: int) -> str:
+    from .operators.stats import _holt_weights
+
+    return " + ".join(
+        f"lag(v, {j}) OVER w * {wj}"
+        for j, wj in enumerate(_holt_weights(depth), start=1)
+    )
+
+
+SQL_HOLT_ANOMALY = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+spine AS (
+  SELECT t.event_type, g.gd AS d, b.d0
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN bounds b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.d0, b.d1)) AS gd
+  ) g
+),
+dense AS (
+  SELECT s.event_type, s.d,
+         COALESCE(dl.c, 0) + (s.d - s.d0) * 5
+           + CASE WHEN s.d - s.d0 = 20 THEN 200 ELSE 0 END AS v
+  FROM spine s LEFT JOIN daily dl
+    ON s.event_type = dl.event_type AND s.d = dl.d
+),
+l AS (
+  SELECT event_type, d, v,
+         {{pred}} AS pred_num,
+         row_number() OVER w AS rn
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, d AS day, CAST(v AS BIGINT) AS v,
+       CAST(pred_num AS BIGINT) AS pred_num,
+       CASE WHEN rn > 8 THEN
+         100 * ABS(v * 65355 - pred_num) > 50 * ABS(pred_num)
+       END AS flag
+FROM l
+""".format(pred=_holt_sql_pred(8))
+
+
+def q_mcnemar_gates(spark, sf_dir):
+    """McNemar's paired gate test per language (operators/stats.py
+    mcnemar_gates): the strict length gate vs its noise-loosened copy
+    score the SAME documents, so the looser gate can only add passes —
+    n_a_only is structurally 0 and z² collapses to the n_b_only count,
+    the one-sided permissiveness McNemar exists to catch. Oracle
+    replays the four conditional counters and the cross-multiplied
+    verdict."""
+    from .operators.stats import mcnemar_gates
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") >= 300).alias("ga"),
+        ((F.col("n_chars") + F.col("doc_id") % 7) >= 300).alias("gb"),
+    )
+    return mcnemar_gates(d, ["lang"], "ga", "gb")
+
+
+SQL_MCNEMAR = """
+WITH d AS (
+  SELECT lang, n_chars >= 300 AS ga,
+         n_chars + doc_id % 7 >= 300 AS gb
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) FILTER (WHERE ga AND gb) AS BIGINT)
+           AS n_agree_pass,
+         CAST(COUNT(*) FILTER (WHERE NOT ga AND NOT gb) AS BIGINT)
+           AS n_agree_fail,
+         CAST(COUNT(*) FILTER (WHERE ga AND NOT gb) AS BIGINT)
+           AS n_a_only,
+         CAST(COUNT(*) FILTER (WHERE NOT ga AND gb) AS BIGINT)
+           AS n_b_only
+  FROM d GROUP BY 1
+)
+SELECT lang, n_agree_pass, n_agree_fail, n_a_only, n_b_only,
+       CAST(CASE WHEN n_a_only + n_b_only > 0 THEN
+         (CAST(n_a_only - n_b_only AS HUGEINT)
+          * (n_a_only - n_b_only) * 1000000)
+           // (n_a_only + n_b_only)
+       END AS BIGINT) AS z2_ppm,
+       CASE WHEN n_a_only + n_b_only > 0 THEN
+         (CAST(n_a_only - n_b_only AS HUGEINT)
+          * (n_a_only - n_b_only) * 1000000)
+           // (n_a_only + n_b_only) > 3841600
+       END AS reject_05
+FROM agg
+"""
+
+
 def q_welch_t2_drift(spark, sf_dir):
     """Welch's t² drift per language (operators/stats.py
     welch_t2_drift): split = even/odd doc_id, with a +200-char shift
@@ -17565,6 +17714,8 @@ CATALOG: Dict[str, tuple] = {
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF),
     "welch_t2_drift": (q_welch_t2_drift, SQL_WELCH_T2),
+    "holt_anomaly": (q_holt_anomaly, SQL_HOLT_ANOMALY),
+    "mcnemar_gates": (q_mcnemar_gates, SQL_MCNEMAR),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

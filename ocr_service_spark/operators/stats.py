@@ -1929,3 +1929,132 @@ def welch_t2_drift(
             F.col("t2_ppm") > F.lit(int(crit_x10k) * 100),
         ).alias("reject_05"),
     )
+
+
+def _holt_weights(depth: int) -> list:
+    """Exact one-step Holt forecast weights w_j (x_{t-j} coefficients),
+    α = β = 1/2, as integers scaled by 4**depth. Derived from the state
+    recursion s_t = A·s_{t-1} + c·x_t with A = [[1/2,1/2],[-1/4,3/4]],
+    c = [1/2,1/4], forecast = [1,1]·s_{t-1}: w_j = [1,1]·A^(j-1)·c.
+    Every entry is a dyadic rational with denominator dividing 4^j, so
+    the scaled table is exact integers — computed at plan build time in
+    Fractions, never floats."""
+    from fractions import Fraction as Fr
+
+    a = [[Fr(1, 2), Fr(1, 2)], [Fr(-1, 4), Fr(3, 4)]]
+    c = [Fr(1, 2), Fr(1, 4)]
+    r = [Fr(1), Fr(1)]
+    scale = 4 ** depth
+    out = []
+    for _ in range(depth):
+        w = r[0] * c[0] + r[1] * c[1]
+        out.append(int(w * scale))
+        r = [
+            r[0] * a[0][0] + r[1] * a[1][0],
+            r[0] * a[0][1] + r[1] * a[1][1],
+        ]
+    return out
+
+
+def holt_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    depth: int = 8,
+    pct: int = 50,
+) -> DataFrame:
+    """Holt level+trend forecast anomaly flags — the member of the
+    anomaly family that ewma_anomaly cannot replace on TRENDING series:
+    a level-only smoother on a steady ramp underpredicts by a constant
+    (α=1/2, D=8 EWMA lags a unit ramp by ≈2 steps) and either flags the
+    whole healthy series or forces the band so wide real breaks hide.
+    Holt's second state tracks the slope; the same ramp's forecast
+    error is ≈0.125 steps.
+
+    Exactness: the one-step forecast is a FIXED linear combination of
+    the last D values (see _holt_weights) with dyadic-rational weights,
+    embedded as plan-build-time integer literals over 4^D — so
+    pred_num = Σ w_j·x_{t-j} is one exact integer per row, and the
+    deviation test |x·S − pred_num|·100 > pct·|pred_num| (S = Σw_j)
+    cross-multiplies with no division anywhere. Same one-window-spec
+    D-lag shape as ewma_anomaly: one Exchange + sort per key. Warmup
+    rows (fewer than D predecessors) emit NULL, not false.
+
+    Emits (keys…, order, value, pred_num, flag); pred = pred_num/S on
+    the 4^D grid."""
+    keys = list(key_cols)
+    dd, p = int(depth), int(pct)
+    weights = _holt_weights(dd)
+    s = sum(weights)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    x = F.col(value_col).cast("long")
+    pred = None
+    for j, wj in enumerate(weights, start=1):
+        term = F.lag(x, j).over(w) * F.lit(wj)
+        pred = term if pred is None else pred + term
+    d = df.select(
+        *keys,
+        F.col(order_col).alias("_ord"),
+        x.alias("_v"),
+        pred.alias("pred_num"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    return d.select(
+        *keys,
+        F.col("_ord").alias(order_col),
+        F.col("_v").alias(value_col),
+        F.col("pred_num").cast("long").alias("pred_num"),
+        F.when(
+            F.col("_rn") > dd,
+            100 * F.abs(F.col("_v") * s - F.col("pred_num"))
+            > p * F.abs(F.col("pred_num")),
+        ).alias("flag"),
+    )
+
+
+def mcnemar_gates(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    gate_a: str,
+    gate_b: str,
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """McNemar's paired test per slice — the right comparison when TWO
+    quality gates score the SAME documents: overall accuracy deltas
+    wash out on the agreeing majority; what decides "is B strictly more
+    permissive than A" is only the DISCORDANT cells b = |A∧¬B| and
+    c = |¬A∧B|, and McNemar's χ² = (b−c)²/(b+c) tests their symmetry.
+
+    z²_ppm = (b−c)²·10⁶ div (b+c) — integers end to end (the square
+    kills the sign); verdict is the cross-multiplied inequality against
+    crit_x10k·100 (the family convention). b+c = 0 (the gates never
+    disagree) emits NULL loudly, not "no difference proven".
+
+    ONE conditional hash aggregate per slice, four counters wide.
+    Emits (groups…, n_agree_pass, n_agree_fail, n_a_only, n_b_only,
+    z2_ppm, reject_05)."""
+    keys = list(group_cols)
+    a, b = F.col(gate_a), F.col(gate_b)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.when(a & b, 1)).alias("n_agree_pass"),
+        F.count(F.when(~a & ~b, 1)).alias("n_agree_fail"),
+        F.count(F.when(a & ~b, 1)).alias("n_a_only"),
+        F.count(F.when(~a & b, 1)).alias("n_b_only"),
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    z2 = F.expr(
+        "(cast(n_a_only - n_b_only as decimal(38,0))"
+        " * (n_a_only - n_b_only) * 1000000)"
+        " div (n_a_only + n_b_only)"
+    ).cast("long")
+    return agg.select(
+        *keys,
+        "n_agree_pass",
+        "n_agree_fail",
+        "n_a_only",
+        "n_b_only",
+        F.when(disc > 0, z2).alias("z2_ppm"),
+        F.when(disc > 0, z2 > F.lit(int(crit_x10k) * 100))
+        .alias("reject_05"),
+    )

@@ -1159,3 +1159,84 @@ class TestWelchT2Drift:
         ]
         r = self._run(spark, rows)["g"]
         assert 3_000 <= r["df_milli"] < 6_000
+
+
+class TestHoltAnomaly:
+    def _run(self, spark, rows, pct=50):
+        from ocr_service_spark.operators.stats import holt_anomaly
+
+        df = spark.createDataFrame(rows, "g string, t long, v long")
+        out = holt_anomaly(df, ["g"], "t", "v", depth=8, pct=pct)
+        return sorted(out.collect(), key=lambda r: r["t"])
+
+    def test_warmup_emits_null(self, spark):
+        rows = [("g", t, 100) for t in range(1, 12)]
+        got = self._run(spark, rows)
+        assert all(r["flag"] is None for r in got[:8])
+        assert all(r["flag"] is False for r in got[8:])
+
+    def test_ramp_tracked_where_ewma_lags(self, spark):
+        # v = 10t: Holt's trend state tracks the slope (forecast error
+        # ~0.125 steps); a level-only EWMA lags a ramp by ~2 steps and
+        # false-flags the same series at the same 5% band
+        from ocr_service_spark.operators.stats import ewma_anomaly
+
+        rows = [("g", t, 10 * t) for t in range(1, 21)]
+        holt = self._run(spark, rows, pct=5)
+        assert all(r["flag"] is False for r in holt if r["flag"] is not None)
+        df = spark.createDataFrame(rows, "g string, t long, v long")
+        ewma = ewma_anomaly(df, ["g"], "t", "v", depth=8, pct=5).collect()
+        assert any(r["flag"] for r in ewma if r["flag"] is not None)
+
+    def test_spike_flags(self, spark):
+        rows = [("g", t, 10 * t + (500 if t == 15 else 0))
+                for t in range(1, 21)]
+        got = self._run(spark, rows, pct=50)
+        by_t = {r["t"]: r for r in got}
+        assert by_t[15]["flag"] is True
+        assert by_t[12]["flag"] is False
+
+    def test_pred_num_matches_weight_table(self, spark):
+        from ocr_service_spark.operators.stats import _holt_weights
+
+        rows = [("g", t, 7 * t * t) for t in range(1, 12)]
+        got = self._run(spark, rows)
+        w = _holt_weights(8)
+        vals = {t: 7 * t * t for t in range(1, 12)}
+        for r in got:
+            if r["t"] > 8:
+                exp = sum(wj * vals[r["t"] - j]
+                          for j, wj in enumerate(w, start=1))
+                assert r["pred_num"] == exp
+
+
+class TestMcnemarGates:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import mcnemar_gates
+
+        df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+        return {r["g"]: r for r in mcnemar_gates(df, ["g"], "a", "b").collect()}
+
+    def test_hand_cells_and_z2(self, spark):
+        # b=5 a-only, c=1 b-only: z2 = 16e6 // 6 = 2666666 -> no reject
+        rows = ([("g", True, False)] * 5 + [("g", False, True)]
+                + [("g", True, True)] * 10 + [("g", False, False)] * 4)
+        r = self._run(spark, rows)["g"]
+        assert (r["n_a_only"], r["n_b_only"]) == (5, 1)
+        assert (r["n_agree_pass"], r["n_agree_fail"]) == (10, 4)
+        assert r["z2_ppm"] == 2_666_666 and r["reject_05"] is False
+
+    def test_one_sided_permissiveness_rejects(self, spark):
+        rows = [("g", False, True)] * 8 + [("g", True, True)] * 5
+        r = self._run(spark, rows)["g"]
+        assert r["z2_ppm"] == 8_000_000 and r["reject_05"] is True
+
+    def test_symmetric_disagreement_is_zero(self, spark):
+        rows = [("g", True, False)] * 4 + [("g", False, True)] * 4
+        r = self._run(spark, rows)["g"]
+        assert r["z2_ppm"] == 0 and r["reject_05"] is False
+
+    def test_never_disagree_is_null(self, spark):
+        rows = [("g", True, True)] * 6 + [("g", False, False)] * 2
+        r = self._run(spark, rows)["g"]
+        assert r["z2_ppm"] is None and r["reject_05"] is None
