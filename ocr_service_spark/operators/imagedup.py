@@ -49,9 +49,17 @@ def _pixels(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+_BIT_WEIGHTS = np.left_shift(
+    np.uint64(1), np.arange(64, dtype=np.uint64)
+)  # bit 63 is always zero, so the packed value fits signed int64 exactly
+
+
 def dhash63(payload: bytes) -> int:
     """dHash over the decoded plane: strided sampling onto an 8×9 grid,
-    bit (i*8+j) = grid[i, j+1] > grid[i, j], bit 63 kept zero."""
+    bit (i*8+j) = grid[i, j+1] > grid[i, j], bit 63 kept zero. Packing
+    uses a uint64 dot product — the original object-dtype weights cost
+    64 bignum multiplies PER FRAME (measured ~10s across a 96k-frame
+    bench query); uint64 is exact for the same 63 bits."""
     plane = _pixels(payload)
     n = len(plane)
     stride = max(1, n // (GRID_H * GRID_W))
@@ -59,7 +67,28 @@ def dhash63(payload: bytes) -> int:
     grid = plane[idx].astype(np.int16).reshape(GRID_H, GRID_W)
     bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)  # row-major, 64 bits
     bits[63] = False  # signed-long safety (simhash64 precedent)
-    return int(bits @ (1 << np.arange(64, dtype=object)))
+    return int(bits.astype(np.uint64) @ _BIT_WEIGHTS)
+
+
+def dhash63_batch(planes: np.ndarray) -> np.ndarray:
+    """Vectorized dhash63 over an (n, L) uint8 matrix of EQUAL-length
+    planes — one strided gather + one comparison + one matmul for the
+    whole batch instead of n Python calls. Byte-identical to the scalar
+    spec (differential-tested); ragged batches must fall back to the
+    scalar path because the stride depends on the plane length."""
+    n_px = planes.shape[1]
+    stride = max(1, n_px // (GRID_H * GRID_W))
+    idx = (np.arange(GRID_H * GRID_W) * stride) % n_px
+    grid = planes[:, idx].astype(np.int16).reshape(-1, GRID_H, GRID_W)
+    bits = (grid[:, :, 1:] > grid[:, :, :-1]).reshape(len(planes), 64)
+    bits[:, 63] = False
+    # integer matmul has no BLAS path — packbits is the C-speed packer
+    # and bitorder='little' makes byte b, bit k contribute 2^(8b+k),
+    # exactly the scalar spec's weight table
+    packed = np.ascontiguousarray(
+        np.packbits(bits, axis=1, bitorder="little")
+    )
+    return packed.view("<u8").ravel().astype(np.int64)
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
@@ -149,7 +178,8 @@ def video_frame_dhashes(
 
     def run(batches):
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            ids, idxs, full = [], [], []
+            rag_ids, rag_idxs, rag_hashes = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
@@ -159,13 +189,25 @@ def video_frame_dhashes(
                     frame = payload[i * frame_bytes:(i + 1) * frame_bytes]
                     if not frame:
                         continue
-                    ids.append(media_id)
-                    idxs.append(i)
-                    hashes.append(dhash63(frame))
+                    if len(frame) == frame_bytes:
+                        ids.append(media_id)
+                        idxs.append(i)
+                        full.append(np.frombuffer(frame, dtype=np.uint8))
+                    else:
+                        # short tail frame: stride depends on length —
+                        # scalar spec path (differential-tested twin)
+                        rag_ids.append(media_id)
+                        rag_idxs.append(i)
+                        rag_hashes.append(dhash63(frame))
+            hashes = (
+                dhash63_batch(np.vstack(full)).tolist() if full else []
+            )
             yield pd.DataFrame({
-                "media_id": ids,
-                "frame_idx": pd.array(idxs, dtype="int32"),
-                "frame_dhash": pd.array(hashes, dtype="Int64"),
+                "media_id": ids + rag_ids,
+                "frame_idx": pd.array(idxs + rag_idxs, dtype="int32"),
+                "frame_dhash": pd.array(
+                    hashes + rag_hashes, dtype="Int64"
+                ),
             })
 
     return media.select("media_id", "payload").mapInPandas(

@@ -149,3 +149,33 @@ class TestDhashDupClusters:
         assert got["a"] == got["b"] == got["c"]
         # canonical is a member of its own cluster
         assert got["a"] in {"a", "b", "c"}
+
+
+class TestDhashBatchDifferential:
+    def test_batch_matches_scalar_spec(self):
+        import numpy as np
+
+        from ocr_service_spark.operators.imagedup import (
+            dhash63,
+            dhash63_batch,
+        )
+
+        rng = [bytes(((s * 31 + n * 17) % 256) for n in range(64))
+               for s in range(50)]
+        planes = np.vstack([np.frombuffer(b, dtype=np.uint8) for b in rng])
+        got = dhash63_batch(planes)
+        exp = [dhash63(b) for b in rng]
+        assert got.tolist() == exp
+
+    def test_batch_matches_scalar_on_larger_planes(self):
+        import numpy as np
+
+        from ocr_service_spark.operators.imagedup import (
+            dhash63,
+            dhash63_batch,
+        )
+
+        rng = [bytes(((s * 7 + n * 13) % 256) for n in range(4096))
+               for s in range(10)]
+        planes = np.vstack([np.frombuffer(b, dtype=np.uint8) for b in rng])
+        assert dhash63_batch(planes).tolist() == [dhash63(b) for b in rng]
