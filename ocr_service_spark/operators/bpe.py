@@ -78,7 +78,11 @@ def bpe_train(
     chars = F.regexp_extract_all(
         F.concat(F.col("word"), F.lit(END_OF_WORD)), F.lit("."), 0
     )
-    vocab = wf.select("word", "cnt", chars.alias("syms"))
+    # Materialize the dict ONCE: without this every round's pair-count
+    # job re-runs the corpus scan + word aggregate through its lineage —
+    # R corpus passes for R merges (measured 13.6s -> 4.7s at sf0.1 for
+    # R=6). The checkpoint is vocab-sized, the thing BPE trains on.
+    vocab = wf.select("word", "cnt", chars.alias("syms")).localCheckpoint()
     merges: List[Tuple[int, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
