@@ -7480,6 +7480,195 @@ GROUP BY 1, 2
 """
 
 
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_7 suppliers'
+    revenue share of MEDIUM-part lines bought by AMERICA customers, per
+    order year. The two nation roles join under fresh aliased names;
+    both sums shift onto the 1e-4 grid BEFORE the ppm div (the Q14
+    rounding lesson). Dimensions broadcast; one shuffle join chain
+    lineitem⋈orders⋈customer carries the fact rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    pt = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "MEDIUM"
+    ).select("p_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation")
+    rg = load(spark, sf_dir, "region")
+    cn = (
+        na.join(rg, na.n_regionkey == rg.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    base = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"),
+              "inner")
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = base.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", rev)
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ) * 10000
+        ).cast("decimal(38,0)").alias("_n7"),
+        (F.sum(rev) * 10000).cast("decimal(38,0)").alias("_tot"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("case when _tot > 0 then (_n7 * 1000000) div _tot"
+               " else 0 end").cast("long").alias("share_ppm"),
+        "n_lines",
+    )
+
+
+SQL_Q8_SHARE = """
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cr.r_name = 'AMERICA' AND p_type = 'MEDIUM'
+)
+SELECT o_year,
+       CAST(CASE WHEN SUM(rev) > 0 THEN
+         (CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS HUGEINT)
+          * 1000000) // CAST(SUM(rev) * 10000 AS HUGEINT)
+       ELSE 0 END AS BIGINT) AS share_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM base GROUP BY 1
+"""
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average. The correlated AVG
+    is a per-part (sum, count) aggregate joined back; the 0.2·avg cut
+    cross-multiplies to 5·qty·count < sum on the exact cents grid — no
+    division, no float avg. The per-part table is parts-sized
+    (dimension-scale), so AQE can broadcast it at any corpus size."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").alias("qty_e2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").alias("price_e2"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_e2").alias("sq"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+    )
+    j = li.join(per_part, F.col("l_partkey") == F.col("pk"))
+    small = j.filter(
+        F.lit(5).cast("decimal(38,0)") * F.col("qty_e2") * F.col("c")
+        < F.col("sq")
+    )
+    return small.agg(
+        F.sum("price_e2").cast("long").alias("rev_e2"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q17_SMALL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           AS sq,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS rev_e2,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE 5 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) * c
+      < sq
+"""
+
+
+def q_q19_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity bands over lineitem⋈part. The point
+    of the shape is predicate behavior: part prunes to a broadcast and
+    the OR lands as ONE post-join filter Catalyst can't push into
+    either scan alone — but the p_partkey equi-join still carries it.
+    Revenue on the 1e-4 grid."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return j.filter(band).agg(
+        (F.sum(rev) * 10000).cast("decimal(38,0)").cast("long")
+        .alias("rev_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q19_BANDS = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_q13_order_distribution(spark, sf_dir):
     """TPC-H Q13 shape (customer order-count distribution): LEFT join so
     zero-order customers survive, count the NON-NULL side (count("*")
@@ -17698,6 +17887,9 @@ CATALOG: Dict[str, tuple] = {
     "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7_VOLUME),
     "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED),
     "q12_late_priority": (q_q12_late_priority, SQL_Q12_LATE),
+    "q8_market_share": (q_q8_market_share, SQL_Q8_SHARE),
+    "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL),
+    "q19_brand_revenue": (q_q19_brand_revenue, SQL_Q19_BANDS),
     "q13_order_distribution": (q_q13_order_distribution, SQL_Q13_DIST),
     "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPP),
     "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE),
