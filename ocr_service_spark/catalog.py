@@ -6624,6 +6624,79 @@ FROM agg
 """
 
 
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q omnibus gate test (operators/classifier.py
+    cochran_q) over the three planted gates (length / noisy copy /
+    doc_id coin) as a complete design — the test to run BEFORE pairwise
+    McNemar drill-downs. Oracle replays both margins, the
+    k²-multiplied deviation sum and the ppm fraction."""
+    from .operators.classifier import cochran_q
+
+    d = load(spark, sf_dir, "documents")
+    gate = F.col("n_chars") >= 300
+    noisy = (F.col("n_chars") + F.col("doc_id") % 7) >= 300
+    coin = F.col("doc_id") % 4 == 0  # 25% pass: marginals diverge
+    ratings = (
+        d.select(F.col("doc_id").alias("item_id"),
+                 F.lit("len").alias("gate_id"), gate.alias("passed"))
+        .unionByName(d.select(F.col("doc_id").alias("item_id"),
+                              F.lit("noisy").alias("gate_id"),
+                              noisy.alias("passed")))
+        .unionByName(d.select(F.col("doc_id").alias("item_id"),
+                              F.lit("coin").alias("gate_id"),
+                              coin.alias("passed")))
+    )
+    return cochran_q(ratings)
+
+
+SQL_COCHRAN_Q = """
+WITH cell AS (
+  SELECT doc_id AS i, 'len' AS j,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'noisy',
+         CASE WHEN n_chars + doc_id % 7 >= 300 THEN 1 ELSE 0 END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'coin', CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+  FROM documents
+),
+per_item AS (
+  SELECT i, CAST(SUM(x) AS HUGEINT) AS l FROM cell GROUP BY 1
+),
+items AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_items, SUM(l) AS t,
+         SUM(l * l) AS l2
+  FROM per_item
+),
+per_gate AS (
+  SELECT j, CAST(SUM(x) AS HUGEINT) AS g FROM cell GROUP BY 1
+),
+gates AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM((3 * g - (SELECT t FROM items))
+             * (3 * g - (SELECT t FROM items))) AS sdev2
+  FROM per_gate
+),
+sc AS (
+  SELECT n_items, k, t, l2, sdev2,
+         (k - 1) * sdev2 AS num,
+         k * (k * t - l2) AS den
+  FROM items CROSS JOIN gates
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(k AS BIGINT) AS n_gates,
+       CAST(t AS BIGINT) AS t_passes,
+       CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END AS BIGINT)
+         AS q_ppm,
+       CASE WHEN den > 0 THEN
+         (num * 1000000) // den > 5991500
+       END AS reject_05
+FROM sc
+"""
+
+
 def q_welch_t2_drift(spark, sf_dir):
     """Welch's t² drift per language (operators/stats.py
     welch_t2_drift): split = even/odd doc_id, with a +200-char shift
@@ -17908,6 +17981,7 @@ CATALOG: Dict[str, tuple] = {
     "welch_t2_drift": (q_welch_t2_drift, SQL_WELCH_T2),
     "holt_anomaly": (q_holt_anomaly, SQL_HOLT_ANOMALY),
     "mcnemar_gates": (q_mcnemar_gates, SQL_MCNEMAR),
+    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

@@ -999,3 +999,89 @@ def brier_murphy(
             ).alias("unc_u"),
         )
     )
+
+
+def cochran_q(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    gate_col: str = "gate_id",
+    pass_col: str = "passed",
+    crit_x10k: int = 59_915,
+) -> DataFrame:
+    """Cochran's Q — "do these k binary gates differ at all?" for k
+    RELATED samples (every gate scores every document). The k-gate
+    generalization of McNemar (k=2 reduces to it): pairwise McNemars
+    inflate the family-wise error; Q is the one omnibus test to run
+    BEFORE any pairwise drill-down.
+
+    With gate totals G_j, item totals L_i, T = ΣG_j:
+        Q = (k−1)·Σ_j (k·G_j − T)² / (k·(k·T − Σ L_i²))
+    — the (G_j − T/k)² form multiplied through by k², all integers,
+    emitted in ppm with the verdict as the cross-multiplied inequality
+    against χ²(k−1) (crit_x10k = crit·10⁴; default 5.9915 = k=3).
+    The denominator Σ L_i(k−L_i) = 0 means every item was unanimous —
+    Q undefined, NULL loudly. An item missing a gate (incomplete
+    design) raises through an output-woven check.
+
+    Two stacked aggregates + two broadcast 1-row margins; no windows.
+    Emits ONE row: (n_items, n_gates, t_passes, q_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    x = F.when(F.col(pass_col), 1).otherwise(0)
+    cell = ratings.select(
+        F.col(item_col).alias("i"), F.col(gate_col).alias("j"),
+        x.alias("x"),
+    )
+    per_item = cell.groupBy("i").agg(
+        F.sum("x").alias("l"), F.count(F.lit(1)).alias("n_i")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("n_i").alias("_kk"),
+        F.max("n_i").alias("n_gates"),
+        F.sum("l").cast(d38).alias("t"),
+        F.sum(F.col("l").cast(d38) * F.col("l").cast(d38)).alias("l2"),
+    )
+    per_gate = cell.groupBy("j").agg(F.sum("x").cast(d38).alias("g"))
+    # Σ_j (k·G_j − T)² needs k and T against every gate row: broadcast
+    # the 1-row item margins, square, re-aggregate
+    gk = per_gate.crossJoin(F.broadcast(items)).select(
+        "n_items", "_kk", "n_gates", "t", "l2",
+        (
+            (F.col("n_gates").cast(d38) * F.col("g") - F.col("t"))
+            * (F.col("n_gates").cast(d38) * F.col("g") - F.col("t"))
+        ).alias("dev2"),
+    )
+    agg = gk.groupBy("n_items", "_kk", "n_gates", "t", "l2").agg(
+        F.sum("dev2").alias("sdev2"),
+        F.count(F.lit(1)).alias("_j_cnt"),
+    )
+    scored = (
+        agg.withColumn(
+            "n_items",
+            F.when(
+                (F.col("_kk") != 1)
+                | (F.col("n_gates") != F.col("_j_cnt")),
+                F.raise_error(F.lit(
+                    "cochran_q: incomplete design — every gate must"
+                    " score every item exactly once"
+                )).cast("long"),
+            ).otherwise(F.col("n_items")),
+        )
+        .withColumn("_k", F.col("n_gates").cast(d38))
+        .withColumn(
+            "_num", (F.col("_k") - 1) * F.col("sdev2")
+        )
+        .withColumn(
+            "_den",
+            F.col("_k") * (F.col("_k") * F.col("t") - F.col("l2")),
+        )
+    )
+    q = F.expr("(_num * 1000000) div _den").cast("long")
+    return scored.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_gates").cast("long").alias("n_gates"),
+        F.col("t").cast("long").alias("t_passes"),
+        F.when(F.col("_den") > 0, q).alias("q_ppm"),
+        F.when(F.col("_den") > 0, q > F.lit(int(crit_x10k) * 100))
+        .alias("reject_05"),
+    )

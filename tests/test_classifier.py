@@ -619,3 +619,52 @@ class TestBrierMurphy:
         # res bin9: (1*4-1*2)^2*1e6/(2*16)=125000; bin0 same deviation
         assert r["res_u"] == (125_000 + 125_000) // 4
         assert r["unc_u"] == 1 * 3 * 1_000_000 // 16
+
+
+class TestCochranQ:
+    def _q(self, spark, rows, crit=59_915):
+        from ocr_service_spark.operators.classifier import cochran_q
+
+        df = spark.createDataFrame(
+            rows, "item_id long, gate_id string, passed boolean"
+        )
+        return cochran_q(df, crit_x10k=crit).collect()[0]
+
+    def _two_gates(self, a_only, b_only, both, neither):
+        rows = []
+        i = 0
+        for n, (pa, pb) in ((a_only, (True, False)),
+                            (b_only, (False, True)),
+                            (both, (True, True)),
+                            (neither, (False, False))):
+            for _ in range(n):
+                rows += [(i, "A", pa), (i, "B", pb)]
+                i += 1
+        return rows
+
+    def test_k2_reduces_to_mcnemar(self, spark):
+        # b=5, c=1: McNemar z2 = 16/6; Cochran Q must agree exactly
+        r = self._q(spark, self._two_gates(5, 1, 10, 4))
+        assert r["q_ppm"] == 2_666_666
+        assert r["n_gates"] == 2 and r["n_items"] == 20
+        assert r["t_passes"] == 26
+
+    def test_unanimous_items_undefined(self, spark):
+        r = self._q(spark, self._two_gates(0, 0, 6, 3))
+        assert r["q_ppm"] is None and r["reject_05"] is None
+
+    def test_three_gates_divergent_rejects(self, spark):
+        rows = []
+        for i in range(30):
+            rows += [(i, "g1", True), (i, "g2", i % 2 == 0),
+                     (i, "g3", False)]
+        r = self._q(spark, rows)
+        assert r["n_gates"] == 3
+        assert r["reject_05"] is True
+
+    def test_incomplete_design_raises(self, spark):
+        import pytest as _pytest
+
+        rows = self._two_gates(2, 2, 2, 2) + [(99, "A", True)]
+        with _pytest.raises(Exception, match="incomplete design"):
+            self._q(spark, rows)
