@@ -6624,6 +6624,97 @@ FROM agg
 """
 
 
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson residual diagnostic (operators/stats.py
+    durbin_watson) over per-type daily event counts, with a +50 level
+    shift planted on the first 15 days of the 'error' type: a linear
+    fit through a step change leaves systematic runs, so 'error' reads
+    dw << 2000 / rho >> 0 while the clean types sit near white. Oracle
+    replays the D-scaled integer residuals, the lag window and both
+    grids."""
+    from .operators.stats import durbin_watson
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+        .alias("d"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    daily = (
+        ev.groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            "d",
+            (
+                F.col("c")
+                + F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("d") - F.col("d0") < 15),
+                    50,
+                ).otherwise(0)
+            ).alias("v"),
+        )
+    )
+    return durbin_watson(daily, "event_type", "d", "v")
+
+
+SQL_DURBIN_WATSON = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+d0 AS (SELECT MIN(d) AS d0 FROM ev),
+daily AS (
+  SELECT event_type, d,
+         CAST(COUNT(*) AS BIGINT)
+           + CASE WHEN event_type = 'error'
+                  AND d - (SELECT d0 FROM d0) < 15
+             THEN 50 ELSE 0 END AS v
+  FROM ev GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type AS grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(d) AS HUGEINT) AS s_x,
+         CAST(SUM(v) AS HUGEINT) AS s_y,
+         CAST(SUM(d * v) AS HUGEINT) AS s_xy,
+         CAST(SUM(d * d) AS HUGEINT) AS s_xx
+  FROM daily GROUP BY 1
+),
+fit AS (
+  SELECT grp, n, n * s_xx - s_x * s_x AS dd,
+         n * s_xy - s_x * s_y AS b_num,
+         s_y * s_xx - s_x * s_xy AS a_num
+  FROM agg
+),
+e AS (
+  SELECT dl.event_type AS grp, f.n, dl.d AS xv,
+         f.dd * dl.v - f.a_num - f.b_num * dl.d AS e
+  FROM daily dl JOIN fit f ON dl.event_type = f.grp
+),
+lagged AS (
+  SELECT grp, n, e, lag(e) OVER (PARTITION BY grp ORDER BY xv) AS e_prev
+  FROM e
+),
+out AS (
+  SELECT grp, n, SUM(e * e) AS se2,
+         SUM((e - e_prev) * (e - e_prev)) AS sd2,
+         SUM(e * e_prev) AS sep
+  FROM lagged GROUP BY 1, 2
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n >= 3 AND se2 > 0 THEN (sd2 * 1000) // se2 END
+            AS BIGINT) AS dw_milli,
+       CAST(CASE WHEN n >= 3 AND se2 > 0 THEN
+         (CASE WHEN sep < 0 THEN -1 WHEN sep > 0 THEN 1 ELSE 0 END)
+           * ((ABS(sep) * 1000000) // se2)
+       END AS BIGINT) AS rho_ppm
+FROM out
+"""
+
+
 def q_cochran_q(spark, sf_dir):
     """Cochran's Q omnibus gate test (operators/classifier.py
     cochran_q) over the three planted gates (length / noisy copy /
@@ -17982,6 +18073,7 @@ CATALOG: Dict[str, tuple] = {
     "holt_anomaly": (q_holt_anomaly, SQL_HOLT_ANOMALY),
     "mcnemar_gates": (q_mcnemar_gates, SQL_MCNEMAR),
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
+    "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

@@ -2058,3 +2058,79 @@ def mcnemar_gates(
         F.when(disc > 0, z2 > F.lit(int(crit_x10k) * 100))
         .alias("reject_05"),
     )
+
+
+def durbin_watson(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Durbin–Watson residual-autocorrelation diagnostic per group —
+    the honesty check BEHIND group_trend: an OLS slope over a series
+    with runs (a mid-series level shift, seasonality, a regime change)
+    is numerically valid but its error bars are fiction; DW ≈ 2 means
+    white residuals, DW → 0 means positive runs (the fit is hiding
+    structure), DW → 4 alternation.
+
+    Exactness without ever materializing a float residual: with
+    D = n·Σx² − (Σx)², the OLS fit has intercept a = a_num/D and slope
+    b = b_num/D, so the D-SCALED residual E_t = D·y_t − a_num − b_num·x_t
+    is an exact integer, and both DW = Σ(E_t−E_{t−1})²/ΣE_t² and the
+    AR(1) estimate ρ = ΣE_tE_{t−1}/ΣE_t² are scale-invariant in E — the
+    D² cancels. decimal(38,0) throughout (E ~ D·y can pass 2^63).
+
+    Shape: one hash aggregate for the sums, a broadcast join back, one
+    per-group window lag, one final aggregate. Emits (grp, n, dw_milli,
+    rho_ppm) — dw on the milli grid (2000 = white), rho sign-split ppm;
+    groups with <3 points or a degenerate fit emit NULL."""
+    d38 = "decimal(38,0)"
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    )
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").cast(d38).alias("s_x"),
+        F.sum("yv").cast(d38).alias("s_y"),
+        F.sum(F.col("xv") * F.col("yv")).cast(d38).alias("s_xy"),
+        F.sum(F.col("xv") * F.col("xv")).cast(d38).alias("s_xx"),
+    ).select(
+        "grp", "n",
+        F.expr("n * s_xx - s_x * s_x").alias("dd"),
+        F.expr("n * s_xy - s_x * s_y").alias("b_num"),
+        F.expr("s_y * s_xx - s_x * s_xy").alias("a_num"),
+    )
+    j = d.join(F.broadcast(agg), "grp")
+    e = j.select(
+        "grp", "n", "xv",
+        (
+            F.col("dd") * F.col("yv") - F.col("a_num")
+            - F.col("b_num") * F.col("xv")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("grp").orderBy("xv")
+    lagged = e.select(
+        "grp", "n", "e", F.lag("e").over(w).alias("e_prev")
+    )
+    out = lagged.groupBy("grp", "n").agg(
+        F.sum(F.col("e") * F.col("e")).alias("se2"),
+        F.sum(
+            (F.col("e") - F.col("e_prev"))
+            * (F.col("e") - F.col("e_prev"))
+        ).alias("sd2"),
+        F.sum(F.col("e") * F.col("e_prev")).alias("sep"),
+    )
+    ok = (F.col("n") >= 3) & (F.col("se2") > 0)
+    return out.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.expr("(sd2 * 1000) div se2"))
+        .cast("long").alias("dw_milli"),
+        F.when(
+            ok,
+            F.signum("sep").cast("long")
+            * F.expr("(abs(sep) * 1000000) div se2").cast("long"),
+        ).cast("long").alias("rho_ppm"),
+    )

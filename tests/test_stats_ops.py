@@ -1240,3 +1240,48 @@ class TestMcnemarGates:
         rows = [("g", True, True)] * 6 + [("g", False, False)] * 2
         r = self._run(spark, rows)["g"]
         assert r["z2_ppm"] is None and r["reject_05"] is None
+
+
+class TestDurbinWatson:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import durbin_watson
+
+        df = spark.createDataFrame(rows, "g string, t long, v long")
+        return {
+            r["grp"]: r
+            for r in durbin_watson(df, "g", "t", "v").collect()
+        }
+
+    def test_hand_alternating_case(self, spark):
+        # y = [0,1,0,1] at x=1..4: D=20, b_num=4, a_num=0,
+        # E = [-4,12,-12,4]; se2=320, sd2=1088, sep=-240
+        # dw = 1088000//320 = 3400; rho = -750000
+        rows = [("g", 1, 0), ("g", 2, 1), ("g", 3, 0), ("g", 4, 1)]
+        r = self._run(spark, rows)["g"]
+        assert r["dw_milli"] == 3400
+        assert r["rho_ppm"] == -750_000
+
+    def test_perfect_line_is_null(self, spark):
+        rows = [("g", t, 7 * t + 3) for t in range(1, 8)]
+        r = self._run(spark, rows)["g"]
+        assert r["dw_milli"] is None and r["rho_ppm"] is None
+
+    def test_level_shift_reads_positive_runs(self, spark):
+        # flat 100 then flat 200: OLS line cuts through both halves,
+        # residuals form two long runs -> dw far below 2000, rho near 1e6
+        rows = [("g", t, 100 if t <= 10 else 200) for t in range(1, 21)]
+        r = self._run(spark, rows)["g"]
+        assert r["dw_milli"] < 1000
+        assert r["rho_ppm"] > 500_000
+
+    def test_white_noise_near_two(self, spark):
+        # deterministic pseudo-noise around a trend: mixing hash mod 7
+        rows = [("g", t, 100 + 3 * t + ((t * 2654435761) % 7) - 3)
+                for t in range(1, 40)]
+        r = self._run(spark, rows)["g"]
+        assert 1200 < r["dw_milli"] < 2800
+
+    def test_too_short_is_null(self, spark):
+        rows = [("g", 1, 5), ("g", 2, 9)]
+        r = self._run(spark, rows)["g"]
+        assert r["dw_milli"] is None
