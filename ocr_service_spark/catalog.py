@@ -6624,6 +6624,68 @@ FROM agg
 """
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's τ-a (operators/stats.py kendall_tau) between day and
+    daily event count per type — the pair-counting trend read beside
+    Spearman's rank rho and the OLS slope; count ties across days
+    exercise the tie reporting. Oracle replays the deterministic
+    row-number pairing, the sign products and the sign-split ppm."""
+    from .operators.stats import kendall_tau
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+        .alias("d"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return kendall_tau(daily, "event_type", "d", "c")
+
+
+SQL_KENDALL_TAU = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+daily AS (
+  SELECT event_type AS grp, d AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+),
+r AS (
+  SELECT grp, x, y,
+         row_number() OVER (PARTITION BY grp ORDER BY x, y) AS rn
+  FROM daily
+),
+pairs AS (
+  SELECT a.grp,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+              WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN -1
+              ELSE 0 END AS sgn,
+         a.x = b.x AS tx, a.y = b.y AS ty
+  FROM r a JOIN r b ON a.grp = b.grp AND a.rn < b.rn
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n_pairs,
+         CAST(COUNT(*) FILTER (WHERE sgn > 0) AS BIGINT) AS c_pairs,
+         CAST(COUNT(*) FILTER (WHERE sgn < 0) AS BIGINT) AS d_pairs,
+         CAST(COUNT(*) FILTER (WHERE tx) AS BIGINT) AS tie_x,
+         CAST(COUNT(*) FILTER (WHERE ty) AS BIGINT) AS tie_y
+  FROM pairs GROUP BY 1
+),
+sizes AS (SELECT grp, CAST(MAX(rn) AS BIGINT) AS n FROM r GROUP BY 1)
+SELECT a.grp, s.n, a.c_pairs, a.d_pairs, a.tie_x, a.tie_y,
+       CAST(CASE WHEN n_pairs > 0 THEN
+         (CASE WHEN c_pairs < d_pairs THEN -1
+               WHEN c_pairs > d_pairs THEN 1 ELSE 0 END)
+           * ((ABS(CAST(c_pairs - d_pairs AS HUGEINT)) * 1000000)
+              // n_pairs)
+       END AS BIGINT) AS tau_a_ppm
+FROM agg a JOIN sizes s ON a.grp = s.grp
+"""
+
+
 def q_durbin_watson(spark, sf_dir):
     """Durbin–Watson residual diagnostic (operators/stats.py
     durbin_watson) over per-type daily event counts, with a +50 level
@@ -18074,6 +18136,7 @@ CATALOG: Dict[str, tuple] = {
     "mcnemar_gates": (q_mcnemar_gates, SQL_MCNEMAR),
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
     "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

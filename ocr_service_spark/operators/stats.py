@@ -2134,3 +2134,67 @@ def durbin_watson(
             * F.expr("(abs(sep) * 1000000) div se2").cast("long"),
         ).cast("long").alias("rho_ppm"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ rank correlation per group — the third correlation
+    beside Pearson (linear) and Spearman (monotone-via-ranks): τ counts
+    CONCORDANT vs DISCORDANT pairs directly, so it is the one with a
+    clean probabilistic reading (P[agree] − P[disagree]) and the most
+    robust to a few wild ranks.
+
+    τ-b's denominator needs a sqrt, so the emitted statistic is τ-a =
+    2(C−D)/(n(n−1)) in sign-split ppm — exact integers — with C, D and
+    both tie counts reported so a caller can form any tie-corrected
+    variant. Pairs come from a within-group self-join on rn_a < rn_b
+    (row_number over a deterministic order): cost Σ_g n_g² — correct
+    for the bounded per-group series this targets (daily metrics,
+    rank lists); corpus-sized groups want Spearman, whose rank path
+    is O(n log n). Emits (grp, n, c_pairs, d_pairs, tie_x, tie_y,
+    tau_a_ppm)."""
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("grp").orderBy("x", "y")
+    r = d.select("grp", "x", "y", F.row_number().over(w).alias("rn"))
+    a = r.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"),
+                 F.col("rn").alias("ra"))
+    b = r.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"),
+                 F.col("rn").alias("rb"))
+    pairs = a.join(b, "grp").where(F.col("ra") < F.col("rb"))
+    sgn = (
+        F.signum(F.col("xb") - F.col("xa"))
+        * F.signum(F.col("yb") - F.col("ya"))
+    ).cast("int")
+    agg = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(sgn > 0, 1)).alias("c_pairs"),
+        F.count(F.when(sgn < 0, 1)).alias("d_pairs"),
+        F.count(F.when(F.col("xa") == F.col("xb"), 1)).alias("tie_x"),
+        F.count(F.when(F.col("ya") == F.col("yb"), 1)).alias("tie_y"),
+    )
+    # n rides in exactly, not via a float sqrt of n_pairs (which can
+    # land at x.99999 and truncate off by one)
+    sizes = r.groupBy("grp").agg(F.max("rn").alias("n"))
+    agg = agg.join(F.broadcast(sizes), "grp")
+    diff = (F.col("c_pairs") - F.col("d_pairs")).cast("decimal(38,0)")
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        "c_pairs", "d_pairs", "tie_x", "tie_y",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.signum(diff).cast("long")
+            * F.expr(
+                "(abs(cast(c_pairs - d_pairs as decimal(38,0)))"
+                " * 1000000) div n_pairs"
+            ).cast("long"),
+        ).alias("tau_a_ppm"),
+    )

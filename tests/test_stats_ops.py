@@ -1285,3 +1285,36 @@ class TestDurbinWatson:
         rows = [("g", 1, 5), ("g", 2, 9)]
         r = self._run(spark, rows)["g"]
         assert r["dw_milli"] is None
+
+
+class TestKendallTau:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import kendall_tau
+
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        return {
+            r["grp"]: r for r in kendall_tau(df, "g", "x", "y").collect()
+        }
+
+    def test_perfect_monotone_is_one_even_nonlinear(self, spark):
+        rows = [("g", t, t * t * t) for t in range(1, 9)]
+        r = self._run(spark, rows)["g"]
+        assert r["tau_a_ppm"] == 1_000_000 and r["d_pairs"] == 0
+
+    def test_reversed_is_minus_one(self, spark):
+        rows = [("g", t, 100 - t) for t in range(1, 9)]
+        r = self._run(spark, rows)["g"]
+        assert r["tau_a_ppm"] == -1_000_000 and r["c_pairs"] == 0
+
+    def test_hand_ties_case(self, spark):
+        # x=[1,2,3,4], y=[1,1,2,2]: C=4, D=0, tie_y=2, pairs=6
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 2), ("g", 4, 2)]
+        r = self._run(spark, rows)["g"]
+        assert (r["c_pairs"], r["d_pairs"], r["tie_y"]) == (4, 0, 2)
+        assert r["tau_a_ppm"] == 666_666
+        assert r["n"] == 4
+
+    def test_exchangeable_noise_near_zero(self, spark):
+        rows = [("g", t, (t * 2654435761) % 97) for t in range(1, 40)]
+        r = self._run(spark, rows)["g"]
+        assert abs(r["tau_a_ppm"]) < 300_000
