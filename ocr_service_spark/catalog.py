@@ -6624,6 +6624,48 @@ FROM agg
 """
 
 
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture–recapture per language (operators/stats.py
+    capture_recapture): crawl A sees even doc_ids, crawl B sees
+    doc_id%3<2 — independent-by-construction marks, so N̂ recovers each
+    language's true document count from the overlap alone. Oracle
+    replays the conditional counts and both integral-div formulas."""
+    from .operators.stats import capture_recapture
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        (F.col("doc_id") % 3 < 2).alias("in_b"),
+    )
+    return capture_recapture(d, ["lang"], "in_a", "in_b")
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH d AS (
+  SELECT lang, doc_id % 2 = 0 AS in_a, doc_id % 3 < 2 AS in_b
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) FILTER (WHERE in_a) AS HUGEINT) AS na,
+         CAST(COUNT(*) FILTER (WHERE in_b) AS HUGEINT) AS nb,
+         CAST(COUNT(*) FILTER (WHERE in_a AND in_b) AS HUGEINT) AS m
+  FROM d GROUP BY 1
+)
+SELECT lang,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS m_both,
+       CAST(((na + 1) * (nb + 1)) // (m + 1) - 1 AS BIGINT) AS nhat,
+       CAST(((na + 1) * (nb + 1) * (na - m) * (nb - m))
+            // ((m + 1) * (m + 1) * (m + 2)) AS BIGINT) AS var_nhat,
+       CAST(CASE WHEN nb > 0 THEN (m * 1000000) // nb END AS BIGINT)
+         AS cap_a_ppm,
+       CAST(CASE WHEN na > 0 THEN (m * 1000000) // na END AS BIGINT)
+         AS cap_b_ppm
+FROM agg
+"""
+
+
 def q_kendall_tau(spark, sf_dir):
     """Kendall's τ-a (operators/stats.py kendall_tau) between day and
     daily event count per type — the pair-counting trend read beside
@@ -18137,6 +18179,7 @@ CATALOG: Dict[str, tuple] = {
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
     "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

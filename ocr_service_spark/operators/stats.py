@@ -2198,3 +2198,52 @@ def kendall_tau(
             ).cast("long"),
         ).alias("tau_a_ppm"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    in_a_col: str,
+    in_b_col: str,
+) -> DataFrame:
+    """Chapman capture–recapture estimate per slice — "how big is the
+    population we're sampling from?" for crawling: two independent
+    crawl snapshots each see a fraction of a host's real URL space;
+    the overlap says how much neither saw. N̂ = (nA+1)(nB+1)/(m+1) − 1
+    (Chapman's bias-corrected Lincoln–Petersen; finite even at m=0,
+    where the raw estimator blows up) with the Seber variance — both
+    exact integral divs, no floats.
+
+    The independence caveat is the operator's honest edge: crawls that
+    share a frontier oversample the same popular URLs, m inflates, and
+    N̂ UNDERestimates — so the capture probabilities m/nB and m/nA ride
+    along in ppm; when they differ wildly per slice, suspect dependence
+    before trusting N̂.
+
+    ONE conditional hash aggregate. Emits (groups…, n_a, n_b, m_both,
+    nhat, var_nhat, cap_a_ppm, cap_b_ppm)."""
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    a, b = F.col(in_a_col), F.col(in_b_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.when(a, 1)).cast(d38).alias("na"),
+        F.count(F.when(b, 1)).cast(d38).alias("nb"),
+        F.count(F.when(a & b, 1)).cast(d38).alias("m"),
+    )
+    nhat = F.expr("((na + 1) * (nb + 1)) div (m + 1) - 1")
+    var = F.expr(
+        "((na + 1) * (nb + 1) * (na - m) * (nb - m))"
+        " div ((m + 1) * (m + 1) * (m + 2))"
+    )
+    return agg.select(
+        *keys,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("m_both"),
+        nhat.cast("long").alias("nhat"),
+        var.cast("long").alias("var_nhat"),
+        F.when(F.col("nb") > 0, F.expr("(m * 1000000) div nb"))
+        .cast("long").alias("cap_a_ppm"),
+        F.when(F.col("na") > 0, F.expr("(m * 1000000) div na"))
+        .cast("long").alias("cap_b_ppm"),
+    )

@@ -1318,3 +1318,48 @@ class TestKendallTau:
         rows = [("g", t, (t * 2654435761) % 97) for t in range(1, 40)]
         r = self._run(spark, rows)["g"]
         assert abs(r["tau_a_ppm"]) < 300_000
+
+
+class TestCaptureRecapture:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import capture_recapture
+
+        df = spark.createDataFrame(
+            rows, "g string, in_a boolean, in_b boolean"
+        )
+        return {
+            r["g"]: r
+            for r in capture_recapture(df, ["g"], "in_a", "in_b").collect()
+        }
+
+    def test_hand_chapman(self, spark):
+        # na=4, nb=5, m=2: nhat = 5*6//3 - 1 = 9
+        # var = 5*6*2*3 // (9*4) = 180//36 = 5
+        rows = (
+            [("g", True, True)] * 2
+            + [("g", True, False)] * 2
+            + [("g", False, True)] * 3
+            + [("g", False, False)] * 3
+        )
+        r = self._run(spark, rows)["g"]
+        assert (r["n_a"], r["n_b"], r["m_both"]) == (4, 5, 2)
+        assert r["nhat"] == 9 and r["var_nhat"] == 5
+        assert r["cap_a_ppm"] == 400_000 and r["cap_b_ppm"] == 500_000
+
+    def test_disjoint_samples_finite(self, spark):
+        # m=0: the raw Lincoln-Petersen blows up, Chapman stays finite
+        rows = [("g", True, False)] * 3 + [("g", False, True)] * 4
+        r = self._run(spark, rows)["g"]
+        assert r["nhat"] == 4 * 5 - 1
+
+    def test_full_overlap_recovers_population(self, spark):
+        rows = [("g", True, True)] * 10
+        r = self._run(spark, rows)["g"]
+        assert r["nhat"] == (11 * 11) // 11 - 1 == 10
+
+    def test_independent_marks_recover_truth(self, spark):
+        # population 600: A = id%2, B = id%3<2 are independent marks;
+        # nhat = (301*401)//201 - 1 = 599 (integer floor of ~600)
+        rows = [("g", i % 2 == 0, i % 3 < 2) for i in range(600)]
+        r = self._run(spark, rows)["g"]
+        assert abs(r["nhat"] - 600) <= 1
