@@ -6624,6 +6624,90 @@ FROM agg
 """
 
 
+def q_jackknife_ratio(spark, sf_dir):
+    """Jackknife SE for average order value per priority
+    (operators/stats.py jackknife_ratio_se): units are days, the
+    statistic is Σdaily-cents / Σdaily-orders — a ratio of sums whose
+    naive variance is wrong and whose bootstrap needs banned
+    randomness. Oracle replays the totals, every leave-one-day-out
+    pseudo-value on the ppm grid and both closed forms."""
+    from .operators.stats import jackknife_ratio_se
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+        .alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+    )
+    daily = o.groupBy("o_orderpriority", "d").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum("cents").alias("y"),
+    )
+    # cents-scale ratio: milli grid (ppm squares past int64 output)
+    return jackknife_ratio_se(
+        daily, ["o_orderpriority"], "x", "y", scale=1000
+    )
+
+
+SQL_JACKKNIFE_RATIO = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+           AS cents
+  FROM orders
+),
+daily AS (
+  SELECT o_orderpriority, d, CAST(COUNT(*) AS HUGEINT) AS x,
+         SUM(cents) AS y
+  FROM o GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy
+  FROM daily GROUP BY 1
+),
+pseudo AS (
+  SELECT dl.o_orderpriority, t.n, t.sx, t.sy,
+         CASE WHEN t.sx - dl.x > 0 THEN
+           (CASE WHEN t.sy - dl.y < 0 THEN -1
+                 WHEN t.sy - dl.y > 0 THEN 1 ELSE 0 END)
+             * ((ABS(t.sy - dl.y) * 1000) // (t.sx - dl.x))
+         END AS r_i
+  FROM daily dl JOIN tot t USING (o_orderpriority)
+),
+agg AS (
+  SELECT o_orderpriority, n, sx, sy,
+         CAST(COUNT(*) FILTER (WHERE r_i IS NULL) AS HUGEINT) AS n_bad,
+         SUM(CAST(r_i AS HUGEINT)) AS sr,
+         SUM(CAST(r_i AS HUGEINT) * CAST(r_i AS HUGEINT)) AS sr2
+  FROM pseudo GROUP BY 1, 2, 3, 4
+),
+st AS (
+  SELECT *,
+         CASE WHEN sx > 0 THEN
+           (CASE WHEN sy < 0 THEN -1 WHEN sy > 0 THEN 1 ELSE 0 END)
+             * ((ABS(sy) * 1000) // sx)
+         END AS r_hat
+  FROM agg
+),
+st2 AS (SELECT *, sr - n * CAST(r_hat AS HUGEINT) AS bias_num FROM st)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_units,
+       CAST(r_hat AS BIGINT) AS r_q,
+       CAST(CASE WHEN n_bad = 0 AND sx > 0 AND n >= 2 THEN
+         ((n - 1) * (n * sr2 - sr * sr)) // (n * n)
+       END AS BIGINT) AS jk_se2_q2,
+       CAST(CASE WHEN n_bad = 0 AND sx > 0 AND n >= 2 THEN
+         (CASE WHEN bias_num < 0 THEN -1
+               WHEN bias_num > 0 THEN 1 ELSE 0 END)
+           * ((ABS(bias_num) * (n - 1)) // n)
+       END AS BIGINT) AS jk_bias_q
+FROM st2
+"""
+
+
 def q_capture_recapture(spark, sf_dir):
     """Chapman capture–recapture per language (operators/stats.py
     capture_recapture): crawl A sees even doc_ids, crawl B sees
@@ -18180,6 +18264,7 @@ CATALOG: Dict[str, tuple] = {
     "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
+    "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

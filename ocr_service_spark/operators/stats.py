@@ -2247,3 +2247,87 @@ def capture_recapture(
         F.when(F.col("na") > 0, F.expr("(m * 1000000) div na"))
         .cast("long").alias("cap_b_ppm"),
     )
+
+
+def jackknife_ratio_se(
+    units: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-unit-out jackknife SE for a RATIO statistic R = ΣY/ΣX
+    per slice — error bars for the numbers this repo reports as single
+    points (revenue per order, tokens per document, bytes per page):
+    a ratio of sums is not a mean, its naive variance formula is wrong,
+    and bootstrap needs randomness this engine bans. The jackknife is
+    deterministic: every pseudo-value R₍ᵢ₎ = (ΣY−yᵢ)/(ΣX−xᵢ) is closed
+    form from the totals — one aggregate, one broadcast join back,
+    never n re-aggregations.
+
+    Exactness: each pseudo-value is quantized ONCE to sign-split
+    `scale` units (both engines replay the identical integral div;
+    pick scale so r·scale² · n fits int64 — cents-scale ratios want
+    scale=1e3, ppm overflows), then
+    SE² = (n−1)(nΣr² − (Σr)²)/n² and the bias estimate
+    (n−1)(R̄₍·₎ − R̂) are exact integer arithmetic on the quantized
+    grid. A unit whose removal empties the denominator (ΣX−xᵢ ≤ 0)
+    poisons its group to NULL loudly — the jackknife is undefined
+    there, not zero.
+
+    Emits (groups…, n_units, r_q, jk_se2_q2, jk_bias_q)."""
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    d = units.select(
+        *keys,
+        F.col(x_col).cast(d38).alias("x"),
+        F.col(y_col).cast(d38).alias("y"),
+    )
+    tot = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    j = d.join(F.broadcast(tot), keys)
+    pseudo = j.select(
+        *keys,
+        "n", "sx", "sy",
+        F.when(
+            F.col("sx") - F.col("x") > 0,
+            F.signum(F.col("sy") - F.col("y")).cast("long")
+            * F.expr(f"(abs(sy - y) * {int(scale)}) div (sx - x)")
+            .cast("long"),
+        ).alias("r_i"),
+    )
+    agg = pseudo.groupBy(*keys, "n", "sx", "sy").agg(
+        F.count(F.when(F.col("r_i").isNull(), 1)).alias("n_bad"),
+        F.sum(F.col("r_i").cast(d38)).alias("sr"),
+        F.sum(F.col("r_i").cast(d38) * F.col("r_i").cast(d38))
+        .alias("sr2"),
+    )
+    ok = (F.col("n_bad") == 0) & (F.col("sx") > 0) & (F.col("n") >= 2)
+    staged = agg.withColumn(
+        "r_hat",
+        F.when(
+            F.col("sx") > 0,
+            F.signum("sy").cast("long")
+            * F.expr(f"(abs(sy) * {int(scale)}) div sx").cast("long"),
+        ),
+    ).withColumn(
+        "bias_num",
+        F.col("sr") - F.col("n") * F.col("r_hat").cast(d38),
+    )
+    se2 = F.expr(
+        "((n - 1) * (n * sr2 - sr * sr)) div (n * n)"
+    ).cast("long")
+    bias = (
+        F.signum("bias_num").cast("long")
+        * F.expr("(abs(bias_num) * (n - 1)) div n").cast("long")
+    )
+    return staged.select(
+        *keys,
+        F.col("n").cast("long").alias("n_units"),
+        F.col("r_hat").cast("long").alias("r_q"),
+        F.when(ok, se2).alias("jk_se2_q2"),
+        F.when(ok, bias).cast("long").alias("jk_bias_q"),
+    )

@@ -1363,3 +1363,42 @@ class TestCaptureRecapture:
         rows = [("g", i % 2 == 0, i % 3 < 2) for i in range(600)]
         r = self._run(spark, rows)["g"]
         assert abs(r["nhat"] - 600) <= 1
+
+
+class TestJackknifeRatio:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import jackknife_ratio_se
+
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        return {
+            r["g"]: r
+            for r in jackknife_ratio_se(df, ["g"], "x", "y").collect()
+        }
+
+    def test_constant_ratio_zero_se(self, spark):
+        # every unit has y = 3x: all pseudo-values equal 3e6 exactly
+        rows = [("g", i, 3 * i) for i in range(1, 6)]
+        r = self._run(spark, rows)["g"]
+        assert r["r_q"] == 3_000_000
+        assert r["jk_se2_q2"] == 0 and r["jk_bias_q"] == 0
+
+    def test_hand_two_units(self, spark):
+        # units (1,1) and (1,3): R = 2e6; pseudo: drop u1 -> 3e6,
+        # drop u2 -> 1e6; se2 = (1)(2*(9+1)e12 - 16e12)/4 = 1e12
+        rows = [("g", 1, 1), ("g", 1, 3)]
+        r = self._run(spark, rows)["g"]
+        assert r["r_q"] == 2_000_000
+        assert r["jk_se2_q2"] == 1_000_000_000_000
+        assert r["jk_bias_q"] == 0
+
+    def test_dominant_unit_poisons_to_null(self, spark):
+        # removing the only unit with x > 0 empties the denominator
+        rows = [("g", 5, 10), ("g", 0, 1), ("g", 0, 2)]
+        r = self._run(spark, rows)["g"]
+        assert r["jk_se2_q2"] is None and r["jk_bias_q"] is None
+        assert r["r_q"] == 2_600_000
+
+    def test_skewed_units_positive_se(self, spark):
+        rows = [("g", 1, 1), ("g", 1, 2), ("g", 1, 30)]
+        r = self._run(spark, rows)["g"]
+        assert r["jk_se2_q2"] > 0
