@@ -7345,6 +7345,98 @@ FROM ranked WHERE rn = (n + 1) // 2
 """
 
 
+def q_siegel_trend(spark, sf_dir):
+    """Siegel repeated-medians trend (operators/stats.py siegel_trend)
+    on the theilsen fixture plus a 40%-END-poisoned line (y = 50+3·day
+    with the last 12 days replaced by a steep fake ramp 5000+500·day —
+    symmetric spikes cancel in a pair median; end-loading is what
+    separates the estimators): Theil-Sen's single median is fully
+    captured at 500000 milli while each clean anchor's inner median
+    stays exactly 3000 and clean anchors are the 60% majority. Oracle
+    replays both lower-median rank selections."""
+    from .operators.stats import siegel_trend
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    line = off.select(
+        F.lit("line").alias("grp"), F.col("o").alias("day"),
+        (F.lit(100) + 7 * F.col("o")).alias("x"),
+    )
+    heavy = off.select(
+        F.lit("heavy_poison").alias("grp"), F.col("o").alias("day"),
+        F.when(F.col("o") >= 18, F.lit(5000) + 500 * F.col("o"))
+        .otherwise(F.lit(50) + 3 * F.col("o")).alias("x"),
+    )
+    return siegel_trend(
+        daily.unionByName(line).unionByName(heavy)
+    )
+
+
+SQL_SIEGEL = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+line AS (
+  SELECT 'line' AS grp, o AS day, CAST(100 + 7 * o AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+heavy AS (
+  SELECT 'heavy_poison' AS grp, o AS day,
+         CAST(CASE WHEN o >= 18 THEN 5000 + 500 * o
+              ELSE 50 + 3 * o END AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+allrows AS (
+  SELECT * FROM daily UNION ALL SELECT * FROM line
+  UNION ALL SELECT * FROM heavy
+),
+pairs AS (
+  SELECT a.grp, a.day AS anchor, b.day AS partner,
+         CAST((CASE WHEN (b.x - a.x) * (b.day - a.day) < 0 THEN -1
+               WHEN (b.x - a.x) * (b.day - a.day) > 0 THEN 1
+               ELSE 0 END)
+           * ((ABS(b.x - a.x) * 1000) // ABS(b.day - a.day)) AS BIGINT)
+           AS slope_milli
+  FROM allrows a JOIN allrows b
+    ON a.grp = b.grp AND a.day != b.day
+),
+inner_med AS (
+  SELECT grp, anchor, slope_milli AS med_i
+  FROM (
+    SELECT grp, anchor, slope_milli,
+           row_number() OVER (PARTITION BY grp, anchor
+             ORDER BY slope_milli ASC, partner ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY grp, anchor) AS n
+    FROM pairs
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT grp, CAST(n AS BIGINT) AS n_points, med_i AS slope_milli
+FROM (
+  SELECT grp, med_i,
+         row_number() OVER (PARTITION BY grp
+           ORDER BY med_i ASC, anchor ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM inner_med
+) WHERE rn = (n + 1) // 2
+"""
+
+
 def q_sql_correlated_max(spark, sf_dir):
     """The engine's SQL face: the same Catalyst plans are reachable via
     `spark.sql` over registered views — this entry runs a correlated
@@ -18253,6 +18345,7 @@ CATALOG: Dict[str, tuple] = {
     "mannwhitney_drift": (q_mannwhitney_drift, SQL_MANNWHITNEY),
     "sql_correlated_max": (q_sql_correlated_max, SQL_CORRELATED_MAX),
     "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN),
+    "siegel_trend": (q_siegel_trend, SQL_SIEGEL),
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),

@@ -2331,3 +2331,79 @@ def jackknife_ratio_se(
         F.when(ok, se2).alias("jk_se2_q2"),
         F.when(ok, bias).cast("long").alias("jk_bias_q"),
     )
+
+
+def siegel_trend(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+) -> DataFrame:
+    """Siegel repeated-medians trend — the 50%-breakdown upgrade of
+    theilsen_trend (29%): Theil-Sen's single median over ALL pairwise
+    slopes fails once wild points contribute a majority of pairs (k
+    outliers poison k·(n−k)+k(k−1)/2 of n(n−1)/2 slopes — at k/n≈0.29
+    that's half); Siegel first takes the median slope PER anchor point
+    and then the median of those, so only anchors that are themselves
+    outliers contribute a bad inner median, and the estimator survives
+    until the outliers are the majority of POINTS.
+
+    Same exactness contract as theilsen: every pairwise slope lands
+    sign-safely on the integer milli grid, both median selections are
+    exact LOWER medians by rank (inner ties ordered by partner id,
+    outer by anchor id) — bit-identical across engines.
+
+    Scale: the same bounded per-group pair join (d(d−1)/2 over the
+    observation window), one extra window pass for the inner medians.
+    Emits (grp, n_points, slope_milli)."""
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.xv") != F.col("b.xv")),
+    ).select(
+        F.col("a.grp").alias("grp"),
+        F.col("a.xv").alias("anchor"),
+        F.col("b.xv").alias("partner"),
+        (F.col("b.yv") - F.col("a.yv")).alias("dy"),
+        (F.col("b.xv") - F.col("a.xv")).alias("dx"),
+    ).select(
+        "grp", "anchor", "partner",
+        (
+            F.signum(F.col("dy") * F.col("dx")).cast("long")
+            * F.expr("(abs(dy) * 1000) div abs(dx)")
+        ).cast("long").alias("slope_milli"),
+    )
+    wi = Window.partitionBy("grp", "anchor").orderBy(
+        F.asc("slope_milli"), F.asc("partner")
+    )
+    wia = Window.partitionBy("grp", "anchor")
+    inner = (
+        pairs.select(
+            "grp", "anchor", "slope_milli",
+            F.row_number().over(wi).alias("_rn"),
+            F.count(F.lit(1)).over(wia).alias("_n"),
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("grp", "anchor", F.col("slope_milli").alias("med_i"))
+    )
+    wo = Window.partitionBy("grp").orderBy(F.asc("med_i"), F.asc("anchor"))
+    woa = Window.partitionBy("grp")
+    return (
+        inner.select(
+            "grp", "med_i",
+            F.row_number().over(wo).alias("_rn"),
+            F.count(F.lit(1)).over(woa).alias("_n"),
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(
+            "grp",
+            F.col("_n").cast("long").alias("n_points"),
+            F.col("med_i").alias("slope_milli"),
+        )
+    )

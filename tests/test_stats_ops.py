@@ -1402,3 +1402,42 @@ class TestJackknifeRatio:
         rows = [("g", 1, 1), ("g", 1, 2), ("g", 1, 30)]
         r = self._run(spark, rows)["g"]
         assert r["jk_se2_q2"] > 0
+
+
+class TestSiegelTrend:
+    def _run(self, spark, rows, fn):
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {r["grp"]: r for r in fn(df).collect()}
+
+    def test_clean_line_exact(self, spark):
+        from ocr_service_spark.operators.stats import siegel_trend
+
+        rows = [("g", t, 100 + 7 * t) for t in range(30)]
+        r = self._run(spark, rows, siegel_trend)["g"]
+        assert r["slope_milli"] == 7_000 and r["n_points"] == 30
+
+    def test_survives_40pct_where_theilsen_breaks(self, spark):
+        from ocr_service_spark.operators.stats import (
+            siegel_trend,
+            theilsen_trend,
+        )
+
+        # poison concentrated at one END (a steep fake ramp over the
+        # last 12 days) — symmetric-in-x spikes cancel in the pair
+        # median, so end-loading is the regime that actually separates
+        # the estimators
+        rows = [
+            ("g", t, 5000 + 500 * t if t >= 18 else 50 + 3 * t)
+            for t in range(30)
+        ]
+        sg = self._run(spark, rows, siegel_trend)["g"]
+        ts = self._run(spark, rows, theilsen_trend)["g"]
+        assert sg["slope_milli"] == 3_000  # exact through 40% poison
+        assert ts["slope_milli"] == 500_000  # fully captured
+
+    def test_constant_series_zero(self, spark):
+        from ocr_service_spark.operators.stats import siegel_trend
+
+        rows = [("g", t, 42) for t in range(10)]
+        r = self._run(spark, rows, siegel_trend)["g"]
+        assert r["slope_milli"] == 0
