@@ -322,6 +322,12 @@ HEADLINE = [
     "session_table",           # materialized session entities
     "transition_matrix",       # event-path Markov counts
     "event_trigrams",          # three-step journey paths
+    "q5_local_supplier",       # TPC-H Q5 co-nation five-way join
+    "jl_projection",           # map-only ±1 sign projection 64→16
+    "krippendorff_alpha",      # ragged-panel agreement, one fraction
+    "holt_anomaly",            # level+trend forecast flags on a spine
+    "jackknife_ratio",         # leave-one-day-out SE via totals
+    "siegel_trend",            # repeated-medians, double rank-median
     "resume_exactly_once",  # checkpoint-resume end-to-end at bench scale
 ]
 
