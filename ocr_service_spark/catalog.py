@@ -6624,6 +6624,52 @@ FROM agg
 """
 
 
+def q_slice_similarity(spark, sf_dir):
+    """Pairwise language-slice vocabulary cosine² (operators/
+    textstats.py slice_similarity). On this synthetic corpus every
+    lang label draws from ONE generator vocabulary, so all pairs
+    cosine ≈0.99 — which is exactly the signal the operator exists to
+    raise: lang slices with near-identical vocabularies mean the
+    language labels upstream are not doing their job. Oracle replays
+    the tf vectors, the word-keyed pair join and the squared-cosine
+    integral div."""
+    from .operators.textstats import slice_similarity
+
+    d = load(spark, sf_dir, "documents")
+    return slice_similarity(d, "lang", "text")
+
+
+SQL_SLICE_SIMILARITY = """
+WITH tf AS (
+  SELECT s, w, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (
+    SELECT lang AS s,
+           unnest(string_split_regex(
+             trim(lower(COALESCE(text, ''))), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE w != ''
+  GROUP BY 1, 2
+),
+norms AS (SELECT s, SUM(c * c) AS s2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.s AS sa, b.s AS sb,
+         CAST(COUNT(*) AS BIGINT) AS n_common_terms,
+         SUM(a.c * b.c) AS dot
+  FROM tf a JOIN tf b ON a.w = b.w AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT sa AS slice_a, sb AS slice_b, n_common_terms,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(CASE WHEN na.s2 > 0 AND nb.s2 > 0 THEN
+         (dot * dot * 1000000) // (na.s2 * nb.s2)
+       END AS BIGINT) AS cos2_ppm
+FROM dots
+JOIN norms na ON dots.sa = na.s
+JOIN norms nb ON dots.sb = nb.s
+"""
+
+
 def q_jackknife_ratio(spark, sf_dir):
     """Jackknife SE for average order value per priority
     (operators/stats.py jackknife_ratio_se): units are days, the
@@ -18358,6 +18404,7 @@ CATALOG: Dict[str, tuple] = {
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
     "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
+    "slice_similarity": (q_slice_similarity, SQL_SLICE_SIMILARITY),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

@@ -819,3 +819,74 @@ def kwic(
             ).alias("right_ctx"),
         )
     )
+
+
+def slice_similarity(
+    docs,
+    slice_col: str = "lang",
+    text_col: str = "text",
+):
+    """Pairwise cosine² between per-slice term-frequency vectors — the
+    corpus-composition audit behind mixture decisions: two "different"
+    sources whose vocabularies cosine at 0.95 add near-zero diversity
+    to a training mix, and a lang slice that suddenly cosines high with
+    another usually means a language-ID regression upstream.
+
+    Cosine needs a sqrt, so the emitted statistic is cos² as ONE
+    integer fraction: cos²·10⁶ = (Σ c_a·c_b)²·10⁶ div (Σc_a²·Σc_b²) —
+    counts are exact integers, absent terms contribute 0 via the inner
+    join, and the square keeps everything nonneg (one integral div, no
+    sign split). Repo tokenization convention (split lower on \\s+).
+
+    Scale: (slice, word) aggregate → self-join keyed by WORD (cost
+    Σ_word slices², slices is small), per-slice norms broadcast back.
+    Emits (slice_a, slice_b, n_common_terms, dot, cos2_ppm)."""
+    from pyspark.sql import functions as F
+
+    tf = (
+        docs.select(
+            F.col(slice_col).alias("s"),
+            F.explode(
+                F.split(F.trim(F.lower(F.coalesce(
+                    F.col(text_col), F.lit("")
+                ))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("s", "w")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    norms = tf.groupBy("s").agg(
+        F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    a = tf.select(F.col("s").alias("sa"), "w", F.col("c").alias("ca"))
+    b = tf.select(F.col("s").alias("sb"), "w", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "w")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_terms"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("s").alias("sa"), F.col("s2").alias("s2a"))
+    nb = norms.select(F.col("s").alias("sb"), F.col("s2").alias("s2b"))
+    j = dots.join(F.broadcast(na), "sa").join(F.broadcast(nb), "sb")
+    # cos2 computed BEFORE the long-cast of dot: a same-select
+    # `F.expr("dot * dot …")` would lateral-resolve to the just-aliased
+    # LONG column (CLAUDE.md trap) and overflow past dot ~ 3e6
+    scored = j.withColumn(
+        "cos2_ppm",
+        F.when(
+            (F.col("s2a") > 0) & (F.col("s2b") > 0),
+            F.expr("(dot * dot * 1000000) div (s2a * s2b)"),
+        ).cast("long"),
+    )
+    return scored.select(
+        F.col("sa").alias("slice_a"),
+        F.col("sb").alias("slice_b"),
+        "n_common_terms",
+        F.col("dot").cast("long").alias("dot"),
+        "cos2_ppm",
+    )

@@ -217,3 +217,38 @@ class TestKwic:
     def test_case_insensitive_match(self, spark):
         got = self._kw(spark, ["A HIT b"], "Hit", window=1)
         assert got == [(0, 1, "a", "b")]
+
+
+class TestSliceSimilarity:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.textstats import slice_similarity
+
+        df = spark.createDataFrame(rows, "lang string, text string")
+        return {
+            (r["slice_a"], r["slice_b"]): r
+            for r in slice_similarity(df, "lang", "text").collect()
+        }
+
+    def test_identical_vocab_is_one(self, spark):
+        rows = [("a", "x y z x"), ("b", "x y z x")]
+        r = self._run(spark, rows)[("a", "b")]
+        assert r["cos2_ppm"] == 1_000_000
+
+    def test_disjoint_vocab_absent(self, spark):
+        # no shared word -> the inner join emits NO pair row at all
+        rows = [("a", "x y"), ("b", "p q")]
+        assert ("a", "b") not in self._run(spark, rows)
+
+    def test_hand_half_overlap(self, spark):
+        # a: {x:1, y:1}, b: {x:1, z:1}: dot=1, s2a=s2b=2
+        # cos2 = 1e6 // 4 = 250000 (cos = 0.5)
+        rows = [("a", "x y"), ("b", "x z")]
+        r = self._run(spark, rows)[("a", "b")]
+        assert r["dot"] == 1 and r["n_common_terms"] == 1
+        assert r["cos2_ppm"] == 250_000
+
+    def test_scale_invariance(self, spark):
+        # b repeats a's text 3x: same direction, cos2 still 1
+        rows = [("a", "x y z"), ("b", "x y z x y z x y z")]
+        r = self._run(spark, rows)[("a", "b")]
+        assert r["cos2_ppm"] == 1_000_000
