@@ -6624,6 +6624,68 @@ FROM agg
 """
 
 
+def q_shingle_containment(spark, sf_dir):
+    """Asymmetric containment pairs (operators/dedup.py
+    shingle_containment_pairs): a 20-word excerpt planted from every
+    10th document (words 6..25, id+1e6) — Jaccard vs its parent is
+    ~0.07, invisible to every symmetric near-dup gate, but containment
+    is 1000 permille. Oracle rebuilds the same excerpts and replays
+    the shingle sets with list_intersect."""
+    from .operators.dedup import shingle_containment_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    excerpts = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 6, 20)).alias("text"),
+    )
+    return shingle_containment_pairs(
+        d.unionByName(excerpts), "doc_id", "text",
+        shingle_n=3, min_containment_permille=800,
+    )
+
+
+SQL_SHINGLE_CONTAINMENT = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(string_split_regex(
+           trim(lower(COALESCE(text, ''))), '\\s+'), 6, 25), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM d
+),
+sh AS (
+  SELECT doc_id, list_filter(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END), x -> x != '') AS sh
+  FROM w
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+         CAST(len(a.sh) AS BIGINT) AS n_a,
+         CAST(len(b.sh) AS BIGINT) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+    AND len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b, n_shared, n_a, n_b,
+       CAST((n_shared * 1000) // n_a AS BIGINT) AS cont_a_permille,
+       CAST((n_shared * 1000) // n_b AS BIGINT) AS cont_b_permille
+FROM p
+WHERE GREATEST((n_shared * 1000) // n_a, (n_shared * 1000) // n_b) >= 800
+"""
+
+
 def q_slice_similarity(spark, sf_dir):
     """Pairwise language-slice vocabulary cosine² (operators/
     textstats.py slice_similarity). On this synthetic corpus every
@@ -18405,6 +18467,8 @@ CATALOG: Dict[str, tuple] = {
     "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
     "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
     "slice_similarity": (q_slice_similarity, SQL_SLICE_SIMILARITY),
+    "shingle_containment": (q_shingle_containment,
+                            SQL_SHINGLE_CONTAINMENT),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

@@ -880,3 +880,64 @@ def contrastive_pairs(
     return agg.where(
         F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_containment_permille: int = 800,
+) -> DataFrame:
+    """Asymmetric containment pairs — the quote/excerpt detector that
+    Jaccard structurally misses: a 50-word excerpt inside a 5000-word
+    article has Jaccard ≈ 0.01 (invisible to every near-dup gate here)
+    but containment |A∩B|/|A| ≈ 1. Curation needs this direction:
+    keeping both the article and its excerpt double-counts the excerpt
+    span in training.
+
+    Containment per unordered pair in both directions, exact permille
+    (shared·1000 div |side|); kept when EITHER direction clears the
+    threshold. Shingle arrays ride the materialized-words rule (the
+    Catalyst lambda trap — see shingles()).
+
+    Scale shape: distinct (doc, shingle) → equi-join keyed by the
+    SHINGLE (cost Σ_shingle docs² — only docs sharing a phrase ever
+    meet, never all-pairs), pair aggregate, per-doc totals broadcast
+    back. Emits (id_a, id_b, n_shared, n_a, n_b, cont_a_permille,
+    cont_b_permille)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+").alias("w"),
+    )
+    sh = (
+        words.select("id", F.explode(shingles("w", shingle_n)).alias("sh"))
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = shared.join(ta, "id_a").join(tb, "id_b")
+    ca = F.expr("(n_shared * 1000) div n_a")
+    cb = F.expr("(n_shared * 1000) div n_b")
+    return (
+        j.select(
+            "id_a", "id_b", "n_shared", "n_a", "n_b",
+            ca.cast("long").alias("cont_a_permille"),
+            cb.cast("long").alias("cont_b_permille"),
+        )
+        .where(
+            F.greatest("cont_a_permille", "cont_b_permille")
+            >= int(min_containment_permille)
+        )
+    )

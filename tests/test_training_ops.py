@@ -996,3 +996,48 @@ class TestPqAnnTopk:
                                    "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="not divisible"):
             pq_ann_topk(df, df, "vec_id", "embedding", k=1, m=3, dim=10)
+
+
+class TestShingleContainment:
+    def _run(self, spark, rows, thr=800):
+        from ocr_service_spark.operators.dedup import (
+            shingle_containment_pairs,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r["id_a"], r["id_b"]): r
+            for r in shingle_containment_pairs(
+                df, "doc_id", "text", min_containment_permille=thr
+            ).collect()
+        }
+
+    def test_excerpt_invisible_to_jaccard_caught_here(self, spark):
+        big = " ".join(f"w{i}" for i in range(200))
+        excerpt = " ".join(f"w{i}" for i in range(50, 65))
+        got = self._run(spark, [(1, big), (2, excerpt)])
+        r = got[(1, 2)]
+        # all 13 excerpt shingles appear in the parent
+        assert r["cont_b_permille"] == 1000
+        # while symmetric Jaccard is ~13/198 — under any near-dup gate
+        assert r["n_shared"] * 1000 // (r["n_a"] + r["n_b"] - r["n_shared"]) < 100
+
+    def test_unrelated_docs_absent(self, spark):
+        a = " ".join(f"a{i}" for i in range(30))
+        b = " ".join(f"b{i}" for i in range(30))
+        assert self._run(spark, [(1, a), (2, b)]) == {}
+
+    def test_partial_overlap_below_threshold_dropped(self, spark):
+        a = " ".join(f"w{i}" for i in range(20))
+        b = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(
+            f"z{i}" for i in range(10)
+        )
+        got = self._run(spark, [(1, a), (2, b)], thr=800)
+        assert (1, 2) not in got
+        got_low = self._run(spark, [(1, a), (2, b)], thr=300)
+        assert (1, 2) in got_low
+
+    def test_identical_docs_both_directions_full(self, spark):
+        t = " ".join(f"w{i}" for i in range(40))
+        r = self._run(spark, [(1, t), (2, t)])[(1, 2)]
+        assert r["cont_a_permille"] == r["cont_b_permille"] == 1000
