@@ -6624,6 +6624,113 @@ FROM agg
 """
 
 
+def q_vocab_novelty(spark, sf_dir):
+    """Per-day vocabulary novelty (operators/textstats.py
+    vocab_novelty) with crawl day planted as doc_id % 30 — day 0 is
+    1000 permille by definition and on this corpus every later day
+    reads 0: the synthetic generator's vocabulary is exhausted by the
+    first ~17 documents, i.e. the "crawler finds no new language,
+    stop spending" verdict the operator exists to deliver. Oracle
+    replays the min-day first-occurrence aggregate and the per-day
+    joins."""
+    from .operators.textstats import vocab_novelty
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 30).alias("day"), "text"
+    )
+    return vocab_novelty(d, "day", "text")
+
+
+SQL_VOCAB_NOVELTY = """
+WITH tok AS (
+  SELECT day, w
+  FROM (
+    SELECT doc_id % 30 AS day,
+           unnest(string_split_regex(
+             trim(lower(COALESCE(text, ''))), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE w != ''
+),
+per_day_tokens AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+),
+day_types AS (SELECT DISTINCT day, w FROM tok),
+per_day_types AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_day_types
+  FROM day_types GROUP BY 1
+),
+new_types AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_types
+  FROM (SELECT w, MIN(day) AS day FROM day_types GROUP BY 1)
+  GROUP BY 1
+)
+SELECT t.day, t.n_tokens, ty.n_day_types,
+       COALESCE(nt.n_new_types, 0) AS n_new_types,
+       CAST((COALESCE(nt.n_new_types, 0) * 1000) // ty.n_day_types
+            AS BIGINT) AS novelty_permille
+FROM per_day_tokens t
+JOIN per_day_types ty ON t.day = ty.day
+LEFT JOIN new_types nt ON t.day = nt.day
+"""
+
+
+def q_fano_factor(spark, sf_dir):
+    """Fano overdispersion factor (operators/stats.py fano_factor)
+    over per-type daily event counts plus a planted bursty series
+    (200 every 5th day, 10 otherwise) — Poisson-ish arrivals read near
+    1e6 ppm, the burst reads far above, a near-constant series far
+    below. Oracle replays the three sums and the one integral div."""
+    from .operators.stats import fano_factor
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+        .alias("d"),
+    )
+    daily = ev.groupBy("grp", "d").agg(F.count(F.lit(1)).alias("v"))
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    bursty = off.select(
+        F.lit("bursty").alias("grp"), F.col("o").alias("d"),
+        F.when(F.col("o") % 5 == 0, F.lit(200)).otherwise(F.lit(10))
+        .alias("v"),
+    )
+    return fano_factor(daily.unionByName(bursty), ["grp"], "v")
+
+
+SQL_FANO = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+bursty AS (
+  SELECT 'bursty' AS grp, o AS d,
+         CAST(CASE WHEN o % 5 = 0 THEN 200 ELSE 10 END AS BIGINT) AS v
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+allrows AS (SELECT * FROM daily UNION ALL SELECT * FROM bursty),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS s, CAST(SUM(v * v) AS HUGEINT) AS s2
+  FROM allrows GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n > 0 THEN
+         (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((ABS(s) * 1000) // n)
+       END AS BIGINT) AS mean_e3,
+       CAST(CASE WHEN n >= 2 AND s > 0 THEN
+         ((n * s2 - s * s) * 1000000) // ((n - 1) * s)
+       END AS BIGINT) AS vmr_ppm
+FROM agg
+"""
+
+
 def q_shingle_containment(spark, sf_dir):
     """Asymmetric containment pairs (operators/dedup.py
     shingle_containment_pairs): a 20-word excerpt planted from every
@@ -18469,6 +18576,8 @@ CATALOG: Dict[str, tuple] = {
     "slice_similarity": (q_slice_similarity, SQL_SLICE_SIMILARITY),
     "shingle_containment": (q_shingle_containment,
                             SQL_SHINGLE_CONTAINMENT),
+    "vocab_novelty": (q_vocab_novelty, SQL_VOCAB_NOVELTY),
+    "fano_factor": (q_fano_factor, SQL_FANO),
     "pps_systematic": (q_pps_systematic, SQL_PPS_SYSTEMATIC),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "acf_lags": (q_acf_lags, SQL_ACF),

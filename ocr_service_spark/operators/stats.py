@@ -2407,3 +2407,45 @@ def siegel_trend(
             F.col("med_i").alias("slope_milli"),
         )
     )
+
+
+def fano_factor(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) per slice — the
+    overdispersion dial for count series: a Poisson arrival process
+    reads exactly 1; bursty traffic (bot storms, thundering herds,
+    retry loops) reads ≫1 and an artificially smoothed/rate-limited
+    series reads ≪1. The burstiness read that needs no distributional
+    fit — and unlike the CUSUM/EWMA family it characterizes the WHOLE
+    series, not a point in it.
+
+    VMR = s²/x̄ = (nΣx² − S²) / ((n−1)·S) — ONE integral div in ppm,
+    numerator Cauchy–Schwarz-nonnegative, S > 0 guarded (all-zero
+    series emit NULL, not a crash). decimal(38,0) sums.
+
+    ONE hash aggregate. Emits (groups…, n, mean_e3, vmr_ppm)."""
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("s2"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("s") > 0)
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("n") > 0,
+            F.signum("s").cast("long")
+            * F.expr("(abs(s) * 1000) div n").cast("long"),
+        ).alias("mean_e3"),
+        F.when(
+            ok,
+            F.expr("((n * s2 - s * s) * 1000000) div ((n - 1) * s)"),
+        ).cast("long").alias("vmr_ppm"),
+    )

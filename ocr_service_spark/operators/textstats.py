@@ -890,3 +890,52 @@ def slice_similarity(
         F.col("dot").cast("long").alias("dot"),
         "cos2_ppm",
     )
+
+
+def vocab_novelty(docs, day_col: str = "day", text_col: str = "text"):
+    """Per-day vocabulary novelty — the crawl-saturation dial: each
+    day's fraction of word types never seen on ANY earlier day. A
+    healthy exploratory crawl keeps finding new language (novelty
+    decays slowly, Heaps-style); a crawler stuck re-fetching the same
+    sites collapses to near-zero and further spend buys no diversity.
+
+    Exact by construction: a type's first day is MIN(day) — one hash
+    aggregate over the (word) key — so "new on day d" is a fact, not a
+    sketch; per-day type and token counts join in and the novelty
+    ratio is one integral div per day. No global window: every
+    aggregate is keyed (word or day), nothing funnels.
+
+    Emits (day, n_tokens, n_day_types, n_new_types, novelty_permille).
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        F.col(day_col).cast("long").alias("day"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(
+                F.col(text_col), F.lit("")
+            ))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    per_day_tokens = tok.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    day_types = tok.distinct()
+    per_day_types = day_types.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_day_types")
+    )
+    new_types = (
+        day_types.groupBy("w").agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    j = (
+        per_day_tokens.join(per_day_types, "day")
+        .join(new_types, "day", "left")
+        .na.fill({"n_new_types": 0})
+    )
+    return j.select(
+        "day", "n_tokens", "n_day_types", "n_new_types",
+        F.expr("(n_new_types * 1000) div n_day_types").cast("long")
+        .alias("novelty_permille"),
+    )

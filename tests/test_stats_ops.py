@@ -1441,3 +1441,29 @@ class TestSiegelTrend:
         rows = [("g", t, 42) for t in range(10)]
         r = self._run(spark, rows, siegel_trend)["g"]
         assert r["slope_milli"] == 0
+
+
+class TestFanoFactor:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import fano_factor
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return {r["g"]: r for r in fano_factor(df, ["g"], "v").collect()}
+
+    def test_hand_case(self, spark):
+        # [2,4]: n=2, s=6, s2=20: vmr = (40-36)*1e6 // 6 = 666666
+        r = self._run(spark, [("g", 2), ("g", 4)])["g"]
+        assert r["vmr_ppm"] == 666_666 and r["mean_e3"] == 3_000
+
+    def test_constant_series_zero(self, spark):
+        r = self._run(spark, [("g", 7)] * 6)["g"]
+        assert r["vmr_ppm"] == 0
+
+    def test_bursty_overdispersed(self, spark):
+        rows = [("g", 200 if i % 5 == 0 else 10) for i in range(30)]
+        r = self._run(spark, rows)["g"]
+        assert r["vmr_ppm"] > 10_000_000  # far above Poisson's 1e6
+
+    def test_all_zero_is_null(self, spark):
+        r = self._run(spark, [("g", 0)] * 4)["g"]
+        assert r["vmr_ppm"] is None

@@ -252,3 +252,31 @@ class TestSliceSimilarity:
         rows = [("a", "x y z"), ("b", "x y z x y z x y z")]
         r = self._run(spark, rows)[("a", "b")]
         assert r["cos2_ppm"] == 1_000_000
+
+
+class TestVocabNovelty:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.textstats import vocab_novelty
+
+        df = spark.createDataFrame(rows, "day long, text string")
+        return {r["day"]: r for r in vocab_novelty(df).collect()}
+
+    def test_first_day_all_new(self, spark):
+        rows = [(0, "a b c"), (1, "a b d"), (2, "a b c d")]
+        got = self._run(spark, rows)
+        assert got[0]["novelty_permille"] == 1000
+        # day 1: types {a,b,d}, new {d} -> 333
+        assert got[1]["n_new_types"] == 1
+        assert got[1]["novelty_permille"] == 333
+        # day 2 sees nothing new
+        assert got[2]["n_new_types"] == 0
+
+    def test_repeated_tokens_count_once_per_day(self, spark):
+        rows = [(0, "x x x y")]
+        r = self._run(spark, rows)[0]
+        assert r["n_tokens"] == 4 and r["n_day_types"] == 2
+
+    def test_saturated_crawl_reads_zero(self, spark):
+        rows = [(d, "same words every day") for d in range(5)]
+        got = self._run(spark, rows)
+        assert all(got[d]["novelty_permille"] == 0 for d in range(1, 5))
