@@ -17236,6 +17236,64 @@ FROM scans
 """
 
 
+def q_ap_score(spark, sf_dir):
+    """Average precision (operators/classifier.py ap_score) on the
+    same planted score/label as roc_auc — positives are 20% of docs,
+    so AP sits far below the 0.5-anchored AUC, the imbalance story.
+    Oracle replays the histogram, the suffix sums via cumulative
+    counts, the per-threshold quantized term and the final div."""
+    from .operators.classifier import ap_score
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(n_chars AS BIGINT) div 50"
+            " + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END"
+        ).alias("score"),
+        F.expr("doc_id % 5 = 0").alias("label"),
+    )
+    return ap_score(d, "score", "label")
+
+
+SQL_AP_SCORE = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) // 50
+           + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS s,
+         doc_id % 5 = 0 AS y
+  FROM documents
+),
+h AS (
+  SELECT s, CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(COUNT(*) FILTER (WHERE y) AS HUGEINT) AS cp
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT SUM(c) AS n, SUM(cp) AS npos,
+         CAST(COUNT(*) AS BIGINT) AS n_thresholds
+  FROM h
+),
+pts AS (
+  SELECT cp,
+         (SELECT n FROM tot)
+           - SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) + c AS n_kept,
+         (SELECT npos FROM tot)
+           - SUM(cp) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) + cp AS tp
+  FROM h
+),
+terms AS (
+  SELECT SUM(CASE WHEN n_kept > 0 THEN (cp * tp * 1000000) // n_kept
+             ELSE 0 END) AS sum_q
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(npos AS BIGINT) AS n_pos,
+       n_thresholds,
+       CAST(CASE WHEN npos > 0 THEN sum_q // npos END AS BIGINT)
+         AS ap_ppm
+FROM tot CROSS JOIN terms
+"""
+
+
 def q_roc_auc(spark, sf_dir):
     """Threshold-free ROC AUC (operators/classifier.py roc_auc) of a
     planted quality score against a planted relevance label: the score
@@ -18600,6 +18658,7 @@ CATALOG: Dict[str, tuple] = {
     "bot_detection": (q_bot_detection, SQL_BOT_DETECTION),
     "secret_scan": (q_secret_scan, SQL_SECRET_SCAN),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "ap_score": (q_ap_score, SQL_AP_SCORE),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
     "js_drift": (q_js_drift, SQL_JS_DRIFT),

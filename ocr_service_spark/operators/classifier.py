@@ -1085,3 +1085,72 @@ def cochran_q(
         F.when(F.col("_den") > 0, q > F.lit(int(crit_x10k) * 100))
         .alias("reject_05"),
     )
+
+
+def ap_score(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (the PR-AUC summary) — the single number for
+    ranking quality under CLASS IMBALANCE, where roc_auc flatters: with
+    1% positives a classifier can hold AUC 0.99 while flooding every
+    kept batch with false positives; AP weights precision AT the
+    positives and collapses accordingly.
+
+    AP = Σ_k Δrecall_k · precision_k over thresholds descending. The
+    curve machinery is threshold_sweep's histogram + distributed
+    prefix pass; the key identity making AP one aggregate more (no
+    window): thresholds ARE the distinct scores, so Δtp at threshold s
+    is exactly that score's positive count cp(s). Each term is
+    quantized once — (cp·tp·10⁶) div n_kept — then AP_ppm = Σ div
+    n_pos; all nonneg, one div path. A corpus with no positives emits
+    NULL. Emits ONE row: (n, n_pos, n_thresholds, ap_ppm)."""
+    from .quality import global_prefix_sum
+
+    d = scored.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    )
+    h = d.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cp"),
+    )
+    tot = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cp").cast("long").alias("npos"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+    )
+    cum = global_prefix_sum(h.select("s", "c"), ["s"], "c",
+                            out_col="cum_c")
+    cump = global_prefix_sum(
+        h.select("s", F.col("cp").alias("c")), ["s"], "c", out_col="cum_p"
+    ).select("s", F.col("c").alias("cp"), "cum_p")
+    pts = (
+        cum.join(cump, "s")
+        .join(F.broadcast(tot), how="cross")
+        .select(
+            "cp",
+            (F.col("n") - F.col("cum_c") + F.col("c")).cast("long")
+            .alias("n_kept"),
+            (F.col("npos") - F.col("cum_p") + F.col("cp")).cast("long")
+            .alias("tp"),
+        )
+    )
+    terms = pts.agg(
+        F.sum(
+            F.expr(
+                "case when n_kept > 0 then"
+                " (cast(cp as decimal(38,0)) * tp * 1000000) div n_kept"
+                " else 0 end"
+            )
+        ).alias("sum_q")
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        F.col("npos").alias("n_pos"),
+        F.col("n_thresholds").cast("long").alias("n_thresholds"),
+        F.when(
+            F.col("npos") > 0, F.expr("sum_q div npos")
+        ).cast("long").alias("ap_ppm"),
+    )

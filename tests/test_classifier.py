@@ -668,3 +668,45 @@ class TestCochranQ:
         rows = self._two_gates(2, 2, 2, 2) + [(99, "A", True)]
         with _pytest.raises(Exception, match="incomplete design"):
             self._q(spark, rows)
+
+
+class TestApScore:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.classifier import ap_score
+
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        return ap_score(df, "s", "y").collect()[0]
+
+    def test_perfect_ranking(self, spark):
+        rows = [(3, True), (2, True), (1, False), (0, False)]
+        r = self._run(spark, rows)
+        assert r["ap_ppm"] == 1_000_000
+
+    def test_hand_interleaved(self, spark):
+        # scores [3,2,1], labels [T,F,T]:
+        # t=3: P=1 dR=1/2; t=1: P=2/3 dR=1/2 -> AP = 833333
+        rows = [(3, True), (2, False), (1, True)]
+        r = self._run(spark, rows)
+        assert r["ap_ppm"] == 833_333
+
+    def test_reversed_ranking_low(self, spark):
+        rows = [(3, False), (2, False), (1, True)]
+        r = self._run(spark, rows)
+        assert r["ap_ppm"] == 333_333  # P=1/3 at the single recall step
+
+    def test_no_positives_null(self, spark):
+        rows = [(2, False), (1, False)]
+        r = self._run(spark, rows)
+        assert r["ap_ppm"] is None
+
+    def test_imbalance_separates_from_auc(self, spark):
+        # 2 positives in 100, ranked at positions 10 and 20: AUC is
+        # high (~0.86) but AP collapses — the imbalance story
+        from ocr_service_spark.operators.classifier import roc_auc
+
+        rows = [(100 - i, i in (10, 20)) for i in range(100)]
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        auc = roc_auc(df, "s", "y").collect()[0]["auc_ppm"]
+        ap = self._run(spark, rows)["ap_ppm"]
+        assert auc > 800_000
+        assert ap < 200_000
