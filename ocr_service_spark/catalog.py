@@ -15962,6 +15962,53 @@ FROM agg
 """
 
 
+def q_calibration_ece(spark, sf_dir):
+    """Expected calibration error (operators/classifier.py
+    calibration_ece) on the score_calibration fixture — a hard 0/1
+    label against a uniform pm score is maximally miscalibrated inside
+    every bin, so ECE reads high and max_gap pins the worst bin.
+    Oracle replays the binning, per-bin |1000·pos − Σscore| and both
+    divs."""
+    from .operators.classifier import calibration_ece
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    score = (F.col("doc_id") * 37) % 1000
+    label = F.when(
+        F.col("doc_id") % 10 < 2, ~(score >= 500)
+    ).otherwise(score >= 500)
+    return calibration_ece(
+        d.select(score.alias("score_pm"), label.alias("label"))
+    )
+
+
+SQL_CALIBRATION_ECE = """
+WITH d AS (
+  SELECT (doc_id * 37) % 1000 AS s,
+         CASE WHEN doc_id % 10 < 2 THEN NOT ((doc_id * 37) % 1000 >= 500)
+              ELSE ((doc_id * 37) % 1000 >= 500) END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(s * 10 // 1000 AS INT), 9) AS bin,
+         CAST(COUNT(*) AS HUGEINT) AS n_b,
+         CAST(COUNT(*) FILTER (WHERE y) AS HUGEINT) AS n_pos,
+         CAST(SUM(s) AS HUGEINT) AS s_sum
+  FROM d GROUP BY 1
+),
+g AS (SELECT n_b, ABS(1000 * n_pos - s_sum) AS gap FROM b),
+agg AS (
+  SELECT SUM(n_b) AS n, CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+         SUM(gap) AS gap_sum, MAX((gap * 1000) // n_b) AS max_gap
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n, n_bins_hit,
+       CAST(CASE WHEN n > 0 THEN (gap_sum * 1000) // n END AS BIGINT)
+         AS ece_ppm,
+       CAST(max_gap AS BIGINT) AS max_gap_ppm
+FROM agg
+"""
+
+
 def q_score_calibration(spark, sf_dir):
     """Reliability bins (operators/classifier.py score_calibration):
     planted score = (doc_id·37) mod 1000 with label = score ≥ 500
@@ -18577,6 +18624,7 @@ CATALOG: Dict[str, tuple] = {
     "group_trend": (q_group_trend, SQL_GROUP_TREND),
     "classifier_agreement": (q_classifier_agreement, SQL_CLASSIFIER_AGREEMENT),
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
+    "calibration_ece": (q_calibration_ece, SQL_CALIBRATION_ECE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

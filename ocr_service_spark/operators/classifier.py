@@ -1154,3 +1154,63 @@ def ap_score(
             F.col("npos") > 0, F.expr("sum_q div npos")
         ).cast("long").alias("ap_ppm"),
     )
+
+
+def calibration_ece(
+    scored: DataFrame,
+    score_col: str = "score_pm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error — the ONE number for "can I read this
+    score as a probability?": the bin-weighted mean |accuracy −
+    confidence| over the reliability diagram's bins. Brier mixes
+    calibration with resolution (a sharp-but-miscalibrated gate and a
+    flat-but-honest one can tie); ECE isolates the miscalibration a
+    threshold choice actually suffers from.
+
+    Exact integers: scores live on the pm grid, so per bin
+    |acc − conf|·n_b/N = |1000·n_pos_b − Σscore_b| / (1000·N) and
+    ECE_ppm = (Σ_b |1000·n_pos_b − Σscore_b| · 1000) div N — one abs
+    per bin, one div total, no per-bin rounding to accumulate. Same
+    binning rule as score_calibration (equal-width pm, last bin
+    closed). ONE hash aggregate over bins plus a 1-row fold. Emits
+    (n, n_bins_hit, ece_ppm, max_gap_ppm) — max_gap is the worst
+    single bin's |acc−conf| in ppm, the reliability diagram's tallest
+    miss."""
+    nb = int(n_bins)
+    d = scored.select(
+        F.expr(
+            f"LEAST(CAST({score_col} * {nb} div 1000 AS INT), {nb - 1})"
+        ).alias("bin"),
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).where(F.col("y").isNotNull())
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum("s").cast("decimal(38,0)").alias("s_sum"),
+    )
+    gaps = bins.select(
+        "n_b",
+        F.abs(
+            F.lit(1000).cast("decimal(38,0)") * F.col("n_pos")
+            - F.col("s_sum")
+        ).alias("gap"),
+    )
+    agg = gaps.agg(
+        F.sum("n_b").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_hit"),
+        F.sum("gap").alias("gap_sum"),
+        F.max(
+            F.expr("(gap * 1000) div n_b")
+        ).alias("max_gap_ppm"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bins_hit").cast("long").alias("n_bins_hit"),
+        F.when(
+            F.col("n") > 0, F.expr("(gap_sum * 1000) div n")
+        ).cast("long").alias("ece_ppm"),
+        F.col("max_gap_ppm").cast("long").alias("max_gap_ppm"),
+    )

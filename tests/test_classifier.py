@@ -710,3 +710,40 @@ class TestApScore:
         ap = self._run(spark, rows)["ap_ppm"]
         assert auc > 800_000
         assert ap < 200_000
+
+
+class TestCalibrationEce:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.classifier import calibration_ece
+
+        df = spark.createDataFrame(rows, "score_pm long, label boolean")
+        return calibration_ece(df).collect()[0]
+
+    def test_perfectly_calibrated_bin(self, spark):
+        # one bin, conf = 500 pm each, half positive: acc = conf
+        rows = [(500, True), (500, False)] * 5
+        r = self._run(spark, rows)
+        assert r["ece_ppm"] == 0 and r["max_gap_ppm"] == 0
+
+    def test_confident_and_wrong(self, spark):
+        # all scores 950 pm, none positive: |0 - 0.95| = 950000 ppm
+        rows = [(950, False)] * 8
+        r = self._run(spark, rows)
+        assert r["ece_ppm"] == 950_000 and r["max_gap_ppm"] == 950_000
+
+    def test_hand_two_bins(self, spark):
+        # bin0: 2 rows at 100pm, 0 pos -> gap 200;
+        # bin9: 2 rows at 900pm, 1 pos -> gap |1000-1800| = 800
+        # ece = (200+800)*1000 // 4 = 250000
+        rows = [(100, False), (100, False), (900, True), (900, False)]
+        r = self._run(spark, rows)
+        assert r["n_bins_hit"] == 2
+        assert r["ece_ppm"] == 250_000
+        assert r["max_gap_ppm"] == 400_000  # bin9: 800*1000//2
+
+    def test_flat_honest_beats_sharp_wrong(self, spark):
+        # Brier can tie these; ECE must separate them
+        honest = [(500, i % 2 == 0) for i in range(20)]
+        sharp_wrong = [(990, i % 2 == 0) for i in range(20)]
+        assert self._run(spark, honest)["ece_ppm"] == 0
+        assert self._run(spark, sharp_wrong)["ece_ppm"] == 490_000
