@@ -15962,6 +15962,62 @@ FROM agg
 """
 
 
+def q_markov_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of user event streams (operators/asof.py
+    markov_entropy_rate): the synthetic events are i.i.d., so the
+    verdict is the honest one — H1 sits within noise of H0 (gain ≈ 0,
+    the memoryless read the event_trigrams entry pins from the other
+    side). Oracle replays the lead pairing, both quantized-log grids
+    and the row-mass fold."""
+    from .operators.asof import markov_entropy_rate
+
+    ev = load(spark, sf_dir, "events")
+    return markov_entropy_rate(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+SQL_MARKOV_ENTROPY = """
+WITH seq AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+  FROM events
+),
+pairs AS (
+  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+),
+rows_tot AS (SELECT s, SUM(c) AS r FROM pairs GROUP BY 1),
+cells AS (
+  SELECT p.s, p.c, rt.r,
+         CAST(FLOOR(-ln(p.c / CAST(rt.r AS DOUBLE)) * 10000) AS BIGINT)
+           AS surprise_q
+  FROM pairs p JOIN rows_tot rt ON p.s = rt.s
+),
+per_state AS (
+  SELECT s, r, CAST(SUM(c * surprise_q) // MAX(r) AS BIGINT) AS h_s
+  FROM cells GROUP BY 1, 2
+),
+h1 AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) AS BIGINT) AS n_states,
+         CAST(SUM(r * h_s) // SUM(r) AS BIGINT) AS h1_q
+  FROM per_state
+),
+marg AS (SELECT t, SUM(c) AS mc FROM pairs GROUP BY 1),
+h0 AS (
+  SELECT CAST(SUM(mc * CAST(FLOOR(-ln(mc / CAST(
+           (SELECT SUM(mc) FROM marg) AS DOUBLE)) * 10000) AS BIGINT))
+         // (SELECT SUM(mc) FROM marg) AS BIGINT) AS h0_q
+  FROM marg
+)
+SELECT n_transitions, n_states, h0_q, h1_q,
+       CAST(h0_q - h1_q AS BIGINT) AS gain_q
+FROM h1 CROSS JOIN h0
+"""
+
+
 def q_calibration_ece(spark, sf_dir):
     """Expected calibration error (operators/classifier.py
     calibration_ece) on the score_calibration fixture — a hard 0/1
@@ -18625,6 +18681,7 @@ CATALOG: Dict[str, tuple] = {
     "classifier_agreement": (q_classifier_agreement, SQL_CLASSIFIER_AGREEMENT),
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
     "calibration_ece": (q_calibration_ece, SQL_CALIBRATION_ECE),
+    "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -443,3 +443,47 @@ class TestEventTrigrams:
                 + self._rows(2, ["v", "c", "e"], t0=10))
         got = self._tri(spark, rows)
         assert ("v", "c", "p", 1) in got and ("v", "c", "e", 1) in got
+
+
+class TestMarkovEntropyRate:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.asof import markov_entropy_rate
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, event_id long"
+        )
+        return markov_entropy_rate(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()[0]
+
+    def test_deterministic_cycle_rate_zero(self, spark):
+        # a -> b -> a -> b: every next event is certain, H1 = 0, but
+        # the marginal H0 is ln2 on the 1e-4 grid (6931); 41 events so
+        # the 40 next-events split exactly 20/20
+        rows = [(1, "ab"[i % 2], i, i) for i in range(41)]
+        r = self._run(spark, rows)
+        assert r["h1_q"] == 0
+        assert r["h0_q"] == 6931
+        assert r["gain_q"] == 6931
+
+    def test_iid_stream_memoryless(self, spark):
+        # next event independent of current: H1 within grid noise of
+        # H0. NB a linear (i*k)%4 walk is a deterministic CYCLE (H1=0);
+        # the quadratic hash actually mixes successive steps
+        rows = [
+            (1, "abcd"[((i * i * 2654435761 + i * 40503) >> 13) % 4],
+             i, i)
+            for i in range(400)
+        ]
+        r = self._run(spark, rows)
+        assert abs(r["gain_q"]) < 2_000
+
+    def test_single_state_zero_everywhere(self, spark):
+        rows = [(1, "a", i, i) for i in range(10)]
+        r = self._run(spark, rows)
+        assert r["h0_q"] == 0 and r["h1_q"] == 0 and r["n_states"] == 1
+
+    def test_counts(self, spark):
+        rows = [(1, "ab"[i % 2], i, i) for i in range(5)]
+        r = self._run(spark, rows)
+        assert r["n_transitions"] == 4 and r["n_states"] == 2
