@@ -15962,6 +15962,96 @@ FROM agg
 """
 
 
+def q_logrank_test(spark, sf_dir):
+    """Log-rank survival comparison (operators/stats.py logrank_test):
+    the km_survival lifetimes with a planted +8 longevity bonus on the
+    en cohort — the curves genuinely separate, so the hypergeometric
+    χ² rejects. Oracle replays both at-risk depletions on the shared
+    spine, every e6-quantized E/V term and the cross-scaled χ²."""
+    from .operators.stats import logrank_test
+
+    d = load(spark, sf_dir, "documents").select(
+        (
+            (F.col("n_chars") % 20) + 1
+            + F.when(F.col("lang") == "en", 8).otherwise(0)
+        ).alias("duration"),
+        F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0).alias("event"),
+        (F.col("lang") == "en").alias("grp_a"),
+    )
+    return logrank_test(d, "duration", "event", "grp_a")
+
+
+SQL_LOGRANK = """
+WITH subj AS (
+  SELECT CAST((n_chars % 20) + 1
+              + CASE WHEN lang = 'en' THEN 8 ELSE 0 END AS BIGINT) AS t,
+         CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS ev,
+         lang = 'en' AS ga
+  FROM documents
+),
+spine AS (SELECT DISTINCT t FROM subj),
+sa AS (
+  SELECT s.t, COALESCE(g.gone, 0) AS gone, COALESCE(g.deaths, 0) AS d_a
+  FROM spine s LEFT JOIN (
+    SELECT t, CAST(COUNT(*) AS HUGEINT) AS gone,
+           CAST(SUM(ev) AS HUGEINT) AS deaths
+    FROM subj WHERE ga GROUP BY 1
+  ) g ON s.t = g.t
+),
+ra AS (
+  SELECT t, d_a,
+         (SELECT COUNT(*) FROM subj WHERE ga)
+           - SUM(gone) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) + gone AS n_a
+  FROM sa
+),
+sb AS (
+  SELECT s.t, COALESCE(g.gone, 0) AS gone, COALESCE(g.deaths, 0) AS d_b
+  FROM spine s LEFT JOIN (
+    SELECT t, CAST(COUNT(*) AS HUGEINT) AS gone,
+           CAST(SUM(ev) AS HUGEINT) AS deaths
+    FROM subj WHERE NOT ga GROUP BY 1
+  ) g ON s.t = g.t
+),
+rb AS (
+  SELECT t, d_b,
+         (SELECT COUNT(*) FROM subj WHERE NOT ga)
+           - SUM(gone) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) + gone AS n_b
+  FROM sb
+),
+j AS (
+  SELECT ra.t, ra.n_a, ra.d_a, rb.n_b, rb.d_b,
+         ra.n_a + rb.n_b AS n, ra.d_a + rb.d_b AS d
+  FROM ra JOIN rb ON ra.t = rb.t
+  WHERE ra.d_a + rb.d_b > 0
+),
+terms AS (
+  SELECT d_a, d,
+         (d * n_a * 1000000) // n AS e_q,
+         CASE WHEN n > 1 THEN
+           (d * n_a * n_b * (n - d) * 1000000) // (n * n * (n - 1))
+         ELSE 0 END AS v_q
+  FROM j
+),
+agg AS (
+  SELECT SUM(d_a) AS o_a, CAST(SUM(d) AS BIGINT) AS deaths_total,
+         SUM(e_q) AS se, SUM(v_q) AS sv
+  FROM terms
+)
+SELECT CAST((SELECT COUNT(*) FROM subj WHERE ga) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM subj WHERE NOT ga) AS BIGINT) AS n_b,
+       CAST(o_a AS BIGINT) AS deaths_a, deaths_total,
+       CAST(CASE WHEN sv > 0 THEN
+         ((o_a * 1000000 - se) * (o_a * 1000000 - se)) // sv
+       END AS BIGINT) AS chi2_ppm,
+       CASE WHEN sv > 0 THEN
+         ((o_a * 1000000 - se) * (o_a * 1000000 - se)) // sv > 3841600
+       END AS reject_05
+FROM agg
+"""
+
+
 def q_markov_entropy_rate(spark, sf_dir):
     """Markov entropy rate of user event streams (operators/asof.py
     markov_entropy_rate): the synthetic events are i.i.d., so the
@@ -18682,6 +18772,7 @@ CATALOG: Dict[str, tuple] = {
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
     "calibration_ece": (q_calibration_ece, SQL_CALIBRATION_ECE),
     "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY),
+    "logrank_test": (q_logrank_test, SQL_LOGRANK),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

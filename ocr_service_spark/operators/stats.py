@@ -2449,3 +2449,102 @@ def fano_factor(
             F.expr("((n * s2 - s * s) * 1000000) div ((n - 1) * s)"),
         ).cast("long").alias("vmr_ppm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "grp_a",
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — "do these two cohorts' survival
+    curves differ?", the decision companion to km_survival: two KM
+    curves ALWAYS differ visually on finite data; log-rank says whether
+    the gap survives the censoring structure (comparing raw mean
+    lifetimes is biased exactly because the still-alive pages are the
+    long-lived ones).
+
+    At each distinct DEATH time t (hypergeometric under H0):
+        E_A(t) = d·n_A/n,   V(t) = d·n_A·n_B·(n−d) / (n²(n−1))
+    each quantized ONCE to the e6 grid (integral div — identical in
+    both engines), then χ² = (O_A − ΣE)²/ΣV cross-scales to
+        chi2_ppm = (O_A·10⁶ − Σe_q)² div (Σv_q·10⁶)
+    with the α=0.05 verdict against χ²(1) (crit_x10k convention).
+    Times where n = 1 contribute zero variance and zero information
+    (their E term is exact ±0 anyway at n=1 → E=d·n_A).
+
+    Scale: per-side gone/death aggregates on a shared time spine
+    (bounded by time granularity), TWO distributed-prefix at-risk
+    depletions — never a bare global window — one join, one fold.
+    Emits ONE row: (n_a, n_b, deaths_a, deaths_total, chi2_ppm,
+    reject_05)."""
+    from .quality import global_prefix_sum
+
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+        F.col(group_col).cast("boolean").alias("ga"),
+    )
+    spine = base.select("t").distinct()
+
+    def side_risk(flag, tag):
+        s = base.filter(F.col("ga") == flag)
+        g = s.groupBy("t").agg(
+            F.count(F.lit(1)).alias("gone"),
+            F.sum("ev").alias("deaths"),
+        )
+        tot = s.agg(F.count(F.lit(1)).alias("tot"))
+        filled = (
+            spine.join(g, "t", "left")
+            .na.fill({"gone": 0, "deaths": 0})
+        )
+        cum = global_prefix_sum(filled, ["t"], "gone", out_col="cum")
+        return cum.crossJoin(F.broadcast(tot)).select(
+            "t",
+            (F.col("tot") - F.col("cum") + F.col("gone"))
+            .cast(d38).alias(f"n_{tag}"),
+            F.col("deaths").cast(d38).alias(f"d_{tag}"),
+            F.col("tot").cast("long").alias(f"tot_{tag}"),
+        )
+
+    a = side_risk(True, "a")
+    b = side_risk(False, "b")
+    j = a.join(b, "t").withColumn(
+        "n", F.col("n_a") + F.col("n_b")
+    ).withColumn(
+        "d", F.col("d_a") + F.col("d_b")
+    ).filter(F.col("d") > 0)
+    terms = j.select(
+        "tot_a", "tot_b", "d_a", "d",
+        F.expr("(d * n_a * 1000000) div n").alias("e_q"),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "(d * n_a * n_b * (n - d) * 1000000)"
+                " div (n * n * (n - 1))"
+            ),
+        ).otherwise(F.lit(0).cast(d38)).alias("v_q"),
+    )
+    agg = terms.groupBy("tot_a", "tot_b").agg(
+        F.sum("d_a").cast(d38).alias("o_a"),
+        F.sum("d").cast("long").alias("deaths_total"),
+        F.sum("e_q").alias("se"),
+        F.sum("v_q").alias("sv"),
+    )
+    # cross-scale check: (O·1e6 − se)² is Δ²·1e12 and sv is V·1e6, so
+    # the plain ratio is ALREADY χ²·1e6 — an extra 1e6 in the
+    # denominator silently reports χ² a million times too small
+    chi2 = F.expr(
+        "((o_a * 1000000 - se) * (o_a * 1000000 - se)) div sv"
+    ).cast("long")
+    return agg.select(
+        F.col("tot_a").alias("n_a"),
+        F.col("tot_b").alias("n_b"),
+        F.col("o_a").cast("long").alias("deaths_a"),
+        "deaths_total",
+        F.when(F.col("sv") > 0, chi2).alias("chi2_ppm"),
+        F.when(F.col("sv") > 0, chi2 > F.lit(int(crit_x10k) * 100))
+        .alias("reject_05"),
+    )

@@ -1467,3 +1467,41 @@ class TestFanoFactor:
     def test_all_zero_is_null(self, spark):
         r = self._run(spark, [("g", 0)] * 4)["g"]
         assert r["vmr_ppm"] is None
+
+
+class TestLogrankTest:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import logrank_test
+
+        df = spark.createDataFrame(
+            rows, "duration long, event int, grp_a boolean"
+        )
+        return logrank_test(df).collect()[0]
+
+    def test_identical_cohorts_no_reject(self, spark):
+        rows = [(t, 1, True) for t in range(1, 21)] + [
+            (t, 1, False) for t in range(1, 21)
+        ]
+        r = self._run(spark, rows)
+        assert r["chi2_ppm"] < 100  # O == E up to grid dust
+        assert r["reject_05"] is False
+
+    def test_separated_cohorts_reject(self, spark):
+        rows = [(t, 1, True) for t in range(30, 50)] + [
+            (t, 1, False) for t in range(1, 21)
+        ]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is True
+        assert r["deaths_a"] == 20 and r["deaths_total"] == 40
+
+    def test_censoring_not_counted_as_death(self, spark):
+        rows = [(5, 1, True), (5, 0, True), (5, 1, False), (7, 0, False)]
+        r = self._run(spark, rows)
+        assert r["deaths_total"] == 2 and r["deaths_a"] == 1
+
+    def test_hand_single_time(self, spark):
+        # one death time: n=4 (2 per side), d=2, one death each side:
+        # E_A = 2*2/4 = 1 = O_A -> chi2 exactly 0
+        rows = [(3, 1, True), (3, 1, False), (9, 0, True), (9, 0, False)]
+        r = self._run(spark, rows)
+        assert r["chi2_ppm"] == 0 and r["reject_05"] is False
