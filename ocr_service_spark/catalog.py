@@ -15962,6 +15962,92 @@ FROM agg
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test (operators/stats.py mann_kendall_trend)
+    on the theilsen fixture: the real daily series plus the planted
+    slope-7 line (must reject with direction +1) — the verdict beside
+    the magnitude the slope estimators give. Oracle replays the pair
+    signs, the tie-corrected Var·18 and the continuity-corrected ppm
+    fraction."""
+    from .operators.stats import mann_kendall_trend
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    line = off.select(
+        F.lit("line").alias("grp"), F.col("o").alias("day"),
+        (F.lit(100) + 7 * F.col("o")).alias("x"),
+    )
+    return mann_kendall_trend(
+        daily.unionByName(line), "grp", "day", "x"
+    )
+
+
+SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+line AS (
+  SELECT 'line' AS grp, o AS day, CAST(100 + 7 * o AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+allrows AS (SELECT * FROM daily UNION ALL SELECT * FROM line),
+s AS (
+  SELECT a.grp,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS HUGEINT)
+           AS s_stat
+  FROM allrows a JOIN allrows b
+    ON a.grp = b.grp AND a.day < b.day
+  GROUP BY 1
+),
+n AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n FROM allrows GROUP BY 1),
+ties AS (
+  SELECT grp, SUM(t * (t - 1) * (2 * t + 5)) AS tie_corr
+  FROM (SELECT grp, x, CAST(COUNT(*) AS HUGEINT) AS t
+        FROM allrows GROUP BY 1, 2)
+  WHERE t >= 2 GROUP BY 1
+),
+j AS (
+  SELECT n.grp, n.n, s.s_stat,
+         n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie_corr, 0)
+           AS var18
+  FROM n JOIN s ON n.grp = s.grp
+  LEFT JOIN ties t ON n.grp = t.grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(var18 AS BIGINT) AS var18,
+       CAST(CASE WHEN var18 > 0 THEN
+         CASE WHEN ABS(s_stat) <= 1 THEN 0 ELSE
+           ((ABS(s_stat) - 1) * (ABS(s_stat) - 1) * 18 * 1000000)
+             // var18 END
+       END AS BIGINT) AS z2_ppm,
+       CAST(CASE WHEN s_stat < 0 THEN -1 WHEN s_stat > 0 THEN 1
+            ELSE 0 END AS INT) AS direction,
+       CASE WHEN var18 > 0 THEN
+         (CASE WHEN ABS(s_stat) <= 1 THEN 0 ELSE
+           ((ABS(s_stat) - 1) * (ABS(s_stat) - 1) * 18 * 1000000)
+             // var18 END) > 3841600
+       END AS reject_05
+FROM j
+"""
+
+
 def q_logrank_test(spark, sf_dir):
     """Log-rank survival comparison (operators/stats.py logrank_test):
     the km_survival lifetimes with a planted +8 longevity bonus on the
@@ -18773,6 +18859,7 @@ CATALOG: Dict[str, tuple] = {
     "calibration_ece": (q_calibration_ece, SQL_CALIBRATION_ECE),
     "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY),
     "logrank_test": (q_logrank_test, SQL_LOGRANK),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

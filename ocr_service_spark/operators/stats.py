@@ -2548,3 +2548,76 @@ def logrank_test(
         F.when(F.col("sv") > 0, chi2 > F.lit(int(crit_x10k) * 100))
         .alias("reject_05"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Mann–Kendall trend TEST per group — the verdict the slope
+    estimators don't give: theilsen/siegel say HOW steep, this says
+    whether a monotone trend is statistically there at all (the
+    standard monitoring-series test; distribution-free, so a heavy-
+    tailed metric can't fake significance through variance).
+
+    S = C − D over all pairs (x strictly ordered — a time axis);
+    Var(S)·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) with the tie
+    correction over tied Y values, and the continuity-corrected
+        z² = (|S|−1)²·18 / Var18
+    is ONE integer fraction in ppm (|S| ≤ 1 → z² = 0 exactly). Same
+    bounded per-group pair join as kendall_tau; the tie histogram is
+    one more tiny aggregate. Emits (grp, n, s_stat, var18, z2_ppm,
+    direction, reject_05) — direction ∈ {-1,0,1} = sign(S)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a = d.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "grp").where(F.col("xa") < F.col("xb"))
+    sgn = F.signum(F.col("yb") - F.col("ya")).cast("long")
+    s_agg = pairs.groupBy("grp").agg(
+        F.sum(sgn).cast(d38).alias("s_stat"),
+    )
+    n_agg = d.groupBy("grp").agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    ties = (
+        d.groupBy("grp", "y").agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") >= 2)
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("t").cast(d38) * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    j = (
+        n_agg.join(s_agg, "grp")
+        .join(ties, "grp", "left")
+        .na.fill({"tie_corr": 0})
+        .withColumn(
+            "var18",
+            F.expr("n * (n - 1) * (2 * n + 5)") - F.col("tie_corr"),
+        )
+    )
+    z2 = F.expr(
+        "case when abs(s_stat) <= 1 then 0 else"
+        " ((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 1000000)"
+        " div var18 end"
+    ).cast("long")
+    return j.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        F.when(F.col("var18") > 0, z2).alias("z2_ppm"),
+        F.signum("s_stat").cast("int").alias("direction"),
+        F.when(
+            F.col("var18") > 0, z2 > F.lit(int(crit_x10k) * 100)
+        ).alias("reject_05"),
+    )

@@ -1505,3 +1505,45 @@ class TestLogrankTest:
         rows = [(3, 1, True), (3, 1, False), (9, 0, True), (9, 0, False)]
         r = self._run(spark, rows)
         assert r["chi2_ppm"] == 0 and r["reject_05"] is False
+
+
+class TestMannKendall:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import mann_kendall_trend
+
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        return {
+            r["grp"]: r
+            for r in mann_kendall_trend(df, "g", "x", "y").collect()
+        }
+
+    def test_strict_ramp_rejects_up(self, spark):
+        rows = [("g", t, 3 * t) for t in range(20)]
+        r = self._run(spark, rows)["g"]
+        assert r["s_stat"] == 190 and r["direction"] == 1
+        assert r["reject_05"] is True
+
+    def test_strict_decline_rejects_down(self, spark):
+        rows = [("g", t, 100 - t) for t in range(20)]
+        r = self._run(spark, rows)["g"]
+        assert r["direction"] == -1 and r["reject_05"] is True
+
+    def test_constant_series_zero(self, spark):
+        # all ties: S = 0 AND the tie correction kills the variance
+        rows = [("g", t, 5) for t in range(10)]
+        r = self._run(spark, rows)["g"]
+        assert r["s_stat"] == 0 and r["z2_ppm"] is None
+
+    def test_hand_var18_with_ties(self, spark):
+        # n=4, y=[1,1,2,3]: S = 5; var18 = 4*3*13 - 2*1*9 = 138
+        # z2 = (16*18e6)//138 = 2086956
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 2), ("g", 4, 3)]
+        r = self._run(spark, rows)["g"]
+        assert r["s_stat"] == 5 and r["var18"] == 138
+        assert r["z2_ppm"] == 2_086_956
+        assert r["reject_05"] is False
+
+    def test_alternating_no_trend(self, spark):
+        rows = [("g", t, 10 + (t % 2)) for t in range(30)]
+        r = self._run(spark, rows)["g"]
+        assert r["reject_05"] is False
