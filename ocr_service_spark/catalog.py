@@ -15962,6 +15962,47 @@ FROM agg
 """
 
 
+def q_gate_disparity(spark, sf_dir):
+    """Disparate-impact audit of the length gate per language
+    (operators/quality.py gate_disparity): n_chars ≥ 300 is the
+    planted English-ish threshold; languages whose length distribution
+    sits lower read odds ratios below 1e6 — the corpus-mix shift no
+    single document shows. Oracle replays the 2×2 cells, the doubled
+    Haldane grid and every div."""
+    from .operators.quality import gate_disparity
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars") >= 300).alias("keep")
+    )
+    return gate_disparity(d, "lang", "keep")
+
+
+SQL_GATE_DISPARITY = """
+WITH d AS (
+  SELECT lang AS s, n_chars >= 300 AS k FROM documents
+),
+per AS (
+  SELECT s,
+         CAST(COUNT(*) FILTER (WHERE k) AS HUGEINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE NOT k) AS HUGEINT) AS b
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM per),
+j AS (
+  SELECT s, a, b, ta - a AS c, tb - b AS d, ta, tb
+  FROM per CROSS JOIN tot
+)
+SELECT s AS lang,
+       CAST(a AS BIGINT) AS kept, CAST(b AS BIGINT) AS dropped,
+       CAST((a * 1000) // (a + b) AS BIGINT) AS keep_rate_pm,
+       CAST((ta * 1000) // (ta + tb) AS BIGINT) AS corpus_rate_pm,
+       CAST(((2 * a + 1) * (2 * d + 1) * 1000000)
+            // ((2 * b + 1) * (2 * c + 1)) AS BIGINT)
+         AS odds_ratio_ppm
+FROM j
+"""
+
+
 def q_mann_kendall(spark, sf_dir):
     """Mann–Kendall trend test (operators/stats.py mann_kendall_trend)
     on the theilsen fixture: the real daily series plus the planted
@@ -18860,6 +18901,7 @@ CATALOG: Dict[str, tuple] = {
     "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY),
     "logrank_test": (q_logrank_test, SQL_LOGRANK),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "gate_disparity": (q_gate_disparity, SQL_GATE_DISPARITY),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1408,3 +1408,64 @@ def secret_scan(
         )
         > 0,
     )
+
+
+def gate_disparity(
+    df: DataFrame,
+    slice_col: str,
+    keep_col: str,
+) -> DataFrame:
+    """Per-slice disparate-impact audit of a keep/drop gate — the
+    fairness read every corpus gate needs: Gopher-style thresholds
+    tuned on English quietly drop other languages at multiples of the
+    English rate, and the corpus mix shifts without any single
+    document looking wrong. For each slice, the odds ratio of being
+    kept inside vs outside the slice.
+
+    Exactness: the Haldane–Anscombe +0.5 correction (finite even with
+    an empty cell) stays integral by doubling every cell first —
+    OR = (a+½)(d+½)/((b+½)(c+½)) = (2a+1)(2d+1)/((2b+1)(2c+1)) —
+    one nonneg integral div to ppm. The four cells ride along so any
+    other effect measure can be recomputed; keep_rate_pm per slice and
+    the corpus rate anchor the reading (OR alone inflates on rare
+    slices).
+
+    ONE hash aggregate + a broadcast 1-row total. Emits (slice, kept,
+    dropped, keep_rate_pm, corpus_rate_pm, odds_ratio_ppm) — ppm 1e6 =
+    no disparity, ≪1e6 = the gate disfavors the slice."""
+    d = df.select(
+        F.col(slice_col).alias("s"),
+        F.col(keep_col).cast("boolean").alias("k"),
+    )
+    per = d.groupBy("s").agg(
+        F.count(F.when(F.col("k"), 1)).alias("a"),
+        F.count(F.when(~F.col("k"), 1)).alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "s", "a", "b",
+        (F.col("ta") - F.col("a")).alias("c"),
+        (F.col("tb") - F.col("b")).alias("d"),
+        "ta", "tb",
+    )
+    d38 = "decimal(38,0)"
+    num = (
+        (2 * F.col("a") + 1).cast(d38) * (2 * F.col("d") + 1)
+    )
+    den = (
+        (2 * F.col("b") + 1).cast(d38) * (2 * F.col("c") + 1)
+    )
+    staged = j.withColumn("_num", num).withColumn("_den", den)
+    return staged.select(
+        F.col("s").alias(slice_col),
+        F.col("a").cast("long").alias("kept"),
+        F.col("b").cast("long").alias("dropped"),
+        F.expr("(a * 1000) div (a + b)").cast("long")
+        .alias("keep_rate_pm"),
+        F.expr("(ta * 1000) div (ta + tb)").cast("long")
+        .alias("corpus_rate_pm"),
+        F.expr("(_num * 1000000) div _den").cast("long")
+        .alias("odds_ratio_ppm"),
+    )

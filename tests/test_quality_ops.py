@@ -1766,3 +1766,41 @@ class TestRboOverlap:
         got = self._ev(spark, a, b)
         assert got[2]["rbo_ppb"] == 0
         assert got[None]["rbo_ppb"] == self.suf(1) // 2
+
+
+class TestGateDisparity:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.quality import gate_disparity
+
+        df = spark.createDataFrame(rows, "lang string, keep boolean")
+        return {
+            r["lang"]: r
+            for r in gate_disparity(df, "lang", "keep").collect()
+        }
+
+    def test_hand_odds_ratio(self, spark):
+        # slice x: a=3 kept, b=1 dropped; rest: c=1, d=3
+        # OR = (7*7*1e6) // (3*3) = 5444444
+        rows = ([("x", True)] * 3 + [("x", False)]
+                + [("y", True)] + [("y", False)] * 3)
+        r = self._run(spark, rows)
+        assert r["x"]["odds_ratio_ppm"] == 5_444_444
+        assert r["y"]["odds_ratio_ppm"] == (3 * 3 * 1_000_000) // (7 * 7)
+        assert r["x"]["keep_rate_pm"] == 750
+        assert r["x"]["corpus_rate_pm"] == 500
+
+    def test_no_disparity_near_one(self, spark):
+        rows = []
+        for lang in ("a", "b"):
+            rows += [(lang, True)] * 10 + [(lang, False)] * 10
+        r = self._run(spark, rows)
+        for lang in ("a", "b"):
+            assert abs(r[lang]["odds_ratio_ppm"] - 1_000_000) < 20_000
+
+    def test_empty_cell_finite(self, spark):
+        # slice z never kept: raw OR is 0/…; Haldane keeps it finite
+        rows = [("z", False)] * 5 + [("w", True)] * 5
+        r = self._run(spark, rows)
+        assert r["z"]["odds_ratio_ppm"] is not None
+        assert r["z"]["odds_ratio_ppm"] < 100_000
+        assert r["w"]["odds_ratio_ppm"] > 10_000_000
