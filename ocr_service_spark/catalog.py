@@ -15962,6 +15962,74 @@ FROM agg
 """
 
 
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis k-sample drift (operators/stats.py
+    kruskal_wallis) over n_chars by language with a planted +200 shift
+    on zh — one omnibus answer to "does ANY language draw from a
+    shifted length distribution", df = k−1 = 4 (crit 9.4877). Oracle
+    replays the doubled tie-averaged ranks, both quantized folds and
+    the sign-split tie correction."""
+    from .operators.stats import kruskal_wallis
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            F.col("n_chars")
+            + F.when(F.col("lang") == "zh", 200).otherwise(0)
+        ).alias("v"),
+    )
+    return kruskal_wallis(d, "lang", "v", crit_x10k=94_877)
+
+
+SQL_KRUSKAL = """
+WITH d AS (
+  SELECT lang AS g,
+         CAST(n_chars + CASE WHEN lang = 'zh' THEN 200 ELSE 0 END
+              AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS c FROM d GROUP BY 1),
+cum AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cc
+  FROM h
+),
+r AS (
+  SELECT d.g, 2 * (cum.cc - cum.c) + cum.c + 1 AS r2
+  FROM d JOIN cum ON d.v = cum.v
+),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(r2) AS r2_i
+  FROM r GROUP BY 1
+),
+agg AS (
+  SELECT SUM((r2_i * r2_i * 1000000) // n_i) AS sq,
+         SUM(n_i) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM per
+),
+ties AS (
+  SELECT COALESCE(SUM(c * c * c - c), 0) AS tcorr
+  FROM h WHERE c >= 2
+),
+j AS (
+  SELECT *, (3 * sq) // (n * (n + 1)) - 3 * (n + 1) * 1000000 AS h_raw,
+         n * n * n - n - tcorr AS den
+  FROM agg CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n, k,
+       CAST(CASE WHEN den > 0 THEN
+         (CASE WHEN h_raw < 0 THEN -1 WHEN h_raw > 0 THEN 1 ELSE 0 END)
+           * ((ABS(h_raw) * (n * n * n - n)) // den)
+       END AS BIGINT) AS h_ppm,
+       CASE WHEN den > 0 THEN
+         (CASE WHEN h_raw < 0 THEN -1 WHEN h_raw > 0 THEN 1 ELSE 0 END)
+           * ((ABS(h_raw) * (n * n * n - n)) // den) > 9487700
+       END AS reject_05
+FROM j
+"""
+
+
 def q_gate_disparity(spark, sf_dir):
     """Disparate-impact audit of the length gate per language
     (operators/quality.py gate_disparity): n_chars ≥ 300 is the
@@ -18902,6 +18970,7 @@ CATALOG: Dict[str, tuple] = {
     "logrank_test": (q_logrank_test, SQL_LOGRANK),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "gate_disparity": (q_gate_disparity, SQL_GATE_DISPARITY),
+    "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -2621,3 +2621,77 @@ def mann_kendall_trend(
             F.col("var18") > 0, z2 > F.lit(int(crit_x10k) * 100)
         ).alias("reject_05"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit_x10k: int = 110_705,
+) -> DataFrame:
+    """Kruskal–Wallis H — the k-sample rank test completing the drift
+    family (mannwhitney is its k=2 case; welch_t2/ANOVA need roughly
+    symmetric metrics, H does not): "do ANY of these k sources draw
+    from a shifted distribution", asked once instead of k² pairwise
+    tests that inflate the family-wise error.
+
+    Doubled-tie-averaged ranks (the mannwhitney machinery verbatim)
+    keep every .5 integral; with R2ᵢ = Σ rank2x over group i,
+        H·10⁶ = (3·Σᵢ (R2ᵢ²·10⁶ div nᵢ)) div (n(n+1)) − 3(n+1)·10⁶
+    and the tie correction multiplies by (n³−n)/(n³−n−Σ(t³−t)) —
+    all integral ops; every value tied → zero denominator → NULL.
+    Verdict vs χ²(k−1): crit_x10k defaults to k=6 (df 5, 11.0705);
+    pass the right quantile for other k.
+
+    One histogram + one distributed prefix pass + one join back, then
+    two tiny aggregates. Emits ONE row: (n, k, h_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    r = _with_avg_rank2x(d, "v", "r2")
+    per = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_i"),
+        F.sum("r2").cast(d38).alias("r2_i"),
+    )
+    gq = per.select(
+        F.expr("(r2_i * r2_i * 1000000) div n_i").cast(d38).alias("q"),
+        "n_i",
+    )
+    agg = gq.agg(
+        F.sum("q").alias("sq"),
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ties = (
+        d.groupBy("v").agg(F.count(F.lit(1)).cast(d38).alias("t"))
+        .where(F.col("t") >= 2)
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+             .alias("tcorr"))
+    )
+    j = agg.crossJoin(F.broadcast(ties)).na.fill({"tcorr": 0})
+    # rank2x = 2·rank shifts Σrank² by 4: H uses (R2/2)² = R2²/4, so
+    # the 12/(n(n+1)) coefficient becomes 3/(n(n+1)) on the R2 grid
+    h_raw = F.expr(
+        "(3 * sq) div (n * (n + 1)) - 3 * (n + 1) * 1000000"
+    )
+    staged = j.withColumn("h_raw", h_raw).withColumn(
+        "den", F.expr("n * n * n - n") - F.col("tcorr")
+    )
+    # per-group flooring can push h_raw a hair negative: sign-split the
+    # tie-correction div (truncate-vs-floor divergence on negatives)
+    h = F.when(
+        F.col("den") > 0,
+        F.signum("h_raw").cast("long")
+        * F.expr("(abs(h_raw) * (n * n * n - n)) div den")
+        .cast("long"),
+    ).cast("long")
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        h.alias("h_ppm"),
+        F.when(
+            F.col("den") > 0, h > F.lit(int(crit_x10k) * 100)
+        ).alias("reject_05"),
+    )

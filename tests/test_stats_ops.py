@@ -1547,3 +1547,35 @@ class TestMannKendall:
         rows = [("g", t, 10 + (t % 2)) for t in range(30)]
         r = self._run(spark, rows)["g"]
         assert r["reject_05"] is False
+
+
+class TestKruskalWallis:
+    def _run(self, spark, rows, crit=110_705):
+        from ocr_service_spark.operators.stats import kruskal_wallis
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return kruskal_wallis(df, "g", "v", crit_x10k=crit).collect()[0]
+
+    def test_hand_two_groups(self, spark):
+        # a=[1,2], b=[3,4]: H = 12/20*(9/2+49/2) - 15 = 2.4
+        rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+        r = self._run(spark, rows)
+        assert r["h_ppm"] == 2_400_000 and r["k"] == 2
+
+    def test_identical_groups_near_zero(self, spark):
+        rows = [(g, v) for g in ("a", "b", "c") for v in range(1, 21)]
+        r = self._run(spark, rows)
+        assert abs(r["h_ppm"]) < 50_000
+        assert r["reject_05"] is False
+
+    def test_shifted_group_rejects(self, spark):
+        rows = [("a", v) for v in range(20)] + [
+            ("b", v) for v in range(20)
+        ] + [("c", v + 100) for v in range(20)]
+        r = self._run(spark, rows, crit=59_915)  # df=2
+        assert r["reject_05"] is True
+
+    def test_all_tied_null(self, spark):
+        rows = [("a", 5)] * 4 + [("b", 5)] * 4
+        r = self._run(spark, rows)
+        assert r["h_ppm"] is None
