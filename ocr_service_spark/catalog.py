@@ -15962,6 +15962,66 @@ FROM agg
 """
 
 
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F (operators/stats.py anova_oneway) on the same
+    planted-zh-shift lengths as kruskal_wallis — the parametric and
+    rank omnibus agree on this fixture, which is itself the check that
+    the shift is a location effect, not a tail artifact. df = (4, 495)
+    → crit 2.39. Oracle replays the per-group sums, both e6-grid
+    decompositions and the sign-split F."""
+    from .operators.stats import anova_oneway
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            F.col("n_chars")
+            + F.when(F.col("lang") == "zh", 200).otherwise(0)
+        ).alias("v"),
+    )
+    return anova_oneway(d, "lang", "v", crit_x10k=23_900)
+
+
+SQL_ANOVA = """
+WITH d AS (
+  SELECT lang AS g,
+         CAST(n_chars + CASE WHEN lang = 'zh' THEN 200 ELSE 0 END
+              AS HUGEINT) AS v
+  FROM documents
+),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(v) AS s_i,
+         SUM(v * v) AS q_i
+  FROM d GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n_i) AS n, CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(s_i) AS s, SUM(q_i) AS q,
+         SUM((s_i * s_i * 1000000) // n_i) AS a
+  FROM per
+),
+st AS (
+  SELECT *, a - (s * s * 1000000) // n AS ssb_q6,
+         q * 1000000 - a AS ssw_q6
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(ssb_q6 AS BIGINT) AS ssb_q6,
+       CAST(ssw_q6 AS BIGINT) AS ssw_q6,
+       CAST(CASE WHEN ssw_q6 > 0 AND k >= 2 THEN
+         (CASE WHEN ssb_q6 < 0 THEN -1 WHEN ssb_q6 > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(ssb_q6) * (n - k) * 1000000) // (ssw_q6 * (k - 1)))
+       END AS BIGINT) AS f_ppm,
+       CASE WHEN ssw_q6 > 0 AND k >= 2 THEN
+         (CASE WHEN ssb_q6 < 0 THEN -1 WHEN ssb_q6 > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(ssb_q6) * (n - k) * 1000000) // (ssw_q6 * (k - 1)))
+           > 2390000
+       END AS reject_05
+FROM st
+"""
+
+
 def q_kruskal_wallis(spark, sf_dir):
     """Kruskal–Wallis k-sample drift (operators/stats.py
     kruskal_wallis) over n_chars by language with a planted +200 shift
@@ -18971,6 +19031,7 @@ CATALOG: Dict[str, tuple] = {
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "gate_disparity": (q_gate_disparity, SQL_GATE_DISPARITY),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL),
+    "anova_oneway": (q_anova_oneway, SQL_ANOVA),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

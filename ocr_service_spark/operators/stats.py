@@ -2695,3 +2695,69 @@ def kruskal_wallis(
             F.col("den") > 0, h > F.lit(int(crit_x10k) * 100)
         ).alias("reject_05"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit_x10k: int = 23_900,
+) -> DataFrame:
+    """One-way ANOVA F — the parametric omnibus completing the
+    k-sample triad (kruskal_wallis ranks, welch_t2 is the k=2 unequal-
+    variance case): sharpest power when the metric is roughly
+    symmetric with comparable spreads, and the SSB/SSW decomposition
+    it exposes is the variance-explained read the rank test can't
+    give.
+
+    Exact grid form: with per-group S_i = Σv, Q_i = Σv²,
+        SSB·10⁶ = Σ(S_i²·10⁶ div n_i) − (S²·10⁶ div n)
+        SSW·10⁶ = ΣQ_i·10⁶ − Σ(S_i²·10⁶ div n_i)
+        F·10⁶  = sign-split (SSB·(n−k)·10⁶) div (SSW·(k−1))
+    (per-group flooring can push the SSB grid a hair negative at true
+    SSB ≈ 0 — sign-split, never bare div). Zero within-variance emits
+    NULL. crit_x10k is the F(k−1, n−k) quantile ×10⁴ — default suits
+    (4, ~500); pass the right one otherwise.
+
+    ONE hash aggregate + two 1-row folds. Emits (n, k, ssb_q6, ssw_q6,
+    f_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n_i"),
+        F.sum(v).alias("s_i"),
+        F.sum(v * v).alias("q_i"),
+    )
+    agg = per.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s_i").alias("s"),
+        F.sum("q_i").alias("q"),
+        F.sum(F.expr("(s_i * s_i * 1000000) div n_i").cast(d38))
+        .alias("a"),
+    )
+    staged = (
+        agg.withColumn(
+            "ssb_q6", F.col("a") - F.expr("(s * s * 1000000) div n")
+        )
+        .withColumn("ssw_q6", F.col("q") * 1000000 - F.col("a"))
+    )
+    f = F.when(
+        (F.col("ssw_q6") > 0) & (F.col("k") >= 2),
+        F.signum("ssb_q6").cast("long")
+        * F.expr(
+            "(abs(ssb_q6) * (n - k) * 1000000)"
+            " div (ssw_q6 * (k - 1))"
+        ).cast("long"),
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("ssb_q6").cast("long").alias("ssb_q6"),
+        F.col("ssw_q6").cast("long").alias("ssw_q6"),
+        f.cast("long").alias("f_ppm"),
+        F.when(
+            (F.col("ssw_q6") > 0) & (F.col("k") >= 2),
+            f > F.lit(int(crit_x10k) * 100),
+        ).alias("reject_05"),
+    )

@@ -1579,3 +1579,35 @@ class TestKruskalWallis:
         rows = [("a", 5)] * 4 + [("b", 5)] * 4
         r = self._run(spark, rows)
         assert r["h_ppm"] is None
+
+
+class TestAnovaOneway:
+    def _run(self, spark, rows, crit=23_900):
+        from ocr_service_spark.operators.stats import anova_oneway
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return anova_oneway(df, "g", "v", crit_x10k=crit).collect()[0]
+
+    def test_hand_two_groups(self, spark):
+        # a=[1,2], b=[5,6]: SSB=16, SSW=1, F = 16*2/1 = 32
+        rows = [("a", 1), ("a", 2), ("b", 5), ("b", 6)]
+        r = self._run(spark, rows)
+        assert r["f_ppm"] == 32_000_000
+        assert r["ssb_q6"] == 16_000_000 and r["ssw_q6"] == 1_000_000
+
+    def test_identical_groups_near_zero(self, spark):
+        rows = [(g, v) for g in ("a", "b", "c") for v in range(1, 21)]
+        r = self._run(spark, rows)
+        assert abs(r["f_ppm"]) < 10_000 and r["reject_05"] is False
+
+    def test_shifted_group_rejects(self, spark):
+        rows = [("a", v) for v in range(20)] + [
+            ("b", v) for v in range(20)
+        ] + [("c", v + 100) for v in range(20)]
+        r = self._run(spark, rows, crit=31_500)  # F(2,57) ~ 3.15
+        assert r["reject_05"] is True
+
+    def test_zero_within_variance_null(self, spark):
+        rows = [("a", 5)] * 3 + [("b", 9)] * 3
+        r = self._run(spark, rows)
+        assert r["f_ppm"] is None
