@@ -15962,6 +15962,70 @@ FROM agg
 """
 
 
+def q_qq_drift(spark, sf_dir):
+    """Q–Q decile drift table (operators/stats.py qq_drift): even vs
+    odd doc_id lengths with a +150 shift planted on the even side's
+    UPPER HALF only (doc_id % 4 == 0) — the scalar tests just say
+    "shifted"; the decile table shows the gap concentrated in the high
+    quantiles. Oracle replays both histograms, the prefix ranks and
+    the covering-range selection."""
+    from .operators.stats import qq_drift
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("side"),
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 4 == 0, 150).otherwise(0)
+        ).alias("v"),
+    )
+    return qq_drift(d, "v", "side")
+
+
+SQL_QQ_DRIFT = """
+WITH d AS (
+  SELECT doc_id % 2 = 0 AS side,
+         CAST(n_chars + CASE WHEN doc_id % 4 = 0 THEN 150 ELSE 0 END
+              AS BIGINT) AS v
+  FROM documents
+),
+pcts AS (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS pct),
+ha AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+  FROM d WHERE side GROUP BY v
+),
+qa AS (
+  SELECT p.pct, ha.v AS v_a,
+         (SELECT COUNT(*) FROM d WHERE side) AS n_a
+  FROM pcts p JOIN ha
+    ON ha.cum - ha.c < (p.pct * (SELECT COUNT(*) FROM d WHERE side)
+                        + 99) // 100
+   AND (p.pct * (SELECT COUNT(*) FROM d WHERE side) + 99) // 100
+       <= ha.cum
+),
+hb AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+  FROM d WHERE NOT side GROUP BY v
+),
+qb AS (
+  SELECT p.pct, hb.v AS v_b,
+         (SELECT COUNT(*) FROM d WHERE NOT side) AS n_b
+  FROM pcts p JOIN hb
+    ON hb.cum - hb.c < (p.pct * (SELECT COUNT(*) FROM d WHERE NOT side)
+                        + 99) // 100
+   AND (p.pct * (SELECT COUNT(*) FROM d WHERE NOT side) + 99) // 100
+       <= hb.cum
+)
+SELECT CAST(qa.pct AS BIGINT) AS pct,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       v_a, v_b, CAST(v_a - v_b AS BIGINT) AS gap
+FROM qa JOIN qb ON qa.pct = qb.pct
+"""
+
+
 def q_anova_oneway(spark, sf_dir):
     """One-way ANOVA F (operators/stats.py anova_oneway) on the same
     planted-zh-shift lengths as kruskal_wallis — the parametric and
@@ -19032,6 +19096,7 @@ CATALOG: Dict[str, tuple] = {
     "gate_disparity": (q_gate_disparity, SQL_GATE_DISPARITY),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL),
     "anova_oneway": (q_anova_oneway, SQL_ANOVA),
+    "qq_drift": (q_qq_drift, SQL_QQ_DRIFT),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

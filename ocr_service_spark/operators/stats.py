@@ -2761,3 +2761,67 @@ def anova_oneway(
             f > F.lit(int(crit_x10k) * 100),
         ).alias("reject_05"),
     )
+
+
+def qq_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    pcts: Sequence[int] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+) -> DataFrame:
+    """Q–Q decile table of two samples — WHERE the drift lives, the
+    read the scalar tests flatten: ks_drift reports one worst gap and
+    mannwhitney one shift verdict, but "the new crawl's short tail
+    collapsed while the median held" is a per-quantile statement. One
+    row per decile with both sides' exact discrete quantiles and the
+    gap.
+
+    Quantile = value at 1-indexed rank ceil(p·n/100) — the
+    group_quantiles definition, integer index arithmetic (float ceil
+    is off-by-one at IEEE boundaries). Selection is HISTOGRAM-based:
+    value histogram per side + the distributed prefix sum, then the
+    rank lands in the one value whose cumulative range covers it —
+    never a per-side row_number window (a side is ONE partition there:
+    the bare-Window funnel at corpus scale).
+
+    Emits (pct, n_a, n_b, v_a, v_b, gap)."""
+    from .quality import global_prefix_sum
+
+    plist = [int(p) for p in pcts]
+
+    def side_q(flag, tag):
+        s = df.filter(F.col(side_col) == flag).select(
+            F.col(value_col).cast("long").alias("v")
+        )
+        h = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        cum = global_prefix_sum(h, ["v"], "c", out_col="cum")
+        tot = s.agg(F.count(F.lit(1)).alias("n"))
+        e = (
+            cum.crossJoin(F.broadcast(tot))
+            .select(
+                "v", "c", "cum", "n",
+                F.explode(F.array(*[F.lit(p) for p in plist]))
+                .alias("pct"),
+            )
+            .withColumn("rk", F.expr("(pct * n + 99) div 100"))
+            .where(
+                (F.col("cum") - F.col("c") < F.col("rk"))
+                & (F.col("rk") <= F.col("cum"))
+            )
+        )
+        return e.select(
+            "pct",
+            F.col("v").alias(f"v_{tag}"),
+            F.col("n").cast("long").alias(f"n_{tag}"),
+        )
+
+    a = side_q(True, "a")
+    b = side_q(False, "b")
+    return (
+        a.join(b, "pct")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            "n_a", "n_b", "v_a", "v_b",
+            (F.col("v_a") - F.col("v_b")).cast("long").alias("gap"),
+        )
+    )

@@ -1611,3 +1611,43 @@ class TestAnovaOneway:
         rows = [("a", 5)] * 3 + [("b", 9)] * 3
         r = self._run(spark, rows)
         assert r["f_ppm"] is None
+
+
+class TestQqDrift:
+    def _run(self, spark, rows, pcts=(10, 50, 90)):
+        from ocr_service_spark.operators.stats import qq_drift
+
+        df = spark.createDataFrame(rows, "side boolean, v long")
+        return {
+            r["pct"]: r
+            for r in qq_drift(df, "v", "side", pcts=pcts).collect()
+        }
+
+    def test_identical_sides_zero_gap(self, spark):
+        rows = [(s, v) for s in (True, False) for v in range(1, 11)]
+        got = self._run(spark, rows)
+        assert all(r["gap"] == 0 for r in got.values())
+        assert got[50]["v_a"] == 5  # ceil(50*10/100) = rank 5
+
+    def test_upper_tail_shift_localized(self, spark):
+        # shift only the top half of side A: low deciles flat, high
+        # deciles carry the whole gap — what KS flattens to one number
+        rows = [(False, v) for v in range(1, 21)] + [
+            (True, v if v <= 10 else v + 100) for v in range(1, 21)
+        ]
+        got = self._run(spark, rows, pcts=(10, 30, 50, 70, 90))
+        assert got[10]["gap"] == 0 and got[30]["gap"] == 0
+        assert got[70]["gap"] == 100 and got[90]["gap"] == 100
+
+    def test_rank_index_exact(self, spark):
+        # n=10, p=90: rank = ceil(900/100) = 9 -> value 9 (1-indexed)
+        rows = [(True, v) for v in range(1, 11)] + [
+            (False, v) for v in range(1, 11)
+        ]
+        got = self._run(spark, rows)
+        assert got[90]["v_a"] == 9
+
+    def test_duplicate_values_covered_by_range(self, spark):
+        rows = [(True, 5)] * 9 + [(True, 7)] + [(False, 5)] * 10
+        got = self._run(spark, rows)
+        assert got[90]["v_a"] == 5 and got[50]["v_b"] == 5
