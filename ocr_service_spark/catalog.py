@@ -18745,6 +18745,385 @@ FROM t, s
 """
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier, correlated scalar MIN),
+    adapted: the testdata has no partsupp, so the supply relation is
+    derived from lineitem — offer_e2 per (part, supplier) is the MIN
+    line extendedprice on the exact cents grid. For LARGE parts of
+    size <= 8, keep every EUROPE-region offer that ties the per-part
+    regional minimum. The correlated subquery is a per-part MIN
+    join-back over the same filtered offer set (two hash aggregates,
+    no window); part and the region-filtered supplier dim broadcast,
+    so only the lineitem-derived offer aggregate shuffles."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long").alias("price_e2"),
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.min("price_e2").alias("offer_e2"))
+    pt = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 8)
+    ).select("p_partkey")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(load(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        supply.join(F.broadcast(pt), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "n_name", "offer_e2")
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("offer_e2").alias("min_e2")
+    )
+    return (
+        offers.join(mins, (F.col("p_partkey") == F.col("pk"))
+                    & (F.col("offer_e2") == F.col("min_e2")))
+        .select("p_partkey", "s_name", "n_name", "offer_e2")
+    )
+
+
+SQL_Q2_MIN_COST = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS offer_e2
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT p_partkey, s_name, n_name, offer_e2
+  FROM supply JOIN part ON partkey = p_partkey
+  JOIN eu ON suppkey = s_suppkey
+  WHERE p_type = 'LARGE' AND p_size <= 8
+)
+SELECT p_partkey, s_name, n_name, offer_e2
+FROM offers o
+WHERE offer_e2 = (SELECT MIN(offer_e2) FROM offers i
+                  WHERE i.p_partkey = o.p_partkey)
+"""
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted: no partsupp supplycost, so unit cost is the part's retail
+    price. Per-line profit = extendedprice·(1−discount) − retail·qty,
+    every term shifted onto the exact 1e-4 grid BEFORE the subtraction
+    (rev via decimal(18,4)·10000; cost via cents·100·integral qty) so
+    the sum is an exact integer on both engines. Part broadcasts with
+    the name filter pushed; the supplier→nation chain broadcasts; only
+    lineitem⋈orders shuffles."""
+    pt = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select(
+        "p_partkey",
+        ((F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("decimal(38,0)").cast("long") * 100).alias("cost_e4"),
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(load(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)").cast("long").alias("rev_e4"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(F.col("rev_e4") - F.col("cost_e4") * F.col("qty"))
+        .alias("profit_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q9_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(
+         CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+              * 10000 AS BIGINT)
+         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * 100 * CAST(l_quantity AS BIGINT)
+       ) AS BIGINT) AS profit_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock, global-scalar HAVING),
+    adapted: inventory value per part = sum of line revenue cents from
+    ASIA-region suppliers (lineitem as the supply relation). Keep
+    parts worth more than 2× the mean part value — TPC-H's own Q11
+    fraction is scale-dependent (0.0001/SF), so the cut here is the
+    scale-free mean-multiple; the global (total, count) scalar is a
+    one-row broadcast crossJoin and the cut is cross-multiplied
+    (value·n > 2·total) so no division happens. Supplier dim
+    broadcasts; one shuffle for the per-part aggregate."""
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(load(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long").alias("price_e2"),
+    )
+    nat = li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = nat.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("price_e2").alias("value_e2")
+    )
+    total = per_part.agg(
+        F.sum("value_e2").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e2") * F.col("_n") > F.col("_tot") * 2)
+        .select("partkey", "value_e2")
+    )
+
+
+SQL_Q11_IMPORTANT = """
+WITH nat AS (
+  SELECT l_partkey AS partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_e2
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+per_part AS (
+  SELECT partkey, CAST(SUM(price_e2) AS BIGINT) AS value_e2
+  FROM nat GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(value_e2) AS HUGEINT) AS t,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM per_part
+)
+SELECT partkey, value_e2
+FROM per_part, tot
+WHERE CAST(value_e2 AS HUGEINT) * n > t * 2
+"""
+
+
+def q_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier counts by part attributes, with an
+    excluded-supplier NOT IN), adapted: the part↔supplier relation is
+    distinct (l_partkey, l_suppkey) pairs from lineitem; no s_comment
+    exists, so the 'complaints' exclusion set is the deterministic
+    audit-flag suppkey % 5 = 0, applied as a LEFT ANTI join (the NOT
+    IN shape — never a filter pushed into the pair scan, so the plan
+    shows the anti join Q16 is about). countDistinct suppliers per
+    (brand, type, size) over non-Brand#5 parts in six size buckets."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    pt = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 5 == 0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(flagged),
+              F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type",
+                 F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 9, 13, 17, 21)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_suppkey % 5 = 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers holding excess share, nested
+    correlated half-sum), adapted: no partsupp availqty, so the
+    correlated condition is 'supplier shipped MORE THAN HALF of a bolt
+    part's 1997 quantity' — per-(part,supplier) qty vs the per-part
+    total, cross-multiplied (2·qty_ps > qty_part) on integral
+    quantities. Qualifying suppliers LEFT SEMI join back to the
+    EUROPE-region supplier dim for names: the inner nested aggregate
+    never leaves its shuffle, and the outer join moves only distinct
+    supplier keys."""
+    pt = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01")))
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey",
+                F.col("l_quantity").cast("long").alias("qty"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("qty_ps")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("qty_part")
+    )
+    excess = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty_ps") * 2 > F.col("qty_part"))
+        .select("l_suppkey").distinct()
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(load(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name")
+    )
+    return eu.join(
+        excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SQL_Q20_EXCESS = """
+WITH bolt AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(qty) AS qty_ps
+  FROM bolt GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey AS pk, SUM(qty) AS qty_part FROM bolt GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_ps JOIN per_p ON l_partkey = pk
+    WHERE qty_ps * 2 > qty_part
+  )
+"""
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on F-status
+    multi-supplier orders, count per supplier the orders where that
+    supplier was the ONLY late one. No commitdate/receiptdate exists,
+    so 'late' is shipdate > orderdate + 100 days. The EXISTS /
+    NOT-EXISTS pair is rewritten as per-order aggregates — n_suppliers
+    and n_late_suppliers per order, qualify when (≥2, ==1) — which is
+    the scale-correct plan: one extra hash aggregate instead of two
+    self-joins of the fact table against itself."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+    ).cast("long")
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("is_late")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waits = (
+        per_os.filter(F.col("is_late") == 1)
+        .join(per_o, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SQL_Q21_WAITING = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_os
+JOIN per_o ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -19127,6 +19506,13 @@ CATALOG: Dict[str, tuple] = {
     "q8_market_share": (q_q8_market_share, SQL_Q8_SHARE),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL),
     "q19_brand_revenue": (q_q19_brand_revenue, SQL_Q19_BANDS),
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2_MIN_COST),
+    "q9_product_profit": (q_q9_product_profit, SQL_Q9_PROFIT),
+    "q11_important_parts": (q_q11_important_parts, SQL_Q11_IMPORTANT),
+    "q16_supplier_counts": (q_q16_supplier_counts,
+                            SQL_Q16_SUPPLIER_COUNTS),
+    "q20_excess_suppliers": (q_q20_excess_suppliers, SQL_Q20_EXCESS),
+    "q21_waiting_suppliers": (q_q21_waiting_suppliers, SQL_Q21_WAITING),
     "q13_order_distribution": (q_q13_order_distribution, SQL_Q13_DIST),
     "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPP),
     "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE),
