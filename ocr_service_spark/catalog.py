@@ -18093,6 +18093,72 @@ FROM k
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators/stats.py psi_drift)
+    between even and odd documents' length-bucket distributions — the
+    model-monitoring drift score with its canonical 0.1/0.25 bands,
+    Laplace-smoothed over the union support so empty buckets never
+    blow up. Oracle replays the smoothed rational, the per-bin floored
+    1e-4 log grid and the struct-max top-contributor pick."""
+    from .operators.stats import psi_drift
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.expr("n_chars div 32"), F.lit(19).cast("long"))
+        .cast("string").alias("bucket"),
+    )
+    old = d.where(F.col("doc_id") % 2 == 0).select("bucket")
+    new = d.where(F.col("doc_id") % 2 == 1).select("bucket")
+    return psi_drift(old, new, "bucket")
+
+
+SQL_PSI_DRIFT = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(LEAST(n_chars // 32, 19) AS VARCHAR) AS bucket
+  FROM documents
+),
+a AS (SELECT bucket AS w, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT bucket AS w, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM d WHERE doc_id % 2 = 1 GROUP BY 1),
+m AS (
+  SELECT COALESCE(a.w, b.w) AS w,
+         COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.w = b.w
+),
+t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS ta,
+             CAST(SUM(cb) AS HUGEINT) AS tb,
+             CAST(COUNT(*) AS HUGEINT) AS v FROM m),
+s AS (
+  SELECT w, ta, tb, ta + v AS sa_tot, tb + v AS sb_tot,
+         (ca + 1) * (tb + v) - (cb + 1) * (ta + v) AS gap,
+         CAST(FLOOR(ln(
+           CAST((ca + 1) * (tb + v) AS DOUBLE)
+           / CAST((cb + 1) * (ta + v) AS DOUBLE)) * 10000) AS BIGINT)
+           AS s_i
+  FROM m CROSS JOIN t
+),
+g AS (
+  SELECT MAX(ta) AS ta, MAX(tb) AS tb, COUNT(*) AS vu,
+         MAX(sa_tot) AS sa_tot, MAX(sb_tot) AS sb_tot,
+         SUM(gap * s_i) AS num,
+         MAX(struct_pack(
+           c := CAST((gap * s_i) // (sa_tot * sb_tot) AS BIGINT),
+           w := w)) AS top
+  FROM s
+)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       CAST(vu AS BIGINT) AS vocab_union,
+       CAST(num // (sa_tot * sb_tot) AS BIGINT) AS psi_q,
+       top.w AS top_bin, top.c AS top_bin_q,
+       CASE WHEN num // (sa_tot * sb_tot) < 1000 THEN 'stable'
+            WHEN num // (sa_tot * sb_tot) < 2500 THEN 'moderate'
+            ELSE 'major' END AS band
+FROM g
+"""
+
+
 def q_mad_outliers(spark, sf_dir):
     """Per-source robust MAD outlier flags (operators/stats.py
     mad_outliers) on document length: the median/MAD pair with 50%
@@ -19476,6 +19542,7 @@ CATALOG: Dict[str, tuple] = {
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL),
     "anova_oneway": (q_anova_oneway, SQL_ANOVA),
     "qq_drift": (q_qq_drift, SQL_QQ_DRIFT),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

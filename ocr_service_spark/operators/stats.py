@@ -2825,3 +2825,93 @@ def qq_drift(
             (F.col("v_a") - F.col("v_b")).cast("long").alias("gap"),
         )
     )
+
+
+def psi_drift(
+    old: DataFrame, new: DataFrame, cat_col: str = "cat"
+) -> DataFrame:
+    """Population Stability Index between two corpus versions' binned
+    distributions — the industry-standard model-monitoring drift score
+    (PSI = Σ (p_i − q_i)·ln(p_i/q_i)), completing the drift family:
+    TV counts mass moved, JS weighs mixture surprise, PSI weighs the
+    SAME directional gap KL does but symmetrically and per-bin, with
+    the canonical 0.1 / 0.25 action thresholds attached.
+
+    Raw PSI explodes on empty bins, so both sides take Laplace +1
+    smoothing over the UNION support (ã=a+1, Ã=A+V) — deterministic
+    and oracle-expressible, unlike the ad-hoc ε floors monitoring
+    tools default to. Grid discipline (lm.py convention): per bin,
+    s_i = floor(ln(ã·B̃ / (b̃·Ã)) · 1e4) is quantized BEFORE
+    aggregation — the ln argument is the same exact bigint rational in
+    both engines — then PSI = Σ (ã·B̃ − b̃·Ã)·s_i div (Ã·B̃) in 1e-4
+    nats. Every term is ≥ 0 BY CONSTRUCTION even after quantization:
+    the numerator gap and the floored log always share a sign (floor
+    pushes a negative log further negative, never across zero), so no
+    sign-split is needed — asserted by the non-negative output.
+
+    Shape: two category hash aggregates, one full-outer merge, a
+    broadcast 1-row totals join, one final aggregate → ONE row
+    (n_a, n_b, vocab_union, psi_q, top_bin, top_bin_q, band).
+    """
+    d38 = "decimal(38,0)"
+    a = old.groupBy(F.col(cat_col).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    b = new.groupBy(F.col(cat_col).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    m = a.join(b, "w", "full_outer").na.fill({"ca": 0, "cb": 0})
+    tot = m.agg(
+        F.sum("ca").cast(d38).alias("ta"),
+        F.sum("cb").cast(d38).alias("tb"),
+        F.count(F.lit(1)).cast(d38).alias("v"),
+    )
+    # smoothed per-bin counts / totals: sa = ca+1 over SA = ta+v
+    scored = m.join(F.broadcast(tot), how="cross").select(
+        "w",
+        F.expr(f"CAST(ta + v AS {d38})").alias("sa_tot"),
+        F.expr(f"CAST(tb + v AS {d38})").alias("sb_tot"),
+        F.expr(f"CAST((ca + 1) * (tb + v) AS {d38})").alias("lhs"),
+        F.expr(f"CAST((cb + 1) * (ta + v) AS {d38})").alias("rhs"),
+        F.col("ta").alias("ta"), F.col("tb").alias("tb"),
+    ).select(
+        "w", "sa_tot", "sb_tot", "ta", "tb",
+        (F.col("lhs") - F.col("rhs")).alias("gap"),
+        F.floor(
+            F.log(F.col("lhs").cast("double") / F.col("rhs"))
+            * 10000
+        ).cast("long").alias("s_i"),
+    )
+    agg = scored.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.count(F.lit(1)).alias("vu"),
+        F.max("sa_tot").alias("sa_tot"),
+        F.max("sb_tot").alias("sb_tot"),
+        F.sum(F.col("gap") * F.col("s_i")).alias("num"),
+        F.max(
+            F.struct(
+                F.expr(
+                    "CAST((gap * s_i) div"
+                    " (CAST(sa_tot AS decimal(38,0)) * sb_tot)"
+                    " AS BIGINT)"
+                ).alias("c"),
+                F.col("w").alias("w"),
+            )
+        ).alias("top"),
+    )
+    psi_q = F.expr(
+        "CAST(num div (CAST(sa_tot AS decimal(38,0)) * sb_tot)"
+        " AS BIGINT)"
+    )
+    return agg.select(
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+        F.col("vu").cast("long").alias("vocab_union"),
+        psi_q.alias("psi_q"),
+        F.col("top.w").alias("top_bin"),
+        F.col("top.c").cast("long").alias("top_bin_q"),
+        F.when(psi_q < 1000, "stable")
+        .when(psi_q < 2500, "moderate")
+        .otherwise("major").alias("band"),
+    )

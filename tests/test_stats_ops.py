@@ -1651,3 +1651,42 @@ class TestQqDrift:
         rows = [(True, 5)] * 9 + [(True, 7)] + [(False, 5)] * 10
         got = self._run(spark, rows)
         assert got[90]["v_a"] == 5 and got[50]["v_b"] == 5
+
+
+class TestPsiDrift:
+    def _run(self, spark, old, new):
+        from ocr_service_spark.operators.stats import psi_drift
+
+        a = spark.createDataFrame([(w,) for w in old], "w string")
+        b = spark.createDataFrame([(w,) for w in new], "w string")
+        return psi_drift(a, b, "w").collect()[0]
+
+    def test_hand_two_bins(self, spark):
+        # old=[a,a,a,a], new=[a,b,b,b]; V=2, SA=SB=6:
+        # bin a: s=floor(ln(30/12)*1e4)=9162, gap=18 -> 164916
+        # bin b: s=floor(ln(6/24)*1e4)=-13863, gap=-18 -> 249534
+        # psi_q = 414450 // 36 = 11512 (major); top bin b at 6931
+        r = self._run(spark, ["a"] * 4, ["a", "b", "b", "b"])
+        assert r["psi_q"] == 11512
+        assert r["band"] == "major"
+        assert r["top_bin"] == "b" and r["top_bin_q"] == 6931
+        assert r["n_a"] == 4 and r["n_b"] == 4 and r["vocab_union"] == 2
+
+    def test_identical_is_stable_zero(self, spark):
+        side = ["a"] * 10 + ["b"] * 5 + ["c"] * 3
+        r = self._run(spark, side, list(side))
+        assert r["psi_q"] == 0
+        assert r["band"] == "stable"
+
+    def test_disjoint_supports_major(self, spark):
+        r = self._run(spark, ["a"] * 20, ["b"] * 20)
+        assert r["band"] == "major"
+        assert r["psi_q"] > 2500
+
+    def test_nonnegative_despite_quantization(self, spark):
+        # near-identical mixes: every quantized term must stay >= 0
+        old = ["a"] * 100 + ["b"] * 99 + ["c"] * 101
+        new = ["a"] * 101 + ["b"] * 100 + ["c"] * 99
+        r = self._run(spark, old, new)
+        assert 0 <= r["psi_q"] < 1000
+        assert r["band"] == "stable"
