@@ -18159,6 +18159,79 @@ FROM g
 """
 
 
+def q_sign_test_bh(spark, sf_dir):
+    """Per-source exact sign test vs the designed floor median 180
+    with Benjamini–Hochberg FDR control across sources
+    (operators/stats.py sign_test_bh) — the multiple-testing gate a
+    per-host audit needs; the 180 null makes the outcome MIXED (some
+    sources clear it decisively, some don't), so the step-up's both
+    branches are exercised in the oracle. Oracle replays the capped
+    head, the exact factorial binomial tail over 2^n, and the step-up
+    on the ppm grid."""
+    from .operators.stats import sign_test_bh
+
+    d = load(spark, sf_dir, "documents")
+    return sign_test_bh(d, "source", "n_chars", "doc_id", null_x2=360)
+
+
+SQL_SIGN_TEST_BH = """
+WITH head AS (
+  SELECT source AS slice, n_chars * 2 AS v2,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+per AS (
+  SELECT slice,
+         CAST(SUM(CASE WHEN v2 <> 360 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n,
+         CAST(SUM(CASE WHEN v2 > 360 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM head WHERE rn <= 20 GROUP BY 1
+),
+ex AS (
+  SELECT slice, n, k, unnest(generate_series(0, n)) AS j FROM per
+),
+tails AS (
+  SELECT slice, n, k,
+         SUM(CASE WHEN j >= k THEN
+           factorial(CAST(n AS INTEGER))
+             // (factorial(CAST(j AS INTEGER))
+                 * factorial(CAST(n - j AS INTEGER)))
+           ELSE 0 END) AS up,
+         SUM(CASE WHEN j <= k THEN
+           factorial(CAST(n AS INTEGER))
+             // (factorial(CAST(j AS INTEGER))
+                 * factorial(CAST(n - j AS INTEGER)))
+           ELSE 0 END) AS down
+  FROM ex GROUP BY 1, 2, 3
+),
+pv AS (
+  SELECT slice, n, k,
+         CAST(CASE WHEN n > 0 THEN
+           (LEAST(2 * LEAST(up, down), CAST(1 AS BIGINT) << n)
+            * 1000000) // (CAST(1 AS BIGINT) << n)
+         ELSE 1000000 END AS BIGINT) AS p_ppm
+  FROM tails
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, slice) AS BIGINT)
+            AS "rank"
+  FROM pv
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM r),
+ii AS (
+  SELECT COALESCE(MAX(CASE WHEN p_ppm * m <= 50000 * "rank"
+                           THEN "rank" END), 0) AS istar
+  FROM r, mm
+)
+SELECT slice, n, k, p_ppm, "rank",
+       CAST(LEAST((p_ppm * m) // "rank", 1000000) AS BIGINT)
+         AS raw_bh_ppm,
+       "rank" <= istar AS reject_fdr
+FROM r, mm, ii
+"""
+
+
 def q_mad_outliers(spark, sf_dir):
     """Per-source robust MAD outlier flags (operators/stats.py
     mad_outliers) on document length: the median/MAD pair with 50%
@@ -19543,6 +19616,7 @@ CATALOG: Dict[str, tuple] = {
     "anova_oneway": (q_anova_oneway, SQL_ANOVA),
     "qq_drift": (q_qq_drift, SQL_QQ_DRIFT),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "sign_test_bh": (q_sign_test_bh, SQL_SIGN_TEST_BH),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -2915,3 +2915,108 @@ def psi_drift(
         .when(psi_q < 2500, "moderate")
         .otherwise("major").alias("band"),
     )
+
+
+def sign_test_bh(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    id_col: str,
+    null_x2: int = 600,
+    cap: int = 20,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-slice exact sign test against a designed null median, with
+    Benjamini–Hochberg FDR control across ALL slices — the
+    multiple-testing stage every per-host/per-domain audit in this
+    catalog implicitly needs: run one drift test per host over
+    thousands of hosts at α=0.05 and ~5% of null hosts flag by chance;
+    BH's step-up keeps the FALSE DISCOVERY RATE at α instead.
+
+    The per-slice p-value is EXACT and integer-rational, not a normal
+    approximation: on the first `cap` observations (by `id_col`, ties
+    vs null_x2/2 discarded per the classic sign test), the two-sided
+    binomial(n, 1/2) tail is p = min(2·min(Σ_{j≥k}C(n,j),
+    Σ_{j≤k}C(n,j)), 2^n) over 2^n — factorials stay in int64 because
+    n ≤ 20 (20! < 2^63), and p_ppm = p_num·1e6 div 2^n. The cap is a
+    STATISTICAL choice, not a shortcut: it bounds the explode factor
+    at 21 AND makes every slice's test equally powered.
+
+    BH step-up on the ppm grid: rank slices by (p_ppm, slice) with the
+    distributed prefix-sum (global_prefix_sum — never a bare global
+    window), then i* = max{i : p_(i)·m ≤ alpha_ppm·i} via a one-row
+    broadcast, reject rank ≤ i*. raw_bh_ppm = min(p·m div rank, 1e6)
+    is the pre-monotonicity adjusted value (the step-up DECISION is
+    exact; the suffix-min q-value smoothing is display-only and
+    omitted).
+
+    Emits (slice, n, k, p_ppm, rank, raw_bh_ppm, reject_fdr).
+    """
+    from pyspark.sql import Window
+    from .quality import global_prefix_sum
+
+    d = df.select(
+        F.col(slice_col).alias("slice"),
+        (F.col(value_col).cast("long") * 2).alias("v2"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("slice").orderBy("_id")
+    head = d.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap
+    )
+    per = head.groupBy("slice").agg(
+        F.sum(F.when(F.col("v2") != null_x2, 1).otherwise(0))
+        .cast("long").alias("n"),
+        F.sum(F.when(F.col("v2") > null_x2, 1).otherwise(0))
+        .cast("long").alias("k"),
+    )
+    ex = per.select(
+        "slice", "n", "k",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n")))
+        .alias("j"),
+    ).withColumn(
+        "c",
+        F.expr("factorial(j) * factorial(n - j)"),
+    ).withColumn("c", F.expr("factorial(n) div c"))
+    tails = ex.groupBy("slice", "n", "k").agg(
+        F.sum(F.when(F.col("j") >= F.col("k"), F.col("c"))
+              .otherwise(0)).alias("up"),
+        F.sum(F.when(F.col("j") <= F.col("k"), F.col("c"))
+              .otherwise(0)).alias("down"),
+    )
+    pvals = tails.select(
+        "slice", "n", "k",
+        F.when(
+            F.col("n") > 0,
+            F.expr(
+                "least(2 * least(up, down),"
+                " shiftleft(cast(1 as bigint), cast(n as int)))"
+                " * 1000000"
+                " div shiftleft(cast(1 as bigint), cast(n as int))"
+            ),
+        ).otherwise(F.lit(1_000_000)).cast("long").alias("p_ppm"),
+    )
+    ranked = global_prefix_sum(
+        pvals.withColumn("_one", F.lit(1).cast("long")),
+        ["p_ppm", "slice"], "_one", "rank",
+    ).drop("_one", "_pid", "_run")
+    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    scored = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "_sat",
+        F.col("p_ppm") * F.col("_m") <= F.lit(alpha_ppm) * F.col("rank"),
+    )
+    istar = scored.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_sat"), F.col("rank"))), F.lit(0)
+        ).cast("long").alias("_istar")
+    )
+    return (
+        scored.crossJoin(F.broadcast(istar))
+        .select(
+            "slice", "n", "k", "p_ppm",
+            F.col("rank").cast("long").alias("rank"),
+            F.expr("least(p_ppm * _m div rank, 1000000)")
+            .cast("long").alias("raw_bh_ppm"),
+            (F.col("rank") <= F.col("_istar")).alias("reject_fdr"),
+        )
+    )

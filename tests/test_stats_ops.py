@@ -1690,3 +1690,59 @@ class TestPsiDrift:
         r = self._run(spark, old, new)
         assert 0 <= r["psi_q"] < 1000
         assert r["band"] == "stable"
+
+
+class TestSignTestBh:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.stats import sign_test_bh
+
+        df = spark.createDataFrame(rows, "s string, v long, id long")
+        out = sign_test_bh(df, "s", "v", "id", **kw).collect()
+        return {r["slice"]: r.asDict() for r in out}
+
+    def _rows(self, spec):
+        rows = []
+        for s, vals in spec.items():
+            rows += [(s, v, i) for i, v in enumerate(vals)]
+        return rows
+
+    def test_exact_binomial_p(self, spark):
+        # n=10 all above null: p = 2/2^10 = 1953 ppm (floor)
+        r = self._run(spark, self._rows({"A": [400] * 10}))
+        assert r["A"]["p_ppm"] == 1953 and r["A"]["k"] == 10
+
+    def test_ties_discarded(self, spark):
+        # 5 ties at the null + 4 above: n=4, k=4, p = 2/16 = 125000
+        r = self._run(spark, self._rows({"A": [300] * 5 + [310] * 4}))
+        assert r["A"]["n"] == 4 and r["A"]["p_ppm"] == 125_000
+
+    def test_bh_stepup_mixed(self, spark):
+        # A decisive (p=1953), D weak (k=8/10, p=109375), B null:
+        # m=3 -> A: 1953*3 <= 50000*1 rejects; D: 328125 > 100000 no
+        spec = {
+            "A": [400] * 10,
+            "B": [300 + (1 if i % 2 else -1) for i in range(10)],
+            "D": [310] * 8 + [290] * 2,
+        }
+        r = self._run(spark, self._rows(spec))
+        assert r["A"]["reject_fdr"] is True
+        assert r["D"]["reject_fdr"] is False
+        assert r["B"]["reject_fdr"] is False
+        assert [r["A"]["rank"], r["D"]["rank"], r["B"]["rank"]] == [1, 2, 3]
+
+    def test_stepup_rescues_middle_rank(self, spark):
+        # three decisive slices: the 3rd alone (1953*3 > 50000) would
+        # fail a Bonferroni-style per-rank cut at rank 1 but BH's
+        # step-up accepts all at rank 3: 1953*3 <= 50000*3
+        spec = {c: [400] * 10 for c in "XYZ"}
+        r = self._run(spark, self._rows(spec))
+        assert all(r[c]["reject_fdr"] for c in "XYZ")
+
+    def test_all_ties_is_p_one(self, spark):
+        r = self._run(spark, self._rows({"A": [300] * 6}))
+        assert r["A"]["n"] == 0 and r["A"]["p_ppm"] == 1_000_000
+        assert r["A"]["reject_fdr"] is False
+
+    def test_cap_bounds_n(self, spark):
+        r = self._run(spark, self._rows({"A": [400] * 30}))
+        assert r["A"]["n"] == 20
