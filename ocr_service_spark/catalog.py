@@ -18232,6 +18232,79 @@ FROM r, mm, ii
 """
 
 
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Paired Wilcoxon signed-rank (operators/stats.py
+    wilcoxon_signed_rank) on per-customer order counts before vs after
+    1998-01-01 — 'did the SAME customers change activity across the
+    boundary', which the two-sample tests can't ask. Counts are heavy
+    with ties and zeros, exercising the doubled tie-averaged ranks and
+    the zero-discard accounting. Oracle replays the |d| histogram, the
+    windowed cumulative, and every integral div."""
+    from .operators.stats import wilcoxon_signed_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") < F.lit("1998-01-01")).alias("early"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0))
+        .cast("long").alias("v_old"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0))
+        .cast("long").alias("v_new"),
+    )
+    return wilcoxon_signed_rank(per, "v_old", "v_new")
+
+
+SQL_WILCOXON_SIGNED = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_old,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_new
+  FROM orders GROUP BY 1
+),
+d AS (SELECT v_new - v_old AS d FROM per),
+z AS (SELECT CAST(COUNT(*) FILTER (WHERE d = 0) AS BIGINT) AS n_zero
+      FROM d),
+hist AS (
+  SELECT ABS(d) AS ad, CAST(COUNT(*) AS HUGEINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE d > 0) AS HUGEINT) AS cp
+  FROM d WHERE d <> 0 GROUP BY 1
+),
+cum AS (
+  SELECT t, cp,
+         SUM(t) OVER (ORDER BY ad
+                      ROWS UNBOUNDED PRECEDING) AS cum_t
+  FROM hist
+),
+per_v AS (
+  SELECT t, cp, 2 * (cum_t - t) + t + 1 AS rank2x FROM cum
+),
+s AS (
+  SELECT CAST(SUM(t) AS HUGEINT) AS n,
+         CAST(SUM(cp * rank2x) AS HUGEINT) AS w2x,
+         CAST(SUM(t * t * t - t) AS HUGEINT) AS tie_t
+  FROM per_v
+),
+g AS (
+  SELECT n, w2x,
+         w2x - (n * (n + 1)) // 2 AS c_,
+         2 * n * (n + 1) * (2 * n + 1) - tie_t AS den
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, n_zero,
+       CAST(w2x AS BIGINT) AS w2x,
+       CASE WHEN den > 0 THEN
+         CAST((12 * c_ * c_ * 10000) // den AS BIGINT)
+       ELSE NULL END AS z2_x10k,
+       CASE WHEN den > 0 THEN
+         (12 * c_ * c_ * 10000) // den > 38416
+       ELSE NULL END AS reject_05
+FROM g, z
+"""
+
+
 def q_mad_outliers(spark, sf_dir):
     """Per-source robust MAD outlier flags (operators/stats.py
     mad_outliers) on document length: the median/MAD pair with 50%
@@ -19617,6 +19690,8 @@ CATALOG: Dict[str, tuple] = {
     "qq_drift": (q_qq_drift, SQL_QQ_DRIFT),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "sign_test_bh": (q_sign_test_bh, SQL_SIGN_TEST_BH),
+    "wilcoxon_signed_rank": (q_wilcoxon_signed_rank,
+                             SQL_WILCOXON_SIGNED),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

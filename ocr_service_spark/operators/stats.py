@@ -3020,3 +3020,95 @@ def sign_test_bh(
             (F.col("rank") <= F.col("_istar")).alias("reject_fdr"),
         )
     )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    old_col: str,
+    new_col: str,
+    crit_x10k: int = 38_416,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on paired integer observations — the
+    PAIRED companion of mannwhitney_drift (which compares two
+    independent samples): same units measured before/after a change
+    (per-customer activity across a policy boundary, per-host metric
+    across a crawler release). Pairing removes between-unit variance,
+    so it detects shifts the two-sample test drowns in spread.
+
+    Classic Wilcoxon zero-handling: d = new − old, zero differences
+    are DISCARDED (reported as n_zero so the loss is visible). |d|
+    ranks are tie-averaged in DOUBLED units (rank2x = 2·cum_before +
+    t + 1) via the distributed prefix sum over the |d| histogram —
+    never a global window. With W2x = Σ_{d>0} rank2x, C = W2x −
+    n(n+1)/2 (twice the mean-centered statistic) and T = Σ(t³−t),
+        z² = 12·C² / (2n(n+1)(2n+1) − T)
+    on the 1e-4 grid via integral div (numerator ≥ 0, no sign split
+    needed); reject when z²·1e4 > crit_x10k (default 1.96²·1e4). The
+    all-tied den=0 case emits NULL loudly.
+
+    Emits ONE row (n_pairs, n_zero, w2x, z2_x10k, reject_05).
+    """
+    from .quality import global_prefix_sum
+
+    d38 = "decimal(38,0)"
+    d = pairs.select(
+        (F.col(new_col).cast("long") - F.col(old_col).cast("long"))
+        .alias("d")
+    )
+    nz = d.filter(F.col("d") != 0)
+    hist = nz.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cp"),
+    )
+    cum = global_prefix_sum(hist, ["ad"], "t", out_col="cum_t")
+    per_v = cum.select(
+        "t", "cp",
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        .cast(d38).alias("rank2x"),
+    )
+    zeros = d.agg(
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long").alias("n_zero")
+    )
+    sums = per_v.agg(
+        F.sum("t").cast(d38).alias("n"),
+        F.sum(F.col("cp").cast(d38) * F.col("rank2x")).alias("w2x"),
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38)
+            * F.col("t").cast(d38) - F.col("t").cast(d38)
+        ).alias("tie_t"),
+    )
+    scored = (
+        sums.crossJoin(F.broadcast(zeros))
+        .withColumn(
+            "c_",
+            # n(n+1) is even so div 2 is exact; div returns LONG, so
+            # re-cast before the square (c_^2 can pass 2^63)
+            F.col("w2x") - F.expr(
+                "cast((n * (n + 1)) div 2 as decimal(38,0))"
+            ),
+        )
+        .withColumn(
+            "_den",
+            F.lit(2).cast(d38) * F.col("n") * (F.col("n") + 1)
+            * (2 * F.col("n") + 1) - F.col("tie_t"),
+        )
+        .withColumn(
+            "_num",
+            F.lit(12).cast(d38) * F.col("c_") * F.col("c_")
+            * F.lit(10_000),
+        )
+    )
+    return scored.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_zero"), F.lit(0)).alias("n_zero"),
+        F.col("w2x").cast("long").alias("w2x"),
+        F.expr(
+            "case when _den > 0 then cast(_num div _den as bigint)"
+            " else null end"
+        ).alias("z2_x10k"),
+        F.expr(
+            f"case when _den > 0 then _num div _den > {crit_x10k}"
+            " else null end"
+        ).alias("reject_05"),
+    )

@@ -1746,3 +1746,41 @@ class TestSignTestBh:
     def test_cap_bounds_n(self, spark):
         r = self._run(spark, self._rows({"A": [400] * 30}))
         assert r["A"]["n"] == 20
+
+
+class TestWilcoxonSignedRank:
+    def _run(self, spark, pairs, **kw):
+        from ocr_service_spark.operators.stats import wilcoxon_signed_rank
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return wilcoxon_signed_rank(df, "a", "b", **kw).collect()[0]
+
+    def test_hand_no_ties(self, spark):
+        # d=[1,2,3,-4]: W+=6, C=2, T=0 -> z2 = 48/360 -> 1333 on grid
+        r = self._run(spark, [(0, 1), (0, 2), (0, 3), (4, 0)])
+        assert r["n_pairs"] == 4 and r["w2x"] == 12
+        assert r["z2_x10k"] == 1333 and r["reject_05"] is False
+
+    def test_hand_tied_magnitudes(self, spark):
+        # d=[1,1,-1]: one tie group t=3, rank2x=4, W2x=8, C=2, T=24
+        # z2 = 48/144 -> 3333
+        r = self._run(spark, [(0, 1), (0, 1), (1, 0)])
+        assert r["w2x"] == 8 and r["z2_x10k"] == 3333
+
+    def test_zeros_discarded_and_counted(self, spark):
+        r = self._run(spark, [(5, 5), (5, 5), (0, 1), (0, 2), (3, 0)])
+        assert r["n_zero"] == 2 and r["n_pairs"] == 3
+
+    def test_strong_shift_rejects(self, spark):
+        # 30 pairs all shifted up by distinct amounts: W+ = all ranks
+        r = self._run(spark, [(0, i + 1) for i in range(30)])
+        assert r["reject_05"] is True
+
+    def test_balanced_accepts(self, spark):
+        r = self._run(spark, [(0, i + 1) for i in range(10)]
+                      + [(i + 1, 0) for i in range(10)])
+        assert r["reject_05"] is False
+
+    def test_all_zero_null(self, spark):
+        r = self._run(spark, [(7, 7), (3, 3)])
+        assert r["z2_x10k"] is None and r["reject_05"] is None
