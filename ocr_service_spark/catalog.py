@@ -18305,6 +18305,77 @@ FROM g, z
 """
 
 
+def q_friedman_test(spark, sf_dir):
+    """Friedman k-treatment rank omnibus (operators/stats.py
+    friedman_test) on per-user event-type counts — 'do event types
+    differ systematically within users', each user serving as its own
+    control. Counts tie heavily, exercising the doubled within-block
+    ranks. Oracle replays the complete-block filter, the per-block
+    histogram cumulative, and the integer collapse of the
+    tie-general statistic."""
+    from .operators.stats import friedman_test
+
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("user_id").alias("b"),
+        F.col("event_type").alias("tr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return friedman_test(cells, "b", "tr", "v")
+
+
+SQL_FRIEDMAN = """
+WITH cells AS (
+  SELECT user_id AS b, event_type AS tr,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+kk AS (SELECT CAST(COUNT(DISTINCT tr) AS HUGEINT) AS k FROM cells),
+sizes AS (SELECT b, COUNT(*) AS nb FROM cells GROUP BY 1),
+dropped AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE nb <> k) AS BIGINT) AS n_dropped
+  FROM sizes, kk
+),
+cc AS (
+  SELECT cells.* FROM cells
+  JOIN sizes USING (b), kk WHERE nb = k
+),
+hist AS (SELECT b, v, CAST(COUNT(*) AS HUGEINT) AS c
+         FROM cc GROUP BY 1, 2),
+ranked AS (
+  SELECT b, v,
+         2 * (SUM(c) OVER (PARTITION BY b ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) - c) + c + 1
+           AS rank2x
+  FROM hist
+),
+cell_r AS (SELECT cc.b, cc.tr, rank2x
+           FROM cc JOIN ranked ON cc.b = ranked.b AND cc.v = ranked.v),
+per_treat AS (
+  SELECT tr, SUM(rank2x) AS r2j, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM cell_r GROUP BY 1
+),
+s AS (
+  SELECT MAX(n) AS n, MAX(k) AS k,
+         SUM((r2j - n * (k + 1)) * (r2j - n * (k + 1))) AS ss
+  FROM per_treat, kk
+),
+sq AS (SELECT SUM(rank2x * rank2x) AS r2sq FROM cell_r),
+g AS (
+  SELECT n, k, ss,
+         r2sq - n * k * (k + 1) * (k + 1) AS den,
+         (k - 1) * ss * 10000 AS num
+  FROM s, sq
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, n_dropped,
+       CAST(k AS BIGINT) AS k,
+       CASE WHEN den > 0 THEN CAST(num // den AS BIGINT)
+            ELSE NULL END AS chi2_x10k,
+       CASE WHEN den > 0 THEN num // den > 94880
+            ELSE NULL END AS reject_05
+FROM g, dropped
+"""
+
+
 def q_mad_outliers(spark, sf_dir):
     """Per-source robust MAD outlier flags (operators/stats.py
     mad_outliers) on document length: the median/MAD pair with 50%
@@ -19692,6 +19763,7 @@ CATALOG: Dict[str, tuple] = {
     "sign_test_bh": (q_sign_test_bh, SQL_SIGN_TEST_BH),
     "wilcoxon_signed_rank": (q_wilcoxon_signed_rank,
                              SQL_WILCOXON_SIGNED),
+    "friedman_test": (q_friedman_test, SQL_FRIEDMAN),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -3112,3 +3112,101 @@ def wilcoxon_signed_rank(
             " else null end"
         ).alias("reject_05"),
     )
+
+
+def friedman_test(
+    cells: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    crit_x10k: int = 94_880,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over blocks — the
+    ordinal omnibus completing the paired family (mcnemar: 2 binary,
+    cochran_q: k binary, wilcoxon_signed_rank: 2 ordinal, this: k
+    ordinal): 'do the k variants differ systematically when compared
+    WITHIN each block', with every block acting as its own control.
+
+    Input is one row per (block, treatment) cell; only COMPLETE blocks
+    (all k treatments present) enter, per the classic design — the
+    dropped count is reported. Within-block tie-averaged ranks in
+    DOUBLED units (rank2x = 2·cum_before + c + 1 over the per-block
+    value histogram — the window partitions by block, never global).
+    In doubled units the tie-general statistic collapses to pure
+    integers:
+        χ² = (k−1) · Σ_j A_j² / (Σ r2² − n·k·(k+1)²),
+    A_j = R2_j − n(k+1); the denominator is 0 iff every block is fully
+    tied → NULL loudly. Default crit_x10k = χ²₀.₀₅(df=4)·1e4 (k=5).
+
+    Emits ONE row (n_blocks, n_dropped, k, chi2_x10k, reject_05).
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    c = cells.select(
+        F.col(block_col).alias("b"),
+        F.col(treat_col).alias("tr"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    kk = c.agg(F.countDistinct("tr").cast("long").alias("k"))
+    sizes = c.groupBy("b").agg(F.count(F.lit(1)).alias("_nb"))
+    sized = sizes.crossJoin(F.broadcast(kk))
+    complete = sized.filter(F.col("_nb") == F.col("k")).select("b")
+    dropped = sized.agg(
+        F.sum(F.when(F.col("_nb") != F.col("k"), 1).otherwise(0))
+        .cast("long").alias("n_dropped")
+    )
+    cc = c.join(F.broadcast(complete), "b")
+    hist = cc.groupBy("b", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked_v = hist.withColumn("cum", F.sum("c").over(w)).select(
+        "b", "v",
+        (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+        .cast(d38).alias("rank2x"),
+    )
+    cell_r = cc.join(ranked_v, ["b", "v"])
+    per_treat = cell_r.groupBy("tr").agg(
+        F.sum("rank2x").alias("r2j"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+    )
+    sums = per_treat.crossJoin(F.broadcast(kk)).select(
+        "r2j", "n", "k",
+        (F.col("r2j") - F.col("n") * (F.col("k") + 1)).alias("a"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("k").cast(d38).alias("k"),
+        F.sum(F.col("a") * F.col("a")).alias("s"),
+    )
+    sq = cell_r.agg(
+        F.sum(F.col("rank2x") * F.col("rank2x")).alias("r2sq")
+    )
+    g = (
+        sums.crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(dropped))
+        .withColumn(
+            "_den",
+            F.col("r2sq")
+            - F.col("n") * F.col("k")
+            * (F.col("k") + 1) * (F.col("k") + 1),
+        )
+        .withColumn(
+            "_num",
+            (F.col("k") - 1) * F.col("s") * F.lit(10_000),
+        )
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        F.col("k").cast("long").alias("k"),
+        F.expr(
+            "case when _den > 0 then cast(_num div _den as bigint)"
+            " else null end"
+        ).alias("chi2_x10k"),
+        F.expr(
+            f"case when _den > 0 then _num div _den > {crit_x10k}"
+            " else null end"
+        ).alias("reject_05"),
+    )

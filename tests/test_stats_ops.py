@@ -1784,3 +1784,50 @@ class TestWilcoxonSignedRank:
     def test_all_zero_null(self, spark):
         r = self._run(spark, [(7, 7), (3, 3)])
         assert r["z2_x10k"] is None and r["reject_05"] is None
+
+
+class TestFriedmanTest:
+    def _run(self, spark, rows, **kw):
+        from ocr_service_spark.operators.stats import friedman_test
+
+        df = spark.createDataFrame(rows, "b string, tr string, v long")
+        return friedman_test(df, "b", "tr", "v", **kw).collect()[0]
+
+    def test_hand_classic(self, spark):
+        # 3 blocks rank (1,2,3) + 1 block (2,1,3): chi2 = 6.5
+        rows = []
+        for b in ("b1", "b2", "b3"):
+            rows += [(b, "t1", 10), (b, "t2", 20), (b, "t3", 30)]
+        rows += [("b4", "t1", 20), ("b4", "t2", 10), ("b4", "t3", 30)]
+        r = self._run(spark, rows, crit_x10k=59_910)  # df=2
+        assert r["chi2_x10k"] == 65_000
+        assert r["reject_05"] is True
+        assert r["n_blocks"] == 4 and r["k"] == 3
+
+    def test_within_block_ties(self, spark):
+        # block with two tied treatments exercises doubled ranks
+        rows = [("b1", "t1", 5), ("b1", "t2", 5), ("b1", "t3", 9),
+                ("b2", "t1", 1), ("b2", "t2", 2), ("b2", "t3", 3)]
+        r = self._run(spark, rows)
+        assert r["chi2_x10k"] is not None and r["chi2_x10k"] >= 0
+
+    def test_all_tied_null(self, spark):
+        rows = [(b, t, 7) for b in ("b1", "b2") for t in ("x", "y")]
+        r = self._run(spark, rows)
+        assert r["chi2_x10k"] is None and r["reject_05"] is None
+
+    def test_incomplete_block_dropped(self, spark):
+        rows = [("b1", "t1", 1), ("b1", "t2", 2),
+                ("b2", "t1", 1)]  # b2 missing t2
+        r = self._run(spark, rows)
+        assert r["n_dropped"] == 1 and r["n_blocks"] == 1
+
+    def test_identical_treatments_accepts(self, spark):
+        # same ordering is MAXIMAL evidence; reversed half balances it
+        rows = []
+        for i, b in enumerate("abcdef"):
+            up = i % 2 == 0
+            rows += [(b, "t1", 1 if up else 3), (b, "t2", 2),
+                     (b, "t3", 3 if up else 1)]
+        r = self._run(spark, rows, crit_x10k=59_910)
+        assert r["reject_05"] is False and r["chi2_x10k"] == 0
