@@ -19407,6 +19407,84 @@ GROUP BY 1, 2
 """
 
 
+def q_cvm_drift(spark, sf_dir):
+    """Two-sample Cramér–von Mises drift test (operators/stats.py
+    cvm_drift) between the corpus length distribution and a +25-char
+    shifted version — the whole-CDF-integrated companion of ks_drift /
+    wasserstein_drift on the same planted shift, so the three drift
+    reads triangulate one fixture. Oracle replays the merged value
+    histogram, both per-side cumulatives, the ×3 tie-run fold and both
+    ppm-grid divisions (every div operand is nonnegative, so truncate
+    and floor agree)."""
+    from .operators.stats import cvm_drift
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.select(F.col("n_chars").alias("v"))
+    new = docs.select((F.col("n_chars") + 25).alias("v"))
+    return cvm_drift(old, new, "v")
+
+
+SQL_CVM = """
+WITH a AS (
+  SELECT CAST(n_chars AS HUGEINT) AS v,
+         CAST(COUNT(*) AS HUGEINT) AS ca, CAST(0 AS HUGEINT) AS cb
+  FROM documents GROUP BY 1
+),
+b AS (
+  SELECT CAST(n_chars + 25 AS HUGEINT) AS v,
+         CAST(0 AS HUGEINT) AS ca, CAST(COUNT(*) AS HUGEINT) AS cb
+  FROM documents GROUP BY 1
+),
+m AS (
+  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY v
+),
+c AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b
+  FROM m
+),
+t AS (
+  SELECT ca, cb,
+         2 * (cum_a + cum_b - (ca + cb)) + (ca + cb) + 1 AS r2,
+         cum_a - ca AS ba, cum_b - cb AS bb
+  FROM c
+),
+terms AS (
+  SELECT
+    3 * ca * r2 * r2
+      - 6 * r2 * (2 * ca * ba + ca * (ca + 1))
+      + 2 * ((ba + ca) * (ba + ca + 1) * (2 * (ba + ca) + 1)
+             - ba * (ba + 1) * (2 * ba + 1)) AS ta3,
+    3 * cb * r2 * r2
+      - 6 * r2 * (2 * cb * bb + cb * (cb + 1))
+      + 2 * ((bb + cb) * (bb + cb + 1) * (2 * (bb + cb) + 1)
+             - bb * (bb + 1) * (2 * bb + 1)) AS tb3
+  FROM t
+),
+agg AS (
+  SELECT SUM(ta3) AS sa3, SUM(tb3) AS sb3,
+         (SELECT SUM(ca) FROM m) AS na,
+         (SELECT SUM(cb) FROM m) AS nb
+  FROM terms
+),
+st AS (
+  SELECT na, nb,
+         ((na * sa3 + nb * sb3) * 1000000)
+           // (12 * na * nb * (na + nb))
+         - ((4 * na * nb - 1) * 1000000) // (6 * (na + nb)) AS t_ppm
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(t_ppm AS BIGINT) AS t_ppm,
+       t_ppm > 461000 AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -19764,6 +19842,7 @@ CATALOG: Dict[str, tuple] = {
     "wilcoxon_signed_rank": (q_wilcoxon_signed_rank,
                              SQL_WILCOXON_SIGNED),
     "friedman_test": (q_friedman_test, SQL_FRIEDMAN),
+    "cvm_drift": (q_cvm_drift, SQL_CVM),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -3210,3 +3210,136 @@ def friedman_test(
             " else null end"
         ).alias("reject_05"),
     )
+
+
+def cvm_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str = "v",
+    crit_ppm: int = 461_000,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises drift test — the whole-CDF
+    companion closing the continuous drift triad: KS reads the ONE
+    worst vertical gap (sharp on a localized shift, weak on a broad
+    diffuse one), Wasserstein reads total transported mass in metric
+    units (no verdict), CvM integrates the SQUARED gap over the whole
+    CDF — a small-everywhere dispersion change that never produces a
+    large KS gap still accumulates.
+
+    Anderson's rank form, exact on the doubled tie-averaged grid:
+    with rᵢ the combined ranks of sample A and i its within-sample
+    index, U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)² and
+        T = U/(n·m·N) − (4nm−1)/(6N),   N = n+m.
+    Per DISTINCT value with side counts (ca,cb): all tied rows share
+    one doubled rank r2 while their within-side indexes are the
+    consecutive run (b, b+c], so the tie-run fold collapses to closed
+    form — Σ(r2−2i)² ×3 = 3c·r2² − 6·r2·(2cb+c(c+1)) + 2·(P(b+c)−P(b))
+    with P(k)=k(k+1)(2k+1) (the ×3 keeps the Σi² sixth integral).
+    T_ppm = (U12·10⁶) div (12nmN) − ((4nm−1)·10⁶) div (6N).
+    Verdict: asymptotic α=0.05 critical value T*=0.461 (crit_ppm).
+
+    Scale shape: one hash aggregate per side collapses to distinct
+    values, one union+re-aggregate merges, and BOTH per-side
+    cumulatives ride one distributed prefix pass (partition-local
+    window + broadcast offsets — never a bare global Window), then a
+    single 1-row fold. Emits ONE row: (n_a, n_b, t_ppm, reject_05)."""
+    a = old.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca"), F.lit(0).cast("long").alias("cb")
+    )
+    b = new.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.lit(0).cast("long").alias("ca"), F.count(F.lit(1)).alias("cb")
+    )
+    m = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    d = m.repartitionByRange("v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = (
+        d.withColumn("_ra", F.sum("ca").over(w))
+        .withColumn("_rb", F.sum("cb").over(w))
+        .localCheckpoint()
+    )
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.max("_ra").alias("_ta"), F.max("_rb").alias("_tb"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for r in totals:
+        offs.append((int(r["_pid"]), acc_a, acc_b))
+        acc_a += int(r["_ta"] or 0)
+        acc_b += int(r["_tb"] or 0)
+    n_a, n_b = acc_a, acc_b
+    spark = m.sparkSession
+    off = spark.createDataFrame(offs, "_pid int, _oa long, _ob long")
+    d38 = "decimal(38,0)"
+    terms = (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn("_cum_a", (F.col("_ra") + F.col("_oa")).cast(d38))
+        .withColumn("_cum_b", (F.col("_rb") + F.col("_ob")).cast(d38))
+        .withColumn("_c", (F.col("ca") + F.col("cb")).cast(d38))
+        .withColumn(
+            "_r2",
+            2 * (F.col("_cum_a") + F.col("_cum_b") - F.col("_c"))
+            + F.col("_c") + 1,
+        )
+        # per-side tie-run fold ×3 (see docstring); _ba/_bb are the
+        # within-side index bases (count of strictly-smaller values)
+        .withColumn("_ba", F.col("_cum_a") - F.col("ca"))
+        .withColumn("_bb", F.col("_cum_b") - F.col("cb"))
+        .withColumn(
+            "_ta3",
+            F.expr(
+                "3 * ca * _r2 * _r2"
+                " - 6 * _r2 * (2 * ca * _ba + ca * (ca + 1))"
+                " + 2 * ((_ba + ca) * (_ba + ca + 1)"
+                "        * (2 * (_ba + ca) + 1)"
+                "        - _ba * (_ba + 1) * (2 * _ba + 1))"
+            ).cast(d38),
+        )
+        .withColumn(
+            "_tb3",
+            F.expr(
+                "3 * cb * _r2 * _r2"
+                " - 6 * _r2 * (2 * cb * _bb + cb * (cb + 1))"
+                " + 2 * ((_bb + cb) * (_bb + cb + 1)"
+                "        * (2 * (_bb + cb) + 1)"
+                "        - _bb * (_bb + 1) * (2 * _bb + 1))"
+            ).cast(d38),
+        )
+    )
+    agg = terms.agg(
+        F.sum("_ta3").alias("sa3"), F.sum("_tb3").alias("sb3")
+    )
+    na = F.lit(n_a).cast(d38)
+    nb = F.lit(n_b).cast(d38)
+    nn = F.lit(n_a + n_b).cast(d38)
+    staged = agg.withColumn(
+        "_u12", na * F.col("sa3") + nb * F.col("sb3")
+    )
+    t = F.when(
+        (na > 0) & (nb > 0),
+        F.expr("(_u12 * 1000000) div (12 * _na * _nb * _nn)")
+        - F.expr("((4 * _na * _nb - 1) * 1000000) div (6 * _nn)"),
+    ).cast("long")
+    staged = (
+        staged.withColumn("_na", na)
+        .withColumn("_nb", nb)
+        .withColumn("_nn", nn)
+    )
+    return staged.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        t.alias("t_ppm"),
+        F.when((na > 0) & (nb > 0), t > F.lit(int(crit_ppm)))
+        .alias("reject_05"),
+    )

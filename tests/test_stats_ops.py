@@ -1831,3 +1831,46 @@ class TestFriedmanTest:
                      (b, "t3", 3 if up else 1)]
         r = self._run(spark, rows, crit_x10k=59_910)
         assert r["reject_05"] is False and r["chi2_x10k"] == 0
+
+
+class TestCvmDrift:
+    def _run(self, spark, a, b, crit=461_000):
+        from ocr_service_spark.operators.stats import cvm_drift
+
+        da = spark.createDataFrame([(v,) for v in a], "v long")
+        db = spark.createDataFrame([(v,) for v in b], "v long")
+        return cvm_drift(da, db, "v", crit_ppm=crit).collect()[0]
+
+    def test_hand_separated(self, spark):
+        # A=[1,2], B=[3,4]: U = 2*0 + 2*8 = 16,
+        # T = 16/16 - 15/24 = 0.375 exactly on the ppm grid
+        r = self._run(spark, [1, 2], [3, 4])
+        assert r["t_ppm"] == 375_000
+        assert r["n_a"] == 2 and r["n_b"] == 2
+        assert r["reject_05"] is False
+
+    def test_identical_zero(self, spark):
+        # identical samples: T = 0 exactly (ties exercise the run fold)
+        r = self._run(spark, [1, 2], [1, 2])
+        assert r["t_ppm"] == 0
+
+    def test_large_identical_near_zero(self, spark):
+        vals = list(range(200)) * 2
+        r = self._run(spark, vals, vals)
+        assert abs(r["t_ppm"]) < 10_000
+        assert r["reject_05"] is False
+
+    def test_disjoint_shift_rejects(self, spark):
+        a = list(range(100))
+        b = [v + 1000 for v in a]
+        r = self._run(spark, a, b)
+        assert r["reject_05"] is True
+        assert r["t_ppm"] > 461_000
+
+    def test_dispersion_change_detected(self, spark):
+        # same median, wider spread — the broad diffuse change KS is
+        # weakest on; CvM accumulates it across the whole CDF
+        a = [500 + (i % 21) - 10 for i in range(400)]
+        b = [500 + ((i * 37) % 401) - 200 for i in range(400)]
+        r = self._run(spark, a, b)
+        assert r["reject_05"] is True
