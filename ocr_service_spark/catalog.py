@@ -19485,6 +19485,87 @@ FROM st
 """
 
 
+def q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe variance-equality omnibus (operators/stats.py
+    brown_forsythe) over corpus lengths by language with a planted
+    SPREAD widening on zh (±360 jitter keyed off n_chars % 7, roughly
+    location-neutral) — the dispersion question the
+    anova_oneway/kruskal_wallis location pair is blind to. df =
+    (4, ~n−5) → crit 2.39. Oracle replays the per-group doubled
+    tie-true median, the z2 deviation grid and the sign-split ANOVA F
+    over it."""
+    from .operators.stats import brown_forsythe
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            F.col("n_chars")
+            + F.when(
+                F.col("lang") == "zh",
+                (F.col("n_chars") % 7 - 3) * 120,
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    return brown_forsythe(d, "lang", "v", crit_x10k=23_900)
+
+
+SQL_BROWN_FORSYTHE = """
+WITH d AS (
+  SELECT lang AS g,
+         CAST(n_chars + CASE WHEN lang = 'zh'
+              THEN ((n_chars % 7) - 3) * 120 ELSE 0 END
+              AS BIGINT) AS v
+  FROM documents
+),
+r AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM d
+),
+med AS (
+  SELECT g,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+         + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS m2
+  FROM r GROUP BY g
+),
+z AS (
+  SELECT d.g, CAST(ABS(2 * d.v - m.m2) AS HUGEINT) AS v
+  FROM d JOIN med m ON d.g = m.g
+),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(v) AS s_i,
+         SUM(v * v) AS q_i
+  FROM z GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n_i) AS n, CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(s_i) AS s, SUM(q_i) AS q,
+         SUM((s_i * s_i * 1000000) // n_i) AS a
+  FROM per
+),
+st AS (
+  SELECT *, a - (s * s * 1000000) // n AS ssb_q6,
+         q * 1000000 - a AS ssw_q6
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(ssb_q6 AS BIGINT) AS ssb_q6,
+       CAST(ssw_q6 AS BIGINT) AS ssw_q6,
+       CAST(CASE WHEN ssw_q6 > 0 AND k >= 2 THEN
+         (CASE WHEN ssb_q6 < 0 THEN -1 WHEN ssb_q6 > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(ssb_q6) * (n - k) * 1000000) // (ssw_q6 * (k - 1)))
+       END AS BIGINT) AS f_ppm,
+       CASE WHEN ssw_q6 > 0 AND k >= 2 THEN
+         (CASE WHEN ssb_q6 < 0 THEN -1 WHEN ssb_q6 > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(ssb_q6) * (n - k) * 1000000) // (ssw_q6 * (k - 1)))
+           > 2390000
+       END AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -19843,6 +19924,7 @@ CATALOG: Dict[str, tuple] = {
                              SQL_WILCOXON_SIGNED),
     "friedman_test": (q_friedman_test, SQL_FRIEDMAN),
     "cvm_drift": (q_cvm_drift, SQL_CVM),
+    "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -3343,3 +3343,55 @@ def cvm_drift(
         F.when((na > 0) & (nb > 0), t > F.lit(int(crit_ppm)))
         .alias("reject_05"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit_x10k: int = 23_900,
+) -> DataFrame:
+    """Brown–Forsythe variance-equality omnibus — the SPREAD companion
+    of the k-sample location pair (anova_oneway / kruskal_wallis):
+    "do any of these k sources differ in dispersion", the question a
+    location test is blind to (one crawler host emitting wildly
+    variable page sizes around the same mean passes ANOVA clean).
+    Levene's test with MEDIAN centers — the robust variant that keeps
+    its size under heavy tails, where mean-centered Levene inflates.
+
+    Construction is two already-proven stages: the per-group doubled
+    tie-true median m2 (the mad_outliers first stage — lower+upper
+    middle value, no halving), z2 = |2v − m2| = 2|v − med_g|, then
+    one-way ANOVA F over the z2 grid. F is scale-invariant so the
+    doubling cancels exactly in the SSB/SSW ratio; the statistic is
+    DEFINED on the doubled-deviation integer grid (the spec both
+    engines replay). crit_x10k is the F(k−1, n−k) 0.05 quantile ×10⁴.
+
+    Shape: one per-group sort window (group cardinality is the
+    partition key), one join back, then the single-scan ANOVA
+    aggregate. Emits ONE row: (n, k, ssb_q6, ssw_q6, f_ppm,
+    reject_05) — the q6 decomposition is over z2 units (4× the
+    deviation-squared scale)."""
+    d = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_v").asc())
+    ranked = d.select(
+        "_g", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"),
+    )
+    med = ranked.groupBy("_g").agg(
+        (
+            F.max(F.when(F.col("_rn") == F.expr("(_n + 1) div 2"),
+                         F.col("_v")))
+            + F.max(F.when(F.col("_rn") == F.expr("(_n + 2) div 2"),
+                           F.col("_v")))
+        ).cast("long").alias("_m2")
+    )
+    z = d.join(med, "_g").select(
+        "_g",
+        F.abs(2 * F.col("_v") - F.col("_m2")).cast("long").alias("_z2"),
+    )
+    return anova_oneway(z, "_g", "_z2", crit_x10k=crit_x10k)

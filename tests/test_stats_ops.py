@@ -1874,3 +1874,42 @@ class TestCvmDrift:
         b = [500 + ((i * 37) % 401) - 200 for i in range(400)]
         r = self._run(spark, a, b)
         assert r["reject_05"] is True
+
+
+class TestBrownForsythe:
+    def _run(self, spark, rows, crit=23_900):
+        from ocr_service_spark.operators.stats import brown_forsythe
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return brown_forsythe(df, "g", "v", crit_x10k=crit).collect()[0]
+
+    def test_hand_two_groups(self, spark):
+        # a=[0,10,20] -> z2=[20,0,20]; b=[9,10,11] -> z2=[2,0,2]
+        # SSB=216, SSW=808/3, F = 864/(808/3) = 3.2079...
+        r = self._run(spark, [("a", 0), ("a", 10), ("a", 20),
+                              ("b", 9), ("b", 10), ("b", 11)])
+        assert r["ssb_q6"] == 216_000_000
+        assert r["ssw_q6"] == 269_333_334
+        assert r["f_ppm"] == 864_000_000_000_000 // 269_333_334
+
+    def test_equal_spread_accepts(self, spark):
+        # same shape shifted +1000: pure location change, BF is blind
+        rows = [("a", v) for v in range(40)] + [
+            ("b", v + 1000) for v in range(40)
+        ]
+        r = self._run(spark, rows, crit=39_600)  # F(1,78) ~ 3.96
+        assert r["reject_05"] is False
+        assert r["ssb_q6"] == 0
+
+    def test_spread_change_rejects(self, spark):
+        # same median, 10x spread
+        rows = [("a", 500 + (i % 11) - 5) for i in range(100)] + [
+            ("b", 500 + ((i % 11) - 5) * 10) for i in range(100)
+        ]
+        r = self._run(spark, rows, crit=38_900)  # F(1,198) ~ 3.89
+        assert r["reject_05"] is True
+
+    def test_all_constant_null(self, spark):
+        rows = [("a", 5)] * 4 + [("b", 7)] * 4
+        r = self._run(spark, rows)
+        assert r["f_ppm"] is None and r["reject_05"] is None
