@@ -19566,6 +19566,78 @@ FROM st
 """
 
 
+def q_bootstrap_mean_ci(spark, sf_dir):
+    """Distributed Poisson-bootstrap 95% CI (operators/stats.py
+    bootstrap_mean_ci) for the mean document length — the asymmetric
+    percentile interval beside jackknife_ratio's symmetric SE, B=200
+    deterministic LCG replicates. Oracle replays the double-stepped
+    2³¹ LCG, the 2²⁰-grid Poisson(1) thresholds, the sign-split
+    replicate means and both order-statistic ranks."""
+    from .operators.stats import bootstrap_mean_ci
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bootstrap_mean_ci(d, "doc_id", "n_chars", reps=200)
+
+
+SQL_BOOTSTRAP_CI = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS v
+  FROM documents
+),
+e AS (
+  SELECT id, v, CAST(t.range AS BIGINT) AS b
+  FROM d, range(200) t
+),
+u AS (
+  SELECT v, b,
+         ((1103515245 * ((1103515245 * ((id * 200 + b) % 2147483648)
+                          + 12345) % 2147483648)
+           + 12345) % 2147483648) // 2048 AS u20
+  FROM e
+),
+wts AS (
+  SELECT v, b,
+         CAST(u20 >= 385749 AS BIGINT) + CAST(u20 >= 771499 AS BIGINT)
+         + CAST(u20 >= 964373 AS BIGINT)
+         + CAST(u20 >= 1028665 AS BIGINT)
+         + CAST(u20 >= 1044738 AS BIGINT)
+         + CAST(u20 >= 1047952 AS BIGINT)
+         + CAST(u20 >= 1048488 AS BIGINT) AS w
+  FROM u
+),
+rep AS (
+  SELECT b, CAST(SUM(w * v) AS HUGEINT) AS sw,
+         CAST(SUM(w) AS HUGEINT) AS cw
+  FROM wts GROUP BY b
+),
+means AS (
+  SELECT (CASE WHEN sw < 0 THEN -1 WHEN sw > 0 THEN 1 ELSE 0 END)
+         * ((ABS(sw) * 10000) // cw) AS m
+  FROM rep WHERE cw > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r,
+         COUNT(*) OVER () AS bn
+  FROM means
+),
+ci AS (
+  SELECT MAX(CASE WHEN r = (25 * bn + 999) // 1000 THEN m END) AS lo,
+         MAX(CASE WHEN r = (975 * bn + 999) // 1000 THEN m END) AS hi
+  FROM ranked
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS s
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(200 AS BIGINT) AS reps,
+       CAST((CASE WHEN s < 0 THEN -1 WHEN s > 0 THEN 1 ELSE 0 END)
+            * ((ABS(s) * 10000) // n) AS BIGINT) AS mean_q4,
+       CAST(lo AS BIGINT) AS lo_q4, CAST(hi AS BIGINT) AS hi_q4
+FROM tot, ci
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -19925,6 +19997,7 @@ CATALOG: Dict[str, tuple] = {
     "friedman_test": (q_friedman_test, SQL_FRIEDMAN),
     "cvm_drift": (q_cvm_drift, SQL_CVM),
     "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
+    "bootstrap_mean_ci": (q_bootstrap_mean_ci, SQL_BOOTSTRAP_CI),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

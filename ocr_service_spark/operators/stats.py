@@ -3395,3 +3395,110 @@ def brown_forsythe(
         F.abs(2 * F.col("_v") - F.col("_m2")).cast("long").alias("_z2"),
     )
     return anova_oneway(z, "_g", "_z2", crit_x10k=crit_x10k)
+
+
+# Poisson(1) inverse-CDF thresholds on the 2^20 grid (floor(CDF_k *
+# 2^20), k = 0..6; draws above the last give multiplicity 7 — the
+# 8.3e-5 tail cap). Hardcoded so both engines replay one literal spec.
+_POIS1_T20 = (385749, 771499, 964373, 1028665, 1044738, 1047952,
+              1048488)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    reps: int = 200,
+) -> DataFrame:
+    """Percentile CI for a corpus mean via the DISTRIBUTED Poisson
+    bootstrap — the resampling companion of jackknife_ratio: the
+    jackknife gives a symmetric SE (blind to skew), the bootstrap's
+    percentile interval follows the actual sampling distribution of a
+    right-skewed metric (page sizes, token counts) where the honest
+    interval is asymmetric.
+
+    Classic n-out-of-n resampling needs a global draw per replicate —
+    undistributable. The Poisson approximation (row multiplicity ~
+    Poisson(1) independently per row per replicate) is the standard
+    map-side form: every row emits its weight into each of B replicate
+    accumulators with NO coordination, one explode + one hash
+    aggregate, map-side partial combine shrinking the shuffle to
+    B rows per task. Determinism (the driver-parity requirement): the
+    per-(row, replicate) uniform is a double-stepped 2³¹ LCG over
+    x = id·B + b (id folded mod 2³¹ first so every product stays in
+    int64), the top 20 bits against hardcoded Poisson(1) inverse-CDF
+    thresholds (_POIS1_T20, tail capped at 7).
+
+    Replicate means live on the 1e4 grid ((Σw·v·10⁴) div Σw,
+    sign-split for negative metrics); the 95% interval is the
+    ⌈0.025·B'⌉ / ⌈0.975·B'⌉ order statistics over the B' non-degenerate
+    replicates — a B-row sort, bounded by the reps parameter, never by
+    data size. Emits ONE row: (n, reps, mean_q4, lo_q4, hi_q4)."""
+    d38 = "decimal(38,0)"
+    reps = int(reps)
+    d = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    e = d.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_b"),
+    )
+    m31 = 2147483648
+    a, c = 1103515245, 12345
+    u = e.withColumn(
+        "_x", (F.col("_id") * reps + F.col("_b")) % m31
+    ).withColumn(
+        "_s1", (F.lit(a) * F.col("_x") + c) % m31
+    ).withColumn(
+        "_s2", (F.lit(a) * F.col("_s1") + c) % m31
+    ).withColumn("_u20", F.expr("_s2 div 2048"))
+    w = sum(
+        (F.col("_u20") >= t).cast("long") for t in _POIS1_T20
+    )
+    rep = u.withColumn("_w", w).groupBy("_b").agg(
+        F.sum(F.col("_w") * F.col("_v")).cast(d38).alias("_sw"),
+        F.sum("_w").cast(d38).alias("_cw"),
+    )
+    mean_b = F.when(
+        F.col("_cw") > 0,
+        F.signum("_sw").cast("long")
+        * F.expr("(abs(_sw) * 10000) div _cw").cast("long"),
+    )
+    means = rep.select(mean_b.alias("_m")).where(F.col("_m").isNotNull())
+    # B-row sort: bounded by the reps parameter, not by data size
+    ranked = means.select(
+        "_m",
+        F.row_number().over(Window.orderBy("_m")).alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_bn"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(
+            F.col("_r") == F.expr("(25 * _bn + 999) div 1000"),
+            F.col("_m"))).alias("lo_q4"),
+        F.max(F.when(
+            F.col("_r") == F.expr("(975 * _bn + 999) div 1000"),
+            F.col("_m"))).alias("hi_q4"),
+    )
+    full = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_v").cast(d38)).alias("_s"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("n") > 0,
+            F.signum("_s").cast("long")
+            * F.expr("(abs(_s) * 10000) div n").cast("long"),
+        ).alias("mean_q4"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.lit(reps).cast("long").alias("reps"),
+        "mean_q4",
+        F.col("lo_q4").cast("long").alias("lo_q4"),
+        F.col("hi_q4").cast("long").alias("hi_q4"),
+    )

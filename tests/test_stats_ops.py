@@ -1913,3 +1913,38 @@ class TestBrownForsythe:
         rows = [("a", 5)] * 4 + [("b", 7)] * 4
         r = self._run(spark, rows)
         assert r["f_ppm"] is None and r["reject_05"] is None
+
+
+class TestBootstrapMeanCi:
+    def _run(self, spark, vals, reps=100):
+        from ocr_service_spark.operators.stats import bootstrap_mean_ci
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        return bootstrap_mean_ci(df, "id", "v", reps=reps).collect()[0]
+
+    def test_constant_degenerate(self, spark):
+        # every replicate mean is exactly the constant
+        r = self._run(spark, [7] * 50)
+        assert r["mean_q4"] == 70_000
+        assert r["lo_q4"] == 70_000 and r["hi_q4"] == 70_000
+
+    def test_interval_brackets_mean(self, spark):
+        vals = [(i * 37) % 101 for i in range(300)]
+        r = self._run(spark, vals, reps=200)
+        assert r["n"] == 300 and r["reps"] == 200
+        assert r["lo_q4"] < r["mean_q4"] < r["hi_q4"]
+        # ~95% CI half-width for uniform(0,100) at n=300 is ~3.3 units
+        assert r["hi_q4"] - r["lo_q4"] < 160_000
+        assert r["hi_q4"] - r["lo_q4"] > 20_000
+
+    def test_negative_values_sign_split(self, spark):
+        r = self._run(spark, [-5] * 40)
+        assert r["mean_q4"] == -50_000
+        assert r["lo_q4"] == -50_000 and r["hi_q4"] == -50_000
+
+    def test_deterministic(self, spark):
+        vals = [(i * 13) % 50 for i in range(100)]
+        a = self._run(spark, vals, reps=60)
+        b = self._run(spark, vals, reps=60)
+        assert (a["lo_q4"], a["hi_q4"]) == (b["lo_q4"], b["hi_q4"])
