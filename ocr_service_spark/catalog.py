@@ -19638,6 +19638,69 @@ FROM tot, ci
 """
 
 
+def q_query_likelihood(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (operators/search.py
+    query_likelihood_topk) over the REAL documents text with the same
+    query terms as bm25_topk — the LM ranking family beside the
+    probabilistic one, sharing tokenizer and corpus representation.
+    Oracle recomputes total_len, per-term ctf and every per-document
+    floor-quantized log term from scratch in DuckDB and must produce
+    the same top-20 ids AND scores."""
+    from .operators.search import query_likelihood_topk
+
+    return query_likelihood_topk(
+        load(spark, sf_dir, "documents"),
+        ["spark", "vector", "window"],
+        k=20,
+    )
+
+
+SQL_QUERY_LIKELIHOOD = """
+WITH c AS (
+  SELECT doc_id, trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(t, '\\s+') END AS words
+  FROM c
+),
+d AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS dl FROM b),
+s AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_len,
+    CAST(sum(len(list_filter(words, x -> x = 'spark'))) AS BIGINT)
+      AS ctf0,
+    CAST(sum(len(list_filter(words, x -> x = 'vector'))) AS BIGINT)
+      AS ctf1,
+    CAST(sum(len(list_filter(words, x -> x = 'window'))) AS BIGINT)
+      AS ctf2
+  FROM d
+),
+scored AS (
+  SELECT d.doc_id AS id, d.dl,
+    (CASE WHEN ctf0 > 0 THEN CAST(FLOOR(ln(
+        (CAST(len(list_filter(words, x -> x = 'spark')) AS BIGINT)
+         * total_len + 2000 * ctf0)
+        / (total_len * (d.dl + 2000))) * 10000) AS BIGINT)
+      ELSE 0 END)
+    + (CASE WHEN ctf1 > 0 THEN CAST(FLOOR(ln(
+        (CAST(len(list_filter(words, x -> x = 'vector')) AS BIGINT)
+         * total_len + 2000 * ctf1)
+        / (total_len * (d.dl + 2000))) * 10000) AS BIGINT)
+      ELSE 0 END)
+    + (CASE WHEN ctf2 > 0 THEN CAST(FLOOR(ln(
+        (CAST(len(list_filter(words, x -> x = 'window')) AS BIGINT)
+         * total_len + 2000 * ctf2)
+        / (total_len * (d.dl + 2000))) * 10000) AS BIGINT)
+      ELSE 0 END)
+    AS score_q
+  FROM d CROSS JOIN s
+)
+SELECT id, score_q, dl FROM scored
+ORDER BY score_q DESC, id LIMIT 20
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -19998,6 +20061,7 @@ CATALOG: Dict[str, tuple] = {
     "cvm_drift": (q_cvm_drift, SQL_CVM),
     "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "bootstrap_mean_ci": (q_bootstrap_mean_ci, SQL_BOOTSTRAP_CI),
+    "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -605,3 +605,72 @@ def rbo_overlap(
         F.expr("_s div _n").cast("long").alias("rbo_ppb"),
     )
     return per_q.unionByName(total)
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval — the language-
+    model ranking family beside bm25_topk (same tokenizer, same corpus
+    representation, so the two compose into rrf_fuse): score(d) =
+    Σ_t ln((tf + μ·p(t|C)) / (dl + μ)). Where BM25 saturates term
+    frequency and length-normalizes against the corpus average, QL's
+    smoothing ties the zero-count penalty to the term's CORPUS
+    frequency — missing a rare query term costs far more than missing
+    a common one — which is why the two families disagree exactly on
+    documents that cover only the common terms.
+
+    Exact cross-engine grid: each term's log argument is assembled as
+    the single ratio (tf·total_len + μ·ctf) / (total_len·(dl+μ)) —
+    two exact int64 products divided ONCE, so both engines ln() the
+    identical double — then floor-quantized to the 1e4 grid BEFORE the
+    per-document sum (the repo float rule). Query terms absent from
+    the corpus (ctf = 0) contribute 0 rather than −∞, decided by the
+    same broadcast stats row on both engines.
+
+    Scale shape (bm25_topk verbatim): one corpus-stats aggregate with
+    per-term ctf sums broadcast to every scorer, per-doc term counts
+    as JVM array filters over the pre-materialized token array, top-k
+    via orderBy+limit → TakeOrderedAndProject. Emits top-k
+    (id, score_q, dl), ties broken by id; score_q ≤ 0, higher = better.
+    """
+    terms: List[str] = [t.lower() for t in query_terms]
+    mu = int(mu)
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    base = docs.select(
+        F.col(id_col).alias("id"), words.alias("words")
+    ).withColumn("dl", F.size("words").cast("long"))
+
+    stats = base.agg(
+        F.sum("dl").cast("long").alias("total_len"),
+        *[
+            F.sum(
+                F.size(F.filter("words", lambda w: w == F.lit(term)))
+            ).cast("long").alias(f"ctf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0).cast("long")
+    for i, term in enumerate(terms):
+        tf = F.size(
+            F.filter("words", lambda w: w == F.lit(term))
+        ).cast("long")
+        num = tf * F.col("total_len") + mu * F.col(f"ctf_{i}")
+        den = F.col("total_len") * (F.col("dl") + mu)
+        term_q = F.floor(F.log(num / den) * 10000).cast("long")
+        score = score + F.when(
+            F.col(f"ctf_{i}") > 0, term_q
+        ).otherwise(F.lit(0).cast("long"))
+    return (
+        scored.select("id", score.alias("score_q"), "dl")
+        .orderBy(F.col("score_q").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1804,3 +1804,59 @@ class TestGateDisparity:
         assert r["z"]["odds_ratio_ppm"] is not None
         assert r["z"]["odds_ratio_ppm"] < 100_000
         assert r["w"]["odds_ratio_ppm"] > 10_000_000
+
+
+class TestQueryLikelihoodTopk:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_scores(self, spark):
+        import math
+        from ocr_service_spark.operators.search import (
+            query_likelihood_topk,
+        )
+
+        df = self._df(spark, [(1, "a a b"), (2, "a c")])
+        rows = query_likelihood_topk(df, ["b"], k=2).collect()
+        # total_len=5, ctf_b=1; d1: tf=1 dl=3; d2: tf=0 dl=2
+        exp1 = math.floor(math.log(2005 / 10015) * 10000)
+        exp2 = math.floor(math.log(2000 / 10010) * 10000)
+        assert [(r["id"], r["score_q"]) for r in rows] == [
+            (1, exp1), (2, exp2)
+        ]
+        assert rows[0]["dl"] == 3
+
+    def test_absent_term_contributes_zero(self, spark):
+        from ocr_service_spark.operators.search import (
+            query_likelihood_topk,
+        )
+
+        df = self._df(spark, [(1, "a b"), (2, "a c")])
+        rows = query_likelihood_topk(df, ["zzz"], k=2).collect()
+        assert all(r["score_q"] == 0 for r in rows)
+        assert [r["id"] for r in rows] == [1, 2]  # id tie-break
+
+    def test_rare_term_outweighs_common(self, spark):
+        from ocr_service_spark.operators.search import (
+            query_likelihood_topk,
+        )
+
+        # 'common' appears everywhere; 'rare' once. The doc matching
+        # only the rare term must beat the doc matching only the
+        # common one — the QL smoothing property BM25 shares here,
+        # but with the zero-count penalty priced by corpus frequency.
+        rows_in = [(i, "common filler text here") for i in range(20)]
+        rows_in += [(100, "rare filler text here"),
+                    (101, "common only doc")]
+        df = self._df(spark, rows_in)
+        rows = query_likelihood_topk(df, ["rare", "common"], k=3)
+        got = [r["id"] for r in rows.collect()]
+        assert got[0] == 100
+
+    def test_k_limits(self, spark):
+        from ocr_service_spark.operators.search import (
+            query_likelihood_topk,
+        )
+
+        df = self._df(spark, [(i, "x y") for i in range(10)])
+        assert query_likelihood_topk(df, ["x"], k=4).count() == 4
