@@ -19701,6 +19701,100 @@ ORDER BY score_q DESC, id LIMIT 20
 """
 
 
+_KTRUSS_LIT = (
+    # K6 on 0..5: every edge sits in 4 triangles -> the true 4-truss
+    [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    # triangle strip 40..47 (rungs + chords): chords support 1,
+    # interior rungs 2 -> k=4 peels chords round 1, the leftover path
+    # dies round 2 — the multi-round cascade a one-shot filter misses
+    + [(i, i + 1) for i in range(40, 47)]
+    + [(i, i + 2) for i in range(40, 46)]
+)
+
+
+def q_ktruss_edges(spark, sf_dir):
+    """4-truss edge peeling (operators/graph.py ktruss_edges) on a
+    planted graph: a K6 clique is the true 4-truss (edge support 4), a
+    triangle strip needs a TWO-round cascade to peel, and the
+    doc-derived degree-2 ring (triangle-free) drops in round 1. The
+    oracle unrolls five support-peeling rounds as materialized CTEs
+    and replays every triangle count, every simultaneous removal, the
+    surviving-subgraph support and the convergence flag."""
+    from .operators.graph import ktruss_edges
+
+    lit = spark.createDataFrame(_KTRUSS_LIT, "src long, dst long")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 20
+    ring = d.select(
+        (s + 10).alias("src"), (((s + 1) % 20) + 10).alias("dst")
+    ).distinct()
+    return ktruss_edges(lit.unionByName(ring), k=4, rounds=5)
+
+
+def _ktruss_sql(rounds: int = 5, need: int = 2) -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in _KTRUSS_LIT)
+    parts = [f"""WITH lit(x, y) AS (VALUES {vals}),
+ring AS (
+  SELECT DISTINCT (doc_id % 20 + 10) AS x, ((doc_id % 20 + 1) % 20) + 10 AS y
+  FROM documents
+),
+e0 AS (SELECT x, y FROM lit UNION SELECT x, y FROM ring),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM e0 WHERE x <> y
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM c{r - 1} e1
+  JOIN c{r - 1} e2 ON e2.a = e1.b
+  JOIN c{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS s FROM (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT b AS u, c AS v FROM t{r}
+    UNION ALL SELECT a AS u, c AS v FROM t{r}
+  ) GROUP BY u, v
+),
+c{r} AS MATERIALIZED (
+  SELECT c.a, c.b FROM c{r - 1} c
+  LEFT JOIN s{r} s ON c.a = s.u AND c.b = s.v
+  WHERE COALESCE(s.s, 0) >= {need}
+)""")
+    parts.append(f""",
+tf AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM c{rounds} e1
+  JOIN c{rounds} e2 ON e2.a = e1.b
+  JOIN c{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sf AS (
+  SELECT u, v, COUNT(*) AS s FROM (
+    SELECT a AS u, b AS v FROM tf
+    UNION ALL SELECT b AS u, c AS v FROM tf
+    UNION ALL SELECT a AS u, c AS v FROM tf
+  ) GROUP BY u, v
+),
+surv AS (
+  SELECT c.a, c.b, COALESCE(sf.s, 0) AS fs
+  FROM c{rounds} c LEFT JOIN sf ON c.a = sf.u AND c.b = sf.v
+),
+conv AS (
+  SELECT (SELECT COUNT(*) FROM c{rounds - 1})
+         - (SELECT COUNT(*) FROM c{rounds}) AS removed
+)
+SELECT e.a, e.b, surv.a IS NOT NULL AS in_truss,
+       CAST(COALESCE(surv.fs, 0) AS BIGINT) AS support,
+       (SELECT removed FROM conv) = 0 AS converged
+FROM c0 e LEFT JOIN surv ON e.a = surv.a AND e.b = surv.b""")
+    return "".join(parts)
+
+
+SQL_KTRUSS = _ktruss_sql(5, 2)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20062,6 +20156,7 @@ CATALOG: Dict[str, tuple] = {
     "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "bootstrap_mean_ci": (q_bootstrap_mean_ci, SQL_BOOTSTRAP_CI),
     "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
+    "ktruss_edges": (q_ktruss_edges, SQL_KTRUSS),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

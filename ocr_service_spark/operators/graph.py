@@ -1363,3 +1363,110 @@ def pagerank_weighted(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss membership by iterative support peeling (Cohen '08) —
+    the EDGE-cohesion refinement of kcore_membership: an edge survives
+    iff it sits in ≥ k−2 triangles AFTER weaker edges are removed, so
+    a hub that reaches a dense cluster through one bridge link keeps
+    its k-core membership but loses the bridge in the truss — the
+    sharper link-farm boundary (farms are triangle-dense, organic
+    hub fans are triangle-free).
+
+    Shape per round: the ordered a<b<c two-join triangle enumeration
+    (triangle_counts verbatim — single-vertex join keys, AQE skew-join
+    on hub degree), each triangle credits its three edges via one
+    explode + hash aggregate, and edges below support k−2 drop
+    simultaneously (parallel peeling — same fixpoint as sequential);
+    `localCheckpoint` truncates lineage each round. Fixed `rounds`
+    budget with the kcore convention: `converged` rides on every row —
+    False is data (schedule more rounds), never a silent wrong answer,
+    and extra rounds after the fixpoint are no-ops so early exit is
+    exact.
+
+    Returns one row per original undirected edge:
+      (a, b, in_truss, support, converged)
+    support = triangle count inside the surviving subgraph (0 when
+    peeled)."""
+    need = int(k) - 2
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        ab = cur.select("a", "b")
+        bc = cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = cur.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+        tri = (
+            ab.join(bc, "b")
+            .join(
+                ac,
+                (F.col("a") == F.col("a2"))
+                & (F.col("c") == F.col("c2")),
+            )
+            .select("a", "b", "c")
+        )
+        three = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("uv")
+        ).select("uv.u", "uv.v")
+        return three.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("s")
+        )
+
+    cur = e
+    removed_last = -1
+    for _ in range(int(rounds)):
+        sup = support(cur)
+        keep = (
+            cur.join(
+                sup,
+                (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+                "left",
+            )
+            .where(F.coalesce(F.col("s"), F.lit(0)) >= need)
+            .select("a", "b")
+        )
+        n_before = cur.count()
+        n_after = keep.count()
+        removed_last = n_before - n_after
+        cur = keep.localCheckpoint(eager=True)
+        if removed_last == 0:
+            break
+    fin = support(cur)
+    surv = cur.join(
+        fin,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left",
+    ).select(
+        "a", "b",
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("_fs"),
+    )
+    return (
+        e.join(surv, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.col("_fs").isNotNull().alias("in_truss"),
+            F.coalesce(F.col("_fs"), F.lit(0)).cast("long")
+            .alias("support"),
+            F.lit(removed_last == 0).alias("converged"),
+        )
+    )

@@ -783,3 +783,52 @@ class TestPagerankWeighted:
     def test_nonpositive_weights_dropped(self, spark):
         a = self._pr(spark, [(0, 1, 5), (0, 2, 0), (0, 3, -4)], iters=1)
         assert set(a) == {0, 1}  # 2 and 3 never enter the graph
+
+
+class TestKtrussEdges:
+    def _run(self, spark, edges, k, rounds=5):
+        from ocr_service_spark.operators.graph import ktruss_edges
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = ktruss_edges(df, k=k, rounds=rounds).collect()
+        return {(r["a"], r["b"]): r for r in rows}
+
+    def test_clique_survives_triangle_chain_peels(self, spark):
+        # K5 on 0..4: every edge support 3 -> in every truss up to k=5.
+        # Two triangles sharing node 10: support 1 each -> peel at k=4.
+        k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        tris = [(8, 9), (9, 10), (8, 10), (10, 11), (11, 12), (10, 12)]
+        got = self._run(spark, k5 + tris, k=4)
+        for uv in k5:
+            assert got[uv]["in_truss"] is True
+            assert got[uv]["support"] == 3
+        for uv in tris:
+            assert got[uv]["in_truss"] is False
+            assert got[uv]["support"] == 0
+        assert all(r["converged"] for r in got.values())
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        # triangle strip v0..v7 (edges (i,i+1),(i,i+2)): chords have
+        # support 1, interior rungs 2 -> k=4 removes chords+ends in
+        # round 1, the leftover path dies in round 2 (the cascade a
+        # one-shot support filter misses)
+        strip = [(i, i + 1) for i in range(7)] + [
+            (i, i + 2) for i in range(6)
+        ]
+        got = self._run(spark, strip, k=4)
+        assert all(r["in_truss"] is False for r in got.values())
+        assert all(r["converged"] for r in got.values())
+
+    def test_insufficient_rounds_reports_unconverged(self, spark):
+        strip = [(i, i + 1) for i in range(7)] + [
+            (i, i + 2) for i in range(6)
+        ]
+        got = self._run(spark, strip, k=4, rounds=1)
+        assert all(r["converged"] is False for r in got.values())
+
+    def test_k3_keeps_any_triangle(self, spark):
+        tris = [(0, 1), (1, 2), (0, 2), (5, 6)]
+        got = self._run(spark, tris, k=3)
+        assert got[(0, 1)]["in_truss"] is True
+        assert got[(0, 1)]["support"] == 1
+        assert got[(5, 6)]["in_truss"] is False
