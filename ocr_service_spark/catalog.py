@@ -19795,6 +19795,66 @@ FROM c0 e LEFT JOIN surv ON e.a = surv.a AND e.b = surv.b""")
 SQL_KTRUSS = _ktruss_sql(5, 2)
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration curve (operators/classifier.py
+    isotonic_calibration) on the roc_auc score/label fixture — the
+    monotone fit over ~50 real score bins whose empirical rates invert
+    bin-to-bin, so the pooling actually fires. Oracle replays the bin
+    histogram, both prefix sums, the (l,j) pair means on the 1e6 grid
+    and the minimax suffix-min/max windows."""
+    from .operators.classifier import isotonic_calibration
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(n_chars AS BIGINT) div 50"
+            " + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END"
+        ).alias("score"),
+        F.expr("doc_id % 5 = 0").alias("label"),
+    )
+    return isotonic_calibration(d, "score", "label")
+
+
+SQL_ISOTONIC = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) // 50
+           + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS score,
+         doc_id % 5 = 0 AS y
+  FROM documents
+),
+bins AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM d GROUP BY score
+),
+cum AS (
+  SELECT score, n, n_pos,
+         SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cn,
+         SUM(n_pos) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cp
+  FROM bins
+),
+pairs AS (
+  SELECT lo.score AS l, hi.score AS j,
+         ((hi.cp - (lo.cp - lo.n_pos)) * 1000000)
+           // (hi.cn - (lo.cn - lo.n)) AS avg_q6
+  FROM cum lo JOIN cum hi ON lo.score <= hi.score
+),
+m AS (
+  SELECT l, j AS i,
+         MIN(avg_q6) OVER (PARTITION BY l ORDER BY j DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (SELECT i, MAX(m) AS fitted_q6 FROM m GROUP BY i)
+SELECT b.score, b.n, b.n_pos,
+       CAST(b.n_pos * 1000 // b.n AS BIGINT) AS raw_pm,
+       CAST(f.fitted_q6 AS BIGINT) AS fitted_q6
+FROM bins b JOIN fit f ON b.score = f.i
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20157,6 +20217,7 @@ CATALOG: Dict[str, tuple] = {
     "bootstrap_mean_ci": (q_bootstrap_mean_ci, SQL_BOOTSTRAP_CI),
     "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
     "ktruss_edges": (q_ktruss_edges, SQL_KTRUSS),
+    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

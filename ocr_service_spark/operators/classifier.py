@@ -1214,3 +1214,81 @@ def calibration_ece(
         ).cast("long").alias("ece_ppm"),
         F.col("max_gap_ppm").cast("long").alias("max_gap_ppm"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve — the nonparametric upgrade of
+    the fixed-width bins in score_calibration / calibration_ece: pool-
+    adjacent-violators finds THE best monotone fit of P(y|score), so
+    adjacent score bins whose empirical rates invert (noise) merge
+    into one pooled level instead of reporting a non-monotone
+    "calibration" no one can threshold against.
+
+    The sequential PAV stack is undistributable as stated, but its
+    solution has an exact closed characterization — the minimax
+    identity fitted(i) = max_{l≤i} min_{j≥i} mean(pos_{l..j}) — and
+    THAT is two bounded window passes: per-bin (n, pos) is one
+    distributed hash aggregate; the (l, j) pair frame is score-bin² ≤
+    a few thousand rows (bounded by the score grid, never by data
+    size); per-l suffix-min then per-i max are tiny windows. Means are
+    floor-quantized to the 1e6 grid BEFORE min/max (integer ordering —
+    the engines never compare rationals), so the spec is the minimax
+    of GRID means: still monotone in i (the l-set only grows), exact
+    on both engines.
+
+    Emits one row per non-empty score bin:
+    (score, n, n_pos, raw_pm, fitted_q6) with fitted_q6 monotone
+    nondecreasing in score."""
+    from pyspark.sql import Window
+    bins = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long")
+        .alias("n_pos"),
+    )
+    # prefix sums over the bounded bin frame (bin cardinality, not
+    # row count — the histogram-window convention)
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "score", "n", "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    lo = cum.select(
+        F.col("score").alias("l"),
+        (F.col("cn") - F.col("n")).alias("ln"),
+        (F.col("cp") - F.col("n_pos")).alias("lp"),
+    )
+    hi = cum.select(
+        F.col("score").alias("j"),
+        F.col("cn").alias("jn"),
+        F.col("cp").alias("jp"),
+    )
+    pairs = lo.join(hi, F.col("l") <= F.col("j")).select(
+        "l", "j",
+        F.expr(
+            "((cast(jp as decimal(38,0)) - lp) * 1000000)"
+            " div (jn - ln)"
+        ).cast("long").alias("avg_q6"),
+    )
+    wl = (
+        Window.partitionBy("l")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = pairs.select(
+        "l", F.col("j").alias("i"), F.min("avg_q6").over(wl).alias("m")
+    )
+    fitted = m.groupBy("i").agg(F.max("m").alias("fitted_q6"))
+    return bins.join(
+        fitted, bins["score"] == fitted["i"]
+    ).select(
+        "score", "n", "n_pos",
+        F.expr("n_pos * 1000 div n").cast("long").alias("raw_pm"),
+        F.col("fitted_q6").cast("long").alias("fitted_q6"),
+    )

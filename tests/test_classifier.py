@@ -747,3 +747,58 @@ class TestCalibrationEce:
         sharp_wrong = [(990, i % 2 == 0) for i in range(20)]
         assert self._run(spark, honest)["ece_ppm"] == 0
         assert self._run(spark, sharp_wrong)["ece_ppm"] == 490_000
+
+
+class TestIsotonicCalibration:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.classifier import (
+            isotonic_calibration,
+        )
+
+        df = spark.createDataFrame(rows, "score long, label boolean")
+        out = isotonic_calibration(df, "score", "label").collect()
+        return {r["score"]: r for r in out}
+
+    def test_already_monotone_identity(self, spark):
+        rows = (
+            [(1, False)] * 10
+            + [(2, True), (2, False)] * 5
+            + [(3, True)] * 10
+        )
+        got = self._run(spark, rows)
+        assert got[1]["fitted_q6"] == 0
+        assert got[2]["fitted_q6"] == 500_000
+        assert got[3]["fitted_q6"] == 1_000_000
+
+    def test_violation_pools_adjacent(self, spark):
+        # rates [0.2, 0.6, 0.4] over equal bins -> PAV pools the last
+        # two into 0.5: the classic textbook merge
+        rows = []
+        for score, pos in ((1, 2), (2, 6), (3, 4)):
+            rows += [(score, True)] * pos + [(score, False)] * (10 - pos)
+        got = self._run(spark, rows)
+        assert got[1]["fitted_q6"] == 200_000
+        assert got[2]["fitted_q6"] == 500_000
+        assert got[3]["fitted_q6"] == 500_000
+        assert got[2]["raw_pm"] == 600 and got[3]["raw_pm"] == 400
+
+    def test_total_inversion_pools_all(self, spark):
+        rows = [(1, True)] * 8 + [(1, False)] * 2
+        rows += [(2, True)] * 2 + [(2, False)] * 8
+        got = self._run(spark, rows)
+        assert got[1]["fitted_q6"] == 500_000
+        assert got[2]["fitted_q6"] == 500_000
+
+    def test_monotone_output_on_noise(self, spark):
+        rows = []
+        for s in range(20):
+            pos = (s * 7 + 3) % 11
+            rows += [(s, True)] * pos + [(s, False)] * (11 - pos)
+        got = self._run(spark, rows)
+        fitted = [got[s]["fitted_q6"] for s in sorted(got)]
+        assert fitted == sorted(fitted)
+        # pooled-block mass balance: total fitted mass ~ total pos mass
+        n_tot = sum(got[s]["n"] for s in got)
+        p_tot = sum(got[s]["n_pos"] for s in got)
+        est = sum(got[s]["n"] * got[s]["fitted_q6"] for s in got)
+        assert abs(est - p_tot * 1_000_000) <= n_tot * len(got)
