@@ -19855,6 +19855,87 @@ FROM bins b JOIN fit f ON b.score = f.i
 """
 
 
+def q_pettitt_changepoint(spark, sf_dir):
+    """Pettitt rank changepoint (operators/stats.py
+    pettitt_changepoint) over the SAME planted two-series daily
+    metric as cusum_changepoints — mA stationary (no reject), mB
+    carries the +15 level shift from day 20 — so the tuned CUSUM
+    alarm and the tuning-free rank verdict triangulate one fixture.
+    Oracle replays the per-series rank histogram, the time-order
+    running sum, the earliest-argmax and the ln(2/α)-cross-multiplied
+    verdict."""
+    from .operators.stats import pettitt_changepoint
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    day_i = F.col("doc_id") % 30
+    par = F.expr("(doc_id div 30) % 2")
+    grp = F.when(par == 0, F.lit("mA")).otherwise(F.lit("mB"))
+    x = (
+        F.lit(100)
+        + day_i % 5
+        + F.when((par == 1) & (day_i >= 20), F.lit(15)).otherwise(
+            F.lit(0)
+        )
+    )
+    daily = d.select(
+        grp.alias("grp"),
+        F.format_string("d%02d", day_i).alias("day"),
+        x.alias("x"),
+    ).distinct()
+    return pettitt_changepoint(daily, "grp", "day", "x")
+
+
+SQL_PETTITT = """
+WITH daily AS (
+  SELECT DISTINCT
+    CASE WHEN (doc_id // 30) % 2 = 0 THEN 'mA' ELSE 'mB' END AS g,
+    printf('d%02d', doc_id % 30) AS t,
+    CAST(100 + (doc_id % 30) % 5
+      + CASE WHEN (doc_id // 30) % 2 = 1 AND doc_id % 30 >= 20
+             THEN 15 ELSE 0 END AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT g, v, COUNT(*) AS c FROM daily GROUP BY g, v),
+rk AS (
+  SELECT g, v,
+         2 * (SUM(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - c) + c + 1 AS r2
+  FROM h
+),
+d2 AS (
+  SELECT daily.g, daily.t, rk.r2
+  FROM daily JOIN rk ON daily.g = rk.g AND daily.v = rk.v
+),
+run AS (
+  SELECT g, t,
+         SUM(r2) OVER (PARTITION BY g ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS w2,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS idx,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM d2
+),
+u AS (
+  SELECT g, t, n,
+         CAST(w2 AS HUGEINT) - CAST(idx AS HUGEINT) * (n + 1) AS u
+  FROM run
+),
+per AS (SELECT g, MAX(ABS(u)) AS k, MAX(n) AS n FROM u GROUP BY g),
+at AS (
+  SELECT u.g, MIN(u.t) AS t_at
+  FROM u JOIN per ON u.g = per.g AND ABS(u.u) = per.k
+  GROUP BY u.g
+)
+SELECT per.g, CAST(per.n AS BIGINT) AS n,
+       CAST(per.k AS BIGINT) AS k_stat, at.t_at,
+       6 * per.k * per.k * 1000000
+         > 3688879 * (CAST(per.n AS HUGEINT) * per.n * per.n
+                      + CAST(per.n AS HUGEINT) * per.n) AS reject_05
+FROM per JOIN at ON per.g = at.g
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20218,6 +20299,7 @@ CATALOG: Dict[str, tuple] = {
     "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
     "ktruss_edges": (q_ktruss_edges, SQL_KTRUSS),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC),
+    "pettitt_changepoint": (q_pettitt_changepoint, SQL_PETTITT),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

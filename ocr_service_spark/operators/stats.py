@@ -3502,3 +3502,99 @@ def bootstrap_mean_ci(
         F.col("lo_q4").cast("long").alias("lo_q4"),
         F.col("hi_q4").cast("long").alias("hi_q4"),
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    crit_num: int = 3_688_879,
+) -> DataFrame:
+    """Pettitt rank changepoint test per series — the distribution-
+    free companion of cusum_changepoints: CUSUM needs a reference
+    level and a slack tuned to the noise scale, Pettitt asks only
+    "is there a split point where the two halves draw from different
+    distributions" (a Mann–Whitney over every split at once), so one
+    wild outlier can't fake a level shift and no tuning constants
+    leak into the verdict.
+
+    Exact on the doubled tie-averaged rank grid: with W2_t the
+    running sum of r2 in TIME order, U_t = W2_t − t(n+1) IS the
+    classic integer Pettitt U (= 2·Σrank − t(n+1); the doubling
+    exists only to keep tie-averaged ranks integral, clean
+    separation reads K = t(n−t)), K = max_t |U_t|, and the classic
+    approximation p ≈ 2·exp(−6K²/(n³+n²)) becomes the pure-integer
+    verdict 6·K²·10⁶ > crit_num·(n³+n²) with crit_num = ln(2/α)·10⁶
+    (3_688_879 for α=0.05 — pass 5_991_465 for α=0.005).
+
+    Shape: per-series value histogram + per-series prefix over
+    distinct values for the ranks (bounded by value cardinality),
+    one per-series time-order running sum (series length is the
+    partition key — the mad_outliers convention), two tiny
+    aggregates for the argmax. Emits one row per series:
+    (g, n, k_stat, t_at, reject_05) — t_at the EARLIEST time
+    attaining the supremum."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    h = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("_c"))
+    wv = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r2 = h.withColumn("_cum", F.sum("_c").over(wv)).select(
+        "g", "v",
+        (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1)
+        .cast("long").alias("_r2"),
+    )
+    d2 = d.join(r2, ["g", "v"])
+    wt = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("g").orderBy("t")
+    run = (
+        d2.withColumn("_w2", F.sum("_r2").over(wt))
+        .withColumn("_idx", F.row_number().over(wr))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .withColumn(
+            "_u",
+            F.col("_w2").cast(d38)
+            - F.col("_idx").cast(d38) * (F.col("_n") + 1),
+        )
+    )
+    per = run.groupBy("g").agg(
+        F.max(F.abs("_u")).alias("_k"),
+        F.max("_n").alias("n"),
+    )
+    at = (
+        run.join(per, "g")
+        .where(F.abs(F.col("_u")) == F.col("_k"))
+        .groupBy("g")
+        .agg(F.min("t").alias("t_at"))
+    )
+    out = per.join(at, "g")
+    rej = (
+        F.lit(6).cast(d38) * F.col("_k") * F.col("_k")
+        * F.lit(1_000_000)
+        > F.lit(int(crit_num)).cast(d38)
+        * (
+            F.col("n").cast(d38) * F.col("n") * F.col("n")
+            + F.col("n").cast(d38) * F.col("n")
+        )
+    )
+    return out.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_stat"),
+        "t_at",
+        rej.alias("reject_05"),
+    )

@@ -1948,3 +1948,45 @@ class TestBootstrapMeanCi:
         a = self._run(spark, vals, reps=60)
         b = self._run(spark, vals, reps=60)
         assert (a["lo_q4"], a["hi_q4"]) == (b["lo_q4"], b["hi_q4"])
+
+
+class TestPettittChangepoint:
+    def _run(self, spark, rows, crit=3_688_879):
+        from ocr_service_spark.operators.stats import pettitt_changepoint
+
+        df = spark.createDataFrame(rows, "g string, t long, v long")
+        out = pettitt_changepoint(df, "g", "t", "v", crit_num=crit)
+        return {r["g"]: r for r in out.collect()}
+
+    def test_hand_separated_halves(self, spark):
+        # [1,2,3,10,11,12]: U_t = [-5,-8,-9,-8,-5,0] on the doubled
+        # grid -> K=9 at t=3 (= t(n-t) for clean separation)
+        rows = [("a", t, v) for t, v in
+                enumerate([1, 2, 3, 10, 11, 12], 1)]
+        r = self._run(spark, rows)["a"]
+        assert r["k_stat"] == 9 and r["t_at"] == 3
+        assert r["reject_05"] is False  # n=6 is far too small
+
+    def test_big_shift_rejects(self, spark):
+        rows = [("a", t, 100 + t % 5) for t in range(40)]
+        rows += [("a", t, 300 + t % 5) for t in range(40, 80)]
+        r = self._run(spark, rows)["a"]
+        assert r["reject_05"] is True
+        # clean separation: K = t(n-t) — the doubled ranks reproduce
+        # the CLASSIC integer U exactly (2·Σrank − t(n+1))
+        assert r["k_stat"] == 40 * 40
+        assert r["t_at"] == 39
+
+    def test_stationary_accepts(self, spark):
+        rows = [("a", t, 100 + (t * 17) % 23) for t in range(80)]
+        r = self._run(spark, rows)["a"]
+        assert r["reject_05"] is False
+
+    def test_per_group_independent(self, spark):
+        rows = [("shift", t, (0 if t < 30 else 500) + t % 3)
+                for t in range(60)]
+        rows += [("flat", t, 7) for t in range(60)]
+        got = self._run(spark, rows)
+        assert got["shift"]["reject_05"] is True
+        assert got["flat"]["k_stat"] == 0
+        assert got["flat"]["reject_05"] is False
