@@ -19936,6 +19936,57 @@ FROM per JOIN at ON per.g = at.g
 """
 
 
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage keep-rate trend (operators/stats.py
+    cochran_armitage_trend) across length deciles: the planted label
+    (doc_id % 10 < decile) makes the keep rate rise linearly with the
+    ordered exposure — the one-df monotone question cramers_v's
+    unordered χ² dilutes. Oracle replays the five sums, the cleared-
+    denominator variance and the single ppm division."""
+    from .operators.stats import cochran_armitage_trend
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("least(CAST(n_chars AS BIGINT) div 200, 9)").alias("x"),
+        F.expr(
+            "doc_id % 10 < least(CAST(n_chars AS BIGINT) div 200, 9)"
+        ).alias("y"),
+    )
+    return cochran_armitage_trend(d, "x", "y")
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH d AS (
+  SELECT LEAST(CAST(n_chars AS BIGINT) // 200, 9) AS x,
+         CASE WHEN doc_id % 10
+                   < LEAST(CAST(n_chars AS BIGINT) // 200, 9)
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS a,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sx2
+  FROM d
+),
+st AS (
+  SELECT n, a, n * sxy - a * sx AS u,
+         a * (n - a) * (n * sx2 - sx * sx) AS den
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_pos,
+       CAST(CASE WHEN u < 0 THEN -1 WHEN u > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS trend_sign,
+       CAST(CASE WHEN den > 0 THEN (u * u * n * 1000000) // den
+            END AS BIGINT) AS z2_ppm,
+       CASE WHEN den > 0
+            THEN (u * u * n * 1000000) // den > 3841500
+       END AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20300,6 +20351,7 @@ CATALOG: Dict[str, tuple] = {
     "ktruss_edges": (q_ktruss_edges, SQL_KTRUSS),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC),
     "pettitt_changepoint": (q_pettitt_changepoint, SQL_PETTITT),
+    "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

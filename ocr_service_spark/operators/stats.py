@@ -3598,3 +3598,62 @@ def pettitt_changepoint(
         "t_at",
         rej.alias("reject_05"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    crit_x10k: int = 38_415,
+) -> DataFrame:
+    """Cochran–Armitage trend test — the ORDERED companion of the
+    cramers_v independence read: χ²/V ask "does the keep rate differ
+    somewhere across these buckets" and burn k−1 degrees of freedom
+    finding out; CA asks the one-df question curation actually has —
+    "does the rate RISE with the ordered exposure" (length decile,
+    crawl depth, quality band) — so a clean monotone drift that χ²
+    dilutes across buckets concentrates into one significant slope.
+
+    Exact integer form from five sums in ONE hash aggregate
+    (N, A=Σy, Σxy, Σx, Σx²):
+        U = N·Σxy − A·Σx          (the trend numerator; sign = slope)
+        D = A(N−A)(N·Σx² − (Σx)²) (the null variance, cleared)
+        Z²·10⁶ = (U²·N·10⁶) div D — χ²(1) under the null.
+    Degenerate D = 0 (constant score or constant label) → NULL.
+    crit_x10k = χ²(1) 0.05 quantile ×10⁴ (38415). Grid budget: U²·N
+    leads the chain as decimal(38,0) — score spans beyond ~10³ at
+    ~10⁹ rows need a coarser score grid first (the welch_t2 lesson).
+
+    Emits ONE row: (n, n_pos, trend_sign, z2_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(score_col).cast("long").alias("x"),
+        F.col(label_col).cast("boolean").cast("long").alias("y"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("y").cast(d38).alias("a"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sx2"),
+    )
+    staged = agg.withColumn(
+        "u", F.col("n") * F.col("sxy") - F.col("a") * F.col("sx")
+    ).withColumn(
+        "den",
+        F.col("a") * (F.col("n") - F.col("a"))
+        * (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")),
+    )
+    z2 = F.when(
+        F.col("den") > 0,
+        F.expr("(u * u * n * 1000000) div den").cast("long"),
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("n_pos"),
+        F.signum("u").cast("long").alias("trend_sign"),
+        z2.alias("z2_ppm"),
+        F.when(
+            F.col("den") > 0, z2 > F.lit(int(crit_x10k) * 100)
+        ).alias("reject_05"),
+    )

@@ -1990,3 +1990,45 @@ class TestPettittChangepoint:
         assert got["shift"]["reject_05"] is True
         assert got["flat"]["k_stat"] == 0
         assert got["flat"]["reject_05"] is False
+
+
+class TestCochranArmitage:
+    def _run(self, spark, triples, crit=38_415):
+        from ocr_service_spark.operators.stats import (
+            cochran_armitage_trend,
+        )
+
+        rows = []
+        for x, pos, tot in triples:
+            rows += [(x, True)] * pos + [(x, False)] * (tot - pos)
+        df = spark.createDataFrame(rows, "x long, y boolean")
+        return cochran_armitage_trend(
+            df, "x", "y", crit_x10k=crit
+        ).collect()[0]
+
+    def test_hand_rising_trend(self, spark):
+        # rates 1/10, 5/10, 9/10 over scores 0,1,2:
+        # U=240, D=135000, Z^2 = 240^2*30/135000 = 12.8 exactly
+        r = self._run(spark, [(0, 1, 10), (1, 5, 10), (2, 9, 10)])
+        assert r["z2_ppm"] == 12_800_000
+        assert r["trend_sign"] == 1
+        assert r["reject_05"] is True
+
+    def test_falling_trend_mirrors(self, spark):
+        r = self._run(spark, [(0, 9, 10), (1, 5, 10), (2, 1, 10)])
+        assert r["z2_ppm"] == 12_800_000
+        assert r["trend_sign"] == -1
+
+    def test_flat_accepts(self, spark):
+        r = self._run(spark, [(0, 5, 10), (1, 5, 10), (2, 5, 10)])
+        assert r["z2_ppm"] == 0 and r["reject_05"] is False
+        assert r["trend_sign"] == 0
+
+    def test_nonmonotone_bump_weak(self, spark):
+        # chi2 would see the bump; the TREND statistic shouldn't
+        r = self._run(spark, [(0, 5, 20), (1, 15, 20), (2, 5, 20)])
+        assert r["z2_ppm"] == 0
+
+    def test_degenerate_null(self, spark):
+        r = self._run(spark, [(1, 4, 4), (2, 6, 6)])
+        assert r["z2_ppm"] is None and r["reject_05"] is None
