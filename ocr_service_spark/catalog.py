@@ -19987,6 +19987,118 @@ FROM st
 """
 
 
+def q_bleu_shadow(spark, sf_dir):
+    """Corpus BLEU shadow audit (operators/textstats.py bleu_shadow):
+    the candidate corpus is every document with its first TWO tokens
+    dropped (the over-aggressive boilerplate-strip failure), reference
+    is the original — order-sensitive n-gram damage plus a brevity
+    penalty the CER audit prices differently. Oracle regrows all four
+    n-gram multisets, the clip join, every floor-quantized ln and the
+    negate-twice averaged log-BLEU."""
+    from .operators.textstats import bleu_shadow
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+        ).alias("ws"),
+    )
+    new = ws.select(
+        "doc_id",
+        F.array_join(
+            F.expr("slice(ws, 3, greatest(size(ws) - 2, 0))"), " "
+        ).alias("text"),
+    )
+    return bleu_shadow(docs, new, max_n=4)
+
+
+def _bleu_sql(max_n: int = 4) -> str:
+    gram_ctes = []
+    for side in ("old", "new"):
+        for n in range(1, max_n + 1):
+            gram_ctes.append(f"""g_{side}_{n} AS (
+  SELECT doc_id, {n} AS n,
+         unnest(list_transform(
+           range(1, GREATEST(len(words) - {n - 1}, 0) + 1),
+           i -> array_to_string(words[i:i + {n - 1}], ' '))) AS gram
+  FROM w_{side}
+)""")
+    cand_union = "\n    UNION ALL ".join(
+        f"SELECT * FROM g_new_{n}" for n in range(1, max_n + 1)
+    )
+    ref_union = "\n    UNION ALL ".join(
+        f"SELECT * FROM g_old_{n}" for n in range(1, max_n + 1)
+    )
+    piv = ",\n         ".join(
+        f"MAX(CASE WHEN n = {n} THEN lp END) AS lp{n}"
+        for n in range(1, max_n + 1)
+    )
+    lp_sum = " + ".join(f"lp{n}" for n in range(1, max_n + 1))
+    lp_cols = ", ".join(
+        f"CAST(lp{n} AS BIGINT) AS logp{n}_q6"
+        for n in range(1, max_n + 1)
+    )
+    return f"""WITH c0 AS (
+  SELECT doc_id, trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+w_old AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(t, '\\s+') END AS words
+  FROM c0
+),
+w_new AS (SELECT doc_id, words[3:] AS words FROM w_old),
+{", ".join(gram_ctes)},
+cand AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM (
+    {cand_union}
+  ) GROUP BY doc_id, n, gram
+),
+ref AS (
+  SELECT doc_id, n, gram, COUNT(*) AS rc FROM (
+    {ref_union}
+  ) GROUP BY doc_id, n, gram
+),
+j AS (
+  SELECT cand.n, cand.c,
+         LEAST(cand.c, COALESCE(ref.rc, 0)) AS clip
+  FROM cand LEFT JOIN ref
+    ON cand.doc_id = ref.doc_id AND cand.n = ref.n
+   AND cand.gram = ref.gram
+),
+per_n AS (
+  SELECT n, CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(SUM(clip) AS BIGINT) AS clip
+  FROM j GROUP BY n
+),
+logp AS (
+  SELECT n, CASE WHEN clip > 0 AND tot > 0 THEN
+    CAST(FLOOR(ln(clip / CAST(tot AS DOUBLE)) * 1000000) AS BIGINT)
+  END AS lp
+  FROM per_n
+),
+piv AS (
+  SELECT {piv}
+  FROM logp
+),
+lens AS (
+  SELECT (SELECT CAST(SUM(len(words)) AS BIGINT) FROM w_new) AS c_len,
+         (SELECT CAST(SUM(len(words)) AS BIGINT) FROM w_old) AS r_len
+)
+SELECT c_len AS cand_tokens, r_len AS ref_tokens, {lp_cols},
+       CAST(CASE WHEN {lp_sum} IS NOT NULL AND c_len > 0 THEN
+         (CASE WHEN c_len >= r_len THEN 0
+               ELSE 1000000 - (r_len * 1000000) // c_len END)
+         - ((-({lp_sum})) // {max_n})
+       END AS BIGINT) AS log_bleu_q6
+FROM lens, piv"""
+
+
+SQL_BLEU_SHADOW = _bleu_sql(4)
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20352,6 +20464,7 @@ CATALOG: Dict[str, tuple] = {
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC),
     "pettitt_changepoint": (q_pettitt_changepoint, SQL_PETTITT),
     "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
+    "bleu_shadow": (q_bleu_shadow, SQL_BLEU_SHADOW),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -939,3 +939,129 @@ def vocab_novelty(docs, day_col: str = "day", text_col: str = "text"):
         F.expr("(n_new_types * 1000) div n_day_types").cast("long")
         .alias("novelty_permille"),
     )
+
+
+def bleu_shadow(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus BLEU between two extraction versions — the n-gram
+    ORDER-sensitive magnitude read completing the shadow-deploy triad:
+    shadow_diff pins WHETHER a document changed, extraction_cer prices
+    character damage, BLEU prices token REARRANGEMENT (a boilerplate
+    stripper that keeps every word but shuffles reading order scores
+    CER-low / BLEU-poor — exactly the failure layout regressions
+    cause). new is the candidate, old the reference, Papineni's
+    corpus form: modified n-gram precisions pool clip counts over the
+    WHOLE corpus before dividing (per-doc BLEU is degenerate on short
+    docs), brevity penalty from pooled lengths.
+
+    Everything stays in ln-space on the 1e6 grid — no exp() floats
+    cross an engine boundary: each pₙ is one ratio of two int64 sums
+    (ln'd once, floor-quantized), ln BP = min(0, 10⁶ − (r·10⁶) div c),
+    and log_bleu_q6 = lnBP + (Σ ln pₙ) div max_n. Any pₙ = 0 → NULL
+    (the standard smoothing-free convention, surfaced not hidden).
+
+    Scale shape: tokens materialized ONCE per side (the Catalyst
+    lambda rule — slices operate on the pre-materialized array),
+    n-grams exploded to (id, n, gram) counts, ONE full-outer count
+    join per the clip rule, one corpus fold. Emits ONE row:
+    (cand_tokens, ref_tokens, logp1_q6..logp{max_n}_q6,
+    log_bleu_q6)."""
+    max_n = int(max_n)
+
+    def toks(df: DataFrame, side: str) -> DataFrame:
+        t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        words = F.when(
+            F.length(t) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(t, r"\s+"))
+        return df.select(
+            F.col(id_col).alias("id"), words.alias("words")
+        )
+
+    def grams(base: DataFrame) -> DataFrame:
+        out = None
+        for n in range(1, max_n + 1):
+            g = base.select(
+                "id",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(words)"
+                        f" - {n - 1}, 0)),"
+                        f" i -> array_join(slice(words, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            out = g if out is None else out.unionByName(g)
+        return out.groupBy("id", "n", "gram").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    cand = grams(toks(new, "new"))
+    ref = grams(toks(old, "old")).withColumnRenamed("c", "rc")
+    j = cand.join(ref, ["id", "n", "gram"], "left").select(
+        "n", "c",
+        F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0)))
+        .alias("clip"),
+    )
+    per_n = j.groupBy("n").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.sum("clip").cast("long").alias("clip"),
+    )
+    logp = per_n.select(
+        "n",
+        F.when(
+            (F.col("clip") > 0) & (F.col("tot") > 0),
+            F.floor(
+                F.log(F.col("clip") / F.col("tot")) * 1_000_000
+            ).cast("long"),
+        ).alias("logp_q6"),
+    )
+    lens = toks(new, "new").agg(
+        F.sum(F.size("words")).cast("long").alias("c_len")
+    ).crossJoin(
+        toks(old, "old").agg(
+            F.sum(F.size("words")).cast("long").alias("r_len")
+        )
+    )
+    wide = lens.crossJoin(
+        F.broadcast(
+            logp.groupBy().pivot("n", list(range(1, max_n + 1)))
+            .agg(F.first("logp_q6"))
+        )
+    )
+    sum_lp = None
+    for n in range(1, max_n + 1):
+        c = F.col(f"{n}")
+        sum_lp = c if sum_lp is None else sum_lp + c
+    bp = F.when(
+        F.col("c_len") >= F.col("r_len"), F.lit(0).cast("long")
+    ).otherwise(
+        (
+            F.lit(1_000_000)
+            - F.expr("(r_len * 1000000) div c_len")
+        ).cast("long")
+    )
+    out = wide.select(
+        F.col("c_len").alias("cand_tokens"),
+        F.col("r_len").alias("ref_tokens"),
+        *[
+            F.col(f"{n}").cast("long").alias(f"logp{n}_q6")
+            for n in range(1, max_n + 1)
+        ],
+        F.when(
+            sum_lp.isNotNull() & (F.col("c_len") > 0),
+            # Σ ln pₙ ≤ 0: negate-twice so the div operand is nonneg
+            # (truncate == floor on both engines)
+            bp - F.expr(
+                "(-(" + " + ".join(
+                    f"`{n}`" for n in range(1, max_n + 1)
+                ) + f")) div {max_n}"
+            ).cast("long"),
+        ).alias("log_bleu_q6"),
+    )
+    return out

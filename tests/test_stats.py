@@ -120,3 +120,51 @@ class TestGoodTuringMass:
         y = got["y"]
         assert y["f1"] == 3 and y["f2"] == 0 and y["chao1"] is None
         assert y["missing_mass_ppm"] == 1_000_000  # whole corpus singleton
+
+
+class TestBleuShadow:
+    def _run(self, spark, old_rows, new_rows, max_n=4):
+        from ocr_service_spark.operators.textstats import bleu_shadow
+
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        return bleu_shadow(old, new, max_n=max_n).collect()[0]
+
+    def test_identical_is_zero_log(self, spark):
+        rows = [(1, "a b c d e"), (2, "x y z w v")]
+        r = self._run(spark, rows, rows)
+        assert r["log_bleu_q6"] == 0
+        assert r["logp1_q6"] == 0 and r["logp4_q6"] == 0
+        assert r["cand_tokens"] == r["ref_tokens"] == 10
+
+    def test_hand_truncated_candidate(self, spark):
+        # cand "a b c" vs ref "a b c d" at max_n=3: every p=1,
+        # BP = 1e6 - (4e6 div 3) = -333333
+        r = self._run(spark, [(1, "a b c d")], [(1, "a b c")], max_n=3)
+        assert r["log_bleu_q6"] == -333_333
+        assert r["logp3_q6"] == 0
+
+    def test_hand_substitution(self, spark):
+        import math
+
+        # cand "a b x" vs ref "a b c d" at max_n=2:
+        # p1=2/3, p2=1/2, BP=-333333
+        r = self._run(spark, [(1, "a b c d")], [(1, "a b x")], max_n=2)
+        lp1 = math.floor(math.log(2 / 3) * 1_000_000)
+        lp2 = math.floor(math.log(1 / 2) * 1_000_000)
+        assert r["logp1_q6"] == lp1 and r["logp2_q6"] == lp2
+        assert r["log_bleu_q6"] == -333_333 - ((-(lp1 + lp2)) // 2)
+
+    def test_zero_precision_null(self, spark):
+        r = self._run(spark, [(1, "a b c d")], [(1, "p q r s")])
+        assert r["log_bleu_q6"] is None
+        assert r["logp1_q6"] is None
+
+    def test_reorder_hurts_bleu_not_length(self, spark):
+        # same multiset of tokens, shuffled order: BP=0 but p2..p4 < 1
+        r = self._run(
+            spark, [(1, "a b c d e f")], [(1, "f e d c b a")]
+        )
+        assert r["cand_tokens"] == r["ref_tokens"]
+        assert r["logp1_q6"] == 0
+        assert r["log_bleu_q6"] is None or r["log_bleu_q6"] < 0
