@@ -20099,6 +20099,44 @@ FROM lens, piv"""
 SQL_BLEU_SHADOW = _bleu_sql(4)
 
 
+def q_spiegelhalter_z(spark, sf_dir):
+    """Spiegelhalter calibration Z (operators/classifier.py
+    spiegelhalter_z): the planted score spreads over the whole
+    per-mille grid ((n_chars % 999) + 1) while the outcome is a flat
+    coin (doc_id % 2) — systematically miscalibrated everywhere
+    except p≈0.5, which the binning-free statistic must flag. Oracle
+    replays both exact integer sums and the single ppm division."""
+    from .operators.classifier import spiegelhalter_z
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("(CAST(n_chars AS BIGINT) % 999) + 1").alias("p"),
+        F.expr("doc_id % 2 = 0").alias("y"),
+    )
+    return spiegelhalter_z(d, "p", "y")
+
+
+SQL_SPIEGELHALTER = """
+WITH d AS (
+  SELECT (CAST(n_chars AS BIGINT) % 999) + 1 AS p,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((1000 * y - p) * (1000 - 2 * p)) AS HUGEINT) AS s,
+         CAST(SUM(CAST((1000 - 2 * p) * (1000 - 2 * p) AS HUGEINT)
+                  * p * (1000 - p)) AS HUGEINT) AS v
+  FROM d
+)
+SELECT n, CAST(s AS BIGINT) AS s_q6, CAST(v AS BIGINT) AS v_q12,
+       CAST(CASE WHEN v > 0 THEN (s * s * 1000000) // v END
+            AS BIGINT) AS z2_ppm,
+       CASE WHEN v > 0 THEN (s * s * 1000000) // v > 3841500
+       END AS reject_05
+FROM agg
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20465,6 +20503,7 @@ CATALOG: Dict[str, tuple] = {
     "pettitt_changepoint": (q_pettitt_changepoint, SQL_PETTITT),
     "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "bleu_shadow": (q_bleu_shadow, SQL_BLEU_SHADOW),
+    "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -802,3 +802,40 @@ class TestIsotonicCalibration:
         p_tot = sum(got[s]["n_pos"] for s in got)
         est = sum(got[s]["n"] * got[s]["fitted_q6"] for s in got)
         assert abs(est - p_tot * 1_000_000) <= n_tot * len(got)
+
+
+class TestSpiegelhalterZ:
+    def _run(self, spark, rows, crit=38_415):
+        from ocr_service_spark.operators.classifier import (
+            spiegelhalter_z,
+        )
+
+        df = spark.createDataFrame(rows, "p long, y boolean")
+        return spiegelhalter_z(df, "p", "y", crit_x10k=crit).collect()[0]
+
+    def test_calibrated_sample_zero(self, spark):
+        # p=0.25 with exactly 1-in-4 positives: S = 0 exactly
+        rows = [(250, True)] + [(250, False)] * 3
+        r = self._run(spark, rows)
+        assert r["s_q6"] == 0 and r["z2_ppm"] == 0
+        assert r["reject_05"] is False
+
+    def test_overconfident_rejects(self, spark):
+        # scores 0.9, outcomes all negative: z^2 = 90 per the exact
+        # integer identity (S=10*720000, V=10*5.76e10)
+        rows = [(900, False)] * 10
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] == 90_000_000
+        assert r["reject_05"] is True
+
+    def test_certain_scores_excluded(self, spark):
+        rows = [(1000, True)] * 5 + [(0, False)] * 5
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] is None and r["v_q12"] == 0
+
+    def test_noise_at_small_n_accepts(self, spark):
+        # 5/9 positives against scores of 0.4: off, but within noise
+        rows = [(400, i % 2 == 0) for i in range(9)]
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] == (280_000**2 * 1_000_000) // (9 * 9_600_000_000)
+        assert r["reject_05"] is False
