@@ -20137,6 +20137,62 @@ FROM agg
 """
 
 
+def q_ccf_lags(spark, sf_dir):
+    """Cross-correlation lead/lag scan (operators/stats.py ccf_lags)
+    over a planted pair of daily metrics where b_t = a_{t-3} exactly —
+    the CCF must read r²=1 at lag +3 (A leads B by the planted
+    pipeline delay) and background correlation elsewhere. Oracle
+    replays the calendar pair joins for all five lags and the
+    five-sum integer Pearson per lag."""
+    from .operators.stats import ccf_lags
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    t = F.col("doc_id") % 60
+    daily = d.select(
+        F.lit("s").alias("grp"),
+        t.alias("day"),
+        (F.lit(100) + (t * 17) % 23).alias("a"),
+        (F.lit(100) + ((t - 3) * 17) % 23).alias("b"),
+    ).distinct()
+    return ccf_lags(daily, [0, 1, 2, 3, 4], "grp", "day", "a", "b")
+
+
+SQL_CCF = """
+WITH d AS (
+  SELECT DISTINCT 's' AS grp, doc_id % 60 AS t,
+         CAST(100 + (doc_id % 60) * 17 % 23 AS BIGINT) AS a,
+         CAST(100 + ((doc_id % 60) - 3) * 17 % 23 AS BIGINT) AS b
+  FROM documents
+),
+lags AS (SELECT unnest([0, 1, 2, 3, 4]) AS lag),
+pairs AS (
+  SELECT a.grp, l.lag, a.a AS y, b.b AS y2
+  FROM d a CROSS JOIN lags l
+  JOIN d b ON b.grp = a.grp AND b.t = a.t + l.lag
+),
+agg AS (
+  SELECT grp, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS sx,
+         CAST(SUM(y2) AS HUGEINT) AS sy,
+         CAST(SUM(y * y2) AS HUGEINT) AS sxy,
+         CAST(SUM(y * y) AS HUGEINT) AS sxx,
+         CAST(SUM(y2 * y2) AS HUGEINT) AS syy
+  FROM pairs GROUP BY grp, lag
+),
+st AS (
+  SELECT grp, lag, n, n * sxy - sx * sy AS num,
+         (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+  FROM agg
+)
+SELECT grp, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN den > 0 THEN (num * num * 1000000) // den
+            ELSE 0 END AS BIGINT) AS r2_ppm,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS corr_sign
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20504,6 +20560,7 @@ CATALOG: Dict[str, tuple] = {
     "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "bleu_shadow": (q_bleu_shadow, SQL_BLEU_SHADOW),
     "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER),
+    "ccf_lags": (q_ccf_lags, SQL_CCF),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

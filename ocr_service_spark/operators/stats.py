@@ -3657,3 +3657,79 @@ def cochran_armitage_trend(
             F.col("den") > 0, z2 > F.lit(int(crit_x10k) * 100)
         ).alias("reject_05"),
     )
+
+
+def ccf_lags(
+    daily: DataFrame,
+    lags: Sequence[int],
+    group_col: str = "grp",
+    x_col: str = "day",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Lag-k CROSS-correlation between two per-group daily metrics —
+    the lead/lag diagnostic acf_lags can't give: ACF asks "does this
+    series repeat itself", CCF asks "does metric A move k days before
+    metric B" (spam-rate leading error-rate by the review backlog,
+    crawl volume leading dedup load by the pipeline delay). The lag
+    attaining the peak IS the operational lead time.
+
+    Pairs (a_t, b_{t+k}) come from the same CALENDAR join as acf_lags
+    (gap-safe; positive k = A leads B, negative k = B leads A — the
+    sign convention to read alarms with), Pearson per (group, lag) in
+    the repo integer form: sign + r² ppm from five count sums,
+    decimal(38,0)/HUGEINT exact. One self-join per lag, one grouped
+    aggregate over the union.
+
+    Emits (grp, lag, n_pairs, r2_ppm, corr_sign); < 2 pairs or zero
+    variance → r2 0 / sign 0."""
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("d"),
+        F.col(a_col).cast("long").alias("va"),
+        F.col(b_col).cast("long").alias("vb"),
+    )
+    parts = []
+    for k in lags:
+        a = d.select("grp", "d", "va")
+        b = d.select(
+            F.col("grp"), (F.col("d") - int(k)).alias("d"),
+            F.col("vb").alias("y2"),
+        )
+        parts.append(
+            a.join(b, ["grp", "d"]).select(
+                "grp", F.lit(int(k)).cast("long").alias("lag"),
+                F.col("va").alias("y"), F.col("y2"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("sx"),
+        F.sum(F.col("y2").cast(d38)).alias("sy"),
+        F.sum(F.col("y").cast(d38) * F.col("y2").cast(d38)).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("sxx"),
+        F.sum(F.col("y2").cast(d38) * F.col("y2").cast(d38)).alias("syy"),
+    )
+    return (
+        agg.withColumn(
+            "_num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        )
+        .withColumn(
+            "_den",
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+        )
+        .select(
+            "grp", "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.when(
+                F.col("_den") > 0,
+                F.expr("(_num * _num * 1000000) div _den"),
+            ).otherwise(F.lit(0)).cast("long").alias("r2_ppm"),
+            F.signum("_num").cast("int").alias("corr_sign"),
+        )
+    )

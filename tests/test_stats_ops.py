@@ -2032,3 +2032,41 @@ class TestCochranArmitage:
     def test_degenerate_null(self, spark):
         r = self._run(spark, [(1, 4, 4), (2, 6, 6)])
         assert r["z2_ppm"] is None and r["reject_05"] is None
+
+
+class TestCcfLags:
+    def _run(self, spark, rows, lags):
+        from ocr_service_spark.operators.stats import ccf_lags
+
+        df = spark.createDataFrame(rows, "grp string, day long, a long, b long")
+        out = ccf_lags(df, lags, "grp", "day", "a", "b").collect()
+        return {(r["grp"], r["lag"]): r for r in out}
+
+    def test_planted_lead_peaks_at_lag(self, spark):
+        # b_t = a_{t-3}: perfect correlation exactly at lag +3
+        f = lambda t: 100 + (t * 17) % 23
+        rows = [("s", t, f(t), f(t - 3)) for t in range(60)]
+        got = self._run(spark, rows, [0, 1, 2, 3, 4])
+        assert got[("s", 3)]["r2_ppm"] == 1_000_000
+        assert got[("s", 3)]["corr_sign"] == 1
+        for k in (0, 1, 2, 4):
+            assert got[("s", k)]["r2_ppm"] < 400_000
+
+    def test_negative_lag_reads_reverse_lead(self, spark):
+        f = lambda t: 100 + (t * 17) % 23
+        # a lags b by 2: a_t = b_{t-2} -> peak at lag -2
+        rows = [("s", t, f(t - 2), f(t)) for t in range(60)]
+        got = self._run(spark, rows, [-2, 0, 2])
+        assert got[("s", -2)]["r2_ppm"] == 1_000_000
+
+    def test_anticorrelated_sign(self, spark):
+        rows = [("s", t, t, 100 - t) for t in range(30)]
+        got = self._run(spark, rows, [0])
+        assert got[("s", 0)]["r2_ppm"] == 1_000_000
+        assert got[("s", 0)]["corr_sign"] == -1
+
+    def test_constant_series_zero(self, spark):
+        rows = [("s", t, 5, t) for t in range(20)]
+        got = self._run(spark, rows, [0])
+        assert got[("s", 0)]["r2_ppm"] == 0
+        assert got[("s", 0)]["corr_sign"] == 0
