@@ -20193,6 +20193,44 @@ FROM st
 """
 
 
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 unseen-type richness (operators/textstats.py
+    chao1_richness) over the REAL documents vocabulary — the "how
+    many kinds remain" companion of good_turing_mass's "how much
+    mass". Oracle regrows the type histogram and replays the
+    bias-corrected closed form and the Good–Turing coverage."""
+    from .operators.textstats import chao1_richness
+
+    return chao1_richness(load(spark, sf_dir, "documents"))
+
+
+SQL_CHAO1 = """
+WITH c AS (
+  SELECT trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+w AS (
+  SELECT unnest(string_split_regex(t, '\\s+')) AS w
+  FROM c WHERE length(t) > 0
+),
+hist AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM hist
+)
+SELECT n_tokens, s_obs, f1, f2,
+       CAST(s_obs * 1000
+            + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+            AS BIGINT) AS chao1_x1000,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN ((n_tokens - f1) * 1000) // n_tokens
+            END AS BIGINT) AS coverage_pm
+FROM agg
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20561,6 +20599,7 @@ CATALOG: Dict[str, tuple] = {
     "bleu_shadow": (q_bleu_shadow, SQL_BLEU_SHADOW),
     "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER),
     "ccf_lags": (q_ccf_lags, SQL_CCF),
+    "chao1_richness": (q_chao1_richness, SQL_CHAO1),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1065,3 +1065,53 @@ def bleu_shadow(
         ).alias("log_bleu_q6"),
     )
     return out
+
+
+def chao1_richness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 richness estimate of the corpus vocabulary — the "how
+    many types exist that we haven't seen yet" companion of
+    good_turing_mass: Good–Turing prices the probability mass of
+    unseen tokens, Chao1 counts the unseen TYPES (lower bound), which
+    is the number a crawl planner actually asks — "is the vocabulary
+    (or host set, or template set) close to exhausted, or does the
+    frontier still hold most of it?"
+
+    Bias-corrected closed form from the two smallest frequency
+    classes: with S observed types, f1 singletons, f2 doubletons,
+        chao1·10³ = S·10³ + (f1·(f1−1)·10³) div (2·(f2+1))
+    (the +1 keeps it defined at f2 = 0, the classic correction).
+    Good–Turing sample coverage rides along: cov_pm =
+    ((n − f1)·10³) div n — the two estimators answer "how much mass"
+    vs "how many kinds" from the same histogram.
+
+    Scale shape: tokenize once (the repo tokenizer), ONE hash
+    aggregate to the type histogram, one fold over it — the histogram
+    is type-cardinality-sized, never corpus-sized. Emits ONE row:
+    (n_tokens, s_obs, f1, f2, chao1_x1000, coverage_pm)."""
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    tok = df.select(F.explode(words).alias("w"))
+    hist = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    agg = hist.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return agg.select(
+        "n_tokens", "s_obs", "f1", "f2",
+        (
+            F.col("s_obs") * 1000
+            + F.expr("(f1 * (f1 - 1) * 1000) div (2 * (f2 + 1))")
+        ).cast("long").alias("chao1_x1000"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("((n_tokens - f1) * 1000) div n_tokens"),
+        ).cast("long").alias("coverage_pm"),
+    )

@@ -168,3 +168,39 @@ class TestBleuShadow:
         assert r["cand_tokens"] == r["ref_tokens"]
         assert r["logp1_q6"] == 0
         assert r["log_bleu_q6"] is None or r["log_bleu_q6"] < 0
+
+
+class TestChao1Richness:
+    def _run(self, spark, texts):
+        from ocr_service_spark.operators.textstats import chao1_richness
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return chao1_richness(df).collect()[0]
+
+    def test_hand_counts(self, spark):
+        # tokens: a x3, b x1, c x1, d x2 -> S=4, f1=2, f2=1
+        r = self._run(spark, ["a a b", "a c d", "d"])
+        assert (r["s_obs"], r["f1"], r["f2"]) == (4, 2, 1)
+        # chao1 = 4 + 2*1/(2*2) = 4.5
+        assert r["chao1_x1000"] == 4500
+        # coverage = (7-2)/7
+        assert r["coverage_pm"] == 714
+
+    def test_exhausted_vocab(self, spark):
+        # every type seen many times: no singletons, chao1 = S
+        r = self._run(spark, ["a b c"] * 10)
+        assert r["f1"] == 0 and r["chao1_x1000"] == 3000
+        assert r["coverage_pm"] == 1000
+
+    def test_all_singletons_f2_zero(self, spark):
+        r = self._run(spark, ["a b c d"])
+        # f1=4, f2=0: bias-corrected 4 + 4*3/2 = 10
+        assert r["chao1_x1000"] == 10_000
+        assert r["coverage_pm"] == 0
+
+    def test_empty_corpus(self, spark):
+        r = self._run(spark, ["", ""])
+        assert r["s_obs"] == 0 and r["coverage_pm"] is None
