@@ -20231,6 +20231,68 @@ FROM agg
 """
 
 
+def q_conformal_threshold(spark, sf_dir):
+    """Split-conformal gate threshold (operators/quality.py
+    conformal_threshold): even doc_ids calibrate, odd doc_ids test —
+    an exchangeable split of the real corpus, so the realized
+    coverage must sit at the 95% target up to finite-n
+    discretization. Oracle replays the conformal rank
+    ⌈(n+1)·0.95⌉ (clamped), the covering-range order statistic and
+    the test-side coverage."""
+    from .operators.quality import conformal_threshold
+
+    docs = load(spark, sf_dir, "documents")
+    cal = docs.where(F.expr("doc_id % 2 = 0")).select(
+        F.col("n_chars").alias("score")
+    )
+    test = docs.where(F.expr("doc_id % 2 = 1")).select(
+        F.col("n_chars").alias("score")
+    )
+    return conformal_threshold(cal, test, "score", alpha_pm=50)
+
+
+SQL_CONFORMAL = """
+WITH cal AS (
+  SELECT CAST(n_chars AS BIGINT) AS s FROM documents WHERE doc_id % 2 = 0
+),
+tst AS (
+  SELECT CAST(n_chars AS BIGINT) AS s FROM documents WHERE doc_id % 2 = 1
+),
+hist AS (
+  SELECT s, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+  FROM cal GROUP BY s
+),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         LEAST(((COUNT(*) + 1) * 950 + 999) // 1000,
+               COUNT(*)) AS k
+  FROM cal
+),
+thr AS (
+  SELECT MIN(h.s) AS threshold
+  FROM hist h, nn
+  WHERE h.cum - h.c < nn.k AND nn.k <= h.cum
+),
+cov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN tst.s <= thr.threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS covered,
+         MAX(thr.threshold) AS threshold
+  FROM tst, thr
+)
+SELECT nn.n AS n_cal, CAST(nn.k AS BIGINT) AS k_rank,
+       CAST(cov.threshold AS BIGINT) AS threshold,
+       cov.n_test, cov.covered,
+       CAST(CASE WHEN cov.n_test > 0
+                 THEN (cov.covered * 1000) // cov.n_test
+            END AS BIGINT) AS cov_pm,
+       CAST(950 AS BIGINT) AS target_pm
+FROM nn, cov
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20600,6 +20662,7 @@ CATALOG: Dict[str, tuple] = {
     "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER),
     "ccf_lags": (q_ccf_lags, SQL_CCF),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1),
+    "conformal_threshold": (q_conformal_threshold, SQL_CONFORMAL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

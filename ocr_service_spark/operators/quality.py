@@ -1469,3 +1469,65 @@ def gate_disparity(
         F.expr("(_num * 1000000) div _den").cast("long")
         .alias("odds_ratio_ppm"),
     )
+
+
+def conformal_threshold(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str = "score",
+    alpha_pm: int = 50,
+) -> DataFrame:
+    """Split-conformal threshold for a nonconformity score — the gate
+    threshold with a DISTRIBUTION-FREE guarantee, unlike
+    quantile_threshold_filter's descriptive quantile: picking the
+    ⌈(n+1)(1−α)⌉-th smallest calibration score guarantees ≥ 1−α of
+    exchangeable future documents score at or below it (Vovk's split
+    conformal) — no model assumptions, no binning, finite-n exact.
+    Curation reads it as "this anomaly cutoff wrongly rejects at most
+    α of clean pages, guaranteed, whatever the score distribution is".
+
+    Exact order statistic, never a sort: calibration collapses to a
+    score histogram (one hash aggregate), the distributed prefix sum
+    walks it, and the covering-range rule (cum − c < k ≤ cum) selects
+    the rank-k value — the group_quantiles machinery pointed at the
+    conformal rank k = ⌈(n+1)(1−α)⌉ clamped to n (k > n means α too
+    small for this n: the guarantee is vacuous and the max score is
+    emitted — visible as k_rank = n_cal). The test side then
+    takes one broadcast comparison — the realized coverage beside the
+    target.
+
+    Emits ONE row: (n_cal, k_rank, threshold, n_test, covered,
+    cov_pm, target_pm)."""
+    s = cal.select(F.col(score_col).cast("long").alias("s"))
+    hist = s.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sum(hist, ["s"], "c", out_col="cum")
+    tot = hist.agg(F.sum("c").alias("n")).collect()[0]
+    n_cal = int(tot["n"] or 0)
+    keep_pm = 1000 - int(alpha_pm)
+    k = ((n_cal + 1) * keep_pm + 999) // 1000
+    k = min(k, n_cal) if n_cal else 0
+    thr_df = (
+        cum.where(
+            (F.col("cum") - F.col("c") < F.lit(k))
+            & (F.lit(k) <= F.col("cum"))
+        )
+        .agg(F.min("s").alias("threshold"))
+    )
+    t = test.select(F.col(score_col).cast("long").alias("s"))
+    cov = t.crossJoin(F.broadcast(thr_df)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("s") <= F.col("threshold")).cast("long"))
+        .cast("long").alias("covered"),
+        F.first("threshold").alias("threshold"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("k_rank"),
+        F.col("threshold").cast("long").alias("threshold"),
+        "n_test", "covered",
+        F.when(
+            F.col("n_test") > 0,
+            F.expr("(covered * 1000) div n_test"),
+        ).cast("long").alias("cov_pm"),
+        F.lit(keep_pm).cast("long").alias("target_pm"),
+    )

@@ -1860,3 +1860,43 @@ class TestQueryLikelihoodTopk:
 
         df = self._df(spark, [(i, "x y") for i in range(10)])
         assert query_likelihood_topk(df, ["x"], k=4).count() == 4
+
+
+class TestConformalThreshold:
+    def _run(self, spark, cal, test, alpha_pm=50):
+        from ocr_service_spark.operators.quality import (
+            conformal_threshold,
+        )
+
+        c = spark.createDataFrame([(v,) for v in cal], "score long")
+        t = spark.createDataFrame([(v,) for v in test], "score long")
+        return conformal_threshold(c, t, "score", alpha_pm).collect()[0]
+
+    def test_hand_rank(self, spark):
+        # n=99, alpha=0.05: k = ceil(100*0.95) = 95 -> threshold 95
+        cal = list(range(1, 100))
+        r = self._run(spark, cal, cal)
+        assert r["k_rank"] == 95 and r["threshold"] == 95
+        assert r["covered"] == 95 and r["cov_pm"] == 959
+
+    def test_clamp_small_n(self, spark):
+        # n=5: ceil(6*0.95)=6 > n -> clamped, max score emitted
+        r = self._run(spark, [3, 1, 4, 1, 5], [2, 9])
+        assert r["k_rank"] == 5 and r["threshold"] == 5
+        assert r["covered"] == 1
+
+    def test_guarantee_on_exchangeable_split(self, spark):
+        # same distribution both sides: coverage >= target within
+        # the finite-n discretization
+        vals = [(i * 37) % 1009 for i in range(500)]
+        r = self._run(spark, vals[:250], vals[250:])
+        assert r["cov_pm"] >= 930
+
+    def test_ties_covering_range(self, spark):
+        # heavy ties: the covering-range rule lands inside a run
+        cal = [10] * 50 + [20] * 45 + [99] * 5
+        r = self._run(spark, cal, [10, 20, 99, 100])
+        # k = ceil(101*0.95) = 96; cum(20)=95 < 96 <= cum(99)=100,
+        # so the covering range lands in the 99-run
+        assert r["k_rank"] == 96 and r["threshold"] == 99
+        assert r["covered"] == 3
