@@ -20293,6 +20293,43 @@ FROM nn, cov
 """
 
 
+def q_gale_church_align(spark, sf_dir):
+    """Gale–Church sentence alignment (operators/bitext.py
+    gale_church_align) over planted pseudo-parallel pairs: side A is
+    each real document chunked into 8-word pseudo-sentences, side B
+    the same chunks with the FIRST TWO merged — so every pair's
+    alignment must open with a 2-1 bead and continue 1-1 (pinned in
+    tests/test_bitext.py). Rows-only by design: the alignment is a
+    per-pair dynamic program (core/galechurch.py is the pure-Python
+    spec) with no SQL twin — the inherently-non-SQL set."""
+    from .operators.bitext import gale_church_align
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+        ).alias("ws"),
+    ).where(F.expr("size(ws) >= 16"))
+    chunks = ws.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(ceil(size(ws) / 8.0) as int)"
+            " - 1), i -> array_join(slice(ws, i * 8 + 1, 8), ' '))"
+        ).alias("sents_a"),
+    )
+    pairs = chunks.select(
+        F.col("doc_id").alias("pair_id"),
+        "sents_a",
+        F.expr(
+            "concat(array(concat(sents_a[0], ' ', sents_a[1])),"
+            " slice(sents_a, 3, size(sents_a) - 2))"
+        ).alias("sents_b"),
+    )
+    return gale_church_align(pairs).orderBy("pair_id", "bead_ix")
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20663,6 +20700,7 @@ CATALOG: Dict[str, tuple] = {
     "ccf_lags": (q_ccf_lags, SQL_CCF),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1),
     "conformal_threshold": (q_conformal_threshold, SQL_CONFORMAL),
+    "gale_church_align": (q_gale_church_align, None),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1,0 +1,95 @@
+"""Gale–Church length-based sentence alignment (Gale & Church 1993,
+"A Program for Aligning Sentences in Bilingual Corpora") — the
+classic dynamic-program that turns the bitext family's PAGE pairs
+(operators/bitext.py bitext_candidates → margin_mine) into SENTENCE
+beads, using nothing but character lengths: translated sentences have
+strongly correlated lengths (the paper's c=1, s²=6.8 Gaussian), so
+the aligner needs no dictionary, no embeddings, and works for any
+language pair — which is why it is still the standard first-pass
+aligner feeding hunalign/vecalign refinement.
+
+Pure-Python spec (repo convention: this module IS the byte-identity
+oracle and the Spark UDF body imports these same functions). The DP
+is O(len_a·len_b) per document pair — bounded by document size, never
+corpus size; distribution happens at the pair level in
+operators/bitext.py gale_church_align.
+"""
+
+from __future__ import annotations
+
+import math
+
+# bead priors from the paper (Table 5): (a_len, b_len) -> P(bead)
+BEAD_PRIORS = {
+    (1, 1): 0.89,
+    (1, 0): 0.0099,
+    (0, 1): 0.0099,
+    (2, 1): 0.0445,
+    (1, 2): 0.0445,
+    (2, 2): 0.0011,
+}
+_C = 1.0       # expected length ratio b/a
+_S2 = 6.8      # per-character delta variance
+
+
+def _match_cost(la: int, lb: int) -> float:
+    """−log P(delta) for a candidate bead with total source length la
+    and target length lb — the paper's two-tailed Gaussian on
+    delta = (lb − la·c)/sqrt(la·s²) (la 0 → the epsilon floor)."""
+    if la == 0 and lb == 0:
+        return 0.0
+    mean = (la + lb / _C) / 2.0
+    if mean <= 0:
+        return 25.0
+    delta = (lb - la * _C) / math.sqrt(mean * _S2)
+    # two-tailed tail probability, floored away from log(0)
+    p = max(2.0 * (1.0 - _pnorm(abs(delta))), 1e-10)
+    return -math.log(p)
+
+
+def _pnorm(z: float) -> float:
+    """Standard normal CDF via erfc — deterministic stdlib math."""
+    return 0.5 * math.erfc(-z / math.sqrt(2.0))
+
+
+def align_lengths(lens_a, lens_b):
+    """Align two sentence-length sequences; returns beads as tuples
+    (a_start, a_len, b_start, b_len, cost_centi) in order. Moves are
+    the six paper beads; ties break by the fixed move order below
+    (1-1 preferred), making the DP fully deterministic."""
+    la = list(lens_a)
+    lb = list(lens_b)
+    n, m = len(la), len(lb)
+    moves = [(1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (2, 2)]
+    INF = float("inf")
+    cost = [[INF] * (m + 1) for _ in range(n + 1)]
+    back = [[None] * (m + 1) for _ in range(n + 1)]
+    cost[0][0] = 0.0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            base = cost[i][j]
+            if base == INF:
+                continue
+            for (da, db) in moves:
+                ii, jj = i + da, j + db
+                if ii > n or jj > m:
+                    continue
+                sa = sum(la[i:ii])
+                sb = sum(lb[j:jj])
+                c = base + _match_cost(sa, sb) - math.log(
+                    BEAD_PRIORS[(da, db)]
+                )
+                if c < cost[ii][jj]:
+                    cost[ii][jj] = c
+                    back[ii][jj] = (da, db)
+    # recover beads
+    beads = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        da, db = back[i][j]
+        i -= da
+        j -= db
+        step = cost[i + da][j + db] - cost[i][j]
+        beads.append((i, da, j, db, int(round(step * 100.0))))
+    beads.reverse()
+    return beads

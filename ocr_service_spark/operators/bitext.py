@@ -205,3 +205,82 @@ def margin_mine(
         )
         .where(F.col("margin_pm") >= int(margin_pm_threshold))
     )
+
+
+def gale_church_align(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    a_col: str = "sents_a",
+    b_col: str = "sents_b",
+    max_sents: int = 500,
+) -> DataFrame:
+    """Sentence-bead alignment for candidate page pairs — the stage
+    between bitext_candidates (URL pairing) and margin_mine
+    (embedding re-scoring): Gale–Church's length-based dynamic
+    program (core/galechurch.py — the pure-Python spec the tests pin)
+    turns each (page_a, page_b) pair into 1-1/2-1/1-2/2-2/1-0/0-1
+    sentence beads using character lengths alone, no dictionary or
+    embeddings, any language pair.
+
+    Scale shape: the DP is O(nₐ·n_b) PER PAIR — bounded by document
+    size — and pairs are embarrassingly parallel, so this is one
+    Arrow-batched mapInPandas over the pair table with NO shuffle;
+    beads explode in-place. Pairs beyond max_sents on either side
+    emit one bead_ix = −1 row instead of running a quadratic DP on a
+    pathological page (errors-as-data, the repo convention) — real
+    pipelines paragraph-split first, exactly as the paper does.
+
+    Emits (pair_id, bead_ix, a_start, a_len, b_start, b_len, a_text,
+    b_text, cost_centi); a_text/b_text join the bead's sentences with
+    a single space."""
+    import pandas as pd
+
+    from ..core.galechurch import align_lengths
+
+    cap = int(max_sents)
+    schema = (
+        f"{id_col} long, bead_ix int, a_start int, a_len int,"
+        " b_start int, b_len int, a_text string, b_text string,"
+        " cost_centi long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                id_col: [], "bead_ix": [], "a_start": [], "a_len": [],
+                "b_start": [], "b_len": [], "a_text": [], "b_text": [],
+                "cost_centi": [],
+            }
+
+            def emit(pid, ix, a0, al, b0, bl, at, bt, cc):
+                out[id_col].append(pid)
+                out["bead_ix"].append(ix)
+                out["a_start"].append(a0)
+                out["a_len"].append(al)
+                out["b_start"].append(b0)
+                out["b_len"].append(bl)
+                out["a_text"].append(at)
+                out["b_text"].append(bt)
+                out["cost_centi"].append(cc)
+
+            for pid, sa, sb in zip(
+                pdf[id_col], pdf[a_col], pdf[b_col]
+            ):
+                sa = list(sa) if sa is not None else []
+                sb = list(sb) if sb is not None else []
+                if len(sa) > cap or len(sb) > cap:
+                    emit(pid, -1, 0, len(sa), 0, len(sb), None, None, 0)
+                    continue
+                beads = align_lengths(
+                    [len(s) for s in sa], [len(s) for s in sb]
+                )
+                for ix, (a0, al, b0, bl, cc) in enumerate(beads):
+                    emit(
+                        pid, ix, a0, al, b0, bl,
+                        " ".join(sa[a0:a0 + al]),
+                        " ".join(sb[b0:b0 + bl]),
+                        cc,
+                    )
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(run, schema=schema)

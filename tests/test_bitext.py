@@ -127,3 +127,81 @@ class TestMarginMine:
                                     margin_pm_threshold=1500).collect()}
         assert (2, 13) in got
         assert (1, 11) not in got
+
+
+class TestGaleChurchCore:
+    def test_parallel_all_one_one(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        beads = align_lengths([50, 30, 70], [52, 29, 71])
+        assert [(b[1], b[3]) for b in beads] == [(1, 1)] * 3
+        assert [b[0] for b in beads] == [0, 1, 2]
+
+    def test_merge_two_to_one(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        beads = align_lengths([40, 30, 30, 50], [41, 62, 49])
+        assert [(b[1], b[3]) for b in beads] == [(1, 1), (2, 1), (1, 1)]
+        assert beads[1][0] == 1 and beads[1][2] == 1
+
+    def test_split_one_to_two(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        beads = align_lengths([41, 62, 49], [40, 30, 30, 50])
+        assert [(b[1], b[3]) for b in beads] == [(1, 1), (1, 2), (1, 1)]
+
+    def test_long_orphan_absorbs_into_merge(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        # the classic GC trait: an unmatched middle sentence is
+        # absorbed into a 2-1 bead rather than deleted — the deletion
+        # bead pays BOTH a worse prior and its own length-sized
+        # Gaussian cost, so 1-0/0-1 fire only at boundaries and empty
+        # sides (next test), exactly as in the paper's alignments
+        beads = align_lengths([40, 200, 41], [39, 40])
+        assert [(b[1], b[3]) for b in beads] == [(2, 1), (1, 1)]
+        assert beads[0][4] > 10 * beads[1][4]  # the merge is priced
+
+    def test_empty_sides(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        assert align_lengths([], []) == []
+        beads = align_lengths([30, 30], [])
+        assert [(b[1], b[3]) for b in beads] == [(1, 0), (1, 0)]
+
+
+class TestGaleChurchSpark:
+    def test_beads_and_text(self, spark):
+        from ocr_service_spark.operators.bitext import gale_church_align
+
+        rows = [
+            (1, ["aaaa bbbb", "cc dd ee"], ["AAAA BBBB", "CC DD EE"]),
+            (2, ["x" * 40, "y" * 30, "z" * 30], ["X" * 41, "w" * 62]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "pair_id long, sents_a array<string>, sents_b array<string>",
+        )
+        out = gale_church_align(df).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["pair_id"], []).append(r)
+        p1 = sorted(got[1], key=lambda r: r["bead_ix"])
+        assert [(r["a_len"], r["b_len"]) for r in p1] == [(1, 1), (1, 1)]
+        assert p1[0]["a_text"] == "aaaa bbbb"
+        assert p1[0]["b_text"] == "AAAA BBBB"
+        p2 = sorted(got[2], key=lambda r: r["bead_ix"])
+        assert [(r["a_len"], r["b_len"]) for r in p2] == [(1, 1), (2, 1)]
+        assert p2[1]["a_text"] == "y" * 30 + " " + "z" * 30
+
+    def test_oversize_pair_flagged(self, spark):
+        from ocr_service_spark.operators.bitext import gale_church_align
+
+        rows = [(9, ["s"] * 30, ["t"] * 5)]
+        df = spark.createDataFrame(
+            rows,
+            "pair_id long, sents_a array<string>, sents_b array<string>",
+        )
+        out = gale_church_align(df, max_sents=10).collect()
+        assert len(out) == 1
+        assert out[0]["bead_ix"] == -1 and out[0]["a_len"] == 30
