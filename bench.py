@@ -79,6 +79,21 @@ def bench_extraction(spark, n_docs: int, seed: int = 42):
 
 # Headline catalog queries: relational core + windows + training-data ops.
 HEADLINE = [
+    # session-9 additions
+    "cvm_drift",
+    "brown_forsythe",
+    "bootstrap_mean_ci",
+    "query_likelihood",
+    "ktruss_edges",
+    "isotonic_calibration",
+    "pettitt_changepoint",
+    "cochran_armitage",
+    "bleu_shadow",
+    "spiegelhalter_z",
+    "ccf_lags",
+    "chao1_richness",
+    "conformal_threshold",
+    "gale_church_align",
     # session-6 additions
     "record_linkage",
     "margin_bitext",

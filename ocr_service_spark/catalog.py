@@ -20330,6 +20330,66 @@ def q_gale_church_align(spark, sf_dir):
     return gale_church_align(pairs).orderBy("pair_id", "bead_ix")
 
 
+def q_eb_shrunk_rates(spark, sf_dir):
+    """Empirical-Bayes host keep rates (operators/quality.py
+    eb_shrunk_rates): 40 pseudo-hosts (doc_id % 40) with the
+    n_chars ≥ 250 gate — real across-host rate variance, so the MoM
+    beta prior has positive strength and small hosts visibly shrink
+    toward the corpus rate. Oracle replays the per-host counts, the
+    two corpus moments, the prior strength and every shrunk rate."""
+    from .operators.quality import eb_shrunk_rates
+
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.expr("concat('h', doc_id % 40)").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("n_chars") >= 250).cast("long")).alias("k"),
+        )
+    )
+    return eb_shrunk_rates(per, "host", "n", "k")
+
+
+SQL_EB_SHRUNK = """
+WITH per AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT host, n, k, (k * 1000) // n AS p FROM per WHERE n > 0
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS h,
+         CAST(SUM(p) AS HUGEINT) AS sp,
+         CAST(SUM(p * p) AS HUGEINT) AS sp2
+  FROM rates
+),
+mv AS (
+  SELECT sp // h AS m,
+         (sp2 - (sp * sp) // h) // h AS v
+  FROM mom
+),
+prior AS (
+  SELECT m,
+         CASE WHEN v > 0 AND m * (1000 - m) > v
+              THEN (m * (1000 - m) * 1000) // v - 1000
+              ELSE 0 END AS s1000
+  FROM mv
+),
+pr AS (SELECT m, s1000, (m * s1000) // 1000 AS a1000 FROM prior)
+SELECT r.host, r.n, r.k, CAST(r.p AS BIGINT) AS raw_pm,
+       CAST(pr.s1000 AS BIGINT) AS s_x1000,
+       CAST(CASE WHEN pr.s1000 > 0
+                 THEN ((r.k * 1000 + pr.a1000) * 1000)
+                      // (r.n * 1000 + pr.s1000)
+            ELSE r.p END AS BIGINT) AS shrunk_pm
+FROM rates r, pr
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20701,6 +20761,7 @@ CATALOG: Dict[str, tuple] = {
     "chao1_richness": (q_chao1_richness, SQL_CHAO1),
     "conformal_threshold": (q_conformal_threshold, SQL_CONFORMAL),
     "gale_church_align": (q_gale_church_align, None),
+    "eb_shrunk_rates": (q_eb_shrunk_rates, SQL_EB_SHRUNK),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1531,3 +1531,70 @@ def conformal_threshold(
         ).cast("long").alias("cov_pm"),
         F.lit(keep_pm).cast("long").alias("target_pm"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    n_col: str,
+    k_col: str,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-host keep rates — the fix for
+    the small-host lie every raw league table tells: a host with 2/2
+    kept pages "beats" one with 9500/10000, and any threshold on the
+    raw rate is dominated by tiny-n noise. Borrowing strength across
+    hosts via a method-of-moments beta prior pulls small hosts toward
+    the corpus rate exactly as hard as their evidence is weak:
+    shrunk = (k + α)/(n + α + β) — the Robbins/James–Stein move every
+    quality dashboard needs before ranking hosts.
+
+    Integer-exact on the pm grid: raw per-host rates Pᵢ = k·10³ div n;
+    corpus moments m = ΣP div H and v = (ΣP² − (ΣP)² div H) div H
+    (pm²); the beta MoM prior strength S·10³ = (m(1000−m)·10³) div v
+    − 10³ and α·10³ = m·S div ... (all divs on nonneg operands);
+    shrunk_pm = ((k·10³ + α₁₀₀₀)·10³) div (n·10³ + S₁₀₀₀). Degenerate
+    corpora (v = 0, or v ≥ m(1000−m) so the MoM strength is ≤ 0)
+    emit shrunk = raw with s_x1000 = 0 — no prior is honest there.
+
+    Shape: one host-level aggregate (tiny), a two-row fold for the
+    moments, broadcast back — the fact table is touched once. Emits
+    one row per host: (key, n, k, raw_pm, s_x1000, shrunk_pm)."""
+    per = df.select(
+        F.col(key_col).alias("key"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).where(F.col("n") > 0)
+    rates = per.withColumn(
+        "p", F.expr("(k * 1000) div n").cast("long")
+    )
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("sp2"),
+    ).select(
+        "h",
+        F.expr("sp div h").cast("long").alias("m"),
+        F.expr("(sp2 - (sp * sp) div h) div h").cast("long").alias("v"),
+    )
+    prior = mom.select(
+        "m",
+        F.when(
+            (F.col("v") > 0)
+            & (F.col("m") * (1000 - F.col("m")) > F.col("v")),
+            F.expr("(m * (1000 - m) * 1000) div v - 1000"),
+        ).otherwise(F.lit(0)).cast("long").alias("s1000"),
+    ).withColumn(
+        "a1000", F.expr("(m * s1000) div 1000").cast("long")
+    )
+    return rates.crossJoin(F.broadcast(prior)).select(
+        F.col("key").alias(key_col),
+        "n", "k",
+        F.col("p").alias("raw_pm"),
+        F.col("s1000").alias("s_x1000"),
+        F.when(
+            F.col("s1000") > 0,
+            F.expr(
+                "((k * 1000 + a1000) * 1000) div (n * 1000 + s1000)"
+            ),
+        ).otherwise(F.col("p")).cast("long").alias("shrunk_pm"),
+    )

@@ -1900,3 +1900,42 @@ class TestConformalThreshold:
         # so the covering range lands in the 99-run
         assert r["k_rank"] == 96 and r["threshold"] == 99
         assert r["covered"] == 3
+
+
+class TestEbShrunkRates:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.quality import eb_shrunk_rates
+
+        df = spark.createDataFrame(rows, "host string, n long, k long")
+        out = eb_shrunk_rates(df, "host", "n", "k").collect()
+        return {r["host"]: r for r in out}
+
+    def test_small_host_shrinks_harder(self, spark):
+        # corpus of hosts around 50%; a tiny 2/2 host and a big
+        # 9500/10000 host: raw ranks tiny first, shrunk must not
+        rows = [(f"h{i}", 100, 40 + (i * 7) % 21) for i in range(20)]
+        rows += [("tiny", 2, 2), ("big", 10000, 9500)]
+        got = self._run(spark, rows)
+        assert got["tiny"]["raw_pm"] == 1000
+        assert got["tiny"]["shrunk_pm"] < got["big"]["shrunk_pm"]
+        # big host barely moves
+        assert abs(got["big"]["shrunk_pm"] - got["big"]["raw_pm"]) < 30
+
+    def test_shrinks_toward_corpus_mean(self, spark):
+        rows = [(f"h{i}", 50, 25 + (i % 11) - 5) for i in range(30)]
+        rows += [("outlier", 4, 4)]
+        got = self._run(spark, rows)
+        o = got["outlier"]
+        assert o["raw_pm"] == 1000
+        assert 400 < o["shrunk_pm"] < 1000
+
+    def test_degenerate_no_variance(self, spark):
+        rows = [(f"h{i}", 10, 5) for i in range(5)]
+        got = self._run(spark, rows)
+        assert all(r["s_x1000"] == 0 for r in got.values())
+        assert all(r["shrunk_pm"] == r["raw_pm"] for r in got.values())
+
+    def test_zero_n_excluded(self, spark):
+        rows = [("a", 10, 5), ("empty", 0, 0), ("b", 10, 7)]
+        got = self._run(spark, rows)
+        assert "empty" not in got and len(got) == 2
