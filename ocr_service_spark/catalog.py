@@ -20390,6 +20390,66 @@ FROM rates r, pr
 """
 
 
+def q_sprt_monitor(spark, sf_dir):
+    """Wald SPRT conversion monitor (operators/stats.py sprt_monitor,
+    p0=0.10 vs p1=0.20): 30 planted days at n=50 — pre-shift
+    successes hover at the indifference rate (7–8, LLR drifts ~flat,
+    state stays `continue`), day 15 jumps to ~15–16 and the monitor
+    must cross the h1 boundary immediately after. Oracle replays the
+    SAME plan-built log constants (sprt_constants embeds them as
+    literals in both engines), the per-day LLR and the prefix sum."""
+    from .operators.stats import sprt_monitor
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    day = F.col("doc_id") % 30
+    daily = d.select(
+        day.alias("day"),
+        F.lit(50).alias("n"),
+        (
+            F.lit(7)
+            + (day % 3 == 0).cast("long")
+            + F.when(day >= 15, 8).otherwise(0)
+        ).alias("s"),
+    ).distinct()
+    return sprt_monitor(daily, "day", "n", "s", p0_pm=100, p1_pm=200)
+
+
+def _sprt_sql() -> str:
+    from .operators.stats import sprt_constants
+
+    l1, l0, a6, b6 = sprt_constants(100, 200)
+    return f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(doc_id % 30 AS BIGINT) AS day,
+         CAST(50 AS BIGINT) AS n,
+         CAST(7 + CASE WHEN doc_id % 30 % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 30 >= 15 THEN 8 ELSE 0 END
+              AS BIGINT) AS s
+  FROM documents
+),
+llr AS (
+  SELECT day, n, s,
+         s * ({l1}) + (n - s) * ({l0}) AS llr_q6
+  FROM daily
+),
+cum AS (
+  SELECT day, n, s, llr_q6,
+         SUM(llr_q6) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum_q6
+  FROM llr
+)
+SELECT day, n, s, CAST(llr_q6 AS BIGINT) AS llr_q6,
+       CAST(cum_q6 AS BIGINT) AS cum_q6,
+       CASE WHEN cum_q6 >= {a6} THEN 'h1'
+            WHEN cum_q6 <= {b6} THEN 'h0'
+            ELSE 'continue' END AS state
+FROM cum
+"""
+
+
+SQL_SPRT = _sprt_sql()
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20762,6 +20822,7 @@ CATALOG: Dict[str, tuple] = {
     "conformal_threshold": (q_conformal_threshold, SQL_CONFORMAL),
     "gale_church_align": (q_gale_church_align, None),
     "eb_shrunk_rates": (q_eb_shrunk_rates, SQL_EB_SHRUNK),
+    "sprt_monitor": (q_sprt_monitor, SQL_SPRT),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -3733,3 +3733,72 @@ def ccf_lags(
             F.signum("_num").cast("int").alias("corr_sign"),
         )
     )
+
+
+def sprt_constants(
+    p0_pm: int, p1_pm: int, alpha_pm: int = 50, beta_pm: int = 200
+):
+    """Wald SPRT integer constants on the 1e6 log grid, computed ONCE
+    in plan-build Python and embedded as literals on BOTH engines
+    (the repo rule for cross-engine logs): per-success and
+    per-failure LLR increments and the two decision boundaries."""
+    import math
+
+    p0 = p0_pm / 1000.0
+    p1 = p1_pm / 1000.0
+    a = alpha_pm / 1000.0
+    b = beta_pm / 1000.0
+    l1 = round(math.log(p1 / p0) * 1_000_000)
+    l0 = round(math.log((1 - p1) / (1 - p0)) * 1_000_000)
+    a6 = round(math.log((1 - b) / a) * 1_000_000)
+    b6 = round(math.log(b / (1 - a)) * 1_000_000)
+    return l1, l0, a6, b6
+
+
+def sprt_monitor(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    s_col: str,
+    p0_pm: int,
+    p1_pm: int,
+    alpha_pm: int = 50,
+    beta_pm: int = 200,
+) -> DataFrame:
+    """Wald sequential probability-ratio monitor over a daily
+    conversion metric — the DECIDE-EARLY companion of the fixed-
+    horizon tests (proportion_drift asks "different?" after the
+    window closes; SPRT answers "roll back or ship" the first day
+    the evidence suffices, with BOTH error rates α and β controlled
+    by design — the guarantee ad-hoc daily peeking destroys).
+
+    Exact integers end-to-end: the four log constants quantize ONCE
+    at plan build (sprt_constants — never computed engine-side), each
+    day contributes llr = s·L1 + (n−s)·L0, the running total is the
+    distributed prefix sum over day order, and the verdict is two
+    literal comparisons. Emits one row per day: (day, n, s, llr_q6,
+    cum_q6, state) with state ∈ h1 (rate ≥ p1 — act), h0 (rate ≤ p0
+    — null holds), continue; the FIRST non-continue day is the
+    decision time, later rows show post-decision drift."""
+    l1, l0, a6, b6 = sprt_constants(p0_pm, p1_pm, alpha_pm, beta_pm)
+    d = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(s_col).cast("long").alias("s"),
+    ).withColumn(
+        "llr_q6",
+        (
+            F.col("s") * F.lit(int(l1))
+            + (F.col("n") - F.col("s")) * F.lit(int(l0))
+        ).cast("long"),
+    )
+    from .quality import global_prefix_sum
+
+    cum = global_prefix_sum(d, ["day"], "llr_q6", out_col="cum_q6")
+    return cum.select(
+        "day", "n", "s", "llr_q6",
+        F.col("cum_q6").cast("long").alias("cum_q6"),
+        F.when(F.col("cum_q6") >= int(a6), F.lit("h1"))
+        .when(F.col("cum_q6") <= int(b6), F.lit("h0"))
+        .otherwise(F.lit("continue")).alias("state"),
+    )

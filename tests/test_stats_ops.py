@@ -2070,3 +2070,52 @@ class TestCcfLags:
         got = self._run(spark, rows, [0])
         assert got[("s", 0)]["r2_ppm"] == 0
         assert got[("s", 0)]["corr_sign"] == 0
+
+
+class TestSprtMonitor:
+    def _run(self, spark, rows, p0=100, p1=200):
+        from ocr_service_spark.operators.stats import sprt_monitor
+
+        df = spark.createDataFrame(rows, "day long, n long, s long")
+        out = sprt_monitor(df, "day", "n", "s", p0, p1).collect()
+        return sorted(out, key=lambda r: r["day"])
+
+    def test_constants_hand(self):
+        import math
+
+        from ocr_service_spark.operators.stats import sprt_constants
+
+        l1, l0, a6, b6 = sprt_constants(100, 200)
+        assert l1 == round(math.log(2.0) * 1e6)
+        assert l0 == round(math.log(0.8 / 0.9) * 1e6)
+        assert a6 == round(math.log(0.8 / 0.05) * 1e6)
+        assert b6 == round(math.log(0.2 / 0.95) * 1e6)
+
+    def test_elevated_rate_crosses_h1(self, spark):
+        # true rate 0.25 >> p1=0.2: must decide h1, and monotonically
+        rows = [(d, 100, 25) for d in range(10)]
+        got = self._run(spark, rows)
+        states = [r["state"] for r in got]
+        assert "h1" in states
+        first = states.index("h1")
+        assert all(s == "h1" for s in states[first:])
+
+    def test_null_rate_crosses_h0(self, spark):
+        rows = [(d, 100, 10) for d in range(10)]
+        got = self._run(spark, rows)
+        assert got[-1]["state"] == "h0"
+
+    def test_boundary_rate_continues(self, spark):
+        # at the indifference rate the LLR drifts slowly: no decision
+        # in 3 days of small samples
+        rows = [(d, 20, 3) for d in range(3)]
+        got = self._run(spark, rows)
+        assert all(r["state"] == "continue" for r in got)
+
+    def test_cum_is_prefix_sum(self, spark):
+        rows = [(d, 50, 5 + d) for d in range(5)]
+        got = self._run(spark, rows)
+        acc = 0
+        for r in got:
+            acc += r["llr_q6"]
+            assert r["cum_q6"] == acc
