@@ -20450,6 +20450,82 @@ FROM cum
 SQL_SPRT = _sprt_sql()
 
 
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (operators/clustering.py
+    silhouette_simplified) of the kmeans_assign seed clustering over
+    the real embeddings — the quality read beside the fit/label
+    operators. Oracle recomputes the full k×n integer distance table
+    from the same quantization and seeds, both argmin rules and the
+    sign-split means."""
+    from .operators.clustering import (
+        quantize_embeddings,
+        seed_centroids,
+        silhouette_simplified,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    cents = seed_centroids(pts, _KM_K)
+    return silhouette_simplified(pts, cents)
+
+
+SQL_SILHOUETTE = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM pts
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv
+  FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {{k}})
+),
+cx0 AS (
+  SELECT cid, unnest(qv) AS cx, generate_subscripts(qv, 1) AS i FROM c0
+),
+dist AS (
+  SELECT p.vec_id AS id, c.cid,
+         SUM((p.x - c.cx) * (p.x - c.cx)) AS dist
+  FROM px p JOIN cx0 c USING (i) GROUP BY 1, 2
+),
+own AS (
+  SELECT id, cid AS own_cid, dist AS a FROM (
+    SELECT id, cid, dist,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY dist, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+oth AS (
+  SELECT d.id, MIN(d.dist) AS bdist
+  FROM dist d JOIN own o ON d.id = o.id AND d.cid <> o.own_cid
+  GROUP BY d.id
+),
+s AS (
+  SELECT o.own_cid AS cid,
+         (CASE WHEN bdist - a < 0 THEN -1
+               WHEN bdist - a > 0 THEN 1 ELSE 0 END)
+           * ((ABS(bdist - a) * 1000000)
+              // GREATEST(a, bdist, 1)) AS s_q6
+  FROM own o JOIN oth ON o.id = oth.id
+),
+per AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s_q6) AS BIGINT) AS ssum,
+         CAST(MIN(s_q6) AS BIGINT) AS min_s_q6
+  FROM s GROUP BY cid
+)
+SELECT cid, n,
+       CAST((CASE WHEN ssum < 0 THEN -1 WHEN ssum > 0 THEN 1
+              ELSE 0 END) * (ABS(ssum) // n) AS BIGINT) AS mean_s_q6,
+       min_s_q6
+FROM per
+""".replace("{k}", "4")
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20823,6 +20899,7 @@ CATALOG: Dict[str, tuple] = {
     "gale_church_align": (q_gale_church_align, None),
     "eb_shrunk_rates": (q_eb_shrunk_rates, SQL_EB_SHRUNK),
     "sprt_monitor": (q_sprt_monitor, SQL_SPRT),
+    "silhouette_clusters": (q_silhouette, SQL_SILHOUETTE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -521,3 +521,68 @@ def dbscan_grid(
             "cluster",
         )
     )
+
+
+def silhouette_simplified(
+    points: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Per-cluster simplified silhouette — the missing QUALITY read
+    for the clustering family (kmeans_lloyd fits, dbscan_grid labels,
+    kcenter_select covers; none of them says whether the clusters are
+    any good): for each point, a = squared distance to its own
+    centroid, b = squared distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [−1, 1] — near 1 = well separated, near 0
+    = boundary straddler, negative = probably mis-assigned. The
+    classic silhouette needs all intra-cluster pairs (quadratic); the
+    simplified (centroid-based) variant is the standard scale
+    substitute and needs only the k×n distance table this module
+    already computes — on SQUARED integer distances, which preserves
+    the sign and the [−1,1] bounds (documented: this is the
+    squared-grid variant, monotone in the true one for a/b ratios).
+
+    s_q6 sign-splits the div (b−a can be negative); a = b = 0 (point
+    equal to two centroids) emits 0. One crossJoin against the
+    broadcast centroid table, two hash aggregates. Emits one row per
+    cluster: (cid, n, mean_s_q6, min_s_q6) — mean is Σs div n."""
+    c = F.broadcast(
+        centroids.select(F.col("cid"), F.col("qv").alias("cqv"))
+    )
+    scored = points.crossJoin(c).select(
+        "id", "cid", _sqdist("qv", "cqv").alias("dist")
+    ).localCheckpoint(eager=True)
+    own = scored.groupBy("id").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    ).select(
+        "id",
+        F.col("b.cid").alias("own_cid"),
+        F.col("b.dist").alias("a"),
+    )
+    other = (
+        scored.join(own, "id")
+        .where(F.col("cid") != F.col("own_cid"))
+        .groupBy("id")
+        .agg(F.min("dist").alias("bdist"))
+    )
+    s = own.join(other, "id").withColumn(
+        "_num", (F.col("bdist") - F.col("a")).cast("long")
+    ).withColumn(
+        "_den", F.greatest(F.col("a"), F.col("bdist"), F.lit(1))
+    ).withColumn(
+        "s_q6",
+        F.signum("_num").cast("long")
+        * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+    )
+    per = s.groupBy(F.col("own_cid").alias("cid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s_q6").cast("long").alias("_ssum"),
+        F.min("s_q6").cast("long").alias("min_s_q6"),
+    )
+    # Σs can be negative: sign-split the mean div (truncate-vs-floor)
+    return per.select(
+        "cid", "n",
+        (
+            F.signum("_ssum").cast("long")
+            * F.expr("(abs(_ssum) div n)")
+        ).cast("long").alias("mean_s_q6"),
+        "min_s_q6",
+    )
