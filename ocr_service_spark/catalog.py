@@ -20526,6 +20526,86 @@ FROM per
 """.replace("{k}", "4")
 
 
+def q_adjusted_rand(spark, sf_dir):
+    """Adjusted Rand Index (operators/clustering.py
+    adjusted_rand_index) between the kmeans seed assignment and the
+    embeddings table's ground-truth label — the label-permutation-
+    invariant answer to "did the clustering find the real classes".
+    Oracle recomputes the assignment from the same seeds, the full
+    contingency table, both margins and the sign-split ppm ratio."""
+    from .operators.clustering import (
+        adjusted_rand_index,
+        kmeans_assign,
+        quantize_embeddings,
+        seed_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    cents = seed_centroids(pts, _KM_K)
+    assign = kmeans_assign(pts, cents).select("id", "cid")
+    lab = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("long").alias("truth"),
+    )
+    return adjusted_rand_index(
+        assign.join(lab, "id"), "cid", "truth"
+    )
+
+
+SQL_ADJUSTED_RAND = """
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM pts
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv
+  FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT 4)
+),
+cx0 AS (
+  SELECT cid, unnest(qv) AS cx, generate_subscripts(qv, 1) AS i FROM c0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)),
+                                       c.cid) AS rn
+    FROM px p JOIN cx0 c USING (i) GROUP BY p.vec_id, c.cid
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid AS a, CAST(e.label AS BIGINT) AS b
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+cont AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS c
+         FROM pairs GROUP BY a, b),
+si AS (SELECT SUM(c * (c - 1)) AS si2, SUM(c) AS n FROM cont),
+sa AS (SELECT SUM(ac * (ac - 1)) AS sa2
+       FROM (SELECT SUM(c) AS ac FROM cont GROUP BY a)),
+sb AS (SELECT SUM(bc * (bc - 1)) AS sb2
+       FROM (SELECT SUM(c) AS bc FROM cont GROUP BY b)),
+st AS (
+  SELECT n, si2, sa2, sb2, n * (n - 1) AS n2,
+         2 * (si2 * n * (n - 1) - sa2 * sb2) AS num,
+         (sa2 + sb2) * n * (n - 1) - 2 * sa2 * sb2 AS den
+  FROM si, sa, sb
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(si2 AS BIGINT) AS si2,
+       CAST(sa2 AS BIGINT) AS sa2, CAST(sb2 AS BIGINT) AS sb2,
+       CAST(CASE WHEN den > 0 THEN
+         (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+           * ((ABS(num) * 1000000) // den)
+       END AS BIGINT) AS ari_ppm
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20900,6 +20980,7 @@ CATALOG: Dict[str, tuple] = {
     "eb_shrunk_rates": (q_eb_shrunk_rates, SQL_EB_SHRUNK),
     "sprt_monitor": (q_sprt_monitor, SQL_SPRT),
     "silhouette_clusters": (q_silhouette, SQL_SILHOUETTE),
+    "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -586,3 +586,71 @@ def silhouette_simplified(
         ).cast("long").alias("mean_s_q6"),
         "min_s_q6",
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Adjusted Rand Index between two labelings of the same items —
+    the chance-corrected agreement read for CLUSTERINGS, where
+    classifier_agreement's κ can't apply (cluster ids have no
+    correspondence — clustering A's "3" and B's "7" may be the same
+    group): ARI counts agreeing PAIRS, is label-permutation
+    invariant, 1 = identical partitions, ≈0 = independent, negative
+    = worse than chance. The go-to answer for "did swapping the
+    embedding model actually change the dedup clusters?"
+
+    Exact integers via doubled pair counts (C(n,2) cleared of its
+    half): SI2 = Σ nᵢⱼ(nᵢⱼ−1) over the contingency table, SA2/SB2
+    the same over its margins, N2 = n(n−1), and
+        ARI = 2·(SI2·N2 − SA2·SB2)
+              / ((SA2+SB2)·N2 − 2·SA2·SB2)
+    — one sign-split ppm division; degenerate partitions (both
+    all-singletons or both one-cluster) → den 0 → NULL.
+
+    One contingency hash aggregate (cluster-pair cardinality sized),
+    two margin folds. Emits ONE row: (n, si2, sa2, sb2, ari_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    cont = d.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    si = cont.agg(
+        F.sum(F.col("c").cast(d38) * (F.col("c") - 1)).alias("si2"),
+        F.sum(F.col("c").cast(d38)).alias("n"),
+    )
+    sa = cont.groupBy("a").agg(F.sum("c").alias("ac")).agg(
+        F.sum(F.col("ac").cast(d38) * (F.col("ac") - 1)).alias("sa2")
+    )
+    sb = cont.groupBy("b").agg(F.sum("c").alias("bc")).agg(
+        F.sum(F.col("bc").cast(d38) * (F.col("bc") - 1)).alias("sb2")
+    )
+    j = (
+        si.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .withColumn("n2", F.col("n") * (F.col("n") - 1))
+        .withColumn(
+            "_num",
+            2 * (F.col("si2") * F.col("n2")
+                 - F.col("sa2") * F.col("sb2")),
+        )
+        .withColumn(
+            "_den",
+            (F.col("sa2") + F.col("sb2")) * F.col("n2")
+            - 2 * F.col("sa2") * F.col("sb2"),
+        )
+    )
+    ari = F.when(
+        F.col("_den") > 0,
+        F.signum("_num").cast("long")
+        * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("si2").cast("long").alias("si2"),
+        F.col("sa2").cast("long").alias("sa2"),
+        F.col("sb2").cast("long").alias("sb2"),
+        ari.alias("ari_ppm"),
+    )

@@ -405,3 +405,51 @@ class TestSilhouetteSimplified:
         # pt1: a=100, b=8100 -> s = 8000/8100 = 0.987...
         assert got[0]["mean_s_q6"] == (8000 * 1_000_000) // 8100
         assert got[1]["mean_s_q6"] == (8000 * 1_000_000) // 8100
+
+
+class TestAdjustedRandIndex:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.clustering import (
+            adjusted_rand_index,
+        )
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return adjusted_rand_index(df, "a", "b").collect()[0]
+
+    def test_identical_partitions_one(self, spark):
+        pairs = [(i % 3, (i % 3) * 10) for i in range(30)]
+        r = self._run(spark, pairs)
+        assert r["ari_ppm"] == 1_000_000
+
+    def test_permuted_labels_still_one(self, spark):
+        # same partition, different label names: ARI is label-invariant
+        pairs = [(i % 3, (i % 3 + 1) % 3) for i in range(30)]
+        r = self._run(spark, pairs)
+        assert r["ari_ppm"] == 1_000_000
+
+    def test_hand_value(self, spark):
+        # classic example: n=6, A={1,1,1,2,2,2}, B={1,1,2,2,3,3}
+        # contingency: (1,1)=2 (1,2)=1 (2,2)=1 (2,3)=2
+        # SI2=2+0+0+2=4, SA2=6+6=12, SB2=2+2+2=6, N2=30
+        # ARI = 2*(4*30-72)/((18)*30-144) = 96/396
+        pairs = [(1, 1), (1, 1), (1, 2), (2, 2), (2, 3), (2, 3)]
+        r = self._run(spark, pairs)
+        assert r["si2"] == 4 and r["sa2"] == 12 and r["sb2"] == 6
+        assert r["ari_ppm"] == (96 * 1_000_000) // 396
+
+    def test_independent_near_zero(self, spark):
+        pairs = [(i % 2, (i // 2) % 2) for i in range(40)]
+        r = self._run(spark, pairs)
+        assert abs(r["ari_ppm"]) < 60_000
+
+    def test_one_cluster_vs_singletons_zero(self, spark):
+        # maximally disagreeing but not degenerate: E=0, Index=0 -> 0
+        pairs = [(1, i) for i in range(5)]
+        r = self._run(spark, pairs)
+        assert r["ari_ppm"] == 0
+
+    def test_degenerate_null(self, spark):
+        # BOTH all-singletons: den = 0, no pairs to agree on
+        pairs = [(i, i * 7) for i in range(5)]
+        r = self._run(spark, pairs)
+        assert r["ari_ppm"] is None
