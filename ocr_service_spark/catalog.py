@@ -20606,6 +20606,98 @@ FROM st
 """
 
 
+def q_nmi_clusters(spark, sf_dir):
+    """Normalized mutual information (operators/clustering.py
+    normalized_mutual_info) between the kmeans seed assignment and
+    the embeddings ground truth — read BESIDE adjusted_rand: pair
+    counting vs information weighing, their disagreement diagnoses
+    split-giant-class errors. Oracle replays the contingency table,
+    every floored ln(n/·)-oriented term and the sign-split ratio."""
+    from .operators.clustering import (
+        kmeans_assign,
+        normalized_mutual_info,
+        quantize_embeddings,
+        seed_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    cents = seed_centroids(pts, _KM_K)
+    assign = kmeans_assign(pts, cents).select("id", "cid")
+    lab = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("long").alias("truth"),
+    )
+    return normalized_mutual_info(
+        assign.join(lab, "id"), "cid", "truth"
+    )
+
+
+SQL_NMI = """
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM pts
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv
+  FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT 4)
+),
+cx0 AS (
+  SELECT cid, unnest(qv) AS cx, generate_subscripts(qv, 1) AS i FROM c0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)),
+                                       c.cid) AS rn
+    FROM px p JOIN cx0 c USING (i) GROUP BY p.vec_id, c.cid
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid AS a, CAST(e.label AS BIGINT) AS b
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+cont AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS c
+         FROM pairs GROUP BY a, b),
+nn AS (SELECT SUM(c) AS n FROM cont),
+am AS (SELECT a, SUM(c) AS ac FROM cont GROUP BY a),
+bm AS (SELECT b, SUM(c) AS bc FROM cont GROUP BY b),
+mi AS (
+  SELECT SUM(c * CAST(FLOOR(ln(
+           CAST(nn.n * c AS DOUBLE) / CAST(am.ac * bm.bc AS DOUBLE))
+           * 1000000) AS HUGEINT)) AS mi
+  FROM cont JOIN am USING (a) JOIN bm USING (b), nn
+),
+ha AS (
+  SELECT SUM(ac * CAST(FLOOR(ln(
+           CAST(nn.n AS DOUBLE) / CAST(ac AS DOUBLE)) * 1000000)
+           AS HUGEINT)) AS ha
+  FROM am, nn
+),
+hb AS (
+  SELECT SUM(bc * CAST(FLOOR(ln(
+           CAST(nn.n AS DOUBLE) / CAST(bc AS DOUBLE)) * 1000000)
+           AS HUGEINT)) AS hb
+  FROM bm, nn
+)
+SELECT CAST(nn.n AS BIGINT) AS n, CAST(mi.mi AS BIGINT) AS mi_n_q6,
+       CAST(ha.ha AS BIGINT) AS ha_n_q6,
+       CAST(hb.hb AS BIGINT) AS hb_n_q6,
+       CAST(CASE WHEN ha.ha + hb.hb > 0 THEN
+         (CASE WHEN mi.mi < 0 THEN -1 WHEN mi.mi > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(mi.mi) * 2000000) // (ha.ha + hb.hb))
+       END AS BIGINT) AS nmi_ppm
+FROM nn, mi, ha, hb
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -20981,6 +21073,7 @@ CATALOG: Dict[str, tuple] = {
     "sprt_monitor": (q_sprt_monitor, SQL_SPRT),
     "silhouette_clusters": (q_silhouette, SQL_SILHOUETTE),
     "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
+    "nmi_clusters": (q_nmi_clusters, SQL_NMI),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -654,3 +654,75 @@ def adjusted_rand_index(
         F.col("sb2").cast("long").alias("sb2"),
         ari.alias("ari_ppm"),
     )
+
+
+def normalized_mutual_info(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Normalized mutual information between two labelings — ARI's
+    information-theoretic sibling, and the pair worth reading
+    together: ARI counts agreeing pairs (quadratic in cluster sizes,
+    so giant clusters dominate), NMI weighs information (many small
+    correct clusters count fully), which is why a clustering that
+    nails the long tail but splits one giant class scores high-NMI /
+    low-ARI — that disagreement IS the diagnosis.
+
+    Quantized-log grid (the js_drift convention — every log argument
+    is one exact integer ratio, floored to 1e6 BEFORE the weighted
+    sum, so engines never sum raw doubles):
+        MI·n·10⁶  = Σᵢⱼ nᵢⱼ·floor(ln(n·nᵢⱼ/(aᵢ·bⱼ))·10⁶)
+        H_a·n·10⁶ = Σᵢ aᵢ·floor(ln(n/aᵢ)·10⁶)   (same for H_b —
+    floored in the SAME ln(n/·) orientation as the MI terms, so for
+    identical partitions the floors cancel term-for-term and
+    NMI = 1e6 exactly); one uninformative side → MI = 0 → NMI 0,
+    BOTH single-cluster → Ha+Hb = 0 → NULL.
+        NMI_ppm   = sign-split (2·MIn·10⁶) div (Han + Hbn).
+
+    One contingency aggregate + two margin folds, all
+    cluster-cardinality sized. Emits ONE row:
+    (n, mi_n_q6, ha_n_q6, hb_n_q6, nmi_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cont = d.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    n_row = cont.agg(F.sum("c").cast("long").alias("n"))
+    am = cont.groupBy("a").agg(F.sum("c").cast("long").alias("ac"))
+    bm = cont.groupBy("b").agg(F.sum("c").cast("long").alias("bc"))
+    jo = (
+        cont.join(am, "a").join(bm, "b")
+        .crossJoin(F.broadcast(n_row))
+    )
+    mi_term = F.floor(
+        F.log(
+            (F.col("n").cast(d38) * F.col("c")).cast("double")
+            / (F.col("ac").cast(d38) * F.col("bc")).cast("double")
+        ) * 1_000_000
+    ).cast("long")
+    mi = jo.agg(
+        F.sum(F.col("c").cast(d38) * mi_term).alias("mi"),
+        F.first("n").alias("n"),
+    )
+    ent_term = lambda cnt: F.floor(
+        F.log(F.col("n").cast("double") / F.col(cnt).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    ha = am.crossJoin(F.broadcast(n_row)).agg(
+        F.sum(F.col("ac").cast(d38) * ent_term("ac")).alias("ha")
+    )
+    hb = bm.crossJoin(F.broadcast(n_row)).agg(
+        F.sum(F.col("bc").cast(d38) * ent_term("bc")).alias("hb")
+    )
+    j = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        F.col("ha") + F.col("hb") > 0,
+        F.signum("mi").cast("long")
+        * F.expr("(abs(mi) * 2000000) div (ha + hb)").cast("long"),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("mi").cast("long").alias("mi_n_q6"),
+        F.col("ha").cast("long").alias("ha_n_q6"),
+        F.col("hb").cast("long").alias("hb_n_q6"),
+        nmi.alias("nmi_ppm"),
+    )

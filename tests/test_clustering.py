@@ -453,3 +453,56 @@ class TestAdjustedRandIndex:
         pairs = [(i, i * 7) for i in range(5)]
         r = self._run(spark, pairs)
         assert r["ari_ppm"] is None
+
+
+class TestNormalizedMutualInfo:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.clustering import (
+            normalized_mutual_info,
+        )
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return normalized_mutual_info(df, "a", "b").collect()[0]
+
+    def test_identical_exactly_one(self, spark):
+        pairs = [(i % 3, (i % 3) * 10) for i in range(31)]
+        r = self._run(spark, pairs)
+        assert r["nmi_ppm"] == 1_000_000
+        assert r["mi_n_q6"] == r["ha_n_q6"] == r["hb_n_q6"]
+
+    def test_independent_near_zero(self, spark):
+        pairs = [(i % 2, (i // 2) % 2) for i in range(40)]
+        r = self._run(spark, pairs)
+        assert abs(r["nmi_ppm"]) < 60_000
+
+    def test_single_cluster_side_zero(self, spark):
+        # one side uninformative: MI = 0 exactly, NMI = 0 (defined)
+        pairs = [(1, i % 3) for i in range(9)]
+        r = self._run(spark, pairs)
+        assert r["ha_n_q6"] == 0 and r["mi_n_q6"] == 0
+        assert r["nmi_ppm"] == 0
+
+    def test_both_single_null(self, spark):
+        pairs = [(1, 7)] * 6
+        r = self._run(spark, pairs)
+        assert r["nmi_ppm"] is None
+
+    def test_split_giant_class_nmi_vs_ari(self, spark):
+        # B splits A's one giant class in half but keeps 8 small
+        # classes: NMI stays high while ARI drops — the documented
+        # diagnosis pair
+        from ocr_service_spark.operators.clustering import (
+            adjusted_rand_index,
+        )
+
+        pairs = []
+        for i in range(400):  # giant class split in B
+            pairs.append((0, 100 + (i % 2)))
+        for c in range(1, 9):  # small classes kept
+            for i in range(10):
+                pairs.append((c, c))
+        df = spark.createDataFrame(pairs, "a long, b long")
+        nmi = normalized = self._run(spark, pairs)
+        ari = adjusted_rand_index(df, "a", "b").collect()[0]
+        assert nmi["nmi_ppm"] > 700_000
+        assert ari["ari_ppm"] < nmi["nmi_ppm"]
