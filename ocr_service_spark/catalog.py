@@ -20698,6 +20698,67 @@ FROM nn, mi, ha, hb
 """
 
 
+def q_kmeans_elbow(spark, sf_dir):
+    """Choose-k SSE curve (operators/clustering.py kmeans_elbow) over
+    the real embeddings at k ∈ {2,3,4,6} from the deterministic
+    lowest-id seeds — replayable elbow, monotone nonincreasing by the
+    superset rule. Oracle recomputes each k's full argmin assignment
+    and the SSE fold."""
+    from .operators.clustering import kmeans_elbow, quantize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    return kmeans_elbow(pts, [2, 3, 4, 6])
+
+
+def _elbow_sql(ks) -> str:
+    pre = """
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM pts
+)"""
+    parts = [pre]
+    sels = []
+    for k in ks:
+        parts.append(f""",
+c_{k} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         qv
+  FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {k})
+),
+cx_{k} AS (
+  SELECT cid, unnest(qv) AS cx, generate_subscripts(qv, 1) AS i
+  FROM c_{k}
+),
+a_{k} AS (
+  SELECT vec_id, dist FROM (
+    SELECT p.vec_id, SUM((p.x - c.cx) * (p.x - c.cx)) AS dist,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY SUM((p.x - c.cx) * (p.x - c.cx)),
+                                       c.cid) AS rn
+    FROM px p JOIN cx_{k} c USING (i) GROUP BY p.vec_id, c.cid
+  ) WHERE rn = 1
+),
+s_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dist) AS BIGINT) AS sse_q
+  FROM a_{k}
+)""")
+        sels.append(
+            f"SELECT k, n, sse_q, sse_q // n AS mean_sse_q FROM s_{k}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
+SQL_KMEANS_ELBOW = _elbow_sql([2, 3, 4, 6])
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21074,6 +21135,7 @@ CATALOG: Dict[str, tuple] = {
     "silhouette_clusters": (q_silhouette, SQL_SILHOUETTE),
     "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
     "nmi_clusters": (q_nmi_clusters, SQL_NMI),
+    "kmeans_elbow": (q_kmeans_elbow, SQL_KMEANS_ELBOW),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -726,3 +726,44 @@ def normalized_mutual_info(
         F.col("hb").cast("long").alias("hb_n_q6"),
         nmi.alias("nmi_ppm"),
     )
+
+
+def kmeans_elbow(
+    points: DataFrame, ks, iters: int = 0
+) -> DataFrame:
+    """Within-cluster SSE curve over candidate k — the choose-k read
+    the clustering family lacked (kmeans_lloyd fits a given k,
+    silhouette_simplified scores it, nothing says WHICH k): total
+    squared distance to the nearest of the k deterministic lowest-id
+    seeds (optionally after `iters` Lloyd rounds), one row per k.
+    The knee — where adding a centroid stops buying SSE — is the
+    operational k; the deterministic seeds make the curve replayable,
+    unlike random-restart elbow plots that wiggle run to run.
+
+    Each k is one broadcast assignment pass over the points (the
+    kmeans_assign shape: map-side min(struct), one hash aggregate);
+    len(ks) passes total, no cross-k interaction. Emits
+    (k, n, sse_q, mean_sse_q) — mean is sse div n."""
+    spark = points.sparkSession
+    out = None
+    for k in ks:
+        k = int(k)
+        cents = seed_centroids(points, k)
+        if iters:
+            schema = "cid long, qv array<bigint>"
+            for _ in range(int(iters)):
+                cents = _materialize(spark, cents, schema)
+                assign = kmeans_assign(points, cents)
+                cents = _update_centroids(points, assign, cents)
+            cents = _materialize(spark, cents, schema)
+        a = kmeans_assign(points, cents)
+        row = a.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dist_q").cast("long").alias("sse_q"),
+        ).select(
+            "k", "n", "sse_q",
+            F.expr("sse_q div n").cast("long").alias("mean_sse_q"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -506,3 +506,32 @@ class TestNormalizedMutualInfo:
         ari = adjusted_rand_index(df, "a", "b").collect()[0]
         assert nmi["nmi_ppm"] > 700_000
         assert ari["ari_ppm"] < nmi["nmi_ppm"]
+
+
+class TestKmeansElbow:
+    def test_sse_nonincreasing_in_k(self, spark):
+        from ocr_service_spark.operators.clustering import kmeans_elbow
+
+        pts = []
+        for c, base in enumerate(([0, 0], [100, 0], [0, 100])):
+            for i in range(10):
+                pts.append(
+                    (c * 10 + i, [base[0] + i % 3, base[1] + i % 2])
+                )
+        df = spark.createDataFrame(pts, "id long, qv array<long>")
+        rows = {r["k"]: r for r in kmeans_elbow(df, [1, 2, 3]).collect()}
+        # seeds are lowest-id points: k=3 seeds all sit in cluster 0,
+        # but SSE against more seeds can only shrink (superset rule)
+        assert rows[1]["sse_q"] >= rows[2]["sse_q"] >= rows[3]["sse_q"]
+        assert rows[1]["n"] == 30
+
+    def test_lloyd_rounds_reduce_sse(self, spark):
+        from ocr_service_spark.operators.clustering import kmeans_elbow
+
+        pts = [(i, [i % 7, (i * 3) % 11]) for i in range(40)]
+        df = spark.createDataFrame(pts, "id long, qv array<long>")
+        raw = {r["k"]: r["sse_q"]
+               for r in kmeans_elbow(df, [3]).collect()}
+        fit = {r["k"]: r["sse_q"]
+               for r in kmeans_elbow(df, [3], iters=2).collect()}
+        assert fit[3] <= raw[3]
