@@ -94,6 +94,12 @@ HEADLINE = [
     "chao1_richness",
     "conformal_threshold",
     "gale_church_align",
+    "eb_shrunk_rates",
+    "sprt_monitor",
+    "silhouette_clusters",
+    "adjusted_rand",
+    "nmi_clusters",
+    "kmeans_elbow",
     # session-6 additions
     "record_linkage",
     "margin_bitext",
