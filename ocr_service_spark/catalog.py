@@ -20759,6 +20759,75 @@ s_{k} AS (
 SQL_KMEANS_ELBOW = _elbow_sql([2, 3, 4, 6])
 
 
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary growth fit (operators/textstats.py
+    heaps_law_fit) over the REAL documents corpus at decile
+    checkpoints — the scaling-planning curve beside chao1's snapshot.
+    Oracle replays the id ranking, every type's first-appearance
+    rank, all ten conditional checkpoint sums and the floored-log
+    OLS slope."""
+    from .operators.textstats import heaps_law_fit
+
+    return heaps_law_fit(load(spark, sf_dir, "documents"))
+
+
+SQL_HEAPS = """
+WITH c AS (
+  SELECT doc_id, trim(lower(COALESCE(text, ''))) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(t, '\\s+') END AS ws
+  FROM c
+),
+r AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt, ws,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+  FROM b
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+th AS (
+  SELECT CAST(p AS BIGINT) AS pct,
+         GREATEST(1, (p * nn.n) // 100) AS t
+  FROM (SELECT unnest([10,20,30,40,50,60,70,80,90,100]) AS p), nn
+),
+toks AS (SELECT rk, unnest(ws) AS w FROM r),
+fr AS (SELECT w, MIN(rk) AS fr FROM toks GROUP BY w),
+pts AS (
+  SELECT th.pct, CAST(th.t AS BIGINT) AS n_docs_cum,
+         CAST((SELECT COALESCE(SUM(nt), 0) FROM r
+               WHERE rk <= th.t) AS BIGINT) AS n_tokens_cum,
+         CAST((SELECT COUNT(*) FROM fr WHERE fr <= th.t)
+              AS BIGINT) AS v_types
+  FROM th
+),
+lg AS (
+  SELECT CAST(FLOOR(ln(CAST(n_tokens_cum AS DOUBLE)) * 1000000)
+              AS HUGEINT) AS x,
+         CAST(FLOOR(ln(CAST(v_types AS DOUBLE)) * 1000000)
+              AS HUGEINT) AS y
+  FROM pts WHERE n_tokens_cum > 0 AND v_types > 0
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM lg
+),
+beta AS (
+  SELECT CASE WHEN m * sxx - sx * sx > 0 THEN
+    (CASE WHEN m * sxy - sx * sy < 0 THEN -1
+          WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END)
+      * ((ABS(m * sxy - sx * sy) * 1000000) // (m * sxx - sx * sx))
+  END AS beta_ppm
+  FROM ols
+)
+SELECT pts.pct, pts.n_docs_cum, pts.n_tokens_cum, pts.v_types,
+       CAST(beta.beta_ppm AS BIGINT) AS beta_ppm
+FROM pts, beta
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21136,6 +21205,7 @@ CATALOG: Dict[str, tuple] = {
     "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
     "nmi_clusters": (q_nmi_clusters, SQL_NMI),
     "kmeans_elbow": (q_kmeans_elbow, SQL_KMEANS_ELBOW),
+    "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

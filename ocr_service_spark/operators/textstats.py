@@ -1115,3 +1115,105 @@ def chao1_richness(
             F.expr("((n_tokens - f1) * 1000) div n_tokens"),
         ).cast("long").alias("coverage_pm"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pcts=tuple(range(10, 101, 10)),
+) -> DataFrame:
+    """Heaps'-law vocabulary growth V(N) ≈ k·N^β — the PLANNING curve
+    beside the instantaneous reads (chao1_richness says how many
+    types remain, vocab_novelty says what today added; β says how
+    fast the vocabulary will keep growing as the crawl scales: β≈0.5
+    is healthy natural text, β→1 means unbounded junk types — ids,
+    hashes, boilerplate permutations — and dedup/quality gates are
+    leaking).
+
+    Distributed construction with no per-doc loop: docs rank by id
+    through the distributed prefix sum (ids unique → cum count IS the
+    rank); each TYPE's first appearance is one min-aggregate over its
+    postings (first_rank = min doc rank containing it — the whole
+    cumulative-vocabulary curve collapses to this); each requested
+    percentile checkpoint is then a CONDITIONAL SUM (fr ≤ t_r) — the
+    simhash trick, all checkpoints in ONE aggregate. The growth
+    exponent is OLS over (floor(ln N_r·10⁶), floor(ln V_r·10⁶)) —
+    logs floored per point BEFORE the five-sum fold (repo float
+    rule), slope sign-split to ppm.
+
+    Emits one row per checkpoint: (pct, n_docs_cum, n_tokens_cum,
+    v_types, beta_ppm) — beta_ppm identical on every row."""
+    d38 = "decimal(38,0)"
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    base = df.select(
+        F.col(id_col).alias("id"), words.alias("ws")
+    ).withColumn("nt", F.size("ws").cast("long"))
+    from .quality import global_prefix_sum
+
+    one = base.select("id", "nt").withColumn("_c", F.lit(1))
+    ranked = global_prefix_sum(one, ["id"], "_c", out_col="rk")
+    n_docs = ranked.agg(F.max("rk").alias("n")).collect()[0]["n"]
+    n_docs = int(n_docs or 0)
+    ts = {
+        p: max(1, (int(p) * n_docs) // 100) for p in pcts
+    }
+    toks = (
+        base.join(ranked.select("id", "rk"), "id")
+        .select("rk", F.explode("ws").alias("w"))
+    )
+    fr = toks.groupBy("w").agg(F.min("rk").alias("fr"))
+    vrow = fr.agg(
+        *[
+            F.sum((F.col("fr") <= t_r).cast("long")).alias(f"v_{p}")
+            for p, t_r in ts.items()
+        ]
+    )
+    nrow = ranked.agg(
+        *[
+            F.sum(
+                F.when(F.col("rk") <= t_r, F.col("nt")).otherwise(0)
+            ).cast("long").alias(f"t_{p}")
+            for p, t_r in ts.items()
+        ]
+    )
+    wide = vrow.crossJoin(F.broadcast(nrow))
+    pts = None
+    for p, t_r in ts.items():
+        row = wide.select(
+            F.lit(int(p)).cast("long").alias("pct"),
+            F.lit(int(t_r)).cast("long").alias("n_docs_cum"),
+            F.col(f"t_{p}").alias("n_tokens_cum"),
+            F.col(f"v_{p}").alias("v_types"),
+        )
+        pts = row if pts is None else pts.unionByName(row)
+    lg = pts.where(
+        (F.col("n_tokens_cum") > 0) & (F.col("v_types") > 0)
+    ).select(
+        "pct",
+        F.floor(F.log(F.col("n_tokens_cum").cast("double")) * 1_000_000)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("v_types").cast("double")) * 1_000_000)
+        .cast("long").alias("y"),
+    )
+    ols = lg.agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    ).select(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("_num"),
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("_den"),
+    )
+    beta = F.when(
+        F.col("_den") > 0,
+        F.signum("_num").cast("long")
+        * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+    )
+    return pts.crossJoin(F.broadcast(ols.select(beta.alias("beta_ppm"))))

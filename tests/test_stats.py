@@ -204,3 +204,48 @@ class TestChao1Richness:
     def test_empty_corpus(self, spark):
         r = self._run(spark, ["", ""])
         assert r["s_obs"] == 0 and r["coverage_pm"] is None
+
+
+class TestHeapsLawFit:
+    def _run(self, spark, texts, pcts=(25, 50, 75, 100)):
+        from ocr_service_spark.operators.textstats import heaps_law_fit
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        rows = heaps_law_fit(df, pcts=pcts).collect()
+        return sorted(rows, key=lambda r: r["pct"])
+
+    def test_checkpoints_monotone(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(300)]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(30))
+            for _ in range(40)
+        ]
+        rows = self._run(spark, texts)
+        vs = [r["v_types"] for r in rows]
+        ns = [r["n_tokens_cum"] for r in rows]
+        assert vs == sorted(vs) and ns == sorted(ns)
+        assert rows[-1]["n_docs_cum"] == 40
+        # sublinear growth: 0 < beta < 1 for sampled-vocab text
+        assert 0 < rows[0]["beta_ppm"] < 1_000_000
+        assert len({r["beta_ppm"] for r in rows}) == 1
+
+    def test_all_unique_tokens_beta_one(self, spark):
+        # every token new: V = N exactly -> beta = 1 on the log grid
+        texts = [
+            " ".join(f"u{d}_{i}" for i in range(10)) for d in range(20)
+        ]
+        rows = self._run(spark, texts)
+        assert all(r["v_types"] == r["n_tokens_cum"] for r in rows)
+        assert abs(rows[0]["beta_ppm"] - 1_000_000) <= 5
+
+    def test_fixed_vocab_beta_near_zero(self, spark):
+        texts = ["a b c d e"] * 40
+        rows = self._run(spark, texts)
+        assert all(r["v_types"] == 5 for r in rows)
+        assert abs(rows[0]["beta_ppm"]) <= 5
