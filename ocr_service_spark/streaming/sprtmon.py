@@ -1,0 +1,119 @@
+"""Streaming SPRT decision monitor: per-day conversion store + Wald
+sequential verdicts.
+
+The batch operator (operators/stats.py sprt_monitor) reads a finished
+daily table; an experiment emits (day, converted) events CONTINUOUSLY,
+and the entire point of a SEQUENTIAL test is to decide while the data
+arrives. This module keeps the per-day (trials, successes) store up to
+date from the stream and republishes the full decision table after
+every micro-batch — the first `h1`/`h0` row IS the stopping signal the
+experiment harness acts on.
+
+Counts merge by SUM, so at-least-once replay would double-count a day
+and cross a boundary early — the driftmon transactional-pointer
+discipline applies verbatim: one atomic os.replace carries both the
+current data dir and the applied-batch-id set (a replayed id is
+skipped; a crash before the swap leaves unreferenced garbage, never a
+half-applied store). Decisions are recomputed from the WHOLE store
+each batch — days are a dimension table, and full recompute inherits
+the batch operator's oracle-checked semantics (batch parity pinned in
+tests/test_streaming_sprtmon.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.stats import sprt_monitor
+
+
+def _read_state(store_path: str):
+    ptr = os.path.join(store_path, "current")
+    if not os.path.exists(ptr):
+        return None, set()
+    with open(ptr) as f:
+        st = json.load(f)
+    return st["v"], set(st["applied"])
+
+
+def _write_state(store_path: str, vdir: str, applied) -> None:
+    tmp = os.path.join(store_path, "current.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"v": vdir, "applied": sorted(applied)}, f)
+    os.replace(tmp, os.path.join(store_path, "current"))
+
+
+def run_sprt_monitor_stream(
+    spark,
+    source_path: str,
+    store_path: str,
+    decisions_path: str,
+    checkpoint_path: str,
+    schema,
+    day_col: str = "day",
+    success_col: str = "converted",
+    p0_pm: int = 100,
+    p1_pm: int = 200,
+    alpha_pm: int = 50,
+    beta_pm: int = 200,
+) -> None:
+    """Drain the parquet event source with availableNow, folding each
+    micro-batch's per-day (n, s) counts into the store exactly once
+    and republishing the SPRT decision table."""
+
+    def publish(sp, vdir: str) -> None:
+        sprt_monitor(
+            sp.read.parquet(os.path.join(store_path, vdir)),
+            "day", "n", "s",
+            p0_pm=p0_pm, p1_pm=p1_pm,
+            alpha_pm=alpha_pm, beta_pm=beta_pm,
+        ).write.mode("overwrite").parquet(decisions_path)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        vdir, applied = _read_state(store_path)
+        if batch_id in applied:
+            # replay: already counted — republish from the current
+            # store in case the crash hit between swap and publish
+            publish(sp, vdir)
+            return
+        bcounts = (
+            batch.select(
+                F.col(day_col).alias("day"),
+                F.col(success_col).cast("boolean").cast("long")
+                .alias("y"),
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("s"),
+            )
+        )
+        if vdir is not None:
+            cur = sp.read.parquet(os.path.join(store_path, vdir))
+            merged = (
+                cur.unionByName(bcounts)
+                .groupBy("day")
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+        else:
+            merged = bcounts
+        new_v = f"v{batch_id:06d}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_path, new_v)
+        )
+        _write_state(store_path, new_v, applied | {batch_id})
+        publish(sp, new_v)
+
+    os.makedirs(store_path, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

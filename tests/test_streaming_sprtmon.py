@@ -1,0 +1,121 @@
+"""Streaming SPRT monitor (streaming/sprtmon.py): cross-batch count
+folding, batch parity with the oracle-checked sprt_monitor operator,
+exactly-once application under source replay, and the decide-early
+read — the verdict appears the first batch the evidence suffices."""
+
+import os
+
+import pytest
+
+from ocr_service_spark.streaming.sprtmon import run_sprt_monitor_stream
+
+SCHEMA = "day long, converted boolean"
+
+
+@pytest.fixture()
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sprtmon")
+    return (
+        str(root / "src"),
+        str(root / "store"),
+        str(root / "decisions"),
+        str(root / "ckpt"),
+    )
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+
+def _run(spark, paths, ckpt=None):
+    src, store, decisions, ckpt0 = paths
+    schema = spark.read.parquet(src).schema
+    run_sprt_monitor_stream(
+        spark, src, store, decisions, ckpt or ckpt0, schema,
+    )
+
+
+def _decisions(spark, decisions):
+    return {
+        r["day"]: r for r in spark.read.parquet(decisions).collect()
+    }
+
+
+def _batch_expected(spark, all_rows):
+    import pyspark.sql.functions as F
+
+    from ocr_service_spark.operators.stats import sprt_monitor
+
+    daily = (
+        spark.createDataFrame(all_rows, SCHEMA)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("converted").cast("long")).alias("s"),
+        )
+    )
+    return {
+        r["day"]: r
+        for r in sprt_monitor(
+            daily, "day", "n", "s", p0_pm=100, p1_pm=200
+        ).collect()
+    }
+
+
+def _days(day, n, n_conv):
+    return [(day, i < n_conv) for i in range(n)]
+
+
+def test_streaming_matches_batch_and_decides_early(spark, paths):
+    src = paths[0]
+    # poll 1: three near-indifference days — no decision yet
+    poll1 = sum((_days(d, 50, 7) for d in range(3)), [])
+    _write(spark, src, poll1)
+    _run(spark, paths)
+    got = _decisions(spark, paths[2])
+    exp = _batch_expected(spark, poll1)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert (got[d]["cum_q6"], got[d]["state"]) == (
+            exp[d]["cum_q6"], exp[d]["state"]
+        )
+    assert all(r["state"] == "continue" for r in got.values())
+
+    # poll 2: the conversion rate jumps — the monitor must publish h1
+    poll2 = sum((_days(d, 50, 15) for d in range(3, 6)), [])
+    _write(spark, src, poll2)
+    _run(spark, paths)
+    got = _decisions(spark, paths[2])
+    exp = _batch_expected(spark, poll1 + poll2)
+    for d in exp:
+        assert (got[d]["cum_q6"], got[d]["state"]) == (
+            exp[d]["cum_q6"], exp[d]["state"]
+        )
+    assert got[max(got)]["state"] == "h1"
+
+
+def test_late_events_for_seen_day_fold_in(spark, paths):
+    src = paths[0]
+    _write(spark, src, _days(0, 30, 4))
+    _run(spark, paths)
+    # more events for day 0 arrive in a later poll: counts must SUM
+    _write(spark, src, _days(0, 20, 3))
+    _run(spark, paths)
+    got = _decisions(spark, paths[2])
+    assert got[0]["n"] == 50 and got[0]["s"] == 7
+
+
+def test_replay_is_exactly_once(spark, paths):
+    src, store, decisions, _ = paths
+    rows = sum((_days(d, 40, 6) for d in range(4)), [])
+    _write(spark, src, rows)
+    _run(spark, paths)
+    before = _decisions(spark, decisions)
+    # fresh checkpoint: the engine replays the WHOLE source as new
+    # batch ids... but the store's applied set is keyed by batch id,
+    # which restarts at 0 — the pointer discipline must skip them
+    _run(spark, paths, ckpt=os.path.join(store, "..", "ckpt2"))
+    after = _decisions(spark, decisions)
+    assert {d: (r["n"], r["s"]) for d, r in after.items()} == {
+        d: (r["n"], r["s"]) for d, r in before.items()
+    }
