@@ -20828,6 +20828,79 @@ FROM pts, beta
 """
 
 
+def q_cuped_adjust(spark, sf_dir):
+    """CUPED variance-reduced A/B delta (operators/stats.py
+    cuped_adjust): arms by doc_id parity, outcome = pre-period length
+    + small noise + a planted +15 treated effect, covariate = the
+    pre-period length itself — ρ² lands near 1 and the adjusted
+    delta recovers the planted effect the raw delta buries in
+    between-document variance. Oracle replays every sum, θ as a
+    rational and both sign-split grid deltas."""
+    from .operators.stats import cuped_adjust
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id % 2 = 0").alias("t"),
+        F.expr(
+            "CAST(n_chars AS BIGINT) + doc_id % 7"
+            " + CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 0 END"
+        ).alias("y"),
+        F.col("n_chars").alias("x"),
+    )
+    return cuped_adjust(d, "t", "y", "x")
+
+
+SQL_CUPED = """
+WITH d AS (
+  SELECT doc_id % 2 = 0 AS t,
+         CAST(n_chars + doc_id % 7
+              + CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 0 END
+              AS HUGEINT) AS y,
+         CAST(n_chars AS HUGEINT) AS x
+  FROM documents
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+         CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS HUGEINT) AS nc,
+         SUM(CASE WHEN t THEN y ELSE 0 END) AS syt,
+         SUM(CASE WHEN t THEN 0 ELSE y END) AS syc,
+         SUM(CASE WHEN t THEN x ELSE 0 END) AS sxt,
+         SUM(CASE WHEN t THEN 0 ELSE x END) AS sxc,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         SUM(x) AS sx, SUM(y) AS sy
+  FROM d
+),
+st AS (
+  SELECT *, n * sxy - sx * sy AS ntheta,
+         n * sxx - sx * sx AS dtheta,
+         syt * nc - syc * nt AS dy,
+         sxt * nc - sxc * nt AS dx,
+         n * syy - sy * sy AS vy
+  FROM agg
+)
+SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+       CAST(CASE WHEN nt > 0 AND nc > 0 THEN
+         (CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END)
+           * ((ABS(dy) * 10000) // (nt * nc))
+       END AS BIGINT) AS delta_raw_q4,
+       CAST(CASE WHEN dtheta > 0 THEN
+         (CASE WHEN ntheta < 0 THEN -1 WHEN ntheta > 0 THEN 1
+          ELSE 0 END)
+           * ((ABS(ntheta) * 1000000) // dtheta)
+       END AS BIGINT) AS theta_ppm,
+       CAST(CASE WHEN nt > 0 AND nc > 0 AND dtheta > 0 THEN
+         (CASE WHEN dy * dtheta - ntheta * dx < 0 THEN -1
+               WHEN dy * dtheta - ntheta * dx > 0 THEN 1 ELSE 0 END)
+           * ((ABS(dy * dtheta - ntheta * dx) * 10000)
+              // (nt * nc * dtheta))
+       END AS BIGINT) AS delta_adj_q4,
+       CAST(CASE WHEN dtheta > 0 AND vy > 0 THEN
+         (ntheta * ntheta * 1000000) // (dtheta * vy)
+       END AS BIGINT) AS rho2_ppm
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21206,6 +21279,7 @@ CATALOG: Dict[str, tuple] = {
     "nmi_clusters": (q_nmi_clusters, SQL_NMI),
     "kmeans_elbow": (q_kmeans_elbow, SQL_KMEANS_ELBOW),
     "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS),
+    "cuped_adjust": (q_cuped_adjust, SQL_CUPED),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -2119,3 +2119,45 @@ class TestSprtMonitor:
         for r in got:
             acc += r["llr_q6"]
             assert r["cum_q6"] == acc
+
+
+class TestCupedAdjust:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import cuped_adjust
+
+        df = spark.createDataFrame(rows, "t boolean, y long, x long")
+        return cuped_adjust(df, "t", "y", "x").collect()[0]
+
+    def test_balanced_covariate_no_change(self, spark):
+        rows = [(False, 10, 100), (False, 12, 110),
+                (True, 13, 100), (True, 15, 110)]
+        r = self._run(spark, rows)
+        assert r["delta_raw_q4"] == 30_000
+        assert r["delta_adj_q4"] == 30_000
+        assert r["theta_ppm"] == 200_000
+
+    def test_imbalance_corrected_hand(self, spark):
+        # y = x (+15 for treated), treated x runs +10 hot: the raw
+        # delta reads 25, CUPED pulls the covariate imbalance out
+        rows = [(False, 100, 100), (False, 110, 110),
+                (True, 125, 110), (True, 135, 120)]
+        r = self._run(spark, rows)
+        assert r["delta_raw_q4"] == 250_000
+        assert r["theta_ppm"] == 1_750_000
+        assert r["delta_adj_q4"] == 75_000
+        assert r["rho2_ppm"] == (1400 * 1400 * 1_000_000) // (800 * 2900)
+
+    def test_strong_covariate_high_rho2(self, spark):
+        rows = [(i % 2 == 0, 500 + v + (3 if i % 2 == 0 else 0), v)
+                for i, v in enumerate((j * 13) % 97 for j in range(200))]
+        r = self._run(spark, rows)
+        assert r["rho2_ppm"] > 990_000
+        # adjusted delta lands on the true +3 within the q4 grid
+        assert abs(r["delta_adj_q4"] - 30_000) < 3_000
+
+    def test_constant_covariate_nulls_adjusted(self, spark):
+        rows = [(False, 10, 7), (True, 14, 7), (False, 11, 7),
+                (True, 13, 7)]
+        r = self._run(spark, rows)
+        assert r["delta_adj_q4"] is None and r["theta_ppm"] is None
+        assert r["delta_raw_q4"] == 30_000
