@@ -20901,6 +20901,76 @@ FROM st
 """
 
 
+def q_nearest_control_match(spark, sf_dir):
+    """Nearest-score matched controls (operators/stats.py
+    nearest_control_match): odd-doc_id documents are the "adopters",
+    even the pool, score = length — every treated doc must pair with
+    its closest-length control under the exact tie rules (lower
+    score, then smallest id, matching WITH replacement). Oracle
+    replays both neighbors via LATERAL order-by-limit probes and the
+    same pick rule."""
+    from .operators.stats import nearest_control_match
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("n_chars") + F.col("doc_id") % 5).alias("y"),
+    )
+    treated = docs.where(F.expr("doc_id % 2 = 1")).select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").alias("score"), "y",
+    )
+    control = docs.where(F.expr("doc_id % 2 = 0")).select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").alias("score"), "y",
+    )
+    return nearest_control_match(treated, control)
+
+
+SQL_NEAREST_MATCH = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS s,
+         CAST(n_chars + doc_id % 5 AS BIGINT) AS y
+  FROM documents WHERE doc_id % 2 = 1
+),
+c AS (
+  SELECT CAST(doc_id AS BIGINT) AS cid, CAST(n_chars AS BIGINT) AS cs,
+         CAST(n_chars + doc_id % 5 AS BIGINT) AS cy
+  FROM documents WHERE doc_id % 2 = 0
+),
+m AS (
+  SELECT t.id, t.s, t.y,
+         lo.cid AS lo_cid, lo.cs AS lo_cs, lo.cy AS lo_cy,
+         hi.cid AS hi_cid, hi.cs AS hi_cs, hi.cy AS hi_cy
+  FROM t
+  LEFT JOIN LATERAL (
+    SELECT cid, cs, cy FROM c WHERE cs <= t.s
+    ORDER BY cs DESC, cid LIMIT 1
+  ) lo ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT cid, cs, cy FROM c WHERE cs >= t.s
+    ORDER BY cs ASC, cid LIMIT 1
+  ) hi ON TRUE
+),
+pick AS (
+  SELECT id, s, y,
+         lo_cs IS NOT NULL
+           AND (hi_cs IS NULL OR s - lo_cs <= hi_cs - s) AS use_lo,
+         lo_cid, lo_cs, lo_cy, hi_cid, hi_cs, hi_cy
+  FROM m
+)
+SELECT id, s AS score, y,
+       CAST(CASE WHEN use_lo THEN lo_cid ELSE hi_cid END AS BIGINT)
+         AS ctrl_id,
+       CAST(CASE WHEN use_lo THEN lo_cs ELSE hi_cs END AS BIGINT)
+         AS ctrl_score,
+       CAST(CASE WHEN use_lo THEN lo_cy ELSE hi_cy END AS BIGINT)
+         AS ctrl_y,
+       CAST((CASE WHEN use_lo THEN lo_cs ELSE hi_cs END) - s
+            AS BIGINT) AS gap
+FROM pick
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21280,6 +21350,7 @@ CATALOG: Dict[str, tuple] = {
     "kmeans_elbow": (q_kmeans_elbow, SQL_KMEANS_ELBOW),
     "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED),
+    "nearest_control_match": (q_nearest_control_match, SQL_NEAREST_MATCH),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -3914,3 +3914,124 @@ def cuped_adjust(
         adj.alias("delta_adj_q4"),
         rho2.alias("rho2_ppm"),
     )
+
+
+def nearest_control_match(
+    treated: DataFrame,
+    control: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    outcome_col: str = "y",
+) -> DataFrame:
+    """Nearest-score matched controls (with replacement) — the
+    observational companion of cuped_adjust: when assignment was NOT
+    randomized (hosts that adopted a new template vs those that
+    didn't), comparing raw outcome means confounds with whatever
+    drove adoption; matching each treated unit to the control with
+    the nearest propensity/covariate score compares like with like —
+    feed the (ty − cy) gaps to wilcoxon_signed_rank for the verdict.
+
+    Deterministic match rule: the control minimizing |score gap|;
+    tie between the below- and above-neighbor → the LOWER control
+    score; among controls sharing that score → the smallest control
+    id. Matching is WITH replacement (no sequential greedy state —
+    the property that makes it distributable at all).
+
+    Scale shape — never a range join: both sides union under the
+    global score order and the below-neighbor is a running max of
+    the control struct (score, −id, …) over the distributed prefix
+    pass (partition-local window + ONE collected carry row per
+    partition, the ks_drift skeleton); controls sort BEFORE treated
+    at equal scores so exact ties match. The above-neighbor is the
+    same pass on negated scores. Emits one row per treated unit:
+    (id, score, y, ctrl_id, ctrl_score, ctrl_y, gap) — gap signed
+    ctrl_score − score; no control at all → NULL match columns."""
+    T = treated.select(
+        F.col(id_col).cast("long").alias("tid"),
+        F.col(score_col).cast("long").alias("ts"),
+        F.col(outcome_col).cast("long").alias("ty"),
+    )
+    C = control.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(score_col).cast("long").alias("cs"),
+        F.col(outcome_col).cast("long").alias("cy"),
+    )
+    spark = treated.sparkSession
+
+    def below(sgn: int) -> DataFrame:
+        cu = C.select(
+            (F.lit(sgn) * F.col("cs")).alias("k"),
+            F.lit(0).alias("side"),
+            F.col("cid").alias("rid"),
+            F.struct(
+                (F.lit(sgn) * F.col("cs")).alias("k"),
+                (-F.col("cid")).alias("nid"),
+                F.col("cy").alias("cy"),
+                F.col("cid").alias("cid"),
+            ).alias("cst"),
+        )
+        tu = T.select(
+            (F.lit(sgn) * F.col("ts")).alias("k"),
+            F.lit(1).alias("side"),
+            F.col("tid").alias("rid"),
+            F.lit(None).cast(cu.schema["cst"].dataType).alias("cst"),
+        )
+        u = cu.unionByName(tu).repartitionByRange("k", "side", "rid")
+        part = u.withColumn("_pid", F.spark_partition_id())
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("k", "side", "rid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = part.withColumn("_run", F.max("cst").over(w)) \
+            .localCheckpoint()
+        tops = (
+            run.groupBy("_pid").agg(F.max("cst").alias("_top"))
+            .orderBy("_pid")
+            .collect()
+        )
+        carries, best = [], None
+        for r in tops:
+            carries.append((int(r["_pid"]), best))
+            t = r["_top"]
+            if t is not None:
+                t = (int(t["k"]), int(t["nid"]), int(t["cy"]),
+                     int(t["cid"]))
+                best = t if best is None or t > best else best
+        cdf = spark.createDataFrame(
+            carries,
+            "_pid int, _carry struct<k:long,nid:long,cy:long,cid:long>",
+        )
+        eff = run.join(F.broadcast(cdf), "_pid").withColumn(
+            "_eff", F.greatest(F.col("_run"), F.col("_carry"))
+        )
+        return eff.where(F.col("side") == 1).select(
+            F.col("rid").alias("tid"),
+            (F.lit(sgn) * F.col("_eff.k")).alias(f"m_cs_{sgn}"),
+            F.col("_eff.cid").alias(f"m_cid_{sgn}"),
+            F.col("_eff.cy").alias(f"m_cy_{sgn}"),
+        )
+
+    lo = below(1)
+    hi = below(-1)
+    j = T.join(lo, "tid", "left").join(hi, "tid", "left")
+    gap_lo = F.col("ts") - F.col("m_cs_1")
+    gap_hi = F.col("m_cs_-1") - F.col("ts")
+    use_lo = F.col("m_cs_1").isNotNull() & (
+        F.col("m_cs_-1").isNull() | (gap_lo <= gap_hi)
+    )
+    pick = lambda a, b: F.when(use_lo, a).otherwise(b)
+    return j.select(
+        F.col("tid").alias(id_col),
+        F.col("ts").alias(score_col),
+        F.col("ty").alias(outcome_col),
+        pick(F.col("m_cid_1"), F.col("m_cid_-1")).cast("long")
+        .alias("ctrl_id"),
+        pick(F.col("m_cs_1"), F.col("m_cs_-1")).cast("long")
+        .alias("ctrl_score"),
+        pick(F.col("m_cy_1"), F.col("m_cy_-1")).cast("long")
+        .alias("ctrl_y"),
+        (
+            pick(F.col("m_cs_1"), F.col("m_cs_-1")) - F.col("ts")
+        ).cast("long").alias("gap"),
+    )

@@ -2161,3 +2161,51 @@ class TestCupedAdjust:
         r = self._run(spark, rows)
         assert r["delta_adj_q4"] is None and r["theta_ppm"] is None
         assert r["delta_raw_q4"] == 30_000
+
+
+class TestNearestControlMatch:
+    def _run(self, spark, treated, control):
+        from ocr_service_spark.operators.stats import (
+            nearest_control_match,
+        )
+
+        t = spark.createDataFrame(treated, "id long, score long, y long")
+        c = spark.createDataFrame(control, "id long, score long, y long")
+        out = nearest_control_match(t, c).collect()
+        return {r["id"]: r for r in out}
+
+    def test_nearest_below_and_above(self, spark):
+        treated = [(1, 50, 10), (2, 93, 20)]
+        control = [(100, 40, 1), (101, 60, 2), (102, 90, 3)]
+        got = self._run(spark, treated, control)
+        # 50: below 40 (gap 10) vs above 60 (gap 10): tie -> LOWER
+        assert got[1]["ctrl_id"] == 100 and got[1]["gap"] == -10
+        # 93: below 90 (gap 3) beats above None
+        assert got[2]["ctrl_id"] == 102 and got[2]["gap"] == -3
+
+    def test_exact_tie_matches_equal_score(self, spark):
+        treated = [(1, 70, 5)]
+        control = [(100, 70, 9), (101, 70, 8), (102, 69, 7)]
+        got = self._run(spark, treated, control)
+        # equal score wins with gap 0; smallest cid among equals
+        assert got[1]["ctrl_id"] == 100 and got[1]["gap"] == 0
+
+    def test_with_replacement(self, spark):
+        treated = [(1, 10, 0), (2, 11, 0), (3, 12, 0)]
+        control = [(100, 11, 42)]
+        got = self._run(spark, treated, control)
+        assert all(r["ctrl_id"] == 100 for r in got.values())
+        assert got[1]["gap"] == 1 and got[3]["gap"] == -1
+
+    def test_no_controls_nulls(self, spark):
+        got = self._run(spark, [(1, 5, 2)], [])
+        assert got[1]["ctrl_id"] is None and got[1]["gap"] is None
+
+    def test_many_partitions_carry(self, spark):
+        # spread scores across range partitions: the carry must hand
+        # the last control across partition boundaries
+        treated = [(i, i * 10, 0) for i in range(1, 200)]
+        control = [(1000, 5, 7)]  # one control far below everything
+        got = self._run(spark, treated, control)
+        assert all(r["ctrl_id"] == 1000 for r in got.values())
+        assert got[199]["gap"] == 5 - 1990
