@@ -20971,6 +20971,61 @@ FROM pick
 """
 
 
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel–Haenszel stratified gate-bias audit
+    (operators/quality.py mantel_haenszel_or): group = zh, outcome =
+    a length-keyed keep gate, strata = length bands — the
+    confounder-controlled OR beside gate_disparity's crude one; the
+    gap between the two columns IS the Simpson read. Oracle replays
+    every stratum's 2×2 cells, the q6 per-stratum terms and both
+    ratios."""
+    from .operators.quality import mantel_haenszel_or
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars AS BIGINT) div 150").alias("band"),
+        F.expr("lang = 'zh'").alias("g"),
+        F.expr("(n_chars + doc_id % 50) >= 280").alias("o"),
+    )
+    return mantel_haenszel_or(d, "band", "g", "o")
+
+
+SQL_MANTEL_HAENSZEL = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) // 150 AS s,
+         lang = 'zh' AS g,
+         (n_chars + doc_id % 50) >= 280 AS o
+  FROM documents
+),
+per AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN g AND o THEN 1 ELSE 0 END) AS HUGEINT)
+           AS a,
+         CAST(SUM(CASE WHEN g AND NOT o THEN 1 ELSE 0 END) AS HUGEINT)
+           AS b,
+         CAST(SUM(CASE WHEN NOT g AND o THEN 1 ELSE 0 END) AS HUGEINT)
+           AS c,
+         CAST(SUM(CASE WHEN NOT g AND NOT o THEN 1 ELSE 0 END)
+              AS HUGEINT) AS dd,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM d GROUP BY s
+),
+fold AS (
+  SELECT SUM((a * dd * 1000000) // n) AS num,
+         SUM((b * c * 1000000) // n) AS den,
+         SUM(a) AS ta, SUM(b) AS tb, SUM(c) AS tc, SUM(dd) AS td,
+         SUM(n) AS tn, CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM per
+)
+SELECT CAST(tn AS BIGINT) AS n, n_strata,
+       CAST(((2 * ta + 1) * (2 * td + 1) * 1000000)
+            // ((2 * tb + 1) * (2 * tc + 1)) AS BIGINT)
+         AS crude_or_ppm,
+       CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END
+            AS BIGINT) AS mh_or_ppm
+FROM fold
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21351,6 +21406,7 @@ CATALOG: Dict[str, tuple] = {
     "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED),
     "nearest_control_match": (q_nearest_control_match, SQL_NEAREST_MATCH),
+    "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1598,3 +1598,70 @@ def eb_shrunk_rates(
             ),
         ).otherwise(F.col("p")).cast("long").alias("shrunk_pm"),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-controlled read gate_disparity can't give: the crude
+    per-slice OR confounds group with anything correlated with it
+    (zh documents ARE longer, and the gate keys on length), while MH
+    pools the per-stratum 2×2 tables so a gate that is fair WITHIN
+    every length band reads OR ≈ 1 even when the crude OR screams —
+    Simpson's paradox, resolved the standard way.
+
+    With per-stratum counts (aᵢ = group∧outcome, bᵢ = group∧¬outcome,
+    cᵢ = ¬group∧outcome, dᵢ = rest; nᵢ the stratum size):
+        OR_MH = (Σ aᵢdᵢ/nᵢ) / (Σ bᵢcᵢ/nᵢ)
+    Each stratum term is floor-quantized to the 1e6 grid BEFORE the
+    fold ((aᵢdᵢ·10⁶) div nᵢ — nonneg, truncate = floor), then ONE
+    ppm division; a zero denominator (no discordant b·c mass
+    anywhere) emits NULL. The crude (unstratified) OR rides along on
+    the Haldane +0.5 doubled-cell grid gate_disparity uses, so the
+    Simpson gap is read from one row.
+
+    One hash aggregate per stratum + one fold. Emits ONE row:
+    (n, n_strata, crude_or_ppm, mh_or_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(group_col).cast("boolean").alias("g"),
+        F.col(outcome_col).cast("boolean").alias("o"),
+    )
+    per = d.groupBy("s").agg(
+        F.sum((F.col("g") & F.col("o")).cast("long")).cast(d38)
+        .alias("a"),
+        F.sum((F.col("g") & ~F.col("o")).cast("long")).cast(d38)
+        .alias("b"),
+        F.sum((~F.col("g") & F.col("o")).cast("long")).cast(d38)
+        .alias("c"),
+        F.sum((~F.col("g") & ~F.col("o")).cast("long")).cast(d38)
+        .alias("dd"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+    )
+    fold = per.agg(
+        F.sum(F.expr("(a * dd * 1000000) div n")).alias("num"),
+        F.sum(F.expr("(b * c * 1000000) div n")).alias("den"),
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"), F.sum("dd").alias("td"),
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    crude = F.expr(
+        "((2 * ta + 1) * (2 * td + 1) * 1000000)"
+        " div ((2 * tb + 1) * (2 * tc + 1))"
+    ).cast("long")
+    mh = F.when(
+        F.col("den") > 0,
+        F.expr("(num * 1000000) div den").cast("long"),
+    )
+    return fold.select(
+        F.col("tn").cast("long").alias("n"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        crude.alias("crude_or_ppm"),
+        mh.alias("mh_or_ppm"),
+    )

@@ -1939,3 +1939,43 @@ class TestEbShrunkRates:
         rows = [("a", 10, 5), ("empty", 0, 0), ("b", 10, 7)]
         got = self._run(spark, rows)
         assert "empty" not in got and len(got) == 2
+
+
+class TestMantelHaenszelOr:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.quality import (
+            mantel_haenszel_or,
+        )
+
+        df = spark.createDataFrame(
+            rows, "s string, g boolean, o boolean"
+        )
+        return mantel_haenszel_or(df, "s", "g", "o").collect()[0]
+
+    def _cells(self, s, a, b, c, d):
+        return (
+            [(s, True, True)] * a + [(s, True, False)] * b
+            + [(s, False, True)] * c + [(s, False, False)] * d
+        )
+
+    def test_simpsons_paradox_resolved(self, spark):
+        # within each stratum OR = 1 exactly; the crude table screams
+        rows = self._cells("short", 1, 9, 100, 900)
+        rows += self._cells("long", 900, 100, 9, 1)
+        r = self._run(spark, rows)
+        assert r["mh_or_ppm"] == 1_000_000
+        assert r["crude_or_ppm"] > 50_000_000
+        assert r["n_strata"] == 2
+
+    def test_true_effect_survives_stratification(self, spark):
+        # OR = 4 within both strata (and balanced sizes): MH ~ 4
+        rows = self._cells("s1", 40, 10, 20, 20)
+        rows += self._cells("s2", 20, 20, 10, 40)
+        r = self._run(spark, rows)
+        assert abs(r["mh_or_ppm"] - 4_000_000) < 30_000
+
+    def test_no_discordant_mass_null(self, spark):
+        rows = self._cells("s1", 5, 0, 0, 5)
+        r = self._run(spark, rows)
+        assert r["mh_or_ppm"] is None
+        assert r["crude_or_ppm"] is not None
