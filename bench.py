@@ -100,6 +100,10 @@ HEADLINE = [
     "adjusted_rand",
     "nmi_clusters",
     "kmeans_elbow",
+    "heaps_law_fit",
+    "cuped_adjust",
+    "nearest_control_match",
+    "mantel_haenszel",
     # session-6 additions
     "record_linkage",
     "margin_bitext",
