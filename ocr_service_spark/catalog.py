@@ -21026,6 +21026,83 @@ FROM fold
 """
 
 
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences (operators/stats.py diff_in_diff):
+    adopters = doc_id % 3 = 0, post = doc_id % 2 = 0, outcome =
+    length + a level gap for adopters + a common time trend + a
+    planted +20 interaction — DiD must cancel the first two and
+    recover the interaction. Oracle replays all four cell sums and
+    the cross-multiplied sign-split estimate."""
+    from .operators.stats import diff_in_diff
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id % 3 = 0").alias("g"),
+        F.expr("doc_id % 2 = 0").alias("p"),
+        F.expr(
+            "CAST(n_chars AS BIGINT)"
+            " + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 0 END"
+            " + CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 0 END"
+            " + CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0"
+            "        THEN 20 ELSE 0 END"
+        ).alias("y"),
+    )
+    return diff_in_diff(d, "g", "p", "y")
+
+
+SQL_DID = """
+WITH d AS (
+  SELECT doc_id % 3 = 0 AS g, doc_id % 2 = 0 AS p,
+         CAST(n_chars
+              + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 0 END
+              + CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 0 END
+              + CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                     THEN 20 ELSE 0 END
+              AS HUGEINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT
+    SUM(CASE WHEN g AND NOT p THEN y ELSE 0 END) AS s_t0,
+    CAST(SUM(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS HUGEINT)
+      AS n_t0,
+    SUM(CASE WHEN g AND p THEN y ELSE 0 END) AS s_t1,
+    CAST(SUM(CASE WHEN g AND p THEN 1 ELSE 0 END) AS HUGEINT) AS n_t1,
+    SUM(CASE WHEN NOT g AND NOT p THEN y ELSE 0 END) AS s_c0,
+    CAST(SUM(CASE WHEN NOT g AND NOT p THEN 1 ELSE 0 END) AS HUGEINT)
+      AS n_c0,
+    SUM(CASE WHEN NOT g AND p THEN y ELSE 0 END) AS s_c1,
+    CAST(SUM(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS HUGEINT)
+      AS n_c1,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM d
+),
+st AS (
+  SELECT *,
+    s_t1 * n_t0 * n_c1 * n_c0 - s_t0 * n_t1 * n_c1 * n_c0
+      - s_c1 * n_c0 * n_t1 * n_t0 + s_c0 * n_c1 * n_t1 * n_t0 AS num,
+    n_t1 * n_t0 * n_c1 * n_c0 AS den
+  FROM agg
+)
+SELECT n,
+  CAST(CASE WHEN n_t0 > 0 THEN
+    (CASE WHEN s_t0 < 0 THEN -1 WHEN s_t0 > 0 THEN 1 ELSE 0 END)
+      * ((ABS(s_t0) * 10000) // n_t0) END AS BIGINT) AS m_t_pre_q4,
+  CAST(CASE WHEN n_t1 > 0 THEN
+    (CASE WHEN s_t1 < 0 THEN -1 WHEN s_t1 > 0 THEN 1 ELSE 0 END)
+      * ((ABS(s_t1) * 10000) // n_t1) END AS BIGINT) AS m_t_post_q4,
+  CAST(CASE WHEN n_c0 > 0 THEN
+    (CASE WHEN s_c0 < 0 THEN -1 WHEN s_c0 > 0 THEN 1 ELSE 0 END)
+      * ((ABS(s_c0) * 10000) // n_c0) END AS BIGINT) AS m_c_pre_q4,
+  CAST(CASE WHEN n_c1 > 0 THEN
+    (CASE WHEN s_c1 < 0 THEN -1 WHEN s_c1 > 0 THEN 1 ELSE 0 END)
+      * ((ABS(s_c1) * 10000) // n_c1) END AS BIGINT) AS m_c_post_q4,
+  CAST(CASE WHEN n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0 AND n_c1 > 0 THEN
+    (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+      * ((ABS(num) * 10000) // den) END AS BIGINT) AS did_q4
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21407,6 +21484,7 @@ CATALOG: Dict[str, tuple] = {
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED),
     "nearest_control_match": (q_nearest_control_match, SQL_NEAREST_MATCH),
     "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
+    "diff_in_diff": (q_diff_in_diff, SQL_DID),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

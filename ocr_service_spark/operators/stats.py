@@ -4035,3 +4035,87 @@ def nearest_control_match(
             pick(F.col("m_cs_1"), F.col("m_cs_-1")) - F.col("ts")
         ).cast("long").alias("gap"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    post_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-group two-period difference-in-differences — the natural-
+    experiment read completing the causal trio (cuped_adjust assumes
+    randomized assignment, nearest_control_match matches on
+    observables; DiD handles "the adopter hosts switched templates in
+    March" where adopters differ in LEVEL but the null says they
+    share the TREND): effect = (ȳ_t,post − ȳ_t,pre) −
+    (ȳ_c,post − ȳ_c,pre) — whatever time did to everyone cancels,
+    whatever level separates the groups cancels, the interaction is
+    the effect.
+
+    Exact rationals: four cell sums (S, n) from ONE hash aggregate;
+    the estimate clears all four denominators by cross-multiplication
+    and lands once on the q4 grid (sign-split). All four cell means
+    ride along (q4) so the parallel-trends eyeball — is
+    ȳ_c,post − ȳ_c,pre sane? — reads from the same row. Any empty
+    cell → did_q4 NULL (the design is broken, surfaced not
+    interpolated).
+
+    Emits ONE row: (n, m_t_pre_q4, m_t_post_q4, m_c_pre_q4,
+    m_c_post_q4, did_q4)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).cast("boolean").alias("g"),
+        F.col(post_col).cast("boolean").alias("p"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+    def cell(gv, pv, tag):
+        cond = (F.col("g") == gv) & (F.col("p") == pv)
+        return [
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast(d38)
+            .alias(f"s_{tag}"),
+            F.sum(cond.cast("long")).cast(d38).alias(f"n_{tag}"),
+        ]
+
+    agg = d.agg(
+        *cell(True, False, "t0"), *cell(True, True, "t1"),
+        *cell(False, False, "c0"), *cell(False, True, "c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ok = (
+        (F.col("n_t0") > 0) & (F.col("n_t1") > 0)
+        & (F.col("n_c0") > 0) & (F.col("n_c1") > 0)
+    )
+
+    def mean_q4(tag):
+        return F.when(
+            F.col(f"n_{tag}") > 0,
+            F.signum(f"s_{tag}").cast("long")
+            * F.expr(f"(abs(s_{tag}) * 10000) div n_{tag}")
+            .cast("long"),
+        )
+
+    num = (
+        F.col("s_t1") * F.col("n_t0") * F.col("n_c1") * F.col("n_c0")
+        - F.col("s_t0") * F.col("n_t1") * F.col("n_c1") * F.col("n_c0")
+        - F.col("s_c1") * F.col("n_c0") * F.col("n_t1") * F.col("n_t0")
+        + F.col("s_c0") * F.col("n_c1") * F.col("n_t1") * F.col("n_t0")
+    )
+    den = (
+        F.col("n_t1") * F.col("n_t0") * F.col("n_c1") * F.col("n_c0")
+    )
+    staged = agg.withColumn("_num", num).withColumn("_den", den)
+    did = F.when(
+        ok,
+        F.signum("_num").cast("long")
+        * F.expr("(abs(_num) * 10000) div _den").cast("long"),
+    )
+    return staged.select(
+        "n",
+        mean_q4("t0").alias("m_t_pre_q4"),
+        mean_q4("t1").alias("m_t_post_q4"),
+        mean_q4("c0").alias("m_c_pre_q4"),
+        mean_q4("c1").alias("m_c_post_q4"),
+        did.alias("did_q4"),
+    )

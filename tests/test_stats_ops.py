@@ -2209,3 +2209,57 @@ class TestNearestControlMatch:
         got = self._run(spark, treated, control)
         assert all(r["ctrl_id"] == 1000 for r in got.values())
         assert got[199]["gap"] == 5 - 1990
+
+
+class TestDiffInDiff:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import diff_in_diff
+
+        df = spark.createDataFrame(rows, "g boolean, p boolean, y long")
+        return diff_in_diff(df, "g", "p", "y").collect()[0]
+
+    def _cells(self, g, p, vals):
+        return [(g, p, v) for v in vals]
+
+    def test_hand_effect(self, spark):
+        # control 10->12 (+2 time trend), treated 20->25 (+5):
+        # DiD = 5 - 2 = 3; levels differ by 10 and cancel
+        rows = (
+            self._cells(False, False, [9, 10, 11])
+            + self._cells(False, True, [11, 12, 13])
+            + self._cells(True, False, [19, 20, 21])
+            + self._cells(True, True, [24, 25, 26])
+        )
+        r = self._run(spark, rows)
+        assert r["did_q4"] == 30_000
+        assert r["m_t_pre_q4"] == 200_000
+        assert r["m_c_post_q4"] == 120_000
+
+    def test_parallel_trends_zero(self, spark):
+        rows = (
+            self._cells(False, False, [5] * 4)
+            + self._cells(False, True, [9] * 4)
+            + self._cells(True, False, [50] * 3)
+            + self._cells(True, True, [54] * 3)
+        )
+        r = self._run(spark, rows)
+        assert r["did_q4"] == 0
+
+    def test_unbalanced_cells_exact(self, spark):
+        rows = (
+            self._cells(False, False, [10, 14])      # mean 12
+            + self._cells(False, True, [13])         # mean 13
+            + self._cells(True, False, [20, 21, 22])  # mean 21
+            + self._cells(True, True, [30, 32])      # mean 31
+        )
+        r = self._run(spark, rows)
+        # (31-21) - (13-12) = 9
+        assert r["did_q4"] == 90_000
+
+    def test_empty_cell_null(self, spark):
+        rows = self._cells(False, False, [5]) + self._cells(
+            True, True, [9]
+        )
+        r = self._run(spark, rows)
+        assert r["did_q4"] is None
+        assert r["m_c_pre_q4"] == 50_000
