@@ -21103,6 +21103,79 @@ FROM st
 """
 
 
+def q_rdd_estimate(spark, sf_dir):
+    """Sharp RDD at a length cutoff (operators/stats.py
+    rdd_estimate): outcome = a linear-in-length metric with a planted
+    +40 jump at n_chars = 300, bandwidth 120 — the local-linear fit
+    must recover the jump on top of the running trend. Oracle replays
+    both five-sum side fits and the cross-multiplied jump."""
+    from .operators.stats import rdd_estimate
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.expr(
+            "CAST(n_chars AS BIGINT) * 2 + doc_id % 7"
+            " + CASE WHEN n_chars >= 300 THEN 40 ELSE 0 END"
+        ).alias("y"),
+    )
+    return rdd_estimate(d, "x", "y", cutoff=300, bandwidth=120)
+
+
+SQL_RDD = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) - 300 AS x,
+         CAST(n_chars * 2 + doc_id % 7
+              + CASE WHEN n_chars >= 300 THEN 40 ELSE 0 END
+              AS HUGEINT) AS y
+  FROM documents
+  WHERE n_chars - 300 >= -120 AND n_chars - 300 <= 120
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_l,
+    SUM(CASE WHEN x < 0 THEN x ELSE 0 END) AS sx_l,
+    SUM(CASE WHEN x < 0 THEN y ELSE 0 END) AS sy_l,
+    SUM(CASE WHEN x < 0 THEN x * y ELSE 0 END) AS sxy_l,
+    SUM(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS sxx_l,
+    CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_r,
+    SUM(CASE WHEN x >= 0 THEN x ELSE 0 END) AS sx_r,
+    SUM(CASE WHEN x >= 0 THEN y ELSE 0 END) AS sy_r,
+    SUM(CASE WHEN x >= 0 THEN x * y ELSE 0 END) AS sxy_r,
+    SUM(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS sxx_r
+  FROM d
+),
+st AS (
+  SELECT *,
+    sy_l * sxx_l - sx_l * sxy_l AS na_l,
+    n_l * sxy_l - sx_l * sy_l AS nb_l,
+    n_l * sxx_l - sx_l * sx_l AS da_l,
+    sy_r * sxx_r - sx_r * sxy_r AS na_r,
+    n_r * sxy_r - sx_r * sy_r AS nb_r,
+    n_r * sxx_r - sx_r * sx_r AS da_r
+  FROM agg
+)
+SELECT CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+  CAST(CASE WHEN da_l > 0 THEN
+    (CASE WHEN na_l < 0 THEN -1 WHEN na_l > 0 THEN 1 ELSE 0 END)
+      * ((ABS(na_l) * 10000) // da_l) END AS BIGINT) AS a_l_q4,
+  CAST(CASE WHEN da_r > 0 THEN
+    (CASE WHEN na_r < 0 THEN -1 WHEN na_r > 0 THEN 1 ELSE 0 END)
+      * ((ABS(na_r) * 10000) // da_r) END AS BIGINT) AS a_r_q4,
+  CAST(CASE WHEN da_l > 0 THEN
+    (CASE WHEN nb_l < 0 THEN -1 WHEN nb_l > 0 THEN 1 ELSE 0 END)
+      * ((ABS(nb_l) * 1000000) // da_l) END AS BIGINT) AS b_l_ppm,
+  CAST(CASE WHEN da_r > 0 THEN
+    (CASE WHEN nb_r < 0 THEN -1 WHEN nb_r > 0 THEN 1 ELSE 0 END)
+      * ((ABS(nb_r) * 1000000) // da_r) END AS BIGINT) AS b_r_ppm,
+  CAST(CASE WHEN da_l > 0 AND da_r > 0 THEN
+    (CASE WHEN na_r * da_l - na_l * da_r < 0 THEN -1
+          WHEN na_r * da_l - na_l * da_r > 0 THEN 1 ELSE 0 END)
+      * ((ABS(na_r * da_l - na_l * da_r) * 10000) // (da_l * da_r))
+  END AS BIGINT) AS tau_q4
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21485,6 +21558,7 @@ CATALOG: Dict[str, tuple] = {
     "nearest_control_match": (q_nearest_control_match, SQL_NEAREST_MATCH),
     "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
     "diff_in_diff": (q_diff_in_diff, SQL_DID),
+    "rdd_estimate": (q_rdd_estimate, SQL_RDD),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4119,3 +4119,107 @@ def diff_in_diff(
         mean_q4("c1").alias("m_c_post_q4"),
         did.alias("did_q4"),
     )
+
+
+def rdd_estimate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate at a threshold rule —
+    the causal read when the TREATMENT IS A CUTOFF (quality score ≥ t
+    gets kept, length ≥ t gets the long-doc pipeline): units just
+    below and just above the line are exchangeable, so the JUMP in
+    the outcome at the cutoff is the local causal effect, with none
+    of DiD's parallel-trend or matching's overlap assumptions —
+    bought by locality (only the bandwidth window identifies it).
+
+    Local linear per side on centered x (the standard bias guard —
+    a local MEAN at a boundary is biased by the slope):
+        a = (Σy·Σxx − Σx·Σxy) / (n·Σxx − (Σx)²)    (intercept at c)
+        b = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)       (slope)
+    both exact rationals from one five-sum aggregate per side; the
+    jump τ = a_R − a_L clears both denominators by cross-
+    multiplication onto the q4 grid (sign-split). A side with < 2
+    distinct x (denominator 0) → NULL τ, surfaced. Grid budget:
+    Na·Da leads the chain in decimal(38,0) — wide bandwidths at
+    ~10⁹ rows need a coarser y grid first (the welch_t2 lesson).
+
+    Left window is [c−h, c), right [c, c+h]. Emits ONE row: (n_l,
+    n_r, a_l_q4, a_r_q4, b_l_ppm, b_r_ppm, tau_q4)."""
+    d38 = "decimal(38,0)"
+    c, h = int(cutoff), int(bandwidth)
+    d = df.select(
+        (F.col(x_col).cast("long") - c).alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).where((F.col("x") >= -h) & (F.col("x") <= h))
+
+    def side_sums(cond, tag):
+        return [
+            F.sum(cond.cast("long")).cast(d38).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0)).cast(d38)
+            .alias(f"sx_{tag}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast(d38)
+            .alias(f"sy_{tag}"),
+            F.sum(
+                F.when(cond, F.col("x").cast(d38) * F.col("y"))
+                .otherwise(F.lit(0).cast(d38))
+            ).alias(f"sxy_{tag}"),
+            F.sum(
+                F.when(cond, F.col("x").cast(d38) * F.col("x"))
+                .otherwise(F.lit(0).cast(d38))
+            ).alias(f"sxx_{tag}"),
+        ]
+
+    agg = d.agg(
+        *side_sums(F.col("x") < 0, "l"),
+        *side_sums(F.col("x") >= 0, "r"),
+    )
+    for t in ("l", "r"):
+        agg = (
+            agg.withColumn(
+                f"na_{t}",
+                F.col(f"sy_{t}") * F.col(f"sxx_{t}")
+                - F.col(f"sx_{t}") * F.col(f"sxy_{t}"),
+            )
+            .withColumn(
+                f"nb_{t}",
+                F.col(f"n_{t}") * F.col(f"sxy_{t}")
+                - F.col(f"sx_{t}") * F.col(f"sy_{t}"),
+            )
+            .withColumn(
+                f"da_{t}",
+                F.col(f"n_{t}") * F.col(f"sxx_{t}")
+                - F.col(f"sx_{t}") * F.col(f"sx_{t}"),
+            )
+        )
+
+    def rat(num, den, scale):
+        return F.when(
+            F.col(den) > 0,
+            F.signum(num).cast("long")
+            * F.expr(f"(abs({num}) * {scale}) div {den}")
+            .cast("long"),
+        )
+
+    tau_num = (
+        F.col("na_r") * F.col("da_l") - F.col("na_l") * F.col("da_r")
+    )
+    staged = agg.withColumn("_tn", tau_num)
+    tau = F.when(
+        (F.col("da_l") > 0) & (F.col("da_r") > 0),
+        F.signum("_tn").cast("long")
+        * F.expr("(abs(_tn) * 10000) div (da_l * da_r)")
+        .cast("long"),
+    )
+    return staged.select(
+        F.col("n_l").cast("long").alias("n_l"),
+        F.col("n_r").cast("long").alias("n_r"),
+        rat("na_l", "da_l", 10_000).alias("a_l_q4"),
+        rat("na_r", "da_r", 10_000).alias("a_r_q4"),
+        rat("nb_l", "da_l", 1_000_000).alias("b_l_ppm"),
+        rat("nb_r", "da_r", 1_000_000).alias("b_r_ppm"),
+        tau.alias("tau_q4"),
+    )

@@ -2263,3 +2263,43 @@ class TestDiffInDiff:
         r = self._run(spark, rows)
         assert r["did_q4"] is None
         assert r["m_c_pre_q4"] == 50_000
+
+
+class TestRddEstimate:
+    def _run(self, spark, rows, c=0, h=5):
+        from ocr_service_spark.operators.stats import rdd_estimate
+
+        df = spark.createDataFrame(rows, "x long, y long")
+        return rdd_estimate(df, "x", "y", c, h).collect()[0]
+
+    def test_hand_jump_on_linear_trend(self, spark):
+        # y = 2x + 10*(x >= 0): both slopes 2, jump exactly 10
+        rows = [(x, 2 * x + (10 if x >= 0 else 0))
+                for x in range(-5, 6)]
+        r = self._run(spark, rows)
+        assert r["a_l_q4"] == 0 and r["a_r_q4"] == 100_000
+        assert r["b_l_ppm"] == 2_000_000 and r["b_r_ppm"] == 2_000_000
+        assert r["tau_q4"] == 100_000
+
+    def test_no_jump_zero(self, spark):
+        rows = [(x, 3 * x + 7) for x in range(-5, 6)]
+        r = self._run(spark, rows)
+        assert r["tau_q4"] == 0
+
+    def test_local_mean_bias_avoided(self, spark):
+        # steep trend, no jump: side means differ a lot, but the
+        # local-linear intercepts agree — the reason for the fit
+        rows = [(x, 100 * x) for x in range(-5, 6)]
+        r = self._run(spark, rows)
+        assert r["tau_q4"] == 0
+
+    def test_bandwidth_filters(self, spark):
+        rows = [(x, 2 * x) for x in range(-20, 21)]
+        r = self._run(spark, rows, h=5)
+        assert r["n_l"] == 5 and r["n_r"] == 6
+
+    def test_degenerate_side_null(self, spark):
+        rows = [(-1, 5), (-1, 7), (2, 9), (3, 11)]
+        r = self._run(spark, rows)
+        assert r["tau_q4"] is None and r["a_l_q4"] is None
+        assert r["a_r_q4"] is not None
