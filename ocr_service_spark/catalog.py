@@ -21176,6 +21176,92 @@ FROM st
 """
 
 
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's α (operators/classifier.py cronbach_alpha) over a
+    three-signal quality panel: two length-keyed signals plus one
+    hash-decorrelated one — a composite that is partially coherent,
+    so α lands strictly inside (0, 1). Oracle replays the complete-
+    block filter, both cleared variances and the single sign-split
+    division."""
+    from .operators.classifier import cronbach_alpha
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").alias("u"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len").alias("i"),
+                    F.col("n_chars").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("len2").alias("i"),
+                    (F.col("n_chars") + F.col("doc_id") % 20)
+                    .cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("hash").alias("i"),
+                    F.expr(
+                        "(doc_id * 2654435761 div 256) % 500"
+                    ).cast("long").alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select("u", "e.i", "e.v")
+    return cronbach_alpha(d, "u", "i", "v")
+
+
+SQL_CRONBACH = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS u, i, CAST(v AS HUGEINT) AS v
+  FROM (
+    SELECT doc_id, 'len' AS i, n_chars AS v FROM documents
+    UNION ALL
+    SELECT doc_id, 'len2', n_chars + doc_id % 20 FROM documents
+    UNION ALL
+    SELECT doc_id, 'hash', (doc_id * 2654435761 // 256) % 500
+    FROM documents
+  )
+),
+per_u AS (
+  SELECT u, COUNT(*) AS ki, SUM(v) AS tot FROM d GROUP BY u
+),
+complete AS (SELECT u, tot FROM per_u WHERE ki = 3),
+kept AS (SELECT d.* FROM d JOIN complete USING (u)),
+items AS (
+  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s,
+         SUM(v * v) AS q
+  FROM kept GROUP BY i
+),
+vi AS (
+  SELECT SUM(n * q - s * s) AS sum_vi, MAX(n) AS n_units FROM items
+),
+vt AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) * SUM(CAST(tot AS HUGEINT)
+           * CAST(tot AS HUGEINT))
+         - SUM(CAST(tot AS HUGEINT)) * SUM(CAST(tot AS HUGEINT))
+           AS v_t
+  FROM complete
+),
+dr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM per_u WHERE ki <> 3
+),
+st AS (
+  SELECT vi.n_units, dr.n_dropped, vi.sum_vi, vt.v_t,
+         3 * (vt.v_t - vi.sum_vi) AS num, 2 * vt.v_t AS den
+  FROM vi, vt, dr
+)
+SELECT CAST(COALESCE(n_units, 0) AS BIGINT) AS n_units, n_dropped,
+       CAST(3 AS BIGINT) AS k,
+       CAST(CASE WHEN v_t > 0 THEN
+         (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+           * ((ABS(num) * 1000000) // den)
+       END AS BIGINT) AS alpha_ppm
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21559,6 +21645,7 @@ CATALOG: Dict[str, tuple] = {
     "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
     "diff_in_diff": (q_diff_in_diff, SQL_DID),
     "rdd_estimate": (q_rdd_estimate, SQL_RDD),
+    "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

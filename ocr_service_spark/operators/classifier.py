@@ -1355,3 +1355,79 @@ def spiegelhalter_z(
             F.col("v") > 0, z2 > F.lit(int(crit_x10k) * 100)
         ).alias("reject_05"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Cronbach's α over a multi-signal score panel — the coherence
+    read for composite quality scores the agreement family doesn't
+    cover: Fleiss/Krippendorff ask whether RATERS agree on a label,
+    α asks whether the k SIGNALS you are about to average (length
+    score, stopword score, LM score, …) measure one underlying thing
+    at all — α = k/(k−1)·(1 − Σσᵢ²/σ_total²); near 1 the composite
+    is coherent, near 0 the signals are unrelated and the average is
+    noise, negative means they actively disagree.
+
+    Complete-block filter with the dropped-unit count reported (the
+    friedman_test convention: units missing a signal can't enter the
+    total-variance column honestly). All variances in the cleared
+    n·Σx² − (Σx)² form — the n² scale cancels in the ratio, so α is
+    ONE sign-split ppm division over exact integers.
+
+    Two hash aggregates (per-unit totals, per-item sums) + two folds.
+    Emits ONE row: (n_units, n_dropped, k, alpha_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(unit_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(score_col).cast("long").alias("v"),
+    )
+    k = d.select("i").distinct().count()
+    per_u = d.groupBy("u").agg(
+        F.count(F.lit(1)).alias("ki"),
+        F.sum("v").cast("long").alias("tot"),
+    )
+    complete = per_u.where(F.col("ki") == k).select("u", "tot")
+    n_dropped = per_u.where(F.col("ki") != k).count()
+    kept = d.join(complete.select("u"), "u", "left_semi")
+    items = kept.groupBy("i").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("v").cast(d38)).alias("s"),
+        F.sum(F.col("v").cast(d38) * F.col("v")).alias("q"),
+    )
+    vi = items.agg(
+        F.sum(
+            F.col("n") * F.col("q") - F.col("s") * F.col("s")
+        ).alias("sum_vi"),
+        F.max("n").alias("n_units"),
+    )
+    vt = complete.agg(
+        F.count(F.lit(1)).cast(d38).alias("nt"),
+        F.sum(F.col("tot").cast(d38)).alias("st"),
+        F.sum(F.col("tot").cast(d38) * F.col("tot")).alias("qt"),
+    ).select(
+        (F.col("nt") * F.col("qt") - F.col("st") * F.col("st"))
+        .alias("v_t")
+    )
+    j = vi.crossJoin(F.broadcast(vt)).withColumn(
+        "_num",
+        F.lit(int(k)).cast(d38) * (F.col("v_t") - F.col("sum_vi")),
+    ).withColumn(
+        "_den", F.lit(int(k) - 1).cast(d38) * F.col("v_t")
+    )
+    alpha = F.when(
+        (F.col("v_t") > 0) & (F.lit(k) >= 2),
+        F.signum("_num").cast("long")
+        * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
+    )
+    return j.select(
+        F.coalesce(F.col("n_units"), F.lit(0)).cast("long")
+        .alias("n_units"),
+        F.lit(int(n_dropped)).cast("long").alias("n_dropped"),
+        F.lit(int(k)).cast("long").alias("k"),
+        alpha.alias("alpha_ppm"),
+    )

@@ -839,3 +839,56 @@ class TestSpiegelhalterZ:
         r = self._run(spark, rows)
         assert r["z2_ppm"] == (280_000**2 * 1_000_000) // (9 * 9_600_000_000)
         assert r["reject_05"] is False
+
+
+class TestCronbachAlpha:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.classifier import cronbach_alpha
+
+        df = spark.createDataFrame(rows, "u long, i string, v long")
+        return cronbach_alpha(df, "u", "i", "v").collect()[0]
+
+    def test_duplicate_signal_alpha_one(self, spark):
+        rows = []
+        for u in range(20):
+            v = (u * 13) % 7
+            rows += [(u, "a", v), (u, "b", v)]
+        r = self._run(spark, rows)
+        assert r["alpha_ppm"] == 1_000_000 and r["k"] == 2
+
+    def test_unrelated_signals_near_zero(self, spark):
+        rows = []
+        for u in range(60):
+            rows += [
+                (u, "a", ((u * 2654435761) >> 8) % 17),
+                (u, "b", ((u * 40503) >> 4) % 19),
+            ]
+        r = self._run(spark, rows)
+        assert abs(r["alpha_ppm"]) < 50_000
+
+    def test_opposed_signals_negative(self, spark):
+        rows = []
+        for u in range(20):
+            v = (u * 13) % 7
+            rows += [(u, "a", v), (u, "b", 10 - v + u % 2)]
+        r = self._run(spark, rows)
+        assert r["alpha_ppm"] < -500_000
+
+    def test_perfectly_opposed_null(self, spark):
+        # totals constant -> zero total variance -> NULL, surfaced
+        rows = []
+        for u in range(20):
+            v = (u * 13) % 7
+            rows += [(u, "a", v), (u, "b", 10 - v)]
+        r = self._run(spark, rows)
+        assert r["alpha_ppm"] is None
+
+    def test_incomplete_units_dropped(self, spark):
+        rows = []
+        for u in range(10):
+            v = u % 5
+            rows += [(u, "a", v), (u, "b", v)]
+        rows += [(99, "a", 3)]  # missing item b
+        r = self._run(spark, rows)
+        assert r["n_dropped"] == 1 and r["n_units"] == 10
+        assert r["alpha_ppm"] == 1_000_000
