@@ -21262,6 +21262,84 @@ FROM st
 """
 
 
+def q_page_trend(spark, sf_dir):
+    """Page's ordered trend test (operators/stats.py page_trend_test):
+    50 blocks × 3 ordered snapshots built from docs 0–149 with a
+    planted −30·snapshot decline on top of per-document noise — the
+    one-df monotone question friedman's omnibus dilutes. Oracle
+    replays the complete-block filter, per-block doubled ranks, L2
+    and the cleared-variance z²."""
+    from .operators.stats import page_trend_test
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.expr("doc_id < 150"))
+        .select(
+            (F.col("doc_id") % 50).alias("b"),
+            F.expr("(doc_id div 50) % 3 + 1").alias("tr"),
+            F.expr(
+                "CAST(n_chars AS BIGINT)"
+                " - 30 * ((doc_id div 50) % 3 + 1)"
+            ).alias("v"),
+        )
+    )
+    return page_trend_test(d, "b", "tr", "v")
+
+
+SQL_PAGE_TREND = """
+WITH c AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS b,
+         CAST((doc_id // 50) % 3 + 1 AS BIGINT) AS tr,
+         CAST(n_chars - 30 * ((doc_id // 50) % 3 + 1) AS BIGINT) AS v
+  FROM documents WHERE doc_id < 150
+),
+kk AS (SELECT CAST(COUNT(DISTINCT tr) AS HUGEINT) AS k FROM c),
+sizes AS (SELECT b, COUNT(*) AS nb FROM c GROUP BY b),
+complete AS (SELECT b FROM sizes, kk WHERE nb = k),
+dropped AS (
+  SELECT CAST(SUM(CASE WHEN nb <> k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+  FROM sizes, kk
+),
+cc AS (SELECT c.* FROM c JOIN complete USING (b)),
+hist AS (SELECT b, v, COUNT(*) AS cnt FROM cc GROUP BY b, v),
+rk AS (
+  SELECT b, v,
+         2 * (SUM(cnt) OVER (PARTITION BY b ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+  FROM hist
+),
+cell AS (
+  SELECT cc.b, cc.tr, rk.r2
+  FROM cc JOIN rk ON cc.b = rk.b AND cc.v = rk.v
+),
+agg AS (
+  SELECT CAST(SUM(tr * r2) AS HUGEINT) AS l2,
+         CAST(COUNT(DISTINCT b) AS HUGEINT) AS n
+  FROM cell
+),
+st AS (
+  SELECT agg.n, dropped.n_dropped, kk.k, agg.l2,
+         (agg.n * kk.k * (kk.k + 1) * (kk.k + 1)) // 2 AS e,
+         agg.n * kk.k * kk.k * (kk.k + 1) * (kk.k * kk.k - 1)
+           AS var36
+  FROM agg, kk, dropped
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, n_dropped,
+       CAST(k AS BIGINT) AS k, CAST(l2 AS BIGINT) AS l2,
+       CAST(CASE WHEN l2 - e < 0 THEN -1 WHEN l2 - e > 0 THEN 1
+            ELSE 0 END AS BIGINT) AS trend_sign,
+       CAST(CASE WHEN k >= 3 AND var36 > 0 THEN
+         ((l2 - e) * (l2 - e) * 36 * 1000000) // var36
+       END AS BIGINT) AS z2_ppm,
+       CASE WHEN k >= 3 AND var36 > 0 THEN
+         ((l2 - e) * (l2 - e) * 36 * 1000000) // var36 > 3841500
+       END AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21646,6 +21724,7 @@ CATALOG: Dict[str, tuple] = {
     "diff_in_diff": (q_diff_in_diff, SQL_DID),
     "rdd_estimate": (q_rdd_estimate, SQL_RDD),
     "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH),
+    "page_trend": (q_page_trend, SQL_PAGE_TREND),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4223,3 +4223,89 @@ def rdd_estimate(
         rat("nb_r", "da_r", 1_000_000).alias("b_r_ppm"),
         tau.alias("tau_q4"),
     )
+
+
+def page_trend_test(
+    cells: DataFrame,
+    block_col: str,
+    order_col: str,
+    value_col: str,
+    crit_x10k: int = 38_415,
+) -> DataFrame:
+    """Page's L test for ORDERED treatments over blocks — the
+    directional sibling of friedman_test, exactly as cochran_armitage
+    is the directional sibling of the χ² table: Friedman burns k−1 df
+    asking "do the snapshots differ at all", Page asks the one-df
+    question a migration actually poses — "does the metric DECLINE
+    monotonically across crawl snapshots, host by host" — and a clean
+    monotone drift the omnibus dilutes concentrates into one z².
+
+    Same machinery as friedman_test (complete blocks with the dropped
+    count reported, within-block tie-averaged DOUBLED ranks): with
+    integer treatment order c_j and doubled rank sums R2_j,
+        L2 = Σ c_j·R2_j,  E[L2] = n·k(k+1)²/2,
+        Var[L2] = n·k²(k+1)(k²−1)/36
+    (the classic untied-variance normal approximation — mid-ranks
+    enter L2 exactly, ties only make the variance slightly
+    conservative, the standard treatment), and z²·10⁶ =
+    ((L2−E)²·36·10⁶) div Var36-cleared — pure integers, sign =
+    trend direction. k < 3 or no variance → NULL.
+
+    Emits ONE row: (n_blocks, n_dropped, k, l2, trend_sign,
+    z2_ppm, reject_05)."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    c = cells.select(
+        F.col(block_col).alias("b"),
+        F.col(order_col).cast("long").alias("tr"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    kk = c.agg(F.countDistinct("tr").cast("long").alias("k"))
+    sizes = c.groupBy("b").agg(F.count(F.lit(1)).alias("_nb"))
+    sized = sizes.crossJoin(F.broadcast(kk))
+    complete = sized.filter(F.col("_nb") == F.col("k")).select("b")
+    dropped = sized.agg(
+        F.sum(F.when(F.col("_nb") != F.col("k"), 1).otherwise(0))
+        .cast("long").alias("n_dropped")
+    )
+    cc = c.join(F.broadcast(complete), "b")
+    hist = cc.groupBy("b", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked_v = hist.withColumn("cum", F.sum("c").over(w)).select(
+        "b", "v",
+        (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+        .cast(d38).alias("rank2x"),
+    )
+    cell_r = cc.join(ranked_v, ["b", "v"])
+    agg = cell_r.agg(
+        F.sum(F.col("tr").cast(d38) * F.col("rank2x")).alias("l2"),
+        F.countDistinct("b").cast(d38).alias("n"),
+    ).crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(dropped))
+    st = agg.withColumn(
+        "_e",
+        F.expr("(n * k * (k + 1) * (k + 1)) div 2").cast(d38),
+    ).withColumn(
+        "_var36",
+        F.col("n") * F.col("k") * F.col("k") * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1),
+    ).withColumn("_d", F.col("l2") - F.col("_e"))
+    z2 = F.when(
+        (F.col("k") >= 3) & (F.col("_var36") > 0),
+        F.expr("(_d * _d * 36 * 1000000) div _var36").cast("long"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        "n_dropped",
+        F.col("k").cast("long").alias("k"),
+        F.col("l2").cast("long").alias("l2"),
+        F.signum("_d").cast("long").alias("trend_sign"),
+        z2.alias("z2_ppm"),
+        F.when(
+            (F.col("k") >= 3) & (F.col("_var36") > 0),
+            z2 > F.lit(int(crit_x10k) * 100),
+        ).alias("reject_05"),
+    )

@@ -2303,3 +2303,45 @@ class TestRddEstimate:
         r = self._run(spark, rows)
         assert r["tau_q4"] is None and r["a_l_q4"] is None
         assert r["a_r_q4"] is not None
+
+
+class TestPageTrendTest:
+    def _run(self, spark, rows, crit=38_415):
+        from ocr_service_spark.operators.stats import page_trend_test
+
+        df = spark.createDataFrame(rows, "b long, tr long, v long")
+        return page_trend_test(df, "b", "tr", "v", crit_x10k=crit) \
+            .collect()[0]
+
+    def test_hand_single_block(self, spark):
+        # one block, strictly increasing with order: L2=28, E=24,
+        # Var36=288 -> z^2 = 2 exactly
+        rows = [(1, 1, 10), (1, 2, 20), (1, 3, 30)]
+        r = self._run(spark, rows)
+        assert r["l2"] == 28 and r["z2_ppm"] == 2_000_000
+        assert r["trend_sign"] == 1 and r["reject_05"] is False
+
+    def test_consistent_trend_rejects(self, spark):
+        rows = []
+        for b in range(20):
+            rows += [(b, 1, 10 + b), (b, 2, 20 + b), (b, 3, 30 + b)]
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] == 40_000_000
+        assert r["reject_05"] is True
+
+    def test_declining_mirrors(self, spark):
+        rows = []
+        for b in range(20):
+            rows += [(b, 1, 30), (b, 2, 20), (b, 3, 10)]
+        r = self._run(spark, rows)
+        assert r["trend_sign"] == -1 and r["reject_05"] is True
+
+    def test_tied_blocks_zero(self, spark):
+        rows = [(b, t, 7) for b in range(10) for t in (1, 2, 3)]
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] == 0 and r["trend_sign"] == 0
+
+    def test_incomplete_dropped(self, spark):
+        rows = [(1, 1, 5), (1, 2, 6), (1, 3, 7), (2, 1, 9)]
+        r = self._run(spark, rows)
+        assert r["n_blocks"] == 1 and r["n_dropped"] == 1
