@@ -104,6 +104,10 @@ HEADLINE = [
     "cuped_adjust",
     "nearest_control_match",
     "mantel_haenszel",
+    "diff_in_diff",
+    "rdd_estimate",
+    "cronbach_alpha",
+    "page_trend",
     # session-6 additions
     "record_linkage",
     "margin_bitext",
