@@ -21340,6 +21340,86 @@ FROM st
 """
 
 
+def q_jonckheere_trend(spark, sf_dir):
+    """Jonckheere–Terpstra ordered trend (operators/stats.py
+    jonckheere_trend) across four ordered bands with a planted
+    +25/band gradient over per-document noise — the independent-
+    samples member of the ordered triad. Oracle replays the
+    (order × value) grid, both prefix passes, J2 and the cleared-
+    variance z²."""
+    from .operators.stats import jonckheere_trend
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id % 4 + 1").alias("o"),
+        F.expr(
+            "CAST(n_chars AS BIGINT) + 25 * (doc_id % 4 + 1)"
+            " + doc_id % 13"
+        ).alias("v"),
+    )
+    return jonckheere_trend(d, "o", "v")
+
+
+SQL_JONCKHEERE = """
+WITH d AS (
+  SELECT CAST(doc_id % 4 + 1 AS BIGINT) AS o,
+         CAST(n_chars + 25 * (doc_id % 4 + 1) + doc_id % 13
+              AS BIGINT) AS v
+  FROM documents
+),
+cnt AS (SELECT o, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY o, v),
+grid AS (
+  SELECT os.o, vs.v, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT o FROM cnt) os
+  CROSS JOIN (SELECT DISTINCT v FROM cnt) vs
+  LEFT JOIN cnt ON cnt.o = os.o AND cnt.v = vs.v
+),
+le AS (
+  SELECT o, v, c,
+         SUM(c) OVER (PARTITION BY o ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS le
+  FROM grid
+),
+per_o AS (SELECT o, SUM(c) AS n_o FROM cnt GROUP BY o),
+ab AS (
+  SELECT le.o, le.v, le.c,
+         SUM(p.n_o - le.le) OVER (PARTITION BY le.v ORDER BY le.o DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+           - (p.n_o - le.le) AS a,
+         SUM(le.c) OVER (PARTITION BY le.v ORDER BY le.o DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - le.c AS e
+  FROM le JOIN per_o p USING (o)
+),
+j2 AS (SELECT CAST(SUM(c * (2 * a + e)) AS HUGEINT) AS j2 FROM ab),
+mom AS (
+  SELECT CAST(SUM(n_o) AS HUGEINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_o * n_o) AS HUGEINT) AS sn2,
+         CAST(SUM(n_o * n_o * (2 * n_o + 3)) AS HUGEINT) AS sn23
+  FROM per_o
+),
+st AS (
+  SELECT j2.j2, mom.n, mom.k,
+         (mom.n * mom.n - mom.sn2) // 2 AS e2,
+         mom.n * mom.n * (2 * mom.n + 3) - mom.sn23 AS var72
+  FROM j2, mom
+)
+SELECT CAST(n AS BIGINT) AS n, k, CAST(j2 AS BIGINT) AS j2,
+       CAST(CASE WHEN j2 - e2 < 0 THEN -1 WHEN j2 - e2 > 0 THEN 1
+            ELSE 0 END AS BIGINT) AS trend_sign,
+       CAST(CASE WHEN k >= 2 AND var72 > 0 THEN
+         ((j2 - e2) * (j2 - e2) * 18 * 1000000) // var72
+       END AS BIGINT) AS z2_ppm,
+       CASE WHEN k >= 2 AND var72 > 0 THEN
+         ((j2 - e2) * (j2 - e2) * 18 * 1000000) // var72 > 3841500
+       END AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21725,6 +21805,7 @@ CATALOG: Dict[str, tuple] = {
     "rdd_estimate": (q_rdd_estimate, SQL_RDD),
     "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH),
     "page_trend": (q_page_trend, SQL_PAGE_TREND),
+    "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

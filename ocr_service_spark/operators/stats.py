@@ -4309,3 +4309,97 @@ def page_trend_test(
             z2 > F.lit(int(crit_x10k) * 100),
         ).alias("reject_05"),
     )
+
+
+def jonckheere_trend(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    crit_x10k: int = 38_415,
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered k-sample trend — completing the
+    ordered-alternatives triad (cochran_armitage: binary outcome,
+    page_trend_test: blocked/repeated measures, this: INDEPENDENT
+    samples): "does the metric rise across length deciles / quality
+    bands", asked with one df where kruskal_wallis burns k−1 — so a
+    clean monotone gradient the omnibus dilutes concentrates. At
+    k = 2 it IS Mann–Whitney (pinned in tests).
+
+    J counts concordant cross-group pairs over every ordered group
+    pair; doubled units make ties integral: per (order, value) cell,
+    J2 += cnt·(2·A + E) with A = higher-order values strictly above
+    and E = higher-order ties. The (order × value) grid is k·|V|
+    rows (k is small): A and E come from one per-order value prefix
+    and one per-value reverse-order prefix — never a pair join. Null
+    moments (classic untied variance, mid-counted ties enter J2
+    exactly — the Page treatment):
+        E[J2] = (N² − Σn_g²)/2,
+        z²·10⁶ = ((J2−E2)²·18·10⁶) div (N²(2N+3) − Σn_g²(2n_g+3)).
+
+    Emits ONE row: (n, k, j2, trend_sign, z2_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cnt = d.groupBy("o", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    orders = cnt.select("o").distinct()
+    vals = cnt.select("v").distinct()
+    grid = orders.crossJoin(vals).join(cnt, ["o", "v"], "left") \
+        .na.fill({"c": 0})
+    wv = (
+        Window.partitionBy("o").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    le = grid.withColumn("le", F.sum("c").over(wv))
+    per_o = cnt.groupBy("o").agg(F.sum("c").alias("n_o"))
+    le2 = le.join(per_o, "o")
+    wo = (
+        Window.partitionBy("v").orderBy(F.col("o").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    above = (
+        le2.withColumn(
+            "gt_run", F.sum(F.col("n_o") - F.col("le")).over(wo)
+        )
+        .withColumn("eq_run", F.sum("c").over(wo))
+        .withColumn("a", F.col("gt_run") - (F.col("n_o") - F.col("le")))
+        .withColumn("e", F.col("eq_run") - F.col("c"))
+    )
+    j2 = above.agg(
+        F.sum(
+            F.col("c").cast(d38) * (2 * F.col("a") + F.col("e"))
+        ).alias("j2")
+    )
+    mom = per_o.agg(
+        F.sum(F.col("n_o").cast(d38)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("n_o").cast(d38) * F.col("n_o")).alias("sn2"),
+        F.sum(
+            F.col("n_o").cast(d38) * F.col("n_o")
+            * (2 * F.col("n_o") + 3)
+        ).alias("sn23"),
+    )
+    st = j2.crossJoin(F.broadcast(mom)).withColumn(
+        "_e2", F.expr("(n * n - sn2) div 2").cast(d38)
+    ).withColumn(
+        "_var72",
+        F.col("n") * F.col("n") * (2 * F.col("n") + 3) - F.col("sn23"),
+    ).withColumn("_d", F.col("j2") - F.col("_e2"))
+    z2 = F.when(
+        (F.col("k") >= 2) & (F.col("_var72") > 0),
+        F.expr("(_d * _d * 18 * 1000000) div _var72").cast("long"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        "k",
+        F.col("j2").cast("long").alias("j2"),
+        F.signum("_d").cast("long").alias("trend_sign"),
+        z2.alias("z2_ppm"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("_var72") > 0),
+            z2 > F.lit(int(crit_x10k) * 100),
+        ).alias("reject_05"),
+    )

@@ -2345,3 +2345,47 @@ class TestPageTrendTest:
         rows = [(1, 1, 5), (1, 2, 6), (1, 3, 7), (2, 1, 9)]
         r = self._run(spark, rows)
         assert r["n_blocks"] == 1 and r["n_dropped"] == 1
+
+
+class TestJonckheereTrend:
+    def _run(self, spark, rows, crit=38_415):
+        from ocr_service_spark.operators.stats import jonckheere_trend
+
+        df = spark.createDataFrame(rows, "o long, v long")
+        return jonckheere_trend(df, "o", "v", crit_x10k=crit) \
+            .collect()[0]
+
+    def test_hand_k2_is_mannwhitney(self, spark):
+        # groups [1,2] vs [3,4]: J2=8, E2=4, var72=120 -> z^2=2.4
+        rows = [(1, 1), (1, 2), (2, 3), (2, 4)]
+        r = self._run(spark, rows)
+        assert r["j2"] == 8
+        assert r["z2_ppm"] == (16 * 18 * 1_000_000) // 120
+
+    def test_ties_counted_half(self, spark):
+        # [1,2] vs [2,3]: pairs (1<2),(1<3),(2=2 half),(2<3) -> J=3.5
+        rows = [(1, 1), (1, 2), (2, 2), (2, 3)]
+        r = self._run(spark, rows)
+        assert r["j2"] == 7
+
+    def test_monotone_gradient_rejects(self, spark):
+        rows = []
+        for g in range(1, 5):
+            rows += [(g, 100 * g + (i * 7) % 30) for i in range(15)]
+        r = self._run(spark, rows)
+        assert r["trend_sign"] == 1 and r["reject_05"] is True
+
+    def test_bump_weaker_than_kruskal_would_see(self, spark):
+        # middle group shifted up, ends equal: the TREND read is ~0
+        rows = [(1, v) for v in range(20)]
+        rows += [(2, v + 300) for v in range(20)]
+        rows += [(3, v) for v in range(20)]
+        r = self._run(spark, rows)
+        assert r["z2_ppm"] < 1_000_000
+        assert r["reject_05"] is False
+
+    def test_all_tied_zero(self, spark):
+        rows = [(g, 5) for g in (1, 2, 3) for _ in range(4)]
+        r = self._run(spark, rows)
+        # every cross-pair is a tie: J2 = E2 exactly
+        assert r["z2_ppm"] == 0 and r["trend_sign"] == 0
