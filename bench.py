@@ -108,6 +108,7 @@ HEADLINE = [
     "rdd_estimate",
     "cronbach_alpha",
     "page_trend",
+    "jonckheere_trend",
     # session-6 additions
     "record_linkage",
     "margin_bitext",
