@@ -205,3 +205,60 @@ class TestGaleChurchSpark:
         out = gale_church_align(df, max_sents=10).collect()
         assert len(out) == 1
         assert out[0]["bead_ix"] == -1 and out[0]["a_len"] == 30
+
+
+class TestGaleChurchDifferential:
+    def _brute(self, la, lb):
+        """Exhaustive min-cost alignment over the same six beads."""
+        import math
+        from functools import lru_cache
+
+        from ocr_service_spark.core.galechurch import (
+            BEAD_PRIORS, _match_cost,
+        )
+
+        moves = [(1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (2, 2)]
+
+        @lru_cache(maxsize=None)
+        def best(i, j):
+            if i == len(la) and j == len(lb):
+                return 0.0
+            out = float("inf")
+            for (da, db) in moves:
+                ii, jj = i + da, j + db
+                if ii > len(la) or jj > len(lb):
+                    continue
+                c = _match_cost(
+                    sum(la[i:ii]), sum(lb[j:jj])
+                ) - math.log(BEAD_PRIORS[(da, db)])
+                out = min(out, c + best(ii, jj))
+            return out
+
+        return best(0, 0)
+
+    def test_dp_total_cost_is_optimal(self):
+        from ocr_service_spark.core.galechurch import align_lengths
+
+        cases = [
+            ([40, 30, 70], [41, 29, 68]),
+            ([40, 30, 30, 50], [41, 62, 49]),
+            ([10, 200, 10], [12, 11]),
+            ([5, 5, 5, 5], [20]),
+            ([33], [10, 11, 12]),
+        ]
+        for la, lb in cases:
+            beads = align_lengths(la, lb)
+            # recompute total cost from the emitted centi-costs only
+            # approximately; instead recompute exactly from the moves
+            import math
+
+            from ocr_service_spark.core.galechurch import (
+                BEAD_PRIORS, _match_cost,
+            )
+
+            tot = 0.0
+            for (a0, al, b0, bl, _cc) in beads:
+                tot += _match_cost(
+                    sum(la[a0:a0 + al]), sum(lb[b0:b0 + bl])
+                ) - math.log(BEAD_PRIORS[(al, bl)])
+            assert abs(tot - self._brute(tuple(la), tuple(lb))) < 1e-9

@@ -892,3 +892,54 @@ class TestCronbachAlpha:
         r = self._run(spark, rows)
         assert r["n_dropped"] == 1 and r["n_units"] == 10
         assert r["alpha_ppm"] == 1_000_000
+
+
+class TestIsotonicDifferential:
+    def _stack_pav(self, bins):
+        """Classic pool-adjacent-violators on exact fractions:
+        bins = [(score, n, pos)] sorted; returns {score: Fraction}."""
+        from fractions import Fraction
+
+        blocks = []  # (scores, n, pos)
+        for s, n, p in bins:
+            blocks.append(([s], n, p))
+            while len(blocks) >= 2:
+                s2, n2, p2 = blocks[-1]
+                s1, n1, p1 = blocks[-2]
+                if Fraction(p1, n1) >= Fraction(p2, n2):
+                    blocks[-2:] = [(s1 + s2, n1 + n2, p1 + p2)]
+                else:
+                    break
+        out = {}
+        for scores, n, p in blocks:
+            for s in scores:
+                out[s] = Fraction(p, n)
+        return out
+
+    def test_minimax_equals_stack_pav_floored(self, spark):
+        # floor commutes with min and max, so the Spark minimax on
+        # floored pair means must equal floor(exact stack-PAV * 1e6)
+        from ocr_service_spark.operators.classifier import (
+            isotonic_calibration,
+        )
+
+        import math
+
+        cases = [
+            [(s, 10, (s * 7 + 3) % 11) for s in range(12)],
+            [(0, 5, 5), (1, 5, 0), (2, 5, 5), (3, 5, 0)],
+            [(0, 3, 1), (1, 7, 2), (2, 2, 2), (3, 9, 1)],
+        ]
+        for bins in cases:
+            rows = []
+            for s, n, p in bins:
+                rows += [(s, True)] * p + [(s, False)] * (n - p)
+            df = spark.createDataFrame(rows, "score long, label boolean")
+            got = {
+                r["score"]: r["fitted_q6"]
+                for r in isotonic_calibration(df).collect()
+            }
+            exp = self._stack_pav(bins)
+            for s, frac in exp.items():
+                assert got[s] == math.floor(frac * 1_000_000), (
+                    s, got[s], frac)
