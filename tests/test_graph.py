@@ -832,3 +832,47 @@ class TestKtrussEdges:
         assert got[(0, 1)]["in_truss"] is True
         assert got[(0, 1)]["support"] == 1
         assert got[(5, 6)]["in_truss"] is False
+
+
+class TestKtrussDifferential:
+    def _brute(self, edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            # triangle support per edge
+            nodes = {v for e in es for v in e}
+            adj = {v: set() for v in nodes}
+            for (a, b) in es:
+                adj[a].add(b)
+                adj[b].add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for (a, b) in es
+            }
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return es
+            es = keep
+
+    def test_matches_brute_force_on_mixed_graphs(self, spark):
+        from ocr_service_spark.operators.graph import ktruss_edges
+
+        graphs = [
+            # wheel: hub 0 + cycle 1..6
+            [(0, i) for i in range(1, 7)]
+            + [(i, i + 1) for i in range(1, 6)] + [(6, 1)],
+            # two K4s sharing one vertex + a pendant path
+            [(i, j) for i in range(4) for j in range(i + 1, 4)]
+            + [(3 + i, 3 + j) for i in range(4) for j in range(i + 1, 4)]
+            + [(6, 7), (7, 8)],
+            # barbell: two triangles joined by a bridge
+            [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        ]
+        for g in graphs:
+            for k in (3, 4):
+                exp = self._brute(g, k)
+                df = spark.createDataFrame(g, "src long, dst long")
+                rows = ktruss_edges(df, k=k, rounds=8).collect()
+                got = {
+                    (r["a"], r["b"]) for r in rows if r["in_truss"]
+                }
+                assert got == exp, (g, k, got, exp)
+                assert all(r["converged"] for r in rows)

@@ -2389,3 +2389,36 @@ class TestJonckheereTrend:
         r = self._run(spark, rows)
         # every cross-pair is a tie: J2 = E2 exactly
         assert r["z2_ppm"] == 0 and r["trend_sign"] == 0
+
+
+class TestPettittDifferential:
+    def test_matches_brute_force(self, spark):
+        from ocr_service_spark.operators.stats import pettitt_changepoint
+
+        series = [
+            [5, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+            [3, 3, 3, 7, 7, 7, 7, 3, 3],
+            [(i * 31) % 17 for i in range(25)],
+            [2, 2, 2, 2, 2],
+        ]
+        for vals in series:
+            n = len(vals)
+            # brute: tie-averaged ranks (doubled), U_t = W2_t - t(n+1)
+            r2 = []
+            for v in vals:
+                less = sum(1 for x in vals if x < v)
+                eq = sum(1 for x in vals if x == v)
+                r2.append(2 * less + eq + 1)
+            best_k, best_t = -1, None
+            w2 = 0
+            for t in range(1, n + 1):
+                w2 += r2[t - 1]
+                u = w2 - t * (n + 1)
+                if abs(u) > best_k:
+                    best_k, best_t = abs(u), t - 1
+            rows = [("s", t, v) for t, v in enumerate(vals)]
+            df = spark.createDataFrame(rows, "g string, t long, v long")
+            r = pettitt_changepoint(df, "g", "t", "v").collect()[0]
+            assert r["k_stat"] == best_k
+            if best_k > 0:
+                assert r["t_at"] == best_t
