@@ -21420,6 +21420,81 @@ FROM st
 """
 
 
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/stats.py runs_test) over
+    the documents n_chars series in doc_id order -- the serial-
+    randomness read: clumping (too few runs) flags sticky regimes the
+    level tests miss. Oracle replays the lower-median drop, the
+    lagged sign-change count and the cleared-variance z^2."""
+    from .operators.stats import runs_test
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return runs_test(d, "i", "v")
+
+
+SQL_RUNS_TEST = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, CAST(n_chars AS BIGINT) AS v
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM d),
+med AS (
+  SELECT v AS median FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM d
+  ) r, nn WHERE rn = nn.n // 2 + 1
+),
+lab AS (
+  SELECT i,
+         CASE WHEN v > median THEN 1 WHEN v < median THEN -1
+              ELSE 0 END AS s
+  FROM d, med
+),
+kept AS (SELECT i, s FROM lab WHERE s <> 0),
+seq AS (SELECT s, LAG(s) OVER (ORDER BY i) AS ps FROM kept),
+ch AS (
+  SELECT CAST(SUM(CASE WHEN ps IS NOT NULL AND ps <> s THEN 1
+                  ELSE 0 END) AS HUGEINT) AS ch
+  FROM seq
+),
+cnt AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n1,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n2,
+         CAST(COUNT(*) AS HUGEINT) AS nk
+  FROM kept
+),
+dr AS (
+  SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM lab
+),
+st AS (
+  SELECT cnt.nk, cnt.n1, cnt.n2, dr.n_dropped,
+         CASE WHEN cnt.nk > 0 THEN COALESCE(ch.ch, 0) + 1
+              ELSE 0 END AS runs,
+         2 * cnt.n1 * cnt.n2 AS p
+  FROM cnt, ch, dr
+)
+SELECT CAST(nk AS BIGINT) AS n_kept, CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below, n_dropped,
+       CAST(runs AS BIGINT) AS runs,
+       CAST(CASE WHEN p * (p - nk) > 0 THEN
+         ((runs * nk - nk - p) * (runs * nk - nk - p) * (nk - 1)
+          * 1000000) // (p * (p - nk))
+       END AS BIGINT) AS z2_ppm,
+       CASE WHEN p * (p - nk) > 0 THEN
+         ((runs * nk - nk - p) * (runs * nk - nk - p) * (nk - 1)
+          * 1000000) // (p * (p - nk)) > 3841500
+       END AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21806,6 +21881,7 @@ CATALOG: Dict[str, tuple] = {
     "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH),
     "page_trend": (q_page_trend, SQL_PAGE_TREND),
     "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE),
+    "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4403,3 +4403,113 @@ def jonckheere_trend(
             z2 > F.lit(int(crit_x10k) * 100),
         ).alias("reject_05"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    crit_x10k: int = 38_415,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test — the RANDOMNESS read the trend and
+    changepoint family doesn't ask: "is the daily keep-rate series a
+    random scatter around its level, or does it clump" (too FEW runs
+    = sticky regimes / slow drift the level tests miss; too MANY =
+    oscillation, a flapping gate). Tuning-free like pettitt, but the
+    alternative is serial dependence of ANY shape, not one break.
+
+    Values equal to the corpus median (the histogram-prefix median,
+    rank n div 2 + 1 — the repo's _hist_median convention) are
+    dropped — the classic convention — leaving n₁ above / n₂ below; R = number of
+    maximal same-side runs in index order. Null moments clear to
+    integers exactly:
+
+        E[R] = 1 + 2n₁n₂/n,   n = n₁+n₂,
+        z²·10⁶ = ((R·n − n − 2n₁n₂)² · (n−1) · 10⁶)
+                   div (2n₁n₂ · (2n₁n₂ − n)).
+
+    Scale shape: median via the histogram prefix (bounded by value
+    cardinality), then ONE distributed prefix pass
+    (global_prefix_sum) assigns each kept element its global
+    position, and a self-join on pos+1 counts sign changes — never a
+    single-partition global window. Degenerate (all one side, or
+    2n₁n₂ ≤ n) → z2_ppm NULL, surfaced not hidden.
+
+    Emits ONE row: (n_kept, n_above, n_below, n_dropped, runs,
+    z2_ppm, reject_05)."""
+    from .quality import global_prefix_sum
+
+    d = df.select(
+        F.col(index_col).cast("long").alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    med = _hist_median(d, "v")
+    lab = d.crossJoin(F.broadcast(med)).withColumn(
+        "s",
+        F.when(F.col("v") > F.col("median"), F.lit(1))
+        .when(F.col("v") < F.col("median"), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    dropped = lab.where(F.col("s") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    kept = lab.where(F.col("s") != 0).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    pos = global_prefix_sum(kept, ["i"], "_one", out_col="pos")
+    nxt = pos.select(
+        (F.col("pos") - 1).alias("pos"), F.col("s").alias("s2")
+    )
+    changes = pos.join(nxt, "pos").agg(
+        F.sum(
+            F.when(F.col("s") != F.col("s2"), 1).otherwise(0)
+        ).cast("long").alias("ch")
+    )
+    counts = kept.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("s") == -1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n2"),
+    )
+    d38 = "decimal(38,0)"
+    st = (
+        counts.crossJoin(F.broadcast(changes))
+        .crossJoin(F.broadcast(dropped))
+        .withColumn("n", (F.col("n1") + F.col("n2")).cast(d38))
+        .withColumn(
+            "runs",
+            F.when(
+                F.col("n") > 0, F.coalesce(F.col("ch"), F.lit(0)) + 1
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_p", F.lit(2).cast(d38) * F.col("n1") * F.col("n2")
+        )
+        .withColumn(
+            "_num",
+            F.col("runs").cast(d38) * F.col("n") - F.col("n")
+            - F.col("_p"),
+        )
+        .withColumn(
+            "_den", F.col("_p") * (F.col("_p") - F.col("n"))
+        )
+    )
+    z2 = F.when(
+        F.col("_den") > 0,
+        F.expr(
+            "(_num * _num * (n - 1) * 1000000) div _den"
+        ).cast("long"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_kept"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
+        .alias("n_dropped"),
+        "runs",
+        z2.alias("z2_ppm"),
+        F.when(F.col("_den") > 0, z2 > F.lit(int(crit_x10k) * 100))
+        .alias("reject_05"),
+    )

@@ -2422,3 +2422,58 @@ class TestPettittDifferential:
             assert r["k_stat"] == best_k
             if best_k > 0:
                 assert r["t_at"] == best_t
+
+
+class TestRunsTest:
+    def _run(self, spark, vals, crit=38_415):
+        from ocr_service_spark.operators.stats import runs_test
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "i long, v long")
+        return runs_test(df, "i", "v", crit_x10k=crit).collect()[0]
+
+    def test_hand_exact(self, spark):
+        # [1,2,8,9]: median rank n//2+1 -> 8, dropped; signs
+        # [-,-,+] -> R=2, n1=1, n2=2: num = 2*3-3-4 = -1,
+        # den = 4*1 -> z2 = 500000
+        r = self._run(spark, [1, 2, 8, 9])
+        assert r["n_kept"] == 3 and r["n_dropped"] == 1
+        assert r["runs"] == 2
+        assert r["z2_ppm"] == 500_000
+        assert r["reject_05"] is False
+
+    def test_alternating_rejects_too_many_runs(self, spark):
+        # median (lower) of [1x10, 2x5, 9x10] is 2: the five 2s drop,
+        # the alternating 1/9 prefix keeps all 20 -> R=20, n1=n2=10
+        vals = [1, 9] * 10 + [2] * 5
+        r = self._run(spark, vals)
+        assert r["n_dropped"] == 5
+        assert r["runs"] == 20
+        # z2 = 180^2 * 19e6 / 36000 = 17.1
+        assert r["z2_ppm"] == 17_100_000
+        assert r["reject_05"] is True
+
+    def test_clumped_rejects_too_few_runs(self, spark):
+        vals = [1] * 10 + [2] * 5 + [9] * 10
+        r = self._run(spark, vals)
+        assert r["runs"] == 2
+        assert r["z2_ppm"] == 17_100_000
+        assert r["reject_05"] is True
+
+    def test_degenerate_one_side_null(self, spark):
+        # median rank 2 of [1,1,5] is 1: the two 1s drop, 5 kept
+        r = self._run(spark, [1, 5, 1])
+        assert r["n_kept"] == 1 and r["runs"] == 1
+        assert r["z2_ppm"] is None and r["reject_05"] is None
+
+    def test_brute_force_runs_count(self, spark):
+        vals = [((i * 2654435761) >> 7) % 101 for i in range(211)]
+        med = sorted(vals)[len(vals) // 2]
+        signs = [1 if v > med else -1 for v in vals if v != med]
+        runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        r = self._run(spark, vals)
+        assert r["runs"] == runs
+        assert r["n_kept"] == len(signs)
+        assert r["n_dropped"] == len(vals) - len(signs)
