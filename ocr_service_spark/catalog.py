@@ -21495,6 +21495,78 @@ FROM st
 """
 
 
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test (operators/stats.py jarque_bera)
+    over the documents n_chars metric -- the shape read behind every
+    gaussian assumption downstream. Oracle replays the anchor-mean
+    power sums, the staged sign-split ppm divisions and the chi^2_2
+    decision."""
+    from .operators.stats import jarque_bera
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("v")
+    )
+    return jarque_bera(d, "v")
+
+
+SQL_JARQUE_BERA = """
+WITH d AS (SELECT CAST(n_chars AS HUGEINT) AS v FROM documents),
+base AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s1 FROM d
+),
+anch AS (SELECT n, s1, s1 // n AS a, s1 - n * (s1 // n) AS r
+         FROM base),
+pw AS (
+  SELECT SUM((v - a) * (v - a)) AS w2,
+         SUM((v - a) * (v - a) * (v - a)) AS w3,
+         SUM((v - a) * (v - a) * (v - a) * (v - a)) AS w4
+  FROM d, anch
+),
+mo AS (
+  SELECT anch.n, anch.r,
+         anch.n * pw.w2 - anch.r * anch.r AS m2,
+         anch.n * anch.n * pw.w3
+           - 3 * anch.n * anch.r * pw.w2
+           + 2 * anch.r * anch.r * anch.r AS m3,
+         anch.n * anch.n * anch.n * pw.w4
+           - 4 * anch.n * anch.n * anch.r * pw.w3
+           + 6 * anch.n * anch.r * anch.r * pw.w2
+           - 3 * anch.r * anch.r * anch.r * anch.r AS m4
+  FROM anch, pw
+),
+st AS (
+  SELECT n, m2, m3, m4,
+         CASE WHEN m2 > 0 THEN
+           (CASE WHEN m3 < 0 THEN -1 WHEN m3 > 0 THEN 1 ELSE 0 END)
+             * ((ABS(m3) * 1000000) // m2)
+         END AS q,
+         CASE WHEN m2 > 0 THEN
+           (CASE WHEN m4 - 3 * m2 * m2 < 0 THEN -1
+                 WHEN m4 - 3 * m2 * m2 > 0 THEN 1 ELSE 0 END)
+             * ((ABS(m4 - 3 * m2 * m2) * 1000000) // (m2 * m2))
+         END AS eppm
+  FROM mo
+),
+fin AS (
+  SELECT n, m3, eppm,
+         CASE WHEN m2 > 0 THEN (q * q) // (m2 * 1000000) END AS s2ppm
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN m3 < 0 THEN -1 WHEN m3 > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS skew_sign,
+       CAST(s2ppm AS BIGINT) AS skew2_ppm,
+       CAST(eppm AS BIGINT) AS excess_kurt_ppm,
+       CAST((n * (4 * s2ppm + (eppm * eppm) // 1000000)) // 24
+            AS BIGINT) AS jb_ppm,
+       CASE WHEN s2ppm IS NOT NULL THEN
+         (n * (4 * s2ppm + (eppm * eppm) // 1000000)) // 24 > 5991500
+       END AS reject_05
+FROM fin
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21882,6 +21954,7 @@ CATALOG: Dict[str, tuple] = {
     "page_trend": (q_page_trend, SQL_PAGE_TREND),
     "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE),
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
+    "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4513,3 +4513,116 @@ def runs_test(
         F.when(F.col("_den") > 0, z2 > F.lit(int(crit_x10k) * 100))
         .alias("reject_05"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    crit_ppm: int = 5_991_500,
+) -> DataFrame:
+    """Jarque–Bera normality test — the distribution-SHAPE read the
+    location/spread family doesn't ask: residual-ish metrics (quality
+    score deltas, per-day rate residuals) that a downstream z-test or
+    control chart ASSUMES gaussian get their assumption checked here
+    from the same one-pass sums. JB = n·(S²/6 + (K−3)²/24) against
+    χ²₂; heavy tails inflate K, template/spam asymmetry inflates S.
+
+    Exact shape: raw power sums (n, Σw, Σw², Σw³, Σw⁴) about the
+    integer ANCHOR a = Σv div n keep magnitudes at data scale (never
+    n-scaled); the anchor-to-mean correction r = Σv − n·a folds in
+    algebraically:
+
+        M2 = n·Σw² − r²                    (= n²·m2)
+        M3 = n²·Σw³ − 3nr·Σw² + 2r³       (= n³·m3)
+        M4 = n³·Σw⁴ − 4n²r·Σw³ + 6nr²·Σw² − 3r⁴   (= n⁴·m4)
+
+    so S² = M3²/M2³ and K = M4/M2² with every n-power cancelling.
+    Ratios are staged on the ppm grid with sign-split integral div
+    (identical staging on both engines — floor-deterministic):
+    q = s·(|M3|·10⁶ div M2), skew²·10⁶ = q² div (M2·10⁶);
+    e = s·(|M4 − 3M2²|·10⁶ div M2²) = excess·10⁶,
+    JB·10⁶ = n·(4·(skew²·10⁶) + e² div 10⁶) div 24.
+
+    Grid budget: M4 holds n³·Σw⁴ — at |w| ≤ 10⁴ safe to n ≈ 10⁶
+    rows; pre-aggregate (daily rollups) or rescale beyond that, the
+    jackknife_ratio_se convention. Zero variance → NULLs, surfaced.
+
+    Emits ONE row: (n, skew_sign, skew2_ppm, excess_kurt_ppm,
+    jb_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(F.col(value_col).cast("long").alias("v"))
+    base = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("v").cast(d38)).alias("s1"),
+    ).withColumn("a", F.expr("CASE WHEN s1 >= 0 THEN s1 div n"
+                             " ELSE -((-s1 + n - 1) div n) END")
+                 ).withColumn("r", F.col("s1") - F.col("n") * F.col("a"))
+    w = d.crossJoin(F.broadcast(base.select("a"))).select(
+        (F.col("v").cast(d38) - F.col("a")).alias("w")
+    )
+    pw = w.agg(
+        F.sum(F.col("w") * F.col("w")).alias("w2"),
+        F.sum(F.col("w") * F.col("w") * F.col("w")).alias("w3"),
+        F.sum(F.col("w") * F.col("w") * F.col("w") * F.col("w"))
+        .alias("w4"),
+    )
+    st = (
+        base.crossJoin(F.broadcast(pw))
+        .withColumn("m2", F.col("n") * F.col("w2") - F.col("r") * F.col("r"))
+        .withColumn(
+            "m3",
+            F.col("n") * F.col("n") * F.col("w3")
+            - 3 * F.col("n") * F.col("r") * F.col("w2")
+            + 2 * F.col("r") * F.col("r") * F.col("r"),
+        )
+        .withColumn(
+            "m4",
+            F.col("n") * F.col("n") * F.col("n") * F.col("w4")
+            - 4 * F.col("n") * F.col("n") * F.col("r") * F.col("w3")
+            + 6 * F.col("n") * F.col("r") * F.col("r") * F.col("w2")
+            - 3 * F.col("r") * F.col("r") * F.col("r") * F.col("r"),
+        )
+        .withColumn(
+            "q",
+            F.when(
+                F.col("m2") > 0,
+                F.signum("m3").cast(d38)
+                * F.expr("(abs(m3) * 1000000) div m2"),
+            ),
+        )
+        .withColumn(
+            "s2ppm",
+            F.when(
+                F.col("m2") > 0,
+                F.expr("(q * q) div (m2 * 1000000)"),
+            ),
+        )
+        .withColumn(
+            "eppm",
+            F.when(
+                F.col("m2") > 0,
+                F.signum(F.col("m4") - 3 * F.col("m2") * F.col("m2"))
+                .cast(d38)
+                * F.expr(
+                    "(abs(m4 - 3 * m2 * m2) * 1000000) div (m2 * m2)"
+                ),
+            ),
+        )
+        .withColumn(
+            "jbppm",
+            F.expr(
+                "(n * (4 * s2ppm + (eppm * eppm) div 1000000)) div 24"
+            ),
+        )
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.signum("m3").cast("long").alias("skew_sign"),
+        F.col("s2ppm").cast("long").alias("skew2_ppm"),
+        F.col("eppm").cast("long").alias("excess_kurt_ppm"),
+        F.col("jbppm").cast("long").alias("jb_ppm"),
+        F.when(
+            F.col("jbppm").isNotNull(),
+            F.col("jbppm") > F.lit(int(crit_ppm)).cast(d38),
+        ).alias("reject_05"),
+    )

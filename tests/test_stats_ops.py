@@ -2477,3 +2477,93 @@ class TestRunsTest:
         assert r["runs"] == runs
         assert r["n_kept"] == len(signs)
         assert r["n_dropped"] == len(vals) - len(signs)
+
+
+class TestJarqueBera:
+    @staticmethod
+    def _expected(vals):
+        n = len(vals)
+        s1 = sum(vals)
+        a = s1 // n
+        r = s1 - n * a
+        w = [v - a for v in vals]
+        w2, w3, w4 = (sum(x ** p for x in w) for p in (2, 3, 4))
+        m2 = n * w2 - r * r
+        m3 = n * n * w3 - 3 * n * r * w2 + 2 * r ** 3
+        m4 = (n ** 3 * w4 - 4 * n * n * r * w3
+              + 6 * n * r * r * w2 - 3 * r ** 4)
+        if m2 <= 0:
+            return None
+        sgn = lambda x: (x > 0) - (x < 0)
+        q = sgn(m3) * (abs(m3) * 10**6 // m2)
+        s2ppm = q * q // (m2 * 10**6)
+        c = m4 - 3 * m2 * m2
+        eppm = sgn(c) * (abs(c) * 10**6 // (m2 * m2))
+        jb = n * (4 * s2ppm + eppm * eppm // 10**6) // 24
+        return dict(skew_sign=sgn(m3), skew2_ppm=s2ppm,
+                    excess_kurt_ppm=eppm, jb_ppm=jb)
+
+    def _run(self, spark, vals):
+        from ocr_service_spark.operators.stats import jarque_bera
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        return jarque_bera(df, "v").collect()[0]
+
+    def test_symmetric_uniform_hand(self, spark):
+        # [1..5]: skew 0, K = 1.7 -> excess -1.3e6 ppm exactly,
+        # JB = 5*1.69e6/24 = 352083 ppm
+        r = self._run(spark, [1, 2, 3, 4, 5])
+        assert r["skew2_ppm"] == 0
+        assert r["excess_kurt_ppm"] == -1_300_000
+        assert r["jb_ppm"] == 352_083
+        assert r["reject_05"] is False
+
+    def test_anchor_correction_matches_int_twin(self, spark):
+        vals = [1, 2, 4]  # non-integer mean exercises r != 0
+        exp = self._expected(vals)
+        r = self._run(spark, vals)
+        for k, v in exp.items():
+            assert r[k] == v, (k, r[k], v)
+
+    def test_pseudo_normal_accepts(self, spark):
+        # CLT sum of 12 LCG uniforms: near-gaussian, JB small
+        vals = []
+        s = 12345
+        for _ in range(500):
+            t = 0
+            for _ in range(12):
+                s = (s * 1103515245 + 12345) % (1 << 31)
+                t += s % 1000
+            vals.append(t)
+        exp = self._expected(vals)
+        r = self._run(spark, vals)
+        assert r["jb_ppm"] == exp["jb_ppm"]
+        assert r["reject_05"] is False
+
+    def test_skewed_rejects(self, spark):
+        s = 99
+        vals = []
+        for _ in range(400):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            u = s % 1000
+            vals.append(u * u // 100)  # right-skewed
+        exp = self._expected(vals)
+        r = self._run(spark, vals)
+        assert r["jb_ppm"] == exp["jb_ppm"]
+        assert r["skew_sign"] == 1
+        assert r["reject_05"] is True
+
+    def test_float_sanity(self, spark):
+        vals = [3, 7, 7, 2, 9, 14, 1, 6, 6, 8, 11, 2]
+        r = self._run(spark, vals)
+        n = len(vals)
+        mean = sum(vals) / n
+        m2 = sum((v - mean) ** 2 for v in vals) / n
+        m3 = sum((v - mean) ** 3 for v in vals) / n
+        m4 = sum((v - mean) ** 4 for v in vals) / n
+        jb = n * ((m3 ** 2 / m2 ** 3) / 6 + (m4 / m2 ** 2 - 3) ** 2 / 24)
+        assert abs(r["jb_ppm"] / 1e6 - jb) < 0.01
+
+    def test_constant_null(self, spark):
+        r = self._run(spark, [7, 7, 7, 7])
+        assert r["jb_ppm"] is None and r["reject_05"] is None
