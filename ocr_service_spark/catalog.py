@@ -21567,6 +21567,86 @@ FROM fin
 """
 
 
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau (operators/stats.py ljung_box) over the
+    documents n_chars series in doc_id order, cumulative Q_h for
+    h = 1..6 -- the white-noise omnibus behind acf_lags' per-lag
+    reads. Oracle replays the anchor-mean autocovariances, staged
+    ppm quantization and the per-df chi^2 decisions."""
+    from .operators.stats import ljung_box
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return ljung_box(d, "i", "v", max_lag=6)
+
+
+SQL_LJUNG_BOX = """
+WITH d AS (
+  SELECT CAST(doc_id AS HUGEINT) AS i, CAST(n_chars AS HUGEINT) AS v
+  FROM documents
+),
+base AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s1 FROM d),
+anch AS (SELECT n, s1 // n AS a, s1 - n * (s1 // n) AS r FROM base),
+w AS (SELECT i, v - a AS w FROM d, anch),
+m2t AS (
+  SELECT anch.n * SUM(w.w * w.w) - anch.r * anch.r AS m2
+  FROM w, anch GROUP BY anch.n, anch.r
+),
+pairs AS (
+  SELECT ks.k, a.w AS wa, b.w AS wb
+  FROM generate_series(1, 6) AS ks(k)
+  JOIN w a ON TRUE
+  JOIN w b ON b.i = a.i + ks.k
+),
+agg AS (
+  SELECT k, CAST(COUNT(*) AS HUGEINT) AS cnt, SUM(wa * wb) AS p,
+         SUM(wa) AS sa, SUM(wb) AS sb
+  FROM pairs GROUP BY k
+),
+st AS (
+  SELECT agg.k, agg.cnt, anch.n,
+         anch.n * anch.n * agg.p
+           - anch.n * anch.r * (agg.sa + agg.sb)
+           + agg.cnt * anch.r * anch.r AS num,
+         m2t.m2
+  FROM agg, anch, m2t
+),
+qs AS (
+  SELECT k, cnt, n,
+         CASE WHEN m2 > 0 THEN
+           (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END)
+             * ((ABS(num) * 1000000) // (n * m2))
+         END AS q
+  FROM st
+),
+cumt AS (
+  SELECT k, cnt, n, q,
+         SUM(CASE WHEN cnt > 0 AND q IS NOT NULL
+                  THEN (q * q * 1000000) // cnt ELSE 0 END)
+           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum
+  FROM qs
+),
+crit(k, c) AS (
+  VALUES (1, 3841500), (2, 5991500), (3, 7814700),
+         (4, 9487700), (5, 11070500), (6, 12591600)
+)
+SELECT CAST(cumt.k AS BIGINT) AS lag,
+       CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(q AS BIGINT) AS r_ppm,
+       CAST(CASE WHEN q IS NOT NULL THEN
+         (n * (n + 2) * cum) // 1000000000000 END AS BIGINT) AS q_ppm,
+       CASE WHEN q IS NOT NULL THEN
+         (n * (n + 2) * cum) // 1000000000000 > crit.c
+       END AS reject_05
+FROM cumt JOIN crit ON crit.k = cumt.k
+ORDER BY lag
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -21955,6 +22035,7 @@ CATALOG: Dict[str, tuple] = {
     "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE),
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
+    "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4626,3 +4626,134 @@ def jarque_bera(
             F.col("jbppm") > F.lit(int(crit_ppm)).cast(d38),
         ).alias("reject_05"),
     )
+
+
+# chi^2 upper-0.05 critical values x 1e4 for df = 1..12 (public table)
+_CHI2_05_X10K = [
+    38_415, 59_915, 78_147, 94_877, 110_705, 125_916,
+    140_671, 155_073, 169_190, 183_070, 196_751, 210_261,
+]
+
+
+def ljung_box(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    max_lag: int = 8,
+) -> DataFrame:
+    """Ljung–Box portmanteau test — "is this series white noise AT
+    ALL", pooled over the first h autocorrelations: the omnibus
+    behind acf_lags' per-lag reads (a weak correlation smeared
+    across many lags never clears a per-lag bar but accumulates
+    here) and the formal gate ewma/holt residuals assume. Emits the
+    CUMULATIVE Q_h for every h ≤ max_lag, so one frame answers "how
+    many lags deep does structure persist".
+
+    Requires a DENSE integer index (day number, doc sequence): lag-k
+    pairs come from an equi-join on i+k, the acf_lags gap-safe shape,
+    never a row-order window. Autocovariances stay exact through the
+    anchor-mean trick (a = Σv div n, r = Σv − n·a, w = v − a):
+
+        N_k = n²·Σw_a w_b − n·r·(Σw_a + Σw_b) + cnt_k·r²  (= n²·ĉ_k·n)
+        M2  = n·Σw² − r²                                   (= n·ĉ_0·n)
+
+    so r_k = N_k/(n·M2); quantized sign-split to ppm (q_k), each
+    lag's term (q_k²·10⁶) div cnt_k, and
+    Q_h·10⁶ = (n(n+2)·Σ_{k≤h} term_k) div 10⁶ — identical staged
+    floors on both engines. Decision per h against χ²_h at 0.05
+    (public table above). Zero variance → NULL q_ppm, surfaced.
+
+    Emits max_lag rows: (lag, n_pairs, r_ppm, q_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    max_lag = int(max_lag)
+    d = df.select(
+        F.col(index_col).cast("long").alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("v").cast(d38)).alias("s1"),
+    ).withColumn(
+        "a", F.expr("CASE WHEN s1 >= 0 THEN s1 div n"
+                    " ELSE -((-s1 + n - 1) div n) END")
+    ).withColumn("r", F.col("s1") - F.col("n") * F.col("a"))
+    w = d.crossJoin(F.broadcast(base.select("a"))).select(
+        "i", (F.col("v").cast(d38) - F.col("a")).alias("w")
+    )
+    m2 = w.crossJoin(F.broadcast(base.select("n", "r"))).agg(
+        (F.first("n") * F.sum(F.col("w") * F.col("w"))
+         - F.first("r") * F.first("r")).alias("m2")
+    )
+    parts = []
+    for k in range(1, max_lag + 1):
+        b = w.select((F.col("i") - k).alias("i"), F.col("w").alias("wb"))
+        parts.append(
+            w.join(b, "i").select(
+                F.lit(k).cast("long").alias("lag"),
+                F.col("w").alias("wa"), "wb",
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("cnt"),
+        F.sum(F.col("wa") * F.col("wb")).alias("p"),
+        F.sum("wa").alias("sa"),
+        F.sum("wb").alias("sb"),
+    )
+    st = (
+        agg.crossJoin(F.broadcast(base.select("n", "r")))
+        .crossJoin(F.broadcast(m2))
+        .withColumn(
+            "num",
+            F.col("n") * F.col("n") * F.col("p")
+            - F.col("n") * F.col("r") * (F.col("sa") + F.col("sb"))
+            + F.col("cnt") * F.col("r") * F.col("r"),
+        )
+        .withColumn(
+            "q",
+            F.when(
+                F.col("m2") > 0,
+                F.signum("num").cast(d38)
+                * F.expr("(abs(num) * 1000000) div (n * m2)"),
+            ),
+        )
+        .withColumn(
+            "term",
+            F.when(
+                (F.col("cnt") > 0) & F.col("q").isNotNull(),
+                F.expr("(q * q * 1000000) div cnt"),
+            ).otherwise(F.lit(0).cast(d38)),
+        )
+    )
+    # cumulative over <= max_lag rows: bounded window, not a data-scale
+    # funnel (the histogram-window exemption)
+    wl = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = st.withColumn("cum_term", F.sum("term").over(wl)).withColumn(
+        "q_ppm",
+        F.when(
+            F.col("q").isNotNull(),
+            F.expr("(n * (n + 2) * cum_term) div 1000000000000"),
+        ),
+    )
+    crit = F.create_map(
+        *[
+            x
+            for h, c in enumerate(_CHI2_05_X10K[:max_lag], start=1)
+            for x in (F.lit(h), F.lit(c * 100))
+        ]
+    )
+    return cum.select(
+        "lag",
+        F.col("cnt").cast("long").alias("n_pairs"),
+        F.col("q").cast("long").alias("r_ppm"),
+        F.col("q_ppm").cast("long").alias("q_ppm"),
+        F.when(
+            F.col("q").isNotNull(),
+            F.col("q_ppm").cast("long")
+            > crit[F.col("lag").cast("int")],
+        ).alias("reject_05"),
+    ).orderBy("lag")

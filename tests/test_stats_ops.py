@@ -2567,3 +2567,78 @@ class TestJarqueBera:
     def test_constant_null(self, spark):
         r = self._run(spark, [7, 7, 7, 7])
         assert r["jb_ppm"] is None and r["reject_05"] is None
+
+
+class TestLjungBox:
+    @staticmethod
+    def _expected(vals, h):
+        n = len(vals)
+        s1 = sum(vals)
+        a = s1 // n
+        r = s1 - n * a
+        w = [v - a for v in vals]
+        m2 = n * sum(x * x for x in w) - r * r
+        sgn = lambda x: (x > 0) - (x < 0)
+        out, cum = [], 0
+        for k in range(1, h + 1):
+            cnt = n - k
+            p = sum(x * y for x, y in zip(w, w[k:]))
+            sa, sb = sum(w[:-k]), sum(w[k:])
+            num = n * n * p - n * r * (sa + sb) + cnt * r * r
+            q = (sgn(num) * (abs(num) * 10**6 // (n * m2))
+                 if m2 > 0 else None)
+            term = (q * q * 10**6) // cnt if cnt > 0 else 0
+            cum += term
+            out.append((k, cnt, q, n * (n + 2) * cum // 10**12))
+        return out
+
+    def _run(self, spark, vals, h=4):
+        from ocr_service_spark.operators.stats import ljung_box
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "i long, v long")
+        return ljung_box(df, "i", "v", max_lag=h).collect()
+
+    def test_matches_int_twin_noise(self, spark):
+        s, vals = 7, []
+        for _ in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vals.append(s % 997)
+        exp = self._expected(vals, 4)
+        got = self._run(spark, vals, 4)
+        for e, g in zip(exp, got):
+            assert (g["lag"], g["n_pairs"], g["r_ppm"], g["q_ppm"]) == e
+        # pseudo-random noise: no lag rejects
+        assert all(g["reject_05"] is False for g in got)
+
+    def test_sawtooth_rejects_lag1(self, spark):
+        vals = [t % 50 for t in range(300)]
+        got = self._run(spark, vals, 3)
+        assert got[0]["reject_05"] is True
+        # lag-1 autocorrelation of a period-50 sawtooth is ~ +0.89
+        # (the 6 resets per 300 steps pull it off +1)
+        assert got[0]["r_ppm"] > 850_000
+
+    def test_alternating_negative_r1(self, spark):
+        vals = [10 if i % 2 == 0 else 0 for i in range(100)]
+        got = self._run(spark, vals, 2)
+        assert got[0]["r_ppm"] < -900_000
+        assert got[0]["reject_05"] is True
+
+    def test_constant_nulls(self, spark):
+        got = self._run(spark, [5] * 50, 2)
+        assert all(g["r_ppm"] is None for g in got)
+        assert all(g["reject_05"] is None for g in got)
+
+    def test_float_sanity_r1(self, spark):
+        s, vals = 3, []
+        for _ in range(150):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vals.append(s % 211)
+        got = self._run(spark, vals, 1)
+        n = len(vals)
+        mean = sum(vals) / n
+        den = sum((v - mean) ** 2 for v in vals)
+        num = sum((vals[t] - mean) * (vals[t + 1] - mean)
+                  for t in range(n - 1))
+        assert abs(got[0]["r_ppm"] / 1e6 - num / den) < 1e-5
