@@ -21647,6 +21647,60 @@ ORDER BY lag
 """
 
 
+
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index (operators/stats.py hill_tail_index) over the
+    top-50 documents by n_chars -- the tail-heaviness read deciding
+    whether mean-based capacity planning holds. Oracle replays the
+    tie-stable descending rank, the per-row floored ln terms and the
+    integral-div estimates."""
+    from .operators.stats import hill_tail_index
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return hill_tail_index(d, "i", "v", k=50)
+
+
+SQL_HILL_TAIL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, CAST(n_chars AS BIGINT) AS v
+  FROM documents
+),
+cnts AS (
+  SELECT CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM d
+),
+rk AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, i ASC) AS pos
+  FROM d WHERE v > 0
+),
+thr AS (SELECT v AS thr FROM rk WHERE pos = 51),
+tl AS (
+  SELECT FLOOR(LN(CAST(rk.v AS DOUBLE) / CAST(thr.thr AS DOUBLE))
+               * 1000000) AS t,
+         thr.thr
+  FROM rk, thr WHERE rk.pos <= 50
+),
+s AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS m, MAX(thr) AS thr
+  FROM tl
+)
+SELECT cnts.n_pos, cnts.n_dropped, CAST(50 AS BIGINT) AS k,
+       CAST(s.thr AS BIGINT) AS thr,
+       CAST(CASE WHEN s.m = 50 AND s.st >= 0 THEN s.st // 50 END
+            AS BIGINT) AS gamma_ppm,
+       CAST(CASE WHEN s.m = 50 AND s.st // 50 > 0 THEN
+         1000000000 // (s.st // 50) END AS BIGINT) AS alpha_q3
+FROM cnts, s
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22036,6 +22090,7 @@ CATALOG: Dict[str, tuple] = {
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
     "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
+    "hill_tail_index": (q_hill_tail, SQL_HILL_TAIL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -4757,3 +4757,82 @@ def ljung_box(
             > crit[F.col("lag").cast("int")],
         ).alias("reject_05"),
     ).orderBy("lag")
+
+
+def hill_tail_index(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill tail-index estimator over the top-k order statistics —
+    the TAIL-heaviness read zipf_fit's full-distribution slope
+    smooths over: "do giant documents/hosts follow a power law, and
+    how heavy" decides whether mean-based capacity planning is even
+    meaningful (α ≤ 2 → infinite variance: plan on quantiles, salt
+    the skew). γ̂ = (1/k)·Σᵢ₌₁ᵏ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest
+    values, α̂ = 1/γ̂.
+
+    Tail selection is exact and tie-stable: descending global rank
+    by (value desc, id asc) via the distributed prefix pass (never a
+    single-partition window); the threshold is the (k+1)-th largest
+    INCLUDING duplicates. Each ln term is one double ln of a ratio
+    of two int64s, floor-quantized to the 1e6 grid per ROW before
+    the sum (the bleu_shadow float rule: identical IEEE ops on both
+    engines, flooring before aggregation); γ̂·10⁶ = Σterm div k.
+
+    Nonpositive values can't enter a log tail — dropped and counted.
+    n_pos < k+1 → NULL estimates, surfaced.
+
+    Emits ONE row: (n_pos, n_dropped, k, thr, gamma_ppm, alpha_q3)
+    with α̂·10³ = 10⁹ div γ̂·10⁶."""
+    from .quality import global_prefix_sum
+
+    k = int(k)
+    d = df.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    counts = d.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("v") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_pos"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") <= 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_dropped"),
+    )
+    pos_d = d.where(F.col("v") > 0).withColumn(
+        "negv", -F.col("v")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(pos_d, ["negv", "i"], "_one", out_col="pos")
+    thr = ranked.where(F.col("pos") == k + 1).select(
+        F.col("v").alias("thr")
+    )
+    tail = ranked.where(F.col("pos") <= k).crossJoin(F.broadcast(thr))
+    terms = tail.select(
+        F.floor(
+            F.log(F.col("v").cast("double") / F.col("thr").cast("double"))
+            * 1_000_000
+        ).cast("long").alias("t"),
+        F.col("thr"),
+    )
+    s = terms.agg(
+        F.sum("t").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.first("thr").alias("thr"),
+    )
+    st = counts.crossJoin(F.broadcast(s))
+    gamma = F.when(
+        (F.col("m") == k) & (F.col("st") >= 0),
+        F.expr(f"st div {k}").cast("long"),
+    )
+    return st.select(
+        "n_pos",
+        "n_dropped",
+        F.lit(k).cast("long").alias("k"),
+        F.col("thr").cast("long").alias("thr"),
+        gamma.alias("gamma_ppm"),
+        F.when(
+            gamma > 0, F.expr("1000000000 div (st div " + str(k) + ")")
+        ).cast("long").alias("alpha_q3"),
+    )

@@ -2642,3 +2642,56 @@ class TestLjungBox:
         num = sum((vals[t] - mean) * (vals[t + 1] - mean)
                   for t in range(n - 1))
         assert abs(got[0]["r_ppm"] / 1e6 - num / den) < 1e-5
+
+
+class TestHillTailIndex:
+    @staticmethod
+    def _expected(pairs, k):
+        import math
+
+        pos = sorted(
+            [(i, v) for i, v in pairs if v > 0],
+            key=lambda t: (-t[1], t[0]),
+        )
+        if len(pos) < k + 1:
+            return None
+        thr = pos[k][1]
+        st = sum(
+            math.floor(math.log(v / thr) * 10**6) for _, v in pos[:k]
+        )
+        return st // k
+
+    def _run(self, spark, pairs, k):
+        from ocr_service_spark.operators.stats import hill_tail_index
+
+        df = spark.createDataFrame(pairs, "i long, v long")
+        return hill_tail_index(df, "i", "v", k=k).collect()[0]
+
+    def test_pareto_alpha2(self, spark):
+        pairs = [
+            (i, int(1000 * (1000 / i) ** 0.5)) for i in range(1, 1001)
+        ]
+        r = self._run(spark, pairs, 100)
+        exp = self._expected(pairs, 100)
+        assert r["gamma_ppm"] == exp
+        # alpha = 1/gamma ~ 2 for a square-root Pareto tail
+        assert 1_800 < r["alpha_q3"] < 2_200
+
+    def test_tie_stability_matches_twin(self, spark):
+        s, pairs = 17, []
+        for i in range(400):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            pairs.append((i, 1 + s % 37))  # heavy ties
+        r = self._run(spark, pairs, 50)
+        assert r["gamma_ppm"] == self._expected(pairs, 50)
+
+    def test_nonpositive_dropped(self, spark):
+        pairs = [(i, i - 5) for i in range(100)]  # six values <= 0
+        r = self._run(spark, pairs, 20)
+        assert r["n_dropped"] == 6 and r["n_pos"] == 94
+        assert r["gamma_ppm"] == self._expected(pairs, 20)
+
+    def test_k_too_large_null(self, spark):
+        pairs = [(i, 10 + i) for i in range(10)]
+        r = self._run(spark, pairs, 10)
+        assert r["gamma_ppm"] is None and r["alpha_q3"] is None
