@@ -21701,6 +21701,133 @@ FROM cnts, s
 """
 
 
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size (operators/stats.py
+    cliffs_delta) between even/odd doc bands with a planted +40
+    shift -- the magnitude companion to the Mann-Whitney yes/no.
+    Oracle replays the value-grid pair counts and the sign-split
+    ppm delta with Romano bands."""
+    from .operators.stats import cliffs_delta
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr("CAST(n_chars + 40 * (doc_id % 2) AS BIGINT)")
+        .alias("v"),
+    )
+    return cliffs_delta(d, "g", "v", "0", "1")
+
+
+SQL_CLIFFS_DELTA = """
+WITH d AS (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(n_chars + 40 * (doc_id % 2) AS HUGEINT) AS v
+  FROM documents
+),
+hist AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS ca,
+         CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS cb
+  FROM d GROUP BY v
+),
+cum AS (
+  SELECT *, SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS cum_b_le
+  FROM hist
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM hist),
+st AS (
+  SELECT tot.na, tot.nb,
+         SUM(ca * (cum_b_le - cb)) AS gt,
+         SUM(ca * (nb - cum_b_le)) AS lt,
+         SUM(ca * cb) AS ties
+  FROM cum, tot GROUP BY tot.na, tot.nb
+),
+fin AS (
+  SELECT na, nb, gt, lt, ties,
+         CASE WHEN na > 0 AND nb > 0 THEN
+           (CASE WHEN gt - lt < 0 THEN -1 WHEN gt - lt > 0 THEN 1
+                 ELSE 0 END)
+             * ((ABS(gt - lt) * 1000000) // (na * nb))
+         END AS delta
+  FROM st
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(gt AS BIGINT) AS gt_pairs, CAST(lt AS BIGINT) AS lt_pairs,
+       CAST(ties AS BIGINT) AS tie_pairs,
+       CAST(delta AS BIGINT) AS delta_ppm,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN ABS(delta) < 147000 THEN 'negligible'
+            WHEN ABS(delta) < 330000 THEN 'small'
+            WHEN ABS(delta) < 474000 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM fin
+"""
+
+
+def q_dunn_posthoc(spark, sf_dir):
+    """Dunn's pairwise post-hoc (operators/stats.py dunn_posthoc)
+    across three doc bands, band g2 planted +300 -- the WHICH after
+    the kruskal_wallis omnibus. Oracle replays the pooled doubled
+    ranks, tie sum, cleared-variance pair z^2 and the k=3
+    Bonferroni decision."""
+    from .operators.stats import dunn_posthoc
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CONCAT('g', CAST(doc_id % 3 AS STRING))").alias("g"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return dunn_posthoc(d, "g", "v")
+
+
+SQL_DUNN = """
+WITH d AS (
+  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS g,
+         CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300
+              ELSE 0 END AS HUGEINT) AS v
+  FROM documents
+),
+hist AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS c FROM d GROUP BY v),
+r2 AS (
+  SELECT v, 2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) - c) + c + 1 AS r2
+  FROM hist
+),
+tie AS (SELECT SUM(c * c * c - c) AS st, SUM(c) AS nn FROM hist),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(r2.r2) AS s2
+  FROM d JOIN r2 USING (v) GROUP BY g
+),
+kc AS (SELECT COUNT(*) AS k FROM pg),
+pr AS (
+  SELECT a.g AS g_i, b.g AS g_j, a.n AS n_i, b.n AS n_j,
+         a.s2 AS s2_i, b.s2 AS s2_j
+  FROM pg a JOIN pg b ON a.g < b.g
+),
+st2 AS (
+  SELECT pr.*, tie.st, tie.nn, kc.k,
+         (s2_i * n_j - s2_j * n_i) AS num,
+         n_i * n_j * (n_i + n_j)
+           * (nn * (nn + 1) * (nn - 1) - tie.st) AS den
+  FROM pr, tie, kc
+)
+SELECT g_i, g_j, CAST(n_i AS BIGINT) AS n_i,
+       CAST(n_j AS BIGINT) AS n_j,
+       CAST(CASE WHEN den > 0 THEN
+         (num * num * 3 * (nn - 1) * 1000000) // den
+       END AS BIGINT) AS z2_ppm,
+       CASE WHEN den > 0 AND k <= 7 THEN
+         (num * num * 3 * (nn - 1) * 1000000) // den > 5731100
+       END AS reject_05
+FROM st2 ORDER BY g_i, g_j
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22091,6 +22218,8 @@ CATALOG: Dict[str, tuple] = {
     "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
     "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
     "hill_tail_index": (q_hill_tail, SQL_HILL_TAIL),
+    "cliffs_delta": (q_cliffs_delta, SQL_CLIFFS_DELTA),
+    "dunn_posthoc": (q_dunn_posthoc, SQL_DUNN),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

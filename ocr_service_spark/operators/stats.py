@@ -4836,3 +4836,180 @@ def hill_tail_index(
             gamma > 0, F.expr("1000000000 div (st div " + str(k) + ")")
         ).cast("long").alias("alpha_q3"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size — the MAGNITUDE companion to
+    mannwhitney_drift's yes/no: after "the two crawls differ", this
+    says HOW MUCH, scale-free and outlier-proof (δ = P(a>b) − P(a<b)
+    ∈ [−1,1]), with the Romano interpretation bands the A/B writeup
+    quotes (|δ| < .147 negligible < .33 small < .474 medium else
+    large).
+
+    Pair counting never joins pairs: per distinct value, the two
+    group histograms (c_a, c_b) and the running below-count of b
+    give gt = Σ c_a·cum_b(<v) and lt = Σ c_a·(n_b − cum_b(≤v)) — the
+    mannwhitney grid shape, cost bounded by value cardinality.
+    δ·10⁶ = sign-split (|gt−lt|·10⁶) div (n_a·n_b), floor-exact on
+    both engines.
+
+    Emits ONE row: (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+    delta_ppm, magnitude)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isin([group_a, group_b]))
+    hist = d.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast(d38).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+        .cast(d38).alias("cb"),
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum_b_le", F.sum("cb").over(wv))
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    st = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.sum(
+            F.col("ca") * (F.col("cum_b_le") - F.col("cb"))
+        ).alias("gt"),
+        F.sum(
+            F.col("ca") * (F.col("nb") - F.col("cum_b_le"))
+        ).alias("lt"),
+        F.sum(F.col("ca") * F.col("cb")).alias("ties"),
+    )
+    delta = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.signum(F.col("gt") - F.col("lt")).cast(d38)
+        * F.expr("(abs(gt - lt) * 1000000) div (na * nb)"),
+    )
+    adp = F.abs(delta)
+    return st.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("gt").cast("long").alias("gt_pairs"),
+        F.col("lt").cast("long").alias("lt_pairs"),
+        F.col("ties").cast("long").alias("tie_pairs"),
+        delta.cast("long").alias("delta_ppm"),
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(adp < 147_000, F.lit("negligible"))
+        .when(adp < 330_000, F.lit("small"))
+        .when(adp < 474_000, F.lit("medium"))
+        .otherwise(F.lit("large")).alias("magnitude"),
+    )
+
+
+# Dunn–Bonferroni two-sided z^2 criticals x 1e4 at alpha 0.05, for
+# k = 2..7 groups (m = k(k-1)/2 comparisons; stdlib NormalDist)
+_DUNN_Z2_X10K = {2: 38_415, 3: 57_311, 4: 69_604,
+                 5: 78_794, 6: 86_154, 7: 92_299}
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise test — the WHICH after
+    kruskal_wallis's omnibus THAT: the omnibus says "these k corpora
+    differ somewhere"; Dunn says which pairs, on the same pooled
+    ranking (never per-pair re-ranking — that loses the shared tie
+    structure and inflates alpha), Bonferroni-guarded.
+
+    Doubled pooled ranks (the kruskal grid) make everything exact:
+    per group S2_g = Σ r2, and for pair (i,j)
+
+        z²·10⁶ = ((S2ᵢn_j − S2ⱼn_i)² · 3(N−1) · 10⁶)
+                 div (nᵢn_j(nᵢ+n_j) · (N(N+1)(N−1) − ΣT) · 4)
+                 · 4 ... folded: doubled ranks square both numerator
+        and the N(N+1)/12 variance by 4, so the 4s cancel exactly.
+
+    ΣT = Σ(t³−t) over pooled tie groups. Rejection uses the
+    Bonferroni z² for k ≤ 7 groups (table above; k > 7 → NULL
+    reject, surfaced — add table rows before trusting more groups).
+
+    Emits one row per unordered pair: (g_i, g_j, n_i, n_j, z2_ppm,
+    reject_05), pairs ordered by (g_i, g_j)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    hist = d.groupBy("v").agg(F.count(F.lit(1)).cast(d38).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doubled midrank per value: 2*(below) + (count+1)
+    r2 = hist.withColumn(
+        "r2",
+        2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1,
+    )
+    ties = hist.agg(
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("st"),
+        F.sum("c").alias("nn"),
+    )
+    per_g = (
+        d.join(r2.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("r2").alias("s2"),
+        )
+    )
+    k_cnt = per_g.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    a = per_g.select(
+        F.col("g").alias("g_i"), F.col("n").alias("n_i"),
+        F.col("s2").alias("s2_i"),
+    )
+    b = per_g.select(
+        F.col("g").alias("g_j"), F.col("n").alias("n_j"),
+        F.col("s2").alias("s2_j"),
+    )
+    pairs = a.join(b, F.col("g_i") < F.col("g_j"))
+    st = (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(k_cnt))
+        .withColumn(
+            "num", F.col("s2_i") * F.col("n_j") - F.col("s2_j") * F.col("n_i")
+        )
+        .withColumn(
+            "den",
+            F.col("n_i") * F.col("n_j") * (F.col("n_i") + F.col("n_j"))
+            * (
+                F.col("nn") * (F.col("nn") + 1) * (F.col("nn") - 1)
+                - F.col("st")
+            ),
+        )
+    )
+    z2 = F.when(
+        F.col("den") > 0,
+        F.expr("(num * num * 3 * (nn - 1) * 1000000) div den"),
+    )
+    crit = F.create_map(
+        *[x for kk, c in _DUNN_Z2_X10K.items()
+          for x in (F.lit(kk), F.lit(c * 100))]
+    )
+    return st.select(
+        "g_i", "g_j",
+        F.col("n_i").cast("long").alias("n_i"),
+        F.col("n_j").cast("long").alias("n_j"),
+        z2.cast("long").alias("z2_ppm"),
+        F.when(
+            z2.isNotNull() & (F.col("k") <= 7),
+            z2.cast("long") > crit[F.col("k").cast("int")],
+        ).alias("reject_05"),
+    ).orderBy("g_i", "g_j")

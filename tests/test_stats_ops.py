@@ -2695,3 +2695,104 @@ class TestHillTailIndex:
         pairs = [(i, 10 + i) for i in range(10)]
         r = self._run(spark, pairs, 10)
         assert r["gamma_ppm"] is None and r["alpha_q3"] is None
+
+
+class TestCliffsDelta:
+    def _run(self, spark, pairs, ga="a", gb="b"):
+        from ocr_service_spark.operators.stats import cliffs_delta
+
+        df = spark.createDataFrame(pairs, "g string, v long")
+        return cliffs_delta(df, "g", "v", ga, gb).collect()[0]
+
+    def test_complete_separation(self, spark):
+        r = self._run(spark, [("a", 3), ("a", 4), ("b", 1), ("b", 2)])
+        assert r["gt_pairs"] == 4 and r["lt_pairs"] == 0
+        assert r["delta_ppm"] == 1_000_000
+        assert r["magnitude"] == "large"
+
+    def test_identical_zero(self, spark):
+        r = self._run(spark, [("a", 1), ("a", 2), ("b", 1), ("b", 2)])
+        assert r["delta_ppm"] == 0 and r["tie_pairs"] == 2
+        assert r["magnitude"] == "negligible"
+
+    def test_brute_force(self, spark):
+        s, rows = 5, []
+        for i in range(120):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("a" if i % 2 else "b", s % 23))
+        av = [v for g, v in rows if g == "a"]
+        bv = [v for g, v in rows if g == "b"]
+        gt = sum(1 for x in av for y in bv if x > y)
+        lt = sum(1 for x in av for y in bv if x < y)
+        r = self._run(spark, rows)
+        assert r["gt_pairs"] == gt and r["lt_pairs"] == lt
+        num = gt - lt
+        sgn = (num > 0) - (num < 0)
+        assert r["delta_ppm"] == sgn * (abs(num) * 10**6
+                                        // (len(av) * len(bv)))
+
+    def test_other_groups_ignored(self, spark):
+        rows = [("a", 5), ("b", 1), ("c", 999), ("c", -999)]
+        r = self._run(spark, rows)
+        assert r["n_a"] == 1 and r["n_b"] == 1
+        assert r["delta_ppm"] == 1_000_000
+
+
+class TestDunnPosthoc:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import dunn_posthoc
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return dunn_posthoc(df, "g", "v").collect()
+
+    def test_hand_k2_untied(self, spark):
+        rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+        got = self._run(spark, rows)
+        assert len(got) == 1
+        # matches the k=2 Mann-Whitney z^2 = 2.4 exactly
+        assert got[0]["z2_ppm"] == 2_400_000
+        assert got[0]["reject_05"] is False
+
+    def test_outlier_group_pairs_reject(self, spark):
+        rows = []
+        rows += [("a", v) for v in range(20)]
+        rows += [("b", v + 3) for v in range(20)]
+        rows += [("c", v + 500) for v in range(20)]
+        got = {(r["g_i"], r["g_j"]): r for r in self._run(spark, rows)}
+        assert got[("a", "b")]["reject_05"] is False
+        assert got[("a", "c")]["reject_05"] is True
+        assert got[("b", "c")]["reject_05"] is True
+
+    def test_brute_force_with_ties(self, spark):
+        s, rows = 11, []
+        for i in range(90):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("g%d" % (i % 3), s % 7))
+        vals = [v for _, v in rows]
+        n = len(vals)
+        r2 = {}
+        for v in set(vals):
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            r2[v] = 2 * less + eq + 1
+        st = 0
+        for v in set(vals):
+            t = sum(1 for x in vals if x == v)
+            st += t**3 - t
+        big = n * (n + 1) * (n - 1) - st
+        groups = sorted(set(g for g, _ in rows))
+        exp = {}
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                gi, gj = groups[i], groups[j]
+                vi = [v for g, v in rows if g == gi]
+                vj = [v for g, v in rows if g == gj]
+                s2i = sum(r2[v] for v in vi)
+                s2j = sum(r2[v] for v in vj)
+                num = s2i * len(vj) - s2j * len(vi)
+                den = (len(vi) * len(vj) * (len(vi) + len(vj)) * big)
+                exp[(gi, gj)] = (num * num * 3 * (n - 1) * 10**6
+                                 // den)
+        got = {(r["g_i"], r["g_j"]): r["z2_ppm"]
+               for r in self._run(spark, rows)}
+        assert got == exp
