@@ -21828,6 +21828,155 @@ FROM st2 ORDER BY g_i, g_j
 """
 
 
+
+def q_kendall_w(spark, sf_dir):
+    """Kendall's W concordance (operators/stats.py kendall_w) across
+    the cronbach panel's three signals ranking all documents -- rank-
+    space agreement beside cronbach's linear coherence. Oracle
+    replays per-judge doubled midranks, tie sums and the cleared W."""
+    from .operators.stats import kendall_w
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("u"),
+        F.col("n_chars").cast("long").alias("len_v"),
+    ).select(
+        "u",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len").alias("j"),
+                    F.col("len_v").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("len2").alias("j"),
+                    (F.col("len_v") + F.col("u") % 20)
+                    .cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("hash").alias("j"),
+                    F.expr("(u * 2654435761 div 256) % 500")
+                    .cast("long").alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select(F.col("e.j").alias("j"), F.col("u").alias("it"),
+             F.col("e.v").alias("v"))
+    return kendall_w(d, "j", "it", "v")
+
+
+SQL_KENDALL_W = """
+WITH d AS (
+  SELECT j, CAST(doc_id AS BIGINT) AS it, CAST(v AS HUGEINT) AS v
+  FROM (
+    SELECT doc_id, 'len' AS j, n_chars AS v FROM documents
+    UNION ALL
+    SELECT doc_id, 'len2', n_chars + doc_id % 20 FROM documents
+    UNION ALL
+    SELECT doc_id, 'hash', (doc_id * 2654435761 // 256) % 500
+    FROM documents
+  )
+),
+hist AS (SELECT j, v, CAST(COUNT(*) AS HUGEINT) AS c
+         FROM d GROUP BY j, v),
+r2 AS (
+  SELECT j, v,
+         2 * (SUM(c) OVER (PARTITION BY j ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS r2
+  FROM hist
+),
+tie AS (SELECT SUM(c * c * c - c) AS st FROM hist),
+per_it AS (
+  SELECT d.it, SUM(r2.r2) AS r2i
+  FROM d JOIN r2 ON d.j = r2.j AND d.v = r2.v
+  GROUP BY d.it
+),
+nm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM per_it),
+s2 AS (
+  SELECT SUM((r2i - 3 * (nm.n + 1)) * (r2i - 3 * (nm.n + 1))) AS s2,
+         nm.n
+  FROM per_it, nm GROUP BY nm.n
+),
+st AS (
+  SELECT s2.n, s2.s2, tie.st,
+         9 * s2.n * (s2.n * s2.n - 1) - 3 * tie.st AS den
+  FROM s2, tie
+)
+SELECT CAST(n AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS m_judges,
+       CAST(0 AS BIGINT) AS n_dropped_items,
+       CAST(CASE WHEN den > 0 THEN (3 * s2 * 1000000) // den END
+            AS BIGINT) AS w_ppm,
+       CAST(CASE WHEN den > 0 THEN
+         3 * (n - 1) * ((3 * s2 * 1000000) // den) END
+            AS BIGINT) AS chi2_ppm,
+       CAST(n - 1 AS BIGINT) AS df
+FROM st
+"""
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation (operators/stats.py partial_correlation):
+    two length-tracking signals with independent hash noise, length
+    as the confounder -- raw correlation strong, partial collapses.
+    Oracle replays the ten cleared sums and the staged sqrt-free
+    r^2."""
+    from .operators.stats import partial_correlation
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars + (doc_id * 48271) % 40 AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(n_chars + (doc_id * 69621) % 40 AS BIGINT)")
+        .alias("y"),
+        F.col("n_chars").cast("long").alias("z"),
+    )
+    return partial_correlation(d, "x", "y", "z")
+
+
+SQL_PARTIAL_CORR = """
+WITH d AS (
+  SELECT CAST(n_chars + (doc_id * 48271) % 40 AS HUGEINT) AS x,
+         CAST(n_chars + (doc_id * 69621) % 40 AS HUGEINT) AS y,
+         CAST(n_chars AS HUGEINT) AS z
+  FROM documents
+),
+a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz
+  FROM d
+),
+c AS (
+  SELECT n,
+         n * sxy - sx * sy AS cxy, n * sxz - sx * sz AS cxz,
+         n * syz - sy * sz AS cyz,
+         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+         n * szz - sz * sz AS vz
+  FROM a
+),
+st AS (
+  SELECT n, cxy, vx, vy,
+         cxy * vz - cxz * cyz AS num,
+         vx * vz - cxz * cxz AS d1, vy * vz - cyz * cyz AS d2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN cxy < 0 THEN -1 WHEN cxy > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS rxy_sign,
+       CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+         (cxy * cxy * 1000000) // (vx * vy) END AS BIGINT)
+         AS rxy_r2_ppm,
+       CAST(CASE WHEN d1 > 0 AND d2 > 0 THEN
+         CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+       END AS BIGINT) AS partial_sign,
+       CAST(CASE WHEN d1 > 0 AND d2 > 0 THEN
+         (((ABS(num) * 1000000000) // d1)
+          * ((ABS(num) * 1000000000) // d2)) // 1000000000000
+       END AS BIGINT) AS partial_r2_ppm
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22220,6 +22369,8 @@ CATALOG: Dict[str, tuple] = {
     "hill_tail_index": (q_hill_tail, SQL_HILL_TAIL),
     "cliffs_delta": (q_cliffs_delta, SQL_CLIFFS_DELTA),
     "dunn_posthoc": (q_dunn_posthoc, SQL_DUNN),
+    "kendall_w": (q_kendall_w, SQL_KENDALL_W),
+    "partial_corr": (q_partial_corr, SQL_PARTIAL_CORR),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -5013,3 +5013,183 @@ def dunn_posthoc(
             z2.cast("long") > crit[F.col("k").cast("int")],
         ).alias("reject_05"),
     ).orderBy("g_i", "g_j")
+
+
+def kendall_w(
+    df: DataFrame,
+    judge_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — "do the m quality
+    signals AGREE on the ordering of the n hosts": the rank-space
+    sibling of cronbach_alpha (which asks about linear coherence)
+    and the effect-size behind friedman_test's yes/no (W = χ²_F /
+    (m(n−1)) — same machinery, normalized to [0,1]).
+
+    Complete-case on items scored by ALL m judges (dropped count
+    surfaced). Within-judge doubled midranks r2 keep ties integral;
+    per item R2ᵢ = Σ_judges r2 has exact mean m(n+1), so with
+    Dᵢ = R2ᵢ − m(n+1), S2 = ΣDᵢ² = 4S and the tie-corrected
+
+        W·10⁶ = (3·S2·10⁶) div (m²·n(n²−1) − m·ΣT),
+
+    ΣT = Σ_judges Σ(t³−t). χ²·10⁶ = m(n−1)·W·10⁶ rides along with
+    df = n−1 for the caller's table. Degenerate den ≤ 0 → NULL.
+
+    Emits ONE row: (n_items, m_judges, n_dropped_items, w_ppm,
+    chi2_ppm, df)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(judge_col).alias("j"),
+        F.col(item_col).alias("it"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    m_cnt = d.agg(F.countDistinct("j").cast("long").alias("m"))
+    per_item = d.groupBy("it").agg(
+        F.countDistinct("j").cast("long").alias("kj")
+    )
+    sized = per_item.crossJoin(F.broadcast(m_cnt))
+    complete = sized.where(F.col("kj") == F.col("m")).select("it")
+    dropped = sized.where(F.col("kj") != F.col("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_items")
+    )
+    kept = d.join(complete, "it")
+    hist = kept.groupBy("j", "v").agg(
+        F.count(F.lit(1)).cast(d38).alias("c")
+    )
+    wj = Window.partitionBy("j").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r2 = hist.withColumn(
+        "r2", 2 * (F.sum("c").over(wj) - F.col("c")) + F.col("c") + 1
+    )
+    ties = hist.agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")),
+            F.lit(0).cast(d38),
+        ).alias("st")
+    )
+    per_it = (
+        kept.join(r2.select("j", "v", "r2"), ["j", "v"])
+        .groupBy("it")
+        .agg(F.sum("r2").alias("r2i"))
+    )
+    nm = per_it.agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    s2 = (
+        per_it.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(m_cnt.select(F.col("m").cast(d38).alias("m"))))
+        .select(
+            (
+                (F.col("r2i") - F.col("m") * (F.col("n") + 1))
+                * (F.col("r2i") - F.col("m") * (F.col("n") + 1))
+            ).alias("d2"),
+            "n", "m",
+        )
+        .agg(
+            F.coalesce(F.sum("d2"), F.lit(0).cast(d38)).alias("s2"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
+    )
+    st = s2.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(dropped)) \
+        .withColumn(
+            "den",
+            F.col("m") * F.col("m") * F.col("n")
+            * (F.col("n") * F.col("n") - 1)
+            - F.col("m") * F.col("st"),
+        )
+    w_ppm = F.when(
+        F.col("den") > 0, F.expr("(3 * s2 * 1000000) div den")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("m").cast("long").alias("m_judges"),
+        F.coalesce(F.col("n_dropped_items"), F.lit(0))
+        .alias("n_dropped_items"),
+        w_ppm.cast("long").alias("w_ppm"),
+        F.when(
+            w_ppm.isNotNull(),
+            (F.col("m") * (F.col("n") - 1) * w_ppm),
+        ).cast("long").alias("chi2_ppm"),
+        (F.col("n") - 1).cast("long").alias("df"),
+    )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """Partial correlation r_xy·z — the CONFOUNDER-removed
+    association read: "do quality score and dup rate still correlate
+    once document length is held fixed", the question the raw
+    pairwise Pearson (feature_correlations) conflates. Sign + r² in
+    ppm, the repo's sqrt-free convention.
+
+    One aggregate yields the ten cleared sums; with
+    C_ab = n·Σab − Σa·Σb and V_a = n·Σa² − (Σa)²:
+
+        r_xy·z = (C_xy·V_z − C_xz·C_yz)
+                 / sqrt((V_xV_z − C_xz²)(V_yV_z − C_yz²))
+
+    and the sqrt never materializes: q₁ = (|num|·10⁹) div den₁,
+    q₂ = (|num|·10⁹) div den₂, r²·10⁶ = (q₁·q₂) div 10¹² — identical
+    floors both engines. Raw r_xy (signed ppm²-form) rides along for
+    the "before controlling" contrast. Grid budget: |num|·10⁹ holds
+    ~n³·scale⁴ — at value scale ≤ 10⁴ safe to n ≈ 10³ per slice;
+    pre-center/rescale beyond (jackknife_ratio_se convention).
+    Either partial denominator ≤ 0 (z explains all of x or y) →
+    NULL, surfaced.
+
+    Emits ONE row: (n, rxy_sign, rxy_r2_ppm, partial_sign,
+    partial_r2_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(x_col).cast(d38).alias("x"),
+        F.col(y_col).cast(d38).alias("y"),
+        F.col(z_col).cast(d38).alias("z"),
+    )
+    a = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    st = (
+        a.withColumn("cxy", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("cxz", F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz"))
+        .withColumn("cyz", F.col("n") * F.col("syz") - F.col("sy") * F.col("sz"))
+        .withColumn("vx", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn("vy", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .withColumn("vz", F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+        .withColumn("num", F.expr("cxy * vz - cxz * cyz"))
+        .withColumn("d1", F.expr("vx * vz - cxz * cxz"))
+        .withColumn("d2", F.expr("vy * vz - cyz * cyz"))
+    )
+    rxy2 = F.when(
+        (F.col("vx") > 0) & (F.col("vy") > 0),
+        F.expr("(cxy * cxy * 1000000) div (vx * vy)"),
+    )
+    pr2 = F.when(
+        (F.col("d1") > 0) & (F.col("d2") > 0),
+        F.expr(
+            "(((abs(num) * 1000000000) div d1)"
+            " * ((abs(num) * 1000000000) div d2)) div 1000000000000"
+        ),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.signum("cxy").cast("long").alias("rxy_sign"),
+        rxy2.cast("long").alias("rxy_r2_ppm"),
+        F.when(
+            (F.col("d1") > 0) & (F.col("d2") > 0), F.signum("num")
+        ).cast("long").alias("partial_sign"),
+        pr2.cast("long").alias("partial_r2_ppm"),
+    )

@@ -2796,3 +2796,159 @@ class TestDunnPosthoc:
         got = {(r["g_i"], r["g_j"]): r["z2_ppm"]
                for r in self._run(spark, rows)}
         assert got == exp
+
+
+class TestKendallW:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import kendall_w
+
+        df = spark.createDataFrame(rows, "j string, it string, v long")
+        return kendall_w(df, "j", "it", "v").collect()[0]
+
+    def test_perfect_agreement(self, spark):
+        rows = [
+            (j, "i%d" % i, i * 10)
+            for j in ("a", "b", "c")
+            for i in range(1, 5)
+        ]
+        r = self._run(spark, rows)
+        assert r["n_items"] == 4 and r["m_judges"] == 3
+        assert r["w_ppm"] == 1_000_000
+        # chi2 = m(n-1)W = 3*3*1 = 9
+        assert r["chi2_ppm"] == 9_000_000 and r["df"] == 3
+
+    def test_exact_disagreement_zero(self, spark):
+        rows = [("a", "i%d" % i, i) for i in range(1, 4)]
+        rows += [("b", "i%d" % i, 10 - i) for i in range(1, 4)]
+        r = self._run(spark, rows)
+        assert r["w_ppm"] == 0
+
+    def test_brute_force_with_ties(self, spark):
+        s, rows = 23, []
+        judges, items = ["a", "b", "c"], ["i%d" % i for i in range(6)]
+        vals = {}
+        for j in judges:
+            for it in items:
+                s = (s * 1103515245 + 12345) % (1 << 31)
+                vals[(j, it)] = s % 5
+                rows.append((j, it, s % 5))
+        n, m = len(items), len(judges)
+        r2i = {it: 0 for it in items}
+        st = 0
+        for j in judges:
+            jv = [vals[(j, it)] for it in items]
+            for it in items:
+                v = vals[(j, it)]
+                less = sum(1 for x in jv if x < v)
+                eq = sum(1 for x in jv if x == v)
+                r2i[it] += 2 * less + eq + 1
+            for v in set(jv):
+                t = jv.count(v)
+                st += t**3 - t
+        s2 = sum((r2i[it] - m * (n + 1)) ** 2 for it in items)
+        den = m * m * n * (n * n - 1) - m * st
+        exp = 3 * s2 * 10**6 // den if den > 0 else None
+        r = self._run(spark, rows)
+        assert r["w_ppm"] == exp
+
+    def test_incomplete_item_dropped(self, spark):
+        rows = [
+            (j, "i%d" % i, i) for j in ("a", "b") for i in range(1, 4)
+        ]
+        rows.append(("a", "solo", 99))  # only judge a rated it
+        r = self._run(spark, rows)
+        assert r["n_items"] == 3 and r["n_dropped_items"] == 1
+        assert r["w_ppm"] == 1_000_000
+
+
+class TestPartialCorrelation:
+    @staticmethod
+    def _expected(rows):
+        n = len(rows)
+        sx = sum(r[0] for r in rows); sy = sum(r[1] for r in rows)
+        sz = sum(r[2] for r in rows)
+        sxy = sum(r[0] * r[1] for r in rows)
+        sxz = sum(r[0] * r[2] for r in rows)
+        syz = sum(r[1] * r[2] for r in rows)
+        sxx = sum(r[0] ** 2 for r in rows)
+        syy = sum(r[1] ** 2 for r in rows)
+        szz = sum(r[2] ** 2 for r in rows)
+        cxy = n * sxy - sx * sy; cxz = n * sxz - sx * sz
+        cyz = n * syz - sy * sz
+        vx = n * sxx - sx * sx; vy = n * syy - sy * sy
+        vz = n * szz - sz * sz
+        num = cxy * vz - cxz * cyz
+        d1 = vx * vz - cxz * cxz; d2 = vy * vz - cyz * cyz
+        if d1 <= 0 or d2 <= 0:
+            return None
+        q1 = abs(num) * 10**9 // d1
+        q2 = abs(num) * 10**9 // d2
+        return (q1 * q2) // 10**12
+
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import (
+            partial_correlation,
+        )
+
+        df = spark.createDataFrame(rows, "x long, y long, z long")
+        return partial_correlation(df, "x", "y", "z").collect()[0]
+
+    def test_confounder_explains_all(self, spark):
+        # x and y both track z with independent noise: raw corr is
+        # strong, partial collapses toward 0
+        s, rows = 31, []
+        for _ in range(300):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            z = s % 500
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            nx = s % 40
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            ny = s % 40
+            rows.append((z + nx, z + ny, z))
+        r = self._run(spark, rows)
+        assert r["rxy_r2_ppm"] > 800_000
+        assert r["partial_r2_ppm"] < 50_000
+        assert r["partial_r2_ppm"] == self._expected(rows)
+
+    def test_direct_relation_survives(self, spark):
+        s, rows = 7, []
+        for _ in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            z = s % 100
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            y = s % 100
+            rows.append((2 * y + z, y, z))
+        r = self._run(spark, rows)
+        assert r["partial_sign"] == 1
+        assert r["partial_r2_ppm"] > 700_000
+        assert r["partial_r2_ppm"] == self._expected(rows)
+
+    def test_degenerate_y_equals_z(self, spark):
+        rows = [(i * 3 % 7, i, i) for i in range(50)]
+        r = self._run(spark, rows)
+        assert r["partial_r2_ppm"] is None
+        assert r["partial_sign"] is None
+
+    def test_float_sanity(self, spark):
+        rows = [(3, 9, 1), (7, 2, 5), (4, 4, 4), (9, 1, 8),
+                (2, 8, 2), (6, 3, 7), (5, 5, 3), (8, 2, 9)]
+        r = self._run(spark, rows)
+        import math
+        n = len(rows)
+        mx = sum(a for a, _, _ in rows) / n
+        my = sum(b for _, b, _ in rows) / n
+        mz = sum(c for _, _, c in rows) / n
+        cxy = sum((a - mx) * (b - my) for a, b, _ in rows)
+        cxz = sum((a - mx) * (c - mz) for a, _, c in rows)
+        cyz = sum((b - my) * (c - mz) for _, b, c in rows)
+        vx = sum((a - mx) ** 2 for a, _, _ in rows)
+        vy = sum((b - my) ** 2 for _, b, _ in rows)
+        vz = sum((c - mz) ** 2 for _, _, c in rows)
+        rxy = cxy / math.sqrt(vx * vy)
+        rxz = cxz / math.sqrt(vx * vz)
+        ryz = cyz / math.sqrt(vy * vz)
+        pr = (rxy - rxz * ryz) / math.sqrt(
+            (1 - rxz**2) * (1 - ryz**2)
+        )
+        assert abs(r["partial_r2_ppm"] / 1e6 - pr * pr) < 1e-4
+        assert r["partial_sign"] == (1 if pr > 0 else -1)
