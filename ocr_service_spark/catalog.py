@@ -21977,6 +21977,145 @@ FROM st
 """
 
 
+
+def q_ols2_fit(spark, sf_dir):
+    """Two-predictor OLS (operators/stats.py ols2_fit): a planted
+    plane y = n_chars*2 - hash_noise + small residual over documents
+    -- joint slopes no pairwise read gives. Oracle replays anchored
+    sums, Cramer determinants, sign-split slopes and cleared R^2."""
+    from .operators.stats import ols2_fit
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(2 * n_chars - ((doc_id * 48271) % 40)"
+            " + (doc_id % 7) AS BIGINT)"
+        ).alias("y"),
+        F.col("n_chars").cast("long").alias("x1"),
+        F.expr("CAST((doc_id * 48271) % 40 AS BIGINT)").alias("x2"),
+    )
+    return ols2_fit(d, "y", "x1", "x2")
+
+
+SQL_OLS2 = """
+WITH d AS (
+  SELECT CAST(2 * n_chars - ((doc_id * 48271) % 40) + (doc_id % 7)
+              AS HUGEINT) AS y,
+         CAST(n_chars AS HUGEINT) AS x1,
+         CAST((doc_id * 48271) % 40 AS HUGEINT) AS x2
+  FROM documents
+),
+base AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS ty,
+         SUM(x1) AS t1, SUM(x2) AS t2
+  FROM d
+),
+anch AS (SELECT n, ty // n AS ay, t1 // n AS a1, t2 // n AS a2
+         FROM base),
+a AS (
+  SELECT anch.n,
+         SUM(y - ay) AS sy, SUM(x1 - a1) AS s1, SUM(x2 - a2) AS s2,
+         SUM((x1 - a1) * (x1 - a1)) AS s11,
+         SUM((x1 - a1) * (x2 - a2)) AS s12,
+         SUM((x2 - a2) * (x2 - a2)) AS s22,
+         SUM((x1 - a1) * (y - ay)) AS s1y,
+         SUM((x2 - a2) * (y - ay)) AS s2y,
+         SUM((y - ay) * (y - ay)) AS syy
+  FROM d, anch GROUP BY anch.n
+),
+st AS (
+  SELECT n, sy, s1y, s2y, syy,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS d1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS d2
+  FROM a
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN det > 0 THEN
+         (CASE WHEN d1 < 0 THEN -1 WHEN d1 > 0 THEN 1 ELSE 0 END)
+           * ((ABS(d1) * 1000000) // det) END AS BIGINT) AS b1_ppm,
+       CAST(CASE WHEN det > 0 THEN
+         (CASE WHEN d2 < 0 THEN -1 WHEN d2 > 0 THEN 1 ELSE 0 END)
+           * ((ABS(d2) * 1000000) // det) END AS BIGINT) AS b2_ppm,
+       CAST(CASE WHEN det > 0
+                  AND det * (n * syy - sy * sy) > 0 THEN
+         ((n * (d0 * sy + d1 * s1y + d2 * s2y) - det * sy * sy)
+          * 1000000) // (det * (n * syy - sy * sy))
+       END AS BIGINT) AS r2_ppm
+FROM st
+"""
+
+
+def q_tukey_hsd(spark, sf_dir):
+    """Tukey-Kramer HSD (operators/stats.py tukey_hsd) across three
+    doc bands, band g2 planted +300 -- the parametric WHICH beside
+    dunn_posthoc's rank-space read, same planted design. Oracle
+    replays the anova grid MSE and the integral studentized-range
+    decision."""
+    from .operators.stats import tukey_hsd
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CONCAT('g', CAST(doc_id % 3 AS STRING))").alias("g"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return tukey_hsd(d, "g", "v")
+
+
+SQL_TUKEY = """
+WITH d AS (
+  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS g,
+         CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300
+              ELSE 0 END AS HUGEINT) AS v
+  FROM documents
+),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g, SUM(v) AS s_g,
+         SUM(v * v) AS q_g
+  FROM d GROUP BY g
+),
+tot AS (
+  SELECT SUM(n_g) AS n, COUNT(*) AS k, SUM(q_g) AS q,
+         SUM((s_g * s_g * 1000000) // n_g) AS aa
+  FROM per
+),
+mse AS (
+  SELECT k, CASE WHEN n > k THEN
+    (q * 1000000 - aa) // (n - k) END AS mse_q6
+  FROM tot
+),
+pr AS (
+  SELECT a.g AS g_i, b.g AS g_j, a.n_g AS n_i, b.n_g AS n_j,
+         a.s_g * b.n_g - b.s_g * a.n_g AS a
+  FROM per a JOIN per b ON a.g < b.g
+)
+SELECT g_i, g_j, CAST(n_i AS BIGINT) AS n_i,
+       CAST(n_j AS BIGINT) AS n_j,
+       CAST((CASE WHEN a < 0 THEN -1 WHEN a > 0 THEN 1 ELSE 0 END)
+            * ((ABS(a) * 1000) // (n_i * n_j)) AS BIGINT)
+         AS mean_diff_q3,
+       CAST(CASE WHEN mse_q6 > 0 THEN
+         (a * a * 2 * 1000000000)
+           // (mse_q6 * (n_i + n_j) * n_i * n_j)
+       END AS BIGINT) AS q2_q3,
+       CASE WHEN mse_q6 > 0 AND k <= 7 THEN
+         a * a * 2 * 1000000000000
+           > 3314 * 3314 * mse_q6 * (n_i + n_j) * n_i * n_j
+       END AS reject_05
+FROM pr, mse ORDER BY g_i, g_j
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22371,6 +22510,8 @@ CATALOG: Dict[str, tuple] = {
     "dunn_posthoc": (q_dunn_posthoc, SQL_DUNN),
     "kendall_w": (q_kendall_w, SQL_KENDALL_W),
     "partial_corr": (q_partial_corr, SQL_PARTIAL_CORR),
+    "ols2_fit": (q_ols2_fit, SQL_OLS2),
+    "tukey_hsd": (q_tukey_hsd, SQL_TUKEY),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -5193,3 +5193,229 @@ def partial_correlation(
         ).cast("long").alias("partial_sign"),
         pr2.cast("long").alias("partial_r2_ppm"),
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-predictor OLS — the MULTIVARIATE slope read the pairwise
+    family (group_trend, feature_correlations, partial_correlation)
+    can't give: "how much does quality move per unit length AND per
+    unit link density, jointly" — coefficients that hold the other
+    predictor fixed, closed-form, no iteration.
+
+    Normal equations solved by Cramer's rule on ANCHORED sums
+    (each variable shifted by its integer floor-mean — slopes are
+    translation-invariant, and anchoring keeps every 3×3 determinant
+    at data scale instead of n-scale):
+
+        D  = |X'X|,  b₁ = D₁/D,  b₂ = D₂/D   (exact rationals)
+        R²·10⁶ = (n·b'X'y − Sy²)·10⁶ div (D·(n·Syy − Sy²)) after
+        clearing b through D — numerator provably ≥ 0, D > 0 when
+        the predictors aren't collinear (D ≤ 0 → NULL, surfaced).
+
+    Grid budget: the R² numerator holds ~n·det·Σwy — at value scale
+    ≤ 10⁴ safe to n ≈ 10³ per slice; pre-aggregate or rescale beyond
+    (the partial_correlation convention). Slopes in ppm via
+    sign-split div.
+
+    Emits ONE row: (n, b1_ppm, b2_ppm, r2_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("ty"),
+        F.sum(F.col("x1").cast(d38)).alias("t1"),
+        F.sum(F.col("x2").cast(d38)).alias("t2"),
+    ).select(
+        "n",
+        F.expr("CASE WHEN ty >= 0 THEN ty div n"
+               " ELSE -((-ty + n - 1) div n) END").alias("ay"),
+        F.expr("CASE WHEN t1 >= 0 THEN t1 div n"
+               " ELSE -((-t1 + n - 1) div n) END").alias("a1"),
+        F.expr("CASE WHEN t2 >= 0 THEN t2 div n"
+               " ELSE -((-t2 + n - 1) div n) END").alias("a2"),
+    )
+    w = d.crossJoin(F.broadcast(base)).select(
+        "n",
+        (F.col("y").cast(d38) - F.col("ay")).alias("wy"),
+        (F.col("x1").cast(d38) - F.col("a1")).alias("w1"),
+        (F.col("x2").cast(d38) - F.col("a2")).alias("w2"),
+    )
+    a = w.agg(
+        F.first("n").alias("n"),
+        F.sum("wy").alias("sy"),
+        F.sum("w1").alias("s1"),
+        F.sum("w2").alias("s2"),
+        F.sum(F.col("w1") * F.col("w1")).alias("s11"),
+        F.sum(F.col("w1") * F.col("w2")).alias("s12"),
+        F.sum(F.col("w2") * F.col("w2")).alias("s22"),
+        F.sum(F.col("w1") * F.col("wy")).alias("s1y"),
+        F.sum(F.col("w2") * F.col("wy")).alias("s2y"),
+        F.sum(F.col("wy") * F.col("wy")).alias("syy"),
+    )
+    # Cramer on the 3x3 normal matrix [[n,s1,s2],[s1,s11,s12],
+    # [s2,s12,s22]] with rhs [sy,s1y,s2y]
+    st = (
+        a.withColumn(
+            "det",
+            F.expr(
+                "n * (s11 * s22 - s12 * s12)"
+                " - s1 * (s1 * s22 - s12 * s2)"
+                " + s2 * (s1 * s12 - s11 * s2)"
+            ),
+        )
+        .withColumn(
+            "d0",
+            F.expr(
+                "sy * (s11 * s22 - s12 * s12)"
+                " - s1 * (s1y * s22 - s12 * s2y)"
+                " + s2 * (s1y * s12 - s11 * s2y)"
+            ),
+        )
+        .withColumn(
+            "d1",
+            F.expr(
+                "n * (s1y * s22 - s12 * s2y)"
+                " - sy * (s1 * s22 - s12 * s2)"
+                " + s2 * (s1 * s2y - s1y * s2)"
+            ),
+        )
+        .withColumn(
+            "d2",
+            F.expr(
+                "n * (s11 * s2y - s1y * s12)"
+                " - s1 * (s1 * s2y - s1y * s2)"
+                " + sy * (s1 * s12 - s11 * s2)"
+            ),
+        )
+        .withColumn(
+            "rnum",
+            F.expr(
+                "(n * (d0 * sy + d1 * s1y + d2 * s2y) - det * sy * sy)"
+                " * 1000000"
+            ),
+        )
+        .withColumn("rden", F.expr("det * (n * syy - sy * sy)"))
+    )
+    b1 = F.when(
+        F.col("det") > 0,
+        F.signum("d1").cast(d38) * F.expr("(abs(d1) * 1000000) div det"),
+    )
+    b2 = F.when(
+        F.col("det") > 0,
+        F.signum("d2").cast(d38) * F.expr("(abs(d2) * 1000000) div det"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        b1.cast("long").alias("b1_ppm"),
+        b2.cast("long").alias("b2_ppm"),
+        F.when(
+            (F.col("det") > 0) & (F.col("rden") > 0),
+            F.expr("rnum div rden"),
+        ).cast("long").alias("r2_ppm"),
+    )
+
+
+# studentized range q_{0.05}(k, inf) x 1000, k = 2..7 (public table)
+_TUKEY_Q_X1000 = {2: 2_772, 3: 3_314, 4: 3_633,
+                  5: 3_858, 6: 4_030, 7: 4_170}
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey–Kramer HSD post-hoc — the parametric WHICH behind
+    anova_oneway's omnibus THAT, honest about multiplicity where
+    k(k−1)/2 naive t-tests are not (dunn_posthoc is the rank-space
+    sibling; this one reads mean DIFFERENCES in the metric's own
+    units). Uses the studentized-range q at df=∞ (corpus-scale
+    residual df; k ≤ 7 per the table above, larger k → NULL reject,
+    surfaced).
+
+    Same exact grid as anova_oneway: per-group (n_g, S_g, Q_g),
+    MSE·10⁶ = SSW·10⁶ div (N−k). Pair (i,j) with
+    A = S_i·n_j − S_j·n_i:
+
+        q_obs² = diff²/(MSE/2·(1/nᵢ+1/n_j))
+        q²·10³ = (A²·2·10⁹) div (mse_q6·(nᵢ+n_j)·nᵢ·n_j)
+        reject ⇔ A²·2·10¹² > q²ₜₐᵦ·10⁶·mse_q6·(nᵢ+n_j)·nᵢ·n_j
+
+    both sides integral — no float q ever compared. Mean diff rides
+    along at the 10³ grid, sign-split. Grid budget: A²·2·10¹² holds
+    ~(n·scale)²·10¹⁵ — at scale ≤ 10⁴ safe to n ≈ 10⁴ per slice.
+
+    Emits one row per unordered pair: (g_i, g_j, n_i, n_j,
+    mean_diff_q3, q2_q3, reject_05), ordered by (g_i, g_j)."""
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per = df.groupBy(F.col(group_col).cast("string").alias("g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("q_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.expr("(s_g * s_g * 1000000) div n_g").cast(d38))
+        .alias("aa"),
+    ).withColumn("ssw_q6", F.col("q") * 1_000_000 - F.col("aa")) \
+     .withColumn(
+        "mse_q6",
+        F.when(
+            F.col("n") > F.col("k"),
+            F.expr("ssw_q6 div (n - k)"),
+        ),
+    )
+    ai = per.select(
+        F.col("g").alias("g_i"), F.col("n_g").alias("n_i"),
+        F.col("s_g").alias("s_i"),
+    )
+    bj = per.select(
+        F.col("g").alias("g_j"), F.col("n_g").alias("n_j"),
+        F.col("s_g").alias("s_j"),
+    )
+    pairs = ai.join(bj, F.col("g_i") < F.col("g_j")).crossJoin(
+        F.broadcast(tot.select("k", "mse_q6"))
+    ).withColumn(
+        "a", F.col("s_i") * F.col("n_j") - F.col("s_j") * F.col("n_i")
+    )
+    qtab = F.create_map(
+        *[x for kk, qv in _TUKEY_Q_X1000.items()
+          for x in (F.lit(kk), F.lit(qv * qv))]  # q^2 x 1e6
+    )
+    q2 = F.when(
+        (F.col("mse_q6") > 0),
+        F.expr(
+            "(a * a * 2 * 1000000000)"
+            " div (mse_q6 * (n_i + n_j) * n_i * n_j)"
+        ),
+    )
+    return pairs.select(
+        "g_i", "g_j",
+        F.col("n_i").cast("long").alias("n_i"),
+        F.col("n_j").cast("long").alias("n_j"),
+        (
+            F.signum("a").cast(d38)
+            * F.expr("(abs(a) * 1000) div (n_i * n_j)")
+        ).cast("long").alias("mean_diff_q3"),
+        q2.cast("long").alias("q2_q3"),
+        F.when(
+            (F.col("mse_q6") > 0) & (F.col("k") <= 7),
+            F.expr("a * a * 2 * 1000000000000")
+            > qtab[F.col("k").cast("int")].cast(d38)
+            * F.col("mse_q6")
+            * (F.col("n_i") + F.col("n_j"))
+            * F.col("n_i") * F.col("n_j"),
+        ).alias("reject_05"),
+    ).orderBy("g_i", "g_j")

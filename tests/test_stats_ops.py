@@ -2952,3 +2952,160 @@ class TestPartialCorrelation:
         )
         assert abs(r["partial_r2_ppm"] / 1e6 - pr * pr) < 1e-4
         assert r["partial_sign"] == (1 if pr > 0 else -1)
+
+
+class TestOls2Fit:
+    @staticmethod
+    def _expected(rows):
+        n = len(rows)
+        ty = sum(r[0] for r in rows)
+        t1 = sum(r[1] for r in rows)
+        t2 = sum(r[2] for r in rows)
+        ay, a1, a2 = ty // n, t1 // n, t2 // n
+        wy = [r[0] - ay for r in rows]
+        w1 = [r[1] - a1 for r in rows]
+        w2 = [r[2] - a2 for r in rows]
+        sy, s1, s2 = sum(wy), sum(w1), sum(w2)
+        s11 = sum(a * a for a in w1)
+        s12 = sum(a * b for a, b in zip(w1, w2))
+        s22 = sum(a * a for a in w2)
+        s1y = sum(a * b for a, b in zip(w1, wy))
+        s2y = sum(a * b for a, b in zip(w2, wy))
+        syy = sum(a * a for a in wy)
+        det = (n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        d0 = (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y))
+        d1 = (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2))
+        d2 = (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2))
+        if det <= 0:
+            return None
+        sgn = lambda x: (x > 0) - (x < 0)
+        b1 = sgn(d1) * (abs(d1) * 10**6 // det)
+        b2 = sgn(d2) * (abs(d2) * 10**6 // det)
+        rnum = (n * (d0 * sy + d1 * s1y + d2 * s2y)
+                - det * sy * sy) * 10**6
+        rden = det * (n * syy - sy * sy)
+        r2 = rnum // rden if rden > 0 else None
+        return dict(b1_ppm=b1, b2_ppm=b2, r2_ppm=r2)
+
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import ols2_fit
+
+        df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+        return ols2_fit(df, "y", "x1", "x2").collect()[0]
+
+    def test_exact_plane(self, spark):
+        s, rows = 13, []
+        for _ in range(60):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            x1 = s % 50
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            x2 = s % 30
+            rows.append((3 + 2 * x1 - x2, x1, x2))
+        r = self._run(spark, rows)
+        assert r["b1_ppm"] == 2_000_000
+        assert r["b2_ppm"] == -1_000_000
+        assert r["r2_ppm"] == 1_000_000
+
+    def test_noisy_matches_twin_and_numpy(self, spark):
+        import numpy as np
+
+        s, rows = 41, []
+        for _ in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            x1 = s % 100
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            x2 = s % 80
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            e = s % 21 - 10
+            rows.append((10 + 3 * x1 + 5 * x2 + e, x1, x2))
+        exp = self._expected(rows)
+        r = self._run(spark, rows)
+        for k, v in exp.items():
+            assert r[k] == v, (k, r[k], v)
+        y = np.array([r0[0] for r0 in rows], dtype=float)
+        X = np.column_stack([
+            np.ones(len(rows)),
+            [r0[1] for r0 in rows], [r0[2] for r0 in rows],
+        ])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert abs(r["b1_ppm"] / 1e6 - beta[1]) < 1e-3
+        assert abs(r["b2_ppm"] / 1e6 - beta[2]) < 1e-3
+
+    def test_collinear_null(self, spark):
+        rows = [(i * 3, i, 2 * i) for i in range(40)]
+        r = self._run(spark, rows)
+        assert r["b1_ppm"] is None and r["r2_ppm"] is None
+
+
+class TestTukeyHsd:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import tukey_hsd
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return tukey_hsd(df, "g", "v").collect()
+
+    def test_outlier_group_pattern(self, spark):
+        rows = []
+        rows += [("a", 100 + (i * 7) % 20) for i in range(25)]
+        rows += [("b", 102 + (i * 7) % 20) for i in range(25)]
+        rows += [("c", 400 + (i * 7) % 20) for i in range(25)]
+        got = {(r["g_i"], r["g_j"]): r for r in self._run(spark, rows)}
+        assert got[("a", "b")]["reject_05"] is False
+        assert got[("a", "c")]["reject_05"] is True
+        assert got[("b", "c")]["reject_05"] is True
+        assert got[("a", "b")]["mean_diff_q3"] == -2_000
+
+    def test_int_twin(self, spark):
+        s, rows = 3, []
+        for i in range(120):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("g%d" % (i % 4), 50 + s % 60 + 15 * (i % 4)))
+        groups = sorted(set(g for g, _ in rows))
+        per = {
+            g: [v for gg, v in rows if gg == g] for g in groups
+        }
+        N = len(rows); k = len(groups)
+        q_tot = sum(v * v for _, v in rows)
+        aa = sum(
+            (sum(vs) ** 2 * 10**6) // len(vs) for vs in per.values()
+        )
+        ssw_q6 = q_tot * 10**6 - aa
+        mse_q6 = ssw_q6 // (N - k)
+        exp = {}
+        for i in range(k):
+            for j in range(i + 1, k):
+                gi, gj = groups[i], groups[j]
+                ni, nj = len(per[gi]), len(per[gj])
+                a = sum(per[gi]) * nj - sum(per[gj]) * ni
+                q2 = (a * a * 2 * 10**9) // (
+                    mse_q6 * (ni + nj) * ni * nj
+                )
+                rej = (a * a * 2 * 10**12
+                       > 3633 * 3633 * mse_q6 * (ni + nj) * ni * nj)
+                exp[(gi, gj)] = (q2, rej)
+        got = {(r["g_i"], r["g_j"]): (r["q2_q3"], r["reject_05"])
+               for r in self._run(spark, rows)}
+        assert got == exp
+
+    def test_float_decision_sanity(self, spark):
+        import math
+
+        rows = []
+        rows += [("a", v) for v in (10, 12, 14, 16, 18)]
+        rows += [("b", v) for v in (20, 22, 24, 26, 28)]
+        got = self._run(spark, rows)[0]
+        # float replication: MSE = SSW/(N-k), q_obs =
+        # |diff| / sqrt(MSE/2*(1/ni+1/nj))
+        mse = (2 * sum((v - 14) ** 2 for v in (10, 12, 14, 16, 18))
+               ) / 8
+        q_obs = 10 / math.sqrt(mse / 2 * (2 / 5))
+        assert (got["reject_05"] is True) == (q_obs > 2.772)
+        assert abs(got["q2_q3"] / 1e3 - q_obs**2) < 0.1
