@@ -22116,6 +22116,102 @@ FROM pr, mse ORDER BY g_i, g_j
 """
 
 
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann shift (operators/stats.py hodges_lehmann_shift)
+    between even/odd doc bands with a planted +40 shift on band 1 --
+    the robust units-of-the-metric HOW MUCH beside cliffs_delta's
+    overlap read, same planted design. Oracle replays the difference-
+    histogram convolution and the prefix-rank median pick."""
+    from .operators.stats import hodges_lehmann_shift
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr("CAST(n_chars + 40 * (doc_id % 2) AS BIGINT)")
+        .alias("v"),
+    )
+    return hodges_lehmann_shift(d, "g", "v", "0", "1")
+
+
+SQL_HODGES_LEHMANN = """
+WITH d AS (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(n_chars + 40 * (doc_id % 2) AS BIGINT) AS v
+  FROM documents
+),
+ha AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS ca FROM d
+       WHERE g = '0' GROUP BY v),
+hb AS (SELECT v AS u, CAST(COUNT(*) AS HUGEINT) AS cb FROM d
+       WHERE g = '1' GROUP BY v),
+diffs AS (
+  SELECT ha.v - hb.u AS dv, SUM(ha.ca * hb.cb) AS w
+  FROM ha CROSS JOIN hb GROUP BY ha.v - hb.u
+),
+tot AS (SELECT SUM(w) AS np FROM diffs),
+med AS (
+  SELECT MIN(dv) AS hl_shift FROM (
+    SELECT dv, SUM(w) OVER (ORDER BY dv ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS cum
+    FROM diffs
+  ) c, tot WHERE c.cum >= tot.np // 2 + 1
+),
+cnts AS (
+  SELECT CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM d
+)
+SELECT n_a, n_b, CAST(n_a * n_b AS BIGINT) AS n_pairs,
+       CAST(hl_shift AS BIGINT) AS hl_shift
+FROM cnts, med
+"""
+
+
+def q_anderson_darling(spark, sf_dir):
+    """Anderson-Darling uniformity (operators/stats.py
+    anderson_darling_uniform) of the multiplicative doc-id hash on
+    [0, 4096) -- the tail-sensitive sharding-hash audit beside
+    hash_split_counts' bucket chi^2. Oracle replays the tie-stable
+    rank, per-row floored midpoint logs and the A^2 fold."""
+    from .operators.stats import anderson_darling_uniform
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.expr("CAST((doc_id * 2654435761) % 4096 AS BIGINT)")
+        .alias("h"),
+    )
+    return anderson_darling_uniform(d, "i", "h", 4096)
+
+
+SQL_ANDERSON_DARLING = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         CAST((doc_id * 2654435761) % 4096 AS BIGINT) AS h
+  FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+rk AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h, i) AS rk FROM d
+),
+terms AS (
+  SELECT (2 * rk - 1)
+           * CAST(FLOOR(LN((2 * CAST(h AS DOUBLE) + 1) / 8192.0)
+                        * 1000000) AS BIGINT)
+         + (2 * nn.n - 2 * rk + 1)
+           * CAST(FLOOR(LN((8192.0 - 2 * CAST(h AS DOUBLE) - 1)
+                           / 8192.0) * 1000000) AS BIGINT) AS t,
+         nn.n
+  FROM rk, nn
+),
+st AS (SELECT n, SUM(t) AS s FROM terms GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(((-s) // n) - n * 1000000 AS BIGINT) AS a2_ppm,
+       ((-s) // n) - n * 1000000 > 2492000 AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22512,6 +22608,8 @@ CATALOG: Dict[str, tuple] = {
     "partial_corr": (q_partial_corr, SQL_PARTIAL_CORR),
     "ols2_fit": (q_ols2_fit, SQL_OLS2),
     "tukey_hsd": (q_tukey_hsd, SQL_TUKEY),
+    "hodges_lehmann": (q_hodges_lehmann, SQL_HODGES_LEHMANN),
+    "anderson_darling": (q_anderson_darling, SQL_ANDERSON_DARLING),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -5419,3 +5419,138 @@ def tukey_hsd(
             * F.col("n_i") * F.col("n_j"),
         ).alias("reject_05"),
     ).orderBy("g_i", "g_j")
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Hodges–Lehmann shift estimator — the ROBUST "by how much" in
+    the metric's own units completing the two-sample family:
+    mannwhitney says the crawls differ, cliffs_delta prices the
+    overlap, this one says "the new crawl's docs are ~137 chars
+    shorter" — median of ALL pairwise differences (x − y), immune to
+    the outliers that drag the mean-difference read.
+
+    The n_a·n_b pairs never materialize: both samples collapse to
+    value histograms, the DIFFERENCE distribution is their
+    convolution on the |V_a|·|V_b| distinct-value grid (weight of
+    d = Σ c_a(v)·c_b(v−d)), and the median is a prefix-rank pick at
+    rank (n_a·n_b) div 2 + 1 (the _hist_median convention). Cost is
+    value-cardinality², NOT row-count² — pre-bucket wide-open
+    metrics first (the quantization-budget convention).
+
+    Emits ONE row: (n_a, n_b, n_pairs, hl_shift). Either side
+    empty → NULL shift."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isin([group_a, group_b]))
+    ha = d.where(F.col("g") == group_a).groupBy("v").agg(
+        F.count(F.lit(1)).cast(d38).alias("ca")
+    )
+    hb = d.where(F.col("g") == group_b).groupBy(
+        F.col("v").alias("u")
+    ).agg(F.count(F.lit(1)).cast(d38).alias("cb"))
+    diffs = (
+        ha.crossJoin(hb)
+        .select(
+            (F.col("v") - F.col("u")).alias("dv"),
+            (F.col("ca") * F.col("cb")).alias("w"),
+        )
+        .groupBy("dv")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = diffs.agg(F.sum("w").alias("np"))
+    wd = Window.orderBy("dv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        diffs.withColumn("cum", F.sum("w").over(wd))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("np div 2 + 1"))
+        .agg(F.min("dv").alias("hl_shift"))
+    )
+    counts = d.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_b"),
+    )
+    return counts.crossJoin(F.broadcast(med)).select(
+        "n_a", "n_b",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        F.col("hl_shift").cast("long").alias("hl_shift"),
+    )
+
+
+def anderson_darling_uniform(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    modulus: int,
+    crit_ppm: int = 2_492_000,
+) -> DataFrame:
+    """Anderson–Darling uniformity test of a hash/score column on
+    [0, M) — the TAIL-sensitive sharpening of hash_split_counts'
+    bucket χ²: a salting or sharding hash that's fine in the bulk
+    but starved at the extremes (exactly where partition pruning and
+    range layout bite) passes equal-width buckets and fails AD,
+    because the (2i−1) weights concentrate on both tails.
+
+    Each value maps to the midpoint u = (2h+1)/(2M) — never 0 or 1,
+    so both logs exist. Global ascending rank i (ties broken by id —
+    tie-stable, the hill convention) comes from the distributed
+    prefix pass; with the index identity
+    Σ(2i−1)·ln(1−u₍ₙ₊₁₋ᵢ₎) = Σ(2(n−i)+1)·ln(1−uᵢ) the statistic
+    needs NO mirrored self-join:
+
+        A²·10⁶ = ((−Σ[(2i−1)·L1ᵢ + (2n−2i+1)·L2ᵢ]) div n) − n·10⁶
+
+    with L1 = ⌊ln(u)·10⁶⌋, L2 = ⌊ln(1−u)·10⁶⌋ floor-quantized per
+    ROW before the sum (the bleu_shadow float rule). Reject at the
+    0.05 uniformity critical 2.492.
+
+    Emits ONE row: (n, a2_ppm, reject_05)."""
+    from .quality import global_prefix_sum
+
+    m = int(modulus)
+    d = df.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(hash_col).cast("long").alias("h"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(d, ["h", "i"], "_one", out_col="rk")
+    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    terms = ranked.crossJoin(F.broadcast(n_row)).select(
+        "n",
+        (
+            (2 * F.col("rk") - 1)
+            * F.floor(
+                F.log(
+                    (2 * F.col("h").cast("double") + 1) / (2.0 * m)
+                ) * 1_000_000
+            ).cast("long")
+            + (2 * F.col("n") - 2 * F.col("rk") + 1)
+            * F.floor(
+                F.log(
+                    (2.0 * m - 2 * F.col("h").cast("double") - 1)
+                    / (2.0 * m)
+                ) * 1_000_000
+            ).cast("long")
+        ).alias("t"),
+    )
+    st = terms.groupBy("n").agg(F.sum("t").alias("s"))
+    a2 = F.expr("((-s) div n) - n * 1000000")
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        a2.cast("long").alias("a2_ppm"),
+        (a2 > F.lit(int(crit_ppm))).alias("reject_05"),
+    )

@@ -3109,3 +3109,106 @@ class TestTukeyHsd:
         q_obs = 10 / math.sqrt(mse / 2 * (2 / 5))
         assert (got["reject_05"] is True) == (q_obs > 2.772)
         assert abs(got["q2_q3"] / 1e3 - q_obs**2) < 0.1
+
+
+class TestHodgesLehmannShift:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.stats import (
+            hodges_lehmann_shift,
+        )
+
+        df = spark.createDataFrame(pairs, "g string, v long")
+        return hodges_lehmann_shift(df, "g", "v", "a", "b").collect()[0]
+
+    @staticmethod
+    def _brute(pairs):
+        av = [v for g, v in pairs if g == "a"]
+        bv = [v for g, v in pairs if g == "b"]
+        diffs = sorted(x - y for x in av for y in bv)
+        return diffs[len(diffs) // 2]  # rank np//2 + 1, 0-indexed
+
+    def test_hand(self, spark):
+        r = self._run(
+            spark, [("a", 10), ("a", 20), ("b", 1), ("b", 2)]
+        )
+        assert r["n_pairs"] == 4
+        assert r["hl_shift"] == 18
+
+    def test_pure_shift_recovered(self, spark):
+        base = [3, 7, 7, 11, 20, 41]
+        pairs = [("a", v) for v in base]
+        pairs += [("b", v + 5) for v in base]
+        r = self._run(spark, pairs)
+        assert r["hl_shift"] == -5
+
+    def test_brute_force_ties(self, spark):
+        s, pairs = 19, []
+        for i in range(140):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            pairs.append(("a" if i % 2 else "b", s % 17))
+        r = self._run(spark, pairs)
+        assert r["hl_shift"] == self._brute(pairs)
+
+    def test_outlier_robust(self, spark):
+        pairs = [("a", v) for v in (10, 11, 12, 13, 14, 1000000)]
+        pairs += [("b", v) for v in (10, 11, 12, 13, 14, 15)]
+        r = self._run(spark, pairs)
+        assert abs(r["hl_shift"]) <= 5  # mean diff would be ~166664
+
+
+class TestAndersonDarlingUniform:
+    @staticmethod
+    def _expected(pairs, m):
+        import math
+
+        n = len(pairs)
+        ranked = sorted(pairs, key=lambda t: (t[1], t[0]))
+        s = 0
+        for idx, (_, h) in enumerate(ranked, start=1):
+            l1 = math.floor(math.log((2 * h + 1) / (2 * m)) * 10**6)
+            l2 = math.floor(
+                math.log((2 * m - 2 * h - 1) / (2 * m)) * 10**6
+            )
+            s += (2 * idx - 1) * l1 + (2 * n - 2 * idx + 1) * l2
+        return (-s) // n - n * 10**6
+
+    def _run(self, spark, pairs, m):
+        from ocr_service_spark.operators.stats import (
+            anderson_darling_uniform,
+        )
+
+        df = spark.createDataFrame(pairs, "i long, h long")
+        return anderson_darling_uniform(df, "i", "h", m).collect()[0]
+
+    def test_uniform_grid_accepts(self, spark):
+        # full multiplicative permutation of [0, m): exactly uniform
+        m = 1000
+        pairs = [(i, (i * 617) % m) for i in range(m)]
+        r = self._run(spark, pairs, m)
+        assert r["a2_ppm"] == self._expected(pairs, m)
+        assert r["reject_05"] is False
+
+    def test_half_range_rejects(self, spark):
+        m = 1000
+        pairs = [(i, (i * 997) % (m // 2)) for i in range(500)]
+        r = self._run(spark, pairs, m)
+        assert r["a2_ppm"] == self._expected(pairs, m)
+        assert r["reject_05"] is True
+
+    def test_float_sanity(self, spark):
+        import math
+
+        m = 10_000
+        s, pairs = 77, []
+        for i in range(300):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            pairs.append((i, s % m))
+        r = self._run(spark, pairs, m)
+        n = len(pairs)
+        us = sorted((2 * h + 1) / (2 * m) for _, h in pairs)
+        a2 = -n - sum(
+            (2 * i - 1) * (math.log(us[i - 1])
+                           + math.log(1 - us[n - i]))
+            for i in range(1, n + 1)
+        ) / n
+        assert abs(r["a2_ppm"] / 1e6 - a2) < 0.01
