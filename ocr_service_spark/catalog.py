@@ -22212,6 +22212,132 @@ FROM st
 """
 
 
+
+def q_lexical_diversity(spark, sf_dir):
+    """Yule's K + Simpson's D per document (operators/textstats.py
+    lexical_diversity) -- the size-invariant repetitiveness gates
+    beside dup_ngram_gate. Oracle replays the shared tokenizer and
+    both integral spectra reads per doc."""
+    from .operators.textstats import lexical_diversity
+
+    return lexical_diversity(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                        '\\s+')) AS w
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM w GROUP BY doc_id, w
+),
+per AS (
+  SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(c * c) AS c2
+  FROM wc GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens, n_types,
+       CAST(CASE WHEN n > 0 THEN ((c2 - n) * 1000000) // (n * n) END
+            AS BIGINT) AS yule_k_q2,
+       CAST(CASE WHEN n >= 2 THEN
+         ((c2 - n) * 1000000) // (n * (n - 1)) END AS BIGINT)
+         AS simpson_d_ppm
+FROM per
+"""
+
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric attribution (operators/textstats.py
+    burrows_delta) of each document to one of the 20 source families
+    by top-10 function-word z-profiles. Oracle replays the doc x word
+    grid, the IEEE-sqrt z grid, host profiles and the argmin."""
+    from .operators.textstats import burrows_delta
+
+    return burrows_delta(
+        load(spark, sf_dir, "documents"),
+        "doc_id", "source", "text", top_m=10,
+    )
+
+
+SQL_BURROWS_DELTA = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                        '\\s+')) AS w
+  FROM documents
+),
+top AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+    ORDER BY cnt DESC, w ASC LIMIT 10
+  )
+),
+doc_n AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS nd
+          FROM w GROUP BY doc_id),
+cdw AS (
+  SELECT doc_id, w.w, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM w JOIN top USING (w) GROUP BY doc_id, w.w
+),
+grid AS (
+  SELECT doc_n.doc_id, top.w,
+         (COALESCE(cdw.c, 0) * 1000000) // doc_n.nd AS f
+  FROM doc_n CROSS JOIN top
+  LEFT JOIN cdw ON cdw.doc_id = doc_n.doc_id AND cdw.w = top.w
+),
+per_w AS (
+  SELECT w, CAST(COUNT(*) AS HUGEINT) AS n, SUM(f) AS sf,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) * SUM(f * f)
+              - SUM(f) * SUM(f) AS DOUBLE))) AS HUGEINT) AS sd
+  FROM grid GROUP BY w
+),
+z AS (
+  SELECT grid.doc_id, grid.w,
+         CASE WHEN per_w.sd > 0 THEN
+           (CASE WHEN grid.f * per_w.n - per_w.sf < 0 THEN -1
+                 WHEN grid.f * per_w.n - per_w.sf > 0 THEN 1
+                 ELSE 0 END)
+             * ((ABS(grid.f * per_w.n - per_w.sf) * 1000)
+                // per_w.sd)
+         ELSE 0 END AS z
+  FROM grid JOIN per_w USING (w)
+),
+dg AS (SELECT DISTINCT doc_id, source AS grp FROM documents),
+prof AS (
+  SELECT dg.grp AS phost, z.w,
+         (CASE WHEN SUM(z.z) < 0 THEN -1 WHEN SUM(z.z) > 0 THEN 1
+               ELSE 0 END)
+           * (ABS(SUM(z.z)) // CAST(COUNT(*) AS HUGEINT)) AS p
+  FROM z JOIN dg USING (doc_id) GROUP BY dg.grp, z.w
+),
+deltas AS (
+  SELECT z.doc_id, prof.phost,
+         SUM(ABS(z.z - prof.p)) // 10 AS delta_q3
+  FROM z JOIN prof USING (w) GROUP BY z.doc_id, prof.phost
+),
+best AS (
+  SELECT doc_id, phost AS best_group, delta_q3 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY delta_q3 ASC, phost ASC) AS rn
+    FROM deltas
+  ) WHERE rn = 1
+),
+selfd AS (
+  SELECT deltas.doc_id, deltas.delta_q3 AS self_delta_q3
+  FROM deltas JOIN dg ON dg.doc_id = deltas.doc_id
+                     AND dg.grp = deltas.phost
+)
+SELECT CAST(dg.doc_id AS BIGINT) AS doc_id, dg.grp AS true_group,
+       best.best_group, CAST(best.delta_q3 AS BIGINT) AS delta_q3,
+       CAST(selfd.self_delta_q3 AS BIGINT) AS self_delta_q3
+FROM dg JOIN best USING (doc_id) LEFT JOIN selfd USING (doc_id)
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22610,6 +22736,8 @@ CATALOG: Dict[str, tuple] = {
     "tukey_hsd": (q_tukey_hsd, SQL_TUKEY),
     "hodges_lehmann": (q_hodges_lehmann, SQL_HODGES_LEHMANN),
     "anderson_darling": (q_anderson_darling, SQL_ANDERSON_DARLING),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "burrows_delta": (q_burrows_delta, SQL_BURROWS_DELTA),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1217,3 +1217,188 @@ def heaps_law_fit(
         * F.expr("(abs(_num) * 1000000) div _den").cast("long"),
     )
     return pts.crossJoin(F.broadcast(ols.select(beta.alias("beta_ppm"))))
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Yule's K and Simpson's D — the repetitiveness
+    reads that are SIZE-INVARIANT where type/token ratio is not
+    (TTR collapses as docs grow, so a TTR gate mis-ranks long docs;
+    K and D depend only on the frequency SPECTRUM shape): K ≈ 100
+    for healthy prose, K in the thousands for templated/spam pages
+    that recycle a tiny vocabulary, the per-doc sibling of
+    dup_ngram_gate's within-doc repetition ratio.
+
+    From per-(doc, word) counts c: with N = Σc (tokens), Σc²,
+
+        K·100  = (Σc² − N)·10⁶ div N²      (Yule's K, 2 decimals)
+        D·10⁶  = Σc(c−1)·10⁶ div (N(N−1))  (repeat-pair probability)
+
+    — both exact integral divs, engine-identical. Tokenization is
+    the corpus convention (split lowercased trimmed text on \\s+,
+    the word_rarity_stats shape): one explode, one (doc, word) hash
+    aggregate, one per-doc fold — linear, no vocabulary join.
+    N < 2 → NULL simpson_d_ppm (K needs N ≥ 1).
+
+    Emits one row per doc: (doc_id, n_tokens, n_types, yule_k_q2,
+    simpson_d_ppm)."""
+    d38 = "decimal(38,0)"
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    wc = words.groupBy("id", "w").agg(
+        F.count(F.lit(1)).cast(d38).alias("c")
+    )
+    per = wc.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        "n_types",
+        F.when(
+            F.col("n") > 0,
+            F.expr("((c2 - n) * 1000000) div (n * n)"),
+        ).cast("long").alias("yule_k_q2"),
+        F.when(
+            F.col("n") >= 2,
+            F.expr("((c2 - n) * 1000000) div (n * (n - 1))"),
+        ).cast("long").alias("simpson_d_ppm"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    top_m: int = 20,
+) -> DataFrame:
+    """Burrows' Delta stylometric attribution — WHO (which host /
+    template family) wrote this page, from function-word style
+    alone: the classic authorship statistic, here pointed at the
+    web problem of attributing unlabeled pages to known host
+    template families (mirror farms and scraped-content rings keep
+    the SUBJECT words but can't shake their function-word habits —
+    the signal simhash misses once the content is paraphrased).
+
+    Pipeline, all on integral grids: (1) top-m corpus words by count
+    (tie: word asc) — the m "function words"; (2) per (doc, word)
+    relative frequency f·10⁶ = c·10⁶ div N_doc on the FULL doc×word
+    grid (absent word = 0 — omitting zeros skews every μ); (3) per
+    word, z·10³ = sign-split ((f·n − Σf)·10³) div ⌊√(n·Σf² −
+    (Σf)²)⌋ — the √ is IEEE-correctly-rounded on both engines
+    (stronger guarantee than the ln the bleu/hill entries already
+    rely on), int→double conversion is exactly specified, so the
+    floor matches bit-for-bit; (4) host profile = sign-split mean z
+    per (group, word); (5) Δ(doc, host)·10³ = (Σ_w |z − profile|)
+    div m; (6) best host = argmin by (Δ, host).
+
+    Scale shape: m and #hosts are small constants — the doc×word
+    grid is m rows per doc (broadcast word list), profiles broadcast
+    back: linear in docs, no shuffle beyond the two hash aggregates.
+
+    Emits one row per doc: (doc_id, true_group, best_group,
+    delta_q3, self_delta_q3)."""
+    d38 = "decimal(38,0)"
+    top_m = int(top_m)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(text_col).alias("text"),
+    )
+    words = base.select(
+        "id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(top_m)
+        .select("w")
+    )
+    doc_n = words.groupBy("id").agg(
+        F.count(F.lit(1)).cast(d38).alias("nd")
+    )
+    cdw = words.join(F.broadcast(top), "w").groupBy("id", "w").agg(
+        F.count(F.lit(1)).cast(d38).alias("c")
+    )
+    grid = (
+        doc_n.crossJoin(F.broadcast(top))
+        .join(cdw, ["id", "w"], "left")
+        .na.fill({"c": 0})
+        .select(
+            "id", "w",
+            F.expr("(c * 1000000) div nd").cast(d38).alias("f"),
+        )
+    )
+    per_w = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    ).withColumn(
+        "sd",
+        F.floor(
+            F.sqrt(
+                (F.col("n") * F.col("sff") - F.col("sf") * F.col("sf"))
+                .cast("double")
+            )
+        ).cast(d38),
+    )
+    z = grid.join(F.broadcast(per_w.select("w", "n", "sf", "sd")), "w") \
+        .withColumn("zn", F.col("f") * F.col("n") - F.col("sf")) \
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sd") > 0,
+                F.signum("zn").cast(d38)
+                * F.expr("(abs(zn) * 1000) div sd"),
+            ).otherwise(F.lit(0).cast(d38)),
+        ).select("id", "w", "z")
+    doc_grp = base.select("id", "grp").distinct()
+    zg = z.join(doc_grp, "id")
+    prof = zg.groupBy("grp", "w").agg(
+        F.sum("z").alias("sz"),
+        F.count(F.lit(1)).cast(d38).alias("ng"),
+    ).select(
+        F.col("grp").alias("phost"), "w",
+        (
+            F.signum("sz").cast(d38)
+            * F.expr("(abs(sz)) div ng")
+        ).alias("p"),
+    )
+    deltas = (
+        z.join(F.broadcast(prof), "w")
+        .groupBy("id", "phost")
+        .agg(
+            F.expr(f"sum(abs(z - p)) div {top_m}").cast("long")
+            .alias("delta_q3")
+        )
+    )
+    best = deltas.groupBy("id").agg(
+        F.min(F.struct("delta_q3", "phost")).alias("b")
+    ).select("id", F.col("b.phost").alias("best_group"),
+             F.col("b.delta_q3").alias("delta_q3"))
+    self_d = deltas.join(
+        doc_grp, (deltas["id"] == doc_grp["id"])
+        & (deltas["phost"] == doc_grp["grp"]),
+    ).select(deltas["id"].alias("sid"),
+             F.col("delta_q3").alias("self_delta_q3"))
+    return (
+        doc_grp.join(best, "id")
+        .join(self_d, F.col("id") == F.col("sid"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias("true_group"),
+            "best_group", "delta_q3", "self_delta_q3",
+        )
+    )

@@ -249,3 +249,139 @@ class TestHeapsLawFit:
         rows = self._run(spark, texts)
         assert all(r["v_types"] == 5 for r in rows)
         assert abs(rows[0]["beta_ppm"]) <= 5
+
+
+class TestLexicalDiversity:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.textstats import (
+            lexical_diversity,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = lexical_diversity(df, "doc_id", "text").collect()
+        return {r["doc_id"]: r for r in out}
+
+    def test_hand_counts(self, spark):
+        got = self._run(spark, [(1, "a a a b")])
+        r = got[1]
+        assert r["n_tokens"] == 4 and r["n_types"] == 2
+        # K*100 = (10-4)*1e6/16, D = 6e6/12
+        assert r["yule_k_q2"] == 375_000
+        assert r["simpson_d_ppm"] == 500_000
+
+    def test_all_unique_zero(self, spark):
+        r = self._run(spark, [(1, "q w e r t y")])[1]
+        assert r["yule_k_q2"] == 0 and r["simpson_d_ppm"] == 0
+
+    def test_single_word_repeated(self, spark):
+        r = self._run(spark, [(1, "x x x x x")])[1]
+        assert r["yule_k_q2"] == 800_000
+        assert r["simpson_d_ppm"] == 1_000_000
+
+    def test_single_token_null_simpson(self, spark):
+        r = self._run(spark, [(1, "lonely")])[1]
+        assert r["yule_k_q2"] == 0
+        assert r["simpson_d_ppm"] is None
+
+    def test_template_vs_prose_ordering(self, spark):
+        prose = " ".join("w%d" % ((i * 13) % 97) for i in range(200))
+        template = " ".join(
+            "item row value" for _ in range(67)
+        )
+        got = self._run(spark, [(1, prose), (2, template)])
+        assert got[2]["yule_k_q2"] > 10 * max(got[1]["yule_k_q2"], 1)
+
+
+class TestBurrowsDelta:
+    @staticmethod
+    def _make_corpus():
+        # two "hosts" with distinct function-word habits carrying
+        # the same content words
+        rows = []
+        s = 9
+        for i in range(40):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            content = " ".join(
+                "topic%d" % ((s >> (2 * j)) % 50) for j in range(6)
+            )
+            if i % 2 == 0:
+                text = "the of and the to " + content + " the of"
+                host = "hostA"
+            else:
+                text = "le de et le du " + content + " le de"
+                host = "hostB"
+            rows.append((i, host, text))
+        return rows
+
+    def _run(self, spark, rows, m=10):
+        from ocr_service_spark.operators.textstats import burrows_delta
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        return burrows_delta(df, "doc_id", "source", "text", top_m=m) \
+            .collect()
+
+    def test_attribution_recovers_hosts(self, spark):
+        rows = self._make_corpus()
+        got = self._run(spark, rows)
+        assert len(got) == len(rows)
+        correct = sum(
+            1 for r in got if r["best_group"] == r["true_group"]
+        )
+        assert correct >= int(0.9 * len(rows))
+
+    def test_best_is_minimum(self, spark):
+        rows = self._make_corpus()
+        for r in self._run(spark, rows):
+            assert r["delta_q3"] <= r["self_delta_q3"]
+
+    def test_exact_twin_small(self, spark):
+        import math
+
+        rows = [
+            (1, "ha", "a a b x"),
+            (2, "ha", "a a b y"),
+            (3, "hb", "b b a z"),
+            (4, "hb", "b b a w"),
+        ]
+        m = 2  # top-2 words are 'a' and 'b' (counts 6, 6; tie->asc)
+        got = {r["doc_id"]: r for r in self._run(spark, rows, m=m)}
+
+        toks = {i: t.split() for i, _, t in rows}
+        grp = {i: g for i, g, _ in rows}
+        top = ["a", "b"]
+        f = {}
+        for i, t in toks.items():
+            for w in top:
+                f[(i, w)] = t.count(w) * 10**6 // len(t)
+        z = {}
+        for w in top:
+            fs = [f[(i, w)] for i in toks]
+            n = len(fs)
+            sf, sff = sum(fs), sum(x * x for x in fs)
+            sd = math.floor(math.sqrt(n * sff - sf * sf))
+            for i in toks:
+                zn = f[(i, w)] * n - sf
+                sgn = (zn > 0) - (zn < 0)
+                z[(i, w)] = (
+                    sgn * (abs(zn) * 1000 // sd) if sd > 0 else 0
+                )
+        prof = {}
+        for h in ("ha", "hb"):
+            docs = [i for i in toks if grp[i] == h]
+            for w in top:
+                sz = sum(z[(i, w)] for i in docs)
+                sgn = (sz > 0) - (sz < 0)
+                prof[(h, w)] = sgn * (abs(sz) // len(docs))
+        for i in toks:
+            deltas = {
+                h: sum(
+                    abs(z[(i, w)] - prof[(h, w)]) for w in top
+                ) // m
+                for h in ("ha", "hb")
+            }
+            best = min(deltas, key=lambda h: (deltas[h], h))
+            assert got[i]["best_group"] == best
+            assert got[i]["delta_q3"] == deltas[best]
+            assert got[i]["self_delta_q3"] == deltas[grp[i]]
