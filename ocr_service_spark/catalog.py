@@ -22338,6 +22338,147 @@ FROM dg JOIN best USING (doc_id) LEFT JOIN selfd USING (doc_id)
 """
 
 
+
+def q_interrupted_ts(spark, sf_dir):
+    """Interrupted time series (operators/stats.py
+    interrupted_time_series): per-doc metric over doc_id time with a
+    planted +80 level jump and +2/step trend bend at t=250 -- the
+    no-control-group deploy read beside diff_in_diff. Oracle replays
+    both anchored segment fits and the cutoff discontinuities."""
+    from .operators.stats import interrupted_time_series
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("t"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id >= 250 THEN"
+            " 80 + 2 * (doc_id - 250) ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    )
+    return interrupted_time_series(d, "t", "y", 250)
+
+
+SQL_INTERRUPTED_TS = """
+WITH d AS (
+  SELECT CAST(doc_id AS HUGEINT) - 250 AS t,
+         CAST(n_chars + CASE WHEN doc_id >= 250 THEN
+              80 + 2 * (doc_id - 250) ELSE 0 END AS HUGEINT) AS y,
+         CASE WHEN doc_id < 250 THEN 'b' ELSE 'a' END AS seg
+  FROM documents
+),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS nt,
+         SUM(t) AS st, SUM(t * t) AS stt, SUM(y) AS sy,
+         SUM(t * y) AS sty
+  FROM d GROUP BY seg
+),
+fit AS (
+  SELECT seg, CAST(n AS BIGINT) AS n_rows,
+         n * stt - st * st AS dd,
+         n * sty - st * sy AS sn,
+         sy * stt - st * sty AS ln_, nt
+  FROM per
+),
+sf AS (
+  SELECT seg, n_rows,
+         CASE WHEN nt >= 2 AND dd > 0 THEN
+           (CASE WHEN sn < 0 THEN -1 WHEN sn > 0 THEN 1 ELSE 0 END)
+             * ((ABS(sn) * 1000) // dd) END AS slope_q3,
+         CASE WHEN nt >= 2 AND dd > 0 THEN
+           (CASE WHEN ln_ < 0 THEN -1 WHEN ln_ > 0 THEN 1
+                 ELSE 0 END)
+             * ((ABS(ln_) * 1000) // dd) END AS level_q3
+  FROM fit
+)
+SELECT b.n_rows AS n_before, a.n_rows AS n_after,
+       CAST(b.slope_q3 AS BIGINT) AS slope_before_q3,
+       CAST(a.slope_q3 AS BIGINT) AS slope_after_q3,
+       CAST(b.level_q3 AS BIGINT) AS level_before_q3,
+       CAST(a.level_q3 AS BIGINT) AS level_after_q3,
+       CAST(a.level_q3 - b.level_q3 AS BIGINT) AS level_change_q3,
+       CAST(a.slope_q3 - b.slope_q3 AS BIGINT) AS slope_change_q3
+FROM (SELECT * FROM sf WHERE seg = 'b') b,
+     (SELECT * FROM sf WHERE seg = 'a') a
+"""
+
+
+def q_permutation_test(spark, sf_dir):
+    """Deterministic permutation test (operators/stats.py
+    permutation_test_mean) on the cliffs_delta planted design (+40
+    on odd band), 99 LCG replicates. Oracle replays the double-
+    stepped LCG labels and the cleared-denominator comparison."""
+    from .operators.stats import permutation_test_mean
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr("CAST(n_chars + 40 * (doc_id % 2) AS BIGINT)")
+        .alias("v"),
+    )
+    return permutation_test_mean(
+        d, "i", "g", "v", "0", "1", n_perm=99
+    )
+
+
+SQL_PERMUTATION_TEST = """
+WITH d AS (
+  SELECT CAST(doc_id AS HUGEINT) AS i,
+         CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(n_chars + 40 * (doc_id % 2) AS HUGEINT) AS v
+  FROM documents
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS na,
+         CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS nb,
+         SUM(CASE WHEN g = '0' THEN v ELSE 0 END) AS sa,
+         SUM(CASE WHEN g = '1' THEN v ELSE 0 END) AS sb
+  FROM d
+),
+ob2 AS (SELECT *, sa * nb - sb * na AS obs_num FROM obs),
+grid AS (
+  SELECT d.v, d.i, ks.r, ob2.na, ob2.nb
+  FROM d CROSS JOIN generate_series(1, 99) AS ks(r)
+  CROSS JOIN ob2
+),
+lab AS (
+  SELECT v, r, na, nb,
+         (1103515245 * ((1103515245 * ((i * 99 + r + 1) % 2147483648)
+            + 12345) % 2147483648) + 12345) % 2147483648 AS h
+  FROM grid
+),
+per_r AS (
+  SELECT r,
+         CAST(SUM(CASE WHEN h % (na + nb) < na THEN 1 ELSE 0 END)
+              AS HUGEINT) AS ra,
+         CAST(SUM(CASE WHEN h % (na + nb) < na THEN 0 ELSE 1 END)
+              AS HUGEINT) AS rb,
+         SUM(CASE WHEN h % (na + nb) < na THEN v ELSE 0 END) AS rsa,
+         SUM(CASE WHEN h % (na + nb) < na THEN 0 ELSE v END) AS rsb
+  FROM lab GROUP BY r
+),
+cmpd AS (
+  SELECT CASE WHEN ra > 0 AND rb > 0 THEN
+           CASE WHEN ABS(rsa * rb - rsb * ra) * ob2.na * ob2.nb
+                     >= ABS(ob2.obs_num) * ra * rb
+                THEN 1 ELSE 0 END
+         ELSE 1 END AS ge
+  FROM per_r, ob2
+),
+ng AS (SELECT CAST(SUM(ge) AS BIGINT) AS n_ge FROM cmpd)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(CASE WHEN na > 0 AND nb > 0 THEN
+         (CASE WHEN obs_num < 0 THEN -1 WHEN obs_num > 0 THEN 1
+               ELSE 0 END)
+           * ((ABS(obs_num) * 1000) // (na * nb)) END AS BIGINT)
+         AS obs_diff_q3,
+       CAST(99 AS BIGINT) AS n_perm, ng.n_ge,
+       CAST(((ng.n_ge + 1) * 1000000) // 100 AS BIGINT) AS p_ppm
+FROM ob2, ng
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22738,6 +22879,8 @@ CATALOG: Dict[str, tuple] = {
     "anderson_darling": (q_anderson_darling, SQL_ANDERSON_DARLING),
     "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "burrows_delta": (q_burrows_delta, SQL_BURROWS_DELTA),
+    "interrupted_ts": (q_interrupted_ts, SQL_INTERRUPTED_TS),
+    "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -5554,3 +5554,199 @@ def anderson_darling_uniform(
         a2.cast("long").alias("a2_ppm"),
         (a2 > F.lit(int(crit_ppm))).alias("reject_05"),
     )
+
+
+def interrupted_time_series(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    cutoff: int,
+) -> DataFrame:
+    """Interrupted time-series (segmented regression) — the causal
+    read for a KNOWN intervention date the diff_in_diff family
+    can't cover when there is NO control group: "the parser deploy
+    on day 47 — did the extraction-rate LEVEL jump, and did its
+    TREND bend". Fits one exact OLS line per side of the cutoff and
+    reads both discontinuities at the cutoff point, the rdd_estimate
+    machinery pointed at time instead of a score.
+
+    Per segment (t < cutoff vs t ≥ cutoff), anchored sums give the
+    exact rational line (slope, value-at-cutoff); with D_s = n·Σtt −
+    (Σt)² per side:
+
+        slope·10³   = sign-split (n·Σty − Σt·Σy)·10³ div D
+        ŷ(cutoff)   = (Σy·Σtt − Σt·Σty + slope_num·cutoff') / D
+        level_change_q3, slope_change_q3 = after − before, cleared
+        through both denominators with one sign-split each.
+
+    < 2 distinct times on a side → NULLs, surfaced. Time values are
+    re-anchored at the cutoff (t − cutoff) so the intercept IS the
+    value at the cutoff and magnitudes stay at window scale.
+
+    Emits ONE row: (n_before, n_after, slope_before_q3,
+    slope_after_q3, level_before_q3, level_after_q3,
+    level_change_q3, slope_change_q3)."""
+    d38 = "decimal(38,0)"
+    c = int(cutoff)
+    d = df.select(
+        (F.col(time_col).cast("long") - c).alias("t"),
+        F.col(value_col).cast("long").alias("y"),
+    ).withColumn("seg", F.when(F.col("t") < 0, F.lit("b"))
+                 .otherwise(F.lit("a")))
+    per = d.groupBy("seg").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.countDistinct("t").cast("long").alias("nt"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum(F.col("t").cast(d38) * F.col("t")).alias("stt"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("t").cast(d38) * F.col("y")).alias("sty"),
+    ).withColumn(
+        "dd", F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    ).withColumn(
+        "sn", F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    ).withColumn(
+        # intercept at t=0 (the cutoff): (sy*stt - st*sty)/dd
+        "ln_", F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")
+    )
+    ok = (F.col("nt") >= 2) & (F.col("dd") > 0)
+    seg = per.select(
+        "seg",
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(
+            ok,
+            F.signum("sn").cast(d38)
+            * F.expr("(abs(sn) * 1000) div dd"),
+        ).cast("long").alias("slope_q3"),
+        F.when(
+            ok,
+            F.signum("ln_").cast(d38)
+            * F.expr("(abs(ln_) * 1000) div dd"),
+        ).cast("long").alias("level_q3"),
+    )
+    b = seg.where(F.col("seg") == "b").select(
+        F.col("n_rows").alias("n_before"),
+        F.col("slope_q3").alias("slope_before_q3"),
+        F.col("level_q3").alias("level_before_q3"),
+    )
+    a = seg.where(F.col("seg") == "a").select(
+        F.col("n_rows").alias("n_after"),
+        F.col("slope_q3").alias("slope_after_q3"),
+        F.col("level_q3").alias("level_after_q3"),
+    )
+    return b.crossJoin(F.broadcast(a)).select(
+        "n_before", "n_after",
+        "slope_before_q3", "slope_after_q3",
+        "level_before_q3", "level_after_q3",
+        (F.col("level_after_q3") - F.col("level_before_q3"))
+        .cast("long").alias("level_change_q3"),
+        (F.col("slope_after_q3") - F.col("slope_before_q3"))
+        .cast("long").alias("slope_change_q3"),
+    )
+
+
+def permutation_test_mean(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 200,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic permutation test for a mean difference — the
+    assumption-free sibling completing the resampling triad
+    (bootstrap_mean_ci: CI, jackknife_ratio: SE, this: exact-style
+    p-value): no normality, no rank loss, the null is "labels don't
+    matter" literally re-enacted.
+
+    Replicates are DETERMINISTIC pseudo-shuffles (the
+    bootstrap_mean_ci double-stepped-LCG discipline — no Math.random
+    in a plan, never monotonically_increasing_id, and never a single
+    affine mix, whose arithmetic-progression labelings can align
+    with planted patterns): h = lcg(lcg((id·R + r + seed) mod 2³¹))
+    and the row joins group a iff h % n < n_a (sizes roughly honest
+    per replicate), over the CALLER's stable id.
+    The observed |Δ| is compared on the ppm grid cleared through
+    both group sizes: p = (#{r: |Δ_r| ≥ |Δ_obs|} + 1)/(R + 1).
+
+    One grid of n·R rows (explode of the replicate sequence), one
+    hash aggregate per (replicate, side), one fold — linear in n·R,
+    no collect. Emits ONE row: (n_a, n_b, obs_diff_q3, n_perm,
+    n_ge, p_ppm)."""
+    d38 = "decimal(38,0)"
+    R = int(n_perm)
+    d = df.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isin([group_a, group_b]))
+
+    # observed
+    obs = d.groupBy().agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast(d38).alias("na"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+        .cast(d38).alias("nb"),
+        F.sum(F.when(F.col("g") == group_a, F.col("v")).otherwise(0))
+        .cast(d38).alias("sa"),
+        F.sum(F.when(F.col("g") == group_b, F.col("v")).otherwise(0))
+        .cast(d38).alias("sb"),
+    ).withColumn(
+        "obs_num",
+        F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"),
+    )
+    grid = d.select(
+        "v", "i",
+        F.explode(F.expr(f"sequence(1, {R})")).alias("r"),
+    ).crossJoin(F.broadcast(obs.select("na", "nb")))
+    # double-stepped 2^31 LCG over x = (i*R + r + seed) mod 2^31 --
+    # the bootstrap_mean_ci mixer (a single affine mix leaves
+    # arithmetic-progression labelings that can align with planted
+    # patterns; two steps break the structure)
+    lab = grid.withColumn(
+        "x", F.expr(f"((i * {R} + r + {int(seed)}) % 2147483648)")
+    ).withColumn(
+        "s1", F.expr("(1103515245 * x + 12345) % 2147483648")
+    ).withColumn(
+        "h", F.expr("(1103515245 * s1 + 12345) % 2147483648")
+    ).withColumn(
+        "is_a", F.expr("h % (na + nb) < na")
+    )
+    per_r = lab.groupBy("r").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast(d38)
+        .alias("ra"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast(d38)
+        .alias("rb"),
+        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(0))
+        .cast(d38).alias("rsa"),
+        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(0))
+        .cast(d38).alias("rsb"),
+    )
+    # compare |Δ_r| >= |Δ_obs| cleared through both denominators:
+    # |rsa*rb - rsb*ra| * na*nb >= |obs_num| * ra*rb
+    cmpd = per_r.crossJoin(F.broadcast(obs)).select(
+        F.when(
+            (F.col("ra") > 0) & (F.col("rb") > 0),
+            F.when(
+                F.abs(F.col("rsa") * F.col("rb") - F.col("rsb") * F.col("ra"))
+                * F.col("na") * F.col("nb")
+                >= F.abs(F.col("obs_num")) * F.col("ra") * F.col("rb"),
+                1,
+            ).otherwise(0),
+        ).otherwise(1).alias("ge")  # degenerate replicate counts >=
+    )
+    n_ge = cmpd.agg(F.sum("ge").cast("long").alias("n_ge"))
+    return obs.crossJoin(F.broadcast(n_ge)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.signum("obs_num").cast(d38)
+            * F.expr("(abs(obs_num) * 1000) div (na * nb)"),
+        ).cast("long").alias("obs_diff_q3"),
+        F.lit(R).cast("long").alias("n_perm"),
+        "n_ge",
+        F.expr(f"((n_ge + 1) * 1000000) div {R + 1}").cast("long")
+        .alias("p_ppm"),
+    )

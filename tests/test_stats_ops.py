@@ -3212,3 +3212,101 @@ class TestAndersonDarlingUniform:
             for i in range(1, n + 1)
         ) / n
         assert abs(r["a2_ppm"] / 1e6 - a2) < 0.01
+
+
+class TestInterruptedTimeSeries:
+    def _run(self, spark, rows, cutoff):
+        from ocr_service_spark.operators.stats import (
+            interrupted_time_series,
+        )
+
+        df = spark.createDataFrame(rows, "t long, y long")
+        return interrupted_time_series(df, "t", "y", cutoff) \
+            .collect()[0]
+
+    def test_planted_level_and_slope_break(self, spark):
+        rows = [(t, 100 + 2 * t) for t in range(40)]
+        rows += [(t, 160 + 5 * (t - 40)) for t in range(40, 80)]
+        r = self._run(spark, rows, 40)
+        assert r["slope_before_q3"] == 2_000
+        assert r["slope_after_q3"] == 5_000
+        # before-line extrapolated to the cutoff: 100 + 2*40 = 180
+        assert r["level_before_q3"] == 180_000
+        assert r["level_after_q3"] == 160_000
+        assert r["level_change_q3"] == -20_000
+        assert r["slope_change_q3"] == 3_000
+
+    def test_unbroken_line_zero_changes(self, spark):
+        rows = [(t, 7 + 3 * t) for t in range(60)]
+        r = self._run(spark, rows, 30)
+        assert r["level_change_q3"] == 0
+        assert r["slope_change_q3"] == 0
+
+    def test_degenerate_side_null(self, spark):
+        rows = [(5, 10), (5, 12)] + [(t, t) for t in range(10, 20)]
+        r = self._run(spark, rows, 10)
+        assert r["slope_before_q3"] is None
+        assert r["level_change_q3"] is None
+
+
+class TestPermutationTestMean:
+    def _run(self, spark, rows, R=99):
+        from ocr_service_spark.operators.stats import (
+            permutation_test_mean,
+        )
+
+        df = spark.createDataFrame(rows, "i long, g string, v long")
+        return permutation_test_mean(
+            df, "i", "g", "v", "a", "b", n_perm=R
+        ).collect()[0]
+
+    def test_null_case_large_p(self, spark):
+        s, rows = 3, []
+        for i in range(160):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append((i, "a" if i % 2 else "b", s % 100))
+        r = self._run(spark, rows)
+        assert r["p_ppm"] > 200_000
+
+    def test_separation_small_p(self, spark):
+        rows = [(i, "a", 1000 + i % 5) for i in range(60)]
+        rows += [(i + 60, "b", 100 + i % 5) for i in range(60)]
+        r = self._run(spark, rows, R=99)
+        assert r["p_ppm"] == 10_000  # (0+1)*1e6/(99+1)
+        assert r["obs_diff_q3"] == 900_000
+
+    def test_deterministic(self, spark):
+        rows = [(i, "a" if i % 3 else "b", (i * 17) % 50)
+                for i in range(90)]
+        r1 = self._run(spark, rows)
+        r2 = self._run(spark, rows)
+        assert r1 == r2
+
+    def test_python_twin(self, spark):
+        rows = [(i, "a" if i % 2 else "b", (i * 29) % 40)
+                for i in range(50)]
+        R, seed = 19, 1
+        na = sum(1 for _, g, _ in rows if g == "a")
+        nb = len(rows) - na
+        sa = sum(v for _, g, v in rows if g == "a")
+        sb = sum(v for _, g, v in rows if g == "b")
+        obs = abs(sa * nb - sb * na)
+        n_ge = 0
+        for rr in range(1, R + 1):
+            ra = rb = rsa = rsb = 0
+            for i, _, v in rows:
+                x = (i * R + rr + seed) % 2147483648
+                s1 = (1103515245 * x + 12345) % 2147483648
+                h = (1103515245 * s1 + 12345) % 2147483648
+                if h % (na + nb) < na:
+                    ra += 1; rsa += v
+                else:
+                    rb += 1; rsb += v
+            if ra == 0 or rb == 0:
+                n_ge += 1
+            elif (abs(rsa * rb - rsb * ra) * na * nb
+                  >= obs * ra * rb):
+                n_ge += 1
+        r = self._run(spark, rows, R=R)
+        assert r["n_ge"] == n_ge
+        assert r["p_ppm"] == (n_ge + 1) * 10**6 // (R + 1)
