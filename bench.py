@@ -79,6 +79,23 @@ def bench_extraction(spark, n_docs: int, seed: int = 42):
 
 # Headline catalog queries: relational core + windows + training-data ops.
 HEADLINE = [
+    # session-10 additions
+    "runs_test",
+    "jarque_bera",
+    "ljung_box",
+    "hill_tail_index",
+    "cliffs_delta",
+    "dunn_posthoc",
+    "kendall_w",
+    "partial_corr",
+    "ols2_fit",
+    "tukey_hsd",
+    "hodges_lehmann",
+    "anderson_darling",
+    "lexical_diversity",
+    "burrows_delta",
+    "interrupted_ts",
+    "permutation_test",
     # session-9 additions
     "cvm_drift",
     "brown_forsythe",
