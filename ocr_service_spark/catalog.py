@@ -22479,6 +22479,122 @@ FROM ob2, ng
 """
 
 
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR (operators/stats.py bh_fdr) over a
+    60-test family with five planted near-zero p-values -- the
+    multiplicity spine behind every cross-host test sweep. Oracle
+    replays the tie-stable rank, the cross-multiplied step-up k*
+    and per-test rejections."""
+    from .operators.stats import bh_fdr
+
+    d = load(spark, sf_dir, "documents").where(
+        F.expr("doc_id < 60")
+    ).select(
+        F.expr("CONCAT('t', LPAD(CAST(doc_id AS STRING), 2, '0'))")
+        .alias("t"),
+        F.expr(
+            "CAST(CASE WHEN doc_id < 5 THEN doc_id * 100 + 7"
+            " ELSE (doc_id * 48271) % 1000000 END AS BIGINT)"
+        ).alias("p"),
+    )
+    return bh_fdr(d, "t", "p")
+
+
+SQL_BH_FDR = """
+WITH d AS (
+  SELECT 't' || LPAD(CAST(doc_id AS VARCHAR), 2, '0') AS t,
+         CAST(CASE WHEN doc_id < 5 THEN doc_id * 100 + 7
+              ELSE (doc_id * 48271) % 1000000 END AS BIGINT) AS p
+  FROM documents WHERE doc_id < 60
+),
+rk AS (
+  SELECT t, p, ROW_NUMBER() OVER (ORDER BY p, t) AS rk,
+         COUNT(*) OVER () AS m
+  FROM d
+),
+ks AS (
+  SELECT COALESCE(MAX(CASE WHEN p * m <= 50000 * rk THEN rk END), 0)
+           AS kstar
+  FROM rk
+)
+SELECT t, p AS p_ppm, CAST(rk AS BIGINT) AS rank,
+       CAST((50000 * rk) // m AS BIGINT) AS bh_crit_ppm,
+       rk <= ks.kstar AS reject
+FROM rk, ks
+"""
+
+
+def q_period_scan(spark, sf_dir):
+    """Phase-ANOVA period detector (operators/stats.py period_scan)
+    with a planted +200 bump every 7th doc -- trig-free periodicity
+    detection (java Math vs libm trig is NOT oracle-safe; the phase
+    fold is). Oracle replays the phase grids and the anova staging
+    per candidate."""
+    from .operators.stats import period_scan
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id % 7 = 3 THEN 200"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return period_scan(d, "i", "v", periods=(2, 3, 4, 5, 6, 7, 14))
+
+
+SQL_PERIOD_SCAN = """
+WITH d AS (
+  SELECT CAST(doc_id AS HUGEINT) AS i,
+         CAST(n_chars + CASE WHEN doc_id % 7 = 3 THEN 200
+              ELSE 0 END AS HUGEINT) AS v
+  FROM documents
+),
+grid AS (
+  SELECT ks.p, d.i % ks.p AS ph, d.v
+  FROM d CROSS JOIN (
+    SELECT unnest([2, 3, 4, 5, 6, 7, 14]) AS p
+  ) ks
+),
+per AS (
+  SELECT p, ph, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(v) AS s_i,
+         SUM(v * v) AS q_i
+  FROM grid GROUP BY p, ph
+),
+agg AS (
+  SELECT p, SUM(n_i) AS n, SUM(s_i) AS s, SUM(q_i) AS q,
+         SUM((s_i * s_i * 1000000) // n_i) AS a
+  FROM per GROUP BY p
+),
+st AS (
+  SELECT p, n, a - (s * s * 1000000) // n AS ssb_q6,
+         q * 1000000 - (s * s * 1000000) // n AS sst_q6
+  FROM agg
+),
+et AS (
+  SELECT p, n, ssb_q6, sst_q6,
+         CASE WHEN sst_q6 > 0 THEN
+           (CASE WHEN ssb_q6 < 0 THEN -1 WHEN ssb_q6 > 0 THEN 1
+                 ELSE 0 END)
+             * ((ABS(ssb_q6) * 1000000) // sst_q6) END AS eta2
+  FROM st
+),
+best AS (
+  SELECT eta2 AS be, p AS bp FROM et WHERE eta2 IS NOT NULL
+  ORDER BY eta2 DESC, p ASC LIMIT 1
+)
+SELECT CAST(et.p AS BIGINT) AS period, CAST(n AS BIGINT) AS n,
+       CAST(ssb_q6 AS BIGINT) AS ssb_q6,
+       CAST(sst_q6 AS BIGINT) AS sst_q6,
+       CAST(eta2 AS BIGINT) AS eta2_ppm,
+       CASE WHEN (SELECT COUNT(*) FROM best) = 0 THEN FALSE
+            ELSE eta2 IS NOT NULL
+                 AND eta2 = (SELECT be FROM best)
+                 AND et.p = (SELECT bp FROM best) END AS is_best
+FROM et ORDER BY period
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22881,6 +22997,8 @@ CATALOG: Dict[str, tuple] = {
     "burrows_delta": (q_burrows_delta, SQL_BURROWS_DELTA),
     "interrupted_ts": (q_interrupted_ts, SQL_INTERRUPTED_TS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
+    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
+    "period_scan": (q_period_scan, SQL_PERIOD_SCAN),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

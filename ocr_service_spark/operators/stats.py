@@ -5750,3 +5750,133 @@ def permutation_test_mean(
         F.expr(f"((n_ge + 1) * 1000000) div {R + 1}").cast("long")
         .alias("p_ppm"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over an arbitrary family of
+    p-values — the MULTIPLICITY spine the per-family tests keep
+    reimplementing (sign_test_bh inlines it for slices): run 200
+    drift tests across hosts and 10 "discoveries" at α=0.05 are
+    expected under the global null; BH keeps the FALSE-DISCOVERY
+    rate at α instead of the per-test error.
+
+    Step-up rule, all integral: ascending rank i by (p, test_id) —
+    tie-stable via the distributed prefix pass — k* = max{i : pᵢ·m ≤
+    α·i} (cross-multiplied, no division), reject ⇔ rank ≤ k*. The
+    per-test BH critical α·i/m rides along on the ppm grid for the
+    report.
+
+    Emits one row per test: (test_id, p_ppm, rank, bh_crit_ppm,
+    reject)."""
+    from .quality import global_prefix_sum
+
+    d = df.select(
+        F.col(test_col).cast("string").alias("t"),
+        F.col(p_ppm_col).cast("long").alias("p"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(d, ["p", "t"], "_one", out_col="rk")
+    m_tot = d.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    flag = ranked.crossJoin(F.broadcast(m_tot))
+    kstar = flag.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") * F.col("m")
+                    <= F.lit(int(alpha_ppm)) * F.col("rk"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return flag.crossJoin(F.broadcast(kstar)).select(
+        F.col("t").alias(test_col),
+        F.col("p").alias("p_ppm"),
+        F.col("rk").cast("long").alias("rank"),
+        F.expr(f"({int(alpha_ppm)} * rk) div m").cast("long")
+        .alias("bh_crit_ppm"),
+        (F.col("rk") <= F.col("kstar")).alias("reject"),
+    )
+
+
+def period_scan(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    periods: Sequence[int] = (2, 3, 4, 5, 6, 7, 10, 14, 28, 30),
+) -> DataFrame:
+    """Phase-ANOVA period detector — WHICH period, where
+    seasonal_anomaly ASSUMES one and acf_lags reads single lags:
+    for each candidate period p, fold the series onto phase i mod p
+    and ask how much variance the phase grouping explains (η² =
+    SSB/SST — a one-way ANOVA of value on phase). The true period
+    and its multiples light up; the argmax over the candidate list
+    is the detected period.
+
+    Deliberately trig-free: a DFT periodogram needs cos/sin, and
+    java.lang.Math vs C libm differ in final ulps — not oracle-safe
+    (the accepted ln/√ rule covers correctly-rounded ops only; trig
+    is not). The phase fold is the exact-arithmetic equivalent for
+    integral periods: per (p, phase) sums on one exploded grid (|P|
+    rows per input row), then the anova_oneway staging per p.
+
+    Emits one row per candidate: (period, n, ssb_q6, sst_q6,
+    eta2_ppm, is_best) — is_best marks the max (η², −period),
+    ties to the SHORTER period (the fundamental, not its
+    multiples)."""
+    d38 = "decimal(38,0)"
+    plist = sorted({int(p) for p in periods})
+    d = df.select(
+        F.col(index_col).cast("long").alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    grid = d.select(
+        "v",
+        F.explode(
+            F.array(*[F.lit(p) for p in plist])
+        ).alias("p"),
+        F.col("i"),
+    ).withColumn("ph", F.col("i") % F.col("p"))
+    per = grid.groupBy("p", "ph").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_i"),
+        F.sum(F.col("v").cast(d38)).alias("s_i"),
+        F.sum(F.col("v").cast(d38) * F.col("v")).alias("q_i"),
+    )
+    agg = per.groupBy("p").agg(
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum("q_i").alias("q"),
+        F.sum(F.expr("(s_i * s_i * 1000000) div n_i").cast(d38))
+        .alias("a"),
+    ).withColumn(
+        "ssb_q6", F.col("a") - F.expr("(s * s * 1000000) div n")
+    ).withColumn(
+        "sst_q6",
+        F.col("q") * 1_000_000 - F.expr("(s * s * 1000000) div n"),
+    ).withColumn(
+        "eta2",
+        F.when(
+            F.col("sst_q6") > 0,
+            F.signum("ssb_q6").cast(d38)
+            * F.expr("(abs(ssb_q6) * 1000000) div sst_q6"),
+        ),
+    )
+    best = agg.agg(
+        F.max(F.struct(F.col("eta2"), -F.col("p"))).alias("b")
+    )
+    return agg.crossJoin(F.broadcast(best)).select(
+        F.col("p").cast("long").alias("period"),
+        F.col("n").cast("long").alias("n"),
+        F.col("ssb_q6").cast("long").alias("ssb_q6"),
+        F.col("sst_q6").cast("long").alias("sst_q6"),
+        F.col("eta2").cast("long").alias("eta2_ppm"),
+        (
+            F.col("eta2").isNotNull()
+            & (F.struct(F.col("eta2"), -F.col("p")) == F.col("b"))
+        ).alias("is_best"),
+    ).orderBy("period")

@@ -3310,3 +3310,91 @@ class TestPermutationTestMean:
         r = self._run(spark, rows, R=R)
         assert r["n_ge"] == n_ge
         assert r["p_ppm"] == (n_ge + 1) * 10**6 // (R + 1)
+
+
+class TestBhFdr:
+    def _run(self, spark, rows, alpha=50_000):
+        from ocr_service_spark.operators.stats import bh_fdr
+
+        df = spark.createDataFrame(rows, "t string, p long")
+        return {
+            r["t"]: r
+            for r in bh_fdr(df, "t", "p", alpha_ppm=alpha).collect()
+        }
+
+    def test_textbook_stepup(self, spark):
+        # classic: p = .01, .02, .03, .04, .05 at alpha=.05, m=5:
+        # BH crits .01,.02,.03,.04,.05 -> all five rejected (step-up
+        # from k*=5), where per-test alpha would also pass all --
+        # contrast case below shows the difference
+        rows = [("t%d" % i, p) for i, p in enumerate(
+            [10_000, 20_000, 30_000, 40_000, 50_000])]
+        got = self._run(spark, rows)
+        assert all(r["reject"] for r in got.values())
+
+    def test_stepup_rescues_middle(self, spark):
+        # p = .001, .049, .05 with m=3: crits .0167/.0333/.05;
+        # p3 <= .05 -> k*=3 rejects ALL including p2=.049 > .0333
+        rows = [("a", 1_000), ("b", 49_000), ("c", 50_000)]
+        got = self._run(spark, rows)
+        assert all(r["reject"] for r in got.values())
+
+    def test_no_discoveries(self, spark):
+        rows = [("t%d" % i, 500_000 + i * 1000) for i in range(10)]
+        got = self._run(spark, rows)
+        assert not any(r["reject"] for r in got.values())
+
+    def test_brute_force(self, spark):
+        s, rows = 7, []
+        for i in range(60):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("t%02d" % i, s % 1_000_000))
+        alpha = 100_000
+        srt = sorted(rows, key=lambda r: (r[1], r[0]))
+        m = len(srt)
+        kstar = 0
+        for i, (_, p) in enumerate(srt, start=1):
+            if p * m <= alpha * i:
+                kstar = i
+        exp = {t: i <= kstar for i, (t, _) in enumerate(srt, start=1)}
+        got = self._run(spark, rows, alpha=alpha)
+        assert {t: r["reject"] for t, r in got.items()} == exp
+
+
+class TestPeriodScan:
+    def _run(self, spark, vals, periods=(2, 3, 4, 5, 6, 7)):
+        from ocr_service_spark.operators.stats import period_scan
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "i long, v long")
+        return period_scan(df, "i", "v", periods=periods).collect()
+
+    def test_planted_period7(self, spark):
+        pat = [100, 120, 90, 80, 150, 200, 50]
+        vals = [pat[i % 7] + (i * 13) % 5 for i in range(280)]
+        got = self._run(spark, vals, periods=(2, 3, 4, 5, 6, 7, 14))
+        by_p = {r["period"]: r for r in got}
+        assert by_p[7]["is_best"] is True
+        # 14 is a multiple: explains as much, but the shorter
+        # fundamental wins the tie-break (ties to -period)
+        assert by_p[14]["is_best"] is False
+        assert by_p[7]["eta2_ppm"] > 900_000
+        assert by_p[3]["eta2_ppm"] < 200_000
+
+    def test_constant_no_best(self, spark):
+        got = self._run(spark, [5] * 60)
+        assert all(r["eta2_ppm"] is None for r in got)
+        assert not any(r["is_best"] for r in got)
+
+    def test_eta2_matches_anova_oneway(self, spark):
+        from ocr_service_spark.operators.stats import anova_oneway
+
+        vals = [((i * 37) % 11) * 10 + (i % 4) * 55 for i in range(120)]
+        got = {r["period"]: r for r in self._run(spark, vals)}
+        df = spark.createDataFrame(
+            [(i % 4, v) for i, v in enumerate(vals)], "g long, v long"
+        )
+        a = anova_oneway(df, "g", "v").collect()[0]
+        assert got[4]["ssb_q6"] == a["ssb_q6"]
+        # eta2 = ssb/sst on the same staged grid
+        assert got[4]["sst_q6"] == a["ssb_q6"] + a["ssw_q6"]
