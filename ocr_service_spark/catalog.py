@@ -22529,8 +22529,9 @@ def q_period_scan(spark, sf_dir):
     """Phase-ANOVA period detector (operators/stats.py period_scan)
     with a planted +200 bump every 7th doc -- trig-free periodicity
     detection (java Math vs libm trig is NOT oracle-safe; the phase
-    fold is). Oracle replays the phase grids and the anova staging
-    per candidate."""
+    fold is); is_best picks the FUNDAMENTAL (smallest period within
+    1% of max eta^2), not the multiple 14. Oracle replays the phase
+    grids, the anova staging and the fundamental pick."""
     from .operators.stats import period_scan
 
     d = load(spark, sf_dir, "documents").select(
@@ -22579,19 +22580,17 @@ et AS (
              * ((ABS(ssb_q6) * 1000000) // sst_q6) END AS eta2
   FROM st
 ),
-best AS (
-  SELECT eta2 AS be, p AS bp FROM et WHERE eta2 IS NOT NULL
-  ORDER BY eta2 DESC, p ASC LIMIT 1
+mx AS (SELECT MAX(eta2) AS maxe FROM et),
+fund AS (
+  SELECT MIN(CASE WHEN eta2 >= mx.maxe - 10000 THEN p END) AS bp
+  FROM et, mx
 )
 SELECT CAST(et.p AS BIGINT) AS period, CAST(n AS BIGINT) AS n,
        CAST(ssb_q6 AS BIGINT) AS ssb_q6,
        CAST(sst_q6 AS BIGINT) AS sst_q6,
        CAST(eta2 AS BIGINT) AS eta2_ppm,
-       CASE WHEN (SELECT COUNT(*) FROM best) = 0 THEN FALSE
-            ELSE eta2 IS NOT NULL
-                 AND eta2 = (SELECT be FROM best)
-                 AND et.p = (SELECT bp FROM best) END AS is_best
-FROM et ORDER BY period
+       eta2 IS NOT NULL AND et.p = fund.bp AS is_best
+FROM et, fund ORDER BY period
 """
 
 

@@ -5826,9 +5826,11 @@ def period_scan(
     rows per input row), then the anova_oneway staging per p.
 
     Emits one row per candidate: (period, n, ssb_q6, sst_q6,
-    eta2_ppm, is_best) — is_best marks the max (η², −period),
-    ties to the SHORTER period (the fundamental, not its
-    multiples)."""
+    eta2_ppm, is_best). A multiple of the true period ALWAYS
+    explains at least as much (nested partitions), so argmax alone
+    would report 14 for a weekly signal; is_best instead marks the
+    SMALLEST period within 1% (10⁴ ppm) of the max η² — the
+    fundamental."""
     d38 = "decimal(38,0)"
     plist = sorted({int(p) for p in periods})
     d = df.select(
@@ -5866,17 +5868,22 @@ def period_scan(
             * F.expr("(abs(ssb_q6) * 1000000) div sst_q6"),
         ),
     )
-    best = agg.agg(
-        F.max(F.struct(F.col("eta2"), -F.col("p"))).alias("b")
+    best = agg.agg(F.max("eta2").alias("maxe"))
+    withb = agg.crossJoin(F.broadcast(best))
+    fund = withb.agg(
+        F.min(
+            F.when(
+                F.col("eta2") >= F.col("maxe") - 10_000, F.col("p")
+            )
+        ).alias("bp")
     )
-    return agg.crossJoin(F.broadcast(best)).select(
+    return withb.crossJoin(F.broadcast(fund)).select(
         F.col("p").cast("long").alias("period"),
         F.col("n").cast("long").alias("n"),
         F.col("ssb_q6").cast("long").alias("ssb_q6"),
         F.col("sst_q6").cast("long").alias("sst_q6"),
         F.col("eta2").cast("long").alias("eta2_ppm"),
         (
-            F.col("eta2").isNotNull()
-            & (F.struct(F.col("eta2"), -F.col("p")) == F.col("b"))
+            F.col("eta2").isNotNull() & (F.col("p") == F.col("bp"))
         ).alias("is_best"),
     ).orderBy("period")
