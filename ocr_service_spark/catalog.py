@@ -22594,6 +22594,34 @@ FROM et, fund ORDER BY period
 """
 
 
+
+def q_burst_detect(spark, sf_dir):
+    """Kleinberg burst intervals (operators/burstdetect.py
+    detect_bursts) per event_type, with a PLANTED dense cluster
+    (every 2s for 100 events, against a ~minutes base rate) unioned
+    in as type 'planted' -- the structural rate-jump read a
+    threshold-on-rate can't give; the uniform synthetic types stay
+    burst-free, the planted type lights up. Rows-only: the
+    per-group Viterbi DP has no SQL twin; the DP is differential-
+    tested against exhaustive search (tests/test_burst.py)."""
+    from .operators.burstdetect import detect_bursts
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    planted = spark.range(200).selectExpr(
+        "'planted' AS event_type",
+        "CAST(TIMESTAMP '2024-01-01 00:00:00' + CASE"
+        " WHEN id < 50 THEN id * INTERVAL 120 SECOND"
+        " WHEN id < 150 THEN 50 * INTERVAL 120 SECOND"
+        "   + (id - 50) * INTERVAL 2 SECOND"
+        " ELSE 50 * INTERVAL 120 SECOND + 100 * INTERVAL 2 SECOND"
+        "   + (id - 150) * INTERVAL 120 SECOND END AS TIMESTAMP)"
+        " AS ts",
+    )
+    return detect_bursts(
+        ev.unionByName(planted), "event_type", "ts"
+    )
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -22998,6 +23026,7 @@ CATALOG: Dict[str, tuple] = {
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
     "period_scan": (q_period_scan, SQL_PERIOD_SCAN),
+    "burst_detect": (q_burst_detect, None),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1,0 +1,95 @@
+"""Kleinberg two-state burst detection — the pure-Python spec.
+
+The byte-identity rule: this module is imported BOTH by the pytest
+oracle (differential tests against exhaustive search) and by the
+Spark applyInPandas wrapper in operators/burstdetect.py — one
+function, never forked logic.
+
+Kleinberg (KDD 2002), the 2-state automaton: gaps between events are
+exponentially distributed at base rate (state 0, rate 1/ĝ with ĝ the
+mean gap) or burst rate (state 1, rate s/ĝ). Cost of emitting gap x
+in state q is −ln(λ_q e^{−λ_q x}) = λ_q·x − ln λ_q; moving UP costs
+γ·ln n (hysteresis — n gaps), moving down is free. The optimal state
+sequence minimizes total cost (Viterbi over two states, O(n) time,
+O(n) space for the backpointers).
+
+Floats are fine here: the same CPython code produces the oracle and
+the UDF output, so parity is trivially byte-identical (this operator
+is rows-only at the driver gate — no SQL twin exists for a
+sequential DP)."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+
+def kleinberg_states(
+    times: Sequence[float], s: float = 2.0, gamma: float = 1.0
+) -> List[int]:
+    """Optimal 2-state sequence for the gaps of sorted `times`.
+
+    Returns one state (0 base, 1 burst) per GAP (length n−1 for n
+    events). Fewer than 2 events, or zero total span → no gaps →
+    []. Ties in cost prefer the LOWER state (stable, and matches
+    the exhaustive-search tie rule in the tests)."""
+    ts = sorted(times)
+    n = len(ts)
+    if n < 2:
+        return []
+    gaps = [ts[i + 1] - ts[i] for i in range(n - 1)]
+    span = ts[-1] - ts[0]
+    if span <= 0:
+        return [0] * len(gaps)
+    ghat = span / len(gaps)
+    lam = [1.0 / ghat, s / ghat]
+    lnlam = [math.log(lam[0]), math.log(lam[1])]
+    up_cost = gamma * math.log(n)
+
+    def emit(q: int, x: float) -> float:
+        return lam[q] * x - lnlam[q]
+
+    INF = float("inf")
+    cost = [emit(0, gaps[0]), up_cost + emit(1, gaps[0])]
+    back: List[Tuple[int, int]] = [(0, 1)]
+    for x in gaps[1:]:
+        new = [INF, INF]
+        bp = [0, 0]
+        for q in (0, 1):
+            for prev in (0, 1):
+                trans = up_cost if q > prev else 0.0
+                c = cost[prev] + trans + emit(q, x)
+                # strict < keeps the earlier (lower) prev on ties
+                if c < new[q]:
+                    new[q] = c
+                    bp[q] = prev
+        cost = new
+        back.append((bp[0], bp[1]))
+    q = 0 if cost[0] <= cost[1] else 1
+    states = [q]
+    for i in range(len(gaps) - 1, 0, -1):
+        q = back[i][q]
+        states.append(q)
+    states.reverse()
+    return states
+
+
+def burst_intervals(
+    times: Sequence[float], s: float = 2.0, gamma: float = 1.0
+) -> List[Tuple[float, float, int]]:
+    """Maximal burst (state-1) runs as (start_time, end_time,
+    n_events) — a gap in state 1 spans two events, so a run of k
+    burst gaps covers k+1 events."""
+    ts = sorted(times)
+    states = kleinberg_states(ts, s=s, gamma=gamma)
+    out: List[Tuple[float, float, int]] = []
+    i = 0
+    while i < len(states):
+        if states[i] == 1:
+            j = i
+            while j + 1 < len(states) and states[j + 1] == 1:
+                j += 1
+            out.append((ts[i], ts[j + 1], j - i + 2))
+            i = j + 1
+        i += 1
+    return out

@@ -1,0 +1,78 @@
+"""Kleinberg burst detection over grouped event streams.
+
+The trending/incident read the window family can't give: fixed
+windows (streaming/windows.py) ask "how many events per hour";
+Kleinberg asks "WHEN did the rate structurally jump, and for how
+long" — with a hysteresis cost that suppresses the one-off blip a
+threshold-on-rate fires on. The per-group optimal state sequence is
+a sequential Viterbi DP, so it runs as ONE applyInPandas per group —
+the gale_church discipline: groups are independent, a group's events
+fit one task (bound: events per entity, not corpus size), and the DP
+body is the pure-Python spec in core/burst.py shared verbatim with
+the pytest oracle.
+
+Driver gate: rows-only (a sequential DP has no SQL twin); the
+correctness story is the differential tests — DP vs exhaustive
+2^n search on every tiny stream, plus planted-burst recovery."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_bursts(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    min_events: int = 5,
+) -> DataFrame:
+    """Per-group Kleinberg burst intervals.
+
+    Timestamps are cast to epoch microseconds (long) before the DP —
+    the arithmetic in core/burst.py then runs on exact integers until
+    the float rate estimates, identically in the oracle and here.
+    Groups with < min_events events emit nothing (a 3-event "burst"
+    is noise by construction).
+
+    Emits one row per burst: (group, burst_ix, start_us, end_us,
+    n_events, span_us), ordered within group by start."""
+    import pandas as pd
+
+    from ..core.burst import burst_intervals
+
+    schema = (
+        "grp string, burst_ix long, start_us long, end_us long,"
+        " n_events long, span_us long"
+    )
+    s_f, g_f, m_e = float(s), float(gamma), int(min_events)
+
+    d = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(ts_col).cast("timestamp").cast("double")
+        .alias("_sec"),
+    ).select(
+        "grp", (F.col("_sec") * 1_000_000).cast("long").alias("us")
+    )
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        times = sorted(int(x) for x in pdf["us"].tolist())
+        if len(times) < m_e:
+            return pd.DataFrame(
+                columns=["grp", "burst_ix", "start_us", "end_us",
+                         "n_events", "span_us"]
+            )
+        out = []
+        for ix, (a, b, k) in enumerate(
+            burst_intervals(times, s=s_f, gamma=g_f)
+        ):
+            out.append((key[0], ix, int(a), int(b), int(k),
+                        int(b - a)))
+        return pd.DataFrame(
+            out, columns=["grp", "burst_ix", "start_us", "end_us",
+                          "n_events", "span_us"]
+        )
+
+    return d.groupBy("grp").applyInPandas(run, schema=schema)

@@ -1,0 +1,116 @@
+"""Kleinberg burst detection: DP-vs-exhaustive differentials on the
+core spec, planted-burst recovery, and Spark wrapper parity."""
+
+import math
+
+from ocr_service_spark.core.burst import burst_intervals, kleinberg_states
+
+
+def _total_cost(times, states, s=2.0, gamma=1.0):
+    ts = sorted(times)
+    n = len(ts)
+    gaps = [ts[i + 1] - ts[i] for i in range(n - 1)]
+    ghat = (ts[-1] - ts[0]) / len(gaps)
+    lam = [1.0 / ghat, s / ghat]
+    up = gamma * math.log(n)
+    c = up if states[0] == 1 else 0.0
+    for i, x in enumerate(gaps):
+        q = states[i]
+        c += lam[q] * x - math.log(lam[q])
+        if i + 1 < len(states) and states[i + 1] > q:
+            c += up
+    return c
+
+
+class TestCoreKleinberg:
+    def test_dp_matches_exhaustive_cost(self):
+        s = 5
+        for trial in range(30):
+            times, t = [0], 0
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            n = 4 + s % 5  # 4..8 events
+            for _ in range(n - 1):
+                s = (s * 1103515245 + 12345) % (1 << 31)
+                t += 1 + s % 50
+                times.append(t)
+            got = kleinberg_states(times)
+            gaps = len(times) - 1
+            best = min(
+                _total_cost(
+                    times,
+                    [(mask >> i) & 1 for i in range(gaps)],
+                )
+                for mask in range(1 << gaps)
+            )
+            assert abs(_total_cost(times, got) - best) < 1e-9
+
+    def test_planted_burst_recovered(self):
+        times, t = [], 0
+        for _ in range(20):
+            t += 100
+            times.append(t)
+        for _ in range(20):
+            t += 5
+            times.append(t)
+        for _ in range(20):
+            t += 100
+            times.append(t)
+        iv = burst_intervals(times)
+        assert len(iv) == 1
+        a, b, k = iv[0]
+        # the dense region spans times[19] .. times[39]
+        assert a >= times[15] and b <= times[44]
+        assert k >= 15
+
+    def test_homogeneous_no_burst(self):
+        times = [i * 50 for i in range(40)]
+        assert burst_intervals(times) == []
+
+    def test_degenerate(self):
+        assert kleinberg_states([]) == []
+        assert kleinberg_states([7]) == []
+        assert kleinberg_states([3, 3, 3]) == [0, 0]
+
+
+class TestDetectBurstsSpark:
+    def test_wrapper_parity_and_filter(self, spark):
+        from ocr_service_spark.operators.burstdetect import (
+            detect_bursts,
+        )
+
+        rows = []
+        # group A: planted burst; group B: homogeneous; group C: tiny
+        t = 0
+        ta = []
+        for _ in range(15):
+            t += 100
+            ta.append(t)
+        for _ in range(15):
+            t += 4
+            ta.append(t)
+        for _ in range(15):
+            t += 100
+            ta.append(t)
+        for x in ta:
+            rows.append(("A", x))
+        for i in range(30):
+            rows.append(("B", i * 60))
+        rows += [("C", 1), ("C", 2)]
+        df = spark.createDataFrame(
+            rows, "g string, sec long"
+        ).selectExpr("g", "CAST(sec AS TIMESTAMP) AS ts")
+        got = detect_bursts(df, "g", "ts").collect()
+        by_g = {}
+        for r in got:
+            by_g.setdefault(r["grp"], []).append(r)
+        assert "C" not in by_g  # min_events filter
+        assert "B" not in by_g  # homogeneous
+        exp = burst_intervals([x * 1_000_000 for x in ta])
+        assert len(by_g["A"]) == len(exp)
+        for r, (a, b, k) in zip(
+            sorted(by_g["A"], key=lambda r: r["start_us"]), exp
+        ):
+            assert (r["start_us"], r["end_us"], r["n_events"]) == (
+                a, b, k,
+            )
+            assert r["span_us"] == b - a
