@@ -22622,6 +22622,324 @@ def q_burst_detect(spark, sf_dir):
     )
 
 
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (operators/stats.py
+    nelson_aalen) over synthetic right-censored URL lifetimes (hash
+    durations, 20% censoring) -- the rate-shaped sibling of
+    km_survival. Oracle replays the risk table, per-step q6/q9
+    flooring and both cumulative passes."""
+    from .operators.stats import nelson_aalen
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(1 + (doc_id * 48271) % 30 AS BIGINT)")
+        .alias("duration"),
+        F.expr("CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END"
+               " AS INT)").alias("event"),
+    )
+    return nelson_aalen(d, "duration", "event")
+
+
+SQL_NELSON_AALEN = """
+WITH d AS (
+  SELECT CAST(1 + (doc_id * 48271) % 30 AS BIGINT) AS t,
+         CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS e
+  FROM documents
+),
+tbl AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS deaths,
+         CAST(SUM(1 - e) AS BIGINT) AS censored,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM d GROUP BY t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d),
+cum AS (
+  SELECT *, SUM(leaving) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS cum_leaving
+  FROM tbl
+),
+risk AS (
+  SELECT cum.*, tot.n_tot - (cum_leaving - leaving) AS n_risk
+  FROM cum, tot
+),
+stepped AS (
+  SELECT *, (deaths * 1000000) // n_risk AS step_q6,
+         (deaths * 1000000000) // (n_risk * n_risk) AS var_q9
+  FROM risk
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, deaths, censored,
+       CAST(step_q6 AS BIGINT) AS step_q6,
+       CAST(SUM(step_q6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_q6,
+       CAST(SUM(var_q9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_var_q9
+FROM stepped ORDER BY t
+"""
+
+
+def q_lepage_test(spark, sf_dir):
+    """Lepage location-or-scale omnibus (operators/stats.py
+    lepage_test): odd band rescaled 2x around 400 -- fires on a
+    shift OR a spread change where each split read is blind to the
+    other. Oracle replays the pooled histogram, doubled-midrank
+    Wilcoxon piece, the closed-prefix Ansari-Bradley piece and the
+    chi^2_2 decision."""
+    from .operators.stats import lepage_test
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars"
+            " ELSE 2 * n_chars - 400 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return lepage_test(d, "g", "v", "0", "1")
+
+
+SQL_LEPAGE = """
+WITH d AS (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars
+              ELSE 2 * n_chars - 400 END AS HUGEINT) AS v
+  FROM documents
+),
+hist AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS ca,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM d GROUP BY v
+),
+blocks AS (
+  SELECT *, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS hi
+  FROM hist
+),
+b2 AS (SELECT *, hi - c AS lo FROM blocks),
+tot AS (
+  SELECT SUM(ca) AS m, SUM(c) AS n,
+         SUM(c * c * c - c) AS st
+  FROM hist
+),
+wilcox AS (
+  SELECT SUM(ca * (2 * lo + c + 1)) AS w2a FROM b2
+),
+wst AS (
+  SELECT w2a - m * (n + 1) AS dw,
+         m * (n - m) * (n * n * n - n - st) AS varw_num,
+         3 * n * (n - 1) AS varw_den, m, n
+  FROM wilcox, tot
+),
+ab AS (
+  SELECT SUM((ca * (
+    (CASE WHEN hi <= (n + 1) // 2 THEN (hi * (hi + 1)) // 2
+          ELSE ((n + 1) // 2) * (((n + 1) // 2) + 1) // 2
+            + ((hi - (n + 1) // 2))
+              * (2 * n + 2 - (n + 1) // 2 - hi - 1) // 2 END)
+    - (CASE WHEN lo <= (n + 1) // 2 THEN (lo * (lo + 1)) // 2
+          ELSE ((n + 1) // 2) * (((n + 1) // 2) + 1) // 2
+            + ((lo - (n + 1) // 2))
+              * (2 * n + 2 - (n + 1) // 2 - lo - 1) // 2 END)
+  ) * 1000000) // c) AS ab_q6
+  FROM b2, tot
+),
+abst AS (
+  SELECT ab_q6,
+         CASE WHEN n % 2 = 0 THEN (m * (n + 2) * 1000000) // 4
+              ELSE (m * (n + 1) * (n + 1) * 1000000) // (4 * n)
+         END AS e_q6,
+         CASE WHEN n % 2 = 0 THEN
+           (m * (n - m) * (n + 2) * (n - 2) * 1000000000000)
+             // (48 * (n - 1))
+         ELSE
+           (m * (n - m) * (n + 1) * (n * n + 3) * 1000000000000)
+             // (48 * n * n)
+         END AS var_q12
+  FROM ab, tot
+),
+fin AS (
+  SELECT wst.m, wst.n, wst.dw, wst.varw_num, wst.varw_den,
+         abst.ab_q6, abst.e_q6, abst.var_q12,
+         CASE WHEN wst.varw_num > 0 THEN
+           (wst.dw * wst.dw * wst.varw_den * 1000000) // wst.varw_num
+         END AS zw2,
+         CASE WHEN abst.var_q12 > 0 THEN
+           ((abst.ab_q6 - abst.e_q6) * (abst.ab_q6 - abst.e_q6)
+            * 1000000) // abst.var_q12
+         END AS zab2
+  FROM wst, abst
+)
+SELECT CAST(m AS BIGINT) AS n_a, CAST(n - m AS BIGINT) AS n_b,
+       CAST(zw2 AS BIGINT) AS zw2_ppm,
+       CAST(zab2 AS BIGINT) AS zab2_ppm,
+       CAST(CASE WHEN zw2 IS NOT NULL AND zab2 IS NOT NULL THEN
+         zw2 + zab2 END AS BIGINT) AS lepage_ppm,
+       CASE WHEN zw2 IS NOT NULL AND zab2 IS NOT NULL THEN
+         zw2 + zab2 > 5991500 END AS reject_05
+FROM fin
+"""
+
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """STL-lite decomposition (operators/stats.py seasonal_decompose)
+    of the doc series with the period-7 planted bump -- the
+    deseasonalizer in front of every anomaly read. Oracle replays
+    the offset-explode moving average, phase means, centering and
+    the q3 residual."""
+    from .operators.stats import seasonal_decompose
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("t"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id % 7 = 3 THEN 200"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return seasonal_decompose(d, "t", "v", 7)
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS t,
+         CAST(n_chars + CASE WHEN doc_id % 7 = 3 THEN 200
+              ELSE 0 END AS HUGEINT) AS v
+  FROM documents
+),
+contrib AS (
+  SELECT d.t + ks.off AS tt, d.v
+  FROM d CROSS JOIN generate_series(-3, 3) AS ks(off)
+),
+ma AS (
+  SELECT tt AS t,
+         CASE WHEN COUNT(*) = 7 THEN
+           (CASE WHEN SUM(v) < 0 THEN -1 WHEN SUM(v) > 0 THEN 1
+                 ELSE 0 END) * ((ABS(SUM(v)) * 1000) // 7)
+         END AS trend_q3
+  FROM contrib GROUP BY tt
+),
+base AS (
+  SELECT d.t, d.v, d.t % 7 AS ph, ma.trend_q3,
+         CASE WHEN ma.trend_q3 IS NOT NULL
+              THEN d.v * 1000 - ma.trend_q3 END AS detr
+  FROM d LEFT JOIN ma ON ma.t = d.t
+),
+seas_raw AS (
+  SELECT ph,
+         (CASE WHEN SUM(detr) < 0 THEN -1 WHEN SUM(detr) > 0 THEN 1
+               ELSE 0 END)
+           * (ABS(SUM(detr)) // CAST(COUNT(*) AS HUGEINT)) AS s_raw
+  FROM base WHERE detr IS NOT NULL GROUP BY ph
+),
+ctr AS (
+  SELECT (CASE WHEN SUM(s_raw) < 0 THEN -1 WHEN SUM(s_raw) > 0
+               THEN 1 ELSE 0 END)
+           * (ABS(SUM(s_raw)) // CAST(COUNT(*) AS HUGEINT)) AS adj
+  FROM seas_raw
+),
+seas AS (
+  SELECT ph, s_raw - ctr.adj AS seasonal_q3 FROM seas_raw, ctr
+)
+SELECT base.t, CAST(base.v AS BIGINT) AS v,
+       CAST(base.ph AS BIGINT) AS phase,
+       CAST(base.trend_q3 AS BIGINT) AS trend_q3,
+       CAST(seas.seasonal_q3 AS BIGINT) AS seasonal_q3,
+       CAST(CASE WHEN base.trend_q3 IS NOT NULL
+                  AND seas.seasonal_q3 IS NOT NULL THEN
+         base.v * 1000 - base.trend_q3 - seas.seasonal_q3
+       END AS BIGINT) AS residual_q3
+FROM base LEFT JOIN seas ON seas.ph = base.ph
+ORDER BY base.t
+"""
+
+
+
+def q_stuart_maxwell(spark, sf_dir):
+    """Stuart-Maxwell marginal homogeneity (operators/classifier.py
+    stuart_maxwell) on paired keep/flag/drop labels with a planted
+    keep->drop drift -- the 3-label mcnemar. Oracle replays the
+    paired confusion, Cramer-inverted quadratic form and the
+    chi^2_2 decision."""
+    from .operators.classifier import stuart_maxwell
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CASE WHEN doc_id % 5 < 3 THEN 'keep'"
+            " WHEN doc_id % 5 = 3 THEN 'flag' ELSE 'drop' END"
+        ).alias("o"),
+        F.expr(
+            "CASE WHEN doc_id % 5 < 3 THEN"
+            "  (CASE WHEN doc_id % 11 = 0 THEN 'drop' ELSE 'keep'"
+            "   END)"
+            " WHEN doc_id % 5 = 3 THEN"
+            "  (CASE WHEN doc_id % 13 = 0 THEN 'keep' ELSE 'flag'"
+            "   END)"
+            " ELSE 'drop' END"
+        ).alias("nw"),
+    )
+    return stuart_maxwell(d, "o", "nw")
+
+
+SQL_STUART_MAXWELL = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 5 < 3 THEN 'keep'
+              WHEN doc_id % 5 = 3 THEN 'flag' ELSE 'drop' END AS o,
+         CASE WHEN doc_id % 5 < 3 THEN
+                (CASE WHEN doc_id % 11 = 0 THEN 'drop' ELSE 'keep'
+                 END)
+              WHEN doc_id % 5 = 3 THEN
+                (CASE WHEN doc_id % 13 = 0 THEN 'keep' ELSE 'flag'
+                 END)
+              ELSE 'drop' END AS nw
+  FROM documents
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT)
+           AS n_dropped,
+         CAST(SUM(CASE WHEN o = 'keep' AND nw = 'keep' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n00,
+         CAST(SUM(CASE WHEN o = 'keep' AND nw = 'flag' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n01,
+         CAST(SUM(CASE WHEN o = 'keep' AND nw = 'drop' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n02,
+         CAST(SUM(CASE WHEN o = 'flag' AND nw = 'keep' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n10,
+         CAST(SUM(CASE WHEN o = 'flag' AND nw = 'flag' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n11,
+         CAST(SUM(CASE WHEN o = 'flag' AND nw = 'drop' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n12,
+         CAST(SUM(CASE WHEN o = 'drop' AND nw = 'keep' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n20,
+         CAST(SUM(CASE WHEN o = 'drop' AND nw = 'flag' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n21,
+         CAST(SUM(CASE WHEN o = 'drop' AND nw = 'drop' THEN 1
+                  ELSE 0 END) AS HUGEINT) AS n22
+  FROM d
+),
+st AS (
+  SELECT n, n_dropped,
+         (n00 + n01 + n02) - (n00 + n10 + n20) AS d1,
+         (n10 + n11 + n12) - (n01 + n11 + n21) AS d2,
+         (n00 + n01 + n02) + (n00 + n10 + n20) - 2 * n00 AS s11,
+         (n10 + n11 + n12) + (n01 + n11 + n21) - 2 * n11 AS s22,
+         -(n01 + n10) AS s12
+  FROM c
+),
+fin AS (
+  SELECT *, s11 * s22 - s12 * s12 AS det,
+         d1 * d1 * s22 + d2 * d2 * s11 - 2 * d1 * d2 * s12 AS num
+  FROM st
+)
+SELECT n, n_dropped, CAST(d1 AS BIGINT) AS d1,
+       CAST(d2 AS BIGINT) AS d2,
+       CAST(CASE WHEN det > 0 THEN (num * 1000000) // det END
+            AS BIGINT) AS chi2_ppm,
+       CASE WHEN det > 0 THEN (num * 1000000) // det > 5991500 END
+         AS reject_05
+FROM fin
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23027,6 +23345,10 @@ CATALOG: Dict[str, tuple] = {
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
     "period_scan": (q_period_scan, SQL_PERIOD_SCAN),
     "burst_detect": (q_burst_detect, None),
+    "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
+    "lepage_test": (q_lepage_test, SQL_LEPAGE),
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "stuart_maxwell": (q_stuart_maxwell, SQL_STUART_MAXWELL),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -1431,3 +1431,99 @@ def cronbach_alpha(
         F.lit(int(k)).cast("long").alias("k"),
         alpha.alias("alpha_ppm"),
     )
+
+
+def stuart_maxwell(
+    df: DataFrame,
+    old_col: str,
+    new_col: str,
+    labels: "tuple" = ("keep", "flag", "drop"),
+    crit_ppm: int = 5_991_500,
+) -> DataFrame:
+    """Stuart–Maxwell marginal-homogeneity test over a 3-label paired
+    confusion — the k=3 generalization of mcnemar_gates: after a
+    reclassification run, "did the keep/flag/drop MIX shift" is NOT
+    answered by accuracy or by three separate McNemars (correlated
+    margins); Stuart–Maxwell tests all margins jointly on the same
+    paired items.
+
+    With n_ij = #(old=i, new=j), d_i = n_i· − n_·i and the 2×2
+    reduced covariance S (S_ii = n_i· + n_·i − 2n_ii,
+    S_ij = −(n_ij + n_ji)), the k=3 case inverts by Cramer — exact:
+
+        χ²·10⁶ = ((d₁²S₂₂ + d₂²S₁₁ − 2d₁d₂S₁₂)·10⁶)
+                 div (S₁₁S₂₂ − S₁₂²),   df = 2.
+
+    Rows with labels outside the triple are dropped and counted
+    (surfaced). Singular S (no discordant movement involving the
+    first two labels) → NULL, surfaced.
+
+    Emits ONE row: (n, n_dropped, d1, d2, chi2_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    la, lb, lc = labels
+    d = df.select(
+        F.col(old_col).cast("string").alias("o"),
+        F.col(new_col).cast("string").alias("nw"),
+    )
+    valid = F.col("o").isin([la, lb, lc]) & F.col("nw").isin(
+        [la, lb, lc]
+    )
+    cnt = d.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("long")
+        .alias("n_dropped"),
+        *[
+            F.sum(
+                F.when((F.col("o") == i) & (F.col("nw") == j), 1)
+                .otherwise(0)
+            ).cast(d38).alias(f"n{ix}{jx}")
+            for ix, i in enumerate((la, lb, lc))
+            for jx, j in enumerate((la, lb, lc))
+        ],
+    )
+    st = (
+        cnt.withColumn(
+            "d1",
+            (F.col("n00") + F.col("n01") + F.col("n02"))
+            - (F.col("n00") + F.col("n10") + F.col("n20")),
+        )
+        .withColumn(
+            "d2",
+            (F.col("n10") + F.col("n11") + F.col("n12"))
+            - (F.col("n01") + F.col("n11") + F.col("n21")),
+        )
+        .withColumn(
+            "s11",
+            (F.col("n00") + F.col("n01") + F.col("n02"))
+            + (F.col("n00") + F.col("n10") + F.col("n20"))
+            - 2 * F.col("n00"),
+        )
+        .withColumn(
+            "s22",
+            (F.col("n10") + F.col("n11") + F.col("n12"))
+            + (F.col("n01") + F.col("n11") + F.col("n21"))
+            - 2 * F.col("n11"),
+        )
+        .withColumn("s12", -(F.col("n01") + F.col("n10")))
+        .withColumn(
+            "det", F.expr("s11 * s22 - s12 * s12")
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                "d1 * d1 * s22 + d2 * d2 * s11 - 2 * d1 * d2 * s12"
+            ),
+        )
+    )
+    chi2 = F.when(
+        F.col("det") > 0, F.expr("(num * 1000000) div det")
+    )
+    return st.select(
+        "n", "n_dropped",
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        chi2.cast("long").alias("chi2_ppm"),
+        F.when(
+            F.col("det") > 0, chi2 > F.lit(int(crit_ppm)).cast(d38)
+        ).alias("reject_05"),
+    )

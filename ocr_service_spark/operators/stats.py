@@ -5887,3 +5887,311 @@ def period_scan(
             F.col("eta2").isNotNull() & (F.col("p") == F.col("bp"))
         ).alias("is_best"),
     ).orderBy("period")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the ADDITIVE
+    sibling of km_survival's product-limit curve, and the better
+    object when the question is rate-shaped ("how many deaths per
+    page-day at age t — is the hazard rising, i.e. do URLs rot
+    FASTER as they age?"): H(t) = Σ_{s≤t} d_s/n_s is a straight
+    line iff the hazard is constant, so its curvature IS the read;
+    and unlike S(t) it never collapses to zero on a d=n step.
+
+    Same risk table as km_survival (one hash aggregate to distinct
+    times, the distributed prefix pass for at-risk depletion); each
+    step d/n is floor-quantized to the 1e6 grid BEFORE the second
+    prefix pass (the km per-step convention — cross-engine exact),
+    and the Aalen variance steps d/n² ride along on the 1e9 grid.
+
+    Emits one row per distinct time with any observation:
+    (t, n_risk, deaths, censored, step_q6, cum_hazard_q6,
+    cum_var_q9)."""
+    from .quality import global_prefix_sum
+
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    )
+    tbl = d.groupBy("t").agg(
+        F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).cast("long")
+        .alias("deaths"),
+        F.sum(F.when(F.col("e") == 1, 0).otherwise(1)).cast("long")
+        .alias("censored"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    # at-risk at t = total - (all who left strictly before t)
+    cum_leave = global_prefix_sum(tbl, ["t"], "leaving",
+                                  out_col="cum_leaving")
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    risk = cum_leave.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_tot") - (F.col("cum_leaving") - F.col("leaving")),
+    )
+    stepped = risk.withColumn(
+        "step_q6",
+        F.expr("(deaths * 1000000) div n_risk").cast("long"),
+    ).withColumn(
+        "var_q9",
+        F.expr("(deaths * 1000000000) div (n_risk * n_risk)")
+        .cast("long"),
+    )
+    cum = global_prefix_sum(stepped, ["t"], "step_q6",
+                            out_col="cum_hazard_q6")
+    cum2 = global_prefix_sum(cum, ["t"], "var_q9",
+                             out_col="cum_var_q9")
+    return cum2.select(
+        "t", "n_risk", "deaths", "censored", "step_q6",
+        F.col("cum_hazard_q6").cast("long").alias("cum_hazard_q6"),
+        F.col("cum_var_q9").cast("long").alias("cum_var_q9"),
+    ).orderBy("t")
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    crit_ppm: int = 5_991_500,
+) -> DataFrame:
+    """Lepage two-sample location-OR-scale omnibus — the catch-all
+    the split reads miss in opposite ways: mannwhitney is blind to a
+    pure variance change ("same median, twice the spread" — a
+    corpus whose quality went bimodal), brown_forsythe to a pure
+    shift; Lepage L = z²_W + z²_AB ~ χ²₂ fires on either. The two
+    z's come from the SAME pooled value histogram.
+
+    z²_W: the Wilcoxon piece on doubled midranks (jonckheere's k=2
+    machinery, classic untied moments). z²_AB: Ansari–Bradley
+    scores a(r) = min(r, n+1−r) summed per tie block via the closed
+    prefix S(k) = Σ min(r, n+1−r) (two triangle pieces around
+    ⌈n/2⌉), tie-averaged on the 1e6 grid per BLOCK (the anova
+    staging discipline), against the classic even/odd-n moments
+    cleared to one integral comparison each.
+
+    Emits ONE row: (n_a, n_b, zw2_ppm, zab2_ppm, lepage_ppm,
+    reject_05). Degenerate variances → NULLs, surfaced."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isin([group_a, group_b]))
+    hist = d.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast(d38).alias("ca"),
+        F.count(F.lit(1)).cast(d38).alias("c"),
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = hist.withColumn("hi", F.sum("c").over(wv)).withColumn(
+        "lo", F.col("hi") - F.col("c")
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("m"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("st"),
+    )
+    b2 = blocks.crossJoin(F.broadcast(tot))
+    # Wilcoxon on doubled midranks: r2 = 2*lo + c + 1 per block
+    w2 = b2.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("lo") + F.col("c") + 1)
+        ).alias("w2a"),
+        F.first("m").alias("m"),
+        F.first("n").alias("n"),
+        F.first("st").alias("st"),
+    ).withColumn(
+        # doubled W: E2 = m(n+1); Var2 = 4*Var = m(n-m)(n+1)/3
+        # tie-corrected: Var2 = m(n-m)/(3n(n-1)) * (n^3-n-st) * ...
+        # classic corrected variance: Var = m(n-m)/(12 n (n-1)) *
+        # ((n^3 - n) - st); doubled multiplies by 4.
+        "dw", F.col("w2a") - F.col("m") * (F.col("n") + 1)
+    ).withColumn(
+        "varw_num",
+        F.col("m") * (F.col("n") - F.col("m"))
+        * (
+            F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            - F.col("st")
+        ),
+    ).withColumn(
+        "varw_den", 3 * F.col("n") * (F.col("n") - 1)
+    )
+    zw2 = F.when(
+        F.col("varw_num") > 0,
+        F.expr("(dw * dw * varw_den * 1000000) div varw_num"),
+    )
+    # Ansari-Bradley: S(k) = sum_{r=1..k} min(r, n+1-r); with
+    # h = (n+1) div 2 (last r where min = r... careful with parity)
+    sfun = (
+        "CASE WHEN {k} <= (n + 1) div 2 THEN ({k} * ({k} + 1)) div 2"
+        " ELSE ((n + 1) div 2) * (((n + 1) div 2) + 1) div 2"
+        "   + (({k} - (n + 1) div 2))"
+        "     * (2 * n + 2 - (n + 1) div 2 - {k} - 1) div 2 END"
+    )
+    ab = b2.withColumn(
+        "s_hi", F.expr(sfun.format(k="hi")).cast(d38)
+    ).withColumn(
+        "s_lo", F.expr(sfun.format(k="lo")).cast(d38)
+    ).withColumn(
+        "ab_q6",
+        F.expr("(ca * (s_hi - s_lo) * 1000000) div c").cast(d38),
+    ).agg(
+        F.sum("ab_q6").alias("ab_q6"),
+        F.first("m").alias("m"),
+        F.first("n").alias("n"),
+    ).withColumn(
+        "e_q6",
+        F.when(
+            F.col("n") % 2 == 0,
+            F.expr("(m * (n + 2) * 1000000) div 4"),
+        ).otherwise(
+            F.expr("(m * (n + 1) * (n + 1) * 1000000) div (4 * n)")
+        ),
+    ).withColumn(
+        "var_q12",
+        F.when(
+            F.col("n") % 2 == 0,
+            F.expr(
+                "(m * (n - m) * (n + 2) * (n - 2) * 1000000000000)"
+                " div (48 * (n - 1))"
+            ),
+        ).otherwise(
+            F.expr(
+                "(m * (n - m) * (n + 1) * (n * n + 3)"
+                " * 1000000000000) div (48 * n * n)"
+            ),
+        ),
+    )
+    zab2 = F.when(
+        F.col("var_q12") > 0,
+        F.expr(
+            "((ab_q6 - e_q6) * (ab_q6 - e_q6) * 1000000)"
+            " div var_q12"
+        ),
+    )
+    j = w2.select("m", "n", "dw", "varw_num", "varw_den").crossJoin(
+        F.broadcast(ab.select("ab_q6", "e_q6", "var_q12"))
+    )
+    lep = F.when(
+        zw2.isNotNull() & zab2.isNotNull(), zw2 + zab2
+    )
+    return j.select(
+        F.col("m").cast("long").alias("n_a"),
+        (F.col("n") - F.col("m")).cast("long").alias("n_b"),
+        zw2.cast("long").alias("zw2_ppm"),
+        zab2.cast("long").alias("zab2_ppm"),
+        lep.cast("long").alias("lepage_ppm"),
+        F.when(
+            lep.isNotNull(), lep > F.lit(int(crit_ppm)).cast(d38)
+        ).alias("reject_05"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition (STL-lite) —
+    the PREPROCESSOR the anomaly family needs: ewma/holt/cusum all
+    fire on weekly rhythm unless the rhythm is removed first;
+    seasonal_anomaly models it implicitly, this one RETURNS the
+    decomposition so any downstream read (changepoint, drift,
+    control chart) can run on the deseasonalized residual.
+
+    Classical decomposition with an ODD period p (pass 7, not 14):
+    trend_t = centered p-term moving average (exact: (Σ·10³) div p,
+    NULL at the h = (p−1)/2 edge rows); seasonal = per-phase
+    sign-split mean of the detrended series, re-CENTERED so the
+    p seasonal effects sum to ~0 (otherwise level leaks from trend
+    into seasonal); residual = v·10³ − trend − seasonal. All on the
+    q3 grid with sign-split integral divs — engine-exact.
+
+    Scale shape: the moving average is ONE explode of p offsets +
+    one hash aggregate on the dense index (the acf gap-safe
+    discipline — never a row-order window), phase means are one
+    p-row aggregate, broadcast back.
+
+    Emits one row per index: (t, v, phase, trend_q3, seasonal_q3,
+    residual_q3)."""
+    d38 = "decimal(38,0)"
+    p = int(period)
+    if p % 2 == 0:
+        raise ValueError("seasonal_decompose wants an odd period")
+    h = (p - 1) // 2
+    d = df.select(
+        F.col(index_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    # centered MA: each row contributes v to targets t-h..t+h
+    contrib = d.select(
+        F.explode(
+            F.expr(f"sequence({-h}, {h})")
+        ).alias("off"),
+        F.col("t"), F.col("v"),
+    ).select(
+        (F.col("t") + F.col("off")).alias("tt"),
+        F.col("v").cast(d38).alias("v"),
+    )
+    ma = contrib.groupBy("tt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").alias("sv"),
+    ).select(
+        F.col("tt").alias("t"),
+        F.when(
+            F.col("cnt") == p,
+            F.signum("sv").cast(d38)
+            * F.expr(f"(abs(sv) * 1000) div {p}"),
+        ).alias("trend_q3"),
+    )
+    base = d.join(ma, "t", "left").withColumn(
+        "ph", F.pmod(F.col("t"), F.lit(p))
+    ).withColumn(
+        "detr",
+        F.when(
+            F.col("trend_q3").isNotNull(),
+            F.col("v").cast(d38) * 1000 - F.col("trend_q3"),
+        ),
+    )
+    seas_raw = base.where(F.col("detr").isNotNull()).groupBy("ph").agg(
+        F.sum("detr").alias("sd"),
+        F.count(F.lit(1)).cast(d38).alias("nd"),
+    ).select(
+        "ph",
+        (
+            F.signum("sd").cast(d38) * F.expr("abs(sd) div nd")
+        ).alias("s_raw"),
+    )
+    center = seas_raw.agg(
+        F.sum("s_raw").alias("ss"),
+        F.count(F.lit(1)).cast(d38).alias("np"),
+    ).select(
+        (
+            F.signum("ss").cast(d38) * F.expr("abs(ss) div np")
+        ).alias("adj")
+    )
+    seas = seas_raw.crossJoin(F.broadcast(center)).select(
+        "ph", (F.col("s_raw") - F.col("adj")).alias("seasonal_q3")
+    )
+    out = base.join(F.broadcast(seas), "ph", "left")
+    return out.select(
+        "t", "v",
+        F.col("ph").cast("long").alias("phase"),
+        F.col("trend_q3").cast("long").alias("trend_q3"),
+        F.col("seasonal_q3").cast("long").alias("seasonal_q3"),
+        F.when(
+            F.col("trend_q3").isNotNull()
+            & F.col("seasonal_q3").isNotNull(),
+            F.col("v").cast(d38) * 1000 - F.col("trend_q3")
+            - F.col("seasonal_q3"),
+        ).cast("long").alias("residual_q3"),
+    ).orderBy("t")

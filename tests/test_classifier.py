@@ -943,3 +943,78 @@ class TestIsotonicDifferential:
             for s, frac in exp.items():
                 assert got[s] == math.floor(frac * 1_000_000), (
                     s, got[s], frac)
+
+
+class TestStuartMaxwell:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.classifier import (
+            stuart_maxwell,
+        )
+
+        df = spark.createDataFrame(pairs, "o string, n string")
+        return stuart_maxwell(df, "o", "n").collect()[0]
+
+    def test_hand_exact(self, spark):
+        pairs = [("keep", "keep")] * 5 + [("flag", "flag")] * 5
+        pairs += [("drop", "drop")] * 5
+        pairs += [("keep", "flag")] * 6   # n01 = 6
+        pairs += [("flag", "drop")] * 4   # n12 = 4
+        pairs += [("drop", "keep")] * 2   # n20 = 2
+        r = self._run(spark, pairs)
+        # d1=4, d2=-2, S=[[8,-6],[-6,10]], det=44, num=96
+        assert r["d1"] == 4 and r["d2"] == -2
+        assert r["chi2_ppm"] == 96 * 10**6 // 44
+        assert r["reject_05"] is False
+
+    def test_symmetric_movement_zero(self, spark):
+        pairs = [("keep", "flag")] * 7 + [("flag", "keep")] * 7
+        pairs += [("flag", "drop")] * 3 + [("drop", "flag")] * 3
+        r = self._run(spark, pairs)
+        assert r["d1"] == 0 and r["d2"] == 0
+        assert r["chi2_ppm"] == 0
+
+    def test_one_way_drift_rejects(self, spark):
+        pairs = [("keep", "keep")] * 50
+        pairs += [("keep", "drop")] * 20   # mass moving keep->drop
+        pairs += [("flag", "flag")] * 30
+        pairs += [("flag", "drop")] * 5
+        r = self._run(spark, pairs)
+        assert r["reject_05"] is True
+
+    def test_invalid_labels_dropped(self, spark):
+        pairs = [("keep", "keep")] * 4 + [("??", "keep"), ("keep", "")]
+        pairs += [("keep", "flag"), ("flag", "drop"), ("drop", "keep")]
+        r = self._run(spark, pairs)
+        assert r["n_dropped"] == 2 and r["n"] == 7
+
+    def test_two_label_only_singular(self, spark):
+        pairs = [("keep", "flag")] * 10 + [("flag", "keep")] * 2
+        r = self._run(spark, pairs)
+        assert r["chi2_ppm"] is None and r["reject_05"] is None
+
+    def test_float_sanity(self, spark):
+        import numpy as np
+
+        pairs = []
+        cnt = {("keep", "flag"): 9, ("flag", "keep"): 3,
+               ("flag", "drop"): 6, ("drop", "flag"): 2,
+               ("keep", "drop"): 4, ("drop", "keep"): 1,
+               ("keep", "keep"): 20, ("flag", "flag"): 15,
+               ("drop", "drop"): 10}
+        for (o, n), c in cnt.items():
+            pairs += [(o, n)] * c
+        labels = ["keep", "flag", "drop"]
+        N = np.zeros((3, 3))
+        for (o, n), c in cnt.items():
+            N[labels.index(o), labels.index(n)] = c
+        d = N.sum(1) - N.sum(0)
+        S = np.zeros((2, 2))
+        for i in range(2):
+            for j in range(2):
+                if i == j:
+                    S[i, i] = N.sum(1)[i] + N.sum(0)[i] - 2 * N[i, i]
+                else:
+                    S[i, j] = -(N[i, j] + N[j, i])
+        chi2 = float(d[:2] @ np.linalg.inv(S) @ d[:2])
+        r = self._run(spark, pairs)
+        assert abs(r["chi2_ppm"] / 1e6 - chi2) < 1e-4

@@ -3398,3 +3398,179 @@ class TestPeriodScan:
         assert got[4]["ssb_q6"] == a["ssb_q6"]
         # eta2 = ssb/sst on the same staged grid
         assert got[4]["sst_q6"] == a["ssb_q6"] + a["ssw_q6"]
+
+
+class TestNelsonAalen:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import nelson_aalen
+
+        df = spark.createDataFrame(rows, "duration long, event int")
+        return nelson_aalen(df, "duration", "event").collect()
+
+    def test_hand_risk_table(self, spark):
+        # deaths at 1 (1 of 4), censor at 2, death at 3 (1 of 2)
+        rows = [(1, 1), (2, 0), (3, 1), (3, 0)]
+        got = {r["t"]: r for r in self._run(spark, rows)}
+        assert got[1]["n_risk"] == 4 and got[1]["deaths"] == 1
+        assert got[1]["step_q6"] == 250_000
+        assert got[2]["n_risk"] == 3 and got[2]["deaths"] == 0
+        assert got[3]["n_risk"] == 2 and got[3]["deaths"] == 1
+        assert got[3]["cum_hazard_q6"] == 250_000 + 0 + 500_000
+        assert got[3]["cum_var_q9"] == (10**9 // 16) + (10**9 // 4)
+
+    def test_constant_hazard_linear(self, spark):
+        # geometric-ish lifetimes: H(t) grows ~linearly; check
+        # monotone increments of similar size
+        rows = []
+        alive = 1000
+        t = 0
+        while alive > 10:
+            t += 1
+            d = alive // 10
+            rows += [(t, 1)] * d
+            alive -= d
+        rows += [(t, 0)] * alive
+        got = self._run(spark, rows)
+        # exact twin: replay the risk table in python
+        from collections import Counter
+
+        per_t = Counter()
+        dead_t = Counter()
+        for t0, e in rows:
+            per_t[t0] += 1
+            dead_t[t0] += e
+        n_at = len(rows)
+        exp_steps = {}
+        for t0 in sorted(per_t):
+            exp_steps[t0] = dead_t[t0] * 10**6 // n_at
+            n_at -= per_t[t0]
+        assert {r["t"]: r["step_q6"] for r in got} == exp_steps
+        cum = [r["cum_hazard_q6"] for r in got]
+        assert cum == sorted(cum)
+
+    def test_d_equals_n_step_finite(self, spark):
+        rows = [(1, 1), (2, 1), (2, 1)]
+        got = {r["t"]: r for r in self._run(spark, rows)}
+        # everyone dies at 2: step = 1.0 exactly, H stays finite
+        assert got[2]["step_q6"] == 1_000_000
+        assert got[2]["cum_hazard_q6"] == 333_333 + 1_000_000
+
+
+class TestLepageTest:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import lepage_test
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return lepage_test(df, "g", "v", "a", "b").collect()[0]
+
+    def test_pure_shift_fires_wilcoxon_piece(self, spark):
+        rows = [("a", 100 + (i * 7) % 40) for i in range(40)]
+        rows += [("b", 300 + (i * 7) % 40) for i in range(40)]
+        r = self._run(spark, rows)
+        assert r["zw2_ppm"] > 20_000_000
+        assert r["reject_05"] is True
+
+    def test_pure_scale_fires_ansari_piece(self, spark):
+        # same center 0, spreads 1x vs 8x, symmetric values
+        base = [-5, -4, -3, -2, -1, 1, 2, 3, 4, 5] * 4
+        rows = [("a", v) for v in base]
+        rows += [("b", 8 * v) for v in base]
+        r = self._run(spark, rows)
+        assert r["zab2_ppm"] > 5_991_500
+        assert r["zw2_ppm"] < 1_000_000  # location unchanged
+        assert r["reject_05"] is True
+
+    def test_identical_accepts(self, spark):
+        base = [(i * 13) % 50 for i in range(60)]
+        rows = [("a", v) for v in base] + [("b", v) for v in base]
+        r = self._run(spark, rows)
+        assert r["zw2_ppm"] < 100 and r["zab2_ppm"] < 10_000
+        assert r["reject_05"] is False
+
+    def test_ansari_hand_untied(self, spark):
+        import math
+
+        # n=8 untied: scores 1,2,3,4,4,3,2,1 by rank
+        rows = [("a", v) for v in (10, 20, 70, 80)]
+        rows += [("b", v) for v in (30, 40, 50, 60)]
+        r = self._run(spark, rows)
+        # a holds ranks 1,2,7,8 -> AB = 1+2+2+1 = 6; E = m(n+2)/4
+        # = 10; Var = 4*4*10*6/(48*7) = 960/336
+        e = 10.0
+        var = 4 * 4 * 10 * 6 / (48 * 7)
+        z2 = (6 - e) ** 2 / var
+        assert abs(r["zab2_ppm"] / 1e6 - z2) < 0.01
+
+    def test_wilcoxon_piece_matches_mw(self, spark):
+        # k=2 doubled-rank z^2 = 2.4 on the jonckheere fixture
+        rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+        r = self._run(spark, rows)
+        assert r["zw2_ppm"] == 2_400_000
+
+
+class TestSeasonalDecompose:
+    def _run(self, spark, vals, p=7):
+        from ocr_service_spark.operators.stats import (
+            seasonal_decompose,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        return seasonal_decompose(df, "t", "v", p).collect()
+
+    def test_exact_recovery(self, spark):
+        pat = [0, 7, 14, -7, -14, 7, -7]  # sums to zero
+        vals = [100 + 3 * t + pat[t % 7] for t in range(70)]
+        got = {r["t"]: r for r in self._run(spark, vals)}
+        for t in range(3, 67):  # interior rows
+            assert got[t]["trend_q3"] == (100 + 3 * t) * 1000, t
+            assert got[t]["seasonal_q3"] == pat[t % 7] * 1000, t
+            assert got[t]["residual_q3"] == 0, t
+
+    def test_edges_null(self, spark):
+        vals = [10 * t for t in range(20)]
+        got = {r["t"]: r for r in self._run(spark, vals)}
+        for t in (0, 1, 2, 17, 18, 19):
+            assert got[t]["trend_q3"] is None
+            assert got[t]["residual_q3"] is None
+        assert got[5]["trend_q3"] == 50_000
+
+    def test_python_twin_noisy(self, spark):
+        s, vals = 13, []
+        for t in range(100):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vals.append(50 + 2 * t + (t % 7) * 9 + s % 11)
+        p, h = 7, 3
+        n = len(vals)
+        sgn = lambda x: (x > 0) - (x < 0)
+        trend = {}
+        for t in range(n):
+            if t - h >= 0 and t + h < n:
+                sv = sum(vals[t - h:t + h + 1])
+                trend[t] = sgn(sv) * (abs(sv) * 1000 // p)
+        detr = {t: vals[t] * 1000 - trend[t] for t in trend}
+        seas = {}
+        for ph in range(p):
+            ds = [detr[t] for t in detr if t % p == ph]
+            sd = sum(ds)
+            seas[ph] = sgn(sd) * (abs(sd) // len(ds))
+        ss = sum(seas.values())
+        adj = sgn(ss) * (abs(ss) // p)
+        seas = {ph: s0 - adj for ph, s0 in seas.items()}
+        got = {r["t"]: r for r in self._run(spark, vals)}
+        for t in range(n):
+            if t in trend:
+                assert got[t]["trend_q3"] == trend[t], t
+                assert got[t]["seasonal_q3"] == seas[t % p]
+                assert (got[t]["residual_q3"]
+                        == vals[t] * 1000 - trend[t] - seas[t % p])
+
+    def test_even_period_rejected(self, spark):
+        import pytest
+        from ocr_service_spark.operators.stats import (
+            seasonal_decompose,
+        )
+
+        df = spark.createDataFrame([(0, 1)], "t long, v long")
+        with pytest.raises(ValueError):
+            seasonal_decompose(df, "t", "v", 14)
