@@ -22940,6 +22940,175 @@ FROM fin
 """
 
 
+
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel block-maxima fit (operators/stats.py gumbel_maxima_fit)
+    over 50 blocks of 10 docs -- the 10/100-block return levels the
+    p99 can't give. Oracle replays the exact block maxima, cleared
+    variance and the three-constant float hop."""
+    from .operators.stats import gumbel_maxima_fit
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id div 10 AS BIGINT)").alias("b"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return gumbel_maxima_fit(d, "b", "v")
+
+
+SQL_GUMBEL = """
+WITH maxima AS (
+  SELECT doc_id // 10 AS b, CAST(MAX(n_chars) AS HUGEINT) AS mx
+  FROM documents GROUP BY doc_id // 10
+),
+base AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(mx) AS s1,
+         CAST(MAX(mx) AS BIGINT) AS max_seen
+  FROM maxima
+),
+anch AS (SELECT n, s1, max_seen, s1 // n AS a,
+                s1 - n * (s1 // n) AS r FROM base),
+vn AS (
+  SELECT SUM((mx - a) * (mx - a)) AS w2 FROM maxima, anch
+),
+st AS (
+  SELECT anch.n, anch.s1, anch.max_seen,
+         anch.n * vn.w2 - anch.r * anch.r AS varnum
+  FROM anch, vn
+),
+fit AS (
+  SELECT n, max_seen,
+         CASE WHEN n >= 2 AND varnum > 0 THEN
+           CAST(FLOOR(SQRT(CAST(varnum AS DOUBLE) * 6.0
+                / 9.869604401089358) * 1000.0 / CAST(n AS DOUBLE))
+                AS BIGINT) END AS scale_q3,
+         CAST((s1 * 1000) // n AS BIGINT) AS mean_q3
+  FROM st
+),
+loc AS (
+  SELECT n, max_seen, scale_q3,
+         CASE WHEN scale_q3 IS NOT NULL THEN
+           mean_q3 - CAST(FLOOR(scale_q3 * 0.5772156649015329)
+                          AS BIGINT) END AS loc_q3
+  FROM fit
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, max_seen, loc_q3, scale_q3,
+       CASE WHEN scale_q3 IS NOT NULL THEN
+         loc_q3 + CAST(FLOOR(scale_q3 * 2.2503673273124454)
+                       AS BIGINT) END AS x10_q3,
+       CASE WHEN scale_q3 IS NOT NULL THEN
+         loc_q3 + CAST(FLOOR(scale_q3 * 4.600149226776579)
+                       AS BIGINT) END AS x100_q3
+FROM loc
+"""
+
+
+def q_mcc_gate(spark, sf_dir):
+    """Matthews correlation (operators/stats.py mcc_gate_eval) of a
+    planted noisy length gate (flips every 11th doc) -- the
+    imbalance-proof single number beside roc_auc/brier. Oracle
+    replays the confusion and the sign-split squared MCC."""
+    from .operators.stats import mcc_gate_eval
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
+               " AS INT)").alias("y"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 11 = 0 THEN"
+            " 1 - (CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)"
+            " ELSE (CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) END"
+            " AS INT)"
+        ).alias("p"),
+    )
+    return mcc_gate_eval(d, "y", "p")
+
+
+SQL_MCC = """
+WITH d AS (
+  SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y,
+         CASE WHEN doc_id % 11 = 0 THEN
+           1 - (CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+         ELSE (CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) END AS p
+  FROM documents
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+              AS HUGEINT) AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)
+              AS HUGEINT) AS fp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)
+              AS HUGEINT) AS tn,
+         CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)
+              AS HUGEINT) AS fn
+  FROM d
+),
+st AS (
+  SELECT *, tp * tn - fp * fn AS num,
+         (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS den
+  FROM c
+)
+SELECT n, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN den > 0 THEN
+         CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+       END AS BIGINT) AS mcc_sign,
+       CAST(CASE WHEN den > 0 THEN (num * num * 1000000) // den END
+            AS BIGINT) AS mcc2_ppm
+FROM st
+"""
+
+
+def q_poisson_rate(spark, sf_dir):
+    """Two-sample Poisson rate test (operators/stats.py
+    poisson_rate_test): error events per event-exposure across user
+    parity bands -- counts-per-exposure, not trials. Oracle replays
+    the folded score z^2 and the rate ratio."""
+    from .operators.stats import poisson_rate_test
+
+    d = load(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(user_id % 2 AS STRING)").alias("g")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("e"),
+    )
+    return poisson_rate_test(d, "g", "k", "e", "0", "1")
+
+
+SQL_POISSON_RATE = """
+WITH d AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS k,
+         CAST(COUNT(*) AS HUGEINT) AS e
+  FROM events GROUP BY CAST(user_id % 2 AS VARCHAR)
+),
+agg AS (
+  SELECT SUM(CASE WHEN g = '0' THEN k ELSE 0 END) AS ka,
+         SUM(CASE WHEN g = '1' THEN k ELSE 0 END) AS kb,
+         SUM(CASE WHEN g = '0' THEN e ELSE 0 END) AS ea,
+         SUM(CASE WHEN g = '1' THEN e ELSE 0 END) AS eb
+  FROM d
+),
+st AS (
+  SELECT *, ka + kb AS kk, ka * eb - kb * ea AS num FROM agg
+)
+SELECT CAST(ka AS BIGINT) AS k_a, CAST(kb AS BIGINT) AS k_b,
+       CAST(ea AS BIGINT) AS e_a, CAST(eb AS BIGINT) AS e_b,
+       CAST(CASE WHEN kb > 0 AND ea > 0 THEN
+         (ka * eb * 1000) // (kb * ea) END AS BIGINT)
+         AS rate_ratio_q3,
+       CAST(CASE WHEN kk > 0 AND ea > 0 AND eb > 0 THEN
+         (num * num * 1000000) // (kk * ea * eb) END AS BIGINT)
+         AS z2_ppm,
+       CASE WHEN kk > 0 AND ea > 0 AND eb > 0 THEN
+         (num * num * 1000000) // (kk * ea * eb) > 3841500 END
+         AS reject_05
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23349,6 +23518,9 @@ CATALOG: Dict[str, tuple] = {
     "lepage_test": (q_lepage_test, SQL_LEPAGE),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "stuart_maxwell": (q_stuart_maxwell, SQL_STUART_MAXWELL),
+    "gumbel_maxima": (q_gumbel_maxima, SQL_GUMBEL),
+    "mcc_gate": (q_mcc_gate, SQL_MCC),
+    "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

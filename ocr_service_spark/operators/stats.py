@@ -6195,3 +6195,212 @@ def seasonal_decompose(
             - F.col("seasonal_q3"),
         ).cast("long").alias("residual_q3"),
     ).orderBy("t")
+
+
+# IEEE-double constants, hardcoded identically in the DuckDB oracle
+_PI2 = 9.869604401089358      # pi^2
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_C10 = 2.2503673273124454   # -ln(-ln(1 - 1/10))
+_GUMBEL_C100 = 4.600149226776579   # -ln(-ln(1 - 1/100))
+
+
+def gumbel_maxima_fit(
+    df: DataFrame,
+    block_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gumbel fit over block maxima with return levels — the
+    capacity question the mean/quantile family can't answer: "how
+    big is the biggest document we'll see in the next 100 days"
+    needs extreme-value theory, not a p99 (hill_tail_index reads the
+    tail SHAPE; this one projects the MAXIMA forward). Classic
+    method-of-moments on per-block maxima: scale = s·√6/π,
+    loc = m̄ − γ·scale, return level x_T = loc + scale·c_T with
+    c_T = −ln(−ln(1−1/T)).
+
+    Determinism: block maxima and the cleared variance VarNum =
+    n·Σw² − r² (anchor-mean) are exact integers; the single float
+    hop is scale·10³ = ⌊√(VarNum·6/π²)·10³/n⌋ — int→double
+    conversion is exactly specified, π² is the same hardcoded
+    double on both engines, division and √ are correctly rounded —
+    then γ, c₁₀, c₁₀₀ multiply the already-quantized integer scale
+    and floor again (same three constants both sides).
+
+    Emits ONE row: (n_blocks, max_seen, loc_q3, scale_q3, x10_q3,
+    x100_q3). < 2 blocks or zero variance → NULLs."""
+    d38 = "decimal(38,0)"
+    maxima = df.groupBy(F.col(block_col).alias("b")).agg(
+        F.max(F.col(value_col).cast("long")).alias("mx")
+    )
+    base = maxima.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("mx").cast(d38)).alias("s1"),
+        F.max("mx").cast("long").alias("max_seen"),
+    ).withColumn(
+        "a", F.expr("CASE WHEN s1 >= 0 THEN s1 div n"
+                    " ELSE -((-s1 + n - 1) div n) END")
+    ).withColumn("r", F.col("s1") - F.col("n") * F.col("a"))
+    w = maxima.crossJoin(F.broadcast(base.select("a"))).select(
+        (F.col("mx").cast(d38) - F.col("a")).alias("w")
+    )
+    vn = w.agg(F.sum(F.col("w") * F.col("w")).alias("w2"))
+    st = base.crossJoin(F.broadcast(vn)).withColumn(
+        "varnum", F.col("n") * F.col("w2") - F.col("r") * F.col("r")
+    ).withColumn(
+        "scale_q3",
+        F.when(
+            (F.col("n") >= 2) & (F.col("varnum") > 0),
+            F.floor(
+                F.sqrt(
+                    F.col("varnum").cast("double") * 6.0 / _PI2
+                ) * 1000.0 / F.col("n").cast("double")
+            ).cast("long"),
+        ),
+    ).withColumn(
+        "mean_q3", F.expr("(s1 * 1000) div n").cast("long")
+    ).withColumn(
+        "loc_q3",
+        (
+            F.col("mean_q3")
+            - F.floor(F.col("scale_q3") * _EULER_GAMMA).cast("long")
+        ),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        "max_seen",
+        F.when(F.col("scale_q3").isNotNull(), F.col("loc_q3"))
+        .cast("long").alias("loc_q3"),
+        F.col("scale_q3").cast("long").alias("scale_q3"),
+        F.when(
+            F.col("scale_q3").isNotNull(),
+            F.col("loc_q3")
+            + F.floor(F.col("scale_q3") * _GUMBEL_C10).cast("long"),
+        ).cast("long").alias("x10_q3"),
+        F.when(
+            F.col("scale_q3").isNotNull(),
+            F.col("loc_q3")
+            + F.floor(F.col("scale_q3") * _GUMBEL_C100).cast("long"),
+        ).cast("long").alias("x100_q3"),
+    )
+
+
+def mcc_gate_eval(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary gate — the
+    single-number eval that survives class imbalance where
+    accuracy, and even F1, mislead (a 99%-negative corpus gives a
+    trivial all-negative gate 99% accuracy, F1 undefined, MCC 0).
+    The chance-corrected correlation between predicted and true
+    keep decisions — the binary case of cramers_v with a SIGN.
+
+    MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)): the
+    repo's sqrt-free convention emits sign + MCC²·10⁶ =
+    (num²·10⁶) div (∏ margins), all from ONE aggregate. Any zero
+    margin → NULL (the undefined case, surfaced). TP/FP/TN/FN ride
+    along for the confusion readout.
+
+    Emits ONE row: (n, tp, fp, tn, fn, mcc_sign, mcc2_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(label_col).cast("int").alias("y"),
+        F.col(pred_col).cast("int").alias("p"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 1), 1)
+              .otherwise(0)).cast(d38).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 1), 1)
+              .otherwise(0)).cast(d38).alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 0), 1)
+              .otherwise(0)).cast(d38).alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 0), 1)
+              .otherwise(0)).cast(d38).alias("fn"),
+    ).withColumn(
+        "num", F.expr("tp * tn - fp * fn")
+    ).withColumn(
+        "den",
+        F.expr("(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)"),
+    )
+    return c.select(
+        "n",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(F.col("den") > 0, F.signum("num")).cast("long")
+        .alias("mcc_sign"),
+        F.when(
+            F.col("den") > 0,
+            F.expr("(num * num * 1000000) div den"),
+        ).cast("long").alias("mcc2_ppm"),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+    exposure_col: str,
+    group_a,
+    group_b,
+    crit_x10k: int = 38_415,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison (conditional binomial) —
+    the COUNTS-per-EXPOSURE read the proportion tests don't cover:
+    "errors per crawl-hour doubled on host B" has exposures, not
+    trials. Conditional on the total count K = k_a + k_b, k_a ~
+    Binomial(K, e_a/(e_a+e_b)) under equal rates; the score z²
+    clears to integers exactly:
+
+        z²·10⁶ = ((k_a·e_b − k_b·e_a)² · (e_a+e_b) · 10⁶)
+                 div (K · e_a · e_b · (e_a+e_b))  — folded:
+               = ((k_a·e_b − k_b·e_a)²·10⁶) div (K·e_a·e_b)
+
+    (the (e_a+e_b) cancels). Rate ratio rides along on the 1e3
+    grid. K = 0 or a zero exposure → NULL, surfaced.
+
+    Emits ONE row: (k_a, k_b, e_a, e_b, rate_ratio_q3, z2_ppm,
+    reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(count_col).cast("long").alias("k"),
+        F.col(exposure_col).cast("long").alias("e"),
+    ).where(F.col("g").isin([group_a, group_b]))
+    agg = d.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_a, F.col("k"))), F.lit(0)
+        ).cast(d38).alias("ka"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_b, F.col("k"))), F.lit(0)
+        ).cast(d38).alias("kb"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_a, F.col("e"))), F.lit(0)
+        ).cast(d38).alias("ea"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_b, F.col("e"))), F.lit(0)
+        ).cast(d38).alias("eb"),
+    ).withColumn(
+        "kk", F.col("ka") + F.col("kb")
+    ).withColumn(
+        "num", F.col("ka") * F.col("eb") - F.col("kb") * F.col("ea")
+    )
+    ok = (F.col("kk") > 0) & (F.col("ea") > 0) & (F.col("eb") > 0)
+    z2 = F.when(
+        ok, F.expr("(num * num * 1000000) div (kk * ea * eb)")
+    )
+    return agg.select(
+        F.col("ka").cast("long").alias("k_a"),
+        F.col("kb").cast("long").alias("k_b"),
+        F.col("ea").cast("long").alias("e_a"),
+        F.col("eb").cast("long").alias("e_b"),
+        F.when(
+            (F.col("kb") > 0) & (F.col("ea") > 0),
+            F.expr("(ka * eb * 1000) div (kb * ea)"),
+        ).cast("long").alias("rate_ratio_q3"),
+        z2.cast("long").alias("z2_ppm"),
+        F.when(ok, z2 > F.lit(int(crit_x10k) * 100)).alias("reject_05"),
+    )

@@ -3574,3 +3574,123 @@ class TestSeasonalDecompose:
         df = spark.createDataFrame([(0, 1)], "t long, v long")
         with pytest.raises(ValueError):
             seasonal_decompose(df, "t", "v", 14)
+
+
+class TestGumbelMaximaFit:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import gumbel_maxima_fit
+
+        df = spark.createDataFrame(rows, "b long, v long")
+        return gumbel_maxima_fit(df, "b", "v").collect()[0]
+
+    def test_twin_and_float_sanity(self, spark):
+        import math
+
+        s, rows = 3, []
+        for b in range(60):
+            for _ in range(20):
+                s = (s * 1103515245 + 12345) % (1 << 31)
+                rows.append((b, 100 + s % 900))
+        maxima = {}
+        for b, v in rows:
+            maxima[b] = max(maxima.get(b, 0), v)
+        mx = list(maxima.values())
+        n = len(mx)
+        s1 = sum(mx)
+        a = s1 // n
+        r = s1 - n * a
+        varnum = n * sum((v - a) ** 2 for v in mx) - r * r
+        scale = math.floor(
+            math.sqrt(varnum * 6.0 / (math.pi ** 2)) * 1000.0 / n
+        )
+        mean_q3 = s1 * 1000 // n
+        loc = mean_q3 - math.floor(scale * 0.5772156649015329)
+        x10 = loc + math.floor(scale * -math.log(-math.log(0.9)))
+        got = self._run(spark, rows)
+        assert got["n_blocks"] == n
+        assert got["scale_q3"] == scale
+        assert got["loc_q3"] == loc
+        assert got["x10_q3"] == x10
+        # float sanity: x10 should exceed the mean block max but be
+        # in the ballpark of the observed extreme
+        assert got["x10_q3"] / 1000 > s1 / n
+        assert got["x100_q3"] > got["x10_q3"] > got["loc_q3"]
+
+    def test_degenerate_constant(self, spark):
+        rows = [(b, 500) for b in range(10)]
+        r = self._run(spark, rows)
+        assert r["scale_q3"] is None and r["x10_q3"] is None
+
+
+class TestMccGateEval:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import mcc_gate_eval
+
+        df = spark.createDataFrame(rows, "y int, p int")
+        return mcc_gate_eval(df, "y", "p").collect()[0]
+
+    def test_perfect(self, spark):
+        rows = [(1, 1)] * 10 + [(0, 0)] * 30
+        r = self._run(spark, rows)
+        assert r["mcc_sign"] == 1 and r["mcc2_ppm"] == 1_000_000
+
+    def test_all_negative_gate_zero(self, spark):
+        # 99%-negative corpus, gate predicts ~nothing: accuracy 0.97
+        # but MCC margin is zero -> NULL (undefined, surfaced)
+        rows = [(0, 0)] * 97 + [(1, 0)] * 3
+        r = self._run(spark, rows)
+        assert r["mcc2_ppm"] is None
+
+    def test_hand_exact(self, spark):
+        rows = [(1, 1)] * 6 + [(1, 0)] * 2 + [(0, 1)] * 1
+        rows += [(0, 0)] * 11
+        r = self._run(spark, rows)
+        num = 6 * 11 - 1 * 2
+        den = 7 * 8 * 12 * 13
+        assert r["mcc_sign"] == 1
+        assert r["mcc2_ppm"] == num * num * 10**6 // den
+        import math
+        mcc = num / math.sqrt(den)
+        assert abs(r["mcc2_ppm"] / 1e6 - mcc**2) < 1e-5
+
+    def test_inverted_negative(self, spark):
+        rows = [(1, 0)] * 10 + [(0, 1)] * 10
+        r = self._run(spark, rows)
+        assert r["mcc_sign"] == -1 and r["mcc2_ppm"] == 1_000_000
+
+
+class TestPoissonRateTest:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import poisson_rate_test
+
+        df = spark.createDataFrame(rows, "g string, k long, e long")
+        return poisson_rate_test(df, "g", "k", "e", "a", "b") \
+            .collect()[0]
+
+    def test_hand_exact(self, spark):
+        # a: 30 events / 10h, b: 10 events / 10h
+        r = self._run(spark, [("a", 30, 10), ("b", 10, 10)])
+        num = 30 * 10 - 10 * 10
+        z2 = num * num * 10**6 // (40 * 10 * 10)
+        assert r["z2_ppm"] == z2  # = 10.0
+        assert r["reject_05"] is True
+        assert r["rate_ratio_q3"] == 3_000
+
+    def test_equal_rates_accept(self, spark):
+        r = self._run(spark, [("a", 50, 100), ("b", 52, 104)])
+        assert r["z2_ppm"] == 0
+        assert r["reject_05"] is False
+
+    def test_exposure_normalization(self, spark):
+        # same rate, very different exposures: accept
+        r = self._run(spark, [("a", 200, 1000), ("b", 21, 100)])
+        assert r["reject_05"] is False
+
+    def test_zero_total_null(self, spark):
+        r = self._run(spark, [("a", 0, 10), ("b", 0, 10)])
+        assert r["z2_ppm"] is None and r["reject_05"] is None
+
+    def test_multi_row_groups_fold(self, spark):
+        rows = [("a", 10, 5), ("a", 20, 5), ("b", 10, 10)]
+        r = self._run(spark, rows)
+        assert r["k_a"] == 30 and r["e_a"] == 10
