@@ -80,6 +80,16 @@ def bench_extraction(spark, n_docs: int, seed: int = 42):
 # Headline catalog queries: relational core + windows + training-data ops.
 HEADLINE = [
     # session-10 additions
+    "bh_fdr",
+    "period_scan",
+    "burst_detect",
+    "nelson_aalen",
+    "lepage_test",
+    "seasonal_decompose",
+    "stuart_maxwell",
+    "gumbel_maxima",
+    "mcc_gate",
+    "poisson_rate",
     "runs_test",
     "jarque_bera",
     "ljung_box",
