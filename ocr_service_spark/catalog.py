@@ -23109,6 +23109,121 @@ FROM st
 """
 
 
+
+def q_holm_stepdown(spark, sf_dir):
+    """Holm-Bonferroni step-down (operators/stats.py holm_stepdown)
+    over the same 60-test family as bh_fdr -- familywise control
+    beside BH's FDR; the pair shows the power ordering. Oracle
+    replays the rank, the first-failure stop and rejections."""
+    from .operators.stats import holm_stepdown
+
+    d = load(spark, sf_dir, "documents").where(
+        F.expr("doc_id < 60")
+    ).select(
+        F.expr("CONCAT('t', LPAD(CAST(doc_id AS STRING), 2, '0'))")
+        .alias("t"),
+        F.expr(
+            "CAST(CASE WHEN doc_id < 5 THEN doc_id * 100 + 7"
+            " ELSE (doc_id * 48271) % 1000000 END AS BIGINT)"
+        ).alias("p"),
+    )
+    return holm_stepdown(d, "t", "p")
+
+
+SQL_HOLM = """
+WITH d AS (
+  SELECT 't' || LPAD(CAST(doc_id AS VARCHAR), 2, '0') AS t,
+         CAST(CASE WHEN doc_id < 5 THEN doc_id * 100 + 7
+              ELSE (doc_id * 48271) % 1000000 END AS BIGINT) AS p
+  FROM documents WHERE doc_id < 60
+),
+rk AS (
+  SELECT t, p, ROW_NUMBER() OVER (ORDER BY p, t) AS rk,
+         COUNT(*) OVER () AS m
+  FROM d
+),
+ff AS (
+  SELECT MIN(CASE WHEN p * (m - rk + 1) > 50000 THEN rk END) AS ff
+  FROM rk
+)
+SELECT t, p AS p_ppm, CAST(rk AS BIGINT) AS rank,
+       CAST(50000 // (m - rk + 1) AS BIGINT) AS holm_crit_ppm,
+       CASE WHEN ff.ff IS NULL THEN TRUE ELSE rk < ff.ff END
+         AS reject
+FROM rk, ff
+"""
+
+
+def q_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted kappa (operators/stats.py weighted_kappa)
+    on ordinal 0..3 quality bands with planted +/-1 near-misses --
+    the ordinal agreement read the binary/nominal kappas miss.
+    Oracle replays cells, margins, the k x k weight grid and the
+    sign-split cleared kappa."""
+    from .operators.stats import weighted_kappa
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(LEAST(n_chars div 150, 3) AS BIGINT)")
+        .alias("i"),
+        F.expr(
+            "CAST(GREATEST(0, LEAST(3, LEAST(n_chars div 150, 3)"
+            " + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)"
+            " - (CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)))"
+            " AS BIGINT)"
+        ).alias("j"),
+    )
+    return weighted_kappa(d, "i", "j", quadratic=True)
+
+
+SQL_WEIGHTED_KAPPA = """
+WITH d AS (
+  SELECT CAST(LEAST(n_chars // 150, 3) AS HUGEINT) AS i,
+         CAST(GREATEST(0, LEAST(3, LEAST(n_chars // 150, 3)
+              + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+              - (CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)))
+              AS HUGEINT) AS j
+  FROM documents
+),
+nt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM d),
+cells AS (SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS o
+          FROM d GROUP BY i, j),
+aagg AS (
+  SELECT SUM((i - j) * (i - j) * o) AS wo FROM cells
+),
+rm AS (SELECT i, CAST(COUNT(*) AS HUGEINT) AS r FROM d GROUP BY i),
+cm AS (SELECT j, CAST(COUNT(*) AS HUGEINT) AS c FROM d GROUP BY j),
+lab AS (
+  SELECT DISTINCT l FROM (
+    SELECT i AS l FROM rm UNION ALL SELECT j FROM cm
+  )
+),
+kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM lab),
+grid AS (
+  SELECT a.l AS i, b.l AS j,
+         COALESCE(rm.r, 0) AS r, COALESCE(cm.c, 0) AS c
+  FROM lab a CROSS JOIN lab b
+  LEFT JOIN rm ON rm.i = a.l
+  LEFT JOIN cm ON cm.j = b.l
+),
+bagg AS (
+  SELECT SUM((i - j) * (i - j) * r * c) AS wrc FROM grid
+),
+st AS (
+  SELECT nt.n, kc.k, nt.n * aagg.wo AS aa, bagg.wrc,
+         bagg.wrc - nt.n * aagg.wo AS diffn
+  FROM nt, aagg, bagg, kc
+)
+SELECT CAST(n AS BIGINT) AS n, k AS k_labels,
+       CAST(aa AS BIGINT) AS disagreement_a,
+       CAST(wrc AS BIGINT) AS expected_b,
+       CAST(CASE WHEN wrc > 0 THEN
+         (CASE WHEN diffn < 0 THEN -1 WHEN diffn > 0 THEN 1
+               ELSE 0 END) * ((ABS(diffn) * 1000000) // wrc)
+       END AS BIGINT) AS kappa_ppm
+FROM st
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23521,6 +23636,8 @@ CATALOG: Dict[str, tuple] = {
     "gumbel_maxima": (q_gumbel_maxima, SQL_GUMBEL),
     "mcc_gate": (q_mcc_gate, SQL_MCC),
     "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
+    "holm_stepdown": (q_holm_stepdown, SQL_HOLM),
+    "weighted_kappa": (q_weighted_kappa, SQL_WEIGHTED_KAPPA),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

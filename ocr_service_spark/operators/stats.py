@@ -5456,8 +5456,11 @@ def hodges_lehmann_shift(
     hb = d.where(F.col("g") == group_b).groupBy(
         F.col("v").alias("u")
     ).agg(F.count(F.lit(1)).cast(d38).alias("cb"))
+    # hb is broadcast: the convolution is value-cardinality-bounded by
+    # contract (pre-bucket wide metrics), and a non-broadcast cross
+    # would plan as CartesianProduct — the catalog-wide banned node
     diffs = (
-        ha.crossJoin(hb)
+        ha.crossJoin(F.broadcast(hb))
         .select(
             (F.col("v") - F.col("u")).alias("dv"),
             (F.col("ca") * F.col("cb")).alias("w"),
@@ -6403,4 +6406,133 @@ def poisson_rate_test(
         ).cast("long").alias("rate_ratio_q3"),
         z2.cast("long").alias("z2_ppm"),
         F.when(ok, z2 > F.lit(int(crit_x10k) * 100)).alias("reject_05"),
+    )
+
+
+def holm_stepdown(
+    df: DataFrame,
+    test_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Holm–Bonferroni step-down — the FAMILYWISE-error companion to
+    bh_fdr: BH bounds the false-discovery RATE (some false positives
+    tolerated, more power); Holm bounds the probability of ANY false
+    positive — the right control when a single wrong "host is
+    drifting" page triggers a recrawl. Uniformly more powerful than
+    plain Bonferroni at the same guarantee, never weaker.
+
+    Step-down, all integral: ascending rank i by (p, test_id)
+    (tie-stable prefix pass), test pᵢ·(m−i+1) ≤ α cross-multiplied;
+    k* = (first failing rank) − 1 (all m if none fail); reject ⇔
+    rank ≤ k*. Per-test Holm critical α/(m−i+1) rides along in ppm.
+
+    Emits one row per test: (test_id, p_ppm, rank, holm_crit_ppm,
+    reject)."""
+    from .quality import global_prefix_sum
+
+    d = df.select(
+        F.col(test_col).cast("string").alias("t"),
+        F.col(p_ppm_col).cast("long").alias("p"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(d, ["p", "t"], "_one", out_col="rk")
+    m_tot = d.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    flag = ranked.crossJoin(F.broadcast(m_tot))
+    first_fail = flag.agg(
+        F.min(
+            F.when(
+                F.col("p") * (F.col("m") - F.col("rk") + 1)
+                > F.lit(int(alpha_ppm)),
+                F.col("rk"),
+            )
+        ).alias("ff")
+    )
+    return flag.crossJoin(F.broadcast(first_fail)).select(
+        F.col("t").alias(test_col),
+        F.col("p").alias("p_ppm"),
+        F.col("rk").cast("long").alias("rank"),
+        F.expr(f"{int(alpha_ppm)} div (m - rk + 1)").cast("long")
+        .alias("holm_crit_ppm"),
+        F.when(
+            F.col("ff").isNull(), F.lit(True)
+        ).otherwise(F.col("rk") < F.col("ff")).alias("reject"),
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    old_col: str,
+    new_col: str,
+    quadratic: bool = True,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels — the agreement
+    read classifier_agreement (binary) and fleiss_kappa (nominal)
+    both miss: on a quality scale 0..4, confusing 4 with 3 is a
+    near-miss and 4 with 0 a disaster, and unweighted kappa prices
+    them identically. Weights w_ij = (i−j)² (quadratic, the default
+    — equivalent to an ICC) or |i−j| (linear).
+
+    Fully integral: with cell counts O_ij and margins r_i, c_j,
+
+        κ_w·10⁶ = sign-split ((B − A)·10⁶) div B,
+        A = n·Σ w_ij·O_ij,   B = Σ w_ij·r_i·c_j
+
+    — the k×k grid is a crossJoin of the two tiny margin tables, so
+    zero cells cost nothing and B counts every expected pair. B = 0
+    (degenerate: one category only) → NULL, surfaced.
+
+    Emits ONE row: (n, k_labels, disagreement_a, expected_b,
+    kappa_ppm)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(old_col).cast("long").alias("i"),
+        F.col(new_col).cast("long").alias("j"),
+    )
+    pw = 2 if quadratic else 1
+
+    def w(ci, cj):
+        base = F.abs(ci - cj).cast(d38)
+        return base * base if pw == 2 else base
+
+    cells = d.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast(d38).alias("o")
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    a = cells.agg(
+        F.sum(w(F.col("i"), F.col("j")) * F.col("o")).alias("wo")
+    )
+    rows_m = d.groupBy("i").agg(F.count(F.lit(1)).cast(d38).alias("r"))
+    cols_m = d.groupBy("j").agg(F.count(F.lit(1)).cast(d38).alias("c"))
+    labels = rows_m.select(F.col("i").alias("l")).unionByName(
+        cols_m.select(F.col("j").alias("l"))
+    ).distinct()
+    k_cnt = labels.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    grid = (
+        labels.select(F.col("l").alias("i"))
+        .crossJoin(labels.select(F.col("l").alias("j")))
+        .join(rows_m, "i", "left").na.fill({"r": 0})
+        .join(cols_m, "j", "left").na.fill({"c": 0})
+    )
+    b = grid.agg(
+        F.sum(w(F.col("i"), F.col("j")) * F.col("r") * F.col("c"))
+        .alias("wrc")
+    )
+    st = (
+        n_tot.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(k_cnt))
+        .withColumn("aa", F.col("n") * F.col("wo"))
+        .withColumn("diffn", F.col("wrc") - F.col("aa"))
+    )
+    kappa = F.when(
+        F.col("wrc") > 0,
+        F.signum("diffn").cast(d38)
+        * F.expr("(abs(diffn) * 1000000) div wrc"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").alias("k_labels"),
+        F.col("aa").cast("long").alias("disagreement_a"),
+        F.col("wrc").cast("long").alias("expected_b"),
+        kappa.cast("long").alias("kappa_ppm"),
     )

@@ -3694,3 +3694,126 @@ class TestPoissonRateTest:
         rows = [("a", 10, 5), ("a", 20, 5), ("b", 10, 10)]
         r = self._run(spark, rows)
         assert r["k_a"] == 30 and r["e_a"] == 10
+
+
+class TestHolmStepdown:
+    def _run(self, spark, rows, alpha=50_000):
+        from ocr_service_spark.operators.stats import holm_stepdown
+
+        df = spark.createDataFrame(rows, "t string, p long")
+        return {
+            r["t"]: r
+            for r in holm_stepdown(df, "t", "p", alpha_ppm=alpha)
+            .collect()
+        }
+
+    def test_stepdown_stops_at_first_failure(self, spark):
+        # m=4: crits .0125, .0167, .025, .05
+        # p = .010, .020, .020, .030: rank1 passes, rank2 fails
+        # (.020 > .0167) -> ONLY rank1 rejected, later smaller-crit
+        # passes (rank3: .020 <= .025) do NOT rescue
+        rows = [("a", 10_000), ("b", 20_000), ("c", 20_500),
+                ("d", 30_000)]
+        got = self._run(spark, rows)
+        assert got["a"]["reject"] is True
+        assert got["b"]["reject"] is False
+        assert got["c"]["reject"] is False
+        assert got["d"]["reject"] is False
+
+    def test_all_tiny_all_rejected(self, spark):
+        rows = [("t%d" % i, 100 + i) for i in range(5)]
+        got = self._run(spark, rows)
+        assert all(r["reject"] for r in got.values())
+
+    def test_weaker_than_bh_stronger_than_bonferroni(self, spark):
+        from ocr_service_spark.operators.stats import bh_fdr
+
+        s, rows = 11, []
+        for i in range(40):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("t%02d" % i, s % 200_000))
+        holm = self._run(spark, rows)
+        df = spark.createDataFrame(rows, "t string, p long")
+        bh = {r["t"]: r for r in
+              bh_fdr(df, "t", "p", alpha_ppm=50_000).collect()}
+        m = len(rows)
+        for t, p in rows:
+            bonf = p * m <= 50_000
+            # Bonferroni ⊆ Holm ⊆ BH
+            if bonf:
+                assert holm[t]["reject"]
+            if holm[t]["reject"]:
+                assert bh[t]["reject"]
+
+    def test_brute_force(self, spark):
+        s, rows = 5, []
+        for i in range(30):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("t%02d" % i, s % 300_000))
+        alpha = 80_000
+        srt = sorted(rows, key=lambda r: (r[1], r[0]))
+        m = len(srt)
+        exp, stopped = {}, False
+        for i, (t, p) in enumerate(srt, start=1):
+            if not stopped and p * (m - i + 1) > alpha:
+                stopped = True
+            exp[t] = not stopped
+        got = self._run(spark, rows, alpha=alpha)
+        assert {t: r["reject"] for t, r in got.items()} == exp
+
+
+class TestWeightedKappa:
+    def _run(self, spark, pairs, quadratic=True):
+        from ocr_service_spark.operators.stats import weighted_kappa
+
+        df = spark.createDataFrame(pairs, "i long, j long")
+        return weighted_kappa(df, "i", "j", quadratic=quadratic) \
+            .collect()[0]
+
+    def test_perfect_agreement(self, spark):
+        pairs = [(i % 5, i % 5) for i in range(50)]
+        r = self._run(spark, pairs)
+        assert r["kappa_ppm"] == 1_000_000
+
+    def test_near_miss_beats_disaster(self, spark):
+        base = [(i % 5, i % 5) for i in range(40)]
+        near = self._run(spark, base + [(4, 3)] * 5)
+        far = self._run(spark, base + [(4, 0)] * 5)
+        assert near["kappa_ppm"] > far["kappa_ppm"]
+
+    def test_quadratic_twin(self, spark):
+        s, pairs = 17, []
+        for _ in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            i = s % 4
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            j = min(3, max(0, i + s % 3 - 1))
+            pairs.append((i, j))
+        n = len(pairs)
+        from collections import Counter
+
+        o = Counter(pairs)
+        r_m = Counter(i for i, _ in pairs)
+        c_m = Counter(j for _, j in pairs)
+        labels = sorted(set(r_m) | set(c_m))
+        aa = n * sum((i - j) ** 2 * c for (i, j), c in o.items())
+        bb = sum(
+            (i - j) ** 2 * r_m[i] * c_m[j]
+            for i in labels for j in labels
+        )
+        sgn = lambda x: (x > 0) - (x < 0)
+        exp = sgn(bb - aa) * (abs(bb - aa) * 10**6 // bb)
+        got = self._run(spark, pairs)
+        assert got["kappa_ppm"] == exp
+        assert got["n"] == n
+
+    def test_linear_differs_from_quadratic(self, spark):
+        pairs = [(0, 0)] * 20 + [(3, 0)] * 5 + [(2, 2)] * 20
+        lin = self._run(spark, pairs, quadratic=False)
+        quad = self._run(spark, pairs, quadratic=True)
+        assert lin["kappa_ppm"] != quad["kappa_ppm"]
+
+    def test_single_category_null(self, spark):
+        pairs = [(2, 2)] * 30
+        r = self._run(spark, pairs)
+        assert r["kappa_ppm"] is None
