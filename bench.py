@@ -90,6 +90,8 @@ HEADLINE = [
     "gumbel_maxima",
     "mcc_gate",
     "poisson_rate",
+    "holm_stepdown",
+    "weighted_kappa",
     "runs_test",
     "jarque_bera",
     "ljung_box",
