@@ -23224,6 +23224,210 @@ FROM st
 """
 
 
+
+def q_mood_median(spark, sf_dir):
+    """Mood's median test (operators/stats.py mood_median_test) over
+    the three planted bands -- the breakdown-proof k-sample read
+    beside anova/kruskal. Oracle replays the pooled-median drop and
+    the per-group staged chi^2."""
+    from .operators.stats import mood_median_test
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CONCAT('g', CAST(doc_id % 3 AS STRING))").alias("g"),
+        F.expr(
+            "CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return mood_median_test(d, "g", "v")
+
+
+SQL_MOOD_MEDIAN = """
+WITH d AS (
+  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS g,
+         CAST(n_chars + CASE WHEN doc_id % 3 = 2 THEN 300
+              ELSE 0 END AS BIGINT) AS v
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM d),
+med AS (
+  SELECT v AS median FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM d
+  ) r, nn WHERE rn = nn.n // 2 + 1
+),
+lab AS (
+  SELECT g, CASE WHEN v > median THEN 1 WHEN v < median THEN -1
+               ELSE 0 END AS s
+  FROM d, med
+),
+dr AS (SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dropped FROM lab),
+per AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS a,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS b
+  FROM lab WHERE s <> 0 GROUP BY g
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS k FROM per),
+st AS (
+  SELECT SUM(CASE WHEN tot.ta > 0 AND tot.tb > 0 THEN
+           ((a * tot.tb - b * tot.ta) * (a * tot.tb - b * tot.ta)
+            * 1000000) // ((a + b) * tot.ta * tot.tb) END) AS chi2,
+         CAST(SUM(a + b) AS BIGINT) AS n_kept,
+         MAX(tot.k) AS k
+  FROM per, tot
+)
+SELECT n_kept, dr.n_dropped, st.k,
+       CAST(chi2 AS BIGINT) AS chi2_ppm,
+       CASE WHEN chi2 IS NOT NULL AND st.k = 3 THEN
+         chi2 > 5991500 END AS reject_05
+FROM st, dr
+"""
+
+
+def q_bartlett(spark, sf_dir):
+    """Bartlett variance equality (operators/stats.py bartlett_test)
+    over the cliffs bands with the odd band rescaled 2x -- the
+    parametric spread omnibus beside brown_forsythe. Oracle replays
+    the per-group q6 ln grid, the pooled q6 staging and the
+    cleared correction."""
+    from .operators.stats import bartlett_test
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars"
+            " ELSE 2 * n_chars - 400 END AS BIGINT)"
+        ).alias("v"),
+    )
+    return bartlett_test(d, "g", "v")
+
+
+SQL_BARTLETT = """
+WITH d AS (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars
+              ELSE 2 * n_chars - 400 END AS HUGEINT) AS v
+  FROM documents
+),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(v) AS s_i,
+         SUM(v * v) AS q_i
+  FROM d GROUP BY g
+),
+pp AS (SELECT *, n_i * q_i - s_i * s_i AS ss_i FROM per),
+deg AS (
+  SELECT CAST(SUM(CASE WHEN n_i < 2 OR ss_i <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_degenerate
+  FROM pp
+),
+ok AS (SELECT * FROM pp WHERE n_i >= 2 AND ss_i > 0),
+tot AS (SELECT SUM(n_i) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM ok),
+lnq AS (
+  SELECT n_i, CAST(FLOOR(LN(CAST(ss_i AS DOUBLE)
+           / CAST(n_i * (n_i - 1) AS DOUBLE)) * 1000000) AS BIGINT)
+           AS ln_si
+  FROM ok
+),
+agg AS (
+  SELECT SUM((n_i - 1) * ln_si) AS sum_ln,
+         SUM(1000000 // (n_i - 1)) AS sum_inv_q6
+  FROM lnq
+),
+pooled AS (SELECT SUM((ss_i * 1000000) // n_i) AS ssp_q6 FROM ok),
+st AS (
+  SELECT tot.n, tot.k, deg.n_degenerate, agg.sum_ln,
+         agg.sum_inv_q6, pooled.ssp_q6,
+         CAST(FLOOR(LN(CAST(pooled.ssp_q6 AS DOUBLE) / 1000000.0
+              / CAST(tot.n - tot.k AS DOUBLE)) * 1000000) AS BIGINT)
+           AS ln_sp
+  FROM tot, deg, agg, pooled
+),
+fin AS (
+  SELECT n, k, n_degenerate,
+         (n - k) * ln_sp - sum_ln AS num_q6,
+         CASE WHEN k >= 2 THEN
+           1000000 + (sum_inv_q6 - 1000000 // (n - k))
+             // (3 * (k - 1)) END AS c_q6
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n, k,
+       CAST(CASE WHEN k >= 2 AND num_q6 >= 0 THEN
+         (num_q6 * 1000000) // c_q6 END AS BIGINT) AS chi2_ppm,
+       CASE WHEN k >= 2 AND num_q6 >= 0 AND k <= 13 THEN
+         (num_q6 * 1000000) // c_q6 > 3841500 END AS reject_05,
+       n_degenerate
+FROM fin
+"""
+
+
+def q_deming(spark, sf_dir):
+    """Deming regression (operators/stats.py deming_regression) of
+    two noisy length-tracking signals (the partial_corr pair) --
+    the attenuation-corrected method-comparison slope; OLS rides
+    along to show the bias. Oracle replays cleared sums, the IEEE
+    sqrt hop and both staged slopes."""
+    from .operators.stats import deming_regression
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars + (doc_id * 48271) % 40 AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(n_chars + (doc_id * 69621) % 40 AS BIGINT)")
+        .alias("y"),
+    )
+    return deming_regression(d, "x", "y")
+
+
+SQL_DEMING = """
+WITH d AS (
+  SELECT CAST(n_chars + (doc_id * 48271) % 40 AS HUGEINT) AS x,
+         CAST(n_chars + (doc_id * 69621) % 40 AS HUGEINT) AS y
+  FROM documents
+),
+a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM d
+),
+c AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
+         n * sxy - sx * sy AS cxy
+  FROM a
+),
+st AS (
+  SELECT *, cyy * 1000 - 1000 * cxx AS aa,
+         (cyy * 1000 - 1000 * cxx) * (cyy * 1000 - 1000 * cxx)
+           + 4 * 1000 * cxy * cxy * 1000 AS dd
+  FROM c
+),
+rt AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(dd AS DOUBLE))) AS HUGEINT) AS rtv
+  FROM st
+),
+sl AS (
+  SELECT *, CASE WHEN cxy <> 0 THEN
+    (CASE WHEN cxy < 0 THEN -1 ELSE 1 END)
+      * (ABS(aa + rtv) // ABS(2 * cxy)) END AS slope
+  FROM rt
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(slope AS BIGINT) AS slope_q3,
+       CAST(CASE WHEN slope IS NOT NULL THEN
+         CASE WHEN sy * 1000 - slope * sx >= 0 THEN
+           (sy * 1000 - slope * sx) // n
+         ELSE -((-(sy * 1000 - slope * sx) + n - 1) // n) END
+       END AS BIGINT) AS intercept_q3,
+       CAST(CASE WHEN cxx > 0 THEN
+         (CASE WHEN cxy < 0 THEN -1 WHEN cxy > 0 THEN 1 ELSE 0 END)
+           * ((ABS(cxy) * 1000) // cxx) END AS BIGINT)
+         AS ols_slope_q3
+FROM sl
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23638,6 +23842,9 @@ CATALOG: Dict[str, tuple] = {
     "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
     "holm_stepdown": (q_holm_stepdown, SQL_HOLM),
     "weighted_kappa": (q_weighted_kappa, SQL_WEIGHTED_KAPPA),
+    "mood_median": (q_mood_median, SQL_MOOD_MEDIAN),
+    "bartlett_test": (q_bartlett, SQL_BARTLETT),
+    "deming_regression": (q_deming, SQL_DEMING),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

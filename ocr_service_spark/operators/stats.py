@@ -6536,3 +6536,293 @@ def weighted_kappa(
         F.col("wrc").cast("long").alias("expected_b"),
         kappa.cast("long").alias("kappa_ppm"),
     )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit_x10k_by_df: dict = None,
+) -> DataFrame:
+    """Mood's median test — the k-sample location read that stays
+    honest under WILD tails and censored-ish metrics where even
+    kruskal's rank sums get dragged: it reduces each value to one
+    bit (above the pooled median or not) and asks a χ² of the k×2
+    table. Lowest power of the family, but its breakdown point is
+    the whole reason to run it beside anova/kruskal — agreement
+    triangulates, disagreement flags tail structure.
+
+    Pooled median = histogram-prefix rank n div 2 + 1 (the
+    _hist_median convention); values EQUAL to it are dropped (the
+    classic convention, count surfaced). χ² over the k×2 table in
+    exact integers: with a_i above / b_i below per group, A = Σa,
+    B = Σb, χ² = Σ_i (a_i·B − b_i·A)²·N / (n_i·A·B·(N)) … cleared:
+
+        χ²·10⁶ = Σ_i ((a_i·B − b_i·A)²·10⁶ div (n_i·A·B)) — the
+        per-group staging discipline (anova's), summed.
+
+    Decision against χ²_{k−1} for k−1 ≤ 12 via the public table
+    (NULL beyond, surfaced). Emits ONE row: (n_kept, n_dropped, k,
+    chi2_ppm, reject_05)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    med = _hist_median(d.select("v"), "v")
+    lab = d.crossJoin(F.broadcast(med)).withColumn(
+        "s",
+        F.when(F.col("v") > F.col("median"), F.lit(1))
+        .when(F.col("v") < F.col("median"), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    dropped = lab.where(F.col("s") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    per = lab.where(F.col("s") != 0).groupBy("g").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast(d38)
+        .alias("a"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast(d38)
+        .alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    st = per.crossJoin(F.broadcast(tot)).withColumn(
+        "term",
+        F.when(
+            (F.col("ta") > 0) & (F.col("tb") > 0),
+            F.expr(
+                "((a * tb - b * ta) * (a * tb - b * ta) * 1000000)"
+                " div ((a + b) * ta * tb)"
+            ),
+        ),
+    )
+    agg = st.agg(
+        F.sum("term").alias("chi2"),
+        F.first("k").alias("k"),
+        F.sum(F.col("a") + F.col("b")).cast("long").alias("n_kept"),
+    ).crossJoin(F.broadcast(dropped))
+    crit = F.create_map(
+        *[x for dfree, c in enumerate(_CHI2_05_X10K, start=1)
+          for x in (F.lit(dfree), F.lit(c * 100))]
+    )
+    return agg.select(
+        "n_kept",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        "k",
+        F.col("chi2").cast("long").alias("chi2_ppm"),
+        F.when(
+            F.col("chi2").isNotNull()
+            & (F.col("k") >= 2) & (F.col("k") <= 13),
+            F.col("chi2").cast("long")
+            > crit[(F.col("k") - 1).cast("int")],
+        ).alias("reject_05"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's variance-equality test — the PARAMETRIC spread
+    omnibus beside brown_forsythe: sharper when the metric is
+    near-gaussian (BF pays a robustness tax), and the classic
+    pre-check before pooling variances in anova/tukey. χ² =
+    [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C with the usual
+    correction C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)).
+
+    Engine form: each variance is the exact rational
+    SS_i/(n_i−1) = (n_i·Σv² − (Σv)²)/(n_i(n_i−1)); every ln is ONE
+    ln of an int64 ratio floor-quantized to the 1e6 grid per GROUP
+    (the bleu float rule), the correction is cleared to integers:
+
+        num_q6 = (N−k)·lnq(S_p²) − Σ(n_i−1)·lnq(S_i²)
+        χ²·10⁶ = (num_q6 · 3(k−1) · (N−k) · P)
+                 div (3(k−1)·(N−k)·P + (Σ_i P/(n_i−1))·(N−k) − P)
+        with P = Π … cleared via per-group ppm staging instead:
+        C_q6 = 10⁶ + (Σ_i (10⁶ div (n_i−1)) − 10⁶ div (N−k))
+                div (3(k−1)),
+        χ²·10⁶ = (num_q6 · 10⁶) div C_q6.
+
+    Any group with n_i < 2 or zero variance → NULL (ln undefined),
+    surfaced. Decision vs χ²_{k−1}, k−1 ≤ 12 table.
+
+    Emits ONE row: (n, k, chi2_ppm, reject_05, n_degenerate)."""
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per = df.groupBy(F.col(group_col).cast("string").alias("g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n_i"),
+        F.sum(v).alias("s_i"),
+        F.sum(v * v).alias("q_i"),
+    ).withColumn(
+        "ss_i",
+        F.col("n_i") * F.col("q_i") - F.col("s_i") * F.col("s_i"),
+    )
+    degen = per.agg(
+        F.sum(
+            F.when((F.col("n_i") < 2) | (F.col("ss_i") <= 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_degenerate")
+    )
+    ok = per.where((F.col("n_i") >= 2) & (F.col("ss_i") > 0))
+    tot = ok.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    # pooled within-group SS = Σ_i (Σv² − (Σv)²/n_i) = Σ_i SS_i/n_i,
+    # staged on the q6 grid per group — identical floors both engines
+    lnq = ok.crossJoin(F.broadcast(tot)).select(
+        "g", "n_i", "ss_i", "n", "k",
+        F.floor(
+            F.log(
+                F.col("ss_i").cast("double")
+                / (F.col("n_i") * (F.col("n_i") - 1)).cast("double")
+            ) * 1_000_000
+        ).cast("long").alias("ln_si"),
+    )
+    agg = lnq.agg(
+        F.sum((F.col("n_i") - 1).cast(d38) * F.col("ln_si"))
+        .alias("sum_ln"),
+        F.sum(F.expr("1000000 div (n_i - 1)").cast(d38))
+        .alias("sum_inv_q6"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+    )
+    pooled = ok.agg(
+        F.sum(F.expr("(ss_i * 1000000) div n_i").cast(d38))
+        .alias("ssp_q6")
+    )
+    st = (
+        agg.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(degen))
+        .withColumn(
+            "ln_sp",
+            F.floor(
+                F.log(
+                    F.col("ssp_q6").cast("double")
+                    / 1_000_000.0
+                    / (F.col("n") - F.col("k")).cast("double")
+                ) * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn(
+            "num_q6",
+            (F.col("n") - F.col("k")) * F.col("ln_sp")
+            - F.col("sum_ln"),
+        )
+        .withColumn(
+            "c_q6",
+            F.when(
+                F.col("k") >= 2,
+                F.lit(1_000_000).cast(d38)
+                + F.expr(
+                    "(sum_inv_q6 - 1000000 div (n - k))"
+                    " div (3 * (k - 1))"
+                ),
+            ),
+        )
+    )
+    chi2 = F.when(
+        (F.col("k") >= 2) & (F.col("num_q6") >= 0),
+        F.expr("(num_q6 * 1000000) div c_q6"),
+    )
+    crit = F.create_map(
+        *[x for dfree, c in enumerate(_CHI2_05_X10K, start=1)
+          for x in (F.lit(dfree), F.lit(c * 100))]
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        "k",
+        chi2.cast("long").alias("chi2_ppm"),
+        F.when(
+            chi2.isNotNull() & (F.col("k") <= 13),
+            chi2.cast("long") > crit[(F.col("k") - 1).cast("int")],
+        ).alias("reject_05"),
+        "n_degenerate",
+    )
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lambda_ratio_q3: int = 1_000,
+) -> DataFrame:
+    """Deming errors-in-both-variables regression — the METHOD-
+    COMPARISON fit OLS gets systematically wrong: regressing one
+    noisy metric on another (two extraction engines' scores, two
+    quality models) attenuates the OLS slope toward zero by the
+    noise in x; Deming treats both sides as noisy (variance ratio
+    λ = σ²_y/σ²_x, default 1 = orthogonal regression) and recovers
+    the structural slope:
+
+        β = (S_yy − λS_xx + √((S_yy − λS_xx)² + 4λS_xy²)) / (2S_xy)
+
+    on the cleared anchored sums (S_· = n·Σab − ΣaΣb forms). λ
+    enters on the 1e3 grid; the single √ hop is IEEE-correctly-
+    rounded on both engines (the gumbel discipline), everything
+    else staged integral: slope·10³ = (A + ⌊√D⌋) div (2S_xy) with
+    sign-split, intercept·10³ = mean_y·10³ − slope·mean_x staged.
+
+    S_xy = 0 → NULL (no linear association to recover), surfaced.
+    Emits ONE row: (n, slope_q3, intercept_q3, ols_slope_q3) — the
+    OLS slope rides along to SHOW the attenuation."""
+    d38 = "decimal(38,0)"
+    lam = int(lambda_ratio_q3)
+    d = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    ).withColumn(
+        "cxx", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).withColumn(
+        "cyy", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).withColumn(
+        "cxy", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    # work on the q3 grid: A = cyy*1e3 - lam*cxx, D = A^2 + 4*lam*cxy^2*1e3
+    st = a.withColumn(
+        "aa", F.col("cyy") * 1000 - F.lit(lam).cast(d38) * F.col("cxx")
+    ).withColumn(
+        "dd",
+        F.col("aa") * F.col("aa")
+        + 4 * F.lit(lam).cast(d38) * F.col("cxy") * F.col("cxy")
+        * 1000,
+    ).withColumn(
+        "rt", F.floor(F.sqrt(F.col("dd").cast("double"))).cast(d38)
+    )
+    slope = F.when(
+        F.col("cxy") != 0,
+        F.signum(F.expr("aa + rt")).cast(d38)
+        * F.signum("cxy").cast(d38)
+        * F.expr("abs((aa + rt)) div abs(2 * cxy)"),
+    )
+    ols = F.when(
+        F.col("cxx") > 0,
+        F.signum("cxy").cast(d38)
+        * F.expr("(abs(cxy) * 1000) div cxx"),
+    )
+    return st.withColumn("sl", slope).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sl").cast("long").alias("slope_q3"),
+        F.when(
+            F.col("sl").isNotNull(),
+            F.expr(
+                "CASE WHEN sy * 1000 - sl * sx >= 0 THEN"
+                " (sy * 1000 - sl * sx) div n"
+                " ELSE -((-(sy * 1000 - sl * sx) + n - 1) div n)"
+                " END"
+            ),
+        ).cast("long").alias("intercept_q3"),
+        ols.cast("long").alias("ols_slope_q3"),
+    )

@@ -3817,3 +3817,167 @@ class TestWeightedKappa:
         pairs = [(2, 2)] * 30
         r = self._run(spark, pairs)
         assert r["kappa_ppm"] is None
+
+
+class TestMoodMedianTest:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import mood_median_test
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return mood_median_test(df, "g", "v").collect()[0]
+
+    def test_separated_rejects(self, spark):
+        rows = [("a", v) for v in range(100, 140)]
+        rows += [("b", v) for v in range(200, 240)]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is True
+
+    def test_same_distribution_accepts(self, spark):
+        rows = [("a", (i * 13) % 50) for i in range(60)]
+        rows += [("b", (i * 13) % 50) for i in range(60)]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is False
+
+    def test_int_twin(self, spark):
+        s, rows = 7, []
+        for i in range(150):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("g%d" % (i % 3), s % 97 + 5 * (i % 3)))
+        vals = sorted(v for _, v in rows)
+        med = vals[len(vals) // 2]
+        per = {}
+        for g, v in rows:
+            if v == med:
+                continue
+            a, b = per.get(g, (0, 0))
+            if v > med:
+                per[g] = (a + 1, b)
+            else:
+                per[g] = (a, b + 1)
+        ta = sum(a for a, _ in per.values())
+        tb = sum(b for _, b in per.values())
+        chi2 = sum(
+            ((a * tb - b * ta) ** 2 * 10**6) // ((a + b) * ta * tb)
+            for a, b in per.values()
+        )
+        r = self._run(spark, rows)
+        assert r["chi2_ppm"] == chi2
+        assert r["n_dropped"] == sum(1 for _, v in rows if v == med)
+
+    def test_outlier_immune_vs_anova(self, spark):
+        # one colossal outlier in group a: mood unmoved
+        rows = [("a", v) for v in (10, 11, 12, 13, 10**9)]
+        rows += [("b", v) for v in (10, 11, 12, 13, 14)]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is False
+
+
+class TestBartlettTest:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import bartlett_test
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return bartlett_test(df, "g", "v").collect()[0]
+
+    def test_equal_variances_accept(self, spark):
+        rows = [(g, 100 + (i * 7) % 40) for g in ("a", "b", "c")
+                for i in range(40)]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is False
+
+    def test_scale_change_rejects(self, spark):
+        rows = [("a", 100 + (i * 7) % 20) for i in range(40)]
+        rows += [("b", 100 + ((i * 7) % 20) * 10) for i in range(40)]
+        r = self._run(spark, rows)
+        assert r["reject_05"] is True
+
+    def test_scipy_sanity(self, spark):
+        import math
+
+        s, rows = 3, []
+        for i in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            scale = 1 if i % 2 == 0 else 3
+            rows.append(("g%d" % (i % 2), 500 + (s % 101 - 50) * scale))
+        r = self._run(spark, rows)
+        groups = {}
+        for g, v in rows:
+            groups.setdefault(g, []).append(v)
+        k = len(groups)
+        N = len(rows)
+        sp = 0.0
+        num = 0.0
+        for vs in groups.values():
+            m = sum(vs) / len(vs)
+            ss = sum((v - m) ** 2 for v in vs)
+            sp += ss
+        lnsp = math.log(sp / (N - k))
+        num = (N - k) * lnsp
+        for vs in groups.values():
+            m = sum(vs) / len(vs)
+            ss = sum((v - m) ** 2 for v in vs)
+            num -= (len(vs) - 1) * math.log(ss / (len(vs) - 1))
+        c = 1 + (sum(1 / (len(vs) - 1) for vs in groups.values())
+                 - 1 / (N - k)) / (3 * (k - 1))
+        chi2 = num / c
+        assert abs(r["chi2_ppm"] / 1e6 - chi2) < 0.01 * max(chi2, 1)
+        assert r["reject_05"] is True
+
+    def test_degenerate_group_null(self, spark):
+        rows = [("a", 5), ("a", 5), ("b", 1), ("b", 9), ("b", 4)]
+        r = self._run(spark, rows)
+        # group a has zero variance: surfaced, excluded
+        assert r["n_degenerate"] == 1
+
+
+class TestDemingRegression:
+    def _run(self, spark, rows, lam=1_000):
+        from ocr_service_spark.operators.stats import deming_regression
+
+        df = spark.createDataFrame(rows, "x long, y long")
+        return deming_regression(df, "x", "y",
+                                 lambda_ratio_q3=lam).collect()[0]
+
+    def test_noise_free_line(self, spark):
+        rows = [(t, 20 + 3 * t) for t in range(50)]
+        r = self._run(spark, rows)
+        assert r["slope_q3"] == 3_000
+        assert r["intercept_q3"] == 20_000
+        assert r["ols_slope_q3"] == 3_000
+
+    def test_attenuation_corrected(self, spark):
+        # true y = x, noise on BOTH sides: OLS slope < 1, Deming ~ 1
+        s, rows = 19, []
+        for t in range(400):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            nx = s % 121 - 60
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            ny = s % 121 - 60
+            base = (t * 7) % 500
+            rows.append((base + nx, base + ny))
+        r = self._run(spark, rows)
+        assert r["ols_slope_q3"] < 970
+        assert abs(r["slope_q3"] - 1_000) < 40
+        assert r["slope_q3"] > r["ols_slope_q3"]
+
+    def test_float_twin(self, spark):
+        import math
+
+        rows = [(3, 9), (7, 3), (11, 14), (2, 5), (9, 11), (5, 2)]
+        n = len(rows)
+        sx = sum(x for x, _ in rows); sy = sum(y for _, y in rows)
+        cxx = n * sum(x * x for x, _ in rows) - sx * sx
+        cyy = n * sum(y * y for _, y in rows) - sy * sy
+        cxy = n * sum(x * y for x, y in rows) - sx * sy
+        aa = cyy * 1000 - 1000 * cxx
+        dd = aa * aa + 4 * 1000 * cxy * cxy * 1000
+        rt = math.floor(math.sqrt(dd))
+        sgn = (cxy > 0) - (cxy < 0)
+        slope = sgn * ((aa + rt) // abs(2 * cxy))
+        r = self._run(spark, rows)
+        assert r["slope_q3"] == slope
+
+    def test_negative_slope(self, spark):
+        rows = [(t, 100 - 2 * t) for t in range(30)]
+        r = self._run(spark, rows)
+        assert r["slope_q3"] == -2_000
