@@ -92,6 +92,9 @@ HEADLINE = [
     "poisson_rate",
     "holm_stepdown",
     "weighted_kappa",
+    "mood_median",
+    "bartlett_test",
+    "deming_regression",
     "runs_test",
     "jarque_bera",
     "ljung_box",
