@@ -23428,6 +23428,123 @@ FROM sl
 """
 
 
+
+def q_hl_shift_ci(spark, sf_dir):
+    """Hodges-Lehmann shift with Lehmann 95% CI (operators/stats.py
+    hodges_lehmann_ci) on the planted +40 band design -- the
+    distribution-free interval from inverting Mann-Whitney on the
+    SAME difference histogram. Oracle replays the convolution, the
+    IEEE-sqrt k rank and all three prefix picks."""
+    from .operators.stats import hodges_lehmann_ci
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id % 2 AS STRING)").alias("g"),
+        F.expr("CAST(n_chars + 40 * (doc_id % 2) AS BIGINT)")
+        .alias("v"),
+    )
+    return hodges_lehmann_ci(d, "g", "v", "0", "1")
+
+
+SQL_HL_CI = """
+WITH d AS (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+         CAST(n_chars + 40 * (doc_id % 2) AS BIGINT) AS v
+  FROM documents
+),
+ha AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS ca FROM d
+       WHERE g = '0' GROUP BY v),
+hb AS (SELECT v AS u, CAST(COUNT(*) AS HUGEINT) AS cb FROM d
+       WHERE g = '1' GROUP BY v),
+diffs AS (
+  SELECT ha.v - hb.u AS dv, SUM(ha.ca * hb.cb) AS w
+  FROM ha CROSS JOIN hb GROUP BY ha.v - hb.u
+),
+cnts AS (
+  SELECT CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS m,
+         CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS nn
+  FROM d
+),
+kk AS (
+  SELECT m, nn, m * nn AS np,
+         CAST(FLOOR(CAST((m * nn) // 2 AS DOUBLE)
+              - 1.96 * SQRT(CAST(m * nn * (m + nn + 1) AS DOUBLE)
+                            / 12.0)) AS BIGINT) AS k
+  FROM cnts
+),
+cum AS (
+  SELECT dv, SUM(w) OVER (ORDER BY dv ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS cum
+  FROM diffs
+),
+med AS (SELECT MIN(dv) AS hl_shift FROM cum, kk
+        WHERE cum >= kk.np // 2 + 1),
+lo AS (SELECT MIN(dv) AS ci_lo FROM cum, kk
+       WHERE kk.k >= 1 AND cum >= kk.k),
+hi AS (SELECT MIN(dv) AS ci_hi FROM cum, kk
+       WHERE kk.k >= 1 AND cum >= kk.np + 1 - kk.k)
+SELECT CAST(m AS BIGINT) AS n_a, CAST(nn AS BIGINT) AS n_b,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN k >= 1 THEN k END AS BIGINT) AS k_rank,
+       CAST(hl_shift AS BIGINT) AS hl_shift,
+       CAST(CASE WHEN k >= 1 THEN ci_lo END AS BIGINT) AS ci_lo,
+       CAST(CASE WHEN k >= 1 THEN ci_hi END AS BIGINT) AS ci_hi
+FROM kk, med, lo, hi
+"""
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland-Altman limits of agreement (operators/stats.py
+    bland_altman) for the deming signal pair -- the operational
+    swap-cost read beside the structural slope. Oracle replays the
+    difference sums, the sample-SD sqrt hop and both limits."""
+    from .operators.stats import bland_altman
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars + (doc_id * 48271) % 40 AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(n_chars + (doc_id * 69621) % 40 AS BIGINT)")
+        .alias("y"),
+    )
+    return bland_altman(d, "x", "y")
+
+
+SQL_BLAND_ALTMAN = """
+WITH d AS (
+  SELECT CAST((n_chars + (doc_id * 48271) % 40)
+              - (n_chars + (doc_id * 69621) % 40) AS HUGEINT) AS dv
+  FROM documents
+),
+a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dv) AS s1,
+         SUM(dv * dv) AS s2
+  FROM d
+),
+st AS (
+  SELECT n, s1, n * s2 - s1 * s1 AS varnum,
+         (CASE WHEN s1 < 0 THEN -1 WHEN s1 > 0 THEN 1 ELSE 0 END)
+           * ((ABS(s1) * 1000) // n) AS bias_q3
+  FROM a
+),
+fin AS (
+  SELECT n, bias_q3,
+         CASE WHEN n >= 2 AND varnum > 0 THEN
+           CAST(FLOOR(SQRT(CAST(varnum AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)) * 1000.0) AS BIGINT)
+         END AS sd_q3
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(bias_q3 AS BIGINT) AS bias_q3,
+       sd_q3,
+       CAST(bias_q3 - (19600 * sd_q3) // 10000 AS BIGINT)
+         AS loa_lo_q3,
+       CAST(bias_q3 + (19600 * sd_q3) // 10000 AS BIGINT)
+         AS loa_hi_q3
+FROM fin
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23845,6 +23962,8 @@ CATALOG: Dict[str, tuple] = {
     "mood_median": (q_mood_median, SQL_MOOD_MEDIAN),
     "bartlett_test": (q_bartlett, SQL_BARTLETT),
     "deming_regression": (q_deming, SQL_DEMING),
+    "hl_shift_ci": (q_hl_shift_ci, SQL_HL_CI),
+    "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

@@ -6826,3 +6826,168 @@ def deming_regression(
         ).cast("long").alias("intercept_q3"),
         ols.cast("long").alias("ols_slope_q3"),
     )
+
+
+def hodges_lehmann_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    z_x10k: int = 19_600,
+) -> DataFrame:
+    """Hodges–Lehmann shift WITH its distribution-free confidence
+    interval — the uncertainty the point estimate alone hides: the
+    95% CI comes from inverting Mann–Whitney (Lehmann), i.e. the
+    k-th and (mn+1−k)-th ORDER STATISTICS of the pairwise
+    differences with
+
+        k = ⌊mn/2 − z·√(mn(m+n+1)/12)⌋   (z = 1.96 at 95%),
+
+    so the same difference histogram that yields the median yields
+    both bounds by two more prefix-rank picks — no bootstrap, no
+    normality assumption on the DATA (the normal approximation is
+    on the RANK statistic, already good at m,n ≳ 10). The single √
+    hop is IEEE-correctly-rounded (the gumbel/deming discipline);
+    z enters on the 1e4 grid.
+
+    k < 1 (tiny samples) → NULL bounds, surfaced. Emits ONE row:
+    (n_a, n_b, n_pairs, k_rank, hl_shift, ci_lo, ci_hi)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isin([group_a, group_b]))
+    ha = d.where(F.col("g") == group_a).groupBy("v").agg(
+        F.count(F.lit(1)).cast(d38).alias("ca")
+    )
+    hb = d.where(F.col("g") == group_b).groupBy(
+        F.col("v").alias("u")
+    ).agg(F.count(F.lit(1)).cast(d38).alias("cb"))
+    diffs = (
+        ha.crossJoin(F.broadcast(hb))
+        .select(
+            (F.col("v") - F.col("u")).alias("dv"),
+            (F.col("ca") * F.col("cb")).alias("w"),
+        )
+        .groupBy("dv")
+        .agg(F.sum("w").alias("w"))
+    )
+    counts = d.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)),
+            F.lit(0),
+        ).cast(d38).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)),
+            F.lit(0),
+        ).cast(d38).alias("nn"),
+    ).withColumn("np", F.col("m") * F.col("nn")).withColumn(
+        "k",
+        F.floor(
+            F.expr("np div 2").cast("double")
+            - (int(z_x10k) / 10_000.0)
+            * F.sqrt(
+                (
+                    F.col("np") * (F.col("m") + F.col("nn") + 1)
+                ).cast("double") / 12.0
+            )
+        ).cast("long"),
+    )
+    wd = Window.orderBy("dv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = diffs.withColumn("cum", F.sum("w").over(wd)).crossJoin(
+        F.broadcast(counts)
+    )
+    med = cum.where(F.col("cum") >= F.expr("np div 2 + 1")).agg(
+        F.min("dv").alias("hl_shift")
+    )
+    lo = cum.where(
+        (F.col("k") >= 1) & (F.col("cum") >= F.col("k"))
+    ).agg(F.min("dv").alias("ci_lo"))
+    hi = cum.where(
+        (F.col("k") >= 1)
+        & (F.col("cum") >= F.col("np") + 1 - F.col("k"))
+    ).agg(F.min("dv").alias("ci_hi"))
+    return (
+        counts.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("m").cast("long").alias("n_a"),
+            F.col("nn").cast("long").alias("n_b"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.when(F.col("k") >= 1, F.col("k")).cast("long")
+            .alias("k_rank"),
+            F.col("hl_shift").cast("long").alias("hl_shift"),
+            F.when(F.col("k") >= 1, F.col("ci_lo")).cast("long")
+            .alias("ci_lo"),
+            F.when(F.col("k") >= 1, F.col("ci_hi")).cast("long")
+            .alias("ci_hi"),
+        )
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_x10k: int = 19_600,
+) -> DataFrame:
+    """Bland–Altman limits of agreement — the method-comparison
+    companion to deming_regression that answers the OPERATIONAL
+    question: "if I swap scorer A for scorer B, how far apart can a
+    single document's two scores be?" — mean difference (bias) ±
+    z·SD of the differences. Correlation can be 0.99 while the
+    limits span half the score range; this read catches that.
+
+    Exact: bias·10³ = sign-split (Σd·10³) div n; the SAMPLE SD hop
+    is ONE IEEE √ of the cleared-integer ratio (the deming
+    discipline), z on the 1e4 grid:
+
+        sd·10³ = ⌊√((n·Σd² − (Σd)²)/(n(n−1)))·10³⌋
+        half_width_q3 = (z_x10k · sd_q3) div 10⁴
+
+    n < 2 or zero variance → NULL limits, surfaced. Emits ONE row:
+    (n, bias_q3, sd_q3, loa_lo_q3, loa_hi_q3)."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        (F.col(x_col).cast("long") - F.col(y_col).cast("long"))
+        .cast(d38).alias("dv")
+    )
+    a = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("dv").alias("sd1"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sd2"),
+    ).withColumn(
+        "varnum",
+        F.col("n") * F.col("sd2") - F.col("sd1") * F.col("sd1"),
+    ).withColumn(
+        "bias_q3",
+        F.signum("sd1").cast(d38)
+        * F.expr("(abs(sd1) * 1000) div n"),
+    ).withColumn(
+        "sd_q3",
+        F.when(
+            (F.col("n") >= 2) & (F.col("varnum") > 0),
+            F.floor(
+                F.sqrt(
+                    F.col("varnum").cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                ) * 1000.0
+            ).cast("long"),
+        ),
+    ).withColumn(
+        "hw_q3",
+        F.expr(f"({int(z_x10k)} * sd_q3) div 10000").cast("long"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("bias_q3").cast("long").alias("bias_q3"),
+        F.col("sd_q3").alias("sd_q3"),
+        (F.col("bias_q3") - F.col("hw_q3")).cast("long")
+        .alias("loa_lo_q3"),
+        (F.col("bias_q3") + F.col("hw_q3")).cast("long")
+        .alias("loa_hi_q3"),
+    )

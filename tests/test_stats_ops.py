@@ -3981,3 +3981,101 @@ class TestDemingRegression:
         rows = [(t, 100 - 2 * t) for t in range(30)]
         r = self._run(spark, rows)
         assert r["slope_q3"] == -2_000
+
+
+class TestHodgesLehmannCi:
+    def _run(self, spark, pairs):
+        from ocr_service_spark.operators.stats import hodges_lehmann_ci
+
+        df = spark.createDataFrame(pairs, "g string, v long")
+        return hodges_lehmann_ci(df, "g", "v", "a", "b").collect()[0]
+
+    def test_twin_exact(self, spark):
+        import math
+
+        s, pairs = 5, []
+        for i in range(80):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            pairs.append(("a" if i % 2 else "b", s % 60
+                          + (15 if i % 2 else 0)))
+        av = [v for g, v in pairs if g == "a"]
+        bv = [v for g, v in pairs if g == "b"]
+        diffs = sorted(x - y for x in av for y in bv)
+        m, n = len(av), len(bv)
+        mn = m * n
+        k = math.floor(mn // 2 - 1.96 * math.sqrt(
+            mn * (m + n + 1) / 12.0))
+        r = self._run(spark, pairs)
+        assert r["hl_shift"] == diffs[mn // 2]
+        assert r["k_rank"] == k
+        assert r["ci_lo"] == diffs[k - 1]
+        assert r["ci_hi"] == diffs[mn - k]
+
+    def test_planted_shift_covered(self, spark):
+        base = [10, 13, 17, 21, 28, 33, 40, 46, 55, 61]
+        pairs = [("a", v + 25) for v in base]
+        pairs += [("b", v) for v in base]
+        r = self._run(spark, pairs)
+        assert r["ci_lo"] <= 25 <= r["ci_hi"]
+        assert r["hl_shift"] == 25
+
+    def test_tiny_null_bounds(self, spark):
+        pairs = [("a", 1), ("a", 2), ("b", 5)]
+        r = self._run(spark, pairs)
+        assert r["k_rank"] is None
+        assert r["ci_lo"] is None and r["ci_hi"] is None
+
+
+class TestBlandAltman:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import bland_altman
+
+        df = spark.createDataFrame(rows, "x long, y long")
+        return bland_altman(df, "x", "y").collect()[0]
+
+    def test_twin_exact(self, spark):
+        import math
+
+        s, rows = 7, []
+        for _ in range(150):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            base = s % 500
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append((base + s % 21, base + 5))
+        ds = [x - y for x, y in rows]
+        n = len(ds)
+        s1, s2 = sum(ds), sum(d * d for d in ds)
+        varnum = n * s2 - s1 * s1
+        sgn = (s1 > 0) - (s1 < 0)
+        bias = sgn * (abs(s1) * 1000 // n)
+        sd = math.floor(
+            math.sqrt(varnum / (n * (n - 1))) * 1000.0
+        )
+        hw = 19600 * sd // 10000
+        r = self._run(spark, rows)
+        assert r["bias_q3"] == bias
+        assert r["sd_q3"] == sd
+        assert r["loa_lo_q3"] == bias - hw
+        assert r["loa_hi_q3"] == bias + hw
+
+    def test_identical_methods(self, spark):
+        rows = [(v, v) for v in range(40)]
+        r = self._run(spark, rows)
+        assert r["bias_q3"] == 0 and r["sd_q3"] is None
+
+    def test_pure_offset(self, spark):
+        rows = [(v + 7, v) for v in range(40)]
+        r = self._run(spark, rows)
+        assert r["bias_q3"] == 7_000
+        assert r["sd_q3"] is None  # zero spread around the bias
+
+    def test_wide_limits_despite_correlation(self, spark):
+        # strongly correlated but noisy: limits far from zero
+        s, rows = 3, []
+        for _ in range(200):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            base = s % 1000
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append((base, base + s % 101 - 50))
+        r = self._run(spark, rows)
+        assert r["loa_hi_q3"] - r["loa_lo_q3"] > 80_000
