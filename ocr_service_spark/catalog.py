@@ -22601,9 +22601,14 @@ def q_burst_detect(spark, sf_dir):
     (every 2s for 100 events, against a ~minutes base rate) unioned
     in as type 'planted' -- the structural rate-jump read a
     threshold-on-rate can't give; the uniform synthetic types stay
-    burst-free, the planted type lights up. Rows-only: the
-    per-group Viterbi DP has no SQL twin; the DP is differential-
-    tested against exhaustive search (tests/test_burst.py)."""
+    burst-free, the planted type lights up. The oracle does NOT
+    replicate the Viterbi DP (no SQL twin exists) -- it states the
+    independently-derivable expected output: the optimal state
+    sequence for a 60x rate jump over 100 gaps against gamma*ln(n)
+    hysteresis is exactly the dense run, so the single burst spans
+    events 50..150 (+6000s..+6200s, 101 events); the DP itself is
+    differential-tested against exhaustive search
+    (tests/test_burst.py)."""
     from .operators.burstdetect import detect_bursts
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts")
@@ -23545,6 +23550,17 @@ FROM fin
 """
 
 
+
+SQL_BURST_DETECT = """
+SELECT 'planted' AS grp, CAST(0 AS BIGINT) AS burst_ix,
+       epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                + INTERVAL 6000 SECOND) AS start_us,
+       epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                + INTERVAL 6200 SECOND) AS end_us,
+       CAST(101 AS BIGINT) AS n_events,
+       CAST(200000000 AS BIGINT) AS span_us
+"""
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23949,7 +23965,7 @@ CATALOG: Dict[str, tuple] = {
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
     "period_scan": (q_period_scan, SQL_PERIOD_SCAN),
-    "burst_detect": (q_burst_detect, None),
+    "burst_detect": (q_burst_detect, SQL_BURST_DETECT),
     "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
     "lepage_test": (q_lepage_test, SQL_LEPAGE),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),

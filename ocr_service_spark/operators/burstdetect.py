@@ -57,7 +57,7 @@ def detect_bursts(
         "grp", (F.col("_sec") * 1_000_000).cast("long").alias("us")
     )
 
-    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def run(key, pdf):
         times = sorted(int(x) for x in pdf["us"].tolist())
         if len(times) < m_e:
             return pd.DataFrame(
