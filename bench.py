@@ -95,6 +95,8 @@ HEADLINE = [
     "mood_median",
     "bartlett_test",
     "deming_regression",
+    "hl_shift_ci",
+    "bland_altman",
     "runs_test",
     "jarque_bera",
     "ljung_box",
