@@ -23561,6 +23561,122 @@ SELECT 'planted' AS grp, CAST(0 AS BIGINT) AS burst_ix,
        CAST(200000000 AS BIGINT) AS span_us
 """
 
+
+def q_sen_slope_ci(spark, sf_dir):
+    """Sen's slope with distribution-free CI (operators/stats.py
+    sen_slope_ci) on the theilsen fixture (real daily series + clean
+    line + poisoned line) -- the uncertainty band the point slope
+    hides; the clean line pins a degenerate [7000, 7000] band.
+    Oracle replays the pair join, per-group slope ranks, the IEEE-
+    sqrt k and the symmetric order-statistic picks."""
+    from .operators.stats import sen_slope_ci
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+            .alias("day"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).alias("o"))
+        .distinct()
+    )
+    line = off.select(
+        F.lit("line").alias("grp"), F.col("o").alias("day"),
+        (F.lit(100) + 7 * F.col("o")).alias("x"),
+    )
+    poisoned = off.select(
+        F.lit("poisoned").alias("grp"), F.col("o").alias("day"),
+        F.when(F.col("o") % 5 == 0, F.lit(5000))
+        .otherwise(F.lit(50) + 3 * F.col("o")).alias("x"),
+    )
+    return sen_slope_ci(
+        daily.unionByName(line).unionByName(poisoned)
+    )
+
+
+SQL_SEN_SLOPE_CI = """
+WITH daily AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+line AS (
+  SELECT 'line' AS grp, o AS day, CAST(100 + 7 * o AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+poisoned AS (
+  SELECT 'poisoned' AS grp, o AS day,
+         CAST(CASE WHEN o % 5 = 0 THEN 5000 ELSE 50 + 3 * o END
+              AS BIGINT) AS x
+  FROM (SELECT DISTINCT doc_id % 30 AS o FROM documents)
+),
+d AS (
+  SELECT * FROM daily UNION ALL SELECT * FROM line
+  UNION ALL SELECT * FROM poisoned
+),
+pairs AS (
+  SELECT a.grp,
+         a.day * 1000000 + b.day AS pid,
+         (CASE WHEN b.x - a.x < 0 THEN -1
+               WHEN b.x - a.x > 0 THEN 1 ELSE 0 END)
+           * ((ABS(b.x - a.x) * 1000) // (b.day - a.day)) AS sl
+  FROM d a JOIN d b ON a.grp = b.grp AND a.day < b.day
+),
+ranked AS (
+  SELECT grp, sl,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY sl, pid)
+           AS rk
+  FROM pairs
+),
+tot AS (
+  SELECT p.grp, CAST(COUNT(*) AS BIGINT) AS np, g.n_points
+  FROM pairs p
+  JOIN (SELECT grp, CAST(COUNT(DISTINCT day) AS BIGINT)
+               AS n_points FROM d GROUP BY grp) g
+    ON g.grp = p.grp
+  GROUP BY p.grp, g.n_points
+),
+kk AS (
+  SELECT grp, np, n_points,
+         CAST(FLOOR((CAST(np AS DOUBLE)
+              - 1.96 * SQRT(CAST(n_points * (n_points - 1)
+                * (2 * n_points + 5) AS DOUBLE) / 18.0)) / 2.0)
+              AS BIGINT) AS k
+  FROM tot
+),
+med AS (
+  SELECT r.grp, r.sl AS slope_milli
+  FROM ranked r JOIN kk ON kk.grp = r.grp
+  WHERE r.rk = kk.np // 2 + 1
+),
+lo AS (
+  SELECT r.grp, r.sl AS ci_lo_milli
+  FROM ranked r JOIN kk ON kk.grp = r.grp
+  WHERE kk.k >= 1 AND r.rk = kk.k
+),
+hi AS (
+  SELECT r.grp, r.sl AS ci_hi_milli
+  FROM ranked r JOIN kk ON kk.grp = r.grp
+  WHERE kk.k >= 1 AND r.rk = kk.np + 1 - kk.k
+)
+SELECT kk.grp, kk.n_points, kk.np AS n_pairs,
+       CAST(CASE WHEN kk.k >= 1 THEN kk.k END AS BIGINT) AS k_rank,
+       med.slope_milli, lo.ci_lo_milli, hi.ci_hi_milli
+FROM kk
+LEFT JOIN med ON med.grp = kk.grp
+LEFT JOIN lo ON lo.grp = kk.grp
+LEFT JOIN hi ON hi.grp = kk.grp
+ORDER BY kk.grp
+"""
+
+
 CATALOG: Dict[str, tuple] = {
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
@@ -23980,6 +24096,7 @@ CATALOG: Dict[str, tuple] = {
     "deming_regression": (q_deming, SQL_DEMING),
     "hl_shift_ci": (q_hl_shift_ci, SQL_HL_CI),
     "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
+    "sen_slope_ci": (q_sen_slope_ci, SQL_SEN_SLOPE_CI),
     "gate_eval": (q_gate_eval, SQL_GATE_EVAL),
     "deepwalk_corpus": (q_deepwalk_corpus, SQL_DEEPWALK),
     "interval_point_join": (q_interval_point_join, SQL_INTERVAL_POINT),

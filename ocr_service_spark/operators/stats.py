@@ -6991,3 +6991,96 @@ def bland_altman(
         (F.col("bias_q3") + F.col("hw_q3")).cast("long")
         .alias("loa_hi_q3"),
     )
+
+
+def sen_slope_ci(
+    daily: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "day",
+    y_col: str = "x",
+    z_x10k: int = 19_600,
+) -> DataFrame:
+    """Sen's slope with its distribution-free CI — the uncertainty
+    band theilsen_trend's point slope hides, from the SAME pairwise-
+    slope set (the hl_shift_ci discipline applied to trends): rank
+    the N = pairs slopes, take the symmetric order statistics at
+
+        k = ⌊(N − z·√(n(n−1)(2n+5)/18))/2⌋,   lo = k-th smallest,
+        hi = (N+1−k)-th smallest   (Gilbert-style symmetric rule,
+        documented as THE convention here; k < 1 → NULL bounds)
+
+    where n = distinct x points per group (Kendall's untied Var(S)).
+    The single √ hop is IEEE-correctly-rounded; slopes live on the
+    sign-safe milli grid (the theilsen convention, tie-stable by
+    pair id). Pair count is window²-bounded per group, never corpus-
+    bounded.
+
+    Emits (grp, n_points, n_pairs, k_rank, slope_milli, ci_lo_milli,
+    ci_hi_milli)."""
+    d = daily.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.xv") < F.col("b.xv")),
+    ).select(
+        F.col("a.grp").alias("grp"),
+        (F.col("b.yv") - F.col("a.yv")).alias("dy"),
+        (F.col("b.xv") - F.col("a.xv")).alias("dx"),
+        (F.col("a.xv") * 1_000_000 + F.col("b.xv")).alias("pid"),
+    ).select(
+        "grp", "pid",
+        (
+            F.signum("dy").cast("long")
+            * F.expr("(abs(dy) * 1000) div dx")
+        ).alias("sl"),
+    )
+    w = Window.partitionBy("grp").orderBy("sl", "pid")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    per_g = d.groupBy("grp").agg(
+        F.countDistinct("xv").cast("long").alias("n_points")
+    )
+    tot = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    ).join(per_g, "grp").withColumn(
+        "k",
+        F.floor(
+            (
+                F.col("np").cast("double")
+                - (int(z_x10k) / 10_000.0)
+                * F.sqrt(
+                    (
+                        F.col("n_points") * (F.col("n_points") - 1)
+                        * (2 * F.col("n_points") + 5)
+                    ).cast("double") / 18.0
+                )
+            ) / 2.0
+        ).cast("long"),
+    )
+    j = ranked.join(F.broadcast(tot), "grp")
+    med = j.where(F.col("rk") == F.expr("np div 2 + 1")).select(
+        "grp", F.col("sl").alias("slope_milli")
+    )
+    lo = j.where((F.col("k") >= 1) & (F.col("rk") == F.col("k"))) \
+        .select("grp", F.col("sl").alias("ci_lo_milli"))
+    hi = j.where(
+        (F.col("k") >= 1)
+        & (F.col("rk") == F.col("np") + 1 - F.col("k"))
+    ).select("grp", F.col("sl").alias("ci_hi_milli"))
+    return (
+        tot.join(med, "grp", "left")
+        .join(lo, "grp", "left")
+        .join(hi, "grp", "left")
+        .select(
+            "grp", "n_points",
+            F.col("np").alias("n_pairs"),
+            F.when(F.col("k") >= 1, F.col("k")).cast("long")
+            .alias("k_rank"),
+            "slope_milli", "ci_lo_milli", "ci_hi_milli",
+        )
+        .orderBy("grp")
+    )

@@ -4079,3 +4079,55 @@ class TestBlandAltman:
             rows.append((base, base + s % 101 - 50))
         r = self._run(spark, rows)
         assert r["loa_hi_q3"] - r["loa_lo_q3"] > 80_000
+
+
+class TestSenSlopeCi:
+    def _run(self, spark, rows):
+        from ocr_service_spark.operators.stats import sen_slope_ci
+
+        df = spark.createDataFrame(rows, "grp string, day long, x long")
+        return {r["grp"]: r for r in
+                sen_slope_ci(df, "grp", "day", "x").collect()}
+
+    def test_twin_exact(self, spark):
+        import math
+
+        s, rows = 9, []
+        for t in range(40):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            rows.append(("g", t, 100 + 3 * t + s % 15))
+        n = 40
+        sl = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dy = rows[j][2] - rows[i][2]
+                dx = rows[j][1] - rows[i][1]
+                sgn = (dy > 0) - (dy < 0)
+                sl.append((sgn * (abs(dy) * 1000 // dx),
+                           rows[i][1] * 10**6 + rows[j][1]))
+        sl.sort()
+        N = len(sl)
+        c = 1.96 * math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+        k = math.floor((N - c) / 2.0)
+        r = self._run(spark, rows)["g"]
+        assert r["n_pairs"] == N and r["k_rank"] == k
+        assert r["slope_milli"] == sl[N // 2][0]
+        assert r["ci_lo_milli"] == sl[k - 1][0]
+        assert r["ci_hi_milli"] == sl[N - k][0]
+        # the true slope (3.000) is inside the band
+        assert r["ci_lo_milli"] <= 3_000 <= r["ci_hi_milli"]
+
+    def test_clean_line_tight_band(self, spark):
+        rows = [("g", t, 10 + 7 * t) for t in range(30)]
+        r = self._run(spark, rows)["g"]
+        assert r["slope_milli"] == 7_000
+        assert r["ci_lo_milli"] == 7_000
+        assert r["ci_hi_milli"] == 7_000
+
+    def test_groups_independent_and_tiny_null(self, spark):
+        rows = [("big", t, 5 * t) for t in range(25)]
+        rows += [("tiny", 0, 1), ("tiny", 1, 9)]
+        got = self._run(spark, rows)
+        assert got["big"]["ci_lo_milli"] == 5_000
+        assert got["tiny"]["k_rank"] is None
+        assert got["tiny"]["ci_lo_milli"] is None
