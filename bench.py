@@ -97,6 +97,7 @@ HEADLINE = [
     "deming_regression",
     "hl_shift_ci",
     "bland_altman",
+    "sen_slope_ci",
     "runs_test",
     "jarque_bera",
     "ljung_box",
