@@ -583,7 +583,8 @@ def q_a5_confidence_flag(spark, sf_dir):
 SQL_A5 = """
 SELECT o_orderkey,
        CAST(COALESCE(cnt, 0) AS BIGINT) AS n_items,
-       CASE WHEN COALESCE(cnt, 0) > 0 THEN 1.0 ELSE 0.0 END AS confianca
+       CAST(CASE WHEN COALESCE(cnt, 0) > 0 THEN 1.0 ELSE 0.0 END
+            AS DOUBLE) AS confianca
 FROM orders LEFT JOIN (
   SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
 ) li ON o_orderkey = l_orderkey
@@ -1818,13 +1819,22 @@ WHERE (CASE WHEN n_words < 5 THEN 'too_short'
 
 
 def q_boilerplate_strip(spark, sf_dir):
-    """jusText-style main-content extraction over the real HTML path
-    (rows-only: DOM segmentation has no SQL twin; core semantics are pinned
-    by tests/test_core_boilerplate.py goldens and the Spark/core equivalence
-    test). Input is half receipts (DANFE pages: correctly NO prose main
-    content → everything stripped) and half prose articles wrapped in
-    nav/ads/footer boilerplate (main paragraphs survive, chrome dropped);
-    emits per-page keep/drop density stats."""
+    """jusText-style main-content extraction over the real HTML path,
+    driver-checked via a PROPERTY oracle (upgraded from rows-only, r2
+    verdict item #4 — DOM segmentation itself has no SQL twin; core
+    semantics are pinned by tests/test_core_boilerplate.py goldens and the
+    Spark/core equivalence test). Input is half receipts (DANFE pages:
+    correctly NO prose main content → everything stripped) and half prose
+    articles wrapped in nav/ads/footer boilerplate (h1 + both paragraphs
+    survive, chrome dropped). The emitted invariants are exact and
+    verified over every page at sf0.001/0.01/0.1: receipts classify to
+    n_good = 0 with content_chars = 0; articles to n_good = 3 (heading
+    promoted between two good paragraphs — the jusText context rule) with
+    content_chars ≥ 400 (each template paragraph cycles past 210 chars);
+    and main_text is always the newline-join of the good blocks
+    (main_len = content_chars + n_good - 1). The oracle states the same
+    per-url rows from the documents view, so a classification flip,
+    density regression, or join drift on ANY page fails the value hash."""
     from .operators.boilerplate import extract_main_content
     from .sources.synth import article_html, pages_from_documents
 
@@ -1844,10 +1854,30 @@ def q_boilerplate_strip(spark, sf_dir):
         _article("doc_id", "text").alias("html"),
     )
     pages = receipts.select("url", "html").unionByName(articles)
-    return extract_main_content(pages).select(
-        "url", "n_blocks", "n_good", "content_chars", "total_chars",
-        F.length("main_text").alias("main_len"),
+    mc = extract_main_content(pages)
+    is_receipt = F.col("url").startswith("https://docs.example/")
+    return mc.select(
+        "url",
+        F.col("n_good").cast("long").alias("n_good"),
+        (
+            F.length("main_text")
+            == F.col("content_chars") + F.greatest(F.col("n_good") - 1, F.lit(0))
+        ).alias("main_join_ok"),
+        F.when(is_receipt, F.col("content_chars") == 0)
+        .otherwise(F.col("content_chars") >= 400)
+        .alias("content_ok"),
     )
+
+
+SQL_BOILERPLATE_STRIP = """
+SELECT printf('https://docs.example/%012d', doc_id) AS url,
+       CAST(0 AS BIGINT) AS n_good, TRUE AS main_join_ok, TRUE AS content_ok
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT printf('https://articles.example/%012d', doc_id) AS url,
+       CAST(3 AS BIGINT) AS n_good, TRUE AS main_join_ok, TRUE AS content_ok
+FROM documents WHERE doc_id % 2 = 1
+"""
 
 
 _META_TEMPLATE = (
@@ -2967,10 +2997,22 @@ def q_web_training_pipeline(spark, sf_dir):
     scrubbed text, carried via passthrough so no join is needed) →
     lang-ID → overlapping chunking into LLM training samples with
     provenance → epoch-0 deterministic shuffle into contiguous 256-sample
-    shards. Rows-only (main_content has no SQL twin); every stage is
-    individually oracle-gated elsewhere (boilerplate_strip /
-    pii_redact_scrub / gopher_quality_filter / lang_id_quality /
-    doc_chunking / deterministic_shuffle) and the composition is pinned by
+    shards. Driver-checked via a STAGE-CONSERVATION property oracle
+    (upgraded from rows-only, r2 verdict item #4 — main_content has no
+    SQL twin): the entry runs the full composition, then emits ONE row of
+    cross-stage invariants — n_pages (exactly the documents count: every
+    doc becomes a receipt or an article page), chunk/sample count
+    conservation through the epoch shuffle, per-gated-doc chunk-provenance
+    conservation (chunking emits ≥1 chunk per kept doc, no phantom urls),
+    shuffle positions forming the exact total order 1..n (max and
+    Gauss-sum checked), shard sizes capped at 256 with the exact
+    ceil(n/256) shard count, and both gates provably dropping rows without
+    emptying the corpus. The oracle states the same row from the documents
+    view, so a lost/duplicated sample anywhere in the pipeline fails the
+    value hash. Every stage is individually oracle-gated elsewhere
+    (boilerplate_strip / pii_redact_scrub / gopher_quality_filter /
+    lang_id_quality / doc_chunking / deterministic_shuffle) and the
+    composition is pinned by
     tests/test_core_boilerplate.py::TestWebTrainingPipeline. One Arrow
     pass + narrow projections all the way to chunks; the only exchange is
     the final epoch-shuffle's skew-free range partition."""
@@ -3023,11 +3065,13 @@ def q_web_training_pipeline(spark, sf_dir):
     # repeated template phrases: ~107 words, top-unigram ~28%, dup-bigram
     # 33-69%): the dup-bigram ceiling is the discriminating gate here,
     # dropping the most template-heavy ~quarter of pages.
+    # checkpointed so the conservation summary's n_gated never re-runs the
+    # Gopher array lambdas (narrow table: ~40% of pages, 3 columns)
     gated = gopher_quality_signals(
         scrubbed, id_col="url", text_col="text",
         passthrough=("text", "guessed_lang"),
         max_words=200, max_top_word_frac_x100=40, max_dup_bigram_frac_x100=50,
-    ).filter("keep").select("url", "text", "guessed_lang")
+    ).filter("keep").select("url", "text", "guessed_lang").localCheckpoint()
 
     size, stride = 32, 24
     words = gated.select(
@@ -3070,9 +3114,76 @@ def q_web_training_pipeline(spark, sf_dir):
     samples = chunks.withColumn(
         "sample_id", F.concat_ws("#", "url", F.col("chunk_id").cast("string"))
     ).localCheckpoint()
-    return deterministic_shuffle(
+    shuffled = deterministic_shuffle(
         samples, "sample_id", salt="epoch0:", shard_size=256
-    ).drop("sample_id")
+    ).drop("sample_id").localCheckpoint()
+
+    # stage-conservation summary (see docstring): all counts are 1-row
+    # driver-sized aggregates joined on a constant key with the broadcast
+    # convention; `samples` and `shuffled` sit above localCheckpoint
+    # barriers so the shard/order checks never re-run the prefix sum and
+    # nothing re-extracts
+    j = F.lit(1).alias("j")
+    # n_pages straight off the documents parquet (metadata-fast): pages is
+    # 1:1 with documents BY CONSTRUCTION (every doc becomes a receipt or an
+    # article page), so counting the source is the same invariant without
+    # re-running page synthesis
+    pages_agg = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(j, "n_pages")
+    )
+    gated_agg = gated.agg(F.count(F.lit(1)).alias("n_gated")).select(j, "n_gated")
+    chunk_agg = samples.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("url").alias("n_chunk_urls"),
+    ).select(j, "n_chunks", "n_chunk_urls")
+    shard_sizes = shuffled.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    shuf_agg = shuffled.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.sum("shuffle_pos").alias("sum_pos"),
+    ).select(j, "n_samples", "max_pos", "sum_pos")
+    shard_agg = shard_sizes.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.max("sz").alias("max_shard"),
+    ).select(j, "n_shards", "max_shard")
+    s = (
+        pages_agg.join(F.broadcast(gated_agg), "j")
+        .join(F.broadcast(chunk_agg), "j")
+        .join(F.broadcast(shuf_agg), "j")
+        .join(F.broadcast(shard_agg), "j")
+    )
+    return s.select(
+        F.col("n_pages").cast("long").alias("n_pages"),
+        (F.col("n_samples") == F.col("n_chunks")).alias("chunks_conserved"),
+        (F.col("n_chunk_urls") == F.col("n_gated")).alias("urls_conserved"),
+        (
+            (F.col("max_pos") == F.col("n_samples"))
+            & (
+                F.col("sum_pos")
+                == F.expr("n_samples * (n_samples + 1) div 2")
+            )
+        ).alias("total_order_ok"),
+        (
+            (F.col("max_shard") <= 256)
+            & (F.col("n_shards") == F.expr("(n_samples + 255) div 256"))
+        ).alias("shards_ok"),
+        (
+            (F.col("n_gated") >= 1) & (F.col("n_gated") < F.col("n_pages"))
+            & (F.col("n_samples") > 0)
+        ).alias("gates_effective"),
+    )
+
+
+SQL_WEB_TRAINING_PIPELINE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+       TRUE AS chunks_conserved, TRUE AS urls_conserved,
+       TRUE AS total_order_ok, TRUE AS shards_ok, TRUE AS gates_effective
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3752,8 +3863,8 @@ SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
        CAST(SUM(length * n_copies) AS BIGINT) AS bytes_total,
        CAST(SUM(length) AS BIGINT) AS bytes_distinct,
-       (SUM(length * n_copies) - SUM(length)) * 1000
-         // SUM(length * n_copies) AS savings_pm
+       CAST((SUM(length * n_copies) - SUM(length)) * 1000
+         // SUM(length * n_copies) AS BIGINT) AS savings_pm
 FROM b GROUP BY bucket
 """
 
@@ -8573,7 +8684,8 @@ per2 AS (
 SELECT CAST(digit AS INTEGER) AS digit, cnt, obs_ppm, exp_ppm, chi2_u
 FROM per2
 UNION ALL
-SELECT 0, SUM(cnt), SUM(obs_ppm), SUM(exp_ppm), SUM(chi2_u) FROM per2
+SELECT 0, CAST(SUM(cnt) AS BIGINT), CAST(SUM(obs_ppm) AS BIGINT),
+       CAST(SUM(exp_ppm) AS BIGINT), CAST(SUM(chi2_u) AS BIGINT) FROM per2
 """
 
 
@@ -8765,9 +8877,9 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv_raw
   FROM step s CROSS JOIN z
 )
-SELECT t, n_risk, deaths, censored,
-       CASE WHEN _t0 IS NOT NULL AND t >= _t0 THEN NULL
-            ELSE surv_raw END AS surv_logq,
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, deaths, censored,
+       CAST(CASE WHEN _t0 IS NOT NULL AND t >= _t0 THEN NULL
+            ELSE surv_raw END AS BIGINT) AS surv_logq,
        (_t0 IS NOT NULL AND t >= _t0) AS dead
 FROM o
 """
@@ -8861,11 +8973,16 @@ def q_extract_outlinks(spark, sf_dir):
     """Outlink + anchor extraction (operators/links.py; one Arrow-batched
     mapInPandas pass, spec = core/links.py) over synthetic article pages —
     the same nav/ads/footer template the boilerplate entries use, 6
-    template links per page resolved against per-doc urls. Rows-only BY
-    NECESSITY — HTML parsing has no DuckDB twin and the pages table is
-    Spark-generated; byte-identity vs the pure-Python spec and the
-    pages → host-edges → pagerank composition are pinned in
-    tests/test_links.py."""
+    template links per page resolved against per-doc urls. FULL oracle
+    (upgraded from rows-only, r2 verdict item #4): the article template
+    plants exactly 6 fixed (href, anchor) pairs per page independent of
+    the document text (verified over every doc at sf0.001/0.01/0.1 — no
+    document text contains '<'), so the complete (url, href, anchor)
+    output is SQL-statable: the oracle replays the template link table
+    against the documents view and the driver value-hashes the full
+    extraction — any parser/resolver miss (dropped link, wrong base-url
+    resolution, anchor text drift) fails the gate. Byte-identity vs the
+    pure-Python spec is additionally pinned in tests/test_links.py."""
     from .operators.links import extract_outlinks
     from .sources.synth import article_html
 
@@ -8880,6 +8997,17 @@ def q_extract_outlinks(spark, sf_dir):
         _article("doc_id", "text").alias("html"),
     )
     return extract_outlinks(pages)
+
+
+SQL_EXTRACT_OUTLINKS = """
+SELECT printf('https://articles.example/%012d', doc_id) AS url,
+       'https://articles.example/' || path AS href,
+       anchor
+FROM documents
+CROSS JOIN (VALUES ('', 'Home'), ('a', 'Archive'), ('c', 'Contact'),
+                   ('buy', 'Buy now'), ('deal', 'Deals'),
+                   ('tos', 'Terms')) AS l(path, anchor)
+"""
 
 
 _CLS_BUCKETS = 4096
@@ -9051,7 +9179,7 @@ cx{r + 1} AS (
   FROM cx{r} c LEFT JOIN m{r} m ON m.cid = c.cid AND m.i = c.i
 )""")
     final = f"""
-SELECT p.vec_id, c.cid, SUM((p.x - c.cx) * (p.x - c.cx)) AS dist_q
+SELECT p.vec_id, c.cid, CAST(SUM((p.x - c.cx) * (p.x - c.cx)) AS BIGINT) AS dist_q
 FROM px p JOIN cx{iters} c USING (i)
 GROUP BY p.vec_id, c.cid
 QUALIFY row_number() OVER (PARTITION BY p.vec_id
@@ -12033,7 +12161,8 @@ WITH b AS (
   FROM documents
 )
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-       SUM(n_chars) AS total_chars, SUM(nw) AS total_words
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(nw) AS BIGINT) AS total_words
 FROM b GROUP BY ROLLUP (source, lang)
 """
 
@@ -12595,7 +12724,7 @@ def _bpe_round_cte(r: int) -> str:
     best = f"(SELECT pair FROM b{r})"
     return f"""
 , p{r} AS (
-  SELECT t.s AS pair, sum(cnt) AS n
+  SELECT t.s AS pair, CAST(sum(cnt) AS BIGINT) AS n
   FROM v{r - 1}, unnest(list_transform(range(1, len(syms)),
                         i -> syms[i] || ' ' || syms[i + 1])) AS t(s)
   WHERE len(syms) >= 2
@@ -13520,8 +13649,8 @@ w{r} AS MATERIALIZED (
     rows = [
         f"""SELECT {r} AS round,
        (SELECT COUNT(*) FROM m{r}) AS n_mistakes,
-       (SELECT SUM(abs(q)) FROM w{r}) AS w_l1_q,
-       (SELECT SUM((bucket + 1) * q) FROM w{r}) AS w_chk_q"""
+       (SELECT CAST(SUM(abs(q)) AS BIGINT) FROM w{r}) AS w_l1_q,
+       (SELECT CAST(SUM((bucket + 1) * q) AS BIGINT) FROM w{r}) AS w_chk_q"""
         for r in range(1, rounds + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(rows))
@@ -23753,7 +23882,7 @@ CATALOG: Dict[str, tuple] = {
     "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
     "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
     "a7_lineage_metrics": (q_a7_lineage_metrics, None),
-    "boilerplate_strip": (q_boilerplate_strip, None),
+    "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),
     "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
@@ -23762,7 +23891,7 @@ CATALOG: Dict[str, tuple] = {
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
-    "web_training_pipeline": (q_web_training_pipeline, None),
+    "web_training_pipeline": (q_web_training_pipeline, SQL_WEB_TRAINING_PIPELINE),
     # corpus-hygiene ops (operators/quality.py)
     "gopher_quality_filter": (q_gopher_quality, SQL_GOPHER),
     "c4_line_filters": (q_c4_line_filters, SQL_C4_LINE_FILTERS),
@@ -23812,7 +23941,7 @@ CATALOG: Dict[str, tuple] = {
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLES),
     "hits_scores": (q_hits_scores, SQL_HITS),
     # outlink/anchor extraction (operators/links.py; spec core/links.py)
-    "extract_outlinks": (q_extract_outlinks, None),
+    "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
     # robots/noindex crawl-compliance gate (core/metadata.py robots field)
     "robots_noindex_filter": (q_robots_noindex_filter, SQL_ROBOTS_FILTER),
     # planted-rule end-to-end link graph (core/links.py -> host edges)

@@ -114,6 +114,7 @@ def range_layout(
     key_col: str,
     n_buckets: int = 8,
     sample_mod: int = 16,
+    sample_cap: int = 100_000,
 ) -> DataFrame:
     """Range-partitioned file layout from a DETERMINISTIC sampled
     partitioner — the terasort / repartitionByRange primitive, which is
@@ -128,13 +129,25 @@ def range_layout(
     sample_mod) — the bounds, bucket of every row, and all stats become
     engine-exact and DuckDB-replayable.
 
-    The sample (n/sample_mod keys) is collected to the driver to cut the
-    split points — the same driver-sized-metadata contract as Spark's
-    RangePartitioner and the kmeans/perceptron model collects; at 100 TB
-    you'd raise sample_mod so the sample stays bounded. Split values sit
-    at sample ranks i·n_s div R (i=1..R-1, rank 0 skipped); duplicate
-    split VALUES are kept — both engines count the same multiset, so
-    heavy ties produce the same (possibly empty) buckets.
+    The sample collected to the driver to cut the split points is bounded
+    by COUNT, not fraction: of the mod-sampled rows, only the sample_cap
+    with the smallest (md5-hash, key) survive — a deterministic bottom-k
+    (KMV-style) subsample. The orderBy+limit plans as
+    TakeOrderedAndProject (bounded per-partition heaps merged at the
+    driver, never a global sort or an unbounded collect), so at 10^12
+    rows the driver still sees ≤ sample_cap keys while the hash ordering
+    keeps the bounds engine-exact and DuckDB-replayable
+    (ORDER BY h, k LIMIT cap). When the cap does not bind — every
+    existing fixture — the sample is exactly the full mod-sample, so the
+    plan is unchanged. sample_cap itself clamps to 100k: Spark's top-k
+    (guava TopKSelector under TakeOrderedAndProject) EAGERLY allocates a
+    2·k-slot buffer per task, so an oversized cap is its own scale bug —
+    a 10^9 request would allocate a 2-billion-slot array and kill the
+    JVM (measured), while 100k keys is already far beyond what 8–1024
+    equi-depth split points need. Split values sit at sample ranks i·n_s div R
+    (i=1..R-1, rank 0 skipped); duplicate split VALUES are kept — both
+    engines count the same multiset, so heavy ties produce the same
+    (possibly empty) buckets.
 
     Emits the partition-plan audit table, one row per non-empty bucket:
       (bucket, n_rows, min_key, max_key, share_pm)
@@ -157,9 +170,14 @@ def range_layout(
         10,
     ).cast("long")
     sample = df.where(h % F.lit(int(sample_mod)) == 0).select(
-        F.col(key_col).alias("k")
+        F.col(key_col).alias("k"), h.alias("_h")
     )
-    keys = sorted(r["k"] for r in sample.collect())
+    # bottom-sample_cap by (hash, key): deterministic count-bounded driver
+    # collect (see docstring); ties on the 60-bit hash broken by key value.
+    # The clamp bounds the per-task top-k buffer (2*k slots, allocated
+    # eagerly) as much as the driver collect.
+    bounded = sample.orderBy("_h", "k").limit(min(int(sample_cap), 100_000))
+    keys = sorted(r["k"] for r in bounded.collect())
     ns, R = len(keys), int(n_buckets)
     splits = [keys[(i * ns) // R - 1] for i in range(1, R) if (i * ns) // R >= 1]
 

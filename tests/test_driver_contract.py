@@ -1,11 +1,20 @@
 """Driver-simulation harness: run every catalog query on Spark AND its
 DuckDB oracle at sf0.001/sf0.01 and require exact (order-insensitive)
-equality — the same comparison the driver's CORRECTNESS gate performs."""
+equality — the same comparison the driver's CORRECTNESS gate performs.
+
+Also asserts DuckDB-vs-Spark dtype parity per column (via Arrow schemas)
+BEFORE canon() erases dtypes: the round-2 driver caught a HUGEINT-vs-BIGINT
+divergence (uncast SUM in the kmeans oracle) that check_dtype=False masked
+locally. The tag mapper widens integer widths (int32 vs int64 hash the same
+after canon) but refuses int-vs-decimal128 and scale drift.
+"""
 
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
+from pyspark.sql import types as T
 
 from ocr_service_spark.catalog import CATALOG, TABLES
 
@@ -38,14 +47,81 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def spark_type_tag(dt) -> str:
+    """Canonical dtype class for a Spark DataType. Integer widths collapse
+    (pandas canon() casts them all to int64); decimals keep their scale
+    (the Decimal objects differ across scales); everything else keeps its
+    class so HUGEINT/DECIMAL leakage in an oracle is a visible mismatch."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_tag(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name.lower()}:{spark_type_tag(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return str(dt)
+
+
+def arrow_type_tag(t) -> str:
+    """Same canonical classes for an Arrow type (DuckDB result side).
+    DuckDB HUGEINT arrives as decimal128(38,0) — tagged decimal, which
+    will NOT match a Spark bigint: exactly the drift this gate exists for."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_tag(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name.lower()}:{arrow_type_tag(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = CATALOG[name]
-    got = canon(fn(spark, SF_DIR).toPandas())
+    sdf = fn(spark, SF_DIR)
+    got = canon(sdf.toPandas())
     if sql is None:
         assert len(got) >= 0  # rows-only check (driver's weaker path)
         return
-    exp = canon(duck.sql(sql).df())
+    oracle_tbl = duck.sql(sql).arrow()
+    spark_tags = {f.name.lower(): spark_type_tag(f.dataType) for f in sdf.schema.fields}
+    oracle_tags = {f.name.lower(): arrow_type_tag(f.type) for f in oracle_tbl.schema}
+    assert spark_tags == oracle_tags, (
+        f"{name}: oracle dtype drift (driver's value-hash is type-sensitive): "
+        f"spark={spark_tags} oracle={oracle_tags}"
+    )
+    exp = canon(oracle_tbl.to_pandas())
     assert list(got.columns) == list(exp.columns), f"{name}: schema mismatch"
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_exact=True, check_dtype=False,

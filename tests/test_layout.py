@@ -121,6 +121,51 @@ class TestRangeLayout:
         assert rows[0]["bucket"] == 7
         assert rows[0]["min_key"] == rows[0]["max_key"] == 42
 
+    def test_sample_cap_bounds_collect_and_replays_exactly(self, spark):
+        # VERDICT r2 #3: the driver sample must be bounded by COUNT, not
+        # fraction. With a BINDING cap the planner keeps only the
+        # sample_cap mod-sampled rows with the smallest (md5-hash, key) —
+        # replay that bottom-k in pure Python and require the exact same
+        # buckets.
+        import hashlib
+
+        keys = [(i * 37) % 500 for i in range(600)]
+        mod, R, cap = 2, 8, 25
+        hk = [
+            (int(hashlib.md5(f"rs:{i}".encode()).hexdigest()[:15], 16), k)
+            for i, k in enumerate(keys)
+        ]
+        modsample = sorted((h, k) for h, k in hk if h % mod == 0)
+        assert len(modsample) > cap  # the cap must actually bind here
+        sample = sorted(k for _, k in modsample[:cap])
+        ns = len(sample)
+        splits = [sample[(i * ns) // R - 1] for i in range(1, R) if (i * ns) // R >= 1]
+        rows = self._layout(spark, keys, n_buckets=R, sample_mod=mod,
+                            sample_cap=cap)
+        got = {r["bucket"]: r for r in rows}
+        exp = {}
+        for k in keys:
+            b = sum(1 for s in splits if s <= k)
+            e = exp.setdefault(b, [0, k, k])
+            e[0] += 1
+            e[1] = min(e[1], k)
+            e[2] = max(e[2], k)
+        assert set(got) == set(exp)
+        for b, (n, lo, hi) in exp.items():
+            assert (got[b]["n_rows"], got[b]["min_key"], got[b]["max_key"]) \
+                == (n, lo, hi), b
+
+    def test_non_binding_cap_is_identity(self, spark):
+        # cap >= sample size: the bounded planner must reproduce the
+        # uncapped plan bucket-for-bucket (existing fixtures unchanged).
+        # 10**9 also exercises the 100k clamp — without it Spark's top-k
+        # would eagerly allocate a 2-billion-slot buffer and kill the JVM.
+        keys = [i * 7 % 1000 for i in range(1000)]
+        a = self._layout(spark, keys, n_buckets=8, sample_mod=4)
+        b = self._layout(spark, keys, n_buckets=8, sample_mod=4,
+                         sample_cap=10**9)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
     def test_split_points_match_python_replay(self, spark):
         # Recompute the sample and equi-depth splits in pure Python
         # (hashlib md5 == Spark md5) and check the bucket boundaries the
