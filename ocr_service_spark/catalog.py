@@ -3012,10 +3012,79 @@ def q_web_training_pipeline(spark, sf_dir):
     value hash. Every stage is individually oracle-gated elsewhere
     (boilerplate_strip / pii_redact_scrub / gopher_quality_filter /
     lang_id_quality / doc_chunking / deterministic_shuffle) and the
-    composition is pinned by
-    tests/test_core_boilerplate.py::TestWebTrainingPipeline. One Arrow
-    pass + narrow projections all the way to chunks; the only exchange is
-    the final epoch-shuffle's skew-free range partition."""
+    composition is pinned at the chunk level by
+    tests/test_core_boilerplate.py::TestWebTrainingPipeline (which drives
+    _web_training_stages directly). One Arrow pass + narrow projections
+    all the way to chunks; the only exchange is the final epoch-shuffle's
+    skew-free range partition."""
+    gated, samples, shuffled = _web_training_stages(spark, sf_dir)
+
+    # stage-conservation summary (see docstring): all counts are 1-row
+    # driver-sized aggregates joined on a constant key with the broadcast
+    # convention; `samples` and `shuffled` sit above localCheckpoint
+    # barriers so the shard/order checks never re-run the prefix sum and
+    # nothing re-extracts
+    j = F.lit(1).alias("j")
+    # n_pages straight off the documents parquet (metadata-fast): pages is
+    # 1:1 with documents BY CONSTRUCTION (every doc becomes a receipt or an
+    # article page), so counting the source is the same invariant without
+    # re-running page synthesis
+    pages_agg = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(j, "n_pages")
+    )
+    gated_agg = gated.agg(F.count(F.lit(1)).alias("n_gated")).select(j, "n_gated")
+    chunk_agg = samples.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("url").alias("n_chunk_urls"),
+    ).select(j, "n_chunks", "n_chunk_urls")
+    shard_sizes = shuffled.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    shuf_agg = shuffled.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.sum("shuffle_pos").alias("sum_pos"),
+    ).select(j, "n_samples", "max_pos", "sum_pos")
+    shard_agg = shard_sizes.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.max("sz").alias("max_shard"),
+    ).select(j, "n_shards", "max_shard")
+    s = (
+        pages_agg.join(F.broadcast(gated_agg), "j")
+        .join(F.broadcast(chunk_agg), "j")
+        .join(F.broadcast(shuf_agg), "j")
+        .join(F.broadcast(shard_agg), "j")
+    )
+    return s.select(
+        F.col("n_pages").cast("long").alias("n_pages"),
+        (F.col("n_samples") == F.col("n_chunks")).alias("chunks_conserved"),
+        (F.col("n_chunk_urls") == F.col("n_gated")).alias("urls_conserved"),
+        (
+            (F.col("max_pos") == F.col("n_samples"))
+            & (
+                F.col("sum_pos")
+                == F.expr("n_samples * (n_samples + 1) div 2")
+            )
+        ).alias("total_order_ok"),
+        (
+            (F.col("max_shard") <= 256)
+            & (F.col("n_shards") == F.expr("(n_samples + 255) div 256"))
+        ).alias("shards_ok"),
+        (
+            (F.col("n_gated") >= 1) & (F.col("n_gated") < F.col("n_pages"))
+            & (F.col("n_samples") > 0)
+        ).alias("gates_effective"),
+    )
+
+
+def _web_training_stages(spark, sf_dir):
+    """The web-training composition's live stage handles: returns
+    (gated, samples, shuffled) DataFrames — gated pages after the Gopher
+    gate, chunked training samples, and the epoch-0 shuffled/sharded
+    output. q_web_training_pipeline folds these into the one-row
+    conservation summary; the chunk-level tests drive them directly."""
     from .functions import sql_analogs  # noqa: F401  (session consistency)
     from .operators import textstats as ts
     from .operators.boilerplate import extract_main_content
@@ -3117,65 +3186,7 @@ def q_web_training_pipeline(spark, sf_dir):
     shuffled = deterministic_shuffle(
         samples, "sample_id", salt="epoch0:", shard_size=256
     ).drop("sample_id").localCheckpoint()
-
-    # stage-conservation summary (see docstring): all counts are 1-row
-    # driver-sized aggregates joined on a constant key with the broadcast
-    # convention; `samples` and `shuffled` sit above localCheckpoint
-    # barriers so the shard/order checks never re-run the prefix sum and
-    # nothing re-extracts
-    j = F.lit(1).alias("j")
-    # n_pages straight off the documents parquet (metadata-fast): pages is
-    # 1:1 with documents BY CONSTRUCTION (every doc becomes a receipt or an
-    # article page), so counting the source is the same invariant without
-    # re-running page synthesis
-    pages_agg = (
-        load(spark, sf_dir, "documents")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-        .select(j, "n_pages")
-    )
-    gated_agg = gated.agg(F.count(F.lit(1)).alias("n_gated")).select(j, "n_gated")
-    chunk_agg = samples.agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.countDistinct("url").alias("n_chunk_urls"),
-    ).select(j, "n_chunks", "n_chunk_urls")
-    shard_sizes = shuffled.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    shuf_agg = shuffled.agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.max("shuffle_pos").alias("max_pos"),
-        F.sum("shuffle_pos").alias("sum_pos"),
-    ).select(j, "n_samples", "max_pos", "sum_pos")
-    shard_agg = shard_sizes.agg(
-        F.count(F.lit(1)).alias("n_shards"),
-        F.max("sz").alias("max_shard"),
-    ).select(j, "n_shards", "max_shard")
-    s = (
-        pages_agg.join(F.broadcast(gated_agg), "j")
-        .join(F.broadcast(chunk_agg), "j")
-        .join(F.broadcast(shuf_agg), "j")
-        .join(F.broadcast(shard_agg), "j")
-    )
-    return s.select(
-        F.col("n_pages").cast("long").alias("n_pages"),
-        (F.col("n_samples") == F.col("n_chunks")).alias("chunks_conserved"),
-        (F.col("n_chunk_urls") == F.col("n_gated")).alias("urls_conserved"),
-        (
-            (F.col("max_pos") == F.col("n_samples"))
-            & (
-                F.col("sum_pos")
-                == F.expr("n_samples * (n_samples + 1) div 2")
-            )
-        ).alias("total_order_ok"),
-        (
-            (F.col("max_shard") <= 256)
-            & (F.col("n_shards") == F.expr("(n_samples + 255) div 256"))
-        ).alias("shards_ok"),
-        (
-            (F.col("n_gated") >= 1) & (F.col("n_gated") < F.col("n_pages"))
-            & (F.col("n_samples") > 0)
-        ).alias("gates_effective"),
-    )
+    return gated, samples, shuffled
 
 
 SQL_WEB_TRAINING_PIPELINE = """
@@ -20427,10 +20438,19 @@ def q_gale_church_align(spark, sf_dir):
     gale_church_align) over planted pseudo-parallel pairs: side A is
     each real document chunked into 8-word pseudo-sentences, side B
     the same chunks with the FIRST TWO merged — so every pair's
-    alignment must open with a 2-1 bead and continue 1-1 (pinned in
-    tests/test_bitext.py). Rows-only by design: the alignment is a
-    per-pair dynamic program (core/galechurch.py is the pure-Python
-    spec) with no SQL twin — the inherently-non-SQL set."""
+    alignment must open with a 2-1 bead and continue 1-1. FULL oracle
+    on the bead structure (upgraded from rows-only, r2 verdict item
+    #4): the planted construction makes the DP's optimal path provably
+    unique — bead 0 merges sentences 0-1 against B's merged head, every
+    later bead matches identical text 1-1 at zero length cost — and
+    this was verified bead-for-bead against core/galechurch.py over
+    EVERY document at sf0.001/0.01/0.1 (zero deviations). The oracle
+    replays the chunking and states the closed-form bead table
+    (indices, spans, and both bead texts), so a DP regression on any
+    pair fails the value hash. The float DP cost itself (cost_centi,
+    log-normal terms — not oracle-safe per the CLAUDE.md float tiers)
+    is excluded here and stays pinned by the pure-Python differential
+    in tests/test_bitext.py."""
     from .operators.bitext import gale_church_align
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -20456,7 +20476,37 @@ def q_gale_church_align(spark, sf_dir):
             " slice(sents_a, 3, size(sents_a) - 2))"
         ).alias("sents_b"),
     )
-    return gale_church_align(pairs).orderBy("pair_id", "bead_ix")
+    return gale_church_align(pairs).select(
+        "pair_id", "bead_ix", "a_start", "a_len", "b_start", "b_len",
+        "a_text", "b_text",
+    )
+
+
+SQL_GALE_CHURCH = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS INT) AS n
+  FROM w WHERE len(ws) >= 16
+), s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1),
+           i -> array_to_string(ws[(8 * i + 1):(8 * i + 8)], ' ')) AS sa
+  FROM f
+)
+SELECT doc_id AS pair_id, CAST(0 AS INT) AS bead_ix,
+       CAST(0 AS INT) AS a_start, CAST(2 AS INT) AS a_len,
+       CAST(0 AS INT) AS b_start, CAST(1 AS INT) AS b_len,
+       sa[1] || ' ' || sa[2] AS a_text, sa[1] || ' ' || sa[2] AS b_text
+FROM s
+UNION ALL
+SELECT doc_id, CAST(k AS INT), CAST(k + 1 AS INT), CAST(1 AS INT),
+       CAST(k AS INT), CAST(1 AS INT), sa[k + 2], sa[k + 2]
+FROM s, LATERAL unnest(generate_series(1, n - 2)) AS t(k)
+WHERE n >= 3
+"""
 
 
 def q_eb_shrunk_rates(spark, sf_dir):
@@ -24176,7 +24226,7 @@ CATALOG: Dict[str, tuple] = {
     "ccf_lags": (q_ccf_lags, SQL_CCF),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1),
     "conformal_threshold": (q_conformal_threshold, SQL_CONFORMAL),
-    "gale_church_align": (q_gale_church_align, None),
+    "gale_church_align": (q_gale_church_align, SQL_GALE_CHURCH),
     "eb_shrunk_rates": (q_eb_shrunk_rates, SQL_EB_SHRUNK),
     "sprt_monitor": (q_sprt_monitor, SQL_SPRT),
     "silhouette_clusters": (q_silhouette, SQL_SILHOUETTE),

@@ -84,6 +84,12 @@ def bpe_train(
     # R=6). The checkpoint is vocab-sized, the thing BPE trains on.
     vocab = wf.select("word", "cnt", chars.alias("syms")).localCheckpoint()
     merges: List[Tuple[int, str, int]] = []
+    # Job-count budget: ONE Spark job per merge step (the argmax collect),
+    # inherent to BPE's sequential argmax — step r's counts depend on step
+    # r-1's merge. Each job scans only the checkpointed vocab (dict-sized,
+    # corpus-independent), so the budget is R vocab-scans for R merges; at
+    # production vocab sizes (R ≈ 30k) you'd batch via the max-heap trick
+    # (recount only pairs adjacent to the last merge), not per-step jobs.
     for step in range(1, n_merges + 1):
         best = (
             _pair_counts(vocab)

@@ -30,8 +30,13 @@ BEFORE any arithmetic (floor(e * 1000) — the repo convention for float
 columns under the value-hash gate, see operators/lm.py / CLAUDE.md).
 Distances are integer sums (d=64 dims × (2·1000)^2 ≈ 2.6e8 « 2^63); ties
 break to the LOWEST cluster id via min(struct(dist, cid)); centroid means
-use truncating integer division (Spark `div` ≡ DuckDB `//`, both
-round toward zero — verified); a cluster that loses all members keeps its
+use truncating integer division on NON-NEGATIVE operands only (sums of
+grid values ≥ 0 divided by counts > 0), where Spark `div` and DuckDB `//`
+provably agree; for possibly-negative numerators the two DIFFER (`div`
+truncates toward zero; DuckDB 1.x `//` floors for DECIMAL/DOUBLE operands
+and truncates only for integer ones — this build's integer `-7 // 2 = -3`
+is version-pinned behavior, not a guarantee) and the CLAUDE.md sign-split
+rule applies; a cluster that loses all members keeps its
 previous centroid (both engines apply the same COALESCE rule).
 """
 

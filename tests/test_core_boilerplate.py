@@ -204,9 +204,12 @@ class TestWebTrainingPipeline:
         """pages → main-content → quality gate → chunks: every article
         yields ≥1 chunk whose words come from its own main text; receipts
         (no prose) yield none; chunk windows tile with stride 24."""
-        from ocr_service_spark.catalog import q_web_training_pipeline
+        from ocr_service_spark.catalog import _web_training_stages
 
-        out = q_web_training_pipeline(spark, "/root/testdata/sf0.001").toPandas()
+        _gated, _samples, shuffled = _web_training_stages(
+            spark, "/root/testdata/sf0.001"
+        )
+        out = shuffled.toPandas()
         assert len(out) > 0
         assert out["url"].str.startswith("https://articles.example/").all()
         assert (out["n_words"] > 0).all()
@@ -222,6 +225,23 @@ class TestWebTrainingPipeline:
         # are contiguous 256-sample ranges (last one ragged)
         assert sorted(out["shuffle_pos"]) == list(range(1, len(out) + 1))
         assert (out["shard_id"] == (out["shuffle_pos"] - 1) // 256).all()
+
+    def test_conservation_summary_all_green(self, spark):
+        """The catalog entry's one-row stage-conservation summary: every
+        invariant TRUE and n_pages = documents count (the driver oracle's
+        exact expected row)."""
+        import pandas as pd
+
+        from ocr_service_spark.catalog import q_web_training_pipeline
+
+        out = q_web_training_pipeline(spark, "/root/testdata/sf0.001").toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        n_docs = len(pd.read_parquet("/root/testdata/sf0.001/documents.parquet"))
+        assert row["n_pages"] == n_docs
+        for c in ("chunks_conserved", "urls_conserved", "total_order_ok",
+                  "shards_ok", "gates_effective"):
+            assert bool(row[c]), c
 
 
 class TestSparkEquivalence:
