@@ -8,9 +8,13 @@ Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
      "queries": {"q1": sec, ...}, "sf": <float>, ...}
 
 Extraction throughput (the authoritative BASELINE.json metric — docs/sec and
-MB/sec over Common-Crawl-style pages) is measured over the deterministic
-synthetic pages generator (sources/synth.py): same seed => byte-identical
-input at every parallelism level, generated distributed (never collected).
+MB/sec over Common-Crawl-style pages) is measured over a pre-materialized
+parquet pages table built from the deterministic synthetic generator
+(sources/synth.py, seed 42 => byte-identical input at every parallelism
+level): the timed job is scan -> salted repartition -> extract UDF, the
+north-rule input shape and the same job scalingbench times. Generation is
+untimed (materialized once to /dev/shm); the legacy generator-in-job wall
+is additionally reported as extract_inline_* for r1/r2 comparability.
 
 Scaling mode (north_rule evidence, sandbox protocol):
     python bench.py --extract-only --cores 8  --docs 24000
@@ -51,30 +55,48 @@ def run_df(df) -> int:
 
 
 def bench_extraction(spark, n_docs: int, seed: int = 42):
-    """Flagship: synth pages -> skew-balanced repartition -> extract UDF.
+    """Flagship: pages TABLE scan -> skew-balanced repartition -> extract UDF.
 
-    Returns (wall_s, docs, mb). Input bytes are measured on the same
-    deterministic generator in a separate pass (not timed)."""
+    Returns (wall_s, docs, mb, inline_wall_s).
+
+    r3 methodology fix: the timed job scans a pre-materialized parquet
+    pages table (materialization untimed) — the north-rule input shape (an
+    Iceberg-style TABLE of Common-Crawl pages, not an in-job generator)
+    and the exact protocol ocr_service_spark/scalingbench.py already uses,
+    so the embedded scaling pair and the throughput number now measure the
+    same job. Generation was measured at ~45% of the old timed wall
+    (1.21s of 2.72s at 96k docs — BENCH/BASELINE.md RUN8), i.e. the old
+    number under-reported extraction throughput by ~1.8x. The legacy
+    generator-in-job wall is still measured and reported
+    (extract_inline_* in the JSON) for r1/r2 comparability."""
     from pyspark.sql import functions as F
 
     from ocr_service_spark.plans.pipeline import run_extraction
     from ocr_service_spark.sources.synth import synth_pages
 
+    path = f"/dev/shm/spark-bench-pages-{n_docs}-{seed}"
+    if not os.path.isdir(path):
+        synth_pages(spark, n_docs, seed=seed).write.mode(
+            "overwrite").parquet(path)
+    pages = spark.read.parquet(path).select("url", "html")
+    stats = pages.agg(
+        F.count(F.lit(1)).alias("docs"),
+        (F.sum(F.length("html")) / 1e6).alias("mb"),
+    ).collect()[0]
+
     # Warmup: spawn/JIT the Python workers and codegen on a small slice so
     # the timed run measures steady-state throughput, not fixed startup.
-    run_df(run_extraction(synth_pages(spark, max(500, n_docs // 20), seed=seed + 1)))
+    run_df(run_extraction(pages.limit(max(500, n_docs // 20))))
 
-    pages = synth_pages(spark, n_docs, seed=seed)
     t0 = time.monotonic()
     run_df(run_extraction(pages))
     wall = time.monotonic() - t0
-    stats = (
-        synth_pages(spark, n_docs, seed=seed)
-        .agg(F.count(F.lit(1)).alias("docs"),
-             (F.sum(F.length("html")) / 1e6).alias("mb"))
-        .collect()[0]
-    )
-    return wall, int(stats["docs"]), float(stats["mb"])
+
+    # legacy r1/r2 measurement: deterministic generator inside the timed job
+    t0 = time.monotonic()
+    run_df(run_extraction(synth_pages(spark, n_docs, seed=seed)))
+    inline_wall = time.monotonic() - t0
+    return wall, int(stats["docs"]), float(stats["mb"]), inline_wall
 
 
 # Headline catalog queries: relational core + windows + training-data ops.
@@ -447,7 +469,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_start = time.monotonic()
 
-    ex_wall, ex_docs, ex_mb = bench_extraction(spark, n_docs)
+    ex_wall, ex_docs, ex_mb, ex_inline_wall = bench_extraction(spark, n_docs)
     timings["extract_pages_flagship"] = round(ex_wall, 3)
 
     if not args.extract_only:
@@ -486,6 +508,11 @@ def main() -> None:
         "extract_mb": round(ex_mb, 2),
         "extract_docs_per_sec": round(ex_docs / ex_wall, 2),
         "extract_mb_per_sec": round(ex_mb / ex_wall, 3),
+        # legacy r1/r2 methodology (generator inside the timed job) for
+        # round-over-round comparability; the table-scan number above is
+        # the authoritative one (north-rule input shape)
+        "extract_inline_wall": round(ex_inline_wall, 3),
+        "extract_inline_docs_per_sec": round(ex_docs / ex_inline_wall, 2),
     }
     spark.stop()
 
