@@ -4640,16 +4640,56 @@ FROM c GROUP BY 1
 
 
 def q_compression_ratio(spark, sf_dir):
-    """DEFLATE compressibility profile + band per document
-    (operators/compress.py — Arrow-batched map stage; zlib has no SQL
-    builtin so the driver check is rows-only BY NECESSITY; exactness is
-    pinned by the pytest differential against the shared pure-Python core
-    spec, tests/test_compress.py)."""
+    """DEFLATE compressibility profile per document (operators/compress.py
+    — Arrow-batched map stage), driver-checked via a PROPERTY oracle
+    (upgraded from rows-only, r2 verdict item #4 — zlib itself has no SQL
+    builtin; raw n_compressed stays pinned by the pytest differential
+    against the shared pure-Python core spec, tests/test_compress.py).
+    The operator runs three times — on each doc's text, its 2x repeat,
+    and its 8x repeat — and the entry emits per-doc invariants that are
+    exact for every document ≥ 200 bytes (verified over all docs at
+    sf0.001/0.01/0.1, zero violations): natural text compresses
+    (nc < n_bytes), DEFLATE's window detects the doubled text
+    (nc2 < 2·nc − 8) and stays monotone (nc2 ≥ nc), and the 8x repeat
+    lands in the 'repetitive' band (the curation gate's raison d'être).
+    n_bytes itself is emitted and checked exactly (DuckDB strlen = utf-8
+    bytes); sub-200-byte docs pass trivially via the same guard on both
+    sides."""
     from .operators.compress import compression_stats
 
     docs = load(spark, sf_dir, "documents")
-    return compression_stats(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), "n_bytes", "n_compressed", "band")
+    d1 = compression_stats(docs, "doc_id", "text")
+    d2 = compression_stats(
+        docs.select("doc_id", F.concat("text", "text").alias("text")),
+        "doc_id", "text",
+    ).select(F.col("id"), F.col("n_compressed").alias("nc2"))
+    d8 = compression_stats(
+        docs.select("doc_id", F.repeat("text", 8).alias("text")),
+        "doc_id", "text",
+    ).select(F.col("id"), F.col("band").alias("band8"))
+    small = F.col("n_bytes") < 200
+    return (
+        d1.join(d2, "id").join(d8, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            (small | (F.col("n_compressed") < F.col("n_bytes")))
+            .alias("compresses_ok"),
+            (small | (F.col("nc2") < 2 * F.col("n_compressed") - 8))
+            .alias("dup_detect_ok"),
+            (small | (F.col("nc2") >= F.col("n_compressed")))
+            .alias("dup_monotone_ok"),
+            (small | (F.col("band8") == "repetitive")).alias("rep_band_ok"),
+        )
+    )
+
+
+SQL_COMPRESSION_RATIO = """
+SELECT doc_id, CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+       TRUE AS compresses_ok, TRUE AS dup_detect_ok,
+       TRUE AS dup_monotone_ok, TRUE AS rep_band_ok
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -23967,7 +24007,7 @@ CATALOG: Dict[str, tuple] = {
     "url_spam_filter": (q_url_spam_filter, SQL_URL_SPAM),
     "word_rarity_stats": (q_word_rarity, SQL_WORD_RARITY),
     "quantile_threshold_filter": (q_quantile_threshold_filter, SQL_QUANTILE_FILTER),
-    "compression_ratio_stats": (q_compression_ratio, None),
+    "compression_ratio_stats": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     # repetition removal (operators/linedup.py)
     "line_dedup_within_doc": (q_line_dedup_within_doc, SQL_LINE_DEDUP),
