@@ -469,13 +469,44 @@ FROM lineitem
 
 
 def q_a7_lineage_metrics(spark, sf_dir):
-    """A7: per-partition lineage/metrics sidecar over the flagship extraction
-    (rows-only: partition ids are an engine-physical concept)."""
+    """A7: per-partition lineage/metrics sidecar over the flagship
+    extraction, driver-checked via its ROLLUP property oracle (upgraded
+    from rows-only, r2 verdict item #4 pattern): the sidecar's rows are
+    keyed by physical partition id — engine-physical and inherently
+    non-replayable — but their rollup is exact and planted: docs conserve
+    to the documents count (pages are 1:1 with documents), failures to
+    the generator's error classes (is_error holds for EXACTLY
+    doc_id % 100 ∈ {83..87, 91..98} — empty payloads, undecodable PDF,
+    random bytes, JPEG magic; verified over 5000 consecutive ids), every
+    partition reports status 'done', payload bytes are positive, and the
+    partition count respects the parallelism bound. A lost partition,
+    dropped error row, or metrics drift breaks the value hash; the
+    per-partition detail stays exercised (the rollup aggregates the real
+    sidecar output) and covered by test_spark_pipeline."""
     from .operators.lineage import partition_metrics
     from .plans.pipeline import run_extraction
     from .sources.synth import pages_from_documents
     results = run_extraction(pages_from_documents(spark, sf_dir))
-    return partition_metrics(results, run_id="driver-check")
+    m = partition_metrics(results, run_id="driver-check")
+    return m.groupBy("run_id").agg(
+        F.sum("docs").cast("long").alias("docs"),
+        F.sum("failures").cast("long").alias("failures"),
+        (F.sum("bytes") > 0).alias("bytes_positive"),
+        F.count(F.lit(1)).between(1, 32).alias("partitions_ok"),
+        (F.sum(F.when(F.col("status") != "done", 1).otherwise(0)) == 0)
+        .alias("all_done"),
+    )
+
+
+SQL_A7_LINEAGE = """
+SELECT 'driver-check' AS run_id,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN doc_id % 100 IN
+                 (83, 84, 85, 86, 87, 91, 92, 93, 94, 95, 96, 97, 98)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS failures,
+       TRUE AS bytes_positive, TRUE AS partitions_ok, TRUE AS all_done
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -23971,7 +24002,7 @@ CATALOG: Dict[str, tuple] = {
     "x15_money_values": (q_x15_money_values, SQL_X15),
     "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
     "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
-    "a7_lineage_metrics": (q_a7_lineage_metrics, None),
+    "a7_lineage_metrics": (q_a7_lineage_metrics, SQL_A7_LINEAGE),
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),
     "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
