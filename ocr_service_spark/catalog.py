@@ -488,11 +488,14 @@ def q_a7_lineage_metrics(spark, sf_dir):
     from .sources.synth import pages_from_documents
     results = run_extraction(pages_from_documents(spark, sf_dir))
     m = partition_metrics(results, run_id="driver-check")
+    # the exchange target run_extraction actually used — never a literal,
+    # so the invariant holds on any session/cluster parallelism
+    n_parts = spark.sparkContext.defaultParallelism
     return m.groupBy("run_id").agg(
         F.sum("docs").cast("long").alias("docs"),
         F.sum("failures").cast("long").alias("failures"),
         (F.sum("bytes") > 0).alias("bytes_positive"),
-        F.count(F.lit(1)).between(1, 32).alias("partitions_ok"),
+        F.count(F.lit(1)).between(1, n_parts).alias("partitions_ok"),
         (F.sum(F.when(F.col("status") != "done", 1).otherwise(0)) == 0)
         .alias("all_done"),
     )
@@ -3048,7 +3051,9 @@ def q_web_training_pipeline(spark, sf_dir):
     _web_training_stages directly). One Arrow pass + narrow projections
     all the way to chunks; the only exchange is the final epoch-shuffle's
     skew-free range partition."""
-    gated, samples, shuffled = _web_training_stages(spark, sf_dir)
+    gated, samples, shuffled, pages = _web_training_stages(
+        spark, sf_dir, return_pages=True
+    )
 
     # stage-conservation summary (see docstring): all counts are 1-row
     # driver-sized aggregates joined on a constant key with the broadcast
@@ -3056,14 +3061,13 @@ def q_web_training_pipeline(spark, sf_dir):
     # barriers so the shard/order checks never re-run the prefix sum and
     # nothing re-extracts
     j = F.lit(1).alias("j")
-    # n_pages straight off the documents parquet (metadata-fast): pages is
-    # 1:1 with documents BY CONSTRUCTION (every doc becomes a receipt or an
-    # article page), so counting the source is the same invariant without
-    # re-running page synthesis
-    pages_agg = (
-        load(spark, sf_dir, "documents")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-        .select(j, "n_pages")
+    # n_pages counts the ACTUAL page union (synthesis only — the narrow
+    # pages projection never runs extraction), so a regression that drops
+    # pages before the gate breaks the hash against the oracle's
+    # documents-count statement; counting the documents parquet instead
+    # would be vacuous (both engines would count the same source)
+    pages_agg = pages.agg(F.count(F.lit(1)).alias("n_pages")).select(
+        j, "n_pages"
     )
     gated_agg = gated.agg(F.count(F.lit(1)).alias("n_gated")).select(j, "n_gated")
     chunk_agg = samples.agg(
@@ -3110,12 +3114,14 @@ def q_web_training_pipeline(spark, sf_dir):
     )
 
 
-def _web_training_stages(spark, sf_dir):
+def _web_training_stages(spark, sf_dir, return_pages=False):
     """The web-training composition's live stage handles: returns
     (gated, samples, shuffled) DataFrames — gated pages after the Gopher
     gate, chunked training samples, and the epoch-0 shuffled/sharded
-    output. q_web_training_pipeline folds these into the one-row
-    conservation summary; the chunk-level tests drive them directly."""
+    output — plus the raw pages union when return_pages is set (the
+    conservation summary counts it). q_web_training_pipeline folds these
+    into the one-row conservation summary; the chunk-level tests drive
+    them directly."""
     from .functions import sql_analogs  # noqa: F401  (session consistency)
     from .operators import textstats as ts
     from .operators.boilerplate import extract_main_content
@@ -3137,6 +3143,10 @@ def _web_training_stages(spark, sf_dir):
         _article("doc_id", "text").alias("html"),
     )
     pages = receipts.select("url", "html").unionByName(articles)
+    if return_pages:
+        # the conservation summary counts pages AND the extraction chain
+        # reads them — checkpoint so synthesis runs once for both
+        pages = pages.localCheckpoint()
 
     from .operators.quality import gopher_quality_signals, pii_redact
 
@@ -3217,6 +3227,8 @@ def _web_training_stages(spark, sf_dir):
     shuffled = deterministic_shuffle(
         samples, "sample_id", salt="epoch0:", shard_size=256
     ).drop("sample_id").localCheckpoint()
+    if return_pages:
+        return gated, samples, shuffled, pages
     return gated, samples, shuffled
 
 
