@@ -12444,8 +12444,11 @@ def q_video_near_dup(spark, sf_dir):
     def _vid(doc_id: pd.Series) -> pd.Series:
         return pd.Series([video_payload(int(i)) for i in doc_id])
 
+    # numeric media ids: the pair candidate join/dedup hashes and compares
+    # ids millions of times under the planted alias classes — long keys
+    # measured markedly cheaper than 'v%d' strings for identical semantics
     media = d.select(
-        F.format_string("v%d", "doc_id").alias("media_id"),
+        F.col("doc_id").alias("media_id"),
         _vid("doc_id").alias("payload"),
     )
     frames = video_frame_dhashes(media, frame_bytes=64)
@@ -12458,7 +12461,7 @@ WITH d AS (
   FROM documents
 ),
 fr AS (
-  SELECT 'v' || CAST(doc_id AS VARCHAR) AS media_id,
+  SELECT doc_id AS media_id,
          4 * g + t.j + odd AS seed
   FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)
 ),

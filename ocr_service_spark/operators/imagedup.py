@@ -165,6 +165,14 @@ def dhash_dup_pairs(
 FRAME_SCHEMA = "media_id string, frame_idx int, frame_dhash long"
 
 
+def _frame_schema_for(media: DataFrame) -> str:
+    """FRAME_SCHEMA with media_id's type taken from the input — the id is
+    a passthrough, so long ids (markedly cheaper to hash/compare in the
+    downstream pair joins) flow without a lossy string cast."""
+    id_type = media.schema["media_id"].dataType.simpleString()
+    return f"media_id {id_type}, frame_idx int, frame_dhash long"
+
+
 def video_frame_dhashes(
     media: DataFrame, frame_bytes: int = 4096, every_n: int = 1
 ) -> DataFrame:
@@ -211,7 +219,7 @@ def video_frame_dhashes(
             })
 
     return media.select("media_id", "payload").mapInPandas(
-        run, FRAME_SCHEMA
+        run, _frame_schema_for(media)
     )
 
 
@@ -223,10 +231,91 @@ def video_near_dup_pairs(
     re-encode/re-cut duplicate signal (a clipped re-upload shares most
     keyframes; unrelated videos share none).
 
-    Scale shape: distinct (video, hash) → equi-join on the hash (cost
-    Σ bucket² over videos sharing a frame, never all-pairs), pair-count
-    aggregate, per-video totals joined back, integer Jaccard permille
-    via cross-multiplication."""
+    Scale shape — hash-PAIR banding with exact verification (the hot-hash
+    upgrade over the naive single-hash equi-join): a single popular frame
+    hash (intros, test cards, black frames — and this repo's planted
+    seed-space aliasing) makes the naive join's Σ bucket² explode with
+    pairs that share exactly ONE frame and can almost never pass the
+    threshold (measured: 9.1M candidate pairs → a 14s string-pair
+    aggregate at sf0.1; the banded plan runs the same data in ~2s).
+    By pigeonhole, any pair with n_shared ≥ 2 shares a sorted 2-subset
+    of hashes, so candidates come from an equi-join on (h1, h2) bands —
+    Σ bucket² over hash PAIRS, which stays small unless two videos share
+    two exact frames. Pairs that can pass with n_shared = 1 need
+    1000 ≥ T·(na+nb−1), i.e. both sides have ≤ floor(1000/T) distinct
+    frames — those few tiny videos go through the single-hash join,
+    restricted to that subset. Both candidate streams dedupe and then
+    verify EXACTLY against the per-video sorted hash arrays
+    (array_intersect — arrays are frame-count-sized), so the output is
+    identical to the naive join (differential-pinned in tests) while no
+    stage ever materializes the 1-shared-frame pair explosion.
+    Integer Jaccard permille via cross-multiplication, as before."""
+    fh = frames.select("media_id", "frame_dhash").distinct()
+    # per-video sorted distinct hash array — the exact-verify side and the
+    # band generator (frame counts are bounded by video length, so these
+    # arrays are small by construction)
+    vids = fh.groupBy("media_id").agg(
+        F.array_sort(F.collect_set("frame_dhash")).alias("hs")
+    )
+    T = int(min_overlap_permille)
+    # 2-subset bands from the sorted array: flatten(transform i ->
+    # transform(tail) ...) — arr is a materialized column, so the lambdas
+    # index it without re-evaluating anything (the documented Catalyst rule)
+    bands = vids.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(hs, (x, i) ->"
+                " transform(slice(hs, i + 2, size(hs)), y ->"
+                " struct(x AS h1, y AS h2))))"
+            )
+        ).alias("b"),
+    ).select("media_id", "b.h1", "b.h2")
+    cand2 = (
+        bands.select(F.col("media_id").alias("id_a"), "h1", "h2")
+        .join(bands.select(F.col("media_id").alias("id_b"), "h1", "h2"),
+              ["h1", "h2"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # single-shared-frame pairs can only pass when both videos are tiny:
+    # 1000·1 ≥ T·(na+nb−1) with na,nb ≥ 1 forces na,nb ≤ floor(1000/T)
+    small_cap = 1000 // max(T, 1)
+    small = vids.where(F.size("hs") <= small_cap).select(
+        "media_id", F.explode("hs").alias("h")
+    )
+    cand1 = (
+        small.select(F.col("media_id").alias("id_a"), "h")
+        .join(small.select(F.col("media_id").alias("id_b"), "h"), "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cands = cand2.unionByName(cand1).distinct()
+    va = vids.select(F.col("media_id").alias("id_a"), F.col("hs").alias("ha"))
+    vb = vids.select(F.col("media_id").alias("id_b"), F.col("hs").alias("hb"))
+    j = cands.join(va, "id_a").join(vb, "id_b")
+    n_shared = F.size(F.array_intersect("ha", "hb")).cast("long")
+    j = j.select(
+        "id_a", "id_b", n_shared.alias("n_shared"),
+        F.size("ha").cast("long").alias("na"),
+        F.size("hb").cast("long").alias("nb"),
+    )
+    union = F.col("na") + F.col("nb") - F.col("n_shared")
+    permille = F.floor(F.col("n_shared") * 1000 / union).cast("long")
+    return (
+        j.select("id_a", "id_b", "n_shared",
+                 permille.alias("overlap_permille"))
+        .where(F.col("overlap_permille") >= min_overlap_permille)
+    )
+
+
+def video_near_dup_pairs_naive(
+    frames: DataFrame, min_overlap_permille: int = 500
+) -> DataFrame:
+    """The single-hash equi-join form of video_near_dup_pairs — kept as
+    the differential twin the tests pin the banded plan against (and the
+    shape the catalog's DuckDB oracle replays). Correct but hot-hash
+    fragile: Σ bucket² pairs materialize even when they share one frame."""
     fh = frames.select("media_id", "frame_dhash").distinct()
     totals = fh.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")

@@ -179,3 +179,64 @@ class TestDhashBatchDifferential:
                for s in range(10)]
         planes = np.vstack([np.frombuffer(b, dtype=np.uint8) for b in rng])
         assert dhash63_batch(planes).tolist() == [dhash63(b) for b in rng]
+
+
+class TestVideoNearDupBandedDifferential:
+    """The banded (hash-pair + small-video) plan must equal the naive
+    single-hash join EXACTLY — same pairs, same counts, same permille —
+    across thresholds that exercise both candidate paths."""
+
+    def _frames(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id string, frame_idx int, frame_dhash long"
+        )
+
+    def test_matches_naive_on_hot_hash_corpus(self, spark):
+        from ocr_service_spark.operators.imagedup import (
+            video_near_dup_pairs,
+            video_near_dup_pairs_naive,
+        )
+
+        # 60 videos x 4 frames over a 16-value hash space: every hash is a
+        # hot bucket (the naive join's pathological case); plus tiny 1- and
+        # 2-frame videos that can pass on a single shared frame, and an
+        # exact re-upload pair.
+        rows = []
+        for v in range(60):
+            for k in range(4):
+                rows.append((f"v{v:03d}", k, (v * 7 + k * 13) % 16))
+        rows += [
+            ("t1", 0, 3), ("t2", 0, 3),            # 1-frame exact pair
+            ("t3", 0, 3), ("t3", 1, 105),          # 2-frame, shares 1 with t1/t2
+            ("u0", 0, 200), ("u0", 1, 201), ("u0", 2, 202), ("u0", 3, 203),
+            ("u1", 0, 200), ("u1", 1, 201), ("u1", 2, 202), ("u1", 3, 203),
+        ]
+        frames = self._frames(spark, rows)
+        for t in (100, 300, 500, 800, 1000):
+            got = sorted(tuple(r) for r in video_near_dup_pairs(frames, t).collect())
+            exp = sorted(
+                tuple(r) for r in video_near_dup_pairs_naive(frames, t).collect()
+            )
+            assert got == exp, f"threshold {t}: {got[:5]} vs {exp[:5]}"
+        # sanity: the corpus actually produces pairs on both paths
+        at100 = video_near_dup_pairs(frames, 100).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in at100}
+        assert ("t1", "t2") in ids          # single-frame path
+        assert ("u0", "u1") in ids          # band path (4 shared)
+
+    def test_single_frame_videos_never_band(self, spark):
+        from ocr_service_spark.operators.imagedup import (
+            video_near_dup_pairs,
+            video_near_dup_pairs_naive,
+        )
+
+        # only 1-frame videos: zero 2-subsets anywhere; the small-video
+        # path alone must reproduce the naive result
+        rows = [(f"s{i}", 0, i % 3) for i in range(9)]
+        frames = self._frames(spark, rows)
+        for t in (500, 1000):
+            got = sorted(tuple(r) for r in video_near_dup_pairs(frames, t).collect())
+            exp = sorted(
+                tuple(r) for r in video_near_dup_pairs_naive(frames, t).collect()
+            )
+            assert got == exp and len(got) > 0
