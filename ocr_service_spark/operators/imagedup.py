@@ -121,7 +121,18 @@ def dhash_dup_pairs(
 ) -> DataFrame:
     """(media_id, dhash) → near-dup pairs (id_a, id_b, hamming ≤
     max_hamming). Banded candidate join + exact bit_count verification;
-    needs bands > max_hamming for pigeonhole recall."""
+    needs bands > max_hamming for pigeonhole recall.
+
+    Canonical-band dedup instead of a distinct: a near-identical pair
+    collides in MANY bands (an exact alias matches all 8), so the naive
+    plan shuffles every duplicate candidate into a distinct — measured
+    15M rows deduping to 1.9M at sf0.1 under the planted alias classes.
+    Since both fingerprints ride the joined row, each pair is kept only
+    where band_id equals the FIRST band whose xor byte is zero — every
+    qualifying pair survives exactly once (its first matching band is a
+    well-defined function of the pair), the filter is a JVM byte test on
+    the already-joined row, and the post-join shuffle disappears
+    entirely."""
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for pigeonhole recall")
     width = 64 // bands
@@ -146,19 +157,29 @@ def dhash_dup_pairs(
         ).alias("bk"),
     ).select("id", "dhash", "bk.band_id", "bk.band_key")
     a, b = keys.alias("a"), keys.alias("b")
-    ham = F.bit_count(
-        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
-    ).cast("int")
+    xor = F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    ham = F.bit_count(xor).cast("int")
+    # first matching band of the pair: lowest band whose xor slice is 0
+    # (the join guarantees at least one, so the when-chain never nulls)
+    mask = (1 << width) - 1
+    first_band = F.when(
+        F.shiftright(xor, 0).bitwiseAND(F.lit(mask)) == 0, F.lit(0)
+    )
+    for bb in range(1, bands):
+        first_band = first_band.when(
+            F.shiftright(xor, bb * width).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(bb),
+        )
     return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("band_id") == first_band)  # exactly-once per pair
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair can agree on several bands
     )
 
 
