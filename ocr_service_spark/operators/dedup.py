@@ -111,30 +111,48 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket are
-    candidate pairs. Emits distinct (id_a, id_b), id_a < id_b."""
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.lit("band"), b,
-                    F.concat_ws(",", F.transform(
-                        F.slice("sig", b * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int")),
-                        lambda x: x.cast("string"),
-                    )),
-                ),
-            )
-        ).alias("band", "bucket"),
+    candidate pairs. Emits distinct (id_a, id_b), id_a < id_b.
+
+    Canonical-band dedup (the imagedup.dhash_dup_pairs trick adapted to
+    hashed buckets): near-identical docs collide in several bands, so
+    instead of shuffling every duplicate candidate row into a distinct,
+    each side carries its full band-bucket ARRAY (`bands` longs) and the
+    pair survives only where the joined band is the FIRST position where
+    the two arrays agree (zip_with equality + array_position — one
+    codegen'd expression). Structurally exactly-once per pair, the
+    post-join exchange disappears. The bucket array is materialized as a
+    column BEFORE the posexplode so the xxhash chain is computed once
+    per doc, not once per band reference (the documented Catalyst lambda
+    rule)."""
+    bucket_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.lit("band"), b,
+            F.concat_ws(",", F.transform(
+                F.slice("sig", b * (F.size("sig") / bands).cast("int") + 1,
+                        (F.size("sig") / bands).cast("int")),
+                lambda x: x.cast("string"),
+            )),
+        ),
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    banded = sigs.select("id", bucket_arr.alias("bks")).select(
+        "id", "bks", F.posexplode("bks").alias("band", "bucket")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("bks").alias("bka"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("bks").alias("bkb"), "band", "bucket"
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("bka"), F.col("bkb"), lambda x, y: x == y),
+        F.lit(True),
+    ) - 1
     return (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") == first_match)
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -296,17 +314,30 @@ def simhash_near_dup_pairs(
         ).alias("bk"),
     ).select("id", "simhash", "bk.band_id", "bk.band_key")
     a, b = keys.alias("a"), keys.alias("b")
+    # canonical-band dedup (the imagedup.dhash_dup_pairs trick): a close
+    # pair collides in several bands, so instead of shuffling every
+    # duplicate candidate into a distinct, keep the pair only where
+    # band_id is the FIRST band whose xor slice is zero — structurally
+    # exactly-once, a JVM byte test, no post-join exchange
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    mask = (1 << width) - 1
+    first_band = F.when(
+        F.shiftright(xor, 0).bitwiseAND(F.lit(mask)) == 0, F.lit(0)
+    )
+    for bb in range(1, bands):
+        first_band = first_band.when(
+            F.shiftright(xor, bb * width).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(bb),
+        )
     cand = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("band_id") == first_band)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
 
