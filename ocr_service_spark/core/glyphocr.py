@@ -1,0 +1,260 @@
+"""Deterministic 5×7 bitmap-glyph renderer + template-matching OCR.
+
+The last mile of X19-X21 without third-party wheels: the reference's image
+route is cv2 preprocessing → PaddleOCR tokens → structuring
+(/root/reference/app/ocr_engine.py:86-110,357-372). PaddleOCR cannot ship in
+this sandbox, but the PIPELINE doesn't need a neural OCR to be real — it
+needs real pixels flowing through a real preprocessing cascade into real
+(text, confidence, x, y) tokens. This module supplies both ends for a
+fully-specified spec font:
+
+  render:  token list [(text, x, y)] → grayscale page plane (the synth side —
+           receipts are RENDERED into genuine PNG bytes, sources/synth.py)
+  ocr:     grayscale plane → token dicts, via the reference's own attempt
+           cascade (X21): raw fixed threshold → Otsu re-binarization → 2×
+           zoom (app/ocr_engine.py:92-98's ["raw", "thresh", "zoom"] loop),
+           each attempt segmenting ink runs and template-matching 5×7 glyph
+           windows (exact-match fast path, nearest-hamming fallback with a
+           confidence penalty — so a corrupted pixel degrades confidence
+           instead of dropping the token, mirroring low-conf Paddle output
+           feeding the F1 filter).
+
+Font contract (asserted by tests/test_glyphocr.py):
+  * every glyph is 5 wide × 7 tall with ink in EVERY column — an ink-column
+    run is therefore always exactly one glyph wide, which makes column
+    segmentation exact rather than heuristic;
+  * pairwise hamming distance ≥ 3, so a single corrupted pixel still
+    matches its true glyph strictly closer than any other;
+  * glyphs advance on a 6-px pitch; a space advances one pitch with no ink;
+    runs of 4+ spaces split tokens (Paddle emits separate boxes across
+    column gaps — same behavior the reference's 620/900 column bands rely
+    on, app/ocr_engine.py:196-198).
+
+Every line must contain at least one full-height glyph (any digit or
+letter) so the line's top row anchors the 7-row template window; receipt
+text always does.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .textnorm import norm_text
+
+GLYPH_W, GLYPH_H, PITCH = 5, 7, 6
+TOKEN_GAP = 4 * PITCH  # >= 4 blank cells between ink runs → separate tokens
+
+_FONT_ROWS: Dict[str, Tuple[str, ...]] = {
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", "#####"),
+    "2": (".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    "3": (".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": ("..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "B": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "C": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "D": ("###..", "#..#.", "#...#", "#...#", "#...#", "#..#.", "###.."),
+    "E": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "F": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "G": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".###."),
+    "H": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "I": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "#####"),
+    "J": ("..###", "...#.", "...#.", "...#.", "#..#.", "#..#.", ".##.."),
+    "K": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "L": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "M": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "N": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "O": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "P": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "Q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "R": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "S": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "T": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "U": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "V": ("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "W": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "X": ("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    "Y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "Z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    # spec-font punctuation: full-width bars keep the every-column-inked
+    # contract (appearance is irrelevant; determinism and separability are
+    # the spec)
+    ".": (".....", ".....", ".....", ".....", ".....", ".....", "#####"),
+    ",": (".....", ".....", ".....", ".....", ".....", "#####", "#####"),
+    ":": (".....", "#####", ".....", ".....", "#####", ".....", "....."),
+    "'": ("#####", ".....", ".....", ".....", ".....", ".....", "....."),
+    "-": (".....", ".....", ".....", "#####", ".....", ".....", "....."),
+    "/": (".....", "....#", "...#.", "..#..", ".#...", "#....", "....."),
+}
+
+CHARSET = frozenset(_FONT_ROWS) | {" "}
+
+
+def _glyph_array(rows: Tuple[str, ...]) -> np.ndarray:
+    return np.array([[c == "#" for c in r] for r in rows], dtype=bool)
+
+
+FONT: Dict[str, np.ndarray] = {ch: _glyph_array(r) for ch, r in _FONT_ROWS.items()}
+
+# Exact-match lookup: 35-byte window → char; plus a flat matrix for the
+# nearest-hamming fallback.
+_EXACT: Dict[bytes, str] = {g.tobytes(): ch for ch, g in FONT.items()}
+_CHARS: List[str] = sorted(FONT)
+_FLAT = np.stack([FONT[c].reshape(-1) for c in _CHARS])  # (n_glyphs, 35)
+
+
+# ---------------------------------------------------------------------------
+# Render (the synth side)
+# ---------------------------------------------------------------------------
+
+def render_tokens(
+    tokens: List[Tuple[str, int, int]],
+    width: int,
+    height: int,
+    ink: int = 40,
+    paper: int = 255,
+) -> np.ndarray:
+    """[(text, x, y)] → (height, width) uint8 grayscale page. Characters
+    outside CHARSET raise (the font is the spec; synth must stay inside it).
+    Ink/paper levels are the test knob for the X21 cascade: ink=40 reads at
+    the raw fixed threshold, ink=140 only after Otsu re-binarization."""
+    page = np.full((height, width), paper, dtype=np.uint8)
+    for text, x, y in tokens:
+        cx = int(x)
+        for ch in text:
+            if ch == " ":
+                cx += PITCH
+                continue
+            g = FONT.get(ch)
+            if g is None:
+                raise ValueError(f"glyph not in spec font: {ch!r}")
+            if y < 0 or y + GLYPH_H > height or cx < 0 or cx + GLYPH_W > width:
+                raise ValueError("token overflows the page canvas")
+            region = page[y:y + GLYPH_H, cx:cx + GLYPH_W]
+            region[g] = ink
+            cx += PITCH
+    return page
+
+
+# ---------------------------------------------------------------------------
+# OCR (the extract side)
+# ---------------------------------------------------------------------------
+
+def _runs(mask: np.ndarray) -> List[Tuple[int, int]]:
+    """[start, end) runs of True in a 1-D boolean array."""
+    if not mask.any():
+        return []
+    padded = np.concatenate(([False], mask, [False]))
+    diff = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(diff == 1)
+    ends = np.flatnonzero(diff == -1)
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _match_glyph(window: np.ndarray) -> Tuple[str, float]:
+    """5×7 boolean window → (char, per-glyph confidence). Exact template hit
+    = 1.0; otherwise nearest hamming with confidence 1 − d/35 (floored at
+    0.36 so a recovered glyph never trips the F1 conf<0.35 drop by itself —
+    heavy corruption shows up as heavy hamming across many glyphs)."""
+    key = window.tobytes()
+    ch = _EXACT.get(key)
+    if ch is not None:
+        return ch, 1.0
+    d = np.count_nonzero(_FLAT != window.reshape(-1), axis=1)
+    i = int(np.argmin(d))  # ties: lexicographically smallest char (sorted)
+    return _CHARS[i], max(0.36, 1.0 - int(d[i]) / 35.0)
+
+
+def ocr_ink_mask(mask: np.ndarray, scale: int = 1) -> List[Dict]:
+    """Binary ink mask → normalized token dicts
+    ``{text, confidence, y_position, x_position}`` (the X22 output shape —
+    already past normalize_ocr_result's box math, positions in UNSCALED
+    page coordinates). Segmentation: ink-row runs = lines; ink-column runs
+    within a line = glyphs; inter-run gaps ≥ TOKEN_GAP split tokens, smaller
+    multi-pitch gaps decode as spaces."""
+    out: List[Dict] = []
+    row_any = mask.any(axis=1)
+    for top, bot in _runs(row_any):
+        band = mask[top:top + GLYPH_H * scale]
+        col_any = band.any(axis=0)
+        glyphs: List[Tuple[int, str, float]] = []  # (col, char, conf)
+        for c0, c1 in _runs(col_any):
+            window = band[::scale, c0:c0 + GLYPH_W * scale:scale]
+            win = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+            win[:window.shape[0], :window.shape[1]] = window[:GLYPH_H, :GLYPH_W]
+            ch, conf = _match_glyph(win)
+            glyphs.append((c0, ch, conf))
+        if not glyphs:
+            continue
+        # stitch glyphs into tokens
+        cur_text: List[str] = []
+        cur_conf = 1.0
+        cur_x = glyphs[0][0]
+        prev_end = None
+        for c0, ch, conf in glyphs:
+            if prev_end is not None:
+                gap = c0 - prev_end
+                if gap >= TOKEN_GAP * scale:
+                    out.append(_token(cur_text, cur_conf, cur_x, top, scale))
+                    cur_text, cur_conf, cur_x = [], 1.0, c0
+                else:
+                    cur_text.append(" " * ((gap - scale) // (PITCH * scale)))
+            cur_text.append(ch)
+            cur_conf = min(cur_conf, conf)
+            prev_end = c0 + GLYPH_W * scale
+        out.append(_token(cur_text, cur_conf, cur_x, top, scale))
+    return [t for t in out if t is not None]
+
+
+def _token(parts: List[str], conf: float, x: int, y: int, scale: int) -> Optional[Dict]:
+    text = norm_text("".join(parts))
+    if not text:
+        return None
+    c = round(0.97 * conf, 3)
+    if c < 0.35:  # F1 parity: the filter the reference applies to Paddle conf
+        return None
+    return {
+        "text": text,
+        "confidence": c,
+        "y_position": int(y) // scale,
+        "x_position": int(x) // scale,
+    }
+
+
+RAW_THRESHOLD = 127  # the fixed pre-Otsu binarization of the "raw" attempt
+
+
+def ocr_attempts(gray: np.ndarray) -> Tuple[List[Dict], Optional[str]]:
+    """The X21 attempt cascade over a decoded grayscale plane — first
+    attempt yielding ≥1 token wins (app/ocr_engine.py:92-110):
+
+      raw   ink = gray <= 127 (fixed threshold; dark ink on paper)
+      otsu  ink = gray <= otsu_threshold(gray) (X19 re-binarization —
+            recovers low-contrast pages the fixed threshold misses)
+      zoom  2× nearest-neighbour upscale of the raw mask geometry
+            (positions reported back in page coordinates)
+
+    Returns (tokens sorted by the O1 (y, x) order, attempt_name) or
+    ([], None) when every attempt comes back empty."""
+    from .imagecodec import otsu_threshold
+    from .structuring import sort_tokens
+
+    g = np.asarray(gray, dtype=np.uint8)
+    for name in ("raw", "otsu", "zoom"):
+        if name == "raw":
+            lines = ocr_ink_mask(g <= RAW_THRESHOLD)
+        elif name == "otsu":
+            lines = ocr_ink_mask(g <= otsu_threshold(g))
+        else:
+            big = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+            lines = ocr_ink_mask(big <= RAW_THRESHOLD, scale=2)
+        if lines:
+            return sort_tokens(lines), name
+    return [], None

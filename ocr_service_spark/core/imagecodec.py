@@ -1,0 +1,388 @@
+"""Pure-stdlib image codec: PNG + BMP decode, PNG/BMP encode, grayscale,
+Otsu threshold, 2-D block-mean dHash.
+
+Closes the X19 decode gap without third-party wheels (the ``core/pdf_text.py``
+move applied to images — VERDICT r3 next-round #1): the reference's image
+preprocessing is cv2 grayscale + Otsu binarization + resize
+(/root/reference/app/ocr_engine.py:62-68,357-372); cv2/PIL are absent from
+this sandbox, but PNG is just zlib + per-row unfiltering and BMP is raw
+bounded rows, both fully specified publicly (RFC 2083 / PNG spec; Windows
+BITMAPINFOHEADER). Everything here is deterministic pure Python + numpy —
+the same functions run inside the Spark UDF bodies and the pytest oracle
+(the core/ byte-identity convention).
+
+Scale/perf shape: the encoder always emits filter-0 rows, so the decode hot
+path (Spark extraction over synthesized PNG receipts) is one zlib.decompress
++ one numpy reshape per image. Filters 1/2 (sub/up) decode vectorized
+(per-lane cumsum / row add); filters 3/4 (average/paeth) fall back to a
+sequential per-pixel loop — correct for arbitrary external PNGs, exercised
+by the round-trip tests, never on the synthesized hot path.
+
+Supported subset (anything else returns ``None`` — errors-as-data upstream):
+  PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
+       6 (RGBA); non-interlaced; alpha dropped on output.
+  BMP: BITMAPINFOHEADER, biCompression=0, 24-bit BGR or 8-bit palette,
+       bottom-up or top-down rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+
+# Decoded image: (width, height, channels in {1, 3}, uint8 array (h, w, ch)).
+Decoded = Tuple[int, int, int, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> Optional[np.ndarray]:
+    """PNG per-row unfiltering → (height, stride) uint8 matrix.
+
+    Filter 0 is a straight reshape; 1 (sub) is a per-lane modular cumsum;
+    2 (up) adds the prior reconstructed row; 3/4 (average/paeth) are
+    sequential in x by definition and take the per-pixel loop."""
+    if len(raw) != height * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    if ftypes.max(initial=0) == 0:
+        return data.copy()
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(ftypes[y])
+        line = data[y]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # sub: cumsum within each byte lane (mod 256 via uint8)
+            n_pix = (stride + bpp - 1) // bpp
+            padded = np.zeros(n_pix * bpp, dtype=np.uint8)
+            padded[:stride] = line
+            rec = np.cumsum(
+                padded.reshape(n_pix, bpp), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(-1)[:stride]
+        elif ft == 2:  # up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ft == 3:  # average — sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> Optional[Decoded]:
+    """PNG bytes → (w, h, channels, pixels) or None on anything outside the
+    supported subset (truncated stream, 16-bit, interlaced, bad CRC...)."""
+    try:
+        if not data.startswith(PNG_MAGIC):
+            return None
+        pos = len(PNG_MAGIC)
+        width = height = None
+        bitdepth = colortype = None
+        idat: List[bytes] = []
+        palette: Optional[np.ndarray] = None
+        while pos + 8 <= len(data):
+            length, ctype = struct.unpack(">I4s", data[pos:pos + 8])
+            body = data[pos + 8:pos + 8 + length]
+            if len(body) != length:
+                return None
+            crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None
+            pos += 12 + length
+            if ctype == b"IHDR":
+                width, height, bitdepth, colortype, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+                if (bitdepth != 8 or comp != 0 or filt != 0 or interlace != 0
+                        or colortype not in _PNG_CHANNELS):
+                    return None
+            elif ctype == b"PLTE":
+                if length % 3 != 0:
+                    return None
+                palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat or width == 0 or height == 0:
+            return None
+        raw_ch = _PNG_CHANNELS[colortype]
+        stride = width * raw_ch
+        raw = zlib.decompress(b"".join(idat))
+        mat = _unfilter(raw, height, stride, raw_ch)
+        if mat is None:
+            return None
+        px = mat.reshape(height, width, raw_ch)
+        if colortype == 3:
+            if palette is None or int(px.max(initial=0)) >= len(palette):
+                return None
+            px = palette[px[:, :, 0]]
+            return width, height, 3, px
+        if colortype == 4:  # gray + alpha: drop alpha
+            return width, height, 1, px[:, :, :1].copy()
+        if colortype == 6:  # RGBA: drop alpha
+            return width, height, 3, px[:, :, :3].copy()
+        return width, height, raw_ch, px.copy()
+    except Exception:
+        return None
+
+
+def _filter_row(line: np.ndarray, prev: np.ndarray, ft: int, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ft`` to a reconstructed row (encoder side — the
+    exact inverse of _unfilter, used to exercise every decode branch)."""
+    stride = len(line)
+    out = np.zeros(stride, dtype=np.uint8)
+    for x in range(stride):
+        left = int(line[x - bpp]) if x >= bpp else 0
+        up = int(prev[x])
+        ul = int(prev[x - bpp]) if x >= bpp else 0
+        v = int(line[x])
+        if ft == 0:
+            out[x] = v
+        elif ft == 1:
+            out[x] = (v - left) & 0xFF
+        elif ft == 2:
+            out[x] = (v - up) & 0xFF
+        elif ft == 3:
+            out[x] = (v - ((left + up) >> 1)) & 0xFF
+        elif ft == 4:
+            out[x] = (v - _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+    return out
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, filters: Optional[List[int]] = None,
+               level: int = 6) -> bytes:
+    """(h, w) or (h, w, ch∈{1,3}) uint8 → PNG bytes. ``filters`` optionally
+    forces a per-row filter type (decoder-test hook); default is filter 0
+    everywhere, which keeps the decode hot path a pure reshape."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    colortype = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    flat = arr.reshape(h, w * ch)
+    if filters is None:
+        body = np.zeros((h, w * ch + 1), dtype=np.uint8)
+        body[:, 1:] = flat
+        raw = body.tobytes()
+    else:
+        if len(filters) != h:
+            raise ValueError("need one filter per row")
+        parts = []
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            parts.append(bytes([filters[y]])
+                         + _filter_row(flat[y], prev, filters[y], ch).tobytes())
+            prev = flat[y]
+        raw = b"".join(parts)
+    return (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, level)) + _chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> Optional[Decoded]:
+    """BMP bytes → (w, h, channels, pixels) — BITMAPINFOHEADER, uncompressed
+    24-bit BGR or 8-bit palette; BGR is returned as RGB channel order."""
+    try:
+        if not data.startswith(BMP_MAGIC) or len(data) < 54:
+            return None
+        pix_off = struct.unpack("<I", data[10:14])[0]
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        if hdr_size < 40:
+            return None
+        width, height = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        compression = struct.unpack("<I", data[30:34])[0]
+        if planes != 1 or compression != 0 or bpp not in (8, 24):
+            return None
+        if width <= 0 or height == 0:
+            return None
+        topdown = height < 0
+        height = abs(height)
+        palette = None
+        if bpp == 8:
+            n_colors = struct.unpack("<I", data[46:50])[0] or 256
+            pal_off = 14 + hdr_size
+            pal = data[pal_off:pal_off + n_colors * 4]
+            if len(pal) != n_colors * 4:
+                return None
+            # BGRA quads -> RGB
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+        row_bytes = (width * bpp // 8 + 3) & ~3
+        need = row_bytes * height
+        body = data[pix_off:pix_off + need]
+        if len(body) != need:
+            return None
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(height, row_bytes)
+        if not topdown:
+            rows = rows[::-1]
+        if bpp == 24:
+            px = rows[:, :width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR->RGB
+            return width, height, 3, px.copy()
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None
+        return width, height, 3, palette[idx].copy()
+    except Exception:
+        return None
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → 24-bit bottom-up BMP bytes (test fixture
+    writer; gray input is expanded to RGB)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_bmp writes 24-bit only")
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                            2835, 2835, 0, 0))
+    return header + pix
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + preprocessing (grayscale / Otsu / dHash)
+# ---------------------------------------------------------------------------
+
+def decode_image(data) -> Optional[Decoded]:
+    """Magic-byte dispatch → decoded pixels, or None (errors-as-data)."""
+    if data is None:
+        return None
+    b = bytes(data)
+    if b.startswith(PNG_MAGIC):
+        return decode_png(b)
+    if b.startswith(BMP_MAGIC):
+        return decode_bmp(b)
+    return None
+
+
+def to_gray(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 → (h, w) uint8 luma. cv2's exact BT.601 fixed-point
+    arithmetic ((R·4899 + G·9617 + B·1868 + 8192) >> 14) so a host WITH cv2
+    reproduces these planes bit-for-bit (parity target:
+    app/ocr_engine.py:62 cv2.cvtColor(..., COLOR_BGR2GRAY))."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 1:
+        return arr[:, :, 0]
+    r = arr[:, :, 0].astype(np.uint32)
+    g = arr[:, :, 1].astype(np.uint32)
+    b = arr[:, :, 2].astype(np.uint32)
+    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's threshold over the 256-bin histogram — first argmax of the
+    between-class variance, cv2's THRESH_OTSU selection rule
+    (app/ocr_engine.py:66,367). Binary output convention is the caller's;
+    the extraction cascade treats gray <= t as ink."""
+    hist = np.bincount(np.asarray(gray, dtype=np.uint8).reshape(-1),
+                       minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    levels = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    m0 = np.cumsum(hist * levels)
+    mu_total = m0[-1]
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean0 = m0 / w0
+        mean1 = (mu_total - m0) / w1
+        sigma = w0 * w1 * (mean0 - mean1) ** 2
+    sigma[~np.isfinite(sigma)] = -1.0
+    return int(np.argmax(sigma))
+
+
+def _split_edges(n: int, k: int) -> np.ndarray:
+    """k+1 monotone cut points partitioning range(n) into k near-equal
+    blocks (block i = [i*n//k, (i+1)*n//k)) — the deterministic area-mean
+    downsample grid."""
+    return (np.arange(k + 1, dtype=np.int64) * n) // k
+
+
+def block_mean_grid(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """(h, w) → (rows, cols) uint8 of integer block means (floor) — the
+    resize step of the perceptual dHash, deterministic across platforms
+    (no float interpolation)."""
+    g = np.asarray(gray, dtype=np.uint64)
+    h, w = g.shape
+    if h < rows or w < cols:  # upsample tiny inputs by index repeat
+        ri = (np.arange(rows) * h) // rows
+        ci = (np.arange(cols) * w) // cols
+        return gray[np.ix_(ri, ci)].astype(np.uint8)
+    re = _split_edges(h, rows)
+    ce = _split_edges(w, cols)
+    csum = np.zeros((h + 1, w + 1), dtype=np.uint64)
+    csum[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    s = (csum[re[1:, None], ce[None, 1:]] - csum[re[:-1, None], ce[None, 1:]]
+         - csum[re[1:, None], ce[None, :-1]] + csum[re[:-1, None], ce[None, :-1]])
+    area = ((re[1:, None] - re[:-1, None]) * (ce[None, 1:] - ce[None, :-1]))
+    return (s // area.astype(np.uint64)).astype(np.uint8)
+
+
+def dhash63_gray(gray: np.ndarray) -> int:
+    """2-D dHash of a decoded grayscale plane: 8×9 block-mean grid, bit
+    (i*8+j) = grid[i, j+1] > grid[i, j], bit 63 forced zero (signed-long
+    safety — the operators/imagedup.py packing convention, so real-pixel
+    hashes join the same banded pair plans as the synthetic planes)."""
+    grid = block_mean_grid(gray, 8, 9).astype(np.int16)
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    bits[63] = False
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return int(bits.astype(np.uint64) @ weights)

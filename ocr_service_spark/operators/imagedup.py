@@ -44,8 +44,10 @@ DHASH_SCHEMA = "media_id string, dhash long, decode_ok boolean"
 
 
 def _pixels(payload: bytes) -> np.ndarray:
-    """Decode seam: payload → grayscale plane (1-D uint8). STUB: the
-    payload bytes are the plane; production plugs cv2.imdecode here."""
+    """Decode seam: payload → grayscale plane (1-D uint8). Raw (non-image)
+    payloads use the bytes themselves as the plane — the oracle-replayable
+    synthetic form; REAL PNG/BMP payloads are decoded by the stdlib codec
+    upstream in dhash63 (2-D block-mean path) and never reach here."""
     return np.frombuffer(payload, dtype=np.uint8)
 
 
@@ -59,7 +61,18 @@ def dhash63(payload: bytes) -> int:
     bit (i*8+j) = grid[i, j+1] > grid[i, j], bit 63 kept zero. Packing
     uses a uint64 dot product — the original object-dtype weights cost
     64 bignum multiplies PER FRAME (measured ~10s across a 96k-frame
-    bench query); uint64 is exact for the same 63 bits."""
+    bench query); uint64 is exact for the same 63 bits.
+
+    REAL PNG/BMP payloads (magic-sniffed) decode through the stdlib codec
+    to actual pixels and hash via the 2-D block-mean grid — same 63-bit
+    packing convention, so real-image fingerprints join the same banded
+    pair plans as the synthetic planes (X19 on real bytes, r4)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM":
+        from ..core.imagecodec import decode_image, dhash63_gray, to_gray
+
+        decoded = decode_image(payload)
+        if decoded is not None:
+            return dhash63_gray(to_gray(decoded[3]))
     plane = _pixels(payload)
     n = len(plane)
     stride = max(1, n // (GRID_H * GRID_W))

@@ -1,8 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED in this environment (no image/audio libraries are
-installed — see the module-level import gate): ``DETERMINISTIC_FAKE``
+Image decode is REAL for PNG/BMP since r4 — the pure-stdlib codec in
+``core/imagecodec`` (zlib inflate + per-row unfiltering) yields actual
+pixels, dimensions and a true perceptual dHash with no third-party wheels.
+Other formats (JPEG/audio/video) stay STUBBED in this environment (no
+cv2/soundfile — see the module-level import gates): ``DETERMINISTIC_FAKE``
 derives stable pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and
 tested; a production deployment swaps ``_decode_image`` for a cv2/PIL call
@@ -59,8 +62,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes):
-    """Decode → (width, height, channels, phash). Real decoder when
-    available; deterministic fake otherwise; else NotImplementedError."""
+    """Decode → (width, height, channels, phash). Preference order (r4):
+    the pure-stdlib PNG/BMP codec (REAL pixels — core/imagecodec, no
+    third-party decoder needed) for payloads carrying those magics; then
+    cv2 when installed (other formats); then the deterministic fake; else
+    NotImplementedError. The stdlib path emits a REAL perceptual hash
+    (2-D block-mean dHash over the cv2-parity grayscale plane)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM":
+        from ..core.imagecodec import decode_image, dhash63_gray, to_gray
+
+        decoded = decode_image(payload)
+        if decoded is not None:
+            w, h, ch, px = decoded
+            return w, h, ch, format(dhash63_gray(to_gray(px)), "016x")
     if HAVE_DECODER:
         raise NotImplementedError(
             "real decoder wiring is deployment-specific; plug cv2.imdecode here"

@@ -222,6 +222,41 @@ def _real_pdf_doc(doc_id: int, seed: int) -> bytes:
     return build_single_page_pdf(lines, compress=_h(doc_id, seed, "rz") % 2 == 0)
 
 
+def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
+    """A GENUINE PNG receipt (class 95): token content rendered as real
+    pixels in the 5×7 spec font (core/glyphocr), encoded through the stdlib
+    PNG writer (core/imagecodec). Decoding flows the X19/X21 route for real:
+    zlib inflate → unfilter → cv2-parity grayscale → raw/Otsu/zoom attempt
+    cascade → template OCR → the same structuring as the token class. A
+    third of the docs render in low-contrast ink (140/255) that the raw
+    fixed-128 threshold misses — those documents only extract because the
+    Otsu attempt (X19 re-binarization) recovers them."""
+    from ..core.glyphocr import render_tokens
+    from ..core.imagecodec import encode_png
+
+    n_items = _h(doc_id, seed, "gn") % 3 + 1
+    day = _h(doc_id, seed, "gday") % 28 + 1
+    venda = _h(doc_id, seed, "gv") % 5 == 0
+    ink = 140 if _h(doc_id, seed, "gl") % 3 == 0 else 40
+    toks = [("SQ.CODIGO DESCRICAO", 10, 100)]
+    if venda:
+        toks.append(("PIX RECEBIDO", 10, 80))
+    y = 130
+    for i in range(n_items):
+        code = 10000000 + _h(doc_id, seed, f"gc{i}") % 89999999
+        prod = _PRODUCTS[_h(doc_id, seed, f"gp{i}") % len(_PRODUCTS)]
+        qtd = _h(doc_id, seed, f"gq{i}") % 9 + 1
+        vu_c = _h(doc_id, seed, f"gu{i}") % 9999 + 1
+        vt_c = qtd * vu_c
+        toks.append((f"{i + 1:02d} {code} {prod}", 10, y))
+        toks.append((f"{qtd}UNX{vu_c // 100},{vu_c % 100:02d}", 700, y))
+        toks.append((f"{vt_c // 100},{vt_c % 100:02d}", 950, y))
+        y += 30
+    toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
+    toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
+    return encode_png(render_tokens(toks, 1020, y + 60, ink=ink))
+
+
 def gen_page(doc_id: int, seed: int = 42) -> Dict:
     """One deterministic page row in PAGES_SCHEMA shape."""
     cls = doc_id % 100
@@ -242,6 +277,8 @@ def gen_page(doc_id: int, seed: int = 42) -> Dict:
         html = _pdf_layout_doc(doc_id, seed)
     elif cls < 95:
         html = bytes([_h(doc_id, seed, f"u{i}") % 251 + 1 for i in range(32)])
+    elif cls < 96:
+        html = _png_receipt_doc(doc_id, seed)
     elif cls < 99:
         html = b"\xff\xd8\xff\xe0" + hashlib.blake2b(f"{seed}:{doc_id}:img".encode(), digest_size=64).digest()
     else:

@@ -122,3 +122,98 @@ class TestSpans:
         for payload in (b"", b"%PDF-junk", None):
             r = doc.extract_document("u", payload)
             assert r["spans"] == []
+
+
+class TestPngPixelRoute:
+    """X19-X21 on real bytes: golden PNG receipt → stdlib decode →
+    grayscale → threshold cascade → glyph OCR → structuring, end to end
+    (r4; VERDICT r3 next-round #1)."""
+
+    @staticmethod
+    def _golden_png(ink=40, venda=False):
+        from ocr_service_spark.core.glyphocr import render_tokens
+        from ocr_service_spark.core.imagecodec import encode_png
+
+        toks = [("SQ.CODIGO DESCRICAO", 10, 100)]
+        if venda:
+            toks.append(("PIX RECEBIDO", 10, 80))
+        toks += [
+            ("01 12345678 COCA COLA 2L", 10, 130),
+            ("2UNX3,50", 700, 130),
+            ("7,00", 950, 130),
+            ("02 87654321 CAFE TORRADO 500G", 10, 160),
+            ("1UNX9,99", 700, 160),
+            ("9,99", 950, 160),
+            ("QTD. TOTAL DE ITENS", 10, 200),
+            ("EMISSAO: 05/12/2025", 10, 220),
+        ]
+        return encode_png(render_tokens(toks, 1010, 240, ink=ink))
+
+    def test_golden_png_end_to_end(self):
+        r = doc.extract_document("u", self._golden_png())
+        assert r["fmt"] == "png" if "fmt" in r else True
+        assert r["tipo_documento"] == "gasto"
+        assert r["confianca"] == 1.0 and r["mensagem"] is None
+        assert [it["item"] for it in r["itens"]] == [
+            "COCA COLA 2L", "CAFE TORRADO 500G"]
+        assert [it["valor_total"] for it in r["itens"]] == [7.0, 9.99]
+        assert [it["quantidade"] for it in r["itens"]] == [2.0, 1.0]
+        assert [it["valor_unitario"] for it in r["itens"]] == [3.5, 9.99]
+        assert all(it["data_compra"] == "05/12/2025" for it in r["itens"])
+        assert len(r["spans"]) == 2
+        assert r["origem"] == "ocr_comprovante"
+
+    def test_tokens_carry_exact_pixel_positions(self):
+        # bytes → pixels → Otsu → tokens' y/x, checked against the render
+        # coordinates (the geometry the 620/900 column bands consume)
+        from ocr_service_spark.core.document import _PIXEL_BACKEND
+
+        lines = _PIXEL_BACKEND.extract_text(self._golden_png())
+        pos = {(t["text"], t["x_position"], t["y_position"]) for t in lines}
+        assert ("2UNX3,50", 700, 130) in pos
+        assert ("7,00", 950, 130) in pos
+        assert ("SQ.CODIGO DESCRICAO", 10, 100) in pos
+
+    def test_light_ink_extracts_via_otsu_attempt(self):
+        from ocr_service_spark.core.glyphocr import ocr_attempts
+        from ocr_service_spark.core.imagecodec import decode_png, to_gray
+
+        png = self._golden_png(ink=140)
+        _, _, _, px = decode_png(png)
+        _, attempt = ocr_attempts(to_gray(px))
+        assert attempt == "otsu"
+        r = doc.extract_document("u", png)
+        assert r["tipo_documento"] == "gasto" and len(r["itens"]) == 2
+
+    def test_venda_classification_from_pixels(self):
+        r = doc.extract_document("u", self._golden_png(venda=True))
+        assert r["tipo_documento"] == "venda"
+        assert all(it["data_venda"] == "05/12/2025" for it in r["itens"])
+
+    def test_corrupt_png_is_error_row(self):
+        png = bytearray(self._golden_png())
+        png[60] ^= 0x55
+        r = doc.extract_document("u", bytes(png))
+        assert r["tipo_documento"] == "erro"
+        assert r["mensagem"] == "Nenhuma linha OCR encontrada"
+
+    def test_blank_png_is_empty_ocr_error(self):
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import encode_png
+
+        blank = encode_png(np.full((40, 40), 255, dtype=np.uint8))
+        r = doc.extract_document("u", blank)
+        assert r["tipo_documento"] == "erro"
+        assert r["mensagem"] == "Nenhuma linha OCR encontrada"
+
+    def test_synth_class95_extracts(self):
+        from ocr_service_spark.sources.synth import _png_receipt_doc, gen_page
+
+        page = gen_page(95, seed=42)
+        assert page["html"][:8] == b"\x89PNG\r\n\x1a\n"
+        r = doc.extract_document("u", page["html"])
+        assert r["tipo_documento"] in ("gasto", "venda")
+        assert len(r["itens"]) >= 1
+        # deterministic across calls
+        assert _png_receipt_doc(195, 42) == _png_receipt_doc(195, 42)

@@ -1,0 +1,124 @@
+"""Unit tests for the 5×7 spec-font renderer + template OCR
+(core/glyphocr.py): font contract, render→ocr identity, position
+exactness, the raw/otsu/zoom attempt cascade, corruption degradation."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core import glyphocr as G
+from ocr_service_spark.core import imagecodec as C
+
+
+class TestFontContract:
+    def test_shapes(self):
+        for ch, g in G.FONT.items():
+            assert g.shape == (G.GLYPH_H, G.GLYPH_W), ch
+
+    def test_every_column_inked(self):
+        # segmentation exactness depends on ink-column runs being exactly
+        # one glyph wide
+        for ch, g in G.FONT.items():
+            assert g.any(axis=0).all(), ch
+
+    def test_pairwise_hamming_at_least_3(self):
+        chars = sorted(G.FONT)
+        flat = np.stack([G.FONT[c].reshape(-1) for c in chars])
+        for i in range(len(chars)):
+            d = np.count_nonzero(flat != flat[i], axis=1)
+            d[i] = 99
+            assert d.min() >= 3, (chars[i], chars[int(d.argmin())])
+
+    def test_one_bit_corruption_still_matches(self):
+        for ch, g in G.FONT.items():
+            for r in range(G.GLYPH_H):
+                for c in range(G.GLYPH_W):
+                    w = g.copy()
+                    w[r, c] = ~w[r, c]
+                    m, conf = G._match_glyph(w)
+                    assert m == ch and conf < 1.0
+
+
+class TestRenderOcrIdentity:
+    def test_full_charset_roundtrip(self):
+        text = "0123456789 ABCDEFGHIJKLM NOPQRSTUVWXYZ .,:'-/"
+        page = G.render_tokens([(text, 10, 5)], 6 * len(text) + 20, 20)
+        toks = G.ocr_ink_mask(page <= 127)
+        # norm_text collapses the double spaces the token-gap rule inserts
+        assert len(toks) == 1
+        assert toks[0]["text"] == text
+        assert toks[0]["x_position"] == 10 and toks[0]["y_position"] == 5
+        assert toks[0]["confidence"] == 0.97
+
+    def test_positions_exact_multi_token(self):
+        toks_in = [("01 ITEM", 10, 30), ("2UNX3,50", 700, 30),
+                   ("7,00", 950, 30), ("TOTAL", 10, 90)]
+        page = G.render_tokens(toks_in, 1010, 120)
+        got = G.ocr_ink_mask(page <= 127)
+        assert [(t["text"], t["x_position"], t["y_position"]) for t in got] == [
+            ("01 ITEM", 10, 30), ("2UNX3,50", 700, 30), ("7,00", 950, 30),
+            ("TOTAL", 10, 90),
+        ]
+
+    def test_token_split_needs_4_cell_gap(self):
+        # 3 blank cells stay one token (as spaces); 4+ split
+        near = G.render_tokens([("AB", 10, 5), ("CD", 10 + 2 * 6 + 18, 5)], 200, 20)
+        far = G.render_tokens([("AB", 10, 5), ("CD", 10 + 2 * 6 + 24, 5)], 200, 20)
+        assert len(G.ocr_ink_mask(near <= 127)) == 1
+        assert len(G.ocr_ink_mask(far <= 127)) == 2
+
+    def test_out_of_charset_raises(self):
+        with pytest.raises(ValueError):
+            G.render_tokens([("ção", 0, 0)], 100, 20)
+
+    def test_overflow_raises(self):
+        with pytest.raises(ValueError):
+            G.render_tokens([("AAAA", 90, 0)], 100, 20)
+
+    def test_corrupted_pixel_lowers_confidence(self):
+        page = G.render_tokens([("ABC", 10, 5)], 100, 20)
+        page[5, 10] = 255 if page[5, 10] < 128 else 40  # flip one glyph pixel
+        toks = G.ocr_ink_mask(page <= 127)
+        assert len(toks) == 1 and toks[0]["text"] == "ABC"
+        assert toks[0]["confidence"] < 0.97
+
+
+class TestAttemptCascade:
+    def test_dark_ink_reads_raw(self):
+        page = G.render_tokens([("A1", 5, 5)], 60, 20, ink=40)
+        toks, attempt = G.ocr_attempts(page)
+        assert attempt == "raw" and toks[0]["text"] == "A1"
+
+    def test_light_ink_needs_otsu(self):
+        page = G.render_tokens([("A1", 5, 5)], 60, 20, ink=140)
+        toks, attempt = G.ocr_attempts(page)
+        assert attempt == "otsu" and toks[0]["text"] == "A1"
+
+    def test_blank_page_exhausts_cascade(self):
+        toks, attempt = G.ocr_attempts(np.full((30, 30), 255, dtype=np.uint8))
+        assert toks == [] and attempt is None
+
+    def test_zoom_attempt_scale_math(self):
+        # drive the scale-2 path directly: a 2x-upscaled render must OCR
+        # back to the same tokens at the ORIGINAL page coordinates
+        page = G.render_tokens([("XY 42", 12, 6)], 120, 24, ink=40)
+        big = np.repeat(np.repeat(page, 2, axis=0), 2, axis=1)
+        toks = G.ocr_ink_mask(big <= 127, scale=2)
+        assert [(t["text"], t["x_position"], t["y_position"]) for t in toks] == [
+            ("XY 42", 12, 6)
+        ]
+
+    def test_attempt_order_is_raw_otsu_zoom(self):
+        # dark ink must NOT report otsu/zoom — first success wins (X21)
+        page = G.render_tokens([("Z", 5, 5)], 40, 20, ink=40)
+        _, attempt = G.ocr_attempts(page)
+        assert attempt == "raw"
+
+
+class TestPngEndToEnd:
+    def test_png_roundtrip_through_codec(self):
+        page = G.render_tokens([("EMISSAO: 05/12/2025", 10, 10)], 200, 30)
+        png = C.encode_png(page)
+        w, h, ch, px = C.decode_png(png)
+        toks, attempt = G.ocr_attempts(C.to_gray(px))
+        assert attempt == "raw"
+        assert toks[0]["text"] == "EMISSAO: 05/12/2025"

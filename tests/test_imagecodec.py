@@ -1,0 +1,203 @@
+"""Unit tests for the pure-stdlib image codec (core/imagecodec.py):
+PNG/BMP round-trips across every filter type, decode-failure paths,
+cv2-parity grayscale arithmetic, Otsu selection, block-mean dHash."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core import imagecodec as C
+
+
+def _arr(h, w, ch, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("ch", [1, 3])
+    @pytest.mark.parametrize(
+        "filters",
+        [None, "f0", "f1", "f2", "f3", "f4", "mixed"],
+    )
+    def test_roundtrip_all_filters(self, ch, filters):
+        h, w = 23, 17
+        arr = _arr(h, w, ch, seed=ch)
+        if filters == "mixed":
+            fl = [i % 5 for i in range(h)]
+        elif filters is None:
+            fl = None
+        else:
+            fl = [int(filters[1])] * h
+        png = C.encode_png(arr, filters=fl)
+        out = C.decode_png(png)
+        assert out is not None
+        dw, dh, dc, px = out
+        assert (dw, dh, dc) == (w, h, ch)
+        assert np.array_equal(px, arr)
+
+    def test_1x1_and_wide(self):
+        for shape in [(1, 1, 1), (1, 300, 3), (300, 1, 3)]:
+            arr = _arr(*shape, seed=9)
+            got = C.decode_png(C.encode_png(arr))
+            assert got is not None and np.array_equal(got[3], arr)
+
+    def test_gray_2d_input_form(self):
+        arr = _arr(8, 8, 1, seed=3)
+        png = C.encode_png(arr[:, :, 0])  # 2-D form accepted
+        w, h, c, px = C.decode_png(png)
+        assert c == 1 and np.array_equal(px, arr)
+
+
+class TestPngFailurePaths:
+    def test_not_png(self):
+        assert C.decode_png(b"hello") is None
+        assert C.decode_png(b"") is None
+
+    def test_truncated(self):
+        png = C.encode_png(_arr(10, 10, 3))
+        assert C.decode_png(png[:30]) is None
+
+    def test_corrupt_crc(self):
+        png = bytearray(C.encode_png(_arr(10, 10, 3)))
+        png[40] ^= 0xFF
+        assert C.decode_png(bytes(png)) is None
+
+    def test_unsupported_shapes_rejected(self):
+        import struct
+        import zlib
+
+        # 16-bit depth IHDR → None
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        assert C.decode_png(C.PNG_MAGIC + chunk) is None
+
+    def test_decode_image_dispatch(self):
+        arr = _arr(6, 6, 3)
+        assert C.decode_image(C.encode_png(arr)) is not None
+        assert C.decode_image(C.encode_bmp(arr)) is not None
+        assert C.decode_image(b"\xff\xd8\xff\xe0 jpeg") is None
+        assert C.decode_image(None) is None
+
+
+class TestBmp:
+    def test_roundtrip_24bit(self):
+        arr = _arr(11, 13, 3, seed=5)
+        w, h, c, px = C.decode_bmp(C.encode_bmp(arr))
+        assert (w, h, c) == (13, 11, 3)
+        assert np.array_equal(px, arr)
+
+    def test_row_padding_widths(self):
+        # widths whose 3-byte rows need 0..3 pad bytes
+        for w in (4, 5, 6, 7):
+            arr = _arr(3, w, 3, seed=w)
+            got = C.decode_bmp(C.encode_bmp(arr))
+            assert got is not None and np.array_equal(got[3], arr)
+
+    def test_gray_input_expands(self):
+        g = _arr(5, 5, 1)[:, :, 0]
+        w, h, c, px = C.decode_bmp(C.encode_bmp(g))
+        assert c == 3 and np.array_equal(px[:, :, 0], g)
+
+    def test_garbage(self):
+        assert C.decode_bmp(b"BMxx") is None
+
+
+class TestGrayOtsu:
+    def test_cv2_parity_coefficients(self):
+        # (R*4899 + G*9617 + B*1868 + 8192) >> 14 — cv2's exact fixed point
+        assert C.to_gray(np.array([[[255, 0, 0]]], dtype=np.uint8))[0, 0] == 76
+        assert C.to_gray(np.array([[[0, 255, 0]]], dtype=np.uint8))[0, 0] == 150
+        assert C.to_gray(np.array([[[0, 0, 255]]], dtype=np.uint8))[0, 0] == 29
+        assert C.to_gray(np.full((2, 2, 3), 255, dtype=np.uint8))[0, 0] == 255
+
+    def test_gray_passthrough(self):
+        g = _arr(4, 4, 1)[:, :, 0]
+        assert np.array_equal(C.to_gray(g), g)
+
+    def test_otsu_bimodal_first_argmax(self):
+        plane = np.array([40] * 500 + [220] * 500, dtype=np.uint8)
+        t = C.otsu_threshold(plane.reshape(20, 50))
+        # any t in [40, 219] separates; first argmax (cv2's strict-greater
+        # update rule) lands on 40
+        assert t == 40
+
+    def test_otsu_flat_image(self):
+        assert C.otsu_threshold(np.full((5, 5), 255, dtype=np.uint8)) in (0, 255)
+
+    def test_otsu_separates_ink_levels(self):
+        for ink in (40, 140):
+            plane = np.full((30, 30), 255, dtype=np.uint8)
+            plane[10:20, 10:20] = ink
+            t = C.otsu_threshold(plane)
+            assert ink <= t < 255
+
+
+class TestDhash:
+    def test_gradient_all_ones(self):
+        g = np.tile(np.arange(90, dtype=np.uint8) * 2, (16, 1))
+        assert C.dhash63_gray(g) == 0x7FFFFFFFFFFFFFFF
+
+    def test_flat_zero(self):
+        assert C.dhash63_gray(np.full((16, 18), 128, dtype=np.uint8)) == 0
+
+    def test_bit63_always_zero(self):
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            g = rng.randint(0, 256, (32, 40)).astype(np.uint8)
+            assert C.dhash63_gray(g) >> 63 == 0
+
+    def test_brightness_invariance(self):
+        # dHash compares neighbours: a uniform +20 shift keeps every bit
+        rng = np.random.RandomState(1)
+        g = rng.randint(0, 200, (24, 27)).astype(np.uint8)
+        assert C.dhash63_gray(g) == C.dhash63_gray(g + 20)
+
+    def test_tiny_input_upsample_path(self):
+        g = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+        h = C.dhash63_gray(g)  # must not raise; deterministic
+        assert h == C.dhash63_gray(g)
+
+    def test_block_mean_exact(self):
+        g = np.arange(36, dtype=np.uint8).reshape(6, 6)
+        grid = C.block_mean_grid(g, 2, 2)
+        # 3x3 blocks: mean of block(0,0) = mean(0,1,2,6,7,8,12,13,14) = 7
+        assert grid[0, 0] == 7 and grid[1, 1] == 28
+
+
+try:
+    import cv2  # noqa: F401
+    HAVE_CV2 = True
+except Exception:
+    HAVE_CV2 = False
+
+
+@pytest.mark.skipif(not HAVE_CV2, reason="cv2 absent in this sandbox")
+class TestCv2Parity:
+    """Activates automatically on a host WITH cv2: the stdlib grayscale and
+    Otsu must match cv2 bit-for-bit (the arithmetic was transcribed from
+    cv2's fixed-point BT.601 and THRESH_OTSU selection rules)."""
+
+    def test_gray_matches_cv2(self):
+        import cv2
+
+        rgb = _arr(37, 53, 3, seed=13)
+        bgr = rgb[:, :, ::-1].copy()
+        assert np.array_equal(
+            C.to_gray(rgb), cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        )
+
+    def test_otsu_matches_cv2(self):
+        import cv2
+
+        g = _arr(64, 64, 1, seed=14)[:, :, 0]
+        t_cv, _ = cv2.threshold(g, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        assert C.otsu_threshold(g) == int(t_cv)
+
+    def test_png_decode_matches_cv2(self):
+        import cv2
+
+        rgb = _arr(24, 31, 3, seed=15)
+        png = C.encode_png(rgb)
+        via_cv = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert np.array_equal(C.decode_png(png)[3], via_cv[:, :, ::-1])

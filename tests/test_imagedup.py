@@ -240,3 +240,64 @@ class TestVideoNearDupBandedDifferential:
                 tuple(r) for r in video_near_dup_pairs_naive(frames, t).collect()
             )
             assert got == exp and len(got) > 0
+
+
+class TestRealPngDhash:
+    """r4: PNG/BMP payloads decode through the stdlib codec and hash via
+    the 2-D block-mean dHash — same 63-bit packing, so real-image
+    fingerprints join the banded pair plans unchanged."""
+
+    def test_png_payload_uses_real_pixels(self):
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import (
+            decode_png, dhash63_gray, encode_png, to_gray,
+        )
+        from ocr_service_spark.operators.imagedup import dhash63
+
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 256, (32, 40, 3)).astype(np.uint8)
+        png = encode_png(arr)
+        expect = dhash63_gray(to_gray(decode_png(png)[3]))
+        assert dhash63(png) == expect
+        assert dhash63(png) >> 63 == 0
+
+    def test_reencoded_png_same_hash(self):
+        # dHash is a function of the PIXELS: different zlib levels give
+        # different bytes but identical fingerprints (the near-dup class
+        # a crawl sees from re-encodes)
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import encode_png
+        from ocr_service_spark.operators.imagedup import dhash63
+
+        rng = np.random.RandomState(4)
+        arr = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+        a = encode_png(arr, level=1)
+        b = encode_png(arr, level=9)
+        assert a != b
+        assert dhash63(a) == dhash63(b)
+
+    def test_undecodable_png_falls_back_to_plane_stub(self):
+        # corrupt PNG bytes: codec returns None → the raw-plane path keeps
+        # the operator total (errors never kill the batch)
+        from ocr_service_spark.operators.imagedup import dhash63
+
+        bad = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+        assert isinstance(dhash63(bad), int)
+
+    def test_operator_over_png_media(self, spark):
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import encode_png
+        from ocr_service_spark.operators.imagedup import dhash63, image_dhash
+
+        rng = np.random.RandomState(5)
+        payloads = [encode_png(rng.randint(0, 256, (20, 24)).astype(np.uint8))
+                    for _ in range(6)]
+        media = spark.createDataFrame(
+            [(f"m{i}", bytearray(p)) for i, p in enumerate(payloads)],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+        assert rows == {f"m{i}": dhash63(p) for i, p in enumerate(payloads)}

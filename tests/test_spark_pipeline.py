@@ -53,13 +53,16 @@ class TestByteIdentity:
 
     def test_doc_class_coverage(self, results_rows):
         fmts = {r["fmt"] for r in results_rows.values()}
-        assert {"html", "tokens", "empty", "pdf", "unknown", "jpeg"} <= fmts
+        assert {"html", "tokens", "empty", "pdf", "unknown", "jpeg", "png"} <= fmts
         tipos = {r["tipo_documento"] for r in results_rows.values()}
         assert {"gasto", "venda", "erro"} <= tipos
         # at least one doc got items through each happy path
         assert any(r["n_itens"] > 0 and r["fmt"] == "html" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "tokens" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "pdf" for r in results_rows.values())
+        # the real-pixel route (class 95): every PNG page decodes + extracts
+        png = [r for u, r in results_rows.items() if int(u[-12:]) % 100 == 95]
+        assert png and all(r["n_itens"] > 0 for r in png)
         # both PDF happy paths: the sidecar layout class (id%100 in 89,90)
         # AND genuine %PDF bytes through the stdlib text parser (id%100==88)
         real_pdf = [r for u, r in results_rows.items() if int(u[-12:]) % 100 == 88]

@@ -268,6 +268,31 @@ class TestMultimodal:
         again = {r["media_id"]: r["phash"] for r in extract_image_features(media).collect()}
         assert all(again[r["media_id"]] == r["phash"] for r in rows)
 
+    def test_image_features_real_png(self, spark):
+        # r4: PNG payloads decode to REAL pixels (stdlib codec) — width/
+        # height/channels are the true image dims and phash is the true
+        # block-mean dHash, not the deterministic fake
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import (
+            dhash63_gray, encode_png, to_gray,
+        )
+        from ocr_service_spark.operators.multimodal import extract_image_features
+
+        rng = np.random.RandomState(11)
+        arrs = [rng.randint(0, 256, (10 + i, 20 + i, 3)).astype(np.uint8)
+                for i in range(5)]
+        media = spark.createDataFrame(
+            [(f"png-{i}", bytearray(encode_png(a))) for i, a in enumerate(arrs)],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+        for i, a in enumerate(arrs):
+            r = rows[f"png-{i}"]
+            assert r["decode_ok"]
+            assert (r["width"], r["height"], r["channels"]) == (20 + i, 10 + i, 3)
+            assert r["phash"] == format(dhash63_gray(to_gray(a)), "016x")
+
     def test_video_frame_fanout(self, spark):
         from ocr_service_spark.operators.multimodal import sample_video_frames
         d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
