@@ -13967,9 +13967,17 @@ def q_range_layout(spark, sf_dir):
 
 SQL_RANGE_LAYOUT = """
 WITH s AS (
-  SELECT n_chars AS k FROM documents
-  WHERE ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        % 16 = 0
+  -- mod-16 md5 sample, then the SAME deterministic bottom-100k by
+  -- (hash, key) the operator's count-bounded driver collect applies —
+  -- without it the oracle silently diverges once a corpus exceeds the
+  -- cap (r3 ADVICE; the cap does not bind at gate SFs)
+  SELECT k FROM (
+    SELECT n_chars AS k,
+           ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM documents
+  ) t
+  WHERE h % 16 = 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY h, k) <= 100000
 ),
 rs AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM s),
 n AS (SELECT COUNT(*) AS ns FROM s),

@@ -123,7 +123,12 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     post-join exchange disappears. The bucket array is materialized as a
     column BEFORE the posexplode so the xxhash chain is computed once
     per doc, not once per band reference (the documented Catalyst lambda
-    rule)."""
+    rule).
+
+    Input precondition: ONE signature row per id. Canonical-band
+    exactly-once emission is structural, not a set-dedup — duplicate id
+    rows would surface duplicate pairs the pre-r3 distinct() used to
+    collapse (all in-repo producers emit unique ids; r3 ADVICE)."""
     bucket_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -291,6 +296,10 @@ def simhash_near_dup_pairs(
     shuffle on (band_id, band_key) — cost Σ bucket², never all-pairs — then
     verify candidates JVM-side with bit_count(xor) ≤ max_hamming (one
     codegen'd expression, no Python). Emits (id_a, id_b, hamming).
+
+    Input precondition: one row per id in `df` — pair emission is
+    structurally exactly-once (canonical band), not set-deduped, so
+    duplicate ids would surface duplicate pairs (r3 ADVICE).
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for pigeonhole recall")
