@@ -10888,7 +10888,12 @@ def q_png_glyph_ocr(spark, sf_dir):
     drift breaks the value hash."""
     from .core.document import extract_document
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    # the render+extract UDF is the cost; the input is one long column —
+    # spread it across the session's full parallelism instead of
+    # inheriting the parquet file count (measured 12s -> ~1.5s at sf0.1)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     schema = ("doc_id long, tipo string, sq long, item string, qtd long, "
               "vu_cents long, vt_cents long, dt string")
 
@@ -14397,20 +14402,76 @@ FROM ranked, t WHERE rank <= 5
 """
 
 
+_ANALYZE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+                 "l_linestatus", "l_shipdate"]
+
+
 def q_analyze_table(spark, sf_dir):
-    """ANALYZE TABLE statistics pass (operators/stats.py analyze_table)
-    over six lineitem columns: one stack() melt scan feeding per-column
-    null counts, lexicographic min/max (the txlog zone-map convention)
-    and KMV-sketched NDV with exact-count audit. The oracle replays the
-    melt, every base stat, every kept hash and the estimator."""
+    """PRODUCTION ANALYZE TABLE (r4 split, r3 verdict "what's wrong" #2):
+    the operator is sketch-only — one stack() melt into ONE hash
+    aggregate carrying base stats + HLL++ NDV, single scan, no distinct,
+    no window (the plan a 100 TB ANALYZE actually runs; the exact-NDV
+    audit twin is analyze_table_audit). The raw HLL estimate is
+    engine-internal, so the gate row carries base stats plus a
+    within-20%-of-exact flag (the approx_distinct_sketch pattern) — the
+    exact side is a gate-only count_distinct aggregate, never part of
+    the production operator's plan."""
     from .operators.stats import analyze_table
 
     li = load(spark, sf_dir, "lineitem")
-    return analyze_table(
-        li,
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-         "l_linestatus", "l_shipdate"],
+    prod = analyze_table(li, _ANALYZE_COLS)
+    parts = []
+    for c in _ANALYZE_COLS:
+        parts += [f"'{c}'", f"CAST({c} AS STRING)"]
+    exact = (
+        li.select(F.expr(
+            f"stack({len(_ANALYZE_COLS)}, {', '.join(parts)}) AS (col_name, v)"
+        ))
+        .groupBy("col_name")
+        .agg(F.count_distinct("v").alias("_exact"))
     )
+    ndv_ok = (
+        F.abs(F.col("est_distinct") - F.col("_exact")) * 1000
+        <= F.lit(200) * F.greatest(F.col("_exact"), F.lit(1))
+    )
+    return prod.join(F.broadcast(exact), "col_name").select(
+        "col_name", "n_rows", "n_null", "min_s", "max_s",
+        ndv_ok.alias("ndv_ok"),
+    )
+
+
+SQL_ANALYZE_TABLE_PROD = """
+WITH melted AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+)
+SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((v IS NULL)::INT) AS BIGINT) AS n_null,
+       MIN(v) AS min_s, MAX(v) AS max_s,
+       TRUE AS ndv_ok
+FROM melted GROUP BY col_name
+"""
+
+
+def q_analyze_table_audit(spark, sf_dir):
+    """AUDIT ANALYZE TABLE (the exact twin of the production entry): the
+    KMV-sketched NDV beside the exact distinct count and the per-mille
+    estimator error — two scans (base aggregate + sketch window). The
+    oracle replays the melt, every base stat, every kept hash and the
+    estimator."""
+    from .operators.stats import analyze_table
+
+    li = load(spark, sf_dir, "lineitem")
+    return analyze_table(li, _ANALYZE_COLS, exact_ndv=True)
 
 
 SQL_ANALYZE_TABLE = """
@@ -24361,7 +24422,8 @@ CATALOG: Dict[str, tuple] = {
     # pre-join skew diagnosis with hot-key salt plan (operators/skew.py)
     "join_skew_report": (q_join_skew_report, SQL_JOIN_SKEW),
     # single-scan ANALYZE TABLE stats with sketched NDV (operators/stats.py)
-    "analyze_table": (q_analyze_table, SQL_ANALYZE_TABLE),
+    "analyze_table": (q_analyze_table, SQL_ANALYZE_TABLE_PROD),
+    "analyze_table_audit": (q_analyze_table_audit, SQL_ANALYZE_TABLE),
     # k-core cascade peeling (operators/graph.py)
     "kcore_membership": (q_kcore_membership, SQL_KCORE),
     # ordered-funnel conversion (operators/asof.py)

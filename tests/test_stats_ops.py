@@ -278,10 +278,14 @@ class TestJoinSkewReport:
 
 class TestAnalyzeTable:
     def _stats(self, spark, rows, schema, cols):
+        # audit form: the exact-NDV twin the oracle checks
         from ocr_service_spark.operators.stats import analyze_table
 
         df = spark.createDataFrame(rows, schema)
-        return {r["col_name"]: r for r in analyze_table(df, cols).collect()}
+        return {
+            r["col_name"]: r
+            for r in analyze_table(df, cols, exact_ndv=True).collect()
+        }
 
     def test_null_counts_and_exact_ndv_below_k(self, spark):
         rows = [(1, "a"), (2, None), (2, "b"), (None, "b")]
@@ -305,10 +309,11 @@ class TestAnalyzeTable:
         assert got["x"]["min_s"] == "10" and got["x"]["max_s"] == "9"
 
     def test_single_melt_plan(self, spark):
-        # the melt is one stack projection, consumed by exactly two
-        # aggregates (base stats + NDV sketch): the source appears twice
-        # in the plan — per CONSUMER, never per column (3 columns here,
-        # 6 scans would mean the melt degenerated to per-column reads).
+        # the melt is one stack projection, read once per CONSUMER, never
+        # per column: the AUDIT form has two consumers (base stats + NDV
+        # sketch) → exactly 2 source scans; the PRODUCTION form folds
+        # HLL++ into the base aggregate → exactly 1 scan, no Window, no
+        # distinct (the r4 sketch-only split).
         import contextlib
         import io
         import re
@@ -316,11 +321,34 @@ class TestAnalyzeTable:
         from ocr_service_spark.operators.stats import analyze_table
 
         df = spark.range(100).selectExpr("id AS a", "id % 7 AS b", "id % 3 AS c")
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            analyze_table(df, ["a", "b", "c"]).explain("formatted")
-        n_scans = len(re.findall(r"^\(\d+\) Range\b", buf.getvalue(), re.M))
-        assert n_scans == 2
+
+        def plan(exact_ndv):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                analyze_table(df, ["a", "b", "c"],
+                              exact_ndv=exact_ndv).explain("formatted")
+            return buf.getvalue()
+
+        audit = plan(True)
+        assert len(re.findall(r"^\(\d+\) Range\b", audit, re.M)) == 2
+        prod = plan(False)
+        assert len(re.findall(r"^\(\d+\) Range\b", prod, re.M)) == 1
+        assert "Window" not in prod
+
+    def test_production_form_estimates(self, spark):
+        from ocr_service_spark.operators.stats import analyze_table
+
+        df = spark.range(1000).selectExpr(
+            "id AS a", "CAST(id % 7 AS STRING) AS b",
+            "CAST(NULL AS STRING) AS c")
+        got = {r["col_name"]: r
+               for r in analyze_table(df, ["a", "b", "c"]).collect()}
+        assert set(got["a"].asDict()) == {
+            "col_name", "n_rows", "n_null", "min_s", "max_s", "est_distinct"}
+        assert got["b"]["est_distinct"] == 7      # HLL exact at tiny NDV
+        assert got["c"]["n_null"] == 1000 and got["c"]["est_distinct"] == 0
+        # HLL++ default rsd 5%: 1000 distinct ids estimate within 20%
+        assert abs(got["a"]["est_distinct"] - 1000) <= 200
 
 
 class TestSlidingHllDistinct:
