@@ -1056,9 +1056,58 @@ FROM d a JOIN d b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
 
 
 def q_simhash_fingerprint(spark, sf_dir):
-    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    """64-bit SimHash per document, upgraded from rows-only to a property
+    oracle (r4, verdict next-round #4 — the raw xxhash64 values have no
+    DuckDB twin; the exact VALUE semantics are covered transitively by
+    `simhash_md5_oracle`, which value-checks the shared vote-aggregate
+    structure). Three provable invariants of the vote construction are
+    emitted per doc and pinned TRUE by the oracle:
+
+      bit63_ok        packing stays in signed-long range (bit 63 forced 0)
+      rep_invariant   simhash(text ⧺ text ⧺ text) = simhash(text): votes
+                      scale by +3, signs (and the >0 tie rule) survive —
+                      breaks under any count-capped sampling or
+                      tie-handling drift
+      order_invariant simhash(reversed word order) = simhash(text): the
+                      fingerprint is a bag-of-words vote — breaks under
+                      any positional weighting/salting drift
+
+    All three fingerprint jobs run the REAL simhash64 aggregate, so the
+    driver hash gates the full operator on every document."""
     from .operators.dedup import simhash64
-    return simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = simhash64(d, "doc_id", "text")
+    rep = simhash64(
+        d.select("doc_id", F.concat_ws(" ", "text", "text", "text").alias("text")),
+        "doc_id", "text",
+    ).select(F.col("id").alias("id_r"), F.col("simhash").alias("sh_rep"))
+    rev = simhash64(
+        d.select(
+            "doc_id",
+            F.array_join(
+                F.reverse(F.split(F.trim(F.lower("text")), r"\s+")), " "
+            ).alias("text"),
+        ),
+        "doc_id", "text",
+    ).select(F.col("id").alias("id_v"), F.col("simhash").alias("sh_rev"))
+    return (
+        base.join(rep, base["id"] == rep["id_r"])
+        .join(rev, base["id"] == rev["id_v"])
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.shiftright("simhash", 63) == 0).alias("bit63_ok"),
+            (F.col("simhash") == F.col("sh_rep")).alias("rep_invariant"),
+            (F.col("simhash") == F.col("sh_rev")).alias("order_invariant"),
+        )
+    )
+
+
+SQL_SIMHASH_FINGERPRINT = """
+SELECT doc_id, TRUE AS bit63_ok, TRUE AS rep_invariant,
+       TRUE AS order_invariant
+FROM documents
+"""
 
 
 def q_simhash_dup_invariance(spark, sf_dir):
@@ -24183,7 +24232,7 @@ CATALOG: Dict[str, tuple] = {
     "full_quality_gate": (q_full_quality_gate, SQL_FULL_GATE),
     "mirror_detection": (q_mirror_detection, SQL_MIRROR_DETECTION),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_LSH_RECALL),
-    "simhash_fingerprint": (q_simhash_fingerprint, None),
+    "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
     "simhash_dup_invariance": (q_simhash_dup_invariance, SQL_SIMHASH_INVARIANCE),
     "simhash_md5_oracle": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_near_dup": (q_simhash_near_dup, SQL_LSH_RECALL),
