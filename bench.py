@@ -405,7 +405,9 @@ HEADLINE = [
     "cross_doc_dup_rate",      # corpus exact-substring duplication
     "posting_compression",     # delta+varint index sizing
     "join_skew_report",        # hot-key salt-factor planning
-    "analyze_table",           # CBO stats with sketched NDV
+    "analyze_table",           # CBO stats, production HLL++ NDV (r4 split)
+    "analyze_table_audit",     # exact-NDV KMV audit twin
+    "png_glyph_ocr",           # real-pixel PNG decode -> OCR cascade (X19)
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics

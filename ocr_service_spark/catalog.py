@@ -10896,9 +10896,14 @@ def _planted_png_receipt(doc_id: int) -> bytes:
     n_items = doc_id%3+1, venda flag doc_id%5==0, low-contrast ink for
     doc_id%4==1 (raw threshold misses it; only the Otsu attempt reads it),
     item i: product (doc_id+i)%10, qtd (doc_id*7+i*3)%9+1, unit-price
-    cents (doc_id*131+i*17)%9999+1."""
+    cents (doc_id*131+i*17)%9999+1; docs with doc_id%2==0 carry a REAL
+    rendered QR code (core/qrcode) whose URL is arithmetic in doc_id —
+    the X20 locate+Reed-Solomon decode is part of the checked surface."""
+    import numpy as np
+
     from .core.glyphocr import render_tokens
     from .core.imagecodec import encode_png
+    from .core.qrcode import encode_qr
     from .sources.synth import _PRODUCTS
 
     n_items = doc_id % 3 + 1
@@ -10921,7 +10926,13 @@ def _planted_png_receipt(doc_id: int) -> bytes:
         y += 30
     toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
     toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
-    return encode_png(render_tokens(toks, 1020, y + 60, ink=ink))
+    with_qr = doc_id % 2 == 0
+    page = render_tokens(toks, 1020, y + 60 + (70 if with_qr else 0), ink=ink)
+    if with_qr:
+        qr = encode_qr(f"https://q.example/nfce?p={doc_id}")
+        qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
+        page[y + 58:y + 58 + qr_px.shape[0], 700:700 + qr_px.shape[1]][qr_px] = ink
+    return encode_png(page)
 
 
 def q_png_glyph_ocr(spark, sf_dir):
@@ -10944,7 +10955,7 @@ def q_png_glyph_ocr(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     schema = ("doc_id long, tipo string, sq long, item string, qtd long, "
-              "vu_cents long, vt_cents long, dt string")
+              "vu_cents long, vt_cents long, dt string, qr string")
 
     def run(batches):
         for pdf in batches:
@@ -10965,10 +10976,11 @@ def q_png_glyph_ocr(spark, sf_dir):
                         "vu_cents": int(it["valor_unitario"] * 100 + 0.5),
                         "vt_cents": int(it["valor_total"] * 100 + 0.5),
                         "dt": it["data_venda"] if venda else it["data_compra"],
+                        "qr": rec["qrcode_url"],
                     })
             yield pd.DataFrame(
                 rows, columns=["doc_id", "tipo", "sq", "item", "qtd",
-                               "vu_cents", "vt_cents", "dt"])
+                               "vu_cents", "vt_cents", "dt", "qr"])
 
     return d.mapInPandas(run, schema)
 
@@ -10992,7 +11004,10 @@ SELECT d.doc_id,
        CAST((d.doc_id * 131 + i.i * 17) % 9999 + 1 AS BIGINT) AS vu_cents,
        CAST(((d.doc_id * 7 + i.i * 3) % 9 + 1)
             * ((d.doc_id * 131 + i.i * 17) % 9999 + 1) AS BIGINT) AS vt_cents,
-       printf('%02d/12/2025', d.day) AS dt
+       printf('%02d/12/2025', d.day) AS dt,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN 'https://q.example/nfce?p=' || CAST(d.doc_id AS VARCHAR)
+       END AS qr
 FROM d
 JOIN generate_series(0, 2) i(i) ON i.i < d.n_items
 JOIN prods p ON p.idx = (d.doc_id + i.i) % 10

@@ -39,7 +39,8 @@ from .html_extract import (
     normalize_item_text,
     parse_nfce_html,
 )
-from .imagecodec import decode_image, to_gray
+from .imagecodec import decode_image, otsu_threshold, to_gray
+from .qrcode import locate_and_decode
 from .pdf_layout import decode_layout_payload, layout_to_text
 from .pdf_text import pdf_to_char_pages
 from .sniff import (
@@ -109,13 +110,22 @@ class FixtureOcrBackend:
 
 
 class PixelOcrBackend:
-    """Real-pixel OCR backend (X19 closed without cv2): stdlib PNG/BMP
-    decode (core/imagecodec — zlib inflate + per-row unfiltering), cv2's
-    exact fixed-point BGR→gray arithmetic, then the reference's X21 attempt
-    cascade (raw fixed threshold → Otsu re-binarization → 2× zoom,
-    app/ocr_engine.py:92-110,357-372) over the 5×7 spec-font template OCR
-    (core/glyphocr). QR decode (X20) stays decoder-gated: pyzbar/cv2 are
-    absent, and QR bit-stream decoding has no stdlib path."""
+    """Real-pixel OCR backend (X19+X20 closed without cv2/pyzbar): stdlib
+    PNG/BMP decode (core/imagecodec — zlib inflate + per-row unfiltering),
+    cv2's exact fixed-point BGR→gray arithmetic, then
+
+      extract_text     the reference's X21 attempt cascade (raw fixed
+                       threshold → Otsu re-binarization → 2× zoom,
+                       app/ocr_engine.py:92-110,357-372) over the 5×7
+                       spec-font template OCR (core/glyphocr);
+      extract_qrcode   the reference's X20 preprocessed-variant cascade
+                       (app/ocr_engine.py:56-83: try [gray, otsu, ...]
+                       until a QRCODE decodes) over the stdlib QR decoder
+                       (core/qrcode — finder-pattern locate, format-info
+                       BCH, full Reed-Solomon correction; versions 1-3
+                       byte-mode, axis-aligned — the geometry rendered
+                       receipts have; pyzbar's arbitrary-perspective
+                       recovery has no stdlib path and stays gated)."""
 
     def extract_text(self, image_bytes: bytes) -> List[Dict]:
         decoded = decode_image(image_bytes)
@@ -126,6 +136,16 @@ class PixelOcrBackend:
         return lines
 
     def extract_qrcode(self, image_bytes: bytes) -> Optional[List[Dict]]:
+        """First binarization variant with a decodable QRCODE wins, else
+        None — the X20 early-exit loop on real pixels."""
+        decoded = decode_image(image_bytes)
+        if decoded is None:
+            return None
+        gray = to_gray(decoded[3])
+        for variant in (gray <= 127, gray <= otsu_threshold(gray)):
+            data = locate_and_decode(variant)
+            if data is not None:
+                return [{"data": data, "type": "QRCODE"}]
         return None
 
 

@@ -186,6 +186,13 @@ def ocr_ink_mask(mask: np.ndarray, scale: int = 1) -> List[Dict]:
         col_any = band.any(axis=0)
         glyphs: List[Tuple[int, str, float]] = []  # (col, char, conf)
         for c0, c1 in _runs(col_any):
+            if c1 - c0 != GLYPH_W * scale:
+                # non-text ink (QR blocks, rules, logos): a text glyph's
+                # run is EXACTLY GLYPH_W wide by the every-column-inked
+                # font contract — anything else is not a glyph and must
+                # not fabricate low-confidence tokens (Paddle likewise
+                # emits nothing for non-text regions)
+                continue
             window = band[::scale, c0:c0 + GLYPH_W * scale:scale]
             win = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
             win[:window.shape[0], :window.shape[1]] = window[:GLYPH_H, :GLYPH_W]

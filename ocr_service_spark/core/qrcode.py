@@ -1,0 +1,488 @@
+"""Pure-stdlib QR code encode/decode (versions 1-3, byte mode, EC level L).
+
+Closes the X20 decode gap the same way core/imagecodec.py closed X19: the
+reference's QR route is pyzbar/cv2 over preprocessed grayscale variants
+(/root/reference/app/ocr_engine.py:56-83); neither wheel ships here, but the
+QR symbology is fully public (ISO/IEC 18004) and a bounded subset — the
+receipt-URL payloads this pipeline actually carries — fits in ~400 lines of
+deterministic Python:
+
+  encode_qr(text)          → bool module matrix (the synth side: receipts
+                             render a REAL QR block into their PNG pixels)
+  decode_qr_matrix(m)      → payload str (format-info BCH nearest-match,
+                             unmask, zigzag read, full GF(256) Reed-Solomon
+                             correction via Berlekamp-Massey/Chien/Forney)
+  locate_and_decode(mask)  → payload str from a page-sized ink mask: 1:1:3:1:1
+                             finder-pattern run scan (axis-aligned, unrotated,
+                             uniform module size — the geometry a rendered
+                             receipt has), grid resample, then decode.
+
+Scope (documented, test-pinned): versions 1-3 at EC level L (26/44/70
+codewords, single RS block), byte mode, axis-aligned locate. Anything
+outside returns None — errors-as-data upstream, like every decoder in this
+engine. Error correction is REAL: up to ⌊ec/2⌋ corrupted codewords per
+symbol are corrected, exercised by tests flipping random bytes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# GF(256) arithmetic (poly 0x11D) + Reed-Solomon
+# ---------------------------------------------------------------------------
+
+_EXP = [0] * 512
+_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _x <<= 1
+    if _x & 0x100:
+        _x ^= 0x11D
+for _i in range(255, 512):
+    _EXP[_i] = _EXP[_i - 255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _EXP[_LOG[a] + _LOG[b]]
+
+
+def _poly_mul(p: List[int], q: List[int]) -> List[int]:
+    r = [0] * (len(p) + len(q) - 1)
+    for i, a in enumerate(p):
+        for j, b in enumerate(q):
+            r[i + j] ^= _gmul(a, b)
+    return r
+
+
+def rs_generator(n: int) -> List[int]:
+    g = [1]
+    for i in range(n):
+        g = _poly_mul(g, [1, _EXP[i]])
+    return g
+
+
+def rs_encode(data: List[int], n_ec: int) -> List[int]:
+    """data codewords → EC codewords (polynomial long division remainder)."""
+    gen = rs_generator(n_ec)
+    rem = list(data) + [0] * n_ec
+    for i in range(len(data)):
+        coef = rem[i]
+        if coef:
+            for j in range(1, len(gen)):
+                rem[i + j] ^= _gmul(gen[j], coef)
+    return rem[len(data):]
+
+
+def _gdiv(a: int, b: int) -> int:
+    return _EXP[(_LOG[a] - _LOG[b]) % 255] if a else 0
+
+
+def _eval_desc(poly: List[int], x: int) -> int:
+    """Evaluate a descending-power polynomial (poly[0]·x^{k} + …)."""
+    v = 0
+    for c in poly:
+        v = _gmul(v, x) ^ c
+    return v
+
+
+def _eval_asc(poly: List[int], x: int) -> int:
+    """Evaluate an ascending-power polynomial (poly[0] + poly[1]·x + …)."""
+    v = 0
+    for c in reversed(poly):
+        v = _gmul(v, x) ^ c
+    return v
+
+
+def rs_correct(codeword: List[int], n_ec: int) -> Optional[List[int]]:
+    """Full RS decoder: syndromes → Berlekamp-Massey → Chien search →
+    Forney (generator roots α^0..α^{n_ec−1}, the QR convention). Returns
+    the corrected codeword (data+ec) or None when more than ⌊n_ec/2⌋
+    errors corrupt the block (final verify recomputes every syndrome)."""
+    n = len(codeword)
+    synd = [_eval_desc(codeword, _EXP[i]) for i in range(n_ec)]
+    if not any(synd):
+        return list(codeword)
+    # Berlekamp-Massey: sigma in ASCENDING powers
+    sigma = [1]
+    prev = [1]
+    L, m, b = 0, 1, 1
+    for i in range(n_ec):
+        d = synd[i]
+        for j in range(1, L + 1):
+            if j < len(sigma):
+                d ^= _gmul(sigma[j], synd[i - j])
+        if d == 0:
+            m += 1
+            continue
+        coef = _gdiv(d, b)
+        shifted = [0] * m + [_gmul(coef, c) for c in prev]
+        if 2 * L <= i:
+            prev, b = sigma[:], d
+            L = i + 1 - L
+            m = 1
+        else:
+            m += 1
+        if len(shifted) > len(sigma):
+            sigma = sigma + [0] * (len(shifted) - len(sigma))
+        for j, c in enumerate(shifted):
+            sigma[j] ^= c
+    n_err = L
+    if n_err * 2 > n_ec:
+        return None
+    # Chien: error at codeword index p iff sigma(α^{-(n-1-p)}) = 0
+    pos = []
+    for p in range(n):
+        x = _EXP[(255 - ((n - 1 - p) % 255)) % 255]
+        if _eval_asc(sigma, x) == 0:
+            pos.append(p)
+    if len(pos) != n_err:
+        return None
+    # Forney with b=0: e_p = X_j · ω(X_j⁻¹) / σ'(X_j⁻¹),
+    # ω(x) = S(x)·σ(x) mod x^{n_ec} (all ascending)
+    prod = [0] * (len(synd) + len(sigma) - 1)
+    for i, s in enumerate(synd):
+        if s:
+            for j, c in enumerate(sigma):
+                prod[i + j] ^= _gmul(s, c)
+    omega = prod[:n_ec]
+    out = list(codeword)
+    for p in pos:
+        e = (n - 1 - p) % 255
+        x = _EXP[e]                       # X_j
+        x_inv = _EXP[(255 - e) % 255]     # X_j^{-1}
+        num = _eval_asc(omega, x_inv)
+        den = 0                           # σ'(x) = Σ_{j odd} σ_j x^{j-1}
+        for j in range(1, len(sigma), 2):
+            den ^= _gmul(sigma[j], _EXP[(_LOG[x_inv] * (j - 1)) % 255]
+                         if x_inv != 0 else 0) if sigma[j] else 0
+        if den == 0:
+            return None
+        out[p] ^= _gmul(x, _gdiv(num, den))
+    for i in range(n_ec):
+        if _eval_desc(out, _EXP[i]) != 0:
+            return None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Symbol structure (versions 1-3, EC level L)
+# ---------------------------------------------------------------------------
+
+# version → (total codewords, data codewords, ec codewords) at level L
+_CAP = {1: (26, 19, 7), 2: (44, 34, 10), 3: (70, 55, 15)}
+_ALIGN = {1: [], 2: [(18, 18)], 3: [(22, 22)]}
+
+_FORMAT_MASK = 0x5412
+_ECL_BITS = {"L": 0b01, "M": 0b00, "Q": 0b11, "H": 0b10}
+
+
+def _bch_format(data5: int) -> int:
+    """5 format bits → 15-bit BCH(15,5) code (generator 0x537)."""
+    v = data5 << 10
+    g = 0x537
+    for i in range(14, 9, -1):
+        if v >> i & 1:
+            v ^= g << (i - 10)
+    return (data5 << 10) | v
+
+
+_VALID_FORMATS = {  # 32 valid masked 15-bit codes → (ecl_bits, mask_id)
+    _bch_format((e << 3) | m) ^ _FORMAT_MASK: (e, m)
+    for e in range(4) for m in range(8)
+}
+
+
+def _mask_fn(mask_id: int):
+    return [
+        lambda r, c: (r + c) % 2 == 0,
+        lambda r, c: r % 2 == 0,
+        lambda r, c: c % 3 == 0,
+        lambda r, c: (r + c) % 3 == 0,
+        lambda r, c: (r // 2 + c // 3) % 2 == 0,
+        lambda r, c: (r * c) % 2 + (r * c) % 3 == 0,
+        lambda r, c: ((r * c) % 2 + (r * c) % 3) % 2 == 0,
+        lambda r, c: ((r + c) % 2 + (r * c) % 3) % 2 == 0,
+    ][mask_id]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _function_mask(version: int) -> np.ndarray:
+    """True where a module is a function pattern (not data)."""
+    size = 17 + 4 * version
+    f = np.zeros((size, size), dtype=bool)
+    for r0, c0 in ((0, 0), (0, size - 7), (size - 7, 0)):
+        f[max(r0 - 1, 0):r0 + 8, max(c0 - 1, 0):c0 + 8] = True  # finder+sep
+    f[6, :] = True
+    f[:, 6] = True
+    for (rc, cc) in _ALIGN[version]:
+        f[rc - 2:rc + 3, cc - 2:cc + 3] = True
+    # format info areas
+    f[8, 0:9] = True
+    f[0:9, 8] = True
+    f[8, size - 8:] = True
+    f[size - 8:, 8] = True
+    return f
+
+
+def _draw_function_patterns(m: np.ndarray, version: int) -> None:
+    size = m.shape[0]
+
+    def finder(r0, c0):
+        for dr in range(-1, 8):
+            for dc in range(-1, 8):
+                r, c = r0 + dr, c0 + dc
+                if not (0 <= r < size and 0 <= c < size):
+                    continue
+                on = (0 <= dr <= 6 and dc in (0, 6)) or \
+                     (0 <= dc <= 6 and dr in (0, 6)) or \
+                     (2 <= dr <= 4 and 2 <= dc <= 4)
+                m[r, c] = on
+
+    finder(0, 0)
+    finder(0, size - 7)
+    finder(size - 7, 0)
+    for i in range(8, size - 8):
+        m[6, i] = i % 2 == 0
+        m[i, 6] = i % 2 == 0
+    for (rc, cc) in _ALIGN[version]:
+        for dr in range(-2, 3):
+            for dc in range(-2, 3):
+                m[rc + dr, cc + dc] = max(abs(dr), abs(dc)) != 1
+    m[size - 8, 8] = True  # dark module
+
+
+def _format_positions(size: int):
+    copy1 = [(8, c) for c in range(6)] + [(8, 7), (8, 8), (7, 8)] + \
+            [(r, 8) for r in range(5, -1, -1)]
+    copy2 = [(size - 1 - r, 8) for r in range(7)] + \
+            [(8, size - 8 + c) for c in range(8)]
+    return copy1, copy2
+
+
+def _place_format(m: np.ndarray, ecl: str, mask_id: int) -> None:
+    bits15 = _bch_format((_ECL_BITS[ecl] << 3) | mask_id) ^ _FORMAT_MASK
+    size = m.shape[0]
+    copy1, copy2 = _format_positions(size)
+    for i in range(15):
+        bit = bits15 >> (14 - i) & 1
+        m[copy1[i]] = bool(bit)
+        m[copy2[i]] = bool(bit)
+
+
+@lru_cache(maxsize=None)
+def _data_coords(version: int) -> List[Tuple[int, int]]:
+    """Zigzag module order (the ISO placement): two-column strips from the
+    right edge, alternating upward/downward, skipping the timing column."""
+    size = 17 + 4 * version
+    func = _function_mask(version)
+    coords = []
+    col = size - 1
+    upward = True
+    while col > 0:
+        if col == 6:
+            col -= 1
+        rows = range(size - 1, -1, -1) if upward else range(size)
+        for r in rows:
+            for c in (col, col - 1):
+                if not func[r, c]:
+                    coords.append((r, c))
+        upward = not upward
+        col -= 2
+    return coords
+
+
+def encode_qr(text: str, mask_id: int = 0) -> Optional[np.ndarray]:
+    """UTF-8 byte-mode QR at EC level L, smallest of versions 1-3 that
+    fits; None when the payload exceeds v3-L capacity (53 bytes)."""
+    data = text.encode("utf-8")
+    version = next(
+        (v for v in (1, 2, 3) if len(data) <= _CAP[v][1] - 2), None
+    )
+    if version is None:
+        return None
+    total, n_data, n_ec = _CAP[version]
+    bits = "0100" + format(len(data), "08b") + \
+        "".join(format(b, "08b") for b in data)
+    bits += "0" * min(4, n_data * 8 - len(bits))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    codewords = [int(bits[i:i + 8], 2) for i in range(0, len(bits), 8)]
+    pad = (0xEC, 0x11)
+    i = 0
+    while len(codewords) < n_data:
+        codewords.append(pad[i % 2])
+        i += 1
+    full = codewords + rs_encode(codewords, n_ec)
+    size = 17 + 4 * version
+    m = np.zeros((size, size), dtype=bool)
+    _draw_function_patterns(m, version)
+    _place_format(m, "L", mask_id)
+    coords = _data_coords(version)
+    mask = _mask_fn(mask_id)
+    for i, (r, c) in enumerate(coords):
+        bit = (full[i // 8] >> (7 - i % 8)) & 1 if i // 8 < total else 0
+        m[r, c] = bool(bit) ^ mask(r, c)
+    return m
+
+
+def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
+    """Module matrix → payload string, or None (wrong size / bad format
+    info / uncorrectable RS block / malformed byte stream)."""
+    try:
+        size = m.shape[0]
+        if m.shape != (size, size) or (size - 17) % 4 != 0:
+            return None
+        version = (size - 17) // 4
+        if version not in _CAP:
+            return None
+        copy1, copy2 = _format_positions(size)
+        best = None
+        for positions in (copy1, copy2):
+            got = 0
+            for r, c in positions:
+                got = (got << 1) | int(bool(m[r, c]))
+            for code, (e, mk) in _VALID_FORMATS.items():
+                d = bin(got ^ code).count("1")
+                if best is None or d < best[0]:
+                    best = (d, e, mk)
+        if best is None or best[0] > 3:  # BCH(15,5) corrects ≤ 3 bits
+            return None
+        _, ecl_bits, mask_id = best
+        total, n_data, n_ec = _CAP[version]
+        coords = _data_coords(version)
+        mask = _mask_fn(mask_id)
+        bits = [int(bool(m[r, c]) ^ mask(r, c)) for (r, c) in coords]
+        codewords = []
+        for i in range(0, total * 8, 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            codewords.append(b)
+        fixed = rs_correct(codewords, n_ec)
+        if fixed is None:
+            return None
+        stream = fixed[:n_data]
+        head = stream[0] >> 4
+        if head != 0b0100:  # byte mode only (the pipeline's payloads)
+            return None
+        count = ((stream[0] & 0xF) << 4) | (stream[1] >> 4)
+        if count > n_data - 2:
+            return None
+        out = bytes(
+            ((stream[1 + i] & 0xF) << 4) | (stream[2 + i] >> 4)
+            for i in range(count)
+        )
+        return out.decode("utf-8", errors="strict")
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Locate on a page ink mask (axis-aligned finder scan)
+# ---------------------------------------------------------------------------
+
+def _finder_centers(mask: np.ndarray) -> List[Tuple[int, int, float]]:
+    """Candidate finder-pattern centers (r, c, module_px) via the standard
+    1:1:3:1:1 horizontal run scan, cross-checked vertically. Run boundaries
+    come from one numpy diff per ink row (never a per-pixel Python loop —
+    this runs inside the extraction UDF for every PNG page, QR or not)."""
+    h, w = mask.shape
+    mask = np.ascontiguousarray(mask, dtype=bool)
+    centers: List[Tuple[int, int, float]] = []
+    # ONE whole-page pass: dark-run starts/ends via a single padded diff,
+    # then the 1:1:3:1:1 screen vectorized over every consecutive
+    # dark-run triple of every row (runs alternate dark/white, so a
+    # candidate window is dark runs i, i+1, i+2 plus the two gaps)
+    d = np.diff(
+        np.pad(mask, ((0, 0), (1, 1))).astype(np.int8), axis=1
+    )
+    rs, cs = np.nonzero(d == 1)     # dark-run starts, row-major order
+    re_, ce = np.nonzero(d == -1)   # matching ends, same order
+    if len(rs) < 3:
+        return []
+    lens = ce - cs
+    same_row = (rs[:-2] == rs[1:-1]) & (rs[:-2] == rs[2:])
+    a, b, c = lens[:-2], lens[1:-1], lens[2:]
+    g1 = cs[1:-1] - ce[:-2]
+    g2 = cs[2:] - ce[1:-1]
+    total = a + g1 + b + g2 + c
+    mods = total / 7.0
+    tol = np.maximum(1.0, mods * 0.5)
+    good = (
+        same_row & (mods >= 1)
+        & (np.abs(a - mods) <= tol) & (np.abs(g1 - mods) <= tol)
+        & (np.abs(b - 3 * mods) <= tol) & (np.abs(g2 - mods) <= tol)
+        & (np.abs(c - mods) <= tol)
+    )
+    for i in np.flatnonzero(good):
+        r = int(rs[i])
+        mod = float(mods[i])
+        cc = int(cs[i + 1]) + int(b[i]) // 2
+        # vertical cross-check at the candidate column
+        col = mask[:, cc]
+        up = r
+        while up > 0 and col[up - 1]:
+            up -= 1
+        down = r
+        while down < h - 1 and col[down + 1]:
+            down += 1
+        core = down - up + 1
+        if abs(core - 3 * mod) <= max(1.0, mod * 0.75):
+            centers.append((int(up + core // 2), cc, mod))
+    # dedupe nearby candidates — only against candidates of SIMILAR module
+    # size: a spurious double-scale pattern inside the data region must not
+    # suppress a true finder center a few pixels away
+    out: List[Tuple[int, int, float]] = []
+    for cand in centers:
+        if not any(abs(cand[0] - o[0]) < 3 * min(cand[2], o[2])
+                   and abs(cand[1] - o[1]) < 3 * min(cand[2], o[2])
+                   and abs(cand[2] - o[2]) < 0.35 * o[2] for o in out):
+            out.append(cand)
+    return out[:16]  # bounded triple search downstream
+
+
+def locate_and_decode(mask: np.ndarray) -> Optional[str]:
+    """Page ink mask (True = dark) → first decodable QR payload, or None.
+    Axis-aligned, unrotated symbols with uniform module size (the geometry
+    a rendered receipt has — the reference relies on pyzbar for arbitrary
+    perspective, which has no stdlib equivalent)."""
+    cands = _finder_centers(np.asarray(mask, dtype=bool))
+    if len(cands) < 3:
+        return None
+    # group candidates into (top-left, top-right, bottom-left) triples
+    for tl in cands:
+        for tr in cands:
+            for bl in cands:
+                if tl is tr or tl is bl or tr is bl:
+                    continue
+                if not (abs(tl[0] - tr[0]) <= 2 and abs(tl[1] - bl[1]) <= 2
+                        and tr[1] > tl[1] and bl[0] > tl[0]):
+                    continue
+                mod = (tl[2] + tr[2] + bl[2]) / 3.0
+                if any(abs(f[2] - mod) > 0.3 * mod for f in (tl, tr, bl)):
+                    continue  # finders of one symbol share a module size
+                span = tr[1] - tl[1]
+                size = round(span / mod) + 7
+                version = (size - 17) / 4
+                if version not in (1, 2, 3):
+                    continue
+                mod_f = span / (size - 7)
+                r0 = tl[0] - 3.5 * mod_f
+                c0 = tl[1] - 3.5 * mod_f
+                idx = (np.arange(size) + 0.5) * mod_f
+                rr = np.clip((r0 + idx).astype(int), 0, mask.shape[0] - 1)
+                cc = np.clip((c0 + idx).astype(int), 0, mask.shape[1] - 1)
+                grid = mask[np.ix_(rr, cc)]
+                text = decode_qr_matrix(grid)
+                if text is not None:
+                    return text
+    return None

@@ -230,9 +230,15 @@ def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
     cascade → template OCR → the same structuring as the token class. A
     third of the docs render in low-contrast ink (140/255) that the raw
     fixed-128 threshold misses — those documents only extract because the
-    Otsu attempt (X19 re-binarization) recovers them."""
+    Otsu attempt (X19 re-binarization) recovers them. Half the docs carry
+    a REAL rendered QR code (core/qrcode, module 2 px) below the footer —
+    the X20 cascade locates and Reed-Solomon-decodes it from the same
+    pixels, and its URL flows into qrcode_url (J2 merge)."""
+    import numpy as np
+
     from ..core.glyphocr import render_tokens
     from ..core.imagecodec import encode_png
+    from ..core.qrcode import encode_qr
 
     n_items = _h(doc_id, seed, "gn") % 3 + 1
     day = _h(doc_id, seed, "gday") % 28 + 1
@@ -254,7 +260,17 @@ def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
         y += 30
     toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
     toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
-    return encode_png(render_tokens(toks, 1020, y + 60, ink=ink))
+    with_qr = _h(doc_id, seed, "gqr") % 2 == 0
+    page = render_tokens(toks, 1020, y + 60 + (70 if with_qr else 0), ink=ink)
+    if with_qr:
+        # QR block on its OWN rows (below every text line): text-line
+        # segmentation anchors the 7-row glyph window at the line run's
+        # top ink row, so non-text ink must never share rows with text
+        qr = encode_qr(f"http://nfce.fazenda.sp.gov.br/q?p={doc_id}|2")
+        qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
+        r0, c0 = y + 58, 700
+        page[r0:r0 + qr_px.shape[0], c0:c0 + qr_px.shape[1]][qr_px] = ink
+    return encode_png(page)
 
 
 def gen_page(doc_id: int, seed: int = 42) -> Dict:
