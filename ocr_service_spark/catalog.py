@@ -1574,18 +1574,57 @@ FROM s
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal plumbing: binary media column → typed feature rows
-    (rows-only: the decode step is stubbed deterministically)."""
+    """Multimodal image features, upgraded from rows-only to a FULL
+    oracle (r4 — the decode is real now): every document becomes a
+    genuine PNG (stdlib encoder) of a horizontal gray gradient with
+    arithmetic dimensions, so the decoded width/height/channels replay
+    in SQL, and the perceptual hash is PROVABLY the all-ones dHash
+    (strictly increasing column block-means ⇒ every gradient bit set,
+    bit 63 forced zero ⇒ the constant '7fffffffffffffff'). Every 7th
+    doc ships a TRUNCATED payload — a decode FAILURE row (decode_ok
+    false, null dims), pinning the errors-as-data path. n_bytes is the
+    zlib-compressed size (not SQL-computable) and stays out of the
+    projection; the fake-path plumbing keeps its pytest coverage."""
+    import numpy as np
+
+    from .core.imagecodec import encode_png
     from .operators.multimodal import extract_image_features
-    d = load(spark, sf_dir, "documents")
-    media = d.select(
-        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.struct(F.lit("image/fake").alias("content_type"),
-                 F.lit(None).cast("string").alias("source_url")).alias("meta"),
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return extract_image_features(media)
+
+    @F.pandas_udf("binary")
+    def _png(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            w, h = 18 + i % 23, 12 + i % 17
+            px = np.tile(
+                (np.arange(w) * 255 // (w - 1)).astype(np.uint8), (h, 1)
+            )
+            b = encode_png(px)
+            out.append(b[:20] if i % 7 == 3 else b)
+        return pd.Series(out)
+
+    media = d.select(
+        F.format_string("img-%d", "doc_id").alias("media_id"),
+        _png("doc_id").alias("payload"),
+    )
+    return extract_image_features(media).select(
+        "media_id", "width", "height", "channels", "phash", "decode_ok"
+    )
+
+
+SQL_IMAGE_FEATURES = """
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 7 <> 3 THEN CAST(18 + doc_id % 23 AS INT) END AS width,
+       CASE WHEN doc_id % 7 <> 3 THEN CAST(12 + doc_id % 17 AS INT) END AS height,
+       CASE WHEN doc_id % 7 <> 3 THEN CAST(1 AS INT) END AS channels,
+       CASE WHEN doc_id % 7 <> 3 THEN '7fffffffffffffff' END AS phash,
+       doc_id % 7 <> 3 AS decode_ok
+FROM documents
+"""
 
 
 def q_audio_features(spark, sf_dir):
@@ -24269,7 +24308,7 @@ CATALOG: Dict[str, tuple] = {
     "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB),
-    "image_features": (q_image_features, None),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, None),
     "video_frames": (q_video_frames, None),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),

@@ -72,9 +72,13 @@ def _decode_image(payload: bytes):
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)
-        if decoded is not None:
-            w, h, ch, px = decoded
-            return w, h, ch, format(dhash63_gray(to_gray(px)), "016x")
+        if decoded is None:
+            # claims PNG/BMP but does not decode (truncated, corrupt,
+            # unsupported subset): that is a decode FAILURE, not a
+            # missing decoder — surface decode_ok=False, never the fake
+            raise NotImplementedError("undecodable PNG/BMP payload")
+        w, h, ch, px = decoded
+        return w, h, ch, format(dhash63_gray(to_gray(px)), "016x")
     if HAVE_DECODER:
         raise NotImplementedError(
             "real decoder wiring is deployment-specific; plug cv2.imdecode here"
