@@ -1628,13 +1628,39 @@ FROM documents
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal audio plumbing: binary clip → windowed RMS profile
-    (rows-only: the decode step is stubbed deterministically)."""
+    """Multimodal audio features, upgraded from rows-only to a FULL
+    oracle (r4): planted clips are BLOCK-CONSTANT waveforms aligned to
+    the 250 ms / 2000-byte analysis window — doc_id%6+1 full windows
+    plus a doc_id%1999+1-byte tail, window k holding the constant byte
+    78 + (doc_id·7 + k·13)%100. A constant window makes the RMS integer-
+    exact with NO float tier at all: mean((v−128)²) is a perfect square,
+    sqrt is exact, so rms_q8[k] = |v−128|·2 — every window value,
+    count, byte total and duration replays in SQL. The windowing loop,
+    Arrow batch path and in-band decode envelope are the REAL operator
+    throughout; irregular waveforms keep their pytest coverage
+    (test_audio_features_plumbing)."""
     from .operators.multimodal import extract_audio_features
-    d = load(spark, sf_dir, "documents")
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _wav(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            nw, tail = i % 6 + 1, i % 1999 + 1
+            out.append(b"".join(
+                bytes([78 + (i * 7 + k * 13) % 100])
+                * (2000 if k < nw else tail)
+                for k in range(nw + 1)
+            ))
+        return pd.Series(out)
+
     media = d.select(
-        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("media_id"),
-        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+        F.format_string("aud-%d", "doc_id").alias("media_id"),
+        _wav("doc_id").alias("payload"),
     )
     out = extract_audio_features(media)
     # array column rendered as a canonical string: the driver compare (and
@@ -1644,6 +1670,27 @@ def q_audio_features(spark, sf_dir):
         F.array_join(F.transform("rms_q8", lambda v: v.cast("string")), ",").alias("rms_sig"),
         "decode_ok",
     )
+
+
+SQL_AUDIO_FEATURES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 + 1 AS nw, doc_id % 1999 + 1 AS tail
+  FROM documents
+),
+w AS (
+  SELECT d.doc_id, d.nw, d.tail, i.i AS k,
+         78 + (d.doc_id * 7 + i.i * 13) % 100 AS v
+  FROM d JOIN generate_series(0, 6) i(i) ON i.i <= d.nw
+)
+SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(2000 * nw + tail AS BIGINT) AS n_bytes,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST((2000 * nw + tail) // 8 AS BIGINT) AS duration_ms,
+       CAST(nw + 1 AS INT) AS n_windows,
+       string_agg(CAST(ABS(v - 128) * 2 AS VARCHAR), ',' ORDER BY k) AS rms_sig,
+       TRUE AS decode_ok
+FROM w GROUP BY doc_id, nw, tail
+"""
 
 
 def q_video_frames(spark, sf_dir):
@@ -24309,7 +24356,7 @@ CATALOG: Dict[str, tuple] = {
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
-    "audio_features": (q_audio_features, None),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, None),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
     "web_training_pipeline": (q_web_training_pipeline, SQL_WEB_TRAINING_PIPELINE),
