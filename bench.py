@@ -408,6 +408,8 @@ HEADLINE = [
     "analyze_table",           # CBO stats, production HLL++ NDV (r4 split)
     "analyze_table_audit",     # exact-NDV KMV audit twin
     "png_glyph_ocr",           # real-pixel PNG decode -> OCR cascade (X19)
+    "image_features",          # real-PNG decode + provable dHash (r4 oracle)
+    "audio_features",          # window-exact RMS profile (r4 oracle)
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics

@@ -19,8 +19,11 @@ sequential per-pixel loop — correct for arbitrary external PNGs, exercised
 by the round-trip tests, never on the synthesized hot path.
 
 Supported subset (anything else returns ``None`` — errors-as-data upstream):
-  PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
-       6 (RGBA); non-interlaced; alpha dropped on output.
+  PNG: bit depths 1/2/4 (gray + palette — the bilevel/scanned-document
+       formats), 8 (all color types) and 16 (high byte kept, the libpng
+       strip-16 convention); color types 0 (gray), 2 (RGB), 3 (palette),
+       4 (gray+A), 6 (RGBA); non-interlaced AND Adam7-interlaced; alpha
+       dropped on output.
   BMP: BITMAPINFOHEADER, biCompression=0, 24-bit BGR or 8-bit palette,
        bottom-up or top-down rows.
 """
@@ -104,15 +107,55 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> Optional[np.nda
     return out
 
 
+# bit depths valid per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+# Adam7 pass grid: (row_start, row_step, col_start, col_step)
+_ADAM7 = [(0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+          (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1)]
+
+
+def _png_stride(width: int, ch: int, bitdepth: int) -> int:
+    return (width * ch * bitdepth + 7) // 8
+
+
+def _decode_scanlines(
+    raw: bytes, width: int, height: int, ch: int, bitdepth: int
+) -> Optional[np.ndarray]:
+    """Filtered scanline bytes → (height, width, ch) uint8 RAW samples:
+    sub-8 values are returned unscaled (gray scaling / palette lookup is
+    the caller's), 16-bit keeps the high byte (libpng strip-16)."""
+    stride = _png_stride(width, ch, bitdepth)
+    bpp = max(1, ch * bitdepth // 8)
+    mat = _unfilter(raw, height, stride, bpp)
+    if mat is None:
+        return None
+    if bitdepth == 8:
+        return mat.reshape(height, width, ch)
+    if bitdepth == 16:
+        return mat.reshape(height, width * ch, 2)[:, :, 0].reshape(
+            height, width, ch
+        ).copy()
+    bits = np.unpackbits(mat, axis=1)  # MSB-first, the PNG packing order
+    n_samples = stride * 8 // bitdepth
+    weights = 1 << np.arange(bitdepth - 1, -1, -1)
+    vals = (
+        bits.reshape(height, n_samples, bitdepth) * weights
+    ).sum(axis=2).astype(np.uint8)
+    return vals[:, : width * ch].reshape(height, width, ch)
+
+
 def decode_png(data: bytes) -> Optional[Decoded]:
     """PNG bytes → (w, h, channels, pixels) or None on anything outside the
-    supported subset (truncated stream, 16-bit, interlaced, bad CRC...)."""
+    supported subset (truncated stream, bad CRC, invalid depth/type
+    combination...). Handles bit depths 1/2/4/8/16 and Adam7 interlace."""
     try:
         if not data.startswith(PNG_MAGIC):
             return None
         pos = len(PNG_MAGIC)
         width = height = None
-        bitdepth = colortype = None
+        bitdepth = colortype = interlace = None
         idat: List[bytes] = []
         palette: Optional[np.ndarray] = None
         while pos + 8 <= len(data):
@@ -128,8 +171,9 @@ def decode_png(data: bytes) -> Optional[Decoded]:
                 width, height, bitdepth, colortype, comp, filt, interlace = (
                     struct.unpack(">IIBBBBB", body)
                 )
-                if (bitdepth != 8 or comp != 0 or filt != 0 or interlace != 0
-                        or colortype not in _PNG_CHANNELS):
+                if (comp != 0 or filt != 0 or interlace not in (0, 1)
+                        or colortype not in _PNG_CHANNELS
+                        or bitdepth not in _PNG_DEPTHS[colortype]):
                     return None
             elif ctype == b"PLTE":
                 if length % 3 != 0:
@@ -142,22 +186,42 @@ def decode_png(data: bytes) -> Optional[Decoded]:
         if width is None or not idat or width == 0 or height == 0:
             return None
         raw_ch = _PNG_CHANNELS[colortype]
-        stride = width * raw_ch
         raw = zlib.decompress(b"".join(idat))
-        mat = _unfilter(raw, height, stride, raw_ch)
-        if mat is None:
-            return None
-        px = mat.reshape(height, width, raw_ch)
+        if interlace == 0:
+            need = height * (_png_stride(width, raw_ch, bitdepth) + 1)
+            if len(raw) != need:
+                return None
+            px = _decode_scanlines(raw, width, height, raw_ch, bitdepth)
+            if px is None:
+                return None
+        else:  # Adam7: seven sub-images, scattered back onto the grid
+            px = np.zeros((height, width, raw_ch), dtype=np.uint8)
+            at = 0
+            for (r0, rs, c0, cs) in _ADAM7:
+                pw = (width - c0 + cs - 1) // cs
+                ph = (height - r0 + rs - 1) // rs
+                if pw <= 0 or ph <= 0:
+                    continue
+                nb = ph * (_png_stride(pw, raw_ch, bitdepth) + 1)
+                sub = _decode_scanlines(raw[at:at + nb], pw, ph, raw_ch, bitdepth)
+                if sub is None:
+                    return None
+                at += nb
+                px[r0::rs, c0::cs] = sub
+            if at != len(raw):
+                return None
         if colortype == 3:
             if palette is None or int(px.max(initial=0)) >= len(palette):
                 return None
-            px = palette[px[:, :, 0]]
-            return width, height, 3, px
+            return width, height, 3, palette[px[:, :, 0]]
+        if colortype == 0 and bitdepth < 8:
+            # expand sub-8 gray to full range (255/(2^d-1) is exact)
+            px = (px * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
         if colortype == 4:  # gray + alpha: drop alpha
             return width, height, 1, px[:, :, :1].copy()
         if colortype == 6:  # RGBA: drop alpha
             return width, height, 3, px[:, :, :3].copy()
-        return width, height, raw_ch, px.copy()
+        return width, height, raw_ch, np.ascontiguousarray(px)
     except Exception:
         return None
 
@@ -222,6 +286,60 @@ def encode_png(pixels: np.ndarray, filters: Optional[List[int]] = None,
         raw = b"".join(parts)
     return (PNG_MAGIC + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw, level)) + _chunk(b"IEND", b""))
+
+
+def _pack_row(samples: np.ndarray, bitdepth: int) -> bytes:
+    """1-D per-row sample values → packed scanline bytes (MSB-first for
+    sub-8, big-endian high-byte-only for 16)."""
+    if bitdepth == 8:
+        return samples.astype(np.uint8).tobytes()
+    if bitdepth == 16:
+        out = np.zeros(len(samples) * 2, dtype=np.uint8)
+        out[0::2] = samples  # high byte; low byte zero
+        return out.tobytes()
+    bits = (
+        (samples[:, None] >> np.arange(bitdepth - 1, -1, -1)) & 1
+    ).reshape(-1).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def encode_png_ext(
+    arr: np.ndarray,
+    bitdepth: int = 8,
+    palette: Optional[np.ndarray] = None,
+    interlace: int = 0,
+    level: int = 6,
+) -> bytes:
+    """Extended-format PNG writer (the decoder-test-vector side of the
+    1/2/4/16-bit + palette + Adam7 decode support): ``arr`` is (h, w)
+    sample values — gray levels, or palette indices when ``palette``
+    ((n, 3) uint8) is given. Filter 0 rows throughout."""
+    arr = np.asarray(arr)
+    h, w = arr.shape
+    colortype = 3 if palette is not None else 0
+    if bitdepth not in _PNG_DEPTHS[colortype]:
+        raise ValueError(f"depth {bitdepth} invalid for color type {colortype}")
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0,
+                       1 if interlace else 0)
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        return b"".join(b"\x00" + _pack_row(row, bitdepth) for row in sub)
+
+    if interlace:
+        parts = []
+        for (r0, rs, c0, cs) in _ADAM7:
+            sub = arr[r0::rs, c0::cs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(scanlines(sub))
+        raw = b"".join(parts)
+    else:
+        raw = scanlines(arr)
+    chunks = [_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes()))
+    chunks.append(_chunk(b"IDAT", zlib.compress(raw, level)))
+    chunks.append(_chunk(b"IEND", b""))
+    return PNG_MAGIC + b"".join(chunks)
 
 
 # ---------------------------------------------------------------------------

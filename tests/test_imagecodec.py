@@ -201,3 +201,104 @@ class TestCv2Parity:
         png = C.encode_png(rgb)
         via_cv = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
         assert np.array_equal(C.decode_png(png)[3], via_cv[:, :, ::-1])
+
+
+class TestExtendedPngFormats:
+    """r4: bit depths 1/2/4 (bilevel/scanned-document PNGs), 16 (high-byte
+    strip) and Adam7 interlace — round-tripped through the test-vector
+    writer encode_png_ext."""
+
+    def test_adam7_grid_covers_every_pixel_once(self):
+        for shape in ((13, 21), (8, 8), (1, 1), (3, 2), (16, 9)):
+            cover = np.zeros(shape, int)
+            for (r0, rs, c0, cs) in C._ADAM7:
+                cover[r0::rs, c0::cs] += 1
+            assert (cover == 1).all(), shape
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8, 16])
+    @pytest.mark.parametrize("interlace", [0, 1])
+    def test_gray_roundtrip(self, depth, interlace):
+        rng = np.random.RandomState(depth * 2 + interlace)
+        for shape in ((13, 21), (1, 1), (3, 2), (9, 16)):
+            vals = rng.randint(0, 1 << min(depth, 8), shape)
+            png = C.encode_png_ext(vals, bitdepth=depth, interlace=interlace)
+            out = C.decode_png(png)
+            assert out is not None, (depth, shape, interlace)
+            if depth < 8:  # sub-8 gray expands by 255/(2^d-1), exactly
+                exp = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            else:          # 16-bit strips to the high byte
+                exp = vals.astype(np.uint8)
+            assert np.array_equal(out[3][:, :, 0], exp), (depth, shape, interlace)
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_palette_roundtrip(self, depth):
+        rng = np.random.RandomState(depth)
+        pal = rng.randint(0, 256, (1 << depth, 3)).astype(np.uint8)
+        idx = rng.randint(0, 1 << depth, (10, 13))
+        for interlace in (0, 1):
+            out = C.decode_png(
+                C.encode_png_ext(idx, bitdepth=depth, palette=pal,
+                                 interlace=interlace))
+            assert out is not None
+            assert out[2] == 3 and np.array_equal(out[3], pal[idx])
+
+    def test_invalid_depth_type_combo_rejected(self):
+        # 16-bit palette is illegal per the spec table — writer refuses
+        with pytest.raises(ValueError):
+            C.encode_png_ext(np.zeros((4, 4), int), bitdepth=16,
+                             palette=np.zeros((2, 3), np.uint8))
+        # RGB 4-bit is illegal too — decoder must refuse the IHDR
+        import struct
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        assert C.decode_png(C.PNG_MAGIC + chunk) is None
+
+    def test_bilevel_receipt_ocr_end_to_end(self):
+        # the scanned-receipt case: a 1-bit PNG (ink=0, paper=1) flows
+        # bytes -> unpack -> expand -> Otsu cascade -> glyph OCR
+        from ocr_service_spark.core.document import extract_document
+        from ocr_service_spark.core.glyphocr import render_tokens
+
+        gray = render_tokens(
+            [("SQ.CODIGO DESCRICAO", 10, 100),
+             ("01 12345678 COCA COLA 2L", 10, 130),
+             ("2UNX3,50", 700, 130), ("7,00", 950, 130),
+             ("QTD. TOTAL DE ITENS", 10, 160),
+             ("EMISSAO: 05/12/2025", 10, 180)], 1010, 200)
+        bilevel = (gray > 127).astype(np.uint8)  # 1 = paper, 0 = ink
+        png = C.encode_png_ext(bilevel, bitdepth=1)
+        r = extract_document("u", png)
+        assert r["tipo_documento"] == "gasto"
+        assert [it["valor_total"] for it in r["itens"]] == [7.0]
+
+
+class TestDecodeFuzz:
+    def test_mutated_png_never_raises(self):
+        # any corruption must yield None or a valid tuple — never an
+        # exception escaping decode_png (errors-as-data contract)
+        rng = np.random.RandomState(11)
+        base = C.encode_png(_arr(12, 15, 3, seed=2))
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            out = C.decode_png(bytes(b))
+            assert out is None or len(out) == 4
+
+    def test_random_bytes_never_raise(self):
+        rng = np.random.RandomState(12)
+        for n in (0, 1, 8, 33, 200):
+            blob = bytes(rng.randint(0, 256, n).astype(np.uint8))
+            assert C.decode_png(C.PNG_MAGIC + blob) is None
+            assert C.decode_bmp(b"BM" + blob) is None
+
+    def test_mutated_qr_page_never_raises(self):
+        from ocr_service_spark.core.qrcode import locate_and_decode
+
+        rng = np.random.RandomState(13)
+        for _ in range(20):
+            mask = rng.rand(80, 120) > 0.6
+            out = locate_and_decode(mask)  # noise: None or a str
+            assert out is None or isinstance(out, str)
