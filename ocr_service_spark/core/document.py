@@ -39,7 +39,13 @@ from .html_extract import (
     normalize_item_text,
     parse_nfce_html,
 )
-from .imagecodec import decode_image, otsu_threshold, to_gray
+from .imagecodec import (
+    adaptive_mean_mask,
+    clahe,
+    decode_image,
+    otsu_threshold,
+    to_gray,
+)
 from .qrcode import locate_and_decode
 from .pdf_layout import decode_layout_payload, layout_to_text
 from .pdf_text import pdf_to_char_pages
@@ -137,13 +143,32 @@ class PixelOcrBackend:
 
     def extract_qrcode(self, image_bytes: bytes) -> Optional[List[Dict]]:
         """First binarization variant with a decodable QRCODE wins, else
-        None — the X20 early-exit loop on real pixels."""
+        None — the X20 early-exit loop on real pixels. Variants, in the
+        reference's order (gray → otsu → clahe, app/ocr_engine.py:64-68):
+        fixed threshold, global Otsu, then CLAHE followed by the LOCAL
+        adaptive-mean binarization (pyzbar's internal binarizer analog) —
+        the variant that recovers a low-contrast symbol when a large dark
+        region elsewhere drags the global Otsu split away (load-bearing,
+        test-pinned)."""
+        import numpy as np
+
         decoded = decode_image(image_bytes)
         if decoded is None:
             return None
         gray = to_gray(decoded[3])
-        for variant in (gray <= 127, gray <= otsu_threshold(gray)):
-            data = locate_and_decode(variant)
+        variants = [lambda: gray <= 127,
+                    lambda: gray <= otsu_threshold(gray)]
+        # variant 3 targets pages where a GLOBAL threshold is structurally
+        # insufficient (multi-level tone, local contrast). A bilevel page's
+        # optimal global split IS Otsu — when it found nothing, local
+        # equalization can't mark different ink, so the expensive pass is
+        # skipped (measured ~21 ms/page; synthetic receipts are bilevel)
+        n_levels = int(np.count_nonzero(
+            np.bincount(gray.reshape(-1), minlength=256)))
+        if n_levels > 2:
+            variants.append(lambda: adaptive_mean_mask(clahe(gray)))
+        for variant in variants:
+            data = locate_and_decode(variant())
             if data is not None:
                 return [{"data": data, "type": "QRCODE"}]
         return None

@@ -467,6 +467,104 @@ def otsu_threshold(gray: np.ndarray) -> int:
     return int(np.argmax(sigma))
 
 
+def clahe(gray: np.ndarray, clip_limit: float = 3.0,
+          tiles: int = 8) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization — the reference's
+    third QR preprocessing variant (cv2.createCLAHE(clipLimit=3.0,
+    tileGridSize=(8,8)), app/ocr_engine.py:67). Published CLAHE algorithm
+    (Zuiderveld 1994), deterministic integer/uint8 output:
+
+      * the image is cut into a tiles×tiles grid (near-equal blocks);
+      * each tile's 256-bin histogram is clipped at
+        max(1, clip_limit · tile_area / 256) and the excess redistributed
+        uniformly (remainder to the lowest bins — a fixed convention);
+      * each tile's clipped CDF becomes a LUT scaled to 0..255;
+      * every pixel maps through the BILINEAR blend of its four
+        neighbouring tile LUTs (tile centers as knots, edge clamp).
+
+    Local equalization recovers regions whose contrast a GLOBAL Otsu
+    threshold cannot split (a dark block elsewhere on the page drags the
+    global threshold away — the planted case in the tests). Not
+    guaranteed bit-identical to cv2's implementation (whose excess
+    redistribution differs in rounding); it is this engine's spec, and
+    a skip-marked comparison documents the relationship when cv2
+    exists."""
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    re = _split_edges(h, tiles)
+    ce = _split_edges(w, tiles)
+    luts = np.zeros((tiles, tiles, 256), dtype=np.uint8)
+    centers_r = (re[:-1] + re[1:] - 1) / 2.0
+    centers_c = (ce[:-1] + ce[1:] - 1) / 2.0
+    for ti in range(tiles):
+        for tj in range(tiles):
+            block = g[re[ti]:re[ti + 1], ce[tj]:ce[tj + 1]]
+            area = block.size
+            if area == 0:
+                luts[ti, tj] = np.arange(256, dtype=np.uint8)
+                continue
+            hist = np.bincount(block.reshape(-1), minlength=256).astype(np.int64)
+            limit = max(1, int(clip_limit * area / 256.0))
+            excess = int(np.maximum(hist - limit, 0).sum())
+            hist = np.minimum(hist, limit)
+            hist += excess // 256
+            hist[: excess % 256] += 1
+            cdf = np.cumsum(hist)
+            luts[ti, tj] = np.clip(
+                (cdf * 255 + area // 2) // area, 0, 255
+            ).astype(np.uint8)
+    # bilinear blend of the four neighbouring tile LUTs per pixel —
+    # float32 end-to-end (halves memory traffic; the ±0.5 rounding grid
+    # is far coarser than float32 error here) and one flat gather per
+    # corner instead of 2-D fancy indexing
+    rr = np.arange(h, dtype=np.float32)
+    cc = np.arange(w, dtype=np.float32)
+    fi = np.clip(np.searchsorted(centers_r, rr, side="right") - 1, 0, tiles - 2)
+    fj = np.clip(np.searchsorted(centers_c, cc, side="right") - 1, 0, tiles - 2)
+    cr = centers_r.astype(np.float32)
+    cj = centers_c.astype(np.float32)
+    wr = np.clip((rr - cr[fi]) / np.maximum(cr[fi + 1] - cr[fi],
+                                            np.float32(1e-9)), 0.0, 1.0)
+    wc = np.clip((cc - cj[fj]) / np.maximum(cj[fj + 1] - cj[fj],
+                                            np.float32(1e-9)), 0.0, 1.0)
+    v = g.astype(np.int32)
+    flat = luts.reshape(-1)
+    base = (fi[:, None] * tiles + fj[None, :]).astype(np.int32) * 256 + v
+    tl = flat[base].astype(np.float32)
+    tr_ = flat[base + 256].astype(np.float32)
+    bl = flat[base + tiles * 256].astype(np.float32)
+    br = flat[base + (tiles + 1) * 256].astype(np.float32)
+    top = tl + (tr_ - tl) * wc[None, :]
+    bot = bl + (br - bl) * wc[None, :]
+    out = top + (bot - top) * wr[:, None]
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def adaptive_mean_mask(gray: np.ndarray, window: int = 15,
+                       c: int = 2) -> np.ndarray:
+    """Local-mean adaptive binarization (cv2.adaptiveThreshold
+    ADAPTIVE_THRESH_MEAN_C analog, integral-image box means with edge
+    clamping): ink = pixel < box_mean − c. This is what recovers symbols
+    a GLOBAL threshold cannot — a large dark region elsewhere on the
+    page drags Otsu's split point away from a low-contrast local symbol,
+    but the local mean tracks each neighbourhood (pyzbar applies the
+    same idea internally before decoding). Flat regions binarize to
+    paper (a pixel is never below its own mean − c), so blank pages
+    yield no ink."""
+    g = np.asarray(gray, dtype=np.uint8)
+    half = window // 2
+    win = 2 * half + 1
+    # edge-replicated border (cv2 BORDER_REPLICATE) → box sums by pure
+    # slicing on the padded integral image, no fancy indexing
+    gp = np.pad(g, half, mode="edge").astype(np.uint64)
+    csum = np.zeros((gp.shape[0] + 1, gp.shape[1] + 1), dtype=np.uint64)
+    csum[1:, 1:] = gp.cumsum(axis=0).cumsum(axis=1)
+    s = (csum[win:, win:] - csum[:-win, win:]
+         - csum[win:, :-win] + csum[:-win, :-win])
+    mean = s // np.uint64(win * win)
+    return g.astype(np.uint64) + np.uint64(c) < mean
+
+
 def _split_edges(n: int, k: int) -> np.ndarray:
     """k+1 monotone cut points partitioning range(n) into k near-equal
     blocks (block i = [i*n//k, (i+1)*n//k)) — the deterministic area-mean

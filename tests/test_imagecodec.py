@@ -302,3 +302,71 @@ class TestDecodeFuzz:
             mask = rng.rand(80, 120) > 0.6
             out = locate_and_decode(mask)  # noise: None or a str
             assert out is None or isinstance(out, str)
+
+
+class TestClaheAndAdaptive:
+    """r4: the X19 preprocessing completions — CLAHE (the reference's
+    third QR variant) and the local adaptive-mean binarization that
+    recovers what a global threshold cannot."""
+
+    def test_clahe_deterministic_and_bounded(self):
+        rng = np.random.RandomState(21)
+        g = rng.randint(0, 256, (64, 96)).astype(np.uint8)
+        a, b = C.clahe(g), C.clahe(g)
+        assert np.array_equal(a, b)
+        assert a.dtype == np.uint8
+
+    def test_clahe_expands_low_contrast(self):
+        # a low-contrast band (100..140) must span a wider range after
+        # local equalization
+        rng = np.random.RandomState(22)
+        g = rng.randint(100, 141, (80, 80)).astype(np.uint8)
+        out = C.clahe(g)
+        assert int(out.max()) - int(out.min()) > int(g.max()) - int(g.min())
+
+    def test_clahe_monotone_mapping(self):
+        # per-tile LUTs are CDFs → monotone. When every tile sees the
+        # SAME value distribution (an 8-row cycle on an 8x8 grid), all
+        # LUTs coincide, the bilinear blend is the identity on them, and
+        # the pixel mapping must be monotone in the input value.
+        # (Across DIFFERENT tiles monotonicity along a row does NOT hold
+        # — the blend weights shift between unequal LUTs.)
+        r = np.arange(64, dtype=np.uint8) % 8 * 30
+        g = np.tile(r[:, None], (1, 64))
+        out = C.clahe(g)
+        vmap = {}
+        for v, o in zip(g.reshape(-1), out.reshape(-1)):
+            vmap.setdefault(int(v), set()).add(int(o))
+        levels = sorted(vmap)
+        assert all(len(vmap[v]) == 1 for v in levels)  # one LUT everywhere
+        mapped = [next(iter(vmap[v])) for v in levels]
+        assert mapped == sorted(mapped)
+
+    def test_adaptive_blank_page_no_ink(self):
+        assert not C.adaptive_mean_mask(
+            np.full((50, 70), 255, dtype=np.uint8)).any()
+        assert not C.adaptive_mean_mask(
+            np.zeros((50, 70), dtype=np.uint8)).any()
+
+    def test_adaptive_recovers_local_symbol(self):
+        # dark half + low-contrast box: global Otsu splits at the dark
+        # mass; the local mean tracks the box
+        g = np.full((60, 60), 240, dtype=np.uint8)
+        g[40:, :] = 8
+        g[10:20, 10:20] = 150
+        t = C.otsu_threshold(g)
+        assert not ((g <= t)[10:20, 10:20]).any()      # global misses it
+        mask = C.adaptive_mean_mask(g)
+        assert mask[12:18, 12:18].all()                # local finds it
+
+    @pytest.mark.skipif(not HAVE_CV2, reason="cv2 absent in this sandbox")
+    def test_clahe_close_to_cv2(self):
+        import cv2
+
+        rng = np.random.RandomState(23)
+        g = rng.randint(0, 256, (128, 128)).astype(np.uint8)
+        ours = C.clahe(g, clip_limit=3.0, tiles=8)
+        theirs = cv2.createCLAHE(3.0, (8, 8)).apply(g)
+        # implementations differ in excess-redistribution rounding — the
+        # documented relationship is close agreement, not bit identity
+        assert np.abs(ours.astype(int) - theirs.astype(int)).mean() < 30

@@ -166,3 +166,27 @@ class TestDocumentIntegration:
         page[40:40 + px.shape[0], 100:100 + px.shape[1]][px] = 140
         got = _PIXEL_BACKEND.extract_qrcode(encode_png(page))
         assert got == [{"data": text, "type": "QRCODE"}]
+
+
+class TestClaheAdaptiveVariant:
+    def test_third_variant_is_load_bearing(self):
+        # a large dark region drags the global Otsu split to t≈8, so both
+        # the fixed-127 and Otsu variants miss the low-contrast symbol;
+        # only CLAHE + local adaptive-mean binarization recovers it —
+        # the X20 cascade's third variant earns its place
+        from ocr_service_spark.core.document import _PIXEL_BACKEND
+        from ocr_service_spark.core.imagecodec import (
+            adaptive_mean_mask, clahe, encode_png, otsu_threshold,
+        )
+
+        text = "https://q.example/x?p=5"
+        qr = Q.encode_qr(text)
+        px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
+        page = np.full((240, 400), 240, dtype=np.uint8)
+        page[150:, :] = 8                       # dark block
+        page[20:20 + px.shape[0], 300:300 + px.shape[1]][px] = 150
+        assert Q.locate_and_decode(page <= 127) is None
+        assert Q.locate_and_decode(page <= otsu_threshold(page)) is None
+        assert Q.locate_and_decode(adaptive_mean_mask(clahe(page))) == text
+        got = _PIXEL_BACKEND.extract_qrcode(encode_png(page))
+        assert got == [{"data": text, "type": "QRCODE"}]
