@@ -160,16 +160,19 @@ def _runs(mask: np.ndarray) -> List[Tuple[int, int]]:
 
 def _match_glyph(window: np.ndarray) -> Tuple[str, float]:
     """5×7 boolean window → (char, per-glyph confidence). Exact template hit
-    = 1.0; otherwise nearest hamming with confidence 1 − d/35 (floored at
-    0.36 so a recovered glyph never trips the F1 conf<0.35 drop by itself —
-    heavy corruption shows up as heavy hamming across many glyphs)."""
+    = 1.0; otherwise nearest hamming with confidence 1 − d/35, floored at
+    0.37 so a recovered glyph never trips the F1 conf<0.35 drop by itself
+    even after _token's 0.97 scaling (0.97·0.37 = 0.3589 ≥ 0.35; the old
+    0.36 floor scaled to 0.3492 < 0.35, a false guarantee — r4 ADVICE).
+    In practice the floor is unreachable anyway: the font's covering
+    radius keeps nearest-hamming confidence ≥ ~0.48."""
     key = window.tobytes()
     ch = _EXACT.get(key)
     if ch is not None:
         return ch, 1.0
     d = np.count_nonzero(_FLAT != window.reshape(-1), axis=1)
     i = int(np.argmin(d))  # ties: lexicographically smallest char (sorted)
-    return _CHARS[i], max(0.36, 1.0 - int(d[i]) / 35.0)
+    return _CHARS[i], max(0.37, 1.0 - int(d[i]) / 35.0)
 
 
 def ocr_ink_mask(mask: np.ndarray, scale: int = 1) -> List[Dict]:
@@ -246,7 +249,19 @@ def ocr_attempts(gray: np.ndarray) -> Tuple[List[Dict], Optional[str]]:
       otsu  ink = gray <= otsu_threshold(gray) (X19 re-binarization —
             recovers low-contrast pages the fixed threshold misses)
       zoom  2× nearest-neighbour upscale of the raw mask geometry
-            (positions reported back in page coordinates)
+            (positions reported back in page coordinates).
+            PARITY-ONLY PLUMBING (r4 ADVICE): a nearest-neighbour 2×
+            copy thresholded at the same 127 yields a mask that is
+            exactly the raw mask scaled, and scale-2 segmentation
+            mirrors scale-1 column-for-column, so this attempt provably
+            produces the IDENTICAL token set to ``raw`` and can never
+            recover a page raw missed. It exists to mirror the
+            reference's cascade shape (app/ocr_engine.py:92-110), where
+            the 2× cubic resize helps a NEURAL OCR resolve small type —
+            a benefit a fixed-template matcher cannot have. Kept (cheap:
+            it only runs when raw AND otsu both found nothing, i.e. on
+            blank pages) rather than faked, so attempt-name telemetry
+            stays reference-shaped.
 
     Returns (tokens sorted by the O1 (y, x) order, attempt_name) or
     ([], None) when every attempt comes back empty."""

@@ -205,10 +205,18 @@ def lsh_verified_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, keep_votes: bool = False
+) -> DataFrame:
     """64-bit SimHash: per word hash, each bit votes ±1; fingerprint bit b is
-    1 iff the vote sum is positive. 64 conditional sums in one hash aggregate
-    (JVM-side; map-side partials make the shuffle one row per doc)."""
+     1 iff the vote sum is positive. 64 conditional sums in one hash aggregate
+    (JVM-side; map-side partials make the shuffle one row per doc).
+
+    ``keep_votes=True`` additionally emits the raw per-bit vote sums
+    ``b0..b63`` alongside the fingerprint (same single aggregate, zero
+    extra cost) — the property-oracle catalog entry derives its
+    repetition/order invariants arithmetically from these instead of
+    re-running the explode+aggregate (r4 verdict item #3)."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(_words(F.col(text_col))).alias("w"),
@@ -227,7 +235,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fp = bit_terms[0]
     for t in bit_terms[1:]:
         fp = fp + t
-    return agg.select("id", fp.alias("simhash"))
+    extra = [F.col(f"b{b}") for b in range(64)] if keep_votes else []
+    return agg.select("id", fp.alias("simhash"), *extra)
 
 
 def simhash_md5_60(

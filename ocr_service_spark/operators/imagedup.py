@@ -341,6 +341,14 @@ def video_near_dup_pairs(
     no banding scheme can bound it (r3 ADVICE edge: the small-video cap
     would silently drop >1000-frame videos)."""
     T = int(min_overlap_permille)
+    if T > 1000:
+        # out-of-domain threshold (Jaccard is a permille in [0, 1000]):
+        # the prefix expression in _prefix_band_rows would go NEGATIVE and
+        # slice(hs, 1, <negative>) raises deep in the plan (r4 ADVICE) —
+        # fail loudly at the API boundary instead
+        raise ValueError(
+            f"min_overlap_permille must be in [0, 1000], got {T}"
+        )
     if T < 1:
         return video_near_dup_pairs_naive(frames, T)
     fh = frames.select("media_id", "frame_dhash").distinct()

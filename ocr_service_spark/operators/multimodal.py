@@ -68,7 +68,13 @@ def _decode_image(payload: bytes):
     cv2 when installed (other formats); then the deterministic fake; else
     NotImplementedError. The stdlib path emits a REAL perceptual hash
     (2-D block-mean dHash over the cv2-parity grayscale plane)."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM":
+    # BM alone is two ASCII letters — plain text can start with it (r4 ADVICE).
+    # Require a plausible BMP: the fixed 14-byte file header + 40-byte
+    # BITMAPINFOHEADER means any real BMP is >= 54 bytes. Shorter BM-prefixed
+    # payloads fall through to the fake path like any other non-image bytes.
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or (
+        payload[:2] == b"BM" and len(payload) >= 54
+    ):
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)
