@@ -15731,6 +15731,147 @@ FROM mut WHERE denom_ppm > 0
 """
 
 
+def _bitext_clustered_sides(spark, sf_dir):
+    """Shared planted construction for the margin-mining entries' ANN
+    path: even-vec_id embeddings re-shaped into 8 reversal-invariant
+    clusters — vec = 0.42·e + 0.32·anchor_j with j = (vec_id div 2) % 8
+    and anchor_j inking the 8 dims d where d mod 16 ∈ {j, 15−j} (the
+    {j, 15−j} pairing makes the anchor pattern invariant under array
+    reversal, so the reversed decoys below stay inside the cluster
+    geometry instead of escaping it). Tight clusters are the point:
+    real bitext embeddings are topic/language-clustered, and the planted
+    anchors give the IVF bounds something to prune against. tgt = the
+    same vectors re-idd (+10000) with every vec_id%4==2 vector REVERSED
+    after clustering (a decoy whose true twin is absent). All arithmetic
+    is single-rounded float64 (x·0.42 + 0.32), IEEE-identical in DuckDB."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    j = F.expr("(vec_id div 2) % 8")
+    clustered = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.lit(0.42) + F.when(
+                (i % 16 == j) | (i % 16 == 15 - j), F.lit(0.32)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    src = clustered
+    tgt = clustered.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(F.col("vec_id") % 4 == 2, F.reverse("embedding"))
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    return src, tgt
+
+
+def q_margin_bitext_ann(spark, sf_dir):
+    """The ANN-composed margin miner (operators/bitext.py margin_mine_ann
+    — r4 verdict item #1): exact two-phase IVF candidate generation in
+    both directions feeding the identical rank→margin→mutual-best tail.
+    PROVABLY output-identical to the all-pairs margin_mine (the
+    two_tier_dedup output-invariance pattern), so the DuckDB oracle is
+    the PLAIN all-pairs margin SQL over the same planted clustered
+    corpus — the driver's value-hash equality is the proof's witness on
+    every run, while the Spark plan never materializes src×tgt: probe
+    scans touch ~1/n_centroids of the corpus per query (the planted
+    anchors make the integer Cauchy–Schwarz bound actually prune) and
+    the tail's window exchanges run over O(n·cand_k) candidate rows
+    instead of n². The 500 surviving pairs at sf0.1 are exactly the
+    non-decoy twins (margin ≈ 1.10 vs decoys ≈ 1.00)."""
+    from .operators.bitext import margin_mine_ann
+
+    src, tgt = _bitext_clustered_sides(spark, sf_dir)
+    return margin_mine_ann(
+        src, tgt, k=4, margin_pm_threshold=1050,
+        n_centroids=8, nprobe=1,
+    )
+
+
+SQL_MARGIN_BITEXT_ANN = """
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, (x, i) -> CASE
+      WHEN ((i - 1) % 16) = ((vec_id // 2) % 8)
+        OR ((i - 1) % 16) = 15 - ((vec_id // 2) % 8)
+      THEN CAST(x AS DOUBLE) * 0.42 + 0.32
+      ELSE CAST(x AS DOUBLE) * 0.42 END) AS embedding
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+srcq AS (
+  SELECT vec_id AS src_id,
+    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+      CAST(FLOOR(x * 127 + 0.5) AS INTEGER)))) AS q
+  FROM base
+),
+tgt0 AS (
+  SELECT vec_id + 10000 AS tgt_id,
+    CASE WHEN vec_id % 4 = 2 THEN list_reverse(embedding)
+         ELSE embedding END AS embedding
+  FROM base
+),
+tgtq AS (
+  SELECT tgt_id,
+    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+      CAST(FLOOR(x * 127 + 0.5) AS INTEGER)))) AS q
+  FROM tgt0
+),
+sn AS (
+  SELECT src_id, q,
+    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2
+  FROM srcq
+),
+tn AS (
+  SELECT tgt_id, q,
+    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+         AS BIGINT) AS l2
+  FROM tgtq
+),
+s2 AS (
+  SELECT src_id, q,
+    CAST(FLOOR(SQRT(CAST(l2 AS DOUBLE))) AS BIGINT) AS ns
+  FROM sn WHERE l2 > 0
+),
+t2 AS (
+  SELECT tgt_id, q,
+    CAST(FLOOR(SQRT(CAST(l2 AS DOUBLE))) AS BIGINT) AS nt
+  FROM tn WHERE l2 > 0
+),
+scored AS (
+  SELECT s2.src_id, t2.tgt_id,
+    CAST(GREATEST(CAST(list_sum(list_transform(list_zip(s2.q, t2.q),
+           x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT), 0)
+         * 1000000 // (s2.ns * t2.nt) AS BIGINT) AS sim_ppm
+  FROM s2, t2
+),
+ranked AS (
+  SELECT src_id, tgt_id, sim_ppm,
+    row_number() OVER (PARTITION BY src_id
+                       ORDER BY sim_ppm DESC, tgt_id) AS rs,
+    row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY sim_ppm DESC, src_id) AS rt
+  FROM scored
+),
+sums AS (
+  SELECT src_id, tgt_id, sim_ppm, rs, rt,
+    SUM(CASE WHEN rs <= 4 THEN sim_ppm ELSE 0 END)
+      OVER (PARTITION BY src_id) AS s_sum,
+    SUM(CASE WHEN rt <= 4 THEN sim_ppm ELSE 0 END)
+      OVER (PARTITION BY tgt_id) AS t_sum
+  FROM ranked
+),
+mut AS (
+  SELECT src_id, tgt_id, sim_ppm,
+    CAST((s_sum + t_sum) // 8 AS BIGINT) AS denom_ppm
+  FROM sums WHERE rs = 1 AND rt = 1
+)
+SELECT src_id, tgt_id, sim_ppm, denom_ppm,
+       CAST(sim_ppm * 1000 // denom_ppm AS BIGINT) AS margin_pm
+FROM mut WHERE denom_ppm > 0
+  AND CAST(sim_ppm * 1000 // denom_ppm AS BIGINT) >= 1050
+"""
+
+
 def q_mmr_select(spark, sf_dir):
     """MMR relevance+diversity selection (operators/clustering.py
     mmr_select): candidates = every third embedding with a planted
@@ -24607,6 +24748,7 @@ CATALOG: Dict[str, tuple] = {
     "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "margin_bitext": (q_margin_bitext, SQL_MARGIN_BITEXT),
+    "margin_bitext_ann": (q_margin_bitext_ann, SQL_MARGIN_BITEXT_ANN),
     "mmr_select": (q_mmr_select, SQL_MMR_SELECT),
     "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),

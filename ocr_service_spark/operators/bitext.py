@@ -134,24 +134,8 @@ def margin_mine(
     Emits (src_id, tgt_id, sim_ppm, denom_ppm, margin_pm) — mutual-best
     pairs with margin_pm ≥ threshold.
     """
-    qs = (
-        int8_quantize(src, id_col, vec_col, scale)
-        .where(F.col("l2q") > 0)
-        .select(
-            F.col("id").alias("src_id"), F.col("qvec").alias("qs"),
-            F.floor(F.sqrt(F.col("l2q").cast("double")))
-            .cast("long").alias("ns"),
-        )
-    )
-    qt = (
-        int8_quantize(tgt, id_col, vec_col, scale)
-        .where(F.col("l2q") > 0)
-        .select(
-            F.col("id").alias("tgt_id"), F.col("qvec").alias("qt"),
-            F.floor(F.sqrt(F.col("l2q").cast("double")))
-            .cast("long").alias("nt"),
-        )
-    )
+    qs = _quantized_side(src, id_col, vec_col, scale, "src_id", "qs", "ns")
+    qt = _quantized_side(tgt, id_col, vec_col, scale, "tgt_id", "qt", "nt")
     dot = F.aggregate(
         F.zip_with("qs", "qt", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -166,14 +150,38 @@ def margin_mine(
                    "AS BIGINT)").alias("sim_ppm"),
         )
     )
+    return _margin_tail(scored, k, margin_pm_threshold)
+
+
+def _quantized_side(
+    df: DataFrame, id_col: str, vec_col: str, scale: int,
+    out_id: str, out_q: str, out_n: str,
+) -> DataFrame:
+    """int8-quantize one side and attach its isqrt norm (zero-norm rows
+    dropped — run similarity.embedding_hygiene upstream)."""
+    return (
+        int8_quantize(df, id_col, vec_col, scale)
+        .where(F.col("l2q") > 0)
+        .select(
+            F.col("id").alias(out_id), F.col("qvec").alias(out_q),
+            F.floor(F.sqrt(F.col("l2q").cast("double")))
+            .cast("long").alias(out_n),
+        )
+    )
+
+
+def _margin_tail(scored: DataFrame, k: int, margin_pm_threshold: int) -> DataFrame:
+    """The shared rank→margin→mutual-best tail over a scored pair set
+    (src_id, tgt_id, sim_ppm): per-side ranks, conditional top-k sums,
+    mutual-best filter, ratio-margin threshold. One pass over the scored
+    rows: the per-side top-k sums are window aggregates sharing the SAME
+    exchange as their rank window (src windows adjacent, then tgt
+    windows), so expensive-scorer lineage executes once — two bounded
+    shuffles total (by src id, by tgt id), zero joins, no driver state."""
     ws = Window.partitionBy("src_id").orderBy(
         F.desc("sim_ppm"), F.asc("tgt_id"))
     wt = Window.partitionBy("tgt_id").orderBy(
         F.desc("sim_ppm"), F.asc("src_id"))
-    # top-k sums as whole-partition window aggregates over the rank
-    # columns: each shares its rank window's exchange (src windows
-    # adjacent, then tgt windows), so the scored lineage runs exactly
-    # once.
     wsp = Window.partitionBy("src_id")
     wtp = Window.partitionBy("tgt_id")
     sums = (
@@ -205,6 +213,317 @@ def margin_mine(
         )
         .where(F.col("margin_pm") >= int(margin_pm_threshold))
     )
+
+
+def _seed_lists_row(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int,
+    scale: int,
+) -> DataFrame:
+    """One-row broadcast side carrying the coarse-quantizer seeds: the
+    n_centroids lowest-id corpus vectors (= similarity.ivf_centroids with
+    zero Lloyd rounds), as an array of structs
+    (cid, vec float centroid, inv 1/|vec|, pq int8-rounded reference
+    point). Built scale-safely — TakeOrderedAndProject keeps n_centroids
+    rows, THEN they collapse into the single array row — and consumed
+    only via broadcast, so the whole structure stays lazy: no driver
+    collect, no eager job, nothing iterative in any consumer's lineage.
+    The seed CHOICE only affects pruning efficiency, never correctness —
+    the scan bounds are valid for any partition of the corpus; a
+    production deployment can swap in Lloyd-refined centroids (the
+    ivf_centroids knob) at the cost of eager driver jobs."""
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("sid")
+        .limit(int(n_centroids))
+    )
+    norm2 = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    one = seeds.select(
+        "sid", "v",
+        F.when(norm2 > 0, F.lit(1.0) / F.sqrt(norm2)).otherwise(F.lit(0.0))
+        .alias("inv"),
+        F.transform(
+            "v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+        ).alias("pq"),
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sid", "v", "inv", "pq"))),
+            lambda s, i: F.struct(
+                i.alias("cid"), s["v"].alias("v"), s["inv"].alias("inv"),
+                s["pq"].alias("pq"),
+            ),
+        ).alias("seeds")
+    )
+    return one
+
+
+def _assign_members(c_quant: DataFrame, seeds_row: DataFrame) -> DataFrame:
+    """(nid, qc, nc) × seeds → + cid, as a pure broadcast projection:
+    cid = argmax over seeds of dot(qc, seed)·inv (ties → lowest cid)."""
+    scored = F.transform(
+        "seeds",
+        lambda s: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "qc", s["v"], lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ) * s["inv"]
+            ).alias("s"),
+            (-s["cid"]).alias("negcid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
+        c_quant.crossJoin(F.broadcast(seeds_row))
+        .withColumn("cid", (-best["negcid"]).cast("int"))
+        .drop("seeds")
+    )
+
+
+def _list_stats_row(members: DataFrame, seeds_row: DataFrame) -> DataFrame:
+    """One-row broadcast side with the per-list integer scan bounds:
+    array of structs (cid, minn, r1, pq) where, per coarse list,
+
+      minn = min isqrt-norm in the list (>= 1),
+      r1   = isqrt(max_c |c - pq_cid|^2) + 1 >= the list's residual
+             radius around its integer seed reference point pq
+
+    — ALL integer-exact (|c - pq|^2 is a sum of 64 squares of values
+    bounded by ~2*scale, far inside BIGINT), so the pruning bound needs
+    no float slack anywhere. Two tiny exchanges (8-group aggregate, then
+    the single-row collapse), consumed only via broadcast."""
+    pq_of = F.element_at("seeds", F.col("cid") + 1)["pq"]
+    r2 = F.aggregate(
+        F.zip_with("qc", pq_of, lambda x, p: (x.cast("long") - p) * (x.cast("long") - p)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    per_list = (
+        members.crossJoin(F.broadcast(seeds_row))
+        .select("cid", "nc", r2.alias("r2"))
+        .groupBy("cid")
+        .agg(
+            F.min("nc").alias("minn"),
+            (F.floor(F.sqrt(F.max("r2").cast("double"))).cast("long") + 1)
+            .alias("r1"),
+        )
+    )
+    return per_list.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "minn", "r1"))
+        ).alias("stats")
+    )
+
+
+def _exact_ivf_topk_pairs(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str,
+    scale: int, n_centroids: int, nprobe: int, cand_k: int,
+) -> DataFrame:
+    """EXACT per-query top-cand_k of the integer margin similarity
+    sim_ppm(q,c) = floor(max(dot(q8,c8),0)*10^6 / (n_q*n_c)) via two-phase
+    IVF search with a provable pruning bound — the classic exact
+    inverted-file scan, in the repo's integer arithmetic. Emits
+    (qid, nid, sim_ppm).
+
+    Phase 1 probes each query's nprobe most-promising lists and takes the
+    cand_k-th best similarity found there as a lower bound kth_lb. Phase 2
+    scans every REMAINING list whose upper bound can still reach kth_lb,
+    where for list L with integer seed reference point p_L and query q
+    (all integer, all conservative):
+
+      dot(q, c) <= D + n_q1 * r1      for every c in L, with
+      D    = dot(q8, p_L)              (exact integer),
+      n_q1 = isqrt(|q8|^2)+1 > |q8|    (strict upper bound on the norm),
+      r1   > max_c |c - p_L|           (_list_stats_row's radius bound),
+
+    by Cauchy-Schwarz on dot(q, c - p_L). Hence every unscanned vector
+    satisfies sim_ppm <= max(UB,0)*10^6 div (n_q*minn_L) < kth_lb (lists
+    are kept on >=, so ties at the bound are always scanned): it ranks
+    strictly below the cand_k-th best and cannot belong to the top-cand_k
+    under the (sim_ppm DESC, nid ASC) order — the returned set is exactly
+    the all-pairs top-cand_k prefix, no approximation.
+
+    Scale shape: everything before the two per-query aggregation
+    exchanges (kth_lb, final rank) is projections plus broadcast-probe
+    equi-joins on cid — the corpus side never shuffles, the probe sides
+    are O(queries*nprobe) id rows, and probe RANKING is an in-row
+    sort_array over the n_centroids bound structs (no window). No stage
+    is all-pairs unless the bounds genuinely cannot prune, in which case
+    a correct exact answer requires the scan anyway. Cost per query ~
+    nprobe/n_centroids of the corpus + the bound-driven phase-2 tail the
+    data's clusteredness dictates."""
+    q = _quantized_side(queries, id_col, vec_col, scale, "qid", "qq", "nq")
+    c = _quantized_side(corpus, id_col, vec_col, scale, "nid", "qc", "nc")
+    seeds_row = _seed_lists_row(corpus, id_col, vec_col, n_centroids, scale)
+    members = _assign_members(c, seeds_row)
+    stats_row = _list_stats_row(members, seeds_row)
+    # per-query bound structs, ranked IN-ROW: negkey first so the natural
+    # struct sort order is "best list first". Built over "stats" (only
+    # lists that actually own members — a seed owning nothing never
+    # produces scan work) with the reference point looked up from the
+    # seeds array by cid.
+    def _ubdotn(st):
+        dseed = F.aggregate(
+            F.zip_with(
+                "qq",
+                F.element_at("seeds", st["cid"] + 1)["pq"],
+                lambda x, p: x.cast("long") * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return dseed + (F.col("nq") + 1) * st["r1"]
+
+    bounds = F.sort_array(
+        F.transform(
+            "stats",
+            lambda st: F.struct(
+                (
+                    -F.greatest(_ubdotn(st), F.lit(0).cast("long"))
+                    .cast("double") / st["minn"].cast("double")
+                ).alias("negkey"),
+                st["cid"].alias("cid"),
+                _ubdotn(st).alias("ubdotn"),
+                st["minn"].alias("minn"),
+            ),
+        )
+    )
+    qb = (
+        q.crossJoin(F.broadcast(seeds_row))
+        .crossJoin(F.broadcast(stats_row))
+        .select("qid", "qq", "nq", bounds.alias("bounds"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    def _score(probe_rows: DataFrame) -> DataFrame:
+        return (
+            members.join(
+                F.broadcast(probe_rows.select("qid", "qq", "nq", "cid")),
+                "cid",
+            )
+            .select("qid", "nid", dot.alias("dot"), "nq", "nc")
+            .select(
+                "qid", "nid",
+                F.expr("CAST(GREATEST(dot, 0L) * 1000000 div (nq * nc) "
+                       "AS BIGINT)").alias("sim_ppm"),
+            )
+        )
+
+    probes1 = qb.select(
+        "qid", "qq", "nq",
+        F.explode(F.slice("bounds", 1, int(nprobe))).alias("b"),
+    ).select("qid", "qq", "nq", F.col("b.cid").alias("cid"))
+    p1 = _score(probes1)
+    kth = p1.groupBy("qid").agg(
+        F.coalesce(
+            F.get(
+                F.sort_array(F.collect_list("sim_ppm"), asc=False),
+                int(cand_k) - 1,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kth_lb")
+    )
+    rest = qb.select(
+        "qid", "qq", "nq",
+        F.explode(
+            F.slice(
+                "bounds", int(nprobe) + 1,
+                F.greatest(F.size("bounds") - int(nprobe), F.lit(0)),
+            )
+        ).alias("b"),
+    )
+    survivors = rest.join(F.broadcast(kth), "qid", "left").where(
+        F.greatest(F.col("b.ubdotn"), F.lit(0).cast("long"))
+        * F.lit(1000000).cast("long")
+        >= F.coalesce(F.col("kth_lb"), F.lit(0).cast("long"))
+        * F.col("nq") * F.col("b.minn")
+    ).select("qid", "qq", "nq", F.col("b.cid").alias("cid"))
+    p2 = _score(survivors)
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim_ppm"), F.asc("nid"))
+    return (
+        p1.unionByName(p2)
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= int(cand_k))
+        .select("qid", "nid", "sim_ppm")
+    )
+
+
+def margin_mine_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_pm_threshold: int = 1200,
+    scale: int = 127,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    cand_k: int | None = None,
+) -> DataFrame:
+    """margin_mine's production path: IVF-pruned EXACT candidate
+    generation feeding the identical rank→margin→mutual-best tail —
+    provably the SAME OUTPUT as the all-pairs margin_mine, without ever
+    materializing the src×tgt cross product (r4 verdict item #1; the
+    two_tier_incremental_dedup output-invariance pattern).
+
+    Candidates = the exact per-side top-cand_k pairs in BOTH directions
+    (src→tgt and tgt→src, _exact_ivf_topk_pairs), cand_k ≥ k. Equality
+    proof over the candidate set C:
+      * each src partition of C contains src's true top-cand_k prefix
+        under (sim DESC, id ASC) — exactness of the two-phase scan — and
+        every extra row (contributed by the other direction) lies outside
+        that prefix, so it ranks after all prefix members inside C;
+        hence rank-≤k rows in C = the true top-k, the conditional top-k
+        sums match all-pairs exactly, and rs=1 ⟺ true best. Symmetric
+        for tgt partitions.
+      * an all-pairs mutual-best pair IS in C (t best for s ⇒ t in s's
+        top-cand_k ⇒ emitted by the src→tgt direction), so the
+        mutual-best sets coincide, denominators coincide, and the
+        thresholded output is identical row-for-row.
+    The catalog entry exploits this: its DuckDB oracle is the PLAIN
+    all-pairs margin SQL — the value-hash equality is the proof's
+    empirical witness on every driver run.
+
+    Scale shape: two broadcast-probe equi-joined IVF scans (corpus sides
+    never shuffle; per-query cost ~ nprobe/n_centroids of the corpus
+    plus the bound-driven phase-2 tail) + the margin tail over
+    O((|src|+|tgt|)·cand_k) candidate rows instead of |src|·|tgt| —
+    the tail's two window exchanges, the all-pairs plan's scale killer,
+    shrink by the corpus/cand_k ratio."""
+    ck = int(cand_k) if cand_k is not None else 2 * int(k)
+    if ck < int(k):
+        raise ValueError(f"cand_k must be >= k ({k}), got {ck}")
+    a = _exact_ivf_topk_pairs(
+        src, tgt, id_col, vec_col, scale, n_centroids, nprobe, ck,
+    ).select(
+        F.col("qid").alias("src_id"), F.col("nid").alias("tgt_id"),
+        "sim_ppm",
+    )
+    b = _exact_ivf_topk_pairs(
+        tgt, src, id_col, vec_col, scale, n_centroids, nprobe, ck,
+    ).select(
+        F.col("nid").alias("src_id"), F.col("qid").alias("tgt_id"),
+        "sim_ppm",
+    )
+    # one lineage barrier on the deduped candidate set (the iterative-
+    # operator convention: jobs run eagerly at DataFrame-construction
+    # time): the tail's three window exchanges would otherwise each carry
+    # both direction scans' broadcast subtrees through re-optimization —
+    # measured ~25% of wall at sf0.1. Candidate volume is
+    # O((|src|+|tgt|)·cand_k) rows of three scalars, safe to materialize.
+    cand = a.unionByName(b).distinct().localCheckpoint()
+    return _margin_tail(cand, k, margin_pm_threshold)
 
 
 def gale_church_align(

@@ -1,9 +1,12 @@
 """URL-pattern bitext pairing (operators/bitext.py): tagging patterns,
 key construction, cross-language-only pairing."""
 
+import pytest
+
 from ocr_service_spark.operators.bitext import (
     bitext_candidates,
     margin_mine,
+    margin_mine_ann,
     tag_language_urls,
 )
 
@@ -127,6 +130,74 @@ class TestMarginMine:
                                     margin_pm_threshold=1500).collect()}
         assert (2, 13) in got
         assert (1, 11) not in got
+
+
+class TestMarginMineAnn:
+    """margin_mine_ann must equal margin_mine ROW-FOR-ROW on any input —
+    the exact-two-phase-IVF completeness proof, exercised both where the
+    bounds prune (clustered data) and where they provably cannot
+    (uniform random data, the adversarial case for any IVF bound)."""
+
+    def _clustered(self, rng, n, dim=16, n_clusters=4):
+        rows = []
+        for i in range(n):
+            j = i % n_clusters
+            v = [0.32 if (d % (2 * n_clusters)) in (j, 2 * n_clusters - 1 - j)
+                 else 0.0 for d in range(dim)]
+            rows.append((i, [v[d] + 0.42 * (rng.random() * 2 - 1) / dim ** 0.5
+                             for d in range(dim)]))
+        return rows
+
+    def _random(self, rng, n, dim=16):
+        return [(i, [rng.random() * 2 - 1 for _ in range(dim)])
+                for i in range(n)]
+
+    def _assert_equal(self, spark, src_rows, tgt_rows, **ann_kw):
+        src = _vecs(spark, src_rows)
+        tgt = _vecs(spark, tgt_rows)
+        allp = {tuple(r) for r in margin_mine(
+            src, tgt, k=3, margin_pm_threshold=1000).collect()}
+        ann = {tuple(r) for r in margin_mine_ann(
+            src, tgt, k=3, margin_pm_threshold=1000, **ann_kw).collect()}
+        assert ann == allp
+        return allp
+
+    def test_equals_all_pairs_on_clustered_corpus(self, spark):
+        import random
+        rng = random.Random(7)
+        src_rows = self._clustered(rng, 40)
+        tgt_rows = [(i + 1000, v) for i, v in self._clustered(rng, 40)]
+        # shared twins so the output is non-trivially non-empty
+        tgt_rows[:8] = [(i + 1000, v) for i, v in src_rows[:8]]
+        got = self._assert_equal(spark, src_rows, tgt_rows,
+                                 n_centroids=4, nprobe=1)
+        assert len(got) > 0
+
+    def test_equals_all_pairs_when_pruning_cannot_bite(self, spark):
+        # uniform random 16-dim vectors: residual radii rival the norms,
+        # so phase 2 must rescan almost everything — the EXACTNESS path
+        # where the bounds do no good and must do no harm.
+        import random
+        rng = random.Random(13)
+        src_rows = self._random(rng, 30)
+        tgt_rows = [(i + 1000, v) for i, v in self._random(rng, 30)]
+        tgt_rows[:5] = [(i + 1000, v) for i, v in src_rows[:5]]
+        self._assert_equal(spark, src_rows, tgt_rows,
+                           n_centroids=4, nprobe=1)
+
+    def test_equals_all_pairs_more_lists_than_probes(self, spark):
+        import random
+        rng = random.Random(29)
+        src_rows = self._clustered(rng, 36, n_clusters=6)
+        tgt_rows = [(i + 1000, v) for i, v in self._clustered(
+            rng, 36, n_clusters=6)]
+        self._assert_equal(spark, src_rows, tgt_rows,
+                           n_centroids=6, nprobe=2, cand_k=5)
+
+    def test_cand_k_below_k_rejected(self, spark):
+        src = _vecs(spark, [(1, [1.0, 0.0])])
+        with pytest.raises(ValueError):
+            margin_mine_ann(src, src, k=4, cand_k=2)
 
 
 class TestGaleChurchCore:
