@@ -476,9 +476,12 @@ def q_a7_lineage_metrics(spark, sf_dir):
     non-replayable — but their rollup is exact and planted: docs conserve
     to the documents count (pages are 1:1 with documents), failures to
     the generator's error classes (is_error holds for EXACTLY
-    doc_id % 100 ∈ {83..87, 91..94, 96..98} — empty payloads, undecodable
-    PDF (class 95 is the real-PNG receipt class since r4: it EXTRACTS),
-    random bytes, JPEG magic; verified over 5000 consecutive ids), every
+    doc_id % 100 ∈ {83..87, 91..94, 97, 98} plus the class-96 ids with
+    doc_id % 1000 ≠ 96 — empty payloads, undecodable PDF, random bytes,
+    JPEG-magic garbage; class 95 is the real-PNG receipt class since r4,
+    and since r5 the class-96 ids with doc_id % 1000 == 96 are REAL
+    baseline-JPEG receipts that EXTRACT; verified over 5000 consecutive
+    ids), every
     partition reports status 'done', payload bytes are positive, and the
     partition count respects the parallelism bound. A lost partition,
     dropped error row, or metrics drift breaks the value hash; the
@@ -510,7 +513,8 @@ SQL_A7_LINEAGE = """
 SELECT 'driver-check' AS run_id,
        CAST(COUNT(*) AS BIGINT) AS docs,
        CAST(SUM(CASE WHEN doc_id % 100 IN
-                 (83, 84, 85, 86, 87, 91, 92, 93, 94, 96, 97, 98)
+                 (83, 84, 85, 86, 87, 91, 92, 93, 94, 97, 98)
+                 OR (doc_id % 100 = 96 AND doc_id % 1000 <> 96)
                  THEN 1 ELSE 0 END) AS BIGINT) AS failures,
        TRUE AS bytes_positive, TRUE AS partitions_ok, TRUE AS all_done
 FROM documents
@@ -1580,18 +1584,23 @@ FROM s
 def q_image_features(spark, sf_dir):
     """Multimodal image features, upgraded from rows-only to a FULL
     oracle (r4 — the decode is real now): every document becomes a
-    genuine PNG (stdlib encoder) of a horizontal gray gradient with
-    arithmetic dimensions, so the decoded width/height/channels replay
-    in SQL, and the perceptual hash is PROVABLY the all-ones dHash
-    (strictly increasing column block-means ⇒ every gradient bit set,
-    bit 63 forced zero ⇒ the constant '7fffffffffffffff'). Every 7th
-    doc ships a TRUNCATED payload — a decode FAILURE row (decode_ok
-    false, null dims), pinning the errors-as-data path. n_bytes is the
-    zlib-compressed size (not SQL-computable) and stays out of the
+    genuine image of a horizontal gray gradient with arithmetic
+    dimensions — PNG (stdlib encoder) for two thirds of the docs and
+    baseline JPEG (core/jpegcodec, r5) for every third — so the decoded
+    width/height/channels replay in SQL, and the perceptual hash is
+    PROVABLY the all-ones dHash for BOTH codecs: adjacent dHash block
+    means of the ramp differ by ≥ ~28 gray levels while the JPEG qdiv=1
+    round-trip error is ≤ 1, so the column block-means stay strictly
+    increasing ⇒ every gradient bit set, bit 63 forced zero ⇒ the
+    constant '7fffffffffffffff'. Every 7th doc ships a TRUNCATED
+    payload — a decode FAILURE row (decode_ok false, null dims),
+    pinning the errors-as-data path for both decoders. n_bytes is the
+    compressed size (not SQL-computable) and stays out of the
     projection; the fake-path plumbing keeps its pytest coverage."""
     import numpy as np
 
     from .core.imagecodec import encode_png
+    from .core.jpegcodec import encode_jpeg_gray
     from .operators.multimodal import extract_image_features
 
     d = load(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -1607,7 +1616,7 @@ def q_image_features(spark, sf_dir):
             px = np.tile(
                 (np.arange(w) * 255 // (w - 1)).astype(np.uint8), (h, 1)
             )
-            b = encode_png(px)
+            b = encode_jpeg_gray(px) if i % 3 == 0 else encode_png(px)
             out.append(b[:20] if i % 7 == 3 else b)
         return pd.Series(out)
 
@@ -10980,19 +10989,20 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 """
 
 
-def _planted_png_receipt(doc_id: int) -> bytes:
-    """A genuine PNG receipt whose token content is pure arithmetic in
-    doc_id (the SQL-replayable twin of sources/synth._png_receipt_doc):
-    n_items = doc_id%3+1, venda flag doc_id%5==0, low-contrast ink for
-    doc_id%4==1 (raw threshold misses it; only the Otsu attempt reads it),
-    item i: product (doc_id+i)%10, qtd (doc_id*7+i*3)%9+1, unit-price
-    cents (doc_id*131+i*17)%9999+1; docs with doc_id%2==0 carry a REAL
-    rendered QR code (core/qrcode) whose URL is arithmetic in doc_id —
-    the X20 locate+Reed-Solomon decode is part of the checked surface."""
+def _planted_receipt_page(doc_id: int):
+    """The shared rendered-pixels receipt whose token content is pure
+    arithmetic in doc_id (the SQL-replayable twin of
+    sources/synth._png_receipt_doc): n_items = doc_id%3+1, venda flag
+    doc_id%5==0, low-contrast ink for doc_id%4==1 (raw threshold misses
+    it; only the Otsu attempt reads it), item i: product (doc_id+i)%10,
+    qtd (doc_id*7+i*3)%9+1, unit-price cents (doc_id*131+i*17)%9999+1;
+    docs with doc_id%2==0 carry a REAL rendered QR code (core/qrcode)
+    whose URL is arithmetic in doc_id — the X20 locate+Reed-Solomon
+    decode is part of the checked surface. Returns the uint8 page; the
+    png/jpeg entries encode it through their respective stdlib codecs."""
     import numpy as np
 
     from .core.glyphocr import render_tokens
-    from .core.imagecodec import encode_png
     from .core.qrcode import encode_qr
     from .sources.synth import _PRODUCTS
 
@@ -11022,7 +11032,28 @@ def _planted_png_receipt(doc_id: int) -> bytes:
         qr = encode_qr(f"https://q.example/nfce?p={doc_id}")
         qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
         page[y + 58:y + 58 + qr_px.shape[0], 700:700 + qr_px.shape[1]][qr_px] = ink
-    return encode_png(page)
+    return page
+
+
+def _planted_png_receipt(doc_id: int) -> bytes:
+    from .core.imagecodec import encode_png
+
+    return encode_png(_planted_receipt_page(doc_id))
+
+
+def _planted_jpeg_receipt(doc_id: int) -> bytes:
+    """The SAME planted receipt, baseline-JPEG-encoded (core/jpegcodec,
+    r5 verdict item #2): qdiv=1 keeps DCT round-trip error ≤ ~2 gray
+    levels, far inside every threshold margin, so the extracted items
+    are token-identical to the PNG twin (pinned in tests) and the SAME
+    SQL oracle replays them. Every third doc adds a restart interval so
+    the DRI/RSTn resync path runs under the value-hash gate too."""
+    from .core.jpegcodec import encode_jpeg_gray
+
+    return encode_jpeg_gray(
+        _planted_receipt_page(doc_id),
+        restart_interval=8 if doc_id % 3 == 0 else 0,
+    )
 
 
 def q_png_glyph_ocr(spark, sf_dir):
@@ -11102,6 +11133,63 @@ FROM d
 JOIN generate_series(0, 2) i(i) ON i.i < d.n_items
 JOIN prods p ON p.idx = (d.doc_id + i.i) % 10
 """
+
+
+def q_jpeg_glyph_ocr(spark, sf_dir):
+    """The png_glyph_ocr battery over the r5 stdlib baseline JPEG codec
+    (S3's last stubbed format closed — reference cv2.imdecode takes JPEG
+    first, app/ocr_engine.py:357-362): every document becomes a genuine
+    baseline JPEG (marker segments, per-image canonical Huffman tables,
+    flat-1 quantization, every third doc with DRI/RSTn restarts), and the
+    full extraction route runs it — Huffman decode, dequantize, IDCT,
+    grayscale, the raw→Otsu→zoom cascade, 5×7 template OCR, column-band
+    structuring, QR locate+Reed-Solomon decode. The planting arithmetic
+    is IDENTICAL to the PNG entry and JPEG round-trip error (≤ ~2 gray
+    levels at qdiv=1) is provably inside every threshold margin, so the
+    same SQL oracle (filtered to the same ids) value-hashes the whole
+    route — codec, cascade and structuring drift all break the hash.
+    Every 5th document is planted (vs the PNG entry's every-doc): a JPEG
+    page costs ~15× a PNG one (DCT encode + Huffman decode + the
+    multi-level-tone QR variant), and the id filter keeps the bench
+    entry at mid-pack cost without weakening the oracle — the sampled
+    ids still cover every class (items 1-3, venda, low-contrast, QR,
+    restart-interval)."""
+    from .core.document import extract_document
+
+    d = (
+        load(spark, sf_dir, "documents").select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = ("doc_id long, tipo string, sq long, item string, qtd long, "
+              "vu_cents long, vt_cents long, dt string, qr string")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rec = extract_document(
+                    f"jpeg://{doc_id}", _planted_jpeg_receipt(doc_id)
+                )
+                venda = rec["tipo_documento"] == "venda"
+                for k, it in enumerate(rec["itens"], start=1):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "tipo": rec["tipo_documento"],
+                        "sq": k,
+                        "item": it["item"],
+                        "qtd": int(it["quantidade"] * 100 + 0.5) // 100,
+                        "vu_cents": int(it["valor_unitario"] * 100 + 0.5),
+                        "vt_cents": int(it["valor_total"] * 100 + 0.5),
+                        "dt": it["data_venda"] if venda else it["data_compra"],
+                        "qr": rec["qrcode_url"],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tipo", "sq", "item", "qtd",
+                               "vu_cents", "vt_cents", "dt", "qr"])
+
+    return d.mapInPandas(run, schema)
 
 
 def q_lang_segments(spark, sf_dir):
@@ -24420,6 +24508,15 @@ CATALOG: Dict[str, tuple] = {
     # next-round #5) plus this round's new real-pixel entry — listed first
     # so an ordering-honoring sampler hits them
     "png_glyph_ocr": (q_png_glyph_ocr, SQL_PNG_GLYPH_OCR),
+    # identical planting arithmetic -> the PNG oracle replays the JPEG
+    # route verbatim (any codec divergence breaks the value hash); the
+    # entry samples every 5th doc, so the oracle filters identically
+    "jpeg_glyph_ocr": (
+        q_jpeg_glyph_ocr,
+        SQL_PNG_GLYPH_OCR.replace(
+            "FROM documents", "FROM documents WHERE doc_id % 5 = 0"
+        ),
+    ),
     "x11_danfe_regex": (q_x11_danfe_regex, SQL_X11),
     "x1_norm_text": (q_x1_norm_text, SQL_X1),
     "x3_clean_desc": (q_x3_clean_desc, SQL_X3),

@@ -7,11 +7,12 @@ code path, so Spark output is byte-identical to the oracle by construction.
 Routing (sniff → path):
   html     → HTML DANFE extraction      (app/nfce_parser.py path, main.py:61-105)
   tokens   → pluggable-OCR image path   (app/ocr_engine.py path, main.py:108-143)
-  png      → REAL-PIXEL image path: stdlib PNG decode → cv2-parity grayscale
-             → raw/Otsu/zoom attempt cascade → 5×7 spec-font template OCR
-             (core/imagecodec + core/glyphocr; X19/X21 on real bytes) —
-             undecodable/blank PNGs fall through to the empty-OCR envelope
-  jpeg/gif/webp → image path; DCT/LZW decode needs cv2 (absent), so the
+  png/jpeg → REAL-PIXEL image path: stdlib PNG decode (core/imagecodec) or
+             stdlib baseline JPEG decode (core/jpegcodec, r5) → cv2-parity
+             grayscale → raw/Otsu/zoom attempt cascade → 5×7 spec-font
+             template OCR (core/glyphocr; X19/X21 on real bytes) —
+             undecodable/blank images fall through to the empty-OCR envelope
+  gif/webp → image path; LZW/VP8 decode needs cv2 (absent), so the
              backend yields no tokens → the reference's own empty-OCR error
              envelope (app/ocr_engine.py:88-90 → :152-160)
   pdf/unknown → rejected like the reference's content-type guard, but as an
@@ -52,6 +53,7 @@ from .pdf_text import pdf_to_char_pages
 from .sniff import (
     FMT_EMPTY,
     FMT_HTML,
+    FMT_JPEG,
     FMT_PDF,
     FMT_PNG,
     FMT_TOKENS,
@@ -115,6 +117,16 @@ class FixtureOcrBackend:
         return []
 
 
+from functools import lru_cache
+
+# extract_qrcode and extract_text each need the decoded plane of the SAME
+# payload — a tiny per-process LRU halves the decode work (material for
+# JPEG: ~30 ms/page vs PNG's ~3 ms). Consumers never mutate the decoded
+# array (every cascade step derives fresh masks), so sharing is safe;
+# maxsize bounds resident pixel memory to a few pages per executor.
+_decode_image_cached = lru_cache(maxsize=8)(decode_image)
+
+
 class PixelOcrBackend:
     """Real-pixel OCR backend (X19+X20 closed without cv2/pyzbar): stdlib
     PNG/BMP decode (core/imagecodec — zlib inflate + per-row unfiltering),
@@ -134,7 +146,7 @@ class PixelOcrBackend:
                        recovery has no stdlib path and stays gated)."""
 
     def extract_text(self, image_bytes: bytes) -> List[Dict]:
-        decoded = decode_image(image_bytes)
+        decoded = _decode_image_cached(bytes(image_bytes))
         if decoded is None:
             return []
         _, _, _, px = decoded
@@ -152,7 +164,7 @@ class PixelOcrBackend:
         test-pinned)."""
         import numpy as np
 
-        decoded = decode_image(image_bytes)
+        decoded = _decode_image_cached(bytes(image_bytes))
         if decoded is None:
             return None
         gray = to_gray(decoded[3])
@@ -242,10 +254,13 @@ def extract_document(
             return out
 
         if fmt in IMAGE_FORMATS:
-            if fmt == FMT_PNG:
-                # real-pixel route: decode → grayscale → attempt cascade
-                # (undecodable/blank PNGs fall through to the same empty-OCR
-                # error envelope as every other image, app/ocr_engine.py:88-90)
+            if fmt in (FMT_PNG, FMT_JPEG):
+                # real-pixel route: decode → grayscale → attempt cascade.
+                # JPEG joins PNG in r5 via the stdlib baseline codec
+                # (core/jpegcodec); undecodable payloads (truncated,
+                # progressive, or the synthetic garbage classes) yield
+                # decode None → the same empty-OCR error envelope as
+                # before, byte-identically (app/ocr_engine.py:88-90)
                 qr_data = _PIXEL_BACKEND.extract_qrcode(bytes(payload))
                 ocr_lines = _PIXEL_BACKEND.extract_text(bytes(payload))
             else:

@@ -417,7 +417,10 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 def decode_image(data) -> Optional[Decoded]:
-    """Magic-byte dispatch → decoded pixels, or None (errors-as-data)."""
+    """Magic-byte dispatch → decoded pixels, or None (errors-as-data).
+    JPEG routes through the stdlib baseline codec (core/jpegcodec, r5 —
+    phone-camera receipts are overwhelmingly JPEG and the reference's
+    cv2.imdecode takes them first, app/ocr_engine.py:357-362)."""
     if data is None:
         return None
     b = bytes(data)
@@ -425,6 +428,10 @@ def decode_image(data) -> Optional[Decoded]:
         return decode_png(b)
     if b.startswith(BMP_MAGIC):
         return decode_bmp(b)
+    if b.startswith(b"\xff\xd8\xff"):
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     return None
 
 

@@ -63,11 +63,15 @@ def dhash63(payload: bytes) -> int:
     64 bignum multiplies PER FRAME (measured ~10s across a 96k-frame
     bench query); uint64 is exact for the same 63 bits.
 
-    REAL PNG/BMP payloads (magic-sniffed) decode through the stdlib codec
-    to actual pixels and hash via the 2-D block-mean grid — same 63-bit
-    packing convention, so real-image fingerprints join the same banded
-    pair plans as the synthetic planes (X19 on real bytes, r4)."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM":
+    REAL PNG/BMP/baseline-JPEG payloads (magic-sniffed) decode through the
+    stdlib codecs to actual pixels and hash via the 2-D block-mean grid —
+    same 63-bit packing convention, so real-image fingerprints join the
+    same banded pair plans as the synthetic planes (X19 on real bytes;
+    JPEG added in r5). A sniffed payload that fails to decode falls back
+    to the byte-plane hash below (graceful, unlike multimodal's
+    errors-as-data rows — dedup wants A fingerprint, not a null)."""
+    if (payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM"
+            or payload[:3] == b"\xff\xd8\xff"):
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-Image decode is REAL for PNG/BMP since r4 — the pure-stdlib codec in
-``core/imagecodec`` (zlib inflate + per-row unfiltering) yields actual
-pixels, dimensions and a true perceptual dHash with no third-party wheels.
-Other formats (JPEG/audio/video) stay STUBBED in this environment (no
+Image decode is REAL for PNG/BMP since r4 and for baseline JPEG since r5 —
+the pure-stdlib codecs in ``core/imagecodec`` (zlib inflate + per-row
+unfiltering) and ``core/jpegcodec`` (marker parse + Huffman + IDCT) yield
+actual pixels, dimensions and a true perceptual dHash with no third-party
+wheels. Remaining formats (progressive JPEG/GIF/WebP, audio, video) stay
+STUBBED in this environment (no
 cv2/soundfile — see the module-level import gates): ``DETERMINISTIC_FAKE``
 derives stable pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and
@@ -62,19 +64,22 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes):
-    """Decode → (width, height, channels, phash). Preference order (r4):
-    the pure-stdlib PNG/BMP codec (REAL pixels — core/imagecodec, no
-    third-party decoder needed) for payloads carrying those magics; then
-    cv2 when installed (other formats); then the deterministic fake; else
-    NotImplementedError. The stdlib path emits a REAL perceptual hash
-    (2-D block-mean dHash over the cv2-parity grayscale plane)."""
+    """Decode → (width, height, channels, phash). Preference order: the
+    pure-stdlib PNG/BMP/baseline-JPEG codecs (REAL pixels —
+    core/imagecodec + core/jpegcodec, no third-party decoder needed) for
+    payloads carrying those magics; then cv2 when installed (other
+    formats); then the deterministic fake; else NotImplementedError. The
+    stdlib path emits a REAL perceptual hash (2-D block-mean dHash over
+    the cv2-parity grayscale plane)."""
     # BM alone is two ASCII letters — plain text can start with it (r4 ADVICE).
     # Require a plausible BMP: the fixed 14-byte file header + 40-byte
     # BITMAPINFOHEADER means any real BMP is >= 54 bytes. Shorter BM-prefixed
     # payloads fall through to the fake path like any other non-image bytes.
+    # JPEG (r5): the three-byte FF D8 FF magic (SOI + a marker prefix) routes
+    # to the stdlib baseline codec — the same real-pixel path.
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or (
         payload[:2] == b"BM" and len(payload) >= 54
-    ):
+    ) or payload[:3] == b"\xff\xd8\xff":
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)

@@ -222,22 +222,22 @@ def _real_pdf_doc(doc_id: int, seed: int) -> bytes:
     return build_single_page_pdf(lines, compress=_h(doc_id, seed, "rz") % 2 == 0)
 
 
-def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
-    """A GENUINE PNG receipt (class 95): token content rendered as real
-    pixels in the 5×7 spec font (core/glyphocr), encoded through the stdlib
-    PNG writer (core/imagecodec). Decoding flows the X19/X21 route for real:
-    zlib inflate → unfilter → cv2-parity grayscale → raw/Otsu/zoom attempt
-    cascade → template OCR → the same structuring as the token class. A
-    third of the docs render in low-contrast ink (140/255) that the raw
-    fixed-128 threshold misses — those documents only extract because the
-    Otsu attempt (X19 re-binarization) recovers them. Half the docs carry
-    a REAL rendered QR code (core/qrcode, module 2 px) below the footer —
+def _receipt_page(doc_id: int, seed: int):
+    """The shared rendered receipt page behind the real-pixel classes:
+    token content rendered as real pixels in the 5×7 spec font
+    (core/glyphocr). Class 95 encodes it as PNG, class 96 (r5) as
+    baseline JPEG — both decode through the X19/X21 route for real:
+    stdlib codec → cv2-parity grayscale → raw/Otsu/zoom attempt cascade →
+    template OCR → the same structuring as the token class. A third of
+    the docs render in low-contrast ink (140/255) that the raw fixed-128
+    threshold misses — those documents only extract because the Otsu
+    attempt (X19 re-binarization) recovers them. Half the docs carry a
+    REAL rendered QR code (core/qrcode, module 2 px) below the footer —
     the X20 cascade locates and Reed-Solomon-decodes it from the same
     pixels, and its URL flows into qrcode_url (J2 merge)."""
     import numpy as np
 
     from ..core.glyphocr import render_tokens
-    from ..core.imagecodec import encode_png
     from ..core.qrcode import encode_qr
 
     n_items = _h(doc_id, seed, "gn") % 3 + 1
@@ -270,7 +270,29 @@ def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
         qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
         r0, c0 = y + 58, 700
         page[r0:r0 + qr_px.shape[0], c0:c0 + qr_px.shape[1]][qr_px] = ink
-    return encode_png(page)
+    return page
+
+
+def _png_receipt_doc(doc_id: int, seed: int) -> bytes:
+    """Class 95: the shared receipt page through the stdlib PNG writer."""
+    from ..core.imagecodec import encode_png
+
+    return encode_png(_receipt_page(doc_id, seed))
+
+
+def _jpeg_receipt_doc(doc_id: int, seed: int) -> bytes:
+    """Class 96 (r5): the shared receipt page through the stdlib baseline
+    JPEG writer (core/jpegcodec) — phone-camera receipts are JPEG and the
+    reference's cv2.imdecode takes them first (app/ocr_engine.py:357-362).
+    qdiv=1 keeps DCT round-trip error ≤ ~2 gray levels, inside every
+    cascade threshold margin; a third of the docs add restart markers so
+    DRI/RSTn resync runs under the flagship byte-identity gate."""
+    from ..core.jpegcodec import encode_jpeg_gray
+
+    return encode_jpeg_gray(
+        _receipt_page(doc_id, seed),
+        restart_interval=8 if _h(doc_id, seed, "gri") % 3 == 0 else 0,
+    )
 
 
 def gen_page(doc_id: int, seed: int = 42) -> Dict:
@@ -295,7 +317,21 @@ def gen_page(doc_id: int, seed: int = 42) -> Dict:
         html = bytes([_h(doc_id, seed, f"u{i}") % 251 + 1 for i in range(32)])
     elif cls < 96:
         html = _png_receipt_doc(doc_id, seed)
+    elif cls < 97:
+        # class 96 (r5): 1-in-10 of the class (doc_id % 1000 == 96 — an
+        # ARITHMETIC rule so the lineage oracle replays it in SQL) is a
+        # REAL baseline-JPEG receipt through the full pixel route; the
+        # rest stay undecodable JPEG-magic error rows. The split keeps
+        # the flagship throughput number comparable across rounds (a
+        # JPEG decode is ~10x a PNG one; 0.1% of the corpus ≈ +0.1s at
+        # 96k docs) while the route still runs under the flagship
+        # byte-identity and lineage gates.
+        if doc_id % 1000 == 96:
+            html = _jpeg_receipt_doc(doc_id, seed)
+        else:
+            html = b"\xff\xd8\xff\xe0" + hashlib.blake2b(f"{seed}:{doc_id}:img".encode(), digest_size=64).digest()
     elif cls < 99:
+        # undecodable image: JPEG magic + garbage stays an error row
         html = b"\xff\xd8\xff\xe0" + hashlib.blake2b(f"{seed}:{doc_id}:img".encode(), digest_size=64).digest()
     else:
         # skew tail: ~100x median payload (giant DANFE + heavy boilerplate)

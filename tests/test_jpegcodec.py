@@ -1,0 +1,226 @@
+"""Stdlib baseline JPEG codec (core/jpegcodec): round-trips across gray /
+color / subsampling / restart intervals, failure paths, extraction-route
+integration, and skip-marked cv2 parity (the decoder the reference actually
+uses — /root/reference/app/ocr_engine.py:357-362)."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_rgb,
+)
+
+try:
+    import cv2  # noqa: F401
+    HAVE_CV2 = True
+except Exception:
+    HAVE_CV2 = False
+
+
+def _maxerr(decoded, ref):
+    px = decoded[3]
+    if ref.ndim == 2:
+        px = px[:, :, 0]
+    return int(np.abs(px.astype(int) - ref.astype(int)).max())
+
+
+class TestGrayRoundTrip:
+    def test_bilevel_receipt_near_lossless(self):
+        g = np.full((120, 200), 255, dtype=np.uint8)
+        g[20:40, 30:90] = 40
+        g[60:62, :] = 0
+        out = decode_jpeg(encode_jpeg_gray(g))
+        assert out is not None and out[:3] == (200, 120, 1)
+        assert _maxerr(out, g) <= 1
+
+    def test_smooth_gradient_exact(self):
+        g = np.clip(
+            np.add.outer(np.arange(100), np.arange(150)) % 256, 0, 255
+        ).astype(np.uint8)
+        assert _maxerr(decode_jpeg(encode_jpeg_gray(g)), g) <= 1
+
+    def test_random_noise_worst_case(self):
+        rng = np.random.default_rng(42)
+        g = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        assert _maxerr(decode_jpeg(encode_jpeg_gray(g)), g) <= 1
+
+    def test_odd_dimensions_pad_and_crop(self):
+        rng = np.random.default_rng(7)
+        g = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(g))
+        assert out[:3] == (53, 37, 1)
+        assert _maxerr(out, g) <= 1
+
+    def test_quantization_bounds_error(self):
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+        for qdiv in (2, 4, 8):
+            assert _maxerr(decode_jpeg(encode_jpeg_gray(g, qdiv=qdiv)), g) <= qdiv
+
+    def test_tiny_and_single_block(self):
+        g = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(g))
+        assert out[:3] == (2, 2, 1) and _maxerr(out, g) <= 1
+
+
+class TestRestartIntervals:
+    @pytest.mark.parametrize("ri", [1, 3, 7, 10])
+    def test_dri_rst_resync(self, ri):
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, (48, 80), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(g, restart_interval=ri))
+        assert out is not None and _maxerr(out, g) <= 1
+
+    def test_truncated_restart_stream_fails_cleanly(self):
+        g = np.full((48, 80), 200, dtype=np.uint8)
+        jp = encode_jpeg_gray(g, restart_interval=2)
+        # chop mid-stream: decode must return None, never raise
+        assert decode_jpeg(jp[: len(jp) // 2]) is None
+
+
+class TestColor:
+    def test_rgb_444_round_trip(self):
+        c = np.zeros((50, 70, 3), dtype=np.uint8)
+        c[:, :, 0] = 200
+        c[10:30, 10:40, 1] = 150
+        c[:, :, 2] = (np.arange(70)[None, :] % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_rgb(c))
+        assert out[:3] == (70, 50, 3)
+        assert _maxerr(out, c) <= 3  # YCbCr forward/back rounding
+
+    def test_rgb_420_subsampled(self):
+        c = np.zeros((50, 70, 3), dtype=np.uint8)
+        c[:, :, 0] = 180
+        c[5:25, 5:35, 2] = 90
+        out = decode_jpeg(encode_jpeg_rgb(c, subsample=True))
+        assert out[:3] == (70, 50, 3)
+        # chroma is box-averaged 2x2: exact only away from chroma edges
+        interior = np.s_[30:48, 40:68]
+        assert np.abs(
+            out[3][interior].astype(int) - c[interior].astype(int)
+        ).max() <= 4
+
+    def test_gray_output_feeds_to_gray(self):
+        from ocr_service_spark.core.imagecodec import to_gray
+
+        g = np.full((24, 24), 77, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(g))
+        plane = to_gray(out[3])
+        assert int(np.abs(plane.astype(int) - 77).max()) <= 1
+
+
+class TestFailurePaths:
+    def test_garbage_and_truncation(self):
+        g = np.full((16, 16), 128, dtype=np.uint8)
+        jp = encode_jpeg_gray(g)
+        assert decode_jpeg(b"not a jpeg") is None
+        assert decode_jpeg(b"\xff\xd8\xff\xe0 garbage") is None
+        assert decode_jpeg(jp[:20]) is None
+        assert decode_jpeg(jp[:2]) is None
+
+    def test_progressive_rejected(self):
+        # flip the SOF0 marker to SOF2 (progressive): unsupported subset
+        g = np.full((16, 16), 128, dtype=np.uint8)
+        jp = bytearray(encode_jpeg_gray(g))
+        i = jp.find(b"\xff\xc0")
+        jp[i + 1] = 0xC2
+        assert decode_jpeg(bytes(jp)) is None
+
+    def test_synth_garbage_class_97(self):
+        import hashlib
+
+        payload = b"\xff\xd8\xff\xe0" + hashlib.blake2b(
+            b"42:97:img", digest_size=64
+        ).digest()
+        assert decode_jpeg(payload) is None
+
+
+class TestDispatchIntegration:
+    def test_decode_image_routes_jpeg(self):
+        from ocr_service_spark.core.imagecodec import decode_image
+
+        g = np.full((20, 30), 99, dtype=np.uint8)
+        out = decode_image(encode_jpeg_gray(g))
+        assert out is not None and out[:3] == (30, 20, 1)
+
+    def test_extract_document_jpeg_receipt_matches_png_twin(self):
+        from ocr_service_spark.catalog import (
+            _planted_jpeg_receipt,
+            _planted_png_receipt,
+        )
+        from ocr_service_spark.core.document import (
+            extract_document,
+            itens_to_json,
+        )
+
+        for doc_id in (0, 1, 2, 3, 4, 5, 96):
+            a = extract_document("png://x", _planted_png_receipt(doc_id))
+            b = extract_document("jpg://x", _planted_jpeg_receipt(doc_id))
+            assert a["tipo_documento"] == b["tipo_documento"] != "erro"
+            assert itens_to_json(a["itens"]) == itens_to_json(b["itens"])
+            assert a["qrcode_url"] == b["qrcode_url"]
+
+    def test_low_contrast_needs_otsu_attempt(self):
+        # doc_id % 4 == 1 plants 140-ink pages: the raw fixed-127 mask is
+        # empty, so extraction succeeding proves the Otsu attempt ran on
+        # the JPEG-decoded pixels
+        from ocr_service_spark.catalog import _planted_jpeg_receipt
+        from ocr_service_spark.core.document import extract_document
+        from ocr_service_spark.core.glyphocr import ocr_attempts
+        from ocr_service_spark.core.imagecodec import to_gray
+
+        payload = _planted_jpeg_receipt(5)  # 5 % 4 == 1 -> low contrast
+        rec = extract_document("jpg://5", payload)
+        assert rec["itens"]
+        decoded = decode_jpeg(payload)
+        _, attempt = ocr_attempts(to_gray(decoded[3]))
+        assert attempt == "otsu"
+
+    def test_synth_class_96_rule(self):
+        from ocr_service_spark.sources.synth import gen_page
+
+        real = gen_page(96, seed=42)["html"]
+        fake = gen_page(196, seed=42)["html"]
+        assert decode_jpeg(real) is not None
+        assert fake.startswith(b"\xff\xd8\xff") and decode_jpeg(fake) is None
+
+    def test_dhash_real_jpeg_matches_png_encode(self):
+        # same pixels through either codec must fingerprint identically
+        from ocr_service_spark.core.imagecodec import encode_png
+        from ocr_service_spark.operators.imagedup import dhash63
+
+        rng = np.random.default_rng(5)
+        # smooth enough that the <=1 JPEG error cannot flip a block-mean
+        # comparison: distinct plateaus per 8x9 grid cell
+        g = np.repeat(
+            np.repeat(rng.integers(0, 16, (8, 9), dtype=np.uint8) * 16, 8, 0),
+            8, 1,
+        )
+        assert dhash63(encode_jpeg_gray(g)) == dhash63(encode_png(g))
+
+
+@pytest.mark.skipif(not HAVE_CV2, reason="cv2 absent in this sandbox")
+class TestCv2Parity:
+    def test_cv2_decodes_our_stream(self):
+        import cv2
+
+        g = np.clip(
+            np.add.outer(np.arange(64) * 2, np.arange(96)) % 256, 0, 255
+        ).astype(np.uint8)
+        jp = np.frombuffer(encode_jpeg_gray(g), dtype=np.uint8)
+        dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
+        assert dec is not None and dec.shape == g.shape
+        ours = decode_jpeg(bytes(jp))[3][:, :, 0]
+        assert int(np.abs(dec.astype(int) - ours.astype(int)).max()) <= 1
+
+    def test_we_decode_cv2_stream(self):
+        import cv2
+
+        rng = np.random.default_rng(9)
+        g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", g, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        out = decode_jpeg(enc.tobytes())
+        assert out is not None and out[:3] == (56, 40, 1) or out[2] == 3

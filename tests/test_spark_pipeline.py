@@ -60,9 +60,17 @@ class TestByteIdentity:
         assert any(r["n_itens"] > 0 and r["fmt"] == "html" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "tokens" for r in results_rows.values())
         assert any(r["n_itens"] > 0 and r["fmt"] == "pdf" for r in results_rows.values())
-        # the real-pixel route (class 95): every PNG page decodes + extracts
+        # the real-pixel routes: every PNG (class 95) page decodes +
+        # extracts; class 96 splits on the arithmetic 1-in-1000 rule —
+        # doc_id % 1000 == 96 is a REAL baseline JPEG that extracts (r5),
+        # the rest are undecodable JPEG-magic error rows
         png = [r for u, r in results_rows.items() if int(u[-12:]) % 100 == 95]
         assert png and all(r["n_itens"] > 0 for r in png)
+        jpg = [r for u, r in results_rows.items() if int(u[-12:]) % 1000 == 96]
+        assert jpg and all(r["n_itens"] > 0 for r in jpg)
+        jpg_err = [r for u, r in results_rows.items()
+                   if int(u[-12:]) % 100 == 96 and int(u[-12:]) % 1000 != 96]
+        assert all(r["n_itens"] == 0 for r in jpg_err)
         # both PDF happy paths: the sidecar layout class (id%100 in 89,90)
         # AND genuine %PDF bytes through the stdlib text parser (id%100==88)
         real_pdf = [r for u, r in results_rows.items() if int(u[-12:]) % 100 == 88]
@@ -81,7 +89,7 @@ class TestLineageAndResume:
         assert sum(r["docs"] for r in m) == 120
         assert all(r["status"] == "done" for r in m)
         assert sum(r["bytes"] for r in m) > 0
-        # failures counted: classes 83..98 are error docs
+        # failures counted: classes 83..87, 91..94, 97, 98 are error docs
         assert sum(r["failures"] for r in m) > 0
 
     def test_exact_resume(self, spark, tmp_path):
