@@ -1707,14 +1707,67 @@ FROM w GROUP BY doc_id, nw, tail
 
 
 def q_video_frames(spark, sf_dir):
-    """Multimodal frame-sampling fan-out (rows-only)."""
+    """Multimodal frame sampling, upgraded from the LAST rows-only entry
+    to a FULL oracle (r5, verdict item #4 — real frames via the MJPEG
+    route): every document becomes a genuine Motion-JPEG stream of
+    doc_id%4+1 concatenated baseline-JPEG frames (stdlib encoder), frame
+    j a horizontal ramp — ASCENDING for even doc_id+j (provably the
+    all-ones dHash: ~28-gray-level block-mean steps dwarf the ≤1 JPEG
+    round-trip error) and DESCENDING for odd (provably all-zero). Every
+    9th doc ships its final frame TRUNCATED (EOI removed): the MJPEG
+    splitter finds one fewer frame — the missing-frame convention,
+    replayed by the oracle. The REAL route runs end to end — stream
+    split, Huffman decode, IDCT, grayscale, block-mean dHash — under
+    every_n=2 frame sampling, and SQL replays every (media_id,
+    frame_idx, frame_phash) row."""
     from .operators.multimodal import sample_video_frames
-    d = load(spark, sf_dir, "documents")
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _mjpeg(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .core.jpegcodec import encode_jpeg_gray
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = i % 4 + 1
+            frames = []
+            for j in range(n):
+                ramp = (np.arange(36) * 255 // 35).astype(np.uint8)
+                if (i + j) % 2 == 1:
+                    ramp = ramp[::-1]
+                frames.append(encode_jpeg_gray(np.tile(ramp, (16, 1))))
+            blob = b"".join(frames)
+            if i % 9 == 4:
+                blob = blob[:-4]  # truncate the final frame's EOI
+            out.append(blob)
+        return pd.Series(out)
+
     media = d.select(
         F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("media_id"),
-        F.encode(F.repeat(F.col("text"), 20), "utf-8").alias("payload"),
+        _mjpeg("doc_id").alias("payload"),
     )
     return sample_video_frames(media, every_n=2)
+
+
+SQL_VIDEO_FRAMES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 + 1
+         - CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 0 END AS n_eff
+  FROM documents
+)
+SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(j.j AS INT) AS frame_idx,
+       CASE WHEN (doc_id + j.j) % 2 = 0 THEN '7fffffffffffffff'
+            ELSE '0000000000000000' END AS frame_phash
+FROM d JOIN generate_series(0, 3) j(j)
+  ON j.j < n_eff AND j.j % 2 = 0
+"""
 
 
 def q_multimodal_gate(spark, sf_dir):
@@ -24599,7 +24652,7 @@ CATALOG: Dict[str, tuple] = {
     "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "video_frames": (q_video_frames, None),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "multimodal_gate": (q_multimodal_gate, SQL_MULTIMODAL_GATE),
     "web_training_pipeline": (q_web_training_pipeline, SQL_WEB_TRAINING_PIPELINE),
     # corpus-hygiene ops (operators/quality.py)

@@ -218,15 +218,25 @@ def _frame_schema_for(media: DataFrame) -> str:
 def video_frame_dhashes(
     media: DataFrame, frame_bytes: int = 4096, every_n: int = 1
 ) -> DataFrame:
-    """Video payload → per-sampled-frame dHash rows. The decode seam is
-    the multimodal stub (payload bytes stand in for the decoded frame
-    planes, frame_bytes per frame — production plugs a real keyframe
-    decoder behind the same signature); the per-frame STRIDED-SAMPLING
-    dHash is the real dhash63 math, so frame fingerprints are
-    engine-recomputable. 1:N fan-out via one Arrow pass, the
-    sample_video_frames shape."""
+    """Video payload → per-sampled-frame dHash rows.
+
+    MJPEG payloads (JPEG magic, r5) take the REAL route: the stream
+    splits into per-frame JPEG spans (multimodal.mjpeg_frame_spans),
+    each sampled frame decodes through the stdlib baseline codec and
+    hashes via the 2-D block-mean dHash — same 63-bit packing, so real
+    video fingerprints join the same banded near-dup plans. Sampled
+    frames that fail to decode are skipped (a fingerprintless frame
+    can't join). Other payloads keep the byte-plane seam (payload
+    bytes stand in for decoded frame planes, frame_bytes per frame —
+    production plugs a real keyframe decoder behind the same
+    signature) with the real strided-sampling dhash63 math. 1:N
+    fan-out via one Arrow pass, the sample_video_frames shape."""
 
     def run(batches):
+        from ..core.imagecodec import dhash63_gray, to_gray
+        from ..core.jpegcodec import decode_jpeg
+        from .multimodal import mjpeg_frame_spans
+
         for pdf in batches:
             ids, idxs, full = [], [], []
             rag_ids, rag_idxs, rag_hashes = [], [], []
@@ -234,6 +244,16 @@ def video_frame_dhashes(
                 if payload is None or len(payload) == 0:
                     continue
                 payload = bytes(payload)
+                if payload[:3] == b"\xff\xd8\xff":
+                    frames = mjpeg_frame_spans(payload)
+                    for i in range(0, len(frames), every_n):
+                        decoded = decode_jpeg(frames[i])
+                        if decoded is None:
+                            continue
+                        rag_ids.append(media_id)
+                        rag_idxs.append(i)
+                        rag_hashes.append(dhash63_gray(to_gray(decoded[3])))
+                    continue
                 n_frames = max(1, len(payload) // frame_bytes)
                 for i in range(0, n_frames, every_n):
                     frame = payload[i * frame_bytes:(i + 1) * frame_bytes]

@@ -127,11 +127,40 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def mjpeg_frame_spans(payload: bytes) -> list:
+    """Split an MJPEG stream (Motion JPEG — the IP-camera/AVI format: a
+    plain concatenation of baseline JPEG images) into per-frame byte
+    spans: each span runs from an SOI (FF D8 FF) to its EOI (FF D9).
+    Entropy-coded data never contains a bare FF D9 (FF bytes are
+    zero-stuffed), so EOI scanning is exact for conforming streams; a
+    truncated final frame (no EOI) is simply absent — the in-band
+    missing-frame convention."""
+    spans = []
+    i = 0
+    while True:
+        s = payload.find(b"\xff\xd8\xff", i)
+        if s < 0:
+            break
+        e = payload.find(b"\xff\xd9", s + 3)
+        if e < 0:
+            break
+        spans.append(payload[s:e + 2])
+        i = e + 2
+    return spans
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Frame-sampling plumbing: emits (media_id, frame_idx, frame_phash) rows
-    — 1:N UDTF shape via mapInPandas. Frame decode is the same stub; the
-    deterministic fake emits ⌈n_bytes/4096⌉ pseudo-frames so partitioning and
-    fan-out behavior are real."""
+    """Frame-sampling fan-out: emits (media_id, frame_idx, frame_phash)
+    rows — 1:N UDTF shape via mapInPandas.
+
+    REAL since r5 for MJPEG payloads (JPEG magic): the stream splits
+    into per-frame JPEG spans, every_n-th frame decodes through the
+    stdlib baseline codec (core/jpegcodec) and hashes via the REAL
+    2-D block-mean dHash — frame_idx counts FRAMES. A sampled frame
+    that fails to decode emits a null phash (errors-as-data). Other
+    payloads keep the deterministic fake (⌈n_bytes/4096⌉ pseudo-frames,
+    blake2b hashes) so the partitioning/fan-out plumbing stays real
+    for container formats with no stdlib decoder."""
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
@@ -139,12 +168,26 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.imagecodec import dhash63_gray, to_gray
+        from ..core.jpegcodec import decode_jpeg
+
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
                 payload = bytes(payload)
+                if payload[:3] == b"\xff\xd8\xff":
+                    frames = mjpeg_frame_spans(payload)
+                    for idx in range(0, len(frames), every_n):
+                        decoded = decode_jpeg(frames[idx])
+                        ph = (
+                            format(dhash63_gray(to_gray(decoded[3])), "016x")
+                            if decoded is not None else None
+                        )
+                        rows.append({"media_id": media_id, "frame_idx": idx,
+                                     "frame_phash": ph})
+                    continue
                 n_frames = max(1, len(payload) // 4096)
                 for idx in range(0, n_frames, every_n):
                     fh = hashlib.blake2b(payload + idx.to_bytes(4, "big"), digest_size=8)

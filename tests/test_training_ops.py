@@ -304,6 +304,52 @@ class TestMultimodal:
         assert len(rows) >= 10  # 1:N fan-out happened
         assert all(r["frame_idx"] % 2 == 0 for r in rows)
 
+    def test_video_frames_real_mjpeg(self, spark):
+        # an MJPEG payload (concatenated baseline JPEGs) takes the REAL
+        # route: per-frame decode + block-mean dHash, frame_idx in frames
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import dhash63_gray
+        from ocr_service_spark.core.jpegcodec import encode_jpeg_gray
+        from ocr_service_spark.operators.multimodal import sample_video_frames
+
+        asc = np.tile((np.arange(36) * 255 // 35).astype(np.uint8), (16, 1))
+        desc = asc[:, ::-1]
+        blob = b"".join([encode_jpeg_gray(asc), encode_jpeg_gray(desc),
+                         encode_jpeg_gray(asc)])
+        media = spark.createDataFrame(
+            [("mj-1", blob), ("mj-trunc", blob[:-4])],
+            "media_id string, payload binary",
+        )
+        rows = {}
+        for r in sample_video_frames(media, every_n=1).collect():
+            rows.setdefault(r["media_id"], []).append(r)
+        got = sorted((r["frame_idx"], r["frame_phash"]) for r in rows["mj-1"])
+        assert got == [
+            (0, format(dhash63_gray(asc), "016x")),
+            (1, format(dhash63_gray(desc), "016x")),
+            (2, format(dhash63_gray(asc), "016x")),
+        ]
+        assert got[0][1] == "7fffffffffffffff" and got[1][1] == "0000000000000000"
+        # truncated final frame (EOI removed) is absent, not an error
+        assert sorted(r["frame_idx"] for r in rows["mj-trunc"]) == [0, 1]
+
+    def test_video_frame_dhashes_real_mjpeg_joins_banded_plan(self, spark):
+        import numpy as np
+
+        from ocr_service_spark.core.imagecodec import dhash63_gray
+        from ocr_service_spark.core.jpegcodec import encode_jpeg_gray
+        from ocr_service_spark.operators.imagedup import video_frame_dhashes
+
+        asc = np.tile((np.arange(36) * 255 // 35).astype(np.uint8), (16, 1))
+        blob = b"".join([encode_jpeg_gray(asc)] * 3)
+        media = spark.createDataFrame(
+            [("mj-9", blob)], "media_id string, payload binary"
+        )
+        rows = video_frame_dhashes(media).collect()
+        assert len(rows) == 3
+        assert all(r["frame_dhash"] == dhash63_gray(asc) for r in rows)
+
 
 class TestConnectedComponents:
     def _cc(self, spark, pairs):
