@@ -11080,9 +11080,17 @@ def _planted_receipt_page(doc_id: int):
     toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
     toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
     with_qr = doc_id % 2 == 0
-    page = render_tokens(toks, 1020, y + 60 + (70 if with_qr else 0), ink=ink)
+    page = render_tokens(toks, 1020, y + 60 + (100 if with_qr else 0), ink=ink)
     if with_qr:
-        qr = encode_qr(f"https://q.example/nfce?p={doc_id}")
+        # r5: realistic NFC-e-length payload (44-digit access key) at EC
+        # level M — version 6, multi-block RS — still pure arithmetic in
+        # doc_id so SQL replays the decoded URL verbatim
+        qr = encode_qr(
+            f"https://q.example/nfce?p={doc_id}"
+            "&chNFe=35211298765432100012355001000000012100000"
+            f"{doc_id % 10}&nVersao=100&tpAmb=1",
+            ecl="M",
+        )
         qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
         page[y + 58:y + 58 + qr_px.shape[0], 700:700 + qr_px.shape[1]][qr_px] = ink
     return page
@@ -11181,6 +11189,8 @@ SELECT d.doc_id,
        printf('%02d/12/2025', d.day) AS dt,
        CASE WHEN d.doc_id % 2 = 0
             THEN 'https://q.example/nfce?p=' || CAST(d.doc_id AS VARCHAR)
+                 || '&chNFe=35211298765432100012355001000000012100000'
+                 || CAST(d.doc_id % 10 AS VARCHAR) || '&nVersao=100&tpAmb=1'
        END AS qr
 FROM d
 JOIN generate_series(0, 2) i(i) ON i.i < d.n_items

@@ -1,4 +1,4 @@
-"""Pure-stdlib QR code encode/decode (versions 1-3, byte mode, EC level L).
+"""Pure-stdlib QR code encode/decode (versions 1-10, byte mode, EC L/M/Q/H).
 
 Closes the X20 decode gap the same way core/imagecodec.py closed X19: the
 reference's QR route is pyzbar/cv2 over preprocessed grayscale variants
@@ -17,11 +17,18 @@ deterministic Python:
                              uniform module size — the geometry a rendered
                              receipt has), grid resample, then decode.
 
-Scope (documented, test-pinned): versions 1-3 at EC level L (26/44/70
-codewords, single RS block), byte mode, axis-aligned locate. Anything
-outside returns None — errors-as-data upstream, like every decoder in this
-engine. Error correction is REAL: up to ⌊ec/2⌋ corrupted codewords per
-symbol are corrected, exercised by tests flipping random bytes.
+Scope (documented, test-pinned): versions 1-10 at EC levels L/M/Q/H (r5,
+VERDICT item #5 — realistic NFC-e URLs are ~100-char fazenda links that
+land at v5-v10, typically EC M), byte mode, axis-aligned locate. That
+includes the spec's full multi-block Reed-Solomon structure: per-version
+block tables (ISO 18004 table 9), column-wise codeword interleaving,
+16-bit character counts at v10, and the BCH(18,6) version-information
+blocks versions ≥ 7 carry. Anything outside (v > 10, kanji/numeric modes,
+rotated or perspective-distorted symbols — pyzbar's homography recovery
+has no stdlib path) returns None — errors-as-data upstream, like every
+decoder in this engine. Error correction is REAL and per block: up to
+⌊ec/2⌋ corrupted codewords in EVERY block are corrected, exercised by
+tests flipping random bytes across blocks.
 """
 
 from __future__ import annotations
@@ -176,8 +183,76 @@ def rs_correct(codeword: List[int], n_ec: int) -> Optional[List[int]]:
 # ---------------------------------------------------------------------------
 
 # version → (total codewords, data codewords, ec codewords) at level L
-_CAP = {1: (26, 19, 7), 2: (44, 34, 10), 3: (70, 55, 15)}
-_ALIGN = {1: [], 2: [(18, 18)], 3: [(22, 22)]}
+# total codewords per version (ISO 18004 table 1)
+_TOTAL = {1: 26, 2: 44, 3: 70, 4: 100, 5: 134, 6: 172, 7: 196, 8: 242,
+          9: 292, 10: 346}
+
+# RS block structure per (version, ec level): (ec codewords PER BLOCK,
+# [data codeword length of each block]) — ISO 18004 table 9 (group 2
+# blocks carry one extra data codeword). Totals cross-check against
+# _TOTAL for every (version, level).
+_EC_TABLE = {
+    1:  {"L": (7, [19]),        "M": (10, [16]),
+         "Q": (13, [13]),       "H": (17, [9])},
+    2:  {"L": (10, [34]),       "M": (16, [28]),
+         "Q": (22, [22]),       "H": (28, [16])},
+    3:  {"L": (15, [55]),       "M": (26, [44]),
+         "Q": (18, [17] * 2),   "H": (22, [13] * 2)},
+    4:  {"L": (20, [80]),       "M": (18, [32] * 2),
+         "Q": (26, [24] * 2),   "H": (16, [9] * 4)},
+    5:  {"L": (26, [108]),      "M": (24, [43] * 2),
+         "Q": (18, [15] * 2 + [16] * 2),
+         "H": (22, [11] * 2 + [12] * 2)},
+    6:  {"L": (18, [68] * 2),   "M": (16, [27] * 4),
+         "Q": (24, [19] * 4),   "H": (28, [15] * 4)},
+    7:  {"L": (20, [78] * 2),   "M": (18, [31] * 4),
+         "Q": (18, [14] * 2 + [15] * 4),
+         "H": (26, [13] * 4 + [14])},
+    8:  {"L": (24, [97] * 2),   "M": (22, [38] * 2 + [39] * 2),
+         "Q": (22, [18] * 4 + [19] * 2),
+         "H": (26, [14] * 4 + [15] * 2)},
+    9:  {"L": (30, [116] * 2),  "M": (22, [36] * 3 + [37] * 2),
+         "Q": (20, [16] * 4 + [17] * 4),
+         "H": (24, [12] * 4 + [13] * 4)},
+    10: {"L": (18, [68] * 2 + [69] * 2),
+         "M": (26, [43] * 4 + [44]),
+         "Q": (24, [19] * 6 + [20] * 2),
+         "H": (28, [15] * 6 + [16] * 2)},
+}
+assert all(
+    sum(d) + ec * len(d) == _TOTAL[v]
+    for v, by in _EC_TABLE.items() for ec, d in by.values()
+)
+
+# alignment-pattern center coordinates per version (ISO table E.1);
+# patterns sit at every (r, c) combination except the three finder corners
+_ALIGN_POS = {1: [], 2: [6, 18], 3: [6, 22], 4: [6, 26], 5: [6, 30],
+              6: [6, 34], 7: [6, 22, 38], 8: [6, 24, 42],
+              9: [6, 26, 46], 10: [6, 28, 50]}
+
+
+def _align_centers(version: int) -> List[Tuple[int, int]]:
+    pos = _ALIGN_POS[version]
+    size = 17 + 4 * version
+    out = []
+    for r in pos:
+        for c in pos:
+            if (r <= 10 and c <= 10) or (r <= 10 and c >= size - 11) or \
+                    (r >= size - 11 and c <= 10):
+                continue  # overlaps a finder
+            out.append((r, c))
+    return out
+
+
+def _bch_version(version: int) -> int:
+    """6 version bits → 18-bit BCH(18,6) code (generator 0x1F25) — the
+    version-information block versions ≥ 7 carry beside the finders."""
+    v = version << 12
+    g = 0x1F25
+    for i in range(17, 11, -1):
+        if v >> i & 1:
+            v ^= g << (i - 12)
+    return (version << 12) | v
 
 _FORMAT_MASK = 0x5412
 _ECL_BITS = {"L": 0b01, "M": 0b00, "Q": 0b11, "H": 0b10}
@@ -224,13 +299,16 @@ def _function_mask(version: int) -> np.ndarray:
         f[max(r0 - 1, 0):r0 + 8, max(c0 - 1, 0):c0 + 8] = True  # finder+sep
     f[6, :] = True
     f[:, 6] = True
-    for (rc, cc) in _ALIGN[version]:
+    for (rc, cc) in _align_centers(version):
         f[rc - 2:rc + 3, cc - 2:cc + 3] = True
     # format info areas
     f[8, 0:9] = True
     f[0:9, 8] = True
     f[8, size - 8:] = True
     f[size - 8:, 8] = True
+    if version >= 7:  # version-information blocks (6×3 + 3×6)
+        f[0:6, size - 11:size - 8] = True
+        f[size - 11:size - 8, 0:6] = True
     return f
 
 
@@ -254,11 +332,17 @@ def _draw_function_patterns(m: np.ndarray, version: int) -> None:
     for i in range(8, size - 8):
         m[6, i] = i % 2 == 0
         m[i, 6] = i % 2 == 0
-    for (rc, cc) in _ALIGN[version]:
+    for (rc, cc) in _align_centers(version):
         for dr in range(-2, 3):
             for dc in range(-2, 3):
                 m[rc + dr, cc + dc] = max(abs(dr), abs(dc)) != 1
     m[size - 8, 8] = True  # dark module
+    if version >= 7:
+        bits18 = _bch_version(version)
+        for i in range(18):
+            bit = bool(bits18 >> i & 1)  # LSB first, per ISO placement
+            m[i // 3, size - 11 + i % 3] = bit
+            m[size - 11 + i % 3, i // 3] = bit
 
 
 def _format_positions(size: int):
@@ -301,17 +385,50 @@ def _data_coords(version: int) -> List[Tuple[int, int]]:
     return coords
 
 
-def encode_qr(text: str, mask_id: int = 0) -> Optional[np.ndarray]:
-    """UTF-8 byte-mode QR at EC level L, smallest of versions 1-3 that
-    fits; None when the payload exceeds v3-L capacity (53 bytes)."""
+def _byte_capacity(version: int, ecl: str) -> int:
+    """Max byte-mode payload bytes for (version, ecl): 4 mode bits +
+    the count field (8 bits through v9, 16 from v10) + 8 bits/byte must
+    fit the data-codeword bit budget (terminator may truncate)."""
+    n_data = sum(_EC_TABLE[version][ecl][1])
+    count_bits = 16 if version >= 10 else 8
+    return (n_data * 8 - 4 - count_bits) // 8
+
+
+def _interleave(blocks: List[List[int]]) -> List[int]:
+    """Column-wise codeword interleaving (ISO 18004 §8.6): the i-th
+    codeword of every block in block order; longer blocks contribute
+    their tail codewords after the shorter blocks run out."""
+    out = []
+    for i in range(max(len(b) for b in blocks)):
+        for b in blocks:
+            if i < len(b):
+                out.append(b[i])
+    return out
+
+
+def encode_qr(text: str, mask_id: int = 0, ecl: str = "L",
+              version: Optional[int] = None) -> Optional[np.ndarray]:
+    """UTF-8 byte-mode QR at the given EC level, smallest of versions
+    1-10 that fits (or the forced ``version``); None when the payload
+    exceeds capacity. Versions ≥ 4 use the spec's multi-block
+    Reed-Solomon structure with column-wise interleaving; v10 uses the
+    16-bit character count; v ≥ 7 carry the BCH(18,6) version-info
+    blocks — the realistic NFC-e geometry (long fazenda URLs land at
+    v5-v10, typically EC M)."""
     data = text.encode("utf-8")
-    version = next(
-        (v for v in (1, 2, 3) if len(data) <= _CAP[v][1] - 2), None
-    )
+    if version is None:
+        version = next(
+            (v for v in range(1, 11) if len(data) <= _byte_capacity(v, ecl)),
+            None,
+        )
+    elif len(data) > _byte_capacity(version, ecl):
+        version = None
     if version is None:
         return None
-    total, n_data, n_ec = _CAP[version]
-    bits = "0100" + format(len(data), "08b") + \
+    ec_per_block, data_lens = _EC_TABLE[version][ecl]
+    n_data = sum(data_lens)
+    count_bits = 16 if version >= 10 else 8
+    bits = "0100" + format(len(data), f"0{count_bits}b") + \
         "".join(format(b, "08b") for b in data)
     bits += "0" * min(4, n_data * 8 - len(bits))
     bits += "0" * ((8 - len(bits) % 8) % 8)
@@ -321,11 +438,19 @@ def encode_qr(text: str, mask_id: int = 0) -> Optional[np.ndarray]:
     while len(codewords) < n_data:
         codewords.append(pad[i % 2])
         i += 1
-    full = codewords + rs_encode(codewords, n_ec)
+    # split into RS blocks, encode each, interleave data then EC
+    data_blocks: List[List[int]] = []
+    off = 0
+    for dl in data_lens:
+        data_blocks.append(codewords[off:off + dl])
+        off += dl
+    ec_blocks = [rs_encode(blk, ec_per_block) for blk in data_blocks]
+    full = _interleave(data_blocks) + _interleave(ec_blocks)
+    total = _TOTAL[version]
     size = 17 + 4 * version
     m = np.zeros((size, size), dtype=bool)
     _draw_function_patterns(m, version)
-    _place_format(m, "L", mask_id)
+    _place_format(m, ecl, mask_id)
     coords = _data_coords(version)
     mask = _mask_fn(mask_id)
     for i, (r, c) in enumerate(coords):
@@ -342,7 +467,7 @@ def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
         if m.shape != (size, size) or (size - 17) % 4 != 0:
             return None
         version = (size - 17) // 4
-        if version not in _CAP:
+        if version not in _TOTAL:
             return None
         copy1, copy2 = _format_positions(size)
         best = None
@@ -357,7 +482,10 @@ def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
         if best is None or best[0] > 3:  # BCH(15,5) corrects ≤ 3 bits
             return None
         _, ecl_bits, mask_id = best
-        total, n_data, n_ec = _CAP[version]
+        ecl = {v: k for k, v in _ECL_BITS.items()}[ecl_bits]
+        ec_per_block, data_lens = _EC_TABLE[version][ecl]
+        total = _TOTAL[version]
+        n_data = sum(data_lens)
         coords = _data_coords(version)
         mask = _mask_fn(mask_id)
         bits = [int(bool(m[r, c]) ^ mask(r, c)) for (r, c) in coords]
@@ -367,18 +495,43 @@ def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
             for j in range(8):
                 b = (b << 1) | bits[i + j]
             codewords.append(b)
-        fixed = rs_correct(codewords, n_ec)
-        if fixed is None:
-            return None
-        stream = fixed[:n_data]
+        # de-interleave into RS blocks (inverse of encode's column-wise
+        # order), correct each block independently, then concatenate the
+        # data parts in block order
+        nb = len(data_lens)
+        data_blocks = [[] for _ in range(nb)]
+        k = 0
+        for i in range(max(data_lens)):
+            for bidx in range(nb):
+                if i < data_lens[bidx]:
+                    data_blocks[bidx].append(codewords[k])
+                    k += 1
+        ec_blocks = [[] for _ in range(nb)]
+        for i in range(ec_per_block):
+            for bidx in range(nb):
+                ec_blocks[bidx].append(codewords[k])
+                k += 1
+        stream = []
+        for bidx in range(nb):
+            fixed = rs_correct(data_blocks[bidx] + ec_blocks[bidx],
+                               ec_per_block)
+            if fixed is None:
+                return None
+            stream.extend(fixed[:data_lens[bidx]])
         head = stream[0] >> 4
         if head != 0b0100:  # byte mode only (the pipeline's payloads)
             return None
-        count = ((stream[0] & 0xF) << 4) | (stream[1] >> 4)
-        if count > n_data - 2:
+        if version >= 10:  # 16-bit character count
+            count = ((stream[0] & 0xF) << 12) | (stream[1] << 4) | \
+                (stream[2] >> 4)
+            first = 2
+        else:
+            count = ((stream[0] & 0xF) << 4) | (stream[1] >> 4)
+            first = 1
+        if count > n_data - first - 1:
             return None
         out = bytes(
-            ((stream[1 + i] & 0xF) << 4) | (stream[2 + i] >> 4)
+            ((stream[first + i] & 0xF) << 4) | (stream[first + 1 + i] >> 4)
             for i in range(count)
         )
         return out.decode("utf-8", errors="strict")
@@ -471,10 +624,15 @@ def locate_and_decode(mask: np.ndarray) -> Optional[str]:
                 if any(abs(f[2] - mod) > 0.3 * mod for f in (tl, tr, bl)):
                     continue  # finders of one symbol share a module size
                 span = tr[1] - tl[1]
-                size = round(span / mod) + 7
-                version = (size - 17) / 4
-                if version not in (1, 2, 3):
+                # snap the span/module estimate to the nearest legal
+                # version geometry (size = 17 + 4v, finder centers span
+                # size - 7 modules) — robust to ±1-module estimates,
+                # unlike requiring the raw rounding to land on a legal
+                # size exactly
+                version = round((span / mod - 10) / 4.0)
+                if not 1 <= version <= 10:
                     continue
+                size = 17 + 4 * version
                 mod_f = span / (size - 7)
                 r0 = tl[0] - 3.5 * mod_f
                 c0 = tl[1] - 3.5 * mod_f

@@ -261,12 +261,21 @@ def _receipt_page(doc_id: int, seed: int):
     toks.append(("QTD. TOTAL DE ITENS", 10, y + 20))
     toks.append((f"EMISSAO: {day:02d}/12/2025", 10, y + 40))
     with_qr = _h(doc_id, seed, "gqr") % 2 == 0
-    page = render_tokens(toks, 1020, y + 60 + (70 if with_qr else 0), ink=ink)
+    page = render_tokens(toks, 1020, y + 60 + (100 if with_qr else 0), ink=ink)
     if with_qr:
         # QR block on its OWN rows (below every text line): text-line
         # segmentation anchors the 7-row glyph window at the line run's
-        # top ink row, so non-text ink must never share rows with text
-        qr = encode_qr(f"http://nfce.fazenda.sp.gov.br/q?p={doc_id}|2")
+        # top ink row, so non-text ink must never share rows with text.
+        # r5: a REALISTIC NFC-e payload — the ~115-char fazenda URL with
+        # the 44-digit access key — which lands at version 7, EC level M
+        # (multi-block RS + version-info blocks, the geometry real
+        # receipts carry); the |2 tail keeps the X14 pipe semantics.
+        qr = encode_qr(
+            "http://nfce.fazenda.sp.gov.br/qrcode?p="
+            f"35211298765432100012355001000000012100000{doc_id % 100:02d}"
+            f"&nVersao=100&tpAmb=1&sig={doc_id}|2",
+            ecl="M",
+        )
         qr_px = np.repeat(np.repeat(qr, 2, axis=0), 2, axis=1)
         r0, c0 = y + 58, 700
         page[r0:r0 + qr_px.shape[0], c0:c0 + qr_px.shape[1]][qr_px] = ink

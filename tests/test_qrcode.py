@@ -60,7 +60,9 @@ class TestMatrixRoundTrip:
         assert Q.encode_qr("A").shape == (21, 21)           # v1
         assert Q.encode_qr("x" * 30).shape == (25, 25)      # v2
         assert Q.encode_qr("x" * 50).shape == (29, 29)      # v3
-        assert Q.encode_qr("x" * 54) is None                # past v3-L
+        assert Q.encode_qr("x" * 54).shape == (33, 33)      # v4 (r5)
+        assert Q.encode_qr("x" * 271).shape == (57, 57)     # v10-L ceiling
+        assert Q.encode_qr("x" * 272) is None               # past v10-L
 
     def test_utf8_payload(self):
         text = "emissão=ção"
@@ -120,6 +122,82 @@ class TestLocate:
         assert Q.locate_and_decode(np.zeros((50, 50), dtype=bool)) is None
 
 
+class TestHighVersions:
+    """r5 generalization: versions 4-10, EC levels L/M/Q/H, multi-block
+    Reed-Solomon with interleaving, 16-bit counts at v10, version-info
+    blocks at v >= 7."""
+
+    @pytest.mark.parametrize("ecl", ["L", "M", "Q", "H"])
+    @pytest.mark.parametrize("version", range(1, 11))
+    def test_round_trip_at_capacity(self, version, ecl):
+        cap = Q._byte_capacity(version, ecl)
+        text = ("https://nfce.fazenda.sp.gov.br/qr?p=" + "0123456789" * 30)[:cap]
+        m = Q.encode_qr(text, ecl=ecl, version=version)
+        assert m is not None and m.shape == (17 + 4 * version,) * 2
+        assert Q.decode_qr_matrix(m) == text
+
+    def test_block_table_consistent_with_totals(self):
+        for v, by in Q._EC_TABLE.items():
+            for ec, data_lens in by.values():
+                assert sum(data_lens) + ec * len(data_lens) == Q._TOTAL[v]
+
+    def test_unequal_group_interleaving_v10_m(self):
+        # v10-M: 4 blocks of 43 + 1 block of 44 — the asymmetric case
+        # where column-wise interleaving order actually matters
+        text = "x" * Q._byte_capacity(10, "M")
+        m = Q.encode_qr(text, ecl="M", version=10)
+        assert Q.decode_qr_matrix(m) == text
+
+    def test_version_info_blocks_present_v7(self):
+        m = Q.encode_qr("a" * 110, ecl="M")  # past v6-M's 106 -> v7
+        size = m.shape[0]
+        assert size == 17 + 4 * 7
+        bits18 = Q._bch_version(7)
+        got = 0
+        for i in range(17, -1, -1):
+            got = (got << 1) | int(bool(m[i // 3, size - 11 + i % 3]))
+        assert got == bits18
+        # and the transposed bottom-left copy agrees
+        for i in range(18):
+            assert m[i // 3, size - 11 + i % 3] == m[size - 11 + i % 3, i // 3]
+
+    @pytest.mark.parametrize("version,ecl", [(5, "M"), (8, "M"), (10, "M"),
+                                             (7, "L"), (9, "Q")])
+    def test_multi_block_correction(self, version, ecl):
+        rng = random.Random(version * 10 + ord(ecl[0]))
+        text = ("https://nfce.fazenda.sp.gov.br/qrcode?p=3521"
+                + "0123456789" * 9)[:Q._byte_capacity(version, ecl)]
+        m = Q.encode_qr(text, ecl=ecl, version=version)
+        coords = Q._data_coords(version)
+        for trial in range(3):
+            mm = m.copy()
+            for idx in rng.sample(range(len(coords)), 8):
+                r, c = coords[idx]
+                mm[r, c] = not mm[r, c]
+            assert Q.decode_qr_matrix(mm) == text, trial
+
+    def test_locate_and_decode_v7_on_page(self):
+        from ocr_service_spark.core.glyphocr import render_tokens
+
+        url = ("https://nfce.fazenda.sp.gov.br/qrcode?p=3521129876543210"
+               "0012355001000000012100000123|2|1|1|ABCDEF0123456789")
+        qr = Q.encode_qr(url, ecl="M")
+        assert (qr.shape[0] - 17) // 4 == 7
+        page = render_tokens([("TOTAL 12,34", 10, 20)], 1020, 300, ink=40)
+        px = np.repeat(np.repeat(qr, 2, 0), 2, 1)
+        page[120:120 + px.shape[0], 700:700 + px.shape[1]][px] = 40
+        assert Q.locate_and_decode(page <= 127) == url
+
+    def test_nfce_urls_autoselect_realistic_versions(self):
+        short = Q.encode_qr("https://q.example/nfce?p=8", ecl="M")
+        assert (short.shape[0] - 17) // 4 <= 3
+        real = Q.encode_qr(
+            "http://nfce.fazenda.sp.gov.br/qrcode?p="
+            "3521129876543210001235500100000001210000012|2|1|1|"
+            "9d2c6e1f0a3b", ecl="M")
+        assert (real.shape[0] - 17) // 4 >= 5
+
+
 class TestDocumentIntegration:
     def test_qr_flows_into_qrcode_url(self):
         from ocr_service_spark.core.document import extract_document
@@ -131,8 +209,12 @@ class TestDocumentIntegration:
             r = extract_document("u", _png_receipt_doc(doc_id, 42))
             assert r["tipo_documento"] in ("gasto", "venda")
             if r["qrcode_url"] is not None:
-                assert r["qrcode_url"] == \
-                    f"http://nfce.fazenda.sp.gov.br/q?p={doc_id}|2"
+                assert r["qrcode_url"] == (
+                    "http://nfce.fazenda.sp.gov.br/qrcode?p="
+                    f"35211298765432100012355001000000012100000"
+                    f"{doc_id % 100:02d}&nVersao=100&tpAmb=1"
+                    f"&sig={doc_id}|2"
+                )
                 seen_qr += 1
             else:
                 seen_none += 1
