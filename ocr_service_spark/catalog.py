@@ -25106,8 +25106,45 @@ CATALOG: Dict[str, tuple] = {
 }
 
 
+# Every entry the per-round driver sample has ALREADY covered (union of
+# CORRECTNESS_r01..r04, all green). The driver checks ~50 of the 400+
+# entries per round; listing the covered ones lets queries() rotate the
+# NEVER-sampled entries to the front so a round's sample is majority
+# fresh coverage (r4 verdict item #6). Purely an ordering hint — every
+# entry stays present and oracle-backed either way.
+_SAMPLED_R1_R4 = frozenset([
+    "a3_keyword_classify", "a4_ordered_concat", "a5_confidence_flag",
+    "a6_distinct_sort", "a7_lineage_metrics", "anchor_text_index",
+    "ann_cosine_topk", "anti_no_orders", "asof_join_events",
+    "audio_features", "bloom_dedup", "cluster_balanced_sample",
+    "compaction_plan", "corpus_diff", "dedup_clusters_cc",
+    "dedup_clusters_lsh", "dedup_exact", "dedup_token_jaccard",
+    "doc_fingerprint", "dsir_importance", "dsir_resample",
+    "dup_line_gate", "dup_ngram_gate", "embedding_near_dup",
+    "f1_threshold_filter", "f5_range_filter", "f6_null_imputation",
+    "full_quality_gate", "geo_rollup_levels", "gopher_line_gate",
+    "image_features", "incremental_dedup", "ivf_ann_topk",
+    "join_geo_rollup", "kmeans_assign", "kmeans_lloyd",
+    "lang_id_quality", "lsh_ann_topk", "minhash_lsh_candidates",
+    "mirror_detection", "o4_numeric_sq_sort", "png_glyph_ocr",
+    "prototype_prune", "q1_pricing_summary", "q3_top_revenue",
+    "q6_revenue_delta", "quality_classifier", "shard_manifest",
+    "simhash_fingerprint", "snapshot_drift", "tfidf_top_terms",
+    "token_count_bpe", "training_set_selection", "two_tier_dedup",
+    "url_canonical_dedup", "url_template_profile", "video_frames",
+    "w1_lead_lookahead", "w2_sessionize", "w3_dedupe_keep_best",
+    "x11_danfe_regex", "x13_date_extract", "x14_clean_url",
+    "x15_money_values", "x16_normalize_date", "x17_clean_item_name",
+    "x1_norm_text", "x2_brl_normalize", "x3_clean_desc",
+    "x7_money_last", "x8_salvage_total",
+])
+
+
 def queries() -> Dict[str, Callable]:
-    return {name: fn for name, (fn, _) in CATALOG.items()}
+    fresh = {n: fn for n, (fn, _) in CATALOG.items()
+             if n not in _SAMPLED_R1_R4}
+    seen = {n: fn for n, (fn, _) in CATALOG.items() if n in _SAMPLED_R1_R4}
+    return {**fresh, **seen}
 
 
 def oracle_sql() -> Dict[str, str]:

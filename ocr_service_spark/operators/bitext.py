@@ -119,11 +119,11 @@ def margin_mine(
     are dropped (run similarity.embedding_hygiene upstream).
 
     Scale shape: the all-pairs src×tgt scorer here is the broadcast-
-    target CORRECTNESS BASELINE (same contract as cosine_topk); at
-    10^12 scale the candidate set comes from the LSH/IVF ANN operators
-    (lsh_ann_topk / int8_ivf_topk) and feeds this same
-    rank→margin→mutual-best tail, whose windows are then bounded per key
-    by the candidate-list length.  The tail is ONE pass over the scored
+    target CORRECTNESS BASELINE (same contract as cosine_topk); the
+    PRODUCTION path at 10^12 scale is ``margin_mine_ann`` below (r5) —
+    exact two-phase IVF candidates feeding the identical ``_margin_tail``
+    with a PROOF of output equality, catalogued and driver-oracled as
+    `margin_bitext_ann`.  The tail is ONE pass over the scored
     pairs: the per-side top-k sums are window aggregates with a
     conditional frame (sum of sim where rank ≤ k) sharing the SAME
     exchange as their rank window — expensive-scorer lineage executes
