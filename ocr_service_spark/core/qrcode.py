@@ -13,22 +13,27 @@ deterministic Python:
                              unmask, zigzag read, full GF(256) Reed-Solomon
                              correction via Berlekamp-Massey/Chien/Forney)
   locate_and_decode(mask)  → payload str from a page-sized ink mask: 1:1:3:1:1
-                             finder-pattern run scan (axis-aligned, unrotated,
-                             uniform module size — the geometry a rendered
-                             receipt has), grid resample, then decode.
+                             finder-pattern run scan, grid resample, decode.
+                             Fast path is the axis-aligned geometry a rendered
+                             receipt has; a general fallback recovers rotated
+                             (any angle, incl. 90°/180°/270°) and mildly
+                             perspective-distorted symbols via a finder-triple
+                             affine map, refined to a full 4-point homography
+                             through the bottom-right alignment pattern
+                             (pyzbar's recovery strategy, pure numpy).
 
 Scope (documented, test-pinned): versions 1-10 at EC levels L/M/Q/H (r5,
 VERDICT item #5 — realistic NFC-e URLs are ~100-char fazenda links that
-land at v5-v10, typically EC M), byte mode, axis-aligned locate. That
-includes the spec's full multi-block Reed-Solomon structure: per-version
-block tables (ISO 18004 table 9), column-wise codeword interleaving,
-16-bit character counts at v10, and the BCH(18,6) version-information
-blocks versions ≥ 7 carry. Anything outside (v > 10, kanji/numeric modes,
-rotated or perspective-distorted symbols — pyzbar's homography recovery
-has no stdlib path) returns None — errors-as-data upstream, like every
-decoder in this engine. Error correction is REAL and per block: up to
-⌊ec/2⌋ corrupted codewords in EVERY block are corrected, exercised by
-tests flipping random bytes across blocks.
+land at v5-v10, typically EC M), byte mode, arbitrary-rotation + mild
+perspective locate (r5 tail of item #5). That includes the spec's full
+multi-block Reed-Solomon structure: per-version block tables (ISO 18004
+table 9), column-wise codeword interleaving, 16-bit character counts at
+v10, and the BCH(18,6) version-information blocks versions ≥ 7 carry.
+Anything outside (v > 10, kanji/numeric modes, extreme perspective where
+the scanline ratio screen itself breaks) returns None — errors-as-data
+upstream, like every decoder in this engine. Error correction is REAL and
+per block: up to ⌊ec/2⌋ corrupted codewords in EVERY block are corrected,
+exercised by tests flipping random bytes across blocks.
 """
 
 from __future__ import annotations
@@ -603,11 +608,205 @@ def _finder_centers(mask: np.ndarray) -> List[Tuple[int, int, float]]:
     return out[:16]  # bounded triple search downstream
 
 
+# ---------------------------------------------------------------------------
+# General-orientation locate: affine from a finder triple, homography via
+# the bottom-right alignment pattern (rotation + mild perspective)
+# ---------------------------------------------------------------------------
+
+def _solve_homography(src: List[Tuple[float, float]],
+                      dst: List[Tuple[float, float]]) -> Optional[np.ndarray]:
+    """3×3 projective map taking the four src (u, v) module-space points to
+    the four dst (r, c) pixel-space points (8-dof DLT linear solve)."""
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i, ((u, v), (r, c)) in enumerate(zip(src, dst)):
+        A[2 * i] = [u, v, 1, 0, 0, 0, -u * r, -v * r]
+        b[2 * i] = r
+        A[2 * i + 1] = [0, 0, 0, u, v, 1, -u * c, -v * c]
+        b[2 * i + 1] = c
+    try:
+        h = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        return None
+    return np.array([[h[0], h[1], h[2]], [h[3], h[4], h[5]],
+                     [h[6], h[7], 1.0]])
+
+
+def _affine_from_finders(tl, tr, bl, size: int) -> np.ndarray:
+    """Affine (homography with identity bottom row) from the three finder
+    centers: module-space (u, v) → pixel-space (r, c). Module u/v are
+    continuous with module i spanning [i, i+1]; finder centers sit at
+    module coords 3.5 / size−3.5."""
+    span = float(size - 7)
+    tlp = np.array([tl[0], tl[1]], dtype=float)
+    eu = (np.array([bl[0], bl[1]]) - tlp) / span  # Δpixel per +1 module u
+    ev = (np.array([tr[0], tr[1]]) - tlp) / span  # Δpixel per +1 module v
+    origin = tlp - 3.5 * eu - 3.5 * ev
+    return np.array([[eu[0], ev[0], origin[0]],
+                     [eu[1], ev[1], origin[1]],
+                     [0.0, 0.0, 1.0]])
+
+
+def _sample_grid(mask: np.ndarray, H: np.ndarray, size: int) -> np.ndarray:
+    """Sample every module center (u+0.5, v+0.5) through H → bool matrix."""
+    u = np.arange(size) + 0.5
+    uu, vv = np.meshgrid(u, u, indexing="ij")
+    den = H[2, 0] * uu + H[2, 1] * vv + H[2, 2]
+    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    rr = (H[0, 0] * uu + H[0, 1] * vv + H[0, 2]) / den
+    cc = (H[1, 0] * uu + H[1, 1] * vv + H[1, 2]) / den
+    ri = np.clip(np.floor(rr).astype(int), 0, mask.shape[0] - 1)
+    ci = np.clip(np.floor(cc).astype(int), 0, mask.shape[1] - 1)
+    return mask[ri, ci]
+
+
+def _refine_center(mask: np.ndarray, r: int, c: int, mod: float
+                   ) -> Tuple[float, float]:
+    """Centroid of the dark 3×3 finder core CONNECTED COMPONENT seeded at
+    (r, c): the run-scan center of a ROTATED finder is accurate along the
+    scanned row but can sit ~1 module off across it, and a plain window
+    centroid is biased by border-ring pixels leaking in on one side
+    (measured ~1 px at 7° — enough to break the far-corner sampling).
+    The white ring isolates the core, so a 4-connected flood fill from
+    the seed pixel selects exactly the core; its centroid is the center,
+    rotation-invariant and contamination-proof."""
+    h, w = mask.shape
+    half = max(3, int(round(3.2 * mod)))
+    r0, r1 = max(0, r - half), min(h, r + half + 1)
+    c0, c1 = max(0, c - half), min(w, c + half + 1)
+    win = mask[r0:r1, c0:c1]
+    sr, sc = r - r0, c - c0
+    if not (0 <= sr < win.shape[0] and 0 <= sc < win.shape[1] and
+            win[sr, sc]):
+        return float(r) + 0.5, float(c) + 0.5
+    seed = np.zeros_like(win, dtype=bool)
+    seed[sr, sc] = True
+    while True:
+        grown = seed.copy()
+        grown[1:, :] |= seed[:-1, :]
+        grown[:-1, :] |= seed[1:, :]
+        grown[:, 1:] |= seed[:, :-1]
+        grown[:, :-1] |= seed[:, 1:]
+        grown &= win
+        if (grown == seed).all():
+            break
+        seed = grown
+    ys, xs = np.nonzero(seed)
+    return float(r0) + float(ys.mean()) + 0.5, \
+        float(c0) + float(xs.mean()) + 0.5
+
+
+def _find_alignment(mask: np.ndarray, H: np.ndarray, size: int
+                    ) -> Optional[Tuple[float, float]]:
+    """Locate the bottom-right alignment pattern (center module at module
+    coords (size−6.5, size−6.5), v ≥ 2): grid-search pixel offsets of up
+    to ±2 modules around the affine prediction, scoring the 5×5 template
+    (dark ring / white ring / dark center) sampled through H. Returns the
+    best-scoring pixel center, or None when nothing template-like is
+    there (heavy occlusion)."""
+    u0 = size - 6.5
+    den = H[2, 0] * u0 + H[2, 1] * u0 + H[2, 2]
+    pr = (H[0, 0] * u0 + H[0, 1] * u0 + H[0, 2]) / den
+    pc = (H[1, 0] * u0 + H[1, 1] * u0 + H[1, 2]) / den
+    eu = np.array([H[0, 0], H[1, 0]])  # pixel step per +1 module u
+    ev = np.array([H[0, 1], H[1, 1]])
+    mod = (float(np.hypot(*eu)) + float(np.hypot(*ev))) / 2.0
+    offs = np.arange(-8, 9) * (mod / 4.0)  # ±2 modules, ¼-module steps
+    ij = np.arange(-2, 3, dtype=float)
+    tu, tv = np.meshgrid(ij, ij, indexing="ij")
+    want = (np.maximum(np.abs(tu), np.abs(tv)) != 1).ravel()  # ring pattern
+    tpl = tu.ravel()[:, None] * eu[None, :] + tv.ravel()[:, None] * ev[None, :]
+    best = None
+    h, w = mask.shape
+    for dr in offs:
+        for dc in offs:
+            pts = tpl + np.array([pr + dr, pc + dc])
+            ri = np.clip(np.floor(pts[:, 0]).astype(int), 0, h - 1)
+            ci = np.clip(np.floor(pts[:, 1]).astype(int), 0, w - 1)
+            got = mask[ri, ci]
+            score = int(np.sum(got == want))
+            if got[12] and (best is None or score > best[0]):  # center dark
+                best = (score, pr + dr, pc + dc)
+    if best is None or best[0] < 22:  # ≥ 22/25 template agreement
+        return None
+    return best[1], best[2]
+
+
+def _general_locate(mask: np.ndarray,
+                    cands: List[Tuple[int, int, float]]) -> Optional[str]:
+    """Rotation/perspective fallback: pick a corner candidate whose vectors
+    to two same-module-size partners are near-equal-length and near-
+    perpendicular (any orientation), orient by cross-product handedness
+    (a QR is never mirrored), affine-sample, and on failure refine to a
+    4-point homography through the bottom-right alignment pattern. Every
+    attempt is verified by the format-BCH + per-block RS syndromes inside
+    decode_qr_matrix, so geometric false positives cost time, not
+    correctness; attempts are capped to bound that time."""
+    refined = [(_refine_center(mask, r, c, mod), mod) for (r, c, mod) in cands]
+    n = len(refined)
+    attempts = 0
+    for ci in range(n):
+        (p0r, p0c), mod0 = refined[ci]
+        p0 = np.array([p0r, p0c])
+        for ai in range(n):
+            if ai == ci:
+                continue
+            for bi in range(ai + 1, n):
+                if bi == ci:
+                    continue
+                (f1, m1), (f2, m2) = refined[ai], refined[bi]
+                mod = (mod0 + m1 + m2) / 3.0
+                if abs(mod0 - mod) > 0.3 * mod or \
+                        abs(m1 - mod) > 0.3 * mod or \
+                        abs(m2 - mod) > 0.3 * mod:
+                    continue
+                v1 = np.array(f1) - p0
+                v2 = np.array(f2) - p0
+                L1 = float(np.hypot(*v1))
+                L2 = float(np.hypot(*v2))
+                if L1 < 7 * mod or L2 < 7 * mod or \
+                        not 0.75 <= L1 / L2 <= 1.34:
+                    continue
+                if abs(float(v1 @ v2)) > 0.3 * L1 * L2:
+                    continue  # ≳17° off a right angle: not one symbol
+                span = (L1 + L2) / 2.0
+                version = round((span / mod - 10) / 4.0)
+                if not 1 <= version <= 10:
+                    continue
+                size = 17 + 4 * version
+                # handedness: with v1=tl→tr, v2=tl→bl in (r, c) coords the
+                # z cross component v1_r·v2_c − v1_c·v2_r is negative
+                cross = v1[0] * v2[1] - v1[1] * v2[0]
+                tr_c, bl_c = (f1, f2) if cross < 0 else (f2, f1)
+                H = _affine_from_finders((p0r, p0c), tr_c, bl_c, size)
+                text = decode_qr_matrix(_sample_grid(mask, H, size))
+                if text is not None:
+                    return text
+                if version >= 2:
+                    ap = _find_alignment(mask, H, size)
+                    if ap is not None:
+                        H2 = _solve_homography(
+                            [(3.5, 3.5), (3.5, size - 3.5),
+                             (size - 3.5, 3.5), (size - 6.5, size - 6.5)],
+                            [(p0r, p0c), tr_c, bl_c, ap])
+                        if H2 is not None:
+                            text = decode_qr_matrix(
+                                _sample_grid(mask, H2, size))
+                            if text is not None:
+                                return text
+                attempts += 1
+                if attempts >= 24:
+                    return None
+    return None
+
+
 def locate_and_decode(mask: np.ndarray) -> Optional[str]:
     """Page ink mask (True = dark) → first decodable QR payload, or None.
-    Axis-aligned, unrotated symbols with uniform module size (the geometry
-    a rendered receipt has — the reference relies on pyzbar for arbitrary
-    perspective, which has no stdlib equivalent)."""
+    Fast path: axis-aligned symbols with uniform module size (the geometry
+    a rendered receipt has). Fallback: _general_locate recovers rotated
+    and mildly perspective-distorted symbols the way pyzbar does
+    (/root/reference/app/ocr_engine.py:70-79) — finder-triple affine plus
+    an alignment-pattern homography, in pure numpy."""
     cands = _finder_centers(np.asarray(mask, dtype=bool))
     if len(cands) < 3:
         return None
@@ -643,4 +842,4 @@ def locate_and_decode(mask: np.ndarray) -> Optional[str]:
                 text = decode_qr_matrix(grid)
                 if text is not None:
                     return text
-    return None
+    return _general_locate(mask, cands)
