@@ -411,30 +411,72 @@ def _interleave(blocks: List[List[int]]) -> List[int]:
     return out
 
 
-def encode_qr(text: str, mask_id: int = 0, ecl: str = "L",
-              version: Optional[int] = None) -> Optional[np.ndarray]:
-    """UTF-8 byte-mode QR at the given EC level, smallest of versions
-    1-10 that fits (or the forced ``version``); None when the payload
-    exceeds capacity. Versions ≥ 4 use the spec's multi-block
-    Reed-Solomon structure with column-wise interleaving; v10 uses the
-    16-bit character count; v ≥ 7 carry the BCH(18,6) version-info
-    blocks — the realistic NFC-e geometry (long fazenda URLs land at
-    v5-v10, typically EC M)."""
-    data = text.encode("utf-8")
+def _segment_bits(mode: str, text: str, version: int) -> Optional[str]:
+    """One segment's bit string (mode indicator + count + payload), or
+    None when the text is outside the mode's charset."""
+    cb = _count_bits(_MODE_BITS[mode], version)
+    if mode == "byte":
+        data = text.encode("utf-8")
+        return ("0100" + format(len(data), f"0{cb}b")
+                + "".join(format(b, "08b") for b in data))
+    if mode == "numeric":
+        if not text.isascii() or not text.isdigit():
+            return None
+        bits = "0001" + format(len(text), f"0{cb}b")
+        for i in range(0, len(text) - 2, 3):
+            bits += format(int(text[i:i + 3]), "010b")
+        if len(text) % 3 == 2:
+            bits += format(int(text[-2:]), "07b")
+        elif len(text) % 3 == 1:
+            bits += format(int(text[-1]), "04b")
+        return bits
+    if mode == "alnum":
+        try:
+            idx = [_ALNUM.index(ch) for ch in text]
+        except ValueError:
+            return None
+        bits = "0010" + format(len(text), f"0{cb}b")
+        for i in range(0, len(idx) - 1, 2):
+            bits += format(idx[i] * 45 + idx[i + 1], "011b")
+        if len(idx) % 2:
+            bits += format(idx[-1], "06b")
+        return bits
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def encode_qr_segments(segments: List[Tuple[str, str]], mask_id: int = 0,
+                       ecl: str = "L", version: Optional[int] = None
+                       ) -> Optional[np.ndarray]:
+    """Multi-segment QR (ISO 18004 §8.4): ``segments`` is a list of
+    (mode, text) with mode in {"numeric", "alnum", "byte"} — the way
+    real symbols mix a byte-mode URL prefix with a numeric access key.
+    Smallest version 1-10 whose data-codeword bit budget fits the
+    concatenated segments (terminator may truncate), else None."""
+    def total_bits(v: int) -> Optional[int]:
+        n = 0
+        for mode, text in segments:
+            b = _segment_bits(mode, text, v)
+            if b is None:
+                return None
+            n += len(b)
+        return n
+
     if version is None:
         version = next(
-            (v for v in range(1, 11) if len(data) <= _byte_capacity(v, ecl)),
+            (v for v in range(1, 11)
+             if (tb := total_bits(v)) is not None
+             and tb <= sum(_EC_TABLE[v][ecl][1]) * 8),
             None,
         )
-    elif len(data) > _byte_capacity(version, ecl):
-        version = None
+    else:
+        tb = total_bits(version)
+        if tb is None or tb > sum(_EC_TABLE[version][ecl][1]) * 8:
+            version = None
     if version is None:
         return None
     ec_per_block, data_lens = _EC_TABLE[version][ecl]
     n_data = sum(data_lens)
-    count_bits = 16 if version >= 10 else 8
-    bits = "0100" + format(len(data), f"0{count_bits}b") + \
-        "".join(format(b, "08b") for b in data)
+    bits = "".join(_segment_bits(m, t, version) for m, t in segments)
     bits += "0" * min(4, n_data * 8 - len(bits))
     bits += "0" * ((8 - len(bits) % 8) % 8)
     codewords = [int(bits[i:i + 8], 2) for i in range(0, len(bits), 8)]
@@ -462,6 +504,21 @@ def encode_qr(text: str, mask_id: int = 0, ecl: str = "L",
         bit = (full[i // 8] >> (7 - i % 8)) & 1 if i // 8 < total else 0
         m[r, c] = bool(bit) ^ mask(r, c)
     return m
+
+
+def encode_qr(text: str, mask_id: int = 0, ecl: str = "L",
+              version: Optional[int] = None) -> Optional[np.ndarray]:
+    """UTF-8 byte-mode QR at the given EC level, smallest of versions
+    1-10 that fits (or the forced ``version``); None when the payload
+    exceeds capacity. Versions ≥ 4 use the spec's multi-block
+    Reed-Solomon structure with column-wise interleaving; v10 uses the
+    16-bit character count; v ≥ 7 carry the BCH(18,6) version-info
+    blocks — the realistic NFC-e geometry (long fazenda URLs land at
+    v5-v10, typically EC M). Output is bit-identical to the pre-segment
+    refactor (the planted-receipt byte spec); numeric/alphanumeric and
+    mixed payloads go through encode_qr_segments."""
+    return encode_qr_segments([("byte", text)], mask_id=mask_id, ecl=ecl,
+                              version=version)
 
 
 def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
@@ -523,25 +580,106 @@ def decode_qr_matrix(m: np.ndarray) -> Optional[str]:
             if fixed is None:
                 return None
             stream.extend(fixed[:data_lens[bidx]])
-        head = stream[0] >> 4
-        if head != 0b0100:  # byte mode only (the pipeline's payloads)
-            return None
-        if version >= 10:  # 16-bit character count
-            count = ((stream[0] & 0xF) << 12) | (stream[1] << 4) | \
-                (stream[2] >> 4)
-            first = 2
-        else:
-            count = ((stream[0] & 0xF) << 4) | (stream[1] >> 4)
-            first = 1
-        if count > n_data - first - 1:
-            return None
-        out = bytes(
-            ((stream[first + i] & 0xF) << 4) | (stream[first + 1 + i] >> 4)
-            for i in range(count)
-        )
-        return out.decode("utf-8", errors="strict")
+        return _parse_segments(stream, version, n_data)
     except Exception:
         return None
+
+
+_ALNUM = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ $%*+-./:"
+_MODE_BITS = {"numeric": 0b0001, "alnum": 0b0010, "byte": 0b0100}
+
+
+def _count_bits(mode: int, version: int) -> int:
+    """Character-count field width (ISO 18004 table 3, version group 1-9
+    vs 10-26 — this codec caps at v10, inside the second group)."""
+    if mode == 0b0001:
+        return 10 if version <= 9 else 12
+    if mode == 0b0010:
+        return 9 if version <= 9 else 11
+    return 8 if version <= 9 else 16  # byte
+
+
+def _parse_segments(stream: List[int], version: int,
+                    n_data: int) -> Optional[str]:
+    """RS-corrected data codewords → payload: a SEGMENT STREAM per ISO
+    18004 §8.4 — any sequence of numeric / alphanumeric / byte / ECI
+    segments ended by the 0000 terminator (or exact bit exhaustion).
+    Real symbols mix modes (NFC-e access keys ride numeric segments,
+    uppercase URLs alphanumeric ones — pyzbar reads all of these for the
+    reference); kanji and structured-append stay out of scope → None.
+    ECI designators are parsed and skipped (payload decoded as UTF-8,
+    the default interpretation this pipeline plants)."""
+    total_bits = n_data * 8
+    pos = 0
+
+    def take(k: int) -> int:
+        nonlocal pos
+        if pos + k > total_bits:
+            raise ValueError("bit exhaustion")
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | ((stream[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    out: List[bytes] = []
+    saw_segment = False
+    while total_bits - pos >= 4:
+        mode = take(4)
+        if mode == 0b0000:  # terminator — pad bytes follow, never parsed
+            break
+        if mode == 0b0111:  # ECI designator: 1/2/3 bytes by prefix
+            first = take(8)
+            if first >> 7 == 0b1:
+                if first >> 6 == 0b10:
+                    take(8)
+                elif first >> 5 == 0b110:
+                    take(16)
+                else:
+                    return None
+            continue
+        count = take(_count_bits(mode, version))
+        if mode == 0b0100:  # byte
+            out.append(bytes(take(8) for _ in range(count)))
+        elif mode == 0b0001:  # numeric: 3 digits / 10 bits
+            digits: List[str] = []
+            while count >= 3:
+                v = take(10)
+                if v > 999:
+                    return None
+                digits.append(format(v, "03d"))
+                count -= 3
+            if count == 2:
+                v = take(7)
+                if v > 99:
+                    return None
+                digits.append(format(v, "02d"))
+            elif count == 1:
+                v = take(4)
+                if v > 9:
+                    return None
+                digits.append(str(v))
+            out.append("".join(digits).encode("ascii"))
+        elif mode == 0b0010:  # alphanumeric: 2 chars / 11 bits
+            chars: List[str] = []
+            while count >= 2:
+                v = take(11)
+                if v >= 45 * 45:
+                    return None
+                chars.append(_ALNUM[v // 45] + _ALNUM[v % 45])
+                count -= 2
+            if count == 1:
+                v = take(6)
+                if v >= 45:
+                    return None
+                chars.append(_ALNUM[v])
+            out.append("".join(chars).encode("ascii"))
+        else:  # kanji (1000) / structured append (0011) / reserved
+            return None
+        saw_segment = True
+    if not saw_segment:
+        return None
+    return b"".join(out).decode("utf-8", errors="strict")
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,89 @@ class TestLocate:
         assert Q.locate_and_decode(np.zeros((50, 50), dtype=bool)) is None
 
 
+class TestSegmentModes:
+    """r5: segment-stream decode per ISO 18004 §8.4 — numeric /
+    alphanumeric / byte / ECI segments with terminator handling (real
+    symbols mix modes: NFC-e access keys ride numeric segments; pyzbar
+    reads all of these for the reference). Byte-mode encode output is
+    pinned bit-identical to the single-segment refactor."""
+
+    KEY = "35211298765432100012355001000000012100000123"  # 44-digit key
+
+    def test_numeric_round_trip_all_remainders(self):
+        for k in ("7", "42", "503", "9081", "35211", self.KEY):
+            m = Q.encode_qr_segments([("numeric", k)])
+            assert Q.decode_qr_matrix(m) == k
+
+    def test_numeric_density_beats_byte(self):
+        # 44 digits fit v2 in numeric mode but need v3 in byte mode
+        assert Q.encode_qr_segments([("numeric", self.KEY)]).shape == (25, 25)
+        assert Q.encode_qr(self.KEY).shape == (29, 29)
+
+    def test_alnum_round_trip(self):
+        for s in ("A", "AB", "ABC", "HTTP://X.IO/Q 35%2", "$%*+-./: 9Z"):
+            m = Q.encode_qr_segments([("alnum", s)])
+            assert Q.decode_qr_matrix(m) == s
+
+    def test_mixed_segments(self):
+        segs = [("byte", "https://x.io/q?p="), ("numeric", self.KEY),
+                ("alnum", "/SP")]  # '|' is NOT in the ISO alnum 45-charset
+        m = Q.encode_qr_segments(segs, ecl="M")
+        assert Q.decode_qr_matrix(m) == "https://x.io/q?p=" + self.KEY + "/SP"
+
+    def test_charset_validation(self):
+        assert Q.encode_qr_segments([("numeric", "12a")]) is None
+        assert Q.encode_qr_segments([("alnum", "abc")]) is None  # lowercase
+        assert Q.encode_qr_segments([("numeric", "１２")]) is None  # non-ascii
+
+    def test_byte_mode_bit_identical_via_wrapper(self):
+        t = "http://nfce.fazenda.sp.gov.br/q?p=42|2"
+        a = Q.encode_qr(t, mask_id=3, ecl="M")
+        b = Q.encode_qr_segments([("byte", t)], mask_id=3, ecl="M")
+        assert (a == b).all()
+
+    def test_numeric_correction_still_works(self):
+        m = Q.encode_qr_segments([("numeric", self.KEY)], ecl="M")
+        coords = Q._data_coords((m.shape[0] - 17) // 4)
+        import random as _r
+        rng = _r.Random(7)
+        for start in rng.sample(range(0, len(coords) - 8, 8), 3):
+            for r, c in coords[start:start + 8]:
+                m[r, c] = ~m[r, c]
+        assert Q.decode_qr_matrix(m) == self.KEY
+
+    def test_locate_numeric_symbol_on_page(self):
+        m = Q.encode_qr_segments([("numeric", self.KEY)], ecl="M")
+        px = np.repeat(np.repeat(m, 2, 0), 2, 1)
+        page = np.zeros((160, 220), dtype=bool)
+        page[40:40 + px.shape[0], 60:60 + px.shape[1]] = px
+        assert Q.locate_and_decode(page) == self.KEY
+
+    def test_eci_designator_skipped(self):
+        # hand-build: ECI 26 (UTF-8) prefix + byte segment, v1-L
+        text = "café"
+        data = text.encode("utf-8")
+        bits = "0111" + format(26, "08b")  # ECI, 1-byte designator
+        bits += "0100" + format(len(data), "08b") + \
+            "".join(format(b, "08b") for b in data)
+        n_data = sum(Q._EC_TABLE[1]["L"][1])
+        bits += "0" * min(4, n_data * 8 - len(bits))
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        cw = [int(bits[i:i + 8], 2) for i in range(0, len(bits), 2 * 4)]
+        pad = (0xEC, 0x11)
+        i = 0
+        while len(cw) < n_data:
+            cw.append(pad[i % 2]); i += 1
+        assert Q._parse_segments(cw, 1, n_data) == text
+
+    def test_kanji_mode_rejected(self):
+        # mode 1000 (kanji) -> None, errors-as-data
+        n_data = sum(Q._EC_TABLE[1]["L"][1])
+        bits = "1000" + "0" * (n_data * 8 - 4)
+        cw = [int(bits[i:i + 8], 2) for i in range(0, len(bits), 8)]
+        assert Q._parse_segments(cw, 1, n_data) is None
+
+
 class TestGeneralLocate:
     """r5 tail of VERDICT item #5: rotated and mildly perspective-distorted
     symbols recover via the finder-triple affine + alignment-pattern
