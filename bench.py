@@ -417,6 +417,10 @@ HEADLINE = [
     "png_glyph_ocr",           # real-pixel PNG decode -> OCR cascade (X19)
     "image_features",          # real-PNG decode + provable dHash (r4 oracle)
     "audio_features",          # window-exact RMS profile (r4 oracle)
+    # r5 additions
+    "jpeg_glyph_ocr",          # stdlib baseline-JPEG decode -> same cascade
+    "margin_bitext_ann",       # IVF-pruned margin miner (all-pairs twin)
+    "video_frames",            # real MJPEG frame fan-out (full oracle, r5)
     "kcore_membership",        # cascade k-core peeling
     "funnel_conversion",       # ordered event-funnel conversion
     "cusum_changepoints",      # CUSUM drift alarms on daily metrics
