@@ -257,8 +257,8 @@ def extract_document(
             if fmt in (FMT_PNG, FMT_JPEG):
                 # real-pixel route: decode → grayscale → attempt cascade.
                 # JPEG joins PNG in r5 via the stdlib baseline codec
-                # (core/jpegcodec); undecodable payloads (truncated,
-                # progressive, or the synthetic garbage classes) yield
+                # (core/jpegcodec, baseline + progressive); undecodable
+                # payloads (truncated or the synthetic garbage classes) yield
                 # decode None → the same empty-OCR error envelope as
                 # before, byte-identically (app/ocr_engine.py:88-90)
                 qr_data = _PIXEL_BACKEND.extract_qrcode(bytes(payload))

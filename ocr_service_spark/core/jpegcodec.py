@@ -18,10 +18,15 @@ Decoder (``decode_jpeg``) — supported subset, anything else returns
     sampling ratios (4:4:4, 4:2:0, 4:2:2, ...), one interleaved scan
   * restart intervals (DRI / RSTn), multiple DQT/DHT segments,
     APPn/COM skipped
-  * NOT supported: progressive (SOF2), arithmetic coding, 12-bit,
-    hierarchical, multi-scan non-interleaved baseline
+  * progressive DCT (SOF2, r5 session 2): spectral selection, successive
+    approximation (DC + AC first/refinement passes with EOB runs per
+    T.81 §G.2 / figure G.7 semantics), interleaved DC scans,
+    non-interleaved single-component scans over the component's own
+    block sub-grid, restarts inside any scan
+  * NOT supported: arithmetic coding, 12-bit, hierarchical,
+    multi-scan non-interleaved baseline
 Pixel math: dequantized coefficients → float64 IDCT (vectorized across
-all blocks with one einsum per component) → round → clip; nearest-
+all blocks with one stacked BLAS matmul per component) → round → clip; nearest-
 neighbour chroma upsampling; JFIF YCbCr→RGB (output channel order is
 RGB, matching ``imagecodec.decode_png`` and ``to_gray``'s weights).
 
@@ -148,16 +153,19 @@ def _encode_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]
 # Decoder
 # ---------------------------------------------------------------------------
 
-def _split_entropy(data: bytes, pos: int) -> List[bytes]:
+def _split_entropy_pos(data: bytes, pos: int) -> Tuple[List[bytes], int]:
     """Pre-scan the entropy-coded stream ONCE: unstuff 0xFF00 and split
     on RSTn markers. Clean byte runs copy in bulk (bytes.find), so the
-    per-symbol hot path below never touches marker logic. Returns the
-    restart segments in order; the final segment ends at the first
-    non-RST marker (normally EOI)."""
+    per-symbol hot path below never touches marker logic. Returns
+    (restart segments in order, end position) — the final segment ends
+    at the first non-RST marker (normally EOI; for a progressive stream
+    the next DHT/SOS/DRI), and ``end`` is the offset of that marker's
+    0xFF so multi-scan parsing can continue from it."""
     segs: List[bytes] = []
     cur = bytearray()
     i = pos
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", i)
         if j < 0:
@@ -173,9 +181,14 @@ def _split_entropy(data: bytes, pos: int) -> List[bytes]:
             cur = bytearray()
             i = j + 2
         else:
+            end = j
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, end
+
+
+def _split_entropy(data: bytes, pos: int) -> List[bytes]:
+    return _split_entropy_pos(data, pos)[0]
 
 
 def decode_jpeg(data) -> Optional[Decoded]:
@@ -193,6 +206,8 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
     qt: Dict[int, np.ndarray] = {}
     huff: Dict[Tuple[int, int], np.ndarray] = {}  # (class, id) -> LUT
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog = None  # progressive coefficient state, built at first SOS
     restart_interval = 0
     pos = 2
     n = len(b)
@@ -204,7 +219,9 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
             pos += 2
             continue
         if marker == 0xD9:
-            return None  # EOI before SOS
+            if prog is not None:
+                return _assemble_planes(frame, prog["comps"])
+            return None  # EOI before any scan
         seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
         seg = b[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -223,7 +240,7 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 if len(tbl) != 64:
                     return None
                 qt[tq] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 return None
@@ -237,9 +254,10 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 hv = seg[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + ci * 3]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # other non-baseline frame types
         elif marker == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(seg):
@@ -261,6 +279,22 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 return None
             ns = seg[0]
             h, w, comps = frame
+            if progressive:
+                if prog is None:
+                    prog = _init_prog_state(frame, qt)
+                    if prog is None:
+                        return None
+                scan = _parse_prog_scan_header(seg, comps)
+                if scan is None:
+                    return None
+                end = _decode_progressive_scan(
+                    b, pos + 2 + seg_len, frame, prog, huff, scan,
+                    restart_interval,
+                )
+                if end is None:
+                    return None
+                pos = end
+                continue
             if ns != len(comps):
                 return None  # non-interleaved multi-scan: unsupported
             scan_tabs = {}
@@ -273,6 +307,11 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 restart_interval,
             )
         pos += 2 + seg_len
+    if prog is not None:
+        # truncated after at least one complete scan: render what arrived
+        # (libjpeg's partial-progressive behavior; errors-as-data callers
+        # still get a real image for every fully-written stream)
+        return _assemble_planes(frame, prog["comps"])
     return None
 
 
@@ -417,12 +456,25 @@ def _decode_scan(b, pos, frame, qt, huff, scan_tabs, restart_interval):
                         cval.append(v - ((1 << s) - 1) if v < (1 << (s - 1)) else v)
                         k += 1
             c["pred"] = pred
-    # dequantize + IDCT + assemble planes
-    planes = []
     for c in per_comp:
         coefs = np.zeros(c["bw"] * c["bh"] * 64, dtype=np.int32)
         if c["pos"]:
             coefs[np.array(c["pos"], dtype=np.int64)] = c["val"]
+        c["coef"] = coefs
+    return _assemble_planes(frame, per_comp)
+
+
+def _assemble_planes(frame, per_comp) -> Optional[Decoded]:
+    """Shared decode tail: per-component flat zigzag coefficient arrays
+    (``coef``, length bw*bh*64) -> dequantize + IDCT + upsample +
+    color-convert. Used by both the baseline single-scan path and the
+    progressive multi-scan accumulator."""
+    h, w, comps = frame
+    hmax = max(c["hs"] for c in per_comp)
+    vmax = max(c["vs"] for c in per_comp)
+    planes = []
+    for c in per_comp:
+        coefs = np.asarray(c["coef"], dtype=np.int64)
         deq = (coefs.reshape(-1, 64) * c["q"][None, :]).astype(np.float64)
         blocks = deq[:, _UNZIG].reshape(-1, 8, 8)
         spatial = _idct_blocks(blocks) + 128.0
@@ -447,6 +499,307 @@ def _decode_scan(b, pos, frame, qt, huff, scan_tabs, restart_interval):
     g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.uint8)
     bl = np.clip(np.round(y + 1.772 * cb), 0, 255).astype(np.uint8)
     return w, h, 3, np.stack([r, g, bl], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decode (SOF2) — T.81 §G.2. Coefficients accumulate across
+# scans in per-component flat zigzag arrays, then the shared
+# _assemble_planes tail renders once at EOI. The refinement semantics
+# (EOB runs carrying correction bits, ZRL over zero-HISTORY coefficients
+# only) follow T.81 figure G.7; libjpeg's jdphuff.c is the public
+# reference implementation of the same figure.
+# ---------------------------------------------------------------------------
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s low bits -> signed value."""
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+class _BitReader:
+    """Bit-level reader over unstuffed entropy segments (progressive
+    path). The baseline scan keeps its inlined reader for speed;
+    progressive inputs are upload/fixture scale, so clarity wins here.
+    Past end-of-segment the reader feeds 1-bits, matching the spec's
+    padding rule and the baseline path's behavior."""
+
+    __slots__ = ("segs", "si", "buf", "blen", "bp", "acc", "nbits")
+
+    def __init__(self, segs: List[bytes]):
+        self.segs = segs
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.si = i
+        self.buf = self.segs[i]
+        self.blen = len(self.buf)
+        self.bp = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def restart(self) -> None:
+        if self.si + 1 >= len(self.segs):
+            raise ValueError("missing restart segment")
+        self._load(self.si + 1)
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.bp < self.blen:
+                take = self.buf[self.bp:self.bp + 6]
+                self.acc = (self.acc << (8 * len(take))) | int.from_bytes(take, "big")
+                self.nbits += 8 * len(take)
+                self.bp += len(take)
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+
+    def huff(self, lut: List[int]) -> int:
+        self._fill(16)
+        e = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if e < 0:
+            raise ValueError("invalid Huffman prefix")
+        self.nbits -= e & 0xFF
+        self.acc &= (1 << self.nbits) - 1
+        return e >> 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _init_prog_state(frame, qt):
+    """First-SOS setup: per-component coefficient accumulators plus both
+    the MCU-grid dims (bw/bh — storage layout, shared with baseline) and
+    the component's OWN block dims (cw/ch — the traversal grid for
+    non-interleaved scans, T.81 A.2.2; smaller than bw/bh whenever the
+    image width/height is not a whole number of MCUs)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    per = []
+    for cid, hs, vs, tq in comps:
+        if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+            return None
+        if tq not in qt:
+            return None
+        csw = -(-(w * hs) // hmax)
+        csh = -(-(h * vs) // vmax)
+        per.append({
+            "cid": cid, "hs": hs, "vs": vs, "q": qt[tq],
+            "bw": mcux * hs, "bh": mcuy * vs,
+            "cw": -(-csw // 8), "ch": -(-csh // 8),
+            "coef": [0] * (mcux * hs * mcuy * vs * 64),
+        })
+    return {"mcux": mcux, "mcuy": mcuy, "comps": per}
+
+
+def _parse_prog_scan_header(seg, comps):
+    """SOS body -> ([(frame_comp_index, Td, Ta)...], Ss, Se, Ah, Al) or
+    None. Enforces the progressive constraints: DC scans have Se=0 and
+    may interleave; AC scans are single-component; refinement lowers the
+    point transform by exactly one bit."""
+    if not seg:
+        return None
+    ns = seg[0]
+    if ns < 1 or ns > len(comps) or len(seg) < 1 + 2 * ns + 3:
+        return None
+    ids = [c[0] for c in comps]
+    sel = []
+    prev = -1
+    for si in range(ns):
+        cs = seg[1 + si * 2]
+        tt = seg[2 + si * 2]
+        if cs not in ids:
+            return None
+        ci = ids.index(cs)
+        if ci <= prev:
+            return None  # scan components must follow frame order
+        prev = ci
+        sel.append((ci, tt >> 4, tt & 0x0F))
+    ss = seg[1 + 2 * ns]
+    se = seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0:
+        if se != 0:
+            return None
+    else:
+        if ns != 1 or se < ss or se > 63:
+            return None
+    if ah > 13 or al > 13 or (ah and ah != al + 1):
+        return None
+    return sel, ss, se, ah, al
+
+
+def _decode_progressive_scan(b, pos, frame, prog, huff, scan,
+                             restart_interval):
+    """Decode one progressive scan into the accumulator; returns the
+    stream position of the terminating marker (or None on a missing
+    Huffman table). Entropy corruption raises, which decode_jpeg maps
+    to the errors-as-data None."""
+    sel, ss, se, ah, al = scan
+    comps = prog["comps"]
+    segments, end = _split_entropy_pos(b, pos)
+    rdr = _BitReader(segments)
+    luts = []
+    for ci, td, ta in sel:
+        if ss == 0 and ah == 0:
+            if (0, td) not in huff:
+                return None
+            luts.append(huff[(0, td)].tolist())
+        elif ss > 0:
+            if (1, ta) not in huff:
+                return None
+            luts.append(huff[(1, ta)].tolist())
+        else:
+            luts.append(None)  # DC refinement reads raw bits only
+    if ss == 0:
+        _prog_dc_scan(rdr, comps, sel, luts, ah, al,
+                      prog["mcux"], prog["mcuy"], restart_interval)
+    else:
+        _prog_ac_scan(rdr, comps[sel[0][0]], luts[0], ss, se, ah, al,
+                      restart_interval)
+    return end
+
+
+def _prog_dc_scan(rdr, comps, sel, luts, ah, al, mcux, mcuy,
+                  restart_interval):
+    if len(sel) == 1:
+        # non-interleaved: raster over the component's own block grid
+        ci = sel[0][0]
+        c = comps[ci]
+        lut = luts[0]
+        coef = c["coef"]
+        bw, cw, ch = c["bw"], c["cw"], c["ch"]
+        pred = 0
+        for i in range(cw * ch):
+            if restart_interval and i and i % restart_interval == 0:
+                rdr.restart()
+                pred = 0
+            by, bx = divmod(i, cw)
+            base = (by * bw + bx) * 64
+            if ah == 0:
+                t = rdr.huff(lut)
+                if t > 11:
+                    raise ValueError("DC size out of range")
+                pred += _extend(rdr.bits(t), t) if t else 0
+                coef[base] = pred << al
+            elif rdr.bits(1):
+                coef[base] |= 1 << al
+        return
+    preds = [0] * len(sel)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            rdr.restart()
+            preds = [0] * len(sel)
+        my, mx = divmod(m, mcux)
+        for si, (ci, _, _) in enumerate(sel):
+            c = comps[ci]
+            hs, vs, bw = c["hs"], c["vs"], c["bw"]
+            coef = c["coef"]
+            for by in range(vs):
+                for bx in range(hs):
+                    base = ((my * vs + by) * bw + (mx * hs + bx)) * 64
+                    if ah == 0:
+                        t = rdr.huff(luts[si])
+                        if t > 11:
+                            raise ValueError("DC size out of range")
+                        preds[si] += _extend(rdr.bits(t), t) if t else 0
+                        coef[base] = preds[si] << al
+                    elif rdr.bits(1):
+                        coef[base] |= 1 << al
+
+
+def _prog_ac_scan(rdr, c, lut, ss, se, ah, al, restart_interval):
+    coef = c["coef"]
+    bw, cw, ch = c["bw"], c["cw"], c["ch"]
+    p1 = 1 << al
+    eobrun = 0
+    for i in range(cw * ch):
+        if restart_interval and i and i % restart_interval == 0:
+            rdr.restart()
+            eobrun = 0
+        by, bx = divmod(i, cw)
+        base = (by * bw + bx) * 64
+        if ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rdr.huff(lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # current block is one of them
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index past Se")
+                coef[base + k] = _extend(rdr.bits(s), s) << al
+                k += 1
+        else:
+            eobrun = _prog_ac_refine_block(
+                rdr, coef, base, lut, ss, se, p1, eobrun)
+
+
+def _prog_ac_refine_block(rdr, coef, base, lut, ss, se, p1, eobrun):
+    """One block of an AC refinement scan (T.81 figure G.7). Correction
+    bits ride along for every already-nonzero coefficient crossed —
+    including inside ZRL runs and EOB runs; run lengths count only
+    zero-HISTORY coefficients."""
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.huff(lut)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                # r == 15: ZRL skips 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if rdr.bits(1) else m1
+            while k <= se:
+                cv = coef[base + k]
+                if cv != 0:
+                    if rdr.bits(1) and (cv & p1) == 0:
+                        coef[base + k] = cv + (p1 if cv > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[base + k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cv = coef[base + k]
+            if cv != 0:
+                if rdr.bits(1) and (cv & p1) == 0:
+                    coef[base + k] = cv + (p1 if cv > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------
@@ -480,59 +833,6 @@ class _BitWriter:
 
 def _csize(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
-
-
-def _symbol_pass(zz: np.ndarray, restart_interval: int):
-    """Vectorized encoder symbol pass over (n, 64) zigzag blocks:
-    returns (per-block [(t, diff), ac-list], dc_syms, ac_syms). The
-    mostly-blank receipt page is the hot path — DC diffs, magnitude
-    sizes and the has-AC mask compute in numpy; only blocks that
-    actually carry AC energy (glyph-edge blocks, a minority) take the
-    per-coefficient Python loop."""
-    n = len(zz)
-    dc = zz[:, 0].astype(np.int64)
-    prev = np.roll(dc, 1)
-    prev[0] = 0
-    if restart_interval:
-        prev[::restart_interval] = 0
-    diffs = dc - prev
-    ts = np.zeros(n, dtype=np.int64)
-    nzd = diffs != 0
-    ts[nzd] = np.floor(np.log2(np.abs(diffs[nzd]))).astype(np.int64) + 1
-    # guard log2 float edges at exact powers of two
-    bad = (np.abs(diffs) >> ts) != 0
-    ts[bad] += 1
-    has_ac = (zz[:, 1:] != 0).any(axis=1)
-    dc_syms = ts.tolist()
-    ac_syms: List[int] = []
-    seq = []
-    for bi in range(n):
-        if has_ac[bi]:
-            row = zz[bi]
-            acs = []
-            run = 0
-            last = 63
-            while row[last] == 0:
-                last -= 1
-            for k in range(1, last + 1):
-                v = int(row[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    acs.append((0xF0, 0, 0))
-                    run -= 16
-                s = _csize(v)
-                acs.append(((run << 4) | s, v, s))
-                run = 0
-            if last < 63:
-                acs.append((0x00, 0, 0))
-        else:
-            acs = [(0x00, 0, 0)]
-        seq.append((int(ts[bi]), int(diffs[bi]), acs))
-        for sym, _, _ in acs:
-            ac_syms.append(sym)
-    return seq, dc_syms, ac_syms
 
 
 def _symbol_pass(zz: np.ndarray, restart_interval: int):
@@ -714,13 +1014,11 @@ def encode_jpeg_gray(gray: np.ndarray, qdiv: int = 1,
     return bytes(out)
 
 
-def encode_jpeg_rgb(rgb: np.ndarray, qdiv: int = 1,
-                    subsample: bool = False) -> bytes:
-    """(h, w, 3) uint8 RGB -> 3-component YCbCr baseline JPEG, 4:4:4 or
-    (subsample=True) 4:2:0 — the latter exercises the decoder's sampling
-    and upsampling path."""
+def _ycbcr_planes(rgb: np.ndarray, subsample: bool):
+    """(h, w, 3) uint8 RGB -> (yp, cbs, crs, hs, vs): padded Y plane and
+    (optionally 2x2 box-mean subsampled) chroma planes, shared by the
+    baseline and progressive encoders."""
     a = np.asarray(rgb, dtype=np.uint8).astype(np.float64)
-    h, w = a.shape[:2]
     r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
     y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
     cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
@@ -742,6 +1040,16 @@ def encode_jpeg_rgb(rgb: np.ndarray, qdiv: int = 1,
         yp = _pad_to(y.astype(np.uint8), 8, 8)
         cbs = _pad_to(cb.astype(np.uint8), 8, 8)
         crs = _pad_to(cr.astype(np.uint8), 8, 8)
+    return yp, cbs, crs, hs, vs
+
+
+def encode_jpeg_rgb(rgb: np.ndarray, qdiv: int = 1,
+                    subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> 3-component YCbCr baseline JPEG, 4:4:4 or
+    (subsample=True) 4:2:0 — the latter exercises the decoder's sampling
+    and upsampling path."""
+    h, w = np.asarray(rgb).shape[:2]
+    yp, cbs, crs, hs, vs = _ycbcr_planes(rgb, subsample)
     zz_y = _qzz_blocks(yp, qdiv)
     zz_cb = _qzz_blocks(cbs, qdiv)
     zz_cr = _qzz_blocks(crs, qdiv)
@@ -791,3 +1099,308 @@ def encode_jpeg_rgb(rgb: np.ndarray, qdiv: int = 1,
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures) — T.81 §G.1.2 scan scripts with spectral
+# selection + successive approximation, so the decoder's DC/AC
+# first/refinement paths (incl. EOB runs carrying buffered correction
+# bits) are exercised by self-contained round-trip tests, the same role
+# encode_jpeg_gray plays for the baseline path.
+# ---------------------------------------------------------------------------
+
+# default scan scripts (component indices, Ss, Se, Ah, Al) — the
+# libjpeg-default progressions: DC first at Al=1, banded AC first
+# passes, then refinement passes down to Al=0.
+_GRAY_SCANS = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((0,), 0, 0, 1, 0),
+]
+_RGB_SCANS = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _scan_unit_groups(comps, sel, mcux, mcuy):
+    """Data-unit order for one scan, grouped at restart granularity:
+    interleaved scans group a whole MCU; non-interleaved scans raster
+    the component's own cw x ch block sub-grid one block per group.
+    Each item is (comp_sel_index, block_index into the zz array)."""
+    if len(sel) == 1:
+        c = comps[sel[0]]
+        bw, cw, ch = c["bw"], c["cw"], c["ch"]
+        return [[(0, by * bw + bx)] for by in range(ch) for bx in range(cw)]
+    groups = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        g = []
+        for si, ci in enumerate(sel):
+            c = comps[ci]
+            for by in range(c["vs"]):
+                for bx in range(c["hs"]):
+                    g.append((si, (my * c["vs"] + by) * c["bw"]
+                              + (mx * c["hs"] + bx)))
+        groups.append(g)
+    return groups
+
+
+def _ops_dc_scan(comps, sel, groups, ah, al, ri):
+    """DC scan ops. First pass (Ah=0) Huffman-codes diffs of the
+    arithmetic-right-shifted DC (G.1.2.1); refinement emits one raw bit
+    per block."""
+    ops = []
+    preds = [0] * len(sel)
+    for gi, g in enumerate(groups):
+        if ri and gi and gi % ri == 0:
+            ops.append(("rst",))
+            preds = [0] * len(sel)
+        for si, bi in g:
+            dc = int(comps[sel[si]]["zz"][bi][0])
+            if ah == 0:
+                v = dc >> al
+                diff = v - preds[si]
+                preds[si] = v
+                t = _csize(diff)
+                ops.append(("sym", "dc", t))
+                if t:
+                    ops.append(("bits",
+                                diff if diff >= 0 else diff + (1 << t) - 1,
+                                t))
+            else:
+                ops.append(("bits", (dc >> al) & 1, 1))
+    return ops
+
+
+def _ops_ac_first(c, groups, ss, se, al, ri):
+    """AC first pass (G.1.2.2): magnitude point transform (truncation
+    toward zero), run/size symbols, EOB-run accumulation across blocks."""
+    ops = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("sym", "ac", n << 4))
+            if n:
+                ops.append(("bits", eobrun - (1 << n), n))
+            eobrun = 0
+
+    zz = c["zz"]
+    for gi, g in enumerate(groups):
+        if ri and gi and gi % ri == 0:
+            flush_eob()
+            ops.append(("rst",))
+        row = zz[g[0][1]]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            a = (v if v >= 0 else -v) >> al
+            if a == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                ops.append(("sym", "ac", 0xF0))
+                r -= 16
+            s = a.bit_length()
+            ops.append(("sym", "ac", (r << 4) | s))
+            ops.append(("bits", a if v > 0 else ((1 << s) - 1 - a), s))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ops_ac_refine(c, groups, ss, se, al, ri):
+    """AC refinement pass (G.1.2.3 / figure G.7): newly-nonzero coefs
+    emit run/1 symbols + a sign bit; already-nonzero coefs contribute
+    buffered correction bits that ride with the next symbol, ZRL, or
+    the eventual EOB run (libjpeg's BR/BE bookkeeping)."""
+    ops = []
+    eobrun = 0
+    pend: List[int] = []  # correction bits deferred across the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("sym", "ac", n << 4))
+            if n:
+                ops.append(("bits", eobrun - (1 << n), n))
+            for bbit in pend:
+                ops.append(("bits", bbit, 1))
+            pend = []
+            eobrun = 0
+
+    zz = c["zz"]
+    for gi, g in enumerate(groups):
+        if ri and gi and gi % ri == 0:
+            flush_eob()
+            ops.append(("rst",))
+        row = zz[g[0][1]]
+        absv = []
+        eob = 0  # absolute k of the LAST newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            a = (v if v >= 0 else -v) >> al
+            absv.append(a)
+            if a == 1:
+                eob = k
+        r = 0
+        br: List[int] = []  # correction bits since the last emitted symbol
+        for k in range(ss, se + 1):
+            a = absv[k - ss]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                ops.append(("sym", "ac", 0xF0))
+                r -= 16
+                for bbit in br:
+                    ops.append(("bits", bbit, 1))
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush_eob()
+            ops.append(("sym", "ac", (r << 4) | 1))
+            ops.append(("bits", 1 if int(row[k]) > 0 else 0, 1))
+            for bbit in br:
+                ops.append(("bits", bbit, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _emit_prog_scan(out: bytearray, ops, sel_ids, ss, se, ah, al) -> None:
+    """Translate one scan's op stream to DHT (fixed-length canonical
+    tables, ids 0) + SOS + entropy bytes, RSTn markers inline."""
+    dc_syms = [s for op, *rest in ops if op == "sym" and rest[0] == "dc"
+               for s in [rest[1]]]
+    ac_syms = [s for op, *rest in ops if op == "sym" and rest[0] == "ac"
+               for s in [rest[1]]]
+    codes = {}
+    if dc_syms:
+        bits, vals = _fixed_length_table(dc_syms)
+        out += _dht_segment(0, 0, bits, vals)
+        codes["dc"] = _encode_codes(bits, vals)
+    if ac_syms:
+        bits, vals = _fixed_length_table(ac_syms)
+        out += _dht_segment(1, 0, bits, vals)
+        codes["ac"] = _encode_codes(bits, vals)
+    ns = len(sel_ids)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid in sel_ids:
+        out += bytes([cid, 0x00])
+    out += bytes([ss, se, (ah << 4) | al])
+    wtr = _BitWriter()
+    rst = 0
+    for op in ops:
+        if op[0] == "sym":
+            wtr.write(*codes[op[1]][op[2]])
+        elif op[0] == "bits":
+            wtr.write(op[1], op[2])
+        else:  # restart
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+    wtr.flush()
+    out += wtr.out
+
+
+def _encode_progressive(comps, h, w, qdiv, scans, restart_interval,
+                        samplings) -> bytes:
+    """Shared progressive writer: SOI/DQT/SOF2/DRI headers then one
+    DHT+SOS per scan-script entry."""
+    mcux = comps[0]["bw"] // comps[0]["hs"]
+    mcuy = comps[0]["bh"] // comps[0]["vs"]
+    qtab = np.full(64, int(qdiv), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, qtab)
+    nc = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samplings):
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    ri = int(restart_interval)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    for sel, ss, se, ah, al in scans:
+        groups = _scan_unit_groups(comps, sel, mcux, mcuy)
+        if ss == 0:
+            ops = _ops_dc_scan(comps, sel, groups, ah, al, ri)
+        elif ah == 0:
+            ops = _ops_ac_first(comps[sel[0]], groups, ss, se, al, ri)
+        else:
+            ops = _ops_ac_refine(comps[sel[0]], groups, ss, se, al, ri)
+        _emit_prog_scan(out, ops, [ci + 1 for ci in sel], ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_progressive(gray: np.ndarray, qdiv: int = 1,
+                                 restart_interval: int = 0,
+                                 scans=None) -> bytes:
+    """(h, w) uint8 -> single-component progressive (SOF2) JPEG using
+    the default 6-scan script (or a caller-supplied
+    [(comp_indices, Ss, Se, Ah, Al), ...])."""
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    plane = _pad_to(g, 8, 8)
+    zz = _qzz_blocks(plane, qdiv)
+    comps = [{
+        "zz": zz, "hs": 1, "vs": 1,
+        "bw": plane.shape[1] // 8, "bh": plane.shape[0] // 8,
+        "cw": -(-w // 8), "ch": -(-h // 8),
+    }]
+    return _encode_progressive(comps, h, w, qdiv, scans or _GRAY_SCANS,
+                               restart_interval, [(1, 1)])
+
+
+def encode_jpeg_rgb_progressive(rgb: np.ndarray, qdiv: int = 1,
+                                subsample: bool = True,
+                                restart_interval: int = 0,
+                                scans=None) -> bytes:
+    """(h, w, 3) uint8 RGB -> 3-component YCbCr progressive JPEG
+    (default 4:2:0, the libjpeg-style 10-scan script): interleaved DC
+    scans plus per-component AC scans whose block sub-grid differs from
+    the MCU grid whenever the image is not a whole number of MCUs —
+    the decoder's trickiest traversal."""
+    h, w = np.asarray(rgb).shape[:2]
+    yp, cbs, crs, hs, vs = _ycbcr_planes(rgb, subsample)
+    planes = [yp, cbs, crs]
+    samplings = [(hs, vs), (1, 1), (1, 1)]
+    comps = []
+    for (chs, cvs), plane in zip(samplings, planes):
+        csw = -(-(w * chs) // hs)
+        csh = -(-(h * cvs) // vs)
+        comps.append({
+            "zz": _qzz_blocks(plane, qdiv), "hs": chs, "vs": cvs,
+            "bw": plane.shape[1] // 8, "bh": plane.shape[0] // 8,
+            "cw": -(-csw // 8), "ch": -(-csh // 8),
+        })
+    return _encode_progressive(comps, h, w, qdiv, scans or _RGB_SCANS,
+                               restart_interval, samplings)

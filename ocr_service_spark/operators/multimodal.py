@@ -5,8 +5,8 @@ Image decode is REAL for PNG/BMP since r4 and for baseline JPEG since r5 —
 the pure-stdlib codecs in ``core/imagecodec`` (zlib inflate + per-row
 unfiltering) and ``core/jpegcodec`` (marker parse + Huffman + IDCT) yield
 actual pixels, dimensions and a true perceptual dHash with no third-party
-wheels. Remaining formats (progressive JPEG/GIF/WebP, audio, video) stay
-STUBBED in this environment (no
+wheels (progressive SOF2 JPEG included since r5 session 2). Remaining
+formats (GIF/WebP, audio, video) stay STUBBED in this environment (no
 cv2/soundfile — see the module-level import gates): ``DETERMINISTIC_FAKE``
 derives stable pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and

@@ -120,8 +120,10 @@ class TestFailurePaths:
         assert decode_jpeg(jp[:20]) is None
         assert decode_jpeg(jp[:2]) is None
 
-    def test_progressive_rejected(self):
-        # flip the SOF0 marker to SOF2 (progressive): unsupported subset
+    def test_baseline_stream_mislabeled_progressive_rejected(self):
+        # flip the SOF0 marker to SOF2: the baseline SOS header (Ss=0,
+        # Se=63) is an illegal progressive scan header (a DC scan must
+        # have Se=0), so the mislabeled stream is still rejected
         g = np.full((16, 16), 128, dtype=np.uint8)
         jp = bytearray(encode_jpeg_gray(g))
         i = jp.find(b"\xff\xc0")
@@ -201,6 +203,176 @@ class TestDispatchIntegration:
         assert dhash63(encode_jpeg_gray(g)) == dhash63(encode_png(g))
 
 
+class TestProgressive:
+    """SOF2 decode (r5 session 2): progressive encode of the SAME
+    quantized coefficients must decode pixel-identical to the baseline
+    stream — successive approximation is lossless once every refinement
+    pass lands, so equality is exact, not bounded."""
+
+    def _gray_pair(self, g, **kw):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg_gray(g))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(g, **kw))
+        assert base is not None and prog is not None
+        assert prog[:3] == base[:3]
+        assert np.array_equal(prog[3], base[3])
+        return prog
+
+    def test_gray_noise_exact_vs_baseline(self):
+        rng = np.random.default_rng(21)
+        self._gray_pair(rng.integers(0, 256, (64, 96), dtype=np.uint8))
+
+    def test_gray_receipt_like(self):
+        g = np.full((120, 200), 255, dtype=np.uint8)
+        g[20:40, 30:90] = 40
+        g[60:62, :] = 0
+        out = self._gray_pair(g)
+        assert _maxerr(out, g) <= 1
+
+    def test_odd_dimensions(self):
+        rng = np.random.default_rng(23)
+        self._gray_pair(rng.integers(0, 256, (37, 53), dtype=np.uint8))
+
+    def test_quantized_sparse_long_eob_runs(self):
+        # qdiv=8 on a smooth image zeroes most AC coefficients: EOB runs
+        # span many blocks and refinement passes carry buffered
+        # correction bits across them
+        g = np.clip(
+            np.add.outer(np.arange(80), np.arange(120)) // 4, 0, 255
+        ).astype(np.uint8)
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg_gray(g, qdiv=8))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(g, qdiv=8))
+        assert np.array_equal(prog[3], base[3])
+
+    @pytest.mark.parametrize("ri", [1, 3, 7])
+    def test_restart_intervals(self, ri):
+        rng = np.random.default_rng(29)
+        g = rng.integers(0, 256, (48, 80), dtype=np.uint8)
+        self._gray_pair(g, restart_interval=ri)
+
+    def test_spectral_selection_only_script(self):
+        # no successive approximation at all: DC scan then banded AC
+        rng = np.random.default_rng(31)
+        g = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+        scans = [((0,), 0, 0, 0, 0), ((0,), 1, 9, 0, 0),
+                 ((0,), 10, 63, 0, 0)]
+        self._gray_pair(g, scans=scans)
+
+    def test_deep_successive_approximation_script(self):
+        # three AC refinement levels + DC refinement
+        rng = np.random.default_rng(37)
+        g = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+        scans = [
+            ((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+            ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+        ]
+        self._gray_pair(g, scans=scans)
+
+    def test_rgb_420_subgrid_vs_baseline(self):
+        # 52x38 is not a whole number of 16px MCUs: the Y component's
+        # own block grid (7 wide) differs from the MCU storage grid
+        # (8 wide), exercising the non-interleaved sub-grid traversal
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_progressive,
+        )
+
+        rng = np.random.default_rng(41)
+        c = rng.integers(0, 256, (38, 52, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(c, subsample=True))
+        prog = decode_jpeg(encode_jpeg_rgb_progressive(c, subsample=True))
+        assert prog is not None and prog[:3] == base[:3] == (52, 38, 3)
+        assert np.array_equal(prog[3], base[3])
+
+    def test_rgb_444_vs_baseline(self):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_progressive,
+        )
+
+        rng = np.random.default_rng(43)
+        c = rng.integers(0, 256, (30, 41, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(c))
+        prog = decode_jpeg(encode_jpeg_rgb_progressive(c, subsample=False))
+        assert np.array_equal(prog[3], base[3])
+
+    def test_truncated_after_dc_scan_renders_partial(self):
+        # libjpeg behavior: a stream cut after complete scans still
+        # renders from the coefficients that arrived (DC-only preview)
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        g = np.full((32, 32), 200, dtype=np.uint8)
+        g[8:24, 8:24] = 30
+        jp = encode_jpeg_gray_progressive(g)
+        # cut at the second SOS (keep headers + first, DC, scan)
+        first_sos = jp.find(b"\xff\xda")
+        second_sos = jp.find(b"\xff\xda", first_sos + 2)
+        out = decode_jpeg(jp[:second_sos])
+        assert out is not None and out[:3] == (32, 32, 1)
+        # DC-only render: block means survive, detail does not
+        assert abs(int(out[3][:8, :8].mean()) - 200) <= 16
+
+    def test_malformed_refinement_headers_rejected(self):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        g = np.full((16, 16), 128, dtype=np.uint8)
+        # refinement that skips a bit level (Ah must equal Al+1)
+        bad = [((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 0)]
+        assert decode_jpeg(encode_jpeg_gray_progressive(g, scans=bad)) is None
+        # AC scan in a progressive frame may not interleave components
+        rng = np.random.default_rng(47)
+        c = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_progressive,
+        )
+
+        bad_rgb = [((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)]
+        assert (
+            decode_jpeg(encode_jpeg_rgb_progressive(c, scans=bad_rgb)) is None
+        )
+
+    def test_decode_image_routes_progressive(self):
+        from ocr_service_spark.core.imagecodec import decode_image
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        g = np.full((20, 30), 99, dtype=np.uint8)
+        out = decode_image(encode_jpeg_gray_progressive(g))
+        assert out is not None and out[:3] == (30, 20, 1)
+
+    def test_extraction_on_progressive_receipt(self):
+        # a planted baseline-JPEG receipt re-encoded progressive must
+        # extract the same items through the full pixel cascade
+        from ocr_service_spark.catalog import _planted_jpeg_receipt
+        from ocr_service_spark.core.document import (
+            extract_document,
+            itens_to_json,
+        )
+        from ocr_service_spark.core.imagecodec import to_gray
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        payload = _planted_jpeg_receipt(0)
+        gray = to_gray(decode_jpeg(payload)[3])
+        prog = encode_jpeg_gray_progressive(gray)
+        a = extract_document("jpg://base", payload)
+        b = extract_document("jpg://prog", prog)
+        assert a["tipo_documento"] == b["tipo_documento"] != "erro"
+        assert itens_to_json(a["itens"]) == itens_to_json(b["itens"])
+
+
 @pytest.mark.skipif(not HAVE_CV2, reason="cv2 absent in this sandbox")
 class TestCv2Parity:
     def test_cv2_decodes_our_stream(self):
@@ -214,6 +386,34 @@ class TestCv2Parity:
         assert dec is not None and dec.shape == g.shape
         ours = decode_jpeg(bytes(jp))[3][:, :, 0]
         assert int(np.abs(dec.astype(int) - ours.astype(int)).max()) <= 1
+
+    def test_cv2_decodes_our_progressive_stream(self):
+        import cv2
+
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        rng = np.random.default_rng(13)
+        g = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        jp = np.frombuffer(encode_jpeg_gray_progressive(g), dtype=np.uint8)
+        dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
+        assert dec is not None and dec.shape == g.shape
+        ours = decode_jpeg(bytes(jp))[3][:, :, 0]
+        assert int(np.abs(dec.astype(int) - ours.astype(int)).max()) <= 1
+
+    def test_we_decode_cv2_progressive_stream(self):
+        import cv2
+
+        rng = np.random.default_rng(17)
+        g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        ok, enc = cv2.imencode(
+            ".jpg", g,
+            [cv2.IMWRITE_JPEG_QUALITY, 95, cv2.IMWRITE_JPEG_PROGRESSIVE, 1],
+        )
+        assert ok
+        out = decode_jpeg(enc.tobytes())
+        assert out is not None and out[0] == 56 and out[1] == 40
 
     def test_we_decode_cv2_stream(self):
         import cv2
