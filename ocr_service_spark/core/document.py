@@ -56,6 +56,8 @@ from .sniff import (
     FMT_JPEG,
     FMT_PDF,
     FMT_PNG,
+    FMT_PNM,
+    FMT_TIFF,
     FMT_TOKENS,
     FMT_UNKNOWN,
     IMAGE_FORMATS,
@@ -254,10 +256,11 @@ def extract_document(
             return out
 
         if fmt in IMAGE_FORMATS:
-            if fmt in (FMT_PNG, FMT_JPEG):
+            if fmt in (FMT_PNG, FMT_JPEG, FMT_TIFF, FMT_PNM):
                 # real-pixel route: decode → grayscale → attempt cascade.
-                # JPEG joins PNG in r5 via the stdlib baseline codec
-                # (core/jpegcodec, baseline + progressive); undecodable
+                # JPEG joins PNG in r5 via the stdlib codec (core/jpegcodec,
+                # baseline + progressive); TIFF (core/tiffcodec — scanner
+                # output) and binary netpbm join in r5 session 2. Undecodable
                 # payloads (truncated or the synthetic garbage classes) yield
                 # decode None → the same empty-OCR error envelope as
                 # before, byte-identically (app/ocr_engine.py:88-90)

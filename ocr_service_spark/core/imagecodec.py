@@ -1,5 +1,7 @@
-"""Pure-stdlib image codec: PNG + BMP decode, PNG/BMP encode, grayscale,
-Otsu threshold, 2-D block-mean dHash.
+"""Pure-stdlib image codec: PNG + BMP + PNM decode, PNG/BMP/PNM encode,
+grayscale, Otsu threshold, 2-D block-mean dHash (JPEG lives in
+core/jpegcodec, TIFF in core/tiffcodec; ``decode_image`` dispatches all
+of them by magic).
 
 Closes the X19 decode gap without third-party wheels (the ``core/pdf_text.py``
 move applied to images — VERDICT r3 next-round #1): the reference's image
@@ -26,6 +28,10 @@ Supported subset (anything else returns ``None`` — errors-as-data upstream):
        dropped on output.
   BMP: BITMAPINFOHEADER, biCompression=0, 24-bit BGR or 8-bit palette,
        bottom-up or top-down rows.
+  PNM (r5 session 2 — cv2.imdecode accepts the whole netpbm family):
+       P1-P3 (ASCII) and P4-P6 (binary) bitmap/graymap/pixmap, comments,
+       maxval scaling to 8-bit (16-bit samples big-endian per spec, high
+       range rescaled); bitmap 1 = black per the netpbm convention.
 """
 
 from __future__ import annotations
@@ -413,14 +419,143 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNM (netpbm: PBM/PGM/PPM) — cv2.imdecode reads the whole family
+# (app/ocr_engine.py:357-362 accepts any image upload), and the formats
+# are trivial enough that full support costs ~100 lines. Lossless, so
+# round-trip tests assert exact equality.
+# ---------------------------------------------------------------------------
+
+def decode_pnm(data) -> Optional[Decoded]:
+    """P1-P6 netpbm -> (w, h, ch, uint8). ASCII and binary variants,
+    ``#`` comments anywhere in the header, maxval rescaled to 0-255
+    (16-bit binary samples are big-endian per the spec). Bitmap (P1/P4)
+    1-bits are BLACK per the netpbm convention. None on malformed."""
+    try:
+        return _decode_pnm_inner(bytes(data))
+    except Exception:
+        return None
+
+
+def _decode_pnm_inner(b: bytes) -> Optional[Decoded]:
+    if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in b"123456":
+        return None
+    variant = b[1] - 0x30
+    pos = 2
+
+    def next_token():
+        nonlocal pos
+        while pos < len(b):
+            c = b[pos:pos + 1]
+            if c == b"#":
+                nl = b.find(b"\n", pos)
+                pos = len(b) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace() \
+                and b[pos:pos + 1] != b"#":
+            pos += 1
+        if pos == start:
+            raise ValueError("missing header token")
+        return int(b[start:pos])
+
+    w = next_token()
+    h = next_token()
+    if w <= 0 or h <= 0:
+        return None
+    bitmap = variant in (1, 4)
+    maxval = 1 if bitmap else next_token()
+    if not 1 <= maxval <= 65535:
+        return None
+    ch = 3 if variant in (3, 6) else 1
+    if variant <= 3:
+        # ASCII raster: whitespace-separated sample values
+        vals = b[pos:].split()
+        need = w * h * ch
+        if len(vals) < need:
+            return None
+        arr = np.array([int(v) for v in vals[:need]], dtype=np.int64)
+        if arr.min() < 0 or arr.max() > maxval:
+            return None
+    else:
+        pos += 1  # exactly one whitespace byte after the last header token
+        if bitmap:
+            row_bytes = (w + 7) // 8
+            raw = np.frombuffer(b[pos:pos + row_bytes * h], dtype=np.uint8)
+            if len(raw) != row_bytes * h:
+                return None
+            bits = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
+            arr = bits.astype(np.int64).reshape(-1)
+        else:
+            dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+            need = w * h * ch * dt.itemsize if maxval >= 256 else w * h * ch
+            raw = np.frombuffer(b[pos:pos + need], dtype=dt)
+            if len(raw) != w * h * ch:
+                return None
+            arr = raw.astype(np.int64)
+            if arr.max() > maxval:
+                return None
+    if bitmap:
+        out = np.where(arr == 1, 0, 255).astype(np.uint8)  # 1 = black ink
+    elif maxval == 255:
+        out = arr.astype(np.uint8)
+    else:
+        out = ((arr * 255 + maxval // 2) // maxval).astype(np.uint8)
+    return w, h, ch, out.reshape(h, w, ch)
+
+
+def encode_pnm(pixels: np.ndarray, variant: int = 5,
+               maxval: int = 255) -> bytes:
+    """Fixture writer: (h, w) gray -> P2/P4/P5, (h, w, 3) RGB -> P3/P6.
+    P1/P4 threshold at 128 (dark = 1 per the netpbm ink convention)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w = arr.shape[:2]
+    if variant in (1, 4):
+        if not gray:
+            raise ValueError("bitmap variants take a gray plane")
+        bits = (arr < 128).astype(np.uint8)
+        if variant == 1:
+            body = b"\n".join(
+                b" ".join(b"%d" % v for v in row) for row in bits) + b"\n"
+            return b"P1\n%d %d\n" % (w, h) + body
+        packed = np.packbits(bits, axis=1)
+        return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
+    scaled = ((arr.astype(np.int64) * maxval + 127) // 255)
+    if variant in (2, 3):
+        flat = scaled.reshape(h, -1)
+        body = b"\n".join(
+            b" ".join(b"%d" % v for v in row) for row in flat) + b"\n"
+        return b"P%d\n%d %d\n%d\n" % (variant, w, h, maxval) + body
+    if variant == 5 and not gray:
+        raise ValueError("P5 takes a gray plane")
+    if variant == 6 and gray:
+        raise ValueError("P6 takes an RGB array")
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    return (b"P%d\n%d %d\n%d\n" % (variant, w, h, maxval)
+            + scaled.astype(dt).tobytes())
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + preprocessing (grayscale / Otsu / dHash)
 # ---------------------------------------------------------------------------
 
+_PNM_BINARY_MAGICS = (b"P4", b"P5", b"P6")
+_PNM_ASCII_MAGICS = (b"P1", b"P2", b"P3")
+
+
 def decode_image(data) -> Optional[Decoded]:
     """Magic-byte dispatch → decoded pixels, or None (errors-as-data).
-    JPEG routes through the stdlib baseline codec (core/jpegcodec, r5 —
-    phone-camera receipts are overwhelmingly JPEG and the reference's
-    cv2.imdecode takes them first, app/ocr_engine.py:357-362)."""
+    JPEG routes through the stdlib codec (core/jpegcodec, r5 — baseline
+    + progressive; phone-camera receipts are overwhelmingly JPEG and the
+    reference's cv2.imdecode takes them first, app/ocr_engine.py:357-362);
+    TIFF through core/tiffcodec (scanner output); PNM both ASCII and
+    binary here (the DOCUMENT pipeline's sniffer routes only binary PNM —
+    ASCII "P3 ..." is indistinguishable from plain text at magic level)."""
     if data is None:
         return None
     b = bytes(data)
@@ -432,6 +567,14 @@ def decode_image(data) -> Optional[Decoded]:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(b)
+    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+
+        return decode_tiff(b)
+    if b[:2] in _PNM_BINARY_MAGICS or (
+            b[:2] in _PNM_ASCII_MAGICS and len(b) > 2
+            and (b[2:3].isspace() or b[2:3] == b"#")):
+        return decode_pnm(b)
     return None
 
 

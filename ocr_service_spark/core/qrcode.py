@@ -693,7 +693,6 @@ def _finder_centers(mask: np.ndarray) -> List[Tuple[int, int, float]]:
     this runs inside the extraction UDF for every PNG page, QR or not)."""
     h, w = mask.shape
     mask = np.ascontiguousarray(mask, dtype=bool)
-    centers: List[Tuple[int, int, float]] = []
     # ONE whole-page pass: dark-run starts/ends via a single padded diff,
     # then the 1:1:3:1:1 screen vectorized over every consecutive
     # dark-run triple of every row (runs alternate dark/white, so a
@@ -719,6 +718,17 @@ def _finder_centers(mask: np.ndarray) -> List[Tuple[int, int, float]]:
         & (np.abs(b - 3 * mods) <= tol) & (np.abs(g2 - mods) <= tol)
         & (np.abs(c - mods) <= tol)
     )
+    # cross-check + dedupe in ONE pass, stopping at the 16-candidate cap
+    # (identical output to check-all-then-[:16]: acceptance only ever
+    # compares against EARLIER accepted candidates, so nothing past the
+    # 16th accept can change the result). The early stop is load-bearing
+    # at scale: a hostile ~50%-ink noise page produces ~10^5 run triples
+    # passing the horizontal screen, and the former build-all-then-dedupe
+    # shape went quadratic in them (measured 52 s on a 1200x1700 noise
+    # page — times 3 binarization variants in the extraction cascade).
+    # Real pages accept at most a handful; noise pages accept 16 within
+    # the first few rows and return in microseconds either way.
+    out: List[Tuple[int, int, float]] = []
     for i in np.flatnonzero(good):
         r = int(rs[i])
         mod = float(mods[i])
@@ -732,18 +742,19 @@ def _finder_centers(mask: np.ndarray) -> List[Tuple[int, int, float]]:
         while down < h - 1 and col[down + 1]:
             down += 1
         core = down - up + 1
-        if abs(core - 3 * mod) <= max(1.0, mod * 0.75):
-            centers.append((int(up + core // 2), cc, mod))
-    # dedupe nearby candidates — only against candidates of SIMILAR module
-    # size: a spurious double-scale pattern inside the data region must not
-    # suppress a true finder center a few pixels away
-    out: List[Tuple[int, int, float]] = []
-    for cand in centers:
+        if abs(core - 3 * mod) > max(1.0, mod * 0.75):
+            continue
+        cand = (int(up + core // 2), cc, mod)
+        # dedupe nearby candidates — only against candidates of SIMILAR
+        # module size: a spurious double-scale pattern inside the data
+        # region must not suppress a true finder center a few pixels away
         if not any(abs(cand[0] - o[0]) < 3 * min(cand[2], o[2])
                    and abs(cand[1] - o[1]) < 3 * min(cand[2], o[2])
                    and abs(cand[2] - o[2]) < 0.35 * o[2] for o in out):
             out.append(cand)
-    return out[:16]  # bounded triple search downstream
+            if len(out) >= 16:  # bounded triple search downstream
+                break
+    return out
 
 
 # ---------------------------------------------------------------------------

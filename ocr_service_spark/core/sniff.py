@@ -20,10 +20,13 @@ FMT_PNG = "png"
 FMT_JPEG = "jpeg"
 FMT_GIF = "gif"
 FMT_WEBP = "webp"
+FMT_TIFF = "tiff"
+FMT_PNM = "pnm"
 FMT_TOKENS = "tokens"
 FMT_UNKNOWN = "unknown"
 
-IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_WEBP, FMT_TOKENS})
+IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_WEBP, FMT_TIFF,
+                           FMT_PNM, FMT_TOKENS})
 
 
 def sniff_format(payload) -> str:
@@ -43,6 +46,14 @@ def sniff_format(payload) -> str:
         return FMT_GIF
     if b.startswith(b"RIFF") and len(b) >= 12 and b[8:12] == b"WEBP":
         return FMT_WEBP
+    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+        return FMT_TIFF
+    # binary netpbm only: ASCII "P1".."P3" + whitespace is plain text at
+    # magic level (the r4-ADVICE 'BM' lesson applied up front) — decode
+    # still accepts ASCII variants when CALLED on a known-image column
+    if b[:2] in (b"P4", b"P5", b"P6") and len(b) > 2 \
+            and (b[2:3].isspace() or b[2:3] == b"#"):
+        return FMT_PNM
     head = b.lstrip(b" \t\r\n\f")
     if head[:1] == b"<" or head[:15].lower().startswith(b"<!doctype html"):
         return FMT_HTML

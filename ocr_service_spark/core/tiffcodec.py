@@ -1,0 +1,492 @@
+"""Pure-stdlib baseline TIFF codec (decode + fixture encoder).
+
+Scanner/MFP output is overwhelmingly TIFF, and the reference accepts any
+``image/*`` upload through ``cv2.imdecode``, which reads TIFF
+(/root/reference/app/ocr_engine.py:357-362) — so TIFF belongs to the S3
+decode surface next to PNG/BMP (core/imagecodec) and JPEG
+(core/jpegcodec). Baseline TIFF 6.0 is publicly specified (the Adobe
+TIFF 6.0 specification, 1992): little/big-endian IFDs, strip-organized
+raster, PackBits (RLE) and LZW compression with the horizontal-
+differencing predictor. Everything here is deterministic pure Python +
+numpy; the same functions run inside the Spark UDF bodies and the
+pytest oracle (the ``core/`` byte-identity convention).
+
+Decoder (``decode_tiff``) — supported subset, anything else returns
+``None`` (errors-as-data upstream, exactly like the other codecs):
+  * both byte orders (II / MM), first IFD only (page 1 of a multi-page
+    scan, matching cv2.imdecode's default single-image read)
+  * 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero — inverted
+    on output — and 1 BlackIsZero), 8-bit RGB (contiguous planar
+    configuration), 8-bit palette (ColorMap 16-bit entries scaled /257),
+    and 1-bit bilevel (photometric 0/1, row-aligned bit packing)
+  * Compression 1 (none), 32773 (PackBits), 5 (LZW, MSB-first codes
+    with the spec's "early change" width switch) + Predictor 2
+    (horizontal differencing, applied per row after decompression)
+  * strip organization (StripOffsets/StripByteCounts/RowsPerStrip);
+    tiles, 16-bit samples, planar=2, alpha/extra samples, JPEG-in-TIFF
+    and CCITT fax compressions are out of subset -> None
+
+Encoder (``encode_tiff``) — the fixture writer, same role as
+``encode_png``/``encode_jpeg_gray``: lossless, so round-trip tests
+assert EXACT equality. Options cover every decoder path: compression
+none/packbits/lzw, predictor on/off, multi-strip, WhiteIsZero,
+identity-palette, 1-bit bilevel, and both byte orders.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+TIFF_MAGIC_LE = b"II*\x00"
+TIFF_MAGIC_BE = b"MM\x00*"
+
+# Decoded image: (width, height, channels in {1, 3}, uint8 (h, w, ch)) —
+# the imagecodec.Decoded shape.
+Decoded = Tuple[int, int, int, np.ndarray]
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+# ---------------------------------------------------------------------------
+# Compression primitives
+# ---------------------------------------------------------------------------
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9). Stops once ``expected`` output
+    bytes exist (strips may carry pad bytes)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("packbits truncated")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise ValueError("packbits short output")
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: repeat runs >= 3 become RLE, the rest literals."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal stretch: until a >=3 repeat run starts (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first code packing, 9->12 bit
+    codes with the EARLY width change (the width bumps when the NEXT
+    table slot is (1<<width)-1, one code earlier than GIF's LZW)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    width = 9
+    table: List[bytes] = []
+    next_code = 258
+    prev: Optional[bytes] = None
+
+    def read_code() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= n:
+                return _LZW_EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    while len(out) < expected:
+        code = read_code()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = []
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW first code not a literal")
+            entry = bytes([code])
+        elif code < 256:
+            entry = bytes([code])
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            # early change, decoder side: the decoder's table runs ONE
+            # entry behind the encoder's (the pending entry needs the
+            # next code's first byte), so it must widen one slot before
+            # its own table says so — at (1<<width)-2, not -1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW short output")
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer with the matching early-change width schedule;
+    emits Clear at start and whenever the table fills (slot 4094)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    width = 9
+    table: Dict[bytes, int] = {}
+    next_code = 258
+    emit(_LZW_CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if len(nxt) == 1 or nxt in table:
+            cur = nxt
+            continue
+        emit(cur[0] if len(cur) == 1 else table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(_LZW_CLEAR, width)
+            table = {}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(cur[0] if len(cur) == 1 else table[cur], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_tiff(data) -> Optional[Decoded]:
+    """Baseline TIFF -> (width, height, channels, uint8 pixels) or None
+    (errors-as-data). See the module docstring for the subset."""
+    try:
+        return _decode_tiff_inner(bytes(data))
+    except Exception:
+        return None
+
+
+def _read_ifd(b: bytes, off: int, bo: str):
+    """IFD at ``off`` -> {tag: list-of-int-values} (integer types only;
+    RATIONAL and friends are skipped — nothing in the subset needs them)."""
+    if off + 2 > len(b):
+        raise ValueError("IFD out of bounds")
+    (count,) = struct.unpack_from(bo + "H", b, off)
+    entries: Dict[int, List[int]] = {}
+    base = off + 2
+    if base + count * 12 + 4 > len(b):
+        raise ValueError("IFD truncated")
+    for i in range(count):
+        tag, typ, num = struct.unpack_from(bo + "HHI", b, base + i * 12)
+        if typ not in (1, 3, 4):
+            continue
+        size = _TYPE_SIZES[typ] * num
+        if size <= 4:
+            voff = base + i * 12 + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", b, base + i * 12 + 8)
+            if voff + size > len(b):
+                raise ValueError("IFD value out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        entries[tag] = list(struct.unpack_from(bo + str(num) + fmt, b, voff))
+    return entries
+
+
+def _decode_tiff_inner(b: bytes) -> Optional[Decoded]:
+    if b.startswith(TIFF_MAGIC_LE):
+        bo = "<"
+    elif b.startswith(TIFF_MAGIC_BE):
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack_from(bo + "I", b, 4)
+    tags = _read_ifd(b, ifd_off, bo)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        return None
+    spp = one(277, 1)
+    bits = tags.get(258, [1])
+    compression = one(259, 1)
+    photometric = one(262)
+    predictor = one(317, 1)
+    planar = one(284, 1)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    rows_per_strip = one(278, h)
+    if photometric is None or offsets is None or counts is None:
+        return None
+    if planar != 1 or len(offsets) != len(counts):
+        return None
+    if compression not in (1, 5, 32773):
+        return None
+    if predictor not in (1, 2):
+        return None
+    bilevel = bits == [1] and spp == 1 and photometric in (0, 1)
+    if not bilevel:
+        if any(x != 8 for x in bits) or len(bits) != spp:
+            return None
+        if photometric == 2 and spp != 3:
+            return None
+        if photometric in (0, 1, 3) and spp != 1:
+            return None
+    if photometric not in (0, 1, 2, 3):
+        return None
+    if photometric == 3 and 320 not in tags:
+        return None
+    if bilevel:
+        row_bytes = (w + 7) // 8
+    else:
+        row_bytes = w * spp
+    # assemble strips
+    rows = []
+    row_start = 0
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(b):
+            return None
+        nrows = min(rows_per_strip, h - row_start)
+        if nrows <= 0:
+            return None
+        raw = b[off:off + cnt]
+        expected = row_bytes * nrows
+        if compression == 5:
+            raw = lzw_decode(raw, expected)
+        elif compression == 32773:
+            raw = packbits_decode(raw, expected)
+        elif len(raw) < expected:
+            return None
+        strip = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+            nrows, row_bytes)
+        rows.append(strip)
+        row_start += nrows
+    if row_start != h:
+        return None
+    plane = np.concatenate(rows, axis=0)
+    if predictor == 2 and not bilevel:
+        # horizontal differencing: cumulative sum per sample lane, mod 256
+        plane = plane.reshape(h, w, spp)
+        plane = np.cumsum(plane.astype(np.uint32), axis=1).astype(
+            np.uint8).reshape(h, row_bytes)
+    if bilevel:
+        bits_arr = np.unpackbits(plane, axis=1)[:, :w]
+        if photometric == 0:  # WhiteIsZero: 0 = white, 1 = black
+            out = np.where(bits_arr == 0, 255, 0).astype(np.uint8)
+        else:  # BlackIsZero: 0 = black
+            out = np.where(bits_arr == 0, 0, 255).astype(np.uint8)
+        return w, h, 1, out[:, :, None]
+    if photometric == 2:
+        return w, h, 3, plane.reshape(h, w, 3)
+    gray = plane.reshape(h, w)
+    if photometric == 0:  # WhiteIsZero 8-bit: invert
+        gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+        return w, h, 1, gray[:, :, None]
+    if photometric == 3:
+        cmap = tags[320]
+        n = 1 << 8
+        if len(cmap) < 3 * n:
+            return None
+        # 16-bit palette entries -> 8-bit (the /257 convention)
+        pal = (np.array(cmap[:3 * n], dtype=np.uint32)
+               .reshape(3, n).T + 128) // 257
+        rgb = pal[gray].astype(np.uint8)
+        return w, h, 3, rgb.reshape(h, w, 3)
+    return w, h, 1, gray[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixtures)
+# ---------------------------------------------------------------------------
+
+def _hdiff(plane: np.ndarray, w: int, spp: int) -> np.ndarray:
+    """Horizontal differencing predictor (forward direction)."""
+    h = plane.shape[0]
+    px = plane.reshape(h, w, spp).astype(np.int32)
+    d = px.copy()
+    d[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
+    return (d & 0xFF).astype(np.uint8).reshape(h, w * spp)
+
+
+def encode_tiff(pixels: np.ndarray, compression: str = "none",
+                predictor: bool = False, rows_per_strip: int = 0,
+                byte_order: str = "<", white_zero: bool = False,
+                palette: bool = False, bilevel: bool = False) -> bytes:
+    """(h, w [, 3]) uint8 -> baseline TIFF. Lossless for every option
+    combination, so round-trips are exact. ``palette`` writes a gray
+    plane as an identity-colormap palette image; ``bilevel`` thresholds
+    a gray plane at 128 into 1-bit rows; ``white_zero`` stores
+    photometric 0 (inverted gray / inverted bits)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    if bilevel:
+        if not gray:
+            raise ValueError("bilevel takes a gray plane")
+        ink = (arr < 128).astype(np.uint8)
+        if white_zero:
+            photometric = 0  # 1 = black
+            plane = np.packbits(ink, axis=1)
+        else:
+            photometric = 1  # 1 = white
+            plane = np.packbits(1 - ink, axis=1)
+        row_bytes = plane.shape[1]
+        bits_tag = [1]
+    else:
+        if palette:
+            if not gray:
+                raise ValueError("palette takes a gray plane")
+            photometric = 3
+        elif gray:
+            photometric = 0 if white_zero else 1
+            if white_zero:
+                arr = (255 - arr.astype(np.int32)).astype(np.uint8)
+        else:
+            photometric = 2
+        plane = arr.reshape(h, w * spp)
+        row_bytes = w * spp
+        bits_tag = [8] * spp
+    use_pred = predictor and compression == "lzw" and not bilevel
+    if use_pred:
+        plane = _hdiff(plane, w, spp)
+    rps = rows_per_strip if rows_per_strip > 0 else h
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = plane[r0:r0 + rps].tobytes()
+        if comp_code == 5:
+            raw = lzw_encode(raw)
+        elif comp_code == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
+
+    bo = byte_order
+    magic = TIFF_MAGIC_LE if bo == "<" else TIFF_MAGIC_BE
+    # layout: header(8) | strip data | [external values] | IFD
+    out = bytearray(magic)
+    out += struct.pack(bo + "I", 0)  # IFD offset patched below
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+
+    entries = []  # (tag, type, count, packed-value-or-(data, placeholder))
+    ext = bytearray()
+
+    def add(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        size = _TYPE_SIZES[typ] * len(vals)
+        payload = struct.pack(bo + str(len(vals)) + fmt, *vals)
+        if size <= 4:
+            entries.append((tag, typ, len(vals), payload.ljust(4, b"\x00")))
+        else:
+            entries.append((tag, typ, len(vals), ("ext", len(ext))))
+            ext.extend(payload)
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, bits_tag)
+    add(259, 3, [comp_code])
+    add(262, 3, [photometric])
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [min(rps, h)])
+    add(279, 4, [len(s) for s in strips])
+    add(284, 3, [1])
+    if use_pred:
+        add(317, 3, [2])
+    if palette:
+        pal = list(range(256))
+        cmap = [v * 257 for v in pal] * 3  # identity map, R=G=B
+        add(320, 3, cmap)
+
+    ext_base = len(out)
+    out += ext
+    if len(out) % 2:
+        out += b"\x00"
+    ifd_off = len(out)
+    struct.pack_into(bo + "I", out, 4, ifd_off)
+    entries.sort(key=lambda e: e[0])
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if isinstance(val, tuple):
+            out += struct.pack(bo + "I", ext_base + val[1])
+        else:
+            out += val
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    return bytes(out)

@@ -76,18 +76,37 @@ def _decode_image(payload: bytes):
     # BITMAPINFOHEADER means any real BMP is >= 54 bytes. Shorter BM-prefixed
     # payloads fall through to the fake path like any other non-image bytes.
     # JPEG (r5): the three-byte FF D8 FF magic (SOI + a marker prefix) routes
-    # to the stdlib baseline codec — the same real-pixel path.
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or (
+    # to the stdlib codec (baseline + progressive) — the same real-pixel
+    # path. TIFF's 4-byte magic and binary netpbm (P4/P5/P6 + whitespace;
+    # ASCII P1-P3 is text-plausible, same caution as the BM guard) join in
+    # r5 session 2 via core/tiffcodec and core/imagecodec.decode_pnm.
+    pnm_plausible = (payload[:2] in (b"P4", b"P5", b"P6")
+                     and len(payload) > 2
+                     and (payload[2:3].isspace() or payload[2:3] == b"#"))
+    if pnm_plausible:
+        from ..core.imagecodec import decode_image, dhash63_gray, to_gray
+
+        decoded = decode_image(payload)
+        if decoded is not None:
+            w, h, ch, px = decoded
+            return w, h, ch, format(dhash63_gray(to_gray(px)), "016x")
+        # "P5 " + non-image bytes is plausible PLAIN TEXT — fall through
+        # to the fake path like any other non-image payload (the r4
+        # ADVICE 'BM' lesson: never flip decode_ok on a text-plausible
+        # magic)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n" or (
         payload[:2] == b"BM" and len(payload) >= 54
-    ) or payload[:3] == b"\xff\xd8\xff":
+    ) or payload[:3] == b"\xff\xd8\xff" \
+            or payload[:4] in (b"II*\x00", b"MM\x00*"):
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)
         if decoded is None:
-            # claims PNG/BMP but does not decode (truncated, corrupt,
-            # unsupported subset): that is a decode FAILURE, not a
-            # missing decoder — surface decode_ok=False, never the fake
-            raise NotImplementedError("undecodable PNG/BMP payload")
+            # claims a stdlib-decodable format but does not decode
+            # (truncated, corrupt, unsupported subset): that is a decode
+            # FAILURE, not a missing decoder — surface decode_ok=False,
+            # never the fake
+            raise NotImplementedError("undecodable stdlib-format payload")
         w, h, ch, px = decoded
         return w, h, ch, format(dhash63_gray(to_gray(px)), "016x")
     if HAVE_DECODER:

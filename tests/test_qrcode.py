@@ -458,3 +458,33 @@ class TestClaheAdaptiveVariant:
         assert Q.locate_and_decode(adaptive_mean_mask(clahe(page))) == text
         got = _PIXEL_BACKEND.extract_qrcode(encode_png(page))
         assert got == [{"data": text, "type": "QRCODE"}]
+
+
+class TestHostileNoiseBound:
+    def test_noise_page_finder_scan_is_bounded(self):
+        # ~50%-ink random noise produces ~10^5 run triples passing the
+        # horizontal 1:1:3:1:1 screen; the single-pass cross-check +
+        # capped dedupe must return in well under a second (the former
+        # build-all-then-dedupe shape measured 52 s on this input, x3
+        # binarization variants in the extraction cascade)
+        import time
+
+        big = np.random.default_rng(1).integers(
+            0, 256, (1200, 1700), dtype=np.uint8)
+        t0 = time.time()
+        cands = Q._finder_centers(big <= 127)
+        dt = time.time() - t0
+        assert len(cands) <= 16
+        assert dt < 2.0  # 0.16 s measured; generous for host stalls
+
+    def test_cap_does_not_starve_a_real_symbol_on_clean_pages(self):
+        # a clean receipt page accepts only the true finder candidates,
+        # so the early stop never triggers and decode still works with
+        # noise ABOVE the symbol (noise rows accept up to the cap only
+        # when they alias as finder cores — here the page is clean)
+        text = "https://q.example/bound"
+        qr = Q.encode_qr(text)
+        px = np.repeat(np.repeat(qr, 3, axis=0), 3, axis=1)
+        page = np.full((400, 400), 255, dtype=np.uint8)
+        page[300:300 + px.shape[0], 200:200 + px.shape[1]][px] = 0
+        assert Q.locate_and_decode(page <= 127) == text

@@ -1,0 +1,324 @@
+"""Stdlib TIFF codec (core/tiffcodec) + netpbm PNM (core/imagecodec):
+round-trips are EXACT (both formats are lossless), plus compression
+vectors, failure paths, dispatch/sniff routing, extraction-route
+integration, and skip-marked cv2 parity (the decoder the reference uses
+for every image upload — /root/reference/app/ocr_engine.py:357-362)."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core.imagecodec import (
+    decode_image,
+    decode_pnm,
+    encode_pnm,
+)
+from ocr_service_spark.core.tiffcodec import (
+    decode_tiff,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+)
+
+try:
+    import cv2  # noqa: F401
+    HAVE_CV2 = True
+except Exception:
+    HAVE_CV2 = False
+
+
+def _gray(seed, shape=(45, 67)):
+    return np.random.default_rng(seed).integers(
+        0, 256, shape, dtype=np.uint8)
+
+
+class TestPackBits:
+    def test_spec_vector(self):
+        # the TIFF 6.0 §9 worked example
+        raw = bytes.fromhex("aaaaaa80002aaaaaaaaa80002a22aaaaaaaaaaaaaaaaaaaa")
+        enc = bytes.fromhex("feaa0280002afdaa0380002a22f7aa")
+        assert packbits_decode(enc, len(raw)) == raw
+        # our greedy encoder reproduces the spec's packing for this input
+        assert packbits_encode(raw) == enc
+
+    def test_round_trip_mixed(self):
+        rng = np.random.default_rng(2)
+        data = bytes(rng.integers(0, 4, 500, dtype=np.uint8)) + b"\x00" * 300
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+    def test_long_runs_and_literals(self):
+        data = b"\x07" * 1000 + bytes(range(256)) * 2
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+class TestLzw:
+    def test_hand_packed_known_stream(self):
+        # Clear(256), 'a'(97), 'b'(98), EOI(257) at 9 bits MSB-first
+        bits = ""
+        for code in (256, 97, 98, 257):
+            bits += format(code, "09b")
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        enc = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        assert lzw_decode(enc, 2) == b"ab"
+
+    def test_round_trip_text_and_noise(self):
+        rng = np.random.default_rng(3)
+        for data in (b"TOBEORNOTTOBEORTOBEORNOT" * 40,
+                     bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+                     b"\x00" * 5000,
+                     bytes(rng.integers(0, 3, 20000, dtype=np.uint8))):
+            assert lzw_decode(lzw_encode(data), len(data)) == data
+
+    def test_table_reset_path(self):
+        # > 4094 dictionary entries forces a mid-stream Clear
+        rng = np.random.default_rng(4)
+        data = bytes(rng.integers(0, 256, 60000, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+class TestTiffRoundTrip:
+    @pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+    @pytest.mark.parametrize("byte_order", ["<", ">"])
+    def test_gray_exact(self, compression, byte_order):
+        g = _gray(11)
+        out = decode_tiff(encode_tiff(g, compression=compression,
+                                      byte_order=byte_order))
+        assert out is not None and out[:3] == (67, 45, 1)
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_lzw_predictor_exact(self):
+        # smooth gradient: the predictor's actual use case
+        g = np.clip(np.add.outer(np.arange(50), np.arange(80)) % 256,
+                    0, 255).astype(np.uint8)
+        jp = encode_tiff(g, compression="lzw", predictor=True)
+        out = decode_tiff(jp)
+        assert np.array_equal(out[3][:, :, 0], g)
+        # predictor must shrink the smooth gradient's LZW stream
+        assert len(jp) < len(encode_tiff(g, compression="lzw"))
+
+    def test_rgb_exact_with_predictor(self):
+        rng = np.random.default_rng(13)
+        c = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+        for kw in ({}, {"compression": "packbits"},
+                   {"compression": "lzw", "predictor": True}):
+            out = decode_tiff(encode_tiff(c, **kw))
+            assert out[:3] == (41, 33, 3)
+            assert np.array_equal(out[3], c)
+
+    def test_multi_strip(self):
+        g = _gray(17, (100, 64))
+        for rps in (1, 7, 16, 100):
+            out = decode_tiff(encode_tiff(g, compression="lzw",
+                                          rows_per_strip=rps))
+            assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_white_is_zero_inverts(self):
+        g = _gray(19)
+        out = decode_tiff(encode_tiff(g, white_zero=True))
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_identity_palette(self):
+        g = _gray(23)
+        out = decode_tiff(encode_tiff(g, palette=True))
+        assert out[:3] == (67, 45, 3)
+        for ch in range(3):
+            assert np.array_equal(out[3][:, :, ch], g)
+
+    @pytest.mark.parametrize("white_zero", [False, True])
+    def test_bilevel_both_photometrics(self, white_zero):
+        g = np.where(_gray(29, (40, 61)) < 128, 30, 220).astype(np.uint8)
+        out = decode_tiff(encode_tiff(g, bilevel=True,
+                                      white_zero=white_zero))
+        assert out[:3] == (61, 40, 1)
+        expect = np.where(g < 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(out[3][:, :, 0], expect)
+
+    def test_bilevel_packbits(self):
+        g = np.full((64, 80), 255, dtype=np.uint8)
+        g[10:20, 10:40] = 0
+        out = decode_tiff(encode_tiff(g, bilevel=True,
+                                      compression="packbits"))
+        assert np.array_equal(out[3][:, :, 0], g)
+
+
+class TestTiffFailurePaths:
+    def test_garbage_and_truncation(self):
+        g = _gray(31, (16, 16))
+        t = encode_tiff(g, compression="lzw")
+        assert decode_tiff(b"not a tiff") is None
+        assert decode_tiff(t[:8]) is None
+        assert decode_tiff(t[: len(t) // 2]) is None
+        assert decode_tiff(b"II*\x00" + b"\xff" * 100) is None
+
+    def test_unsupported_subsets_rejected(self):
+        g = _gray(37, (16, 16))
+        t = bytearray(encode_tiff(g))
+        # flip the Compression tag value (259) to CCITT G4 (4)
+        import struct
+        (ifd,) = struct.unpack_from("<I", t, 4)
+        (cnt,) = struct.unpack_from("<H", t, ifd)
+        for i in range(cnt):
+            tag, = struct.unpack_from("<H", t, ifd + 2 + i * 12)
+            if tag == 259:
+                struct.pack_into("<H", t, ifd + 2 + i * 12 + 8, 4)
+        assert decode_tiff(bytes(t)) is None
+
+
+class TestPnm:
+    @pytest.mark.parametrize("variant", [2, 5])
+    def test_gray_round_trip(self, variant):
+        g = _gray(41)
+        out = decode_pnm(encode_pnm(g, variant=variant))
+        assert out[:3] == (67, 45, 1)
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    @pytest.mark.parametrize("variant", [3, 6])
+    def test_rgb_round_trip(self, variant):
+        rng = np.random.default_rng(43)
+        c = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+        out = decode_pnm(encode_pnm(c, variant=variant))
+        assert out[:3] == (34, 21, 3)
+        assert np.array_equal(out[3], c)
+
+    @pytest.mark.parametrize("variant", [1, 4])
+    def test_bitmap_round_trip(self, variant):
+        g = np.where(_gray(47, (23, 50)) < 128, 0, 255).astype(np.uint8)
+        out = decode_pnm(encode_pnm(g, variant=variant))
+        assert out[:3] == (50, 23, 1)
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_maxval_scaling_and_16bit(self):
+        g = _gray(53, (12, 18))
+        # maxval 65535 via 16-bit big-endian samples: scaling is exact
+        # both ways for the *257-style embedding used by encode_pnm
+        out = decode_pnm(encode_pnm(g, variant=5, maxval=65535))
+        assert np.array_equal(out[3][:, :, 0], g)
+        # coarse maxval loses precision but stays within one step
+        out15 = decode_pnm(encode_pnm(g, variant=5, maxval=15))
+        assert np.abs(out15[3][:, :, 0].astype(int) - g.astype(int)).max() <= 9
+
+    def test_comments_and_whitespace(self):
+        raw = b"P2 # comment\n# another\n 3 \t2\n255\n1 2 3\n4 5 6\n"
+        out = decode_pnm(raw)
+        assert out[:3] == (3, 2, 1)
+        assert out[3][:, :, 0].tolist() == [[1, 2, 3], [4, 5, 6]]
+
+    def test_failure_paths(self):
+        assert decode_pnm(b"P7\n1 1\n255\n\x00") is None  # PAM: out of subset
+        assert decode_pnm(b"P5\n0 4\n255\n") is None
+        assert decode_pnm(b"P5\n4 4\n255\n" + b"\x00" * 3) is None  # short raster
+        assert decode_pnm(b"P2\n2 1\n255\n300 0\n") is None  # > maxval
+        assert decode_pnm(b"Px nonsense") is None
+
+
+class TestDispatchAndExtraction:
+    def test_decode_image_routes_tiff_and_pnm(self):
+        g = _gray(59, (20, 30))
+        for payload in (encode_tiff(g), encode_tiff(g, byte_order=">"),
+                        encode_pnm(g, variant=5), encode_pnm(g, variant=2)):
+            out = decode_image(payload)
+            assert out is not None and out[:3] == (30, 20, 1)
+
+    def test_sniff_routes_binary_pnm_only(self):
+        from ocr_service_spark.core.sniff import sniff_format
+
+        g = _gray(61, (8, 8))
+        assert sniff_format(encode_tiff(g)) == "tiff"
+        assert sniff_format(encode_tiff(g, byte_order=">")) == "tiff"
+        assert sniff_format(encode_pnm(g, variant=5)) == "pnm"
+        # ASCII netpbm is plain-text-plausible: NOT sniffed as an image
+        assert sniff_format(encode_pnm(g, variant=2)) in ("unknown",)
+        assert sniff_format(b"P5ano-whitespace") == "unknown"
+
+    def test_extraction_on_tiff_and_pnm_receipts(self):
+        # a planted receipt's pixels re-encoded as scanner TIFF (LZW,
+        # multi-strip) and binary PGM must extract identically to PNG
+        from ocr_service_spark.catalog import _planted_png_receipt
+        from ocr_service_spark.core.document import (
+            extract_document,
+            itens_to_json,
+        )
+        from ocr_service_spark.core.imagecodec import decode_png, to_gray
+
+        for doc_id in (0, 5):
+            png = _planted_png_receipt(doc_id)
+            gray = to_gray(decode_png(png)[3])
+            tif = encode_tiff(gray, compression="lzw", predictor=True,
+                              rows_per_strip=64)
+            pgm = encode_pnm(gray, variant=5)
+            a = extract_document("png://x", png)
+            b = extract_document("tif://x", tif)
+            c = extract_document("pnm://x", pgm)
+            assert a["tipo_documento"] == b["tipo_documento"] \
+                == c["tipo_documento"] != "erro"
+            assert itens_to_json(a["itens"]) == itens_to_json(b["itens"]) \
+                == itens_to_json(c["itens"])
+            assert a["qrcode_url"] == b["qrcode_url"] == c["qrcode_url"]
+
+    def test_hostile_tiff_is_error_envelope(self):
+        from ocr_service_spark.core.document import extract_document
+
+        r = extract_document("tif://bad", b"II*\x00" + b"\x00" * 40)
+        assert r["tipo_documento"] == "erro"
+
+    def test_multimodal_pnm_text_plausible_falls_to_fake(self):
+        # "P5 " + prose is plausible text: the media-feature UDF must
+        # keep the deterministic-fake contract, never decode_ok=False
+        from ocr_service_spark.operators.multimodal import _decode_image
+
+        w, h, ch, ph = _decode_image(b"P5 is a binary graymap format.")
+        assert (w, h, ch) == (64 + 8 * _fake_byte(b"P5 is a binary graymap format.", 0),
+                              64 + 8 * _fake_byte(b"P5 is a binary graymap format.", 1), 3)
+
+    def test_multimodal_real_pnm_and_tiff_decode(self):
+        from ocr_service_spark.operators.multimodal import _decode_image
+
+        g = _gray(67, (24, 32))
+        for payload in (encode_pnm(g, variant=5), encode_tiff(g)):
+            w, h, ch, ph = _decode_image(payload)
+            assert (w, h, ch) == (32, 24, 1)
+            assert len(ph) == 16
+
+    def test_multimodal_corrupt_tiff_flags_decode_failure(self):
+        from ocr_service_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"II*\x00" + b"\x00" * 40)
+
+
+def _fake_byte(payload: bytes, i: int) -> int:
+    import hashlib
+
+    return hashlib.blake2b(payload, digest_size=16).digest()[i]
+
+
+@pytest.mark.skipif(not HAVE_CV2, reason="cv2 absent in this sandbox")
+class TestCv2Parity:
+    def test_cv2_decodes_our_tiff(self):
+        import cv2
+
+        g = _gray(71, (40, 56))
+        for kw in ({}, {"compression": "packbits"},
+                   {"compression": "lzw", "predictor": True},
+                   {"byte_order": ">"}):
+            jp = np.frombuffer(encode_tiff(g, **kw), dtype=np.uint8)
+            dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
+            assert dec is not None and np.array_equal(dec, g)
+
+    def test_we_decode_cv2_tiff(self):
+        import cv2
+
+        g = _gray(73, (30, 44))
+        ok, enc = cv2.imencode(".tiff", g)
+        assert ok
+        out = decode_tiff(enc.tobytes())
+        assert out is not None and np.array_equal(out[3][:, :, 0], g)
+
+    def test_pnm_parity(self):
+        import cv2
+
+        g = _gray(79, (25, 39))
+        jp = np.frombuffer(encode_pnm(g, variant=5), dtype=np.uint8)
+        dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
+        assert dec is not None and np.array_equal(dec, g)
