@@ -471,14 +471,36 @@ def _decode_pnm_inner(b: bytes) -> Optional[Decoded]:
         return None
     ch = 3 if variant in (3, 6) else 1
     if variant <= 3:
-        # ASCII raster: whitespace-separated sample values
-        vals = b[pos:].split()
         need = w * h * ch
-        if len(vals) < need:
-            return None
-        arr = np.array([int(v) for v in vals[:need]], dtype=np.int64)
-        if arr.min() < 0 or arr.max() > maxval:
-            return None
+        if variant == 1:
+            # P1 rasters may pack digits with NO separators ("0110"):
+            # read individual 0/1 characters, skipping whitespace and
+            # comments
+            body = b[pos:]
+            digits = []
+            i = 0
+            while i < len(body) and len(digits) < need:
+                c = body[i:i + 1]
+                if c == b"#":
+                    nl = body.find(b"\n", i)
+                    i = len(body) if nl < 0 else nl + 1
+                    continue
+                if c in (b"0", b"1"):
+                    digits.append(body[i] - 0x30)
+                elif not c.isspace():
+                    return None
+                i += 1
+            if len(digits) < need:
+                return None
+            arr = np.array(digits, dtype=np.int64)
+        else:
+            # ASCII raster: whitespace-separated sample values
+            vals = b[pos:].split()
+            if len(vals) < need:
+                return None
+            arr = np.array([int(v) for v in vals[:need]], dtype=np.int64)
+            if arr.min() < 0 or arr.max() > maxval:
+                return None
     else:
         pos += 1  # exactly one whitespace byte after the last header token
         if bitmap:

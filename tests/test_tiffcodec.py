@@ -322,3 +322,15 @@ class TestCv2Parity:
         jp = np.frombuffer(encode_pnm(g, variant=5), dtype=np.uint8)
         dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
         assert dec is not None and np.array_equal(dec, g)
+
+
+class TestPnmPackedP1:
+    def test_p1_digits_without_separators(self):
+        raw = b"P1\n# packed\n5 2\n01101\n10#c\n010\n"
+        out = decode_pnm(raw)
+        assert out[:3] == (5, 2, 1)
+        expect = 255 * (1 - np.array([[0, 1, 1, 0, 1], [1, 0, 0, 1, 0]]))
+        assert np.array_equal(out[3][:, :, 0], expect.astype(np.uint8))
+
+    def test_p1_rejects_other_characters(self):
+        assert decode_pnm(b"P1\n2 1\n02\n") is None
