@@ -276,6 +276,35 @@ class TestProgressive:
         ]
         self._gray_pair(g, scans=scans)
 
+    @pytest.mark.parametrize("ri", [2, 5, 11])
+    def test_eob_runs_crossing_restart_boundaries(self, ri):
+        # sparse page -> multi-block EOB runs; restarts must cut and
+        # reset them without desync in any scan type
+        g = np.full((96, 96), 250, dtype=np.uint8)
+        g[40:48, 40:48] = 10
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg_gray(g, qdiv=8))
+        prog = decode_jpeg(
+            encode_jpeg_gray_progressive(g, qdiv=8, restart_interval=ri))
+        assert np.array_equal(prog[3], base[3])
+
+    def test_single_coefficient_band_scans(self):
+        # degenerate script: DC then 63 one-coefficient AC scans
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        scans = [((0,), 0, 0, 0, 0)] + [((0,), k, k, 0, 0)
+                                        for k in range(1, 64)]
+        rng = np.random.default_rng(99)
+        g = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(g))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(g, scans=scans))
+        assert np.array_equal(prog[3], base[3])
+
     def test_rgb_420_subgrid_vs_baseline(self):
         # 52x38 is not a whole number of 16px MCUs: the Y component's
         # own block grid (7 wide) differs from the MCU storage grid
