@@ -1,0 +1,127 @@
+"""Pure-stdlib WAV (RIFF/WAVE PCM) codec (decode + fixture encoder).
+
+The multimodal audio column treated ALL audio as the deterministic fake
+because "no audio libs ship in this sandbox" — but canonical WAV is a
+RIFF container around raw PCM and needs no library at all (the format
+is publicly specified: RIFF chunks, an ``fmt `` chunk, a ``data``
+chunk). This closes the audio-decode stub for the one format a training
+pipeline actually stores uncompressed; compressed formats (MP3/AAC/OGG)
+legitimately stay gated on a real decoder. Reference scope note: the
+reference service is image-only (app/main.py accepts image uploads), so
+this belongs to the pipeline brief's multimodal surface, not reference
+parity.
+
+Decoder (``decode_wav``) — supported subset, anything else returns
+``None`` (errors-as-data upstream, like every other core codec):
+  * RIFF little-endian ``WAVE`` form, chunks in any order, unknown
+    chunks skipped (word-aligned per spec)
+  * PCM (wFormatTag 1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose
+    SubFormat GUID is PCM
+  * 8-bit unsigned and 16-bit signed LE samples, any channel count
+    (channels are averaged to a mono int32 stream, floor division —
+    deterministic integer math end-to-end)
+  * ``data`` truncated against the header: the complete frames present
+    are decoded (the usual streaming-truncation tolerance)
+
+Output samples are CENTERED at 0 and scaled to the 8-bit range
+(-128..127; 16-bit samples are arithmetic-shifted right by 8) so the
+windowed-RMS feature math downstream is identical across bit depths
+and matches the deterministic fake's byte-scale convention.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+WAV_MAGIC = b"RIFF"
+
+_PCM_GUID = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+             b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+
+# (sample_rate, n_channels, mono int32 samples centered at 0, byte scale)
+DecodedWav = Tuple[int, int, np.ndarray]
+
+
+def decode_wav(data) -> Optional[DecodedWav]:
+    try:
+        return _decode_wav_inner(bytes(data))
+    except Exception:
+        return None
+
+
+def _decode_wav_inner(b: bytes) -> Optional[DecodedWav]:
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    n = len(b)
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and fmt is None:
+            if len(body) < 16:
+                return None
+            tag, nch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if tag == 0xFFFE:
+                # EXTENSIBLE: the real format lives in the SubFormat GUID
+                if len(body) < 40 or body[24:40] != _PCM_GUID:
+                    return None
+                tag = 1
+            if tag != 1:
+                return None  # compressed: out of stdlib subset
+            if nch < 1 or nch > 32 or sr < 1 or bits not in (8, 16):
+                return None
+            fmt = (nch, sr, bits)
+        elif cid == b"data" and data is None:
+            data = body  # may be shorter than clen on truncated files
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    nch, sr, bits = fmt
+    if bits == 8:
+        frame = nch
+        usable = len(data) - len(data) % frame
+        a = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int32) - 128
+    else:
+        frame = 2 * nch
+        usable = len(data) - len(data) % frame
+        a = (np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+             >> 8)  # arithmetic shift to byte scale
+    if nch > 1:
+        a = a.reshape(-1, nch).sum(axis=1) // nch
+    return sr, nch, a
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
+               bits: int = 16, channels: int = 1) -> bytes:
+    """Fixture writer: int samples at BYTE scale (-128..127) -> canonical
+    RIFF/WAVE PCM. ``channels`` > 1 duplicates the mono stream into each
+    channel (so the decoder's channel mix reproduces the input exactly).
+    16-bit scales up by <<8, making the decoder's >>8 lossless."""
+    a = np.asarray(samples, dtype=np.int32)
+    if a.ndim != 1:
+        raise ValueError("encode_wav takes a mono sample vector")
+    if channels > 1:
+        a = np.repeat(a[:, None], channels, axis=1).reshape(-1)
+    if bits == 8:
+        raw = (np.clip(a, -128, 127) + 128).astype(np.uint8).tobytes()
+        block = channels
+    elif bits == 16:
+        raw = (np.clip(a, -128, 127).astype(np.int32) << 8).astype(
+            "<i2").tobytes()
+        block = 2 * channels
+    else:
+        raise ValueError("bits must be 8 or 16")
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out

@@ -5,8 +5,10 @@ Image decode is REAL for PNG/BMP since r4 and for baseline JPEG since r5 —
 the pure-stdlib codecs in ``core/imagecodec`` (zlib inflate + per-row
 unfiltering) and ``core/jpegcodec`` (marker parse + Huffman + IDCT) yield
 actual pixels, dimensions and a true perceptual dHash with no third-party
-wheels (progressive SOF2 JPEG included since r5 session 2). Remaining
-formats (GIF/WebP, audio, video) stay STUBBED in this environment (no
+wheels (progressive SOF2 JPEG, TIFF, netpbm and RIFF/WAVE PCM audio
+included since r5 session 2 — core/tiffcodec, imagecodec.decode_pnm,
+core/wavcodec). Remaining formats (GIF/WebP images, compressed audio,
+video containers) stay STUBBED in this environment (no
 cv2/soundfile — see the module-level import gates): ``DETERMINISTIC_FAKE``
 derives stable pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and
@@ -231,28 +233,42 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio(payload: bytes, window_ms: int = 250):
-    """Decode → (sample_rate, duration_ms, per-window RMS levels). Real
-    decoder (soundfile/ffmpeg) when available; deterministic fake otherwise:
-    the payload bytes ARE the pseudo-waveform (1 byte = 1 sample at 8 kHz),
-    so windowing/feature math is real while decode stays stubbed."""
-    if HAVE_AUDIO_DECODER:
+    """Decode → (sample_rate, duration_ms, per-window RMS levels). REAL
+    for RIFF/WAVE PCM since r5 session 2 (core/wavcodec — pure stdlib:
+    8/16-bit, any channel count mono-mixed, truncation-tolerant; the
+    RIFF magic is binary, so no text-plausibility hazard). Compressed
+    formats need soundfile/ffmpeg and stay gated; anything else takes
+    the deterministic fake: the payload bytes ARE the pseudo-waveform
+    (1 byte = 1 sample at 8 kHz), so windowing/feature math is real
+    while that decode stays stubbed."""
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..core.wavcodec import decode_wav
+
+        decoded = decode_wav(payload)
+        if decoded is None:
+            # claims WAV but does not parse: a decode FAILURE
+            # (decode_ok=False), never the fake
+            raise NotImplementedError("undecodable RIFF/WAVE payload")
+        sample_rate, _nch, a = decoded
+    elif HAVE_AUDIO_DECODER:
         raise NotImplementedError(
             "real decoder wiring is deployment-specific; plug soundfile/ffmpeg here"
         )
-    if not DETERMINISTIC_FAKE:
+    elif not DETERMINISTIC_FAKE:
         raise NotImplementedError("no audio decoder available in this environment")
-    import numpy as np
-
-    sample_rate = 8000
-    duration_ms = len(payload) * 1000 // sample_rate
-    win = sample_rate * window_ms // 1000
+    else:
+        sample_rate = 8000
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    duration_ms = len(a) * 1000 // sample_rate
+    win = max(sample_rate * window_ms // 1000, 1)
     # Vectorized: a multi-MB clip must not mean millions of Python-level
     # iterations inside the UDF. int32 squares can't overflow (max 128^2 per
     # sample; the per-window mean is taken in float64 below).
-    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
     sq = a * a
     rms = []
-    for i in range(0, len(payload), win):
+    for i in range(0, len(a), win):
         chunk = sq[i:i + win]
         acc = int(chunk.sum())
         rms.append(int((acc / max(len(chunk), 1)) ** 0.5 * 2))

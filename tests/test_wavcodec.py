@@ -1,0 +1,137 @@
+"""RIFF/WAVE PCM codec (core/wavcodec) + its multimodal audio-feature
+wiring: exact round-trips across bit depths/channel counts, chunk-layout
+tolerance, truncation, failure paths, and the windowed-RMS integration
+(real WAV vs the byte-waveform fake must agree when they encode the
+same samples at the same rate)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core.wavcodec import decode_wav, encode_wav
+
+
+def _tone(n=8000, seed=5):
+    return np.random.default_rng(seed).integers(
+        -128, 128, n, dtype=np.int32)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("bits", [8, 16])
+    @pytest.mark.parametrize("channels", [1, 2, 6])
+    def test_exact(self, bits, channels):
+        s = _tone()
+        out = decode_wav(encode_wav(s, 8000, bits=bits, channels=channels))
+        assert out is not None
+        sr, nch, a = out
+        assert (sr, nch) == (8000, channels)
+        assert np.array_equal(a, s)
+
+    def test_sample_rates_preserved(self):
+        s = _tone(400)
+        for sr in (8000, 16000, 44100, 48000):
+            assert decode_wav(encode_wav(s, sr))[0] == sr
+
+    def test_odd_length_8bit_word_padding(self):
+        s = _tone(333)
+        out = decode_wav(encode_wav(s, 8000, bits=8))
+        assert np.array_equal(out[2], s)
+
+
+class TestChunkLayout:
+    def test_unknown_chunks_skipped(self):
+        s = _tone(100)
+        w = bytearray(encode_wav(s))
+        # splice a LIST chunk between fmt and data
+        data_at = w.find(b"data")
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+        spliced = bytes(w[:data_at]) + extra + bytes(w[data_at:])
+        spliced = (spliced[:4]
+                   + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+        out = decode_wav(spliced)
+        assert out is not None and np.array_equal(out[2], s)
+
+    def test_truncated_data_decodes_complete_frames(self):
+        s = _tone(100)
+        w = encode_wav(s, bits=16)
+        out = decode_wav(w[:-21])  # drop 10.5 frames
+        assert out is not None
+        assert np.array_equal(out[2], s[:len(out[2])])
+        assert len(out[2]) == 89
+
+    def test_extensible_pcm_guid(self):
+        # hand-build WAVE_FORMAT_EXTENSIBLE wrapping plain 16-bit PCM
+        s = _tone(50)
+        raw = (np.clip(s, -128, 127) << 8).astype("<i2").tobytes()
+        from ocr_service_spark.core.wavcodec import _PCM_GUID
+
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) \
+            + struct.pack("<HHI", 22, 16, 0x3) + _PCM_GUID
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        w = b"RIFF" + struct.pack("<I", len(body)) + body
+        out = decode_wav(w)
+        assert out is not None and np.array_equal(out[2], s)
+
+
+class TestFailurePaths:
+    def test_garbage_and_wrong_forms(self):
+        assert decode_wav(b"") is None
+        assert decode_wav(b"RIFFxxxxAVI ") is None
+        assert decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+        s = _tone(10)
+        w = bytearray(encode_wav(s))
+        # flip wFormatTag to 85 (MP3): compressed, out of subset
+        fmt_at = w.find(b"fmt ") + 8
+        struct.pack_into("<H", w, fmt_at, 85)
+        assert decode_wav(bytes(w)) is None
+
+    def test_bad_bit_depths_rejected(self):
+        s = _tone(10)
+        w = bytearray(encode_wav(s))
+        fmt_at = w.find(b"fmt ") + 8
+        struct.pack_into("<H", w, fmt_at + 14, 24)  # 24-bit: unsupported
+        assert decode_wav(bytes(w)) is None
+
+
+class TestMultimodalWiring:
+    def test_real_wav_rms_matches_fake_on_same_samples(self):
+        # the fake treats bytes as samples @8 kHz; a real 8 kHz WAV of the
+        # SAME samples must produce the identical RMS profile
+        from ocr_service_spark.operators.multimodal import _decode_audio
+
+        s = _tone(4000, seed=9)
+        fake_payload = (np.clip(s, -128, 127) + 128).astype(np.uint8).tobytes()
+        sr_f, dur_f, rms_f = _decode_audio(fake_payload)
+        for bits in (8, 16):
+            sr_w, dur_w, rms_w = _decode_audio(encode_wav(s, 8000, bits=bits))
+            assert (sr_w, dur_w, rms_w) == (sr_f, dur_f, rms_f)
+
+    def test_stereo_mix_and_rate(self):
+        from ocr_service_spark.operators.multimodal import _decode_audio
+
+        s = _tone(16000, seed=11)
+        sr, dur, rms = _decode_audio(encode_wav(s, 16000, channels=2))
+        assert sr == 16000 and dur == 1000
+        assert len(rms) == 4  # 250 ms windows at 16 kHz
+
+    def test_constant_tone_exact_rms(self):
+        from ocr_service_spark.operators.multimodal import _decode_audio
+
+        s = np.full(8000, 50, dtype=np.int32)
+        _, _, rms = _decode_audio(encode_wav(s, 8000))
+        assert rms == [100, 100, 100, 100]  # |50| * the q8 x2 scale
+
+    def test_corrupt_wav_flags_decode_failure(self):
+        from ocr_service_spark.operators.multimodal import _decode_audio
+
+        with pytest.raises(NotImplementedError):
+            _decode_audio(b"RIFF\x20\x00\x00\x00WAVE" + b"\x00" * 24)
+
+    def test_non_wav_bytes_keep_fake_contract(self):
+        from ocr_service_spark.operators.multimodal import _decode_audio
+
+        payload = bytes(range(256)) * 4
+        sr, dur, rms = _decode_audio(payload)
+        assert sr == 8000 and dur == len(payload) * 1000 // 8000
