@@ -12,9 +12,13 @@ Routing (sniff → path):
              grayscale → raw/Otsu/zoom attempt cascade → 5×7 spec-font
              template OCR (core/glyphocr; X19/X21 on real bytes) —
              undecodable/blank images fall through to the empty-OCR envelope
-  gif/webp → image path; LZW/VP8 decode needs cv2 (absent), so the
-             backend yields no tokens → the reference's own empty-OCR error
-             envelope (app/ocr_engine.py:88-90 → :152-160)
+  gif/webp → image path, DELIBERATELY without pixel decode: the
+             reference's cv2.imdecode reads neither GIF nor animated-WebP
+             uploads, so its own empty-OCR error envelope is the parity
+             behavior (app/ocr_engine.py:88-90 → :152-160). A stdlib GIF
+             decoder exists for the MULTIMODAL surface (core/gifcodec via
+             imagecodec.decode_image); routing it here would diverge from
+             the reference
   pdf/unknown → rejected like the reference's content-type guard, but as an
              in-band error row (app/main.py:115-116 → S4 errors-as-data)
   empty    → in-band error row (app/main.py:119-120)

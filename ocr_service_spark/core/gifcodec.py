@@ -1,0 +1,329 @@
+"""Pure-stdlib GIF codec (decode + fixture encoder).
+
+Scope note: the reference's ``cv2.imdecode`` does NOT read GIF, so this
+is NOT on the reference-parity S3 surface (a GIF upload errors in the
+reference and keeps erroring byte-identically in the document pipeline).
+It belongs to the PIPELINE brief's multimodal surface: web-crawled
+training corpora are full of GIFs, and GIF87a/89a is a small, fully
+public format (W3C/CompuServe specification) — an LZW raster with
+palettes, built on the same machinery as the TIFF LZW codec but with
+LSB-first bit packing and the LATE width change (GIF widens one table
+entry later than TIFF's early change).
+
+Decoder (``decode_gif``) — supported subset, anything else returns
+``None`` (errors-as-data upstream, like every core codec):
+  * GIF87a and GIF89a, global and local color tables, interlaced and
+    sequential rasters
+  * FIRST frame only, rendered onto a logical-screen canvas filled
+    with the background color (cv2-free consumers want one image; a
+    multi-frame file's later frames are animation deltas)
+  * all extension blocks skipped (graphic control transparency is
+    ignored — the canvas shows the palette color, the single-frame
+    render convention)
+Output is always (w, h, 3, RGB) — GIF pixels are palette indices.
+
+Encoder (``encode_gif``) — the fixture writer: indexed encode of a
+gray plane through an identity 256-gray palette (or an explicit
+palette + index raster), optional interlace, optional local color
+table, GIF89a graphic-control extension emission. Lossless, so
+round-trip tests assert exact equality.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+# the imagecodec.Decoded shape
+Decoded = Tuple[int, int, int, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# GIF-flavor LZW: LSB-first packing, late width change
+# ---------------------------------------------------------------------------
+
+def gif_lzw_decode(data: bytes, min_code_size: int,
+                   expected: int) -> bytes:
+    """De-sub-blocked LZW stream -> index bytes. Codes are packed
+    LSB-first; the width widens when the next free slot reaches
+    (1 << width) — one entry LATER than TIFF (no early change)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    table: List[bytes] = []
+    next_code = eoi + 1
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated: return what arrived
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = []
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = bytes([code])
+        elif code - eoi - 1 < len(table):
+            entry = table[code - eoi - 1]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Index bytes -> LZW stream (no sub-blocking). Emits Clear first
+    and resets when the table fills at 4096 — with the matching late
+    width schedule: the encoder widens one entry later than its own
+    table-size rule because the decoder's table runs one entry behind."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if len(nxt) == 1 or nxt in table:
+            cur = nxt
+            continue
+        emit(cur[0] if len(cur) == 1 else table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(cur[0] if len(cur) == 1 else table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for r in range(start, h, step):
+            out[r] = rows[src]
+            src += 1
+    return out
+
+
+def decode_gif(data) -> Optional[Decoded]:
+    try:
+        return _decode_gif_inner(bytes(data))
+    except Exception:
+        return None
+
+
+def _skip_subblocks(b: bytes, pos: int) -> int:
+    while True:
+        if pos >= len(b):
+            raise ValueError("unterminated sub-blocks")
+        n = b[pos]
+        pos += 1 + n
+        if n == 0:
+            return pos
+
+
+def _read_subblocks(b: bytes, pos: int) -> Tuple[bytes, int]:
+    chunks = []
+    while True:
+        if pos >= len(b):
+            raise ValueError("unterminated sub-blocks")
+        n = b[pos]
+        if n == 0:
+            return b"".join(chunks), pos + 1
+        chunks.append(b[pos + 1:pos + 1 + n])
+        if len(chunks[-1]) != n:
+            raise ValueError("truncated sub-block")
+        pos += 1 + n
+
+
+def _decode_gif_inner(b: bytes) -> Optional[Decoded]:
+    if b[:6] not in GIF_MAGICS:
+        return None
+    if len(b) < 13:
+        return None
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    bg_index = b[11]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8)
+        if len(gct) != 3 * n:
+            return None
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    if sw == 0 or sh == 0:
+        return None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + sub-blocks, all skipped
+            pos = _skip_subblocks(b, pos + 2)
+            continue
+        if block != 0x2C:
+            return None
+        # image descriptor
+        left, top, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+        ipacked = b[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8)
+            if len(pal) != 3 * n:
+                return None
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None or iw == 0 or ih == 0:
+            return None
+        if left + iw > sw or top + ih > sh:
+            return None
+        min_code_size = b[pos]
+        if not 2 <= min_code_size <= 11:
+            return None
+        stream, pos = _read_subblocks(b, pos + 1)
+        idx = gif_lzw_decode(stream, min_code_size, iw * ih)
+        if len(idx) < iw * ih:
+            return None
+        raster = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+        if raster.max() >= len(pal):
+            return None
+        if ipacked & 0x40:
+            raster = _deinterlace(raster)
+        # render the first frame onto the background-colored canvas
+        rgb = np.empty((sh, sw, 3), dtype=np.uint8)
+        rgb[top:top + ih, left:left + iw] = pal[raster]
+        if (top, left, ih, iw) != (0, 0, sh, sw):
+            fill_pal = gct if gct is not None else pal
+            fill = (fill_pal[bg_index] if bg_index < len(fill_pal)
+                    else np.zeros(3, dtype=np.uint8))
+            outside = np.ones((sh, sw), dtype=bool)
+            outside[top:top + ih, left:left + iw] = False
+            rgb[outside] = fill
+        return sw, sh, 3, rgb
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixtures)
+# ---------------------------------------------------------------------------
+
+def _sub_blocked(stream: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray, palette: Optional[np.ndarray] = None,
+               interlace: bool = False, local_table: bool = False,
+               gce: bool = False) -> bytes:
+    """Fixture writer. (h, w) uint8 -> indexed GIF through ``palette``
+    ((n, 3) uint8; identity 256-gray when omitted). ``local_table``
+    moves the palette into the image block; ``gce`` emits a GIF89a
+    graphic-control extension (exercises the skip path)."""
+    idx = np.asarray(pixels, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("encode_gif takes an (h, w) index/gray plane")
+    h, w = idx.shape
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    if n < 2 or n > 256 or (n & (n - 1)):
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    if int(idx.max()) >= n:
+        raise ValueError("index out of palette range")
+    bits = max((n - 1).bit_length(), 1)
+    min_code_size = max(bits, 2)
+    raster = idx
+    if interlace:
+        rows = []
+        for start, step in _INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        raster = idx[np.array(rows)]
+    stream = gif_lzw_encode(raster.tobytes(), min_code_size)
+    out = bytearray(b"GIF89a" if gce else b"GIF87a")
+    gct_flag = 0x00 if local_table else 0x80
+    out += struct.pack("<HH", w, h)
+    out += bytes([gct_flag | (bits - 1), 0, 0])
+    if not local_table:
+        out += pal.tobytes()
+    if gce:
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x80 if local_table else 0)
+                  | (0x40 if interlace else 0)
+                  | ((bits - 1) if local_table else 0)])
+    if local_table:
+        out += pal.tobytes()
+    out += bytes([min_code_size])
+    out += _sub_blocked(stream)
+    out += b"\x3b"
+    return bytes(out)

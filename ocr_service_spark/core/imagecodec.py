@@ -593,6 +593,10 @@ def decode_image(data) -> Optional[Decoded]:
         from .tiffcodec import decode_tiff
 
         return decode_tiff(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+
+        return decode_gif(b)
     if b[:2] in _PNM_BINARY_MAGICS or (
             b[:2] in _PNM_ASCII_MAGICS and len(b) > 2
             and (b[2:3].isspace() or b[2:3] == b"#")):

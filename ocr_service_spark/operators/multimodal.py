@@ -5,10 +5,10 @@ Image decode is REAL for PNG/BMP since r4 and for baseline JPEG since r5 —
 the pure-stdlib codecs in ``core/imagecodec`` (zlib inflate + per-row
 unfiltering) and ``core/jpegcodec`` (marker parse + Huffman + IDCT) yield
 actual pixels, dimensions and a true perceptual dHash with no third-party
-wheels (progressive SOF2 JPEG, TIFF, netpbm and RIFF/WAVE PCM audio
+wheels (progressive SOF2 JPEG, TIFF, netpbm, GIF and RIFF/WAVE PCM audio
 included since r5 session 2 — core/tiffcodec, imagecodec.decode_pnm,
-core/wavcodec). Remaining formats (GIF/WebP images, compressed audio,
-video containers) stay STUBBED in this environment (no
+core/gifcodec, core/wavcodec). Remaining formats (WebP/VP8 images,
+compressed audio, video containers) stay STUBBED in this environment (no
 cv2/soundfile — see the module-level import gates): ``DETERMINISTIC_FAKE``
 derives stable pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and
@@ -99,7 +99,8 @@ def _decode_image(payload: bytes):
     elif payload[:8] == b"\x89PNG\r\n\x1a\n" or (
         payload[:2] == b"BM" and len(payload) >= 54
     ) or payload[:3] == b"\xff\xd8\xff" \
-            or payload[:4] in (b"II*\x00", b"MM\x00*"):
+            or payload[:4] in (b"II*\x00", b"MM\x00*") \
+            or payload[:6] in (b"GIF87a", b"GIF89a"):
         from ..core.imagecodec import decode_image, dhash63_gray, to_gray
 
         decoded = decode_image(payload)

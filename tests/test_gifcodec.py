@@ -1,0 +1,160 @@
+"""Stdlib GIF codec (core/gifcodec): exact indexed round-trips (GIF is
+lossless), the LATE LZW width change (vs TIFF's early change),
+interlace, local color tables, extension skipping, a well-known
+external byte vector, failure paths, and the multimodal routing (the
+DANFE document pipeline deliberately does NOT pixel-decode GIF —
+cv2.imdecode reads no GIF, so the reference's error envelope is the
+parity behavior there)."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.core.gifcodec import (
+    decode_gif,
+    encode_gif,
+    gif_lzw_decode,
+    gif_lzw_encode,
+)
+
+
+def _gray(seed, shape=(45, 67)):
+    return np.random.default_rng(seed).integers(
+        0, 256, shape, dtype=np.uint8)
+
+
+class TestGifLzw:
+    def test_round_trips_across_width_boundaries(self):
+        rng = np.random.default_rng(2)
+        for mcs in (2, 4, 8):
+            hi = 1 << mcs
+            for data in (bytes(rng.integers(0, hi, 300, dtype=np.uint8)),
+                         bytes(rng.integers(0, hi, 5000, dtype=np.uint8)),
+                         bytes([hi - 1]) * 4000,
+                         bytes(rng.integers(0, min(hi, 3), 30000,
+                                            dtype=np.uint8))):
+                enc = gif_lzw_encode(data, mcs)
+                assert gif_lzw_decode(enc, mcs, len(data)) == data
+
+    def test_table_fill_reset(self):
+        # >4096 entries forces the mid-stream Clear
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(0, 256, 60000, dtype=np.uint8))
+        enc = gif_lzw_encode(data, 8)
+        assert gif_lzw_decode(enc, 8, len(data)) == data
+
+    def test_spec_appendix_style_hand_stream(self):
+        # min code size 2: Clear=4, EOI=5, first width 3. Pack the code
+        # VALUES LSB-first (each code's low bit leaves first) for the
+        # index stream [1, 1]
+        acc = 0
+        for k, code in enumerate((4, 1, 1, 5)):
+            acc |= code << (3 * k)
+        enc = acc.to_bytes(2, "little")
+        assert gif_lzw_decode(enc, 2, 2) == b"\x01\x01"
+
+
+class TestRoundTrip:
+    def test_gray_identity_palette_exact(self):
+        g = _gray(11)
+        out = decode_gif(encode_gif(g))
+        assert out is not None and out[:3] == (67, 45, 3)
+        for ch in range(3):
+            assert np.array_equal(out[3][:, :, ch], g)
+
+    def test_interlaced_exact(self):
+        g = _gray(13, (37, 53))
+        out = decode_gif(encode_gif(g, interlace=True))
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_local_color_table(self):
+        g = (_gray(17, (20, 30)) % 16).astype(np.uint8)
+        pal = np.random.default_rng(19).integers(
+            0, 256, (16, 3), dtype=np.uint8)
+        out = decode_gif(encode_gif(g, palette=pal, local_table=True))
+        assert np.array_equal(out[3], pal[g])
+
+    def test_small_palettes_and_min_code_size_floor(self):
+        # 2-entry palette still uses min code size >= 2 per the spec
+        g = (_gray(23, (16, 16)) % 2).astype(np.uint8)
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        out = decode_gif(encode_gif(g, palette=pal))
+        assert np.array_equal(out[3][:, :, 0], g * 255)
+
+    def test_gce_extension_skipped(self):
+        g = _gray(29, (12, 12))
+        raw = encode_gif(g, gce=True)
+        assert raw[:6] == b"GIF89a" and b"\x21\xf9" in raw
+        out = decode_gif(raw)
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_multi_sub_block_stream(self):
+        # large image -> LZW stream well past one 255-byte sub-block
+        g = _gray(31, (200, 300))
+        out = decode_gif(encode_gif(g))
+        assert np.array_equal(out[3][:, :, 0], g)
+
+
+class TestExternalVector:
+    def test_famous_1x1_transparent_gif(self):
+        # the canonical 43-byte 1x1 "transparent pixel" (ubiquitous web
+        # tracking beacon) — produced by real-world encoders, so it
+        # cross-checks our table/width bookkeeping against the wild
+        raw = bytes.fromhex(
+            "47494638396101000100800000000000ffffff21f9040100000000"
+            "2c00000000010001000002024401003b")
+        out = decode_gif(raw)
+        assert out is not None and out[:3] == (1, 1, 3)
+        assert out[3].reshape(3).tolist() == [0, 0, 0]
+
+
+class TestFailurePaths:
+    def test_garbage_and_truncation(self):
+        g = _gray(37, (16, 16))
+        raw = encode_gif(g)
+        assert decode_gif(b"GIF89a") is None
+        assert decode_gif(b"not a gif") is None
+        assert decode_gif(raw[:20]) is None
+        # truncated LZW yields a short index stream -> None
+        assert decode_gif(raw[: len(raw) // 2]) is None
+
+    def test_descriptor_out_of_screen_rejected(self):
+        g = _gray(41, (8, 8))
+        raw = bytearray(encode_gif(g))
+        at = 13 + 3 * 256  # descriptor sits right after the 256-entry GCT
+        assert raw[at] == 0x2C
+        raw[at + 1] = 5  # image left=5 pushes past the 8px screen
+        assert decode_gif(bytes(raw)) is None
+
+
+class TestDispatchAndRouting:
+    def test_decode_image_routes_gif(self):
+        from ocr_service_spark.core.imagecodec import decode_image
+
+        g = _gray(43, (20, 30))
+        out = decode_image(encode_gif(g))
+        assert out is not None and out[:3] == (30, 20, 3)
+
+    def test_multimodal_real_gif_features(self):
+        from ocr_service_spark.operators.multimodal import _decode_image
+
+        g = _gray(47, (24, 32))
+        w, h, ch, ph = _decode_image(encode_gif(g))
+        assert (w, h, ch) == (32, 24, 3)
+        assert len(ph) == 16
+
+    def test_multimodal_corrupt_gif_flags_decode_failure(self):
+        from ocr_service_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"GIF89a" + b"\x00" * 30)
+
+    def test_document_pipeline_keeps_reference_error_parity(self):
+        # cv2.imdecode reads no GIF, so the DANFE path must produce the
+        # reference's empty-OCR error envelope even though the
+        # multimodal surface can decode the same bytes
+        from ocr_service_spark.core.document import extract_document
+
+        g = _gray(53, (40, 40))
+        r = extract_document("gif://x", encode_gif(g))
+        assert r["tipo_documento"] == "erro"
+        assert not r["itens"]
