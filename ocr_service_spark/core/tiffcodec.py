@@ -18,13 +18,19 @@ Decoder (``decode_tiff``) — supported subset, anything else returns
   * 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero — inverted
     on output — and 1 BlackIsZero), 8-bit RGB (contiguous planar
     configuration), 8-bit palette (ColorMap 16-bit entries scaled /257),
-    and 1-bit bilevel (photometric 0/1, row-aligned bit packing)
+    1-bit bilevel (photometric 0/1, row-aligned bit packing), and
+    16-bit grayscale in the file's byte order (high byte kept on
+    output — the libtiff/PNG strip-16 convention; scanners emit it)
   * Compression 1 (none), 32773 (PackBits), 5 (LZW, MSB-first codes
     with the spec's "early change" width switch) + Predictor 2
-    (horizontal differencing, applied per row after decompression)
-  * strip organization (StripOffsets/StripByteCounts/RowsPerStrip);
-    tiles, 16-bit samples, planar=2, alpha/extra samples, JPEG-in-TIFF
-    and CCITT fax compressions are out of subset -> None
+    (horizontal differencing per row after decompression, 8- and
+    16-bit sample lanes)
+  * strip organization (StripOffsets/StripByteCounts/RowsPerStrip) and
+    tile organization (TileWidth/TileLength/TileOffsets/TileByteCounts,
+    right/bottom tile padding cropped); planar=2, alpha/extra samples,
+    JPEG-in-TIFF and CCITT fax compressions are out of subset -> None
+    (fax G3/G4 deliberately: its ~180-entry T.4 Huffman tables have no
+    in-sandbox ground truth to cross-check a transcription against)
 
 Encoder (``encode_tiff``) — the fixture writer, same role as
 ``encode_png``/``encode_jpeg_gray``: lossless, so round-trip tests
@@ -282,19 +288,15 @@ def _decode_tiff_inner(b: bytes) -> Optional[Decoded]:
     photometric = one(262)
     predictor = one(317, 1)
     planar = one(284, 1)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    rows_per_strip = one(278, h)
-    if photometric is None or offsets is None or counts is None:
-        return None
-    if planar != 1 or len(offsets) != len(counts):
+    if photometric is None or planar != 1:
         return None
     if compression not in (1, 5, 32773):
         return None
     if predictor not in (1, 2):
         return None
     bilevel = bits == [1] and spp == 1 and photometric in (0, 1)
-    if not bilevel:
+    sample16 = bits == [16] and spp == 1 and photometric in (0, 1)
+    if not bilevel and not sample16:
         if any(x != 8 for x in bits) or len(bits) != spp:
             return None
         if photometric == 2 and spp != 3:
@@ -305,49 +307,107 @@ def _decode_tiff_inner(b: bytes) -> Optional[Decoded]:
         return None
     if photometric == 3 and 320 not in tags:
         return None
-    if bilevel:
-        row_bytes = (w + 7) // 8
-    else:
-        row_bytes = w * spp
-    # assemble strips
-    rows = []
-    row_start = 0
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(b):
-            return None
-        nrows = min(rows_per_strip, h - row_start)
-        if nrows <= 0:
-            return None
-        raw = b[off:off + cnt]
-        expected = row_bytes * nrows
+
+    def seg_row_bytes(width_px: int) -> int:
+        if bilevel:
+            return (width_px + 7) // 8
+        return width_px * spp * (2 if sample16 else 1)
+
+    def decode_segment(raw: bytes, rows: int, width_px: int) -> np.ndarray:
+        """One strip/tile -> PIXEL domain: bilevel (rows, w) 0/1;
+        16-bit (rows, w) uint16; 8-bit (rows, w, spp) uint8. Predictor
+        is undone HERE — differencing never crosses a segment's rows."""
+        expected = seg_row_bytes(width_px) * rows
         if compression == 5:
             raw = lzw_decode(raw, expected)
         elif compression == 32773:
             raw = packbits_decode(raw, expected)
         elif len(raw) < expected:
-            return None
-        strip = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
-            nrows, row_bytes)
-        rows.append(strip)
-        row_start += nrows
-    if row_start != h:
+            raise ValueError("segment short")
+        arr = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+            rows, seg_row_bytes(width_px))
+        if bilevel:
+            return np.unpackbits(arr, axis=1)[:, :width_px]
+        if sample16:
+            px = np.frombuffer(arr.tobytes(), dtype=bo + "u2").reshape(
+                rows, width_px)
+            if predictor == 2:
+                px = np.cumsum(px.astype(np.uint64), axis=1).astype(
+                    np.uint16)
+            else:
+                px = px.astype(np.uint16)
+            return px
+        px = arr.reshape(rows, width_px, spp)
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+        return px
+
+    tiled = 322 in tags or 323 in tags
+    try:
+        if tiled:
+            tw = one(322)
+            th = one(323)
+            offsets = tags.get(324)
+            counts = tags.get(325)
+            if not tw or not th or offsets is None or counts is None:
+                return None
+            if len(offsets) != len(counts):
+                return None
+            across = -(-w // tw)
+            down = -(-h // th)
+            if len(offsets) != across * down:
+                return None
+            if bilevel:
+                canvas = np.zeros((down * th, across * tw), dtype=np.uint8)
+            elif sample16:
+                canvas = np.zeros((down * th, across * tw), dtype=np.uint16)
+            else:
+                canvas = np.zeros((down * th, across * tw, spp),
+                                  dtype=np.uint8)
+            for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+                if off + cnt > len(b):
+                    return None
+                ty, tx = divmod(ti, across)
+                canvas[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = \
+                    decode_segment(b[off:off + cnt], th, tw)
+            px = canvas[:h, :w]
+        else:
+            offsets = tags.get(273)
+            counts = tags.get(279)
+            rows_per_strip = one(278, h)
+            if offsets is None or counts is None:
+                return None
+            if len(offsets) != len(counts) or rows_per_strip <= 0:
+                return None
+            parts = []
+            row_start = 0
+            for off, cnt in zip(offsets, counts):
+                if off + cnt > len(b):
+                    return None
+                nrows = min(rows_per_strip, h - row_start)
+                if nrows <= 0:
+                    return None
+                parts.append(decode_segment(b[off:off + cnt], nrows, w))
+                row_start += nrows
+            if row_start != h:
+                return None
+            px = np.concatenate(parts, axis=0)
+    except ValueError:
         return None
-    plane = np.concatenate(rows, axis=0)
-    if predictor == 2 and not bilevel:
-        # horizontal differencing: cumulative sum per sample lane, mod 256
-        plane = plane.reshape(h, w, spp)
-        plane = np.cumsum(plane.astype(np.uint32), axis=1).astype(
-            np.uint8).reshape(h, row_bytes)
     if bilevel:
-        bits_arr = np.unpackbits(plane, axis=1)[:, :w]
         if photometric == 0:  # WhiteIsZero: 0 = white, 1 = black
-            out = np.where(bits_arr == 0, 255, 0).astype(np.uint8)
+            out = np.where(px == 0, 255, 0).astype(np.uint8)
         else:  # BlackIsZero: 0 = black
-            out = np.where(bits_arr == 0, 0, 255).astype(np.uint8)
+            out = np.where(px == 0, 0, 255).astype(np.uint8)
         return w, h, 1, out[:, :, None]
+    if sample16:
+        gray = (px >> 8).astype(np.uint8)  # strip-16: keep the high byte
+        if photometric == 0:
+            gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+        return w, h, 1, gray[:, :, None]
     if photometric == 2:
-        return w, h, 3, plane.reshape(h, w, 3)
-    gray = plane.reshape(h, w)
+        return w, h, 3, np.ascontiguousarray(px)
+    gray = px[:, :, 0]
     if photometric == 0:  # WhiteIsZero 8-bit: invert
         gray = (255 - gray.astype(np.int32)).astype(np.uint8)
         return w, h, 1, gray[:, :, None]
@@ -361,85 +421,120 @@ def _decode_tiff_inner(b: bytes) -> Optional[Decoded]:
                .reshape(3, n).T + 128) // 257
         rgb = pal[gray].astype(np.uint8)
         return w, h, 3, rgb.reshape(h, w, 3)
-    return w, h, 1, gray[:, :, None]
+    return w, h, 1, np.ascontiguousarray(gray)[:, :, None]
 
 
 # ---------------------------------------------------------------------------
 # Encoder (fixtures)
 # ---------------------------------------------------------------------------
 
-def _hdiff(plane: np.ndarray, w: int, spp: int) -> np.ndarray:
-    """Horizontal differencing predictor (forward direction)."""
-    h = plane.shape[0]
-    px = plane.reshape(h, w, spp).astype(np.int32)
-    d = px.copy()
-    d[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
-    return (d & 0xFF).astype(np.uint8).reshape(h, w * spp)
-
-
 def encode_tiff(pixels: np.ndarray, compression: str = "none",
                 predictor: bool = False, rows_per_strip: int = 0,
                 byte_order: str = "<", white_zero: bool = False,
-                palette: bool = False, bilevel: bool = False) -> bytes:
-    """(h, w [, 3]) uint8 -> baseline TIFF. Lossless for every option
-    combination, so round-trips are exact. ``palette`` writes a gray
-    plane as an identity-colormap palette image; ``bilevel`` thresholds
-    a gray plane at 128 into 1-bit rows; ``white_zero`` stores
-    photometric 0 (inverted gray / inverted bits)."""
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim == 3 and arr.shape[2] == 1:
-        arr = arr[:, :, 0]
-    gray = arr.ndim == 2
-    h, w = arr.shape[:2]
-    spp = 1 if gray else 3
+                palette: bool = False, bilevel: bool = False,
+                bits16: bool = False,
+                tile: Optional[Tuple[int, int]] = None) -> bytes:
+    """(h, w [, 3]) uint8 (or uint16 with ``bits16``) -> baseline TIFF.
+    Lossless for every option combination at the stored precision, so
+    round-trips are exact (16-bit decode keeps the high byte — the
+    strip-16 convention — so tests compare against ``arr >> 8``).
+    ``palette`` writes a gray plane as an identity-colormap palette
+    image; ``bilevel`` thresholds a gray plane at 128 into 1-bit rows;
+    ``white_zero`` stores photometric 0 (inverted values/bits);
+    ``tile=(tw, th)`` writes tile organization (edge-padded partial
+    tiles) instead of strips."""
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
-    if bilevel:
-        if not gray:
-            raise ValueError("bilevel takes a gray plane")
-        ink = (arr < 128).astype(np.uint8)
+    bo = byte_order
+    if bits16:
+        arr = np.asarray(pixels, dtype=np.uint16)
+        if arr.ndim != 2:
+            raise ValueError("bits16 takes a gray plane")
+        photometric = 0 if white_zero else 1
         if white_zero:
-            photometric = 0  # 1 = black
-            plane = np.packbits(ink, axis=1)
-        else:
-            photometric = 1  # 1 = white
-            plane = np.packbits(1 - ink, axis=1)
-        row_bytes = plane.shape[1]
-        bits_tag = [1]
+            arr = (65535 - arr.astype(np.int64)).astype(np.uint16)
+        px = arr
+        spp = 1
+        bits_tag = [16]
     else:
-        if palette:
+        arr = np.asarray(pixels, dtype=np.uint8)
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        gray = arr.ndim == 2
+        spp = 1 if gray else 3
+        if bilevel:
+            if not gray:
+                raise ValueError("bilevel takes a gray plane")
+            ink = (arr < 128).astype(np.uint8)
+            photometric = 0 if white_zero else 1
+            px = ink if white_zero else (1 - ink)  # stored bit values
+            bits_tag = [1]
+        elif palette:
             if not gray:
                 raise ValueError("palette takes a gray plane")
             photometric = 3
+            px = arr
+            bits_tag = [8]
         elif gray:
             photometric = 0 if white_zero else 1
             if white_zero:
                 arr = (255 - arr.astype(np.int32)).astype(np.uint8)
+            px = arr
+            bits_tag = [8]
         else:
             photometric = 2
-        plane = arr.reshape(h, w * spp)
-        row_bytes = w * spp
-        bits_tag = [8] * spp
+            px = arr
+            bits_tag = [8] * spp
+    h, w = px.shape[:2]
     use_pred = predictor and compression == "lzw" and not bilevel
-    if use_pred:
-        plane = _hdiff(plane, w, spp)
-    rps = rows_per_strip if rows_per_strip > 0 else h
-    strips = []
-    for r0 in range(0, h, rps):
-        raw = plane[r0:r0 + rps].tobytes()
-        if comp_code == 5:
-            raw = lzw_encode(raw)
-        elif comp_code == 32773:
-            raw = packbits_encode(raw)
-        strips.append(raw)
 
-    bo = byte_order
+    def region_bytes(reg: np.ndarray) -> bytes:
+        """Pixel-domain region -> raw (predicted, packed, compressed)."""
+        if bilevel:
+            raw = np.packbits(reg, axis=1).tobytes()
+        elif bits16:
+            r = reg
+            if use_pred:
+                d = r.astype(np.int64).copy()
+                d[:, 1:] -= r.astype(np.int64)[:, :-1]
+                r = (d & 0xFFFF).astype(np.uint16)
+            raw = r.astype(bo + "u2").tobytes()
+        else:
+            r = reg if reg.ndim == 3 else reg[:, :, None]
+            if use_pred:
+                d = r.astype(np.int32).copy()
+                d[:, 1:, :] -= r.astype(np.int32)[:, :-1, :]
+                r = (d & 0xFF).astype(np.uint8)
+            raw = r.tobytes()
+        if comp_code == 5:
+            return lzw_encode(raw)
+        if comp_code == 32773:
+            return packbits_encode(raw)
+        return raw
+
+    segments = []
+    if tile is not None:
+        tw, th = tile
+        padded = np.pad(
+            px,
+            ((0, (-h) % th), (0, (-w) % tw)) + (((0, 0),) if px.ndim == 3
+                                                else ()),
+            mode="edge")
+        for ty in range(0, padded.shape[0], th):
+            for tx in range(0, padded.shape[1], tw):
+                segments.append(
+                    region_bytes(padded[ty:ty + th, tx:tx + tw]))
+    else:
+        rps = rows_per_strip if rows_per_strip > 0 else h
+        for r0 in range(0, h, rps):
+            segments.append(region_bytes(px[r0:r0 + rps]))
+
     magic = TIFF_MAGIC_LE if bo == "<" else TIFF_MAGIC_BE
-    # layout: header(8) | strip data | [external values] | IFD
+    # layout: header(8) | segment data | [external values] | IFD
     out = bytearray(magic)
     out += struct.pack(bo + "I", 0)  # IFD offset patched below
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(len(out))
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(len(out))
         out += s
     if len(out) % 2:
         out += b"\x00"
@@ -462,11 +557,18 @@ def encode_tiff(pixels: np.ndarray, compression: str = "none",
     add(258, 3, bits_tag)
     add(259, 3, [comp_code])
     add(262, 3, [photometric])
-    add(273, 4, strip_offsets)
     add(277, 3, [spp])
-    add(278, 4, [min(rps, h)])
-    add(279, 4, [len(s) for s in strips])
     add(284, 3, [1])
+    if tile is not None:
+        add(322, 3, [tile[0]])
+        add(323, 3, [tile[1]])
+        add(324, 4, seg_offsets)
+        add(325, 4, [len(s) for s in segments])
+    else:
+        rps = rows_per_strip if rows_per_strip > 0 else h
+        add(273, 4, seg_offsets)
+        add(278, 4, [min(rps, h)])
+        add(279, 4, [len(s) for s in segments])
     if use_pred:
         add(317, 3, [2])
     if palette:

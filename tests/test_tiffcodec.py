@@ -315,6 +315,19 @@ class TestCv2Parity:
         out = decode_tiff(enc.tobytes())
         assert out is not None and np.array_equal(out[3][:, :, 0], g)
 
+    def test_cv2_decodes_our_tiled_and_16bit(self):
+        import cv2
+
+        g = _gray(103, (40, 56))
+        jp = np.frombuffer(encode_tiff(g, compression="lzw", tile=(16, 16)),
+                           dtype=np.uint8)
+        dec = cv2.imdecode(jp, cv2.IMREAD_GRAYSCALE)
+        assert dec is not None and np.array_equal(dec, g)
+        g16 = (g.astype(np.uint16) << 8) | 0x7F
+        jp16 = np.frombuffer(encode_tiff(g16, bits16=True), dtype=np.uint8)
+        dec16 = cv2.imdecode(jp16, cv2.IMREAD_ANYDEPTH)
+        assert dec16 is not None and np.array_equal(dec16, g16)
+
     def test_pnm_parity(self):
         import cv2
 
@@ -334,3 +347,61 @@ class TestPnmPackedP1:
 
     def test_p1_rejects_other_characters(self):
         assert decode_pnm(b"P1\n2 1\n02\n") is None
+
+
+class TestTiffTilesAnd16Bit:
+    @pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+    def test_tiled_gray_exact(self, compression):
+        g = _gray(81, (70, 90))
+        for tw, th in ((16, 16), (32, 48), (128, 128)):
+            out = decode_tiff(encode_tiff(g, compression=compression,
+                                          tile=(tw, th)))
+            assert out is not None and out[:3] == (90, 70, 1)
+            assert np.array_equal(out[3][:, :, 0], g)
+
+    def test_tiled_rgb_with_predictor(self):
+        rng = np.random.default_rng(83)
+        c = rng.integers(0, 256, (50, 60, 3), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(c, compression="lzw", predictor=True,
+                                      tile=(16, 32)))
+        assert np.array_equal(out[3], c)
+
+    def test_tiled_bilevel(self):
+        g = np.where(_gray(87, (40, 70)) < 128, 0, 255).astype(np.uint8)
+        out = decode_tiff(encode_tiff(g, bilevel=True, tile=(24, 16),
+                                      compression="packbits"))
+        assert np.array_equal(out[3][:, :, 0], g)
+
+    @pytest.mark.parametrize("byte_order", ["<", ">"])
+    def test_16bit_gray_high_byte(self, byte_order):
+        rng = np.random.default_rng(89)
+        g16 = rng.integers(0, 65536, (30, 44), dtype=np.uint16)
+        out = decode_tiff(encode_tiff(g16, bits16=True,
+                                      byte_order=byte_order))
+        assert out[:3] == (44, 30, 1)
+        assert np.array_equal(out[3][:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    def test_16bit_white_zero_and_predictor_lzw(self):
+        rng = np.random.default_rng(97)
+        g16 = rng.integers(0, 65536, (25, 33), dtype=np.uint16)
+        out = decode_tiff(encode_tiff(g16, bits16=True, white_zero=True,
+                                      compression="lzw", predictor=True))
+        # WhiteIsZero inverts in 16-bit; (65535-v)>>8 == 255-(v>>8) exactly
+        assert np.array_equal(out[3][:, :, 0],
+                              (g16 >> 8).astype(np.uint8))
+
+    def test_16bit_tiled(self):
+        rng = np.random.default_rng(101)
+        g16 = rng.integers(0, 65536, (37, 53), dtype=np.uint16)
+        out = decode_tiff(encode_tiff(g16, bits16=True, tile=(16, 16),
+                                      compression="lzw"))
+        assert np.array_equal(out[3][:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    def test_tile_predictor_does_not_cross_tile_edges(self):
+        # a horizontal gradient differenced per TILE row segment: wrong
+        # cross-tile predictor handling would corrupt every tile after
+        # the first column of tiles
+        g = np.tile(np.arange(0, 250, 2, dtype=np.uint8), (20, 1))
+        out = decode_tiff(encode_tiff(g, compression="lzw", predictor=True,
+                                      tile=(16, 8)))
+        assert np.array_equal(out[3][:, :, 0], g)
