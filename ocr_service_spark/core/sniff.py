@@ -22,6 +22,7 @@ FMT_GIF = "gif"
 FMT_WEBP = "webp"
 FMT_TIFF = "tiff"
 FMT_PNM = "pnm"
+FMT_WAV = "wav"
 FMT_TOKENS = "tokens"
 FMT_UNKNOWN = "unknown"
 
@@ -46,6 +47,9 @@ def sniff_format(payload) -> str:
         return FMT_GIF
     if b.startswith(b"RIFF") and len(b) >= 12 and b[8:12] == b"WEBP":
         return FMT_WEBP
+    if b.startswith(b"RIFF") and len(b) >= 12 and b[8:12] == b"WAVE":
+        return FMT_WAV  # audio, NOT in IMAGE_FORMATS: the document
+        # pipeline rejects it like the reference's content-type guard
     if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
         return FMT_TIFF
     # binary netpbm only: ASCII "P1".."P3" + whitespace is plain text at

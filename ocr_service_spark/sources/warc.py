@@ -278,7 +278,10 @@ def http_metadata(pages: DataFrame) -> DataFrame:
 _DECLARED_TO_FMT = {
     "text/html": "html", "application/xhtml+xml": "html",
     "application/pdf": "pdf", "image/png": "png", "image/jpeg": "jpeg",
-    "image/gif": "gif", "image/webp": "webp",
+    "image/gif": "gif", "image/webp": "webp", "image/tiff": "tiff",
+    "image/x-portable-bitmap": "pnm", "image/x-portable-graymap": "pnm",
+    "image/x-portable-pixmap": "pnm", "image/x-portable-anymap": "pnm",
+    "audio/wav": "wav", "audio/x-wav": "wav", "audio/wave": "wav",
 }
 
 

@@ -135,3 +135,17 @@ class TestMultimodalWiring:
         payload = bytes(range(256)) * 4
         sr, dur, rms = _decode_audio(payload)
         assert sr == 8000 and dur == len(payload) * 1000 // 8000
+
+
+class TestSniffRouting:
+    def test_wav_sniffs_as_audio_and_document_pipeline_rejects(self):
+        # RIFF/WAVE is audio: NOT an IMAGE_FORMATS member, so the DANFE
+        # path rejects it like the reference's content-type guard
+        from ocr_service_spark.core.document import extract_document
+        from ocr_service_spark.core.sniff import IMAGE_FORMATS, sniff_format
+
+        w = encode_wav(np.zeros(64, dtype=np.int32))
+        assert sniff_format(w) == "wav"
+        assert "wav" not in IMAGE_FORMATS
+        assert sniff_format(b"RIFF1234WEBP") == "webp"  # RIFF family intact
+        assert extract_document("wav://x", w)["tipo_documento"] == "erro"
