@@ -54,7 +54,7 @@ def test_bit_flips_never_raise_and_stay_fast():
             assert time.time() - t0 < 2.0, (name, off)
 
 
-def test_truncations_never_raise(subtests=None):
+def test_truncations_never_raise():
     for name, (base, dec) in _payloads().items():
         for cut in range(1, len(base), max(len(base) // 29, 1)):
             dec(base[:cut])
