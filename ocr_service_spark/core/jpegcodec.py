@@ -23,6 +23,11 @@ Decoder (``decode_jpeg``) — supported subset, anything else returns
     T.81 §G.2 / figure G.7 semantics), interleaved DC scans,
     non-interleaved single-component scans over the component's own
     block sub-grid, restarts inside any scan
+  * EXIF Orientation (APP1 tag 274, parsed by the TIFF IFD reader —
+    EXIF is a TIFF stream) applied to the output pixels the way
+    cv2.imdecode does for JPEG: phone cameras store sideways rasters
+    with orientation 6/8, and a parity decoder must return them
+    display-upright
   * NOT supported: arithmetic coding, 12-bit, hierarchical,
     multi-scan non-interleaved baseline
 Pixel math: dequantized coefficients → float64 IDCT (vectorized across
@@ -200,6 +205,57 @@ def decode_jpeg(data) -> Optional[Decoded]:
         return None
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """APP1 payload -> EXIF Orientation (tag 274), 1 when absent or
+    unparseable. The EXIF body is a little TIFF stream, so the TIFF
+    IFD reader does the parsing."""
+    if not app1.startswith(b"Exif\x00\x00"):
+        return 1
+    t = app1[6:]
+    try:
+        if t.startswith(b"II*\x00"):
+            bo = "<"
+        elif t.startswith(b"MM\x00*"):
+            bo = ">"
+        else:
+            return 1
+        from .tiffcodec import _read_ifd
+
+        (ifd_off,) = struct.unpack_from(bo + "I", t, 4)
+        tags = _read_ifd(t, ifd_off, bo)
+        o = tags.get(274, [1])[0]
+        return o if 1 <= o <= 8 else 1
+    except Exception:
+        return 1
+
+
+def _apply_orientation(decoded: Optional[Decoded],
+                       o: int) -> Optional[Decoded]:
+    """Apply the EXIF orientation the way cv2.imdecode does for JPEG:
+    the stored raster is transformed so the returned pixels are
+    display-upright (o=6 -> rotate 90° CW, o=8 -> 90° CCW, 3 -> 180°,
+    2/4 mirror, 5/7 transpose/transverse)."""
+    if decoded is None or o <= 1:
+        return decoded
+    w, h, ch, px = decoded
+    if o == 2:
+        px = px[:, ::-1]
+    elif o == 3:
+        px = px[::-1, ::-1]
+    elif o == 4:
+        px = px[::-1]
+    elif o == 5:
+        px = px.transpose(1, 0, 2)
+    elif o == 6:
+        px = px.transpose(1, 0, 2)[:, ::-1]
+    elif o == 7:
+        px = px.transpose(1, 0, 2)[::-1, ::-1]
+    elif o == 8:
+        px = px.transpose(1, 0, 2)[::-1]
+    nh, nw = px.shape[:2]
+    return nw, nh, ch, np.ascontiguousarray(px)
+
+
 def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
     if not b.startswith(b"\xff\xd8"):
         return None
@@ -208,6 +264,7 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
     progressive = False
     prog = None  # progressive coefficient state, built at first SOS
+    orientation = 1
     restart_interval = 0
     pos = 2
     n = len(b)
@@ -220,7 +277,8 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
             continue
         if marker == 0xD9:
             if prog is not None:
-                return _assemble_planes(frame, prog["comps"])
+                return _apply_orientation(
+                    _assemble_planes(frame, prog["comps"]), orientation)
             return None  # EOI before any scan
         seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
         seg = b[pos + 4:pos + 2 + seg_len]
@@ -274,6 +332,8 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xE1 and orientation == 1:  # APP1: EXIF
+            orientation = _exif_orientation(seg)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
@@ -302,16 +362,20 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                 cs = seg[1 + si * 2]
                 tt = seg[2 + si * 2]
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                b, pos + 2 + seg_len, frame, qt, huff, scan_tabs,
-                restart_interval,
+            return _apply_orientation(
+                _decode_scan(
+                    b, pos + 2 + seg_len, frame, qt, huff, scan_tabs,
+                    restart_interval,
+                ),
+                orientation,
             )
         pos += 2 + seg_len
     if prog is not None:
         # truncated after at least one complete scan: render what arrived
         # (libjpeg's partial-progressive behavior; errors-as-data callers
         # still get a real image for every fully-written stream)
-        return _assemble_planes(frame, prog["comps"])
+        return _apply_orientation(
+            _assemble_planes(frame, prog["comps"]), orientation)
     return None
 
 

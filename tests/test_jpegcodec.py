@@ -444,6 +444,18 @@ class TestCv2Parity:
         out = decode_jpeg(enc.tobytes())
         assert out is not None and out[0] == 56 and out[1] == 40
 
+    def test_exif_orientation_parity(self):
+        import cv2
+
+        rng = np.random.default_rng(19)
+        g = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+        jp = TestExifOrientation._with_exif(encode_jpeg_gray(g), 6)
+        dec = cv2.imdecode(np.frombuffer(jp, dtype=np.uint8),
+                           cv2.IMREAD_GRAYSCALE)
+        ours = decode_jpeg(jp)[3][:, :, 0]
+        assert dec is not None and dec.shape == ours.shape
+        assert int(np.abs(dec.astype(int) - ours.astype(int)).max()) <= 1
+
     def test_we_decode_cv2_stream(self):
         import cv2
 
@@ -453,3 +465,96 @@ class TestCv2Parity:
         assert ok
         out = decode_jpeg(enc.tobytes())
         assert out is not None and out[:3] == (56, 40, 1) or out[2] == 3
+
+
+class TestExifOrientation:
+    """cv2.imdecode applies the EXIF Orientation tag to JPEGs (phone
+    cameras store sideways rasters with orientation 6/8); the decoder
+    must return display-upright pixels for all 8 values."""
+
+    @staticmethod
+    def _with_exif(jp: bytes, orientation: int,
+                   byte_order: str = "<") -> bytes:
+        import struct
+
+        if byte_order == "<":
+            tiff = (b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHI", 274, 3, 1)
+                    + struct.pack("<HH", orientation, 0)
+                    + struct.pack("<I", 0))
+        else:
+            tiff = (b"MM\x00*" + struct.pack(">I", 8)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">HHI", 274, 3, 1)
+                    + struct.pack(">HH", orientation, 0)
+                    + struct.pack(">I", 0))
+        body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        return jp[:2] + app1 + jp[2:]
+
+    @pytest.mark.parametrize("orientation,transform", [
+        (1, lambda g: g),
+        (2, lambda g: g[:, ::-1]),
+        (3, lambda g: g[::-1, ::-1]),
+        (4, lambda g: g[::-1]),
+        (5, lambda g: g.T),
+        (6, lambda g: g.T[:, ::-1]),
+        (7, lambda g: g.T[::-1, ::-1]),
+        (8, lambda g: g.T[::-1]),
+    ])
+    def test_all_eight_orientations(self, orientation, transform):
+        rng = np.random.default_rng(orientation)
+        g = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+        base = encode_jpeg_gray(g)
+        plain = decode_jpeg(base)[3][:, :, 0]  # same DCT round-trip
+        out = decode_jpeg(self._with_exif(base, orientation))
+        expect = transform(plain)
+        assert out[:3] == (expect.shape[1], expect.shape[0], 1)
+        assert np.array_equal(out[3][:, :, 0], expect)
+
+    def test_big_endian_exif_and_progressive(self):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        rng = np.random.default_rng(66)
+        g = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+        base = encode_jpeg_gray(g)
+        plain = decode_jpeg(base)[3][:, :, 0]
+        jp = self._with_exif(base, 6, byte_order=">")
+        assert np.array_equal(decode_jpeg(jp)[3][:, :, 0],
+                              plain.T[:, ::-1])
+        jprog = self._with_exif(encode_jpeg_gray_progressive(g), 8)
+        assert np.array_equal(decode_jpeg(jprog)[3][:, :, 0],
+                              plain.T[::-1])
+
+    def test_malformed_exif_is_ignored(self):
+        import struct
+
+        g = np.full((16, 16), 100, dtype=np.uint8)
+        jp = encode_jpeg_gray(g)
+        body = b"Exif\x00\x00" + b"II*\x00" + b"\xff" * 4
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        out = decode_jpeg(jp[:2] + app1 + jp[2:])
+        assert out is not None and out[:3] == (16, 16, 1)
+
+    def test_sideways_receipt_extracts_via_rotation(self):
+        # a planted receipt stored ROTATED with orientation 6 must
+        # extract identically to the upright twin — the phone-photo case
+        from ocr_service_spark.catalog import _planted_jpeg_receipt
+        from ocr_service_spark.core.document import (
+            extract_document,
+            itens_to_json,
+        )
+        from ocr_service_spark.core.imagecodec import to_gray
+
+        base = _planted_jpeg_receipt(0)
+        gray = to_gray(decode_jpeg(base)[3])
+        sideways = np.ascontiguousarray(gray.T[::-1])  # stored 90° CCW
+        jp = self._with_exif(encode_jpeg_gray(sideways), 6)
+        a = extract_document("jpg://upright", base)
+        b = extract_document("jpg://sideways", jp)
+        assert a["tipo_documento"] == b["tipo_documento"] != "erro"
+        assert itens_to_json(a["itens"]) == itens_to_json(b["itens"])
+        assert a["qrcode_url"] == b["qrcode_url"]
