@@ -28,8 +28,11 @@ Decoder (``decode_jpeg``) — supported subset, anything else returns
     cv2.imdecode does for JPEG: phone cameras store sideways rasters
     with orientation 6/8, and a parity decoder must return them
     display-upright
-  * NOT supported: arithmetic coding, 12-bit, hierarchical,
-    multi-scan non-interleaved baseline
+  * multi-scan non-interleaved baseline (r5 session 2): SOF0 files
+    whose components arrive in separate scans (or partial-interleave
+    subsets) accumulate into the progressive path's per-component
+    coefficient state and assemble at EOI
+  * NOT supported: arithmetic coding, 12-bit, hierarchical
 Pixel math: dequantized coefficients → float64 IDCT (vectorized across
 all blocks with one stacked BLAS matmul per component) → round → clip; nearest-
 neighbour chroma upsampling; JFIF YCbCr→RGB (output channel order is
@@ -355,8 +358,29 @@ def _decode_jpeg_inner(b: bytes) -> Optional[Decoded]:
                     return None
                 pos = end
                 continue
-            if ns != len(comps):
-                return None  # non-interleaved multi-scan: unsupported
+            if prog is not None or ns != len(comps):
+                # sequential multi-scan baseline: components arrive in
+                # separate (or partial-interleave) scans — accumulate
+                # into the progressive path's coefficient state and
+                # assemble at EOI
+                if prog is None:
+                    prog = _init_prog_state(frame, qt)
+                    if prog is None:
+                        return None
+                ids = [c[0] for c in comps]
+                sel = []
+                for si in range(ns):
+                    cs = seg[1 + si * 2]
+                    tt = seg[2 + si * 2]
+                    if cs not in ids:
+                        return None
+                    sel.append((ids.index(cs), tt >> 4, tt & 0x0F))
+                end = _decode_seq_scan(b, pos + 2 + seg_len, prog, huff,
+                                       sel, restart_interval)
+                if end is None:
+                    return None
+                pos = end
+                continue
             scan_tabs = {}
             for si in range(ns):
                 cs = seg[1 + si * 2]
@@ -731,6 +755,70 @@ def _decode_progressive_scan(b, pos, frame, prog, huff, scan,
     else:
         _prog_ac_scan(rdr, comps[sel[0][0]], luts[0], ss, se, ah, al,
                       restart_interval)
+    return end
+
+
+def _decode_seq_scan(b, pos, prog, huff, sel, restart_interval):
+    """One SEQUENTIAL (baseline multi-scan) scan into the coefficient
+    accumulator: full DC+AC per block (no spectral selection / EOB
+    runs), sub-grid raster for single-component scans, MCU order for
+    partial interleaves. Returns the terminating-marker position."""
+    comps = prog["comps"]
+    segments, end = _split_entropy_pos(b, pos)
+    rdr = _BitReader(segments)
+    luts = []
+    for ci, td, ta in sel:
+        if (0, td) not in huff or (1, ta) not in huff:
+            return None
+        luts.append((huff[(0, td)].tolist(), huff[(1, ta)].tolist()))
+    preds = [0] * len(sel)
+
+    def block(si, coef, base):
+        dcl, acl = luts[si]
+        t = rdr.huff(dcl)
+        if t > 11:
+            raise ValueError("DC size out of range")
+        preds[si] += _extend(rdr.bits(t), t) if t else 0
+        coef[base] = preds[si]
+        k = 1
+        while k < 64:
+            rs = rdr.huff(acl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index out of range")
+            coef[base + k] = _extend(rdr.bits(s), s)
+            k += 1
+
+    if len(sel) == 1:
+        c = comps[sel[0][0]]
+        bw, cw, ch = c["bw"], c["cw"], c["ch"]
+        coef = c["coef"]
+        for i in range(cw * ch):
+            if restart_interval and i and i % restart_interval == 0:
+                rdr.restart()
+                preds = [0]
+            by, bx = divmod(i, cw)
+            block(0, coef, (by * bw + bx) * 64)
+    else:
+        mcux, mcuy = prog["mcux"], prog["mcuy"]
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                rdr.restart()
+                preds = [0] * len(sel)
+            my, mx = divmod(m, mcux)
+            for si, (ci, _, _) in enumerate(sel):
+                c = comps[ci]
+                hs, vs, bw = c["hs"], c["vs"], c["bw"]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block(si, c["coef"],
+                              ((my * vs + by) * bw + (mx * hs + bx)) * 64)
     return end
 
 
@@ -1468,3 +1556,62 @@ def encode_jpeg_rgb_progressive(rgb: np.ndarray, qdiv: int = 1,
         })
     return _encode_progressive(comps, h, w, qdiv, scans or _RGB_SCANS,
                                restart_interval, samplings)
+
+
+def encode_jpeg_rgb_noninterleaved(rgb: np.ndarray, qdiv: int = 1,
+                                   subsample: bool = False,
+                                   restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> SEQUENTIAL baseline (SOF0) with one scan
+    per component — the multi-scan non-interleaved layout some encoders
+    emit. Each scan rasters its component's own cw x ch block sub-grid
+    with per-scan Huffman tables; decodes pixel-identical to the
+    interleaved encode_jpeg_rgb of the same planes."""
+    h, w = np.asarray(rgb).shape[:2]
+    yp, cbs, crs, hs, vs = _ycbcr_planes(rgb, subsample)
+    planes = [yp, cbs, crs]
+    samplings = [(hs, vs), (1, 1), (1, 1)]
+    ri = int(restart_interval)
+    out = bytearray(b"\xff\xd8")
+    qtab = np.full(64, int(qdiv), dtype=np.int32)
+    out += _dqt_segment(0, qtab)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for ci, (chs, cvs) in enumerate(samplings):
+        out += bytes([ci + 1, (chs << 4) | cvs, 0])
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    for ci, ((chs, cvs), plane) in enumerate(zip(samplings, planes)):
+        zz = _qzz_blocks(plane, qdiv)
+        bw = plane.shape[1] // 8
+        csw = -(-(w * chs) // hs)
+        csh = -(-(h * cvs) // vs)
+        cw, ch = -(-csw // 8), -(-csh // 8)
+        # sub-grid raster over the component's own blocks
+        order = [by * bw + bx for by in range(ch) for bx in range(cw)]
+        zz_scan = zz[np.array(order)]
+        seq, dc_syms, ac_syms = _symbol_pass(zz_scan, ri)
+        dc_bits, dc_vals = _fixed_length_table(dc_syms)
+        ac_bits, ac_vals = _fixed_length_table(ac_syms)
+        dc_codes = _encode_codes(dc_bits, dc_vals)
+        ac_codes = _encode_codes(ac_bits, ac_vals)
+        out += _dht_segment(0, 0, dc_bits, dc_vals)
+        out += _dht_segment(1, 0, ac_bits, ac_vals)
+        out += (b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+                + bytes([ci + 1, 0x00, 0, 63, 0]))
+        wtr = _BitWriter()
+        rst = 0
+        for bi, (t, diff, acs) in enumerate(seq):
+            if ri and bi and bi % ri == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            wtr.write(*dc_codes[t])
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            for sym, v, s in acs:
+                wtr.write(*ac_codes[sym])
+                if s:
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -558,3 +558,63 @@ class TestExifOrientation:
         assert a["tipo_documento"] == b["tipo_documento"] != "erro"
         assert itens_to_json(a["itens"]) == itens_to_json(b["itens"])
         assert a["qrcode_url"] == b["qrcode_url"]
+
+
+class TestNonInterleavedBaseline:
+    """Multi-scan sequential baseline (one scan per component, the
+    layout some encoders emit): accumulates through the progressive
+    path's coefficient state, so equality vs the interleaved encode of
+    the same planes is exact."""
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_exact_vs_interleaved(self, subsample):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_noninterleaved,
+        )
+
+        rng = np.random.default_rng(7)
+        # 38x52 is not a whole number of MCUs at 4:2:0: the Y scan
+        # rasters a 7-wide sub-grid inside an 8-wide storage grid
+        c = rng.integers(0, 256, (38, 52, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(c, subsample=subsample))
+        ni = decode_jpeg(
+            encode_jpeg_rgb_noninterleaved(c, subsample=subsample))
+        assert ni is not None and ni[:3] == base[:3]
+        assert np.array_equal(ni[3], base[3])
+
+    @pytest.mark.parametrize("ri", [2, 5])
+    def test_restart_intervals(self, ri):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_noninterleaved,
+        )
+
+        rng = np.random.default_rng(11)
+        c = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(c))
+        ni = decode_jpeg(
+            encode_jpeg_rgb_noninterleaved(c, restart_interval=ri))
+        assert np.array_equal(ni[3], base[3])
+
+    def test_truncation_after_scans_renders_partial(self):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_noninterleaved,
+        )
+
+        c = np.full((32, 32, 3), 180, dtype=np.uint8)
+        jp = encode_jpeg_rgb_noninterleaved(c)
+        second_sos = jp.find(b"\xff\xda", jp.find(b"\xff\xda") + 2)
+        out = decode_jpeg(jp[:second_sos])  # only the Y scan arrived
+        assert out is not None and out[:3] == (32, 32, 3)
+
+    def test_exif_applies_to_multiscan(self):
+        from ocr_service_spark.core.jpegcodec import (
+            encode_jpeg_rgb_noninterleaved,
+        )
+
+        rng = np.random.default_rng(13)
+        c = rng.integers(0, 256, (24, 36, 3), dtype=np.uint8)
+        jp = encode_jpeg_rgb_noninterleaved(c)
+        plain = decode_jpeg(jp)[3]
+        rot = decode_jpeg(TestExifOrientation._with_exif(jp, 6))
+        assert rot[:3] == (24, 36, 3)
+        assert np.array_equal(rot[3], plain.transpose(1, 0, 2)[:, ::-1])
